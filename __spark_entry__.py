@@ -1,38 +1,705 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Every entry in ``queries()`` exercises a real engine operator from
+SURVEY.md §2 / §2.3 over the provided parquet tables (plus deterministic
+closed-form coordinate/phash columns derived from integer keys so the DuckDB
+oracle can reproduce them exactly). ``oracle_sql()`` carries the equivalent
+ANSI SQL; float-valued outputs are rounded identically on both sides, money
+sums are computed in DECIMAL so they are exact.
 """
 
 from __future__ import annotations
 
+import json
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from osm2geojson_spark.functions import geom as GEO
+from osm2geojson_spark.functions import hashing as H
+from osm2geojson_spark.functions import text as TXT
+from osm2geojson_spark.functions.classify import is_geometry_polygon, polygon_flag_column
+from osm2geojson_spark.operators import cells
+from osm2geojson_spark.operators import dedup as DD
+from osm2geojson_spark.operators import knn as KNN
+from osm2geojson_spark.operators import similarity as SIM
+from osm2geojson_spark.operators.assemble import resolve_ways
+from osm2geojson_spark.operators.spatial_join import (
+    point_in_polygon_join,
+    polygons_to_df,
+    raster_vector_join,
+    tile_footprints,
+)
+from osm2geojson_spark.sources import synthetic as SYN
+from osm2geojson_spark.sources.normalize import (
+    ElementFrames,
+    NODES_SCHEMA,
+    OTHERS_SCHEMA,
+    RELATIONS_SCHEMA,
+    WAYS_SCHEMA,
+)
+
+_REPO = os.path.dirname(os.path.abspath(__file__))
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# --------------------------------------------------------------------------
+# deterministic synthetic columns shared by Spark and the oracle
+
+
+def _lon(key):  # world-bbox point from an integer key
+    return SYN.lon_expr(F.col(key) if isinstance(key, str) else key)
+
+
+def _lat(key):
+    return SYN.lat_expr(F.col(key) if isinstance(key, str) else key)
+
+
+_NATION_BOX_SQL = (
+    "SELECT n_nationkey AS poly_id,"
+    " (-180.0 + (n_nationkey % 5) * 72.0) AS x0,"
+    " (-90.0 + CAST(floor(n_nationkey / 5) AS BIGINT) * 36.0) AS y0,"
+    " (-180.0 + (n_nationkey % 5) * 72.0 + 36.0) AS x1,"
+    " (-90.0 + CAST(floor(n_nationkey / 5) AS BIGINT) * 36.0 + 18.0) AS y1"
+    " FROM nation"
+)
+
+
+def _nation_boxes(spark: SparkSession, sf_dir: str):
+    """[(poly_id, gpb, x0, y0, x1, y1)] — one rectangle per nation."""
+    rows = _t(spark, sf_dir, "nation").select("n_nationkey").collect()
+    out = []
+    for r in rows:
+        nk = r["n_nationkey"]
+        x0 = -180.0 + (nk % 5) * 72.0
+        y0 = -90.0 + (nk // 5) * 36.0
+        x1, y1 = x0 + 36.0, y0 + 18.0
+        ring = [[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]]
+        out.append((nk, GEO.polygon([ring]), x0, y0, x1, y1))
+    return out
+
+
+# --------------------------------------------------------------------------
+# OSM-semantics queries (operators R1-R16 over relational inputs)
+
+
+def q_way_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R1/R2/R6: posexplode+join node resolution + ordered coord collect,
+    through the engine's resolve_ways operator. Ways := lineitem groups
+    (node refs = l_partkey ordered by l_linenumber); nodes := part."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    ways = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("l_linenumber", "l_partkey"))
+            ).alias("nds")
+        )
+        .select(
+            F.lit("d").alias("doc_id"),
+            F.col("l_orderkey").alias("seq"),
+            F.col("l_orderkey").alias("id"),
+            F.transform("nds", lambda x: x["l_partkey"]).alias("nodes"),
+            F.lit(None).cast("array<struct<lon:double,lat:double>>").alias("geometry"),
+            F.lit(None).cast("struct<lon:double,lat:double>").alias("center"),
+            F.lit(None).cast(
+                "struct<minlat:double,minlon:double,maxlat:double,maxlon:double>"
+            ).alias("bounds"),
+            F.lit(None).cast("array<struct<k:string,v:string>>").alias("tags"),
+            F.lit(None).cast("string").alias("timestamp"),
+            F.lit(None).cast("long").alias("version"),
+            F.lit(None).cast("long").alias("changeset"),
+            F.lit(None).cast("string").alias("user"),
+            F.lit(None).cast("long").alias("uid"),
+        )
+    )
+    nodes = part.select(
+        F.lit("d").alias("doc_id"),
+        F.col("p_partkey").alias("seq"),
+        F.col("p_partkey").alias("id"),
+        _lon("p_partkey").alias("lon"),
+        _lat("p_partkey").alias("lat"),
+        F.lit(None).cast("array<struct<k:string,v:string>>").alias("tags"),
+        F.lit(None).cast("string").alias("timestamp"),
+        F.lit(None).cast("long").alias("version"),
+        F.lit(None).cast("long").alias("changeset"),
+        F.lit(None).cast("string").alias("user"),
+        F.lit(None).cast("long").alias("uid"),
+    )
+    empty_rel = spark.createDataFrame([], RELATIONS_SCHEMA)
+    empty_oth = spark.createDataFrame([], OTHERS_SCHEMA)
+    frames = ElementFrames(nodes, ways, empty_rel, empty_oth, 0)
+    w = resolve_ways(frames)
+    return w.select(
+        F.col("id").alias("way_id"),
+        (F.size("coords_arr") / 2).cast("long").alias("n_pts"),
+        F.col("closed").alias("closed"),
+        F.round(F.try_element_at("coords_arr", F.lit(1)), 9).alias("x0"),
+        F.round(F.try_element_at("coords_arr", F.lit(2)), 9).alias("y0"),
+        F.round(F.try_element_at("coords_arr", F.lit(-2)), 9).alias("xn"),
+        F.round(F.try_element_at("coords_arr", F.lit(-1)), 9).alias("yn"),
+    )
+
+
+_WAY_ASSEMBLY_SQL = f"""
+WITH nd AS (
+  SELECT p_partkey AS id,
+         round({SYN.lon_sql('p_partkey')}, 9) AS lon,
+         round({SYN.lat_sql('p_partkey')}, 9) AS lat
+  FROM part
+), w AS (
+  SELECT l_orderkey AS way_id,
+         list(l_partkey ORDER BY l_linenumber, l_partkey) AS refs
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT w.way_id,
+       CAST(len(refs) AS BIGINT) AS n_pts,
+       (refs[1] = refs[len(refs)]) AS closed,
+       f.lon AS x0, f.lat AS y0, l.lon AS xn, l.lat AS yn
+FROM w
+JOIN nd f ON f.id = refs[1]
+JOIN nd l ON l.id = refs[len(refs)]
+"""
+
+
+_CLS_KEYS = ["building", "highway", "natural", "area", "waterway", "nokey"]
+_CLS_VALS = ["yes", "no", "coastline", "riverbank"]
+
+
+def q_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R8/R9/R9b: the polygon classifier as column expressions over
+    synthesized single-tag elements."""
+    part = _t(spark, sf_dir, "part")
+    k = F.element_at(F.array(*[F.lit(x) for x in _CLS_KEYS]), (F.col("p_partkey") % 6 + 1).cast("int"))
+    v = F.element_at(F.array(*[F.lit(x) for x in _CLS_VALS]), (F.col("p_partkey") % 4 + 1).cast("int"))
+    closed = (F.col("p_partkey") % 2) == 0
+    tags = F.array(F.struct(k.alias("k"), v.alias("v")))
+    df = part.select(
+        F.col("p_partkey"),
+        polygon_flag_column(tags, closed).alias("is_poly"),
+    )
+    return df
+
+
+def _classifier_oracle_sql() -> str:
+    cases = []
+    for ki, key in enumerate(_CLS_KEYS):
+        for vi, val in enumerate(_CLS_VALS):
+            for closed in (True, False):
+                expected = is_geometry_polygon({key: val}, closed)
+                cases.append(
+                    f"WHEN p_partkey % 6 = {ki} AND p_partkey % 4 = {vi} "
+                    f"AND (p_partkey % 2 = 0) = {str(closed).lower()} "
+                    f"THEN {str(expected).lower()}"
+                )
+    return (
+        "SELECT p_partkey, CASE " + " ".join(cases) + " END AS is_poly FROM part"
+    )
+
+
+def q_used_refs_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R16: the used-refs dedup as a left anti join — parts never consumed
+    as a way node ref survive."""
+    part = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem").select(F.col("l_partkey").alias("p_partkey"))
+    return part.select("p_partkey").join(li, "p_partkey", "left_anti")
+
+
+# --------------------------------------------------------------------------
+# spatial layer (E1-E5)
+
+
+def q_cell_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    lon, lat = _lon("c_custkey"), _lat("c_custkey")
+    return cust.select(
+        "c_custkey",
+        cells.cell_id(lon, lat, 9).alias("cell9"),
+        cells.cell_id(lon, lat, 7).alias("cell7"),
+        cells.parent_cell(cells.cell_id(lon, lat, 12), 12, 7).alias("parent7"),
+    )
+
+
+_CELL_ENCODE_SQL = f"""
+SELECT c_custkey,
+  {cells.cell_id_sql(SYN.lon_sql('c_custkey'), SYN.lat_sql('c_custkey'), 9)} AS cell9,
+  {cells.cell_id_sql(SYN.lon_sql('c_custkey'), SYN.lat_sql('c_custkey'), 7)} AS cell7,
+  {cells.cell_id_sql(SYN.lon_sql('c_custkey'), SYN.lat_sql('c_custkey'), 7)} AS parent7
+FROM customer
+"""
+
+
+def q_cell_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        cust.select(cells.cell_id(_lon("c_custkey"), _lat("c_custkey"), 5).alias("cell5"))
+        .groupBy("cell5")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+_CELL_HISTOGRAM_SQL = f"""
+SELECT {cells.cell_id_sql(SYN.lon_sql('c_custkey'), SYN.lat_sql('c_custkey'), 5)} AS cell5,
+       count(*) AS n
+FROM customer GROUP BY 1
+"""
+
+
+def q_pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2: cell-sharded point-in-polygon join (ray-cast kernel) of customer
+    points against nation rectangles."""
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", _lon("c_custkey").alias("lon"), _lat("c_custkey").alias("lat")
+    )
+    polys = polygons_to_df(spark, [(p, g) for p, g, *_ in _nation_boxes(spark, sf_dir)])
+    return point_in_polygon_join(cust, polys, res=4).select("c_custkey", "poly_id")
+
+
+_PIP_JOIN_SQL = f"""
+WITH pts AS (
+  SELECT c_custkey, {SYN.lon_sql('c_custkey')} AS lon, {SYN.lat_sql('c_custkey')} AS lat
+  FROM customer
+), boxes AS ({_NATION_BOX_SQL})
+SELECT c_custkey, poly_id
+FROM pts JOIN boxes
+  ON lon >= x0 AND lon < x1 AND lat >= y0 AND lat < y1
+"""
+# half-open box semantics: the +x ray cast counts a point on the left/bottom
+# edge as inside and on the right/top edge as outside (partition property)
+
+
+def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3: k-ring kNN — 25 nation query points, 3 nearest customers each."""
+    nat = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("qid"),
+        _lon("n_nationkey").alias("lon"),
+        _lat("n_nationkey").alias("lat"),
+    )
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("tid"),
+        _lon("c_custkey").alias("lon"),
+        _lat("c_custkey").alias("lat"),
+    )
+    res = KNN.knn_join(nat, cust, k=3, res=7, qid="qid", tid="tid")
+    return res.select("qid", "rank", "tid")
+
+
+_KNN_SQL = f"""
+WITH q AS (
+  SELECT n_nationkey AS qid, {SYN.lon_sql('n_nationkey')} AS qlon, {SYN.lat_sql('n_nationkey')} AS qlat
+  FROM nation
+), t AS (
+  SELECT c_custkey AS tid, {SYN.lon_sql('c_custkey')} AS tlon, {SYN.lat_sql('c_custkey')} AS tlat
+  FROM customer
+), d AS (
+  SELECT qid, tid, {KNN.haversine_sql('qlon', 'qlat', 'tlon', 'tlat')} AS dist,
+         row_number() OVER (PARTITION BY qid ORDER BY {KNN.haversine_sql('qlon', 'qlat', 'tlon', 'tlat')} ASC, tid ASC) AS rank
+  FROM q CROSS JOIN t
+)
+SELECT qid, rank, tid FROM d WHERE rank <= 3
+"""
+
+
+def q_tile_vector_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4: raster-tile <-> vector join. Image tiles derived from part rows
+    (phash encodes the part's deterministic point), footprints sized w x h
+    at 0.01 deg/px, joined against nation rectangles."""
+    part = _t(spark, sf_dir, "part")
+    lon, lat = _lon("p_partkey"), _lat("p_partkey")
+    w = (F.lit(16) * (F.lit(1) + F.col("p_partkey") % 3)).cast("int")
+    imgs = part.select(
+        F.format_string("img%012d", F.col("p_partkey")).alias("image_id"),
+        w.alias("w"),
+        w.alias("h"),
+        SYN.phash_encode(lon, lat).alias("phash"),
+    )
+    fp = tile_footprints(imgs, deg_per_px=0.01)
+    polys = polygons_to_df(spark, [(p, g) for p, g, *_ in _nation_boxes(spark, sf_dir)])
+    return raster_vector_join(fp, polys, res=4)
+
+
+_TILE_JOIN_SQL = f"""
+WITH img AS (
+  SELECT printf('img%012d', p_partkey) AS image_id,
+         CAST(16 * (1 + p_partkey % 3) AS BIGINT) AS w,
+         {SYN.phash_encode_sql(SYN.lon_sql('p_partkey'), SYN.lat_sql('p_partkey'))} AS phash
+  FROM part
+), fp AS (
+  SELECT image_id,
+    {SYN.phash_lon_sql('phash')} - w * 0.005 AS fx0,
+    {SYN.phash_lat_sql('phash')} - w * 0.005 AS fy0,
+    {SYN.phash_lon_sql('phash')} + w * 0.005 AS fx1,
+    {SYN.phash_lat_sql('phash')} + w * 0.005 AS fy1
+  FROM img
+), boxes AS ({_NATION_BOX_SQL})
+SELECT DISTINCT image_id, poly_id
+FROM fp JOIN boxes
+  ON fx0 <= x1 AND fx1 >= x0 AND fy0 <= y1 AND fy1 >= y0
+"""
+
+
+# --------------------------------------------------------------------------
+# training-data ops: dedup / similarity / text (documents, embeddings)
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+_DEDUP_EXACT_SQL = f"""
+SELECT {TXT.fingerprint_sql('text')} AS fingerprint,
+       min(doc_id) AS keep_id, count(*) AS n_dups
+FROM documents GROUP BY 1
+"""
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 80)
+    return DD.ngram_jaccard_pairs(docs, tau=0.5)
+
+
+def _jaccard_sql(doc_filter: str, tau: float) -> str:
+    return f"""
+WITH docs AS (SELECT doc_id, text FROM documents WHERE {doc_filter}),
+ex AS (
+  SELECT doc_id, unnest({H.shingles_sql('text')}) AS sh FROM docs
+), sizes AS (
+  SELECT doc_id, count(*) AS sz FROM ex GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= {tau}
+"""
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 80)
+    return DD.minhash_lsh_pairs(docs, tau=0.5)
+
+
+def _minhash_lsh_sql(doc_filter: str, tau: float) -> str:
+    bands = ", ".join(H.band_hash_sql())
+    return f"""
+WITH docs AS (SELECT doc_id, text FROM documents WHERE {doc_filter}),
+sig AS ({H.minhash_signature_sql('docs', 'doc_id', 'text')}),
+banded AS (SELECT doc_id, {bands} FROM sig),
+melted AS (
+  {' UNION ALL '.join(f"SELECT doc_id, {b} AS band_idx, band{b} AS band_key FROM banded" for b in range(H.N_BANDS))}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM melted a JOIN melted b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+), jac AS ({_jaccard_sql(doc_filter, 0.0)})
+SELECT c.id_a, c.id_b, j.jaccard
+FROM cand c JOIN jac j ON j.id_a = c.id_a AND j.id_b = c.id_b
+WHERE j.jaccard >= {tau}
+"""
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    return DD.simhash_pairs(docs, max_hamming=3)
+
+
+def _simhash_sql(doc_filter: str, max_hamming: int) -> str:
+    # the 4-block pigeonhole guarantees completeness for hamming <= 3, so the
+    # oracle can simply test all pairs
+    return f"""
+WITH docs AS (SELECT doc_id, text FROM documents WHERE {doc_filter}),
+sh AS ({H.simhash_sql('docs', 'doc_id', 'text')})
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+"""
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    res = SIM.cosine_topk_bruteforce(queries, emb, k=5)
+    return res.select("qid", "rank", "vec_id")
+
+
+_ANN_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 3),
+d AS (
+  SELECT qid, vec_id,
+    list_dot_product(qv, v) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) AS cos
+  FROM q CROSS JOIN e
+), r AS (
+  SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM d
+)
+SELECT qid, rank, vec_id FROM r WHERE rank <= 5
+"""
+
+
+def q_ann_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    res = SIM.cosine_topk_lsh(queries, emb, k=5)
+    return res.select("qid", "rank", "vec_id")
+
+
+def _ann_lsh_sql() -> str:
+    bucket = " + ".join(
+        f"(CASE WHEN v[{d + 1}] > 0 THEN {1 << d} ELSE 0 END)" for d in range(SIM.SIGN_DIMS)
+    )
+    probes = ", ".join(["b"] + [f"xor(b, {1 << d})" for d in range(SIM.SIGN_DIMS)])
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, ({bucket}) AS b FROM embeddings),
+q AS (SELECT vec_id AS qid, v AS qv, unnest([{probes}]) AS probe FROM e WHERE vec_id < 3),
+cand AS (
+  SELECT qid, qv, e.vec_id, e.v
+  FROM q JOIN e ON e.b = q.probe
+), d AS (
+  SELECT qid, vec_id,
+    list_dot_product(qv, v) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) AS cos
+  FROM cand
+), r AS (
+  SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM d
+)
+SELECT qid, rank, vec_id FROM r WHERE rank <= 5
+"""
+
+
+def q_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        TXT.ws_token_count(t).alias("ws_tokens"),
+        TXT.bpe_token_count(t).alias("bpe_tokens"),
+        TXT.quality_score(t).alias("quality"),
+        TXT.lang_id(t).alias("lang_pred"),
+        TXT.fingerprint_col(t).alias("fingerprint"),
+    )
+
+
+_TEXT_SQL = f"""
+SELECT doc_id,
+  {TXT.ws_token_count_sql('text')} AS ws_tokens,
+  {TXT.bpe_token_count_sql('text')} AS bpe_tokens,
+  {TXT.quality_score_sql('text')} AS quality,
+  {TXT.lang_id_sql('text')} AS lang_pred,
+  {TXT.fingerprint_sql('text')} AS fingerprint
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# relational core / events
+
+
+def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-hour aggregation over the events stream table (batch form of
+    the streaming windowed agg; wall-clock fields so the result is
+    timezone-independent)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.year("ts").alias("y"),
+        F.month("ts").alias("m"),
+        F.dayofmonth("ts").alias("d"),
+        F.hour("ts").alias("h"),
+        "event_type",
+    ).agg(
+        F.count("*").alias("n"),
+        F.round(F.min("value"), 6).alias("vmin"),
+        F.round(F.max("value"), 6).alias("vmax"),
+    )
+
+
+_EVENTS_SQL = """
+SELECT CAST(year(ts) AS INTEGER) AS y, CAST(month(ts) AS INTEGER) AS m,
+       CAST(day(ts) AS INTEGER) AS d, CAST(hour(ts) AS INTEGER) AS h,
+       event_type, count(*) AS n,
+       round(min(value), 6) AS vmin, round(max(value), 6) AS vmax
+FROM events GROUP BY 1, 2, 3, 4, 5
+"""
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style aggregate (DECIMAL money math — exact across engines)."""
+    li = _t(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
+            F.sum(price).alias("sum_base_price"),
+            F.sum(price * (F.lit(1).cast("decimal(18,2)") - disc)).alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            F.col("sum_qty").cast("decimal(38,2)").alias("sum_qty"),
+            F.col("sum_base_price").cast("decimal(38,2)").alias("sum_base_price"),
+            F.col("sum_disc_price").cast("decimal(38,4)").alias("sum_disc_price"),
+            "count_order",
+        )
+    )
+
+
+_PRICING_SQL = """
+SELECT l_returnflag, l_linestatus,
+  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS sum_disc_price,
+  count(*) AS count_order
+FROM lineitem GROUP BY 1, 2
+"""
+
+
+def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    rev = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(38,2)")
+            .alias("revenue")
+        )
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+    )
+    wnd = Window.orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+    return (
+        rev.withColumn("rank", F.row_number().over(wnd))
+        .filter(F.col("rank") <= 10)
+        .select("rank", "c_custkey", "c_name", "revenue")
+    )
+
+
+_TOP_CUSTOMERS_SQL = """
+WITH rev AS (
+  SELECT o_custkey, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS revenue
+  FROM orders GROUP BY 1
+), r AS (
+  SELECT c.c_custkey, c.c_name, rev.revenue,
+         row_number() OVER (ORDER BY rev.revenue DESC, c.c_custkey ASC) AS rank
+  FROM rev JOIN customer c ON c.c_custkey = rev.o_custkey
+)
+SELECT rank, c_custkey, c_name, revenue FROM r WHERE rank <= 10
+"""
+
+
+# --------------------------------------------------------------------------
+# driver contract
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: spatial-join + tile-assignment of an image table against
+    OSM-assembled fixture polygons (the north-star workload, small scale).
+
+    Assembles the golden multipolygon fixtures through the full OSM
+    pipeline, synthesizes a deterministic image table over their bbox,
+    decodes phash -> points, cell-shards both sides, PIP-joins and reports
+    per-(polygon, tile) assignment counts.
+    """
+    sf_dir = "/root/testdata/sf0.001"
+    import osm2geojson_spark as o2g
+
+    polys = []
+    for i, name in enumerate(["relation.json", "issue-16.json", "map.json"]):
+        with open(os.path.join(_REPO, "tests", "data", name)) as f:
+            shapes = o2g.json2shapes(spark, f.read())
+        for gpb, props in shapes:
+            if gpb[0] in (GEO.GTYPE_POLYGON, GEO.GTYPE_MULTIPOLYGON):
+                polys.append((len(polys), bytes(gpb)))
+    polys_df = polygons_to_df(spark, polys)
+
+    # image side: customers (from the sf table) + synthetic phash points
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("image_key"),
+        SYN.phash_encode(
+            _lon("c_custkey") / 50, _lat("c_custkey") / 50
+        ).alias("phash"),  # compress toward the fixture bboxes around (0,0)
+    )
+    pts = cust.select(
+        "image_key",
+        SYN.phash_lon(F.col("phash")).alias("lon"),
+        SYN.phash_lat(F.col("phash")).alias("lat"),
+    )
+    joined = point_in_polygon_join(pts, polys_df, res=6)
+    return (
+        joined.withColumn("tile", cells.cell_id(F.col("lon"), F.col("lat"), 9))
+        .groupBy("poly_id", "tile")
+        .agg(F.count("*").alias("n_images"))
+        .orderBy("poly_id", "tile")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "way_assembly": q_way_assembly,
+        "classifier": q_classifier,
+        "used_refs_antijoin": q_used_refs_antijoin,
+        "cell_encode": q_cell_encode,
+        "cell_histogram": q_cell_histogram,
+        "pip_join": q_pip_join,
+        "knn": q_knn,
+        "tile_vector_join": q_tile_vector_join,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_cosine_lsh": q_ann_cosine_lsh,
+        "text_analysis": q_text_analysis,
+        "events_window": q_events_window,
+        "pricing_summary": q_pricing_summary,
+        "top_customers": q_top_customers,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "way_assembly": _WAY_ASSEMBLY_SQL,
+        "classifier": _classifier_oracle_sql(),
+        "used_refs_antijoin": (
+            "SELECT p_partkey FROM part WHERE p_partkey NOT IN "
+            "(SELECT l_partkey FROM lineitem)"
+        ),
+        "cell_encode": _CELL_ENCODE_SQL,
+        "cell_histogram": _CELL_HISTOGRAM_SQL,
+        "pip_join": _PIP_JOIN_SQL,
+        "knn": _KNN_SQL,
+        "tile_vector_join": _TILE_JOIN_SQL,
+        "dedup_exact": _DEDUP_EXACT_SQL,
+        "dedup_ngram_jaccard": _jaccard_sql("doc_id < 80", 0.5),
+        "dedup_minhash_lsh": _minhash_lsh_sql("doc_id < 80", 0.5),
+        "dedup_simhash": _simhash_sql("doc_id < 120", 3),
+        "ann_cosine_topk": _ANN_SQL,
+        "ann_cosine_lsh": _ann_lsh_sql(),
+        "text_analysis": _TEXT_SQL,
+        "events_window": _EVENTS_SQL,
+        "pricing_summary": _PRICING_SQL,
+        "top_customers": _TOP_CUSTOMERS_SQL,
+    }

@@ -1,0 +1,122 @@
+"""Benchmark: headline engine queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>,
+   "cpus": N, "spatial_rows_per_sec": R}
+
+Env:
+  SPARK_GRAFT_SF_DIR  (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS    (default 32) -> master local[N], shuffle partitions N
+  SPARK_GRAFT_IMAGES  (default 400000) synthetic image rows for the
+                      flagship spatial-join + tile-assignment measurement
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+
+def force(df):
+    """Evaluate the full query including every output column."""
+    cols = [F.xxhash64(c) for c in df.columns]
+    return df.select(F.count(F.lit(1)).alias("n"), F.sum(sum(cols, F.lit(0))).alias("h")).collect()[0]["n"]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_images = int(os.environ.get("SPARK_GRAFT_IMAGES", "400000"))
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("osm2geojson_spark-bench")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", "48g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as E
+    from osm2geojson_spark.operators import cells
+    from osm2geojson_spark.operators.spatial_join import (
+        point_in_polygon_join,
+        polygons_to_df,
+    )
+    from osm2geojson_spark.sources import synthetic as SYN
+
+    timings: dict[str, float] = {}
+
+    def bench(name, fn):
+        t0 = time.time()
+        n = fn()
+        timings[name] = round(time.time() - t0, 3)
+        return n
+
+    # ---- flagship: spatial join + tile assignment over the image table
+    boxes = E._nation_boxes(spark, sf_dir)
+    polys_df = polygons_to_df(spark, [(p, g) for p, g, *_ in boxes])
+
+    def spatial():
+        imgs = SYN.synthetic_images(spark, n_images, with_bytes=False, num_partitions=cpus)
+        pts = imgs.select(
+            "image_id",
+            SYN.phash_lon(F.col("phash")).alias("lon"),
+            SYN.phash_lat(F.col("phash")).alias("lat"),
+        )
+        joined = point_in_polygon_join(pts, polys_df, res=6)
+        tiled = joined.withColumn("tile", cells.cell_id(F.col("lon"), F.col("lat"), 9))
+        return tiled.groupBy("poly_id", "tile").agg(F.count("*").alias("n")).count()
+
+    bench("spatial_join_tiles", spatial)
+    spatial_rows_per_sec = round(n_images / timings["spatial_join_tiles"], 1)
+
+    qs = E.queries()
+    for name in [
+        "way_assembly",
+        "pip_join",
+        "knn",
+        "tile_vector_join",
+        "cell_histogram",
+        "dedup_exact",
+        "dedup_minhash_lsh",
+        "ann_cosine_topk",
+        "text_analysis",
+        "events_window",
+        "pricing_summary",
+        "top_customers",
+    ]:
+        bench(name, lambda n=name: force(qs[n](spark, sf_dir)))
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline engine queries wall time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "cpus": cpus,
+                "n_images": n_images,
+                "spatial_rows_per_sec": spatial_rows_per_sec,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

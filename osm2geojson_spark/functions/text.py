@@ -1,0 +1,158 @@
+"""Text-analysis operators for training-data pipelines (documents table).
+
+Each operator exists twice with byte-identical semantics:
+* a Spark column expression (JVM-side, codegen, no Python), and
+* an ANSI-SQL snippet generator for the DuckDB correctness oracle.
+
+Operators: token counting (whitespace + BPE-ish regex), quality scoring
+(length/punct/stopword ratios), language-ID (stopword-hit heuristic),
+document fingerprinting (md5-based 60-bit stable hash; the rolling-hash
+shingle fingerprints live in hashing.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# fixed tiny stopword list — part of the operator definition
+EN_STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it", "on", "for"]
+
+_BPE_RE = "[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]"
+
+
+# ------------------------------------------------------------- normalize
+
+
+def normalize_col(text: Column) -> Column:
+    """lowercase, strip non [a-z0-9 ], collapse whitespace."""
+    t = F.regexp_replace(F.lower(text), "[^a-z0-9 ]", "")
+    return F.trim(F.regexp_replace(t, " +", " "))
+
+
+def normalize_sql(text: str) -> str:
+    return (
+        f"trim(regexp_replace(regexp_replace(lower({text}), '[^a-z0-9 ]', '', 'g'),"
+        f" ' +', ' ', 'g'))"
+    )
+
+
+# ----------------------------------------------------------------- hashes
+
+
+def md5_long(col: Column) -> Column:
+    """Stable 60-bit positive hash of a string (same value in DuckDB)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def md5_long_sql(expr: str) -> str:
+    return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+def fingerprint_col(text: Column) -> Column:
+    """Document fingerprint = stable hash of the normalized text."""
+    return md5_long(normalize_col(text))
+
+
+def fingerprint_sql(text: str) -> str:
+    return md5_long_sql(normalize_sql(text))
+
+
+# ----------------------------------------------------------------- tokens
+
+
+def ws_token_count(text: Column) -> Column:
+    t = F.trim(text)
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.size(F.split(t, "\\s+"))
+    )
+
+
+def ws_token_count_sql(text: str) -> str:
+    return (
+        f"CASE WHEN length(trim({text})) = 0 THEN 0 "
+        f"ELSE length(regexp_split_to_array(trim({text}), '\\s+')) END"
+    )
+
+
+def bpe_token_count(text: Column) -> Column:
+    """BPE-ish token count: alnum runs + individual punctuation marks."""
+    return F.regexp_count(text, F.lit(_BPE_RE))
+
+
+def bpe_token_count_sql(text: str) -> str:
+    return f"length(regexp_extract_all({text}, '{_BPE_RE}'))"
+
+
+# ---------------------------------------------------------------- quality
+
+
+def _stopword_hits(text: Column) -> Column:
+    padded = F.concat(F.lit(" "), normalize_col(text), F.lit(" "))
+    n = F.lit(0)
+    for w in EN_STOPWORDS:
+        n = n + F.size(F.split(padded, f" {w} ")) - F.lit(1)
+    return n
+
+
+def _stopword_hits_sql(text: str) -> str:
+    padded = f"(' ' || {normalize_sql(text)} || ' ')"
+    parts = [
+        f"(length(regexp_split_to_array({padded}, ' {w} ')) - 1)" for w in EN_STOPWORDS
+    ]
+    return "(" + " + ".join(parts) + ")"
+
+
+def quality_score(text: Column) -> Column:
+    """Deterministic [0,1] quality heuristic:
+       0.4 * min(1, n_ws_tokens/20) + 0.3 * (1 - punct_ratio)
+       + 0.3 * min(1, 5*stopword_hits/max(1,n_ws_tokens)), rounded to 6 dp.
+
+    Note: split-based counting means overlapping stopword pairs ("of the")
+    count once per non-overlapping occurrence — the SQL oracle uses the
+    identical split, so both sides agree by construction.
+    """
+    n_tok = ws_token_count(text).cast("double")
+    n_chars = F.greatest(F.length(text), F.lit(1)).cast("double")
+    n_punct = F.regexp_count(text, F.lit("[^a-zA-Z0-9\\s]")).cast("double")
+    stop = _stopword_hits(text).cast("double")
+    score = (
+        F.lit(0.4) * F.least(F.lit(1.0), n_tok / F.lit(20.0))
+        + F.lit(0.3) * (F.lit(1.0) - n_punct / n_chars)
+        + F.lit(0.3) * F.least(F.lit(1.0), F.lit(5.0) * stop / F.greatest(n_tok, F.lit(1.0)))
+    )
+    return F.round(score, 6)
+
+
+def quality_score_sql(text: str) -> str:
+    n_tok = f"CAST({ws_token_count_sql(text)} AS DOUBLE)"
+    n_chars = f"CAST(greatest(length({text}), 1) AS DOUBLE)"
+    n_punct = f"CAST(length(regexp_extract_all({text}, '[^a-zA-Z0-9\\s]')) AS DOUBLE)"
+    stop = f"CAST({_stopword_hits_sql(text)} AS DOUBLE)"
+    return (
+        f"round(0.4 * least(1.0, {n_tok} / 20.0)"
+        f" + 0.3 * (1.0 - {n_punct} / {n_chars})"
+        f" + 0.3 * least(1.0, 5.0 * {stop} / greatest({n_tok}, 1.0)), 6)"
+    )
+
+
+# ---------------------------------------------------------------- lang id
+
+
+def lang_id(text: Column) -> Column:
+    """'en' when >= 2 stopword hits or >= 5% of tokens are stopwords,
+    else 'other' — an n-gram-frequency heuristic over the fixed list."""
+    hits = _stopword_hits(text).cast("double")
+    n_tok = ws_token_count(text).cast("double")
+    return F.when(
+        (hits >= 2) | (hits / F.greatest(n_tok, F.lit(1.0)) >= 0.05), F.lit("en")
+    ).otherwise(F.lit("other"))
+
+
+def lang_id_sql(text: str) -> str:
+    hits = f"CAST({_stopword_hits_sql(text)} AS DOUBLE)"
+    n_tok = f"CAST({ws_token_count_sql(text)} AS DOUBLE)"
+    return (
+        f"CASE WHEN ({hits} >= 2) OR ({hits} / greatest({n_tok}, 1.0) >= 0.05) "
+        f"THEN 'en' ELSE 'other' END"
+    )

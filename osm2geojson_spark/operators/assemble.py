@@ -1,0 +1,593 @@
+"""Geometry assembly: OSM element DataFrames -> feature DataFrame.
+
+The distributed re-expression of the reference's conversion pipeline
+(/root/reference/osm2geojson/main.py:136-788):
+
+* way node-chains   : ``posexplode(nodes)`` -> left join against the node
+  table -> ``groupBy(way_id)`` ordered collect -> packed coordinate buffers.
+  (reference: hash refs_index probe loop, main.py:288-302)
+* classification    : pure column expressions (functions/classify.py).
+* relation assembly : ``groupBy(relation_id).applyInPandas`` running the
+  NumPy kernels (linemerge / ring nesting / orientation repair), as the
+  engine north-star requires. (reference: main.py:498-788)
+* used-refs dedup   : a literal left **anti join** on ``id`` — id-only key,
+  reproducing the reference's cross-type-collision quirk (main.py:168-180).
+
+All Python execution is Arrow-batched (pandas_udf / applyInPandas); there are
+no row-at-a-time Python UDFs.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.window import Window
+
+from ..functions import geom
+from ..functions import kernels as K
+from ..functions.classify import polygon_flag_column
+from ..sources.normalize import ElementFrames, normalize_elements
+
+# --------------------------------------------------------------------------
+# small packed-coords helpers (raw (n,2) float64 buffers, no GPB header)
+
+
+def _coords_to_bin(arr: np.ndarray) -> bytes:
+    return np.ascontiguousarray(arr, dtype="<f8").tobytes()
+
+
+def _bin_to_coords(buf: bytes) -> np.ndarray:
+    return np.frombuffer(buf, dtype="<f8").reshape(-1, 2)
+
+
+@pandas_udf(T.BinaryType())
+def pack_coords_udf(flat: pd.Series) -> pd.Series:
+    """array<double> [lon0,lat0,lon1,lat1,...] -> packed binary (or null)."""
+    return flat.map(
+        lambda a: None if a is None else np.asarray(a, dtype="<f8").tobytes(),
+        na_action="ignore",
+    )
+
+
+@pandas_udf(T.BinaryType())
+def point_gpb_udf(lon: pd.Series, lat: pd.Series) -> pd.Series:
+    out = []
+    for x, y in zip(lon, lat):
+        out.append(None if x is None or pd.isna(x) else geom.point(x, y))
+    return pd.Series(out)
+
+
+# --------------------------------------------------------------------------
+# way shape kernel: packed coords + polygon flag -> GPB + failure reason
+
+_WAY_SHAPE_T = T.StructType(
+    [T.StructField("gpb", T.BinaryType()), T.StructField("reason", T.StringType())]
+)
+
+
+@pandas_udf(_WAY_SHAPE_T)
+def way_gpb_udf(coords_bin: pd.Series, is_poly: pd.Series) -> pd.DataFrame:
+    gpbs, reasons = [], []
+    for buf, poly in zip(coords_bin, is_poly):
+        if buf is None:
+            gpbs.append(None)
+            reasons.append("no_coords")
+            continue
+        pts = _bin_to_coords(buf)
+        if len(pts) < 2:  # main.py:346-351
+            gpbs.append(None)
+            reasons.append("too_few_coords")
+            continue
+        if poly:
+            try:
+                rings = K.polygon_from_coords(pts)
+            except ValueError:
+                gpbs.append(None)
+                reasons.append("polygon_error")  # main.py:358-363
+                continue
+            rings = K.fix_invalid_multipolygon([rings])[0]
+            gpbs.append(geom.polygon(rings))
+            reasons.append(None)
+        else:
+            gpbs.append(geom.linestring(pts))
+            reasons.append(None)
+    return pd.DataFrame({"gpb": gpbs, "reason": reasons})
+
+
+# --------------------------------------------------------------------------
+# relation kernels (applyInPandas over groups keyed by relation id)
+
+_REL_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("rel_id", T.LongType()),
+        T.StructField("gpb", T.BinaryType()),
+        T.StructField("reason", T.StringType()),
+    ]
+)
+
+
+def _group_consecutive(shapes: list[tuple[str, np.ndarray, int]]):
+    """itertools.groupby-equivalent consecutive role grouping
+    (main.py:719-725 — Baarle-Nassau ordering correctness)."""
+    groups: list[tuple[str, list[np.ndarray], list[int]]] = []
+    for role, line, ref in shapes:
+        if groups and groups[-1][0] == role:
+            groups[-1][1].append(line)
+            groups[-1][2].append(ref)
+        else:
+            groups.append((role, [line], [ref]))
+    return groups
+
+
+def _lines_to_multipolygon(lines: list[np.ndarray]):
+    """main.py:676-704: linemerge, then one polygon per merged closed line;
+    multiple lines -> unary_union. Returns list-of-polys or None."""
+    merged = K.linemerge(lines)
+    if len(merged) > 1:
+        polys = []
+        for line in merged:
+            try:
+                rings = K.polygon_from_coords(line)
+            except ValueError:
+                continue  # warning path (main.py:689-693)
+            if not K.polygon_is_valid(rings):
+                rings = K.fix_invalid_multipolygon([rings])[0]
+            polys.append(rings)
+        return K.unary_union_polygons(polys) if polys else None
+    try:
+        rings = K.polygon_from_coords(merged[0])
+    except ValueError:
+        return None
+    return [rings]
+
+
+def _shapes_to_multipolygon(shapes):
+    """main.py:707-788 including the issue-54 multi-outer merge heuristic."""
+    if len(shapes) < 1:
+        return None, "empty"
+    groups = [
+        (role, _lines_to_multipolygon(lines), refs)
+        for role, lines, refs in _group_consecutive(shapes)
+    ]
+
+    outer_idx = [i for i, (role, _, _) in enumerate(groups) if role == "outer"]
+    if len(outer_idx) > 1:
+        all_outer = [line for role, line, _ in shapes if role == "outer"]
+        all_ids = [ref for role, _, ref in shapes if role == "outer"]
+        merged = _lines_to_multipolygon(all_outer)
+        if merged is not None and len(merged) == 1:
+            for i in reversed(outer_idx):
+                groups.pop(i)
+            groups.insert(outer_idx[0], ("outer", merged, all_ids))
+
+    mp = None
+    base = -1
+    for i, (role, g, _) in enumerate(groups):
+        if role == "outer":
+            mp, base = g, i
+            break
+    if base < 0:
+        return None, "no_outer"
+    if mp is None:
+        return None, "base_failed"
+    if not all(K.polygon_is_valid(p) for p in mp):
+        return None, "base_invalid"
+
+    for i, (role, g, _) in enumerate(groups):
+        if i == base:
+            continue
+        if g is None:
+            return None, "group_failed"
+        if role == "inner":
+            mp = K.multipolygon_difference(mp, g)
+        else:
+            mp = K.multipolygon_union(mp, g)
+    return mp, None
+
+
+def _member_lines(pdf: pd.DataFrame):
+    """Per-relation ordered member lines: [(pos0, role, coords|None, ref)].
+    Nested (depth-1) relation members arrive pre-flattened with pos1 >= 0 and
+    must merge to a single chain (shapely would reject a nested
+    MultiLineString, making the whole relation fail — main.py:555,567)."""
+    pdf = pdf.sort_values(["pos0", "pos1"])
+    out = []
+    err = None
+    for pos0, sub in pdf.groupby("pos0", sort=True):
+        first = sub.iloc[0]
+        if first["nested_bad"]:
+            return None, "nested_relation_too_deep"
+        if int(first["pos1"]) < 0:  # direct way member
+            buf = first["coords"]
+            role = first["role"] or ""
+            ref = first["ref"]
+            if buf is None:
+                out.append((pos0, role, None, ref))
+            else:
+                pts = _bin_to_coords(buf)
+                out.append((pos0, role, pts if len(pts) >= 2 else None, ref))
+        else:  # flattened nested-relation member -> merge its way lines
+            lines = [
+                _bin_to_coords(b)
+                for b in sub["coords"]
+                if b is not None and len(b) >= 32
+            ]
+            if not lines:
+                out.append((pos0, first["role"] or "", None, first["ref"]))
+                continue
+            merged = K.linemerge(lines)
+            if len(merged) != 1:
+                err = "nested_multiline_not_mergeable"
+                return None, err
+            out.append((pos0, first["role"] or "", merged[0], first["ref"]))
+    return out, err
+
+
+def multipolygon_kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    doc_id, rel_id = str(key[0]), int(key[1])
+
+    def row(gpb, reason):
+        return pd.DataFrame(
+            {"doc_id": [doc_id], "rel_id": [rel_id], "gpb": [gpb], "reason": [reason]}
+        )
+
+    members, err = _member_lines(pdf)
+    if members is None:
+        return row(None, err)
+    shapes = [
+        (role, line, ref)
+        for _, role, line, ref in members
+        if line is not None
+    ]
+    mp, reason = _shapes_to_multipolygon(shapes)
+    if mp is None:
+        return row(None, reason)
+    mp = K.fix_invalid_multipolygon(mp)
+    mp = K.orient_multipolygon(mp)  # main.py:643
+    return row(geom.multipolygon(mp), None)
+
+
+def multiline_kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    doc_id, rel_id = str(key[0]), int(key[1])
+
+    def row(gpb, reason):
+        return pd.DataFrame(
+            {"doc_id": [doc_id], "rel_id": [rel_id], "gpb": [gpb], "reason": [reason]}
+        )
+
+    members, err = _member_lines(pdf)
+    if members is None:
+        return row(None, err)
+    lines = [line for _, _, line, _ in members if line is not None]
+    if not lines:  # main.py:560-565
+        return row(None, "no_lines")
+    merged = K.linemerge(lines)
+    gpb = geom.linestring(merged[0]) if len(merged) == 1 else geom.multilinestring(merged)
+    return row(gpb, None)
+
+
+# --------------------------------------------------------------------------
+# pipeline stages
+
+
+def _coords_from_structs(col: Column) -> Column:
+    """array<struct<lon,lat>> -> flat array<double> for packing."""
+    return F.flatten(F.transform(col, lambda p: F.array(p["lon"], p["lat"])))
+
+
+@dataclass
+class AssembledWays:
+    df: DataFrame  # way_id,id,seq,branch,coords,closed,is_poly,gpb,reason,used_node_refs,...
+
+
+def resolve_ways(frames: ElementFrames, area_keys=None, polygon_features=None) -> DataFrame:
+    """All top-level ways -> coords + classification + shape.
+
+    Columns: seq, id, branch, coords(binary), closed, is_poly, gpb, reason,
+    used_node_refs(array<long>), nodes, tags, meta...
+    """
+    w = frames.ways
+    has_center = F.col("center").isNotNull()
+    has_geom = F.col("geometry").isNotNull() & (F.size("geometry") > 0)
+    has_nodes = F.col("nodes").isNotNull() & (F.size("nodes") > 0)
+    w = w.withColumn(
+        "branch",
+        F.when(has_center, "center")
+        .when(has_geom, "geom")
+        .when(has_nodes, "nodes")
+        .otherwise("none"),
+    )
+
+    # --- node-ref resolution (the refs_index probe as a left join) -------
+    need = w.filter(F.col("branch") == "nodes").select(
+        "doc_id", "id", F.posexplode("nodes").alias("pos", "node_ref")
+    )
+    # last-occurrence-wins node index (build_refs_index dict overwrite)
+    nd = (
+        frames.nodes.select("doc_id", F.col("id").alias("node_ref"), "seq", "lon", "lat")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("doc_id", "node_ref").orderBy(F.desc("seq"))
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn", "seq")
+    )
+    resolved = (
+        need.join(nd, ["doc_id", "node_ref"], "left")
+        .groupBy("doc_id", "id")
+        .agg(F.sort_array(F.collect_list(F.struct("pos", "node_ref", "lon", "lat"))).alias("pts"))
+    )
+    miss = F.filter("pts", lambda p: p["lon"].isNull())
+    first_miss = F.when(F.size(miss) > 0, F.try_element_at(miss, F.lit(1))["pos"])
+    resolved = resolved.withColumn("first_miss", first_miss)
+    # nodes before the first missing ref are marked used even when the way
+    # fails (main.py:288-302 marks during iteration)
+    resolved = resolved.withColumn(
+        "used_node_refs",
+        F.transform(
+            F.filter(
+                "pts",
+                lambda p: p["lon"].isNotNull()
+                & (F.col("first_miss").isNull() | (p["pos"] < F.col("first_miss"))),
+            ),
+            lambda p: p["node_ref"],
+        ),
+    ).withColumn(
+        "resolved_coords",
+        F.when(
+            F.col("first_miss").isNull(),
+            F.flatten(F.transform("pts", lambda p: F.array(p["lon"], p["lat"]))),
+        ),
+    )
+
+    w = w.join(
+        resolved.select(
+            "doc_id", "id", "first_miss", "used_node_refs", "resolved_coords"
+        ),
+        ["doc_id", "id"],
+        "left",
+    )
+
+    flat = F.when(F.col("branch") == "geom", _coords_from_structs(F.col("geometry"))).when(
+        F.col("branch") == "nodes", F.col("resolved_coords")
+    )
+    w = w.withColumn("coords_arr", flat)  # flat [lon0,lat0,...] kept for consumers
+    w = w.withColumn("coords", pack_coords_udf(F.col("coords_arr")))
+
+    # ring-closure test for the classifier: inline geometry first, then refs
+    # (main.py:399-404)
+    geom_closed = (
+        F.try_element_at("geometry", F.lit(1))["lon"] == F.try_element_at("geometry", F.lit(-1))["lon"]
+    ) & (F.try_element_at("geometry", F.lit(1))["lat"] == F.try_element_at("geometry", F.lit(-1))["lat"])
+    nodes_closed = F.try_element_at("nodes", F.lit(1)) == F.try_element_at("nodes", F.lit(-1))
+    closed = (
+        F.when(F.col("geometry").isNotNull() & (F.size("geometry") > 0), geom_closed)
+        .when(F.col("nodes").isNotNull() & (F.size("nodes") > 0), nodes_closed)
+        .otherwise(F.lit(None))
+    )
+    w = w.withColumn("closed", closed)
+    w = w.withColumn(
+        "is_poly", polygon_flag_column(F.col("tags"), F.col("closed"), area_keys, polygon_features)
+    )
+
+    shape = way_gpb_udf(F.col("coords"), F.col("is_poly"))
+    w = w.withColumn("_shape", shape)
+    w = (
+        w.withColumn(
+            "gpb",
+            F.when(F.col("branch") == "center", point_gpb_udf(F.col("center.lon"), F.col("center.lat")))
+            .when(F.col("branch") == "none", F.lit(None).cast("binary"))
+            .otherwise(F.col("_shape.gpb")),
+        )
+        .withColumn(
+            "reason",
+            F.when(F.col("branch") == "center", F.lit(None).cast("string"))
+            .when(F.col("branch") == "none", F.lit("no_source"))
+            .when(F.col("first_miss").isNotNull(), F.lit("node_missing"))
+            .otherwise(F.col("_shape.reason")),
+        )
+        .drop("_shape", "resolved_coords")
+    )
+    return w
+
+
+def _member_rows(frames: ElementFrames, ways_resolved: DataFrame) -> DataFrame:
+    """Explode relation members; resolve way-member coords; flatten depth-1
+    relation members (multiline path). Output one row per leaf member:
+    (rel_id, pos0, pos1, mtype, ref, role, coords, found, nested_bad).
+    """
+    rels = frames.relations.filter(F.col("center").isNull())
+    mem = rels.select(
+        "doc_id", F.col("id").alias("rel_id"), F.explode("members").alias("m")
+    ).select(
+        "doc_id",
+        "rel_id",
+        F.col("m.pos").alias("pos0"),
+        F.col("m.mtype").alias("mtype"),
+        F.col("m.ref").alias("ref"),
+        F.col("m.role").alias("role"),
+        F.col("m.geometry").alias("mgeom"),
+    )
+
+    # deref'd way coords: the referenced way's own shape coordinates — the
+    # closed exterior when the way classifies as polygon (main.py:334-336)
+    way_lookup = ways_resolved.select(
+        "doc_id",
+        F.col("id").alias("ref"),
+        F.when(
+            F.col("gpb").isNotNull() & (F.col("branch") != "center"), F.col("coords")
+        ).alias("way_coords"),
+        F.col("is_poly").alias("way_is_poly"),
+        (F.col("gpb").isNotNull() & (F.col("branch") != "center")).alias("way_ok"),
+    )
+
+    mem = mem.join(way_lookup, ["doc_id", "ref"], "left")
+
+    inline = F.col("mgeom").isNotNull() & (F.size("mgeom") > 0)
+    direct = mem.withColumn(
+        "coords",
+        F.when(F.col("mtype") != "way", F.lit(None).cast("binary"))
+        .when(inline, pack_coords_udf(_coords_from_structs(F.col("mgeom"))))
+        .when(F.col("way_ok"), F.col("way_coords"))
+        .otherwise(F.lit(None).cast("binary")),
+    ).withColumn(
+        "needs_close", (~inline) & F.coalesce(F.col("way_is_poly"), F.lit(False))
+    ).withColumn(
+        "found", F.col("way_coords").isNotNull() | inline
+    )
+
+    # nested relation members (depth 1): replace with the referenced
+    # relation's way members, same resolution rules (main.py:526-532)
+    rel_index = frames.relations.select(
+        "doc_id", F.col("id").alias("ref"), F.col("members").alias("nested_members")
+    )
+    nested_src = (
+        mem.filter(F.col("mtype") == "relation")
+        .select("doc_id", "rel_id", "pos0", "ref", "role")
+        .join(rel_index, ["doc_id", "ref"], "inner")
+    )
+    nested = nested_src.select(
+        "doc_id",
+        "rel_id",
+        "pos0",
+        F.col("role"),
+        F.explode("nested_members").alias("nm"),
+    ).select(
+        "doc_id",
+        "rel_id",
+        "pos0",
+        "role",
+        F.col("nm.pos").alias("pos1"),
+        F.col("nm.mtype").alias("nmtype"),
+        F.col("nm.ref").alias("ref"),
+        F.col("nm.geometry").alias("mgeom"),
+    )
+    # depth-2 relation member that exists in the index aborts the relation
+    # (reference KeyError at main.py:529 for id-less nested rel dicts)
+    rel_ids = frames.relations.select(
+        "doc_id", F.col("id").alias("ref"), F.lit(True).alias("_isrel")
+    )
+    nested = nested.join(rel_ids, ["doc_id", "ref"], "left").withColumn(
+        "nested_bad", (F.col("nmtype") == "relation") & F.col("_isrel").isNotNull()
+    ).drop("_isrel")
+    nested = nested.filter((F.col("nmtype") == "way") | F.col("nested_bad"))
+    nested = nested.join(way_lookup, ["doc_id", "ref"], "left")
+    n_inline = F.col("mgeom").isNotNull() & (F.size("mgeom") > 0)
+    nested = nested.withColumn(
+        "coords",
+        F.when(F.col("nested_bad"), F.lit(None).cast("binary"))
+        .when(n_inline, pack_coords_udf(_coords_from_structs(F.col("mgeom"))))
+        .when(F.col("way_ok"), F.col("way_coords"))
+        .otherwise(F.lit(None).cast("binary")),
+    ).withColumn(
+        "needs_close", (~n_inline) & F.coalesce(F.col("way_is_poly"), F.lit(False))
+    )
+
+    direct_rows = direct.select(
+        "doc_id",
+        "rel_id",
+        "pos0",
+        F.lit(-1).alias("pos1"),
+        "mtype",
+        "ref",
+        "role",
+        "coords",
+        "needs_close",
+        F.lit(False).alias("nested_bad"),
+    )
+    nested_rows = nested.select(
+        "doc_id",
+        "rel_id",
+        "pos0",
+        "pos1",
+        F.lit("way").alias("mtype"),
+        "ref",
+        "role",
+        "coords",
+        "needs_close",
+        "nested_bad",
+    )
+    return direct_rows.unionByName(nested_rows)
+
+
+_MEMBER_KERNEL_SCHEMA = (
+    "rel_id long, pos0 int, pos1 int, mtype string, ref long, role string, "
+    "coords binary, nested_bad boolean"
+)
+
+
+@pandas_udf(T.BinaryType())
+def close_coords_udf(coords: pd.Series, needs_close: pd.Series) -> pd.Series:
+    out = []
+    for buf, nc in zip(coords, needs_close):
+        if buf is None or not nc:
+            out.append(buf)
+            continue
+        pts = _bin_to_coords(buf)
+        out.append(_coords_to_bin(K.close_ring(pts)))
+    return pd.Series(out)
+
+
+def assemble_relations(
+    frames: ElementFrames,
+    ways_resolved: DataFrame,
+    rels_flagged: DataFrame,
+) -> DataFrame:
+    """Relation shapes: (rel_id, gpb, reason) via grouped Arrow kernels.
+    ``rels_flagged``: frames.relations + precomputed ``is_poly`` column."""
+    no_center = rels_flagged.filter(F.col("center").isNull()).select(
+        "doc_id",
+        F.col("id").alias("rel_id"),
+        "is_poly",
+        (F.col("members").isNull() | (F.size("members") == 0)).alias("no_members"),
+    )
+
+    members = _member_rows(frames, ways_resolved)
+    members = members.withColumn(
+        "coords", close_coords_udf(F.col("coords"), F.col("needs_close"))
+    ).drop("needs_close")
+    flagged = members.join(no_center, ["doc_id", "rel_id"], "inner")
+
+    # multiline path never sees relation-member rows that weren't flattened;
+    # multipolygon path only consumes way members (main.py:596-607)
+    poly_members = flagged.filter(F.col("is_poly") & (F.col("pos1") < 0) )
+    line_members = flagged.filter(
+        (~F.col("is_poly"))
+        & ((F.col("mtype") == "way") | (F.col("pos1") >= 0) | F.col("nested_bad"))
+    )
+
+    cols = ["doc_id", "rel_id", "pos0", "pos1", "mtype", "ref", "role", "coords", "nested_bad"]
+    poly_out = (
+        poly_members.select(cols)
+        .groupBy("doc_id", "rel_id")
+        .applyInPandas(multipolygon_kernel, schema=_REL_OUT_SCHEMA)
+    )
+    line_out = (
+        line_members.select(cols)
+        .groupBy("doc_id", "rel_id")
+        .applyInPandas(multiline_kernel, schema=_REL_OUT_SCHEMA)
+    )
+    assembled = poly_out.unionByName(line_out)
+
+    # relations with no member rows at all (empty/None members, or polygon
+    # path with zero way members) never reach the kernels — fail them here
+    base = no_center.select("doc_id", "rel_id")
+    missing = base.join(
+        assembled.select("doc_id", "rel_id"), ["doc_id", "rel_id"], "left_anti"
+    ).select(
+        "doc_id",
+        "rel_id",
+        F.lit(None).cast("binary").alias("gpb"),
+        F.lit("no_members").alias("reason"),
+    )
+    return assembled.unionByName(missing)

@@ -1,0 +1,141 @@
+"""Hierarchical spatial cell index (E1) — resolutions 0..26, default 7-12.
+
+An S2-style discrete global grid implemented from scratch as a 2^r x 2^r
+equirectangular quad grid (no h3/s2 wheels exist in this environment; the
+engine needs encode / parent / k-ring / covering, all of which this grid
+provides with pure integer math):
+
+    x       = floor((lon + 180) / 360 * 2^r)   clamped to [0, 2^r-1]
+    y       = floor((lat +  90) / 180 * 2^r)   clamped
+    cell_id = (r << 58) | (x << 29) | y
+
+Everything is a Spark **column expression** — cell encoding runs JVM-side in
+whole-stage codegen with zero Python involvement, and the same closed-form
+arithmetic serves as the DuckDB correctness oracle. For physical clustering
+a Morton (Z-order) key interleaves x/y so range-partitioned writes keep
+spatial locality.
+
+Reference linkage: the reference has no spatial index; this layer is mandated
+by BASELINE.json:6,14 on top of the assembled osm2geojson polygons.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+RES_MIN, RES_MAX = 0, 26
+DEFAULT_RES = 9
+
+_X_SHIFT = 29
+_R_SHIFT = 58
+
+
+def _grid_n(res: int) -> int:
+    return 1 << res
+
+
+def cell_x(lon: Column, res: int) -> Column:
+    n = _grid_n(res)
+    raw = F.floor((lon + F.lit(180.0)) / F.lit(360.0) * F.lit(float(n)))
+    return F.greatest(F.lit(0), F.least(F.lit(n - 1), raw)).cast("long")
+
+
+def cell_y(lat: Column, res: int) -> Column:
+    n = _grid_n(res)
+    raw = F.floor((lat + F.lit(90.0)) / F.lit(180.0) * F.lit(float(n)))
+    return F.greatest(F.lit(0), F.least(F.lit(n - 1), raw)).cast("long")
+
+
+def pack_cell(res: int, x: Column, y: Column) -> Column:
+    return (F.lit(res).cast("long") * F.lit(1 << _R_SHIFT)) + (x * F.lit(1 << _X_SHIFT)) + y
+
+
+def cell_id(lon: Column, lat: Column, res: int = DEFAULT_RES) -> Column:
+    """Point -> cell id at resolution ``res`` (pure arithmetic, codegen-able)."""
+    return pack_cell(res, cell_x(lon, res), cell_y(lat, res))
+
+
+def cell_res(cell: Column) -> Column:
+    return F.shiftright(cell, _R_SHIFT)  # exact (double division loses bits > 2^53)
+
+
+def cell_xy(cell: Column) -> tuple[Column, Column]:
+    rem = cell % F.lit(1 << _R_SHIFT)
+    return F.shiftright(rem, _X_SHIFT), rem % F.lit(1 << _X_SHIFT)
+
+
+def parent_cell(cell: Column, child_res: int, parent_res: int) -> Column:
+    """Coarsen a cell id (child_res -> parent_res <= child_res)."""
+    assert parent_res <= child_res
+    shift = child_res - parent_res
+    x, y = cell_xy(cell)
+    return pack_cell(parent_res, F.shiftright(x, shift), F.shiftright(y, shift))
+
+
+def k_ring(cell: Column, res: int, k: int = 1) -> Column:
+    """array<long> of all cells within Chebyshev distance k (the (2k+1)^2
+    block, clamped at grid edges, x wrapping at the antimeridian)."""
+    n = _grid_n(res)
+    x, y = cell_xy(cell)
+    offsets = [(dx, dy) for dx in range(-k, k + 1) for dy in range(-k, k + 1)]
+    cells = []
+    for dx, dy in offsets:
+        nx = (x + F.lit(dx) + F.lit(n)) % F.lit(n)  # wrap longitude
+        ny = y + F.lit(dy)
+        c = F.when((ny >= 0) & (ny < n), pack_cell(res, nx, ny))
+        cells.append(c)
+    return F.array_compact(F.array(*cells))
+
+
+def cell_bounds(cell: Column, res: int) -> tuple[Column, Column, Column, Column]:
+    """(min_lon, min_lat, max_lon, max_lat) of a cell."""
+    n = float(_grid_n(res))
+    x, y = cell_xy(cell)
+    min_lon = x / F.lit(n) * F.lit(360.0) - F.lit(180.0)
+    min_lat = y / F.lit(n) * F.lit(180.0) - F.lit(90.0)
+    return (
+        min_lon,
+        min_lat,
+        min_lon + F.lit(360.0 / n),
+        min_lat + F.lit(180.0 / n),
+    )
+
+
+def covering_cells(
+    min_lon: Column, min_lat: Column, max_lon: Column, max_lat: Column, res: int
+) -> Column:
+    """array<long> of cells covering a bbox (footprints/polygons): the
+    [x0..x1] x [y0..y1] block, built JVM-side with sequence()+transform.
+
+    The caller is responsible for keeping res coarse enough that coverings
+    stay small (the engine picks res so max covering <= ~4k cells; dense
+    polygons use a finer PIP refinement inside the join kernel E2).
+    """
+    x0, x1 = cell_x(min_lon, res), cell_x(max_lon, res)
+    y0, y1 = cell_y(min_lat, res), cell_y(max_lat, res)
+    xs = F.sequence(x0, x1)
+    ys = F.sequence(y0, y1)
+    return F.flatten(
+        F.transform(xs, lambda xx: F.transform(ys, lambda yy: pack_cell(res, xx, yy)))
+    )
+
+
+def morton_key(cell: Column, res: int) -> Column:
+    """Z-order interleave of (x, y) — physical sort key for spatial locality
+    in range partitioning / Parquet file layout."""
+    x, y = cell_xy(cell)
+    key = F.lit(0).cast("long")
+    for b in range(res):
+        key = key + F.shiftleft(
+            F.shiftright(x, b) % 2, 2 * b + 1
+        ) + F.shiftleft(F.shiftright(y, b) % 2, 2 * b)
+    return key
+
+
+def cell_id_sql(lon_expr: str, lat_expr: str, res: int = DEFAULT_RES) -> str:
+    """The identical encoding as an ANSI-SQL snippet (DuckDB oracle parity)."""
+    n = _grid_n(res)
+    x = f"greatest(0, least({n - 1}, CAST(floor(({lon_expr} + 180.0) / 360.0 * {n}.0) AS BIGINT)))"
+    y = f"greatest(0, least({n - 1}, CAST(floor(({lat_expr} + 90.0) / 180.0 * {n}.0) AS BIGINT)))"
+    return f"(CAST({res} AS BIGINT) * {1 << _R_SHIFT} + {x} * {1 << _X_SHIFT} + {y})"

@@ -1,0 +1,177 @@
+"""Deduplication operators for training-data pipelines (documents table).
+
+Four families, each a standalone DataFrame transform with a DuckDB-parity
+formula (see __spark_entry__ for the oracle SQL):
+
+* exact            — hash-groupBy on the normalized-text fingerprint,
+                     keep the minimum doc id per group (one shuffle).
+* minhash LSH      — shingle -> 16 minhashes -> 4 bands -> band-bucket
+                     self-join -> exact-Jaccard verification. The band join
+                     is the only candidate generator: candidate count scales
+                     with collision rate, not n^2.
+* simhash          — 32-bit simhash; near-dup = hamming distance <= 3,
+                     blocked by the 4-byte pigeonhole (pairs within hamming 3
+                     must share one of 4 blocks) so the self-join is
+                     block-bucketed, never all-pairs.
+* n-gram Jaccard   — exact Jaccard >= tau via shingle-explode + equi-join +
+                     per-pair intersection counts (the verifier of the LSH
+                     path, also usable standalone at moderate scale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import hashing as H
+from ..functions import text as TXT
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(fingerprint, keep_id, n_dups) — one row per distinct normalized text."""
+    return (
+        df.select(F.col(id_col), TXT.fingerprint_col(F.col(text_col)).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_dups"))
+    )
+
+
+def shingle_sets(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, sh) exploded distinct shingles + per-doc set size."""
+    return df.select(
+        F.col(id_col),
+        F.explode(H.shingles_col(F.col(text_col))).alias("sh"),
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    tau: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id_a, id_b, jaccard) for pairs with shingle-set Jaccard >= tau.
+
+    Join on shingle — the candidate space is the inverted index, partitioned
+    by shingle; per-pair counts aggregate map-side before the final filter.
+    """
+    ex = shingle_sets(df, id_col, text_col)
+    sizes = ex.groupBy(id_col).agg(F.count("*").alias("sz"))
+    a = ex.select(F.col(id_col).alias("id_a"), "sh")
+    b = ex.select(F.col(id_col).alias("id_b"), "sh")
+    inter = (
+        a.join(b, "sh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    j = (
+        inter.join(sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= tau)
+    )
+    return j.select("id_a", "id_b", "jaccard")
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    tau: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id_a, id_b, jaccard) — LSH candidates verified with exact Jaccard.
+
+    Band-bucket join: each doc emits N_BANDS keys; only same-bucket pairs are
+    candidates. At 10^12 rows the band join shuffles on the band hash — a
+    uniform key unless texts are duplicated, which is exactly the skew the
+    salting helper (plans/skew.py) handles.
+    """
+    sig = H.minhash_signature(df, id_col, text_col)
+    banded = sig.select(F.col(id_col), *H.band_hash_col())
+    melted = banded.unpivot(
+        ids=[id_col],
+        values=[f"band{b}" for b in range(H.N_BANDS)],
+        variableColumnName="band_idx",
+        valueColumnName="band_key",
+    )
+    a = melted.select(F.col(id_col).alias("id_a"), "band_idx", "band_key")
+    b = melted.select(F.col(id_col).alias("id_b"), "band_idx", "band_key")
+    cand = (
+        a.join(b, ["band_idx", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    verified = cand.join(
+        ngram_jaccard_pairs(df, tau=0.0, id_col=id_col, text_col=text_col),
+        ["id_a", "id_b"],
+        "inner",
+    ).filter(F.col("jaccard") >= tau)
+    return verified.select("id_a", "id_b", "jaccard")
+
+
+def simhash_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id_a, id_b, hamming) for simhash hamming distance <= max_hamming."""
+    sh = H.simhash(df, id_col, text_col)
+    blocks = [
+        ((F.col("simhash") / F.lit(1 << (8 * i))).cast("long") % F.lit(256)).alias(f"blk{i}")
+        for i in range(4)
+    ]
+    with_blocks = sh.select(id_col, "simhash", *blocks)
+    melted = with_blocks.unpivot(
+        ids=[id_col, "simhash"],
+        values=[f"blk{i}" for i in range(4)],
+        variableColumnName="blk_idx",
+        valueColumnName="blk_val",
+    )
+    a = melted.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "blk_idx", "blk_val"
+    )
+    b = melted.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "blk_idx", "blk_val"
+    )
+    return (
+        a.join(b, ["blk_idx", "blk_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+        .distinct()
+    )
+
+
+def embedding_cosine_dups(
+    emb: DataFrame,
+    tau: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id_a, id_b, cos) near-duplicate embedding pairs, cosine >= tau.
+    Bucketed by sign-bit LSH (first 8 dims) to avoid the full cross join;
+    tau-high pairs almost always share the bucket — the exact variant for
+    tests is the brute-force path in similarity.py."""
+    from .similarity import sign_bucket_col, cosine_col
+
+    e = emb.select(F.col(id_col), F.col(vec_col)).withColumn(
+        "bucket", sign_bucket_col(F.col(vec_col))
+    )
+    a = e.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "bucket")
+    b = e.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "bucket")
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", cosine_col(F.col("va"), F.col("vb")))
+        .filter(F.col("cos") >= tau)
+        .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
+    )

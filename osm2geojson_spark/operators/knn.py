@@ -1,0 +1,146 @@
+"""kNN via k-ring expansion with distance refinement (E3).
+
+For each query point: candidates are targets in the Chebyshev k-ring of the
+query's cell, refined by exact haversine distance + row_number window.
+Queries whose k-th neighbor distance exceeds the ring's guaranteed radius
+(i.e. the true neighbor could lie outside the searched ring) — or that have
+fewer than k candidates — escalate to a wider ring; a bounded number of
+rounds, then a brute-force fallback for stragglers. Every round is a plain
+equi-join on cell_id (targets explode no rings; the *query* side explodes
+its k-ring, keeping target-side shuffle partitioning reusable).
+
+Haversine is a pure column expression (JVM-side, codegen).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from . import cells
+
+EARTH_RADIUS_M = 6371008.8
+
+
+def haversine_col(lon1: Column, lat1: Column, lon2: Column, lat2: Column) -> Column:
+    rlon1, rlat1, rlon2, rlat2 = (F.radians(c) for c in (lon1, lat1, lon2, lat2))
+    h = (
+        F.pow(F.sin((rlat2 - rlat1) / 2), 2)
+        + F.cos(rlat1) * F.cos(rlat2) * F.pow(F.sin((rlon2 - rlon1) / 2), 2)
+    )
+    return F.lit(2.0 * EARTH_RADIUS_M) * F.asin(F.sqrt(F.least(F.lit(1.0), h)))
+
+
+def haversine_sql(lon1: str, lat1: str, lon2: str, lat2: str) -> str:
+    """Identical formula as ANSI SQL (DuckDB oracle parity)."""
+    return (
+        f"2.0 * {EARTH_RADIUS_M} * asin(sqrt(least(1.0, "
+        f"pow(sin((radians({lat2}) - radians({lat1})) / 2), 2) + "
+        f"cos(radians({lat1})) * cos(radians({lat2})) * "
+        f"pow(sin((radians({lon2}) - radians({lon1})) / 2), 2))))"
+    )
+
+
+def _ring_guarantee_m(res: int, k_ring: int, q_lat: Column) -> Column:
+    """Per-query guaranteed covered radius of the k-ring: any target closer
+    than this MUST lie inside the searched cells, so a k-th neighbor within
+    it is provably correct.
+
+    The ring extends k cells in each grid direction. In the lat direction
+    that is k * (180/2^res) degrees of arc; in the lon direction
+    k * (360/2^res) degrees *shrunk by cos(lat)* — evaluated conservatively
+    at the highest latitude the ring reaches (cos -> 0 near the poles, which
+    correctly forces polar queries to the brute-force fallback)."""
+    cell_h_deg = 180.0 / (1 << res)
+    deg_m = (math.pi / 180.0) * EARTH_RADIUS_M
+    lat_reach = F.least(F.lit(90.0), F.abs(q_lat) + F.lit((k_ring + 1) * cell_h_deg))
+    lon_m = F.lit(k_ring * 2.0 * cell_h_deg * deg_m) * F.cos(F.radians(lat_reach))
+    lat_m = F.lit(k_ring * cell_h_deg * deg_m)
+    return F.least(lon_m, lat_m) * F.lit(0.99)
+
+
+def knn_join(
+    queries: DataFrame,
+    targets: DataFrame,
+    k: int,
+    res: int = cells.DEFAULT_RES,
+    qid: str = "qid",
+    tid: str = "tid",
+    rounds: tuple[int, ...] = (1, 4, 16),
+    bruteforce_fallback: bool = True,
+) -> DataFrame:
+    """(qid, tid, dist_m, rank) — the k nearest targets per query.
+
+    Deterministic tie-break: (dist_m, tid) ordering.
+    """
+    q = queries.select(
+        qid, F.col("lon").alias("q_lon"), F.col("lat").alias("q_lat")
+    ).withColumn("q_cell", cells.cell_id(F.col("q_lon"), F.col("q_lat"), res))
+    t = targets.select(
+        tid, F.col("lon").alias("t_lon"), F.col("lat").alias("t_lat")
+    ).withColumn("cell_id", cells.cell_id(F.col("t_lon"), F.col("t_lat"), res))
+
+    remaining = q
+    results = None
+    for kr in rounds:
+        if remaining.isEmpty():
+            break
+        cand = remaining.withColumn(
+            "cell_id", F.explode(cells.k_ring(F.col("q_cell"), res, kr))
+        ).join(t, "cell_id", "inner")
+        cand = cand.withColumn(
+            "dist_m", haversine_col(F.col("q_lon"), F.col("q_lat"), F.col("t_lon"), F.col("t_lat"))
+        )
+        wnd = Window.partitionBy(qid).orderBy(F.col("dist_m").asc(), F.col(tid).asc())
+        topk = (
+            cand.withColumn("rank", F.row_number().over(wnd))
+            .filter(F.col("rank") <= k)
+            .select(qid, tid, "dist_m", "rank", "q_cell", "q_lon", "q_lat")
+        )
+        # resolved iff k found AND kth distance is inside the ring guarantee
+        stats = topk.groupBy(qid).agg(
+            F.count("*").alias("n"),
+            F.max("dist_m").alias("kth"),
+            F.first("q_lat").alias("q_lat"),
+        )
+        ok_ids = stats.filter(
+            (F.col("n") >= k) & (F.col("kth") <= _ring_guarantee_m(res, kr, F.col("q_lat")))
+        ).select(qid)
+        done = topk.join(ok_ids, qid, "leftsemi").select(qid, tid, "dist_m", "rank")
+        results = done if results is None else results.unionByName(done)
+        remaining = remaining.join(ok_ids, qid, "left_anti")
+
+    if bruteforce_fallback and not remaining.isEmpty():
+        cand = remaining.crossJoin(t.drop("cell_id"))
+        cand = cand.withColumn(
+            "dist_m", haversine_col(F.col("q_lon"), F.col("q_lat"), F.col("t_lon"), F.col("t_lat"))
+        )
+        wnd = Window.partitionBy(qid).orderBy(F.col("dist_m").asc(), F.col(tid).asc())
+        bf = (
+            cand.withColumn("rank", F.row_number().over(wnd))
+            .filter(F.col("rank") <= k)
+            .select(qid, tid, "dist_m", "rank")
+        )
+        results = bf if results is None else results.unionByName(bf)
+
+    return results
+
+
+def knn_bruteforce(
+    queries: DataFrame, targets: DataFrame, k: int, qid: str = "qid", tid: str = "tid"
+) -> DataFrame:
+    """Oracle: full cross join + window."""
+    q = queries.select(qid, F.col("lon").alias("q_lon"), F.col("lat").alias("q_lat"))
+    t = targets.select(tid, F.col("lon").alias("t_lon"), F.col("lat").alias("t_lat"))
+    cand = q.crossJoin(t).withColumn(
+        "dist_m", haversine_col(F.col("q_lon"), F.col("q_lat"), F.col("t_lon"), F.col("t_lat"))
+    )
+    wnd = Window.partitionBy(qid).orderBy(F.col("dist_m").asc(), F.col(tid).asc())
+    return (
+        cand.withColumn("rank", F.row_number().over(wnd))
+        .filter(F.col("rank") <= k)
+        .select(qid, tid, "dist_m", "rank")
+    )

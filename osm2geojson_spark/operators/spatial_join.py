@@ -1,0 +1,241 @@
+"""Cell-local spatial joins (E2 point-in-polygon, E4 raster-tile<->vector).
+
+Design (SURVEY §2.3, BASELINE.json north_star):
+
+* Both sides are keyed by the E1 cell grid: points by ``cell_id(lon,lat)``,
+  polygons/tile-footprints by their bbox covering cells (exploded).
+* The equi-join on ``cell_id`` is the only shuffle; polygon payloads are
+  replicated per covering cell and **broadcast** when small (fixture polygon
+  sets are ~KBs; a planet polygon table shuffles instead — caller's flag).
+* Exact refinement (vectorized NumPy ray cast over Arrow batches) runs
+  cell-locally after the join, grouped by polygon so each polygon decodes
+  once per partition batch.
+
+A brute-force variant (no cells) exists as the tests' oracle.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import geom
+from ..functions import kernels as K
+from . import cells
+
+
+# ---------------------------------------------------------------- helpers
+
+
+def polygons_to_df(spark, polys: list[tuple[int, bytes]]) -> DataFrame:
+    """[(poly_id, gpb)] -> DataFrame(poly_id, gpb, minx, miny, maxx, maxy)."""
+    rows = []
+    for pid, g in polys:
+        minx, miny, maxx, maxy = geom.bbox(g)
+        rows.append((pid, bytearray(g), minx, miny, maxx, maxy))
+    return spark.createDataFrame(
+        rows, "poly_id long, gpb binary, minx double, miny double, maxx double, maxy double"
+    )
+
+
+def shard_polygons(polys_df: DataFrame, res: int) -> DataFrame:
+    """Explode each polygon to its bbox covering cells: (cell_id, poly_id, gpb)."""
+    cov = cells.covering_cells(
+        F.col("minx"), F.col("miny"), F.col("maxx"), F.col("maxy"), res
+    )
+    return polys_df.select(
+        "poly_id", "gpb", F.explode(cov).alias("cell_id")
+    )
+
+
+def _pip_refine(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas refinement: keep rows whose point lies in the polygon.
+    Decodes each distinct polygon once per batch, then vectorizes the ray
+    cast over all its candidate points."""
+    for pdf in pdf_iter:
+        if len(pdf) == 0:
+            yield pdf.drop(columns=["gpb"])
+            continue
+        keep = np.zeros(len(pdf), dtype=bool)
+        for _, idx in pdf.groupby("poly_id").indices.items():
+            g = pdf["gpb"].iloc[idx[0]]
+            rings = geom.all_rings(bytes(g))
+            pts = np.column_stack(
+                [pdf["lon"].values[idx], pdf["lat"].values[idx]]
+            ).astype(np.float64)
+            inside = np.zeros(len(idx), dtype=bool)
+            for ring, is_hole in rings:
+                hit = K.points_in_ring(pts, ring)
+                if is_hole:
+                    inside &= ~hit
+                else:
+                    inside |= hit
+            keep[idx] = inside
+        yield pdf.loc[keep].drop(columns=["gpb"])
+
+
+def point_in_polygon_join(
+    points: DataFrame,
+    polys_df: DataFrame,
+    res: int = cells.DEFAULT_RES,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    broadcast_polys: bool = True,
+) -> DataFrame:
+    """E2: rows of ``points`` paired with every polygon containing them.
+
+    Output: all point columns + poly_id. One shuffle (the cell equi-join) —
+    none at all when the polygon side broadcasts.
+    """
+    pts = points.withColumn("cell_id", cells.cell_id(F.col(lon_col), F.col(lat_col), res))
+    shards = shard_polygons(polys_df, res)
+    if broadcast_polys:
+        shards = F.broadcast(shards)
+    cand = pts.join(shards, "cell_id", "inner")
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in cand.schema.fields if f.name != "gpb"
+    )
+    refined = cand.mapInPandas(_pip_refine, schema=out_schema)
+    return refined.drop("cell_id")
+
+
+def point_in_polygon_bruteforce(
+    points: DataFrame, polys_df: DataFrame, lon_col: str = "lon", lat_col: str = "lat"
+) -> DataFrame:
+    """Oracle: cross join + exact PIP (no cell index). Small inputs only."""
+    cand = points.crossJoin(F.broadcast(polys_df.select("poly_id", "gpb")))
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in cand.schema.fields if f.name != "gpb"
+    )
+    return cand.withColumnRenamed(lon_col, "lon").withColumnRenamed(lat_col, "lat").mapInPandas(
+        _pip_refine, schema=out_schema.replace(f"{lon_col} ", "lon ").replace(f"{lat_col} ", "lat ")
+    )
+
+
+# ------------------------------------------------------- raster <-> vector
+
+
+def tile_footprints(
+    images: DataFrame,
+    deg_per_px: float = 1e-4,
+    phash_col: str = "phash",
+) -> DataFrame:
+    """Image tile footprint: bbox centered on the phash-decoded point, sized
+    w x h pixels at ``deg_per_px`` (the tile's ground resolution)."""
+    from ..sources import synthetic
+
+    lon = synthetic.phash_lon(F.col(phash_col))
+    lat = synthetic.phash_lat(F.col(phash_col))
+    half_w = F.col("w").cast("double") * F.lit(deg_per_px / 2.0)
+    half_h = F.col("h").cast("double") * F.lit(deg_per_px / 2.0)
+    return images.select(
+        "*",
+        lon.alias("lon"),
+        lat.alias("lat"),
+        (lon - half_w).alias("fminx"),
+        (lat - half_h).alias("fminy"),
+        (lon + half_w).alias("fmaxx"),
+        (lat + half_h).alias("fmaxy"),
+    )
+
+
+def raster_vector_join(
+    images_fp: DataFrame,
+    polys_df: DataFrame,
+    res: int = cells.DEFAULT_RES,
+    exact: bool = False,
+    broadcast_polys: bool = True,
+) -> DataFrame:
+    """E4: (image_id, poly_id) pairs whose tile footprint bbox intersects the
+    polygon. Coarse pass: covering-cell equi-join + bbox intersect test
+    (pure column exprs). ``exact=True`` adds the polygon-boundary refinement
+    (footprint corners in polygon / polygon vertices in footprint / edge
+    crossings) in an Arrow kernel.
+
+    Footprints spanning multiple cells produce duplicate candidate pairs —
+    deduped by (image_id, poly_id), an aggregation that stays cell-local
+    before the final distinct.
+    """
+    fp = images_fp.withColumn(
+        "cell_id",
+        F.explode(
+            cells.covering_cells(
+                F.col("fminx"), F.col("fminy"), F.col("fmaxx"), F.col("fmaxy"), res
+            )
+        ),
+    )
+    shards = shard_polygons(polys_df, res).join(
+        polys_df.select("poly_id", "minx", "miny", "maxx", "maxy"), "poly_id"
+    )
+    if broadcast_polys:
+        shards = F.broadcast(shards)
+    cand = fp.join(shards, "cell_id", "inner").filter(
+        (F.col("fminx") <= F.col("maxx"))
+        & (F.col("fmaxx") >= F.col("minx"))
+        & (F.col("fminy") <= F.col("maxy"))
+        & (F.col("fmaxy") >= F.col("miny"))
+    )
+    pairs = cand.select("image_id", "poly_id", "gpb", "fminx", "fminy", "fmaxx", "fmaxy")
+    if exact:
+        pairs = pairs.mapInPandas(
+            _bbox_polygon_refine,
+            schema="image_id string, poly_id long, fminx double, fminy double, fmaxx double, fmaxy double",
+        )
+    return pairs.select("image_id", "poly_id").distinct()
+
+
+def _bbox_polygon_refine(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in pdf_iter:
+        if len(pdf) == 0:
+            yield pdf.drop(columns=["gpb"])
+            continue
+        keep = np.zeros(len(pdf), dtype=bool)
+        for _, idx in pdf.groupby("poly_id").indices.items():
+            g = bytes(pdf["gpb"].iloc[idx[0]])
+            rings = geom.all_rings(g)
+            for j in idx:
+                bx = (
+                    pdf["fminx"].iloc[j],
+                    pdf["fminy"].iloc[j],
+                    pdf["fmaxx"].iloc[j],
+                    pdf["fmaxy"].iloc[j],
+                )
+                keep[j] = _bbox_intersects_polygon(bx, rings)
+        yield pdf.loc[keep].drop(columns=["gpb"])
+
+
+def _bbox_intersects_polygon(b, rings) -> bool:
+    minx, miny, maxx, maxy = b
+    corners = np.array(
+        [[minx, miny], [maxx, miny], [maxx, maxy], [minx, maxy]], dtype=np.float64
+    )
+    shells = [r for r, hole in rings if not hole]
+    holes = [r for r, hole in rings if hole]
+    # corner strictly inside polygon
+    for c in corners:
+        in_shell = any(K.point_in_ring(c, s) for s in shells)
+        in_hole = any(K.point_in_ring(c, h) for h in holes)
+        if in_shell and not in_hole:
+            return True
+    # polygon vertex inside bbox
+    for s in shells:
+        inb = (s[:, 0] >= minx) & (s[:, 0] <= maxx) & (s[:, 1] >= miny) & (s[:, 1] <= maxy)
+        if bool(inb.any()):
+            return True
+    # edge crossings
+    edges = [
+        (corners[0], corners[1]),
+        (corners[1], corners[2]),
+        (corners[2], corners[3]),
+        (corners[3], corners[0]),
+    ]
+    for s in shells:
+        for i in range(len(s) - 1):
+            for e0, e1 in edges:
+                if K._segments_properly_intersect(s[i], s[i + 1], e0, e1):
+                    return True
+    return False

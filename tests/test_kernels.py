@@ -1,0 +1,121 @@
+"""Unit tests for the NumPy geometry kernels (no Spark)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from osm2geojson_spark.functions import geom
+from osm2geojson_spark.functions import kernels as K
+
+
+def test_gpb_roundtrip():
+    p = geom.point(1.5, -2.5)
+    assert geom.decode(p) == (geom.GTYPE_POINT, (1.5, -2.5))
+
+    ls = geom.linestring([[0, 0], [1, 1], [2, 0]])
+    t, pts = geom.decode(ls)
+    assert t == geom.GTYPE_LINESTRING
+    assert np.allclose(pts, [[0, 0], [1, 1], [2, 0]])
+
+    ring = [[0, 0], [1, 0], [1, 1], [0, 0]]
+    hole = [[0.2, 0.1], [0.8, 0.1], [0.8, 0.2], [0.2, 0.1]]
+    mp = geom.multipolygon([[ring, hole], [ring]])
+    t, polys = geom.decode(mp)
+    assert t == geom.GTYPE_MULTIPOLYGON
+    assert len(polys) == 2 and len(polys[0]) == 2
+    gj = geom.to_geojson_geometry(mp)
+    assert gj["type"] == "MultiPolygon"
+    assert gj["coordinates"][0][0][1] == [1.0, 0.0]
+
+
+def test_signed_area_and_orient():
+    ccw = np.array([[0, 0], [1, 0], [1, 1], [0, 1], [0, 0]], dtype=float)
+    assert K.signed_area(ccw) > 0
+    cw = ccw[::-1]
+    assert K.signed_area(cw) < 0
+    fixed = K.orient_ring(cw, ccw=True)
+    assert K.signed_area(fixed) > 0
+    # closed-ring reversal preserves the start point (shapely orient behavior)
+    assert np.array_equal(fixed[0], cw[0])
+
+
+def test_linemerge_chain_in_order():
+    a = np.array([[0, 0], [1, 0]], dtype=float)
+    b = np.array([[1, 0], [2, 0]], dtype=float)
+    c = np.array([[2, 0], [3, 1]], dtype=float)
+    out = K.linemerge([a, b, c])
+    assert len(out) == 1
+    assert np.allclose(out[0], [[0, 0], [1, 0], [2, 0], [3, 1]])
+
+
+def test_linemerge_reversed_segment():
+    a = np.array([[0, 0], [1, 0]], dtype=float)
+    b = np.array([[2, 0], [1, 0]], dtype=float)  # drawn backwards
+    out = K.linemerge([a, b])
+    assert len(out) == 1
+    assert np.allclose(out[0], [[0, 0], [1, 0], [2, 0]])
+
+
+def test_linemerge_disjoint_stays_apart():
+    a = np.array([[0, 0], [1, 0]], dtype=float)
+    b = np.array([[5, 5], [6, 5]], dtype=float)
+    out = K.linemerge([a, b])
+    assert len(out) == 2
+
+
+def test_linemerge_junction_not_merged_through():
+    # three lines meeting at one point: degree-3 node must not be merged through
+    a = np.array([[0, 0], [1, 1]], dtype=float)
+    b = np.array([[1, 1], [2, 0]], dtype=float)
+    c = np.array([[1, 1], [1, 2]], dtype=float)
+    out = K.linemerge([a, b, c])
+    assert len(out) == 3
+
+
+def test_linemerge_closed_loop():
+    a = np.array([[0, 0], [1, 0], [1, 1]], dtype=float)
+    b = np.array([[1, 1], [0, 1], [0, 0]], dtype=float)
+    out = K.linemerge([a, b])
+    assert len(out) == 1
+    assert np.array_equal(out[0][0], out[0][-1])
+    assert len(out[0]) == 5
+
+
+def test_points_in_ring():
+    ring = np.array([[0, 0], [4, 0], [4, 4], [0, 4], [0, 0]], dtype=float)
+    pts = np.array([[2, 2], [5, 5], [-1, 2], [3.9, 3.9]], dtype=float)
+    res = K.points_in_ring(pts, ring)
+    assert res.tolist() == [True, False, False, True]
+
+
+def test_ring_contains_ring():
+    outer = np.array([[0, 0], [10, 0], [10, 10], [0, 10], [0, 0]], dtype=float)
+    inner = np.array([[2, 2], [3, 2], [3, 3], [2, 2]], dtype=float)
+    assert K.ring_contains_ring(outer, inner)
+    assert not K.ring_contains_ring(inner, outer)
+
+
+def test_ring_simple():
+    ok = np.array([[0, 0], [2, 0], [2, 2], [0, 2], [0, 0]], dtype=float)
+    bowtie = np.array([[0, 0], [2, 2], [2, 0], [0, 2], [0, 0]], dtype=float)
+    assert K.ring_is_simple(ok)
+    assert not K.ring_is_simple(bowtie)
+
+
+def test_difference_attaches_hole_with_overlay_normalization():
+    # mirrors tests/data/relation.* — the golden that pinned the GEOS
+    # overlay ring rotation rule
+    outer = [np.array([[-1, -1], [1, -1], [1, 1], [-1, 1], [-1, -1]], dtype=float)]
+    hole = [np.array([[0, -0.5], [0, 0.5], [0.5, 0], [0, -0.5]], dtype=float)]
+    mp = K.multipolygon_difference([outer], [hole])
+    mp = K.orient_multipolygon(mp)
+    shell, h = mp[0][0], mp[0][1]
+    assert shell.tolist() == [[-1, 1], [-1, -1], [1, -1], [1, 1], [-1, 1]]
+    assert h.tolist() == [[0.5, 0], [0, -0.5], [0, 0.5], [0.5, 0]]
+
+
+def test_haversine():
+    # London -> Paris ~ 343.5 km
+    d = K.haversine_m(-0.1276, 51.5072, 2.3522, 48.8566)
+    assert 330_000 < float(d) < 360_000
+    assert float(K.haversine_m(10, 20, 10, 20)) == 0.0

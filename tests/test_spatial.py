@@ -1,0 +1,161 @@
+"""Spatial layer tests: cell index, PIP join, kNN, raster<->vector join —
+each validated against a brute-force oracle (SURVEY §5 strategy)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from osm2geojson_spark.functions import geom
+from osm2geojson_spark.functions import kernels as K
+from osm2geojson_spark.operators import cells
+from osm2geojson_spark.operators.knn import knn_bruteforce, knn_join
+from osm2geojson_spark.operators.spatial_join import (
+    point_in_polygon_join,
+    polygons_to_df,
+    raster_vector_join,
+    shard_polygons,
+    tile_footprints,
+)
+from osm2geojson_spark.sources import synthetic as SYN
+
+
+@pytest.fixture(scope="module")
+def points(spark):
+    df = spark.range(0, 3000).select(
+        F.col("id").alias("pid"),
+        SYN.lon_expr(F.col("id"), (-10.0, -10.0, 10.0, 10.0)).alias("lon"),
+        SYN.lat_expr(F.col("id"), (-10.0, -10.0, 10.0, 10.0)).alias("lat"),
+    )
+    df = df.cache()
+    df.count()
+    return df
+
+
+def _triangle_with_hole():
+    shell = [[-8, -8], [8, -8], [0, 8], [-8, -8]]
+    hole = [[-2, -4], [2, -4], [0, 0], [-2, -4]]
+    return geom.polygon([shell, hole])
+
+
+def test_cell_roundtrip(spark):
+    df = spark.range(0, 500).select(
+        SYN.lon_expr(F.col("id")).alias("lon"), SYN.lat_expr(F.col("id")).alias("lat")
+    )
+    out = df.select(
+        "lon",
+        "lat",
+        cells.cell_id(F.col("lon"), F.col("lat"), 9).alias("c"),
+    )
+    rows = out.collect()
+    n = 1 << 9
+    for r in rows:
+        x = int((r["lon"] + 180) / 360 * n)
+        y = int((r["lat"] + 90) / 180 * n)
+        expected = (9 << 58) | (min(n - 1, x) << 29) | min(n - 1, y)
+        assert r["c"] == expected
+
+
+def test_parent_and_kring(spark):
+    df = spark.createDataFrame([(0.0, 0.0)], "lon double, lat double")
+    c12 = cells.cell_id(F.col("lon"), F.col("lat"), 12)
+    row = df.select(
+        cells.parent_cell(c12, 12, 7).alias("p"),
+        cells.cell_id(F.col("lon"), F.col("lat"), 7).alias("c7"),
+        F.size(cells.k_ring(c12, 12, 2)).alias("ring2"),
+    ).collect()[0]
+    assert row["p"] == row["c7"]
+    assert row["ring2"] == 25
+
+
+def test_kring_clamps_at_poles(spark):
+    df = spark.createDataFrame([(0.0, 89.99)], "lon double, lat double")
+    c = cells.cell_id(F.col("lon"), F.col("lat"), 5)
+    row = df.select(F.size(cells.k_ring(c, 5, 1)).alias("n")).collect()[0]
+    assert row["n"] == 6  # top row clamped away
+
+
+def test_pip_join_matches_bruteforce(spark, points):
+    poly = _triangle_with_hole()
+    polys = polygons_to_df(spark, [(1, poly)])
+    got = {
+        (r["pid"], r["poly_id"])
+        for r in point_in_polygon_join(points, polys, res=5).collect()
+    }
+    # NumPy oracle
+    pdf = points.toPandas()
+    pts = pdf[["lon", "lat"]].values
+    rings = geom.all_rings(poly)
+    inside = np.zeros(len(pts), dtype=bool)
+    for ring, is_hole in rings:
+        hit = K.points_in_ring(pts, ring)
+        inside = inside & ~hit if is_hole else inside | hit
+    expected = {(int(pdf["pid"].iloc[i]), 1) for i in np.where(inside)[0]}
+    assert got == expected
+    assert len(got) > 50  # non-trivial
+
+
+def test_pip_respects_holes(spark):
+    poly = _triangle_with_hole()
+    polys = polygons_to_df(spark, [(1, poly)])
+    probe = spark.createDataFrame(
+        [(1, 0.0, -2.0), (2, 0.0, 5.0), (3, 9.0, 9.0)], "pid long, lon double, lat double"
+    )
+    got = {r["pid"] for r in point_in_polygon_join(probe, polys, res=5).collect()}
+    assert got == {2}  # 1 in hole, 3 outside
+
+
+def test_polygon_sharding_covers_bbox(spark):
+    polys = polygons_to_df(spark, [(1, _triangle_with_hole())])
+    n = shard_polygons(polys, 5).count()
+    # bbox [-8,8]x[-8,8] at res 5 (11.25 x 5.625 deg cells)
+    assert 4 <= n <= 12
+
+
+def test_knn_matches_bruteforce(spark, points):
+    queries = spark.createDataFrame(
+        [(1, 0.0, 0.0), (2, -9.5, 9.5), (3, 4.0, -8.0)],
+        "qid long, lon double, lat double",
+    )
+    targets = points.select(F.col("pid").alias("tid"), "lon", "lat")
+    got = [
+        (r["qid"], r["rank"], r["tid"])
+        for r in knn_join(queries, targets, k=5, res=7).collect()
+    ]
+    exp = [
+        (r["qid"], r["rank"], r["tid"])
+        for r in knn_bruteforce(queries, targets, k=5).collect()
+    ]
+    assert sorted(got) == sorted(exp)
+
+
+def test_knn_polar_query_falls_back_correctly(spark):
+    queries = spark.createDataFrame([(1, 10.0, 89.5)], "qid long, lon double, lat double")
+    targets = spark.createDataFrame(
+        [(i, float(i * 30 - 180), 89.0) for i in range(12)],
+        "tid long, lon double, lat double",
+    )
+    got = [
+        (r["rank"], r["tid"]) for r in knn_join(queries, targets, k=2, res=6).collect()
+    ]
+    exp = [
+        (r["rank"], r["tid"]) for r in knn_bruteforce(queries, targets, k=2).collect()
+    ]
+    assert sorted(got) == sorted(exp)
+
+
+def test_raster_vector_join_matches_bbox_oracle(spark):
+    imgs = SYN.synthetic_images(spark, 400, bbox=(-9.0, -9.0, 9.0, 9.0), with_bytes=False)
+    fp = tile_footprints(imgs, deg_per_px=0.02)
+    poly = _triangle_with_hole()
+    minx, miny, maxx, maxy = geom.bbox(poly)
+    polys = polygons_to_df(spark, [(1, poly)])
+    got = {r["image_id"] for r in raster_vector_join(fp, polys, res=5).collect()}
+    pdf = fp.select("image_id", "fminx", "fminy", "fmaxx", "fmaxy").toPandas()
+    exp = {
+        r.image_id
+        for r in pdf.itertuples()
+        if r.fminx <= maxx and r.fmaxx >= minx and r.fminy <= maxy and r.fmaxy >= miny
+    }
+    assert got == exp and len(got) > 10
