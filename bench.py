@@ -26,9 +26,10 @@ from pyspark.sql import functions as F
 
 
 def force(df):
-    """Evaluate the full query including every output column."""
-    cols = [F.xxhash64(c) for c in df.columns]
-    return df.select(F.count(F.lit(1)).alias("n"), F.sum(sum(cols, F.lit(0))).alias("h")).collect()[0]["n"]
+    """Evaluate the full query including every output column (row hash summed
+    mod 2^31 — ANSI-safe, can't be pruned away)."""
+    h = F.pmod(F.xxhash64(*df.columns), F.lit(1 << 31))
+    return df.select(F.count(F.lit(1)).alias("n"), F.sum(h).alias("h")).collect()[0]["n"]
 
 
 def main() -> None:

@@ -75,17 +75,24 @@ def parent_cell(cell: Column, child_res: int, parent_res: int) -> Column:
 
 def k_ring(cell: Column, res: int, k: int = 1) -> Column:
     """array<long> of all cells within Chebyshev distance k (the (2k+1)^2
-    block, clamped at grid edges, x wrapping at the antimeridian)."""
+    block, clamped at grid edges, x wrapping at the antimeridian).
+
+    Built with sequence()+transform so the expression stays O(1) in k —
+    a literal (2k+1)^2 when-chain blows up Catalyst for wide rings."""
     n = _grid_n(res)
     x, y = cell_xy(cell)
-    offsets = [(dx, dy) for dx in range(-k, k + 1) for dy in range(-k, k + 1)]
-    cells = []
-    for dx, dy in offsets:
-        nx = (x + F.lit(dx) + F.lit(n)) % F.lit(n)  # wrap longitude
-        ny = y + F.lit(dy)
-        c = F.when((ny >= 0) & (ny < n), pack_cell(res, nx, ny))
-        cells.append(c)
-    return F.array_compact(F.array(*cells))
+    dys = F.sequence(
+        F.greatest(F.lit(0), y - F.lit(k)), F.least(F.lit(n - 1), y + F.lit(k))
+    )
+    dxs = F.sequence(F.lit(-k), F.lit(k))
+    return F.flatten(
+        F.transform(
+            dxs,
+            lambda dx: F.transform(
+                dys, lambda ny: pack_cell(res, (x + dx + F.lit(n)) % F.lit(n), ny)
+            ),
+        )
+    )
 
 
 def cell_bounds(cell: Column, res: int) -> tuple[Column, Column, Column, Column]:

@@ -81,9 +81,9 @@ def knn_join(
     ).withColumn("q_cell", cells.cell_id(F.col("q_lon"), F.col("q_lat"), res))
     t = targets.select(
         tid, F.col("lon").alias("t_lon"), F.col("lat").alias("t_lat")
-    ).withColumn("cell_id", cells.cell_id(F.col("t_lon"), F.col("t_lat"), res))
+    ).withColumn("cell_id", cells.cell_id(F.col("t_lon"), F.col("t_lat"), res)).cache()
 
-    remaining = q
+    remaining = q.localCheckpoint(eager=False)
     results = None
     for kr in rounds:
         if remaining.isEmpty():
@@ -110,8 +110,9 @@ def knn_join(
             (F.col("n") >= k) & (F.col("kth") <= _ring_guarantee_m(res, kr, F.col("q_lat")))
         ).select(qid)
         done = topk.join(ok_ids, qid, "leftsemi").select(qid, tid, "dist_m", "rank")
+        done = done.localCheckpoint(eager=False)  # cut lineage across rounds
         results = done if results is None else results.unionByName(done)
-        remaining = remaining.join(ok_ids, qid, "left_anti")
+        remaining = remaining.join(ok_ids, qid, "left_anti").localCheckpoint(eager=False)
 
     if bruteforce_fallback and not remaining.isEmpty():
         cand = remaining.crossJoin(t.drop("cell_id"))

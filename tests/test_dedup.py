@@ -82,6 +82,8 @@ def test_simhash_pairs(docs):
 def vectors(spark):
     rng = np.random.default_rng(7)
     base = rng.normal(size=(20, 16))
+    # keep the sign-LSH dims well away from 0 so the bucket test is stable
+    base[:, :8] = np.sign(base[:, :8]) * (np.abs(base[:, :8]) + 0.5)
     base[1] = base[0] + 0.01 * rng.normal(size=16)  # near-dup of 0
     rows = [(i, [float(x) for x in base[i]]) for i in range(20)]
     return spark.createDataFrame(rows, "vec_id long, embedding array<double>")

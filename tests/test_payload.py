@@ -53,9 +53,10 @@ def test_phash_decodes_to_point_in_bbox(spark):
     pts = df.select(
         phash_lon(F.col("phash")).alias("lon"), phash_lat(F.col("phash")).alias("lat")
     ).collect()
+    eps = 2e-7  # quantization bin half-width (360 / 2^31)
     for r in pts:
-        assert 10.0 <= r["lon"] <= 12.0 + 1e-6
-        assert 20.0 <= r["lat"] <= 22.0 + 1e-6
+        assert 10.0 - eps <= r["lon"] <= 12.0 + eps
+        assert 20.0 - eps <= r["lat"] <= 22.0 + eps
 
 
 def test_decode_stats_and_histogram(spark):
