@@ -18,15 +18,20 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+import pandas as pd
+from pyspark.sql.functions import pandas_udf
+
 from osm2geojson_spark.functions import geom as GEO
 from osm2geojson_spark.functions import hashing as H
+from osm2geojson_spark.functions import kernels as K
 from osm2geojson_spark.functions import text as TXT
 from osm2geojson_spark.functions.classify import is_geometry_polygon, polygon_flag_column
 from osm2geojson_spark.operators import cells
 from osm2geojson_spark.operators import dedup as DD
 from osm2geojson_spark.operators import knn as KNN
+from osm2geojson_spark.operators import multimodal as MM
 from osm2geojson_spark.operators import similarity as SIM
-from osm2geojson_spark.operators.assemble import resolve_ways
+from osm2geojson_spark.operators.assemble import assemble_relations, resolve_ways
 from osm2geojson_spark.operators.spatial_join import (
     point_in_polygon_join,
     polygons_to_df,
@@ -206,10 +211,178 @@ def _classifier_oracle_sql() -> str:
 
 def q_used_refs_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R16: the used-refs dedup as a left anti join — parts never consumed
-    as a way node ref survive."""
+    as a node ref of a 'converted way' (orders with key % 50 == 0, so the
+    survivor set is non-trivially split) survive the filter."""
     part = _t(spark, sf_dir, "part")
-    li = _t(spark, sf_dir, "lineitem").select(F.col("l_partkey").alias("p_partkey"))
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 50 == 0)
+        .select(F.col("l_partkey").alias("p_partkey"))
+    )
     return part.select("p_partkey").join(li, "p_partkey", "left_anti")
+
+
+from pyspark.sql import types as _T
+
+_MP_STATS_T = _T.StructType(
+    [
+        _T.StructField("n_polys", _T.IntegerType()),
+        _T.StructField("n_rings", _T.IntegerType()),
+        _T.StructField("area", _T.DoubleType()),
+    ]
+)
+
+
+@pandas_udf(_MP_STATS_T)
+def _mp_stats_udf(gpb: pd.Series) -> pd.DataFrame:
+    """(Multi)Polygon GPB -> (n_polys, n_rings, net shoelace area)."""
+    np_, nr_, ar_ = [], [], []
+    for buf in gpb:
+        if buf is None:
+            np_.append(None), nr_.append(None), ar_.append(None)
+            continue
+        t, payload = GEO.decode(bytes(buf))
+        polys = [payload] if t == GEO.GTYPE_POLYGON else payload
+        area = 0.0
+        rings = 0
+        for p in polys:
+            rings += len(p)
+            area += abs(K.signed_area(p[0]))
+            for hole in p[1:]:
+                area -= abs(K.signed_area(hole))
+        np_.append(len(polys)), nr_.append(rings), ar_.append(round(area, 6))
+    return pd.DataFrame({"n_polys": np_, "n_rings": nr_, "area": ar_})
+
+
+def _null(dtype: str):
+    return F.lit(None).cast(dtype)
+
+
+def q_relation_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R10-R15: full multipolygon relation assembly through the grouped Arrow
+    kernels (endpoint-hash linemerge, consecutive-role grouping, hole
+    subtraction, ring-orientation repair). One relation per nation row: two
+    open 'outer' way chains that stitch into a w x h rectangle, plus a 1x1
+    'inner' hole way for even keys. Oracle = the closed-form ground truth."""
+    nat = _t(spark, sf_dir, "nation").select(F.col("n_nationkey").cast("long").alias("n"))
+    n = F.col("n")
+    x0 = (n % 5).cast("double") * F.lit(20.0)
+    y0 = F.floor(n / 5).cast("double") * F.lit(15.0)
+    wd = (n % 7 + 4).cast("double")
+    ht = (n % 5 + 3).cast("double")
+
+    def corner(c, lon, lat):
+        return F.struct(F.lit(c).alias("c"), lon.alias("lon"), lat.alias("lat"))
+
+    corners = F.array(
+        corner(0, x0, y0),
+        corner(1, x0 + wd, y0),
+        corner(2, x0 + wd, y0 + ht),
+        corner(3, x0, y0 + ht),
+        corner(4, x0 + 1.0, y0 + 1.0),
+        corner(5, x0 + 2.0, y0 + 1.0),
+        corner(6, x0 + 2.0, y0 + 2.0),
+        corner(7, x0 + 1.0, y0 + 2.0),
+    )
+    meta = [
+        _null("array<struct<k:string,v:string>>").alias("tags"),
+        _null("string").alias("timestamp"),
+        _null("long").alias("version"),
+        _null("long").alias("changeset"),
+        _null("string").alias("user"),
+        _null("long").alias("uid"),
+    ]
+    nodes = nat.select(n, F.explode(corners).alias("p")).select(
+        F.lit("d").alias("doc_id"),
+        (n * 100 + F.col("p.c")).alias("seq"),
+        (n * 100 + F.col("p.c")).alias("id"),
+        F.col("p.lon").alias("lon"),
+        F.col("p.lat").alias("lat"),
+        *meta,
+    )
+
+    def way(widx, *cs):
+        return F.struct(
+            (n * 10 + widx).alias("id"),
+            F.array(*[n * 100 + c for c in cs]).alias("nds"),
+        )
+
+    ways_arr = F.when(
+        n % 2 == 0,
+        F.array(way(1, 0, 1, 2), way(2, 2, 3, 0), way(3, 4, 5, 6, 7, 4)),
+    ).otherwise(F.array(way(1, 0, 1, 2), way(2, 2, 3, 0)))
+    ways = nat.select(n, F.explode(ways_arr).alias("w")).select(
+        F.lit("d").alias("doc_id"),
+        F.col("w.id").alias("seq"),
+        F.col("w.id").alias("id"),
+        F.col("w.nds").alias("nodes"),
+        _null("array<struct<lon:double,lat:double>>").alias("geometry"),
+        _null("struct<lon:double,lat:double>").alias("center"),
+        _null("struct<minlat:double,minlon:double,maxlat:double,maxlon:double>").alias(
+            "bounds"
+        ),
+        *meta,
+    )
+
+    def member(pos, widx, role):
+        return F.struct(
+            F.lit(pos).alias("pos"),
+            F.lit("way").alias("mtype"),
+            (n * 10 + widx).alias("ref"),
+            F.lit(role).alias("role"),
+            _null("array<struct<lon:double,lat:double>>").alias("geometry"),
+            _null("double").alias("lon"),
+            _null("double").alias("lat"),
+        )
+
+    members = F.when(
+        n % 2 == 0,
+        F.array(member(0, 1, "outer"), member(1, 2, "outer"), member(2, 3, "inner")),
+    ).otherwise(F.array(member(0, 1, "outer"), member(1, 2, "outer")))
+    rels = nat.select(
+        F.lit("d").alias("doc_id"),
+        n.alias("seq"),
+        n.alias("id"),
+        members.alias("members"),
+        _null("struct<lon:double,lat:double>").alias("center"),
+        _null("struct<minlat:double,minlon:double,maxlat:double,maxlon:double>").alias(
+            "bounds"
+        ),
+        F.array(
+            F.struct(F.lit("type").alias("k"), F.lit("multipolygon").alias("v"))
+        ).alias("tags"),
+        _null("string").alias("timestamp"),
+        _null("long").alias("version"),
+        _null("long").alias("changeset"),
+        _null("string").alias("user"),
+        _null("long").alias("uid"),
+    )
+
+    frames = ElementFrames(
+        nodes,
+        ways,
+        rels,
+        spark.createDataFrame([], OTHERS_SCHEMA),
+        0,
+    )
+    resolved = resolve_ways(frames)
+    rels_flagged = rels.withColumn(
+        "is_poly", polygon_flag_column(F.col("tags"), _null("boolean"))
+    )
+    shapes = assemble_relations(frames, resolved, rels_flagged)
+    return shapes.select(
+        F.col("rel_id"), _mp_stats_udf(F.col("gpb")).alias("s")
+    ).select("rel_id", "s.n_polys", "s.n_rings", "s.area")
+
+
+_RELATION_ASSEMBLY_SQL = """
+SELECT CAST(n_nationkey AS BIGINT) AS rel_id,
+       1 AS n_polys,
+       CASE WHEN n_nationkey % 2 = 0 THEN 2 ELSE 1 END AS n_rings,
+       CAST((4 + n_nationkey % 7) * (3 + n_nationkey % 5)
+            - CASE WHEN n_nationkey % 2 = 0 THEN 1 ELSE 0 END AS DOUBLE) AS area
+FROM nation
+"""
 
 
 # --------------------------------------------------------------------------
@@ -360,14 +533,39 @@ FROM documents GROUP BY 1
 """
 
 
-def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 80)
-    return DD.ngram_jaccard_pairs(docs, tau=0.5)
+def _docs_with_mutants(spark: SparkSession, sf_dir: str, limit: int) -> DataFrame:
+    """Base docs plus a planted 80%-prefix near-duplicate of each (id+100000)
+    — the dedup operators must recover exactly these pairs. The mutation is
+    closed-form string arithmetic, so the oracle reproduces it byte-for-byte
+    (integer division via ``div``/``//`` on both engines)."""
+    base = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < limit)
+        .select("doc_id", "text")
+    )
+    mut = base.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.expr("substring(text, 1, (length(text) * 4) div 5)").alias("text"),
+    )
+    return base.unionByName(mut)
 
 
-def _jaccard_sql(doc_filter: str, tau: float) -> str:
+def _docs_mutant_cte(limit: int) -> str:
     return f"""
-WITH docs AS (SELECT doc_id, text FROM documents WHERE {doc_filter}),
+  SELECT doc_id, text FROM documents WHERE doc_id < {limit}
+  UNION ALL
+  SELECT doc_id + 100000, substr(text, 1, (length(text) * 4) // 5)
+  FROM documents WHERE doc_id < {limit}
+"""
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.ngram_jaccard_pairs(_docs_with_mutants(spark, sf_dir, 60), tau=0.5)
+
+
+def _jaccard_sql(docs_select: str, tau: float) -> str:
+    return f"""
+WITH docs AS ({docs_select}),
 ex AS (
   SELECT doc_id, unnest({H.shingles_sql('text')}) AS sh FROM docs
 ), sizes AS (
@@ -387,14 +585,13 @@ WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= {tau}
 
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 80)
-    return DD.minhash_lsh_pairs(docs, tau=0.5)
+    return DD.minhash_lsh_pairs(_docs_with_mutants(spark, sf_dir, 60), tau=0.5)
 
 
-def _minhash_lsh_sql(doc_filter: str, tau: float) -> str:
+def _minhash_lsh_sql(docs_select: str, tau: float) -> str:
     bands = ", ".join(H.band_hash_sql())
     return f"""
-WITH docs AS (SELECT doc_id, text FROM documents WHERE {doc_filter}),
+WITH docs AS ({docs_select}),
 sig AS ({H.minhash_signature_sql('docs', 'doc_id', 'text')}),
 banded AS (SELECT doc_id, {bands} FROM sig),
 melted AS (
@@ -403,7 +600,7 @@ melted AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM melted a JOIN melted b
     ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-), jac AS ({_jaccard_sql(doc_filter, 0.0)})
+), jac AS ({_jaccard_sql(docs_select, 0.0)})
 SELECT c.id_a, c.id_b, j.jaccard
 FROM cand c JOIN jac j ON j.id_a = c.id_a AND j.id_b = c.id_b
 WHERE j.jaccard >= {tau}
@@ -509,6 +706,89 @@ SELECT doc_id,
   {TXT.lang_id_sql('text')} AS lang_pred,
   {TXT.fingerprint_sql('text')} AS fingerprint
 FROM documents
+"""
+
+
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup detection (sign-bucket LSH candidates):
+    each base vector gets a planted positive-rescaled copy (id+100000) whose
+    cosine is ~0.99; the operator must recover exactly those pairs."""
+    base = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 100)
+        .select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+        )
+    )
+    mut = base.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x * (F.lit(1.0) + (i % 3).cast("double") * F.lit(0.25)),
+        ).alias("embedding"),
+    )
+    return DD.embedding_cosine_dups(base.unionByName(mut), tau=0.9)
+
+
+def _dedup_embedding_sql() -> str:
+    bucket = " + ".join(
+        f"(CASE WHEN v[{d + 1}] > 0 THEN {1 << d} ELSE 0 END)" for d in range(SIM.SIGN_DIMS)
+    )
+    return f"""
+WITH base AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 100
+), alle AS (
+  SELECT vec_id, v FROM base
+  UNION ALL
+  SELECT vec_id + 100000,
+         list_transform(range(len(v)), i -> v[i + 1] * (1.0 + (i % 3) * 0.25))
+  FROM base
+), eb AS (SELECT vec_id, v, ({bucket}) AS b FROM alle),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    list_dot_product(a.v, b.v)
+      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos
+  FROM eb a JOIN eb b ON a.b = b.b AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, round(cos, 6) AS cos FROM pairs WHERE cos >= 0.9
+"""
+
+
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal payload path: binary image column -> Arrow-batched decode
+    (mapInPandas) -> exact per-image pixel stats. The oracle recomputes the
+    deterministic pixel formula (x*3 + y*7 + i*13) % 251 in pure SQL, so the
+    zlib codec round-trip is verified end-to-end."""
+    part = _t(spark, sf_dir, "part").filter(F.col("p_partkey") < 300)
+    w = (F.lit(8) * (F.lit(1) + F.col("p_partkey") % 3)).cast("int")
+    imgs = part.select(
+        F.format_string("img%012d", F.col("p_partkey")).alias("image_id"),
+        F.col("p_partkey").alias("_i"),
+        w.alias("w"),
+        w.alias("h"),
+        F.lit("rawz").alias("fmt"),
+    ).withColumn("bytes", SYN._encode_image_udf(F.col("_i"), F.col("w"), F.col("h")))
+    return MM.decode_stats(imgs).select(
+        "image_id", "w", "h", "px_sum", "px_min", "px_max", "decode_ok"
+    )
+
+
+_MULTIMODAL_SQL = """
+WITH img AS (
+  SELECT p_partkey AS i, 8 * (1 + p_partkey % 3) AS w
+  FROM part WHERE p_partkey < 300
+), px AS (
+  SELECT i, w, unnest(range(0, w * w)) AS p FROM img
+), v AS (
+  SELECT i, w, ((p % w) * 3 + (p // w) * 7 + i * 13) % 251 AS v FROM px
+)
+SELECT printf('img%012d', i) AS image_id,
+       CAST(w AS INTEGER) AS w, CAST(w AS INTEGER) AS h,
+       CAST(sum(v) AS BIGINT) AS px_sum,
+       CAST(min(v) AS BIGINT) AS px_min, CAST(max(v) AS BIGINT) AS px_max,
+       true AS decode_ok
+FROM v GROUP BY i, w
 """
 
 
@@ -659,6 +939,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "way_assembly": q_way_assembly,
+        "relation_assembly": q_relation_assembly,
         "classifier": q_classifier,
         "used_refs_antijoin": q_used_refs_antijoin,
         "cell_encode": q_cell_encode,
@@ -670,6 +951,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_embedding": q_dedup_embedding,
+        "multimodal_decode": q_multimodal_decode,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_cosine_lsh": q_ann_cosine_lsh,
         "text_analysis": q_text_analysis,
@@ -682,10 +965,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "way_assembly": _WAY_ASSEMBLY_SQL,
+        "relation_assembly": _RELATION_ASSEMBLY_SQL,
         "classifier": _classifier_oracle_sql(),
         "used_refs_antijoin": (
             "SELECT p_partkey FROM part WHERE p_partkey NOT IN "
-            "(SELECT l_partkey FROM lineitem)"
+            "(SELECT l_partkey FROM lineitem WHERE l_orderkey % 50 = 0)"
         ),
         "cell_encode": _CELL_ENCODE_SQL,
         "cell_histogram": _CELL_HISTOGRAM_SQL,
@@ -693,9 +977,11 @@ def oracle_sql() -> dict[str, str]:
         "knn": _KNN_SQL,
         "tile_vector_join": _TILE_JOIN_SQL,
         "dedup_exact": _DEDUP_EXACT_SQL,
-        "dedup_ngram_jaccard": _jaccard_sql("doc_id < 80", 0.5),
-        "dedup_minhash_lsh": _minhash_lsh_sql("doc_id < 80", 0.5),
+        "dedup_ngram_jaccard": _jaccard_sql(_docs_mutant_cte(60), 0.5),
+        "dedup_minhash_lsh": _minhash_lsh_sql(_docs_mutant_cte(60), 0.5),
         "dedup_simhash": _simhash_sql("doc_id < 120", 3),
+        "dedup_embedding": _dedup_embedding_sql(),
+        "multimodal_decode": _MULTIMODAL_SQL,
         "ann_cosine_topk": _ANN_SQL,
         "ann_cosine_lsh": _ann_lsh_sql(),
         "text_analysis": _TEXT_SQL,

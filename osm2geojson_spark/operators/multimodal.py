@@ -30,7 +30,10 @@ from ..functions import imagecodec
 
 
 def decode_stats(images: DataFrame) -> DataFrame:
-    """(image_id, w, h, px_mean, px_std, px_min, px_max, decode_ok)"""
+    """(image_id, w, h, px_sum, px_mean, px_std, px_min, px_max, decode_ok).
+
+    ``px_sum``/``px_min``/``px_max`` are exact integers — the oracle-safe
+    columns (no float rounding-mode ambiguity across engines)."""
 
     def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -43,27 +46,31 @@ def decode_stats(images: DataFrame) -> DataFrame:
                             r.image_id,
                             int(r.w),
                             int(r.h),
+                            int(px.sum()),
                             round(float(px.mean()), 6),
                             round(float(px.std()), 6),
-                            float(px.min()),
-                            float(px.max()),
+                            int(px.min()),
+                            int(px.max()),
                             True,
                         )
                     )
                 except NotImplementedError:
-                    rows.append((r.image_id, int(r.w), int(r.h), None, None, None, None, False))
+                    rows.append(
+                        (r.image_id, int(r.w), int(r.h), None, None, None, None, None, False)
+                    )
             yield pd.DataFrame(
                 rows,
                 columns=[
-                    "image_id", "w", "h", "px_mean", "px_std", "px_min", "px_max", "decode_ok",
+                    "image_id", "w", "h", "px_sum", "px_mean", "px_std",
+                    "px_min", "px_max", "decode_ok",
                 ],
             )
 
     return images.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(
         fn,
         schema=(
-            "image_id string, w int, h int, px_mean double, px_std double,"
-            " px_min double, px_max double, decode_ok boolean"
+            "image_id string, w int, h int, px_sum long, px_mean double,"
+            " px_std double, px_min long, px_max long, decode_ok boolean"
         ),
     )
 
