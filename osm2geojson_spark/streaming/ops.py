@@ -1,0 +1,151 @@
+"""Structured Streaming operators.
+
+The reference is strictly batch (no streams/watermarks/state anywhere in
+/root/reference — SURVEY §1.1), so this layer is engine extension surface:
+the streaming forms of the engine's own operators, built on Spark Structured
+Streaming primitives (readStream -> transform -> writeStream), with event-time
+watermarks for late data.
+
+Design rules:
+* every transform is also valid on a batch DataFrame — tests pin
+  streaming(availableNow) == batch on the same input (the strongest
+  correctness statement Structured Streaming allows);
+* state is bounded: watermarks on every stateful op, dropDuplicates keyed
+  within the watermark, session windows with gap timeout;
+* the stream side joins only against *static* broadcastable sides (polygon
+  shards) — stream-static joins are stateless and scale linearly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import cells
+from ..sources import synthetic as SYN
+
+EVENTS_DDL = "event_id long, ts timestamp, user_id long, event_type string, value double"
+
+
+def events_file_stream(
+    spark: SparkSession, path: str, schema: str = EVENTS_DDL, fmt: str = "parquet"
+) -> DataFrame:
+    """File-based streaming source: new files under ``path`` become
+    micro-batches. ``maxFilesPerTrigger`` left default; callers use
+    ``trigger(availableNow=True)`` for catch-up runs."""
+    return spark.readStream.format(fmt).schema(schema).load(path)
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Tumbling-window counts + value min/max per event_type, tolerating
+    late data up to ``watermark``. Works identically on batch input (the
+    watermark is a no-op there) — the test oracle."""
+    df = events
+    if df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    return (
+        df.groupBy(F.window(ts_col, window).alias("win"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("value"), 6).alias("vmin"),
+            F.round(F.max("value"), 6).alias("vmax"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "event_type",
+            "n",
+            "vmin",
+            "vmax",
+        )
+    )
+
+
+def sessionized_counts(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Session windows (gap-based) per key — the built-in
+    ``session_window`` keeps this JVM-side; no custom state code needed."""
+    df = events
+    if df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    return (
+        df.groupBy(F.session_window(ts_col, gap).alias("sw"), key_col)
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col(key_col),
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def streaming_exact_dedup(
+    docs: DataFrame,
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+    text_col: str = "text",
+) -> DataFrame:
+    """In-flight exact dedup: first-seen document per normalized-text
+    fingerprint survives; duplicates arriving within the watermark are
+    dropped with bounded state."""
+    from ..functions import text as TXT
+
+    out = docs.withColumn("fingerprint", TXT.fingerprint_col(F.col(text_col)))
+    if out.isStreaming:
+        out = out.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            ["fingerprint"]
+        )
+    else:
+        out = out.dropDuplicates(["fingerprint"])
+    return out
+
+
+def stream_tile_assign(images: DataFrame, polys_df: DataFrame, res: int = 6) -> DataFrame:
+    """Streaming form of the flagship spatial join: image stream -> phash
+    decode -> cell id -> stream-static broadcast join against the sharded
+    polygon side -> exact PIP refine (the same Arrow kernel as batch).
+    Stateless, so it scales with the stream rate; aggregation is left to the
+    caller so the join itself stays append-mode.
+
+    Returns per-row (image_id, poly_id, tile)."""
+    from ..operators.spatial_join import point_in_polygon_join
+
+    pts = images.select(
+        "image_id",
+        SYN.phash_lon(F.col("phash")).alias("lon"),
+        SYN.phash_lat(F.col("phash")).alias("lat"),
+    )
+    joined = point_in_polygon_join(pts, polys_df, res=res)
+    return joined.withColumn(
+        "tile", cells.cell_id(F.col("lon"), F.col("lat"), 9)
+    ).select("image_id", "poly_id", "tile")
+
+
+def run_to_memory(stream_df: DataFrame, name: str) -> DataFrame:
+    """Drain an availableNow stream into an in-memory table; returns the
+    result as a batch DataFrame (test/debug utility)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append" if not _has_aggregation(stream_df) else "complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)
+
+
+def _has_aggregation(df: DataFrame) -> bool:
+    plan = df._jdf.queryExecution().logical().toString()
+    return "Aggregate" in plan

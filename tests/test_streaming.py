@@ -1,0 +1,103 @@
+"""Structured Streaming: every streaming transform must agree with its batch
+form on the same input (availableNow catch-up == batch)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from osm2geojson_spark.functions import geom as GEO
+from osm2geojson_spark.operators.spatial_join import (
+    point_in_polygon_bruteforce,
+    polygons_to_df,
+)
+from osm2geojson_spark.sources import synthetic as SYN
+from osm2geojson_spark.streaming import ops as S
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory):
+    """Two parquet files (= two micro-batches) of deterministic events."""
+    d = str(tmp_path_factory.mktemp("events_stream"))
+    base = spark.range(0, 400).select(
+        F.col("id").alias("event_id"),
+        F.timestamp_seconds(F.lit(1700000000) + F.col("id") * 137).alias("ts"),
+        (F.col("id") % 7).alias("user_id"),
+        F.concat(F.lit("t"), (F.col("id") % 3).cast("string")).alias("event_type"),
+        (F.col("id") % 100).cast("double").alias("value"),
+    )
+    base.filter(F.col("event_id") < 200).coalesce(1).write.parquet(os.path.join(d, "p1"))
+    base.filter(F.col("event_id") >= 200).coalesce(1).write.parquet(os.path.join(d, "p2"))
+    return d
+
+
+def _rows(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_windowed_counts_stream_equals_batch(spark, events_dir):
+    batch_df = spark.read.parquet(os.path.join(events_dir, "p1"), os.path.join(events_dir, "p2"))
+    stream_df = S.events_file_stream(spark, os.path.join(events_dir, "p*"))
+    got = S.run_to_memory(S.windowed_event_counts(stream_df), "win_counts")
+    want = S.windowed_event_counts(batch_df)
+    cols = ["win_start", "win_end", "event_type", "n", "vmin", "vmax"]
+    assert _rows(got, cols) == _rows(want, cols)
+    assert len(_rows(want, cols)) > 3
+
+
+def test_sessionized_counts_stream_equals_batch(spark, events_dir):
+    batch_df = spark.read.parquet(os.path.join(events_dir, "p1"), os.path.join(events_dir, "p2"))
+    stream_df = S.events_file_stream(spark, os.path.join(events_dir, "p*"))
+    got = S.run_to_memory(S.sessionized_counts(stream_df, gap="10 minutes"), "sess_counts")
+    want = S.sessionized_counts(batch_df, gap="10 minutes")
+    cols = ["user_id", "session_start", "session_end", "n_events"]
+    assert _rows(got, cols) == _rows(want, cols)
+    # 137s spacing x 7 users -> per-user gap 959s > 600s: every event its own session
+    assert len(_rows(want, cols)) == 400
+
+
+def test_streaming_dedup(spark, events_dir, tmp_path):
+    d = str(tmp_path / "docs_stream")
+    docs = spark.range(0, 300).select(
+        F.col("id").alias("doc_id"),
+        F.timestamp_seconds(F.lit(1700000000) + F.col("id")).alias("ts"),
+        # 100 distinct texts, each repeated 3x
+        F.concat(F.lit("Document body number "), (F.col("id") % 100).cast("string")).alias(
+            "text"
+        ),
+    )
+    docs.coalesce(1).write.parquet(d)
+    stream_df = (
+        spark.readStream.format("parquet")
+        .schema("doc_id long, ts timestamp, text string")
+        .load(d)
+    )
+    got = S.run_to_memory(S.streaming_exact_dedup(stream_df), "dedup_stream")
+    assert got.count() == 100
+    assert got.select("fingerprint").distinct().count() == 100
+
+
+def test_stream_tile_assign_matches_batch_oracle(spark, tmp_path):
+    d = str(tmp_path / "img_stream")
+    imgs = SYN.synthetic_images(spark, 300, bbox=(0.0, 0.0, 4.0, 4.0), with_bytes=False)
+    imgs.coalesce(1).write.parquet(d)
+    square = GEO.polygon([[[0.5, 0.5], [3.0, 0.5], [3.0, 3.0], [0.5, 3.0], [0.5, 0.5]]])
+    polys = polygons_to_df(spark, [(0, square)])
+
+    stream = (
+        spark.readStream.format("parquet").schema(spark.read.parquet(d).schema).load(d)
+    )
+    got = S.run_to_memory(S.stream_tile_assign(stream, polys, res=6), "tiles_stream")
+
+    pts = spark.read.parquet(d).select(
+        "image_id",
+        SYN.phash_lon(F.col("phash")).alias("lon"),
+        SYN.phash_lat(F.col("phash")).alias("lat"),
+    )
+    want = point_in_polygon_bruteforce(pts, polys)
+    assert _rows(got, ["image_id", "poly_id"]) == _rows(
+        want.select("image_id", "poly_id"), ["image_id", "poly_id"]
+    )
+    assert got.count() > 50
