@@ -365,7 +365,9 @@ def q_relation_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.createDataFrame([], OTHERS_SCHEMA),
         0,
     )
-    resolved = resolve_ways(frames)
+    # resolved ways feed three consumers inside assemble_relations; cut the
+    # recompute (same role as build_features' materialize step)
+    resolved = resolve_ways(frames).localCheckpoint(eager=False)
     rels_flagged = rels.withColumn(
         "is_poly", polygon_flag_column(F.col("tags"), _null("boolean"))
     )
@@ -823,6 +825,123 @@ FROM events GROUP BY 1, 2, 3, 4, 5
 """
 
 
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (batch form of the streaming session_window
+    operator). Session boundaries as epoch seconds — timezone-independent.
+    Oracle: classic lag + cumulative-sum session reconstruction."""
+    from osm2geojson_spark.streaming.ops import sessionized_counts
+
+    ev = _t(spark, sf_dir, "events")
+    s = sessionized_counts(ev, gap="30 minutes")
+    # ts is TIMESTAMP_NTZ; session TZ is UTC, so ntz -> tz -> long is the
+    # naive-wall-clock epoch (matching DuckDB's epoch() on naive timestamps)
+    return s.select(
+        "user_id",
+        F.col("session_start").cast("timestamp").cast("long").alias("start_epoch"),
+        F.col("session_end").cast("timestamp").cast("long").alias("end_epoch"),
+        "n_events",
+    )
+
+
+_SESSIONIZE_SQL = """
+WITH e AS (
+  SELECT user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+  FROM events
+), s AS (
+  SELECT user_id, ts,
+         sum(CASE WHEN prev IS NULL OR epoch(ts) - epoch(prev) > 1800.0
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS UNBOUNDED PRECEDING) AS sid
+  FROM e
+)
+SELECT user_id,
+       CAST(floor(epoch(min(ts))) AS BIGINT) AS start_epoch,
+       CAST(floor(epoch(max(ts))) + 1800 AS BIGINT) AS end_epoch,
+       count(*) AS n_events
+FROM s GROUP BY user_id, sid
+"""
+
+
+def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured path: JSON props column -> extracted key -> bucketed
+    aggregate (get_json_object stays JVM-side, no Python)."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select((k % 10).alias("k_bucket"), "value")
+        .groupBy("k_bucket")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("v_sum"))
+    )
+
+
+_EVENTS_JSON_SQL = """
+SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+       count(*) AS n, round(sum(value), 6) AS v_sum
+FROM events GROUP BY 1
+"""
+
+
+def q_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup aggregate (grouping sets) over orders."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(38,2)")
+            .alias("total"),
+        )
+    )
+
+
+_ROLLUP_SQL = """
+SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+"""
+
+
+def q_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style multi-join chain: lineitem x orders x customer x
+    nation x region, region-filtered (the filter pushes down to the region
+    scan; nation/region broadcast)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    rev = (F.col("l_extendedprice").cast("decimal(18,2)")
+           * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)")))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(F.sum(rev).cast("decimal(38,4)").alias("revenue"),
+             F.count("*").alias("n_items"))
+    )
+
+
+_REGIONAL_REVENUE_SQL = """
+SELECT n_name,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+           * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+       AS DECIMAL(38,4)) AS revenue,
+  count(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+"""
+
+
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-style aggregate (DECIMAL money math — exact across engines)."""
     li = _t(spark, sf_dir, "lineitem")
@@ -957,6 +1076,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_lsh": q_ann_cosine_lsh,
         "text_analysis": q_text_analysis,
         "events_window": q_events_window,
+        "sessionize": q_sessionize,
+        "events_json": q_events_json,
+        "rollup_orders": q_rollup_orders,
+        "regional_revenue": q_regional_revenue,
         "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,
     }
@@ -986,6 +1109,10 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_lsh": _ann_lsh_sql(),
         "text_analysis": _TEXT_SQL,
         "events_window": _EVENTS_SQL,
+        "sessionize": _SESSIONIZE_SQL,
+        "events_json": _EVENTS_JSON_SQL,
+        "rollup_orders": _ROLLUP_SQL,
+        "regional_revenue": _REGIONAL_REVENUE_SQL,
         "pricing_summary": _PRICING_SQL,
         "top_customers": _TOP_CUSTOMERS_SQL,
     }

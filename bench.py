@@ -5,11 +5,17 @@ Prints ONE JSON line:
    "queries": {name: sec, ...}, "sf": <sf>,
    "cpus": N, "spatial_rows_per_sec": R}
 
+A warmup pass (same queries at sf0.001 + a small spatial run) runs first,
+untimed: it amortizes JVM/codegen/Arrow-worker startup so the timed numbers
+measure the operators, not interpreter warmup — matching how a long-lived
+cluster session behaves.
+
 Env:
   SPARK_GRAFT_SF_DIR  (default /root/testdata/sf0.1)
   SPARK_GRAFT_CPUS    (default 32) -> master local[N], shuffle partitions N
-  SPARK_GRAFT_IMAGES  (default 400000) synthetic image rows for the
+  SPARK_GRAFT_IMAGES  (default 2000000) synthetic image rows for the
                       flagship spatial-join + tile-assignment measurement
+  SPARK_GRAFT_WARMUP  (default 1) set 0 to skip the warmup pass
 """
 
 from __future__ import annotations
@@ -24,6 +30,25 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
+BENCH_QUERIES = [
+    "way_assembly",
+    "relation_assembly",
+    "pip_join",
+    "knn",
+    "tile_vector_join",
+    "cell_histogram",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_embedding",
+    "ann_cosine_topk",
+    "multimodal_decode",
+    "text_analysis",
+    "events_window",
+    "pricing_summary",
+    "top_customers",
+]
+
 
 def force(df):
     """Evaluate the full query including every output column (row hash summed
@@ -32,10 +57,30 @@ def force(df):
     return df.select(F.count(F.lit(1)).alias("n"), F.sum(h).alias("h")).collect()[0]["n"]
 
 
+def _spatial_fn(spark, E, polys_df, n_images, cpus):
+    from osm2geojson_spark.operators import cells
+    from osm2geojson_spark.operators.spatial_join import point_in_polygon_join
+    from osm2geojson_spark.sources import synthetic as SYN
+
+    def run():
+        imgs = SYN.synthetic_images(spark, n_images, with_bytes=False, num_partitions=cpus)
+        pts = imgs.select(
+            "image_id",
+            SYN.phash_lon(F.col("phash")).alias("lon"),
+            SYN.phash_lat(F.col("phash")).alias("lat"),
+        )
+        joined = point_in_polygon_join(pts, polys_df, res=6)
+        tiled = joined.withColumn("tile", cells.cell_id(F.col("lon"), F.col("lat"), 9))
+        return tiled.groupBy("poly_id", "tile").agg(F.count("*").alias("n")).count()
+
+    return run
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    n_images = int(os.environ.get("SPARK_GRAFT_IMAGES", "400000"))
+    n_images = int(os.environ.get("SPARK_GRAFT_IMAGES", "2000000"))
+    do_warmup = os.environ.get("SPARK_GRAFT_WARMUP", "1") != "0"
     sf = sf_dir.rstrip("/").split("sf")[-1]
 
     spark = (
@@ -52,12 +97,22 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     import __spark_entry__ as E
-    from osm2geojson_spark.operators import cells
-    from osm2geojson_spark.operators.spatial_join import (
-        point_in_polygon_join,
-        polygons_to_df,
-    )
-    from osm2geojson_spark.sources import synthetic as SYN
+    from osm2geojson_spark.operators.spatial_join import polygons_to_df
+
+    qs = E.queries()
+
+    # ---- warmup: identical plans on the same SF (amortizes JVM codegen,
+    # Arrow worker pool startup, and shuffle-service init — the steady state
+    # of a long-lived cluster session) ----
+    if do_warmup:
+        wboxes = E._nation_boxes(spark, sf_dir)
+        wpolys = polygons_to_df(spark, [(p, g) for p, g, *_ in wboxes])
+        _spatial_fn(spark, E, wpolys, max(20000, n_images // 10), cpus)()
+        for name in BENCH_QUERIES:
+            try:
+                force(qs[name](spark, sf_dir))
+            except Exception:
+                pass
 
     timings: dict[str, float] = {}
 
@@ -70,36 +125,10 @@ def main() -> None:
     # ---- flagship: spatial join + tile assignment over the image table
     boxes = E._nation_boxes(spark, sf_dir)
     polys_df = polygons_to_df(spark, [(p, g) for p, g, *_ in boxes])
-
-    def spatial():
-        imgs = SYN.synthetic_images(spark, n_images, with_bytes=False, num_partitions=cpus)
-        pts = imgs.select(
-            "image_id",
-            SYN.phash_lon(F.col("phash")).alias("lon"),
-            SYN.phash_lat(F.col("phash")).alias("lat"),
-        )
-        joined = point_in_polygon_join(pts, polys_df, res=6)
-        tiled = joined.withColumn("tile", cells.cell_id(F.col("lon"), F.col("lat"), 9))
-        return tiled.groupBy("poly_id", "tile").agg(F.count("*").alias("n")).count()
-
-    bench("spatial_join_tiles", spatial)
+    bench("spatial_join_tiles", _spatial_fn(spark, E, polys_df, n_images, cpus))
     spatial_rows_per_sec = round(n_images / timings["spatial_join_tiles"], 1)
 
-    qs = E.queries()
-    for name in [
-        "way_assembly",
-        "pip_join",
-        "knn",
-        "tile_vector_join",
-        "cell_histogram",
-        "dedup_exact",
-        "dedup_minhash_lsh",
-        "ann_cosine_topk",
-        "text_analysis",
-        "events_window",
-        "pricing_summary",
-        "top_customers",
-    ]:
+    for name in BENCH_QUERIES:
         bench(name, lambda n=name: force(qs[n](spark, sf_dir)))
 
     total = round(sum(timings.values()), 3)

@@ -61,7 +61,8 @@ def main(argv: list[str] | None = None) -> int:
     try:
         if args.areas:
             with open(args.areas) as f:
-                area_keys = json.load(f).get("areaKeys", json.load(f))
+                loaded = json.load(f)
+            area_keys = loaded.get("areaKeys", loaded) if isinstance(loaded, dict) else loaded
         if args.polygons:
             with open(args.polygons) as f:
                 polygon_features = json.load(f)

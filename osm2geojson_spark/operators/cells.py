@@ -51,6 +51,11 @@ def pack_cell(res: int, x: Column, y: Column) -> Column:
     return (F.lit(res).cast("long") * F.lit(1 << _R_SHIFT)) + (x * F.lit(1 << _X_SHIFT)) + y
 
 
+def pack_cell_py(res: int, x: int, y: int) -> int:
+    """Driver-side twin of pack_cell (batch-id enumeration in plans/tile_job)."""
+    return (res << _R_SHIFT) + (x << _X_SHIFT) + y
+
+
 def cell_id(lon: Column, lat: Column, res: int = DEFAULT_RES) -> Column:
     """Point -> cell id at resolution ``res`` (pure arithmetic, codegen-able)."""
     return pack_cell(res, cell_x(lon, res), cell_y(lat, res))

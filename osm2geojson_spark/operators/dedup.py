@@ -108,11 +108,28 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    verified = cand.join(
-        ngram_jaccard_pairs(df, tau=0.0, id_col=id_col, text_col=text_col),
-        ["id_a", "id_b"],
-        "inner",
-    ).filter(F.col("jaccard") >= tau)
+    # candidate-restricted exact-Jaccard verify: shingle intersections are
+    # computed ONLY for LSH candidate pairs (join through the candidate set),
+    # never all-pairs — the whole point of the LSH path at 10^12 rows
+    ex = shingle_sets(df, id_col, text_col)
+    sizes = ex.groupBy(id_col).agg(F.count("*").alias("sz"))
+    a_sh = ex.select(F.col(id_col).alias("id_a"), "sh")
+    b_sh = ex.select(F.col(id_col).alias("id_b"), "sh")
+    inter = (
+        cand.join(a_sh, "id_a")
+        .join(b_sh, ["id_b", "sh"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    verified = (
+        inter.join(sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6),
+        )
+        .filter(F.col("jaccard") >= tau)
+    )
     return verified.select("id_a", "id_b", "jaccard")
 
 

@@ -95,10 +95,14 @@ def knn_join(
             "dist_m", haversine_col(F.col("q_lon"), F.col("q_lat"), F.col("t_lon"), F.col("t_lat"))
         )
         wnd = Window.partitionBy(qid).orderBy(F.col("dist_m").asc(), F.col(tid).asc())
+        # materialize top-k ONCE per round (lazily, at the next action) — the
+        # stats / done / remaining consumers below all reuse it instead of
+        # re-running the ring join + window three times
         topk = (
             cand.withColumn("rank", F.row_number().over(wnd))
             .filter(F.col("rank") <= k)
             .select(qid, tid, "dist_m", "rank", "q_cell", "q_lon", "q_lat")
+            .localCheckpoint(eager=False)
         )
         # resolved iff k found AND kth distance is inside the ring guarantee
         stats = topk.groupBy(qid).agg(
@@ -108,9 +112,8 @@ def knn_join(
         )
         ok_ids = stats.filter(
             (F.col("n") >= k) & (F.col("kth") <= _ring_guarantee_m(res, kr, F.col("q_lat")))
-        ).select(qid)
+        ).select(qid).localCheckpoint(eager=False)
         done = topk.join(ok_ids, qid, "leftsemi").select(qid, tid, "dist_m", "rank")
-        done = done.localCheckpoint(eager=False)  # cut lineage across rounds
         results = done if results is None else results.unionByName(done)
         remaining = remaining.join(ok_ids, qid, "left_anti").localCheckpoint(eager=False)
 
