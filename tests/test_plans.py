@@ -1,0 +1,66 @@
+"""Physical-plan regression tests — the plan shapes that keep the engine fast
+at scale (SURVEY §4.2): pushdown reaches the scans, small sides broadcast,
+narrow operators stay exchange-free, JVM-only expressions never fall into a
+Python eval node."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+import __spark_entry__ as E
+
+SF_DIR = "/root/testdata/sf0.001"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(SF_DIR), reason="driver testdata not present"
+)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_pip_join_broadcasts_polygons(spark):
+    plan = _plan(E.queries()["pip_join"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # only the broadcast exchange — no shuffle on the point side
+    assert plan.count("Exchange") <= 1
+
+
+def test_regional_revenue_pushdown_and_broadcast(spark):
+    plan = _plan(E.queries()["regional_revenue"](spark, SF_DIR))
+    # the region filter reaches the parquet scan
+    assert "EqualTo(r_name,ASIA)" in plan  # inside the region scan's PushedFilters
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_cell_encode_is_narrow_and_jvm_only(spark):
+    plan = _plan(E.queries()["cell_encode"](spark, SF_DIR))
+    assert "Exchange" not in plan  # pure projection, no shuffle
+    assert "EvalPython" not in plan  # closed-form column math, no UDF
+
+
+def test_classifier_and_text_are_jvm_only(spark):
+    for name in ("classifier", "text_analysis"):
+        plan = _plan(E.queries()[name](spark, SF_DIR))
+        assert "EvalPython" not in plan, name
+
+
+def test_way_assembly_prunes_columns(spark):
+    plan = _plan(E.queries()["way_assembly"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    # lineitem scan reads only the three join/order columns
+    start = plan.index("lineitem.parquet")
+    window = plan[max(0, start - 2000): start + 500]
+    assert "l_comment" not in window and "l_shipdate" not in window
+
+
+def test_tile_vector_join_broadcasts_shards(spark):
+    plan = _plan(E.queries()["tile_vector_join"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
