@@ -52,6 +52,65 @@ def shard_polygons(polys_df: DataFrame, res: int) -> DataFrame:
     )
 
 
+_CELL_EPS = 1e-9  # conservative pad >> float error of the JVM cell assignment
+
+
+def _classify_cell(rings, cx0, cy0, cx1, cy1) -> str:
+    """'inside' / 'outside' / 'boundary' for the closed cell rectangle.
+
+    Any ring segment whose bbox touches the (padded) cell makes it boundary
+    — conservative, so the fast path is provably exact: a non-boundary cell
+    is uniformly inside or outside, decided by its center point."""
+    cx0 -= _CELL_EPS
+    cy0 -= _CELL_EPS
+    cx1 += _CELL_EPS
+    cy1 += _CELL_EPS
+    for ring, _ in rings:
+        x, y = ring[:, 0], ring[:, 1]
+        sx0 = np.minimum(x[:-1], x[1:])
+        sx1 = np.maximum(x[:-1], x[1:])
+        sy0 = np.minimum(y[:-1], y[1:])
+        sy1 = np.maximum(y[:-1], y[1:])
+        if bool(((sx0 <= cx1) & (sx1 >= cx0) & (sy0 <= cy1) & (sy1 >= cy0)).any()):
+            return "boundary"
+    c = np.array([[(cx0 + cx1) / 2.0, (cy0 + cy1) / 2.0]])
+    inside = False
+    for ring, is_hole in rings:  # same fold as _pip_refine
+        hit = bool(K.points_in_ring(c, ring)[0])
+        inside = (inside and not hit) if is_hole else (inside or hit)
+    return "inside" if inside else "outside"
+
+
+def classified_shards(polys: list[tuple[int, bytes]], res: int):
+    """Driver-side shard build for a small polygon set:
+    returns (inside_rows, boundary_rows, {poly_id: gpb}) where rows are
+    (cell_id, poly_id). Outside cells are dropped here — they never join."""
+    n = 1 << res
+    inside, boundary = [], []
+    pid2gpb: dict[int, bytes] = {}
+    for pid, g in polys:
+        g = bytes(g)
+        pid2gpb[pid] = g
+        rings = geom.all_rings(g)
+        minx, miny, maxx, maxy = geom.bbox(g)
+        x0 = max(0, min(n - 1, int((minx + 180.0) / 360.0 * n)))
+        x1 = max(0, min(n - 1, int((maxx + 180.0) / 360.0 * n)))
+        y0 = max(0, min(n - 1, int((miny + 90.0) / 180.0 * n)))
+        y1 = max(0, min(n - 1, int((maxy + 90.0) / 180.0 * n)))
+        for x in range(x0, x1 + 1):
+            cx0 = -180.0 + x * 360.0 / n
+            cx1 = -180.0 + (x + 1) * 360.0 / n
+            for y in range(y0, y1 + 1):
+                cy0 = -90.0 + y * 180.0 / n
+                cy1 = -90.0 + (y + 1) * 180.0 / n
+                st = _classify_cell(rings, cx0, cy0, cx1, cy1)
+                if st == "inside":
+                    inside.append((cells.pack_cell_py(res, x, y), pid))
+                elif st == "boundary":
+                    boundary.append((cells.pack_cell_py(res, x, y), pid))
+    return inside, boundary, pid2gpb
+
+
 def _pip_refine(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """mapInPandas refinement: keep rows whose point lies in the polygon.
     Decodes each distinct polygon once per batch, then vectorizes the ray
@@ -78,6 +137,38 @@ def _pip_refine(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pdf.loc[keep].drop(columns=["gpb"])
 
 
+def _make_closure_refine(pid2gpb: dict[int, bytes]):
+    """Refine kernel with the polygon payloads carried in the task closure
+    (serialized once per worker) instead of duplicated per candidate row —
+    Arrow batches then carry only (point cols, poly_id)."""
+    ring_cache: dict[int, list] = {}
+
+    def refine(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in pdf_iter:
+            if len(pdf) == 0:
+                yield pdf
+                continue
+            keep = np.zeros(len(pdf), dtype=bool)
+            for pid, idx in pdf.groupby("poly_id").indices.items():
+                rings = ring_cache.get(pid)
+                if rings is None:
+                    rings = ring_cache[pid] = geom.all_rings(pid2gpb[int(pid)])
+                pts = np.column_stack(
+                    [pdf["lon"].values[idx], pdf["lat"].values[idx]]
+                ).astype(np.float64)
+                inside = np.zeros(len(idx), dtype=bool)
+                for ring, is_hole in rings:
+                    hit = K.points_in_ring(pts, ring)
+                    if is_hole:
+                        inside &= ~hit
+                    else:
+                        inside |= hit
+                keep[idx] = inside
+            yield pdf.loc[keep]
+
+    return refine
+
+
 def point_in_polygon_join(
     points: DataFrame,
     polys_df: DataFrame,
@@ -90,11 +181,33 @@ def point_in_polygon_join(
 
     Output: all point columns + poly_id. One shuffle (the cell equi-join) —
     none at all when the polygon side broadcasts.
+
+    Broadcastable polygon sides take the cell-classified plan: covering
+    cells are split into *interior* (every point provably inside — resolved
+    by the JVM join alone, no Python) and *boundary* (exact ray-cast refine
+    over Arrow batches, polygons in the closure). At planet scale the
+    boundary fraction shrinks as perimeter/area, so the Python path touches
+    only an O(1/res) sliver of the candidates.
     """
+    spark = points.sparkSession
     pts = points.withColumn("cell_id", cells.cell_id(F.col(lon_col), F.col(lat_col), res))
-    shards = shard_polygons(polys_df, res)
+
     if broadcast_polys:
-        shards = F.broadcast(shards)
+        polys = [(r["poly_id"], bytes(r["gpb"])) for r in polys_df.select("poly_id", "gpb").collect()]
+        inside_rows, boundary_rows, pid2gpb = classified_shards(polys, res)
+        shard_schema = "cell_id long, poly_id long"
+        inside_df = spark.createDataFrame(inside_rows, shard_schema)
+        boundary_df = spark.createDataFrame(boundary_rows, shard_schema)
+        fast = pts.join(F.broadcast(inside_df), "cell_id", "inner")
+        cand = pts.join(F.broadcast(boundary_df), "cell_id", "inner")
+        out_schema = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}" for f in cand.schema.fields
+        )
+        refined = cand.mapInPandas(_make_closure_refine(pid2gpb), schema=out_schema)
+        return fast.unionByName(refined).drop("cell_id")
+
+    # huge polygon side: shuffle join with per-row payloads
+    shards = shard_polygons(polys_df, res)
     cand = pts.join(shards, "cell_id", "inner")
     out_schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in cand.schema.fields if f.name != "gpb"
