@@ -24,11 +24,13 @@ def _plan(df) -> str:
 
 def test_pip_join_broadcasts_polygons(spark):
     plan = _plan(E.queries()["pip_join"](spark, SF_DIR))
-    assert "BroadcastHashJoin" in plan
+    # two broadcast joins (interior fast path + boundary refine), no
+    # sort-merge, no shuffle on the point side (both Exchanges broadcast)
+    assert plan.count("BroadcastHashJoin") == 2
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
-    # only the broadcast exchange — no shuffle on the point side
-    assert plan.count("Exchange") <= 1
+    assert plan.count("Exchange") == 2 and plan.count("BroadcastExchange") == 2
+    assert plan.count("MapInPandas") == 1  # refine only on the boundary branch
 
 
 def test_regional_revenue_pushdown_and_broadcast(spark):

@@ -159,3 +159,25 @@ def test_raster_vector_join_matches_bbox_oracle(spark):
         if r.fminx <= maxx and r.fmaxx >= minx and r.fminy <= maxy and r.fmaxy >= miny
     }
     assert got == exp and len(got) > 10
+
+
+def test_hilbert_key_matches_reference(spark):
+    """Vectorized Hilbert key == the public-spec scalar algorithm, and the
+    curve is continuous (consecutive d -> grid-adjacent cells)."""
+    from osm2geojson_spark.operators.cells import hilbert_d_py, hilbert_key, pack_cell_py
+
+    res = 4
+    n = 1 << res
+    rows = [(pack_cell_py(res, x, y), x, y) for x in range(n) for y in range(n)]
+    df = spark.createDataFrame(rows, "cell long, x int, y int")
+    got = {
+        (r["x"], r["y"]): r["d"]
+        for r in df.withColumn("d", hilbert_key(F.col("cell"), res)).collect()
+    }
+    for (x, y), d in got.items():
+        assert d == hilbert_d_py(x, y, res)
+    # continuity: walk the curve, each step moves exactly 1 in the grid
+    by_d = sorted(((d, xy) for xy, d in got.items()))
+    assert [d for d, _ in by_d] == list(range(n * n))
+    for (_, (x0, y0)), (_, (x1, y1)) in zip(by_d, by_d[1:]):
+        assert abs(x0 - x1) + abs(y0 - y1) == 1
