@@ -883,6 +883,34 @@ FROM events GROUP BY 1
 """
 
 
+def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per event type (Spark `percentile` ==
+    DuckDB `quantile_cont`, both linear-interpolation definitions)."""
+    ev = _t(spark, sf_dir, "events")
+    pct = F.percentile("value", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75), F.lit(0.9)))
+    return (
+        ev.groupBy("event_type")
+        .agg(pct.alias("p"))
+        .select(
+            "event_type",
+            F.round(F.element_at("p", 1), 6).alias("p25"),
+            F.round(F.element_at("p", 2), 6).alias("p50"),
+            F.round(F.element_at("p", 3), 6).alias("p75"),
+            F.round(F.element_at("p", 4), 6).alias("p90"),
+        )
+    )
+
+
+_PERCENTILES_SQL = """
+SELECT event_type,
+       round(quantile_cont(value, 0.25), 6) AS p25,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.75), 6) AS p75,
+       round(quantile_cont(value, 0.9), 6) AS p90
+FROM events GROUP BY event_type
+"""
+
+
 def q_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical rollup aggregate (grouping sets) over orders."""
     o = _t(spark, sf_dir, "orders")
@@ -1078,6 +1106,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_window": q_events_window,
         "sessionize": q_sessionize,
         "events_json": q_events_json,
+        "value_percentiles": q_value_percentiles,
         "rollup_orders": q_rollup_orders,
         "regional_revenue": q_regional_revenue,
         "pricing_summary": q_pricing_summary,
@@ -1111,6 +1140,7 @@ def oracle_sql() -> dict[str, str]:
         "events_window": _EVENTS_SQL,
         "sessionize": _SESSIONIZE_SQL,
         "events_json": _EVENTS_JSON_SQL,
+        "value_percentiles": _PERCENTILES_SQL,
         "rollup_orders": _ROLLUP_SQL,
         "regional_revenue": _REGIONAL_REVENUE_SQL,
         "pricing_summary": _PRICING_SQL,
