@@ -132,17 +132,78 @@ def stream_tile_assign(images: DataFrame, polys_df: DataFrame, res: int = 6) -> 
     ).select("image_id", "poly_id", "tile")
 
 
-def run_to_memory(stream_df: DataFrame, name: str) -> DataFrame:
+def running_user_stats(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    value_col: str = "value",
+    state_timeout_ms: int | None = None,
+) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per-key running
+    (n, sum, max) maintained across micro-batches, one updated row emitted
+    per key per batch.
+
+    ``state_timeout_ms``: processing-time eviction for unbounded key spaces
+    (long-running clusters). Default None = NoTimeout, which lets
+    availableNow catch-up runs terminate deterministically — with a
+    processing-time timeout Spark keeps scheduling timeout-handling batches.
+
+    On batch input this degrades to a plain groupBy aggregate (the test
+    oracle): streaming catch-up == batch on the same data."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = f"{key_col} long, n long, v_sum double, v_max double"
+
+    if not events.isStreaming:
+        return events.groupBy(key_col).agg(
+            F.count("*").alias("n"),
+            F.sum(value_col).alias("v_sum"),
+            F.max(value_col).alias("v_max"),
+        )
+
+    def update(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        n, s, m = state.get if state.exists else (0, 0.0, float("-inf"))
+        for pdf in pdfs:
+            vals = pdf[value_col]
+            n += int(len(vals))
+            s += float(vals.sum())
+            m = max(m, float(vals.max()))
+        state.update((n, s, m))
+        if state_timeout_ms is not None:
+            state.setTimeoutDuration(state_timeout_ms)
+        yield pd.DataFrame({key_col: [key[0]], "n": [n], "v_sum": [s], "v_max": [m]})
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType="n long, v_sum double, v_max double",
+        outputMode="update",
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if state_timeout_ms is not None
+            else GroupStateTimeout.NoTimeout
+        ),
+    )
+
+
+def run_to_memory(stream_df: DataFrame, name: str, mode: str | None = None) -> DataFrame:
     """Drain an availableNow stream into an in-memory table; returns the
     result as a batch DataFrame (test/debug utility)."""
+    if mode is None:
+        mode = "append" if not _has_aggregation(stream_df) else "complete"
     q = (
         stream_df.writeStream.format("memory")
         .queryName(name)
-        .outputMode("append" if not _has_aggregation(stream_df) else "complete")
+        .outputMode(mode)
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
+    if not q.awaitTermination(600):
+        q.stop()  # straggler guard (e.g. timeout-handling batches)
     return stream_df.sparkSession.table(name)
 
 

@@ -101,3 +101,24 @@ def test_stream_tile_assign_matches_batch_oracle(spark, tmp_path):
         want.select("image_id", "poly_id"), ["image_id", "poly_id"]
     )
     assert got.count() > 50
+
+
+def test_running_user_stats_custom_state(spark, events_dir):
+    """applyInPandasWithState: the final per-key update equals the batch
+    aggregate over the full input."""
+    batch_df = spark.read.parquet(os.path.join(events_dir, "p1"), os.path.join(events_dir, "p2"))
+    stream_df = S.events_file_stream(spark, os.path.join(events_dir, "p*"))
+    got_all = S.run_to_memory(S.running_user_stats(stream_df), "user_stats", mode="update")
+    # update mode emits one row per key per micro-batch; the final state is
+    # the row with the highest n per key
+    latest = {}
+    for r in got_all.collect():
+        if r["user_id"] not in latest or r["n"] > latest[r["user_id"]]["n"]:
+            latest[r["user_id"]] = r
+    want = {r["user_id"]: r for r in S.running_user_stats(batch_df).collect()}
+    assert set(latest) == set(want) and len(want) == 7
+    for uid, w in want.items():
+        g = latest[uid]
+        assert g["n"] == w["n"]
+        assert abs(g["v_sum"] - w["v_sum"]) < 1e-9
+        assert g["v_max"] == w["v_max"]
