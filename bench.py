@@ -128,6 +128,31 @@ def main() -> None:
     bench("spatial_join_tiles", _spatial_fn(spark, E, polys_df, n_images, cpus))
     spatial_rows_per_sec = round(n_images / timings["spatial_join_tiles"], 1)
 
+    # ---- the reference's core workload at scale: OSM element corpus ->
+    # resolve + assemble + used-refs anti-join (the full conversion pipeline)
+    n_rel = int(os.environ.get("SPARK_GRAFT_OSM_RELS", "200000"))
+    n_elements = n_rel * 8 + (n_rel * 5) // 2 + n_rel  # nodes + ways + rels
+
+    def osm_convert():
+        from osm2geojson_spark.plans.pipeline import build_features
+        from osm2geojson_spark.sources import synthetic as SYN
+
+        frames = SYN.synthetic_osm_frames(spark, n_rel)
+        features, _ = build_features(spark, frames, materialize="cache")
+        return features.count()
+
+    if do_warmup:
+        saved = n_rel
+        n_rel = 20000
+        osm_convert()
+        n_rel = saved
+    # caches from prior runs would short-circuit the measurement (Spark's
+    # cache manager reuses plan-equal cached data) — measure cold compute
+    spark.catalog.clearCache()
+    bench("osm_convert", osm_convert)
+    spark.catalog.clearCache()
+    osm_elements_per_sec = round(n_elements / timings["osm_convert"], 1)
+
     for name in BENCH_QUERIES:
         bench(name, lambda n=name: force(qs[n](spark, sf_dir)))
 
@@ -143,6 +168,7 @@ def main() -> None:
                 "cpus": cpus,
                 "n_images": n_images,
                 "spatial_rows_per_sec": spatial_rows_per_sec,
+                "osm_elements_per_sec": osm_elements_per_sec,
             }
         )
     )

@@ -193,55 +193,58 @@ def _shapes_to_multipolygon(shapes):
     return mp, None
 
 
-def _member_lines(pdf: pd.DataFrame):
-    """Per-relation ordered member lines: [(pos0, role, coords|None, ref)].
-    Nested (depth-1) relation members arrive pre-flattened with pos1 >= 0 and
-    must merge to a single chain (shapely would reject a nested
-    MultiLineString, making the whole relation fail — main.py:555,567)."""
-    pdf = pdf.sort_values(["pos0", "pos1"])
+def _group_bounds(keys: np.ndarray):
+    """Start/end indices of contiguous equal-key runs (input pre-sorted)."""
+    n = len(keys)
+    change = np.empty(n, dtype=bool)
+    change[0] = True
+    change[1:] = keys[1:] != keys[:-1]
+    starts = np.flatnonzero(change)
+    return starts, np.append(starts[1:], n)
+
+
+def _member_lines(g: dict):
+    """Per-relation ordered member lines: [(pos0, role, coords|None, ref)]
+    from column arrays pre-sorted by (pos0, pos1). Nested (depth-1) relation
+    members arrive pre-flattened with pos1 >= 0 and must merge to a single
+    chain (shapely would reject a nested MultiLineString, making the whole
+    relation fail — main.py:555,567)."""
+    pos0, pos1 = g["pos0"], g["pos1"]
+    role, ref, coords, nested_bad = g["role"], g["ref"], g["coords"], g["nested_bad"]
     out = []
-    err = None
-    for pos0, sub in pdf.groupby("pos0", sort=True):
-        first = sub.iloc[0]
-        if first["nested_bad"]:
+    starts, ends = _group_bounds(pos0)
+    for s, e in zip(starts, ends):
+        if nested_bad[s]:
             return None, "nested_relation_too_deep"
-        if int(first["pos1"]) < 0:  # direct way member
-            buf = first["coords"]
-            role = first["role"] or ""
-            ref = first["ref"]
+        if pos1[s] < 0:  # direct way member
+            buf = coords[s]
+            r = role[s] or ""
             if buf is None:
-                out.append((pos0, role, None, ref))
+                out.append((pos0[s], r, None, ref[s]))
             else:
                 pts = _bin_to_coords(buf)
-                out.append((pos0, role, pts if len(pts) >= 2 else None, ref))
+                out.append((pos0[s], r, pts if len(pts) >= 2 else None, ref[s]))
         else:  # flattened nested-relation member -> merge its way lines
             lines = [
                 _bin_to_coords(b)
-                for b in sub["coords"]
+                for b in coords[s:e]
                 if b is not None and len(b) >= 32
             ]
             if not lines:
-                out.append((pos0, first["role"] or "", None, first["ref"]))
+                out.append((pos0[s], role[s] or "", None, ref[s]))
                 continue
             merged = K.linemerge(lines)
             if len(merged) != 1:
-                err = "nested_multiline_not_mergeable"
-                return None, err
-            out.append((pos0, first["role"] or "", merged[0], first["ref"]))
-    return out, err
+                return None, "nested_multiline_not_mergeable"
+            out.append((pos0[s], role[s] or "", merged[0], ref[s]))
+    return out, None
 
 
-def multipolygon_kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
-    doc_id, rel_id = str(key[0]), int(key[1])
-
-    def row(gpb, reason):
-        return pd.DataFrame(
-            {"doc_id": [doc_id], "rel_id": [rel_id], "gpb": [gpb], "reason": [reason]}
-        )
-
-    members, err = _member_lines(pdf)
+def _multipolygon_row(g: dict):
+    """One relation's member column arrays -> (gpb, reason)."""
+    members, err = _member_lines(g)
     if members is None:
-        return row(None, err)
+        return None, err
     shapes = [
         (role, line, ref)
         for _, role, line, ref in members
@@ -249,29 +252,80 @@ def multipolygon_kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
     ]
     mp, reason = _shapes_to_multipolygon(shapes)
     if mp is None:
-        return row(None, reason)
+        return None, reason
     mp = K.fix_invalid_multipolygon(mp)
     mp = K.orient_multipolygon(mp)  # main.py:643
-    return row(geom.multipolygon(mp), None)
+    return geom.multipolygon(mp), None
 
 
-def multiline_kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
-    doc_id, rel_id = str(key[0]), int(key[1])
-
-    def row(gpb, reason):
-        return pd.DataFrame(
-            {"doc_id": [doc_id], "rel_id": [rel_id], "gpb": [gpb], "reason": [reason]}
-        )
-
-    members, err = _member_lines(pdf)
+def _multiline_row(g: dict):
+    members, err = _member_lines(g)
     if members is None:
-        return row(None, err)
+        return None, err
     lines = [line for _, _, line, _ in members if line is not None]
     if not lines:  # main.py:560-565
-        return row(None, "no_lines")
+        return None, "no_lines"
     merged = K.linemerge(lines)
     gpb = geom.linestring(merged[0]) if len(merged) == 1 else geom.multilinestring(merged)
-    return row(gpb, None)
+    return gpb, None
+
+
+def batched_rel_kernel(row_fn):
+    """mapInPandas wrapper that processes MANY relations per Arrow batch.
+
+    ``applyInPandas`` costs ~ms per group (a Python call + a 1-row DataFrame
+    each) — ruinous at millions of small relations. Instead the member rows
+    arrive hash-partitioned by (doc_id, rel_id) and sorted within partitions,
+    so each group is contiguous; a group possibly split across two Arrow
+    batches is carried over in ``buf`` and flushed at partition end."""
+
+    COLS = ("doc_id", "rel_id", "pos0", "pos1", "role", "ref", "coords", "nested_bad")
+
+    def fn(it):
+        buf = None  # carried tail group: dict of numpy arrays
+        out_doc, out_rel, out_gpb, out_reason = [], [], [], []
+
+        def emit(g, s, e):
+            sub = {c: g[c][s:e] for c in COLS}
+            gpb, reason = row_fn(sub)
+            out_doc.append(g["doc_id"][s])
+            out_rel.append(int(g["rel_id"][s]))
+            out_gpb.append(gpb)
+            out_reason.append(reason)
+
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            g = {c: pdf[c].to_numpy() for c in COLS}
+            if buf is not None:
+                g = {c: np.concatenate([buf[c], g[c]]) for c in COLS}
+                buf = None
+            dk, rk = g["doc_id"], g["rel_id"]
+            is_last = (dk == dk[-1]) & (rk == rk[-1])
+            split = int(np.argmax(is_last))  # groups are contiguous (sorted)
+            if split == 0:  # whole batch is one group — may continue
+                buf = g
+                continue
+            head = {c: g[c][:split] for c in COLS}
+            buf = {c: g[c][split:] for c in COLS}
+            # composite run detection over (doc_id, rel_id)
+            n = split
+            change = np.empty(n, dtype=bool)
+            change[0] = True
+            change[1:] = (head["doc_id"][1:] != head["doc_id"][:-1]) | (
+                head["rel_id"][1:] != head["rel_id"][:-1]
+            )
+            starts = np.flatnonzero(change)
+            ends = np.append(starts[1:], n)
+            for s, e in zip(starts, ends):
+                emit(head, s, e)
+        if buf is not None and len(buf["doc_id"]) > 0:
+            emit(buf, 0, len(buf["doc_id"]))
+        yield pd.DataFrame(
+            {"doc_id": out_doc, "rel_id": out_rel, "gpb": out_gpb, "reason": out_reason}
+        )
+
+    return fn
 
 
 # --------------------------------------------------------------------------
@@ -567,16 +621,17 @@ def assemble_relations(
     )
 
     cols = ["doc_id", "rel_id", "pos0", "pos1", "mtype", "ref", "role", "coords", "nested_bad"]
-    poly_out = (
-        poly_members.select(cols)
-        .groupBy("doc_id", "rel_id")
-        .applyInPandas(multipolygon_kernel, schema=_REL_OUT_SCHEMA)
-    )
-    line_out = (
-        line_members.select(cols)
-        .groupBy("doc_id", "rel_id")
-        .applyInPandas(multiline_kernel, schema=_REL_OUT_SCHEMA)
-    )
+
+    def grouped(df, row_fn):
+        return (
+            df.select(cols)
+            .repartition("doc_id", "rel_id")
+            .sortWithinPartitions("doc_id", "rel_id", "pos0", "pos1")
+            .mapInPandas(batched_rel_kernel(row_fn), schema=_REL_OUT_SCHEMA)
+        )
+
+    poly_out = grouped(poly_members, _multipolygon_row)
+    line_out = grouped(line_members, _multiline_row)
     assembled = poly_out.unionByName(line_out)
 
     # relations with no member rows at all (empty/None members, or polygon

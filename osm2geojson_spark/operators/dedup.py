@@ -56,7 +56,11 @@ def ngram_jaccard_pairs(
     by shingle; per-pair counts aggregate map-side before the final filter.
     """
     ex = shingle_sets(df, id_col, text_col)
-    sizes = ex.groupBy(id_col).agg(F.count("*").alias("sz"))
+    # set size as a narrow projection (F.size of the distinct-shingle array)
+    # — no explode + groupBy shuffle just to count
+    sizes = df.select(
+        F.col(id_col), F.size(H.shingles_col(F.col(text_col))).alias("sz")
+    )
     a = ex.select(F.col(id_col).alias("id_a"), "sh")
     b = ex.select(F.col(id_col).alias("id_b"), "sh")
     inter = (
@@ -112,7 +116,9 @@ def minhash_lsh_pairs(
     # computed ONLY for LSH candidate pairs (join through the candidate set),
     # never all-pairs — the whole point of the LSH path at 10^12 rows
     ex = shingle_sets(df, id_col, text_col)
-    sizes = ex.groupBy(id_col).agg(F.count("*").alias("sz"))
+    sizes = df.select(
+        F.col(id_col), F.size(H.shingles_col(F.col(text_col))).alias("sz")
+    )
     a_sh = ex.select(F.col(id_col).alias("id_a"), "sh")
     b_sh = ex.select(F.col(id_col).alias("id_b"), "sh")
     inter = (

@@ -79,6 +79,8 @@ def build_features(
     the optimizer, avoids recompute across the three consumers), or None.
     """
     ways = resolve_ways(frames, area_keys, polygon_features)
+    # coords_arr duplicates the packed binary `coords` — don't materialize it
+    ways = ways.drop("coords_arr")
     if materialize == "localCheckpoint":
         ways = ways.localCheckpoint(eager=False)
     elif materialize == "cache":

@@ -108,6 +108,129 @@ def phash_lat_sql(phash: str) -> str:
 # ------------------------------------------------------------- the table
 
 
+def synthetic_osm_frames(spark: SparkSession, n_rel: int):
+    """Deterministic OSM element corpus at scale: ``n_rel`` multipolygon
+    relations, each = 8 nodes + 2 open 'outer' way chains forming a
+    rectangle (+ a 1x1 'inner' hole way for even keys). Exercises the full
+    resolve/assemble pipeline (node join, linemerge, role grouping, hole
+    subtraction) with closed-form ground truth: area = w*h - (1 if hole).
+
+    Returns an ElementFrames. Id spaces are disjoint ACROSS TYPES (nodes
+    n*100+c, ways 1e9+n*10+k, relations 2e9+n) because the used-refs dedup
+    is an id-only anti join (the reference's cross-type-collision quirk) —
+    colliding ids would silently drop converted relations."""
+    from pyspark.sql import functions as F
+
+    from .normalize import ElementFrames, OTHERS_SCHEMA
+
+    base = spark.range(0, n_rel).select(F.col("id").alias("n"))
+    n = F.col("n")
+    # rectangles on a 0.4 x 0.45 deg grid covering the world, size <= grid
+    x0 = (n % 890).cast("double") * F.lit(0.4) - F.lit(178.0)
+    y0 = ((F.floor(n / 890) % 390)).cast("double") * F.lit(0.45) - F.lit(88.0)
+    wd = F.lit(0.2) + (n % 3).cast("double") * F.lit(0.05)
+    ht = F.lit(0.2) + (n % 5).cast("double") * F.lit(0.02)
+
+    def corner(c, lon, lat):
+        return F.struct(F.lit(c).alias("c"), lon.alias("lon"), lat.alias("lat"))
+
+    i1 = F.lit(0.05)
+    outer_corners = [
+        corner(0, x0, y0),
+        corner(1, x0 + wd, y0),
+        corner(2, x0 + wd, y0 + ht),
+        corner(3, x0, y0 + ht),
+    ]
+    inner_corners = [
+        corner(4, x0 + i1, y0 + i1),
+        corner(5, x0 + 2 * i1, y0 + i1),
+        corner(6, x0 + 2 * i1, y0 + 2 * i1),
+        corner(7, x0 + i1, y0 + 2 * i1),
+    ]
+    # inner-hole nodes exist only where the hole way exists (even keys) —
+    # otherwise they'd survive the used-refs filter as stray Points
+    corners = F.when(n % 2 == 0, F.array(*outer_corners, *inner_corners)).otherwise(
+        F.array(*outer_corners)
+    )
+    meta = [
+        F.lit(None).cast("array<struct<k:string,v:string>>").alias("tags"),
+        F.lit(None).cast("string").alias("timestamp"),
+        F.lit(None).cast("long").alias("version"),
+        F.lit(None).cast("long").alias("changeset"),
+        F.lit(None).cast("string").alias("user"),
+        F.lit(None).cast("long").alias("uid"),
+    ]
+    nodes = base.select(n, F.explode(corners).alias("p")).select(
+        F.lit("d").alias("doc_id"),
+        (n * 100 + F.col("p.c")).alias("seq"),
+        (n * 100 + F.col("p.c")).alias("id"),
+        F.col("p.lon").alias("lon"),
+        F.col("p.lat").alias("lat"),
+        *meta,
+    )
+
+    WAY_BASE = 1_000_000_000
+    REL_BASE = 2_000_000_000
+
+    def way(widx, *cs):
+        return F.struct(
+            (n * 10 + widx + WAY_BASE).alias("id"),
+            F.array(*[n * 100 + c for c in cs]).alias("nds"),
+        )
+
+    ways_arr = F.when(
+        n % 2 == 0,
+        F.array(way(1, 0, 1, 2), way(2, 2, 3, 0), way(3, 4, 5, 6, 7, 4)),
+    ).otherwise(F.array(way(1, 0, 1, 2), way(2, 2, 3, 0)))
+    ways = base.select(n, F.explode(ways_arr).alias("w")).select(
+        F.lit("d").alias("doc_id"),
+        F.col("w.id").alias("seq"),
+        F.col("w.id").alias("id"),
+        F.col("w.nds").alias("nodes"),
+        F.lit(None).cast("array<struct<lon:double,lat:double>>").alias("geometry"),
+        F.lit(None).cast("struct<lon:double,lat:double>").alias("center"),
+        F.lit(None).cast(
+            "struct<minlat:double,minlon:double,maxlat:double,maxlon:double>"
+        ).alias("bounds"),
+        *meta,
+    )
+
+    def member(pos, widx, role):
+        return F.struct(
+            F.lit(pos).alias("pos"),
+            F.lit("way").alias("mtype"),
+            (n * 10 + widx + WAY_BASE).alias("ref"),
+            F.lit(role).alias("role"),
+            F.lit(None).cast("array<struct<lon:double,lat:double>>").alias("geometry"),
+            F.lit(None).cast("double").alias("lon"),
+            F.lit(None).cast("double").alias("lat"),
+        )
+
+    members = F.when(
+        n % 2 == 0,
+        F.array(member(0, 1, "outer"), member(1, 2, "outer"), member(2, 3, "inner")),
+    ).otherwise(F.array(member(0, 1, "outer"), member(1, 2, "outer")))
+    rels = base.select(
+        F.lit("d").alias("doc_id"),
+        (n + REL_BASE).alias("seq"),
+        (n + REL_BASE).alias("id"),
+        members.alias("members"),
+        F.lit(None).cast("struct<lon:double,lat:double>").alias("center"),
+        F.lit(None).cast(
+            "struct<minlat:double,minlon:double,maxlat:double,maxlon:double>"
+        ).alias("bounds"),
+        F.array(
+            F.struct(F.lit("type").alias("k"), F.lit("multipolygon").alias("v"))
+        ).alias("tags"),
+        F.lit(None).cast("string").alias("timestamp"),
+        F.lit(None).cast("long").alias("version"),
+        F.lit(None).cast("long").alias("changeset"),
+        F.lit(None).cast("string").alias("user"),
+        F.lit(None).cast("long").alias("uid"),
+    )
+    return ElementFrames(nodes, ways, rels, spark.createDataFrame([], OTHERS_SCHEMA), 0)
+
+
 @pandas_udf(T.BinaryType())
 def _encode_image_udf(i: pd.Series, w: pd.Series, h: pd.Series) -> pd.Series:
     out = []
