@@ -181,3 +181,41 @@ def test_hilbert_key_matches_reference(spark):
     assert [d for d, _ in by_d] == list(range(n * n))
     for (_, (x0, y0)), (_, (x1, y1)) in zip(by_d, by_d[1:]):
         assert abs(x0 - x1) + abs(y0 - y1) == 1
+
+
+def test_raster_vector_exact_refine(spark):
+    """exact=True drops bbox-overlapping tiles that miss the polygon proper:
+    a diamond (rotated square) vs corner tiles whose bboxes overlap the
+    diamond's bbox but not the diamond."""
+    from osm2geojson_spark.functions import geom as GEO
+    from osm2geojson_spark.operators.spatial_join import (
+        polygons_to_df,
+        raster_vector_join,
+    )
+    from osm2geojson_spark.sources.synthetic import phash_encode
+
+    diamond = GEO.polygon([[[0.0, -10.0], [10.0, 0.0], [0.0, 10.0], [-10.0, 0.0], [0.0, -10.0]]])
+    polys = polygons_to_df(spark, [(0, diamond)])
+    # tile footprints: small squares centered at corner vs center points
+    pts = [
+        ("center", 0.0, 0.0, True),     # inside
+        ("corner", 9.0, 9.0, False),    # inside the diamond's bbox, outside the diamond
+        ("edge", 5.0, 4.9, True),       # near the edge, inside
+        ("far", 30.0, 30.0, False),     # outside the bbox entirely
+    ]
+    imgs = spark.createDataFrame(
+        [(n, 10, 10) for n, *_ in pts], "image_id string, w int, h int"
+    ).withColumn(
+        "phash",
+        F.when(F.col("image_id") == "center", phash_encode(F.lit(0.0), F.lit(0.0)))
+        .when(F.col("image_id") == "corner", phash_encode(F.lit(9.0), F.lit(9.0)))
+        .when(F.col("image_id") == "edge", phash_encode(F.lit(5.0), F.lit(4.9)))
+        .otherwise(phash_encode(F.lit(30.0), F.lit(30.0))),
+    )
+    from osm2geojson_spark.operators.spatial_join import tile_footprints
+
+    fp = tile_footprints(imgs, deg_per_px=0.01)
+    coarse = {r["image_id"] for r in raster_vector_join(fp, polys, res=5).collect()}
+    exact = {r["image_id"] for r in raster_vector_join(fp, polys, res=5, exact=True).collect()}
+    assert "corner" in coarse  # bbox pass keeps the false positive
+    assert exact == {"center", "edge"}
