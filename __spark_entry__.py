@@ -450,6 +450,42 @@ FROM pts JOIN boxes
 # edge as inside and on the right/top edge as outside (partition property)
 
 
+def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5: heavy-hitter salted cell join. Customer points cell-keyed at a
+    coarse resolution (few cells -> guaranteed heavy hitters at the 200-row
+    threshold); the salted join must equal the plain equi-join, which is the
+    SQL oracle."""
+    from osm2geojson_spark.plans.skew import salted_cell_join
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        cells.cell_id(_lon("c_custkey"), _lat("c_custkey"), 2).alias("cell_id"),
+    )
+    nat = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey"),
+        cells.cell_id(_lon("n_nationkey"), _lat("n_nationkey"), 2).alias("cell_id"),
+    )
+    out = salted_cell_join(
+        cust, nat, cell_col="cell_id", threshold=200, n_salts=8, salt_src="c_custkey"
+    )
+    return out.select("c_custkey", "n_nationkey", "cell_id")
+
+
+_SKEW_JOIN_SQL = f"""
+WITH c AS (
+  SELECT c_custkey,
+    {cells.cell_id_sql(SYN.lon_sql('c_custkey'), SYN.lat_sql('c_custkey'), 2)} AS cell_id
+  FROM customer
+), n AS (
+  SELECT n_nationkey,
+    {cells.cell_id_sql(SYN.lon_sql('n_nationkey'), SYN.lat_sql('n_nationkey'), 2)} AS cell_id
+  FROM nation
+)
+SELECT c_custkey, n_nationkey, c.cell_id AS cell_id
+FROM c JOIN n ON c.cell_id = n.cell_id
+"""
+
+
 def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E3: k-ring kNN — 25 nation query points, 3 nearest customers each."""
     nat = _t(spark, sf_dir, "nation").select(
@@ -1092,6 +1128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_encode": q_cell_encode,
         "cell_histogram": q_cell_histogram,
         "pip_join": q_pip_join,
+        "skew_salted_join": q_skew_salted_join,
         "knn": q_knn,
         "tile_vector_join": q_tile_vector_join,
         "dedup_exact": q_dedup_exact,
@@ -1126,6 +1163,7 @@ def oracle_sql() -> dict[str, str]:
         "cell_encode": _CELL_ENCODE_SQL,
         "cell_histogram": _CELL_HISTOGRAM_SQL,
         "pip_join": _PIP_JOIN_SQL,
+        "skew_salted_join": _SKEW_JOIN_SQL,
         "knn": _KNN_SQL,
         "tile_vector_join": _TILE_JOIN_SQL,
         "dedup_exact": _DEDUP_EXACT_SQL,
