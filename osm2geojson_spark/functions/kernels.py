@@ -239,15 +239,69 @@ def _segments_properly_intersect(p1, p2, p3, p4) -> bool:
     return ((d1 > 0) != (d2 > 0)) and ((d3 > 0) != (d4 > 0)) and d1 != d2 and d3 != d4
 
 
-def ring_is_simple(ring: np.ndarray, chunk: int = 512) -> bool:
-    """No proper self-intersections. Vectorized chunked all-pairs segment
-    test: O(n^2) work but NumPy-batched (a few ms for 10k-vertex rings);
-    a sweep-line is the asymptotic-scale TODO flagged in SURVEY §4.3."""
+def _ring_is_simple_sweep(P: np.ndarray, Q: np.ndarray, n: int) -> bool:
+    """x-interval sweep: segments sorted by min-x, active set pruned by a
+    max-x heap; exact proper-intersection test only on bbox-overlapping
+    candidates. O(n log n + k) for geographic rings — the scale path for
+    coastline-sized rings where all-pairs O(n^2) is prohibitive."""
+    import heapq
+
+    minx = np.minimum(P[:, 0], Q[:, 0])
+    maxx = np.maximum(P[:, 0], Q[:, 0])
+    miny = np.minimum(P[:, 1], Q[:, 1])
+    maxy = np.maximum(P[:, 1], Q[:, 1])
+    order = np.argsort(minx, kind="stable")
+    heap: list[tuple[float, int]] = []  # (maxx, idx)
+    active: set[int] = set()
+    for idx in order:
+        mx = minx[idx]
+        while heap and heap[0][0] < mx:
+            _, gone = heapq.heappop(heap)
+            active.discard(gone)
+        if active:
+            arr = np.fromiter(active, dtype=np.int64, count=len(active))
+            keep = (
+                (miny[arr] <= maxy[idx])
+                & (maxy[arr] >= miny[idx])
+                & (arr != (idx + 1) % n)
+                & (arr != (idx - 1 + n) % n)
+            )
+            cand = arr[keep]
+            if len(cand):
+                A, B = P[idx], Q[idx]
+                C, D = P[cand], Q[cand]
+
+                def cr(u, v):
+                    return u[..., 0] * v[..., 1] - u[..., 1] * v[..., 0]
+
+                d1 = cr(D - C, A - C)
+                d2 = cr(D - C, B - C)
+                d3 = cr(B - A, C - A)
+                d4 = cr(B - A, D - A)
+                proper = (
+                    ((d1 > 0) != (d2 > 0))
+                    & ((d3 > 0) != (d4 > 0))
+                    & (d1 != d2)
+                    & (d3 != d4)
+                )
+                if bool(proper.any()):
+                    return False
+        heapq.heappush(heap, (float(maxx[idx]), int(idx)))
+        active.add(int(idx))
+    return True
+
+
+def ring_is_simple(ring: np.ndarray, chunk: int = 512, sweep_threshold: int = 4096) -> bool:
+    """No proper self-intersections. Small rings: vectorized chunked
+    all-pairs segment test (NumPy-batched, a few ms at 4k vertices). Above
+    ``sweep_threshold`` vertices: x-interval sweep (O(n log n + k))."""
     P = ring[:-1]
     Q = ring[1:]
     n = len(P)
     if n < 3:
         return False
+    if n > sweep_threshold:
+        return _ring_is_simple_sweep(P, Q, n)
     jj = np.arange(n)[None, :]
     for i0 in range(0, n, chunk):
         i1 = min(i0 + chunk, n)

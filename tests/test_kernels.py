@@ -119,3 +119,33 @@ def test_haversine():
     d = K.haversine_m(-0.1276, 51.5072, 2.3522, 48.8566)
     assert 330_000 < float(d) < 360_000
     assert float(K.haversine_m(10, 20, 10, 20)) == 0.0
+
+
+def test_ring_simple_sweep_agrees_with_bruteforce():
+    """The sweep path (large rings) must agree with the all-pairs path on
+    simple and self-intersecting rings of every size."""
+    import numpy as np
+
+    from osm2geojson_spark.functions.kernels import (
+        _ring_is_simple_sweep,
+        close_ring,
+        ring_is_simple,
+    )
+
+    rng = np.random.RandomState(7)
+    for n in (16, 200, 1000):
+        # star-shaped ring (angle-sorted points around a center): simple
+        ang = np.sort(rng.uniform(0, 2 * np.pi, n))
+        rad = rng.uniform(0.5, 1.0, n)
+        simple = close_ring(np.column_stack([rad * np.cos(ang), rad * np.sin(ang)]))
+        # shuffled points: self-intersecting with overwhelming probability
+        perm = rng.permutation(n)
+        tangled = close_ring(simple[:-1][perm])
+        for ring, want in ((simple, True), (tangled, False)):
+            brute = ring_is_simple(ring, sweep_threshold=10**9)
+            sweep = _ring_is_simple_sweep(ring[:-1], ring[1:], len(ring) - 1)
+            assert brute == sweep == want, (len(ring), want, brute, sweep)
+    # bowtie: the canonical proper self-intersection
+    bowtie = np.array([[0.0, 0.0], [1.0, 1.0], [1.0, 0.0], [0.0, 1.0], [0.0, 0.0]])
+    assert not ring_is_simple(bowtie)
+    assert not _ring_is_simple_sweep(bowtie[:-1], bowtie[1:], 4)
