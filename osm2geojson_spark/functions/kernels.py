@@ -349,11 +349,113 @@ def polygon_from_coords(pts: np.ndarray) -> list[np.ndarray]:
     return [ring]
 
 
+def _segment_intersection_point(A, B, C, D):
+    """Intersection point of properly-crossing segments AB and CD."""
+    r = B - A
+    s = D - C
+    denom = r[0] * s[1] - r[1] * s[0]
+    t = ((C - A)[0] * s[1] - (C - A)[1] * s[0]) / denom
+    return A + t * r
+
+
+def _find_proper_crossings(P: np.ndarray, Q: np.ndarray, n: int, limit: int = 2):
+    """Up to ``limit`` properly-crossing non-adjacent segment pairs, found
+    with the same x-interval sweep as ``_ring_is_simple_sweep`` (never the
+    O(n^2) python double loop — overlay intermediates can be 20k+ vertices)."""
+    import heapq
+
+    minx = np.minimum(P[:, 0], Q[:, 0])
+    maxx = np.maximum(P[:, 0], Q[:, 0])
+    miny = np.minimum(P[:, 1], Q[:, 1])
+    maxy = np.maximum(P[:, 1], Q[:, 1])
+    order = np.argsort(minx, kind="stable")
+    heap: list[tuple[float, int]] = []
+    active: set[int] = set()
+    found: list[tuple[int, int]] = []
+    for idx in order:
+        mx = minx[idx]
+        while heap and heap[0][0] < mx:
+            _, gone = heapq.heappop(heap)
+            active.discard(gone)
+        if active:
+            arr = np.fromiter(active, dtype=np.int64, count=len(active))
+            keep = (
+                (miny[arr] <= maxy[idx])
+                & (maxy[arr] >= miny[idx])
+                & (arr != (idx + 1) % n)
+                & (arr != (idx - 1 + n) % n)
+            )
+            cand = arr[keep]
+            if len(cand):
+                A, B = P[idx], Q[idx]
+                C, D = P[cand], Q[cand]
+                d1 = (D - C)[:, 0] * (A - C)[:, 1] - (D - C)[:, 1] * (A - C)[:, 0]
+                d2 = (D - C)[:, 0] * (B - C)[:, 1] - (D - C)[:, 1] * (B - C)[:, 0]
+                d3 = (B - A)[0] * (C - A)[:, 1] - (B - A)[1] * (C - A)[:, 0]
+                d4 = (B - A)[0] * (D - A)[:, 1] - (B - A)[1] * (D - A)[:, 0]
+                proper = (
+                    ((d1 > 0) != (d2 > 0))
+                    & ((d3 > 0) != (d4 > 0))
+                    & (d1 != d2)
+                    & (d3 != d4)
+                )
+                for j in cand[proper]:
+                    found.append((min(int(idx), int(j)), max(int(idx), int(j))))
+                    if len(found) >= limit:
+                        return found
+        heapq.heappush(heap, (float(maxx[idx]), int(idx)))
+        active.add(int(idx))
+    return found
+
+
+def split_bowtie_ring(ring: np.ndarray) -> list[np.ndarray] | None:
+    """buffer(0) semantics for the canonical self-touching figure-eight: a
+    ring with exactly ONE proper self-intersection splits at the crossing
+    into two simple loops (GEOS buffer(0) on a bowtie returns the two
+    triangles). Returns None when the ring has zero or multiple crossings —
+    callers keep the original geometry then."""
+    P = ring[:-1]
+    Q = ring[1:]
+    n = len(P)
+    crossings = _find_proper_crossings(P, Q, n, limit=2)
+    if len(crossings) != 1:
+        return None
+    i, j = crossings[0]
+    X = _segment_intersection_point(P[i], Q[i], P[j], Q[j])
+    # loop 1: X -> (i+1 .. j) -> X ; loop 2: X -> (j+1 .. i) -> X
+    loop1 = np.vstack([[X], ring[i + 1: j + 1], [X]])
+    loop2 = np.vstack([[X], ring[j + 1:], ring[1: i + 1], [X]])
+    out = []
+    for lp in (loop1, loop2):
+        if len(lp) >= 4 and signed_area(lp) != 0.0:
+            out.append(lp)
+    return out if len(out) == 2 else None
+
+
 def fix_invalid_multipolygon(polys: list[list[np.ndarray]]) -> list[list[np.ndarray]]:
-    """buffer(0)-style repair hook (main.py:264-270). The golden corpus never
-    produces invalid assembled polygons, so this is a validation + pass-through;
-    a bowtie-splitting repair is the documented scale-path TODO."""
-    return polys
+    """buffer(0)-style repair (main.py:264-270). Valid polygons pass through
+    untouched (the golden corpus never produces invalid assembled polygons).
+    A shell with exactly one proper self-intersection — the bowtie/figure-
+    eight, the classic OSM data defect — is noded at the crossing and split
+    into its two simple loops, each carrying the original holes that nest
+    inside it. Other invalidity classes pass through unchanged (matching the
+    reference's tolerance: it never verifies buffer(0)'s output either)."""
+    out: list[list[np.ndarray]] = []
+    for rings in polys:
+        shell = rings[0]
+        if polygon_is_valid([shell]) or len(shell) < 4:
+            out.append(rings)
+            continue
+        pieces = split_bowtie_ring(shell)
+        if not pieces:
+            out.append(rings)
+            continue
+        for piece in pieces:
+            kept = [piece] + [
+                h for h in rings[1:] if ring_contains_ring(piece, h)
+            ]
+            out.append(kept)
+    return out
 
 
 # ------------------------------------------------------ overlay (nesting)

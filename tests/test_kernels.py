@@ -149,3 +149,30 @@ def test_ring_simple_sweep_agrees_with_bruteforce():
     bowtie = np.array([[0.0, 0.0], [1.0, 1.0], [1.0, 0.0], [0.0, 1.0], [0.0, 0.0]])
     assert not ring_is_simple(bowtie)
     assert not _ring_is_simple_sweep(bowtie[:-1], bowtie[1:], 4)
+
+
+def test_bowtie_split_repair():
+    """buffer(0) on a figure-eight: split at the crossing into two simple
+    loops whose areas sum to the absolute shoelace parts."""
+    import numpy as np
+
+    from osm2geojson_spark.functions.kernels import (
+        fix_invalid_multipolygon,
+        polygon_is_valid,
+        signed_area,
+    )
+
+    bowtie = np.array(
+        [[0.0, 0.0], [2.0, 2.0], [2.0, 0.0], [0.0, 2.0], [0.0, 0.0]]
+    )
+    repaired = fix_invalid_multipolygon([[bowtie]])
+    assert len(repaired) == 2
+    areas = sorted(abs(signed_area(p[0])) for p in repaired)
+    assert all(polygon_is_valid(p) for p in repaired)
+    assert abs(areas[0] - 1.0) < 1e-12 and abs(areas[1] - 1.0) < 1e-12  # two unit triangles
+
+    # valid polygons pass through untouched (identity, not copies)
+    square = np.array([[0.0, 0.0], [4.0, 0.0], [4.0, 4.0], [0.0, 4.0], [0.0, 0.0]])
+    hole = np.array([[1.0, 1.0], [1.0, 2.0], [2.0, 2.0], [2.0, 1.0], [1.0, 1.0]])
+    same = fix_invalid_multipolygon([[square, hole]])
+    assert len(same) == 1 and same[0][0] is square and same[0][1] is hole
