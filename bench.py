@@ -34,6 +34,7 @@ BENCH_QUERIES = [
     "way_assembly",
     "relation_assembly",
     "pip_join",
+    "skew_salted_join",
     "knn",
     "tile_vector_join",
     "cell_histogram",
