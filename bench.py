@@ -143,10 +143,9 @@ def main() -> None:
         return features.count()
 
     if do_warmup:
-        saved = n_rel
-        n_rel = 20000
+        # warm at the SAME size: the first run of a plan at a new data size
+        # pays ~2x even on a warm JVM (AQE/codegen per stage geometry)
         osm_convert()
-        n_rel = saved
     # caches from prior runs would short-circuit the measurement (Spark's
     # cache manager reuses plan-equal cached data) — measure cold compute
     spark.catalog.clearCache()
