@@ -7,13 +7,15 @@ The distributed re-expression of the reference's conversion pipeline
   table -> ``groupBy(way_id)`` ordered collect -> packed coordinate buffers.
   (reference: hash refs_index probe loop, main.py:288-302)
 * classification    : pure column expressions (functions/classify.py).
-* relation assembly : ``groupBy(relation_id).applyInPandas`` running the
-  NumPy kernels (linemerge / ring nesting / orientation repair), as the
-  engine north-star requires. (reference: main.py:498-788)
+* relation assembly : grouped Arrow kernels (linemerge / ring nesting /
+  orientation repair) — repartitioned by (doc_id, rel_id) and processed
+  many-relations-per-Arrow-batch via ``mapInPandas`` (``batched_rel_kernel``;
+  per-group ``applyInPandas`` costs ~ms of machinery per group).
+  (reference: main.py:498-788)
 * used-refs dedup   : a literal left **anti join** on ``id`` — id-only key,
   reproducing the reference's cross-type-collision quirk (main.py:168-180).
 
-All Python execution is Arrow-batched (pandas_udf / applyInPandas); there are
+All Python execution is Arrow-batched (pandas_udf / mapInPandas); there are
 no row-at-a-time Python UDFs.
 """
 
@@ -28,7 +30,6 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.window import Window
 
 from ..functions import geom
 from ..functions import kernels as K
@@ -102,7 +103,7 @@ def way_gpb_udf(coords_bin: pd.Series, is_poly: pd.Series) -> pd.DataFrame:
 
 
 # --------------------------------------------------------------------------
-# relation kernels (applyInPandas over groups keyed by relation id)
+# relation kernels (batched mapInPandas over (doc_id, rel_id) groups)
 
 _REL_OUT_SCHEMA = T.StructType(
     [
@@ -364,17 +365,14 @@ def resolve_ways(frames: ElementFrames, area_keys=None, polygon_features=None) -
     need = w.filter(F.col("branch") == "nodes").select(
         "doc_id", "id", F.posexplode("nodes").alias("pos", "node_ref")
     )
-    # last-occurrence-wins node index (build_refs_index dict overwrite)
+    # last-occurrence-wins node index (build_refs_index dict overwrite);
+    # max_by aggregation, not a window — partial (map-side) aggregation
+    # instead of a full shuffle+sort of every node row
     nd = (
         frames.nodes.select("doc_id", F.col("id").alias("node_ref"), "seq", "lon", "lat")
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("doc_id", "node_ref").orderBy(F.desc("seq"))
-            ),
-        )
-        .filter(F.col("rn") == 1)
-        .drop("rn", "seq")
+        .groupBy("doc_id", "node_ref")
+        .agg(F.max_by(F.struct("lon", "lat"), "seq").alias("_p"))
+        .select("doc_id", "node_ref", F.col("_p.lon").alias("lon"), F.col("_p.lat").alias("lat"))
     )
     resolved = (
         need.join(nd, ["doc_id", "node_ref"], "left")
