@@ -747,6 +747,33 @@ FROM documents
 """
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative min-label propagation (connected components) over the
+    minhash-LSH near-dup pairs: each doc resolves to its cluster's smallest
+    id — the canonical survivor. The oracle's one-hop min is exact here
+    because every component in this corpus is a single planted pair
+    (diameter 1); the Spark operator itself handles arbitrary chains
+    (pinned by tests/test_dedup.py)."""
+    docs = _docs_with_mutants(spark, sf_dir, 60)
+    pairs = DD.minhash_lsh_pairs(docs, tau=0.5)
+    return DD.duplicate_clusters(docs.select("doc_id"), pairs)
+
+
+def _dedup_clusters_sql() -> str:
+    return f"""
+WITH pairs AS ({_minhash_lsh_sql(_docs_mutant_cte(60), 0.5)}),
+d AS (
+  SELECT doc_id FROM documents WHERE doc_id < 60
+  UNION ALL
+  SELECT doc_id + 100000 FROM documents WHERE doc_id < 60
+)
+SELECT d.doc_id,
+       least(d.doc_id, coalesce(min(least(p.id_a, p.id_b)), d.doc_id)) AS cluster_id
+FROM d LEFT JOIN pairs p ON p.id_a = d.doc_id OR p.id_b = d.doc_id
+GROUP BY d.doc_id
+"""
+
+
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup detection (sign-bucket LSH candidates):
     each base vector gets a planted positive-rescaled copy (id+100000) whose
@@ -1135,6 +1162,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_clusters": q_dedup_clusters,
         "dedup_embedding": q_dedup_embedding,
         "multimodal_decode": q_multimodal_decode,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -1170,6 +1198,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": _jaccard_sql(_docs_mutant_cte(60), 0.5),
         "dedup_minhash_lsh": _minhash_lsh_sql(_docs_mutant_cte(60), 0.5),
         "dedup_simhash": _simhash_sql("doc_id < 120", 3),
+        "dedup_clusters": _dedup_clusters_sql(),
         "dedup_embedding": _dedup_embedding_sql(),
         "multimodal_decode": _MULTIMODAL_SQL,
         "ann_cosine_topk": _ANN_SQL,

@@ -174,6 +174,51 @@ def simhash_pairs(
     )
 
 
+def duplicate_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 20,
+) -> DataFrame:
+    """(doc_id, cluster_id) — connected components over near-dup pairs via
+    iterative min-label propagation; cluster_id = the smallest doc id
+    reachable (the canonical survivor a dedup pipeline keeps).
+
+    Each iteration is one shuffle (labels join edges -> min per vertex) and
+    the frontier check early-exits once no label changes — O(diameter)
+    iterations, so near-dup clusters (tiny diameters) converge in 1-3."""
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    )
+    labels = docs.select(F.col(id_col).alias("v"), F.col(id_col).alias("lbl"))
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges["dst"] == labels["v"])
+            .groupBy("src")
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["v"] == neighbor_min["src"], "left")
+            .select(
+                "v", F.least(F.col("lbl"), F.coalesce("nlbl", "lbl")).alias("lbl")
+            )
+            .localCheckpoint(eager=False)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.v") == F.col("o.v"))
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("v").alias(id_col), F.col("lbl").alias("cluster_id"))
+
+
 def embedding_cosine_dups(
     emb: DataFrame,
     tau: float = 0.95,

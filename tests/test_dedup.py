@@ -129,3 +129,22 @@ def test_embedding_cosine_dups(spark, vectors):
         (r["id_a"], r["id_b"]) for r in DD.embedding_cosine_dups(vectors, tau=0.99).collect()
     }
     assert (0, 1) in pairs
+
+
+def test_duplicate_clusters_label_propagation(spark):
+    """Chained components (0-1-2, 3-4, singleton 5) resolve to min-label
+    clusters; chains need multiple propagation rounds."""
+    from osm2geojson_spark.operators.dedup import duplicate_clusters
+
+    docs = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (3, 4)], "id_a long, id_b long"
+    )
+    got = {r["doc_id"]: r["cluster_id"] for r in duplicate_clusters(docs, pairs).collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 3, 4: 3, 5: 5}
+
+    # a longer chain exercises >2 iterations
+    docs2 = spark.createDataFrame([(i,) for i in range(10)], "doc_id long")
+    chain = spark.createDataFrame([(i, i + 1) for i in range(9)], "id_a long, id_b long")
+    got2 = {r["doc_id"]: r["cluster_id"] for r in duplicate_clusters(docs2, chain).collect()}
+    assert got2 == {i: 0 for i in range(10)}
