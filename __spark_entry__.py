@@ -927,6 +927,26 @@ FROM s GROUP BY user_id, sid
 """
 
 
+def q_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch form of the custom stateful streaming operator
+    (streaming/ops.running_user_stats, applyInPandasWithState): per-user
+    running (n, sum, max); catch-up equality with the stream form is pinned
+    by tests/test_streaming.py."""
+    from osm2geojson_spark.streaming.ops import running_user_stats
+
+    ev = _t(spark, sf_dir, "events")
+    out = running_user_stats(ev)
+    return out.select(
+        "user_id", "n", F.round("v_sum", 6).alias("v_sum"), "v_max"
+    )
+
+
+_USER_STATS_SQL = """
+SELECT user_id, count(*) AS n, round(sum(value), 6) AS v_sum, max(value) AS v_max
+FROM events GROUP BY user_id
+"""
+
+
 def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured path: JSON props column -> extracted key -> bucketed
     aggregate (get_json_object stays JVM-side, no Python)."""
@@ -1170,6 +1190,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_analysis": q_text_analysis,
         "events_window": q_events_window,
         "sessionize": q_sessionize,
+        "user_stats": q_user_stats,
         "events_json": q_events_json,
         "value_percentiles": q_value_percentiles,
         "rollup_orders": q_rollup_orders,
@@ -1206,6 +1227,7 @@ def oracle_sql() -> dict[str, str]:
         "text_analysis": _TEXT_SQL,
         "events_window": _EVENTS_SQL,
         "sessionize": _SESSIONIZE_SQL,
+        "user_stats": _USER_STATS_SQL,
         "events_json": _EVENTS_JSON_SQL,
         "value_percentiles": _PERCENTILES_SQL,
         "rollup_orders": _ROLLUP_SQL,
