@@ -857,6 +857,38 @@ FROM v GROUP BY i, w
 """
 
 
+def q_quality_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language top-5 documents by quality score (the filter stage of a
+    training-data pipeline): window arg-max over the text-analysis columns."""
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    scored = docs.select(
+        "doc_id", TXT.lang_id(t).alias("lang"), TXT.quality_score(t).alias("quality")
+    )
+    wnd = Window.partitionBy("lang").orderBy(
+        F.col("quality").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(wnd))
+        .filter(F.col("rank") <= 5)
+        .select("lang", "rank", "doc_id", "quality")
+    )
+
+
+_QUALITY_TOPK_SQL = f"""
+WITH scored AS (
+  SELECT doc_id, {TXT.lang_id_sql('text')} AS lang,
+         {TXT.quality_score_sql('text')} AS quality
+  FROM documents
+), r AS (
+  SELECT lang, doc_id, quality,
+         row_number() OVER (PARTITION BY lang ORDER BY quality DESC, doc_id ASC) AS rank
+  FROM scored
+)
+SELECT lang, rank, doc_id, quality FROM r WHERE rank <= 5
+"""
+
+
 # --------------------------------------------------------------------------
 # relational core / events
 
@@ -1188,6 +1220,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_cosine_lsh": q_ann_cosine_lsh,
         "text_analysis": q_text_analysis,
+        "quality_topk": q_quality_topk,
         "events_window": q_events_window,
         "sessionize": q_sessionize,
         "user_stats": q_user_stats,
@@ -1225,6 +1258,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_topk": _ANN_SQL,
         "ann_cosine_lsh": _ann_lsh_sql(),
         "text_analysis": _TEXT_SQL,
+        "quality_topk": _QUALITY_TOPK_SQL,
         "events_window": _EVENTS_SQL,
         "sessionize": _SESSIONIZE_SQL,
         "user_stats": _USER_STATS_SQL,
