@@ -1027,22 +1027,35 @@ FROM events GROUP BY event_type
 
 
 def q_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hierarchical rollup aggregate (grouping sets) over orders."""
+    """Hierarchical rollup aggregate (grouping sets) over orders.
+
+    Sums are exact DECIMAL internally; the output boundary converts to DOUBLE
+    (a 2-dp decimal total fits in 53 bits of mantissa, and both engines do the
+    identical round-to-nearest conversion of the same exact decimal) and maps
+    rollup NULL grouping cells to 'ALL', so the driver's value hasher sees
+    identical primitive cells regardless of how it renders Decimal/NULL.
+    """
     o = _t(spark, sf_dir, "orders")
     return (
         o.rollup("o_orderpriority", "o_orderstatus")
         .agg(
             F.count("*").alias("n"),
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-            .cast("decimal(38,2)")
-            .alias("total"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("_total"),
+        )
+        .select(
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("o_orderpriority"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("o_orderstatus"),
+            "n",
+            F.col("_total").cast("double").alias("total"),
         )
     )
 
 
 _ROLLUP_SQL = """
-SELECT o_orderpriority, o_orderstatus, count(*) AS n,
-       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+SELECT coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+       coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
+       count(*) AS n,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
 FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
 """
 
@@ -1086,7 +1099,12 @@ GROUP BY n_name
 
 
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q1-style aggregate (DECIMAL money math — exact across engines)."""
+    """TPC-H Q1-style aggregate.
+
+    DECIMAL money math internally (exact across engines); DOUBLE at the
+    output boundary so the driver's value hasher sees identical primitive
+    cells (both engines round-to-nearest the same exact decimal).
+    """
     li = _t(spark, sf_dir, "lineitem")
     price = F.col("l_extendedprice").cast("decimal(18,2)")
     disc = F.col("l_discount").cast("decimal(18,2)")
@@ -1101,9 +1119,9 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "l_returnflag",
             "l_linestatus",
-            F.col("sum_qty").cast("decimal(38,2)").alias("sum_qty"),
-            F.col("sum_base_price").cast("decimal(38,2)").alias("sum_base_price"),
-            F.col("sum_disc_price").cast("decimal(38,4)").alias("sum_disc_price"),
+            F.col("sum_qty").cast("double").alias("sum_qty"),
+            F.col("sum_base_price").cast("double").alias("sum_base_price"),
+            F.col("sum_disc_price").cast("double").alias("sum_disc_price"),
             "count_order",
         )
     )
@@ -1111,9 +1129,9 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PRICING_SQL = """
 SELECT l_returnflag, l_linestatus,
-  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
-  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
-  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS sum_disc_price,
+  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
   count(*) AS count_order
 FROM lineitem GROUP BY 1, 2
 """
