@@ -15,6 +15,30 @@ Known GEOS-internals divergence (documented, asserted semantically):
 traversal with no geometric meaning. For it we assert exact polygon-set
 equality as cyclic sequences with exact orientation + hole nesting. Every
 other fixture (including multipolygon ones) matches byte-exactly.
+
+What we established about the issue-35 divergence (measured against the
+golden; GEOS itself is not installable in this environment to confirm):
+
+* The op chain is unary_union(21 inner polys) -> difference -> union(
+  unary_union(8 outer polys)) (reference main.py:759-783); each GEOS overlay
+  re-emits EVERY ring of both operands, so order/phase divergences compound
+  per op. Un-noded rings advance their start vertex by exactly +1 along the
+  emission winding per overlay (the rule ``overlay_normalize_ring`` applies,
+  byte-validated by all single-op goldens): the 8 standalone enclave shells
+  are offset by exactly -4 (3 cascade unions + the final union), the main
+  shell by exactly -2 (difference + union), and the un-noded holes by
+  c - 2 with c in {4, 5} (their CascadedPolygonUnion binary-reduction
+  depths).
+* The outer-8 unary_union emission order matches a centre-y-ascending STR
+  slicing exactly ([0,6,3,5,2,4,1,7]); the 21-hole order is consistent with
+  the same tree modulo reorderings where envelopes interact.
+* Two holes touch at a single shared vertex (a real noding node, at raw
+  position 0 of both rings — OSM splits ways at junctions); their emitted
+  phases are node+2 and node+1, i.e. noded rings restart at the node rather
+  than advancing, breaking the simple +1 rule. Reproducing this byte-exactly
+  requires emulating OverlayNG's noded-edge-ring start selection and GEOS's
+  exact CascadedPolygonUnion tree, which cannot be validated against a live
+  GEOS here; the semantic assertion below pins everything geometric.
 """
 
 from __future__ import annotations
