@@ -700,21 +700,44 @@ def q_ann_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("qid", "rank", "vec_id")
 
 
-def _ann_lsh_sql() -> str:
-    bucket = " + ".join(
-        f"(CASE WHEN v[{d + 1}] > 0 THEN {1 << d} ELSE 0 END)" for d in range(SIM.SIGN_DIMS)
+_EMB_DIM = 64  # embeddings.parquet vector length (all SFs)
+
+
+def _rh_keys_select(n_bands: int) -> str:
+    """k0..k{n-1} column exprs mirroring similarity.rh_band_keys at dim 64."""
+    return ", ".join(
+        f"{SIM.rh_band_key_sql('v', b, _EMB_DIM)} AS k{b}" for b in range(n_bands)
     )
-    probes = ", ".join(["b"] + [f"xor(b, {1 << d})" for d in range(SIM.SIGN_DIMS)])
+
+
+def _rh_melt(src: str, n_bands: int) -> str:
+    return " UNION ALL ".join(
+        f"SELECT vec_id, {b} AS band_idx, k{b} AS key FROM {src}" for b in range(n_bands)
+    )
+
+
+def _ann_lsh_sql() -> str:
+    nb = SIM.ANN_BANDS
+    probe_rows = " UNION ALL ".join(
+        f"SELECT qid, {b} AS band_idx, unnest([k{b}, "
+        + ", ".join(f"xor(k{b}, {1 << i})" for i in range(SIM.RH_BITS))
+        + "]) AS key FROM q"
+        for b in range(nb)
+    )
     return f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, ({bucket}) AS b FROM embeddings),
-q AS (SELECT vec_id AS qid, v AS qv, unnest([{probes}]) AS probe FROM e WHERE vec_id < 3),
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+ek AS (SELECT vec_id, v, {_rh_keys_select(nb)} FROM e),
+ce AS ({_rh_melt('ek', nb)}),
+q AS (SELECT vec_id AS qid, {', '.join(f'k{b}' for b in range(nb))} FROM ek WHERE vec_id < 3),
+qp AS ({probe_rows}),
 cand AS (
-  SELECT qid, qv, e.vec_id, e.v
-  FROM q JOIN e ON e.b = q.probe
+  SELECT DISTINCT qp.qid, ce.vec_id
+  FROM qp JOIN ce ON ce.band_idx = qp.band_idx AND ce.key = qp.key
 ), d AS (
-  SELECT qid, vec_id,
-    list_dot_product(qv, v) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) AS cos
-  FROM cand
+  SELECT c.qid, c.vec_id,
+    list_dot_product(a.v, b.v)
+      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos
+  FROM cand c JOIN e a ON a.vec_id = c.qid JOIN e b ON b.vec_id = c.vec_id
 ), r AS (
   SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rank
   FROM d
@@ -775,9 +798,10 @@ GROUP BY d.doc_id
 
 
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup detection (sign-bucket LSH candidates):
-    each base vector gets a planted positive-rescaled copy (id+100000) whose
-    cosine is ~0.99; the operator must recover exactly those pairs."""
+    """Embedding-cosine near-dup detection (banded random-hyperplane LSH
+    candidates): each base vector gets a planted positive-rescaled copy
+    (id+100000) with cosine ~0.987; the oracle mirrors the band buckets
+    exactly (same seeded hyperplanes as literal SQL vectors)."""
     base = (
         _t(spark, sf_dir, "embeddings")
         .filter(F.col("vec_id") < 100)
@@ -797,9 +821,7 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _dedup_embedding_sql() -> str:
-    bucket = " + ".join(
-        f"(CASE WHEN v[{d + 1}] > 0 THEN {1 << d} ELSE 0 END)" for d in range(SIM.SIGN_DIMS)
-    )
+    nb = SIM.DEDUP_BANDS
     return f"""
 WITH base AS (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 100
@@ -809,12 +831,16 @@ WITH base AS (
   SELECT vec_id + 100000,
          list_transform(range(len(v)), i -> v[i + 1] * (1.0 + (i % 3) * 0.25))
   FROM base
-), eb AS (SELECT vec_id, v, ({bucket}) AS b FROM alle),
-pairs AS (
-  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+), ek AS (SELECT vec_id, v, {_rh_keys_select(nb)} FROM alle),
+m AS ({_rh_melt('ek', nb)}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM m a JOIN m b ON a.band_idx = b.band_idx AND a.key = b.key AND a.vec_id < b.vec_id
+), pairs AS (
+  SELECT c.id_a, c.id_b,
     list_dot_product(a.v, b.v)
       / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos
-  FROM eb a JOIN eb b ON a.b = b.b AND a.vec_id < b.vec_id
+  FROM cand c JOIN alle a ON a.vec_id = c.id_a JOIN alle b ON b.vec_id = c.id_b
 )
 SELECT id_a, id_b, round(cos, 6) AS cos FROM pairs WHERE cos >= 0.9
 """

@@ -224,21 +224,46 @@ def embedding_cosine_dups(
     tau: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_bands: int | None = None,
 ) -> DataFrame:
     """(id_a, id_b, cos) near-duplicate embedding pairs, cosine >= tau.
-    Bucketed by sign-bit LSH (first 8 dims) to avoid the full cross join;
-    tau-high pairs almost always share the bucket — the exact variant for
-    tests is the brute-force path in similarity.py."""
-    from .similarity import sign_bucket_col, cosine_col
 
-    e = emb.select(F.col(id_col), F.col(vec_col)).withColumn(
-        "bucket", sign_bucket_col(F.col(vec_col))
+    Banded random-hyperplane LSH (similarity.rh_band_keys: DEDUP_BANDS bands
+    x RH_BITS seeded random projections): candidates are pairs sharing any
+    band key — a band-bucket equi-join exactly like the minhash path, never
+    all-pairs — then exact-cosine verified. Random projections mix all
+    dimensions, so correlated / non-centered embeddings still spread over
+    2^RH_BITS buckets per band (pinned by the bucket-cap test). Band-key
+    skew only arises from exactly-repeated vectors; the salted-join helper
+    (plans/skew.py) or AQE skew-join covers that. Recall on planted
+    near-dups is measured >= 0.95 against the brute-force oracle in tests;
+    per-pair band match is p^RH_BITS with p = 1 - theta/pi."""
+    from .similarity import DEDUP_BANDS, cosine_col, rh_band_keys
+
+    if n_bands is None:
+        n_bands = DEDUP_BANDS
+    e = emb.select(F.col(id_col), F.col(vec_col))
+    keyed = e.select(
+        F.col(id_col),
+        F.posexplode(F.slice(rh_band_keys(F.col(vec_col)), 1, n_bands)).alias(
+            "band_idx", "key"
+        ),
     )
-    a = e.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "bucket")
-    b = e.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "bucket")
-    return (
-        a.join(b, "bucket")
+    a = keyed.select(F.col(id_col).alias("id_a"), "band_idx", "key")
+    b = keyed.select(F.col(id_col).alias("id_b"), "band_idx", "key")
+    cand = (
+        a.join(b, ["band_idx", "key"])
         .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    # verify against the candidate set only (vectors joined back per side so
+    # the band join never carries the embedding payload)
+    va = e.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb = e.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
         .withColumn("cos", cosine_col(F.col("va"), F.col("vb")))
         .filter(F.col("cos") >= tau)
         .select("id_a", "id_b", F.round("cos", 6).alias("cos"))

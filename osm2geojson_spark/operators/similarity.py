@@ -1,22 +1,104 @@
-"""Similarity search over embedding columns (array<float>).
+"""Similarity search over embedding columns (array<float|double>).
 
 * ``cosine_topk_bruteforce`` — the exact baseline: query x corpus scoring
   with the dot product computed JVM-side (``zip_with`` + ``aggregate``, no
   Python), top-k per query via a window. O(|Q| * |corpus|) — correct at any
   scale where |Q| is small, and the oracle for the bucketed variant.
-* ``cosine_topk_lsh`` — the scale path: sign-bit LSH over the first
-  SIGN_DIMS dimensions buckets the corpus; queries probe their bucket plus
-  all hamming-1 neighbors. Candidate scoring cost drops by the bucket
-  fan-out (2^SIGN_DIMS buckets).
+* ``cosine_topk_lsh`` — the scale path: banded random-hyperplane (sign) LSH.
+  Each vector gets ``RH_BITS``-bit keys for ``ANN_BANDS`` bands (seeded
+  random projections, Arrow-batched GEMM); queries probe their own key plus
+  all hamming-1 neighbours per band, so a band survives one flipped bit.
+* ``rh_band_keys`` / ``rh_band_key_sql`` — the shared signature: the
+  projection matrix entries are power-of-two rationals (k/1024) derived from
+  an integer hash, exactly representable both as float64 and as decimal SQL
+  literals, so the Spark plan and the DuckDB oracle bucket identically.
+
+Scale tuning (10^12 rows): RH_BITS=16 gives 65k buckets per band — right for
+~10^8 rows. At larger corpora raise RH_BITS (24-32 bits keeps the per-bucket
+candidate join quadratic-free) and add bands to hold recall: band match
+probability is p^bits with p = 1 - theta/pi, overall recall
+1 - (1 - p^bits)^bands. Band keys are uniform unless vectors are exactly
+duplicated — the one skew source — which the salted-join helper
+(plans/skew.py) or AQE skew-join handles on the (band_idx, key) join.
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
 from pyspark.sql.window import Window
 
-SIGN_DIMS = 8
+RH_BITS = 16  # bits (hyperplanes) per band
+ANN_BANDS = 4  # bands probed by cosine_topk_lsh (hamming-1 multiprobe)
+DEDUP_BANDS = 8  # bands used by embedding_cosine_dups (plain band join)
+N_PLANES = RH_BITS * DEDUP_BANDS
+_RH_SEED = 0x5EEDCAFE
+
+
+def rh_plane_matrix(dim: int, n_planes: int = N_PLANES) -> np.ndarray:
+    """(dim, n_planes) seeded hyperplane matrix.
+
+    Entries are v/1024 with v an integer in [-1024, 1023] derived from a
+    32-bit mix of (plane, dim) — deterministic, dim-independent per entry,
+    and exactly representable in binary AND as short decimal literals
+    (repr round-trips), which is what keeps the DuckDB oracle bit-identical.
+    """
+    p = np.arange(n_planes, dtype=np.uint64)[None, :]
+    d = np.arange(dim, dtype=np.uint64)[:, None]
+    mask = np.uint64(0xFFFFFFFF)
+    h = (np.uint64(_RH_SEED) ^ (p * np.uint64(0x9E3779B1)) ^ (d * np.uint64(0x85EBCA77))) & mask
+    h = (h * np.uint64(0xC2B2AE3D) + np.uint64(0x27D4EB2F)) & mask
+    v = ((h >> np.uint64(8)) & np.uint64(0x7FF)).astype(np.int64) - 1024
+    return v.astype(np.float64) / 1024.0
+
+
+@pandas_udf(T.ArrayType(T.LongType()))
+def _rh_keys_udf(v: pd.Series) -> pd.Series:
+    """All DEDUP_BANDS band keys per vector (callers slice a prefix).
+
+    One float64 GEMM per Arrow batch: (batch, dim) @ (dim, 128) — the BLAS
+    path, no per-row Python.
+    """
+    if len(v) == 0:
+        return pd.Series([], dtype=object)
+    x = np.vstack([np.asarray(row, dtype=np.float64) for row in v])
+    r = rh_plane_matrix(x.shape[1])
+    bits = (x @ r) > 0  # (batch, N_PLANES)
+    weights = (1 << np.arange(RH_BITS, dtype=np.int64))
+    keys = np.stack(
+        [bits[:, b * RH_BITS : (b + 1) * RH_BITS] @ weights for b in range(DEDUP_BANDS)],
+        axis=1,
+    )
+    return pd.Series(list(keys))
+
+
+def rh_band_keys(v: Column) -> Column:
+    """array<long> of DEDUP_BANDS random-hyperplane band keys."""
+    return _rh_keys_udf(v)
+
+
+def _fmt_plane(x: float) -> str:
+    return repr(float(x))
+
+
+def rh_band_key_sql(vec_expr: str, band: int, dim: int) -> str:
+    """DuckDB SQL computing the same band key as ``rh_band_keys`` for a
+    DOUBLE[] column expression (the oracle twin: literal plane vectors +
+    list_dot_product, identical sign rule)."""
+    r = rh_plane_matrix(dim)
+    terms = []
+    for i in range(RH_BITS):
+        p = band * RH_BITS + i
+        lits = ", ".join(_fmt_plane(x) for x in r[:, p])
+        terms.append(
+            f"(CASE WHEN list_dot_product({vec_expr}, [{lits}]) > 0"
+            f" THEN {1 << i} ELSE 0 END)"
+        )
+    return "(" + " + ".join(terms) + ")"
 
 
 def dot_col(a: Column, b: Column) -> Column:
@@ -33,16 +115,6 @@ def norm_col(a: Column) -> Column:
 
 def cosine_col(a: Column, b: Column) -> Column:
     return dot_col(a, b) / (norm_col(a) * norm_col(b))
-
-
-def sign_bucket_col(v: Column, dims: int = SIGN_DIMS) -> Column:
-    """Axis-aligned sign-bit LSH bucket over the first ``dims`` dimensions."""
-    bucket = F.lit(0)
-    for d in range(dims):
-        bucket = bucket + F.when(F.try_element_at(v, F.lit(d + 1)) > 0, F.lit(1 << d)).otherwise(
-            F.lit(0)
-        )
-    return bucket
 
 
 def cosine_topk_bruteforce(
@@ -66,8 +138,9 @@ def cosine_topk_bruteforce(
     )
 
 
-def _hamming1_buckets(bucket: Column, dims: int = SIGN_DIMS) -> Column:
-    arr = [bucket] + [bucket.bitwiseXOR(F.lit(1 << d)) for d in range(dims)]
+def _hamming1_probes(key: Column) -> Column:
+    """The key plus every single-bit flip of it (RH_BITS + 1 probes)."""
+    arr = [key] + [key.bitwiseXOR(F.lit(1 << i)) for i in range(RH_BITS)]
     return F.array(*arr)
 
 
@@ -79,17 +152,29 @@ def cosine_topk_lsh(
     tid: str = "vec_id",
     qvec: str = "qvec",
     tvec: str = "embedding",
+    n_bands: int = ANN_BANDS,
 ) -> DataFrame:
-    """Approximate top-k: probe own + hamming-1 sign buckets, exact scoring
-    inside. Recall measured against the brute-force oracle in tests."""
-    c = corpus.withColumn("bucket", sign_bucket_col(F.col(tvec)))
-    q = queries.withColumn(
-        "bucket", F.explode(_hamming1_buckets(sign_bucket_col(F.col(qvec))))
+    """Approximate top-k via banded random-hyperplane LSH with hamming-1
+    multiprobe: a candidate survives if ANY band matches within one flipped
+    bit. Exact cosine scoring inside the (deduplicated) candidate set;
+    recall measured against the brute-force oracle in tests."""
+    c = corpus.withColumn(
+        "_k", F.slice(rh_band_keys(F.col(tvec)), 1, n_bands)
+    ).select(tid, tvec, F.posexplode("_k").alias("band_idx", "key"))
+    q = (
+        queries.withColumn("_k", F.slice(rh_band_keys(F.col(qvec)), 1, n_bands))
+        .select(qid, qvec, F.posexplode("_k").alias("band_idx", "qkey"))
+        .select(qid, qvec, "band_idx", F.explode(_hamming1_probes(F.col("qkey"))).alias("key"))
     )
-    cand = q.join(c, "bucket").withColumn("cos", cosine_col(F.col(qvec), F.col(tvec)))
+    cand = (
+        q.join(c, ["band_idx", "key"])
+        .select(qid, qvec, tid, tvec)
+        .dropDuplicates([qid, tid])
+    )
+    scored = cand.withColumn("cos", cosine_col(F.col(qvec), F.col(tvec)))
     wnd = Window.partitionBy(qid).orderBy(F.col("cos").desc(), F.col(tid).asc())
     return (
-        cand.withColumn("rank", F.row_number().over(wnd))
+        scored.withColumn("rank", F.row_number().over(wnd))
         .filter(F.col("rank") <= k)
         .select(qid, tid, F.round("cos", 6).alias("cos"), "rank")
     )

@@ -82,8 +82,6 @@ def test_simhash_pairs(docs):
 def vectors(spark):
     rng = np.random.default_rng(7)
     base = rng.normal(size=(20, 16))
-    # keep the sign-LSH dims well away from 0 so the bucket test is stable
-    base[:, :8] = np.sign(base[:, :8]) * (np.abs(base[:, :8]) + 0.5)
     base[1] = base[0] + 0.01 * rng.normal(size=16)  # near-dup of 0
     rows = [(i, [float(x) for x in base[i]]) for i in range(20)]
     return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
@@ -108,20 +106,19 @@ def test_cosine_topk_bruteforce_matches_numpy(spark, vectors):
 
 
 def test_cosine_lsh_recall(spark, vectors):
+    """LSH surfaces genuinely-close neighbours: every query recalls itself
+    (identical band keys) and the planted near-dup pair is recovered from
+    both sides. Distant 'top-3' members of unrelated random vectors are
+    legitimately absent — banded LSH only buckets high-cosine candidates."""
     q = vectors.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
     )
-    exact = {
-        (r["qid"], r["vec_id"]) for r in cosine_topk_bruteforce(q, vectors, k=3).collect()
-    }
     approx = {
         (r["qid"], r["vec_id"]) for r in cosine_topk_lsh(q, vectors, k=3).collect()
     }
-    # rank-1 self matches always recalled; overall recall documented >= 0.5
-    recall = len(exact & approx) / len(exact)
-    assert recall >= 0.5
     for qid in range(5):
         assert (qid, qid) in approx
+    assert (0, 1) in approx and (1, 0) in approx
 
 
 def test_embedding_cosine_dups(spark, vectors):
@@ -129,6 +126,62 @@ def test_embedding_cosine_dups(spark, vectors):
         (r["id_a"], r["id_b"]) for r in DD.embedding_cosine_dups(vectors, tau=0.99).collect()
     }
     assert (0, 1) in pairs
+
+
+def test_embedding_lsh_recall_planted(spark):
+    """Recall >= 0.95 on planted near-dups (cos ~0.989) vs the brute-force
+    oracle; the LSH path must also stay a strict subset of the oracle pairs
+    (exact-cosine verification can only remove candidates)."""
+    rng = np.random.default_rng(42)
+    n, dim = 150, 32
+    base = rng.normal(size=(n, dim))
+    mut = base + 0.15 * rng.normal(size=(n, dim))
+    rows = [(i, [float(x) for x in base[i]]) for i in range(n)] + [
+        (i + 100000, [float(x) for x in mut[i]]) for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in DD.embedding_cosine_dups(df, tau=0.9).collect()
+    }
+    # numpy oracle: all pairs with cos >= 0.9
+    M = np.vstack([base, mut])
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    ids = list(range(n)) + [i + 100000 for i in range(n)]
+    sims = Mn @ Mn.T
+    exp = {
+        (ids[a], ids[b])
+        for a in range(2 * n)
+        for b in range(a + 1, 2 * n)
+        if sims[a, b] >= 0.9
+    }
+    assert got <= exp  # no false positives (exact verify)
+    assert len(got) / len(exp) >= 0.95
+
+
+def test_rh_bucket_spread_on_correlated_embeddings(spark):
+    """Correlated, non-centered embeddings (all-positive entries — every
+    vector in one orthant, the case that collapsed axis-aligned sign LSH to
+    a single bucket) still spread across band buckets: no band puts more
+    than 25% of rows in one bucket."""
+    from osm2geojson_spark.operators.similarity import DEDUP_BANDS, rh_band_keys
+
+    rng = np.random.default_rng(3)
+    vecs = np.abs(rng.normal(size=(400, 32))) + 0.2  # strictly positive dims
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(400)],
+        "vec_id long, embedding array<double>",
+    )
+    keyed = df.select(
+        F.posexplode(rh_band_keys(F.col("embedding"))).alias("band_idx", "key")
+    )
+    counts = keyed.groupBy("band_idx", "key").count().collect()
+    per_band_max = {}
+    for r in counts:
+        per_band_max[r["band_idx"]] = max(per_band_max.get(r["band_idx"], 0), r["count"])
+    assert len(per_band_max) == DEDUP_BANDS
+    for b, mx in per_band_max.items():
+        assert mx <= 100, f"band {b} has a bucket with {mx}/400 rows"
 
 
 def test_duplicate_clusters_label_propagation(spark):
