@@ -747,16 +747,9 @@ SELECT qid, rank, vec_id FROM r WHERE rank <= 5
 
 
 def q_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
-    t = F.col("text")
-    return docs.select(
-        "doc_id",
-        TXT.ws_token_count(t).alias("ws_tokens"),
-        TXT.bpe_token_count(t).alias("bpe_tokens"),
-        TXT.quality_score(t).alias("quality"),
-        TXT.lang_id(t).alias("lang_pred"),
-        TXT.fingerprint_col(t).alias("fingerprint"),
-    )
+    """Staged single-pass plan: the normalized text / token count / stopword
+    hits are each evaluated once per row (see TXT.text_features)."""
+    return TXT.text_features(_t(spark, sf_dir, "documents"))
 
 
 _TEXT_SQL = f"""
@@ -887,9 +880,8 @@ def q_quality_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language top-5 documents by quality score (the filter stage of a
     training-data pipeline): window arg-max over the text-analysis columns."""
     docs = _t(spark, sf_dir, "documents")
-    t = F.col("text")
-    scored = docs.select(
-        "doc_id", TXT.lang_id(t).alias("lang"), TXT.quality_score(t).alias("quality")
+    scored = TXT.text_features(docs).select(
+        "doc_id", F.col("lang_pred").alias("lang"), "quality"
     )
     wnd = Window.partitionBy("lang").orderBy(
         F.col("quality").desc(), F.col("doc_id").asc()

@@ -87,12 +87,23 @@ def bpe_token_count_sql(text: str) -> str:
 # ---------------------------------------------------------------- quality
 
 
-def _stopword_hits(text: Column) -> Column:
-    padded = F.concat(F.lit(" "), normalize_col(text), F.lit(" "))
+def padded_norm_col(text: Column) -> Column:
+    """' ' + normalized text + ' ' — the shared input of stopword counting
+    and (via trim) the fingerprint; project it once per plan."""
+    return F.concat(F.lit(" "), normalize_col(text), F.lit(" "))
+
+
+def stopword_hits_from_padded(padded: Column) -> Column:
+    """Split-counting stopword hits over an ALREADY-projected padded
+    normalized column: 10 literal-pattern splits, no regex re-derivation."""
     n = F.lit(0)
     for w in EN_STOPWORDS:
         n = n + F.size(F.split(padded, f" {w} ")) - F.lit(1)
     return n
+
+
+def _stopword_hits(text: Column) -> Column:
+    return stopword_hits_from_padded(padded_norm_col(text))
 
 
 def _stopword_hits_sql(text: str) -> str:
@@ -155,4 +166,57 @@ def lang_id_sql(text: str) -> str:
     return (
         f"CASE WHEN ({hits} >= 2) OR ({hits} / greatest({n_tok}, 1.0) >= 0.05) "
         f"THEN 'en' ELSE 'other' END"
+    )
+
+
+# ------------------------------------------------------------ staged plan
+
+
+def text_features(df, text_col: str = "text", id_cols: tuple[str, ...] = ("doc_id",)):
+    """All five text-analysis columns in ONE staged plan.
+
+    The column-at-a-time builders above re-derive the normalized text inside
+    every consumer (~25 regex evaluations per row across the five outputs).
+    Here the expensive shared subexpressions — the padded normalized text,
+    the whitespace token count and the stopword hit count — are projected
+    once each; Spark's CollapseProject keeps a lower projection alive when
+    its output feeds more than one non-cheap consumer, so the optimized plan
+    evaluates the two normalization regexes, one tokenizing split and the
+    ten literal-pattern stopword splits exactly once per row (pinned by
+    tests/test_plans.py). Semantics are byte-identical to the per-column
+    builders and to the SQL oracle twins.
+    """
+    t = F.col(text_col)
+    staged = (
+        df.select(*id_cols, t.alias("_t"))
+        .withColumn("_padded", padded_norm_col(F.col("_t")))
+        .select(
+            *id_cols,
+            "_t",
+            "_padded",
+            ws_token_count(F.col("_t")).alias("_ntok"),
+            stopword_hits_from_padded(F.col("_padded")).alias("_stop"),
+        )
+    )
+    n_tok = F.col("_ntok").cast("double")
+    n_chars = F.greatest(F.length("_t"), F.lit(1)).cast("double")
+    n_punct = F.regexp_count(F.col("_t"), F.lit("[^a-zA-Z0-9\\s]")).cast("double")
+    stop = F.col("_stop").cast("double")
+    quality = F.round(
+        F.lit(0.4) * F.least(F.lit(1.0), n_tok / F.lit(20.0))
+        + F.lit(0.3) * (F.lit(1.0) - n_punct / n_chars)
+        + F.lit(0.3)
+        * F.least(F.lit(1.0), F.lit(5.0) * stop / F.greatest(n_tok, F.lit(1.0))),
+        6,
+    )
+    lang = F.when(
+        (stop >= 2) | (stop / F.greatest(n_tok, F.lit(1.0)) >= 0.05), F.lit("en")
+    ).otherwise(F.lit("other"))
+    return staged.select(
+        *id_cols,
+        F.col("_ntok").alias("ws_tokens"),
+        bpe_token_count(F.col("_t")).alias("bpe_tokens"),
+        quality.alias("quality"),
+        lang.alias("lang_pred"),
+        md5_long(F.trim(F.col("_padded"))).alias("fingerprint"),
     )

@@ -53,6 +53,18 @@ def test_classifier_and_text_are_jvm_only(spark):
         assert "EvalPython" not in plan, name
 
 
+def test_text_analysis_single_pass_normalization(spark):
+    """The staged text_features plan evaluates the expensive shared
+    subexpressions once: exactly the two normalization regexp_replace calls
+    survive in the optimized plan (CollapseProject must NOT re-inline the
+    padded-normalized column into its five consumers), and the tokenizing
+    split appears once."""
+    df = E.queries()["text_analysis"](spark, SF_DIR)
+    opt = df._jdf.queryExecution().optimizedPlan().toString().lower()
+    assert opt.count("regexp_replace") == 2
+    assert opt.count("split(trim") <= 1
+
+
 def test_way_assembly_prunes_columns(spark):
     plan = _plan(E.queries()["way_assembly"](spark, SF_DIR))
     assert "CartesianProduct" not in plan
