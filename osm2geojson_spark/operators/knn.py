@@ -79,9 +79,16 @@ def knn_join(
     q = queries.select(
         qid, F.col("lon").alias("q_lon"), F.col("lat").alias("q_lat")
     ).withColumn("q_cell", cells.cell_id(F.col("q_lon"), F.col("q_lat"), res))
-    t = targets.select(
-        tid, F.col("lon").alias("t_lon"), F.col("lat").alias("t_lat")
-    ).withColumn("cell_id", cells.cell_id(F.col("t_lon"), F.col("t_lat"), res)).cache()
+    # localCheckpoint (not cache): materialized once for the ring rounds and
+    # released by the context cleaner when the plan goes out of scope — no
+    # executor-storage leak across repeated knn_join calls in a session
+    t = (
+        targets.select(
+            tid, F.col("lon").alias("t_lon"), F.col("lat").alias("t_lat")
+        )
+        .withColumn("cell_id", cells.cell_id(F.col("t_lon"), F.col("t_lat"), res))
+        .localCheckpoint(eager=False)
+    )
 
     remaining = q.localCheckpoint(eager=False)
     results = None

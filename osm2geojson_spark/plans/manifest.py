@@ -24,7 +24,8 @@ import os
 import time
 from collections.abc import Callable, Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
+from pyspark.sql import functions as F
 
 
 class ParquetManifest:
@@ -84,8 +85,12 @@ class ResumableJob:
             t0 = time.time()
             df = fn(bid)
             path = self.manifest.batch_path(bid)
+            # count during the write via observe() — no second read of the
+            # batch output just to record rows_out
+            obs = Observation()
+            df = df.observe(obs, F.count(F.lit(1)).alias("n"))
             df.write.mode("overwrite").parquet(path)
-            n_out = df.sparkSession.read.parquet(path).count()
+            n_out = obs.get["n"]
             size = sum(
                 os.path.getsize(os.path.join(dp, f))
                 for dp, _, fs in os.walk(path)
