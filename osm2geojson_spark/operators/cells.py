@@ -120,13 +120,21 @@ def covering_cells(
     """array<long> of cells covering a bbox (footprints/polygons): the
     [x0..x1] x [y0..y1] block, built JVM-side with sequence()+transform.
 
+    Antimeridian: a bbox given with ``min_lon > max_lon`` (the GeoJSON RFC
+    7946 §5.2 convention for boxes crossing 180°) covers the wrapped x range
+    [x0..n-1] ++ [0..x1], mirroring how ``k_ring`` wraps x.
+
     The caller is responsible for keeping res coarse enough that coverings
     stay small (the engine picks res so max covering <= ~4k cells; dense
     polygons use a finer PIP refinement inside the join kernel E2).
     """
+    n = _grid_n(res)
     x0, x1 = cell_x(min_lon, res), cell_x(max_lon, res)
     y0, y1 = cell_y(min_lat, res), cell_y(max_lat, res)
-    xs = F.sequence(x0, x1)
+    xs = F.when(
+        min_lon > max_lon,
+        F.concat(F.sequence(x0, F.lit(n - 1)), F.sequence(F.lit(0), x1)),
+    ).otherwise(F.sequence(x0, x1))
     ys = F.sequence(y0, y1)
     return F.flatten(
         F.transform(xs, lambda xx: F.transform(ys, lambda yy: pack_cell(res, xx, yy)))

@@ -76,6 +76,37 @@ def test_kring_clamps_at_poles(spark):
     assert row["n"] == 6  # top row clamped away
 
 
+def test_covering_wraps_antimeridian(spark):
+    """A bbox given with min_lon > max_lon (GeoJSON RFC 7946 crossing
+    convention) covers cells on BOTH sides of 180°, matching the cells of
+    the two half-boxes; a normal bbox is unchanged."""
+    res = 5
+    df = spark.createDataFrame(
+        [(170.0, -5.0, -170.0, 5.0)],
+        "min_lon double, min_lat double, max_lon double, max_lat double",
+    )
+    cov = df.select(
+        cells.covering_cells(
+            F.col("min_lon"), F.col("min_lat"), F.col("max_lon"), F.col("max_lat"), res
+        ).alias("c")
+    ).collect()[0]["c"]
+    east = df.select(
+        cells.covering_cells(
+            F.col("min_lon"), F.col("min_lat"), F.lit(179.999999), F.col("max_lat"), res
+        ).alias("c")
+    ).collect()[0]["c"]
+    west = df.select(
+        cells.covering_cells(
+            F.lit(-180.0), F.col("min_lat"), F.col("max_lon"), F.col("max_lat"), res
+        ).alias("c")
+    ).collect()[0]["c"]
+    assert sorted(cov) == sorted(set(east) | set(west))
+    assert len(set(cov)) == len(cov)
+    # x values span both grid edges
+    xs = {(c % (1 << 58)) >> 29 for c in cov}
+    assert 0 in xs and (1 << res) - 1 in xs
+
+
 def test_pip_join_matches_bruteforce(spark, points):
     poly = _triangle_with_hole()
     polys = polygons_to_df(spark, [(1, poly)])
