@@ -432,21 +432,108 @@ def split_bowtie_ring(ring: np.ndarray) -> list[np.ndarray] | None:
     return out if len(out) == 2 else None
 
 
+def split_self_intersections(
+    ring: np.ndarray, max_crossings: int = 256
+) -> list[np.ndarray]:
+    """General buffer(0)-style repair: node a self-intersecting ring at ALL
+    proper crossings, then pinch off the elementary simple loops.
+
+    Crossings come from the same x-interval sweep as the simplicity check
+    (never O(n^2) python); each intersection point is inserted into BOTH
+    participating segments with identical float coordinates. The noded
+    chain is then treated as a planar graph and its bounded FACES are
+    traced with the half-edge next-clockwise rule (the planar-arrangement
+    decomposition GEOS's buffer(0) noding performs; reference
+    main.py:264-270 delegates this defect class to GEOS). Bounded faces
+    come out CCW, the unbounded face CW and is discarded. A one-crossing
+    figure-eight gives the same two triangles as ``split_bowtie_ring``; a
+    pentagram decomposes into its five point-triangles plus the central
+    pentagon. Faces that are degenerate (zero area) or non-simple
+    (tangency/collinear-overlap defects) are dropped. Returns [] when
+    nothing survives — callers keep the original geometry then."""
+    r = np.asarray(ring, dtype=np.float64)
+    P, Q = r[:-1], r[1:]
+    n = len(P)
+    if n < 3:
+        return []
+    crossings = _find_proper_crossings(P, Q, n, limit=max_crossings + 1)
+    if not crossings:
+        return [r] if len(r) >= 4 and signed_area(r) != 0.0 and ring_is_simple(r) else []
+    if len(crossings) > max_crossings:
+        return []
+    # per-segment insertion lists: (t along the segment, point)
+    inserts: dict[int, list[tuple[float, tuple[float, float]]]] = {}
+    for i, j in crossings:
+        A, B, C, D = P[i], Q[i], P[j], Q[j]
+        rv = B - A
+        sv = D - C
+        denom = rv[0] * sv[1] - rv[1] * sv[0]
+        t = ((C - A)[0] * sv[1] - (C - A)[1] * sv[0]) / denom
+        u = ((C - A)[0] * rv[1] - (C - A)[1] * rv[0]) / denom
+        X = (float(A[0] + t * rv[0]), float(A[1] + t * rv[1]))
+        inserts.setdefault(i, []).append((t, X))
+        inserts.setdefault(j, []).append((u, X))
+    noded: list[tuple[float, float]] = []
+    for i in range(n):
+        noded.append((float(P[i, 0]), float(P[i, 1])))
+        for _, X in sorted(inserts.get(i, []), key=lambda e: e[0]):
+            noded.append(X)
+    # face walk: undirected planar graph over the noded chain; each face is
+    # traced by following, at every node, the edge next-CLOCKWISE from the
+    # reversed arrival edge. Bounded faces trace CCW (positive area); the
+    # unbounded face traces CW and is dropped.
+    m = len(noded)
+    adj: dict[tuple[float, float], list[tuple[float, float]]] = {}
+    for a in range(m):
+        u, v = noded[a], noded[(a + 1) % m]
+        if u == v:
+            continue
+        adj.setdefault(u, []).append(v)
+        adj.setdefault(v, []).append(u)
+    for u, nbrs in adj.items():
+        nbrs.sort(key=lambda w: math.atan2(w[1] - u[1], w[0] - u[0]))
+    visited: set[tuple[tuple[float, float], tuple[float, float]]] = set()
+    out: list[np.ndarray] = []
+    for u0, nbrs0 in adj.items():
+        for v0 in nbrs0:
+            if (u0, v0) in visited:
+                continue
+            face = [u0]
+            u, v = u0, v0
+            while (u, v) not in visited:
+                visited.add((u, v))
+                face.append(v)
+                nbrs = adj[v]
+                i = nbrs.index(u)
+                w = nbrs[(i - 1) % len(nbrs)]  # next clockwise from (v -> u)
+                u, v = v, w
+            lp = np.asarray(face, dtype=np.float64)
+            if (
+                len(lp) >= 4
+                and np.array_equal(lp[0], lp[-1])
+                and signed_area(lp) > 0.0
+                and ring_is_simple(lp)
+            ):
+                out.append(lp)
+    return out
+
+
 def fix_invalid_multipolygon(polys: list[list[np.ndarray]]) -> list[list[np.ndarray]]:
     """buffer(0)-style repair (main.py:264-270). Valid polygons pass through
     untouched (the golden corpus never produces invalid assembled polygons).
-    A shell with exactly one proper self-intersection — the bowtie/figure-
-    eight, the classic OSM data defect — is noded at the crossing and split
-    into its two simple loops, each carrying the original holes that nest
-    inside it. Other invalidity classes pass through unchanged (matching the
-    reference's tolerance: it never verifies buffer(0)'s output either)."""
+    A self-intersecting shell is noded at its proper crossings and split
+    into simple loops (``split_self_intersections`` — the bowtie/figure-
+    eight is the one-crossing case), each loop carrying the original holes
+    that nest inside it. Invalidity with no proper crossing to split at
+    passes through unchanged (matching the reference's tolerance: it never
+    verifies buffer(0)'s output either)."""
     out: list[list[np.ndarray]] = []
     for rings in polys:
         shell = rings[0]
         if polygon_is_valid([shell]) or len(shell) < 4:
             out.append(rings)
             continue
-        pieces = split_bowtie_ring(shell)
+        pieces = split_self_intersections(shell)
         if not pieces:
             out.append(rings)
             continue

@@ -176,3 +176,53 @@ def test_bowtie_split_repair():
     hole = np.array([[1.0, 1.0], [1.0, 2.0], [2.0, 2.0], [2.0, 1.0], [1.0, 1.0]])
     same = fix_invalid_multipolygon([[square, hole]])
     assert len(same) == 1 and same[0][0] is square and same[0][1] is hole
+
+
+def test_multi_crossing_split_repair():
+    """General buffer(0): a pentagram (five proper self-crossings) splits
+    into six simple loops — the five points plus the central pentagon."""
+    ang = np.pi / 2 + 2 * np.pi * (2 * np.arange(5)) / 5  # step-2 star order
+    ring = K.close_ring(np.column_stack([np.cos(ang), np.sin(ang)]))
+    assert not K.ring_is_simple(ring)
+    pieces = K.split_self_intersections(ring)
+    assert len(pieces) == 6
+    for p in pieces:
+        assert K.ring_is_simple(p)
+        assert K.is_closed(p)
+        assert K.signed_area(p) != 0.0
+    # five congruent point-triangles and one central pentagon
+    areas = sorted(abs(K.signed_area(p)) for p in pieces)
+    assert np.allclose(areas[:5], areas[0])
+    assert areas[5] > areas[0]
+
+
+def test_random_tangled_rings_split_to_simple_loops():
+    """Property: for random heavily self-intersecting rings, every repaired
+    loop is simple, closed and has nonzero area; repair never crashes and
+    single-crossing inputs agree with split_bowtie_ring."""
+    rng = np.random.default_rng(11)
+    for n in (6, 9, 14, 23):
+        for _ in range(5):
+            pts = rng.normal(size=(n, 2))
+            ring = K.close_ring(pts)
+            pieces = K.split_self_intersections(ring)
+            for p in pieces:
+                assert K.is_closed(p)
+                assert K.ring_is_simple(p)
+                assert K.signed_area(p) != 0.0
+    # single-crossing agreement with the bowtie splitter (as cyclic sets)
+    bowtie = np.array([[0.0, 0.0], [2.0, 2.0], [2.0, 0.0], [0.0, 2.0], [0.0, 0.0]])
+    a = K.split_self_intersections(bowtie)
+    b = K.split_bowtie_ring(bowtie)
+    assert len(a) == len(b) == 2
+
+    def canon(lp):
+        pts = [tuple(p) for p in lp[:-1]]
+        k = pts.index(min(pts))
+        fwd = tuple(pts[k:] + pts[:k])
+        rpts = pts[::-1]
+        k = rpts.index(min(rpts))
+        rev = tuple(rpts[k:] + rpts[:k])
+        return min(fwd, rev)  # orientation-insensitive cyclic form
+
+    assert {canon(x) for x in a} == {canon(y) for y in b}
