@@ -36,10 +36,16 @@ import numpy as np
 
 
 def signed_area(ring: np.ndarray) -> float:
-    """Shoelace signed area of a (closed or open) ring, CCW positive."""
+    """Shoelace signed area of a (closed or open) ring, CCW positive.
+
+    The cyclic products are formed with slices (x[:-1] @ y[1:] plus the wrap
+    term) instead of np.roll — the roll allocation dominated the relation
+    kernels' profile at millions of small rings."""
     x = ring[:, 0]
     y = ring[:, 1]
-    return 0.5 * float(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1)))
+    a = float(np.dot(x[:-1], y[1:])) + float(x[-1] * y[0])
+    b = float(np.dot(y[:-1], x[1:])) + float(y[-1] * x[0])
+    return 0.5 * (a - b)
 
 
 def is_closed(pts: np.ndarray) -> bool:
@@ -291,9 +297,25 @@ def _ring_is_simple_sweep(P: np.ndarray, Q: np.ndarray, n: int) -> bool:
     return True
 
 
+_ADJ_MASK_CACHE: dict[int, np.ndarray] = {}
+
+
+def _nonadjacent_mask(n: int) -> np.ndarray:
+    """(n, n) mask of non-adjacent segment pairs, cached per ring size —
+    rebuilding it per call dominated the tiny-ring hot path."""
+    m = _ADJ_MASK_CACHE.get(n)
+    if m is None:
+        ii = np.arange(n)[:, None]
+        jj = np.arange(n)[None, :]
+        m = ~((jj == ii) | (jj == (ii + 1) % n) | (jj == (ii - 1) % n))
+        if len(_ADJ_MASK_CACHE) < 4096:
+            _ADJ_MASK_CACHE[n] = m
+    return m
+
+
 def ring_is_simple(ring: np.ndarray, chunk: int = 512, sweep_threshold: int = 4096) -> bool:
-    """No proper self-intersections. Small rings: vectorized chunked
-    all-pairs segment test (NumPy-batched, a few ms at 4k vertices). Above
+    """No proper self-intersections. Small rings: vectorized all-pairs
+    segment test (NumPy-batched, a few ms at 4k vertices). Above
     ``sweep_threshold`` vertices: x-interval sweep (O(n log n + k))."""
     P = ring[:-1]
     Q = ring[1:]
@@ -302,25 +324,22 @@ def ring_is_simple(ring: np.ndarray, chunk: int = 512, sweep_threshold: int = 40
         return False
     if n > sweep_threshold:
         return _ring_is_simple_sweep(P, Q, n)
-    jj = np.arange(n)[None, :]
+
+    def cr(u, v):
+        return u[..., 0] * v[..., 1] - u[..., 1] * v[..., 0]
+
     for i0 in range(0, n, chunk):
         i1 = min(i0 + chunk, n)
         A = P[i0:i1, None, :]
         B = Q[i0:i1, None, :]
         C = P[None, :, :]
         D = Q[None, :, :]
-
-        def cr(u, v):
-            return u[..., 0] * v[..., 1] - u[..., 1] * v[..., 0]
-
         d1 = cr(D - C, A - C)
         d2 = cr(D - C, B - C)
         d3 = cr(B - A, C - A)
         d4 = cr(B - A, D - A)
         proper = ((d1 > 0) != (d2 > 0)) & ((d3 > 0) != (d4 > 0)) & (d1 != d2) & (d3 != d4)
-        ii = np.arange(i0, i1)[:, None]
-        adjacent = (jj == ii) | (jj == (ii + 1) % n) | (jj == (ii - 1) % n)
-        if bool(np.any(proper & ~adjacent)):
+        if bool(np.any(proper & _nonadjacent_mask(n)[i0:i1])):
             return False
     return True
 

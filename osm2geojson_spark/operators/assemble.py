@@ -215,6 +215,8 @@ def _member_lines(g: dict):
     out = []
     starts, ends = _group_bounds(pos0)
     for s, e in zip(starts, ends):
+        if pos0[s] < 0:  # per-relation sentinel row, not a member
+            continue
         if nested_bad[s]:
             return None, "nested_relation_too_deep"
         if pos1[s] < 0:  # direct way member
@@ -246,6 +248,8 @@ def _multipolygon_row(g: dict):
     members, err = _member_lines(g)
     if members is None:
         return None, err
+    if not members:  # sentinel-only group: relation contributed no member rows
+        return None, "no_members"
     shapes = [
         (role, line, ref)
         for _, role, line, ref in members
@@ -263,6 +267,8 @@ def _multiline_row(g: dict):
     members, err = _member_lines(g)
     if members is None:
         return None, err
+    if not members:  # sentinel-only group: relation contributed no member rows
+        return None, "no_members"
     lines = [line for _, _, line, _ in members if line is not None]
     if not lines:  # main.py:560-565
         return None, "no_lines"
@@ -578,16 +584,20 @@ _MEMBER_KERNEL_SCHEMA = (
 )
 
 
-@pandas_udf(T.BinaryType())
-def close_coords_udf(coords: pd.Series, needs_close: pd.Series) -> pd.Series:
-    out = []
-    for buf, nc in zip(coords, needs_close):
-        if buf is None or not nc:
-            out.append(buf)
-            continue
-        pts = _bin_to_coords(buf)
-        out.append(_coords_to_bin(K.close_ring(pts)))
-    return pd.Series(out)
+def close_coords_expr(coords: Column, needs_close: Column) -> Column:
+    """K.close_ring as a pure column expression over the packed little-endian
+    float64 coords binary: append the first 16 bytes (the first point) when
+    the ring is open. JVM-side — no Python/Arrow pass over every member row
+    just to close the few polygon-classified ways."""
+    first_pt = F.substring(coords, 1, 16)
+    last_pt = F.substring(coords, -16, 16)
+    open_ring = (
+        needs_close
+        & coords.isNotNull()
+        & (F.length(coords) >= 32)
+        & (first_pt != last_pt)
+    )
+    return F.when(open_ring, F.concat(coords, first_pt)).otherwise(coords)
 
 
 def assemble_relations(
@@ -601,12 +611,11 @@ def assemble_relations(
         "doc_id",
         F.col("id").alias("rel_id"),
         "is_poly",
-        (F.col("members").isNull() | (F.size("members") == 0)).alias("no_members"),
     )
 
     members = _member_rows(frames, ways_resolved)
     members = members.withColumn(
-        "coords", close_coords_udf(F.col("coords"), F.col("needs_close"))
+        "coords", close_coords_expr(F.col("coords"), F.col("needs_close"))
     ).drop("needs_close")
     flagged = members.join(no_center, ["doc_id", "rel_id"], "inner")
 
@@ -620,6 +629,26 @@ def assemble_relations(
 
     cols = ["doc_id", "rel_id", "pos0", "pos1", "mtype", "ref", "role", "coords", "nested_bad"]
 
+    # one sentinel row per relation rides along into its kernel path: a
+    # group that arrives sentinel-only (empty/None members, or every member
+    # row filtered out) is failed as "no_members" INSIDE the kernel. This
+    # replaces a left-anti join against the kernel OUTPUT, which made the
+    # whole member-resolution + Python-kernel subtree execute twice per
+    # action (once for results, once to find the missing relations).
+    sentinels = no_center.select(
+        "doc_id",
+        "rel_id",
+        F.lit(-1).alias("pos0"),
+        F.lit(-1).alias("pos1"),
+        F.lit("sentinel").alias("mtype"),
+        F.lit(None).cast("long").alias("ref"),
+        F.lit(None).cast("string").alias("role"),
+        F.lit(None).cast("binary").alias("coords"),
+        F.lit(False).alias("nested_bad"),
+        "is_poly",
+    )
+    is_poly_t = F.coalesce(F.col("is_poly"), F.lit(False))
+
     def grouped(df, row_fn):
         return (
             df.select(cols)
@@ -628,19 +657,12 @@ def assemble_relations(
             .mapInPandas(batched_rel_kernel(row_fn), schema=_REL_OUT_SCHEMA)
         )
 
-    poly_out = grouped(poly_members, _multipolygon_row)
-    line_out = grouped(line_members, _multiline_row)
-    assembled = poly_out.unionByName(line_out)
-
-    # relations with no member rows at all (empty/None members, or polygon
-    # path with zero way members) never reach the kernels — fail them here
-    base = no_center.select("doc_id", "rel_id")
-    missing = base.join(
-        assembled.select("doc_id", "rel_id"), ["doc_id", "rel_id"], "left_anti"
-    ).select(
-        "doc_id",
-        "rel_id",
-        F.lit(None).cast("binary").alias("gpb"),
-        F.lit("no_members").alias("reason"),
+    poly_out = grouped(
+        poly_members.select(cols).unionByName(sentinels.filter(is_poly_t).select(cols)),
+        _multipolygon_row,
     )
-    return assembled.unionByName(missing)
+    line_out = grouped(
+        line_members.select(cols).unionByName(sentinels.filter(~is_poly_t).select(cols)),
+        _multiline_row,
+    )
+    return poly_out.unionByName(line_out)
