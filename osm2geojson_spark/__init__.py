@@ -27,6 +27,7 @@ from .plans.pipeline import (
     xml2geojson,
 )
 from .sources import xml_source
+from .sources.overpass import overpass_call
 
 __version__ = "0.1.0"
 
@@ -60,4 +61,5 @@ __all__ = [
     "collect_features",
     "build_features",
     "ConversionError",
+    "overpass_call",
 ]
