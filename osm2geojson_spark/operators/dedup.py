@@ -49,11 +49,23 @@ def ngram_jaccard_pairs(
     tau: float = 0.8,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_df: int | None = None,
 ) -> DataFrame:
     """(id_a, id_b, jaccard) for pairs with shingle-set Jaccard >= tau.
 
     Join on shingle — the candidate space is the inverted index, partitioned
     by shingle; per-pair counts aggregate map-side before the final filter.
+
+    ``max_df`` is the scale knob: the inverted-index self-join is O(df^2)
+    per shingle, and planet-scale corpora have boilerplate shingles with
+    df in the millions. With ``max_df`` set, shingles whose document
+    frequency exceeds it are dropped from the CANDIDATE index only (a
+    broadcast-joined heavy-hitter list, same shape as plans/skew.py), and
+    the Jaccard is then recomputed EXACTLY over the full shingle sets via a
+    candidate-restricted join — so reported scores are exact; the only
+    approximation is recall for pairs whose every shared shingle is
+    ultra-frequent, which at tau-high similarity requires the documents to
+    be made almost entirely of boilerplate. Default None = fully exact.
     """
     ex = shingle_sets(df, id_col, text_col)
     # set size as a narrow projection (F.size of the distinct-shingle array)
@@ -61,14 +73,41 @@ def ngram_jaccard_pairs(
     sizes = df.select(
         F.col(id_col), F.size(H.shingles_col(F.col(text_col))).alias("sz")
     )
-    a = ex.select(F.col(id_col).alias("id_a"), "sh")
-    b = ex.select(F.col(id_col).alias("id_b"), "sh")
-    inter = (
-        a.join(b, "sh")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("inter"))
-    )
+    index = ex
+    if max_df is not None:
+        heavy = (
+            ex.groupBy("sh")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_df)
+            .select("sh")
+        )
+        index = ex.join(F.broadcast(heavy), "sh", "left_anti")
+    a = index.select(F.col(id_col).alias("id_a"), "sh")
+    b = index.select(F.col(id_col).alias("id_b"), "sh")
+    if max_df is None:
+        inter = (
+            a.join(b, "sh")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("inter"))
+        )
+    else:
+        cand = (
+            a.join(b, "sh")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        # exact intersection over the FULL (unpruned) shingle sets,
+        # restricted to candidate pairs — the minhash-verify pattern
+        a_sh = ex.select(F.col(id_col).alias("id_a"), "sh")
+        b_sh = ex.select(F.col(id_col).alias("id_b"), "sh")
+        inter = (
+            cand.join(a_sh, "id_a")
+            .join(b_sh, ["id_b", "sh"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("inter"))
+        )
     j = (
         inter.join(sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
         .join(sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("sz", "sz_b"), "id_b")

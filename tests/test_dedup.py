@@ -201,3 +201,31 @@ def test_duplicate_clusters_label_propagation(spark):
     chain = spark.createDataFrame([(i, i + 1) for i in range(9)], "id_a long, id_b long")
     got2 = {r["doc_id"]: r["cluster_id"] for r in duplicate_clusters(docs2, chain).collect()}
     assert got2 == {i: 0 for i in range(10)}
+
+
+def test_ngram_jaccard_max_df_prunes_candidates_exactly(spark):
+    """With a document-frequency cap, boilerplate shingles are pruned from
+    the candidate index but reported Jaccard stays EXACT (full shingle
+    sets); near-dup pairs sharing rare shingles are still found."""
+    boiler = "subscribe to our newsletter today "
+    rows = [
+        (0, boiler + "alpha beta gamma delta"),
+        (1, boiler + "alpha beta gamma delta"),  # exact dup of 0
+        (2, boiler + "totally different words here"),
+        (3, boiler + "other unrelated content text"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in DD.ngram_jaccard_pairs(df, tau=0.8).collect()
+    }
+    capped = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in DD.ngram_jaccard_pairs(df, tau=0.8, max_df=2).collect()
+    }
+    # the planted pair survives with its exact (unpruned) score
+    assert (0, 1) in capped and capped[(0, 1)] == 1.0
+    assert capped[(0, 1)] == exact[(0, 1)]
+    # capped results are a subset of exact results with identical scores
+    for k, v in capped.items():
+        assert exact[k] == v
