@@ -427,6 +427,32 @@ FROM customer GROUP BY 1
 """
 
 
+def q_sphere_cell_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spherical cube-face cell rollup (operators/cells_sphere.py): the
+    polar-distortion-free S2-style index, encode + histogram entirely in
+    column math; oracle twin evaluates the identical projection in DuckDB."""
+    from osm2geojson_spark.operators import cells_sphere as SPH
+
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        cust.select(
+            SPH.sphere_cell_id(_lon("c_custkey"), _lat("c_custkey"), 4).alias("scell")
+        )
+        .groupBy("scell")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def _sphere_cell_histogram_sql() -> str:
+    from osm2geojson_spark.operators import cells_sphere as SPH
+
+    return f"""
+SELECT {SPH.sphere_cell_id_sql(SYN.lon_sql('c_custkey'), SYN.lat_sql('c_custkey'), 4)} AS scell,
+       count(*) AS n
+FROM customer GROUP BY 1
+"""
+
+
 def q_pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E2: cell-sharded point-in-polygon join (ray-cast kernel) of customer
     points against nation rectangles."""
@@ -1242,6 +1268,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "used_refs_antijoin": q_used_refs_antijoin,
         "cell_encode": q_cell_encode,
         "cell_histogram": q_cell_histogram,
+        "sphere_cell_histogram": q_sphere_cell_histogram,
         "pip_join": q_pip_join,
         "skew_salted_join": q_skew_salted_join,
         "knn": q_knn,
@@ -1280,6 +1307,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "cell_encode": _CELL_ENCODE_SQL,
         "cell_histogram": _CELL_HISTOGRAM_SQL,
+        "sphere_cell_histogram": _sphere_cell_histogram_sql(),
         "pip_join": _PIP_JOIN_SQL,
         "skew_salted_join": _SKEW_JOIN_SQL,
         "knn": _KNN_SQL,
