@@ -62,6 +62,37 @@ def _ring_guarantee_m(res: int, k_ring: int, q_lat: Column) -> Column:
     return F.least(lon_m, lat_m) * F.lit(0.99)
 
 
+def _sphere_ring_guarantee_m(res: int, k_ring: int, q_lat: Column) -> Column:
+    """Ring guarantee for the spherical cube-face grid (cells_sphere):
+    latitude-INDEPENDENT — sphere cells keep a bounded minimum angular
+    width everywhere (the quadratic projection's min-width metric is
+    ~0.943/2^res radians), so polar queries resolve through ring rounds
+    instead of falling back to brute force. The extra 0.5 factor is a
+    safety margin for grid misalignment across cube-face edges (a smaller
+    guarantee only costs extra rounds, never correctness)."""
+    min_width_rad = 0.943 / (1 << res)
+    return F.lit(0.5 * k_ring * min_width_rad * EARTH_RADIUS_M)
+
+
+_GRIDS = {
+    "flat": (
+        lambda lon, lat, res: cells.cell_id(lon, lat, res),
+        lambda cell, res, kr: cells.k_ring(cell, res, kr),
+        _ring_guarantee_m,
+    ),
+}
+
+
+def _sphere_grid():
+    from . import cells_sphere as SPH
+
+    return (
+        lambda lon, lat, res: SPH.sphere_cell_id(lon, lat, res),
+        lambda cell, res, kr: SPH.sphere_k_ring(cell, res, kr),
+        _sphere_ring_guarantee_m,
+    )
+
+
 def knn_join(
     queries: DataFrame,
     targets: DataFrame,
@@ -71,14 +102,24 @@ def knn_join(
     tid: str = "tid",
     rounds: tuple[int, ...] = (1, 4, 16),
     bruteforce_fallback: bool = True,
+    grid: str = "flat",
 ) -> DataFrame:
     """(qid, tid, dist_m, rank) — the k nearest targets per query.
 
     Deterministic tie-break: (dist_m, tid) ordering.
+
+    ``grid``: "flat" (equirectangular E1 cells — oracle-exact integer math;
+    polar queries escalate to brute force because their ring guarantee
+    collapses with cos(lat)) or "sphere" (cube-face cells_sphere — uniform
+    cell widths everywhere, so polar query sets resolve through the ring
+    rounds; cell encode runs JVM-side, the ring expansion is an Arrow UDF).
     """
+    cell_fn, ring_fn, guarantee_fn = (
+        _GRIDS["flat"] if grid == "flat" else _sphere_grid()
+    )
     q = queries.select(
         qid, F.col("lon").alias("q_lon"), F.col("lat").alias("q_lat")
-    ).withColumn("q_cell", cells.cell_id(F.col("q_lon"), F.col("q_lat"), res))
+    ).withColumn("q_cell", cell_fn(F.col("q_lon"), F.col("q_lat"), res))
     # localCheckpoint (not cache): materialized once for the ring rounds and
     # released by the context cleaner when the plan goes out of scope — no
     # executor-storage leak across repeated knn_join calls in a session
@@ -86,7 +127,7 @@ def knn_join(
         targets.select(
             tid, F.col("lon").alias("t_lon"), F.col("lat").alias("t_lat")
         )
-        .withColumn("cell_id", cells.cell_id(F.col("t_lon"), F.col("t_lat"), res))
+        .withColumn("cell_id", cell_fn(F.col("t_lon"), F.col("t_lat"), res))
         .localCheckpoint(eager=False)
     )
 
@@ -96,7 +137,7 @@ def knn_join(
         if remaining.isEmpty():
             break
         cand = remaining.withColumn(
-            "cell_id", F.explode(cells.k_ring(F.col("q_cell"), res, kr))
+            "cell_id", F.explode(ring_fn(F.col("q_cell"), res, kr))
         ).join(t, "cell_id", "inner")
         cand = cand.withColumn(
             "dist_m", haversine_col(F.col("q_lon"), F.col("q_lat"), F.col("t_lon"), F.col("t_lat"))
@@ -118,7 +159,7 @@ def knn_join(
             F.first("q_lat").alias("q_lat"),
         )
         ok_ids = stats.filter(
-            (F.col("n") >= k) & (F.col("kth") <= _ring_guarantee_m(res, kr, F.col("q_lat")))
+            (F.col("n") >= k) & (F.col("kth") <= guarantee_fn(res, kr, F.col("q_lat")))
         ).select(qid).localCheckpoint(eager=False)
         done = topk.join(ok_ids, qid, "leftsemi").select(qid, tid, "dist_m", "rank")
         results = done if results is None else results.unionByName(done)

@@ -250,3 +250,35 @@ def test_raster_vector_exact_refine(spark):
     exact = {r["image_id"] for r in raster_vector_join(fp, polys, res=5, exact=True).collect()}
     assert "corner" in coarse  # bbox pass keeps the false positive
     assert exact == {"center", "edge"}
+
+
+def test_knn_sphere_grid_matches_bruteforce_at_poles(spark):
+    """The sphere-grid kNN returns exactly the brute-force answer, and a
+    polar query set resolves through ring rounds WITHOUT the brute-force
+    fallback (the flat grid's polar guarantee collapses; the sphere grid's
+    does not)."""
+    import numpy as np
+
+    from osm2geojson_spark.operators.knn import knn_bruteforce, knn_join
+
+    rng = np.random.default_rng(9)
+    # dense polar target cloud + mid-latitude noise
+    tg = [(i, float(lo), float(la)) for i, (lo, la) in enumerate(
+        zip(rng.uniform(-180, 180, 400), rng.uniform(80, 89.99, 400)))]
+    tg += [(1000 + i, float(lo), float(la)) for i, (lo, la) in enumerate(
+        zip(rng.uniform(-180, 180, 100), rng.uniform(-60, 60, 100)))]
+    targets = spark.createDataFrame(tg, "tid long, lon double, lat double")
+    qs = [(j, float(lo), float(la)) for j, (lo, la) in enumerate(
+        zip(rng.uniform(-180, 180, 12), rng.uniform(84, 89.9, 12)))]
+    queries = spark.createDataFrame(qs, "qid long, lon double, lat double")
+
+    exact = {
+        (r["qid"], r["rank"]): r["tid"]
+        for r in knn_bruteforce(queries, targets, k=3).collect()
+    }
+    got_rows = knn_join(
+        queries, targets, k=3, res=6, grid="sphere",
+        rounds=(1, 4, 16, 64), bruteforce_fallback=False,
+    ).collect()
+    got = {(r["qid"], r["rank"]): r["tid"] for r in got_rows}
+    assert got == exact  # complete (no fallback needed) AND identical
