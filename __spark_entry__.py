@@ -865,6 +865,79 @@ SELECT id_a, id_b, round(cos, 6) AS cos FROM pairs WHERE cos >= 0.9
 """
 
 
+def q_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data dedup stage in the canonical order:
+    exact dedup (hash-groupBy) FIRST — which also removes the
+    exact-duplicate floods that would otherwise make minhash band keys
+    heavy — then MinHash-LSH near-dup pairing over the survivors, then
+    cluster resolution. Output: every input doc mapped to its final
+    canonical id (exact keeper -> near-dup cluster minimum)."""
+    base = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 60)
+        .select("doc_id", "text")
+    )
+    mut = base.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.expr("substring(text, 1, (length(text) * 4) div 5)").alias("text"),
+    )
+    copies = base.select((F.col("doc_id") + 200000).alias("doc_id"), "text")
+    corpus = base.unionByName(mut).unionByName(copies)
+
+    fp = corpus.select(
+        "doc_id", "text", TXT.fingerprint_col(F.col("text")).alias("fp")
+    )
+    keep = fp.groupBy("fp").agg(F.min("doc_id").alias("keep_id"))
+    doc2keep = fp.join(keep, "fp").select("doc_id", "keep_id")
+    survivors = corpus.join(
+        keep.select(F.col("keep_id").alias("doc_id")), "doc_id", "leftsemi"
+    )
+    pairs = DD.minhash_lsh_pairs(survivors, tau=0.5)
+    clusters = DD.duplicate_clusters(survivors.select("doc_id"), pairs).select(
+        F.col("doc_id").alias("keep_id"), F.col("cluster_id").alias("final_id")
+    )
+    return doc2keep.join(clusters, "keep_id").select("doc_id", "final_id")
+
+
+def _dedup_pipeline_sql() -> str:
+    corpus = f"""
+  SELECT doc_id, text FROM documents WHERE doc_id < 60
+  UNION ALL
+  SELECT doc_id + 100000, substr(text, 1, (length(text) * 4) // 5)
+  FROM documents WHERE doc_id < 60
+  UNION ALL
+  SELECT doc_id + 200000, text FROM documents WHERE doc_id < 60
+"""
+    surv = f"""
+  SELECT c.doc_id, c.text FROM ({corpus}) c
+  WHERE c.doc_id IN (
+    SELECT min(doc_id) FROM (
+      SELECT doc_id, {TXT.fingerprint_sql('text')} AS fp FROM ({corpus})
+    ) GROUP BY fp
+  )
+"""
+    # planted components are single pairs (diameter 1), so the one-hop min
+    # is the exact cluster resolution here (the Spark operator handles
+    # arbitrary chains; pinned by tests/test_dedup.py)
+    return f"""
+WITH fp AS (
+  SELECT doc_id, {TXT.fingerprint_sql('text')} AS fp FROM ({corpus})
+), keep AS (
+  SELECT fp, min(doc_id) AS keep_id FROM fp GROUP BY fp
+), d2k AS (
+  SELECT f.doc_id, k.keep_id FROM fp f JOIN keep k USING (fp)
+), pairs AS ({_minhash_lsh_sql(surv, 0.5)}),
+surv_ids AS (SELECT keep_id AS doc_id FROM keep GROUP BY keep_id),
+clus AS (
+  SELECT s.doc_id AS keep_id,
+         least(s.doc_id, coalesce(min(least(p.id_a, p.id_b)), s.doc_id)) AS final_id
+  FROM surv_ids s LEFT JOIN pairs p ON p.id_a = s.doc_id OR p.id_b = s.doc_id
+  GROUP BY s.doc_id
+)
+SELECT d.doc_id, c.final_id FROM d2k d JOIN clus c ON c.keep_id = d.keep_id
+"""
+
+
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal payload path: binary image column -> Arrow-batched decode
     (mapInPandas) -> exact per-image pixel stats. The oracle recomputes the
@@ -1278,6 +1351,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "dedup_clusters": q_dedup_clusters,
+        "dedup_pipeline": q_dedup_pipeline,
         "dedup_embedding": q_dedup_embedding,
         "multimodal_decode": q_multimodal_decode,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -1317,6 +1391,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": _minhash_lsh_sql(_docs_mutant_cte(60), 0.5),
         "dedup_simhash": _simhash_sql("doc_id < 120", 3),
         "dedup_clusters": _dedup_clusters_sql(),
+        "dedup_pipeline": _dedup_pipeline_sql(),
         "dedup_embedding": _dedup_embedding_sql(),
         "multimodal_decode": _MULTIMODAL_SQL,
         "ann_cosine_topk": _ANN_SQL,
