@@ -544,6 +544,25 @@ SELECT qid, rank, tid FROM d WHERE rank <= 3
 """
 
 
+def q_knn_sphere(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 on the spherical cube-face grid (grid="sphere"): the ring
+    guarantee is latitude-independent, so polar queries resolve via ring
+    rounds. The oracle is the same brute-force SQL as the flat-grid kNN —
+    the operator's contract is exact-kNN equality regardless of grid."""
+    nat = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("qid"),
+        _lon("n_nationkey").alias("lon"),
+        _lat("n_nationkey").alias("lat"),
+    )
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("tid"),
+        _lon("c_custkey").alias("lon"),
+        _lat("c_custkey").alias("lat"),
+    )
+    res = KNN.knn_join(nat, cust, k=3, res=7, qid="qid", tid="tid", grid="sphere")
+    return res.select("qid", "rank", "tid")
+
+
 def q_tile_vector_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E4: raster-tile <-> vector join. Image tiles derived from part rows
     (phash encodes the part's deterministic point), footprints sized w x h
@@ -1345,6 +1364,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_join": q_pip_join,
         "skew_salted_join": q_skew_salted_join,
         "knn": q_knn,
+        "knn_sphere": q_knn_sphere,
         "tile_vector_join": q_tile_vector_join,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -1385,6 +1405,7 @@ def oracle_sql() -> dict[str, str]:
         "pip_join": _PIP_JOIN_SQL,
         "skew_salted_join": _SKEW_JOIN_SQL,
         "knn": _KNN_SQL,
+        "knn_sphere": _KNN_SQL,
         "tile_vector_join": _TILE_JOIN_SQL,
         "dedup_exact": _DEDUP_EXACT_SQL,
         "dedup_ngram_jaccard": _jaccard_sql(_docs_mutant_cte(60), 0.5),
