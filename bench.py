@@ -38,8 +38,10 @@ BENCH_QUERIES = [
     "pip_join",
     "skew_salted_join",
     "knn",
+    "knn_sphere",
     "tile_vector_join",
     "cell_histogram",
+    "sphere_cell_histogram",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
