@@ -313,15 +313,34 @@ def _nonadjacent_mask(n: int) -> np.ndarray:
     return m
 
 
+def _segments_cross(A, B, C, D) -> bool:
+    """Proper crossing of segments AB and CD (scalar fast path)."""
+    d1 = (D[0] - C[0]) * (A[1] - C[1]) - (D[1] - C[1]) * (A[0] - C[0])
+    d2 = (D[0] - C[0]) * (B[1] - C[1]) - (D[1] - C[1]) * (B[0] - C[0])
+    d3 = (B[0] - A[0]) * (C[1] - A[1]) - (B[1] - A[1]) * (C[0] - A[0])
+    d4 = (B[0] - A[0]) * (D[1] - A[1]) - (B[1] - A[1]) * (D[0] - A[0])
+    return ((d1 > 0) != (d2 > 0)) and ((d3 > 0) != (d4 > 0)) and d1 != d2 and d3 != d4
+
+
 def ring_is_simple(ring: np.ndarray, chunk: int = 512, sweep_threshold: int = 4096) -> bool:
-    """No proper self-intersections. Small rings: vectorized all-pairs
-    segment test (NumPy-batched, a few ms at 4k vertices). Above
-    ``sweep_threshold`` vertices: x-interval sweep (O(n log n + k))."""
+    """No proper self-intersections. Triangles are always simple and
+    quadrilaterals need exactly two non-adjacent pair tests — the dominant
+    ring sizes in OSM (buildings), handled scalar without the batched
+    matrix. Small rings: vectorized all-pairs segment test (NumPy-batched,
+    a few ms at 4k vertices). Above ``sweep_threshold`` vertices:
+    x-interval sweep (O(n log n + k))."""
     P = ring[:-1]
     Q = ring[1:]
     n = len(P)
     if n < 3:
         return False
+    if n == 3:
+        return True  # a triangle's only segment pairs are adjacent
+    if n == 4:
+        return not (
+            _segments_cross(P[0], Q[0], P[2], Q[2])
+            or _segments_cross(P[1], Q[1], P[3], Q[3])
+        )
     if n > sweep_threshold:
         return _ring_is_simple_sweep(P, Q, n)
 
