@@ -49,7 +49,10 @@ def signed_area(ring: np.ndarray) -> float:
 
 
 def is_closed(pts: np.ndarray) -> bool:
-    return len(pts) >= 2 and bool(np.all(pts[0] == pts[-1]))
+    if len(pts) < 2:
+        return False
+    a, b = pts[0], pts[-1]
+    return bool(a[0] == b[0]) and bool(a[1] == b[1])
 
 
 def close_ring(pts: np.ndarray) -> np.ndarray:
@@ -63,7 +66,8 @@ def close_ring(pts: np.ndarray) -> np.ndarray:
 def rotate_ring_start(closed: np.ndarray, k: int) -> np.ndarray:
     """Rotate a closed ring so it starts at distinct-vertex index k."""
     distinct = closed[:-1]
-    rolled = np.roll(distinct, -k, axis=0)
+    k = k % len(distinct)
+    rolled = np.concatenate([distinct[k:], distinct[:k]])
     return np.vstack([rolled, rolled[:1]])
 
 
@@ -90,7 +94,7 @@ def overlay_normalize_ring(closed: np.ndarray, shell: bool) -> np.ndarray:
     """
     ring = orient_ring(closed, ccw=not shell)
     distinct = ring[:-1]
-    rolled = np.roll(distinct, -1, axis=0)  # second vertex first
+    rolled = np.concatenate([distinct[1:], distinct[:1]])  # second vertex first
     return np.vstack([rolled, rolled[:1]])
 
 
