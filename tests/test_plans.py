@@ -78,3 +78,19 @@ def test_tile_vector_join_broadcasts_shards(spark):
     plan = _plan(E.queries()["tile_vector_join"](spark, SF_DIR))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_embedding_lsh_plan_shape(spark):
+    """Banded RH LSH: Python appears ONLY as the Arrow signature UDF (the
+    GEMM); the band join is an equi-join (no cartesian product) and the
+    verify joins carry vectors per side, not through the band join."""
+    plan = _plan(E.queries()["dedup_embedding"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan  # no row-at-a-time Python
+    assert plan.count("ArrowEvalPython") <= 2  # signature UDF per side
+
+
+def test_sphere_cell_encode_is_jvm_only(spark):
+    plan = _plan(E.queries()["sphere_cell_histogram"](spark, SF_DIR))
+    assert "EvalPython" not in plan  # encode is pure column math
+    assert "CartesianProduct" not in plan
