@@ -282,3 +282,21 @@ def test_knn_sphere_grid_matches_bruteforce_at_poles(spark):
     ).collect()
     got = {(r["qid"], r["rank"]): r["tid"] for r in got_rows}
     assert got == exact  # complete (no fallback needed) AND identical
+
+
+def test_pip_join_shuffle_path_matches_broadcast_path(spark, points):
+    """broadcast_polys=False (the huge-polygon-table shuffle path) returns
+    exactly the broadcast path's result."""
+    poly = _triangle_with_hole()
+    polys = polygons_to_df(spark, [(1, poly)])
+    bc = {
+        (r["pid"], r["poly_id"])
+        for r in point_in_polygon_join(points, polys, res=5).collect()
+    }
+    sh = {
+        (r["pid"], r["poly_id"])
+        for r in point_in_polygon_join(
+            points, polys, res=5, broadcast_polys=False
+        ).collect()
+    }
+    assert sh == bc and len(sh) > 50
