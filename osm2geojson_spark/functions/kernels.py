@@ -572,17 +572,24 @@ def fix_invalid_multipolygon(polys: list[list[np.ndarray]]) -> list[list[np.ndar
     out: list[list[np.ndarray]] = []
     for rings in polys:
         shell = rings[0]
+        # self-intersecting HOLES are repaired the same way: each splits
+        # into its simple loops (re-oriented later by orient_multipolygon)
+        holes: list[np.ndarray] = []
+        for h in rings[1:]:
+            if len(h) < 4 or polygon_is_valid([h]):
+                holes.append(h)
+            else:
+                pieces = split_self_intersections(h)
+                holes.extend(pieces if pieces else [h])
         if polygon_is_valid([shell]) or len(shell) < 4:
-            out.append(rings)
+            out.append([shell] + holes)
             continue
         pieces = split_self_intersections(shell)
         if not pieces:
-            out.append(rings)
+            out.append([shell] + holes)
             continue
         for piece in pieces:
-            kept = [piece] + [
-                h for h in rings[1:] if ring_contains_ring(piece, h)
-            ]
+            kept = [piece] + [h for h in holes if ring_contains_ring(piece, h)]
             out.append(kept)
     return out
 

@@ -240,3 +240,20 @@ def test_small_ring_fast_path_matches_general():
             # a 5+-vertex threshold bypass: compare against the sweep
             sweep = K._ring_is_simple_sweep(ring[:-1], ring[1:], npts)
             assert fast == sweep, ring
+
+
+def test_fix_invalid_repairs_self_intersecting_holes():
+    """A valid shell with a bowtie HOLE: the hole is noded and split into
+    its two simple triangular loops, both kept as holes of the shell."""
+    square = np.array([[0.0, 0.0], [10.0, 0.0], [10.0, 10.0], [0.0, 10.0], [0.0, 0.0]])
+    bowtie_hole = np.array([[2.0, 2.0], [4.0, 4.0], [4.0, 2.0], [2.0, 4.0], [2.0, 2.0]])
+    out = K.fix_invalid_multipolygon([[square, bowtie_hole]])
+    assert len(out) == 1
+    shell, *holes = out[0]
+    assert shell is square
+    assert len(holes) == 2
+    for h in holes:
+        assert K.ring_is_simple(h)
+        assert K.ring_contains_ring(square, h)
+    areas = sorted(abs(K.signed_area(h)) for h in holes)
+    assert abs(areas[0] - 1.0) < 1e-12 and abs(areas[1] - 1.0) < 1e-12
