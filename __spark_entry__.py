@@ -962,15 +962,7 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     (mapInPandas) -> exact per-image pixel stats. The oracle recomputes the
     deterministic pixel formula (x*3 + y*7 + i*13) % 251 in pure SQL, so the
     zlib codec round-trip is verified end-to-end."""
-    part = _t(spark, sf_dir, "part").filter(F.col("p_partkey") < 300)
-    w = (F.lit(8) * (F.lit(1) + F.col("p_partkey") % 3)).cast("int")
-    imgs = part.select(
-        F.format_string("img%012d", F.col("p_partkey")).alias("image_id"),
-        F.col("p_partkey").alias("_i"),
-        w.alias("w"),
-        w.alias("h"),
-        F.lit("rawz").alias("fmt"),
-    ).withColumn("bytes", SYN._encode_image_udf(F.col("_i"), F.col("w"), F.col("h")))
+    imgs = _synth_images(spark, sf_dir, 300)
     return MM.decode_stats(imgs).select(
         "image_id", "w", "h", "px_sum", "px_min", "px_max", "decode_ok"
     )
@@ -991,6 +983,79 @@ SELECT printf('img%012d', i) AS image_id,
        CAST(min(v) AS BIGINT) AS px_min, CAST(max(v) AS BIGINT) AS px_max,
        true AS decode_ok
 FROM v GROUP BY i, w
+"""
+
+
+def _synth_images(spark: SparkSession, sf_dir: str, limit: int, step: int = 1):
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_partkey") < limit) & (F.col("p_partkey") % step == 0)
+    )
+    w = (F.lit(8) * (F.lit(1) + F.col("p_partkey") % 3)).cast("int")
+    return part.select(
+        F.format_string("img%012d", F.col("p_partkey")).alias("image_id"),
+        F.col("p_partkey").alias("_i"),
+        w.alias("w"),
+        w.alias("h"),
+        F.lit("rawz").alias("fmt"),
+    ).withColumn("bytes", SYN._encode_image_udf(F.col("_i"), F.col("w"), F.col("h")))
+
+
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched nearest-neighbor resize to 8x8 then exact pixel stats;
+    the oracle recomputes the resize index map (sy = ty*H//8) and the
+    deterministic pixel formula in pure SQL — the whole decode -> resize ->
+    re-encode -> decode chain is value-verified end to end."""
+    imgs = _synth_images(spark, sf_dir, 150)
+    resized = MM.resize_images(imgs, 8, 8)
+    return MM.decode_stats(resized).select("image_id", "px_sum", "px_min", "px_max")
+
+
+_MULTIMODAL_RESIZE_SQL = """
+WITH img AS (
+  SELECT p_partkey AS i, 8 * (1 + p_partkey % 3) AS hh
+  FROM part WHERE p_partkey < 150
+), cell AS (
+  SELECT i, hh, unnest(range(0, 64)) AS c FROM img
+), v AS (
+  SELECT i,
+    ((((c % 8) * hh) // 8) * 3 + (((c // 8) * hh) // 8) * 7 + i * 13) % 251 AS v
+  FROM cell
+)
+SELECT printf('img%012d', i) AS image_id,
+       CAST(sum(v) AS BIGINT) AS px_sum,
+       CAST(min(v) AS BIGINT) AS px_min, CAST(max(v) AS BIGINT) AS px_max
+FROM v GROUP BY i
+"""
+
+
+def q_multimodal_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bin intensity histogram features (the encoder-input stage).
+    8x8 images only, so every normalized share k/64 is an exact 6-decimal
+    rational — no cross-engine rounding ambiguity. Exploded to
+    (image_id, bin, share) rows for the value comparison."""
+    imgs = _synth_images(spark, sf_dir, 300, step=3)  # w == h == 8
+    hist = MM.histogram_features(imgs, bins=16)
+    return hist.select(
+        "image_id", F.posexplode("hist").alias("bin", "share")
+    )
+
+
+_MULTIMODAL_HIST_SQL = """
+WITH img AS (
+  SELECT p_partkey AS i FROM part WHERE p_partkey < 300 AND p_partkey % 3 = 0
+), px AS (
+  SELECT i, unnest(range(0, 64)) AS p FROM img
+), v AS (
+  SELECT i, (((p % 8) * 3 + (p // 8) * 7 + i * 13) % 251) // 16 AS b FROM px
+), bins AS (
+  SELECT i, unnest(range(0, 16)) AS bin FROM img
+), cnt AS (
+  SELECT i, b, count(*) AS n FROM v GROUP BY i, b
+)
+SELECT printf('img%012d', bins.i) AS image_id,
+       CAST(bins.bin AS INTEGER) AS bin,
+       round(coalesce(cnt.n, 0) / 64.0, 6) AS share
+FROM bins LEFT JOIN cnt ON cnt.i = bins.i AND cnt.b = bins.bin
 """
 
 
@@ -1374,6 +1439,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_pipeline": q_dedup_pipeline,
         "dedup_embedding": q_dedup_embedding,
         "multimodal_decode": q_multimodal_decode,
+        "multimodal_resize": q_multimodal_resize,
+        "multimodal_histogram": q_multimodal_histogram,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_cosine_lsh": q_ann_cosine_lsh,
         "text_analysis": q_text_analysis,
@@ -1415,6 +1482,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_pipeline": _dedup_pipeline_sql(),
         "dedup_embedding": _dedup_embedding_sql(),
         "multimodal_decode": _MULTIMODAL_SQL,
+        "multimodal_resize": _MULTIMODAL_RESIZE_SQL,
+        "multimodal_histogram": _MULTIMODAL_HIST_SQL,
         "ann_cosine_topk": _ANN_SQL,
         "ann_cosine_lsh": _ann_lsh_sql(),
         "text_analysis": _TEXT_SQL,
