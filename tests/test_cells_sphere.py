@@ -145,3 +145,37 @@ def test_sql_twin_matches(spark):
         ).fetchall()
     ]
     assert got == exp
+
+
+def test_sql_twin_parity_near_face_edges(spark):
+    """Stress Spark-vs-DuckDB encode parity exactly where a 1-ulp trig
+    difference could flip a cell: points packed close to cube-face edges,
+    corners and the poles."""
+    import duckdb
+
+    pts = []
+    eps = [0.0, 1e-9, -1e-9, 1e-6, -1e-6]
+    for base_lon in (-135.0, -45.0, 45.0, 135.0, 180.0, 0.0):
+        for e in eps:
+            pts.append((base_lon + e, 10.0))
+            pts.append((base_lon + e, 35.264389682754654 + e))  # corner lat
+    for e in eps:
+        pts.append((0.0 + e, 90.0 - abs(e)))
+        pts.append((0.0 + e, -90.0 + abs(e)))
+    df = _pts_df(spark, pts)
+    got = [
+        r["c"]
+        for r in df.select(
+            S.sphere_cell_id(F.col("lon"), F.col("lat"), 12).alias("c")
+        ).collect()
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE p(lon DOUBLE, lat DOUBLE)")
+    con.executemany("INSERT INTO p VALUES (?, ?)", pts)
+    exp = [
+        r[0]
+        for r in con.sql(
+            f"SELECT {S.sphere_cell_id_sql('lon', 'lat', 12)} FROM p"
+        ).fetchall()
+    ]
+    assert got == exp
