@@ -476,6 +476,21 @@ FROM pts JOIN boxes
 # edge as inside and on the right/top edge as outside (partition property)
 
 
+def q_pip_join_sphere(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 on the spherical cube-face grid (grid="sphere"): points keyed by
+    sphere_cell_id, polygons sharded by the conservative hierarchical
+    sphere coverer (cells_sphere.sphere_covering_cells_py) with the same
+    interior/boundary split. The oracle is the identical box-containment
+    SQL — the operator contract is exact PIP equality regardless of grid."""
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", _lon("c_custkey").alias("lon"), _lat("c_custkey").alias("lat")
+    )
+    polys = polygons_to_df(spark, [(p, g) for p, g, *_ in _nation_boxes(spark, sf_dir)])
+    return point_in_polygon_join(cust, polys, res=4, grid="sphere").select(
+        "c_custkey", "poly_id"
+    )
+
+
 def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E5: heavy-hitter salted cell join. Customer points cell-keyed at a
     coarse resolution (few cells -> guaranteed heavy hitters at the 200-row
@@ -599,6 +614,25 @@ SELECT DISTINCT image_id, poly_id
 FROM fp JOIN boxes
   ON fx0 <= x1 AND fx1 >= x0 AND fy0 <= y1 AND fy1 >= y0
 """
+
+
+def q_tile_vector_join_sphere(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 on the spherical cube-face grid: footprints explode through the
+    Arrow-batched sphere coverer (single-face vectorized fast path for tiny
+    tiles, hierarchical descent for polar/face-straddling ones). Same bbox
+    oracle as the flat-grid join."""
+    part = _t(spark, sf_dir, "part")
+    lon, lat = _lon("p_partkey"), _lat("p_partkey")
+    w = (F.lit(16) * (F.lit(1) + F.col("p_partkey") % 3)).cast("int")
+    imgs = part.select(
+        F.format_string("img%012d", F.col("p_partkey")).alias("image_id"),
+        w.alias("w"),
+        w.alias("h"),
+        SYN.phash_encode(lon, lat).alias("phash"),
+    )
+    fp = tile_footprints(imgs, deg_per_px=0.01)
+    polys = polygons_to_df(spark, [(p, g) for p, g, *_ in _nation_boxes(spark, sf_dir)])
+    return raster_vector_join(fp, polys, res=4, grid="sphere")
 
 
 # --------------------------------------------------------------------------
@@ -1427,10 +1461,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_histogram": q_cell_histogram,
         "sphere_cell_histogram": q_sphere_cell_histogram,
         "pip_join": q_pip_join,
+        "pip_join_sphere": q_pip_join_sphere,
         "skew_salted_join": q_skew_salted_join,
         "knn": q_knn,
         "knn_sphere": q_knn_sphere,
         "tile_vector_join": q_tile_vector_join,
+        "tile_vector_join_sphere": q_tile_vector_join_sphere,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -1470,10 +1506,12 @@ def oracle_sql() -> dict[str, str]:
         "cell_histogram": _CELL_HISTOGRAM_SQL,
         "sphere_cell_histogram": _sphere_cell_histogram_sql(),
         "pip_join": _PIP_JOIN_SQL,
+        "pip_join_sphere": _PIP_JOIN_SQL,
         "skew_salted_join": _SKEW_JOIN_SQL,
         "knn": _KNN_SQL,
         "knn_sphere": _KNN_SQL,
         "tile_vector_join": _TILE_JOIN_SQL,
+        "tile_vector_join_sphere": _TILE_JOIN_SQL,
         "dedup_exact": _DEDUP_EXACT_SQL,
         "dedup_ngram_jaccard": _jaccard_sql(_docs_mutant_cte(60), 0.5),
         "dedup_minhash_lsh": _minhash_lsh_sql(_docs_mutant_cte(60), 0.5),

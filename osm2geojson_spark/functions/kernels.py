@@ -306,13 +306,18 @@ _ADJ_MASK_CACHE: dict[int, np.ndarray] = {}
 
 def _nonadjacent_mask(n: int) -> np.ndarray:
     """(n, n) mask of non-adjacent segment pairs, cached per ring size —
-    rebuilding it per call dominated the tiny-ring hot path."""
+    rebuilding it per call dominated the tiny-ring hot path.
+
+    Only small n are cached: the rebuild cost only matters for tiny rings,
+    and an (n, n) bool array is n^2 bytes — caching every size up to 4096
+    could pin gigabytes in a long-lived Python worker."""
     m = _ADJ_MASK_CACHE.get(n)
     if m is None:
         ii = np.arange(n)[:, None]
         jj = np.arange(n)[None, :]
         m = ~((jj == ii) | (jj == (ii + 1) % n) | (jj == (ii - 1) % n))
-        if len(_ADJ_MASK_CACHE) < 4096:
+        # n <= 512 -> <= 256 KiB/entry, <= ~64 MiB worst-case total
+        if n <= 512:
             _ADJ_MASK_CACHE[n] = m
     return m
 

@@ -41,7 +41,11 @@ from ..sources.normalize import ElementFrames, normalize_elements
 
 
 def _coords_to_bin(arr: np.ndarray) -> bytes:
-    return np.ascontiguousarray(arr, dtype="<f8").tobytes()
+    # + 0.0 normalizes -0.0 to +0.0 (IEEE 754 round-to-nearest) so the
+    # byte-equality ring-closing test (close_coords_expr) agrees with float
+    # value equality. NaN coords (never produced by OSM sources) are the one
+    # remaining divergence: bit-equal NaN endpoints read as "closed".
+    return (np.ascontiguousarray(arr, dtype="<f8") + 0.0).tobytes()
 
 
 def _bin_to_coords(buf: bytes) -> np.ndarray:
@@ -52,7 +56,8 @@ def _bin_to_coords(buf: bytes) -> np.ndarray:
 def pack_coords_udf(flat: pd.Series) -> pd.Series:
     """array<double> [lon0,lat0,lon1,lat1,...] -> packed binary (or null)."""
     return flat.map(
-        lambda a: None if a is None else np.asarray(a, dtype="<f8").tobytes(),
+        # + 0.0: normalize -0.0 (see _coords_to_bin)
+        lambda a: None if a is None else (np.asarray(a, dtype="<f8") + 0.0).tobytes(),
         na_action="ignore",
     )
 
@@ -93,8 +98,14 @@ def way_gpb_udf(coords_bin: pd.Series, is_poly: pd.Series) -> pd.DataFrame:
                 gpbs.append(None)
                 reasons.append("polygon_error")  # main.py:358-363
                 continue
-            rings = K.fix_invalid_multipolygon([rings])[0]
-            gpbs.append(geom.polygon(rings))
+            fixed = K.fix_invalid_multipolygon([rings])
+            # buffer(0) in the reference returns ALL repaired pieces as a
+            # MultiPolygon (main.py:264-270) — keep every loop, not just the
+            # first (a pentagram way must emit all 6 loops).
+            if len(fixed) == 1:
+                gpbs.append(geom.polygon(fixed[0]))
+            else:
+                gpbs.append(geom.multipolygon(K.orient_multipolygon(fixed)))
             reasons.append(None)
         else:
             gpbs.append(geom.linestring(pts))
@@ -140,8 +151,10 @@ def _lines_to_multipolygon(lines: list[np.ndarray]):
             except ValueError:
                 continue  # warning path (main.py:689-693)
             if not K.polygon_is_valid(rings):
-                rings = K.fix_invalid_multipolygon([rings])[0]
-            polys.append(rings)
+                # keep every repaired piece (reference buffer(0) semantics)
+                polys.extend(K.fix_invalid_multipolygon([rings]))
+            else:
+                polys.append(rings)
         return K.unary_union_polygons(polys) if polys else None
     try:
         rings = K.polygon_from_coords(merged[0])

@@ -145,7 +145,12 @@ def sphere_parent(cell: Column, child_res: int, parent_res: int) -> Column:
 
 
 def _np_st_from_uv(u: np.ndarray) -> np.ndarray:
-    return np.where(u >= 0, 0.5 * np.sqrt(1.0 + 3.0 * u), 1.0 - 0.5 * np.sqrt(1.0 - 3.0 * u))
+    # np.where evaluates both branches; |u| > 1/3 makes the unselected
+    # branch's sqrt argument negative — expected, silence it
+    with np.errstate(invalid="ignore"):
+        return np.where(
+            u >= 0, 0.5 * np.sqrt(1.0 + 3.0 * u), 1.0 - 0.5 * np.sqrt(1.0 - 3.0 * u)
+        )
 
 
 def _np_uv_from_st(s: np.ndarray) -> np.ndarray:
@@ -242,9 +247,267 @@ def sphere_k_ring(cell: Column, res: int, k: int = 1) -> Column:
                 lon, lat = _np_unproject(f, _np_uv_from_st(s), _np_uv_from_st(t))
                 cols.append(_np_encode(lon, lat, res))
         mat = np.stack(cols, axis=1)  # (batch, (2k+1)^2)
-        return pd.Series([np.unique(row) for row in mat])
+        # whole-matrix sorted-axis dedup (no per-row numpy calls): sort each
+        # row, keep first-of-run entries, then slice the flattened survivors
+        mat.sort(axis=1)
+        keep = np.ones(mat.shape, dtype=bool)
+        keep[:, 1:] = mat[:, 1:] != mat[:, :-1]
+        flat = mat[keep]
+        bounds = np.concatenate(([0], np.cumsum(keep.sum(axis=1))))
+        return pd.Series(
+            [flat[a:b] for a, b in zip(bounds[:-1], bounds[1:])]
+        )
 
     return _ring(cell)
+
+
+# ------------------------------------------------------------------ covering
+#
+# Polygon/bbox -> covering cell set on the SPHERE grid (the round-2 gap: the
+# flat grid had covering_cells, the sphere grid only points/k-ring). The
+# covering must be a PROVABLE superset of every cell that intersects the
+# query region — a missed cell is a wrong join answer, not a slow one — so
+# everything below is built on one conservative primitive:
+#
+#   cell_lonlat_boxes(f, res, i, j) — lon/lat box(es) that provably contain
+#   the cell. Cell edges are great-circle arcs (u=const / v=const are planes
+#   through the origin), so the boundary is sampled along each edge and
+#   padded by HALF THE LARGEST INTER-SAMPLE ARC: every boundary point lies
+#   within max_gap/2 of some sample, and a pole-free region's lat/lon
+#   extrema lie on its boundary (lat/lon have no interior critical points
+#   away from the poles). Pole-containing and antimeridian-wrapping cells
+#   are flagged `clean=False` — callers that reason in planar lon/lat space
+#   (PIP classification) must route those to the exact-refine path.
+
+_EDGE_SAMPLES = 17
+
+
+def sphere_pack_py(f: int, res: int, i: int, j: int) -> int:
+    return (f << _F_SHIFT) + (res << _R_SHIFT) + (i << _I_SHIFT) + j
+
+
+def sphere_parts_py(cell: int) -> tuple[int, int, int, int]:
+    """(face, res, i, j)."""
+    return (
+        cell >> _F_SHIFT,
+        (cell >> _R_SHIFT) & 0x3F,
+        (cell >> _I_SHIFT) & ((1 << _J_BITS) - 1),
+        cell & ((1 << _J_BITS) - 1),
+    )
+
+
+def sphere_cell_id_py(lon: float, lat: float, res: int) -> int:
+    """Scalar encode (driver-side twin of sphere_cell_id)."""
+    return int(_np_encode(np.asarray([lon]), np.asarray([lat]), res)[0])
+
+
+def cell_lonlat_boxes(f: int, res: int, i: int, j: int):
+    """Conservative lon/lat bounding box(es) of a sphere cell.
+
+    Returns ``(boxes, clean)``: ``boxes`` is a list of
+    (lon0, lat0, lon1, lat1) whose union provably contains the cell;
+    ``clean`` is False when the cell touches a pole or wraps the
+    antimeridian (its planar lon/lat representation is disconnected /
+    degenerate, so planar containment reasoning is invalid for it)."""
+    n = float(1 << res)
+    g = np.linspace(i / n, (i + 1) / n, _EDGE_SAMPLES)
+    h = np.linspace(j / n, (j + 1) / n, _EDGE_SAMPLES)
+    lo_i, hi_i = np.full(_EDGE_SAMPLES, i / n), np.full(_EDGE_SAMPLES, (i + 1) / n)
+    lo_j, hi_j = np.full(_EDGE_SAMPLES, j / n), np.full(_EDGE_SAMPLES, (j + 1) / n)
+    # 4 edges, each sampled in order (gap measurement needs edge-consecutive)
+    s = np.concatenate([g, g, lo_i, hi_i])
+    t = np.concatenate([lo_j, hi_j, h, h])
+    u, v = _np_uv_from_st(s), _np_uv_from_st(t)
+    fa = np.full(s.shape, f, dtype=np.int64)
+    one = np.ones_like(u)
+    x = np.select([fa == 0, fa == 3], [one, -one], u)
+    y = np.select([fa == 0, fa == 3, fa == 1, fa == 4], [u, u, one, -one], v)
+    z = np.select([fa == 2, fa == 5], [one, -one], v)
+    nrm = np.sqrt(x * x + y * y + z * z)
+    x, y, z = x / nrm, y / nrm, z / nrm
+    lon = np.degrees(np.arctan2(y, x))
+    lat = np.degrees(np.arctan2(z, np.hypot(x, y)))
+
+    # half the max consecutive-sample arc per edge = provable boundary pad
+    e = _EDGE_SAMPLES
+    max_cos = 1.0
+    for k in range(4):
+        sl = slice(k * e, (k + 1) * e)
+        dots = x[sl][:-1] * x[sl][1:] + y[sl][:-1] * y[sl][1:] + z[sl][:-1] * z[sl][1:]
+        max_cos = min(max_cos, float(dots.min()))
+    pad = 0.5 * float(np.degrees(np.arccos(np.clip(max_cos, -1.0, 1.0)))) + 1e-12
+
+    # pole containment: only the z faces can contain a pole — uv (0,0)
+    if f in (2, 5):
+        u0, u1 = _np_uv_from_st(np.array([i / n, (i + 1) / n]))
+        v0, v1 = _np_uv_from_st(np.array([j / n, (j + 1) / n]))
+        if u0 <= 0.0 <= u1 and v0 <= 0.0 <= v1:
+            lat0 = float(lat.min()) - pad
+            if f == 2:
+                return [(-180.0, max(-90.0, lat0), 180.0, 90.0)], False
+            lat1 = float(lat.max()) + pad
+            return [(-180.0, -90.0, 180.0, min(90.0, lat1))], False
+
+    lat0 = max(-90.0, float(lat.min()) - pad)
+    lat1 = min(90.0, float(lat.max()) + pad)
+    max_abs_lat = max(abs(lat0), abs(lat1))
+    if max_abs_lat >= 89.9:
+        # close enough to a pole that the lon pad diverges — full lon range
+        return [(-180.0, lat0, 180.0, lat1)], False
+    pad_lon = pad / np.cos(np.radians(max_abs_lat))
+
+    if float(lon.max()) - float(lon.min()) > 180.0:
+        # wraps the antimeridian: split into the two planar pieces
+        neg, pos = lon[lon < 0.0], lon[lon >= 0.0]
+        return (
+            [
+                (-180.0, lat0, min(180.0, float(neg.max()) + pad_lon), lat1),
+                (max(-180.0, float(pos.min()) - pad_lon), lat0, 180.0, lat1),
+            ],
+            False,
+        )
+    lon0 = max(-180.0, float(lon.min()) - pad_lon)
+    lon1 = min(180.0, float(lon.max()) + pad_lon)
+    return [(lon0, lat0, lon1, lat1)], True
+
+
+def _boxes_overlap(a, b) -> bool:
+    return a[0] <= b[2] and a[2] >= b[0] and a[1] <= b[3] and a[3] >= b[1]
+
+
+def _box_inside(a, b) -> bool:
+    return a[0] >= b[0] and a[2] <= b[2] and a[1] >= b[1] and a[3] <= b[3]
+
+
+def _descendant_ids(f: int, res: int, r: int, i: int, j: int) -> list[int]:
+    dr = res - r
+    ii = (np.arange(i << dr, (i + 1) << dr, dtype=np.int64))[:, None]
+    jj = (np.arange(j << dr, (j + 1) << dr, dtype=np.int64))[None, :]
+    ids = (
+        np.int64(f << _F_SHIFT)
+        + np.int64(res << _R_SHIFT)
+        + ii * np.int64(1 << _I_SHIFT)
+        + jj
+    )
+    return ids.ravel().tolist()
+
+
+def sphere_covering_cells_py(
+    minx: float, miny: float, maxx: float, maxy: float, res: int
+) -> list[int]:
+    """All sphere cells at ``res`` that (conservatively) intersect the
+    lon/lat bbox — hierarchical descent from the 6 faces, pruning subtrees
+    whose conservative boxes miss the query and bulk-emitting subtrees whose
+    conservative boxes lie fully inside it. ``minx > maxx`` follows the
+    RFC 7946 antimeridian-crossing convention (mirrors the flat
+    covering_cells)."""
+    if minx > maxx:
+        qboxes = [(-180.0, miny, maxx, maxy), (minx, miny, 180.0, maxy)]
+    else:
+        qboxes = [(minx, miny, maxx, maxy)]
+    out: list[int] = []
+    stack = [(f, 0, 0, 0) for f in range(6)]
+    while stack:
+        f, r, i, j = stack.pop()
+        boxes, _ = cell_lonlat_boxes(f, r, i, j)
+        if not any(_boxes_overlap(b, q) for b in boxes for q in qboxes):
+            continue
+        if r == res:
+            out.append(sphere_pack_py(f, res, i, j))
+            continue
+        if all(any(_box_inside(b, q) for q in qboxes) for b in boxes):
+            out.extend(_descendant_ids(f, res, r, i, j))
+            continue
+        r2 = r + 1
+        stack.extend(
+            (f, r2, 2 * i + di, 2 * j + dj) for di in (0, 1) for dj in (0, 1)
+        )
+    return out
+
+
+def sphere_covering_cells_udf(
+    minx: Column, miny: Column, maxx: Column, maxy: Column, res: int
+) -> Column:
+    """array<long> covering per row (the distributed polygon/footprint-side
+    shard path). A vectorized single-face fast path handles the common tiny
+    footprint: if all 4 bbox corners land strictly inside one EQUATORIAL
+    face, the box provably stays on that face (the face's |lat| boundary is
+    minimized at the box's lon extremes, so corners-inside implies
+    edges-inside) and u=tan-like coordinates are monotone per lon/lat axis,
+    making the corner st-range a valid covering range. Everything else
+    (polar faces, face-straddling, antimeridian) takes the exact
+    hierarchical routine per row."""
+    n = 1 << res
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def _cov(b_minx, b_miny, b_maxx, b_maxy):
+        x0 = b_minx.to_numpy(dtype=np.float64)
+        y0 = b_miny.to_numpy(dtype=np.float64)
+        x1 = b_maxx.to_numpy(dtype=np.float64)
+        y1 = b_maxy.to_numpy(dtype=np.float64)
+        m = len(x0)
+        out = [None] * m
+        # corner (face, s, t) for the fast path: 4 corners per row
+        clon = np.stack([x0, x1, x0, x1])  # (4, m)
+        clat = np.stack([y0, y0, y1, y1])
+        rl, rp = np.radians(clon), np.radians(clat)
+        X = np.cos(rp) * np.cos(rl)
+        Y = np.cos(rp) * np.sin(rl)
+        Z = np.sin(rp)
+        aX, aY, aZ = np.abs(X), np.abs(Y), np.abs(Z)
+        xdom = (aX >= aY) & (aX >= aZ)
+        ydom = (~xdom) & (aY >= aZ)
+        zdom = ~(xdom | ydom)
+        face = np.select(
+            [xdom & (X >= 0), xdom, ydom & (Y >= 0), ydom, zdom & (Z >= 0)],
+            [0, 3, 1, 4, 2],
+            5,
+        ).astype(np.int64)
+        d = np.select([xdom, ydom], [aX, aY], aZ)
+        U = np.select([xdom], [Y], X) / d
+        V = np.select([xdom | ydom], [Z], Y) / d
+        same_face = (face == face[0]).all(axis=0)
+        equatorial = np.isin(face[0], (0, 1, 3, 4))
+        interior = (np.abs(U) <= 1.0 - 1e-9).all(axis=0) & (
+            np.abs(V) <= 1.0 - 1e-9
+        ).all(axis=0)
+        ordered = x0 <= x1  # antimeridian convention rows -> slow path
+        # span <= 90 keeps a face-3 box inside ONE connected lon piece of
+        # the face region (it is [-180,-135] u [135,180] — a box whose
+        # corners all land on face 3 but spans the near side would
+        # otherwise sneak through faces 0/1/4)
+        fast = same_face & equatorial & interior & ordered & ((x1 - x0) <= 90.0)
+        S, Tt = _np_st_from_uv(U), _np_st_from_uv(V)
+        i0 = np.clip(np.floor((S.min(axis=0) - 1e-9) * n), 0, n - 1).astype(np.int64)
+        i1 = np.clip(np.floor((S.max(axis=0) + 1e-9) * n), 0, n - 1).astype(np.int64)
+        j0 = np.clip(np.floor((Tt.min(axis=0) - 1e-9) * n), 0, n - 1).astype(np.int64)
+        j1 = np.clip(np.floor((Tt.max(axis=0) + 1e-9) * n), 0, n - 1).astype(np.int64)
+        for r in range(m):
+            if fast[r]:
+                out[r] = _descendant_ids_range(
+                    int(face[0, r]), res, int(i0[r]), int(i1[r]), int(j0[r]), int(j1[r])
+                )
+            else:
+                out[r] = sphere_covering_cells_py(
+                    float(x0[r]), float(y0[r]), float(x1[r]), float(y1[r]), res
+                )
+        return pd.Series(out)
+
+    return _cov(minx, miny, maxx, maxy)
+
+
+def _descendant_ids_range(
+    f: int, res: int, i0: int, i1: int, j0: int, j1: int
+) -> list[int]:
+    ii = np.arange(i0, i1 + 1, dtype=np.int64)[:, None]
+    jj = np.arange(j0, j1 + 1, dtype=np.int64)[None, :]
+    ids = (
+        np.int64(f << _F_SHIFT)
+        + np.int64(res << _R_SHIFT)
+        + ii * np.int64(1 << _I_SHIFT)
+        + jj
+    )
+    return ids.ravel().tolist()
 
 
 def sphere_cell_id_sql(lon_expr: str, lat_expr: str, res: int = DEFAULT_RES) -> str:

@@ -69,9 +69,19 @@ def _sphere_ring_guarantee_m(res: int, k_ring: int, q_lat: Column) -> Column:
     ~0.943/2^res radians), so polar queries resolve through ring rounds
     instead of falling back to brute force. The extra 0.5 factor is a
     safety margin for grid misalignment across cube-face edges (a smaller
-    guarantee only costs extra rounds, never correctness)."""
+    guarantee only costs extra rounds, never correctness).
+
+    The linear-in-k bound is only sound while the ring stays well inside a
+    cube face: extrapolated past a face edge, angular coverage saturates
+    (theta -> 90 deg) while 0.5*k*min_width grows without bound. Clamp the
+    CREDITED k at 2^res/4 (a quarter-face, ~13 deg of arc at any res) —
+    larger rings still widen the candidate set, but the certificate stops
+    growing, so queries whose k-th neighbor is genuinely far escalate to
+    the brute-force fallback instead of being mis-certified near a face
+    edge/corner."""
+    k_eff = min(k_ring, max(1, (1 << res) // 4))
     min_width_rad = 0.943 / (1 << res)
-    return F.lit(0.5 * k_ring * min_width_rad * EARTH_RADIUS_M)
+    return F.lit(0.5 * k_eff * min_width_rad * EARTH_RADIUS_M)
 
 
 _GRIDS = {

@@ -11,7 +11,14 @@
 * ``rh_band_keys`` / ``rh_band_key_sql`` — the shared signature: the
   projection matrix entries are power-of-two rationals (k/1024) derived from
   an integer hash, exactly representable both as float64 and as decimal SQL
-  literals, so the Spark plan and the DuckDB oracle bucket identically.
+  literals. With float32 embeddings every per-term product is exact in
+  float64 (24-bit x 11-bit significands fit in 53), so the only engine
+  divergence left is summation ORDER (NumPy GEMM is blocked/SIMD, DuckDB
+  list_dot_product is sequential): a dot product within rounding error of 0
+  can in principle flip sign between engines and move a vector to a
+  different bucket. In practice random embeddings land |dot| >> ulp and the
+  driver oracle has been green at every SF; parity is "identical unless a
+  plane dot is within ~1e-12 of zero", not unconditional.
 
 Scale tuning (10^12 rows): RH_BITS=16 gives 65k buckets per band — right for
 ~10^8 rows. At larger corpora raise RH_BITS (24-32 bits keeps the per-bucket
@@ -45,7 +52,8 @@ def rh_plane_matrix(dim: int, n_planes: int = N_PLANES) -> np.ndarray:
     Entries are v/1024 with v an integer in [-1024, 1023] derived from a
     32-bit mix of (plane, dim) — deterministic, dim-independent per entry,
     and exactly representable in binary AND as short decimal literals
-    (repr round-trips), which is what keeps the DuckDB oracle bit-identical.
+    (repr round-trips), which makes every product term exact in float64 on
+    both engines; see the module docstring for the summation-order caveat.
     """
     p = np.arange(n_planes, dtype=np.uint64)[None, :]
     d = np.arange(dim, dtype=np.uint64)[:, None]
@@ -65,7 +73,9 @@ def _rh_keys_udf(v: pd.Series) -> pd.Series:
     """
     if len(v) == 0:
         return pd.Series([], dtype=object)
-    x = np.vstack([np.asarray(row, dtype=np.float64) for row in v])
+    # Arrow hands each row over as an ndarray already — stack the object
+    # array directly (C loop over pre-built row arrays, no per-row Python).
+    x = np.stack(v.to_numpy()).astype(np.float64, copy=False)
     r = rh_plane_matrix(x.shape[1])
     bits = (x @ r) > 0  # (batch, N_PLANES)
     weights = (1 << np.arange(RH_BITS, dtype=np.int64))

@@ -52,6 +52,16 @@ def shard_polygons(polys_df: DataFrame, res: int) -> DataFrame:
     )
 
 
+def sphere_shard_polygons(polys_df: DataFrame, res: int) -> DataFrame:
+    """shard_polygons on the sphere grid (Arrow-batched coverer UDF)."""
+    from . import cells_sphere as SPH
+
+    cov = SPH.sphere_covering_cells_udf(
+        F.col("minx"), F.col("miny"), F.col("maxx"), F.col("maxy"), res
+    )
+    return polys_df.select("poly_id", "gpb", F.explode(cov).alias("cell_id"))
+
+
 _CELL_EPS = 1e-9  # conservative pad >> float error of the JVM cell assignment
 
 
@@ -108,6 +118,42 @@ def classified_shards(polys: list[tuple[int, bytes]], res: int):
                     inside.append((cells.pack_cell_py(res, x, y), pid))
                 elif st == "boundary":
                     boundary.append((cells.pack_cell_py(res, x, y), pid))
+    return inside, boundary, pid2gpb
+
+
+def sphere_classified_shards(polys: list[tuple[int, bytes]], res: int):
+    """Driver-side shard build on the SPHERE grid (cells_sphere): returns
+    (inside_rows, boundary_rows, {poly_id: gpb}).
+
+    Covering cells come from the hierarchical sphere coverer; each cell is
+    classified against the polygon via its conservative lon/lat box
+    (cell_lonlat_boxes): a cell whose padded box touches no polygon segment
+    bbox is uniformly inside/outside (decided by the box center — the
+    padded box is a connected planar region containing the cell, so if the
+    polygon boundary misses the box, box and cell share one side).
+    Pole-touching / antimeridian-wrapping cells (clean=False) are planar-
+    disconnected, so they always go to the exact-refine boundary class."""
+    from . import cells_sphere as SPH
+
+    inside, boundary = [], []
+    pid2gpb: dict[int, bytes] = {}
+    for pid, g in polys:
+        g = bytes(g)
+        pid2gpb[pid] = g
+        rings = geom.all_rings(g)
+        minx, miny, maxx, maxy = geom.bbox(g)
+        for cell in SPH.sphere_covering_cells_py(minx, miny, maxx, maxy, res):
+            f, _, i, j = SPH.sphere_parts_py(cell)
+            boxes, clean = SPH.cell_lonlat_boxes(f, res, i, j)
+            if not clean:
+                boundary.append((cell, pid))
+                continue
+            bx0, by0, bx1, by1 = boxes[0]
+            st = _classify_cell(rings, bx0, by0, bx1, by1)
+            if st == "inside":
+                inside.append((cell, pid))
+            elif st == "boundary":
+                boundary.append((cell, pid))
     return inside, boundary, pid2gpb
 
 
@@ -176,6 +222,7 @@ def point_in_polygon_join(
     lon_col: str = "lon",
     lat_col: str = "lat",
     broadcast_polys: bool = True,
+    grid: str = "flat",
 ) -> DataFrame:
     """E2: rows of ``points`` paired with every polygon containing them.
 
@@ -188,13 +235,28 @@ def point_in_polygon_join(
     over Arrow batches, polygons in the closure). At planet scale the
     boundary fraction shrinks as perimeter/area, so the Python path touches
     only an O(1/res) sliver of the candidates.
+
+    ``grid``: "flat" (equirectangular E1 cells) or "sphere" (cube-face
+    cells_sphere — uniform cell area everywhere, so polar-heavy corpora
+    don't concentrate into a handful of distorted cells). Results are
+    identical; only candidate generation changes.
     """
     spark = points.sparkSession
-    pts = points.withColumn("cell_id", cells.cell_id(F.col(lon_col), F.col(lat_col), res))
+    if grid == "sphere":
+        from . import cells_sphere as SPH
+
+        pts = points.withColumn(
+            "cell_id", SPH.sphere_cell_id(F.col(lon_col), F.col(lat_col), res)
+        )
+    else:
+        pts = points.withColumn(
+            "cell_id", cells.cell_id(F.col(lon_col), F.col(lat_col), res)
+        )
 
     if broadcast_polys:
         polys = [(r["poly_id"], bytes(r["gpb"])) for r in polys_df.select("poly_id", "gpb").collect()]
-        inside_rows, boundary_rows, pid2gpb = classified_shards(polys, res)
+        shard_fn = sphere_classified_shards if grid == "sphere" else classified_shards
+        inside_rows, boundary_rows, pid2gpb = shard_fn(polys, res)
         shard_schema = "cell_id long, poly_id long"
         inside_df = spark.createDataFrame(inside_rows, shard_schema)
         boundary_df = spark.createDataFrame(boundary_rows, shard_schema)
@@ -207,7 +269,11 @@ def point_in_polygon_join(
         return fast.unionByName(refined).drop("cell_id")
 
     # huge polygon side: shuffle join with per-row payloads
-    shards = shard_polygons(polys_df, res)
+    shards = (
+        sphere_shard_polygons(polys_df, res)
+        if grid == "sphere"
+        else shard_polygons(polys_df, res)
+    )
     cand = pts.join(shards, "cell_id", "inner")
     out_schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in cand.schema.fields if f.name != "gpb"
@@ -262,6 +328,7 @@ def raster_vector_join(
     res: int = cells.DEFAULT_RES,
     exact: bool = False,
     broadcast_polys: bool = True,
+    grid: str = "flat",
 ) -> DataFrame:
     """E4: (image_id, poly_id) pairs whose tile footprint bbox intersects the
     polygon. Coarse pass: covering-cell equi-join + bbox intersect test
@@ -273,15 +340,20 @@ def raster_vector_join(
     deduped by (image_id, poly_id), an aggregation that stays cell-local
     before the final distinct.
     """
-    fp = images_fp.withColumn(
-        "cell_id",
-        F.explode(
-            cells.covering_cells(
-                F.col("fminx"), F.col("fminy"), F.col("fmaxx"), F.col("fmaxy"), res
-            )
-        ),
-    )
-    shards = shard_polygons(polys_df, res).join(
+    if grid == "sphere":
+        from . import cells_sphere as SPH
+
+        fp_cov = SPH.sphere_covering_cells_udf(
+            F.col("fminx"), F.col("fminy"), F.col("fmaxx"), F.col("fmaxy"), res
+        )
+        poly_shards = sphere_shard_polygons(polys_df, res)
+    else:
+        fp_cov = cells.covering_cells(
+            F.col("fminx"), F.col("fminy"), F.col("fmaxx"), F.col("fmaxy"), res
+        )
+        poly_shards = shard_polygons(polys_df, res)
+    fp = images_fp.withColumn("cell_id", F.explode(fp_cov))
+    shards = poly_shards.join(
         polys_df.select("poly_id", "minx", "miny", "maxx", "maxy"), "poly_id"
     )
     if broadcast_polys:

@@ -284,6 +284,105 @@ def test_knn_sphere_grid_matches_bruteforce_at_poles(spark):
     assert got == exact  # complete (no fallback needed) AND identical
 
 
+def test_knn_sphere_face_edge_large_k_is_exact(spark):
+    """Queries packed against a cube-face edge AND corner, with a ring round
+    so large its linear guarantee would (before the k_eff clamp) overrun the
+    saturating cross-face coverage. Exactness vs brute force is the
+    contract; the clamp makes over-large rings escalate to the fallback
+    instead of mis-certifying."""
+    import numpy as np
+
+    rng = np.random.default_rng(21)
+    # face 0/1 edge is lon=45; the face corner (45, ~35.26) where 3 faces meet
+    tg = [(i, float(lo), float(la)) for i, (lo, la) in enumerate(
+        zip(rng.uniform(40, 50, 300), rng.uniform(30, 40, 300)))]
+    tg += [(1000 + i, float(lo), float(la)) for i, (lo, la) in enumerate(
+        zip(rng.uniform(-180, 180, 150), rng.uniform(-60, 60, 150)))]
+    targets = spark.createDataFrame(tg, "tid long, lon double, lat double")
+    qs = [(j, float(44.999) + 0.002 * (j % 2), float(35.264) + 0.3 * (j - 4))
+          for j in range(8)]
+    queries = spark.createDataFrame(qs, "qid long, lon double, lat double")
+
+    exact = {
+        (r["qid"], r["rank"]): r["tid"]
+        for r in knn_bruteforce(queries, targets, k=4).collect()
+    }
+    got = {
+        (r["qid"], r["rank"]): r["tid"]
+        for r in knn_join(
+            queries, targets, k=4, res=5, grid="sphere", rounds=(2, 48)
+        ).collect()
+    }
+    assert got == exact
+
+
+def _sphere_poly_fixture():
+    def boxpoly(x0, y0, x1, y1):
+        return geom.polygon(
+            [np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]])]
+        )
+
+    return [
+        (1, boxpoly(-10, -5, 25, 20)),
+        (2, boxpoly(100, 60, 170, 88)),     # high-latitude
+        (3, boxpoly(-179.5, -30, 179.5, 30)),  # near-global band
+        (4, boxpoly(5, 80, 60, 89.9)),      # polar
+        (5, boxpoly(-60, -89.5, -5, -75)),  # south polar
+    ]
+
+
+def test_pip_join_sphere_matches_bruteforce(spark):
+    """grid="sphere" PIP equals the brute-force oracle on a point cloud with
+    a dense polar component, against polar/high-lat/near-global polygons —
+    both the broadcast and the shuffle path."""
+    from osm2geojson_spark.operators.spatial_join import (
+        point_in_polygon_bruteforce,
+    )
+
+    rng = np.random.default_rng(3)
+    pts = [(int(i), float(lo), float(la)) for i, (lo, la) in enumerate(
+        zip(rng.uniform(-180, 180, 1500), rng.uniform(-90, 90, 1500)))]
+    pts += [(10000 + i, float(lo), float(la)) for i, (lo, la) in enumerate(
+        zip(rng.uniform(-180, 180, 500), rng.uniform(75, 90, 500)))]
+    points_df = spark.createDataFrame(pts, "pid long, lon double, lat double")
+    pdf = polygons_to_df(spark, _sphere_poly_fixture())
+
+    brute = {
+        (r["pid"], r["poly_id"])
+        for r in point_in_polygon_bruteforce(points_df, pdf)
+        .select("pid", "poly_id").collect()
+    }
+    assert len(brute) > 400
+    for bc in (True, False):
+        got = {
+            (r["pid"], r["poly_id"])
+            for r in point_in_polygon_join(
+                points_df, pdf, res=4, broadcast_polys=bc, grid="sphere"
+            ).select("pid", "poly_id").collect()
+        }
+        assert got == brute, f"broadcast_polys={bc}"
+
+
+def test_raster_vector_join_sphere_matches_flat(spark):
+    """grid="sphere" raster<->vector join returns exactly the flat-grid
+    pairs (the flat path is itself oracle-checked above)."""
+    rng = np.random.default_rng(13)
+    rows = [(f"img{i:06d}", float(lo), float(la)) for i, (lo, la) in enumerate(
+        zip(rng.uniform(-179, 179, 800), rng.uniform(-89, 89, 800)))]
+    imgs = spark.createDataFrame(rows, "image_id string, lon double, lat double")
+    fp = imgs.select(
+        "image_id",
+        (F.col("lon") - 0.8).alias("fminx"),
+        (F.col("lat") - 0.8).alias("fminy"),
+        (F.col("lon") + 0.8).alias("fmaxx"),
+        (F.col("lat") + 0.8).alias("fmaxy"),
+    )
+    pdf = polygons_to_df(spark, _sphere_poly_fixture())
+    flat = set(map(tuple, raster_vector_join(fp, pdf, res=4).collect()))
+    sph = set(map(tuple, raster_vector_join(fp, pdf, res=4, grid="sphere").collect()))
+    assert sph == flat and len(flat) > 100
+
+
 def test_pip_join_shuffle_path_matches_broadcast_path(spark, points):
     """broadcast_polys=False (the huge-polygon-table shuffle path) returns
     exactly the broadcast path's result."""
