@@ -1030,8 +1030,16 @@ def _synth_images(spark: SparkSession, sf_dir: str, limit: int, step: int = 1):
         F.col("p_partkey").alias("_i"),
         w.alias("w"),
         w.alias("h"),
-        F.lit("rawz").alias("fmt"),
-    ).withColumn("bytes", SYN._encode_image_udf(F.col("_i"), F.col("w"), F.col("h")))
+        # mixed wire formats: every 7th image is real PNG (stdlib codec) —
+        # the oracle checks pixel values, which are format-independent, so
+        # a codec bug in either container breaks the hash match
+        F.when(F.col("p_partkey") % 7 == 0, F.lit("png"))
+        .otherwise(F.lit("rawz"))
+        .alias("fmt"),
+    ).withColumn(
+        "bytes",
+        SYN._encode_image_fmt_udf(F.col("_i"), F.col("w"), F.col("h"), F.col("fmt")),
+    )
 
 
 def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:

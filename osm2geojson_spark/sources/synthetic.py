@@ -239,6 +239,17 @@ def _encode_image_udf(i: pd.Series, w: pd.Series, h: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
+@pandas_udf(T.BinaryType())
+def _encode_image_fmt_udf(i: pd.Series, w: pd.Series, h: pd.Series, fmt: pd.Series) -> pd.Series:
+    """Format-aware encoder: same deterministic pixels, container per row
+    ('rawz' or real 'png' — functions/imagecodec.encode)."""
+    out = []
+    for idx, ww, hh, f in zip(i, w, h, fmt):
+        px = imagecodec.synth_pixels(int(idx), int(ww), int(hh))
+        out.append(imagecodec.encode(px, str(f)))
+    return pd.Series(out)
+
+
 def synthetic_images(
     spark: SparkSession,
     n: int,
@@ -260,12 +271,17 @@ def synthetic_images(
         i.alias("_i"),
         w.alias("w"),
         w.alias("h"),
-        F.lit("rawz").alias("fmt"),
+        # mixed wire formats: every 7th image is a real PNG (stdlib codec),
+        # the rest rawz — downstream decode must handle both
+        F.when(i % 7 == 0, F.lit("png")).otherwise(F.lit("rawz")).alias("fmt"),
         F.concat(F.lit("caption for img"), i.cast("string")).alias("caption"),
         phash_encode(lon, lat).alias("phash"),
     )
     if with_bytes:
-        df = df.withColumn("bytes", _encode_image_udf(F.col("_i"), F.col("w"), F.col("h")))
+        df = df.withColumn(
+            "bytes",
+            _encode_image_fmt_udf(F.col("_i"), F.col("w"), F.col("h"), F.col("fmt")),
+        )
     else:
         df = df.withColumn("bytes", F.lit(None).cast("binary"))
     return df.select("image_id", "bytes", "w", "h", "fmt", "caption", "phash", "_i")

@@ -31,6 +31,90 @@ def test_external_codec_is_stubbed():
         imagecodec.decode(b"\xff\xd8\xff", "jpeg")
 
 
+def test_png_roundtrip_all_color_types():
+    """Real-PNG codec (stdlib zlib + the five filter types): bit-exact
+    decode(encode(x)) for gray / gray+alpha / RGB / RGBA."""
+    rng = np.random.default_rng(5)
+    for shape in [(8, 8), (17, 31), (16, 16, 2), (9, 13, 3), (5, 7, 4), (1, 1)]:
+        px = rng.integers(0, 256, shape).astype(np.uint8)
+        back = imagecodec.decode_png(imagecodec.encode_png(px))
+        assert np.array_equal(px, back)
+        assert imagecodec.psnr_db(px, back) == math.inf
+    # smooth gradients make the adaptive encoder pick Sub/Up filters
+    grad = (np.add.outer(np.arange(32) * 5, np.arange(32) * 3) % 256).astype(np.uint8)
+    assert np.array_equal(imagecodec.decode(imagecodec.encode_png(grad), "png"), grad)
+
+
+def test_png_decodes_average_paeth_and_palette():
+    """Foreign-file filters our encoder never emits (Average=3, Paeth=4) and
+    palette color (type 3): hand-filtered scanlines must reconstruct."""
+    import struct
+    import zlib
+
+    rng = np.random.default_rng(9)
+    px = rng.integers(0, 256, (6, 5, 3)).astype(np.uint8)
+    flat = px.reshape(6, 15).astype(int)
+    lines = b""
+    prev = np.zeros(15, int)
+    for y in range(6):
+        ft = 3 if y % 2 == 0 else 4
+        filt = np.zeros(15, int)
+        for x in range(15):
+            left = flat[y][x - 3] if x >= 3 else 0
+            up = prev[x]
+            ul = prev[x - 3] if x >= 3 else 0
+            pred = (left + up) // 2 if ft == 3 else imagecodec._paeth(int(left), int(up), int(ul))
+            filt[x] = (flat[y][x] - pred) & 0xFF
+        lines += bytes([ft]) + bytes(filt.astype(np.uint8).tolist())
+        prev = flat[y]
+    ihdr = struct.pack(">IIBBBBB", 5, 6, 8, 2, 0, 0, 0)
+    buf = (
+        imagecodec._PNG_SIG
+        + imagecodec._chunk(b"IHDR", ihdr)
+        + imagecodec._chunk(b"IDAT", zlib.compress(lines))
+        + imagecodec._chunk(b"IEND", b"")
+    )
+    assert np.array_equal(imagecodec.decode_png(buf), px)
+
+    plte = rng.integers(0, 256, (16, 3)).astype(np.uint8)
+    idx = rng.integers(0, 16, (4, 7)).astype(np.uint8)
+    lines = b"".join(bytes([0]) + bytes(idx[y].tolist()) for y in range(4))
+    buf = (
+        imagecodec._PNG_SIG
+        + imagecodec._chunk(b"IHDR", struct.pack(">IIBBBBB", 7, 4, 8, 3, 0, 0, 0))
+        + imagecodec._chunk(b"PLTE", plte.tobytes())
+        + imagecodec._chunk(b"IDAT", zlib.compress(lines))
+        + imagecodec._chunk(b"IEND", b"")
+    )
+    assert np.array_equal(imagecodec.decode_png(buf), plte[idx])
+
+
+def test_png_rejects_corruption_and_unsupported():
+    px = imagecodec.synth_pixels(3, 8, 8)
+    good = bytearray(imagecodec.encode_png(px))
+    with pytest.raises(ValueError):
+        imagecodec.decode_png(b"not a png at all")
+    bad = bytearray(good)
+    bad[30] ^= 0xFF  # flip an IDAT byte -> CRC mismatch
+    with pytest.raises(ValueError):
+        imagecodec.decode_png(bytes(bad))
+    import struct
+
+    # 16-bit depth and interlace are documented as unsupported
+    for patch in ((16, 8), (8, None)):
+        ihdr = struct.pack(
+            ">IIBBBBB", 8, 8, patch[0], 0, 0, 0, 1 if patch[1] is None else 0
+        )
+        buf = (
+            imagecodec._PNG_SIG
+            + imagecodec._chunk(b"IHDR", ihdr)
+            + imagecodec._chunk(b"IDAT", b"x")
+            + imagecodec._chunk(b"IEND", b"")
+        )
+        with pytest.raises(ValueError):
+            imagecodec.decode_png(buf)
+
+
 def test_payload_table_invariants(spark):
     """input_hint schema + per-row invariant: decoded-pixel exactness
     (PSNR=inf >= 40 dB) and caption equality."""
