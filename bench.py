@@ -2,15 +2,22 @@
 
 Prints ONE JSON line:
   {"metric": "...", "value": <total sec>, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": <sf>,
-   "cpus": N, "spatial_rows_per_sec": R}
+   "queries": {name: sec, ...}, "spreads": {name: [min, med, max], ...},
+   "sf": <sf>, "cpus": N, "spatial_rows_per_sec": R}
 
 A warmup pass (same queries at the same SF + a small spatial run) runs
 first, untimed: it amortizes JVM/codegen/Arrow-worker startup so the timed
 numbers measure the operators, not interpreter warmup — matching how a
 long-lived cluster session behaves. Every reported number is the MEDIAN of
-three timed repetitions: this box shows >2x run-to-run variance above ~16
-active cores, and a single sample can misread a warm operator by that much.
+``SPARK_GRAFT_REPS`` timed repetitions, and the per-rep [min, median, max]
+spread is recorded alongside: this box shows >2x run-to-run variance above
+~16 active cores, and without the spread a real regression in one query is
+indistinguishable from a tenancy stall (VERDICT r2 "what's wrong" #1).
+
+The process tree is CPU-pinned (sched_setaffinity to cores 0..cpus-1,
+inherited by the JVM and Arrow workers) whenever that actually restricts
+the process — the BASELINE.md methodology; scheduler migration off the
+requested cores is one measured source of the >2x outliers.
 
 Env:
   SPARK_GRAFT_SF_DIR  (default /root/testdata/sf0.1)
@@ -18,6 +25,8 @@ Env:
   SPARK_GRAFT_IMAGES  (default 2000000) synthetic image rows for the
                       flagship spatial-join + tile-assignment measurement
   SPARK_GRAFT_WARMUP  (default 1) set 0 to skip the warmup pass
+  SPARK_GRAFT_REPS    (default 3) timed repetitions per query
+  SPARK_GRAFT_PIN     (default 1) set 0 to skip CPU pinning
 """
 
 from __future__ import annotations
@@ -86,7 +95,17 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     n_images = int(os.environ.get("SPARK_GRAFT_IMAGES", "2000000"))
     do_warmup = os.environ.get("SPARK_GRAFT_WARMUP", "1") != "0"
+    reps = int(os.environ.get("SPARK_GRAFT_REPS", "3"))
     sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    pinned = False
+    if os.environ.get("SPARK_GRAFT_PIN", "1") != "0" and hasattr(os, "sched_setaffinity"):
+        avail = sorted(os.sched_getaffinity(0))
+        if cpus < len(avail):
+            # pin BEFORE the JVM forks so the whole tree (JVM task threads +
+            # Python/Arrow workers) inherits the mask
+            os.sched_setaffinity(0, set(avail[:cpus]))
+            pinned = True
 
     spark = (
         SparkSession.builder.master(f"local[{cpus}]")
@@ -120,18 +139,24 @@ def main() -> None:
                 pass
 
     timings: dict[str, float] = {}
+    spreads: dict[str, list[float]] = {}
 
-    def bench(name, fn, reps=3):
-        """Median-of-``reps`` timing: one-off scheduler/GC/tenancy stalls on
-        this box produce >2x outliers above ~16 active cores, and a single
-        cold sample misreads a warm operator by as much (BASELINE.md)."""
+    def bench(name, fn):
+        """Median-of-``reps`` timing with the [min, median, max] spread
+        recorded: one-off scheduler/GC/tenancy stalls on this box produce
+        >2x outliers above ~16 active cores, and a single cold sample
+        misreads a warm operator by as much (BASELINE.md). The spread makes
+        a genuine regression (all reps slow) distinguishable from a stall
+        (max >> median)."""
         samples = []
         n = None
         for _ in range(reps):
             t0 = time.time()
             n = fn()
             samples.append(time.time() - t0)
-        timings[name] = round(sorted(samples)[len(samples) // 2], 3)
+        samples.sort()
+        timings[name] = round(samples[len(samples) // 2], 3)
+        spreads[name] = [round(samples[0], 3), timings[name], round(samples[-1], 3)]
         return n
 
     # ---- flagship: spatial join + tile assignment over the image table
@@ -179,8 +204,11 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "spreads": spreads,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "cpus": cpus,
+                "pinned": pinned,
+                "reps": reps,
                 "n_images": n_images,
                 "spatial_rows_per_sec": spatial_rows_per_sec,
                 "osm_elements_per_sec": osm_elements_per_sec,
