@@ -87,12 +87,26 @@ def shingle_hm_sql(shingle: str) -> str:
 
 
 def minhash_signature(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, mh0..mh15) — one row per document."""
-    ex = df.select(
-        F.col(id_col), F.explode(shingles_col(F.col(text_col))).alias("sh")
-    ).withColumn("hm", shingle_hm_col(F.col("sh")))
-    aggs = [F.min(minhash_expr(F.col("hm"), i)).alias(f"mh{i}") for i in range(N_MINHASH)]
-    return ex.groupBy(id_col).agg(*aggs)
+    """(id, mh0..mh15) — one row per document.
+
+    Computed NARROWLY: each min runs over the row's own shingle array
+    (``array_min(transform(...))``), so the signature needs no explode +
+    groupBy shuffle at all — per-row work is identical to the exploded
+    formulation and the result is value-identical (same hash exprs, min over
+    the same set). Null-text rows are dropped, matching the explode
+    formulation (explode of null emits nothing)."""
+    sh = shingles_col(F.col(text_col))
+    d = df.filter(F.col(text_col).isNotNull()).select(F.col(id_col), sh.alias("_sh"))
+    d = d.select(
+        id_col, F.transform(F.col("_sh"), lambda s: shingle_hm_col(s)).alias("_hm")
+    )
+    mins = [
+        F.array_min(F.transform(F.col("_hm"), lambda h: minhash_expr(h, i))).alias(
+            f"mh{i}"
+        )
+        for i in range(N_MINHASH)
+    ]
+    return d.select(F.col(id_col), *mins)
 
 
 def minhash_signature_sql(table: str, id_col: str, text_col: str) -> str:

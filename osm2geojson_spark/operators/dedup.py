@@ -135,14 +135,15 @@ def minhash_lsh_pairs(
     uniform key unless texts are duplicated, which is exactly the skew the
     salting helper (plans/skew.py) handles.
     """
-    sig = H.minhash_signature(df, id_col, text_col)
-    banded = sig.select(F.col(id_col), *H.band_hash_col())
-    melted = banded.unpivot(
-        ids=[id_col],
-        values=[f"band{b}" for b in range(H.N_BANDS)],
-        variableColumnName="band_idx",
-        valueColumnName="band_key",
-    )
+    sig = H.minhash_signature(df, id_col, text_col)  # narrow: no shuffle
+    # one posexplode of the band-key array (the old two-unpivot formulation
+    # re-executed the signature subtree per join side); the tiny melted
+    # relation is localCheckpoint'ed so both band-join sides and AQE read
+    # one materialization — lineage truncation, released with the plan
+    melted = sig.select(
+        F.col(id_col),
+        F.posexplode(F.array(*H.band_hash_col())).alias("band_idx", "band_key"),
+    ).localCheckpoint(eager=False)
     a = melted.select(F.col(id_col).alias("id_a"), "band_idx", "band_key")
     b = melted.select(F.col(id_col).alias("id_b"), "band_idx", "band_key")
     cand = (
@@ -151,27 +152,23 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    # candidate-restricted exact-Jaccard verify: shingle intersections are
-    # computed ONLY for LSH candidate pairs (join through the candidate set),
-    # never all-pairs — the whole point of the LSH path at 10^12 rows
-    ex = shingle_sets(df, id_col, text_col)
-    sizes = df.select(
-        F.col(id_col), F.size(H.shingles_col(F.col(text_col))).alias("sz")
-    )
-    a_sh = ex.select(F.col(id_col).alias("id_a"), "sh")
-    b_sh = ex.select(F.col(id_col).alias("id_b"), "sh")
-    inter = (
-        cand.join(a_sh, "id_a")
-        .join(b_sh, ["id_b", "sh"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("inter"))
-    )
+    # candidate-restricted exact-Jaccard verify, fused: each side joins its
+    # full shingle SET as an array column and the intersection is computed
+    # with array_intersect in codegen — no shingle explode, no per-pair
+    # count aggregation, two AQE-broadcastable joins instead of four. Only
+    # candidate pairs ever carry array payloads — never all-pairs.
+    sets_ = df.select(F.col(id_col), H.shingles_col(F.col(text_col)).alias("_sh"))
+    va = sets_.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("sa"))
+    vb = sets_.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("sb"))
     verified = (
-        inter.join(sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
-        .join(sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("inter", F.size(F.array_intersect(F.col("sa"), F.col("sb"))))
         .withColumn(
             "jaccard",
-            F.round(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6),
+            F.round(
+                F.col("inter") / (F.size("sa") + F.size("sb") - F.col("inter")), 6
+            ),
         )
         .filter(F.col("jaccard") >= tau)
     )

@@ -223,6 +223,8 @@ def point_in_polygon_join(
     lat_col: str = "lat",
     broadcast_polys: bool = True,
     grid: str = "flat",
+    salt_threshold: int = 2_000_000,
+    n_salts: int = 16,
 ) -> DataFrame:
     """E2: rows of ``points`` paired with every polygon containing them.
 
@@ -268,13 +270,26 @@ def point_in_polygon_join(
         refined = cand.mapInPandas(_make_closure_refine(pid2gpb), schema=out_schema)
         return fast.unionByName(refined).drop("cell_id")
 
-    # huge polygon side: shuffle join with per-row payloads
+    # huge polygon side: shuffle join with per-row payloads. Dense cells
+    # (urban cores) are exactly the heavy hitters SCALE.md flags on this
+    # path — the broadcast plan is skew-proof by construction, this one
+    # salts them explicitly: heavy point cells hash-spread over n_salts,
+    # matching shard rows replicated per salt (plans/skew.py).
+    from ..plans.skew import salted_cell_join
+
     shards = (
         sphere_shard_polygons(polys_df, res)
         if grid == "sphere"
         else shard_polygons(polys_df, res)
     )
-    cand = pts.join(shards, "cell_id", "inner")
+    cand = salted_cell_join(
+        pts,
+        shards,
+        cell_col="cell_id",
+        threshold=salt_threshold,
+        n_salts=n_salts,
+        salt_src=lon_col,
+    )
     out_schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in cand.schema.fields if f.name != "gpb"
     )

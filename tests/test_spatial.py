@@ -399,3 +399,36 @@ def test_pip_join_shuffle_path_matches_broadcast_path(spark, points):
         ).collect()
     }
     assert sh == bc and len(sh) > 50
+
+
+def test_pip_shuffle_path_salts_heavy_cells(spark, points):
+    """Skewed fixture: with a salt threshold every point cell exceeds, the
+    shuffle-path PIP join must (a) return the identical result and (b)
+    actually join on (cell_id, salt) — the plans/skew.py heavy-hitter
+    treatment, not a raw cell_id join that concentrates a dense urban cell
+    on one task."""
+    poly = _triangle_with_hole()
+    polys = polygons_to_df(spark, [(1, poly)])
+    bc = {
+        (r["pid"], r["poly_id"])
+        for r in point_in_polygon_join(points, polys, res=5).collect()
+    }
+    # res=0 => ALL points share one cell: the worst-case heavy hitter
+    for res in (0, 5):
+        df = point_in_polygon_join(
+            points, polys, res=res, broadcast_polys=False,
+            salt_threshold=10, n_salts=4,
+        )
+        got = {(r["pid"], r["poly_id"]) for r in df.collect()}
+        assert got == bc, f"res={res}"
+    # plan shape: the candidate join carries the salt key
+    plan = (
+        point_in_polygon_join(
+            points, polys, res=5, broadcast_polys=False,
+            salt_threshold=10, n_salts=4,
+        )
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "salt" in plan
