@@ -64,9 +64,23 @@ def pack_coords_udf(flat: pd.Series) -> pd.Series:
 
 @pandas_udf(T.BinaryType())
 def point_gpb_udf(lon: pd.Series, lat: pd.Series) -> pd.Series:
-    out = []
-    for x, y in zip(lon, lat):
-        out.append(None if x is None or pd.isna(x) else geom.point(x, y))
+    """Point GPB (tag byte + 2 LE doubles) built for the whole Arrow batch
+    in one NumPy pass — node corpora are the largest element class, a
+    per-row struct.pack loop here was measurable at 10^6 nodes."""
+    n = len(lon)
+    if n == 0:
+        return pd.Series([], dtype=object)
+    x = lon.to_numpy(dtype=np.float64, na_value=np.nan)
+    y = lat.to_numpy(dtype=np.float64, na_value=np.nan)
+    rec = np.empty((n, 17), dtype=np.uint8)
+    rec[:, 0] = geom.GTYPE_POINT
+    rec[:, 1:9] = x.astype("<f8").view(np.uint8).reshape(n, 8)
+    rec[:, 9:17] = y.astype("<f8").view(np.uint8).reshape(n, 8)
+    blob = rec.tobytes()
+    valid = ~np.isnan(x)  # null/NaN lon -> null gpb (matches the old loop)
+    out = [
+        blob[i * 17 : (i + 1) * 17] if valid[i] else None for i in range(n)
+    ]
     return pd.Series(out)
 
 
@@ -290,6 +304,16 @@ def _multiline_row(g: dict):
     return gpb, None
 
 
+def _dispatch_row(g: dict):
+    """Per-group poly/line dispatch (R18) INSIDE the kernel: every group
+    carries its relation's is_poly flag, so one repartition + sort + Arrow
+    pass serves both geometry paths — two separate grouped() paths executed
+    the whole member-resolution subtree twice per action."""
+    v = g["is_poly"][0]
+    poly = bool(v) if v is not None and v == v else False  # null/NaN -> line
+    return (_multipolygon_row if poly else _multiline_row)(g)
+
+
 def batched_rel_kernel(row_fn):
     """mapInPandas wrapper that processes MANY relations per Arrow batch.
 
@@ -299,8 +323,10 @@ def batched_rel_kernel(row_fn):
     so each group is contiguous; a group possibly split across two Arrow
     batches is carried over in ``buf`` and flushed at partition end."""
 
-    COLS = ("doc_id", "rel_id", "pos0", "pos1", "role", "ref", "coords", "nested_bad")
-
+    COLS = (
+        "doc_id", "rel_id", "pos0", "pos1", "role", "ref", "coords",
+        "nested_bad", "is_poly",
+    )
     def fn(it):
         buf = None  # carried tail group: dict of numpy arrays
         out_doc, out_rel, out_gpb, out_reason = [], [], [], []
@@ -320,7 +346,11 @@ def batched_rel_kernel(row_fn):
             if buf is not None:
                 g = {c: np.concatenate([buf[c], g[c]]) for c in COLS}
                 buf = None
-            dk, rk = g["doc_id"], g["rel_id"]
+            # doc_id comparisons on object arrays of Python strings are the
+            # slow path in numpy — factorize to int codes once per span (C
+            # hashing; codes only need within-span consistency)
+            dk = pd.factorize(g["doc_id"])[0]
+            rk = g["rel_id"]
             is_last = (dk == dk[-1]) & (rk == rk[-1])
             split = int(np.argmax(is_last))  # groups are contiguous (sorted)
             if split == 0:  # whole batch is one group — may continue
@@ -332,9 +362,7 @@ def batched_rel_kernel(row_fn):
             n = split
             change = np.empty(n, dtype=bool)
             change[0] = True
-            change[1:] = (head["doc_id"][1:] != head["doc_id"][:-1]) | (
-                head["rel_id"][1:] != head["rel_id"][:-1]
-            )
+            change[1:] = (dk[1:n] != dk[: n - 1]) | (rk[1:n] != rk[: n - 1])
             starts = np.flatnonzero(change)
             ends = np.append(starts[1:], n)
             for s, e in zip(starts, ends):
@@ -633,14 +661,24 @@ def assemble_relations(
     flagged = members.join(no_center, ["doc_id", "rel_id"], "inner")
 
     # multiline path never sees relation-member rows that weren't flattened;
-    # multipolygon path only consumes way members (main.py:596-607)
-    poly_members = flagged.filter(F.col("is_poly") & (F.col("pos1") < 0) )
-    line_members = flagged.filter(
-        (~F.col("is_poly"))
-        & ((F.col("mtype") == "way") | (F.col("pos1") >= 0) | F.col("nested_bad"))
+    # multipolygon path only consumes way members (main.py:596-607). Both
+    # path filters are applied as ONE disjunction so a single repartition +
+    # sort + kernel pass serves both (per-group dispatch on is_poly).
+    kept_members = flagged.filter(
+        (F.col("is_poly") & (F.col("pos1") < 0))
+        | (
+            (~F.col("is_poly"))
+            & ((F.col("mtype") == "way") | (F.col("pos1") >= 0) | F.col("nested_bad"))
+        )
     )
 
-    cols = ["doc_id", "rel_id", "pos0", "pos1", "mtype", "ref", "role", "coords", "nested_bad"]
+    # mtype is a filter-only column — the kernel never reads it, so it is
+    # dropped BEFORE the repartition (a string column on every member row
+    # is pure shuffle + Arrow weight)
+    cols = [
+        "doc_id", "rel_id", "pos0", "pos1", "ref", "role", "coords",
+        "nested_bad", "is_poly",
+    ]
 
     # one sentinel row per relation rides along into its kernel path: a
     # group that arrives sentinel-only (empty/None members, or every member
@@ -653,29 +691,16 @@ def assemble_relations(
         "rel_id",
         F.lit(-1).alias("pos0"),
         F.lit(-1).alias("pos1"),
-        F.lit("sentinel").alias("mtype"),
         F.lit(None).cast("long").alias("ref"),
         F.lit(None).cast("string").alias("role"),
         F.lit(None).cast("binary").alias("coords"),
         F.lit(False).alias("nested_bad"),
         "is_poly",
     )
-    is_poly_t = F.coalesce(F.col("is_poly"), F.lit(False))
-
-    def grouped(df, row_fn):
-        return (
-            df.select(cols)
-            .repartition("doc_id", "rel_id")
-            .sortWithinPartitions("doc_id", "rel_id", "pos0", "pos1")
-            .mapInPandas(batched_rel_kernel(row_fn), schema=_REL_OUT_SCHEMA)
-        )
-
-    poly_out = grouped(
-        poly_members.select(cols).unionByName(sentinels.filter(is_poly_t).select(cols)),
-        _multipolygon_row,
+    return (
+        kept_members.select(cols)
+        .unionByName(sentinels.select(cols))
+        .repartition("doc_id", "rel_id")
+        .sortWithinPartitions("doc_id", "rel_id", "pos0", "pos1")
+        .mapInPandas(batched_rel_kernel(_dispatch_row), schema=_REL_OUT_SCHEMA)
     )
-    line_out = grouped(
-        line_members.select(cols).unionByName(sentinels.filter(~is_poly_t).select(cols)),
-        _multiline_row,
-    )
-    return poly_out.unionByName(line_out)

@@ -214,7 +214,10 @@ def used_ref_ids(
         .select(F.col("doc_id").alias("used_doc"), F.col("ref").alias("used_id"))
     )
 
-    return used_nodes.unionByName(used_ways).unionByName(used_rels).distinct()
+    # NO distinct: the only consumer is a left-anti join, where duplicate
+    # keys on the build side are semantically free — a distinct here is a
+    # full extra shuffle of the largest intermediate in the pipeline
+    return used_nodes.unionByName(used_ways).unionByName(used_rels)
 
 
 def collect_features_by_doc(features: DataFrame) -> dict[str, list[dict]]:
