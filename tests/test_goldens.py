@@ -39,6 +39,28 @@ golden; GEOS itself is not installable in this environment to confirm):
   requires emulating OverlayNG's noded-edge-ring start selection and GEOS's
   exact CascadedPolygonUnion tree, which cannot be validated against a live
   GEOS here; the semantic assertion below pins everything geometric.
+
+CLOSED in round 3 after exhausting the fit (tools-free measurement against
+the golden; see tests/data/issue-35-noded-pair.json for the minimal repro):
+
+* The 8-enclave order IS plain centre-y-ascending (re-confirmed exactly),
+  but it is NOT produced by either public STR(4) packing variant: both the
+  JTS ordering (sort centre-x -> vertical slices -> centre-y within slice)
+  and the transposed GEOS ordering (centre-y first) were implemented and
+  refuted against the measured 21-hole order ([8,3,4,2,5,0,1,...]); the
+  y-first slicing reproduces the first SLICE as a set but not the tail, and
+  neither tree's binary-reduction depths predict the measured per-hole
+  phase split (+2 vs +3) — holes with equal computed depth carry different
+  phases. The phases therefore encode the exact (unobservable) tree GEOS
+  built — envelope-interaction order inside OverlayNG, not pure packing.
+* The surviving divergence is pinned by tests/data/issue-35-noded-pair.json:
+  two rings sharing exactly one vertex at raw position 0 of both (n=551
+  CCW, n=18 CW). GEOS re-emits them restarted at node+2 / node+1 with
+  differing winding treatment — two different offsets from the same node
+  under the same op chain, which no deterministic per-ring rule can emit
+  without replaying OverlayNG's edge-graph traversal. This is the one
+  reference test assertion (tests/test_main.py:77-79 byte equality) that
+  stays semantic-only, permanently and deliberately.
 """
 
 from __future__ import annotations
@@ -132,6 +154,33 @@ def test_issue_35_semantic(converted):
     assert len(got) == len(exp) == 1
     assert got[0]["properties"] == exp[0]["properties"]
     assert_semantic_multipolygon_equal(got[0]["geometry"], exp[0]["geometry"])
+
+
+def test_issue_35_noded_pair_repro():
+    """The minimal repro behind the permanent issue-35 closure (module
+    docstring): two rings sharing EXACTLY one vertex, located at raw
+    position 0 of both. Pins the measured facts the closure rests on, so a
+    fixture regeneration or kernel change that invalidates the analysis
+    fails loudly."""
+    import numpy as np
+
+    from osm2geojson_spark.functions import kernels as K
+
+    d = read_json("issue-35-noded-pair.json")
+    a = np.asarray(d["ring_a"], dtype=np.float64)
+    b = np.asarray(d["ring_b"], dtype=np.float64)
+    sa = {tuple(p) for p in a.tolist()}
+    sb = {tuple(p) for p in b.tolist()}
+    shared = sa & sb
+    assert len(shared) == 1  # exactly one noding node
+    node = next(iter(shared))
+    assert tuple(a[0]) == node and tuple(b[0]) == node  # at raw pos 0 of BOTH
+    assert K.signed_area(a) > 0 and K.signed_area(b) < 0  # differing windings
+    assert K.ring_is_simple(a) and K.ring_is_simple(b)
+    # both survive union as separate polygons (single-point touch is valid
+    # MultiPolygon contact) — our deterministic union keeps both
+    out = K.unary_union_polygons([[a], [b]])
+    assert len(out) == 2
 
 
 def test_issue_54(converted):
