@@ -825,6 +825,61 @@ SELECT qid, rank, vec_id FROM r WHERE rank <= 5
 """
 
 
+def q_ann_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (operators/similarity.cosine_topk_ivf): corpus bucketed by
+    nearest seeded centroid (JVM argmax over literal codebook), queries
+    probe their IVF_PROBE best cells, exact cosine inside candidates. The
+    oracle twin inlines the identical codebook: dot products fold
+    sequentially on both engines, so cells match bit-for-bit."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    res = SIM.cosine_topk_ivf(queries, emb, k=5, dim=_EMB_DIM)
+    return res.select("qid", "rank", "vec_id")
+
+
+def _ann_ivf_sql() -> str:
+    import numpy as np
+
+    cents = SIM.ivf_centroid_matrix(_EMB_DIM)
+    norms = np.sqrt((cents**2).sum(axis=0))
+    nc = cents.shape[1]
+    scores = ", ".join(
+        "list_dot_product(v, ["
+        + ", ".join(repr(float(x)) for x in cents[:, c])
+        + f"]) / {float(norms[c])!r}"
+        for c in range(nc)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+ek AS (SELECT vec_id, v, [{scores}] AS sc FROM e),
+cell AS (SELECT vec_id, v, list_position(sc, list_max(sc)) - 1 AS cell FROM ek),
+q AS (SELECT vec_id AS qid, sc AS qsc FROM ek WHERE vec_id < 3),
+qs AS (
+  SELECT qid, CAST(c AS INTEGER) AS c,
+         row_number() OVER (PARTITION BY qid ORDER BY qsc[CAST(c AS INTEGER) + 1] DESC, c ASC) AS pr
+  FROM q, unnest(range({nc})) AS t(c)
+),
+qp AS (SELECT qid, c AS cell FROM qs WHERE pr <= {SIM.IVF_PROBE}),
+cand AS (
+  SELECT DISTINCT qp.qid, cell.vec_id
+  FROM qp JOIN cell ON cell.cell = qp.cell
+), d AS (
+  SELECT c.qid, c.vec_id,
+    list_dot_product(a.v, b.v)
+      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos
+  FROM cand c JOIN e a ON a.vec_id = c.qid JOIN e b ON b.vec_id = c.vec_id
+), r AS (
+  SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM d
+)
+SELECT qid, rank, vec_id FROM r WHERE rank <= 5
+"""
+
+
 def q_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Staged single-pass plan: the normalized text / token count / stopword
     hits are each evaluated once per row (see TXT.text_features)."""
@@ -1487,6 +1542,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_histogram": q_multimodal_histogram,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_cosine_lsh": q_ann_cosine_lsh,
+        "ann_cosine_ivf": q_ann_cosine_ivf,
         "text_analysis": q_text_analysis,
         "quality_topk": q_quality_topk,
         "events_window": q_events_window,
@@ -1532,6 +1588,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_histogram": _MULTIMODAL_HIST_SQL,
         "ann_cosine_topk": _ANN_SQL,
         "ann_cosine_lsh": _ann_lsh_sql(),
+        "ann_cosine_ivf": _ann_ivf_sql(),
         "text_analysis": _TEXT_SQL,
         "quality_topk": _QUALITY_TOPK_SQL,
         "events_window": _EVENTS_SQL,

@@ -154,6 +154,170 @@ def _hamming1_probes(key: Column) -> Column:
     return F.array(*arr)
 
 
+# ------------------------------------------------------------------- IVF
+#
+# Inverted-file ANN (the classic coarse-quantizer design): every vector is
+# assigned to its nearest centroid cell; queries probe the IVF_PROBE nearest
+# cells and score exactly inside them. SURVEY §2 names IVF alongside LSH as
+# the embedding scale path — LSH needs no training and handles streaming
+# inserts; IVF gives tighter candidate sets on clustered corpora.
+#
+# The default codebook is SEEDED (same k/1024-rational scheme as the LSH
+# hyperplanes, different seed) so the DuckDB oracle can inline it as SQL
+# literals; ``ivf_train`` runs Lloyd iterations on Spark to fit a real
+# codebook when quality matters (no oracle twin — k-means is iterative).
+# Dot products fold SEQUENTIALLY on both engines (F.aggregate / DuckDB
+# list_dot_product), so cell assignment is bit-reproducible cross-engine
+# except when two cell scores are within rounding error of equal.
+
+IVF_CENTROIDS = 16
+IVF_PROBE = 4
+_IVF_SEED = 0x1F0CACE5
+
+
+def ivf_centroid_matrix(dim: int, n_centroids: int = IVF_CENTROIDS) -> np.ndarray:
+    """(dim, n_centroids) seeded codebook, entries v/1024 (exact float64
+    AND short decimal literals)."""
+    p = np.arange(n_centroids, dtype=np.uint64)[None, :]
+    d = np.arange(dim, dtype=np.uint64)[:, None]
+    mask = np.uint64(0xFFFFFFFF)
+    h = (np.uint64(_IVF_SEED) ^ (p * np.uint64(0x9E3779B1)) ^ (d * np.uint64(0x85EBCA77))) & mask
+    h = (h * np.uint64(0xC2B2AE3D) + np.uint64(0x27D4EB2F)) & mask
+    v = ((h >> np.uint64(8)) & np.uint64(0x7FF)).astype(np.int64) - 1024
+    return v.astype(np.float64) / 1024.0
+
+
+def _ivf_scores(vec: Column, cents: np.ndarray) -> list[Column]:
+    """Per-centroid cosine-proportional scores dot(v, c)/|c| — JVM column
+    exprs (|v| is constant per row, so argmax is the cosine argmax)."""
+    norms = np.sqrt((cents**2).sum(axis=0))
+    return [
+        dot_col(vec, F.array(*[F.lit(float(x)) for x in cents[:, c]]))
+        / F.lit(float(norms[c]))
+        for c in range(cents.shape[1])
+    ]
+
+
+def ivf_cell_col(vec: Column, dim: int, cents: np.ndarray | None = None) -> Column:
+    """Nearest-centroid cell id (0-based int) — pure column math for small
+    codebooks (literal plan size is O(dim * n_centroids); beyond ~64
+    centroids assign with an Arrow GEMM UDF instead, same contract)."""
+    if cents is None:
+        cents = ivf_centroid_matrix(dim)
+    arr = F.array(*_ivf_scores(vec, cents))
+    return (F.array_position(arr, F.array_max(arr)) - 1).cast("int")
+
+
+def ivf_probe_cells_col(vec: Column, dim: int, n_probe: int, cents: np.ndarray | None = None) -> Column:
+    """array<int> of the n_probe highest-scoring cells (score desc, cell
+    asc tie-break — the struct sort order on both engines)."""
+    if cents is None:
+        cents = ivf_centroid_matrix(dim)
+    scored = F.array(
+        *[
+            F.struct((-s).alias("ns"), F.lit(c).alias("c"))
+            for c, s in enumerate(_ivf_scores(vec, cents))
+        ]
+    )
+    return F.transform(
+        F.slice(F.array_sort(scored), 1, n_probe), lambda x: x["c"]
+    )
+
+
+def cosine_topk_ivf(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    dim: int,
+    qid: str = "qid",
+    tid: str = "vec_id",
+    qvec: str = "qvec",
+    tvec: str = "embedding",
+    n_probe: int = IVF_PROBE,
+    cents: np.ndarray | None = None,
+) -> DataFrame:
+    """Approximate top-k via IVF: one equi-join on the coarse cell (queries
+    exploded over their probe list), exact cosine inside the candidate set.
+    Recall measured against brute force in tests; pass a trained codebook
+    from ``ivf_train`` for clustered corpora."""
+    c = corpus.withColumn("_cell", ivf_cell_col(F.col(tvec), dim, cents)).select(
+        tid, tvec, "_cell"
+    )
+    q = queries.select(
+        qid,
+        qvec,
+        F.explode(ivf_probe_cells_col(F.col(qvec), dim, n_probe, cents)).alias("_cell"),
+    )
+    cand = q.join(c, "_cell").select(qid, qvec, tid, tvec)
+    scored = cand.withColumn("cos", cosine_col(F.col(qvec), F.col(tvec)))
+    wnd = Window.partitionBy(qid).orderBy(F.col("cos").desc(), F.col(tid).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(wnd))
+        .filter(F.col("rank") <= k)
+        .select(qid, tid, F.round("cos", 6).alias("cos"), "rank")
+    )
+
+
+def ivf_train(
+    corpus: DataFrame,
+    dim: int,
+    n_centroids: int = IVF_CENTROIDS,
+    iters: int = 5,
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Lloyd's k-means on Spark: deterministic farthest-point init (the
+    max-norm vector, then repeatedly the vector with the lowest best-cosine
+    to the chosen set — ties broken lexicographically by the vector
+    itself), then ``iters`` rounds of assign (JVM argmax) + per-cell mean
+    (one combiner-friendly groupBy per round). Centroids live on the driver
+    ((dim, n_centroids) — tiny); the data never leaves executors. Empty
+    cells keep their previous centroid. Returns the codebook for
+    cosine_topk_ivf(cents=...)."""
+    # farthest-point init: immune to the random-codebook collapse where two
+    # true clusters share one nearest seed and a centroid never wins a row
+    chosen: list[np.ndarray] = []
+    first = corpus.select(
+        F.max(F.struct(norm_col(F.col(vec_col)).alias("n"), F.col(vec_col).alias("v")))
+        .alias("m")
+    ).collect()[0]["m"]
+    chosen.append(np.asarray(first["v"], dtype=np.float64))
+    while len(chosen) < n_centroids:
+        best_cos = F.greatest(
+            *[
+                cosine_col(
+                    F.col(vec_col), F.array(*[F.lit(float(x)) for x in c])
+                )
+                for c in chosen
+            ]
+        ) if len(chosen) > 1 else cosine_col(
+            F.col(vec_col), F.array(*[F.lit(float(x)) for x in chosen[0]])
+        )
+        pick = corpus.select(
+            F.min(F.struct(best_cos.alias("s"), F.col(vec_col).alias("v"))).alias("m")
+        ).collect()[0]["m"]
+        chosen.append(np.asarray(pick["v"], dtype=np.float64))
+    cents = np.stack(chosen, axis=1)  # (dim, n_centroids)
+    for _ in range(iters):
+        assigned = corpus.select(
+            ivf_cell_col(F.col(vec_col), dim, cents).alias("_cell"),
+            F.col(vec_col).alias("_v"),
+        )
+        sums = (
+            assigned.groupBy("_cell")
+            .agg(
+                F.array(*[F.sum(F.element_at("_v", i + 1)) for i in range(dim)]).alias("_s"),
+                F.count("*").alias("_n"),
+            )
+            .collect()
+        )
+        new = cents.copy()
+        for r in sums:
+            cell = int(r["_cell"])
+            new[:, cell] = np.asarray(r["_s"], dtype=np.float64) / float(r["_n"])
+        cents = new
+    return cents
+
+
 def cosine_topk_lsh(
     queries: DataFrame,
     corpus: DataFrame,

@@ -121,6 +121,72 @@ def test_cosine_lsh_recall(spark, vectors):
     assert (0, 1) in approx and (1, 0) in approx
 
 
+def test_ivf_self_recall_and_subset(spark, vectors):
+    """IVF with the seeded codebook: every query recalls itself (its own
+    cell is always probed first), the planted near-dup pair is recovered,
+    and reported pairs are a subset of the exact brute-force scores."""
+    from osm2geojson_spark.operators.similarity import cosine_topk_ivf
+
+    q = vectors.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    rows = cosine_topk_ivf(q, vectors, k=3, dim=16).collect()
+    approx = {(r["qid"], r["vec_id"]) for r in rows}
+    for qid in range(5):
+        assert (qid, qid) in approx
+    assert (0, 1) in approx and (1, 0) in approx
+    # exactness of the scores it DOES report
+    pdf = vectors.orderBy("vec_id").toPandas()
+    M = np.array(pdf["embedding"].tolist())
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    sims = Mn @ Mn.T
+    for r in rows:
+        assert abs(r["cos"] - sims[r["qid"], r["vec_id"]]) < 1e-5
+
+
+def test_ivf_train_recovers_planted_clusters(spark):
+    """Lloyd training on 4 well-separated planted clusters: after training,
+    each cluster maps to ONE cell, and IVF with the trained codebook at
+    n_probe=1 achieves perfect recall@3 vs brute force."""
+    from osm2geojson_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        cosine_topk_ivf,
+        ivf_cell_col,
+        ivf_train,
+    )
+
+    rng = np.random.default_rng(3)
+    centers = rng.normal(size=(4, 16)) * 10.0
+    rows = []
+    for i in range(80):
+        c = i % 4
+        v = centers[c] + 0.1 * rng.normal(size=16)
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = ivf_train(emb, dim=16, n_centroids=4, iters=8)
+    cells = emb.select(
+        "vec_id", ivf_cell_col(F.col("embedding"), 16, cents).alias("cell")
+    ).collect()
+    by_cluster: dict[int, set] = {}
+    for r in cells:
+        by_cluster.setdefault(r["vec_id"] % 4, set()).add(r["cell"])
+    assert all(len(s) == 1 for s in by_cluster.values())
+    assert len({next(iter(s)) for s in by_cluster.values()}) == 4
+
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    exact = {
+        (r["qid"], r["rank"]): r["vec_id"]
+        for r in cosine_topk_bruteforce(q, emb, k=3).collect()
+    }
+    got = {
+        (r["qid"], r["rank"]): r["vec_id"]
+        for r in cosine_topk_ivf(q, emb, k=3, dim=16, n_probe=1, cents=cents).collect()
+    }
+    assert got == exact
+
+
 def test_embedding_cosine_dups(spark, vectors):
     pairs = {
         (r["id_a"], r["id_b"]) for r in DD.embedding_cosine_dups(vectors, tau=0.99).collect()
