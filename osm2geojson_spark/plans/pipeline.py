@@ -95,13 +95,37 @@ def build_features(
         rels_flagged = rels_flagged.localCheckpoint(eager=False)
     rel_shapes = assemble_relations(frames, ways, rels_flagged)
 
-    node_feats = frames.nodes.select(
+    # the used-refs anti-join distributes over the feature union — applying
+    # it per branch lets the node branch (the largest element class) filter
+    # BEFORE constructing gpb/props, so dropped nodes never build payloads
+    # and the join shuffles slim source rows. The right side stays the FULL
+    # used set per branch, preserving the reference's id-only cross-type
+    # matching quirk exactly.
+    # localCheckpoint: three branch joins consume the used set — materialize
+    # its subtree once (slim (doc, id) rows; released with the plan)
+    used = (
+        used_ref_ids(frames, ways, rels_flagged).localCheckpoint(eager=False)
+        if filter_used_refs
+        else None
+    )
+
+    def _drop_used(df: DataFrame) -> DataFrame:
+        if used is None:
+            return df
+        return df.join(
+            used,
+            (df["id"] == used["used_id"]) & (df["doc_id"] == used["used_doc"]),
+            "left_anti",
+        )
+
+    nodes_kept = _drop_used(frames.nodes)
+    node_feats = nodes_kept.select(
         "doc_id",
         "seq",
         F.lit("node").alias("etype"),
         "id",
         point_gpb_udf(F.col("lon"), F.col("lat")).alias("gpb"),
-        _props_json(frames.nodes, "node", include_nodes=False).alias("props"),
+        _props_json(nodes_kept, "node", include_nodes=False).alias("props"),
     )
 
     way_feats = ways.select(
@@ -162,17 +186,13 @@ def build_features(
     )
 
     features = (
-        node_feats.unionByName(way_feats.filter(F.col("gpb").isNotNull()).drop("reason"))
-        .unionByName(rel_feats.filter(F.col("gpb").isNotNull()).drop("reason"))
-    )
-
-    if filter_used_refs:
-        used = used_ref_ids(frames, ways, rels_flagged)
-        features = features.join(
-            used,
-            (features["id"] == used["used_id"]) & (features["doc_id"] == used["used_doc"]),
-            "left_anti",
+        node_feats.unionByName(
+            _drop_used(way_feats.filter(F.col("gpb").isNotNull()).drop("reason"))
         )
+        .unionByName(
+            _drop_used(rel_feats.filter(F.col("gpb").isNotNull()).drop("reason"))
+        )
+    )
 
     return features, failures
 
