@@ -210,12 +210,51 @@ def points_in_ring(pts: np.ndarray, ring: np.ndarray) -> np.ndarray:
     return (crossings % 2) == 1
 
 
+# single-point queries on rings below this size run the scalar loop: NumPy's
+# fixed ~50us dispatch+temporaries overhead dwarfs the ~0.25us/vertex Python
+# loop until a few hundred vertices (measured 40x at 5 vertices)
+_SCALAR_RING_MAX = 256
+
+
+def _point_in_ring_scalar(px: float, py: float, ring_list) -> bool:
+    # same expression order as points_in_ring (edges with ry2 == ry have
+    # cond False there, so skipping them is identical)
+    inside = False
+    x1, y1 = ring_list[0]
+    for x2, y2 in ring_list[1:]:
+        if (y1 > py) != (y2 > py):
+            if px < x1 + (py - y1) * (x2 - x1) / (y2 - y1):
+                inside = not inside
+        x1, y1 = x2, y2
+    return inside
+
+
 def point_in_ring(pt, ring: np.ndarray) -> bool:
+    if len(ring) <= _SCALAR_RING_MAX:
+        px, py = float(pt[0]), float(pt[1])
+        return _point_in_ring_scalar(px, py, ring.tolist())
     return bool(points_in_ring(np.asarray([pt], dtype=np.float64), ring)[0])
+
+
+def _point_on_ring_scalar(px: float, py: float, ring_list, eps: float) -> bool:
+    x1, y1 = ring_list[0]
+    for x2, y2 in ring_list[1:]:
+        abx = x2 - x1
+        aby = y2 - y1
+        apx = px - x1
+        apy = py - y1
+        if abs(abx * apy - aby * apx) <= eps:
+            dot = abx * apx + aby * apy
+            if -eps <= dot <= abx * abx + aby * aby + eps:
+                return True
+        x1, y1 = x2, y2
+    return False
 
 
 def point_on_ring(pt, ring: np.ndarray, eps: float = 0.0) -> bool:
     """Is pt (exactly) a vertex of the ring or on a segment."""
+    if len(ring) <= _SCALAR_RING_MAX:
+        return _point_on_ring_scalar(float(pt[0]), float(pt[1]), ring.tolist(), eps)
     p = np.asarray(pt, dtype=np.float64)
     a = ring[:-1]
     b = ring[1:]
@@ -231,6 +270,12 @@ def point_on_ring(pt, ring: np.ndarray, eps: float = 0.0) -> bool:
 def ring_contains_ring(outer: np.ndarray, inner: np.ndarray) -> bool:
     """True if inner lies inside outer (tested on a representative interior
     vertex; OSM multipolygon holes are strictly nested)."""
+    if len(outer) <= _SCALAR_RING_MAX:
+        out_list = outer.tolist()
+        for px, py in inner[:-1].tolist():
+            if not _point_on_ring_scalar(px, py, out_list, 0.0):
+                return _point_in_ring_scalar(px, py, out_list)
+        return True
     for v in inner[:-1]:
         if not point_on_ring(v, outer):
             return point_in_ring(v, outer)
@@ -350,6 +395,26 @@ def ring_is_simple(ring: np.ndarray, chunk: int = 512, sweep_threshold: int = 40
             _segments_cross(P[0], Q[0], P[2], Q[2])
             or _segments_cross(P[1], Q[1], P[3], Q[3])
         )
+    if n <= 12:
+        # scalar all-pairs: NumPy's fixed ~45us dispatch overhead exceeds
+        # the <=54-pair Python loop until about a dozen vertices
+        pts = ring.tolist()
+        for i in range(n - 2):
+            ax, ay = pts[i]
+            bx, by = pts[i + 1]
+            # j == n-1 is adjacent to i == 0 through the closing vertex
+            for j in range(i + 2, n if i > 0 else n - 1):
+                cx, cy = pts[j]
+                dx, dy = pts[j + 1]
+                d1 = (dx - cx) * (ay - cy) - (dy - cy) * (ax - cx)
+                d2 = (dx - cx) * (by - cy) - (dy - cy) * (bx - cx)
+                if (d1 > 0) == (d2 > 0) or d1 == d2:
+                    continue
+                d3 = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+                d4 = (bx - ax) * (dy - ay) - (by - ay) * (dx - ax)
+                if (d3 > 0) != (d4 > 0) and d3 != d4:
+                    return False
+        return True
     if n > sweep_threshold:
         return _ring_is_simple_sweep(P, Q, n)
 
