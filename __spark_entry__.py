@@ -1156,6 +1156,120 @@ FROM bins LEFT JOIN cnt ON cnt.i = bins.i AND cnt.b = bins.bin
 """
 
 
+def q_image_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image dedup: decode -> 9x8 gradient-sign dHash -> group by
+    hash. Groups collapse both exact duplicates AND near-duplicates whose
+    gradient structure matches (every 8x8 image with no mod-251 wrap in its
+    sampled grid shares the all-ones-rows hash). One hash-groupBy shuffle
+    of 8-byte keys; pixel data never shuffles. The oracle recomputes the
+    sampling map (sx = tx*w//9), the deterministic pixel formula and the
+    row-major bit pack in pure SQL (HUGEINT two's complement for bit 63)."""
+    imgs = _synth_images(spark, sf_dir, 800)
+    dh = MM.dhash_features(imgs)
+    sizes = (
+        dh.groupBy("dhash")
+        .agg(F.count(F.lit(1)).alias("group_size"))
+        .filter(F.col("group_size") > 1)
+    )
+    # duplicate-group table is tiny relative to the corpus -> broadcast back
+    return (
+        dh.join(F.broadcast(sizes), "dhash")
+        .select("image_id", "dhash", "group_size")
+    )
+
+
+_IMAGE_DHASH_SQL = """
+WITH img AS (
+  SELECT p_partkey AS i, 8 * (1 + p_partkey % 3) AS w
+  FROM part WHERE p_partkey < 800
+), bit AS (
+  SELECT i, (c % 8) AS tx, (c // 8) AS ty, c AS k,
+    ((((c % 8) + 1) * w // 9) * 3 + ((c // 8) * w // 8) * 7 + i * 13) % 251
+      > (((c % 8) * w // 9) * 3 + ((c // 8) * w // 8) * 7 + i * 13) % 251 AS b
+  FROM (SELECT i, w, unnest(range(0, 64)) AS c FROM img)
+), h AS (
+  SELECT i,
+    CAST(sum(CASE WHEN b THEN (1::HUGEINT << k) ELSE 0 END)
+         - CASE WHEN max(CASE WHEN b AND k = 63 THEN 1 ELSE 0 END) = 1
+                THEN (1::HUGEINT << 64) ELSE 0::HUGEINT END AS BIGINT) AS dhash
+  FROM bit GROUP BY i
+), g AS (
+  SELECT dhash, count(*) AS group_size FROM h GROUP BY dhash HAVING count(*) > 1
+)
+SELECT printf('img%012d', h.i) AS image_id, h.dhash,
+       CAST(g.group_size AS BIGINT) AS group_size
+FROM h JOIN g USING (dhash)
+"""
+
+
+def q_image_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-based image search: 16-bin histogram features -> exact cosine
+    top-5 per query image. Every histogram share is k/64 (an exact dyadic
+    rational), so dot products and norms are EXACT in float64 and the
+    DuckDB twin reproduces the scores bit-identically. The 3 query vectors
+    broadcast; candidates never shuffle (scale path: swap the brute scan
+    for similarity.cosine_topk_lsh at corpus scale)."""
+    imgs = _synth_images(spark, sf_dir, 240, step=3)  # all 8x8
+    hist = MM.histogram_features(imgs, bins=16)
+    qids = [f"img{i:012d}" for i in (0, 30, 60)]
+    q = hist.filter(F.col("image_id").isin(qids)).select(
+        F.col("image_id").alias("query_id"), F.col("hist").alias("qh")
+    )
+    cand = hist.select(F.col("image_id").alias("cand_id"), F.col("hist").alias("ch"))
+    dot = F.aggregate(
+        F.zip_with("qh", "ch", lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+    )
+    norm = lambda c: F.sqrt(
+        F.aggregate(F.col(c), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    pairs = (
+        cand.join(F.broadcast(q), F.col("cand_id") != F.col("query_id"))
+        .withColumn("cos", dot / (norm("qh") * norm("ch")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.col("cand_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "cand_id", "rank", F.round("cos", 6).alias("cos"))
+    )
+
+
+_IMAGE_SIMILARITY_SQL = """
+WITH img AS (
+  SELECT p_partkey AS i FROM part WHERE p_partkey < 240 AND p_partkey % 3 = 0
+), px AS (
+  SELECT i, unnest(range(0, 64)) AS p FROM img
+), v AS (
+  SELECT i, (((p % 8) * 3 + (p // 8) * 7 + i * 13) % 251) // 16 AS b FROM px
+), bins AS (
+  SELECT i, unnest(range(0, 16)) AS bin FROM img
+), hist AS (
+  SELECT bins.i, bins.bin,
+         round(coalesce(cnt.n, 0) / 64.0, 6) AS share
+  FROM bins LEFT JOIN (SELECT i, b, count(*) AS n FROM v GROUP BY i, b) cnt
+    ON cnt.i = bins.i AND cnt.b = bins.bin
+), norms AS (
+  SELECT i, sqrt(sum(share * share)) AS nrm FROM hist GROUP BY i
+), pairs AS (
+  SELECT q.i AS qi, c.i AS ci,
+         sum(q.share * c.share) / (any_value(nq.nrm) * any_value(nc.nrm)) AS cos
+  FROM hist q
+  JOIN hist c ON c.bin = q.bin AND c.i <> q.i
+  JOIN norms nq ON nq.i = q.i
+  JOIN norms nc ON nc.i = c.i
+  WHERE q.i IN (0, 30, 60)
+  GROUP BY q.i, c.i
+), ranked AS (
+  SELECT qi, ci, cos,
+         row_number() OVER (PARTITION BY qi ORDER BY cos DESC, printf('img%012d', ci)) AS rank
+  FROM pairs
+)
+SELECT printf('img%012d', qi) AS query_id, printf('img%012d', ci) AS cand_id,
+       CAST(rank AS INTEGER) AS rank, round(cos, 6) AS cos
+FROM ranked WHERE rank <= 5
+"""
+
+
 def q_quality_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language top-5 documents by quality score (the filter stage of a
     training-data pipeline): window arg-max over the text-analysis columns."""
@@ -1540,6 +1654,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode": q_multimodal_decode,
         "multimodal_resize": q_multimodal_resize,
         "multimodal_histogram": q_multimodal_histogram,
+        "image_dhash_dedup": q_image_dhash_dedup,
+        "image_similarity": q_image_similarity,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_cosine_lsh": q_ann_cosine_lsh,
         "ann_cosine_ivf": q_ann_cosine_ivf,
@@ -1586,6 +1702,8 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_decode": _MULTIMODAL_SQL,
         "multimodal_resize": _MULTIMODAL_RESIZE_SQL,
         "multimodal_histogram": _MULTIMODAL_HIST_SQL,
+        "image_dhash_dedup": _IMAGE_DHASH_SQL,
+        "image_similarity": _IMAGE_SIMILARITY_SQL,
         "ann_cosine_topk": _ANN_SQL,
         "ann_cosine_lsh": _ann_lsh_sql(),
         "ann_cosine_ivf": _ann_ivf_sql(),

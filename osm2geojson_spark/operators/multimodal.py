@@ -11,6 +11,7 @@ Operators:
 * decode_stats     — decode + per-image stats (mean/std/min/max)
 * resize_images    — nearest-neighbor resize, re-encoded (rawz)
 * histogram_features — 16-bin intensity histogram as array<double>
+* dhash_features   — perceptual difference hash (64-bit), the image-dedup key
 * frame_sample     — stub for video frame sampling (schema + plumbing only)
 
 Arrow batch sizing note: callers tune
@@ -113,6 +114,38 @@ def histogram_features(images: DataFrame, bins: int = 16) -> DataFrame:
 
     return images.select("image_id", "bytes", "fmt").mapInPandas(
         fn, schema="image_id string, hist array<double>"
+    )
+
+
+def dhash_features(images: DataFrame, hash_w: int = 8, hash_h: int = 8) -> DataFrame:
+    """(image_id, dhash) — difference hash: nearest-neighbor sample to a
+    (hash_h, hash_w+1) grid, take the horizontal gradient sign, pack the
+    hash_w*hash_h bits row-major into an int64 (bit k = row*hash_w + col;
+    bit 63 wraps to the sign, two's complement). Perceptually identical
+    images collide; a hamming-ball join on the hash gives near-dup candidate
+    pairs without comparing pixels. The sampling index map is the same
+    floor(t*src/dst) map as resize_images, so dhash(resize(img)) ==
+    dhash(img) for integer downscales."""
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        weights = np.uint64(1) << np.arange(hash_w * hash_h, dtype=np.uint64)
+        for pdf in it:
+            ids, hashes = [], []
+            for r in pdf.itertuples(index=False):
+                px = imagecodec.decode(bytes(r.bytes), r.fmt)
+                ys = (np.arange(hash_h) * px.shape[0] // hash_h).clip(0, px.shape[0] - 1)
+                xs = (np.arange(hash_w + 1) * px.shape[1] // (hash_w + 1)).clip(
+                    0, px.shape[1] - 1
+                )
+                g = px[np.ix_(ys, xs)]
+                bits = (g[:, 1:] > g[:, :-1]).ravel()
+                val = np.bitwise_or.reduce(np.where(bits, weights, np.uint64(0)))
+                hashes.append(int(np.uint64(val).astype(np.int64)))
+                ids.append(r.image_id)
+            yield pd.DataFrame({"image_id": ids, "dhash": pd.array(hashes, dtype="int64")})
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(
+        fn, schema="image_id string, dhash long"
     )
 
 

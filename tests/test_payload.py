@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 from osm2geojson_spark.functions import imagecodec
 from osm2geojson_spark.operators.multimodal import (
     decode_stats,
+    dhash_features,
     histogram_features,
     resize_images,
 )
@@ -162,6 +163,48 @@ def test_resize(spark):
     for r in out:
         px = imagecodec.decode_rawz(bytes(r["bytes"]))
         assert px.shape == (8, 8)
+
+
+def _dhash_np(px: np.ndarray, hash_w: int = 8, hash_h: int = 8) -> int:
+    ys = (np.arange(hash_h) * px.shape[0] // hash_h).clip(0, px.shape[0] - 1)
+    xs = (np.arange(hash_w + 1) * px.shape[1] // (hash_w + 1)).clip(0, px.shape[1] - 1)
+    g = px[np.ix_(ys, xs)]
+    bits = (g[:, 1:] > g[:, :-1]).ravel()
+    v = 0
+    for k, b in enumerate(bits):
+        if b:
+            v |= 1 << k
+    return v - (1 << 64) if v >= 1 << 63 else v
+
+
+def test_dhash_matches_reference_pack(spark):
+    imgs = synthetic_images(spark, 20)
+    got = {r["image_id"]: r["dhash"] for r in dhash_features(imgs).collect()}
+    for r in imgs.collect():
+        px = imagecodec.decode(bytes(r["bytes"]), r["fmt"])
+        assert got[r["image_id"]] == _dhash_np(px), r["image_id"]
+
+
+def test_dhash_invariant_under_integer_downscale(spark):
+    """dhash(resize(img)) == dhash(img) for the same floor index map when
+    the resize target is the hash grid itself."""
+    imgs = synthetic_images(spark, 8)
+    direct = {r["image_id"]: r["dhash"] for r in dhash_features(imgs, 8, 8).collect()}
+    resized = resize_images(imgs, 9, 8)  # exactly the hash sampling grid
+    via = {r["image_id"]: r["dhash"] for r in dhash_features(resized, 8, 8).collect()}
+    assert direct == via
+
+
+def test_dhash_groups_exact_duplicates(spark):
+    """Images i and i+753 have identical pixels (same w: period 3; same
+    mod-251 offset: 13 invertible mod the prime 251 -> period 753)."""
+    imgs = synthetic_images(spark, 1600)
+    dh = dhash_features(imgs)
+    rows = {r["image_id"]: r["dhash"] for r in dh.collect()}
+    for i in (0, 100, 500, 846):
+        a = rows[f"img{i:012d}"]
+        b = rows[f"img{i + 753:012d}"]
+        assert a == b, i
 
 
 def test_resume_equivalence(spark, tmp_path):
