@@ -1202,6 +1202,46 @@ FROM h JOIN g USING (dhash)
 """
 
 
+def q_image_dhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image NEAR-duplicate pairs: one representative per exact dHash group
+    (the scale-correct composition — identical hashes would explode
+    quadratically inside their pigeonhole bucket), then a hamming<=6 block
+    join over the distinct hashes (8 blocks of 8 bits: complete for
+    hamming<=7). The oracle brute-forces hamming over the same distinct
+    hashes with DuckDB's two's-complement bit_count(xor)."""
+    imgs = _synth_images(spark, sf_dir, 800)
+    dh = MM.dhash_features(imgs)
+    reps = dh.groupBy("dhash").agg(F.min("image_id").alias("image_id"))
+    return DD.hamming_pairs(
+        reps, id_col="image_id", hash_col="dhash", bits=64, n_blocks=8, max_hamming=6
+    ).select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+
+
+_IMAGE_DHASH_NEAR_SQL = """
+WITH img AS (
+  SELECT p_partkey AS i, 8 * (1 + p_partkey % 3) AS w
+  FROM part WHERE p_partkey < 800
+), bit AS (
+  SELECT i, c AS k,
+    ((((c % 8) + 1) * w // 9) * 3 + ((c // 8) * w // 8) * 7 + i * 13) % 251
+      > (((c % 8) * w // 9) * 3 + ((c // 8) * w // 8) * 7 + i * 13) % 251 AS b
+  FROM (SELECT i, w, unnest(range(0, 64)) AS c FROM img)
+), h AS (
+  SELECT i,
+    CAST(sum(CASE WHEN b THEN (1::HUGEINT << k) ELSE 0 END)
+         - CASE WHEN max(CASE WHEN b AND k = 63 THEN 1 ELSE 0 END) = 1
+                THEN (1::HUGEINT << 64) ELSE 0::HUGEINT END AS BIGINT) AS dhash
+  FROM bit GROUP BY i
+), reps AS (
+  SELECT dhash, min(printf('img%012d', i)) AS image_id FROM h GROUP BY dhash
+)
+SELECT a.image_id AS id_a, b.image_id AS id_b,
+       CAST(bit_count(xor(a.dhash, b.dhash)) AS INTEGER) AS hamming
+FROM reps a JOIN reps b ON a.image_id < b.image_id
+WHERE bit_count(xor(a.dhash, b.dhash)) BETWEEN 1 AND 6
+"""
+
+
 def q_image_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-based image search: 16-bin histogram features -> exact cosine
     top-5 per query image. Every histogram share is k/64 (an exact dyadic
@@ -1655,6 +1695,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_resize": q_multimodal_resize,
         "multimodal_histogram": q_multimodal_histogram,
         "image_dhash_dedup": q_image_dhash_dedup,
+        "image_dhash_near": q_image_dhash_near,
         "image_similarity": q_image_similarity,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_cosine_lsh": q_ann_cosine_lsh,
@@ -1703,6 +1744,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_resize": _MULTIMODAL_RESIZE_SQL,
         "multimodal_histogram": _MULTIMODAL_HIST_SQL,
         "image_dhash_dedup": _IMAGE_DHASH_SQL,
+        "image_dhash_near": _IMAGE_DHASH_NEAR_SQL,
         "image_similarity": _IMAGE_SIMILARITY_SQL,
         "ann_cosine_topk": _ANN_SQL,
         "ann_cosine_lsh": _ann_lsh_sql(),

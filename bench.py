@@ -178,16 +178,19 @@ def main() -> None:
         features, _ = build_features(spark, frames, materialize="cache")
         return features.count()
 
-    if do_warmup:
-        # warm at the SAME size: the first run of a plan at a new data size
-        # pays ~2x even on a warm JVM (AQE/codegen per stage geometry)
-        osm_convert()
-
     def osm_timed():
         # caches from prior reps would short-circuit the measurement (Spark's
         # cache manager reuses plan-equal cached data) — measure cold compute
         spark.catalog.clearCache()
         return osm_convert()
+
+    if do_warmup:
+        # warm the EXACT timed shape (same size, cache cleared): the first
+        # cleared-cache execution pays ~2x even on a JVM already warm from a
+        # cache-reusing run, so a mismatched warmup leaks that cost into the
+        # first timed rep and skews a 3-rep median
+        osm_timed()
+        osm_timed()
 
     bench("osm_convert", osm_timed)
     spark.catalog.clearCache()

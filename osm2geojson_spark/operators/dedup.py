@@ -210,6 +210,56 @@ def simhash_pairs(
     )
 
 
+def hamming_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    hash_col: str = "hash",
+    bits: int = 64,
+    n_blocks: int = 8,
+    max_hamming: int = 6,
+) -> DataFrame:
+    """(id_a, id_b, hamming) for integer-hash pairs with 1 <= hamming <=
+    ``max_hamming`` — the generic pigeonhole band join behind simhash,
+    generalized to any hash width (64-bit dHash image near-dup being the
+    second user). A pair within hamming k shares at least one of n_blocks
+    exact blocks whenever n_blocks > k, so the self-join is block-bucketed
+    and candidate volume scales with collision rate, never n^2. Run an
+    exact-hash dedup first and feed one representative per hash — identical
+    hashes otherwise explode quadratically inside their bucket."""
+    if n_blocks <= max_hamming:
+        raise ValueError("pigeonhole completeness needs n_blocks > max_hamming")
+    width = bits // n_blocks
+    mask = (1 << width) - 1
+    blocks = [
+        F.shiftrightunsigned(F.col(hash_col), width * i)
+        .bitwiseAND(F.lit(mask))
+        .alias(f"blk{i}")
+        for i in range(n_blocks)
+    ]
+    melted = df.select(F.col(id_col), F.col(hash_col), *blocks).unpivot(
+        ids=[id_col, hash_col],
+        values=[f"blk{i}" for i in range(n_blocks)],
+        variableColumnName="blk_idx",
+        valueColumnName="blk_val",
+    )
+    a = melted.select(
+        F.col(id_col).alias("id_a"), F.col(hash_col).alias("h_a"), "blk_idx", "blk_val"
+    )
+    b = melted.select(
+        F.col(id_col).alias("id_b"), F.col(hash_col).alias("h_b"), "blk_idx", "blk_val"
+    )
+    return (
+        a.join(b, ["blk_idx", "blk_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "hamming", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+        )
+        .filter((F.col("hamming") >= 1) & (F.col("hamming") <= max_hamming))
+        .select("id_a", "id_b", "hamming")
+        .distinct()
+    )
+
+
 def duplicate_clusters(
     docs: DataFrame,
     pairs: DataFrame,

@@ -78,6 +78,40 @@ def test_simhash_pairs(docs):
     assert (0, 3) not in pairs
 
 
+def test_hamming_pairs_complete_vs_bruteforce(spark):
+    """Pigeonhole block join (8 blocks, hamming<=6) finds EXACTLY the brute
+    force pair set over random 64-bit hashes with planted near pairs."""
+    rng = np.random.default_rng(11)
+    hashes = list(rng.integers(-(1 << 63), 1 << 63, size=40, dtype=np.int64))
+    for base, flips in ((0, 1), (2, 3), (4, 6), (7, 7), (8, 9)):
+        h = int(hashes[base])
+        for b in rng.choice(64, size=flips, replace=False):
+            h ^= 1 << int(b)
+        hashes.append(np.int64(h))  # near (or exactly-7-away) partner
+    df = spark.createDataFrame(
+        [(i, int(h)) for i, h in enumerate(hashes)], "id long, hash long"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in DD.hamming_pairs(
+            df, id_col="id", hash_col="hash", bits=64, n_blocks=8, max_hamming=6
+        ).collect()
+    }
+    want = {}
+    for i in range(len(hashes)):
+        for j in range(i + 1, len(hashes)):
+            d = bin((int(hashes[i]) ^ int(hashes[j])) & ((1 << 64) - 1)).count("1")
+            if 1 <= d <= 6:
+                want[(i, j)] = d
+    assert got == want
+    assert len(want) >= 3  # planted pairs actually landed in range
+
+
+def test_hamming_pairs_rejects_incomplete_blocking():
+    with pytest.raises(ValueError):
+        DD.hamming_pairs(None, n_blocks=4, max_hamming=6)
+
+
 @pytest.fixture(scope="module")
 def vectors(spark):
     rng = np.random.default_rng(7)
