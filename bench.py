@@ -57,6 +57,7 @@ BENCH_QUERIES = [
     "dedup_embedding",
     "ann_cosine_topk",
     "multimodal_decode",
+    "image_dhash_dedup",
     "text_analysis",
     "events_window",
     "pricing_summary",
