@@ -491,6 +491,42 @@ def q_pip_join_sphere(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_within_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial range (radius) join: all (supplier, customer) pairs within
+    400 km by haversine. The operator explodes each supplier's disk-bbox
+    covering cells (provable superset — spatial_join.disk_bbox), equi-joins
+    on the single customer cell, and refines with JVM-side haversine; the
+    oracle brute-forces the cross join. Only the integer pair keys are
+    output: the inclusion threshold is the sole trig-dependent decision and
+    pairs land ~meters from the 400 km cut, far beyond cross-engine libm
+    ulp differences."""
+    sup = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey"), _lon("s_suppkey").alias("lon"), _lat("s_suppkey").alias("lat")
+    )
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey"), _lon("c_custkey").alias("lon"), _lat("c_custkey").alias("lat")
+    )
+    from osm2geojson_spark.operators.spatial_join import within_distance_join
+
+    return within_distance_join(
+        sup, cust, 400_000.0, res=6, lid="s_suppkey", rid="c_custkey"
+    ).select("s_suppkey", "c_custkey")
+
+
+_WITHIN_DISTANCE_SQL = f"""
+WITH s AS (
+  SELECT s_suppkey, {SYN.lon_sql('s_suppkey')} AS slon, {SYN.lat_sql('s_suppkey')} AS slat
+  FROM supplier
+), c AS (
+  SELECT c_custkey, {SYN.lon_sql('c_custkey')} AS clon, {SYN.lat_sql('c_custkey')} AS clat
+  FROM customer
+)
+SELECT s_suppkey, c_custkey
+FROM s CROSS JOIN c
+WHERE {KNN.haversine_sql('slon', 'slat', 'clon', 'clat')} <= 400000.0
+"""
+
+
 def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E5: heavy-hitter salted cell join. Customer points cell-keyed at a
     coarse resolution (few cells -> guaranteed heavy hitters at the 200-row
@@ -1679,6 +1715,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sphere_cell_histogram": q_sphere_cell_histogram,
         "pip_join": q_pip_join,
         "pip_join_sphere": q_pip_join_sphere,
+        "within_distance": q_within_distance,
         "skew_salted_join": q_skew_salted_join,
         "knn": q_knn,
         "knn_sphere": q_knn_sphere,
@@ -1728,6 +1765,7 @@ def oracle_sql() -> dict[str, str]:
         "sphere_cell_histogram": _sphere_cell_histogram_sql(),
         "pip_join": _PIP_JOIN_SQL,
         "pip_join_sphere": _PIP_JOIN_SQL,
+        "within_distance": _WITHIN_DISTANCE_SQL,
         "skew_salted_join": _SKEW_JOIN_SQL,
         "knn": _KNN_SQL,
         "knn_sphere": _KNN_SQL,

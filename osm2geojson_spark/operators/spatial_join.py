@@ -18,6 +18,8 @@ from __future__ import annotations
 
 from typing import Iterator
 
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -439,3 +441,120 @@ def _bbox_intersects_polygon(b, rings) -> bool:
                 if K._segments_properly_intersect(s[i], s[i + 1], e0, e1):
                     return True
     return False
+
+
+# --------------------------------------------------- within-distance join
+
+
+def disk_bbox(lon: Column, lat: Column, radius_m: float):
+    """(min_lon, min_lat, max_lon, max_lat) columns of the lon/lat bbox
+    that provably contains the haversine disk of ``radius_m`` around each
+    point.
+
+    Latitude extent is exact (a meridian is a great circle): ±radius/R.
+    Longitude half-width uses d/cos(|lat|+d) in radians, which dominates
+    the true maximum deviation asin(sin d / cos lat) whenever the disk
+    stays off the poles (proof: sqrt(cos²φ − sin²d) ≥ cos(φ+d) for
+    φ, φ+d ∈ [0, 90°], so asin(sin d/cos φ) ≤ sin d/cos(φ+d) ≤ d/cos(φ+d)).
+    A disk touching a pole degrades to the full longitude band. Boxes
+    crossing the antimeridian come back with min_lon > max_lon — the
+    RFC 7946 convention both ``cells.covering_cells`` and
+    ``cells_sphere.sphere_covering_cells_udf`` consume."""
+    from .knn import EARTH_RADIUS_M
+
+    deg_m = math.pi / 180.0 * EARTH_RADIUS_M  # meters per degree of arc
+    dlat = radius_m / deg_m
+    lat0 = F.greatest(lat - F.lit(dlat), F.lit(-90.0))
+    lat1 = F.least(lat + F.lit(dlat), F.lit(90.0))
+    lat_far = F.greatest(F.abs(lat0), F.abs(lat1))
+    coslat = F.greatest(F.cos(F.radians(lat_far)), F.lit(1e-12))
+    dlon = F.least(F.lit(dlat) / coslat, F.lit(180.0))
+    full = (dlon >= F.lit(180.0)) | (F.abs(lat) + F.lit(dlat) >= F.lit(90.0))
+    raw0 = lon - dlon
+    raw1 = lon + dlon
+    min_lon = F.when(full, F.lit(-180.0)).otherwise(
+        F.when(raw0 < F.lit(-180.0), raw0 + F.lit(360.0)).otherwise(raw0)
+    )
+    max_lon = F.when(full, F.lit(180.0)).otherwise(
+        F.when(raw1 > F.lit(180.0), raw1 - F.lit(360.0)).otherwise(raw1)
+    )
+    return min_lon, lat0, max_lon, lat1
+
+
+def within_distance_join(
+    left: DataFrame,
+    right: DataFrame,
+    radius_m: float,
+    res: int = cells.DEFAULT_RES,
+    lid: str = "lid",
+    rid: str = "rid",
+    grid: str = "flat",
+    salt_threshold: int | None = None,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Spatial range (radius) join: every (left, right) pair within
+    ``radius_m`` meters by haversine distance. Output columns:
+    (lid, rid, dist_m).
+
+    Plan: the right side gets ONE cell per point; each left point explodes
+    to the covering cells of its disk bbox (a provable superset — see
+    ``disk_bbox``), so the cell equi-join is the only shuffle and no pair
+    can match twice (the right point's single cell either is in the left
+    covering or not — no post-join dedup). Exact haversine refine runs
+    JVM-side in codegen.
+
+    ``grid``: "flat" (equirectangular E1 cells) or "sphere" (cube-face
+    cells_sphere) — identical results, polar-robust candidate generation.
+
+    Scale: pick ``res`` so a disk covering stays small (covering cells ~
+    (2·radius/cell_width)²); dense right-side cells (urban cores) are the
+    heavy hitters — pass ``salt_threshold`` to hash-spread them over
+    ``n_salts`` with the plans/skew.py treatment (left covering rows
+    replicated per salt), same as the PIP shuffle path."""
+    from .knn import haversine_col
+
+    if grid == "sphere":
+        from . import cells_sphere as SPH
+
+        def cell_of(lon, lat):
+            return SPH.sphere_cell_id(lon, lat, res)
+
+        def cov_of(a, b, c, d):
+            return SPH.sphere_covering_cells_udf(a, b, c, d, res)
+
+    else:
+
+        def cell_of(lon, lat):
+            return cells.cell_id(lon, lat, res)
+
+        def cov_of(a, b, c, d):
+            return cells.covering_cells(a, b, c, d, res)
+
+    L = left.select(
+        F.col(lid), F.col("lon").alias("l_lon"), F.col("lat").alias("l_lat")
+    )
+    bb = disk_bbox(F.col("l_lon"), F.col("l_lat"), radius_m)
+    L = L.withColumn("cell_id", F.explode(cov_of(*bb)))
+    R = right.select(
+        F.col(rid), F.col("lon").alias("r_lon"), F.col("lat").alias("r_lat")
+    ).withColumn("cell_id", cell_of(F.col("r_lon"), F.col("r_lat")))
+
+    if salt_threshold:
+        from ..plans.skew import salted_cell_join
+
+        cand = salted_cell_join(
+            R, L, cell_col="cell_id",
+            threshold=salt_threshold, n_salts=n_salts, salt_src=rid,
+        )
+    else:
+        cand = L.join(R, "cell_id")
+    return (
+        cand.withColumn(
+            "dist_m",
+            haversine_col(
+                F.col("l_lon"), F.col("l_lat"), F.col("r_lon"), F.col("r_lat")
+            ),
+        )
+        .filter(F.col("dist_m") <= F.lit(float(radius_m)))
+        .select(lid, rid, "dist_m")
+    )

@@ -432,3 +432,104 @@ def test_pip_shuffle_path_salts_heavy_cells(spark, points):
         .toString()
     )
     assert "salt" in plan
+
+
+# ------------------------------------------------- within-distance join
+
+
+def _wd_points(spark, n, seed, bbox, name):
+    return spark.range(0, n).select(
+        F.col("id").alias(name),
+        SYN.lon_expr(F.col("id") + seed, bbox).alias("lon"),
+        SYN.lat_expr(F.col("id") + seed, bbox).alias("lat"),
+    )
+
+
+def _wd_brute(left, right, radius_m):
+    from osm2geojson_spark.operators.knn import haversine_col
+
+    cand = (
+        left.select(F.col("lid"), F.col("lon").alias("l_lon"), F.col("lat").alias("l_lat"))
+        .crossJoin(
+            right.select(
+                F.col("rid"), F.col("lon").alias("r_lon"), F.col("lat").alias("r_lat")
+            )
+        )
+        .withColumn(
+            "dist_m",
+            haversine_col(F.col("l_lon"), F.col("l_lat"), F.col("r_lon"), F.col("r_lat")),
+        )
+        .filter(F.col("dist_m") <= radius_m)
+    )
+    return {(r["lid"], r["rid"]) for r in cand.collect()}
+
+
+@pytest.mark.parametrize("grid", ["flat", "sphere"])
+def test_within_distance_matches_bruteforce(spark, grid):
+    from osm2geojson_spark.operators.spatial_join import within_distance_join
+
+    bbox = (-12.0, -12.0, 12.0, 12.0)
+    left = _wd_points(spark, 60, 7, bbox, "lid")
+    right = _wd_points(spark, 400, 400_000, bbox, "rid")
+    want = _wd_brute(left, right, 250_000.0)
+    assert want, "fixture must produce pairs"
+    got = {
+        (r["lid"], r["rid"])
+        for r in within_distance_join(
+            left, right, 250_000.0, res=6, grid=grid
+        ).collect()
+    }
+    assert got == want
+
+
+@pytest.mark.parametrize("grid", ["flat", "sphere"])
+def test_within_distance_antimeridian_and_polar(spark, grid):
+    """Disks straddling the antimeridian and containing a pole must not
+    lose pairs: the bbox wraps (min_lon > max_lon) or degrades to the full
+    lon band, and both coverers consume that convention."""
+    from osm2geojson_spark.operators.spatial_join import within_distance_join
+
+    left = spark.createDataFrame(
+        [(0, 179.7, 10.0), (1, -179.9, -30.0), (2, 25.0, 89.2), (3, 60.0, -89.5)],
+        "lid long, lon double, lat double",
+    )
+    rows = []
+    for i in range(600):
+        rows.append((i, -180.0 + (i * 0.6) % 360.0, -89.9 + (i * 7.31) % 179.8))
+    right = spark.createDataFrame(rows, "rid long, lon double, lat double")
+    want = _wd_brute(left, right, 250_000.0)
+    assert want
+    got = {
+        (r["lid"], r["rid"])
+        for r in within_distance_join(
+            left, right, 250_000.0, res=5, grid=grid
+        ).collect()
+    }
+    assert got == want
+
+
+def test_within_distance_salted_path(spark):
+    """Heavy right-side cells: salting must keep the result identical and
+    the candidate join must carry the salt key."""
+    from osm2geojson_spark.operators.spatial_join import within_distance_join
+
+    bbox = (-3.0, -3.0, 3.0, 3.0)
+    left = _wd_points(spark, 40, 11, bbox, "lid")
+    right = _wd_points(spark, 500, 900_000, bbox, "rid")
+    want = _wd_brute(left, right, 80_000.0)
+    got = {
+        (r["lid"], r["rid"])
+        for r in within_distance_join(
+            left, right, 80_000.0, res=3, salt_threshold=10, n_salts=4
+        ).collect()
+    }
+    assert got == want
+    plan = (
+        within_distance_join(
+            left, right, 80_000.0, res=3, salt_threshold=10, n_salts=4
+        )
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "salt" in plan
