@@ -1192,6 +1192,43 @@ FROM bins LEFT JOIN cnt ON cnt.i = bins.i AND cnt.b = bins.bin
 """
 
 
+def q_tile_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster tile-pyramid rollup (geospatial x image): 8x8 image tiles
+    keyed to a 16x16 res-4 cell grid, one rollup level -> res-3 parent
+    tiles (stitch <=4 children by cell quadrant, 2x2 average-pool,
+    re-encode). The driver-checked columns are the exact ones: n_children
+    and px_sum = (integer child pixel total)/4, a dyadic rational both
+    engines represent bit-for-bit; tile BYTES are pinned against a NumPy
+    reference in tests/test_payload.py (stitch placement + uint8
+    rounding), which SQL cannot express."""
+    imgs = _synth_images(spark, sf_dir, 768, step=3)  # all 8x8
+    idx = F.expr("_i div 3")
+    tiles = imgs.select(
+        cells.pack_cell(4, idx % 16, F.expr("(_i div 3) div 16")).alias("cell_id"),
+        "w", "h", "fmt", "bytes",
+    )
+    return MM.tile_pyramid_level(tiles, 4).select(
+        "cell_id", "n_children", "px_sum"
+    )
+
+
+_TILE_PYRAMID_SQL = """
+WITH img AS (
+  SELECT p_partkey AS i, p_partkey // 3 AS idx
+  FROM part WHERE p_partkey < 768 AND p_partkey % 3 = 0
+), px AS (
+  SELECT idx, i, unnest(range(0, 64)) AS p FROM img
+), s AS (
+  SELECT idx, CAST(sum(((p % 8) * 3 + (p // 8) * 7 + i * 13) % 251) AS DOUBLE) AS child_sum
+  FROM px GROUP BY idx, i
+)
+SELECT (3::BIGINT << 58) + (((idx % 16) // 2)::BIGINT << 29) + ((idx // 16) // 2)::BIGINT AS cell_id,
+       CAST(count(*) AS INTEGER) AS n_children,
+       sum(child_sum) / 4.0 AS px_sum
+FROM s GROUP BY 1
+"""
+
+
 def q_image_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual image dedup: decode -> 9x8 gradient-sign dHash -> group by
     hash. Groups collapse both exact duplicates AND near-duplicates whose
@@ -1731,6 +1768,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode": q_multimodal_decode,
         "multimodal_resize": q_multimodal_resize,
         "multimodal_histogram": q_multimodal_histogram,
+        "tile_pyramid": q_tile_pyramid,
         "image_dhash_dedup": q_image_dhash_dedup,
         "image_dhash_near": q_image_dhash_near,
         "image_similarity": q_image_similarity,
@@ -1781,6 +1819,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_decode": _MULTIMODAL_SQL,
         "multimodal_resize": _MULTIMODAL_RESIZE_SQL,
         "multimodal_histogram": _MULTIMODAL_HIST_SQL,
+        "tile_pyramid": _TILE_PYRAMID_SQL,
         "image_dhash_dedup": _IMAGE_DHASH_SQL,
         "image_dhash_near": _IMAGE_DHASH_NEAR_SQL,
         "image_similarity": _IMAGE_SIMILARITY_SQL,

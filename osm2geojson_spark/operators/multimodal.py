@@ -26,6 +26,7 @@ from typing import Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from ..functions import imagecodec
 
@@ -160,3 +161,123 @@ def frame_sample(videos: DataFrame, every_n: int = 30) -> DataFrame:
             yield pd.DataFrame({"video_id": [], "frame_idx": [], "bytes": []})
 
     return videos.mapInPandas(fn, schema="video_id string, frame_idx int, bytes binary")
+
+
+# ----------------------------------------------------------- tile pyramid
+
+
+def tile_pyramid_level(tiles: DataFrame, res: int) -> DataFrame:
+    """One raster-pyramid rollup level: images keyed by their res-``res``
+    flat-grid cell become parent tiles at ``res - 1``.
+
+    Each parent stitches its <= 4 children into a 2W x 2H canvas by
+    cell-grid quadrant — child cell (x, y): x & 1 picks the left/right
+    half, y & 1 the vertical half with image row 0 at the TOP of the tile
+    (odd y = northern child = upper canvas rows); missing children are
+    zero tiles. The canvas is 2x2 average-pooled back to W x H in float64
+    and re-encoded rawz. ``px_sum`` is the pooled-tile sum BEFORE uint8
+    rounding = (integer child pixel total) / 4 — an exact dyadic rational,
+    so the DuckDB oracle reproduces it bit-for-bit from the child sums.
+
+    Plan: ONE shuffle per level (hash repartition by parent cell +
+    in-partition sort), then a consecutive-group mapInPandas kernel
+    (assemble.py's batched-kernel pattern — applyInPandas would pay ~ms of
+    Python per group, ruinous at millions of parents). Input columns:
+    ``cell_id, w, h, fmt, bytes`` — one tile per cell, uniform w x h per
+    level. Output: the same shape at the parent res, plus
+    ``n_children, px_sum``."""
+    from . import cells
+
+    x, y = cells.cell_xy(F.col("cell_id"))
+    prepped = tiles.select(
+        cells.parent_cell(F.col("cell_id"), res, res - 1).alias("parent"),
+        ((x % 2) + (y % 2) * 2).cast("int").alias("quad"),
+        "w", "h", "fmt", "bytes",
+    )
+    prepped = prepped.repartition("parent").sortWithinPartitions("parent", "quad")
+
+    COLS = ("parent", "quad", "w", "h", "fmt", "bytes")
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        buf = None
+        out = {k: [] for k in ("cell_id", "n_children", "px_sum", "w", "h", "bytes")}
+
+        def emit(g, s, e):
+            w, h = int(g["w"][s]), int(g["h"][s])
+            canvas = np.zeros((2 * h, 2 * w), dtype=np.float64)
+            for k in range(s, e):
+                px = imagecodec.decode(bytes(g["bytes"][k]), g["fmt"][k]).astype(
+                    np.float64
+                )
+                q = int(g["quad"][k])
+                dx, dy = q & 1, q >> 1
+                r0 = (1 - dy) * h  # odd y (north) -> top rows
+                canvas[r0 : r0 + h, dx * w : dx * w + w] = px
+            pooled = canvas.reshape(h, 2, w, 2).sum(axis=(1, 3)) * 0.25
+            out["cell_id"].append(int(g["parent"][s]))
+            out["n_children"].append(e - s)
+            out["px_sum"].append(float(pooled.sum()))
+            out["w"].append(w)
+            out["h"].append(h)
+            out["bytes"].append(
+                imagecodec.encode_rawz(
+                    np.clip(np.rint(pooled), 0, 255).astype(np.uint8)
+                )
+            )
+
+        def flush():
+            pdf = pd.DataFrame(
+                {
+                    "cell_id": pd.array(out["cell_id"], dtype="int64"),
+                    "n_children": pd.array(out["n_children"], dtype="int32"),
+                    "px_sum": pd.array(out["px_sum"], dtype="float64"),
+                    "w": pd.array(out["w"], dtype="int32"),
+                    "h": pd.array(out["h"], dtype="int32"),
+                    "fmt": "rawz",
+                    "bytes": out["bytes"],
+                }
+            )
+            for k in out:
+                out[k] = []
+            return pdf
+
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            g = {c: pdf[c].to_numpy() for c in COLS}
+            if buf is not None:
+                g = {c: np.concatenate([buf[c], g[c]]) for c in COLS}
+                buf = None
+            keys = g["parent"]
+            bounds = np.flatnonzero(keys[1:] != keys[:-1]) + 1
+            starts = np.concatenate([[0], bounds])
+            ends = np.concatenate([bounds, [len(keys)]])
+            # the last group may continue in the next Arrow batch — carry it
+            for s, e in zip(starts[:-1], ends[:-1]):
+                emit(g, int(s), int(e))
+            s = int(starts[-1])
+            buf = {c: g[c][s:] for c in COLS}
+            if len(out["cell_id"]) >= 256:
+                yield flush()
+        if buf is not None and len(buf["parent"]):
+            emit(buf, 0, len(buf["parent"]))
+        yield flush()
+
+    return prepped.mapInPandas(
+        fn,
+        schema=(
+            "cell_id long, n_children int, px_sum double, w int, h int,"
+            " fmt string, bytes binary"
+        ),
+    )
+
+
+def tile_pyramid(tiles: DataFrame, res: int, levels: int = 1) -> DataFrame:
+    """``levels`` successive rollups (res -> res - levels); returns the last
+    level. Each level is one shuffle + one Arrow kernel pass; from level 2
+    on, child pixels are the uint8-rounded re-encodes of the level below
+    (the standard lossy pyramid contract)."""
+    out = tiles
+    for step in range(levels):
+        out = tile_pyramid_level(out, res - step)
+    return out

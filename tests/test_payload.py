@@ -228,3 +228,129 @@ def test_resume_equivalence(spark, tmp_path):
     metrics = man.read_metrics()
     assert len(metrics) == 3
     assert all(m["rows_out"] == 100 and m["bytes_out"] > 0 for m in metrics)
+
+
+# ----------------------------------------------------------- tile pyramid
+
+
+def _pyramid_fixture(spark, res, drop_cells=()):
+    """One 8x8 tile per cell of the full 2^res x 2^res grid (minus
+    drop_cells), deterministic pixels, mixed rawz/png wire formats."""
+    from osm2geojson_spark.operators import cells
+
+    n = 1 << res
+    rows = []
+    for x in range(n):
+        for y in range(n):
+            if (x, y) in drop_cells:
+                continue
+            i = x * n + y
+            px = imagecodec.synth_pixels(i, 8, 8)
+            fmt = "png" if i % 5 == 0 else "rawz"
+            rows.append(
+                (cells.pack_cell_py(res, x, y), 8, 8, fmt,
+                 bytearray(imagecodec.encode(px, fmt)))
+            )
+    df = spark.createDataFrame(
+        rows, "cell_id long, w int, h int, fmt string, bytes binary"
+    )
+    return df, {r[0]: r for r in rows}
+
+
+def _np_pyramid_parent(res, px_at, pxy):
+    """NumPy reference for one parent at (px, py): stitch + 2x2 avg pool."""
+    px_, py_ = pxy
+    canvas = np.zeros((16, 16), dtype=np.float64)
+    for dx in (0, 1):
+        for dy in (0, 1):
+            child = px_at.get((2 * px_ + dx, 2 * py_ + dy))
+            if child is None:
+                continue
+            r0 = (1 - dy) * 8
+            canvas[r0 : r0 + 8, dx * 8 : dx * 8 + 8] = child
+    return canvas.reshape(8, 2, 8, 2).sum(axis=(1, 3)) * 0.25
+
+
+def test_tile_pyramid_level_matches_numpy(spark):
+    from osm2geojson_spark.operators import cells
+    from osm2geojson_spark.operators.multimodal import tile_pyramid_level
+
+    res = 3
+    n = 1 << res
+    drop = {(1, 2), (5, 5), (0, 7)}
+    tiles, _ = _pyramid_fixture(spark, res, drop_cells=drop)
+    px_at = {
+        (x, y): imagecodec.synth_pixels(x * n + y, 8, 8).astype(np.float64)
+        for x in range(n)
+        for y in range(n)
+        if (x, y) not in drop
+    }
+    out = {r["cell_id"]: r for r in tile_pyramid_level(tiles, res).collect()}
+    m = 1 << (res - 1)
+    assert len(out) == m * m  # every parent has >= 1 child here
+    for px_ in range(m):
+        for py_ in range(m):
+            want = _np_pyramid_parent(res, px_at, (px_, py_))
+            r = out[cells.pack_cell_py(res - 1, px_, py_)]
+            kids = sum(
+                1
+                for dx in (0, 1)
+                for dy in (0, 1)
+                if (2 * px_ + dx, 2 * py_ + dy) in px_at
+            )
+            assert r["n_children"] == kids
+            assert r["px_sum"] == want.sum()  # exact dyadic equality
+            got_px = imagecodec.decode_rawz(bytes(r["bytes"]))
+            ref = np.clip(np.rint(want), 0, 255).astype(np.uint8)
+            assert np.array_equal(got_px, ref)
+
+
+def test_tile_pyramid_orientation(spark):
+    """A single bright northern child must land in the TOP half of the
+    parent tile (image row 0 = top = higher latitude)."""
+    from osm2geojson_spark.operators import cells
+    from osm2geojson_spark.operators.multimodal import tile_pyramid_level
+
+    bright = np.full((8, 8), 200, dtype=np.uint8)
+    tiles = spark.createDataFrame(
+        [(cells.pack_cell_py(2, 0, 1), 8, 8, "rawz",
+          bytearray(imagecodec.encode_rawz(bright)))],
+        "cell_id long, w int, h int, fmt string, bytes binary",
+    )
+    r = tile_pyramid_level(tiles, 2).collect()[0]
+    px = imagecodec.decode_rawz(bytes(r["bytes"]))
+    assert px[:4, :4].mean() == 200.0  # top-left quadrant
+    assert px[4:, :].sum() == 0 and px[:, 4:].sum() == 0
+
+
+def test_tile_pyramid_two_levels(spark):
+    """res 3 -> 1 in two rollups: level-2 parents consume the uint8
+    re-encodes of level 1 (the standard lossy pyramid contract)."""
+    from osm2geojson_spark.operators import cells
+    from osm2geojson_spark.operators.multimodal import tile_pyramid, tile_pyramid_level
+
+    res = 3
+    tiles, _ = _pyramid_fixture(spark, res)
+    lvl1 = {r["cell_id"]: r for r in tile_pyramid_level(tiles, res).collect()}
+    # numpy reference for level 2 built FROM the level-1 uint8 tiles
+    px_at = {}
+    for (cid, r) in lvl1.items():
+        _, _, x, y = (None, None, *_cell_xy_py(cid))
+        px_at[(x, y)] = imagecodec.decode_rawz(bytes(r["bytes"])).astype(np.float64)
+    out = {r["cell_id"]: r for r in tile_pyramid(tiles, res, levels=2).collect()}
+    assert len(out) == 4
+    for px_ in range(2):
+        for py_ in range(2):
+            want = _np_pyramid_parent(2, px_at, (px_, py_))
+            r = out[cells.pack_cell_py(1, px_, py_)]
+            assert r["px_sum"] == want.sum()
+            assert np.array_equal(
+                imagecodec.decode_rawz(bytes(r["bytes"])),
+                np.clip(np.rint(want), 0, 255).astype(np.uint8),
+            )
+
+
+def _cell_xy_py(cell):
+    from osm2geojson_spark.operators.cells import _R_SHIFT, _X_SHIFT
+
+    return (cell >> _X_SHIFT) & ((1 << (_R_SHIFT - _X_SHIFT)) - 1), cell & ((1 << _X_SHIFT) - 1)
