@@ -49,6 +49,7 @@ BENCH_QUERIES = [
     "knn",
     "knn_sphere",
     "tile_vector_join",
+    "within_distance",
     "cell_histogram",
     "sphere_cell_histogram",
     "dedup_exact",
@@ -58,6 +59,7 @@ BENCH_QUERIES = [
     "ann_cosine_topk",
     "multimodal_decode",
     "image_dhash_dedup",
+    "tile_pyramid",
     "text_analysis",
     "events_window",
     "pricing_summary",

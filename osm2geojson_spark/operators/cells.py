@@ -216,3 +216,52 @@ def cell_id_sql(lon_expr: str, lat_expr: str, res: int = DEFAULT_RES) -> str:
     x = f"greatest(0, least({n - 1}, CAST(floor(({lon_expr} + 180.0) / 360.0 * {n}.0) AS BIGINT)))"
     y = f"greatest(0, least({n - 1}, CAST(floor(({lat_expr} + 90.0) / 180.0 * {n}.0) AS BIGINT)))"
     return f"(CAST({res} AS BIGINT) * {1 << _R_SHIFT} + {x} * {1 << _X_SHIFT} + {y})"
+
+
+def cell_res_py(cell: int) -> int:
+    return cell >> _R_SHIFT
+
+
+def compact_cells_py(
+    rows: list[tuple[int, int]], res: int
+) -> list[tuple[int, int]]:
+    """Compact a per-polygon cell set (H3 ``compactCells`` analogue): any 4
+    sibling cells carried by the same polygon collapse to their parent,
+    applied bottom-up until fixpoint. Input rows are (cell_id, poly_id)
+    all at ``res``; output is a mixed-resolution antichain per polygon
+    covering exactly the same area.
+
+    Scale rationale: an interior covering holds ~area/cell_area cells, but
+    its compacted form holds ~O(perimeter/cell_width) — for a country-sized
+    polygon at res 10+ that is orders of magnitude fewer broadcast rows.
+    Consumers probe each resolution present (see point_in_polygon_join's
+    ``compact_interior``); per polygon at most ONE compacted cell can
+    contain a given point (antichain), so join multiplicity is unchanged."""
+    cur: set[tuple[int, int]] = {(int(c), int(p)) for c, p in rows}
+    out: list[tuple[int, int]] = []
+    for r in range(res, 0, -1):
+        level = [(c, p) for c, p in cur if cell_res_py(c) == r]
+        rest = cur - set(level)
+        promoted: dict[tuple[int, int], int] = {}
+        for c, p in level:
+            x = (c >> _X_SHIFT) & ((1 << (_R_SHIFT - _X_SHIFT)) - 1)
+            y = c & ((1 << _X_SHIFT) - 1)
+            key = (pack_cell_py(r - 1, x >> 1, y >> 1), p)
+            promoted[key] = promoted.get(key, 0) + 1
+        keep: set[tuple[int, int]] = set()
+        for (pc, p), n in promoted.items():
+            if n == 4:
+                rest.add((pc, p))
+            else:
+                px = (pc >> _X_SHIFT) & ((1 << (_R_SHIFT - _X_SHIFT)) - 1)
+                py = pc & ((1 << _X_SHIFT) - 1)
+                for dx in (0, 1):
+                    for dy in (0, 1):
+                        cand = (pack_cell_py(r, (px << 1) + dx, (py << 1) + dy), p)
+                        if cand in cur:
+                            keep.add(cand)
+        cur = rest | keep
+        if not any(cell_res_py(c) == r - 1 for c, _ in cur):
+            break
+    out = sorted(cur)
+    return out

@@ -227,6 +227,7 @@ def point_in_polygon_join(
     grid: str = "flat",
     salt_threshold: int = 2_000_000,
     n_salts: int = 16,
+    compact_interior: bool = True,
 ) -> DataFrame:
     """E2: rows of ``points`` paired with every polygon containing them.
 
@@ -262,9 +263,37 @@ def point_in_polygon_join(
         shard_fn = sphere_classified_shards if grid == "sphere" else classified_shards
         inside_rows, boundary_rows, pid2gpb = shard_fn(polys, res)
         shard_schema = "cell_id long, poly_id long"
-        inside_df = spark.createDataFrame(inside_rows, shard_schema)
+        if compact_interior and grid == "flat" and inside_rows:
+            # H3-compactCells analogue: 4 interior siblings collapse to
+            # their parent until fixpoint — the broadcast table shrinks
+            # from ~area/cell_area rows to ~perimeter/cell_width. Points
+            # probe their ancestor cell at every resolution present (an
+            # antichain per polygon, so multiplicity is unchanged).
+            inside_rows = cells.compact_cells_py(inside_rows, res)
+            res_set = sorted({cells.cell_res_py(c) for c, _ in inside_rows})
+            inside_df = spark.createDataFrame(inside_rows, shard_schema)
+            probe = F.explode(
+                F.array(
+                    *[
+                        cells.cell_id(F.col(lon_col), F.col(lat_col), r)
+                        for r in res_set
+                    ]
+                )
+            )
+            fast = (
+                pts.withColumn("probe_cell", probe)
+                .join(
+                    F.broadcast(inside_df),
+                    F.col("probe_cell") == inside_df["cell_id"],
+                    "inner",
+                )
+                .drop("probe_cell")
+                .drop(inside_df["cell_id"])
+            )
+        else:
+            inside_df = spark.createDataFrame(inside_rows, shard_schema)
+            fast = pts.join(F.broadcast(inside_df), "cell_id", "inner")
         boundary_df = spark.createDataFrame(boundary_rows, shard_schema)
-        fast = pts.join(F.broadcast(inside_df), "cell_id", "inner")
         cand = pts.join(F.broadcast(boundary_df), "cell_id", "inner")
         out_schema = ", ".join(
             f"{f.name} {f.dataType.simpleString()}" for f in cand.schema.fields

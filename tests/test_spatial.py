@@ -533,3 +533,75 @@ def test_within_distance_salted_path(spark):
         .toString()
     )
     assert "salt" in plan
+
+
+# ------------------------------------------------------- cell compaction
+
+
+def test_compact_cells_antichain_and_area():
+    """Compaction preserves covered area exactly and yields an antichain
+    (no output cell is an ancestor of another for the same polygon)."""
+    from osm2geojson_spark.operators.cells import (
+        cell_res_py,
+        compact_cells_py,
+        pack_cell_py,
+    )
+
+    res = 4
+    rows = [
+        (pack_cell_py(res, x, y), 7)
+        for x in range(16)
+        for y in range(16)
+        if not (x == 5 and y == 5)
+    ] + [(pack_cell_py(res, 0, 0), 9), (pack_cell_py(res, 0, 1), 9)]
+    out = compact_cells_py(rows, res)
+    assert len(out) < len(rows)
+
+    def leaves(c, p):
+        r = cell_res_py(c)
+        x = (c >> 29) & ((1 << 29) - 1)
+        y = c & ((1 << 29) - 1)
+        d = res - r
+        return {
+            (pack_cell_py(res, (x << d) + dx, (y << d) + dy), p)
+            for dx in range(1 << d)
+            for dy in range(1 << d)
+        }
+
+    covered = set()
+    for c, p in out:
+        lv = leaves(c, p)
+        assert not (covered & lv), "overlap => not an antichain"
+        covered |= lv
+    assert covered == set(rows)
+
+
+def test_pip_compact_interior_equivalence(spark, points):
+    """compact_interior=True must return exactly the uncompacted result;
+    the interior broadcast table must actually shrink for a large polygon."""
+    from osm2geojson_spark.operators.cells import compact_cells_py
+    from osm2geojson_spark.operators.spatial_join import (
+        classified_shards,
+        point_in_polygon_join,
+    )
+
+    big = geom.polygon([[[-9, -9], [9, -9], [9, 9], [-9, 9], [-9, -9]]])
+    polys = polygons_to_df(spark, [(1, big)])
+    res = 8
+    inside_rows, _, _ = classified_shards([(1, big)], res)
+    compacted = compact_cells_py(inside_rows, res)
+    assert len(compacted) < len(inside_rows) / 3, (len(inside_rows), len(compacted))
+
+    plain = {
+        (r["pid"], r["poly_id"])
+        for r in point_in_polygon_join(
+            points, polys, res=res, compact_interior=False
+        ).collect()
+    }
+    comp = {
+        (r["pid"], r["poly_id"])
+        for r in point_in_polygon_join(
+            points, polys, res=res, compact_interior=True
+        ).collect()
+    }
+    assert comp == plain and len(plain) > 100
