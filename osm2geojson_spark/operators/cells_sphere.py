@@ -541,3 +541,45 @@ def sphere_cell_id_sql(lon_expr: str, lat_expr: str, res: int = DEFAULT_RES) -> 
         f"CAST({res} AS BIGINT) * {1 << _R_SHIFT} + "
         f"({i}) * {1 << _I_SHIFT} + ({j}))"
     )
+
+
+def sphere_cell_res_py(cell: int) -> int:
+    return (cell >> _R_SHIFT) & ((1 << (_F_SHIFT - _R_SHIFT)) - 1)
+
+
+def sphere_compact_cells_py(
+    rows: list[tuple[int, int]], res: int
+) -> list[tuple[int, int]]:
+    """``cells.compact_cells_py`` on the SPHERE grid: 4 sibling cells
+    (same face, (i >> 1, j >> 1) parent) carried by the same polygon
+    collapse to their parent, bottom-up to fixpoint. Input rows are
+    (cell_id, poly_id) at ``res``; output is a mixed-res antichain per
+    polygon over the same leaves — consumers probe ``sphere_cell_id`` at
+    each resolution present (see point_in_polygon_join)."""
+    cur: set[tuple[int, int]] = {(int(c), int(p)) for c, p in rows}
+    for r in range(res, 0, -1):
+        level = [(c, p) for c, p in cur if sphere_cell_res_py(c) == r]
+        rest = cur - set(level)
+        promoted: dict[tuple[int, int], int] = {}
+        for c, p in level:
+            f, _, i, j = sphere_parts_py(c)
+            key = (sphere_pack_py(f, r - 1, i >> 1, j >> 1), p)
+            promoted[key] = promoted.get(key, 0) + 1
+        keep: set[tuple[int, int]] = set()
+        for (pc, p), n in promoted.items():
+            if n == 4:
+                rest.add((pc, p))
+            else:
+                f, _, pi, pj = sphere_parts_py(pc)
+                for di in (0, 1):
+                    for dj in (0, 1):
+                        cand = (
+                            sphere_pack_py(f, r, (pi << 1) + di, (pj << 1) + dj),
+                            p,
+                        )
+                        if cand in cur:
+                            keep.add(cand)
+        cur = rest | keep
+        if not any(sphere_cell_res_py(c) == r - 1 for c, _ in cur):
+            break
+    return sorted(cur)

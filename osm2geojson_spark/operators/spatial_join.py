@@ -263,23 +263,33 @@ def point_in_polygon_join(
         shard_fn = sphere_classified_shards if grid == "sphere" else classified_shards
         inside_rows, boundary_rows, pid2gpb = shard_fn(polys, res)
         shard_schema = "cell_id long, poly_id long"
-        if compact_interior and grid == "flat" and inside_rows:
+        if compact_interior and inside_rows:
             # H3-compactCells analogue: 4 interior siblings collapse to
             # their parent until fixpoint — the broadcast table shrinks
             # from ~area/cell_area rows to ~perimeter/cell_width. Points
             # probe their ancestor cell at every resolution present (an
-            # antichain per polygon, so multiplicity is unchanged).
-            inside_rows = cells.compact_cells_py(inside_rows, res)
-            res_set = sorted({cells.cell_res_py(c) for c, _ in inside_rows})
+            # antichain per polygon, so multiplicity is unchanged; the
+            # ancestor probe is exact because both grids' index math is a
+            # clamped floor of a per-axis monotone map, and floor-division
+            # composes: floor(s*2^R) >> (R-r) == floor(s*2^r)).
+            if grid == "sphere":
+                from . import cells_sphere as SPH
+
+                inside_rows = SPH.sphere_compact_cells_py(inside_rows, res)
+                res_set = sorted({SPH.sphere_cell_res_py(c) for c, _ in inside_rows})
+
+                def _probe_at(r):
+                    return SPH.sphere_cell_id(F.col(lon_col), F.col(lat_col), r)
+
+            else:
+                inside_rows = cells.compact_cells_py(inside_rows, res)
+                res_set = sorted({cells.cell_res_py(c) for c, _ in inside_rows})
+
+                def _probe_at(r):
+                    return cells.cell_id(F.col(lon_col), F.col(lat_col), r)
+
             inside_df = spark.createDataFrame(inside_rows, shard_schema)
-            probe = F.explode(
-                F.array(
-                    *[
-                        cells.cell_id(F.col(lon_col), F.col(lat_col), r)
-                        for r in res_set
-                    ]
-                )
-            )
+            probe = F.explode(F.array(*[_probe_at(r) for r in res_set]))
             fast = (
                 pts.withColumn("probe_cell", probe)
                 .join(

@@ -605,3 +605,34 @@ def test_pip_compact_interior_equivalence(spark, points):
         ).collect()
     }
     assert comp == plain and len(plain) > 100
+
+
+def test_pip_compact_interior_sphere_equivalence(spark, points):
+    """Sphere-grid compaction: identical results, shrunken interior table."""
+    from osm2geojson_spark.operators.cells_sphere import sphere_compact_cells_py
+    from osm2geojson_spark.operators.spatial_join import (
+        point_in_polygon_join,
+        sphere_classified_shards,
+    )
+
+    big = geom.polygon([[[-9, -9], [9, -9], [9, 9], [-9, 9], [-9, -9]]])
+    polys = polygons_to_df(spark, [(1, big)])
+    res = 7
+    inside_rows, _, _ = sphere_classified_shards([(1, big)], res)
+    assert inside_rows, "fixture polygon must have interior sphere cells"
+    compacted = sphere_compact_cells_py(inside_rows, res)
+    assert len(compacted) < len(inside_rows)
+
+    plain = {
+        (r["pid"], r["poly_id"])
+        for r in point_in_polygon_join(
+            points, polys, res=res, grid="sphere", compact_interior=False
+        ).collect()
+    }
+    comp = {
+        (r["pid"], r["poly_id"])
+        for r in point_in_polygon_join(
+            points, polys, res=res, grid="sphere", compact_interior=True
+        ).collect()
+    }
+    assert comp == plain and len(plain) > 100
