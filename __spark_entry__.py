@@ -1192,6 +1192,36 @@ FROM bins LEFT JOIN cnt ON cnt.i = bins.i AND cnt.b = bins.bin
 """
 
 
+def q_multimodal_augment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Augmentation chain (training-set expansion): hflip -> center-crop to
+    4x4 -> exact pixel stats. Both augment steps are pure pixel remaps, so
+    the oracle recomputes the composed position map in SQL: output pixel
+    (x, y) = source pixel (7 - (x + 2), y + 2) of the deterministic
+    formula. Position-DEPENDENT stats (the crop breaks the permutation
+    invariance a flip alone would leave) verify the remap end to end."""
+    imgs = _synth_images(spark, sf_dir, 450, step=3)  # all 8x8
+    aug = MM.augment_images(MM.augment_images(imgs, "hflip"), "crop_cc")
+    return MM.decode_stats(aug).select(
+        "image_id", "w", "h", "px_sum", "px_min", "px_max"
+    )
+
+
+_MULTIMODAL_AUGMENT_SQL = """
+WITH img AS (
+  SELECT p_partkey AS i FROM part WHERE p_partkey < 450 AND p_partkey % 3 = 0
+), px AS (
+  SELECT i, unnest(range(0, 16)) AS c FROM img
+), v AS (
+  SELECT i, ((7 - ((c % 4) + 2)) * 3 + ((c // 4) + 2) * 7 + i * 13) % 251 AS v
+  FROM px
+)
+SELECT printf('img%012d', i) AS image_id, 4 AS w, 4 AS h,
+       CAST(sum(v) AS BIGINT) AS px_sum,
+       CAST(min(v) AS BIGINT) AS px_min, CAST(max(v) AS BIGINT) AS px_max
+FROM v GROUP BY i
+"""
+
+
 def q_tile_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raster tile-pyramid rollup (geospatial x image): 8x8 image tiles
     keyed to a 16x16 res-4 cell grid, one rollup level -> res-3 parent
@@ -1768,6 +1798,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode": q_multimodal_decode,
         "multimodal_resize": q_multimodal_resize,
         "multimodal_histogram": q_multimodal_histogram,
+        "multimodal_augment": q_multimodal_augment,
         "tile_pyramid": q_tile_pyramid,
         "image_dhash_dedup": q_image_dhash_dedup,
         "image_dhash_near": q_image_dhash_near,
@@ -1819,6 +1850,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_decode": _MULTIMODAL_SQL,
         "multimodal_resize": _MULTIMODAL_RESIZE_SQL,
         "multimodal_histogram": _MULTIMODAL_HIST_SQL,
+        "multimodal_augment": _MULTIMODAL_AUGMENT_SQL,
         "tile_pyramid": _TILE_PYRAMID_SQL,
         "image_dhash_dedup": _IMAGE_DHASH_SQL,
         "image_dhash_near": _IMAGE_DHASH_NEAR_SQL,

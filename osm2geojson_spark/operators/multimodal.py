@@ -12,6 +12,8 @@ Operators:
 * resize_images    — nearest-neighbor resize, re-encoded (rawz)
 * histogram_features — 16-bin intensity histogram as array<double>
 * dhash_features   — perceptual difference hash (64-bit), the image-dedup key
+* augment_images   — deterministic augmentation (flips, rot90, center crop)
+* tile_pyramid     — raster pyramid rollup (quadrant stitch + 2x2 avg pool)
 * frame_sample     — stub for video frame sampling (schema + plumbing only)
 
 Arrow batch sizing note: callers tune
@@ -161,6 +163,50 @@ def frame_sample(videos: DataFrame, every_n: int = 30) -> DataFrame:
             yield pd.DataFrame({"video_id": [], "frame_idx": [], "bytes": []})
 
     return videos.mapInPandas(fn, schema="video_id string, frame_idx int, bytes binary")
+
+
+_AUG_OPS = ("hflip", "vflip", "rot90", "crop_cc")
+
+
+def augment_images(images: DataFrame, op: str) -> DataFrame:
+    """Deterministic image augmentation (the training-set expansion stage):
+    ``hflip``/``vflip`` (mirror), ``rot90`` (counter-clockwise quarter
+    turn), ``crop_cc`` (center crop to w//2 x h//2). Pure pixel remaps —
+    no interpolation — so every output pixel equals some input pixel and
+    an oracle can recompute any position-dependent statistic exactly.
+    Output re-encoded rawz; same Arrow-batched mapInPandas shape as
+    resize_images."""
+    if op not in _AUG_OPS:
+        raise ValueError(f"op must be one of {_AUG_OPS}")
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, blobs, ws, hs = [], [], [], []
+            for r in pdf.itertuples(index=False):
+                px = imagecodec.decode(bytes(r.bytes), r.fmt)
+                if op == "hflip":
+                    out = px[:, ::-1]
+                elif op == "vflip":
+                    out = px[::-1, :]
+                elif op == "rot90":
+                    out = np.rot90(px)
+                else:  # crop_cc
+                    h0, w0 = px.shape
+                    ch, cw = max(1, h0 // 2), max(1, w0 // 2)
+                    y0 = (h0 - ch) // 2
+                    x0 = (w0 - cw) // 2
+                    out = px[y0 : y0 + ch, x0 : x0 + cw]
+                ids.append(r.image_id)
+                blobs.append(imagecodec.encode_rawz(np.ascontiguousarray(out)))
+                hs.append(out.shape[0])
+                ws.append(out.shape[1])
+            yield pd.DataFrame(
+                {"image_id": ids, "bytes": blobs, "w": ws, "h": hs, "fmt": "rawz"}
+            )
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(
+        fn, schema="image_id string, bytes binary, w int, h int, fmt string"
+    )
 
 
 # ----------------------------------------------------------- tile pyramid

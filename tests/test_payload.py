@@ -354,3 +354,28 @@ def _cell_xy_py(cell):
     from osm2geojson_spark.operators.cells import _R_SHIFT, _X_SHIFT
 
     return (cell >> _X_SHIFT) & ((1 << (_R_SHIFT - _X_SHIFT)) - 1), cell & ((1 << _X_SHIFT) - 1)
+
+
+def test_augment_ops_match_numpy(spark):
+    from osm2geojson_spark.operators.multimodal import augment_images
+
+    px = imagecodec.synth_pixels(3, 12, 8)  # non-square: shape checks matter
+    imgs = spark.createDataFrame(
+        [("a", 12, 8, "rawz", bytearray(imagecodec.encode_rawz(px)))],
+        "image_id string, w int, h int, fmt string, bytes binary",
+    )
+    want = {
+        "hflip": px[:, ::-1],
+        "vflip": px[::-1, :],
+        "rot90": np.rot90(px),
+        "crop_cc": px[2:6, 3:9],
+    }
+    for op, ref in want.items():
+        r = augment_images(imgs, op).collect()[0]
+        got = imagecodec.decode_rawz(bytes(r["bytes"]))
+        assert (r["h"], r["w"]) == ref.shape, op
+        assert np.array_equal(got, ref), op
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        augment_images(imgs, "zoom")
