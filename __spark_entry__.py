@@ -1259,6 +1259,64 @@ FROM s GROUP BY 1
 """
 
 
+def q_tile_pyramid2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO pyramid levels (res 4 -> 2): level 2 consumes the uint8-rounded
+    re-encodes of level 1, so the oracle must replicate the full lossy
+    chain in SQL — each level-1 pixel is round-half-even((a+b+c+d)/4) of
+    four formula pixels from exactly one res-4 child (a 2x2 pool never
+    straddles children: pooled cols {2tx, 2tx+1} share one quadrant since
+    2tx is even), then level-2 px_sum is the dyadic (level-1 int total)/4.
+    Half-even rounding is exact here: pool sums are integers, so fractions
+    are k/4 and the .5 case is decided by parity in both engines."""
+    imgs = _synth_images(spark, sf_dir, 768, step=3)  # all 8x8
+    idx = F.expr("_i div 3")
+    tiles = imgs.select(
+        cells.pack_cell(4, idx % 16, F.expr("(_i div 3) div 16")).alias("cell_id"),
+        "w", "h", "fmt", "bytes",
+    )
+    return MM.tile_pyramid(tiles, 4, levels=2).select(
+        "cell_id", "n_children", "px_sum"
+    )
+
+
+_TILE_PYRAMID2_SQL = """
+WITH img AS (
+  SELECT p_partkey AS i, p_partkey // 3 AS idx
+  FROM part WHERE p_partkey < 768 AND p_partkey % 3 = 0
+), t1px AS (  -- level-1 tile (X3, Y3), pooled pixel (tx, ty): one child each
+  SELECT (g.c // 64) % 8 AS x3, (g.c // 64) // 8 AS y3,
+         (g.c % 8) AS tx, (g.c % 64) // 8 AS ty,
+         2 * ((g.c // 64) % 8) + (2 * (g.c % 8)) // 8 AS x4,
+         2 * ((g.c // 64) // 8) + 1 - (2 * ((g.c % 64) // 8)) // 8 AS y4,
+         (2 * (g.c % 8)) % 8 AS cx, (2 * ((g.c % 64) // 8)) % 8 AS cy
+  FROM (SELECT unnest(range(0, 64 * 64)) AS c) g
+), joined AS (
+  SELECT p.x3, p.y3, p.tx, p.ty,
+         CASE WHEN img.i IS NULL THEN NULL ELSE
+           ((p.cx) * 3 + (p.cy) * 7 + img.i * 13) % 251
+         + ((p.cx + 1) * 3 + (p.cy) * 7 + img.i * 13) % 251
+         + ((p.cx) * 3 + (p.cy + 1) * 7 + img.i * 13) % 251
+         + ((p.cx + 1) * 3 + (p.cy + 1) * 7 + img.i * 13) % 251
+         END AS s
+  FROM t1px p LEFT JOIN img ON img.idx = 16 * p.y4 + p.x4
+), v1 AS (  -- round-half-even((s)/4); missing child contributes 0
+  SELECT x3, y3,
+    CASE WHEN s IS NULL THEN 0
+         WHEN s % 4 = 2 THEN s // 4 + (s // 4) % 2
+         ELSE CAST(round(s / 4.0) AS BIGINT) END AS v,
+    s IS NOT NULL AS present
+  FROM joined
+), t1 AS (
+  SELECT x3, y3, sum(v) AS tile_sum, max(CASE WHEN present THEN 1 ELSE 0 END) AS has_any
+  FROM v1 GROUP BY x3, y3
+)
+SELECT (2::BIGINT << 58) + ((x3 // 2)::BIGINT << 29) + (y3 // 2)::BIGINT AS cell_id,
+       CAST(count(*) AS INTEGER) AS n_children,
+       sum(tile_sum) / 4.0 AS px_sum
+FROM t1 WHERE has_any = 1 GROUP BY 1
+"""
+
+
 def q_image_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual image dedup: decode -> 9x8 gradient-sign dHash -> group by
     hash. Groups collapse both exact duplicates AND near-duplicates whose
@@ -1800,6 +1858,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_histogram": q_multimodal_histogram,
         "multimodal_augment": q_multimodal_augment,
         "tile_pyramid": q_tile_pyramid,
+        "tile_pyramid2": q_tile_pyramid2,
         "image_dhash_dedup": q_image_dhash_dedup,
         "image_dhash_near": q_image_dhash_near,
         "image_similarity": q_image_similarity,
@@ -1852,6 +1911,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_histogram": _MULTIMODAL_HIST_SQL,
         "multimodal_augment": _MULTIMODAL_AUGMENT_SQL,
         "tile_pyramid": _TILE_PYRAMID_SQL,
+        "tile_pyramid2": _TILE_PYRAMID2_SQL,
         "image_dhash_dedup": _IMAGE_DHASH_SQL,
         "image_dhash_near": _IMAGE_DHASH_NEAR_SQL,
         "image_similarity": _IMAGE_SIMILARITY_SQL,
