@@ -94,3 +94,22 @@ def test_sphere_cell_encode_is_jvm_only(spark):
     plan = _plan(E.queries()["sphere_cell_histogram"](spark, SF_DIR))
     assert "EvalPython" not in plan  # encode is pure column math
     assert "CartesianProduct" not in plan
+
+
+def test_within_distance_is_jvm_only_equijoin(spark):
+    plan = _plan(E.queries()["within_distance"](spark, SF_DIR))
+    # cell equi-join (AQE broadcasts the small exploded-covering side at
+    # this SF), haversine refine in codegen — never a cartesian product,
+    # never a Python eval node
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_tile_pyramid_single_shuffle_per_level(spark):
+    plan = _plan(E.queries()["tile_pyramid"](spark, SF_DIR))
+    # one hash repartition by parent cell + one batched Arrow kernel;
+    # decode/stitch/pool never leaks into per-row Python
+    assert plan.count("MapInPandas") == 1
+    assert plan.count("Exchange") - plan.count("BroadcastExchange") == 1
+    assert "BatchEvalPython" not in plan
