@@ -636,3 +636,50 @@ def test_pip_compact_interior_sphere_equivalence(spark, points):
         ).collect()
     }
     assert comp == plain and len(plain) > 100
+
+
+def test_disk_bbox_contains_disk_boundary(spark):
+    """Property test of the superset proof: for random centers/radii, every
+    point ON the haversine circle lies inside the disk bbox (with RFC 7946
+    wrap semantics)."""
+    import numpy as np
+    from osm2geojson_spark.operators.knn import EARTH_RADIUS_M
+    from osm2geojson_spark.operators.spatial_join import disk_bbox
+
+    rng = np.random.default_rng(5)
+    n, m = 25, 72
+    lon0 = rng.uniform(-180, 180, n)
+    lat0 = rng.uniform(-89.9, 89.9, n)
+    rad = rng.uniform(1e3, 3e6, n)  # 1 km .. 3000 km
+    from pyspark.sql import functions as F2
+
+    res_rows = []
+    for i in range(n):
+        one = spark.createDataFrame(
+            [(float(lon0[i]), float(lat0[i]))], "lon double, lat double"
+        )
+        bb = disk_bbox(F2.col("lon"), F2.col("lat"), float(rad[i]))
+        res_rows.append(
+            one.select(*[b.alias(f"b{k}") for k, b in enumerate(bb)]).collect()[0]
+        )
+    for i, row in enumerate(res_rows):
+        minx, miny, maxx, maxy = row["b0"], row["b1"], row["b2"], row["b3"]
+        d = rad[i] / EARTH_RADIUS_M
+        br = np.linspace(0, 2 * np.pi, m)
+        la1 = np.radians(lat0[i])
+        lo1 = np.radians(lon0[i])
+        la2 = np.arcsin(
+            np.sin(la1) * np.cos(d) + np.cos(la1) * np.sin(d) * np.cos(br)
+        )
+        lo2 = lo1 + np.arctan2(
+            np.sin(br) * np.sin(d) * np.cos(la1),
+            np.cos(d) - np.sin(la1) * np.sin(la2),
+        )
+        plon = (np.degrees(lo2) + 540.0) % 360.0 - 180.0
+        plat = np.degrees(la2)
+        assert (plat >= miny - 1e-9).all() and (plat <= maxy + 1e-9).all(), i
+        if minx <= maxx:
+            ok = (plon >= minx - 1e-9) & (plon <= maxx + 1e-9)
+        else:  # wrapped box
+            ok = (plon >= minx - 1e-9) | (plon <= maxx + 1e-9)
+        assert ok.all(), (i, lon0[i], lat0[i], rad[i])
