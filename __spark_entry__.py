@@ -491,6 +491,36 @@ def q_pip_join_sphere(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_spatial_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship composition, driver-checked: points -> cell-sharded PIP
+    join -> res-6 tile rollup (the exact shape bench.py's
+    spatial_join_tiles measures at 2M rows). One broadcast join + one
+    combiner-friendly groupBy shuffle on (poly_id, tile)."""
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", _lon("c_custkey").alias("lon"), _lat("c_custkey").alias("lat")
+    )
+    polys = polygons_to_df(spark, [(p, g) for p, g, *_ in _nation_boxes(spark, sf_dir)])
+    joined = point_in_polygon_join(cust, polys, res=4)
+    return (
+        joined.withColumn("tile", cells.cell_id(F.col("lon"), F.col("lat"), 6))
+        .groupBy("poly_id", "tile")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+_SPATIAL_ROLLUP_SQL = f"""
+WITH pts AS (
+  SELECT c_custkey, {SYN.lon_sql('c_custkey')} AS lon, {SYN.lat_sql('c_custkey')} AS lat
+  FROM customer
+), boxes AS ({_NATION_BOX_SQL})
+SELECT poly_id, {cells.cell_id_sql('lon', 'lat', 6)} AS tile,
+       count(*) AS n
+FROM pts JOIN boxes
+  ON lon >= x0 AND lon < x1 AND lat >= y0 AND lat < y1
+GROUP BY 1, 2
+"""
+
+
 def q_within_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spatial range (radius) join: all (supplier, customer) pairs within
     400 km by haversine. The operator explodes each supplier's disk-bbox
@@ -1841,6 +1871,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_join": q_pip_join,
         "pip_join_sphere": q_pip_join_sphere,
         "within_distance": q_within_distance,
+        "spatial_rollup": q_spatial_rollup,
         "skew_salted_join": q_skew_salted_join,
         "knn": q_knn,
         "knn_sphere": q_knn_sphere,
@@ -1894,6 +1925,7 @@ def oracle_sql() -> dict[str, str]:
         "pip_join": _PIP_JOIN_SQL,
         "pip_join_sphere": _PIP_JOIN_SQL,
         "within_distance": _WITHIN_DISTANCE_SQL,
+        "spatial_rollup": _SPATIAL_ROLLUP_SQL,
         "skew_salted_join": _SKEW_JOIN_SQL,
         "knn": _KNN_SQL,
         "knn_sphere": _KNN_SQL,
