@@ -946,6 +946,62 @@ SELECT qid, rank, vec_id FROM r WHERE rank <= 5
 """
 
 
+def q_ann_cosine_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC scan (similarity.pq_adc_topk): the corpus
+    collapses to m=4 4-bit codes per vector (a 128x compression of a
+    float32 dim-64 embedding), 3 broadcast queries rank the whole corpus
+    by LUT lookups + adds — all JVM. The oracle inlines the identical
+    rational codebook and computes the same reduced scores
+    (centdot - 2*dot) in the same operation order, so codes, LUT values
+    and the ADC sums are bit-identical cross-engine."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    res = SIM.pq_adc_topk(queries, emb, k=5, dim=_EMB_DIM)
+    return res.select("qid", "rank", "vec_id")
+
+
+def _ann_pq_sql() -> str:
+    import numpy as np
+
+    cb = SIM.pq_codebook(_EMB_DIM)
+    m, kc, dsub = cb.shape
+    dlists = []
+    for mi in range(m):
+        lo, hi = mi * dsub + 1, (mi + 1) * dsub
+        terms = []
+        for ci in range(kc):
+            cent = cb[mi, ci]
+            centdot = float(np.dot(cent, cent))
+            lits = ", ".join(repr(float(x)) for x in cent)
+            terms.append(
+                f"{centdot!r} - 2.0 * list_dot_product(v[{lo}:{hi}], [{lits}])"
+            )
+        dlists.append(f"[{', '.join(terms)}] AS d{mi}")
+    code_cols = ", ".join(
+        f"list_position(d{mi}, list_aggregate(d{mi}, 'min')) - 1 AS c{mi}"
+        for mi in range(m)
+    )
+    adist = " + ".join(f"q.d{mi}[codes.c{mi} + 1]" for mi in range(m))
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+sc AS (SELECT vec_id, {', '.join(dlists)} FROM e),
+codes AS (SELECT vec_id, {code_cols} FROM sc),
+q AS (SELECT vec_id AS qid, {', '.join(f'd{mi}' for mi in range(m))} FROM sc WHERE vec_id < 3),
+a AS (
+  SELECT q.qid, codes.vec_id, {adist} AS adist
+  FROM q CROSS JOIN codes
+), r AS (
+  SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY adist ASC, vec_id ASC) AS rank
+  FROM a
+)
+SELECT qid, rank, vec_id FROM r WHERE rank <= 5
+"""
+
+
 def q_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Staged single-pass plan: the normalized text / token count / stopword
     hits are each evaluated once per row (see TXT.text_features)."""
@@ -1896,6 +1952,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_cosine_lsh": q_ann_cosine_lsh,
         "ann_cosine_ivf": q_ann_cosine_ivf,
+        "ann_cosine_pq": q_ann_cosine_pq,
         "text_analysis": q_text_analysis,
         "quality_topk": q_quality_topk,
         "events_window": q_events_window,
@@ -1950,6 +2007,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_topk": _ANN_SQL,
         "ann_cosine_lsh": _ann_lsh_sql(),
         "ann_cosine_ivf": _ann_ivf_sql(),
+        "ann_cosine_pq": _ann_pq_sql(),
         "text_analysis": _TEXT_SQL,
         "quality_topk": _QUALITY_TOPK_SQL,
         "events_window": _EVENTS_SQL,

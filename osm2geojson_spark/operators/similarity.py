@@ -352,3 +352,126 @@ def cosine_topk_lsh(
         .filter(F.col("rank") <= k)
         .select(qid, tid, F.round("cos", 6).alias("cos"), "rank")
     )
+
+
+# ------------------------------------------------------------ product quantization
+
+PQ_M = 4  # subspaces
+PQ_K = 16  # centroids per subspace (4-bit codes)
+_PQ_SEED = 0x51AB5EED
+
+
+def pq_codebook(dim: int, m: int = PQ_M, k: int = PQ_K) -> np.ndarray:
+    """(m, k, dim//m) seeded sub-centroid codebook. Entries are v/1024
+    rationals from a 32-bit integer mix of (subspace, centroid, dim) —
+    deterministic and exactly representable as float64 AND as short SQL
+    literals, so both engines inline the identical codebook (same contract
+    as rh_plane_matrix / ivf_centroid_matrix)."""
+    assert dim % m == 0, "dim must split evenly into subspaces"
+    dsub = dim // m
+    s = np.arange(m, dtype=np.uint64)[:, None, None]
+    c = np.arange(k, dtype=np.uint64)[None, :, None]
+    d = np.arange(dsub, dtype=np.uint64)[None, None, :]
+    mask = np.uint64(0xFFFFFFFF)
+    h = (
+        np.uint64(_PQ_SEED)
+        ^ (s * np.uint64(0x9E3779B1))
+        ^ (c * np.uint64(0x85EBCA77))
+        ^ (d * np.uint64(0xC2B2AE3D))
+    ) & mask
+    h = (h * np.uint64(0x27D4EB2F) + np.uint64(0x165667B1)) & mask
+    v = ((h >> np.uint64(7)) & np.uint64(0x7FF)).astype(np.int64) - 1024
+    return v.astype(np.float64) / 1024.0
+
+
+def _pq_sub_scores(vec: Column, cb: np.ndarray, mi: int) -> list[Column]:
+    """Per-centroid REDUCED squared-L2 scores of subspace ``mi``:
+    |c|^2 - 2*dot(sub, c) (the |sub|^2 term is constant per row, so argmin
+    and any per-query ranking are unchanged). Written as
+    ``(centdot - 2*dot)`` in exactly this operation order on both engines
+    — dot folds sequentially (dot_col / list_dot_product), centdot is the
+    same float64 literal — so scores are bit-identical cross-engine."""
+    dsub = cb.shape[2]
+    sub = F.slice(vec, mi * dsub + 1, dsub)
+    out = []
+    for ci in range(cb.shape[1]):
+        cent = cb[mi, ci]
+        centdot = float(np.dot(cent, cent))
+        out.append(
+            F.lit(centdot)
+            - F.lit(2.0) * dot_col(sub, F.array(*[F.lit(float(x)) for x in cent]))
+        )
+    return out
+
+
+def pq_codes_col(vec: Column, dim: int, m: int = PQ_M, k: int = PQ_K, cb=None) -> Column:
+    """array<int> of ``m`` 4-bit-range codes — nearest sub-centroid per
+    subspace, pure JVM column math (first-minimum tie-break on both
+    engines via array_position/list_position)."""
+    if cb is None:
+        cb = pq_codebook(dim, m, k)
+    codes = []
+    for mi in range(m):
+        d = F.array(*_pq_sub_scores(vec, cb, mi))
+        codes.append((F.array_position(d, F.array_min(d)) - 1).cast("int"))
+    return F.array(*codes)
+
+
+def pq_lut_col(qvec: Column, dim: int, m: int = PQ_M, k: int = PQ_K, cb=None) -> Column:
+    """array<array<double>> (m x k) asymmetric-distance lookup table for a
+    query vector — the same reduced scores as pq_codes_col."""
+    if cb is None:
+        cb = pq_codebook(dim, m, k)
+    return F.array(*[F.array(*_pq_sub_scores(qvec, cb, mi)) for mi in range(m)])
+
+
+def pq_adc_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    dim: int,
+    qid: str = "qid",
+    tid: str = "vec_id",
+    qvec: str = "qvec",
+    tvec: str = "embedding",
+    m: int = PQ_M,
+    kc: int = PQ_K,
+    cb=None,
+) -> DataFrame:
+    """Product-quantization ADC scan: the corpus is stored as ``m`` 4-bit
+    codes per vector (16 bits total at the defaults — a 128x compression
+    of a float32 dim-64 embedding), queries broadcast their (m x k) LUT,
+    and the approximate distance is m table lookups + adds per row — all
+    JVM (``zip_with`` + ``element_at`` + ``aggregate``), no Python, no
+    shuffle of the corpus beyond the final top-k window.
+
+    This is the memory-bound companion to IVF: at 10^12 rows the codes
+    table fits where raw vectors cannot (2 bytes vs 256), and IVF cells +
+    PQ codes compose (encode residuals per cell at real scale). Returns
+    (qid, rank, tid) ranked by ADC distance asc, tid tie-break."""
+    if cb is None:
+        cb = pq_codebook(dim, m, kc)
+    codes = corpus.withColumn("_codes", pq_codes_col(F.col(tvec), dim, m, kc, cb)).select(
+        tid, "_codes"
+    )
+    q = queries.withColumn("_lut", pq_lut_col(F.col(qvec), dim, m, kc, cb)).select(
+        qid, "_lut"
+    )
+    scored = codes.join(F.broadcast(q)).withColumn(
+        "_adist",
+        F.aggregate(
+            F.zip_with(
+                F.col("_lut"),
+                F.col("_codes"),
+                lambda l, c: F.element_at(l, c + F.lit(1)),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    wnd = Window.partitionBy(qid).orderBy(F.col("_adist").asc(), F.col(tid).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(wnd))
+        .filter(F.col("rank") <= k)
+        .select(qid, "rank", tid)
+    )

@@ -329,3 +329,55 @@ def test_ngram_jaccard_max_df_prunes_candidates_exactly(spark):
     # capped results are a subset of exact results with identical scores
     for k, v in capped.items():
         assert exact[k] == v
+
+
+def test_pq_codes_and_adc_match_numpy(spark, vectors):
+    """PQ codes = per-subspace argmin of reduced L2 scores against the
+    seeded codebook, ADC ranking = LUT-sum ordering — both pinned against
+    a NumPy reference on the dim-16 fixture (m=4, dsub=4)."""
+    from osm2geojson_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_codebook,
+        pq_codes_col,
+    )
+
+    dim, m, kc = 16, 4, 16
+    cb = pq_codebook(dim, m, kc)
+    rows = vectors.select("vec_id", "embedding").collect()
+    vecs = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64) for r in rows}
+
+    def np_scores(v, mi):
+        sub = v[mi * 4 : (mi + 1) * 4]
+        return np.array(
+            [np.dot(cb[mi, c], cb[mi, c]) - 2.0 * np.dot(sub, cb[mi, c]) for c in range(kc)]
+        )
+
+    def np_codes(v):
+        return [int(np.argmin(np_scores(v, mi))) for mi in range(m)]
+
+    got_codes = {
+        r["vec_id"]: list(r["c"])
+        for r in vectors.select(
+            "vec_id", pq_codes_col(F.col("embedding"), dim, m, kc, cb).alias("c")
+        ).collect()
+    }
+    assert got_codes == {i: np_codes(v) for i, v in vecs.items()}
+
+    q = vectors.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    got = {
+        (r["qid"], r["rank"]): r["vec_id"]
+        for r in pq_adc_topk(q, vectors, k=4, dim=dim, m=m, kc=kc, cb=cb).collect()
+    }
+    want = {}
+    for qid in (0, 1):
+        luts = [np_scores(vecs[qid], mi) for mi in range(m)]
+        adist = {
+            tid: sum(luts[mi][np_codes(v)[mi]] for mi in range(m))
+            for tid, v in vecs.items()
+        }
+        order = sorted(adist, key=lambda t: (adist[t], t))[:4]
+        for rk, tid in enumerate(order, 1):
+            want[(qid, rk)] = tid
+    assert got == want
