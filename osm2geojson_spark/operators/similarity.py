@@ -475,3 +475,60 @@ def pq_adc_topk(
         .filter(F.col("rank") <= k)
         .select(qid, "rank", tid)
     )
+
+
+def cosine_topk_ivfpq(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    dim: int,
+    qid: str = "qid",
+    tid: str = "vec_id",
+    qvec: str = "qvec",
+    tvec: str = "embedding",
+    n_probe: int = IVF_PROBE,
+    cents: np.ndarray | None = None,
+    m: int = PQ_M,
+    kc: int = PQ_K,
+    cb=None,
+) -> DataFrame:
+    """IVF x PQ — the 10^12-row composition SCALE.md prescribes: IVF cells
+    ROUTE (queries explode over their n_probe best cells, one equi-join),
+    PQ codes RANK inside the candidate set (ADC lookups + adds). The
+    corpus-side state is (cell:int, codes:2 bytes) per vector — raw
+    vectors are never touched at query time. At real scale train ``cb``
+    on per-cell residuals and exact-rerank the top ~4k with the stored
+    vectors; here the ADC order is the contract (bit-identical to the SQL
+    twin, same reduced scores as pq_adc_topk)."""
+    if cents is None:
+        cents = ivf_centroid_matrix(dim)
+    if cb is None:
+        cb = pq_codebook(dim, m, kc)
+    c = corpus.select(
+        tid,
+        ivf_cell_col(F.col(tvec), dim, cents).alias("_cell"),
+        pq_codes_col(F.col(tvec), dim, m, kc, cb).alias("_codes"),
+    )
+    q = queries.select(
+        qid,
+        pq_lut_col(F.col(qvec), dim, m, kc, cb).alias("_lut"),
+        F.explode(ivf_probe_cells_col(F.col(qvec), dim, n_probe, cents)).alias("_cell"),
+    )
+    scored = q.join(c, "_cell").withColumn(
+        "_adist",
+        F.aggregate(
+            F.zip_with(
+                F.col("_lut"),
+                F.col("_codes"),
+                lambda l, cc: F.element_at(l, cc + F.lit(1)),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    wnd = Window.partitionBy(qid).orderBy(F.col("_adist").asc(), F.col(tid).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(wnd))
+        .filter(F.col("rank") <= k)
+        .select(qid, "rank", tid)
+    )

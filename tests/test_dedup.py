@@ -381,3 +381,26 @@ def test_pq_codes_and_adc_match_numpy(spark, vectors):
         for rk, tid in enumerate(order, 1):
             want[(qid, rk)] = tid
     assert got == want
+
+
+def test_ivfpq_self_retrieval(spark, vectors):
+    """IVF x PQ composition: a query that IS a corpus vector lands in its
+    own IVF cell with identical codes, so ADC distance ties at the minimum
+    and the tid tie-break returns it at rank 1."""
+    from osm2geojson_spark.operators.similarity import cosine_topk_ivfpq
+
+    q = vectors.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    got = cosine_topk_ivfpq(q, vectors, k=3, dim=16).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["qid"], {})[r["rank"]] = r["vec_id"]
+    for qid in (0, 1, 2):
+        assert len(by_q[qid]) == 3
+        assert qid in by_q[qid].values()
+    assert by_q[0][1] == 0 and by_q[2][1] == 2
+    # 1 is a planted near-dup of 0: their PQ codes coincide, the ADC tie
+    # breaks by tid — so 0 outranks 1 on 1's own query (the dedup-friendly
+    # behavior: duplicates collapse onto one representative)
+    assert by_q[1][1] == 0 and by_q[1][2] == 1
