@@ -491,14 +491,18 @@ def cosine_topk_ivfpq(
     m: int = PQ_M,
     kc: int = PQ_K,
     cb=None,
+    rerank: int = 0,
 ) -> DataFrame:
     """IVF x PQ — the 10^12-row composition SCALE.md prescribes: IVF cells
     ROUTE (queries explode over their n_probe best cells, one equi-join),
     PQ codes RANK inside the candidate set (ADC lookups + adds). The
     corpus-side state is (cell:int, codes:2 bytes) per vector — raw
-    vectors are never touched at query time. At real scale train ``cb``
-    on per-cell residuals and exact-rerank the top ~4k with the stored
-    vectors; here the ADC order is the contract (bit-identical to the SQL
+    vectors are never touched at query time unless ``rerank`` asks for
+    them. With ``rerank=R >= k``, the ADC top-R per query joins back the
+    stored vectors for an exact-cosine re-rank — the production recall
+    knob (R ~ 4k at real scale): the compressed scan narrows 10^12 rows
+    to R, the exact pass pays full vector reads for R rows only. With
+    rerank=0 the ADC order is the contract (bit-identical to the SQL
     twin, same reduced scores as pq_adc_topk)."""
     if cents is None:
         cents = ivf_centroid_matrix(dim)
@@ -527,8 +531,71 @@ def cosine_topk_ivfpq(
         ),
     )
     wnd = Window.partitionBy(qid).orderBy(F.col("_adist").asc(), F.col(tid).asc())
+    ranked = scored.withColumn("rank", F.row_number().over(wnd))
+    if not rerank:
+        return ranked.filter(F.col("rank") <= k).select(qid, "rank", tid)
+    assert rerank >= k
+    cand = (
+        ranked.filter(F.col("rank") <= rerank)
+        .select(qid, tid)
+        .join(corpus.select(tid, tvec), tid)
+        .join(F.broadcast(queries.select(qid, qvec)), qid)
+    )
+    exact = cand.withColumn("_cos", cosine_col(F.col(qvec), F.col(tvec)))
+    wnd2 = Window.partitionBy(qid).orderBy(F.col("_cos").desc(), F.col(tid).asc())
     return (
-        scored.withColumn("rank", F.row_number().over(wnd))
+        exact.withColumn("rank", F.row_number().over(wnd2))
         .filter(F.col("rank") <= k)
         .select(qid, "rank", tid)
     )
+
+
+def pq_train(
+    corpus: DataFrame,
+    dim: int,
+    m: int = PQ_M,
+    k: int = PQ_K,
+    iters: int = 5,
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Per-subspace Lloyd's k-means for the PQ codebook — the trained
+    counterpart of the seeded ``pq_codebook`` (same role ``ivf_train``
+    plays for IVF). All m subspaces train in ONE pass per iteration:
+    a single select computes every subspace's assignment (JVM argmin over
+    the current codebook), one groupBy per subspace aggregates sub-vector
+    sums driver-side (the codebook is (m, k, dim//m) floats — tiny; the
+    data never leaves executors). Init is the seeded rational codebook, so
+    training is deterministic. Returns cb for pq_codes_col(cb=...) /
+    pq_adc_topk(cb=...)."""
+    assert dim % m == 0
+    dsub = dim // m
+    cb = pq_codebook(dim, m, k)
+    for _ in range(iters):
+        cols = []
+        for mi in range(m):
+            d = F.array(*_pq_sub_scores(F.col(vec_col), cb, mi))
+            cols.append(
+                (F.array_position(d, F.array_min(d)) - 1).cast("int").alias(f"_c{mi}")
+            )
+            cols.append(
+                F.slice(F.col(vec_col), mi * dsub + 1, dsub).alias(f"_s{mi}")
+            )
+        assigned = corpus.select(*cols)
+        new = cb.copy()
+        for mi in range(m):
+            sums = (
+                assigned.groupBy(f"_c{mi}")
+                .agg(
+                    F.array(
+                        *[F.sum(F.element_at(f"_s{mi}", i + 1)) for i in range(dsub)]
+                    ).alias("_s"),
+                    F.count(F.lit(1)).alias("_n"),
+                )
+                .collect()
+            )
+            for r in sums:
+                new[mi, int(r[f"_c{mi}"])] = np.asarray(
+                    r["_s"], dtype=np.float64
+                ) / float(r["_n"])
+        cb = new
+    return cb

@@ -404,3 +404,54 @@ def test_ivfpq_self_retrieval(spark, vectors):
     # breaks by tid — so 0 outranks 1 on 1's own query (the dedup-friendly
     # behavior: duplicates collapse onto one representative)
     assert by_q[1][1] == 0 and by_q[1][2] == 1
+
+
+def test_pq_train_reduces_quantization_error(spark):
+    """Lloyd-trained PQ codebook must beat the seeded one on a clustered
+    corpus: mean squared reconstruction error strictly drops."""
+    from osm2geojson_spark.operators.similarity import (
+        pq_codebook,
+        pq_codes_col,
+        pq_train,
+    )
+
+    rng = np.random.default_rng(11)
+    centers = rng.normal(size=(4, 16)) * 3.0
+    data = np.concatenate(
+        [c + 0.1 * rng.normal(size=(30, 16)) for c in centers]
+    )
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in data[i]]) for i in range(len(data))],
+        "vec_id long, embedding array<double>",
+    )
+
+    def mse(cb):
+        rows = df.select(
+            "embedding", pq_codes_col(F.col("embedding"), 16, cb=cb).alias("c")
+        ).collect()
+        err = 0.0
+        for r in rows:
+            v = np.asarray(r["embedding"])
+            rec = np.concatenate([cb[mi, r["c"][mi]] for mi in range(4)])
+            err += float(((v - rec) ** 2).sum())
+        return err / len(rows)
+
+    seeded = pq_codebook(16)
+    trained = pq_train(df, dim=16, iters=3)
+    assert mse(trained) < mse(seeded) * 0.5
+
+
+def test_ivfpq_rerank_improves_or_matches_recall(spark, vectors):
+    """Exact rerank of the ADC top-R must rank the true nearest (by
+    cosine) first among the surviving candidates — on the near-dup pair,
+    qid 1's own vector beats 0 once exact cosine decides."""
+    from osm2geojson_spark.operators.similarity import cosine_topk_ivfpq
+
+    q = vectors.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    got = {
+        (r["qid"], r["rank"]): r["vec_id"]
+        for r in cosine_topk_ivfpq(q, vectors, k=3, dim=16, rerank=8).collect()
+    }
+    assert got[(0, 1)] == 0 and got[(1, 1)] == 1  # exact cosine self-first
