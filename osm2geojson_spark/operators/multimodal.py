@@ -120,6 +120,20 @@ def histogram_features(images: DataFrame, bins: int = 16) -> DataFrame:
     )
 
 
+def dhash_px(px: np.ndarray, hash_w: int = 8, hash_h: int = 8) -> int:
+    """dHash of one decoded pixel array (the shared kernel of
+    dhash_features and streaming.streaming_image_dedup)."""
+    weights = np.uint64(1) << np.arange(hash_w * hash_h, dtype=np.uint64)
+    ys = (np.arange(hash_h) * px.shape[0] // hash_h).clip(0, px.shape[0] - 1)
+    xs = (np.arange(hash_w + 1) * px.shape[1] // (hash_w + 1)).clip(
+        0, px.shape[1] - 1
+    )
+    g = px[np.ix_(ys, xs)]
+    bits = (g[:, 1:] > g[:, :-1]).ravel()
+    val = np.bitwise_or.reduce(np.where(bits, weights, np.uint64(0)))
+    return int(np.uint64(val).astype(np.int64))
+
+
 def dhash_features(images: DataFrame, hash_w: int = 8, hash_h: int = 8) -> DataFrame:
     """(image_id, dhash) — difference hash: nearest-neighbor sample to a
     (hash_h, hash_w+1) grid, take the horizontal gradient sign, pack the
@@ -131,19 +145,11 @@ def dhash_features(images: DataFrame, hash_w: int = 8, hash_h: int = 8) -> DataF
     dhash(img) for integer downscales."""
 
     def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        weights = np.uint64(1) << np.arange(hash_w * hash_h, dtype=np.uint64)
         for pdf in it:
             ids, hashes = [], []
             for r in pdf.itertuples(index=False):
                 px = imagecodec.decode(bytes(r.bytes), r.fmt)
-                ys = (np.arange(hash_h) * px.shape[0] // hash_h).clip(0, px.shape[0] - 1)
-                xs = (np.arange(hash_w + 1) * px.shape[1] // (hash_w + 1)).clip(
-                    0, px.shape[1] - 1
-                )
-                g = px[np.ix_(ys, xs)]
-                bits = (g[:, 1:] > g[:, :-1]).ravel()
-                val = np.bitwise_or.reduce(np.where(bits, weights, np.uint64(0)))
-                hashes.append(int(np.uint64(val).astype(np.int64)))
+                hashes.append(dhash_px(px, hash_w, hash_h))
                 ids.append(r.image_id)
             yield pd.DataFrame({"image_id": ids, "dhash": pd.array(hashes, dtype="int64")})
 

@@ -111,6 +111,48 @@ def streaming_exact_dedup(
     return out
 
 
+def streaming_image_dedup(
+    images: DataFrame,
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """In-flight PERCEPTUAL image dedup: first-seen image per dHash
+    survives; later images with identical gradient structure (exact AND
+    re-encoded near-duplicates) are dropped within the watermark with
+    bounded state. The dHash is computed INLINE on the stream (one Arrow
+    mapInPandas pass with row passthrough — a stream-stream self-join
+    would need append-mode time constraints and double the decode); the
+    same plan runs on a batch frame, so streaming(availableNow) == batch
+    dropDuplicates is the pinned contract. Output: image_id, ts, dhash."""
+    import pandas as pd
+
+    from ..functions import imagecodec
+    from ..operators.multimodal import dhash_px
+
+    def fn(it):
+        for pdf in it:
+            ids, tss, hashes = [], [], []
+            for r in pdf.itertuples(index=False):
+                px = imagecodec.decode(bytes(r.bytes), r.fmt)
+                hashes.append(dhash_px(px))
+                ids.append(r.image_id)
+                tss.append(getattr(r, ts_col))
+            yield pd.DataFrame(
+                {"image_id": ids, ts_col: tss, "dhash": pd.array(hashes, dtype="int64")}
+            )
+
+    out = images.select("image_id", ts_col, "bytes", "fmt").mapInPandas(
+        fn, schema=f"image_id string, {ts_col} timestamp, dhash long"
+    )
+    if out.isStreaming:
+        out = out.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            ["dhash"]
+        )
+    else:
+        out = out.dropDuplicates(["dhash"])
+    return out
+
+
 def stream_tile_assign(images: DataFrame, polys_df: DataFrame, res: int = 6) -> DataFrame:
     """Streaming form of the flagship spatial join: image stream -> phash
     decode -> cell id -> stream-static broadcast join against the sharded

@@ -113,3 +113,11 @@ def test_tile_pyramid_single_shuffle_per_level(spark):
     assert plan.count("MapInPandas") == 1
     assert plan.count("Exchange") - plan.count("BroadcastExchange") == 1
     assert "BatchEvalPython" not in plan
+
+
+def test_pq_adc_scan_is_jvm_only(spark):
+    plan = _plan(E.queries()["ann_cosine_pq"](spark, SF_DIR))
+    # codes + LUT + ADC sum all in codegen; the 3-query side broadcasts;
+    # the corpus never shuffles before the top-k window
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan

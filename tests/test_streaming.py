@@ -122,3 +122,38 @@ def test_running_user_stats_custom_state(spark, events_dir):
         assert g["n"] == w["n"]
         assert abs(g["v_sum"] - w["v_sum"]) < 1e-9
         assert g["v_max"] == w["v_max"]
+
+
+def test_streaming_image_dedup_matches_batch(spark, tmp_path):
+    """streaming(availableNow) == batch for the perceptual image dedup:
+    re-encoded duplicates (same pixels, later ts) are dropped in flight."""
+    from osm2geojson_spark.functions import imagecodec
+
+    d = str(tmp_path / "img_stream")
+    import numpy as np
+
+    rows = []
+    for i in range(90):
+        # 30 distinct random images (synth_pixels gradients share a dHash
+        # by design), each appearing 3x with alternating wire formats
+        rng = np.random.default_rng(i % 30)
+        px = rng.integers(0, 256, (8, 8)).astype(np.uint8)
+        fmt = "png" if i % 2 else "rawz"  # re-encodes must still collide
+        rows.append(
+            (f"img{i:04d}", 1700000000 + i, bytearray(imagecodec.encode(px, fmt)), fmt)
+        )
+    df = spark.createDataFrame(
+        rows, "image_id string, sec long, bytes binary, fmt string"
+    ).select("image_id", F.timestamp_seconds(F.col("sec")).alias("ts"), "bytes", "fmt")
+    df.coalesce(1).write.parquet(d)
+    stream_df = (
+        spark.readStream.format("parquet")
+        .schema("image_id string, ts timestamp, bytes binary, fmt string")
+        .load(d)
+    )
+    got = S.run_to_memory(S.streaming_image_dedup(stream_df), "img_dedup_stream")
+    batch = S.streaming_image_dedup(spark.read.parquet(d))
+    assert got.count() == 30
+    assert {r["dhash"] for r in got.collect()} == {
+        r["dhash"] for r in batch.collect()
+    }
