@@ -1559,6 +1559,64 @@ WHERE bit_count(xor(a.dhash, b.dhash)) BETWEEN 1 AND 6
 """
 
 
+def q_image_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end image CURATION stage (the image-axis mirror of
+    q_dedup_pipeline): perceptual dedup first (dHash groups collapse to
+    their min image_id — one 8-byte-key shuffle), then a quality gate
+    over the survivors (contrast spread px_max - px_min, integer-exact on
+    both engines), then the global top-10 by (spread desc, id asc). The
+    oracle recomputes dHash, the survivor set, and the spread from the
+    pixel formula in pure SQL."""
+    imgs = _synth_images(spark, sf_dir, 800)
+    dh = MM.dhash_features(imgs)
+    keep = dh.groupBy("dhash").agg(F.min("image_id").alias("image_id"))
+    survivors = imgs.join(F.broadcast(keep), "image_id", "leftsemi")
+    stats = MM.decode_stats(survivors).select(
+        "image_id", (F.col("px_max") - F.col("px_min")).alias("spread")
+    )
+    wnd = Window.orderBy(F.col("spread").desc(), F.col("image_id").asc())
+    return (
+        stats.withColumn("rank", F.row_number().over(wnd))
+        .filter(F.col("rank") <= 10)
+        .select("rank", "image_id", "spread")
+    )
+
+
+_IMAGE_PIPELINE_SQL = """
+WITH img AS (
+  SELECT p_partkey AS i, 8 * (1 + p_partkey % 3) AS w
+  FROM part WHERE p_partkey < 800
+), bit AS (
+  SELECT i, c AS k,
+    ((((c % 8) + 1) * w // 9) * 3 + ((c // 8) * w // 8) * 7 + i * 13) % 251
+      > (((c % 8) * w // 9) * 3 + ((c // 8) * w // 8) * 7 + i * 13) % 251 AS b
+  FROM (SELECT i, w, unnest(range(0, 64)) AS c FROM img)
+), h AS (
+  SELECT i,
+    CAST(sum(CASE WHEN b THEN (1::HUGEINT << k) ELSE 0 END)
+         - CASE WHEN max(CASE WHEN b AND k = 63 THEN 1 ELSE 0 END) = 1
+                THEN (1::HUGEINT << 64) ELSE 0::HUGEINT END AS BIGINT) AS dhash
+  FROM bit GROUP BY i
+), keep AS (
+  SELECT min(i) AS i FROM h GROUP BY dhash
+), px AS (
+  SELECT img.i, img.w, unnest(range(0, img.w * img.w)) AS p
+  FROM img JOIN keep ON keep.i = img.i
+), v AS (
+  SELECT i, ((p % w) * 3 + (p // w) * 7 + i * 13) % 251 AS v FROM px
+), s AS (
+  SELECT printf('img%012d', i) AS image_id,
+         CAST(max(v) - min(v) AS BIGINT) AS spread
+  FROM v GROUP BY i
+), r AS (
+  SELECT image_id, spread,
+         row_number() OVER (ORDER BY spread DESC, image_id ASC) AS rank
+  FROM s
+)
+SELECT CAST(rank AS INTEGER) AS rank, image_id, spread FROM r WHERE rank <= 10
+"""
+
+
 def q_image_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-based image search: 16-bin histogram features -> exact cosine
     top-5 per query image. Every histogram share is k/64 (an exact dyadic
@@ -2019,6 +2077,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_dhash_dedup": q_image_dhash_dedup,
         "image_dhash_near": q_image_dhash_near,
         "image_similarity": q_image_similarity,
+        "image_pipeline": q_image_pipeline,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_cosine_lsh": q_ann_cosine_lsh,
         "ann_cosine_ivf": q_ann_cosine_ivf,
@@ -2075,6 +2134,7 @@ def oracle_sql() -> dict[str, str]:
         "image_dhash_dedup": _IMAGE_DHASH_SQL,
         "image_dhash_near": _IMAGE_DHASH_NEAR_SQL,
         "image_similarity": _IMAGE_SIMILARITY_SQL,
+        "image_pipeline": _IMAGE_PIPELINE_SQL,
         "ann_cosine_topk": _ANN_SQL,
         "ann_cosine_lsh": _ann_lsh_sql(),
         "ann_cosine_ivf": _ann_ivf_sql(),
