@@ -749,3 +749,54 @@ def haversine_m(lon1, lat1, lon2, lat2):
     dlon = lon2 - lon1
     h = np.sin(dlat / 2.0) ** 2 + np.cos(lat1) * np.cos(lat2) * np.sin(dlon / 2.0) ** 2
     return 2.0 * EARTH_RADIUS_M * np.arcsin(np.sqrt(np.clip(h, 0.0, 1.0)))
+
+
+# ------------------------------------------------------- DP simplification
+
+
+def dp_simplify(pts: np.ndarray, eps: float) -> np.ndarray:
+    """Douglas-Peucker polyline simplification (iterative stack, no
+    recursion depth limit): keeps both endpoints and every vertex whose
+    perpendicular distance from the current chord exceeds ``eps``
+    (planar lon/lat distance — callers pick eps in degrees). Per-span
+    distances are vectorized; worst case O(n^2) like every DP, O(n log n)
+    typical."""
+    pts = np.asarray(pts, dtype=np.float64)
+    n = len(pts)
+    if n <= 2:
+        return pts
+    keep = np.zeros(n, dtype=bool)
+    keep[0] = keep[-1] = True
+    stack = [(0, n - 1)]
+    while stack:
+        i, j = stack.pop()
+        if j <= i + 1:
+            continue
+        seg = pts[j] - pts[i]
+        mid = pts[i + 1 : j]
+        L2 = float(seg @ seg)
+        if L2 == 0.0:
+            d = np.hypot(mid[:, 0] - pts[i, 0], mid[:, 1] - pts[i, 1])
+        else:
+            # |cross((p - a), seg)| / |seg|
+            d = np.abs(
+                (mid[:, 0] - pts[i, 0]) * seg[1] - (mid[:, 1] - pts[i, 1]) * seg[0]
+            ) / np.sqrt(L2)
+        kmax = int(np.argmax(d))
+        if d[kmax] > eps:
+            k = i + 1 + kmax
+            keep[k] = True
+            stack.append((i, k))
+            stack.append((k, j))
+    return pts[keep]
+
+
+def dp_simplify_ring(ring: np.ndarray, eps: float) -> np.ndarray:
+    """DP for a CLOSED ring (first == last): simplifies the closed chain
+    with the shared vertex anchored; if the result degenerates below a
+    triangle (4 points closed) the original ring is returned unchanged —
+    simplification must never invalidate a polygon."""
+    out = dp_simplify(ring, eps)
+    if len(out) < 4:
+        return np.asarray(ring, dtype=np.float64)
+    return out

@@ -257,3 +257,32 @@ def test_fix_invalid_repairs_self_intersecting_holes():
         assert K.ring_contains_ring(square, h)
     areas = sorted(abs(K.signed_area(h)) for h in holes)
     assert abs(areas[0] - 1.0) < 1e-12 and abs(areas[1] - 1.0) < 1e-12
+
+
+# ------------------------------------------------------- DP simplification
+
+
+def test_dp_simplify_keeps_spikes_drops_collinear():
+    from osm2geojson_spark.functions.kernels import dp_simplify
+
+    pts = np.array([[0, 0], [1, 0.001], [2, 0], [3, 2], [4, 0]], dtype=float)
+    out = dp_simplify(pts, 0.01)
+    assert out.tolist() == [[0, 0], [2, 0], [3, 2], [4, 0]]
+    # idempotent at the same tolerance
+    assert dp_simplify(out, 0.01).tolist() == out.tolist()
+    # larger tolerance -> never more points
+    assert len(dp_simplify(pts, 3.0)) <= len(out)
+
+
+def test_dp_simplify_ring_never_degenerates():
+    from osm2geojson_spark.functions.kernels import dp_simplify_ring
+
+    tri = np.array([[0, 0], [1, 0], [0.5, 0.001], [0, 0]], dtype=float)
+    out = dp_simplify_ring(tri, 0.01)  # would collapse -> must keep original
+    assert out.tolist() == tri.tolist()
+    sq = np.array(
+        [[0, 0], [1, 0], [1, 1], [0.5, 1.0001], [0, 1], [0, 0]], dtype=float
+    )
+    out = dp_simplify_ring(sq, 0.01)
+    assert out.tolist() == [[0, 0], [1, 0], [1, 1], [0, 1], [0, 0]]
+    assert (out[0] == out[-1]).all()

@@ -683,3 +683,28 @@ def test_disk_bbox_contains_disk_boundary(spark):
         else:  # wrapped box
             ok = (plon >= minx - 1e-9) | (plon <= maxx + 1e-9)
         assert ok.all(), (i, lon0[i], lat0[i], rad[i])
+
+
+def test_simplify_geometries_distributed(spark):
+    """Arrow-pass simplification: schema unchanged, polygons stay closed
+    rings, vertex counts drop, Points/None pass through untouched."""
+    from osm2geojson_spark.operators.geometry import simplify_geometries
+
+    theta = np.linspace(0, 2 * np.pi, 101)
+    circle = np.column_stack([np.cos(theta), np.sin(theta)])
+    circle[-1] = circle[0]
+    rows = [
+        (1, bytearray(geom.polygon([circle]))),
+        (2, bytearray(geom.linestring(np.array([[0, 0], [1, 0.001], [2, 0]])))),
+        (3, bytearray(geom.point(5.0, 6.0))),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "fid long, gpb binary")
+    out = {r["fid"]: r["gpb"] for r in simplify_geometries(df, 0.05).collect()}
+    poly = geom.to_geojson_geometry(bytes(out[1]))
+    ring = poly["coordinates"][0]
+    assert 4 <= len(ring) < 101 and ring[0] == ring[-1]
+    line = geom.to_geojson_geometry(bytes(out[2]))["coordinates"]
+    assert len(line) == 2
+    assert bytes(out[3]) == bytes(rows[2][1])  # Point untouched
+    assert out[4] is None
