@@ -1072,6 +1072,86 @@ SELECT qid, rank, vec_id FROM r WHERE rank <= 5
 """
 
 
+def q_ann_cosine_ivfpq_res(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF x RESIDUAL-PQ (similarity.cosine_topk_ivfpq_residual): vectors
+    quantize their residual against their IVF cell centroid; queries build
+    a LUT per probed cell. The residual algebra folds into per-(cell,
+    subspace, centroid) float64 constants (pq_residual_consts), so the
+    oracle inlines those exact literals and the same dot products — scores
+    stay bit-identical cross-engine."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    res = SIM.cosine_topk_ivfpq_residual(queries, emb, k=5, dim=_EMB_DIM)
+    return res.select("qid", "rank", "vec_id")
+
+
+def _ann_ivfpq_res_sql() -> str:
+    import numpy as np
+
+    cents = SIM.ivf_centroid_matrix(_EMB_DIM)
+    norms = np.sqrt((cents**2).sum(axis=0))
+    nc = cents.shape[1]
+    cell_scores = ", ".join(
+        "list_dot_product(v, ["
+        + ", ".join(repr(float(x)) for x in cents[:, c])
+        + f"]) / {float(norms[c])!r}"
+        for c in range(nc)
+    )
+    cb = SIM.pq_codebook(_EMB_DIM)
+    consts = SIM.pq_residual_consts(cents, cb)
+    m, kc, dsub = cb.shape
+
+    def dlists(cell_expr: str) -> list[str]:
+        out = []
+        for mi in range(m):
+            lo, hi = mi * dsub + 1, (mi + 1) * dsub
+            terms = []
+            for ci in range(kc):
+                clist = ", ".join(repr(float(x)) for x in consts[:, mi, ci])
+                lits = ", ".join(repr(float(x)) for x in cb[mi, ci])
+                terms.append(
+                    f"[{clist}][{cell_expr} + 1]"
+                    f" - 2.0 * list_dot_product(v[{lo}:{hi}], [{lits}])"
+                )
+            out.append(f"[{', '.join(terms)}] AS d{mi}")
+        return out
+
+    code_cols = ", ".join(
+        f"list_position(d{mi}, list_aggregate(d{mi}, 'min')) - 1 AS c{mi}"
+        for mi in range(m)
+    )
+    adist = " + ".join(f"q.d{mi}[t.c{mi} + 1]" for mi in range(m))
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+sc AS (SELECT vec_id, v, [{cell_scores}] AS csc FROM e),
+cellt AS (SELECT vec_id, v, list_position(csc, list_max(csc)) - 1 AS cell, csc FROM sc),
+td AS (SELECT vec_id, cell, {', '.join(dlists('cell'))} FROM cellt),
+t AS (SELECT vec_id, cell, {code_cols} FROM td),
+q0 AS (SELECT vec_id AS qid, v, csc AS qcsc FROM cellt WHERE vec_id < 3),
+qs AS (
+  SELECT qid, CAST(c AS INTEGER) AS c,
+         row_number() OVER (PARTITION BY qid ORDER BY qcsc[CAST(c AS INTEGER) + 1] DESC, c ASC) AS pr
+  FROM q0, unnest(range({nc})) AS g(c)
+),
+q AS (
+  SELECT q0.qid, qs.c AS cell, {', '.join(dlists('qs.c'))}
+  FROM q0 JOIN qs ON qs.qid = q0.qid AND qs.pr <= {SIM.IVF_PROBE}
+),
+a AS (
+  SELECT q.qid, t.vec_id, {adist} AS adist
+  FROM q JOIN t ON t.cell = q.cell
+), r AS (
+  SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY adist ASC, vec_id ASC) AS rank
+  FROM a
+)
+SELECT qid, rank, vec_id FROM r WHERE rank <= 5
+"""
+
+
 def q_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Staged single-pass plan: the normalized text / token count / stopword
     hits are each evaluated once per row (see TXT.text_features)."""
@@ -2083,6 +2163,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_ivf": q_ann_cosine_ivf,
         "ann_cosine_pq": q_ann_cosine_pq,
         "ann_cosine_ivfpq": q_ann_cosine_ivfpq,
+        "ann_cosine_ivfpq_res": q_ann_cosine_ivfpq_res,
         "text_analysis": q_text_analysis,
         "quality_topk": q_quality_topk,
         "events_window": q_events_window,
@@ -2140,6 +2221,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_ivf": _ann_ivf_sql(),
         "ann_cosine_pq": _ann_pq_sql(),
         "ann_cosine_ivfpq": _ann_ivfpq_sql(),
+        "ann_cosine_ivfpq_res": _ann_ivfpq_res_sql(),
         "text_analysis": _TEXT_SQL,
         "quality_topk": _QUALITY_TOPK_SQL,
         "events_window": _EVENTS_SQL,

@@ -599,3 +599,120 @@ def pq_train(
                 ) / float(r["_n"])
         cb = new
     return cb
+
+
+def pq_residual_consts(cents: np.ndarray, cb: np.ndarray) -> np.ndarray:
+    """(n_cells, m, k) adjusted constants that turn the plain PQ score
+    machinery into RESIDUAL-PQ scores: with residual r = v - cent_cell,
+
+        score = |cpq|^2 - 2*dot(r_sub, cpq)
+              = (|cpq|^2 + 2*dot(cent_cell_sub, cpq)) - 2*dot(v_sub, cpq)
+
+    — the bracket is a float64 constant per (cell, subspace, centroid),
+    computed here in NumPy and inlined identically as a literal on both
+    engines, so residual scores stay bit-identical cross-engine while the
+    per-row work remains the SAME m x k dot products as plain PQ."""
+    dim, nc = cents.shape
+    m, k, dsub = cb.shape
+    out = np.empty((nc, m, k), dtype=np.float64)
+    for cell in range(nc):
+        for mi in range(m):
+            csub = cents[mi * dsub : (mi + 1) * dsub, cell]
+            for ci in range(k):
+                cpq = cb[mi, ci]
+                out[cell, mi, ci] = float(np.dot(cpq, cpq)) + 2.0 * float(
+                    np.dot(csub, cpq)
+                )
+    return out
+
+
+def _pq_residual_scores(
+    vec: Column, cell: Column, cb: np.ndarray, consts: np.ndarray, mi: int
+) -> list[Column]:
+    """Residual-PQ scores of subspace ``mi`` given the row's IVF cell:
+    element_at(const_literal_array, cell + 1) - 2*dot(sub, cpq)."""
+    dsub = cb.shape[2]
+    sub = F.slice(vec, mi * dsub + 1, dsub)
+    out = []
+    for ci in range(cb.shape[1]):
+        cpq = cb[mi, ci]
+        clist = F.array(*[F.lit(float(x)) for x in consts[:, mi, ci]])
+        out.append(
+            F.element_at(clist, cell + F.lit(1))
+            - F.lit(2.0) * dot_col(sub, F.array(*[F.lit(float(x)) for x in cpq]))
+        )
+    return out
+
+
+def cosine_topk_ivfpq_residual(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    dim: int,
+    qid: str = "qid",
+    tid: str = "vec_id",
+    qvec: str = "qvec",
+    tvec: str = "embedding",
+    n_probe: int = IVF_PROBE,
+    cents: np.ndarray | None = None,
+    m: int = PQ_M,
+    kc: int = PQ_K,
+    cb=None,
+) -> DataFrame:
+    """IVF x RESIDUAL-PQ — the full production recipe: vectors quantize
+    their residual against their IVF cell centroid (residuals are far
+    smaller than raw vectors, so the same 4-bit budget buys much lower
+    quantization error), and each query builds a LUT per PROBED cell
+    (its residual differs per cell). Thanks to pq_residual_consts the
+    per-row cost is unchanged — the same m x k dot products, plus one
+    literal-array lookup by cell."""
+    if cents is None:
+        cents = ivf_centroid_matrix(dim)
+    if cb is None:
+        cb = pq_codebook(dim, m, kc)
+    consts = pq_residual_consts(cents, cb)
+
+    def codes_for(vec, cell):
+        cs = []
+        for mi in range(m):
+            d = F.array(*_pq_residual_scores(vec, cell, cb, consts, mi))
+            cs.append((F.array_position(d, F.array_min(d)) - 1).cast("int"))
+        return F.array(*cs)
+
+    c = corpus.withColumn(
+        "_cell", ivf_cell_col(F.col(tvec), dim, cents)
+    ).select(
+        tid, "_cell", codes_for(F.col(tvec), F.col("_cell")).alias("_codes")
+    )
+    q = queries.select(
+        qid,
+        F.col(qvec),
+        F.explode(ivf_probe_cells_col(F.col(qvec), dim, n_probe, cents)).alias("_cell"),
+    ).select(
+        qid,
+        "_cell",
+        F.array(
+            *[
+                F.array(*_pq_residual_scores(F.col(qvec), F.col("_cell"), cb, consts, mi))
+                for mi in range(m)
+            ]
+        ).alias("_lut"),
+    )
+    scored = q.join(c, "_cell").withColumn(
+        "_adist",
+        F.aggregate(
+            F.zip_with(
+                F.col("_lut"),
+                F.col("_codes"),
+                lambda l, cc: F.element_at(l, cc + F.lit(1)),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    wnd = Window.partitionBy(qid).orderBy(F.col("_adist").asc(), F.col(tid).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(wnd))
+        .filter(F.col("rank") <= k)
+        .select(qid, "rank", tid)
+    )
