@@ -50,6 +50,7 @@ BENCH_QUERIES = [
     "knn_sphere",
     "tile_vector_join",
     "within_distance",
+    "spatial_rollup",
     "cell_histogram",
     "sphere_cell_histogram",
     "dedup_exact",
@@ -57,6 +58,7 @@ BENCH_QUERIES = [
     "dedup_simhash",
     "dedup_embedding",
     "ann_cosine_topk",
+    "ann_cosine_pq",
     "multimodal_decode",
     "image_dhash_dedup",
     "tile_pyramid",
