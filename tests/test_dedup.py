@@ -512,3 +512,20 @@ def test_residual_pq_beats_plain_pq_quantization(spark):
         rec_r = cent + np.concatenate([cb[mi, r["rc"][mi]] for mi in range(4)])
         err_res += float(((v - rec_r) ** 2).sum())
     assert err_res < err_plain * 0.5, (err_res, err_plain)
+
+
+def test_pq_gemm_encoder_matches_column_math(spark, vectors):
+    from osm2geojson_spark.operators.similarity import (
+        pq_codebook,
+        pq_codes_col,
+        pq_codes_gemm_udf,
+    )
+
+    cb = pq_codebook(16)
+    udf = pq_codes_gemm_udf(16, cb=cb)
+    rows = vectors.select(
+        "vec_id",
+        pq_codes_col(F.col("embedding"), 16, cb=cb).alias("a"),
+        udf(F.col("embedding")).alias("b"),
+    ).collect()
+    assert rows and all(list(r["a"]) == list(r["b"]) for r in rows)
