@@ -557,6 +557,114 @@ WHERE {KNN.haversine_sql('slon', 'slat', 'clon', 'clat')} <= 400000.0
 """
 
 
+def q_within_distance_sphere(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same radius join on the cube-face sphere grid (polar-robust
+    candidate generation). The result set is grid-independent — candidate
+    cells are a superset on either grid and the haversine refine decides —
+    so the flat-grid brute-force oracle doubles as the sphere-grid oracle,
+    proving grid-independence of the join semantics."""
+    sup = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey"), _lon("s_suppkey").alias("lon"), _lat("s_suppkey").alias("lat")
+    )
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey"), _lon("c_custkey").alias("lon"), _lat("c_custkey").alias("lat")
+    )
+    from osm2geojson_spark.operators.spatial_join import within_distance_join
+
+    return within_distance_join(
+        sup, cust, 400_000.0, res=5, lid="s_suppkey", rid="c_custkey", grid="sphere"
+    ).select("s_suppkey", "c_custkey")
+
+
+_SIMP_NF, _SIMP_NV = 200, 64  # features x vertices of the synthetic polylines
+
+
+def q_simplify_vertices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X10 driver check: Douglas-Peucker simplification (eps=0, the
+    redundant-vertex elimination setting) through the full GPB Arrow pass
+    (operators/geometry.simplify_geometries), over deterministic integer
+    staircase polylines built identically in both engines.
+
+    Why the oracle is EXACT: kernels.dp_simplify measures perpendicular
+    distance to the infinite chord LINE and keeps a vertex iff d > eps. At
+    eps=0 the retained set is provably {endpoints} union {v not collinear
+    with its immediate neighbours}: (<=) a vertex strictly between two
+    line-mates has d <= max of theirs against any chord, is never the
+    unique argmax (np.argmax ties resolve to the earlier index), and ends
+    in a span whose chord contains it; (=>) a dropped vertex's FINAL span
+    has every interior vertex at d == 0, so its immediate neighbours lie
+    on that same line. With unit x spacing collinearity is `dy2 == dy1`,
+    one lag/lead window in SQL. Integer coordinates (|x| <= 64, y in 0..6)
+    keep every float64 cross product exact, so there is no epsilon issue.
+    Pinned independently by tests/test_spatial.py property tests."""
+    nf, nv = _SIMP_NF, _SIMP_NV
+    base = spark.range(nf * nv).select(
+        F.floor(F.col("id") / nv).cast("long").alias("f"),
+        (F.col("id") % nv).alias("i"),
+    )
+    base = base.withColumn(
+        "y",
+        ((F.col("f") * 7919 + F.floor(F.col("i") / 4) * 104729) % 97) % 7,
+    )
+    pts = base.groupBy("f").agg(
+        F.sort_array(F.collect_list(F.struct("i", "y"))).alias("vs")
+    )
+
+    def pack(it):
+        for pdf in it:
+            rows = [
+                (int(f), GEO.linestring([[float(v["i"]), float(v["y"])] for v in vs]))
+                for f, vs in zip(pdf["f"], pdf["vs"])
+            ]
+            yield pd.DataFrame(rows, columns=["feature_id", "gpb"])
+
+    packed = pts.mapInPandas(pack, schema="feature_id long, gpb binary")
+    from osm2geojson_spark.operators.geometry import simplify_geometries
+
+    simp = simplify_geometries(packed, 0.0)
+
+    def unpack(it):
+        for pdf in it:
+            rows = []
+            for fid, buf in zip(pdf["feature_id"], pdf["gpb"]):
+                c = GEO.to_geojson_geometry(bytes(buf))["coordinates"]
+                rows.append(
+                    (
+                        int(fid),
+                        len(c),
+                        int(sum(p[0] for p in c)),
+                        int(sum(p[1] for p in c)),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["feature_id", "n_vertices", "sum_x", "sum_y"]
+            )
+
+    return simp.mapInPandas(
+        unpack,
+        schema="feature_id long, n_vertices long, sum_x long, sum_y long",
+    ).orderBy("feature_id")
+
+
+_SIMPLIFY_SQL = f"""
+WITH v AS (
+  SELECT (r // {_SIMP_NV}) AS f, (r % {_SIMP_NV}) AS i,
+         (((r // {_SIMP_NV}) * 7919 + ((r % {_SIMP_NV}) // 4) * 104729) % 97) % 7 AS y
+  FROM range({_SIMP_NF} * {_SIMP_NV}) t(r)
+), d AS (
+  SELECT f, i, y,
+         y - lag(y)  OVER w AS dy1,
+         lead(y) OVER w - y AS dy2
+  FROM v WINDOW w AS (PARTITION BY f ORDER BY i)
+)
+SELECT f AS feature_id, CAST(count(*) AS BIGINT) AS n_vertices,
+       CAST(sum(i) AS BIGINT) AS sum_x, CAST(sum(y) AS BIGINT) AS sum_y
+FROM d
+WHERE dy1 IS NULL OR dy2 IS NULL OR dy1 != dy2
+GROUP BY f ORDER BY f
+"""
+
+
 def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E5: heavy-hitter salted cell join. Customer points cell-keyed at a
     coarse resolution (few cells -> guaranteed heavy hitters at the 200-row
@@ -2135,6 +2243,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_join": q_pip_join,
         "pip_join_sphere": q_pip_join_sphere,
         "within_distance": q_within_distance,
+        "within_distance_sphere": q_within_distance_sphere,
+        "simplify_vertices": q_simplify_vertices,
         "spatial_rollup": q_spatial_rollup,
         "skew_salted_join": q_skew_salted_join,
         "knn": q_knn,
@@ -2193,6 +2303,8 @@ def oracle_sql() -> dict[str, str]:
         "pip_join": _PIP_JOIN_SQL,
         "pip_join_sphere": _PIP_JOIN_SQL,
         "within_distance": _WITHIN_DISTANCE_SQL,
+        "within_distance_sphere": _WITHIN_DISTANCE_SQL,
+        "simplify_vertices": _SIMPLIFY_SQL,
         "spatial_rollup": _SPATIAL_ROLLUP_SQL,
         "skew_salted_join": _SKEW_JOIN_SQL,
         "knn": _KNN_SQL,

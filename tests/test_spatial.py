@@ -708,3 +708,34 @@ def test_simplify_geometries_distributed(spark):
     assert len(line) == 2
     assert bytes(out[3]) == bytes(rows[2][1])  # Point untouched
     assert out[4] is None
+
+
+def test_dp_eps0_equals_collinear_filter():
+    """The exactness contract behind the simplify_vertices oracle: at
+    eps=0, dp_simplify retains exactly the endpoints plus every vertex
+    not collinear-between its immediate neighbours, PROVIDED x is
+    monotone (betweenness automatic). 200 random integer staircases."""
+    rng = np.random.default_rng(7)
+    for _ in range(200):
+        n = int(rng.integers(3, 60))
+        x = np.cumsum(rng.integers(1, 3, size=n))
+        y = rng.integers(0, 4, size=n)
+        pts = np.column_stack([x, y]).astype(np.float64)
+        out = K.dp_simplify(pts, 0.0)
+        d1 = pts[1:-1] - pts[:-2]
+        d2 = pts[2:] - pts[1:-1]
+        cross = d1[:, 0] * d2[:, 1] - d1[:, 1] * d2[:, 0]
+        keep = np.ones(n, dtype=bool)
+        keep[1:-1] = cross != 0
+        assert out.tolist() == pts[keep].tolist()
+
+
+def test_dp_eps0_keeps_collinear_not_between():
+    """Line-distance DP (this kernel) keeps a vertex that is collinear
+    with its neighbours but NOT between them (polyline doubles back):
+    B=(2,0) is on line A(0,0)-C(1,0) but beyond C, and its distance to
+    the A-D chord is nonzero, so it must survive eps=0. This pins the
+    betweenness clause of the simplify_vertices oracle proof."""
+    pts = np.array([[0, 0], [2, 0], [1, 0], [1, 5]], dtype=np.float64)
+    out = K.dp_simplify(pts, 0.0)
+    assert out.tolist() == pts.tolist()  # every vertex survives
