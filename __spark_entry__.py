@@ -1260,6 +1260,83 @@ SELECT qid, rank, vec_id FROM r WHERE rank <= 5
 """
 
 
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-gate stratified sampling (operators/sampling.py):
+    keep 60% of 'en' docs, 15% of 'other', gated by a congruential hash of
+    doc_id — reproducible across engines, retries and resumes (no RNG
+    state), a pure scan+filter at 100 TB. The oracle replays the identical
+    integer gate in DuckDB; per-stratum counts and id-sums must match
+    exactly."""
+    from osm2geojson_spark.operators import sampling as SMP
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = docs.withColumn("lang", TXT.lang_id(F.col("text")))
+    samp = SMP.stratified_sample(
+        docs, "lang", {"en": 0.6, "other": 0.15}, "doc_id"
+    )
+    return (
+        samp.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.sum("doc_id").alias("sum_doc_id"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _stratified_sample_sql() -> str:
+    from osm2geojson_spark.operators import sampling as SMP
+
+    gate = SMP.stratified_sample_sql(
+        "lang", {"en": 0.6, "other": 0.15}, "doc_id"
+    )
+    return f"""
+WITH d AS (
+  SELECT doc_id, {TXT.lang_id_sql('text')} AS lang FROM documents
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_sampled,
+       CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
+FROM d WHERE {gate}
+GROUP BY lang ORDER BY lang
+"""
+
+
+def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed character-window document chunking with overlap (200/40 —
+    the RAG / context-window prep stage): one explode per row, zero
+    shuffles until the verification rollup. Compared by per-chunk-index
+    doc counts, total chunk bytes, and an order-insensitive bit_xor of
+    the 60-bit chunk-text hash — so the oracle pins the exact substring
+    BYTES of every chunk, not just the window arithmetic."""
+    from osm2geojson_spark.operators import sampling as SMP
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    ch = SMP.chunk_documents(docs, chunk_chars=200, overlap=40)
+    return (
+        ch.withColumn("h", TXT.md5_long(F.col("chunk_text")))
+        .groupBy("chunk_idx")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum("chunk_len").alias("total_chars"),
+            F.expr("bit_xor(h)").alias("xor_hash"),
+        )
+        .orderBy("chunk_idx")
+    )
+
+
+def _doc_chunking_sql() -> str:
+    from osm2geojson_spark.operators import sampling as SMP
+
+    inner = SMP.chunk_documents_sql("documents", 200, 40)
+    return f"""
+WITH ch AS ({inner})
+SELECT chunk_idx, CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(chunk_len) AS BIGINT) AS total_chars,
+       bit_xor({TXT.md5_long_sql('chunk_text')}) AS xor_hash
+FROM ch GROUP BY chunk_idx ORDER BY chunk_idx
+"""
+
+
 def q_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Staged single-pass plan: the normalized text / token count / stopword
     hits are each evaluated once per row (see TXT.text_features)."""
@@ -2276,6 +2353,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_ivfpq_res": q_ann_cosine_ivfpq_res,
         "text_analysis": q_text_analysis,
         "quality_topk": q_quality_topk,
+        "stratified_sample": q_stratified_sample,
+        "doc_chunking": q_doc_chunking,
         "events_window": q_events_window,
         "sessionize": q_sessionize,
         "user_stats": q_user_stats,
@@ -2336,6 +2415,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_ivfpq_res": _ann_ivfpq_res_sql(),
         "text_analysis": _TEXT_SQL,
         "quality_topk": _QUALITY_TOPK_SQL,
+        "stratified_sample": _stratified_sample_sql(),
+        "doc_chunking": _doc_chunking_sql(),
         "events_window": _EVENTS_SQL,
         "sessionize": _SESSIONIZE_SQL,
         "user_stats": _USER_STATS_SQL,

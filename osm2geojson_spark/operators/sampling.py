@@ -1,0 +1,139 @@
+"""Deterministic corpus sampling and document chunking.
+
+Training-data pipeline stages the reference (aspectumapp/osm2geojson) has no
+analog for — engine-extension surface alongside dedup.py/similarity.py.
+
+Design for 100 TB:
+
+* **Sampling is a scan + filter, never an RNG.** `rand()`-based sampling is
+  non-reproducible across retries (a re-executed task draws fresh numbers →
+  duplicate or missing rows in the output of a resumed job) and can't be
+  audited. Hash-gate sampling — keep a row iff ``h(key) % D < rate·D`` for a
+  fixed congruential ``h`` — is idempotent, embarrassingly parallel, needs no
+  shuffle, pushes the filter into the scan, and any SQL engine reproduces the
+  exact row set (the driver oracle does, bit for bit).
+* **Stratified rates are a broadcastable CASE expression**, not a join: the
+  strata→rate table is tiny by construction, so it folds into the filter
+  predicate and stays inside whole-stage codegen.
+* **Chunking is a per-row explode** (no shuffle): fixed character windows
+  with overlap, the standard RAG / context-window prep. Window arithmetic is
+  pure integer math on ``length(text)`` so the SQL twin slices the very same
+  substrings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Congruential gate: products stay < 2^63 for keys < ~3.5e9; both Spark and
+# DuckDB evaluate this in exact int64 arithmetic. The modulus is prime so
+# low-order key patterns (sequential ids, even-only ids) don't bias the gate.
+_H_MUL = 2654435761
+_H_ADD = 12345
+_H_MOD = 1_000_003
+
+
+def sample_hash(key: Column) -> Column:
+    """h(key) in [0, 1_000_003): the deterministic sampling gate."""
+    return (key.cast("long") * F.lit(_H_MUL) + F.lit(_H_ADD)) % F.lit(_H_MOD)
+
+
+def sample_hash_sql(key: str) -> str:
+    return f"(({key} * {_H_MUL} + {_H_ADD}) % {_H_MOD})"
+
+
+def _threshold(rate: float) -> int:
+    """Integer gate threshold; floor so both engines agree exactly."""
+    return int(rate * _H_MOD)
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: Column | str,
+    rates: dict[str, float],
+    key_col: str,
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Keep each row with its stratum's rate, deterministically by
+    ``key_col``: row survives iff ``sample_hash(key) < floor(rate·D)``.
+    ``rates`` maps stratum value → rate in [0, 1]; unlisted strata get
+    ``default_rate``. One scan, no shuffle, no RNG state."""
+    strata = F.col(strata_col) if isinstance(strata_col, str) else strata_col
+    thr: Column = F.lit(_threshold(default_rate))
+    for value, rate in sorted(rates.items()):
+        thr = F.when(strata == F.lit(value), F.lit(_threshold(rate))).otherwise(thr)
+    return df.filter(sample_hash(F.col(key_col)) < thr)
+
+
+def stratified_sample_sql(
+    strata_expr: str, rates: dict[str, float], key: str, default_rate: float = 0.0
+) -> str:
+    """WHERE-clause twin of `stratified_sample` (exact same integer gate)."""
+    whens = "".join(
+        f"WHEN {strata_expr} = '{v}' THEN {_threshold(r)} "
+        for v, r in sorted(rates.items())
+    )
+    case = f"CASE {whens}ELSE {_threshold(default_rate)} END"
+    return f"{sample_hash_sql(key)} < {case}"
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_chars: int,
+    overlap: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split each document into fixed character windows of ``chunk_chars``
+    overlapping by ``overlap``: chunk i covers [i·stride, i·stride +
+    chunk_chars) with stride = chunk_chars − overlap; the last window is
+    the remainder (never empty; a short document yields one chunk of
+    itself). Output: (id_col, chunk_idx, chunk_text, chunk_len) — one
+    explode per row, zero shuffles, linear in corpus bytes."""
+    if overlap >= chunk_chars:
+        raise ValueError("overlap must be < chunk_chars")
+    stride = chunk_chars - overlap
+    n = F.length(F.col(text_col))
+    # ceil((n - overlap) / stride), min 1: number of windows needed so the
+    # last window's start (k-1)*stride is < n - overlap (no empty tail).
+    n_chunks = F.greatest(
+        F.ceil((n - F.lit(overlap)).cast("double") / F.lit(float(stride))).cast(
+            "long"
+        ),
+        F.lit(1),
+    )
+    idx = F.explode(F.sequence(F.lit(0), n_chunks - F.lit(1))).alias("chunk_idx")
+    out = df.select(F.col(id_col), F.col(text_col), idx)
+    chunk = F.substring(
+        F.col(text_col), (F.col("chunk_idx") * stride + F.lit(1)).cast("int"),
+        chunk_chars,
+    )
+    return out.select(
+        id_col,
+        "chunk_idx",
+        chunk.alias("chunk_text"),
+        F.length(chunk).alias("chunk_len"),
+    )
+
+
+def chunk_documents_sql(
+    table: str, chunk_chars: int, overlap: int = 0,
+    text: str = "text", id_: str = "doc_id",
+) -> str:
+    """DuckDB twin of `chunk_documents` (identical window arithmetic;
+    DuckDB substr clamps past-end reads exactly like Spark substring)."""
+    stride = chunk_chars - overlap
+    return f"""
+SELECT {id_}, g.chunk_idx,
+       substr({text}, CAST(g.chunk_idx * {stride} + 1 AS INT), {chunk_chars})
+         AS chunk_text,
+       length(substr({text}, CAST(g.chunk_idx * {stride} + 1 AS INT),
+              {chunk_chars})) AS chunk_len
+FROM {table},
+     LATERAL (
+       SELECT unnest(range(greatest(
+         CAST(ceil((length({text}) - {overlap}) / {float(stride)}) AS BIGINT),
+         1))) AS chunk_idx
+     ) g
+"""

@@ -530,6 +530,7 @@ def within_distance_join(
     grid: str = "flat",
     salt_threshold: int | None = None,
     n_salts: int = 16,
+    expand: str = "left",
 ) -> DataFrame:
     """Spatial range (radius) join: every (left, right) pair within
     ``radius_m`` meters by haversine distance. Output columns:
@@ -542,6 +543,13 @@ def within_distance_join(
     covering or not — no post-join dedup). Exact haversine refine runs
     JVM-side in codegen.
 
+    ``expand`` picks which side's disk bbox is exploded to covering cells
+    ("left" default, or "right"); the other side stays one row per point.
+    The covering explode multiplies that side's scan by ~(2·radius/cell
+    width + 1)² rows, so for asymmetric corpora (huge left corpus × small
+    right query set) expand the SMALL side — the result set is identical
+    (haversine is symmetric; the superset property holds either way).
+
     ``grid``: "flat" (equirectangular E1 cells) or "sphere" (cube-face
     cells_sphere) — identical results, polar-robust candidate generation.
 
@@ -551,6 +559,13 @@ def within_distance_join(
     ``n_salts`` with the plans/skew.py treatment (left covering rows
     replicated per salt), same as the PIP shuffle path."""
     from .knn import haversine_col
+
+    if expand == "right":
+        out = within_distance_join(
+            right, left, radius_m, res=res, lid=rid, rid=lid, grid=grid,
+            salt_threshold=salt_threshold, n_salts=n_salts, expand="left",
+        )
+        return out.select(lid, rid, "dist_m")
 
     if grid == "sphere":
         from . import cells_sphere as SPH

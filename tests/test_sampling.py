@@ -1,0 +1,65 @@
+"""Deterministic sampling + chunking (operators/sampling.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from osm2geojson_spark.operators import sampling as SMP
+
+
+def test_stratified_sample_gate_is_deterministic(spark):
+    df = spark.createDataFrame(
+        [(i, "en" if i % 3 else "de") for i in range(1000)], "k long, lang string"
+    )
+    a = SMP.stratified_sample(df, "lang", {"en": 0.5}, "k", default_rate=0.1)
+    rows1 = sorted(r["k"] for r in a.collect())
+    rows2 = sorted(r["k"] for r in a.collect())  # re-execution: same rows
+    assert rows1 == rows2 and rows1
+    # python replay of the gate
+    import math
+
+    def keep(i):
+        h = (i * 2654435761 + 12345) % 1_000_003
+        rate = 0.5 if i % 3 else 0.1
+        return h < int(rate * 1_000_003)
+
+    assert rows1 == [i for i in range(1000) if keep(i)]
+    # rates land near nominal
+    n_en = sum(1 for i in rows1 if i % 3)
+    assert 0.4 < n_en / (1000 * 2 / 3) < 0.6
+
+
+def test_chunk_documents_windows_cover_exactly(spark):
+    """Every chunk is text[start:start+C]; consecutive chunks overlap by
+    exactly `overlap`; concatenating de-overlapped chunks rebuilds the
+    document; short docs yield one chunk of themselves."""
+    texts = ["x" * 0, "ab", "a" * 200, "a" * 201, "".join(chr(97 + i % 26) for i in range(557))]
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    out = SMP.chunk_documents(df, chunk_chars=200, overlap=40)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["doc_id"], []).append((r["chunk_idx"], r["chunk_text"]))
+    for did, text in enumerate(texts):
+        chunks = [t for _, t in sorted(got[did])]
+        stride = 160
+        expect = []
+        n = max(1, -(-(len(text) - 40) // stride)) if len(text) > 40 else 1
+        for i in range(n):
+            expect.append(text[i * stride : i * stride + 200])
+        assert chunks == expect, did
+        # reconstruction
+        rebuilt = chunks[0] + "".join(c[40:] for c in chunks[1:])
+        assert rebuilt == text, did
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    df = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        SMP.chunk_documents(df, chunk_chars=10, overlap=10)
+
+
+def test_chunk_plan_has_no_shuffle(spark):
+    df = spark.createDataFrame([(1, "a" * 500)], "doc_id long, text string")
+    plan = SMP.chunk_documents(df, 100, 20)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

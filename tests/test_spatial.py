@@ -739,3 +739,24 @@ def test_dp_eps0_keeps_collinear_not_between():
     pts = np.array([[0, 0], [2, 0], [1, 0], [1, 5]], dtype=np.float64)
     out = K.dp_simplify(pts, 0.0)
     assert out.tolist() == pts.tolist()  # every vertex survives
+
+
+@pytest.mark.parametrize("grid", ["flat", "sphere"])
+def test_within_distance_expand_right_equivalent(spark, grid):
+    """expand='right' (covering explode on the right side, one cell per
+    LEFT point — the huge-left/small-right shape) must return the exact
+    pair set of the default, on both grids."""
+    from osm2geojson_spark.operators.spatial_join import within_distance_join
+
+    bbox = (-12.0, -12.0, 12.0, 12.0)
+    left = _wd_points(spark, 60, 7, bbox, "lid")
+    right = _wd_points(spark, 400, 400_000, bbox, "rid")
+    want = _wd_brute(left, right, 250_000.0)
+    assert want
+    got = {
+        (r["lid"], r["rid"])
+        for r in within_distance_join(
+            left, right, 250_000.0, res=6, grid=grid, expand="right"
+        ).collect()
+    }
+    assert got == want
