@@ -427,6 +427,47 @@ FROM customer GROUP BY 1
 """
 
 
+def q_hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Space-filling-curve sort keys for write-time clustering (the
+    lakehouse Z-ORDER analogue): Morton interleave (pure column math) and
+    Hilbert distance (vectorized Arrow kernel) per distinct res-5 customer
+    cell. At 100 TB these order `repartitionByRange` + sortWithinPartitions
+    on ingest so neighbouring cells land in neighbouring Parquet row
+    groups and bbox queries prune files. The DuckDB twin re-derives Morton
+    with pure //,% arithmetic and Hilbert via a per-level unrolled CTE
+    chain (cells.hilbert_cte_sql) — both bit-exact integer math."""
+    res = 5
+    cell_col = cells.cell_id(_lon("c_custkey"), _lat("c_custkey"), res)
+    cdf = (
+        _t(spark, sf_dir, "customer")
+        .select(cell_col.alias("cell_id"))
+        .distinct()
+    )
+    return cdf.select(
+        "cell_id",
+        cells.morton_key(F.col("cell_id"), res).alias("morton"),
+        cells.hilbert_key(F.col("cell_id"), res).alias("hilbert"),
+    ).orderBy("cell_id")
+
+
+def _hilbert_layout_sql() -> str:
+    res = 5
+    cell = cells.cell_id_sql(SYN.lon_sql("c_custkey"), SYN.lat_sql("c_custkey"), res)
+    src = f"""
+SELECT DISTINCT {cell} AS cell_id,
+       ({cell} % {1 << 58}) // {1 << 29} AS x0,
+       ({cell} % {1 << 29}) AS y0
+FROM customer
+"""
+    body = cells.hilbert_cte_sql(src, res, cols="cell_id")
+    morton = cells.morton_key_sql("cell_id", res)
+    return f"""
+WITH hil AS ({body})
+SELECT cell_id, {morton} AS morton, hilbert
+FROM hil ORDER BY cell_id
+"""
+
+
 def q_sphere_cell_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spherical cube-face cell rollup (operators/cells_sphere.py): the
     polar-distortion-free S2-style index, encode + histogram entirely in
@@ -2317,6 +2358,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_encode": q_cell_encode,
         "cell_histogram": q_cell_histogram,
         "sphere_cell_histogram": q_sphere_cell_histogram,
+        "hilbert_layout": q_hilbert_layout,
         "pip_join": q_pip_join,
         "pip_join_sphere": q_pip_join_sphere,
         "within_distance": q_within_distance,
@@ -2379,6 +2421,7 @@ def oracle_sql() -> dict[str, str]:
         "cell_encode": _CELL_ENCODE_SQL,
         "cell_histogram": _CELL_HISTOGRAM_SQL,
         "sphere_cell_histogram": _sphere_cell_histogram_sql(),
+        "hilbert_layout": _hilbert_layout_sql(),
         "pip_join": _PIP_JOIN_SQL,
         "pip_join_sphere": _PIP_JOIN_SQL,
         "within_distance": _WITHIN_DISTANCE_SQL,

@@ -218,6 +218,62 @@ def cell_id_sql(lon_expr: str, lat_expr: str, res: int = DEFAULT_RES) -> str:
     return f"(CAST({res} AS BIGINT) * {1 << _R_SHIFT} + {x} * {1 << _X_SHIFT} + {y})"
 
 
+def morton_key_sql(cell_expr: str, res: int) -> str:
+    """DuckDB twin of `morton_key`: the same interleave via //, % and *
+    (no engine-specific bit ops)."""
+    x = f"(({cell_expr}) % {1 << _R_SHIFT}) // {1 << _X_SHIFT}"
+    y = f"(({cell_expr}) % {1 << _X_SHIFT})"
+    terms = [
+        f"((({x}) // {1 << b}) % 2) * {1 << (2 * b + 1)}"
+        f" + ((({y}) // {1 << b}) % 2) * {1 << (2 * b)}"
+        for b in range(res)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def hilbert_cte_sql(source_sql: str, res: int, cols: str = "cell_id") -> str:
+    """DuckDB twin of `hilbert_key`: the per-level (x, y) state mutation is
+    unrolled into one chained CTE per level with uniquely-suffixed column
+    names (no lateral alias ambiguity). ``source_sql`` must yield columns
+    ``{cols}, x0, y0``; the result exposes ``{cols}, hilbert``.
+
+    Level arithmetic mirrors hilbert_d_py exactly: rx/ry test the s-bit of
+    x/y with a two's-complement bitwise AND — NOT (v // s) % 2, because the
+    s−1−x rotation drives intermediate coordinates negative and the kernel
+    then bit-tests those negatives; the quadrant digit (3·rx) XOR ry is
+    CASE-expanded to {ry, 3−ry}, and flip-then-swap becomes two nested
+    CASEs."""
+    parts = [f"h0 AS ({source_sql})"]
+    k = 0
+    for level in range(res):
+        s = 1 << (res - 1 - level)
+        x, y = f"x{k}", f"y{k}"
+        rx = f"(CASE WHEN (({x}) & {s}) != 0 THEN 1 ELSE 0 END)"
+        ry = f"(CASE WHEN (({y}) & {s}) != 0 THEN 1 ELSE 0 END)"
+        d_term = f"{s * s} * (CASE WHEN {rx} = 0 THEN {ry} ELSE 3 - ({ry}) END)"
+        d_prev = f"d{k}" if k else "0"
+        nx = (
+            f"CASE WHEN {ry} = 0 THEN "
+            f"(CASE WHEN {rx} = 1 THEN {s - 1} - {y} ELSE {y} END) "
+            f"ELSE {x} END"
+        )
+        ny = (
+            f"CASE WHEN {ry} = 0 THEN "
+            f"(CASE WHEN {rx} = 1 THEN {s - 1} - {x} ELSE {x} END) "
+            f"ELSE {y} END"
+        )
+        parts.append(
+            f"h{k + 1} AS (SELECT {cols}, {nx} AS x{k + 1}, {ny} AS y{k + 1}, "
+            f"{d_prev} + {d_term} AS d{k + 1} FROM h{k})"
+        )
+        k += 1
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT {cols}, d{k} AS hilbert FROM h{k}"
+    )
+
+
 def cell_res_py(cell: int) -> int:
     return cell >> _R_SHIFT
 

@@ -760,3 +760,45 @@ def test_within_distance_expand_right_equivalent(spark, grid):
         ).collect()
     }
     assert got == want
+
+
+def test_hilbert_cte_sql_matches_reference():
+    """The unrolled DuckDB CTE twin reproduces hilbert_d_py on EVERY cell
+    of the res-1..6 grids — including the negative intermediate
+    coordinates the s-1-x rotation produces (bit-tested via two's
+    complement & in both implementations)."""
+    import duckdb
+
+    from osm2geojson_spark.operators.cells import hilbert_cte_sql, hilbert_d_py
+
+    for res in (1, 2, 3, 5, 6):
+        n = 1 << res
+        src = (
+            f"SELECT x0*{n}+y0 AS cell_id, x0, y0 "
+            f"FROM range({n}) a(x0), range({n}) b(y0)"
+        )
+        rows = duckdb.sql(hilbert_cte_sql(src, res, cols="cell_id")).fetchall()
+        assert len(rows) == n * n
+        for cid, h in rows:
+            assert h == hilbert_d_py(cid // n, cid % n, res), (res, cid)
+
+
+def test_morton_key_sql_matches_column_math(spark):
+    import duckdb
+
+    from osm2geojson_spark.operators.cells import (
+        morton_key,
+        morton_key_sql,
+        pack_cell_py,
+    )
+
+    res = 4
+    cells_py = [pack_cell_py(res, x, y) for x in range(16) for y in range(16)]
+    df = spark.createDataFrame([(c,) for c in cells_py], "cell long")
+    got = {
+        r["cell"]: r["m"]
+        for r in df.withColumn("m", morton_key(F.col("cell"), res)).collect()
+    }
+    sql = f"SELECT c, {morton_key_sql('c', res)} AS m FROM (SELECT unnest(?) AS c)"
+    for c, m in duckdb.execute(sql, [cells_py]).fetchall():
+        assert got[c] == m, c
