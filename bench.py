@@ -50,7 +50,10 @@ BENCH_QUERIES = [
     "knn_sphere",
     "tile_vector_join",
     "within_distance",
+    "within_distance_sphere",
     "spatial_rollup",
+    "simplify_vertices",
+    "hilbert_layout",
     "cell_histogram",
     "sphere_cell_histogram",
     "dedup_exact",
@@ -63,6 +66,8 @@ BENCH_QUERIES = [
     "image_dhash_dedup",
     "tile_pyramid",
     "text_analysis",
+    "stratified_sample",
+    "doc_chunking",
     "events_window",
     "pricing_summary",
     "top_customers",

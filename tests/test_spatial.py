@@ -802,3 +802,40 @@ def test_morton_key_sql_matches_column_math(spark):
     sql = f"SELECT c, {morton_key_sql('c', res)} AS m FROM (SELECT unnest(?) AS c)"
     for c, m in duckdb.execute(sql, [cells_py]).fetchall():
         assert got[c] == m, c
+
+
+def test_hilbert_layout_prunes_more_files_than_scan_order():
+    """Why the layout key exists: order the res-6 grid by hilbert vs by
+    raw cell_id (x-major scan), cut into 64 equal 'files', and count files
+    whose (x, y) extent intersects each 8x8 bbox query. Hilbert files are
+    compact 8x8 blocks, scan-order files are full-height x-strips, so the
+    average touched-file count must be strictly lower — this is the
+    file-pruning win a clustered Parquet write gets from min/max stats."""
+    from osm2geojson_spark.operators.cells import hilbert_d_py
+
+    n = 64
+    cells_xy = [(x, y) for x in range(n) for y in range(n)]
+
+    def touched(order_key):
+        cs = sorted(cells_xy, key=order_key)
+        per = len(cs) // 64
+        boxes = []
+        for f in range(64):
+            chunk = cs[f * per : (f + 1) * per]
+            xs = [c[0] for c in chunk]
+            ys = [c[1] for c in chunk]
+            boxes.append((min(xs), min(ys), max(xs), max(ys)))
+        total = 0
+        for qx in range(0, n, 8):
+            for qy in range(0, n, 8):
+                total += sum(
+                    1
+                    for (x0, y0, x1, y1) in boxes
+                    if x1 >= qx and x0 <= qx + 7 and y1 >= qy and y0 <= qy + 7
+                )
+        return total
+
+    t_scan = touched(lambda c: (c[0], c[1]))
+    t_hil = touched(lambda c: hilbert_d_py(c[0], c[1], 6))
+    assert t_hil == 64  # perfect: each 8x8 query hits exactly one file
+    assert t_scan >= 8 * 64  # every query crosses all 8 x-strip files
