@@ -1378,6 +1378,54 @@ FROM ch GROUP BY chunk_idx ORDER BY chunk_idx
 """
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy next-fit sequence packing (pretraining sample packing):
+    8 shards (doc_id % 8) walked in doc_id order with a 512-token budget
+    over the BPE-ish token count. Inherently sequential per shard — Spark
+    runs it as one Arrow pass per shard; the oracle replays the identical
+    walk with a recursive CTE (one step per in-shard position). Bin
+    membership is pinned exactly: per (shard, bin) doc counts, token
+    totals, id range AND bit_xor of doc_id."""
+    from osm2geojson_spark.operators import sampling as SMP
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % 8).alias("shard"),
+        TXT.bpe_token_count(F.col("text")).alias("tokens"),
+    )
+    packed = SMP.pack_sequences(docs, budget=512)
+    return (
+        packed.groupBy("shard", "bin")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("tokens").alias("total_tokens"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+            F.expr("bit_xor(doc_id)").alias("xor_doc"),
+        )
+        .orderBy("shard", "bin")
+    )
+
+
+def _pack_sequences_sql() -> str:
+    from osm2geojson_spark.operators import sampling as SMP
+
+    src = (
+        "SELECT doc_id, doc_id % 8 AS shard, "
+        f"CAST({TXT.bpe_token_count_sql('text')} AS BIGINT) AS tokens "
+        "FROM documents"
+    )
+    inner = SMP.pack_sequences_sql(src, budget=512)
+    return f"""
+WITH p AS ({inner})
+SELECT shard, bin, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(tokens) AS BIGINT) AS total_tokens,
+       min(doc_id) AS min_doc, max(doc_id) AS max_doc,
+       bit_xor(doc_id) AS xor_doc
+FROM p GROUP BY shard, bin ORDER BY shard, bin
+"""
+
+
 def q_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Staged single-pass plan: the normalized text / token count / stopword
     hits are each evaluated once per row (see TXT.text_features)."""
@@ -2397,6 +2445,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_topk": q_quality_topk,
         "stratified_sample": q_stratified_sample,
         "doc_chunking": q_doc_chunking,
+        "pack_sequences": q_pack_sequences,
         "events_window": q_events_window,
         "sessionize": q_sessionize,
         "user_stats": q_user_stats,
@@ -2460,6 +2509,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_topk": _QUALITY_TOPK_SQL,
         "stratified_sample": _stratified_sample_sql(),
         "doc_chunking": _doc_chunking_sql(),
+        "pack_sequences": _pack_sequences_sql(),
         "events_window": _EVENTS_SQL,
         "sessionize": _SESSIONIZE_SQL,
         "user_stats": _USER_STATS_SQL,

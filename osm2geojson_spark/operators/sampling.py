@@ -117,6 +117,82 @@ def chunk_documents(
     )
 
 
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    token_col: str = "tokens",
+    shard_col: str = "shard",
+    order_col: str = "doc_id",
+) -> DataFrame:
+    """Greedy next-fit sequence packing: within each shard, walk documents
+    in ``order_col`` order keeping a running token total; when adding the
+    next document would exceed ``budget`` (and the bin is non-empty), start
+    a new bin. An oversized document still gets a bin of its own. Adds a
+    ``bin`` column; everything else passes through.
+
+    This is the streaming-friendly NEXT-FIT variant of pretraining sample
+    packing (first-fit-decreasing needs a global sort + mutable bin state;
+    next-fit is one ordered pass). Shards are the parallelism unit — at
+    100 TB a shard is one input split, bins never cross shards, and the
+    only movement is the shard hash partition that applyInPandas needs;
+    the per-shard pass is O(rows), Arrow-batched."""
+    import pandas as pd
+
+    fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col).reset_index(drop=True)
+        bins = []
+        running, b = 0, 0
+        for t in pdf[token_col]:
+            t = int(t)
+            if running > 0 and running + t > budget:
+                b += 1
+                running = 0
+            running += t
+            bins.append(b)
+        pdf["bin"] = bins
+        return pdf
+
+    return df.groupBy(shard_col).applyInPandas(fn, schema=f"{fields}, bin long")
+
+
+def pack_sequences_sql(
+    source_sql: str,
+    budget: int,
+    token: str = "tokens",
+    shard: str = "shard",
+    order: str = "doc_id",
+) -> str:
+    """DuckDB twin of `pack_sequences` via a recursive CTE: one recursion
+    step per in-shard position, every shard advancing in lockstep (total
+    rows produced = input rows). ``source_sql`` must yield the shard,
+    order and token columns; result exposes them plus ``bin``."""
+    return f"""
+WITH RECURSIVE src AS ({source_sql}),
+d AS (
+  SELECT {shard}, {order}, {token},
+         row_number() OVER (PARTITION BY {shard} ORDER BY {order}) AS rn
+  FROM src
+),
+packed AS (
+  SELECT {shard}, {order}, {token}, rn,
+         0 AS bin, {token} AS running
+  FROM d WHERE rn = 1
+  UNION ALL
+  SELECT d.{shard}, d.{order}, d.{token}, d.rn,
+         CASE WHEN p.running + d.{token} > {budget} THEN p.bin + 1
+              ELSE p.bin END,
+         CASE WHEN p.running + d.{token} > {budget} THEN d.{token}
+              ELSE p.running + d.{token} END
+  FROM packed p JOIN d ON d.{shard} = p.{shard} AND d.rn = p.rn + 1
+)
+SELECT {shard}, {order}, {token}, bin FROM packed
+"""
+
+
 def chunk_documents_sql(
     table: str, chunk_chars: int, overlap: int = 0,
     text: str = "text", id_: str = "doc_id",

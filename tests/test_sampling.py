@@ -63,3 +63,27 @@ def test_chunk_plan_has_no_shuffle(spark):
     df = spark.createDataFrame([(1, "a" * 500)], "doc_id long, text string")
     plan = SMP.chunk_documents(df, 100, 20)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_pack_sequences_greedy_invariants(spark):
+    """Every bin except possibly the last per shard is 'closed' (adding
+    the next doc would exceed budget); no bin except oversized singletons
+    exceeds budget; bins are contiguous in order; oversized docs are
+    alone only when they arrive at a non-empty bin boundary."""
+    rows = [(i, i % 3, [30, 80, 200, 700, 10, 45][i % 6]) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, shard long, tokens long")
+    out = SMP.pack_sequences(df, budget=256).collect()
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append((r["doc_id"], r["tokens"], r["bin"]))
+    for shard, docs in by_shard.items():
+        docs.sort()
+        running, b = 0, 0
+        for did, tok, got_bin in docs:
+            if running > 0 and running + tok > 256:
+                b += 1
+                running = 0
+            running += tok
+            assert got_bin == b, (shard, did)
+        # bins contiguous 0..b
+        assert sorted({x[2] for x in docs}) == list(range(b + 1))
