@@ -1378,6 +1378,33 @@ FROM ch GROUP BY chunk_idx ORDER BY chunk_idx
 """
 
 
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap (C4/RefinedWeb-style): at most 5 docs per
+    synthetic domain (doc_id % 37), survivors picked by deterministic
+    hash rank with a total tiebreak — the survivor SET is unique, so the
+    oracle compares full rows."""
+    from osm2geojson_spark.operators import sampling as SMP
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("doc_id") % 37).alias("domain")
+    )
+    return (
+        SMP.cap_per_group(docs, "domain", 5, "doc_id")
+        .select("domain", "doc_id")
+        .orderBy("domain", "doc_id")
+    )
+
+
+def _domain_cap_sql() -> str:
+    from osm2geojson_spark.operators import sampling as SMP
+
+    src = "SELECT doc_id, doc_id % 37 AS domain FROM documents"
+    return (
+        SMP.cap_per_group_sql(src, "domain", 5, "doc_id", "domain, doc_id")
+        + " ORDER BY domain, doc_id"
+    )
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy next-fit sequence packing (pretraining sample packing):
     8 shards (doc_id % 8) walked in doc_id order with a 512-token budget
@@ -2446,6 +2473,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "doc_chunking": q_doc_chunking,
         "pack_sequences": q_pack_sequences,
+        "domain_cap": q_domain_cap,
         "events_window": q_events_window,
         "sessionize": q_sessionize,
         "user_stats": q_user_stats,
@@ -2510,6 +2538,7 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": _stratified_sample_sql(),
         "doc_chunking": _doc_chunking_sql(),
         "pack_sequences": _pack_sequences_sql(),
+        "domain_cap": _domain_cap_sql(),
         "events_window": _EVENTS_SQL,
         "sessionize": _SESSIONIZE_SQL,
         "user_stats": _USER_STATS_SQL,

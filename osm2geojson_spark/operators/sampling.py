@@ -117,6 +117,45 @@ def chunk_documents(
     )
 
 
+def cap_per_group(
+    df: DataFrame, group_col: str, k: int, key_col: str
+) -> DataFrame:
+    """Domain cap (the C4/RefinedWeb "max N documents per domain" stage):
+    keep the ``k`` rows with the smallest ``(sample_hash(key), key)`` per
+    group — a deterministic reservoir: every group member has an equal,
+    engine-independent chance and re-runs pick the identical survivors.
+    One shuffle (window over group); at 100 TB heavy domains are exactly
+    the skewed groups, so this composes with plans/skew salting the same
+    way the PIP shuffle path does. The (hash, key) tiebreak makes rank
+    total, so the survivor SET is unique — safe to compare across
+    engines."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        sample_hash(F.col(key_col)).asc(), F.col(key_col).asc()
+    )
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+
+
+def cap_per_group_sql(
+    source_sql: str, group: str, k: int, key: str, cols: str
+) -> str:
+    """DuckDB twin of `cap_per_group` (identical hash + total tiebreak)."""
+    return f"""
+SELECT {cols} FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY {group}
+    ORDER BY {sample_hash_sql(key)} ASC, {key} ASC
+  ) AS _rk
+  FROM ({source_sql})
+) WHERE _rk <= {k}
+"""
+
+
 def pack_sequences(
     df: DataFrame,
     budget: int,
