@@ -895,6 +895,37 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.ngram_jaccard_pairs(_docs_with_mutants(spark, sf_dir, 60), tau=0.5)
 
 
+def q_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level contamination signal (Lee et al. 2022, arXiv:2107.06499):
+    per document, the fraction of 5-token window positions whose window
+    occurs in >= 2 distinct docs.  The planted 80%-prefix mutants make each
+    base/mutant pair share its prefix windows, so dup_frac is high exactly
+    on the planted rows.  Oracle rebuilds the position-indexed windows with
+    list_slice + the same 60-bit md5 window hash."""
+    return DD.repeated_ngram_stats(_docs_with_mutants(spark, sf_dir, 200), n=5, min_df=2)
+
+
+def _repeated_ngrams_sql() -> str:
+    win = TXT.md5_long_sql("array_to_string(list_slice(t, p + 1, p + 5), ' ')")
+    return f"""
+WITH docs AS ({_docs_mutant_cte(200)}),
+toks AS (SELECT doc_id, {H.tokens_sql('text')} AS t FROM docs),
+wins AS (
+  SELECT doc_id, p, {win} AS wh
+  FROM (SELECT doc_id, t, unnest(range(0, greatest(len(t) - 4, 0))) AS p FROM toks)
+), rep AS (
+  SELECT wh FROM wins GROUP BY wh HAVING count(DISTINCT doc_id) >= 2
+)
+SELECT w.doc_id,
+       count(*) AS n_windows,
+       CAST(sum(CASE WHEN r.wh IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_repeated,
+       round(CAST(sum(CASE WHEN r.wh IS NULL THEN 0 ELSE 1 END) AS DOUBLE)
+             / count(*), 6) AS dup_frac
+FROM wins w LEFT JOIN rep r ON w.wh = r.wh
+GROUP BY w.doc_id
+"""
+
+
 def _jaccard_sql(docs_select: str, tau: float) -> str:
     return f"""
 WITH docs AS ({docs_select}),
@@ -1998,6 +2029,41 @@ SELECT CAST(rank AS INTEGER) AS rank, image_id, spread FROM r WHERE rank <= 10
 """
 
 
+def q_image_sharpness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blur gate: integer-exact Laplacian energy per image (4-neighbor
+    stencil over interior pixels, sum of squares — multimodal.
+    sharpness_features).  The oracle recomputes L(x, y) directly from the
+    deterministic pixel formula (x*3 + y*7 + i*13) % 251 in pure SQL, so
+    every int64 energy must match exactly; mixed rawz/PNG rows mean a codec
+    bug in either container breaks the hash."""
+    imgs = _synth_images(spark, sf_dir, 150)
+    return MM.sharpness_features(imgs).select("image_id", "lap_energy", "lap_count")
+
+
+_IMAGE_SHARPNESS_SQL = """
+WITH img AS (
+  SELECT p_partkey AS i, 8 * (1 + p_partkey % 3) AS w
+  FROM part WHERE p_partkey < 150
+), pos AS (
+  SELECT i, w,
+         (p % (w - 2)) + 1 AS x, (p // (w - 2)) + 1 AS y
+  FROM (SELECT i, w, unnest(range(0, (w - 2) * (w - 2))) AS p FROM img)
+), lap AS (
+  SELECT i, w,
+      4 * ((x * 3 + y * 7 + i * 13) % 251)
+    - (((x - 1) * 3 + y * 7 + i * 13) % 251)
+    - (((x + 1) * 3 + y * 7 + i * 13) % 251)
+    - ((x * 3 + (y - 1) * 7 + i * 13) % 251)
+    - ((x * 3 + (y + 1) * 7 + i * 13) % 251) AS L
+  FROM pos
+)
+SELECT printf('img%012d', i) AS image_id,
+       CAST(sum(L * L) AS BIGINT) AS lap_energy,
+       CAST((w - 2) * (w - 2) AS BIGINT) AS lap_count
+FROM lap GROUP BY i, w
+"""
+
+
 def q_image_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-based image search: 16-bin histogram features -> exact cosine
     top-5 per query image. Every histogram share is k/64 (an exact dyadic
@@ -2447,6 +2513,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_vector_join_sphere": q_tile_vector_join_sphere,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "repeated_ngrams": q_repeated_ngrams,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "dedup_clusters": q_dedup_clusters,
@@ -2460,6 +2527,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_pyramid2": q_tile_pyramid2,
         "image_dhash_dedup": q_image_dhash_dedup,
         "image_dhash_near": q_image_dhash_near,
+        "image_sharpness": q_image_sharpness,
         "image_similarity": q_image_similarity,
         "image_pipeline": q_image_pipeline,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -2512,6 +2580,7 @@ def oracle_sql() -> dict[str, str]:
         "tile_vector_join_sphere": _TILE_JOIN_SQL,
         "dedup_exact": _DEDUP_EXACT_SQL,
         "dedup_ngram_jaccard": _jaccard_sql(_docs_mutant_cte(60), 0.5),
+        "repeated_ngrams": _repeated_ngrams_sql(),
         "dedup_minhash_lsh": _minhash_lsh_sql(_docs_mutant_cte(60), 0.5),
         "dedup_simhash": _simhash_sql("doc_id < 120", 3),
         "dedup_clusters": _dedup_clusters_sql(),
@@ -2525,6 +2594,7 @@ def oracle_sql() -> dict[str, str]:
         "tile_pyramid2": _TILE_PYRAMID2_SQL,
         "image_dhash_dedup": _IMAGE_DHASH_SQL,
         "image_dhash_near": _IMAGE_DHASH_NEAR_SQL,
+        "image_sharpness": _IMAGE_SHARPNESS_SQL,
         "image_similarity": _IMAGE_SIMILARITY_SQL,
         "image_pipeline": _IMAGE_PIPELINE_SQL,
         "ann_cosine_topk": _ANN_SQL,

@@ -354,3 +354,69 @@ def embedding_cosine_dups(
         .filter(F.col("cos") >= tau)
         .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
     )
+
+
+# ------------------------------------------------- repeated token n-grams
+
+
+def token_ngram_windows(
+    df: DataFrame, n: int, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, pos, wh) — every position-indexed n-token window of the
+    normalized text, keyed by its 60-bit md5 hash (TXT.md5_long, so the
+    shuffle key is 8 bytes, never the window string; DuckDB computes the
+    identical hash).  Duplicates within a doc are kept — positions matter
+    for the contamination fraction.  Docs shorter than ``n`` tokens emit no
+    rows.  Pure column math: tokenize -> transform(sequence) -> posexplode,
+    all whole-stage codegen, no shuffle."""
+    toks = H.tokens_col(F.col(text_col))
+    wins = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: TXT.md5_long(F.concat_ws(" ", F.slice(toks, i + F.lit(1), n))),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    return df.select(F.col(id_col), F.posexplode(wins).alias("pos", "wh"))
+
+
+def repeated_ngram_stats(
+    df: DataFrame,
+    n: int = 5,
+    min_df: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, n_windows, n_repeated, dup_frac) — per-document boilerplate /
+    cross-document contamination pressure, the span-level dedup signal of
+    Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+    Better", arXiv:2107.06499): a window is *repeated* when it appears in
+    >= ``min_df`` distinct documents, and ``dup_frac`` is the fraction of
+    the doc's window positions covered by a repeated window.
+
+    Plan (two shuffles, both on the 8-byte window hash):
+      1. distinct-doc frequency per window — ``countDistinct`` with
+         map-side partial aggregation; heavy boilerplate windows are
+         exactly the rows this agg compacts best.
+      2. left join of the exploded windows against the (filtered, usually
+         tiny at high min_df) repeated-window set, then a per-doc rollup —
+         combiner-friendly count/sum.
+    At 100 TB the repeated set (df >= min_df) is the long tail's complement;
+    if it still overflows the broadcast budget the join falls back to the
+    hash-shuffle path on the same 8-byte key (AQE decides)."""
+    wins = token_ngram_windows(df, n, id_col, text_col)
+    rep = (
+        wins.groupBy("wh")
+        .agg(F.countDistinct(id_col).alias("df"))
+        .filter(F.col("df") >= min_df)
+        .select("wh", F.lit(1).alias("_rep"))
+    )
+    return (
+        wins.join(rep, "wh", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_windows"),
+            F.sum(F.coalesce(F.col("_rep"), F.lit(0))).cast("long").alias("n_repeated"),
+        )
+        .withColumn("dup_frac", F.round(F.col("n_repeated") / F.col("n_windows"), 6))
+    )

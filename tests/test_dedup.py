@@ -529,3 +529,29 @@ def test_pq_gemm_encoder_matches_column_math(spark, vectors):
         udf(F.col("embedding")).alias("b"),
     ).collect()
     assert rows and all(list(r["a"]) == list(r["b"]) for r in rows)
+
+
+def test_repeated_ngram_stats_known_answer(spark):
+    # d1/d2 share the 5-token run "a b c d e"; d3 is all-unique; d4 too short
+    rows = [
+        (1, "a b c d e x1 y1"),
+        (2, "z2 a b c d e"),
+        (3, "p q r s t u v"),
+        (4, "one two three"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in DD.repeated_ngram_stats(docs, n=5, min_df=2).collect()}
+    # d1: windows at pos 0..2, only pos 0 ("a b c d e") repeats in d2
+    assert (got[1]["n_windows"], got[1]["n_repeated"]) == (3, 1)
+    assert (got[2]["n_windows"], got[2]["n_repeated"]) == (2, 1)
+    assert (got[3]["n_windows"], got[3]["n_repeated"]) == (3, 0)
+    assert got[3]["dup_frac"] == 0.0
+    assert 4 not in got  # < n tokens -> no windows -> no row
+    assert got[1]["dup_frac"] == round(1 / 3, 6)
+
+
+def test_token_ngram_windows_positions(spark):
+    docs = spark.createDataFrame([(7, "w w w w")], "doc_id long, text string")
+    wins = DD.token_ngram_windows(docs, 2).collect()
+    assert [w["pos"] for w in sorted(wins, key=lambda r: r["pos"])] == [0, 1, 2]
+    assert len({w["wh"] for w in wins}) == 1  # identical windows hash equal

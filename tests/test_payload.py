@@ -379,3 +379,23 @@ def test_augment_ops_match_numpy(spark):
 
     with _pytest.raises(ValueError):
         augment_images(imgs, "zoom")
+
+
+def test_sharpness_matches_numpy(spark):
+    from osm2geojson_spark.operators.multimodal import sharpness_features
+
+    px = imagecodec.synth_pixels(5, 12, 8).astype(np.int64)  # non-square
+    imgs = spark.createDataFrame(
+        [
+            ("a", 12, 8, "rawz", bytearray(imagecodec.encode_rawz(px.astype(np.uint8)))),
+            # constant image: Laplacian energy must be exactly 0
+            ("b", 6, 6, "rawz", bytearray(imagecodec.encode_rawz(np.full((6, 6), 9, np.uint8)))),
+        ],
+        "image_id string, w int, h int, fmt string, bytes binary",
+    )
+    got = {r["image_id"]: r for r in sharpness_features(imgs).collect()}
+    c = px[1:-1, 1:-1]
+    lap = 4 * c - px[:-2, 1:-1] - px[2:, 1:-1] - px[1:-1, :-2] - px[1:-1, 2:]
+    assert got["a"]["lap_energy"] == int((lap * lap).sum())
+    assert got["a"]["lap_count"] == 10 * 6
+    assert got["b"]["lap_energy"] == 0 and got["b"]["lap_count"] == 16
