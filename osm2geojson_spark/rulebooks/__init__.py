@@ -13,19 +13,21 @@ Injection points mirror the reference API (main.py:60-115 ``area_keys=`` /
 from __future__ import annotations
 
 import json
-import os
 from functools import lru_cache
+from importlib import resources
 
-_HERE = os.path.dirname(__file__)
+
+def _load(name: str):
+    # resources (not open(__file__-relative)): the package must also load
+    # from inside a spark-submit --py-files zip (zipimport has no real paths)
+    return json.loads(resources.files(__package__).joinpath(name).read_text())
 
 
 @lru_cache(maxsize=1)
 def default_polygon_features() -> list[dict]:
-    with open(os.path.join(_HERE, "polygon-features.json")) as f:
-        return json.load(f)
+    return _load("polygon-features.json")
 
 
 @lru_cache(maxsize=1)
 def default_area_keys() -> dict:
-    with open(os.path.join(_HERE, "areaKeys.json")) as f:
-        return json.load(f)["areaKeys"]
+    return _load("areaKeys.json")["areaKeys"]
