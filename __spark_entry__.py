@@ -26,6 +26,7 @@ from osm2geojson_spark.functions import hashing as H
 from osm2geojson_spark.functions import kernels as K
 from osm2geojson_spark.functions import text as TXT
 from osm2geojson_spark.functions.classify import is_geometry_polygon, polygon_flag_column
+from osm2geojson_spark.operators import asof as ASOF
 from osm2geojson_spark.operators import cells
 from osm2geojson_spark.operators import dedup as DD
 from osm2geojson_spark.operators import knn as KNN
@@ -2253,6 +2254,59 @@ FROM events GROUP BY user_id
 """
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time feature join (operators/asof.py): each purchase event
+    gets the latest view event of the same user with view.ts <= purchase.ts
+    within 1 hour, ties broken by max event_id — the leakage-free
+    trades/quotes as-of join, done as ONE union + window shuffle (never a
+    range-join explosion).  The oracle is a DuckDB LATERAL top-1, a
+    different algorithm computing the same contract."""
+    ev = _t(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    v = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    j = ASOF.asof_join(
+        p,
+        v,
+        by="user_id",
+        ts_col="ts",
+        payload_cols=["event_id", "ts", "value"],
+        tie_col="event_id",
+        tolerance_us=3_600_000_000,
+        prefix="view_",
+    )
+    return j.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("purchase_us"),
+        F.col("view_event_id").alias("view_id"),
+        F.unix_micros(F.col("view_ts").cast("timestamp")).alias("view_us"),
+        F.col("view_value").alias("view_value"),
+    )
+
+
+_ASOF_JOIN_SQL = """
+SELECT p.event_id AS purchase_id,
+       p.user_id,
+       epoch_us(p.ts) AS purchase_us,
+       m.event_id AS view_id,
+       epoch_us(m.ts) AS view_us,
+       m.value AS view_value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+LEFT JOIN LATERAL (
+  SELECT v.event_id, v.ts, v.value
+  FROM events v
+  WHERE v.event_type = 'view'
+    AND v.user_id = p.user_id
+    AND v.ts <= p.ts
+    AND epoch_us(p.ts) - epoch_us(v.ts) <= 3600000000
+  ORDER BY v.ts DESC, v.event_id DESC
+  LIMIT 1
+) m ON TRUE
+"""
+
+
 def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured path: JSON props column -> extracted key -> bucketed
     aggregate (get_json_object stays JVM-side, no Python)."""
@@ -2545,6 +2599,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_window": q_events_window,
         "sessionize": q_sessionize,
         "user_stats": q_user_stats,
+        "asof_join": q_asof_join,
         "events_json": q_events_json,
         "value_percentiles": q_value_percentiles,
         "rollup_orders": q_rollup_orders,
@@ -2612,6 +2667,7 @@ def oracle_sql() -> dict[str, str]:
         "events_window": _EVENTS_SQL,
         "sessionize": _SESSIONIZE_SQL,
         "user_stats": _USER_STATS_SQL,
+        "asof_join": _ASOF_JOIN_SQL,
         "events_json": _EVENTS_JSON_SQL,
         "value_percentiles": _PERCENTILES_SQL,
         "rollup_orders": _ROLLUP_SQL,

@@ -57,12 +57,14 @@ BENCH_QUERIES = [
     "cell_histogram",
     "sphere_cell_histogram",
     "dedup_exact",
+    "repeated_ngrams",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_embedding",
     "ann_cosine_topk",
     "ann_cosine_pq",
     "multimodal_decode",
+    "image_sharpness",
     "image_dhash_dedup",
     "tile_pyramid",
     "text_analysis",
