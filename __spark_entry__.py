@@ -1127,6 +1127,46 @@ SELECT qid, rank, vec_id FROM r WHERE rank <= 5
 """
 
 
+def q_embedding_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced coreset sampling: assign every embedding to its IVF
+    cell (JVM argmax over the literal codebook — the proven ann_cosine_ivf
+    twin), then keep the 5 deterministic hash-rank survivors per cell
+    (cap_per_group, the proven domain_cap twin). The diversity-preserving
+    subsample a training pipeline runs before expensive labeling: uniform
+    sampling keeps dense clusters dense; per-cell capping flattens them.
+    One shuffle (the per-cell window)."""
+    from osm2geojson_spark.operators import sampling as SMP
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    cells = emb.select(
+        "vec_id", SIM.ivf_cell_col(F.col("embedding"), _EMB_DIM).cast("int").alias("cell")
+    )
+    return SMP.cap_per_group(cells, "cell", k=5, key_col="vec_id").select("vec_id", "cell")
+
+
+def _embedding_coreset_sql() -> str:
+    import numpy as np
+
+    from osm2geojson_spark.operators import sampling as SMP
+
+    cents = SIM.ivf_centroid_matrix(_EMB_DIM)
+    norms = np.sqrt((cents**2).sum(axis=0))
+    scores = ", ".join(
+        "list_dot_product(v, ["
+        + ", ".join(repr(float(x)) for x in cents[:, c])
+        + f"]) / {float(norms[c])!r}"
+        for c in range(cents.shape[1])
+    )
+    cell_src = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+ek AS (SELECT vec_id, [{scores}] AS sc FROM e)
+SELECT vec_id, CAST(list_position(sc, list_max(sc)) - 1 AS INTEGER) AS cell FROM ek
+"""
+    return SMP.cap_per_group_sql(cell_src, "cell", 5, "vec_id", "vec_id, cell")
+
+
 def q_ann_cosine_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ADC scan (similarity.pq_adc_topk): the corpus
     collapses to m=4 4-bit codes per vector (a 128x compression of a
@@ -2587,6 +2627,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_cosine_lsh": q_ann_cosine_lsh,
         "ann_cosine_ivf": q_ann_cosine_ivf,
+        "embedding_coreset": q_embedding_coreset,
         "ann_cosine_pq": q_ann_cosine_pq,
         "ann_cosine_ivfpq": q_ann_cosine_ivfpq,
         "ann_cosine_ivfpq_res": q_ann_cosine_ivfpq_res,
@@ -2655,6 +2696,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_topk": _ANN_SQL,
         "ann_cosine_lsh": _ann_lsh_sql(),
         "ann_cosine_ivf": _ann_ivf_sql(),
+        "embedding_coreset": _embedding_coreset_sql(),
         "ann_cosine_pq": _ann_pq_sql(),
         "ann_cosine_ivfpq": _ann_ivfpq_sql(),
         "ann_cosine_ivfpq_res": _ann_ivfpq_res_sql(),

@@ -87,3 +87,17 @@ def test_pack_sequences_greedy_invariants(spark):
             assert got_bin == b, (shard, did)
         # bins contiguous 0..b
         assert sorted({x[2] for x in docs}) == list(range(b + 1))
+
+
+def test_coreset_flattens_dense_clusters(spark):
+    # dense group (40 rows) and sparse group (2): cap keeps <= 3 of each,
+    # identical survivors on a re-run (deterministic reservoir)
+    from osm2geojson_spark.operators.sampling import cap_per_group
+
+    rows = [(i, 0) for i in range(40)] + [(100 + i, 1) for i in range(2)]
+    df = spark.createDataFrame(rows, "vec_id long, cell int")
+    pick = lambda: sorted(r["vec_id"] for r in cap_per_group(df, "cell", 3, "vec_id").collect())
+    first = pick()
+    assert len([v for v in first if v < 100]) == 3
+    assert len([v for v in first if v >= 100]) == 2
+    assert first == pick()
