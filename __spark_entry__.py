@@ -2347,6 +2347,36 @@ LEFT JOIN LATERAL (
 """
 
 
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join (streaming/ops.interval_join_purchase_views, run on
+    batch frames — the identical plan drains as a watermarked stream-stream
+    join, pinned by tests/test_streaming.py): ALL (purchase, view) pairs of
+    the same user within a 1-hour lookback.  Oracle: the literal condition
+    join."""
+    from osm2geojson_spark.streaming.ops import interval_join_purchase_views
+
+    ev = _t(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase")
+    v = ev.filter(F.col("event_type") == "view")
+    return interval_join_purchase_views(p, v, lookback_s=3600)
+
+
+_INTERVAL_JOIN_SQL = """
+SELECT p.event_id AS purchase_id,
+       p.user_id,
+       epoch_us(p.ts) AS purchase_us,
+       v.event_id AS view_id,
+       epoch_us(v.ts) AS view_us,
+       v.value AS view_value
+FROM events p
+JOIN events v
+  ON v.user_id = p.user_id
+ AND v.ts <= p.ts
+ AND v.ts >= p.ts - INTERVAL 1 HOUR
+WHERE p.event_type = 'purchase' AND v.event_type = 'view'
+"""
+
+
 def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured path: JSON props column -> extracted key -> bucketed
     aggregate (get_json_object stays JVM-side, no Python)."""
@@ -2641,6 +2671,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "user_stats": q_user_stats,
         "asof_join": q_asof_join,
+        "interval_join": q_interval_join,
         "events_json": q_events_json,
         "value_percentiles": q_value_percentiles,
         "rollup_orders": q_rollup_orders,
@@ -2710,6 +2741,7 @@ def oracle_sql() -> dict[str, str]:
         "sessionize": _SESSIONIZE_SQL,
         "user_stats": _USER_STATS_SQL,
         "asof_join": _ASOF_JOIN_SQL,
+        "interval_join": _INTERVAL_JOIN_SQL,
         "events_json": _EVENTS_JSON_SQL,
         "value_percentiles": _PERCENTILES_SQL,
         "rollup_orders": _ROLLUP_SQL,

@@ -174,6 +174,54 @@ def stream_tile_assign(images: DataFrame, polys_df: DataFrame, res: int = 6) -> 
     ).select("image_id", "poly_id", "tile")
 
 
+def interval_join_purchase_views(
+    purchases: DataFrame,
+    views: DataFrame,
+    lookback_s: int = 3600,
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Stream-stream interval join: every (purchase, view) pair of the same
+    user with ``purchase.ts - lookback <= view.ts <= purchase.ts`` — the
+    streaming sibling of operators/asof.asof_join (a stream can emit ALL
+    in-window pairs in append mode; the top-1 as-of reduction would need a
+    second stateful stage, so batch owns that contract).
+
+    Both sides carry watermarks, and the join condition bounds event time
+    in BOTH directions, so Spark can expire join state: each side buffers
+    at most watermark + lookback of data regardless of stream length.  On
+    batch inputs the same plan is a plain condition join — the test oracle
+    (stream(availableNow) == batch) and the driver query both reuse it."""
+    p = purchases.select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col(ts_col).alias("p_ts"),
+    )
+    v = views.select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("v_user_id"),
+        F.col(ts_col).alias("v_ts"),
+        F.col("value").alias("view_value"),
+    )
+    if p.isStreaming:
+        p = p.withWatermark("p_ts", watermark)
+    if v.isStreaming:
+        v = v.withWatermark("v_ts", watermark)
+    cond = (
+        (F.col("user_id") == F.col("v_user_id"))
+        & (F.col("v_ts") <= F.col("p_ts"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {lookback_s} SECONDS"))
+    )
+    return p.join(v, cond).select(
+        "purchase_id",
+        "user_id",
+        F.unix_micros(F.col("p_ts").cast("timestamp")).alias("purchase_us"),
+        "view_id",
+        F.unix_micros(F.col("v_ts").cast("timestamp")).alias("view_us"),
+        "view_value",
+    )
+
+
 def running_user_stats(
     events: DataFrame,
     ts_col: str = "ts",

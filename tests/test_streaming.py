@@ -157,3 +157,26 @@ def test_streaming_image_dedup_matches_batch(spark, tmp_path):
     assert {r["dhash"] for r in got.collect()} == {
         r["dhash"] for r in batch.collect()
     }
+
+
+def test_interval_join_stream_equals_batch(spark, events_dir):
+    """Stream-stream interval join drains to the exact batch result; the
+    fixture's 137s spacing x 7 users puts several same-user t0/t1 pairs
+    inside the 3600s lookback."""
+    batch_df = spark.read.parquet(os.path.join(events_dir, "p1"), os.path.join(events_dir, "p2"))
+    bp = batch_df.filter(F.col("event_type") == "t0")
+    bv = batch_df.filter(F.col("event_type") == "t1")
+    want = S.interval_join_purchase_views(bp, bv, lookback_s=3600)
+
+    sp = S.events_file_stream(spark, os.path.join(events_dir, "p*")).filter(
+        F.col("event_type") == "t0"
+    )
+    sv = S.events_file_stream(spark, os.path.join(events_dir, "p*")).filter(
+        F.col("event_type") == "t1"
+    )
+    got = S.run_to_memory(
+        S.interval_join_purchase_views(sp, sv, lookback_s=3600), "ij_stream"
+    )
+    cols = ["purchase_id", "user_id", "purchase_us", "view_id", "view_us", "view_value"]
+    assert _rows(got, cols) == _rows(want, cols)
+    assert len(_rows(want, cols)) > 20  # non-degenerate
