@@ -707,6 +707,70 @@ GROUP BY f ORDER BY f
 """
 
 
+def q_dissolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-wise polygon union (operators/geometry.dissolve — the same
+    noding + face-extraction kernel as relation assembly, run as a
+    distributed ST_Union aggregate).  Each group gets two equal rectangles
+    with dyadic coordinates: for g % 3 < 2 the second overlaps by exactly
+    (w/2, h/2) -> one part of area 2wh - wh/4; otherwise it is disjoint ->
+    two parts of total area 2wh.  Every coordinate, intersection point and
+    shoelace term is a dyadic rational, so the kernel's float64 area equals
+    the closed form BIT-exactly and the oracle is pure arithmetic."""
+    from osm2geojson_spark.functions import geom as GEO
+    from osm2geojson_spark.operators.geometry import dissolve
+
+    base = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") < 80)
+        .select(
+            F.col("p_partkey").alias("g"),
+            (F.lit(2.0) + (F.col("p_partkey") % 4).cast("double") * 0.25).alias("w"),
+            (F.lit(2.0) + (F.col("p_partkey") % 5).cast("double") * 0.25).alias("h"),
+        )
+    )
+
+    def pack(it):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            gs, blobs = [], []
+            for g, w, h in zip(pdf["g"], pdf["w"], pdf["h"]):
+                x0, y0 = float(g % 10) * 16.0, float(g // 10) * 16.0
+                dx, dy = (w / 2, h / 2) if g % 3 < 2 else (w + 0.5, 0.0)
+                for ox, oy in ((0.0, 0.0), (dx, dy)):
+                    ring = np.array(
+                        [
+                            [x0 + ox, y0 + oy],
+                            [x0 + ox + w, y0 + oy],
+                            [x0 + ox + w, y0 + oy + h],
+                            [x0 + ox, y0 + oy + h],
+                            [x0 + ox, y0 + oy],
+                        ]
+                    )
+                    gs.append(g)
+                    blobs.append(GEO.polygon([ring]))
+            yield pd.DataFrame({"g": gs, "gpb": blobs})
+
+    rects = base.mapInPandas(pack, schema="g long, gpb binary")
+    return dissolve(rects, "g", "gpb").select("g", "n_parts", "area")
+
+
+_DISSOLVE_SQL = """
+WITH p AS (
+  SELECT p_partkey AS g,
+         2 + (p_partkey % 4) * 0.25 AS w,
+         2 + (p_partkey % 5) * 0.25 AS h
+  FROM part WHERE p_partkey < 80
+)
+SELECT g,
+       CAST(CASE WHEN g % 3 < 2 THEN 1 ELSE 2 END AS INTEGER) AS n_parts,
+       CASE WHEN g % 3 < 2 THEN 2 * w * h - (w / 2) * (h / 2)
+            ELSE 2 * w * h END AS area
+FROM p
+"""
+
+
 def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E5: heavy-hitter salted cell join. Customer points cell-keyed at a
     coarse resolution (few cells -> guaranteed heavy hitters at the 200-row
@@ -2629,6 +2693,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "within_distance": q_within_distance,
         "within_distance_sphere": q_within_distance_sphere,
         "simplify_vertices": q_simplify_vertices,
+        "dissolve": q_dissolve,
         "spatial_rollup": q_spatial_rollup,
         "skew_salted_join": q_skew_salted_join,
         "knn": q_knn,
@@ -2699,6 +2764,7 @@ def oracle_sql() -> dict[str, str]:
         "within_distance": _WITHIN_DISTANCE_SQL,
         "within_distance_sphere": _WITHIN_DISTANCE_SQL,
         "simplify_vertices": _SIMPLIFY_SQL,
+        "dissolve": _DISSOLVE_SQL,
         "spatial_rollup": _SPATIAL_ROLLUP_SQL,
         "skew_salted_join": _SKEW_JOIN_SQL,
         "knn": _KNN_SQL,

@@ -53,6 +53,7 @@ BENCH_QUERIES = [
     "within_distance_sphere",
     "spatial_rollup",
     "simplify_vertices",
+    "dissolve",
     "hilbert_layout",
     "cell_histogram",
     "sphere_cell_histogram",

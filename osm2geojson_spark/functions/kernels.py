@@ -727,6 +727,174 @@ def unary_union_polygons(polys: list[list[np.ndarray]]) -> list[list[np.ndarray]
     return multipolygon_union(polys, [])
 
 
+# ------------------------------------------------- general overlay union
+
+
+def _poly_covers_point(rings: list[np.ndarray], pt) -> bool:
+    if not point_in_ring(pt, rings[0]):
+        return False
+    return not any(point_in_ring(pt, h) for h in rings[1:])
+
+
+def _node_arrangement(rings: list[np.ndarray]) -> dict:
+    """Planar arrangement of closed rings: node every proper crossing and
+    T-junction (endpoint strictly interior to another segment), return an
+    adjacency dict point -> angle-sorted neighbor list.
+
+    Candidate generation here is chunk-vectorized all-pairs — right for
+    dissolve-sized groups (tens of rings); the x-interval sweep of
+    _ring_is_simple_sweep is the drop-in scale path for planet-sized
+    arrangements.  Collinear partial-overlap segments are NOT noded (the
+    same robustness carve-out GEOS handles with snap-rounding)."""
+    Ps, Qs = [], []
+    for r in rings:
+        c = close_ring(np.asarray(r, dtype=np.float64))
+        Ps.append(c[:-1])
+        Qs.append(c[1:])
+    P = np.concatenate(Ps)
+    Q = np.concatenate(Qs)
+    m = len(P)
+    inserts: dict[int, list[tuple[float, tuple[float, float]]]] = {i: [] for i in range(m)}
+    for i in range(m - 1):
+        A, B = P[i], Q[i]
+        rv = B - A
+        C, D = P[i + 1 :], Q[i + 1 :]
+        sv = D - C
+        denom = rv[0] * sv[:, 1] - rv[1] * sv[:, 0]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t = ((C[:, 0] - A[0]) * sv[:, 1] - (C[:, 1] - A[1]) * sv[:, 0]) / denom
+            u = ((C[:, 0] - A[0]) * rv[1] - (C[:, 1] - A[1]) * rv[0]) / denom
+        ok = (denom != 0) & (t > 0) & (t < 1) & (u > 0) & (u < 1)
+        for k in np.nonzero(ok)[0]:
+            j = i + 1 + int(k)
+            X = (float(A[0] + t[k] * rv[0]), float(A[1] + t[k] * rv[1]))
+            inserts[i].append((float(t[k]), X))
+            inserts[j].append((float(u[k]), X))
+    # T-junctions: any ring vertex strictly inside another segment
+    V = np.unique(P, axis=0)
+    for i in range(m):
+        A, B = P[i], Q[i]
+        rv = B - A
+        L2 = float(rv @ rv)
+        if L2 == 0.0:
+            continue
+        cross = rv[0] * (V[:, 1] - A[1]) - rv[1] * (V[:, 0] - A[0])
+        tt = ((V[:, 0] - A[0]) * rv[0] + (V[:, 1] - A[1]) * rv[1]) / L2
+        ok = (cross == 0.0) & (tt > 0) & (tt < 1)
+        for k in np.nonzero(ok)[0]:
+            inserts[i].append((float(tt[k]), (float(V[k, 0]), float(V[k, 1]))))
+    adj: dict[tuple[float, float], set] = {}
+
+    def add_edge(u, v):
+        if u != v:
+            adj.setdefault(u, set()).add(v)
+            adj.setdefault(v, set()).add(u)
+
+    chains: list[list[tuple[float, float]]] = []
+    idx = 0
+    for Pr in Ps:
+        n = len(Pr)
+        pts: list[tuple[float, float]] = []
+        for k in range(n):
+            pts.append((float(Pr[k, 0]), float(Pr[k, 1])))
+            for _, X in sorted(inserts[idx + k], key=lambda e: e[0]):
+                pts.append(X)
+        pts.append(pts[0])
+        for a, b in zip(pts[:-1], pts[1:]):
+            add_edge(a, b)
+        chains.append(pts)
+        idx += n
+    return (
+        {
+            u: sorted(vs, key=lambda w: math.atan2(w[1] - u[1], w[0] - u[0]))
+            for u, vs in adj.items()
+        },
+        chains,
+    )
+
+
+def union_overlay(polys: list[list[np.ndarray]]) -> list[list[np.ndarray]]:
+    """General planar-overlay union of possibly-OVERLAPPING polygons — the
+    full ST_Union semantics (multipolygon_union above is the fast
+    disjoint-or-nested path the OSM golden corpus needs; this is the
+    general case for the dissolve operator).
+
+    Edge-side classification: after full noding no other edge touches the
+    open interior of a noded segment, so each SIDE of each segment has
+    constant coverage, computable exactly — a polygon whose (normalized:
+    shell CCW, holes CW) boundary contains the directed segment lies
+    locally on its LEFT; every other polygon's coverage at the midpoint is
+    a strict point-in-ring parity test.  The union boundary is the directed
+    segments with covered-left and uncovered-right; loops are traced by
+    rotating clockwise from the reversed arrival edge.  Shells trace CCW,
+    holes CW, holes attach to the containing shell.  Exact for inputs
+    without collinear PARTIAL segment overlaps (exact duplicate segments
+    are fine); that carve-out is GEOS's snap-rounding territory."""
+    closed_polys = [
+        [
+            orient_ring(close_ring(np.asarray(r, dtype=np.float64)), ccw=(i == 0))
+            for i, r in enumerate(p)
+        ]
+        for p in polys
+    ]
+    adj, chains = _node_arrangement([r for p in closed_polys for r in p])
+    # directed noded segment -> polys with it on their oriented boundary
+    left_of: dict[tuple, set] = {}
+    ci = 0
+    for pid, rings in enumerate(closed_polys):
+        for _ in rings:
+            pts = chains[ci]
+            ci += 1
+            for a, b in zip(pts[:-1], pts[1:]):
+                if a != b:
+                    left_of.setdefault((a, b), set()).add(pid)
+    kept = set()
+    for u, nbrs in adj.items():
+        for v in nbrs:
+            if u >= v:  # each undirected edge once
+                continue
+            on_bd = left_of.get((u, v), set()) | left_of.get((v, u), set())
+            M = ((u[0] + v[0]) / 2.0, (u[1] + v[1]) / 2.0)
+            base = {
+                pid
+                for pid, p in enumerate(closed_polys)
+                if pid not in on_bd and _poly_covers_point(p, M)
+            }
+            lc = base | left_of.get((u, v), set())
+            rc = base | left_of.get((v, u), set())
+            if lc and not rc:
+                kept.add((u, v))
+            elif rc and not lc:
+                kept.add((v, u))
+    loops: list[np.ndarray] = []
+    visited: set = set()
+    for e0 in sorted(kept):  # deterministic trace order
+        if e0 in visited:
+            continue
+        loop = [e0[0]]
+        u, v = e0
+        while (u, v) not in visited:
+            visited.add((u, v))
+            loop.append(v)
+            nbrs = adj[v]
+            i = nbrs.index(u)
+            for step in range(1, len(nbrs) + 1):
+                w = nbrs[(i - step) % len(nbrs)]
+                if (v, w) in kept:
+                    break
+            u, v = v, w
+        loops.append(np.asarray(loop, dtype=np.float64))
+    shells = [l for l in loops if signed_area(l) > 0.0]
+    holes = [l for l in loops if signed_area(l) < 0.0]
+    out = [[s] for s in shells]
+    for h in holes:
+        for rings in out:
+            if ring_contains_ring(rings[0], h):
+                rings.append(h)
+                break
+    return out
+
+
 def orient_multipolygon(polys: list[list[np.ndarray]]) -> list[list[np.ndarray]]:
     """RFC 7946: shells CCW, holes CW — in-place closed-ring reversal,
     mirroring shapely.geometry.polygon.orient (main.py:259-261)."""

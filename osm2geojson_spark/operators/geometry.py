@@ -17,6 +17,7 @@ from typing import Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from ..functions import geom
 from ..functions import kernels as K
@@ -66,3 +67,55 @@ def simplify_geometries(
             yield pdf
 
     return df.mapInPandas(fn, schema=out_schema)
+
+
+def dissolve(df: DataFrame, group_col: str = "g", gpb_col: str = "gpb") -> DataFrame:
+    """Group-wise polygon union — the GIS *dissolve* / ST_Union aggregate
+    (the reference reaches it through shapely.unary_union, main.py:694; here
+    it is the same planar noding + face-extraction kernel the relation
+    assembler uses, run as a distributed aggregate).
+
+    Returns one row per group: (group, gpb MultiPolygon, n_parts, area) with
+    ``area`` = sum over parts of |shell| - sum |holes| (shoelace — exact in
+    float64 for dyadic-coordinate fixtures, which is what the driver oracle
+    pins).
+
+    Plan: ONE collect_list shuffle keyed by the group, then an Arrow batch
+    of whole groups through the union kernel — many groups per batch, never
+    per-group applyInPandas scheduling.  Skew note: a group whose member
+    count explodes (country-sized dissolve) should be pre-unioned per
+    partition (partial dissolve is associative) before the final merge; at
+    this corpus scale the direct form is optimal."""
+    packed = df.groupBy(group_col).agg(F.collect_list(F.col(gpb_col)).alias("gpbs"))
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            groups, blobs, nparts, areas = [], [], [], []
+            for grp, bufs in zip(pdf[group_col], pdf["gpbs"]):
+                polys = []
+                for buf in bufs:
+                    gj = geom.to_geojson_geometry(bytes(buf))
+                    if gj["type"] == "Polygon":
+                        polys.append([np.asarray(r, np.float64) for r in gj["coordinates"]])
+                    elif gj["type"] == "MultiPolygon":
+                        polys.extend(
+                            [np.asarray(r, np.float64) for r in p] for p in gj["coordinates"]
+                        )
+                merged = K.orient_multipolygon(K.union_overlay(polys))
+                area = 0.0
+                for rings in merged:
+                    area += abs(K.signed_area(K.close_ring(rings[0])))
+                    for hole in rings[1:]:
+                        area -= abs(K.signed_area(K.close_ring(hole)))
+                groups.append(grp)
+                blobs.append(geom.multipolygon(merged))
+                nparts.append(len(merged))
+                areas.append(area)
+            yield pd.DataFrame(
+                {group_col: groups, "gpb": blobs, "n_parts": nparts, "area": areas}
+            )
+
+    gtype = packed.schema[group_col].dataType.simpleString()
+    return packed.mapInPandas(
+        fn, schema=f"{group_col} {gtype}, gpb binary, n_parts int, area double"
+    )
