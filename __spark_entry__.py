@@ -771,6 +771,75 @@ FROM p
 """
 
 
+def q_clip_polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group ST_Intersection (operators/geometry.overlay_groups over the
+    classified-edge overlay engine): subject rectangle A clipped by window B
+    = A shifted by (w/4, h/4) -> intersection (3w/4) x (3h/4); for
+    g % 3 == 2 the window is disjoint -> empty MultiPolygon, n_parts = 0,
+    area 0.  All coordinates dyadic, so kernel areas equal the closed-form
+    oracle bit-exactly."""
+    from osm2geojson_spark.functions import geom as GEO
+    from osm2geojson_spark.operators.geometry import overlay_groups
+
+    base = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") < 80)
+        .select(
+            F.col("p_partkey").alias("g"),
+            (F.lit(2.0) + (F.col("p_partkey") % 4).cast("double") * 0.25).alias("w"),
+            (F.lit(2.0) + (F.col("p_partkey") % 5).cast("double") * 0.25).alias("h"),
+        )
+    )
+
+    def pack(side: int):
+        def fn(it):
+            import numpy as np
+            import pandas as pd
+
+            for pdf in it:
+                gs, blobs = [], []
+                for g, w, h in zip(pdf["g"], pdf["w"], pdf["h"]):
+                    x0, y0 = float(g % 10) * 16.0, float(g // 10) * 16.0
+                    if side == 1:
+                        if g % 3 == 2:
+                            x0 += w + 0.5
+                        else:
+                            x0, y0 = x0 + w / 4, y0 + h / 4
+                    ring = np.array(
+                        [
+                            [x0, y0],
+                            [x0 + w, y0],
+                            [x0 + w, y0 + h],
+                            [x0, y0 + h],
+                            [x0, y0],
+                        ]
+                    )
+                    gs.append(g)
+                    blobs.append(GEO.polygon([ring]))
+                yield pd.DataFrame({"g": gs, "gpb": blobs})
+
+        return fn
+
+    a = base.mapInPandas(pack(0), schema="g long, gpb binary")
+    b = base.mapInPandas(pack(1), schema="g long, gpb binary")
+    return overlay_groups(a, b, "intersection").select("g", "n_parts", "area")
+
+
+_CLIP_SQL = """
+WITH p AS (
+  SELECT p_partkey AS g,
+         2 + (p_partkey % 4) * 0.25 AS w,
+         2 + (p_partkey % 5) * 0.25 AS h
+  FROM part WHERE p_partkey < 80
+)
+SELECT g,
+       CAST(CASE WHEN g % 3 = 2 THEN 0 ELSE 1 END AS INTEGER) AS n_parts,
+       CASE WHEN g % 3 = 2 THEN 0.0
+            ELSE (w - w / 4) * (h - h / 4) END AS area
+FROM p
+"""
+
+
 def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E5: heavy-hitter salted cell join. Customer points cell-keyed at a
     coarse resolution (few cells -> guaranteed heavy hitters at the 200-row
@@ -2694,6 +2763,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "within_distance_sphere": q_within_distance_sphere,
         "simplify_vertices": q_simplify_vertices,
         "dissolve": q_dissolve,
+        "clip_polygons": q_clip_polygons,
         "spatial_rollup": q_spatial_rollup,
         "skew_salted_join": q_skew_salted_join,
         "knn": q_knn,
@@ -2765,6 +2835,7 @@ def oracle_sql() -> dict[str, str]:
         "within_distance_sphere": _WITHIN_DISTANCE_SQL,
         "simplify_vertices": _SIMPLIFY_SQL,
         "dissolve": _DISSOLVE_SQL,
+        "clip_polygons": _CLIP_SQL,
         "spatial_rollup": _SPATIAL_ROLLUP_SQL,
         "skew_salted_join": _SKEW_JOIN_SQL,
         "knn": _KNN_SQL,

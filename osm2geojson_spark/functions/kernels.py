@@ -813,23 +813,13 @@ def _node_arrangement(rings: list[np.ndarray]) -> dict:
     )
 
 
-def union_overlay(polys: list[list[np.ndarray]]) -> list[list[np.ndarray]]:
-    """General planar-overlay union of possibly-OVERLAPPING polygons — the
-    full ST_Union semantics (multipolygon_union above is the fast
-    disjoint-or-nested path the OSM golden corpus needs; this is the
-    general case for the dissolve operator).
-
-    Edge-side classification: after full noding no other edge touches the
-    open interior of a noded segment, so each SIDE of each segment has
-    constant coverage, computable exactly — a polygon whose (normalized:
-    shell CCW, holes CW) boundary contains the directed segment lies
-    locally on its LEFT; every other polygon's coverage at the midpoint is
-    a strict point-in-ring parity test.  The union boundary is the directed
-    segments with covered-left and uncovered-right; loops are traced by
-    rotating clockwise from the reversed arrival edge.  Shells trace CCW,
-    holes CW, holes attach to the containing shell.  Exact for inputs
-    without collinear PARTIAL segment overlaps (exact duplicate segments
-    are fine); that carve-out is GEOS's snap-rounding territory."""
+def _overlay_classified(polys: list[list[np.ndarray]], inside) -> list[list[np.ndarray]]:
+    """Shared planar-overlay engine: node every ring into one arrangement,
+    compute for each noded segment the EXACT set of input polygons covering
+    each side, keep directed edges where ``inside(left_set)`` and not
+    ``inside(right_set)``, trace the boundary loops.  See union_overlay for
+    the classification argument; ``inside`` is the boolean-algebra knob
+    that turns the same engine into union / intersection / difference."""
     closed_polys = [
         [
             orient_ring(close_ring(np.asarray(r, dtype=np.float64)), ccw=(i == 0))
@@ -860,11 +850,11 @@ def union_overlay(polys: list[list[np.ndarray]]) -> list[list[np.ndarray]]:
                 for pid, p in enumerate(closed_polys)
                 if pid not in on_bd and _poly_covers_point(p, M)
             }
-            lc = base | left_of.get((u, v), set())
-            rc = base | left_of.get((v, u), set())
-            if lc and not rc:
+            li = inside(base | left_of.get((u, v), set()))
+            ri = inside(base | left_of.get((v, u), set()))
+            if li and not ri:
                 kept.add((u, v))
-            elif rc and not lc:
+            elif ri and not li:
                 kept.add((v, u))
     loops: list[np.ndarray] = []
     visited: set = set()
@@ -893,6 +883,49 @@ def union_overlay(polys: list[list[np.ndarray]]) -> list[list[np.ndarray]]:
                 rings.append(h)
                 break
     return out
+
+
+def union_overlay(polys: list[list[np.ndarray]]) -> list[list[np.ndarray]]:
+    """General planar-overlay union of possibly-OVERLAPPING polygons — the
+    full ST_Union semantics (multipolygon_union above is the fast
+    disjoint-or-nested path the OSM golden corpus needs; this is the
+    general case for the dissolve operator).
+
+    Edge-side classification: after full noding no other edge touches the
+    open interior of a noded segment, so each SIDE of each segment has
+    constant coverage, computable exactly — a polygon whose (normalized:
+    shell CCW, holes CW) boundary contains the directed segment lies
+    locally on its LEFT; every other polygon's coverage at the midpoint is
+    a strict point-in-ring parity test.  The union boundary is the directed
+    segments with covered-left and uncovered-right; loops are traced by
+    rotating clockwise from the reversed arrival edge.  Shells trace CCW,
+    holes CW, holes attach to the containing shell.  Exact for inputs
+    without collinear PARTIAL segment overlaps (exact duplicate segments
+    are fine); that carve-out is GEOS's snap-rounding territory."""
+    return _overlay_classified(polys, lambda s: bool(s))
+
+
+def overlay_two(
+    a: list[list[np.ndarray]],
+    b: list[list[np.ndarray]],
+    op: str,
+) -> list[list[np.ndarray]]:
+    """Binary overlay of two polygon SETS through the same classified-edge
+    engine: ``op`` in {'union', 'intersection', 'difference' (a - b),
+    'symdiff'}.  ST_Intersection / ST_Difference / ST_SymDifference over
+    multipolygons, same exactness contract as union_overlay."""
+    na = len(a)
+    in_a = lambda s: any(p < na for p in s)
+    in_b = lambda s: any(p >= na for p in s)
+    preds = {
+        "union": lambda s: in_a(s) or in_b(s),
+        "intersection": lambda s: in_a(s) and in_b(s),
+        "difference": lambda s: in_a(s) and not in_b(s),
+        "symdiff": lambda s: in_a(s) != in_b(s),
+    }
+    if op not in preds:
+        raise ValueError(f"unknown overlay op: {op!r}")
+    return _overlay_classified(list(a) + list(b), preds[op])
 
 
 def orient_multipolygon(polys: list[list[np.ndarray]]) -> list[list[np.ndarray]]:

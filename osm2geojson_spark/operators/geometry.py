@@ -119,3 +119,68 @@ def dissolve(df: DataFrame, group_col: str = "g", gpb_col: str = "gpb") -> DataF
     return packed.mapInPandas(
         fn, schema=f"{group_col} {gtype}, gpb binary, n_parts int, area double"
     )
+
+
+def _gpb_to_polys(buf: bytes) -> list[list[np.ndarray]]:
+    gj = geom.to_geojson_geometry(bytes(buf))
+    if gj["type"] == "Polygon":
+        return [[np.asarray(r, np.float64) for r in gj["coordinates"]]]
+    if gj["type"] == "MultiPolygon":
+        return [[np.asarray(r, np.float64) for r in p] for p in gj["coordinates"]]
+    return []
+
+
+def _merged_stats(merged):
+    area = 0.0
+    for rings in merged:
+        area += abs(K.signed_area(K.close_ring(rings[0])))
+        for hole in rings[1:]:
+            area -= abs(K.signed_area(K.close_ring(hole)))
+    return geom.multipolygon(merged), len(merged), area
+
+
+def overlay_groups(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    op: str,
+    group_col: str = "g",
+    gpb_col: str = "gpb",
+) -> DataFrame:
+    """Per-group binary overlay (kernels.overlay_two): ST_Intersection /
+    ST_Difference / ST_SymDifference / ST_Union between the polygon sets of
+    the two frames, one output row per group key (groups missing from a
+    side are treated as the empty set, so ``difference`` passes ``a``
+    through and ``intersection`` yields an empty MultiPolygon with
+    n_parts = 0).
+
+    Plan: tag sides, union, ONE collect_list shuffle on the group key, then
+    whole groups per Arrow batch — the dissolve shape with a side tag."""
+    a = df_a.select(F.col(group_col), F.lit(0).alias("_side"), F.col(gpb_col))
+    b = df_b.select(F.col(group_col), F.lit(1).alias("_side"), F.col(gpb_col))
+    packed = (
+        a.unionByName(b)
+        .groupBy(group_col)
+        .agg(F.collect_list(F.struct("_side", gpb_col)).alias("items"))
+    )
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            groups, blobs, nparts, areas = [], [], [], []
+            for grp, items in zip(pdf[group_col], pdf["items"]):
+                sides: list[list[list[np.ndarray]]] = [[], []]
+                for item in items:
+                    sides[int(item["_side"])].extend(_gpb_to_polys(item[gpb_col]))
+                merged = K.orient_multipolygon(K.overlay_two(sides[0], sides[1], op))
+                blob, n, area = _merged_stats(merged)
+                groups.append(grp)
+                blobs.append(blob)
+                nparts.append(n)
+                areas.append(area)
+            yield pd.DataFrame(
+                {group_col: groups, "gpb": blobs, "n_parts": nparts, "area": areas}
+            )
+
+    gtype = packed.schema[group_col].dataType.simpleString()
+    return packed.mapInPandas(
+        fn, schema=f"{group_col} {gtype}, gpb binary, n_parts int, area double"
+    )

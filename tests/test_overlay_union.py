@@ -97,3 +97,52 @@ def test_union_overlay_inclusion_exclusion_area():
             continue
         want = (ax1 - ax0) * (ay1 - ay0) + (bx1 - bx0) * (by1 - by0) - iw * ih
         assert total_area(K.union_overlay([[a], [b]])) == want
+
+
+def test_overlay_two_ops():
+    A, B = [[rect(0, 0, 2, 2)]], [[rect(1, 1, 2, 2)]]
+    want = {
+        "union": (1, 7.0),
+        "intersection": (1, 1.0),
+        "difference": (1, 3.0),
+        "symdiff": (2, 6.0),
+    }
+    for op, (n, ar) in want.items():
+        u = K.overlay_two(A, B, op)
+        assert (len(u), total_area(u)) == (n, ar), op
+    # difference punches a hole
+    u = K.overlay_two([[rect(0, 0, 4, 4)]], [[rect(1, 1, 1, 1)]], "difference")
+    assert len(u) == 1 and len(u[0]) == 2 and total_area(u) == 15.0
+    # erased entirely / disjoint intersection -> empty
+    assert K.overlay_two(A, [[rect(-1, -1, 4, 4)]], "difference") == []
+    assert K.overlay_two(A, [[rect(5, 5, 1, 1)]], "intersection") == []
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        K.overlay_two(A, B, "buffer")
+
+
+def test_overlay_two_point_coverage_random():
+    rng = np.random.RandomState(3)
+    for trial in range(15):
+        A = [[rect(rng.randint(0, 12) / 4.0, rng.randint(0, 12) / 4.0,
+                   rng.randint(1, 10) / 4.0, rng.randint(1, 10) / 4.0)]
+             for _ in range(rng.randint(1, 3))]
+        B = [[rect(rng.randint(0, 12) / 4.0, rng.randint(0, 12) / 4.0,
+                   rng.randint(1, 10) / 4.0, rng.randint(1, 10) / 4.0)]
+             for _ in range(rng.randint(1, 3))]
+        ops = {
+            "union": lambda a, b: a or b,
+            "intersection": lambda a, b: a and b,
+            "difference": lambda a, b: a and not b,
+            "symdiff": lambda a, b: a != b,
+        }
+        probes = np.arange(-0.5, 6.5, 0.25) + 0.125
+        for op, pred in ops.items():
+            u = K.overlay_two(A, B, op)
+            for px in probes[::2]:
+                for py in probes[::2]:
+                    pt = (px, py)
+                    assert covers(u, pt) == pred(covers(A, pt), covers(B, pt)), (
+                        trial, op, pt,
+                    )
