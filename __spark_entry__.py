@@ -1516,9 +1516,23 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from osm2geojson_spark.operators import sampling as SMP
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    docs = docs.withColumn("lang", TXT.lang_id(F.col("text")))
+    # stage the stopword stack once (text_features' CollapseProject trick):
+    # lang referenced by the gate CASE and the rollup key would otherwise
+    # re-inline ~12 splits/regexes per reference (the 6x slowdown the
+    # round-3 bench spread exposed)
+    t = F.col("text")
+    staged = docs.select(
+        "doc_id",
+        TXT.ws_token_count(t).alias("_ntok"),
+        TXT.stopword_hits_from_padded(TXT.padded_norm_col(t)).alias("_stop"),
+    )
+    stop, ntok = F.col("_stop").cast("double"), F.col("_ntok").cast("double")
+    lang = F.when(
+        (stop >= 2) | (stop / F.greatest(ntok, F.lit(1.0)) >= 0.05), F.lit("en")
+    ).otherwise(F.lit("other"))
+    labeled = staged.select("doc_id", lang.alias("lang"))
     samp = SMP.stratified_sample(
-        docs, "lang", {"en": 0.6, "other": 0.15}, "doc_id"
+        labeled, "lang", {"en": 0.6, "other": 0.15}, "doc_id", barrier=True
     )
     return (
         samp.groupBy("lang")

@@ -54,16 +54,35 @@ def stratified_sample(
     rates: dict[str, float],
     key_col: str,
     default_rate: float = 0.0,
+    barrier: bool = False,
 ) -> DataFrame:
     """Keep each row with its stratum's rate, deterministically by
     ``key_col``: row survives iff ``sample_hash(key) < floor(rate·D)``.
     ``rates`` maps stratum value → rate in [0, 1]; unlisted strata get
-    ``default_rate``. One scan, no shuffle, no RNG state."""
+    ``default_rate``. One scan, no shuffle, no RNG state.
+
+    ``barrier=True`` ANDs an always-true non-deterministic guard into the
+    gate so PushDownPredicate cannot substitute the strata column's
+    defining expression below the filter.  Set it when the stratum is an
+    EXPENSIVE derived column (e.g. text-derived language): without it the
+    optimizer inlines the full derivation into each CASE branch of the
+    threshold — measured 40x slower on the lang-stratified driver query.
+    Leave it False for stored strata columns, where pushdown to the scan
+    is exactly what you want."""
     strata = F.col(strata_col) if isinstance(strata_col, str) else strata_col
     thr: Column = F.lit(_threshold(default_rate))
     for value, rate in sorted(rates.items()):
         thr = F.when(strata == F.lit(value), F.lit(_threshold(rate))).otherwise(thr)
-    return df.filter(sample_hash(F.col(key_col)) < thr)
+    gate = sample_hash(F.col(key_col)) < thr
+    if barrier:
+        # OR with an always-FALSE non-deterministic term (rand() < -1):
+        # semantically a no-op, but the disjunction is a single
+        # non-deterministic predicate, so the optimizer can neither split
+        # nor push it below the strata projection. (An AND-ed guard does
+        # NOT work — conjunctions are split and the deterministic conjunct
+        # pushed regardless of position; measured in the round-3 session.)
+        gate = gate | (F.rand(0) < F.lit(-1.0))
+    return df.filter(gate)
 
 
 def stratified_sample_sql(
