@@ -1060,6 +1060,58 @@ GROUP BY w.doc_id
 """
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/dedup.py::decontaminate): the
+    synthetic "benchmark" is the middle 50% character slice of every 7th
+    training doc (closed-form integer arithmetic, so the oracle rebuilds it
+    byte-for-byte), planting guaranteed 8-token-window overlap on exactly
+    the sliced source docs plus any true cross-doc duplicates.  Benchmark
+    windows broadcast; one id-keyed rollup shuffle on the train side."""
+    train = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 300)
+        .select("doc_id", "text")
+    )
+    bench = train.filter(F.col("doc_id") % 7 == 0).select(
+        "doc_id",
+        F.expr(
+            "substring(text, length(text) div 4 + 1, length(text) div 2)"
+        ).alias("text"),
+    )
+    return DD.decontaminate(train, bench, n=8, min_hits=1)
+
+
+def _decontaminate_sql() -> str:
+    win = TXT.md5_long_sql("array_to_string(list_slice(t, p + 1, p + 8), ' ')")
+    return f"""
+WITH train AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),
+bench AS (
+  SELECT substr(text, length(text) // 4 + 1, length(text) // 2) AS text
+  FROM train WHERE doc_id % 7 = 0
+),
+btoks AS (SELECT {H.tokens_sql('text')} AS t FROM bench),
+bwins AS (
+  SELECT DISTINCT {win} AS wh
+  FROM (SELECT t, unnest(range(0, greatest(len(t) - 7, 0))) AS p FROM btoks)
+),
+ttoks AS (SELECT doc_id, {H.tokens_sql('text')} AS t FROM train),
+wins AS (
+  SELECT doc_id, {win} AS wh
+  FROM (SELECT doc_id, t, unnest(range(0, greatest(len(t) - 7, 0))) AS p FROM ttoks)
+)
+SELECT t.doc_id,
+       count(w.wh) AS n_windows,
+       CAST(sum(CASE WHEN b.wh IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+         AS n_contaminated,
+       CAST(sum(CASE WHEN b.wh IS NULL THEN 0 ELSE 1 END) AS BIGINT) >= 1
+         AS contaminated
+FROM train t
+LEFT JOIN wins w ON t.doc_id = w.doc_id
+LEFT JOIN bwins b ON w.wh = b.wh
+GROUP BY t.doc_id
+"""
+
+
 def _jaccard_sql(docs_select: str, tau: float) -> str:
     return f"""
 WITH docs AS ({docs_select}),
@@ -2787,6 +2839,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "repeated_ngrams": q_repeated_ngrams,
+        "decontaminate": q_decontaminate,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "dedup_clusters": q_dedup_clusters,
@@ -2859,6 +2912,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": _DEDUP_EXACT_SQL,
         "dedup_ngram_jaccard": _jaccard_sql(_docs_mutant_cte(60), 0.5),
         "repeated_ngrams": _repeated_ngrams_sql(),
+        "decontaminate": _decontaminate_sql(),
         "dedup_minhash_lsh": _minhash_lsh_sql(_docs_mutant_cte(60), 0.5),
         "dedup_simhash": _simhash_sql("doc_id < 120", 3),
         "dedup_clusters": _dedup_clusters_sql(),

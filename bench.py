@@ -59,6 +59,7 @@ BENCH_QUERIES = [
     "sphere_cell_histogram",
     "dedup_exact",
     "repeated_ngrams",
+    "decontaminate",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_embedding",

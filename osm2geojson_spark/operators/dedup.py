@@ -360,15 +360,17 @@ def embedding_cosine_dups(
 
 
 def token_ngram_windows(
-    df: DataFrame, n: int, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame, n: int, id_col: str = "doc_id", text_col: str = "text",
+    outer: bool = False,
 ) -> DataFrame:
     """(id, pos, wh) — every position-indexed n-token window of the
     normalized text, keyed by its 60-bit md5 hash (TXT.md5_long, so the
     shuffle key is 8 bytes, never the window string; DuckDB computes the
     identical hash).  Duplicates within a doc are kept — positions matter
     for the contamination fraction.  Docs shorter than ``n`` tokens emit no
-    rows.  Pure column math: tokenize -> transform(sequence) -> posexplode,
-    all whole-stage codegen, no shuffle."""
+    rows (``outer=True``: one all-null row instead, so every document
+    survives a downstream per-doc rollup).  Pure column math: tokenize ->
+    transform(sequence) -> posexplode, all whole-stage codegen, no shuffle."""
     toks = H.tokens_col(F.col(text_col))
     wins = F.when(
         F.size(toks) >= n,
@@ -377,7 +379,8 @@ def token_ngram_windows(
             lambda i: TXT.md5_long(F.concat_ws(" ", F.slice(toks, i + F.lit(1), n))),
         ),
     ).otherwise(F.array().cast("array<long>"))
-    return df.select(F.col(id_col), F.posexplode(wins).alias("pos", "wh"))
+    ex = F.posexplode_outer(wins) if outer else F.posexplode(wins)
+    return df.select(F.col(id_col), ex.alias("pos", "wh"))
 
 
 def repeated_ngram_stats(
@@ -420,3 +423,68 @@ def repeated_ngram_stats(
         )
         .withColumn("dup_frac", F.round(F.col("n_repeated") / F.col("n_windows"), 6))
     )
+
+
+def decontaminate(
+    train: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    min_hits: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """(id, n_windows, n_contaminated, contaminated) — benchmark
+    decontamination: a training document is *contaminated* when at least
+    ``min_hits`` of its n-token window positions also occur anywhere in the
+    benchmark corpus (the n-gram-overlap rule of Brown et al. 2020 appendix
+    C, standard in open-data pipelines: Dolma, FineWeb).
+
+    Plan — built for a 100 TB train side against a small benchmark side:
+    the benchmark window set is reduced to DISTINCT 8-byte hashes and
+    BROADCAST (every public eval suite together is a few MB of hashes), so
+    the train side is one scan -> codegen window hashing -> broadcast hash
+    join -> per-doc rollup.  Exactly ONE shuffle, keyed by ``id_col`` for
+    the rollup with map-side partial aggregation; the window hash is never
+    a shuffle key.  Train docs shorter than ``n`` tokens still emit their
+    row (outer explode: zero windows, never contaminated), so the output
+    has exactly one row per train document."""
+    wins = token_ngram_windows(train, n, id_col, text_col, outer=True)
+    bench = (
+        token_ngram_windows(benchmark, n, id_col, bench_text_col)
+        .select("wh")
+        .distinct()
+        .select("wh", F.lit(1).alias("_hit"))
+    )
+    hits = wins.join(F.broadcast(bench), "wh", "left")
+    return (
+        hits.groupBy(id_col)
+        .agg(
+            F.count("wh").alias("n_windows"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+            .cast("long")
+            .alias("n_contaminated"),
+        )
+        .withColumn("contaminated", F.col("n_contaminated") >= F.lit(min_hits))
+    )
+
+
+def decontaminate_clean(
+    train: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    min_hits: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """Train rows with contaminated documents removed — the filtering
+    companion of :func:`decontaminate`.  The flagged-id set (usually a tiny
+    fraction of train) feeds a left-anti join on ``id_col``; AQE broadcasts
+    it when it fits, else the anti-join shuffles on the id key."""
+    bad = (
+        decontaminate(train, benchmark, n, min_hits, id_col, text_col, bench_text_col)
+        .filter(F.col("contaminated"))
+        .select(id_col)
+    )
+    return train.join(bad, id_col, "left_anti")

@@ -555,3 +555,62 @@ def test_token_ngram_windows_positions(spark):
     wins = DD.token_ngram_windows(docs, 2).collect()
     assert [w["pos"] for w in sorted(wins, key=lambda r: r["pos"])] == [0, 1, 2]
     assert len({w["wh"] for w in wins}) == 1  # identical windows hash equal
+
+
+def test_decontaminate_flags_exact_window_overlap(spark):
+    # bench sentence is 8+ tokens; doc 10 contains it verbatim, doc 11
+    # shares only 7 consecutive tokens, doc 12 is unrelated, doc 13 is
+    # shorter than n tokens (must still emit a zero-window row).
+    bench_sentence = "alpha bravo charlie delta echo foxtrot golf hotel"
+    train = spark.createDataFrame(
+        [
+            (10, f"intro words then {bench_sentence} and a tail"),
+            (11, "alpha bravo charlie delta echo foxtrot golf DIFFERENT end"),
+            (12, "nothing in common with the benchmark at all here folks"),
+            (13, "too short"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(0, f"question: {bench_sentence} answer: yes")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in DD.decontaminate(train, bench, n=8).collect()}
+    assert set(out) == {10, 11, 12, 13}
+    assert out[10]["contaminated"] and out[10]["n_contaminated"] >= 1
+    assert not out[11]["contaminated"]
+    assert not out[12]["contaminated"]
+    assert out[13]["n_windows"] == 0 and not out[13]["contaminated"]
+
+    cleaned = DD.decontaminate_clean(train, bench, n=8)
+    assert {r["doc_id"] for r in cleaned.collect()} == {11, 12, 13}
+
+
+def test_decontaminate_min_hits_threshold(spark):
+    # doc shares exactly ONE 8-token window with the benchmark: flagged at
+    # min_hits=1, clean at min_hits=2.
+    s = "one two three four five six seven eight"
+    train = spark.createDataFrame(
+        [(1, f"{s} unrelated suffix tokens here")], "doc_id long, text string"
+    )
+    bench = spark.createDataFrame([(0, s)], "doc_id long, text string")
+    r1 = DD.decontaminate(train, bench, n=8, min_hits=1).collect()[0]
+    r2 = DD.decontaminate(train, bench, n=8, min_hits=2).collect()[0]
+    assert r1["n_contaminated"] == 1 and r1["contaminated"]
+    assert not r2["contaminated"]
+
+
+def test_decontaminate_plan_broadcasts_benchmark(spark):
+    train = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("document body number "), F.col("id")).alias("text"),
+    )
+    bench = spark.createDataFrame(
+        [(0, "a benchmark question with at least eight whitespace tokens")],
+        "doc_id long, text string",
+    )
+    plan = DD.decontaminate(train, bench, n=8)._jdf.queryExecution().executedPlan().toString()
+    # benchmark window set must arrive via broadcast; the window hash must
+    # never be a shuffle (SortMergeJoin) key
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
