@@ -1112,6 +1112,26 @@ GROUP BY t.doc_id
 """
 
 
+_BM25_TERMS = ["spark", "window", "merge"]
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-10 (operators/retrieval.py::bm25_topk): fixed-query
+    corpus scoring with per-term tf as codegen array filters — no inverted
+    index, no explode, one 1-row stats broadcast, TakeOrderedAndProject
+    top-k.  The oracle twin folds the identical float64 constants."""
+    from osm2geojson_spark.operators import retrieval as RET
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return RET.bm25_topk(docs, _BM25_TERMS, k=10)
+
+
+def _bm25_sql() -> str:
+    from osm2geojson_spark.operators.retrieval import bm25_topk_sql
+
+    return bm25_topk_sql("documents", H.tokens_sql("text"), _BM25_TERMS, k=10)
+
+
 def _jaccard_sql(docs_select: str, tau: float) -> str:
     return f"""
 WITH docs AS ({docs_select}),
@@ -2863,6 +2883,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_pq": q_ann_cosine_pq,
         "ann_cosine_ivfpq": q_ann_cosine_ivfpq,
         "ann_cosine_ivfpq_res": q_ann_cosine_ivfpq_res,
+        "bm25_topk": q_bm25_topk,
         "text_analysis": q_text_analysis,
         "quality_topk": q_quality_topk,
         "stratified_sample": q_stratified_sample,
@@ -2936,6 +2957,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_pq": _ann_pq_sql(),
         "ann_cosine_ivfpq": _ann_ivfpq_sql(),
         "ann_cosine_ivfpq_res": _ann_ivfpq_res_sql(),
+        "bm25_topk": _bm25_sql(),
         "text_analysis": _TEXT_SQL,
         "quality_topk": _QUALITY_TOPK_SQL,
         "stratified_sample": _stratified_sample_sql(),

@@ -1,0 +1,72 @@
+"""BM25 retrieval vs a pure-Python oracle + plan-shape pins."""
+
+from __future__ import annotations
+
+import math
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from osm2geojson_spark.operators.retrieval import bm25_topk
+
+CORPUS = [
+    (0, "spark merge join window merge merge"),
+    (1, "window window window spark"),
+    (2, "completely unrelated tokens about nothing relevant"),
+    (3, "spark spark spark spark spark"),
+    (4, "merge"),
+    (5, ""),
+]
+TERMS = ["spark", "window", "merge"]
+
+
+def _norm_tokens(text):
+    t = re.sub(" +", " ", re.sub(r"[^a-z0-9 ]", "", text.lower())).strip()
+    return t.split(" ") if t else []
+
+
+def _py_bm25(corpus, terms, k1=1.2, b=0.75):
+    toks = {i: _norm_tokens(t) for i, t in corpus}
+    n = len(corpus)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    out = {}
+    for i, tk in toks.items():
+        s = 0.0
+        for term in terms:
+            tf = tk.count(term)
+            df = sum(1 for v in toks.values() if term in v)
+            idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+            s += idf * ((tf * (k1 + 1.0)) / (tf + k1 * ((1.0 - b) + b * (len(tk) / avgdl))))
+        if round(s, 6) > 0:
+            out[i] = round(s, 6)
+    return out
+
+
+def test_bm25_matches_python_oracle(spark):
+    df = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    got = {r["doc_id"]: r["score"] for r in bm25_topk(df, TERMS, k=10).collect()}
+    exp = _py_bm25(CORPUS, TERMS)
+    assert set(got) == set(exp)
+    for i in exp:
+        assert got[i] == pytest.approx(exp[i], abs=2e-6)
+
+
+def test_bm25_topk_order_and_limit(spark):
+    df = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    rows = bm25_topk(df, TERMS, k=2).collect()
+    exp = sorted(_py_bm25(CORPUS, TERMS).items(), key=lambda kv: (-kv[1], kv[0]))[:2]
+    assert [r["doc_id"] for r in rows] == [i for i, _ in exp]
+    # scores strictly descending (ties broken by id keep order deterministic)
+    assert rows[0]["score"] >= rows[1]["score"]
+
+
+def test_bm25_plan_no_explode_no_shuffle_join(spark):
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("spark merge body number "), F.col("id")).alias("text"),
+    )
+    plan = bm25_topk(df, TERMS, k=5)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan  # per-partition heaps, never a full sort
+    assert "Generate" not in plan           # no explode: tf is an array filter
+    assert "SortMergeJoin" not in plan      # stats arrive via broadcast
