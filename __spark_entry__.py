@@ -840,6 +840,145 @@ FROM p
 """
 
 
+def q_convex_hull(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed grouped ST_ConvexHull (operators/geometry.convex_hull):
+    per-partition partial hulls (hull is an associative idempotent
+    reduction) collapse each group's cloud to O(h) points before the single
+    shuffle; the final chain walk runs per Arrow batch of whole groups.
+
+    Why the oracle is EXACT: integer coordinates in [0, 1000) keep every
+    cross product exact in float64 (|cross| < 2^21), so the kernel's
+    minimal-vertex hull equals the SQL's directed-edge characterization —
+    (a,b) is a hull edge iff every other point is strictly right of a->b
+    or collinear AND between a and b (which excludes collinear boundary
+    points from the vertex set exactly like the chain's non-strict pop).
+    The shoelace area over those edges is an integer sum / 2 — exact on
+    both engines. The kernel is independently pinned against the same
+    O(n^3) oracle by tests/test_spatial.py property tests."""
+    from osm2geojson_spark.operators.geometry import convex_hull
+
+    pts = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") < 800)
+        .select(
+            (F.col("p_partkey") % 8).alias("g"),
+            ((F.col("p_partkey") * 7919) % 1000).cast("double").alias("x"),
+            ((F.col("p_partkey") * 104729) % 1000).cast("double").alias("y"),
+        )
+    )
+    return convex_hull(pts).select("g", "n_hull", "area")
+
+
+_CONVEX_HULL_SQL = """
+WITH pts AS (
+  SELECT DISTINCT p_partkey % 8 AS g,
+         (p_partkey * 7919) % 1000 AS x,
+         (p_partkey * 104729) % 1000 AS y
+  FROM part WHERE p_partkey < 800
+),
+e AS (
+  SELECT a.g, a.x AS ax, a.y AS ay, b.x AS bx, b.y AS by2
+  FROM pts a JOIN pts b ON a.g = b.g AND NOT (a.x = b.x AND a.y = b.y)
+  WHERE NOT EXISTS (
+    SELECT 1 FROM pts c
+    WHERE c.g = a.g
+      AND NOT (c.x = a.x AND c.y = a.y)
+      AND NOT (c.x = b.x AND c.y = b.y)
+      AND ((b.x - a.x) * (c.y - a.y) - (b.y - a.y) * (c.x - a.x) > 0
+           OR ((b.x - a.x) * (c.y - a.y) - (b.y - a.y) * (c.x - a.x) = 0
+               AND NOT (c.x BETWEEN least(a.x, b.x) AND greatest(a.x, b.x)
+                        AND c.y BETWEEN least(a.y, b.y) AND greatest(a.y, b.y))))
+  )
+)
+SELECT g, CAST(count(*) AS INTEGER) AS n_hull,
+       CAST(abs(sum(ax * by2 - bx * ay)) AS DOUBLE) / 2 AS area
+FROM e GROUP BY g
+"""
+
+
+_LOC_NF, _LOC_NS = 150, 24  # features x axis-aligned segments
+
+
+def q_line_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear referencing (operators/geometry.line_locate_points =
+    ST_Length + ST_LineInterpolatePoint) over deterministic staircase
+    polylines: segment k of feature f runs east (k even) or north (k odd)
+    for integer length 1 + ((f*31 + k*17) % 5).
+
+    Why the oracle is EXACT: integer segment lengths make every cumulative
+    length an exact integer regardless of summation order; the fraction
+    (1 + f % 7)/8 is dyadic, so the target distance t = frac * total and
+    the interpolation a + ((t - cum_prev) * delta) / L (delta = 0 or ±L)
+    are exact dyadic rationals in BOTH engines — the SQL replays the same
+    op order and both pick the FIRST segment with cum >= t."""
+    from osm2geojson_spark.operators.geometry import line_locate_points
+
+    nf, ns = _LOC_NF, _LOC_NS
+    base = spark.range(nf * ns).select(
+        (F.col("id") / ns).cast("long").alias("f"),
+        (F.col("id") % ns).alias("k"),
+    )
+    base = base.withColumn(
+        "L", (F.lit(1) + (F.col("f") * 31 + F.col("k") * 17) % 5).cast("long")
+    )
+    segs = base.groupBy("f").agg(
+        F.sort_array(F.collect_list(F.struct("k", "L"))).alias("segs")
+    )
+
+    def pack(it):
+        import numpy as np
+
+        for pdf in it:
+            rows = []
+            for f, segs_ in zip(pdf["f"], pdf["segs"]):
+                x, y = 0, 0
+                coords = [[0.0, 0.0]]
+                for s in segs_:
+                    if int(s["k"]) % 2 == 0:
+                        x += int(s["L"])
+                    else:
+                        y += int(s["L"])
+                    coords.append([float(x), float(y)])
+                rows.append((int(f), GEO.linestring(coords)))
+            yield pd.DataFrame(rows, columns=["feature_id", "gpb"])
+
+    packed = segs.mapInPandas(pack, schema="feature_id long, gpb binary")
+    packed = packed.withColumn(
+        "frac", (F.lit(1) + F.col("feature_id") % 7) / F.lit(8.0)
+    )
+    return line_locate_points(packed).select("feature_id", "length", "px", "py")
+
+
+_LINE_INTERPOLATE_SQL = f"""
+WITH seg AS (
+  SELECT (r // {_LOC_NS}) AS f, (r % {_LOC_NS}) AS k,
+         1 + (((r // {_LOC_NS}) * 31 + (r % {_LOC_NS}) * 17) % 5) AS L
+  FROM range({_LOC_NF} * {_LOC_NS}) t(r)
+), acc AS (
+  SELECT f, k, L,
+    CASE WHEN k % 2 = 0 THEN L ELSE 0 END AS dx,
+    CASE WHEN k % 2 = 1 THEN L ELSE 0 END AS dy,
+    sum(L) OVER w AS cuml,
+    sum(CASE WHEN k % 2 = 0 THEN L ELSE 0 END) OVER w AS cumx,
+    sum(CASE WHEN k % 2 = 1 THEN L ELSE 0 END) OVER w AS cumy
+  FROM seg WINDOW w AS (PARTITION BY f ORDER BY k ROWS UNBOUNDED PRECEDING)
+), tgt AS (
+  SELECT f, max(cuml) AS total, max(cuml) * ((1 + f % 7) / 8.0) AS t
+  FROM acc GROUP BY f
+), hit AS (
+  SELECT a.f, a.t, a.total,
+         (a.cumx - a.dx) + ((a.t - (a.cuml - a.L)) * a.dx) / a.L AS px,
+         (a.cumy - a.dy) + ((a.t - (a.cuml - a.L)) * a.dy) / a.L AS py,
+         row_number() OVER (PARTITION BY a.f ORDER BY a.k) AS rn
+  FROM (SELECT acc.*, tgt.t, tgt.total FROM acc JOIN tgt USING (f)
+        WHERE acc.cuml >= tgt.t) a
+)
+SELECT f AS feature_id, CAST(total AS DOUBLE) AS length,
+       CAST(px AS DOUBLE) AS px, CAST(py AS DOUBLE) AS py
+FROM hit WHERE rn = 1
+"""
+
+
 def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E5: heavy-hitter salted cell join. Customer points cell-keyed at a
     coarse resolution (few cells -> guaranteed heavy hitters at the 200-row
@@ -2231,6 +2370,77 @@ WHERE bit_count(xor(a.dhash, b.dhash)) BETWEEN 1 AND 6
 """
 
 
+def q_crossmodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-MODAL duplicate clustering — the multimodal curation step
+    neither single-modality pass can do alone: edges are the union of
+    image near-dup relations (equal 9x8 dHash over decoded pixels) and
+    caption exact-dup relations (equal caption text), resolved to
+    connected components by the same iterative min-label operator as
+    dedup_clusters. An image-dup chain A~B joined to a caption-dup chain
+    B~C lands all three in one cluster (diameter 2+ — the one-hop
+    approximations used by per-modality oracles don't apply, so the SQL
+    twin runs a real recursive-CTE label propagation).
+
+    Scale shape: per-modality groups collapse to STAR edges around their
+    min member (|group| - 1 edges, never the quadratic pairs), and the
+    component resolution is O(diameter) shuffles."""
+    imgs = _synth_images(spark, sf_dir, 400).withColumn(
+        "caption", F.format_string("caption %d", F.col("_i") % 120)
+    )
+    dh = MM.dhash_features(imgs)
+    img_star = dh.groupBy("dhash").agg(F.min("image_id").alias("id_a"))
+    img_edges = (
+        dh.join(F.broadcast(img_star), "dhash")
+        .filter(F.col("image_id") != F.col("id_a"))
+        .select("id_a", F.col("image_id").alias("id_b"))
+    )
+    cap_star = imgs.groupBy("caption").agg(F.min("image_id").alias("id_a"))
+    cap_edges = (
+        imgs.join(F.broadcast(cap_star), "caption")
+        .filter(F.col("image_id") != F.col("id_a"))
+        .select("id_a", F.col("image_id").alias("id_b"))
+    )
+    pairs = img_edges.unionByName(cap_edges)
+    nodes = imgs.select(F.col("image_id").alias("doc_id"))
+    return DD.duplicate_clusters(nodes, pairs, id_col="doc_id").select(
+        F.col("doc_id").alias("image_id"), "cluster_id"
+    )
+
+
+_CROSSMODAL_DEDUP_SQL = """
+WITH RECURSIVE img AS (
+  SELECT p_partkey AS i, 8 * (1 + p_partkey % 3) AS w
+  FROM part WHERE p_partkey < 400
+), bit AS (
+  SELECT i, c AS k,
+    ((((c % 8) + 1) * w // 9) * 3 + ((c // 8) * w // 8) * 7 + i * 13) % 251
+      > (((c % 8) * w // 9) * 3 + ((c // 8) * w // 8) * 7 + i * 13) % 251 AS b
+  FROM (SELECT i, w, unnest(range(0, 64)) AS c FROM img)
+), h AS (
+  SELECT i,
+    CAST(sum(CASE WHEN b THEN (1::HUGEINT << k) ELSE 0 END)
+         - CASE WHEN max(CASE WHEN b AND k = 63 THEN 1 ELSE 0 END) = 1
+                THEN (1::HUGEINT << 64) ELSE 0::HUGEINT END AS BIGINT) AS dhash
+  FROM bit GROUP BY i
+), stars AS (
+  SELECT min(i) OVER (PARTITION BY dhash) AS src, i AS dst FROM h
+  UNION ALL
+  SELECT min(i) OVER (PARTITION BY i % 120) AS src, i AS dst FROM h
+), edges AS (
+  SELECT src, dst FROM stars WHERE src != dst
+  UNION ALL
+  SELECT dst, src FROM stars WHERE src != dst
+), lbl(id, l) AS (
+  SELECT i, i FROM h
+  UNION
+  SELECT e.dst, lbl.l FROM lbl JOIN edges e ON e.src = lbl.id
+)
+SELECT printf('img%012d', id) AS image_id,
+       printf('img%012d', min(l)) AS cluster_id
+FROM lbl GROUP BY id
+"""
+
+
 def q_image_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end image CURATION stage (the image-axis mirror of
     q_dedup_pipeline): perceptual dedup first (dHash groups collapse to
@@ -2850,6 +3060,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simplify_vertices": q_simplify_vertices,
         "dissolve": q_dissolve,
         "clip_polygons": q_clip_polygons,
+        "convex_hull": q_convex_hull,
+        "line_interpolate": q_line_interpolate,
         "spatial_rollup": q_spatial_rollup,
         "skew_salted_join": q_skew_salted_join,
         "knn": q_knn,
@@ -2876,6 +3088,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_sharpness": q_image_sharpness,
         "image_similarity": q_image_similarity,
         "image_pipeline": q_image_pipeline,
+        "crossmodal_dedup": q_crossmodal_dedup,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_cosine_lsh": q_ann_cosine_lsh,
         "ann_cosine_ivf": q_ann_cosine_ivf,
@@ -2924,6 +3137,8 @@ def oracle_sql() -> dict[str, str]:
         "simplify_vertices": _SIMPLIFY_SQL,
         "dissolve": _DISSOLVE_SQL,
         "clip_polygons": _CLIP_SQL,
+        "convex_hull": _CONVEX_HULL_SQL,
+        "line_interpolate": _LINE_INTERPOLATE_SQL,
         "spatial_rollup": _SPATIAL_ROLLUP_SQL,
         "skew_salted_join": _SKEW_JOIN_SQL,
         "knn": _KNN_SQL,
@@ -2950,6 +3165,7 @@ def oracle_sql() -> dict[str, str]:
         "image_sharpness": _IMAGE_SHARPNESS_SQL,
         "image_similarity": _IMAGE_SIMILARITY_SQL,
         "image_pipeline": _IMAGE_PIPELINE_SQL,
+        "crossmodal_dedup": _CROSSMODAL_DEDUP_SQL,
         "ann_cosine_topk": _ANN_SQL,
         "ann_cosine_lsh": _ann_lsh_sql(),
         "ann_cosine_ivf": _ann_ivf_sql(),

@@ -54,6 +54,7 @@ BENCH_QUERIES = [
     "spatial_rollup",
     "simplify_vertices",
     "dissolve",
+    "convex_hull",
     "hilbert_layout",
     "cell_histogram",
     "sphere_cell_histogram",

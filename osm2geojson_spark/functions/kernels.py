@@ -1001,3 +1001,59 @@ def dp_simplify_ring(ring: np.ndarray, eps: float) -> np.ndarray:
     if len(out) < 4:
         return np.asarray(ring, dtype=np.float64)
     return out
+
+
+def convex_hull_pts(pts: np.ndarray) -> np.ndarray:
+    """Minimal convex hull of a 2-D point set — Andrew's monotone chain,
+    returned CCW starting at the lexicographic minimum, with collinear
+    boundary points and duplicates dropped (the minimal vertex set, the
+    same contract as GEOS ConvexHull's shell ring).
+
+    The reference reaches hulls through shapely's convex_hull property
+    when users post-process assembled geometries; here it is a NumPy
+    kernel so the distributed operator (operators/geometry.convex_hull)
+    can run it per Arrow batch.
+
+    An Akl-Toussaint quadrilateral prefilter (vectorized) discards points
+    strictly inside the (min-x, min-y, max-x, max-y) extreme quadrilateral
+    before the O(h)-stack chain walk, so the Python loop touches only the
+    near-hull fringe — on uniform random inputs that is O(sqrt(n)) of the
+    points."""
+    pts = np.unique(np.asarray(pts, dtype=np.float64), axis=0)  # lex-sorted
+    n = len(pts)
+    if n <= 2:
+        return pts
+    if n > 16:
+        quad = pts[
+            [
+                int(pts[:, 0].argmin()),
+                int(pts[:, 1].argmin()),
+                int(pts[:, 0].argmax()),
+                int(pts[:, 1].argmax()),
+            ]
+        ]
+        keep = np.zeros(n, dtype=bool)
+        for i in range(4):
+            a, b = quad[i], quad[(i + 1) % 4]
+            cr = (b[0] - a[0]) * (pts[:, 1] - a[1]) - (b[1] - a[1]) * (
+                pts[:, 0] - a[0]
+            )
+            keep |= cr <= 0.0  # on-or-right of a CCW quad edge = not interior
+        pts = pts[keep]  # boolean mask preserves the lexicographic order
+
+    def _half(seq):
+        h: list[tuple[float, float]] = []
+        for x, y in seq:
+            while (
+                len(h) >= 2
+                and (h[-1][0] - h[-2][0]) * (y - h[-2][1])
+                - (h[-1][1] - h[-2][1]) * (x - h[-2][0])
+                <= 0.0
+            ):
+                h.pop()
+            h.append((x, y))
+        return h
+
+    lower = _half(pts)
+    upper = _half(pts[::-1])
+    return np.asarray(lower[:-1] + upper[:-1])

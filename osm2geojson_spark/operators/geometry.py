@@ -184,3 +184,122 @@ def overlay_groups(
     return packed.mapInPandas(
         fn, schema=f"{group_col} {gtype}, gpb binary, n_parts int, area double"
     )
+
+
+def convex_hull(
+    df: DataFrame,
+    group_col: str = "g",
+    x_col: str = "x",
+    y_col: str = "y",
+    partial: bool = True,
+) -> DataFrame:
+    """Distributed grouped convex hull (the ST_ConvexHull aggregate; the
+    reference reaches it through shapely's ``convex_hull`` on assembled
+    shapes).  Output one row per group: (group, n_hull, area, gpb) where
+    ``gpb`` is the CCW hull Polygon (None for degenerate <3-vertex hulls)
+    and ``area`` the shoelace area — exact in float64 for integer-coordinate
+    fixtures, which is what the driver oracle pins.
+
+    Scale shape: hull is an associative, idempotent reduction
+    (hull(A ∪ B) = hull(hull(A) ∪ hull(B))), so phase 1 collapses each
+    in-partition group slice to its partial hull inside the scan — a
+    map-side combine that bounds the single shuffle to O(h) points per
+    (partition, group), h ~ O(log n) for uniform clouds.  Phase 2 re-runs
+    the same kernel on the union of partial hulls.  ``partial=False``
+    skips phase 1 (used by the equivalence tests)."""
+    pts = df.select(
+        F.col(group_col), F.col(x_col).alias("x"), F.col(y_col).alias("y")
+    )
+    gtype = pts.schema[group_col].dataType.simpleString()
+
+    if partial:
+
+        def phase1(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in it:
+                outs = []
+                for grp, sub in pdf.groupby(group_col, sort=False):
+                    h = K.convex_hull_pts(sub[["x", "y"]].to_numpy())
+                    outs.append(
+                        pd.DataFrame(
+                            {group_col: grp, "x": h[:, 0], "y": h[:, 1]}
+                        )
+                    )
+                yield pd.concat(outs) if outs else pdf.iloc[:0]
+
+        pts = pts.mapInPandas(phase1, schema=f"{group_col} {gtype}, x double, y double")
+
+    packed = pts.groupBy(group_col).agg(
+        F.collect_list(F.struct("x", "y")).alias("pts")
+    )
+
+    def phase2(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            groups, blobs, nh, areas = [], [], [], []
+            for grp, ps in zip(pdf[group_col], pdf["pts"]):
+                arr = np.array([[p["x"], p["y"]] for p in ps], dtype=np.float64)
+                h = K.convex_hull_pts(arr)
+                groups.append(grp)
+                nh.append(len(h))
+                if len(h) >= 3:
+                    ring = np.vstack([h, h[:1]])
+                    a2 = float(
+                        np.sum(ring[:-1, 0] * ring[1:, 1] - ring[1:, 0] * ring[:-1, 1])
+                    )
+                    blobs.append(geom.polygon([ring]))
+                    areas.append(a2 / 2.0)
+                else:
+                    blobs.append(None)
+                    areas.append(0.0)
+            yield pd.DataFrame(
+                {group_col: groups, "n_hull": nh, "area": areas, "gpb": blobs}
+            )
+
+    return packed.mapInPandas(
+        phase2, schema=f"{group_col} {gtype}, n_hull int, area double, gpb binary"
+    )
+
+
+def line_locate_points(
+    df: DataFrame, frac_col: str = "frac", gpb_col: str = "gpb"
+) -> DataFrame:
+    """ST_Length + ST_LineInterpolatePoint in one Arrow pass: for each row
+    (LineString gpb, fraction in [0, 1]) append (length, px, py) — the
+    point at ``frac * length`` along the line (linear referencing; the
+    reference reaches it through shapely's ``interpolate``).
+
+    Embarrassingly parallel, no shuffle, schema = input + 3 columns.
+    Interpolation is ``a + ((t - cum_prev) * (b - a)) / d`` with the
+    segment chosen as the FIRST whose cumulative length >= t (vertex hits
+    resolve to the earlier segment's endpoint) — the exact op order the
+    driver oracle replays in SQL."""
+    fields = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
+    out_schema = f"{fields}, length double, px double, py double"
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            lens, pxs, pys = [], [], []
+            for buf, frac in zip(pdf[gpb_col], pdf[frac_col]):
+                c = np.asarray(
+                    geom.to_geojson_geometry(bytes(buf))["coordinates"],
+                    dtype=np.float64,
+                )
+                d = np.hypot(np.diff(c[:, 0]), np.diff(c[:, 1]))
+                cum = np.concatenate(([0.0], np.cumsum(d)))
+                total = float(cum[-1])
+                t = float(frac) * total
+                i = int(np.searchsorted(cum, t, side="left"))
+                if i == 0:
+                    px, py = float(c[0, 0]), float(c[0, 1])
+                else:
+                    a, b = c[i - 1], c[i]
+                    seg = float(d[i - 1])
+                    px = float(a[0] + ((t - cum[i - 1]) * (b[0] - a[0])) / seg)
+                    py = float(a[1] + ((t - cum[i - 1]) * (b[1] - a[1])) / seg)
+                lens.append(total)
+                pxs.append(px)
+                pys.append(py)
+            pdf = pdf.copy()
+            pdf["length"], pdf["px"], pdf["py"] = lens, pxs, pys
+            yield pdf
+
+    return df.mapInPandas(fn, schema=out_schema)

@@ -614,3 +614,47 @@ def test_decontaminate_plan_broadcasts_benchmark(spark):
     # never be a shuffle (SortMergeJoin) key
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_crossmodal_chain_clusters_across_modalities(spark):
+    """An image-dup edge A~B chained to a caption-dup edge B~C must land
+    all three in one cluster — the diameter-2 case a per-modality pass
+    can't resolve (the q_crossmodal_dedup composition)."""
+    import numpy as np
+
+    from osm2geojson_spark.functions import imagecodec as IC
+    from osm2geojson_spark.operators import multimodal as MM
+
+    px_a = (np.arange(64, dtype=np.uint8).reshape(8, 8) * 5 % 251)
+    px_c = ((np.arange(64, dtype=np.uint8).reshape(8, 8)[::-1] * 11 + 3) % 251).astype(np.uint8)
+    rows = [
+        ("imgA", IC.encode(px_a, "rawz"), 8, 8, "rawz", "cap one"),
+        ("imgB", IC.encode(px_a, "rawz"), 8, 8, "rawz", "cap two"),  # image-dup of A
+        ("imgC", IC.encode(px_c, "rawz"), 8, 8, "rawz", "cap two"),  # caption-dup of B
+        ("imgD", IC.encode(px_c[::-1].copy(), "rawz"), 8, 8, "rawz", "cap three"),
+    ]
+    imgs = spark.createDataFrame(
+        rows, "image_id string, bytes binary, w int, h int, fmt string, caption string"
+    )
+    dh = MM.dhash_features(imgs)
+    img_star = dh.groupBy("dhash").agg(F.min("image_id").alias("id_a"))
+    img_edges = (
+        dh.join(img_star, "dhash")
+        .filter(F.col("image_id") != F.col("id_a"))
+        .select("id_a", F.col("image_id").alias("id_b"))
+    )
+    cap_star = imgs.groupBy("caption").agg(F.min("image_id").alias("id_a"))
+    cap_edges = (
+        imgs.join(cap_star, "caption")
+        .filter(F.col("image_id") != F.col("id_a"))
+        .select("id_a", F.col("image_id").alias("id_b"))
+    )
+    out = {
+        r["doc_id"]: r["cluster_id"]
+        for r in DD.duplicate_clusters(
+            imgs.select(F.col("image_id").alias("doc_id")),
+            img_edges.unionByName(cap_edges),
+        ).collect()
+    }
+    assert out["imgA"] == out["imgB"] == out["imgC"] == "imgA"
+    assert out["imgD"] == "imgD"  # distinct pixels, unique caption -> singleton

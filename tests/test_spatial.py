@@ -839,3 +839,154 @@ def test_hilbert_layout_prunes_more_files_than_scan_order():
     t_hil = touched(lambda c: hilbert_d_py(c[0], c[1], 6))
     assert t_hil == 64  # perfect: each 8x8 query hits exactly one file
     assert t_scan >= 8 * 64  # every query crosses all 8 x-strip files
+
+
+# ---------------------------------------------------------------- convex hull
+
+
+def _hull_oracle_minimal(P: np.ndarray):
+    """O(n^3) minimal-hull vertex set via the directed-edge test — the same
+    characterization the driver oracle (_CONVEX_HULL_SQL) evaluates in SQL:
+    (a,b) is a hull edge iff every other point is strictly right of a->b,
+    or collinear and between a and b."""
+    P = np.unique(P, axis=0)
+    verts = set()
+    for a in range(len(P)):
+        for b in range(len(P)):
+            if a == b:
+                continue
+            A, B = P[a], P[b]
+            ok = True
+            for c in range(len(P)):
+                if c in (a, b):
+                    continue
+                C = P[c]
+                cr = (B[0] - A[0]) * (C[1] - A[1]) - (B[1] - A[1]) * (C[0] - A[0])
+                if cr > 0 or (
+                    cr == 0
+                    and not (
+                        min(A[0], B[0]) <= C[0] <= max(A[0], B[0])
+                        and min(A[1], B[1]) <= C[1] <= max(A[1], B[1])
+                    )
+                ):
+                    ok = False
+                    break
+            if ok:
+                verts.add((A[0], A[1]))
+                verts.add((B[0], B[1]))
+    return verts
+
+
+def test_hull_kernel_matches_edge_oracle_property():
+    rng = np.random.default_rng(7)
+    for _ in range(60):
+        pts = rng.integers(0, 40, size=(int(rng.integers(3, 90)), 2)).astype(float)
+        h = K.convex_hull_pts(pts)
+        P = np.unique(pts, axis=0)
+        collinear = all(
+            (P[1][0] - P[0][0]) * (q[1] - P[0][1])
+            == (P[1][1] - P[0][1]) * (q[0] - P[0][0])
+            for q in P
+        ) if len(P) > 2 else True
+        if len(P) <= 2 or collinear:
+            assert len(h) == min(len(P), 2)
+            continue
+        assert set(map(tuple, h)) == _hull_oracle_minimal(pts)
+        ring = np.vstack([h, h[:1]])  # CCW: positive shoelace
+        assert np.sum(ring[:-1, 0] * ring[1:, 1] - ring[1:, 0] * ring[:-1, 1]) > 0
+
+
+def test_hull_kernel_drops_collinear_and_duplicates():
+    # square with collinear edge midpoints and duplicated corners
+    pts = np.array(
+        [[0, 0], [2, 0], [4, 0], [4, 2], [4, 4], [2, 4], [0, 4], [0, 2],
+         [0, 0], [4, 4], [2, 2]], dtype=float)
+    h = K.convex_hull_pts(pts)
+    assert set(map(tuple, h)) == {(0, 0), (4, 0), (4, 4), (0, 4)}
+    assert len(h) == 4
+
+
+def test_hull_kernel_all_collinear():
+    pts = np.array([[0, 0], [1, 1], [2, 2], [3, 3]], dtype=float)
+    h = K.convex_hull_pts(pts)
+    assert len(h) == 2 and {tuple(p) for p in h} == {(0.0, 0.0), (3.0, 3.0)}
+
+
+def test_convex_hull_operator_two_phase_equals_direct(spark):
+    from osm2geojson_spark.operators.geometry import convex_hull
+
+    df = spark.range(600).select(
+        (F.col("id") % 5).alias("g"),
+        ((F.col("id") * 7919) % 500).cast("double").alias("x"),
+        ((F.col("id") * 104729) % 500).cast("double").alias("y"),
+    )
+    two = (
+        convex_hull(df.repartition(7), partial=True)
+        .select("g", "n_hull", "area")
+        .orderBy("g")
+        .collect()
+    )
+    direct = (
+        convex_hull(df, partial=False)
+        .select("g", "n_hull", "area")
+        .orderBy("g")
+        .collect()
+    )
+    assert [r.asDict() for r in two] == [r.asDict() for r in direct]
+    # hull polygon blob decodes to a closed CCW ring with n_hull + 1 points
+    blob = convex_hull(df).filter(F.col("g") == 0).select("gpb", "n_hull").first()
+    gj = geom.to_geojson_geometry(bytes(blob["gpb"]))
+    assert gj["type"] == "Polygon"
+    ring = gj["coordinates"][0]
+    assert len(ring) == blob["n_hull"] + 1 and ring[0] == ring[-1]
+
+
+# ------------------------------------------------------------ linear reference
+
+
+def test_line_locate_points_general_path(spark):
+    from osm2geojson_spark.operators.geometry import line_locate_points
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for fid in range(40):
+        coords = rng.uniform(-50, 50, size=(int(rng.integers(2, 12)), 2))
+        rows.append((fid, geom.linestring(coords.tolist()), float(rng.uniform(0, 1)), coords))
+    df = spark.createDataFrame(
+        [(f, b, fr) for f, b, fr, _ in rows], "feature_id long, gpb binary, frac double"
+    )
+    got = {
+        r["feature_id"]: r
+        for r in line_locate_points(df).select("feature_id", "length", "px", "py").collect()
+    }
+    for fid, _, frac, coords in rows:
+        d = np.hypot(np.diff(coords[:, 0]), np.diff(coords[:, 1]))
+        total = float(d.sum())
+        r = got[fid]
+        assert abs(r["length"] - total) < 1e-9
+        # returned point sits ON the polyline at measure frac * total
+        t = frac * total
+        cum = np.concatenate(([0.0], np.cumsum(d)))
+        i = int(np.searchsorted(cum, t, side="left"))
+        i = max(i, 1)
+        a, b = coords[i - 1], coords[i]
+        seg = float(d[i - 1])
+        ex = a + ((t - cum[i - 1]) * (b - a)) / seg if seg else a
+        assert abs(r["px"] - ex[0]) < 1e-9 and abs(r["py"] - ex[1]) < 1e-9
+
+
+def test_line_locate_points_endpoints_and_vertex_hits(spark):
+    from osm2geojson_spark.operators.geometry import line_locate_points
+
+    # 3-4-5 style right angle: vertices at (0,0) (3,0) (3,4); total 7
+    blob = geom.linestring([[0, 0], [3, 0], [3, 4]])
+    df = spark.createDataFrame(
+        [(0, blob, 0.0), (1, blob, 1.0), (2, blob, 3.0 / 7.0)],
+        "feature_id long, gpb binary, frac double",
+    )
+    got = {r["feature_id"]: r for r in line_locate_points(df).collect()}
+    assert (got[0]["px"], got[0]["py"]) == (0.0, 0.0)
+    assert (got[1]["px"], got[1]["py"]) == (3.0, 4.0)
+    # frac 3/7 -> t = 3.0 exactly = first vertex boundary -> (3, 0)
+    assert (got[2]["px"], got[2]["py"]) == (3.0, 0.0)
+    assert all(abs(r["length"] - 7.0) < 1e-12 for r in got.values())
