@@ -840,6 +840,75 @@ FROM p
 """
 
 
+_HAUS_NF, _HAUS_NV = 120, 48  # pairs x vertices per line
+
+
+def q_hausdorff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete symmetric Hausdorff distance per matched geometry pair
+    (operators/geometry.hausdorff_distance) over integer staircase
+    polylines — shape similarity for trajectory dedup. The SQUARED
+    distance is an exact integer, and the oracle brute-forces the same
+    max-min over exploded vertices in SQL (min per vertex, max per side,
+    greatest of the two directed values) — no geometric closed form
+    needed, both engines reduce the identical integer set."""
+    from osm2geojson_spark.operators.geometry import hausdorff_distance
+
+    nf, nv = _HAUS_NF, _HAUS_NV
+    base = spark.range(nf * nv).select(
+        (F.col("id") / nv).cast("long").alias("f"),
+        (F.col("id") % nv).alias("i"),
+    )
+    base = base.select(
+        "f",
+        "i",
+        (((F.col("f") * 7919 + (F.col("i") / 4).cast("long") * 104729) % 97) % 7).alias("ya"),
+        (F.col("i") + (F.col("f") % 9) - 4).alias("xb"),
+        (((F.col("f") * 104729 + (F.col("i") / 3).cast("long") * 7919) % 89) % 11).alias("yb"),
+    )
+    packed = base.groupBy("f").agg(
+        F.sort_array(F.collect_list(F.struct("i", "ya", "xb", "yb"))).alias("vs")
+    )
+
+    def pack(it):
+        for pdf in it:
+            rows = []
+            for f, vs in zip(pdf["f"], pdf["vs"]):
+                a = [[float(v["i"]), float(v["ya"])] for v in vs]
+                b = [[float(v["xb"]), float(v["yb"])] for v in vs]
+                rows.append((int(f), GEO.linestring(a), GEO.linestring(b)))
+            yield pd.DataFrame(rows, columns=["pair_id", "gpb_a", "gpb_b"])
+
+    pairs = packed.mapInPandas(
+        pack, schema="pair_id long, gpb_a binary, gpb_b binary"
+    )
+    return hausdorff_distance(pairs).select(
+        "pair_id", F.col("hausdorff_sq").cast("long").alias("hausdorff_sq")
+    )
+
+
+_HAUSDORFF_SQL = f"""
+WITH v AS (
+  SELECT (r // {_HAUS_NV}) AS f, (r % {_HAUS_NV}) AS i,
+         (((r // {_HAUS_NV}) * 7919 + ((r % {_HAUS_NV}) // 4) * 104729) % 97) % 7 AS ya,
+         (r % {_HAUS_NV}) + ((r // {_HAUS_NV}) % 9) - 4 AS xb,
+         (((r // {_HAUS_NV}) * 104729 + ((r % {_HAUS_NV}) // 3) * 7919) % 89) % 11 AS yb
+  FROM range({_HAUS_NF} * {_HAUS_NV}) t(r)
+), dab AS (
+  SELECT a.f, a.i,
+         min((a.i - b.xb) * (a.i - b.xb) + (a.ya - b.yb) * (a.ya - b.yb)) AS m
+  FROM v a JOIN v b ON a.f = b.f GROUP BY a.f, a.i
+), dba AS (
+  SELECT b.f, b.i,
+         min((b.xb - a.i) * (b.xb - a.i) + (b.yb - a.ya) * (b.yb - a.ya)) AS m
+  FROM v b JOIN v a ON a.f = b.f GROUP BY b.f, b.i
+), hab AS (SELECT f, max(m) AS h FROM dab GROUP BY f),
+   hba AS (SELECT f, max(m) AS h FROM dba GROUP BY f)
+SELECT hab.f AS pair_id,
+       CAST(greatest(hab.h, hba.h) AS BIGINT) AS hausdorff_sq
+FROM hab JOIN hba ON hab.f = hba.f
+"""
+
+
 def q_convex_hull(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed grouped ST_ConvexHull (operators/geometry.convex_hull):
     per-partition partial hulls (hull is an associative idempotent
@@ -1196,6 +1265,45 @@ SELECT w.doc_id,
              / count(*), 6) AS dup_frac
 FROM wins w LEFT JOIN rep r ON w.wh = r.wh
 GROUP BY w.doc_id
+"""
+
+
+def q_scrub_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring scrub accounting (dedup.scrub_repeated_spans — the
+    REMOVAL step of Lee et al. span dedup, where repeated_ngrams is the
+    detection step): per doc, the union size of all 5-token spans whose
+    window occurs in >= 2 distinct docs. The planted 80%-prefix mutants
+    give every base/mutant pair a long shared prefix, so removed_tokens
+    tracks the prefix length exactly; the oracle replays the identical
+    least(n, pos - lag(pos)) running-union algebra in SQL."""
+    return DD.scrub_repeated_spans(
+        _docs_with_mutants(spark, sf_dir, 200), n=5, min_df=2
+    )
+
+
+def _scrub_spans_sql() -> str:
+    win = TXT.md5_long_sql("array_to_string(list_slice(t, p + 1, p + 5), ' ')")
+    return f"""
+WITH docs AS ({_docs_mutant_cte(200)}),
+toks AS (SELECT doc_id, {H.tokens_sql('text')} AS t FROM docs),
+wins AS (
+  SELECT doc_id, p, {win} AS wh
+  FROM (SELECT doc_id, t, unnest(range(0, greatest(len(t) - 4, 0))) AS p FROM toks)
+), rep AS (
+  SELECT wh FROM wins GROUP BY wh HAVING count(DISTINCT doc_id) >= 2
+), hits AS (
+  SELECT w.doc_id, w.p FROM wins w JOIN rep r ON w.wh = r.wh
+), inc AS (
+  SELECT doc_id,
+         coalesce(least(5, p - lag(p) OVER (PARTITION BY doc_id ORDER BY p)), 5) AS inc
+  FROM hits
+), rem AS (
+  SELECT doc_id, CAST(sum(inc) AS BIGINT) AS removed_tokens FROM inc GROUP BY doc_id
+)
+SELECT t.doc_id, CAST(len(t.t) AS BIGINT) AS n_tokens,
+       coalesce(r.removed_tokens, 0) AS removed_tokens,
+       CAST(len(t.t) AS BIGINT) - coalesce(r.removed_tokens, 0) AS kept_tokens
+FROM toks t LEFT JOIN rem r USING (doc_id)
 """
 
 
@@ -2370,6 +2478,80 @@ WHERE bit_count(xor(a.dhash, b.dhash)) BETWEEN 1 AND 6
 """
 
 
+def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZONAL STATISTICS (operators/multimodal.zonal_stats) — the
+    geospatial x image fusion op: per-zone aggregates over the decoded
+    PIXELS of every tile whose footprint intersects the zone, pixel
+    centers tested against the zone. Zones are the nation boxes, so
+    ``mode="bbox"`` is exact zonal stats; tiles are mixed rawz/PNG images
+    at 0.05 deg/px centered on phash points.
+
+    The oracle replays the whole chain in SQL: phash decode -> footprint
+    (w * 0.025 half-size, the same double ops) -> bbox-intersect pairs ->
+    per-pixel center coords fx0 + (x+0.5)*0.05 (identical IEEE op order,
+    so the boundary comparisons agree bit-for-bit) -> the deterministic
+    pixel formula -> integer rollup per zone."""
+    from osm2geojson_spark.operators.multimodal import zonal_stats
+
+    part = _t(spark, sf_dir, "part").filter(F.col("p_partkey") < 400)
+    lon, lat = _lon("p_partkey"), _lat("p_partkey")
+    w = (F.lit(8) * (F.lit(1) + F.col("p_partkey") % 3)).cast("int")
+    imgs = part.select(
+        F.format_string("img%012d", F.col("p_partkey")).alias("image_id"),
+        F.col("p_partkey").alias("_i"),
+        w.alias("w"),
+        w.alias("h"),
+        F.when(F.col("p_partkey") % 7 == 0, F.lit("png"))
+        .otherwise(F.lit("rawz"))
+        .alias("fmt"),
+        SYN.phash_encode(lon, lat).alias("phash"),
+    ).withColumn(
+        "bytes",
+        SYN._encode_image_fmt_udf(F.col("_i"), F.col("w"), F.col("h"), F.col("fmt")),
+    )
+    polys = polygons_to_df(spark, [(p, g) for p, g, *_ in _nation_boxes(spark, sf_dir)])
+    return zonal_stats(imgs, polys, deg_per_px=0.05, res=4, mode="bbox").select(
+        "poly_id", "n_tiles", "px_cnt", "px_sum", "px_min", "px_max"
+    )
+
+
+_ZONAL_STATS_SQL = f"""
+WITH img AS (
+  SELECT p_partkey AS i, printf('img%012d', p_partkey) AS image_id,
+         CAST(8 * (1 + p_partkey % 3) AS BIGINT) AS w,
+         {SYN.phash_encode_sql(SYN.lon_sql('p_partkey'), SYN.lat_sql('p_partkey'))} AS phash
+  FROM part WHERE p_partkey < 400
+), fp AS (
+  SELECT i, image_id, w,
+    {SYN.phash_lon_sql('phash')} - w * 0.025 AS fx0,
+    {SYN.phash_lat_sql('phash')} - w * 0.025 AS fy0,
+    {SYN.phash_lon_sql('phash')} + w * 0.025 AS fx1,
+    {SYN.phash_lat_sql('phash')} + w * 0.025 AS fy1
+  FROM img
+), boxes AS ({_NATION_BOX_SQL}
+), pairs AS (
+  SELECT f.*, b.poly_id, b.x0, b.y0, b.x1, b.y1
+  FROM fp f JOIN boxes b
+    ON f.fx0 <= b.x1 AND f.fx1 >= b.x0 AND f.fy0 <= b.y1 AND f.fy1 >= b.y0
+), px AS (
+  SELECT poly_id, image_id,
+         ((c % w) * 3 + (c // w) * 7 + i * 13) % 251 AS v
+  FROM pairs, unnest(range(w * w)) t(c)
+  WHERE fx0 + ((c % w) + 0.5) * 0.05 >= x0
+    AND fx0 + ((c % w) + 0.5) * 0.05 <= x1
+    AND fy0 + ((c // w) + 0.5) * 0.05 >= y0
+    AND fy0 + ((c // w) + 0.5) * 0.05 <= y1
+)
+SELECT poly_id,
+       CAST(count(DISTINCT image_id) AS BIGINT) AS n_tiles,
+       CAST(count(*) AS BIGINT) AS px_cnt,
+       CAST(sum(v) AS BIGINT) AS px_sum,
+       CAST(min(v) AS BIGINT) AS px_min,
+       CAST(max(v) AS BIGINT) AS px_max
+FROM px GROUP BY poly_id
+"""
+
+
 def q_crossmodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CROSS-MODAL duplicate clustering — the multimodal curation step
     neither single-modality pass can do alone: edges are the union of
@@ -3061,6 +3243,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dissolve": q_dissolve,
         "clip_polygons": q_clip_polygons,
         "convex_hull": q_convex_hull,
+        "hausdorff": q_hausdorff,
         "line_interpolate": q_line_interpolate,
         "spatial_rollup": q_spatial_rollup,
         "skew_salted_join": q_skew_salted_join,
@@ -3071,6 +3254,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "repeated_ngrams": q_repeated_ngrams,
+        "scrub_spans": q_scrub_spans,
         "decontaminate": q_decontaminate,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
@@ -3089,6 +3273,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_similarity": q_image_similarity,
         "image_pipeline": q_image_pipeline,
         "crossmodal_dedup": q_crossmodal_dedup,
+        "zonal_stats": q_zonal_stats,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_cosine_lsh": q_ann_cosine_lsh,
         "ann_cosine_ivf": q_ann_cosine_ivf,
@@ -3138,6 +3323,7 @@ def oracle_sql() -> dict[str, str]:
         "dissolve": _DISSOLVE_SQL,
         "clip_polygons": _CLIP_SQL,
         "convex_hull": _CONVEX_HULL_SQL,
+        "hausdorff": _HAUSDORFF_SQL,
         "line_interpolate": _LINE_INTERPOLATE_SQL,
         "spatial_rollup": _SPATIAL_ROLLUP_SQL,
         "skew_salted_join": _SKEW_JOIN_SQL,
@@ -3148,6 +3334,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": _DEDUP_EXACT_SQL,
         "dedup_ngram_jaccard": _jaccard_sql(_docs_mutant_cte(60), 0.5),
         "repeated_ngrams": _repeated_ngrams_sql(),
+        "scrub_spans": _scrub_spans_sql(),
         "decontaminate": _decontaminate_sql(),
         "dedup_minhash_lsh": _minhash_lsh_sql(_docs_mutant_cte(60), 0.5),
         "dedup_simhash": _simhash_sql("doc_id < 120", 3),
@@ -3166,6 +3353,7 @@ def oracle_sql() -> dict[str, str]:
         "image_similarity": _IMAGE_SIMILARITY_SQL,
         "image_pipeline": _IMAGE_PIPELINE_SQL,
         "crossmodal_dedup": _CROSSMODAL_DEDUP_SQL,
+        "zonal_stats": _ZONAL_STATS_SQL,
         "ann_cosine_topk": _ANN_SQL,
         "ann_cosine_lsh": _ann_lsh_sql(),
         "ann_cosine_ivf": _ann_ivf_sql(),

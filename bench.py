@@ -55,12 +55,15 @@ BENCH_QUERIES = [
     "simplify_vertices",
     "dissolve",
     "convex_hull",
+    "hausdorff",
+    "zonal_stats",
     "hilbert_layout",
     "cell_histogram",
     "sphere_cell_histogram",
     "dedup_exact",
     "repeated_ngrams",
     "decontaminate",
+    "scrub_spans",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_embedding",

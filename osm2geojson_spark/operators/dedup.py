@@ -488,3 +488,60 @@ def decontaminate_clean(
         .select(id_col)
     )
     return train.join(bad, id_col, "left_anti")
+
+
+def scrub_repeated_spans(
+    df: DataFrame,
+    n: int = 5,
+    min_df: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, n_tokens, removed_tokens, kept_tokens) — EXACT-SUBSTRING scrub
+    accounting (the removal step of Lee et al. 2022, arXiv:2107.06499,
+    where repeated_ngram_stats is the detection step): every n-token
+    window occurring in >= ``min_df`` distinct documents marks its token
+    span [pos, pos+n-1] for removal, and ``removed_tokens`` is the size of
+    the UNION of those overlapping spans per document.
+
+    The interval union never materializes intervals: repeated positions
+    are strictly increasing per doc and all spans have length n, so the
+    running union grows by least(n, pos - lag(pos)) per hit (lag null ->
+    n) — ONE ordered window per doc over only the repeated positions (the
+    contamination tail, not the corpus), then a combiner-friendly rollup.
+    Shuffles: the two window-hash shuffles of repeated_ngram_stats plus
+    one per-doc window/rollup keyed by the doc id."""
+    from pyspark.sql.window import Window
+
+    wins = token_ngram_windows(df, n, id_col, text_col)
+    rep = (
+        wins.groupBy("wh")
+        .agg(F.countDistinct(id_col).alias("df"))
+        .filter(F.col("df") >= min_df)
+        .select("wh")
+    )
+    hits = wins.join(rep, "wh").select(id_col, "pos")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    inc = F.coalesce(
+        F.least(F.lit(n), F.col("pos") - F.lag("pos").over(w)), F.lit(n)
+    )
+    removed = (
+        hits.select(F.col(id_col), inc.alias("inc"))
+        .groupBy(id_col)
+        .agg(F.sum("inc").cast("long").alias("removed_tokens"))
+    )
+    totals = df.select(
+        F.col(id_col),
+        F.size(H.tokens_col(F.col(text_col))).cast("long").alias("n_tokens"),
+    )
+    return (
+        totals.join(removed, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            F.coalesce("removed_tokens", F.lit(0)).alias("removed_tokens"),
+            (F.col("n_tokens") - F.coalesce("removed_tokens", F.lit(0))).alias(
+                "kept_tokens"
+            ),
+        )
+    )

@@ -303,3 +303,41 @@ def line_locate_points(
             yield pdf
 
     return df.mapInPandas(fn, schema=out_schema)
+
+
+def hausdorff_distance(
+    df: DataFrame, gpb_a: str = "gpb_a", gpb_b: str = "gpb_b"
+) -> DataFrame:
+    """Discrete symmetric Hausdorff distance between the vertex sets of two
+    geometries per row (trajectory/shape similarity; the reference's users
+    reach it through shapely's ``hausdorff_distance``). Appends
+    ``hausdorff_sq`` = max(max_a min_b d2(a,b), max_b min_a d2(a,b)) — the
+    SQUARED distance, exact in float64 for integer coordinates (no sqrt).
+
+    One vectorized pairwise-distance matrix per row inside the Arrow batch
+    — O(|A|*|B|) flops in one GEMM-shaped NumPy expression, never a Python
+    point loop. Candidate pairing upstream is the engine's business:
+    bbox/cell within-distance join prunes pairs whose bbox gap already
+    exceeds the current threshold (d_bbox <= hausdorff is a lower bound),
+    so at corpus scale this kernel only sees plausible pairs."""
+    fields = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for ba, bb in zip(pdf[gpb_a], pdf[gpb_b]):
+                A = np.asarray(
+                    geom.to_geojson_geometry(bytes(ba))["coordinates"], np.float64
+                )
+                B = np.asarray(
+                    geom.to_geojson_geometry(bytes(bb))["coordinates"], np.float64
+                )
+                D = (A[:, None, 0] - B[None, :, 0]) ** 2 + (
+                    A[:, None, 1] - B[None, :, 1]
+                ) ** 2
+                out.append(float(max(D.min(axis=1).max(), D.min(axis=0).max())))
+            pdf = pdf.copy()
+            pdf["hausdorff_sq"] = out
+            yield pdf
+
+    return df.mapInPandas(fn, schema=f"{fields}, hausdorff_sq double")

@@ -658,3 +658,40 @@ def test_crossmodal_chain_clusters_across_modalities(spark):
     }
     assert out["imgA"] == out["imgB"] == out["imgC"] == "imgA"
     assert out["imgD"] == "imgD"  # distinct pixels, unique caption -> singleton
+
+
+def test_scrub_repeated_spans_interval_union(spark):
+    """The running-union algebra must equal a brute interval union, across
+    overlapping, adjacent, disjoint and absent spans."""
+    docs = [
+        # d0/d1 share "a b c d e f" (spans overlap within each doc)
+        (0, "a b c d e f x1 y1 z1 w1 v1"),
+        (1, "q2 a b c d e f r2 s2 t2"),
+        # d2/d3 share two DISJOINT repeated regions
+        (2, "m n o p q gap1 gap2 gap3 gap4 u v w x y"),
+        (3, "m n o p q other5 other6 other7 u v w x y tail3"),
+        # d4: no cross-doc repeats
+        (4, "entirely unique tokens here nine ten eleven twelve"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r
+        for r in DD.scrub_repeated_spans(df, n=5, min_df=2).collect()
+    }
+    # brute oracle
+    import collections
+    toks = {d: t.split() for d, t in docs}
+    wins = collections.defaultdict(set)
+    for d, t in toks.items():
+        for p in range(len(t) - 4):
+            wins[" ".join(t[p : p + 5])].add(d)
+    for d, t in toks.items():
+        covered = set()
+        for p in range(len(t) - 4):
+            if len(wins[" ".join(t[p : p + 5])]) >= 2:
+                covered.update(range(p, p + 5))
+        r = got[d]
+        assert r["n_tokens"] == len(t)
+        assert r["removed_tokens"] == len(covered), (d, r, sorted(covered))
+        assert r["kept_tokens"] == len(t) - len(covered)
+    assert got[4]["removed_tokens"] == 0

@@ -399,3 +399,106 @@ def test_sharpness_matches_numpy(spark):
     assert got["a"]["lap_energy"] == int((lap * lap).sum())
     assert got["a"]["lap_count"] == 10 * 6
     assert got["b"]["lap_energy"] == 0 and got["b"]["lap_count"] == 16
+
+
+# ---------------------------------------------------------------- zonal stats
+
+
+def _brute_pip(px_, py_, ring):
+    """Independent scalar ray cast (written fresh for this test — not the
+    engine kernel) for the zonal polygon-mode oracle."""
+    inside = False
+    n = len(ring)
+    for i in range(n - 1):
+        x1, y1 = ring[i]
+        x2, y2 = ring[i + 1]
+        if (y1 > py_) != (y2 > py_):
+            xint = x1 + (py_ - y1) * (x2 - x1) / (y2 - y1)
+            if px_ < xint:
+                inside = not inside
+    return inside
+
+
+def test_zonal_stats_polygon_mode_vs_brute(spark):
+    from osm2geojson_spark.functions import geom
+    from osm2geojson_spark.functions import imagecodec as IC
+    from osm2geojson_spark.operators.multimodal import zonal_stats
+    from osm2geojson_spark.operators.spatial_join import polygons_to_df
+    from osm2geojson_spark.sources.synthetic import phash_encode
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(5)
+    dpp = 0.05
+    rows, arrays = [], {}
+    for i in range(12):
+        w = int(8 * (1 + i % 3))
+        px = rng.integers(0, 251, size=(w, w)).astype(np.uint8)
+        arrays[f"img{i}"] = px
+        rows.append((f"img{i}", IC.encode_rawz(px), w, w, "rawz",
+                     float(-1.5 + (i % 4)), float(-1.0 + (i // 4))))
+    imgs = spark.createDataFrame(
+        rows, "image_id string, bytes binary, w int, h int, fmt string, lon double, lat double"
+    ).withColumn("phash", phash_encode(F.col("lon"), F.col("lat")))
+    # triangle zone overlapping the tile cluster
+    tri = [[-2.0, -1.5], [2.5, -1.0], [0.0, 2.0], [-2.0, -1.5]]
+    polys = polygons_to_df(spark, [(7, geom.polygon([tri]))])
+    got = {
+        r["poly_id"]: r
+        for r in zonal_stats(imgs, polys, deg_per_px=dpp, res=5, mode="polygon").collect()
+    }
+    # brute oracle: every pixel center of every tile vs the fresh ray cast
+    # (phash quantizes lon/lat — recompute centers from the decoded grid)
+    from osm2geojson_spark.sources.synthetic import phash_lon, phash_lat
+    centers = {
+        r["image_id"]: (r["plon"], r["plat"])
+        for r in imgs.select(
+            "image_id", phash_lon(F.col("phash")).alias("plon"),
+            phash_lat(F.col("phash")).alias("plat")).collect()
+    }
+    vals = []
+    n_tiles = 0
+    for iid, px in arrays.items():
+        w = px.shape[0]
+        lon0 = centers[iid][0] - w * (dpp / 2.0)
+        lat0 = centers[iid][1] - w * (dpp / 2.0)
+        hit = [
+            int(px[y, x])
+            for y in range(w)
+            for x in range(w)
+            if _brute_pip(lon0 + (x + 0.5) * dpp, lat0 + (y + 0.5) * dpp, tri)
+        ]
+        if hit:
+            n_tiles += 1
+            vals.extend(hit)
+    assert got[7]["n_tiles"] == n_tiles
+    assert got[7]["px_cnt"] == len(vals)
+    assert got[7]["px_sum"] == sum(vals)
+    assert got[7]["px_min"] == min(vals) and got[7]["px_max"] == max(vals)
+
+
+def test_zonal_stats_box_polygon_equals_bbox_mode(spark):
+    from osm2geojson_spark.functions import geom
+    from osm2geojson_spark.functions import imagecodec as IC
+    from osm2geojson_spark.operators.multimodal import zonal_stats
+    from osm2geojson_spark.operators.spatial_join import polygons_to_df
+    from osm2geojson_spark.sources.synthetic import phash_encode
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(9)
+    rows = []
+    for i in range(10):
+        px = rng.integers(0, 251, size=(16, 16)).astype(np.uint8)
+        rows.append((f"img{i}", IC.encode_rawz(px), 16, 16, "rawz",
+                     float(-1.0 + (i % 5) * 0.5), float(-0.5 + (i // 5) * 0.5)))
+    imgs = spark.createDataFrame(
+        rows, "image_id string, bytes binary, w int, h int, fmt string, lon double, lat double"
+    ).withColumn("phash", phash_encode(F.col("lon"), F.col("lat")))
+    box = [[-1.3, -0.7], [1.7, -0.7], [1.7, 0.9], [-1.3, 0.9], [-1.3, -0.7]]
+    polys = polygons_to_df(spark, [(1, geom.polygon([box]))])
+    a = zonal_stats(imgs, polys, deg_per_px=0.05, res=5, mode="bbox").collect()
+    b = zonal_stats(imgs, polys, deg_per_px=0.05, res=5, mode="polygon").collect()
+    assert [r.asDict() for r in a] == [r.asDict() for r in b]

@@ -990,3 +990,35 @@ def test_line_locate_points_endpoints_and_vertex_hits(spark):
     # frac 3/7 -> t = 3.0 exactly = first vertex boundary -> (3, 0)
     assert (got[2]["px"], got[2]["py"]) == (3.0, 0.0)
     assert all(abs(r["length"] - 7.0) < 1e-12 for r in got.values())
+
+
+def test_hausdorff_distance_vs_brute(spark):
+    from osm2geojson_spark.operators.geometry import hausdorff_distance
+
+    rng = np.random.default_rng(3)
+    rows, truth = [], {}
+    for pid in range(25):
+        A = rng.uniform(-20, 20, size=(int(rng.integers(2, 15)), 2))
+        B = rng.uniform(-20, 20, size=(int(rng.integers(2, 15)), 2))
+        # brute double loop, written fresh
+        def dmin(p, Q):
+            return min((p[0] - q[0]) ** 2 + (p[1] - q[1]) ** 2 for q in Q)
+        truth[pid] = max(max(dmin(a, B) for a in A), max(dmin(b, A) for b in B))
+        rows.append((pid, geom.linestring(A.tolist()), geom.linestring(B.tolist())))
+    df = spark.createDataFrame(rows, "pair_id long, gpb_a binary, gpb_b binary")
+    got = {r["pair_id"]: r["hausdorff_sq"] for r in hausdorff_distance(df).collect()}
+    for pid, want in truth.items():
+        assert abs(got[pid] - want) < 1e-9, pid
+
+
+def test_hausdorff_identical_is_zero_and_symmetric(spark):
+    from osm2geojson_spark.operators.geometry import hausdorff_distance
+
+    a = geom.linestring([[0, 0], [3, 4], [6, 1]])
+    b = geom.linestring([[10, 0], [13, 4]])
+    df = spark.createDataFrame(
+        [(0, a, a), (1, a, b), (2, b, a)], "pair_id long, gpb_a binary, gpb_b binary"
+    )
+    got = {r["pair_id"]: r["hausdorff_sq"] for r in hausdorff_distance(df).collect()}
+    assert got[0] == 0.0
+    assert got[1] == got[2] > 0
