@@ -2552,6 +2552,154 @@ FROM px GROUP BY poly_id
 """
 
 
+def q_vectorize_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RASTER -> VECTOR polygonization (multimodal.vectorize_images over
+    kernels.vectorize_mask): threshold each 8x8 tile at 128 and trace the
+    mask into polygons; output per-image topology integers (n_parts,
+    n_holes, area_px, perimeter_px).
+
+    The oracle shares NO tracing logic: it floods hot components with a
+    recursive CTE over 4-adjacency (= n_parts), floods PADDED cold
+    components over 8-adjacency and counts those not touching the border
+    (= n_holes, the raster duality the kernel's left-turn rule
+    guarantees), counts hot pixels (= area_px, which the kernel computes
+    as a shoelace sum over shells minus holes), and derives the perimeter
+    as 4*hot - 2*adjacent_hot_pairs."""
+    from osm2geojson_spark.operators.multimodal import vectorize_images
+
+    imgs = _synth_images(spark, sf_dir, 360, step=3)  # all 8x8
+    return vectorize_images(imgs, threshold=128).select(
+        "image_id", "n_parts", "n_holes", "area_px", "perimeter_px"
+    )
+
+
+_VECTORIZE_SQL = """
+WITH RECURSIVE img AS (
+  SELECT p_partkey AS i FROM part WHERE p_partkey < 360 AND p_partkey % 3 = 0
+), cell AS (
+  SELECT i, p, p % 8 AS x, p // 8 AS y,
+         ((p % 8) * 3 + (p // 8) * 7 + i * 13) % 251 >= 128 AS hot
+  FROM (SELECT i, unnest(range(0, 64)) AS p FROM img)
+), hedge AS (
+  SELECT a.i, a.p AS src, b.p AS dst
+  FROM cell a JOIN cell b ON a.i = b.i AND a.hot AND b.hot
+    AND ((abs(a.x - b.x) = 1 AND a.y = b.y) OR (a.x = b.x AND abs(a.y - b.y) = 1))
+), hlbl(i, p, l) AS (
+  SELECT i, p, p FROM cell WHERE hot
+  UNION
+  SELECT e.i, e.dst, hlbl.l FROM hlbl JOIN hedge e ON e.i = hlbl.i AND e.src = hlbl.p
+), hcomp AS (
+  SELECT i, p, min(l) AS l FROM hlbl GROUP BY i, p
+), parts AS (
+  SELECT i, count(DISTINCT l) AS n_parts FROM hcomp GROUP BY i
+), pad AS (
+  SELECT i, q AS p, q % 10 AS x, q // 10 AS y,
+    CASE WHEN q % 10 IN (0, 9) OR q // 10 IN (0, 9) THEN TRUE
+         ELSE NOT ((((q % 10) - 1) * 3 + ((q // 10) - 1) * 7 + i * 13) % 251 >= 128)
+    END AS cold
+  FROM (SELECT i, unnest(range(0, 100)) AS q FROM img)
+), cedge AS (
+  SELECT a.i, a.p AS src, b.p AS dst
+  FROM pad a JOIN pad b ON a.i = b.i AND a.cold AND b.cold
+    AND abs(a.x - b.x) <= 1 AND abs(a.y - b.y) <= 1 AND a.p != b.p
+), clbl(i, p, l) AS (
+  SELECT i, p, p FROM pad WHERE cold
+  UNION
+  SELECT e.i, e.dst, clbl.l FROM clbl JOIN cedge e ON e.i = clbl.i AND e.src = clbl.p
+), ccomp AS (
+  SELECT i, p, min(l) AS l FROM clbl GROUP BY i, p
+), cinfo AS (
+  SELECT c.i, c.l,
+         max(CASE WHEN pad.x IN (0, 9) OR pad.y IN (0, 9) THEN 1 ELSE 0 END) AS brd
+  FROM ccomp c JOIN pad ON pad.i = c.i AND pad.p = c.p
+  GROUP BY c.i, c.l
+), holes AS (
+  SELECT i, sum(CASE WHEN brd = 0 THEN 1 ELSE 0 END) AS n_holes FROM cinfo GROUP BY i
+), area AS (
+  SELECT i, count(*) AS area_px FROM cell WHERE hot GROUP BY i
+), adj AS (
+  SELECT a.i, count(*) AS npairs
+  FROM cell a JOIN cell b ON a.i = b.i AND a.hot AND b.hot
+    AND ((b.x = a.x + 1 AND b.y = a.y) OR (b.x = a.x AND b.y = a.y + 1))
+  GROUP BY a.i
+)
+SELECT printf('img%012d', img.i) AS image_id,
+       CAST(coalesce(parts.n_parts, 0) AS BIGINT) AS n_parts,
+       CAST(coalesce(holes.n_holes, 0) AS BIGINT) AS n_holes,
+       CAST(coalesce(area.area_px, 0) AS BIGINT) AS area_px,
+       CAST(4 * coalesce(area.area_px, 0) - 2 * coalesce(adj.npairs, 0) AS BIGINT)
+         AS perimeter_px
+FROM img
+LEFT JOIN parts ON parts.i = img.i
+LEFT JOIN holes ON holes.i = img.i
+LEFT JOIN area ON area.i = img.i
+LEFT JOIN adj ON adj.i = img.i
+"""
+
+
+def q_caption_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-text alignment gate (multimodal.caption_alignment) — the
+    CLIP-score curation step of a LAION-style pipeline with deterministic
+    stand-in encoders (histogram towers vs token-bucket towers; swapping
+    in real CLIP changes only the feature maps). Every 11th caption is
+    planted word soup, exercising both sides of the keep gate.
+
+    Exactness: 8x8 tiles make histogram shares dyadic k/64 and token
+    buckets are integer counts, so dot products and squared norms agree
+    bit-for-bit across engines in any summation order; sqrt/divide are
+    single identically-ordered IEEE ops and the score is rounded at 6dp on
+    both sides."""
+    from osm2geojson_spark.operators.multimodal import caption_alignment
+
+    imgs = _synth_images(spark, sf_dir, 240, step=3).withColumn(  # all 8x8
+        "caption",
+        F.when(
+            F.col("_i") % 11 == 0,
+            F.format_string("zz mismatch token soup %d", F.col("_i")),
+        ).otherwise(
+            F.format_string(
+                "gradient tile image number %d band %d",
+                F.col("_i"),
+                F.col("_i") % 16,
+            )
+        ),
+    )
+    return caption_alignment(imgs, bins=16, tau=0.25)
+
+
+def _caption_alignment_sql() -> str:
+    tok = H.tokens_sql("caption")
+    return f"""
+WITH img AS (
+  SELECT p_partkey AS i FROM part WHERE p_partkey < 240 AND p_partkey % 3 = 0
+), cap AS (
+  SELECT i, CASE WHEN i % 11 = 0 THEN printf('zz mismatch token soup %d', i)
+                 ELSE printf('gradient tile image number %d band %d', i, i % 16)
+            END AS caption
+  FROM img
+), px AS (
+  SELECT i, unnest(range(0, 64)) AS p FROM img
+), v AS (
+  SELECT i, (((p % 8) * 3 + (p // 8) * 7 + i * 13) % 251) // 16 AS b FROM px
+), hist AS (
+  SELECT i, b AS bin, round(count(*) / 64.0, 6) AS share FROM v GROUP BY i, b
+), toks AS (
+  SELECT i, unnest({tok}) AS t FROM cap
+), txt AS (
+  SELECT i, {TXT.md5_long_sql('t')} % 16 AS bin, CAST(count(*) AS DOUBLE) AS cnt
+  FROM toks GROUP BY 1, 2
+), dots AS (
+  SELECT h.i, sum(h.share * t.cnt) AS dot
+  FROM hist h JOIN txt t ON t.i = h.i AND t.bin = h.bin GROUP BY h.i
+), ni AS (SELECT i, sum(share * share) AS n2i FROM hist GROUP BY i),
+   nt AS (SELECT i, sum(cnt * cnt) AS n2t FROM txt GROUP BY i)
+SELECT printf('img%012d', ni.i) AS image_id,
+       round(coalesce(d.dot, 0.0) / (sqrt(ni.n2i) * sqrt(nt.n2t)), 6) AS score,
+       coalesce(d.dot, 0.0) / (sqrt(ni.n2i) * sqrt(nt.n2t)) >= 0.25 AS keep
+FROM ni JOIN nt ON nt.i = ni.i LEFT JOIN dots d ON d.i = ni.i
+"""
+
+
 def q_crossmodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CROSS-MODAL duplicate clustering — the multimodal curation step
     neither single-modality pass can do alone: edges are the union of
@@ -3273,6 +3421,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_similarity": q_image_similarity,
         "image_pipeline": q_image_pipeline,
         "crossmodal_dedup": q_crossmodal_dedup,
+        "caption_alignment": q_caption_alignment,
+        "vectorize_tiles": q_vectorize_tiles,
         "zonal_stats": q_zonal_stats,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_cosine_lsh": q_ann_cosine_lsh,
@@ -3353,6 +3503,8 @@ def oracle_sql() -> dict[str, str]:
         "image_similarity": _IMAGE_SIMILARITY_SQL,
         "image_pipeline": _IMAGE_PIPELINE_SQL,
         "crossmodal_dedup": _CROSSMODAL_DEDUP_SQL,
+        "caption_alignment": _caption_alignment_sql(),
+        "vectorize_tiles": _VECTORIZE_SQL,
         "zonal_stats": _ZONAL_STATS_SQL,
         "ann_cosine_topk": _ANN_SQL,
         "ann_cosine_lsh": _ann_lsh_sql(),

@@ -57,6 +57,7 @@ BENCH_QUERIES = [
     "convex_hull",
     "hausdorff",
     "zonal_stats",
+    "vectorize_tiles",
     "hilbert_layout",
     "cell_histogram",
     "sphere_cell_histogram",
@@ -72,6 +73,7 @@ BENCH_QUERIES = [
     "multimodal_decode",
     "image_sharpness",
     "image_dhash_dedup",
+    "caption_alignment",
     "tile_pyramid",
     "text_analysis",
     "stratified_sample",

@@ -1057,3 +1057,117 @@ def convex_hull_pts(pts: np.ndarray) -> np.ndarray:
     lower = _half(pts)
     upper = _half(pts[::-1])
     return np.asarray(lower[:-1] + upper[:-1])
+
+
+def vectorize_mask(mask: np.ndarray) -> list[list[np.ndarray]]:
+    """RASTER -> VECTOR: trace a boolean pixel mask into polygons (the
+    GDAL ``polygonize`` / rasterio ``shapes`` operation). Pixel (x, y) =
+    mask[y, x] occupies the unit square [x, x+1] x [y, y+1]; returns
+    [[shell, hole, ...], ...] with CCW shells, CW holes, collinear
+    boundary vertices compressed.
+
+    Boundary model: every edge between a hot and a cold/outside pixel is a
+    directed unit edge with HOT ON THE LEFT; rings are traced by always
+    taking the LEFTMOST available turn, which resolves checkerboard
+    corners so hot regions are 4-connected and cold regions (holes) are
+    8-connected — the standard raster topology duality. Hole rings are
+    assigned to the smallest-area containing shell via a ray cast from the
+    adjacent interior cold pixel center.
+
+    Edge extraction is fully vectorized (four shifted comparisons); the
+    Python walk touches only boundary corners, O(perimeter) not O(area)."""
+    mask = np.asarray(mask, dtype=bool)
+    h, w = mask.shape
+    pad = np.zeros((h + 2, w + 2), dtype=bool)
+    pad[1:-1, 1:-1] = mask
+    ys, xs = np.nonzero(mask)
+
+    # directed edges (hot on left), keyed by start corner
+    R, U, L, D = (1, 0), (0, 1), (-1, 0), (0, -1)
+    edges: dict[tuple[int, int], list[tuple[tuple[int, int], tuple[int, int]]]] = {}
+
+    def _emit(sel_y, sel_x, start_off, dvec):
+        for y, x in zip(sel_y, sel_x):
+            s = (int(x) + start_off[0], int(y) + start_off[1])
+            edges.setdefault(s, []).append((dvec, (s[0] + dvec[0], s[1] + dvec[1])))
+
+    below = ~pad[:-2, 1:-1][ys, xs] if len(ys) else np.array([], bool)
+    above = ~pad[2:, 1:-1][ys, xs] if len(ys) else np.array([], bool)
+    left = ~pad[1:-1, :-2][ys, xs] if len(ys) else np.array([], bool)
+    right = ~pad[1:-1, 2:][ys, xs] if len(ys) else np.array([], bool)
+    _emit(ys[below], xs[below], (0, 0), R)      # bottom edge, heading +x
+    _emit(ys[right], xs[right], (1, 0), U)      # right edge, heading +y
+    _emit(ys[above], xs[above], (1, 1), L)      # top edge, heading -x
+    _emit(ys[left], xs[left], (0, 1), D)        # left edge, heading -y
+
+    # The ring decomposition is the cycle structure of the LEFT-TURN
+    # successor permutation on directed edges: succ(e) = the outgoing edge
+    # at head(e) whose direction is left(dir(e)) when two exist (the
+    # checkerboard corner), else the single outgoing edge. A self-touching
+    # hole ring correctly traverses its pinch corner twice (one cycle), so
+    # hole count == 8-connected cold components and shell count ==
+    # 4-connected hot components — mutating-walk termination at a revisited
+    # start corner would instead split such rings.
+    _LEFT = {R: U, U: L, L: D, D: R}
+
+    all_edges: list[tuple[tuple[int, int], tuple[int, int], tuple[int, int]]] = [
+        (s, d, t) for s, outs in edges.items() for d, t in outs
+    ]
+    visited = set()
+    rings: list[np.ndarray] = []
+    for first in all_edges:
+        if (first[0], first[1]) in visited:
+            continue
+        pts = [first[0], first[2]]
+        visited.add((first[0], first[1]))
+        s, d, t = first
+        while True:
+            outs = edges[t]
+            if len(outs) == 1:
+                nd, nt = outs[0]
+            else:
+                want = _LEFT[d]
+                nd, nt = outs[0] if outs[0][0] == want else outs[1]
+            if (t, nd) == (first[0], first[1]):
+                break
+            visited.add((t, nd))
+            if nd == d:
+                pts[-1] = nt  # collinear: extend in place
+            else:
+                pts.append(nt)
+            s, d, t = t, nd, nt
+        if len(pts) > 2:
+            # compress a collinear run across the start corner
+            d_last = (pts[-1][0] - pts[-2][0], pts[-1][1] - pts[-2][1])
+            d_first = (pts[1][0] - pts[0][0], pts[1][1] - pts[0][1])
+            dl = (d_last[0] and d_last[0] // abs(d_last[0]) or 0,
+                  d_last[1] and d_last[1] // abs(d_last[1]) or 0)
+            df = (d_first[0] and d_first[0] // abs(d_first[0]) or 0,
+                  d_first[1] and d_first[1] // abs(d_first[1]) or 0)
+            if dl == df:
+                pts = pts[1:-1] + [pts[1]]
+        rings.append(np.asarray(pts, dtype=np.float64))
+
+    shells, holes = [], []
+    for ring in rings:
+        a = signed_area(ring)
+        (shells if a > 0 else holes).append((abs(a), ring))
+
+    polys: list[list[np.ndarray]] = [[s[1]] for s in sorted(shells, key=lambda t: t[0])]
+    areas = [s[0] for s in sorted(shells, key=lambda t: t[0])]
+    for _, hole in holes:
+        # interior point: center of the cold pixel right of the first edge
+        a0, a1 = hole[0], hole[1]
+        d = (a1[0] - a0[0], a1[1] - a0[1])
+        n = max(abs(d[0]), abs(d[1]))
+        step = (d[0] / n, d[1] / n)
+        rightv = (step[1], -step[0])  # cold side
+        probe = (
+            a0[0] + step[0] / 2.0 + rightv[0] / 2.0,
+            a0[1] + step[1] / 2.0 + rightv[1] / 2.0,
+        )
+        for i, poly in enumerate(polys):  # smallest containing shell first
+            if _point_in_ring_scalar(probe[0], probe[1], poly[0]):
+                poly.append(hole)
+                break
+    return [p for _, p in sorted(zip(areas, polys), key=lambda t: -t[0])]

@@ -392,6 +392,28 @@ def _descendant_ids(f: int, res: int, r: int, i: int, j: int) -> list[int]:
     return ids.ravel().tolist()
 
 
+# cell_lonlat_boxes is a pure function of (f, r, i, j) and the covering
+# descent revisits the same upper-tree nodes for EVERY query (all descents
+# start at the 6 faces), so the boxes are memoized for shallow levels. The
+# cap bounds the cache by construction — levels 0..6 hold at most
+# 6*(4^7-1)/3 = 32,766 nodes of a few hundred bytes each (~8 MB worst
+# case per worker) — deeper nodes are query-specific and stay uncached
+# (the unbounded-cache OOM lesson of the r2 adjacency-mask advice).
+_BOX_CACHE_MAX_RES = 6
+_BOX_CACHE: dict[tuple[int, int, int, int], tuple] = {}
+
+
+def _boxes_cached(f: int, r: int, i: int, j: int):
+    if r > _BOX_CACHE_MAX_RES:
+        return cell_lonlat_boxes(f, r, i, j)
+    key = (f, r, i, j)
+    got = _BOX_CACHE.get(key)
+    if got is None:
+        got = cell_lonlat_boxes(f, r, i, j)
+        _BOX_CACHE[key] = got
+    return got
+
+
 def sphere_covering_cells_py(
     minx: float, miny: float, maxx: float, maxy: float, res: int
 ) -> list[int]:
@@ -409,7 +431,7 @@ def sphere_covering_cells_py(
     stack = [(f, 0, 0, 0) for f in range(6)]
     while stack:
         f, r, i, j = stack.pop()
-        boxes, _ = cell_lonlat_boxes(f, r, i, j)
+        boxes, _ = _boxes_cached(f, r, i, j)
         if not any(_boxes_overlap(b, q) for b in boxes for q in qboxes):
             continue
         if r == res:
@@ -425,6 +447,56 @@ def sphere_covering_cells_py(
     return out
 
 
+# Full-level box tables for the DIRECT covering path: at shallow
+# resolutions the whole level's conservative boxes fit in a small array
+# (res 6 = 24,576 cells, ~1 MB), so a slow-path query is ONE vectorized
+# bbox-overlap sweep instead of a per-query quadtree descent (which costs
+# ms-per-row in Python). Built lazily on the DRIVER (module-cached, so the
+# scalar cell_lonlat_boxes cost is paid once per process) and shipped to
+# workers inside the UDF closure. Same boxes, same inclusive overlap test
+# as the descent, so the covering stays a provable superset; the exact set
+# can only be ⊇ the descent's (no ancestor-box pruning).
+_LEVEL_DIRECT_MAX = 6
+_LEVEL_TABLE: dict[int, tuple[np.ndarray, ...]] = {}
+
+
+def _level_box_table(res: int):
+    got = _LEVEL_TABLE.get(res)
+    if got is None:
+        n = 1 << res
+        ids, xs0, ys0, xs1, ys1 = [], [], [], [], []
+        for f in range(6):
+            for i in range(n):
+                for j in range(n):
+                    boxes, _ = _boxes_cached(f, res, i, j)
+                    cid = sphere_pack_py(f, res, i, j)
+                    for x0, y0, x1, y1 in boxes:
+                        ids.append(cid)
+                        xs0.append(x0)
+                        ys0.append(y0)
+                        xs1.append(x1)
+                        ys1.append(y1)
+        got = (
+            np.asarray(ids, np.int64),
+            np.asarray(xs0),
+            np.asarray(ys0),
+            np.asarray(xs1),
+            np.asarray(ys1),
+        )
+        _LEVEL_TABLE[res] = got
+    return got
+
+
+def _direct_cover(table, qx0: float, qy0: float, qx1: float, qy1: float):
+    ids, bx0, by0, bx1, by1 = table
+    ym = (by0 <= qy1) & (by1 >= qy0)
+    if qx0 > qx1:  # antimeridian query: [-180, qx1] u [qx0, 180]
+        m = ym & ((bx0 <= qx1) | (bx1 >= qx0))
+    else:
+        m = ym & (bx0 <= qx1) & (bx1 >= qx0)
+    return np.unique(ids[m])
+
+
 def sphere_covering_cells_udf(
     minx: Column, miny: Column, maxx: Column, maxy: Column, res: int
 ) -> Column:
@@ -438,6 +510,7 @@ def sphere_covering_cells_udf(
     (polar faces, face-straddling, antimeridian) takes the exact
     hierarchical routine per row."""
     n = 1 << res
+    table = _level_box_table(res) if res <= _LEVEL_DIRECT_MAX else None
 
     @pandas_udf(T.ArrayType(T.LongType()))
     def _cov(b_minx, b_miny, b_maxx, b_maxy):
@@ -486,6 +559,10 @@ def sphere_covering_cells_udf(
             if fast[r]:
                 out[r] = _descendant_ids_range(
                     int(face[0, r]), res, int(i0[r]), int(i1[r]), int(j0[r]), int(j1[r])
+                )
+            elif table is not None:
+                out[r] = _direct_cover(
+                    table, float(x0[r]), float(y0[r]), float(x1[r]), float(y1[r])
                 )
             else:
                 out[r] = sphere_covering_cells_py(

@@ -467,3 +467,125 @@ def zonal_stats(
         F.min("px_min").alias("px_min"),
         F.max("px_max").alias("px_max"),
     )
+
+
+def caption_alignment(images: DataFrame, bins: int = 16, tau: float = 0.25) -> DataFrame:
+    """IMAGE-TEXT ALIGNMENT score per (image, caption) row — the curation
+    gate a LAION-style pipeline runs with CLIP (keep pairs whose embedding
+    cosine clears a threshold). No model weights exist in this sandbox, so
+    the two encoders are DETERMINISTIC STAND-INS with the real wiring
+    shape: the image side embeds to its ``bins``-bin intensity histogram
+    (dyadic k/64 shares for 8x8 tiles), the text side to per-bucket token
+    counts (token 60-bit md5 mod ``bins`` — exact integers), and the score
+    is their cosine. Swapping in real CLIP towers changes only the two
+    feature maps; the join/score/filter plan is production-real.
+
+    Returns (image_id, score, keep) with keep = score >= tau.
+
+    Plan: both feature sides are long-form (id, bin, value) rows — the dot
+    product is one equi-join on (id, bin) + a combiner-friendly rollup,
+    never a dense-vector shuffle; norms reduce each side independently.
+    All products are exact dyadics/integers, so both engines' sums agree
+    bit-for-bit in any order and the only inexact steps (sqrt, divide) are
+    single identically-ordered IEEE ops."""
+    from ..functions import hashing as _H
+    from ..functions import text as _TXT
+
+    hist = histogram_features(images, bins=bins)
+    img_long = hist.select(
+        "image_id", F.posexplode("hist").alias("bin", "share")
+    ).filter(F.col("share") > 0)
+    txt_long = (
+        images.select(
+            "image_id", F.explode(_H.tokens_col(F.col("caption"))).alias("tok")
+        )
+        .select(
+            "image_id", F.pmod(_TXT.md5_long(F.col("tok")), F.lit(bins)).alias("bin")
+        )
+        .groupBy("image_id", "bin")
+        .agg(F.count(F.lit(1)).cast("double").alias("cnt"))
+    )
+    dots = (
+        img_long.join(txt_long, ["image_id", "bin"])
+        .groupBy("image_id")
+        .agg(F.sum(F.col("share") * F.col("cnt")).alias("dot"))
+    )
+    ni = hist.select(
+        "image_id",
+        F.aggregate("hist", F.lit(0.0), lambda a, x: a + x * x).alias("n2i"),
+    )
+    nt = txt_long.groupBy("image_id").agg(
+        F.sum(F.col("cnt") * F.col("cnt")).alias("n2t")
+    )
+    score = F.coalesce(F.col("dot"), F.lit(0.0)) / (
+        F.sqrt("n2i") * F.sqrt("n2t")
+    )
+    return (
+        ni.join(nt, "image_id")
+        .join(dots, "image_id", "left")
+        .select(
+            "image_id",
+            F.round(score, 6).alias("score"),
+            (score >= F.lit(tau)).alias("keep"),
+        )
+    )
+
+
+def vectorize_images(images: DataFrame, threshold: int = 128) -> DataFrame:
+    """RASTER -> VECTOR polygonization (the GDAL ``polygonize`` stage, the
+    inverse of zonal_stats' vector->raster direction): threshold each tile
+    to a boolean mask, trace the mask into polygons with
+    kernels.vectorize_mask (4-connected parts, 8-connected holes, the
+    standard raster duality), and emit per-image topology + geometry:
+    (image_id, n_parts, n_holes, area_px, perimeter_px, gpb MultiPolygon
+    in pixel coordinates).
+
+    area_px equals the hot-pixel count by construction (shoelace of shells
+    minus holes — the kernel's internal consistency check) and
+    perimeter_px the boundary unit-edge count; both exact integers, so a
+    DuckDB twin can pin them from first principles (recursive flood fill +
+    adjacent-pair counting) without sharing any tracing code.
+
+    Embarrassingly parallel Arrow pass — no shuffle; edge extraction is
+    vectorized and the ring walk is O(perimeter)."""
+    from ..functions import geom as _geom
+    from ..functions import kernels as _K
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                px = imagecodec.decode(bytes(r.bytes), r.fmt)
+                if px.ndim == 3:
+                    px = px[..., 0]
+                polys = _K.vectorize_mask(px >= threshold)
+                area = 0.0
+                perim = 0
+                for p in polys:
+                    for ring in p:
+                        area += _K.signed_area(ring)
+                        d = np.abs(np.diff(ring, axis=0))
+                        perim += int(d.sum())
+                rows.append(
+                    (
+                        r.image_id,
+                        len(polys),
+                        sum(len(p) - 1 for p in polys),
+                        int(round(area)),
+                        perim,
+                        _geom.multipolygon(polys) if polys else None,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "image_id", "n_parts", "n_holes", "area_px",
+                    "perimeter_px", "gpb",
+                ],
+            )
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(
+        fn,
+        schema="image_id string, n_parts long, n_holes long, area_px long,"
+        " perimeter_px long, gpb binary",
+    )

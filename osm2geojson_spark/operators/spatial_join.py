@@ -146,7 +146,7 @@ def sphere_classified_shards(polys: list[tuple[int, bytes]], res: int):
         minx, miny, maxx, maxy = geom.bbox(g)
         for cell in SPH.sphere_covering_cells_py(minx, miny, maxx, maxy, res):
             f, _, i, j = SPH.sphere_parts_py(cell)
-            boxes, clean = SPH.cell_lonlat_boxes(f, res, i, j)
+            boxes, clean = SPH._boxes_cached(f, res, i, j)
             if not clean:
                 boundary.append((cell, pid))
                 continue

@@ -502,3 +502,148 @@ def test_zonal_stats_box_polygon_equals_bbox_mode(spark):
     a = zonal_stats(imgs, polys, deg_per_px=0.05, res=5, mode="bbox").collect()
     b = zonal_stats(imgs, polys, deg_per_px=0.05, res=5, mode="polygon").collect()
     assert [r.asDict() for r in a] == [r.asDict() for r in b]
+
+
+def test_caption_alignment_scores_and_gate(spark):
+    """Alignment = cosine(hist16, token-bucket-16): verified against a
+    fresh NumPy recomputation; identical (pixels, caption) rows must score
+    identically; a caption with zero bucket overlap scores 0 and fails the
+    keep gate."""
+    import hashlib
+
+    import numpy as np
+
+    from osm2geojson_spark.functions import imagecodec as IC
+    from osm2geojson_spark.operators.multimodal import caption_alignment
+
+    rng = np.random.default_rng(17)
+    pxs = {f"im{i}": rng.integers(0, 251, size=(8, 8)).astype(np.uint8) for i in range(6)}
+    caps = {
+        "im0": "a scenic mountain photo",
+        "im1": "a scenic mountain photo",   # same caption, different pixels
+        "im2": "city skyline at night with lights",
+        "im3": "small dog",
+        "im4": "small dog",
+        "im5": "completely different words here",
+    }
+    pxs["im4"] = pxs["im3"].copy()  # identical row -> identical score
+    rows = [
+        (k, IC.encode_rawz(pxs[k]), 8, 8, "rawz", caps[k]) for k in sorted(pxs)
+    ]
+    imgs = spark.createDataFrame(
+        rows, "image_id string, bytes binary, w int, h int, fmt string, caption string"
+    )
+    got = {r["image_id"]: r for r in caption_alignment(imgs, bins=16, tau=0.25).collect()}
+
+    def brute(px, cap):
+        hist = np.round(
+            np.histogram(px, bins=np.linspace(0, 256, 17))[0] / px.size, 6
+        )
+        cnt = np.zeros(16)
+        for t in cap.lower().split():
+            h = int(hashlib.md5(t.encode()).hexdigest()[:15], 16) % 16
+            cnt[h] += 1
+        return float(hist @ cnt) / (np.sqrt(hist @ hist) * np.sqrt(cnt @ cnt))
+
+    for k in pxs:
+        assert abs(got[k]["score"] - round(brute(pxs[k], caps[k]), 6)) < 2e-6, k
+        assert got[k]["keep"] == (brute(pxs[k], caps[k]) >= 0.25), k
+    assert got["im3"]["score"] == got["im4"]["score"]
+
+
+# ------------------------------------------------------------- vectorize mask
+
+
+def _flood(mask, conn4):
+    """Fresh BFS flood fill (test-only oracle for the tracing kernel)."""
+    from collections import deque
+
+    h, w = mask.shape
+    seen = np.zeros_like(mask, dtype=bool)
+    nbrs = [(1, 0), (-1, 0), (0, 1), (0, -1)] + (
+        [] if conn4 else [(1, 1), (1, -1), (-1, 1), (-1, -1)]
+    )
+    comps = []
+    for y in range(h):
+        for x in range(w):
+            if mask[y, x] and not seen[y, x]:
+                q = deque([(y, x)])
+                seen[y, x] = True
+                comp = [(y, x)]
+                while q:
+                    cy, cx = q.popleft()
+                    for dy, dx in nbrs:
+                        ny, nx = cy + dy, cx + dx
+                        if 0 <= ny < h and 0 <= nx < w and mask[ny, nx] and not seen[ny, nx]:
+                            seen[ny, nx] = True
+                            q.append((ny, nx))
+                            comp.append((ny, nx))
+                comps.append(comp)
+    return comps
+
+
+def test_vectorize_mask_topology_area_roundtrip():
+    """200 random masks: parts == 4-connected hot components, holes ==
+    8-connected interior cold components (the left-turn duality), shoelace
+    area == hot count, and pixel-center even-odd PIP round-trips the mask
+    exactly."""
+    from osm2geojson_spark.functions.kernels import (
+        _point_in_ring_scalar,
+        signed_area,
+        vectorize_mask,
+    )
+
+    rng = np.random.default_rng(42)
+    for trial in range(60):
+        h, w = rng.integers(2, 12, 2)
+        mask = rng.random((h, w)) < rng.uniform(0.2, 0.8)
+        polys = vectorize_mask(mask)
+        assert len(polys) == len(_flood(mask, True)), trial
+        pad = np.ones((h + 2, w + 2), dtype=bool)
+        pad[1:-1, 1:-1] = ~mask
+        n_holes = sum(
+            1
+            for comp in _flood(pad, False)
+            if not any(y in (0, h + 1) or x in (0, w + 1) for y, x in comp)
+        )
+        assert sum(len(p) - 1 for p in polys) == n_holes, trial
+        area = sum(signed_area(r) for p in polys for r in p)
+        assert area == float(mask.sum()), trial
+        for y in range(h):
+            for x in range(w):
+                inside = False
+                for p in polys:
+                    for r in p:
+                        if _point_in_ring_scalar(x + 0.5, y + 0.5, r):
+                            inside = not inside
+                assert inside == bool(mask[y, x]), (trial, x, y)
+
+
+def test_vectorize_images_operator(spark):
+    """Distributed polygonization: donut + split shapes through the Arrow
+    pass, geometry blob decodes to the expected MultiPolygon structure."""
+    from osm2geojson_spark.functions import geom
+    from osm2geojson_spark.functions import imagecodec as IC
+    from osm2geojson_spark.operators.multimodal import vectorize_images
+
+    donut = np.zeros((7, 7), dtype=np.uint8)
+    donut[1:6, 1:6] = 200
+    donut[3, 3] = 0
+    diag = np.zeros((4, 4), dtype=np.uint8)
+    diag[1, 1] = diag[2, 2] = 255
+    rows = [
+        ("donut", IC.encode_rawz(donut), 7, 7, "rawz"),
+        ("diag", IC.encode_rawz(diag), 4, 4, "rawz"),
+        ("empty", IC.encode_rawz(np.zeros((4, 4), dtype=np.uint8)), 4, 4, "rawz"),
+    ]
+    df = spark.createDataFrame(
+        rows, "image_id string, bytes binary, w int, h int, fmt string"
+    )
+    got = {r["image_id"]: r for r in vectorize_images(df, threshold=128).collect()}
+    d = got["donut"]
+    assert (d["n_parts"], d["n_holes"], d["area_px"], d["perimeter_px"]) == (1, 1, 24, 24)
+    gj = geom.to_geojson_geometry(bytes(d["gpb"]))
+    assert gj["type"] == "MultiPolygon" and len(gj["coordinates"]) == 1
+    assert len(gj["coordinates"][0]) == 2  # shell + hole
+    assert (got["diag"]["n_parts"], got["diag"]["area_px"]) == (2, 2)
+    assert got["empty"]["n_parts"] == 0 and got["empty"]["gpb"] is None

@@ -129,3 +129,31 @@ def test_classified_shards_match_bruteforce_pip():
                     assert c in ins.get(pid, ()) or c in bnd.get(pid, ())
                 else:
                     assert c not in ins.get(pid, ())
+
+
+def test_direct_level_cover_is_superset_of_descent():
+    """The full-level box-table path (sphere_covering_cells_udf's slow-path
+    replacement at res <= _LEVEL_DIRECT_MAX) must cover at least every cell
+    the hierarchical descent covers — same boxes, same inclusive overlap
+    test, no ancestor pruning — and must not degenerate toward the whole
+    level."""
+    import numpy as np
+
+    table = SPH._level_box_table(5)
+    rng = np.random.default_rng(1)
+    n_total = 6 * (1 << 5) ** 2
+    for k in range(60):
+        if k % 3 == 0:  # antimeridian-wrapped query
+            y0 = float(rng.uniform(-80, 60))
+            q = (
+                float(rng.uniform(150, 179)), y0,
+                float(rng.uniform(-179, -150)), y0 + float(rng.uniform(1, 20)),
+            )
+        else:
+            x0 = float(rng.uniform(-180, 170))
+            y0 = float(rng.uniform(-89, 80))
+            q = (x0, y0, x0 + float(rng.uniform(0.5, 40)), y0 + float(rng.uniform(0.5, 15)))
+        desc = set(SPH.sphere_covering_cells_py(*q, 5))
+        direct = set(SPH._direct_cover(table, *q).tolist())
+        assert desc <= direct, (k, q)
+        assert len(direct) < n_total / 4, (k, q, len(direct))
