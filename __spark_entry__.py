@@ -1839,11 +1839,14 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     # lang referenced by the gate CASE and the rollup key would otherwise
     # re-inline ~12 splits/regexes per reference (the 6x slowdown the
     # round-3 bench spread exposed)
-    t = F.col("text")
-    staged = docs.select(
-        "doc_id",
-        TXT.ws_token_count(t).alias("_ntok"),
-        TXT.stopword_hits_from_padded(TXT.padded_norm_col(t)).alias("_stop"),
+    staged = (
+        docs.select("doc_id", F.col("text").alias("_t"))
+        .withColumn("_padded", TXT.padded_norm_col(F.col("_t")))
+        .select(
+            "doc_id",
+            TXT.ws_token_count(F.col("_t")).alias("_ntok"),
+            TXT.stopword_hits_from_padded(F.col("_padded")).alias("_stop"),
+        )
     )
     stop, ntok = F.col("_stop").cast("double"), F.col("_ntok").cast("double")
     lang = F.when(

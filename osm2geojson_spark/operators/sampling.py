@@ -61,28 +61,40 @@ def stratified_sample(
     ``rates`` maps stratum value → rate in [0, 1]; unlisted strata get
     ``default_rate``. One scan, no shuffle, no RNG state.
 
-    ``barrier=True`` ANDs an always-true non-deterministic guard into the
-    gate so PushDownPredicate cannot substitute the strata column's
-    defining expression below the filter.  Set it when the stratum is an
-    EXPENSIVE derived column (e.g. text-derived language): without it the
-    optimizer inlines the full derivation into each CASE branch of the
-    threshold — measured 40x slower on the lang-stratified driver query.
-    Leave it False for stored strata columns, where pushdown to the scan
-    is exactly what you want."""
+    ``barrier=True`` re-projects the stratum through a no-op
+    NON-DETERMINISTIC guard column before filtering.  Set it when the
+    stratum is an EXPENSIVE derived column (e.g. text-derived language):
+    without it PushDownPredicate substitutes the stratum's full defining
+    expression into EVERY reference inside the threshold CASE and pushes
+    the blown-up predicate to the scan — measured 60x slower (4.2 s vs
+    0.07 s at sf0.1) on the lang-stratified driver query.  Leave it False
+    for stored strata columns, where pushdown to the scan is exactly what
+    you want.
+
+    Barrier mechanics (Spark 4.x): guard predicates like
+    ``rand() < -1`` OR-ed into the gate no longer work — the optimizer
+    folds comparisons against rand()'s known [0, 1) range, and Spark 4
+    pushes even non-deterministic FILTERS through deterministic projects.
+    What does hold is that a filter cannot be pushed through a projection
+    whose referenced column is itself non-deterministic, and CollapseProject
+    cannot duplicate a non-deterministic expression.  ``randn() > -1e9``
+    is unfoldable (unbounded range) yet can never be false in float64
+    (Box-Muller magnitudes cap near 40 sigma), so
+    ``when(randn() > -1e9, stratum)`` is a value-preserving projection
+    barrier.  Pinned by tests/test_plans.py
+    ``test_stratified_sample_barrier_keeps_stack_single_pass``."""
     strata = F.col(strata_col) if isinstance(strata_col, str) else strata_col
+    if barrier:
+        df = df.withColumn(
+            "__stratum_nb", F.when(F.randn(0) > F.lit(-1e9), strata)
+        )
+        strata = F.col("__stratum_nb")
     thr: Column = F.lit(_threshold(default_rate))
     for value, rate in sorted(rates.items()):
         thr = F.when(strata == F.lit(value), F.lit(_threshold(rate))).otherwise(thr)
     gate = sample_hash(F.col(key_col)) < thr
-    if barrier:
-        # OR with an always-FALSE non-deterministic term (rand() < -1):
-        # semantically a no-op, but the disjunction is a single
-        # non-deterministic predicate, so the optimizer can neither split
-        # nor push it below the strata projection. (An AND-ed guard does
-        # NOT work — conjunctions are split and the deterministic conjunct
-        # pushed regardless of position; measured in the round-3 session.)
-        gate = gate | (F.rand(0) < F.lit(-1.0))
-    return df.filter(gate)
+    out = df.filter(gate)
+    return out.drop("__stratum_nb") if barrier else out
 
 
 def stratified_sample_sql(

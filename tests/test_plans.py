@@ -121,3 +121,33 @@ def test_pq_adc_scan_is_jvm_only(spark):
     # the corpus never shuffles before the top-k window
     assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_stratified_sample_barrier_keeps_stack_single_pass(spark):
+    """Spark 4 folds rand()-range guards and pushes non-deterministic
+    FILTERS through deterministic projects, so the only working barrier
+    for an expensive derived stratum is the non-deterministic stratum
+    PROJECTION (sampling.stratified_sample barrier=True). Pin the whole
+    driver query's optimized plan to a single evaluation of the text
+    stack: exactly 2 normalization regexp_replace and at most 11 splits
+    (10 stopwords + 1 tokenizer). Without the barrier the pushed-down
+    predicate inlines ~100 regexp_replace (measured 60x slower)."""
+    df = E.queries()["stratified_sample"](spark, SF_DIR)
+    opt = df._jdf.queryExecution().optimizedPlan().toString().lower()
+    assert opt.count("regexp_replace") == 2, opt.count("regexp_replace")
+    assert opt.count("split(") <= 11
+
+
+def test_stratified_sample_barrier_is_value_preserving(spark):
+    from pyspark.sql import functions as F
+
+    from osm2geojson_spark.operators import sampling as SMP
+
+    df = spark.range(500).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 3 == 0, "en").otherwise("other").alias("lang"),
+    )
+    a = SMP.stratified_sample(df, "lang", {"en": 0.6, "other": 0.15}, "k", barrier=True)
+    b = SMP.stratified_sample(df, "lang", {"en": 0.6, "other": 0.15}, "k", barrier=False)
+    assert sorted(r["k"] for r in a.collect()) == sorted(r["k"] for r in b.collect())
+    assert a.columns == b.columns  # the guard column must not leak
