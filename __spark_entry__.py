@@ -965,6 +965,145 @@ FROM e GROUP BY g
 """
 
 
+def q_morans_i(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global Moran's I spatial autocorrelation of customer-point counts
+    over the occupied-cell rook lattice at res 4
+    (operators/spatial_stats.morans_i). The scaled-integer formulation
+    (c_i = n*x_i - S) makes num/den/W/n exact int64 on both engines in
+    any summation order; the scalar I is two identically-ordered float
+    ops. Neighbor weights are pure cell-id arithmetic — rook adjacency
+    with antimeridian x-wrap — so the oracle replays the whole statistic
+    in integer SQL."""
+    from osm2geojson_spark.operators.spatial_stats import morans_i
+
+    pts = _t(spark, sf_dir, "customer").select(
+        _lon("c_custkey").alias("lon"), _lat("c_custkey").alias("lat")
+    )
+    from osm2geojson_spark.operators import cells as CEL
+
+    hist = pts.groupBy(
+        CEL.cell_id(F.col("lon"), F.col("lat"), 4).alias("cell_id")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    return morans_i(hist, res=4)
+
+
+def _morans_i_sql() -> str:
+    from osm2geojson_spark.operators import cells as CEL
+
+    cell = CEL.cell_id_sql(SYN.lon_sql("c_custkey"), SYN.lat_sql("c_custkey"), 4)
+    xs, rs = 1 << 29, 1 << 58
+    return f"""
+WITH hist AS (
+  SELECT {cell} AS cell_id, count(*) AS x FROM customer GROUP BY 1
+), tot AS (SELECT count(*) AS n, sum(x) AS s FROM hist),
+h AS (
+  SELECT cell_id, tot.n * x - tot.s AS c, tot.n AS n,
+         (cell_id % {rs}) // {xs} AS cx, cell_id % {xs} AS cy
+  FROM hist, tot
+), pr AS (
+  SELECT a.c AS ca, b.c AS cb, a.n
+  FROM h a JOIN h b
+    ON b.cell_id = 4 * {rs}::BIGINT + ((a.cx + 1) % 16) * {xs} + a.cy
+  UNION ALL
+  SELECT a.c, b.c, a.n
+  FROM h a JOIN h b
+    ON b.cell_id = 4 * {rs}::BIGINT + a.cx * {xs} + (a.cy + 1)
+), edge AS (
+  SELECT any_value(n) AS n, 2 * count(*) AS w_sum, 2 * sum(ca * cb) AS num FROM pr
+), dn AS (SELECT sum(c * c) AS den FROM h)
+SELECT CAST(edge.n AS BIGINT) AS n_cells, CAST(w_sum AS BIGINT) AS w_sum,
+       CAST(num AS BIGINT) AS num, CAST(dn.den AS BIGINT) AS den,
+       round((CAST(edge.n AS DOUBLE) * CAST(num AS DOUBLE))
+             / (CAST(w_sum AS DOUBLE) * CAST(dn.den AS DOUBLE)), 6) AS moran
+FROM edge, dn
+"""
+
+
+def q_areal_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Areal interpolation (operators/spatial_stats.areal_interpolate):
+    re-aggregate a per-nation value onto a different 60-degree zone
+    lattice by intersection-area weights — the GIS change-of-support
+    estimator. Per-pair output keeps the oracle exact: integer-coordinate
+    boxes make every shoelace/intersection area an exact float, and
+    weight/contribution are single division/multiplication chains in the
+    same order on both engines (no cross-row float sums)."""
+    from osm2geojson_spark.operators.spatial_stats import areal_interpolate
+
+    src = polygons_to_df(
+        spark, [(p, g) for p, g, *_ in _nation_boxes(spark, sf_dir)]
+    )
+    dst_rows = []
+    for r in _t(spark, sf_dir, "part").filter(F.col("p_partkey") < 18).collect():
+        k = r["p_partkey"]
+        x0, y0 = -180.0 + (k % 6) * 60.0, -90.0 + (k // 6) * 60.0
+        ring = [[x0, y0], [x0 + 60, y0], [x0 + 60, y0 + 60], [x0, y0 + 60], [x0, y0]]
+        dst_rows.append((k, GEO.polygon([ring])))
+    dst = polygons_to_df(spark, dst_rows)
+    values = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("src_id"),
+        (F.col("n_nationkey") * 7 + 3).cast("double").alias("value"),
+    )
+    return areal_interpolate(src, dst, values, res=3)
+
+
+_AREAL_SQL = """
+WITH src AS (
+  SELECT CAST(n_nationkey AS BIGINT) AS s,
+         CAST(n_nationkey * 7 + 3 AS DOUBLE) AS v,
+         CAST(-180 + (n_nationkey % 5) * 72.0 AS DOUBLE) AS sx0,
+         CAST(-90 + (n_nationkey // 5) * 36.0 AS DOUBLE) AS sy0,
+         CAST(-180 + (n_nationkey % 5) * 72.0 + 36 AS DOUBLE) AS sx1,
+         CAST(-90 + (n_nationkey // 5) * 36.0 + 18 AS DOUBLE) AS sy1
+  FROM nation
+), dst AS (
+  SELECT CAST(p_partkey AS BIGINT) AS d,
+         CAST(-180 + (p_partkey % 6) * 60.0 AS DOUBLE) AS dx0,
+         CAST(-90 + (p_partkey // 6) * 60.0 AS DOUBLE) AS dy0,
+         CAST(-180 + (p_partkey % 6) * 60.0 + 60 AS DOUBLE) AS dx1,
+         CAST(-90 + (p_partkey // 6) * 60.0 + 60 AS DOUBLE) AS dy1
+  FROM part WHERE p_partkey < 18
+), pr AS (
+  SELECT d, s, v,
+    greatest(0, least(sx1, dx1) - greatest(sx0, dx0))
+      * greatest(0, least(sy1, dy1) - greatest(sy0, dy0)) AS inter,
+    (sx1 - sx0) * (sy1 - sy0) AS sarea
+  FROM src JOIN dst
+    ON sx0 <= dx1 AND sx1 >= dx0 AND sy0 <= dy1 AND sy1 >= dy0
+)
+SELECT d AS dst_id, s AS src_id, inter AS inter_area, sarea AS src_area,
+       inter / sarea AS weight, v * (inter / sarea) AS contribution
+FROM pr WHERE inter > 0
+"""
+
+
+def q_geohash_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geohash write-clustering keys (cells.geohash_key — the standard
+    public base-32 scheme, pure column arithmetic): per customer point
+    the precision-6 geohash plus its precision-3 prefix (the shard key an
+    Elasticsearch/Redis-style store would cluster on). The oracle replays
+    the identical quantization and bit arithmetic digit for digit;
+    correctness against the textbook interval-halving encoder is pinned
+    separately in tests/test_layout.py."""
+    from osm2geojson_spark.operators.cells import geohash_key
+
+    pts = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey"), _lon("c_custkey").alias("lon"), _lat("c_custkey").alias("lat")
+    )
+    gh = geohash_key(F.col("lon"), F.col("lat"), 6)
+    return pts.select(
+        "c_custkey", gh.alias("gh6"), F.substring(gh, 1, 3).alias("gh3")
+    )
+
+
+def _geohash_layout_sql() -> str:
+    from osm2geojson_spark.operators.cells import geohash_key_sql
+
+    gh = geohash_key_sql(SYN.lon_sql("c_custkey"), SYN.lat_sql("c_custkey"), 6)
+    return f"""
+SELECT c_custkey, {gh} AS gh6, substr({gh}, 1, 3) AS gh3 FROM customer
+"""
+
+
 _LOC_NF, _LOC_NS = 150, 24  # features x axis-aligned segments
 
 
@@ -3396,6 +3535,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "convex_hull": q_convex_hull,
         "hausdorff": q_hausdorff,
         "line_interpolate": q_line_interpolate,
+        "morans_i": q_morans_i,
+        "areal_interpolate": q_areal_interpolate,
+        "geohash_layout": q_geohash_layout,
         "spatial_rollup": q_spatial_rollup,
         "skew_salted_join": q_skew_salted_join,
         "knn": q_knn,
@@ -3478,6 +3620,9 @@ def oracle_sql() -> dict[str, str]:
         "convex_hull": _CONVEX_HULL_SQL,
         "hausdorff": _HAUSDORFF_SQL,
         "line_interpolate": _LINE_INTERPOLATE_SQL,
+        "morans_i": _morans_i_sql(),
+        "areal_interpolate": _AREAL_SQL,
+        "geohash_layout": _geohash_layout_sql(),
         "spatial_rollup": _SPATIAL_ROLLUP_SQL,
         "skew_salted_join": _SKEW_JOIN_SQL,
         "knn": _KNN_SQL,

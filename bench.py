@@ -59,6 +59,9 @@ BENCH_QUERIES = [
     "zonal_stats",
     "vectorize_tiles",
     "hilbert_layout",
+    "geohash_layout",
+    "morans_i",
+    "areal_interpolate",
     "cell_histogram",
     "sphere_cell_histogram",
     "dedup_exact",

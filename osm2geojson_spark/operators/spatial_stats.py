@@ -1,0 +1,205 @@
+"""Spatial statistics over the flat cell grid.
+
+The reference (aspectumapp/osm2geojson) stops at geometry conversion; its
+users run spatial statistics downstream with PySAL/esda. This module
+implements the canonical global statistic — Moran's I spatial
+autocorrelation — Spark-first: the lattice is the engine's own cell index
+(operators/cells.py), neighbor relations are integer id arithmetic
+(reconstruct (x, y), re-pack (x±1, y)), so the weight join is a pure
+column-math equi-join with no geometry in the shuffle.
+
+Exact-integer formulation (what makes the DuckDB oracle hash-exact): with
+n occupied cells, S = sum of values and c_i = n*value_i - S (all int64),
+
+    I = (n / W) * sum_edges(w_ij (x_i - xbar)(x_j - xbar)) / sum((x_i - xbar)^2)
+      = (n * num) / (W * den)   where num = sum_edges c_i c_j, den = sum c_i^2
+
+num/den/W/n are exact integers in ANY summation order on both engines;
+only the final scalar I touches floats (two casts, one multiply each, one
+divide — identically ordered IEEE ops).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from . import cells
+
+
+def morans_i(
+    cell_counts: DataFrame,
+    res: int,
+    cell_col: str = "cell_id",
+    value_col: str = "cnt",
+) -> DataFrame:
+    """Global Moran's I of an integer value over the OCCUPIED-cell rook
+    lattice (binary weights between grid-adjacent occupied cells; x wraps
+    the antimeridian like k_ring, y is clamped at the poles).
+
+    Returns ONE row: (n_cells, w_sum, num, den, moran) — the integer
+    sufficient statistics plus the scalar. Occupied-cell semantics
+    (absent cells are not zero-valued lattice sites) is the standard
+    esda.Moran treatment of a sparse frame and keeps the operator a pure
+    self-join: at planetary scale the hist is already cell-partitioned
+    and the two directed-neighbor equi-joins shuffle only (cell, value)
+    pairs — no geometry, no densification of empty space.
+
+    Plan: one groupBy-free pass over ``cell_counts`` (assumed already one
+    row per cell), a 1-row global aggregate broadcast back (n, S), two
+    neighbor equi-joins (+x with wraparound, +y), each edge counted once
+    and doubled for symmetry."""
+    n_grid = 1 << res
+    hist = cell_counts.select(
+        F.col(cell_col).alias("cell_id"), F.col(value_col).cast("long").alias("x")
+    )
+    totals = hist.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("x").alias("s")
+    )
+    h = hist.crossJoin(F.broadcast(totals)).select(
+        "cell_id", (F.col("n") * F.col("x") - F.col("s")).alias("c"), "n", "s"
+    )
+    cx, cy = cells.cell_xy(F.col("cell_id"))
+    right_id = cells.pack_cell(res, (cx + 1) % F.lit(n_grid), cy)
+    up_id = cells.pack_cell(res, cx, cy + 1)  # y+1 beyond pole has no cell
+    a = h.select("cell_id", F.col("c").alias("ca"), "n",
+                 right_id.alias("r_id"), up_id.alias("u_id"))
+    b = h.select(F.col("cell_id").alias("nb_id"), F.col("c").alias("cb"))
+    pairs = (
+        a.join(b, a["r_id"] == b["nb_id"]).select("ca", "cb", "n")
+        .unionByName(a.join(b, a["u_id"] == b["nb_id"]).select("ca", "cb", "n"))
+    )
+    edge = pairs.agg(
+        F.first("n").alias("n"),
+        (F.count(F.lit(1)) * 2).alias("w_sum"),
+        (F.sum(F.col("ca") * F.col("cb")) * 2).alias("num"),
+    )
+    den = h.agg(F.sum(F.col("c") * F.col("c")).alias("den"))
+    return (
+        edge.crossJoin(F.broadcast(den))
+        .select(
+            F.col("n").cast("long").alias("n_cells"),
+            F.col("w_sum").cast("long").alias("w_sum"),
+            F.col("num").cast("long").alias("num"),
+            F.col("den").cast("long").alias("den"),
+            # constant fields (den = 0) have undefined I -> NULL, not error
+            F.when(
+                F.col("den") != 0,
+                F.round(
+                    (F.col("n").cast("double") * F.col("num").cast("double"))
+                    / (F.col("w_sum").cast("double") * F.col("den").cast("double")),
+                    6,
+                ),
+            ).alias("moran"),
+        )
+    )
+
+
+def areal_interpolate(
+    src_polys: DataFrame,
+    dst_polys: DataFrame,
+    values: DataFrame,
+    res: int = 4,
+    src_id: str = "src_id",
+    dst_id: str = "dst_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """AREAL INTERPOLATION — re-aggregate a value from one zone system to
+    another by intersection-area weights (the standard GIS change-of-
+    support estimator): contribution(A -> B) = value_A * area(A∩B)/area(A).
+
+    ``src_polys``/``dst_polys`` are polygons_to_df frames keyed by
+    ``poly_id``; ``values`` maps src poly_id -> value. Returns PER-PAIR
+    rows (dst_id, src_id, inter_area, src_area, weight, contribution)
+    with inter_area > 0 — the caller sums contributions per dst zone.
+    Per-pair output is what keeps the oracle exact: every float column is
+    produced by a fixed per-row op chain (shoelace areas exact for
+    integer/dyadic coordinates, one division, one multiplication), never
+    an order-dependent cross-row float sum.
+
+    Plan: both zone systems explode to bbox covering cells at ``res``
+    (shard_polygons), candidate pairs come from the cell equi-join + bbox
+    intersect filter (dedup by pair), and ONE Arrow batch per partition
+    runs the polygon-intersection kernel (kernels.overlay_two) on the
+    candidate pairs. Zones are dimension-sized relative to the data they
+    summarize, so the smaller side broadcasts."""
+    from ..functions import kernels as K
+    from . import cells as _cells
+    from .geometry import _gpb_to_polys
+    from .spatial_join import shard_polygons
+
+    import pandas as pd
+
+    s = shard_polygons(src_polys, res).select(
+        "cell_id", F.col("poly_id").alias(src_id), F.col("gpb").alias("_sg")
+    )
+    sb = src_polys.select(
+        F.col("poly_id").alias(src_id),
+        F.col("minx").alias("_sx0"), F.col("miny").alias("_sy0"),
+        F.col("maxx").alias("_sx1"), F.col("maxy").alias("_sy1"),
+    )
+    d = shard_polygons(dst_polys, res).select(
+        "cell_id", F.col("poly_id").alias(dst_id), F.col("gpb").alias("_dg")
+    )
+    db = dst_polys.select(
+        F.col("poly_id").alias(dst_id),
+        F.col("minx").alias("_dx0"), F.col("miny").alias("_dy0"),
+        F.col("maxx").alias("_dx1"), F.col("maxy").alias("_dy1"),
+    )
+    cand = (
+        s.join(F.broadcast(d), "cell_id")
+        .select(src_id, dst_id, "_sg", "_dg")
+        .dropDuplicates([src_id, dst_id])
+        .join(F.broadcast(sb), src_id)
+        .join(F.broadcast(db), dst_id)
+        .filter(
+            (F.col("_sx0") <= F.col("_dx1")) & (F.col("_sx1") >= F.col("_dx0"))
+            & (F.col("_sy0") <= F.col("_dy1")) & (F.col("_sy1") >= F.col("_dy0"))
+        )
+        .select(src_id, dst_id, "_sg", "_dg")
+    )
+
+    def fn(it):
+        for pdf in it:
+            rows = []
+            # zip over columns — itertuples mangles underscore-led names
+            for sid, did, sg, dg in zip(
+                pdf[src_id], pdf[dst_id], pdf["_sg"], pdf["_dg"]
+            ):
+                a = _gpb_to_polys(bytes(sg))
+                b = _gpb_to_polys(bytes(dg))
+                inter = K.overlay_two(a, b, "intersection")
+                ia = 0.0
+                for rings in inter:
+                    ia += abs(K.signed_area(K.close_ring(rings[0])))
+                    for hole in rings[1:]:
+                        ia -= abs(K.signed_area(K.close_ring(hole)))
+                sa = 0.0
+                for rings in a:
+                    sa += abs(K.signed_area(K.close_ring(rings[0])))
+                    for hole in rings[1:]:
+                        sa -= abs(K.signed_area(K.close_ring(hole)))
+                if ia > 0.0:
+                    rows.append((sid, did, ia, sa))
+            yield pd.DataFrame(
+                rows, columns=[src_id, dst_id, "inter_area", "src_area"]
+            )
+
+    stype = src_polys.schema["poly_id"].dataType.simpleString()
+    dtype = dst_polys.schema["poly_id"].dataType.simpleString()
+    pairs = cand.mapInPandas(
+        fn,
+        schema=f"{src_id} {stype}, {dst_id} {dtype}, inter_area double, src_area double",
+    )
+    w = F.col("inter_area") / F.col("src_area")
+    return (
+        pairs.join(F.broadcast(values), src_id)
+        .select(
+            dst_id,
+            src_id,
+            "inter_area",
+            "src_area",
+            w.alias("weight"),
+            (F.col(value_col) * w).alias("contribution"),
+        )
+    )

@@ -1,0 +1,135 @@
+"""Moran's I — validated against a fresh dense NumPy implementation of the
+standard formula (esda-style), plus sign sanity on planted patterns."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from osm2geojson_spark.operators import cells
+from osm2geojson_spark.operators.spatial_stats import morans_i
+
+
+def _brute_moran(cells_xy: dict[tuple[int, int], int], n_grid: int) -> float:
+    """Textbook I = (n/W) * sum w_ij (xi-m)(xj-m) / sum (xi-m)^2 over the
+    occupied-cell rook lattice with x wraparound."""
+    keys = sorted(cells_xy)
+    vals = np.array([cells_xy[k] for k in keys], dtype=float)
+    m = vals.mean()
+    idx = {k: i for i, k in enumerate(keys)}
+    num = 0.0
+    W = 0
+    for (x, y), i in idx.items():
+        for nx, ny in (((x + 1) % n_grid, y), ((x - 1) % n_grid, y), (x, y + 1), (x, y - 1)):
+            j = idx.get((nx, ny))
+            if j is not None:
+                W += 1
+                num += (vals[i] - m) * (vals[j] - m)
+    den = ((vals - m) ** 2).sum()
+    return len(vals) / W * num / den
+
+
+def _run(spark, cells_xy, res):
+    rows = [
+        (cells.pack_cell_py(res, x, y), int(v)) for (x, y), v in cells_xy.items()
+    ]
+    df = spark.createDataFrame(rows, "cell_id long, cnt long")
+    return morans_i(df, res=res).collect()[0]
+
+
+def test_morans_i_matches_textbook_formula(spark):
+    rng = np.random.default_rng(23)
+    for trial in range(4):
+        cells_xy = {}
+        for _ in range(60):
+            x, y = int(rng.integers(0, 8)), int(rng.integers(0, 8))
+            cells_xy[(x, y)] = int(rng.integers(1, 40))
+        got = _run(spark, cells_xy, res=3)
+        want = _brute_moran(cells_xy, 8)
+        assert abs(got["moran"] - round(want, 6)) < 2e-6, trial
+        assert got["n_cells"] == len(cells_xy)
+
+
+def test_morans_i_sign_on_planted_patterns(spark):
+    # checkerboard on a full 8x8 block -> strong NEGATIVE autocorrelation
+    checker = {(x, y): 1 + 9 * ((x + y) % 2) for x in range(8) for y in range(8)}
+    assert _run(spark, checker, res=3)["moran"] < -0.9
+    # smooth gradient -> strong POSITIVE autocorrelation
+    grad = {(x, y): 1 + 3 * x + 3 * y for x in range(8) for y in range(8)}
+    assert _run(spark, grad, res=3)["moran"] > 0.5
+
+
+def test_morans_i_antimeridian_wrap(spark):
+    # two cells adjacent ONLY through the x wraparound
+    res, n = 3, 8
+    wrapped = {(0, 4): 10, (n - 1, 4): 30}
+    r = _run(spark, wrapped, res=res)
+    assert r["w_sum"] == 2  # one undirected wrap edge, counted both ways
+    assert r["moran"] == -1.0  # two-site field is perfectly anti-correlated
+    # a constant field has undefined I -> NULL, never a divide error
+    const = {(0, 4): 10, (n - 1, 4): 10}
+    assert _run(spark, const, res=res)["moran"] is None
+
+
+# ---------------------------------------------------------- areal interpolate
+
+
+def test_areal_interpolate_mass_conservation(spark):
+    """When the destination lattice fully covers every source zone, each
+    source's weights sum to 1 and total mass is conserved."""
+    from osm2geojson_spark.functions import geom
+    from osm2geojson_spark.operators.spatial_join import polygons_to_df
+    from osm2geojson_spark.operators.spatial_stats import areal_interpolate
+
+    def box(x0, y0, w, h):
+        return geom.polygon(
+            [[[x0, y0], [x0 + w, y0], [x0 + w, y0 + h], [x0, y0 + h], [x0, y0]]]
+        )
+
+    src = polygons_to_df(
+        spark, [(i, box(-40 + i * 13, -20 + (i % 3) * 9, 13, 9)) for i in range(5)]
+    )
+    dst = polygons_to_df(
+        spark,
+        [(j, box(-60 + (j % 8) * 20, -40 + (j // 8) * 20, 20, 20)) for j in range(24)],
+    )
+    values = spark.createDataFrame(
+        [(i, float(10 + i)) for i in range(5)], "src_id long, value double"
+    )
+    rows = areal_interpolate(src, dst, values, res=3).collect()
+    per_src = {}
+    for r in rows:
+        per_src[r["src_id"]] = per_src.get(r["src_id"], 0.0) + r["weight"]
+    for i in range(5):
+        assert abs(per_src[i] - 1.0) < 1e-9, (i, per_src)
+    total = sum(r["contribution"] for r in rows)
+    assert abs(total - sum(10 + i for i in range(5))) < 1e-9
+
+
+def test_areal_interpolate_triangle_source(spark):
+    """Non-rectangular source: a right triangle split by a vertical zone
+    boundary — intersection areas must match the closed-form split."""
+    from osm2geojson_spark.functions import geom
+    from osm2geojson_spark.operators.spatial_join import polygons_to_df
+    from osm2geojson_spark.operators.spatial_stats import areal_interpolate
+
+    tri = geom.polygon([[[0, 0], [8, 0], [0, 8], [0, 0]]])  # area 32
+    src = polygons_to_df(spark, [(1, tri)])
+    dst = polygons_to_df(
+        spark,
+        [
+            (0, geom.polygon([[[-10, -10], [4, -10], [4, 20], [-10, 20], [-10, -10]]])),
+            (1, geom.polygon([[[4, -10], [30, -10], [30, 20], [4, 20], [4, -10]]])),
+        ],
+    )
+    values = spark.createDataFrame([(1, 64.0)], "src_id long, value double")
+    got = {
+        r["dst_id"]: r for r in areal_interpolate(src, dst, values, res=3).collect()
+    }
+    # left piece: trapezoid x in [0,4]: area = 32 - right piece; right: x in
+    # [4,8] under y = 8 - x -> triangle with legs 4 -> area 8
+    assert abs(got[1]["inter_area"] - 8.0) < 1e-12
+    assert abs(got[0]["inter_area"] - 24.0) < 1e-12
+    assert abs(got[0]["contribution"] - 64.0 * 24.0 / 32.0) < 1e-9
+    assert abs(got[1]["contribution"] - 64.0 * 8.0 / 32.0) < 1e-9
