@@ -1019,6 +1019,62 @@ FROM edge, dn
 """
 
 
+def q_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Getis-Ord Gi* hot-spot detection over the customer point-density
+    grid (spatial_stats.getis_ord_gi_star): per occupied cell the
+    queen-neighborhood z-score. The scaled-integer core (n*T - S*W and
+    both radicands) is exact int64 on both engines; the z-score is two
+    sqrts + multiply + divide in a fixed order, replayed verbatim in
+    SQL."""
+    from osm2geojson_spark.operators import cells as CEL
+    from osm2geojson_spark.operators.spatial_stats import getis_ord_gi_star
+
+    pts = _t(spark, sf_dir, "customer").select(
+        _lon("c_custkey").alias("lon"), _lat("c_custkey").alias("lat")
+    )
+    hist = pts.groupBy(
+        CEL.cell_id(F.col("lon"), F.col("lat"), 4).alias("cell_id")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    return getis_ord_gi_star(hist, res=4)
+
+
+def _hotspots_sql() -> str:
+    from osm2geojson_spark.operators import cells as CEL
+
+    cell = CEL.cell_id_sql(SYN.lon_sql("c_custkey"), SYN.lat_sql("c_custkey"), 4)
+    xs, rs = 1 << 29, 1 << 58
+    offs = ", ".join(f"({dx}, {dy})" for dx in (-1, 0, 1) for dy in (-1, 0, 1))
+    return f"""
+WITH hist AS (
+  SELECT {cell} AS cell_id, count(*) AS x FROM customer GROUP BY 1
+), tot AS (
+  SELECT count(*) AS n, sum(x) AS s, sum(x * x) AS q FROM hist
+), h AS (
+  SELECT cell_id, x, (cell_id % {rs}) // {xs} AS cx, cell_id % {xs} AS cy FROM hist
+), probes AS (
+  SELECT h.cell_id,
+         4 * {rs}::BIGINT + ((h.cx + o.dx + 16) % 16) * {xs} + (h.cy + o.dy) AS nb_id
+  FROM h, (VALUES {offs}) o(dx, dy)
+), agg AS (
+  SELECT p.cell_id, count(*) AS w_i, sum(nb.x) AS t_i
+  FROM probes p JOIN h nb ON nb.cell_id = p.nb_id
+  GROUP BY p.cell_id
+)
+SELECT h.cell_id, h.x, CAST(agg.w_i AS BIGINT) AS w_i,
+       CAST(tot.n * agg.t_i - tot.s * agg.w_i AS BIGINT) AS num,
+       CAST(tot.n * tot.q - tot.s * tot.s AS BIGINT) AS rad_a,
+       CAST(tot.n * agg.w_i - agg.w_i * agg.w_i AS BIGINT) AS rad_b,
+       CASE WHEN tot.n * tot.q - tot.s * tot.s != 0
+             AND tot.n * agg.w_i - agg.w_i * agg.w_i != 0 THEN
+         round(CAST(tot.n * agg.t_i - tot.s * agg.w_i AS DOUBLE)
+               / (sqrt(CAST(tot.n * tot.q - tot.s * tot.s AS DOUBLE))
+                  * sqrt(CAST(tot.n * agg.w_i - agg.w_i * agg.w_i AS DOUBLE)
+                         / CAST(tot.n - 1 AS DOUBLE))), 6)
+       END AS gi_star
+FROM h JOIN agg ON agg.cell_id = h.cell_id, tot
+"""
+
+
 def q_areal_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Areal interpolation (operators/spatial_stats.areal_interpolate):
     re-aggregate a per-nation value onto a different 60-degree zone
@@ -3536,6 +3592,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hausdorff": q_hausdorff,
         "line_interpolate": q_line_interpolate,
         "morans_i": q_morans_i,
+        "hotspots": q_hotspots,
         "areal_interpolate": q_areal_interpolate,
         "geohash_layout": q_geohash_layout,
         "spatial_rollup": q_spatial_rollup,
@@ -3621,6 +3678,7 @@ def oracle_sql() -> dict[str, str]:
         "hausdorff": _HAUSDORFF_SQL,
         "line_interpolate": _LINE_INTERPOLATE_SQL,
         "morans_i": _morans_i_sql(),
+        "hotspots": _hotspots_sql(),
         "areal_interpolate": _AREAL_SQL,
         "geohash_layout": _geohash_layout_sql(),
         "spatial_rollup": _SPATIAL_ROLLUP_SQL,

@@ -61,6 +61,7 @@ BENCH_QUERIES = [
     "hilbert_layout",
     "geohash_layout",
     "morans_i",
+    "hotspots",
     "areal_interpolate",
     "cell_histogram",
     "sphere_cell_histogram",

@@ -203,3 +203,84 @@ def areal_interpolate(
             (F.col(value_col) * w).alias("contribution"),
         )
     )
+
+
+def getis_ord_gi_star(
+    cell_counts: DataFrame,
+    res: int,
+    cell_col: str = "cell_id",
+    value_col: str = "cnt",
+) -> DataFrame:
+    """GETIS-ORD Gi* hot-spot statistic per occupied cell: the z-score of
+    the queen-neighborhood (8 neighbors + self) value sum against the
+    global mean — the standard local complement to global Moran's I
+    (hot-spot detection over point/image-density grids).
+
+    Exact-integer core (the oracle contract): with n occupied cells,
+    S = sum x, Q = sum x^2, W_i = |neighborhood ∩ occupied| and
+    T_i = sum of x over that neighborhood,
+
+        z_i = (n*T_i - S*W_i) / (sqrt(n*Q - S^2) * sqrt((n*W_i - W_i^2)/(n-1)))
+
+    — numerator and every radicand argument are exact int64 in any
+    summation order; the z takes two sqrts, one multiply, one divide in a
+    fixed order replayed verbatim in SQL.
+
+    Plan: each occupied cell explodes its 9 neighborhood ids (pure id
+    arithmetic, antimeridian x-wrap), ONE equi-join against the hist and
+    one combiner rollup — no geometry, no dense lattice."""
+    n_grid = 1 << res
+    hist = cell_counts.select(
+        F.col(cell_col).alias("cell_id"), F.col(value_col).cast("long").alias("x")
+    )
+    totals = hist.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("s"),
+        F.sum(F.col("x") * F.col("x")).alias("q"),
+    )
+    cx, cy = cells.cell_xy(F.col("cell_id"))
+    nbrs = []
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            nbrs.append(
+                cells.pack_cell(res, (cx + dx + n_grid) % F.lit(n_grid), cy + F.lit(dy))
+            )
+    probes = hist.select(
+        "cell_id", F.explode(F.array(*nbrs)).alias("nb_id")
+    )
+    joined = probes.join(
+        hist.select(F.col("cell_id").alias("nb_id"), F.col("x").alias("nx")), "nb_id"
+    )
+    agg = joined.groupBy("cell_id").agg(
+        F.count(F.lit(1)).alias("w_i"), F.sum("nx").alias("t_i")
+    )
+    out = (
+        hist.join(agg, "cell_id")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "cell_id",
+            "x",
+            F.col("w_i").cast("long").alias("w_i"),
+            (F.col("n") * F.col("t_i") - F.col("s") * F.col("w_i")).alias("num"),
+            (F.col("n") * F.col("q") - F.col("s") * F.col("s")).alias("rad_a"),
+            (F.col("n") * F.col("w_i") - F.col("w_i") * F.col("w_i")).alias("rad_b"),
+            F.col("n"),
+        )
+    )
+    z = F.col("num").cast("double") / (
+        F.sqrt(F.col("rad_a").cast("double"))
+        * F.sqrt(
+            F.col("rad_b").cast("double") / (F.col("n") - F.lit(1)).cast("double")
+        )
+    )
+    return out.select(
+        "cell_id",
+        "x",
+        "w_i",
+        F.col("num").cast("long").alias("num"),
+        F.col("rad_a").cast("long").alias("rad_a"),
+        F.col("rad_b").cast("long").alias("rad_b"),
+        F.when((F.col("rad_a") != 0) & (F.col("rad_b") != 0), F.round(z, 6)).alias(
+            "gi_star"
+        ),
+    )

@@ -133,3 +133,61 @@ def test_areal_interpolate_triangle_source(spark):
     assert abs(got[0]["inter_area"] - 24.0) < 1e-12
     assert abs(got[0]["contribution"] - 64.0 * 24.0 / 32.0) < 1e-9
     assert abs(got[1]["contribution"] - 64.0 * 8.0 / 32.0) < 1e-9
+
+
+# ------------------------------------------------------------------ Gi* hotspot
+
+
+def test_gi_star_matches_textbook_formula(spark):
+    """Fresh dense implementation of the standard Gi* z-score (queen
+    weights incl. self over occupied cells, x wraparound) as the oracle."""
+    from osm2geojson_spark.operators.spatial_stats import getis_ord_gi_star
+
+    rng = np.random.default_rng(31)
+    cells_xy = {}
+    for _ in range(50):
+        x, y = int(rng.integers(0, 8)), int(rng.integers(0, 8))
+        cells_xy[(x, y)] = int(rng.integers(1, 30))
+    n_grid = 8
+    keys = sorted(cells_xy)
+    vals = np.array([cells_xy[k] for k in keys], dtype=float)
+    n = len(vals)
+    xbar, s2 = vals.mean(), vals.var(ddof=0)
+    s = np.sqrt(s2)
+    want = {}
+    for (x, y) in keys:
+        nb = [
+            cells_xy.get((((x + dx) % n_grid), y + dy))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+        nb = [v for v in nb if v is not None]
+        W, T = len(nb), sum(nb)
+        z = (T - xbar * W) / (s * np.sqrt((n * W - W * W) / (n - 1)))
+        want[(x, y)] = round(float(z), 6)
+
+    rows = [(cells.pack_cell_py(3, x, y), v) for (x, y), v in cells_xy.items()]
+    df = spark.createDataFrame(rows, "cell_id long, cnt long")
+    got = {r["cell_id"]: r["gi_star"] for r in getis_ord_gi_star(df, res=3).collect()}
+    for (x, y), z in want.items():
+        cid = cells.pack_cell_py(3, x, y)
+        assert abs(got[cid] - z) < 2e-6, (x, y, got[cid], z)
+
+
+def test_gi_star_flags_planted_hotspot(spark):
+    """A single high-value cluster inside a flat field must receive the
+    largest positive z-scores at the cluster center."""
+    from osm2geojson_spark.operators.spatial_stats import getis_ord_gi_star
+
+    field = {(x, y): 2 for x in range(8) for y in range(8)}
+    for x in (3, 4):
+        for y in (3, 4):
+            field[(x, y)] = 50
+    rows = [(cells.pack_cell_py(3, x, y), v) for (x, y), v in field.items()]
+    df = spark.createDataFrame(rows, "cell_id long, cnt long")
+    got = {r["cell_id"]: r["gi_star"] for r in getis_ord_gi_star(df, res=3).collect()}
+    center = max(got, key=lambda c: got[c])
+    cx = (center % (1 << 58)) >> 29
+    cy = center % (1 << 29)
+    assert (cx, cy) in {(3, 3), (3, 4), (4, 3), (4, 4)}
+    assert got[center] > 3.0
