@@ -1075,6 +1075,44 @@ FROM h JOIN agg ON agg.cell_id = h.cell_id, tot
 """
 
 
+def q_subdivide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_Subdivide (geometry.subdivide_polygons): nation boxes clipped to
+    their res-3 covering cells — one piece per non-empty (polygon, cell)
+    intersection, the join-balance tool that bounds per-row vertex count
+    and area. Dyadic cell edges (45 x 22.5 deg) and integer box corners
+    make every piece area exact; the oracle enumerates the same grid with
+    closed-form box algebra."""
+    from osm2geojson_spark.operators.geometry import subdivide_polygons
+
+    src = polygons_to_df(
+        spark, [(p, g) for p, g, *_ in _nation_boxes(spark, sf_dir)]
+    )
+    return subdivide_polygons(src, res=3).select("poly_id", "cell_id", "piece_area")
+
+
+_SUBDIVIDE_SQL = f"""
+WITH src AS (
+  SELECT CAST(n_nationkey AS BIGINT) AS poly_id,
+         CAST(-180 + (n_nationkey % 5) * 72.0 AS DOUBLE) AS sx0,
+         CAST(-90 + (n_nationkey // 5) * 36.0 AS DOUBLE) AS sy0,
+         CAST(-180 + (n_nationkey % 5) * 72.0 + 36 AS DOUBLE) AS sx1,
+         CAST(-90 + (n_nationkey // 5) * 36.0 + 18 AS DOUBLE) AS sy1
+  FROM nation
+), grid AS (
+  SELECT cx, cy,
+         CAST(-180.0 + cx * 45.0 AS DOUBLE) AS bx0,
+         CAST(-90.0 + cy * 22.5 AS DOUBLE) AS by0
+  FROM (SELECT unnest(range(0, 8)) AS cx), (SELECT unnest(range(0, 8)) AS cy)
+), pieces AS (
+  SELECT poly_id, 3 * {1 << 58}::BIGINT + cx * {1 << 29} + cy AS cell_id,
+         greatest(0, least(sx1, bx0 + 45.0) - greatest(sx0, bx0))
+           * greatest(0, least(sy1, by0 + 22.5) - greatest(sy0, by0)) AS piece_area
+  FROM src, grid
+)
+SELECT poly_id, cell_id, piece_area FROM pieces WHERE piece_area > 0
+"""
+
+
 def q_areal_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Areal interpolation (operators/spatial_stats.areal_interpolate):
     re-aggregate a per-nation value onto a different 60-degree zone
@@ -2898,6 +2936,73 @@ FROM ni JOIN nt ON nt.i = ni.i LEFT JOIN dots d ON d.i = ni.i
 """
 
 
+def q_zonal_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-zone pixel MEDIAN (multimodal.zonal_median): uint8 pixels
+    reduce to <= 256-row value-count histograms per zone inside the Arrow
+    batch, and the median is a cumulative walk over the histogram — never
+    a sort of raw pixels. Same fixture chain as zonal_stats; the oracle
+    recomputes the k = ceil(n/2)-th smallest pixel in SQL from the same
+    per-pixel CTE. All integers, hash-exact."""
+    from osm2geojson_spark.operators.multimodal import zonal_median
+
+    part = _t(spark, sf_dir, "part").filter(F.col("p_partkey") < 400)
+    lon, lat = _lon("p_partkey"), _lat("p_partkey")
+    w = (F.lit(8) * (F.lit(1) + F.col("p_partkey") % 3)).cast("int")
+    imgs = part.select(
+        F.format_string("img%012d", F.col("p_partkey")).alias("image_id"),
+        F.col("p_partkey").alias("_i"),
+        w.alias("w"),
+        w.alias("h"),
+        F.when(F.col("p_partkey") % 7 == 0, F.lit("png"))
+        .otherwise(F.lit("rawz"))
+        .alias("fmt"),
+        SYN.phash_encode(lon, lat).alias("phash"),
+    ).withColumn(
+        "bytes",
+        SYN._encode_image_fmt_udf(F.col("_i"), F.col("w"), F.col("h"), F.col("fmt")),
+    )
+    polys = polygons_to_df(spark, [(p, g) for p, g, *_ in _nation_boxes(spark, sf_dir)])
+    return zonal_median(imgs, polys, deg_per_px=0.05, res=4)
+
+
+_ZONAL_MEDIAN_SQL = f"""
+WITH img AS (
+  SELECT p_partkey AS i, printf('img%012d', p_partkey) AS image_id,
+         CAST(8 * (1 + p_partkey % 3) AS BIGINT) AS w,
+         {SYN.phash_encode_sql(SYN.lon_sql('p_partkey'), SYN.lat_sql('p_partkey'))} AS phash
+  FROM part WHERE p_partkey < 400
+), fp AS (
+  SELECT i, image_id, w,
+    {SYN.phash_lon_sql('phash')} - w * 0.025 AS fx0,
+    {SYN.phash_lat_sql('phash')} - w * 0.025 AS fy0,
+    {SYN.phash_lon_sql('phash')} + w * 0.025 AS fx1,
+    {SYN.phash_lat_sql('phash')} + w * 0.025 AS fy1
+  FROM img
+), boxes AS ({_NATION_BOX_SQL}
+), pairs AS (
+  SELECT f.*, b.poly_id, b.x0, b.y0, b.x1, b.y1
+  FROM fp f JOIN boxes b
+    ON f.fx0 <= b.x1 AND f.fx1 >= b.x0 AND f.fy0 <= b.y1 AND f.fy1 >= b.y0
+), px AS (
+  SELECT poly_id, ((c % w) * 3 + (c // w) * 7 + i * 13) % 251 AS v
+  FROM pairs, unnest(range(w * w)) t(c)
+  WHERE fx0 + ((c % w) + 0.5) * 0.05 >= x0
+    AND fx0 + ((c % w) + 0.5) * 0.05 <= x1
+    AND fy0 + ((c // w) + 0.5) * 0.05 >= y0
+    AND fy0 + ((c // w) + 0.5) * 0.05 <= y1
+), ranked AS (
+  SELECT poly_id, v,
+         row_number() OVER (PARTITION BY poly_id ORDER BY v) AS rn,
+         count(*) OVER (PARTITION BY poly_id) AS n
+  FROM px
+)
+SELECT poly_id, CAST(any_value(n) AS BIGINT) AS px_cnt,
+       CAST(min(v) AS BIGINT) AS median_val
+FROM ranked WHERE rn = (n + n % 2) // 2
+GROUP BY poly_id
+"""
+
+
 def q_crossmodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CROSS-MODAL duplicate clustering — the multimodal curation step
     neither single-modality pass can do alone: edges are the union of
@@ -3594,6 +3699,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "morans_i": q_morans_i,
         "hotspots": q_hotspots,
         "areal_interpolate": q_areal_interpolate,
+        "subdivide": q_subdivide,
         "geohash_layout": q_geohash_layout,
         "spatial_rollup": q_spatial_rollup,
         "skew_salted_join": q_skew_salted_join,
@@ -3626,6 +3732,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "caption_alignment": q_caption_alignment,
         "vectorize_tiles": q_vectorize_tiles,
         "zonal_stats": q_zonal_stats,
+        "zonal_median": q_zonal_median,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_cosine_lsh": q_ann_cosine_lsh,
         "ann_cosine_ivf": q_ann_cosine_ivf,
@@ -3680,6 +3787,7 @@ def oracle_sql() -> dict[str, str]:
         "morans_i": _morans_i_sql(),
         "hotspots": _hotspots_sql(),
         "areal_interpolate": _AREAL_SQL,
+        "subdivide": _SUBDIVIDE_SQL,
         "geohash_layout": _geohash_layout_sql(),
         "spatial_rollup": _SPATIAL_ROLLUP_SQL,
         "skew_salted_join": _SKEW_JOIN_SQL,
@@ -3712,6 +3820,7 @@ def oracle_sql() -> dict[str, str]:
         "caption_alignment": _caption_alignment_sql(),
         "vectorize_tiles": _VECTORIZE_SQL,
         "zonal_stats": _ZONAL_STATS_SQL,
+        "zonal_median": _ZONAL_MEDIAN_SQL,
         "ann_cosine_topk": _ANN_SQL,
         "ann_cosine_lsh": _ann_lsh_sql(),
         "ann_cosine_ivf": _ann_ivf_sql(),

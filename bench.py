@@ -57,6 +57,8 @@ BENCH_QUERIES = [
     "convex_hull",
     "hausdorff",
     "zonal_stats",
+    "zonal_median",
+    "subdivide",
     "vectorize_tiles",
     "hilbert_layout",
     "geohash_layout",

@@ -341,3 +341,82 @@ def hausdorff_distance(
             yield pdf
 
     return df.mapInPandas(fn, schema=f"{fields}, hausdorff_sq double")
+
+
+def subdivide_polygons(
+    polys_df: DataFrame, res: int, id_col: str = "poly_id", gpb_col: str = "gpb"
+) -> DataFrame:
+    """ST_Subdivide, grid-aligned: clip every polygon to its covering
+    cells at ``res``, emitting one piece per non-empty (polygon, cell)
+    intersection — (poly_id, cell_id, gpb piece, piece_area).
+
+    This is the standard complement to salting for spatial-join balance:
+    pieces bound both vertex count and area per row, the piece set
+    PARTITIONS the polygon (so a point's cell probes exactly one piece —
+    containment needs no post-join dedup), and a country-sized polygon
+    stops being a single broadcast row. Pieces area-sum to the original
+    (pinned by tests), so area rollups are piece-local.
+
+    One Arrow pass: covering cells are integer math, each piece is one
+    kernels.overlay_two intersection against the cell box."""
+    import pandas as pd
+
+    from ..functions import geom as _geom
+    from ..functions import kernels as K
+    from . import cells as _cells
+
+    n = 1 << res
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for pid, buf in zip(pdf[id_col], pdf[gpb_col]):
+                polys = _gpb_to_polys(bytes(buf))
+                if not polys:
+                    continue
+                minx = min(float(r[:, 0].min()) for p in polys for r in p[:1])
+                miny = min(float(r[:, 1].min()) for p in polys for r in p[:1])
+                maxx = max(float(r[:, 0].max()) for p in polys for r in p[:1])
+                maxy = max(float(r[:, 1].max()) for p in polys for r in p[:1])
+                x0 = max(0, int((minx + 180.0) / 360.0 * n))
+                x1 = min(n - 1, int((maxx + 180.0) / 360.0 * n))
+                y0 = max(0, int((miny + 90.0) / 180.0 * n))
+                y1 = min(n - 1, int((maxy + 90.0) / 180.0 * n))
+                for cx in range(x0, x1 + 1):
+                    for cy in range(y0, y1 + 1):
+                        bx0 = -180.0 + cx * (360.0 / n)
+                        by0 = -90.0 + cy * (180.0 / n)
+                        box = np.array(
+                            [
+                                [bx0, by0],
+                                [bx0 + 360.0 / n, by0],
+                                [bx0 + 360.0 / n, by0 + 180.0 / n],
+                                [bx0, by0 + 180.0 / n],
+                                [bx0, by0],
+                            ]
+                        )
+                        inter = K.overlay_two(polys, [[box]], "intersection")
+                        if not inter:
+                            continue
+                        area = 0.0
+                        for rings in inter:
+                            area += abs(K.signed_area(K.close_ring(rings[0])))
+                            for hole in rings[1:]:
+                                area -= abs(K.signed_area(K.close_ring(hole)))
+                        if area > 0.0:
+                            rows.append(
+                                (
+                                    pid,
+                                    _cells.pack_cell_py(res, cx, cy),
+                                    _geom.multipolygon(inter),
+                                    area,
+                                )
+                            )
+            yield pd.DataFrame(
+                rows, columns=[id_col, "cell_id", "gpb", "piece_area"]
+            )
+
+    ptype = polys_df.schema[id_col].dataType.simpleString()
+    return polys_df.select(id_col, gpb_col).mapInPandas(
+        fn, schema=f"{id_col} {ptype}, cell_id long, gpb binary, piece_area double"
+    )

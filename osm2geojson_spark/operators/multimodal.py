@@ -29,6 +29,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..functions import imagecodec
 
@@ -588,4 +589,78 @@ def vectorize_images(images: DataFrame, threshold: int = 128) -> DataFrame:
         fn,
         schema="image_id string, n_parts long, n_holes long, area_px long,"
         " perimeter_px long, gpb binary",
+    )
+
+
+def zonal_value_counts(
+    images: DataFrame,
+    polys_df: DataFrame,
+    deg_per_px: float = 1e-4,
+    res: int = 6,
+) -> DataFrame:
+    """Per-zone HISTOGRAM of pixel values: (poly_id, val, cnt) for every
+    distinct uint8 value among pixels whose centers fall in the zone's
+    bbox — the exact-percentile building block (uint8 pixels have <= 256
+    distinct values, so per-zone medians/quantiles reduce to an integer
+    histogram walk instead of a sort of the raw pixels; the histogram is
+    the only thing that shuffles).
+
+    Same pairing plan as zonal_stats (covering-cell raster join, broadcast
+    zones, pixels reduced inside the Arrow batch); each (tile, zone) pair
+    emits its non-zero bincount rows and one combiner-friendly rollup sums
+    them per zone."""
+    from .spatial_join import raster_vector_join, tile_footprints
+
+    fp = tile_footprints(images, deg_per_px)
+    pairs = raster_vector_join(fp, polys_df, res=res)
+    tiles = pairs.join(
+        fp.select("image_id", "bytes", "fmt", "fminx", "fminy"), "image_id"
+    )
+    zones = polys_df.select("poly_id", "minx", "miny", "maxx", "maxy")
+    work = tiles.join(F.broadcast(zones), "poly_id")
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                px = imagecodec.decode(bytes(r.bytes), r.fmt)
+                if px.ndim == 3:
+                    px = px[..., 0]
+                h_, w_ = px.shape
+                cx = r.fminx + (np.arange(w_, dtype=np.float64) + 0.5) * deg_per_px
+                cy = r.fminy + (np.arange(h_, dtype=np.float64) + 0.5) * deg_per_px
+                mx = (cx >= r.minx) & (cx <= r.maxx)
+                my = (cy >= r.miny) & (cy <= r.maxy)
+                sub = px[np.ix_(my, mx)].ravel()
+                if sub.size:
+                    bc = np.bincount(sub, minlength=256)
+                    for val in np.nonzero(bc)[0]:
+                        rows.append((int(r.poly_id), int(val), int(bc[val])))
+            yield pd.DataFrame(rows, columns=["poly_id", "val", "cnt"])
+
+    part = work.mapInPandas(fn, schema="poly_id long, val long, cnt long")
+    return part.groupBy("poly_id", "val").agg(F.sum("cnt").alias("cnt"))
+
+
+def zonal_median(
+    images: DataFrame, polys_df: DataFrame, deg_per_px: float = 1e-4, res: int = 6
+) -> DataFrame:
+    """(poly_id, px_cnt, median_val) — exact LOWER median per zone (the
+    ceil(n/2)-th smallest pixel value), computed as a cumulative walk over
+    the zonal value-count histogram: one window over <= 256 rows per zone,
+    never a sort of raw pixels."""
+    hist = zonal_value_counts(images, polys_df, deg_per_px, res)
+    w = Window.partitionBy("poly_id").orderBy("val")
+    tot = Window.partitionBy("poly_id")
+    ranked = hist.select(
+        "poly_id",
+        "val",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(tot).alias("n"),
+    )
+    return (
+        ranked.filter(F.col("cum") * 2 >= F.col("n") + (F.col("n") % 2))
+        .groupBy("poly_id")
+        .agg(F.first("n").alias("px_cnt"), F.min("val").alias("median_val"))
+        .select("poly_id", "px_cnt", "median_val")
     )

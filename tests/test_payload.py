@@ -647,3 +647,46 @@ def test_vectorize_images_operator(spark):
     assert len(gj["coordinates"][0]) == 2  # shell + hole
     assert (got["diag"]["n_parts"], got["diag"]["area_px"]) == (2, 2)
     assert got["empty"]["n_parts"] == 0 and got["empty"]["gpb"] is None
+
+
+def test_zonal_median_matches_numpy(spark):
+    """Histogram-walk median == np.sort lower median over the zone's pixels."""
+    from osm2geojson_spark.functions import geom
+    from osm2geojson_spark.functions import imagecodec as IC
+    from osm2geojson_spark.operators.multimodal import zonal_median
+    from osm2geojson_spark.operators.spatial_join import polygons_to_df
+    from osm2geojson_spark.sources.synthetic import phash_encode, phash_lat, phash_lon
+
+    rng = np.random.default_rng(19)
+    dpp = 0.05
+    rows = []
+    for i in range(9):
+        w = int(8 * (1 + i % 2))
+        px = rng.integers(0, 251, size=(w, w)).astype(np.uint8)
+        rows.append((f"img{i}", IC.encode_rawz(px), w, w, "rawz",
+                     float(-1.0 + (i % 3)), float(-0.8 + (i // 3) * 0.8), px))
+    imgs = spark.createDataFrame(
+        [(a, b, c, d, e, f, g) for a, b, c, d, e, f, g, _ in rows],
+        "image_id string, bytes binary, w int, h int, fmt string, lon double, lat double",
+    ).withColumn("phash", phash_encode(F.col("lon"), F.col("lat")))
+    box = [[-1.6, -1.1], [1.9, -1.1], [1.9, 1.2], [-1.6, 1.2], [-1.6, -1.1]]
+    polys = polygons_to_df(spark, [(3, geom.polygon([box]))])
+    got = zonal_median(imgs, polys, deg_per_px=dpp, res=5).collect()[0]
+    centers = {
+        r["image_id"]: (r["plon"], r["plat"])
+        for r in imgs.select("image_id", phash_lon(F.col("phash")).alias("plon"),
+                             phash_lat(F.col("phash")).alias("plat")).collect()
+    }
+    vals = []
+    for iid, _, w, _, _, _, _, px in rows:
+        lon0 = centers[iid][0] - w * (dpp / 2.0)
+        lat0 = centers[iid][1] - w * (dpp / 2.0)
+        for y in range(w):
+            for x in range(w):
+                cxx, cyy = lon0 + (x + 0.5) * dpp, lat0 + (y + 0.5) * dpp
+                if box[0][0] <= cxx <= box[1][0] and box[0][1] <= cyy <= box[2][1]:
+                    vals.append(int(px[y, x]))
+    vals.sort()
+    k = (len(vals) + len(vals) % 2) // 2
+    assert got["px_cnt"] == len(vals)
+    assert got["median_val"] == vals[k - 1]

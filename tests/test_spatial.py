@@ -1022,3 +1022,55 @@ def test_hausdorff_identical_is_zero_and_symmetric(spark):
     got = {r["pair_id"]: r["hausdorff_sq"] for r in hausdorff_distance(df).collect()}
     assert got[0] == 0.0
     assert got[1] == got[2] > 0
+
+
+# ---------------------------------------------------------------- subdivide
+
+
+def test_subdivide_partitions_polygon(spark):
+    """Pieces area-sum to the original polygon, every piece stays inside
+    its cell box, and point containment via the piece probed by the
+    point's OWN cell equals containment in the original polygon — the
+    dedup-free PIP contract."""
+    from osm2geojson_spark.operators.geometry import subdivide_polygons
+    from osm2geojson_spark.operators.spatial_join import polygons_to_df
+
+    tri = geom.polygon([[[-50, -30], [70, -10], [0, 60], [-50, -30]]])
+    hole = geom.polygon(
+        [
+            [[-20, -20], [40, -20], [40, 40], [-20, 40], [-20, -20]],
+            [[0, 0], [20, 0], [20, 20], [0, 20], [0, 0]],
+        ]
+    )
+    df = polygons_to_df(spark, [(1, tri), (2, hole)])
+    pieces = subdivide_polygons(df, res=3).collect()
+    sums = {}
+    for r in pieces:
+        sums[r["poly_id"]] = sums.get(r["poly_id"], 0.0) + r["piece_area"]
+    assert abs(sums[1] - 4900.0) < 1e-8  # shoelace of the triangle
+    assert abs(sums[2] - (60 * 60 - 20 * 20)) < 1e-9
+    # piece-of-cell containment == original containment on random points
+    from osm2geojson_spark.operators import cells as CEL
+
+    rng = np.random.default_rng(8)
+    piece_map = {}
+    for r in pieces:
+        piece_map.setdefault((r["poly_id"], r["cell_id"]), bytes(r["gpb"]))
+    for _ in range(300):
+        px_, py_ = float(rng.uniform(-60, 80)), float(rng.uniform(-40, 70))
+        cid = CEL.pack_cell_py(
+            3, min(7, max(0, int((px_ + 180) / 45))), min(7, max(0, int((py_ + 90) / 22.5)))
+        )
+        for pid, blob in ((1, tri), (2, hole)):
+            rings = [np.asarray(rr, np.float64) for rr, _ in geom.all_rings(blob)]
+            truth = False
+            for rr in rings:
+                if K.point_in_ring((px_, py_), rr):
+                    truth = not truth
+            piece = piece_map.get((pid, cid))
+            got = False
+            if piece is not None:
+                for rr, _ in geom.all_rings(piece):
+                    if K.point_in_ring((px_, py_), np.asarray(rr, np.float64)):
+                        got = not got
+            assert got == truth, (pid, px_, py_)
