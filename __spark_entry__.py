@@ -3270,6 +3270,47 @@ SELECT lang, rank, doc_id, quality FROM r WHERE rank <= 5
 # relational core / events
 
 
+def q_spatial_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatio-temporal rollup (streaming/ops.windowed_cell_counts, batch
+    form — the streaming(availableNow) == batch equivalence is pinned in
+    tests/test_streaming.py): tumbling-hour point counts per res-5 cell
+    over the events stream, locations derived from user_id by the shared
+    closed-form. Output uses wall-clock fields from the window start so
+    the comparison is timezone-independent."""
+    from osm2geojson_spark.streaming.ops import windowed_cell_counts
+
+    ev = _t(spark, sf_dir, "events").select(
+        "ts",
+        ((F.col("user_id") * 37 % 360) - 180 + 0.5).cast("double").alias("lon"),
+        ((F.col("user_id") * 53 % 170) - 85 + 0.5).cast("double").alias("lat"),
+    )
+    out = windowed_cell_counts(ev, res=5)
+    return out.select(
+        F.year("win_start").alias("y"),
+        F.month("win_start").alias("m"),
+        F.dayofmonth("win_start").alias("d"),
+        F.hour("win_start").alias("h"),
+        "cell_id",
+        "n",
+    )
+
+
+def _spatial_window_sql() -> str:
+    from osm2geojson_spark.operators import cells as CEL
+
+    cell = CEL.cell_id_sql(
+        "CAST((user_id * 37 % 360) - 180 + 0.5 AS DOUBLE)",
+        "CAST((user_id * 53 % 170) - 85 + 0.5 AS DOUBLE)",
+        5,
+    )
+    return f"""
+SELECT CAST(year(ts) AS INTEGER) AS y, CAST(month(ts) AS INTEGER) AS m,
+       CAST(day(ts) AS INTEGER) AS d, CAST(hour(ts) AS INTEGER) AS h,
+       {cell} AS cell_id, count(*) AS n
+FROM events GROUP BY 1, 2, 3, 4, 5
+"""
+
+
 def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-hour aggregation over the events stream table (batch form of
     the streaming windowed agg; wall-clock fields so the result is
@@ -3748,6 +3789,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "domain_cap": q_domain_cap,
         "events_window": q_events_window,
+        "spatial_window": q_spatial_window,
         "sessionize": q_sessionize,
         "user_stats": q_user_stats,
         "asof_join": q_asof_join,
@@ -3836,6 +3878,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": _pack_sequences_sql(),
         "domain_cap": _domain_cap_sql(),
         "events_window": _EVENTS_SQL,
+        "spatial_window": _spatial_window_sql(),
         "sessionize": _SESSIONIZE_SQL,
         "user_stats": _USER_STATS_SQL,
         "asof_join": _ASOF_JOIN_SQL,

@@ -85,6 +85,7 @@ BENCH_QUERIES = [
     "stratified_sample",
     "doc_chunking",
     "events_window",
+    "spatial_window",
     "pricing_summary",
     "top_customers",
 ]

@@ -300,3 +300,36 @@ def run_to_memory(stream_df: DataFrame, name: str, mode: str | None = None) -> D
 def _has_aggregation(df: DataFrame) -> bool:
     plan = df._jdf.queryExecution().logical().toString()
     return "Aggregate" in plan
+
+
+def windowed_cell_counts(
+    events: DataFrame,
+    res: int = 5,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """SPATIO-TEMPORAL rollup: tumbling-window point counts per grid cell
+    — the live heatmap / hot-cell monitor over a location-event stream,
+    fusing the engine's cell index (pure column math, E1) with watermarked
+    event-time windows. Late data within ``watermark`` lands in its
+    correct (window, cell) bucket; identical plan on batch input (the test
+    oracle and the driver query)."""
+    df = events
+    if df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    return (
+        df.groupBy(
+            F.window(ts_col, window).alias("win"),
+            cells.cell_id(F.col(lon_col), F.col(lat_col), res).alias("cell_id"),
+        )
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "cell_id",
+            "n",
+        )
+    )

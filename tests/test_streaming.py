@@ -180,3 +180,26 @@ def test_interval_join_stream_equals_batch(spark, events_dir):
     cols = ["purchase_id", "user_id", "purchase_us", "view_id", "view_us", "view_value"]
     assert _rows(got, cols) == _rows(want, cols)
     assert len(_rows(want, cols)) > 20  # non-degenerate
+
+
+def test_windowed_cell_counts_stream_equals_batch(spark, events_dir):
+    """Spatio-temporal rollup: streaming(availableNow) with watermark ==
+    batch on the same input, including cross-file (late-ish) windows."""
+    import glob
+
+    schema = spark.read.parquet(os.path.join(events_dir, "p1")).schema
+    lonlat = lambda df: df.select(
+        "ts",
+        ((F.col("user_id") * 37 % 360) - 180 + 0.5).cast("double").alias("lon"),
+        ((F.col("user_id") * 53 % 170) - 85 + 0.5).cast("double").alias("lat"),
+    )
+    stream = S.events_file_stream(spark, events_dir + "/*", schema=schema)
+    got = S.run_to_memory(
+        S.windowed_cell_counts(lonlat(stream), res=5), "cell_window_stream"
+    )
+    batch = S.windowed_cell_counts(
+        lonlat(spark.read.parquet(events_dir + "/*")), res=5
+    )
+    cols = ["win_start", "win_end", "cell_id", "n"]
+    assert _rows(got, cols) == _rows(batch, cols)
+    assert len(_rows(batch, cols)) > 10
