@@ -3311,6 +3311,98 @@ FROM events GROUP BY 1, 2, 3, 4, 5
 """
 
 
+def _traj_pings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic movement: each user drifts 3 deg east per day at a
+    fixed latitude — multi-ping same-cell runs with daily cell changes."""
+    return _t(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        (((F.col("user_id") * 37 + F.dayofyear("ts") * 3) % 360) - 180 + 0.5)
+        .cast("double")
+        .alias("lon"),
+        (((F.col("user_id") * 53) % 170) - 85 + 0.5).cast("double").alias("lat"),
+    )
+
+
+_TRAJ_PINGS_CTE = """
+  SELECT user_id, ts,
+         CAST(((user_id * 37 + dayofyear(ts) * 3) % 360) - 180 + 0.5 AS DOUBLE) AS lon,
+         CAST(((user_id * 53) % 170) - 85 + 0.5 AS DOUBLE) AS lat
+  FROM events
+"""
+
+
+def q_stay_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trajectory stay-point detection (operators/trajectory.stay_points):
+    maximal same-cell ping runs per user lasting >= 1 hour — the Li-et-al
+    stay walk re-expressed as the lag-mismatch run-length window so a
+    10^12-ping corpus needs ONE sort per user partition. Every decision is
+    integer/timestamp-exact (cell runs, epoch-second durations), so the
+    oracle replays the identical lag/sum/rollup algebra."""
+    from osm2geojson_spark.operators.trajectory import stay_points
+
+    return stay_points(
+        _traj_pings(spark, sf_dir), res=6, min_duration_s=3600
+    ).select("user_id", "stay_seq", "cell_id", "n_pings", "dur_s")
+
+
+def _stays_sql(select: str) -> str:
+    from osm2geojson_spark.operators import cells as CEL
+
+    cell = CEL.cell_id_sql("lon", "lat", 6)
+    return f"""
+WITH pings AS ({_TRAJ_PINGS_CTE}
+), cells_t AS (
+  SELECT user_id, ts, {cell} AS cell_id FROM pings
+), runs AS (
+  SELECT user_id, ts, cell_id,
+    CASE WHEN lag(cell_id) OVER w IS NULL OR lag(cell_id) OVER w != cell_id
+         THEN 1 ELSE 0 END AS nw
+  FROM cells_t WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), r2 AS (
+  SELECT user_id, ts, cell_id,
+    sum(nw) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS run
+  FROM runs
+), stays AS (
+  SELECT user_id, run, cell_id, CAST(count(*) AS BIGINT) AS n_pings,
+         min(ts) AS t0,
+         CAST(floor(epoch(max(ts))) AS BIGINT)
+           - CAST(floor(epoch(min(ts))) AS BIGINT) AS dur_s
+  FROM r2 GROUP BY 1, 2, 3
+  HAVING CAST(floor(epoch(max(ts))) AS BIGINT)
+           - CAST(floor(epoch(min(ts))) AS BIGINT) >= 3600
+), seq AS (
+  SELECT user_id,
+         CAST(row_number() OVER (PARTITION BY user_id ORDER BY t0) AS INTEGER)
+           AS stay_seq,
+         cell_id, n_pings, dur_s
+  FROM stays
+)
+{select}
+"""
+
+
+def q_od_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Origin-destination matrix (trajectory.od_flows): consecutive stays
+    per user become directed trips, rolled up over all users — one lead()
+    window over the stay sequence plus a combiner rollup."""
+    from osm2geojson_spark.operators.trajectory import od_flows, stay_points
+
+    stays = stay_points(_traj_pings(spark, sf_dir), res=6, min_duration_s=3600)
+    return od_flows(stays)
+
+
+def _od_flows_sql() -> str:
+    return _stays_sql(
+        """SELECT from_cell, to_cell, CAST(count(*) AS BIGINT) AS n_trips
+FROM (
+  SELECT cell_id AS from_cell,
+         lead(cell_id) OVER (PARTITION BY user_id ORDER BY stay_seq) AS to_cell
+  FROM seq
+) WHERE to_cell IS NOT NULL GROUP BY 1, 2"""
+    )
+
+
 def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-hour aggregation over the events stream table (batch form of
     the streaming windowed agg; wall-clock fields so the result is
@@ -3790,6 +3882,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_cap": q_domain_cap,
         "events_window": q_events_window,
         "spatial_window": q_spatial_window,
+        "stay_points": q_stay_points,
+        "od_flows": q_od_flows,
         "sessionize": q_sessionize,
         "user_stats": q_user_stats,
         "asof_join": q_asof_join,
@@ -3879,6 +3973,8 @@ def oracle_sql() -> dict[str, str]:
         "domain_cap": _domain_cap_sql(),
         "events_window": _EVENTS_SQL,
         "spatial_window": _spatial_window_sql(),
+        "stay_points": _stays_sql("SELECT user_id, stay_seq, cell_id, n_pings, dur_s FROM seq"),
+        "od_flows": _od_flows_sql(),
         "sessionize": _SESSIONIZE_SQL,
         "user_stats": _USER_STATS_SQL,
         "asof_join": _ASOF_JOIN_SQL,

@@ -86,6 +86,8 @@ BENCH_QUERIES = [
     "doc_chunking",
     "events_window",
     "spatial_window",
+    "stay_points",
+    "od_flows",
     "pricing_summary",
     "top_customers",
 ]

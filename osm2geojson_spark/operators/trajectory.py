@@ -1,0 +1,99 @@
+"""Trajectory mining over location-event streams — stay points and
+origin-destination flows.
+
+The reference stops at geometry conversion; its users mine movement data
+downstream. These operators are deliberately FULLY window-function shaped
+(no kernels, no state): at 10^12 pings the entire pipeline is one shuffle
+keyed by the moving entity plus ordered windows, which Spark executes as a
+single sort per partition — the textbook sequential stay-point walk
+(Li et al. 2008) re-expressed so Catalyst can run it.
+
+Semantics (grid-based stays): a STAY is a maximal run of consecutive pings
+(per entity, time order) inside one cell at resolution ``res`` whose
+duration reaches ``min_duration_s``. Cell-run semantics make every decision
+integer/timestamp-exact — no haversine thresholds — so the DuckDB oracle
+replays it verbatim with the same lag/lead algebra.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from . import cells
+
+
+def stay_points(
+    pings: DataFrame,
+    res: int = 6,
+    min_duration_s: int = 1800,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """(user, stay_seq, cell_id, n_pings, t_start, t_end, dur_s) — one row
+    per qualifying stay, in visit order per user.
+
+    Plan: cell id (column math) -> run-length encoding via the classic
+    lag-mismatch cumulative sum (ONE ordered window per user) -> per-run
+    rollup -> duration gate -> visit re-sequencing. Two logical windows,
+    one physical sort."""
+    w = Window.partitionBy(user_col).orderBy(ts_col)
+    cid = cells.cell_id(F.col(lon_col), F.col(lat_col), res)
+    runs = (
+        pings.select(F.col(user_col), F.col(ts_col), cid.alias("cell_id"))
+        .withColumn(
+            "_new",
+            F.when(
+                F.lag("cell_id").over(w).isNull()
+                | (F.lag("cell_id").over(w) != F.col("cell_id")),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("_run", F.sum("_new").over(w))
+    )
+    stays = (
+        runs.groupBy(user_col, "_run", "cell_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pings"),
+            F.min(ts_col).alias("t_start"),
+            F.max(ts_col).alias("t_end"),
+        )
+        .withColumn(
+            "dur_s",
+            (F.unix_timestamp("t_end") - F.unix_timestamp("t_start")).cast("long"),
+        )
+        .filter(F.col("dur_s") >= min_duration_s)
+    )
+    seq = Window.partitionBy(user_col).orderBy("t_start")
+    return stays.select(
+        F.col(user_col),
+        F.row_number().over(seq).alias("stay_seq"),
+        "cell_id",
+        F.col("n_pings").cast("long").alias("n_pings"),
+        "t_start",
+        "t_end",
+        "dur_s",
+    )
+
+
+def od_flows(
+    stays: DataFrame,
+    user_col: str = "user_id",
+) -> DataFrame:
+    """(from_cell, to_cell, n_trips) — the origin-destination matrix:
+    consecutive stays per user become directed trips, aggregated over all
+    users. One lead() over the stay sequence + one combiner-friendly
+    rollup; self-loops (consecutive stays in the same cell can occur when
+    a qualifying stay is interrupted by sub-threshold wandering) are kept
+    — they are real revisits."""
+    w = Window.partitionBy(user_col).orderBy("stay_seq")
+    trips = stays.select(
+        F.col("cell_id").alias("from_cell"),
+        F.lead("cell_id").over(w).alias("to_cell"),
+    ).filter(F.col("to_cell").isNotNull())
+    return trips.groupBy("from_cell", "to_cell").agg(
+        F.count(F.lit(1)).alias("n_trips")
+    )
