@@ -3403,6 +3403,34 @@ FROM (
     )
 
 
+def q_mobility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user mobility features over the detected stays
+    (trajectory.mobility_features): visit counts, distinct cells, and
+    radius of gyration in cell units — the scaled-integer gyration
+    numerator is exact int64, and rog is one sqrt + one divide per user
+    (identically ordered in SQL)."""
+    from osm2geojson_spark.operators.trajectory import mobility_features, stay_points
+
+    stays = stay_points(_traj_pings(spark, sf_dir), res=6, min_duration_s=3600)
+    return mobility_features(stays)
+
+
+def _mobility_sql() -> str:
+    xs, rs = 1 << 29, 1 << 58
+    return _stays_sql(
+        f"""SELECT user_id, CAST(count(*) AS BIGINT) AS n_stays,
+       CAST(count(DISTINCT cell_id) AS BIGINT) AS n_cells,
+       CAST(count(*) * sum(x * x) - sum(x) * sum(x)
+            + count(*) * sum(y * y) - sum(y) * sum(y) AS BIGINT) AS gyr_num,
+       round(sqrt(CAST(count(*) * sum(x * x) - sum(x) * sum(x)
+                       + count(*) * sum(y * y) - sum(y) * sum(y) AS DOUBLE))
+             / CAST(count(*) AS DOUBLE), 6) AS rog_cells
+FROM (SELECT user_id, cell_id,
+             (cell_id % {rs}) // {xs} AS x, cell_id % {xs} AS y FROM seq)
+GROUP BY user_id"""
+    )
+
+
 def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-hour aggregation over the events stream table (batch form of
     the streaming windowed agg; wall-clock fields so the result is
@@ -3884,6 +3912,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_window": q_spatial_window,
         "stay_points": q_stay_points,
         "od_flows": q_od_flows,
+        "mobility": q_mobility,
         "sessionize": q_sessionize,
         "user_stats": q_user_stats,
         "asof_join": q_asof_join,
@@ -3975,6 +4004,7 @@ def oracle_sql() -> dict[str, str]:
         "spatial_window": _spatial_window_sql(),
         "stay_points": _stays_sql("SELECT user_id, stay_seq, cell_id, n_pings, dur_s FROM seq"),
         "od_flows": _od_flows_sql(),
+        "mobility": _mobility_sql(),
         "sessionize": _SESSIONIZE_SQL,
         "user_stats": _USER_STATS_SQL,
         "asof_join": _ASOF_JOIN_SQL,

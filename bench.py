@@ -88,6 +88,7 @@ BENCH_QUERIES = [
     "spatial_window",
     "stay_points",
     "od_flows",
+    "mobility",
     "pricing_summary",
     "top_customers",
 ]

@@ -97,3 +97,47 @@ def od_flows(
     return trips.groupBy("from_cell", "to_cell").agg(
         F.count(F.lit(1)).alias("n_trips")
     )
+
+
+def mobility_features(
+    stays: DataFrame,
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Per-entity mobility summary over detected stays — the standard
+    human-mobility features (Gonzalez et al. 2008): visit counts, distinct
+    locations, and the RADIUS OF GYRATION in cell units.
+
+    Exact-integer core: with n stays at cell indices (x_i, y_i) and
+    S_x = sum x, Q_x = sum x^2 (ditto y),
+
+        gyr_num = n*Q_x - S_x^2 + n*Q_y - S_y^2   (exact int64)
+        rog     = sqrt(gyr_num) / n               (cell units)
+
+    so the only float is one sqrt + one divide per user, identically
+    ordered in the SQL twin. One combiner-friendly rollup keyed by the
+    entity — no windows, no geometry."""
+    cx, cy = cells.cell_xy(F.col("cell_id"))
+    base = stays.select(F.col(user_col), cx.alias("x"), cy.alias("y"), "cell_id")
+    agg = base.groupBy(user_col).agg(
+        F.count(F.lit(1)).alias("n_stays"),
+        F.countDistinct("cell_id").alias("n_cells"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("qx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("y") * F.col("y")).alias("qy"),
+    )
+    num = (
+        F.col("n_stays") * F.col("qx")
+        - F.col("sx") * F.col("sx")
+        + F.col("n_stays") * F.col("qy")
+        - F.col("sy") * F.col("sy")
+    )
+    return agg.select(
+        user_col,
+        F.col("n_stays").cast("long").alias("n_stays"),
+        F.col("n_cells").cast("long").alias("n_cells"),
+        num.cast("long").alias("gyr_num"),
+        F.round(
+            F.sqrt(num.cast("double")) / F.col("n_stays").cast("double"), 6
+        ).alias("rog_cells"),
+    )

@@ -52,3 +52,25 @@ def test_od_flows_including_self_loop(spark, pings):
     assert flows[(a, a)] == 1  # interrupted revisit = real self-loop trip
     assert flows[(c, d)] == 1
     assert sum(flows.values()) == 2
+
+
+def test_mobility_features_vs_numpy(spark, pings):
+    import numpy as np
+
+    from osm2geojson_spark.operators.trajectory import mobility_features
+
+    stays = stay_points(pings, res=6, min_duration_s=3600)
+    rows = stays.collect()
+    got = {r["user_id"]: r for r in mobility_features(stays).collect()}
+    by_user = {}
+    for r in rows:
+        x = (r["cell_id"] % (1 << 58)) >> 29
+        y = r["cell_id"] % (1 << 29)
+        by_user.setdefault(r["user_id"], []).append((x, y))
+    for u, pts in by_user.items():
+        a = np.array(pts, dtype=float)
+        rog = float(np.sqrt(((a - a.mean(axis=0)) ** 2).sum(axis=1).mean()))
+        assert got[u]["n_stays"] == len(pts)
+        assert abs(got[u]["rog_cells"] - round(rog, 6)) < 2e-6, u
+    # user 1's two stays are the same cell -> rog 0, n_cells 1
+    assert got[1]["rog_cells"] == 0.0 and got[1]["n_cells"] == 1
