@@ -1113,6 +1113,51 @@ SELECT poly_id, cell_id, piece_area FROM pieces WHERE piece_area > 0
 """
 
 
+def q_focal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Focal (3x3 binomial) smoothing over the customer density grid
+    (spatial_stats.focal_stats — raster map algebra on the cell lattice).
+    Integer weights make wsum/wcnt exact in any order; the oracle replays
+    the probe-explode with a VALUES weight table."""
+    from osm2geojson_spark.operators import cells as CEL
+    from osm2geojson_spark.operators.spatial_stats import focal_stats
+
+    pts = _t(spark, sf_dir, "customer").select(
+        _lon("c_custkey").alias("lon"), _lat("c_custkey").alias("lat")
+    )
+    hist = pts.groupBy(
+        CEL.cell_id(F.col("lon"), F.col("lat"), 4).alias("cell_id")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    return focal_stats(hist, res=4)
+
+
+def _focal_stats_sql() -> str:
+    from osm2geojson_spark.operators import cells as CEL
+
+    cell = CEL.cell_id_sql(SYN.lon_sql("c_custkey"), SYN.lat_sql("c_custkey"), 4)
+    xs, rs = 1 << 29, 1 << 58
+    offs = ", ".join(
+        f"({dx}, {dy}, {(2 - abs(dx)) * (2 - abs(dy))})"
+        for dx in (-1, 0, 1)
+        for dy in (-1, 0, 1)
+    )
+    return f"""
+WITH hist AS (
+  SELECT {cell} AS cell_id, count(*) AS x FROM customer GROUP BY 1
+), h AS (
+  SELECT cell_id, x, (cell_id % {rs}) // {xs} AS cx, cell_id % {xs} AS cy FROM hist
+), probes AS (
+  SELECT h.cell_id, h.x, o.w,
+         4 * {rs}::BIGINT + ((h.cx + o.dx + 16) % 16) * {xs} + (h.cy + o.dy) AS nb_id
+  FROM h, (VALUES {offs}) o(dx, dy, w)
+)
+SELECT p.cell_id, CAST(any_value(p.x) AS BIGINT) AS x,
+       CAST(sum(p.w * nb.x) AS BIGINT) AS wsum,
+       CAST(sum(p.w) AS BIGINT) AS wcnt
+FROM probes p JOIN h nb ON nb.cell_id = p.nb_id
+GROUP BY p.cell_id
+"""
+
+
 def q_areal_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Areal interpolation (operators/spatial_stats.areal_interpolate):
     re-aggregate a per-nation value onto a different 60-degree zone
@@ -3859,6 +3904,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_interpolate": q_line_interpolate,
         "morans_i": q_morans_i,
         "hotspots": q_hotspots,
+        "focal_stats": q_focal_stats,
         "areal_interpolate": q_areal_interpolate,
         "subdivide": q_subdivide,
         "geohash_layout": q_geohash_layout,
@@ -3951,6 +3997,7 @@ def oracle_sql() -> dict[str, str]:
         "line_interpolate": _LINE_INTERPOLATE_SQL,
         "morans_i": _morans_i_sql(),
         "hotspots": _hotspots_sql(),
+        "focal_stats": _focal_stats_sql(),
         "areal_interpolate": _AREAL_SQL,
         "subdivide": _SUBDIVIDE_SQL,
         "geohash_layout": _geohash_layout_sql(),

@@ -64,6 +64,7 @@ BENCH_QUERIES = [
     "geohash_layout",
     "morans_i",
     "hotspots",
+    "focal_stats",
     "areal_interpolate",
     "cell_histogram",
     "sphere_cell_histogram",

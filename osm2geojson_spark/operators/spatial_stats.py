@@ -284,3 +284,60 @@ def getis_ord_gi_star(
             "gi_star"
         ),
     )
+
+
+def focal_stats(
+    cell_counts: DataFrame,
+    res: int,
+    cell_col: str = "cell_id",
+    value_col: str = "cnt",
+) -> DataFrame:
+    """FOCAL (neighborhood) statistics over the cell lattice — the raster
+    map-algebra smoothing pass (ArcGIS "focal statistics" / GDAL focal
+    mean): per occupied cell, the 3x3 binomial-weighted sum of neighbor
+    values, weights [[1,2,1],[2,4,2],[1,2,1]] (the separable [1,2,1]^2
+    kernel; missing lattice sites contribute 0, the sparse-raster
+    convention).
+
+    Returns (cell_id, x, wsum, wcnt) with ``wsum`` = the exact integer
+    weighted sum and ``wcnt`` = the weight mass actually present — so the
+    caller's smoothed value wsum/wcnt is a single division. Everything
+    shuffles as 8-byte ids + int64s; the 9-probe explode is the same
+    scale shape as getis_ord_gi_star."""
+    n_grid = 1 << res
+    hist = cell_counts.select(
+        F.col(cell_col).alias("cell_id"), F.col(value_col).cast("long").alias("x")
+    )
+    cx, cy = cells.cell_xy(F.col("cell_id"))
+    probes = []
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            wgt = (2 - abs(dx)) * (2 - abs(dy))
+            probes.append(
+                F.struct(
+                    cells.pack_cell(
+                        res, (cx + dx + n_grid) % F.lit(n_grid), cy + F.lit(dy)
+                    ).alias("nb_id"),
+                    F.lit(wgt).alias("w"),
+                )
+            )
+    exploded = hist.select(
+        "cell_id", "x", F.explode(F.array(*probes)).alias("p")
+    ).select("cell_id", "x", F.col("p.nb_id").alias("nb_id"), F.col("p.w").alias("w"))
+    joined = exploded.join(
+        hist.select(F.col("cell_id").alias("nb_id"), F.col("x").alias("nx")), "nb_id"
+    )
+    return (
+        joined.groupBy("cell_id")
+        .agg(
+            F.first("x").alias("x"),
+            F.sum(F.col("w") * F.col("nx")).alias("wsum"),
+            F.sum("w").alias("wcnt"),
+        )
+        .select(
+            "cell_id",
+            F.col("x").cast("long").alias("x"),
+            F.col("wsum").cast("long").alias("wsum"),
+            F.col("wcnt").cast("long").alias("wcnt"),
+        )
+    )

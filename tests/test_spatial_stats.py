@@ -191,3 +191,37 @@ def test_gi_star_flags_planted_hotspot(spark):
     cy = center % (1 << 29)
     assert (cx, cy) in {(3, 3), (3, 4), (4, 3), (4, 4)}
     assert got[center] > 3.0
+
+
+# ------------------------------------------------------------------ focal stats
+
+
+def test_focal_stats_matches_dense_convolution(spark):
+    """Sparse lattice focal sum == dense NumPy 3x3 binomial convolution
+    restricted to occupied sites (with x wraparound)."""
+    from osm2geojson_spark.operators.spatial_stats import focal_stats
+
+    rng = np.random.default_rng(41)
+    n_grid = 8
+    dense = np.zeros((n_grid, n_grid), dtype=np.int64)  # [x, y]
+    occupied = set()
+    for _ in range(40):
+        x, y = int(rng.integers(0, n_grid)), int(rng.integers(0, n_grid))
+        dense[x, y] = int(rng.integers(1, 30))
+        occupied.add((x, y))
+    kern = np.array([1, 2, 1])
+    rows = [(cells.pack_cell_py(3, x, y), int(dense[x, y])) for x, y in occupied]
+    df = spark.createDataFrame(rows, "cell_id long, cnt long")
+    got = {r["cell_id"]: r for r in focal_stats(df, res=3).collect()}
+    for (x, y) in occupied:
+        wsum = wcnt = 0
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                nx, ny = (x + dx) % n_grid, y + dy
+                if 0 <= ny < n_grid and (nx, ny) in occupied:
+                    w = int(kern[dx + 1] * kern[dy + 1])
+                    wsum += w * dense[nx, ny]
+                    wcnt += w
+        r = got[cells.pack_cell_py(3, x, y)]
+        assert (r["wsum"], r["wcnt"]) == (wsum, wcnt), (x, y)
+        assert r["x"] == dense[x, y]
