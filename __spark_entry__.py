@@ -1113,6 +1113,61 @@ SELECT poly_id, cell_id, piece_area FROM pieces WHERE piece_area > 0
 """
 
 
+def q_lisa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local Moran's I / LISA cluster-outlier detection over the customer
+    density grid (spatial_stats.local_morans_i) — completes the
+    autocorrelation trio with global Moran's I and Gi*. Scaled-integer
+    num/den exact in any order; quadrant labels from integer signs."""
+    from osm2geojson_spark.operators import cells as CEL
+    from osm2geojson_spark.operators.spatial_stats import local_morans_i
+
+    pts = _t(spark, sf_dir, "customer").select(
+        _lon("c_custkey").alias("lon"), _lat("c_custkey").alias("lat")
+    )
+    hist = pts.groupBy(
+        CEL.cell_id(F.col("lon"), F.col("lat"), 4).alias("cell_id")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    return local_morans_i(hist, res=4)
+
+
+def _lisa_sql() -> str:
+    from osm2geojson_spark.operators import cells as CEL
+
+    cell = CEL.cell_id_sql(SYN.lon_sql("c_custkey"), SYN.lat_sql("c_custkey"), 4)
+    xs, rs = 1 << 29, 1 << 58
+    return f"""
+WITH hist AS (
+  SELECT {cell} AS cell_id, count(*) AS x FROM customer GROUP BY 1
+), tot AS (
+  SELECT count(*) AS n, sum(x) AS s, sum(x * x) AS q FROM hist
+), h AS (
+  SELECT cell_id, x, tot.n * x - tot.s AS c, tot.n AS n, tot.s AS s, tot.q AS q,
+         (cell_id % {rs}) // {xs} AS cx, cell_id % {xs} AS cy
+  FROM hist, tot
+), probes AS (
+  SELECT h.cell_id,
+         4 * {rs}::BIGINT + ((h.cx + o.dx + 16) % 16) * {xs} + (h.cy + o.dy) AS nb_id
+  FROM h, (VALUES (1, 0), (-1, 0), (0, 1), (0, -1)) o(dx, dy)
+), lag AS (
+  SELECT p.cell_id, count(*) AS w_i, sum(nb.c) AS lag
+  FROM probes p JOIN h nb ON nb.cell_id = p.nb_id GROUP BY p.cell_id
+)
+SELECT h.cell_id, h.x, CAST(lag.w_i AS BIGINT) AS w_i,
+       CAST(h.c * lag.lag AS BIGINT) AS num,
+       CAST(lag.w_i * (h.n * h.q - h.s * h.s) AS BIGINT) AS den,
+       CASE WHEN lag.w_i * (h.n * h.q - h.s * h.s) != 0 THEN
+         round(CAST(h.c * lag.lag AS DOUBLE)
+               / CAST(lag.w_i * (h.n * h.q - h.s * h.s) AS DOUBLE), 6)
+       END AS lisa,
+       CASE WHEN h.c > 0 AND lag.lag > 0 THEN 'HH'
+            WHEN h.c < 0 AND lag.lag < 0 THEN 'LL'
+            WHEN h.c > 0 AND lag.lag < 0 THEN 'HL'
+            WHEN h.c < 0 AND lag.lag > 0 THEN 'LH'
+            ELSE '0' END AS quad
+FROM h JOIN lag ON lag.cell_id = h.cell_id
+"""
+
+
 def q_focal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Focal (3x3 binomial) smoothing over the customer density grid
     (spatial_stats.focal_stats — raster map algebra on the cell lattice).
@@ -3905,6 +3960,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "morans_i": q_morans_i,
         "hotspots": q_hotspots,
         "focal_stats": q_focal_stats,
+        "lisa": q_lisa,
         "areal_interpolate": q_areal_interpolate,
         "subdivide": q_subdivide,
         "geohash_layout": q_geohash_layout,
@@ -3998,6 +4054,7 @@ def oracle_sql() -> dict[str, str]:
         "morans_i": _morans_i_sql(),
         "hotspots": _hotspots_sql(),
         "focal_stats": _focal_stats_sql(),
+        "lisa": _lisa_sql(),
         "areal_interpolate": _AREAL_SQL,
         "subdivide": _SUBDIVIDE_SQL,
         "geohash_layout": _geohash_layout_sql(),

@@ -65,6 +65,7 @@ BENCH_QUERIES = [
     "morans_i",
     "hotspots",
     "focal_stats",
+    "lisa",
     "areal_interpolate",
     "cell_histogram",
     "sphere_cell_histogram",

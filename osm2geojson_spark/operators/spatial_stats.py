@@ -341,3 +341,76 @@ def focal_stats(
             F.col("wcnt").cast("long").alias("wcnt"),
         )
     )
+
+
+def local_morans_i(
+    cell_counts: DataFrame,
+    res: int,
+    cell_col: str = "cell_id",
+    value_col: str = "cnt",
+) -> DataFrame:
+    """LOCAL Moran's I (Anselin LISA) per occupied cell — the cluster/
+    outlier detector that complements the global statistic: I_i is
+    positive where a cell and its neighbors deviate from the mean in the
+    SAME direction (HH/LL clusters), negative for HL/LH outliers.
+
+    Exact-integer core (same scaling as morans_i): c_i = n*x_i - S,
+    lag_i = sum of c_j over rook neighbors (x-wrapped), and
+
+        I_i = c_i * lag_i / (W_i * (n*Q - S^2))
+
+    (the esda Moran_Local convention m2 = sum(z^2)/n, row-standardized
+    weights)
+
+    — numerator/denominator factors all exact int64; the scalar is one
+    multiply chain + one divide, identical order in SQL. ``quad`` labels
+    the Moran-scatterplot quadrant (HH/LL/HL/LH, boundary cells with
+    c_i = 0 or lag = 0 labeled '0')."""
+    n_grid = 1 << res
+    hist = cell_counts.select(
+        F.col(cell_col).alias("cell_id"), F.col(value_col).cast("long").alias("x")
+    )
+    totals = hist.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("s"),
+        F.sum(F.col("x") * F.col("x")).alias("q"),
+    )
+    h = hist.crossJoin(F.broadcast(totals)).select(
+        "cell_id", "x", (F.col("n") * F.col("x") - F.col("s")).alias("c"), "n", "s", "q"
+    )
+    cx, cy = cells.cell_xy(F.col("cell_id"))
+    nbrs = [
+        cells.pack_cell(res, (cx + 1) % F.lit(n_grid), cy),
+        cells.pack_cell(res, (cx - 1 + n_grid) % F.lit(n_grid), cy),
+        cells.pack_cell(res, cx, cy + 1),
+        cells.pack_cell(res, cx, cy - 1),
+    ]
+    probes = h.select("cell_id", F.explode(F.array(*nbrs)).alias("nb_id"))
+    lag = (
+        probes.join(
+            h.select(F.col("cell_id").alias("nb_id"), F.col("c").alias("cb")), "nb_id"
+        )
+        .groupBy("cell_id")
+        .agg(F.count(F.lit(1)).alias("w_i"), F.sum("cb").alias("lag"))
+    )
+    out = h.join(lag, "cell_id")
+    num = F.col("c") * F.col("lag")
+    den = F.col("w_i") * (F.col("n") * F.col("q") - F.col("s") * F.col("s"))
+    quad = (
+        F.when((F.col("c") > 0) & (F.col("lag") > 0), "HH")
+        .when((F.col("c") < 0) & (F.col("lag") < 0), "LL")
+        .when((F.col("c") > 0) & (F.col("lag") < 0), "HL")
+        .when((F.col("c") < 0) & (F.col("lag") > 0), "LH")
+        .otherwise("0")
+    )
+    return out.select(
+        "cell_id",
+        "x",
+        F.col("w_i").cast("long").alias("w_i"),
+        num.cast("long").alias("num"),
+        den.cast("long").alias("den"),
+        F.when(den != 0, F.round(num.cast("double") / den.cast("double"), 6)).alias(
+            "lisa"
+        ),
+        quad.alias("quad"),
+    )

@@ -225,3 +225,43 @@ def test_focal_stats_matches_dense_convolution(spark):
         r = got[cells.pack_cell_py(3, x, y)]
         assert (r["wsum"], r["wcnt"]) == (wsum, wcnt), (x, y)
         assert r["x"] == dense[x, y]
+
+
+def test_local_morans_i_matches_dense_esda_formula(spark):
+    """Fresh dense LISA (esda convention: m2 = sum(z^2)/n, row-standardized
+    rook weights with x wraparound) as the oracle, plus quadrant labels."""
+    from osm2geojson_spark.operators.spatial_stats import local_morans_i
+
+    rng = np.random.default_rng(47)
+    n_grid = 8
+    cells_xy = {}
+    for _ in range(55):
+        x, y = int(rng.integers(0, n_grid)), int(rng.integers(0, n_grid))
+        cells_xy[(x, y)] = int(rng.integers(1, 25))
+    keys = sorted(cells_xy)
+    vals = np.array([cells_xy[k] for k in keys], dtype=float)
+    zbar = vals.mean()
+    m2 = ((vals - zbar) ** 2).mean()
+    want = {}
+    for (x, y) in keys:
+        nb = [
+            cells_xy.get((((x + 1) % n_grid), y)),
+            cells_xy.get((((x - 1) % n_grid), y)),
+            cells_xy.get((x, y + 1)),
+            cells_xy.get((x, y - 1)),
+        ]
+        nb = [v for v in nb if v is not None]
+        if not nb:
+            continue
+        z_i = cells_xy[(x, y)] - zbar
+        lag = sum(v - zbar for v in nb) / len(nb)  # row-standardized
+        want[(x, y)] = (round(float(z_i * lag / m2), 6), z_i, lag)
+    rows = [(cells.pack_cell_py(3, x, y), v) for (x, y), v in cells_xy.items()]
+    df = spark.createDataFrame(rows, "cell_id long, cnt long")
+    got = {r["cell_id"]: r for r in local_morans_i(df, res=3).collect()}
+    for (x, y), (ii, z_i, lag) in want.items():
+        r = got[cells.pack_cell_py(3, x, y)]
+        assert abs(r["lisa"] - ii) < 2e-6, (x, y, r["lisa"], ii)
+        if z_i != 0 and lag != 0:
+            expect_quad = ("H" if z_i > 0 else "L") + ("H" if lag > 0 else "L")
+            assert r["quad"] == expect_quad, (x, y)
