@@ -151,3 +151,15 @@ def test_stratified_sample_barrier_is_value_preserving(spark):
     b = SMP.stratified_sample(df, "lang", {"en": 0.6, "other": 0.15}, "k", barrier=False)
     assert sorted(r["k"] for r in a.collect()) == sorted(r["k"] for r in b.collect())
     assert a.columns == b.columns  # the guard column must not leak
+
+
+def test_spatial_stats_plans_broadcast_and_no_cartesian(spark):
+    """The spatial-statistics family must keep its scale shape: 1-row
+    totals arrive via broadcast (the crossJoin is a broadcast nested loop
+    of a single row, never a shuffle), neighbor relations are equi-joins
+    (no CartesianProduct anywhere), and the raw point table never joins —
+    only the aggregated hist does."""
+    for q in ("morans_i", "hotspots", "focal_stats", "lisa"):
+        plan = _plan(E.queries()[q](spark, SF_DIR))
+        assert "CartesianProduct" not in plan, q
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, q
