@@ -618,6 +618,44 @@ def q_within_distance_sphere(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("s_suppkey", "c_custkey")
 
 
+def q_sampled_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAMPLED spatial range join (the Random-Sampling-over-Spatial-Range-
+    Joins problem, ICDE 2025): a 20% uniform sample of the 400 km radius
+    join, taken by a deterministic pair-key hash gate pushed BELOW the
+    exact haversine refine — the gate is geometry-independent, so
+    sample(join) == join-then-sample exactly, while the refine (the
+    dominant cost at corpus scale) only touches gated candidates. The
+    oracle brute-forces the join and applies the identical md5 gate."""
+    sup = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey"), _lon("s_suppkey").alias("lon"), _lat("s_suppkey").alias("lat")
+    )
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey"), _lon("c_custkey").alias("lon"), _lat("c_custkey").alias("lat")
+    )
+    from osm2geojson_spark.operators.spatial_join import within_distance_join
+
+    return within_distance_join(
+        sup, cust, 400_000.0, res=6, lid="s_suppkey", rid="c_custkey",
+        pair_sample_rate=0.2,
+    ).select("s_suppkey", "c_custkey")
+
+
+_SAMPLED_RANGE_SQL = f"""
+WITH s AS (
+  SELECT s_suppkey, {SYN.lon_sql('s_suppkey')} AS slon, {SYN.lat_sql('s_suppkey')} AS slat
+  FROM supplier
+), c AS (
+  SELECT c_custkey, {SYN.lon_sql('c_custkey')} AS clon, {SYN.lat_sql('c_custkey')} AS clat
+  FROM customer
+)
+SELECT s_suppkey, c_custkey
+FROM s CROSS JOIN c
+WHERE {KNN.haversine_sql('slon', 'slat', 'clon', 'clat')} <= 400000.0
+  AND {TXT.md5_long_sql("CAST(s_suppkey AS VARCHAR) || '_' || CAST(c_custkey AS VARCHAR)")}
+      % 1000003 < {int(0.2 * 1_000_003)}
+"""
+
+
 _SIMP_NF, _SIMP_NV = 200, 64  # features x vertices of the synthetic polylines
 
 
@@ -3951,6 +3989,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_join_sphere": q_pip_join_sphere,
         "within_distance": q_within_distance,
         "within_distance_sphere": q_within_distance_sphere,
+        "sampled_range_join": q_sampled_range_join,
         "simplify_vertices": q_simplify_vertices,
         "dissolve": q_dissolve,
         "clip_polygons": q_clip_polygons,
@@ -4045,6 +4084,7 @@ def oracle_sql() -> dict[str, str]:
         "pip_join_sphere": _PIP_JOIN_SQL,
         "within_distance": _WITHIN_DISTANCE_SQL,
         "within_distance_sphere": _WITHIN_DISTANCE_SQL,
+        "sampled_range_join": _SAMPLED_RANGE_SQL,
         "simplify_vertices": _SIMPLIFY_SQL,
         "dissolve": _DISSOLVE_SQL,
         "clip_polygons": _CLIP_SQL,

@@ -51,6 +51,7 @@ BENCH_QUERIES = [
     "tile_vector_join",
     "within_distance",
     "within_distance_sphere",
+    "sampled_range_join",
     "spatial_rollup",
     "simplify_vertices",
     "dissolve",

@@ -531,6 +531,7 @@ def within_distance_join(
     salt_threshold: int | None = None,
     n_salts: int = 16,
     expand: str = "left",
+    pair_sample_rate: float | None = None,
 ) -> DataFrame:
     """Spatial range (radius) join: every (left, right) pair within
     ``radius_m`` meters by haversine distance. Output columns:
@@ -602,6 +603,22 @@ def within_distance_join(
         )
     else:
         cand = L.join(R, "cell_id")
+    if pair_sample_rate is not None:
+        # SAMPLED range join (the Random-Sampling-over-Spatial-Range-Joins
+        # problem, ICDE 2025): a deterministic hash gate on the PAIR KEY,
+        # applied to CANDIDATES — i.e. pushed BELOW the exact refine. The
+        # gate is independent of geometry, so sample(join) == join(sample)
+        # exactly (same pairs survive either order — pinned by tests), but
+        # the expensive haversine/refine work shrinks by the sampling rate
+        # — at 10^12-row scale the refine dominates the join, so this is
+        # where sampling must happen.
+        from ..functions import text as TXT
+
+        thr = int(pair_sample_rate * 1_000_003)
+        key = F.concat(
+            F.col(lid).cast("string"), F.lit("_"), F.col(rid).cast("string")
+        )
+        cand = cand.filter(TXT.md5_long(key) % F.lit(1_000_003) < F.lit(thr))
     return (
         cand.withColumn(
             "dist_m",

@@ -1074,3 +1074,36 @@ def test_subdivide_partitions_polygon(spark):
                     if K.point_in_ring((px_, py_), np.asarray(rr, np.float64)):
                         got = not got
             assert got == truth, (pid, px_, py_)
+
+
+def test_sampled_range_join_commutes_with_sampling(spark, points):
+    """The pair-hash gate is geometry-independent: gating CANDIDATES before
+    the refine must equal sampling the FULL join output with the same
+    gate — and the sample must be a subset with roughly the target rate."""
+    from osm2geojson_spark.functions import text as TXT
+    from osm2geojson_spark.operators.spatial_join import within_distance_join
+
+    left = points.select(F.col("pid").alias("lid"), "lon", "lat").filter(F.col("lid") < 150)
+    right = points.select(F.col("pid").alias("rid"), "lon", "lat").filter(
+        (F.col("rid") >= 150) & (F.col("rid") < 1200)
+    )
+    full = within_distance_join(left, right, 300_000.0, res=6, lid="lid", rid="rid")
+    rate = 0.3
+    thr = int(rate * 1_000_003)
+    gate = (
+        TXT.md5_long(
+            F.concat(F.col("lid").cast("string"), F.lit("_"), F.col("rid").cast("string"))
+        )
+        % F.lit(1_000_003)
+        < F.lit(thr)
+    )
+    want = sorted((r["lid"], r["rid"]) for r in full.filter(gate).collect())
+    got = sorted(
+        (r["lid"], r["rid"])
+        for r in within_distance_join(
+            left, right, 300_000.0, res=6, lid="lid", rid="rid", pair_sample_rate=rate
+        ).collect()
+    )
+    assert got == want
+    n_full = full.count()
+    assert 0.15 * n_full < len(got) < 0.45 * n_full  # rate in the right ballpark
