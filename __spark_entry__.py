@@ -3977,6 +3977,47 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        # --- never driver-recorded (round-3 verdict ask #1): first, so a
+        # budget-capped sweep records them before the long-verified tail
+        "image_sharpness": q_image_sharpness,
+        "image_similarity": q_image_similarity,
+        "image_pipeline": q_image_pipeline,
+        "crossmodal_dedup": q_crossmodal_dedup,
+        "caption_alignment": q_caption_alignment,
+        "vectorize_tiles": q_vectorize_tiles,
+        "zonal_stats": q_zonal_stats,
+        "zonal_median": q_zonal_median,
+        "ann_cosine_ivf": q_ann_cosine_ivf,
+        "embedding_coreset": q_embedding_coreset,
+        "ann_cosine_pq": q_ann_cosine_pq,
+        "ann_cosine_ivfpq": q_ann_cosine_ivfpq,
+        "ann_cosine_ivfpq_res": q_ann_cosine_ivfpq_res,
+        "bm25_topk": q_bm25_topk,
+        "stratified_sample": q_stratified_sample,
+        "doc_chunking": q_doc_chunking,
+        "pack_sequences": q_pack_sequences,
+        "domain_cap": q_domain_cap,
+        "spatial_window": q_spatial_window,
+        "stay_points": q_stay_points,
+        "od_flows": q_od_flows,
+        "mobility": q_mobility,
+        "asof_join": q_asof_join,
+        "interval_join": q_interval_join,
+        # --- recorded in r1/r2 but absent from r3
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_cosine_lsh": q_ann_cosine_lsh,
+        "text_analysis": q_text_analysis,
+        "quality_topk": q_quality_topk,
+        "events_window": q_events_window,
+        "sessionize": q_sessionize,
+        "user_stats": q_user_stats,
+        "events_json": q_events_json,
+        "value_percentiles": q_value_percentiles,
+        "rollup_orders": q_rollup_orders,
+        "regional_revenue": q_regional_revenue,
+        "pricing_summary": q_pricing_summary,
+        "top_customers": q_top_customers,
+        # --- green in CORRECTNESS_r03
         "way_assembly": q_way_assembly,
         "relation_assembly": q_relation_assembly,
         "classifier": q_classifier,
@@ -4027,43 +4068,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_pyramid2": q_tile_pyramid2,
         "image_dhash_dedup": q_image_dhash_dedup,
         "image_dhash_near": q_image_dhash_near,
-        "image_sharpness": q_image_sharpness,
-        "image_similarity": q_image_similarity,
-        "image_pipeline": q_image_pipeline,
-        "crossmodal_dedup": q_crossmodal_dedup,
-        "caption_alignment": q_caption_alignment,
-        "vectorize_tiles": q_vectorize_tiles,
-        "zonal_stats": q_zonal_stats,
-        "zonal_median": q_zonal_median,
-        "ann_cosine_topk": q_ann_cosine_topk,
-        "ann_cosine_lsh": q_ann_cosine_lsh,
-        "ann_cosine_ivf": q_ann_cosine_ivf,
-        "embedding_coreset": q_embedding_coreset,
-        "ann_cosine_pq": q_ann_cosine_pq,
-        "ann_cosine_ivfpq": q_ann_cosine_ivfpq,
-        "ann_cosine_ivfpq_res": q_ann_cosine_ivfpq_res,
-        "bm25_topk": q_bm25_topk,
-        "text_analysis": q_text_analysis,
-        "quality_topk": q_quality_topk,
-        "stratified_sample": q_stratified_sample,
-        "doc_chunking": q_doc_chunking,
-        "pack_sequences": q_pack_sequences,
-        "domain_cap": q_domain_cap,
-        "events_window": q_events_window,
-        "spatial_window": q_spatial_window,
-        "stay_points": q_stay_points,
-        "od_flows": q_od_flows,
-        "mobility": q_mobility,
-        "sessionize": q_sessionize,
-        "user_stats": q_user_stats,
-        "asof_join": q_asof_join,
-        "interval_join": q_interval_join,
-        "events_json": q_events_json,
-        "value_percentiles": q_value_percentiles,
-        "rollup_orders": q_rollup_orders,
-        "regional_revenue": q_regional_revenue,
-        "pricing_summary": q_pricing_summary,
-        "top_customers": q_top_customers,
     }
 
 

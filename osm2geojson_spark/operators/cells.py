@@ -131,9 +131,16 @@ def covering_cells(
     n = _grid_n(res)
     x0, x1 = cell_x(min_lon, res), cell_x(max_lon, res)
     y0, y1 = cell_y(min_lat, res), cell_y(max_lat, res)
+    # a wrapped box whose two x ranges [x0..n-1] ++ [0..x1] would meet or
+    # overlap (x1 + 1 >= x0 — near-full-longitude disks at high latitude)
+    # degrades to the single full band, so NO cell is ever emitted twice:
+    # within_distance_join's "no pair can match twice" invariant rests on
+    # this array being duplicate-free (round-3 ADVICE, low)
     xs = F.when(
         min_lon > max_lon,
-        F.concat(F.sequence(x0, F.lit(n - 1)), F.sequence(F.lit(0), x1)),
+        F.when(x1 + 1 >= x0, F.sequence(F.lit(0), F.lit(n - 1))).otherwise(
+            F.concat(F.sequence(x0, F.lit(n - 1)), F.sequence(F.lit(0), x1))
+        ),
     ).otherwise(F.sequence(x0, x1))
     ys = F.sequence(y0, y1)
     return F.flatten(

@@ -505,25 +505,43 @@ def sphere_covering_cells_udf(
     footprint: if all 4 bbox corners land strictly inside one EQUATORIAL
     face, the box provably stays on that face (the face's |lat| boundary is
     minimized at the box's lon extremes, so corners-inside implies
-    edges-inside) and u=tan-like coordinates are monotone per lon/lat axis,
-    making the corner st-range a valid covering range. Everything else
-    (polar faces, face-straddling, antimeridian) takes the exact
-    hierarchical routine per row."""
-    n = 1 << res
+    edges-inside). u = tan(dlon) is monotone in lon, but t = st(v) with
+    v = tan(lat)/cos(dlon) is NOT monotone per axis: for a box entirely
+    north/south of the equator whose lon span contains the face's central
+    meridian, the |v| minimum lies mid-edge (at that meridian), not at a
+    corner — so the sample set is the 4 corners PLUS the two points where
+    the meridian (clamped into [x0,x1]) meets the top/bottom edges, which
+    restores a valid covering range. Everything else (polar faces,
+    face-straddling, antimeridian) takes the exact hierarchical routine
+    per row."""
     table = _level_box_table(res) if res <= _LEVEL_DIRECT_MAX else None
 
     @pandas_udf(T.ArrayType(T.LongType()))
     def _cov(b_minx, b_miny, b_maxx, b_maxy):
-        x0 = b_minx.to_numpy(dtype=np.float64)
-        y0 = b_miny.to_numpy(dtype=np.float64)
-        x1 = b_maxx.to_numpy(dtype=np.float64)
-        y1 = b_maxy.to_numpy(dtype=np.float64)
-        m = len(x0)
-        out = [None] * m
-        # corner (face, s, t) for the fast path: 4 corners per row
-        clon = np.stack([x0, x1, x0, x1])  # (4, m)
-        clat = np.stack([y0, y0, y1, y1])
-        rl, rp = np.radians(clon), np.radians(clat)
+        return pd.Series(
+            _covering_cells_np(
+                b_minx.to_numpy(dtype=np.float64),
+                b_miny.to_numpy(dtype=np.float64),
+                b_maxx.to_numpy(dtype=np.float64),
+                b_maxy.to_numpy(dtype=np.float64),
+                res,
+                table,
+            )
+        )
+
+    return _cov(minx, miny, maxx, maxy)
+
+
+def _covering_cells_np(x0, y0, x1, y1, res: int, table) -> list:
+    """Vectorized covering over row arrays — the body of
+    ``sphere_covering_cells_udf``, module-level so the fast-path
+    completeness property is testable without a SparkSession."""
+    n = 1 << res
+    m = len(x0)
+    out = [None] * m
+
+    def _face_uv(lons, lats):
+        rl, rp = np.radians(lons), np.radians(lats)
         X = np.cos(rp) * np.cos(rl)
         Y = np.cos(rp) * np.sin(rl)
         Z = np.sin(rp)
@@ -539,38 +557,54 @@ def sphere_covering_cells_udf(
         d = np.select([xdom, ydom], [aX, aY], aZ)
         U = np.select([xdom], [Y], X) / d
         V = np.select([xdom | ydom], [Z], Y) / d
-        same_face = (face == face[0]).all(axis=0)
-        equatorial = np.isin(face[0], (0, 1, 3, 4))
-        interior = (np.abs(U) <= 1.0 - 1e-9).all(axis=0) & (
-            np.abs(V) <= 1.0 - 1e-9
-        ).all(axis=0)
-        ordered = x0 <= x1  # antimeridian convention rows -> slow path
-        # span <= 90 keeps a face-3 box inside ONE connected lon piece of
-        # the face region (it is [-180,-135] u [135,180] — a box whose
-        # corners all land on face 3 but spans the near side would
-        # otherwise sneak through faces 0/1/4)
-        fast = same_face & equatorial & interior & ordered & ((x1 - x0) <= 90.0)
-        S, Tt = _np_st_from_uv(U), _np_st_from_uv(V)
-        i0 = np.clip(np.floor((S.min(axis=0) - 1e-9) * n), 0, n - 1).astype(np.int64)
-        i1 = np.clip(np.floor((S.max(axis=0) + 1e-9) * n), 0, n - 1).astype(np.int64)
-        j0 = np.clip(np.floor((Tt.min(axis=0) - 1e-9) * n), 0, n - 1).astype(np.int64)
-        j1 = np.clip(np.floor((Tt.max(axis=0) + 1e-9) * n), 0, n - 1).astype(np.int64)
-        for r in range(m):
-            if fast[r]:
-                out[r] = _descendant_ids_range(
-                    int(face[0, r]), res, int(i0[r]), int(i1[r]), int(j0[r]), int(j1[r])
-                )
-            elif table is not None:
-                out[r] = _direct_cover(
-                    table, float(x0[r]), float(y0[r]), float(x1[r]), float(y1[r])
-                )
-            else:
-                out[r] = sphere_covering_cells_py(
-                    float(x0[r]), float(y0[r]), float(x1[r]), float(y1[r]), res
-                )
-        return pd.Series(out)
+        return face, U, V
 
-    return _cov(minx, miny, maxx, maxy)
+    # sample points: 4 corners + 2 central-meridian mid-edge points
+    face, U, V = _face_uv(
+        np.stack([x0, x1, x0, x1]), np.stack([y0, y0, y1, y1])
+    )
+    f0 = face[0]
+    cm = np.select(
+        [f0 == 0, f0 == 1, f0 == 4],
+        [0.0, 90.0, -90.0],
+        np.where(x0 >= 0.0, 180.0, -180.0),  # face 3; polar rows unused
+    )
+    cmx = np.clip(cm, x0, x1)
+    eface, eU, eV = _face_uv(np.stack([cmx, cmx]), np.stack([y0, y1]))
+    face = np.concatenate([face, eface])
+    U = np.concatenate([U, eU])
+    V = np.concatenate([V, eV])
+    same_face = (face == face[0]).all(axis=0)
+    equatorial = np.isin(face[0], (0, 1, 3, 4))
+    interior = (np.abs(U) <= 1.0 - 1e-9).all(axis=0) & (
+        np.abs(V) <= 1.0 - 1e-9
+    ).all(axis=0)
+    ordered = x0 <= x1  # antimeridian convention rows -> slow path
+    # span <= 90 keeps a face-3 box inside ONE connected lon piece of
+    # the face region (it is [-180,-135] u [135,180] — a box whose
+    # corners all land on face 3 but spans the near side would
+    # otherwise sneak through faces 0/1/4)
+    fast = same_face & equatorial & interior & ordered & ((x1 - x0) <= 90.0)
+    S, Tt = _np_st_from_uv(U), _np_st_from_uv(V)
+    i0 = np.clip(np.floor((S.min(axis=0) - 1e-9) * n), 0, n - 1).astype(np.int64)
+    i1 = np.clip(np.floor((S.max(axis=0) + 1e-9) * n), 0, n - 1).astype(np.int64)
+    j0 = np.clip(np.floor((Tt.min(axis=0) - 1e-9) * n), 0, n - 1).astype(np.int64)
+    j1 = np.clip(np.floor((Tt.max(axis=0) + 1e-9) * n), 0, n - 1).astype(np.int64)
+    for r in range(m):
+        if fast[r]:
+            out[r] = _descendant_ids_range(
+                int(face[0, r]), res, int(i0[r]), int(i1[r]), int(j0[r]), int(j1[r])
+            )
+        elif table is not None:
+            out[r] = _direct_cover(
+                table, float(x0[r]), float(y0[r]), float(x1[r]), float(y1[r])
+            )
+        else:
+            out[r] = sphere_covering_cells_py(
+                float(x0[r]), float(y0[r]), float(x1[r]), float(y1[r]), res
+            )
+    return out
+
 
 
 def _descendant_ids_range(

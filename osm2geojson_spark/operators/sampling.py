@@ -26,21 +26,32 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# Congruential gate: products stay < 2^63 for keys < ~3.5e9; both Spark and
-# DuckDB evaluate this in exact int64 arithmetic. The modulus is prime so
-# low-order key patterns (sequential ids, even-only ids) don't bias the gate.
+# Congruential gate. The key is reduced mod the prime FIRST, so (a) any
+# int64 key is legal — the product (MOD-1)·MUL + ADD ≈ 2.7e15 stays far
+# below 2^63, no silent Spark wrap / DuckDB overflow error (round-3
+# ADVICE); and (b) the reduction + outer pmod keep the gate in [0, MOD)
+# for NEGATIVE keys too — Spark's native % is sign-preserving, so a plain
+# `%` gate would let every negative-key row pass every threshold. The
+# modulus is prime so low-order key patterns (sequential ids, even-only
+# ids) don't bias the gate.
 _H_MUL = 2654435761
 _H_ADD = 12345
 _H_MOD = 1_000_003
 
 
 def sample_hash(key: Column) -> Column:
-    """h(key) in [0, 1_000_003): the deterministic sampling gate."""
-    return (key.cast("long") * F.lit(_H_MUL) + F.lit(_H_ADD)) % F.lit(_H_MOD)
+    """h(key) in [0, 1_000_003): the deterministic sampling gate.
+    Total over all of int64 — negative keys included."""
+    k = F.pmod(key.cast("long"), F.lit(_H_MOD))
+    return F.pmod(k * F.lit(_H_MUL) + F.lit(_H_ADD), F.lit(_H_MOD))
 
 
 def sample_hash_sql(key: str) -> str:
-    return f"(({key} * {_H_MUL} + {_H_ADD}) % {_H_MOD})"
+    # DuckDB's % is sign-preserving like Spark's, so normalize the inner
+    # residue into [0, MOD) by hand; the outer value is then nonnegative
+    # and a plain % matches Spark's pmod exactly.
+    k = f"((({key} % {_H_MOD}) + {_H_MOD}) % {_H_MOD})"
+    return f"(({k} * {_H_MUL} + {_H_ADD}) % {_H_MOD})"
 
 
 def _threshold(rate: float) -> int:

@@ -532,6 +532,7 @@ def within_distance_join(
     n_salts: int = 16,
     expand: str = "left",
     pair_sample_rate: float | None = None,
+    _gate_key: tuple[str, str] | None = None,
 ) -> DataFrame:
     """Spatial range (radius) join: every (left, right) pair within
     ``radius_m`` meters by haversine distance. Output columns:
@@ -562,9 +563,14 @@ def within_distance_join(
     from .knn import haversine_col
 
     if expand == "right":
+        # forward the sample rate AND pin the gate key to the caller's
+        # (lid, rid) order so the surviving pair set is identical whichever
+        # side is expanded (round-3 ADVICE, medium)
         out = within_distance_join(
             right, left, radius_m, res=res, lid=rid, rid=lid, grid=grid,
             salt_threshold=salt_threshold, n_salts=n_salts, expand="left",
+            pair_sample_rate=pair_sample_rate,
+            _gate_key=_gate_key or (lid, rid),
         )
         return out.select(lid, rid, "dist_m")
 
@@ -615,8 +621,9 @@ def within_distance_join(
         from ..functions import text as TXT
 
         thr = int(pair_sample_rate * 1_000_003)
+        ka, kb = _gate_key or (lid, rid)
         key = F.concat(
-            F.col(lid).cast("string"), F.lit("_"), F.col(rid).cast("string")
+            F.col(ka).cast("string"), F.lit("_"), F.col(kb).cast("string")
         )
         cand = cand.filter(TXT.md5_long(key) % F.lit(1_000_003) < F.lit(thr))
     return (

@@ -60,31 +60,39 @@ def morans_i(
         "cell_id", (F.col("n") * F.col("x") - F.col("s")).alias("c"), "n", "s"
     )
     cx, cy = cells.cell_xy(F.col("cell_id"))
-    right_id = cells.pack_cell(res, (cx + 1) % F.lit(n_grid), cy)
+    # x wraps the antimeridian ONLY when the ring is wide enough for the
+    # wrap edge to be a distinct, once-counted edge: at res 0 the wrap
+    # pairs a cell with itself and at res 1 it repeats the (0,1) edge, so
+    # n_grid <= 2 falls back to the clamped +x probe (round-3 ADVICE)
+    right_x = (cx + 1) % F.lit(n_grid) if n_grid > 2 else (cx + 1)
+    right_id = cells.pack_cell(res, right_x, cy)
     up_id = cells.pack_cell(res, cx, cy + 1)  # y+1 beyond pole has no cell
-    a = h.select("cell_id", F.col("c").alias("ca"), "n",
+    a = h.select("cell_id", F.col("c").alias("ca"),
                  right_id.alias("r_id"), up_id.alias("u_id"))
     b = h.select(F.col("cell_id").alias("nb_id"), F.col("c").alias("cb"))
     pairs = (
-        a.join(b, a["r_id"] == b["nb_id"]).select("ca", "cb", "n")
-        .unionByName(a.join(b, a["u_id"] == b["nb_id"]).select("ca", "cb", "n"))
+        a.join(b, a["r_id"] == b["nb_id"]).select("ca", "cb")
+        .unionByName(a.join(b, a["u_id"] == b["nb_id"]).select("ca", "cb"))
     )
+    # n rides in from the broadcast totals, NOT F.first over the edge
+    # relation — an edgeless lattice must still report (n, 0, 0), not NULLs
     edge = pairs.agg(
-        F.first("n").alias("n"),
         (F.count(F.lit(1)) * 2).alias("w_sum"),
-        (F.sum(F.col("ca") * F.col("cb")) * 2).alias("num"),
+        F.coalesce(F.sum(F.col("ca") * F.col("cb")) * 2, F.lit(0)).alias("num"),
     )
     den = h.agg(F.sum(F.col("c") * F.col("c")).alias("den"))
     return (
-        edge.crossJoin(F.broadcast(den))
+        edge.crossJoin(F.broadcast(totals))
+        .crossJoin(F.broadcast(den))
         .select(
             F.col("n").cast("long").alias("n_cells"),
             F.col("w_sum").cast("long").alias("w_sum"),
             F.col("num").cast("long").alias("num"),
             F.col("den").cast("long").alias("den"),
-            # constant fields (den = 0) have undefined I -> NULL, not error
+            # constant fields (den = 0) and edgeless lattices (w_sum = 0)
+            # have undefined I -> NULL, not error/NaN
             F.when(
-                F.col("den") != 0,
+                (F.col("den") != 0) & (F.col("w_sum") != 0),
                 F.round(
                     (F.col("n").cast("double") * F.col("num").cast("double"))
                     / (F.col("w_sum").cast("double") * F.col("den").cast("double")),

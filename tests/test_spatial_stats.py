@@ -265,3 +265,29 @@ def test_local_morans_i_matches_dense_esda_formula(spark):
         if z_i != 0 and lag != 0:
             expect_quad = ("H" if z_i > 0 else "L") + ("H" if lag > 0 else "L")
             assert r["quad"] == expect_quad, (x, y)
+
+
+def test_morans_i_edgeless_and_tiny_lattices(spark):
+    """Round-3 ADVICE regressions: (a) an edgeless lattice reports
+    (n, 0, 0, den, NULL) — n must come from the broadcast totals, not
+    F.first over an empty edge relation; (b) at res 1 the x wraparound
+    must not double-count the wrap edge (w_sum = 8 on the full 2x2
+    lattice, not 16); res 0's self-pairing +x probe is suppressed."""
+    # (a) two isolated occupied cells — zero rook edges
+    r = _run(spark, {(0, 0): 3, (5, 5): 7}, 4)
+    assert (r["n_cells"], r["w_sum"], r["num"]) == (2, 0, 0)
+    assert r["den"] == 32 and r["moran"] is None
+    # (b) full 2x2 lattice at res 1: 4 undirected edges -> w_sum 8
+    vals = {(x, y): x + 3 * y + 1 for x in range(2) for y in range(2)}
+    r = _run(spark, vals, 1)
+    assert r["w_sum"] == 8
+    n, S = 4, sum(vals.values())
+    c = {k: n * v - S for k, v in vals.items()}
+    edges = [((0, 0), (1, 0)), ((0, 1), (1, 1)), ((0, 0), (0, 1)), ((1, 0), (1, 1))]
+    num = 2 * sum(c[a] * c[b] for a, b in edges)
+    den = sum(v * v for v in c.values())
+    assert r["num"] == num and r["den"] == den
+    assert abs(r["moran"] - round(n * num / (8 * den), 6)) < 1e-12
+    # (c) res 0: single cell, no self-edge
+    r = _run(spark, {(0, 0): 5}, 0)
+    assert (r["n_cells"], r["w_sum"], r["moran"]) == (1, 0, None)

@@ -157,3 +157,53 @@ def test_direct_level_cover_is_superset_of_descent():
         direct = set(SPH._direct_cover(table, *q).tolist())
         assert desc <= direct, (k, q)
         assert len(direct) < n_total / 4, (k, q, len(direct))
+
+
+def test_fast_path_covering_completeness():
+    """The UDF's single-face fast path (corner st-range) must be complete —
+    specifically for boxes entirely north/south of the equator whose lon
+    span contains the face's central meridian, where t = st(tan(lat)/
+    cos(dlon)) has its extreme mid-edge, not at a corner (round-3 ADVICE,
+    high). Mirrors test_covering_completeness_random_boxes but drives the
+    vectorized _covering_cells_np with table=None so the fast branch is the
+    one that answers."""
+    # the exact ADVICE repro: box (-10,20,10,30) at res 9 must contain the
+    # cell of in-box point (0, 20.0001)
+    cov = set(
+        SPH._covering_cells_np(
+            np.array([-10.0]), np.array([20.0]),
+            np.array([10.0]), np.array([30.0]), 9, None,
+        )[0]
+    )
+    assert set(SPH.sphere_covering_cells_py(-10, 20, 10, 30, 9)) <= cov
+    cid = int(SPH._np_encode(np.array([0.0]), np.array([20.0001]), 9)[0])
+    assert cid in cov
+
+    rng = np.random.default_rng(123)
+    for _ in range(120):
+        c = float(rng.choice([0.0, 90.0, -90.0, 180.0, -180.0]))
+        w, h = rng.uniform(1, 35), rng.uniform(1, 25)
+        cx, cy = c + rng.uniform(-10, 10), rng.uniform(-55, 55)
+        x0, x1 = cx - w / 2, cx + w / 2
+        y0, y1 = max(-60.0, cy - h / 2), min(60.0, cy + h / 2)
+        if x0 < -180 or x1 > 180:
+            continue
+        res = int(rng.integers(3, 10))
+        cov = set(
+            SPH._covering_cells_np(
+                np.array([x0]), np.array([y0]),
+                np.array([x1]), np.array([y1]), res, None,
+            )[0]
+        )
+        # point-completeness is the property (the fast path is an EXACT
+        # st-range, so it may be tighter than the conservative descent —
+        # a ⊇-descent assertion would be wrong); hammer the box edges too,
+        # where the mid-edge t-extreme bug lived
+        lons = np.concatenate(
+            [rng.uniform(x0, x1, 300), rng.uniform(x0, x1, 100),
+             rng.uniform(x0, x1, 100)]
+        )
+        lats = np.concatenate(
+            [rng.uniform(y0, y1, 300), np.full(100, y0), np.full(100, y1)]
+        )
+        assert set(SPH._np_encode(lons, lats, res).tolist()) <= cov
