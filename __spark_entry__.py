@@ -2008,6 +2008,27 @@ def q_ann_cosine_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("qid", "rank", "vec_id")
 
 
+def q_ann_pq_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PQ query split into its production shape (round-3 verdict ask
+    #4): codes are written at INGEST (similarity.pq_codes_col over the
+    corpus — here materialized inline because the synthetic tables carry
+    raw embeddings), and the registered operator under test is
+    ``pq_adc_scan`` — the steady-state LUT scan over precomputed codes.
+    Same deterministic codebook, same results, same oracle as
+    ann_cosine_pq; bench.py times the scan with the encode hoisted out."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    codes = emb.select(
+        "vec_id", SIM.pq_codes_col(F.col("embedding"), _EMB_DIM).alias("pq_codes")
+    )
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    res = SIM.pq_adc_scan(queries, codes, k=5, dim=_EMB_DIM)
+    return res.select("qid", "rank", "vec_id")
+
+
 def _ann_pq_sql() -> str:
     import numpy as np
 
@@ -3990,6 +4011,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_ivf": q_ann_cosine_ivf,
         "embedding_coreset": q_embedding_coreset,
         "ann_cosine_pq": q_ann_cosine_pq,
+        "ann_pq_scan": q_ann_pq_scan,
         "ann_cosine_ivfpq": q_ann_cosine_ivfpq,
         "ann_cosine_ivfpq_res": q_ann_cosine_ivfpq_res,
         "bm25_topk": q_bm25_topk,
@@ -4139,6 +4161,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_ivf": _ann_ivf_sql(),
         "embedding_coreset": _embedding_coreset_sql(),
         "ann_cosine_pq": _ann_pq_sql(),
+        "ann_pq_scan": _ann_pq_sql(),
         "ann_cosine_ivfpq": _ann_ivfpq_sql(),
         "ann_cosine_ivfpq_res": _ann_ivfpq_res_sql(),
         "bm25_topk": _bm25_sql(),

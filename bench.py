@@ -134,11 +134,13 @@ def main() -> None:
     pinned = False
     if os.environ.get("SPARK_GRAFT_PIN", "1") != "0" and hasattr(os, "sched_setaffinity"):
         avail = sorted(os.sched_getaffinity(0))
-        if cpus < len(avail):
-            # pin BEFORE the JVM forks so the whole tree (JVM task threads +
-            # Python/Arrow workers) inherits the mask
-            os.sched_setaffinity(0, set(avail[:cpus]))
-            pinned = True
+        # pin BEFORE the JVM forks so the whole tree (JVM task threads +
+        # Python/Arrow workers) inherits the mask — the BASELINE.md
+        # methodology. Applied even when cpus == all cores: local[N] +
+        # Arrow UDFs otherwise spreads over up to 2N logical threads and
+        # the scheduler migrates them off the measured set.
+        os.sched_setaffinity(0, set(avail[: min(cpus, len(avail))]))
+        pinned = True
 
     spark = (
         SparkSession.builder.master(f"local[{cpus}]")
@@ -232,25 +234,67 @@ def main() -> None:
     for name in BENCH_QUERIES:
         bench(name, lambda n=name: force(qs[n](spark, sf_dir)))
 
-    total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline engine queries wall time",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "spreads": spreads,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "cpus": cpus,
-                "pinned": pinned,
-                "reps": reps,
-                "n_images": n_images,
-                "spatial_rows_per_sec": spatial_rows_per_sec,
-                "osm_elements_per_sec": osm_elements_per_sec,
-            }
-        )
+    # ---- ann_pq_scan steady state: codes are an INGEST artifact, so they
+    # are materialized (persisted) OUTSIDE the timed region and the timed
+    # query is the broadcast-LUT ADC scan alone — the production query-path
+    # cost model at 10^12 rows (round-3 verdict ask #4)
+    from osm2geojson_spark.operators import similarity as SIM
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
     )
+    codes = emb.select(
+        "vec_id", SIM.pq_codes_col(F.col("embedding"), E._EMB_DIM).alias("pq_codes")
+    ).persist()
+    codes.count()  # ingest: untimed
+    pq_queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    bench(
+        "ann_pq_scan",
+        lambda: force(
+            SIM.pq_adc_scan(pq_queries, codes, k=5, dim=E._EMB_DIM).select(
+                "qid", "rank", "vec_id"
+            )
+        ),
+    )
+    codes.unpersist()
+
+    total = round(sum(timings.values()), 3)
+    payload = {
+        "metric": "headline engine queries wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "cpus": cpus,
+        "pinned": pinned,
+        "reps": reps,
+        "n_images": n_images,
+        "spatial_rows_per_sec": spatial_rows_per_sec,
+        "osm_elements_per_sec": osm_elements_per_sec,
+        "detail_file": "BENCH_LOCAL.json",
+    }
+    # full detail (incl. per-query [min, median, max] spreads) goes to a
+    # file bench.py owns; the printed line stays compact because the driver
+    # truncates captured stdout (~2000 chars — BENCH_r03 came back
+    # "parsed": null from one oversized line)
+    detail = dict(payload)
+    detail["spreads"] = spreads
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_LOCAL.json"), "w") as fh:
+        json.dump(detail, fh, indent=1, sort_keys=True)
+    line = json.dumps(payload)
+    if len(line) > 1900:  # keep the driver-parsed line whole, whatever grows
+        slim = dict(payload)
+        slim["queries"] = {
+            k: v
+            for k, v in sorted(timings.items(), key=lambda kv: -kv[1])[:30]
+        }
+        slim["queries_truncated_see_detail_file"] = True
+        line = json.dumps(slim)
+    print(line)
 
 
 if __name__ == "__main__":

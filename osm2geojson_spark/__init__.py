@@ -23,7 +23,10 @@ from .plans.pipeline import (
     collect_features,
     convert_documents,
     convert_elements,
+    feature_json_lines,
     json2geojson,
+    read_geojson_lines,
+    write_geojson_lines,
     xml2geojson,
 )
 from .sources import xml_source
@@ -60,6 +63,9 @@ __all__ = [
     "convert_documents",
     "collect_features",
     "build_features",
+    "feature_json_lines",
+    "write_geojson_lines",
+    "read_geojson_lines",
     "ConversionError",
     "overpass_call",
 ]

@@ -81,9 +81,31 @@ def main(argv: list[str] | None = None) -> int:
 
     import osm2geojson_spark as o2g
 
+    # an outfile ending in .jsonl/.ndjson (or a trailing /) selects the
+    # DISTRIBUTED GeoJSON-lines sink: features stream executor-side through
+    # write_geojson_lines — no driver collect, the planet-extract path
+    distributed = args.outfile != "-" and (
+        args.outfile.endswith((".jsonl", ".ndjson")) or args.outfile.endswith(os.sep)
+    )
     try:
         with open(args.infile, encoding="utf-8") as f:
             data = f.read()
+        if distributed:
+            from .plans.pipeline import write_geojson_lines
+            from .sources.normalize import normalize_elements
+            from .sources import xml_source as XS
+
+            parsed = XS.parse(data) if mode == "xml" else json.loads(data)
+            frames = normalize_elements(spark, parsed["elements"])
+            features, _ = o2g.build_features(
+                spark, frames, filter_used_refs=not args.no_unused_filter,
+                area_keys=area_keys, polygon_features=polygon_features,
+            )
+            write_geojson_lines(
+                features, args.outfile,
+                mode="overwrite" if args.force else "error",
+            )
+            return 0
         fn = o2g.xml2geojson if mode == "xml" else o2g.json2geojson
         result = fn(spark, data, filter_used_refs=not args.no_unused_filter,
                     area_keys=area_keys, polygon_features=polygon_features)

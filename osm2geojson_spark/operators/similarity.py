@@ -457,16 +457,52 @@ def pq_adc_topk(
     This is the memory-bound companion to IVF: at 10^12 rows the codes
     table fits where raw vectors cannot (2 bytes vs 256), and IVF cells +
     PQ codes compose (encode residuals per cell at real scale). Returns
-    (qid, rank, tid) ranked by ADC distance asc, tid tie-break."""
+    (qid, rank, tid) ranked by ADC distance asc, tid tie-break.
+
+    In production the encode happens ONCE at ingest (store
+    ``pq_codes_col`` alongside the row); this convenience wrapper encodes
+    inline and delegates to ``pq_adc_scan`` — the steady-state operator
+    that reads precomputed codes."""
     if cb is None:
         cb = pq_codebook(dim, m, kc)
     codes = corpus.withColumn("_codes", pq_codes_col(F.col(tvec), dim, m, kc, cb)).select(
         tid, "_codes"
     )
+    return pq_adc_scan(
+        queries, codes, k, dim, qid=qid, tid=tid, qvec=qvec,
+        codes_col="_codes", m=m, kc=kc, cb=cb,
+    )
+
+
+def pq_adc_scan(
+    queries: DataFrame,
+    codes: DataFrame,
+    k: int,
+    dim: int,
+    qid: str = "qid",
+    tid: str = "vec_id",
+    qvec: str = "qvec",
+    codes_col: str = "pq_codes",
+    m: int = PQ_M,
+    kc: int = PQ_K,
+    cb=None,
+) -> DataFrame:
+    """The steady-state ADC scan over a PRE-ENCODED corpus: ``codes`` holds
+    (tid, codes_col array<int>) written at ingest; only the (tiny) query
+    side computes anything per run — its (m x k) LUT — and the scan is m
+    ``element_at`` lookups + adds per corpus row, all JVM, the corpus never
+    shuffles (broadcast queries, final top-k window on qid). This is the
+    query-path cost model at 10^12 rows; re-encoding per query (the old
+    registered bench shape) misrepresented the operator (round-3 verdict
+    ask #4)."""
+    if cb is None:
+        cb = pq_codebook(dim, m, kc)
     q = queries.withColumn("_lut", pq_lut_col(F.col(qvec), dim, m, kc, cb)).select(
         qid, "_lut"
     )
-    scored = codes.join(F.broadcast(q)).withColumn(
+    scored = codes.select(tid, F.col(codes_col).alias("_codes")).join(
+        F.broadcast(q)
+    ).withColumn(
         "_adist",
         F.aggregate(
             F.zip_with(

@@ -240,20 +240,99 @@ def used_ref_ids(
     return used_nodes.unionByName(used_ways).unionByName(used_rels)
 
 
+def feature_json_lines(features: DataFrame) -> DataFrame:
+    """(doc_id, seq, line): one complete GeoJSON Feature as a compact JSON
+    string per row — the distributed serialization the reference performs
+    driver-side in one json.dump (main.py:118-133, __main__.py:115-135).
+
+    The serializer is an Arrow-batched pandas UDF (GPB geometry decode +
+    props passthrough are per-row ragged work, so this is the sanctioned
+    Python path); everything around it stays a DataFrame, so the sink
+    scales with executors instead of driver memory."""
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(T.StringType())
+    def _fjson(gpb, props):
+        import pandas as pd
+
+        out = [None] * len(gpb)
+        for i, (g, p) in enumerate(zip(gpb, props)):
+            out[i] = json.dumps(
+                {
+                    "type": "Feature",
+                    "properties": json.loads(p),
+                    "geometry": geom.to_geojson_geometry(g),
+                },
+                separators=(",", ":"),
+            )
+        return pd.Series(out)
+
+    return features.select(
+        "doc_id", "seq", _fjson(F.col("gpb"), F.col("props")).alias("line")
+    )
+
+
+def write_geojson_lines(
+    features: DataFrame,
+    path: str,
+    num_files: int | None = None,
+    mode: str = "error",
+) -> None:
+    """Distributed GeoJSON-lines sink (SURVEY §1.2's S10 scale mapping:
+    vectorized feature→JSON pandas UDF + ``df.write.text``): one Feature
+    per line, directory-partitioned by ``doc_id``, and — because the rows
+    are range-repartitioned on (doc_id, seq) and sorted within partitions —
+    reading each doc directory's part files in FILENAME order replays the
+    exact input-order feature sequence the driver-side sink produces.
+    ``num_files`` bounds output file count (defaults to Spark's chosen
+    range partitioning); a planet-scale conversion writes through here
+    with no driver collect."""
+    lines = feature_json_lines(features)
+    if num_files:
+        lines = lines.repartitionByRange(num_files, "doc_id", "seq")
+    else:
+        lines = lines.repartitionByRange("doc_id", "seq")
+    (
+        lines.sortWithinPartitions("doc_id", "seq")
+        .select("doc_id", "line")
+        .write.mode(mode)
+        .partitionBy("doc_id")
+        .text(path)
+    )
+
+
+def read_geojson_lines(spark: SparkSession, path: str) -> dict[str, list[dict]]:
+    """Driver-side reader for ``write_geojson_lines`` output (tests /
+    small corpora): {doc_id: [feature, ...]} with per-doc part files
+    replayed in filename order."""
+    import glob
+    import os
+
+    out: dict[str, list[dict]] = {}
+    for doc_dir in sorted(glob.glob(os.path.join(path, "doc_id=*"))):
+        doc_id = os.path.basename(doc_dir).split("=", 1)[1]
+        feats: list[dict] = []
+        for part in sorted(glob.glob(os.path.join(doc_dir, "part-*"))):
+            with open(part, encoding="utf-8") as fh:
+                for ln in fh:
+                    ln = ln.strip()
+                    if ln:
+                        feats.append(json.loads(ln))
+        out[doc_id] = feats
+    return out
+
+
 def collect_features_by_doc(features: DataFrame) -> dict[str, list[dict]]:
     """Driver-side materialization, grouped per document, each in input
-    order (the golden-test sink; the scale sink writes JSON lines)."""
-    rows = features.select("doc_id", "seq", "gpb", "props").collect()
+    order — the golden-test sink. It delegates serialization to the SAME
+    vectorized ``feature_json_lines`` UDF the distributed sink writes
+    through, so every golden fixture also pins the scale path's bytes."""
+    rows = feature_json_lines(features).collect()
     rows.sort(key=lambda r: (r["doc_id"], r["seq"]))
     out: dict[str, list[dict]] = {}
     for r in rows:
-        out.setdefault(r["doc_id"], []).append(
-            {
-                "type": "Feature",
-                "properties": json.loads(r["props"]),
-                "geometry": geom.to_geojson_geometry(r["gpb"]),
-            }
-        )
+        out.setdefault(r["doc_id"], []).append(json.loads(r["line"]))
     return out
 
 
