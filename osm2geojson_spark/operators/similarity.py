@@ -12,13 +12,19 @@
   projection matrix entries are power-of-two rationals (k/1024) derived from
   an integer hash, exactly representable both as float64 and as decimal SQL
   literals. With float32 embeddings every per-term product is exact in
-  float64 (24-bit x 11-bit significands fit in 53), so the only engine
-  divergence left is summation ORDER (NumPy GEMM is blocked/SIMD, DuckDB
-  list_dot_product is sequential): a dot product within rounding error of 0
-  can in principle flip sign between engines and move a vector to a
-  different bucket. In practice random embeddings land |dot| >> ulp and the
-  driver oracle has been green at every SF; parity is "identical unless a
-  plane dot is within ~1e-12 of zero", not unconditional.
+  float64 (24-bit x 11-bit significands fit in 53), but the SUM is not:
+  measured head-to-head (round 4), DuckDB's list_dot_product lands up to
+  ~8 ulp away from the exact rational value and matches NO accumulation
+  order (sequential, k-lane, pairwise, chunked all reproduce different
+  cases), so bit-exact cross-engine dots are unattainable by construction.
+  What IS guaranteed: both engines stay within ~8 ulp of the exact dot, so
+  a band key can only diverge when some plane's |dot| < ~1e-12 of zero —
+  for O(0.1)-magnitude embedding dots a per-plane flip probability of
+  ~1e-15, i.e. one expected key divergence per ~10^13 plane evaluations.
+  The driver oracle has been green at every SF on those odds; the parity
+  TEST epsilon-guards the near-zero band
+  (test_rh_band_keys_match_sql_twin_epsilon_guarded), and at a red sweep
+  the first suspect is a plane dot straddling zero, not the banding.
 
 Scale tuning (10^12 rows): RH_BITS=16 gives 65k buckets per band — right for
 ~10^8 rows. At larger corpora raise RH_BITS (24-32 bits keeps the per-bucket
@@ -52,9 +58,11 @@ def rh_plane_matrix(dim: int, n_planes: int = N_PLANES) -> np.ndarray:
     Entries are v/1024 with v an integer in [-1024, 1023] derived from a
     32-bit mix of (plane, dim) — deterministic, dim-independent per entry,
     and exactly representable in binary AND as short decimal literals
-    (repr round-trips), which makes every product term exact in float64 on
-    both engines; see the module docstring for the summation-order caveat.
-    """
+    (repr round-trips), which makes every product TERM exact in float64 on
+    both engines. The summed dot is NOT bit-identical cross-engine (each
+    engine's kernel rounds within ~8 ulp of the exact value — see the
+    module docstring for the measured bound and the sign-flip risk it
+    leaves on near-zero dots)."""
     p = np.arange(n_planes, dtype=np.uint64)[None, :]
     d = np.arange(dim, dtype=np.uint64)[:, None]
     mask = np.uint64(0xFFFFFFFF)

@@ -723,3 +723,44 @@ def test_ivf_train_job_count(spark):
     # floor was n_centroids + 1 + iters = 20
     assert 0 < len(jobs) <= 8, jobs
     emb.unpersist()
+
+
+def test_rh_band_keys_match_sql_twin_epsilon_guarded(spark):
+    """Engine-parity for the LSH band keys, epsilon-guarded (round-3
+    ADVICE follow-through): vectors are kept only when EVERY plane dot is
+    at least 1e-9 in magnitude (NumPy exact-order replay) — outside that
+    band both engines' <=8-ulp kernel rounding provably cannot flip a
+    sign, so key equality is by construction, not luck. Near-zero dots
+    are excluded here and quantified in the module docstring."""
+    import duckdb
+
+    from osm2geojson_spark.operators.similarity import (
+        DEDUP_BANDS,
+        rh_band_key_sql,
+        rh_band_keys,
+        rh_plane_matrix,
+    )
+
+    dim = 16
+    rng = np.random.default_rng(11)
+    vecs = rng.standard_normal((60, dim)).astype(np.float32).astype(np.float64)
+    r = rh_plane_matrix(dim)
+    dots = vecs @ r
+    keep = (np.abs(dots) > 1e-9).all(axis=1)
+    assert keep.sum() >= 50  # the guard should exclude ~nothing
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(60) if keep[i]]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        r_["vec_id"]: r_["keys"]
+        for r_ in df.select(
+            "vec_id", rh_band_keys(F.col("embedding")).alias("keys")
+        ).collect()
+    }
+    con = duckdb.connect()
+    for i, v in rows:
+        lits = ", ".join(repr(x) for x in v)
+        exprs = ", ".join(
+            rh_band_key_sql(f"[{lits}]", b, dim) for b in range(DEDUP_BANDS)
+        )
+        want = list(con.execute(f"SELECT {exprs}").fetchone())
+        assert got[i] == want, i
