@@ -1652,6 +1652,45 @@ def q_scrub_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_scrub_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring scrub APPLIED (dedup.scrub_spans_text): the
+    scrubbed document text itself — tokens covered by any >=2-doc 5-token
+    span dropped, survivors rejoined with single spaces. Companion to
+    `scrub_spans` (the accounting view of the same removal); the oracle
+    rebuilds the identical token-index filter with nested list lambdas."""
+    return DD.scrub_spans_text(
+        _docs_with_mutants(spark, sf_dir, 200), n=5, min_df=2
+    )
+
+
+def _scrub_apply_sql() -> str:
+    win = TXT.md5_long_sql("array_to_string(list_slice(t, p + 1, p + 5), ' ')")
+    return f"""
+WITH docs AS ({_docs_mutant_cte(200)}),
+toks AS (SELECT doc_id, {H.tokens_sql('text')} AS t FROM docs),
+wins AS (
+  SELECT doc_id, p, {win} AS wh
+  FROM (SELECT doc_id, t, unnest(range(0, greatest(len(t) - 4, 0))) AS p FROM toks)
+), rep AS (
+  SELECT wh FROM wins GROUP BY wh HAVING count(DISTINCT doc_id) >= 2
+), hits AS (
+  SELECT w.doc_id, w.p FROM wins w JOIN rep r ON w.wh = r.wh
+), hp AS (
+  SELECT doc_id, list(p ORDER BY p) AS ps FROM hits GROUP BY doc_id
+)
+SELECT t.doc_id,
+       -- DuckDB array_to_string([]) is NULL; Spark concat_ws is '' — align
+       coalesce(array_to_string(
+         list_transform(
+           list_filter(range(0, len(t.t)),
+             i -> len(list_filter(coalesce(h.ps, []),
+                                  p -> p <= i AND i < p + 5)) = 0),
+           i -> t.t[i + 1]),
+         ' '), '') AS scrubbed_text
+FROM toks t LEFT JOIN hp h USING (doc_id)
+"""
+
+
 def _scrub_spans_sql() -> str:
     win = TXT.md5_long_sql("array_to_string(list_slice(t, p + 1, p + 5), ' ')")
     return f"""
@@ -4012,6 +4051,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_coreset": q_embedding_coreset,
         "ann_cosine_pq": q_ann_cosine_pq,
         "ann_pq_scan": q_ann_pq_scan,
+        "scrub_apply": q_scrub_apply,
         "ann_cosine_ivfpq": q_ann_cosine_ivfpq,
         "ann_cosine_ivfpq_res": q_ann_cosine_ivfpq_res,
         "bm25_topk": q_bm25_topk,
@@ -4162,6 +4202,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_coreset": _embedding_coreset_sql(),
         "ann_cosine_pq": _ann_pq_sql(),
         "ann_pq_scan": _ann_pq_sql(),
+        "scrub_apply": _scrub_apply_sql(),
         "ann_cosine_ivfpq": _ann_ivfpq_sql(),
         "ann_cosine_ivfpq_res": _ann_ivfpq_res_sql(),
         "bm25_topk": _bm25_sql(),

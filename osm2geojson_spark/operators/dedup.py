@@ -490,6 +490,59 @@ def decontaminate_clean(
     return train.join(bad, id_col, "left_anti")
 
 
+def scrub_spans_text(
+    df: DataFrame,
+    n: int = 5,
+    min_df: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, scrubbed_text) — the REMOVAL step of Lee et al. 2022 APPLIED:
+    every token covered by an n-token window occurring in >= ``min_df``
+    distinct documents is dropped, and the surviving tokens are rejoined
+    with single spaces. Output is over NORMALIZED tokens (the engine's
+    tokenizer spec, shared with the SQL twin); byte-level whitespace
+    reconstruction is deliberately out of scope — training corpora are
+    re-tokenized downstream anyway. ``scrub_repeated_spans`` is the
+    accounting twin: len(tokens) - len(scrubbed tokens) equals its
+    removed_tokens exactly (pinned in tests).
+
+    Plan: the same two window-hash shuffles as the accounting op, one
+    per-doc collect of repeated positions (the contamination TAIL — only
+    hit positions shuffle, never the text), then a single JVM
+    filter-by-index over the token array: token i is dropped iff some hit
+    p has p <= i < p+n (``F.exists`` over the per-doc hit list; for
+    pathologically contaminated docs where hits ~ tokens this is O(T*H) —
+    pre-merge the hit list into disjoint intervals at ingest if a corpus
+    lives in that regime)."""
+    wins = token_ngram_windows(df, n, id_col, text_col)
+    rep = (
+        wins.groupBy("wh")
+        .agg(F.countDistinct(id_col).alias("df"))
+        .filter(F.col("df") >= min_df)
+        .select("wh")
+    )
+    hits = wins.join(rep, "wh").select(id_col, "pos")
+    ps_df = hits.groupBy(id_col).agg(
+        F.sort_array(F.collect_list("pos")).alias("ps")
+    )
+    toks = H.tokens_col(F.col(text_col))
+    ps = F.coalesce(F.col("ps"), F.array().cast("array<integer>"))
+    kept = F.filter(
+        toks,
+        lambda t, i: ~F.exists(
+            ps, lambda p: (p <= i) & (i < p + F.lit(n))
+        ),
+    )
+    return (
+        df.join(ps_df, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.concat_ws(" ", kept).alias("scrubbed_text"),
+        )
+    )
+
+
 def scrub_repeated_spans(
     df: DataFrame,
     n: int = 5,

@@ -80,6 +80,43 @@ def decode_stats(images: DataFrame) -> DataFrame:
     )
 
 
+def decode_gate(images: DataFrame, passthrough: list[str]) -> DataFrame:
+    """(*passthrough, decode_ok): the fused decode-validity gate for
+    pipelines that only need "did it decode" plus a few small key columns
+    downstream (the flagship spatial job gates on decode_ok and keeps just
+    ``phash``).
+
+    Versus ``decode_stats`` + join-back-on-image_id this (a) sends NO
+    string ids through the Arrow boundary in either direction — only the
+    bytes in and the narrow passthrough columns out, (b) needs no second
+    scan of the table and (c) no equi-join/shuffle to reunite the gate
+    with the payload row — the per-row bytes cross the memory bus exactly
+    once. On the 4-core-executor weak-scaling runs the removed join +
+    string traffic is pure bus headroom (round-3 verdict ask #6)."""
+    cols = list(passthrough)
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ok = np.zeros(len(pdf), dtype=bool)
+            fmts = pdf["fmt"].to_numpy()
+            bufs = pdf["bytes"].to_numpy()
+            for i in range(len(pdf)):
+                try:
+                    imagecodec.decode(bytes(bufs[i]), fmts[i])
+                    ok[i] = True
+                except NotImplementedError:
+                    pass
+            out = pdf[cols].copy()
+            out["decode_ok"] = ok
+            yield out
+
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in images.select(*cols).schema.fields
+    ) + ", decode_ok boolean"
+    return images.select(*cols, "bytes", "fmt").mapInPandas(fn, schema=schema)
+
+
 def resize_images(images: DataFrame, out_w: int, out_h: int) -> DataFrame:
     """Nearest-neighbor resize; output re-encoded rawz."""
 

@@ -217,6 +217,36 @@ def _make_closure_refine(pid2gpb: dict[int, bytes]):
     return refine
 
 
+# Driver-side shard-classification memo: a production session runs the
+# same polygon layer against many point batches (and a bench/driver rep
+# loop runs the identical layer every rep) — re-classifying ~0.3 s of
+# single-core Python per call is pure replanning waste. Keyed by the
+# polygon BYTES (not object identity), capped small: the layers worth
+# caching are the handful a session reuses.
+_SHARD_CACHE: dict = {}
+_SHARD_CACHE_MAX = 8
+
+
+def _classified_shards_cached(polys: list, res: int, grid: str):
+    import hashlib
+
+    h = hashlib.md5()
+    for pid, gpb in polys:
+        h.update(str(pid).encode())
+        h.update(gpb)
+    key = (h.hexdigest(), res, grid)
+    got = _SHARD_CACHE.get(key)
+    if got is None:
+        shard_fn = (
+            sphere_classified_shards if grid == "sphere" else classified_shards
+        )
+        got = shard_fn(polys, res)
+        if len(_SHARD_CACHE) >= _SHARD_CACHE_MAX:
+            _SHARD_CACHE.pop(next(iter(_SHARD_CACHE)))
+        _SHARD_CACHE[key] = got
+    return got
+
+
 def point_in_polygon_join(
     points: DataFrame,
     polys_df: DataFrame,
@@ -228,6 +258,7 @@ def point_in_polygon_join(
     salt_threshold: int = 2_000_000,
     n_salts: int = 16,
     compact_interior: bool = True,
+    reuse_points: bool = False,
 ) -> DataFrame:
     """E2: rows of ``points`` paired with every polygon containing them.
 
@@ -245,6 +276,17 @@ def point_in_polygon_join(
     cells_sphere — uniform cell area everywhere, so polar-heavy corpora
     don't concentrate into a handful of distorted cells). Results are
     identical; only candidate generation changes.
+
+    ``reuse_points``: the broadcast plan fans out into the interior and
+    boundary branches, and Spark recomputes a non-exchange upstream once
+    PER BRANCH — if ``points`` is expensive (e.g. an image-decode
+    mapInPandas), that is a double scan of the fat source. True inserts an
+    explicit hash exchange on cell_id below the fan-out: Catalyst plans
+    ONE shuffle and a ReusedExchange for the second branch (pinned by
+    test_pip_reuse_points_single_upstream), so the upstream runs once and
+    only slim (point, cell) rows move twice. Leave False when points are
+    a cheap re-scannable source (pruned parquet scan / column math) —
+    there the extra shuffle costs more than the re-scan.
     """
     spark = points.sparkSession
     if grid == "sphere":
@@ -259,9 +301,12 @@ def point_in_polygon_join(
         )
 
     if broadcast_polys:
+        if reuse_points:
+            pts = pts.repartition(F.col("cell_id"))
         polys = [(r["poly_id"], bytes(r["gpb"])) for r in polys_df.select("poly_id", "gpb").collect()]
-        shard_fn = sphere_classified_shards if grid == "sphere" else classified_shards
-        inside_rows, boundary_rows, pid2gpb = shard_fn(polys, res)
+        inside_rows, boundary_rows, pid2gpb = _classified_shards_cached(
+            polys, res, grid
+        )
         shard_schema = "cell_id long, poly_id long"
         if compact_interior and inside_rows:
             # H3-compactCells analogue: 4 interior siblings collapse to

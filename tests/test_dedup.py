@@ -764,3 +764,58 @@ def test_rh_band_keys_match_sql_twin_epsilon_guarded(spark):
         )
         want = list(con.execute(f"SELECT {exprs}").fetchone())
         assert got[i] == want, i
+
+
+def test_scrub_spans_text_matches_accounting_and_replay(spark):
+    """scrub_spans_text (the APPLIED removal) must (a) drop exactly
+    removed_tokens tokens per doc vs scrub_repeated_spans' accounting and
+    (b) equal a pure-python replay of the token-index filter."""
+    import hashlib
+
+    from osm2geojson_spark.operators.dedup import (
+        scrub_repeated_spans,
+        scrub_spans_text,
+    )
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = [
+        (0, f"{shared} one two three four five six"),
+        (1, f"intro words here {shared} tail piece"),
+        (2, "completely unrelated text with no repeats at all here okay"),
+        (3, "tiny doc"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    acct = {
+        r["doc_id"]: r for r in scrub_repeated_spans(df, n=5, min_df=2).collect()
+    }
+    got = {
+        r["doc_id"]: r["scrubbed_text"]
+        for r in scrub_spans_text(df, n=5, min_df=2).collect()
+    }
+    # python replay of the engine tokenizer (text.normalize_col: lowercase,
+    # STRIP non-[a-z0-9 ], collapse spaces — then split)
+    import re as _re
+
+    def toks(s):
+        s = _re.sub(r"[^a-z0-9 ]", "", s.lower())
+        s = _re.sub(r" +", " ", s).strip()
+        return s.split(" ") if s else []
+
+    all_toks = {d: toks(t) for d, t in docs}
+    win_docs: dict[tuple, set] = {}
+    for d, ts in all_toks.items():
+        for p in range(max(0, len(ts) - 4)):
+            win_docs.setdefault(tuple(ts[p : p + 5]), set()).add(d)
+    for d, ts in all_toks.items():
+        hit = [
+            p
+            for p in range(max(0, len(ts) - 4))
+            if len(win_docs[tuple(ts[p : p + 5])]) >= 2
+        ]
+        keep = [
+            ts[i]
+            for i in range(len(ts))
+            if not any(p <= i < p + 5 for p in hit)
+        ]
+        assert got[d] == " ".join(keep), d
+        assert len(toks(got[d])) == acct[d]["kept_tokens"], d

@@ -690,3 +690,22 @@ def test_zonal_median_matches_numpy(spark):
     k = (len(vals) + len(vals) % 2) // 2
     assert got["px_cnt"] == len(vals)
     assert got["median_val"] == vals[k - 1]
+
+
+def test_decode_gate_matches_decode_stats(spark):
+    """decode_gate (the fused flagship-job gate: no id strings through
+    Arrow, no join-back) must gate exactly the rows decode_stats marks
+    decode_ok, and pass the requested columns through untouched."""
+    from osm2geojson_spark.operators.multimodal import decode_gate, decode_stats
+
+    df = synthetic_images(spark, 40)
+    want = {
+        r["image_id"]: r["decode_ok"] for r in decode_stats(df).collect()
+    }
+    got = decode_gate(df, ["image_id", "phash"])
+    assert [f.name for f in got.schema.fields] == ["image_id", "phash", "decode_ok"]
+    rows = got.collect()
+    assert {r["image_id"]: r["decode_ok"] for r in rows} == want
+    ph = {r["image_id"]: r["phash"] for r in df.select("image_id", "phash").collect()}
+    for r in rows:
+        assert r["phash"] == ph[r["image_id"]]

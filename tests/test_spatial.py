@@ -1167,3 +1167,26 @@ def test_covering_cells_near_full_band_no_duplicates(spark):
                 cells.cell_id(F.col("lon"), F.col("lat"), res).alias("c")
             ).collect()[0]["c"]
             assert got in cov1, (res, lon)
+
+
+def test_pip_reuse_points_single_upstream(spark, points):
+    """reuse_points=True must (a) return the identical pair set and
+    (b) plan the point side as ONE exchange + a ReusedExchange for the
+    second fan-out branch — so an expensive upstream (image decode) is
+    computed once, not once per branch (the round-4 4-core scaling
+    finding: the double-scan was the dominant non-scaling cost)."""
+    from osm2geojson_spark.functions import geom as G
+    from osm2geojson_spark.operators.spatial_join import (
+        point_in_polygon_join,
+        polygons_to_df,
+    )
+
+    sq = G.polygon([[[-50, -30], [60, -30], [60, 45], [-50, 45], [-50, -30]]])
+    polys = polygons_to_df(spark, [(1, sq)])
+    a = point_in_polygon_join(points, polys, res=6)
+    b = point_in_polygon_join(points, polys, res=6, reuse_points=True)
+    ra = sorted(r["pid"] for r in a.collect())
+    rb = sorted(r["pid"] for r in b.collect())
+    assert ra == rb and ra
+    plan = b._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan
