@@ -2518,6 +2518,66 @@ SELECT id_a, id_b, round(cos, 6) AS cos FROM pairs WHERE cos >= 0.9
 """
 
 
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (dedup.semantic_dedup): cluster-then-dedup over the same
+    planted-mutant corpus as dedup_embedding — k-means cells route, the
+    intra-cluster quadratic verifies, lowest id per semantic group
+    survives. Output: surviving vec_ids. The oracle mirrors the cell
+    assignment (identical literal centroid scores, first-max argmax) and
+    the lower-id-clustermate drop rule exactly."""
+    base = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 100)
+        .select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+        )
+    )
+    mut = base.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x * (F.lit(1.0) + (i % 3).cast("double") * F.lit(0.25)),
+        ).alias("embedding"),
+    )
+    return DD.semantic_dedup(
+        base.unionByName(mut), dim=_EMB_DIM, tau=0.9
+    ).select("vec_id")
+
+
+def _dedup_semantic_sql() -> str:
+    import numpy as np
+
+    cents = SIM.ivf_centroid_matrix(_EMB_DIM)
+    norms = np.sqrt((cents**2).sum(axis=0))
+    scores = ", ".join(
+        "list_dot_product(v, ["
+        + ", ".join(repr(float(x)) for x in cents[:, c])
+        + f"]) / {float(norms[c])!r}"
+        for c in range(cents.shape[1])
+    )
+    return f"""
+WITH base AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 100
+), alle AS (
+  SELECT vec_id, v FROM base
+  UNION ALL
+  SELECT vec_id + 100000,
+         list_transform(range(len(v)), i -> v[i + 1] * (1.0 + (i % 3) * 0.25))
+  FROM base
+), ek AS (SELECT vec_id, v, [{scores}] AS sc FROM alle),
+cell AS (SELECT vec_id, v, list_position(sc, list_max(sc)) - 1 AS cell FROM ek),
+dropped AS (
+  SELECT DISTINCT a.vec_id
+  FROM cell a JOIN cell b ON a.cell = b.cell AND b.vec_id < a.vec_id
+  WHERE list_dot_product(a.v, b.v)
+        / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+        >= 0.9
+)
+SELECT vec_id FROM alle WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+"""
+
+
 def q_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-data dedup stage in the canonical order:
     exact dedup (hash-groupBy) FIRST — which also removes the
@@ -3068,6 +3128,56 @@ LEFT JOIN parts ON parts.i = img.i
 LEFT JOIN holes ON holes.i = img.i
 LEFT JOIN area ON area.i = img.i
 LEFT JOIN adj ON adj.i = img.i
+"""
+
+
+def q_vectorize_stitched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-TILE stitched vectorization (multimodal.vectorize_stitched):
+    a 6x6 mosaic of 8x8 tiles (global 48x48) whose per-tile synth_pixels
+    phase i = (17*k) % 251 plants 11 hot regions, 7 of them crossing tile
+    borders; the engine labels each tile locally, equi-joins boundary
+    strips, resolves the region graph with min-label propagation, and
+    rolls up per-region area/tiles/bbox. The oracle shares NO stitching
+    logic: it floods the WHOLE mosaic as one flat 2304-pixel grid with a
+    recursive CTE. Mixed rawz/png containers, like vectorize_tiles."""
+    part = _t(spark, sf_dir, "part").filter(F.col("p_partkey") < 36)
+    k = F.col("p_partkey")
+    imgs = part.select(
+        (k % 6).cast("int").alias("tile_x"),
+        (k / 6).cast("int").alias("tile_y"),
+        ((F.lit(17) * k) % 251).cast("int").alias("_i"),
+        F.when(k % 7 == 0, F.lit("png")).otherwise(F.lit("rawz")).alias("fmt"),
+    ).withColumn(
+        "bytes",
+        SYN._encode_image_fmt_udf(
+            F.col("_i"), F.lit(8).cast("int"), F.lit(8).cast("int"), F.col("fmt")
+        ),
+    )
+    return MM.vectorize_stitched(imgs, threshold=200)
+
+
+_VECTORIZE_STITCHED_SQL = """
+WITH RECURSIVE tile AS (SELECT p_partkey AS k FROM part WHERE p_partkey < 36),
+cell AS (
+  SELECT (k % 6) * 8 + (p % 8) AS gx, (k // 6) * 8 + (p // 8) AS gy, k,
+         ((p % 8) * 3 + (p // 8) * 7 + ((17 * k) % 251) * 13) % 251 >= 200 AS hot
+  FROM (SELECT k, unnest(range(0, 64)) AS p FROM tile)
+), hotpx AS (SELECT gy * 4294967296 + gx AS g, gx, gy, k FROM cell WHERE hot),
+edge AS (
+  SELECT a.g AS src, b.g AS dst FROM hotpx a JOIN hotpx b ON
+    (abs(a.gx - b.gx) = 1 AND a.gy = b.gy)
+    OR (a.gx = b.gx AND abs(a.gy - b.gy) = 1)
+),
+lbl(g, l) AS (
+  SELECT g, g FROM hotpx
+  UNION
+  SELECT e.dst, lbl.l FROM lbl JOIN edge e ON e.src = lbl.g
+),
+ml AS (SELECT g, min(l) AS region_id FROM lbl GROUP BY g)
+SELECT region_id, count(*) AS area_px, count(DISTINCT h.k) AS n_tiles,
+       min(h.gx) AS min_gx, min(h.gy) AS min_gy,
+       max(h.gx) AS max_gx, max(h.gy) AS max_gy
+FROM ml JOIN hotpx h USING (g) GROUP BY region_id
 """
 
 
@@ -4039,6 +4149,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- never driver-recorded (round-3 verdict ask #1): first, so a
         # budget-capped sweep records them before the long-verified tail
+        "dedup_semantic": q_dedup_semantic,
+        "vectorize_stitched": q_vectorize_stitched,
         "image_sharpness": q_image_sharpness,
         "image_similarity": q_image_similarity,
         "image_pipeline": q_image_pipeline,
@@ -4135,6 +4247,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "dedup_semantic": _dedup_semantic_sql(),
+        "vectorize_stitched": _VECTORIZE_STITCHED_SQL,
         "way_assembly": _WAY_ASSEMBLY_SQL,
         "relation_assembly": _RELATION_ASSEMBLY_SQL,
         "classifier": _classifier_oracle_sql(),

@@ -356,6 +356,55 @@ def embedding_cosine_dups(
     )
 
 
+def semantic_dedup(
+    emb: DataFrame,
+    dim: int,
+    tau: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cents=None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — the LAION/DataComp
+    semantic-dedup stage): k-means-cluster the embedding space, then inside
+    each cluster drop every row that has a LOWER-ID clustermate with cosine
+    >= ``tau``; the lowest id of each semantic group is the canonical
+    survivor (same convention as duplicate_clusters). Returns the surviving
+    rows of ``emb`` unchanged.
+
+    Unlike embedding_cosine_dups (LSH bands -> exact verify, recall < 1 by
+    construction) this is the paper's partition-quadratic design: the
+    centroid assignment is pure JVM column math (similarity.ivf_cell_col),
+    the intra-cluster pair generation is ONE equi-join on the cluster id —
+    never a global cross join — and the quadratic term is bounded by the
+    cluster size, which the codebook size controls (the paper runs 50k
+    clusters over 5B embeddings for the same reason). At 100 TB: vectors
+    shuffle once on cluster id; mega-cluster skew is handled upstream by
+    enlarging the codebook (ivf_train on a corpus sample) or routing hot
+    cells through plans/skew.salted_join; the verify dot products stay in
+    whole-stage codegen (zip_with + fold, no Python)."""
+    from .similarity import cosine_col, ivf_cell_col, ivf_centroid_matrix
+
+    if cents is None:
+        cents = ivf_centroid_matrix(dim)
+    cells = emb.select(
+        F.col(id_col), F.col(vec_col)
+    ).withColumn("_cell", ivf_cell_col(F.col(vec_col), dim, cents))
+    a = cells.select(
+        F.col(id_col).alias("_ida"), F.col(vec_col).alias("_va"), "_cell"
+    )
+    b = cells.select(
+        F.col(id_col).alias("_idb"), F.col(vec_col).alias("_vb"), "_cell"
+    )
+    dropped = (
+        a.join(b, "_cell")
+        .filter(F.col("_idb") < F.col("_ida"))
+        .filter(cosine_col(F.col("_va"), F.col("_vb")) >= F.lit(tau))
+        .select(F.col("_ida").alias(id_col))
+        .distinct()
+    )
+    return emb.join(dropped, id_col, "left_anti")
+
+
 # ------------------------------------------------- repeated token n-grams
 
 

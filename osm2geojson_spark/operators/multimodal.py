@@ -629,6 +629,163 @@ def vectorize_images(images: DataFrame, threshold: int = 128) -> DataFrame:
     )
 
 
+def _label_components_batch(masks: np.ndarray) -> np.ndarray:
+    """(B, H, W) bool -> (B, H, W) int64 local 4-connected component
+    labels: each hot pixel's label is the MINIMUM row-major pixel index
+    reachable within its component (cold pixels get -1). Vectorized
+    min-propagation across the whole batch — the NumPy stand-in for the
+    two-pass union-find a production tile kernel uses; iterations bound =
+    the longest geodesic path in any tile of the batch."""
+    B, H, W = masks.shape
+    big = np.int64(H * W)
+    idx = np.arange(H * W, dtype=np.int64).reshape(1, H, W)
+    lbl = np.where(masks, idx, big)
+    while True:
+        nb = np.full((4, B, H, W), big, dtype=np.int64)
+        nb[0, :, 1:, :] = lbl[:, :-1, :]
+        nb[1, :, :-1, :] = lbl[:, 1:, :]
+        nb[2, :, :, 1:] = lbl[:, :, :-1]
+        nb[3, :, :, :-1] = lbl[:, :, 1:]
+        new = np.where(masks, np.minimum(lbl, nb.min(axis=0)), big)
+        if np.array_equal(new, lbl):
+            break
+        lbl = new
+    return np.where(masks, lbl, np.int64(-1))
+
+
+def vectorize_stitched(
+    images: DataFrame,
+    threshold: int = 128,
+    tx_col: str = "tile_x",
+    ty_col: str = "tile_y",
+    max_iter: int = 20,
+) -> DataFrame:
+    """CROSS-TILE raster->vector region stitching: the input rows are tiles
+    of one uniform mosaic (``tx_col``/``ty_col`` grid coordinates, all
+    tiles the same w x h), and hot regions (pixel >= ``threshold``) that
+    cross tile borders are merged into GLOBAL regions. Output one row per
+    stitched region: (region_id = the global (gy << 32 | gx) key of its
+    minimum pixel, area_px, n_tiles touched, global bbox).
+
+    This is the scale shape of planetary-scale vectorization (the
+    round-3 session notes' "vectorize_mask at scale" item): pixels never
+    leave their tile — the Arrow kernel labels each tile locally
+    (vectorized min-propagation; production kernels use two-pass
+    union-find, same contract) and emits only O(components) summary rows
+    plus O(perimeter) boundary-strip rows. Stitching is an equi-join of
+    strips on (border, position) — two hot pixels facing each other across
+    a tile edge link their components — and region resolution is
+    dedup.duplicate_clusters' min-label propagation over the REGION graph
+    (tiny vs pixels; O(region diameter in tiles) rounds). The final rollup
+    is one groupBy. No step is quadratic in pixels, tiles, or regions; the
+    pixel bytes cross the bus exactly once (localCheckpoint below the
+    kernel so the edge join and the label loop never re-decode).
+
+    The DuckDB twin shares NO stitching logic: it floods the whole mosaic
+    as one flat pixel grid with a recursive CTE (tests + driver oracle)."""
+    from .dedup import duplicate_clusters
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: list[tuple] = []
+            # group same-sized tiles so the batch labeling vectorizes
+            by_size: dict[tuple, list[tuple]] = {}
+            for r in pdf.itertuples(index=False):
+                px = imagecodec.decode(bytes(r.bytes), r.fmt)
+                if px.ndim == 3:
+                    px = px[..., 0]
+                by_size.setdefault(px.shape, []).append((int(r.tx), int(r.ty), px))
+            for (h, w), tiles in by_size.items():
+                masks = np.stack([t[2] >= threshold for t in tiles])
+                lbls = _label_components_batch(masks)
+                for (tx, ty, _), lbl in zip(tiles, lbls):
+                    gx0, gy0 = tx * w, ty * h
+                    hot = lbl >= 0
+                    if not hot.any():
+                        continue
+                    ys, xs = np.nonzero(hot)
+                    loc = lbl[ys, xs]
+                    gkey = ((gy0 + ys).astype(np.int64) << 32) | (gx0 + xs)
+                    for lv in np.unique(loc):
+                        m = loc == lv
+                        cys, cxs = ys[m], xs[m]
+                        key = int(gkey[m].min())
+                        strips = []
+                        for cy, cx in zip(cys.tolist(), cxs.tolist()):
+                            if cx == 0:
+                                strips.append((0, tx, gy0 + cy))
+                            if cx == w - 1:
+                                strips.append((0, tx + 1, gy0 + cy))
+                            if cy == 0:
+                                strips.append((1, ty, gx0 + cx))
+                            if cy == h - 1:
+                                strips.append((1, ty + 1, gx0 + cx))
+                        out.append(
+                            (
+                                key,
+                                int(m.sum()),
+                                gx0 + int(cxs.min()),
+                                gy0 + int(cys.min()),
+                                gx0 + int(cxs.max()),
+                                gy0 + int(cys.max()),
+                                tx,
+                                ty,
+                                strips,
+                            )
+                        )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "key", "area", "min_gx", "min_gy", "max_gx", "max_gy",
+                    "tx", "ty", "strips",
+                ],
+            )
+
+    comps = (
+        images.select(
+            F.col(tx_col).cast("int").alias("tx"),
+            F.col(ty_col).cast("int").alias("ty"),
+            "bytes",
+            "fmt",
+        )
+        .mapInPandas(
+            fn,
+            schema="key long, area long, min_gx int, min_gy int,"
+            " max_gx int, max_gy int, tx int, ty int,"
+            " strips array<struct<orient:int,b:int,pos:long>>",
+        )
+        .localCheckpoint(eager=False)
+    )
+    strips = comps.select("key", F.explode("strips").alias("s")).select(
+        "key", "s.orient", "s.b", "s.pos"
+    )
+    # only the two tiles adjacent to a border emit the same (orient, b,
+    # pos), and within one tile a border pixel belongs to exactly one
+    # component — so key_a < key_b pairs are always cross-tile links
+    edges = (
+        strips.alias("a")
+        .join(strips.alias("b"), ["orient", "b", "pos"])
+        .filter(F.col("a.key") < F.col("b.key"))
+        .select(F.col("a.key").alias("id_a"), F.col("b.key").alias("id_b"))
+        .distinct()
+    )
+    labels = duplicate_clusters(
+        comps.select("key"), edges, id_col="key", max_iter=max_iter
+    )
+    return (
+        comps.join(labels, "key")
+        .groupBy(F.col("cluster_id").alias("region_id"))
+        .agg(
+            F.sum("area").alias("area_px"),
+            F.countDistinct("tx", "ty").alias("n_tiles"),
+            F.min("min_gx").alias("min_gx"),
+            F.min("min_gy").alias("min_gy"),
+            F.max("max_gx").alias("max_gx"),
+            F.max("max_gy").alias("max_gy"),
+        )
+    )
+
+
 def zonal_value_counts(
     images: DataFrame,
     polys_df: DataFrame,

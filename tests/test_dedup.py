@@ -819,3 +819,41 @@ def test_scrub_spans_text_matches_accounting_and_replay(spark):
         ]
         assert got[d] == " ".join(keep), d
         assert len(toks(got[d])) == acct[d]["kept_tokens"], d
+
+
+def test_semantic_dedup_matches_bruteforce(spark):
+    """SemDeDup == the NumPy drop rule: same-cell lower-id clustermate with
+    cosine >= tau kills a row; cell = first-max argmax over the seeded
+    centroid scores (the exact rule the oracle SQL mirrors)."""
+    import numpy as np
+
+    from osm2geojson_spark.operators.dedup import semantic_dedup
+    from osm2geojson_spark.operators.similarity import ivf_centroid_matrix
+
+    dim, tau = 16, 0.92
+    rng = np.random.default_rng(41)
+    base = rng.normal(size=(30, dim))
+    planted = base[:10] * rng.uniform(1.01, 1.5, size=(10, 1))  # cos == 1
+    near = base[10:18] + rng.normal(scale=0.05, size=(8, dim))  # cos ~0.99
+    vecs = np.vstack([base, planted, near])
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    cents = ivf_centroid_matrix(dim)
+    scores = (vecs @ cents) / np.sqrt((cents**2).sum(axis=0))
+    cell = scores.argmax(axis=1)  # np argmax = first max, same as the op
+    norm = np.sqrt((vecs**2).sum(axis=1))
+    dropped = set()
+    for a in range(len(vecs)):
+        for b in range(len(vecs)):
+            if b < a and cell[a] == cell[b]:
+                if vecs[a] @ vecs[b] / (norm[a] * norm[b]) >= tau:
+                    dropped.add(a)
+                    break
+    want = set(range(len(vecs))) - dropped
+
+    got = {r["vec_id"] for r in semantic_dedup(df, dim=dim, tau=tau).collect()}
+    assert got == want
+    assert dropped  # the planted copies really exercised the drop path
+    plan = semantic_dedup(df, dim=dim, tau=tau)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan

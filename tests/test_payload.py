@@ -709,3 +709,108 @@ def test_decode_gate_matches_decode_stats(spark):
     ph = {r["image_id"]: r["phash"] for r in df.select("image_id", "phash").collect()}
     for r in rows:
         assert r["phash"] == ph[r["image_id"]]
+
+
+# --------------------------------------------------- cross-tile stitching
+
+
+def _global_flood_regions(hot: np.ndarray, ts: int):
+    """Brute-force oracle: flood the whole mosaic as one grid; returns
+    {region_key: (area, n_tiles, min_gx, min_gy, max_gx, max_gy)} with
+    region_key = (gy << 32 | gx) of the region's minimum pixel."""
+    gh, gw = hot.shape
+    big = gh * gw
+    idx = np.arange(big, dtype=np.int64).reshape(gh, gw)
+    lbl = np.where(hot, idx, big)
+    while True:
+        nb = np.full((4, gh, gw), big, dtype=np.int64)
+        nb[0, 1:, :] = lbl[:-1, :]
+        nb[1, :-1, :] = lbl[1:, :]
+        nb[2, :, 1:] = lbl[:, :-1]
+        nb[3, :, :-1] = lbl[:, 1:]
+        new = np.where(hot, np.minimum(lbl, nb.min(axis=0)), big)
+        if np.array_equal(new, lbl):
+            break
+        lbl = new
+    out = {}
+    for lv in np.unique(lbl[hot]):
+        ys, xs = np.nonzero(lbl == lv)
+        key = int((np.int64(ys[0]) << 32) | xs[0])  # lexicographic min
+        tiles = len(set(zip((xs // ts).tolist(), (ys // ts).tolist())))
+        out[key] = (
+            len(ys), tiles,
+            int(xs.min()), int(ys.min()), int(xs.max()), int(ys.max()),
+        )
+    return out
+
+
+def _mosaic_df(spark, hot: np.ndarray, ts: int):
+    from osm2geojson_spark.functions import imagecodec as IC
+
+    gh, gw = hot.shape
+    rows = []
+    for ty in range(gh // ts):
+        for tx in range(gw // ts):
+            px = np.where(
+                hot[ty * ts:(ty + 1) * ts, tx * ts:(tx + 1) * ts], 200, 0
+            ).astype(np.uint8)
+            rows.append((tx, ty, IC.encode_rawz(px), "rawz"))
+    return spark.createDataFrame(
+        rows, "tile_x int, tile_y int, bytes binary, fmt string"
+    )
+
+
+def test_label_components_batch_matches_flood():
+    from osm2geojson_spark.operators.multimodal import _label_components_batch
+
+    rng = np.random.default_rng(7)
+    masks = rng.random((6, 9, 9)) < 0.45
+    lbls = _label_components_batch(masks)
+    for mask, lbl in zip(masks, lbls):
+        want = _global_flood_regions(mask, ts=9)
+        got = {}
+        for lv in np.unique(lbl[mask]):
+            ys, xs = np.nonzero(lbl == lv)
+            got[int((np.int64(ys[0]) << 32) | xs[0])] = len(ys)
+        assert {k: v[0] for k, v in want.items()} == got
+        assert (lbl[~mask] == -1).all()
+
+
+def test_vectorize_stitched_plus_region(spark):
+    """A plus-shaped region crossing all four tiles of a 2x2 mosaic plus an
+    isolated single-tile blob: one stitched region spanning 4 tiles."""
+    from osm2geojson_spark.operators.multimodal import vectorize_stitched
+
+    hot = np.zeros((8, 8), dtype=bool)
+    hot[3:5, 1:7] = True   # horizontal bar across the vertical border
+    hot[1:7, 3:5] = True   # vertical bar across the horizontal border
+    hot[6:8, 6:8] = True   # separate blob, fully inside tile (1,1)
+    got = {
+        r["region_id"]: r
+        for r in vectorize_stitched(_mosaic_df(spark, hot, 4), threshold=128).collect()
+    }
+    want = _global_flood_regions(hot, ts=4)
+    assert set(got) == set(want)
+    for k, (area, ntiles, x0, y0, x1, y1) in want.items():
+        r = got[k]
+        assert (
+            r["area_px"], r["n_tiles"], r["min_gx"], r["min_gy"],
+            r["max_gx"], r["max_gy"],
+        ) == (area, ntiles, x0, y0, x1, y1)
+    assert want[(1 << 32) | 3][1] == 4  # the plus really spans 4 tiles
+
+
+def test_vectorize_stitched_random_matches_global_flood(spark):
+    """Random 3x3 mosaic of 6x6 tiles == the whole-grid flood oracle."""
+    from osm2geojson_spark.operators.multimodal import vectorize_stitched
+
+    rng = np.random.default_rng(23)
+    hot = rng.random((18, 18)) < 0.42
+    got = {
+        r["region_id"]: (
+            r["area_px"], r["n_tiles"], r["min_gx"], r["min_gy"],
+            r["max_gx"], r["max_gy"],
+        )
+        for r in vectorize_stitched(_mosaic_df(spark, hot, 6), threshold=128).collect()
+    }
+    assert got == _global_flood_regions(hot, ts=6)
