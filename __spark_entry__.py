@@ -1057,6 +1057,68 @@ FROM edge, dn
 """
 
 
+def q_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Density-based spatial clustering (spatial_stats.dbscan_cluster, the
+    ST_ClusterDBSCAN analogue): 400 customer points, eps 400 km, min_pts 3
+    — cores, min-id clusters over core-core proximity, borders attached to
+    their smallest-id cluster, noise NULL. The oracle brute-forces the
+    eps-graph and floods core components with a recursive CTE. The nearest
+    pair distance to the 400 km cut is 530 m (sf0.01) / 12.3 km (sf0.001)
+    — far beyond cross-engine libm ulp differences, and core status is a
+    count over those same safely-decided pairs."""
+    from osm2geojson_spark.operators.spatial_stats import dbscan_cluster
+
+    pts = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < 400)
+        .select(
+            F.col("c_custkey").alias("id"),
+            _lon("c_custkey").alias("lon"),
+            _lat("c_custkey").alias("lat"),
+        )
+    )
+    return dbscan_cluster(pts, 400_000.0, 3, id_col="id", res=6).select(
+        "id", "is_core", "cluster_id"
+    )
+
+
+def _dbscan_sql() -> str:
+    hav = KNN.haversine_sql("a.lon", "a.lat", "b.lon", "b.lat")
+    return f"""
+WITH RECURSIVE p AS (
+  SELECT c_custkey AS k, {SYN.lon_sql('c_custkey')} AS lon,
+         {SYN.lat_sql('c_custkey')} AS lat
+  FROM customer WHERE c_custkey < 400
+), pairs AS (
+  SELECT a.k AS ida, b.k AS idb FROM p a JOIN p b
+  ON a.k <> b.k AND {hav} <= 400000.0
+), cnt AS (SELECT ida, count(*) AS c FROM pairs GROUP BY ida),
+core AS (
+  SELECT k FROM p LEFT JOIN cnt ON p.k = cnt.ida
+  WHERE coalesce(c, 0) + 1 >= 3
+), ce AS (
+  SELECT ida, idb FROM pairs
+  WHERE ida IN (SELECT k FROM core) AND idb IN (SELECT k FROM core)
+), lbl(v, l) AS (
+  SELECT k, k FROM core
+  UNION
+  SELECT ce.idb, lbl.l FROM lbl JOIN ce ON ce.ida = lbl.v
+), ml AS (SELECT v, min(l) AS cluster_id FROM lbl GROUP BY v),
+bl AS (
+  SELECT ida AS v, min(ml.cluster_id) AS cluster_id
+  FROM pairs JOIN ml ON pairs.idb = ml.v
+  WHERE ida NOT IN (SELECT k FROM core)
+  GROUP BY ida
+), mem AS (
+  SELECT v, cluster_id, TRUE AS is_core FROM ml
+  UNION ALL
+  SELECT v, cluster_id, FALSE AS is_core FROM bl
+)
+SELECT p.k AS id, coalesce(mem.is_core, FALSE) AS is_core, mem.cluster_id
+FROM p LEFT JOIN mem ON p.k = mem.v
+"""
+
+
 def q_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Getis-Ord Gi* hot-spot detection over the customer point-density
     grid (spatial_stats.getis_ord_gi_star): per occupied cell the
@@ -4151,6 +4213,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # budget-capped sweep records them before the long-verified tail
         "dedup_semantic": q_dedup_semantic,
         "vectorize_stitched": q_vectorize_stitched,
+        "dbscan": q_dbscan,
         "image_sharpness": q_image_sharpness,
         "image_similarity": q_image_similarity,
         "image_pipeline": q_image_pipeline,
@@ -4249,6 +4312,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "dedup_semantic": _dedup_semantic_sql(),
         "vectorize_stitched": _VECTORIZE_STITCHED_SQL,
+        "dbscan": _dbscan_sql(),
         "way_assembly": _WAY_ASSEMBLY_SQL,
         "relation_assembly": _RELATION_ASSEMBLY_SQL,
         "classifier": _classifier_oracle_sql(),

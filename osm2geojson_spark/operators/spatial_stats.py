@@ -422,3 +422,99 @@ def local_morans_i(
         ),
         quad.alias("quad"),
     )
+
+
+def dbscan_cluster(
+    points: DataFrame,
+    eps_m: float,
+    min_pts: int,
+    id_col: str = "id",
+    res: int = 6,
+    grid: str = "flat",
+    salt_threshold: int | None = None,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Density-based spatial clustering — the PostGIS ``ST_ClusterDBSCAN``
+    window-function analogue as a distributed operator. A point is CORE if
+    at least ``min_pts`` points (itself included, the PostGIS convention)
+    lie within ``eps_m`` meters (haversine); clusters are the connected
+    components of core-core proximity; a non-core point within ``eps_m``
+    of a core point is a BORDER member of that core's cluster; everything
+    else is noise. Output: (id_col, is_core boolean, cluster_id long —
+    NULL for noise).
+
+    Determinism (where the spec leaves slack): cluster_id is the minimum
+    core-point id of the cluster, and a border point reachable from
+    several clusters joins the one with the smallest cluster_id — PostGIS
+    leaves border assignment order-dependent; we pin it so the DuckDB twin
+    is exact.
+
+    Scale shape: the eps-neighborhood relation comes from
+    within_distance_join (covering-cell equi-join + JVM haversine refine —
+    never all-pairs; ``salt_threshold`` forwards to its dense-cell skew
+    treatment), neighbor counting and the core gate are one groupBy over
+    the pair list, and component resolution is dedup.duplicate_clusters'
+    min-label propagation over CORE-CORE edges only — O(cluster diameter)
+    rounds on a graph whose size is the pair list, not the corpus. With
+    eps below the percolation radius (the only regime where DBSCAN output
+    is meaningful), cluster diameters are small constants."""
+    from .dedup import duplicate_clusters
+    from .spatial_join import within_distance_join
+
+    a = points.select(
+        F.col(id_col).alias("_ida"), F.col("lon"), F.col("lat")
+    )
+    b = points.select(
+        F.col(id_col).alias("_idb"), F.col("lon"), F.col("lat")
+    )
+    pairs = (
+        within_distance_join(
+            a, b, eps_m, res=res, lid="_ida", rid="_idb", grid=grid,
+            salt_threshold=salt_threshold,
+        )
+        .filter(F.col("_ida") != F.col("_idb"))
+        .select("_ida", "_idb")
+    )
+    cnt = pairs.groupBy("_ida").agg(F.count("*").alias("_n"))
+    core = (
+        points.select(F.col(id_col).alias("_ida"))
+        .join(cnt, "_ida", "left")
+        .filter(F.coalesce(F.col("_n"), F.lit(0)) + 1 >= min_pts)
+        .select(F.col("_ida").alias("_core_id"))
+    )
+    core_edges = (
+        pairs.join(core.withColumnRenamed("_core_id", "_ida"), "_ida")
+        .join(core.withColumnRenamed("_core_id", "_idb"), "_idb")
+        .select(F.col("_ida").alias("id_a"), F.col("_idb").alias("id_b"))
+    )
+    core_lbl = duplicate_clusters(
+        core.select(F.col("_core_id").alias("_v")),
+        core_edges,
+        id_col="_v",
+        max_iter=max_iter,
+    ).select(F.col("_v").alias("_core_id"), "cluster_id")
+    border_lbl = (
+        pairs.join(core.withColumnRenamed("_core_id", "_idb"), "_idb")
+        .join(core.withColumnRenamed("_core_id", "_ida"), "_ida", "left_anti")
+        .join(
+            core_lbl.withColumnRenamed("_core_id", "_idb"), "_idb"
+        )
+        .groupBy("_ida")
+        .agg(F.min("cluster_id").alias("cluster_id"))
+    )
+    member = core_lbl.select(
+        F.col("_core_id").alias("_id"), "cluster_id", F.lit(True).alias("is_core")
+    ).unionByName(
+        border_lbl.select(
+            F.col("_ida").alias("_id"), "cluster_id", F.lit(False).alias("is_core")
+        )
+    )
+    return (
+        points.select(F.col(id_col))
+        .join(member, F.col(id_col) == F.col("_id"), "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("is_core"), F.lit(False)).alias("is_core"),
+            F.col("cluster_id"),
+        )
+    )

@@ -291,3 +291,62 @@ def test_morans_i_edgeless_and_tiny_lattices(spark):
     # (c) res 0: single cell, no self-edge
     r = _run(spark, {(0, 0): 5}, 0)
     assert (r["n_cells"], r["w_sum"], r["moran"]) == (1, 0, None)
+
+
+def test_dbscan_matches_bruteforce(spark):
+    """dbscan_cluster == the textbook rules on planted clusters: two dense
+    clumps, a border point hanging off one, and isolated noise; haversine
+    eps-graph brute-forced in NumPy, components by flood, min-id labels."""
+    import numpy as np
+
+    from osm2geojson_spark.operators.spatial_stats import dbscan_cluster
+
+    # degrees; ~111 km per degree at the equator
+    pts = [
+        # clump A (5 points inside ~60 km)
+        (0, 10.0, 0.0), (1, 10.3, 0.1), (2, 10.1, 0.3), (3, 9.8, 0.2),
+        (4, 10.2, -0.2),
+        # border point: within eps of clump A's edge, itself sparse
+        (5, 11.2, 0.1),
+        # clump B (4 points)
+        (6, 40.0, 20.0), (7, 40.3, 20.2), (8, 39.8, 20.1), (9, 40.1, 19.8),
+        # noise
+        (10, -60.0, -30.0), (11, 120.0, 55.0),
+    ]
+    eps_m, min_pts = 120_000.0, 4
+    df = spark.createDataFrame(pts, "id long, lon double, lat double")
+
+    arr = np.array([(p[1], p[2]) for p in pts])
+    R = 6371000.0
+    la = np.radians(arr[:, 1])
+    lo = np.radians(arr[:, 0])
+    h = (
+        np.sin((la[:, None] - la[None, :]) / 2) ** 2
+        + np.cos(la[:, None]) * np.cos(la[None, :])
+        * np.sin((lo[:, None] - lo[None, :]) / 2) ** 2
+    )
+    d = 2 * R * np.arcsin(np.sqrt(np.clip(h, 0, 1)))
+    adj = (d <= eps_m) & ~np.eye(len(pts), dtype=bool)
+    core = adj.sum(1) + 1 >= min_pts
+    lbl = {i: i for i in np.nonzero(core)[0]}
+    for _ in range(len(pts)):
+        for i in list(lbl):
+            for j in np.nonzero(adj[i] & core)[0]:
+                lbl[i] = min(lbl[i], lbl[j])
+    want = {}
+    for i in range(len(pts)):
+        if core[i]:
+            want[i] = (True, lbl[i])
+        else:
+            owners = [lbl[j] for j in np.nonzero(adj[i] & core)[0]]
+            want[i] = (False, min(owners) if owners else None)
+
+    got = {
+        r["id"]: (r["is_core"], r["cluster_id"])
+        for r in dbscan_cluster(df, eps_m, min_pts, id_col="id", res=7).collect()
+    }
+    assert got == want
+    # the planted structure really exercised every category
+    assert sum(1 for c, _ in want.values() if c) == 9
+    assert [c for c, l in want.values() if not c and l is not None] == [False]
+    assert sum(1 for c, l in want.values() if not c and l is None) == 2
