@@ -77,6 +77,10 @@ BENCH_QUERIES = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_embedding",
+    "dedup_semantic",
+    "scrub_apply",
+    "vectorize_stitched",
+    "dbscan",
     "ann_cosine_topk",
     "ann_cosine_pq",
     "multimodal_decode",
