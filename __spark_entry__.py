@@ -3243,6 +3243,49 @@ FROM ml JOIN hotpx h USING (g) GROUP BY region_id
 """
 
 
+def q_halo_gradient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-tile focal gradient via HALO EXCHANGE
+    (multimodal.halo_exchange_gradient) on the vectorize_stitched mosaic:
+    each tile's central-difference stencil needs its neighbors' 1-px edge
+    strips, exchanged as O(perimeter) rows — never whole tiles. Exact
+    int64 gradient sums; the oracle runs the same stencil on the flat
+    global grid with four self-joins."""
+    part = _t(spark, sf_dir, "part").filter(F.col("p_partkey") < 36)
+    k = F.col("p_partkey")
+    imgs = part.select(
+        (k % 6).cast("int").alias("tile_x"),
+        (k / 6).cast("int").alias("tile_y"),
+        ((F.lit(17) * k) % 251).cast("int").alias("_i"),
+        F.when(k % 7 == 0, F.lit("png")).otherwise(F.lit("rawz")).alias("fmt"),
+    ).withColumn(
+        "bytes",
+        SYN._encode_image_fmt_udf(
+            F.col("_i"), F.lit(8).cast("int"), F.lit(8).cast("int"), F.col("fmt")
+        ),
+    )
+    return MM.halo_exchange_gradient(imgs)
+
+
+_HALO_GRADIENT_SQL = """
+WITH tile AS (SELECT p_partkey AS k FROM part WHERE p_partkey < 36),
+cell AS (
+  SELECT k, (k % 6) * 8 + (p % 8) AS gx, (k // 6) * 8 + (p // 8) AS gy,
+         ((p % 8) * 3 + (p // 8) * 7 + ((17 * k) % 251) * 13) % 251 AS v
+  FROM (SELECT k, unnest(range(0, 64)) AS p FROM tile)
+), g AS (
+  SELECT c.k, abs(r.v - l.v) + abs(d.v - u.v) AS gr
+  FROM cell c
+  JOIN cell l ON l.gx = c.gx - 1 AND l.gy = c.gy
+  JOIN cell r ON r.gx = c.gx + 1 AND r.gy = c.gy
+  JOIN cell u ON u.gx = c.gx AND u.gy = c.gy - 1
+  JOIN cell d ON d.gx = c.gx AND d.gy = c.gy + 1
+)
+SELECT CAST(k % 6 AS INTEGER) AS tile_x, CAST(k // 6 AS INTEGER) AS tile_y,
+       sum(gr) AS grad_sum, count(*) AS n_valid
+FROM g GROUP BY 1, 2
+"""
+
+
 def q_caption_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image-text alignment gate (multimodal.caption_alignment) — the
     CLIP-score curation step of a LAION-style pipeline with deterministic
@@ -4214,6 +4257,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_semantic": q_dedup_semantic,
         "vectorize_stitched": q_vectorize_stitched,
         "dbscan": q_dbscan,
+        "halo_gradient": q_halo_gradient,
         "image_sharpness": q_image_sharpness,
         "image_similarity": q_image_similarity,
         "image_pipeline": q_image_pipeline,
@@ -4313,6 +4357,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_semantic": _dedup_semantic_sql(),
         "vectorize_stitched": _VECTORIZE_STITCHED_SQL,
         "dbscan": _dbscan_sql(),
+        "halo_gradient": _HALO_GRADIENT_SQL,
         "way_assembly": _WAY_ASSEMBLY_SQL,
         "relation_assembly": _RELATION_ASSEMBLY_SQL,
         "classifier": _classifier_oracle_sql(),

@@ -786,6 +786,106 @@ def vectorize_stitched(
     )
 
 
+def halo_exchange_gradient(
+    images: DataFrame,
+    tx_col: str = "tile_x",
+    ty_col: str = "tile_y",
+) -> DataFrame:
+    """Per-tile focal gradient with CROSS-TILE HALO EXCHANGE — the other
+    fundamental distributed-raster primitive next to vectorize_stitched's
+    component stitching. A central-difference stencil (|p[x+1]-p[x-1]| +
+    |p[y+1]-p[y-1]|) needs each tile's 1-pixel border from its four
+    neighbors; shipping whole neighbor tiles would shuffle the corpus, so
+    instead every tile emits its four edge strips ADDRESSED TO the
+    receiving neighbor (O(perimeter) rows), one groupBy assembles each
+    tile's halo map, and a second Arrow pass pads the decoded tile with
+    its halos and runs the stencil fully vectorized. Output per tile:
+    (tile_x, tile_y, grad_sum, n_valid) over the pixels whose four
+    neighbors exist globally (mosaic-border pixels are excluded) — exact
+    int64, so the DuckDB twin computes the same stencil on the flat global
+    grid with four self-joins.
+
+    Scale notes: two decode passes (strip emit + stencil) — at production
+    tile sizes the strips are ~4/TS of the pixel volume, so the halo
+    shuffle is negligible; if decode itself dominates, persist the decoded
+    tiles between the passes (same plan shape). Corners are not needed for
+    the 4-neighbor cross stencil; an 8-neighbor kernel would add the four
+    diagonal 1x1 corner strips to the same exchange."""
+    spark = images.sparkSession
+
+    base = images.select(
+        F.col(tx_col).cast("int").alias("tx"),
+        F.col(ty_col).cast("int").alias("ty"),
+        "bytes",
+        "fmt",
+    )
+
+    def strips_fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                px = imagecodec.decode(bytes(r.bytes), r.fmt)
+                if px.ndim == 3:
+                    px = px[..., 0]
+                tx, ty = int(r.tx), int(r.ty)
+                rows.append((tx + 1, ty, "L", [int(v) for v in px[:, -1]]))
+                rows.append((tx - 1, ty, "R", [int(v) for v in px[:, 0]]))
+                rows.append((tx, ty + 1, "T", [int(v) for v in px[-1, :]]))
+                rows.append((tx, ty - 1, "B", [int(v) for v in px[0, :]]))
+            yield pd.DataFrame(rows, columns=["tx", "ty", "side", "vals"])
+
+    strips = base.mapInPandas(
+        strips_fn, schema="tx int, ty int, side string, vals array<int>"
+    )
+    # one array column per side (exactly one strip per (tile, side) can
+    # exist, so max-of-non-null selects it); arrays cross Arrow cleanly
+    # where a map column would land in pandas as tuple lists
+    halos = strips.groupBy("tx", "ty").agg(
+        *[
+            F.max(F.when(F.col("side") == s, F.col("vals"))).alias(f"halo_{s}")
+            for s in ("L", "R", "T", "B")
+        ]
+    )
+
+    def stencil_fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                px = imagecodec.decode(bytes(r.bytes), r.fmt)
+                if px.ndim == 3:
+                    px = px[..., 0]
+                h, w = px.shape
+                pad = np.full((h + 2, w + 2), -1, dtype=np.int64)
+                pad[1:-1, 1:-1] = px
+                if r.halo_L is not None:
+                    pad[1:-1, 0] = np.asarray(r.halo_L)
+                if r.halo_R is not None:
+                    pad[1:-1, -1] = np.asarray(r.halo_R)
+                if r.halo_T is not None:
+                    pad[0, 1:-1] = np.asarray(r.halo_T)
+                if r.halo_B is not None:
+                    pad[-1, 1:-1] = np.asarray(r.halo_B)
+                c = pad[1:-1, 1:-1]
+                left, right = pad[1:-1, :-2], pad[1:-1, 2:]
+                up, down = pad[:-2, 1:-1], pad[2:, 1:-1]
+                valid = (left >= 0) & (right >= 0) & (up >= 0) & (down >= 0) & (c >= 0)
+                grad = np.abs(right - left) + np.abs(down - up)
+                rows.append(
+                    (int(r.tx), int(r.ty), int(grad[valid].sum()), int(valid.sum()))
+                )
+            yield pd.DataFrame(
+                rows, columns=["tile_x", "tile_y", "grad_sum", "n_valid"]
+            )
+
+    return (
+        base.join(halos, ["tx", "ty"], "left")
+        .mapInPandas(
+            stencil_fn,
+            schema="tile_x int, tile_y int, grad_sum long, n_valid long",
+        )
+    )
+
+
 def zonal_value_counts(
     images: DataFrame,
     polys_df: DataFrame,

@@ -814,3 +814,39 @@ def test_vectorize_stitched_random_matches_global_flood(spark):
         for r in vectorize_stitched(_mosaic_df(spark, hot, 6), threshold=128).collect()
     }
     assert got == _global_flood_regions(hot, ts=6)
+
+
+def test_halo_exchange_gradient_matches_global_stencil(spark):
+    """Per-tile gradient with halo exchange == the stencil run on the flat
+    global grid (tiles are invisible to the math); mosaic-border pixels
+    excluded, interior tile borders healed by the exchanged strips."""
+    from osm2geojson_spark.functions import imagecodec as IC
+    from osm2geojson_spark.operators.multimodal import halo_exchange_gradient
+
+    rng = np.random.default_rng(31)
+    ts, nx, ny = 5, 4, 3
+    glob = rng.integers(0, 256, size=(ny * ts, nx * ts)).astype(np.uint8)
+    rows = []
+    for ty in range(ny):
+        for tx in range(nx):
+            px = glob[ty * ts:(ty + 1) * ts, tx * ts:(tx + 1) * ts]
+            rows.append((tx, ty, IC.encode_rawz(px), "rawz"))
+    df = spark.createDataFrame(
+        rows, "tile_x int, tile_y int, bytes binary, fmt string"
+    )
+    got = {
+        (r["tile_x"], r["tile_y"]): (r["grad_sum"], r["n_valid"])
+        for r in halo_exchange_gradient(df).collect()
+    }
+    p = glob.astype(np.int64)
+    grad = np.abs(p[1:-1, 2:] - p[1:-1, :-2]) + np.abs(p[2:, 1:-1] - p[:-2, 1:-1])
+    want = {}
+    gys, gxs = np.mgrid[1:ny * ts - 1, 1:nx * ts - 1]
+    for ty in range(ny):
+        for tx in range(nx):
+            m = (gxs // ts == tx) & (gys // ts == ty)
+            want[(tx, ty)] = (int(grad[m].sum()), int(m.sum()))
+    assert got == want
+    # interior tiles see the full stencil; border tiles lose the rim
+    assert want[(1, 1)][1] == ts * ts
+    assert want[(0, 0)][1] == (ts - 1) * (ts - 1)
