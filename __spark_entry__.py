@@ -1517,6 +1517,46 @@ FROM c JOIN n ON c.cell_id = n.cell_id
 """
 
 
+def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN GRAPH (knn.knn_graph): every one of 200 customer points paired
+    with its 3 nearest other customers — the all-pairs building block of
+    kNN-graph dedup / densification. Self kNN at k+1, self edge dropped,
+    ranks recomputed over the same (dist, id) deterministic order the knn
+    queries already pin cross-engine."""
+    pts = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < 200)
+        .select(
+            F.col("c_custkey").alias("id"),
+            _lon("c_custkey").alias("lon"),
+            _lat("c_custkey").alias("lat"),
+        )
+    )
+    return KNN.knn_graph(pts, k=3, id_col="id", res=6).select(
+        "id", "nbr_id", "rank"
+    )
+
+
+def _knn_graph_sql() -> str:
+    hav = KNN.haversine_sql("a.lon", "a.lat", "b.lon", "b.lat")
+    return f"""
+WITH p AS (
+  SELECT c_custkey AS k, {SYN.lon_sql('c_custkey')} AS lon,
+         {SYN.lat_sql('c_custkey')} AS lat
+  FROM customer WHERE c_custkey < 200
+), d AS (
+  SELECT a.k AS id, b.k AS nbr_id, {hav} AS dist
+  FROM p a JOIN p b ON a.k <> b.k
+), r AS (
+  SELECT id, nbr_id,
+         row_number() OVER (PARTITION BY id ORDER BY dist ASC, nbr_id ASC)
+           AS rank
+  FROM d
+)
+SELECT id, nbr_id, rank FROM r WHERE rank <= 3
+"""
+
+
 def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E3: k-ring kNN — 25 nation query points, 3 nearest customers each."""
     nat = _t(spark, sf_dir, "nation").select(
@@ -4258,6 +4298,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vectorize_stitched": q_vectorize_stitched,
         "dbscan": q_dbscan,
         "halo_gradient": q_halo_gradient,
+        "knn_graph": q_knn_graph,
         "image_sharpness": q_image_sharpness,
         "image_similarity": q_image_similarity,
         "image_pipeline": q_image_pipeline,
@@ -4358,6 +4399,7 @@ def oracle_sql() -> dict[str, str]:
         "vectorize_stitched": _VECTORIZE_STITCHED_SQL,
         "dbscan": _dbscan_sql(),
         "halo_gradient": _HALO_GRADIENT_SQL,
+        "knn_graph": _knn_graph_sql(),
         "way_assembly": _WAY_ASSEMBLY_SQL,
         "relation_assembly": _RELATION_ASSEMBLY_SQL,
         "classifier": _classifier_oracle_sql(),

@@ -206,3 +206,46 @@ def knn_bruteforce(
         .filter(F.col("rank") <= k)
         .select(qid, tid, "dist_m", "rank")
     )
+
+
+def knn_graph(
+    points: DataFrame,
+    k: int,
+    id_col: str = "id",
+    res: int = cells.DEFAULT_RES,
+    grid: str = "flat",
+    bruteforce_fallback: bool = True,
+) -> DataFrame:
+    """(id, nbr_id, dist_m, rank) — the k-nearest-neighbor GRAPH of one
+    point set: every point paired with its k nearest OTHER points. The
+    all-pairs building block of kNN-graph dedup, trajectory densification
+    and manifold methods, built as a self knn_join at k+1 (self is always
+    a candidate at distance 0) with the self edge dropped and ranks
+    recomputed over the same deterministic (dist_m, nbr_id) order.
+
+    Scale shape is knn_join's: ring-round candidate generation on the cell
+    grid — the corpus is both sides, so the join is cell-local and the
+    only quadratic term is within-ring candidates. Coincident duplicate
+    points make a self edge rank below another zero-distance edge; the
+    re-rank window handles that correctly (the duplicate appears as the
+    true rank-1 neighbor)."""
+    q = points.select(F.col(id_col).alias("_qid"), "lon", "lat")
+    t = points.select(F.col(id_col).alias("_tid"), "lon", "lat")
+    raw = knn_join(
+        q, t, k + 1, res=res, qid="_qid", tid="_tid", grid=grid,
+        bruteforce_fallback=bruteforce_fallback,
+    )
+    wnd = Window.partitionBy("_qid").orderBy(
+        F.col("dist_m").asc(), F.col("_tid").asc()
+    )
+    return (
+        raw.filter(F.col("_qid") != F.col("_tid"))
+        .withColumn("rank", F.row_number().over(wnd))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("_qid").alias(id_col),
+            F.col("_tid").alias("nbr_id"),
+            "dist_m",
+            "rank",
+        )
+    )

@@ -1190,3 +1190,39 @@ def test_pip_reuse_points_single_upstream(spark, points):
     assert ra == rb and ra
     plan = b._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in plan
+
+
+def test_knn_graph_matches_bruteforce(spark):
+    """knn_graph == per-point brute-force top-k over OTHER points,
+    including the coincident-duplicate case (self edge dropped, the twin
+    at distance 0 becomes the true rank-1 neighbor)."""
+    import numpy as np
+
+    from osm2geojson_spark.operators.knn import knn_graph
+
+    rng = np.random.default_rng(13)
+    pts = [(i, float(lo), float(la)) for i, (lo, la) in enumerate(
+        zip(rng.uniform(-30, 30, 40), rng.uniform(-20, 20, 40))
+    )]
+    pts.append((40, pts[0][1], pts[0][2]))  # exact duplicate of point 0
+    df = spark.createDataFrame(pts, "id long, lon double, lat double")
+
+    R = 6371000.0
+    arr = np.array([(p[1], p[2]) for p in pts])
+    la = np.radians(arr[:, 1]); lo = np.radians(arr[:, 0])
+    h = (np.sin((la[:, None] - la[None, :]) / 2) ** 2
+         + np.cos(la[:, None]) * np.cos(la[None, :])
+         * np.sin((lo[:, None] - lo[None, :]) / 2) ** 2)
+    d = 2 * R * np.arcsin(np.sqrt(np.clip(h, 0, 1)))
+    want = set()
+    for i in range(len(pts)):
+        order = sorted((d[i, j], j) for j in range(len(pts)) if j != i)
+        for r, (_, j) in enumerate(order[:3], 1):
+            want.add((i, j, r))
+
+    got = {
+        (r["id"], r["nbr_id"], r["rank"])
+        for r in knn_graph(df, k=3, id_col="id", res=7).collect()
+    }
+    assert got == want
+    assert (0, 40, 1) in got and (40, 0, 1) in got  # duplicate pair mutual rank-1
