@@ -265,6 +265,7 @@ def duplicate_clusters(
     pairs: DataFrame,
     id_col: str = "doc_id",
     max_iter: int = 20,
+    shortcut: bool = False,
 ) -> DataFrame:
     """(doc_id, cluster_id) — connected components over near-dup pairs via
     iterative min-label propagation; cluster_id = the smallest doc id
@@ -272,7 +273,17 @@ def duplicate_clusters(
 
     Each iteration is one shuffle (labels join edges -> min per vertex) and
     the frontier check early-exits once no label changes — O(diameter)
-    iterations, so near-dup clusters (tiny diameters) converge in 1-3."""
+    iterations, so near-dup clusters (tiny diameters) converge in 1-3.
+
+    ``shortcut=True`` adds pointer doubling: after the hop, every vertex
+    also adopts ITS LABEL'S label (one more equi-join per round), so label
+    paths contract exponentially — O(log diameter) rounds. Use it when
+    components can be long chains (vectorize_stitched's planetary regions,
+    percolating DBSCAN output); for near-dup clusters (diameter 1-3) the
+    extra join per round costs more than it saves. Correctness is
+    unchanged: a label always names a vertex of the same component, and
+    both the hop and the shortcut are monotone min-merges, so the
+    fixpoint is the component minimum either way."""
     edges = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     ).unionByName(
@@ -285,13 +296,22 @@ def duplicate_clusters(
             .groupBy("src")
             .agg(F.min("lbl").alias("nlbl"))
         )
-        new_labels = (
-            labels.join(neighbor_min, labels["v"] == neighbor_min["src"], "left")
-            .select(
-                "v", F.least(F.col("lbl"), F.coalesce("nlbl", "lbl")).alias("lbl")
-            )
-            .localCheckpoint(eager=False)
+        hopped = labels.join(
+            neighbor_min, labels["v"] == neighbor_min["src"], "left"
+        ).select(
+            "v", F.least(F.col("lbl"), F.coalesce("nlbl", "lbl")).alias("lbl")
         )
+        if shortcut:
+            l2 = labels.select(
+                F.col("v").alias("_lv"), F.col("lbl").alias("_llbl")
+            )
+            hopped = hopped.join(
+                l2, hopped["lbl"] == l2["_lv"], "left"
+            ).select(
+                "v",
+                F.least(F.col("lbl"), F.coalesce("_llbl", "lbl")).alias("lbl"),
+            )
+        new_labels = hopped.localCheckpoint(eager=False)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), F.col("n.v") == F.col("o.v"))

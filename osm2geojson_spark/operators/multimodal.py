@@ -769,8 +769,11 @@ def vectorize_stitched(
         .select(F.col("a.key").alias("id_a"), F.col("b.key").alias("id_b"))
         .distinct()
     )
+    # pointer doubling: stitched regions can be long tile chains
+    # (coastlines), so O(log diameter) rounds instead of O(diameter)
     labels = duplicate_clusters(
-        comps.select("key"), edges, id_col="key", max_iter=max_iter
+        comps.select("key"), edges, id_col="key", max_iter=max_iter,
+        shortcut=True,
     )
     return (
         comps.join(labels, "key")

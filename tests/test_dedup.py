@@ -857,3 +857,44 @@ def test_semantic_dedup_matches_bruteforce(spark):
     assert dropped  # the planted copies really exercised the drop path
     plan = semantic_dedup(df, dim=dim, tau=tau)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_duplicate_clusters_shortcut_contracts_chains(spark):
+    """Pointer doubling resolves a 64-vertex path in <= 8 rounds (2^8 >> 63)
+    where plain hop propagation needs 63; both agree with plain on a random
+    graph."""
+    import numpy as np
+
+    from osm2geojson_spark.operators.dedup import duplicate_clusters
+
+    chain = spark.createDataFrame([(i,) for i in range(64)], "doc_id long")
+    chain_pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "id_a long, id_b long"
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in duplicate_clusters(
+            chain, chain_pairs, max_iter=8, shortcut=True
+        ).collect()
+    }
+    assert got == {i: 0 for i in range(64)}
+    # plain hop at the same budget must NOT have converged (sanity that the
+    # chain is genuinely deep and the speedup is the shortcut's)
+    plain = {
+        r["doc_id"]: r["cluster_id"]
+        for r in duplicate_clusters(chain, chain_pairs, max_iter=8).collect()
+    }
+    assert plain != got
+
+    rng = np.random.default_rng(3)
+    n = 60
+    docs = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    es = {(int(a), int(b)) for a, b in rng.integers(0, n, (50, 2)) if a != b}
+    pairs = spark.createDataFrame(
+        [(a, b) for a, b in sorted(es)], "id_a long, id_b long"
+    )
+    a = duplicate_clusters(docs, pairs, shortcut=True).collect()
+    b = duplicate_clusters(docs, pairs).collect()
+    assert {(r["doc_id"], r["cluster_id"]) for r in a} == {
+        (r["doc_id"], r["cluster_id"]) for r in b
+    }
