@@ -4290,8 +4290,102 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
+def q_idw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X47 (geostat.idw_interpolate): inverse-distance-weighted
+    interpolation of supplier values onto customer points within 400 km,
+    fixed-point int64 weights (order-independent sums — the property that
+    makes the distributed answer reproducible across cluster sizes and
+    hash-identical to the serial oracle). Candidates come from the
+    engine's within_distance_join (cell covering + haversine refine); the
+    oracle brute-forces the cross join with the identical weight algebra."""
+    from osm2geojson_spark.operators import geostat as GS
+
+    targets = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("target_id"),
+        _lon("c_custkey").alias("lon"),
+        _lat("c_custkey").alias("lat"),
+    )
+    samples = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("sample_id"),
+        _lon("s_suppkey").alias("lon"),
+        _lat("s_suppkey").alias("lat"),
+        (F.col("s_suppkey") % 1000).alias("value"),
+    )
+    return GS.idw_interpolate(targets, samples, 400_000.0, power=2, res=6)
+
+
+def _idw_sql() -> str:
+    from osm2geojson_spark.operators import geostat as GS
+
+    hav = KNN.haversine_sql("tlon", "tlat", "slon", "slat")
+    w = GS.idw_weight_sql("hav", 2)
+    return f"""
+WITH t AS (
+  SELECT c_custkey, {SYN.lon_sql('c_custkey')} AS tlon, {SYN.lat_sql('c_custkey')} AS tlat
+  FROM customer
+), s AS (
+  SELECT s_suppkey, {SYN.lon_sql('s_suppkey')} AS slon, {SYN.lat_sql('s_suppkey')} AS slat,
+         s_suppkey % 1000 AS v
+  FROM supplier
+), pairs AS (
+  SELECT c_custkey, v, {w} AS w
+  FROM (SELECT c_custkey, v, {hav} AS hav FROM t CROSS JOIN s) q
+  WHERE hav <= 400000.0
+)
+SELECT c_custkey AS target_id,
+       CAST(COUNT(*) AS BIGINT) AS n_samples,
+       CAST(SUM(w) AS BIGINT) AS w_sum,
+       CAST(SUM(w * v) AS BIGINT) AS wv_sum,
+       round(CAST(SUM(w * v) AS DOUBLE) / CAST(SUM(w) AS DOUBLE), 6) AS pred
+FROM pairs GROUP BY 1
+"""
+
+
+def q_semivariogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X48 (geostat.semivariogram): empirical Matheron semivariogram of
+    customer values — every unordered pair of distinct points within
+    400 km binned by 50 km lag, gamma = ssd / (2 n). ssd is an exact
+    int64 sum of integer squared differences (any summation order), so
+    the whole table hash-matches the brute-force oracle."""
+    from osm2geojson_spark.operators import geostat as GS
+
+    pts = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("pid"),
+        _lon("c_custkey").alias("lon"),
+        _lat("c_custkey").alias("lat"),
+        (F.col("c_custkey") % 997).alias("value"),
+    )
+    return GS.semivariogram(pts, 400_000.0, 50_000.0, res=6)
+
+
+def _semivariogram_sql() -> str:
+    hav = KNN.haversine_sql("a.lon", "a.lat", "b.lon", "b.lat")
+    return f"""
+WITH p AS (
+  SELECT c_custkey AS pid, {SYN.lon_sql('c_custkey')} AS lon,
+         {SYN.lat_sql('c_custkey')} AS lat, c_custkey % 997 AS v
+  FROM customer
+), pr AS (
+  SELECT CAST(floor(hav / 50000.0) AS BIGINT) AS bin,
+         (bv - av) * (bv - av) AS sq
+  FROM (
+    SELECT a.pid AS ia, b.pid AS ib, a.v AS av, b.v AS bv,
+           {hav} AS hav
+    FROM p a CROSS JOIN p b WHERE a.pid < b.pid
+  ) q
+  WHERE hav <= 400000.0
+)
+SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_pairs, CAST(SUM(sq) AS BIGINT) AS ssd,
+       round(CAST(SUM(sq) AS DOUBLE) / (2.0 * CAST(COUNT(*) AS DOUBLE)), 6) AS gamma
+FROM pr GROUP BY bin
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        # --- round-4 continuation: newest first (never driver-recorded)
+        "idw": q_idw,
+        "semivariogram": q_semivariogram,
         # --- never driver-recorded (round-3 verdict ask #1): first, so a
         # budget-capped sweep records them before the long-verified tail
         "dedup_semantic": q_dedup_semantic,
@@ -4395,6 +4489,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "idw": _idw_sql(),
+        "semivariogram": _semivariogram_sql(),
         "dedup_semantic": _dedup_semantic_sql(),
         "vectorize_stitched": _VECTORIZE_STITCHED_SQL,
         "dbscan": _dbscan_sql(),

@@ -1,0 +1,191 @@
+"""Geostatistics over point samples — IDW interpolation and the empirical
+semivariogram.
+
+The reference (aspectumapp/osm2geojson, main.py) stops at geometry
+conversion; its users hand the resulting point layers to geostatistics
+tools downstream. These two operators are the canonical pair — value
+prediction (inverse-distance weighting, Shepard 1968) and spatial
+dependence measurement (the Matheron empirical semivariogram) — built
+Spark-first on the engine's own radius join:
+
+* Candidate generation IS ``spatial_join.within_distance_join`` (cell
+  covering explode + single-cell equi-join + JVM haversine refine), so
+  both operators inherit its scale story: one shuffle, no cross join,
+  salting available for dense cells.
+* Every aggregate is EXACT-INTEGER by construction (fixed-point weights,
+  integer squared differences), so results are bit-identical regardless
+  of partitioning or summation order — the property that makes a
+  distributed run reproducible across cluster sizes AND lets a serial
+  DuckDB oracle hash-match the Spark answer. Only the final scalar
+  (prediction / gamma) divides two exact integers, identically on both
+  engines, then rounds.
+
+Fixed-point IDW: w_i = floor(SCALE / max(d_i_km, 1)^p) as int64 with the
+distance in KILOMETERS, clamped below at 1 km. With SCALE = 1e9 the
+weight is in [1, 1e9] for every distance an Earth geometry can produce
+(w = 1 first at d ~ 31,623 km > any great-circle distance, so w_sum > 0
+whenever a neighbor exists — no division guard needed), and products
+w*v / their sums stay far inside int64 for any realistic neighbor count
+(documented bound below). The floor() quantization changes predictions
+by < 1e-9 relative — noise next to IDW's own model error — and buys
+order-independence.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from . import cells
+from .spatial_join import within_distance_join
+
+IDW_SCALE = 1_000_000_000  # fixed-point weight scale (w in [1, 1e9])
+IDW_MIN_DIST_M = 1000.0  # 1 km clamp — below this all samples weigh alike
+
+
+def _ipow(x: Column, p: int) -> Column:
+    """x**p by repeated multiply — identical IEEE op sequence in the DuckDB
+    twin (``_ipow_sql``), unlike libm pow() whose rounding differs."""
+    out = x
+    for _ in range(p - 1):
+        out = out * x
+    return out
+
+
+def _ipow_sql(x: str, p: int) -> str:
+    return "(" + " * ".join([x] * p) + ")"
+
+
+def idw_weight(dist_m: Column, power: int = 2) -> Column:
+    """int64 fixed-point IDW weight floor(SCALE / max(d_km, 1)^p)."""
+    d = F.greatest(dist_m, F.lit(IDW_MIN_DIST_M)) / F.lit(1000.0)
+    return F.floor(F.lit(float(IDW_SCALE)) / _ipow(d, power)).cast("long")
+
+
+def idw_weight_sql(dist_expr: str, power: int = 2) -> str:
+    d = f"(greatest({dist_expr}, {IDW_MIN_DIST_M}) / 1000.0)"
+    return f"CAST(floor({float(IDW_SCALE)} / {_ipow_sql(d, power)}) AS BIGINT)"
+
+
+def idw_interpolate(
+    targets: DataFrame,
+    samples: DataFrame,
+    radius_m: float,
+    power: int = 2,
+    res: int = cells.DEFAULT_RES,
+    target_id: str = "target_id",
+    sample_id: str = "sample_id",
+    value_col: str = "value",
+    grid: str = "flat",
+    salt_threshold: int | None = None,
+) -> DataFrame:
+    """Inverse-distance-weighted interpolation: for every target point,
+    predict sum(w_i * v_i) / sum(w_i) over the samples within ``radius_m``
+    (haversine), w_i the fixed-point weight above.
+
+    ``targets``: (target_id, lon, lat); ``samples``: (sample_id, lon, lat,
+    value) with integer values. Returns (target_id, n_samples, w_sum,
+    wv_sum, pred) — the exact-int64 sufficient statistics plus the rounded
+    scalar; targets with no sample in range are absent (no-extrapolation
+    semantics, matching gdal_grid's nodata behavior).
+
+    Scale: the radius join is the whole cost — one shuffle on cell id with
+    the target disk-bbox covering exploded (superset, no dedup needed) and
+    the sample side single-celled; the value join-back rides the SAME
+    shuffle key as the radius join's sample side, and the final rollup is
+    a map-side-combinable groupBy(target). int64 bound: |v| <= 1e6 and
+    <= 9e3 in-range samples per target keeps |wv_sum| < 9.2e18; assert
+    the value bound cheaply at ingest if unsure.
+
+    Reference scope: aspectumapp/osm2geojson main.py (geometry only — this
+    is downstream analytics the engine adds).
+    """
+    pairs = within_distance_join(
+        targets.select(target_id, "lon", "lat"),
+        samples.select(sample_id, "lon", "lat"),
+        radius_m,
+        res=res,
+        lid=target_id,
+        rid=sample_id,
+        grid=grid,
+        salt_threshold=salt_threshold,
+    )
+    vals = samples.select(sample_id, F.col(value_col).cast("long").alias("_v"))
+    w = idw_weight(F.col("dist_m"), power)
+    return (
+        pairs.join(vals, sample_id)
+        .select(F.col(target_id), w.alias("_w"), (w * F.col("_v")).alias("_wv"))
+        .groupBy(target_id)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_samples"),
+            F.sum("_w").cast("long").alias("w_sum"),
+            F.sum("_wv").cast("long").alias("wv_sum"),
+            F.round(
+                F.sum("_wv").cast("double") / F.sum("_w").cast("double"), 6
+            ).alias("pred"),
+        )
+    )
+
+
+def semivariogram(
+    points: DataFrame,
+    max_dist_m: float,
+    bin_width_m: float,
+    res: int = cells.DEFAULT_RES,
+    id_col: str = "pid",
+    value_col: str = "value",
+    grid: str = "flat",
+) -> DataFrame:
+    """Empirical (Matheron) semivariogram: bin every unordered pair of
+    distinct points with d <= max_dist_m by floor(d / bin_width) and
+    report per bin
+
+        gamma(h) = sum((v_i - v_j)^2) / (2 * n_pairs).
+
+    ``points``: (pid, lon, lat, value) with integer values. Returns
+    (bin, n_pairs, ssd, gamma) ordered by bin — ssd exact int64, gamma
+    the rounded scalar. Self-pairs and double counting are excluded by
+    the i < j gate, so n_pairs counts unordered pairs exactly once.
+
+    Scale: the pair enumeration is within_distance_join on the points
+    against themselves (cell-covering candidates only — never all pairs;
+    pairs/point ~ density * pi * max_dist^2 stays bounded for the short
+    lags a variogram needs), and the rollup is a tiny map-side-combinable
+    groupBy over ~max_dist/bin_width rows. int64 bound: |v_i - v_j| <=
+    3e6 over any pair count up to ~1e6 per bin-partition keeps partial
+    sums exact; values are cast long so the square never overflows int32.
+    """
+    a = points.select(
+        F.col(id_col).alias("_ia"), "lon", "lat"
+    )
+    b = points.select(F.col(id_col).alias("_ib"), "lon", "lat")
+    pairs = within_distance_join(
+        a, b, max_dist_m, res=res, lid="_ia", rid="_ib", grid=grid
+    ).filter(F.col("_ia") < F.col("_ib"))
+    vals = points.select(
+        F.col(id_col), F.col(value_col).cast("long").alias("_v")
+    )
+    va = vals.select(F.col(id_col).alias("_ia"), F.col("_v").alias("_va"))
+    vb = vals.select(F.col(id_col).alias("_ib"), F.col("_v").alias("_vb"))
+    d = F.col("_vb") - F.col("_va")
+    return (
+        pairs.join(va, "_ia")
+        .join(vb, "_ib")
+        .select(
+            F.floor(F.col("dist_m") / F.lit(float(bin_width_m)))
+            .cast("long")
+            .alias("bin"),
+            (d * d).alias("_sq"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum("_sq").cast("long").alias("ssd"),
+            F.round(
+                F.sum("_sq").cast("double")
+                / (F.lit(2.0) * F.count(F.lit(1)).cast("double")),
+                6,
+            ).alias("gamma"),
+        )
+        .orderBy("bin")
+    )

@@ -1,0 +1,143 @@
+"""IDW interpolation + semivariogram — validated against fresh brute-force
+NumPy implementations of the textbook formulas (haversine all-pairs, no
+cell index), plus structural properties (weight monotonicity, exact-pair
+accounting, no-extrapolation semantics)."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from osm2geojson_spark.operators.geostat import (
+    IDW_MIN_DIST_M,
+    IDW_SCALE,
+    idw_interpolate,
+    semivariogram,
+)
+
+R = 6371008.8
+
+
+def _hav(lon1, lat1, lon2, lat2):
+    p1, p2 = math.radians(lat1), math.radians(lat2)
+    dphi = p2 - p1
+    dlmb = math.radians(lon2 - lon1)
+    h = math.sin(dphi / 2) ** 2 + math.cos(p1) * math.cos(p2) * math.sin(dlmb / 2) ** 2
+    return 2 * R * math.asin(math.sqrt(min(1.0, h)))
+
+
+def _pts(seed, n, lon0=10.0, lat0=45.0, spread=3.0):
+    rng = np.random.default_rng(seed)
+    return [
+        (
+            i,
+            float(lon0 + spread * rng.uniform(-1, 1)),
+            float(lat0 + spread * rng.uniform(-1, 1)),
+            int(rng.integers(0, 1000)),
+        )
+        for i in range(n)
+    ]
+
+
+def _brute_idw(targets, samples, radius_m, power=2):
+    out = {}
+    for tid, tlon, tlat, _ in targets:
+        wsum = wvsum = n = 0
+        for sid, slon, slat, v in samples:
+            d = _hav(tlon, tlat, slon, slat)
+            if d <= radius_m:
+                dk = max(d, IDW_MIN_DIST_M) / 1000.0
+                w = int(IDW_SCALE / (dk**power))
+                n += 1
+                wsum += w
+                wvsum += w * v
+        if n:
+            out[tid] = (n, wsum, wvsum, round(wvsum / wsum, 6))
+    return out
+
+
+def test_idw_matches_brute(spark):
+    targets = _pts(1, 40)
+    samples = _pts(2, 60)
+    t = spark.createDataFrame(
+        [(i, lon, lat) for i, lon, lat, _ in targets],
+        "target_id long, lon double, lat double",
+    )
+    s = spark.createDataFrame(
+        samples, "sample_id long, lon double, lat double, value long"
+    )
+    got = {
+        r["target_id"]: (r["n_samples"], r["w_sum"], r["wv_sum"], r["pred"])
+        for r in idw_interpolate(t, s, 150_000.0, res=7).collect()
+    }
+    want = _brute_idw(targets, samples, 150_000.0)
+    assert got == want
+    assert want  # non-degenerate fixture
+
+
+def test_idw_no_extrapolation(spark):
+    # a target with no sample in range is ABSENT, not NULL/zero
+    t = spark.createDataFrame(
+        [(0, 0.0, 0.0), (1, 100.0, 40.0)], "target_id long, lon double, lat double"
+    )
+    s = spark.createDataFrame(
+        [(0, 0.1, 0.1, 7)], "sample_id long, lon double, lat double, value long"
+    )
+    rows = idw_interpolate(t, s, 50_000.0, res=7).collect()
+    assert [r["target_id"] for r in rows] == [0]
+    # one sample -> prediction is exactly its value
+    assert rows[0]["pred"] == pytest.approx(7.0)
+
+
+def test_idw_weight_monotone_and_clamped(spark):
+    # closer sample dominates; inside the 1 km clamp all weights equal
+    t = spark.createDataFrame([(0, 0.0, 0.0)], "target_id long, lon double, lat double")
+    s = spark.createDataFrame(
+        [(0, 0.01, 0.0, 0), (1, 0.5, 0.0, 1000)],
+        "sample_id long, lon double, lat double, value long",
+    )
+    r = idw_interpolate(t, s, 100_000.0, res=7).collect()[0]
+    assert r["pred"] < 500.0  # near-zero-valued sample is much closer
+
+
+def _brute_vario(points, max_d, bw):
+    bins = {}
+    for i, (ia, lon1, lat1, va) in enumerate(points):
+        for ib, lon2, lat2, vb in points[i + 1 :]:
+            d = _hav(lon1, lat1, lon2, lat2)
+            if d <= max_d:
+                b = int(d // bw)
+                n, s = bins.get(b, (0, 0))
+                bins[b] = (n + 1, s + (va - vb) ** 2)
+    return {
+        b: (n, s, round(s / (2 * n), 6)) for b, (n, s) in bins.items()
+    }
+
+
+def test_semivariogram_matches_brute(spark):
+    pts = _pts(3, 80)
+    df = spark.createDataFrame(pts, "pid long, lon double, lat double, value long")
+    got = {
+        r["bin"]: (r["n_pairs"], r["ssd"], r["gamma"])
+        for r in semivariogram(df, 300_000.0, 50_000.0, res=7).collect()
+    }
+    want = _brute_vario(pts, 300_000.0, 50_000.0)
+    assert got == want
+    # total pair accounting: every in-range unordered pair lands in exactly
+    # one bin
+    assert sum(n for n, _, _ in want.values()) == sum(
+        1
+        for i, a in enumerate(pts)
+        for b in pts[i + 1 :]
+        if _hav(a[1], a[2], b[1], b[2]) <= 300_000.0
+    )
+
+
+def test_semivariogram_constant_field_zero(spark):
+    pts = [(i, lon, lat, 5) for i, lon, lat, _ in _pts(4, 30)]
+    df = spark.createDataFrame(pts, "pid long, lon double, lat double, value long")
+    rows = semivariogram(df, 200_000.0, 50_000.0, res=7).collect()
+    assert rows and all(r["ssd"] == 0 and r["gamma"] == 0.0 for r in rows)
