@@ -1,0 +1,122 @@
+"""Map matching — snap points to the nearest line segment of a road layer.
+
+The reference (aspectumapp/osm2geojson) produces the road geometry
+(LineString features out of OSM ways); matching GPS points onto those
+roads is the canonical downstream consumer. This operator is the
+geometric core of every map-matcher (OSRM/Valhalla's candidate snap,
+ST_ClosestPoint joins): for each point, the nearest segment within a
+search radius, by exact point-to-segment distance.
+
+PLANAR degree-space semantics (lon/lat treated as plain R^2, no
+antimeridian wrap): the snap decision is pure +-*/ arithmetic with one
+division and one clamp per pair, so the serial oracle replays the
+identical IEEE op sequence and argmin ties break identically — no trig,
+no epsilon. For city/regional extracts (where map matching happens)
+planar degrees are the standard approximation; a metric variant is the
+same plan with scaled axes.
+
+Scale shape: segments explode to the covering cells of their
+radius-expanded bbox (cells.covering_cells — superset by construction,
+clamped at grid edges which is safe because query points live inside the
+grid); points keep ONE cell, so the cell equi-join is the only shuffle
+and a (point, segment) pair can never meet twice (the point's single
+cell either is in the segment covering or not — no dedup). The argmin is
+one ordered window keyed by the point — at 10^12 points that is a
+map-side-combinable min-struct aggregation away (F.min_by), kept as a
+window here so rank > 1 candidates remain inspectable via ``top_k``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from . import cells
+
+
+def segment_distance_sq(
+    px: Column, py: Column, ax: Column, ay: Column, bx: Column, by: Column
+) -> Column:
+    """Squared planar distance from point p to segment ab:
+    t = clamp(((p-a).(b-a)) / |b-a|^2, 0, 1), d2 = |p - (a + t(b-a))|^2.
+    Degenerate segments (a == b) snap to the endpoint (t = 0)."""
+    dx, dy = bx - ax, by - ay
+    l2 = dx * dx + dy * dy
+    t_raw = ((px - ax) * dx + (py - ay) * dy) / l2
+    t = F.when(l2 == 0.0, F.lit(0.0)).otherwise(
+        F.least(F.greatest(t_raw, F.lit(0.0)), F.lit(1.0))
+    )
+    cx, cy = ax + t * dx, ay + t * dy
+    ex, ey = px - cx, py - cy
+    return ex * ex + ey * ey
+
+
+def segment_distance_sq_sql(
+    px: str, py: str, ax: str, ay: str, bx: str, by: str
+) -> str:
+    """DuckDB twin of segment_distance_sq — identical op order."""
+    dx, dy = f"({bx} - {ax})", f"({by} - {ay})"
+    l2 = f"({dx} * {dx} + {dy} * {dy})"
+    t_raw = f"((({px} - {ax}) * {dx} + ({py} - {ay}) * {dy}) / {l2})"
+    t = f"(CASE WHEN {l2} = 0.0 THEN 0.0 ELSE least(greatest({t_raw}, 0.0), 1.0) END)"
+    cx, cy = f"({ax} + {t} * {dx})", f"({ay} + {t} * {dy})"
+    return f"(({px} - {cx}) * ({px} - {cx}) + ({py} - {cy}) * ({py} - {cy}))"
+
+
+def snap_to_segments(
+    points: DataFrame,
+    segments: DataFrame,
+    radius_deg: float,
+    res: int = 6,
+    point_id: str = "pid",
+    seg_id: str = "seg_id",
+    top_k: int = 1,
+) -> DataFrame:
+    """Nearest-segment snap: for every point, the ``top_k`` closest
+    segments with planar distance <= ``radius_deg``.
+
+    ``points``: (pid, lon, lat); ``segments``: (seg_id, ax, ay, bx, by).
+    Returns (pid, seg_id, snap_rank, d2) — rank 1 is the match; ties on
+    d2 break by ascending seg_id, so the output is deterministic even
+    when two road segments are equidistant (shared intersections).
+    Points with no segment in range are absent (unmatched), mirroring
+    map-matchers' off-road rejection.
+
+    Pick ``res`` so cell width stays >= radius_deg (covering ~ a few
+    cells per segment); dense road cells can be salted upstream with the
+    plans/skew treatment if a city core dominates.
+    """
+    pad = F.lit(float(radius_deg))
+    segs = segments.select(
+        seg_id, "ax", "ay", "bx", "by"
+    ).withColumn(
+        "cell_id",
+        F.explode(
+            cells.covering_cells(
+                F.least("ax", "bx") - pad,
+                F.least("ay", "by") - pad,
+                F.greatest("ax", "bx") + pad,
+                F.greatest("ay", "by") + pad,
+                res,
+            )
+        ),
+    )
+    pts = points.select(
+        point_id, "lon", "lat"
+    ).withColumn("cell_id", cells.cell_id(F.col("lon"), F.col("lat"), res))
+    d2 = segment_distance_sq(
+        F.col("lon"), F.col("lat"),
+        F.col("ax"), F.col("ay"), F.col("bx"), F.col("by"),
+    )
+    cand = (
+        pts.join(segs, "cell_id")
+        .withColumn("d2", d2)
+        .filter(F.col("d2") <= F.lit(float(radius_deg) ** 2))
+    )
+    w = Window.partitionBy(point_id).orderBy(F.col("d2").asc(), F.col(seg_id).asc())
+    return (
+        cand.withColumn("snap_rank", F.row_number().over(w))
+        .filter(F.col("snap_rank") <= top_k)
+        .select(point_id, seg_id, "snap_rank", "d2")
+    )

@@ -1,0 +1,112 @@
+"""Map matching (snap_to_segments) — validated against a dense brute-force
+NumPy point-to-segment argmin, plus degenerate-segment and tie-break
+determinism checks."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from osm2geojson_spark.operators.matching import snap_to_segments
+
+
+def _seg_d2(px, py, ax, ay, bx, by):
+    dx, dy = bx - ax, by - ay
+    l2 = dx * dx + dy * dy
+    if l2 == 0.0:
+        t = 0.0
+    else:
+        t = min(max(((px - ax) * dx + (py - ay) * dy) / l2, 0.0), 1.0)
+    cx, cy = ax + t * dx, ay + t * dy
+    return (px - cx) ** 2 + (py - cy) ** 2
+
+
+def _fixture(seed, n_pts=120, n_segs=40):
+    rng = np.random.default_rng(seed)
+    pts = [
+        (i, float(rng.uniform(-5, 5)), float(rng.uniform(-5, 5)))
+        for i in range(n_pts)
+    ]
+    segs = []
+    for j in range(n_segs):
+        ax, ay = rng.uniform(-5, 5), rng.uniform(-5, 5)
+        segs.append(
+            (
+                j,
+                float(ax),
+                float(ay),
+                float(ax + rng.uniform(-2, 2)),
+                float(ay + rng.uniform(-2, 2)),
+            )
+        )
+    return pts, segs
+
+
+def _brute(pts, segs, radius, top_k=1):
+    out = {}
+    for pid, px, py in pts:
+        cand = sorted(
+            (
+                (_seg_d2(px, py, ax, ay, bx, by), sid)
+                for sid, ax, ay, bx, by in segs
+            )
+        )
+        keep = [
+            (sid, rank + 1, d2)
+            for rank, (d2, sid) in enumerate(cand[:top_k])
+            if d2 <= radius * radius
+        ]
+        if keep:
+            out[pid] = keep
+    return out
+
+
+def test_snap_matches_brute(spark):
+    pts, segs = _fixture(7)
+    p = spark.createDataFrame(pts, "pid long, lon double, lat double")
+    s = spark.createDataFrame(
+        segs, "seg_id long, ax double, ay double, bx double, by double"
+    )
+    got = {}
+    for r in snap_to_segments(p, s, radius_deg=1.5, res=7).collect():
+        got.setdefault(r["pid"], []).append((r["seg_id"], r["snap_rank"], r["d2"]))
+    want = _brute(pts, segs, 1.5)
+    assert set(got) == set(want)
+    for pid in want:
+        (gsid, grank, gd2), = sorted(got[pid], key=lambda x: x[1])
+        wsid, wrank, wd2 = want[pid][0]
+        assert (gsid, grank) == (wsid, wrank)
+        assert gd2 == wd2  # identical IEEE op sequence -> bit equality
+    assert len(want) > 40  # non-degenerate fixture
+
+
+def test_snap_top_k(spark):
+    pts, segs = _fixture(11)
+    p = spark.createDataFrame(pts, "pid long, lon double, lat double")
+    s = spark.createDataFrame(
+        segs, "seg_id long, ax double, ay double, bx double, by double"
+    )
+    got = {}
+    for r in snap_to_segments(p, s, radius_deg=2.0, res=7, top_k=3).collect():
+        got.setdefault(r["pid"], []).append((r["snap_rank"], r["seg_id"], r["d2"]))
+    want = _brute(pts, segs, 2.0, top_k=3)
+    for pid in want:
+        assert sorted(got[pid]) == [
+            (rank, sid, d2) for sid, rank, d2 in want[pid]
+        ]
+
+
+def test_snap_degenerate_and_ties(spark):
+    # zero-length segment snaps to its endpoint; two equidistant segments
+    # break the tie by ascending seg_id
+    p = spark.createDataFrame([(0, 0.0, 0.0)], "pid long, lon double, lat double")
+    s = spark.createDataFrame(
+        [
+            (5, 1.0, 0.0, 1.0, 0.0),  # point segment at distance 1
+            (3, -1.0, -1.0, -1.0, 1.0),  # vertical segment at distance 1
+        ],
+        "seg_id long, ax double, ay double, bx double, by double",
+    )
+    rows = snap_to_segments(p, s, radius_deg=2.0, res=7, top_k=2).collect()
+    by_rank = {r["snap_rank"]: r["seg_id"] for r in rows}
+    assert by_rank == {1: 3, 2: 5}
+    assert all(r["d2"] == 1.0 for r in rows)
