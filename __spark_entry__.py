@@ -4441,12 +4441,56 @@ WHERE rn <= 1
 """
 
 
+_BOX_COLS_SPARK = None  # built inline in q_box_iou
+
+
+def _order_boxes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic detection boxes from order keys: ~200 images with
+    integer pixel boxes (exact IoU arithmetic on both engines)."""
+    ok = F.col("o_orderkey")
+    return _t(spark, sf_dir, "orders").select(
+        (F.col("o_custkey") % 200).alias("image_id"),
+        ok.alias("box_id"),
+        ((ok * 7) % 100).alias("x0"),
+        ((ok * 13) % 100).alias("y0"),
+        ((ok * 7) % 100 + (ok * 3) % 30 + 5).alias("x1"),
+        ((ok * 13) % 100 + (ok * 5) % 30 + 5).alias("y1"),
+    )
+
+
+_ORDER_BOXES_SQL = (
+    "SELECT o_custkey % 200 AS image_id, o_orderkey AS box_id,"
+    " (o_orderkey * 7) % 100 AS x0, (o_orderkey * 13) % 100 AS y0,"
+    " (o_orderkey * 7) % 100 + (o_orderkey * 3) % 30 + 5 AS x1,"
+    " (o_orderkey * 13) % 100 + (o_orderkey * 5) % 30 + 5 AS y1"
+    " FROM orders"
+)
+
+
+def q_box_iou(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X50 (boxes.box_iou_join): detection-box IoU self-join — all
+    same-image box pairs with IoU >= 0.3. Image-local quadratic work
+    inside an image-id equi-join (the only shuffle); the threshold gate
+    is cross-multiplied exact-integer, so the pair set is float-free and
+    the oracle replays it bit-for-bit."""
+    from osm2geojson_spark.operators import boxes as BX
+
+    return BX.box_iou_join(_order_boxes(spark, sf_dir), 0.3)
+
+
+def _box_iou_sql() -> str:
+    from osm2geojson_spark.operators import boxes as BX
+
+    return BX.iou_join_sql(0.3, _ORDER_BOXES_SQL)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
         "idw": q_idw,
         "semivariogram": q_semivariogram,
         "map_match": q_map_match,
+        "box_iou": q_box_iou,
         # --- never driver-recorded (round-3 verdict ask #1): first, so a
         # budget-capped sweep records them before the long-verified tail
         "dedup_semantic": q_dedup_semantic,
@@ -4553,6 +4597,7 @@ def oracle_sql() -> dict[str, str]:
         "idw": _idw_sql(),
         "semivariogram": _semivariogram_sql(),
         "map_match": _map_match_sql(),
+        "box_iou": _box_iou_sql(),
         "dedup_semantic": _dedup_semantic_sql(),
         "vectorize_stitched": _VECTORIZE_STITCHED_SQL,
         "dbscan": _dbscan_sql(),
