@@ -4484,6 +4484,49 @@ def _box_iou_sql() -> str:
     return BX.iou_join_sql(0.3, _ORDER_BOXES_SQL)
 
 
+def q_rasterize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X51 (rasterize.rasterize_points + heatmap_tile_stats): heatmap
+    rasterization of lineitem points onto the res-3 tile grid (16 px
+    tiles), rolled up to exact per-tile stats whose checksum pins every
+    pixel's position and count. One map-side-combinable groupBy — the
+    plan is scan-shaped; the oracle replays the identical floor/div/mod
+    pixel algebra."""
+    from osm2geojson_spark.operators import rasterize as RAST
+
+    key = F.col("l_orderkey") * 8 + F.col("l_linenumber")
+    pts = _t(spark, sf_dir, "lineitem").select(
+        _lon(key).alias("lon"), _lat(key).alias("lat")
+    )
+    pc = RAST.rasterize_points(pts, res=3, tile_px=16)
+    return RAST.heatmap_tile_stats(pc, tile_px=16)
+
+
+def _rasterize_sql() -> str:
+    from osm2geojson_spark.operators import rasterize as RAST
+
+    key = "(l_orderkey * 8 + l_linenumber)"
+    gx = RAST.axis_pixel_sql(SYN.lon_sql(key), -180.0, 360.0, 128)
+    gy = RAST.axis_pixel_sql(SYN.lat_sql(key), -90.0, 180.0, 128)
+    return f"""
+WITH gp AS (
+  SELECT {gx} AS gx, {gy} AS gy FROM lineitem
+), px AS (
+  SELECT gx // 16 AS tile_x, gy // 16 AS tile_y,
+         gx % 16 AS px, gy % 16 AS py
+  FROM gp
+), pc AS (
+  SELECT tile_x, tile_y, px, py, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM px GROUP BY 1, 2, 3, 4
+)
+SELECT tile_x, tile_y,
+       CAST(SUM(cnt) AS BIGINT) AS n_points,
+       CAST(COUNT(*) AS BIGINT) AS n_px,
+       CAST(MAX(cnt) AS BIGINT) AS max_cnt,
+       CAST(SUM((px * 16 + py + 1) * cnt) AS BIGINT) AS checksum
+FROM pc GROUP BY 1, 2
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
@@ -4491,6 +4534,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semivariogram": q_semivariogram,
         "map_match": q_map_match,
         "box_iou": q_box_iou,
+        "rasterize": q_rasterize,
         # --- never driver-recorded (round-3 verdict ask #1): first, so a
         # budget-capped sweep records them before the long-verified tail
         "dedup_semantic": q_dedup_semantic,
@@ -4598,6 +4642,7 @@ def oracle_sql() -> dict[str, str]:
         "semivariogram": _semivariogram_sql(),
         "map_match": _map_match_sql(),
         "box_iou": _box_iou_sql(),
+        "rasterize": _rasterize_sql(),
         "dedup_semantic": _dedup_semantic_sql(),
         "vectorize_stitched": _VECTORIZE_STITCHED_SQL,
         "dbscan": _dbscan_sql(),
