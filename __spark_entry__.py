@@ -4527,6 +4527,39 @@ FROM pc GROUP BY 1, 2
 """
 
 
+def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X52 (graph.bfs_hops): bounded multi-source BFS over a deterministic
+    sparse road graph on part keys (two modular out-edges per node,
+    traversed undirected) from the k % 97 == 0 source set, 4 hops.
+    Driver-coordinated frontier rounds, one shuffle each, early exit; the
+    oracle is a DuckDB recursive CTE with min-hop semantics."""
+    from osm2geojson_spark.operators import graph as G
+
+    part = _t(spark, sf_dir, "part").select("p_partkey")
+    n = part.count()
+    k = F.col("p_partkey")
+    edges = part.select(
+        k.alias("src"), ((k * 7 + 3) % n).alias("dst")
+    ).unionByName(
+        part.select(k.alias("src"), ((k * 131 + 17) % n).alias("dst"))
+    )
+    sources = part.filter(k % 97 == 0).select(k.alias("node"))
+    return G.bfs_hops(edges, sources, max_hops=4, directed=False)
+
+
+def _bfs_hops_sql() -> str:
+    from osm2geojson_spark.operators import graph as G
+
+    edges = (
+        "SELECT p_partkey AS src,"
+        " (p_partkey * 7 + 3) % (SELECT COUNT(*) FROM part) AS dst FROM part"
+        " UNION ALL SELECT p_partkey AS src,"
+        " (p_partkey * 131 + 17) % (SELECT COUNT(*) FROM part) AS dst FROM part"
+    )
+    sources = "SELECT p_partkey AS node FROM part WHERE p_partkey % 97 = 0"
+    return G.bfs_hops_sql(edges, sources, max_hops=4, directed=False)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
@@ -4535,6 +4568,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "map_match": q_map_match,
         "box_iou": q_box_iou,
         "rasterize": q_rasterize,
+        "bfs_hops": q_bfs_hops,
         # --- never driver-recorded (round-3 verdict ask #1): first, so a
         # budget-capped sweep records them before the long-verified tail
         "dedup_semantic": q_dedup_semantic,
@@ -4643,6 +4677,7 @@ def oracle_sql() -> dict[str, str]:
         "map_match": _map_match_sql(),
         "box_iou": _box_iou_sql(),
         "rasterize": _rasterize_sql(),
+        "bfs_hops": _bfs_hops_sql(),
         "dedup_semantic": _dedup_semantic_sql(),
         "vectorize_stitched": _VECTORIZE_STITCHED_SQL,
         "dbscan": _dbscan_sql(),
