@@ -4445,11 +4445,13 @@ _BOX_COLS_SPARK = None  # built inline in q_box_iou
 
 
 def _order_boxes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic detection boxes from order keys: ~200 images with
-    integer pixel boxes (exact IoU arithmetic on both engines)."""
+    """Deterministic detection boxes from order keys: one image per
+    customer (~10 boxes/image at every SF — detection-shaped constant
+    per-image density) with integer pixel boxes (exact IoU arithmetic on
+    both engines)."""
     ok = F.col("o_orderkey")
     return _t(spark, sf_dir, "orders").select(
-        (F.col("o_custkey") % 200).alias("image_id"),
+        F.col("o_custkey").alias("image_id"),
         ok.alias("box_id"),
         ((ok * 7) % 100).alias("x0"),
         ((ok * 13) % 100).alias("y0"),
@@ -4459,7 +4461,7 @@ def _order_boxes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _ORDER_BOXES_SQL = (
-    "SELECT o_custkey % 200 AS image_id, o_orderkey AS box_id,"
+    "SELECT o_custkey AS image_id, o_orderkey AS box_id,"
     " (o_orderkey * 7) % 100 AS x0, (o_orderkey * 13) % 100 AS y0,"
     " (o_orderkey * 7) % 100 + (o_orderkey * 3) % 30 + 5 AS x1,"
     " (o_orderkey * 13) % 100 + (o_orderkey * 5) % 30 + 5 AS y1"

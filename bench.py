@@ -98,6 +98,12 @@ BENCH_QUERIES = [
     "mobility",
     "pricing_summary",
     "top_customers",
+    "idw",
+    "semivariogram",
+    "map_match",
+    "box_iou",
+    "rasterize",
+    "bfs_hops",
 ]
 
 
