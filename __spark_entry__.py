@@ -4562,9 +4562,45 @@ def _bfs_hops_sql() -> str:
     return G.bfs_hops_sql(edges, sources, max_hops=4, directed=False)
 
 
+def q_resample_tracks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X54 (trajectory.resample_tracks): per-user trajectory resampling
+    onto the 6-hour epoch grid by exact linear interpolation — integer-
+    microsecond tick indices (div, never float) and an interpolation
+    fraction dividing two exact int64 deltas, so both engines run the
+    identical IEEE sequence. One per-user window + an output-bounded
+    explode; no joins."""
+    from osm2geojson_spark.operators.trajectory import resample_tracks
+
+    out = resample_tracks(_traj_pings(spark, sf_dir), interval_s=6 * 3600)
+    return out.select("user_id", "tick", "lon", "lat")
+
+
+def _resample_tracks_sql() -> str:
+    dt = 6 * 3600 * 1_000_000
+    return f"""
+WITH pings AS ({_TRAJ_PINGS_CTE}
+), p AS (
+  SELECT user_id, ts, epoch_us(ts) AS t, lon, lat FROM pings
+), seg AS (
+  SELECT user_id, t, lon, lat,
+         lead(t) OVER w AS t1, lead(lon) OVER w AS lon1, lead(lat) OVER w AS lat1
+  FROM p WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), ticks AS (
+  SELECT user_id, t, t1, lon, lat, lon1, lat1,
+         unnest(range((t + {dt - 1}) // {dt}, (t1 + {dt - 1}) // {dt})) AS tick
+  FROM seg WHERE t1 IS NOT NULL
+)
+SELECT user_id, CAST(tick AS BIGINT) AS tick,
+       lon + CAST(tick * {dt} - t AS DOUBLE) / CAST(t1 - t AS DOUBLE) * (lon1 - lon) AS lon,
+       lat + CAST(tick * {dt} - t AS DOUBLE) / CAST(t1 - t AS DOUBLE) * (lat1 - lat) AS lat
+FROM ticks
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "resample_tracks": q_resample_tracks,
         "idw": q_idw,
         "semivariogram": q_semivariogram,
         "map_match": q_map_match,
@@ -4680,6 +4716,7 @@ def oracle_sql() -> dict[str, str]:
         "box_iou": _box_iou_sql(),
         "rasterize": _rasterize_sql(),
         "bfs_hops": _bfs_hops_sql(),
+        "resample_tracks": _resample_tracks_sql(),
         "dedup_semantic": _dedup_semantic_sql(),
         "vectorize_stitched": _VECTORIZE_STITCHED_SQL,
         "dbscan": _dbscan_sql(),

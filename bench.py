@@ -104,6 +104,7 @@ BENCH_QUERIES = [
     "box_iou",
     "rasterize",
     "bfs_hops",
+    "resample_tracks",
 ]
 
 

@@ -141,3 +141,76 @@ def mobility_features(
             F.sqrt(num.cast("double")) / F.col("n_stays").cast("double"), 6
         ).alias("rog_cells"),
     )
+
+
+def resample_tracks(
+    pings: DataFrame,
+    interval_s: float,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """TRACK RESAMPLING — linear interpolation of each entity's trajectory
+    onto the global epoch-aligned tick grid (one sample every
+    ``interval_s`` seconds), the standard pre-processing step before
+    map-matching, OD analysis, or co-location joins need time-aligned
+    positions.
+
+    Semantics: for each consecutive ping pair (t0, t1) per entity (time
+    order), emit every grid tick k*dt with t0 <= k*dt < t1, positioned by
+    exact linear interpolation; a tick landing exactly on a ping reports
+    that ping's position (frac = 0). The [t0, t1) half-open convention
+    makes every tick belong to exactly one segment, so no sample is ever
+    emitted twice. Gaps longer than the interval naturally yield multiple
+    ticks (position interpolated across the gap — cap segment length
+    upstream if dead-reckoning across long gaps is unwanted); the last
+    ping of a track emits nothing (no bracketing segment).
+
+    Exactness: tick indices come from integer-microsecond ceil-division
+    (``div`` — never float), and the interpolation fraction divides two
+    exact int64 microsecond differences, so both engines run the identical
+    IEEE sequence and the output hashes equal.
+
+    Returns (user, tick, ts, lon, lat) with ``tick`` the global grid
+    index and ``ts`` = tick * interval as a timestamp.
+
+    Scale: ONE window (the same per-entity sort every trajectory op here
+    shares) + an explode whose fan-out is gap/interval — output-bounded.
+    No joins; the plan is sort -> project -> generate, scan-shaped per
+    entity partition."""
+    dt_us = int(round(interval_s * 1_000_000))
+    w = Window.partitionBy(user_col).orderBy("_t")
+    seg = (
+        pings.select(
+            F.col(user_col),
+            # NTZ inputs cast through TIMESTAMP (identity under the UTC
+            # session the engine standardizes on)
+            F.unix_micros(F.col(ts_col).cast("timestamp")).alias("_t"),
+            F.col(lon_col).alias("_lon"),
+            F.col(lat_col).alias("_lat"),
+        )
+        .withColumn("_t1", F.lead("_t").over(w))
+        .withColumn("_lon1", F.lead("_lon").over(w))
+        .withColumn("_lat1", F.lead("_lat").over(w))
+        .filter(F.col("_t1").isNotNull())
+    )
+    # ceil(t/dt) on exact integers; [t0, t1) => k in [ceil(t0/dt), ceil(t1/dt))
+    k0 = F.expr(f"(_t + {dt_us - 1}) div {dt_us}")
+    k1 = F.expr(f"(_t1 + {dt_us - 1}) div {dt_us}")
+    ticks = (
+        seg.withColumn("_k0", k0)
+        .withColumn("_k1", k1)
+        .filter(F.col("_k1") > F.col("_k0"))
+        .withColumn("tick", F.explode(F.sequence(F.col("_k0"), F.col("_k1") - 1)))
+    )
+    frac = (F.col("tick") * F.lit(dt_us) - F.col("_t")).cast("double") / (
+        F.col("_t1") - F.col("_t")
+    ).cast("double")
+    return ticks.select(
+        F.col(user_col),
+        F.col("tick").cast("long").alias("tick"),
+        F.timestamp_micros(F.col("tick") * F.lit(dt_us)).alias(ts_col),
+        (F.col("_lon") + frac * (F.col("_lon1") - F.col("_lon"))).alias(lon_col),
+        (F.col("_lat") + frac * (F.col("_lat1") - F.col("_lat"))).alias(lat_col),
+    )

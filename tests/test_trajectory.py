@@ -74,3 +74,76 @@ def test_mobility_features_vs_numpy(spark, pings):
         assert abs(got[u]["rog_cells"] - round(rog, 6)) < 2e-6, u
     # user 1's two stays are the same cell -> rog 0, n_cells 1
     assert got[1]["rog_cells"] == 0.0 and got[1]["n_cells"] == 1
+
+
+# ----------------------------------------------------- track resampling
+
+
+def _brute_resample(pings, dt_us):
+    """Reference: per user, ticks in [t0, t1) per consecutive pair, linear
+    interpolation on exact microseconds."""
+    out = []
+    by_user = {}
+    for u, t, lon, lat in pings:
+        by_user.setdefault(u, []).append((t, lon, lat))
+    for u, rows in by_user.items():
+        rows.sort()
+        for (t0, lon0, lat0), (t1, lon1, lat1) in zip(rows, rows[1:]):
+            k = -((-t0) // dt_us)  # ceil
+            while k * dt_us < t1:
+                frac = (k * dt_us - t0) / (t1 - t0)
+                out.append(
+                    (u, k, lon0 + frac * (lon1 - lon0), lat0 + frac * (lat1 - lat0))
+                )
+                k += 1
+    return sorted(out)
+
+
+def test_resample_matches_brute(spark):
+    import numpy as np
+    from osm2geojson_spark.operators.trajectory import resample_tracks
+
+    rng = np.random.default_rng(21)
+    base = 1_700_000_000_000_000
+    pings = []
+    for u in range(5):
+        t = base + int(rng.integers(0, 10**9))
+        for _ in range(30):
+            pings.append(
+                (
+                    u,
+                    t,
+                    float(rng.uniform(-10, 10)),
+                    float(rng.uniform(-10, 10)),
+                )
+            )
+            t += int(rng.integers(1, 4 * 3600 * 1_000_000))
+    df = spark.createDataFrame(
+        [(u, t, lon, lat) for u, t, lon, lat in pings],
+        "user_id long, t_us long, lon double, lat double",
+    ).selectExpr("user_id", "timestamp_micros(t_us) AS ts", "lon", "lat")
+    dt_s = 3600
+    got = sorted(
+        (r["user_id"], r["tick"], r["lon"], r["lat"])
+        for r in resample_tracks(df, interval_s=dt_s).collect()
+    )
+    want = _brute_resample(pings, dt_s * 1_000_000)
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert g[:2] == w[:2]
+        assert abs(g[2] - w[2]) < 1e-12 and abs(g[3] - w[3]) < 1e-12
+    assert len(want) > 100  # non-degenerate
+
+
+def test_resample_tick_on_ping_and_half_open(spark):
+    from osm2geojson_spark.operators.trajectory import resample_tracks
+
+    dt = 60  # 1-minute grid
+    # pings at exact ticks 100 and 102: tick 100 (frac 0, first ping's
+    # position), tick 101 (midpoint), tick 102 EXCLUDED (no next segment)
+    df = spark.createDataFrame(
+        [(1, 100 * 60 * 1_000_000, 0.0, 0.0), (1, 102 * 60 * 1_000_000, 2.0, 4.0)],
+        "user_id long, t_us long, lon double, lat double",
+    ).selectExpr("user_id", "timestamp_micros(t_us) AS ts", "lon", "lat")
+    rows = {r["tick"]: (r["lon"], r["lat"]) for r in resample_tracks(df, dt).collect()}
+    assert rows == {100: (0.0, 0.0), 101: (1.0, 2.0)}
