@@ -4597,9 +4597,57 @@ FROM ticks
 """
 
 
+def q_colocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X55 (trajectory.colocation_pairs): co-traveler detection — distinct
+    users resampled onto the shared 6-hour tick grid, paired when they
+    occupy the same res-3 cell at the same tick, counted exactly. The
+    (tick, cell) equi-join bounds candidates by instantaneous cell
+    occupancy; the oracle replays resample + cell + self-join verbatim."""
+    from osm2geojson_spark.operators.trajectory import colocation_pairs
+
+    return colocation_pairs(
+        _traj_pings(spark, sf_dir), interval_s=6 * 3600, res=3
+    )
+
+
+def _colocation_sql() -> str:
+    from osm2geojson_spark.operators import cells as CEL
+
+    dt = 6 * 3600 * 1_000_000
+    cell = CEL.cell_id_sql("lon", "lat", 3)
+    return f"""
+WITH pings AS ({_TRAJ_PINGS_CTE}
+), p AS (
+  SELECT user_id, ts, epoch_us(ts) AS t, lon, lat FROM pings
+), seg AS (
+  SELECT user_id, t, lon, lat,
+         lead(t) OVER w AS t1, lead(lon) OVER w AS lon1, lead(lat) OVER w AS lat1
+  FROM p WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), ticks AS (
+  SELECT user_id, t, t1, lon, lat, lon1, lat1,
+         unnest(range((t + {dt - 1}) // {dt}, (t1 + {dt - 1}) // {dt})) AS tick
+  FROM seg WHERE t1 IS NOT NULL
+), sampled AS (
+  SELECT user_id, tick, {cell} AS cell_id
+  FROM (
+    SELECT user_id, tick,
+           lon + CAST(tick * {dt} - t AS DOUBLE) / CAST(t1 - t AS DOUBLE) * (lon1 - lon) AS lon,
+           lat + CAST(tick * {dt} - t AS DOUBLE) / CAST(t1 - t AS DOUBLE) * (lat1 - lat) AS lat
+    FROM ticks
+  ) q
+)
+SELECT a.user_id AS user_a, b.user_id AS user_b,
+       CAST(COUNT(*) AS BIGINT) AS n_ticks
+FROM sampled a JOIN sampled b
+  ON a.tick = b.tick AND a.cell_id = b.cell_id AND a.user_id < b.user_id
+GROUP BY 1, 2
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "colocation": q_colocation,
         "resample_tracks": q_resample_tracks,
         "idw": q_idw,
         "semivariogram": q_semivariogram,
@@ -4717,6 +4765,7 @@ def oracle_sql() -> dict[str, str]:
         "rasterize": _rasterize_sql(),
         "bfs_hops": _bfs_hops_sql(),
         "resample_tracks": _resample_tracks_sql(),
+        "colocation": _colocation_sql(),
         "dedup_semantic": _dedup_semantic_sql(),
         "vectorize_stitched": _VECTORIZE_STITCHED_SQL,
         "dbscan": _dbscan_sql(),

@@ -105,6 +105,7 @@ BENCH_QUERIES = [
     "rasterize",
     "bfs_hops",
     "resample_tracks",
+    "colocation",
 ]
 
 

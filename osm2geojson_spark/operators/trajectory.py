@@ -214,3 +214,55 @@ def resample_tracks(
         (F.col("_lon") + frac * (F.col("_lon1") - F.col("_lon"))).alias(lon_col),
         (F.col("_lat") + frac * (F.col("_lat1") - F.col("_lat"))).alias(lat_col),
     )
+
+
+def colocation_pairs(
+    pings: DataFrame,
+    interval_s: float,
+    res: int = 8,
+    min_ticks: int = 1,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """CO-LOCATION JOIN — pairs of distinct entities that were in the same
+    cell at the same time, with how often: the co-traveler / contact-
+    tracing primitive (same shape as Google's COVID exposure joins).
+
+    "Same time" is made well-defined by resampling both trajectories onto
+    the shared epoch tick grid first (``resample_tracks``): after that,
+    (entity, tick) is unique — each tick belongs to exactly one half-open
+    segment — so co-location is a pure (tick, cell) self equi-join and
+    n_ticks is an exact count no matter how pings were sampled. Returns
+    (user_a, user_b, n_ticks) with user_a < user_b, n_ticks >=
+    ``min_ticks``.
+
+    Scale: the join key (tick, cell) bounds candidates by instantaneous
+    cell occupancy — never all-pairs over a user's history. Hot keys are
+    physical crowds (a stadium at one tick); those cells are exactly the
+    plans/skew salting case, and raising ``res`` shrinks them
+    quadratically. The rollup is map-side combinable."""
+    from . import cells as _cells
+
+    sampled = resample_tracks(
+        pings, interval_s, user_col=user_col, ts_col=ts_col,
+        lon_col=lon_col, lat_col=lat_col,
+    ).select(
+        F.col(user_col),
+        "tick",
+        _cells.cell_id(F.col(lon_col), F.col(lat_col), res).alias("cell_id"),
+    )
+    a = sampled.select(
+        F.col(user_col).alias("user_a"), "tick", "cell_id"
+    )
+    b = sampled.select(
+        F.col(user_col).alias("user_b"), "tick", "cell_id"
+    )
+    return (
+        a.join(b, ["tick", "cell_id"])
+        .filter(F.col("user_a") < F.col("user_b"))
+        .groupBy("user_a", "user_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ticks"))
+        .filter(F.col("n_ticks") >= min_ticks)
+    )

@@ -147,3 +147,41 @@ def test_resample_tick_on_ping_and_half_open(spark):
     ).selectExpr("user_id", "timestamp_micros(t_us) AS ts", "lon", "lat")
     rows = {r["tick"]: (r["lon"], r["lat"]) for r in resample_tracks(df, dt).collect()}
     assert rows == {100: (0.0, 0.0), 101: (1.0, 2.0)}
+
+
+def test_colocation_pairs(spark):
+    from osm2geojson_spark.operators.trajectory import colocation_pairs
+
+    M = 60 * 1_000_000  # 1 minute in us
+    # users 1 and 2 walk together (same cell) for ticks 10..13; user 3 is
+    # far away; user 4 joins the cell only at tick 12
+    rows = []
+    for u, lon in ((1, 10.0), (2, 10.05), (3, 120.0)):
+        rows += [(u, 10 * M, lon, 5.0), (u, 13 * M + 1, lon, 5.0)]
+    rows += [(4, 12 * M, 10.1, 5.0), (4, 12 * M + 59_000_000, 10.1, 5.0)]
+    df = spark.createDataFrame(
+        rows, "user_id long, t_us long, lon double, lat double"
+    ).selectExpr("user_id", "timestamp_micros(t_us) AS ts", "lon", "lat")
+    got = {
+        (r["user_a"], r["user_b"]): r["n_ticks"]
+        for r in colocation_pairs(df, 60, res=6).collect()
+    }
+    assert got == {(1, 2): 4, (1, 4): 1, (2, 4): 1}
+
+
+def test_colocation_min_ticks_gate(spark):
+    from osm2geojson_spark.operators.trajectory import colocation_pairs
+
+    M = 60 * 1_000_000
+    rows = []
+    for u in (1, 2):
+        rows += [(u, 0, 0.0, 0.0), (u, 5 * M, 0.0, 0.0)]
+    rows += [(3, 2 * M, 0.0, 0.0), (3, 2 * M + 30_000_000, 0.0, 0.0)]
+    df = spark.createDataFrame(
+        rows, "user_id long, t_us long, lon double, lat double"
+    ).selectExpr("user_id", "timestamp_micros(t_us) AS ts", "lon", "lat")
+    got = {
+        (r["user_a"], r["user_b"]): r["n_ticks"]
+        for r in colocation_pairs(df, 60, res=6, min_ticks=3).collect()
+    }
+    assert got == {(1, 2): 5}
