@@ -38,6 +38,24 @@ def axis_pixel_sql(coord: str, lo: float, span: float, n_px: int) -> str:
     return f"CAST(greatest(0, least({n_px - 1}, {raw})) AS BIGINT)"
 
 
+def pixel_columns(
+    lon: Column, lat: Column, res: int, tile_px: int
+) -> tuple[Column, Column, Column, Column]:
+    """(tile_x, tile_y, px, py) columns for a point on the res-level tile
+    grid with tile_px-pixel tiles — the shared pixel algebra for the batch
+    rasterizer and the streaming heatmap (identical binning by
+    construction)."""
+    n = (1 << res) * tile_px
+    gx = _axis_pixel(lon, -180.0, 360.0, n)
+    gy = _axis_pixel(lat, -90.0, 180.0, n)
+    return (
+        F.floor(gx / F.lit(tile_px)).cast("long"),
+        F.floor(gy / F.lit(tile_px)).cast("long"),
+        gx % F.lit(tile_px),
+        gy % F.lit(tile_px),
+    )
+
+
 def rasterize_points(
     points: DataFrame,
     res: int,
@@ -56,14 +74,14 @@ def rasterize_points(
     the scale-correct representation: a 10^12-point corpus touches a
     vanishing fraction of the 2^(2*res)*tile_px^2 pixel universe, and
     downstream dense consumers pack on demand (``pack_tiles``)."""
-    n = (1 << res) * tile_px
-    gx = _axis_pixel(F.col(lon_col), -180.0, 360.0, n)
-    gy = _axis_pixel(F.col(lat_col), -90.0, 180.0, n)
+    tx, ty, px, py = pixel_columns(
+        F.col(lon_col), F.col(lat_col), res, tile_px
+    )
     binned = points.select(
-        F.floor(gx / F.lit(tile_px)).cast("long").alias("tile_x"),
-        F.floor(gy / F.lit(tile_px)).cast("long").alias("tile_y"),
-        (gx % F.lit(tile_px)).alias("px"),
-        (gy % F.lit(tile_px)).alias("py"),
+        tx.alias("tile_x"),
+        ty.alias("tile_y"),
+        px.alias("px"),
+        py.alias("py"),
         *(
             [F.col(weight_col).cast("long").alias("_w")]
             if weight_col

@@ -333,3 +333,49 @@ def windowed_cell_counts(
             "n",
         )
     )
+
+
+def windowed_heatmap(
+    events: DataFrame,
+    res: int = 2,
+    tile_px: int = 8,
+    window: str = "6 hours",
+    watermark: str = "12 hours",
+    ts_col: str = "ts",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """STREAMING RASTERIZATION — the live-heatmap form of
+    operators/rasterize: per event-time tumbling window, per (tile,
+    pixel), the exact point count. Shares rasterize.pixel_columns, so
+    a window of the stream bins identically to a batch rasterize of the
+    same slice (pinned by the stream==batch test); late data within
+    ``watermark`` lands in its correct (window, pixel) bucket.
+
+    Scale: identical to the batch op — the pixel algebra is codegen
+    column math and the single windowed groupBy is map-side combinable
+    with watermark-bounded state (open windows x non-empty pixels, a
+    vanishing fraction of the pixel universe)."""
+    from ..operators.rasterize import pixel_columns
+
+    df = events
+    if df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    tx, ty, px, py = pixel_columns(
+        F.col(lon_col), F.col(lat_col), res, tile_px
+    )
+    return (
+        df.groupBy(
+            F.window(ts_col, window).alias("win"),
+            tx.alias("tile_x"),
+            ty.alias("tile_y"),
+            px.alias("px"),
+            py.alias("py"),
+        )
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "tile_x", "tile_y", "px", "py", "cnt",
+        )
+    )

@@ -203,3 +203,43 @@ def test_windowed_cell_counts_stream_equals_batch(spark, events_dir):
     cols = ["win_start", "win_end", "cell_id", "n"]
     assert _rows(got, cols) == _rows(batch, cols)
     assert len(_rows(batch, cols)) > 10
+
+
+def test_windowed_heatmap_stream_equals_batch(spark, events_dir):
+    """Streaming rasterization: windowed per-pixel counts from the stream
+    (availableNow + watermark) match a batch run over the same input, and
+    the pixel binning matches the batch rasterizer exactly."""
+    schema = spark.read.parquet(os.path.join(events_dir, "p1")).schema
+    lonlat = lambda df: df.select(
+        "ts",
+        ((F.col("user_id") * 37 % 360) - 180 + 0.5).cast("double").alias("lon"),
+        ((F.col("user_id") * 53 % 170) - 85 + 0.5).cast("double").alias("lat"),
+    )
+    stream = S.events_file_stream(spark, events_dir + "/*", schema=schema)
+    got = S.run_to_memory(
+        S.windowed_heatmap(lonlat(stream), res=2, tile_px=8), "heatmap_stream"
+    )
+    batch = S.windowed_heatmap(
+        lonlat(spark.read.parquet(events_dir + "/*")), res=2, tile_px=8
+    )
+    cols = ["win_start", "win_end", "tile_x", "tile_y", "px", "py", "cnt"]
+    assert _rows(got, cols) == _rows(batch, cols)
+    assert len(_rows(batch, cols)) > 5
+    # pixel identity with the batch rasterizer (time dimension collapsed)
+    from osm2geojson_spark.operators.rasterize import rasterize_points
+
+    flat = rasterize_points(
+        lonlat(spark.read.parquet(events_dir + "/*")), res=2, tile_px=8
+    )
+    want_px = _rows(flat, ["tile_x", "tile_y", "px", "py", "cnt"])
+    got_px = sorted(
+        (r[0], r[1], r[2], r[3], n)
+        for (r, n) in (
+            ((t[2], t[3], t[4], t[5]), t[6]) for t in _rows(batch, cols)
+        )
+    )
+    # collapse windows: sum cnt per pixel
+    agg = {}
+    for tx, ty, px, py, n in got_px:
+        agg[(tx, ty, px, py)] = agg.get((tx, ty, px, py), 0) + n
+    assert sorted((k + (v,)) for k, v in agg.items()) == want_px
