@@ -4644,9 +4644,95 @@ GROUP BY 1, 2
 """
 
 
+def _geofences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fence boxes from nation keys: 10-50 deg wide, 10-40 deg
+    tall, scattered over the globe (closed containment; integer-valued
+    double corners so both engines compare identical doubles)."""
+    n = F.col("n_nationkey")
+    x0 = ((n * 47) % 300) - 170
+    y0 = ((n * 31) % 150) - 80
+    return _t(spark, sf_dir, "nation").select(
+        n.alias("fence_id"),
+        x0.cast("double").alias("x0"),
+        y0.cast("double").alias("y0"),
+        (x0 + 10 + (n % 5) * 10).cast("double").alias("x1"),
+        (y0 + 10 + (n % 4) * 10).cast("double").alias("y1"),
+    )
+
+
+_GEOFENCES_CTE = """
+  SELECT n_nationkey AS fence_id,
+         CAST(((n_nationkey * 47) % 300) - 170 AS DOUBLE) AS x0,
+         CAST(((n_nationkey * 31) % 150) - 80 AS DOUBLE) AS y0,
+         CAST(((n_nationkey * 47) % 300) - 170
+              + 10 + (n_nationkey % 5) * 10 AS DOUBLE) AS x1,
+         CAST(((n_nationkey * 31) % 150) - 80
+              + 10 + (n_nationkey % 4) * 10 AS DOUBLE) AS y1
+  FROM nation
+"""
+
+
+def q_geofence_visits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X57 (trajectory.geofence_visits): geofence enter/exit detection —
+    each user's drifting track against 25 fence boxes; one row per visit
+    (maximal run of consecutive pings inside a fence) with enter/exit
+    epochs, ping count, and duration. Candidates via a broadcast (cell ->
+    fence) covering table at res 4 with the exact bbox gate after — never
+    a pings x fences nested loop; runs via gaps-and-islands over inside
+    rows only. The oracle brute-forces containment and replays the
+    identical seq/row_number algebra."""
+    from osm2geojson_spark.operators.trajectory import geofence_visits
+
+    out = geofence_visits(
+        _traj_pings(spark, sf_dir), _geofences(spark, sf_dir), res=4
+    )
+    return out.select(
+        "user_id",
+        "fence_id",
+        "visit_seq",
+        F.col("enter_ts").cast("timestamp").cast("long").alias("enter_s"),
+        F.col("exit_ts").cast("timestamp").cast("long").alias("exit_s"),
+        "n_pings",
+        "dur_s",
+    )
+
+
+def _geofence_visits_sql() -> str:
+    return f"""
+WITH pings AS ({_TRAJ_PINGS_CTE}
+), fences AS ({_GEOFENCES_CTE}
+), sq AS (
+  SELECT user_id, ts, lon, lat,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts) AS seq
+  FROM pings
+), inside AS (
+  SELECT s.user_id, f.fence_id, s.seq, s.ts
+  FROM sq s JOIN fences f
+    ON s.lon >= f.x0 AND s.lon <= f.x1 AND s.lat >= f.y0 AND s.lat <= f.y1
+), runs AS (
+  SELECT user_id, fence_id, seq, ts,
+         seq - row_number() OVER (PARTITION BY user_id, fence_id ORDER BY seq) AS grp
+  FROM inside
+), visits AS (
+  SELECT user_id, fence_id, min(ts) AS enter_ts, max(ts) AS exit_ts,
+         CAST(count(*) AS BIGINT) AS n_pings
+  FROM runs GROUP BY user_id, fence_id, grp
+)
+SELECT user_id, fence_id,
+       CAST(row_number() OVER (PARTITION BY user_id, fence_id ORDER BY enter_ts) AS BIGINT) AS visit_seq,
+       CAST(floor(epoch(enter_ts)) AS BIGINT) AS enter_s,
+       CAST(floor(epoch(exit_ts)) AS BIGINT) AS exit_s,
+       n_pings,
+       CAST(floor(epoch(exit_ts)) AS BIGINT)
+         - CAST(floor(epoch(enter_ts)) AS BIGINT) AS dur_s
+FROM visits
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "geofence_visits": q_geofence_visits,
         "colocation": q_colocation,
         "resample_tracks": q_resample_tracks,
         "idw": q_idw,
@@ -4758,6 +4844,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "geofence_visits": _geofence_visits_sql(),
         "idw": _idw_sql(),
         "semivariogram": _semivariogram_sql(),
         "map_match": _map_match_sql(),

@@ -216,6 +216,89 @@ def resample_tracks(
     )
 
 
+def geofence_visits(
+    pings: DataFrame,
+    fences: DataFrame,
+    res: int = 6,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """GEOFENCE ENTER/EXIT DETECTION — one row per VISIT: a maximal run of
+    consecutive pings (per entity, time order over the entity's FULL ping
+    stream) inside one fence. The fleet-telematics / exposure-alerting
+    primitive ("when did vehicle V enter depot D, when did it leave").
+
+    ``fences``: (fence_id, x0, y0, x1, y1) axis-aligned boxes with
+    x0 <= x1 (split antimeridian fences upstream); containment is closed
+    (boundary pings count — both engines compare identical doubles).
+    Returns (user, fence_id, visit_seq, enter_ts, exit_ts, n_pings,
+    dur_s): enter = first inside ping of the run, exit = last inside ping
+    (a track ending inside still closes its visit — deterministic), and
+    leaving-and-returning yields separate visit_seq rows.
+
+    Plan shape: ONE per-entity sort assigns a global ping sequence number
+    BEFORE any fence logic (so "consecutive" ignores which fence, and the
+    outside pings never travel further); candidates come from a (cell ->
+    fence) broadcast built by exploding each fence's covering cells at
+    ``res`` — never a pings x fences nested loop — with the exact bbox
+    gate applied after the equi-join. Runs then fall out of the classic
+    gaps-and-islands trick (seq - row_number), one window over INSIDE
+    rows only + a combinable rollup.
+
+    Scale: at 10^12 pings the expensive stage is the per-entity sort the
+    whole trajectory family already shares; the fence join moves only
+    pings whose cell intersects some fence, and the (cell, fence)
+    broadcast is |covering| * |fences| rows — pick ``res`` so that stays
+    small (coarse cells; the exact gate does the precision)."""
+    w = Window.partitionBy(user_col).orderBy(ts_col)
+    seq_pings = pings.select(
+        F.col(user_col),
+        F.col(ts_col),
+        F.col(lon_col).alias("_lon"),
+        F.col(lat_col).alias("_lat"),
+        cells.cell_id(F.col(lon_col), F.col(lat_col), res).alias("_cell"),
+    ).withColumn("_seq", F.row_number().over(w))
+    fence_cells = fences.select(
+        "fence_id", "x0", "y0", "x1", "y1",
+        F.explode(
+            cells.covering_cells(
+                F.col("x0"), F.col("y0"), F.col("x1"), F.col("y1"), res
+            )
+        ).alias("_cell"),
+    )
+    inside = (
+        seq_pings.join(F.broadcast(fence_cells), "_cell")
+        .filter(
+            (F.col("_lon") >= F.col("x0"))
+            & (F.col("_lon") <= F.col("x1"))
+            & (F.col("_lat") >= F.col("y0"))
+            & (F.col("_lat") <= F.col("y1"))
+        )
+        .select(user_col, "fence_id", "_seq", ts_col)
+    )
+    wf = Window.partitionBy(user_col, "fence_id").orderBy("_seq")
+    runs = inside.withColumn("_grp", F.col("_seq") - F.row_number().over(wf))
+    visits = runs.groupBy(user_col, "fence_id", "_grp").agg(
+        F.min(ts_col).alias("enter_ts"),
+        F.max(ts_col).alias("exit_ts"),
+        F.count(F.lit(1)).cast("long").alias("n_pings"),
+    )
+    ws = Window.partitionBy(user_col, "fence_id").orderBy("enter_ts")
+    return visits.select(
+        F.col(user_col),
+        "fence_id",
+        F.row_number().over(ws).cast("long").alias("visit_seq"),
+        "enter_ts",
+        "exit_ts",
+        "n_pings",
+        (F.unix_timestamp("exit_ts") - F.unix_timestamp("enter_ts"))
+        .cast("long")
+        .alias("dur_s"),
+    )
+
+
 def colocation_pairs(
     pings: DataFrame,
     interval_s: float,

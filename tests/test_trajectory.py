@@ -185,3 +185,105 @@ def test_colocation_min_ticks_gate(spark):
         for r in colocation_pairs(df, 60, res=6, min_ticks=3).collect()
     }
     assert got == {(1, 2): 5}
+
+
+# ----------------------------------------------------- geofence visits
+
+
+def _brute_visits(pings, fences):
+    """Reference: per user, time-ordered walk; a visit is a maximal run of
+    consecutive pings inside a fence (closed containment)."""
+    out = []
+    by_user = {}
+    for u, t, lon, lat in pings:
+        by_user.setdefault(u, []).append((t, lon, lat))
+    for u, rows in by_user.items():
+        rows.sort()
+        for fid, x0, y0, x1, y1 in fences:
+            run = None
+            for t, lon, lat in rows + [(None, None, None)]:
+                ins = t is not None and x0 <= lon <= x1 and y0 <= lat <= y1
+                if ins:
+                    if run is None:
+                        run = [t, t, 0]
+                    run[1] = t
+                    run[2] += 1
+                elif run is not None:
+                    out.append((u, fid, run[0], run[1], run[2]))
+                    run = None
+    vis = {}
+    for u, fid, enter, exit_, n in sorted(out):
+        seq = vis.setdefault((u, fid), [])
+        seq.append((len(seq) + 1, enter, exit_, n))
+    return {
+        (u, fid, s): (enter, exit_, n)
+        for (u, fid), seqs in vis.items()
+        for s, enter, exit_, n in seqs
+    }
+
+
+def test_geofence_visits_matches_brute(spark):
+    import numpy as np
+    from osm2geojson_spark.operators.trajectory import geofence_visits
+
+    rng = np.random.default_rng(7)
+    base = 1_700_000_000
+    pings = []
+    for u in range(6):
+        t = base + int(rng.integers(0, 1000))
+        for _ in range(60):
+            pings.append(
+                (u, t, float(rng.uniform(-20, 20)), float(rng.uniform(-20, 20)))
+            )
+            t += int(rng.integers(60, 7200))
+    fences = [
+        (100, -10.0, -10.0, 10.0, 10.0),
+        (101, 0.0, 0.0, 20.0, 20.0),     # overlaps fence 100
+        (102, -20.0, -20.0, -15.0, -15.0),
+        (103, 50.0, 50.0, 60.0, 60.0),   # never hit
+    ]
+    pdf = spark.createDataFrame(
+        pings, "user_id long, tsec long, lon double, lat double"
+    ).selectExpr("user_id", "timestamp_seconds(tsec) AS ts", "lon", "lat")
+    fdf = spark.createDataFrame(
+        fences, "fence_id long, x0 double, y0 double, x1 double, y1 double"
+    )
+    got = {
+        (r["user_id"], r["fence_id"], r["visit_seq"]): (
+            int(r["enter_ts"].timestamp()),
+            int(r["exit_ts"].timestamp()),
+            r["n_pings"],
+        )
+        for r in geofence_visits(pdf, fdf, res=4).collect()
+    }
+    want = _brute_visits(pings, fences)
+    assert got == want
+    assert len(want) > 20  # non-degenerate: re-entries and overlaps occur
+    assert not any(fid == 103 for (_, fid, _) in want)
+
+
+def test_geofence_visits_boundary_and_track_end(spark):
+    from osm2geojson_spark.operators.trajectory import geofence_visits
+    from pyspark.sql import functions as F
+
+    # boundary ping counts (closed box); track ending inside still closes
+    # its visit; leaving and returning yields visit_seq 1 and 2
+    rows = [
+        (1, 0, 5.0, 5.0),      # inside
+        (1, 60, 10.0, 5.0),    # ON the x1 boundary -> inside
+        (1, 120, 50.0, 5.0),   # outside (exit)
+        (1, 180, 5.0, 5.0),    # re-enter; track ends inside
+    ]
+    pdf = spark.createDataFrame(
+        rows, "user_id long, tsec long, lon double, lat double"
+    ).selectExpr("user_id", "timestamp_seconds(tsec) AS ts", "lon", "lat")
+    fdf = spark.createDataFrame(
+        [(1, 0.0, 0.0, 10.0, 10.0)],
+        "fence_id long, x0 double, y0 double, x1 double, y1 double",
+    )
+    got = sorted(
+        (r["visit_seq"], int(r["enter_ts"].timestamp()),
+         int(r["exit_ts"].timestamp()), r["n_pings"], r["dur_s"])
+        for r in geofence_visits(pdf, fdf, res=6).collect()
+    )
+    assert got == [(1, 0, 60, 2, 60), (2, 180, 180, 1, 0)]
