@@ -4644,6 +4644,45 @@ GROUP BY 1, 2
 """
 
 
+def q_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X58 (graph.shortest_dists): bounded weighted shortest paths
+    (travel-time isochrones) over the same deterministic road graph as
+    bfs_hops, with edge weights 1 + (src*3 + dst*5) % 20 — Bellman-Ford
+    rounds, one relax shuffle each, exact two-scalar fixed-point probe;
+    the oracle enumerates walk states in a DuckDB recursive CTE and takes
+    min(dist) per node."""
+    from osm2geojson_spark.operators import graph as G
+
+    part = _t(spark, sf_dir, "part").select("p_partkey")
+    n = part.count()
+    k = F.col("p_partkey")
+    edges = part.select(
+        k.alias("src"),
+        ((k * 7 + 3) % n).alias("dst"),
+    ).unionByName(
+        part.select(k.alias("src"), ((k * 131 + 17) % n).alias("dst"))
+    )
+    edges = edges.withColumn(
+        "w", (F.lit(1) + (F.col("src") * 3 + F.col("dst") * 5) % 20).cast("long")
+    )
+    sources = part.filter(k % 97 == 0).select(k.alias("node"))
+    return G.shortest_dists(edges, sources, max_hops=4, directed=False)
+
+
+def _shortest_path_sql() -> str:
+    from osm2geojson_spark.operators import graph as G
+
+    edges = (
+        "SELECT src, dst, CAST(1 + (src * 3 + dst * 5) % 20 AS BIGINT) AS w FROM ("
+        "SELECT p_partkey AS src,"
+        " (p_partkey * 7 + 3) % (SELECT COUNT(*) FROM part) AS dst FROM part"
+        " UNION ALL SELECT p_partkey AS src,"
+        " (p_partkey * 131 + 17) % (SELECT COUNT(*) FROM part) AS dst FROM part) e"
+    )
+    sources = "SELECT p_partkey AS node FROM part WHERE p_partkey % 97 = 0"
+    return G.shortest_dists_sql(edges, sources, max_hops=4, directed=False)
+
+
 def _geofences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic fence boxes from nation keys: 10-50 deg wide, 10-40 deg
     tall, scattered over the globe (closed containment; integer-valued
@@ -4732,6 +4771,7 @@ FROM visits
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "shortest_path": q_shortest_path,
         "geofence_visits": q_geofence_visits,
         "colocation": q_colocation,
         "resample_tracks": q_resample_tracks,
@@ -4844,6 +4884,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "shortest_path": _shortest_path_sql(),
         "geofence_visits": _geofence_visits_sql(),
         "idw": _idw_sql(),
         "semivariogram": _semivariogram_sql(),

@@ -78,6 +78,96 @@ def bfs_hops(
     return known
 
 
+def shortest_dists(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_hops: int,
+    node_col: str = "node",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "w",
+    directed: bool = True,
+) -> DataFrame:
+    """(node, dist) — the minimum total edge weight from ANY source to each
+    node over walks of at most ``max_hops`` edges (bounded Bellman-Ford,
+    the weighted sibling of bfs_hops: travel-time isochrones instead of
+    hop isochrones). Weights must be nonnegative; keep them integer for a
+    bit-exact oracle. Unreached nodes (within the cap) are absent; sources
+    report dist = 0.
+
+    Each round is ONE relax shuffle (dist ⋈ edges on src, then a min-
+    rollup over the union with the current labels) — the Pregel superstep
+    as relational algebra, localCheckpoint'ed so iterative lineage stays
+    flat. Early exit uses an exact two-scalar probe: distances only ever
+    decrease and the node set only grows, so an unchanged
+    (count, sum(dist)) pair proves a fixed point — no join against the
+    previous round needed.
+
+    At 10^12-edge scale the per-round shuffle carries only (node, dist)
+    pairs and the rollup is map-side combinable; rounds <= max_hops is
+    the product spec (bounded reach), exactly like bfs_hops."""
+    e = edges.select(
+        F.col(src_col).alias("_s"),
+        F.col(dst_col).alias("_d"),
+        F.col(weight_col).cast("long").alias("_w"),
+    )
+    if not directed:
+        e = e.unionByName(
+            edges.select(
+                F.col(dst_col).alias("_s"),
+                F.col(src_col).alias("_d"),
+                F.col(weight_col).cast("long").alias("_w"),
+            )
+        )
+    dist = (
+        sources.select(F.col(node_col).alias("node"))
+        .distinct()
+        .withColumn("dist", F.lit(0).cast("long"))
+        .localCheckpoint(eager=False)
+    )
+    sig = dist.agg(F.count(F.lit(1)), F.sum("dist")).collect()[0]
+    for _ in range(max_hops):
+        relaxed = dist.join(e, dist["node"] == e["_s"]).select(
+            F.col("_d").alias("node"), (F.col("dist") + F.col("_w")).alias("dist")
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=False)
+        )
+        nsig = dist.agg(F.count(F.lit(1)), F.sum("dist")).collect()[0]
+        if tuple(nsig) == tuple(sig):
+            break
+        sig = nsig
+    return dist
+
+
+def shortest_dists_sql(
+    edges_cte: str, sources_cte: str, max_hops: int, directed: bool = True
+) -> str:
+    """DuckDB recursive-CTE twin of shortest_dists: enumerate (node, dist,
+    hops) walk states up to the cap (UNION dedups identical states), then
+    min(dist) per node. Positive integer weights keep the state space
+    finite and the arithmetic engine-exact."""
+    und = (
+        " UNION SELECT dst AS src, src AS dst, w FROM e0" if not directed else ""
+    )
+    return f"""
+WITH RECURSIVE e0 AS ({edges_cte}),
+e AS (SELECT src, dst, w FROM e0{und}),
+s AS ({sources_cte}),
+walk(node, dist, hops) AS (
+  SELECT node, CAST(0 AS BIGINT), 0 FROM s
+  UNION
+  SELECT e.dst, walk.dist + e.w, walk.hops + 1
+  FROM walk JOIN e ON e.src = walk.node
+  WHERE walk.hops < {max_hops}
+)
+SELECT node, CAST(MIN(dist) AS BIGINT) AS dist FROM walk GROUP BY node
+"""
+
+
 def bfs_hops_sql(
     edges_cte: str, sources_cte: str, max_hops: int, directed: bool = True
 ) -> str:

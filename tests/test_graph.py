@@ -77,3 +77,76 @@ def test_bfs_early_exit_and_cap(spark):
     # disconnected node never appears even with a generous cap
     got2 = _run(spark, edges + [(100, 101)], [0], 10, True)
     assert 100 not in got2 and 101 not in got2 and got2[5] == 5
+
+
+# ------------------------------------------------ weighted shortest paths
+
+
+def _brute_dists(edges, sources, max_hops, directed):
+    """Bounded Bellman-Ford in plain Python: min weight over walks with at
+    most max_hops edges."""
+    adj = {}
+    for s, d, w in edges:
+        adj.setdefault(s, []).append((d, w))
+        if not directed:
+            adj.setdefault(d, []).append((s, w))
+    dist = {s: 0 for s in sources}
+    for _ in range(max_hops):
+        nxt = dict(dist)
+        for v, dv in dist.items():
+            for u, w in adj.get(v, []):
+                if dv + w < nxt.get(u, float("inf")):
+                    nxt[u] = dv + w
+        if nxt == dist:
+            break
+        dist = nxt
+    return dist
+
+
+def _wgraph(seed, n=120, m=320):
+    rng = np.random.default_rng(seed)
+    return [
+        (int(rng.integers(0, n)), int(rng.integers(0, n)),
+         int(rng.integers(1, 25)))
+        for _ in range(m)
+    ]
+
+
+def _run_dists(spark, edges, sources, max_hops, directed):
+    from osm2geojson_spark.operators.graph import shortest_dists
+
+    e = spark.createDataFrame(edges, "src long, dst long, w long")
+    s = spark.createDataFrame([(x,) for x in sources], "node long")
+    return {
+        r["node"]: r["dist"]
+        for r in shortest_dists(
+            e, s, max_hops=max_hops, directed=directed
+        ).collect()
+    }
+
+
+def test_shortest_dists_matches_bruteforce(spark):
+    for seed, directed in ((3, True), (4, False)):
+        edges = _wgraph(seed)
+        sources = [0, 7, 55]
+        for hops in (1, 3, 5):
+            got = _run_dists(spark, edges, sources, hops, directed)
+            want = _brute_dists(edges, sources, hops, directed)
+            assert got == want, (seed, directed, hops)
+            assert len(want) > len(sources)  # non-degenerate reach
+
+
+def test_shortest_dists_weighted_detour_beats_direct(spark):
+    # direct edge weight 10; two-hop detour weight 2+3 -> dist 5 needs
+    # 2 hops, so hops=1 reports 10 and hops=2 reports 5
+    edges = [(0, 1, 10), (0, 2, 2), (2, 1, 3)]
+    assert _run_dists(spark, edges, [0], 1, True)[1] == 10
+    assert _run_dists(spark, edges, [0], 2, True)[1] == 5
+
+
+def test_shortest_dists_early_exit_and_source_min(spark):
+    # sources keep dist 0 even with incoming edges; a converged graph
+    # exits before the hop cap (result equals the unbounded answer)
+    edges = [(0, 1, 4), (1, 0, 1), (1, 2, 1)]
+    got = _run_dists(spark, edges, [0, 2], 50, True)
+    assert got == {0: 0, 2: 0, 1: 4}
