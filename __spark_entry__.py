@@ -4644,6 +4644,32 @@ GROUP BY 1, 2
 """
 
 
+def q_kde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X59 (geostat.kde_surface): Epanechnikov kernel density surface over
+    customer points at res 6 with a 500 km bandwidth — the hotspot
+    heatmap. Sparse-first: points explode to the cells covering their
+    bandwidth disk, one combinable groupBy(cell); weights are floor-
+    quantized fixed-point so sums are order-independent. The oracle
+    brute-forces cells x points with identical center/haversine/kernel
+    arithmetic."""
+    from osm2geojson_spark.operators.geostat import kde_surface
+
+    pts = _t(spark, sf_dir, "customer").select(
+        _lon("c_custkey").alias("lon"), _lat("c_custkey").alias("lat")
+    )
+    return kde_surface(pts, 500_000.0, res=6)
+
+
+def _kde_sql() -> str:
+    from osm2geojson_spark.operators.geostat import kde_surface_sql
+
+    pts = (
+        f"SELECT {SYN.lon_sql('c_custkey')} AS lon,"
+        f" {SYN.lat_sql('c_custkey')} AS lat FROM customer"
+    )
+    return kde_surface_sql(pts, 500_000.0, res=6)
+
+
 def q_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X58 (graph.shortest_dists): bounded weighted shortest paths
     (travel-time isochrones) over the same deterministic road graph as
@@ -4771,6 +4797,7 @@ FROM visits
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "kde": q_kde,
         "shortest_path": q_shortest_path,
         "geofence_visits": q_geofence_visits,
         "colocation": q_colocation,
@@ -4884,6 +4911,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "kde": _kde_sql(),
         "shortest_path": _shortest_path_sql(),
         "geofence_visits": _geofence_visits_sql(),
         "idw": _idw_sql(),

@@ -127,6 +127,105 @@ def idw_interpolate(
     )
 
 
+KDE_SCALE = 1_000_000_000  # fixed-point kernel scale
+
+
+def kde_surface(
+    points: DataFrame,
+    bandwidth_m: float,
+    res: int = cells.DEFAULT_RES,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """KERNEL DENSITY SURFACE — the hotspot heatmap (Silverman 1986, the
+    QGIS/ArcGIS "kernel density" tool): for every grid cell at ``res``
+    whose CENTER lies within ``bandwidth_m`` (haversine) of at least one
+    point, the Epanechnikov kernel sum
+
+        k_sum = sum_i floor(SCALE * (1 - (d_i/h)^2))   (exact int64)
+
+    over the in-range points, plus n_points and density = k_sum / SCALE.
+    The Epanechnikov kernel (not Gaussian) is chosen deliberately: it has
+    COMPACT SUPPORT, so the candidate set is finite (cells inside each
+    point's disk) and the weight needs no libm exp() — one multiply, one
+    subtract, identical IEEE ops in the DuckDB twin, floor-quantized so
+    the sum is order-independent.
+
+    Scale: sparse-first like rasterize — each point explodes to the cells
+    covering its bandwidth disk (O((h/cell)^2) per point, duplicate-free),
+    then ONE map-side-combinable groupBy(cell). Never cells-x-points; empty
+    cells are never materialized. Pick res so h spans a few cells; dense
+    urban hot cells are the standard salting case upstream if a single
+    cell's point count explodes."""
+    from .knn import haversine_col
+    from .spatial_join import disk_bbox
+
+    n = float(cells._grid_n(res))
+    h = float(bandwidth_m)
+    b = disk_bbox(F.col(lon_col), F.col(lat_col), h)
+    cand = points.select(
+        F.col(lon_col).alias("_plon"),
+        F.col(lat_col).alias("_plat"),
+        F.explode(cells.covering_cells(b[0], b[1], b[2], b[3], res)).alias(
+            "cell_id"
+        ),
+    )
+    x, y = cells.cell_xy(F.col("cell_id"))
+    clon = (x.cast("double") + F.lit(0.5)) / F.lit(n) * F.lit(360.0) - F.lit(180.0)
+    clat = (y.cast("double") + F.lit(0.5)) / F.lit(n) * F.lit(180.0) - F.lit(90.0)
+    d = haversine_col(F.col("_plon"), F.col("_plat"), clon, clat)
+    scored = cand.select("cell_id", d.alias("_d")).filter(F.col("_d") <= F.lit(h))
+    r = F.col("_d") / F.lit(h)
+    w = F.floor(F.lit(float(KDE_SCALE)) * (F.lit(1.0) - r * r)).cast("long")
+    return (
+        scored.select("cell_id", w.alias("_w"))
+        .groupBy("cell_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_points"),
+            F.sum("_w").cast("long").alias("k_sum"),
+            F.round(
+                F.sum("_w").cast("double") / F.lit(float(KDE_SCALE)), 6
+            ).alias("density"),
+        )
+    )
+
+
+def kde_surface_sql(
+    points_cte: str, bandwidth_m: float, res: int = cells.DEFAULT_RES
+) -> str:
+    """DuckDB twin of kde_surface: brute cells-x-points with the IDENTICAL
+    center/haversine/kernel arithmetic — the exact d <= h gate makes the
+    Spark side's covering-cell candidate pruning invisible. ``points_cte``
+    must yield (lon, lat)."""
+    from .knn import haversine_sql
+
+    n = cells._grid_n(res)
+    h = float(bandwidth_m)
+    clon = f"((gx + 0.5) / {float(n)}) * 360.0 - 180.0"
+    clat = f"((gy + 0.5) / {float(n)}) * 180.0 - 90.0"
+    cell = (
+        f"(CAST({res} AS BIGINT) * {1 << cells._R_SHIFT}"
+        f" + gx * {1 << cells._X_SHIFT} + gy)"
+    )
+    d = haversine_sql("p.lon", "p.lat", "c.clon", "c.clat")
+    return f"""
+WITH p AS ({points_cte}),
+g AS (SELECT CAST(a.range AS BIGINT) AS gx, CAST(b.range AS BIGINT) AS gy
+      FROM range(0, {n}) a, range(0, {n}) b),
+c AS (SELECT {cell} AS cell_id, {clon} AS clon, {clat} AS clat FROM g),
+scored AS (
+  SELECT c.cell_id, {d} AS d FROM p, c
+), gated AS (
+  SELECT cell_id, CAST(floor({float(KDE_SCALE)} * (1.0 - (d / {h}) * (d / {h}))) AS BIGINT) AS w
+  FROM scored WHERE d <= {h}
+)
+SELECT cell_id, CAST(count(*) AS BIGINT) AS n_points,
+       CAST(sum(w) AS BIGINT) AS k_sum,
+       round(CAST(sum(w) AS DOUBLE) / {float(KDE_SCALE)}, 6) AS density
+FROM gated GROUP BY cell_id
+"""
+
+
 def semivariogram(
     points: DataFrame,
     max_dist_m: float,

@@ -141,3 +141,61 @@ def test_semivariogram_constant_field_zero(spark):
     df = spark.createDataFrame(pts, "pid long, lon double, lat double, value long")
     rows = semivariogram(df, 200_000.0, 50_000.0, res=7).collect()
     assert rows and all(r["ssd"] == 0 and r["gamma"] == 0.0 for r in rows)
+
+
+# ------------------------------------------------------------ KDE surface
+
+
+def _brute_kde(points, h, res):
+    from osm2geojson_spark.operators import cells as C
+
+    n = 1 << res
+    scale = 1_000_000_000.0
+    out = {}
+    for gx in range(n):
+        for gy in range(n):
+            clon = ((gx + 0.5) / n) * 360.0 - 180.0
+            clat = ((gy + 0.5) / n) * 180.0 - 90.0
+            ws = [
+                math.floor(scale * (1.0 - (d / h) * (d / h)))
+                for lon, lat in points
+                for d in [_hav(lon, lat, clon, clat)]
+                if d <= h
+            ]
+            if ws:
+                cid = C.pack_cell_py(res, gx, gy)
+                out[cid] = (len(ws), int(sum(ws)))
+    return out
+
+
+def test_kde_surface_matches_brute(spark):
+    from osm2geojson_spark.operators.geostat import kde_surface
+
+    pts = [(lon, lat) for _, lon, lat, _ in _pts(11, 120, spread=8.0)]
+    df = spark.createDataFrame(pts, "lon double, lat double")
+    h, res = 600_000.0, 5
+    got = {
+        r["cell_id"]: (r["n_points"], r["k_sum"])
+        for r in kde_surface(df, h, res=res).collect()
+    }
+    want = _brute_kde(pts, h, res)
+    assert got == want
+    assert len(want) > 3  # non-degenerate: several hot cells
+
+
+def test_kde_point_on_center_and_empty(spark):
+    from osm2geojson_spark.operators import cells as C
+    from osm2geojson_spark.operators.geostat import kde_surface
+
+    res = 5
+    n = 1 << res
+    # exact center of cell (gx, gy) = (17, 20)
+    clon = ((17 + 0.5) / n) * 360.0 - 180.0
+    clat = ((20 + 0.5) / n) * 180.0 - 90.0
+    df = spark.createDataFrame([(clon, clat)], "lon double, lat double")
+    rows = {r["cell_id"]: r for r in kde_surface(df, 100_000.0, res=res).collect()}
+    cid = C.pack_cell_py(res, 17, 20)
+    assert rows[cid]["k_sum"] == 1_000_000_000  # d=0 -> full kernel weight
+    # bandwidth smaller than the distance to ANY cell center -> empty
+    off = spark.createDataFrame([(clon + 2.0, clat)], "lon double, lat double")
+    assert kde_surface(off, 1000.0, res=res).count() == 0
