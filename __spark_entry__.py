@@ -4644,6 +4644,61 @@ GROUP BY 1, 2
 """
 
 
+def q_st_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X60 (spatial_join.spatiotemporal_join): contact/encounter join —
+    event pairs within 300 km (haversine) AND within 4 hours, aid < bid.
+    Candidates keyed by (cell, time bucket): the right side gets one
+    composite key, the left explodes to covering cells x 3 adjacent
+    buckets, so a year of data cuts each cell's candidates by the time
+    spread. The oracle replays the same bucket equi-join with identical
+    floor-div/haversine arithmetic."""
+    from osm2geojson_spark.operators.spatial_join import spatiotemporal_join
+
+    ev = _t(spark, sf_dir, "events")
+    box = (-30.0, 30.0, 30.0, 70.0)  # regional density so encounters exist
+    pts = ev.select(
+        F.col("event_id").alias("pid"),
+        SYN.lon_expr(F.col("event_id"), box).alias("lon"),
+        SYN.lat_expr(F.col("event_id"), box).alias("lat"),
+        "ts",
+    )
+    a = pts.select(F.col("pid").alias("aid"), "lon", "lat", "ts")
+    b = pts.select(F.col("pid").alias("bid"), "lon", "lat", "ts")
+    return spatiotemporal_join(
+        a, b, 300_000.0, 4 * 3600.0, res=6, lid="aid", rid="bid"
+    ).filter(F.col("aid") < F.col("bid"))
+
+
+def _st_join_sql() -> str:
+    from osm2geojson_spark.operators.knn import haversine_sql
+
+    dt_us = 4 * 3600 * 1_000_000
+    hav = haversine_sql("a.lon", "a.lat", "b.lon", "b.lat")
+    # deliberately candidate-scheme-free: ONLY the exact dist/time gates
+    # define membership (a same-cell restriction would miss cross-cell
+    # pairs); the time-bucket equi-join is a provable superset that keeps
+    # the oracle off the full cross join
+    return f"""
+WITH p AS (
+  SELECT event_id AS pid,
+         {SYN.lon_sql('event_id', (-30.0, 30.0, 30.0, 70.0))} AS lon,
+         {SYN.lat_sql('event_id', (-30.0, 30.0, 30.0, 70.0))} AS lat,
+         epoch_us(ts) AS t
+  FROM events
+), a AS (
+  SELECT pid, lon, lat, t,
+         unnest([t // {dt_us} - 1, t // {dt_us}, t // {dt_us} + 1]) AS bucket
+  FROM p
+), b AS (
+  SELECT pid, lon, lat, t, t // {dt_us} AS bucket FROM p
+)
+SELECT a.pid AS aid, b.pid AS bid, {hav} AS dist_m,
+       CAST(b.t - a.t AS BIGINT) AS dt_us
+FROM a JOIN b ON a.bucket = b.bucket
+WHERE {hav} <= 300000.0 AND abs(b.t - a.t) <= {dt_us} AND a.pid < b.pid
+"""
+
+
 def q_kde(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X59 (geostat.kde_surface): Epanechnikov kernel density surface over
     customer points at res 6 with a 500 km bandwidth — the hotspot
@@ -4797,6 +4852,7 @@ FROM visits
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "st_join": q_st_join,
         "kde": q_kde,
         "shortest_path": q_shortest_path,
         "geofence_visits": q_geofence_visits,
@@ -4911,6 +4967,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "st_join": _st_join_sql(),
         "kde": _kde_sql(),
         "shortest_path": _shortest_path_sql(),
         "geofence_visits": _geofence_visits_sql(),

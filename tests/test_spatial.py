@@ -1226,3 +1226,92 @@ def test_knn_graph_matches_bruteforce(spark):
     }
     assert got == want
     assert (0, 40, 1) in got and (40, 0, 1) in got  # duplicate pair mutual rank-1
+
+
+# ------------------------------------------------- spatio-temporal join
+
+
+def _hav_py(lon1, lat1, lon2, lat2):
+    import math
+
+    R = 6371008.8
+    p1, p2 = math.radians(lat1), math.radians(lat2)
+    h = (
+        math.sin((p2 - p1) / 2) ** 2
+        + math.cos(p1) * math.cos(p2) * math.sin(math.radians(lon2 - lon1) / 2) ** 2
+    )
+    return 2 * R * math.asin(math.sqrt(min(1.0, h)))
+
+
+def test_spatiotemporal_join_matches_brute(spark):
+    from osm2geojson_spark.operators.spatial_join import spatiotemporal_join
+
+    rng = np.random.default_rng(33)
+    base = 1_700_000_000
+    rows = [
+        (
+            i,
+            float(rng.uniform(-5, 5)),
+            float(rng.uniform(40, 50)),
+            base + int(rng.integers(0, 100_000)),
+        )
+        for i in range(250)
+    ]
+    df = spark.createDataFrame(
+        rows, "pid long, lon double, lat double, tsec long"
+    ).selectExpr("pid", "lon", "lat", "timestamp_seconds(tsec) AS ts")
+    r_m, dt_s = 150_000.0, 3600.0
+    a = df.selectExpr("pid AS aid", "lon", "lat", "ts")
+    b = df.selectExpr("pid AS bid", "lon", "lat", "ts")
+    got = {
+        (r["aid"], r["bid"]): (r["dist_m"], r["dt_us"])
+        for r in spatiotemporal_join(
+            a, b, r_m, dt_s, res=5, lid="aid", rid="bid"
+        ).collect()
+    }
+    want = {}
+    for i, loni, lati, ti in rows:
+        for j, lonj, latj, tj in rows:
+            d = _hav_py(loni, lati, lonj, latj)
+            if d <= r_m and abs(tj - ti) <= dt_s:
+                want[(i, j)] = (tj - ti) * 1_000_000
+    assert set(got) == set(want)
+    for k, (d, dt) in got.items():
+        assert dt == want[k]
+        assert d <= r_m
+    assert len(want) > 300  # non-degenerate
+
+    # no-duplicate invariant: every pair exactly once (dict building would
+    # hide dups -> recount via collect length)
+    n_rows = spatiotemporal_join(
+        a, b, r_m, dt_s, res=5, lid="aid", rid="bid"
+    ).count()
+    assert n_rows == len(want)
+
+
+def test_spatiotemporal_bucket_boundary(spark):
+    from osm2geojson_spark.operators.spatial_join import spatiotemporal_join
+
+    # ts exactly max_dt apart and exactly on bucket boundaries must match;
+    # one microsecond beyond must not
+    dt_s = 60.0
+    rows_a = [(1, 0.0, 0.0, 120_000_000)]  # t = 2*dt exactly
+    rows_b = [
+        (10, 0.0, 0.0, 60_000_000),   # dt = -60s exactly -> in
+        (11, 0.0, 0.0, 180_000_000),  # dt = +60s exactly -> in
+        (12, 0.0, 0.0, 180_000_001),  # 60s + 1us -> out
+        (13, 0.0, 0.0, 59_999_999),   # -60s - 1us -> out
+    ]
+    a = spark.createDataFrame(
+        rows_a, "aid long, lon double, lat double, tus long"
+    ).selectExpr("aid", "lon", "lat", "timestamp_micros(tus) AS ts")
+    b = spark.createDataFrame(
+        rows_b, "bid long, lon double, lat double, tus long"
+    ).selectExpr("bid", "lon", "lat", "timestamp_micros(tus) AS ts")
+    got = {
+        r["bid"]: r["dt_us"]
+        for r in spatiotemporal_join(
+            a, b, 1000.0, dt_s, res=6, lid="aid", rid="bid"
+        ).collect()
+    }
+    assert got == {10: -60_000_000, 11: 60_000_000}
