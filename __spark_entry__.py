@@ -4644,6 +4644,38 @@ GROUP BY 1, 2
 """
 
 
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X61 (graph.pagerank_int): 3 rounds of fixed-point integer PageRank
+    over the directed deterministic road graph on part keys — node
+    importance / intersection centrality. One combinable groupBy(dst)
+    shuffle per round, degree join precomputed once; truncating int64
+    division makes the score bit-identical across partitionings and
+    engines, so the unrolled-CTE oracle hash-matches exactly."""
+    from osm2geojson_spark.operators import graph as G
+
+    part = _t(spark, sf_dir, "part").select("p_partkey")
+    n = part.count()
+    k = F.col("p_partkey")
+    edges = part.select(
+        k.alias("src"), ((k * 7 + 3) % n).alias("dst")
+    ).unionByName(
+        part.select(k.alias("src"), ((k * 131 + 17) % n).alias("dst"))
+    )
+    return G.pagerank_int(edges, n_iters=3)
+
+
+def _pagerank_sql() -> str:
+    from osm2geojson_spark.operators import graph as G
+
+    edges = (
+        "SELECT p_partkey AS src,"
+        " (p_partkey * 7 + 3) % (SELECT COUNT(*) FROM part) AS dst FROM part"
+        " UNION ALL SELECT p_partkey AS src,"
+        " (p_partkey * 131 + 17) % (SELECT COUNT(*) FROM part) AS dst FROM part"
+    )
+    return G.pagerank_sql(edges, n_iters=3)
+
+
 def q_st_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X60 (spatial_join.spatiotemporal_join): contact/encounter join —
     event pairs within 300 km (haversine) AND within 4 hours, aid < bid.
@@ -4852,6 +4884,7 @@ FROM visits
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "pagerank": q_pagerank,
         "st_join": q_st_join,
         "kde": q_kde,
         "shortest_path": q_shortest_path,
@@ -4967,6 +5000,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "pagerank": _pagerank_sql(),
         "st_join": _st_join_sql(),
         "kde": _kde_sql(),
         "shortest_path": _shortest_path_sql(),

@@ -168,6 +168,99 @@ SELECT node, CAST(MIN(dist) AS BIGINT) AS dist FROM walk GROUP BY node
 """
 
 
+PR_SCALE = 1_000_000_000_000  # fixed-point PageRank mass per node
+
+
+def pagerank_int(
+    edges: DataFrame,
+    n_iters: int = 3,
+    damping_pct: int = 85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """(node, score) — ``n_iters`` rounds of FIXED-POINT integer PageRank
+    (node importance / intersection centrality on road graphs). Every
+    node starts at PR_SCALE; each round a node keeps
+    base = PR_SCALE * (100-d)/100 and receives, from every in-neighbor v,
+
+        ((score_v * d) div 100) div outdeg_v      (integer division)
+
+    All arithmetic is int64 with truncating division on positive values,
+    so the result is bit-identical regardless of partitioning, summation
+    order, or engine — a serial SQL twin (``pagerank_sql``, iterations
+    unrolled) hash-matches exactly. Dangling nodes (outdeg 0) leak their
+    damped mass — the standard simplification; rounding also sheds
+    O(outdeg) units per node per round. Scores therefore DECAY slightly
+    rather than normalize; rankings are what the operator delivers.
+
+    Scale: one groupBy(dst) shuffle per round over (dst, contrib) pairs
+    (map-side combinable) plus a node-keyed left join; the degree join is
+    precomputed ONCE outside the loop. localCheckpoint keeps iterative
+    lineage flat. int64 headroom: max score < n * PR_SCALE — fine to
+    ~9e6 nodes at this SCALE; lower PR_SCALE for larger graphs."""
+    e = edges.select(F.col(src_col).alias("_s"), F.col(dst_col).alias("_d"))
+    nodes = (
+        e.select(F.col("_s").alias("node"))
+        .unionByName(e.select(F.col("_d").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = e.groupBy("_s").agg(F.count(F.lit(1)).alias("_deg"))
+    ed = e.join(deg, "_s").localCheckpoint(eager=False)
+    base = PR_SCALE * (100 - damping_pct) // 100
+    scores = nodes.withColumn("score", F.lit(PR_SCALE).cast("long"))
+    for _ in range(n_iters):
+        contrib = (
+            scores.join(ed, scores["node"] == ed["_s"])
+            .select(
+                F.col("_d").alias("node"),
+                F.expr(f"(score * {damping_pct}) div 100 div _deg").alias("_c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("_c").alias("_c"))
+        )
+        scores = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (F.lit(base) + F.coalesce(F.col("_c"), F.lit(0)))
+                .cast("long")
+                .alias("score"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return scores
+
+
+def pagerank_sql(
+    edges_cte: str, n_iters: int = 3, damping_pct: int = 85
+) -> str:
+    """DuckDB twin of pagerank_int with the iterations UNROLLED as chained
+    CTEs — identical integer arithmetic ((score*d)//100//outdeg, truncating
+    division on positive int64), so the hash matches bit-for-bit."""
+    base = PR_SCALE * (100 - damping_pct) // 100
+    parts = [
+        f"WITH e AS ({edges_cte})",
+        "nodes AS (SELECT DISTINCT node FROM"
+        " (SELECT src AS node FROM e UNION SELECT dst FROM e) u)",
+        "deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY src)",
+        f"s0 AS (SELECT node, CAST({PR_SCALE} AS BIGINT) AS score FROM nodes)",
+    ]
+    for i in range(1, n_iters + 1):
+        parts.append(
+            f"c{i} AS (SELECT e.dst AS node,"
+            f" CAST(sum(s{i-1}.score * {damping_pct} // 100 // deg.d) AS BIGINT) AS c"
+            f" FROM e JOIN s{i-1} ON s{i-1}.node = e.src"
+            f" JOIN deg ON deg.src = e.src GROUP BY e.dst)"
+        )
+        parts.append(
+            f"s{i} AS (SELECT n.node,"
+            f" CAST({base} + COALESCE(c{i}.c, 0) AS BIGINT) AS score"
+            f" FROM nodes n LEFT JOIN c{i} ON c{i}.node = n.node)"
+        )
+    return ",\n".join(parts) + f"\nSELECT node, score FROM s{n_iters}"
+
+
 def bfs_hops_sql(
     edges_cte: str, sources_cte: str, max_hops: int, directed: bool = True
 ) -> str:

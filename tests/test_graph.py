@@ -150,3 +150,48 @@ def test_shortest_dists_early_exit_and_source_min(spark):
     edges = [(0, 1, 4), (1, 0, 1), (1, 2, 1)]
     got = _run_dists(spark, edges, [0, 2], 50, True)
     assert got == {0: 0, 2: 0, 1: 4}
+
+
+# ------------------------------------------------------ integer PageRank
+
+
+def _brute_pagerank(edges, n_iters, damping=85):
+    SCALE = 1_000_000_000_000
+    nodes = {v for e in edges for v in e}
+    deg = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    base = SCALE * (100 - damping) // 100
+    score = {v: SCALE for v in nodes}
+    for _ in range(n_iters):
+        contrib = {v: 0 for v in nodes}
+        for s, d in edges:
+            contrib[d] += (score[s] * damping) // 100 // deg[s]
+        score = {v: base + contrib[v] for v in nodes}
+    return score
+
+
+def test_pagerank_matches_bruteforce(spark):
+    from osm2geojson_spark.operators.graph import pagerank_int
+
+    edges = [(int(a), int(b)) for a, b in _rand_graph(9, n=80, m=240)]
+    # add a dangling node (in-edges only) and duplicate edges
+    edges += [(0, 999), (3, 5), (3, 5)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    for iters in (1, 3):
+        got = {
+            r["node"]: r["score"]
+            for r in pagerank_int(e, n_iters=iters).collect()
+        }
+        assert got == _brute_pagerank(edges, iters), iters
+
+
+def test_pagerank_hub_ranks_highest(spark):
+    from osm2geojson_spark.operators.graph import pagerank_int
+
+    # star: everyone points at 0
+    edges = [(i, 0) for i in range(1, 12)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["score"] for r in pagerank_int(e, n_iters=3).collect()}
+    assert got[0] == max(got.values())
+    assert all(got[0] > v for k, v in got.items() if k != 0)
