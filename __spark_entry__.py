@@ -2804,6 +2804,41 @@ def _synth_images(spark: SparkSession, sf_dir: str, limit: int, step: int = 1):
     )
 
 
+def q_patch_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X62 (multimodal.extract_patches): ViT-style patchification — 300
+    mixed rawz/png images cut into non-overlapping 8x8 patches, one row
+    per patch with exact-int stats pinning every pixel's routing. One
+    mapInPandas, vectorized reshape, no shuffle; the oracle replays the
+    deterministic pixel formula with x//8, y//8 patch indexing in pure
+    SQL (image widths are multiples of 8 so no ragged edge exists
+    here; raggedness is pytest-pinned)."""
+    from osm2geojson_spark.operators import multimodal as MM2
+
+    imgs = _synth_images(spark, sf_dir, 300)
+    return MM2.extract_patches(imgs, 8, with_bytes=False)
+
+
+_PATCH_EXTRACT_SQL = """
+WITH img AS (
+  SELECT p_partkey AS i, 8 * (1 + p_partkey % 3) AS w
+  FROM part WHERE p_partkey < 300
+), px AS (
+  SELECT i, w, unnest(range(0, w * w)) AS p FROM img
+), v AS (
+  SELECT i, w, (p % w) AS x, (p // w) AS y,
+         ((p % w) * 3 + (p // w) * 7 + i * 13) % 251 AS v
+  FROM px
+)
+SELECT printf('img%012d', i) AS image_id,
+       CAST(x // 8 AS INTEGER) AS px_x, CAST(y // 8 AS INTEGER) AS px_y,
+       CAST(8 AS INTEGER) AS patch_w, CAST(8 AS INTEGER) AS patch_h,
+       CAST(sum(v) AS BIGINT) AS px_sum,
+       CAST(min(v) AS BIGINT) AS px_min, CAST(max(v) AS BIGINT) AS px_max,
+       CAST((w // 8) * (w // 8) AS BIGINT) AS n_patches
+FROM v GROUP BY i, w, x // 8, y // 8
+"""
+
+
 def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched nearest-neighbor resize to 8x8 then exact pixel stats;
     the oracle recomputes the resize index map (sy = ty*H//8) and the
@@ -4884,6 +4919,7 @@ FROM visits
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "patch_extract": q_patch_extract,
         "pagerank": q_pagerank,
         "st_join": q_st_join,
         "kde": q_kde,
@@ -5000,6 +5036,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "patch_extract": _PATCH_EXTRACT_SQL,
         "pagerank": _pagerank_sql(),
         "st_join": _st_join_sql(),
         "kde": _kde_sql(),

@@ -117,6 +117,86 @@ def decode_gate(images: DataFrame, passthrough: list[str]) -> DataFrame:
     return images.select(*cols, "bytes", "fmt").mapInPandas(fn, schema=schema)
 
 
+def extract_patches(
+    images: DataFrame, patch: int, with_bytes: bool = True
+) -> DataFrame:
+    """PATCH EXTRACTION — ViT-style patchification for training-data prep:
+    each image is cut into the non-overlapping ``patch`` x ``patch`` grid
+    (row-major; ragged right/bottom edges are DROPPED — the standard
+    crop-to-multiple convention) and every patch becomes its own row:
+
+        (image_id, px_x, px_y, patch_w, patch_h, px_sum, px_min, px_max,
+         n_patches, bytes?)
+
+    with (px_x, px_y) the patch's grid position, exact-int stats pinning
+    every pixel's routing into the right patch, ``n_patches`` the image's
+    total patch count (so downstream samplers can weight per-image), and
+    ``bytes`` the patch re-encoded lossless (rawz) ready to be shuffled /
+    written as its own training example. Undecodable rows are dropped
+    (gate upstream with decode_gate to account for them).
+
+    Plan shape: ONE mapInPandas over the image table — decode, a single
+    vectorized reshape/transpose (no per-pixel Python), per-patch
+    reductions inside the batch. Output fan-out is (w//p)*(h//p) rows per
+    image but each carries only patch-sized bytes: total bytes out <=
+    bytes in. No shuffle at all — patch rows inherit the input
+    partitioning; repartition downstream only if the training writer
+    needs size-balanced files."""
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [
+            "image_id", "px_x", "px_y", "patch_w", "patch_h",
+            "px_sum", "px_min", "px_max", "n_patches",
+        ]
+        if with_bytes:
+            cols.append("bytes")
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                try:
+                    px = imagecodec.decode(bytes(r.bytes), r.fmt)
+                except NotImplementedError:
+                    continue
+                h, w = px.shape
+                ny, nx = h // patch, w // patch
+                if ny == 0 or nx == 0:
+                    continue
+                grid = (
+                    px[: ny * patch, : nx * patch]
+                    .reshape(ny, patch, nx, patch)
+                    .transpose(0, 2, 1, 3)
+                )  # (ny, nx, patch, patch)
+                flat = grid.reshape(ny, nx, -1).astype(np.int64)
+                sums = flat.sum(axis=2)
+                mins = flat.min(axis=2)
+                maxs = flat.max(axis=2)
+                for gy in range(ny):
+                    for gx in range(nx):
+                        row = [
+                            r.image_id, gx, gy, patch, patch,
+                            int(sums[gy, gx]), int(mins[gy, gx]),
+                            int(maxs[gy, gx]), int(ny * nx),
+                        ]
+                        if with_bytes:
+                            row.append(
+                                imagecodec.encode_rawz(
+                                    np.ascontiguousarray(grid[gy, gx])
+                                )
+                            )
+                        rows.append(tuple(row))
+            yield pd.DataFrame(rows, columns=cols)
+
+    schema = (
+        "image_id string, px_x int, px_y int, patch_w int, patch_h int,"
+        " px_sum long, px_min long, px_max long, n_patches long"
+    )
+    if with_bytes:
+        schema += ", bytes binary"
+    return images.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(
+        fn, schema=schema
+    )
+
+
 def resize_images(images: DataFrame, out_w: int, out_h: int) -> DataFrame:
     """Nearest-neighbor resize; output re-encoded rawz."""
 

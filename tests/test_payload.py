@@ -850,3 +850,50 @@ def test_halo_exchange_gradient_matches_global_stencil(spark):
     # interior tiles see the full stencil; border tiles lose the rim
     assert want[(1, 1)][1] == ts * ts
     assert want[(0, 0)][1] == (ts - 1) * (ts - 1)
+
+
+def test_extract_patches_matches_numpy(spark):
+    from osm2geojson_spark.operators.multimodal import extract_patches
+
+    imgs = synthetic_images(spark, 24)  # 16/32/64 px, mixed rawz/png
+    P = 8
+    got = {
+        (r["image_id"], r["px_x"], r["px_y"]): r
+        for r in extract_patches(imgs, P).collect()
+    }
+    n_expected = 0
+    for r in imgs.collect():
+        px = imagecodec.decode(bytes(r["bytes"]), r["fmt"])
+        h, w = px.shape
+        ny, nx = h // P, w // P
+        n_expected += ny * nx
+        for gy in range(ny):
+            for gx in range(nx):
+                sl = px[gy * P:(gy + 1) * P, gx * P:(gx + 1) * P]
+                row = got[(r["image_id"], gx, gy)]
+                assert row["px_sum"] == int(sl.astype(np.int64).sum())
+                assert row["px_min"] == int(sl.min())
+                assert row["px_max"] == int(sl.max())
+                assert row["n_patches"] == ny * nx
+                # patch bytes decode back to the exact numpy slice
+                assert np.array_equal(
+                    imagecodec.decode_rawz(bytes(row["bytes"])), sl
+                )
+    assert len(got) == n_expected and n_expected > 50
+
+
+def test_extract_patches_ragged_edges_dropped(spark):
+    from osm2geojson_spark.operators.multimodal import extract_patches
+    from pyspark.sql import functions as F
+
+    # 20x20 image with patch 8 -> 2x2 grid (the 4-px fringe is dropped)
+    px = imagecodec.synth_pixels(5, 20, 20)
+    df = spark.createDataFrame(
+        [("imgX", bytearray(imagecodec.encode_rawz(px)), 20, 20, "rawz")],
+        "image_id string, bytes binary, w int, h int, fmt string",
+    )
+    rows = extract_patches(df, 8, with_bytes=False).collect()
+    assert {(r["px_x"], r["px_y"]) for r in rows} == {(0, 0), (0, 1), (1, 0), (1, 1)}
+    assert all(r["n_patches"] == 4 for r in rows)
+    # patch smaller than any full grid cell -> image contributes nothing
+    assert extract_patches(df, 32, with_bytes=False).count() == 0
