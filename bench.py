@@ -106,6 +106,12 @@ BENCH_QUERIES = [
     "bfs_hops",
     "resample_tracks",
     "colocation",
+    "geofence_visits",
+    "shortest_path",
+    "kde",
+    "st_join",
+    "pagerank",
+    "patch_extract",
 ]
 
 
