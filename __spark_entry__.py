@@ -4679,6 +4679,57 @@ GROUP BY 1, 2
 """
 
 
+def q_adaptive_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X63 (cells.adaptive_cells): quadtree-style adaptive binning of
+    lineitem points (every third squeezed into an 8x4 deg hotspot; cap
+    300, res 2..6) rolled up to the bin histogram
+    (cell_id, res, n) — dense regions split fine, sparse stay coarse.
+    Counts shuffle once at res_max, the level rollups are cell-level
+    relations, points re-join once on their res_max cell; ancestors
+    derive by integer shifts (never re-floored doubles), so the SQL twin
+    walks the identical integers."""
+    from osm2geojson_spark.operators import cells as CEL
+
+    key = F.col("l_orderkey") * 8 + F.col("l_linenumber")
+    base = _t(spark, sf_dir, "lineitem").select(
+        key.alias("k"), _lon(key).alias("lon0"), _lat(key).alias("lat0")
+    )
+    # skewed density: every third point squeezes into an 8x4 deg hotspot
+    # so the quadtree genuinely mixes depths (uniform points all land at
+    # one res and the operator degenerates to a fixed grid)
+    hot = F.col("k") % 3 == 0
+    pts = base.select(
+        F.when(hot, F.lit(8.0) + F.col("lon0") / 45.0)
+        .otherwise(F.col("lon0"))
+        .alias("lon"),
+        F.when(hot, F.lit(40.0) + F.col("lat0") / 45.0)
+        .otherwise(F.col("lat0"))
+        .alias("lat"),
+    )
+    out = CEL.adaptive_cells(pts, cap=300, res_min=2, res_max=6)
+    return out.groupBy("cell_id", "res").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+
+
+def _adaptive_bins_sql() -> str:
+    from osm2geojson_spark.operators import cells as CEL
+
+    key = "(l_orderkey * 8 + l_linenumber)"
+    pts = (
+        f"SELECT CASE WHEN {key} % 3 = 0 THEN 8.0 + {SYN.lon_sql(key)} / 45.0"
+        f" ELSE {SYN.lon_sql(key)} END AS lon,"
+        f" CASE WHEN {key} % 3 = 0 THEN 40.0 + {SYN.lat_sql(key)} / 45.0"
+        f" ELSE {SYN.lat_sql(key)} END AS lat"
+        f" FROM lineitem"
+    )
+    inner = CEL.adaptive_cells_sql(pts, cap=300, res_min=2, res_max=6)
+    return (
+        f"SELECT cell_id, res, CAST(count(*) AS BIGINT) AS n FROM ({inner}) q"
+        f" GROUP BY cell_id, res"
+    )
+
+
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X61 (graph.pagerank_int): 3 rounds of fixed-point integer PageRank
     over the directed deterministic road graph on part keys — node
@@ -4919,6 +4970,7 @@ FROM visits
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "adaptive_bins": q_adaptive_bins,
         "patch_extract": q_patch_extract,
         "pagerank": q_pagerank,
         "st_join": q_st_join,
@@ -5036,6 +5088,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "adaptive_bins": _adaptive_bins_sql(),
         "patch_extract": _PATCH_EXTRACT_SQL,
         "pagerank": _pagerank_sql(),
         "st_join": _st_join_sql(),

@@ -21,7 +21,7 @@ by BASELINE.json:6,14 on top of the assembled osm2geojson polygons.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 RES_MIN, RES_MAX = 0, 26
@@ -417,3 +417,122 @@ def geohash_key_sql(lon_expr: str, lat_expr: str, precision: int = 6) -> str:
     return (
         f"(SELECT {concat} FROM (SELECT {ix} AS _gh_ix, {iy} AS _gh_iy) _gh)"
     )
+
+
+def adaptive_cells(
+    points: DataFrame,
+    cap: int,
+    res_min: int,
+    res_max: int,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    broadcast_decision: bool = True,
+) -> DataFrame:
+    """QUADTREE-STYLE ADAPTIVE BINNING — every point is assigned its
+    COARSEST ancestor cell in [res_min, res_max] whose total point count
+    is <= ``cap`` (or its res_max cell when even that is overfull): the
+    adaptive spatial histogram / load-balanced partition map (dense
+    cities split fine, oceans stay coarse — the classic quadtree split
+    rule, which this reproduces exactly because counts are monotone down
+    the hierarchy: a cell is the split frontier iff every coarser
+    ancestor is overfull and it is not).
+
+    Returns the input columns + (cell_id, res) of the assigned cell.
+
+    Exactness: the res_max cell is computed ONCE from the coordinates;
+    every coarser ancestor derives from it by integer shifts
+    (parent_cell), never by re-flooring scaled doubles — so engines
+    cannot disagree at cell boundaries through double rounding, and the
+    SQL twin replays the identical integer walk.
+
+    Scale: ONE count shuffle at res_max (map-side combinable), then the
+    per-level rollups and the decision table are CELL-level relations
+    (|distinct cells|, collapsing 4x per level) — points are touched
+    again only by the final single equi-join on their res_max cell. At
+    10^12 points that is two point-sized shuffles total, independent of
+    the level count."""
+    assert res_min <= res_max
+    pts = points.withColumn(
+        "_cmax", cell_id(F.col(lon_col), F.col(lat_col), res_max)
+    )
+    counts = pts.groupBy("_cmax").agg(F.count(F.lit(1)).alias(f"_n{res_max}"))
+    # decision table: per distinct res_max cell, the count of every
+    # ancestor level (cell-level rollups, 4x smaller per step up)
+    dec = counts
+    lvl = counts.select(
+        F.col("_cmax").alias("_c"), F.col(f"_n{res_max}").alias("_n")
+    )
+    for r in range(res_max - 1, res_min - 1, -1):
+        lvl = (
+            lvl.select(parent_cell(F.col("_c"), r + 1, r).alias("_c"), "_n")
+            .groupBy("_c")
+            .agg(F.sum("_n").alias("_n"))
+        )
+        dec = dec.join(
+            lvl.select(
+                F.col("_c").alias(f"_a{r}"), F.col("_n").alias(f"_n{r}")
+            ),
+            parent_cell(F.col("_cmax"), res_max, r) == F.col(f"_a{r}"),
+        ).drop(f"_a{r}")
+    # coarsest level with count <= cap wins; res_max is the fallback
+    final_res = F.lit(res_max)
+    final_cell = F.col("_cmax")
+    for r in range(res_max - 1, res_min - 1, -1):
+        hit = F.col(f"_n{r}") <= F.lit(cap)
+        final_res = F.when(hit, F.lit(r)).otherwise(final_res)
+        final_cell = F.when(
+            hit, parent_cell(F.col("_cmax"), res_max, r)
+        ).otherwise(final_cell)
+    dec = dec.select(
+        "_cmax",
+        final_cell.alias("cell_id"),
+        final_res.cast("int").alias("res"),
+    )
+    # the decision table has one row per DISTINCT res_max cell — broadcast
+    # while that fits (4^res_max worst case; real corpora are far sparser);
+    # set False to take the cell-keyed shuffle join at extreme res_max
+    dec = F.broadcast(dec) if broadcast_decision else dec
+    return pts.join(dec, "_cmax").drop("_cmax")
+
+
+def adaptive_cells_sql(
+    points_cte: str, cap: int, res_min: int, res_max: int
+) -> str:
+    """DuckDB twin of adaptive_cells: cell at res_max once via
+    cell_id_sql, ancestors by integer // shifts, per-level counts as
+    window sums over the ancestor key, coarsest-fit CASE chain.
+    ``points_cte`` must yield (lon, lat)."""
+    cmax = cell_id_sql("lon", "lat", res_max)
+    xs = f"((_cmax % {1 << _R_SHIFT}) // {1 << _X_SHIFT})"
+    ys = f"(_cmax % {1 << _X_SHIFT})"
+
+    def anc(r: int) -> str:
+        d = 1 << (res_max - r)
+        return (
+            f"(CAST({r} AS BIGINT) * {1 << _R_SHIFT}"
+            f" + ({xs} // {d}) * {1 << _X_SHIFT} + {ys} // {d})"
+        )
+
+    ancestor_cols = ", ".join(
+        f"{anc(r)} AS _a{r}" for r in range(res_min, res_max)
+    )
+    count_cols = ", ".join(
+        f"CAST(sum(1) OVER (PARTITION BY _a{r}) AS BIGINT) AS _n{r}"
+        for r in range(res_min, res_max)
+    )
+    case_cell = "CASE "
+    case_res = "CASE "
+    for r in range(res_min, res_max):
+        case_cell += f"WHEN _n{r} <= {cap} THEN _a{r} "
+        case_res += f"WHEN _n{r} <= {cap} THEN {r} "
+    case_cell += "ELSE _cmax END"
+    case_res += f"ELSE {res_max} END"
+    sep = ", " if ancestor_cols else ""
+    return f"""
+WITH p AS ({points_cte}),
+pc AS (SELECT lon, lat, {cmax} AS _cmax FROM p),
+pa AS (SELECT lon, lat, _cmax{sep}{ancestor_cols} FROM pc),
+pn AS (SELECT *, {count_cols} FROM pa)
+SELECT lon, lat, {case_cell} AS cell_id, CAST({case_res} AS INTEGER) AS res
+FROM pn
+"""

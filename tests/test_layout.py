@@ -105,3 +105,88 @@ def test_geohash_prefix_is_spatial_containment(spark):
         geohash_key(F.col("lon"), F.col("lat"), 3).alias("g3"),
     ).filter(F.substring("g6", 1, 3) != F.col("g3"))
     assert bad.count() == 0
+
+
+# -------------------------------------------------- adaptive quadtree bins
+
+
+def _brute_adaptive(pts, cap, res_min, res_max):
+    """Reference: coarsest ancestor with count <= cap, else res_max cell.
+    Ancestors derive from the res_max cell by integer shifts, exactly as
+    the operator does."""
+
+    def cmax(lon, lat):
+        n = 1 << res_max
+        x = max(0, min(n - 1, int((lon + 180.0) / 360.0 * n)))
+        y = max(0, min(n - 1, int((lat + 90.0) / 180.0 * n)))
+        return x, y
+
+    cells_max = [cmax(lon, lat) for lon, lat in pts]
+    out = []
+    for x, y in cells_max:
+        chosen = None
+        for r in range(res_min, res_max):
+            d = res_max - r
+            ax, ay = x >> d, y >> d
+            n_r = sum(
+                1 for (px, py) in cells_max if (px >> d, py >> d) == (ax, ay)
+            )
+            if n_r <= cap:
+                chosen = (cells.pack_cell_py(r, ax, ay), r)
+                break
+        if chosen is None:
+            chosen = (cells.pack_cell_py(res_max, x, y), res_max)
+        out.append(chosen)
+    return out
+
+
+def test_adaptive_cells_matches_brute(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    # dense cluster + sparse background forces mixed resolutions
+    pts = [
+        (float(rng.uniform(-1, 1)), float(rng.uniform(-1, 1)))
+        for _ in range(150)
+    ] + [
+        (float(rng.uniform(-170, 170)), float(rng.uniform(-80, 80)))
+        for _ in range(60)
+    ]
+    df = spark.createDataFrame(pts, "lon double, lat double")
+    got = sorted(
+        (r["lon"], r["lat"], r["cell_id"], r["res"])
+        for r in cells.adaptive_cells(df, cap=20, res_min=2, res_max=6).collect()
+    )
+    want = sorted(
+        (lon, lat, cid, r)
+        for (lon, lat), (cid, r) in zip(pts, _brute_adaptive(pts, 20, 2, 6))
+    )
+    assert got == want
+    reses = {r for _, _, _, r in got}
+    assert len(reses) >= 3  # genuinely adaptive: several split depths
+
+
+def test_adaptive_cells_invariants(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(8)
+    pts = [
+        (float(rng.uniform(-40, 40)), float(rng.uniform(-30, 30)))
+        for _ in range(400)
+    ]
+    df = spark.createDataFrame(pts, "lon double, lat double")
+    cap, r0, r1 = 30, 2, 7
+    rows = cells.adaptive_cells(df, cap, r0, r1).collect()
+    by_cell = {}
+    for r in rows:
+        by_cell.setdefault((r["cell_id"], r["res"]), []).append(r)
+    for (cid, res), members in by_cell.items():
+        # bins respect the cap except at the max depth
+        assert len(members) <= cap or res == r1
+        # every member's point really lies in the bin (cell bounds)
+        n = 1 << res
+        x = (cid % (1 << 58)) >> 29
+        y = cid % (1 << 29)
+        for m in members:
+            assert x == max(0, min(n - 1, int((m["lon"] + 180.0) / 360.0 * n)))
+            assert y == max(0, min(n - 1, int((m["lat"] + 90.0) / 180.0 * n)))
