@@ -4679,6 +4679,101 @@ GROUP BY 1, 2
 """
 
 
+def q_bbox_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X65 (spatial_join.bbox_intersect_join): image-footprint x AOI
+    rectangle-intersection join — supplier scene footprints (0.5-4 deg)
+    against the 25 nation geofence AOIs, emitting each intersecting pair
+    exactly once with its intersection box via the PBSM reporting-cell
+    rule (pair kept only in the cell holding the intersection's min
+    corner — no distinct, no second shuffle). Oracle: brute cross join
+    with identical greatest/least corner arithmetic."""
+    from osm2geojson_spark.operators.spatial_join import bbox_intersect_join
+
+    sk = F.col("s_suppkey")
+    x0 = ((sk * 23) % 320) - 165
+    y0 = ((sk * 41) % 150) - 78
+    foot = _t(spark, sf_dir, "supplier").select(
+        sk.alias("fid"),
+        x0.cast("double").alias("x0"),
+        y0.cast("double").alias("y0"),
+        (x0 + 0.5 + (sk % 8) * 0.5).cast("double").alias("x1"),
+        (y0 + 0.5 + (sk % 5) * 0.75).cast("double").alias("y1"),
+    )
+    fences = _geofences(spark, sf_dir).select(
+        F.col("fence_id"), "x0", "y0", "x1", "y1"
+    )
+    return bbox_intersect_join(foot, fences, res=4, lid="fid", rid="fence_id")
+
+
+def _bbox_join_sql() -> str:
+    return f"""
+WITH foot AS (
+  SELECT s_suppkey AS fid,
+         CAST(((s_suppkey * 23) % 320) - 165 AS DOUBLE) AS x0,
+         CAST(((s_suppkey * 41) % 150) - 78 AS DOUBLE) AS y0,
+         CAST(((s_suppkey * 23) % 320) - 165
+              + 0.5 + (s_suppkey % 8) * 0.5 AS DOUBLE) AS x1,
+         CAST(((s_suppkey * 41) % 150) - 78
+              + 0.5 + (s_suppkey % 5) * 0.75 AS DOUBLE) AS y1
+  FROM supplier
+), fences AS ({_GEOFENCES_CTE}
+)
+SELECT f.fid, z.fence_id,
+       greatest(f.x0, z.x0) AS ix0, greatest(f.y0, z.y0) AS iy0,
+       least(f.x1, z.x1) AS ix1, least(f.y1, z.y1) AS iy1
+FROM foot f JOIN fences z
+  ON greatest(f.x0, z.x0) <= least(f.x1, z.x1)
+ AND greatest(f.y0, z.y0) <= least(f.y1, z.y1)
+"""
+
+
+def q_track_speed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X64 (trajectory.track_speed): per-ping implied speed + GPS-glitch
+    flag (inbound speed > 30 m/s) over the drifting user tracks — the
+    standard teleport pre-filter. One per-entity sort (shared with the
+    whole trajectory family), everything else projection; deterministic
+    (ts, lon, lat) ordering so duplicate timestamps cannot flap. The
+    oracle replays the identical lag/haversine/divide sequence."""
+    from osm2geojson_spark.operators.trajectory import track_speed
+
+    out = track_speed(_traj_pings(spark, sf_dir), vmax_ms=30.0)
+    return out.select(
+        "user_id",
+        F.col("ts").cast("timestamp").cast("long").alias("ts_s"),
+        "lon",
+        "lat",
+        "dt_us",
+        "dist_m",
+        "speed_ms",
+        "is_glitch",
+    )
+
+
+def _track_speed_sql() -> str:
+    from osm2geojson_spark.operators.knn import haversine_sql
+
+    hav = haversine_sql("lon0", "lat0", "lon", "lat")
+    return f"""
+WITH pings AS ({_TRAJ_PINGS_CTE}
+), p AS (
+  SELECT user_id, ts, epoch_us(ts) AS t, lon, lat FROM pings
+), s AS (
+  SELECT user_id, ts, t, lon, lat,
+         lag(t) OVER w AS t0, lag(lon) OVER w AS lon0, lag(lat) OVER w AS lat0
+  FROM p WINDOW w AS (PARTITION BY user_id ORDER BY t, lon, lat)
+)
+SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, lon, lat,
+       CAST(t - t0 AS BIGINT) AS dt_us,
+       CASE WHEN t0 IS NOT NULL THEN {hav} END AS dist_m,
+       CASE WHEN t0 IS NOT NULL AND t - t0 > 0
+            THEN {hav} / (CAST(t - t0 AS DOUBLE) / 1000000.0) END AS speed_ms,
+       COALESCE(CASE WHEN t0 IS NOT NULL AND t - t0 > 0
+            THEN {hav} / (CAST(t - t0 AS DOUBLE) / 1000000.0) END > 30.0,
+            false) AS is_glitch
+FROM s
+"""
+
+
 def q_adaptive_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X63 (cells.adaptive_cells): quadtree-style adaptive binning of
     lineitem points (every third squeezed into an 8x4 deg hotspot; cap
@@ -4970,6 +5065,8 @@ FROM visits
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "bbox_join": q_bbox_join,
+        "track_speed": q_track_speed,
         "adaptive_bins": q_adaptive_bins,
         "patch_extract": q_patch_extract,
         "pagerank": q_pagerank,
@@ -5088,6 +5185,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "bbox_join": _bbox_join_sql(),
+        "track_speed": _track_speed_sql(),
         "adaptive_bins": _adaptive_bins_sql(),
         "patch_extract": _PATCH_EXTRACT_SQL,
         "pagerank": _pagerank_sql(),

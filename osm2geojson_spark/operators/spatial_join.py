@@ -631,6 +631,87 @@ def spatiotemporal_join(
     )
 
 
+def bbox_intersect_join(
+    left: DataFrame,
+    right: DataFrame,
+    res: int = cells.DEFAULT_RES,
+    lid: str = "lid",
+    rid: str = "rid",
+) -> DataFrame:
+    """RECTANGLE-INTERSECTION JOIN — every (left, right) pair of
+    axis-aligned boxes that intersect (closed edges: touching counts),
+    with the intersection box: the image-footprint overlap detector
+    (which scenes cover which AOIs / which footprints mutually overlap
+    for mosaic seam planning).
+
+    Both inputs: (id, x0, y0, x1, y1) with x0 <= x1 (split antimeridian
+    boxes upstream). Output (lid, rid, ix0, iy0, ix1, iy1).
+
+    Plan: both sides explode to their covering cells at ``res`` and
+    equi-join on cell — the only shuffle. A pair whose boxes overlap
+    several shared cells would be emitted once PER shared cell, so the
+    classic PBSM reporting-cell rule (Patel & DeWitt 1996) dedups for
+    free: the pair is kept ONLY in the cell that contains the
+    intersection's min corner — that cell is provably in both coverings
+    and unique, so every intersecting pair survives exactly once with no
+    distinct() and no second shuffle.
+
+    Scale: candidates ~ sum over cells of |L boxes touching| x |R boxes
+    touching| — the standard spatial-join cost model; res trades covering
+    fan-out against cell selectivity, and a hot cell (all footprints over
+    one city) is the plans/skew salting case on the cell key."""
+    L = left.select(
+        F.col(lid),
+        F.col("x0").alias("_lx0"),
+        F.col("y0").alias("_ly0"),
+        F.col("x1").alias("_lx1"),
+        F.col("y1").alias("_ly1"),
+    ).withColumn(
+        "cell_id",
+        F.explode(
+            cells.covering_cells(
+                F.col("_lx0"), F.col("_ly0"), F.col("_lx1"), F.col("_ly1"), res
+            )
+        ),
+    )
+    R = right.select(
+        F.col(rid),
+        F.col("x0").alias("_rx0"),
+        F.col("y0").alias("_ry0"),
+        F.col("x1").alias("_rx1"),
+        F.col("y1").alias("_ry1"),
+    ).withColumn(
+        "cell_id",
+        F.explode(
+            cells.covering_cells(
+                F.col("_rx0"), F.col("_ry0"), F.col("_rx1"), F.col("_ry1"), res
+            )
+        ),
+    )
+    ix0 = F.greatest(F.col("_lx0"), F.col("_rx0"))
+    iy0 = F.greatest(F.col("_ly0"), F.col("_ry0"))
+    ix1 = F.least(F.col("_lx1"), F.col("_rx1"))
+    iy1 = F.least(F.col("_ly1"), F.col("_ry1"))
+    return (
+        L.join(R, "cell_id")
+        .filter(
+            (ix0 <= ix1)
+            & (iy0 <= iy1)
+            # PBSM reporting cell: only the cell holding the intersection's
+            # min corner emits the pair
+            & (F.col("cell_id") == cells.cell_id(ix0, iy0, res))
+        )
+        .select(
+            lid,
+            rid,
+            ix0.alias("ix0"),
+            iy0.alias("iy0"),
+            ix1.alias("ix1"),
+            iy1.alias("iy1"),
+        )
+    )
+
+
 def disk_bbox(lon: Column, lat: Column, radius_m: float):
     """(min_lon, min_lat, max_lon, max_lat) columns of the lon/lat bbox
     that provably contains the haversine disk of ``radius_m`` around each

@@ -216,6 +216,67 @@ def resample_tracks(
     )
 
 
+def track_speed(
+    pings: DataFrame,
+    vmax_ms: float,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """TRACK SPEED + GPS-GLITCH FLAGGING — annotate every ping with the
+    implied speed from its predecessor (haversine meters / elapsed
+    seconds) and flag physically impossible jumps (speed > ``vmax_ms`` —
+    teleporting fixes, the standard pre-filter before any stay/OD/match
+    analytics). The first ping of a track has no inbound segment:
+    speed_ms is NULL and it is never flagged.
+
+    Returns (user, ts, lon, lat, dt_us, dist_m, speed_ms, is_glitch).
+    dt_us is exact int64; dist/speed are doubles computed by the same
+    IEEE sequence in the SQL twin. Pings are ordered by (ts, lon, lat)
+    within the entity so duplicate timestamps still order
+    deterministically (speed against an equal-ts predecessor is NULL —
+    dt 0 cannot divide).
+
+    Scale: rides the ONE per-entity sort the whole trajectory family
+    shares; everything else is a projection. No joins, no explode."""
+    from .knn import haversine_col
+
+    w = Window.partitionBy(user_col).orderBy("_t", lon_col, lat_col)
+    seg = (
+        pings.select(
+            F.col(user_col),
+            F.col(ts_col),
+            F.unix_micros(F.col(ts_col).cast("timestamp")).alias("_t"),
+            F.col(lon_col),
+            F.col(lat_col),
+        )
+        .withColumn("_t0", F.lag("_t").over(w))
+        .withColumn("_lon0", F.lag(lon_col).over(w))
+        .withColumn("_lat0", F.lag(lat_col).over(w))
+    )
+    dt = F.col("_t") - F.col("_t0")
+    dist = haversine_col(
+        F.col("_lon0"), F.col("_lat0"), F.col(lon_col), F.col(lat_col)
+    )
+    speed = F.when(
+        F.col("_t0").isNotNull() & (dt > 0),
+        dist / (dt.cast("double") / F.lit(1_000_000.0)),
+    )
+    return seg.select(
+        F.col(user_col),
+        F.col(ts_col),
+        F.col(lon_col),
+        F.col(lat_col),
+        dt.alias("dt_us"),
+        F.when(F.col("_t0").isNotNull(), dist).alias("dist_m"),
+        speed.alias("speed_ms"),
+        F.coalesce(speed > F.lit(float(vmax_ms)), F.lit(False)).alias(
+            "is_glitch"
+        ),
+    )
+
+
 def geofence_visits(
     pings: DataFrame,
     fences: DataFrame,

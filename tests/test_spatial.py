@@ -1315,3 +1315,60 @@ def test_spatiotemporal_bucket_boundary(spark):
         ).collect()
     }
     assert got == {10: -60_000_000, 11: 60_000_000}
+
+
+# ------------------------------------------------- bbox intersection join
+
+
+def test_bbox_intersect_join_matches_brute(spark):
+    from osm2geojson_spark.operators.spatial_join import bbox_intersect_join
+
+    rng = np.random.default_rng(44)
+
+    def boxes(n, base):
+        out = []
+        for i in range(n):
+            x0 = float(rng.uniform(-60, 55))
+            y0 = float(rng.uniform(-40, 35))
+            out.append(
+                (base + i, x0, y0,
+                 x0 + float(rng.uniform(0.5, 12)), y0 + float(rng.uniform(0.5, 12)))
+            )
+        return out
+
+    A, B = boxes(120, 1000), boxes(90, 5000)
+    la = spark.createDataFrame(A, "aid long, x0 double, y0 double, x1 double, y1 double")
+    rb = spark.createDataFrame(B, "bid long, x0 double, y0 double, x1 double, y1 double")
+    for res in (3, 5, 6):  # dedup must hold across covering granularities
+        got = {
+            (r["aid"], r["bid"]): (r["ix0"], r["iy0"], r["ix1"], r["iy1"])
+            for r in bbox_intersect_join(la, rb, res=res, lid="aid", rid="bid").collect()
+        }
+        want = {}
+        for aid, ax0, ay0, ax1, ay1 in A:
+            for bid, bx0, by0, bx1, by1 in B:
+                ix0, iy0 = max(ax0, bx0), max(ay0, by0)
+                ix1, iy1 = min(ax1, bx1), min(ay1, by1)
+                if ix0 <= ix1 and iy0 <= iy1:
+                    want[(aid, bid)] = (ix0, iy0, ix1, iy1)
+        assert got == want, res
+        # exactly-once: a multiset would differ from the dict only on dups
+        n = bbox_intersect_join(la, rb, res=res, lid="aid", rid="bid").count()
+        assert n == len(want), res
+    assert len(want) > 100
+
+
+def test_bbox_intersect_touching_edges_count(spark):
+    from osm2geojson_spark.operators.spatial_join import bbox_intersect_join
+
+    la = spark.createDataFrame(
+        [(1, 0.0, 0.0, 10.0, 10.0)],
+        "aid long, x0 double, y0 double, x1 double, y1 double",
+    )
+    rb = spark.createDataFrame(
+        [(2, 10.0, 5.0, 20.0, 15.0),   # shares the x=10 edge -> degenerate box
+         (3, 10.000001, 5.0, 20.0, 15.0)],  # just apart -> no pair
+        "bid long, x0 double, y0 double, x1 double, y1 double",
+    )
+    rows = bbox_intersect_join(la, rb, res=5, lid="aid", rid="bid").collect()
+    assert [(r["bid"], r["ix0"], r["ix1"]) for r in rows] == [(2, 10.0, 10.0)]

@@ -287,3 +287,52 @@ def test_geofence_visits_boundary_and_track_end(spark):
         for r in geofence_visits(pdf, fdf, res=6).collect()
     )
     assert got == [(1, 0, 60, 2, 60), (2, 180, 180, 1, 0)]
+
+
+# ----------------------------------------------------- track speed/glitch
+
+
+def test_track_speed_matches_brute(spark):
+    import math
+
+    from osm2geojson_spark.operators.trajectory import track_speed
+
+    R = 6371008.8
+
+    def hav(lon1, lat1, lon2, lat2):
+        p1, p2 = math.radians(lat1), math.radians(lat2)
+        h = (
+            math.sin((p2 - p1) / 2) ** 2
+            + math.cos(p1) * math.cos(p2)
+            * math.sin(math.radians(lon2 - lon1) / 2) ** 2
+        )
+        return 2 * R * math.asin(math.sqrt(min(1.0, h)))
+
+    rows = [
+        (1, 0, 0.0, 0.0),
+        (1, 3600, 0.5, 0.0),      # ~55.6 km/h: ok
+        (1, 3660, 10.0, 5.0),     # huge jump in 60 s: glitch
+        (1, 7200, 10.01, 5.0),    # back to normal
+        (2, 100, 20.0, 20.0),     # lone ping: NULL speed, not flagged
+        (3, 50, 30.0, 30.0),      # duplicate ts: deterministic order,
+        (3, 50, 30.2, 30.0),      #   dt=0 -> NULL speed, not flagged
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, tsec long, lon double, lat double"
+    ).selectExpr("user_id", "timestamp_seconds(tsec) AS ts", "lon", "lat")
+    got = {
+        (r["user_id"], int(r["ts"].timestamp()), r["lon"]): r
+        for r in track_speed(df, vmax_ms=55.0).collect()
+    }
+    assert len(got) == len(rows)
+    r1 = got[(1, 3600, 0.5)]
+    assert abs(r1["speed_ms"] - hav(0.0, 0.0, 0.5, 0.0) / 3600) < 1e-9
+    assert not r1["is_glitch"]  # ~15.4 m/s < 55
+    r2 = got[(1, 3660, 10.0)]
+    assert r2["is_glitch"] and r2["speed_ms"] > 1000
+    assert got[(2, 100, 20.0)]["speed_ms"] is None
+    assert not got[(2, 100, 20.0)]["is_glitch"]
+    dup = got[(3, 50, 30.2)]
+    assert dup["dt_us"] == 0 and dup["speed_ms"] is None and not dup["is_glitch"]
+    first3 = got[(3, 50, 30.0)]
+    assert first3["speed_ms"] is None  # track head under the tiebreak order
