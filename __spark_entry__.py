@@ -4679,6 +4679,54 @@ GROUP BY 1, 2
 """
 
 
+def q_isochrone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X66 (graph.isochrone_cells over graph.shortest_dists): service-area
+    coverage — bounded weighted shortest paths from the k % 97 == 0
+    sources over the part road graph, nodes placed at their synthetic
+    coordinates, cells at res 5 tagged with the smallest cost tier
+    (15/35/80) that reaches them. Cell-set isochrones are the
+    scale-correct shape (polygon outlines are a downstream polygonize);
+    everything is integer-exact so the recursive-CTE + min/bucket oracle
+    hash-matches."""
+    from osm2geojson_spark.operators import graph as G
+
+    part = _t(spark, sf_dir, "part").select("p_partkey")
+    n = part.count()
+    k = F.col("p_partkey")
+    edges = part.select(
+        k.alias("src"), ((k * 7 + 3) % n).alias("dst")
+    ).unionByName(
+        part.select(k.alias("src"), ((k * 131 + 17) % n).alias("dst"))
+    ).withColumn(
+        "w", (F.lit(1) + (F.col("src") * 3 + F.col("dst") * 5) % 20).cast("long")
+    )
+    sources = part.filter(k % 97 == 0).select(k.alias("node"))
+    dists = G.shortest_dists(edges, sources, max_hops=4, directed=False)
+    coords = part.select(
+        k.alias("node"), _lon(k).alias("lon"), _lat(k).alias("lat")
+    )
+    return G.isochrone_cells(dists, coords, tiers=[15, 35, 80], res=5)
+
+
+def _isochrone_sql() -> str:
+    from osm2geojson_spark.operators import graph as G
+
+    edges = (
+        "SELECT src, dst, CAST(1 + (src * 3 + dst * 5) % 20 AS BIGINT) AS w FROM ("
+        "SELECT p_partkey AS src,"
+        " (p_partkey * 7 + 3) % (SELECT COUNT(*) FROM part) AS dst FROM part"
+        " UNION ALL SELECT p_partkey AS src,"
+        " (p_partkey * 131 + 17) % (SELECT COUNT(*) FROM part) AS dst FROM part) e"
+    )
+    sources = "SELECT p_partkey AS node FROM part WHERE p_partkey % 97 = 0"
+    dists = G.shortest_dists_sql(edges, sources, max_hops=4, directed=False)
+    coords = (
+        f"SELECT p_partkey AS node, {SYN.lon_sql('p_partkey')} AS lon,"
+        f" {SYN.lat_sql('p_partkey')} AS lat FROM part"
+    )
+    return G.isochrone_cells_sql(dists, coords, tiers=[15, 35, 80], res=5)
+
+
 def q_bbox_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X65 (spatial_join.bbox_intersect_join): image-footprint x AOI
     rectangle-intersection join — supplier scene footprints (0.5-4 deg)
@@ -5065,6 +5113,7 @@ FROM visits
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "isochrone": q_isochrone,
         "bbox_join": q_bbox_join,
         "track_speed": q_track_speed,
         "adaptive_bins": q_adaptive_bins,
@@ -5185,6 +5234,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "isochrone": _isochrone_sql(),
         "bbox_join": _bbox_join_sql(),
         "track_speed": _track_speed_sql(),
         "adaptive_bins": _adaptive_bins_sql(),

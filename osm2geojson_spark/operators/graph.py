@@ -261,6 +261,78 @@ def pagerank_sql(
     return ",\n".join(parts) + f"\nSELECT node, score FROM s{n_iters}"
 
 
+def isochrone_cells(
+    dists: DataFrame,
+    coords: DataFrame,
+    tiers: list[int],
+    res: int,
+    node_col: str = "node",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """ISOCHRONE COVERAGE — the service-area map as a CELL SET: every
+    grid cell touched by a reached node is tagged with the smallest cost
+    tier that reaches it (tier of a cell = bucket of the MIN node dist
+    inside it). Cell-based isochrones are the scale-correct output shape
+    (what tile renderers and coverage analyses consume); polygon outlines
+    are a downstream `polygonize`/`dissolve` of this set.
+
+    ``dists``: (node, dist) from ``shortest_dists`` (or bfs_hops with
+    hops as the cost); ``coords``: (node, lon, lat). ``tiers`` must be
+    ascending; cells whose min dist exceeds the last tier are dropped.
+    Returns (tier, cell_id) distinct rows.
+
+    All decisions are exact: integer dists, integer cell ids, integer
+    tier thresholds — the SQL twin (recursive-CTE dists + the identical
+    min/bucket algebra) hash-matches. One join (node-keyed, rides the
+    shortest_dists output partitioning) + one combinable min-rollup."""
+    assert list(tiers) == sorted(tiers)
+    j = dists.join(coords.select(node_col, lon_col, lat_col), node_col)
+    from . import cells as _cells
+
+    agg = (
+        j.select(
+            _cells.cell_id(F.col(lon_col), F.col(lat_col), res).alias("cell_id"),
+            "dist",
+        )
+        .groupBy("cell_id")
+        .agg(F.min("dist").alias("_d"))
+        .filter(F.col("_d") <= F.lit(int(tiers[-1])))
+    )
+    tier = F.lit(int(tiers[-1]))
+    for t in reversed(tiers[:-1]):
+        tier = F.when(F.col("_d") <= F.lit(int(t)), F.lit(int(t))).otherwise(tier)
+    return agg.select(tier.cast("long").alias("tier"), "cell_id")
+
+
+def isochrone_cells_sql(
+    dists_sql: str, coords_cte: str, tiers: list[int], res: int
+) -> str:
+    """DuckDB twin of isochrone_cells; ``dists_sql`` is a full query
+    yielding (node, dist) (e.g. shortest_dists_sql output), ``coords_cte``
+    yields (node, lon, lat)."""
+    from . import cells as _cells
+
+    cell = _cells.cell_id_sql("lon", "lat", res)
+    case = "CASE "
+    for t in tiers[:-1]:
+        case += f"WHEN _d <= {int(t)} THEN {int(t)} "
+    case += f"ELSE {int(tiers[-1])} END"
+    return f"""
+WITH d AS ({dists_sql}),
+c AS ({coords_cte}),
+j AS (
+  SELECT {cell} AS cell_id, d.dist
+  FROM d JOIN c ON c.node = d.node
+),
+agg AS (
+  SELECT cell_id, MIN(dist) AS _d FROM j GROUP BY cell_id
+)
+SELECT CAST({case} AS BIGINT) AS tier, cell_id
+FROM agg WHERE _d <= {int(tiers[-1])}
+"""
+
+
 def bfs_hops_sql(
     edges_cte: str, sources_cte: str, max_hops: int, directed: bool = True
 ) -> str:

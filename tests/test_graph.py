@@ -195,3 +195,43 @@ def test_pagerank_hub_ranks_highest(spark):
     got = {r["node"]: r["score"] for r in pagerank_int(e, n_iters=3).collect()}
     assert got[0] == max(got.values())
     assert all(got[0] > v for k, v in got.items() if k != 0)
+
+
+# ------------------------------------------------------- isochrone cells
+
+
+def test_isochrone_cells_matches_brute(spark):
+    from osm2geojson_spark.operators import cells
+    from osm2geojson_spark.operators.graph import isochrone_cells, shortest_dists
+
+    edges = _wgraph(13, n=100, m=260)
+    sources = [0, 42]
+    coords = [
+        (v, float((v * 37) % 120 - 60), float((v * 53) % 80 - 40))
+        for v in range(100)
+    ]
+    e = spark.createDataFrame(edges, "src long, dst long, w long")
+    s = spark.createDataFrame([(x,) for x in sources], "node long")
+    c = spark.createDataFrame(coords, "node long, lon double, lat double")
+    d = shortest_dists(e, s, max_hops=3, directed=False)
+    tiers, res = [10, 25, 50], 4
+    got = {
+        (r["tier"], r["cell_id"])
+        for r in isochrone_cells(d, c, tiers, res).collect()
+    }
+    # brute: python dists -> min dist per cell -> smallest covering tier
+    dd = _brute_dists(edges, sources, 3, False)
+    cellmin = {}
+    n = 1 << res
+    for v, dist in dd.items():
+        lon, lat = coords[v][1], coords[v][2]
+        x = max(0, min(n - 1, int((lon + 180.0) / 360.0 * n)))
+        y = max(0, min(n - 1, int((lat + 90.0) / 180.0 * n)))
+        cid = cells.pack_cell_py(res, x, y)
+        cellmin[cid] = min(cellmin.get(cid, 10**9), dist)
+    want = set()
+    for cid, md in cellmin.items():
+        if md <= tiers[-1]:
+            want.add((next(t for t in tiers if md <= t), cid))
+    assert got == want
+    assert len({t for t, _ in want}) >= 2  # multiple tiers present
