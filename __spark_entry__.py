@@ -4679,6 +4679,95 @@ GROUP BY 1, 2
 """
 
 
+def q_reverse_geocode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X68 (spatial_join.smallest_containing_box): reverse geocode —
+    every customer point assigned its smallest containing geofence AOI
+    (area, ties by id). Broadcast covering candidates + exact gate, then
+    ONE map-side-combinable min-struct rollup (no window sort). The
+    oracle brute-forces containment with identical area arithmetic and
+    the same (area, id) ordering."""
+    from osm2geojson_spark.operators.spatial_join import smallest_containing_box
+
+    pts = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("pid"),
+        _lon("c_custkey").alias("lon"),
+        _lat("c_custkey").alias("lat"),
+    )
+    fences = _geofences(spark, sf_dir)
+    return smallest_containing_box(
+        pts, fences, res=4, box_id="fence_id"
+    )
+
+
+def _reverse_geocode_sql() -> str:
+    return f"""
+WITH p AS (
+  SELECT c_custkey AS pid, {SYN.lon_sql('c_custkey')} AS lon,
+         {SYN.lat_sql('c_custkey')} AS lat
+  FROM customer
+), fences AS ({_GEOFENCES_CTE}
+), cand AS (
+  SELECT p.pid, f.fence_id, (f.x1 - f.x0) * (f.y1 - f.y0) AS area
+  FROM p JOIN fences f
+    ON p.lon >= f.x0 AND p.lon <= f.x1 AND p.lat >= f.y0 AND p.lat <= f.y1
+)
+SELECT pid, fence_id, area FROM (
+  SELECT pid, fence_id, area,
+         row_number() OVER (PARTITION BY pid ORDER BY area, fence_id) AS rn
+  FROM cand
+) q WHERE rn = 1
+"""
+
+
+def q_hist_equalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X67 (multimodal.equalize_images): per-image histogram equalization
+    over 300 mixed rawz/png images — integer transfer function
+    ((cdf - cdf_min) * 255) // (n - cdf_min), so every output pixel is
+    engine-exact and the per-image stats hash-match an oracle that
+    replays the pixel formula + a RANGE-frame window cdf in pure SQL.
+    One mapInPandas (256-bin bincount + LUT gather — never a pixel
+    sort), scan-shaped."""
+    from osm2geojson_spark.operators import multimodal as MM2
+
+    imgs = _synth_images(spark, sf_dir, 300)
+    return MM2.equalize_images(imgs, with_bytes=False)
+
+
+_HIST_EQUALIZE_SQL = """
+WITH img AS (
+  SELECT p_partkey AS i, 8 * (1 + p_partkey % 3) AS w
+  FROM part WHERE p_partkey < 300
+), px AS (
+  SELECT i, w, unnest(range(0, w * w)) AS p FROM img
+), v AS (
+  SELECT i, w, ((p % w) * 3 + (p // w) * 7 + i * 13) % 251 AS v FROM px
+), cdf AS (
+  SELECT i, w, v,
+         count(*) OVER (PARTITION BY i ORDER BY v
+                        RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cdf,
+         min(v) OVER (PARTITION BY i) AS vmin,
+         CAST(w AS BIGINT) * w AS n
+  FROM v
+), cm AS (
+  SELECT i, w, v, cdf, n,
+         sum(CASE WHEN v = vmin THEN 1 ELSE 0 END) OVER (PARTITION BY i)
+           AS cdf_min
+  FROM cdf
+), eq AS (
+  SELECT i, w,
+         CASE WHEN n = cdf_min THEN 0
+              ELSE ((cdf - cdf_min) * 255) // (n - cdf_min) END AS e
+  FROM cm
+)
+SELECT printf('img%012d', i) AS image_id,
+       CAST(w AS INTEGER) AS w, CAST(w AS INTEGER) AS h,
+       CAST(sum(e) AS BIGINT) AS px_sum,
+       CAST(min(e) AS BIGINT) AS px_min, CAST(max(e) AS BIGINT) AS px_max
+FROM eq GROUP BY i, w
+"""
+
+
 def q_isochrone(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X66 (graph.isochrone_cells over graph.shortest_dists): service-area
     coverage — bounded weighted shortest paths from the k % 97 == 0
@@ -5113,6 +5202,8 @@ FROM visits
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "reverse_geocode": q_reverse_geocode,
+        "hist_equalize": q_hist_equalize,
         "isochrone": q_isochrone,
         "bbox_join": q_bbox_join,
         "track_speed": q_track_speed,
@@ -5234,6 +5325,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "reverse_geocode": _reverse_geocode_sql(),
+        "hist_equalize": _HIST_EQUALIZE_SQL,
         "isochrone": _isochrone_sql(),
         "bbox_join": _bbox_join_sql(),
         "track_speed": _track_speed_sql(),

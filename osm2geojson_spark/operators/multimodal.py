@@ -197,6 +197,63 @@ def extract_patches(
     )
 
 
+def equalize_images(images: DataFrame, with_bytes: bool = True) -> DataFrame:
+    """HISTOGRAM EQUALIZATION — the classic contrast normalization applied
+    per image before training/feature extraction. Pure integer transfer
+    function, so every output pixel is engine-exact:
+
+        cdf(v)  = #pixels <= v                      (per image)
+        out(v)  = ((cdf(v) - cdf_min) * 255) // (n - cdf_min)
+
+    with cdf_min = cdf at the image's min value (= its count) and n the
+    pixel count; constant images (n == cdf_min) map to 0. Returns
+    (image_id, w, h, px_sum, px_min, px_max [, bytes]) where the stats
+    are over the EQUALIZED pixels (exact int64 — the oracle columns) and
+    ``bytes`` is the equalized image re-encoded lossless (rawz).
+
+    One mapInPandas; the per-image histogram/CDF is a 256-bin bincount +
+    cumsum (vectorized, never a pixel sort), the remap a single LUT
+    gather. Scan-shaped: no shuffle, bytes out ~= bytes in."""
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["image_id", "w", "h", "px_sum", "px_min", "px_max"]
+        if with_bytes:
+            cols.append("bytes")
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                try:
+                    px = imagecodec.decode(bytes(r.bytes), r.fmt)
+                except NotImplementedError:
+                    continue
+                n = px.size
+                hist = np.bincount(px.ravel(), minlength=256)
+                cdf = hist.cumsum()
+                cdf_min = int(cdf[int(px.min())])
+                if n == cdf_min:
+                    lut = np.zeros(256, dtype=np.uint8)
+                else:
+                    lut = (
+                        (cdf.astype(np.int64) - cdf_min) * 255 // (n - cdf_min)
+                    ).clip(0, 255).astype(np.uint8)
+                eq = lut[px]
+                row = [
+                    r.image_id, int(r.w), int(r.h),
+                    int(eq.astype(np.int64).sum()), int(eq.min()), int(eq.max()),
+                ]
+                if with_bytes:
+                    row.append(imagecodec.encode_rawz(eq))
+                rows.append(tuple(row))
+            yield pd.DataFrame(rows, columns=cols)
+
+    schema = "image_id string, w int, h int, px_sum long, px_min long, px_max long"
+    if with_bytes:
+        schema += ", bytes binary"
+    return images.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(
+        fn, schema=schema
+    )
+
+
 def resize_images(images: DataFrame, out_w: int, out_h: int) -> DataFrame:
     """Nearest-neighbor resize; output re-encoded rawz."""
 

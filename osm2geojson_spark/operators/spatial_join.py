@@ -712,6 +712,62 @@ def bbox_intersect_join(
     )
 
 
+def smallest_containing_box(
+    points: DataFrame,
+    boxes: DataFrame,
+    res: int = cells.DEFAULT_RES,
+    pid: str = "pid",
+    box_id: str = "box_id",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """REVERSE GEOCODE — assign every point its SMALLEST containing box
+    (area, ties by id): the most-specific-admin-level lookup when the box
+    layer is a nested AOI hierarchy (country > region > city), and the
+    deterministic disambiguator when AOIs overlap. Points in no box are
+    absent. ``boxes``: (box_id, x0, y0, x1, y1), closed containment.
+
+    Returns (pid, box_id, area) with area in deg^2 (the comparison key —
+    products of the corner doubles, identical in the SQL twin).
+
+    Plan: broadcast (cell -> box) covering candidates + exact bbox gate
+    (the geofence_visits candidate scheme), then ONE per-point min-struct
+    aggregation — no window sort, no second shuffle: min over the
+    (area, box_id, ...) struct is associative and map-side combinable,
+    which beats a row_number window at 10^12 points."""
+    pts = points.select(
+        F.col(pid),
+        F.col(lon_col).alias("_plon"),
+        F.col(lat_col).alias("_plat"),
+        cells.cell_id(F.col(lon_col), F.col(lat_col), res).alias("_cell"),
+    )
+    bx = boxes.select(
+        F.col(box_id).alias("_bid"), "x0", "y0", "x1", "y1",
+        F.explode(
+            cells.covering_cells(
+                F.col("x0"), F.col("y0"), F.col("x1"), F.col("y1"), res
+            )
+        ).alias("_cell"),
+    )
+    area = (F.col("x1") - F.col("x0")) * (F.col("y1") - F.col("y0"))
+    cand = (
+        pts.join(F.broadcast(bx), "_cell")
+        .filter(
+            (F.col("_plon") >= F.col("x0"))
+            & (F.col("_plon") <= F.col("x1"))
+            & (F.col("_plat") >= F.col("y0"))
+            & (F.col("_plat") <= F.col("y1"))
+        )
+        .select(F.col(pid), F.struct(area.alias("a"), F.col("_bid").alias("b")).alias("_s"))
+    )
+    best = cand.groupBy(pid).agg(F.min("_s").alias("_s"))
+    return best.select(
+        pid,
+        F.col("_s.b").alias(box_id),
+        F.col("_s.a").alias("area"),
+    )
+
+
 def disk_bbox(lon: Column, lat: Column, radius_m: float):
     """(min_lon, min_lat, max_lon, max_lat) columns of the lon/lat bbox
     that provably contains the haversine disk of ``radius_m`` around each

@@ -897,3 +897,36 @@ def test_extract_patches_ragged_edges_dropped(spark):
     assert all(r["n_patches"] == 4 for r in rows)
     # patch smaller than any full grid cell -> image contributes nothing
     assert extract_patches(df, 32, with_bytes=False).count() == 0
+
+
+def test_equalize_images_matches_numpy(spark):
+    from osm2geojson_spark.operators.multimodal import equalize_images
+
+    imgs = synthetic_images(spark, 21)
+    got = {r["image_id"]: r for r in equalize_images(imgs).collect()}
+    for r in imgs.collect():
+        px = imagecodec.decode(bytes(r["bytes"]), r["fmt"])
+        n = px.size
+        hist = np.bincount(px.ravel(), minlength=256)
+        cdf = hist.cumsum()
+        cdf_min = int(cdf[int(px.min())])
+        lut = ((cdf.astype(np.int64) - cdf_min) * 255 // (n - cdf_min)).clip(0, 255)
+        eq = lut[px]
+        row = got[r["image_id"]]
+        assert row["px_sum"] == int(eq.sum())
+        assert row["px_min"] == int(eq.min()) and row["px_max"] == int(eq.max())
+        assert np.array_equal(imagecodec.decode_rawz(bytes(row["bytes"])), eq)
+        # full-range contrast achieved whenever the image isn't constant
+        assert row["px_min"] == 0 and row["px_max"] == 255
+
+
+def test_equalize_constant_image_maps_to_zero(spark):
+    from osm2geojson_spark.operators.multimodal import equalize_images
+
+    px = np.full((8, 8), 77, dtype=np.uint8)
+    df = spark.createDataFrame(
+        [("flat", bytearray(imagecodec.encode_rawz(px)), 8, 8, "rawz")],
+        "image_id string, bytes binary, w int, h int, fmt string",
+    )
+    row = equalize_images(df).collect()[0]
+    assert (row["px_sum"], row["px_min"], row["px_max"]) == (0, 0, 0)

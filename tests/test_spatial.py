@@ -1372,3 +1372,52 @@ def test_bbox_intersect_touching_edges_count(spark):
     )
     rows = bbox_intersect_join(la, rb, res=5, lid="aid", rid="bid").collect()
     assert [(r["bid"], r["ix0"], r["ix1"]) for r in rows] == [(2, 10.0, 10.0)]
+
+
+# ------------------------------------------------ smallest containing box
+
+
+def test_smallest_containing_box_matches_brute(spark):
+    from osm2geojson_spark.operators.spatial_join import smallest_containing_box
+
+    rng = np.random.default_rng(61)
+    pts = [
+        (i, float(rng.uniform(-30, 30)), float(rng.uniform(-20, 20)))
+        for i in range(300)
+    ]
+    boxes = []
+    for b in range(40):
+        x0 = float(rng.uniform(-35, 20))
+        y0 = float(rng.uniform(-25, 10))
+        boxes.append(
+            (b, x0, y0, x0 + float(rng.uniform(1, 25)), y0 + float(rng.uniform(1, 18)))
+        )
+    pdf = spark.createDataFrame(pts, "pid long, lon double, lat double")
+    bdf = spark.createDataFrame(
+        boxes, "box_id long, x0 double, y0 double, x1 double, y1 double"
+    )
+    got = {
+        r["pid"]: (r["box_id"], r["area"])
+        for r in smallest_containing_box(pdf, bdf, res=4).collect()
+    }
+    want = {}
+    for i, lon, lat in pts:
+        cands = [
+            ((x1 - x0) * (y1 - y0), b)
+            for b, x0, y0, x1, y1 in boxes
+            if x0 <= lon <= x1 and y0 <= lat <= y1
+        ]
+        if cands:
+            a, b = min(cands)
+            want[i] = (b, a)
+    assert got == want
+    assert len(want) > 150  # non-degenerate coverage
+    # nesting sanity: a point in both a big and a nested small box gets
+    # the small one
+    nested_b = spark.createDataFrame(
+        [(1, 0.0, 0.0, 20.0, 20.0), (2, 5.0, 5.0, 6.0, 6.0)],
+        "box_id long, x0 double, y0 double, x1 double, y1 double",
+    )
+    one = spark.createDataFrame([(9, 5.5, 5.5)], "pid long, lon double, lat double")
+    r = smallest_containing_box(one, nested_b, res=4).collect()[0]
+    assert r["box_id"] == 2
