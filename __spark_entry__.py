@@ -4679,6 +4679,97 @@ GROUP BY 1, 2
 """
 
 
+def q_geofence_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X70 (streaming.ops.streaming_geofence_events, batch form): the
+    geofence ALERT STREAM — enter at the first inside ping, exit stamped
+    with the last inside ping once an outside ping arrives; a visit still
+    open at end of history has no exit (exactly a paused live stream).
+    The streaming form is pytest-pinned stream == batch across micro-batch
+    boundaries; this batch twin gets the full SQL oracle (visit edges +
+    an exists-later-ping gate for exits)."""
+    from osm2geojson_spark.streaming.ops import streaming_geofence_events
+
+    fences = [
+        (int(r["fence_id"]), r["x0"], r["y0"], r["x1"], r["y1"])
+        for r in _geofences(spark, sf_dir).collect()
+    ]
+    out = streaming_geofence_events(_traj_pings(spark, sf_dir), fences)
+    return out.select(
+        "user_id",
+        "fence_id",
+        "event",
+        F.col("ts").cast("timestamp").cast("long").alias("ts_s"),
+    )
+
+
+def _geofence_events_sql() -> str:
+    return f"""
+WITH pings AS ({_TRAJ_PINGS_CTE}
+), fences AS ({_GEOFENCES_CTE}
+), sq AS (
+  SELECT user_id, ts, lon, lat,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts) AS seq,
+         max(ts) OVER (PARTITION BY user_id) AS last_ts
+  FROM pings
+), inside AS (
+  SELECT s.user_id, f.fence_id, s.seq, s.ts, s.last_ts
+  FROM sq s JOIN fences f
+    ON s.lon >= f.x0 AND s.lon <= f.x1 AND s.lat >= f.y0 AND s.lat <= f.y1
+), runs AS (
+  SELECT user_id, fence_id, seq, ts, last_ts,
+         seq - row_number() OVER (PARTITION BY user_id, fence_id ORDER BY seq) AS grp
+  FROM inside
+), visits AS (
+  SELECT user_id, fence_id, min(ts) AS enter_ts, max(ts) AS exit_ts,
+         max(last_ts) AS last_ts
+  FROM runs GROUP BY user_id, fence_id, grp
+)
+SELECT user_id, fence_id, 'enter' AS event,
+       CAST(floor(epoch(enter_ts)) AS BIGINT) AS ts_s
+FROM visits
+UNION ALL
+SELECT user_id, fence_id, 'exit' AS event,
+       CAST(floor(epoch(exit_ts)) AS BIGINT) AS ts_s
+FROM visits WHERE exit_ts < last_ts
+"""
+
+
+def q_cell_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X69 (trajectory.cell_transitions): ping-level Markov transition
+    matrix at res 5 with same-cell runs collapsed — the
+    next-location-model training target (od_flows is the stay-gated
+    sibling). Shared per-entity sort, lag/lead projections, one
+    combinable (from, to) rollup; the oracle replays the identical
+    collapse + lead algebra."""
+    from osm2geojson_spark.operators.trajectory import cell_transitions
+
+    return cell_transitions(_traj_pings(spark, sf_dir), res=5)
+
+
+def _cell_transitions_sql() -> str:
+    from osm2geojson_spark.operators import cells as CEL
+
+    cell = CEL.cell_id_sql("lon", "lat", 5)
+    return f"""
+WITH pings AS ({_TRAJ_PINGS_CTE}
+), seq AS (
+  SELECT user_id, ts, lon, lat, {cell} AS cell_id FROM pings
+), marked AS (
+  SELECT user_id, ts, lon, lat, cell_id,
+         lag(cell_id) OVER w AS prev
+  FROM seq WINDOW w AS (PARTITION BY user_id ORDER BY ts, lon, lat)
+), collapsed AS (
+  SELECT user_id, ts, lon, lat, cell_id FROM marked
+  WHERE prev IS NULL OR prev != cell_id
+), trans AS (
+  SELECT cell_id AS from_cell, lead(cell_id) OVER w2 AS to_cell
+  FROM collapsed WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, lon, lat)
+)
+SELECT from_cell, to_cell, CAST(count(*) AS BIGINT) AS n
+FROM trans WHERE to_cell IS NOT NULL GROUP BY 1, 2
+"""
+
+
 def q_reverse_geocode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X68 (spatial_join.smallest_containing_box): reverse geocode —
     every customer point assigned its smallest containing geofence AOI
@@ -5202,6 +5293,8 @@ FROM visits
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "geofence_events": q_geofence_events,
+        "cell_transitions": q_cell_transitions,
         "reverse_geocode": q_reverse_geocode,
         "hist_equalize": q_hist_equalize,
         "isochrone": q_isochrone,
@@ -5325,6 +5418,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "geofence_events": _geofence_events_sql(),
+        "cell_transitions": _cell_transitions_sql(),
         "reverse_geocode": _reverse_geocode_sql(),
         "hist_equalize": _HIST_EQUALIZE_SQL,
         "isochrone": _isochrone_sql(),

@@ -216,6 +216,58 @@ def resample_tracks(
     )
 
 
+def cell_transitions(
+    pings: DataFrame,
+    res: int = 6,
+    collapse_runs: bool = True,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """CELL TRANSITION MATRIX — (from_cell, to_cell, n) counts of
+    consecutive-ping cell movements aggregated over all entities: the
+    Markov mobility model / next-location-prediction training target,
+    computed at PING level (od_flows is its stay-gated sibling).
+
+    ``collapse_runs=True`` (default) collapses same-cell runs first, so
+    a parked entity pinging all night contributes ONE transition when it
+    finally moves (self-loops disappear by construction); False counts
+    every consecutive pair including self-loops (the dwell-weighted
+    matrix). Both are exact integer counts over a deterministic
+    (ts, lon, lat) ordering.
+
+    Scale: the shared per-entity sort, a lag projection, one combinable
+    rollup keyed by (from, to) — |cells|^2-bounded output."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, lon_col, lat_col)
+    seq = pings.select(
+        F.col(user_col),
+        F.col(ts_col),
+        F.col(lon_col),
+        F.col(lat_col),
+        cells.cell_id(F.col(lon_col), F.col(lat_col), res).alias("cell_id"),
+    )
+    if collapse_runs:
+        seq = seq.withColumn("_prev", F.lag("cell_id").over(w)).filter(
+            F.col("_prev").isNull() | (F.col("_prev") != F.col("cell_id"))
+        )
+        w2 = Window.partitionBy(user_col).orderBy(ts_col, lon_col, lat_col)
+        trans = seq.select(
+            F.col("cell_id").alias("from_cell"),
+            F.lead("cell_id").over(w2).alias("to_cell"),
+        )
+    else:
+        trans = seq.select(
+            F.col("cell_id").alias("from_cell"),
+            F.lead("cell_id").over(w).alias("to_cell"),
+        )
+    return (
+        trans.filter(F.col("to_cell").isNotNull())
+        .groupBy("from_cell", "to_cell")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
 def track_speed(
     pings: DataFrame,
     vmax_ms: float,

@@ -280,6 +280,116 @@ def running_user_stats(
     )
 
 
+def streaming_geofence_events(
+    pings: DataFrame,
+    fences: list[tuple[int, float, float, float, float]],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """LIVE GEOFENCE ALERTS — the streaming form of
+    ``trajectory.geofence_visits``: per entity, emit ``enter`` the moment
+    a ping lands inside a fence the entity was outside of, and ``exit``
+    when a ping arrives OUTSIDE a fence it was inside — stamped with the
+    LAST inside ping's timestamp (identical to the batch operator's
+    exit_ts, so stream events == batch visit edges on the same data;
+    visits still open when the stream pauses have no exit yet — exactly
+    right for a live system).
+
+    ``fences``: a small in-memory list (fence_id, x0, y0, x1, y1) with
+    closed containment — the fence dim ships inside the function closure
+    (broadcast-equivalent). State per entity = {fence_id: last_inside_ts}
+    as a JSON string: bounded by the fence count, immune to struct-type
+    state quirks, and NoTimeout so availableNow catch-up terminates
+    (see running_user_stats). Requires per-entity event-time order across
+    micro-batches (file/Kafka sources partitioned by time), the standard
+    contract for transition detection; within a batch rows are sorted.
+
+    Returns (user, fence_id, event, ts). On batch input it degrades to
+    the same walk over the whole history (the test oracle)."""
+    import json
+
+    import numpy as np
+    import pandas as pd
+
+    fx = np.array([[f[1], f[2], f[3], f[4]] for f in fences], dtype=np.float64)
+    fids = [int(f[0]) for f in fences]
+    out_schema = f"{user_col} long, fence_id long, event string, ts timestamp"
+
+    def walk(uid, pdf, inside):
+        """Event-ordered transition walk; mutates ``inside``; returns rows."""
+        rows = []
+        pdf = pdf.sort_values(ts_col)
+        lons = pdf[lon_col].to_numpy()
+        lats = pdf[lat_col].to_numpy()
+        tss = list(pdf[ts_col])
+        if len(fx):
+            m = (
+                (lons[:, None] >= fx[None, :, 0])
+                & (lons[:, None] <= fx[None, :, 2])
+                & (lats[:, None] >= fx[None, :, 1])
+                & (lats[:, None] <= fx[None, :, 3])
+            )
+        else:
+            m = np.zeros((len(pdf), 0), dtype=bool)
+        for i in range(len(pdf)):
+            now = {fids[j] for j in np.nonzero(m[i])[0]}
+            for fid in sorted(now):
+                if str(fid) not in inside:
+                    rows.append((uid, fid, "enter", tss[i]))
+                inside[str(fid)] = tss[i]
+            for fid_s in [k for k in inside if int(k) not in now]:
+                rows.append((uid, int(fid_s), "exit", inside[fid_s]))
+                del inside[fid_s]
+        return rows
+
+    if not pings.isStreaming:
+        # one group per entity is required for a correct walk:
+        # route through groupBy().applyInPandas
+        def grouped(key, pdf):
+            return pd.DataFrame(
+                walk(int(key[0]), pdf, {}),
+                columns=[user_col, "fence_id", "event", ts_col],
+            )
+
+        return pings.select(user_col, ts_col, lon_col, lat_col).groupBy(
+            user_col
+        ).applyInPandas(grouped, schema=out_schema)
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        inside = json.loads(state.get[0]) if state.exists else {}
+        out = []
+        for pdf in pdfs:
+            # timestamps arrive as pandas Timestamps; keep them as-is
+            out.extend(walk(int(key[0]), pdf, inside))
+        state.update((json.dumps({k: str(v) for k, v in inside.items()}),))
+        # state round-trips ts as strings; rehydrate on the next batch
+        yield pd.DataFrame(out, columns=[user_col, "fence_id", "event", ts_col])
+
+    # JSON state stores last-inside ts as strings; walk() compares nothing,
+    # only re-emits them — convert back to Timestamp lazily at emit time
+    def update_wrapped(key, pdfs, state: GroupState):
+        for pdf in update(key, pdfs, state):
+            if len(pdf):
+                pdf[ts_col] = pd.to_datetime(pdf[ts_col])
+            yield pdf
+
+    return (
+        pings.select(user_col, ts_col, lon_col, lat_col)
+        .groupBy(user_col)
+        .applyInPandasWithState(
+            update_wrapped,
+            outputStructType=out_schema,
+            stateStructType="inside string",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def run_to_memory(stream_df: DataFrame, name: str, mode: str | None = None) -> DataFrame:
     """Drain an availableNow stream into an in-memory table; returns the
     result as a batch DataFrame (test/debug utility)."""

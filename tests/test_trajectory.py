@@ -336,3 +336,36 @@ def test_track_speed_matches_brute(spark):
     assert dup["dt_us"] == 0 and dup["speed_ms"] is None and not dup["is_glitch"]
     first3 = got[(3, 50, 30.0)]
     assert first3["speed_ms"] is None  # track head under the tiebreak order
+
+
+# ------------------------------------------------------- cell transitions
+
+
+def test_cell_transitions_collapse_and_dwell(spark):
+    from osm2geojson_spark.operators.trajectory import cell_transitions
+
+    # user 1: A A B A (collapsed A->B->A; dwell A->A, A->B, B->A)
+    # user 2: C C (collapsed: none; dwell C->C)
+    rows = [
+        (1, 0, 0.5), (1, 60, 0.5), (1, 120, 10.5), (1, 180, 0.5),
+        (2, 0, 20.5), (2, 60, 20.5),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, tsec long, lon double"
+    ).selectExpr(
+        "user_id", "timestamp_seconds(tsec) AS ts", "lon",
+        "CAST(0.5 AS DOUBLE) AS lat",
+    )
+    a = cells.pack_cell_py(6, int((0.5 + 180) / 360 * 64), int((0.5 + 90) / 180 * 64))
+    b = cells.pack_cell_py(6, int((10.5 + 180) / 360 * 64), int((0.5 + 90) / 180 * 64))
+    c = cells.pack_cell_py(6, int((20.5 + 180) / 360 * 64), int((0.5 + 90) / 180 * 64))
+    got = {
+        (r["from_cell"], r["to_cell"]): r["n"]
+        for r in cell_transitions(df, res=6).collect()
+    }
+    assert got == {(a, b): 1, (b, a): 1}
+    dwell = {
+        (r["from_cell"], r["to_cell"]): r["n"]
+        for r in cell_transitions(df, res=6, collapse_runs=False).collect()
+    }
+    assert dwell == {(a, a): 1, (a, b): 1, (b, a): 1, (c, c): 1}
