@@ -4679,6 +4679,69 @@ GROUP BY 1, 2
 """
 
 
+def q_dtw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X72 (trajectory.dtw_distances): DTW trajectory similarity for
+    co-location candidate pairs over 6-hour resampled
+    tracks — the co-movement verification stage. Sequential O(n*m) DP per
+    pair (like NMS), grouped applyInPandas, candidates pre-gated so the
+    quadratic term is per-pair only. No SQL twin (the DP recurrence is
+    not SQL-expressible) — pinned by brute-force pytest parity
+    (tests/test_trajectory.py::test_dtw_distances_matches_brute); the
+    driver records the rows-only check."""
+    from osm2geojson_spark.operators.trajectory import (
+        colocation_pairs,
+        dtw_distances,
+        resample_tracks,
+    )
+
+    pings = _traj_pings(spark, sf_dir)
+    tracks = resample_tracks(pings, interval_s=6 * 3600)
+    pairs = colocation_pairs(pings, interval_s=6 * 3600, res=3)
+    return dtw_distances(tracks, pairs.select("user_a", "user_b"))
+
+
+def q_spatial_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X71 (knn.knn_outliers): k-distance spatial outlier gate — each of
+    200 customer points flagged when even its 3rd-nearest neighbor is
+    beyond 2000 km. k_dist is a MAX (never a float sum) so it is exact;
+    candidates come from knn_graph's ring rounds. The oracle ranks the
+    brute cross join with the same (dist, id) order."""
+    from osm2geojson_spark.operators.knn import knn_outliers
+
+    pts = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < 200)
+        .select(
+            F.col("c_custkey").alias("id"),
+            _lon("c_custkey").alias("lon"),
+            _lat("c_custkey").alias("lat"),
+        )
+    )
+    return knn_outliers(pts, k=3, threshold_m=2_000_000.0, res=6)
+
+
+def _spatial_outliers_sql() -> str:
+    from osm2geojson_spark.operators import knn as KNN2
+
+    hav = KNN2.haversine_sql("a.lon", "a.lat", "b.lon", "b.lat")
+    return f"""
+WITH p AS (
+  SELECT c_custkey AS k, {SYN.lon_sql('c_custkey')} AS lon,
+         {SYN.lat_sql('c_custkey')} AS lat
+  FROM customer WHERE c_custkey < 200
+), d AS (
+  SELECT a.k AS id, b.k AS nbr_id, {hav} AS dist
+  FROM p a JOIN p b ON a.k <> b.k
+), r AS (
+  SELECT id, dist,
+         row_number() OVER (PARTITION BY id ORDER BY dist, nbr_id) AS rn
+  FROM d
+)
+SELECT id, dist AS k_dist, dist > 2000000.0 AS is_outlier
+FROM r WHERE rn = 3
+"""
+
+
 def q_geofence_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X70 (streaming.ops.streaming_geofence_events, batch form): the
     geofence ALERT STREAM — enter at the first inside ping, exit stamped
@@ -5293,6 +5356,8 @@ FROM visits
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "dtw": q_dtw,
+        "spatial_outliers": q_spatial_outliers,
         "geofence_events": q_geofence_events,
         "cell_transitions": q_cell_transitions,
         "reverse_geocode": q_reverse_geocode,
@@ -5418,6 +5483,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "spatial_outliers": _spatial_outliers_sql(),
         "geofence_events": _geofence_events_sql(),
         "cell_transitions": _cell_transitions_sql(),
         "reverse_geocode": _reverse_geocode_sql(),

@@ -249,3 +249,34 @@ def knn_graph(
             "rank",
         )
     )
+
+
+def knn_outliers(
+    points: DataFrame,
+    k: int,
+    threshold_m: float,
+    id_col: str = "id",
+    res: int = cells.DEFAULT_RES,
+    grid: str = "flat",
+) -> DataFrame:
+    """SPATIAL OUTLIER DETECTION by k-DISTANCE — a point is an outlier
+    when even its k-th nearest neighbor is farther than ``threshold_m``
+    (the k-distance gate, the first stage of LOF and the standard GPS /
+    sensor-glitch spatial filter; isolated points cannot hide behind one
+    accidental close neighbor).
+
+    Returns (id, k_dist, is_outlier) with k_dist the distance to the
+    k-th neighbor — a MAX over the neighbor set, so it is exact and
+    order-independent (never a float sum). Points with fewer than k
+    other points in the corpus are absent (undefined k-distance).
+
+    Scale: exactly knn_graph's (ring-round candidates, cell-local);
+    the gate is a rank filter — no extra shuffle."""
+    g = knn_graph(
+        points, k, id_col=id_col, res=res, grid=grid
+    )
+    return g.filter(F.col("rank") == k).select(
+        id_col,
+        F.col("dist_m").alias("k_dist"),
+        (F.col("dist_m") > F.lit(float(threshold_m))).alias("is_outlier"),
+    )

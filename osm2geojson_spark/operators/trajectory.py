@@ -462,3 +462,87 @@ def colocation_pairs(
         .agg(F.count(F.lit(1)).cast("long").alias("n_ticks"))
         .filter(F.col("n_ticks") >= min_ticks)
     )
+
+
+def dtw_distances(
+    tracks: DataFrame,
+    pairs: DataFrame,
+    user_col: str = "user_id",
+    tick_col: str = "tick",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """DTW TRAJECTORY SIMILARITY — dynamic-time-warping distance (haversine
+    step cost, classic O(n*m) DP) for each CANDIDATE pair of entities:
+    the similarity stage behind trajectory clustering / co-movement
+    verification. DTW is inherently sequential per pair (like NMS), so it
+    runs as a grouped applyInPandas kernel over (pair) groups; there is
+    deliberately NO all-pairs mode — feed candidate pairs from
+    colocation_pairs / knn_graph so the quadratic term stays per-pair,
+    never corpus-wide.
+
+    ``tracks``: (user, tick, lon, lat) — resample first
+    (resample_tracks) so sequences are comparable; ``pairs``:
+    (user_a, user_b). Returns (user_a, user_b, dtw_m, n_a, n_b); pairs
+    where either side has no track rows are absent.
+
+    Scale: two track-side equi-joins (each rides the entity key) + ONE
+    shuffle on the pair key; each group's memory is O(n*m) for its own
+    pair only. Long tracks: cap/resample upstream (the DP is exact, not
+    windowed)."""
+    import numpy as np
+    import pandas as pd
+
+    from .knn import EARTH_RADIUS_M
+
+    t = tracks.select(
+        F.col(user_col).alias("_u"),
+        F.col(tick_col).alias("_k"),
+        F.col(lon_col).alias("_lon"),
+        F.col(lat_col).alias("_lat"),
+    )
+    pa = pairs.join(t, t["_u"] == pairs["user_a"]).select(
+        "user_a", "user_b", F.lit("a").alias("_side"), "_k", "_lon", "_lat"
+    )
+    pb = pairs.join(t, t["_u"] == pairs["user_b"]).select(
+        "user_a", "user_b", F.lit("b").alias("_side"), "_k", "_lon", "_lat"
+    )
+    both = pa.unionByName(pb)
+
+    def dtw(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        a = pdf[pdf["_side"] == "a"].sort_values("_k")
+        b = pdf[pdf["_side"] == "b"].sort_values("_k")
+        n, m = len(a), len(b)
+        if n == 0 or m == 0:
+            return pd.DataFrame(
+                columns=["user_a", "user_b", "dtw_m", "n_a", "n_b"]
+            )
+        la1 = np.radians(a["_lat"].to_numpy())[:, None]
+        la2 = np.radians(b["_lat"].to_numpy())[None, :]
+        lo1 = np.radians(a["_lon"].to_numpy())[:, None]
+        lo2 = np.radians(b["_lon"].to_numpy())[None, :]
+        h = (
+            np.sin((la2 - la1) / 2) ** 2
+            + np.cos(la1) * np.cos(la2) * np.sin((lo2 - lo1) / 2) ** 2
+        )
+        cost = 2.0 * EARTH_RADIUS_M * np.arcsin(np.sqrt(np.minimum(1.0, h)))
+        D = np.full((n + 1, m + 1), np.inf)
+        D[0, 0] = 0.0
+        for i in range(1, n + 1):
+            D[i, 1:] = cost[i - 1]
+            for j in range(1, m + 1):
+                D[i, j] += min(D[i - 1, j], D[i, j - 1], D[i - 1, j - 1])
+        return pd.DataFrame(
+            {
+                "user_a": [key[0]],
+                "user_b": [key[1]],
+                "dtw_m": [float(D[n, m])],
+                "n_a": [n],
+                "n_b": [m],
+            }
+        )
+
+    return both.groupBy("user_a", "user_b").applyInPandas(
+        dtw,
+        schema="user_a long, user_b long, dtw_m double, n_a long, n_b long",
+    )

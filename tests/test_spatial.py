@@ -1421,3 +1421,34 @@ def test_smallest_containing_box_matches_brute(spark):
     one = spark.createDataFrame([(9, 5.5, 5.5)], "pid long, lon double, lat double")
     r = smallest_containing_box(one, nested_b, res=4).collect()[0]
     assert r["box_id"] == 2
+
+
+# ---------------------------------------------------- kNN outlier gate
+
+
+def test_knn_outliers_matches_brute(spark):
+    from osm2geojson_spark.operators.knn import knn_outliers
+
+    rng = np.random.default_rng(71)
+    # tight cluster + two isolated points
+    pts = [(i, float(rng.uniform(0, 2)), float(rng.uniform(0, 2))) for i in range(60)]
+    pts += [(100, 50.0, 40.0), (101, -60.0, -50.0)]
+    df = spark.createDataFrame(pts, "id long, lon double, lat double")
+    got = {
+        r["id"]: (r["k_dist"], r["is_outlier"])
+        for r in knn_outliers(df, k=3, threshold_m=500_000.0, res=5).collect()
+    }
+    want = {}
+    for i, lon, lat in pts:
+        ds = sorted(
+            (_hav_py(lon, lat, lon2, lat2), j)
+            for j, lon2, lat2 in pts
+            if j != i
+        )
+        kd = ds[2][0]
+        want[i] = (kd, kd > 500_000.0)
+    assert set(got) == set(want)
+    for i in want:
+        assert abs(got[i][0] - want[i][0]) < 1e-6 and got[i][1] == want[i][1], i
+    assert got[100][1] and got[101][1]
+    assert sum(1 for v in got.values() if v[1]) == 2

@@ -369,3 +369,73 @@ def test_cell_transitions_collapse_and_dwell(spark):
         for r in cell_transitions(df, res=6, collapse_runs=False).collect()
     }
     assert dwell == {(a, a): 1, (a, b): 1, (b, a): 1, (c, c): 1}
+
+
+# ----------------------------------------------------------------- DTW
+
+
+def _brute_dtw(seq_a, seq_b):
+    import math
+
+    R = 6371008.8
+
+    def hv(p, q):
+        la1, la2 = math.radians(p[1]), math.radians(q[1])
+        h = (
+            math.sin((la2 - la1) / 2) ** 2
+            + math.cos(la1) * math.cos(la2)
+            * math.sin(math.radians(q[0] - p[0]) / 2) ** 2
+        )
+        return 2 * R * math.asin(math.sqrt(min(1.0, h)))
+
+    import numpy as np
+
+    n, m = len(seq_a), len(seq_b)
+    D = np.full((n + 1, m + 1), np.inf)
+    D[0, 0] = 0.0
+    for i in range(1, n + 1):
+        for j in range(1, m + 1):
+            D[i, j] = hv(seq_a[i - 1], seq_b[j - 1]) + min(
+                D[i - 1, j], D[i, j - 1], D[i - 1, j - 1]
+            )
+    return float(D[n, m])
+
+
+def test_dtw_distances_matches_brute(spark):
+    import numpy as np
+
+    from osm2geojson_spark.operators.trajectory import dtw_distances
+
+    rng = np.random.default_rng(23)
+    tracks = []
+    seqs = {}
+    for u in range(5):
+        seq = []
+        lon, lat = float(rng.uniform(-10, 10)), float(rng.uniform(-10, 10))
+        for k in range(int(rng.integers(5, 14))):
+            lon += float(rng.uniform(-0.5, 0.5))
+            lat += float(rng.uniform(-0.5, 0.5))
+            tracks.append((u, k, lon, lat))
+            seq.append((lon, lat))
+        seqs[u] = seq
+    tdf = spark.createDataFrame(tracks, "user_id long, tick long, lon double, lat double")
+    pairs = [(0, 1), (1, 3), (2, 4), (0, 9)]  # 9 has no track -> absent
+    pdf = spark.createDataFrame(pairs, "user_a long, user_b long")
+    got = {
+        (r["user_a"], r["user_b"]): (r["dtw_m"], r["n_a"], r["n_b"])
+        for r in dtw_distances(tdf, pdf).collect()
+    }
+    assert set(got) == {(0, 1), (1, 3), (2, 4)}
+    for (a, b), (d, na, nb) in got.items():
+        assert na == len(seqs[a]) and nb == len(seqs[b])
+        assert abs(d - _brute_dtw(seqs[a], seqs[b])) < 1e-6
+    # identical tracks -> DTW 0
+    same = spark.createDataFrame(
+        [(7, k, lon, lat) for (_, k, lon, lat) in tracks if _ == 0] or
+        [(7, k, lon, lat) for (u, k, lon, lat) in tracks if u == 0],
+        "user_id long, tick long, lon double, lat double",
+    )
+    tdf2 = tdf.unionByName(same)
+    p2 = spark.createDataFrame([(0, 7)], "user_a long, user_b long")
+    r = dtw_distances(tdf2, p2).collect()[0]
+    assert r["dtw_m"] == 0.0
