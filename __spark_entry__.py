@@ -4681,7 +4681,7 @@ GROUP BY 1, 2
 
 def q_dtw(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X72 (trajectory.dtw_distances): DTW trajectory similarity for
-    co-location candidate pairs over 6-hour resampled
+    the 500 strongest co-location candidate pairs over 6-hour resampled
     tracks — the co-movement verification stage. Sequential O(n*m) DP per
     pair (like NMS), grouped applyInPandas, candidates pre-gated so the
     quadratic term is per-pair only. No SQL twin (the DP recurrence is
@@ -4696,7 +4696,14 @@ def q_dtw(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pings = _traj_pings(spark, sf_dir)
     tracks = resample_tracks(pings, interval_s=6 * 3600)
-    pairs = colocation_pairs(pings, interval_s=6 * 3600, res=3)
+    # verify the 500 STRONGEST candidates (deterministic total order) —
+    # the realistic shape: DTW confirms top co-location hits, it does not
+    # re-score every weak pair (57k pairs x 116-tick DP at sf0.1 otherwise)
+    pairs = (
+        colocation_pairs(pings, interval_s=6 * 3600, res=3)
+        .orderBy(F.desc("n_ticks"), "user_a", "user_b")
+        .limit(500)
+    )
     return dtw_distances(tracks, pairs.select("user_a", "user_b"))
 
 

@@ -118,6 +118,10 @@ BENCH_QUERIES = [
     "isochrone",
     "hist_equalize",
     "reverse_geocode",
+    "cell_transitions",
+    "geofence_events",
+    "spatial_outliers",
+    "dtw",
 ]
 
 
