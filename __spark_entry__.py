@@ -4679,6 +4679,67 @@ GROUP BY 1, 2
 """
 
 
+def q_lof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X73 (knn.lof_scores): full Local Outlier Factor (k=3) over 200
+    customer points — density-ratio outlier scoring that catches points
+    NEXT TO clusters. Every aggregate is integer (mm-quantized reach
+    sums, fixed-point lrd), so the result is bit-identical across
+    engines and partitionings; one knn_graph pass + two id-keyed joins.
+    The oracle replays the identical integer pipeline over the brute
+    ranked cross join."""
+    from osm2geojson_spark.operators.knn import lof_scores
+
+    pts = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < 200)
+        .select(
+            F.col("c_custkey").alias("id"),
+            _lon("c_custkey").alias("lon"),
+            _lat("c_custkey").alias("lat"),
+        )
+    )
+    return lof_scores(pts, k=3, res=6)
+
+
+def _lof_sql() -> str:
+    from osm2geojson_spark.operators import knn as KNN2
+
+    hav = KNN2.haversine_sql("a.lon", "a.lat", "b.lon", "b.lat")
+    scale = 1000 * 3 * KNN2.LOF_SCALE
+    return f"""
+WITH p AS (
+  SELECT c_custkey AS k, {SYN.lon_sql('c_custkey')} AS lon,
+         {SYN.lat_sql('c_custkey')} AS lat
+  FROM customer WHERE c_custkey < 200
+), d AS (
+  SELECT a.k AS id, b.k AS nbr_id, {hav} AS dist
+  FROM p a JOIN p b ON a.k <> b.k
+), r AS (
+  SELECT id, nbr_id, dist,
+         row_number() OVER (PARTITION BY id ORDER BY dist, nbr_id) AS rn
+  FROM d
+), g AS (
+  SELECT id, nbr_id, dist FROM r WHERE rn <= 3
+), kd AS (
+  SELECT id AS o, max(dist) AS okd FROM g GROUP BY id
+), reach AS (
+  SELECT g.id, g.nbr_id,
+         CAST(floor(1000 * greatest(kd.okd, g.dist)) AS BIGINT) AS reach_mm
+  FROM g JOIN kd ON kd.o = g.nbr_id
+), rs AS (
+  SELECT id, greatest(sum(reach_mm), 1) AS rs FROM reach GROUP BY id
+), lrd AS (
+  SELECT id AS pp, CAST({scale} AS BIGINT) // rs AS lrd FROM rs
+), snl AS (
+  SELECT g.id, CAST(sum(l.lrd) AS BIGINT) AS snl
+  FROM g JOIN lrd l ON l.pp = g.nbr_id GROUP BY g.id
+)
+SELECT s.id, l.lrd AS lrd_q,
+       round(CAST(s.snl AS DOUBLE) / (3.0 * CAST(l.lrd AS DOUBLE)), 6) AS lof
+FROM snl s JOIN lrd l ON l.pp = s.id
+"""
+
+
 def q_dtw(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X72 (trajectory.dtw_distances): DTW trajectory similarity for
     the 500 strongest co-location candidate pairs over 6-hour resampled
@@ -5363,6 +5424,7 @@ FROM visits
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "lof": q_lof,
         "dtw": q_dtw,
         "spatial_outliers": q_spatial_outliers,
         "geofence_events": q_geofence_events,
@@ -5490,6 +5552,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "lof": _lof_sql(),
         "spatial_outliers": _spatial_outliers_sql(),
         "geofence_events": _geofence_events_sql(),
         "cell_transitions": _cell_transitions_sql(),

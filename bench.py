@@ -121,6 +121,7 @@ BENCH_QUERIES = [
     "cell_transitions",
     "geofence_events",
     "spatial_outliers",
+    "lof",
     "dtw",
 ]
 

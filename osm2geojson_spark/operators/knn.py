@@ -280,3 +280,79 @@ def knn_outliers(
         F.col("dist_m").alias("k_dist"),
         (F.col("dist_m") > F.lit(float(threshold_m))).alias("is_outlier"),
     )
+
+
+LOF_SCALE = 1_000_000_000  # fixed-point lrd scale
+
+
+def lof_scores(
+    points: DataFrame,
+    k: int,
+    id_col: str = "id",
+    res: int = cells.DEFAULT_RES,
+    grid: str = "flat",
+) -> DataFrame:
+    """LOCAL OUTLIER FACTOR (Breunig et al. 2000) — the full density-ratio
+    score on top of the k-distance gate (knn_outliers): LOF >> 1 means
+    the point sits in a region much sparser than its neighbors' regions
+    (the metric that catches outliers NEXT TO clusters, which a global
+    k-distance threshold cannot).
+
+    Exactness scheme — every aggregate is integer so no float-sum
+    ordering can flip a bit between engines or partitionings:
+
+        reach_mm(p,o) = floor(1000 * max(k_dist(o), d(p,o)))   int64 mm
+        lrd_q(p)      = (1000 * k * SCALE) div sum_o reach_mm  int64
+        LOF(p)        = sum_o lrd_q(o) / (k * lrd_q(p))        one divide
+
+    (mm quantization changes scores by < 1e-6 relative — far below any
+    decision threshold LOF is used with.) Returns (id, lrd_q, lof).
+    Coincident-duplicate degenerate neighborhoods (reach sum 0) clamp to
+    1 mm so lrd stays finite (the duplicates all share the same clamp —
+    their mutual LOF is 1, the correct "not an outlier" answer).
+
+    Scale: knn_graph once (ring-round candidates), then two id-keyed
+    joins (k_dist to the NEIGHBOR side, lrd back to both sides) and two
+    combinable integer rollups — no window over the corpus, no second
+    spatial pass."""
+    g = knn_graph(points, k, id_col=id_col, res=res, grid=grid)
+    kd = g.filter(F.col("rank") == k).select(
+        F.col(id_col).alias("_o"), F.col("dist_m").alias("_okd")
+    )
+    reach = (
+        g.join(kd, g["nbr_id"] == kd["_o"])
+        .select(
+            F.col(id_col),
+            F.col("nbr_id"),
+            F.floor(
+                F.lit(1000.0) * F.greatest(F.col("_okd"), F.col("dist_m"))
+            )
+            .cast("long")
+            .alias("_reach_mm"),
+        )
+    )
+    rs = reach.groupBy(id_col).agg(
+        F.greatest(F.sum("_reach_mm"), F.lit(1)).alias("_rs")
+    )
+    lrd = rs.select(
+        F.col(id_col).alias("_p"),
+        F.expr(f"CAST({1000 * k * LOF_SCALE} AS BIGINT) div _rs").alias("_lrd"),
+    )
+    nbr_lrd = (
+        g.select(id_col, "nbr_id")
+        .join(lrd.select(F.col("_p").alias("nbr_id"), F.col("_lrd").alias("_nl")), "nbr_id")
+        .groupBy(id_col)
+        .agg(F.sum("_nl").alias("_snl"))
+    )
+    return (
+        nbr_lrd.join(lrd, nbr_lrd[id_col] == lrd["_p"])
+        .select(
+            id_col,
+            F.col("_lrd").alias("lrd_q"),
+            F.round(
+                F.col("_snl").cast("double")
+                / (F.lit(float(k)) * F.col("_lrd").cast("double")),
+                6,
+            ).alias("lof"),
+        )
+    )

@@ -471,6 +471,7 @@ def dtw_distances(
     tick_col: str = "tick",
     lon_col: str = "lon",
     lat_col: str = "lat",
+    metric: str = "dtw",
 ) -> DataFrame:
     """DTW TRAJECTORY SIMILARITY — dynamic-time-warping distance (haversine
     step cost, classic O(n*m) DP) for each CANDIDATE pair of entities:
@@ -479,7 +480,10 @@ def dtw_distances(
     runs as a grouped applyInPandas kernel over (pair) groups; there is
     deliberately NO all-pairs mode — feed candidate pairs from
     colocation_pairs / knn_graph so the quadratic term stays per-pair,
-    never corpus-wide.
+    never corpus-wide. ``metric="frechet"`` runs the same wavefront with
+    max-composition instead of sum — the discrete Frechet distance
+    (bottleneck cost of the best coupling), the other standard curve
+    metric; column name stays ``dtw_m``.
 
     ``tracks``: (user, tick, lon, lat) — resample first
     (resample_tracks) so sequences are comparable; ``pairs``:
@@ -531,6 +535,7 @@ def dtw_distances(
         # row scan (min of the same three floats, one add) but each
         # diagonal is ONE vectorized numpy step instead of a Python cell
         # loop (~50x on 100x100 tracks)
+        frechet = metric == "frechet"
         INF = np.inf
         prev2 = np.full(n, INF)  # diagonal d-2, indexed by i
         prev = np.full(n, INF)   # diagonal d-1
@@ -554,7 +559,15 @@ def dtw_distances(
             best = np.minimum(np.minimum(up, left), diag)
             # (i, 0) with i == d handled via up; (0, j) via left; the
             # origin cell (0,0) seeds prev at d=0 and is never recomputed
-            cur[lo : hi + 1] = c + best
+            # (border cells see INF from the missing predecessors, and
+            # max(c, INF) would poison them — treat INF best as "no
+            # predecessor", i.e. the origin-adjacent walk)
+            if frechet:
+                cur[lo : hi + 1] = np.where(
+                    np.isinf(best), c, np.maximum(c, best)
+                )
+            else:
+                cur[lo : hi + 1] = c + best
             prev2, prev = prev, cur
             if hi == n - 1 and d - (n - 1) == m - 1:
                 last = cur[n - 1]

@@ -1452,3 +1452,47 @@ def test_knn_outliers_matches_brute(spark):
         assert abs(got[i][0] - want[i][0]) < 1e-6 and got[i][1] == want[i][1], i
     assert got[100][1] and got[101][1]
     assert sum(1 for v in got.values() if v[1]) == 2
+
+
+def test_lof_scores_matches_brute(spark):
+    from osm2geojson_spark.operators.knn import lof_scores
+
+    rng = np.random.default_rng(83)
+    # two clusters of different density + a point hugging the dense one
+    pts = [(i, float(rng.uniform(0, 1)), float(rng.uniform(0, 1))) for i in range(40)]
+    pts += [(i + 100, float(rng.uniform(10, 18)), float(rng.uniform(10, 18))) for i in range(40)]
+    pts += [(999, 2.0, 2.0)]  # near-cluster outlier
+    k = 3
+    df = spark.createDataFrame(pts, "id long, lon double, lat double")
+    got = {r["id"]: (r["lrd_q"], r["lof"]) for r in lof_scores(df, k=k, res=5).collect()}
+
+    # brute: identical integer pipeline
+    def brute():
+        import math
+
+        dists = {}
+        for i, lon, lat in pts:
+            ds = sorted(
+                (_hav_py(lon, lat, lon2, lat2), j)
+                for j, lon2, lat2 in pts
+                if j != i
+            )[:k]
+            dists[i] = ds
+        kdist = {i: ds[-1][0] for i, ds in dists.items()}
+        lrd = {}
+        for i, ds in dists.items():
+            rs = sum(math.floor(1000 * max(kdist[j], d)) for d, j in ds)
+            lrd[i] = (1000 * k * 1_000_000_000) // max(rs, 1)
+        out = {}
+        for i, ds in dists.items():
+            snl = sum(lrd[j] for _, j in ds)
+            out[i] = (lrd[i], round(snl / (k * lrd[i]), 6))
+        return out
+
+    want = brute()
+    assert set(got) == set(want)
+    for i in want:
+        assert got[i][0] == want[i][0], i
+        assert abs(got[i][1] - want[i][1]) < 2e-6, i
+    # the planted near-cluster point has the highest LOF
+    assert max(got, key=lambda i: got[i][1]) == 999 and got[999][1] > 2.0

@@ -439,3 +439,60 @@ def test_dtw_distances_matches_brute(spark):
     p2 = spark.createDataFrame([(0, 7)], "user_a long, user_b long")
     r = dtw_distances(tdf2, p2).collect()[0]
     assert r["dtw_m"] == 0.0
+
+
+def test_frechet_matches_brute(spark):
+    import numpy as np
+
+    from osm2geojson_spark.operators.trajectory import dtw_distances
+
+    def brute_frechet(a, b):
+        import math
+
+        R = 6371008.8
+
+        def hv(p, q):
+            la1, la2 = math.radians(p[1]), math.radians(q[1])
+            h = (
+                math.sin((la2 - la1) / 2) ** 2
+                + math.cos(la1) * math.cos(la2)
+                * math.sin(math.radians(q[0] - p[0]) / 2) ** 2
+            )
+            return 2 * R * math.asin(math.sqrt(min(1.0, h)))
+
+        n, m = len(a), len(b)
+        Fm = np.full((n, m), np.inf)
+        for i in range(n):
+            for j in range(m):
+                c = hv(a[i], b[j])
+                if i == 0 and j == 0:
+                    Fm[i, j] = c
+                elif i == 0:
+                    Fm[i, j] = max(c, Fm[0, j - 1])
+                elif j == 0:
+                    Fm[i, j] = max(c, Fm[i - 1, 0])
+                else:
+                    Fm[i, j] = max(
+                        c, min(Fm[i - 1, j], Fm[i, j - 1], Fm[i - 1, j - 1])
+                    )
+        return float(Fm[n - 1, m - 1])
+
+    rng = np.random.default_rng(29)
+    tracks, seqs = [], {}
+    for u in range(4):
+        seq = []
+        lon, lat = float(rng.uniform(-5, 5)), float(rng.uniform(-5, 5))
+        for k in range(int(rng.integers(4, 11))):
+            lon += float(rng.uniform(-0.4, 0.4))
+            lat += float(rng.uniform(-0.4, 0.4))
+            tracks.append((u, k, lon, lat))
+            seq.append((lon, lat))
+        seqs[u] = seq
+    tdf = spark.createDataFrame(tracks, "user_id long, tick long, lon double, lat double")
+    pdf = spark.createDataFrame([(0, 1), (2, 3)], "user_a long, user_b long")
+    got = {
+        (r["user_a"], r["user_b"]): r["dtw_m"]
+        for r in dtw_distances(tdf, pdf, metric="frechet").collect()
+    }
+    for (a, b), d in got.items():
+        assert abs(d - brute_frechet(seqs[a], seqs[b])) < 1e-9, (a, b)
