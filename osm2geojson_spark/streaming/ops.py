@@ -318,13 +318,22 @@ def streaming_geofence_events(
     out_schema = f"{user_col} long, fence_id long, event string, ts timestamp"
 
     def walk(uid, pdf, inside):
-        """Event-ordered transition walk; mutates ``inside``; returns rows."""
+        """Event-ordered transition walk; mutates ``inside``; returns rows.
+
+        Fully vectorized per (entity, batch): one containment matrix, one
+        shifted-compare for enters/exits, one maximum.accumulate for the
+        last-inside row each exit must stamp — no per-ping Python loop
+        (the row walk was the suite's 3rd-slowest query at 100k pings)."""
         rows = []
         pdf = pdf.sort_values(ts_col)
-        lons = pdf[lon_col].to_numpy()
-        lats = pdf[lat_col].to_numpy()
+        n = len(pdf)
+        nf = len(fids)
+        if n == 0:
+            return rows
         tss = list(pdf[ts_col])
-        if len(fx):
+        if nf:
+            lons = pdf[lon_col].to_numpy()
+            lats = pdf[lat_col].to_numpy()
             m = (
                 (lons[:, None] >= fx[None, :, 0])
                 & (lons[:, None] <= fx[None, :, 2])
@@ -332,30 +341,64 @@ def streaming_geofence_events(
                 & (lats[:, None] <= fx[None, :, 3])
             )
         else:
-            m = np.zeros((len(pdf), 0), dtype=bool)
-        for i in range(len(pdf)):
-            now = {fids[j] for j in np.nonzero(m[i])[0]}
-            for fid in sorted(now):
-                if str(fid) not in inside:
-                    rows.append((uid, fid, "enter", tss[i]))
-                inside[str(fid)] = tss[i]
-            for fid_s in [k for k in inside if int(k) not in now]:
-                rows.append((uid, int(fid_s), "exit", inside[fid_s]))
-                del inside[fid_s]
+            m = np.zeros((n, 0), dtype=bool)
+        seed = np.array(
+            [str(f) in inside for f in fids], dtype=bool
+        ).reshape(1, nf)
+        m_prev = np.vstack([seed, m[:-1]])
+        # last inside row STRICTLY BEFORE each row (-1 = only the carried
+        # state, if any, was inside)
+        idx = np.where(m, np.arange(n)[:, None], -1)
+        acc_prev = np.vstack(
+            [np.full((1, nf), -1, dtype=np.int64), np.maximum.accumulate(idx, axis=0)[:-1]]
+        )
+        for i, j in zip(*np.nonzero(m & ~m_prev)):
+            rows.append((uid, fids[j], "enter", tss[i]))
+        for i, j in zip(*np.nonzero(~m & m_prev)):
+            k = acc_prev[i, j]
+            ts = tss[k] if k >= 0 else inside[str(fids[j])]
+            rows.append((uid, fids[j], "exit", ts))
+        # carry: fences inside at the final row, stamped with their last
+        # inside row's ts (their dict ts if this batch never saw them in)
+        new_inside = {}
+        if n and nf:
+            last_idx = np.maximum.accumulate(idx, axis=0)[-1]
+            for j in np.nonzero(m[-1])[0]:
+                new_inside[str(fids[j])] = tss[last_idx[j]]
+        inside.clear()
+        inside.update(new_inside)
         return rows
 
     if not pings.isStreaming:
-        # one group per entity is required for a correct walk:
-        # route through groupBy().applyInPandas
-        def grouped(key, pdf):
-            return pd.DataFrame(
-                walk(int(key[0]), pdf, {}),
-                columns=[user_col, "fence_id", "event", ts_col],
-            )
+        # the batch twin is fully relational — geofence_visits (the
+        # windowed gaps-and-islands operator) plus the edge derivation:
+        # enter at every visit's first inside ping; exit at its last
+        # inside ping WHEN a later ping exists (a visit reaching the end
+        # of history is still open, exactly like a paused stream). A
+        # grouped applyInPandas walk gives the same answer but pays
+        # ~3 ms/entity group overhead — ruinous at 10^6 entities.
+        from ..operators.trajectory import geofence_visits
 
-        return pings.select(user_col, ts_col, lon_col, lat_col).groupBy(
-            user_col
-        ).applyInPandas(grouped, schema=out_schema)
+        spark = pings.sparkSession
+        fdf = spark.createDataFrame(
+            [(int(f[0]), float(f[1]), float(f[2]), float(f[3]), float(f[4])) for f in fences],
+            "fence_id long, x0 double, y0 double, x1 double, y1 double",
+        )
+        visits = geofence_visits(
+            pings, fdf, res=4, user_col=user_col, ts_col=ts_col,
+            lon_col=lon_col, lat_col=lat_col,
+        )
+        last = pings.groupBy(user_col).agg(F.max(ts_col).alias("_last_ts"))
+        v = visits.join(last, user_col)
+        enters = v.select(
+            user_col, "fence_id", F.lit("enter").alias("event"),
+            F.col("enter_ts").alias(ts_col),
+        )
+        exits = v.filter(F.col("exit_ts") < F.col("_last_ts")).select(
+            user_col, "fence_id", F.lit("exit").alias("event"),
+            F.col("exit_ts").alias(ts_col),
+        )
+        return enters.unionByName(exits)
 
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
