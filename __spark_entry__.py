@@ -4761,7 +4761,7 @@ def q_dtw(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the realistic shape: DTW confirms top co-location hits, it does not
     # re-score every weak pair (57k pairs x 116-tick DP at sf0.1 otherwise)
     pairs = (
-        colocation_pairs(pings, interval_s=6 * 3600, res=3)
+        colocation_pairs(pings, interval_s=6 * 3600, res=3, resampled=tracks)
         .orderBy(F.desc("n_ticks"), "user_a", "user_b")
         .limit(500)
     )

@@ -421,6 +421,7 @@ def colocation_pairs(
     ts_col: str = "ts",
     lon_col: str = "lon",
     lat_col: str = "lat",
+    resampled: DataFrame | None = None,
 ) -> DataFrame:
     """CO-LOCATION JOIN — pairs of distinct entities that were in the same
     cell at the same time, with how often: the co-traveler / contact-
@@ -441,10 +442,13 @@ def colocation_pairs(
     quadratically. The rollup is map-side combinable."""
     from . import cells as _cells
 
-    sampled = resample_tracks(
+    # callers that already resampled (e.g. to feed dtw_distances too) pass
+    # the tick grid in and skip the second per-entity sort
+    base = resampled if resampled is not None else resample_tracks(
         pings, interval_s, user_col=user_col, ts_col=ts_col,
         lon_col=lon_col, lat_col=lat_col,
-    ).select(
+    )
+    sampled = base.select(
         F.col(user_col),
         "tick",
         _cells.cell_id(F.col(lon_col), F.col(lat_col), res).alias("cell_id"),
