@@ -4679,6 +4679,85 @@ GROUP BY 1, 2
 """
 
 
+def q_trips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X74 (trajectory.trips): trip chaining — one row per inter-stay trip
+    with depart/arrive epochs, exact travel seconds, and the straight-line
+    cell-center haversine distance; the row-level od_flows (which is its
+    rollup). One lead() window over stays; the oracle replays the stay
+    construction + the identical center/haversine arithmetic."""
+    from osm2geojson_spark.operators.trajectory import stay_points, trips
+
+    stays = stay_points(_traj_pings(spark, sf_dir), res=6, min_duration_s=3600)
+    out = trips(stays)
+    return out.select(
+        "user_id",
+        "trip_seq",
+        "from_cell",
+        "to_cell",
+        F.col("depart_ts").cast("timestamp").cast("long").alias("depart_s"),
+        F.col("arrive_ts").cast("timestamp").cast("long").alias("arrive_s"),
+        "travel_s",
+        "dist_m",
+    )
+
+
+def _trips_sql() -> str:
+    from osm2geojson_spark.operators import cells as CEL
+    from osm2geojson_spark.operators.knn import haversine_sql
+
+    cell = CEL.cell_id_sql("lon", "lat", 6)
+
+    def ctr(c):
+        x = f"((({c}) % {1 << 58}) // {1 << 29})"
+        y = f"(({c}) % {1 << 29})"
+        return (
+            f"(({x} + 0.5) / 64.0) * 360.0 - 180.0",
+            f"(({y} + 0.5) / 64.0) * 180.0 - 90.0",
+        )
+
+    flon, flat = ctr("from_cell")
+    tlon, tlat = ctr("to_cell")
+    hav = haversine_sql(f"({flon})", f"({flat})", f"({tlon})", f"({tlat})")
+    return f"""
+WITH pings AS ({_TRAJ_PINGS_CTE}
+), cells_t AS (
+  SELECT user_id, ts, {cell} AS cell_id FROM pings
+), runs AS (
+  SELECT user_id, ts, cell_id,
+    CASE WHEN lag(cell_id) OVER w IS NULL OR lag(cell_id) OVER w != cell_id
+         THEN 1 ELSE 0 END AS nw
+  FROM cells_t WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), r2 AS (
+  SELECT user_id, ts, cell_id,
+    sum(nw) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS run
+  FROM runs
+), stays AS (
+  SELECT user_id, run, cell_id, min(ts) AS t0, max(ts) AS t1
+  FROM r2 GROUP BY 1, 2, 3
+  HAVING CAST(floor(epoch(max(ts))) AS BIGINT)
+           - CAST(floor(epoch(min(ts))) AS BIGINT) >= 3600
+), seq AS (
+  SELECT user_id,
+         CAST(row_number() OVER (PARTITION BY user_id ORDER BY t0) AS BIGINT)
+           AS stay_seq,
+         cell_id, t0, t1
+  FROM stays
+), tr AS (
+  SELECT user_id, stay_seq AS trip_seq, cell_id AS from_cell,
+         lead(cell_id) OVER w2 AS to_cell,
+         t1 AS depart_ts, lead(t0) OVER w2 AS arrive_ts
+  FROM seq WINDOW w2 AS (PARTITION BY user_id ORDER BY stay_seq)
+)
+SELECT user_id, trip_seq, from_cell, to_cell,
+       CAST(floor(epoch(depart_ts)) AS BIGINT) AS depart_s,
+       CAST(floor(epoch(arrive_ts)) AS BIGINT) AS arrive_s,
+       CAST(floor(epoch(arrive_ts)) AS BIGINT)
+         - CAST(floor(epoch(depart_ts)) AS BIGINT) AS travel_s,
+       {hav} AS dist_m
+FROM tr WHERE to_cell IS NOT NULL
+"""
+
+
 def q_lof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X73 (knn.lof_scores): full Local Outlier Factor (k=3) over 200
     customer points — density-ratio outlier scoring that catches points
@@ -5424,6 +5503,7 @@ FROM visits
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "trips": q_trips,
         "lof": q_lof,
         "dtw": q_dtw,
         "spatial_outliers": q_spatial_outliers,
@@ -5552,6 +5632,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "trips": _trips_sql(),
         "lof": _lof_sql(),
         "spatial_outliers": _spatial_outliers_sql(),
         "geofence_events": _geofence_events_sql(),

@@ -123,6 +123,7 @@ BENCH_QUERIES = [
     "spatial_outliers",
     "lof",
     "dtw",
+    "trips",
 ]
 
 

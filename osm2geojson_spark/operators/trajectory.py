@@ -99,6 +99,66 @@ def od_flows(
     )
 
 
+def trips(
+    stays: DataFrame,
+    user_col: str = "user_id",
+) -> DataFrame:
+    """TRIP CHAINING — one row per trip between consecutive stays of an
+    entity: (user, trip_seq, from_cell, to_cell, depart_ts, arrive_ts,
+    travel_s, dist_m), the od_flows rows BEFORE aggregation, enriched
+    with the timing and straight-line (haversine, cell-center) distance
+    every travel-time / mode-inference pipeline starts from. Depart =
+    end of the earlier stay, arrive = start of the later one; zero-
+    displacement revisits (same cell after sub-threshold wandering) are
+    kept with dist_m = 0 — they are real trips in time.
+
+    One lead() window over the stay sequence (stays are already tiny
+    relative to pings) + pure column math; travel_s is exact epoch-second
+    integers, dist_m the same IEEE haversine as the SQL twin applied to
+    cell centers (deterministic, no ping-level floats)."""
+    from .knn import haversine_col
+
+    w = Window.partitionBy(user_col).orderBy("stay_seq")
+    t = (
+        stays.select(
+            F.col(user_col),
+            "stay_seq",
+            "cell_id",
+            "t_start",
+            "t_end",
+        )
+        .withColumn("_to_cell", F.lead("cell_id").over(w))
+        .withColumn("_arrive", F.lead("t_start").over(w))
+        .filter(F.col("_to_cell").isNotNull())
+    )
+
+    def center(cell):
+        x, y = cells.cell_xy(cell)
+        res = cells.cell_res(cell)
+        n = F.pow(F.lit(2.0), res.cast("double"))
+        return (
+            (x.cast("double") + F.lit(0.5)) / n * F.lit(360.0) - F.lit(180.0),
+            (y.cast("double") + F.lit(0.5)) / n * F.lit(180.0) - F.lit(90.0),
+        )
+
+    flon, flat = center(F.col("cell_id"))
+    tlon, tlat = center(F.col("_to_cell"))
+    return t.select(
+        F.col(user_col),
+        F.col("stay_seq").cast("long").alias("trip_seq"),
+        F.col("cell_id").alias("from_cell"),
+        F.col("_to_cell").alias("to_cell"),
+        F.col("t_end").alias("depart_ts"),
+        F.col("_arrive").alias("arrive_ts"),
+        (
+            F.unix_timestamp(F.col("_arrive")) - F.unix_timestamp(F.col("t_end"))
+        )
+        .cast("long")
+        .alias("travel_s"),
+        haversine_col(flon, flat, tlon, tlat).alias("dist_m"),
+    )
+
+
 def mobility_features(
     stays: DataFrame,
     user_col: str = "user_id",

@@ -496,3 +496,54 @@ def test_frechet_matches_brute(spark):
     }
     for (a, b), d in got.items():
         assert abs(d - brute_frechet(seqs[a], seqs[b])) < 1e-9, (a, b)
+
+
+def test_trips_chaining(spark, pings):
+    import math
+
+    from osm2geojson_spark.operators.trajectory import trips
+
+    R = 6371008.8
+    stays = stay_points(pings, res=6, min_duration_s=3600)
+    got = {
+        (r["user_id"], r["trip_seq"]): r for r in trips(stays).collect()
+    }
+    srows = {}
+    for r in stays.collect():
+        srows.setdefault(r["user_id"], []).append(r)
+    n_expected = 0
+    for u, rs in srows.items():
+        rs.sort(key=lambda r: r["stay_seq"])
+        for a, b in zip(rs, rs[1:]):
+            n_expected += 1
+            t = got[(u, a["stay_seq"])]
+            assert t["from_cell"] == a["cell_id"]
+            assert t["to_cell"] == b["cell_id"]
+            assert t["depart_ts"] == a["t_end"]
+            assert t["arrive_ts"] == b["t_start"]
+            assert t["travel_s"] == int(
+                (b["t_start"] - a["t_end"]).total_seconds()
+            )
+
+            def ctr(cell):
+                n = 1 << (cell >> 58)
+                x = (cell % (1 << 58)) >> 29
+                y = cell % (1 << 29)
+                return (
+                    (x + 0.5) / n * 360.0 - 180.0,
+                    (y + 0.5) / n * 180.0 - 90.0,
+                )
+
+            (lo1, la1), (lo2, la2) = ctr(a["cell_id"]), ctr(b["cell_id"])
+            p1, p2 = math.radians(la1), math.radians(la2)
+            h = (
+                math.sin((p2 - p1) / 2) ** 2
+                + math.cos(p1) * math.cos(p2)
+                * math.sin(math.radians(lo2 - lo1) / 2) ** 2
+            )
+            brute = 2 * R * math.asin(math.sqrt(min(1.0, h)))
+            assert abs(t["dist_m"] - brute) < 1e-9
+    assert len(got) == n_expected and n_expected >= 2
+    # user 1's revisit trip (A -> A) has dist 0 but real travel time
+    u1 = [t for (u, _), t in got.items() if u == 1 and t["dist_m"] == 0.0]
+    assert len(u1) == 1 and u1[0]["travel_s"] > 0
