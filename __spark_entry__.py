@@ -1119,6 +1119,61 @@ FROM p LEFT JOIN mem ON p.k = mem.v
 """
 
 
+def q_emerging_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X78 (spatial_stats.emerging_hotspots): space-time-cube trend — the
+    drifting trajectory pings binned into a (res-3 cell, 5-day bin) cube
+    over January 2024, each cell's count series scored with the exact
+    int64 Mann-Kendall S and classified emerging/cooling/stable. Two
+    combiner-friendly rollups + JVM array math, no windows; the oracle
+    replays the floor-div binning, the zero-filled cube, and the pairwise
+    sign sum verbatim."""
+    from osm2geojson_spark.operators.spatial_stats import emerging_hotspots
+
+    return emerging_hotspots(
+        _traj_pings(spark, sf_dir),
+        res=3,
+        n_bins=6,
+        t0_s=1_704_067_200,  # 2024-01-01 UTC: the events table's month
+        bin_s=5 * 86400,
+    )
+
+
+def _emerging_hotspots_sql() -> str:
+    from osm2geojson_spark.operators import cells as CEL
+
+    t0_us = 1_704_067_200 * 1_000_000
+    bin_us = 5 * 86400 * 1_000_000
+    cell = CEL.cell_id_sql("lon", "lat", 3)
+    return f"""
+WITH pings AS ({_TRAJ_PINGS_CTE}
+), e AS (
+  SELECT {cell} AS cell_id, (epoch_us(ts) - {t0_us}) // {bin_us} AS bin
+  FROM pings
+), cnt AS (
+  SELECT cell_id, bin, count(*) AS c FROM e
+  WHERE bin >= 0 AND bin < 6 GROUP BY 1, 2
+), grid AS (
+  SELECT cell_id, unnest(range(0, 6)) AS bin
+  FROM (SELECT DISTINCT cell_id FROM cnt)
+), filled AS (
+  SELECT g.cell_id, g.bin, coalesce(cnt.c, 0) AS c
+  FROM grid g LEFT JOIN cnt ON cnt.cell_id = g.cell_id AND cnt.bin = g.bin
+), s AS (
+  SELECT a.cell_id,
+         sum(CASE WHEN b.c > a.c THEN 1 WHEN b.c < a.c THEN -1 ELSE 0 END)
+           AS s_stat
+  FROM filled a JOIN filled b ON a.cell_id = b.cell_id AND b.bin > a.bin
+  GROUP BY 1
+), tot AS (SELECT cell_id, sum(c) AS total FROM cnt GROUP BY 1)
+SELECT t.cell_id, CAST(6 AS INTEGER) AS n_bins,
+       CAST(t.total AS BIGINT) AS total, CAST(s.s_stat AS BIGINT) AS s_stat,
+       CASE WHEN s.s_stat >= 1 THEN 'emerging'
+            WHEN s.s_stat <= -1 THEN 'cooling'
+            ELSE 'stable' END AS trend
+FROM tot t JOIN s ON s.cell_id = t.cell_id
+"""
+
+
 def q_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Getis-Ord Gi* hot-spot detection over the customer point-density
     grid (spatial_stats.getis_ord_gi_star): per occupied cell the
@@ -2864,6 +2919,53 @@ SELECT printf('img%012d', i) AS image_id,
        CAST(sum(v) AS BIGINT) AS px_sum,
        CAST(min(v) AS BIGINT) AS px_min, CAST(max(v) AS BIGINT) AS px_max
 FROM v GROUP BY i
+"""
+
+
+def q_sobel_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X79 (multimodal.sobel_stats): integer-exact Sobel gradient energy +
+    edge density per image over 300 mixed rawz/png images — the
+    texture/edge quality gate. One scan-shaped mapInPandas (NumPy stencil,
+    pixels never shuffle); the oracle recomputes every 3x3 neighborhood
+    from the deterministic pixel formula in pure SQL, so a single
+    misrouted pixel in either codec breaks the hash."""
+    from osm2geojson_spark.operators import multimodal as MM2
+
+    imgs = _synth_images(spark, sf_dir, 300)
+    return MM2.sobel_stats(imgs, threshold=256)
+
+
+def _sobel_edges_sql() -> str:
+    def v(dx: int, dy: int) -> str:
+        return f"((x + {dx}) * 3 + (y + {dy}) * 7 + i * 13) % 251"
+
+    gx = (
+        f"({v(1, -1)}) + 2 * ({v(1, 0)}) + ({v(1, 1)})"
+        f" - ({v(-1, -1)}) - 2 * ({v(-1, 0)}) - ({v(-1, 1)})"
+    )
+    gy = (
+        f"({v(-1, 1)}) + 2 * ({v(0, 1)}) + ({v(1, 1)})"
+        f" - ({v(-1, -1)}) - 2 * ({v(0, -1)}) - ({v(1, -1)})"
+    )
+    return f"""
+WITH img AS (
+  SELECT p_partkey AS i, 8 * (1 + p_partkey % 3) AS w
+  FROM part WHERE p_partkey < 300
+), px AS (
+  SELECT i, w, unnest(range(0, w * w)) AS p FROM img
+), inner_px AS (
+  SELECT i, w, (p % w) AS x, (p // w) AS y FROM px
+  WHERE (p % w) >= 1 AND (p % w) <= w - 2
+    AND (p // w) >= 1 AND (p // w) <= w - 2
+), g AS (
+  SELECT i, w, abs({gx}) + abs({gy}) AS g FROM inner_px
+)
+SELECT printf('img%012d', i) AS image_id,
+       CAST(sum(g) AS BIGINT) AS grad_l1,
+       CAST(sum(CASE WHEN g >= 256 THEN 1 ELSE 0 END) AS BIGINT)
+         AS edge_count,
+       CAST((w - 2) * (w - 2) AS BIGINT) AS interior_count
+FROM g GROUP BY i, w
 """
 
 
@@ -4679,6 +4781,64 @@ GROUP BY 1, 2
 """
 
 
+def q_convoys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X77 (trajectory.convoy_episodes): convoy detection — maximal runs
+    of CONSECUTIVE shared-cell ticks per pair (the flock/convoy refinement
+    of colocation: co-presence must be unbroken in time, cells may change
+    tick to tick). Same (tick, cell) candidate bound as colocation plus one
+    pair-keyed islands window; tick arithmetic is all-int64 so the oracle
+    replays resample + join + gaps-and-islands verbatim."""
+    from osm2geojson_spark.operators.trajectory import convoy_episodes
+
+    return convoy_episodes(
+        _traj_pings(spark, sf_dir), interval_s=6 * 3600, res=3, min_len=2
+    )
+
+
+def _convoys_sql() -> str:
+    from osm2geojson_spark.operators import cells as CEL
+
+    dt = 6 * 3600 * 1_000_000
+    cell = CEL.cell_id_sql("lon", "lat", 3)
+    return f"""
+WITH pings AS ({_TRAJ_PINGS_CTE}
+), p AS (
+  SELECT user_id, ts, epoch_us(ts) AS t, lon, lat FROM pings
+), seg AS (
+  SELECT user_id, t, lon, lat,
+         lead(t) OVER w AS t1, lead(lon) OVER w AS lon1, lead(lat) OVER w AS lat1
+  FROM p WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), ticks AS (
+  SELECT user_id, t, t1, lon, lat, lon1, lat1,
+         unnest(range((t + {dt - 1}) // {dt}, (t1 + {dt - 1}) // {dt})) AS tick
+  FROM seg WHERE t1 IS NOT NULL
+), sampled AS (
+  SELECT user_id, tick, {cell} AS cell_id
+  FROM (
+    SELECT user_id, tick,
+           lon + CAST(tick * {dt} - t AS DOUBLE) / CAST(t1 - t AS DOUBLE) * (lon1 - lon) AS lon,
+           lat + CAST(tick * {dt} - t AS DOUBLE) / CAST(t1 - t AS DOUBLE) * (lat1 - lat) AS lat
+    FROM ticks
+  ) q
+), m AS (
+  SELECT a.user_id AS user_a, b.user_id AS user_b, a.tick
+  FROM sampled a JOIN sampled b
+    ON a.tick = b.tick AND a.cell_id = b.cell_id AND a.user_id < b.user_id
+), runs AS (
+  SELECT user_a, user_b, tick,
+         tick - row_number() OVER (PARTITION BY user_a, user_b ORDER BY tick)
+           AS grp
+  FROM m
+)
+SELECT user_a, user_b,
+       CAST(min(tick) AS BIGINT) AS start_tick,
+       CAST(max(tick) AS BIGINT) AS end_tick,
+       CAST(count(*) AS BIGINT) AS n_ticks
+FROM runs GROUP BY user_a, user_b, grp
+HAVING count(*) >= 2
+"""
+
+
 def q_trips(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X74 (trajectory.trips): trip chaining — one row per inter-stay trip
     with depart/arrive epochs, exact travel seconds, and the straight-line
@@ -5503,6 +5663,9 @@ FROM visits
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "sobel_edges": q_sobel_edges,
+        "emerging_hotspots": q_emerging_hotspots,
+        "convoys": q_convoys,
         "trips": q_trips,
         "lof": q_lof,
         "dtw": q_dtw,
@@ -5657,6 +5820,7 @@ def oracle_sql() -> dict[str, str]:
         "bfs_hops": _bfs_hops_sql(),
         "resample_tracks": _resample_tracks_sql(),
         "colocation": _colocation_sql(),
+        "convoys": _convoys_sql(),
         "dedup_semantic": _dedup_semantic_sql(),
         "vectorize_stitched": _VECTORIZE_STITCHED_SQL,
         "dbscan": _dbscan_sql(),
@@ -5686,6 +5850,8 @@ def oracle_sql() -> dict[str, str]:
         "line_interpolate": _LINE_INTERPOLATE_SQL,
         "morans_i": _morans_i_sql(),
         "hotspots": _hotspots_sql(),
+        "emerging_hotspots": _emerging_hotspots_sql(),
+        "sobel_edges": _sobel_edges_sql(),
         "focal_stats": _focal_stats_sql(),
         "lisa": _lisa_sql(),
         "areal_interpolate": _AREAL_SQL,

@@ -124,6 +124,9 @@ BENCH_QUERIES = [
     "lof",
     "dtw",
     "trips",
+    "convoys",
+    "emerging_hotspots",
+    "sobel_edges",
 ]
 
 

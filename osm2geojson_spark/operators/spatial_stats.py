@@ -518,3 +518,90 @@ def dbscan_cluster(
             F.col("cluster_id"),
         )
     )
+
+
+def emerging_hotspots(
+    points: DataFrame,
+    res: int,
+    n_bins: int,
+    t0_s: int,
+    bin_s: int,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    ts_col: str = "ts",
+    min_abs_s: int = 1,
+) -> DataFrame:
+    """EMERGING HOT SPOT ANALYSIS — the space-time-cube trend primitive
+    (ESRI's EmergingHotSpotAnalysis, simplified to its exact-arithmetic
+    core): bin events into a (cell, time-bin) cube, then score each cell's
+    count series with the Mann-Kendall trend statistic
+
+        S = sum_{i<j} sign(c_j - c_i)        (exact int64)
+
+    and classify: S >= ``min_abs_s`` -> 'emerging', S <= -``min_abs_s`` ->
+    'cooling', else 'stable'. MK is the standard nonparametric monotone-
+    trend test; working on raw per-cell counts keeps every comparison
+    integer-exact (compose with ``focal_stats`` upstream if the ESRI-style
+    neighborhood-smoothed variant is wanted).
+
+    The cube is explicit: ``n_bins`` bins of ``bin_s`` seconds starting at
+    epoch ``t0_s``; events outside [t0, t0 + n_bins*bin_s) are dropped;
+    bins with no events count 0 (zero-filling matters — a cell that goes
+    quiet must trend down). Cells with no events at all are not emitted.
+
+    Returns (cell_id, n_bins, total, s_stat, trend).
+
+    Scale: two combiner-friendly rollups ((cell, bin) then cell — the
+    second is a near-no-op after the first's partial aggregation) and the
+    per-cell series math is pure JVM array expressions over an
+    ``n_bins``-length array (n_bins is small and fixed: the cube's time
+    axis, not the data). No windows, no Python, no driver collect; at
+    10^12 events the plan is scan -> partial agg -> final agg, the same
+    shape as cell_histogram."""
+    t0_us = t0_s * 1_000_000
+    bin_us = bin_s * 1_000_000
+    binned = (
+        points.select(
+            cells.cell_id(F.col(lon_col), F.col(lat_col), res).alias("cell_id"),
+            # exact FLOOR division via pmod (Spark's div truncates toward
+            # zero, so a pre-t0 event would otherwise land in bin 0
+            # instead of bin -1 and survive the cube gate)
+            F.expr(
+                f"(unix_micros(CAST({ts_col} AS TIMESTAMP)) - {t0_us}"
+                f" - pmod(unix_micros(CAST({ts_col} AS TIMESTAMP))"
+                f" - {t0_us}, {bin_us})) div {bin_us}"
+            ).alias("bin"),
+        )
+        .filter((F.col("bin") >= 0) & (F.col("bin") < n_bins))
+        .groupBy("cell_id", "bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    per_cell = binned.groupBy("cell_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("bin", "cnt"))).alias("_m"),
+        F.sum("cnt").cast("long").alias("total"),
+    )
+    cnts = F.expr(
+        f"transform(sequence(0, {n_bins - 1}), b ->"
+        f" coalesce(element_at(_m, CAST(b AS BIGINT)), 0L))"
+    )
+    scored = per_cell.withColumn("_cnts", cnts).withColumn(
+        "s_stat",
+        F.expr(
+            f"aggregate(flatten(transform(_cnts, (x, i) ->"
+            f" transform(slice(_cnts, i + 2, {n_bins}), y ->"
+            f" CASE WHEN y > x THEN 1L WHEN y < x THEN -1L ELSE 0L END))),"
+            f" 0L, (acc, v) -> acc + v)"
+        ),
+    )
+    trend = (
+        F.when(F.col("s_stat") >= min_abs_s, F.lit("emerging"))
+        .when(F.col("s_stat") <= -min_abs_s, F.lit("cooling"))
+        .otherwise(F.lit("stable"))
+    )
+    return scored.select(
+        "cell_id",
+        F.lit(n_bins).cast("int").alias("n_bins"),
+        "total",
+        "s_stat",
+        trend.alias("trend"),
+    )

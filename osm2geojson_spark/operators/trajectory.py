@@ -651,3 +651,73 @@ def dtw_distances(
         dtw,
         schema="user_a long, user_b long, dtw_m double, n_a long, n_b long",
     )
+
+
+def convoy_episodes(
+    pings: DataFrame,
+    interval_s: float,
+    res: int = 8,
+    min_len: int = 2,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    resampled: DataFrame | None = None,
+) -> DataFrame:
+    """CONVOY DETECTION — maximal episodes of two entities traveling
+    TOGETHER: co-located (same cell) for at least ``min_len`` CONSECUTIVE
+    ticks of the shared resample grid. This is the classic convoy/flock
+    refinement of ``colocation_pairs``: a pair that shares a stadium cell
+    at 9am and again at 9pm is a co-location but not a convoy; a pair that
+    shares a (possibly different) cell at every tick from 9:00 to 9:30 is.
+
+    Semantics: resample both trajectories onto the global tick grid
+    (``resample_tracks`` — after which (entity, tick) is unique), match
+    pairs per tick on the res-``res`` cell, then cut the matched tick
+    sequence of each pair into maximal runs of consecutive ticks
+    (gaps-and-islands: tick - row_number() is constant within a run).
+    Consecutive ticks may be DIFFERENT cells — moving together is still a
+    convoy; only a missing tick breaks the episode. Returns one row per
+    episode: (user_a, user_b, start_tick, end_tick, n_ticks) with
+    user_a < user_b and n_ticks >= ``min_len``.
+
+    Exactness: tick indices are integer microsecond ceil-divisions and the
+    run key is pure int64 arithmetic — both engines agree bit-for-bit.
+
+    Scale: candidates are bounded by instantaneous cell occupancy exactly
+    like ``colocation_pairs`` (never all-pairs over history; crowd cells
+    are the plans/skew salting case). The islands pass adds ONE window
+    shuffle keyed by (user_a, user_b) — already the pair rollup's key, so
+    AQE coalesces the exchange; state per pair is a sort of its matched
+    ticks only."""
+    base = resampled if resampled is not None else resample_tracks(
+        pings, interval_s, user_col=user_col, ts_col=ts_col,
+        lon_col=lon_col, lat_col=lat_col,
+    )
+    sampled = base.select(
+        F.col(user_col),
+        "tick",
+        cells.cell_id(F.col(lon_col), F.col(lat_col), res).alias("cell_id"),
+    )
+    a = sampled.select(F.col(user_col).alias("user_a"), "tick", "cell_id")
+    b = sampled.select(F.col(user_col).alias("user_b"), "tick", "cell_id")
+    matched = a.join(b, ["tick", "cell_id"]).filter(
+        F.col("user_a") < F.col("user_b")
+    )
+    w = Window.partitionBy("user_a", "user_b").orderBy("tick")
+    runs = matched.select(
+        "user_a",
+        "user_b",
+        "tick",
+        (F.col("tick") - F.row_number().over(w)).alias("_grp"),
+    )
+    return (
+        runs.groupBy("user_a", "user_b", "_grp")
+        .agg(
+            F.min("tick").alias("start_tick"),
+            F.max("tick").alias("end_tick"),
+            F.count(F.lit(1)).cast("long").alias("n_ticks"),
+        )
+        .filter(F.col("n_ticks") >= min_len)
+        .drop("_grp")
+    )

@@ -401,6 +401,52 @@ def test_sharpness_matches_numpy(spark):
     assert got["b"]["lap_energy"] == 0 and got["b"]["lap_count"] == 16
 
 
+def test_sobel_matches_scalar_brute(spark):
+    from osm2geojson_spark.operators.multimodal import sobel_stats
+
+    px = imagecodec.synth_pixels(3, 10, 7).astype(np.int64)
+    # the gradient of the plain synthetic ramp is a constant g = 80 (no
+    # mod-251 wrap fits in a 10x7 tile) — plant a bump so the threshold
+    # actually separates edge pixels from background
+    px[3, 4] = 250
+    imgs = spark.createDataFrame(
+        [
+            ("a", 10, 7, "rawz", bytearray(imagecodec.encode_rawz(px.astype(np.uint8)))),
+            # constant image: zero gradient everywhere
+            ("b", 5, 5, "rawz", bytearray(imagecodec.encode_rawz(np.full((5, 5), 77, np.uint8)))),
+            # same pixels via PNG: format-independent result
+            ("c", 10, 7, "png", bytearray(imagecodec.encode_png(px.astype(np.uint8)))),
+        ],
+        "image_id string, w int, h int, fmt string, bytes binary",
+    )
+    thr = 100
+    got = {r["image_id"]: r for r in sobel_stats(imgs, threshold=thr).collect()}
+
+    # scalar double-loop brute, written fresh against the docstring formula
+    h, w = px.shape
+    l1 = edges = 0
+    for y in range(1, h - 1):
+        for x in range(1, w - 1):
+            gx = (
+                px[y - 1, x + 1] + 2 * px[y, x + 1] + px[y + 1, x + 1]
+                - px[y - 1, x - 1] - 2 * px[y, x - 1] - px[y + 1, x - 1]
+            )
+            gy = (
+                px[y + 1, x - 1] + 2 * px[y + 1, x] + px[y + 1, x + 1]
+                - px[y - 1, x - 1] - 2 * px[y - 1, x] - px[y - 1, x + 1]
+            )
+            g = abs(int(gx)) + abs(int(gy))
+            l1 += g
+            edges += g >= thr
+    a = got["a"]
+    assert (a["grad_l1"], a["edge_count"], a["interior_count"]) == (l1, edges, 8 * 5)
+    assert 0 < a["edge_count"] < a["interior_count"]  # threshold is discriminating
+    b = got["b"]
+    assert (b["grad_l1"], b["edge_count"], b["interior_count"]) == (0, 0, 9)
+    c_row = got["c"]
+    assert (c_row["grad_l1"], c_row["edge_count"]) == (l1, edges)
+
+
 # ---------------------------------------------------------------- zonal stats
 
 

@@ -350,3 +350,92 @@ def test_dbscan_matches_bruteforce(spark):
     assert sum(1 for c, _ in want.values() if c) == 9
     assert [c for c, l in want.values() if not c and l is not None] == [False]
     assert sum(1 for c, l in want.values() if not c and l is None) == 2
+
+
+def test_emerging_hotspots_trends_and_zero_fill(spark):
+    from osm2geojson_spark.operators.spatial_stats import emerging_hotspots
+
+    t0 = 1_700_000_000
+    bin_s = 3600
+    # four res-6 cells (distinct lon centers): counts per bin over 3 bins
+    #   A (0.5): 1,2,3  -> S = +3 emerging
+    #   B (10.5): 3,2,1 -> S = -3 cooling
+    #   C (20.5): 2,2,2 -> S = 0 stable
+    #   D (30.5): 0,5,0 -> S = 0 stable (zero-filled bins 0 and 2)
+    spec = {0.5: [1, 2, 3], 10.5: [3, 2, 1], 20.5: [2, 2, 2], 30.5: [0, 5, 0]}
+    rows = []
+    for lon, per_bin in spec.items():
+        for b, n in enumerate(per_bin):
+            for k in range(n):
+                rows.append((lon, 0.5, (t0 + b * bin_s + 7 * k) * 1_000_000))
+    # an out-of-cube event (before t0) must be dropped, not mis-binned
+    rows.append((0.5, 0.5, (t0 - 10) * 1_000_000))
+    df = spark.createDataFrame(
+        rows, "lon double, lat double, t_us long"
+    ).selectExpr("lon", "lat", "timestamp_micros(t_us) AS ts")
+
+    out = emerging_hotspots(df, res=6, n_bins=3, t0_s=t0, bin_s=bin_s)
+    by_cell = {
+        r["cell_id"]: (r["total"], r["s_stat"], r["trend"], r["n_bins"])
+        for r in out.collect()
+    }
+    cid = {
+        lon: cells_id
+        for lon, cells_id in (
+            (lon, spark.range(1).select(
+                cells.cell_id(F.lit(lon), F.lit(0.5), 6).alias("c")
+            ).collect()[0]["c"])
+            for lon in spec
+        )
+    }
+    assert by_cell[cid[0.5]] == (6, 3, "emerging", 3)
+    assert by_cell[cid[10.5]] == (6, -3, "cooling", 3)
+    assert by_cell[cid[20.5]] == (6, 0, "stable", 3)
+    assert by_cell[cid[30.5]] == (5, 0, "stable", 3)
+    assert len(by_cell) == 4
+
+
+def test_emerging_hotspots_matches_brute_mk(spark):
+    from osm2geojson_spark.operators.spatial_stats import emerging_hotspots
+
+    t0 = 1_700_000_000
+    bin_s, n_bins = 600, 5
+    rows = []
+    for k in range(400):
+        lon = ((k * 37) % 8) * 5.0 + 0.5
+        b = (k * k * 13 + k) % n_bins
+        rows.append((lon, 0.5, (t0 + b * bin_s + (k % 500)) * 1_000_000))
+    df = spark.createDataFrame(
+        rows, "lon double, lat double, t_us long"
+    ).selectExpr("lon", "lat", "timestamp_micros(t_us) AS ts")
+
+    # brute: count per (cell, bin) — distinct lons can share a res-6 cell
+    # (5 deg step < the 5.625 deg cell width) — zero-fill, textbook MK
+    lons = sorted({r[0] for r in rows})
+    cell_of = {
+        r["lon"]: r["c"]
+        for r in spark.createDataFrame(
+            [(lon,) for lon in lons], "lon double"
+        ).select("lon", cells.cell_id(F.col("lon"), F.lit(0.5), 6).alias("c"))
+        .collect()
+    }
+    counts: dict[int, list[int]] = {}
+    for lon, _lat, t_us in rows:
+        b = (t_us // 1_000_000 - t0) // bin_s
+        counts.setdefault(cell_of[lon], [0] * n_bins)[b] += 1
+    want = {}
+    for cell, cs in counts.items():
+        s = sum(
+            (cs[j] > cs[i]) - (cs[j] < cs[i])
+            for i in range(n_bins)
+            for j in range(i + 1, n_bins)
+        )
+        want[cell] = (sum(cs), s)
+
+    got = {
+        r["cell_id"]: (r["total"], r["s_stat"])
+        for r in emerging_hotspots(
+            df, res=6, n_bins=n_bins, t0_s=t0, bin_s=bin_s
+        ).collect()
+    }
+    assert got == want

@@ -547,3 +547,86 @@ def test_trips_chaining(spark, pings):
     # user 1's revisit trip (A -> A) has dist 0 but real travel time
     u1 = [t for (u, _), t in got.items() if u == 1 and t["dist_m"] == 0.0]
     assert len(u1) == 1 and u1[0]["travel_s"] > 0
+
+
+def test_convoy_episodes_islands_and_gate(spark):
+    from osm2geojson_spark.operators.trajectory import convoy_episodes
+
+    M = 60 * 1_000_000  # 1 minute in us
+    # users 1 and 2 move TOGETHER ticks 10..13 (cells change tick to tick —
+    # still one convoy), separate at 14, rejoin for the single tick 15:
+    # episodes (10,13,4) and (15,15,1); min_len=2 keeps only the first.
+    rows = []
+    for u, off in ((1, 0.0), (2, 0.05)):
+        rows += [
+            (u, 10 * M, 10.0 + off, 5.0),
+            (u, 13 * M, 40.0 + off, 5.0),  # drift across cells together
+        ]
+    rows += [(1, 14 * M, 60.0, 5.0), (2, 14 * M, 120.0, 5.0)]
+    rows += [(1, 15 * M, 80.0, 5.0), (2, 15 * M, 80.05, 5.0)]
+    rows += [(1, 16 * M, 60.0, 5.0), (2, 16 * M, 120.0, 5.0)]
+    df = spark.createDataFrame(
+        rows, "user_id long, t_us long, lon double, lat double"
+    ).selectExpr("user_id", "timestamp_micros(t_us) AS ts", "lon", "lat")
+
+    all_eps = {
+        (r["user_a"], r["user_b"], r["start_tick"], r["end_tick"]): r["n_ticks"]
+        for r in convoy_episodes(df, 60, res=6, min_len=1).collect()
+    }
+    assert all_eps == {(1, 2, 10, 13): 4, (1, 2, 15, 15): 1}
+    gated = convoy_episodes(df, 60, res=6, min_len=2).collect()
+    assert [(r["start_tick"], r["end_tick"], r["n_ticks"]) for r in gated] == [
+        (10, 13, 4)
+    ]
+
+
+def test_convoy_episodes_matches_brute(spark):
+    from osm2geojson_spark.operators.trajectory import (
+        convoy_episodes,
+        resample_tracks,
+    )
+
+    M = 60 * 1_000_000
+    rows = []
+    for u in range(6):
+        t = 0
+        for k in range(8):
+            t += 30_000_000 + ((u * 7 + k * 13) % 5) * 25_000_000
+            lon = ((u * 31 + k * 57) % 11) * 1.7 - 5.0
+            lat = ((u * 17 + k * 29) % 7) * 1.3 - 4.0
+            rows.append((u, t, lon, lat))
+    df = spark.createDataFrame(
+        rows, "user_id long, t_us long, lon double, lat double"
+    ).selectExpr("user_id", "timestamp_micros(t_us) AS ts", "lon", "lat")
+
+    from osm2geojson_spark.operators import cells
+
+    res = 2
+    samp = resample_tracks(df, 60).select(
+        "user_id", "tick", cells.cell_id(F.col("lon"), F.col("lat"), res).alias("c")
+    )
+    occ = {}
+    for r in samp.collect():
+        occ.setdefault((r["tick"], r["c"]), []).append(r["user_id"])
+    ticks_by_pair = {}
+    for (tick, _c), us in occ.items():
+        us = sorted(us)
+        for i in range(len(us)):
+            for j in range(i + 1, len(us)):
+                ticks_by_pair.setdefault((us[i], us[j]), set()).add(tick)
+    want = {}
+    for pair, ticks in ticks_by_pair.items():
+        ts = sorted(ticks)
+        s = ts[0]
+        prev = ts[0]
+        for t in ts[1:] + [None]:
+            if t is None or t != prev + 1:
+                want[(pair[0], pair[1], s, prev)] = prev - s + 1
+                if t is not None:
+                    s = t
+            prev = t if t is not None else prev
+    got = {
+        (r["user_a"], r["user_b"], r["start_tick"], r["end_tick"]): r["n_ticks"]
+        for r in convoy_episodes(df, 60, res=res, min_len=1).collect()
+    }
+    assert got == want and len(want) > 3
