@@ -1453,6 +1453,90 @@ SELECT c_custkey, {gh} AS gh6, substr({gh}, 1, 3) AS gh3 FROM customer
 """
 
 
+def q_quadkey_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X81 (cells.quadkey_key): quadkey tile-address strings — per customer
+    point the 6-digit base-4 quadkey plus the res-3 PARENT's key, which by
+    the scheme's defining property is its prefix (prefix scan = spatial
+    containment, the lexicographic-store sharding key). Pure column
+    arithmetic; the oracle rebuilds every digit with // and %."""
+    from osm2geojson_spark.operators.cells import cell_id, quadkey_key
+
+    pts = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey"), _lon("c_custkey").alias("lon"), _lat("c_custkey").alias("lat")
+    )
+    return pts.select(
+        "c_custkey",
+        quadkey_key(cell_id(F.col("lon"), F.col("lat"), 6), 6).alias("qk6"),
+        quadkey_key(cell_id(F.col("lon"), F.col("lat"), 3), 3).alias("qk3"),
+    )
+
+
+def _quadkey_layout_sql() -> str:
+    from osm2geojson_spark.operators.cells import cell_id_sql, quadkey_key_sql
+
+    q6 = quadkey_key_sql(
+        cell_id_sql(SYN.lon_sql("c_custkey"), SYN.lat_sql("c_custkey"), 6), 6
+    )
+    q3 = quadkey_key_sql(
+        cell_id_sql(SYN.lon_sql("c_custkey"), SYN.lat_sql("c_custkey"), 3), 3
+    )
+    return f"""
+SELECT c_custkey, {q6} AS qk6, {q3} AS qk3 FROM customer
+"""
+
+
+def q_voronoi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X80 (geostat.voronoi_assign): discrete Voronoi partition — every
+    occupied res-5 customer cell labeled with its nearest of 12 supplier
+    seed cells under the exact int64 equirect metric (x wraps at the
+    antimeridian, ties to the smallest seed id). Seeds broadcast; scan ->
+    broadcast join -> min-struct rollup; the oracle replays the metric and
+    the tie rule with a row_number argmin."""
+    from osm2geojson_spark.operators.cells import cell_id
+    from osm2geojson_spark.operators.geostat import voronoi_assign
+
+    occ = (
+        _t(spark, sf_dir, "customer")
+        .select(cell_id(_lon("c_custkey"), _lat("c_custkey"), 5).alias("cell_id"))
+        .distinct()
+    )
+    seeds = _t(spark, sf_dir, "supplier").filter(F.col("s_suppkey") < 12).select(
+        F.col("s_suppkey").alias("seed_id"),
+        cell_id(_lon("s_suppkey"), _lat("s_suppkey"), 5).alias("seed_cell"),
+    )
+    return voronoi_assign(occ, seeds, res=5)
+
+
+def _voronoi_sql() -> str:
+    from osm2geojson_spark.operators import cells as CEL
+
+    ccell = CEL.cell_id_sql(SYN.lon_sql("c_custkey"), SYN.lat_sql("c_custkey"), 5)
+    scell = CEL.cell_id_sql(SYN.lon_sql("s_suppkey"), SYN.lat_sql("s_suppkey"), 5)
+    xs, rs, n = 1 << 29, 1 << 58, 1 << 5
+    return f"""
+WITH occ AS (
+  SELECT DISTINCT {ccell} AS cell_id FROM customer
+), seeds AS (
+  SELECT s_suppkey AS sid, {scell} AS scell FROM supplier WHERE s_suppkey < 12
+), sc AS (
+  SELECT cell_id, sid,
+         4 * least(abs((cell_id % {rs}) // {xs} - (scell % {rs}) // {xs}),
+                   {n} - abs((cell_id % {rs}) // {xs} - (scell % {rs}) // {xs}))
+           * least(abs((cell_id % {rs}) // {xs} - (scell % {rs}) // {xs}),
+                   {n} - abs((cell_id % {rs}) // {xs} - (scell % {rs}) // {xs}))
+         + (cell_id % {xs} - scell % {xs}) * (cell_id % {xs} - scell % {xs})
+           AS d2
+  FROM occ CROSS JOIN seeds
+), ranked AS (
+  SELECT cell_id, sid, d2,
+         row_number() OVER (PARTITION BY cell_id ORDER BY d2, sid) AS rn
+  FROM sc
+)
+SELECT cell_id, CAST(sid AS BIGINT) AS seed_id, CAST(d2 AS BIGINT) AS d2
+FROM ranked WHERE rn = 1
+"""
+
+
 _LOC_NF, _LOC_NS = 150, 24  # features x axis-aligned segments
 
 
@@ -5663,6 +5747,8 @@ FROM visits
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "voronoi": q_voronoi,
+        "quadkey_layout": q_quadkey_layout,
         "sobel_edges": q_sobel_edges,
         "emerging_hotspots": q_emerging_hotspots,
         "convoys": q_convoys,
@@ -5852,6 +5938,8 @@ def oracle_sql() -> dict[str, str]:
         "hotspots": _hotspots_sql(),
         "emerging_hotspots": _emerging_hotspots_sql(),
         "sobel_edges": _sobel_edges_sql(),
+        "voronoi": _voronoi_sql(),
+        "quadkey_layout": _quadkey_layout_sql(),
         "focal_stats": _focal_stats_sql(),
         "lisa": _lisa_sql(),
         "areal_interpolate": _AREAL_SQL,

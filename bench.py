@@ -127,6 +127,8 @@ BENCH_QUERIES = [
     "convoys",
     "emerging_hotspots",
     "sobel_edges",
+    "voronoi",
+    "quadkey_layout",
 ]
 
 

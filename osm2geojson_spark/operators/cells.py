@@ -160,6 +160,35 @@ def morton_key(cell: Column, res: int) -> Column:
     return key
 
 
+def quadkey_key(cell: Column, res: int) -> Column:
+    """Quadkey tile-address STRING (the Bing-maps base-4 scheme applied to
+    this engine's equirectangular grid): ``res`` digits MSB-first, digit =
+    x_bit + 2*y_bit. The defining property (pinned in tests/test_layout):
+    a parent cell's quadkey is every descendant's PREFIX, so prefix
+    matching = spatial containment — the string-keyed sharding twin of
+    ``morton_key`` for stores whose range scans are lexicographic
+    (HBase/Bigtable row keys, S3 prefixes, Elasticsearch terms). Pure
+    column arithmetic, no UDF."""
+    x, y = cell_xy(cell)
+    digits = [
+        (F.shiftright(x, b) % 2 + (F.shiftright(y, b) % 2) * 2).cast("string")
+        for b in range(res - 1, -1, -1)
+    ]
+    return F.concat(*digits)
+
+
+def quadkey_key_sql(cell_expr: str, res: int) -> str:
+    """DuckDB twin of `quadkey_key` — same digits via //, % and ||."""
+    x = f"((({cell_expr}) % {1 << _R_SHIFT}) // {1 << _X_SHIFT})"
+    y = f"(({cell_expr}) % {1 << _X_SHIFT})"
+    digits = [
+        f"CAST(((({x}) // {1 << b}) % 2) + 2 * ((({y}) // {1 << b}) % 2)"
+        f" AS VARCHAR)"
+        for b in range(res - 1, -1, -1)
+    ]
+    return "(" + " || ".join(digits) + ")"
+
+
 def hilbert_d_py(x: int, y: int, res: int) -> int:
     """Reference Hilbert xy -> d (public-spec algorithm) for tests."""
     rx = ry = 0

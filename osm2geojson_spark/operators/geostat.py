@@ -288,3 +288,60 @@ def semivariogram(
         )
         .orderBy("bin")
     )
+
+
+def voronoi_assign(
+    cell_rows: DataFrame,
+    seeds: DataFrame,
+    res: int,
+    cell_col: str = "cell_id",
+    seed_id_col: str = "seed_id",
+    seed_cell_col: str = "seed_cell",
+) -> DataFrame:
+    """DISCRETE VORONOI PARTITION — assign every input cell to its nearest
+    seed: the grid-quantized Voronoi diagram / nearest-facility labeling
+    (service-area assignment, k-means E-step over a raster, coverage
+    maps). Working on CELLS rather than exact bisectors keeps the whole
+    diagram integer-exact and embarrassingly parallel — the standard
+    trade at raster scale.
+
+    Metric: squared equirectangular distance between cell centers in
+    exact int64 grid units,
+
+        d2 = 4 * min(|dx|, n-|dx|)^2 + dy^2
+
+    (x wraps at the antimeridian; the factor 4 = (360/180)^2 converts the
+    x-cell width to y-cell units so one unit means 180/n degrees in both
+    axes). Ties break to the smallest seed_id — deterministic on both
+    engines. Returns (cell_col, seed_id, d2).
+
+    Scale: seeds BROADCAST (a Voronoi diagram's seed set is small by
+    construction — facilities, cluster centers); the plan is scan ->
+    broadcast nested loop -> partial min -> final min, no shuffle of the
+    cell table beyond the rollup's own combine. For large seed sets use
+    knn_join (ring-bounded) instead; this operator is the k-small exact
+    path."""
+    n = 1 << res
+    sx, sy = cells.cell_xy(F.col("_scell"))
+    cx, cy = cells.cell_xy(F.col(cell_col))
+    s = F.broadcast(
+        seeds.select(
+            F.col(seed_id_col).alias("_sid"), F.col(seed_cell_col).alias("_scell")
+        )
+    )
+    dx0 = F.abs(cx - sx)
+    dxw = F.least(dx0, F.lit(n) - dx0)
+    dy = cy - sy
+    d2 = F.lit(4) * dxw * dxw + dy * dy
+    scored = cell_rows.select(cell_col).crossJoin(s).select(
+        F.col(cell_col),
+        F.struct(
+            d2.cast("long").alias("d2"), F.col("_sid").cast("long").alias("sid")
+        ).alias("_k"),
+    )
+    best = scored.groupBy(cell_col).agg(F.min("_k").alias("_b"))
+    return best.select(
+        cell_col,
+        F.col("_b.sid").alias("seed_id"),
+        F.col("_b.d2").alias("d2"),
+    )

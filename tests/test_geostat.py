@@ -199,3 +199,46 @@ def test_kde_point_on_center_and_empty(spark):
     # bandwidth smaller than the distance to ANY cell center -> empty
     off = spark.createDataFrame([(clon + 2.0, clat)], "lon double, lat double")
     assert kde_surface(off, 1000.0, res=res).count() == 0
+
+
+def test_voronoi_assign_matches_brute_with_wrap_and_ties(spark):
+    from osm2geojson_spark.operators.cells import pack_cell
+    from osm2geojson_spark.operators.geostat import voronoi_assign
+
+    res = 4  # 16 x 16 grid
+    n = 1 << res
+    seeds_xy = {1: (2, 8), 2: (14, 15), 3: (8, 2)}
+    cells_xy = [(x, y) for x in range(n) for y in range(n)]
+
+    cells_df = spark.createDataFrame(cells_xy, "x long, y long").select(
+        pack_cell(res, F.col("x"), F.col("y")).alias("cell_id"), "x", "y"
+    )
+    seeds_df = spark.createDataFrame(
+        [(sid, x, y) for sid, (x, y) in seeds_xy.items()], "sid long, x long, y long"
+    ).select(
+        F.col("sid").alias("seed_id"),
+        pack_cell(res, F.col("x"), F.col("y")).alias("seed_cell"),
+    )
+
+    def d2(cxy, sxy):
+        dx0 = abs(cxy[0] - sxy[0])
+        dxw = min(dx0, n - dx0)
+        return 4 * dxw * dxw + (cxy[1] - sxy[1]) ** 2
+
+    want = {}
+    for cxy in cells_xy:
+        best = min((d2(cxy, sxy), sid) for sid, sxy in seeds_xy.items())
+        want[cxy] = best
+    got = {
+        (r["x"], r["y"]): (r["d2"], r["seed_id"])
+        for r in voronoi_assign(cells_df, seeds_df, res)
+        .join(cells_df, "cell_id")
+        .collect()
+    }
+    assert got == want
+    # wrap actually matters: (15,8) reaches seed 1 (x=2) across the seam
+    # (wrapped d2 = 36 beats seed 2's 53; unwrapped it would be 676)
+    assert want[(15, 8)] == (36, 1)
+    # ties break to the smaller seed id: (5,5) is equidistant from 1 and 3
+    assert d2((5, 5), seeds_xy[1]) == d2((5, 5), seeds_xy[3])
+    assert want[(5, 5)][1] == 1

@@ -190,3 +190,47 @@ def test_adaptive_cells_invariants(spark):
         for m in members:
             assert x == max(0, min(n - 1, int((m["lon"] + 180.0) / 360.0 * n)))
             assert y == max(0, min(n - 1, int((m["lat"] + 90.0) / 180.0 * n)))
+
+
+def test_quadkey_matches_textbook_and_prefix_property(spark):
+    from osm2geojson_spark.operators.cells import (
+        cell_id,
+        pack_cell,
+        quadkey_key,
+        quadkey_key_sql,
+    )
+
+    res = 6
+
+    def textbook_quadkey(x: int, y: int, r: int) -> str:
+        # independent digit walk (Bing quadkey spec, our y convention)
+        out = []
+        for b in range(r - 1, -1, -1):
+            out.append(str(((x >> b) & 1) + 2 * ((y >> b) & 1)))
+        return "".join(out)
+
+    xy = [(0, 0), (63, 63), (17, 42), (32, 1), (5, 60)]
+    df = spark.createDataFrame(xy, "x long, y long").select(
+        "x", "y", quadkey_key(pack_cell(res, F.col("x"), F.col("y")), res).alias("qk")
+    )
+    for r in df.collect():
+        assert r["qk"] == textbook_quadkey(r["x"], r["y"], res), (r["x"], r["y"])
+        assert len(r["qk"]) == res
+
+    # prefix property: the res-4 parent's quadkey prefixes the res-6 cell's
+    child = spark.range(1).select(
+        quadkey_key(cell_id(F.lit(100.3), F.lit(-33.7), 6), 6).alias("q6"),
+        quadkey_key(cell_id(F.lit(100.3), F.lit(-33.7), 4), 4).alias("q4"),
+    ).collect()[0]
+    assert child["q6"].startswith(child["q4"])
+
+    # SQL twin parity on the same cells
+    import duckdb
+
+    con = duckdb.connect()
+    for x, y in xy:
+        cell_val = 6 * (1 << 58) + x * (1 << 29) + y
+        got_sql = con.sql(
+            f"SELECT {quadkey_key_sql(str(cell_val), res)} AS q"
+        ).fetchone()[0]
+        assert got_sql == textbook_quadkey(x, y, res)
