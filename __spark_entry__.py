@@ -4923,6 +4923,99 @@ HAVING count(*) >= 2
 """
 
 
+def q_decayed_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X82 (rasterize.decayed_heatmap): recency-weighted cell heat — every
+    January ping weighted 2^(15 - age) with 2-day half-life bins ending
+    2024-02-01, summed per res-4 cell. Power-of-two weights keep the
+    statistic exact int64 in any summation order; pmod floor-div ages;
+    scan -> combinable rollup, no window/join. The oracle replays the
+    binning, gates, and shifts verbatim."""
+    from osm2geojson_spark.operators.rasterize import decayed_heatmap
+
+    return decayed_heatmap(
+        _traj_pings(spark, sf_dir),
+        res=4,
+        t_end_s=1_706_745_600,  # 2024-02-01 UTC
+        bin_s=2 * 86400,
+        max_age_bins=15,
+    )
+
+
+def _decayed_heatmap_sql() -> str:
+    from osm2geojson_spark.operators import cells as CEL
+
+    t_end_us = 1_706_745_600 * 1_000_000
+    bin_us = 2 * 86400 * 1_000_000
+    cell = CEL.cell_id_sql("lon", "lat", 4)
+    return f"""
+WITH pings AS ({_TRAJ_PINGS_CTE}
+), e AS (
+  SELECT {cell} AS cell_id,
+         ({t_end_us} - epoch_us(ts)) // {bin_us} AS age
+  FROM pings
+), g AS (
+  SELECT cell_id, age FROM e WHERE age >= 0 AND age <= 15
+)
+SELECT cell_id,
+       CAST(sum(CAST(1 AS BIGINT) << CAST(15 - age AS INTEGER)) AS BIGINT)
+         AS heat,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(min(age) AS BIGINT) AS newest_age
+FROM g GROUP BY 1
+"""
+
+
+def q_track_bearing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X83 (trajectory.track_bearing): course-over-ground + turn angle per
+    leg of every user trajectory — one ordered window, trig in the
+    identical operation order as the SQL twin (haversine precedent), and
+    CASE-guarded single-add normalizations (no fmod round-trips, which
+    are not IEEE no-ops). 6-decimal rounding on both engines."""
+    from osm2geojson_spark.operators.trajectory import track_bearing
+
+    out = track_bearing(_traj_pings(spark, sf_dir))
+    return out.select(
+        "user_id",
+        F.col("ts").cast("timestamp").cast("long").alias("t_s"),
+        "bearing_deg",
+        "turn_deg",
+    )
+
+
+def _track_bearing_sql() -> str:
+    return f"""
+WITH pings AS ({_TRAJ_PINGS_CTE}
+), legs AS (
+  SELECT user_id, ts, lon, lat,
+         lead(lon) OVER w AS lon1, lead(lat) OVER w AS lat1
+  FROM pings WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), b AS (
+  SELECT user_id, ts,
+         degrees(atan2(
+           sin(radians(lon1 - lon)) * cos(radians(lat1)),
+           cos(radians(lat)) * sin(radians(lat1))
+             - sin(radians(lat)) * cos(radians(lat1)) * cos(radians(lon1 - lon))
+         )) AS raw
+  FROM legs WHERE lon1 IS NOT NULL
+), nb AS (
+  SELECT user_id, ts,
+         CASE WHEN raw < 0 THEN raw + 360.0 ELSE raw END AS bearing
+  FROM b
+), t AS (
+  SELECT user_id, ts, bearing,
+         bearing - lag(bearing)
+           OVER (PARTITION BY user_id ORDER BY ts) AS d
+  FROM nb
+)
+SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t_s,
+       round(bearing, 6) + 0.0 AS bearing_deg,
+       round(CASE WHEN d > 180 THEN d - 360.0
+                  WHEN d <= -180 THEN d + 360.0
+                  ELSE d END, 6) + 0.0 AS turn_deg
+FROM t
+"""
+
+
 def q_trips(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X74 (trajectory.trips): trip chaining — one row per inter-stay trip
     with depart/arrive epochs, exact travel seconds, and the straight-line
@@ -5747,6 +5840,8 @@ FROM visits
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "decayed_heatmap": q_decayed_heatmap,
+        "track_bearing": q_track_bearing,
         "voronoi": q_voronoi,
         "quadkey_layout": q_quadkey_layout,
         "sobel_edges": q_sobel_edges,
@@ -5939,6 +6034,8 @@ def oracle_sql() -> dict[str, str]:
         "emerging_hotspots": _emerging_hotspots_sql(),
         "sobel_edges": _sobel_edges_sql(),
         "voronoi": _voronoi_sql(),
+        "decayed_heatmap": _decayed_heatmap_sql(),
+        "track_bearing": _track_bearing_sql(),
         "quadkey_layout": _quadkey_layout_sql(),
         "focal_stats": _focal_stats_sql(),
         "lisa": _lisa_sql(),

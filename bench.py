@@ -129,6 +129,8 @@ BENCH_QUERIES = [
     "sobel_edges",
     "voronoi",
     "quadkey_layout",
+    "decayed_heatmap",
+    "track_bearing",
 ]
 
 

@@ -24,6 +24,8 @@ import pandas as pd
 
 from pyspark.sql.types import ArrayType, LongType, StructField, StructType
 
+from . import cells
+
 
 def _axis_pixel(coord: Column, lo: float, span: float, n_px: int) -> Column:
     """Global pixel index along one axis, clamped into [0, n_px-1] so the
@@ -144,3 +146,57 @@ def pack_tiles(
         )
 
     return pixel_counts.groupBy("tile_x", "tile_y").applyInPandas(kernel, schema)
+
+
+def decayed_heatmap(
+    events: DataFrame,
+    res: int,
+    t_end_s: int,
+    bin_s: int,
+    max_age_bins: int = 15,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """TIME-DECAYED HEATMAP — per-cell recency-weighted event heat: each
+    event contributes 2^(max_age_bins - age) where age = floor((t_end -
+    ts) / bin_s), i.e. exponential decay with half-life ``bin_s``,
+    renormalized so the OLDEST admissible bin has weight 1 and the newest
+    has 2^max_age_bins. The "what's hot right now" surface every live map
+    / trending-places layer computes; power-of-two weights keep the whole
+    statistic exact int64 (float decay powers would hash differently per
+    summation order), and dividing the published heat by 2^max_age_bins
+    recovers the conventional [0, 1]-decay scale losslessly.
+
+    Events newer than ``t_end_s`` (age < 0) or older than the window
+    (age > ``max_age_bins``) are dropped. Returns (cell_id, heat,
+    n_events, newest_age) with newest_age the smallest contributing age
+    bin — heat is bounded by n_events * 2^max_age_bins (< 2^63 for any
+    real corpus with max_age_bins <= ~40).
+
+    Scale: scan -> filter -> combiner-friendly rollup keyed by cell —
+    cell_histogram-shaped, no windows, no join. In streaming this is the
+    batch twin of a sliding-window aggregation: the decay re-weights on
+    read (t_end advances), so the stored state is just (cell, age-bin)
+    partial sums."""
+    t_end_us = t_end_s * 1_000_000
+    bin_us = bin_s * 1_000_000
+    # exact FLOOR division via pmod: with truncating div an event 1us in
+    # the FUTURE would land in age 0 and survive the age >= 0 gate
+    dt = f"({t_end_us} - unix_micros(CAST({ts_col} AS TIMESTAMP)))"
+    age = F.expr(f"({dt} - pmod({dt}, {bin_us})) div {bin_us}")
+    w = F.expr(f"shiftleft(1L, CAST({max_age_bins} - _age AS INT))")
+    return (
+        events.select(
+            cells.cell_id(F.col(lon_col), F.col(lat_col), res).alias("cell_id"),
+            age.alias("_age"),
+        )
+        .filter((F.col("_age") >= 0) & (F.col("_age") <= max_age_bins))
+        .select("cell_id", "_age", w.alias("_w"))
+        .groupBy("cell_id")
+        .agg(
+            F.sum("_w").cast("long").alias("heat"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.min("_age").cast("long").alias("newest_age"),
+        )
+    )

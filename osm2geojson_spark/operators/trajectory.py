@@ -721,3 +721,67 @@ def convoy_episodes(
         .filter(F.col("n_ticks") >= min_len)
         .drop("_grp")
     )
+
+
+def track_bearing(
+    pings: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """HEADING + TURN ANNOTATION — per consecutive ping pair the initial
+    great-circle bearing (degrees clockwise from north, [0, 360)) and the
+    signed turn angle from the previous leg ((-180, 180]; NULL on each
+    track's first leg): the course-over-ground features under turn
+    detection, map-matching tie-breaks, and mode inference.
+
+        bearing = atan2(sin dlon * cos lat2,
+                        cos lat1 * sin lat2 - sin lat1 * cos lat2 * cos dlon)
+
+    Exactness discipline: the only floats are the trig expression itself
+    (identical operation order in the SQL twin — the haversine precedent)
+    and the two normalizations, which are CASE-guarded single adds rather
+    than fmod/pmod round-trips (a +360/fmod(360) detour is NOT an IEEE
+    no-op for positive bearings and would drift an ulp between engines).
+    Outputs round to 6 decimals.
+
+    Returns (user, ts, bearing_deg, turn_deg) — one row per ping that has
+    a successor.
+
+    Scale: ONE ordered window per entity (the shared trajectory sort);
+    lead() for the leg, lag() over the derived bearing in the same
+    window. Column math only, no joins, no Python."""
+    w = Window.partitionBy(user_col).orderBy(ts_col)
+    legs = (
+        pings.select(F.col(user_col), F.col(ts_col), F.col(lon_col), F.col(lat_col))
+        .withColumn("_lon1", F.lead(lon_col).over(w))
+        .withColumn("_lat1", F.lead(lat_col).over(w))
+        .filter(F.col("_lon1").isNotNull())
+    )
+    dlon = F.radians(F.col("_lon1") - F.col(lon_col))
+    la0, la1 = F.radians(F.col(lat_col)), F.radians(F.col("_lat1"))
+    raw = F.degrees(
+        F.atan2(
+            F.sin(dlon) * F.cos(la1),
+            F.cos(la0) * F.sin(la1) - F.sin(la0) * F.cos(la1) * F.cos(dlon),
+        )
+    )
+    bearing = F.when(raw < 0, raw + F.lit(360.0)).otherwise(raw)
+    out = legs.withColumn("_b", bearing).withColumn(
+        "_pb", F.lag("_b").over(Window.partitionBy(user_col).orderBy(ts_col))
+    )
+    d = F.col("_b") - F.col("_pb")
+    turn = (
+        F.when(d > 180, d - F.lit(360.0))
+        .when(d <= -180, d + F.lit(360.0))
+        .otherwise(d)
+    )
+    # + 0.0 normalizes a rounded -0.0 to +0.0 (IEEE: -0.0 + 0.0 = +0.0,
+    # every other value unchanged) — the assemble.py -0.0 rule
+    return out.select(
+        F.col(user_col),
+        F.col(ts_col),
+        (F.round(F.col("_b"), 6) + F.lit(0.0)).alias("bearing_deg"),
+        (F.round(turn, 6) + F.lit(0.0)).alias("turn_deg"),
+    )

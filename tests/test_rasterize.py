@@ -82,3 +82,60 @@ def test_stats_and_pack_consistent(spark):
         assert (arr > 0).sum() == n_px
         assert arr.max() == max_cnt
     assert sum(s[0] for s in stats.values()) == len(pts)
+
+
+def test_decayed_heatmap_weights_and_gates(spark):
+    from pyspark.sql import functions as F
+
+    from osm2geojson_spark.operators.rasterize import decayed_heatmap
+
+    T = 1_700_000_000
+    bin_s, max_age = 3600, 15
+    # cell A (lon 0.5): ages 0 (exactly t_end), 1, 2 -> 2^15 + 2^14 + 2^13
+    # cell B (lon 10.5): single event at the oldest admissible age -> 1
+    # dropped: 1us in the future; one bin past the window
+    rows = [
+        (0.5, T * 1_000_000),
+        (0.5, (T - bin_s) * 1_000_000 - 1),       # age 1 (1us into bin 1)
+        (0.5, (T - 2 * bin_s) * 1_000_000),       # age 2 boundary -> age 2
+        (10.5, (T - max_age * bin_s) * 1_000_000),  # age 15 -> weight 1
+        (20.5, T * 1_000_000 + 1),                # future: dropped
+        (20.5, (T - (max_age + 1) * bin_s) * 1_000_000),  # too old: dropped
+    ]
+    df = spark.createDataFrame(rows, "lon double, t_us long").select(
+        "lon", F.lit(0.5).alias("lat"), F.expr("timestamp_micros(t_us)").alias("ts")
+    )
+    out = decayed_heatmap(df, res=6, t_end_s=T, bin_s=bin_s, max_age_bins=max_age)
+    got = {
+        r["cell_id"]: (r["heat"], r["n_events"], r["newest_age"])
+        for r in out.collect()
+    }
+    from osm2geojson_spark.operators import cells
+
+    def cid(lon):
+        return spark.range(1).select(
+            cells.cell_id(F.lit(lon), F.lit(0.5), 6).alias("c")
+        ).collect()[0]["c"]
+
+    assert got == {
+        cid(0.5): ((1 << 15) + (1 << 14) + (1 << 13), 3, 0),
+        cid(10.5): (1, 1, 15),
+    }
+
+
+def test_decayed_heatmap_age_boundary_is_floor(spark):
+    """An event EXACTLY on a bin boundary belongs to the older bin index
+    computed by floor((t_end - ts)/bin) — and an event 1us in the future
+    must not sneak into age 0 via truncating division."""
+    from pyspark.sql import functions as F
+
+    from osm2geojson_spark.operators.rasterize import decayed_heatmap
+
+    T, bin_s = 1_700_000_000, 60
+    rows = [(0.5, T * 1_000_000 - 1), (0.5, T * 1_000_000 + 999_999)]
+    df = spark.createDataFrame(rows, "lon double, t_us long").select(
+        "lon", F.lit(0.5).alias("lat"), F.expr("timestamp_micros(t_us)").alias("ts")
+    )
+    out = decayed_heatmap(df, res=6, t_end_s=T, bin_s=bin_s, max_age_bins=3).collect()
+    assert len(out) == 1
+    assert (out[0]["heat"], out[0]["n_events"], out[0]["newest_age"]) == (8, 1, 0)

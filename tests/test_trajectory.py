@@ -630,3 +630,60 @@ def test_convoy_episodes_matches_brute(spark):
         for r in convoy_episodes(df, 60, res=res, min_len=1).collect()
     }
     assert got == want and len(want) > 3
+
+
+def test_track_bearing_compass_and_turns(spark):
+    import math
+
+    from osm2geojson_spark.operators.trajectory import track_bearing
+
+    S = 1_000_000
+    # user 1 walks: east, north, west along the equator-ish — bearings
+    # 90, 0, 270; turns: NULL, -90, -90 (wait: 0 -> 270 is -90 via the
+    # (-180, 180] normalization)
+    rows = [
+        (1, 0 * S, 0.0, 0.0),
+        (1, 60 * S, 1.0, 0.0),   # east: 90
+        (1, 120 * S, 1.0, 1.0),  # north: 0
+        (1, 180 * S, 0.0, 1.0),  # west: 270 (turn 0 -> 270 = -90)
+        (1, 240 * S, 0.0, 2.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, t_us long, lon double, lat double"
+    ).selectExpr("user_id", "timestamp_micros(t_us) AS ts", "lon", "lat")
+    got = [
+        (r["bearing_deg"], r["turn_deg"])
+        for r in track_bearing(df).orderBy("ts").collect()
+    ]
+    assert len(got) == 4
+    assert abs(got[0][0] - 90.0) < 1e-6 and got[0][1] is None
+    assert abs(got[1][0] - 0.0) < 2e-2  # east leg ends at lat 0: due north
+    assert abs(got[1][1] - (got[1][0] - got[0][0])) < 1e-9
+    assert abs(got[2][0] - 270.0) < 2e-2
+    # 0ish -> 270ish crosses the wrap: turn must be ~-90, never ~+270
+    assert -91 < got[2][1] < -89
+
+    # brute parity on irregular legs
+    def brute_bearing(lo0, la0, lo1, la1):
+        dl = math.radians(lo1 - lo0)
+        b = math.degrees(
+            math.atan2(
+                math.sin(dl) * math.cos(math.radians(la1)),
+                math.cos(math.radians(la0)) * math.sin(math.radians(la1))
+                - math.sin(math.radians(la0))
+                * math.cos(math.radians(la1))
+                * math.cos(dl),
+            )
+        )
+        return b + 360.0 if b < 0 else b
+
+    pts = [(0.0, 0.0), (3.2, 1.1), (2.0, 4.5), (-1.0, 3.0)]
+    rows2 = [(7, k * S, lo, la) for k, (lo, la) in enumerate(pts)]
+    df2 = spark.createDataFrame(
+        rows2, "user_id long, t_us long, lon double, lat double"
+    ).selectExpr("user_id", "timestamp_micros(t_us) AS ts", "lon", "lat")
+    got2 = [r["bearing_deg"] for r in track_bearing(df2).orderBy("ts").collect()]
+    want2 = [
+        round(brute_bearing(*pts[i], *pts[i + 1]), 6) for i in range(len(pts) - 1)
+    ]
+    assert got2 == want2
