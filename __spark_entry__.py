@@ -4923,6 +4923,137 @@ HAVING count(*) >= 2
 """
 
 
+def q_location_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X86 (trajectory.location_entropy): per-user Shannon entropy of the
+    cell-visit distribution — the mobility-predictability feature. The
+    LOF-style quantization keeps the cross-cell sum exact int64 (s_q);
+    only three identically-ordered float ops assemble the nats value.
+    Two combiner rollups; the oracle replays count -> quantized term ->
+    integer sum -> the same float assembly."""
+    from osm2geojson_spark.operators.trajectory import location_entropy
+
+    return location_entropy(_traj_pings(spark, sf_dir), res=6)
+
+
+def _location_entropy_sql() -> str:
+    from osm2geojson_spark.operators import cells as CEL
+
+    cell = CEL.cell_id_sql("lon", "lat", 6)
+    return f"""
+WITH pings AS ({_TRAJ_PINGS_CTE}
+), cnt AS (
+  SELECT user_id, {cell} AS cell_id, count(*) AS c
+  FROM pings GROUP BY 1, 2
+), t AS (
+  SELECT user_id, c,
+         CAST(round(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)) * 1e6)
+              AS BIGINT) AS tq
+  FROM cnt
+), agg AS (
+  SELECT user_id, CAST(sum(c) AS BIGINT) AS n_pings,
+         CAST(count(*) AS BIGINT) AS n_cells,
+         CAST(sum(tq) AS BIGINT) AS s_q
+  FROM t GROUP BY 1
+)
+SELECT user_id, n_pings, n_cells, s_q,
+       round(ln(CAST(n_pings AS DOUBLE))
+             - (CAST(s_q AS DOUBLE) / 1e6) / CAST(n_pings AS DOUBLE), 6)
+         + 0.0 AS entropy
+FROM agg
+"""
+
+
+def q_kanon_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X85 (cells.kanon_cells): k-anonymity spatial publishing — every
+    customer point assigned the finest cell in [res 2, res 6] whose
+    RESIDUAL population (points not published finer) reaches k=5, with
+    sub-k residue carried up and suppressed at the top: no published
+    (cell, res) group is ever smaller than k (the naive finest-count>=k
+    rule leaks singletons — pinned in tests). One count shuffle + cell-
+    level publish/carry recursion + broadcast decision join; the oracle
+    unrolls the identical recursion as filtered window sums."""
+    from osm2geojson_spark.operators.cells import kanon_cells
+
+    pts = _t(spark, sf_dir, "customer").select(
+        _lon("c_custkey").alias("lon"), _lat("c_custkey").alias("lat")
+    )
+    return kanon_cells(pts, k=5, res_min=2, res_max=6)
+
+
+def _kanon_cells_sql() -> str:
+    from osm2geojson_spark.operators.cells import kanon_cells_sql
+
+    cte = (
+        f"SELECT {SYN.lon_sql('c_custkey')} AS lon,"
+        f" {SYN.lat_sql('c_custkey')} AS lat FROM customer"
+    )
+    return kanon_cells_sql(cte, 5, 2, 6)
+
+
+def q_covisitation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X84 (trajectory.covisitation): place-association matrix — PMI-scored
+    cell pairs co-visited by the same user, from the stay-point visit set
+    (support >= 2, deterministic 64-cells-per-user skew cap). Counts are
+    exact int64; pmi is one log over an exact integer ratio. The oracle
+    replays stays -> distinct visits -> hash-rank cap -> pair/marginal
+    counts -> the identical log expression."""
+    from osm2geojson_spark.operators.trajectory import covisitation, stay_points
+
+    stays = stay_points(_traj_pings(spark, sf_dir), res=6, min_duration_s=3600)
+    return covisitation(stays, min_support=2, max_cells_per_user=64)
+
+
+def _covisitation_sql() -> str:
+    from osm2geojson_spark.operators import cells as CEL
+    from osm2geojson_spark.operators.sampling import sample_hash_sql
+
+    cell = CEL.cell_id_sql("lon", "lat", 6)
+    h = sample_hash_sql("cell_id")
+    return f"""
+WITH pings AS ({_TRAJ_PINGS_CTE}
+), cells_t AS (
+  SELECT user_id, ts, {cell} AS cell_id FROM pings
+), runs AS (
+  SELECT user_id, ts, cell_id,
+    CASE WHEN lag(cell_id) OVER w IS NULL OR lag(cell_id) OVER w != cell_id
+         THEN 1 ELSE 0 END AS nw
+  FROM cells_t WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), r2 AS (
+  SELECT user_id, ts, cell_id,
+    sum(nw) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS run
+  FROM runs
+), stays AS (
+  SELECT user_id, run, cell_id
+  FROM r2 GROUP BY 1, 2, 3
+  HAVING CAST(floor(epoch(max(ts))) AS BIGINT)
+           - CAST(floor(epoch(min(ts))) AS BIGINT) >= 3600
+), visits0 AS (
+  SELECT DISTINCT user_id, cell_id FROM stays
+), capped AS (
+  SELECT user_id, cell_id FROM (
+    SELECT user_id, cell_id,
+           row_number() OVER (PARTITION BY user_id ORDER BY {h}, cell_id)
+             AS rk
+    FROM visits0
+  ) q WHERE rk <= 64
+), nu AS (SELECT count(DISTINCT user_id) AS n FROM capped
+), cn AS (
+  SELECT cell_id, count(*) AS n FROM capped GROUP BY 1
+), pairs AS (
+  SELECT a.cell_id AS cell_a, b.cell_id AS cell_b, count(*) AS n_ab
+  FROM capped a JOIN capped b
+    ON a.user_id = b.user_id AND a.cell_id < b.cell_id
+  GROUP BY 1, 2 HAVING count(*) >= 2
+)
+SELECT cell_a, cell_b, CAST(n_ab AS BIGINT) AS n_ab,
+       round(ln(CAST(nu.n * n_ab AS DOUBLE)
+                / CAST(na.n * nb.n AS DOUBLE)), 6) + 0.0 AS pmi
+FROM pairs, nu
+JOIN cn na ON na.cell_id = cell_a
+JOIN cn nb ON nb.cell_id = cell_b
+"""
+
+
 def q_decayed_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X82 (rasterize.decayed_heatmap): recency-weighted cell heat — every
     January ping weighted 2^(15 - age) with 2-day half-life bins ending
@@ -5840,6 +5971,9 @@ FROM visits
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "location_entropy": q_location_entropy,
+        "kanon_cells": q_kanon_cells,
+        "covisitation": q_covisitation,
         "decayed_heatmap": q_decayed_heatmap,
         "track_bearing": q_track_bearing,
         "voronoi": q_voronoi,
@@ -6035,6 +6169,9 @@ def oracle_sql() -> dict[str, str]:
         "sobel_edges": _sobel_edges_sql(),
         "voronoi": _voronoi_sql(),
         "decayed_heatmap": _decayed_heatmap_sql(),
+        "covisitation": _covisitation_sql(),
+        "kanon_cells": _kanon_cells_sql(),
+        "location_entropy": _location_entropy_sql(),
         "track_bearing": _track_bearing_sql(),
         "quadkey_layout": _quadkey_layout_sql(),
         "focal_stats": _focal_stats_sql(),

@@ -573,3 +573,147 @@ pn AS (SELECT *, {count_cols} FROM pa)
 SELECT lon, lat, {case_cell} AS cell_id, CAST({case_res} AS INTEGER) AS res
 FROM pn
 """
+
+
+def kanon_cells(
+    points: DataFrame,
+    k: int,
+    res_min: int,
+    res_max: int,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    broadcast_decision: bool = True,
+) -> DataFrame:
+    """K-ANONYMITY SPATIAL PUBLISHING with hierarchical RESIDUAL
+    suppression — the coarsen-until-anonymous rule behind privacy-
+    preserving location releases (mobility reports, census small-area
+    suppression), done right: a point is published at the finest cell
+    whose RESIDUAL population (points not already published at a finer
+    level) reaches ``k``; residuals below k carry UP to the parent, and
+    whatever is still below k at res_min is suppressed.
+
+    The residual rule is the load-bearing part. The naive "finest
+    ancestor with total count >= k" leaks: a cell with 6 points of which
+    5 sit in one anonymous child publishes that child at the fine level
+    and strands ONE point alone at the parent — a published group of
+    size 1. Carrying residuals instead guarantees every distinct
+    published (cell_id, res) group has >= k members (pinned in tests).
+
+    Returns the input columns + (cell_id, res, suppressed); cell_id/res
+    NULL when suppressed. The dual of ``adaptive_cells`` (cap above vs
+    floor below), sharing its exactness rule: the res_max cell is
+    computed once from the coordinates, every ancestor derives by
+    integer shifts — no re-floored doubles, so the SQL twin replays the
+    identical integer walk.
+
+    Scale: ONE map-side-combinable count shuffle at res_max; the
+    publish/carry recursion runs on cell-level relations (4x smaller per
+    level, res_max - res_min joins of tiny tables); points are touched
+    again only by the final equi-join on their res_max cell against the
+    broadcast decision table. Two point-sized shuffles total."""
+    assert res_min <= res_max
+    pts = points.withColumn(
+        "_cmax", cell_id(F.col(lon_col), F.col(lat_col), res_max)
+    )
+    counts = (
+        pts.groupBy("_cmax")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .localCheckpoint(eager=False)  # every level derives from it
+    )
+    # bottom-up publish/carry over cell-level relations: lvl holds the
+    # RESIDUAL count per cell at resolution r
+    dec = counts.select("_cmax")
+    lvl = counts.select(F.col("_cmax").alias("_c"), F.col("_n").alias("_resid"))
+    for r in range(res_max, res_min - 1, -1):
+        pub_r = lvl.filter(F.col("_resid") >= k).select(
+            F.col("_c").alias(f"_p{r}"), F.lit(True).alias(f"_pub{r}")
+        )
+        anc = (
+            F.col("_cmax") if r == res_max
+            else parent_cell(F.col("_cmax"), res_max, r)
+        )
+        dec = dec.join(pub_r, anc == F.col(f"_p{r}"), "left").drop(f"_p{r}")
+        if r > res_min:
+            lvl = (
+                lvl.filter(F.col("_resid") < k)
+                .select(
+                    parent_cell(F.col("_c"), r, r - 1).alias("_c"), "_resid"
+                )
+                .groupBy("_c")
+                .agg(F.sum("_resid").alias("_resid"))
+            )
+    # finest published ancestor wins (built coarse -> fine so the
+    # outermost WHEN — res_max — is tried first); none -> suppressed
+    final_cell = F.lit(None).cast("long")
+    final_res = F.lit(None).cast("int")
+    for r in range(res_min, res_max + 1):
+        hit = F.col(f"_pub{r}").isNotNull()
+        cell_r = (
+            F.col("_cmax") if r == res_max
+            else parent_cell(F.col("_cmax"), res_max, r)
+        )
+        final_cell = F.when(hit, cell_r).otherwise(final_cell)
+        final_res = F.when(hit, F.lit(r)).otherwise(final_res)
+    dec = dec.select(
+        "_cmax",
+        final_cell.alias("cell_id"),
+        final_res.cast("int").alias("res"),
+        final_res.isNull().alias("suppressed"),
+    )
+    dec = F.broadcast(dec) if broadcast_decision else dec
+    return pts.join(dec, "_cmax").drop("_cmax")
+
+
+def kanon_cells_sql(points_cte: str, k: int, res_min: int, res_max: int) -> str:
+    """DuckDB twin of kanon_cells — ancestors by // shifts, the same
+    bottom-up publish/carry recursion unrolled as sequential CTEs with
+    per-level filtered window sums. ``points_cte`` must yield (lon, lat)."""
+    cmax = cell_id_sql("lon", "lat", res_max)
+    xs = f"((_cmax % {1 << _R_SHIFT}) // {1 << _X_SHIFT})"
+    ys = f"(_cmax % {1 << _X_SHIFT})"
+
+    def anc(r: int) -> str:
+        if r == res_max:
+            return "_cmax"
+        d = 1 << (res_max - r)
+        return (
+            f"(CAST({r} AS BIGINT) * {1 << _R_SHIFT}"
+            f" + ({xs} // {d}) * {1 << _X_SHIFT} + {ys} // {d})"
+        )
+
+    ancestor_cols = "".join(
+        f", {anc(r)} AS _a{r}" for r in range(res_min, res_max)
+    )
+    # level res_max: residual = the plain cell count
+    ctes = [
+        f"pc AS (SELECT lon, lat, {cmax} AS _cmax{ancestor_cols} FROM p)",
+        f"l{res_max} AS (SELECT *, "
+        f"CAST(sum(1) OVER (PARTITION BY _cmax) AS BIGINT) >= {k}"
+        f" AS _pub{res_max} FROM pc)",
+    ]
+    finer: list[int] = [res_max]
+    for r in range(res_max - 1, res_min - 1, -1):
+        not_finer = " AND ".join(f"NOT _pub{f}" for f in finer)
+        ctes.append(
+            f"l{r} AS (SELECT *, coalesce(CAST(sum(CASE WHEN {not_finer}"
+            f" THEN 1 ELSE 0 END) OVER (PARTITION BY _a{r}) AS BIGINT), 0)"
+            f" >= {k} AS _pub{r} FROM l{r + 1})"
+        )
+        finer.append(r)
+    case_cell = "CASE "
+    case_res = "CASE "
+    for r in range(res_max, res_min - 1, -1):
+        prev = "".join(f"NOT _pub{f} AND " for f in range(res_max, r, -1))
+        case_cell += f"WHEN {prev}_pub{r} THEN {anc(r)} "
+        case_res += f"WHEN {prev}_pub{r} THEN {r} "
+    case_cell += "ELSE NULL END"
+    case_res += "ELSE NULL END"
+    body = ",\n".join(ctes)
+    return f"""
+WITH p AS ({points_cte}),
+{body}
+SELECT lon, lat, {case_cell} AS cell_id,
+       CAST({case_res} AS INTEGER) AS res,
+       ({case_res}) IS NULL AS suppressed
+FROM l{res_min}
+"""

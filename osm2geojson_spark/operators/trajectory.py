@@ -785,3 +785,135 @@ def track_bearing(
         (F.round(F.col("_b"), 6) + F.lit(0.0)).alias("bearing_deg"),
         (F.round(turn, 6) + F.lit(0.0)).alias("turn_deg"),
     )
+
+
+def covisitation(
+    stays: DataFrame,
+    min_support: int = 2,
+    max_cells_per_user: int | None = 64,
+    user_col: str = "user_id",
+    cell_col: str = "cell_id",
+) -> DataFrame:
+    """CO-VISITATION MATRIX — pairs of places visited by the same entity,
+    scored with pointwise mutual information: the place-association
+    primitive under "people who visit A also visit B" recommendations and
+    retail catchment analysis.
+
+    Semantics: from the distinct (user, cell) visit set, count for each
+    unordered cell pair (a < b) the number of users who visited BOTH
+    (``n_ab``), and score
+
+        pmi = ln( N * n_ab / (n_a * n_b) )
+
+    with N = users with any visit and n_a = visitors of a. All counts are
+    exact int64; the pmi argument is two exact integer products and one
+    divide, then ONE log — identical IEEE order on both engines, rounded
+    to 6 decimals. Pairs below ``min_support`` users are dropped.
+
+    Scale: the self-join is keyed by the user, so candidate volume is
+    sum_u(v_u^2) with v_u the user's distinct visited cells — bounded by
+    ``max_cells_per_user``, which caps each user deterministically (the
+    engine's congruential hash ranks the user's cells; same cells win on
+    every engine and every partitioning). That cap is the skew story: a
+    delivery rider visiting 10^4 cells would otherwise emit 10^8 pairs.
+    One shuffle for the distinct, one for the join, combiner-friendly
+    rollups after; ``min_support`` gates output only."""
+    from .sampling import sample_hash
+
+    visits = stays.select(F.col(user_col), F.col(cell_col)).distinct()
+    if max_cells_per_user is not None:
+        w = Window.partitionBy(user_col).orderBy(
+            sample_hash(F.col(cell_col)), F.col(cell_col)
+        )
+        visits = (
+            visits.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= max_cells_per_user)
+            .drop("_rk")
+        )
+    visits = visits.localCheckpoint(eager=False)  # three downstream branches
+    n_users = visits.select(user_col).distinct().count()
+    cell_n = visits.groupBy(cell_col).agg(
+        F.count(F.lit(1)).cast("long").alias("_n")
+    )
+    a = visits.select(F.col(user_col), F.col(cell_col).alias("cell_a"))
+    b = visits.select(F.col(user_col), F.col(cell_col).alias("cell_b"))
+    pairs = (
+        a.join(b, user_col)
+        .filter(F.col("cell_a") < F.col("cell_b"))
+        .groupBy("cell_a", "cell_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+        .filter(F.col("n_ab") >= min_support)
+    )
+    na = cell_n.select(F.col(cell_col).alias("cell_a"), F.col("_n").alias("_na"))
+    nb = cell_n.select(F.col(cell_col).alias("cell_b"), F.col("_n").alias("_nb"))
+    pmi = F.round(
+        F.log(
+            (F.lit(n_users) * F.col("n_ab")).cast("double")
+            / (F.col("_na") * F.col("_nb")).cast("double")
+        ),
+        6,
+    ) + F.lit(0.0)
+    return (
+        pairs.join(na, "cell_a")
+        .join(nb, "cell_b")
+        .select("cell_a", "cell_b", "n_ab", pmi.alias("pmi"))
+    )
+
+
+def location_entropy(
+    pings: DataFrame,
+    res: int = 6,
+    user_col: str = "user_id",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """LOCATION ENTROPY — Shannon entropy of each entity's visit
+    distribution over cells (nats): the predictability feature of the
+    mobility literature (Song et al. 2010 — low entropy = routine
+    commuter, high = erratic), and the standard exploration/exploitation
+    split feature.
+
+    With c_i the entity's ping count in cell i and n = sum c_i:
+
+        H = ln(n) - (sum_i c_i * ln(c_i)) / n
+
+    Exactness scheme (the LOF trick): a float SUM over cells would be
+    partition-order-dependent, so each term is quantized FIRST —
+    t_i = round(c_i * ln(c_i) * 1e6) as int64 — and the sum of exact
+    integers is order-free; both engines then run the identical final
+    three float ops (ln, divide, subtract). ``s_q`` (the quantized sum)
+    is the exact, hash-stable core; ``entropy`` = round 6 of the float
+    assembly, accurate to ~1e-6 nats of the true value.
+
+    Returns (user, n_pings, n_cells, s_q, entropy).
+
+    Scale: two combiner-friendly rollups ((user, cell) then user) — the
+    cell_histogram shape keyed by entity; no windows, no Python."""
+    counts = (
+        pings.select(
+            F.col(user_col),
+            cells.cell_id(F.col(lon_col), F.col(lat_col), res).alias("_cell"),
+        )
+        .groupBy(user_col, "_cell")
+        .agg(F.count(F.lit(1)).cast("long").alias("_c"))
+    )
+    term = F.round(
+        F.col("_c").cast("double") * F.log(F.col("_c").cast("double")) * F.lit(1e6)
+    ).cast("long")
+    agg = counts.select(F.col(user_col), "_c", term.alias("_t")).groupBy(
+        user_col
+    ).agg(
+        F.sum("_c").cast("long").alias("n_pings"),
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.sum("_t").cast("long").alias("s_q"),
+    )
+    h = F.log(F.col("n_pings").cast("double")) - (
+        F.col("s_q").cast("double") / F.lit(1e6)
+    ) / F.col("n_pings").cast("double")
+    return agg.select(
+        user_col,
+        "n_pings",
+        "n_cells",
+        "s_q",
+        (F.round(h, 6) + F.lit(0.0)).alias("entropy"),
+    )

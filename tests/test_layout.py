@@ -234,3 +234,91 @@ def test_quadkey_matches_textbook_and_prefix_property(spark):
             f"SELECT {quadkey_key_sql(str(cell_val), res)} AS q"
         ).fetchone()[0]
         assert got_sql == textbook_quadkey(x, y, res)
+
+
+def _brute_kanon(pts, k, res_min, res_max):
+    """Residual publish/carry, point by point (written fresh against the
+    docstring): level r publishes a cell iff its UNPUBLISHED-below point
+    count >= k; unpublished residuals merge into the parent."""
+
+    def xy(lon, lat, r):
+        n = 1 << r
+        x = max(0, min(n - 1, int((lon + 180.0) / 360.0 * n)))
+        y = max(0, min(n - 1, int((lat + 90.0) / 180.0 * n)))
+        return x, y
+
+    def cid(r, x, y):
+        return (r << 58) + (x << 29) + y
+
+    assigned = [None] * len(pts)
+    for r in range(res_max, res_min - 1, -1):
+        resid = {}
+        for i, (lon, lat) in enumerate(pts):
+            if assigned[i] is None:
+                resid.setdefault(cid(r, *xy(lon, lat, r)), []).append(i)
+        for c, members in resid.items():
+            if len(members) >= k:
+                for i in members:
+                    assigned[i] = (c, r)
+    return assigned
+
+
+def test_kanon_cells_matches_brute_and_publishes_no_small_counts(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(9)
+    pts = [
+        (float(rng.uniform(-1, 1)), float(rng.uniform(-1, 1)))
+        for _ in range(80)
+    ] + [
+        (float(rng.uniform(-170, 170)), float(rng.uniform(-80, 80)))
+        for _ in range(40)
+    ]
+    k, res_min, res_max = 5, 2, 6
+    df = spark.createDataFrame(pts, "lon double, lat double")
+    rows = cells.kanon_cells(df, k=k, res_min=res_min, res_max=res_max).collect()
+    got = sorted(
+        (r["lon"], r["lat"], r["cell_id"], r["res"], r["suppressed"])
+        for r in rows
+    )
+    want = sorted(
+        (lon, lat, *(pub if pub else (None, None)), pub is None)
+        for (lon, lat), pub in zip(pts, _brute_kanon(pts, k, res_min, res_max))
+    )
+    assert got == want
+    # the k-anonymity contract: every published cell count >= k, and the
+    # output is genuinely mixed-resolution with some suppression
+    pub_counts = {}
+    for r in rows:
+        if not r["suppressed"]:
+            pub_counts[r["cell_id"]] = pub_counts.get(r["cell_id"], 0) + 1
+    assert pub_counts and min(pub_counts.values()) >= k
+    assert len({r["res"] for r in rows if r["res"] is not None}) >= 2
+    assert any(r["suppressed"] for r in rows)
+
+
+def test_kanon_sql_twin_matches(spark):
+    import duckdb
+
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    pts = [
+        (float(rng.uniform(-20, 20)), float(rng.uniform(-20, 20)))
+        for _ in range(60)
+    ]
+    df = spark.createDataFrame(pts, "lon double, lat double")
+    got = sorted(
+        (r["lon"], r["lat"], r["cell_id"], r["res"], r["suppressed"])
+        for r in cells.kanon_cells(df, k=4, res_min=1, res_max=4).collect()
+    )
+    import pandas as pd
+
+    con = duckdb.connect()
+    con.register(
+        "pts_t",
+        pd.DataFrame(pts, columns=["lon", "lat"]).astype("float64"),
+    )
+    sql = cells.kanon_cells_sql("SELECT lon, lat FROM pts_t", 4, 1, 4)
+    want = sorted(tuple(r) for r in con.sql(sql).fetchall())
+    assert got == want

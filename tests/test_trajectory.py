@@ -687,3 +687,82 @@ def test_track_bearing_compass_and_turns(spark):
         round(brute_bearing(*pts[i], *pts[i + 1]), 6) for i in range(len(pts) - 1)
     ]
     assert got2 == want2
+
+
+def test_covisitation_matches_brute_and_cap_is_deterministic(spark):
+    import math
+
+    from osm2geojson_spark.operators.trajectory import covisitation
+
+    # visit sets: u1 {A,B,C}, u2 {A,B}, u3 {B,C}, u4 {D}
+    # (cells as plain ids — the operator is cell-scheme agnostic)
+    A, B, C, D = 101, 102, 103, 104
+    visits = [
+        (1, A), (1, B), (1, C), (1, A),  # duplicate visit: distinct first
+        (2, A), (2, B),
+        (3, B), (3, C),
+        (4, D),
+    ]
+    df = spark.createDataFrame(visits, "user_id long, cell_id long")
+    got = {
+        (r["cell_a"], r["cell_b"]): (r["n_ab"], r["pmi"])
+        for r in covisitation(df, min_support=2, max_cells_per_user=None).collect()
+    }
+    N = 4
+    n = {A: 2, B: 3, C: 2, D: 1}
+    want_pairs = {(A, B): 2, (B, C): 2}  # (A,C) has support 1: gated
+    want = {
+        p: (s, round(math.log(N * s / (n[p[0]] * n[p[1]])), 6))
+        for p, s in want_pairs.items()
+    }
+    assert got == want
+
+    # cap: with max_cells_per_user=1 each user keeps exactly the cell the
+    # congruential hash ranks first — deterministic, so re-running agrees
+    from osm2geojson_spark.operators.sampling import sample_hash
+
+    kept = covisitation(df, min_support=1, max_cells_per_user=1).collect()
+    assert kept == []  # one cell per user can never form a pair
+    one = (
+        df.distinct()
+        .withColumn("_h", sample_hash(F.col("cell_id")))
+        .collect()
+    )
+    best = {}
+    for r in one:
+        k = (r["_h"], r["cell_id"])
+        if r["user_id"] not in best or k < best[r["user_id"]]:
+            best[r["user_id"]] = k
+    # sanity: the hash order is a real permutation, not id order
+    assert len({v[1] for v in best.values()}) >= 2
+
+
+def test_location_entropy_matches_brute_and_extremes(spark):
+    import math
+
+    from osm2geojson_spark.operators.trajectory import location_entropy
+
+    # user 1: all pings in one cell -> H = 0 exactly
+    # user 2: uniform over 4 distinct cells -> H = ln 4
+    # user 3: skewed 5/2/1
+    rows = []
+    rows += [(1, 0.5, 0.5)] * 6
+    for lon in (0.5, 10.5, 20.5, 30.5):
+        rows += [(2, lon, 0.5)] * 3
+    rows += [(3, 0.5, 0.5)] * 5 + [(3, 10.5, 0.5)] * 2 + [(3, 20.5, 0.5)]
+    df = spark.createDataFrame(rows, "user_id long, lon double, lat double")
+    got = {
+        r["user_id"]: (r["n_pings"], r["n_cells"], r["s_q"], r["entropy"])
+        for r in location_entropy(df, res=6).collect()
+    }
+
+    def brute(cs):
+        n = sum(cs)
+        s_q = sum(round(c * math.log(c) * 1e6) for c in cs)
+        return (n, len(cs), s_q, round(math.log(n) - (s_q / 1e6) / n, 6))
+
+    assert got[1] == brute([6])
+    assert got[2] == brute([3, 3, 3, 3])
+    assert got[3] == brute([5, 2, 1])
+    assert got[1][3] == 0.0
+    assert abs(got[2][3] - math.log(4)) < 2e-6
