@@ -131,6 +131,9 @@ BENCH_QUERIES = [
     "quadkey_layout",
     "decayed_heatmap",
     "track_bearing",
+    "covisitation",
+    "kanon_cells",
+    "location_entropy",
 ]
 
 
