@@ -5968,9 +5968,107 @@ FROM visits
 """
 
 
+_RIPLEY_RADII = [25_000.0, 50_000.0, 100_000.0, 200_000.0]
+_RIPLEY_AREA_M2 = 1.0e12  # 1000 km x 1000 km study window
+
+
+def q_ripleys_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X87 (geostat.ripleys_k): Ripley's K / L point-pattern function over
+    customer points at four analysis radii — exact int64 ordered-pair
+    counts from ONE within_distance_join at max(r) (cell-covering
+    candidates, never all pairs), then a 4-row broadcast-spine rollup.
+    The oracle brute-forces the pair distances and replays the identical
+    K/L float assembly."""
+    from osm2geojson_spark.operators.geostat import ripleys_k
+
+    pts = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("pid"),
+        _lon("c_custkey").alias("lon"),
+        _lat("c_custkey").alias("lat"),
+    )
+    return ripleys_k(pts, _RIPLEY_RADII, _RIPLEY_AREA_M2, res=6)
+
+
+def _ripleys_k_sql() -> str:
+    import math as _m
+
+    hav = KNN.haversine_sql("a.lon", "a.lat", "b.lon", "b.lat")
+    radii = ", ".join(f"({r!r})" for r in _RIPLEY_RADII)
+    a = repr(_RIPLEY_AREA_M2)
+    k = f"{a} * CAST(n_pairs_le AS DOUBLE) / CAST(nn AS DOUBLE)"
+    return f"""
+WITH p AS (
+  SELECT c_custkey AS pid, {SYN.lon_sql('c_custkey')} AS lon,
+         {SYN.lat_sql('c_custkey')} AS lat
+  FROM customer
+), nsq AS (SELECT CAST(count(*) * count(*) AS DOUBLE) AS nn FROM p
+), d AS (
+  SELECT {hav} AS hav FROM p a JOIN p b ON a.pid < b.pid
+), spine AS (SELECT * FROM (VALUES {radii}) t(r_m)
+), cnt AS (
+  SELECT r_m,
+         CAST(2 * (SELECT count(*) FROM d WHERE hav <= r_m) AS BIGINT)
+           AS n_pairs_le
+  FROM spine
+)
+SELECT r_m, n_pairs_le,
+       round({k}, 6) + 0.0 AS k_hat,
+       round(sqrt(({k}) / {_m.pi!r}), 6) + 0.0 AS l_hat
+FROM cnt, nsq
+"""
+
+
+def q_clark_evans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X88 (geostat.clark_evans): Clark-Evans nearest-neighbor index of
+    customer points — knn_graph(k=1) ring-round NN distances quantized to
+    int64 mm (order-free sum), one-row R / z assembly. The oracle
+    brute-forces each point's min distance and replays the identical
+    float ops."""
+    from osm2geojson_spark.operators.geostat import clark_evans
+
+    pts = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("pid"),
+        _lon("c_custkey").alias("lon"),
+        _lat("c_custkey").alias("lat"),
+    )
+    return clark_evans(pts, _RIPLEY_AREA_M2, res=6)
+
+
+def _clark_evans_sql() -> str:
+    hav = KNN.haversine_sql("a.lon", "a.lat", "b.lon", "b.lat")
+    a = repr(_RIPLEY_AREA_M2)
+    return f"""
+WITH p AS (
+  SELECT c_custkey AS pid, {SYN.lon_sql('c_custkey')} AS lon,
+         {SYN.lat_sql('c_custkey')} AS lat
+  FROM customer
+), nn AS (
+  SELECT a.pid, min({hav}) AS d
+  FROM p a JOIN p b ON a.pid != b.pid
+  GROUP BY a.pid
+), agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(round(d * 1e3) AS BIGINT)) AS BIGINT) AS sum_nn_mm
+  FROM nn
+)
+SELECT n, sum_nn_mm,
+  round((CAST(sum_nn_mm AS DOUBLE) / 1e3) / CAST(n AS DOUBLE), 6) + 0.0
+    AS r_obs_m,
+  round(0.5 * sqrt({a} / CAST(n AS DOUBLE)), 6) + 0.0 AS r_exp_m,
+  round(((CAST(sum_nn_mm AS DOUBLE) / 1e3) / CAST(n AS DOUBLE))
+        / (0.5 * sqrt({a} / CAST(n AS DOUBLE))), 6) + 0.0 AS ce_index,
+  round(((CAST(sum_nn_mm AS DOUBLE) / 1e3) / CAST(n AS DOUBLE)
+         - 0.5 * sqrt({a} / CAST(n AS DOUBLE)))
+        / (0.26136 * sqrt({a}) / CAST(n AS DOUBLE)), 6) + 0.0 AS z
+FROM agg
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "ripleys_k": q_ripleys_k,
+        "clark_evans": q_clark_evans,
         "location_entropy": q_location_entropy,
         "kanon_cells": q_kanon_cells,
         "covisitation": q_covisitation,
@@ -6110,6 +6208,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "ripleys_k": _ripleys_k_sql(),
+        "clark_evans": _clark_evans_sql(),
         "trips": _trips_sql(),
         "lof": _lof_sql(),
         "spatial_outliers": _spatial_outliers_sql(),

@@ -134,6 +134,8 @@ BENCH_QUERIES = [
     "covisitation",
     "kanon_cells",
     "location_entropy",
+    "ripleys_k",
+    "clark_evans",
 ]
 
 

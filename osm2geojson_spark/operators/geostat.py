@@ -33,6 +33,8 @@ order-independence.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -344,4 +346,136 @@ def voronoi_assign(
         cell_col,
         F.col("_b.sid").alias("seed_id"),
         F.col("_b.d2").alias("d2"),
+    )
+
+
+def ripleys_k(
+    points: DataFrame,
+    radii_m: list[float],
+    area_m2: float,
+    res: int = cells.DEFAULT_RES,
+    id_col: str = "pid",
+    grid: str = "flat",
+) -> DataFrame:
+    """RIPLEY'S K FUNCTION — the canonical second-order point-pattern
+    statistic (Ripley 1976): for each analysis radius r,
+
+        K_hat(r) = A * n_le(r) / n^2,    L_hat(r) = sqrt(K_hat(r) / pi)
+
+    with n_le(r) the number of ORDERED pairs of distinct points within
+    great-circle distance r and A the study-area size in m^2 (caller-
+    supplied — the estimator is defined relative to a window). Under
+    complete spatial randomness K(r) ~ pi r^2, so L(r) ~ r; L above the
+    diagonal = clustering at that scale, below = dispersion/inhibition.
+    This is the multi-scale refinement of the density statistics the
+    engine already carries (Moran/Gi* measure WHERE, K measures AT WHAT
+    RANGE). No edge correction (the border-naive estimator) — documented,
+    and exactly what the oracle replays.
+
+    Returns one row per radius, ascending: (r_m, n_pairs_le, k_hat,
+    l_hat). n_pairs_le is exact int64 (2x the unordered-pair count, both
+    integers); k_hat/l_hat are a three/four-float-op assembly executed in
+    the identical order by the SQL twin, rounded to 6.
+
+    Scale: ONE within_distance_join at max(radii) — cell-covering
+    candidates, never all pairs (inherits salting for dense cells) — then
+    a tiny explode-by-radius rollup (len(radii) rows out). Zero-pair
+    radii still emit rows via the broadcast radius spine."""
+    assert radii_m and area_m2 > 0
+    rmax = max(radii_m)
+    a = points.select(F.col(id_col).alias("_ia"), "lon", "lat")
+    b = points.select(F.col(id_col).alias("_ib"), "lon", "lat")
+    n = points.count()
+    pairs = within_distance_join(
+        a, b, float(rmax), res=res, lid="_ia", rid="_ib", grid=grid
+    ).filter(F.col("_ia") < F.col("_ib"))
+    radii = sorted(float(r) for r in radii_m)
+    counts = (
+        pairs.select(
+            F.explode(F.array(*[F.lit(r) for r in radii])).alias("r_m"),
+            "dist_m",
+        )
+        .filter(F.col("dist_m") <= F.col("r_m"))
+        .groupBy("r_m")
+        .agg((F.lit(2) * F.count(F.lit(1))).cast("long").alias("n_pairs_le"))
+    )
+    spine = points.sparkSession.createDataFrame(
+        [(r,) for r in radii], "r_m double"
+    )
+    k_hat = (
+        F.lit(float(area_m2))
+        * F.col("n_pairs_le").cast("double")
+        / F.lit(float(n * n))
+    )
+    return (
+        spine.join(F.broadcast(counts), "r_m", "left")
+        .na.fill({"n_pairs_le": 0})
+        .select(
+            "r_m",
+            "n_pairs_le",
+            (F.round(k_hat, 6) + F.lit(0.0)).alias("k_hat"),
+            (F.round(F.sqrt(k_hat / F.lit(math.pi)), 6) + F.lit(0.0)).alias(
+                "l_hat"
+            ),
+        )
+        .orderBy("r_m")
+    )
+
+
+def clark_evans(
+    points: DataFrame,
+    area_m2: float,
+    res: int = cells.DEFAULT_RES,
+    id_col: str = "pid",
+    grid: str = "flat",
+) -> DataFrame:
+    """CLARK-EVANS NEAREST-NEIGHBOR INDEX (Clark & Evans 1954) — the
+    first-order complement of ripleys_k: the ratio of the observed mean
+    nearest-neighbor distance to the expectation under complete spatial
+    randomness,
+
+        R = r_obs / r_exp,  r_exp = 0.5 * sqrt(A / n),
+        z = (r_obs - r_exp) / se,  se = 0.26136 * sqrt(A) / n
+
+    R < 1 clustered, R > 1 dispersed (max 2.1491 for a hexagonal
+    lattice); z is the standard CSR significance score. Border-naive
+    (no edge correction), like ripleys_k.
+
+    Exactness: each point's NN distance is quantized to int64 MILLIMETRES
+    before the cross-point sum (round(d * 1e3) — the location-entropy
+    trick), so ``sum_nn_mm`` is order-free and hash-stable; r_obs and the
+    derived ratios are a short float assembly replayed in the identical
+    order by the oracle. Requires n >= 2 (the NN of a lone point is
+    undefined).
+
+    Returns ONE row: (n, sum_nn_mm, r_obs_m, r_exp_m, ce_index, z).
+
+    Scale: knn_graph(k=1) — ring-round candidate generation on the cell
+    grid, cell-local, with the brute fallback only for stragglers; then a
+    single combinable rollup to one row."""
+    from .knn import knn_graph
+
+    nn = knn_graph(
+        points.select(F.col(id_col).alias("id"), "lon", "lat"),
+        k=1,
+        id_col="id",
+        res=res,
+        grid=grid,
+    )
+    d_mm = F.round(F.col("dist_m") * F.lit(1e3)).cast("long")
+    agg = nn.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(d_mm).cast("long").alias("sum_nn_mm"),
+    )
+    n_d = F.col("n").cast("double")
+    r_obs = (F.col("sum_nn_mm").cast("double") / F.lit(1e3)) / n_d
+    r_exp = F.lit(0.5) * F.sqrt(F.lit(float(area_m2)) / n_d)
+    se = F.lit(0.26136) * F.sqrt(F.lit(float(area_m2))) / n_d
+    return agg.select(
+        "n",
+        "sum_nn_mm",
+        (F.round(r_obs, 6) + F.lit(0.0)).alias("r_obs_m"),
+        (F.round(r_exp, 6) + F.lit(0.0)).alias("r_exp_m"),
+        (F.round(r_obs / r_exp, 6) + F.lit(0.0)).alias("ce_index"),
+        (F.round((r_obs - r_exp) / se, 6) + F.lit(0.0)).alias("z"),
     )

@@ -242,3 +242,95 @@ def test_voronoi_assign_matches_brute_with_wrap_and_ties(spark):
     # ties break to the smaller seed id: (5,5) is equidistant from 1 and 3
     assert d2((5, 5), seeds_xy[1]) == d2((5, 5), seeds_xy[3])
     assert want[(5, 5)][1] == 1
+
+
+def _brute_ripley(points, radii, area_m2):
+    n = len(points)
+    dists = [
+        _hav(a[1], a[2], b[1], b[2])
+        for i, a in enumerate(points)
+        for b in points[i + 1 :]
+    ]
+    out = []
+    for r in sorted(radii):
+        n_le = 2 * sum(1 for d in dists if d <= r)
+        k = area_m2 * float(n_le) / float(n * n)
+        out.append((r, n_le, round(k, 6), round(math.sqrt(k / math.pi), 6)))
+    return out
+
+
+def test_ripleys_k_matches_brute_and_csr_shape(spark):
+    from osm2geojson_spark.operators.geostat import ripleys_k
+
+    pts = _pts(3, 120)
+    # plant a tight cluster: 15 points within ~2 km of one another
+    pts += [
+        (1000 + i, 10.0 + i * 1e-4, 45.0 + i * 7e-5, 0) for i in range(15)
+    ]
+    area = 600_000.0 * 600_000.0
+    radii = [5_000.0, 25_000.0, 80_000.0, 200_000.0]
+    df = spark.createDataFrame(
+        [(p[0], p[1], p[2]) for p in pts], "pid long, lon double, lat double"
+    )
+    got = [
+        (r["r_m"], r["n_pairs_le"], r["k_hat"], r["l_hat"])
+        for r in ripleys_k(df, radii, area, res=6).collect()
+    ]
+    assert got == _brute_ripley(pts, radii, area)
+    # K must be nondecreasing in r, and the planted cluster forces
+    # L(5km) > 5km (clustering above CSR at the short range)
+    ks = [g[2] for g in got]
+    assert ks == sorted(ks)
+    assert got[0][3] > got[0][0]
+
+
+def test_ripleys_k_zero_pair_radius_emits_row(spark):
+    from osm2geojson_spark.operators.geostat import ripleys_k
+
+    df = spark.createDataFrame(
+        [(1, 0.0, 0.0), (2, 10.0, 0.0)], "pid long, lon double, lat double"
+    )
+    rows = ripleys_k(df, [1000.0], 1e12, res=4).collect()
+    assert [(r["r_m"], r["n_pairs_le"], r["k_hat"]) for r in rows] == [
+        (1000.0, 0, 0.0)
+    ]
+
+
+def test_clark_evans_matches_brute_and_regimes(spark):
+    from osm2geojson_spark.operators.geostat import clark_evans
+
+    for seed, lattice in ((7, False), (11, True)):
+        if not lattice:
+            pts = _pts(seed, 90)
+            area = 600_000.0 * 600_000.0
+        else:
+            # square lattice at ~25 km spacing over a window of exactly
+            # n * spacing^2: strongly dispersed -> R ~ 2 > 1
+            pts = [
+                (i, 10.0 + (i % 10) * 0.3, 45.0 + (i // 10) * 0.3, 0)
+                for i in range(100)
+            ]
+            area = 100 * 25_000.0 * 25_000.0
+        df = spark.createDataFrame(
+            [(p[0], p[1], p[2]) for p in pts],
+            "pid long, lon double, lat double",
+        )
+        row = clark_evans(df, area, res=6).collect()[0]
+        n = len(pts)
+        s_mm = 0
+        for i, a in enumerate(pts):
+            d = min(
+                _hav(a[1], a[2], b[1], b[2])
+                for j, b in enumerate(pts)
+                if j != i
+            )
+            s_mm += int(round(d * 1e3))
+        r_obs = (s_mm / 1e3) / n
+        r_exp = 0.5 * math.sqrt(area / n)
+        se = 0.26136 * math.sqrt(area) / n
+        assert (row["n"], row["sum_nn_mm"]) == (n, s_mm)
+        assert row["r_obs_m"] == round(r_obs, 6)
+        assert row["ce_index"] == round(r_obs / r_exp, 6)
+        assert row["z"] == round((r_obs - r_exp) / se, 6)
+        if lattice:
+            assert row["ce_index"] > 1.0
