@@ -6064,9 +6064,114 @@ FROM agg
 """
 
 
+def q_otsu(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X89 (multimodal.otsu_threshold): per-image Otsu binarization
+    threshold over 300 mixed rawz/png 8x8 images — exact int64 histogram
+    cumulatives, engine-stable double score, smallest-t tie-break. The
+    oracle rebuilds the 255-candidate scan from the deterministic pixel
+    formula and replays the identical argmax."""
+    from osm2geojson_spark.operators import multimodal as MM2
+
+    return MM2.otsu_threshold(_synth_images(spark, sf_dir, 900, step=3))
+
+
+def _otsu_sql() -> str:
+    return """
+WITH img AS (
+  SELECT p_partkey AS i FROM part WHERE p_partkey < 900 AND p_partkey % 3 = 0
+), px AS (
+  SELECT i, unnest(range(0, 64)) AS p FROM img
+), v AS (
+  SELECT i, ((p % 8) * 3 + (p // 8) * 7 + i * 13) % 251 AS v FROM px
+), hist AS (
+  SELECT i, v, count(*) AS c FROM v GROUP BY i, v
+), tot AS (
+  SELECT i, CAST(sum(c) AS BIGINT) AS n, CAST(sum(v * c) AS BIGINT) AS s_all
+  FROM hist GROUP BY i
+), spine AS (
+  SELECT i, unnest(range(0, 255)) AS t FROM img
+), cum AS (
+  SELECT spine.i, spine.t,
+         CAST(coalesce(sum(h.c), 0) AS BIGINT) AS w0,
+         CAST(coalesce(sum(h.v * h.c), 0) AS BIGINT) AS s0
+  FROM spine LEFT JOIN hist h ON h.i = spine.i AND h.v <= spine.t
+  GROUP BY spine.i, spine.t
+), scored AS (
+  SELECT cum.i, t, w0, tot.n - w0 AS w1,
+         s0 * (tot.n - w0) - (tot.s_all - s0) * w0 AS num
+  FROM cum JOIN tot ON tot.i = cum.i
+  WHERE w0 > 0 AND w0 < tot.n
+), ranked AS (
+  SELECT i, t, w0, w1,
+         CAST(num AS DOUBLE) * CAST(num AS DOUBLE)
+           / CAST(w0 * w1 AS DOUBLE) AS score,
+         row_number() OVER (
+           PARTITION BY i
+           ORDER BY CAST(num AS DOUBLE) * CAST(num AS DOUBLE)
+                      / CAST(w0 * w1 AS DOUBLE) DESC, t ASC
+         ) AS rk
+  FROM scored
+)
+SELECT printf('img%012d', i) AS image_id, CAST(t AS INTEGER) AS threshold,
+       round(score, 6) + 0.0 AS score, w0 AS n_bg, w1 AS n_fg
+FROM ranked WHERE rk = 1
+"""
+
+
+def q_image_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X90 (multimodal.image_moments): raw + central moments, centroid and
+    principal orientation over 300 mixed-SIZE (8/16/24) mixed-format
+    images — six exact int64 raw moments pin every pixel's (x, y)
+    routing; cx/cy/theta replay the identical float assembly. The oracle
+    recomputes the sums from the deterministic pixel formula with
+    per-image width w = 8 * (1 + i % 3)."""
+    from osm2geojson_spark.operators import multimodal as MM2
+
+    return MM2.image_moments(_synth_images(spark, sf_dir, 300, step=1))
+
+
+def _image_moments_sql() -> str:
+    return """
+WITH img AS (
+  SELECT i, 8 * (1 + i % 3) AS w FROM (
+    SELECT p_partkey AS i FROM part WHERE p_partkey < 300
+  ) q
+), px AS (
+  SELECT i, w, unnest(range(0, w * w)) AS p FROM img
+), v AS (
+  SELECT i, p % w AS x, p // w AS y,
+         ((p % w) * 3 + (p // w) * 7 + i * 13) % 251 AS v
+  FROM px
+), m AS (
+  SELECT i,
+         CAST(sum(v) AS BIGINT) AS m00,
+         CAST(sum(x * v) AS BIGINT) AS m10,
+         CAST(sum(y * v) AS BIGINT) AS m01,
+         CAST(sum(x * x * v) AS BIGINT) AS m20,
+         CAST(sum(x * y * v) AS BIGINT) AS m11,
+         CAST(sum(y * y * v) AS BIGINT) AS m02
+  FROM v GROUP BY i
+), d AS (
+  SELECT *, CAST(m10 AS DOUBLE) / CAST(m00 AS DOUBLE) AS cx,
+            CAST(m01 AS DOUBLE) / CAST(m00 AS DOUBLE) AS cy
+  FROM m
+)
+SELECT printf('img%012d', i) AS image_id, m00, m10, m01, m20, m11, m02,
+       round(cx, 6) + 0.0 AS cx, round(cy, 6) + 0.0 AS cy,
+       round(0.5 * atan2(
+         2.0 * (CAST(m11 AS DOUBLE) - CAST(m10 AS DOUBLE) * cy),
+         (CAST(m20 AS DOUBLE) - CAST(m10 AS DOUBLE) * cx)
+           - (CAST(m02 AS DOUBLE) - CAST(m01 AS DOUBLE) * cy)
+       ), 6) + 0.0 AS theta
+FROM d
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "otsu": q_otsu,
+        "image_moments": q_image_moments,
         "ripleys_k": q_ripleys_k,
         "clark_evans": q_clark_evans,
         "location_entropy": q_location_entropy,
@@ -6208,6 +6313,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "otsu": _otsu_sql(),
+        "image_moments": _image_moments_sql(),
         "ripleys_k": _ripleys_k_sql(),
         "clark_evans": _clark_evans_sql(),
         "trips": _trips_sql(),

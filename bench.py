@@ -136,6 +136,8 @@ BENCH_QUERIES = [
     "location_entropy",
     "ripleys_k",
     "clark_evans",
+    "otsu",
+    "image_moments",
 ]
 
 

@@ -23,6 +23,7 @@ Arrow batch sizing note: callers tune
 
 from __future__ import annotations
 
+import math
 from typing import Iterator
 
 import numpy as np
@@ -1155,4 +1156,175 @@ def zonal_median(
         .groupBy("poly_id")
         .agg(F.first("n").alias("px_cnt"), F.min("val").alias("median_val"))
         .select("poly_id", "px_cnt", "median_val")
+    )
+
+
+def otsu_threshold(images: DataFrame) -> DataFrame:
+    """OTSU BINARIZATION THRESHOLD per image — the classic automatic
+    foreground/background split (Otsu 1979), the gate in front of
+    ``vectorize_images``' fixed-threshold mask and a standard document/
+    scan-quality feature.
+
+    For each candidate t in [0, 254] with background = pixels <= t:
+    w0/w1 the class populations, s0/s1 the class intensity sums, the
+    between-class variance is proportional to
+
+        score(t) = num^2 / (w0 * w1),   num = s0*w1 - s1*w0
+
+    and the returned ``threshold`` is the argmax (deterministic tie-break:
+    smallest t; candidates with an empty class are skipped). ``num`` and
+    the class stats are EXACT int64 cumulative sums over the 256-bin
+    histogram; the score is a three-float-op assembly (double(num) squared
+    over double(w0*w1)) executed identically by the SQL twin, so the
+    argmax — an order over bit-identical doubles with an integer
+    tie-break — is engine-stable. Exactness bound: 255 * n_px^2 <= 2^53,
+    i.e. images up to ~5.9e6 pixels keep double(num) exact.
+
+    Constant images (no candidate splits both classes) return
+    threshold = the constant value, score 0.0, n_fg 0.
+
+    Returns (image_id, threshold, score, n_bg, n_fg).
+
+    Scale: scan-shaped mapInPandas — a 256-bin bincount + cumsum per
+    image (vectorized, never a pixel sort), 5 small columns out, pixel
+    bytes never shuffle."""
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                try:
+                    px = imagecodec.decode(bytes(r.bytes), r.fmt)
+                except NotImplementedError:
+                    continue
+                n = int(px.size)
+                hist = np.bincount(px.ravel(), minlength=256).astype(np.int64)
+                w0 = hist.cumsum()[:255]
+                s0 = (hist * np.arange(256, dtype=np.int64)).cumsum()[:255]
+                s_all = int(s0[-1] + hist[255] * 255)
+                w1 = n - w0
+                valid = (w0 > 0) & (w1 > 0)
+                if not valid.any():
+                    v = int(px.ravel()[0])
+                    rows.append((r.image_id, v, 0.0, n, 0))
+                    continue
+                num = s0 * w1 - (s_all - s0) * w0
+                score = np.where(
+                    valid,
+                    num.astype(np.float64) ** 2
+                    / (w0 * w1).astype(np.float64),
+                    -1.0,
+                )
+                t = int(np.argmax(score))  # first max = smallest t
+                rows.append(
+                    (r.image_id, t, int(num[t]), int(w0[t]), int(w1[t]))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["image_id", "threshold", "_num", "n_bg", "n_fg"],
+            )
+
+    raw = images.select("image_id", "bytes", "fmt").mapInPandas(
+        fn,
+        schema=(
+            "image_id string, threshold int, _num long, n_bg long,"
+            " n_fg long"
+        ),
+    )
+    # the published score is assembled JVM-side from the kernel's exact
+    # integers so its rounding mode matches the SQL twin's round()
+    num_d = F.col("_num").cast("double")
+    score = F.when(
+        F.col("n_fg") > 0,
+        F.round(
+            num_d * num_d / (F.col("n_bg") * F.col("n_fg")).cast("double"), 6
+        )
+        + F.lit(0.0),
+    ).otherwise(F.lit(0.0))
+    return raw.select(
+        "image_id", "threshold", score.alias("score"), "n_bg", "n_fg"
+    )
+
+
+def image_moments(images: DataFrame) -> DataFrame:
+    """RAW + CENTRAL IMAGE MOMENTS per image — the shape-descriptor
+    primitive (centroid, spread, principal orientation) behind blob
+    tracking, template registration and Hu-invariant features.
+
+    Raw moments m_pq = sum_xy x^p * y^q * v(x, y) for p+q <= 2 are EXACT
+    int64 (x is the column index, y the row index; bound: a 4096^2 uint8
+    image keeps m22-free sums < 2^53). The derived floats replay in the
+    identical order on both engines:
+
+        cx = m10/m00, cy = m01/m00
+        mu20 = m20 - m10*cx, mu02 = m02 - m01*cy, mu11 = m11 - m10*cy
+        theta = 0.5 * atan2(2*mu11, mu20 - mu02)
+
+    Returns (image_id, m00, m10, m01, m20, m11, m02, cx, cy, theta) —
+    six exact integers + four rounded floats. Blank (all-zero) images
+    yield NULL floats (m00 = 0 has no centroid).
+
+    Scale: one vectorized pass per image (row/column marginal sums — no
+    per-pixel Python), scan-shaped mapInPandas, nothing shuffles."""
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                try:
+                    px = imagecodec.decode(bytes(r.bytes), r.fmt).astype(
+                        np.int64
+                    )
+                except NotImplementedError:
+                    continue
+                h, w = px.shape
+                xs = np.arange(w, dtype=np.int64)
+                ys = np.arange(h, dtype=np.int64)
+                colsum = px.sum(axis=0)
+                rowsum = px.sum(axis=1)
+                m00 = int(px.sum())
+                m10 = int((colsum * xs).sum())
+                m01 = int((rowsum * ys).sum())
+                m20 = int((colsum * xs * xs).sum())
+                m02 = int((rowsum * ys * ys).sum())
+                m11 = int((xs * (ys @ px)).sum())
+                rows.append(
+                    (r.image_id, m00, m10, m01, m20, m11, m02)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "image_id", "m00", "m10", "m01", "m20", "m11", "m02",
+                ],
+            )
+
+    raw = images.select("image_id", "bytes", "fmt").mapInPandas(
+        fn,
+        schema=(
+            "image_id string, m00 long, m10 long, m01 long, m20 long,"
+            " m11 long, m02 long"
+        ),
+    )
+    # float assembly JVM-side from the kernel's exact integers, so the
+    # divide/atan2/round sequence is the one the SQL twin replays
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    cx = d("m10") / d("m00")
+    cy = d("m01") / d("m00")
+    mu20 = d("m20") - d("m10") * cx
+    mu02 = d("m02") - d("m01") * cy
+    mu11 = d("m11") - d("m10") * cy
+    blank = F.col("m00") == 0
+    nd = F.lit(None).cast("double")
+    return raw.select(
+        "image_id", "m00", "m10", "m01", "m20", "m11", "m02",
+        F.when(blank, nd).otherwise(F.round(cx, 6) + F.lit(0.0)).alias("cx"),
+        F.when(blank, nd).otherwise(F.round(cy, 6) + F.lit(0.0)).alias("cy"),
+        F.when(blank, nd)
+        .otherwise(
+            F.round(
+                F.lit(0.5) * F.atan2(F.lit(2.0) * mu11, mu20 - mu02), 6
+            )
+            + F.lit(0.0)
+        )
+        .alias("theta"),
     )

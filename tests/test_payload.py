@@ -976,3 +976,89 @@ def test_equalize_constant_image_maps_to_zero(spark):
     )
     row = equalize_images(df).collect()[0]
     assert (row["px_sum"], row["px_min"], row["px_max"]) == (0, 0, 0)
+
+
+def test_otsu_matches_scalar_brute_and_edge_cases(spark):
+    from osm2geojson_spark.operators.multimodal import otsu_threshold
+
+    px = imagecodec.synth_pixels(5, 9, 6).astype(np.uint8)
+    # bimodal image: the textbook case with an unambiguous valley
+    bim = np.full((8, 8), 30, np.uint8)
+    bim[2:6, 2:6] = 220
+    imgs = spark.createDataFrame(
+        [
+            ("a", 9, 6, "rawz", bytearray(imagecodec.encode_rawz(px))),
+            ("b", 8, 8, "rawz", bytearray(imagecodec.encode_rawz(bim))),
+            ("c", 5, 5, "rawz",
+             bytearray(imagecodec.encode_rawz(np.full((5, 5), 77, np.uint8)))),
+            ("d", 9, 6, "png", bytearray(imagecodec.encode_png(px))),
+        ],
+        "image_id string, w int, h int, fmt string, bytes binary",
+    )
+    got = {r["image_id"]: r for r in otsu_threshold(imgs).collect()}
+
+    def brute(arr):
+        vals = [int(v) for v in arr.ravel()]
+        n, s_all = len(vals), sum(vals)
+        best = None
+        for t in range(255):
+            w0 = sum(1 for v in vals if v <= t)
+            if w0 == 0 or w0 == n:
+                continue
+            s0 = sum(v for v in vals if v <= t)
+            num = s0 * (n - w0) - (s_all - s0) * w0
+            score = float(num) * float(num) / float(w0 * (n - w0))
+            if best is None or score > best[1]:
+                best = (t, score, w0, n - w0)
+        return best
+
+    for name, arr in (("a", px), ("b", bim), ("d", px)):
+        t, score, n_bg, n_fg = brute(arr)
+        r = got[name]
+        assert (r["threshold"], r["n_bg"], r["n_fg"]) == (t, n_bg, n_fg)
+        assert r["score"] == round(score, 6)
+    # bimodal split lands in the valley between the modes
+    assert 30 <= got["b"]["threshold"] < 220
+    assert got["b"]["n_fg"] == 16
+    # constant image: no valid split
+    c = got["c"]
+    assert (c["threshold"], c["score"], c["n_bg"], c["n_fg"]) == (77, 0.0, 25, 0)
+
+
+def test_image_moments_match_scalar_brute(spark):
+    from osm2geojson_spark.operators.multimodal import image_moments
+
+    px = imagecodec.synth_pixels(4, 7, 5).astype(np.uint8)
+    imgs = spark.createDataFrame(
+        [
+            ("a", 7, 5, "rawz", bytearray(imagecodec.encode_rawz(px))),
+            ("z", 4, 4, "rawz",
+             bytearray(imagecodec.encode_rawz(np.zeros((4, 4), np.uint8)))),
+            ("p", 7, 5, "png", bytearray(imagecodec.encode_png(px))),
+        ],
+        "image_id string, w int, h int, fmt string, bytes binary",
+    )
+    got = {r["image_id"]: r for r in image_moments(imgs).collect()}
+
+    m = {}
+    for p in range(3):
+        for q in range(3 - p):
+            m[(p, q)] = sum(
+                (x**p) * (y**q) * int(px[y, x])
+                for y in range(5)
+                for x in range(7)
+            )
+    for name in ("a", "p"):
+        r = got[name]
+        assert (r["m00"], r["m10"], r["m01"], r["m20"], r["m11"], r["m02"]) == (
+            m[(0, 0)], m[(1, 0)], m[(0, 1)], m[(2, 0)], m[(1, 1)], m[(0, 2)]
+        )
+        cx = m[(1, 0)] / m[(0, 0)]
+        cy = m[(0, 1)] / m[(0, 0)]
+        mu20 = m[(2, 0)] - m[(1, 0)] * cx
+        mu02 = m[(0, 2)] - m[(0, 1)] * cy
+        mu11 = m[(1, 1)] - m[(1, 0)] * cy
+        assert (r["cx"], r["cy"]) == (round(cx, 6), round(cy, 6))
+        assert r["theta"] == round(0.5 * math.atan2(2 * mu11, mu20 - mu02), 6)
+    z = got["z"]
+    assert z["m00"] == 0 and z["cx"] is None and z["theta"] is None
