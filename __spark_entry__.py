@@ -6064,6 +6064,99 @@ FROM agg
 """
 
 
+def q_chaikin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X91 (geometry.smooth_geometries): one Chaikin corner-cut of the
+    same 200 integer staircase polylines the DP query simplifies — the
+    dyadic (3/4, 1/4) weights keep every smoothed coordinate exact
+    float64, so the position-WEIGHTED sums (idx * coord, scaled x4) are
+    exact integers pinning both the cut arithmetic AND the interleave
+    order. The oracle rebuilds Q/R/endpoint rows with window lead and the
+    identical weight expressions."""
+    nf, nv = _SIMP_NF, _SIMP_NV
+    base = spark.range(nf * nv).select(
+        F.floor(F.col("id") / nv).cast("long").alias("f"),
+        (F.col("id") % nv).alias("i"),
+    )
+    base = base.withColumn(
+        "y",
+        ((F.col("f") * 7919 + F.floor(F.col("i") / 4) * 104729) % 97) % 7,
+    )
+    pts = base.groupBy("f").agg(
+        F.sort_array(F.collect_list(F.struct("i", "y"))).alias("vs")
+    )
+
+    def pack(it):
+        for pdf in it:
+            rows = [
+                (int(f), GEO.linestring([[float(v["i"]), float(v["y"])] for v in vs]))
+                for f, vs in zip(pdf["f"], pdf["vs"])
+            ]
+            yield pd.DataFrame(rows, columns=["feature_id", "gpb"])
+
+    packed = pts.mapInPandas(pack, schema="feature_id long, gpb binary")
+    from osm2geojson_spark.operators.geometry import smooth_geometries
+
+    smooth = smooth_geometries(packed, iterations=1)
+
+    def unpack(it):
+        import numpy as np
+
+        for pdf in it:
+            rows = []
+            for fid, buf in zip(pdf["feature_id"], pdf["gpb"]):
+                c = np.asarray(
+                    GEO.to_geojson_geometry(bytes(buf))["coordinates"]
+                )
+                idx = np.arange(len(c), dtype=np.float64)
+                rows.append(
+                    (
+                        int(fid),
+                        len(c),
+                        int(round(4.0 * float((idx * c[:, 0]).sum()))),
+                        int(round(4.0 * float((idx * c[:, 1]).sum()))),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["feature_id", "n_vertices", "wsum_x4", "wsum_y4"],
+            )
+
+    return smooth.mapInPandas(
+        unpack,
+        schema="feature_id long, n_vertices long, wsum_x4 long, wsum_y4 long",
+    ).orderBy("feature_id")
+
+
+_CHAIKIN_SQL = f"""
+WITH v AS (
+  SELECT (r // {_SIMP_NV}) AS f, (r % {_SIMP_NV}) AS i,
+         (((r // {_SIMP_NV}) * 7919 + ((r % {_SIMP_NV}) // 4) * 104729) % 97) % 7 AS y
+  FROM range({_SIMP_NF} * {_SIMP_NV}) t(r)
+), seg AS (
+  SELECT f, i, y, lead(y) OVER (PARTITION BY f ORDER BY i) AS y2
+  FROM v
+), pts AS (
+  SELECT f, CAST(2 * i + 1 AS DOUBLE) AS idx,
+         0.75 * i + 0.25 * (i + 1) AS x, 0.75 * y + 0.25 * y2 AS yy
+  FROM seg WHERE y2 IS NOT NULL
+  UNION ALL
+  SELECT f, CAST(2 * i + 2 AS DOUBLE),
+         0.25 * i + 0.75 * (i + 1), 0.25 * y + 0.75 * y2
+  FROM seg WHERE y2 IS NOT NULL
+  UNION ALL
+  SELECT f, 0.0, CAST(i AS DOUBLE), CAST(y AS DOUBLE) FROM v WHERE i = 0
+  UNION ALL
+  SELECT f, CAST(2 * ({_SIMP_NV} - 1) + 1 AS DOUBLE),
+         CAST(i AS DOUBLE), CAST(y AS DOUBLE)
+  FROM v WHERE i = {_SIMP_NV} - 1
+)
+SELECT f AS feature_id, CAST(count(*) AS BIGINT) AS n_vertices,
+       CAST(round(4.0 * sum(idx * x)) AS BIGINT) AS wsum_x4,
+       CAST(round(4.0 * sum(idx * yy)) AS BIGINT) AS wsum_y4
+FROM pts GROUP BY f
+"""
+
+
 def q_otsu(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X89 (multimodal.otsu_threshold): per-image Otsu binarization
     threshold over 300 mixed rawz/png 8x8 images — exact int64 histogram
@@ -6170,6 +6263,7 @@ FROM d
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "chaikin": q_chaikin,
         "otsu": q_otsu,
         "image_moments": q_image_moments,
         "ripleys_k": q_ripleys_k,
@@ -6313,6 +6407,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "chaikin": _CHAIKIN_SQL,
         "otsu": _otsu_sql(),
         "image_moments": _image_moments_sql(),
         "ripleys_k": _ripleys_k_sql(),

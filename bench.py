@@ -138,6 +138,7 @@ BENCH_QUERIES = [
     "clark_evans",
     "otsu",
     "image_moments",
+    "chaikin",
 ]
 
 

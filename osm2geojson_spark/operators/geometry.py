@@ -420,3 +420,107 @@ def subdivide_polygons(
     return polys_df.select(id_col, gpb_col).mapInPandas(
         fn, schema=f"{id_col} {ptype}, cell_id long, gpb binary, piece_area double"
     )
+
+
+def _chaikin_open(pts: np.ndarray) -> np.ndarray:
+    """One Chaikin corner-cut of an open polyline: each segment (A, B)
+    contributes Q = 0.75*A + 0.25*B and R = 0.25*A + 0.75*B; the original
+    endpoints are kept. The weights are dyadic rationals, so k iterations
+    over integer-ish coordinates stay EXACT float64 (multiples of 4^-k) —
+    the property the SQL twin relies on. Op order is fixed:
+    (0.75 * A) + (0.25 * B), identically in the oracle."""
+    if len(pts) < 3:
+        return pts
+    q = 0.75 * pts[:-1] + 0.25 * pts[1:]
+    r = 0.25 * pts[:-1] + 0.75 * pts[1:]
+    out = np.empty((2 * (len(pts) - 1) + 2, 2), dtype=np.float64)
+    out[0] = pts[0]
+    out[-1] = pts[-1]
+    out[1:-1:2] = q
+    out[2:-1:2] = r
+    return out
+
+
+def _chaikin_ring(pts: np.ndarray) -> np.ndarray:
+    """One Chaikin cut of a CLOSED ring (stored first == last): every
+    cyclic segment contributes Q and R; output re-closed. A ring never
+    keeps original vertices — that is what rounds the corners."""
+    u = pts[:-1]
+    if len(u) < 3:
+        return pts
+    nxt = np.roll(u, -1, axis=0)
+    q = 0.75 * u + 0.25 * nxt
+    r = 0.25 * u + 0.75 * nxt
+    out = np.empty((2 * len(u) + 1, 2), dtype=np.float64)
+    out[0:-1:2] = q
+    out[1:-1:2] = r
+    out[-1] = out[0]
+    return out
+
+
+def chaikin_gpb(buf: bytes, iterations: int) -> bytes:
+    """Chaikin smoothing of one GPB geometry (open treatment for lines,
+    cyclic for polygon rings; points pass through)."""
+    g = geom.to_geojson_geometry(buf)
+    t = g["type"]
+
+    def line(c):
+        p = np.asarray(c, dtype=np.float64)
+        for _ in range(iterations):
+            p = _chaikin_open(p)
+        return p
+
+    def ring(c):
+        p = np.asarray(c, dtype=np.float64)
+        for _ in range(iterations):
+            p = _chaikin_ring(p)
+        return p
+
+    if t == "LineString":
+        return geom.linestring(line(g["coordinates"]))
+    if t == "MultiLineString":
+        return geom.multilinestring([line(c) for c in g["coordinates"]])
+    if t == "Polygon":
+        return geom.polygon([ring(c) for c in g["coordinates"]])
+    if t == "MultiPolygon":
+        return geom.multipolygon(
+            [[ring(c) for c in poly] for poly in g["coordinates"]]
+        )
+    return bytes(buf)
+
+
+def smooth_geometries(
+    df: DataFrame, iterations: int = 1, gpb_col: str = "gpb"
+) -> DataFrame:
+    """CHAIKIN SMOOTHING (corner cutting, Chaikin 1974) of a GPB geometry
+    column in place — the standard polyline/polygon rounding pass of
+    cartographic rendering pipelines, the inverse-direction twin of
+    ``simplify_geometries`` (DP removes vertices, Chaikin refines toward
+    the quadratic B-spline limit curve; each iteration roughly doubles
+    the vertex count).
+
+    Endpoints of open lines are preserved exactly; rings stay closed.
+    The cut weights (3/4, 1/4) are dyadic, so smoothing integer-grid
+    coordinates is bit-exact float64 — no cross-engine ambiguity for the
+    oracle to trip on.
+
+    Scale: one Arrow pass, embarrassingly parallel, schema unchanged, no
+    shuffle — identical plan shape to simplify_geometries. Each
+    iteration ~2x the coordinate bytes: bound ``iterations`` (2-3 is the
+    cartographic norm) or pre-simplify; the two operators compose
+    scan-to-scan with no barrier between them."""
+    fields = df.schema.fields
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in fields
+    )
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            pdf = pdf.copy()
+            pdf[gpb_col] = [
+                None if b is None else chaikin_gpb(bytes(b), iterations)
+                for b in pdf[gpb_col]
+            ]
+            yield pdf
+
+    return df.mapInPandas(fn, schema=out_schema)

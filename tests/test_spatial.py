@@ -1496,3 +1496,69 @@ def test_lof_scores_matches_brute(spark):
         assert abs(got[i][1] - want[i][1]) < 2e-6, i
     # the planted near-cluster point has the highest LOF
     assert max(got, key=lambda i: got[i][1]) == 999 and got[999][1] > 2.0
+
+
+def _brute_chaikin_open(pts):
+    out = [tuple(pts[0])]
+    for (ax, ay), (bx, by) in zip(pts[:-1], pts[1:]):
+        out.append((0.75 * ax + 0.25 * bx, 0.75 * ay + 0.25 * by))
+        out.append((0.25 * ax + 0.75 * bx, 0.25 * ay + 0.75 * by))
+    out.append(tuple(pts[-1]))
+    return out
+
+
+def test_chaikin_open_line_matches_brute_two_iterations(spark):
+    from osm2geojson_spark.operators.geometry import smooth_geometries
+
+    rng = np.random.default_rng(5)
+    pts = [(float(x), float(rng.integers(0, 8))) for x in range(9)]
+    df = spark.createDataFrame(
+        [(1, bytearray(geom.linestring([list(p) for p in pts])))],
+        "fid long, gpb binary",
+    )
+    out = smooth_geometries(df, iterations=2).collect()[0]["gpb"]
+    got = geom.to_geojson_geometry(bytes(out))["coordinates"]
+    want = _brute_chaikin_open(_brute_chaikin_open(pts))
+    assert len(got) == len(want) == 2 * (2 * 8 + 2 - 1) + 2
+    assert [tuple(p) for p in got] == [tuple(w) for w in want]
+    # endpoints preserved exactly
+    assert tuple(got[0]) == pts[0] and tuple(got[-1]) == pts[-1]
+
+
+def test_chaikin_ring_stays_closed_and_cuts_corners(spark):
+    from osm2geojson_spark.operators.geometry import smooth_geometries
+
+    sq = [[0.0, 0.0], [4.0, 0.0], [4.0, 4.0], [0.0, 4.0], [0.0, 0.0]]
+    df = spark.createDataFrame(
+        [(1, bytearray(geom.polygon([sq])))], "fid long, gpb binary"
+    )
+    out = smooth_geometries(df, iterations=1).collect()[0]["gpb"]
+    g = geom.to_geojson_geometry(bytes(out))
+    ring = g["coordinates"][0]
+    assert ring[0] == ring[-1]
+    assert len(ring) == 2 * 4 + 1
+    # corner (0,0) was cut: no output vertex is an original corner, and
+    # the two nearest new vertices are the 1/4 cuts (3,0)..(1,0) etc.
+    assert [0.0, 0.0] not in ring
+    assert [3.0, 0.0] in ring and [1.0, 0.0] in ring
+    # all smoothed vertices stay inside the original square (convex hull
+    # property of corner cutting)
+    assert all(0.0 <= x <= 4.0 and 0.0 <= y <= 4.0 for x, y in ring)
+
+
+def test_chaikin_point_and_short_line_passthrough(spark):
+    from osm2geojson_spark.operators.geometry import smooth_geometries
+
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(geom.point(2.0, 3.0))),
+            (2, bytearray(geom.linestring([[0.0, 0.0], [1.0, 1.0]]))),
+        ],
+        "fid long, gpb binary",
+    )
+    rows = {r["fid"]: bytes(r["gpb"]) for r in smooth_geometries(df, 3).collect()}
+    assert geom.to_geojson_geometry(rows[1])["coordinates"] == [2.0, 3.0]
+    assert geom.to_geojson_geometry(rows[2])["coordinates"] == [
+        [0.0, 0.0],
+        [1.0, 1.0],
+    ]
