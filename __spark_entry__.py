@@ -6064,6 +6064,49 @@ FROM agg
 """
 
 
+def q_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X92 (graph.label_propagation): 3 synchronous rounds of
+    deterministic label-propagation community detection over a
+    block-structured road graph on part keys (8-node ring+chord blocks,
+    sparse bridges every 16th node). Min-label tie-break + synchronous
+    update = pure function of the edge set; the oracle unrolls the
+    identical rounds."""
+    from osm2geojson_spark.operators import graph as G
+
+    part = _t(spark, sf_dir, "part").select("p_partkey")
+    n = part.count()
+    k = F.col("p_partkey")
+    blk = (k - k % 8).alias("blk")
+    ring = part.select(
+        k.alias("src"), ((k - k % 8) + (k % 8 + 1) % 8).alias("dst")
+    )
+    chord = part.select(
+        k.alias("src"), ((k - k % 8) + (k % 8 + 3) % 8).alias("dst")
+    )
+    bridge = part.filter(k % 16 == 0).select(
+        k.alias("src"), ((k + 8) % n).alias("dst")
+    )
+    return G.label_propagation(
+        ring.unionByName(chord).unionByName(bridge), n_iters=3
+    )
+
+
+def _lpa_sql() -> str:
+    from osm2geojson_spark.operators import graph as G
+
+    edges = (
+        "SELECT p_partkey AS src,"
+        " (p_partkey - p_partkey % 8) + (p_partkey % 8 + 1) % 8 AS dst"
+        " FROM part"
+        " UNION ALL SELECT p_partkey,"
+        " (p_partkey - p_partkey % 8) + (p_partkey % 8 + 3) % 8 FROM part"
+        " UNION ALL SELECT p_partkey,"
+        " (p_partkey + 8) % (SELECT count(*) FROM part) FROM part"
+        " WHERE p_partkey % 16 = 0"
+    )
+    return G.label_propagation_sql(edges, n_iters=3)
+
+
 def q_chaikin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X91 (geometry.smooth_geometries): one Chaikin corner-cut of the
     same 200 integer staircase polylines the DP query simplifies — the
@@ -6263,6 +6306,7 @@ FROM d
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "lpa": q_lpa,
         "chaikin": q_chaikin,
         "otsu": q_otsu,
         "image_moments": q_image_moments,
@@ -6407,6 +6451,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "lpa": _lpa_sql(),
         "chaikin": _CHAIKIN_SQL,
         "otsu": _otsu_sql(),
         "image_moments": _image_moments_sql(),

@@ -139,6 +139,7 @@ BENCH_QUERIES = [
     "otsu",
     "image_moments",
     "chaikin",
+    "lpa",
 ]
 
 

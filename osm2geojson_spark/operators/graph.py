@@ -356,3 +356,98 @@ walk(node, hops) AS (
 )
 SELECT node, CAST(MIN(hops) AS BIGINT) AS hops FROM walk GROUP BY node
 """
+
+
+def label_propagation(
+    edges: DataFrame,
+    n_iters: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """(node, label) — ``n_iters`` rounds of SYNCHRONOUS label propagation
+    community detection (Raghavan 2007, the deterministic variant): every
+    node starts labeled with its own id; each round all nodes
+    simultaneously adopt the most frequent label among their neighbors
+    (undirected — edges are symmetrized), ties broken by the SMALLEST
+    label, isolated nodes keeping theirs. Synchronous + deterministic
+    tie-break makes the result a pure function of the edge set — no
+    vertex ordering, no randomness — so it is bit-identical across
+    partitionings and engines, and ``label_propagation_sql`` unrolls the
+    identical rounds for the serial twin.
+
+    Complements the engine's other graph ops: duplicate_clusters finds
+    CONNECTED components; LPA splits a connected graph into dense
+    communities (the road-network district / covisitation-cluster use).
+    Fixed round count is the honest distributed contract (LPA's
+    convergence is not guaranteed under synchronous update — it can
+    2-cycle; rankings stabilize in a few rounds).
+
+    Scale: per round ONE groupBy(node, label) count shuffle over the edge
+    relation + a min-struct rollup and a node-keyed left join — all
+    map-side combinable; the symmetrized edge relation is checkpointed
+    once. Skewed hubs are bounded by degree (counts combine before the
+    shuffle)."""
+    e = edges.select(F.col(src_col).alias("_s"), F.col(dst_col).alias("_d"))
+    sym = (
+        e.unionByName(e.select(F.col("_d").alias("_s"), F.col("_s").alias("_d")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    nodes = sym.select(F.col("_s").alias("node")).distinct()
+    labels = nodes.select(
+        "node", F.col("node").cast("long").alias("label")
+    ).localCheckpoint(eager=False)
+    for _ in range(n_iters):
+        pick = (
+            sym.join(labels, sym["_s"] == labels["node"])
+            .groupBy(F.col("_d").alias("nd"), "label")
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .groupBy("nd")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("_c")).alias("nc"), F.col("label").alias("l")
+                    )
+                ).alias("_b")
+            )
+            .select(F.col("nd"), F.col("_b.l").alias("_new"))
+        )
+        labels = (
+            labels.join(pick, labels["node"] == pick["nd"], "left")
+            .select(
+                "node",
+                F.coalesce(F.col("_new"), F.col("label")).alias("label"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return labels
+
+
+def label_propagation_sql(edges_cte: str, n_iters: int = 3) -> str:
+    """DuckDB twin of label_propagation — rounds unrolled as chained CTEs,
+    same symmetrization, majority count and (count DESC, label ASC)
+    tie-break."""
+    parts = [
+        f"WITH e0 AS ({edges_cte})",
+        "e AS (SELECT DISTINCT _s, _d FROM (SELECT src AS _s, dst AS _d"
+        " FROM e0 UNION ALL SELECT dst, src FROM e0) u)",
+        "l0 AS (SELECT DISTINCT _s AS node, CAST(_s AS BIGINT) AS label"
+        " FROM e)",
+    ]
+    for i in range(1, n_iters + 1):
+        parts.append(
+            f"c{i} AS (SELECT e._d AS node, l.label,"
+            f" count(*) AS c FROM e JOIN l{i-1} l ON l.node = e._s"
+            f" GROUP BY e._d, l.label)"
+        )
+        parts.append(
+            f"p{i} AS (SELECT node, label FROM (SELECT node, label,"
+            f" row_number() OVER (PARTITION BY node"
+            f" ORDER BY c DESC, label ASC) AS rk FROM c{i}) q WHERE rk = 1)"
+        )
+        parts.append(
+            f"l{i} AS (SELECT l.node,"
+            f" CAST(coalesce(p.label, l.label) AS BIGINT) AS label"
+            f" FROM l{i-1} l LEFT JOIN p{i} p ON p.node = l.node)"
+        )
+    return "\n, ".join(parts) + f"\nSELECT node, label FROM l{n_iters}"

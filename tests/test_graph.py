@@ -235,3 +235,77 @@ def test_isochrone_cells_matches_brute(spark):
             want.add((next(t for t in tiers if md <= t), cid))
     assert got == want
     assert len({t for t, _ in want}) >= 2  # multiple tiers present
+
+
+def _brute_lpa(edges, n_iters):
+    sym = set()
+    for s, d in edges:
+        sym.add((s, d))
+        sym.add((d, s))
+    nodes = sorted({s for s, _ in sym})
+    nbrs = {n: [] for n in nodes}
+    for s, d in sym:
+        nbrs[d].append(s)
+    lbl = {n: n for n in nodes}
+    for _ in range(n_iters):
+        new = {}
+        for n in nodes:
+            cnt = {}
+            for v in nbrs[n]:
+                cnt[lbl[v]] = cnt.get(lbl[v], 0) + 1
+            best = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+            new[n] = best[0]
+        lbl = new
+    return lbl
+
+
+def test_lpa_two_cliques_with_bridge(spark):
+    from osm2geojson_spark.operators.graph import label_propagation
+
+    import itertools
+
+    k4a = list(itertools.combinations([0, 1, 2, 3], 2))
+    k4b = list(itertools.combinations([10, 11, 12, 13], 2))
+    edges = k4a + k4b + [(3, 10)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: r["label"]
+        for r in label_propagation(df, n_iters=4).collect()
+    }
+    assert got == _brute_lpa(edges, 4)
+    # each K4 collapses to a single community label; the one bridge edge
+    # cannot outvote the clique majority, so the two stay distinct
+    a = {got[n] for n in (0, 1, 2, 3)}
+    b = {got[n] for n in (10, 11, 12, 13)}
+    assert len(a) == 1 and len(b) == 1 and a != b
+
+
+def test_lpa_matches_brute_on_random_graph_and_sql_twin(spark, duckdb_conn=None):
+    import duckdb
+    import numpy as np
+
+    from osm2geojson_spark.operators.graph import (
+        label_propagation,
+        label_propagation_sql,
+    )
+
+    rng = np.random.default_rng(13)
+    edges = sorted(
+        {
+            (int(rng.integers(0, 60)), int(rng.integers(0, 60)))
+            for _ in range(150)
+        }
+    )
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: r["label"]
+        for r in label_propagation(df, n_iters=3).collect()
+    }
+    assert got == _brute_lpa(edges, 3)
+
+    vals = ", ".join(f"({s}, {d})" for s, d in edges)
+    sql = label_propagation_sql(
+        f"SELECT src, dst FROM (VALUES {vals}) t(src, dst)"
+    )
+    twin = dict(duckdb.sql(sql).fetchall())
+    assert got == twin
