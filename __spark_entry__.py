@@ -6064,6 +6064,64 @@ FROM agg
 """
 
 
+def q_hexbin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X93 (cells.hex_cell): hexagonal-bin histogram of customer points
+    (pointy-top axial grid, 2.5-degree circumradius) with axial coords
+    and hex centers — the H3-style layout beside the square/geohash/
+    quadkey/sphere families. Pure column arithmetic (codegen, no UDF);
+    the oracle replays the identical fractional mapping and
+    floor(v+0.5) cube rounding."""
+    from osm2geojson_spark.operators import cells as CEL
+
+    pts = _t(spark, sf_dir, "customer").select(
+        _lon("c_custkey").alias("lon"), _lat("c_custkey").alias("lat")
+    )
+    size = 2.5
+    out = pts.select(CEL.hex_cell(F.col("lon"), F.col("lat"), size).alias("hex"))
+    agg = out.groupBy("hex").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    q, r = CEL.hex_qr(F.col("hex"))
+    cx, cy = CEL.hex_center(F.col("hex"), size)
+    return agg.select(
+        "hex",
+        q.alias("q"),
+        r.alias("r"),
+        (F.round(cx, 6) + F.lit(0.0)).alias("center_lon"),
+        (F.round(cy, 6) + F.lit(0.0)).alias("center_lat"),
+        "n",
+    )
+
+
+def _hexbin_sql() -> str:
+    import math as _m
+
+    from osm2geojson_spark.operators import cells as CEL
+
+    hx = CEL.hex_cell_sql("lon", "lat", 2.5)
+    s3 = _m.sqrt(3.0)
+    off = CEL._HEX_OFF
+    return f"""
+WITH p AS (
+  SELECT {SYN.lon_sql('c_custkey')} AS lon, {SYN.lat_sql('c_custkey')} AS lat
+  FROM customer
+), h AS (
+  SELECT {hx} AS hex FROM p
+), agg AS (
+  SELECT hex, CAST(count(*) AS BIGINT) AS n FROM h GROUP BY hex
+), qr AS (
+  SELECT hex, n, (hex // {1 << 30}) - {off} AS q,
+         (hex % {1 << 30}) - {off} AS r
+  FROM agg
+)
+SELECT hex, q, r,
+       round(2.5 * ({s3!r} * CAST(q AS DOUBLE)
+                    + {s3 / 2.0!r} * CAST(r AS DOUBLE)), 6) + 0.0
+         AS center_lon,
+       round(2.5 * (1.5 * CAST(r AS DOUBLE)), 6) + 0.0 AS center_lat,
+       n
+FROM qr
+"""
+
+
 def q_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X92 (graph.label_propagation): 3 synchronous rounds of
     deterministic label-propagation community detection over a
@@ -6306,6 +6364,7 @@ FROM d
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "hexbin": q_hexbin,
         "lpa": q_lpa,
         "chaikin": q_chaikin,
         "otsu": q_otsu,
@@ -6451,6 +6510,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "hexbin": _hexbin_sql(),
         "lpa": _lpa_sql(),
         "chaikin": _CHAIKIN_SQL,
         "otsu": _otsu_sql(),

@@ -140,6 +140,7 @@ BENCH_QUERIES = [
     "image_moments",
     "chaikin",
     "lpa",
+    "hexbin",
 ]
 
 

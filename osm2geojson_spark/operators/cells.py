@@ -21,6 +21,8 @@ by BASELINE.json:6,14 on top of the assembled osm2geojson polygons.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -717,3 +719,98 @@ SELECT lon, lat, {case_cell} AS cell_id,
        ({case_res}) IS NULL AS suppressed
 FROM l{res_min}
 """
+
+
+# --- hexagonal binning (pointy-top axial grid, the H3/hexbin analogue) ---
+
+_HEX_OFF = 1 << 28  # axial coords packed biased into one int64
+
+
+def _hex_round_exprs(x, y, size: float):
+    """Shared axial fractional coords + cube rounding, expressed with the
+    exact op sequence both engines replay. ``floor(v + 0.5)`` stands in
+    for round() so no rounding-MODE ambiguity exists (half always rounds
+    up, identically in Spark and DuckDB). Returns (q, r) integer Columns.
+
+    Pointy-top axial mapping (Red Blob Games' canonical formulas):
+        qf = (sqrt(3)/3 * x - 1/3 * y) / size
+        rf = (2/3 * y) / size
+    then cube-round (q + r + s = 0 with the largest-error component
+    recomputed from the other two)."""
+    s3 = math.sqrt(3.0)
+    qf = (F.lit(s3 / 3.0) * x - F.lit(1.0 / 3.0) * y) / F.lit(float(size))
+    rf = (F.lit(2.0 / 3.0) * y) / F.lit(float(size))
+    sf = -qf - rf
+    rq = F.floor(qf + F.lit(0.5))
+    rr = F.floor(rf + F.lit(0.5))
+    rs = F.floor(sf + F.lit(0.5))
+    dq = F.abs(rq.cast("double") - qf)
+    dr = F.abs(rr.cast("double") - rf)
+    ds = F.abs(rs.cast("double") - sf)
+    q = F.when((dq > dr) & (dq > ds), -rr - rs).otherwise(rq)
+    r = F.when(
+        ~((dq > dr) & (dq > ds)) & (dr > ds), -rq - rs
+    ).otherwise(rr)
+    return q.cast("long"), r.cast("long")
+
+
+def hex_cell(lon: Column, lat: Column, size_deg: float) -> Column:
+    """HEXAGONAL BIN ID — pointy-top hexagonal tessellation of the
+    lon/lat plane with circumradius ``size_deg`` degrees, the hexbin /
+    H3-style layout that complements the square (cell_id), geohash,
+    quadkey and cube-sphere families: hexes have uniform center-to-center
+    distance to all 6 neighbors (squares: 2 distances over 8), which is
+    why density viz and movement models prefer them.
+
+    Axial (q, r) from the canonical fractional mapping + cube rounding;
+    both biased by 2^28 and packed q * 2^30 + r into one int64 (valid for
+    |q|, |r| < 2^28 — any size_deg >= ~1e-6). Pure column arithmetic
+    (codegen), no UDF; ``hex_cell_sql`` replays the identical op
+    sequence, including floor(v + 0.5) in place of round() so no
+    rounding-mode ambiguity exists."""
+    q, r = _hex_round_exprs(lon, lat, size_deg)
+    return (q + F.lit(_HEX_OFF)) * F.lit(1 << 30) + (r + F.lit(_HEX_OFF))
+
+
+def hex_qr(cell: Column) -> tuple[Column, Column]:
+    """Unpack a hex_cell id back to axial (q, r)."""
+    return (
+        F.shiftright(cell, 30) - F.lit(_HEX_OFF),
+        cell % F.lit(1 << 30) - F.lit(_HEX_OFF),
+    )
+
+
+def hex_center(cell: Column, size_deg: float) -> tuple[Column, Column]:
+    """Hex center (lon, lat) of a hex_cell id — the inverse axial map."""
+    q, r = hex_qr(cell)
+    s3 = math.sqrt(3.0)
+    lon = F.lit(float(size_deg)) * (
+        F.lit(s3) * q.cast("double") + F.lit(s3 / 2.0) * r.cast("double")
+    )
+    lat = F.lit(float(size_deg)) * (F.lit(1.5) * r.cast("double"))
+    return lon, lat
+
+
+def hex_cell_sql(lon: str, lat: str, size_deg: float) -> str:
+    """DuckDB twin of hex_cell — same fractional mapping, same
+    floor(v + 0.5) cube rounding, same packing."""
+    s3 = math.sqrt(3.0)
+    qf = f"(({s3 / 3.0!r} * {lon} - {1.0 / 3.0!r} * {lat}) / {float(size_deg)!r})"
+    rf = f"(({2.0 / 3.0!r} * {lat}) / {float(size_deg)!r})"
+    sf = f"(-{qf} - {rf})"
+    rq = f"floor({qf} + 0.5)"
+    rr = f"floor({rf} + 0.5)"
+    rs = f"floor({sf} + 0.5)"
+    dq = f"abs({rq} - {qf})"
+    dr = f"abs({rr} - {rf})"
+    ds = f"abs({rs} - {sf})"
+    big_q = f"({dq} > {dr} AND {dq} > {ds})"
+    q = f"(CASE WHEN {big_q} THEN -{rr} - {rs} ELSE {rq} END)"
+    r = (
+        f"(CASE WHEN NOT {big_q} AND {dr} > {ds}"
+        f" THEN -{rq} - {rs} ELSE {rr} END)"
+    )
+    return (
+        f"((CAST({q} AS BIGINT) + {_HEX_OFF}) * {1 << 30}"
+        f" + (CAST({r} AS BIGINT) + {_HEX_OFF}))"
+    )

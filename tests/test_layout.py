@@ -322,3 +322,70 @@ def test_kanon_sql_twin_matches(spark):
     sql = cells.kanon_cells_sql("SELECT lon, lat FROM pts_t", 4, 1, 4)
     want = sorted(tuple(r) for r in con.sql(sql).fetchall())
     assert got == want
+
+
+def _brute_hex(x, y, size):
+    import math as m
+
+    qf = (m.sqrt(3.0) / 3.0 * x - 1.0 / 3.0 * y) / size
+    rf = (2.0 / 3.0 * y) / size
+    sf = -qf - rf
+    rq, rr, rs = (m.floor(v + 0.5) for v in (qf, rf, sf))
+    dq, dr, ds = abs(rq - qf), abs(rr - rf), abs(rs - sf)
+    if dq > dr and dq > ds:
+        rq = -rr - rs
+    elif dr > ds:
+        rr = -rq - rs
+    return int(rq), int(rr)
+
+
+def test_hex_cell_matches_brute_sql_twin_and_nearest_center(spark):
+    import duckdb
+    import numpy as np
+
+    from osm2geojson_spark.operators.cells import (
+        _HEX_OFF,
+        hex_cell,
+        hex_cell_sql,
+        hex_center,
+        hex_qr,
+    )
+
+    rng = np.random.default_rng(21)
+    size = 0.25
+    pts = [
+        (i, float(rng.uniform(-30, 30)), float(rng.uniform(-20, 20)))
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(pts, "i long, lon double, lat double")
+    cell = hex_cell(F.col("lon"), F.col("lat"), size)
+    q, r = hex_qr(F.col("cell"))
+    cx, cy = hex_center(F.col("cell"), size)
+    rows = (
+        df.withColumn("cell", cell)
+        .select("i", "lon", "lat", "cell", q.alias("q"), r.alias("r"),
+                cx.alias("cx"), cy.alias("cy"))
+        .collect()
+    )
+    for row in rows:
+        bq, br = _brute_hex(row["lon"], row["lat"], size)
+        assert (row["q"], row["r"]) == (bq, br)
+        assert row["cell"] == (bq + _HEX_OFF) * (1 << 30) + (br + _HEX_OFF)
+        # hexagons tile as the Voronoi diagram of their centers: the
+        # assigned center is nearest among itself and all 6 neighbors
+        d0 = (row["lon"] - row["cx"]) ** 2 + (row["lat"] - row["cy"]) ** 2
+        s3 = 3.0**0.5
+        for dq, dr in ((1, 0), (-1, 0), (0, 1), (0, -1), (1, -1), (-1, 1)):
+            nx = size * (s3 * (bq + dq) + s3 / 2.0 * (br + dr))
+            ny = size * 1.5 * (br + dr)
+            dn = (row["lon"] - nx) ** 2 + (row["lat"] - ny) ** 2
+            assert d0 <= dn + 1e-12
+
+    vals = ", ".join(f"({i}, {lon!r}, {lat!r})" for i, lon, lat in pts)
+    twin = dict(
+        duckdb.sql(
+            f"SELECT i, {hex_cell_sql('lon', 'lat', size)} AS c"
+            f" FROM (VALUES {vals}) t(i, lon, lat)"
+        ).fetchall()
+    )
+    assert twin == {row["i"]: row["cell"] for row in rows}
