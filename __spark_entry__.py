@@ -6064,6 +6064,52 @@ FROM agg
 """
 
 
+def q_glcm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X94 (multimodal.glcm_features): Haralick GLCM texture features at
+    offset (1, 0) over 300 mixed rawz/png 8x8 images — co-occurrence
+    counts of 16-level quantized pixel pairs, contrast/dissimilarity/
+    energy exact int64 and homogeneity as a fixed-point integer weight
+    table (no float anywhere). The oracle rebuilds the pair counts from
+    the deterministic pixel formula."""
+    from osm2geojson_spark.operators import multimodal as MM2
+
+    return MM2.glcm_features(
+        _synth_images(spark, sf_dir, 900, step=3), levels=16, dx=1, dy=0
+    )
+
+
+def _glcm_sql() -> str:
+    from osm2geojson_spark.operators.multimodal import GLCM_HOMOG_SCALE
+
+    w_case = "CASE " + " ".join(
+        f"WHEN d = {d} THEN {round(GLCM_HOMOG_SCALE / (1 + d))}"
+        for d in range(16)
+    ) + " END"
+    return f"""
+WITH img AS (
+  SELECT p_partkey AS i FROM part WHERE p_partkey < 900 AND p_partkey % 3 = 0
+), px AS (
+  SELECT i, unnest(range(0, 64)) AS p FROM img
+), pair AS (
+  SELECT i,
+    (((p % 8) * 3 + (p // 8) * 7 + i * 13) % 251) // 16 AS qa,
+    (((p % 8 + 1) * 3 + (p // 8) * 7 + i * 13) % 251) // 16 AS qb
+  FROM px WHERE p % 8 < 7
+), cnt AS (
+  SELECT i, qa, qb, CAST(count(*) AS BIGINT) AS n FROM pair GROUP BY 1, 2, 3
+), feat AS (
+  SELECT i, n, abs(qa - qb) AS d FROM cnt
+)
+SELECT printf('img%012d', i) AS image_id,
+       CAST(sum(n) AS BIGINT) AS n_pairs,
+       CAST(sum(n * d * d) AS BIGINT) AS contrast,
+       CAST(sum(n * d) AS BIGINT) AS dissim,
+       CAST(sum(n * n) AS BIGINT) AS energy,
+       CAST(sum(n * ({w_case})) AS BIGINT) AS homog_q
+FROM feat GROUP BY i
+"""
+
+
 def q_hexbin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X93 (cells.hex_cell): hexagonal-bin histogram of customer points
     (pointy-top axial grid, 2.5-degree circumradius) with axial coords
@@ -6364,6 +6410,7 @@ FROM d
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "glcm": q_glcm,
         "hexbin": q_hexbin,
         "lpa": q_lpa,
         "chaikin": q_chaikin,
@@ -6510,6 +6557,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "glcm": _glcm_sql(),
         "hexbin": _hexbin_sql(),
         "lpa": _lpa_sql(),
         "chaikin": _CHAIKIN_SQL,

@@ -141,6 +141,7 @@ BENCH_QUERIES = [
     "chaikin",
     "lpa",
     "hexbin",
+    "glcm",
 ]
 
 

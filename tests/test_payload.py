@@ -1062,3 +1062,54 @@ def test_image_moments_match_scalar_brute(spark):
         assert r["theta"] == round(0.5 * math.atan2(2 * mu11, mu20 - mu02), 6)
     z = got["z"]
     assert z["m00"] == 0 and z["cx"] is None and z["theta"] is None
+
+
+def test_glcm_matches_scalar_brute(spark):
+    from osm2geojson_spark.operators.multimodal import (
+        GLCM_HOMOG_SCALE,
+        glcm_features,
+    )
+
+    px = imagecodec.synth_pixels(7, 9, 6).astype(np.uint8)
+    px[2, 3] = 255  # plant a high-contrast outlier
+    imgs = spark.createDataFrame(
+        [
+            ("a", 9, 6, "rawz", bytearray(imagecodec.encode_rawz(px))),
+            ("c", 4, 4, "rawz",
+             bytearray(imagecodec.encode_rawz(np.full((4, 4), 80, np.uint8)))),
+            ("p", 9, 6, "png", bytearray(imagecodec.encode_png(px))),
+        ],
+        "image_id string, w int, h int, fmt string, bytes binary",
+    )
+    for dx, dy in ((1, 0), (0, 1), (1, -1)):
+        got = {
+            r["image_id"]: r
+            for r in glcm_features(imgs, levels=16, dx=dx, dy=dy).collect()
+        }
+        cnt = {}
+        h, w = px.shape
+        for y in range(h):
+            for x in range(w):
+                x2, y2 = x + dx, y + dy
+                if 0 <= x2 < w and 0 <= y2 < h:
+                    key = (int(px[y, x]) // 16, int(px[y2, x2]) // 16)
+                    cnt[key] = cnt.get(key, 0) + 1
+        n_pairs = sum(cnt.values())
+        contrast = sum(n * (a - b) ** 2 for (a, b), n in cnt.items())
+        dissim = sum(n * abs(a - b) for (a, b), n in cnt.items())
+        energy = sum(n * n for n in cnt.values())
+        homog = sum(
+            n * round(GLCM_HOMOG_SCALE / (1 + abs(a - b)))
+            for (a, b), n in cnt.items()
+        )
+        for name in ("a", "p"):
+            r = got[name]
+            assert (
+                r["n_pairs"], r["contrast"], r["dissim"], r["energy"],
+                r["homog_q"],
+            ) == (n_pairs, contrast, dissim, energy, homog)
+        c = got["c"]
+        # constant image: zero contrast, perfect homogeneity
+        assert c["contrast"] == 0 and c["dissim"] == 0
+        assert c["homog_q"] == c["n_pairs"] * GLCM_HOMOG_SCALE
+        assert c["energy"] == c["n_pairs"] ** 2
