@@ -6064,6 +6064,72 @@ FROM agg
 """
 
 
+def q_st_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X95 (spatial_stats.st_dbscan_cluster): ST-DBSCAN event-burst
+    clustering — the q_dbscan point set (400 customers, eps 400 km,
+    min_pts 3; nearest pair-to-cut gap 530 m at sf0.01) with a
+    deterministic hour-grid timestamp (c_custkey % 96 hours) and a 6-hour
+    temporal eps, so every time decision is an exact integer-hour
+    comparison. Pairs come from the (cell, time-bucket) spatiotemporal
+    join; the oracle floods the same space-AND-time eps-graph with a
+    recursive CTE."""
+    from osm2geojson_spark.operators.spatial_stats import st_dbscan_cluster
+
+    k = F.col("c_custkey")
+    pts = (
+        _t(spark, sf_dir, "customer")
+        .filter(k < 400)
+        .select(
+            k.alias("id"),
+            _lon("c_custkey").alias("lon"),
+            _lat("c_custkey").alias("lat"),
+            F.timestamp_seconds(
+                F.lit(1704067200) + (k % 96) * 3600
+            ).alias("ts"),
+        )
+    )
+    return st_dbscan_cluster(
+        pts, 400_000.0, 6 * 3600.0, 3, id_col="id", res=6
+    ).select("id", "is_core", "cluster_id")
+
+
+def _st_dbscan_sql() -> str:
+    hav = KNN.haversine_sql("a.lon", "a.lat", "b.lon", "b.lat")
+    return f"""
+WITH RECURSIVE p AS (
+  SELECT c_custkey AS k, {SYN.lon_sql('c_custkey')} AS lon,
+         {SYN.lat_sql('c_custkey')} AS lat, c_custkey % 96 AS h
+  FROM customer WHERE c_custkey < 400
+), pairs AS (
+  SELECT a.k AS ida, b.k AS idb FROM p a JOIN p b
+  ON a.k <> b.k AND abs(a.h - b.h) <= 6 AND {hav} <= 400000.0
+), cnt AS (SELECT ida, count(*) AS c FROM pairs GROUP BY ida),
+core AS (
+  SELECT k FROM p LEFT JOIN cnt ON p.k = cnt.ida
+  WHERE coalesce(c, 0) + 1 >= 3
+), ce AS (
+  SELECT ida, idb FROM pairs
+  WHERE ida IN (SELECT k FROM core) AND idb IN (SELECT k FROM core)
+), lbl(v, l) AS (
+  SELECT k, k FROM core
+  UNION
+  SELECT ce.idb, lbl.l FROM lbl JOIN ce ON ce.ida = lbl.v
+), ml AS (SELECT v, min(l) AS cluster_id FROM lbl GROUP BY v),
+bl AS (
+  SELECT ida AS v, min(ml.cluster_id) AS cluster_id
+  FROM pairs JOIN ml ON pairs.idb = ml.v
+  WHERE ida NOT IN (SELECT k FROM core)
+  GROUP BY ida
+), mem AS (
+  SELECT v, cluster_id, TRUE AS is_core FROM ml
+  UNION ALL
+  SELECT v, cluster_id, FALSE AS is_core FROM bl
+)
+SELECT p.k AS id, coalesce(mem.is_core, FALSE) AS is_core, mem.cluster_id
+FROM p LEFT JOIN mem ON p.k = mem.v
+"""
+
+
 def q_glcm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X94 (multimodal.glcm_features): Haralick GLCM texture features at
     offset (1, 0) over 300 mixed rawz/png 8x8 images — co-occurrence
@@ -6410,6 +6476,7 @@ FROM d
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "st_dbscan": q_st_dbscan,
         "glcm": q_glcm,
         "hexbin": q_hexbin,
         "lpa": q_lpa,
@@ -6557,6 +6624,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "st_dbscan": _st_dbscan_sql(),
         "glcm": _glcm_sql(),
         "hexbin": _hexbin_sql(),
         "lpa": _lpa_sql(),

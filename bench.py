@@ -142,6 +142,7 @@ BENCH_QUERIES = [
     "lpa",
     "hexbin",
     "glcm",
+    "st_dbscan",
 ]
 
 

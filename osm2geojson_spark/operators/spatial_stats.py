@@ -458,7 +458,6 @@ def dbscan_cluster(
     rounds on a graph whose size is the pair list, not the corpus. With
     eps below the percolation radius (the only regime where DBSCAN output
     is meaningful), cluster diameters are small constants."""
-    from .dedup import duplicate_clusters
     from .spatial_join import within_distance_join
 
     a = points.select(
@@ -475,6 +474,23 @@ def dbscan_cluster(
         .filter(F.col("_ida") != F.col("_idb"))
         .select("_ida", "_idb")
     )
+    return _dbscan_from_pairs(points, pairs, min_pts, id_col, max_iter)
+
+
+def _dbscan_from_pairs(
+    points: DataFrame,
+    pairs: DataFrame,
+    min_pts: int,
+    id_col: str,
+    max_iter: int,
+) -> DataFrame:
+    """Shared DBSCAN tail: core gate -> core-core components (min-label)
+    -> border attach -> left join back. ``pairs`` is the DIRECTED
+    eps-neighbor relation (_ida, _idb), both orientations present, no
+    self pairs — the generalized-neighborhood hook st_dbscan_cluster
+    plugs its space-AND-time relation into."""
+    from .dedup import duplicate_clusters
+
     cnt = pairs.groupBy("_ida").agg(F.count("*").alias("_n"))
     core = (
         points.select(F.col(id_col).alias("_ida"))
@@ -518,6 +534,54 @@ def dbscan_cluster(
             F.col("cluster_id"),
         )
     )
+
+
+def st_dbscan_cluster(
+    points: DataFrame,
+    eps_m: float,
+    eps_t_s: float,
+    min_pts: int,
+    id_col: str = "id",
+    ts_col: str = "ts",
+    res: int = 6,
+    grid: str = "flat",
+    max_iter: int = 20,
+) -> DataFrame:
+    """ST-DBSCAN (Birant & Kut 2007) — density clustering where the
+    neighborhood is BOTH spatial and temporal: a neighbor must lie within
+    ``eps_m`` meters AND ``eps_t_s`` seconds. The event-burst clusterer
+    (disease outbreaks, photo bursts, protest detection) that plain
+    DBSCAN over-merges: two crowds in the same square a week apart are
+    two clusters here.
+
+    Semantics, determinism and output shape are dbscan_cluster's —
+    (id, is_core, cluster_id), core iff >= min_pts space-time neighbors
+    (self included), clusters = components of core-core reachability
+    with min-core-id labels, borders to the smallest cluster_id — with
+    the eps-graph generalized. The shared tail (_dbscan_from_pairs) is
+    literally the same code path.
+
+    Scale: the pair relation is spatiotemporal_join — candidates keyed
+    by (cell, time bucket), so candidate volume is the spatial join's
+    divided by the time spread (the crowd that makes plain DBSCAN's hot
+    cell quadratic is cut to per-burst slices). Everything after is
+    pair-list-sized."""
+    from .spatial_join import spatiotemporal_join
+
+    a = points.select(
+        F.col(id_col).alias("_ida"), "lon", "lat", F.col(ts_col).alias("ts")
+    )
+    b = points.select(
+        F.col(id_col).alias("_idb"), "lon", "lat", F.col(ts_col).alias("ts")
+    )
+    pairs = (
+        spatiotemporal_join(
+            a, b, eps_m, eps_t_s, res=res, lid="_ida", rid="_idb", grid=grid
+        )
+        .filter(F.col("_ida") != F.col("_idb"))
+        .select("_ida", "_idb")
+    )
+    return _dbscan_from_pairs(points, pairs, min_pts, id_col, max_iter)
 
 
 def emerging_hotspots(

@@ -439,3 +439,89 @@ def test_emerging_hotspots_matches_brute_mk(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_st_dbscan_splits_time_bursts_and_matches_brute(spark):
+    """Same square, two crowds a day apart: plain DBSCAN merges them into
+    one cluster, ST-DBSCAN keeps them apart. Full output checked against
+    a fresh brute (haversine + |dt| eps-graph, flood components, min-id
+    labels, border-to-smallest)."""
+    import datetime as dt
+    import math
+
+    from osm2geojson_spark.operators.spatial_stats import (
+        dbscan_cluster,
+        st_dbscan_cluster,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def at(h):
+        return t0 + dt.timedelta(hours=h)
+
+    pts = [
+        # burst 1: 4 points within ~40 km, within 1 h
+        (0, 10.0, 0.0, at(0.0)), (1, 10.2, 0.1, at(0.3)),
+        (2, 10.1, 0.2, at(0.6)), (3, 9.9, 0.1, at(0.9)),
+        # burst 2: same square, 24 h later
+        (10, 10.05, 0.05, at(24.0)), (11, 10.15, 0.12, at(24.4)),
+        (12, 10.02, 0.18, at(24.8)), (13, 9.95, 0.08, at(24.2)),
+        # border: near burst 1 in space and time, itself sparse
+        (20, 10.85, 0.1, at(0.5)),
+        # noise: right place, lonely time
+        (30, 10.1, 0.1, at(100.0)),
+    ]
+    df = spark.createDataFrame(
+        pts, "id long, lon double, lat double, ts timestamp"
+    )
+    eps_m, eps_t, min_pts = 80_000.0, 2 * 3600.0, 3
+    got = {
+        r["id"]: (r["is_core"], r["cluster_id"])
+        for r in st_dbscan_cluster(df, eps_m, eps_t, min_pts).collect()
+    }
+
+    R = 6371008.8
+
+    def hav(a, b):
+        p1, p2 = math.radians(a[2]), math.radians(b[2])
+        h = (
+            math.sin((p2 - p1) / 2) ** 2
+            + math.cos(p1) * math.cos(p2)
+            * math.sin(math.radians(b[1] - a[1]) / 2) ** 2
+        )
+        return 2 * R * math.asin(math.sqrt(min(1.0, h)))
+
+    nbr = {p[0]: set() for p in pts}
+    for a in pts:
+        for b in pts:
+            if a[0] != b[0] and hav(a, b) <= eps_m and abs(
+                (a[3] - b[3]).total_seconds()
+            ) <= eps_t:
+                nbr[a[0]].add(b[0])
+    core = {i for i, ns in nbr.items() if len(ns) + 1 >= min_pts}
+    lbl = {i: i for i in core}
+    changed = True
+    while changed:
+        changed = False
+        for i in core:
+            for j in nbr[i] & core:
+                if lbl[j] < lbl[i]:
+                    lbl[i] = lbl[j]
+                    changed = True
+    want = {}
+    for i, _, _, _ in pts:
+        if i in core:
+            want[i] = (True, lbl[i])
+        else:
+            cands = [lbl[j] for j in nbr[i] if j in core]
+            want[i] = (False, min(cands) if cands else None)
+    assert got == want
+    # the two bursts are distinct clusters; plain DBSCAN merges them
+    assert got[0][1] != got[10][1]
+    assert got[20] == (False, got[0][1])
+    assert got[30] == (False, None)
+    plain = {
+        r["id"]: r["cluster_id"]
+        for r in dbscan_cluster(df, eps_m, min_pts).collect()
+    }
+    assert plain[0] == plain[10]
