@@ -6064,6 +6064,33 @@ FROM agg
 """
 
 
+def q_theta_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X96 (sketch.theta_distinct): Theta-sampling distinct-count sketch —
+    distinct customers per order priority estimated from the hash-gated
+    1/8 survivor set (filter BEFORE any shuffle; exact int64 survivor
+    counts, one-divide estimate). Deterministic by construction, so the
+    oracle replays the identical gate and assembly."""
+    from osm2geojson_spark.operators.sampling import _H_MOD
+    from osm2geojson_spark.operators.sketch import theta_distinct
+
+    orders = _t(spark, sf_dir, "orders").select("o_orderpriority", "o_custkey")
+    return theta_distinct(
+        orders, ["o_orderpriority"], "o_custkey", _H_MOD // 8
+    )
+
+
+def _theta_distinct_sql() -> str:
+    from osm2geojson_spark.operators.sampling import _H_MOD
+    from osm2geojson_spark.operators.sketch import theta_distinct_sql
+
+    return theta_distinct_sql(
+        "SELECT o_orderpriority, o_custkey FROM orders",
+        ["o_orderpriority"],
+        "o_custkey",
+        _H_MOD // 8,
+    )
+
+
 def q_st_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X95 (spatial_stats.st_dbscan_cluster): ST-DBSCAN event-burst
     clustering — the q_dbscan point set (400 customers, eps 400 km,
@@ -6476,6 +6503,7 @@ FROM d
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "theta_distinct": q_theta_distinct,
         "st_dbscan": q_st_dbscan,
         "glcm": q_glcm,
         "hexbin": q_hexbin,
@@ -6624,6 +6652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "theta_distinct": _theta_distinct_sql(),
         "st_dbscan": _st_dbscan_sql(),
         "glcm": _glcm_sql(),
         "hexbin": _hexbin_sql(),

@@ -143,6 +143,7 @@ BENCH_QUERIES = [
     "hexbin",
     "glcm",
     "st_dbscan",
+    "theta_distinct",
 ]
 
 

@@ -127,3 +127,56 @@ def test_sample_hash_total_over_int64(spark):
         assert dh == h, k
     df2 = spark.createDataFrame([(k, "x") for k in keys], "k long, s string")
     assert SMP.stratified_sample(df2, "s", {"x": 0.0}, "k").count() == 0
+
+
+def test_theta_distinct_exact_survivors_and_accuracy(spark):
+    import duckdb
+
+    from osm2geojson_spark.operators.sampling import (
+        _H_ADD,
+        _H_MOD,
+        _H_MUL,
+    )
+    from osm2geojson_spark.operators.sketch import (
+        theta_distinct,
+        theta_distinct_sql,
+    )
+
+    # two groups with known distinct counts and heavy duplication
+    rows = [("a", i % 4000) for i in range(20000)] + [
+        ("b", i % 37) for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, "g string, v long")
+    tau = _H_MOD // 8
+    got = {
+        r["g"]: (r["n_sampled"], r["est"])
+        for r in theta_distinct(df, ["g"], "v", tau).collect()
+    }
+    # brute: survivors = distinct values with hash < tau, est scaled
+    for g, n_true in (("a", 4000), ("b", 37)):
+        vals = {v for gg, v in rows if gg == g}
+        surv = {
+            v
+            for v in vals
+            if ((v % _H_MOD + _H_MOD) % _H_MOD * _H_MUL + _H_ADD) % _H_MOD
+            < tau
+        }
+        est = round(len(surv) * _H_MOD / tau, 3)
+        assert got[g] == (len(surv), est)
+        # relative accuracy ~1/sqrt(n_sampled): assert it only where the
+        # survivor count is large enough to mean anything (group a
+        # samples ~500 values; group b's ~5 survivors are exact-but-noisy)
+        if n_true >= 1000:
+            assert abs(got[g][1] - n_true) / n_true < 0.2
+
+    vals_sql = ", ".join(f"('{g}', {v})" for g, v in rows)
+    twin = {
+        r[0]: (r[1], r[2])
+        for r in duckdb.sql(
+            theta_distinct_sql(
+                f"SELECT g, v FROM (VALUES {vals_sql}) t(g, v)",
+                ["g"], "v", tau,
+            )
+        ).fetchall()
+    }
+    assert twin == got
