@@ -6064,6 +6064,97 @@ FROM agg
 """
 
 
+def _synth_audios(spark: SparkSession, sf_dir: str, limit: int, step: int = 3):
+    """Deterministic pcmz clips keyed by part keys (the audio analogue of
+    _synth_images): clip i has 800 + (i % 3) * 400 samples of
+    audiocodec.synth_samples' closed-form pseudo-noise."""
+    from osm2geojson_spark.functions import audiocodec as AC
+
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_partkey") < limit) & (F.col("p_partkey") % step == 0)
+    ).select(F.col("p_partkey").alias("_i"))
+
+    def gen(it):
+        for pdf in it:
+            rows = []
+            for i in pdf["_i"]:
+                i = int(i)
+                n = 800 + (i % 3) * 400
+                rows.append(
+                    (
+                        f"aud{i:012d}",
+                        "pcmz",
+                        AC.encode_pcm16(AC.synth_samples(i, n)),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=["audio_id", "fmt", "bytes"])
+
+    return part.mapInPandas(gen, schema="audio_id string, fmt string, bytes binary")
+
+
+_AUDIO_V_CTE = f"""
+clip AS (
+  SELECT p_partkey AS i, 800 + (p_partkey % 3) * 400 AS n
+  FROM part WHERE p_partkey < 600 AND p_partkey % 3 = 0
+), v AS (
+  SELECT i, n, t, ((t * 7919 + i * 104729) % 65536) - 32768 AS v
+  FROM (SELECT i, n, unnest(range(0, n)) AS t FROM clip) q
+)"""
+
+
+def q_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X97 (multimodal.audio_stats): waveform curation stats over 200
+    variable-length pcmz clips — exact int64 energy / peak /
+    zero-crossings, rms assembled JVM-side. The pcmz codec (zlib int16
+    PCM) is fully real; the oracle replays the closed-form waveform."""
+    from osm2geojson_spark.operators import multimodal as MM2
+
+    return MM2.audio_stats(_synth_audios(spark, sf_dir, 600, step=3)).drop(
+        "decode_ok"
+    )
+
+
+def _audio_stats_sql() -> str:
+    return f"""
+WITH {_AUDIO_V_CTE}, zc AS (
+  SELECT i, t, v,
+         CASE WHEN lag(v) OVER (PARTITION BY i ORDER BY t) IS NOT NULL
+               AND (v >= 0) != (lag(v) OVER (PARTITION BY i ORDER BY t) >= 0)
+              THEN 1 ELSE 0 END AS x
+  FROM v
+)
+SELECT printf('aud%012d', i) AS audio_id,
+       CAST(count(*) AS BIGINT) AS n_samples,
+       CAST(sum(v * v) AS BIGINT) AS sq_sum,
+       CAST(max(abs(v)) AS BIGINT) AS peak,
+       CAST(sum(x) AS BIGINT) AS zero_cross,
+       round(sqrt(CAST(sum(v * v) AS DOUBLE) / CAST(count(*) AS DOUBLE)), 6)
+         + 0.0 AS rms
+FROM zc GROUP BY i
+"""
+
+
+def q_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X97b (multimodal.audio_frames): 256-sample frame energies (the
+    audio patchification; ragged tails dropped) — exact int64 per-frame
+    energy and peak pin every sample's frame routing."""
+    from osm2geojson_spark.operators import multimodal as MM2
+
+    return MM2.audio_frames(_synth_audios(spark, sf_dir, 600, step=3), frame=256)
+
+
+def _audio_frames_sql() -> str:
+    return f"""
+WITH {_AUDIO_V_CTE}
+SELECT printf('aud%012d', i) AS audio_id,
+       CAST(t // 256 AS INTEGER) AS frame_idx,
+       CAST(sum(v * v) AS BIGINT) AS sq_sum,
+       CAST(max(abs(v)) AS BIGINT) AS peak
+FROM v WHERE t < (n // 256) * 256
+GROUP BY i, t // 256
+"""
+
+
 def q_theta_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X96 (sketch.theta_distinct): Theta-sampling distinct-count sketch —
     distinct customers per order priority estimated from the hash-gated
@@ -6503,6 +6594,8 @@ FROM d
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "audio_stats": q_audio_stats,
+        "audio_frames": q_audio_frames,
         "theta_distinct": q_theta_distinct,
         "st_dbscan": q_st_dbscan,
         "glcm": q_glcm,
@@ -6652,6 +6745,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "audio_stats": _audio_stats_sql(),
+        "audio_frames": _audio_frames_sql(),
         "theta_distinct": _theta_distinct_sql(),
         "st_dbscan": _st_dbscan_sql(),
         "glcm": _glcm_sql(),

@@ -144,6 +144,8 @@ BENCH_QUERIES = [
     "glcm",
     "st_dbscan",
     "theta_distinct",
+    "audio_stats",
+    "audio_frames",
 ]
 
 

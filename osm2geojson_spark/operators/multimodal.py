@@ -1413,3 +1413,110 @@ def glcm_features(
             " energy long, homog_q long"
         ),
     )
+
+
+def audio_stats(audios: DataFrame) -> DataFrame:
+    """AUDIO WAVEFORM STATS per clip — the audio-curation gate (silence /
+    clipping / energy screens before a speech or audio-event training
+    set): decode the pcmz payload and emit
+
+        n_samples   exact int64
+        sq_sum      sum v^2       (int64 — the energy numerator)
+        peak        max |v|       (int64; 32768 = hard-clipped)
+        zero_cross  #{t : sign(v_t) != sign(v_t+1)}, sign = (v >= 0)
+        rms         round(sqrt(sq_sum / n), 6) assembled JVM-SIDE
+
+    Exactness: int16^2 <= 2^30, so a 2^33-sample clip (~75 h at 32 kHz)
+    keeps sq_sum inside int64; every reported integer is engine-exact and
+    rms is the one float op pair (divide, sqrt) replayed in SQL-twin
+    order. Undecodable formats yield decode_ok = false with NULL stats.
+
+    Scale: decode_stats' shape on the audio column — Arrow-batched
+    mapInPandas, one vectorized pass per clip, 5 small columns out,
+    sample bytes never shuffle."""
+    from ..functions import audiocodec
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                try:
+                    s, _rate = audiocodec.decode(bytes(r.bytes), r.fmt)
+                except NotImplementedError:
+                    rows.append((r.audio_id, None, None, None, None, False))
+                    continue
+                v = s.astype(np.int64)
+                nz = (v >= 0).astype(np.int8)
+                rows.append(
+                    (
+                        r.audio_id,
+                        int(v.size),
+                        int((v * v).sum()),
+                        int(np.abs(v).max()) if v.size else 0,
+                        int((nz[1:] != nz[:-1]).sum()),
+                        True,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "audio_id", "n_samples", "sq_sum", "peak", "zero_cross",
+                    "decode_ok",
+                ],
+            )
+
+    raw = audios.select("audio_id", "bytes", "fmt").mapInPandas(
+        fn,
+        schema=(
+            "audio_id string, n_samples long, sq_sum long, peak long,"
+            " zero_cross long, decode_ok boolean"
+        ),
+    )
+    rms = F.round(
+        F.sqrt(F.col("sq_sum").cast("double") / F.col("n_samples").cast("double")),
+        6,
+    ) + F.lit(0.0)
+    return raw.select(
+        "audio_id", "n_samples", "sq_sum", "peak", "zero_cross",
+        F.when(F.col("decode_ok") & (F.col("n_samples") > 0), rms).alias("rms"),
+        "decode_ok",
+    )
+
+
+def audio_frames(audios: DataFrame, frame: int = 256) -> DataFrame:
+    """FRAME-LEVEL AUDIO ENERGY — the clip cut into non-overlapping
+    ``frame``-sample windows (ragged tail dropped, the standard hop
+    convention), one row per frame with exact int64 energy and peak:
+    the patchification of the audio modality (extract_patches' twin),
+    feeding VAD-style gates and frame-level samplers.
+
+    Scale: one mapInPandas, a single vectorized reshape per clip, rows
+    out ~ n/frame each carrying 4 small columns; bytes never shuffle."""
+    from ..functions import audiocodec
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                try:
+                    s, _rate = audiocodec.decode(bytes(r.bytes), r.fmt)
+                except NotImplementedError:
+                    continue
+                nf = len(s) // frame
+                if nf == 0:
+                    continue
+                v = s[: nf * frame].astype(np.int64).reshape(nf, frame)
+                sq = (v * v).sum(axis=1)
+                pk = np.abs(v).max(axis=1)
+                for j in range(nf):
+                    rows.append((r.audio_id, j, int(sq[j]), int(pk[j])))
+            yield pd.DataFrame(
+                rows, columns=["audio_id", "frame_idx", "sq_sum", "peak"]
+            )
+
+    return audios.select("audio_id", "bytes", "fmt").mapInPandas(
+        fn,
+        schema=(
+            "audio_id string, frame_idx int, sq_sum long, peak long"
+        ),
+    )

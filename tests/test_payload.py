@@ -1113,3 +1113,58 @@ def test_glcm_matches_scalar_brute(spark):
         assert c["contrast"] == 0 and c["dissim"] == 0
         assert c["homog_q"] == c["n_pairs"] * GLCM_HOMOG_SCALE
         assert c["energy"] == c["n_pairs"] ** 2
+
+
+def test_audio_codec_roundtrip_and_stats_brute(spark):
+    from osm2geojson_spark.functions import audiocodec as AC
+    from osm2geojson_spark.operators.multimodal import audio_stats
+
+    s = AC.synth_samples(3, 1000)
+    back, rate = AC.decode_pcm16(AC.encode_pcm16(s, 22050))
+    assert rate == 22050 and np.array_equal(back, s)
+
+    clips = spark.createDataFrame(
+        [
+            ("a", "pcmz", bytearray(AC.encode_pcm16(s))),
+            ("b", "pcmz", bytearray(AC.encode_pcm16(
+                np.array([0, 5, -3, -1, 2, 0, -7], dtype=np.int16)))),
+            ("x", "mp3", bytearray(b"\xff\xfbdata")),
+        ],
+        "audio_id string, fmt string, bytes binary",
+    )
+    got = {r["audio_id"]: r for r in audio_stats(clips).collect()}
+
+    v = [int(x) for x in s]
+    sq = sum(x * x for x in v)
+    zc = sum(1 for i in range(len(v) - 1) if (v[i] >= 0) != (v[i + 1] >= 0))
+    a = got["a"]
+    assert (a["n_samples"], a["sq_sum"], a["peak"], a["zero_cross"]) == (
+        1000, sq, max(abs(x) for x in v), zc
+    )
+    assert a["decode_ok"] and a["rms"] is not None
+    b = got["b"]
+    # hand-walked: signs + + - - + + -  -> crossings at 1|2, 3|4, 5|6
+    assert (b["n_samples"], b["zero_cross"], b["peak"]) == (7, 3, 7)
+    assert b["sq_sum"] == 0 + 25 + 9 + 1 + 4 + 0 + 49
+    x = got["x"]
+    assert x["decode_ok"] is False and x["n_samples"] is None
+
+
+def test_audio_frames_matches_brute_and_drops_ragged_tail(spark):
+    from osm2geojson_spark.functions import audiocodec as AC
+    from osm2geojson_spark.operators.multimodal import audio_frames
+
+    s = AC.synth_samples(9, 700)  # 2 frames of 256 + ragged 188
+    clips = spark.createDataFrame(
+        [("a", "pcmz", bytearray(AC.encode_pcm16(s)))],
+        "audio_id string, fmt string, bytes binary",
+    )
+    rows = sorted(
+        (r["frame_idx"], r["sq_sum"], r["peak"])
+        for r in audio_frames(clips, frame=256).collect()
+    )
+    want = []
+    for j in range(2):
+        w = [int(x) for x in s[j * 256 : (j + 1) * 256]]
+        want.append((j, sum(x * x for x in w), max(abs(x) for x in w)))
+    assert rows == want
