@@ -6064,6 +6064,40 @@ FROM agg
 """
 
 
+def q_median_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X98 (multimodal.median_filter_stats): 3x3 median denoise over 300
+    mixed rawz/png 8x8 images — each interior pixel the exact 5th order
+    statistic of its 9 int neighbors (no float anywhere), stats over the
+    filtered interior. The oracle rebuilds every neighborhood from the
+    deterministic pixel formula and takes quantile_disc 0.5."""
+    from osm2geojson_spark.operators import multimodal as MM2
+
+    return MM2.median_filter_stats(_synth_images(spark, sf_dir, 900, step=3))
+
+
+_MEDIAN_FILTER_SQL = """
+WITH img AS (
+  SELECT p_partkey AS i FROM part WHERE p_partkey < 900 AND p_partkey % 3 = 0
+), px AS (
+  SELECT i, unnest(range(0, 36)) AS p FROM img
+), ctr AS (
+  SELECT i, (p % 6) + 1 AS x, (p // 6) + 1 AS y FROM px
+), nb AS (
+  SELECT i, x, y,
+         ((x + (dd % 3) - 1) * 3 + (y + (dd // 3) - 1) * 7 + i * 13) % 251
+           AS v
+  FROM (SELECT i, x, y, unnest(range(0, 9)) AS dd FROM ctr) q
+), med AS (
+  SELECT i, x, y, quantile_disc(v, 0.5) AS m FROM nb GROUP BY i, x, y
+)
+SELECT printf('img%012d', i) AS image_id, 6 AS w, 6 AS h,
+       CAST(sum(m) AS BIGINT) AS px_sum,
+       CAST(min(m) AS BIGINT) AS px_min,
+       CAST(max(m) AS BIGINT) AS px_max
+FROM med GROUP BY i
+"""
+
+
 def _synth_audios(spark: SparkSession, sf_dir: str, limit: int, step: int = 3):
     """Deterministic pcmz clips keyed by part keys (the audio analogue of
     _synth_images): clip i has 800 + (i % 3) * 400 samples of
@@ -6594,6 +6628,7 @@ FROM d
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "median_filter": q_median_filter,
         "audio_stats": q_audio_stats,
         "audio_frames": q_audio_frames,
         "theta_distinct": q_theta_distinct,
@@ -6745,6 +6780,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "median_filter": _MEDIAN_FILTER_SQL,
         "audio_stats": _audio_stats_sql(),
         "audio_frames": _audio_frames_sql(),
         "theta_distinct": _theta_distinct_sql(),

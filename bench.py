@@ -146,6 +146,7 @@ BENCH_QUERIES = [
     "theta_distinct",
     "audio_stats",
     "audio_frames",
+    "median_filter",
 ]
 
 

@@ -1209,11 +1209,9 @@ def otsu_threshold(images: DataFrame) -> DataFrame:
                     rows.append((r.image_id, v, 0.0, n, 0))
                     continue
                 num = s0 * w1 - (s_all - s0) * w0
+                denom = np.where(valid, w0 * w1, 1).astype(np.float64)
                 score = np.where(
-                    valid,
-                    num.astype(np.float64) ** 2
-                    / (w0 * w1).astype(np.float64),
-                    -1.0,
+                    valid, num.astype(np.float64) ** 2 / denom, -1.0
                 )
                 t = int(np.argmax(score))  # first max = smallest t
                 rows.append(
@@ -1519,4 +1517,66 @@ def audio_frames(audios: DataFrame, frame: int = 256) -> DataFrame:
         schema=(
             "audio_id string, frame_idx int, sq_sum long, peak long"
         ),
+    )
+
+
+def median_filter_stats(images: DataFrame, with_bytes: bool = False) -> DataFrame:
+    """3x3 MEDIAN FILTER per image — the classic salt-and-pepper denoise
+    pass of scan/document cleanup pipelines. Each INTERIOR pixel becomes
+    the median of its 3x3 neighborhood; with 9 integer inputs the median
+    is the exact 5th order statistic — a pure integer, no rounding mode
+    anywhere — so the emitted stats (filtered px_sum / px_min / px_max
+    over the interior, exact int64) are engine-exact and a SQL twin can
+    recompute them from the deterministic pixel formula with a 9-value
+    median aggregate.
+
+    Returns (image_id, w, h, px_sum, px_min, px_max [, bytes]) where
+    w, h are the INTERIOR dims (w-2, h-2) and ``bytes`` re-encodes the
+    filtered interior lossless (rawz).
+
+    Scale: scan-shaped mapInPandas; the kernel stacks the 9 shifted
+    views and takes one vectorized sort along the stack axis — no
+    per-pixel Python, pixel bytes never shuffle."""
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["image_id", "w", "h", "px_sum", "px_min", "px_max"]
+        if with_bytes:
+            cols.append("bytes")
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                try:
+                    px = imagecodec.decode(bytes(r.bytes), r.fmt)
+                except NotImplementedError:
+                    continue
+                h, w = px.shape
+                if h < 3 or w < 3:
+                    continue
+                stack = np.stack(
+                    [
+                        px[dy : h - 2 + dy, dx : w - 2 + dx]
+                        for dy in range(3)
+                        for dx in range(3)
+                    ],
+                    axis=0,
+                ).astype(np.int64)
+                stack.sort(axis=0)
+                med = stack[4]  # exact 5th order statistic of 9 ints
+                row = [
+                    r.image_id, w - 2, h - 2,
+                    int(med.sum()), int(med.min()), int(med.max()),
+                ]
+                if with_bytes:
+                    row.append(imagecodec.encode_rawz(med.astype(np.uint8)))
+                rows.append(tuple(row))
+            yield pd.DataFrame(rows, columns=cols)
+
+    schema = (
+        "image_id string, w int, h int, px_sum long, px_min long,"
+        " px_max long"
+    )
+    if with_bytes:
+        schema += ", bytes binary"
+    return images.select("image_id", "bytes", "fmt").mapInPandas(
+        fn, schema=schema
     )

@@ -1168,3 +1168,45 @@ def test_audio_frames_matches_brute_and_drops_ragged_tail(spark):
         w = [int(x) for x in s[j * 256 : (j + 1) * 256]]
         want.append((j, sum(x * x for x in w), max(abs(x) for x in w)))
     assert rows == want
+
+
+def test_median_filter_matches_scalar_brute_and_denoises(spark):
+    from osm2geojson_spark.operators.multimodal import median_filter_stats
+
+    px = imagecodec.synth_pixels(11, 8, 7).astype(np.uint8)
+    noisy = px.copy()
+    noisy[3, 4] = 255  # salt
+    noisy[2, 2] = 0    # pepper
+    imgs = spark.createDataFrame(
+        [
+            ("a", 8, 7, "rawz", bytearray(imagecodec.encode_rawz(noisy))),
+            ("tiny", 2, 2, "rawz",
+             bytearray(imagecodec.encode_rawz(np.zeros((2, 2), np.uint8)))),
+            ("p", 8, 7, "png", bytearray(imagecodec.encode_png(noisy))),
+        ],
+        "image_id string, w int, h int, fmt string, bytes binary",
+    )
+    out = median_filter_stats(imgs, with_bytes=True)
+    got = {r["image_id"]: r for r in out.collect()}
+    assert "tiny" not in got  # no interior
+
+    h, w = noisy.shape
+    med = np.zeros((h - 2, w - 2), dtype=np.int64)
+    for y in range(1, h - 1):
+        for x in range(1, w - 1):
+            med[y - 1, x - 1] = sorted(
+                int(noisy[yy, xx])
+                for yy in (y - 1, y, y + 1)
+                for xx in (x - 1, x, x + 1)
+            )[4]
+    for name in ("a", "p"):
+        r = got[name]
+        assert (r["w"], r["h"]) == (6, 5)
+        assert (r["px_sum"], r["px_min"], r["px_max"]) == (
+            int(med.sum()), int(med.min()), int(med.max())
+        )
+        assert np.array_equal(
+            imagecodec.decode_rawz(bytes(r["bytes"])), med.astype(np.uint8)
+        )
+    # the planted salt pixel is gone: filtered max is below 255
+    assert got["a"]["px_max"] < 255
