@@ -6189,6 +6189,39 @@ GROUP BY i, t // 256
 """
 
 
+def q_audio_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X97c (multimodal.audio_autocorr): raw autocorrelation at lags
+    {0, 3, 16} over the 200 pcmz clips — exact int64 shifted dot
+    products. The oracle instantiates v(t) and v(t+lag) from the
+    closed-form waveform directly (no self-join)."""
+    from osm2geojson_spark.operators import multimodal as MM2
+
+    return MM2.audio_autocorr(
+        _synth_audios(spark, sf_dir, 600, step=3), lags=[0, 3, 16]
+    )
+
+
+def _audio_autocorr_sql() -> str:
+    def ac(lag: int) -> str:
+        return f"""
+SELECT i, {lag} AS lag, n - {lag} AS n_terms,
+       sum((((t * 7919 + i * 104729) % 65536) - 32768)
+           * ((((t + {lag}) * 7919 + i * 104729) % 65536) - 32768)) AS s
+FROM (SELECT i, n, unnest(range(0, n - {lag})) AS t FROM clip) q
+GROUP BY i, n"""
+
+    body = " UNION ALL ".join(ac(lag) for lag in (0, 3, 16))
+    return f"""
+WITH clip AS (
+  SELECT p_partkey AS i, 800 + (p_partkey % 3) * 400 AS n
+  FROM part WHERE p_partkey < 600 AND p_partkey % 3 = 0
+), u AS ({body})
+SELECT printf('aud%012d', i) AS audio_id, CAST(lag AS INTEGER) AS lag,
+       CAST(n_terms AS BIGINT) AS n_terms, CAST(s AS BIGINT) AS ac_sum
+FROM u
+"""
+
+
 def q_theta_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X96 (sketch.theta_distinct): Theta-sampling distinct-count sketch —
     distinct customers per order priority estimated from the hash-gated
@@ -6631,6 +6664,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "median_filter": q_median_filter,
         "audio_stats": q_audio_stats,
         "audio_frames": q_audio_frames,
+        "audio_autocorr": q_audio_autocorr,
         "theta_distinct": q_theta_distinct,
         "st_dbscan": q_st_dbscan,
         "glcm": q_glcm,
@@ -6783,6 +6817,7 @@ def oracle_sql() -> dict[str, str]:
         "median_filter": _MEDIAN_FILTER_SQL,
         "audio_stats": _audio_stats_sql(),
         "audio_frames": _audio_frames_sql(),
+        "audio_autocorr": _audio_autocorr_sql(),
         "theta_distinct": _theta_distinct_sql(),
         "st_dbscan": _st_dbscan_sql(),
         "glcm": _glcm_sql(),

@@ -147,6 +147,7 @@ BENCH_QUERIES = [
     "audio_stats",
     "audio_frames",
     "median_filter",
+    "audio_autocorr",
 ]
 
 

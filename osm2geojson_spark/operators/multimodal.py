@@ -1580,3 +1580,50 @@ def median_filter_stats(images: DataFrame, with_bytes: bool = False) -> DataFram
     return images.select("image_id", "bytes", "fmt").mapInPandas(
         fn, schema=schema
     )
+
+
+def audio_autocorr(audios: DataFrame, lags: list[int]) -> DataFrame:
+    """RAW AUTOCORRELATION at fixed lags per clip — the periodicity /
+    pitch-detection primitive (a peak at lag L means a fundamental at
+    rate/L):
+
+        ac(lag) = sum_{t=0}^{n-lag-1} v[t] * v[t+lag]     (exact int64)
+
+    One row per (clip, lag): (audio_id, lag, n_terms, ac_sum). ac(0) is
+    the energy (== audio_stats.sq_sum), so normalized correlation is
+    ac(lag)/ac(0) downstream — kept out of this operator so every output
+    is an exact integer (int16 products bound |terms| <= 2^30; clips to
+    ~2^33 samples stay inside int64). Clips shorter than a lag emit no
+    row for it.
+
+    Scale: scan-shaped mapInPandas; per lag one vectorized shifted dot
+    product — len(lags) small columns of int64 out, sample bytes never
+    shuffle."""
+    from ..functions import audiocodec
+
+    lags = sorted(set(int(x) for x in lags))
+    assert all(x >= 0 for x in lags)
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                try:
+                    s, _rate = audiocodec.decode(bytes(r.bytes), r.fmt)
+                except NotImplementedError:
+                    continue
+                v = s.astype(np.int64)
+                n = len(v)
+                for lag in lags:
+                    if lag >= n:
+                        continue
+                    prod = v[: n - lag] * v[lag:] if lag else v * v
+                    rows.append((r.audio_id, lag, n - lag, int(prod.sum())))
+            yield pd.DataFrame(
+                rows, columns=["audio_id", "lag", "n_terms", "ac_sum"]
+            )
+
+    return audios.select("audio_id", "bytes", "fmt").mapInPandas(
+        fn,
+        schema="audio_id string, lag int, n_terms long, ac_sum long",
+    )

@@ -1210,3 +1210,34 @@ def test_median_filter_matches_scalar_brute_and_denoises(spark):
         )
     # the planted salt pixel is gone: filtered max is below 255
     assert got["a"]["px_max"] < 255
+
+
+def test_audio_autocorr_matches_brute_and_detects_period(spark):
+    from osm2geojson_spark.functions import audiocodec as AC
+    from osm2geojson_spark.operators.multimodal import audio_autocorr
+
+    rnd = AC.synth_samples(2, 500)
+    # perfect period-8 square wave: ac(8) must dominate ac(5)
+    per = np.tile(
+        np.array([9000] * 4 + [-9000] * 4, dtype=np.int16), 40
+    )
+    clips = spark.createDataFrame(
+        [
+            ("r", "pcmz", bytearray(AC.encode_pcm16(rnd))),
+            ("p", "pcmz", bytearray(AC.encode_pcm16(per))),
+            ("s", "pcmz", bytearray(AC.encode_pcm16(per[:6]))),  # shorter than lag 8
+        ],
+        "audio_id string, fmt string, bytes binary",
+    )
+    got = {
+        (r["audio_id"], r["lag"]): (r["n_terms"], r["ac_sum"])
+        for r in audio_autocorr(clips, [0, 5, 8]).collect()
+    }
+    for name, sig in (("r", rnd), ("p", per)):
+        v = [int(x) for x in sig]
+        for lag in (0, 5, 8):
+            want = sum(v[t] * v[t + lag] for t in range(len(v) - lag))
+            assert got[(name, lag)] == (len(v) - lag, want)
+    assert got[("p", 8)][1] > 0 > got[("p", 5)][1] or got[("p", 8)][1] > got[("p", 5)][1]
+    assert got[("p", 8)][1] == got[("p", 0)][1] - 8 * 9000 * 9000  # period match
+    assert ("s", 8) not in got and ("s", 5) in got
