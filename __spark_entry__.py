@@ -5763,6 +5763,65 @@ def _pagerank_sql() -> str:
     return G.pagerank_sql(edges, n_iters=3)
 
 
+def _dense_graph(spark: SparkSession, sf_dir: str):
+    """Deterministic dense simple graph on a FIXED 211-node universe:
+    every part row contributes two modular edges whose endpoints mix two
+    COPRIME residues (k mod 211 and k mod 199), so the distinct edge set
+    has period 211*199 in the key and genuinely densifies with sf
+    (sf0.001: ~400 edges / 211 nodes; sf0.01: ~4000) — rich in triangles
+    and nontrivial k-cores at every scale."""
+    part = _t(spark, sf_dir, "part").select("p_partkey")
+    k = F.col("p_partkey")
+    return part.select(
+        (k % 211).alias("src"), (((k % 199) * 7 + 3) % 211).alias("dst")
+    ).unionByName(
+        part.select(
+            (k % 211).alias("src"), (((k % 199) * 131 + 17) % 211).alias("dst")
+        )
+    )
+
+
+_DENSE_GRAPH_SQL = (
+    "SELECT p_partkey % 211 AS src,"
+    " ((p_partkey % 199) * 7 + 3) % 211 AS dst"
+    " FROM part UNION ALL SELECT p_partkey % 211 AS src,"
+    " ((p_partkey % 199) * 131 + 17) % 211 AS dst FROM part"
+)
+
+
+def q_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X77 (graph.k_core): bounded k-core peeling (k=3, 8 synchronous
+    rounds, early-exit) over the dense deterministic 211-node graph —
+    the density-hierarchy / cohesive-subgraph primitive. Per round one
+    map-side-combinable degree count + a survivor semi-join on the
+    only-shrinking edge relation; the oracle unrolls identical rounds."""
+    from osm2geojson_spark.operators import graph as G
+
+    return G.k_core(_dense_graph(spark, sf_dir), k=3, n_rounds=8)
+
+
+def _k_core_sql() -> str:
+    from osm2geojson_spark.operators import graph as G
+
+    return G.k_core_sql(_DENSE_GRAPH_SQL, k=3, n_rounds=8)
+
+
+def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X78 (graph.triangle_count): exact per-node triangle counting via
+    the oriented (low-id -> high-id) two-hop join — each triangle found
+    exactly once, credited to all three corners. Two equi-join shuffles
+    + one combinable rollup; orientation caps the candidate volume."""
+    from osm2geojson_spark.operators import graph as G
+
+    return G.triangle_count(_dense_graph(spark, sf_dir))
+
+
+def _triangles_sql() -> str:
+    from osm2geojson_spark.operators import graph as G
+
+    return G.triangle_count_sql(_DENSE_GRAPH_SQL)
+
+
 def q_st_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X60 (spatial_join.spatiotemporal_join): contact/encounter join —
     event pairs within 300 km (haversine) AND within 4 hours, aid < bid.
@@ -6661,6 +6720,8 @@ FROM d
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "k_core": q_k_core,
+        "triangles": q_triangles,
         "median_filter": q_median_filter,
         "audio_stats": q_audio_stats,
         "audio_frames": q_audio_frames,
@@ -6814,6 +6875,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "k_core": _k_core_sql(),
+        "triangles": _triangles_sql(),
         "median_filter": _MEDIAN_FILTER_SQL,
         "audio_stats": _audio_stats_sql(),
         "audio_frames": _audio_frames_sql(),

@@ -451,3 +451,150 @@ def label_propagation_sql(edges_cte: str, n_iters: int = 3) -> str:
             f" FROM l{i-1} l LEFT JOIN p{i} p ON p.node = l.node)"
         )
     return "\n, ".join(parts) + f"\nSELECT node, label FROM l{n_iters}"
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    n_rounds: int = 8,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """(node, deg) — BOUNDED k-CORE PEELING (Seidman 1983): ``n_rounds``
+    synchronous rounds of "delete every node whose degree in the
+    surviving subgraph is < k" over the symmetrized simple graph,
+    reporting the survivors with their residual degree. The density-
+    hierarchy primitive (spam/bot subgraph mining, community cores,
+    graph sparsification).
+
+    Peeling reaches its unique fixed point in at most diameter-ish
+    rounds; like bfs_hops/shortest_dists/pagerank_int, the ROUND COUNT is
+    part of the operator contract (the honest distributed form — each
+    round is a shuffle), and the run short-circuits as soon as a round
+    deletes nothing, so n_rounds is an upper bound, not a cost. With
+    n_rounds >= the convergence depth the output IS the exact k-core;
+    the SQL twin unrolls the identical rounds.
+
+    Scale: per round one degree count (map-side combinable) + one
+    semi-join of the edge list against survivors; the edge relation
+    only shrinks. Early exit costs one tiny count() job per round."""
+    e = edges.select(F.col(src_col).alias("_s"), F.col(dst_col).alias("_d"))
+    sym = (
+        e.unionByName(
+            e.select(F.col("_d").alias("_s"), F.col("_s").alias("_d"))
+        )
+        .filter(F.col("_s") != F.col("_d"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    cur = sym
+    for _ in range(n_rounds):
+        deg = cur.groupBy("_s").agg(F.count(F.lit(1)).alias("_deg"))
+        keep = deg.filter(F.col("_deg") >= k).select("_s")
+        nxt = (
+            cur.join(keep, "_s")
+            .join(keep.withColumnRenamed("_s", "_d"), "_d")
+            .select("_s", "_d")
+            .localCheckpoint(eager=False)
+        )
+        if nxt.count() == cur.count():
+            cur = nxt
+            break
+        cur = nxt
+    return (
+        cur.groupBy("_s")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+        .filter(F.col("deg") >= k)
+        .select(F.col("_s").alias("node"), "deg")
+    )
+
+
+def k_core_sql(edges_cte: str, k: int, n_rounds: int = 8) -> str:
+    """DuckDB twin of k_core — the peeling rounds unrolled (no early
+    exit needed: once stable, further rounds are identity). CTEs are
+    MATERIALIZED: each round references the previous one three times
+    (degree count + two survivor joins), so letting the planner inline
+    them would expand the tree 3^n_rounds-fold."""
+    parts = [
+        f"WITH e0 AS MATERIALIZED ({edges_cte})",
+        "g0 AS MATERIALIZED (SELECT DISTINCT _s, _d"
+        " FROM (SELECT src AS _s, dst AS _d"
+        " FROM e0 UNION ALL SELECT dst, src FROM e0) u WHERE _s != _d)",
+    ]
+    for i in range(1, n_rounds + 1):
+        parts.append(
+            f"k{i} AS MATERIALIZED (SELECT _s FROM g{i-1} GROUP BY _s"
+            f" HAVING count(*) >= {k})"
+        )
+        parts.append(
+            f"g{i} AS MATERIALIZED (SELECT g._s, g._d FROM g{i-1} g"
+            f" JOIN k{i} a ON a._s = g._s JOIN k{i} b ON b._s = g._d)"
+        )
+    return (
+        "\n, ".join(parts)
+        + f"""
+SELECT _s AS node, CAST(count(*) AS BIGINT) AS deg
+FROM g{n_rounds} GROUP BY _s HAVING count(*) >= {k}"""
+    )
+
+
+def triangle_count(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """(node, n_tri) — EXACT TRIANGLE COUNTING per node (plus the global
+    count = sum/3), the clustering-coefficient numerator and the classic
+    cohesion metric. Over the symmetrized simple graph, each triangle
+    {a < b < c} is found exactly once by the oriented two-hop join
+
+        (a -> b) join (b -> c) join (a -> c)   with a < b < c
+
+    then credited to all three corners. All counting is exact int64.
+
+    Scale: the canonical degree-ordering trick — orienting every edge
+    low-id -> high-id caps each node's out-degree contribution, so the
+    two-hop candidate volume is sum_v outdeg(v)^2 on the ORIENTED graph
+    (id order here; swap in degree order upstream for power-law graphs).
+    Two equi-join shuffles + one combinable rollup; no node ever sees
+    the full neighbor list."""
+    e = edges.select(F.col(src_col).alias("_s"), F.col(dst_col).alias("_d"))
+    sym = (
+        e.unionByName(
+            e.select(F.col("_d").alias("_s"), F.col("_s").alias("_d"))
+        )
+        .filter(F.col("_s") != F.col("_d"))
+        .distinct()
+    )
+    fwd = sym.filter(F.col("_s") < F.col("_d")).localCheckpoint(eager=False)
+    ab = fwd.select(F.col("_s").alias("a"), F.col("_d").alias("b"))
+    bc = fwd.select(F.col("_s").alias("b"), F.col("_d").alias("c"))
+    ac = fwd.select(F.col("_s").alias("a"), F.col("_d").alias("c"))
+    tri = ab.join(bc, "b").join(ac, ["a", "c"])
+    corners = (
+        tri.select(F.col("a").alias("node"))
+        .unionByName(tri.select(F.col("b").alias("node")))
+        .unionByName(tri.select(F.col("c").alias("node")))
+    )
+    return corners.groupBy("node").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tri")
+    )
+
+
+def triangle_count_sql(edges_cte: str) -> str:
+    """DuckDB twin of triangle_count — same orientation, same two-hop
+    closure, same per-corner credit."""
+    return f"""
+WITH e0 AS ({edges_cte}),
+sym AS (SELECT DISTINCT _s, _d FROM (SELECT src AS _s, dst AS _d FROM e0
+        UNION ALL SELECT dst, src FROM e0) u WHERE _s != _d),
+fwd AS (SELECT _s, _d FROM sym WHERE _s < _d),
+tri AS (
+  SELECT ab._s AS a, ab._d AS b, bc._d AS c
+  FROM fwd ab JOIN fwd bc ON bc._s = ab._d
+  JOIN fwd ac ON ac._s = ab._s AND ac._d = bc._d
+),
+corners AS (
+  SELECT a AS node FROM tri UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+)
+SELECT node, CAST(count(*) AS BIGINT) AS n_tri FROM corners GROUP BY node
+"""

@@ -309,3 +309,99 @@ def test_lpa_matches_brute_on_random_graph_and_sql_twin(spark, duckdb_conn=None)
     )
     twin = dict(duckdb.sql(sql).fetchall())
     assert got == twin
+
+
+def test_k_core_matches_brute_peeling(spark):
+    import duckdb
+    import numpy as np
+
+    from osm2geojson_spark.operators.graph import k_core, k_core_sql
+
+    rng = np.random.default_rng(17)
+    # a K5 (4-core) + a long tail of degree-2 chains hanging off it
+    import itertools
+
+    edges = list(itertools.combinations(range(5), 2))
+    edges += [(4, 10), (10, 11), (11, 12), (12, 13)]
+    # random clutter on a DISJOINT node range so the K5/chain hand-check
+    # below stays valid regardless of what cores the clutter forms
+    edges += sorted(
+        {
+            (int(rng.integers(100, 130)), int(rng.integers(100, 130)))
+            for _ in range(60)
+        }
+    )
+    df = spark.createDataFrame(edges, "src long, dst long")
+    for k in (2, 3, 4):
+        got = {
+            r["node"]: r["deg"] for r in k_core(df, k, n_rounds=10).collect()
+        }
+        # brute peel to the fixed point
+        nbrs = {}
+        for s, d in edges:
+            if s != d:
+                nbrs.setdefault(s, set()).add(d)
+                nbrs.setdefault(d, set()).add(s)
+        alive = set(nbrs)
+        while True:
+            drop = {v for v in alive if len(nbrs[v] & alive) < k}
+            if not drop:
+                break
+            alive -= drop
+        want = {v: len(nbrs[v] & alive) for v in alive}
+        assert got == want
+        vals = ", ".join(f"({s}, {d})" for s, d in edges)
+        twin = dict(
+            duckdb.sql(
+                k_core_sql(
+                    f"SELECT src, dst FROM (VALUES {vals}) t(src, dst)",
+                    k, n_rounds=10,
+                )
+            ).fetchall()
+        )
+        assert twin == got
+    # the K5 survives k=4; the chain does not
+    got4 = {r["node"] for r in k_core(df, 4, n_rounds=10).collect()}
+    assert {0, 1, 2, 3, 4} <= got4 and 12 not in got4
+
+
+def test_triangle_count_matches_brute(spark):
+    import duckdb
+    import numpy as np
+
+    from osm2geojson_spark.operators.graph import (
+        triangle_count,
+        triangle_count_sql,
+    )
+
+    rng = np.random.default_rng(19)
+    edges = sorted(
+        {(int(rng.integers(0, 25)), int(rng.integers(0, 25))) for _ in range(90)}
+    )
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["n_tri"] for r in triangle_count(df).collect()}
+
+    nbrs = {}
+    for s, d in edges:
+        if s != d:
+            nbrs.setdefault(s, set()).add(d)
+            nbrs.setdefault(d, set()).add(s)
+    want = {}
+    nodes = sorted(nbrs)
+    for a in nodes:
+        for b in nbrs[a]:
+            for c in nbrs[a] & nbrs[b]:
+                if a < b < c:
+                    for v in (a, b, c):
+                        want[v] = want.get(v, 0) + 1
+    assert got == want
+
+    vals = ", ".join(f"({s}, {d})" for s, d in edges)
+    twin = dict(
+        duckdb.sql(
+            triangle_count_sql(f"SELECT src, dst FROM (VALUES {vals}) t(src, dst)")
+        ).fetchall()
+    )
+    assert twin == got
+    # hand check: a triangle planted on the K-ish fixture exists
+    assert sum(got.values()) % 3 == 0
