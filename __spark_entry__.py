@@ -5789,6 +5789,90 @@ _DENSE_GRAPH_SQL = (
 )
 
 
+def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X101 (analytics.skyline2d): the 2-D Pareto frontier of parts under
+    (minimize retail price, minimize size) — the multi-criteria shortlist
+    operator. Phase 1 broadcasts the skyline of a deterministic hash-
+    sample and anti-joins everything it dominates away; phase 2 runs the
+    exact sorted sweep on the thin survivor band. Oracle: the OTHER
+    classic formulation (NOT EXISTS dominance) — independent algorithms
+    agreeing value-for-value."""
+    from osm2geojson_spark.operators import analytics as A
+
+    part = _t(spark, sf_dir, "part")
+    return A.skyline2d(part, "p_retailprice", "p_size", "p_partkey")
+
+
+def _skyline_sql() -> str:
+    from osm2geojson_spark.operators import analytics as A
+
+    return A.skyline2d_sql(
+        "SELECT p_retailprice, p_size, p_partkey FROM part",
+        "p_retailprice",
+        "p_size",
+        "p_partkey",
+    )
+
+
+def q_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X102 (sketch.cms_build + cms_estimate): count-min-sketch frequency
+    estimates — build a 4x512 integer sketch over lineitem part keys (ONE
+    map-side-combinable groupBy, <= 2048 rows out regardless of input
+    size, mergeable cell-wise), then broadcast it against a fixed
+    candidate key list. Narrow width on purpose: collisions happen and
+    the min-over-depth semantics are what's verified, not just clean
+    counts."""
+    from osm2geojson_spark.operators import sketch as SK
+
+    li = _t(spark, sf_dir, "lineitem")
+    cand = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") % 7 == 0)
+        .select(F.col("p_partkey").alias("k"))
+    )
+    cms = SK.cms_build(li.select(F.col("l_partkey").alias("k")), "k", 4, 512)
+    return SK.cms_estimate(cms, cand, "k", 4, 512)
+
+
+def _cms_topk_sql() -> str:
+    from osm2geojson_spark.operators import sketch as SK
+
+    return SK.cms_estimate_sql(
+        "SELECT l_partkey AS k FROM lineitem",
+        "SELECT p_partkey AS k FROM part WHERE p_partkey % 7 = 0",
+        "k",
+        4,
+        512,
+    )
+
+
+def q_pps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X103 (sampling.pps_systematic): systematic probability-
+    proportional-to-size sampling of orders by integer price weight —
+    walk the key-ordered weight line, select every stride-th unit. Zero
+    RNG (pure function of the relation); the prefix sum is the two-level
+    scan (range buckets -> broadcast offsets -> parallel per-bucket
+    windows), never a single-partition window. Oracle: serial window
+    cumsum — independent mechanism, identical integers."""
+    from osm2geojson_spark.operators import sampling as SA
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.ceil("o_totalprice").cast("long").alias("w")
+    )
+    return SA.pps_systematic(orders, "o_orderkey", "w", stride=2_000_000)
+
+
+def _pps_sample_sql() -> str:
+    from osm2geojson_spark.operators import sampling as SA
+
+    return SA.pps_systematic_sql(
+        "SELECT o_orderkey, CAST(ceil(o_totalprice) AS BIGINT) AS w FROM orders",
+        "o_orderkey",
+        "w",
+        2_000_000,
+    )
+
+
 def q_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X77 (graph.k_core): bounded k-core peeling (k=3, 8 synchronous
     rounds, early-exit) over the dense deterministic 211-node graph —
@@ -6720,6 +6804,9 @@ FROM d
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "skyline": q_skyline,
+        "cms_topk": q_cms_topk,
+        "pps_sample": q_pps_sample,
         "k_core": q_k_core,
         "triangles": q_triangles,
         "median_filter": q_median_filter,
@@ -6875,6 +6962,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "skyline": _skyline_sql(),
+        "cms_topk": _cms_topk_sql(),
+        "pps_sample": _pps_sample_sql(),
         "k_core": _k_core_sql(),
         "triangles": _triangles_sql(),
         "median_filter": _MEDIAN_FILTER_SQL,

@@ -23,7 +23,7 @@ Design for 100 TB:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Congruential gate. The key is reduced mod the prime FIRST, so (a) any
@@ -293,4 +293,97 @@ FROM {table},
          CAST(ceil((length({text}) - {overlap}) / {float(stride)}) AS BIGINT),
          1))) AS chunk_idx
      ) g
+"""
+
+
+def pps_systematic(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    stride: int,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """(key, weight, cum, n_hits) — SYSTEMATIC PPS SAMPLING (probability
+    proportional to size, Madow 1949): walk the population in key order
+    accumulating integer weights and select every ``stride``-th unit of
+    cumulative weight. A unit with weight w is selected
+    floor(cum/stride) - floor((cum-w)/stride) times — in expectation-free
+    EXACT terms, n_hits is within 1 of w/stride, and for w <= stride the
+    unit is picked at most once with inclusion share exactly w/stride of
+    the weight line. All integer; zero RNG — the sample is a pure
+    function of the (key, weight) relation. The survey-statistics /
+    training-mixture workhorse when big documents must be likelier but a
+    per-row independent coin (stratified_sample) wastes budget variance.
+
+    Contract: keys unique, weights positive int64.
+
+    Scale: the global prefix sum is the textbook TWO-LEVEL SCAN — keys
+    are range-bucketed by value (order-aligned), per-bucket totals (at
+    most ``n_buckets`` rows) come to the driver once, and each bucket's
+    running sum is then a PARALLEL window (partitionBy bucket) shifted
+    by its broadcast offset. No single-partition window, one tiny
+    collect, two scans. The SQL twin is the serial window cumsum —
+    independent mechanism, identical integers."""
+    key = F.col(key_col)
+    w = F.col(weight_col).cast("long")
+    base = df.select(key.alias("_k"), w.alias("_w"))
+    lo, hi = base.agg(F.min("_k"), F.max("_k")).first()
+    if lo is None:
+        return base.select(
+            F.col("_k").alias(key_col), F.col("_w").alias("weight"),
+            F.lit(0).cast("long").alias("cum"),
+            F.lit(0).cast("long").alias("n_hits"),
+        )
+    span = max(int(hi) - int(lo) + 1, 1)
+    bucket = ((F.col("_k") - F.lit(int(lo))) * F.lit(n_buckets) / F.lit(span)).cast(
+        "long"
+    )
+    b = base.withColumn("_b", bucket)
+    totals = sorted(
+        (r["_b"], r["t"])
+        for r in b.groupBy("_b").agg(F.sum("_w").alias("t")).collect()
+    )
+    offsets, acc = {}, 0
+    for bk, t in totals:
+        offsets[bk] = acc
+        acc += t
+    off = F.lit(0).cast("long")
+    for bk, o in sorted(offsets.items()):
+        off = F.when(F.col("_b") == F.lit(bk), F.lit(o).cast("long")).otherwise(off)
+    wnd = (
+        Window.partitionBy("_b")
+        .orderBy(F.col("_k").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = (F.sum("_w").over(wnd) + off).alias("cum")
+    out = b.select(
+        F.col("_k").alias(key_col), F.col("_w").alias("weight"), cum
+    ).withColumn(
+        # integer DIV, not float-divide-then-floor: exact past 2^53
+        "n_hits",
+        F.expr(f"CAST(cum DIV {int(stride)} AS BIGINT)")
+        - F.expr(f"CAST((cum - weight) DIV {int(stride)} AS BIGINT)"),
+    )
+    return out.filter(F.col("n_hits") > 0)
+
+
+def pps_systematic_sql(
+    rows_cte: str, key: str, weight: str, stride: int
+) -> str:
+    """DuckDB twin — serial window cumsum over key order, identical
+    integer hit arithmetic."""
+    return f"""
+WITH r AS ({rows_cte}),
+c AS (
+  SELECT {key}, CAST({weight} AS BIGINT) AS weight,
+         CAST(sum(CAST({weight} AS BIGINT)) OVER (
+           ORDER BY {key} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS cum
+  FROM r
+)
+SELECT {key}, weight, cum,
+       CAST((cum // {stride}) - ((cum - weight) // {stride}) AS BIGINT)
+         AS n_hits
+FROM c
+WHERE (cum // {stride}) - ((cum - weight) // {stride}) > 0
 """

@@ -78,3 +78,109 @@ SELECT {g}, CAST(count(*) AS BIGINT) AS n_sampled,
              / {float(tau)!r}, 3) + 0.0 AS est
 FROM surv GROUP BY {g}
 """
+
+
+# --------------------------------------------------- count-min sketch
+
+# Per-depth pairwise-independent-ish congruential hashes over the prime
+# _CMS_P.  pmod(key, P) < 2^31 and MUL_d < 2^31, so the product stays
+# under 2^62 — no int64 overflow in either engine.
+_CMS_P = 2_147_483_647  # 2^31 - 1 (Mersenne prime)
+_CMS_MULS = [1_103_515_245, 747_796_405, 22_695_477, 1_664_525,
+             69_069, 1_566_083_941, 134_775_813, 214_013]
+_CMS_ADDS = [12_345, 2_891_336_453 % _CMS_P, 1, 1_013_904_223,
+             362_437, 1_732_584_193, 1, 2_531_011]
+
+
+def _cms_cell(key: Column, d: int, width: int) -> Column:
+    k = F.pmod(key.cast("long"), F.lit(_CMS_P))
+    h = F.pmod(k * F.lit(_CMS_MULS[d]) + F.lit(_CMS_ADDS[d]), F.lit(_CMS_P))
+    return F.pmod(h, F.lit(width))
+
+
+def _cms_cell_sql(key: str, d: int, width: int) -> str:
+    k = f"((({key} % {_CMS_P}) + {_CMS_P}) % {_CMS_P})"
+    return f"((({k} * {_CMS_MULS[d]} + {_CMS_ADDS[d]}) % {_CMS_P}) % {width})"
+
+
+def cms_build(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 1024,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """(d, cell, cnt) — the COUNT-MIN SKETCH (Cormode & Muthukrishnan
+    2005) of ``key_col``'s (optionally weighted) frequency vector: a
+    depth x width grid of exact int64 counters, cnt[d][cell] =
+    sum of weights over rows with h_d(key) = cell. Deterministic by
+    construction (fixed hash family, order-free integer sums), so the
+    sketch — not just the estimates — hash-matches a serial oracle.
+
+    Scale: ONE map-side-combinable groupBy whose output is at most
+    depth*width rows regardless of input size; sketches from different
+    partitions/days/streams merge by cell-wise addition. Point-estimate
+    error <= 2N/width with prob 1 - 2^-depth (ask for est, get an upper
+    bound that's tight for heavy keys)."""
+    assert 1 <= depth <= len(_CMS_MULS)
+    key = F.col(key_col)
+    w = F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
+    cells = F.array(*[_cms_cell(key, d, width) for d in range(depth)])
+    return (
+        df.select(F.posexplode(cells).alias("d", "cell"), w.alias("_w"))
+        .groupBy("d", "cell")
+        .agg(F.sum("_w").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    cms: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """keys + (est) — count-min point estimates: est = min over d of the
+    sketch cell each hash routes the key to (0 for never-seen cells).
+    The sketch is tiny (depth*width rows) and BROADCAST; the probe side
+    never shuffles."""
+    key = F.col(key_col)
+    cells = F.array(*[_cms_cell(key, d, width) for d in range(depth)])
+    probes = keys.select(key_col, F.posexplode(cells).alias("d", "cell"))
+    joined = probes.join(F.broadcast(cms), ["d", "cell"], "left")
+    return (
+        joined.groupBy(key_col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("est"))
+    )
+
+
+def cms_estimate_sql(
+    rows_cte: str,
+    keys_cte: str,
+    key_col: str,
+    depth: int = 4,
+    width: int = 1024,
+    weight_expr: str = "1",
+) -> str:
+    """DuckDB twin of cms_build + cms_estimate: identical hash family,
+    identical integer sums, min over depth rows."""
+    build_arms = " UNION ALL ".join(
+        f"SELECT {d} AS d, {_cms_cell_sql(key_col, d, width)} AS cell,"
+        f" CAST({weight_expr} AS BIGINT) AS w FROM r"
+        for d in range(depth)
+    )
+    probe_arms = " UNION ALL ".join(
+        f"SELECT {key_col}, {d} AS d, {_cms_cell_sql(key_col, d, width)} AS cell"
+        f" FROM k" for d in range(depth)
+    )
+    return f"""
+WITH r AS ({rows_cte}),
+k AS ({keys_cte}),
+cms AS (SELECT d, cell, CAST(sum(w) AS BIGINT) AS cnt
+        FROM ({build_arms}) b GROUP BY d, cell),
+probe AS ({probe_arms})
+SELECT probe.{key_col},
+       CAST(min(coalesce(cms.cnt, 0)) AS BIGINT) AS est
+FROM probe LEFT JOIN cms ON cms.d = probe.d AND cms.cell = probe.cell
+GROUP BY probe.{key_col}
+"""

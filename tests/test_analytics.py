@@ -1,0 +1,197 @@
+"""Skyline, count-min sketch, and systematic PPS sampling tests."""
+
+import numpy as np
+import pytest
+
+
+def _brute_skyline(pairs):
+    out = []
+    for p in set(pairs):
+        dominated = any(
+            q[0] <= p[0] and q[1] <= p[1] and q != p for q in set(pairs)
+        )
+        if not dominated:
+            out.append(p)
+    return sorted(out)
+
+
+def test_skyline_matches_brute_and_is_prune_invariant(spark):
+    import duckdb
+
+    from osm2geojson_spark.operators.analytics import skyline2d, skyline2d_sql
+
+    rng = np.random.default_rng(31)
+    rows = [
+        (int(i), int(x), int(y))
+        for i, (x, y) in enumerate(
+            zip(rng.integers(0, 50, 300), rng.integers(0, 50, 300))
+        )
+    ]
+    # planted extreme corners the frontier must contain
+    rows += [(1000, -5, 60), (1001, 60, -5), (1002, 0, 0)]
+    df = spark.createDataFrame(rows, "id long, x long, y long")
+
+    brute = _brute_skyline([(x, y) for _, x, y in rows])
+    for rate in (0.0, 0.02, 0.5):
+        got = sorted(
+            (r["x"], r["y"])
+            for r in skyline2d(df, "x", "y", "id", sample_rate=rate).collect()
+        )
+        assert got == brute, f"rate={rate}"
+
+    # multiplicity + min_id columns against hand counts
+    got_full = {
+        (r["x"], r["y"]): (r["n_points"], r["min_id"])
+        for r in skyline2d(df, "x", "y", "id").collect()
+    }
+    from collections import Counter
+
+    cnt = Counter((x, y) for _, x, y in rows)
+    mid = {}
+    for i, x, y in rows:
+        mid[(x, y)] = min(mid.get((x, y), i), i)
+    assert got_full == {p: (cnt[p], mid[p]) for p in brute}
+
+    # DuckDB twin (NOT EXISTS formulation) — identical rows
+    duck = duckdb.connect()
+    duck.execute("CREATE TABLE base (id BIGINT, x BIGINT, y BIGINT)")
+    duck.executemany("INSERT INTO base VALUES (?, ?, ?)", rows)
+    twin = sorted(
+        (x, y)
+        for x, y, _, _ in duck.sql(
+            skyline2d_sql("SELECT * FROM base", "x", "y", "id")
+        ).fetchall()
+    )
+    assert twin == brute
+
+
+def test_skyline_colinear_and_duplicate_points(spark):
+    from osm2geojson_spark.operators.analytics import skyline2d
+
+    # a strictly-descending staircase is ALL frontier; duplicates collapse
+    rows = [(i, i, 10 - i) for i in range(6)] + [(100, 2, 8), (101, 3, 3)]
+    df = spark.createDataFrame(rows, "id long, x long, y long")
+    got = sorted(
+        (r["x"], r["y"], r["n_points"])
+        for r in skyline2d(df, "x", "y", "id").collect()
+    )
+    # (3, 3) dominates the staircase tail (3,7), (4,6), (5,5)
+    assert got == [(0, 10, 1), (1, 9, 1), (2, 8, 2), (3, 3, 1)]
+
+
+def test_cms_estimate_upper_bounds_and_exact_when_wide(spark):
+    import duckdb
+
+    from osm2geojson_spark.operators.sketch import cms_build, cms_estimate, cms_estimate_sql
+
+    rng = np.random.default_rng(7)
+    # zipf-ish: key k appears ~ 600/k times
+    vals = []
+    for k in range(1, 40):
+        vals += [k] * (600 // k)
+    rng.shuffle(vals)
+    df = spark.createDataFrame([(int(v),) for v in vals], "k long")
+    keys = spark.createDataFrame([(int(k),) for k in range(1, 60)], "k long")
+    from collections import Counter
+
+    true = Counter(vals)
+
+    # narrow sketch: estimates are UPPER bounds
+    cms = cms_build(df, "k", depth=4, width=64)
+    est = {r["k"]: r["est"] for r in cms_estimate(cms, keys, "k", 4, 64).collect()}
+    assert set(est) == set(range(1, 60))
+    for k in range(1, 60):
+        assert est[k] >= true.get(k, 0)
+    # heavy keys stay well-separated from the tail even at width 64
+    assert est[1] >= 600 and est[1] <= 600 + len(vals) * 4 / 64
+
+    # wide sketch: no collisions at this cardinality -> exact
+    cms_w = cms_build(df, "k", depth=4, width=8192)
+    est_w = {
+        r["k"]: r["est"] for r in cms_estimate(cms_w, keys, "k", 4, 8192).collect()
+    }
+    assert est_w == {k: true.get(k, 0) for k in range(1, 60)}
+
+    # DuckDB twin hash-identical on the narrow sketch (collisions included)
+    duck = duckdb.connect()
+    duck.execute("CREATE TABLE base (k BIGINT)")
+    duck.executemany("INSERT INTO base VALUES (?)", [(int(v),) for v in vals])
+    duck.execute("CREATE TABLE kk (k BIGINT)")
+    duck.executemany("INSERT INTO kk VALUES (?)", [(int(k),) for k in range(1, 60)])
+    twin = dict(
+        duck.sql(
+            cms_estimate_sql("SELECT k FROM base", "SELECT k FROM kk", "k", 4, 64)
+        ).fetchall()
+    )
+    assert twin == est
+
+
+def test_cms_weighted_and_negative_keys(spark):
+    from osm2geojson_spark.operators.sketch import cms_build, cms_estimate
+
+    rows = [(-5, 3), (-5, 4), (9, 10), (2**62, 1)]
+    df = spark.createDataFrame(rows, "k long, w long")
+    keys = spark.createDataFrame([(-5,), (9,), (2**62,), (77,)], "k long")
+    cms = cms_build(df, "k", depth=3, width=4096, weight_col="w")
+    est = {r["k"]: r["est"] for r in cms_estimate(cms, keys, "k", 3, 4096).collect()}
+    assert est[-5] == 7 and est[9] == 10 and est[2**62] == 1
+    assert est[77] >= 0  # never-seen key: 0 unless it collides
+
+
+def test_pps_systematic_matches_serial_walk(spark):
+    import duckdb
+
+    from osm2geojson_spark.operators.sampling import pps_systematic, pps_systematic_sql
+
+    rng = np.random.default_rng(13)
+    rows = [(int(k), int(w)) for k, w in zip(
+        rng.permutation(500), rng.integers(1, 40, 500))]
+    df = spark.createDataFrame(rows, "k long, w long").repartition(7)
+    stride = 100
+
+    got = {
+        r["k"]: (r["weight"], r["cum"], r["n_hits"])
+        for r in pps_systematic(df, "k", "w", stride).collect()
+    }
+    # serial brute walk
+    cum, want = 0, {}
+    for k, w in sorted(rows):
+        prev = cum
+        cum += w
+        hits = cum // stride - prev // stride
+        if hits > 0:
+            want[k] = (w, cum, hits)
+    assert got == want
+    # selected weight mass tracks the stride grid exactly
+    assert sum(h for _, _, h in got.values()) == cum // stride
+
+    duck = duckdb.connect()
+    duck.execute("CREATE TABLE base (k BIGINT, w BIGINT)")
+    duck.executemany("INSERT INTO base VALUES (?, ?)", rows)
+    twin = {
+        k: (w, c, h)
+        for k, w, c, h in duck.sql(
+            pps_systematic_sql("SELECT k, w FROM base", "k", "w", stride)
+        ).fetchall()
+    }
+    assert twin == got
+
+
+def test_pps_systematic_big_weights_hit_multiple_times(spark):
+    from osm2geojson_spark.operators.sampling import pps_systematic
+
+    df = spark.createDataFrame(
+        [(1, 10), (2, 250), (3, 10), (4, 95)], "k long, w long"
+    )
+    got = {
+        r["k"]: r["n_hits"] for r in pps_systematic(df, "k", "w", 100).collect()
+    }
+    # cum: 10, 260, 270, 365 -> hits: 0, 2, 0, 1
+    assert got == {2: 2, 4: 1}
+
+
+def test_pps_systematic_empty_input(spark):
+    from osm2geojson_spark.operators.sampling import pps_systematic
+
+    df = spark.createDataFrame([], "k long, w long")
+    assert pps_systematic(df, "k", "w", 100).count() == 0
