@@ -5789,6 +5789,95 @@ _DENSE_GRAPH_SQL = (
 )
 
 
+def q_distance_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X104 (multimodal.distance_transform_rows): exact L1 distance
+    transform over 80 mixed rawz/png images, one output row per pixel
+    row — the proximity field under morphological gates (dilate-by-r =
+    threshold on dt). The engine runs the separable two-pass chamfer
+    (exact for L1, pure int64); the oracle brute-forces min over mask
+    pixels per pixel from the deterministic pixel formula — independent
+    algorithms, field-level agreement."""
+    imgs = _synth_images(spark, sf_dir, 80)
+    return MM.distance_transform_rows(imgs, threshold=128)
+
+
+_DISTANCE_TRANSFORM_SQL = """
+WITH img AS (
+  SELECT p_partkey AS i, 8 * (1 + p_partkey % 3) AS w
+  FROM part WHERE p_partkey < 80
+), px AS (
+  SELECT i, w, unnest(range(0, w * w)) AS p FROM img
+), v AS (
+  SELECT i, w, (p % w) AS x, (p // w) AS y,
+         ((p % w) * 3 + (p // w) * 7 + i * 13) % 251 AS v
+  FROM px
+), m AS (
+  SELECT i, x AS qx, y AS qy FROM v WHERE v >= 128
+), dt AS (
+  SELECT v.i, v.w, v.x, v.y,
+         coalesce(min(abs(v.x - m.qx) + abs(v.y - m.qy)), 2 * v.w) AS dt
+  FROM v LEFT JOIN m ON m.i = v.i
+  GROUP BY v.i, v.w, v.x, v.y
+), mc AS (
+  SELECT i, y, sum(CASE WHEN v >= 128 THEN 1 ELSE 0 END) AS mcnt
+  FROM v GROUP BY i, y
+)
+SELECT printf('img%012d', dt.i) AS image_id, CAST(dt.y AS INTEGER) AS y,
+       CAST(sum(dt.dt) AS BIGINT) AS row_dt_sum,
+       CAST(max(dt.dt) AS BIGINT) AS row_dt_max,
+       CAST(min(mc.mcnt) AS BIGINT) AS row_mask_count
+FROM dt JOIN mc ON mc.i = dt.i AND mc.y = dt.y
+GROUP BY dt.i, dt.y
+"""
+
+
+def q_hog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X105 (multimodal.hog_features): 8-bin magnitude-weighted gradient-
+    orientation histograms (HOG-lite) over 300 mixed rawz/png images —
+    the structure descriptor for blur gates and orientation-signature
+    blocking. Octant code = two sign tests + one comparison (no atan2,
+    no float); the oracle recomputes every central difference from the
+    pixel formula in pure SQL, all 8 bins emitted per image."""
+    imgs = _synth_images(spark, sf_dir, 300)
+    return MM.hog_features(imgs)
+
+
+def _hog_sql() -> str:
+    def v(dx: int, dy: int) -> str:
+        return f"(((x + {dx}) * 3 + (y + {dy}) * 7 + i * 13) % 251)"
+
+    gx = f"({v(1, 0)} - {v(-1, 0)})"
+    gy = f"({v(0, 1)} - {v(0, -1)})"
+    return f"""
+WITH img AS (
+  SELECT p_partkey AS i, 8 * (1 + p_partkey % 3) AS w
+  FROM part WHERE p_partkey < 300
+), px AS (
+  SELECT i, w, unnest(range(0, w * w)) AS p FROM img
+), inner_px AS (
+  SELECT i, w, (p % w) AS x, (p // w) AS y FROM px
+  WHERE (p % w) >= 1 AND (p % w) <= w - 2
+    AND (p // w) >= 1 AND (p // w) <= w - 2
+), g AS (
+  SELECT i,
+         4 * (CASE WHEN {gy} < 0 THEN 1 ELSE 0 END)
+         + 2 * (CASE WHEN {gx} < 0 THEN 1 ELSE 0 END)
+         + (CASE WHEN abs({gy}) > abs({gx}) THEN 1 ELSE 0 END) AS b,
+         abs({gx}) + abs({gy}) AS wgt
+  FROM inner_px
+), spine AS (
+  SELECT i, unnest(range(0, 8)) AS bin FROM img
+), agg AS (
+  SELECT i, b, sum(wgt) AS mag_sum, count(*) AS n_px FROM g GROUP BY i, b
+)
+SELECT printf('img%012d', spine.i) AS image_id,
+       CAST(spine.bin AS INTEGER) AS bin,
+       CAST(coalesce(agg.mag_sum, 0) AS BIGINT) AS mag_sum,
+       CAST(coalesce(agg.n_px, 0) AS BIGINT) AS n_px
+FROM spine LEFT JOIN agg ON agg.i = spine.i AND agg.b = spine.bin
+"""
+
+
 def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X101 (analytics.skyline2d): the 2-D Pareto frontier of parts under
     (minimize retail price, minimize size) — the multi-criteria shortlist
@@ -6804,6 +6893,8 @@ FROM d
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "distance_transform": q_distance_transform,
+        "hog": q_hog,
         "skyline": q_skyline,
         "cms_topk": q_cms_topk,
         "pps_sample": q_pps_sample,
@@ -6962,6 +7053,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "distance_transform": _DISTANCE_TRANSFORM_SQL,
+        "hog": _hog_sql(),
         "skyline": _skyline_sql(),
         "cms_topk": _cms_topk_sql(),
         "pps_sample": _pps_sample_sql(),

@@ -1627,3 +1627,128 @@ def audio_autocorr(audios: DataFrame, lags: list[int]) -> DataFrame:
         fn,
         schema="audio_id string, lag int, n_terms long, ac_sum long",
     )
+
+
+def distance_transform_rows(images: DataFrame, threshold: int = 128) -> DataFrame:
+    """(image_id, y, row_dt_sum, row_dt_max, row_mask_count) — the EXACT
+    L1 (city-block) distance transform per image, reported as one row
+    per pixel ROW: dt(p) = min over mask pixels q of |px-qx| + |py-qy|,
+    mask = {pixels >= threshold}, dt = 0 on the mask itself, and
+    dt = w + h everywhere when the mask is empty (the natural cap — the
+    true distance can never exceed (w-1)+(h-1)). The proximity field
+    under every morphological gate: "how far is each pixel from ink" —
+    skeletonization, seed growing, mask dilation by r = one threshold on
+    dt.
+
+    Exactness: the separable two-pass chamfer is exact for L1 — a
+    vertical sweep (down then up, np.minimum running scan) yields each
+    column's distance-to-mask-in-column, and a horizontal sweep of the
+    same shape over that field completes min(col_dist(x', y) + |x - x'|).
+    All int64, no float anywhere.
+
+    Per-ROW sums (not per-image) so the oracle comparison pins the whole
+    field, not an aggregate a compensating error could fake.
+
+    Scale: Arrow-batched mapInPandas; each sweep is O(pixels) with
+    NumPy row-vector ops; pixel bytes never shuffle; output rows carry
+    4 int64s per image row — bytes out << bytes in."""
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, ys, sums, maxs, mcounts = [], [], [], [], []
+            for r in pdf.itertuples(index=False):
+                px = imagecodec.decode(bytes(r.bytes), r.fmt)
+                h, w = px.shape
+                big = np.int64(w + h)
+                mask = px >= threshold
+                d = np.where(mask, np.int64(0), big)
+                for y in range(1, h):  # down
+                    d[y] = np.minimum(d[y], d[y - 1] + 1)
+                for y in range(h - 2, -1, -1):  # up
+                    d[y] = np.minimum(d[y], d[y + 1] + 1)
+                for x in range(1, w):  # right
+                    d[:, x] = np.minimum(d[:, x], d[:, x - 1] + 1)
+                for x in range(w - 2, -1, -1):  # left
+                    d[:, x] = np.minimum(d[:, x], d[:, x + 1] + 1)
+                d = np.minimum(d, big)  # empty-mask cap
+                ids += [r.image_id] * h
+                ys += list(range(h))
+                sums += [int(v) for v in d.sum(axis=1)]
+                maxs += [int(v) for v in d.max(axis=1)]
+                mcounts += [int(v) for v in mask.sum(axis=1)]
+            yield pd.DataFrame(
+                {
+                    "image_id": ids,
+                    "y": np.array(ys, dtype=np.int32),
+                    "row_dt_sum": np.array(sums, dtype=np.int64),
+                    "row_dt_max": np.array(maxs, dtype=np.int64),
+                    "row_mask_count": np.array(mcounts, dtype=np.int64),
+                }
+            )
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(
+        fn,
+        schema=(
+            "image_id string, y int, row_dt_sum long, row_dt_max long,"
+            " row_mask_count long"
+        ),
+    )
+
+
+def hog_features(images: DataFrame) -> DataFrame:
+    """(image_id, bin, mag_sum, n_px) — HOG-lite: an 8-bin gradient-
+    ORIENTATION histogram per image, magnitude-weighted, integer-exact.
+    The structure descriptor under blur/synthetic-texture curation
+    gates and cheap near-dup blocking (orientation signatures survive
+    brightness shifts that break raw-pixel hashes).
+
+    Central differences on interior pixels:
+
+        gx = p(x+1, y) - p(x-1, y)        gy = p(x, y+1) - p(x, y-1)
+        bin = 4*(gy < 0) + 2*(gx < 0) + (|gy| > |gx|)   in [0, 8)
+        weight = |gx| + |gy|              (L1 magnitude — stays int)
+
+    The octant code replaces atan2 with two sign tests and one
+    comparison — fully integer, so the histogram hash-matches a pure-SQL
+    twin recomputing every neighbor from the deterministic pixel
+    formula. All 8 bins are emitted (zero rows included): the histogram
+    SHAPE is part of the contract.
+
+    Scale: one vectorized pass per image inside mapInPandas, 8 rows of
+    3 int64s out per image — scan-shaped like sobel_stats."""
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, bins_, mags, cnts = [], [], [], []
+            for r in pdf.itertuples(index=False):
+                px = imagecodec.decode(bytes(r.bytes), r.fmt).astype(np.int64)
+                gx = px[1:-1, 2:] - px[1:-1, :-2]
+                gy = px[2:, 1:-1] - px[:-2, 1:-1]
+                b = (
+                    4 * (gy < 0).astype(np.int64)
+                    + 2 * (gx < 0).astype(np.int64)
+                    + (np.abs(gy) > np.abs(gx)).astype(np.int64)
+                )
+                wgt = np.abs(gx) + np.abs(gy)
+                # int64 per-bin sums (bincount's weights= path goes
+                # through float64; stay integer end to end)
+                flat_b, flat_w = b.ravel(), wgt.ravel()
+                mag = np.zeros(8, dtype=np.int64)
+                np.add.at(mag, flat_b, flat_w)
+                cnt = np.bincount(flat_b, minlength=8)
+                ids += [r.image_id] * 8
+                bins_ += list(range(8))
+                mags += [int(v) for v in mag]
+                cnts += [int(v) for v in cnt]
+            yield pd.DataFrame(
+                {
+                    "image_id": ids,
+                    "bin": np.array(bins_, dtype=np.int32),
+                    "mag_sum": np.array(mags, dtype=np.int64),
+                    "n_px": np.array(cnts, dtype=np.int64),
+                }
+            )
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(
+        fn, schema="image_id string, bin int, mag_sum long, n_px long"
+    )

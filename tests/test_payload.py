@@ -1241,3 +1241,92 @@ def test_audio_autocorr_matches_brute_and_detects_period(spark):
     assert got[("p", 8)][1] > 0 > got[("p", 5)][1] or got[("p", 8)][1] > got[("p", 5)][1]
     assert got[("p", 8)][1] == got[("p", 0)][1] - 8 * 9000 * 9000  # period match
     assert ("s", 8) not in got and ("s", 5) in got
+
+
+def test_distance_transform_matches_brute_min(spark):
+    from osm2geojson_spark.operators.multimodal import distance_transform_rows
+
+    rng = np.random.default_rng(41)
+    px = rng.integers(0, 256, size=(9, 12)).astype(np.uint8)
+    empty = np.zeros((5, 6), np.uint8)  # no pixel reaches the threshold
+    imgs = spark.createDataFrame(
+        [
+            ("a", 12, 9, "rawz", bytearray(imagecodec.encode_rawz(px))),
+            ("e", 6, 5, "rawz", bytearray(imagecodec.encode_rawz(empty))),
+            ("p", 12, 9, "png", bytearray(imagecodec.encode_png(px))),
+        ],
+        "image_id string, w int, h int, fmt string, bytes binary",
+    )
+    thr = 128
+    got = {
+        (r["image_id"], r["y"]): (r["row_dt_sum"], r["row_dt_max"], r["row_mask_count"])
+        for r in distance_transform_rows(imgs, threshold=thr).collect()
+    }
+
+    # scalar brute: dt = min over mask pixels |dx|+|dy|, fresh from the contract
+    h, w = px.shape
+    mask = [(y, x) for y in range(h) for x in range(w) if px[y, x] >= thr]
+    for y in range(h):
+        dts = [
+            min((abs(x - qx) + abs(y - qy) for qy, qx in mask), default=w + h)
+            for x in range(w)
+        ]
+        assert got[("a", y)] == (sum(dts), max(dts), sum(1 for qy, _ in mask if qy == y))
+        assert got[("p", y)] == got[("a", y)]  # codec-independent
+    # empty mask: the documented cap everywhere
+    for y in range(5):
+        assert got[("e", y)] == (6 * (6 + 5), 6 + 5, 0)
+
+
+def test_distance_transform_single_seed_is_manhattan(spark):
+    from osm2geojson_spark.operators.multimodal import distance_transform_rows
+
+    px = np.zeros((7, 7), np.uint8)
+    px[3, 3] = 255  # a single seed: dt IS the Manhattan distance field
+    imgs = spark.createDataFrame(
+        [("s", 7, 7, "rawz", bytearray(imagecodec.encode_rawz(px)))],
+        "image_id string, w int, h int, fmt string, bytes binary",
+    )
+    got = {
+        r["y"]: (r["row_dt_sum"], r["row_dt_max"])
+        for r in distance_transform_rows(imgs, threshold=200).collect()
+    }
+    for y in range(7):
+        dts = [abs(x - 3) + abs(y - 3) for x in range(7)]
+        assert got[y] == (sum(dts), max(dts))
+
+
+def test_hog_matches_scalar_brute(spark):
+    from osm2geojson_spark.operators.multimodal import hog_features
+
+    rng = np.random.default_rng(43)
+    px = rng.integers(0, 256, size=(8, 11)).astype(np.uint8)
+    imgs = spark.createDataFrame(
+        [
+            ("a", 11, 8, "rawz", bytearray(imagecodec.encode_rawz(px))),
+            ("p", 11, 8, "png", bytearray(imagecodec.encode_png(px))),
+            # constant image: every interior pixel has gx = gy = 0 -> bin 0,
+            # weight 0 — histogram shape pins the zero-gradient convention
+            ("c", 6, 6, "rawz", bytearray(imagecodec.encode_rawz(np.full((6, 6), 9, np.uint8)))),
+        ],
+        "image_id string, w int, h int, fmt string, bytes binary",
+    )
+    got = {}
+    for r in hog_features(imgs).collect():
+        got.setdefault(r["image_id"], {})[r["bin"]] = (r["mag_sum"], r["n_px"])
+
+    ip = px.astype(int)
+    h, w = ip.shape
+    mag = [0] * 8
+    cnt = [0] * 8
+    for y in range(1, h - 1):
+        for x in range(1, w - 1):
+            gx = ip[y, x + 1] - ip[y, x - 1]
+            gy = ip[y + 1, x] - ip[y - 1, x]
+            b = 4 * (gy < 0) + 2 * (gx < 0) + (abs(gy) > abs(gx))
+            mag[b] += abs(gx) + abs(gy)
+            cnt[b] += 1
+    assert got["a"] == {b: (mag[b], cnt[b]) for b in range(8)}
+    assert got["p"] == got["a"]
+    assert got["c"] == {0: (0, 16), **{b: (0, 0) for b in range(1, 8)}}
+    assert sum(c for _, c in got["a"].values()) == (h - 2) * (w - 2)
