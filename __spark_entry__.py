@@ -5789,6 +5789,70 @@ _DENSE_GRAPH_SQL = (
 )
 
 
+_OCT_XY = [
+    (1.0, 0.0), (0.7071067811865476, 0.7071067811865476),
+    (0.0, 1.0), (-0.7071067811865476, 0.7071067811865476),
+    (-1.0, 0.0), (-0.7071067811865476, -0.7071067811865476),
+    (0.0, -1.0), (0.7071067811865476, -0.7071067811865476),
+]
+
+
+def _poly_vertices(spark: SparkSession, sf_dir: str, limit: int = 200):
+    """Deterministic octagon rings: one per part key, centered on the
+    modular lon/lat formulas, radius 0.4 + 0.3*(i%5) degrees. Pure
+    mul/add float ops — bit-identical across engines by IEEE."""
+    part = _t(spark, sf_dir, "part").filter(F.col("p_partkey") < limit)
+    i = F.col("p_partkey")
+    clon = F.lit(-160.0) + (i % 320).cast("double")
+    clat = F.lit(-60.0) + (i % 120).cast("double")
+    r = F.lit(0.4) + (i % 5).cast("double") * F.lit(0.3)
+    spine = F.array(*[
+        F.struct(F.lit(k).alias("k"), F.lit(cx).alias("cx"), F.lit(cy).alias("cy"))
+        for k, (cx, cy) in enumerate(_OCT_XY)
+    ])
+    v = part.select(
+        i.alias("poly_id"), clon.alias("clon"), clat.alias("clat"),
+        r.alias("r"), F.explode(spine).alias("s"),
+    )
+    return v.select(
+        "poly_id",
+        F.col("s.k").cast("long").alias("idx"),
+        (F.col("clon") + F.col("r") * F.col("s.cx")).alias("lon"),
+        (F.col("clat") + F.col("r") * F.col("s.cy")).alias("lat"),
+    )
+
+
+_POLY_VERTICES_SQL = (
+    "SELECT p_partkey AS poly_id, s.k AS idx,"
+    " (-160.0 + CAST(p_partkey % 320 AS DOUBLE)) + (0.4 + CAST(p_partkey % 5 AS DOUBLE) * 0.3) * s.cx AS lon,"
+    " (-60.0 + CAST(p_partkey % 120 AS DOUBLE)) + (0.4 + CAST(p_partkey % 5 AS DOUBLE) * 0.3) * s.cy AS lat"
+    " FROM part, (SELECT unnest(range(0, 8)) AS k,"
+    " unnest(["
+    + ", ".join(repr(cx) for cx, _ in _OCT_XY)
+    + "]) AS cx, unnest(["
+    + ", ".join(repr(cy) for _, cy in _OCT_XY)
+    + "]) AS cy) s WHERE p_partkey < 200"
+)
+
+
+def q_geodesic_area(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X106 (geometry.geodesic_area): sphere-true polygon area via signed
+    spherical excess (fan of tan-half-excess terms), each float term
+    quantized to int64 steradian steps BEFORE the order-free integer
+    rollup — the engine's quantized-term-sum discipline. 200 octagon
+    rings spanning -60..+59 latitude, where planar shoelace is percent-
+    level wrong. Per-polygon window + one combinable groupBy, zero UDF."""
+    from osm2geojson_spark.operators import geometry as GM
+
+    return GM.geodesic_area(_poly_vertices(spark, sf_dir, 200))
+
+
+def _geodesic_area_sql() -> str:
+    from osm2geojson_spark.operators import geometry as GM
+
+    return GM.geodesic_area_sql(_POLY_VERTICES_SQL)
+
+
 def q_distance_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X104 (multimodal.distance_transform_rows): exact L1 distance
     transform over 80 mixed rawz/png images, one output row per pixel
@@ -6893,6 +6957,7 @@ FROM d
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "geodesic_area": q_geodesic_area,
         "distance_transform": q_distance_transform,
         "hog": q_hog,
         "skyline": q_skyline,
@@ -7053,6 +7118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "geodesic_area": _geodesic_area_sql(),
         "distance_transform": _DISTANCE_TRANSFORM_SQL,
         "hog": _hog_sql(),
         "skyline": _skyline_sql(),

@@ -1562,3 +1562,55 @@ def test_chaikin_point_and_short_line_passthrough(spark):
         [0.0, 0.0],
         [1.0, 1.0],
     ]
+
+
+def test_geodesic_area_octant_and_small_ring(spark):
+    """The (0,0)-(90,0)-(0,90) octant triangle is EXACTLY 1/8 of the
+    sphere (excess pi/2); a small ring's geodesic area converges to the
+    planar value; winding direction flips sr_q's sign but not area."""
+    import duckdb
+    import math
+
+    from osm2geojson_spark.operators.geometry import geodesic_area, geodesic_area_sql
+
+    R_KM = 6371.0088
+    octant = [(1, 0, 0.0, 0.0), (1, 1, 90.0, 0.0), (1, 2, 0.0, 90.0)]
+    octant_cw = [(4, k, lon, lat) for (_, k), (lon, lat) in zip(
+        [(4, 0), (4, 1), (4, 2)], [(0.0, 0.0), (0.0, 90.0), (90.0, 0.0)])]
+    # small octagon near (10E, 45N), radius 0.1 deg
+    ring = []
+    oct_xy = [(1.0, 0.0), (0.7071067811865476, 0.7071067811865476),
+              (0.0, 1.0), (-0.7071067811865476, 0.7071067811865476),
+              (-1.0, 0.0), (-0.7071067811865476, -0.7071067811865476),
+              (0.0, -1.0), (0.7071067811865476, -0.7071067811865476)]
+    for k, (cx, cy) in enumerate(oct_xy):
+        ring.append((2, k, 10.0 + 0.1 * cx, 45.0 + 0.1 * cy))
+    rows = octant + ring + octant_cw + [(3, 0, 5.0, 5.0), (3, 1, 6.0, 5.0)]  # degenerate
+    df = spark.createDataFrame(rows, "poly_id long, idx long, lon double, lat double")
+    got = {r["poly_id"]: r for r in geodesic_area(df).collect()}
+
+    assert set(got) == {1, 2, 4}  # n < 3 emits nothing
+    sphere_area = 4 * math.pi * R_KM * R_KM
+    assert got[1]["area_km2"] == pytest.approx(sphere_area / 8, rel=1e-9)
+    assert got[4]["area_km2"] == pytest.approx(sphere_area / 8, rel=1e-9)
+    assert got[4]["sr_q"] == -got[1]["sr_q"]  # winding flips the sign only
+
+    # small ring ~ planar octagon area (2*sqrt(2)*r^2), scaled by cos(lat)
+    r_km = 0.1 * math.pi / 180 * R_KM
+    planar = 2 * math.sqrt(2) * (r_km * r_km) * math.cos(math.radians(45.0))
+    assert got[2]["area_km2"] == pytest.approx(planar, rel=2e-3)
+    assert got[2]["n_vertices"] == 8
+
+    # DuckDB twin: identical rows (sr_q int64 equality = term-level parity)
+    duck = duckdb.connect()
+    duck.execute("CREATE TABLE vv (poly_id BIGINT, idx BIGINT, lon DOUBLE, lat DOUBLE)")
+    duck.executemany("INSERT INTO vv VALUES (?, ?, ?, ?)", rows)
+    twin = {
+        p: (n, s, a)
+        for p, n, s, a in duck.sql(
+            geodesic_area_sql("SELECT * FROM vv")
+        ).fetchall()
+    }
+    assert twin == {
+        p: (r["n_vertices"], r["sr_q"], r["area_km2"]) for p, r in got.items()
+    }
