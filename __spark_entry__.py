@@ -5789,6 +5789,85 @@ _DENSE_GRAPH_SQL = (
 )
 
 
+def q_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X107 (sketch.bloom_build/bloom_probe): Bloom-filter semi-join
+    pruning — THE shuffle-avoidance primitive: build a 4-word (192-bit)
+    filter over a filtered dim (customers with key % 13 == 0), probe the
+    fact side's keys broadcast-only. Deliberately undersized so false
+    positives occur and the word-level parity (not just membership) is
+    what the oracle verifies. No false negatives by construction."""
+    from osm2geojson_spark.operators import sketch as SK
+
+    cust = _t(spark, sf_dir, "customer").filter(
+        F.col("c_custkey") % 13 == 0
+    ).select(F.col("c_custkey").alias("k"))
+    probe = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") < 800)
+        .select(F.col("o_custkey").alias("k"))
+        .distinct()
+    )
+    bloom = SK.bloom_build(cust, "k", n_words=4, n_hashes=3)
+    return SK.bloom_probe(bloom, probe, "k", n_words=4, n_hashes=3)
+
+
+def _bloom_semijoin_sql() -> str:
+    from osm2geojson_spark.operators import sketch as SK
+
+    return SK.bloom_probe_sql(
+        "SELECT c_custkey AS k FROM customer WHERE c_custkey % 13 = 0",
+        "SELECT DISTINCT o_custkey AS k FROM orders WHERE o_custkey < 800",
+        "k",
+        n_words=4,
+        n_hashes=3,
+    )
+
+
+_WARP_COEFFS = (247, -66, 1280, 66, 247, -512)  # ~15-degree rotation
+
+
+def q_warp_affine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X108 (multimodal.warp_affine): integer fixed-point nearest-
+    neighbor affine warp (~15-degree rotation with negative intermediate
+    sums) over 250 mixed rawz/png images — the geometric-augmentation /
+    registration stage. The position map is pure integer floor
+    arithmetic (arithmetic shift in the kernel, explicit floor in the
+    twin), so canvas stats + in-bounds counts hash-match a pure-SQL
+    recomputation of every pixel's source."""
+    imgs = _synth_images(spark, sf_dir, 250)
+    return MM.warp_affine(imgs, _WARP_COEFFS)
+
+
+def _warp_affine_sql() -> str:
+    a, b, c, d, e, f = _WARP_COEFFS
+    sx = f"CAST(floor(({a} * x + {b} * y + {c}) / 256.0) AS BIGINT)"
+    sy = f"CAST(floor(({d} * x + {e} * y + {f}) / 256.0) AS BIGINT)"
+    return f"""
+WITH img AS (
+  SELECT p_partkey AS i, 8 * (1 + p_partkey % 3) AS w
+  FROM part WHERE p_partkey < 250
+), px AS (
+  SELECT i, w, unnest(range(0, w * w)) AS p FROM img
+), src AS (
+  SELECT i, w, {sx} AS sx, {sy} AS sy
+  FROM (SELECT i, w, (p % w) AS x, (p // w) AS y FROM px) xy
+), val AS (
+  SELECT i, w,
+         CASE WHEN sx >= 0 AND sx < w AND sy >= 0 AND sy < w
+              THEN (sx * 3 + sy * 7 + i * 13) % 251 ELSE 0 END AS v,
+         CASE WHEN sx >= 0 AND sx < w AND sy >= 0 AND sy < w
+              THEN 1 ELSE 0 END AS inb
+  FROM src
+)
+SELECT printf('img%012d', i) AS image_id,
+       CAST(w AS INTEGER) AS w, CAST(w AS INTEGER) AS h,
+       CAST(sum(v) AS BIGINT) AS px_sum,
+       CAST(min(v) AS BIGINT) AS px_min, CAST(max(v) AS BIGINT) AS px_max,
+       CAST(sum(inb) AS BIGINT) AS inb_count
+FROM val GROUP BY i, w
+"""
+
+
 _OCT_XY = [
     (1.0, 0.0), (0.7071067811865476, 0.7071067811865476),
     (0.0, 1.0), (-0.7071067811865476, 0.7071067811865476),
@@ -6957,6 +7036,8 @@ FROM d
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "bloom_semijoin": q_bloom_semijoin,
+        "warp_affine": q_warp_affine,
         "geodesic_area": q_geodesic_area,
         "distance_transform": q_distance_transform,
         "hog": q_hog,
@@ -7118,6 +7199,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "bloom_semijoin": _bloom_semijoin_sql(),
+        "warp_affine": _warp_affine_sql(),
         "geodesic_area": _geodesic_area_sql(),
         "distance_transform": _DISTANCE_TRANSFORM_SQL,
         "hog": _hog_sql(),

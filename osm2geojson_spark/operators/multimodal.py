@@ -1752,3 +1752,73 @@ def hog_features(images: DataFrame) -> DataFrame:
     return images.select("image_id", "bytes", "fmt").mapInPandas(
         fn, schema="image_id string, bin int, mag_sum long, n_px long"
     )
+
+
+WARP_DENOM = 256  # fixed-point denominator of the affine coefficients
+
+
+def warp_affine(
+    images: DataFrame,
+    coeffs: tuple[int, int, int, int, int, int],
+    with_bytes: bool = False,
+) -> DataFrame:
+    """(image_id, w, h, px_sum, px_min, px_max, inb_count[, bytes, fmt])
+    — nearest-neighbor AFFINE WARP with integer fixed-point semantics
+    (the rotate/shear/scale stage of a geometric-augmentation chain, and
+    the registration primitive for tile alignment):
+
+        src_x = floor((a*x + b*y + c) / 256)
+        src_y = floor((d*x + e*y + f) / 256)
+
+    with ``coeffs`` = (a, b, c, d, e, f) INTEGER numerators over the
+    fixed denominator 256 — e.g. a 15-degree rotation is
+    (247, -66, ..., 66, 247, ...) since cos 15 ~ 247/256. Out-of-bounds
+    sources fill 0. floor (not truncate-toward-zero) so negative
+    intermediate sums behave identically in NumPy (arithmetic >> 8),
+    Spark, and the SQL twin — the whole position map is exact integer
+    arithmetic, no resampling float anywhere.
+
+    Stats are over the full output canvas (same shape as the input);
+    ``inb_count`` = pixels whose source landed in bounds.
+
+    Scale: one vectorized gather per image inside mapInPandas; pixel
+    bytes never shuffle; with_bytes=False ships 5 int64s per image."""
+    a, b, c, d, e, f = (int(v) for v in coeffs)
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {
+                "image_id": [], "w": [], "h": [], "px_sum": [],
+                "px_min": [], "px_max": [], "inb_count": [],
+            }
+            if with_bytes:
+                out["bytes"] = []
+                out["fmt"] = []
+            for r in pdf.itertuples(index=False):
+                px = imagecodec.decode(bytes(r.bytes), r.fmt)
+                h, w = px.shape
+                ys, xs = np.mgrid[0:h, 0:w].astype(np.int64)
+                sx = (a * xs + b * ys + np.int64(c)) >> 8  # floor
+                sy = (d * xs + e * ys + np.int64(f)) >> 8
+                inb = (sx >= 0) & (sx < w) & (sy >= 0) & (sy < h)
+                warped = np.zeros((h, w), dtype=np.uint8)
+                warped[inb] = px[sy[inb], sx[inb]]
+                out["image_id"].append(r.image_id)
+                out["w"].append(w)
+                out["h"].append(h)
+                out["px_sum"].append(int(warped.astype(np.int64).sum()))
+                out["px_min"].append(int(warped.min()))
+                out["px_max"].append(int(warped.max()))
+                out["inb_count"].append(int(inb.sum()))
+                if with_bytes:
+                    out["bytes"].append(imagecodec.encode_rawz(warped))
+                    out["fmt"].append("rawz")
+            yield pd.DataFrame(out)
+
+    schema = (
+        "image_id string, w int, h int, px_sum long, px_min long,"
+        " px_max long, inb_count long"
+    )
+    if with_bytes:
+        schema += ", bytes binary, fmt string"
+    return images.select("image_id", "bytes", "fmt").mapInPandas(fn, schema=schema)

@@ -184,3 +184,113 @@ SELECT probe.{key_col},
 FROM probe LEFT JOIN cms ON cms.d = probe.d AND cms.cell = probe.cell
 GROUP BY probe.{key_col}
 """
+
+
+# --------------------------------------------------- Bloom filter
+
+_BLOOM_BPW = 48  # bits per int64 word; < 63 so 1<<bit never touches sign
+                 # in either engine
+
+
+def bloom_build(
+    df: DataFrame,
+    key_col: str,
+    n_words: int = 64,
+    n_hashes: int = 3,
+) -> DataFrame:
+    """(word, bits) — a BLOOM FILTER over ``key_col`` as at most
+    ``n_words`` rows of 48-bit int64 words: bit h_j(key) set for each of
+    ``n_hashes`` hashes (the CMS hash family over n_words*48 positions).
+    Deterministic by construction — bit_or is order-free — so the words
+    themselves hash-match a serial oracle, false positives included.
+
+    THE join-pruning primitive: build on the small/filtered side, probe
+    the big side before the real join, and the shuffle carries only
+    rows that might match (no false negatives, ever). Words from
+    different partitions/days merge by bit_or.
+
+    Scale: one combinable groupBy emitting <= n_words rows regardless
+    of build-side size; always broadcastable."""
+    assert 1 <= n_hashes <= len(_CMS_MULS)
+    m = n_words * _BLOOM_BPW
+    key = F.col(key_col)
+    pos = F.array(*[_cms_cell(key, j, m) for j in range(n_hashes)])
+    return (
+        df.select(F.explode(pos).alias("_pos"))
+        .select(
+            (F.col("_pos") / F.lit(_BLOOM_BPW)).cast("long").alias("word"),
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(_pos % {_BLOOM_BPW} AS INT))").alias("_bit"),
+        )
+        .groupBy("word")
+        .agg(F.expr("bit_or(_bit)").alias("bits"))
+    )
+
+
+def bloom_probe(
+    bloom: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    n_words: int = 64,
+    n_hashes: int = 3,
+) -> DataFrame:
+    """keys + (passed) — membership test: passed iff ALL n_hashes bits
+    are set. The bloom side is broadcast; the probe side never
+    shuffles (the aggregation is by the probe key it already carries).
+    No false negatives; false-positive odds ~ (1 - e^{-kn/m})^k."""
+    m = n_words * _BLOOM_BPW
+    key = F.col(key_col)
+    pos = F.array(*[_cms_cell(key, j, m) for j in range(n_hashes)])
+    probes = keys.select(key_col, F.explode(pos).alias("_pos")).select(
+        key_col,
+        (F.col("_pos") / F.lit(_BLOOM_BPW)).cast("long").alias("word"),
+        F.col("_pos").alias("_pos"),
+    )
+    j = probes.join(F.broadcast(bloom), "word", "left")
+    hit = (
+        F.expr(
+            f"(shiftright(coalesce(bits, CAST(0 AS BIGINT)),"
+            f" CAST(_pos % {_BLOOM_BPW} AS INT)) & 1)"
+        )
+        == 1
+    )
+    return j.groupBy(key_col).agg(
+        F.min(hit.cast("int")).cast("boolean").alias("passed")
+    )
+
+
+def bloom_probe_sql(
+    build_cte: str,
+    probe_cte: str,
+    key_col: str,
+    n_words: int = 64,
+    n_hashes: int = 3,
+) -> str:
+    """DuckDB twin of bloom_build + bloom_probe — identical hash family,
+    identical words, identical bit tests."""
+    m = n_words * _BLOOM_BPW
+    build_arms = " UNION ALL ".join(
+        f"SELECT {_cms_cell_sql(key_col, j, m)} AS pos FROM b"
+        for j in range(n_hashes)
+    )
+    probe_arms = " UNION ALL ".join(
+        f"SELECT {key_col}, {_cms_cell_sql(key_col, j, m)} AS pos FROM p"
+        for j in range(n_hashes)
+    )
+    return f"""
+WITH b AS ({build_cte}),
+p AS ({probe_cte}),
+bloom AS (
+  SELECT pos // {_BLOOM_BPW} AS word,
+         bit_or(CAST(1 AS BIGINT) << CAST(pos % {_BLOOM_BPW} AS INTEGER))
+           AS bits
+  FROM ({build_arms}) bb GROUP BY pos // {_BLOOM_BPW}
+),
+probes AS ({probe_arms})
+SELECT probes.{key_col},
+       CAST(min(CASE WHEN
+         ((coalesce(bloom.bits, CAST(0 AS BIGINT))
+           >> CAST(probes.pos % {_BLOOM_BPW} AS INTEGER)) & 1) = 1
+         THEN 1 ELSE 0 END) AS BOOLEAN) AS passed
+FROM probes LEFT JOIN bloom ON bloom.word = probes.pos // {_BLOOM_BPW}
+GROUP BY probes.{key_col}
+"""

@@ -195,3 +195,55 @@ def test_pps_systematic_empty_input(spark):
 
     df = spark.createDataFrame([], "k long, w long")
     assert pps_systematic(df, "k", "w", 100).count() == 0
+
+
+def test_bloom_no_false_negatives_and_twin_matches_fps(spark):
+    import duckdb
+
+    from osm2geojson_spark.operators.sketch import (
+        bloom_build, bloom_probe, bloom_probe_sql)
+
+    members = [(int(k),) for k in range(0, 2000, 13)]
+    probes = [(int(k),) for k in range(0, 600)]
+    mdf = spark.createDataFrame(members, "k long")
+    pdf = spark.createDataFrame(probes, "k long")
+
+    bloom = bloom_build(mdf, "k", n_words=4, n_hashes=3)  # tiny: FPs happen
+    got = {r["k"]: r["passed"] for r in bloom_probe(bloom, pdf, "k", 4, 3).collect()}
+
+    mem = {k for (k,) in members}
+    assert all(got[k] for k in range(0, 600) if k in mem)  # no false negatives
+    fps = [k for k in range(0, 600) if got[k] and k not in mem]
+    assert fps, "tiny filter must produce false positives for this test to bite"
+
+    duck = duckdb.connect()
+    duck.execute("CREATE TABLE m (k BIGINT)")
+    duck.executemany("INSERT INTO m VALUES (?)", members)
+    duck.execute("CREATE TABLE pr (k BIGINT)")
+    duck.executemany("INSERT INTO pr VALUES (?)", probes)
+    twin = dict(duck.sql(bloom_probe_sql(
+        "SELECT k FROM m", "SELECT k FROM pr", "k", 4, 3)).fetchall())
+    assert twin == got  # false positives included — word-level parity
+
+    # a realistic width passes the members and rejects almost everything else
+    wide = bloom_build(mdf, "k", n_words=64, n_hashes=3)
+    gw = {r["k"]: r["passed"] for r in bloom_probe(wide, pdf, "k", 64, 3).collect()}
+    assert all(gw[k] for k in mem if k < 600)
+    assert sum(gw[k] for k in range(600) if k not in mem) <= 5
+
+
+def test_bloom_merge_by_bit_or(spark):
+    from pyspark.sql import functions as F
+
+    from osm2geojson_spark.operators.sketch import bloom_build
+
+    a = spark.createDataFrame([(i,) for i in range(0, 50)], "k long")
+    b = spark.createDataFrame([(i,) for i in range(50, 100)], "k long")
+    both = spark.createDataFrame([(i,) for i in range(0, 100)], "k long")
+    merged = (
+        bloom_build(a, "k", 8, 3).unionByName(bloom_build(b, "k", 8, 3))
+        .groupBy("word").agg(F.expr("bit_or(bits)").alias("bits"))
+    )
+    want = {r["word"]: r["bits"] for r in bloom_build(both, "k", 8, 3).collect()}
+    got = {r["word"]: r["bits"] for r in merged.collect()}
+    assert got == want

@@ -1330,3 +1330,49 @@ def test_hog_matches_scalar_brute(spark):
     assert got["p"] == got["a"]
     assert got["c"] == {0: (0, 16), **{b: (0, 0) for b in range(1, 8)}}
     assert sum(c for _, c in got["a"].values()) == (h - 2) * (w - 2)
+
+
+def test_warp_affine_identity_flip_and_floor_semantics(spark):
+    from osm2geojson_spark.operators.multimodal import warp_affine
+
+    rng = np.random.default_rng(47)
+    px = rng.integers(0, 256, size=(10, 10)).astype(np.uint8)
+    imgs = spark.createDataFrame(
+        [
+            ("a", 10, 10, "rawz", bytearray(imagecodec.encode_rawz(px))),
+            ("p", 10, 10, "png", bytearray(imagecodec.encode_png(px))),
+        ],
+        "image_id string, w int, h int, fmt string, bytes binary",
+    )
+
+    # identity
+    got = {r["image_id"]: r for r in warp_affine(imgs, (256, 0, 0, 0, 256, 0)).collect()}
+    assert got["a"]["px_sum"] == int(px.astype(np.int64).sum())
+    assert got["a"]["inb_count"] == 100
+    assert {k: dict(got["p"].asDict()) for k in ["p"]}["p"]["px_sum"] == got["a"]["px_sum"]
+
+    # hflip: src_x = w-1-x — permutation, sum invariant, all in bounds
+    gf = {r["image_id"]: r for r in warp_affine(imgs, (-256, 0, 256 * 9, 0, 256, 0)).collect()}
+    assert gf["a"]["px_sum"] == got["a"]["px_sum"]
+    assert gf["a"]["inb_count"] == 100
+
+    # rotation-ish shear with negative sums: scalar brute with FLOOR
+    coeffs = (247, -66, 5 * 256, 66, 247, -2 * 256)
+    gw = {r["image_id"]: r for r in warp_affine(imgs, coeffs, with_bytes=True).collect()}
+    a, b, c, d, e, f = coeffs
+    warped = np.zeros((10, 10), dtype=np.int64)
+    inb_n = 0
+    for y in range(10):
+        for x in range(10):
+            sx = (a * x + b * y + c) // 256  # python // IS floor
+            sy = (d * x + e * y + f) // 256
+            if 0 <= sx < 10 and 0 <= sy < 10:
+                warped[y, x] = px[sy, sx]
+                inb_n += 1
+    assert gw["a"]["px_sum"] == int(warped.sum())
+    assert gw["a"]["inb_count"] == inb_n
+    assert gw["a"]["px_max"] == int(warped.max())
+    # re-decoded warped bytes reproduce the brute field exactly
+    back = imagecodec.decode(bytes(gw["a"]["bytes"]), gw["a"]["fmt"])
+    assert (back.astype(np.int64) == warped).all()
+    assert gw["p"]["px_sum"] == gw["a"]["px_sum"]
