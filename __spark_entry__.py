@@ -5789,6 +5789,94 @@ _DENSE_GRAPH_SQL = (
 )
 
 
+def q_cms_join_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X109 (sketch.cms_join_cardinality): join-size estimation from two
+    count-min sketches — the broadcast-vs-shuffle planner primitive.
+    est(|lineitem join orders on orderkey|) = min over depth of the
+    sketch-row inner product; an upper bound that is exact when the
+    width separates the keys. Neither input shuffles: each side is one
+    combinable groupBy down to <= 4*1024 rows."""
+    from osm2geojson_spark.operators import sketch as SK
+
+    li = _t(spark, sf_dir, "lineitem").select(F.col("l_orderkey").alias("k"))
+    od = _t(spark, sf_dir, "orders").select(F.col("o_orderkey").alias("k"))
+    return SK.cms_join_cardinality(
+        SK.cms_build(li, "k", 4, 1024), SK.cms_build(od, "k", 4, 1024)
+    )
+
+
+def _cms_join_card_sql() -> str:
+    from osm2geojson_spark.operators import sketch as SK
+
+    return SK.cms_join_cardinality_sql(
+        "SELECT l_orderkey AS k FROM lineitem",
+        "SELECT o_orderkey AS k FROM orders",
+        "k",
+        4,
+        1024,
+    )
+
+
+def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X110 (dedup.lev1_join): Levenshtein<=1 fuzzy self-join via FastSS
+    deletion-neighborhood blocking (complete candidate generator, exact
+    verify on candidates only — never a cross join). Universe: the
+    distinct part names (id = min part key of the name) plus
+    deterministic one-character-deleted corruptions of every third
+    part's name — so insert/delete/substitute matches all occur. Oracle:
+    the brute-force cross join, a deliberately different algorithm."""
+    from osm2geojson_spark.operators import dedup as DD
+
+    part = _t(spark, sf_dir, "part")
+    names = part.groupBy("p_name").agg(
+        F.min("p_partkey").alias("id")
+    ).select("id", F.col("p_name").alias("s"))
+    variants = part.filter(F.col("p_partkey") % 3 == 0).select(
+        (F.col("p_partkey") + F.lit(1_000_000)).alias("id"),
+        F.concat(
+            F.expr("substring(p_name, 1, CAST(p_partkey % 8 AS INT))"),
+            F.expr("substring(p_name, CAST(p_partkey % 8 AS INT) + 2)"),
+        ).alias("s"),
+    )
+    uni = names.unionByName(variants)
+    return DD.lev1_join(uni, "id", "s")
+
+
+def _fuzzy_join_sql() -> str:
+    from osm2geojson_spark.operators import dedup as DD
+
+    uni = (
+        "SELECT min(p_partkey) AS id, p_name AS s FROM part GROUP BY p_name"
+        " UNION ALL SELECT p_partkey + 1000000 AS id,"
+        " substring(p_name, 1, CAST(p_partkey % 8 AS INTEGER))"
+        " || substring(p_name, CAST(p_partkey % 8 AS INTEGER) + 2) AS s"
+        " FROM part WHERE p_partkey % 3 = 0"
+    )
+    return DD.lev1_join_sql(uni, "id", "s")
+
+
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X111 (analytics.funnel_depths): windowed funnel view -> click ->
+    purchase within 1800 s (ClickHouse windowFunnel semantics, greedy
+    earliest-next chain per anchor — provably the max depth). One
+    per-user window pass + chain joins, all user-keyed; no global
+    window, no UDF."""
+    from osm2geojson_spark.operators import analytics as A
+
+    ev = _t(spark, sf_dir, "events")
+    return A.funnel_depths(ev, ["view", "click", "purchase"], 1800)
+
+
+def _funnel_sql() -> str:
+    from osm2geojson_spark.operators import analytics as A
+
+    return A.funnel_depths_sql(
+        "SELECT user_id, ts, event_id, event_type FROM events",
+        ["view", "click", "purchase"],
+        1800,
+    )
+
+
 def q_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X107 (sketch.bloom_build/bloom_probe): Bloom-filter semi-join
     pruning — THE shuffle-avoidance primitive: build a 4-word (192-bit)
@@ -7036,6 +7124,9 @@ FROM d
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "cms_join_card": q_cms_join_card,
+        "fuzzy_join": q_fuzzy_join,
+        "funnel": q_funnel,
         "bloom_semijoin": q_bloom_semijoin,
         "warp_affine": q_warp_affine,
         "geodesic_area": q_geodesic_area,
@@ -7199,6 +7290,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "cms_join_card": _cms_join_card_sql(),
+        "fuzzy_join": _fuzzy_join_sql(),
+        "funnel": _funnel_sql(),
         "bloom_semijoin": _bloom_semijoin_sql(),
         "warp_affine": _warp_affine_sql(),
         "geodesic_area": _geodesic_area_sql(),

@@ -148,6 +148,16 @@ BENCH_QUERIES = [
     "audio_frames",
     "median_filter",
     "audio_autocorr",
+    "k_core",
+    "triangles",
+    "skyline",
+    "cms_topk",
+    "pps_sample",
+    "distance_transform",
+    "hog",
+    "geodesic_area",
+    "bloom_semijoin",
+    "warp_affine",
 ]
 
 

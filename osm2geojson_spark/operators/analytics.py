@@ -110,3 +110,160 @@ WHERE NOT EXISTS (
   WHERE q.x <= p.x AND q.y <= p.y AND (q.x < p.x OR q.y < p.y)
 )
 """
+
+
+def funnel_depths(
+    events: DataFrame,
+    steps: list[str],
+    window_s: int,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """(user_id, n_anchors, depth) — WINDOWED FUNNEL ANALYSIS
+    (ClickHouse windowFunnel semantics): a user's depth is the largest k
+    such that some step-1 event anchors a strictly-ordered chain
+    step1 < step2 < ... < stepk (order by (ts, event_id) — total, so
+    equal timestamps break deterministically) all within ``window_s``
+    seconds of the anchor. Greedy earliest-next matching per anchor is
+    optimal (exchange argument), so the semantics are exact, not
+    heuristic. Users with no step-1 event emit no row.
+
+    Shape: one per-user descending-window pass marks every event with
+    the NEXT occurrence index of each later step (k-1 conditional mins
+    over one window frame), then k-2 per-user equi-joins chain the
+    lookups anchor -> step2 row -> step3 row. Everything partitions by
+    user: no global window, no UDF.
+
+    Scale: windows and joins are all (user)-keyed — parallel and
+    combinable; a power-user's event list lives in one partition slice
+    (bound it upstream with a time filter if a bot writes millions of
+    events). k is the query, not the data: the plan has k-2 joins."""
+    assert len(steps) >= 2
+    w_ord = Window.partitionBy("_u").orderBy("_ts", "_eid")
+    ev = events.select(
+        F.col(user_col).alias("_u"),
+        F.col(ts_col).cast("timestamp").alias("_ts"),
+        F.col(id_col).alias("_eid"),
+        F.col(type_col).alias("_ty"),
+    ).withColumn("_idx", F.row_number().over(w_ord))
+    w_next = Window.partitionBy("_u").orderBy("_idx").rowsBetween(
+        1, Window.unboundedFollowing
+    )
+    nxt_cols = []
+    for si, step in enumerate(steps[1:], start=2):
+        ev = ev.withColumn(
+            f"_nxt{si}",
+            F.min(F.when(F.col("_ty") == step, F.col("_idx"))).over(w_next),
+        )
+        nxt_cols.append(f"_nxt{si}")
+    anchors = ev.filter(F.col("_ty") == steps[0]).select(
+        "_u", F.col("_ts").alias("_t0"), F.col("_idx").alias("_i1"), *nxt_cols
+    )
+    limit = F.col("_t0") + F.expr(f"INTERVAL {int(window_s)} SECONDS")
+    cur = anchors.withColumn("_depth", F.lit(1)).withColumn(
+        "_chain", F.col(f"_nxt2") if len(steps) >= 2 else F.lit(None)
+    )
+    for si in range(2, len(steps) + 1):
+        # the candidate event for step si is cur._chain (an _idx); join
+        # its row to test the window and pick up ITS next-step pointer
+        nxt_needed = f"_nxt{si + 1}" if si < len(steps) else None
+        right = ev.select(
+            F.col("_u").alias("_ru"), F.col("_idx").alias("_ridx"),
+            F.col("_ts").alias("_rts"),
+            *( [F.col(nxt_needed).alias("_rnxt")] if nxt_needed else [] ),
+        )
+        cur = cur.join(
+            right,
+            (F.col("_u") == F.col("_ru")) & (F.col("_chain") == F.col("_ridx")),
+            "left",
+        )
+        ok = F.col("_rts").isNotNull() & (F.col("_rts") <= limit) & (
+            F.col("_depth") == si - 1
+        )
+        # materialize the gate BEFORE mutating _depth: the second
+        # withColumn would otherwise re-evaluate `ok` against the
+        # already-advanced depth and null the chain pointer
+        cur = (
+            cur.withColumn("_ok", ok)
+            .withColumn(
+                "_depth",
+                F.when(F.col("_ok"), F.lit(si)).otherwise(F.col("_depth")),
+            )
+            .withColumn(
+                "_chain",
+                F.when(
+                    F.col("_ok") & F.lit(nxt_needed is not None),
+                    F.col("_rnxt") if nxt_needed else F.lit(None),
+                ),
+            )
+            .drop("_ok", "_ru", "_ridx", "_rts", *(["_rnxt"] if nxt_needed else []))
+        )
+    return cur.groupBy("_u").agg(
+        F.count(F.lit(1)).cast("long").alias("n_anchors"),
+        F.max("_depth").cast("int").alias("depth"),
+    ).select(F.col("_u").alias(user_col), "n_anchors", "depth")
+
+
+def funnel_depths_sql(
+    events_cte: str,
+    steps: list[str],
+    window_s: int,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> str:
+    """DuckDB twin — identical windows and chain joins."""
+    assert 2 <= len(steps) <= 4
+    nxt_defs = ", ".join(
+        f"min(CASE WHEN {type_col} = '{steps[si - 1]}' THEN _idx END)"
+        f" OVER (PARTITION BY {user_col} ORDER BY _idx"
+        f" ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS _nxt{si}"
+        for si in range(2, len(steps) + 1)
+    )
+    sql = f"""
+WITH fd_raw AS ({events_cte}),
+fd_ev AS (
+  SELECT {user_col}, {ts_col} AS _ts, {type_col},
+         row_number() OVER (PARTITION BY {user_col}
+                            ORDER BY {ts_col}, {id_col}) AS _idx
+  FROM fd_raw
+),
+fd_nx AS (
+  SELECT *, {nxt_defs} FROM fd_ev
+),
+fd_chain AS (
+  SELECT a.{user_col}, a._ts AS t0,
+         b._ts AS t2{", b._nxt3 AS i3" if len(steps) >= 3 else ""}
+  FROM fd_nx a LEFT JOIN fd_nx b
+    ON b.{user_col} = a.{user_col} AND b._idx = a._nxt2
+  WHERE a.{type_col} = '{steps[0]}'
+)"""
+    if len(steps) == 2:
+        depth = (
+            f"CASE WHEN t2 IS NOT NULL AND t2 <= t0 + INTERVAL {window_s} SECOND"
+            f" THEN 2 ELSE 1 END"
+        )
+        return sql + f"""
+SELECT {user_col}, CAST(count(*) AS BIGINT) AS n_anchors,
+       CAST(max({depth}) AS INTEGER) AS depth
+FROM fd_chain GROUP BY {user_col}
+"""
+    # 3-step: one more chain join
+    depth = f"""CASE
+  WHEN t2 IS NOT NULL AND t2 <= t0 + INTERVAL {window_s} SECOND
+       AND t3 IS NOT NULL AND t3 <= t0 + INTERVAL {window_s} SECOND THEN 3
+  WHEN t2 IS NOT NULL AND t2 <= t0 + INTERVAL {window_s} SECOND THEN 2
+  ELSE 1 END"""
+    return sql + f""",
+fd_chain2 AS (
+  SELECT c.{user_col}, c.t0, c.t2, d._ts AS t3
+  FROM fd_chain c LEFT JOIN fd_nx d
+    ON d.{user_col} = c.{user_col} AND d._idx = c.i3
+)
+SELECT {user_col}, CAST(count(*) AS BIGINT) AS n_anchors,
+       CAST(max({depth}) AS INTEGER) AS depth
+FROM fd_chain2 GROUP BY {user_col}
+"""

@@ -667,3 +667,63 @@ def scrub_repeated_spans(
             ),
         )
     )
+
+
+def lev1_join(
+    df: DataFrame,
+    id_col: str,
+    str_col: str,
+) -> DataFrame:
+    """(a, b, lev) — all pairs within LEVENSHTEIN DISTANCE <= 1 (a < b by
+    id), the classic fuzzy-match/data-cleaning join, WITHOUT the
+    quadratic cross join: FastSS deletion-neighborhood blocking
+    (Bocek et al. 2007). Key set K(s) = {s} union {s minus one char}; if
+    lev(a, b) <= 1 the pair shares a key (equality shares s; an
+    insertion makes a itself a deletion of b; a substitution at i makes
+    both i-deletions equal), so an equi-join on exploded keys is a
+    COMPLETE candidate generator and the exact `levenshtein` verify on
+    candidates only makes it sound. Duplicate candidate pairs (a pair
+    can share several keys) are collapsed before the verify.
+
+    Scale: candidates = keys shared, so the join is equi-shuffle on
+    short string keys; per string the key fan-out is len+1 — use this
+    for short join keys (names, codes, tokens); for long documents use
+    the MinHash path. Hot keys (a very common string) behave like any
+    skewed equi-join — the salting plan applies.
+    """
+    s = F.col(str_col)
+    keys = F.expr(
+        f"array_union(array({str_col}), CASE WHEN length({str_col}) >= 1"
+        f" THEN transform(sequence(1, length({str_col})),"
+        f" i -> concat(substring({str_col}, 1, i - 1), substring({str_col}, i + 1)))"
+        f" ELSE array() END)"
+    )
+    kv = df.select(
+        F.col(id_col).alias("_id"), s.alias("_s"), F.explode(keys).alias("_k")
+    )
+    a = kv.select(F.col("_id").alias("a"), F.col("_s").alias("_sa"), "_k")
+    b = kv.select(F.col("_id").alias("b"), F.col("_s").alias("_sb"), "_k")
+    cand = (
+        a.join(b, "_k")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "_sa", "_sb")
+        .distinct()
+    )
+    return (
+        cand.withColumn("lev", F.levenshtein("_sa", "_sb"))
+        .filter(F.col("lev") <= 1)
+        .select("a", "b", F.col("lev").cast("int").alias("lev"))
+    )
+
+
+def lev1_join_sql(rows_cte: str, id_col: str, str_col: str) -> str:
+    """DuckDB twin — the brute-force formulation (cross join + exact
+    levenshtein), deliberately a different algorithm than the blocking
+    path."""
+    return f"""
+WITH r AS ({rows_cte})
+SELECT x.{id_col} AS a, y.{id_col} AS b,
+       CAST(levenshtein(x.{str_col}, y.{str_col}) AS INTEGER) AS lev
+FROM r x JOIN r y ON x.{id_col} < y.{id_col}
+WHERE levenshtein(x.{str_col}, y.{str_col}) <= 1
+"""

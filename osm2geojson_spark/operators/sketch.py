@@ -294,3 +294,64 @@ SELECT probes.{key_col},
 FROM probes LEFT JOIN bloom ON bloom.word = probes.pos // {_BLOOM_BPW}
 GROUP BY probes.{key_col}
 """
+
+
+def cms_join_cardinality(
+    cms_a: DataFrame, cms_b: DataFrame
+) -> DataFrame:
+    """(est) — JOIN-SIZE ESTIMATION from two count-min sketches built
+    with the same (depth, width): |A join B on key| = sum_key
+    fA(key)*fB(key) is estimated by min over d of the row inner product
+    sum_cell cntA[d][cell]*cntB[d][cell] — an UPPER bound (collisions
+    only add), tight when heavy keys dominate, never requiring a
+    shuffle of either input. The planner primitive behind broadcast-vs-
+    shuffle and skew-salting decisions: both sketches are <= depth*width
+    rows, so the estimate costs a broadcast join of two sketches —
+    O(depth*width) work for a question whose exact answer is a full
+    join.
+
+    Exact int64 throughout (products of int64 counts — caller bounds
+    total weight below 2^31 per side to stay overflow-safe, which a
+    depth*width >= 2k sketch of realistic per-cell loads satisfies)."""
+    a = cms_a.select("d", "cell", F.col("cnt").alias("_ca"))
+    b = cms_b.select("d", "cell", F.col("cnt").alias("_cb"))
+    per_d = (
+        a.join(b, ["d", "cell"])
+        .groupBy("d")
+        .agg(F.sum(F.col("_ca") * F.col("_cb")).alias("_ip"))
+    )
+    return per_d.agg(F.min("_ip").cast("long").alias("est"))
+
+
+def cms_join_cardinality_sql(
+    rows_a_cte: str,
+    rows_b_cte: str,
+    key_col: str,
+    depth: int = 4,
+    width: int = 1024,
+) -> str:
+    """DuckDB twin — both sketches rebuilt with the identical hash
+    family, same min-of-inner-products."""
+    def build(src: str, alias: str) -> str:
+        arms = " UNION ALL ".join(
+            f"SELECT {d} AS d, {_cms_cell_sql(key_col, d, width)} AS cell,"
+            f" 1 AS w FROM {src}"
+            for d in range(depth)
+        )
+        return (
+            f"{alias} AS (SELECT d, cell, CAST(sum(w) AS BIGINT) AS cnt"
+            f" FROM ({arms}) x GROUP BY d, cell)"
+        )
+
+    return f"""
+WITH ra AS ({rows_a_cte}),
+rb AS ({rows_b_cte}),
+{build('ra', 'ca')},
+{build('rb', 'cb')},
+ip AS (
+  SELECT ca.d, sum(ca.cnt * cb.cnt) AS ip
+  FROM ca JOIN cb ON cb.d = ca.d AND cb.cell = ca.cell
+  GROUP BY ca.d
+)
+SELECT CAST(min(ip) AS BIGINT) AS est FROM ip
+"""

@@ -247,3 +247,178 @@ def test_bloom_merge_by_bit_or(spark):
     want = {r["word"]: r["bits"] for r in bloom_build(both, "k", 8, 3).collect()}
     got = {r["word"]: r["bits"] for r in merged.collect()}
     assert got == want
+
+
+def test_cms_join_cardinality_upper_bound_and_twin(spark):
+    import duckdb
+
+    from osm2geojson_spark.operators.sketch import cms_build, cms_join_cardinality, cms_join_cardinality_sql
+
+    rng = np.random.default_rng(19)
+    a = [int(v) for v in rng.integers(0, 200, 3000)]
+    b = [int(v) for v in rng.integers(100, 300, 2500)]
+    adf = spark.createDataFrame([(v,) for v in a], "k long")
+    bdf = spark.createDataFrame([(v,) for v in b], "k long")
+
+    from collections import Counter
+
+    ca, cb = Counter(a), Counter(b)
+    true = sum(ca[k] * cb[k] for k in ca)
+
+    for width in (256, 4096):
+        est = cms_join_cardinality(
+            cms_build(adf, "k", 4, width), cms_build(bdf, "k", 4, width)
+        ).collect()[0]["est"]
+        assert est >= true  # collisions only ADD
+        if width == 4096:
+            assert est == true  # wide enough: collision-free -> exact
+
+    duck = duckdb.connect()
+    duck.execute("CREATE TABLE ta (k BIGINT)")
+    duck.executemany("INSERT INTO ta VALUES (?)", [(v,) for v in a])
+    duck.execute("CREATE TABLE tb (k BIGINT)")
+    duck.executemany("INSERT INTO tb VALUES (?)", [(v,) for v in b])
+    est256 = cms_join_cardinality(
+        cms_build(adf, "k", 4, 256), cms_build(bdf, "k", 4, 256)
+    ).collect()[0]["est"]
+    twin = duck.sql(cms_join_cardinality_sql(
+        "SELECT k FROM ta", "SELECT k FROM tb", "k", 4, 256)).fetchall()[0][0]
+    assert twin == est256
+
+
+def test_lev1_join_matches_brute(spark):
+    import duckdb
+
+    from osm2geojson_spark.operators.dedup import lev1_join, lev1_join_sql
+
+    words = [
+        "spark", "spork", "sparks", "park", "stark", "spark",  # near-family
+        "duck", "dusk", "luck", "ducky",
+        "a", "b", "ab", "", "abc",
+        "zzzzz",
+    ]
+    rows = [(i, w) for i, w in enumerate(words)]
+    df = spark.createDataFrame(rows, "id long, s string")
+    got = sorted(
+        (r["a"], r["b"], r["lev"]) for r in lev1_join(df, "id", "s").collect()
+    )
+
+    def lev(x, y):
+        import numpy as np
+        d = np.arange(len(y) + 1)
+        for i, cx in enumerate(x, 1):
+            prev, d[0] = d[0], i
+            for j, cy in enumerate(y, 1):
+                cur = min(d[j] + 1, d[j - 1] + 1, prev + (cx != cy))
+                prev, d[j] = d[j], cur
+        return int(d[len(y)])
+
+    brute = sorted(
+        (i, j, lev(words[i], words[j]))
+        for i in range(len(words))
+        for j in range(i + 1, len(words))
+        if lev(words[i], words[j]) <= 1
+    )
+    assert got == brute
+    assert any(l == 0 for _, _, l in got)  # the duplicate "spark" pair
+    assert any(l == 1 for _, _, l in got)
+
+    duck = duckdb.connect()
+    duck.execute("CREATE TABLE w (id BIGINT, s VARCHAR)")
+    duck.executemany("INSERT INTO w VALUES (?, ?)", rows)
+    twin = sorted(duck.sql(lev1_join_sql("SELECT * FROM w", "id", "s")).fetchall())
+    assert twin == got
+
+
+def _brute_funnel(rows, steps, window_s):
+    """rows: (user, ts_epoch_s, eid, type). Greedy earliest chain."""
+    from collections import defaultdict
+
+    by_u = defaultdict(list)
+    for u, t, e, ty in rows:
+        by_u[u].append((t, e, ty))
+    out = {}
+    for u, evs in by_u.items():
+        evs.sort()
+        anchors = [i for i, (_, _, ty) in enumerate(evs) if ty == steps[0]]
+        if not anchors:
+            continue
+        best = 1
+        for i0 in anchors:
+            t0 = evs[i0][0]
+            depth, pos = 1, i0
+            for step in steps[1:]:
+                nxt = next(
+                    (
+                        j
+                        for j in range(pos + 1, len(evs))
+                        if evs[j][2] == step
+                    ),
+                    None,
+                )
+                if nxt is None or evs[nxt][0] > t0 + window_s:
+                    break
+                depth, pos = depth + 1, nxt
+            best = max(best, depth)
+        out[u] = (len(anchors), best)
+    return out
+
+
+def test_funnel_matches_brute_and_twin(spark):
+    import datetime as dt
+    import duckdb
+
+    rng = np.random.default_rng(23)
+    base = dt.datetime(2024, 1, 1)
+    types = ["view", "click", "purchase", "error"]
+    rows = []
+    for e in range(400):
+        rows.append(
+            (
+                int(rng.integers(0, 25)),
+                int(rng.integers(0, 3600)),
+                e,
+                types[int(rng.integers(0, 4))],
+            )
+        )
+    # a user whose chain only fits in a wide window
+    rows += [(90, 0, 9001, "view"), (90, 500, 9002, "click"), (90, 1200, 9003, "purchase")]
+    sdf = spark.createDataFrame(
+        [
+            (u, base + dt.timedelta(seconds=t), e, ty)
+            for u, t, e, ty in rows
+        ],
+        "user_id long, ts timestamp, event_id long, event_type string",
+    )
+    from osm2geojson_spark.operators.analytics import funnel_depths, funnel_depths_sql
+
+    steps = ["view", "click", "purchase"]
+    for win in (600, 3600):
+        got = {
+            r["user_id"]: (r["n_anchors"], r["depth"])
+            for r in funnel_depths(sdf, steps, win).collect()
+        }
+        assert got == _brute_funnel(rows, steps, win), f"win={win}"
+    # the planted user: depth 2 at 600 s, 3 at 3600 s
+    assert _brute_funnel(rows, steps, 600)[90][1] == 2
+    assert _brute_funnel(rows, steps, 3600)[90][1] == 3
+
+    duck = duckdb.connect()
+    duck.execute(
+        "CREATE TABLE ev (user_id BIGINT, ts TIMESTAMP, event_id BIGINT, event_type VARCHAR)"
+    )
+    duck.executemany(
+        "INSERT INTO ev VALUES (?, ?, ?, ?)",
+        [(u, base + dt.timedelta(seconds=t), e, ty) for u, t, e, ty in rows],
+    )
+    twin = {
+        u: (n, d)
+        for u, n, d in duck.sql(
+            funnel_depths_sql("SELECT * FROM ev", steps, 600)
+        ).fetchall()
+    }
+    got600 = {
+        r["user_id"]: (r["n_anchors"], r["depth"])
+        for r in funnel_depths(sdf, steps, 600).collect()
+    }
+    assert twin == got600
