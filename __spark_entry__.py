@@ -5789,6 +5789,41 @@ _DENSE_GRAPH_SQL = (
 )
 
 
+def q_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X112 (similarity.gram_matrix): the exact quantized Gram matrix
+    G = Q^T Q of the embedding corpus — the PCA/whitening/covariance
+    second-moment primitive. One int64 GEMM per Arrow batch, d(d+1)/2
+    partial rows out per batch, one combinable groupBy; corpus vectors
+    never shuffle and partials merge by addition (pinned by the
+    partition-invariance test)."""
+    from osm2geojson_spark.operators.similarity import gram_matrix
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return gram_matrix(emb, "embedding", dim=_EMB_DIM)
+
+
+def _gram_matrix_sql() -> str:
+    from osm2geojson_spark.operators.similarity import gram_matrix_sql
+
+    return gram_matrix_sql("SELECT vec_id, embedding FROM embeddings")
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X113 (analytics.cohort_retention): ISO-week cohort retention over
+    the events table — users cohorted by first-event week, distinct-user
+    activity per later week. Two user-keyed combinable rollups + one
+    broadcast of cohort sizes; no window anywhere."""
+    from osm2geojson_spark.operators import analytics as A
+
+    return A.cohort_retention(_t(spark, sf_dir, "events"))
+
+
+def _cohort_retention_sql() -> str:
+    from osm2geojson_spark.operators import analytics as A
+
+    return A.cohort_retention_sql("SELECT user_id, ts FROM events")
+
+
 def q_cms_join_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X109 (sketch.cms_join_cardinality): join-size estimation from two
     count-min sketches — the broadcast-vs-shuffle planner primitive.
@@ -7124,6 +7159,8 @@ FROM d
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "gram_matrix": q_gram_matrix,
+        "cohort_retention": q_cohort_retention,
         "cms_join_card": q_cms_join_card,
         "fuzzy_join": q_fuzzy_join,
         "funnel": q_funnel,
@@ -7290,6 +7327,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "gram_matrix": _gram_matrix_sql(),
+        "cohort_retention": _cohort_retention_sql(),
         "cms_join_card": _cms_join_card_sql(),
         "fuzzy_join": _fuzzy_join_sql(),
         "funnel": _funnel_sql(),

@@ -158,6 +158,11 @@ BENCH_QUERIES = [
     "geodesic_area",
     "bloom_semijoin",
     "warp_affine",
+    "cms_join_card",
+    "fuzzy_join",
+    "funnel",
+    "gram_matrix",
+    "cohort_retention",
 ]
 
 

@@ -267,3 +267,92 @@ SELECT {user_col}, CAST(count(*) AS BIGINT) AS n_anchors,
        CAST(max({depth}) AS INTEGER) AS depth
 FROM fd_chain2 GROUP BY {user_col}
 """
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """(cohort_week, week_offset, n_active, n_cohort, retention) —
+    COHORT RETENTION: users are cohorted by the ISO week of their FIRST
+    event; for each later week offset, how many of them were active.
+    The standard growth/engagement table, and (for training pipelines)
+    the contributor-churn view of a data source.
+
+    Exact: week truncation is calendar-deterministic (Monday start in
+    both engines), offsets are integer day-diffs / 7 (both weeks
+    truncated, so always divisible), counts are distinct-user counts,
+    and retention is the one float divide, rounded.
+
+    Scale: one user-keyed min (combinable), one distinct on
+    (user, week) — both shuffle on user; the cohort join is a broadcast
+    of cohort sizes (#weeks rows). No window at all."""
+    u, ts = F.col(user_col), F.col(ts_col).cast("timestamp")
+    firsts = (
+        events.select(u.alias("_u"), ts.alias("_ts"))
+        .groupBy("_u")
+        .agg(F.date_trunc("week", F.min("_ts")).alias("_cohort"))
+    )
+    active = (
+        events.select(u.alias("_u"), F.date_trunc("week", ts).alias("_week"))
+        .distinct()
+    )
+    joined = active.join(firsts, "_u").withColumn(
+        "_off",
+        (F.datediff(F.col("_week"), F.col("_cohort")) / F.lit(7)).cast("int"),
+    )
+    sizes = firsts.groupBy("_cohort").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cohort")
+    )
+    out = joined.groupBy("_cohort", "_off").agg(
+        F.countDistinct("_u").cast("long").alias("n_active")
+    )
+    return (
+        out.join(F.broadcast(sizes), "_cohort")
+        .select(
+            F.col("_cohort").cast("date").alias("cohort_week"),
+            F.col("_off").alias("week_offset"),
+            "n_active",
+            "n_cohort",
+            F.round(
+                F.col("n_active").cast("double") / F.col("n_cohort").cast("double"),
+                6,
+            ).alias("retention"),
+        )
+    )
+
+
+def cohort_retention_sql(
+    events_cte: str, user_col: str = "user_id", ts_col: str = "ts"
+) -> str:
+    """DuckDB twin — identical truncations, counts, and the one divide."""
+    return f"""
+WITH cr_raw AS ({events_cte}),
+firsts AS (
+  SELECT {user_col} AS _u, date_trunc('week', min({ts_col})) AS _cohort
+  FROM cr_raw GROUP BY {user_col}
+),
+active AS (
+  SELECT DISTINCT {user_col} AS _u, date_trunc('week', {ts_col}) AS _week
+  FROM cr_raw
+),
+sizes AS (
+  SELECT _cohort, CAST(count(*) AS BIGINT) AS n_cohort
+  FROM firsts GROUP BY _cohort
+),
+j AS (
+  SELECT a._u, f._cohort,
+         CAST(datediff('day', f._cohort, a._week) / 7 AS INTEGER) AS _off
+  FROM active a JOIN firsts f ON f._u = a._u
+),
+agg AS (
+  SELECT _cohort, _off, CAST(count(DISTINCT _u) AS BIGINT) AS n_active
+  FROM j GROUP BY _cohort, _off
+)
+SELECT CAST(agg._cohort AS DATE) AS cohort_week, agg._off AS week_offset,
+       agg.n_active, sizes.n_cohort,
+       round(CAST(agg.n_active AS DOUBLE) / CAST(sizes.n_cohort AS DOUBLE), 6)
+         AS retention
+FROM agg JOIN sizes ON sizes._cohort = agg._cohort
+"""

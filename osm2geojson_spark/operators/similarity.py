@@ -37,6 +37,8 @@ duplicated — the one skew source — which the salted-join helper
 
 from __future__ import annotations
 
+from typing import Iterator
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
@@ -806,3 +808,74 @@ def pq_codes_gemm_udf(dim: int, m: int = PQ_M, k: int = PQ_K, cb=None):
         return pd.Series(out)
 
     return _codes
+
+
+GRAM_SCALE = 65536  # 2^16 fixed-point quantization of embedding coords
+
+
+def gram_matrix(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    scale: int = GRAM_SCALE,
+) -> DataFrame:
+    """(i, j, g_q) for i <= j — the exact QUANTIZED GRAM MATRIX
+    G = Q^T Q of the embedding corpus, Q[r] = floor(vec[r] * scale + 0.5)
+    int64 per coordinate. THE second-moment primitive: PCA / whitening /
+    covariance conditioning of an embedding table starts with exactly
+    this d x d aggregate. Quantize-then-multiply makes every cell an
+    integer sum — order-free, partition-free, and mergeable across
+    shards/days by plain addition (float GEMM accumulations are none of
+    those).
+
+    Scale: the classic tall-skinny reduction — each Arrow batch runs ONE
+    int64 GEMM (d x B @ B x d) and emits d(d+1)/2 partial rows; the
+    groupBy sums at most (d^2/2) * n_batches tiny rows. Corpus vectors
+    never shuffle. Overflow headroom: |coord| <= c gives |cell| <=
+    n * (c*scale)^2 — at c = 4, scale 2^16 that is n * 2^36, safe past
+    100 M rows per merged shard; shard wider corpora and add the
+    partials."""
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        iu = np.triu_indices(dim)
+        for pdf in it:
+            if not len(pdf):
+                continue
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            Q = np.floor(V * float(scale) + 0.5).astype(np.int64)
+            G = Q.T @ Q
+            yield pd.DataFrame(
+                {
+                    "i": iu[0].astype(np.int32),
+                    "j": iu[1].astype(np.int32),
+                    "g_q": G[iu],
+                }
+            )
+
+    parts = emb.select(vec_col).mapInPandas(
+        fn, schema="i int, j int, g_q long"
+    )
+    return parts.groupBy("i", "j").agg(F.sum("g_q").cast("long").alias("g_q"))
+
+
+def gram_matrix_sql(
+    rows_cte: str, vec_col: str = "embedding", scale: int = GRAM_SCALE
+) -> str:
+    """DuckDB twin — unnest with ordinality, identical floor(x*scale+0.5)
+    quantization, pairwise products summed per (i, j), i <= j."""
+    return f"""
+WITH r AS ({rows_cte}),
+ix AS (
+  SELECT vec_id, unnest(range(0, len({vec_col}))) AS i, {vec_col} AS v
+  FROM r
+),
+q AS (
+  SELECT vec_id, i,
+         CAST(floor(CAST(v[i + 1] AS DOUBLE) * {scale}.0 + 0.5) AS BIGINT) AS qv
+  FROM ix
+)
+SELECT CAST(a.i AS INTEGER) AS i, CAST(b.i AS INTEGER) AS j,
+       CAST(sum(a.qv * b.qv) AS BIGINT) AS g_q
+FROM q a JOIN q b ON b.vec_id = a.vec_id AND b.i >= a.i
+GROUP BY a.i, b.i
+"""

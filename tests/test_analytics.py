@@ -422,3 +422,84 @@ def test_funnel_matches_brute_and_twin(spark):
         for r in funnel_depths(sdf, steps, 600).collect()
     }
     assert twin == got600
+
+
+def test_gram_matrix_exact_vs_numpy_and_twin(spark):
+    import duckdb
+
+    from osm2geojson_spark.operators.similarity import gram_matrix, gram_matrix_sql, GRAM_SCALE
+
+    rng = np.random.default_rng(29)
+    dim = 8
+    V = rng.standard_normal((120, dim)).astype(np.float32)
+    rows = [(int(i), [float(x) for x in V[i]]) for i in range(len(V))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>").repartition(5)
+
+    got = {
+        (r["i"], r["j"]): r["g_q"]
+        for r in gram_matrix(df, dim=dim).collect()
+    }
+    Q = np.floor(V.astype(np.float64) * GRAM_SCALE + 0.5).astype(np.int64)
+    G = Q.T @ Q
+    want = {(i, j): int(G[i, j]) for i in range(dim) for j in range(i, dim)}
+    assert got == want
+    # partition count must not matter (order-free integer sums)
+    got1 = {
+        (r["i"], r["j"]): r["g_q"]
+        for r in gram_matrix(df.coalesce(1), dim=dim).collect()
+    }
+    assert got1 == want
+
+    duck = duckdb.connect()
+    duck.execute("CREATE TABLE e (vec_id BIGINT, embedding FLOAT[])")
+    duck.executemany("INSERT INTO e VALUES (?, ?)", rows)
+    twin = {
+        (i, j): g
+        for i, j, g in duck.sql(gram_matrix_sql("SELECT * FROM e")).fetchall()
+    }
+    assert twin == want
+
+
+def test_cohort_retention_matches_hand_walk(spark):
+    import datetime as dt
+    import duckdb
+
+    from osm2geojson_spark.operators.analytics import cohort_retention, cohort_retention_sql
+
+    # week of 2024-01-01 is a Monday — cohorts align cleanly
+    def t(day, hour=12):
+        return dt.datetime(2024, 1, day, hour)
+
+    rows = [
+        (1, t(1)), (1, t(2)), (1, t(9)),        # cohort w0, active w0+w1
+        (2, t(3)),                              # cohort w0, only w0
+        (3, t(10)), (3, t(24)),                 # cohort w1, active w1+w3
+        (4, t(11)), (4, t(16)), (4, t(17)),     # cohort w1, active w1+w2
+    ]
+    df = spark.createDataFrame(
+        [(u, ts, i, "view") for i, (u, ts) in enumerate(rows)],
+        "user_id long, ts timestamp, event_id long, event_type string",
+    )
+    got = {
+        (str(r["cohort_week"]), r["week_offset"]): (r["n_active"], r["n_cohort"], r["retention"])
+        for r in cohort_retention(df).collect()
+    }
+    want = {
+        ("2024-01-01", 0): (2, 2, 1.0),
+        ("2024-01-01", 1): (1, 2, 0.5),
+        ("2024-01-08", 0): (2, 2, 1.0),
+        ("2024-01-08", 1): (1, 2, 0.5),
+        ("2024-01-08", 2): (1, 2, 0.5),
+    }
+    assert got == want
+
+    duck = duckdb.connect()
+    duck.execute("CREATE TABLE ce (user_id BIGINT, ts TIMESTAMP)")
+    duck.executemany("INSERT INTO ce VALUES (?, ?)", rows)
+    twin = {
+        (str(c), o): (na, nc, rt)
+        for c, o, na, nc, rt in duck.sql(
+            cohort_retention_sql("SELECT user_id, ts FROM ce")
+        ).fetchall()
+    }
+    assert twin == got
