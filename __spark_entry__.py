@@ -5789,6 +5789,87 @@ _DENSE_GRAPH_SQL = (
 )
 
 
+def q_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X114 (analytics.cusum_alarms): Page's one-sided CUSUM drift
+    detector per user over event values quantized to cents — the
+    pipeline-quality / sensor-drift monitor. Running-min formulation =
+    the textbook max(0, ...) recursion (pinned by test) as two pure
+    per-series windows; output is alarm rows only."""
+    from osm2geojson_spark.operators import analytics as A
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("v_cents"),
+    )
+    return A.cusum_alarms(ev, "user_id", "event_id", "v_cents", 5500, 20_000)
+
+
+def _cusum_sql() -> str:
+    from osm2geojson_spark.operators import analytics as A
+
+    return A.cusum_alarms_sql(
+        "SELECT user_id, event_id,"
+        " CAST(round(value * 100) AS BIGINT) AS v_cents FROM events",
+        "user_id",
+        "event_id",
+        "v_cents",
+        5500,
+        20_000,
+    )
+
+
+def q_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X115 (analytics.interval_union_length): union-coverage of
+    overlapping per-user activity intervals (each event claims
+    [epoch_s, epoch_s + 600)) — exact covered seconds + island count
+    without double-counting overlaps. Gaps-and-islands in pure integer
+    windows, all user-partitioned."""
+    from osm2geojson_spark.operators import analytics as A
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_timestamp("ts").alias("s"),
+        (F.unix_timestamp("ts") + F.lit(600)).alias("e"),
+    )
+    return A.interval_union_length(ev, "user_id", "s", "e")
+
+
+def _interval_union_sql() -> str:
+    from osm2geojson_spark.operators import analytics as A
+
+    return A.interval_union_length_sql(
+        "SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS s,"
+        " CAST(floor(epoch(ts)) AS BIGINT) + 600 AS e FROM events",
+        "user_id",
+        "s",
+        "e",
+    )
+
+
+def q_snm_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X116 (dedup.snm_pairs): sorted-neighborhood ER blocking over
+    supplier names (window 3, lev <= 2) — the classic recall/cost dial
+    of entity resolution, complementing the lev1 deletion-neighborhood
+    path. Candidates are exactly window*n; verify on candidates only."""
+    from osm2geojson_spark.operators import dedup as DD
+
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return DD.snm_pairs(sup, "s_suppkey", "s_name", window=3, max_lev=2)
+
+
+def _snm_dedup_sql() -> str:
+    from osm2geojson_spark.operators import dedup as DD
+
+    return DD.snm_pairs_sql(
+        "SELECT s_suppkey, s_name FROM supplier",
+        "s_suppkey",
+        "s_name",
+        window=3,
+        max_lev=2,
+    )
+
+
 def q_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X112 (similarity.gram_matrix): the exact quantized Gram matrix
     G = Q^T Q of the embedding corpus — the PCA/whitening/covariance
@@ -7159,6 +7240,9 @@ FROM d
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "cusum": q_cusum,
+        "interval_union": q_interval_union,
+        "snm_dedup": q_snm_dedup,
         "gram_matrix": q_gram_matrix,
         "cohort_retention": q_cohort_retention,
         "cms_join_card": q_cms_join_card,
@@ -7327,6 +7411,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "cusum": _cusum_sql(),
+        "interval_union": _interval_union_sql(),
+        "snm_dedup": _snm_dedup_sql(),
         "gram_matrix": _gram_matrix_sql(),
         "cohort_retention": _cohort_retention_sql(),
         "cms_join_card": _cms_join_card_sql(),

@@ -163,6 +163,9 @@ BENCH_QUERIES = [
     "funnel",
     "gram_matrix",
     "cohort_retention",
+    "cusum",
+    "interval_union",
+    "snm_dedup",
 ]
 
 

@@ -356,3 +356,172 @@ SELECT CAST(agg._cohort AS DATE) AS cohort_week, agg._off AS week_offset,
          AS retention
 FROM agg JOIN sizes ON sizes._cohort = agg._cohort
 """
+
+
+def cusum_alarms(
+    df: DataFrame,
+    series_col: str,
+    ts_col: str,
+    value_col: str,
+    target: int,
+    h: int,
+) -> DataFrame:
+    """(series, ts, stat) — one-sided upward CUSUM change-point alarms
+    (Page 1954): with S_t the prefix sum of (value - target), the test
+    statistic is G_t = S_t - min_{s<=t} S_s and rows where G_t >= h are
+    alarms. The drift detector behind pipeline monitoring (a data
+    source's quality score creeping up/down) and sensor-break detection
+    — catches slow drifts a fixed threshold never fires on.
+
+    The recursive textbook form G_t = max(0, G_{t-1} + x_t - target) is
+    exactly this running-min formulation, but the latter is pure
+    windows: one running sum + one running min per series — no UDF, no
+    recursion, exact int64 in both engines (the ``value`` contract is
+    integer; quantize floats upstream).
+
+    Scale: both windows partition by series — parallel; output is alarm
+    rows only. Ties in ts break by value for a total order."""
+    w = (
+        Window.partitionBy("_s")
+        .orderBy("_ts", "_v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    base = df.select(
+        F.col(series_col).alias("_s"),
+        F.col(ts_col).alias("_ts"),
+        F.col(value_col).cast("long").alias("_v"),
+    )
+    ssum = F.sum(F.col("_v") - F.lit(int(target))).over(w)
+    # note: Spark resolves column names case-insensitively — never pair
+    # "_s" with "_S" in one frame
+    cur = base.withColumn("_psum", ssum).withColumn(
+        "_G", F.col("_psum") - F.least(F.min("_psum").over(w), F.lit(0))
+    )
+    return cur.filter(F.col("_G") >= F.lit(int(h))).select(
+        F.col("_s").alias(series_col),
+        F.col("_ts").alias(ts_col),
+        F.col("_G").cast("long").alias("stat"),
+    )
+
+
+def cusum_alarms_sql(
+    rows_cte: str,
+    series_col: str,
+    ts_col: str,
+    value_col: str,
+    target: int,
+    h: int,
+) -> str:
+    """DuckDB twin — identical windows, identical integer arithmetic."""
+    return f"""
+WITH cu_raw AS ({rows_cte}),
+cu AS (
+  SELECT {series_col} AS _s, {ts_col} AS _ts,
+         CAST({value_col} AS BIGINT) AS _v
+  FROM cu_raw
+),
+ps AS (
+  SELECT _s, _ts, _v,
+         sum(_v - {int(target)}) OVER w AS s_t
+  FROM cu
+  WINDOW w AS (PARTITION BY _s ORDER BY _ts, _v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+st AS (
+  SELECT _s, _ts, s_t,
+         least(min(s_t) OVER w, 0) AS m_t
+  FROM ps
+  WINDOW w AS (PARTITION BY _s ORDER BY _ts, _v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT _s AS {series_col}, _ts AS {ts_col},
+       CAST(s_t - m_t AS BIGINT) AS stat
+FROM st WHERE s_t - m_t >= {int(h)}
+"""
+
+
+def interval_union_length(
+    df: DataFrame,
+    group_col: str,
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """(group, covered, n_islands) — total length covered by a set of
+    possibly-overlapping half-open integer intervals [start, end) per
+    group, plus the count of disjoint islands. Uptime/union-coverage:
+    "how many seconds was the user online", "how much of the scan
+    window had sensor coverage" — double-counting overlaps is THE
+    classic bug this operator exists to avoid.
+
+    Gaps-and-islands, exact: per group, order by (start, end); a row
+    opens a NEW island when its start exceeds the running max end of
+    all previous rows; island id = prefix sum of the new-island flag;
+    covered = sum over islands of (max end - min start). Pure integer
+    windows, no UDF.
+
+    Scale: every window partitions by group — parallel; two window
+    passes + one rollup, all combinable. Degenerate/empty intervals
+    (end <= start) contribute zero length but still open islands if
+    disjoint — pinned in tests."""
+    w_ord = Window.partitionBy("_g").orderBy("_st", "_en")
+    w_prev = w_ord.rowsBetween(Window.unboundedPreceding, -1)
+    base = df.select(
+        F.col(group_col).alias("_g"),
+        F.col(start_col).cast("long").alias("_st"),
+        F.col(end_col).cast("long").alias("_en"),
+    )
+    prev_max = F.max("_en").over(w_prev)
+    marked = base.withColumn(
+        "_new",
+        F.when(prev_max.isNull() | (F.col("_st") > prev_max), 1).otherwise(0),
+    ).withColumn(
+        "_isl",
+        F.sum("_new").over(w_ord.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    islands = marked.groupBy("_g", "_isl").agg(
+        F.min("_st").alias("_a"),
+        F.max("_en").alias("_b"),
+    )
+    return islands.groupBy("_g").agg(
+        F.sum(F.greatest(F.col("_b") - F.col("_a"), F.lit(0)))
+        .cast("long")
+        .alias("covered"),
+        F.count(F.lit(1)).cast("long").alias("n_islands"),
+    ).select(F.col("_g").alias(group_col), "covered", "n_islands")
+
+
+def interval_union_length_sql(
+    rows_cte: str, group_col: str, start_col: str, end_col: str
+) -> str:
+    """DuckDB twin — identical island construction."""
+    return f"""
+WITH iu_raw AS ({rows_cte}),
+iu AS (
+  SELECT {group_col} AS _g, CAST({start_col} AS BIGINT) AS _st,
+         CAST({end_col} AS BIGINT) AS _en
+  FROM iu_raw
+),
+mk AS (
+  SELECT _g, _st, _en,
+         CASE WHEN max(_en) OVER wp IS NULL THEN 1
+              WHEN _st > max(_en) OVER wp THEN 1 ELSE 0 END AS _new
+  FROM iu
+  WINDOW wp AS (PARTITION BY _g ORDER BY _st, _en
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+isl AS (
+  SELECT _g, _st, _en,
+         sum(_new) OVER (PARTITION BY _g ORDER BY _st, _en
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS _isl
+  FROM mk
+),
+spans AS (
+  SELECT _g, _isl, min(_st) AS _a, max(_en) AS _b
+  FROM isl GROUP BY _g, _isl
+)
+SELECT _g AS {group_col},
+       CAST(sum(greatest(_b - _a, 0)) AS BIGINT) AS covered,
+       CAST(count(*) AS BIGINT) AS n_islands
+FROM spans GROUP BY _g
+"""

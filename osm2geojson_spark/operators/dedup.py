@@ -727,3 +727,75 @@ SELECT x.{id_col} AS a, y.{id_col} AS b,
 FROM r x JOIN r y ON x.{id_col} < y.{id_col}
 WHERE levenshtein(x.{str_col}, y.{str_col}) <= 1
 """
+
+
+def snm_pairs(
+    df: DataFrame,
+    id_col: str,
+    key_col: str,
+    window: int = 3,
+    max_lev: int = 2,
+) -> DataFrame:
+    """(a, b, lev) — SORTED-NEIGHBORHOOD entity-resolution pairs
+    (Hernandez & Stolfo 1995): sort records by the blocking key, compare
+    each record only with its ``window`` successors in sort order, keep
+    pairs with levenshtein(key_a, key_b) <= ``max_lev`` (a < b by id).
+    Complements lev1_join: arbitrary distance thresholds, at the cost of
+    recall limited to what the sort order brings together — the classic
+    recall/cost dial of ER blocking.
+
+    Shape: rank the DISTINCT (id, key) relation, explode offsets
+    1..window, equi-join rank+offset, verify on candidates only —
+    candidate volume is EXACTLY window * n, never quadratic.
+
+    Scale: the rank here is one global-order window over the record
+    relation; at 100 TB assign ranks with the two-level range-bucket
+    scan (the pps_systematic pattern) — the pair join and verify are
+    already rank-keyed and parallel."""
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.col("_k"), F.col("_id"))
+    ranked = df.select(
+        F.col(id_col).alias("_id"), F.col(key_col).alias("_k")
+    ).withColumn("_r", F.row_number().over(w))
+    offs = F.explode(F.array(*[F.lit(o) for o in range(1, window + 1)]))
+    left = ranked.select("_id", "_k", "_r", offs.alias("_o")).withColumn(
+        "_rr", F.col("_r") + F.col("_o")
+    )
+    right = ranked.select(
+        F.col("_id").alias("_id2"), F.col("_k").alias("_k2"),
+        F.col("_r").alias("_rr"),
+    )
+    cand = left.join(right, "_rr")
+    out = cand.withColumn("lev", F.levenshtein("_k", "_k2")).filter(
+        F.col("lev") <= max_lev
+    )
+    return out.select(
+        F.least("_id", "_id2").alias("a"),
+        F.greatest("_id", "_id2").alias("b"),
+        F.col("lev").cast("int").alias("lev"),
+    ).distinct()
+
+
+def snm_pairs_sql(
+    rows_cte: str, id_col: str, key_col: str, window: int = 3, max_lev: int = 2
+) -> str:
+    """DuckDB twin — identical rank, offsets, verify."""
+    offs = ", ".join(str(o) for o in range(1, window + 1))
+    return f"""
+WITH sn_raw AS ({rows_cte}),
+rk AS (
+  SELECT {id_col} AS _id, {key_col} AS _k,
+         row_number() OVER (ORDER BY {key_col}, {id_col}) AS _r
+  FROM sn_raw
+),
+cand AS (
+  SELECT l._id AS ia, l._k AS ka, r._id AS ib, r._k AS kb
+  FROM rk l
+  JOIN (SELECT unnest([{offs}]) AS _o) o ON true
+  JOIN rk r ON r._r = l._r + o._o
+)
+SELECT DISTINCT least(ia, ib) AS a, greatest(ia, ib) AS b,
+       CAST(levenshtein(ka, kb) AS INTEGER) AS lev
+FROM cand WHERE levenshtein(ka, kb) <= {max_lev}
+"""

@@ -503,3 +503,127 @@ def test_cohort_retention_matches_hand_walk(spark):
         ).fetchall()
     }
     assert twin == got
+
+
+def test_cusum_matches_recursive_textbook_form(spark):
+    import duckdb
+
+    from osm2geojson_spark.operators.analytics import cusum_alarms, cusum_alarms_sql
+
+    rng = np.random.default_rng(37)
+    rows = []
+    for s in range(4):
+        vals = rng.integers(8, 13, 60).tolist()  # target 10, noise
+        if s == 2:
+            vals[30:] = rng.integers(12, 17, 30).tolist()  # planted drift up
+        rows += [(s, t, int(v)) for t, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "sid long, t long, v long")
+    target, h = 10, 15
+    got = sorted(
+        (r["sid"], r["t"], r["stat"])
+        for r in cusum_alarms(df, "sid", "t", "v", target, h).collect()
+    )
+
+    # brute: the recursive form G_t = max(0, G_{t-1} + x - target)
+    from collections import defaultdict
+
+    series = defaultdict(list)
+    for s, t, v in rows:
+        series[s].append((t, v))
+    want = []
+    for s, tv in series.items():
+        g = 0
+        for t, v in sorted(tv):
+            g = max(0, g + v - target)
+            if g >= h:
+                want.append((s, t, g))
+    assert got == sorted(want)
+    assert any(s == 2 for s, _, _ in got)  # the drift fires
+    assert all(s == 2 for s, _, _ in got) or len(got) > 0
+
+    duck = duckdb.connect()
+    duck.execute("CREATE TABLE cusrc (sid BIGINT, t BIGINT, v BIGINT)")
+    duck.executemany("INSERT INTO cusrc VALUES (?, ?, ?)", rows)
+    twin = sorted(duck.sql(
+        cusum_alarms_sql("SELECT * FROM cusrc", "sid", "t", "v", target, h)
+    ).fetchall())
+    assert twin == got
+
+
+def test_interval_union_length_overlaps_and_islands(spark):
+    import duckdb
+
+    from osm2geojson_spark.operators.analytics import (
+        interval_union_length, interval_union_length_sql)
+
+    rows = [
+        # g=1: [0,10) + [5,12) overlap -> [0,12); [20,25) separate => 17, 2 islands
+        (1, 0, 10), (1, 5, 12), (1, 20, 25),
+        # g=2: nested + touching: [0,100) swallows [10,20); [100,110) touches -> one island
+        (2, 0, 100), (2, 10, 20), (2, 100, 110),
+        # g=3: degenerate empty interval alone
+        (3, 5, 5),
+        # g=4: duplicate intervals
+        (4, 1, 4), (4, 1, 4),
+    ]
+    df = spark.createDataFrame(rows, "g long, s long, e long")
+    got = {
+        r["g"]: (r["covered"], r["n_islands"])
+        for r in interval_union_length(df, "g", "s", "e").collect()
+    }
+    assert got == {1: (17, 2), 2: (110, 1), 3: (0, 1), 4: (3, 1)}
+
+    duck = duckdb.connect()
+    duck.execute("CREATE TABLE iv (g BIGINT, s BIGINT, e BIGINT)")
+    duck.executemany("INSERT INTO iv VALUES (?, ?, ?)", rows)
+    twin = {
+        g: (c, n)
+        for g, c, n in duck.sql(
+            interval_union_length_sql("SELECT * FROM iv", "g", "s", "e")
+        ).fetchall()
+    }
+    assert twin == got
+
+
+def test_snm_pairs_matches_brute_window_scan(spark):
+    import duckdb
+
+    from osm2geojson_spark.operators.dedup import snm_pairs, snm_pairs_sql
+
+    words = ["apple", "appel", "apply", "banana", "bananna", "cherry",
+             "cherri", "date", "dates", "fig"]
+    rows = [(i, w) for i, w in enumerate(words)]
+    df = spark.createDataFrame(rows, "id long, s string")
+    window, max_lev = 3, 2
+    got = sorted(
+        (r["a"], r["b"], r["lev"])
+        for r in snm_pairs(df, "id", "s", window, max_lev).collect()
+    )
+
+    def lev(x, y):
+        d = list(range(len(y) + 1))
+        for i, cx in enumerate(x, 1):
+            prev, d[0] = d[0], i
+            for j, cy in enumerate(y, 1):
+                cur = min(d[j] + 1, d[j - 1] + 1, prev + (cx != cy))
+                prev, d[j] = d[j], cur
+        return d[len(y)]
+
+    order = sorted(range(len(words)), key=lambda i: (words[i], i))
+    want = set()
+    for p in range(len(order)):
+        for q in range(p + 1, min(p + window + 1, len(order))):
+            i, j = order[p], order[q]
+            l = lev(words[i], words[j])
+            if l <= max_lev:
+                want.add((min(i, j), max(i, j), l))
+    assert got == sorted(want)
+    assert (0, 1, 2) in want or (0, 1, 1) in want  # apple/appel caught
+
+    duck = duckdb.connect()
+    duck.execute("CREATE TABLE sn (id BIGINT, s VARCHAR)")
+    duck.executemany("INSERT INTO sn VALUES (?, ?)", rows)
+    twin = sorted(duck.sql(
+        snm_pairs_sql("SELECT * FROM sn", "id", "s", window, max_lev)
+    ).fetchall())
+    assert twin == got
