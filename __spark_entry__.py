@@ -5789,6 +5789,95 @@ _DENSE_GRAPH_SQL = (
 )
 
 
+_TWAP_END = 1_709_251_200  # 2024-03-01 UTC, past every event
+
+
+def q_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X117 (analytics.twap): time-weighted average event value per user
+    (piecewise-constant hold to the next observation, clamped at a fixed
+    horizon) — the irregular-sampling average a plain AVG gets wrong.
+    One per-user lead() window + a combinable integer rollup; one float
+    divide."""
+    from osm2geojson_spark.operators import analytics as A
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_timestamp("ts").alias("t"),
+        F.round(F.col("value") * 100).cast("long").alias("v_cents"),
+    )
+    return A.twap(ev, "user_id", "t", "v_cents", _TWAP_END)
+
+
+def _twap_sql() -> str:
+    from osm2geojson_spark.operators import analytics as A
+
+    return A.twap_sql(
+        "SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t,"
+        " CAST(round(value * 100) AS BIGINT) AS v_cents FROM events",
+        "user_id",
+        "t",
+        "v_cents",
+        _TWAP_END,
+    )
+
+
+def q_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X118 (analytics.ohlc_bars): daily OHLC candles of event values per
+    user — open/close via struct min/max over ((ts, event_id), value),
+    so first/last ride the SAME combinable groupBy as high/low (no
+    window, no second shuffle) and duplicate timestamps resolve
+    deterministically."""
+    from osm2geojson_spark.operators import analytics as A
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_timestamp("ts").alias("t"),
+        F.round(F.col("value") * 100).cast("long").alias("v_cents"),
+    )
+    return A.ohlc_bars(ev, "user_id", "t", "v_cents", 86_400, "event_id")
+
+
+def _ohlc_sql() -> str:
+    from osm2geojson_spark.operators import analytics as A
+
+    return A.ohlc_bars_sql(
+        "SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS t,"
+        " CAST(round(value * 100) AS BIGINT) AS v_cents FROM events",
+        "user_id",
+        "t",
+        "v_cents",
+        86_400,
+        "event_id",
+    )
+
+
+def q_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X119 (analytics.basket_pairs): market-basket association pairs
+    over order baskets (items = part keys folded mod 50 so
+    co-occurrence is dense enough to rank) — exact pair support + lift.
+    The self-join is BASKET-keyed: candidate volume is bounded by the
+    largest basket, never corpus-quadratic."""
+    from osm2geojson_spark.operators import analytics as A
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("bid"),
+        (F.col("l_partkey") % 50).alias("item"),
+    )
+    return A.basket_pairs(li, "bid", "item", min_support=3)
+
+
+def _basket_sql() -> str:
+    from osm2geojson_spark.operators import analytics as A
+
+    return A.basket_pairs_sql(
+        "SELECT l_orderkey AS bid, l_partkey % 50 AS item FROM lineitem",
+        "bid",
+        "item",
+        min_support=3,
+    )
+
+
 def q_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X114 (analytics.cusum_alarms): Page's one-sided CUSUM drift
     detector per user over event values quantized to cents — the
@@ -7240,6 +7329,9 @@ FROM d
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "twap": q_twap,
+        "ohlc": q_ohlc,
+        "basket": q_basket,
         "cusum": q_cusum,
         "interval_union": q_interval_union,
         "snm_dedup": q_snm_dedup,
@@ -7411,6 +7503,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "twap": _twap_sql(),
+        "ohlc": _ohlc_sql(),
+        "basket": _basket_sql(),
         "cusum": _cusum_sql(),
         "interval_union": _interval_union_sql(),
         "snm_dedup": _snm_dedup_sql(),

@@ -166,6 +166,9 @@ BENCH_QUERIES = [
     "cusum",
     "interval_union",
     "snm_dedup",
+    "twap",
+    "ohlc",
+    "basket",
 ]
 
 

@@ -525,3 +525,237 @@ SELECT _g AS {group_col},
        CAST(count(*) AS BIGINT) AS n_islands
 FROM spans GROUP BY _g
 """
+
+
+def twap(
+    df: DataFrame,
+    series_col: str,
+    ts_col: str,
+    value_col: str,
+    end_ts: int,
+) -> DataFrame:
+    """(series, held_s, vt_sum, twap_q) — TIME-WEIGHTED AVERAGE of a
+    piecewise-constant signal per series: each observation holds its
+    value from its timestamp (integer seconds) until the next one, the
+    last until ``end_ts``; twap = sum(value * held) / total_held. The
+    sensor/position/pricing average that a plain AVG gets wrong the
+    moment sampling is irregular.
+
+    Exact: values are integer (quantize upstream), hold durations are
+    integer second diffs via one per-series lead(), vt_sum is an
+    order-free int64 sum, and twap_q = round to 6 dp of the one float
+    divide. Observations at or after ``end_ts`` contribute nothing
+    (zero hold); duplicate timestamps break ties by value so the hold
+    of the duplicate is zero in both engines.
+
+    Scale: one per-series window + one combinable rollup."""
+    w = Window.partitionBy("_s").orderBy("_ts", "_v")
+    base = df.select(
+        F.col(series_col).alias("_s"),
+        F.col(ts_col).cast("long").alias("_ts"),
+        F.col(value_col).cast("long").alias("_v"),
+    )
+    nxt = F.coalesce(F.lead("_ts").over(w), F.lit(int(end_ts)))
+    held = F.greatest(
+        F.least(nxt, F.lit(int(end_ts))) - F.col("_ts"), F.lit(0)
+    )
+    rows = base.withColumn("_held", held)
+    out = rows.groupBy("_s").agg(
+        F.sum("_held").cast("long").alias("held_s"),
+        F.sum(F.col("_v") * F.col("_held")).cast("long").alias("vt_sum"),
+    )
+    return out.select(
+        F.col("_s").alias(series_col),
+        "held_s",
+        "vt_sum",
+        F.when(
+            F.col("held_s") > 0,
+            F.round(
+                F.col("vt_sum").cast("double") / F.col("held_s").cast("double"),
+                6,
+            ),
+        ).alias("twap_q"),
+    )
+
+
+def twap_sql(
+    rows_cte: str, series_col: str, ts_col: str, value_col: str, end_ts: int
+) -> str:
+    """DuckDB twin — identical lead/clamp/rollup/divide."""
+    return f"""
+WITH tw_raw AS ({rows_cte}),
+tw AS (
+  SELECT {series_col} AS _s, CAST({ts_col} AS BIGINT) AS _ts,
+         CAST({value_col} AS BIGINT) AS _v
+  FROM tw_raw
+),
+held AS (
+  SELECT _s, _v,
+         greatest(least(coalesce(lead(_ts) OVER w, {int(end_ts)}),
+                        {int(end_ts)}) - _ts, 0) AS _held
+  FROM tw
+  WINDOW w AS (PARTITION BY _s ORDER BY _ts, _v)
+),
+agg AS (
+  SELECT _s, CAST(sum(_held) AS BIGINT) AS held_s,
+         CAST(sum(_v * _held) AS BIGINT) AS vt_sum
+  FROM held GROUP BY _s
+)
+SELECT _s AS {series_col}, held_s, vt_sum,
+       CASE WHEN held_s > 0
+            THEN round(CAST(vt_sum AS DOUBLE) / CAST(held_s AS DOUBLE), 6)
+       END AS twap_q
+FROM agg
+"""
+
+
+def ohlc_bars(
+    df: DataFrame,
+    series_col: str,
+    ts_col: str,
+    value_col: str,
+    bar_s: int,
+    id_col: str,
+) -> DataFrame:
+    """(series, bar, open, high, low, close, n) — OHLC candle bars: per
+    series and time bucket, the first/max/min/last value. First/last
+    are struct-min/max over ((ts, id), value) — deterministic under
+    duplicate timestamps (the id breaks ties), never a window sort.
+
+    Scale: ONE combinable groupBy — open/close ride the same shuffle as
+    high/low because struct min/max are associative. The canonical
+    downsampling shape for any irregular numeric stream."""
+    base = df.select(
+        F.col(series_col).alias("_s"),
+        F.col(ts_col).cast("long").alias("_ts"),
+        F.col(value_col).cast("long").alias("_v"),
+        F.col(id_col).alias("_eid"),
+    ).withColumn("_bar", F.floor(F.col("_ts") / F.lit(int(bar_s))).cast("long"))
+    o = F.min(F.struct("_ts", "_eid", "_v")).alias("_o")
+    c = F.max(F.struct("_ts", "_eid", "_v")).alias("_c")
+    out = base.groupBy("_s", "_bar").agg(
+        o,
+        c,
+        F.max("_v").cast("long").alias("high"),
+        F.min("_v").cast("long").alias("low"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    return out.select(
+        F.col("_s").alias(series_col),
+        F.col("_bar").alias("bar"),
+        F.col("_o._v").cast("long").alias("open"),
+        "high",
+        "low",
+        F.col("_c._v").cast("long").alias("close"),
+        "n",
+    )
+
+
+def ohlc_bars_sql(
+    rows_cte: str,
+    series_col: str,
+    ts_col: str,
+    value_col: str,
+    bar_s: int,
+    id_col: str,
+) -> str:
+    """DuckDB twin — struct min/max on the same (ts, id, v) key."""
+    return f"""
+WITH oh_raw AS ({rows_cte}),
+oh AS (
+  SELECT {series_col} AS _s,
+         CAST({ts_col} AS BIGINT) AS _ts,
+         CAST({value_col} AS BIGINT) AS _v,
+         {id_col} AS _eid,
+         CAST(floor(CAST({ts_col} AS BIGINT) / {int(bar_s)}.0) AS BIGINT)
+           AS _bar
+  FROM oh_raw
+)
+SELECT _s AS {series_col}, _bar AS bar,
+       CAST((min(struct_pack(ts := _ts, eid := _eid, v := _v))).v AS BIGINT)
+         AS open,
+       CAST(max(_v) AS BIGINT) AS high,
+       CAST(min(_v) AS BIGINT) AS low,
+       CAST((max(struct_pack(ts := _ts, eid := _eid, v := _v))).v AS BIGINT)
+         AS close,
+       CAST(count(*) AS BIGINT) AS n
+FROM oh GROUP BY _s, _bar
+"""
+
+
+def basket_pairs(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support: int = 2,
+) -> DataFrame:
+    """(item_a, item_b, n_pair, n_a, n_b, lift_q) — MARKET-BASKET pair
+    mining (the Apriori first rung): for every unordered item pair
+    co-occurring in >= ``min_support`` baskets, the exact pair count,
+    per-item basket counts, and lift = N * n_pair / (n_a * n_b), the
+    association strength behind "bought together" and feature
+    co-occurrence analysis.
+
+    Exact: distinct (basket, item) first (multiplicity inside a basket
+    doesn't inflate support), pair counts from the basket-keyed
+    self-join (a < b), lift's one float assembly rounded.
+
+    Scale: the self-join is BASKET-keyed — candidate volume is
+    sum_b |items_b|^2, bounded by the largest basket, never corpus-
+    quadratic; a pathological mega-basket is equi-join skew (salt it or
+    cap items per basket upstream). Item counts broadcast back."""
+    bi = (
+        df.select(F.col(basket_col).alias("_b"), F.col(item_col).alias("_i"))
+        .distinct()
+    )
+    n_baskets = bi.select("_b").distinct().count()
+    item_counts = bi.groupBy("_i").agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    l = bi.select(F.col("_b"), F.col("_i").alias("item_a"))
+    r = bi.select(F.col("_b"), F.col("_i").alias("item_b"))
+    pairs = (
+        l.join(r, "_b")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pair"))
+        .filter(F.col("n_pair") >= int(min_support))
+    )
+    out = (
+        pairs.join(
+            F.broadcast(item_counts.select(F.col("_i").alias("item_a"), F.col("_n").alias("n_a"))),
+            "item_a",
+        )
+        .join(
+            F.broadcast(item_counts.select(F.col("_i").alias("item_b"), F.col("_n").alias("n_b"))),
+            "item_b",
+        )
+    )
+    lift = F.round(
+        (F.lit(float(n_baskets)) * F.col("n_pair").cast("double"))
+        / (F.col("n_a").cast("double") * F.col("n_b").cast("double")),
+        6,
+    )
+    return out.select("item_a", "item_b", "n_pair", "n_a", "n_b", lift.alias("lift_q"))
+
+
+def basket_pairs_sql(
+    rows_cte: str, basket_col: str, item_col: str, min_support: int = 2
+) -> str:
+    """DuckDB twin — identical distinct/pair/lift arithmetic."""
+    return f"""
+WITH bk_raw AS ({rows_cte}),
+bi AS (SELECT DISTINCT {basket_col} AS _b, {item_col} AS _i FROM bk_raw),
+nb AS (SELECT CAST(count(DISTINCT _b) AS DOUBLE) AS n FROM bi),
+ic AS (SELECT _i, CAST(count(*) AS BIGINT) AS _n FROM bi GROUP BY _i),
+pr AS (
+  SELECT l._i AS item_a, r._i AS item_b, CAST(count(*) AS BIGINT) AS n_pair
+  FROM bi l JOIN bi r ON r._b = l._b AND l._i < r._i
+  GROUP BY l._i, r._i
+  HAVING count(*) >= {int(min_support)}
+)
+SELECT pr.item_a, pr.item_b, pr.n_pair, a._n AS n_a, b._n AS n_b,
+       round((nb.n * CAST(pr.n_pair AS DOUBLE))
+             / (CAST(a._n AS DOUBLE) * CAST(b._n AS DOUBLE)), 6) AS lift_q
+FROM pr, nb
+JOIN ic a ON a._i = pr.item_a
+JOIN ic b ON b._i = pr.item_b
+"""

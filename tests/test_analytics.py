@@ -627,3 +627,109 @@ def test_snm_pairs_matches_brute_window_scan(spark):
         snm_pairs_sql("SELECT * FROM sn", "id", "s", window, max_lev)
     ).fetchall())
     assert twin == got
+
+
+def test_twap_irregular_sampling_and_end_clamp(spark):
+    import duckdb
+
+    from osm2geojson_spark.operators.analytics import twap, twap_sql
+
+    rows = [
+        # series 1: 10 held 0..5, 20 held 5..20, 40 held 20..30 -> (50+300+400)/30 = 25
+        (1, 0, 10), (1, 5, 20), (1, 20, 40),
+        # series 2: single obs, holds 100..130
+        (2, 100, 7),
+        # series 3: obs at end_ts holds nothing; earlier one holds to end
+        (3, 25, 3), (3, 30, 99),
+        # series 4: duplicate ts — first (smaller v) holds 0 s in both engines
+        (4, 10, 5), (4, 10, 6),
+    ]
+    end_ts = 30
+    df = spark.createDataFrame(rows, "sid long, t long, v long")
+    got = {
+        r["sid"]: (r["held_s"], r["vt_sum"], r["twap_q"])
+        for r in twap(df, "sid", "t", "v", end_ts).collect()
+    }
+    assert got[1] == (30, 750, 25.0)
+    assert got[2] == (0, 0, None)  # obs starts after end? no: t=100 > 30 -> zero hold
+    assert got[3] == (5, 15, 3.0)
+    assert got[4] == (20, 120, 6.0)
+
+    duck = duckdb.connect()
+    duck.execute("CREATE TABLE twr (sid BIGINT, t BIGINT, v BIGINT)")
+    duck.executemany("INSERT INTO twr VALUES (?, ?, ?)", rows)
+    twin = {
+        s: (h, vs, tq)
+        for s, h, vs, tq in duck.sql(
+            twap_sql("SELECT * FROM twr", "sid", "t", "v", end_ts)
+        ).fetchall()
+    }
+    assert twin == got
+
+
+def test_ohlc_bars_first_last_deterministic(spark):
+    import duckdb
+
+    from osm2geojson_spark.operators.analytics import ohlc_bars, ohlc_bars_sql
+
+    rows = [
+        (1, 0, 10, 100), (1, 30, 25, 101), (1, 59, 12, 102),   # bar 0
+        (1, 60, 50, 103), (1, 90, 5, 104),                     # bar 1
+        (2, 10, 7, 200), (2, 10, 9, 201),                      # dup ts: id breaks tie
+    ]
+    df = spark.createDataFrame(rows, "sid long, t long, v long, eid long")
+    got = {
+        (r["sid"], r["bar"]): (r["open"], r["high"], r["low"], r["close"], r["n"])
+        for r in ohlc_bars(df, "sid", "t", "v", 60, "eid").collect()
+    }
+    assert got == {
+        (1, 0): (10, 25, 10, 12, 3),
+        (1, 1): (50, 50, 5, 5, 2),
+        (2, 0): (7, 9, 7, 9, 2),
+    }
+
+    duck = duckdb.connect()
+    duck.execute("CREATE TABLE ohr (sid BIGINT, t BIGINT, v BIGINT, eid BIGINT)")
+    duck.executemany("INSERT INTO ohr VALUES (?, ?, ?, ?)", rows)
+    twin = {
+        (s, b): (o, h, l, c, n)
+        for s, b, o, h, l, c, n in duck.sql(
+            ohlc_bars_sql("SELECT * FROM ohr", "sid", "t", "v", 60, "eid")
+        ).fetchall()
+    }
+    assert twin == got
+
+
+def test_basket_pairs_support_and_lift(spark):
+    import duckdb
+
+    from osm2geojson_spark.operators.analytics import basket_pairs, basket_pairs_sql
+
+    rows = [
+        (1, "a"), (1, "b"), (1, "c"),
+        (2, "a"), (2, "b"),
+        (3, "a"), (3, "c"),
+        (4, "b"), (4, "b"),   # duplicate item in basket counts once
+        (5, "d"),
+    ]
+    df = spark.createDataFrame(rows, "bid long, item string")
+    got = {
+        (r["item_a"], r["item_b"]): (r["n_pair"], r["n_a"], r["n_b"], r["lift_q"])
+        for r in basket_pairs(df, "bid", "item", min_support=2).collect()
+    }
+    # N=5 baskets; a in 3, b in 3, c in 2; pairs: (a,b)=2, (a,c)=2, (b,c)=1(<2 dropped)
+    assert got == {
+        ("a", "b"): (2, 3, 3, round(5 * 2 / 9, 6)),
+        ("a", "c"): (2, 3, 2, round(5 * 2 / 6, 6)),
+    }
+
+    duck = duckdb.connect()
+    duck.execute("CREATE TABLE bkt (bid BIGINT, item VARCHAR)")
+    duck.executemany("INSERT INTO bkt VALUES (?, ?)", rows)
+    twin = {
+        (a, b): (np_, na, nb_, lq)
+        for a, b, np_, na, nb_, lq in duck.sql(
+            basket_pairs_sql("SELECT * FROM bkt", "bid", "item", 2)
+        ).fetchall()
+    }
+    assert twin == got
