@@ -5789,6 +5789,30 @@ _DENSE_GRAPH_SQL = (
 )
 
 
+def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X120 (sketch.profile_table): one-pass table profiling of four
+    orders columns — row/null counts, Theta-sampled distinct estimates
+    (deterministic string-fold gate), min/max strings. One aggregate,
+    ONE scan (plan-pinned); the ingest-gate / schema-drift monitor."""
+    from osm2geojson_spark.operators import sketch as SK
+
+    od = _t(spark, sf_dir, "orders")
+    return SK.profile_table(
+        od, ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"],
+        tau=500_000,
+    )
+
+
+def _profile_sql() -> str:
+    from osm2geojson_spark.operators import sketch as SK
+
+    return SK.profile_table_sql(
+        "SELECT * FROM orders",
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"],
+        tau=500_000,
+    )
+
+
 _TWAP_END = 1_709_251_200  # 2024-03-01 UTC, past every event
 
 
@@ -7329,6 +7353,7 @@ FROM d
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "profile": q_profile,
         "twap": q_twap,
         "ohlc": q_ohlc,
         "basket": q_basket,
@@ -7503,6 +7528,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "profile": _profile_sql(),
         "twap": _twap_sql(),
         "ohlc": _ohlc_sql(),
         "basket": _basket_sql(),

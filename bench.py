@@ -169,6 +169,7 @@ BENCH_QUERIES = [
     "twap",
     "ohlc",
     "basket",
+    "profile",
 ]
 
 

@@ -355,3 +355,109 @@ ip AS (
 )
 SELECT CAST(min(ip) AS BIGINT) AS est FROM ip
 """
+
+
+def profile_table(
+    df: DataFrame,
+    cols: list[str],
+    tau: int = 100_003,
+) -> DataFrame:
+    """(column, n_rows, n_nulls, n_sampled, est_distinct, min_str,
+    max_str) — ONE-PASS TABLE PROFILING: per column the row/null counts,
+    a Theta-sampled distinct estimate (exact ``n_sampled`` survivors
+    under the deterministic hash gate, scaled), and min/max rendered as
+    strings. The ingest-gate / schema-drift monitor: profile every
+    day's partition and diff.
+
+    The whole profile is ONE aggregate over ONE scan — every column's
+    seven statistics are computed in the same combinable groupBy(),
+    then unpivoted to rows with stack(). The distinct estimate reuses
+    the sampling.sample_hash gate on the string form of the value, so
+    it is a pure function of the column's value set.
+
+    String casts make min/max engine-comparable for integer and string
+    columns; float/timestamp columns work but their string forms are
+    engine-specific — compare those numerically downstream."""
+    aggs = []
+    for c in cols:
+        col = F.col(c)
+        s = col.cast("string")
+        gate = sample_hash(_prof_hash(s)) < F.lit(tau)
+        aggs += [
+            F.count(F.lit(1)).cast("long").alias(f"{c}__n"),
+            F.sum(col.isNull().cast("long")).cast("long").alias(f"{c}__nulls"),
+            F.countDistinct(F.when(gate, s)).cast("long").alias(f"{c}__samp"),
+            F.min(s).alias(f"{c}__min"),
+            F.max(s).alias(f"{c}__max"),
+        ]
+    wide = df.agg(*aggs)
+    arms = ", ".join(
+        f"'{c}', `{c}__n`, `{c}__nulls`, `{c}__samp`, `{c}__min`, `{c}__max`"
+        for c in cols
+    )
+    stacked = wide.select(
+        F.expr(
+            f"stack({len(cols)}, {arms}) AS"
+            " (column, n_rows, n_nulls, n_sampled, min_str, max_str)"
+        )
+    )
+    est = F.round(
+        (F.col("n_sampled") * F.lit(_H_MOD)).cast("double") / F.lit(float(tau)), 3
+    ) + F.lit(0.0)
+    return stacked.select(
+        "column", "n_rows", "n_nulls", "n_sampled",
+        est.alias("est_distinct"), "min_str", "max_str",
+    )
+
+
+def _prof_hash(s):
+    """Total deterministic gate hash for string values: length-mixed
+    congruential over the sum of unicode code points — cheap, stable,
+    and expressible identically in ANSI SQL (no engine hash builtin)."""
+    from .sampling import _H_MOD as M
+
+    acc = F.aggregate(
+        F.split(s, ""),
+        F.lit(0).cast("long"),
+        lambda a, ch: F.pmod(
+            a * F.lit(31) + F.coalesce(F.ascii(ch).cast("long"), F.lit(7)),
+            F.lit(M),
+        ),
+    )
+    return acc
+
+
+def profile_table_sql(rows_cte: str, cols: list[str], tau: int = 100_003) -> str:
+    """DuckDB twin — identical per-column aggregate, one UNION arm per
+    column (same numbers, different plan shape — fine for an oracle)."""
+    from .sampling import _H_MOD as M
+
+    def gate(c: str) -> str:
+        # identical fold: acc = (acc*31 + codepoint) % M over chars
+        # DuckDB has no lambda fold over strings in old versions; use
+        # list_reduce over the exploded codepoints
+        cp = (
+            f"list_reduce(list_prepend(CAST(0 AS BIGINT),"
+            f" [coalesce(ascii(x), 7)::BIGINT for x in"
+            f" string_split(CAST({c} AS VARCHAR), '')]),"
+            f" (a, b) -> (a * 31 + b) % {M})"
+        )
+        inner = sample_hash_sql(f"({cp})")
+        return f"{inner} < {tau}"
+
+    arms = []
+    for c in cols:
+        arms.append(f"""
+SELECT '{c}' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_nulls,
+       CAST(count(DISTINCT CASE WHEN {gate(c)}
+                 THEN CAST({c} AS VARCHAR) END) AS BIGINT) AS n_sampled,
+       round(CAST(count(DISTINCT CASE WHEN {gate(c)}
+                 THEN CAST({c} AS VARCHAR) END) AS DOUBLE)
+             * {M} / {float(tau)!r}, 3) + 0.0 AS est_distinct,
+       min(CAST({c} AS VARCHAR)) AS min_str,
+       max(CAST({c} AS VARCHAR)) AS max_str
+FROM r""")
+    u = " UNION ALL ".join(arms)
+    return f"WITH r AS ({rows_cte})\n{u}"

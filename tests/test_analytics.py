@@ -733,3 +733,41 @@ def test_basket_pairs_support_and_lift(spark):
         ).fetchall()
     }
     assert twin == got
+
+
+def test_profile_table_one_pass_and_twin(spark):
+    import duckdb
+
+    from osm2geojson_spark.operators.sketch import profile_table, profile_table_sql
+
+    rows = [(1, "alpha", 3.5), (2, "beta", None), (3, None, 1.25),
+            (4, "alpha", 2.0), (None, "gamma", 9.0), (4, "alpha", 2.0)]
+    df = spark.createDataFrame(rows, "k long, s string, v double")
+
+    # full-rate gate: n_sampled IS the exact distinct count
+    got = {
+        r["column"]: tuple(r)[1:]
+        for r in profile_table(df, ["k", "s"], tau=1_000_003).collect()
+    }
+    assert got["k"] == (6, 1, 4, 4.0, "1", "4")
+    assert got["s"] == (6, 1, 3, 3.0, "alpha", "gamma")
+
+    # sampled gate: engine-identical survivors, scaled estimate
+    g2 = {
+        r["column"]: tuple(r)[1:]
+        for r in profile_table(df, ["k", "s"], tau=500_000).collect()
+    }
+    duck = duckdb.connect()
+    duck.execute("CREATE TABLE pt (k BIGINT, s VARCHAR, v DOUBLE)")
+    duck.executemany("INSERT INTO pt VALUES (?, ?, ?)", rows)
+    twin = {
+        r[0]: tuple(r)[1:]
+        for r in duck.sql(
+            profile_table_sql("SELECT * FROM pt", ["k", "s"], 500_000)
+        ).fetchall()
+    }
+    assert twin == g2
+    # the whole profile reads the table ONCE (countDistinct legitimately
+    # expands to a two-level Aggregate, but there is a single scan)
+    plan = profile_table(df, ["k", "s"])._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("LogicalRDD") == 1
