@@ -5789,6 +5789,39 @@ _DENSE_GRAPH_SQL = (
 )
 
 
+def q_cusum_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X121 (streaming.ops.streaming_cusum): STATEFUL streaming CUSUM —
+    state = one int64 per series carried across micro-batches
+    (applyInPandasWithState, NoTimeout), per-batch walk vectorized via
+    the carry identity; stream == batch pinned by
+    tests/test_streaming.py::test_streaming_cusum_stream_equals_batch
+    with a drift straddling a batch boundary. On this batch input the
+    operator delegates to the relational window form — which is exactly
+    the contract the parity test asserts."""
+    from osm2geojson_spark.streaming.ops import streaming_cusum
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("v_cents"),
+    )
+    return streaming_cusum(ev, "user_id", "event_id", "v_cents", 5000, 30_000)
+
+
+def _cusum_stream_sql() -> str:
+    from osm2geojson_spark.operators import analytics as A
+
+    return A.cusum_alarms_sql(
+        "SELECT user_id, event_id,"
+        " CAST(round(value * 100) AS BIGINT) AS v_cents FROM events",
+        "user_id",
+        "event_id",
+        "v_cents",
+        5000,
+        30_000,
+    )
+
+
 def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X120 (sketch.profile_table): one-pass table profiling of four
     orders columns — row/null counts, Theta-sampled distinct estimates
@@ -7353,6 +7386,7 @@ FROM d
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "cusum_stream": q_cusum_stream,
         "profile": q_profile,
         "twap": q_twap,
         "ohlc": q_ohlc,
@@ -7528,6 +7562,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "cusum_stream": _cusum_stream_sql(),
         "profile": _profile_sql(),
         "twap": _twap_sql(),
         "ohlc": _ohlc_sql(),

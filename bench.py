@@ -170,6 +170,7 @@ BENCH_QUERIES = [
     "ohlc",
     "basket",
     "profile",
+    "cusum_stream",
 ]
 
 

@@ -532,3 +532,86 @@ def windowed_heatmap(
             "tile_x", "tile_y", "px", "py", "cnt",
         )
     )
+
+
+def streaming_cusum(
+    df: DataFrame,
+    series_col: str,
+    ts_col: str,
+    value_col: str,
+    target: int,
+    h: int,
+) -> DataFrame:
+    """LIVE DRIFT ALARMS — the streaming form of
+    ``analytics.cusum_alarms``: per series, maintain Page's statistic
+    G = max(0, G + value - target) across micro-batches (state = one
+    int64) and emit (series, ts, stat) whenever G >= h. Stream output
+    == the batch operator on the same history (the parity test's
+    contract); requires per-series event-time order across batches,
+    like every transition detector here.
+
+    The per-batch walk is vectorized via the carry identity
+
+        G_t = max(0, S_t - min(-G_in, min_{j<t} S_j)),  S = cumsum(x)
+
+    — one cumsum + one running min per (series, batch), no per-row
+    Python. State is a single int64: bounded, timeout-free, so
+    availableNow catch-up terminates.
+
+    Scale: state per key is 8 bytes; the shuffle is the groupBy(series)
+    all stateful operators pay. On batch input it delegates to the
+    fully relational window form."""
+    if not df.isStreaming:
+        from ..operators.analytics import cusum_alarms
+
+        return cusum_alarms(df, series_col, ts_col, value_col, target, h)
+
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = f"{series_col} long, {ts_col} long, stat long"
+
+    def update(key, pdfs, state: GroupState):
+        g = int(state.get[0]) if state.exists else 0
+        frames = []
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values([ts_col, value_col])
+            x = pdf[value_col].to_numpy(dtype=np.int64) - int(target)
+            S = np.cumsum(x)
+            pmin = np.minimum.accumulate(
+                np.concatenate([np.array([-g], dtype=np.int64), S])
+            )[:-1]
+            G = np.maximum(0, S - pmin)
+            hit = G >= int(h)
+            if hit.any():
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            series_col: np.full(int(hit.sum()), int(key[0]), dtype=np.int64),
+                            ts_col: pdf[ts_col].to_numpy(dtype=np.int64)[hit],
+                            "stat": G[hit],
+                        }
+                    )
+                )
+            g = int(G[-1])
+        state.update((g,))
+        yield frames[0] if len(frames) == 1 else (
+            pd.concat(frames) if frames
+            else pd.DataFrame({series_col: [], ts_col: [], "stat": []})
+        )
+
+    return (
+        df.select(series_col, ts_col, value_col)
+        .groupBy(series_col)
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType="g long",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

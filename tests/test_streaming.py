@@ -319,3 +319,63 @@ def test_streaming_geofence_events_stream_equals_batch(spark, tmp_path):
     assert got_norm == want_brute
     evs = {e for _, _, e, _ in want_brute}
     assert evs == {"enter", "exit"} and len(want_brute) > 40
+
+
+def test_streaming_cusum_stream_equals_batch(spark, tmp_path):
+    """Stateful CUSUM: alarms across micro-batch boundaries (state = the
+    carried statistic) equal the batch window operator AND the textbook
+    recursion walked in Python; the carry matters because the planted
+    drift straddles a batch boundary."""
+    import numpy as np
+
+    d = str(tmp_path / "cusum_stream")
+    rng = np.random.default_rng(53)
+    rows = []
+    for s in range(3):
+        vals = rng.integers(8, 13, 90).tolist()
+        if s == 1:
+            vals[55:] = rng.integers(12, 17, 35).tolist()  # drift crosses files
+        rows += [(s, t, int(v)) for t, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "sid long, t long, v long")
+    # three time-ordered files = three micro-batches
+    df.filter(F.col("t") < 30).coalesce(1).write.parquet(os.path.join(d, "p1"))
+    df.filter((F.col("t") >= 30) & (F.col("t") < 60)).coalesce(1).write.parquet(
+        os.path.join(d, "p2"))
+    df.filter(F.col("t") >= 60).coalesce(1).write.parquet(os.path.join(d, "p3"))
+
+    target, h = 10, 28
+    stream = (
+        spark.readStream.format("parquet")
+        .schema("sid long, t long, v long")
+        .option("maxFilesPerTrigger", "1")
+        .load(os.path.join(d, "p*"))
+    )
+    got = _rows(
+        S.run_to_memory(
+            S.streaming_cusum(stream, "sid", "t", "v", target, h),
+            "cusum_alarms", mode="append",
+        ),
+        ["sid", "t", "stat"],
+    )
+    want_batch = _rows(
+        S.streaming_cusum(df, "sid", "t", "v", target, h), ["sid", "t", "stat"]
+    )
+    assert got == want_batch
+
+    # textbook recursion over the full history
+    from collections import defaultdict
+
+    series = defaultdict(list)
+    for s, t, v in rows:
+        series[s].append((t, v))
+    want = []
+    for s, tv in series.items():
+        g = 0
+        for t, v in sorted(tv):
+            g = max(0, g + v - target)
+            if g >= h:
+                want.append((s, t, g))
+    assert got == sorted(want)
+    # the drift series alarms, and only after the planted change
+    assert {s for s, _, _ in got} == {1}
+    assert min(t for _, t, _ in got) >= 55
