@@ -5789,6 +5789,56 @@ _DENSE_GRAPH_SQL = (
 )
 
 
+def q_resize_bilinear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X122 (multimodal.resize_bilinear): exact 8.8 fixed-point bilinear
+    resize of 250 mixed rawz/png images (8/16/24 px -> 12 px, so both
+    up- and down-scaling paths run) — the anti-aliasing encoder-input
+    downscale. Integer throughout, so the oracle recomputes all four
+    taps and the rounding shift per output pixel from the deterministic
+    pixel formula in pure SQL."""
+    imgs = _synth_images(spark, sf_dir, 250)
+    return MM.resize_bilinear(imgs, 12, 12, with_bytes=False)
+
+
+def _resize_bilinear_sql() -> str:
+    ow = 12
+
+    def ax(t: str, n: str):
+        fp = f"greatest(((2 * {t} + 1) * {n} * 128) // {ow} - 128, 0)"
+        return fp
+
+    v = "((%s) * 3 + (%s) * 7 + i * 13) %% 251"
+    return f"""
+WITH img AS (
+  SELECT p_partkey AS i, 8 * (1 + p_partkey % 3) AS w
+  FROM part WHERE p_partkey < 250
+), opx AS (
+  SELECT i, w, unnest(range(0, {ow} * {ow})) AS p FROM img
+), fpm AS (
+  SELECT i, w,
+         {ax(f"(p % {ow})", "w")} AS sxf,
+         {ax(f"(p // {ow})", "w")} AS syf
+  FROM opx
+), taps AS (
+  SELECT i, w,
+         sxf // 256 AS x0, least(sxf // 256 + 1, w - 1) AS x1, sxf % 256 AS fx,
+         syf // 256 AS y0, least(syf // 256 + 1, w - 1) AS y1, syf % 256 AS fy
+  FROM fpm
+), val AS (
+  SELECT i,
+    ((256 - fy) * ((256 - fx) * ({v % ('x0', 'y0')}) + fx * ({v % ('x1', 'y0')}))
+     + fy * ((256 - fx) * ({v % ('x0', 'y1')}) + fx * ({v % ('x1', 'y1')}))
+     + 32768) // 65536 AS o
+  FROM taps
+)
+SELECT printf('img%012d', i) AS image_id,
+       CAST({ow} AS INTEGER) AS w, CAST({ow} AS INTEGER) AS h,
+       CAST(sum(o) AS BIGINT) AS px_sum,
+       CAST(min(o) AS BIGINT) AS px_min, CAST(max(o) AS BIGINT) AS px_max
+FROM val GROUP BY i
+"""
+
+
 def q_cusum_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X121 (streaming.ops.streaming_cusum): STATEFUL streaming CUSUM —
     state = one int64 per series carried across micro-batches
@@ -7386,6 +7436,7 @@ FROM d
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "resize_bilinear": q_resize_bilinear,
         "cusum_stream": q_cusum_stream,
         "profile": q_profile,
         "twap": q_twap,
@@ -7562,6 +7613,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "resize_bilinear": _resize_bilinear_sql(),
         "cusum_stream": _cusum_stream_sql(),
         "profile": _profile_sql(),
         "twap": _twap_sql(),

@@ -171,6 +171,7 @@ BENCH_QUERIES = [
     "basket",
     "profile",
     "cusum_stream",
+    "resize_bilinear",
 ]
 
 

@@ -1822,3 +1822,73 @@ def warp_affine(
     if with_bytes:
         schema += ", bytes binary, fmt string"
     return images.select("image_id", "bytes", "fmt").mapInPandas(fn, schema=schema)
+
+
+def resize_bilinear(
+    images: DataFrame, out_w: int, out_h: int, with_bytes: bool = True
+) -> DataFrame:
+    """(image_id, w, h, px_sum, px_min, px_max[, bytes, fmt]) — BILINEAR
+    resize in exact 8.8 FIXED-POINT arithmetic (half-pixel centers, the
+    torchvision/OpenCV align_corners=False convention):
+
+        s_fp = clamp(((2*t + 1) * S * 128) // out_S - 128, >= 0)
+        i0 = s_fp >> 8 ; frac = s_fp & 255 ; i1 = min(i0 + 1, S - 1)
+        out = ((256-fy) * ((256-fx) p00 + fx p01)
+               + fy * ((256-fx) p10 + fx p11) + 32768) >> 16
+
+    Every step is integer (floor divisions on non-negative values), so
+    the resampled pixels are bit-identical across engines and
+    partitionings — the property NN resize (resize_images) has and
+    float bilinear loses. The standard encoder-input downscale where
+    NN aliasing is unacceptable.
+
+    Scale: decode_stats' shape — one vectorized 4-tap gather per image
+    inside mapInPandas; bytes out ~ out_w*out_h when with_bytes."""
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def axis_map(n_out: int, n_src: int):
+            t = np.arange(n_out, dtype=np.int64)
+            fp = ((2 * t + 1) * n_src * 128) // n_out - 128
+            fp = np.maximum(fp, 0)
+            i0 = fp >> 8
+            frac = fp & 255
+            i1 = np.minimum(i0 + 1, n_src - 1)
+            return i0, i1, frac
+
+        for pdf in it:
+            out = {
+                "image_id": [], "w": [], "h": [],
+                "px_sum": [], "px_min": [], "px_max": [],
+            }
+            if with_bytes:
+                out["bytes"] = []
+                out["fmt"] = []
+            for r in pdf.itertuples(index=False):
+                px = imagecodec.decode(bytes(r.bytes), r.fmt).astype(np.int64)
+                hh, ww = px.shape
+                x0, x1, fx = axis_map(out_w, ww)
+                y0, y1, fy = axis_map(out_h, hh)
+                p00 = px[np.ix_(y0, x0)]
+                p01 = px[np.ix_(y0, x1)]
+                p10 = px[np.ix_(y1, x0)]
+                p11 = px[np.ix_(y1, x1)]
+                top = (256 - fx)[None, :] * p00 + fx[None, :] * p01
+                bot = (256 - fx)[None, :] * p10 + fx[None, :] * p11
+                val = ((256 - fy)[:, None] * top + fy[:, None] * bot + 32768) >> 16
+                out["image_id"].append(r.image_id)
+                out["w"].append(out_w)
+                out["h"].append(out_h)
+                out["px_sum"].append(int(val.sum()))
+                out["px_min"].append(int(val.min()))
+                out["px_max"].append(int(val.max()))
+                if with_bytes:
+                    out["bytes"].append(
+                        imagecodec.encode_rawz(val.astype(np.uint8))
+                    )
+                    out["fmt"].append("rawz")
+            yield pd.DataFrame(out)
+
+    schema = "image_id string, w int, h int, px_sum long, px_min long, px_max long"
+    if with_bytes:
+        schema += ", bytes binary, fmt string"
+    return images.select("image_id", "bytes", "fmt").mapInPandas(fn, schema=schema)

@@ -1376,3 +1376,51 @@ def test_warp_affine_identity_flip_and_floor_semantics(spark):
     back = imagecodec.decode(bytes(gw["a"]["bytes"]), gw["a"]["fmt"])
     assert (back.astype(np.int64) == warped).all()
     assert gw["p"]["px_sum"] == gw["a"]["px_sum"]
+
+
+def test_resize_bilinear_matches_scalar_brute(spark):
+    from osm2geojson_spark.operators.multimodal import resize_bilinear
+
+    rng = np.random.default_rng(59)
+    px = rng.integers(0, 256, size=(16, 16)).astype(np.uint8)
+    small = rng.integers(0, 256, size=(6, 6)).astype(np.uint8)  # upscale case
+    const = np.full((9, 9), 123, np.uint8)
+    imgs = spark.createDataFrame(
+        [
+            ("a", 16, 16, "rawz", bytearray(imagecodec.encode_rawz(px))),
+            ("p", 16, 16, "png", bytearray(imagecodec.encode_png(px))),
+            ("u", 6, 6, "rawz", bytearray(imagecodec.encode_rawz(small))),
+            ("c", 9, 9, "rawz", bytearray(imagecodec.encode_rawz(const))),
+        ],
+        "image_id string, w int, h int, fmt string, bytes binary",
+    )
+    out_w = out_h = 12
+    got = {
+        r["image_id"]: r
+        for r in resize_bilinear(imgs, out_w, out_h, with_bytes=True).collect()
+    }
+
+    def brute(src):
+        hh, ww = src.shape
+        res = np.zeros((out_h, out_w), dtype=np.int64)
+        for y in range(out_h):
+            for x in range(out_w):
+                sxf = max(((2 * x + 1) * ww * 128) // out_w - 128, 0)
+                syf = max(((2 * y + 1) * hh * 128) // out_h - 128, 0)
+                x0, fx = sxf >> 8, sxf & 255
+                y0, fy = syf >> 8, syf & 255
+                x1, y1 = min(x0 + 1, ww - 1), min(y0 + 1, hh - 1)
+                s = src.astype(np.int64)
+                top = (256 - fx) * s[y0, x0] + fx * s[y0, x1]
+                bot = (256 - fx) * s[y1, x0] + fx * s[y1, x1]
+                res[y, x] = ((256 - fy) * top + fy * bot + 32768) >> 16
+        return res
+
+    for iid, src in [("a", px), ("u", small)]:
+        want = brute(src)
+        back = imagecodec.decode(bytes(got[iid]["bytes"]), got[iid]["fmt"])
+        assert (back.astype(np.int64) == want).all(), iid
+        assert got[iid]["px_sum"] == int(want.sum())
+    assert got["p"]["px_sum"] == got["a"]["px_sum"]  # codec-independent
+    # constant image stays exactly constant (weights sum to 2^16)
+    assert (got["c"]["px_min"], got["c"]["px_max"]) == (123, 123)
