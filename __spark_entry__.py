@@ -5789,6 +5789,34 @@ _DENSE_GRAPH_SQL = (
 )
 
 
+def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X123 (analytics.peak_concurrency): max concurrent activity
+    intervals per user (each event claims [epoch_s, epoch_s + 600)) via
+    the +1/-1 sweep line — interval_union's sibling (height, not
+    coverage). Exact integers, earliest-peak tie-break; one explode +
+    one group window + one struct-max rollup."""
+    from osm2geojson_spark.operators import analytics as A
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_timestamp("ts").alias("s"),
+        (F.unix_timestamp("ts") + F.lit(600)).alias("e"),
+    )
+    return A.peak_concurrency(ev, "user_id", "s", "e")
+
+
+def _peak_concurrency_sql() -> str:
+    from osm2geojson_spark.operators import analytics as A
+
+    return A.peak_concurrency_sql(
+        "SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS s,"
+        " CAST(floor(epoch(ts)) AS BIGINT) + 600 AS e FROM events",
+        "user_id",
+        "s",
+        "e",
+    )
+
+
 def q_resize_bilinear(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X122 (multimodal.resize_bilinear): exact 8.8 fixed-point bilinear
     resize of 250 mixed rawz/png images (8/16/24 px -> 12 px, so both
@@ -7436,6 +7464,7 @@ FROM d
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "peak_concurrency": q_peak_concurrency,
         "resize_bilinear": q_resize_bilinear,
         "cusum_stream": q_cusum_stream,
         "profile": q_profile,
@@ -7613,6 +7642,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "peak_concurrency": _peak_concurrency_sql(),
         "resize_bilinear": _resize_bilinear_sql(),
         "cusum_stream": _cusum_stream_sql(),
         "profile": _profile_sql(),

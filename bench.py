@@ -172,6 +172,7 @@ BENCH_QUERIES = [
     "profile",
     "cusum_stream",
     "resize_bilinear",
+    "peak_concurrency",
 ]
 
 

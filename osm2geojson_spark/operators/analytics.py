@@ -759,3 +759,84 @@ FROM pr, nb
 JOIN ic a ON a._i = pr.item_a
 JOIN ic b ON b._i = pr.item_b
 """
+
+
+def peak_concurrency(
+    df: DataFrame,
+    group_col: str,
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """(group, peak, at_ts) — MAXIMUM CONCURRENT INTERVALS per group via
+    the +1/-1 sweep line: explode each [start, end) into (+1 at start,
+    -1 at end), running-sum in (ts, delta) order (ends sort BEFORE
+    starts at the same tick — half-open semantics), take the max and
+    the earliest tick achieving it. Peak sessions online, peak sensor
+    load, max overlapping visits — interval_union_length's sibling
+    (coverage vs height).
+
+    Exact integer; deterministic tie-break (earliest ts at the peak).
+
+    Scale: one explode (2 rows per interval), one group-partitioned
+    window, one combinable struct-max rollup."""
+    base = df.select(
+        F.col(group_col).alias("_g"),
+        F.col(start_col).cast("long").alias("_st"),
+        F.col(end_col).cast("long").alias("_en"),
+    ).filter(F.col("_en") > F.col("_st"))
+    deltas = base.select(
+        "_g", F.explode(
+            F.array(
+                F.struct(F.col("_st").alias("_ts"), F.lit(1).alias("_d")),
+                F.struct(F.col("_en").alias("_ts"), F.lit(-1).alias("_d")),
+            )
+        ).alias("_e")
+    ).select("_g", F.col("_e._ts").alias("_ts"), F.col("_e._d").alias("_d"))
+    w = (
+        Window.partitionBy("_g")
+        .orderBy(F.col("_ts").asc(), F.col("_d").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    run = deltas.withColumn("_c", F.sum("_d").over(w))
+    best = run.groupBy("_g").agg(
+        F.max(
+            F.struct(F.col("_c").alias("c"), (-F.col("_ts")).alias("negts"))
+        ).alias("_b")
+    )
+    return best.select(
+        F.col("_g").alias(group_col),
+        F.col("_b.c").cast("long").alias("peak"),
+        (-F.col("_b.negts")).cast("long").alias("at_ts"),
+    )
+
+
+def peak_concurrency_sql(
+    rows_cte: str, group_col: str, start_col: str, end_col: str
+) -> str:
+    """DuckDB twin — identical sweep and tie-break."""
+    return f"""
+WITH pc_raw AS ({rows_cte}),
+pc AS (
+  SELECT {group_col} AS _g, CAST({start_col} AS BIGINT) AS _st,
+         CAST({end_col} AS BIGINT) AS _en
+  FROM pc_raw WHERE CAST({end_col} AS BIGINT) > CAST({start_col} AS BIGINT)
+),
+deltas AS (
+  SELECT _g, _st AS _ts, 1 AS _d FROM pc
+  UNION ALL SELECT _g, _en, -1 FROM pc
+),
+run AS (
+  SELECT _g, _ts,
+         sum(_d) OVER (PARTITION BY _g ORDER BY _ts, _d
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS _c
+  FROM deltas
+),
+best AS (
+  SELECT _g, max(struct_pack(c := _c, negts := -_ts)) AS _b FROM run
+  GROUP BY _g
+)
+SELECT _g AS {group_col}, CAST(_b.c AS BIGINT) AS peak,
+       CAST(-_b.negts AS BIGINT) AS at_ts
+FROM best
+"""

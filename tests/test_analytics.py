@@ -771,3 +771,36 @@ def test_profile_table_one_pass_and_twin(spark):
     # expands to a two-level Aggregate, but there is a single scan)
     plan = profile_table(df, ["k", "s"])._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("LogicalRDD") == 1
+
+
+def test_peak_concurrency_sweep(spark):
+    import duckdb
+
+    from osm2geojson_spark.operators.analytics import (
+        peak_concurrency, peak_concurrency_sql)
+
+    rows = [
+        # g=1: three overlap in [4,5): peak 3 at 4
+        (1, 0, 10), (1, 4, 6), (1, 3, 5), (1, 20, 21),
+        # g=2: back-to-back [0,5)+[5,10): half-open -> never concurrent
+        (2, 0, 5), (2, 5, 10),
+        # g=3: identical intervals stack; empty interval ignored
+        (3, 2, 4), (3, 2, 4), (3, 7, 7),
+    ]
+    df = spark.createDataFrame(rows, "g long, s long, e long")
+    got = {
+        r["g"]: (r["peak"], r["at_ts"])
+        for r in peak_concurrency(df, "g", "s", "e").collect()
+    }
+    assert got == {1: (3, 4), 2: (1, 0), 3: (2, 2)}
+
+    duck = duckdb.connect()
+    duck.execute("CREATE TABLE pcs (g BIGINT, s BIGINT, e BIGINT)")
+    duck.executemany("INSERT INTO pcs VALUES (?, ?, ?)", rows)
+    twin = {
+        g: (p, a)
+        for g, p, a in duck.sql(
+            peak_concurrency_sql("SELECT * FROM pcs", "g", "s", "e")
+        ).fetchall()
+    }
+    assert twin == got
