@@ -49,17 +49,48 @@ def _ring_guarantee_m(res: int, k_ring: int, q_lat: Column) -> Column:
     than this MUST lie inside the searched cells, so a k-th neighbor within
     it is provably correct.
 
-    The ring extends k cells in each grid direction. In the lat direction
-    that is k * (180/2^res) degrees of arc; in the lon direction
-    k * (360/2^res) degrees *shrunk by cos(lat)* — evaluated conservatively
-    at the highest latitude the ring reaches (cos -> 0 near the poles, which
-    correctly forces polar queries to the brute-force fallback)."""
+    A target outside the ring is beyond it in y (|dlat| >= k * 180/2^res,
+    giving the exact north-south arc bound ``lat_m``) or beyond it in x
+    (wrap-aware lon offset >= dlon = k * 360/2^res). For the x case the
+    bound is the EXACT spherical distance from the query to a meridian
+    dlon away: R * asin(sin(dlon) * cos(q_lat)) — evaluated at the query's
+    OWN latitude. (Distance to T at lon offset d >= dlon is monotone in d
+    on [0, 180 deg], and the point-to-meridian-great-circle minimum is
+    asin(sin(dlon)cos(lat)); dlon credited at most 90 deg, where the bound
+    saturates at the distance to the pole.)
+
+    This certificate shrinks with cos(lat) exactly as near-polar neighbor
+    distances do, so high-latitude queries resolve through ring rounds
+    instead of collapsing to the brute-force fallback. (The previous
+    linear bound cos(|lat| + ring reach) went to ZERO for any
+    |lat| > 90 - (k+1)*cell_h as k grew — escalation could never certify
+    high-latitude queries, stranding them all in the O(n_query * n_target)
+    fallback.)
+
+    When the ring wraps every lon column (2k+1 >= 2^res) the x boundary
+    does not exist and the guarantee is the lat bound alone."""
     cell_h_deg = 180.0 / (1 << res)
     deg_m = (math.pi / 180.0) * EARTH_RADIUS_M
-    lat_reach = F.least(F.lit(90.0), F.abs(q_lat) + F.lit((k_ring + 1) * cell_h_deg))
-    lon_m = F.lit(k_ring * 2.0 * cell_h_deg * deg_m) * F.cos(F.radians(lat_reach))
+    k_ring = min(k_ring, (1 << res) // 2)
     lat_m = F.lit(k_ring * cell_h_deg * deg_m)
+    if 2 * k_ring + 1 >= (1 << res):
+        return lat_m * F.lit(0.99)
+    dlon_rad = math.radians(min(90.0, k_ring * 2.0 * cell_h_deg))
+    lon_m = F.lit(EARTH_RADIUS_M) * F.asin(
+        F.lit(math.sin(dlon_rad)) * F.cos(F.radians(q_lat))
+    )
     return F.least(lon_m, lat_m) * F.lit(0.99)
+
+
+def _flat_ring(cell: Column, res: int, kr: int) -> Column:
+    """Flat-grid ring with wrap safety: k is clamped at 2^res // 2 (a wider
+    ring adds no new columns), and a full-wrap ring is deduplicated —
+    k_ring's modular x wrap would otherwise repeat columns, and duplicate
+    candidate rows would double-count a target in the top-k window."""
+    n = 1 << res
+    kr = min(kr, n // 2)
+    ring = cells.k_ring(cell, res, kr)
+    return F.array_distinct(ring) if 2 * kr + 1 >= n else ring
 
 
 def _sphere_ring_guarantee_m(res: int, k_ring: int, q_lat: Column) -> Column:
@@ -87,7 +118,7 @@ def _sphere_ring_guarantee_m(res: int, k_ring: int, q_lat: Column) -> Column:
 _GRIDS = {
     "flat": (
         lambda lon, lat, res: cells.cell_id(lon, lat, res),
-        lambda cell, res, kr: cells.k_ring(cell, res, kr),
+        _flat_ring,
         _ring_guarantee_m,
     ),
 }
@@ -119,8 +150,11 @@ def knn_join(
     Deterministic tie-break: (dist_m, tid) ordering.
 
     ``grid``: "flat" (equirectangular E1 cells — oracle-exact integer math;
-    polar queries escalate to brute force because their ring guarantee
-    collapses with cos(lat)) or "sphere" (cube-face cells_sphere — uniform
+    the ring certificate is the exact point-to-meridian distance, which
+    shrinks with cos(lat) in step with near-polar neighbor spacing, so
+    high-latitude queries still resolve through ring rounds; only
+    queries whose k-th neighbor genuinely exceeds every round's covered
+    radius fall back to brute force) or "sphere" (cube-face cells_sphere — uniform
     cell widths everywhere, so polar query sets resolve through the ring
     rounds; cell encode runs JVM-side, the ring expansion is an Arrow UDF).
     """
