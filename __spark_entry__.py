@@ -3454,6 +3454,66 @@ LEFT JOIN adj ON adj.i = img.i
 """
 
 
+def q_isolines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MARCHING-SQUARES ISOLINES (multimodal.isoline_images): contour the
+    8x8 synthetic tiles at two iso levels; per (image, level) emit exact
+    integer segment counts split by segment shape (straight = crosses
+    opposite cell edges, diagonal = adjacent edges — incl. both halves of
+    saddles) and the milli-pixel total length derived from them. The
+    oracle re-classifies every 2x2 block with pure CASE arithmetic over
+    the unnested pixel grid — no tracing logic shared."""
+    from osm2geojson_spark.operators.multimodal import isoline_images
+
+    imgs = _synth_images(spark, sf_dir, 360, step=3)  # all 8x8
+    return isoline_images(imgs, levels=(96, 160))
+
+
+def _isolines_sql() -> str:
+    from osm2geojson_spark.operators.multimodal import DIAG_SEG_MPX
+
+    return f"""
+WITH img AS (
+  SELECT p_partkey AS i FROM part WHERE p_partkey < 360 AND p_partkey % 3 = 0
+), px AS (
+  SELECT i, p % 8 AS x, p // 8 AS y,
+         ((p % 8) * 3 + (p // 8) * 7 + i * 13) % 251 AS v
+  FROM (SELECT i, unnest(range(0, 64)) AS p FROM img)
+), lvl AS (
+  SELECT unnest([96, 160]) AS t
+), blk AS (
+  SELECT a.i, l.t,
+         CAST(a.v >= l.t AS INT) AS ca, CAST(b.v >= l.t AS INT) AS cb,
+         CAST(c.v >= l.t AS INT) AS cc, CAST(d.v >= l.t AS INT) AS cd
+  FROM px a
+  JOIN px b ON b.i = a.i AND b.x = a.x + 1 AND b.y = a.y
+  JOIN px c ON c.i = a.i AND c.x = a.x AND c.y = a.y + 1
+  JOIN px d ON d.i = a.i AND d.x = a.x + 1 AND d.y = a.y + 1
+  CROSS JOIN lvl l
+), cls AS (
+  SELECT i, t, ca + cb + cc + cd AS h,
+         CASE WHEN (ca = 1 AND cd = 1 AND cb = 0 AND cc = 0)
+                OR (cb = 1 AND cc = 1 AND ca = 0 AND cd = 0)
+              THEN 1 ELSE 0 END AS saddle
+  FROM blk
+), agg AS (
+  SELECT i, t,
+         sum(CASE WHEN h = 2 AND saddle = 0 THEN 1 ELSE 0 END) AS n_straight,
+         sum(CASE WHEN h IN (1, 3) THEN 1 ELSE 0 END) + 2 * sum(saddle)
+           AS n_diag
+  FROM cls GROUP BY i, t
+)
+SELECT printf('img%012d', i) AS image_id,
+       CAST(t AS BIGINT) AS level,
+       CAST(n_straight + n_diag AS BIGINT) AS n_segments,
+       CAST(n_straight AS BIGINT) AS n_straight,
+       CAST(n_diag AS BIGINT) AS n_diag,
+       CAST(n_straight * 1000
+            + CAST(round(n_diag * {DIAG_SEG_MPX!r}) AS BIGINT) AS BIGINT)
+         AS length_mpx
+FROM agg
+"""
+
+
 def q_vectorize_stitched(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CROSS-TILE stitched vectorization (multimodal.vectorize_stitched):
     a 6x6 mosaic of 8x8 tiles (global 48x48) whose per-tile synth_pixels
@@ -7461,9 +7521,180 @@ FROM d
 """
 
 
+def q_track_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAJECTORY ANOMALY NLL (trajectory.track_nll): per-user negative
+    log-likelihood under the corpus-trained Markov cell model at res 5 —
+    train + broadcast + score in one job. Per-step terms are quantized
+    to micro-nats from exact integer counts before the order-free sum
+    (location_entropy's scheme); the oracle replays the identical
+    collapse, counts, and float assembly."""
+    from osm2geojson_spark.operators.trajectory import track_nll
+
+    # NOT _traj_pings: that fixture gives every user a deterministic
+    # private path (p = 1 on every edge, NLL identically 0). Here users
+    # share 8 latitude bands and drift at user-dependent rates
+    # (3..15 deg/day vs an 11.25 deg res-5 cell), so a band's pooled
+    # model mixes to-cells and probabilities are non-trivial.
+    step = F.lit(3) + (F.col("user_id") % 5) * F.lit(3)
+    pings = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        (((F.col("user_id") * 37 + F.dayofyear("ts") * step) % 360) - 180 + 0.5)
+        .cast("double")
+        .alias("lon"),
+        (((F.col("user_id") % 8) * 11) - 44 + 0.5).cast("double").alias("lat"),
+    )
+    return track_nll(pings, res=5)
+
+
+def _track_nll_sql() -> str:
+    from osm2geojson_spark.operators import cells as CEL
+
+    cell = CEL.cell_id_sql("lon", "lat", 5)
+    return f"""
+WITH pings AS (
+  SELECT user_id, ts,
+         CAST(((user_id * 37 + dayofyear(ts) * (3 + (user_id % 5) * 3)) % 360)
+              - 180 + 0.5 AS DOUBLE) AS lon,
+         CAST(((user_id % 8) * 11) - 44 + 0.5 AS DOUBLE) AS lat
+  FROM events
+), seq AS (
+  SELECT user_id, ts, lon, lat, {cell} AS cell_id FROM pings
+), marked AS (
+  SELECT user_id, ts, lon, lat, cell_id, lag(cell_id) OVER w AS prev
+  FROM seq WINDOW w AS (PARTITION BY user_id ORDER BY ts, lon, lat)
+), collapsed AS (
+  SELECT user_id, ts, lon, lat, cell_id FROM marked
+  WHERE prev IS NULL OR prev != cell_id
+), edges AS (
+  SELECT user_id, cell_id AS from_cell, lead(cell_id) OVER w2 AS to_cell
+  FROM collapsed WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, lon, lat)
+), e AS (
+  SELECT * FROM edges WHERE to_cell IS NOT NULL
+), mat AS (
+  SELECT from_cell, to_cell, CAST(count(*) AS BIGINT) AS n_ft
+  FROM e GROUP BY 1, 2
+), tot AS (
+  SELECT from_cell, CAST(sum(n_ft) AS BIGINT) AS n_f FROM mat GROUP BY 1
+), model AS (
+  SELECT m.from_cell, m.to_cell,
+         CAST(round((ln(CAST(n_ft AS DOUBLE)) - ln(CAST(n_f AS DOUBLE))) * 1e6)
+              AS BIGINT) AS t
+  FROM mat m JOIN tot USING (from_cell)
+), agg AS (
+  SELECT e.user_id, CAST(count(*) AS BIGINT) AS n_steps,
+         CAST(-sum(model.t) AS BIGINT) AS nll_micro
+  FROM e JOIN model ON model.from_cell = e.from_cell AND model.to_cell = e.to_cell
+  GROUP BY e.user_id
+)
+SELECT user_id, n_steps, nll_micro,
+       round(CAST(nll_micro AS DOUBLE) / CAST(n_steps AS DOUBLE) / 1e6, 6) + 0.0
+         AS avg_nll
+FROM agg
+"""
+
+
+def q_dirty_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL PYRAMID INVALIDATION (cells.dirty_pyramid): customer
+    points as changed base cells at res 10; per level 4..10 the count and
+    id range of distinct ancestor tiles needing recompute. Ancestors come
+    from integer shifts of the packed x/y (never re-floored doubles); the
+    oracle replays the identical //-shift arithmetic in SQL."""
+    from osm2geojson_spark.operators import cells
+
+    changed = _t(spark, sf_dir, "customer").select(
+        cells.cell_id(_lon("c_custkey"), _lat("c_custkey"), 10).alias("cell_id")
+    )
+    d = cells.dirty_pyramid(changed, base_res=10, min_res=4)
+    return d.groupBy("level").agg(
+        F.count(F.lit(1)).cast("long").alias("n_dirty"),
+        F.min("tile").alias("min_tile"),
+        F.max("tile").alias("max_tile"),
+    )
+
+
+def _dirty_pyramid_sql() -> str:
+    from osm2geojson_spark.operators.cells import _R_SHIFT, _X_SHIFT, cell_id_sql
+
+    enc = cell_id_sql("lon", "lat", 10)
+    return f"""
+WITH pts AS (
+  SELECT {SYN.lon_sql('c_custkey')} AS lon, {SYN.lat_sql('c_custkey')} AS lat
+  FROM customer
+), base AS (
+  SELECT {enc} AS c FROM pts
+), xy AS (
+  SELECT c, (c % {1 << _R_SHIFT}) // {1 << _X_SHIFT} AS x, c % {1 << _X_SHIFT} AS y
+  FROM base
+), anc AS (
+  SELECT DISTINCT l.r AS level,
+         CAST(l.r AS BIGINT) * {1 << _R_SHIFT}
+           + (x // (1 << (10 - l.r))) * {1 << _X_SHIFT}
+           + (y // (1 << (10 - l.r))) AS tile
+  FROM xy, (SELECT unnest(range(4, 11)) AS r) l
+)
+SELECT CAST(level AS BIGINT) AS level,
+       CAST(count(*) AS BIGINT) AS n_dirty,
+       min(tile) AS min_tile, max(tile) AS max_tile
+FROM anc GROUP BY level
+"""
+
+
+def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SMALL-FILE COMPACTION PLANNER (plans.layout.compaction_plan): pack
+    a synthetic file manifest (lineitem rows as files: 50 partitions,
+    floor(extendedprice) as bytes) into ~200 kB rewrite bins with the
+    quota rule (bytes-DESC running sum // target), then roll up per-bin
+    file count and size. Bin count per partition is exactly
+    ceil(partition_bytes / target). The oracle replays the identical
+    window + floor-divide in SQL."""
+    from osm2geojson_spark.plans.layout import compaction_plan
+
+    files = _t(spark, sf_dir, "lineitem").select(
+        (F.col("l_suppkey") % 50).cast("long").alias("part_key"),
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber"))
+        .cast("long")
+        .alias("file_id"),
+        F.floor(F.col("l_extendedprice")).cast("long").alias("bytes"),
+    )
+    plan = compaction_plan(files, target_bytes=200_000)
+    return plan.groupBy("part_key", "bin_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_files"),
+        F.sum("bytes").cast("long").alias("bin_bytes"),
+        F.max("bytes").cast("long").alias("max_file_bytes"),
+    )
+
+
+def _compaction_plan_sql() -> str:
+    return """
+WITH f AS (
+  SELECT CAST(l_suppkey % 50 AS BIGINT) AS part_key,
+         CAST(l_orderkey * 10 + l_linenumber AS BIGINT) AS file_id,
+         CAST(floor(l_extendedprice) AS BIGINT) AS bytes
+  FROM lineitem
+), c AS (
+  SELECT part_key, file_id, bytes,
+         CAST(floor(CAST(COALESCE(SUM(bytes) OVER (
+             PARTITION BY part_key ORDER BY bytes DESC, file_id ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS DOUBLE) / 200000.0) AS BIGINT) AS bin_id
+  FROM f
+)
+SELECT part_key, bin_id,
+       CAST(count(*) AS BIGINT) AS n_files,
+       CAST(sum(bytes) AS BIGINT) AS bin_bytes,
+       CAST(max(bytes) AS BIGINT) AS max_file_bytes
+FROM c GROUP BY part_key, bin_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "track_nll": q_track_nll,
+        "dirty_pyramid": q_dirty_pyramid,
+        "compaction_plan": q_compaction_plan,
+        "isolines": q_isolines,
         "peak_concurrency": q_peak_concurrency,
         "resize_bilinear": q_resize_bilinear,
         "cusum_stream": q_cusum_stream,
@@ -7642,6 +7873,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "track_nll": _track_nll_sql(),
+        "dirty_pyramid": _dirty_pyramid_sql(),
+        "compaction_plan": _compaction_plan_sql(),
+        "isolines": _isolines_sql(),
         "peak_concurrency": _peak_concurrency_sql(),
         "resize_bilinear": _resize_bilinear_sql(),
         "cusum_stream": _cusum_stream_sql(),

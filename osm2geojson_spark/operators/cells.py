@@ -814,3 +814,44 @@ def hex_cell_sql(lon: str, lat: str, size_deg: float) -> str:
         f"((CAST({q} AS BIGINT) + {_HEX_OFF}) * {1 << 30}"
         f" + (CAST({r} AS BIGINT) + {_HEX_OFF}))"
     )
+
+
+def dirty_pyramid(
+    changed: DataFrame,
+    base_res: int,
+    min_res: int,
+    cell_col: str = "cell_id",
+) -> DataFrame:
+    """INCREMENTAL PYRAMID INVALIDATION — the minimal DISTINCT set of
+    pyramid tiles that must be recomputed after a batch of base-cell
+    changes: every ancestor of a changed cell at each level in
+    [min_res, base_res]. This is the planning step of an incremental
+    tile refresh (the alternative to re-running tile_pyramid over the
+    whole table when 0.01% of cells changed).
+
+    Returns (level, tile) distinct rows; join against the tile store to
+    drive the rewrite, or aggregate per level for a change budget.
+
+    Ancestors are derived by INTEGER SHIFTS of the packed x/y (never
+    re-floored doubles), so a tile id here is bit-identical to what
+    cell_id/parent_cell produce at that level. One explode (levels per
+    changed row) + ONE hash-aggregate shuffle for the distinct; the
+    volume collapses geometrically at coarse levels and partial
+    aggregation dedups map-side, so the shuffle carries ~|changed
+    cells| rows, not |changed| * levels."""
+    assert RES_MIN <= min_res <= base_res <= RES_MAX
+    arr = F.array(
+        *[
+            F.struct(
+                F.lit(r).cast("long").alias("level"),
+                parent_cell(F.col("_c"), base_res, r).alias("tile"),
+            )
+            for r in range(min_res, base_res + 1)
+        ]
+    )
+    return (
+        changed.select(F.col(cell_col).alias("_c"))
+        .select(F.explode(arr).alias("e"))
+        .select("e.level", "e.tile")
+        .distinct()
+    )

@@ -825,6 +825,88 @@ def vectorize_images(images: DataFrame, threshold: int = 128) -> DataFrame:
     )
 
 
+# sqrt(1/2) * 1000: the exact milli-pixel length of a diagonal marching-
+# squares segment (midpoint of one cell edge to the midpoint of an
+# adjacent edge) — kept as one shared literal so the Spark kernel and the
+# DuckDB oracle round the identical double
+DIAG_SEG_MPX = 707.1067811865476
+
+
+def isoline_images(images: DataFrame, levels=(96, 160)) -> DataFrame:
+    """MARCHING-SQUARES ISOLINE EXTRACTION (midpoint variant) — the
+    contour / isoline stage of a raster layer (GDAL ``contour``,
+    matplotlib ``contour``): for each iso level T, every 2x2 pixel block
+    is classified by which corners are >= T and emits 0, 1 or 2 contour
+    segments joining edge midpoints. Complements vectorize_images
+    (region POLYGONIZATION) with the LINE form of raster->vector.
+
+    Midpoint segments have exactly two lengths — 1 pixel (the two hot
+    corners are an adjacent pair: the contour crosses opposite cell
+    edges) or sqrt(1/2) pixels (one or three hot corners, or each half
+    of a saddle: adjacent cell edges) — so the per-image output is
+    EXACT INTEGERS (n_segments, n_straight, n_diag) plus a milli-pixel
+    total length derived from them by one shared double multiply
+    (``DIAG_SEG_MPX``), reproducible bit-for-bit by a pure-SQL oracle
+    with no tracing logic in common. Saddle blocks (two diagonal hot
+    corners) always contribute two diagonal segments regardless of the
+    ambiguity resolution, so the counts are disambiguation-free.
+
+    Returns (image_id, level, n_segments, n_straight, n_diag,
+    length_mpx), one row per image per level.
+
+    Scale: embarrassingly parallel mapInPandas — no shuffle; the block
+    classification is whole-image vectorized NumPy (four shifted views +
+    boolean algebra), O(pixels) per level."""
+    lv = sorted(int(t) for t in levels)
+    assert lv, "at least one iso level"
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                px = imagecodec.decode(bytes(r.bytes), r.fmt)
+                if px.ndim == 3:
+                    px = px[..., 0]
+                for t in lv:
+                    hot = px >= t
+                    a = hot[:-1, :-1]  # top-left corner of each block
+                    b = hot[:-1, 1:]  # top-right
+                    c = hot[1:, :-1]  # bottom-left
+                    d = hot[1:, 1:]  # bottom-right
+                    h = (
+                        a.astype(np.int64) + b.astype(np.int64)
+                        + c.astype(np.int64) + d.astype(np.int64)
+                    )
+                    saddle = (a & d & ~b & ~c) | (b & c & ~a & ~d)
+                    n_saddle = int(saddle.sum())
+                    n_straight = int(((h == 2) & ~saddle).sum())
+                    n_single = int(((h == 1) | (h == 3)).sum())
+                    n_diag = n_single + 2 * n_saddle
+                    rows.append(
+                        (
+                            r.image_id,
+                            t,
+                            n_straight + n_diag,
+                            n_straight,
+                            n_diag,
+                            n_straight * 1000 + int(round(n_diag * DIAG_SEG_MPX)),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "image_id", "level", "n_segments", "n_straight",
+                    "n_diag", "length_mpx",
+                ],
+            )
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(
+        fn,
+        schema="image_id string, level long, n_segments long,"
+        " n_straight long, n_diag long, length_mpx long",
+    )
+
+
 def _label_components_batch(masks: np.ndarray) -> np.ndarray:
     """(B, H, W) bool -> (B, H, W) int64 local 4-connected component
     labels: each hot pixel's label is the MINIMUM row-major pixel index

@@ -917,3 +917,92 @@ def location_entropy(
         "s_q",
         (F.round(h, 6) + F.lit(0.0)).alias("entropy"),
     )
+
+
+def track_nll(
+    pings: DataFrame,
+    res: int = 6,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """TRAJECTORY ANOMALY SCORE — negative log-likelihood of each
+    entity's movement under the corpus-trained first-order Markov cell
+    model (the matrix cell_transitions produces): routine commuters
+    follow high-probability edges and score low; erratic or spoofed
+    tracks take rare transitions and score high. The standard
+    "surprise"-based GPS-fraud / mode-anomaly detector, trained and
+    applied in one job.
+
+    Same-cell runs are collapsed first (cell_transitions semantics), so
+    dwell time doesn't dilute the score. Every scored edge is observed
+    by construction (the model is trained on the same corpus), so no
+    smoothing is needed and p > 0 always.
+
+    Exactness scheme (location_entropy's): each step's term is
+    quantized FIRST — t = round((ln(n_ft) - ln(n_f)) * 1e6) as int64,
+    from exact integer counts — so the per-entity sum of ints is
+    partition-order-free; ``nll_micro`` (micro-nats) is the hash-stable
+    core and ``avg_nll`` a short replayable float assembly.
+
+    Returns (user, n_steps, nll_micro, avg_nll).
+
+    Scale: the shared per-entity sort, one (from, to) rollup, then the
+    model — |cells|^2-bounded, tiny — is BROADCAST back onto the edge
+    stream; one final combinable per-user rollup. No self-join of the
+    ping table, no window beyond the shared sort."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, lon_col, lat_col)
+    seq = pings.select(
+        F.col(user_col),
+        F.col(ts_col),
+        F.col(lon_col),
+        F.col(lat_col),
+        cells.cell_id(F.col(lon_col), F.col(lat_col), res).alias("cell_id"),
+    ).withColumn("_prev", F.lag("cell_id").over(w)).filter(
+        F.col("_prev").isNull() | (F.col("_prev") != F.col("cell_id"))
+    )
+    w2 = Window.partitionBy(user_col).orderBy(ts_col, lon_col, lat_col)
+    edges = seq.select(
+        F.col(user_col),
+        F.col("cell_id").alias("from_cell"),
+        F.lead("cell_id").over(w2).alias("to_cell"),
+    ).filter(F.col("to_cell").isNotNull())
+
+    mat = edges.groupBy("from_cell", "to_cell").agg(
+        F.count(F.lit(1)).cast("long").alias("n_ft")
+    )
+    tot = mat.groupBy("from_cell").agg(F.sum("n_ft").cast("long").alias("n_f"))
+    term = F.round(
+        (
+            F.log(F.col("n_ft").cast("double"))
+            - F.log(F.col("n_f").cast("double"))
+        )
+        * F.lit(1e6)
+    ).cast("long")
+    model = mat.join(tot, "from_cell").select(
+        "from_cell", "to_cell", term.alias("_t")
+    )
+    scored = edges.join(F.broadcast(model), ["from_cell", "to_cell"])
+    n_steps = F.count(F.lit(1)).cast("long")
+    return (
+        scored.groupBy(user_col)
+        .agg(
+            n_steps.alias("n_steps"),
+            (-F.sum("_t")).cast("long").alias("nll_micro"),
+        )
+        .select(
+            user_col,
+            "n_steps",
+            "nll_micro",
+            (
+                F.round(
+                    F.col("nll_micro").cast("double")
+                    / F.col("n_steps").cast("double")
+                    / F.lit(1e6),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("avg_nll"),
+        )
+    )

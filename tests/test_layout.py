@@ -389,3 +389,78 @@ def test_hex_cell_matches_brute_sql_twin_and_nearest_center(spark):
         ).fetchall()
     )
     assert twin == {row["i"]: row["cell"] for row in rows}
+
+
+def test_compaction_plan_quota_packing(spark):
+    """Quota packing: brute Python replay of the bytes-DESC running-sum
+    rule, optimal bin count ceil(total/target) per partition, and the
+    overshoot bound bin_bytes < target + largest file in the bin."""
+    import math
+    import random
+
+    from osm2geojson_spark.plans.layout import compaction_plan
+
+    rng = random.Random(11)
+    rows = [
+        (p, p * 1000 + j, rng.randint(1, 900))
+        for p in range(4)
+        for j in range(rng.randint(1, 60))
+    ]
+    files = spark.createDataFrame(
+        rows, "part_key long, file_id long, bytes long"
+    )
+    target = 1500
+    got = {
+        (r["part_key"], r["file_id"]): r
+        for r in compaction_plan(files, target).collect()
+    }
+    assert len(got) == len(rows)
+
+    by_part = {}
+    for p, fid, b in rows:
+        by_part.setdefault(p, []).append((fid, b))
+    for p, fs in by_part.items():
+        fs.sort(key=lambda t: (-t[1], t[0]))
+        cum = 0
+        bins = {}
+        for fid, b in fs:
+            bid = cum // target
+            assert got[(p, fid)]["bin_id"] == bid, (p, fid)
+            bins.setdefault(bid, []).append(b)
+            cum += b
+        total = sum(b for _, b in fs)
+        assert len(bins) == math.ceil(total / target)
+        assert sorted(bins) == list(range(len(bins)))
+        for bid, sizes in bins.items():
+            assert sum(sizes) < target + max(sizes)
+
+
+def test_dirty_pyramid_matches_brute_ancestors(spark):
+    """dirty_pyramid == the Python-set ancestor closure; level counts
+    collapse monotonically toward the root."""
+    from osm2geojson_spark.operators import cells
+
+    base_res, min_res = 8, 3
+    pts = [(i * 97 % 360 - 180 + 0.5, i * 53 % 180 - 90 + 0.5) for i in range(60)]
+    df = spark.createDataFrame(pts, "lon double, lat double").select(
+        cells.cell_id(F.col("lon"), F.col("lat"), base_res).alias("cell_id")
+    )
+    got = {
+        (r["level"], r["tile"])
+        for r in cells.dirty_pyramid(df, base_res, min_res).collect()
+    }
+
+    want = set()
+    n = 1 << base_res
+    for lon, lat in pts:
+        x = min(n - 1, max(0, int((lon + 180.0) / 360.0 * n)))
+        y = min(n - 1, max(0, int((lat + 90.0) / 180.0 * n)))
+        for r in range(min_res, base_res + 1):
+            s = base_res - r
+            want.add((r, cells.pack_cell_py(r, x >> s, y >> s)))
+    assert got == want
+    per_level = {}
+    for lvl, _ in got:
+        per_level[lvl] = per_level.get(lvl, 0) + 1
+    counts = [per_level[r] for r in range(min_res, base_res + 1)]
+    assert all(a <= b for a, b in zip(counts, counts[1:]))

@@ -1424,3 +1424,66 @@ def test_resize_bilinear_matches_scalar_brute(spark):
     assert got["p"]["px_sum"] == got["a"]["px_sum"]  # codec-independent
     # constant image stays exactly constant (weights sum to 2^16)
     assert (got["c"]["px_min"], got["c"]["px_max"]) == (123, 123)
+
+
+def test_isoline_images_matches_brute_and_closed_forms(spark):
+    """Marching-squares isolines: per-block brute classification (no code
+    shared with the vectorized kernel) + closed-form fixtures — a lone
+    interior hot pixel is a 4-segment diamond, a checkerboard is all
+    saddles, uniform tiles have no contour."""
+    from osm2geojson_spark.functions import imagecodec as IC
+    from osm2geojson_spark.operators.multimodal import (
+        DIAG_SEG_MPX,
+        isoline_images,
+    )
+
+    def brute(img, t):
+        hot = img >= t
+        ns = nd = 0
+        for y in range(img.shape[0] - 1):
+            for x in range(img.shape[1] - 1):
+                tl, tr = hot[y, x], hot[y, x + 1]
+                bl, br = hot[y + 1, x], hot[y + 1, x + 1]
+                h = int(tl) + int(tr) + int(bl) + int(br)
+                if h in (1, 3):
+                    nd += 1
+                elif h == 2:
+                    if (tl and br) or (tr and bl):
+                        nd += 2
+                    else:
+                        ns += 1
+        return ns, nd
+
+    rng = np.random.default_rng(42)
+    lone = np.zeros((6, 6), dtype=np.uint8)
+    lone[3, 2] = 255
+    checker = (np.indices((8, 8)).sum(axis=0) % 2 * 255).astype(np.uint8)
+    imgs = {
+        "lone": lone,
+        "checker": checker,
+        "flat": np.full((5, 9), 7, dtype=np.uint8),
+        "rand1": rng.integers(0, 256, (8, 8), dtype=np.uint8),
+        "rand2": rng.integers(90, 170, (11, 5), dtype=np.uint8),
+    }
+    df = spark.createDataFrame(
+        [(k, IC.encode_rawz(v), v.shape[1], v.shape[0], "rawz") for k, v in imgs.items()],
+        "image_id string, bytes binary, w int, h int, fmt string",
+    )
+    got = {
+        (r["image_id"], r["level"]): r
+        for r in isoline_images(df, levels=(96, 160)).collect()
+    }
+    assert len(got) == 2 * len(imgs)
+    for name, img in imgs.items():
+        for t in (96, 160):
+            ns, nd = brute(img, t)
+            r = got[(name, t)]
+            assert (r["n_straight"], r["n_diag"]) == (ns, nd), (name, t)
+            assert r["n_segments"] == ns + nd
+            assert r["length_mpx"] == ns * 1000 + int(round(nd * DIAG_SEG_MPX))
+    # closed forms
+    assert got[("lone", 96)]["n_diag"] == 4 and got[("lone", 96)]["n_straight"] == 0
+    assert got[("flat", 96)]["n_segments"] == 0
+    # checkerboard: every interior block is a saddle (2 diag), none straight
+    assert got[("checker", 160)]["n_straight"] == 0
+    assert got[("checker", 160)]["n_diag"] == 2 * 7 * 7

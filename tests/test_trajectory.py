@@ -766,3 +766,65 @@ def test_location_entropy_matches_brute_and_extremes(spark):
     assert got[3] == brute([5, 2, 1])
     assert got[1][3] == 0.0
     assert abs(got[2][3] - math.log(4)) < 2e-6
+
+
+def test_track_nll_matches_brute_markov(spark):
+    """Markov NLL: Python dict replay of train-then-score on a corpus
+    where user 10 follows the common A->B->A shuttle and user 30 takes a
+    once-in-corpus detour — the detour must score strictly higher."""
+    import datetime
+    import math
+
+    from osm2geojson_spark.operators.trajectory import track_nll
+
+    A, B, C = 0.5, 10.5, 20.5  # distinct res-6 cells at lat 0.5
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def mk(uid, lons):
+        return [
+            (uid, t0 + datetime.timedelta(hours=i), lon, 0.5)
+            for i, lon in enumerate(lons)
+        ]
+
+    rows = (
+        mk(10, [A, B, A, B, A])
+        + mk(20, [A, B, A, B])
+        + mk(30, [A, B, C, A])  # B->C and C->A are rare
+        + mk(40, [A, A, A, B])  # run collapse: one A->B step
+    )
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, lon double, lat double"
+    )
+    got = {r["user_id"]: r for r in track_nll(df, res=6).collect()}
+
+    # brute replay
+    seqs = {}
+    for uid, ts, lon, lat in rows:
+        seqs.setdefault(uid, []).append((ts, lon))
+    edges = []
+    for uid, pts in seqs.items():
+        pts.sort()
+        cellseq = []
+        for _, lon in pts:
+            c = int((lon + 180.0) / 360.0 * 64)
+            if not cellseq or cellseq[-1] != c:
+                cellseq.append(c)
+        edges += [(uid, a, b) for a, b in zip(cellseq, cellseq[1:])]
+    n_ft, n_f = {}, {}
+    for _, a, b in edges:
+        n_ft[(a, b)] = n_ft.get((a, b), 0) + 1
+        n_f[a] = n_f.get(a, 0) + 1
+    want = {}
+    for uid in seqs:
+        terms = [
+            round((math.log(n_ft[(a, b)]) - math.log(n_f[a])) * 1e6)
+            for u, a, b in edges
+            if u == uid
+        ]
+        want[uid] = (len(terms), -sum(terms))
+    for uid, (steps, nll) in want.items():
+        assert (got[uid]["n_steps"], got[uid]["nll_micro"]) == (steps, nll), uid
+        assert got[uid]["avg_nll"] == round(nll / steps / 1e6, 6)
+    assert got[40]["n_steps"] == 1  # dwell collapsed
+    # the detour user is the anomaly
+    assert got[30]["avg_nll"] > got[10]["avg_nll"]
