@@ -7521,6 +7521,187 @@ FROM d
 """
 
 
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZIPF'S-LAW FIT (functions/text.zipf_fit): slope of the corpus
+    token frequency-rank log-log line over the documents table — the
+    corpus-health signal of a training-data pipeline. Quantized-OLS
+    exactness (gravity_fit's scheme); deterministic (count DESC, token
+    ASC) ranking; the oracle replays the identical tokenization, rank
+    window and double assembly."""
+    from osm2geojson_spark.functions.text import zipf_fit
+
+    return zipf_fit(_t(spark, sf_dir, "documents"))
+
+
+def _zipf_fit_sql() -> str:
+    from osm2geojson_spark.functions.text import ZIPF_SCALE
+    from osm2geojson_spark.functions.text import normalize_sql as _nsql
+
+    S = float(ZIPF_SCALE)
+    return f"""
+WITH toks AS (
+  SELECT unnest(string_split({_nsql('text')}, ' ')) AS tok FROM documents
+), counts AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS n
+  FROM toks WHERE tok != '' GROUP BY tok
+), ranked AS (
+  SELECT n,
+         CAST(row_number() OVER (ORDER BY n DESC, tok ASC) AS BIGINT) AS rank
+  FROM counts
+), q AS (
+  SELECT n,
+         CAST(round(ln(CAST(rank AS DOUBLE)) * {S!r}) AS BIGINT) AS qx,
+         CAST(round(ln(CAST(n AS DOUBLE)) * {S!r}) AS BIGINT) AS qy
+  FROM ranked
+), s AS (
+  SELECT CAST(count(*) AS BIGINT) AS vocab,
+         CAST(sum(n) AS BIGINT) AS total_tokens,
+         CAST(sum(qx) AS BIGINT) AS sx_q, CAST(sum(qy) AS BIGINT) AS sy_q,
+         CAST(sum(qx * qx) AS BIGINT) AS sxx_q,
+         CAST(sum(qx * qy) AS BIGINT) AS sxy_q
+  FROM q
+)
+SELECT vocab, total_tokens, sx_q, sy_q, sxx_q, sxy_q,
+       round((CAST(vocab AS DOUBLE) * CAST(sxy_q AS DOUBLE)
+              - CAST(sx_q AS DOUBLE) * CAST(sy_q AS DOUBLE))
+             / (CAST(vocab AS DOUBLE) * CAST(sxx_q AS DOUBLE)
+                - CAST(sx_q AS DOUBLE) * CAST(sx_q AS DOUBLE)), 6) + 0.0
+         AS zipf_slope
+FROM s
+"""
+
+
+def q_gravity_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRAVITY-MODEL CALIBRATION (spatial_stats.gravity_fit): distance-
+    decay exponent of the stay-derived OD matrix at res 6, fit by log-OLS
+    with per-pair terms quantized to 1e-5 before the order-free integer
+    sufficient-statistic sums; beta / ln_k are a short identically-
+    ordered double assembly the oracle replays exactly."""
+    from osm2geojson_spark.operators.spatial_stats import gravity_fit
+    from osm2geojson_spark.operators.trajectory import od_flows, stay_points
+
+    stays = stay_points(_traj_pings(spark, sf_dir), res=6, min_duration_s=3600)
+    return gravity_fit(od_flows(stays), res=6)
+
+
+def _gravity_fit_sql() -> str:
+    from osm2geojson_spark.operators.knn import haversine_sql
+    from osm2geojson_spark.operators.spatial_stats import GRAVITY_SCALE
+
+    n = float(1 << 6)
+    half_lon, half_lat = 180.0 / n, 90.0 / n
+    xo = f"((f.from_cell % {1 << 58}) // {1 << 29})"
+    yo = f"(f.from_cell % {1 << 29})"
+    xd = f"((f.to_cell % {1 << 58}) // {1 << 29})"
+    yd = f"(f.to_cell % {1 << 29})"
+    lon_o = f"({xo} / {n!r} * 360.0 - 180.0 + {half_lon!r})"
+    lat_o = f"({yo} / {n!r} * 180.0 - 90.0 + {half_lat!r})"
+    lon_d = f"({xd} / {n!r} * 360.0 - 180.0 + {half_lon!r})"
+    lat_d = f"({yd} / {n!r} * 180.0 - 90.0 + {half_lat!r})"
+    hav = haversine_sql(lon_o, lat_o, lon_d, lat_d)
+    S = float(GRAVITY_SCALE)
+    return _stays_sql(f"""
+, trips AS (
+  SELECT user_id, cell_id AS from_cell, lead(cell_id) OVER wt AS to_cell
+  FROM seq WINDOW wt AS (PARTITION BY user_id ORDER BY stay_seq)
+), flows AS (
+  SELECT from_cell, to_cell, CAST(count(*) AS BIGINT) AS n_trips
+  FROM trips WHERE to_cell IS NOT NULL GROUP BY 1, 2
+), mo AS (
+  SELECT from_cell, CAST(sum(n_trips) AS BIGINT) AS m_o FROM flows GROUP BY 1
+), md AS (
+  SELECT to_cell, CAST(sum(n_trips) AS BIGINT) AS m_d FROM flows GROUP BY 1
+), pairs AS (
+  SELECT CAST(round(ln({hav}) * {S!r}) AS BIGINT) AS qx,
+         CAST(round((ln(CAST(f.n_trips AS DOUBLE)) - ln(CAST(mo.m_o AS DOUBLE))
+                     - ln(CAST(md.m_d AS DOUBLE))) * {S!r}) AS BIGINT) AS qy
+  FROM flows f
+  JOIN mo ON mo.from_cell = f.from_cell
+  JOIN md ON md.to_cell = f.to_cell
+  WHERE f.from_cell != f.to_cell
+), s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(sum(qx) AS BIGINT) AS sx_q, CAST(sum(qy) AS BIGINT) AS sy_q,
+         CAST(sum(qx * qx) AS BIGINT) AS sxx_q,
+         CAST(sum(qx * qy) AS BIGINT) AS sxy_q
+  FROM pairs
+)
+SELECT n_pairs, sx_q, sy_q, sxx_q, sxy_q,
+       round(-((CAST(n_pairs AS DOUBLE) * CAST(sxy_q AS DOUBLE)
+                - CAST(sx_q AS DOUBLE) * CAST(sy_q AS DOUBLE))
+               / (CAST(n_pairs AS DOUBLE) * CAST(sxx_q AS DOUBLE)
+                  - CAST(sx_q AS DOUBLE) * CAST(sx_q AS DOUBLE))), 6) + 0.0
+         AS beta,
+       round((CAST(sy_q AS DOUBLE)
+              - ((CAST(n_pairs AS DOUBLE) * CAST(sxy_q AS DOUBLE)
+                  - CAST(sx_q AS DOUBLE) * CAST(sy_q AS DOUBLE))
+                 / (CAST(n_pairs AS DOUBLE) * CAST(sxx_q AS DOUBLE)
+                    - CAST(sx_q AS DOUBLE) * CAST(sx_q AS DOUBLE)))
+                * CAST(sx_q AS DOUBLE))
+             / CAST(n_pairs AS DOUBLE) / {S!r}, 6) + 0.0 AS ln_k
+FROM s
+""")
+
+
+def q_quadtree_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUADTREE COMPRESSION PLAN (multimodal.quadtree_plan): variance-
+    pruned adaptive tiling of the 8x8 synthetic tiles at tau=300 — per
+    image the leaf count at every block size plus the total. The gate is
+    the integer inequality n*sum(x^2)-sum(x)^2 <= tau*n^2 (no floats
+    anywhere); a node is a leaf iff it passes and EVERY ancestor fails.
+    The oracle replays the rule from grouped pixel aggregates in pure
+    SQL (explicit per-level fail tables, pixels always pass)."""
+    from osm2geojson_spark.operators.multimodal import quadtree_plan
+
+    imgs = _synth_images(spark, sf_dir, 360, step=3)  # all 8x8
+    return quadtree_plan(imgs, tau=300, width=8)
+
+
+def _quadtree_plan_sql() -> str:
+    return """
+WITH img AS (
+  SELECT p_partkey AS i FROM part WHERE p_partkey < 360 AND p_partkey % 3 = 0
+), px AS (
+  SELECT i, p % 8 AS x, p // 8 AS y,
+         CAST(((p % 8) * 3 + (p // 8) * 7 + i * 13) % 251 AS BIGINT) AS v
+  FROM (SELECT i, unnest(range(0, 64)) AS p FROM img)
+), f8 AS (
+  SELECT i, (64 * sum(v * v) - sum(v) * sum(v)) > 300 * 64 * 64 AS fail
+  FROM px GROUP BY i
+), f4 AS (
+  SELECT i, x // 4 AS bx, y // 4 AS by,
+         (16 * sum(v * v) - sum(v) * sum(v)) > 300 * 16 * 16 AS fail
+  FROM px GROUP BY i, x // 4, y // 4
+), f2 AS (
+  SELECT i, x // 2 AS bx, y // 2 AS by,
+         (4 * sum(v * v) - sum(v) * sum(v)) > 300 * 4 * 4 AS fail
+  FROM px GROUP BY i, x // 2, y // 2
+), l0 AS (
+  SELECT i, CASE WHEN NOT fail THEN 1 ELSE 0 END AS n FROM f8
+), l1 AS (
+  SELECT f4.i, sum(CASE WHEN NOT f4.fail AND f8.fail THEN 1 ELSE 0 END) AS n
+  FROM f4 JOIN f8 ON f8.i = f4.i GROUP BY f4.i
+), l2 AS (
+  SELECT f2.i,
+         sum(CASE WHEN NOT f2.fail AND p4.fail AND f8.fail THEN 1 ELSE 0 END)
+           AS n,
+         sum(CASE WHEN f2.fail AND p4.fail AND f8.fail THEN 4 ELSE 0 END)
+           AS n_px
+  FROM f2
+  JOIN f4 p4 ON p4.i = f2.i AND p4.bx = f2.bx // 2 AND p4.by = f2.by // 2
+  JOIN f8 ON f8.i = f2.i
+  GROUP BY f2.i
+)
+SELECT printf('img%012d', l0.i) AS image_id,
+       CAST(l0.n AS BIGINT) AS leaves_l0,
+       CAST(l1.n AS BIGINT) AS leaves_l1,
+       CAST(l2.n AS BIGINT) AS leaves_l2,
+       CAST(l2.n_px AS BIGINT) AS leaves_l3,
+       CAST(l0.n + l1.n + l2.n + l2.n_px AS BIGINT) AS n_leaves
+FROM l0 JOIN l1 ON l1.i = l0.i JOIN l2 ON l2.i = l0.i
+"""
+
+
 def q_track_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TRAJECTORY ANOMALY NLL (trajectory.track_nll): per-user negative
     log-likelihood under the corpus-trained Markov cell model at res 5 —
@@ -7691,6 +7872,9 @@ FROM c GROUP BY part_key, bin_id
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "zipf_fit": q_zipf_fit,
+        "gravity_fit": q_gravity_fit,
+        "quadtree_plan": q_quadtree_plan,
         "track_nll": q_track_nll,
         "dirty_pyramid": q_dirty_pyramid,
         "compaction_plan": q_compaction_plan,
@@ -7873,6 +8057,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "zipf_fit": _zipf_fit_sql(),
+        "gravity_fit": _gravity_fit_sql(),
+        "quadtree_plan": _quadtree_plan_sql(),
         "track_nll": _track_nll_sql(),
         "dirty_pyramid": _dirty_pyramid_sql(),
         "compaction_plan": _compaction_plan_sql(),

@@ -61,6 +61,13 @@ BENCH_QUERIES = [
     "zonal_median",
     "subdivide",
     "vectorize_tiles",
+    "isolines",
+    "compaction_plan",
+    "dirty_pyramid",
+    "track_nll",
+    "quadtree_plan",
+    "gravity_fit",
+    "zipf_fit",
     "hilbert_layout",
     "geohash_layout",
     "morans_i",
@@ -227,9 +234,10 @@ def main() -> None:
     # queries per Spark context: one long-lived session accumulates GC /
     # codegen-cache / Python-worker churn that bleeds whole multiples into
     # Arrow-kernel timings once the suite passes ~100 queries (measured:
-    # way_assembly 1.7 s fresh vs 5.8 s at position ~120) — each chunk gets
+    # way_assembly 1.7 s fresh vs 5.8 s at position ~120; with 18-query
+    # chunks the tail of a chunk still inflated 2-3x) — each chunk gets
     # a fresh context, warmed on ITS queries, so numbers stay per-operator
-    chunk_size = int(os.environ.get("SPARK_GRAFT_CHUNK", "18"))
+    chunk_size = int(os.environ.get("SPARK_GRAFT_CHUNK", "12"))
     sf = sf_dir.rstrip("/").split("sf")[-1]
 
     pinned = False
@@ -249,7 +257,6 @@ def main() -> None:
     from osm2geojson_spark.operators.spatial_join import polygons_to_df
 
     qs = E.queries()
-    first_chunk = BENCH_QUERIES[:chunk_size]
 
     # ---- warmup: identical plans on the same SF (amortizes JVM codegen,
     # Arrow worker pool startup, and shuffle-service init — the steady state
@@ -258,11 +265,6 @@ def main() -> None:
         wboxes = E._nation_boxes(spark, sf_dir)
         wpolys = polygons_to_df(spark, [(p, g) for p, g, *_ in wboxes])
         _spatial_fn(spark, E, wpolys, max(20000, n_images // 10), cpus)()
-        for name in first_chunk:
-            try:
-                force(qs[name](spark, sf_dir))
-            except Exception:
-                pass
 
     timings: dict[str, float] = {}
     spreads: dict[str, list[float]] = {}
@@ -332,18 +334,20 @@ def main() -> None:
 
     for ci in range(0, len(BENCH_QUERIES), chunk_size):
         chunk = BENCH_QUERIES[ci : ci + chunk_size]
-        if ci > 0:
-            # fresh context per chunk (see chunk_size comment above); the
-            # chunk's own warmup restores the long-lived-session steady
-            # state for ITS plans without inheriting 100 queries of churn
-            spark.stop()
-            spark = _make_spark(cpus)
-            if do_warmup:
-                for name in chunk:
-                    try:
-                        force(qs[name](spark, sf_dir))
-                    except Exception:
-                        pass
+        # fresh context per chunk, INCLUDING the first one — the launch
+        # context just ran the flagship + osm_convert and is already
+        # churned (measured: chunk-0 tail queries inflate 2-7x in it:
+        # convex_hull 0.6 s fresh vs 4.1 s, zonal_stats 2.3 vs 7.1).
+        # The chunk's own warmup restores the long-lived-session steady
+        # state for ITS plans without inheriting the neighbors' churn.
+        spark.stop()
+        spark = _make_spark(cpus)
+        if do_warmup:
+            for name in chunk:
+                try:
+                    force(qs[name](spark, sf_dir))
+                except Exception:
+                    pass
         for name in chunk:
             bench(name, lambda n=name: force(qs[n](spark, sf_dir)))
 

@@ -12,7 +12,7 @@ shingle fingerprints live in hashing.py).
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # fixed tiny stopword list — part of the operator definition
@@ -219,4 +219,67 @@ def text_features(df, text_col: str = "text", id_cols: tuple[str, ...] = ("doc_i
         quality.alias("quality"),
         lang.alias("lang_pred"),
         md5_long(F.trim(F.col("_padded"))).alias("fingerprint"),
+    )
+
+
+ZIPF_SCALE = 100_000  # fixed-point quantization of the log-log terms
+
+
+def zipf_fit(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """ZIPF'S-LAW FIT of the corpus token-frequency distribution — the
+    slope of ln(count) ~ ln(rank) over the ranked vocabulary (natural
+    corpora sit near -1; a strongly deviating slope is the standard
+    corpus-health / synthetic-text signal in training-data pipelines,
+    and the fit doubles as the input to frequency-based vocab pruning).
+
+    Tokens are the normalized whitespace tokens (normalize_col), ranked
+    by (count DESC, token ASC) — fully deterministic. Exactness is the
+    quantized-OLS scheme (gravity_fit's): per-token qx = round(ln(rank)
+    * 1e5), qy = round(ln(count) * 1e5) int64, the five sufficient
+    statistics are order-free integer sums, and the slope is a short
+    identically-ordered double assembly over them.
+
+    Returns ONE row: (vocab, total_tokens, sx_q, sy_q, sxx_q, sxy_q,
+    zipf_slope).
+
+    Scale: token counts are ONE combinable rollup over the exploded
+    corpus (map-side combine collapses repeats before the shuffle). The
+    dense rank over the vocabulary is the one sequential step — vocab is
+    corpus-SUBLINEAR (~1e7-1e8 at web scale), so a single sort task
+    holds it; shard it by count-range + offset partials if a vocabulary
+    ever outgrows a task."""
+    from pyspark.sql.window import Window
+
+    toks = docs.select(
+        F.explode(F.split(normalize_col(F.col(text_col)), " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    w = Window.orderBy(F.col("n").desc(), F.col("tok").asc())
+    ranked = counts.withColumn("rank", F.row_number().over(w).cast("long"))
+    qx = F.round(F.log(F.col("rank").cast("double")) * F.lit(float(ZIPF_SCALE))).cast("long")
+    qy = F.round(F.log(F.col("n").cast("double")) * F.lit(float(ZIPF_SCALE))).cast("long")
+    agg = ranked.select(
+        F.col("n"), qx.alias("qx"), qy.alias("qy")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+        F.sum("n").cast("long").alias("total_tokens"),
+        F.sum("qx").cast("long").alias("sx_q"),
+        F.sum("qy").cast("long").alias("sy_q"),
+        F.sum(F.col("qx") * F.col("qx")).cast("long").alias("sxx_q"),
+        F.sum(F.col("qx") * F.col("qy")).cast("long").alias("sxy_q"),
+    )
+    nd = F.col("vocab").cast("double")
+    sx = F.col("sx_q").cast("double")
+    sy = F.col("sy_q").cast("double")
+    sxx = F.col("sxx_q").cast("double")
+    sxy = F.col("sxy_q").cast("double")
+    slope = (nd * sxy - sx * sy) / (nd * sxx - sx * sx)
+    return agg.select(
+        "vocab",
+        "total_tokens",
+        "sx_q",
+        "sy_q",
+        "sxx_q",
+        "sxy_q",
+        (F.round(slope, 6) + F.lit(0.0)).alias("zipf_slope"),
     )

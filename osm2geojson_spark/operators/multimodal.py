@@ -1974,3 +1974,87 @@ def resize_bilinear(
     if with_bytes:
         schema += ", bytes binary, fmt string"
     return images.select("image_id", "bytes", "fmt").mapInPandas(fn, schema=schema)
+
+
+def quadtree_plan(
+    images: DataFrame, tau: int = 300, width: int | None = None
+) -> DataFrame:
+    """VARIANCE-PRUNED QUADTREE COMPRESSION PLAN — the adaptive-tiling
+    analysis of an image corpus (the planning stage of quadtree codecs
+    and of level-of-detail tile serving): starting from the whole tile,
+    a node is a LEAF when its pixel variance is <= ``tau``, else it
+    splits into four quadrants, recursively down to single pixels
+    (variance 0 — always leaves). Flat regions collapse into few big
+    leaves; detailed regions decompose.
+
+    Exactness: the variance gate is evaluated as the INTEGER inequality
+
+        n * sum(x^2) - sum(x)^2 <= tau * n^2      (<=> var <= tau)
+
+    from exact block sums, so there is no float anywhere and a pure-SQL
+    oracle replays it from grouped pixel aggregates. A node is a leaf
+    iff its own gate passes and every ancestor's gate FAILS (top-down
+    recursion linearized — no tree walk needed).
+
+    Returns one row per image: (image_id, leaves_s for each block size s
+    in w, w/2, .., 1, n_leaves). Requires square power-of-two tiles.
+
+    Scale: embarrassingly parallel mapInPandas; per level one reshaped
+    block-sum over the image (vectorized), log2(w) levels. The 10^12-row
+    sweep is scan-shaped; downstream LOD writers consume the counts."""
+    assert tau >= 0
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                px = imagecodec.decode(bytes(r.bytes), r.fmt)
+                if px.ndim == 3:
+                    px = px[..., 0]
+                h, w = px.shape
+                assert h == w and (w & (w - 1)) == 0, "square power-of-two"
+                x = px.astype(np.int64)
+                x2 = x * x
+                # per level: fail = n*Q - S^2 > tau*n^2; leaf = pass & all
+                # ancestors fail (ancestor_fail tracked as a growing mask)
+                anc_fail = None  # ancestor-fail mask at current block grid
+                leaves = []
+                s = w
+                while s >= 1:
+                    nb = w // s
+                    S = x.reshape(nb, s, nb, s).sum(axis=(1, 3))
+                    Q = x2.reshape(nb, s, nb, s).sum(axis=(1, 3))
+                    n = s * s
+                    fail = n * Q - S * S > tau * n * n
+                    ok = ~fail
+                    if anc_fail is None:
+                        leaf = ok
+                        anc_fail = fail
+                    else:
+                        leaf = ok & anc_fail
+                        anc_fail = anc_fail & fail
+                    leaves.append(int(leaf.sum()))
+                    if s > 1:
+                        anc_fail = np.repeat(
+                            np.repeat(anc_fail, 2, axis=0), 2, axis=1
+                        )
+                    s //= 2
+                rows.append((r.image_id, *leaves, sum(leaves)))
+            n_levels = len(rows[0]) - 2 if rows else 0
+            yield pd.DataFrame(
+                rows,
+                columns=["image_id"]
+                + [f"leaves_l{i}" for i in range(n_levels)]
+                + ["n_leaves"],
+            )
+
+    # the output schema needs the level count up front; pass ``width``
+    # to keep planning action-free, else it is probed with one tiny job
+    import math as _m
+
+    w0 = width if width is not None else images.select(F.max("w")).first()[0]
+    n_levels = int(_m.log2(int(w0))) + 1
+    cols = ", ".join(f"leaves_l{i} long" for i in range(n_levels))
+    return images.select("image_id", "bytes", "fmt").mapInPandas(
+        fn, schema=f"image_id string, {cols}, n_leaves long"
+    )

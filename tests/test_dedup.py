@@ -898,3 +898,56 @@ def test_duplicate_clusters_shortcut_contracts_chains(spark):
     assert {(r["doc_id"], r["cluster_id"]) for r in a} == {
         (r["doc_id"], r["cluster_id"]) for r in b
     }
+
+
+def test_zipf_fit_matches_brute_ols(spark):
+    """zipf_fit == a Python replay (tokenize, rank, quantized OLS) on a
+    skewed corpus; a perfectly flat (uniform-frequency) vocabulary fits
+    slope 0."""
+    import math
+    from collections import Counter
+
+    from osm2geojson_spark.functions.text import ZIPF_SCALE, zipf_fit
+
+    docs = [
+        (1, "the the the the cat sat on the mat"),
+        (2, "the cat and the dog. The end!"),
+        (3, "a b c the cat"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = zipf_fit(df).collect()[0]
+
+    cnt = Counter()
+    for _, t in docs:
+        import re
+
+        norm = re.sub(" +", " ", re.sub(r"[^a-z0-9 ]", "", t.lower())).strip()
+        cnt.update(w for w in norm.split(" ") if w)
+    ranked = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+    qs = [
+        (
+            round(math.log(r + 1) * ZIPF_SCALE),
+            round(math.log(n) * ZIPF_SCALE),
+        )
+        for r, (_, n) in enumerate(ranked)
+    ]
+    v = len(qs)
+    sx = sum(a for a, _ in qs)
+    sy = sum(b for _, b in qs)
+    sxx = sum(a * a for a, _ in qs)
+    sxy = sum(a * b for a, b in qs)
+    assert (got["vocab"], got["total_tokens"]) == (v, sum(cnt.values()))
+    assert (got["sx_q"], got["sy_q"], got["sxx_q"], got["sxy_q"]) == (
+        sx,
+        sy,
+        sxx,
+        sxy,
+    )
+    slope = (v * sxy - sx * sy) / (v * sxx - sx * sx)
+    assert abs(got["zipf_slope"] - slope) < 1e-5
+    assert got["zipf_slope"] < -0.3  # skewed corpus decays
+
+    flat = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon")], "doc_id long, text string"
+    )
+    assert zipf_fit(flat).collect()[0]["zipf_slope"] == 0.0

@@ -1487,3 +1487,59 @@ def test_isoline_images_matches_brute_and_closed_forms(spark):
     # checkerboard: every interior block is a saddle (2 diag), none straight
     assert got[("checker", 160)]["n_straight"] == 0
     assert got[("checker", 160)]["n_diag"] == 2 * 7 * 7
+
+
+def test_quadtree_plan_matches_recursive_brute(spark):
+    """quadtree_plan == an independent RECURSIVE python quadtree (the
+    linearized ancestor-mask kernel never walks a tree); leaf areas tile
+    the image exactly; a flat tile is one root leaf."""
+    from osm2geojson_spark.functions import imagecodec as IC
+    from osm2geojson_spark.operators.multimodal import quadtree_plan
+
+    def brute(img, tau):
+        counts = {}
+
+        def rec(x0, y0, s, lvl):
+            b = img[y0 : y0 + s, x0 : x0 + s].astype(np.int64)
+            n = s * s
+            if n * (b * b).sum() - b.sum() ** 2 <= tau * n * n:
+                counts[lvl] = counts.get(lvl, 0) + 1
+                return
+            h = s // 2
+            for dx, dy in ((0, 0), (h, 0), (0, h), (h, h)):
+                rec(x0 + dx, y0 + dy, h, lvl + 1)
+
+        rec(0, 0, img.shape[0], 0)
+        return counts
+
+    rng = np.random.default_rng(5)
+    imgs = {
+        "flat": np.full((8, 8), 9, dtype=np.uint8),
+        "noise": rng.integers(0, 256, (8, 8), dtype=np.uint8),
+        "half": np.concatenate(
+            [np.zeros((4, 8), dtype=np.uint8), np.full((4, 8), 200, dtype=np.uint8)]
+        ),
+        "rand16": rng.integers(0, 256, (16, 16), dtype=np.uint8),
+    }
+    tau = 300
+    for name, img in imgs.items():
+        w = img.shape[0]
+        df = spark.createDataFrame(
+            [(name, IC.encode_rawz(img), w, w, "rawz")],
+            "image_id string, bytes binary, w int, h int, fmt string",
+        )
+        row = quadtree_plan(df, tau=tau, width=w).collect()[0]
+        want = brute(img, tau)
+        n_levels = int(np.log2(w)) + 1
+        got = {
+            i: row[f"leaves_l{i}"]
+            for i in range(n_levels)
+            if row[f"leaves_l{i}"]
+        }
+        assert got == want, (name, got, want)
+        area = sum(row[f"leaves_l{i}"] * (w // (1 << i)) ** 2 for i in range(n_levels))
+        assert area == w * w, name
+        assert row["n_leaves"] == sum(want.values())
+    # closed form: flat -> single root leaf
+    # (checked via brute equality above; assert explicitly for the reader)
+    assert brute(imgs["flat"], tau) == {0: 1}
