@@ -7521,6 +7521,51 @@ FROM d
 """
 
 
+def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTENT-DEFINED CHUNKING (sampling.cdc_chunks): Rabin rolling-hash
+    chunk boundaries over the documents corpus (window 8, ~64-char
+    expected chunks) — the edit-robust chunking of dedup systems. The
+    rolling hash is pure JVM column algebra (8 lag terms x precomputed
+    P^k mod M); the oracle replays the identical integer recurrence."""
+    from osm2geojson_spark.operators.sampling import cdc_chunks
+
+    return cdc_chunks(_t(spark, sf_dir, "documents"))
+
+
+def _cdc_chunks_sql() -> str:
+    from osm2geojson_spark.operators.sampling import CDC_M, CDC_P
+
+    terms = " + ".join(
+        f"COALESCE({'code' if k == 0 else f'lag(code, {k}) OVER w'}, 0)"
+        f" * {pow(CDC_P, k, CDC_M)}"
+        for k in range(8)
+    )
+    return f"""
+WITH chars AS (
+  SELECT doc_id, CAST(t.p AS BIGINT) AS pos,
+         ascii(substr(text, CAST(t.p + 1 AS INT), 1)) AS code
+  FROM documents, unnest(range(0, length(text))) t(p)
+  WHERE length(text) > 0
+), h AS (
+  SELECT doc_id, pos, ({terms}) % {CDC_M} AS hmod
+  FROM chars WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+), marked AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos >= 7 AND hmod % 64 = 0 THEN 1 ELSE 0 END AS b
+  FROM h
+), seq AS (
+  SELECT doc_id, pos,
+         COALESCE(SUM(b) OVER (PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_seq
+  FROM marked
+)
+SELECT doc_id, CAST(chunk_seq AS BIGINT) AS chunk_seq,
+       CAST(min(pos) AS BIGINT) AS start,
+       CAST(count(*) AS BIGINT) AS chunk_chars
+FROM seq GROUP BY doc_id, chunk_seq
+"""
+
+
 def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ZIPF'S-LAW FIT (functions/text.zipf_fit): slope of the corpus
     token frequency-rank log-log line over the documents table — the
@@ -7872,6 +7917,7 @@ FROM c GROUP BY part_key, bin_id
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "cdc_chunks": q_cdc_chunks,
         "zipf_fit": q_zipf_fit,
         "gravity_fit": q_gravity_fit,
         "quadtree_plan": q_quadtree_plan,
@@ -8057,6 +8103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "cdc_chunks": _cdc_chunks_sql(),
         "zipf_fit": _zipf_fit_sql(),
         "gravity_fit": _gravity_fit_sql(),
         "quadtree_plan": _quadtree_plan_sql(),

@@ -68,6 +68,7 @@ BENCH_QUERIES = [
     "quadtree_plan",
     "gravity_fit",
     "zipf_fit",
+    "cdc_chunks",
     "hilbert_layout",
     "geohash_layout",
     "morans_i",

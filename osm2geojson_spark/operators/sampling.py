@@ -387,3 +387,81 @@ SELECT {key}, weight, cum,
 FROM c
 WHERE (cum // {stride}) - ((cum - weight) // {stride}) > 0
 """
+
+
+CDC_P = 257  # rolling-hash base
+CDC_M = 1_000_003  # rolling-hash modulus (prime)
+
+
+def cdc_chunks(
+    df: DataFrame,
+    window: int = 8,
+    mask: int = 63,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CONTENT-DEFINED CHUNKING (the Rabin rolling-hash boundary rule of
+    dedup systems: LBFS/rsync/restic) — split each document where the
+    hash of the trailing ``window`` characters satisfies
+    ``h % (mask+1) == 0``, giving chunks whose BOUNDARIES move with the
+    content: insert one character and only the neighboring chunks
+    change, which is what makes chunk-hash dedup robust to edits, where
+    fixed-window chunking (chunk_documents) reshifts everything.
+
+    Expected chunk length is ~(mask+1) characters. The rolling hash is
+    evaluated WITHOUT any UDF: the trailing-window hash at position i is
+
+        h_i = sum_{k=0..window-1} code(c_{i-k}) * P^k  mod M
+
+    i.e. ``window`` lag() terms times precomputed power-of-P constants —
+    pure JVM column algebra over the exploded character sequence,
+    identical integer math in the DuckDB twin. Characters are taken by
+    code unit (``ascii()``/``unicode()`` — corpus is ASCII; a byte-level
+    production variant runs the same recurrence over binary).
+
+    Returns one row per chunk: (id_col, chunk_seq, start, chunk_chars).
+    Empty documents yield no rows.
+
+    Scale: the per-character explode is the ORACLE-PARITY form — honest
+    cost |corpus chars| rows through one per-doc window sort. At 100 TB
+    run the identical recurrence as an Arrow kernel over the raw bytes
+    (mapInPandas, one pass, no explode); the relational form here pins
+    the semantics the kernel must match."""
+    assert window >= 1 and mask >= 0
+    pows = [pow(CDC_P, k, CDC_M) for k in range(window)]
+    chars = (
+        df.filter(F.length(F.col(text_col)) > 0)
+        .select(
+            F.col(id_col),
+            F.posexplode(F.split(F.col(text_col), "(?!^)")).alias("pos", "ch"),
+        )
+        # Spark's split keeps a trailing empty element (python/DuckDB char
+        # enumeration does not) — a phantom code-0 char would corrupt the
+        # last window's hashes
+        .filter(F.length("ch") > 0)
+        .withColumn("code", F.ascii("ch"))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(id_col).orderBy("pos")
+    h = F.lit(0).cast("long")
+    for k, pk in enumerate(pows):
+        ck = F.lag("code", k).over(w) if k else F.col("code")
+        h = h + F.coalesce(ck, F.lit(0)).cast("long") * F.lit(pk)
+    hmod = F.pmod(h, F.lit(CDC_M))
+    boundary = (
+        (F.col("pos") >= F.lit(window - 1))
+        & (F.pmod(hmod, F.lit(mask + 1)) == 0)
+    ).cast("long")
+    marked = chars.withColumn("_b", boundary).withColumn(
+        # a boundary ENDS a chunk at pos: the next char starts chunk+1
+        "chunk_seq",
+        F.coalesce(
+            F.sum("_b").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ).cast("long"),
+    )
+    return marked.groupBy(id_col, "chunk_seq").agg(
+        F.min("pos").cast("long").alias("start"),
+        F.count(F.lit(1)).cast("long").alias("chunk_chars"),
+    )

@@ -180,3 +180,64 @@ def test_theta_distinct_exact_survivors_and_accuracy(spark):
         ).fetchall()
     }
     assert twin == got
+
+
+def test_cdc_chunks_matches_brute_and_is_edit_robust(spark):
+    """cdc_chunks == a per-doc Python rolling-hash replay, and the CDC
+    property holds: inserting one character early in a document leaves
+    every boundary after the next surviving cut point unchanged
+    (relative to the end) — the reason dedup uses CDC over fixed
+    windows."""
+    from osm2geojson_spark.operators.sampling import CDC_M, CDC_P, cdc_chunks
+
+    W, MASK = 8, 63
+
+    def brute(text):
+        codes = [ord(c) for c in text]
+        cuts = []
+        for i in range(len(codes)):
+            if i < W - 1:
+                continue
+            h = sum(
+                codes[i - k] * pow(CDC_P, k, CDC_M) for k in range(W)
+            ) % CDC_M
+            if h % (MASK + 1) == 0:
+                cuts.append(i)
+        chunks = []
+        start = 0
+        for c in cuts:
+            chunks.append((start, c - start + 1))
+            start = c + 1
+        if start < len(codes):
+            chunks.append((start, len(codes) - start))
+        return chunks
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and then some filler "
+        "content to make several chunk boundaries appear in this document "
+        "0123456789 abcdefghijklmnopqrstuvwxyz repeated words words words"
+    ) * 3
+    edited = base[:10] + "X" + base[10:]
+    docs = [(1, base), (2, edited), (3, ""), (4, "short")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {}
+    for r in cdc_chunks(df).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["chunk_seq"], r["start"], r["chunk_chars"])
+        )
+    for d in got:
+        got[d].sort()
+    for doc_id, text in docs:
+        want = [(i, s, n) for i, (s, n) in enumerate(brute(text))]
+        assert got.get(doc_id, []) == want, doc_id
+    assert 3 not in got  # empty doc: no rows
+    # coverage: chunks tile the document exactly
+    for doc_id, text in docs:
+        if text:
+            assert sum(n for _, _, n in got[doc_id]) == len(text)
+            assert got[doc_id][0][1] == 0
+    # edit robustness: boundary positions measured FROM THE END converge
+    b1 = [len(base) - s for _, s, _ in got[1][1:]]
+    b2 = [len(edited) - s for _, s, _ in got[2][1:]]
+    tail = min(len(b1), len(b2)) - 1
+    assert tail >= 1 and b1[-tail:] == b2[-tail:]
