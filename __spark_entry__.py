@@ -7521,6 +7521,65 @@ FROM d
 """
 
 
+def q_mosaic_crop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WINDOWED TILE-STORE READ (multimodal.mosaic_crop): extract global
+    region [5,37) x [9,30) from the 6x6 mosaic of 8x8 mixed rawz/png
+    tiles — tiles are pruned by grid coords BEFORE decode (the layout's
+    partition-pruning shape). Output is exact-integer region evidence
+    incl. a placement-pinning position-weighted checksum; the oracle
+    generates the region's pixels directly from the deterministic
+    formula, sharing no crop logic."""
+    from osm2geojson_spark.operators.multimodal import mosaic_crop
+
+    part = _t(spark, sf_dir, "part").filter(F.col("p_partkey") < 36)
+    k = F.col("p_partkey")
+    tiles = part.select(
+        (k % 6).cast("int").alias("tile_x"),
+        (k / 6).cast("int").alias("tile_y"),
+        ((F.lit(17) * k) % 251).cast("int").alias("_i"),
+        F.when(k % 7 == 0, F.lit("png")).otherwise(F.lit("rawz")).alias("fmt"),
+    ).withColumn(
+        "bytes",
+        SYN._encode_image_fmt_udf(
+            F.col("_i"), F.lit(8).cast("int"), F.lit(8).cast("int"), F.col("fmt")
+        ),
+    )
+    return mosaic_crop(tiles, 5, 9, 37, 30, tile_w=8)
+
+
+def _mosaic_crop_sql() -> str:
+    stride = 8 * (1 << 20)
+    return f"""
+WITH g AS (
+  SELECT gx.g AS gx, gy.g AS gy
+  FROM (SELECT unnest(range(5, 37)) AS g) gx,
+       (SELECT unnest(range(9, 30)) AS g) gy
+), v AS (
+  SELECT gx, gy,
+         CAST((((gx % 8) * 3 + (gy % 8) * 7
+                + ((17 * ((gy // 8) * 6 + (gx // 8))) % 251) * 13) % 251)
+              AS BIGINT) AS v
+  FROM g
+)
+SELECT CAST(32 AS BIGINT) AS w, CAST(21 AS BIGINT) AS h,
+       CAST(count(*) AS BIGINT) AS n_px,
+       CAST(sum(v) AS BIGINT) AS sum_v,
+       CAST(sum(v * v) AS BIGINT) AS sum_v2,
+       CAST(sum(v * (gx * {stride} + gy + 1)) AS BIGINT) AS possum
+FROM v
+"""
+
+
+def q_cdc_chunks_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCTION CDC form (sampling.cdc_chunks_arrow): the same Rabin
+    boundaries as cdc_chunks computed by the one-pass Arrow byte kernel
+    (np.convolve recurrence, no explode, no shuffle) — row-for-row equal
+    to the relational form, so it shares its SQL oracle verbatim."""
+    from osm2geojson_spark.operators.sampling import cdc_chunks_arrow
+
+    return cdc_chunks_arrow(_t(spark, sf_dir, "documents"))
+
+
 def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CONTENT-DEFINED CHUNKING (sampling.cdc_chunks): Rabin rolling-hash
     chunk boundaries over the documents corpus (window 8, ~64-char
@@ -7917,6 +7976,8 @@ FROM c GROUP BY part_key, bin_id
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "mosaic_crop": q_mosaic_crop,
+        "cdc_chunks_arrow": q_cdc_chunks_arrow,
         "cdc_chunks": q_cdc_chunks,
         "zipf_fit": q_zipf_fit,
         "gravity_fit": q_gravity_fit,
@@ -8103,6 +8164,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "mosaic_crop": _mosaic_crop_sql(),
+        "cdc_chunks_arrow": _cdc_chunks_sql(),
         "cdc_chunks": _cdc_chunks_sql(),
         "zipf_fit": _zipf_fit_sql(),
         "gravity_fit": _gravity_fit_sql(),

@@ -69,6 +69,8 @@ BENCH_QUERIES = [
     "gravity_fit",
     "zipf_fit",
     "cdc_chunks",
+    "cdc_chunks_arrow",
+    "mosaic_crop",
     "hilbert_layout",
     "geohash_layout",
     "morans_i",

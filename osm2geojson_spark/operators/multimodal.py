@@ -2058,3 +2058,88 @@ def quadtree_plan(
     return images.select("image_id", "bytes", "fmt").mapInPandas(
         fn, schema=f"image_id string, {cols}, n_leaves long"
     )
+
+
+def mosaic_crop(
+    tiles: DataFrame,
+    x0: int,
+    y0: int,
+    x1: int,
+    y1: int,
+    tile_w: int = 8,
+    tx_col: str = "tile_x",
+    ty_col: str = "tile_y",
+) -> DataFrame:
+    """WINDOWED READ of a tiled image layer — extract the pixel region
+    [x0, x1) x [y0, y1) in GLOBAL mosaic coordinates from uniform
+    ``tile_w`` x ``tile_w`` tiles (the renderer / training-crop primitive
+    over a tile store: the region straddles tile borders, so each
+    touched tile contributes its intersection).
+
+    Tiles NOT intersecting the window are pruned by a plain filter on
+    the (tx, ty) grid columns BEFORE any decode — the partition-pruning
+    shape of the cell-partitioned layout (plans/layout.py); at 10^12
+    tiles that filter is the difference between reading four tiles and
+    reading the planet.
+
+    Output is ONE row of exact-integer region evidence: (w, h, n_px,
+    sum_v, sum_v2, possum) where possum = sum(v * (gx * mosaic_stride +
+    gy + 1)) pins every pixel's PLACEMENT (a misplaced tile or an
+    off-by-one crop changes it), summed in int64 so it is
+    partition-order-free. mosaic_stride = tile_w * 2^20 keeps positions
+    unique for any practical mosaic width.
+
+    Scale: filter -> per-tile Arrow crop (decode only the touched
+    tiles) -> one combinable global rollup. No shuffle of pixels."""
+    assert x0 < x1 and y0 < y1
+    stride = tile_w * (1 << 20)
+    tx0, tx1 = x0 // tile_w, (x1 - 1) // tile_w
+    ty0, ty1 = y0 // tile_w, (y1 - 1) // tile_w
+    touched = tiles.filter(
+        (F.col(tx_col) >= tx0)
+        & (F.col(tx_col) <= tx1)
+        & (F.col(ty_col) >= ty0)
+        & (F.col(ty_col) <= ty1)
+    )
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                px = imagecodec.decode(bytes(r[2]), r[3])
+                if px.ndim == 3:
+                    px = px[..., 0]
+                gx0, gy0 = int(r[0]) * tile_w, int(r[1]) * tile_w
+                cx0, cx1 = max(x0, gx0), min(x1, gx0 + tile_w)
+                cy0, cy1 = max(y0, gy0), min(y1, gy0 + tile_w)
+                if cx0 >= cx1 or cy0 >= cy1:
+                    continue
+                sub = px[cy0 - gy0 : cy1 - gy0, cx0 - gx0 : cx1 - gx0].astype(
+                    np.int64
+                )
+                gxs = np.arange(cx0, cx1, dtype=np.int64)[None, :]
+                gys = np.arange(cy0, cy1, dtype=np.int64)[:, None]
+                pos = gxs * stride + gys + 1
+                rows.append(
+                    (
+                        int(sub.size),
+                        int(sub.sum()),
+                        int((sub * sub).sum()),
+                        int((sub * pos).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["n_px", "sum_v", "sum_v2", "possum"]
+            )
+
+    parts = touched.select(tx_col, ty_col, "bytes", "fmt").mapInPandas(
+        fn, schema="n_px long, sum_v long, sum_v2 long, possum long"
+    )
+    return parts.agg(
+        F.lit(x1 - x0).cast("long").alias("w"),
+        F.lit(y1 - y0).cast("long").alias("h"),
+        F.sum("n_px").cast("long").alias("n_px"),
+        F.sum("sum_v").cast("long").alias("sum_v"),
+        F.sum("sum_v2").cast("long").alias("sum_v2"),
+        F.sum("possum").cast("long").alias("possum"),
+    )

@@ -465,3 +465,67 @@ def cdc_chunks(
         F.min("pos").cast("long").alias("start"),
         F.count(F.lit(1)).cast("long").alias("chunk_chars"),
     )
+
+
+def cdc_chunks_arrow(
+    df: DataFrame,
+    window: int = 8,
+    mask: int = 63,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """PRODUCTION FORM of cdc_chunks — the identical rolling-hash
+    recurrence as a ONE-PASS Arrow kernel: no per-character explode, no
+    window shuffle; each document is chunked inside its batch with a
+    vectorized convolution (np.convolve of the code-point array with the
+    P^k kernel, one mod at the end — exact in int64: max code 0x10FFFF
+    x P^k < 2^53 per term, window terms sum < 2^63).
+
+    Semantics are PINNED to the relational form (tests assert row-for-row
+    equality): same boundaries, same (id, chunk_seq, start, chunk_chars)
+    rows, empty documents yield nothing. At 10^12 documents this is the
+    form to run — scan-shaped, shuffle-free; cdc_chunks is its oracle."""
+    import numpy as np
+    import pandas as pd
+
+    assert window >= 1 and mask >= 0
+    pows = np.asarray(
+        [pow(CDC_P, k, CDC_M) for k in range(window)], dtype=np.int64
+    )
+
+    def fn(it):
+        for pdf in it:
+            out_id, out_seq, out_start, out_len = [], [], [], []
+            for r in pdf.itertuples(index=False):
+                text = r[1]
+                if not text:
+                    continue
+                codes = np.fromiter(
+                    (ord(c) for c in text), dtype=np.int64, count=len(text)
+                )
+                # h_i = sum_k codes[i-k] * P[k]  (mod M), i >= window-1
+                conv = np.convolve(codes, pows)
+                h = conv[window - 1 : len(codes)] % CDC_M
+                cuts = np.flatnonzero(h % (mask + 1) == 0) + (window - 1)
+                starts = np.concatenate(([0], cuts + 1))
+                ends = np.concatenate((cuts, [len(codes) - 1]))
+                keep = starts <= ends  # drop phantom tail when text ends on a cut
+                starts, ends = starts[keep], ends[keep]
+                n = len(starts)
+                out_id.extend([r[0]] * n)
+                out_seq.extend(range(n))
+                out_start.extend(starts.tolist())
+                out_len.extend((ends - starts + 1).tolist())
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(out_id, dtype="int64"),
+                    "chunk_seq": pd.Series(out_seq, dtype="int64"),
+                    "start": pd.Series(out_start, dtype="int64"),
+                    "chunk_chars": pd.Series(out_len, dtype="int64"),
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        fn,
+        schema=f"{id_col} long, chunk_seq long, start long, chunk_chars long",
+    )

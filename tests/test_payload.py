@@ -1543,3 +1543,53 @@ def test_quadtree_plan_matches_recursive_brute(spark):
     # closed form: flat -> single root leaf
     # (checked via brute equality above; assert explicitly for the reader)
     assert brute(imgs["flat"], tau) == {0: 1}
+
+
+def test_mosaic_crop_matches_numpy_assembly(spark):
+    """mosaic_crop == cropping a NumPy-assembled full mosaic, for windows
+    that straddle borders, sit inside one tile, and cover everything;
+    the position checksum catches a deliberately swapped tile."""
+    from osm2geojson_spark.functions import imagecodec as IC
+    from osm2geojson_spark.operators.multimodal import mosaic_crop
+    from osm2geojson_spark.functions.imagecodec import synth_pixels
+
+    tw, nx, ny = 8, 3, 2
+    tiles = []
+    full = np.zeros((ny * tw, nx * tw), dtype=np.int64)
+    for ty in range(ny):
+        for tx in range(nx):
+            i = (ty * nx + tx) * 29 % 251
+            px = synth_pixels(i, tw, tw)
+            full[ty * tw : (ty + 1) * tw, tx * tw : (tx + 1) * tw] = px
+            tiles.append((tx, ty, IC.encode_rawz(px.astype(np.uint8)), "rawz"))
+    df = spark.createDataFrame(
+        tiles, "tile_x int, tile_y int, bytes binary, fmt string"
+    )
+
+    def want(x0, y0, x1, y1):
+        sub = full[y0:y1, x0:x1]
+        gxs = np.arange(x0, x1, dtype=np.int64)[None, :]
+        gys = np.arange(y0, y1, dtype=np.int64)[:, None]
+        pos = gxs * (tw << 20) + gys + 1
+        return (
+            x1 - x0, y1 - y0, sub.size, int(sub.sum()),
+            int((sub * sub).sum()), int((sub * pos).sum()),
+        )
+
+    for win in ((5, 3, 19, 14), (2, 2, 6, 7), (0, 0, nx * tw, ny * tw)):
+        row = mosaic_crop(df, *win, tile_w=tw).collect()[0]
+        assert tuple(row) == want(*win), win
+
+    # swap two tiles -> sums may agree but the position checksum must not
+    swapped = list(tiles)
+    swapped[0], swapped[1] = (
+        (tiles[1][0], tiles[1][1], tiles[0][2], tiles[0][3]),
+        (tiles[0][0], tiles[0][1], tiles[1][2], tiles[1][3]),
+    )
+    df2 = spark.createDataFrame(
+        swapped, "tile_x int, tile_y int, bytes binary, fmt string"
+    )
+    r1 = mosaic_crop(df, 0, 0, 16, 8, tile_w=tw).collect()[0]
+    r2 = mosaic_crop(df2, 0, 0, 16, 8, tile_w=tw).collect()[0]
+    assert r1["sum_v"] == r2["sum_v"]  # same multiset of pixels
+    assert r1["possum"] != r2["possum"]  # different placement

@@ -241,3 +241,22 @@ def test_cdc_chunks_matches_brute_and_is_edit_robust(spark):
     b2 = [len(edited) - s for _, s, _ in got[2][1:]]
     tail = min(len(b1), len(b2)) - 1
     assert tail >= 1 and b1[-tail:] == b2[-tail:]
+
+
+def test_cdc_chunks_arrow_equals_relational(spark):
+    """The Arrow byte-kernel CDC form is row-for-row identical to the
+    relational (oracle) form on mixed-length random ASCII docs, including
+    cut-at-last-char and shorter-than-window edge cases."""
+    import random
+
+    from osm2geojson_spark.operators.sampling import cdc_chunks, cdc_chunks_arrow
+
+    rng = random.Random(3)
+    docs = [(0, ""), (1, "tiny"), (2, "exactly8")]
+    alpha = "abcdefghij klmnop qrstuvwxyz 0123456789."
+    for i in range(3, 40):
+        docs.append((i, "".join(rng.choice(alpha) for _ in range(rng.randint(1, 400)))))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rel = sorted(map(tuple, cdc_chunks(df).collect()))
+    arr = sorted(map(tuple, cdc_chunks_arrow(df).collect()))
+    assert rel == arr and len(rel) > 40
