@@ -7521,6 +7521,91 @@ FROM d
 """
 
 
+def q_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LABEL-NOISE MINING (similarity.label_noise_scores): per-vector
+    count of k=10 nearest cosine neighbors (self excluded, (cos DESC,
+    id ASC) pinned order) carrying a different label — the confident-
+    learning triage signal over the labeled embeddings table. The
+    oracle replays the ranked cross join and the integer disagreement
+    count."""
+    from osm2geojson_spark.operators.similarity import label_noise_scores
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+        F.col("label").cast("long").alias("label"),
+    )
+    return label_noise_scores(emb, k=10)
+
+
+_LABEL_NOISE_SQL = """
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v, CAST(label AS BIGINT) AS label
+  FROM embeddings
+), d AS (
+  SELECT q.vec_id AS qid, q.label AS qlab, t.vec_id AS tid, t.label AS tlab,
+         list_dot_product(q.v, t.v)
+           / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(t.v, t.v)))
+           AS cos
+  FROM e q JOIN e t ON q.vec_id != t.vec_id
+), r AS (
+  SELECT qid, qlab, tlab,
+         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, tid ASC) AS rank
+  FROM d
+)
+SELECT qid AS vec_id, qlab AS label,
+       CAST(sum(CASE WHEN tlab != qlab THEN 1 ELSE 0 END) AS BIGINT) AS n_diff,
+       CAST(count(*) AS BIGINT) AS k_eff
+FROM r WHERE rank <= 10 GROUP BY qid, qlab
+"""
+
+
+def q_centroid_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLASS-CENTROID MARGIN (similarity.centroid_margins): each
+    vector's cosine to its own class centroid minus its best other-class
+    centroid — the cheap first-pass embedding quality score. Centroids
+    are combinable (label, dim) mean rollups broadcast back; the oracle
+    rebuilds them with the same per-dim mean and replays the rounded
+    cosine assembly."""
+    from osm2geojson_spark.operators.similarity import centroid_margins
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+        F.col("label").cast("long").alias("label"),
+    )
+    return centroid_margins(emb)
+
+
+_CENTROID_MARGIN_SQL = """
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v, CAST(label AS BIGINT) AS label
+  FROM embeddings
+), dims AS (
+  SELECT label AS clab, t.d AS d, sum(v[t.d + 1]) AS s, count(*) AS n
+  FROM e, (SELECT unnest(range(64)) AS d) t
+  GROUP BY label, t.d
+), cent AS (
+  SELECT clab, list(s / n ORDER BY d) AS c FROM dims GROUP BY clab
+), scored AS (
+  SELECT e.vec_id, e.label, cent.clab,
+         list_dot_product(e.v, cent.c)
+           / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cent.c, cent.c)))
+           AS cos
+  FROM e CROSS JOIN cent
+), own AS (
+  SELECT vec_id, label, round(cos, 6) + 0.0 AS own_cos
+  FROM scored WHERE label = clab
+), other AS (
+  SELECT vec_id, round(max(cos), 6) + 0.0 AS other_cos
+  FROM scored WHERE label != clab GROUP BY vec_id
+)
+SELECT own.vec_id, own.label, own.own_cos, other.other_cos,
+       round(own.own_cos - other.other_cos, 6) + 0.0 AS margin
+FROM own JOIN other ON other.vec_id = own.vec_id
+"""
+
+
 def q_mosaic_crop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WINDOWED TILE-STORE READ (multimodal.mosaic_crop): extract global
     region [5,37) x [9,30) from the 6x6 mosaic of 8x8 mixed rawz/png
@@ -7976,6 +8061,8 @@ FROM c GROUP BY part_key, bin_id
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "label_noise": q_label_noise,
+        "centroid_margin": q_centroid_margin,
         "mosaic_crop": q_mosaic_crop,
         "cdc_chunks_arrow": q_cdc_chunks_arrow,
         "cdc_chunks": q_cdc_chunks,
@@ -8164,6 +8251,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "label_noise": _LABEL_NOISE_SQL,
+        "centroid_margin": _CENTROID_MARGIN_SQL,
         "mosaic_crop": _mosaic_crop_sql(),
         "cdc_chunks_arrow": _cdc_chunks_sql(),
         "cdc_chunks": _cdc_chunks_sql(),

@@ -71,6 +71,8 @@ BENCH_QUERIES = [
     "cdc_chunks",
     "cdc_chunks_arrow",
     "mosaic_crop",
+    "label_noise",
+    "centroid_margin",
     "hilbert_layout",
     "geohash_layout",
     "morans_i",

@@ -879,3 +879,129 @@ SELECT CAST(a.i AS INTEGER) AS i, CAST(b.i AS INTEGER) AS j,
 FROM q a JOIN q b ON b.vec_id = a.vec_id AND b.i >= a.i
 GROUP BY a.i, b.i
 """
+
+
+def label_noise_scores(
+    emb: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """LABEL-NOISE MINING over a labeled embedding table (the confident-
+    learning / deep-kNN signal of training-data curation): for each
+    vector, how many of its k nearest neighbors (cosine, self excluded)
+    carry a DIFFERENT label. High disagreement = likely mislabeled or
+    boundary sample; the standard triage queue before relabeling.
+
+    Deterministic: neighbors ranked (cos DESC, id ASC); the score
+    ``n_diff`` is an exact integer over that pinned neighbor set.
+    Returns (id, label, n_diff, k_eff) — k_eff < k only when the corpus
+    has fewer than k+1 rows.
+
+    Scale: this exact form is the brute O(n^2) oracle shape — run it on
+    validation samples. At corpus scale swap the candidate generator for
+    the banded-LSH / IVF paths in this module (same ranking + scoring
+    tail); candidates-then-exact-verify is the house ANN pattern."""
+    q = emb.select(
+        F.col(id_col).alias("_qid"),
+        F.col(vec_col).alias("_qvec"),
+        F.col(label_col).alias("_qlab"),
+    )
+    t = emb.select(
+        F.col(id_col).alias("_tid"),
+        F.col(vec_col).alias("_tvec"),
+        F.col(label_col).alias("_tlab"),
+    )
+    cand = (
+        q.crossJoin(t)
+        .filter(F.col("_qid") != F.col("_tid"))
+        .withColumn("cos", cosine_col(F.col("_qvec"), F.col("_tvec")))
+    )
+    wnd = Window.partitionBy("_qid").orderBy(
+        F.col("cos").desc(), F.col("_tid").asc()
+    )
+    topk = cand.withColumn("rank", F.row_number().over(wnd)).filter(
+        F.col("rank") <= k
+    )
+    return topk.groupBy("_qid").agg(
+        F.first("_qlab").alias(label_col),
+        F.sum((F.col("_tlab") != F.col("_qlab")).cast("long"))
+        .cast("long")
+        .alias("n_diff"),
+        F.count(F.lit(1)).cast("long").alias("k_eff"),
+    ).select(F.col("_qid").alias(id_col), label_col, "n_diff", "k_eff")
+
+
+def centroid_margins(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """CLASS-CENTROID MARGIN — each vector's cosine to its own class
+    centroid vs its best other-class centroid (margin = own - best
+    other): the cheap embedding-space quality score (negative margin =
+    lives closer to another class; the first-pass filter before the
+    kNN label-noise pass, at a fraction of its cost).
+
+    Centroids are UNNORMALIZED per-class means in double, computed as a
+    COMBINABLE (label, dim) rollup over the dim-exploded vectors (map-
+    side partial sums — never a collect_list of vectors), re-assembled
+    into arrays and broadcast back as a tiny table; every per-row score
+    is then pure JVM column math. Cosines are rounded to 6 decimals
+    (house float rule) and the margin is their difference.
+
+    Note the per-dim mean is sum/count in DOUBLE with the partial-sum
+    order unpinned — centroid coordinates are stable to ~1 ulp, and the
+    6-decimal rounding absorbs it (same contract as this module's other
+    float scores).
+
+    Scale: one (label, dim) rollup over the corpus (|classes| x dim rows
+    out), one broadcast join, no shuffle of vectors."""
+    dims = (
+        emb.select(
+            F.col(label_col).alias("_clab"),
+            F.posexplode(F.col(vec_col)).alias("_d", "_x"),
+        )
+        .groupBy("_clab", "_d")
+        .agg(
+            F.sum(F.col("_x").cast("double")).alias("_s"),
+            F.count(F.lit(1)).cast("long").alias("_n"),
+        )
+    )
+    sums = (
+        dims.groupBy("_clab")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("_d", (F.col("_s") / F.col("_n").cast("double")).alias("_m")))
+            ).alias("_dm")
+        )
+        .select(
+            "_clab", F.transform("_dm", lambda s: s["_m"]).alias("_cent")
+        )
+    )
+    scored = (
+        emb.select(
+            F.col(id_col).alias("_id"),
+            F.col(label_col).alias("_lab"),
+            F.col(vec_col).alias("_v"),
+        )
+        .crossJoin(F.broadcast(sums))
+        .withColumn("cos", cosine_col(F.col("_v"), F.col("_cent")))
+    )
+    own = scored.filter(F.col("_lab") == F.col("_clab")).select(
+        "_id", "_lab", F.round("cos", 6).alias("own_cos")
+    )
+    other = (
+        scored.filter(F.col("_lab") != F.col("_clab"))
+        .groupBy("_id")
+        .agg(F.round(F.max("cos"), 6).alias("other_cos"))
+    )
+    return own.join(other, "_id").select(
+        F.col("_id").alias(id_col),
+        F.col("_lab").alias(label_col),
+        "own_cos",
+        "other_cos",
+        F.round(F.col("own_cos") - F.col("other_cos"), 6).alias("margin"),
+    )

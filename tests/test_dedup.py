@@ -951,3 +951,58 @@ def test_zipf_fit_matches_brute_ols(spark):
         [(1, "alpha beta gamma delta epsilon")], "doc_id long, text string"
     )
     assert zipf_fit(flat).collect()[0]["zipf_slope"] == 0.0
+
+
+def test_label_noise_and_centroid_margin_match_numpy(spark):
+    """Both embedding-quality scores == NumPy replays on two separated
+    gaussian clusters; a vector given the WRONG label maxes the kNN
+    disagreement and goes margin-negative."""
+    import numpy as np
+
+    from osm2geojson_spark.operators.similarity import (
+        centroid_margins,
+        label_noise_scores,
+    )
+
+    rng = np.random.default_rng(9)
+    a = rng.normal((5, 0, 0), 0.3, (20, 3))
+    b = rng.normal((0, 5, 0), 0.3, (20, 3))
+    vecs = np.concatenate([a, b])
+    labels = [0] * 20 + [1] * 20
+    labels[3] = 1  # planted label noise inside cluster A
+    rows = [
+        (i, [float(x) for x in vecs[i]], labels[i]) for i in range(len(vecs))
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label long"
+    )
+
+    k = 5
+    got_noise = {r["vec_id"]: r for r in label_noise_scores(df, k=k).collect()}
+    norms = np.linalg.norm(vecs, axis=1)
+    cos = (vecs @ vecs.T) / np.outer(norms, norms)
+    for i in range(len(vecs)):
+        order = sorted(
+            (j for j in range(len(vecs)) if j != i),
+            key=lambda j: (-cos[i, j], j),
+        )[:k]
+        n_diff = sum(labels[j] != labels[i] for j in order)
+        assert (got_noise[i]["n_diff"], got_noise[i]["k_eff"]) == (n_diff, k), i
+    assert got_noise[3]["n_diff"] == k  # the planted noise is fully flagged
+
+    got_m = {r["vec_id"]: r for r in centroid_margins(df).collect()}
+    cents = {
+        c: vecs[[i for i in range(len(vecs)) if labels[i] == c]].mean(axis=0)
+        for c in (0, 1)
+    }
+    for i in range(len(vecs)):
+        own = cents[labels[i]]
+        oth = cents[1 - labels[i]]
+        oc = round(float(vecs[i] @ own / (norms[i] * np.linalg.norm(own))), 6)
+        xc = round(float(vecs[i] @ oth / (norms[i] * np.linalg.norm(oth))), 6)
+        r = got_m[i]
+        assert abs(r["own_cos"] - oc) < 2e-6 and abs(r["other_cos"] - xc) < 2e-6, i
+        assert abs(r["margin"] - round(oc - xc, 6)) < 4e-6
+    assert got_m[3]["margin"] < 0  # mislabeled: nearer the other centroid
+    clean_margins = [got_m[i]["margin"] for i in range(40) if i != 3]
+    assert min(clean_margins) > 0
