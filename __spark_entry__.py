@@ -7530,10 +7530,19 @@ def q_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
     count."""
     from osm2geojson_spark.operators.similarity import label_noise_scores
 
-    emb = _t(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
-        F.col("label").cast("long").alias("label"),
+    # brute oracle shape (docstring: run on validation samples; the scale
+    # path swaps in LSH/IVF candidates) — cap the sample so the fixture
+    # stays O(640k) pairs at any sf
+    emb = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 800)
+        .select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias(
+                "embedding"
+            ),
+            F.col("label").cast("long").alias("label"),
+        )
     )
     return label_noise_scores(emb, k=10)
 
@@ -7541,7 +7550,7 @@ def q_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LABEL_NOISE_SQL = """
 WITH e AS (
   SELECT vec_id, embedding::DOUBLE[] AS v, CAST(label AS BIGINT) AS label
-  FROM embeddings
+  FROM embeddings WHERE vec_id < 800
 ), d AS (
   SELECT q.vec_id AS qid, q.label AS qlab, t.vec_id AS tid, t.label AS tlab,
          list_dot_product(q.v, t.v)
