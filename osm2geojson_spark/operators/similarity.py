@@ -887,6 +887,7 @@ def label_noise_scores(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str = "label",
+    method: str = "gemm",
 ) -> DataFrame:
     """LABEL-NOISE MINING over a labeled embedding table (the confident-
     learning / deep-kNN signal of training-data curation): for each
@@ -903,34 +904,77 @@ def label_noise_scores(
     validation samples. At corpus scale swap the candidate generator for
     the banded-LSH / IVF paths in this module (same ranking + scoring
     tail); candidates-then-exact-verify is the house ANN pattern."""
-    q = emb.select(
-        F.col(id_col).alias("_qid"),
-        F.col(vec_col).alias("_qvec"),
-        F.col(label_col).alias("_qlab"),
+    if method == "relational":
+        q = emb.select(
+            F.col(id_col).alias("_qid"),
+            F.col(vec_col).alias("_qvec"),
+            F.col(label_col).alias("_qlab"),
+        )
+        t = emb.select(
+            F.col(id_col).alias("_tid"),
+            F.col(vec_col).alias("_tvec"),
+            F.col(label_col).alias("_tlab"),
+        )
+        cand = (
+            q.crossJoin(t)
+            .filter(F.col("_qid") != F.col("_tid"))
+            .withColumn("cos", cosine_col(F.col("_qvec"), F.col("_tvec")))
+        )
+        wnd = Window.partitionBy("_qid").orderBy(
+            F.col("cos").desc(), F.col("_tid").asc()
+        )
+        topk = cand.withColumn("rank", F.row_number().over(wnd)).filter(
+            F.col("rank") <= k
+        )
+        return topk.groupBy("_qid").agg(
+            F.first("_qlab").alias(label_col),
+            F.sum((F.col("_tlab") != F.col("_qlab")).cast("long"))
+            .cast("long")
+            .alias("n_diff"),
+            F.count(F.lit(1)).cast("long").alias("k_eff"),
+        ).select(F.col("_qid").alias(id_col), label_col, "n_diff", "k_eff")
+
+    # default GEMM path: the (validation-sized) corpus is broadcast as one
+    # NumPy matrix and every query batch scores against it with a single
+    # matrix multiply — the relational form's array-HOF cosine is
+    # interpreted per element (no codegen for higher-order functions) and
+    # measured ~10x slower at 800x800; both paths are pinned equal in
+    # tests. Neighbor order stays (cos DESC, id ASC).
+    rows = emb.select(id_col, vec_col, label_col).collect()
+    rows.sort(key=lambda r: r[0])
+    ids = np.asarray([r[0] for r in rows], dtype=np.int64)
+    labels = np.asarray([r[2] for r in rows], dtype=np.int64)
+    C = np.asarray([r[1] for r in rows], dtype=np.float64)
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1), 1e-300)[:, None]
+    sc = emb.sparkSession.sparkContext
+    bc = sc.broadcast((ids, labels, Cn))
+
+    def fn(it):
+        b_ids, b_labels, b_Cn = bc.value
+        for pdf in it:
+            if not len(pdf):
+                continue
+            qid = pdf.iloc[:, 0].to_numpy(dtype=np.int64)
+            qlab = pdf.iloc[:, 2].to_numpy(dtype=np.int64)
+            Q = np.asarray(list(pdf.iloc[:, 1]), dtype=np.float64)
+            Qn = Q / np.maximum(np.linalg.norm(Q, axis=1), 1e-300)[:, None]
+            S = Qn @ b_Cn.T
+            out = []
+            for r in range(len(qid)):
+                srow = S[r].copy()
+                srow[b_ids == qid[r]] = -np.inf  # self out
+                order = np.lexsort((b_ids, -srow))[:k]
+                order = order[np.isfinite(srow[order])]
+                nd = int((b_labels[order] != qlab[r]).sum())
+                out.append((int(qid[r]), int(qlab[r]), nd, len(order)))
+            yield pd.DataFrame(
+                out, columns=[id_col, label_col, "n_diff", "k_eff"]
+            )
+
+    return emb.select(id_col, vec_col, label_col).mapInPandas(
+        fn,
+        schema=f"{id_col} long, {label_col} long, n_diff long, k_eff long",
     )
-    t = emb.select(
-        F.col(id_col).alias("_tid"),
-        F.col(vec_col).alias("_tvec"),
-        F.col(label_col).alias("_tlab"),
-    )
-    cand = (
-        q.crossJoin(t)
-        .filter(F.col("_qid") != F.col("_tid"))
-        .withColumn("cos", cosine_col(F.col("_qvec"), F.col("_tvec")))
-    )
-    wnd = Window.partitionBy("_qid").orderBy(
-        F.col("cos").desc(), F.col("_tid").asc()
-    )
-    topk = cand.withColumn("rank", F.row_number().over(wnd)).filter(
-        F.col("rank") <= k
-    )
-    return topk.groupBy("_qid").agg(
-        F.first("_qlab").alias(label_col),
-        F.sum((F.col("_tlab") != F.col("_qlab")).cast("long"))
-        .cast("long")
-        .alias("n_diff"),
-        F.count(F.lit(1)).cast("long").alias("k_eff"),
-    ).select(F.col("_qid").alias(id_col), label_col, "n_diff", "k_eff")
 
 
 def centroid_margins(

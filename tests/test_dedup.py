@@ -1006,3 +1006,23 @@ def test_label_noise_and_centroid_margin_match_numpy(spark):
     assert got_m[3]["margin"] < 0  # mislabeled: nearer the other centroid
     clean_margins = [got_m[i]["margin"] for i in range(40) if i != 3]
     assert min(clean_margins) > 0
+
+
+def test_label_noise_gemm_equals_relational(spark):
+    """The default GEMM path and the relational path of
+    label_noise_scores return identical rows."""
+    import numpy as np
+
+    from osm2geojson_spark.operators.similarity import label_noise_scores
+
+    rng = np.random.default_rng(17)
+    vecs = rng.normal(0, 1, (60, 8))
+    rows = [
+        (i, [float(x) for x in vecs[i]], int(i % 4)) for i in range(len(vecs))
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label long"
+    )
+    g = sorted(map(tuple, label_noise_scores(df, k=7).collect()))
+    r = sorted(map(tuple, label_noise_scores(df, k=7, method="relational").collect()))
+    assert g == r and len(g) == 60
