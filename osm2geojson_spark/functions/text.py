@@ -274,6 +274,9 @@ def zipf_fit(docs: DataFrame, text_col: str = "text") -> DataFrame:
     sxx = F.col("sxx_q").cast("double")
     sxy = F.col("sxy_q").cast("double")
     slope = (nd * sxy - sx * sy) / (nd * sxx - sx * sx)
+    # a vocabulary of < 2 tokens (or zero rank variance) has no defined
+    # fit — NULL instead of a 0/0 NaN
+    fit_ok = (F.col("vocab") >= 2) & (nd * sxx - sx * sx != F.lit(0.0))
     return agg.select(
         "vocab",
         "total_tokens",
@@ -281,5 +284,5 @@ def zipf_fit(docs: DataFrame, text_col: str = "text") -> DataFrame:
         "sy_q",
         "sxx_q",
         "sxy_q",
-        (F.round(slope, 6) + F.lit(0.0)).alias("zipf_slope"),
+        F.when(fit_ok, F.round(slope, 6) + F.lit(0.0)).alias("zipf_slope"),
     )

@@ -2135,11 +2135,13 @@ def mosaic_crop(
     parts = touched.select(tx_col, ty_col, "bytes", "fmt").mapInPandas(
         fn, schema="n_px long, sum_v long, sum_v2 long, possum long"
     )
+    # coalesce: a window with NO stored tiles (sparse mosaic) is a valid
+    # all-zero read, not a NULL row
     return parts.agg(
         F.lit(x1 - x0).cast("long").alias("w"),
         F.lit(y1 - y0).cast("long").alias("h"),
-        F.sum("n_px").cast("long").alias("n_px"),
-        F.sum("sum_v").cast("long").alias("sum_v"),
-        F.sum("sum_v2").cast("long").alias("sum_v2"),
-        F.sum("possum").cast("long").alias("possum"),
+        F.coalesce(F.sum("n_px"), F.lit(0)).cast("long").alias("n_px"),
+        F.coalesce(F.sum("sum_v"), F.lit(0)).cast("long").alias("sum_v"),
+        F.coalesce(F.sum("sum_v2"), F.lit(0)).cast("long").alias("sum_v2"),
+        F.coalesce(F.sum("possum"), F.lit(0)).cast("long").alias("possum"),
     )

@@ -756,12 +756,15 @@ def gravity_fit(
     sxy = F.col("sxy_q").cast("double")
     slope = (nd * sxy - sx * sy) / (nd * sxx - sx * sx)
     ln_k = (sy - slope * sx) / nd / F.lit(float(GRAVITY_SCALE))
+    # < 2 pairs (or zero x-variance: all pairs at one distance) has no
+    # defined fit — NULL beta/ln_k instead of a NaN from 0/0
+    fit_ok = (F.col("n_pairs") >= 2) & (nd * sxx - sx * sx != F.lit(0.0))
     return agg.select(
         "n_pairs",
-        "sx_q",
-        "sy_q",
-        "sxx_q",
-        "sxy_q",
-        (F.round(-slope, 6) + F.lit(0.0)).alias("beta"),
-        (F.round(ln_k, 6) + F.lit(0.0)).alias("ln_k"),
+        F.coalesce(F.col("sx_q"), F.lit(0)).alias("sx_q"),
+        F.coalesce(F.col("sy_q"), F.lit(0)).alias("sy_q"),
+        F.coalesce(F.col("sxx_q"), F.lit(0)).alias("sxx_q"),
+        F.coalesce(F.col("sxy_q"), F.lit(0)).alias("sxy_q"),
+        F.when(fit_ok, F.round(-slope, 6) + F.lit(0.0)).alias("beta"),
+        F.when(fit_ok, F.round(ln_k, 6) + F.lit(0.0)).alias("ln_k"),
     )

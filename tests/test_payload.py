@@ -1593,3 +1593,18 @@ def test_mosaic_crop_matches_numpy_assembly(spark):
     r2 = mosaic_crop(df2, 0, 0, 16, 8, tile_w=tw).collect()[0]
     assert r1["sum_v"] == r2["sum_v"]  # same multiset of pixels
     assert r1["possum"] != r2["possum"]  # different placement
+
+
+def test_mosaic_crop_empty_window_is_zero_row(spark):
+    """A window over a region with no stored tiles returns one all-zero
+    row, not NULLs (sparse mosaics are normal at scale)."""
+    from osm2geojson_spark.functions import imagecodec as IC
+    from osm2geojson_spark.operators.multimodal import mosaic_crop
+
+    px = np.full((8, 8), 3, dtype=np.uint8)
+    df = spark.createDataFrame(
+        [(0, 0, IC.encode_rawz(px), "rawz")],
+        "tile_x int, tile_y int, bytes binary, fmt string",
+    )
+    row = mosaic_crop(df, 100, 100, 110, 105, tile_w=8).collect()[0]
+    assert tuple(row) == (10, 5, 0, 0, 0, 0)
