@@ -7521,6 +7521,23 @@ FROM d
 """
 
 
+def q_hillshade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HORN HILLSHADE (multimodal.hillshade_stats): per-image relief
+    illumination rollup of the 8x8 synthetic tiles (altitude 45, azimuth
+    315) — integer Horn gradients, per-pixel micro-quantized shade,
+    order-free sums. The oracle computes every 3x3 neighborhood INLINE
+    from the closed-form pixel formula (no joins) and replays the
+    identical float assembly (generated with the same repr'd constants
+    the kernel uses)."""
+    from osm2geojson_spark.operators.multimodal import hillshade_stats
+
+    imgs = _synth_images(spark, sf_dir, 360, step=3)  # all 8x8
+    return hillshade_stats(imgs, z_scale=16.0)
+
+
+_HILLSHADE_SQL = "\nWITH img AS (\n  SELECT p_partkey AS i FROM part WHERE p_partkey < 360 AND p_partkey % 3 = 0\n), pxi AS (\n  SELECT i, xs.x AS x, ys.y AS y\n  FROM img, (SELECT unnest(range(1, 7)) AS x) xs,\n       (SELECT unnest(range(1, 7)) AS y) ys\n), g AS (\n  SELECT i, CAST((((((x + 1) * 3 + (y + -1) * 7 + i * 13) % 251) + 2 * (((x + 1) * 3 + (y + 0) * 7 + i * 13) % 251) + (((x + 1) * 3 + (y + 1) * 7 + i * 13) % 251)) - ((((x + -1) * 3 + (y + -1) * 7 + i * 13) % 251) + 2 * (((x + -1) * 3 + (y + 0) * 7 + i * 13) % 251) + (((x + -1) * 3 + (y + 1) * 7 + i * 13) % 251))) AS BIGINT) AS gx8, CAST((((((x + -1) * 3 + (y + 1) * 7 + i * 13) % 251) + 2 * (((x + 0) * 3 + (y + 1) * 7 + i * 13) % 251) + (((x + 1) * 3 + (y + 1) * 7 + i * 13) % 251)) - ((((x + -1) * 3 + (y + -1) * 7 + i * 13) % 251) + 2 * (((x + 0) * 3 + (y + -1) * 7 + i * 13) % 251) + (((x + 1) * 3 + (y + -1) * 7 + i * 13) % 251))) AS BIGINT) AS gy8\n  FROM pxi\n), s AS (\n  SELECT i, gx8, gy8,\n         greatest(0.0,\n           (0.7071067811865476 + 0.7071067811865475 * (0.7071067811865477 * (gx8 / 128.0) + -0.7071067811865474 * (gy8 / 128.0)))\n           / sqrt(1.0 + (gx8 / 128.0) * (gx8 / 128.0) + (gy8 / 128.0) * (gy8 / 128.0))\n         ) AS shade\n  FROM g\n)\nSELECT printf('img%012d', i) AS image_id,\n       CAST(count(*) AS BIGINT) AS n_interior,\n       CAST(sum(abs(gx8)) AS BIGINT) AS sum_abs_gx8,\n       CAST(sum(abs(gy8)) AS BIGINT) AS sum_abs_gy8,\n       CAST(sum(CAST(round(shade * 1e6) AS BIGINT)) AS BIGINT)\n         AS sum_shade_micro,\n       CAST(sum(CASE WHEN round(shade * 1e6) > 0 THEN 1 ELSE 0 END) AS BIGINT)\n         AS n_lit\nFROM s GROUP BY i\n"
+
+
 def q_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LABEL-NOISE MINING (similarity.label_noise_scores): per-vector
     count of k=10 nearest cosine neighbors (self excluded, (cos DESC,
@@ -8070,6 +8087,7 @@ FROM c GROUP BY part_key, bin_id
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "hillshade": q_hillshade,
         "label_noise": q_label_noise,
         "centroid_margin": q_centroid_margin,
         "mosaic_crop": q_mosaic_crop,
@@ -8260,6 +8278,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "hillshade": _HILLSHADE_SQL,
         "label_noise": _LABEL_NOISE_SQL,
         "centroid_margin": _CENTROID_MARGIN_SQL,
         "mosaic_crop": _mosaic_crop_sql(),

@@ -72,6 +72,7 @@ BENCH_QUERIES = [
     "cdc_chunks_arrow",
     "mosaic_crop",
     "label_noise",
+    "hillshade",
     "centroid_margin",
     "hilbert_layout",
     "geohash_layout",

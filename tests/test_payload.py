@@ -1608,3 +1608,76 @@ def test_mosaic_crop_empty_window_is_zero_row(spark):
     )
     row = mosaic_crop(df, 100, 100, 110, 105, tile_w=8).collect()[0]
     assert tuple(row) == (10, 5, 0, 0, 0, 0)
+
+
+def test_hillshade_matches_scalar_reference(spark):
+    """hillshade_stats == a scalar per-pixel Horn reference on known
+    surfaces: a flat tile is fully lit at exactly cos(zen), a 45-deg
+    NW-facing ramp under the NW light outshines the SE-facing one."""
+    import math
+
+    from osm2geojson_spark.functions import imagecodec as IC
+    from osm2geojson_spark.operators.multimodal import hillshade_stats
+
+    rng = np.random.default_rng(21)
+    ramp = np.add.outer(np.arange(8) * 0, np.arange(8) * 20).astype(np.uint8)
+    imgs = {
+        "flat": np.full((8, 8), 77, dtype=np.uint8),
+        "ramp_e": ramp,  # rises eastward
+        "ramp_w": ramp[:, ::-1].copy(),  # rises westward
+        "rand": rng.integers(0, 256, (8, 8), dtype=np.uint8),
+    }
+    df = spark.createDataFrame(
+        [(k, IC.encode_rawz(v), 8, 8, "rawz") for k, v in imgs.items()],
+        "image_id string, bytes binary, w int, h int, fmt string",
+    )
+    zs = 16.0
+    got = {r["image_id"]: r for r in hillshade_stats(df, z_scale=zs).collect()}
+
+    zen = math.radians(45.0)
+    az = math.radians(315.0)
+    cz, sz = math.cos(zen), math.sin(zen)
+    ca, sa = math.cos(az), math.sin(az)
+
+    def ref(img):
+        z = img.astype(int)
+        tot = n_lit = sgx = sgy = 0
+        n = 0
+        for y in range(1, 7):
+            for x in range(1, 7):
+                gx8 = (
+                    z[y - 1, x + 1] + 2 * z[y, x + 1] + z[y + 1, x + 1]
+                    - (z[y - 1, x - 1] + 2 * z[y, x - 1] + z[y + 1, x - 1])
+                )
+                gy8 = (
+                    z[y + 1, x - 1] + 2 * z[y + 1, x] + z[y + 1, x + 1]
+                    - (z[y - 1, x - 1] + 2 * z[y - 1, x] + z[y - 1, x + 1])
+                )
+                gx, gy = gx8 / (8.0 * zs), gy8 / (8.0 * zs)
+                shade = max(
+                    0.0,
+                    (cz + sz * (-sa * gx - ca * gy))
+                    / math.sqrt(1.0 + gx * gx + gy * gy),
+                )
+                sm = round(shade * 1e6)
+                tot += sm
+                n_lit += sm > 0
+                sgx += abs(gx8)
+                sgy += abs(gy8)
+                n += 1
+        return n, sgx, sgy, tot, n_lit
+
+    for name, img in imgs.items():
+        r = got[name]
+        n, sgx, sgy, tot, n_lit = ref(img)
+        assert (
+            r["n_interior"], r["sum_abs_gx8"], r["sum_abs_gy8"],
+            r["sum_shade_micro"], r["n_lit"],
+        ) == (n, sgx, sgy, tot, n_lit), name
+    # flat: every interior pixel exactly cos(zen)
+    assert got["flat"]["sum_shade_micro"] == 36 * round(cz * 1e6)
+    assert got["flat"]["n_lit"] == 36
+    # light direction L = (sz*sin(az), sz*cos(az), cz) in x-east/y-SOUTH
+    # image coordinates: at az=315 L_x < 0, so the EAST-rising ramp
+    # (normal_x < 0) faces the light and outshines its mirror
+    assert got["ramp_e"]["sum_shade_micro"] > got["ramp_w"]["sum_shade_micro"]
