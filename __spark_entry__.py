@@ -7521,6 +7521,60 @@ FROM d
 """
 
 
+def q_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MUTUAL-kNN EMBEDDING CLUSTERING (similarity.mutual_knn_clusters):
+    connected components of mutual k=4 cosine-neighbor edges over 300
+    embeddings — the noise-robust curation grouping (one-sided hub edges
+    never merge clusters). The oracle ranks the cross join, keeps
+    mutual pairs, and floods components with a recursive CTE."""
+    from osm2geojson_spark.operators.similarity import mutual_knn_clusters
+
+    emb = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 300)
+        .select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias(
+                "embedding"
+            ),
+        )
+    )
+    return mutual_knn_clusters(emb, k=4)
+
+
+_EMB_CLUSTERS_SQL = """
+WITH RECURSIVE e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 300
+), d AS (
+  SELECT q.vec_id AS qid, t.vec_id AS tid,
+         list_dot_product(q.v, t.v)
+           / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(t.v, t.v)))
+           AS cos
+  FROM e q JOIN e t ON q.vec_id != t.vec_id
+), r AS (
+  SELECT qid, tid,
+         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, tid ASC) AS rank
+  FROM d
+), knn AS (
+  SELECT qid, tid FROM r WHERE rank <= 4
+), mutual AS (
+  SELECT a.qid AS id_a, a.tid AS id_b
+  FROM knn a JOIN knn b ON b.qid = a.tid AND b.tid = a.qid
+  WHERE a.qid < a.tid
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM mutual
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM mutual
+), lbl(v, l) AS (
+  SELECT vec_id, vec_id FROM e
+  UNION
+  SELECT edges.dst, lbl.l FROM lbl JOIN edges ON edges.src = lbl.v
+)
+SELECT v AS vec_id, CAST(min(l) AS BIGINT) AS cluster_id
+FROM lbl GROUP BY v
+"""
+
+
 def q_hillshade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HORN HILLSHADE (multimodal.hillshade_stats): per-image relief
     illumination rollup of the 8x8 synthetic tiles (altitude 45, azimuth
@@ -8087,6 +8141,7 @@ FROM c GROUP BY part_key, bin_id
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "embedding_clusters": q_embedding_clusters,
         "hillshade": q_hillshade,
         "label_noise": q_label_noise,
         "centroid_margin": q_centroid_margin,
@@ -8278,6 +8333,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "embedding_clusters": _EMB_CLUSTERS_SQL,
         "hillshade": _HILLSHADE_SQL,
         "label_noise": _LABEL_NOISE_SQL,
         "centroid_margin": _CENTROID_MARGIN_SQL,

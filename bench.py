@@ -73,6 +73,7 @@ BENCH_QUERIES = [
     "mosaic_crop",
     "label_noise",
     "hillshade",
+    "embedding_clusters",
     "centroid_margin",
     "hilbert_layout",
     "geohash_layout",

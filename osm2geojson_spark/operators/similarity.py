@@ -1049,3 +1049,85 @@ def centroid_margins(
         "other_cos",
         F.round(F.col("own_cos") - F.col("other_cos"), 6).alias("margin"),
     )
+
+
+def gemm_knn_edges(
+    emb: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(qid, tid, rank) — exact cosine kNN edges of one embedding set
+    (self excluded), scored by the broadcast-GEMM pattern: the
+    validation-sized corpus rides to executors as one NumPy matrix and
+    each Arrow batch does a single matrix multiply (label_noise_scores'
+    fast path, factored for graph builders). Neighbor order pinned
+    (cos DESC, id ASC)."""
+    rows = emb.select(id_col, vec_col).collect()
+    rows.sort(key=lambda r: r[0])
+    ids = np.asarray([r[0] for r in rows], dtype=np.int64)
+    C = np.asarray([r[1] for r in rows], dtype=np.float64)
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1), 1e-300)[:, None]
+    bc = emb.sparkSession.sparkContext.broadcast((ids, Cn))
+
+    def fn(it):
+        b_ids, b_Cn = bc.value
+        for pdf in it:
+            if not len(pdf):
+                continue
+            qid = pdf.iloc[:, 0].to_numpy(dtype=np.int64)
+            Q = np.asarray(list(pdf.iloc[:, 1]), dtype=np.float64)
+            Qn = Q / np.maximum(np.linalg.norm(Q, axis=1), 1e-300)[:, None]
+            S = Qn @ b_Cn.T
+            out = []
+            for r in range(len(qid)):
+                srow = S[r].copy()
+                srow[b_ids == qid[r]] = -np.inf
+                order = np.lexsort((b_ids, -srow))[:k]
+                order = order[np.isfinite(srow[order])]
+                out.extend(
+                    (int(qid[r]), int(b_ids[j]), rk + 1)
+                    for rk, j in enumerate(order)
+                )
+            yield pd.DataFrame(out, columns=["qid", "tid", "rank"])
+
+    return emb.select(id_col, vec_col).mapInPandas(
+        fn, schema="qid long, tid long, rank long"
+    )
+
+
+def mutual_knn_clusters(
+    emb: DataFrame,
+    k: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """EMBEDDING CLUSTERING BY MUTUAL kNN — two vectors join iff EACH is
+    in the other's k nearest cosine neighbors, and clusters are the
+    connected components of those mutual edges (the noise-robust
+    density-peaks relative of kNN graphs: one-sided edges into a hub do
+    NOT merge clusters, so mutual-kNN is the standard topic/near-dup
+    grouping for curation at moderate k).
+
+    Returns (id, cluster_id) with cluster_id the smallest member id
+    (dedup.duplicate_clusters' canonical-survivor convention);
+    singletons keep their own id.
+
+    Scale: edges from the broadcast-GEMM kNN (validation-sized corpora;
+    swap the LSH/IVF candidate paths in at corpus scale), mutuality is
+    one self-equi-join on the reversed pair, components are
+    min-label propagation — one shuffle per round, O(diameter)."""
+    from .dedup import duplicate_clusters
+
+    e = gemm_knn_edges(emb, k, id_col=id_col, vec_col=vec_col)
+    rev = e.select(F.col("tid").alias("qid"), F.col("qid").alias("tid"))
+    mutual = (
+        e.select("qid", "tid")
+        .join(rev, ["qid", "tid"], "leftsemi")
+        .filter(F.col("qid") < F.col("tid"))
+        .select(F.col("qid").alias("id_a"), F.col("tid").alias("id_b"))
+        .distinct()
+    )
+    return duplicate_clusters(
+        emb.select(F.col(id_col).alias("doc_id")), mutual
+    ).select(F.col("doc_id").alias(id_col), "cluster_id")

@@ -1026,3 +1026,66 @@ def test_label_noise_gemm_equals_relational(spark):
     g = sorted(map(tuple, label_noise_scores(df, k=7).collect()))
     r = sorted(map(tuple, label_noise_scores(df, k=7, method="relational").collect()))
     assert g == r and len(g) == 60
+
+
+def test_mutual_knn_clusters_matches_brute(spark):
+    """mutual_knn_clusters == a Python replay (rank, mutual filter,
+    union-find) on three separated gaussian blobs plus one outlier —
+    blobs resolve to three clusters, the outlier stays a singleton even
+    though it has one-sided edges INTO a blob (the hub property)."""
+    import numpy as np
+
+    from osm2geojson_spark.operators.similarity import mutual_knn_clusters
+
+    rng = np.random.default_rng(33)
+    blobs = [
+        rng.normal((6, 0, 0), 0.2, (12, 3)),
+        rng.normal((0, 6, 0), 0.2, (12, 3)),
+        rng.normal((0, 0, 6), 0.2, (12, 3)),
+    ]
+    outlier = np.array([[3.0, 3.0, 3.0]])
+    vecs = np.concatenate(blobs + [outlier])
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    k = 4
+    got = {
+        r["vec_id"]: r["cluster_id"]
+        for r in mutual_knn_clusters(df, k=k).collect()
+    }
+
+    n = len(vecs)
+    norms = np.linalg.norm(vecs, axis=1)
+    cos = (vecs @ vecs.T) / np.outer(norms, norms)
+    knn = {
+        i: set(
+            sorted((j for j in range(n) if j != i), key=lambda j: (-cos[i, j], j))[:k]
+        )
+        for i in range(n)
+    }
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for i in range(n):
+        for j in knn[i]:
+            if i in knn[j]:
+                a, b = find(i), find(j)
+                if a != b:
+                    parent[max(a, b)] = min(a, b)
+    want = {i: min(j for j in range(n) if find(j) == find(i)) for i in range(n)}
+    assert got == want
+    # no cluster ever SPANS blobs (mutual edges need agreement on both
+    # ends — one-sided edges into another blob's hub never merge); the
+    # outlier stays a singleton despite its one-sided edges into blobs
+    blob_of = lambda i: i // 12 if i < 36 else 3
+    for cid in set(got.values()):
+        members = [i for i, c in got.items() if c == cid]
+        assert len({blob_of(i) for i in members}) == 1, (cid, members)
+    assert got[n - 1] == n - 1
+    assert any(
+        sum(1 for c in got.values() if c == cid) >= 3 for cid in set(got.values())
+    )
