@@ -7521,6 +7521,64 @@ FROM d
 """
 
 
+def q_dct_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT PERCEPTUAL HASH (multimodal.dct_phash): 2-D DCT pHash of the
+    8x8 synthetic tiles with the dyadic-quantized basis — coefficients
+    are exact integers (c_int = sum px * A[u,y] * A[v,k] with A the
+    integer basis numerators), the threshold is the integer inequality
+    63*c > S_ac - c, and the hash is bit-identical across engines BY
+    CONSTRUCTION. The oracle is pure-integer SQL: a 4032-row (u,v,y,k)
+    weight VALUES table joined onto the unnested pixel grid."""
+    from osm2geojson_spark.operators.multimodal import dct_phash
+
+    imgs = _synth_images(spark, sf_dir, 360, step=3)  # all 8x8
+    return dct_phash(imgs)
+
+
+def _dct_phash_sql() -> str:
+    import numpy as _np
+
+    from osm2geojson_spark.operators.multimodal import DCT_Q, dct_basis_q
+
+    A = _np.round(dct_basis_q(8) * DCT_Q).astype(int)
+    vals = []
+    for u in range(8):
+        for v in range(8):
+            if u == 0 and v == 0:
+                continue
+            for y in range(8):
+                for k in range(8):
+                    w = int(A[u, y]) * int(A[v, k])
+                    if w:
+                        vals.append(f"({u},{v},{y},{k},{w})")
+    values = ",".join(vals)
+    return f"""
+WITH img AS (
+  SELECT p_partkey AS i FROM part WHERE p_partkey < 360 AND p_partkey % 3 = 0
+), px AS (
+  SELECT i, p % 8 AS k, p // 8 AS y,
+         CAST(((p % 8) * 3 + (p // 8) * 7 + i * 13) % 251 AS BIGINT) AS val
+  FROM (SELECT i, unnest(range(0, 64)) AS p FROM img)
+), w(u, v, y, k, wgt) AS (
+  SELECT * FROM (VALUES {values})
+), c AS (
+  SELECT px.i, w.u, w.v, CAST(sum(px.val * w.wgt) AS BIGINT) AS ci
+  FROM px JOIN w ON w.y = px.y AND w.k = px.k
+  GROUP BY px.i, w.u, w.v
+), s AS (
+  SELECT i, CAST(sum(ci) AS BIGINT) AS sac FROM c GROUP BY i
+), b AS (
+  SELECT c.i, (c.u * 8 + c.v) - 1 AS bit,
+         CASE WHEN 63 * c.ci > s.sac - c.ci THEN 1 ELSE 0 END AS onbit
+  FROM c JOIN s ON s.i = c.i
+)
+SELECT printf('img%012d', i) AS image_id,
+       CAST(sum(onbit * (CAST(1 AS BIGINT) << bit)) AS BIGINT) AS phash64,
+       CAST(sum(onbit) AS BIGINT) AS n_ac_pos
+FROM b GROUP BY i
+"""
+
+
 def q_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MUTUAL-kNN EMBEDDING CLUSTERING (similarity.mutual_knn_clusters):
     connected components of mutual k=4 cosine-neighbor edges over 300
@@ -8141,6 +8199,7 @@ FROM c GROUP BY part_key, bin_id
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "dct_phash": q_dct_phash,
         "embedding_clusters": q_embedding_clusters,
         "hillshade": q_hillshade,
         "label_noise": q_label_noise,
@@ -8333,6 +8392,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "dct_phash": _dct_phash_sql(),
         "embedding_clusters": _EMB_CLUSTERS_SQL,
         "hillshade": _HILLSHADE_SQL,
         "label_noise": _LABEL_NOISE_SQL,

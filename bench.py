@@ -74,6 +74,7 @@ BENCH_QUERIES = [
     "label_noise",
     "hillshade",
     "embedding_clusters",
+    "dct_phash",
     "centroid_margin",
     "hilbert_layout",
     "geohash_layout",

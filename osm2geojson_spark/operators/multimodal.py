@@ -2226,3 +2226,68 @@ def hillshade_stats(
         schema="image_id string, n_interior long, sum_abs_gx8 long,"
         " sum_abs_gy8 long, sum_shade_micro long, n_lit long",
     )
+
+
+DCT_Q = 4096  # dyadic quantization of the DCT basis (12 bits)
+
+
+def dct_basis_q(n: int = 8) -> np.ndarray:
+    """Orthonormal DCT-II basis with every entry rounded to a multiple of
+    1/DCT_Q — exactly representable in float64 AND as short decimal SQL
+    literals (the rh_plane_matrix trick applied to the JPEG basis). With
+    8-bit pixels every product/sum in the transform is then EXACT in
+    float64 (12+12+8 significant bits and dyadic scales stay far inside
+    the 53-bit significand), so DCT coefficients are exact multiples of
+    1/DCT_Q^2 and cross-engine comparisons are integer, not float."""
+    k = np.arange(n)
+    u = k[:, None]
+    m = np.sqrt(2.0 / n) * np.cos((2 * k[None, :] + 1) * u * np.pi / (2 * n))
+    m[0, :] = np.sqrt(1.0 / n)
+    return np.round(m * DCT_Q) / DCT_Q
+
+
+def dct_phash(images: DataFrame) -> DataFrame:
+    """PERCEPTUAL HASH (the classic pHash design: 2-D DCT, low-frequency
+    AC coefficients thresholded against their own average) computed
+    EXACTLY: the quantized basis (``dct_basis_q``) makes every
+    coefficient an exact multiple of 1/DCT_Q^2, so ``c_int = C *
+    DCT_Q^2`` is an int64 and the threshold test is the pure-integer
+    inequality ``63 * c_i > S_ac - c_i`` (c_i against the mean of all 63
+    AC coefficients without division). No float comparison anywhere —
+    the hash is bit-identical across engines, partitionings and BLAS
+    summation orders by CONSTRUCTION, which is what lets phash-keyed
+    dedup joins run as exact groupBys.
+
+    Bit i (row-major AC order, skipping DC) is set iff coefficient i is
+    above the AC average. Returns (image_id, phash64, n_ac_pos).
+
+    Works on 8x8 tiles (the standard pHash takes the low 8x8 of a 32x32
+    DCT — for the engine's 8x8 fixtures the transform IS the low block).
+
+    Scale: one Arrow pass, two tiny matmuls per image, no shuffle."""
+    Mq = dct_basis_q(8)
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                px = imagecodec.decode(bytes(r.bytes), r.fmt)
+                if px.ndim == 3:
+                    px = px[..., 0]
+                assert px.shape == (8, 8), "dct_phash expects 8x8 tiles"
+                C = Mq @ px.astype(np.float64) @ Mq.T
+                c_int = np.rint(C * (DCT_Q * DCT_Q)).astype(np.int64)
+                ac = c_int.ravel()[1:]  # row-major, DC dropped
+                s_ac = int(ac.sum())
+                bits = 63 * ac > (s_ac - ac)
+                ph = int(
+                    sum(1 << i for i, b in enumerate(bits.tolist()) if b)
+                )
+                rows.append((r.image_id, ph, int(bits.sum())))
+            yield pd.DataFrame(
+                rows, columns=["image_id", "phash64", "n_ac_pos"]
+            )
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(
+        fn, schema="image_id string, phash64 long, n_ac_pos long"
+    )

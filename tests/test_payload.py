@@ -1681,3 +1681,63 @@ def test_hillshade_matches_scalar_reference(spark):
     # image coordinates: at az=315 L_x < 0, so the EAST-rising ramp
     # (normal_x < 0) faces the light and outshines its mirror
     assert got["ramp_e"]["sum_shade_micro"] > got["ramp_w"]["sum_shade_micro"]
+
+
+def test_dct_phash_integer_exactness_and_locality(spark):
+    """dct_phash == a pure-python INTEGER reference (basis numerators,
+    no floats), is container-invariant (rawz vs png), and is local:
+    a one-pixel tweak moves few bits while unrelated tiles differ in
+    many."""
+    from osm2geojson_spark.functions import imagecodec as IC
+    from osm2geojson_spark.operators.multimodal import (
+        DCT_Q,
+        dct_basis_q,
+        dct_phash,
+    )
+
+    A = np.round(dct_basis_q(8) * DCT_Q).astype(np.int64)
+
+    def ref(img):
+        z = img.astype(np.int64)
+        c = {}
+        for u in range(8):
+            for v in range(8):
+                if (u, v) == (0, 0):
+                    continue
+                c[(u, v)] = int(
+                    sum(
+                        int(z[y, k]) * int(A[u, y]) * int(A[v, k])
+                        for y in range(8)
+                        for k in range(8)
+                    )
+                )
+        s = sum(c.values())
+        ph = 0
+        for (u, v), ci in c.items():
+            if 63 * ci > s - ci:
+                ph |= 1 << (u * 8 + v - 1)
+        return ph
+
+    rng = np.random.default_rng(41)
+    base = rng.integers(0, 256, (8, 8), dtype=np.uint8)
+    tweak = base.copy()
+    tweak[3, 4] = min(255, int(tweak[3, 4]) + 8)
+    other = rng.integers(0, 256, (8, 8), dtype=np.uint8)
+    rows = [
+        ("base", IC.encode_rawz(base), "rawz"),
+        ("base_png", IC.encode_png(base), "png"),
+        ("tweak", IC.encode_rawz(tweak), "rawz"),
+        ("other", IC.encode_rawz(other), "rawz"),
+    ]
+    df = spark.createDataFrame(
+        [(n, b, 8, 8, f) for n, b, f in rows],
+        "image_id string, bytes binary, w int, h int, fmt string",
+    )
+    got = {r["image_id"]: r["phash64"] for r in dct_phash(df).collect()}
+    assert got["base"] == ref(base)
+    assert got["tweak"] == ref(tweak)
+    assert got["other"] == ref(other)
+    assert got["base_png"] == got["base"]  # container-invariant
+    ham = lambda a, b: bin(a ^ b).count("1")
+    assert ham(got["base"], got["tweak"]) <= 8
+    assert ham(got["base"], got["other"]) >= 12
