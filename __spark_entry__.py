@@ -7521,6 +7521,71 @@ FROM d
 """
 
 
+def q_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_Centroid AS COLUMN ALGEBRA (geometry.ring_centroid_cols):
+    shoelace centroids of integer-coordinate L-shaped polygon rings
+    built per supplier key — no UDF, whole-stage codegen; area2/cxn/cyn
+    are exact order-free integers, cx/cy one rounded division. The
+    oracle rebuilds the same rings with a VALUES vertex pattern and
+    replays the identical sums."""
+    from osm2geojson_spark.operators.geometry import ring_centroid_cols
+
+    k = F.col("s_suppkey")
+    w = (k % 7 + 2).cast("double")
+    h = (k % 5 + 2).cast("double")
+    w1 = w - 1.0
+    h1 = h - 1.0
+    ox = (k % 100).cast("double")
+    oy = ((k * 3) % 100).cast("double")
+    # L-shape (CCW, open): rect (w x h) minus the top-right 1x1 notch
+    ring = F.array(
+        F.struct(ox.alias("x"), oy.alias("y")),
+        F.struct((ox + w).alias("x"), oy.alias("y")),
+        F.struct((ox + w).alias("x"), (oy + h1).alias("y")),
+        F.struct((ox + w1).alias("x"), (oy + h1).alias("y")),
+        F.struct((ox + w1).alias("x"), (oy + h).alias("y")),
+        F.struct(ox.alias("x"), (oy + h).alias("y")),
+    )
+    sup = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("poly_id"), ring.alias("ring")
+    )
+    return sup.select("poly_id", *ring_centroid_cols(F.col("ring")))
+
+
+_CENTROID_SQL = """
+WITH s AS (
+  SELECT s_suppkey AS poly_id,
+         CAST(s_suppkey % 7 + 2 AS DOUBLE) AS w,
+         CAST(s_suppkey % 5 + 2 AS DOUBLE) AS h,
+         CAST(s_suppkey % 100 AS DOUBLE) AS ox,
+         CAST((s_suppkey * 3) % 100 AS DOUBLE) AS oy
+  FROM supplier
+), v AS (
+  SELECT poly_id, t.j,
+         CASE t.j WHEN 0 THEN ox WHEN 1 THEN ox + w WHEN 2 THEN ox + w
+                  WHEN 3 THEN ox + w - 1.0 WHEN 4 THEN ox + w - 1.0
+                  ELSE ox END AS x,
+         CASE t.j WHEN 0 THEN oy WHEN 1 THEN oy WHEN 2 THEN oy + h - 1.0
+                  WHEN 3 THEN oy + h - 1.0 WHEN 4 THEN oy + h
+                  ELSE oy + h END AS y
+  FROM s, (SELECT unnest(range(0, 6)) AS j) t
+), e AS (
+  SELECT a.poly_id,
+         a.x * b.y - b.x * a.y AS cross_i,
+         (a.x + b.x) * (a.x * b.y - b.x * a.y) AS tx,
+         (a.y + b.y) * (a.x * b.y - b.x * a.y) AS ty
+  FROM v a JOIN v b ON b.poly_id = a.poly_id AND b.j = (a.j + 1) % 6
+)
+SELECT poly_id,
+       CAST(sum(cross_i) AS BIGINT) AS area2,
+       CAST(sum(tx) AS BIGINT) AS cxn,
+       CAST(sum(ty) AS BIGINT) AS cyn,
+       round(sum(tx) / (3.0 * sum(cross_i)), 6) + 0.0 AS cx,
+       round(sum(ty) / (3.0 * sum(cross_i)), 6) + 0.0 AS cy
+FROM e GROUP BY poly_id
+"""
+
+
 def q_dct_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT PERCEPTUAL HASH (multimodal.dct_phash): 2-D DCT pHash of the
     8x8 synthetic tiles with the dyadic-quantized basis — coefficients
@@ -8199,6 +8264,7 @@ FROM c GROUP BY part_key, bin_id
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "centroid": q_centroid,
         "dct_phash": q_dct_phash,
         "embedding_clusters": q_embedding_clusters,
         "hillshade": q_hillshade,
@@ -8392,6 +8458,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "centroid": _CENTROID_SQL,
         "dct_phash": _dct_phash_sql(),
         "embedding_clusters": _EMB_CLUSTERS_SQL,
         "hillshade": _HILLSHADE_SQL,

@@ -75,6 +75,7 @@ BENCH_QUERIES = [
     "hillshade",
     "embedding_clusters",
     "dct_phash",
+    "centroid",
     "centroid_margin",
     "hilbert_layout",
     "geohash_layout",

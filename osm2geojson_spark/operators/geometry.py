@@ -659,3 +659,59 @@ SELECT _p AS {poly_col}, CAST(_n AS BIGINT) AS n_vertices,
          AS area_km2
 FROM terms GROUP BY _p, _n
 """
+
+
+def ring_centroid_cols(ring):
+    """(area2, cxn, cyn, cx, cy) COLUMN EXPRESSIONS for the shoelace
+    centroid of one polygon ring given as ``array<struct<x,y>>`` (open —
+    last vertex != first; the closing edge is implied). ST_Centroid as
+    pure JVM column algebra: no UDF, whole-stage codegen, one pass over
+    the vertex array per row.
+
+        area2 = sum cross_i,  cross_i = x_i*y_j - x_j*y_i  (j = i+1 mod n)
+        cxn   = sum (x_i + x_j) * cross_i      cx = cxn / (3 * area2)
+        cyn   = sum (y_i + y_j) * cross_i      cy = cyn / (3 * area2)
+
+    With INTEGER-VALUED coordinates every term and sum is exact in
+    float64 (< 2^53), so ``area2/cxn/cyn`` cast to long are exact,
+    order-independent integers — the hash-stable core; cx/cy are one
+    rounded division each. area2 is signed (CCW positive), so the
+    centroid is orientation-independent (signs cancel).
+
+    Returns a tuple of five Columns to select/alias as needed."""
+    n = F.size(ring)
+
+    def xat(i):
+        return F.element_at(ring, i + 1)["x"]
+
+    def yat(i):
+        return F.element_at(ring, i + 1)["y"]
+
+    def jx(i):
+        return F.element_at(ring, F.pmod(i + 1, n) + 1)["x"]
+
+    def jy(i):
+        return F.element_at(ring, F.pmod(i + 1, n) + 1)["y"]
+
+    idx = F.sequence(F.lit(0), n - F.lit(1))
+    cross = F.transform(idx, lambda i: xat(i) * jy(i) - jx(i) * yat(i))
+    area2 = F.aggregate(cross, F.lit(0.0), lambda a, x: a + x)
+    cxn = F.aggregate(
+        F.transform(idx, lambda i: (xat(i) + jx(i)) * (xat(i) * jy(i) - jx(i) * yat(i))),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    cyn = F.aggregate(
+        F.transform(idx, lambda i: (yat(i) + jy(i)) * (xat(i) * jy(i) - jx(i) * yat(i))),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    cx = F.round(cxn / (F.lit(3.0) * area2), 6) + F.lit(0.0)
+    cy = F.round(cyn / (F.lit(3.0) * area2), 6) + F.lit(0.0)
+    return (
+        area2.cast("long").alias("area2"),
+        cxn.cast("long").alias("cxn"),
+        cyn.cast("long").alias("cyn"),
+        cx.alias("cx"),
+        cy.alias("cy"),
+    )

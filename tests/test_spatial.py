@@ -1614,3 +1614,76 @@ def test_geodesic_area_octant_and_small_ring(spark):
     assert twin == {
         p: (r["n_vertices"], r["sr_q"], r["area_km2"]) for p, r in got.items()
     }
+
+
+def test_ring_centroid_cols_matches_brute_and_closed_forms(spark):
+    """Column-algebra shoelace centroid == python replay on random
+    integer polygons; unit square -> (0.5, 0.5); orientation (CW vs CCW)
+    flips area2's sign but not the centroid; decomposition cross-check
+    on an L-shape."""
+    import random
+
+    from osm2geojson_spark.operators.geometry import ring_centroid_cols
+
+    sq = [(0, 0), (1, 0), (1, 1), (0, 1)]
+    lshape = [(0, 0), (4, 0), (4, 2), (3, 2), (3, 3), (0, 3)]
+    rng = random.Random(13)
+    # random star-shaped integer polygons (sorted by angle -> simple)
+    import math
+
+    def star(n, r):
+        angs = sorted(rng.uniform(0, 2 * math.pi) for _ in range(n))
+        return [
+            (round(10 + r * math.cos(a)), round(10 + r * math.sin(a)))
+            for a in angs
+        ]
+
+    polys = {
+        1: sq,
+        2: lshape,
+        3: list(reversed(lshape)),  # CW orientation
+        4: star(7, 6),
+        5: star(9, 8),
+    }
+    rows = [
+        (pid, [{"x": float(x), "y": float(y)} for x, y in pts])
+        for pid, pts in polys.items()
+    ]
+    df = spark.createDataFrame(
+        rows, "poly_id long, ring array<struct<x double, y double>>"
+    )
+    got = {
+        r["poly_id"]: r
+        for r in df.select(
+            "poly_id", *ring_centroid_cols(F.col("ring"))
+        ).collect()
+    }
+
+    def brute(pts):
+        n = len(pts)
+        a2 = cxn = cyn = 0
+        for i in range(n):
+            x0, y0 = pts[i]
+            x1, y1 = pts[(i + 1) % n]
+            c = x0 * y1 - x1 * y0
+            a2 += c
+            cxn += (x0 + x1) * c
+            cyn += (y0 + y1) * c
+        return a2, cxn, cyn
+
+    for pid, pts in polys.items():
+        a2, cxn, cyn = brute(pts)
+        r = got[pid]
+        assert (r["area2"], r["cxn"], r["cyn"]) == (a2, cxn, cyn), pid
+        assert r["cx"] == round(cxn / (3.0 * a2), 6)
+        assert r["cy"] == round(cyn / (3.0 * a2), 6)
+    assert (got[1]["cx"], got[1]["cy"]) == (0.5, 0.5)
+    # orientation independence of the centroid; sign flip of area2
+    assert got[3]["area2"] == -got[2]["area2"]
+    assert (got[3]["cx"], got[3]["cy"]) == (got[2]["cx"], got[2]["cy"])
+    # L-shape decomposition: 4x2 rect + 3x1 rect on top
+    ax, aarea = (2.0, 1.0), 8.0
+    bx, barea = (1.5, 2.5), 3.0
+    cx = (ax[0] * aarea + bx[0] * barea) / (aarea + barea)
+    cy = (ax[1] * aarea + bx[1] * barea) / (aarea + barea)
+    assert abs(got[2]["cx"] - cx) < 1e-6 and abs(got[2]["cy"] - cy) < 1e-6
