@@ -7521,6 +7521,73 @@ FROM d
 """
 
 
+def q_polylabel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POLE OF INACCESSIBILITY (geometry.pole_of_inaccessibility): the
+    polylabel label anchor of the integer L-shaped rings (centroid's
+    fixture) — rasterize, EXACT L1 chamfer, deterministic argmax (max
+    dist, min y, min x). The oracle replays the chamfer's defining
+    identity: min over complement cells (pad-1 ring included) of
+    |dx|+|dy|, with the same closed-form inside test."""
+    from osm2geojson_spark.operators.geometry import pole_of_inaccessibility
+
+    k = F.col("s_suppkey")
+    w = (k % 7 + 2).cast("double")
+    h = (k % 5 + 2).cast("double")
+    w1 = w - 1.0
+    h1 = h - 1.0
+    ox = (k % 100).cast("double")
+    oy = ((k * 3) % 100).cast("double")
+    ring = F.array(
+        F.struct(ox.alias("x"), oy.alias("y")),
+        F.struct((ox + w).alias("x"), oy.alias("y")),
+        F.struct((ox + w).alias("x"), (oy + h1).alias("y")),
+        F.struct((ox + w1).alias("x"), (oy + h1).alias("y")),
+        F.struct((ox + w1).alias("x"), (oy + h).alias("y")),
+        F.struct(ox.alias("x"), (oy + h).alias("y")),
+    )
+    sup = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("poly_id"), ring.alias("ring")
+    )
+    return pole_of_inaccessibility(sup)
+
+
+_POLYLABEL_SQL = """
+WITH s AS (
+  SELECT s_suppkey AS poly_id,
+         CAST(s_suppkey % 7 + 2 AS BIGINT) AS w,
+         CAST(s_suppkey % 5 + 2 AS BIGINT) AS h
+  FROM supplier
+), cells AS (
+  SELECT poly_id, w, h, gx.px, gy.py,
+         (gx.px >= 0 AND gx.px < w AND gy.py >= 0 AND gy.py < h
+          AND NOT (gx.px >= w - 1 AND gy.py >= h - 1)) AS inside
+  FROM s,
+       (SELECT unnest(range(-1, 10)) AS px) gx,
+       (SELECT unnest(range(-1, 9)) AS py) gy
+  WHERE gx.px <= w + 1 AND gy.py <= h + 1
+), d AS (
+  SELECT a.poly_id, a.px, a.py,
+         min(abs(a.px - b.px) + abs(a.py - b.py)) AS dist
+  FROM cells a JOIN cells b
+    ON b.poly_id = a.poly_id AND NOT b.inside
+  WHERE a.inside
+  GROUP BY a.poly_id, a.px, a.py
+), n AS (
+  SELECT poly_id, CAST(count(*) AS BIGINT) AS n_interior
+  FROM cells WHERE inside GROUP BY poly_id
+), best AS (
+  SELECT poly_id, px, py, dist,
+         row_number() OVER (PARTITION BY poly_id
+                            ORDER BY dist DESC, py ASC, px ASC) AS rn
+  FROM d
+)
+SELECT best.poly_id, CAST(px AS BIGINT) AS px, CAST(py AS BIGINT) AS py,
+       CAST(dist AS BIGINT) AS dist_l1, n.n_interior
+FROM best JOIN n ON n.poly_id = best.poly_id
+WHERE rn = 1
+"""
+
+
 def q_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST_Centroid AS COLUMN ALGEBRA (geometry.ring_centroid_cols):
     shoelace centroids of integer-coordinate L-shaped polygon rings
@@ -8264,6 +8331,7 @@ FROM c GROUP BY part_key, bin_id
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "polylabel": q_polylabel,
         "centroid": q_centroid,
         "dct_phash": q_dct_phash,
         "embedding_clusters": q_embedding_clusters,
@@ -8458,6 +8526,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "polylabel": _POLYLABEL_SQL,
         "centroid": _CENTROID_SQL,
         "dct_phash": _dct_phash_sql(),
         "embedding_clusters": _EMB_CLUSTERS_SQL,

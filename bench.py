@@ -76,6 +76,7 @@ BENCH_QUERIES = [
     "embedding_clusters",
     "dct_phash",
     "centroid",
+    "polylabel",
     "centroid_margin",
     "hilbert_layout",
     "geohash_layout",

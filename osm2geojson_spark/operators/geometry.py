@@ -715,3 +715,97 @@ def ring_centroid_cols(ring):
         cx.alias("cx"),
         cy.alias("cy"),
     )
+
+
+def pole_of_inaccessibility(
+    polys: DataFrame,
+    cell: float = 1.0,
+    id_col: str = "poly_id",
+    ring_col: str = "ring",
+) -> DataFrame:
+    """POLE OF INACCESSIBILITY (the ``polylabel`` label-placement point):
+    the interior grid cell farthest (L1) from the polygon's exterior, at
+    ``cell`` resolution — rasterize the ring (even-odd rule on cell
+    centers), EXACT two-pass L1 chamfer transform (for the L1 metric the
+    chamfer IS the true distance — no approximation), then a
+    deterministic argmax (max distance, then min y, then min x).
+
+    All outputs are exact integers in grid units: (id, px, py, dist_l1,
+    n_interior) with (px, py) the winning cell's integer grid coords
+    relative to the ring's bbox min (cell centers at +0.5). An oracle
+    can replay it as min-over-complement |dx|+|dy| — the chamfer's
+    defining identity.
+
+    Scale: embarrassingly parallel Arrow pass per polygon — the standard
+    map-label / watermark-anchor sweep over 10^8 polygons is
+    scan-shaped. Grid size is bbox/cell per row; subdivide_polygons
+    first if a monster polygon would blow one task's memory."""
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                ring = r[1]
+                xs = np.asarray([p["x"] for p in ring], dtype=np.float64)
+                ys = np.asarray([p["y"] for p in ring], dtype=np.float64)
+                x0, y0 = np.floor(xs.min()), np.floor(ys.min())
+                w = int(np.ceil(xs.max() - x0) / cell) + 1
+                h = int(np.ceil(ys.max() - y0) / cell) + 1
+                cxs = x0 + (np.arange(w) + 0.5) * cell
+                cys = y0 + (np.arange(h) + 0.5) * cell
+                gx = np.broadcast_to(cxs[None, :], (h, w))
+                gy = np.broadcast_to(cys[:, None], (h, w))
+                inside = np.zeros((h, w), dtype=bool)
+                n = len(xs)
+                for i in range(n):
+                    x1, y1 = xs[i], ys[i]
+                    x2, y2 = xs[(i + 1) % n], ys[(i + 1) % n]
+                    if y1 == y2:
+                        continue
+                    crosses = (gy < max(y1, y2)) & (gy >= min(y1, y2))
+                    xi = x1 + (gy - y1) * (x2 - x1) / (y2 - y1)
+                    inside ^= crosses & (gx < xi)
+                if not inside.any():
+                    rows.append((r[0], -1, -1, 0, 0))
+                    continue
+                # exact L1 chamfer (city-block two-pass IS the true L1
+                # distance): pad-1 background border; each pass carries
+                # the vertical term row by row and the horizontal term by
+                # the accumulate trick min_j(v_j + |i-j|) =
+                # min(acc(v - i) + i both directions) — row-vectorized
+                big = np.int64(2 * (h + w))
+                d = np.where(inside, big, 0).astype(np.int64)
+                d = np.pad(d, 1, constant_values=0)
+                W2 = d.shape[1]
+                ix = np.arange(W2, dtype=np.int64)
+
+                def xrelax(row):
+                    left = np.minimum.accumulate(row - ix) + ix
+                    rr = row[::-1] - ix
+                    right = (np.minimum.accumulate(rr) + ix)[::-1]
+                    return np.minimum(left, right)
+
+                for yy in range(d.shape[0]):
+                    if yy:
+                        d[yy] = np.minimum(d[yy], d[yy - 1] + 1)
+                    d[yy] = xrelax(d[yy])
+                for yy in range(d.shape[0] - 2, -1, -1):
+                    d[yy] = np.minimum(d[yy], d[yy + 1] + 1)
+                    d[yy] = xrelax(d[yy])
+                core = d[1 : h + 1, 1 : w + 1]
+                best = int(core.max())
+                pts = np.argwhere(core == best)
+                py, px = pts[np.lexsort((pts[:, 1], pts[:, 0]))][0]
+                rows.append(
+                    (r[0], int(px), int(py), best, int(inside.sum()))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "px", "py", "dist_l1", "n_interior"],
+            )
+
+    return polys.select(id_col, ring_col).mapInPandas(
+        fn,
+        schema=f"{id_col} long, px long, py long, dist_l1 long,"
+        " n_interior long",
+    )

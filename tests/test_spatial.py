@@ -1687,3 +1687,86 @@ def test_ring_centroid_cols_matches_brute_and_closed_forms(spark):
     cx = (ax[0] * aarea + bx[0] * barea) / (aarea + barea)
     cy = (ax[1] * aarea + bx[1] * barea) / (aarea + barea)
     assert abs(got[2]["cx"] - cx) < 1e-6 and abs(got[2]["cy"] - cy) < 1e-6
+
+
+def test_pole_of_inaccessibility_matches_brute(spark):
+    """Chamfer pole == brute min-over-complement |dx|+|dy| on the same
+    raster, for a square (pole at the center), an L-shape, and an
+    irregular star polygon; tie-break pinned (max d, min y, min x)."""
+    import math
+    import random
+
+    from osm2geojson_spark.operators.geometry import pole_of_inaccessibility
+
+    rng = random.Random(7)
+
+    def star(n, r):
+        angs = sorted(rng.uniform(0, 2 * math.pi) for _ in range(n))
+        return [
+            (10 + r * math.cos(a), 10 + r * math.sin(a)) for a in angs
+        ]
+
+    polys = {
+        1: [(0, 0), (7, 0), (7, 7), (0, 7)],
+        2: [(0, 0), (4, 0), (4, 2), (3, 2), (3, 3), (0, 3)],
+        3: star(8, 6.3),
+    }
+    rows = [
+        (pid, [{"x": float(x), "y": float(y)} for x, y in pts])
+        for pid, pts in polys.items()
+    ]
+    df = spark.createDataFrame(
+        rows, "poly_id long, ring array<struct<x double, y double>>"
+    )
+    got = {r["poly_id"]: r for r in pole_of_inaccessibility(df).collect()}
+
+    def brute(pts):
+        xs = [p[0] for p in pts]
+        ys = [p[1] for p in pts]
+        x0, y0 = math.floor(min(xs)), math.floor(min(ys))
+        w = int(math.ceil(max(xs) - x0)) + 1
+        h = int(math.ceil(max(ys) - y0)) + 1
+
+        def inside(cx, cy):
+            inn = False
+            n = len(pts)
+            for i in range(n):
+                x1, y1 = pts[i]
+                x2, y2 = pts[(i + 1) % n]
+                if y1 == y2:
+                    continue
+                if min(y1, y2) <= cy < max(y1, y2):
+                    xi = x1 + (cy - y1) * (x2 - x1) / (y2 - y1)
+                    if cx < xi:
+                        inn = not inn
+            return inn
+
+        mask = {
+            (px, py): inside(x0 + px + 0.5, y0 + py + 0.5)
+            for px in range(w)
+            for py in range(h)
+        }
+        bg = [
+            (px, py)
+            for px in range(-1, w + 1)
+            for py in range(-1, h + 1)
+            if not mask.get((px, py), False)
+        ]
+        best = None
+        for (px, py), inn in sorted(mask.items(), key=lambda t: (t[0][1], t[0][0])):
+            if not inn:
+                continue
+            d = min(abs(px - qx) + abs(py - qy) for qx, qy in bg)
+            if best is None or d > best[2]:
+                best = (px, py, d)
+        n_in = sum(mask.values())
+        return best, n_in
+
+    for pid, pts in polys.items():
+        (px, py, d), n_in = brute(pts)
+        r = got[pid]
+        assert (r["px"], r["py"], r["dist_l1"], r["n_interior"]) == (
+            px, py, d, n_in,
+        ), pid
+    # square 7x7 -> raster grid inner cells, pole in the middle, d = 4
+    assert (got[1]["px"], got[1]["py"], got[1]["dist_l1"]) == (3, 3, 4)
