@@ -7521,6 +7521,114 @@ FROM d
 """
 
 
+def q_block_motion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLOCK MOTION (multimodal.block_motion): SAD block matching over
+    synthetic frame pairs where frame B is an EXACT translation of frame
+    A — the formula's phase algebra encodes a spatial shift (inv(13) mod
+    251 = 58: phase_b = phase_a - 58*(3*dx+7*dy) mod 251), so the true
+    offset scores SAD 0 and the matcher must recover it. The oracle
+    enumerates the 25 candidate offsets with inline formula pixels and
+    replays the (sad/overlap, dy, dx) ranking."""
+    from osm2geojson_spark.operators.multimodal import block_motion
+
+    k = F.col("s_suppkey")
+    dx = (k % 5 - 2).cast("int")
+    dy = (F.floor(k / 5) % 5 - 2).cast("int")
+    ia = ((F.lit(17) * k) % 251).cast("int")
+    shift = (F.lit(3) * dx + F.lit(7) * dy).cast("int")
+    ib = F.pmod(ia - F.lit(58) * shift, F.lit(251)).cast("int")
+    sup = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("pair_id"),
+        ia.alias("_ia"),
+        ib.alias("_ib"),
+    )
+    w8 = F.lit(8).cast("int")
+    pairs = sup.select(
+        "pair_id",
+        SYN._encode_image_fmt_udf(F.col("_ia"), w8, w8, F.lit("rawz")).alias(
+            "bytes_a"
+        ),
+        F.lit("rawz").alias("fmt_a"),
+        SYN._encode_image_fmt_udf(F.col("_ib"), w8, w8, F.lit("rawz")).alias(
+            "bytes_b"
+        ),
+        F.lit("rawz").alias("fmt_b"),
+    )
+    return block_motion(pairs, search=2)
+
+
+_BLOCK_MOTION_SQL = """
+WITH s AS (
+  SELECT s_suppkey AS pair_id,
+         (17 * s_suppkey) % 251 AS ia,
+         ((((17 * s_suppkey) % 251)
+           - 58 * (3 * (s_suppkey % 5 - 2)
+                   + 7 * ((s_suppkey // 5) % 5 - 2))) % 251 + 251) % 251 AS ib
+  FROM supplier
+), offs AS (
+  SELECT ox.dx, oy.dy
+  FROM (SELECT unnest(range(-2, 3)) AS dx) ox,
+       (SELECT unnest(range(-2, 3)) AS dy) oy
+), cand AS (
+  SELECT s.pair_id, o.dx, o.dy,
+         CAST(sum(abs(
+           ((g.x * 3 + g.y * 7 + s.ia * 13) % 251)
+           - (((g.x + o.dx) * 3 + (g.y + o.dy) * 7 + s.ib * 13) % 251)
+         )) AS BIGINT) AS sad,
+         CAST(count(*) AS BIGINT) AS n
+  FROM s, offs o,
+       (SELECT xs.x, ys.y
+        FROM (SELECT unnest(range(0, 8)) AS x) xs,
+             (SELECT unnest(range(0, 8)) AS y) ys) g
+  WHERE g.x + o.dx >= 0 AND g.x + o.dx < 8
+    AND g.y + o.dy >= 0 AND g.y + o.dy < 8
+  GROUP BY s.pair_id, o.dx, o.dy
+), ranked AS (
+  SELECT pair_id, dx, dy, sad, n,
+         row_number() OVER (PARTITION BY pair_id
+                            ORDER BY CAST(sad AS DOUBLE) / n, dy, dx) AS rn
+  FROM cand
+)
+SELECT pair_id, CAST(dx AS BIGINT) AS best_dx, CAST(dy AS BIGINT) AS best_dy,
+       sad AS best_sad, n AS overlap_px
+FROM ranked WHERE rn = 1
+"""
+
+
+def q_image_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IMAGE ENTROPY (multimodal.image_entropy): per-tile Shannon
+    entropy of the intensity histogram, micro-quantized terms before the
+    order-free sum (location_entropy's scheme). The oracle rebuilds the
+    histogram from the pixel formula and replays the identical float
+    assembly."""
+    from osm2geojson_spark.operators.multimodal import image_entropy
+
+    imgs = _synth_images(spark, sf_dir, 360, step=3)  # all 8x8
+    return image_entropy(imgs)
+
+
+_IMAGE_ENTROPY_SQL = """
+WITH img AS (
+  SELECT p_partkey AS i FROM part WHERE p_partkey < 360 AND p_partkey % 3 = 0
+), px AS (
+  SELECT i, ((p % 8) * 3 + (p // 8) * 7 + i * 13) % 251 AS v
+  FROM (SELECT i, unnest(range(0, 64)) AS p FROM img)
+), hist AS (
+  SELECT i, v, CAST(count(*) AS BIGINT) AS c FROM px GROUP BY i, v
+), agg AS (
+  SELECT i, CAST(sum(c) AS BIGINT) AS n_px,
+         CAST(count(*) AS BIGINT) AS n_values,
+         CAST(sum(CAST(round(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)) * 1e6)
+                       AS BIGINT)) AS BIGINT) AS s_q
+  FROM hist GROUP BY i
+)
+SELECT printf('img%012d', i) AS image_id, n_px, n_values, s_q,
+       round(ln(CAST(n_px AS DOUBLE)) - (s_q / 1e6) / n_px, 6) + 0.0
+         AS entropy
+FROM agg
+"""
+
+
 def q_polylabel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """POLE OF INACCESSIBILITY (geometry.pole_of_inaccessibility): the
     polylabel label anchor of the integer L-shaped rings (centroid's
@@ -8331,6 +8439,8 @@ FROM c GROUP BY part_key, bin_id
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "block_motion": q_block_motion,
+        "image_entropy": q_image_entropy,
         "polylabel": q_polylabel,
         "centroid": q_centroid,
         "dct_phash": q_dct_phash,
@@ -8526,6 +8636,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "block_motion": _BLOCK_MOTION_SQL,
+        "image_entropy": _IMAGE_ENTROPY_SQL,
         "polylabel": _POLYLABEL_SQL,
         "centroid": _CENTROID_SQL,
         "dct_phash": _dct_phash_sql(),

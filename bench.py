@@ -77,6 +77,8 @@ BENCH_QUERIES = [
     "dct_phash",
     "centroid",
     "polylabel",
+    "image_entropy",
+    "block_motion",
     "centroid_margin",
     "hilbert_layout",
     "geohash_layout",

@@ -2291,3 +2291,114 @@ def dct_phash(images: DataFrame) -> DataFrame:
     return images.select("image_id", "bytes", "fmt").mapInPandas(
         fn, schema="image_id string, phash64 long, n_ac_pos long"
     )
+
+
+def image_entropy(images: DataFrame) -> DataFrame:
+    """SHANNON ENTROPY of each image's intensity histogram (bits are
+    nats here) — the classic texture/information score used for
+    training-crop selection and dud-image filtering (uniform gray -> 0;
+    saturated noise -> ln 256).
+
+    location_entropy's exactness scheme applied per image: with c_v the
+    count of pixels at value v and n total,
+
+        H = ln(n) - (sum_v c_v * ln(c_v)) / n
+
+    each term is quantized FIRST — t_v = round(c_v * ln(c_v) * 1e6)
+    int64 — inside the kernel (numpy, deterministic), so ``s_q`` is the
+    exact hash-stable core and ``entropy`` a two-float-op assembly.
+
+    Returns (image_id, n_px, n_values, s_q, entropy).
+
+    Scale: one Arrow pass, a 256-bin bincount per image, no shuffle."""
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                px = imagecodec.decode(bytes(r.bytes), r.fmt)
+                if px.ndim == 3:
+                    px = px[..., 0]
+                c = np.bincount(px.ravel(), minlength=256).astype(np.int64)
+                nz = c[c > 0]
+                n = int(px.size)
+                s_q = int(
+                    np.round(nz.astype(np.float64) * np.log(nz) * 1e6)
+                    .astype(np.int64)
+                    .sum()
+                )
+                ent = round(math.log(n) - (s_q / 1e6) / n, 6) + 0.0
+                rows.append((r.image_id, n, int(len(nz)), s_q, ent))
+            yield pd.DataFrame(
+                rows,
+                columns=["image_id", "n_px", "n_values", "s_q", "entropy"],
+            )
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(
+        fn,
+        schema="image_id string, n_px long, n_values long, s_q long,"
+        " entropy double",
+    )
+
+
+def block_motion(
+    pairs: DataFrame,
+    search: int = 2,
+    id_col: str = "pair_id",
+) -> DataFrame:
+    """BLOCK MOTION ESTIMATION (the SAD block-matcher at the core of
+    video codecs and frame-pair dedup): for each (frame_a, frame_b) row,
+    the integer displacement (dx, dy) in [-search, search]^2 minimizing
+    the mean absolute difference over the overlap region
+    a[y, x] vs b[y + dy, x + dx].
+
+    Deterministic: candidates are ranked by (sad / overlap) — the
+    division of two exact ints is one IEEE op, identical in any engine —
+    with (dy, dx) tie-break; outputs are exact integers (best offset,
+    its raw SAD and overlap size). An exact translation scores SAD 0 at
+    the true offset.
+
+    Expects columns (id_col, bytes_a, fmt_a, bytes_b, fmt_b).
+
+    Scale: one Arrow pass per pair, (2*search+1)^2 vectorized absdiff
+    sums per row, no shuffle — the temporal-dedup sweep over 10^12
+    frame pairs is scan-shaped."""
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                a = imagecodec.decode(bytes(r[1]), r[2])
+                b = imagecodec.decode(bytes(r[3]), r[4])
+                if a.ndim == 3:
+                    a = a[..., 0]
+                if b.ndim == 3:
+                    b = b[..., 0]
+                h, w = a.shape
+                best = None
+                for dy in range(-search, search + 1):
+                    ay0, ay1 = max(0, -dy), min(h, h - dy)
+                    by0, by1 = ay0 + dy, ay1 + dy
+                    for dx in range(-search, search + 1):
+                        ax0, ax1 = max(0, -dx), min(w, w - dx)
+                        bx0, bx1 = ax0 + dx, ax1 + dx
+                        sub_a = a[ay0:ay1, ax0:ax1].astype(np.int64)
+                        sub_b = b[by0:by1, bx0:bx1].astype(np.int64)
+                        n = sub_a.size
+                        if n == 0:
+                            continue
+                        sad = int(np.abs(sub_a - sub_b).sum())
+                        key = (sad / n, dy, dx)
+                        if best is None or key < best[0]:
+                            best = (key, dx, dy, sad, n)
+                rows.append((r[0], best[1], best[2], best[3], best[4]))
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "best_dx", "best_dy", "best_sad", "overlap_px"],
+            )
+
+    return pairs.mapInPandas(
+        fn,
+        schema=f"{id_col} long, best_dx long, best_dy long, best_sad long,"
+        " overlap_px long",
+    )

@@ -1741,3 +1741,54 @@ def test_dct_phash_integer_exactness_and_locality(spark):
     ham = lambda a, b: bin(a ^ b).count("1")
     assert ham(got["base"], got["tweak"]) <= 8
     assert ham(got["base"], got["other"]) >= 12
+
+
+def test_block_motion_recovers_planted_shift(spark):
+    """block_motion == a scalar SAD replay, recovers an exact planted
+    translation with SAD 0, and ranks by mean SAD with (dy, dx) ties."""
+    from osm2geojson_spark.functions import imagecodec as IC
+    from osm2geojson_spark.operators.multimodal import block_motion
+
+    rng = np.random.default_rng(3)
+    base = rng.integers(0, 256, (12, 12), dtype=np.uint8)
+
+    cases = {}
+    for pid, (dx, dy) in enumerate([(1, -2), (-2, 0), (0, 0), (2, 2)]):
+        a = base[2:10, 2:10]
+        b = base[2 + dy : 10 + dy, 2 + dx : 10 + dx]
+        cases[pid] = (a.copy(), b.copy(), dx, dy)
+    rows = [
+        (pid, IC.encode_rawz(a), "rawz", IC.encode_rawz(b), "rawz")
+        for pid, (a, b, _, _) in cases.items()
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "pair_id long, bytes_a binary, fmt_a string, bytes_b binary,"
+        " fmt_b string",
+    )
+    got = {r["pair_id"]: r for r in block_motion(df, search=2).collect()}
+
+    def brute(a, b, search=2):
+        h, w = a.shape
+        best = None
+        for dy in range(-search, search + 1):
+            for dx in range(-search, search + 1):
+                ay0, ay1 = max(0, -dy), min(h, h - dy)
+                ax0, ax1 = max(0, -dx), min(w, w - dx)
+                sa = a[ay0:ay1, ax0:ax1].astype(int)
+                sb = b[ay0 + dy : ay1 + dy, ax0 + dx : ax1 + dx].astype(int)
+                if sa.size == 0:
+                    continue
+                sad = int(np.abs(sa - sb).sum())
+                key = (sad / sa.size, dy, dx)
+                if best is None or key < best[0]:
+                    best = (key, dx, dy, sad, sa.size)
+        return best[1:]
+
+    for pid, (a, b, dx, dy) in cases.items():
+        r = got[pid]
+        assert (r["best_dx"], r["best_dy"], r["best_sad"], r["overlap_px"]) == brute(a, b), pid
+        # b crops base at +(dx, dy): B(x, y) = A(x + dx, y + dy), so the
+        # matcher's zero-SAD candidate is the INVERSE displacement
+        assert (r["best_dx"], r["best_dy"]) == (-dx, -dy), pid
+        assert r["best_sad"] == 0
