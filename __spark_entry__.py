@@ -7521,6 +7521,114 @@ FROM d
 """
 
 
+def _scored_rows():
+    """Shared scored-corpus fixture: fixed-point score in [0, 1e6) from
+    the congruential hash of the order key; label drawn so P(label=1)
+    rises with the score (a second independent hash as the 'noise')."""
+    return """
+  SELECT o_orderkey AS rid,
+         ((o_orderkey % 1000003) * 2654435761 + 12345) % 1000003 % 1000000
+           AS score,
+         CASE WHEN ((o_orderkey % 999983) * 22801763489 + 7) % 999983 % 1000000
+                   < ((o_orderkey % 1000003) * 2654435761 + 12345) % 1000003 % 1000000
+              THEN 1 ELSE 0 END AS label
+  FROM orders
+"""
+
+
+def _scored_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k = F.col("o_orderkey")
+    score = F.pmod(
+        F.pmod(k, F.lit(1000003)) * F.lit(2654435761) + F.lit(12345),
+        F.lit(1000003),
+    ) % F.lit(1000000)
+    noise = F.pmod(
+        F.pmod(k, F.lit(999983)) * F.lit(22801763489) + F.lit(7),
+        F.lit(999983),
+    ) % F.lit(1000000)
+    return _t(spark, sf_dir, "orders").select(
+        k.alias("rid"),
+        score.cast("long").alias("score"),
+        F.when(noise < score, F.lit(1)).otherwise(F.lit(0)).cast("long").alias("label"),
+    )
+
+
+def q_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT ROC-AUC (analytics.roc_auc): tie-aware Mann-Whitney over the
+    hash-scored orders corpus — integer rank algebra (per tied-score
+    group pos_g*(2*r_min+n_g-1)), one float division at the end. The
+    oracle replays the identical group/rank/assembly in SQL."""
+    from osm2geojson_spark.operators.analytics import roc_auc
+
+    return roc_auc(_scored_df(spark, sf_dir))
+
+
+def _roc_auc_sql() -> str:
+    return f"""
+WITH scored AS ({_scored_rows()}
+), g AS (
+  SELECT score AS s, CAST(count(*) AS BIGINT) AS n_g,
+         CAST(sum(label) AS BIGINT) AS pos_g
+  FROM scored GROUP BY score
+), r AS (
+  SELECT s, n_g, pos_g,
+         CAST(COALESCE(SUM(n_g) OVER (ORDER BY s
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 1
+           AS BIGINT) AS r_min
+  FROM g
+), a AS (
+  SELECT CAST(sum(n_g) AS BIGINT) AS n, CAST(sum(pos_g) AS BIGINT) AS n_pos,
+         CAST(sum(pos_g * (2 * r_min + n_g - 1)) AS BIGINT) AS rank2_sum
+  FROM r
+)
+SELECT n, n_pos, CAST(n - n_pos AS BIGINT) AS n_neg,
+       CAST(rank2_sum - n_pos * (n_pos + 1) AS BIGINT) AS auc_num2,
+       CASE WHEN n_pos > 0 AND n - n_pos > 0 THEN
+         round(CAST(rank2_sum - n_pos * (n_pos + 1) AS DOUBLE)
+               / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n - n_pos AS DOUBLE)), 6)
+         + 0.0
+       END AS auc
+FROM a
+"""
+
+
+def q_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CALIBRATION BINS (analytics.calibration_bins): per-bin reliability
+    evidence of the hash-scored orders corpus (10 bins) — exact integer
+    counts/sums plus replayable conf/acc/gap. The fixture's P(label) =
+    score makes it near-perfectly calibrated: every gap_micro is small,
+    which the oracle reproduces exactly."""
+    from osm2geojson_spark.operators.analytics import calibration_bins
+
+    return calibration_bins(_scored_df(spark, sf_dir), n_bins=10)
+
+
+def _calibration_sql() -> str:
+    return f"""
+WITH scored AS ({_scored_rows()}
+), b AS (
+  SELECT least(9, CAST(floor(CAST(score AS DOUBLE) / 1000000.0 * 10.0)
+                       AS BIGINT)) AS bin,
+         score, label
+  FROM scored
+), agg AS (
+  SELECT bin, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(label) AS BIGINT) AS n_pos,
+         CAST(sum(score) AS BIGINT) AS score_sum
+  FROM b GROUP BY bin
+)
+SELECT bin, n, n_pos, score_sum,
+       round(CAST(score_sum AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0), 6)
+         + 0.0 AS conf,
+       round(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE), 6) + 0.0 AS acc,
+       CAST(round(abs(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)
+                      - CAST(score_sum AS DOUBLE)
+                        / (CAST(n AS DOUBLE) * 1000000.0)) * 1e6) AS BIGINT)
+         AS gap_micro
+FROM agg
+"""
+
+
 def q_block_motion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BLOCK MOTION (multimodal.block_motion): SAD block matching over
     synthetic frame pairs where frame B is an EXACT translation of frame
@@ -8439,6 +8547,8 @@ FROM c GROUP BY part_key, bin_id
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "roc_auc": q_roc_auc,
+        "calibration": q_calibration,
         "block_motion": q_block_motion,
         "image_entropy": q_image_entropy,
         "polylabel": q_polylabel,
@@ -8636,6 +8746,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "roc_auc": _roc_auc_sql(),
+        "calibration": _calibration_sql(),
         "block_motion": _BLOCK_MOTION_SQL,
         "image_entropy": _IMAGE_ENTROPY_SQL,
         "polylabel": _POLYLABEL_SQL,

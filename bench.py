@@ -79,6 +79,8 @@ BENCH_QUERIES = [
     "polylabel",
     "image_entropy",
     "block_motion",
+    "roc_auc",
+    "calibration",
     "centroid_margin",
     "hilbert_layout",
     "geohash_layout",

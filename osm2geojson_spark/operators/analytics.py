@@ -840,3 +840,131 @@ SELECT _g AS {group_col}, CAST(_b.c AS BIGINT) AS peak,
        CAST(-_b.negts AS BIGINT) AS at_ts
 FROM best
 """
+
+
+def roc_auc(
+    scored: DataFrame,
+    score_col: str = "score",
+    label_col: str = "label",
+) -> DataFrame:
+    """EXACT ROC-AUC (the Mann-Whitney U statistic) over a scored,
+    binary-labeled corpus — the model-eval rollup every training
+    pipeline runs on its held-out scores, computed with INTEGER rank
+    algebra so the result is exact and order-free at any scale:
+
+        AUC = (sum over positives of average rank - P(P+1)/2) / (P*N)
+
+    with average ranks under ties expanded per tied-score GROUP g
+    (n_g rows, pos_g positives, r_min_g the 1-based rank of the group's
+    first row in score-ascending order):
+
+        num2 = sum_g pos_g * (2*r_min_g + n_g - 1) - P*(P+1)
+        AUC  = num2 / (2*P*N)
+
+    Every quantity is an exact int64 from two combinable rollups plus
+    one cumulative window over the DISTINCT-score groups (corpus-
+    sublinear); no floats until the single final division.
+
+    Returns ONE row: (n, n_pos, n_neg, auc_num2, auc). AUC of a random
+    scorer ~0.5; NULL when either class is absent."""
+    g = (
+        scored.select(
+            F.col(score_col).alias("_s"),
+            F.col(label_col).cast("long").alias("_y"),
+        )
+        .groupBy("_s")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_g"),
+            F.sum("_y").cast("long").alias("pos_g"),
+        )
+    )
+    w = Window.orderBy("_s").rowsBetween(Window.unboundedPreceding, -1)
+    g = g.withColumn(
+        "r_min", (F.coalesce(F.sum("n_g").over(w), F.lit(0)) + 1).cast("long")
+    )
+    agg = g.agg(
+        F.sum("n_g").cast("long").alias("n"),
+        F.sum("pos_g").cast("long").alias("n_pos"),
+        F.sum(
+            F.col("pos_g") * (F.lit(2) * F.col("r_min") + F.col("n_g") - 1)
+        )
+        .cast("long")
+        .alias("rank2_sum"),
+    )
+    n_neg = (F.col("n") - F.col("n_pos")).alias("n_neg")
+    num2 = (
+        F.col("rank2_sum") - F.col("n_pos") * (F.col("n_pos") + 1)
+    ).alias("auc_num2")
+    ok = (F.col("n_pos") > 0) & (F.col("n") - F.col("n_pos") > 0)
+    auc = F.when(
+        ok,
+        F.round(
+            (F.col("rank2_sum") - F.col("n_pos") * (F.col("n_pos") + 1))
+            .cast("double")
+            / (
+                F.lit(2.0)
+                * F.col("n_pos").cast("double")
+                * (F.col("n") - F.col("n_pos")).cast("double")
+            ),
+            6,
+        )
+        + F.lit(0.0),
+    ).alias("auc")
+    return agg.select("n", "n_pos", n_neg, num2, auc)
+
+
+def calibration_bins(
+    scored: DataFrame,
+    n_bins: int = 10,
+    score_col: str = "score",
+    label_col: str = "label",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """CALIBRATION / RELIABILITY BINS (the per-bin components of
+    Expected Calibration Error): scores in [0, 1) fixed-point units of
+    ``1/scale`` are cut into ``n_bins`` equal bins; each bin reports its
+    exact integer evidence — row count, positive count, score sum — plus
+    the replayable float pair (confidence = mean score, accuracy =
+    positive rate) and the bin's micro-quantized |acc - conf| gap.
+    Emitting PER-BIN rows keeps everything order-free-exact; the scalar
+    ECE is the trivial weighted sum downstream.
+
+    Returns one row per non-empty bin: (bin, n, n_pos, score_sum,
+    conf, acc, gap_micro).
+
+    Scale: one combinable groupBy over the corpus — scan-shaped."""
+    assert n_bins >= 1
+    b = F.least(
+        F.lit(n_bins - 1),
+        F.floor(
+            F.col(score_col).cast("double")
+            / F.lit(float(scale))
+            * F.lit(float(n_bins))
+        ).cast("long"),
+    )
+    agg = (
+        scored.select(
+            b.alias("bin"),
+            F.col(score_col).cast("long").alias("_s"),
+            F.col(label_col).cast("long").alias("_y"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("_y").cast("long").alias("n_pos"),
+            F.sum("_s").cast("long").alias("score_sum"),
+        )
+    )
+    conf = F.col("score_sum").cast("double") / (
+        F.col("n").cast("double") * F.lit(float(scale))
+    )
+    acc = F.col("n_pos").cast("double") / F.col("n").cast("double")
+    return agg.select(
+        "bin",
+        "n",
+        "n_pos",
+        "score_sum",
+        (F.round(conf, 6) + F.lit(0.0)).alias("conf"),
+        (F.round(acc, 6) + F.lit(0.0)).alias("acc"),
+        F.round(F.abs(acc - conf) * F.lit(1e6)).cast("long").alias("gap_micro"),
+    )

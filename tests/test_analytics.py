@@ -804,3 +804,55 @@ def test_peak_concurrency_sweep(spark):
         ).fetchall()
     }
     assert twin == got
+
+
+def test_roc_auc_and_calibration_match_brute(spark):
+    """roc_auc == the O(P*N) pairwise definition (ties count 1/2) on a
+    small corpus WITH tied scores; perfect ranking -> 1.0, inverted ->
+    0.0, one-class -> NULL. calibration_bins == a dict replay."""
+    from osm2geojson_spark.operators.analytics import calibration_bins, roc_auc
+
+    rows = [
+        (1, 100_000, 0), (2, 200_000, 0), (3, 200_000, 1), (4, 400_000, 0),
+        (5, 500_000, 1), (6, 500_000, 0), (7, 500_000, 1), (8, 800_000, 1),
+        (9, 950_000, 1), (10, 50_000, 0),
+    ]
+    df = spark.createDataFrame(rows, "rid long, score long, label long")
+    r = roc_auc(df).collect()[0]
+    pos = [s for _, s, y in rows if y == 1]
+    neg = [s for _, s, y in rows if y == 0]
+    u = sum(
+        1.0 if p > q else (0.5 if p == q else 0.0) for p in pos for q in neg
+    )
+    want = u / (len(pos) * len(neg))
+    assert (r["n"], r["n_pos"], r["n_neg"]) == (10, 5, 5)
+    assert r["auc"] == round(want, 6)
+    assert r["auc_num2"] == int(2 * u + len(pos) * (len(pos) + 1)) - len(pos) * (len(pos) + 1)
+    # closed forms
+    perfect = spark.createDataFrame(
+        [(i, i * 1000, 1 if i > 5 else 0) for i in range(1, 11)],
+        "rid long, score long, label long",
+    )
+    assert roc_auc(perfect).collect()[0]["auc"] == 1.0
+    from pyspark.sql import functions as F
+
+    inverted = perfect.select(
+        "rid", "score", (1 - F.col("label")).alias("label")
+    )
+    assert roc_auc(inverted).collect()[0]["auc"] == 0.0
+    oneclass = perfect.filter("label = 1")
+    assert roc_auc(oneclass).collect()[0]["auc"] is None
+
+    got = {
+        b["bin"]: (b["n"], b["n_pos"], b["score_sum"], b["gap_micro"])
+        for b in calibration_bins(df, n_bins=5).collect()
+    }
+    wantb = {}
+    for _, s, y in rows:
+        b = min(4, s * 5 // 1_000_000)
+        n, np_, ss = wantb.get(b, (0, 0, 0))
+        wantb[b] = (n + 1, np_ + y, ss + s)
+    for b, (n, np_, ss) in wantb.items():
+        conf = ss / (n * 1_000_000)
+        acc = np_ / n
+        assert got[b] == (n, np_, ss, round(abs(acc - conf) * 1e6)), b
