@@ -7553,6 +7553,134 @@ def _scored_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI DRIFT BINS (analytics.psi_bins): distribution drift between
+    the even-key orders snapshot (reference) and the odd-key snapshot
+    with a planted score shift (current). Laplace-smoothed shares, one
+    micro-quantized term per bin from four exact ints — the oracle
+    replays the identical float assembly."""
+    from osm2geojson_spark.operators.analytics import psi_bins
+
+    scored = _scored_df(spark, sf_dir)
+    ref = scored.filter(F.col("rid") % 2 == 0)
+    # floor-div on BOTH sides: Spark cast(double->long) truncates while
+    # DuckDB CAST rounds — the known oracle-parity trap
+    cur = scored.filter(F.col("rid") % 2 == 1).select(
+        "rid",
+        (F.floor(F.col("score") * 9 / F.lit(10)).cast("long") + 50_000).alias(
+            "score"
+        ),
+    )
+    return psi_bins(ref, cur, n_bins=10)
+
+
+def _psi_drift_sql() -> str:
+    return f"""
+WITH scored AS ({_scored_rows()}
+), ref AS (
+  SELECT least(9, CAST(floor(CAST(score AS DOUBLE) / 1000000.0 * 10.0)
+                       AS BIGINT)) AS bin
+  FROM scored WHERE rid % 2 = 0
+), cur AS (
+  SELECT least(9, CAST(floor(CAST((score * 9) // 10
+                                  + 50000 AS DOUBLE) / 1000000.0 * 10.0)
+                       AS BIGINT)) AS bin
+  FROM scored WHERE rid % 2 = 1
+), spine AS (
+  SELECT unnest(range(0, 10)) AS bin
+), j AS (
+  SELECT s.bin,
+         CAST(COALESCE(r.n, 0) AS BIGINT) AS n_ref,
+         CAST(COALESCE(c.n, 0) AS BIGINT) AS n_cur
+  FROM spine s
+  LEFT JOIN (SELECT bin, count(*) AS n FROM ref GROUP BY bin) r ON r.bin = s.bin
+  LEFT JOIN (SELECT bin, count(*) AS n FROM cur GROUP BY bin) c ON c.bin = s.bin
+), t AS (
+  SELECT CAST(sum(n_ref) AS BIGINT) AS tr, CAST(sum(n_cur) AS BIGINT) AS tc
+  FROM j
+)
+SELECT j.bin, j.n_ref, j.n_cur,
+       CAST(round(
+         ((CAST(j.n_ref + 1 AS DOUBLE) / CAST(t.tr + 10 AS DOUBLE))
+          - (CAST(j.n_cur + 1 AS DOUBLE) / CAST(t.tc + 10 AS DOUBLE)))
+         * (ln(CAST(j.n_ref + 1 AS DOUBLE) / CAST(t.tr + 10 AS DOUBLE))
+            - ln(CAST(j.n_cur + 1 AS DOUBLE) / CAST(t.tc + 10 AS DOUBLE)))
+         * 1e6) AS BIGINT) AS term_micro
+FROM j, t
+"""
+
+
+def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WATER-FILLING TOKEN BUDGET (sampling.token_budget_fill): mix-plan
+    allocation of a 200k-token budget over hash-sized domains — common
+    water level tau* = max tau with sum min(c, tau) <= B found in closed
+    form (no iteration), leftover +1 to the largest capped domains. The
+    oracle replays the identical segment/window algebra in pure SQL."""
+    from osm2geojson_spark.operators.sampling import token_budget_fill
+
+    doms = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("domain"),
+        ((F.col("s_suppkey") * 7919) % 10000 + 1).cast("long").alias("tokens"),
+    )
+    return token_budget_fill(doms, budget=200_000)
+
+
+_TOKEN_BUDGET_SQL = """
+WITH d AS (
+  SELECT s_suppkey AS domain,
+         CAST((s_suppkey * 7919) % 10000 + 1 AS BIGINT) AS tokens
+  FROM supplier
+), r AS (
+  SELECT domain, tokens,
+         CAST(row_number() OVER wa AS BIGINT) AS i,
+         CAST(sum(tokens) OVER (wa ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS BIGINT) AS p,
+         lead(tokens) OVER wa AS cnext,
+         CAST(count(*) OVER () AS BIGINT) AS n,
+         CAST(sum(tokens) OVER () AS BIGINT) AS total
+  FROM d WINDOW wa AS (ORDER BY tokens ASC, domain ASC)
+), cand AS (
+  SELECT CASE
+    WHEN i < n
+         AND CAST(floor(CAST(200000 - p AS DOUBLE)
+                        / CAST(n - i AS DOUBLE)) AS BIGINT) >= tokens
+         AND (cnext IS NULL
+              OR CAST(floor(CAST(200000 - p AS DOUBLE)
+                            / CAST(n - i AS DOUBLE)) AS BIGINT) < cnext)
+         AND 200000 < total
+    THEN CAST(floor(CAST(200000 - p AS DOUBLE)
+                    / CAST(n - i AS DOUBLE)) AS BIGINT)
+    WHEN i = 1
+         AND CAST(floor(200000.0 / CAST(n AS DOUBLE)) AS BIGINT) < tokens
+         AND 200000 < total
+    THEN CAST(floor(200000.0 / CAST(n AS DOUBLE)) AS BIGINT)
+  END AS t, total
+  FROM r
+), tau AS (
+  SELECT max(t) AS tau, max(total) AS total FROM cand
+), s AS (
+  SELECT CAST(sum(least(d.tokens, tau.tau)) AS BIGINT) AS s_tau
+  FROM d, tau
+), ranked AS (
+  SELECT d.domain, d.tokens, tau.tau, tau.total,
+         s.s_tau,
+         CASE WHEN d.tokens > tau.tau THEN
+           row_number() OVER (PARTITION BY (d.tokens > tau.tau)
+                              ORDER BY d.tokens DESC, d.domain ASC)
+         END AS rn
+  FROM d, tau, s
+)
+SELECT domain, tokens,
+       CASE WHEN 200000 >= total THEN tokens
+            ELSE least(tokens, tau)
+                 + CASE WHEN tokens > tau AND rn <= 200000 - s_tau
+                        THEN 1 ELSE 0 END
+       END AS alloc,
+       CASE WHEN 200000 >= total THEN FALSE ELSE tokens > tau END AS capped
+FROM ranked
+"""
+
+
 def q_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT ROC-AUC (analytics.roc_auc): tie-aware Mann-Whitney over the
     hash-scored orders corpus — integer rank algebra (per tied-score
@@ -8547,6 +8675,8 @@ FROM c GROUP BY part_key, bin_id
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "psi_drift": q_psi_drift,
+        "token_budget": q_token_budget,
         "roc_auc": q_roc_auc,
         "calibration": q_calibration,
         "block_motion": q_block_motion,
@@ -8746,6 +8876,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "psi_drift": _psi_drift_sql(),
+        "token_budget": _TOKEN_BUDGET_SQL,
         "roc_auc": _roc_auc_sql(),
         "calibration": _calibration_sql(),
         "block_motion": _BLOCK_MOTION_SQL,

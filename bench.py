@@ -81,6 +81,8 @@ BENCH_QUERIES = [
     "block_motion",
     "roc_auc",
     "calibration",
+    "token_budget",
+    "psi_drift",
     "centroid_margin",
     "hilbert_layout",
     "geohash_layout",

@@ -968,3 +968,68 @@ def calibration_bins(
         (F.round(acc, 6) + F.lit(0.0)).alias("acc"),
         F.round(F.abs(acc - conf) * F.lit(1e6)).cast("long").alias("gap_micro"),
     )
+
+
+def psi_bins(
+    ref: DataFrame,
+    cur: DataFrame,
+    n_bins: int = 10,
+    score_col: str = "score",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """POPULATION STABILITY INDEX components — the standard
+    distribution-drift monitor between a reference corpus snapshot and
+    the current one: scores (fixed-point in [0, scale)) are cut into
+    ``n_bins`` equal bins and each bin reports
+
+        term = (p_b - q_b) * ln(p_b / q_b)
+
+    with p/q the Laplace-smoothed bin shares ((n_b + 1) / (N + n_bins)).
+    PSI = sum of terms; <0.1 stable, >0.25 drifted. Per-bin rows keep
+    the stored evidence exact: integer counts plus ``term_micro`` =
+    round(term * 1e6) computed from four ints by identically-ordered
+    float ops — the scalar PSI is a trivial downstream sum.
+
+    Returns one row per bin 0..n_bins-1: (bin, n_ref, n_cur,
+    term_micro).
+
+    Scale: two combinable groupBys + a broadcast of two scalars."""
+    assert n_bins >= 1
+
+    def binned(df, name):
+        b = F.least(
+            F.lit(n_bins - 1),
+            F.floor(
+                F.col(score_col).cast("double")
+                / F.lit(float(scale))
+                * F.lit(float(n_bins))
+            ).cast("long"),
+        )
+        return df.select(b.alias("bin")).groupBy("bin").agg(
+            F.count(F.lit(1)).cast("long").alias(name)
+        )
+
+    spine = ref.sparkSession.range(n_bins).select(F.col("id").alias("bin"))
+    j = (
+        spine.join(binned(ref, "n_ref"), "bin", "left")
+        .join(binned(cur, "n_cur"), "bin", "left")
+        .na.fill({"n_ref": 0, "n_cur": 0})
+    )
+    tot = j.agg(
+        F.sum("n_ref").cast("long").alias("tr"),
+        F.sum("n_cur").cast("long").alias("tc"),
+    )
+    j = j.crossJoin(F.broadcast(tot))
+    p = (F.col("n_ref") + 1).cast("double") / (
+        F.col("tr") + F.lit(n_bins)
+    ).cast("double")
+    q = (F.col("n_cur") + 1).cast("double") / (
+        F.col("tc") + F.lit(n_bins)
+    ).cast("double")
+    term = (p - q) * (F.log(p) - F.log(q))
+    return j.select(
+        "bin",
+        "n_ref",
+        "n_cur",
+        F.round(term * F.lit(1e6)).cast("long").alias("term_micro"),
+    )

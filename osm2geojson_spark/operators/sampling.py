@@ -529,3 +529,107 @@ def cdc_chunks_arrow(
         fn,
         schema=f"{id_col} long, chunk_seq long, start long, chunk_chars long",
     )
+
+
+def token_budget_fill(
+    domains: DataFrame,
+    budget: int,
+    domain_col: str = "domain",
+    count_col: str = "tokens",
+) -> DataFrame:
+    """WATER-FILLING TOKEN BUDGET ALLOCATION — the data-mixing stage of
+    corpus assembly: given per-domain token counts and a global budget
+    B, cap every domain at the common water level tau (small domains
+    keep everything, big domains are truncated equally) so the total
+    exactly meets B:
+
+        tau* = max integer tau with sum_d min(c_d, tau) <= B
+
+    and the leftover B - S(tau*) goes +1 each to the L capped domains
+    ranked (count DESC, domain ASC) — fully deterministic, no floats.
+
+    Closed form, no iteration: with domains sorted by count ascending
+    (prefix sums P_i, i 1-based, n total), on the segment where tau
+    falls between c_i and c_(i+1), S(tau) = P_i + (n-i)*tau, so
+    tau_i = floor((B - P_i) / (n - i)) and tau* is the unique valid
+    segment's value. One window over the DOMAIN list (corpus-sublinear)
+    — the billion-document mix plan is metadata math.
+
+    Returns one row per domain: (domain, tokens, alloc, capped) with
+    sum(alloc) = min(B, total). Budget >= total allocates everything."""
+    from pyspark.sql.window import Window
+
+    assert budget >= 0
+    d = domains.select(
+        F.col(domain_col).alias("_d"), F.col(count_col).cast("long").alias("_c")
+    )
+    w = Window.orderBy(F.col("_c").asc(), F.col("_d").asc())
+    ranked = d.select(
+        "_d",
+        "_c",
+        F.row_number().over(w).cast("long").alias("_i"),
+        F.sum("_c").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long")
+        .alias("_p"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy().rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .cast("long")
+        .alias("_n"),
+        F.lead("_c").over(w).alias("_cnext"),
+    )
+    B = F.lit(int(budget))
+    # segment i (including the virtual i=0 with P=0): tau candidate
+    tau_i = F.when(
+        F.col("_i") < F.col("_n"),
+        F.floor(
+            (B - F.col("_p")).cast("double")
+            / (F.col("_n") - F.col("_i")).cast("double")
+        ).cast("long"),
+    )
+    seg_ok = (
+        (F.col("_i") < F.col("_n"))
+        & (tau_i >= F.col("_c"))
+        & ((F.col("_cnext").isNull()) | (tau_i < F.col("_cnext")))
+        & (B < F.lit(0) + F.max("_p").over(Window.partitionBy()))  # B < total
+    )
+    # also the i=0 segment (tau below the smallest count)
+    zero_tau = F.floor(B.cast("double") / F.col("_n").cast("double")).cast("long")
+    first = F.col("_i") == 1
+    zero_ok = first & (zero_tau < F.col("_c")) & (B < F.max("_p").over(Window.partitionBy()))
+    total = F.max("_p").over(Window.partitionBy())
+    tau_row = F.when(seg_ok, tau_i).when(zero_ok, zero_tau)
+    stats = (
+        ranked.select("_n", total.alias("_total"), tau_row.alias("_tau"))
+        .agg(
+            F.max("_tau").alias("tau"),
+            F.max("_total").alias("total"),
+            F.max("_n").alias("n"),
+        )
+        .collect()[0]
+    )
+    if stats["tau"] is None or budget >= stats["total"]:
+        return d.select(
+            F.col("_d").alias(domain_col),
+            F.col("_c").alias(count_col),
+            F.col("_c").alias("alloc"),
+            F.lit(False).alias("capped"),
+        )
+    tau = int(stats["tau"])
+    s_tau = d.select(
+        F.sum(F.least(F.col("_c"), F.lit(tau))).cast("long").alias("s")
+    ).collect()[0]["s"]
+    leftover = budget - int(s_tau)
+    wl = Window.orderBy(F.col("_c").desc(), F.col("_d").asc())
+    capped = F.col("_c") > F.lit(tau)
+    extra = F.when(
+        capped & (F.row_number().over(wl) <= F.lit(leftover)), F.lit(1)
+    ).otherwise(F.lit(0))
+    return d.select(
+        F.col("_d").alias(domain_col),
+        F.col("_c").alias(count_col),
+        (F.least(F.col("_c"), F.lit(tau)) + extra).cast("long").alias("alloc"),
+        capped.alias("capped"),
+    )

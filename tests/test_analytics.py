@@ -856,3 +856,37 @@ def test_roc_auc_and_calibration_match_brute(spark):
         conf = ss / (n * 1_000_000)
         acc = np_ / n
         assert got[b] == (n, np_, ss, round(abs(acc - conf) * 1e6)), b
+
+
+def test_psi_bins_matches_brute_and_drift_direction(spark):
+    """psi_bins == a dict replay with Laplace smoothing; identical
+    snapshots give PSI ~0 while a shifted snapshot drifts positive."""
+    import math
+
+    from osm2geojson_spark.operators.analytics import psi_bins
+
+    ref_rows = [(i, (i * 37) % 1_000_000) for i in range(400)]
+    cur_rows = [(i, min(999_999, ((i * 37) % 1_000_000) // 2 + 300_000)) for i in range(400)]
+    ref = spark.createDataFrame(ref_rows, "rid long, score long")
+    cur = spark.createDataFrame(cur_rows, "rid long, score long")
+    got = {r["bin"]: r for r in psi_bins(ref, cur, n_bins=8).collect()}
+
+    def counts(rows):
+        c = {b: 0 for b in range(8)}
+        for _, s in rows:
+            c[min(7, s * 8 // 1_000_000)] += 1
+        return c
+
+    cr, cc = counts(ref_rows), counts(cur_rows)
+    tr, tc = sum(cr.values()), sum(cc.values())
+    psi = 0.0
+    for b in range(8):
+        p = (cr[b] + 1) / (tr + 8)
+        q = (cc[b] + 1) / (tc + 8)
+        term = (p - q) * (math.log(p) - math.log(q))
+        assert (got[b]["n_ref"], got[b]["n_cur"]) == (cr[b], cc[b]), b
+        assert abs(got[b]["term_micro"] - round(term * 1e6)) <= 1, b
+        psi += term
+    assert sum(r["term_micro"] for r in got.values()) / 1e6 > 0.25  # drifted
+    same = {r["bin"]: r for r in psi_bins(ref, ref, n_bins=8).collect()}
+    assert all(r["term_micro"] == 0 for r in same.values())

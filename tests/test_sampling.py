@@ -260,3 +260,45 @@ def test_cdc_chunks_arrow_equals_relational(spark):
     rel = sorted(map(tuple, cdc_chunks(df).collect()))
     arr = sorted(map(tuple, cdc_chunks_arrow(df).collect()))
     assert rel == arr and len(rel) > 40
+
+
+def test_token_budget_fill_matches_brute_water_level(spark):
+    """token_budget_fill == the direct definition (max tau with
+    sum min(c, tau) <= B; leftover to largest capped domains) across
+    budgets spanning tiny, mid-segment, boundary and over-total."""
+    import random
+
+    from osm2geojson_spark.operators.sampling import token_budget_fill
+
+    rng = random.Random(23)
+    doms = [(i, rng.randint(1, 500)) for i in range(40)]
+    # add ties and one giant domain
+    doms += [(100, 500), (101, 500), (102, 9000)]
+    total = sum(c for _, c in doms)
+    df = spark.createDataFrame(doms, "domain long, tokens long")
+
+    def brute(budget):
+        if budget >= total:
+            return {d: (c, False) for d, c in doms}
+        tau = 0
+        while sum(min(c, tau + 1) for _, c in doms) <= budget:
+            tau += 1
+        s = sum(min(c, tau) for _, c in doms)
+        leftover = budget - s
+        capped = sorted(
+            [(d, c) for d, c in doms if c > tau], key=lambda t: (-t[1], t[0])
+        )
+        extra = {d for d, _ in capped[:leftover]}
+        return {
+            d: (min(c, tau) + (1 if d in extra else 0), c > tau)
+            for d, c in doms
+        }
+
+    for budget in (0, 17, 40, 1500, 5000, total - 1, total, total + 99):
+        got = {
+            r["domain"]: (r["alloc"], r["capped"])
+            for r in token_budget_fill(df, budget).collect()
+        }
+        want = brute(budget)
+        assert got == want, budget
+        assert sum(a for a, _ in got.values()) == min(budget, total), budget
