@@ -7553,6 +7553,20 @@ def _scored_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_min_seam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MIN VERTICAL SEAM (multimodal.min_seam): seam-carving DP over the
+    8x8 tiles' interior energy grid — all-integer energies and dp, so
+    the cost is engine-exact. The oracle UNROLLS the 6-row DP as chained
+    CTEs with inline formula energies (generated, no recursion)."""
+    from osm2geojson_spark.operators.multimodal import min_seam
+
+    imgs = _synth_images(spark, sf_dir, 360, step=3)  # all 8x8
+    return min_seam(imgs)
+
+
+_MIN_SEAM_SQL = "\nWITH img AS (\n  SELECT p_partkey AS i FROM part WHERE p_partkey < 360 AND p_partkey % 3 = 0\n), g AS (\n  SELECT i, xs.x AS x, ys.y AS y\n  FROM img, (SELECT unnest(range(1, 7)) AS x) xs,\n       (SELECT unnest(range(1, 7)) AS y) ys\n), en AS (\n  SELECT i, x - 1 AS x, y - 1 AS y, CAST((abs((((x + 1) * 3 + (y + 0) * 7 + i * 13) % 251) - (((x + -1) * 3 + (y + 0) * 7 + i * 13) % 251)) + abs((((x + 0) * 3 + (y + 1) * 7 + i * 13) % 251) - (((x + 0) * 3 + (y + -1) * 7 + i * 13) % 251))) AS BIGINT) AS e FROM g\n), d0 AS (\n  SELECT i, x, e AS dp FROM en WHERE y = 0\n), d1 AS (\n  SELECT e.i, e.x, e.e + least(\n           COALESCE(pl.dp, 1099511627776),\n           pc.dp,\n           COALESCE(pr.dp, 1099511627776)) AS dp\n  FROM en e\n  JOIN d0 pc ON pc.i = e.i AND pc.x = e.x\n  LEFT JOIN d0 pl ON pl.i = e.i AND pl.x = e.x - 1\n  LEFT JOIN d0 pr ON pr.i = e.i AND pr.x = e.x + 1\n  WHERE e.y = 1\n), d2 AS (\n  SELECT e.i, e.x, e.e + least(\n           COALESCE(pl.dp, 1099511627776),\n           pc.dp,\n           COALESCE(pr.dp, 1099511627776)) AS dp\n  FROM en e\n  JOIN d1 pc ON pc.i = e.i AND pc.x = e.x\n  LEFT JOIN d1 pl ON pl.i = e.i AND pl.x = e.x - 1\n  LEFT JOIN d1 pr ON pr.i = e.i AND pr.x = e.x + 1\n  WHERE e.y = 2\n), d3 AS (\n  SELECT e.i, e.x, e.e + least(\n           COALESCE(pl.dp, 1099511627776),\n           pc.dp,\n           COALESCE(pr.dp, 1099511627776)) AS dp\n  FROM en e\n  JOIN d2 pc ON pc.i = e.i AND pc.x = e.x\n  LEFT JOIN d2 pl ON pl.i = e.i AND pl.x = e.x - 1\n  LEFT JOIN d2 pr ON pr.i = e.i AND pr.x = e.x + 1\n  WHERE e.y = 3\n), d4 AS (\n  SELECT e.i, e.x, e.e + least(\n           COALESCE(pl.dp, 1099511627776),\n           pc.dp,\n           COALESCE(pr.dp, 1099511627776)) AS dp\n  FROM en e\n  JOIN d3 pc ON pc.i = e.i AND pc.x = e.x\n  LEFT JOIN d3 pl ON pl.i = e.i AND pl.x = e.x - 1\n  LEFT JOIN d3 pr ON pr.i = e.i AND pr.x = e.x + 1\n  WHERE e.y = 4\n), d5 AS (\n  SELECT e.i, e.x, e.e + least(\n           COALESCE(pl.dp, 1099511627776),\n           pc.dp,\n           COALESCE(pr.dp, 1099511627776)) AS dp\n  FROM en e\n  JOIN d4 pc ON pc.i = e.i AND pc.x = e.x\n  LEFT JOIN d4 pl ON pl.i = e.i AND pl.x = e.x - 1\n  LEFT JOIN d4 pr ON pr.i = e.i AND pr.x = e.x + 1\n  WHERE e.y = 5\n), best AS (\n  SELECT i, dp, x,\n         row_number() OVER (PARTITION BY i ORDER BY dp ASC, x ASC) AS rn\n  FROM d5\n), et AS (\n  SELECT i, CAST(sum(e) AS BIGINT) AS energy_total FROM en GROUP BY i\n)\nSELECT printf('img%012d', best.i) AS image_id,\n       CAST(best.dp AS BIGINT) AS seam_cost,\n       CAST(best.x AS BIGINT) AS seam_end_x,\n       et.energy_total\nFROM best JOIN et ON et.i = best.i\nWHERE best.rn = 1\n"
+
+
 def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PSI DRIFT BINS (analytics.psi_bins): distribution drift between
     the even-key orders snapshot (reference) and the odd-key snapshot
@@ -8675,6 +8689,7 @@ FROM c GROUP BY part_key, bin_id
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "min_seam": q_min_seam,
         "psi_drift": q_psi_drift,
         "token_budget": q_token_budget,
         "roc_auc": q_roc_auc,
@@ -8876,6 +8891,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "min_seam": _MIN_SEAM_SQL,
         "psi_drift": _psi_drift_sql(),
         "token_budget": _TOKEN_BUDGET_SQL,
         "roc_auc": _roc_auc_sql(),

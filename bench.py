@@ -83,6 +83,7 @@ BENCH_QUERIES = [
     "calibration",
     "token_budget",
     "psi_drift",
+    "min_seam",
     "centroid_margin",
     "hilbert_layout",
     "geohash_layout",

@@ -2402,3 +2402,55 @@ def block_motion(
         schema=f"{id_col} long, best_dx long, best_dy long, best_sad long,"
         " overlap_px long",
     )
+
+
+def min_seam(images: DataFrame) -> DataFrame:
+    """MIN-COST VERTICAL SEAM (the seam-carving / content-aware-retarget
+    DP, and the stitching-cut primitive of panorama blending): over the
+    INTERIOR grid (central differences need both neighbors) each pixel's
+    energy is the exact integer |dx| + |dy| gradient, and the classic
+    dynamic program
+
+        dp[y][x] = e[y][x] + min(dp[y-1][x-1], dp[y-1][x], dp[y-1][x+1])
+
+    finds the cheapest 8-connected top-to-bottom path. Everything is
+    int64 — energies, dp, cost — so the result is engine-exact; the
+    reported seam anchor is argmin over the last row (tie: min x).
+
+    Returns (image_id, seam_cost, seam_end_x, energy_total).
+
+    Scale: one Arrow pass, H vectorized row relaxations per image, no
+    shuffle (DTW's wavefront shape, one row at a time)."""
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                px = imagecodec.decode(bytes(r.bytes), r.fmt)
+                if px.ndim == 3:
+                    px = px[..., 0]
+                z = px.astype(np.int64)
+                e = (
+                    np.abs(z[1:-1, 2:] - z[1:-1, :-2])
+                    + np.abs(z[2:, 1:-1] - z[:-2, 1:-1])
+                )
+                h, w = e.shape
+                big = np.int64(1) << 40
+                dp = e[0].copy()
+                for y in range(1, h):
+                    left = np.concatenate(([big], dp[:-1]))
+                    right = np.concatenate((dp[1:], [big]))
+                    dp = e[y] + np.minimum(np.minimum(left, dp), right)
+                cost = int(dp.min())
+                end_x = int(np.flatnonzero(dp == cost)[0])
+                rows.append((r.image_id, cost, end_x, int(e.sum())))
+            yield pd.DataFrame(
+                rows,
+                columns=["image_id", "seam_cost", "seam_end_x", "energy_total"],
+            )
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(
+        fn,
+        schema="image_id string, seam_cost long, seam_end_x long,"
+        " energy_total long",
+    )

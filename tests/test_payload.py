@@ -1792,3 +1792,55 @@ def test_block_motion_recovers_planted_shift(spark):
         # matcher's zero-SAD candidate is the INVERSE displacement
         assert (r["best_dx"], r["best_dy"]) == (-dx, -dy), pid
         assert r["best_sad"] == 0
+
+
+def test_min_seam_matches_brute_paths(spark):
+    """min_seam == exhaustive enumeration of ALL 8-connected top-bottom
+    paths on small grids, incl. a planted cheap channel the seam must
+    follow."""
+    from osm2geojson_spark.functions import imagecodec as IC
+    from osm2geojson_spark.operators.multimodal import min_seam
+
+    rng = np.random.default_rng(8)
+    channel = rng.integers(100, 256, (8, 8), dtype=np.uint8)
+    channel[:, 5] = channel[:, 4]  # zero horizontal gradient at x=4 (interior col 3)
+    imgs = {
+        "rand": rng.integers(0, 256, (8, 8), dtype=np.uint8),
+        "flat": np.full((8, 8), 50, dtype=np.uint8),
+        "chan": channel,
+    }
+    df = spark.createDataFrame(
+        [(k, IC.encode_rawz(v), 8, 8, "rawz") for k, v in imgs.items()],
+        "image_id string, bytes binary, w int, h int, fmt string",
+    )
+    got = {r["image_id"]: r for r in min_seam(df).collect()}
+
+    def brute(img):
+        z = img.astype(np.int64)
+        e = np.abs(z[1:-1, 2:] - z[1:-1, :-2]) + np.abs(
+            z[2:, 1:-1] - z[:-2, 1:-1]
+        )
+        h, w = e.shape
+        best = None
+        import itertools
+
+        for xs in itertools.product(range(w), repeat=h):
+            if any(abs(a - b) > 1 for a, b in zip(xs, xs[1:])):
+                continue
+            c = int(sum(e[y, x] for y, x in enumerate(xs)))
+            key = (c, xs[-1])
+            if best is None or key < best:
+                best = key
+        return best
+
+    for name, img in imgs.items():
+        c, ex = brute(img)
+        r = got[name]
+        assert (r["seam_cost"], r["seam_end_x"]) == (c, ex), name
+        assert r["energy_total"] == int(
+            (
+                np.abs(img.astype(int)[1:-1, 2:] - img.astype(int)[1:-1, :-2])
+                + np.abs(img.astype(int)[2:, 1:-1] - img.astype(int)[:-2, 1:-1])
+            ).sum()
+        )
+    assert got["flat"]["seam_cost"] == 0
