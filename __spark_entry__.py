@@ -7553,6 +7553,39 @@ def _scored_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT PER-GROUP QUANTILES (analytics.group_quantiles): p10/p50/
+    p95/max of extended price per order-priority group — type-1 (lower)
+    quantiles so every result is an element of the data, hash-exact
+    across engines (no sketch, no interpolation). The oracle replays the
+    ceil(q*n) rank rule."""
+    from osm2geojson_spark.operators.analytics import group_quantiles
+
+    rows = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("g"),
+        F.floor(F.col("o_totalprice")).cast("long").alias("v"),
+    )
+    return group_quantiles(rows, [0.1, 0.5, 0.95, 1.0])
+
+
+_GROUP_QUANTILES_SQL = """
+WITH rows_t AS (
+  SELECT o_orderpriority AS g, CAST(floor(o_totalprice) AS BIGINT) AS v
+  FROM orders
+), ranked AS (
+  SELECT g, v,
+         CAST(row_number() OVER (PARTITION BY g ORDER BY v ASC) AS BIGINT) AS r,
+         CAST(count(*) OVER (PARTITION BY g) AS BIGINT) AS n
+  FROM rows_t
+), spine AS (
+  SELECT unnest([0.1, 0.5, 0.95, 1.0]) AS q
+)
+SELECT g, CAST(round(q * 100) AS BIGINT) AS q_pct, r AS rank, n, v AS value
+FROM ranked, spine
+WHERE r = greatest(1, CAST(ceil(q * CAST(n AS DOUBLE)) AS BIGINT))
+"""
+
+
 def q_min_seam(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MIN VERTICAL SEAM (multimodal.min_seam): seam-carving DP over the
     8x8 tiles' interior energy grid — all-integer energies and dp, so
@@ -8689,6 +8722,7 @@ FROM c GROUP BY part_key, bin_id
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "group_quantiles": q_group_quantiles,
         "min_seam": q_min_seam,
         "psi_drift": q_psi_drift,
         "token_budget": q_token_budget,
@@ -8891,6 +8925,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "group_quantiles": _GROUP_QUANTILES_SQL,
         "min_seam": _MIN_SEAM_SQL,
         "psi_drift": _psi_drift_sql(),
         "token_budget": _TOKEN_BUDGET_SQL,

@@ -84,6 +84,7 @@ BENCH_QUERIES = [
     "token_budget",
     "psi_drift",
     "min_seam",
+    "group_quantiles",
     "centroid_margin",
     "hilbert_layout",
     "geohash_layout",

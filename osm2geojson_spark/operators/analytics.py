@@ -1033,3 +1033,56 @@ def psi_bins(
         "n_cur",
         F.round(term * F.lit(1e6)).cast("long").alias("term_micro"),
     )
+
+
+def group_quantiles(
+    df: DataFrame,
+    quantiles: list,
+    group_col: str = "g",
+    value_col: str = "v",
+) -> DataFrame:
+    """EXACT PER-GROUP QUANTILES (lower interpolation — "type 1"):
+    q-quantile of a group of n values = the value at 1-based rank
+    ceil(q * n) (q = 0 maps to rank 1). Exact and order-free — the
+    selected value is an element of the data, never an average — so the
+    result hash-matches any engine, unlike approx_percentile sketches.
+    The per-domain p50/p95 length-and-score profile of corpus QA.
+
+    Returns one row per (group, q): (group, q_pct (int, q*100), rank,
+    n, value).
+
+    Scale: ONE window sort per group (the unavoidable exact-quantile
+    cost), then a rank equi-filter — no second shuffle; groups
+    parallelize; skewed groups salt like any window (plans/skew)."""
+    qs = sorted(set(float(q) for q in quantiles))
+    assert all(0.0 <= q <= 1.0 for q in qs) and qs
+    w = Window.partitionBy(group_col).orderBy(
+        F.col(value_col).asc(), F.col(value_col).asc()
+    )
+    ranked = df.select(
+        F.col(group_col),
+        F.col(value_col),
+        F.row_number().over(w).cast("long").alias("_r"),
+        F.count(F.lit(1))
+        .over(
+            Window.partitionBy(group_col).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .cast("long")
+        .alias("_n"),
+    )
+    spine = F.explode(
+        F.array(*[F.lit(q) for q in qs])
+    ).alias("_q")
+    e = ranked.select(group_col, value_col, "_r", "_n", spine)
+    want = F.greatest(
+        F.lit(1), F.ceil(F.col("_q") * F.col("_n").cast("double")).cast("long")
+    )
+    return e.filter(F.col("_r") == want).select(
+        F.col(group_col),
+        F.round(F.col("_q") * 100).cast("long").alias("q_pct"),
+        F.col("_r").alias("rank"),
+        F.col("_n").alias("n"),
+        F.col(value_col).alias("value"),
+    )

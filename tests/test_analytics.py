@@ -890,3 +890,33 @@ def test_psi_bins_matches_brute_and_drift_direction(spark):
     assert sum(r["term_micro"] for r in got.values()) / 1e6 > 0.25  # drifted
     same = {r["bin"]: r for r in psi_bins(ref, ref, n_bins=8).collect()}
     assert all(r["term_micro"] == 0 for r in same.values())
+
+
+def test_group_quantiles_matches_numpy_type1(spark):
+    """group_quantiles == the type-1 (lower) quantile definition per
+    group, incl. ties, singleton groups, and q=1.0 = max."""
+    import math
+
+    from osm2geojson_spark.operators.analytics import group_quantiles
+
+    data = {
+        "a": [5, 1, 9, 1, 7, 3, 3, 3],
+        "b": [42],
+        "c": list(range(100, 0, -1)),
+    }
+    rows = [(g, v) for g, vs in data.items() for v in vs]
+    df = spark.createDataFrame(rows, "g string, v long")
+    qs = [0.0, 0.1, 0.5, 0.9, 1.0]
+    got = {
+        (r["g"], r["q_pct"]): (r["rank"], r["n"], r["value"])
+        for r in group_quantiles(df, qs).collect()
+    }
+    assert len(got) == len(data) * len(qs)
+    for g, vs in data.items():
+        s = sorted(vs)
+        n = len(s)
+        for q in qs:
+            rank = max(1, math.ceil(q * n))
+            assert got[(g, round(q * 100))] == (rank, n, s[rank - 1]), (g, q)
+    assert got[("c", 100)][2] == 100  # q=1 is the max
+    assert got[("b", 0)][2] == 42
