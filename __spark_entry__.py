@@ -7553,6 +7553,79 @@ def _scored_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hist_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HISTOGRAM MATCHING (multimodal.histogram_match): remap each
+    source tile's distribution onto an independent reference tile with
+    the exact cross-multiplied CDF LUT (no floats, sizes may differ).
+    The oracle rebuilds both histograms from the pixel formula, windows
+    the CDFs over the 0..255 spine, and takes min-u per source value."""
+    from osm2geojson_spark.operators.multimodal import histogram_match
+
+    k = F.col("s_suppkey")
+    ia = ((F.lit(17) * k) % 251).cast("int")
+    ib = ((F.lit(29) * k + 5) % 251).cast("int")
+    w8 = F.lit(8).cast("int")
+    pairs = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("pair_id"),
+        SYN._encode_image_fmt_udf(ia, w8, w8, F.lit("rawz")).alias("bytes_a"),
+        F.lit("rawz").alias("fmt_a"),
+        SYN._encode_image_fmt_udf(ib, w8, w8, F.lit("rawz")).alias("bytes_b"),
+        F.lit("rawz").alias("fmt_b"),
+    )
+    return histogram_match(pairs)
+
+
+_HIST_MATCH_SQL = """
+WITH s AS (
+  SELECT s_suppkey AS pid,
+         (17 * s_suppkey) % 251 AS ia,
+         (29 * s_suppkey + 5) % 251 AS ib
+  FROM supplier
+), px AS (
+  SELECT s.pid,
+         ((p % 8) * 3 + (p // 8) * 7 + s.ia * 13) % 251 AS va,
+         ((p % 8) * 3 + (p // 8) * 7 + s.ib * 13) % 251 AS vb
+  FROM s, (SELECT unnest(range(0, 64)) AS p)
+), spine AS (
+  SELECT s.pid, t.v
+  FROM s, (SELECT unnest(range(0, 256)) AS v) t
+), ha AS (
+  SELECT spine.pid, spine.v,
+         CAST(COALESCE(c.n, 0) AS BIGINT) AS c
+  FROM spine LEFT JOIN (
+    SELECT pid, va AS v, count(*) AS n FROM px GROUP BY pid, va
+  ) c ON c.pid = spine.pid AND c.v = spine.v
+), hb AS (
+  SELECT spine.pid, spine.v,
+         CAST(COALESCE(c.n, 0) AS BIGINT) AS c
+  FROM spine LEFT JOIN (
+    SELECT pid, vb AS v, count(*) AS n FROM px GROUP BY pid, vb
+  ) c ON c.pid = spine.pid AND c.v = spine.v
+), cdfa AS (
+  SELECT pid, v, c,
+         CAST(sum(c) OVER (PARTITION BY pid ORDER BY v) AS BIGINT) AS cdf
+  FROM ha
+), cdfb AS (
+  SELECT pid, v,
+         CAST(sum(c) OVER (PARTITION BY pid ORDER BY v) AS BIGINT) AS cdf
+  FROM hb
+), lut AS (
+  SELECT a.pid, a.v, a.c AS ca,
+         CAST(min(b.v) AS BIGINT) AS u
+  FROM cdfa a JOIN cdfb b
+    ON b.pid = a.pid AND b.cdf * 64 >= a.cdf * 64
+  WHERE a.c > 0
+  GROUP BY a.pid, a.v, a.c
+)
+SELECT pid AS pair_id,
+       CAST(sum(u * (v + 1)) AS BIGINT) AS lut_checksum,
+       CAST(sum(ca * u) AS BIGINT) AS out_sum,
+       CAST(min(u) AS BIGINT) AS out_min,
+       CAST(max(u) AS BIGINT) AS out_max
+FROM lut GROUP BY pid
+"""
+
+
 def q_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT PER-GROUP QUANTILES (analytics.group_quantiles): p10/p50/
     p95/max of extended price per order-priority group — type-1 (lower)
@@ -8722,6 +8795,7 @@ FROM c GROUP BY part_key, bin_id
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "hist_match": q_hist_match,
         "group_quantiles": q_group_quantiles,
         "min_seam": q_min_seam,
         "psi_drift": q_psi_drift,
@@ -8925,6 +8999,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "hist_match": _HIST_MATCH_SQL,
         "group_quantiles": _GROUP_QUANTILES_SQL,
         "min_seam": _MIN_SEAM_SQL,
         "psi_drift": _psi_drift_sql(),

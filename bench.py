@@ -85,6 +85,7 @@ BENCH_QUERIES = [
     "psi_drift",
     "min_seam",
     "group_quantiles",
+    "hist_match",
     "centroid_margin",
     "hilbert_layout",
     "geohash_layout",

@@ -1844,3 +1844,56 @@ def test_min_seam_matches_brute_paths(spark):
             ).sum()
         )
     assert got["flat"]["seam_cost"] == 0
+
+
+def test_histogram_match_matches_brute_and_self_identity(spark):
+    """histogram_match == a scalar CDF replay; matching an image to
+    ITSELF is the identity on present values; matching dark->bright
+    raises the mean."""
+    from osm2geojson_spark.functions import imagecodec as IC
+    from osm2geojson_spark.operators.multimodal import histogram_match
+
+    rng = np.random.default_rng(12)
+    dark = rng.integers(0, 90, (8, 8), dtype=np.uint8)
+    bright = rng.integers(140, 256, (10, 10), dtype=np.uint8)  # mixed sizes
+    rows = [
+        (1, IC.encode_rawz(dark), "rawz", IC.encode_rawz(bright), "rawz"),
+        (2, IC.encode_rawz(dark), "rawz", IC.encode_rawz(dark), "rawz"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "pair_id long, bytes_a binary, fmt_a string, bytes_b binary,"
+        " fmt_b string",
+    )
+    got = {r["pair_id"]: r for r in histogram_match(df).collect()}
+
+    def brute(a, b):
+        ca = np.bincount(a.ravel(), minlength=256).astype(np.int64)
+        cb = np.bincount(b.ravel(), minlength=256).astype(np.int64)
+        na, nb = a.size, b.size
+        cdfa, cdfb = np.cumsum(ca), np.cumsum(cb)
+        lut = np.zeros(256, dtype=np.int64)
+        for v in range(256):
+            for u in range(256):
+                if cdfb[u] * na >= cdfa[v] * nb:
+                    lut[v] = u
+                    break
+        out = lut[a.astype(np.int64)]
+        present = ca > 0
+        vs = np.arange(256)
+        return (
+            int((lut[present] * (vs[present] + 1)).sum()),
+            int(out.sum()), int(out.min()), int(out.max()),
+        )
+
+    for pid, a, b in ((1, dark, bright), (2, dark, dark)):
+        r = got[pid]
+        assert (
+            r["lut_checksum"], r["out_sum"], r["out_min"], r["out_max"]
+        ) == brute(a, b), pid
+    # self-match: identity on present values -> output == input stats
+    assert got[2]["out_sum"] == int(dark.sum())
+    assert (got[2]["out_min"], got[2]["out_max"]) == (int(dark.min()), int(dark.max()))
+    # dark remapped onto bright must brighten
+    assert got[1]["out_sum"] > int(dark.sum())
+    assert got[1]["out_min"] >= 140
