@@ -8792,9 +8792,45 @@ FROM c GROUP BY part_key, bin_id
 """
 
 
+def q_morphology(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X149 (multimodal.morphology_stats): 3x3 erosion / dilation /
+    morphological gradient over 300 mixed rawz/png 8x8 images — min and
+    max of 9 integer neighbors are pure order statistics, so interior
+    stats are engine-exact. Oracle replays the deterministic pixel
+    formula with min()/max() aggregates over the 9-shift neighborhood
+    (same shape as the median-filter twin)."""
+    from osm2geojson_spark.operators import multimodal as MM2
+
+    return MM2.morphology_stats(_synth_images(spark, sf_dir, 900, step=3))
+
+
+_MORPHOLOGY_SQL = """
+WITH img AS (
+  SELECT p_partkey AS i FROM part WHERE p_partkey < 900 AND p_partkey % 3 = 0
+), ctr AS (
+  SELECT i, (p % 6) + 1 AS x, (p // 6) + 1 AS y
+  FROM (SELECT i, unnest(range(0, 36)) AS p FROM img) q
+), nb AS (
+  SELECT i, x, y,
+         ((x + (dd % 3) - 1) * 3 + (y + (dd // 3) - 1) * 7 + i * 13) % 251
+           AS v
+  FROM (SELECT i, x, y, unnest(range(0, 9)) AS dd FROM ctr) q
+), mm AS (
+  SELECT i, x, y, min(v) AS e, max(v) AS d FROM nb GROUP BY i, x, y
+)
+SELECT printf('img%012d', i) AS image_id, 6 AS w, 6 AS h,
+       CAST(sum(e) AS BIGINT) AS erode_sum,
+       CAST(sum(d) AS BIGINT) AS dilate_sum,
+       CAST(sum(d - e) AS BIGINT) AS grad_sum,
+       CAST(max(d - e) AS BIGINT) AS grad_max
+FROM mm GROUP BY i
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "morphology": q_morphology,
         "hist_match": q_hist_match,
         "group_quantiles": q_group_quantiles,
         "min_seam": q_min_seam,
@@ -8999,6 +9035,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "morphology": _MORPHOLOGY_SQL,
         "hist_match": _HIST_MATCH_SQL,
         "group_quantiles": _GROUP_QUANTILES_SQL,
         "min_seam": _MIN_SEAM_SQL,

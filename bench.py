@@ -86,6 +86,7 @@ BENCH_QUERIES = [
     "min_seam",
     "group_quantiles",
     "hist_match",
+    "morphology",
     "centroid_margin",
     "hilbert_layout",
     "geohash_layout",

@@ -2517,3 +2517,68 @@ def histogram_match(pairs: DataFrame, id_col: str = "pair_id") -> DataFrame:
         schema=f"{id_col} long, lut_checksum long, out_sum long,"
         " out_min long, out_max long",
     )
+
+
+def morphology_stats(images: DataFrame) -> DataFrame:
+    """3x3 MORPHOLOGY per image — erosion (neighborhood MIN), dilation
+    (neighborhood MAX) and the morphological gradient (dilate - erode,
+    the classic edge-strength / boundary-extraction operator of mask
+    cleanup pipelines). Min/max of 9 integers are pure order statistics
+    — no rounding mode anywhere — so the emitted interior stats are
+    engine-exact and a SQL twin recomputes them from the deterministic
+    pixel formula with plain min()/max() aggregates over the 9-shift
+    neighborhood.
+
+    Returns (image_id, w, h, erode_sum, dilate_sum, grad_sum, grad_max)
+    where w, h are the INTERIOR dims (w-2, h-2), all stats exact int64.
+
+    Reference parity note: osm2geojson has no raster layer; this extends
+    the engine's multimodal family (SURVEY §2.3 E7/X-series) the same
+    way median_filter_stats does.
+
+    Scale: scan-shaped mapInPandas; the kernel stacks the 9 shifted
+    views and reduces with vectorized min/max along the stack axis — no
+    per-pixel Python, pixel bytes never shuffle, output is O(rows)."""
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [
+            "image_id", "w", "h",
+            "erode_sum", "dilate_sum", "grad_sum", "grad_max",
+        ]
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                try:
+                    px = imagecodec.decode(bytes(r.bytes), r.fmt)
+                except NotImplementedError:
+                    continue
+                h, w = px.shape
+                if h < 3 or w < 3:
+                    continue
+                stack = np.stack(
+                    [
+                        px[dy : h - 2 + dy, dx : w - 2 + dx]
+                        for dy in range(3)
+                        for dx in range(3)
+                    ],
+                    axis=0,
+                ).astype(np.int64)
+                ero = stack.min(axis=0)
+                dil = stack.max(axis=0)
+                grad = dil - ero
+                rows.append(
+                    (
+                        r.image_id, w - 2, h - 2,
+                        int(ero.sum()), int(dil.sum()),
+                        int(grad.sum()), int(grad.max()),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(
+        fn,
+        schema=(
+            "image_id string, w int, h int, erode_sum long,"
+            " dilate_sum long, grad_sum long, grad_max long"
+        ),
+    )

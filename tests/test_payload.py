@@ -1897,3 +1897,42 @@ def test_histogram_match_matches_brute_and_self_identity(spark):
     # dark remapped onto bright must brighten
     assert got[1]["out_sum"] > int(dark.sum())
     assert got[1]["out_min"] >= 140
+
+
+def test_morphology_matches_scalar_brute(spark):
+    from osm2geojson_spark.operators.multimodal import morphology_stats
+
+    px = imagecodec.synth_pixels(17, 9, 6).astype(np.uint8)
+    imgs = spark.createDataFrame(
+        [
+            ("a", 9, 6, "rawz", bytearray(imagecodec.encode_rawz(px))),
+            ("tiny", 2, 2, "rawz",
+             bytearray(imagecodec.encode_rawz(np.zeros((2, 2), np.uint8)))),
+            ("p", 9, 6, "png", bytearray(imagecodec.encode_png(px))),
+        ],
+        "image_id string, w int, h int, fmt string, bytes binary",
+    )
+    got = {r["image_id"]: r for r in morphology_stats(imgs).collect()}
+    assert "tiny" not in got  # no interior
+
+    h, w = px.shape
+    ero = np.zeros((h - 2, w - 2), dtype=np.int64)
+    dil = np.zeros((h - 2, w - 2), dtype=np.int64)
+    for y in range(1, h - 1):
+        for x in range(1, w - 1):
+            nb = [
+                int(px[yy, xx])
+                for yy in (y - 1, y, y + 1)
+                for xx in (x - 1, x, x + 1)
+            ]
+            ero[y - 1, x - 1] = min(nb)
+            dil[y - 1, x - 1] = max(nb)
+    grad = dil - ero
+    for name in ("a", "p"):
+        r = got[name]
+        assert (r["w"], r["h"]) == (7, 4)
+        assert (
+            r["erode_sum"], r["dilate_sum"], r["grad_sum"], r["grad_max"]
+        ) == (int(ero.sum()), int(dil.sum()), int(grad.sum()), int(grad.max()))
+    # order-statistic sanity: erosion <= dilation everywhere
+    assert got["a"]["erode_sum"] <= got["a"]["dilate_sum"]
