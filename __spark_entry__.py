@@ -8804,6 +8804,35 @@ def q_morphology(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM2.morphology_stats(_synth_images(spark, sf_dir, 900, step=3))
 
 
+def q_rle_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X150 (multimodal.rle_mask): COCO-style run-length encoding of the
+    binary mask (pixel >= 128) of 300 mixed rawz/png 8x8 images, one row
+    per run in row-major order. The oracle replays the deterministic
+    pixel formula and rebuilds runs with the gaps-and-islands grouping
+    pos - row_number() — every run's start and length is pinned."""
+    from osm2geojson_spark.operators import multimodal as MM2
+
+    return MM2.rle_mask(_synth_images(spark, sf_dir, 900, step=3))
+
+
+_RLE_MASK_SQL = """
+WITH img AS (
+  SELECT p_partkey AS i FROM part WHERE p_partkey < 900 AND p_partkey % 3 = 0
+), px AS (
+  SELECT i, p, ((p % 8) * 3 + (p // 8) * 7 + i * 13) % 251 AS v
+  FROM (SELECT i, unnest(range(0, 64)) AS p FROM img) q
+), m AS (
+  SELECT i, p,
+         p - row_number() OVER (PARTITION BY i ORDER BY p) AS grp
+  FROM px WHERE v >= 128
+)
+SELECT printf('img%012d', i) AS image_id,
+       CAST(min(p) AS BIGINT) AS start_pos,
+       CAST(count(*) AS BIGINT) AS run_len
+FROM m GROUP BY i, grp
+"""
+
+
 _MORPHOLOGY_SQL = """
 WITH img AS (
   SELECT p_partkey AS i FROM part WHERE p_partkey < 900 AND p_partkey % 3 = 0
@@ -8830,6 +8859,7 @@ FROM mm GROUP BY i
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "rle_mask": q_rle_mask,
         "morphology": q_morphology,
         "hist_match": q_hist_match,
         "group_quantiles": q_group_quantiles,
@@ -9035,6 +9065,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "rle_mask": _RLE_MASK_SQL,
         "morphology": _MORPHOLOGY_SQL,
         "hist_match": _HIST_MATCH_SQL,
         "group_quantiles": _GROUP_QUANTILES_SQL,

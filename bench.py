@@ -87,6 +87,7 @@ BENCH_QUERIES = [
     "group_quantiles",
     "hist_match",
     "morphology",
+    "rle_mask",
     "centroid_margin",
     "hilbert_layout",
     "geohash_layout",

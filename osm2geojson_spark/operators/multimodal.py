@@ -2582,3 +2582,44 @@ def morphology_stats(images: DataFrame) -> DataFrame:
             " dilate_sum long, grad_sum long, grad_max long"
         ),
     )
+
+
+def rle_mask(images: DataFrame, threshold: int = 128) -> DataFrame:
+    """RUN-LENGTH ENCODE the binary mask (pixel >= threshold) of each
+    image in row-major order — COCO-style mask compression, the wire
+    format of segmentation labels in vision training sets. One output
+    row per run of consecutive 1-pixels: (image_id, start_pos, run_len)
+    with start_pos = y * w + x of the run's first pixel. Runs are pure
+    integer positions, so a SQL twin recomputes them with the classic
+    gaps-and-islands grouping (pos - dense rank over mask pixels).
+
+    Scale: scan-shaped mapInPandas; runs are found with one np.diff
+    over the flat mask per image (no per-pixel Python). Output size is
+    O(boundary length), typically 50-500x smaller than the mask — this
+    is the compression that makes 10^12 segmentation labels shippable.
+    Pixel bytes never shuffle; downstream joins key on image_id."""
+
+    thr = int(threshold)
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                try:
+                    px = imagecodec.decode(bytes(r.bytes), r.fmt)
+                except NotImplementedError:
+                    continue
+                m = (px.ravel() >= thr).astype(np.int8)
+                # boundaries: prepend/append 0 so every run has both edges
+                d = np.diff(np.concatenate(([0], m, [0])))
+                starts = np.flatnonzero(d == 1)
+                ends = np.flatnonzero(d == -1)
+                for s, e in zip(starts.tolist(), ends.tolist()):
+                    rows.append((r.image_id, int(s), int(e - s)))
+            yield pd.DataFrame(
+                rows, columns=["image_id", "start_pos", "run_len"]
+            )
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(
+        fn, schema="image_id string, start_pos long, run_len long"
+    )
