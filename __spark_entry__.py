@@ -8804,6 +8804,55 @@ def q_morphology(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM2.morphology_stats(_synth_images(spark, sf_dir, 900, step=3))
 
 
+_INTEGRAL_BOXES = [
+    (0, 0, 3, 3),   # NW quadrant
+    (4, 0, 7, 3),   # NE
+    (0, 4, 3, 7),   # SW
+    (4, 4, 7, 7),   # SE
+    (2, 2, 5, 5),   # center crop
+    (0, 0, 7, 7),   # full frame
+    (3, 1, 20, 6),  # clipped on the right edge
+]
+
+
+def q_integral_image(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X151 (multimodal.integral_box_sums): summed-area-table box
+    queries — 7 rects (quadrants, center crop, full frame, one
+    edge-clipped) over 300 mixed rawz/png 8x8 images, each answered in
+    O(1) from 4 SAT corners. The oracle sums the deterministic pixel
+    formula over each rect directly, so any corner-arithmetic or
+    clipping bug in the SAT breaks the hash."""
+    from osm2geojson_spark.operators import multimodal as MM2
+
+    return MM2.integral_box_sums(
+        _synth_images(spark, sf_dir, 900, step=3), _INTEGRAL_BOXES
+    )
+
+
+def _integral_image_sql() -> str:
+    parts = []
+    for bid, (x0, y0, x1, y1) in enumerate(_INTEGRAL_BOXES):
+        parts.append(
+            f"SELECT {bid} AS box_id, {x0} AS x0, {y0} AS y0,"
+            f" {x1} AS x1, {y1} AS y1"
+        )
+    boxes = " UNION ALL ".join(parts)
+    return f"""
+WITH img AS (
+  SELECT p_partkey AS i FROM part WHERE p_partkey < 900 AND p_partkey % 3 = 0
+), px AS (
+  SELECT i, (p % 8) AS x, (p // 8) AS y,
+         ((p % 8) * 3 + (p // 8) * 7 + i * 13) % 251 AS v
+  FROM (SELECT i, unnest(range(0, 64)) AS p FROM img) q
+), boxes AS ({boxes})
+SELECT printf('img%012d', i) AS image_id, CAST(box_id AS INTEGER) AS box_id,
+       CAST(sum(v) AS BIGINT) AS box_sum
+FROM px JOIN boxes
+  ON x >= x0 AND x <= least(x1, 7) AND y >= y0 AND y <= least(y1, 7)
+GROUP BY i, box_id
+"""
+
+
 def q_rle_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X150 (multimodal.rle_mask): COCO-style run-length encoding of the
     binary mask (pixel >= 128) of 300 mixed rawz/png 8x8 images, one row
@@ -8859,6 +8908,7 @@ FROM mm GROUP BY i
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "integral_image": q_integral_image,
         "rle_mask": q_rle_mask,
         "morphology": q_morphology,
         "hist_match": q_hist_match,
@@ -9065,6 +9115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "integral_image": _integral_image_sql(),
         "rle_mask": _RLE_MASK_SQL,
         "morphology": _MORPHOLOGY_SQL,
         "hist_match": _HIST_MATCH_SQL,

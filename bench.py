@@ -88,6 +88,7 @@ BENCH_QUERIES = [
     "hist_match",
     "morphology",
     "rle_mask",
+    "integral_image",
     "centroid_margin",
     "hilbert_layout",
     "geohash_layout",

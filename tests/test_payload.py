@@ -1980,3 +1980,36 @@ def test_rle_mask_matches_scalar_brute_and_roundtrips(spark):
     for s, ln in out["a"]:
         rec[s : s + ln] = 1
     assert np.array_equal(rec.reshape(px.shape), (px >= 128).astype(int))
+
+
+def test_integral_box_sums_matches_brute_and_clips(spark):
+    from osm2geojson_spark.operators.multimodal import integral_box_sums
+
+    px = imagecodec.synth_pixels(31, 9, 6).astype(np.uint8)
+    boxes = [
+        (0, 0, 8, 5),      # full frame
+        (2, 1, 5, 4),      # interior
+        (0, 0, 0, 0),      # single pixel
+        (7, 4, 30, 30),    # clipped both axes
+        (-3, -2, 1, 1),    # clipped at origin
+        (12, 12, 20, 20),  # fully outside -> no row
+    ]
+    imgs = spark.createDataFrame(
+        [
+            ("a", "rawz", bytearray(imagecodec.encode_rawz(px))),
+            ("p", "png", bytearray(imagecodec.encode_png(px))),
+        ],
+        "image_id string, fmt string, bytes binary",
+    )
+    got = {}
+    for r in integral_box_sums(imgs, boxes).collect():
+        got[(r["image_id"], r["box_id"])] = r["box_sum"]
+    for name in ("a", "p"):
+        for bid, (x0, y0, x1, y1) in enumerate(boxes):
+            cx0, cy0 = max(x0, 0), max(y0, 0)
+            cx1, cy1 = min(x1, 8), min(y1, 5)
+            if cx0 > cx1 or cy0 > cy1:
+                assert (name, bid) not in got
+                continue
+            want = int(px[cy0 : cy1 + 1, cx0 : cx1 + 1].astype(np.int64).sum())
+            assert got[(name, bid)] == want, (name, bid)
