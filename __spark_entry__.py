@@ -8815,6 +8815,61 @@ _INTEGRAL_BOXES = [
 ]
 
 
+def q_geary_c(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X152 (spatial_stats.gearys_c): global Geary's C of customer-point
+    counts over the occupied-cell rook lattice at res 4 — Moran's I's
+    difference-based sibling. num (directed squared diffs), den
+    (c_i = n*x_i - S squared), W, n are exact int64 in any summation
+    order; the scalar C is identically-ordered float ops on both
+    engines."""
+    from osm2geojson_spark.operators.spatial_stats import gearys_c
+
+    pts = _t(spark, sf_dir, "customer").select(
+        _lon("c_custkey").alias("lon"), _lat("c_custkey").alias("lat")
+    )
+    from osm2geojson_spark.operators import cells as CEL
+
+    hist = pts.groupBy(
+        CEL.cell_id(F.col("lon"), F.col("lat"), 4).alias("cell_id")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    return gearys_c(hist, res=4)
+
+
+def _geary_c_sql() -> str:
+    from osm2geojson_spark.operators import cells as CEL
+
+    cell = CEL.cell_id_sql(SYN.lon_sql("c_custkey"), SYN.lat_sql("c_custkey"), 4)
+    xs, rs = 1 << 29, 1 << 58
+    return f"""
+WITH hist AS (
+  SELECT {cell} AS cell_id, count(*) AS x FROM customer GROUP BY 1
+), tot AS (SELECT count(*) AS n, sum(x) AS s FROM hist),
+h AS (
+  SELECT cell_id, x, tot.n * x - tot.s AS c, tot.n AS n,
+         (cell_id % {rs}) // {xs} AS cx, cell_id % {xs} AS cy
+  FROM hist, tot
+), pr AS (
+  SELECT a.x AS xa, b.x AS xb, a.n
+  FROM h a JOIN h b
+    ON b.cell_id = 4 * {rs}::BIGINT + ((a.cx + 1) % 16) * {xs} + a.cy
+  UNION ALL
+  SELECT a.x, b.x, a.n
+  FROM h a JOIN h b
+    ON b.cell_id = 4 * {rs}::BIGINT + a.cx * {xs} + (a.cy + 1)
+), edge AS (
+  SELECT any_value(n) AS n, 2 * count(*) AS w_sum,
+         2 * sum((xa - xb) * (xa - xb)) AS num FROM pr
+), dn AS (SELECT sum(c * c) AS den FROM h)
+SELECT CAST(edge.n AS BIGINT) AS n_cells, CAST(w_sum AS BIGINT) AS w_sum,
+       CAST(num AS BIGINT) AS num, CAST(dn.den AS BIGINT) AS den,
+       round((CAST(edge.n - 1 AS DOUBLE) * CAST(num AS DOUBLE)
+              * CAST(edge.n AS DOUBLE) * CAST(edge.n AS DOUBLE))
+             / (2.0 * CAST(w_sum AS DOUBLE) * CAST(dn.den AS DOUBLE)), 6)
+         AS geary
+FROM edge, dn
+"""
+
+
 def q_integral_image(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X151 (multimodal.integral_box_sums): summed-area-table box
     queries — 7 rects (quadrants, center crop, full frame, one
@@ -8908,6 +8963,7 @@ FROM mm GROUP BY i
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "geary_c": q_geary_c,
         "integral_image": q_integral_image,
         "rle_mask": q_rle_mask,
         "morphology": q_morphology,
@@ -9115,6 +9171,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "geary_c": _geary_c_sql(),
         "integral_image": _integral_image_sql(),
         "rle_mask": _RLE_MASK_SQL,
         "morphology": _MORPHOLOGY_SQL,

@@ -93,6 +93,7 @@ BENCH_QUERIES = [
     "hilbert_layout",
     "geohash_layout",
     "morans_i",
+    "geary_c",
     "hotspots",
     "focal_stats",
     "lisa",

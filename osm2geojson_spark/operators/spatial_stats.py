@@ -768,3 +768,78 @@ def gravity_fit(
         F.when(fit_ok, F.round(-slope, 6) + F.lit(0.0)).alias("beta"),
         F.when(fit_ok, F.round(ln_k, 6) + F.lit(0.0)).alias("ln_k"),
     )
+
+
+def gearys_c(
+    cell_counts: DataFrame,
+    res: int,
+    cell_col: str = "cell_id",
+    value_col: str = "cnt",
+) -> DataFrame:
+    """Global GEARY'S C of an integer value over the occupied-cell rook
+    lattice — Moran's I's difference-based sibling (esda.Geary): C < 1
+    means positive spatial autocorrelation, C > 1 negative; C weights
+    LOCAL squared differences, so it is the more sensitive of the pair
+    to small-scale structure.
+
+    Exact-integer formulation: with n occupied cells, S = sum x and
+    c_i = n*x_i - S,
+
+        C = (n-1) * [sum_dir w_ij (x_i - x_j)^2] * n^2
+            / (2 * W * sum c_i^2)
+
+    where num = sum over DIRECTED neighbor pairs of (x_i - x_j)^2 and
+    W = directed pair count — num/den/W/n are exact int64 in any
+    summation order on both engines; only the final scalar touches
+    floats (identically-ordered IEEE ops, round 6).
+
+    Same lattice semantics, joins, and degenerate-input handling as
+    morans_i: rook adjacency by cell-id arithmetic, antimeridian x-wrap
+    gated at n_grid > 2, edgeless/constant frames yield NULL C.
+
+    Scale: identical shape to morans_i — a 1-row broadcast of (n, S),
+    two cell-id equi-joins shuffling only (cell, x) pairs, no geometry."""
+    n_grid = 1 << res
+    hist = cell_counts.select(
+        F.col(cell_col).alias("cell_id"), F.col(value_col).cast("long").alias("x")
+    )
+    totals = hist.agg(F.count(F.lit(1)).alias("n"), F.sum("x").alias("s"))
+    h = hist.crossJoin(F.broadcast(totals)).select(
+        "cell_id", "x", (F.col("n") * F.col("x") - F.col("s")).alias("c"), "n"
+    )
+    cx, cy = cells.cell_xy(F.col("cell_id"))
+    right_x = (cx + 1) % F.lit(n_grid) if n_grid > 2 else (cx + 1)
+    right_id = cells.pack_cell(res, right_x, cy)
+    up_id = cells.pack_cell(res, cx, cy + 1)
+    a = h.select("cell_id", F.col("x").alias("xa"),
+                 right_id.alias("r_id"), up_id.alias("u_id"))
+    b = h.select(F.col("cell_id").alias("nb_id"), F.col("x").alias("xb"))
+    pairs = (
+        a.join(b, a["r_id"] == b["nb_id"]).select("xa", "xb")
+        .unionByName(a.join(b, a["u_id"] == b["nb_id"]).select("xa", "xb"))
+    )
+    d2 = (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb"))
+    edge = pairs.agg(
+        (F.count(F.lit(1)) * 2).alias("w_sum"),
+        F.coalesce(F.sum(d2) * 2, F.lit(0)).alias("num"),
+    )
+    den = h.agg(F.sum(F.col("c") * F.col("c")).alias("den"))
+    nd = lambda col: F.col(col).cast("double")  # noqa: E731
+    return (
+        edge.crossJoin(F.broadcast(totals))
+        .crossJoin(F.broadcast(den))
+        .select(
+            F.col("n").cast("long").alias("n_cells"),
+            F.col("w_sum").cast("long").alias("w_sum"),
+            F.col("num").cast("long").alias("num"),
+            F.col("den").cast("long").alias("den"),
+            F.when(
+                (F.col("den") != 0) & (F.col("w_sum") != 0),
+                F.round(
+                    ((F.col("n") - 1).cast("double") * nd("num") * nd("n") * nd("n"))
+                    / (F.lit(2.0) * nd("w_sum") * nd("den")),
+                    6,
+                ),
+            ).alias("geary"),
+        )
+    )

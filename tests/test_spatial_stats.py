@@ -605,3 +605,62 @@ def test_gravity_fit_replay_and_decay_direction(spark):
     flat = fit(lambda d: 500)
     assert steep > flat + 0.5
     assert abs(flat) < 0.3  # no decay signal in a constant matrix
+
+
+# ---------------------------------------------------------------- Geary's C
+
+
+def _brute_geary(cells_xy: dict[tuple[int, int], int], n_grid: int) -> float:
+    from osm2geojson_spark.operators.spatial_stats import gearys_c  # noqa: F401
+
+    keys = sorted(cells_xy)
+    vals = np.array([cells_xy[k] for k in keys], dtype=float)
+    m = vals.mean()
+    idx = {k: i for i, k in enumerate(keys)}
+    num = 0.0
+    W = 0
+    for (x, y), i in idx.items():
+        for nx, ny in (
+            ((x + 1) % n_grid, y), ((x - 1) % n_grid, y), (x, y + 1), (x, y - 1)
+        ):
+            j = idx.get((nx, ny))
+            if j is not None:
+                W += 1
+                num += (vals[i] - vals[j]) ** 2
+    den = ((vals - m) ** 2).sum()
+    return (len(vals) - 1) * num / (2 * W * den)
+
+
+def _run_geary(spark, cells_xy, res):
+    from osm2geojson_spark.operators.spatial_stats import gearys_c
+
+    rows = [
+        (cells.pack_cell_py(res, x, y), int(v)) for (x, y), v in cells_xy.items()
+    ]
+    df = spark.createDataFrame(rows, "cell_id long, cnt long")
+    return gearys_c(df, res=res).collect()[0]
+
+
+def test_gearys_c_matches_textbook_formula(spark):
+    rng = np.random.default_rng(41)
+    for trial in range(4):
+        cells_xy = {}
+        for _ in range(60):
+            x, y = int(rng.integers(0, 8)), int(rng.integers(0, 8))
+            cells_xy[(x, y)] = int(rng.integers(1, 40))
+        got = _run_geary(spark, cells_xy, res=3)
+        want = _brute_geary(cells_xy, 8)
+        assert abs(got["geary"] - round(want, 6)) < 2e-6, trial
+        assert got["n_cells"] == len(cells_xy)
+
+
+def test_gearys_c_sign_on_planted_patterns(spark):
+    # checkerboard -> C well above 1 (negative autocorrelation)
+    checker = {(x, y): 1 + 9 * ((x + y) % 2) for x in range(8) for y in range(8)}
+    assert _run_geary(spark, checker, res=3)["geary"] > 1.5
+    # smooth gradient -> C well below 1 (positive autocorrelation)
+    grad = {(x, y): 1 + 3 * x + 3 * y for x in range(8) for y in range(8)}
+    assert _run_geary(spark, grad, res=3)["geary"] < 0.5
+    # constant field -> NULL, never a divide error
+    const = {(0, 4): 10, (7, 4): 10}
+    assert _run_geary(spark, const, res=3)["geary"] is None
