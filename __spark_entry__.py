@@ -8815,6 +8815,38 @@ _INTEGRAL_BOXES = [
 ]
 
 
+def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X153 (graph.hits_int): 2 rounds of fixed-point integer HITS
+    (hubs and authorities) over the directed deterministic graph on part
+    keys — PageRank's link-analysis dual. Order-free int64 sums +
+    truncating max-normalization make scores bit-identical across
+    partitionings and engines; the unrolled-CTE oracle hash-matches
+    exactly."""
+    from osm2geojson_spark.operators import graph as G
+
+    part = _t(spark, sf_dir, "part").select("p_partkey")
+    n = part.count()
+    k = F.col("p_partkey")
+    edges = part.select(
+        k.alias("src"), ((k * 7 + 3) % n).alias("dst")
+    ).unionByName(
+        part.select(k.alias("src"), ((k * 131 + 17) % n).alias("dst"))
+    )
+    return G.hits_int(edges, n_iters=2)
+
+
+def _hits_sql() -> str:
+    from osm2geojson_spark.operators import graph as G
+
+    edges = (
+        "SELECT p_partkey AS src,"
+        " (p_partkey * 7 + 3) % (SELECT COUNT(*) FROM part) AS dst FROM part"
+        " UNION ALL SELECT p_partkey AS src,"
+        " (p_partkey * 131 + 17) % (SELECT COUNT(*) FROM part) AS dst FROM part"
+    )
+    return G.hits_sql(edges, n_iters=2)
+
+
 def q_geary_c(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X152 (spatial_stats.gearys_c): global Geary's C of customer-point
     counts over the occupied-cell rook lattice at res 4 — Moran's I's
@@ -8963,6 +8995,7 @@ FROM mm GROUP BY i
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "hits": q_hits,
         "geary_c": q_geary_c,
         "integral_image": q_integral_image,
         "rle_mask": q_rle_mask,
@@ -9171,6 +9204,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "hits": _hits_sql(),
         "geary_c": _geary_c_sql(),
         "integral_image": _integral_image_sql(),
         "rle_mask": _RLE_MASK_SQL,

@@ -94,6 +94,7 @@ BENCH_QUERIES = [
     "geohash_layout",
     "morans_i",
     "geary_c",
+    "hits",
     "hotspots",
     "focal_stats",
     "lisa",

@@ -598,3 +598,138 @@ corners AS (
 )
 SELECT node, CAST(count(*) AS BIGINT) AS n_tri FROM corners GROUP BY node
 """
+
+
+HITS_SCALE = 1_000_000  # fixed-point HITS mass ceiling (max score per round)
+
+
+def hits_int(
+    edges: DataFrame,
+    n_iters: int = 2,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """(node, hub, auth) — ``n_iters`` rounds of FIXED-POINT integer HITS
+    (Kleinberg hubs-and-authorities: a good hub points at good
+    authorities, a good authority is pointed at by good hubs — the
+    link-analysis dual of PageRank for directed reference graphs such as
+    citation / hyperlink / road-interchange networks).
+
+    Per round:  auth_j = sum over in-edges of hub_i, then max-normalize
+    auth' = (auth * HITS_SCALE) div max(auth); hub_i = sum over
+    out-edges of auth'_j, max-normalized the same way. Sums are
+    order-free int64 and the normalizer is truncating division by a
+    1-row global max — bit-identical across partitionings and engines,
+    so a serial unrolled-CTE twin (``hits_sql``) hash-matches exactly.
+    (Classic HITS L2-normalizes; max-normalization preserves the
+    eigenvector direction ranking identically and stays in integers.)
+
+    Nodes with no in-edges have auth 0; no out-edges, hub 0.
+
+    Scale: per round one groupBy(dst) + one groupBy(src) shuffle over
+    (node, contrib) pairs (map-side combinable) and a 1-row broadcast
+    max; lineage kept flat with localCheckpoint. int64 headroom:
+    max degree * HITS_SCALE < 9e18 -> fine to ~9e12-degree hubs."""
+    e = edges.select(
+        F.col(src_col).alias("_s"), F.col(dst_col).alias("_d")
+    ).localCheckpoint(eager=False)
+    nodes = (
+        e.select(F.col("_s").alias("node"))
+        .unionByName(e.select(F.col("_d").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    hub = nodes.withColumn("h", F.lit(HITS_SCALE).cast("long"))
+    auth = None
+    for _ in range(n_iters):
+        a_raw = (
+            hub.join(e, hub["node"] == e["_s"])
+            .groupBy(F.col("_d").alias("node"))
+            .agg(F.sum("h").alias("a"))
+        )
+        amax = a_raw.agg(F.max("a").alias("m"))
+        auth = (
+            nodes.join(a_raw, "node", "left")
+            .crossJoin(F.broadcast(amax))
+            .select(
+                "node",
+                F.when(
+                    F.col("m").isNotNull() & (F.col("m") > 0),
+                    F.expr(f"(coalesce(a, 0L) * {HITS_SCALE}) div m"),
+                )
+                .otherwise(F.lit(0))
+                .cast("long")
+                .alias("a"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        h_raw = (
+            auth.join(e, auth["node"] == e["_d"])
+            .groupBy(F.col("_s").alias("node"))
+            .agg(F.sum("a").alias("hr"))
+        )
+        hmax = h_raw.agg(F.max("hr").alias("m"))
+        hub = (
+            nodes.join(h_raw, "node", "left")
+            .crossJoin(F.broadcast(hmax))
+            .select(
+                "node",
+                F.when(
+                    F.col("m").isNotNull() & (F.col("m") > 0),
+                    F.expr(f"(coalesce(hr, 0L) * {HITS_SCALE}) div m"),
+                )
+                .otherwise(F.lit(0))
+                .cast("long")
+                .alias("h"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return nodes.join(hub, "node").join(auth, "node").select(
+        "node",
+        F.col("h").cast("long").alias("hub"),
+        F.col("a").cast("long").alias("auth"),
+    )
+
+
+def hits_sql(edges_cte: str, n_iters: int = 2) -> str:
+    """DuckDB twin of hits_int, iterations unrolled — identical int64
+    sums and truncating max-normalization, bit-exact hash match."""
+    parts = [
+        f"WITH e AS ({edges_cte})",
+        "nodes AS (SELECT DISTINCT node FROM"
+        " (SELECT src AS node FROM e UNION SELECT dst FROM e) u)",
+        f"h0 AS (SELECT node, CAST({HITS_SCALE} AS BIGINT) AS h FROM nodes)",
+    ]
+    for i in range(1, n_iters + 1):
+        p = i - 1
+        parts.append(
+            f"ar{i} AS (SELECT e.dst AS node, CAST(sum(h{p}.h) AS BIGINT) AS a"
+            f" FROM e JOIN h{p} ON h{p}.node = e.src GROUP BY e.dst)"
+        )
+        parts.append(f"am{i} AS (SELECT max(a) AS m FROM ar{i})")
+        parts.append(
+            f"a{i} AS (SELECT nodes.node, CASE WHEN am{i}.m IS NOT NULL"
+            f" AND am{i}.m > 0 THEN (COALESCE(ar{i}.a, 0) * {HITS_SCALE})"
+            f" // am{i}.m ELSE 0 END AS a"
+            f" FROM nodes LEFT JOIN ar{i} ON ar{i}.node = nodes.node, am{i})"
+        )
+        parts.append(
+            f"hr{i} AS (SELECT e.src AS node, CAST(sum(a{i}.a) AS BIGINT) AS hr"
+            f" FROM e JOIN a{i} ON a{i}.node = e.dst GROUP BY e.src)"
+        )
+        parts.append(f"hm{i} AS (SELECT max(hr) AS m FROM hr{i})")
+        parts.append(
+            f"h{i} AS (SELECT nodes.node, CASE WHEN hm{i}.m IS NOT NULL"
+            f" AND hm{i}.m > 0 THEN (COALESCE(hr{i}.hr, 0) * {HITS_SCALE})"
+            f" // hm{i}.m ELSE 0 END AS h"
+            f" FROM nodes LEFT JOIN hr{i} ON hr{i}.node = nodes.node, hm{i})"
+        )
+    n = n_iters
+    parts.append(
+        f"SELECT nodes.node, CAST(h{n}.h AS BIGINT) AS hub,"
+        f" CAST(a{n}.a AS BIGINT) AS auth"
+        f" FROM nodes JOIN h{n} ON h{n}.node = nodes.node"
+        f" JOIN a{n} ON a{n}.node = nodes.node"
+    )
+    last = parts.pop()
+    return ",\n".join(parts) + "\n" + last

@@ -405,3 +405,40 @@ def test_triangle_count_matches_brute(spark):
     assert twin == got
     # hand check: a triangle planted on the K-ish fixture exists
     assert sum(got.values()) % 3 == 0
+
+
+def test_hits_int_matches_numpy_power_iteration(spark):
+    """hits_int's integer max-normalized scores rank nodes identically to
+    float HITS power iteration on a planted hub/authority graph."""
+    import numpy as np
+
+    from osm2geojson_spark.operators.graph import HITS_SCALE, hits_int
+
+    # planted structure: node 0 is a pure hub pointing at 1..4;
+    # node 5 is a second hub pointing at 1..2; 9 is an isolated-ish edge
+    edges = [(0, 1), (0, 2), (0, 3), (0, 4), (5, 1), (5, 2), (8, 9)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: (r["hub"], r["auth"]) for r in hits_int(df, 2).collect()}
+
+    nodes = sorted({u for e in edges for u in e})
+    idx = {u: i for i, u in enumerate(nodes)}
+    A = np.zeros((len(nodes), len(nodes)))
+    for s, d in edges:
+        A[idx[s], idx[d]] = 1
+    h = np.ones(len(nodes))
+    for _ in range(2):
+        a = A.T @ h
+        a = a / a.max()
+        h = A @ a
+        h = h / h.max()
+    # float ranking must agree with integer ranking
+    f_hub = sorted(nodes, key=lambda u: (-h[idx[u]], u))
+    i_hub = sorted(nodes, key=lambda u: (-got[u][0], u))
+    assert f_hub == i_hub
+    f_auth = sorted(nodes, key=lambda u: (-a[idx[u]], u))
+    i_auth = sorted(nodes, key=lambda u: (-got[u][1], u))
+    assert f_auth == i_auth
+    # the best hub holds the scale ceiling; sinks have hub 0
+    assert got[0][0] == HITS_SCALE
+    assert got[9][0] == 0  # node 9 has no out-edges -> hub 0
+    assert got[0][1] == 0  # node 0 has no in-edges -> auth 0
