@@ -8815,6 +8815,45 @@ _INTEGRAL_BOXES = [
 ]
 
 
+def q_text_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X154 (functions/text.text_nll): per-document NLL under the
+    corpus-trained character-bigram LM — the CCNet/Gopher-style cheap
+    perplexity quality gate, trained and scored in one job. Bigram
+    terms are quantized to micro-nats from exact integer counts before
+    the order-free per-doc sum (track_nll's scheme); the oracle replays
+    the identical bigram explosion, counts, and float assembly."""
+    from osm2geojson_spark.functions.text import text_nll
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return text_nll(docs)
+
+
+_TEXT_NLL_SQL = """
+WITH bg AS (
+  SELECT doc_id, substr(text, CAST(i AS INTEGER), 2) AS bg
+  FROM documents, unnest(range(1, length(text))) AS t(i)
+), mat AS (
+  SELECT bg, CAST(count(*) AS BIGINT) AS n_bg FROM bg GROUP BY bg
+), tot AS (
+  SELECT substr(bg, 1, 1) AS c1, CAST(sum(n_bg) AS BIGINT) AS n_c1
+  FROM mat GROUP BY 1
+), model AS (
+  SELECT bg, CAST(round((ln(CAST(n_bg AS DOUBLE)) - ln(CAST(n_c1 AS DOUBLE)))
+                        * 1e6) AS BIGINT) AS t
+  FROM mat JOIN tot ON substr(mat.bg, 1, 1) = tot.c1
+), agg AS (
+  SELECT bg.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         CAST(-sum(model.t) AS BIGINT) AS nll_micro
+  FROM bg JOIN model ON model.bg = bg.bg
+  GROUP BY bg.doc_id
+)
+SELECT doc_id, n_bigrams, nll_micro,
+       round(CAST(nll_micro AS DOUBLE) / CAST(n_bigrams AS DOUBLE) / 1e6, 6)
+         + 0.0 AS avg_nll
+FROM agg
+"""
+
+
 def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X153 (graph.hits_int): 2 rounds of fixed-point integer HITS
     (hubs and authorities) over the directed deterministic graph on part
@@ -8995,6 +9034,7 @@ FROM mm GROUP BY i
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "text_nll": q_text_nll,
         "hits": q_hits,
         "geary_c": q_geary_c,
         "integral_image": q_integral_image,
@@ -9204,6 +9244,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "text_nll": _TEXT_NLL_SQL,
         "hits": _hits_sql(),
         "geary_c": _geary_c_sql(),
         "integral_image": _integral_image_sql(),

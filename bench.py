@@ -95,6 +95,7 @@ BENCH_QUERIES = [
     "morans_i",
     "geary_c",
     "hits",
+    "text_nll",
     "hotspots",
     "focal_stats",
     "lisa",

@@ -286,3 +286,80 @@ def zipf_fit(docs: DataFrame, text_col: str = "text") -> DataFrame:
         "sxy_q",
         F.when(fit_ok, F.round(slope, 6) + F.lit(0.0)).alias("zipf_slope"),
     )
+
+
+def text_nll(
+    docs,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """DOCUMENT PERPLEXITY GATE — per-document negative log-likelihood
+    under the corpus-trained character-BIGRAM language model, the
+    classic cheap quality filter of LLM data pipelines (CCNet / Gopher
+    style): natural prose follows common character transitions and
+    scores low; boilerplate, mojibake, and generator junk take rare
+    transitions and score high. Trained and applied in ONE job over the
+    same corpus, so every scored bigram is observed and p > 0 — no
+    smoothing term to disagree about.
+
+    Exactness scheme (track_nll's): each bigram term is quantized FIRST
+    — t = round((ln n_bg - ln n_first) * 1e6) as int64 from exact
+    integer corpus counts — so the per-doc sum of ints is
+    partition-order-free; ``nll_micro`` (micro-nats) is the hash-stable
+    core and ``avg_nll`` a short replayable float assembly. Documents
+    shorter than 2 chars drop (no bigram to score).
+
+    Returns (id_col, n_bigrams, nll_micro, avg_nll).
+
+    Scale: bigram explosion is a JVM-side ``transform(sequence(...))``
+    — no Python, no per-char window, no shuffle before the rollup; the
+    model (alphabet^2-bounded, tiny) broadcasts back onto the bigram
+    stream; one final combinable per-doc rollup."""
+    from pyspark.sql import functions as F
+
+    # length >= 2 FIRST: Spark's sequence(1, 0) auto-steps DESCENDING
+    # ([1, 0], two bogus bigrams per short doc) where DuckDB's range(1, 0)
+    # is empty — the filter makes both engines see the same bigram set
+    bg = docs.filter(F.length(text_col) >= 2).select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, length({text_col}) - 1),"
+                f" i -> substring({text_col}, i, 2))"
+            )
+        ).alias("bg"),
+    )
+    mat = bg.groupBy("bg").agg(F.count(F.lit(1)).cast("long").alias("n_bg"))
+    tot = (
+        mat.groupBy(F.substring("bg", 1, 1).alias("c1"))
+        .agg(F.sum("n_bg").cast("long").alias("n_c1"))
+    )
+    term = F.round(
+        (F.log(F.col("n_bg").cast("double")) - F.log(F.col("n_c1").cast("double")))
+        * F.lit(1e6)
+    ).cast("long")
+    model = mat.join(tot, F.substring(mat["bg"], 1, 1) == tot["c1"]).select(
+        "bg", term.alias("_t")
+    )
+    scored = bg.join(F.broadcast(model), "bg")
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            (-F.sum("_t")).cast("long").alias("nll_micro"),
+        )
+        .select(
+            id_col,
+            "n_bigrams",
+            "nll_micro",
+            (
+                F.round(
+                    F.col("nll_micro").cast("double")
+                    / F.col("n_bigrams").cast("double")
+                    / F.lit(1e6),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("avg_nll"),
+        )
+    )

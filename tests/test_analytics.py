@@ -920,3 +920,49 @@ def test_group_quantiles_matches_numpy_type1(spark):
             assert got[(g, round(q * 100))] == (rank, n, s[rank - 1]), (g, q)
     assert got[("c", 100)][2] == 100  # q=1 is the max
     assert got[("b", 0)][2] == 42
+
+
+def test_text_nll_matches_brute_bigram_lm(spark):
+    """text_nll == a from-scratch Python char-bigram LM on a tiny corpus;
+    repetitive text scores lower avg_nll than erratic text."""
+    import math
+    from collections import Counter
+
+    from osm2geojson_spark.functions.text import text_nll
+
+    docs = [
+        (1, "abababababab"),
+        (2, "aabbaabbaabb"),
+        (3, "the cat sat on the mat"),
+        (4, "x"),           # too short: no bigram, must drop
+        (5, "zq"),          # rare transition
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in text_nll(df).collect()}
+
+    bigrams = []
+    per_doc = {}
+    for did, t in docs:
+        bs = [t[i : i + 2] for i in range(len(t) - 1)]
+        per_doc[did] = bs
+        bigrams.extend(bs)
+    n_bg = Counter(bigrams)
+    n_c1 = Counter()
+    for bg, c in n_bg.items():
+        n_c1[bg[0]] += c
+    for did, bs in per_doc.items():
+        if not bs:
+            assert did not in got
+            continue
+        terms = [
+            int(round((math.log(n_bg[b]) - math.log(n_c1[b[0]])) * 1e6))
+            for b in bs
+        ]
+        r = got[did]
+        assert r["n_bigrams"] == len(bs)
+        assert r["nll_micro"] == -sum(terms)
+        assert abs(r["avg_nll"] - round(-sum(terms) / len(bs) / 1e6, 6)) < 1e-9
+    # the perfectly periodic doc is the most predictable
+    assert got[1]["avg_nll"] <= got[3]["avg_nll"]
+    # a corpus-unique transition is certain under the self-trained model
+    assert got[5]["avg_nll"] == 0.0
