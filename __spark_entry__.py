@@ -8815,6 +8815,74 @@ _INTEGRAL_BOXES = [
 ]
 
 
+def q_viewshed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X155 (geostat.viewshed): 8-ray line-of-sight over a 32x32 integer
+    DEM from 40 customer-keyed towers — visibility decided by the
+    float-free cross-multiplied angle test dz_t * s > dz_s * t, exact
+    int64 on both engines. One DEM equi-join + a bounded within-ray
+    blocker join; the oracle replays it with NOT EXISTS."""
+    from osm2geojson_spark.operators.geostat import viewshed
+
+    n = 32
+    xc = (F.col("id") % n).cast("long")
+    yc = F.floor(F.col("id") / n).cast("long")
+    dem = spark.range(n * n).select(
+        xc.alias("x"),
+        yc.alias("y"),
+        ((xc * 13 + yc * 29 + (xc * yc) % 7) % 97).cast("long").alias("z"),
+    )
+    obs = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") < 40).select(
+        F.col("c_custkey").alias("obs_id"),
+        ((F.col("c_custkey") * 7) % n).cast("long").alias("ox"),
+        ((F.col("c_custkey") * 11) % n).cast("long").alias("oy"),
+        (F.lit(2) + F.col("c_custkey") % 3).cast("long").alias("tower"),
+    )
+    return viewshed(dem, obs, max_dist=20)
+
+
+_VIEWSHED_SQL = """
+WITH dem AS (
+  SELECT i % 32 AS x, i // 32 AS y,
+         ((i % 32) * 13 + (i // 32) * 29 + ((i % 32) * (i // 32)) % 7) % 97 AS z
+  FROM (SELECT unnest(range(0, 1024)) AS i)
+), obs AS (
+  SELECT c_custkey AS obs_id, (c_custkey * 7) % 32 AS ox,
+         (c_custkey * 11) % 32 AS oy, 2 + c_custkey % 3 AS tower
+  FROM customer WHERE c_custkey < 40
+), dirs AS (
+  SELECT * FROM (VALUES (0, -1, -1), (1, -1, 0), (2, -1, 1), (3, 0, -1),
+                        (4, 0, 1), (5, 1, -1), (6, 1, 0), (7, 1, 1))
+         AS d(ray, dx, dy)
+), eye AS (
+  SELECT obs_id, ox, oy, dem.z + tower AS z_eye
+  FROM obs JOIN dem ON dem.x = obs.ox AND dem.y = obs.oy
+), samples AS (
+  SELECT obs_id, ray, t, dem.z - z_eye AS dz
+  FROM (SELECT eye.*, dirs.ray, dirs.dx, dirs.dy, tt.t
+        FROM eye, dirs, (SELECT unnest(range(1, 21)) AS t) tt) s
+  JOIN dem ON dem.x = s.ox + s.t * s.dx AND dem.y = s.oy + s.t * s.dy
+), vis AS (
+  SELECT a.obs_id, a.ray, a.t
+  FROM samples a
+  WHERE NOT EXISTS (
+    SELECT 1 FROM samples b
+    WHERE b.obs_id = a.obs_id AND b.ray = a.ray AND b.t < a.t
+      AND b.dz * a.t >= a.dz * b.t
+  )
+), ns AS (
+  SELECT obs_id, ray, CAST(count(*) AS BIGINT) AS n_samples
+  FROM samples GROUP BY 1, 2
+), nv AS (
+  SELECT obs_id, ray, CAST(count(*) AS BIGINT) AS n_visible,
+         CAST(max(t) AS BIGINT) AS max_visible_t
+  FROM vis GROUP BY 1, 2
+)
+SELECT ns.obs_id, CAST(ns.ray AS INTEGER) AS ray, ns.n_samples,
+       COALESCE(nv.n_visible, 0) AS n_visible, nv.max_visible_t
+FROM ns LEFT JOIN nv ON nv.obs_id = ns.obs_id AND nv.ray = ns.ray
+"""
+
+
 def q_text_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X154 (functions/text.text_nll): per-document NLL under the
     corpus-trained character-bigram LM — the CCNet/Gopher-style cheap
@@ -9034,6 +9102,7 @@ FROM mm GROUP BY i
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "viewshed": q_viewshed,
         "text_nll": q_text_nll,
         "hits": q_hits,
         "geary_c": q_geary_c,
@@ -9244,6 +9313,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "viewshed": _VIEWSHED_SQL,
         "text_nll": _TEXT_NLL_SQL,
         "hits": _hits_sql(),
         "geary_c": _geary_c_sql(),

@@ -96,6 +96,7 @@ BENCH_QUERIES = [
     "geary_c",
     "hits",
     "text_nll",
+    "viewshed",
     "hotspots",
     "focal_stats",
     "lisa",

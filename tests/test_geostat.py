@@ -334,3 +334,54 @@ def test_clark_evans_matches_brute_and_regimes(spark):
         assert row["z"] == round((r_obs - r_exp) / se, 6)
         if lattice:
             assert row["ce_index"] > 1.0
+
+
+def test_viewshed_matches_scalar_brute(spark):
+    """viewshed == a from-scratch float-angle scalar sweep on a random
+    DEM, plus planted wall/valley sanity."""
+    import numpy as np
+
+    from osm2geojson_spark.operators.geostat import viewshed
+
+    rng = np.random.default_rng(7)
+    n = 12
+    zg = rng.integers(0, 50, size=(n, n))
+    # planted wall east of the tower: a tall ridge then a shadowed valley
+    zg[5, 7] = 200   # wall at (x=7, y=5)
+    zg[5, 8:] = 1    # valley behind it
+    dem = spark.createDataFrame(
+        [(int(x), int(y), int(zg[y, x])) for y in range(n) for x in range(n)],
+        "x long, y long, z long",
+    )
+    obs = spark.createDataFrame(
+        [(1, 5, 5, 3), (2, 0, 0, 2)], "obs_id long, ox long, oy long, tower long"
+    )
+    got = {
+        (r["obs_id"], r["ray"]): r
+        for r in viewshed(dem, obs, max_dist=10).collect()
+    }
+
+    dirs = [(-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1), (1, -1), (1, 0), (1, 1)]
+    for obs_id, ox, oy, tw in [(1, 5, 5, 3), (2, 0, 0, 2)]:
+        zeye = int(zg[oy, ox]) + tw
+        for ray, (dx, dy) in enumerate(dirs):
+            samp = []
+            for t in range(1, 11):
+                x, y = ox + t * dx, oy + t * dy
+                if 0 <= x < n and 0 <= y < n:
+                    samp.append((t, int(zg[y, x]) - zeye))
+            if not samp:
+                assert (obs_id, ray) not in got
+                continue
+            vis = [
+                t for i, (t, dz) in enumerate(samp)
+                if all(dz * s > dz_s * t for s, dz_s in samp[:i])
+            ]
+            r = got[(obs_id, ray)]
+            assert r["n_samples"] == len(samp)
+            assert r["n_visible"] == len(vis)
+            assert r["max_visible_t"] == max(vis)
+    # the east ray from tower 1 (ray (1,0) = id 6): wall at t=2 visible,
+    # valley behind it shadowed
+    east = got[(1, 6)]
+    assert east["max_visible_t"] == 2  # nothing past the wall is seen
