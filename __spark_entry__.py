@@ -8815,6 +8815,71 @@ _INTEGRAL_BOXES = [
 ]
 
 
+def q_segment_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X156 (spatial_join.segment_intersect_join): every intersecting /
+    touching pair between two deterministic part-keyed segment sets —
+    PBSM covering-cell candidates, then the CLRS integer cross-product
+    predicate (proper crossings AND collinear touches, float-free). The
+    oracle brute-forces all pairs with the identical predicate; the
+    covering path must deliver exactly the same set exactly once."""
+    from osm2geojson_spark.operators.spatial_join import segment_intersect_join
+
+    part = _t(spark, sf_dir, "part").filter(F.col("p_partkey") < 400)
+    k = F.col("p_partkey")
+    L = part.select(
+        k.alias("lid"),
+        ((k * 7) % 120).cast("long").alias("ax"),
+        ((k * 13) % 80).cast("long").alias("ay"),
+        (((k * 7) % 120) + (k % 17) - 8).cast("long").alias("bx"),
+        (((k * 13) % 80) + (k % 19) - 9).cast("long").alias("by"),
+    )
+    R = part.select(
+        k.alias("rid"),
+        ((k * 23) % 120).cast("long").alias("ax"),
+        ((k * 31) % 80).cast("long").alias("ay"),
+        (((k * 23) % 120) + (k % 15) - 7).cast("long").alias("bx"),
+        (((k * 31) % 80) + (k % 21) - 10).cast("long").alias("by"),
+    )
+    return segment_intersect_join(L, R, res=6)
+
+
+_SEGMENT_INTERSECT_SQL = """
+WITH L AS (
+  SELECT p_partkey AS lid,
+         (p_partkey * 7) % 120 AS ax, (p_partkey * 13) % 80 AS ay,
+         (p_partkey * 7) % 120 + (p_partkey % 17) - 8 AS bx,
+         (p_partkey * 13) % 80 + (p_partkey % 19) - 9 AS by
+  FROM part WHERE p_partkey < 400
+), R AS (
+  SELECT p_partkey AS rid,
+         (p_partkey * 23) % 120 AS ax, (p_partkey * 31) % 80 AS ay,
+         (p_partkey * 23) % 120 + (p_partkey % 15) - 7 AS bx,
+         (p_partkey * 31) % 80 + (p_partkey % 21) - 10 AS by
+  FROM part WHERE p_partkey < 400
+), d AS (
+  SELECT lid, rid,
+         (R.bx - R.ax) * (L.ay - R.ay) - (R.by - R.ay) * (L.ax - R.ax) AS d1,
+         (R.bx - R.ax) * (L.by - R.ay) - (R.by - R.ay) * (L.bx - R.ax) AS d2,
+         (L.bx - L.ax) * (R.ay - L.ay) - (L.by - L.ay) * (R.ax - L.ax) AS d3,
+         (L.bx - L.ax) * (R.by - L.ay) - (L.by - L.ay) * (R.bx - L.ax) AS d4,
+         L.ax AS lax, L.ay AS lay, L.bx AS lbx, L.by AS lby,
+         R.ax AS rax, R.ay AS ray_, R.bx AS rbx, R.by AS rby
+  FROM L, R
+)
+SELECT lid, rid, (d1 * d2 < 0 AND d3 * d4 < 0) AS is_proper
+FROM d
+WHERE (d1 * d2 < 0 AND d3 * d4 < 0)
+   OR (d1 = 0 AND lax BETWEEN least(rax, rbx) AND greatest(rax, rbx)
+               AND lay BETWEEN least(ray_, rby) AND greatest(ray_, rby))
+   OR (d2 = 0 AND lbx BETWEEN least(rax, rbx) AND greatest(rax, rbx)
+               AND lby BETWEEN least(ray_, rby) AND greatest(ray_, rby))
+   OR (d3 = 0 AND rax BETWEEN least(lax, lbx) AND greatest(lax, lbx)
+               AND ray_ BETWEEN least(lay, lby) AND greatest(lay, lby))
+   OR (d4 = 0 AND rbx BETWEEN least(lax, lbx) AND greatest(lax, lbx)
+               AND rby BETWEEN least(lay, lby) AND greatest(lay, lby))
+"""
+
+
 def q_viewshed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X155 (geostat.viewshed): 8-ray line-of-sight over a 32x32 integer
     DEM from 40 customer-keyed towers — visibility decided by the
@@ -9102,6 +9167,7 @@ FROM mm GROUP BY i
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "segment_intersect": q_segment_intersect,
         "viewshed": q_viewshed,
         "text_nll": q_text_nll,
         "hits": q_hits,
@@ -9313,6 +9379,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "segment_intersect": _SEGMENT_INTERSECT_SQL,
         "viewshed": _VIEWSHED_SQL,
         "text_nll": _TEXT_NLL_SQL,
         "hits": _hits_sql(),

@@ -97,6 +97,7 @@ BENCH_QUERIES = [
     "hits",
     "text_nll",
     "viewshed",
+    "segment_intersect",
     "hotspots",
     "focal_stats",
     "lisa",

@@ -919,3 +919,94 @@ def within_distance_join(
         .filter(F.col("dist_m") <= F.lit(float(radius_m)))
         .select(lid, rid, "dist_m")
     )
+
+
+def segment_intersect_join(
+    left: DataFrame,
+    right: DataFrame,
+    res: int = cells.DEFAULT_RES,
+    lid: str = "lid",
+    rid: str = "rid",
+) -> DataFrame:
+    """SEGMENT-INTERSECTION JOIN — every (left, right) pair of planar
+    line segments that intersect or touch: ST_Intersects for segment
+    sets, the road-crossing / cadastral-boundary-conflict / route-vs-
+    fence detector. Both inputs: (id, ax, ay, bx, by) with INTEGER
+    coordinates (quantize upstream; bound |coord| <= ~1e6 keeps every
+    cross product and product-of-crosses within int64).
+
+    Exactness: the CLRS predicate on integer cross products —
+    d1 = cross(C, D, A), d2 = cross(C, D, B), d3 = cross(A, B, C),
+    d4 = cross(A, B, D); PROPER crossing iff d1*d2 < 0 and d3*d4 < 0;
+    TOUCHING iff some d_i = 0 and the collinear point lies inside the
+    other segment's bbox. No floats anywhere, so Spark and the SQL twin
+    agree bit-for-bit on every tangency.
+
+    Returns (lid, rid, is_proper).
+
+    Plan: candidates come from bbox_intersect_join — covering-cell
+    equi-join with the PBSM reporting-cell rule, so each bbox-
+    overlapping pair arrives EXACTLY once and no distinct() is needed
+    before the exact gate. Endpoints ride back in via two id-keyed
+    equi-joins; the predicate is pure JVM column math.
+
+    Scale: same cost model as bbox_intersect_join (candidates ~ per-cell
+    |L| x |R|); the exact gate is selective and free. A segment set with
+    continental extents should be subdivided upstream (geometry.
+    subdivide) so coverings stay bounded."""
+    lb = left.select(
+        F.col(lid),
+        F.least("ax", "bx").alias("x0"), F.least("ay", "by").alias("y0"),
+        F.greatest("ax", "bx").alias("x1"), F.greatest("ay", "by").alias("y1"),
+    )
+    rb = right.select(
+        F.col(rid),
+        F.least("ax", "bx").alias("x0"), F.least("ay", "by").alias("y0"),
+        F.greatest("ax", "bx").alias("x1"), F.greatest("ay", "by").alias("y1"),
+    )
+    cand = bbox_intersect_join(lb, rb, res=res, lid=lid, rid=rid).select(lid, rid)
+    lco = left.select(
+        F.col(lid),
+        F.col("ax").cast("long").alias("lax"), F.col("ay").cast("long").alias("lay"),
+        F.col("bx").cast("long").alias("lbx"), F.col("by").cast("long").alias("lby"),
+    )
+    rco = right.select(
+        F.col(rid),
+        F.col("ax").cast("long").alias("rax"), F.col("ay").cast("long").alias("ray_"),
+        F.col("bx").cast("long").alias("rbx"), F.col("by").cast("long").alias("rby"),
+    )
+    p = cand.join(lco, lid).join(rco, rid)
+
+    def cross(ox, oy, px, py, qx, qy):
+        return (F.col(px) - F.col(ox)) * (F.col(qy) - F.col(oy)) - (
+            F.col(py) - F.col(oy)
+        ) * (F.col(qx) - F.col(ox))
+
+    d1 = cross("rax", "ray_", "rbx", "rby", "lax", "lay")  # A vs CD
+    d2 = cross("rax", "ray_", "rbx", "rby", "lbx", "lby")  # B vs CD
+    d3 = cross("lax", "lay", "lbx", "lby", "rax", "ray_")  # C vs AB
+    d4 = cross("lax", "lay", "lbx", "lby", "rbx", "rby")   # D vs AB
+
+    def onseg(px, py, sx0, sy0, sx1, sy1):
+        return (
+            (F.col(px) >= F.least(sx0, sx1)) & (F.col(px) <= F.greatest(sx0, sx1))
+            & (F.col(py) >= F.least(sy0, sy1)) & (F.col(py) <= F.greatest(sy0, sy1))
+        )
+
+    p = p.withColumn("_d1", d1).withColumn("_d2", d2).withColumn(
+        "_d3", d3
+    ).withColumn("_d4", d4)
+    proper = (F.col("_d1") * F.col("_d2") < 0) & (F.col("_d3") * F.col("_d4") < 0)
+    touch = (
+        ((F.col("_d1") == 0) & onseg("lax", "lay", F.col("rax"), F.col("ray_"),
+                                     F.col("rbx"), F.col("rby")))
+        | ((F.col("_d2") == 0) & onseg("lbx", "lby", F.col("rax"), F.col("ray_"),
+                                       F.col("rbx"), F.col("rby")))
+        | ((F.col("_d3") == 0) & onseg("rax", "ray_", F.col("lax"), F.col("lay"),
+                                       F.col("lbx"), F.col("lby")))
+        | ((F.col("_d4") == 0) & onseg("rbx", "rby", F.col("lax"), F.col("lay"),
+                                       F.col("lbx"), F.col("lby")))
+    )
+    return p.filter(proper | touch).select(
+        lid, rid, proper.alias("is_proper")
+    )

@@ -1770,3 +1770,69 @@ def test_pole_of_inaccessibility_matches_brute(spark):
         ), pid
     # square 7x7 -> raster grid inner cells, pole in the middle, d = 4
     assert (got[1]["px"], got[1]["py"], got[1]["dist_l1"]) == (3, 3, 4)
+
+
+def test_segment_intersect_join_matches_rational_brute(spark):
+    """segment_intersect_join == an independent exact rational-arithmetic
+    intersection solver (parametric solve in Fractions), including
+    collinear overlaps and endpoint touches; covering-path pairs arrive
+    exactly once even for multi-cell segments."""
+    from fractions import Fraction
+
+    import numpy as np
+
+    from osm2geojson_spark.operators.spatial_join import segment_intersect_join
+
+    rng = np.random.default_rng(13)
+    def mk(n, seed_off):
+        segs = []
+        for i in range(n):
+            ax = int(rng.integers(-30, 80))
+            ay = int(rng.integers(-30, 60))
+            bx = ax + int(rng.integers(-40, 41))
+            by = ay + int(rng.integers(-40, 41))
+            segs.append((i + seed_off, ax, ay, bx, by))
+        return segs
+
+    Ls = mk(60, 0)
+    Rs = mk(60, 1000)
+    # planted exact tangencies: endpoint touch + collinear overlap
+    Ls += [(900, 0, 0, 10, 0), (901, 20, 20, 30, 30)]
+    Rs += [(1900, 10, 0, 10, 5),   # touches 900's endpoint
+           (1901, 25, 25, 40, 40),  # collinear overlap with 901
+           (1902, 5, -3, 5, 3)]     # proper crossing of 900
+
+    L = spark.createDataFrame(Ls, "lid long, ax long, ay long, bx long, by long")
+    R = spark.createDataFrame(Rs, "rid long, ax long, ay long, bx long, by long")
+    rows = segment_intersect_join(L, R, res=6).collect()
+    got = {(r["lid"], r["rid"]): r["is_proper"] for r in rows}
+    assert len(rows) == len(got)  # exactly-once, no PBSM duplicates
+
+    def exact_intersect(s1, s2):
+        (ax, ay, bx, by), (cx, cy, dx, dy) = s1, s2
+        r = (bx - ax, by - ay)
+        s = (dx - cx, dy - cy)
+        denom = r[0] * s[1] - r[1] * s[0]
+        qp = (cx - ax, cy - ay)
+        if denom != 0:
+            t = Fraction(qp[0] * s[1] - qp[1] * s[0], denom)
+            u = Fraction(qp[0] * r[1] - qp[1] * r[0], denom)
+            return 0 <= t <= 1 and 0 <= u <= 1
+        if qp[0] * r[1] - qp[1] * r[0] != 0:
+            return False  # parallel, not collinear
+        # collinear (possibly degenerate points): 1D overlap on the
+        # dominant axis (or both axes when both are points)
+        return not (
+            max(ax, bx) < min(cx, dx) or max(cx, dx) < min(ax, bx)
+            or max(ay, by) < min(cy, dy) or max(cy, dy) < min(ay, by)
+        )
+
+    want = set()
+    for lidv, lax, lay, lbx, lby in Ls:
+        for ridv, rax, ray_, rbx, rby in Rs:
+            if exact_intersect((lax, lay, lbx, lby), (rax, ray_, rbx, rby)):
+                want.add((lidv, ridv))
+    assert set(got) == want
+    assert got[(900, 1902)] is True    # proper crossing
+    assert got[(900, 1900)] is False   # endpoint touch is not proper
+    assert got[(901, 1901)] is False   # collinear overlap is not proper
