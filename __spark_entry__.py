@@ -8815,6 +8815,56 @@ _INTEGRAL_BOXES = [
 ]
 
 
+def q_harris(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X157 (multimodal.harris_corners): integer-exact Harris corner
+    response (k = 1/16, R = 16*det - trace^2) over 300 mixed rawz/png
+    8x8 images — central-difference gradients, 3x3 structure-tensor
+    sums, argmax with min(y*w+x) tie-break. The oracle recomputes every
+    gradient neighborhood inline from the deterministic pixel formula
+    in pure integer SQL."""
+    from osm2geojson_spark.operators import multimodal as MM2
+
+    return MM2.harris_corners(_synth_images(spark, sf_dir, 900, step=3))
+
+
+_HARRIS_SQL = """
+WITH img AS (
+  SELECT p_partkey AS i FROM part WHERE p_partkey < 900 AND p_partkey % 3 = 0
+), ctr AS (
+  SELECT i, (p % 4) + 2 AS x, (p // 4) + 2 AS y
+  FROM (SELECT i, unnest(range(0, 16)) AS p FROM img) q
+), gsum AS (
+  SELECT i, x, y,
+         sum(gx * gx) AS sxx, sum(gy * gy) AS syy, sum(gx * gy) AS sxy
+  FROM (
+    SELECT i, x, y,
+           (((x + dd % 3) * 3 + (y + dd // 3 - 1) * 7 + i * 13) % 251
+            - ((x + dd % 3 - 2) * 3 + (y + dd // 3 - 1) * 7 + i * 13) % 251)
+             AS gx,
+           (((x + dd % 3 - 1) * 3 + (y + dd // 3) * 7 + i * 13) % 251
+            - ((x + dd % 3 - 1) * 3 + (y + dd // 3 - 2) * 7 + i * 13) % 251)
+             AS gy
+    FROM (SELECT i, x, y, unnest(range(0, 9)) AS dd FROM ctr) q
+  ) g GROUP BY i, x, y
+), resp AS (
+  SELECT i, x, y,
+         16 * (sxx * syy - sxy * sxy) - (sxx + syy) * (sxx + syy) AS r
+  FROM gsum
+), agg AS (
+  SELECT i, CAST(count(*) FILTER (WHERE r > 0) AS BIGINT) AS n_pos,
+         CAST(sum(r) AS BIGINT) AS r_sum, CAST(max(r) AS BIGINT) AS r_max
+  FROM resp GROUP BY i
+), arg AS (
+  SELECT resp.i, min(y * 8 + x) AS pos
+  FROM resp JOIN agg ON agg.i = resp.i AND resp.r = agg.r_max
+  GROUP BY resp.i
+)
+SELECT printf('img%012d', agg.i) AS image_id, n_pos, r_sum, r_max,
+       CAST(pos % 8 AS INTEGER) AS x_max, CAST(pos // 8 AS INTEGER) AS y_max
+FROM agg JOIN arg ON arg.i = agg.i
+"""
+
+
 def q_segment_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X156 (spatial_join.segment_intersect_join): every intersecting /
     touching pair between two deterministic part-keyed segment sets —
@@ -9167,6 +9217,7 @@ FROM mm GROUP BY i
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "harris": q_harris,
         "segment_intersect": q_segment_intersect,
         "viewshed": q_viewshed,
         "text_nll": q_text_nll,
@@ -9379,6 +9430,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "harris": _HARRIS_SQL,
         "segment_intersect": _SEGMENT_INTERSECT_SQL,
         "viewshed": _VIEWSHED_SQL,
         "text_nll": _TEXT_NLL_SQL,

@@ -98,6 +98,7 @@ BENCH_QUERIES = [
     "text_nll",
     "viewshed",
     "segment_intersect",
+    "harris",
     "hotspots",
     "focal_stats",
     "lisa",

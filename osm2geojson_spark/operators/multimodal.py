@@ -2680,3 +2680,76 @@ def integral_box_sums(
     return images.select("image_id", "bytes", "fmt").mapInPandas(
         fn, schema="image_id string, box_id int, box_sum long"
     )
+
+
+def harris_corners(images: DataFrame) -> DataFrame:
+    """HARRIS CORNER RESPONSE per image, integer-exact — the classic
+    keypoint / registration-anchor detector. Central-difference
+    gradients on interior pixels (hog_features' convention), structure
+    tensor summed over each 3x3 window, and the response with k = 1/16
+    cleared of fractions:
+
+        R = 16 * (Sxx * Syy - Sxy^2) - (Sxx + Syy)^2
+
+    (k = 1/16 is within the standard 0.04-0.06 band and makes R pure
+    int64 — no float k, no rounding mode). Valid region: pixels with a
+    full 3x3 gradient neighborhood (2..w-3 x 2..h-3).
+
+    Returns (image_id, n_pos, r_sum, r_max, x_max, y_max): the count of
+    positive-response pixels, exact response sum/max, and the argmax
+    position with the deterministic tie-break min(y * w + x).
+
+    Scale: one mapInPandas scan — 3 gradient-product maps, 9 shifted
+    views summed per map, all vectorized; 1 row per image out. The
+    int64 bound: |g| <= 510, window sums <= ~2.3e7, det term <= ~2^63/16
+    — safe for any 8-bit image."""
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["image_id", "n_pos", "r_sum", "r_max", "x_max", "y_max"]
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                try:
+                    px = imagecodec.decode(bytes(r.bytes), r.fmt)
+                except NotImplementedError:
+                    continue
+                px = px.astype(np.int64)
+                h, w = px.shape
+                if h < 5 or w < 5:
+                    continue
+                gx = px[1:-1, 2:] - px[1:-1, :-2]
+                gy = px[2:, 1:-1] - px[:-2, 1:-1]
+                xx, yy, xy = gx * gx, gy * gy, gx * gy
+
+                def winsum(m):
+                    mh, mw = m.shape
+                    return sum(
+                        m[dy : mh - 2 + dy, dx : mw - 2 + dx]
+                        for dy in range(3)
+                        for dx in range(3)
+                    )
+
+                sxx, syy, sxy = winsum(xx), winsum(yy), winsum(xy)
+                resp = 16 * (sxx * syy - sxy * sxy) - (sxx + syy) ** 2
+                flat = resp.ravel()
+                am = int(flat.argmax())  # first occurrence = min row-major
+                ay, ax = divmod(am, resp.shape[1])
+                rows.append(
+                    (
+                        r.image_id,
+                        int((flat > 0).sum()),
+                        int(flat.sum()),
+                        int(flat.max()),
+                        ax + 2,  # back to original image frame
+                        ay + 2,
+                    )
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(
+        fn,
+        schema=(
+            "image_id string, n_pos long, r_sum long, r_max long,"
+            " x_max int, y_max int"
+        ),
+    )

@@ -2013,3 +2013,55 @@ def test_integral_box_sums_matches_brute_and_clips(spark):
                 continue
             want = int(px[cy0 : cy1 + 1, cx0 : cx1 + 1].astype(np.int64).sum())
             assert got[(name, bid)] == want, (name, bid)
+
+
+def test_harris_corners_matches_scalar_brute_and_finds_corner(spark):
+    from osm2geojson_spark.operators.multimodal import harris_corners
+
+    # planted L-corner: bright square in the upper-left of a dark field
+    img = np.zeros((10, 10), np.uint8)
+    img[1:5, 1:5] = 200
+    rnd = imagecodec.synth_pixels(29, 10, 10).astype(np.uint8)
+    imgs = spark.createDataFrame(
+        [
+            ("corner", "rawz", bytearray(imagecodec.encode_rawz(img))),
+            ("rnd", "rawz", bytearray(imagecodec.encode_rawz(rnd))),
+            ("tiny", "rawz",
+             bytearray(imagecodec.encode_rawz(np.zeros((4, 4), np.uint8)))),
+            ("p", "png", bytearray(imagecodec.encode_png(rnd))),
+        ],
+        "image_id string, fmt string, bytes binary",
+    )
+    got = {r["image_id"]: r for r in harris_corners(imgs).collect()}
+    assert "tiny" not in got  # needs a 5x5 footprint
+
+    def brute(px):
+        px = px.astype(np.int64)
+        h, w = px.shape
+        best = None
+        n_pos, r_sum, r_max = 0, 0, None
+        for y in range(2, h - 2):
+            for x in range(2, w - 2):
+                sxx = syy = sxy = 0
+                for vy in (y - 1, y, y + 1):
+                    for vx in (x - 1, x, x + 1):
+                        gx = int(px[vy, vx + 1]) - int(px[vy, vx - 1])
+                        gy = int(px[vy + 1, vx]) - int(px[vy - 1, vx])
+                        sxx += gx * gx
+                        syy += gy * gy
+                        sxy += gx * gy
+                rr = 16 * (sxx * syy - sxy * sxy) - (sxx + syy) ** 2
+                n_pos += rr > 0
+                r_sum += rr
+                if r_max is None or rr > r_max:
+                    r_max, best = rr, (x, y)
+        return n_pos, r_sum, r_max, best
+
+    for name, px in (("corner", img), ("rnd", rnd), ("p", rnd)):
+        n_pos, r_sum, r_max, (bx, by) = brute(px)
+        r = got[name]
+        assert (r["n_pos"], r["r_sum"], r["r_max"]) == (n_pos, r_sum, r_max)
+        assert (r["x_max"], r["y_max"]) == (bx, by)
+    # the planted corner's argmax sits on the square's boundary region
+    assert 3 <= got["corner"]["x_max"] <= 6
+    assert got["corner"]["r_max"] > 0
