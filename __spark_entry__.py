@@ -8815,6 +8815,54 @@ _INTEGRAL_BOXES = [
 ]
 
 
+def q_flow_dir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X158 (geostat.flow_direction): D8 steepest-descent routing +
+    drainage in-degree over the shared 32x32 DEM — slope comparison via
+    the float-free key 2*dz^2 (cardinal) vs dz^2 (diagonal), ties to
+    the smallest direction id, sinks NULL. The oracle replays the probe
+    join and argmax ordering with a window in pure integer SQL."""
+    from osm2geojson_spark.operators.geostat import flow_direction
+
+    return flow_direction(_dem32(spark))
+
+
+_FLOW_DIR_SQL = """
+WITH dem AS (
+  SELECT i % 32 AS x, i // 32 AS y,
+         ((i % 32) * 13 + (i // 32) * 29 + ((i % 32) * (i // 32)) % 7) % 97 AS z
+  FROM (SELECT unnest(range(0, 1024)) AS i)
+), dirs AS (
+  SELECT * FROM (VALUES (0, -1, -1, 1), (1, -1, 0, 2), (2, -1, 1, 1),
+                        (3, 0, -1, 2), (4, 0, 1, 2), (5, 1, -1, 1),
+                        (6, 1, 0, 2), (7, 1, 1, 1))
+         AS d(dir, dx, dy, wt)
+), nb AS (
+  SELECT dem.x, dem.y, dem.z, dirs.dir, dirs.wt,
+         n.x AS nx, n.y AS ny, n.z - dem.z AS dz
+  FROM dem, dirs
+  JOIN dem n ON n.x = dem.x + dirs.dx AND n.y = dem.y + dirs.dy
+  WHERE n.z - dem.z < 0
+), ranked AS (
+  SELECT x, y, dir, nx, ny,
+         row_number() OVER (PARTITION BY x, y
+                            ORDER BY wt * dz * dz DESC, dir ASC) AS rk
+  FROM nb
+), best AS (
+  SELECT x, y, dir, nx AS down_x, ny AS down_y FROM ranked WHERE rk = 1
+), flow AS (
+  SELECT dem.x, dem.y, dem.z, best.dir, best.down_x, best.down_y
+  FROM dem LEFT JOIN best ON best.x = dem.x AND best.y = dem.y
+), indeg AS (
+  SELECT down_x AS x, down_y AS y, CAST(count(*) AS BIGINT) AS indeg
+  FROM flow WHERE down_x IS NOT NULL GROUP BY 1, 2
+)
+SELECT flow.x, flow.y, CAST(flow.z AS BIGINT) AS z,
+       CAST(flow.dir AS INTEGER) AS dir, flow.down_x, flow.down_y,
+       COALESCE(indeg.indeg, 0) AS indeg
+FROM flow LEFT JOIN indeg ON indeg.x = flow.x AND indeg.y = flow.y
+"""
+
+
 def q_harris(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X157 (multimodal.harris_corners): integer-exact Harris corner
     response (k = 1/16, R = 16*det - trace^2) over 300 mixed rawz/png
@@ -8930,6 +8978,19 @@ WHERE (d1 * d2 < 0 AND d3 * d4 < 0)
 """
 
 
+def _dem32(spark: SparkSession):
+    """Deterministic 32x32 integer DEM shared by the terrain queries
+    (viewshed, flow_dir): z = (x*13 + y*29 + (x*y) % 7) % 97."""
+    n = 32
+    xc = (F.col("id") % n).cast("long")
+    yc = F.floor(F.col("id") / n).cast("long")
+    return spark.range(n * n).select(
+        xc.alias("x"),
+        yc.alias("y"),
+        ((xc * 13 + yc * 29 + (xc * yc) % 7) % 97).cast("long").alias("z"),
+    )
+
+
 def q_viewshed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X155 (geostat.viewshed): 8-ray line-of-sight over a 32x32 integer
     DEM from 40 customer-keyed towers — visibility decided by the
@@ -8938,14 +8999,8 @@ def q_viewshed(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocker join; the oracle replays it with NOT EXISTS."""
     from osm2geojson_spark.operators.geostat import viewshed
 
+    dem = _dem32(spark)
     n = 32
-    xc = (F.col("id") % n).cast("long")
-    yc = F.floor(F.col("id") / n).cast("long")
-    dem = spark.range(n * n).select(
-        xc.alias("x"),
-        yc.alias("y"),
-        ((xc * 13 + yc * 29 + (xc * yc) % 7) % 97).cast("long").alias("z"),
-    )
     obs = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") < 40).select(
         F.col("c_custkey").alias("obs_id"),
         ((F.col("c_custkey") * 7) % n).cast("long").alias("ox"),
@@ -9217,6 +9272,7 @@ FROM mm GROUP BY i
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "flow_dir": q_flow_dir,
         "harris": q_harris,
         "segment_intersect": q_segment_intersect,
         "viewshed": q_viewshed,
@@ -9430,6 +9486,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "flow_dir": _FLOW_DIR_SQL,
         "harris": _HARRIS_SQL,
         "segment_intersect": _SEGMENT_INTERSECT_SQL,
         "viewshed": _VIEWSHED_SQL,

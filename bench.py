@@ -99,6 +99,7 @@ BENCH_QUERIES = [
     "viewshed",
     "segment_intersect",
     "harris",
+    "flow_dir",
     "hotspots",
     "focal_stats",
     "lisa",

@@ -582,3 +582,90 @@ def viewshed(
         F.coalesce("n_visible", F.lit(0)).cast("long").alias("n_visible"),
         "max_visible_t",
     )
+
+
+def flow_direction(dem: DataFrame) -> DataFrame:
+    """D8 FLOW DIRECTION + CONVERGENCE — for every DEM cell, the
+    steepest-descent neighbor among the 8 king directions (the
+    hydrology routing primitive under watershed delineation and flood
+    risk), plus the cell's drainage in-degree (how many neighbors drain
+    INTO it — the local convergence signal).
+
+    Exactness: slope comparison is float-free. slope^2 = dz^2 / dist^2
+    with dist^2 in {1, 2}, so the integer key
+
+        key = 2 * dz^2   (cardinal)  |  dz^2   (diagonal)
+
+    orders candidates exactly like |dz|/dist; only DESCENDING neighbors
+    (dz < 0) compete; ties break on the smallest direction id in
+    (dx, dy) = (-1,-1),(-1,0),(-1,1),(0,-1),(0,1),(1,-1),(1,0),(1,1)
+    order. Cells with no descending neighbor are SINKS (dir NULL).
+
+    Returns (x, y, z, dir, down_x, down_y, indeg).
+
+    Scale: one explode to 8 probes, ONE cell-keyed equi-join against
+    the DEM (bucket by (x, y) at scale), an exact max-struct argmax
+    (no window, map-side combinable), and one groupBy for in-degree.
+    No geometry, no floats, no iteration."""
+    dirs = [(-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1), (1, -1), (1, 0), (1, 1)]
+    probe_tbl = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("dir"),
+                F.lit(dx).alias("dx"),
+                F.lit(dy).alias("dy"),
+                F.lit(2 if dx * dy == 0 else 1).alias("wt"),
+            )
+            for i, (dx, dy) in enumerate(dirs)
+        ]
+    )
+    nb = (
+        dem.select("x", "y", F.col("z").cast("long").alias("z"),
+                   F.explode(probe_tbl).alias("p"))
+        .select(
+            "x", "y", "z",
+            F.col("p.dir").alias("dir"),
+            F.col("p.wt").alias("wt"),
+            (F.col("x") + F.col("p.dx")).alias("nx"),
+            (F.col("y") + F.col("p.dy")).alias("ny"),
+        )
+        .join(
+            dem.select(
+                F.col("x").alias("nx"), F.col("y").alias("ny"),
+                F.col("z").cast("long").alias("nz"),
+            ),
+            ["nx", "ny"],
+        )
+        .withColumn("dz", F.col("nz") - F.col("z"))
+        .filter(F.col("dz") < 0)
+    )
+    key = F.col("wt") * F.col("dz") * F.col("dz")
+    best = nb.groupBy("x", "y").agg(
+        F.max(
+            F.struct(
+                key.alias("k"),
+                (-F.col("dir")).alias("nr"),
+                F.col("dir").alias("dir"),
+                F.col("nx").alias("down_x"),
+                F.col("ny").alias("down_y"),
+            )
+        ).alias("b")
+    ).select(
+        "x", "y",
+        F.col("b.dir").cast("int").alias("dir"),
+        F.col("b.down_x").alias("down_x"),
+        F.col("b.down_y").alias("down_y"),
+    )
+    flow = dem.join(best, ["x", "y"], "left")
+    indeg = (
+        flow.filter(F.col("down_x").isNotNull())
+        .groupBy(
+            F.col("down_x").alias("x"), F.col("down_y").alias("y")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("indeg"))
+    )
+    return flow.join(indeg, ["x", "y"], "left").select(
+        "x", "y", F.col("z").cast("long").alias("z"), "dir",
+        "down_x", "down_y",
+        F.coalesce("indeg", F.lit(0)).cast("long").alias("indeg"),
+    )

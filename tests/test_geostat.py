@@ -385,3 +385,55 @@ def test_viewshed_matches_scalar_brute(spark):
     # valley behind it shadowed
     east = got[(1, 6)]
     assert east["max_visible_t"] == 2  # nothing past the wall is seen
+
+
+def test_flow_direction_matches_scalar_brute(spark):
+    """flow_direction == a from-scratch float-slope scalar sweep (with
+    exact tie semantics), plus planted pit/peak sanity."""
+    import math
+
+    import numpy as np
+
+    from osm2geojson_spark.operators.geostat import flow_direction
+
+    rng = np.random.default_rng(11)
+    n = 10
+    zg = rng.integers(0, 60, size=(n, n))
+    zg[4, 4] = 0    # pit: a sink
+    zg[7, 2] = 200  # peak: everything around drains away from it
+    dem = spark.createDataFrame(
+        [(int(x), int(y), int(zg[y, x])) for y in range(n) for x in range(n)],
+        "x long, y long, z long",
+    )
+    got = {(r["x"], r["y"]): r for r in flow_direction(dem).collect()}
+    assert len(got) == n * n
+
+    dirs = [(-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1), (1, -1), (1, 0), (1, 1)]
+    indeg = {}
+    for y in range(n):
+        for x in range(n):
+            best = None
+            for i, (dx, dy) in enumerate(dirs):
+                nx, ny = x + dx, y + dy
+                if not (0 <= nx < n and 0 <= ny < n):
+                    continue
+                dz = int(zg[ny, nx]) - int(zg[y, x])
+                if dz >= 0:
+                    continue
+                slope = -dz / math.sqrt(dx * dx + dy * dy)
+                # exact integer tie semantics: compare keys, then dir id
+                key = (2 if dx * dy == 0 else 1) * dz * dz
+                if best is None or key > best[0]:
+                    best = (key, i, nx, ny, slope)
+            r = got[(x, y)]
+            if best is None:
+                assert r["dir"] is None and r["down_x"] is None
+            else:
+                assert (r["dir"], r["down_x"], r["down_y"]) == best[1:4]
+                indeg[(best[2], best[3])] = indeg.get((best[2], best[3]), 0) + 1
+    for (x, y), r in got.items():
+        assert r["indeg"] == indeg.get((x, y), 0)
+    assert got[(4, 4)]["dir"] is None       # the pit is a sink
+    assert got[(4, 4)]["indeg"] >= 3        # and collects its neighbors
+    assert got[(2, 7)]["dir"] is not None   # the peak drains
+    assert got[(2, 7)]["indeg"] == 0        # nothing drains into a peak
