@@ -8815,6 +8815,77 @@ _INTEGRAL_BOXES = [
 ]
 
 
+def q_ransac_line(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X159 (analytics.ransac_line): deterministic RANSAC line fit per
+    group — 8 part-keyed groups of noisy planted lines with 1-in-11
+    gross outliers; 16 candidate hypotheses from a fixed congruential
+    rank schedule, float-free inlier gate cross^2 <= tol^2 * |AB|^2,
+    best = (max inliers, min candidate). The oracle replays ranks,
+    schedule, gate, and argmax in pure integer SQL."""
+    from osm2geojson_spark.operators.analytics import ransac_line
+
+    part = _t(spark, sf_dir, "part").filter(F.col("p_partkey") < 400)
+    k = F.col("p_partkey")
+    pts = part.select(
+        (k % 8).alias("group_id"),
+        k.alias("pid"),
+        F.floor(k / 8).cast("long").alias("x"),
+        (
+            (F.lit(2) + k % 8) * F.floor(k / 8)  # slope 2..9 per group
+            + (k % 8) * 5                        # intercept
+            + ((k * k) % 7) - 3                  # small noise
+            + F.when(k % 11 == 0, F.lit(40)).otherwise(F.lit(0))  # outliers
+        ).cast("long").alias("y"),
+    )
+    return ransac_line(pts, n_candidates=16, tol=3)
+
+
+_RANSAC_LINE_SQL = """
+WITH pts AS (
+  SELECT p_partkey % 8 AS g, p_partkey AS pid,
+         p_partkey // 8 AS x,
+         (2 + p_partkey % 8) * (p_partkey // 8) + (p_partkey % 8) * 5
+           + (p_partkey * p_partkey) % 7 - 3
+           + CASE WHEN p_partkey % 11 = 0 THEN 40 ELSE 0 END AS y
+  FROM part WHERE p_partkey < 400
+), ranked AS (
+  SELECT g, x, y,
+         row_number() OVER (PARTITION BY g ORDER BY pid) - 1 AS rk
+  FROM pts
+), nn AS (SELECT g, count(*) AS n FROM ranked GROUP BY g),
+cand AS (
+  SELECT g, j, (j * 13) % n AS r1,
+         CASE WHEN (j * 29 + 1) % n = (j * 13) % n
+              THEN (j * 29 + 2) % n ELSE (j * 29 + 1) % n END AS r2
+  FROM nn, (SELECT unnest(range(0, 16)) AS j)
+), lines AS (
+  SELECT cand.g, j, a.x AS ax, a.y AS ay, b.x AS bx, b.y AS by
+  FROM cand
+  JOIN ranked a ON a.g = cand.g AND a.rk = cand.r1
+  JOIN ranked b ON b.g = cand.g AND b.rk = cand.r2
+), inl AS (
+  SELECT l.g, l.j, l.ax, l.ay, l.bx, l.by,
+         CAST(count(*) FILTER (WHERE
+           (l.bx - l.ax) * (l.bx - l.ax) + (l.by - l.ay) * (l.by - l.ay) > 0
+           AND ((l.bx - l.ax) * (p.y - l.ay) - (l.by - l.ay) * (p.x - l.ax))
+             * ((l.bx - l.ax) * (p.y - l.ay) - (l.by - l.ay) * (p.x - l.ax))
+             <= 9 * ((l.bx - l.ax) * (l.bx - l.ax)
+                     + (l.by - l.ay) * (l.by - l.ay))
+         ) AS BIGINT) AS n_inliers
+  FROM lines l JOIN ranked p ON p.g = l.g
+  GROUP BY l.g, l.j, l.ax, l.ay, l.bx, l.by
+), best AS (
+  SELECT g, j, n_inliers, ax, ay, bx, by,
+         row_number() OVER (PARTITION BY g
+                            ORDER BY n_inliers DESC, j ASC) AS rnk
+  FROM inl
+)
+SELECT g AS group_id, CAST(j AS INTEGER) AS cand_idx, n_inliers,
+       ax, ay, bx, by
+FROM best WHERE rnk = 1
+"""
+
+
 def q_flow_dir(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X158 (geostat.flow_direction): D8 steepest-descent routing +
     drainage in-degree over the shared 32x32 DEM — slope comparison via
@@ -9272,6 +9343,7 @@ FROM mm GROUP BY i
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "ransac_line": q_ransac_line,
         "flow_dir": q_flow_dir,
         "harris": q_harris,
         "segment_intersect": q_segment_intersect,
@@ -9486,6 +9558,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "ransac_line": _RANSAC_LINE_SQL,
         "flow_dir": _FLOW_DIR_SQL,
         "harris": _HARRIS_SQL,
         "segment_intersect": _SEGMENT_INTERSECT_SQL,

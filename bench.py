@@ -100,6 +100,7 @@ BENCH_QUERIES = [
     "segment_intersect",
     "harris",
     "flow_dir",
+    "ransac_line",
     "hotspots",
     "focal_stats",
     "lisa",

@@ -1086,3 +1086,112 @@ def group_quantiles(
         F.col("_n").alias("n"),
         F.col(value_col).alias("value"),
     )
+
+
+def ransac_line(
+    pts: DataFrame,
+    n_candidates: int = 16,
+    tol: int = 3,
+    group_col: str = "group_id",
+    id_col: str = "pid",
+) -> DataFrame:
+    """DETERMINISTIC RANSAC LINE FIT per group — the robust regression
+    primitive (lane/edge/baseline extraction, sensor-track line fitting)
+    made cluster-reproducible: candidate hypotheses come from a FIXED
+    congruential schedule over the id-ranked points, not an RNG, so the
+    same input yields the same model on any partitioning or engine.
+
+    Candidate j (j = 0..n_candidates-1) takes the points ranked
+    r1 = (j * 13) % n and r2 = (j * 29 + 1) % n (ranks by ``id_col``;
+    if r1 = r2 the second advances one). A point P is an INLIER of line
+    (A, B) iff its distance to the line is <= tol, tested float-free:
+
+        cross(A, B, P)^2 <= tol^2 * |AB|^2     (all int64)
+
+    Coincident-endpoint candidates score 0. Best = max inliers, tie to
+    the smallest candidate index. Input coordinates must be integers
+    (|coord| <= ~1e6 keeps the squares in int64).
+
+    Returns (group, cand_idx, n_inliers, ax, ay, bx, by).
+
+    Scale: one rank window per group, two rank equi-joins to build the
+    K-candidate table, one group-keyed join scoring K*n pairs per group
+    (K is the knob), and an exact max-struct argmax — no RNG, no
+    iteration, no driver loop. Sampling-heavy classic RANSAC becomes a
+    bounded fan-out the optimizer can see."""
+    w = Window.partitionBy("g").orderBy("_pid")
+    ranked = pts.select(
+        F.col(group_col).alias("g"),
+        F.col(id_col).alias("_pid"),
+        F.col("x").cast("long").alias("x"),
+        F.col("y").cast("long").alias("y"),
+    ).withColumn("rk", F.row_number().over(w) - 1)
+    nn = ranked.groupBy("g").agg(F.count(F.lit(1)).alias("n"))
+    cand = (
+        nn.select(
+            "g", "n",
+            F.explode(F.sequence(F.lit(0), F.lit(int(n_candidates) - 1))).alias("j"),
+        )
+        .select(
+            "g", "j",
+            ((F.col("j") * 13) % F.col("n")).alias("r1"),
+            F.when(
+                ((F.col("j") * 29 + 1) % F.col("n")) == ((F.col("j") * 13) % F.col("n")),
+                ((F.col("j") * 29 + 2) % F.col("n")),
+            )
+            .otherwise((F.col("j") * 29 + 1) % F.col("n"))
+            .alias("r2"),
+        )
+    )
+    a = ranked.select(
+        F.col("g"), F.col("rk").alias("r1"),
+        F.col("x").alias("ax"), F.col("y").alias("ay"),
+    )
+    b = ranked.select(
+        F.col("g"), F.col("rk").alias("r2"),
+        F.col("x").alias("bx"), F.col("y").alias("by"),
+    )
+    lines = cand.join(a, ["g", "r1"]).join(b, ["g", "r2"])
+    scored = lines.join(
+        ranked.select("g", "x", "y"), "g"
+    ).withColumn(
+        "_cr",
+        (F.col("bx") - F.col("ax")) * (F.col("y") - F.col("ay"))
+        - (F.col("by") - F.col("ay")) * (F.col("x") - F.col("ax")),
+    ).withColumn(
+        "_len2",
+        (F.col("bx") - F.col("ax")) * (F.col("bx") - F.col("ax"))
+        + (F.col("by") - F.col("ay")) * (F.col("by") - F.col("ay")),
+    )
+    tol2 = int(tol) * int(tol)
+    inl = (
+        scored.filter(
+            (F.col("_len2") > 0)
+            & (F.col("_cr") * F.col("_cr") <= F.lit(tol2) * F.col("_len2"))
+        )
+        .groupBy("g", "j", "ax", "ay", "bx", "by")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_inliers"))
+    )
+    # candidates with zero inliers (degenerate A=B) still compete at 0
+    allc = lines.join(inl, ["g", "j", "ax", "ay", "bx", "by"], "left").select(
+        "g", "j", "ax", "ay", "bx", "by",
+        F.coalesce("n_inliers", F.lit(0)).cast("long").alias("n_inliers"),
+    )
+    best = allc.groupBy("g").agg(
+        F.max(
+            F.struct(
+                F.col("n_inliers").alias("ni"),
+                (-F.col("j")).alias("nj"),
+                F.col("j").alias("j"),
+                F.col("ax").alias("ax"), F.col("ay").alias("ay"),
+                F.col("bx").alias("bx"), F.col("by").alias("by"),
+            )
+        ).alias("b")
+    )
+    return best.select(
+        F.col("g").alias(group_col),
+        F.col("b.j").cast("int").alias("cand_idx"),
+        F.col("b.ni").alias("n_inliers"),
+        F.col("b.ax").alias("ax"), F.col("b.ay").alias("ay"),
+        F.col("b.bx").alias("bx"), F.col("b.by").alias("by"),
+    )

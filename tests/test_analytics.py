@@ -966,3 +966,60 @@ def test_text_nll_matches_brute_bigram_lm(spark):
     assert got[1]["avg_nll"] <= got[3]["avg_nll"]
     # a corpus-unique transition is certain under the self-trained model
     assert got[5]["avg_nll"] == 0.0
+
+
+def test_ransac_line_recovers_planted_line_and_matches_brute(spark):
+    """ransac_line == a from-scratch scalar replay of the congruential
+    schedule; on a planted 70%-inlier line the winner explains exactly
+    the inlier points."""
+    from osm2geojson_spark.operators.analytics import ransac_line
+
+    rng = np.random.default_rng(5)
+    pts = []
+    pid = 0
+    # group 0: y = 3x + 7 with noise in [-1, 1], 30% gross outliers
+    for i in range(40):
+        x = i
+        if i % 3 == 0 and i > 0:
+            y = int(rng.integers(-50, 150))  # outlier
+        else:
+            y = 3 * x + 7 + int(rng.integers(-1, 2))
+        pts.append((0, pid, x, y))
+        pid += 1
+    # group 1: everything collinear -> all points inliers
+    for i in range(12):
+        pts.append((1, pid, i, 5 * i - 2))
+        pid += 1
+    df = spark.createDataFrame(pts, "group_id long, pid long, x long, y long")
+    got = {r["group_id"]: r for r in ransac_line(df, 16, tol=3).collect()}
+
+    def brute(group):
+        g = sorted((p for p in pts if p[0] == group), key=lambda p: p[1])
+        n = len(g)
+        best = None
+        for j in range(16):
+            r1 = (j * 13) % n
+            r2 = (j * 29 + 1) % n
+            if r1 == r2:
+                r2 = (j * 29 + 2) % n
+            ax, ay = g[r1][2], g[r1][3]
+            bx, by = g[r2][2], g[r2][3]
+            l2 = (bx - ax) ** 2 + (by - ay) ** 2
+            ni = 0
+            if l2 > 0:
+                for _, _, x, y in g:
+                    cr = (bx - ax) * (y - ay) - (by - ay) * (x - ax)
+                    if cr * cr <= 9 * l2:
+                        ni += 1
+            if best is None or ni > best[0]:
+                best = (ni, j, ax, ay, bx, by)
+        return best
+
+    for grp in (0, 1):
+        ni, j, ax, ay, bx, by = brute(grp)
+        r = got[grp]
+        assert (r["n_inliers"], r["cand_idx"]) == (ni, j)
+        assert (r["ax"], r["ay"], r["bx"], r["by"]) == (ax, ay, bx, by)
+    assert got[1]["n_inliers"] == 12  # fully collinear group: all inliers
+    # the planted line dominates its outliers
+    assert got[0]["n_inliers"] >= 26
