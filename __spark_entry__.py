@@ -8815,6 +8815,72 @@ _INTEGRAL_BOXES = [
 ]
 
 
+def q_frechet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X160 (trajectory.frechet_sq): discrete Frechet distance (squared
+    planar integer) for 5 candidate pairs over 6 deterministic part-keyed
+    tracks. Unlike dtw (rows-only), this DP has a FULL oracle: the
+    reachability characterization — min threshold t among the pair's
+    d^2 values such that the end cell is reachable through cells with
+    d^2 <= t — replayed as a recursive CTE."""
+    from osm2geojson_spark.operators.trajectory import frechet_sq
+
+    part = _t(spark, sf_dir, "part").filter(F.col("p_partkey") < 60)
+    k = F.col("p_partkey")
+    u = k % 6
+    tick = F.floor(k / 6).cast("long")
+    tracks = part.select(
+        u.alias("user_id"),
+        tick.alias("tick"),
+        (tick * 3 + (u * 7 + tick * tick) % 5).cast("long").alias("x"),
+        (tick * 2 + (k * k) % 11).cast("long").alias("y"),
+    ).filter(F.col("tick") < 8 + F.col("user_id") % 3)
+    pairs = spark.createDataFrame(
+        [(0, 1), (2, 3), (4, 5), (1, 2), (0, 5)], "user_a long, user_b long"
+    )
+    return frechet_sq(tracks, pairs)
+
+
+_FRECHET_SQL = """
+WITH RECURSIVE pts AS (
+  SELECT p_partkey % 6 AS u, p_partkey // 6 AS tick,
+         (p_partkey // 6) * 3 + ((p_partkey % 6) * 7
+            + (p_partkey // 6) * (p_partkey // 6)) % 5 AS x,
+         (p_partkey // 6) * 2 + (p_partkey * p_partkey) % 11 AS y
+  FROM part
+  WHERE p_partkey < 60 AND p_partkey // 6 < 8 + (p_partkey % 6) % 3
+), rk AS (
+  SELECT u, x, y, row_number() OVER (PARTITION BY u ORDER BY tick) - 1 AS i
+  FROM pts
+), prs AS (
+  SELECT * FROM (VALUES (0, 1), (2, 3), (4, 5), (1, 2), (0, 5)) p(ua, ub)
+), d AS (
+  SELECT ua, ub, a.i AS i, b.i AS j,
+         (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS c
+  FROM prs JOIN rk a ON a.u = prs.ua JOIN rk b ON b.u = prs.ub
+), dims AS (
+  SELECT ua, ub, max(i) AS ni, max(j) AS nj FROM d GROUP BY ua, ub
+), thr AS (SELECT DISTINCT ua, ub, c AS t FROM d),
+reach AS (
+  SELECT d.ua, d.ub, thr.t, d.i, d.j
+  FROM d JOIN thr ON thr.ua = d.ua AND thr.ub = d.ub
+  WHERE d.i = 0 AND d.j = 0 AND d.c <= thr.t
+  UNION
+  SELECT r.ua, r.ub, r.t, d.i, d.j
+  FROM reach r JOIN d ON d.ua = r.ua AND d.ub = r.ub
+   AND ((d.i = r.i + 1 AND d.j = r.j) OR (d.i = r.i AND d.j = r.j + 1)
+        OR (d.i = r.i + 1 AND d.j = r.j + 1))
+  WHERE d.c <= r.t
+)
+SELECT r.ua AS user_a, r.ub AS user_b,
+       CAST(dims.ni + 1 AS BIGINT) AS n_a, CAST(dims.nj + 1 AS BIGINT) AS n_b,
+       CAST(min(r.t) AS BIGINT) AS frechet_sq
+FROM reach r
+JOIN dims ON dims.ua = r.ua AND dims.ub = r.ub
+WHERE r.i = dims.ni AND r.j = dims.nj
+GROUP BY r.ua, r.ub, dims.ni, dims.nj
+"""
+
+
 def q_ransac_line(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X159 (analytics.ransac_line): deterministic RANSAC line fit per
     group — 8 part-keyed groups of noisy planted lines with 1-in-11
@@ -9343,6 +9409,7 @@ FROM mm GROUP BY i
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "frechet": q_frechet,
         "ransac_line": q_ransac_line,
         "flow_dir": q_flow_dir,
         "harris": q_harris,
@@ -9558,6 +9625,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "frechet": _FRECHET_SQL,
         "ransac_line": _RANSAC_LINE_SQL,
         "flow_dir": _FLOW_DIR_SQL,
         "harris": _HARRIS_SQL,

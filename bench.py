@@ -101,6 +101,7 @@ BENCH_QUERIES = [
     "harris",
     "flow_dir",
     "ransac_line",
+    "frechet",
     "hotspots",
     "focal_stats",
     "lisa",

@@ -1006,3 +1006,110 @@ def track_nll(
             ).alias("avg_nll"),
         )
     )
+
+
+def frechet_sq(
+    tracks: DataFrame,
+    pairs: DataFrame,
+    user_col: str = "user_id",
+    tick_col: str = "tick",
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """DISCRETE FRECHET DISTANCE (squared, planar integer) per candidate
+    pair — the bottleneck curve metric (the "dog leash" distance): the
+    smallest max-step cost over all monotone couplings of the two
+    sequences. The INTEGER twin of dtw_distances(metric="frechet"):
+    with integer coordinates every DP value IS one of the pairwise
+    squared distances, so the result is engine-exact and has a FULL SQL
+    oracle via the reachability characterization
+
+        F^2 = min { t in {d^2 values} :  (n-1, m-1) reachable from
+                    (0, 0) through cells with d^2 <= t }
+
+    (recursive CTE over +i/+j/+diag moves) — the one DP family member
+    whose oracle needs no unrolling.
+
+    ``tracks``: (user, tick, x, y) integer planar coords (quantize
+    upstream); ``pairs``: (user_a, user_b). Returns
+    (user_a, user_b, n_a, n_b, frechet_sq). Pairs with an empty side
+    are absent.
+
+    Scale: dtw_distances' exact shape — two entity-keyed equi-joins,
+    ONE shuffle on the pair key, per-group memory O(n*m) for its own
+    pair; anti-diagonal int64 wavefront inside the kernel. Resample/cap
+    tracks upstream; feed pairs from knn_graph/colocation so the
+    quadratic term stays per-pair."""
+    import numpy as np
+    import pandas as pd
+
+    t = tracks.select(
+        F.col(user_col).alias("_u"),
+        F.col(tick_col).alias("_k"),
+        F.col(x_col).cast("long").alias("_x"),
+        F.col(y_col).cast("long").alias("_y"),
+    )
+    pa = pairs.join(t, t["_u"] == pairs["user_a"]).select(
+        "user_a", "user_b", F.lit("a").alias("_side"), "_k", "_x", "_y"
+    )
+    pb = pairs.join(t, t["_u"] == pairs["user_b"]).select(
+        "user_a", "user_b", F.lit("b").alias("_side"), "_k", "_x", "_y"
+    )
+    both = pa.unionByName(pb)
+    BIG = np.int64(2**62)
+
+    def kern(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        a = pdf[pdf["_side"] == "a"].sort_values("_k")
+        b = pdf[pdf["_side"] == "b"].sort_values("_k")
+        n, m = len(a), len(b)
+        if n == 0 or m == 0:
+            return pd.DataFrame(
+                columns=["user_a", "user_b", "n_a", "n_b", "frechet_sq"]
+            )
+        ax = a["_x"].to_numpy(np.int64)[:, None]
+        ay = a["_y"].to_numpy(np.int64)[:, None]
+        bx = b["_x"].to_numpy(np.int64)[None, :]
+        by = b["_y"].to_numpy(np.int64)[None, :]
+        cost = (ax - bx) ** 2 + (ay - by) ** 2
+        prev2 = np.full(n, BIG)
+        prev = np.full(n, BIG)
+        prev[0] = cost[0, 0]
+        last = prev[0]
+        for d in range(1, n + m - 1):
+            lo = max(0, d - m + 1)
+            hi = min(n - 1, d)
+            cur = np.full(n, BIG)
+            i_idx = np.arange(lo, hi + 1)
+            c = cost[i_idx, d - i_idx]
+            up = np.full(len(i_idx), BIG)
+            left = np.full(len(i_idx), BIG)
+            diag = np.full(len(i_idx), BIG)
+            mask = i_idx > 0
+            up[mask] = prev[i_idx[mask] - 1]
+            jmask = (d - i_idx) > 0
+            left[jmask] = prev[i_idx[jmask]]
+            dmask = mask & jmask
+            diag[dmask] = prev2[i_idx[dmask] - 1]
+            best = np.minimum(np.minimum(up, left), diag)
+            cur[lo : hi + 1] = np.maximum(c, best)
+            prev2, prev = prev, cur
+            if hi == n - 1 and d - (n - 1) == m - 1:
+                last = cur[n - 1]
+        if n == 1 and m == 1:
+            last = cost[0, 0]
+        return pd.DataFrame(
+            {
+                "user_a": [key[0]],
+                "user_b": [key[1]],
+                "n_a": [n],
+                "n_b": [m],
+                "frechet_sq": [int(last)],
+            }
+        )
+
+    return both.groupBy("user_a", "user_b").applyInPandas(
+        kern,
+        schema=(
+            "user_a long, user_b long, n_a long, n_b long, frechet_sq long"
+        ),
+    )

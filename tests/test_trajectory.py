@@ -828,3 +828,62 @@ def test_track_nll_matches_brute_markov(spark):
     assert got[40]["n_steps"] == 1  # dwell collapsed
     # the detour user is the anomaly
     assert got[30]["avg_nll"] > got[10]["avg_nll"]
+
+
+def test_frechet_sq_matches_scalar_dp_and_properties(spark):
+    """frechet_sq == a from-scratch O(n*m) scalar DP; identity = 0,
+    symmetry via swapped pair, bottleneck <= any single coupling."""
+    import numpy as np
+
+    from osm2geojson_spark.operators.trajectory import frechet_sq
+
+    rng = np.random.default_rng(3)
+    tracks = []
+    for u in range(4):
+        n = 6 + u
+        for t in range(n):
+            tracks.append(
+                (u, t, int(t * 2 + rng.integers(-2, 3)),
+                 int(u * 3 + rng.integers(-2, 3)))
+            )
+    tracks.append((9, 0, 5, 5))  # single-point track
+    tdf = spark.createDataFrame(tracks, "user_id long, tick long, x long, y long")
+    pdf = spark.createDataFrame(
+        [(0, 1), (1, 0), (2, 3), (0, 0), (9, 2)], "user_a long, user_b long"
+    )
+    got = {
+        (r["user_a"], r["user_b"]): r
+        for r in frechet_sq(tdf, pdf).collect()
+    }
+
+    def brute(ua, ub):
+        A = [(x, y) for u, t, x, y in sorted(tracks) if u == ua]
+        B = [(x, y) for u, t, x, y in sorted(tracks) if u == ub]
+        n, m = len(A), len(B)
+        c = [[(a[0] - b[0]) ** 2 + (a[1] - b[1]) ** 2 for b in B] for a in A]
+        dp = [[None] * m for _ in range(n)]
+        for i in range(n):
+            for j in range(m):
+                if i == 0 and j == 0:
+                    dp[i][j] = c[0][0]
+                else:
+                    cands = []
+                    if i > 0:
+                        cands.append(dp[i - 1][j])
+                    if j > 0:
+                        cands.append(dp[i][j - 1])
+                    if i > 0 and j > 0:
+                        cands.append(dp[i - 1][j - 1])
+                    dp[i][j] = max(c[i][j], min(cands))
+        return dp[n - 1][m - 1], n, m
+
+    for ua, ub in [(0, 1), (1, 0), (2, 3), (0, 0), (9, 2)]:
+        want, n, m = brute(ua, ub)
+        r = got[(ua, ub)]
+        assert (r["frechet_sq"], r["n_a"], r["n_b"]) == (want, n, m), (ua, ub)
+    assert got[(0, 0)]["frechet_sq"] == 0                      # identity
+    assert got[(0, 1)]["frechet_sq"] == got[(1, 0)]["frechet_sq"]  # symmetry
+    # single-point vs track: bottleneck = max distance to that point
+    A = [(x, y) for u, t, x, y in sorted(tracks) if u == 2]
+    want9 = max((x - 5) ** 2 + (y - 5) ** 2 for x, y in A)
+    assert got[(9, 2)]["frechet_sq"] == want9
