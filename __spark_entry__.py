@@ -8815,6 +8815,56 @@ _INTEGRAL_BOXES = [
 ]
 
 
+def q_watershed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X161 (geostat.watershed_basins): every cell of the shared 32x32
+    DEM labeled with the sink it drains to — D8 pointers chased by
+    pointer doubling (O(log path) shuffles). The oracle walks the same
+    pointers one step at a time with a recursive CTE; strict descent
+    guarantees termination and a unique basin per cell."""
+    from osm2geojson_spark.operators.geostat import watershed_basins
+
+    return watershed_basins(_dem32(spark), max_path=64)
+
+
+_WATERSHED_SQL = """
+WITH RECURSIVE dem AS (
+  SELECT i % 32 AS x, i // 32 AS y,
+         ((i % 32) * 13 + (i // 32) * 29 + ((i % 32) * (i // 32)) % 7) % 97 AS z
+  FROM (SELECT unnest(range(0, 1024)) AS i)
+), dirs AS (
+  SELECT * FROM (VALUES (0, -1, -1, 1), (1, -1, 0, 2), (2, -1, 1, 1),
+                        (3, 0, -1, 2), (4, 0, 1, 2), (5, 1, -1, 1),
+                        (6, 1, 0, 2), (7, 1, 1, 1))
+         AS d(dir, dx, dy, wt)
+), nb AS (
+  SELECT dem.x, dem.y, dirs.dir, dirs.wt, n.x AS nx, n.y AS ny,
+         n.z - dem.z AS dz
+  FROM dem, dirs
+  JOIN dem n ON n.x = dem.x + dirs.dx AND n.y = dem.y + dirs.dy
+  WHERE n.z - dem.z < 0
+), ranked AS (
+  SELECT x, y, nx, ny,
+         row_number() OVER (PARTITION BY x, y
+                            ORDER BY wt * dz * dz DESC, dir ASC) AS rk
+  FROM nb
+), flow AS (
+  SELECT dem.x, dem.y, b.nx AS down_x, b.ny AS down_y
+  FROM dem LEFT JOIN (SELECT * FROM ranked WHERE rk = 1) b
+    ON b.x = dem.x AND b.y = dem.y
+), walk AS (
+  SELECT x, y, x AS cx, y AS cy FROM flow
+  UNION ALL
+  SELECT w.x, w.y, f.down_x, f.down_y
+  FROM walk w JOIN flow f ON f.x = w.cx AND f.y = w.cy
+  WHERE f.down_x IS NOT NULL
+)
+SELECT w.x, w.y, w.cx AS sink_x, w.cy AS sink_y,
+       CAST(w.cy * 4294967296 + w.cx AS BIGINT) AS basin_id
+FROM walk w JOIN flow f ON f.x = w.cx AND f.y = w.cy
+WHERE f.down_x IS NULL
+"""
+
+
 def q_frechet(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X160 (trajectory.frechet_sq): discrete Frechet distance (squared
     planar integer) for 5 candidate pairs over 6 deterministic part-keyed
@@ -9409,6 +9459,7 @@ FROM mm GROUP BY i
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "watershed": q_watershed,
         "frechet": q_frechet,
         "ransac_line": q_ransac_line,
         "flow_dir": q_flow_dir,
@@ -9625,6 +9676,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "watershed": _WATERSHED_SQL,
         "frechet": _FRECHET_SQL,
         "ransac_line": _RANSAC_LINE_SQL,
         "flow_dir": _FLOW_DIR_SQL,

@@ -102,6 +102,7 @@ BENCH_QUERIES = [
     "flow_dir",
     "ransac_line",
     "frechet",
+    "watershed",
     "hotspots",
     "focal_stats",
     "lisa",

@@ -437,3 +437,56 @@ def test_flow_direction_matches_scalar_brute(spark):
     assert got[(4, 4)]["indeg"] >= 3        # and collects its neighbors
     assert got[(2, 7)]["dir"] is not None   # the peak drains
     assert got[(2, 7)]["indeg"] == 0        # nothing drains into a peak
+
+
+def test_watershed_basins_matches_scalar_chase(spark):
+    """watershed_basins == a scalar follow-the-pointer walk; every basin
+    contains its own sink and partitions the grid."""
+    import math
+
+    import numpy as np
+
+    from osm2geojson_spark.operators.geostat import watershed_basins
+
+    rng = np.random.default_rng(19)
+    n = 9
+    zg = rng.integers(0, 80, size=(n, n))
+    dem = spark.createDataFrame(
+        [(int(x), int(y), int(zg[y, x])) for y in range(n) for x in range(n)],
+        "x long, y long, z long",
+    )
+    got = {
+        (r["x"], r["y"]): (r["sink_x"], r["sink_y"], r["basin_id"])
+        for r in watershed_basins(dem, max_path=32).collect()
+    }
+    assert len(got) == n * n
+
+    dirs = [(-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1), (1, -1), (1, 0), (1, 1)]
+
+    def step(x, y):
+        best = None
+        for i, (dx, dy) in enumerate(dirs):
+            nx, ny = x + dx, y + dy
+            if not (0 <= nx < n and 0 <= ny < n):
+                continue
+            dz = int(zg[ny, nx]) - int(zg[y, x])
+            if dz >= 0:
+                continue
+            key = (2 if dx * dy == 0 else 1) * dz * dz
+            if best is None or key > best[0]:
+                best = (key, i, nx, ny)
+        return None if best is None else best[2:]
+
+    for y in range(n):
+        for x in range(n):
+            cx, cy = x, y
+            while True:
+                nxt = step(cx, cy)
+                if nxt is None:
+                    break
+                cx, cy = nxt
+            assert got[(x, y)] == (cx, cy, cy * 2**32 + cx), (x, y)
+    # a sink labels itself
+    sinks = {(sx, sy) for sx, sy, _ in got.values()}
+    for s in sinks:
+        assert got[s][:2] == s
