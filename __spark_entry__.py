@@ -8815,6 +8815,58 @@ _INTEGRAL_BOXES = [
 ]
 
 
+def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X162 (analytics.ab_test_z): pooled two-proportion z-test over the
+    events table — variant = user parity, conversion = a deterministic
+    event-key gate with a planted uplift for variant B. Sufficient
+    statistics are order-free int64 counts; z is one replayed float
+    assembly over the four integers."""
+    from osm2geojson_spark.operators.analytics import ab_test_z
+
+    ev = _t(spark, sf_dir, "events").select(
+        (F.col("user_id") % 2).alias("variant"),
+        (
+            (F.col("event_id") * 37 % 100)
+            < (F.lit(20) + (F.col("user_id") % 2) * 5)
+        ).alias("converted"),
+    )
+    return ab_test_z(ev)
+
+
+_AB_TEST_SQL = """
+WITH t AS (
+  SELECT user_id % 2 AS v,
+         CASE WHEN (event_id * 37 % 100) < (20 + (user_id % 2) * 5)
+              THEN 1 ELSE 0 END AS c
+  FROM events
+), agg AS (
+  SELECT CAST(count(*) FILTER (WHERE v = 0) AS BIGINT) AS na,
+         CAST(COALESCE(sum(c) FILTER (WHERE v = 0), 0) AS BIGINT) AS xa,
+         CAST(count(*) FILTER (WHERE v = 1) AS BIGINT) AS nb,
+         CAST(COALESCE(sum(c) FILTER (WHERE v = 1), 0) AS BIGINT) AS xb
+  FROM t
+)
+SELECT na, xa, nb, xb,
+       CASE WHEN na > 0 THEN round(CAST(xa AS DOUBLE) / CAST(na AS DOUBLE), 6)
+            + 0.0 END AS rate_a,
+       CASE WHEN nb > 0 THEN round(CAST(xb AS DOUBLE) / CAST(nb AS DOUBLE), 6)
+            + 0.0 END AS rate_b,
+       CASE WHEN na > 0 AND nb > 0 AND xa + xb > 0 AND xa + xb < na + nb
+            THEN round(
+              (CAST(xb AS DOUBLE) / CAST(nb AS DOUBLE)
+               - CAST(xa AS DOUBLE) / CAST(na AS DOUBLE))
+              / sqrt(
+                  (CAST(xa AS DOUBLE) + CAST(xb AS DOUBLE))
+                    / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))
+                  * (1.0 - (CAST(xa AS DOUBLE) + CAST(xb AS DOUBLE))
+                       / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE)))
+                  * (1.0 / CAST(na AS DOUBLE) + 1.0 / CAST(nb AS DOUBLE))
+                ), 6) + 0.0
+       END AS z
+FROM agg
+"""
+
+
 def q_watershed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X161 (geostat.watershed_basins): every cell of the shared 32x32
     DEM labeled with the sink it drains to — D8 pointers chased by
@@ -9459,6 +9511,7 @@ FROM mm GROUP BY i
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "ab_test": q_ab_test,
         "watershed": q_watershed,
         "frechet": q_frechet,
         "ransac_line": q_ransac_line,
@@ -9676,6 +9729,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "ab_test": _AB_TEST_SQL,
         "watershed": _WATERSHED_SQL,
         "frechet": _FRECHET_SQL,
         "ransac_line": _RANSAC_LINE_SQL,

@@ -103,6 +103,7 @@ BENCH_QUERIES = [
     "ransac_line",
     "frechet",
     "watershed",
+    "ab_test",
     "hotspots",
     "focal_stats",
     "lisa",

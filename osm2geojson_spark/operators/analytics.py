@@ -1195,3 +1195,54 @@ def ransac_line(
         F.col("b.ax").alias("ax"), F.col("b.ay").alias("ay"),
         F.col("b.bx").alias("bx"), F.col("b.by").alias("by"),
     )
+
+
+def ab_test_z(
+    events: DataFrame,
+    variant_col: str = "variant",
+    converted_col: str = "converted",
+) -> DataFrame:
+    """TWO-PROPORTION A/B TEST — the experiment readout: per variant
+    pair (A = 0, B = 1), trial/conversion counts and the pooled
+    two-proportion z statistic
+
+        z = (pb - pa) / sqrt(p * (1 - p) * (1/na + 1/nb))
+
+    The sufficient statistics (na, xa, nb, xb) are exact int64 counts
+    in any partition order; z and the rates are ONE short float
+    assembly over those four integers, replayed verbatim by the SQL
+    twin (identically-ordered IEEE ops, round 6). Degenerate inputs —
+    a missing variant, pooled rate 0 or 1 (zero variance) — yield NULL
+    z, never a divide error.
+
+    Input: one row per trial with ``variant_col`` in {0, 1} and a
+    boolean/int ``converted_col``. Returns ONE row:
+    (na, xa, nb, xb, rate_a, rate_b, z).
+
+    Scale: a single combinable aggregation — four conditional counts —
+    over the trial stream. Nothing shuffles but one row."""
+    v = F.col(variant_col)
+    c = F.col(converted_col).cast("long")
+    agg = events.agg(
+        F.coalesce(F.sum(F.when(v == 0, 1)), F.lit(0)).cast("long").alias("na"),
+        F.coalesce(F.sum(F.when(v == 0, c)), F.lit(0)).cast("long").alias("xa"),
+        F.coalesce(F.sum(F.when(v == 1, 1)), F.lit(0)).cast("long").alias("nb"),
+        F.coalesce(F.sum(F.when(v == 1, c)), F.lit(0)).cast("long").alias("xb"),
+    )
+    na, xa, nb, xb = (F.col(n).cast("double") for n in ("na", "xa", "nb", "xb"))
+    p = (xa + xb) / (na + nb)
+    z = (xb / nb - xa / na) / F.sqrt(
+        p * (F.lit(1.0) - p) * (F.lit(1.0) / na + F.lit(1.0) / nb)
+    )
+    return agg.select(
+        "na", "xa", "nb", "xb",
+        F.when(F.col("na") > 0, F.round(xa / na, 6) + F.lit(0.0)).alias("rate_a"),
+        F.when(F.col("nb") > 0, F.round(xb / nb, 6) + F.lit(0.0)).alias("rate_b"),
+        F.when(
+            (F.col("na") > 0)
+            & (F.col("nb") > 0)
+            & (F.col("xa") + F.col("xb") > 0)
+            & (F.col("xa") + F.col("xb") < F.col("na") + F.col("nb")),
+            F.round(z, 6) + F.lit(0.0),
+        ).alias("z"),
+    )

@@ -1023,3 +1023,33 @@ def test_ransac_line_recovers_planted_line_and_matches_brute(spark):
     assert got[1]["n_inliers"] == 12  # fully collinear group: all inliers
     # the planted line dominates its outliers
     assert got[0]["n_inliers"] >= 26
+
+
+def test_ab_test_z_matches_scipy_style_formula_and_degenerates(spark):
+    """ab_test_z == the textbook pooled two-proportion z computed in
+    plain Python; degenerate inputs yield NULL z."""
+    import math
+
+    from osm2geojson_spark.operators.analytics import ab_test_z
+
+    trials = [(0, 1)] * 30 + [(0, 0)] * 70 + [(1, 1)] * 45 + [(1, 0)] * 55
+    df = spark.createDataFrame(trials, "variant long, converted long")
+    r = ab_test_z(df).collect()[0]
+    na, xa, nb, xb = 100, 30, 100, 45
+    assert (r["na"], r["xa"], r["nb"], r["xb"]) == (na, xa, nb, xb)
+    p = (xa + xb) / (na + nb)
+    z = (xb / nb - xa / na) / math.sqrt(p * (1 - p) * (1 / na + 1 / nb))
+    assert r["rate_a"] == 0.3 and r["rate_b"] == 0.45
+    assert abs(r["z"] - round(z, 6)) < 1e-9
+    assert r["z"] > 2.0  # the planted uplift is significant
+
+    # all-converted pool: zero variance -> NULL z, counts still exact
+    allc = spark.createDataFrame(
+        [(0, 1)] * 5 + [(1, 1)] * 5, "variant long, converted long"
+    )
+    r2 = ab_test_z(allc).collect()[0]
+    assert r2["z"] is None and (r2["xa"], r2["xb"]) == (5, 5)
+    # one-armed experiment -> NULL z, no divide error
+    onearm = spark.createDataFrame([(0, 1), (0, 0)], "variant long, converted long")
+    r3 = ab_test_z(onearm).collect()[0]
+    assert r3["z"] is None and r3["rate_b"] is None and r3["nb"] == 0
