@@ -8815,6 +8815,68 @@ _INTEGRAL_BOXES = [
 ]
 
 
+def q_union_area(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X163 (analytics.union_rect_area): exact deduplicated coverage of
+    overlapping part-keyed integer footprints, 4 groups — coordinate-
+    compression slabs + per-slab gaps-and-islands y-union, every
+    quantity int64 in any order. The oracle replays the identical slab
+    and island windows."""
+    from osm2geojson_spark.operators.analytics import union_rect_area
+
+    part = _t(spark, sf_dir, "part").filter(F.col("p_partkey") < 240)
+    k = F.col("p_partkey")
+    rects = part.select(
+        (k % 4).alias("group_id"),
+        ((k * 7) % 50).cast("long").alias("x0"),
+        ((k * 11) % 40).cast("long").alias("y0"),
+        ((k * 7) % 50 + 1 + k % 9).cast("long").alias("x1"),
+        ((k * 11) % 40 + 1 + k % 6).cast("long").alias("y1"),
+    )
+    return union_rect_area(rects)
+
+
+_UNION_AREA_SQL = """
+WITH r AS (
+  SELECT p_partkey % 4 AS g,
+         (p_partkey * 7) % 50 AS x0, (p_partkey * 11) % 40 AS y0,
+         (p_partkey * 7) % 50 + 1 + p_partkey % 9 AS x1,
+         (p_partkey * 11) % 40 + 1 + p_partkey % 6 AS y1
+  FROM part WHERE p_partkey < 240
+), nr AS (SELECT g, CAST(count(*) AS BIGINT) AS n_rects FROM r GROUP BY g),
+xs AS (
+  SELECT DISTINCT g, x FROM (
+    SELECT g, x0 AS x FROM r UNION ALL SELECT g, x1 FROM r
+  )
+), slabs AS (
+  SELECT g, x AS xs, lead(x) OVER (PARTITION BY g ORDER BY x) AS xe FROM xs
+), iv AS (
+  SELECT slabs.g, slabs.xs, slabs.xe, r.y0, r.y1
+  FROM slabs JOIN r ON r.g = slabs.g
+  WHERE slabs.xe IS NOT NULL AND r.x0 <= slabs.xs AND r.x1 >= slabs.xe
+), marked AS (
+  SELECT g, xs, xe, y0, y1,
+         CASE WHEN max(y1) OVER (PARTITION BY g, xs ORDER BY y0, y1
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+               OR y0 > max(y1) OVER (PARTITION BY g, xs ORDER BY y0, y1
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS nw
+  FROM iv
+), isl AS (
+  SELECT g, xs, xe, y0, y1,
+         sum(nw) OVER (PARTITION BY g, xs ORDER BY y0, y1
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS i
+  FROM marked
+), merged AS (
+  SELECT g, xs, xe, max(y1) - min(y0) AS len
+  FROM isl GROUP BY g, xs, xe, i
+), area AS (
+  SELECT g, CAST(sum(len * (xe - xs)) AS BIGINT) AS area FROM merged GROUP BY g
+)
+SELECT nr.g AS group_id, nr.n_rects, COALESCE(area.area, 0) AS area
+FROM nr LEFT JOIN area ON area.g = nr.g
+"""
+
+
 def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X162 (analytics.ab_test_z): pooled two-proportion z-test over the
     events table — variant = user parity, conversion = a deterministic
@@ -9511,6 +9573,7 @@ FROM mm GROUP BY i
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "union_area": q_union_area,
         "ab_test": q_ab_test,
         "watershed": q_watershed,
         "frechet": q_frechet,
@@ -9729,6 +9792,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "union_area": _UNION_AREA_SQL,
         "ab_test": _AB_TEST_SQL,
         "watershed": _WATERSHED_SQL,
         "frechet": _FRECHET_SQL,

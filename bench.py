@@ -104,6 +104,7 @@ BENCH_QUERIES = [
     "frechet",
     "watershed",
     "ab_test",
+    "union_area",
     "hotspots",
     "focal_stats",
     "lisa",

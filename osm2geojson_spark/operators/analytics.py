@@ -1246,3 +1246,82 @@ def ab_test_z(
             F.round(z, 6) + F.lit(0.0),
         ).alias("z"),
     )
+
+
+def union_rect_area(
+    rects: DataFrame,
+    group_col: str = "group_id",
+) -> DataFrame:
+    """EXACT UNION AREA of axis-aligned integer rectangles per group —
+    the deduplicated-coverage measure (how much area do these scene
+    footprints actually cover, counting overlaps once?) behind tasking
+    / gap analysis and tile-dedup accounting. The 2-D lift of
+    interval_union_length via COORDINATE-COMPRESSION SLABS:
+
+      1. the group's distinct x coordinates cut the plane into
+         vertical slabs (consecutive-pair window);
+      2. each slab joins the rectangles spanning it, reducing the slab
+         to a 1-D y-interval union (gaps-and-islands running max);
+      3. area = sum over slabs of covered_y * slab_width.
+
+    Rectangles are half-open [x0, x1) x [y0, y1) with integer corners —
+    every quantity is int64-exact in any order, so the SQL twin
+    (identical windows) hash-matches. Degenerate rects (x0 >= x1 or
+    y0 >= y1) contribute nothing.
+
+    Returns (group, n_rects, area).
+
+    Scale: all windows and joins are group-keyed. The slab-rect join is
+    the cost: O(n) slabs x rects that span them — worst case O(n^2) per
+    group for n overlapping footprints, the honest bound for exact
+    union; shard giant groups spatially upstream (cells.covering_cells
+    on the footprint) so each shard's n stays bounded, then sum shard
+    areas (cell-clipped rects make shard unions disjoint)."""
+    r = rects.select(
+        F.col(group_col).alias("g"),
+        F.col("x0").cast("long").alias("x0"),
+        F.col("y0").cast("long").alias("y0"),
+        F.col("x1").cast("long").alias("x1"),
+        F.col("y1").cast("long").alias("y1"),
+    ).filter((F.col("x0") < F.col("x1")) & (F.col("y0") < F.col("y1")))
+    n_rects = r.groupBy("g").agg(F.count(F.lit(1)).cast("long").alias("n_rects"))
+    xs = (
+        r.select("g", F.col("x0").alias("x"))
+        .unionByName(r.select("g", F.col("x1").alias("x")))
+        .distinct()
+    )
+    w = Window.partitionBy("g").orderBy("x")
+    slabs = (
+        xs.withColumn("xe", F.lead("x").over(w))
+        .filter(F.col("xe").isNotNull())
+        .select("g", F.col("x").alias("xs"), "xe")
+    )
+    iv = slabs.join(r, "g").filter(
+        (F.col("x0") <= F.col("xs")) & (F.col("x1") >= F.col("xe"))
+    ).select("g", "xs", "xe", "y0", "y1")
+    wi = (
+        Window.partitionBy("g", "xs")
+        .orderBy("y0", "y1")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    iv = iv.withColumn("_pmax", F.max("y1").over(wi)).withColumn(
+        "_new",
+        F.when(
+            F.col("_pmax").isNull() | (F.col("y0") > F.col("_pmax")), 1
+        ).otherwise(0),
+    )
+    wg = Window.partitionBy("g", "xs").orderBy("y0", "y1").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    iv = iv.withColumn("_isl", F.sum("_new").over(wg))
+    merged = iv.groupBy("g", "xs", "xe", "_isl").agg(
+        (F.max("y1") - F.min("y0")).alias("_len")
+    )
+    area = merged.groupBy("g").agg(
+        F.sum(F.col("_len") * (F.col("xe") - F.col("xs"))).cast("long").alias("area")
+    )
+    return n_rects.join(area, "g", "left").select(
+        F.col("g").alias(group_col),
+        "n_rects",
+        F.coalesce("area", F.lit(0)).cast("long").alias("area"),
+    )

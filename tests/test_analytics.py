@@ -1053,3 +1053,43 @@ def test_ab_test_z_matches_scipy_style_formula_and_degenerates(spark):
     onearm = spark.createDataFrame([(0, 1), (0, 0)], "variant long, converted long")
     r3 = ab_test_z(onearm).collect()[0]
     assert r3["z"] is None and r3["rate_b"] is None and r3["nb"] == 0
+
+
+def test_union_rect_area_matches_pixel_brute(spark):
+    """union_rect_area == a literal pixel-raster union count, including
+    full containment, exact-touch adjacency, and degenerate rects."""
+    from osm2geojson_spark.operators.analytics import union_rect_area
+
+    rng = np.random.default_rng(17)
+    rects = []
+    for i in range(50):
+        x0 = int(rng.integers(0, 30))
+        y0 = int(rng.integers(0, 30))
+        rects.append((0, x0, y0, x0 + int(rng.integers(1, 10)),
+                      y0 + int(rng.integers(1, 10))))
+    # group 1: planted exact cases
+    rects += [
+        (1, 0, 0, 10, 10),
+        (1, 2, 2, 5, 5),      # fully contained
+        (1, 10, 0, 15, 10),   # exact-touch neighbor (shared edge)
+        (1, 30, 30, 30, 40),  # degenerate: zero width
+        (1, 50, 50, 51, 51),  # disjoint unit square
+    ]
+    df = spark.createDataFrame(
+        rects, "group_id long, x0 long, y0 long, x1 long, y1 long"
+    )
+    got = {r["group_id"]: r for r in union_rect_area(df).collect()}
+
+    import numpy as np_
+    for g in (0, 1):
+        grid = np_.zeros((100, 100), dtype=bool)
+        n = 0
+        for gg, x0, y0, x1, y1 in rects:
+            if gg != g:
+                continue
+            if x0 < x1 and y0 < y1:
+                n += 1
+            grid[y0:y1, x0:x1] = True
+        assert got[g]["area"] == int(grid.sum())
+        assert got[g]["n_rects"] == n
+    assert got[1]["area"] == 100 + 50 + 1  # 10x10 + touching 5x10 + unit
