@@ -8815,6 +8815,83 @@ _INTEGRAL_BOXES = [
 ]
 
 
+def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MUTUAL INFORMATION (multimodal.mutual_information): the
+    registration / cross-modal alignment metric over 120 image pairs
+    whose B side uses a DIFFERENT linear pixel field mod 97 — so the
+    joint 256x256 histogram is genuinely non-degenerate (neither a
+    bijection of A nor independent). All three entropy sums are emitted
+    micro-quantized int64 (image_entropy's scheme) and the oracle
+    rebuilds both pixel formulas inline and replays the identical float
+    assembly for ``mi``."""
+    from osm2geojson_spark.operators.multimodal import mutual_information
+
+    @pandas_udf("binary")
+    def enc_b(i: pd.Series) -> pd.Series:
+        from osm2geojson_spark.functions import imagecodec as IC
+
+        import numpy as np
+
+        out = []
+        for idx in i:
+            y, x = np.mgrid[0:16, 0:16]
+            px = ((x * 5 + y * 2 + int(idx) * 11) % 97).astype(np.uint8)
+            out.append(IC.encode_rawz(px))
+        return pd.Series(out)
+
+    k = F.col("p_partkey")
+    w16 = F.lit(16).cast("int")
+    pairs = (
+        _t(spark, sf_dir, "part")
+        .filter((k < 240) & (k % 2 == 0))
+        .select(
+            k.alias("pair_id"),
+            SYN._encode_image_fmt_udf(
+                k.cast("int"),
+                w16,
+                w16,
+                F.when(k % 7 == 0, F.lit("png")).otherwise(F.lit("rawz")),
+            ).alias("bytes_a"),
+            F.when(k % 7 == 0, F.lit("png")).otherwise(F.lit("rawz")).alias(
+                "fmt_a"
+            ),
+            enc_b(k).alias("bytes_b"),
+            F.lit("rawz").alias("fmt_b"),
+        )
+    )
+    return mutual_information(pairs)
+
+
+_MUTUAL_INFO_SQL = """
+WITH img AS (
+  SELECT p_partkey AS i FROM part WHERE p_partkey < 240 AND p_partkey % 2 = 0
+), px AS (
+  SELECT i,
+         ((p % 16) * 3 + (p // 16) * 7 + i * 13) % 251 AS a,
+         ((p % 16) * 5 + (p // 16) * 2 + i * 11) % 97 AS b
+  FROM (SELECT i, unnest(range(0, 256)) AS p FROM img)
+), ha AS (
+  SELECT i, CAST(sum(CAST(round(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))
+                                * 1e6) AS BIGINT)) AS BIGINT) AS sa_q
+  FROM (SELECT i, a, count(*) AS c FROM px GROUP BY i, a) GROUP BY i
+), hb AS (
+  SELECT i, CAST(sum(CAST(round(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))
+                                * 1e6) AS BIGINT)) AS BIGINT) AS sb_q
+  FROM (SELECT i, b, count(*) AS c FROM px GROUP BY i, b) GROUP BY i
+), hab AS (
+  SELECT i, CAST(count(*) AS BIGINT) AS n_joint,
+         CAST(sum(CAST(round(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))
+                             * 1e6) AS BIGINT)) AS BIGINT) AS sab_q
+  FROM (SELECT i, a, b, count(*) AS c FROM px GROUP BY i, a, b) GROUP BY i
+)
+SELECT ha.i AS pair_id, CAST(256 AS BIGINT) AS n_px, hab.n_joint,
+       ha.sa_q, hb.sb_q, hab.sab_q,
+       round(ln(256.0) + ((hab.sab_q - ha.sa_q - hb.sb_q) / 1e6) / 256,
+             6) + 0.0 AS mi
+FROM ha JOIN hb ON ha.i = hb.i JOIN hab ON ha.i = hab.i
+"""
+
+
 def q_union_area(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X163 (analytics.union_rect_area): exact deduplicated coverage of
     overlapping part-keyed integer footprints, 4 groups — coordinate-
@@ -9573,6 +9650,7 @@ FROM mm GROUP BY i
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "mutual_info": q_mutual_information,
         "union_area": q_union_area,
         "ab_test": q_ab_test,
         "watershed": q_watershed,
@@ -9792,6 +9870,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "mutual_info": _MUTUAL_INFO_SQL,
         "union_area": _UNION_AREA_SQL,
         "ab_test": _AB_TEST_SQL,
         "watershed": _WATERSHED_SQL,

@@ -105,6 +105,7 @@ BENCH_QUERIES = [
     "watershed",
     "ab_test",
     "union_area",
+    "mutual_info",
     "hotspots",
     "focal_stats",
     "lisa",

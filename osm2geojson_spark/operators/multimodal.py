@@ -2753,3 +2753,70 @@ def harris_corners(images: DataFrame) -> DataFrame:
             " x_max int, y_max int"
         ),
     )
+
+
+def mutual_information(pairs: DataFrame, id_col: str = "pair_id") -> DataFrame:
+    """MUTUAL INFORMATION between image pairs — the registration /
+    alignment metric (max-MI is how multi-modal tiles are co-registered
+    when raw intensities don't correlate linearly; near-zero MI flags a
+    misaligned or unrelated pair in curation QC).
+
+        MI = ln n + (S_ab - S_a - S_b) / n,   S = sum c * ln c
+
+    over the marginal (256-bin) and joint (256x256-bin) histograms of
+    the two equal-size images. Each S is emitted micro-quantized
+    (image_entropy's scheme: per-bin round(c * ln c * 1e6) as int64,
+    then an order-free integer sum), so the heavy lifting is
+    hash-exact; ``mi`` is one short replayable float assembly.
+
+    Expects (id_col, bytes_a, fmt_a, bytes_b, fmt_b); pairs whose
+    decoded shapes differ are dropped (align upstream).
+
+    Returns (id_col, n_px, n_joint, sa_q, sb_q, sab_q, mi).
+
+    Scale: one Arrow pass per pair — two bincounts + one 65536-bin
+    joint bincount (a*256+b), no shuffle; the joint histogram never
+    materializes outside the batch."""
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [id_col, "n_px", "n_joint", "sa_q", "sb_q", "sab_q", "mi"]
+        in_cols = [id_col, "bytes_a", "fmt_a", "bytes_b", "fmt_b"]
+        for pdf in it:
+            pdf = pdf[in_cols]
+            rows = []
+            for r in pdf.itertuples(index=False):
+                a = imagecodec.decode(bytes(r[1]), r[2])
+                b = imagecodec.decode(bytes(r[3]), r[4])
+                if a.ndim == 3:
+                    a = a[..., 0]
+                if b.ndim == 3:
+                    b = b[..., 0]
+                if a.shape != b.shape:
+                    continue
+                n = int(a.size)
+                av = a.ravel().astype(np.int64)
+                bv = b.ravel().astype(np.int64)
+
+                def s_q(counts):
+                    nz = counts[counts > 0].astype(np.float64)
+                    return int(
+                        np.round(nz * np.log(nz) * 1e6).astype(np.int64).sum()
+                    )
+
+                ca = np.bincount(av, minlength=256)
+                cb = np.bincount(bv, minlength=256)
+                cab = np.bincount(av * 256 + bv, minlength=65536)
+                sa, sb, sab = s_q(ca), s_q(cb), s_q(cab)
+                mi = round(math.log(n) + ((sab - sa - sb) / 1e6) / n, 6) + 0.0
+                rows.append(
+                    (r[0], n, int((cab > 0).sum()), sa, sb, sab, mi)
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return pairs.mapInPandas(
+        fn,
+        schema=(
+            f"{id_col} long, n_px long, n_joint long, sa_q long,"
+            " sb_q long, sab_q long, mi double"
+        ),
+    )

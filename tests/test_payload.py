@@ -2065,3 +2065,87 @@ def test_harris_corners_matches_scalar_brute_and_finds_corner(spark):
     # the planted corner's argmax sits on the square's boundary region
     assert 3 <= got["corner"]["x_max"] <= 6
     assert got["corner"]["r_max"] > 0
+
+
+def test_mutual_information_matches_brute_and_identities(spark):
+    """mutual_information == a dict-based scalar MI replay; MI(a, a)
+    equals H(a) (the self-pair identity); a constant B side gives
+    MI == 0; and a bijective B (same field, shifted phase) also gives
+    MI == H(a) because the joint collapses to the marginal."""
+    import math as _m
+
+    from osm2geojson_spark.functions import imagecodec as IC
+    from osm2geojson_spark.operators.multimodal import mutual_information
+
+    rng = np.random.default_rng(11)
+    a0 = rng.integers(0, 40, (10, 10), dtype=np.uint8)
+    b0 = ((a0.astype(int) * 3 + rng.integers(0, 4, a0.shape)) % 47).astype(
+        np.uint8
+    )
+    cases = {
+        0: (a0, b0),  # correlated but non-bijective
+        1: (a0, a0),  # self pair: MI == H(a)
+        2: (a0, np.full_like(a0, 7)),  # constant B: MI == 0
+        3: (a0, ((a0.astype(int) + 13) % 251).astype(np.uint8)),  # bijection
+    }
+    rows = [
+        (pid, IC.encode_rawz(a), "rawz", IC.encode_rawz(b), "rawz")
+        for pid, (a, b) in cases.items()
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "pair_id long, bytes_a binary, fmt_a string, bytes_b binary,"
+        " fmt_b string",
+    )
+    got = {r["pair_id"]: r for r in mutual_information(df).collect()}
+    assert set(got) == set(cases)
+
+    def s_q(counts):
+        return sum(
+            int(round(c * _m.log(c) * 1e6)) for c in counts.values() if c > 0
+        )
+
+    def brute(a, b):
+        from collections import Counter
+
+        av, bv = a.ravel().tolist(), b.ravel().tolist()
+        n = len(av)
+        sa, sb = s_q(Counter(av)), s_q(Counter(bv))
+        jc = Counter(zip(av, bv))
+        sab = s_q(jc)
+        mi = round(_m.log(n) + ((sab - sa - sb) / 1e6) / n, 6) + 0.0
+        return n, len(jc), sa, sb, sab, mi
+
+    for pid, (a, b) in cases.items():
+        r = got[pid]
+        assert (
+            r["n_px"], r["n_joint"], r["sa_q"], r["sb_q"], r["sab_q"], r["mi"]
+        ) == brute(a, b), pid
+
+    def entropy(a):
+        from collections import Counter
+
+        n = a.size
+        return _m.log(n) - s_q(Counter(a.ravel().tolist())) / 1e6 / n
+
+    h_a = entropy(a0)
+    assert abs(got[1]["mi"] - h_a) < 1e-5  # self pair
+    assert abs(got[3]["mi"] - h_a) < 1e-5  # bijective pair
+    assert abs(got[2]["mi"]) < 1e-5  # independent-of-constant pair
+    # the correlated pair sits strictly between 0 and H(a)
+    assert 0.05 < got[0]["mi"] < h_a - 0.05
+    # shape-mismatched pairs are dropped, not errored
+    odd = spark.createDataFrame(
+        [
+            (
+                9,
+                IC.encode_rawz(a0),
+                "rawz",
+                IC.encode_rawz(a0[:4, :4].copy()),
+                "rawz",
+            )
+        ],
+        "pair_id long, bytes_a binary, fmt_a string, bytes_b binary,"
+        " fmt_b string",
+    )
+    assert mutual_information(odd).count() == 0
