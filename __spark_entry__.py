@@ -8815,6 +8815,30 @@ _INTEGRAL_BOXES = [
 ]
 
 
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X165 (sketch.hll_distinct): HyperLogLog distinct customers per
+    order priority — fixed 256-register state per group (theta_distinct's
+    survivor set grows with cardinality; HLL's does not), registers
+    reduced by order-free max, the harmonic sum carried as an exact
+    int64. The oracle replays the congruential hash chains, the
+    comparison-count bitlen, and the one float estimate assembly."""
+    from osm2geojson_spark.operators.sketch import hll_distinct
+
+    orders = _t(spark, sf_dir, "orders").select("o_orderpriority", "o_custkey")
+    return hll_distinct(orders, ["o_orderpriority"], "o_custkey", p=8)
+
+
+def _hll_distinct_sql() -> str:
+    from osm2geojson_spark.operators.sketch import hll_distinct_sql
+
+    return hll_distinct_sql(
+        "SELECT o_orderpriority, o_custkey FROM orders",
+        ["o_orderpriority"],
+        "o_custkey",
+        p=8,
+    )
+
+
 def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MUTUAL INFORMATION (multimodal.mutual_information): the
     registration / cross-modal alignment metric over 120 image pairs
@@ -9650,6 +9674,7 @@ FROM mm GROUP BY i
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "hll_distinct": q_hll_distinct,
         "mutual_info": q_mutual_information,
         "union_area": q_union_area,
         "ab_test": q_ab_test,
@@ -9870,6 +9895,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "hll_distinct": _hll_distinct_sql(),
         "mutual_info": _MUTUAL_INFO_SQL,
         "union_area": _UNION_AREA_SQL,
         "ab_test": _AB_TEST_SQL,

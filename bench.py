@@ -106,6 +106,7 @@ BENCH_QUERIES = [
     "ab_test",
     "union_area",
     "mutual_info",
+    "hll_distinct",
     "hotspots",
     "focal_stats",
     "lisa",

@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .sampling import _H_MOD, sample_hash, sample_hash_sql
+from .sampling import _H_ADD, _H_MOD, _H_MUL, sample_hash, sample_hash_sql
 
 
 def theta_distinct(
@@ -461,3 +461,162 @@ SELECT '{c}' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
 FROM r""")
     u = " UNION ALL ".join(arms)
     return f"WITH r AS ({rows_cte})\n{u}"
+
+
+# --------------------------------------------------- HyperLogLog
+
+# A single affine (LCG) hash has lattice artifacts on dense integer
+# ranges -- measured +/-40-70% HLL bias on {0..n}.  The mixer below is a
+# 40-bit xorshift-multiply finalizer (splitmix-style avalanche) whose
+# every product stays under 2^61, so it is replayable verbatim in int64
+# engines that either wrap or error on overflow.  Inputs are first
+# reduced mod the 40-bit prime _HLL_P (totality over all of int64).
+_HLL_P = (1 << 40) - 87          # largest prime < 2^40
+_HLL_MASK = (1 << 40) - 1
+_HLL_C1 = 1_999_999              # < 2^21: product < 2^61
+_HLL_C2 = 1_998_877
+_HLL_WBITS = 20                  # rank field: bits [p, p+20) of the mix
+_HLL_SCALE = 1 << (_HLL_WBITS + 1)   # 2^21: register term = SCALE >> rho
+
+
+def _hll_alpha(m: int) -> float:
+    # the standard bias constant (Flajolet et al. 2007); inlined as a
+    # plain double literal into BOTH engines' assemblies
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_distinct(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    p: int = 8,
+) -> DataFrame:
+    """Per-group HyperLogLog distinct-count estimate with EXACT,
+    engine-replayable registers.
+
+    Unlike ``theta_distinct`` (whose survivor set grows with the
+    distinct count), HLL state is a fixed ``m = 2**p`` register array
+    per group -- the right sketch when groups can hold 10^10 distincts.
+    Everything heavy is integer: the 40-bit xorshift-multiply mixer
+    avalanches dense key ranges (a bare LCG measurably does not), the
+    bucket is the mix's low ``p`` bits, the rank field ``w`` is the next
+    20 bits, and
+
+        rho = 21 - bitlen(w),   bitlen(w) = #{b : w >= 2^b}
+
+    (a sum of 20 comparisons -- no libm, no join).  Registers reduce by
+    plain ``max`` (order-free, mergeable) and the harmonic sum is the
+    exact int64 ``sum_scaled = sum_j 2^(21 - rho_j)`` with empty
+    registers contributing 2^21.  The only floats are the final
+    estimate assembly (alpha * m^2 * SCALE / sum_scaled, with the
+    standard small-range linear-counting correction), replayed verbatim
+    in the SQL twin.
+
+    Returns (*group_cols, m, nonzero, zeros, sum_scaled, est).
+
+    Scale shape: scan -> per-(group, bucket) max (partial aggregation
+    combines map-side, so at most m rows per group ever shuffle) ->
+    per-group fold.  State is m registers regardless of cardinality;
+    sketches for the same group merge by register max."""
+    assert 4 <= p <= 12
+    m = 1 << p
+    alpha = _hll_alpha(m)
+    mask = F.lit(_HLL_MASK)
+    x = F.pmod(F.col(value_col).cast("long"), F.lit(_HLL_P))
+    x = (x.bitwiseXOR(F.shiftright(x, 17)) * F.lit(_HLL_C1)).bitwiseAND(mask)
+    x = (x.bitwiseXOR(F.shiftright(x, 19)) * F.lit(_HLL_C2)).bitwiseAND(mask)
+    x = x.bitwiseXOR(F.shiftright(x, 23))
+    bucket = x.bitwiseAND(F.lit(m - 1))
+    w = F.shiftright(x, p).bitwiseAND(F.lit((1 << _HLL_WBITS) - 1)) + F.lit(1)
+    bitlen = sum(
+        (w >= F.lit(1 << b)).cast("int") for b in range(_HLL_WBITS)
+    )
+    rho = F.lit(_HLL_WBITS + 1) - bitlen
+
+    regs = (
+        df.select(*group_cols, bucket.alias("_b"), rho.alias("_rho"))
+        .groupBy(*group_cols, "_b")
+        .agg(F.max("_rho").alias("_r"))
+    )
+    shift = _HLL_SCALE.bit_length() - 1  # 21; pyspark's shiftleft wants a
+    # literal int for numBits, so go through the SQL form for a column shift
+    term = F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({shift} - _r AS INT))")
+    folded = regs.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("nonzero"),
+        F.sum(term).cast("long").alias("_s_nz"),
+    )
+    zeros = (F.lit(m) - F.col("nonzero")).cast("long")
+    sum_scaled = (F.col("_s_nz") + zeros * F.lit(_HLL_SCALE)).cast("long")
+    folded = folded.withColumn("zeros", zeros).withColumn(
+        "sum_scaled", sum_scaled
+    )
+    e_raw = (
+        F.lit(alpha * m * m * float(_HLL_SCALE))
+        / F.col("sum_scaled").cast("double")
+    )
+    est = F.when(
+        (e_raw <= F.lit(2.5 * m)) & (F.col("zeros") > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("zeros").cast("double")),
+    ).otherwise(e_raw)
+    return folded.select(
+        *group_cols,
+        F.lit(m).cast("long").alias("m"),
+        "nonzero",
+        "zeros",
+        "sum_scaled",
+        (F.round(est, 3) + F.lit(0.0)).alias("est"),
+    )
+
+
+def hll_distinct_sql(
+    rows_cte: str, group_cols: list[str], value_col: str, p: int = 8
+) -> str:
+    """DuckDB twin -- identical mixer, comparison-count bitlen, integer
+    registers, and float assembly. ``rows_cte`` must yield the group
+    columns and ``value_col``."""
+    m = 1 << p
+    alpha = _hll_alpha(m)
+    g = ", ".join(group_cols)
+    x0 = f"((({value_col} % {_HLL_P}) + {_HLL_P}) % {_HLL_P})"
+    x1 = f"((xor({x0}, {x0} >> 17) * {_HLL_C1}) & {_HLL_MASK})"
+    x2 = f"((xor({x1}, {x1} >> 19) * {_HLL_C2}) & {_HLL_MASK})"
+    # materialize the mix once per row via a projection CTE
+    bucket = f"(x & {m - 1})"
+    w = f"(((x >> {p}) & {(1 << _HLL_WBITS) - 1}) + 1)"
+    bitlen = " + ".join(
+        f"CAST({w} >= {1 << b} AS BIGINT)" for b in range(_HLL_WBITS)
+    )
+    rho = f"({_HLL_WBITS + 1} - ({bitlen}))"
+    shift = _HLL_SCALE.bit_length() - 1  # 21
+    return f"""
+WITH r AS ({rows_cte}),
+mixed AS (
+  SELECT {g}, xor({x2}, {x2} >> 23) AS x FROM r
+),
+regs AS (
+  SELECT {g}, {bucket} AS b, CAST(max({rho}) AS BIGINT) AS rho
+  FROM mixed GROUP BY {g}, b
+), folded AS (
+  SELECT {g}, CAST(count(*) AS BIGINT) AS nonzero,
+         CAST(sum(CAST(1 AS BIGINT) << ({shift} - rho)) AS BIGINT) AS s_nz
+  FROM regs GROUP BY {g}
+), wide AS (
+  SELECT {g}, nonzero, CAST({m} - nonzero AS BIGINT) AS zeros,
+         CAST(s_nz + ({m} - nonzero) * {_HLL_SCALE} AS BIGINT) AS sum_scaled
+  FROM folded
+)
+SELECT {g}, CAST({m} AS BIGINT) AS m, nonzero, zeros, sum_scaled,
+       round(CASE WHEN ({alpha * m * m * float(_HLL_SCALE)!r}
+                        / CAST(sum_scaled AS DOUBLE)) <= {2.5 * m!r}
+                   AND zeros > 0
+                  THEN {float(m)!r} * ln({float(m)!r} / CAST(zeros AS DOUBLE))
+                  ELSE {alpha * m * m * float(_HLL_SCALE)!r}
+                       / CAST(sum_scaled AS DOUBLE) END, 3) + 0.0 AS est
+FROM wide
+"""
