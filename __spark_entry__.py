@@ -8815,6 +8815,124 @@ _INTEGRAL_BOXES = [
 ]
 
 
+def q_template_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X166 (multimodal.template_match): exact-NCC template localization
+    over 120 image/template pairs — every 4th pair's template is a crop
+    of its own image (planted argmax at (4,4), NCC exactly 1.0), the
+    rest crop a DIFFERENT image's field. The argmax is float-free
+    (sign rules + cross-multiplied integer comparison); the oracle
+    replays it as a NOT-EXISTS tournament with HUGEINT cross products
+    and the identical (y, x) tie order."""
+    from osm2geojson_spark.operators.multimodal import template_match
+
+    @pandas_udf("binary")
+    def enc_tpl(j: pd.Series) -> pd.Series:
+        import numpy as np
+
+        from osm2geojson_spark.functions import imagecodec as IC
+
+        out = []
+        for jj in j:
+            y, x = np.mgrid[0:8, 0:8]
+            px = (((x + 4) * 3 + (y + 4) * 7 + int(jj) * 13) % 251).astype(
+                np.uint8
+            )
+            out.append(IC.encode_rawz(px))
+        return pd.Series(out)
+
+    k = F.col("p_partkey")
+    w16 = F.lit(16).cast("int")
+    jt = F.when(k % 4 == 0, k).otherwise(k + 5).cast("int")
+    pairs = (
+        _t(spark, sf_dir, "part")
+        .filter((k < 240) & (k % 2 == 0))
+        .select(
+            k.alias("pair_id"),
+            SYN._encode_image_fmt_udf(
+                k.cast("int"),
+                w16,
+                w16,
+                F.when(k % 7 == 0, F.lit("png")).otherwise(F.lit("rawz")),
+            ).alias("bytes_img"),
+            F.when(k % 7 == 0, F.lit("png")).otherwise(F.lit("rawz")).alias(
+                "fmt_img"
+            ),
+            enc_tpl(jt).alias("bytes_tpl"),
+            F.lit("rawz").alias("fmt_tpl"),
+        )
+    )
+    return template_match(pairs)
+
+
+_TEMPLATE_MATCH_SQL = """
+WITH img AS (
+  SELECT p_partkey AS i,
+         CASE WHEN p_partkey % 4 = 0 THEN p_partkey
+              ELSE p_partkey + 5 END AS jt
+  FROM part WHERE p_partkey < 240 AND p_partkey % 2 = 0
+), tgrid AS (
+  SELECT unnest(range(0, 8)) AS tx
+), tpx AS (
+  SELECT i, jt, gx.tx, gy.tx AS ty,
+         ((gx.tx + 4) * 3 + (gy.tx + 4) * 7 + jt * 13) % 251 AS tv
+  FROM img, tgrid gx, tgrid gy
+), tstats AS (
+  SELECT i, CAST(sum(tv) AS BIGINT) AS s_t,
+         CAST(sum(tv * tv) AS BIGINT) AS s_tt
+  FROM tpx GROUP BY i
+), offs AS (
+  SELECT unnest(range(0, 9)) AS o
+), cand AS (
+  SELECT t.i, ou.o AS u, ov.o AS v,
+         CAST(64 * sum(((ou.o + t.tx) * 3 + (ov.o + t.ty) * 7 + t.i * 13)
+                       % 251 * t.tv) AS BIGINT)
+           - CAST(sum(((ou.o + t.tx) * 3 + (ov.o + t.ty) * 7 + t.i * 13)
+                      % 251) AS BIGINT) * ts.s_t AS num,
+         CAST(64 * sum((((ou.o + t.tx) * 3 + (ov.o + t.ty) * 7 + t.i * 13)
+                        % 251) * (((ou.o + t.tx) * 3 + (ov.o + t.ty) * 7
+                                   + t.i * 13) % 251)) AS BIGINT)
+           - CAST(sum(((ou.o + t.tx) * 3 + (ov.o + t.ty) * 7 + t.i * 13)
+                      % 251) AS BIGINT)
+             * CAST(sum(((ou.o + t.tx) * 3 + (ov.o + t.ty) * 7 + t.i * 13)
+                        % 251) AS BIGINT) AS den_w,
+         64 * ts.s_tt - ts.s_t * ts.s_t AS den_t
+  FROM tpx t JOIN tstats ts ON ts.i = t.i, offs ou, offs ov
+  GROUP BY t.i, ou.o, ov.o, ts.s_t, ts.s_tt
+), ok AS (
+  SELECT * FROM cand WHERE den_w > 0 AND den_t > 0
+), best AS (
+  SELECT c1.* FROM ok c1
+  WHERE NOT EXISTS (
+    SELECT 1 FROM ok c2
+    WHERE c2.i = c1.i AND NOT (c2.u = c1.u AND c2.v = c1.v)
+      AND (
+        (CASE WHEN c2.num > 0 THEN 1 WHEN c2.num < 0 THEN -1 ELSE 0 END)
+        > (CASE WHEN c1.num > 0 THEN 1 WHEN c1.num < 0 THEN -1 ELSE 0 END)
+        OR (
+          (CASE WHEN c2.num > 0 THEN 1 WHEN c2.num < 0 THEN -1 ELSE 0 END)
+          = (CASE WHEN c1.num > 0 THEN 1 WHEN c1.num < 0 THEN -1 ELSE 0 END)
+          AND (
+            CASE WHEN c2.num >= 0
+                 THEN CAST(c2.num AS HUGEINT) * c2.num * c1.den_w
+                      > CAST(c1.num AS HUGEINT) * c1.num * c2.den_w
+                 ELSE CAST(c2.num AS HUGEINT) * c2.num * c1.den_w
+                      < CAST(c1.num AS HUGEINT) * c1.num * c2.den_w END
+            OR (CAST(c2.num AS HUGEINT) * c2.num * c1.den_w
+                = CAST(c1.num AS HUGEINT) * c1.num * c2.den_w
+                AND (c2.v < c1.v OR (c2.v = c1.v AND c2.u < c1.u)))
+          )
+        )
+      )
+  )
+)
+SELECT i AS pair_id, CAST(u AS INTEGER) AS best_x, CAST(v AS INTEGER) AS best_y,
+       num, den_w, den_t,
+       round(CAST(num AS DOUBLE) / sqrt(CAST(den_w * den_t AS DOUBLE)), 6)
+         + 0.0 AS ncc
+FROM best
+"""
+
+
 def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X165 (sketch.hll_distinct): HyperLogLog distinct customers per
     order priority — fixed 256-register state per group (theta_distinct's
@@ -9674,6 +9792,7 @@ FROM mm GROUP BY i
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "template_match": q_template_match,
         "hll_distinct": q_hll_distinct,
         "mutual_info": q_mutual_information,
         "union_area": q_union_area,
@@ -9895,6 +10014,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "template_match": _TEMPLATE_MATCH_SQL,
         "hll_distinct": _hll_distinct_sql(),
         "mutual_info": _MUTUAL_INFO_SQL,
         "union_area": _UNION_AREA_SQL,

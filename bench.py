@@ -107,6 +107,7 @@ BENCH_QUERIES = [
     "union_area",
     "mutual_info",
     "hll_distinct",
+    "template_match",
     "hotspots",
     "focal_stats",
     "lisa",

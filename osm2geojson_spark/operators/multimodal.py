@@ -2820,3 +2820,98 @@ def mutual_information(pairs: DataFrame, id_col: str = "pair_id") -> DataFrame:
             " sb_q long, sab_q long, mi double"
         ),
     )
+
+
+def template_match(pairs: DataFrame, id_col: str = "pair_id") -> DataFrame:
+    """TEMPLATE MATCHING by exact normalized cross-correlation argmax —
+    locate a small template inside an image at the placement maximizing
+
+        NCC(u, v) = num / sqrt(den_w * den_t)
+        num   = n*S_ab - S_a*S_t      (zero-mean cross term)
+        den_w = n*S_aa - S_a^2        (window variance term, per placement)
+        den_t = n*S_tt - S_t^2        (template variance term, constant)
+
+    The argmax itself never touches a float: den_t cancels across
+    placements, so "NCC_i > NCC_j" is decided by sign rules plus the
+    cross-multiplied integer comparison num_i^2 * den_wj vs
+    num_j^2 * den_wi (arbitrary-precision ints in the kernel; HUGEINT
+    in the SQL twin's NOT-EXISTS tournament). Exact ties break to the
+    smaller (y, x). Placements with zero window variance are excluded
+    (NCC undefined); pairs whose template has zero variance or that are
+    larger than the image emit nothing.
+
+    Expects (id_col, bytes_img, fmt_img, bytes_tpl, fmt_tpl).
+    Returns (id_col, best_x, best_y, num, den_w, den_t, ncc) with the
+    exact integers pinning the argmax and ``ncc`` one replayable float
+    assembly (sqrt is IEEE-exact, unlike ln).
+
+    Scale: one Arrow pass per pair, no shuffle; per pair O(placements *
+    template) integer work, vectorized per placement."""
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [id_col, "best_x", "best_y", "num", "den_w", "den_t", "ncc"]
+        in_cols = [id_col, "bytes_img", "fmt_img", "bytes_tpl", "fmt_tpl"]
+        for pdf in it:
+            pdf = pdf[in_cols]
+            rows = []
+            for r in pdf.itertuples(index=False):
+                img = imagecodec.decode(bytes(r[1]), r[2])
+                tpl = imagecodec.decode(bytes(r[3]), r[4])
+                if img.ndim == 3:
+                    img = img[..., 0]
+                if tpl.ndim == 3:
+                    tpl = tpl[..., 0]
+                ih, iw = img.shape
+                th, tw = tpl.shape
+                if th > ih or tw > iw:
+                    continue
+                a = img.astype(np.int64)
+                t = tpl.astype(np.int64)
+                n = th * tw
+                s_t = int(t.sum())
+                s_tt = int((t * t).sum())
+                den_t = n * s_tt - s_t * s_t
+                if den_t <= 0:
+                    continue
+                best = None  # (num, den_w, u, v) under the exact order
+                for v in range(ih - th + 1):
+                    for u in range(iw - tw + 1):
+                        w = a[v : v + th, u : u + tw]
+                        s_a = int(w.sum())
+                        s_aa = int((w * w).sum())
+                        s_ab = int((w * t).sum())
+                        num = n * s_ab - s_a * s_t
+                        den_w = n * s_aa - s_a * s_a
+                        if den_w <= 0:
+                            continue
+                        if best is None:
+                            best = (num, den_w, u, v)
+                            continue
+                        bn, bd, bu, bv = best
+                        s_new, s_old = (num > 0) - (num < 0), (bn > 0) - (bn < 0)
+                        if s_new != s_old:
+                            wins = s_new > s_old
+                        else:
+                            l, rgt = num * num * bd, bn * bn * den_w
+                            if l == rgt:
+                                wins = (v, u) < (bv, bu)
+                            elif s_new >= 0:
+                                wins = l > rgt
+                            else:
+                                wins = l < rgt
+                        if wins:
+                            best = (num, den_w, u, v)
+                if best is None:
+                    continue
+                num, den_w, u, v = best
+                ncc = round(num / math.sqrt(float(den_w * den_t)), 6) + 0.0
+                rows.append((r[0], u, v, num, den_w, den_t, ncc))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return pairs.mapInPandas(
+        fn,
+        schema=(
+            f"{id_col} long, best_x int, best_y int, num long, den_w long,"
+            " den_t long, ncc double"
+        ),
+    )

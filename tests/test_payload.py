@@ -2149,3 +2149,82 @@ def test_mutual_information_matches_brute_and_identities(spark):
         " fmt_b string",
     )
     assert mutual_information(odd).count() == 0
+
+
+def test_template_match_exact_argmax_and_planted_crop(spark):
+    """template_match == a float-NCC brute replay on random images; a
+    template cropped from the image itself is found at its true offset
+    with NCC exactly 1.0; exact score ties resolve to the smaller
+    (y, x); zero-variance templates emit nothing."""
+    import math as _m
+
+    from osm2geojson_spark.functions import imagecodec as IC
+    from osm2geojson_spark.operators.multimodal import template_match
+
+    rng = np.random.default_rng(7)
+    imgs = {}
+    rows = []
+    for pid in range(6):
+        a = rng.integers(0, 256, (12, 12), dtype=np.uint8)
+        t = a[3:9, 5:11].copy() if pid % 2 == 0 else rng.integers(
+            0, 256, (6, 6), dtype=np.uint8
+        )
+        imgs[pid] = (a, t)
+        rows.append((pid, IC.encode_rawz(a), "rawz", IC.encode_rawz(t), "rawz"))
+    # a constructed exact tie: two identical windows in a striped image
+    stripe = np.tile(
+        np.array([[10, 200], [200, 10]], dtype=np.uint8), (4, 4)
+    )  # 8x8, window (0,0) == window (2,0) == ...
+    tpl = stripe[0:4, 0:4].copy()
+    rows.append((100, IC.encode_rawz(stripe), "rawz", IC.encode_rawz(tpl), "rawz"))
+    # zero-variance template: must emit nothing
+    rows.append(
+        (
+            101,
+            IC.encode_rawz(imgs[0][0]),
+            "rawz",
+            IC.encode_rawz(np.full((4, 4), 9, np.uint8)),
+            "rawz",
+        )
+    )
+    df = spark.createDataFrame(
+        rows,
+        "pair_id long, bytes_img binary, fmt_img string, bytes_tpl binary,"
+        " fmt_tpl string",
+    )
+    got = {r["pair_id"]: r for r in template_match(df).collect()}
+    assert 101 not in got
+
+    def brute(a, t):
+        th, tw = t.shape
+        n = th * tw
+        st, stt = int(t.sum()), int((t.astype(int) ** 2).sum())
+        den_t = n * stt - st * st
+        best = None
+        for v in range(a.shape[0] - th + 1):
+            for u in range(a.shape[1] - tw + 1):
+                w = a[v : v + th, u : u + tw].astype(int)
+                sa, saa = int(w.sum()), int((w * w).sum())
+                num = n * int((w * t).sum()) - sa * st
+                den_w = n * saa - sa * sa
+                if den_w <= 0:
+                    continue
+                ncc = num / _m.sqrt(den_w * den_t)
+                if best is None or ncc > best[0] + 1e-12:
+                    best = (ncc, u, v)
+        return best
+
+    for pid, (a, t) in imgs.items():
+        b = brute(a, t)
+        r = got[pid]
+        assert (r["best_x"], r["best_y"]) == (b[1], b[2]), pid
+        assert abs(r["ncc"] - b[0]) < 1e-6, pid
+    # planted crops: exact location and NCC == 1.0
+    for pid in (0, 2, 4):
+        r = got[pid]
+        assert (r["best_x"], r["best_y"]) == (5, 3)
+        assert r["ncc"] == 1.0
+        assert r["num"] * r["num"] == r["den_w"] * r["den_t"]
+    # tie case: many exact NCC=1 windows; the smallest (y, x) wins
+    assert (got[100]["best_x"], got[100]["best_y"]) == (0, 0)
+    assert got[100]["ncc"] == 1.0
