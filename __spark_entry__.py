@@ -8815,6 +8815,105 @@ _INTEGRAL_BOXES = [
 ]
 
 
+def q_block_motion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X167 (multimodal.block_motion): block-matching motion estimation
+    over 120 frame pairs of 20x20 quadratic-pattern frames — pairs with
+    i % 5 != 0 have frame B = frame A shifted by a planted (sx, sy) in
+    [-1, 1]^2 (SAD exactly 0 at the feasible argmin), the rest pair two
+    unrelated patterns. The SAD argmin is pure int64; the oracle replays
+    the pixel formula and the (sad, dv, du) tournament via NOT EXISTS."""
+    from osm2geojson_spark.operators.multimodal import block_motion
+
+    @pandas_udf("binary")
+    def enc_frame(
+        seed: pd.Series, sx: pd.Series, sy: pd.Series
+    ) -> pd.Series:
+        import numpy as np
+
+        from osm2geojson_spark.functions import imagecodec as IC
+
+        out = []
+        for s, ox, oy in zip(seed, sx, sy):
+            y, x = np.mgrid[0:20, 0:20]
+            u = x + 2 + int(ox)
+            v = y + 2 + int(oy)
+            px = (
+                (3 * u * u + 7 * v * v + 5 * u * v + 11 * u + 2 * v
+                 + 13 * int(s)) % 251
+            ).astype(np.uint8)
+            out.append(IC.encode_rawz(px))
+        return pd.Series(out)
+
+    k = F.col("p_partkey")
+    zero = F.lit(0).cast("long")
+    unrelated = k % 5 == 0
+    seed_b = F.when(unrelated, k * 2 + 7).otherwise(k)
+    sx = F.when(unrelated, zero).otherwise(k % 3 - 1)
+    sy = F.when(unrelated, zero).otherwise((k / 3).cast("long") % 3 - 1)
+    pairs = (
+        _t(spark, sf_dir, "part")
+        .filter((k < 240) & (k % 2 == 0))
+        .select(
+            k.alias("pair_id"),
+            enc_frame(k, zero, zero).alias("bytes_a"),
+            F.lit("rawz").alias("fmt_a"),
+            enc_frame(seed_b, sx, sy).alias("bytes_b"),
+            F.lit("rawz").alias("fmt_b"),
+        )
+    )
+    return block_motion(pairs, block=8, radius=2)
+
+
+_BLOCK_MOTION_SQL = """
+WITH img AS (
+  SELECT p_partkey AS i,
+         CASE WHEN p_partkey % 5 = 0 THEN 2 * p_partkey + 7
+              ELSE p_partkey END AS seed_b,
+         CASE WHEN p_partkey % 5 = 0 THEN 0
+              ELSE (p_partkey % 3) - 1 END AS sx,
+         CASE WHEN p_partkey % 5 = 0 THEN 0
+              ELSE ((p_partkey // 3) % 3) - 1 END AS sy
+  FROM part WHERE p_partkey < 240 AND p_partkey % 2 = 0
+), bgrid AS (
+  SELECT unnest([0, 8]) AS b
+), offs AS (
+  SELECT unnest(range(-2, 3)) AS o
+), px AS (
+  SELECT unnest(range(0, 8)) AS p
+), ppx AS (
+  SELECT m.i, m.seed_b,
+         gx.b AS bx, gy.b AS by, ou.o AS du, ov.o AS dv,
+         gx.b + qx.p + 2 AS ua, gy.b + qy.p + 2 AS va,
+         gx.b + ou.o + qx.p + 2 + m.sx AS ub,
+         gy.b + ov.o + qy.p + 2 + m.sy AS vb
+  FROM img m, bgrid gx, bgrid gy, offs ou, offs ov, px qx, px qy
+  WHERE gx.b + ou.o >= 0 AND gx.b + ou.o + 8 <= 20
+    AND gy.b + ov.o >= 0 AND gy.b + ov.o + 8 <= 20
+), cand AS (
+  SELECT i, bx, by, du, dv,
+         CAST(sum(abs(
+           ((3*ua*ua + 7*va*va + 5*ua*va + 11*ua + 2*va + 13*i) % 251)
+           - ((3*ub*ub + 7*vb*vb + 5*ub*vb + 11*ub + 2*vb + 13*seed_b) % 251)
+         )) AS BIGINT) AS sad
+  FROM ppx GROUP BY i, bx, by, du, dv
+), best AS (
+  SELECT c1.* FROM cand c1
+  WHERE NOT EXISTS (
+    SELECT 1 FROM cand c2
+    WHERE c2.i = c1.i AND c2.bx = c1.bx AND c2.by = c1.by
+      AND NOT (c2.du = c1.du AND c2.dv = c1.dv)
+      AND (c2.sad < c1.sad
+           OR (c2.sad = c1.sad
+               AND (c2.dv < c1.dv
+                    OR (c2.dv = c1.dv AND c2.du < c1.du))))
+  )
+)
+SELECT i AS pair_id, CAST(bx AS INTEGER) AS bx, CAST(by AS INTEGER) AS by,
+       CAST(du AS INTEGER) AS du, CAST(dv AS INTEGER) AS dv, sad
+FROM best
+"""
+
+
 def q_template_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X166 (multimodal.template_match): exact-NCC template localization
     over 120 image/template pairs — every 4th pair's template is a crop
@@ -9792,6 +9891,7 @@ FROM mm GROUP BY i
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "block_motion": q_block_motion,
         "template_match": q_template_match,
         "hll_distinct": q_hll_distinct,
         "mutual_info": q_mutual_information,
@@ -10014,6 +10114,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "block_motion": _BLOCK_MOTION_SQL,
         "template_match": _TEMPLATE_MATCH_SQL,
         "hll_distinct": _hll_distinct_sql(),
         "mutual_info": _MUTUAL_INFO_SQL,

@@ -108,6 +108,7 @@ BENCH_QUERIES = [
     "mutual_info",
     "hll_distinct",
     "template_match",
+    "block_motion",
     "hotspots",
     "focal_stats",
     "lisa",

@@ -2915,3 +2915,81 @@ def template_match(pairs: DataFrame, id_col: str = "pair_id") -> DataFrame:
             " den_t long, ncc double"
         ),
     )
+
+
+def block_motion(
+    pairs: DataFrame,
+    block: int = 8,
+    radius: int = 2,
+    id_col: str = "pair_id",
+) -> DataFrame:
+    """BLOCK-MATCHING MOTION ESTIMATION between frame pairs — the classic
+    video-codec / optical-flow-lite primitive: split frame A into a grid
+    of ``block``-sized tiles and, for each tile, find the displacement
+    (du, dv) within ``radius`` that minimizes the sum of absolute
+    differences against frame B:
+
+        SAD(du, dv) = sum |A[by+p, bx+q] - B[by+dv+p, bx+du+q]|
+
+    Everything is int64 — there is no float anywhere, so the argmin is
+    reproducible bit-for-bit across partitionings and engines. Exact SAD
+    ties break to the smaller (dv, du). Displacements that would read
+    outside frame B are infeasible and never considered; a tile whose
+    every displacement is infeasible (never happens for radius <= block)
+    emits nothing, as does a pair whose frames are smaller than one
+    block or differ in shape.
+
+    Expects (id_col, bytes_a, fmt_a, bytes_b, fmt_b).
+    Returns one row per tile: (id_col, bx, by, du, dv, sad).
+
+    Scale: one Arrow pass per pair, no shuffle (both frames ride in the
+    row); per pair O(tiles * (2*radius+1)^2 * block^2) integer ops,
+    vectorized per displacement."""
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [id_col, "bx", "by", "du", "dv", "sad"]
+        in_cols = [id_col, "bytes_a", "fmt_a", "bytes_b", "fmt_b"]
+        for pdf in it:
+            pdf = pdf[in_cols]
+            rows = []
+            for r in pdf.itertuples(index=False):
+                a = imagecodec.decode(bytes(r[1]), r[2])
+                b = imagecodec.decode(bytes(r[3]), r[4])
+                if a.ndim == 3:
+                    a = a[..., 0]
+                if b.ndim == 3:
+                    b = b[..., 0]
+                if a.shape != b.shape:
+                    continue
+                h, w = a.shape
+                if block > h or block > w:
+                    continue
+                ai = a.astype(np.int64)
+                bi = b.astype(np.int64)
+                for by in range(0, h - block + 1, block):
+                    for bx in range(0, w - block + 1, block):
+                        tile = ai[by : by + block, bx : bx + block]
+                        best = None  # (sad, dv, du)
+                        for dv in range(-radius, radius + 1):
+                            y0 = by + dv
+                            if y0 < 0 or y0 + block > h:
+                                continue
+                            for du in range(-radius, radius + 1):
+                                x0 = bx + du
+                                if x0 < 0 or x0 + block > w:
+                                    continue
+                                cand = bi[y0 : y0 + block, x0 : x0 + block]
+                                sad = int(np.abs(tile - cand).sum())
+                                key = (sad, dv, du)
+                                if best is None or key < best:
+                                    best = key
+                        if best is not None:
+                            rows.append(
+                                (r[0], bx, by, best[2], best[1], best[0])
+                            )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return pairs.mapInPandas(
+        fn,
+        schema=f"{id_col} long, bx int, by int, du int, dv int, sad long",
+    )

@@ -2228,3 +2228,80 @@ def test_template_match_exact_argmax_and_planted_crop(spark):
     # tie case: many exact NCC=1 windows; the smallest (y, x) wins
     assert (got[100]["best_x"], got[100]["best_y"]) == (0, 0)
     assert got[100]["ncc"] == 1.0
+
+
+def test_block_motion_matches_brute_and_planted_shift(spark):
+    """block_motion == an independent SAD brute replay on random frame
+    pairs; a frame B that is frame A shifted by (sx, sy) yields SAD 0 at
+    (du, dv) == (-sx, -sy) for every tile where that displacement is
+    feasible; mismatched shapes emit nothing; exact ties resolve to the
+    smaller (dv, du)."""
+    from osm2geojson_spark.functions import imagecodec as IC
+    from osm2geojson_spark.operators.multimodal import block_motion
+
+    rng = np.random.default_rng(11)
+    B, R = 8, 2
+    frames = {}
+    rows = []
+    for pid in range(4):
+        a = rng.integers(0, 256, (24, 24), dtype=np.uint8)
+        if pid % 2 == 0:
+            sx, sy = (pid % 3) - 1, 1
+            big = rng.integers(0, 256, (30, 30), dtype=np.uint8)
+            big[3 : 3 + 24, 3 : 3 + 24] = a
+            b = big[3 + sy : 3 + sy + 24, 3 + sx : 3 + sx + 24].copy()
+            frames[pid] = (a, b, sx, sy)
+        else:
+            b = rng.integers(0, 256, (24, 24), dtype=np.uint8)
+            frames[pid] = (a, b, None, None)
+        rows.append((pid, IC.encode_rawz(a), "rawz", IC.encode_rawz(b), "rawz"))
+    # shape mismatch: must emit nothing
+    rows.append(
+        (
+            99,
+            IC.encode_rawz(rng.integers(0, 256, (24, 24), dtype=np.uint8)),
+            "rawz",
+            IC.encode_rawz(rng.integers(0, 256, (16, 16), dtype=np.uint8)),
+            "rawz",
+        )
+    )
+    # constructed tie: constant frames -> every SAD 0, smallest (dv, du) wins
+    flat = np.full((16, 16), 77, np.uint8)
+    rows.append((100, IC.encode_rawz(flat), "rawz", IC.encode_rawz(flat), "rawz"))
+    df = spark.createDataFrame(
+        rows,
+        "pair_id long, bytes_a binary, fmt_a string, bytes_b binary,"
+        " fmt_b string",
+    )
+    got = {}
+    for r in block_motion(df, block=B, radius=R).collect():
+        got[(r["pair_id"], r["bx"], r["by"])] = (r["du"], r["dv"], r["sad"])
+    assert not any(k[0] == 99 for k in got)
+
+    def brute(a, b, bx, by):
+        best = None
+        t = a[by : by + B, bx : bx + B].astype(int)
+        for dv in range(-R, R + 1):
+            for du in range(-R, R + 1):
+                y0, x0 = by + dv, bx + du
+                if y0 < 0 or x0 < 0 or y0 + B > b.shape[0] or x0 + B > b.shape[1]:
+                    continue
+                sad = int(
+                    np.abs(t - b[y0 : y0 + B, x0 : x0 + B].astype(int)).sum()
+                )
+                if best is None or (sad, dv, du) < best:
+                    best = (sad, dv, du)
+        return best
+
+    for pid, (a, b, sx, sy) in frames.items():
+        for by in range(0, 24 - B + 1, B):
+            for bx in range(0, 24 - B + 1, B):
+                s, dv, du = brute(a, b, bx, by)
+                assert got[(pid, bx, by)] == (du, dv, s), (pid, bx, by)
+                if sx is not None:
+                    fx, fy = -sx, -sy
+                    if 0 <= bx + fx <= 24 - B and 0 <= by + fy <= 24 - B:
+                        assert got[(pid, bx, by)] == (fx, fy, 0), (pid, bx, by)
+    # tie pair: all-zero SADs, smallest (dv, du) = (-2, -2) where feasible
+    assert got[(100, 8, 8)] == (-2, -2, 0)
+    assert got[(100, 0, 0)] == (0, 0, 0)
