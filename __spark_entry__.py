@@ -8815,14 +8815,95 @@ _INTEGRAL_BOXES = [
 ]
 
 
-def q_block_motion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X167 (multimodal.block_motion): block-matching motion estimation
+def q_morph_openclose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X168 (multimodal.morphology_openclose): 3x3 greyscale erosion/dilation/
+    opening/closing/gradient over 120 synthetic 16x16 images (mixed
+    rawz/png wire formats) — per-image integer pixel sums plus
+    position-weighted checksums. The oracle replays the clipped-border
+    min/max stencils as two levels of neighbor self-joins over the
+    unnested pixel grid."""
+    from osm2geojson_spark.operators.multimodal import morphology_openclose
+
+    k = F.col("p_partkey")
+    w16 = F.lit(16).cast("int")
+    images = (
+        _t(spark, sf_dir, "part")
+        .filter((k < 240) & (k % 2 == 0))
+        .select(
+            k.alias("image_id"),
+            SYN._encode_image_fmt_udf(
+                k.cast("int"),
+                w16,
+                w16,
+                F.when(k % 7 == 0, F.lit("png")).otherwise(F.lit("rawz")),
+            ).alias("bytes"),
+            F.when(k % 7 == 0, F.lit("png")).otherwise(F.lit("rawz")).alias(
+                "fmt"
+            ),
+        )
+    )
+    return morphology_openclose(images)
+
+
+_MORPH_OPENCLOSE_SQL = """
+WITH img AS (
+  SELECT p_partkey AS i FROM part
+  WHERE p_partkey < 240 AND p_partkey % 2 = 0
+), g AS (
+  SELECT unnest(range(0, 16)) AS c
+), px AS (
+  SELECT i, gx.c AS x, gy.c AS y,
+         (gx.c * 3 + gy.c * 7 + i * 13) % 251 AS v
+  FROM img, g gx, g gy
+), ero AS (
+  SELECT p.i, p.x, p.y, min(q.v) AS v
+  FROM px p JOIN px q
+    ON q.i = p.i AND q.x BETWEEN p.x - 1 AND p.x + 1
+   AND q.y BETWEEN p.y - 1 AND p.y + 1
+  GROUP BY p.i, p.x, p.y
+), dil AS (
+  SELECT p.i, p.x, p.y, max(q.v) AS v
+  FROM px p JOIN px q
+    ON q.i = p.i AND q.x BETWEEN p.x - 1 AND p.x + 1
+   AND q.y BETWEEN p.y - 1 AND p.y + 1
+  GROUP BY p.i, p.x, p.y
+), opn AS (
+  SELECT p.i, p.x, p.y, max(q.v) AS v
+  FROM ero p JOIN ero q
+    ON q.i = p.i AND q.x BETWEEN p.x - 1 AND p.x + 1
+   AND q.y BETWEEN p.y - 1 AND p.y + 1
+  GROUP BY p.i, p.x, p.y
+), cls AS (
+  SELECT p.i, p.x, p.y, min(q.v) AS v
+  FROM dil p JOIN dil q
+    ON q.i = p.i AND q.x BETWEEN p.x - 1 AND p.x + 1
+   AND q.y BETWEEN p.y - 1 AND p.y + 1
+  GROUP BY p.i, p.x, p.y
+)
+SELECT e.i AS image_id,
+       CAST(sum(e.v) AS BIGINT) AS ero_sum,
+       CAST(sum(d.v) AS BIGINT) AS dil_sum,
+       CAST(sum(o.v) AS BIGINT) AS open_sum,
+       CAST(sum(c.v) AS BIGINT) AS close_sum,
+       CAST(sum(d.v - e.v) AS BIGINT) AS grad_sum,
+       CAST(sum(e.v * (1 + e.x + 16 * e.y)) AS BIGINT) AS ero_chk,
+       CAST(sum(o.v * (1 + o.x + 16 * o.y)) AS BIGINT) AS open_chk
+FROM ero e
+JOIN dil d ON d.i = e.i AND d.x = e.x AND d.y = e.y
+JOIN opn o ON o.i = e.i AND o.x = e.x AND o.y = e.y
+JOIN cls c ON c.i = e.i AND c.x = e.x AND c.y = e.y
+GROUP BY e.i
+"""
+
+
+def q_motion_field(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X167 (multimodal.motion_field): per-tile block-matching motion field
     over 120 frame pairs of 20x20 quadratic-pattern frames — pairs with
     i % 5 != 0 have frame B = frame A shifted by a planted (sx, sy) in
     [-1, 1]^2 (SAD exactly 0 at the feasible argmin), the rest pair two
     unrelated patterns. The SAD argmin is pure int64; the oracle replays
     the pixel formula and the (sad, dv, du) tournament via NOT EXISTS."""
-    from osm2geojson_spark.operators.multimodal import block_motion
+    from osm2geojson_spark.operators.multimodal import motion_field
 
     @pandas_udf("binary")
     def enc_frame(
@@ -8861,10 +8942,10 @@ def q_block_motion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("rawz").alias("fmt_b"),
         )
     )
-    return block_motion(pairs, block=8, radius=2)
+    return motion_field(pairs, block=8, radius=2)
 
 
-_BLOCK_MOTION_SQL = """
+_MOTION_FIELD_SQL = """
 WITH img AS (
   SELECT p_partkey AS i,
          CASE WHEN p_partkey % 5 = 0 THEN 2 * p_partkey + 7
@@ -9891,7 +9972,8 @@ FROM mm GROUP BY i
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
-        "block_motion": q_block_motion,
+        "morph_openclose": q_morph_openclose,
+        "motion_field": q_motion_field,
         "template_match": q_template_match,
         "hll_distinct": q_hll_distinct,
         "mutual_info": q_mutual_information,
@@ -10114,7 +10196,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
-        "block_motion": _BLOCK_MOTION_SQL,
+        "morph_openclose": _MORPH_OPENCLOSE_SQL,
+        "motion_field": _MOTION_FIELD_SQL,
         "template_match": _TEMPLATE_MATCH_SQL,
         "hll_distinct": _hll_distinct_sql(),
         "mutual_info": _MUTUAL_INFO_SQL,

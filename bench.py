@@ -108,7 +108,8 @@ BENCH_QUERIES = [
     "mutual_info",
     "hll_distinct",
     "template_match",
-    "block_motion",
+    "motion_field",
+    "morph_openclose",
     "hotspots",
     "focal_stats",
     "lisa",

@@ -2230,14 +2230,14 @@ def test_template_match_exact_argmax_and_planted_crop(spark):
     assert got[100]["ncc"] == 1.0
 
 
-def test_block_motion_matches_brute_and_planted_shift(spark):
-    """block_motion == an independent SAD brute replay on random frame
+def test_motion_field_matches_brute_and_planted_shift(spark):
+    """motion_field == an independent SAD brute replay on random frame
     pairs; a frame B that is frame A shifted by (sx, sy) yields SAD 0 at
     (du, dv) == (-sx, -sy) for every tile where that displacement is
     feasible; mismatched shapes emit nothing; exact ties resolve to the
     smaller (dv, du)."""
     from osm2geojson_spark.functions import imagecodec as IC
-    from osm2geojson_spark.operators.multimodal import block_motion
+    from osm2geojson_spark.operators.multimodal import motion_field
 
     rng = np.random.default_rng(11)
     B, R = 8, 2
@@ -2274,7 +2274,7 @@ def test_block_motion_matches_brute_and_planted_shift(spark):
         " fmt_b string",
     )
     got = {}
-    for r in block_motion(df, block=B, radius=R).collect():
+    for r in motion_field(df, block=B, radius=R).collect():
         got[(r["pair_id"], r["bx"], r["by"])] = (r["du"], r["dv"], r["sad"])
     assert not any(k[0] == 99 for k in got)
 
@@ -2305,3 +2305,61 @@ def test_block_motion_matches_brute_and_planted_shift(spark):
     # tie pair: all-zero SADs, smallest (dv, du) = (-2, -2) where feasible
     assert got[(100, 8, 8)] == (-2, -2, 0)
     assert got[(100, 0, 0)] == (0, 0, 0)
+
+
+def test_morphology_openclose_matches_brute_and_identities(spark):
+    """morphology_openclose == a per-pixel clipped-neighborhood brute replay on
+    random images; opening <= original <= closing pointwise (checked via
+    the brute fields); a constant image is a fixed point of every op
+    (gradient 0); checksums pin placement (transposed image differs)."""
+    from osm2geojson_spark.functions import imagecodec as IC
+    from osm2geojson_spark.operators.multimodal import morphology_openclose
+
+    rng = np.random.default_rng(5)
+    imgs = {}
+    rows = []
+    for pid in range(5):
+        a = rng.integers(0, 256, (12, 12), dtype=np.uint8)
+        imgs[pid] = a
+        rows.append((pid, IC.encode_rawz(a), "rawz"))
+    rows.append((50, IC.encode_rawz(np.full((8, 8), 99, np.uint8)), "rawz"))
+    asym = np.zeros((6, 6), np.uint8)
+    asym[1, 4] = 200
+    rows.append((60, IC.encode_rawz(asym), "rawz"))
+    rows.append((61, IC.encode_rawz(asym.T.copy()), "rawz"))
+    df = spark.createDataFrame(
+        rows, "image_id long, bytes binary, fmt string"
+    )
+    got = {r["image_id"]: r for r in morphology_openclose(df).collect()}
+
+    def brute_op(a, op):
+        h, w = a.shape
+        out = np.zeros_like(a, dtype=int)
+        for y in range(h):
+            for x in range(w):
+                nb = a[max(0, y - 1) : y + 2, max(0, x - 1) : x + 2]
+                out[y, x] = op(nb)
+        return out
+
+    for pid, a in imgs.items():
+        ero = brute_op(a, np.min)
+        dil = brute_op(a, np.max)
+        opn = brute_op(ero, np.max)
+        cls = brute_op(dil, np.min)
+        assert np.all(opn <= a) and np.all(a <= cls)
+        y, x = np.mgrid[0 : a.shape[0], 0 : a.shape[1]]
+        wgt = 1 + x + a.shape[1] * y
+        r = got[pid]
+        assert r["ero_sum"] == int(ero.sum()) and r["dil_sum"] == int(dil.sum())
+        assert r["open_sum"] == int(opn.sum())
+        assert r["close_sum"] == int(cls.sum())
+        assert r["grad_sum"] == int((dil - ero).sum())
+        assert r["ero_chk"] == int((ero * wgt).sum())
+        assert r["open_chk"] == int((opn * wgt).sum())
+    c = got[50]
+    assert c["ero_sum"] == c["dil_sum"] == c["open_sum"] == c["close_sum"] == 99 * 64
+    assert c["grad_sum"] == 0
+    # same multiset of pixels, different placement -> different checksum
+    assert got[60]["dil_sum"] == got[61]["dil_sum"]
+    assert got[60]["ero_chk"] == got[61]["ero_chk"] == 0  # erosion kills the dot
+    assert got[60]["open_sum"] == got[61]["open_sum"] == 0
