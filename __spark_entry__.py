@@ -8815,6 +8815,83 @@ _INTEGRAL_BOXES = [
 ]
 
 
+def q_ssim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X169 (multimodal.ssim_pairs): windowed SSIM over 120 image pairs
+    of 16x16 synthetic images (mixed rawz/png) — every 3rd pair is
+    identical (mssim exactly 1.0), the rest pair different formula
+    seeds. Per-tile SSIM is assembled from six integer sufficient stats
+    with denominators cleared by 400*n^2 (C1 = 2601/400, C2 = 23409/400
+    exact), micro-quantized, and summed order-free; the oracle rebuilds
+    the window sums from the pixel formula and replays the identical
+    double assembly."""
+    from osm2geojson_spark.operators.multimodal import ssim_pairs
+
+    k = F.col("p_partkey")
+    w16 = F.lit(16).cast("int")
+    seed_b = (
+        F.when(k % 3 == 0, k)
+        .when(k % 3 == 1, k + 1)
+        .otherwise(k * 2 + 9)
+        .cast("int")
+    )
+    fmt_a = F.when(k % 7 == 0, F.lit("png")).otherwise(F.lit("rawz"))
+    pairs = (
+        _t(spark, sf_dir, "part")
+        .filter((k < 240) & (k % 2 == 0))
+        .select(
+            k.alias("pair_id"),
+            SYN._encode_image_fmt_udf(k.cast("int"), w16, w16, fmt_a).alias(
+                "bytes_a"
+            ),
+            fmt_a.alias("fmt_a"),
+            SYN._encode_image_fmt_udf(
+                seed_b, w16, w16, F.lit("rawz")
+            ).alias("bytes_b"),
+            F.lit("rawz").alias("fmt_b"),
+        )
+    )
+    return ssim_pairs(pairs, window=8)
+
+
+_SSIM_SQL = """
+WITH img AS (
+  SELECT p_partkey AS i,
+         CASE WHEN p_partkey % 3 = 0 THEN p_partkey
+              WHEN p_partkey % 3 = 1 THEN p_partkey + 1
+              ELSE p_partkey * 2 + 9 END AS sb
+  FROM part WHERE p_partkey < 240 AND p_partkey % 2 = 0
+), g AS (
+  SELECT unnest(range(0, 16)) AS c
+), px AS (
+  SELECT i, gx.c // 8 AS wx, gy.c // 8 AS wy,
+         (gx.c * 3 + gy.c * 7 + i * 13) % 251 AS va,
+         (gx.c * 3 + gy.c * 7 + sb * 13) % 251 AS vb
+  FROM img, g gx, g gy
+), tiles AS (
+  SELECT i, wx, wy,
+         CAST(sum(va) AS BIGINT) AS sa, CAST(sum(vb) AS BIGINT) AS sb,
+         CAST(sum(va * va) AS BIGINT) AS saa,
+         CAST(sum(vb * vb) AS BIGINT) AS sbb,
+         CAST(sum(va * vb) AS BIGINT) AS sab
+  FROM px GROUP BY i, wx, wy
+), scored AS (
+  SELECT i,
+         CAST(round(
+           (CAST(800 * sa * sb + 2601 * 4096 AS DOUBLE)
+            / (400 * (sa * sa + sb * sb) + 2601 * 4096))
+           * (CAST(800 * (64 * sab - sa * sb) + 23409 * 4096 AS DOUBLE)
+              / (400 * (64 * (saa + sbb) - sa * sa - sb * sb)
+                 + 23409 * 4096))
+           * 1e6) AS BIGINT) AS q
+  FROM tiles
+)
+SELECT i AS pair_id, CAST(count(*) AS INTEGER) AS n_win,
+       sum(q) AS ssim_q_sum, min(q) AS ssim_q_min,
+       CAST(sum(q) AS DOUBLE) / (1e6 * count(*)) AS mssim
+FROM scored GROUP BY i
+"""
+
+
 def q_morph_openclose(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X168 (multimodal.morphology_openclose): 3x3 greyscale erosion/dilation/
     opening/closing/gradient over 120 synthetic 16x16 images (mixed
@@ -9972,6 +10049,7 @@ FROM mm GROUP BY i
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "ssim": q_ssim,
         "morph_openclose": q_morph_openclose,
         "motion_field": q_motion_field,
         "template_match": q_template_match,
@@ -10196,6 +10274,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "ssim": _SSIM_SQL,
         "morph_openclose": _MORPH_OPENCLOSE_SQL,
         "motion_field": _MOTION_FIELD_SQL,
         "template_match": _TEMPLATE_MATCH_SQL,

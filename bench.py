@@ -110,6 +110,7 @@ BENCH_QUERIES = [
     "template_match",
     "motion_field",
     "morph_openclose",
+    "ssim",
     "hotspots",
     "focal_stats",
     "lisa",

@@ -3078,3 +3078,92 @@ def morphology_openclose(images: DataFrame, id_col: str = "image_id") -> DataFra
             " close_sum long, grad_sum long, ero_chk long, open_chk long"
         ),
     )
+
+
+def ssim_pairs(pairs: DataFrame, window: int = 8, id_col: str = "pair_id") -> DataFrame:
+    """STRUCTURAL SIMILARITY (SSIM, Wang et al. 2004) between image
+    pairs — the standard perceptual quality / near-duplicate metric a
+    training pipeline uses to gate lossy re-encodes and augmentations.
+    Computed per non-overlapping ``window``-sized tile (partial border
+    tiles are dropped), then averaged.
+
+    Exactness scheme: per tile the only inputs are the six integer
+    sufficient statistics (n, Sa, Sb, Saa, Sbb, Sab). With the standard
+    constants C1 = (0.01*255)^2 = 2601/400 and C2 = (0.03*255)^2 =
+    23409/400 exact in rationals, multiplying every SSIM factor by
+    400*n^2 clears all denominators:
+
+        T1 = 800*Sa*Sb            + 2601*n^2
+        T2 = 800*(n*Sab - Sa*Sb)  + 23409*n^2
+        D1 = 400*(Sa^2 + Sb^2)    + 2601*n^2
+        D2 = 400*(n*(Saa+Sbb) - Sa^2 - Sb^2) + 23409*n^2
+
+    all exact int64, and SSIM = (T1/D1) * (T2/D2) is ONE fixed float
+    assembly replayed verbatim by the SQL twin. Per-tile values are
+    micro-quantized (round(ssim*1e6) as int64) so the per-pair mean is
+    an order-free integer sum; the tile minimum rides along as the
+    worst-tile gate. Mismatched shapes or images smaller than one tile
+    emit nothing.
+
+    Returns (id_col, n_win, ssim_q_sum, ssim_q_min, mssim).
+
+    Scale: one Arrow pass per pair, no shuffle; sums are vectorized
+    reshape-reductions, O(px) per pair."""
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [id_col, "n_win", "ssim_q_sum", "ssim_q_min", "mssim"]
+        in_cols = [id_col, "bytes_a", "fmt_a", "bytes_b", "fmt_b"]
+        W = window
+        for pdf in it:
+            pdf = pdf[in_cols]
+            rows = []
+            for r in pdf.itertuples(index=False):
+                a = imagecodec.decode(bytes(r[1]), r[2])
+                b = imagecodec.decode(bytes(r[3]), r[4])
+                if a.ndim == 3:
+                    a = a[..., 0]
+                if b.ndim == 3:
+                    b = b[..., 0]
+                if a.shape != b.shape:
+                    continue
+                h, w = a.shape
+                ny, nx = h // W, w // W
+                if ny == 0 or nx == 0:
+                    continue
+                ai = a[: ny * W, : nx * W].astype(np.int64)
+                bi = b[: ny * W, : nx * W].astype(np.int64)
+
+                def tsum(m):
+                    return m.reshape(ny, W, nx, W).sum(axis=(1, 3))
+
+                sa, sb = tsum(ai), tsum(bi)
+                saa, sbb = tsum(ai * ai), tsum(bi * bi)
+                sab = tsum(ai * bi)
+                n = W * W
+                t1 = 800 * sa * sb + 2601 * n * n
+                t2 = 800 * (n * sab - sa * sb) + 23409 * n * n
+                d1 = 400 * (sa * sa + sb * sb) + 2601 * n * n
+                d2 = (
+                    400 * (n * (saa + sbb) - sa * sa - sb * sb)
+                    + 23409 * n * n
+                )
+                ssim = (t1.astype(np.float64) / d1) * (
+                    t2.astype(np.float64) / d2
+                )
+                q = np.round(ssim * 1e6).astype(np.int64)
+                nw = ny * nx
+                qs = int(q.sum())
+                # no final rounding: qs/(1e6*nw) is one exact-input IEEE
+                # division, identical in every engine, while rounding to
+                # 6 digits TIES whenever qs % nw leaves a half-digit
+                # (banker's vs away-from-zero would then diverge)
+                rows.append((r[0], nw, qs, int(q.min()), qs / (1e6 * nw)))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return pairs.mapInPandas(
+        fn,
+        schema=(
+            f"{id_col} long, n_win int, ssim_q_sum long, ssim_q_min long,"
+            " mssim double"
+        ),
+    )

@@ -2363,3 +2363,80 @@ def test_morphology_openclose_matches_brute_and_identities(spark):
     assert got[60]["dil_sum"] == got[61]["dil_sum"]
     assert got[60]["ero_chk"] == got[61]["ero_chk"] == 0  # erosion kills the dot
     assert got[60]["open_sum"] == got[61]["open_sum"] == 0
+
+
+def test_ssim_pairs_matches_brute_and_identities(spark):
+    """ssim_pairs == the textbook float SSIM per 8x8 tile on random
+    pairs (within quantization); an identical pair scores exactly 1.0;
+    a constant-vs-constant pair is well-defined (no zero division);
+    mismatched shapes emit nothing."""
+    from osm2geojson_spark.functions import imagecodec as IC
+    from osm2geojson_spark.operators.multimodal import ssim_pairs
+
+    rng = np.random.default_rng(3)
+    data = {}
+    rows = []
+    for pid in range(5):
+        a = rng.integers(0, 256, (16, 16), dtype=np.uint8)
+        if pid == 0:
+            b = a.copy()
+        elif pid == 1:
+            b = np.clip(a.astype(int) + 12, 0, 255).astype(np.uint8)
+        else:
+            b = rng.integers(0, 256, (16, 16), dtype=np.uint8)
+        data[pid] = (a, b)
+        rows.append((pid, IC.encode_rawz(a), "rawz", IC.encode_rawz(b), "rawz"))
+    rows.append(
+        (
+            50,
+            IC.encode_rawz(np.full((8, 8), 40, np.uint8)),
+            "rawz",
+            IC.encode_rawz(np.full((8, 8), 200, np.uint8)),
+            "rawz",
+        )
+    )
+    rows.append(
+        (
+            99,
+            IC.encode_rawz(rng.integers(0, 256, (16, 16), dtype=np.uint8)),
+            "rawz",
+            IC.encode_rawz(rng.integers(0, 256, (8, 8), dtype=np.uint8)),
+            "rawz",
+        )
+    )
+    df = spark.createDataFrame(
+        rows,
+        "pair_id long, bytes_a binary, fmt_a string, bytes_b binary,"
+        " fmt_b string",
+    )
+    got = {r["pair_id"]: r for r in ssim_pairs(df, window=8).collect()}
+    assert 99 not in got
+    assert got[0]["mssim"] == 1.0 and got[0]["ssim_q_min"] == 1000000
+
+    C1, C2 = (0.01 * 255) ** 2, (0.03 * 255) ** 2
+
+    def brute(a, b):
+        vals = []
+        for wy in range(a.shape[0] // 8):
+            for wx in range(a.shape[1] // 8):
+                ta = a[wy * 8 : wy * 8 + 8, wx * 8 : wx * 8 + 8].astype(float)
+                tb = b[wy * 8 : wy * 8 + 8, wx * 8 : wx * 8 + 8].astype(float)
+                ma, mb = ta.mean(), tb.mean()
+                va, vb = ta.var(), tb.var()
+                cov = ((ta - ma) * (tb - mb)).mean()
+                vals.append(
+                    ((2 * ma * mb + C1) * (2 * cov + C2))
+                    / ((ma * ma + mb * mb + C1) * (va + vb + C2))
+                )
+        return vals
+
+    for pid, (a, b) in data.items():
+        vals = brute(a, b)
+        r = got[pid]
+        assert r["n_win"] == len(vals) == 4
+        assert abs(r["mssim"] - sum(vals) / len(vals)) < 1e-5, pid
+        assert abs(r["ssim_q_min"] / 1e6 - min(vals)) < 1e-5, pid
+    # constant pair: luminance term only, exact rational value
+    c = got[50]
+    exp = (2 * 40 * 200 + C1) / (40 * 40 + 200 * 200 + C1)
+    assert abs(c["mssim"] - exp) < 1e-5 and c["n_win"] == 1
