@@ -8815,6 +8815,83 @@ _INTEGRAL_BOXES = [
 ]
 
 
+def q_ranking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X170 (retrieval.ranking_metrics): NDCG@10 + reciprocal rank per
+    query over a 40-query retrieval fixture — orders ranked by a
+    Knuth-hash score inside each o_custkey%40 query, graded relevance
+    from the order key. The position discounts 1/log2(pos+1) and
+    reciprocals 1/pos are quantized once driver-side and inlined into
+    BOTH plans, so no engine ever computes a log."""
+    from osm2geojson_spark.operators.retrieval import ranking_metrics
+
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    base = o.select(
+        (F.col("o_custkey") % 40).alias("query_id"),
+        ((k * F.lit(2654435761)) % 1000003).alias("_score"),
+        k.alias("_k"),
+        F.when(k % 3 == 0, (k / 3).cast("long") % 4)
+        .otherwise(F.lit(0))
+        .alias("rel"),
+    )
+    ranked = base.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy("query_id").orderBy(
+                F.col("_score").asc(), F.col("_k").asc()
+            )
+        ),
+    )
+    return ranking_metrics(ranked, k=10)
+
+
+def _ranking_eval_sql() -> str:
+    from osm2geojson_spark.operators.retrieval import ranking_metrics_weights
+
+    w_disc, w_rr = ranking_metrics_weights(10)
+    disc = " ".join(f"WHEN {p} THEN {w}" for p, w in w_disc.items())
+    rr = " ".join(f"WHEN {p} THEN {w}" for p, w in w_rr.items())
+    return f"""
+WITH base AS (
+  SELECT o_custkey % 40 AS q,
+         (o_orderkey * 2654435761) % 1000003 AS score,
+         o_orderkey AS k,
+         CASE WHEN o_orderkey % 3 = 0 THEN (o_orderkey // 3) % 4
+              ELSE 0 END AS rel
+  FROM orders
+), ranked AS (
+  SELECT q, rel,
+         row_number() OVER (PARTITION BY q ORDER BY score, k) AS pos
+  FROM base
+), topk AS (
+  SELECT * FROM ranked WHERE pos <= 10
+), ideal AS (
+  SELECT q, rel, pos,
+         row_number() OVER (PARTITION BY q ORDER BY rel DESC, pos) AS ipos
+  FROM topk
+), terms AS (
+  SELECT q, pos, rel,
+         (CASE rel WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 3
+                   WHEN 3 THEN 7 END)
+           * (CASE pos {disc} END) AS dcg_term,
+         (CASE rel WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 3
+                   WHEN 3 THEN 7 END)
+           * (CASE ipos {disc} END) AS idcg_term,
+         CASE WHEN rel >= 2 THEN pos END AS hit
+  FROM ideal
+)
+SELECT q AS query_id, CAST(count(*) AS INTEGER) AS n_ranked,
+       CAST(sum(dcg_term) AS BIGINT) AS dcg_q,
+       CAST(sum(idcg_term) AS BIGINT) AS idcg_q,
+       CASE WHEN sum(idcg_term) > 0
+            THEN CAST(sum(dcg_term) AS DOUBLE) / sum(idcg_term)
+            ELSE 0.0 END AS ndcg,
+       CAST(coalesce(min(hit), 0) AS INTEGER) AS first_rel_pos,
+       CAST(coalesce(CASE min(hit) {rr} END, 0) AS BIGINT) AS rr_q
+FROM terms GROUP BY q
+"""
+
+
 def q_ssim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X169 (multimodal.ssim_pairs): windowed SSIM over 120 image pairs
     of 16x16 synthetic images (mixed rawz/png) — every 3rd pair is
@@ -10049,6 +10126,7 @@ FROM mm GROUP BY i
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "ranking_eval": q_ranking_eval,
         "ssim": q_ssim,
         "morph_openclose": q_morph_openclose,
         "motion_field": q_motion_field,
@@ -10274,6 +10352,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "ranking_eval": _ranking_eval_sql(),
         "ssim": _SSIM_SQL,
         "morph_openclose": _MORPH_OPENCLOSE_SQL,
         "motion_field": _MOTION_FIELD_SQL,

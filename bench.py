@@ -111,6 +111,7 @@ BENCH_QUERIES = [
     "motion_field",
     "morph_openclose",
     "ssim",
+    "ranking_eval",
     "hotspots",
     "focal_stats",
     "lisa",

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..functions import hashing as H
 
@@ -118,3 +119,106 @@ SELECT {id_col}, score FROM (
 ) WHERE score > 0
 ORDER BY score DESC, {id_col} LIMIT {k}
 """
+
+
+def ranking_metrics(
+    ranked: DataFrame,
+    query_col: str = "query_id",
+    rank_col: str = "rank",
+    rel_col: str = "rel",
+    k: int = 10,
+    rel_threshold: int = 2,
+) -> DataFrame:
+    """RANKING-QUALITY METRICS (NDCG@k + reciprocal rank) per query — the
+    standard retrieval/reranker evaluation a training pipeline runs over
+    eval sets (Järvelin & Kekäläinen 2002).
+
+        DCG@k  = sum_{pos<=k} (2^rel - 1) / log2(pos + 1)
+        NDCG@k = DCG@k / IDCG@k   (IDCG = DCG of the ideal ordering)
+        RR     = 1 / first position with rel >= rel_threshold
+
+    Exactness scheme: the only irrational inputs are the k position
+    discounts 1/log2(pos+1) and the k reciprocals 1/pos, so both are
+    quantized ONCE driver-side (round(1e6/...) int64) and inlined as a
+    literal map into the plan — gains (2^rel - 1) are exact ints, DCG/
+    IDCG/RR become order-free integer sums, and the engine's log/ln
+    never runs. The SQL twin inlines the identical constants
+    (`ranking_metrics_weights`). NDCG is one replayable double division;
+    a query with IDCG 0 (all rels 0) reports NDCG 0.0 and rr_q 0.
+
+    The ideal ordering ties (equal rel) are pinned by ascending
+    ``rank_col``, so IDCG is deterministic. Rows with rank > k are
+    ignored. Returns (query_col, n_ranked, dcg_q, idcg_q, ndcg,
+    first_rel_pos, rr_q).
+
+    Scale: one shuffle on query_col (the ideal-rank window + the final
+    groupBy share it); everything else is literal-map lookups in
+    whole-stage codegen."""
+    import math
+
+    w_disc = {p: round(1e6 / math.log2(p + 1)) for p in range(1, k + 1)}
+    w_rr = {p: round(1e6 / p) for p in range(1, k + 1)}
+    disc_map = F.create_map(
+        *[F.lit(x) for p in range(1, k + 1) for x in (p, w_disc[p])]
+    )
+    rr_map = F.create_map(
+        *[F.lit(x) for p in range(1, k + 1) for x in (p, w_rr[p])]
+    )
+    q, r, rel = F.col(query_col), F.col(rank_col), F.col(rel_col)
+    topk = ranked.filter(r <= k).select(
+        q.alias("_q"),
+        r.cast("int").alias("_pos"),
+        rel.cast("long").alias("_rel"),
+    )
+    gain = F.pow(F.lit(2.0), F.col("_rel")).cast("long") - 1
+    ideal_pos = F.row_number().over(
+        Window.partitionBy("_q").orderBy(
+            F.col("_rel").desc(), F.col("_pos").asc()
+        )
+    )
+    scored = topk.select(
+        "_q",
+        "_pos",
+        "_rel",
+        (gain * disc_map[F.col("_pos")]).alias("_dcg_term"),
+    ).withColumn("_ideal_pos", ideal_pos)
+    scored = scored.withColumn(
+        "_idcg_term",
+        (gain * disc_map[F.col("_ideal_pos")]),
+    ).withColumn(
+        "_hit_pos",
+        F.when(F.col("_rel") >= rel_threshold, F.col("_pos")),
+    )
+    out = scored.groupBy(F.col("_q").alias(query_col)).agg(
+        F.count(F.lit(1)).cast("int").alias("n_ranked"),
+        F.sum("_dcg_term").alias("dcg_q"),
+        F.sum("_idcg_term").alias("idcg_q"),
+        F.min("_hit_pos").alias("_first"),
+    )
+    return out.select(
+        query_col,
+        "n_ranked",
+        "dcg_q",
+        "idcg_q",
+        F.when(F.col("idcg_q") > 0,
+               F.col("dcg_q").cast("double") / F.col("idcg_q"))
+        .otherwise(F.lit(0.0))
+        .alias("ndcg"),
+        F.coalesce(F.col("_first"), F.lit(0)).cast("int").alias(
+            "first_rel_pos"
+        ),
+        F.coalesce(rr_map[F.col("_first")], F.lit(0)).cast("long").alias(
+            "rr_q"
+        ),
+    )
+
+
+def ranking_metrics_weights(k: int = 10) -> tuple[dict, dict]:
+    """The exact integer weight tables ranking_metrics inlines — exposed
+    so SQL twins replay the identical constants."""
+    import math
+
+    return (
+        {p: round(1e6 / math.log2(p + 1)) for p in range(1, k + 1)},
+        {p: round(1e6 / p) for p in range(1, k + 1)},
+    )

@@ -70,3 +70,63 @@ def test_bm25_plan_no_explode_no_shuffle_join(spark):
     assert "TakeOrderedAndProject" in plan  # per-partition heaps, never a full sort
     assert "Generate" not in plan           # no explode: tf is an array filter
     assert "SortMergeJoin" not in plan      # stats arrive via broadcast
+
+
+def test_ranking_metrics_matches_float_brute(spark):
+    """ranking_metrics == a float NDCG/MRR replay (within quantization);
+    a perfectly ordered query scores NDCG exactly 1.0; an all-zero-rel
+    query reports NDCG 0.0 and rr 0; rank > k rows are ignored."""
+    import math
+
+    from osm2geojson_spark.operators.retrieval import ranking_metrics
+
+    rows = []
+    # q0: perfectly ordered rels 3,2,1,0
+    for pos, rel in enumerate([3, 2, 1, 0], 1):
+        rows.append((0, pos, rel))
+    # q1: worst-first ordering
+    for pos, rel in enumerate([0, 0, 1, 3], 1):
+        rows.append((1, pos, rel))
+    # q2: all zero
+    for pos in range(1, 5):
+        rows.append((2, pos, 0))
+    # q3: random-ish + a rank-12 row that must be ignored
+    for pos, rel in enumerate([1, 0, 2, 0, 3, 1, 0, 2, 1, 0], 1):
+        rows.append((3, pos, rel))
+    rows.append((3, 12, 3))
+    df = spark.createDataFrame(rows, "query_id long, rank int, rel int")
+    got = {r["query_id"]: r for r in ranking_metrics(df, k=10).collect()}
+
+    def brute(rels, thr=2):
+        dcg = sum(
+            (2**rel - 1) / math.log2(pos + 1)
+            for pos, rel in enumerate(rels, 1)
+        )
+        idcg = sum(
+            (2**rel - 1) / math.log2(pos + 1)
+            for pos, rel in enumerate(sorted(rels, reverse=True), 1)
+        )
+        ndcg = dcg / idcg if idcg > 0 else 0.0
+        first = next(
+            (pos for pos, rel in enumerate(rels, 1) if rel >= thr), 0
+        )
+        return ndcg, first
+
+    cases = {
+        0: [3, 2, 1, 0],
+        1: [0, 0, 1, 3],
+        2: [0, 0, 0, 0],
+        3: [1, 0, 2, 0, 3, 1, 0, 2, 1, 0],
+    }
+    for q, rels in cases.items():
+        ndcg, first = brute(rels)
+        r = got[q]
+        assert r["n_ranked"] == len(rels), q
+        assert abs(r["ndcg"] - ndcg) < 1e-5, q
+        assert r["first_rel_pos"] == first, q
+        if first:
+            assert abs(r["rr_q"] / 1e6 - 1.0 / first) < 1e-5, q
+        else:
+            assert r["rr_q"] == 0, q
+    assert got[0]["ndcg"] == 1.0
+    assert got[2]["ndcg"] == 0.0 and got[2]["dcg_q"] == 0
