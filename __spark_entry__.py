@@ -8815,6 +8815,33 @@ _INTEGRAL_BOXES = [
 ]
 
 
+def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X171 (analytics.scd2_build): SCD type-2 dimension build over the
+    events stream — user_id's event_type as the tracked attribute, no-op
+    updates collapsed, half-open validity intervals, one is_current row
+    per user. The oracle replays the identical lag/running-sum/lead
+    pipeline (analytics.scd2_build_sql)."""
+    from osm2geojson_spark.operators.analytics import scd2_build
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id"), F.col("ts"), F.col("event_type")
+    )
+    return scd2_build(
+        ev, key_col="user_id", ts_col="ts", value_col="event_type"
+    )
+
+
+def _scd2_sql() -> str:
+    from osm2geojson_spark.operators.analytics import scd2_build_sql
+
+    return scd2_build_sql(
+        "SELECT user_id, ts, event_type FROM events",
+        key_col="user_id",
+        ts_col="ts",
+        value_col="event_type",
+    )
+
+
 def q_ranking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X170 (retrieval.ranking_metrics): NDCG@10 + reciprocal rank per
     query over a 40-query retrieval fixture — orders ranked by a
@@ -10126,6 +10153,7 @@ FROM mm GROUP BY i
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "scd2": q_scd2,
         "ranking_eval": q_ranking_eval,
         "ssim": q_ssim,
         "morph_openclose": q_morph_openclose,
@@ -10352,6 +10380,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "scd2": _scd2_sql(),
         "ranking_eval": _ranking_eval_sql(),
         "ssim": _SSIM_SQL,
         "morph_openclose": _MORPH_OPENCLOSE_SQL,

@@ -112,6 +112,7 @@ BENCH_QUERIES = [
     "morph_openclose",
     "ssim",
     "ranking_eval",
+    "scd2",
     "hotspots",
     "focal_stats",
     "lisa",

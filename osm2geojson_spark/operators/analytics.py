@@ -1325,3 +1325,101 @@ def union_rect_area(
         "n_rects",
         F.coalesce("area", F.lit(0)).cast("long").alias("area"),
     )
+
+
+def scd2_build(
+    changes: DataFrame,
+    key_col: str = "key",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """SCD TYPE-2 DIMENSION BUILD from a change log (Kimball's slowly
+    changing dimension) — the standard warehouse / feature-store step
+    that turns point-in-time mutation events into validity intervals:
+
+      (key, ts, value) events
+        -> collapse consecutive NO-OP updates (same value as previous)
+        -> one row per surviving version with [valid_from, valid_to)
+           half-open validity, NULL valid_to == is_current.
+
+    Deterministic by construction: events order by (ts, value) within a
+    key; a version starts where the value differs from its predecessor
+    (the first event always starts version 1); valid_to is the next
+    version's valid_from. ``n_events`` counts the collapsed no-ops per
+    version. Within a version every value is equal, so the value is
+    recovered with min(), never first().
+
+    Returns (key_col, version, value_col, valid_from, valid_to,
+    is_current, n_events).
+
+    Scale: one shuffle on key_col shared by the lag window, the running
+    version sum, the groupBy and the lead window (Catalyst reuses the
+    partitioning); state per key is one row. The classic MERGE-based
+    SCD2 rewrites the whole dimension per batch — this is the
+    full-rebuild form; incremental upkeep composes with cdc_chunks."""
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(ts_col).asc(), F.col(value_col).asc()
+    )
+    v = F.col(value_col)
+    lagv = F.lag(value_col).over(w)
+    df = (
+        changes.select(key_col, ts_col, value_col)
+        .withColumn(
+            "_chg", F.when(lagv.isNull() | (v != lagv), 1).otherwise(0)
+        )
+        .withColumn(
+            "_ver",
+            F.sum("_chg").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    grp = df.groupBy(key_col, "_ver").agg(
+        F.min(ts_col).alias("valid_from"),
+        F.min(value_col).alias(value_col),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    wv = Window.partitionBy(key_col).orderBy("_ver")
+    return grp.select(
+        key_col,
+        F.col("_ver").cast("long").alias("version"),
+        value_col,
+        "valid_from",
+        F.lead("valid_from").over(wv).alias("valid_to"),
+        F.lead("valid_from").over(wv).isNull().alias("is_current"),
+        F.col("n_events").cast("long").alias("n_events"),
+    )
+
+
+def scd2_build_sql(
+    rows_cte: str,
+    key_col: str = "key",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> str:
+    """DuckDB twin of scd2_build over ``rows_cte`` (a CTE body selecting
+    key_col, ts_col, value_col)."""
+    k, t, v = key_col, ts_col, value_col
+    return f"""
+WITH src AS ({rows_cte}),
+lagd AS (
+  SELECT {k}, {t}, {v},
+         CASE WHEN lag({v}) OVER w IS NULL
+                OR {v} <> lag({v}) OVER w THEN 1 ELSE 0 END AS chg
+  FROM src
+  WINDOW w AS (PARTITION BY {k} ORDER BY {t}, {v})
+), ver AS (
+  SELECT {k}, {t}, {v},
+         sum(chg) OVER (PARTITION BY {k} ORDER BY {t}, {v}
+                        ROWS UNBOUNDED PRECEDING) AS ver
+  FROM lagd
+), grp AS (
+  SELECT {k}, ver, min({t}) AS valid_from, min({v}) AS {v},
+         count(*) AS n_events
+  FROM ver GROUP BY {k}, ver
+)
+SELECT {k}, CAST(ver AS BIGINT) AS version, {v}, valid_from,
+       lead(valid_from) OVER wv AS valid_to,
+       lead(valid_from) OVER wv IS NULL AS is_current,
+       CAST(n_events AS BIGINT) AS n_events
+FROM grp
+WINDOW wv AS (PARTITION BY {k} ORDER BY ver)
+"""

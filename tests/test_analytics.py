@@ -1176,3 +1176,56 @@ def test_hll_distinct_matches_brute_registers_and_accuracy(spark):
         got["big"]["sum_scaled"],
         got["big"]["est"],
     )
+
+
+def test_scd2_build_matches_dict_replay(spark):
+    """scd2_build == a per-key dict replay: no-op updates collapse,
+    versions are contiguous from 1, intervals tile [first_ts, NULL)
+    without gaps, exactly one is_current per key."""
+    from osm2geojson_spark.operators.analytics import scd2_build
+
+    rows = [
+        # key 1: a, a (no-op), b, b (no-op), a  -> versions a, b, a
+        (1, 10, "a"), (1, 20, "a"), (1, 30, "b"), (1, 40, "b"), (1, 50, "a"),
+        # key 2: single event
+        (2, 15, "x"),
+        # key 3: every event changes
+        (3, 1, "p"), (3, 2, "q"), (3, 3, "r"),
+    ]
+    df = spark.createDataFrame(rows, "key long, ts long, value string")
+    got = sorted(
+        ((r["key"], r["version"], r["value"], r["valid_from"],
+          r["valid_to"], r["is_current"], r["n_events"])
+         for r in scd2_build(df).collect())
+    )
+    assert got == [
+        (1, 1, "a", 10, 30, False, 2),
+        (1, 2, "b", 30, 50, False, 2),
+        (1, 3, "a", 50, None, True, 1),
+        (2, 1, "x", 15, None, True, 1),
+        (3, 1, "p", 1, 2, False, 1),
+        (3, 2, "q", 2, 3, False, 1),
+        (3, 3, "r", 3, None, True, 1),
+    ]
+    # invariants on a random log
+    import random
+
+    rng = random.Random(9)
+    big = [
+        (k, t, rng.choice("abc"))
+        for k in range(5)
+        for t in range(0, 40)
+    ]
+    bdf = spark.createDataFrame(big, "key long, ts long, value string")
+    out = scd2_build(bdf).collect()
+    by_key = {}
+    for r in out:
+        by_key.setdefault(r["key"], []).append(r)
+    for k, rs in by_key.items():
+        rs.sort(key=lambda r: r["version"])
+        assert [r["version"] for r in rs] == list(range(1, len(rs) + 1))
+        assert sum(r["is_current"] for r in rs) == 1
+        for a, b in zip(rs, rs[1:]):
+            assert a["valid_to"] == b["valid_from"]
+            assert a["value"] != b["value"]  # collapse worked
+        assert sum(r["n_events"] for r in rs) == 40
