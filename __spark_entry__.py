@@ -8842,6 +8842,35 @@ def _scd2_sql() -> str:
     )
 
 
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X172 (analytics.multi_touch_attribution): multi-touch conversion
+    attribution over the events stream — purchases credited to the same
+    user's preceding non-purchase touches inside a 2 h lookback, under
+    first-touch / last-touch / linear simultaneously. Exact-integer
+    micro-credit scheme (1e6 per conversion per model, linear remainder
+    to the last touch), '(direct)' channel for untouched conversions.
+    The oracle replays the identical pair/window/rollup pipeline
+    (analytics.multi_touch_attribution_sql)."""
+    from osm2geojson_spark.operators.analytics import multi_touch_attribution
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type", "event_id"
+    )
+    return multi_touch_attribution(ev, conv_type="purchase", lookback_s=7200)
+
+
+def _attribution_sql() -> str:
+    from osm2geojson_spark.operators.analytics import (
+        multi_touch_attribution_sql,
+    )
+
+    return multi_touch_attribution_sql(
+        "SELECT user_id, ts, event_type, event_id FROM events",
+        conv_type="purchase",
+        lookback_s=7200,
+    )
+
+
 def q_ranking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X170 (retrieval.ranking_metrics): NDCG@10 + reciprocal rank per
     query over a 40-query retrieval fixture — orders ranked by a
@@ -10154,6 +10183,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
         "scd2": q_scd2,
+        "attribution": q_attribution,
         "ranking_eval": q_ranking_eval,
         "ssim": q_ssim,
         "morph_openclose": q_morph_openclose,
@@ -10381,6 +10411,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "scd2": _scd2_sql(),
+        "attribution": _attribution_sql(),
         "ranking_eval": _ranking_eval_sql(),
         "ssim": _SSIM_SQL,
         "morph_openclose": _MORPH_OPENCLOSE_SQL,

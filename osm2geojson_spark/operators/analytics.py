@@ -1423,3 +1423,161 @@ SELECT {k}, CAST(ver AS BIGINT) AS version, {v}, valid_from,
 FROM grp
 WINDOW wv AS (PARTITION BY {k} ORDER BY ver)
 """
+
+
+def multi_touch_attribution(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    conv_type: str = "purchase",
+    lookback_s: int = 21600,
+) -> DataFrame:
+    """MULTI-TOUCH ATTRIBUTION — credit each conversion to the touch
+    events (any non-conversion type = a channel) of the same user inside
+    the lookback window, under the three classic models at once:
+    first-touch, last-touch, and linear. The growth-analytics staple.
+
+    Exact-integer credit scheme: every conversion distributes exactly
+    1_000_000 micro-credits per model. Linear gives each of the n
+    touches 1e6 // n and the REMAINDER 1e6 % n to the last touch (ties
+    on equal ts break by ascending event id) — a deterministic integer
+    rule, so per-channel sums are order-free int64 with no floats
+    anywhere. A conversion with no touch in the window credits the
+    synthetic '(direct)' channel in full.
+
+    Returns one row per channel: (channel, n_touches, n_conversions,
+    first_micro, last_micro, linear_micro).
+
+    Scale: the conversion-touch pairing is a user+time range join — at
+    100 TB route it through within-window bucketing (st_join's
+    composite-key pattern); the lookback bounds candidate fan-out per
+    conversion. Credit assignment is two windows over the pair set
+    partitioned by conversion id (bounded by touches-per-window), then
+    one global per-channel rollup of a handful of rows."""
+    u, t, ty, i = user_col, ts_col, type_col, id_col
+    conv = events.filter(F.col(ty) == conv_type).select(
+        F.col(u).alias("_cu"),
+        F.col(t).alias("_cts"),
+        F.col(i).alias("_cid"),
+    )
+    touch = events.filter(F.col(ty) != conv_type).select(
+        F.col(u).alias("_tu"),
+        F.col(t).alias("_tts"),
+        F.col(ty).alias("channel"),
+        F.col(i).alias("_tid"),
+    )
+    lb = F.expr(f"INTERVAL {int(lookback_s)} SECONDS")
+    pairs = conv.join(
+        touch,
+        (F.col("_cu") == F.col("_tu"))
+        & (F.col("_tts") < F.col("_cts"))
+        & (F.col("_tts") >= F.col("_cts") - lb),
+        "inner",
+    )
+    wc = Window.partitionBy("_cid")
+    asc = Window.partitionBy("_cid").orderBy(
+        F.col("_tts").asc(), F.col("_tid").asc()
+    )
+    M = 1_000_000
+    scored = (
+        pairs.withColumn("_n", F.count(F.lit(1)).over(wc))
+        .withColumn("_rn", F.row_number().over(asc))
+        .select(
+            "channel",
+            "_cid",
+            F.when(F.col("_rn") == 1, F.lit(M)).otherwise(0).alias("_first"),
+            F.when(F.col("_rn") == F.col("_n"), F.lit(M))
+            .otherwise(0)
+            .alias("_last"),
+            (
+                (F.lit(M) / F.col("_n")).cast("long")
+                + F.when(
+                    F.col("_rn") == F.col("_n"), F.lit(M) % F.col("_n")
+                ).otherwise(0)
+            ).alias("_linear"),
+        )
+    )
+    per_channel = scored.groupBy("channel").agg(
+        F.count(F.lit(1)).cast("long").alias("n_touches"),
+        F.countDistinct("_cid").cast("long").alias("n_conversions"),
+        F.sum("_first").cast("long").alias("first_micro"),
+        F.sum("_last").cast("long").alias("last_micro"),
+        F.sum("_linear").cast("long").alias("linear_micro"),
+    )
+    direct = (
+        conv.join(
+            pairs.select("_cid").distinct(),
+            "_cid",
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_conversions"))
+        .select(
+            F.lit("(direct)").alias("channel"),
+            F.lit(0).cast("long").alias("n_touches"),
+            "n_conversions",
+            (F.col("n_conversions") * M).cast("long").alias("first_micro"),
+            (F.col("n_conversions") * M).cast("long").alias("last_micro"),
+            (F.col("n_conversions") * M).cast("long").alias("linear_micro"),
+        )
+        .filter(F.col("n_conversions") > 0)
+    )
+    return per_channel.unionByName(direct)
+
+
+def multi_touch_attribution_sql(
+    rows_cte: str,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    conv_type: str = "purchase",
+    lookback_s: int = 21600,
+) -> str:
+    """DuckDB twin of multi_touch_attribution over ``rows_cte``."""
+    u, t, ty, i = user_col, ts_col, type_col, id_col
+    return f"""
+WITH src AS ({rows_cte}),
+conv AS (
+  SELECT {u} AS cu, {t} AS cts, {i} AS cid FROM src
+  WHERE {ty} = '{conv_type}'
+), touch AS (
+  SELECT {u} AS tu, {t} AS tts, {ty} AS channel, {i} AS tid FROM src
+  WHERE {ty} <> '{conv_type}'
+), pairs AS (
+  SELECT c.cid, tch.channel, tch.tts, tch.tid
+  FROM conv c JOIN touch tch
+    ON tch.tu = c.cu AND tch.tts < c.cts
+   AND tch.tts >= c.cts - INTERVAL {int(lookback_s)} SECOND
+), scored AS (
+  SELECT channel, cid,
+         CASE WHEN row_number() OVER w = 1 THEN 1000000 ELSE 0 END AS f,
+         CASE WHEN row_number() OVER w = count(*) OVER (PARTITION BY cid)
+              THEN 1000000 ELSE 0 END AS l,
+         1000000 // count(*) OVER (PARTITION BY cid)
+           + CASE WHEN row_number() OVER w
+                       = count(*) OVER (PARTITION BY cid)
+                  THEN 1000000 % count(*) OVER (PARTITION BY cid)
+                  ELSE 0 END AS lin
+  FROM pairs
+  WINDOW w AS (PARTITION BY cid ORDER BY tts, tid)
+), per_channel AS (
+  SELECT channel, CAST(count(*) AS BIGINT) AS n_touches,
+         CAST(count(DISTINCT cid) AS BIGINT) AS n_conversions,
+         CAST(sum(f) AS BIGINT) AS first_micro,
+         CAST(sum(l) AS BIGINT) AS last_micro,
+         CAST(sum(lin) AS BIGINT) AS linear_micro
+  FROM scored GROUP BY channel
+), direct AS (
+  SELECT '(direct)' AS channel, CAST(0 AS BIGINT) AS n_touches,
+         CAST(count(*) AS BIGINT) AS n_conversions,
+         CAST(count(*) * 1000000 AS BIGINT) AS first_micro,
+         CAST(count(*) * 1000000 AS BIGINT) AS last_micro,
+         CAST(count(*) * 1000000 AS BIGINT) AS linear_micro
+  FROM conv c
+  WHERE NOT EXISTS (SELECT 1 FROM pairs p WHERE p.cid = c.cid)
+  HAVING count(*) > 0
+)
+SELECT * FROM per_channel UNION ALL SELECT * FROM direct
+"""

@@ -1229,3 +1229,60 @@ def test_scd2_build_matches_dict_replay(spark):
             assert a["valid_to"] == b["valid_from"]
             assert a["value"] != b["value"]  # collapse worked
         assert sum(r["n_events"] for r in rs) == 40
+
+
+def test_multi_touch_attribution_matches_dict_replay(spark):
+    """multi_touch_attribution == a dict replay: 1e6 micro-credits per
+    conversion per model (conservation), linear remainder to the last
+    touch, (direct) channel for untouched conversions, lookback gate."""
+    from datetime import datetime, timedelta
+
+    from osm2geojson_spark.operators.analytics import multi_touch_attribution
+
+    t0 = datetime(2024, 1, 1)
+
+    def ts(mins):
+        return t0 + timedelta(minutes=mins)
+
+    rows = [
+        # user 1: view, email, signup then purchase -> n=3, rem 1e6%3=1
+        (1, 1, ts(0), "view"),
+        (2, 1, ts(10), "email"),
+        (3, 1, ts(20), "signup"),
+        (4, 1, ts(30), "purchase"),
+        # user 2: touch OUTSIDE the 1h lookback + purchase -> (direct)
+        (5, 2, ts(0), "view"),
+        (6, 2, ts(90), "purchase"),
+        # user 3: two touches, second purchase later reuses them too
+        (7, 3, ts(0), "click"),
+        (8, 3, ts(5), "click"),
+        (9, 3, ts(10), "purchase"),
+        (10, 3, ts(15), "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    got = {
+        r["channel"]: r
+        for r in multi_touch_attribution(df, lookback_s=3600).collect()
+    }
+    M = 1_000_000
+    # conservation: every model distributes exactly 1e6 per conversion
+    n_conv = 4
+    for model in ("first_micro", "last_micro", "linear_micro"):
+        assert sum(r[model] for r in got.values()) == n_conv * M, model
+    # user 1: first=view, last=signup, linear 333333/333333/333334
+    assert got["view"]["first_micro"] == M
+    assert got["signup"]["last_micro"] == M
+    assert got["signup"]["linear_micro"] == M // 3 + 1
+    assert got["view"]["linear_micro"] == M // 3
+    # user 2: untouched -> (direct) gets the full conversion
+    d = got["(direct)"]
+    assert (
+        d["n_conversions"] == 1
+        and d["first_micro"] == d["last_micro"] == d["linear_micro"] == M
+    )
+    # user 3: click channel gets both purchases' credits entirely
+    c = got["click"]
+    assert c["n_conversions"] == 2 and c["n_touches"] == 4
+    assert c["first_micro"] == c["last_micro"] == c["linear_micro"] == 2 * M
