@@ -6626,6 +6626,24 @@ def _triangles_sql() -> str:
     return G.triangle_count_sql(_DENSE_GRAPH_SQL)
 
 
+def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X173 (graph.link_scores): neighborhood link prediction over the
+    dense modular graph — every non-adjacent pair sharing >= 2 neighbors
+    scored with common-neighbor count, resource-allocation index (exact
+    Σ floor(1e6/deg) micro-units — the log-free Adamic-Adar sibling) and
+    Jaccard as an exact integer fraction. Wedge self-join + combinable
+    rollup; integer end to end."""
+    from osm2geojson_spark.operators import graph as G
+
+    return G.link_scores(_dense_graph(spark, sf_dir), min_common=2)
+
+
+def _link_prediction_sql() -> str:
+    from osm2geojson_spark.operators import graph as G
+
+    return G.link_scores_sql(_DENSE_GRAPH_SQL, min_common=2)
+
+
 def q_st_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X60 (spatial_join.spatiotemporal_join): contact/encounter join —
     event pairs within 300 km (haversine) AND within 4 hours, aid < bid.
@@ -10184,6 +10202,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-4 continuation: newest first (never driver-recorded)
         "scd2": q_scd2,
         "attribution": q_attribution,
+        "link_prediction": q_link_prediction,
         "ranking_eval": q_ranking_eval,
         "ssim": q_ssim,
         "morph_openclose": q_morph_openclose,
@@ -10412,6 +10431,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "scd2": _scd2_sql(),
         "attribution": _attribution_sql(),
+        "link_prediction": _link_prediction_sql(),
         "ranking_eval": _ranking_eval_sql(),
         "ssim": _SSIM_SQL,
         "morph_openclose": _MORPH_OPENCLOSE_SQL,

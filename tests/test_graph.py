@@ -442,3 +442,60 @@ def test_hits_int_matches_numpy_power_iteration(spark):
     assert got[0][0] == HITS_SCALE
     assert got[9][0] == 0  # node 9 has no out-edges -> hub 0
     assert got[0][1] == 0  # node 0 has no in-edges -> auth 0
+
+
+def test_link_scores_matches_brute(spark):
+    """link_scores == a dict brute force: non-edges only, a < b,
+    min_common gate, exact integer RA micro-units and Jaccard fraction."""
+    from osm2geojson_spark.operators.graph import RA_SCALE, link_scores
+
+    edges = _rand_graph(7, n=40, m=90)
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        (r["a"], r["b"]): r for r in link_scores(df, min_common=1).collect()
+    }
+
+    adj = {}
+    for s, d in edges:
+        if s == d:
+            continue
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    want = {}
+    nodes = sorted(adj)
+    for i, a in enumerate(nodes):
+        for b in nodes[i + 1:]:
+            if b in adj[a]:
+                continue
+            common = adj[a] & adj[b]
+            if not common:
+                continue
+            want[(a, b)] = (
+                len(common),
+                sum(RA_SCALE // len(adj[z]) for z in common),
+                len(common),
+                len(adj[a]) + len(adj[b]) - len(common),
+            )
+    assert set(got) == set(want)
+    for k, (c, ra, jn, jd) in want.items():
+        r = got[k]
+        assert (r["common"], r["ra_micro"], r["jacc_num"], r["jacc_den"]) == (
+            c, ra, jn, jd,
+        ), k
+
+
+def test_link_scores_min_common_and_max_degree(spark):
+    """min_common filters pairs; max_degree drops hub wedges (path through
+    the hub no longer counted)."""
+    from osm2geojson_spark.operators.graph import link_scores
+
+    # star: hub 0 connected to 1..5; plus edge 1-2
+    edges = [(0, i) for i in range(1, 6)] + [(1, 2)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    # all leaf pairs share only the hub -> common=1
+    base = link_scores(df, min_common=1).collect()
+    pairs = {(r["a"], r["b"]) for r in base}
+    assert (3, 4) in pairs and (1, 2) not in pairs  # 1-2 is an edge
+    assert link_scores(df, min_common=2).count() == 0
+    # capping out the deg-5 hub removes every wedge
+    assert link_scores(df, min_common=1, max_degree=4).count() == 0
