@@ -8889,6 +8889,59 @@ def _attribution_sql() -> str:
     )
 
 
+_KAPPA_LANGS = ["de", "en", "es", "fr", "zh"]
+
+
+def q_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X174 (analytics.kappa_agreement): Cohen's kappa between two
+    annotators of the documents table — annotator A is the lang column,
+    annotator B a deterministic 75%-agree perturbation (Knuth-hash gate,
+    hash-shifted class on disagreement, replayed identically in the
+    twin). Kappa kept exact as the integer rational (n·agree − Σ na·nb)
+    / (n² − Σ na·nb); one confusion-matrix scan, driver-size marginals."""
+    from osm2geojson_spark.operators.analytics import kappa_agreement
+
+    docs = _t(spark, sf_dir, "documents")
+    idx = F.lit(0)
+    for j, lg in enumerate(_KAPPA_LANGS):
+        idx = F.when(F.col("lang") == lg, F.lit(j)).otherwise(idx)
+    gate = (F.col("doc_id") * F.lit(2654435761)) % 100
+    shift = F.lit(1) + F.col("doc_id") % 4
+    b_idx = (idx + shift) % 5
+    label_b = F.when(gate < 75, F.col("lang")).otherwise(
+        F.element_at(
+            F.array(*[F.lit(lg) for lg in _KAPPA_LANGS]),
+            (b_idx + 1).cast("int"),
+        )
+    )
+    lab = docs.select(
+        F.col("lang").alias("label_a"), label_b.alias("label_b")
+    )
+    return kappa_agreement(lab)
+
+
+def _kappa_sql() -> str:
+    from osm2geojson_spark.operators.analytics import kappa_agreement_sql
+
+    idx = (
+        "CASE "
+        + " ".join(
+            f"WHEN lang = '{lg}' THEN {j}"
+            for j, lg in enumerate(_KAPPA_LANGS)
+        )
+        + " ELSE 0 END"
+    )
+    arr = "[" + ", ".join(f"'{lg}'" for lg in _KAPPA_LANGS) + "]"
+    rows = f"""
+SELECT lang AS label_a,
+       CASE WHEN (doc_id * 2654435761) % 100 < 75 THEN lang
+            ELSE ({arr})[(({idx}) + 1 + doc_id % 4) % 5 + 1]
+       END AS label_b
+FROM documents
+"""
+    return kappa_agreement_sql(rows)
+
+
 def q_ranking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X170 (retrieval.ranking_metrics): NDCG@10 + reciprocal rank per
     query over a 40-query retrieval fixture — orders ranked by a
@@ -10203,6 +10256,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2": q_scd2,
         "attribution": q_attribution,
         "link_prediction": q_link_prediction,
+        "kappa": q_kappa,
         "ranking_eval": q_ranking_eval,
         "ssim": q_ssim,
         "morph_openclose": q_morph_openclose,
@@ -10432,6 +10486,7 @@ def oracle_sql() -> dict[str, str]:
         "scd2": _scd2_sql(),
         "attribution": _attribution_sql(),
         "link_prediction": _link_prediction_sql(),
+        "kappa": _kappa_sql(),
         "ranking_eval": _ranking_eval_sql(),
         "ssim": _SSIM_SQL,
         "morph_openclose": _MORPH_OPENCLOSE_SQL,

@@ -1581,3 +1581,89 @@ conv AS (
 )
 SELECT * FROM per_channel UNION ALL SELECT * FROM direct
 """
+
+
+def kappa_agreement(
+    df: DataFrame,
+    a_col: str = "label_a",
+    b_col: str = "label_b",
+) -> DataFrame:
+    """COHEN'S KAPPA — chance-corrected inter-annotator agreement, the
+    label-quality gate of every human/model annotation pipeline. With n
+    items, observed agreement po = n_agree/n and expected agreement
+    pe = Σ_c rowmarg(c)·colmarg(c)/n², kappa = (po − pe)/(1 − pe). Kept
+    EXACT as the integer rational
+
+        kappa_num = n·n_agree − Σ_c n_a(c)·n_b(c)
+        kappa_den = n² − Σ_c n_a(c)·n_b(c)
+
+    (both int64; the one final double division is IEEE-identical across
+    engines). Returns a single row (n_items, n_agree, pe_num, kappa_num,
+    kappa_den, kappa); kappa is NULL when kappa_den = 0 (degenerate
+    single-class marginals).
+
+    Overflow bound: n² and n·n_agree must fit int64 → n < 3e9 items.
+
+    Scale: one scan for the confusion counts (combinable groupBy over at
+    most |classes|² rows), marginals and totals are driver-size
+    cross-joined constants — no wide shuffle anywhere."""
+    conf = df.groupBy(
+        F.col(a_col).alias("_a"), F.col(b_col).alias("_b")
+    ).agg(F.count(F.lit(1)).cast("long").alias("_c"))
+    tot = conf.agg(
+        F.sum("_c").cast("long").alias("n_items"),
+        F.sum(F.when(F.col("_a") == F.col("_b"), F.col("_c")).otherwise(0))
+        .cast("long")
+        .alias("n_agree"),
+    )
+    ra = conf.groupBy("_a").agg(F.sum("_c").alias("_na"))
+    rb = conf.groupBy(F.col("_b").alias("_a")).agg(F.sum("_c").alias("_nb"))
+    pe = (
+        ra.join(rb, "_a")
+        .agg(F.sum(F.col("_na") * F.col("_nb")).cast("long").alias("pe_num"))
+    )
+    out = tot.crossJoin(pe)
+    num = F.col("n_items") * F.col("n_agree") - F.col("pe_num")
+    den = F.col("n_items") * F.col("n_items") - F.col("pe_num")
+    return out.select(
+        "n_items",
+        "n_agree",
+        "pe_num",
+        num.cast("long").alias("kappa_num"),
+        den.cast("long").alias("kappa_den"),
+        F.when(den != 0, num.cast("double") / den.cast("double")).alias(
+            "kappa"
+        ),
+    )
+
+
+def kappa_agreement_sql(
+    rows_cte: str, a_col: str = "label_a", b_col: str = "label_b"
+) -> str:
+    """DuckDB twin of kappa_agreement — identical integer rational."""
+    return f"""
+WITH src AS ({rows_cte}),
+conf AS (
+  SELECT {a_col} AS a, {b_col} AS b, CAST(count(*) AS BIGINT) AS c
+  FROM src GROUP BY 1, 2
+),
+tot AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n_items,
+         CAST(sum(CASE WHEN a = b THEN c ELSE 0 END) AS BIGINT) AS n_agree
+  FROM conf
+),
+ra AS (SELECT a, sum(c) AS na FROM conf GROUP BY a),
+rb AS (SELECT b AS a, sum(c) AS nb FROM conf GROUP BY b),
+pe AS (
+  SELECT CAST(sum(ra.na * rb.nb) AS BIGINT) AS pe_num
+  FROM ra JOIN rb USING (a)
+)
+SELECT n_items, n_agree, pe_num,
+       CAST(n_items * n_agree - pe_num AS BIGINT) AS kappa_num,
+       CAST(n_items * n_items - pe_num AS BIGINT) AS kappa_den,
+       CASE WHEN n_items * n_items - pe_num != 0
+            THEN CAST(n_items * n_agree - pe_num AS DOUBLE)
+                 / CAST(n_items * n_items - pe_num AS DOUBLE)
+       END AS kappa
+FROM tot, pe
+"""

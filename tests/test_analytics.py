@@ -1286,3 +1286,35 @@ def test_multi_touch_attribution_matches_dict_replay(spark):
     c = got["click"]
     assert c["n_conversions"] == 2 and c["n_touches"] == 4
     assert c["first_micro"] == c["last_micro"] == c["linear_micro"] == 2 * M
+
+
+def test_kappa_agreement_matches_textbook(spark):
+    """kappa_agreement == sklearn-style hand formula on a known confusion
+    matrix, plus the degenerate single-class NULL case."""
+    from osm2geojson_spark.operators.analytics import kappa_agreement
+
+    # classic 2x2 example: a=[yes]*25+[no]*25, agree 20+15
+    rows = (
+        [("yes", "yes")] * 20
+        + [("yes", "no")] * 5
+        + [("no", "yes")] * 10
+        + [("no", "no")] * 15
+    )
+    df = spark.createDataFrame(rows, "label_a string, label_b string")
+    r = kappa_agreement(df).collect()[0]
+    n, agree = 50, 35
+    pe_num = 25 * 30 + 25 * 20  # yes marginals 25/30, no 25/20
+    assert (r["n_items"], r["n_agree"], r["pe_num"]) == (n, agree, pe_num)
+    assert r["kappa_num"] == n * agree - pe_num
+    assert r["kappa_den"] == n * n - pe_num
+    po, pe = agree / n, pe_num / (n * n)
+    assert abs(r["kappa"] - (po - pe) / (1 - pe)) < 1e-12
+    # kappa = 0.4 exactly for this textbook example? check hand value
+    assert abs(r["kappa"] - 0.4) < 1e-12
+
+    # degenerate: both annotators constant -> den 0 -> NULL kappa
+    dfa = spark.createDataFrame(
+        [("x", "x")] * 7, "label_a string, label_b string"
+    )
+    ra = kappa_agreement(dfa).collect()[0]
+    assert ra["kappa_den"] == 0 and ra["kappa"] is None
