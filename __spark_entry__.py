@@ -1174,6 +1174,31 @@ FROM tot t JOIN s ON s.cell_id = t.cell_id
 """
 
 
+def q_sd_ellipse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X175 (spatial_stats.sd_ellipse): standard deviational ellipse
+    (ArcGIS directional distribution) per res-3 cell over the customer
+    world points — exact int64 sufficient statistics on 11 m-quantized
+    cell-anchored offsets, pinned-order IEEE double assembly for the
+    axes, orientation as the exact tan(2θ) pair. One combinable groupBy;
+    scan-shaped."""
+    from osm2geojson_spark.operators.spatial_stats import sd_ellipse
+
+    pts = _t(spark, sf_dir, "customer").select(
+        _lon("c_custkey").alias("lon"), _lat("c_custkey").alias("lat")
+    )
+    return sd_ellipse(pts, res=3)
+
+
+def _sd_ellipse_sql() -> str:
+    from osm2geojson_spark.operators.spatial_stats import sd_ellipse_sql
+
+    pts = (
+        f"SELECT {SYN.lon_sql('c_custkey')} AS lon,"
+        f" {SYN.lat_sql('c_custkey')} AS lat FROM customer"
+    )
+    return sd_ellipse_sql(pts, res=3)
+
+
 def q_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Getis-Ord Gi* hot-spot detection over the customer point-density
     grid (spatial_stats.getis_ord_gi_star): per occupied cell the
@@ -10257,6 +10282,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attribution": q_attribution,
         "link_prediction": q_link_prediction,
         "kappa": q_kappa,
+        "sd_ellipse": q_sd_ellipse,
         "ranking_eval": q_ranking_eval,
         "ssim": q_ssim,
         "morph_openclose": q_morph_openclose,
@@ -10487,6 +10513,7 @@ def oracle_sql() -> dict[str, str]:
         "attribution": _attribution_sql(),
         "link_prediction": _link_prediction_sql(),
         "kappa": _kappa_sql(),
+        "sd_ellipse": _sd_ellipse_sql(),
         "ranking_eval": _ranking_eval_sql(),
         "ssim": _SSIM_SQL,
         "morph_openclose": _MORPH_OPENCLOSE_SQL,

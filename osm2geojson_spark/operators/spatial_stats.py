@@ -843,3 +843,162 @@ def gearys_c(
             ).alias("geary"),
         )
     )
+
+
+def sd_ellipse(
+    points: DataFrame,
+    res: int = 3,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    q: int = 10_000,
+) -> DataFrame:
+    """STANDARD DEVIATIONAL ELLIPSE per grid cell (Lefever 1926; the
+    ArcGIS "directional distribution" tool) — the second-moment summary
+    of a point cloud: principal axes lengths and orientation of the
+    covariance ellipse, the standard descriptor of directional trends
+    (storm tracks, commute flows, crime clusters).
+
+    Exactness scheme: coordinates are quantized as integer offsets from
+    the cell's min corner (xq = round((lon - cell_min_lon)·q), ~11 m at
+    the default q), so the five sufficient statistics Σx, Σy, Σx², Σy²,
+    Σxy are ORDER-FREE exact int64. The dimensionless assembly
+
+        var_x = (n·Σx² − (Σx)²) / n² / q²      (and var_y, cov alike)
+        λ₁,₂  = (var_x + var_y ± √((var_x−var_y)² + 4·cov²)) / 2
+        axes  = √λ  (degrees)
+
+    runs in IEEE doubles with a pinned op order — +,−,×,/ and √ are all
+    correctly-rounded, so both engines produce bit-identical doubles.
+    Orientation is returned as the exact pair (orient_num, orient_den) =
+    (2·cov, var_x − var_y) — tan(2θ) — so no atan2 (whose last-ulp
+    behavior is NOT cross-engine pinned) enters the hash.
+
+    Overflow bound: Σx² ≤ n·(q·extent)² must fit int64 — at res 3 /
+    q = 1e4 that is ~4.6e7 points per cell; raise res (smaller extent)
+    or lower q for denser clouds.
+
+    Scale: one combinable groupBy over the cell key — scan-shaped, a
+    pure map-side-partial aggregation, no second pass, no window."""
+    n_grid = 1 << res
+    lon, lat = F.col(lon_col), F.col(lat_col)
+    cell = cells.cell_id(lon, lat, res)
+    cx, cy = cells.cell_xy(F.col("cell_id"))
+    pts = points.select(
+        cell.alias("cell_id"), lon.alias("_lon"), lat.alias("_lat")
+    )
+    anchor_lon = cx / F.lit(float(n_grid)) * F.lit(360.0) - F.lit(180.0)
+    anchor_lat = cy / F.lit(float(n_grid)) * F.lit(180.0) - F.lit(90.0)
+    xq = F.round((F.col("_lon") - anchor_lon) * F.lit(float(q))).cast("long")
+    yq = F.round((F.col("_lat") - anchor_lat) * F.lit(float(q))).cast("long")
+    stats = (
+        pts.withColumn("_xq", xq)
+        .withColumn("_yq", yq)
+        .groupBy("cell_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("_xq").cast("long").alias("sx_q"),
+            F.sum("_yq").cast("long").alias("sy_q"),
+            F.sum(F.col("_xq") * F.col("_xq")).cast("long").alias("sxx_q"),
+            F.sum(F.col("_yq") * F.col("_yq")).cast("long").alias("syy_q"),
+            F.sum(F.col("_xq") * F.col("_yq")).cast("long").alias("sxy_q"),
+        )
+    )
+    dn = F.col("n").cast("double")
+    q2 = F.lit(float(q) * float(q))
+
+    def mom(ss, sa, sb):
+        return (
+            (dn * F.col(ss).cast("double")
+             - F.col(sa).cast("double") * F.col(sb).cast("double"))
+            / (dn * dn)
+        ) / q2
+
+    var_x = mom("sxx_q", "sx_q", "sx_q")
+    var_y = mom("syy_q", "sy_q", "sy_q")
+    cov = mom("sxy_q", "sx_q", "sy_q")
+    out = stats.withColumn("var_x", var_x).withColumn(
+        "var_y", var_y
+    ).withColumn("cov_xy", cov)
+    tr = F.col("var_x") + F.col("var_y")
+    diff = F.col("var_x") - F.col("var_y")
+    disc = F.sqrt(
+        diff * diff + F.lit(4.0) * F.col("cov_xy") * F.col("cov_xy")
+    )
+    lam1 = (tr + disc) / F.lit(2.0)
+    lam2 = (tr - disc) / F.lit(2.0)
+    return out.select(
+        "cell_id",
+        "n",
+        "sx_q",
+        "sy_q",
+        "sxx_q",
+        "syy_q",
+        "sxy_q",
+        "var_x",
+        "var_y",
+        "cov_xy",
+        F.sqrt(F.greatest(lam1, F.lit(0.0))).alias("axis_major"),
+        F.sqrt(F.greatest(lam2, F.lit(0.0))).alias("axis_minor"),
+        (F.lit(2.0) * F.col("cov_xy")).alias("orient_num"),
+        diff.alias("orient_den"),
+    )
+
+
+def sd_ellipse_sql(
+    points_cte: str,
+    res: int = 3,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    q: int = 10_000,
+) -> str:
+    """DuckDB twin of sd_ellipse — identical quantization, identical
+    pinned IEEE op order in the double assembly."""
+    n_grid = 1 << res
+    xs, rs = 1 << 29, 1 << 58
+    cell = cells.cell_id_sql(lon_col, lat_col, res)
+    return f"""
+WITH src AS ({points_cte}),
+keyed AS (
+  SELECT {cell} AS cell_id, {lon_col} AS lon, {lat_col} AS lat FROM src
+),
+qz AS (
+  SELECT cell_id,
+    CAST(round((lon - (((cell_id % {rs}) // {xs}) / {float(n_grid)} * 360.0
+                - 180.0)) * {float(q)}) AS BIGINT) AS xq,
+    CAST(round((lat - ((cell_id % {xs}) / {float(n_grid)} * 180.0
+                - 90.0)) * {float(q)}) AS BIGINT) AS yq
+  FROM keyed
+),
+stats AS (
+  SELECT cell_id, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(xq) AS BIGINT) AS sx_q, CAST(sum(yq) AS BIGINT) AS sy_q,
+         CAST(sum(xq * xq) AS BIGINT) AS sxx_q,
+         CAST(sum(yq * yq) AS BIGINT) AS syy_q,
+         CAST(sum(xq * yq) AS BIGINT) AS sxy_q
+  FROM qz GROUP BY cell_id
+),
+m AS (
+  SELECT *,
+    ((CAST(n AS DOUBLE) * CAST(sxx_q AS DOUBLE)
+      - CAST(sx_q AS DOUBLE) * CAST(sx_q AS DOUBLE))
+     / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) / {float(q) * float(q)}
+      AS var_x,
+    ((CAST(n AS DOUBLE) * CAST(syy_q AS DOUBLE)
+      - CAST(sy_q AS DOUBLE) * CAST(sy_q AS DOUBLE))
+     / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) / {float(q) * float(q)}
+      AS var_y,
+    ((CAST(n AS DOUBLE) * CAST(sxy_q AS DOUBLE)
+      - CAST(sx_q AS DOUBLE) * CAST(sy_q AS DOUBLE))
+     / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) / {float(q) * float(q)}
+      AS cov_xy
+  FROM stats
+)
+SELECT cell_id, n, sx_q, sy_q, sxx_q, syy_q, sxy_q, var_x, var_y, cov_xy,
+  sqrt(greatest((var_x + var_y + sqrt((var_x - var_y) * (var_x - var_y)
+       + 4.0 * cov_xy * cov_xy)) / 2.0, 0.0)) AS axis_major,
+  sqrt(greatest((var_x + var_y - sqrt((var_x - var_y) * (var_x - var_y)
+       + 4.0 * cov_xy * cov_xy)) / 2.0, 0.0)) AS axis_minor,
+  2.0 * cov_xy AS orient_num,
+  var_x - var_y AS orient_den
+FROM m
+"""

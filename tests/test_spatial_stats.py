@@ -664,3 +664,79 @@ def test_gearys_c_sign_on_planted_patterns(spark):
     # constant field -> NULL, never a divide error
     const = {(0, 4): 10, (7, 4): 10}
     assert _run_geary(spark, const, res=3)["geary"] is None
+
+
+def test_sd_ellipse_matches_numpy_and_twin(spark):
+    """sd_ellipse == NumPy population moments on the quantized offsets;
+    an elongated NE-SW cluster yields axis_major >> axis_minor with a
+    positive orientation numerator; DuckDB twin is bit-identical."""
+    import duckdb
+    import numpy as np
+
+    from osm2geojson_spark.operators.spatial_stats import (
+        sd_ellipse,
+        sd_ellipse_sql,
+    )
+
+    rng = np.random.default_rng(11)
+    # NE-SW elongated cloud inside one res-3 cell (cell x: [0,45), y: [0,22.5))
+    t = rng.uniform(0, 1, 400)
+    lon = 5.0 + 30.0 * t + rng.normal(0, 0.5, 400)
+    lat = 2.0 + 15.0 * t + rng.normal(0, 0.5, 400)
+    lon = np.clip(lon, 0.01, 44.99)
+    lat = np.clip(lat, 0.01, 22.49)
+    rows = [(float(a), float(b)) for a, b in zip(lon, lat)]
+    df = spark.createDataFrame(rows, "lon double, lat double")
+    got = sd_ellipse(df, res=3).collect()
+    assert len(got) == 1
+    r = got[0]
+
+    q = 10_000
+    # anchor = the cell min corner (lon 0, lat 0 for this cell)
+    xq = np.round((lon - 0.0) * q).astype(np.int64)
+    yq = np.round((lat - 0.0) * q).astype(np.int64)
+    n = len(xq)
+    assert (r["n"], r["sx_q"], r["sy_q"]) == (n, xq.sum(), yq.sum())
+    assert r["sxx_q"] == (xq * xq).sum()
+    assert r["sxy_q"] == (xq * yq).sum()
+    var_x = (n * (xq * xq).sum() - xq.sum() ** 2) / (n * n) / q**2
+    var_y = (n * (yq * yq).sum() - yq.sum() ** 2) / (n * n) / q**2
+    cov = (n * (xq * yq).sum() - xq.sum() * yq.sum()) / (n * n) / q**2
+    assert abs(r["var_x"] - var_x) < 1e-9 * max(1, abs(var_x))
+    tr, diff = var_x + var_y, var_x - var_y
+    disc = (diff * diff + 4 * cov * cov) ** 0.5
+    assert abs(r["axis_major"] - ((tr + disc) / 2) ** 0.5) < 1e-9
+    assert abs(r["axis_minor"] - ((tr - disc) / 2) ** 0.5) < 1e-9
+    assert r["axis_major"] > 3 * r["axis_minor"]  # elongated
+    assert r["orient_num"] > 0  # NE-SW trend: positive covariance
+
+    duck = duckdb.connect()
+    duck.execute("CREATE TABLE pts (lon DOUBLE, lat DOUBLE)")
+    duck.executemany("INSERT INTO pts VALUES (?, ?)", rows)
+    twin = duck.sql(
+        sd_ellipse_sql("SELECT lon, lat FROM pts", res=3)
+    ).fetchall()
+    assert len(twin) == 1
+    tw = twin[0]
+    want = tuple(r[c] for c in (
+        "cell_id", "n", "sx_q", "sy_q", "sxx_q", "syy_q", "sxy_q",
+        "var_x", "var_y", "cov_xy", "axis_major", "axis_minor",
+        "orient_num", "orient_den",
+    ))
+    assert tw == want  # bit-identical doubles
+
+
+def test_sd_ellipse_degenerate_single_point_and_line(spark):
+    from osm2geojson_spark.operators.spatial_stats import sd_ellipse
+
+    # single point: zero ellipse
+    df1 = spark.createDataFrame([(10.0, 10.0)], "lon double, lat double")
+    r1 = sd_ellipse(df1, res=3).collect()[0]
+    assert r1["axis_major"] == 0.0 and r1["axis_minor"] == 0.0
+
+    # perfect horizontal line: minor axis 0, orientation num 0
+    rows = [(float(x), 5.0) for x in range(1, 40)]
+    df2 = spark.createDataFrame(rows, "lon double, lat double")
+    r2 = sd_ellipse(df2, res=3).collect()[0]
+    assert r2["axis_minor"] == 0.0 and r2["orient_num"] == 0.0
+    assert r2["axis_major"] > 0 and r2["orient_den"] > 0
