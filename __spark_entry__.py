@@ -2968,6 +2968,34 @@ def _synth_images(spark: SparkSession, sf_dir: str, limit: int, step: int = 1):
     )
 
 
+def q_hough(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X176 (multimodal.hough_lines): Hough line detection over 300
+    mixed rawz/png images — edge pixels vote in the quantized
+    (theta, rho) accumulator (fixed-point trig table inlined into both
+    plans, power-of-two rho bins so the twin's floor division is exact),
+    top-3 cells per image with >= 8 votes. Voting is in-batch NumPy;
+    only the tiny accumulator rows shuffle for the per-image window."""
+    from osm2geojson_spark.operators import multimodal as MM2
+
+    imgs = _synth_images(spark, sf_dir, 300)
+    return MM2.hough_lines(imgs, edge_thresh=200, min_votes=8, k=3)
+
+
+def _hough_sql() -> str:
+    from osm2geojson_spark.operators import multimodal as MM2
+
+    px = """
+SELECT printf('img%012d', i) AS image_id, (p % w) AS x, (p // w) AS y,
+       ((p % w) * 3 + (p // w) * 7 + i * 13) % 251 AS v
+FROM (
+  SELECT i, w, unnest(range(0, w * w)) AS p
+  FROM (SELECT p_partkey AS i, 8 * (1 + p_partkey % 3) AS w
+        FROM part WHERE p_partkey < 300)
+)
+"""
+    return MM2.hough_lines_sql(px, edge_thresh=200, min_votes=8, k=3)
+
+
 def q_patch_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X62 (multimodal.extract_patches): ViT-style patchification — 300
     mixed rawz/png images cut into non-overlapping 8x8 patches, one row
@@ -10283,6 +10311,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_prediction": q_link_prediction,
         "kappa": q_kappa,
         "sd_ellipse": q_sd_ellipse,
+        "hough": q_hough,
         "ranking_eval": q_ranking_eval,
         "ssim": q_ssim,
         "morph_openclose": q_morph_openclose,
@@ -10514,6 +10543,7 @@ def oracle_sql() -> dict[str, str]:
         "link_prediction": _link_prediction_sql(),
         "kappa": _kappa_sql(),
         "sd_ellipse": _sd_ellipse_sql(),
+        "hough": _hough_sql(),
         "ranking_eval": _ranking_eval_sql(),
         "ssim": _SSIM_SQL,
         "morph_openclose": _MORPH_OPENCLOSE_SQL,

@@ -3167,3 +3167,131 @@ def ssim_pairs(pairs: DataFrame, window: int = 8, id_col: str = "pair_id") -> Da
             " mssim double"
         ),
     )
+
+
+HOUGH_TRIG_SCALE = 256  # quantized cos/sin fixed-point scale
+
+
+def hough_trig(n_theta: int) -> list[tuple[int, int, int]]:
+    """(theta_bin, cq, sq) — the quantized direction table
+    cq = round(cos(pi·t/n)·256), sq = round(sin(pi·t/n)·256), computed
+    ONCE driver-side and inlined as literals into both engines' plans,
+    so no trig runs inside either engine."""
+    return [
+        (
+            t,
+            int(round(math.cos(math.pi * t / n_theta) * HOUGH_TRIG_SCALE)),
+            int(round(math.sin(math.pi * t / n_theta) * HOUGH_TRIG_SCALE)),
+        )
+        for t in range(n_theta)
+    ]
+
+
+def hough_lines(
+    images: DataFrame,
+    edge_thresh: int = 200,
+    n_theta: int = 8,
+    rho_shift: int = 9,
+    min_votes: int = 8,
+    k: int = 3,
+) -> DataFrame:
+    """(image_id, theta_bin, rho_idx, votes, rank) — HOUGH LINE
+    DETECTION (Duda & Hart 1972): per image, every pixel >= ``edge_thresh``
+    votes for the ``n_theta`` quantized line directions; the per-image
+    top-``k`` accumulator cells with >= ``min_votes`` are the detected
+    lines. The standard structure detector (document skew, road/rail
+    extraction from rasters, table-line finding in scanned pages).
+
+    Exact-integer scheme: directions use the fixed-point table from
+    ``hough_trig`` and the signed distance r = x·cq + y·sq stays int64;
+    the rho bin is floor(r / 2^rho_shift) — a power-of-two divisor, so
+    the twin's floor(r / 512.0) double division is EXACT and both
+    engines bin identically (DuckDB's ``//`` truncates toward zero on
+    negatives, so the twin must use floor()). Ranking is fully
+    deterministic: votes DESC, theta ASC, rho ASC.
+
+    Scale: voting happens INSIDE the Arrow batch (NumPy bincount per
+    direction — pixels never shuffle, the operator emits at most
+    n_theta·rho_bins accumulator rows per image, already >= min_votes
+    filtered); the only shuffle is the per-image top-k window, keyed by
+    image_id and carrying a handful of rows per image."""
+    trig = hough_trig(n_theta)
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, ths, rhos, votes = [], [], [], []
+            for r in pdf.itertuples(index=False):
+                px = imagecodec.decode(bytes(r.bytes), r.fmt)
+                yy, xx = np.nonzero(px >= edge_thresh)
+                if len(xx) == 0:
+                    continue
+                xx = xx.astype(np.int64)
+                yy = yy.astype(np.int64)
+                for t, cq, sq in trig:
+                    rho = np.floor_divide(
+                        xx * cq + yy * sq, 1 << rho_shift
+                    )
+                    uniq, cnt = np.unique(rho, return_counts=True)
+                    keep = cnt >= min_votes
+                    for u, c in zip(uniq[keep], cnt[keep]):
+                        ids.append(r.image_id)
+                        ths.append(t)
+                        rhos.append(int(u))
+                        votes.append(int(c))
+            yield pd.DataFrame(
+                {
+                    "image_id": ids,
+                    "theta_bin": pd.Series(ths, dtype="int32"),
+                    "rho_idx": pd.Series(rhos, dtype="int64"),
+                    "votes": pd.Series(votes, dtype="int64"),
+                }
+            )
+
+    acc = images.select("image_id", "bytes", "fmt").mapInPandas(
+        fn,
+        schema="image_id string, theta_bin int, rho_idx long, votes long",
+    )
+    w = Window.partitionBy("image_id").orderBy(
+        F.col("votes").desc(), F.col("theta_bin").asc(), F.col("rho_idx").asc()
+    )
+    return (
+        acc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("image_id", "theta_bin", "rho_idx", "votes", "rank")
+    )
+
+
+def hough_lines_sql(
+    px_cte: str,
+    edge_thresh: int = 200,
+    n_theta: int = 8,
+    rho_shift: int = 9,
+    min_votes: int = 8,
+    k: int = 3,
+) -> str:
+    """DuckDB twin of hough_lines; ``px_cte`` yields (image_id, x, y, v)
+    pixel rows. Same inlined trig table, same exact power-of-two floor
+    binning, same deterministic ranking."""
+    trig_vals = ", ".join(f"({t}, {cq}, {sq})" for t, cq, sq in hough_trig(n_theta))
+    return f"""
+WITH px AS ({px_cte}),
+edge AS (SELECT image_id, x, y FROM px WHERE v >= {int(edge_thresh)}),
+trig(theta_bin, cq, sq) AS (SELECT * FROM (VALUES {trig_vals})),
+acc AS (
+  SELECT image_id, theta_bin,
+         CAST(floor((x * cq + y * sq) / {float(1 << rho_shift)}) AS BIGINT)
+           AS rho_idx,
+         CAST(count(*) AS BIGINT) AS votes
+  FROM edge, trig
+  GROUP BY 1, 2, 3
+  HAVING count(*) >= {int(min_votes)}
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY image_id ORDER BY votes DESC, theta_bin ASC, rho_idx ASC
+  ) AS rank
+  FROM acc
+)
+SELECT image_id, theta_bin, rho_idx, votes, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= {int(k)}
+"""

@@ -2440,3 +2440,53 @@ def test_ssim_pairs_matches_brute_and_identities(spark):
     c = got[50]
     exp = (2 * 40 * 200 + C1) / (40 * 40 + 200 * 200 + C1)
     assert abs(c["mssim"] - exp) < 1e-5 and c["n_win"] == 1
+
+
+def test_hough_lines_planted_line_and_brute(spark):
+    """hough_lines finds a planted horizontal line as the top cell, and
+    the full output matches a NumPy brute replay of the identical
+    accumulator on synthetic formula images."""
+    from osm2geojson_spark.operators.multimodal import (
+        hough_lines,
+        hough_trig,
+    )
+
+    # planted image: all dark except row y=5 at 255 -> horizontal line
+    w = h = 16
+    px = np.zeros((h, w), dtype=np.uint8)
+    px[5, :] = 255
+    planted = spark.createDataFrame(
+        [("planted", imagecodec.encode_rawz(px), "rawz")],
+        "image_id string, bytes binary, fmt string",
+    )
+    got = hough_lines(planted, edge_thresh=200, min_votes=8, k=1).collect()
+    assert len(got) == 1
+    r = got[0]
+    # theta_bin n_theta/2 is (cq, sq) = (0, 256): rho = y*256 // 512 = 2
+    assert (r["theta_bin"], r["rho_idx"], r["votes"], r["rank"]) == (
+        4, 2, 16, 1,
+    )
+
+    # brute replay on formula images (includes multi-image ranking)
+    imgs = synthetic_images(spark, 40)
+    got_all = {
+        (r["image_id"], r["rank"]): (r["theta_bin"], r["rho_idx"], r["votes"])
+        for r in hough_lines(imgs, edge_thresh=200, min_votes=8, k=3).collect()
+    }
+    trig = hough_trig(8)
+    want = {}
+    for i in range(40):
+        ww = [16, 32, 64][i % 3]
+        ys, xs = np.meshgrid(np.arange(ww), np.arange(ww), indexing="ij")
+        v = (xs * 3 + ys * 7 + i * 13) % 251
+        m = v >= 200
+        cells = {}
+        for t, cq, sq in trig:
+            rho = np.floor_divide(xs[m] * cq + ys[m] * sq, 512)
+            for u, c in zip(*np.unique(rho, return_counts=True)):
+                if c >= 8:
+                    cells[(t, int(u))] = int(c)
+        top = sorted(cells.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+        for rk, ((t, u), c) in enumerate(top, 1):
+            want[(f"img{i:012d}", rk)] = (t, u, c)
+    assert got_all == want
