@@ -8942,6 +8942,25 @@ def _attribution_sql() -> str:
     )
 
 
+def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X177 (analytics.rfm_segments): RFM customer segmentation over
+    orders — recency/frequency/exact-cent monetary, each scored 1..5 by
+    exact balanced rank quantiles. No ntile, no single-partition window:
+    each rank is the value-bucketed two-level scan (<= 64 bucket counts
+    to the driver per metric); the twin replays ranks serially."""
+    from osm2geojson_spark.operators.analytics import rfm_segments
+
+    return rfm_segments(_t(spark, sf_dir, "orders"))
+
+
+def _rfm_sql() -> str:
+    from osm2geojson_spark.operators.analytics import rfm_segments_sql
+
+    return rfm_segments_sql(
+        "SELECT o_custkey, o_orderdate, o_totalprice FROM orders"
+    )
+
+
 _KAPPA_LANGS = ["de", "en", "es", "fr", "zh"]
 
 
@@ -10312,6 +10331,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kappa": q_kappa,
         "sd_ellipse": q_sd_ellipse,
         "hough": q_hough,
+        "rfm": q_rfm,
         "ranking_eval": q_ranking_eval,
         "ssim": q_ssim,
         "morph_openclose": q_morph_openclose,
@@ -10544,6 +10564,7 @@ def oracle_sql() -> dict[str, str]:
         "kappa": _kappa_sql(),
         "sd_ellipse": _sd_ellipse_sql(),
         "hough": _hough_sql(),
+        "rfm": _rfm_sql(),
         "ranking_eval": _ranking_eval_sql(),
         "ssim": _SSIM_SQL,
         "morph_openclose": _MORPH_OPENCLOSE_SQL,

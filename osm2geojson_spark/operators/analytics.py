@@ -1667,3 +1667,147 @@ SELECT n_items, n_agree, pe_num,
        END AS kappa
 FROM tot, pe
 """
+
+
+def _two_level_rank(
+    df: DataFrame, val_col: str, key_col: str, out_col: str, n_buckets: int = 64
+) -> DataFrame:
+    """Global dense 1-based row rank ordered by (val, key) WITHOUT a
+    single-partition window: value-range bucketing, per-bucket totals to
+    the driver once (<= n_buckets rows), per-bucket parallel row_number
+    shifted by the broadcast offsets — the same two-level scan as
+    sampling.pps_systematic. Skewed value distributions only unbalance
+    parallelism, never correctness."""
+    lo, hi = df.agg(F.min(val_col), F.max(val_col)).first()
+    if lo is None:
+        return df.withColumn(out_col, F.lit(None).cast("long"))
+    span = max(int(hi) - int(lo) + 1, 1)
+    bucket = F.expr(
+        f"CAST((({val_col} - {int(lo)}) * {n_buckets}) DIV {span} AS BIGINT)"
+    )
+    b = df.withColumn("_rb", bucket)
+    totals = sorted(
+        (r["_rb"], r["t"])
+        for r in b.groupBy("_rb").agg(F.count(F.lit(1)).alias("t")).collect()
+    )
+    off, acc = F.lit(0).cast("long"), 0
+    for bk, t in totals:
+        off = F.when(F.col("_rb") == bk, F.lit(acc).cast("long")).otherwise(off)
+        acc += t
+    w = Window.partitionBy("_rb").orderBy(
+        F.col(val_col).asc(), F.col(key_col).asc()
+    )
+    return b.withColumn(
+        out_col, (F.row_number().over(w).cast("long") + off)
+    ).drop("_rb")
+
+
+def rfm_segments(
+    orders: DataFrame,
+    cust_col: str = "o_custkey",
+    date_col: str = "o_orderdate",
+    amount_col: str = "o_totalprice",
+    n_bins: int = 5,
+) -> DataFrame:
+    """RFM SEGMENTATION (Hughes 1994) — the classic customer-value
+    grid: per customer Recency (days since last order, against the
+    dataset's max date as the anchor), Frequency (order count) and
+    Monetary (exact cent-quantized revenue), each scored 1..n_bins by
+    EXACT balanced rank quantiles:
+
+        score = 1 + ((rank − 1)·n_bins) DIV n
+
+    with rank the deterministic total order by (metric goodness, key) —
+    recency ranks descending (older = worse), frequency/monetary
+    ascending. No ntile, no single-partition window: each metric's rank
+    is a value-bucketed two-level scan (driver sees <= 64 bucket counts
+    per metric). ``segment`` packs the three digits (e.g. 555 = best).
+
+    Scale: one groupBy over the fact table, then three rank passes over
+    the CUSTOMER-sized relation (each one narrow shuffle + a metadata
+    collect). The SQL twin replays rank and score serially."""
+    c, d, a = cust_col, date_col, amount_col
+    cust = orders.groupBy(F.col(c).alias("cust")).agg(
+        F.max(d).alias("_last"),
+        F.count(F.lit(1)).cast("long").alias("frequency"),
+        F.sum(F.round(F.col(a) * 100).cast("long"))
+        .cast("long")
+        .alias("monetary_c"),
+    )
+    anchor = cust.agg(F.max("_last")).first()[0]
+    cust = cust.withColumn(
+        "recency_days",
+        F.datediff(F.lit(anchor), F.col("_last")).cast("long"),
+    ).drop("_last")
+    n = cust.count()
+    ranked = _two_level_rank(
+        cust.withColumn("_rneg", -F.col("recency_days")),
+        "_rneg", "cust", "_rr",
+    ).drop("_rneg")
+    ranked = _two_level_rank(ranked, "frequency", "cust", "_fr")
+    ranked = _two_level_rank(ranked, "monetary_c", "cust", "_mr")
+
+    def score(rank_col):
+        return (
+            F.lit(1)
+            + F.expr(f"CAST((({rank_col} - 1) * {n_bins}) DIV {n} AS BIGINT)")
+        ).cast("int")
+
+    out = ranked.select(
+        "cust",
+        "recency_days",
+        "frequency",
+        "monetary_c",
+        score("_rr").alias("r_score"),
+        score("_fr").alias("f_score"),
+        score("_mr").alias("m_score"),
+    )
+    return out.withColumn(
+        "segment",
+        (
+            F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score")
+        ).cast("int"),
+    )
+
+
+def rfm_segments_sql(
+    rows_cte: str,
+    cust_col: str = "o_custkey",
+    date_col: str = "o_orderdate",
+    amount_col: str = "o_totalprice",
+    n_bins: int = 5,
+) -> str:
+    """DuckDB twin of rfm_segments — serial ranks, identical integer
+    score arithmetic."""
+    c, d, a = cust_col, date_col, amount_col
+    return f"""
+WITH src AS ({rows_cte}),
+cust AS (
+  SELECT {c} AS cust, max({d}) AS last_d,
+         CAST(count(*) AS BIGINT) AS frequency,
+         CAST(sum(CAST(round({a} * 100) AS BIGINT)) AS BIGINT) AS monetary_c
+  FROM src GROUP BY 1
+),
+anchored AS (
+  SELECT cust, CAST(date_diff('day', last_d, (SELECT max(last_d) FROM cust))
+               AS BIGINT) AS recency_days,
+         frequency, monetary_c
+  FROM cust
+),
+ranked AS (
+  SELECT *,
+    row_number() OVER (ORDER BY -recency_days, cust) AS rr,
+    row_number() OVER (ORDER BY frequency, cust) AS fr,
+    row_number() OVER (ORDER BY monetary_c, cust) AS mr,
+    count(*) OVER () AS n
+  FROM anchored
+)
+SELECT cust, recency_days, frequency, monetary_c,
+  CAST(1 + ((rr - 1) * {n_bins}) // n AS INTEGER) AS r_score,
+  CAST(1 + ((fr - 1) * {n_bins}) // n AS INTEGER) AS f_score,
+  CAST(1 + ((mr - 1) * {n_bins}) // n AS INTEGER) AS m_score,
+  CAST((1 + ((rr - 1) * {n_bins}) // n) * 100
+     + (1 + ((fr - 1) * {n_bins}) // n) * 10
+     + (1 + ((mr - 1) * {n_bins}) // n) AS INTEGER) AS segment
+FROM ranked
+"""

@@ -1318,3 +1318,65 @@ def test_kappa_agreement_matches_textbook(spark):
     )
     ra = kappa_agreement(dfa).collect()[0]
     assert ra["kappa_den"] == 0 and ra["kappa"] is None
+
+
+def test_rfm_segments_matches_serial_replay(spark):
+    """rfm_segments (two-level distributed rank) == a serial Python
+    replay: balanced exact quantile scores, deterministic tie-breaks,
+    packed segment digits."""
+    from datetime import date, timedelta
+
+    import numpy as np
+
+    from osm2geojson_spark.operators.analytics import rfm_segments
+
+    rng = np.random.default_rng(23)
+    rows = []
+    oid = 0
+    for cust in range(60):
+        for _ in range(int(rng.integers(1, 9))):
+            rows.append(
+                (
+                    oid,
+                    cust,
+                    date(2024, 1, 1) + timedelta(days=int(rng.integers(0, 400))),
+                    float(rng.integers(100, 99999)) / 100.0,
+                )
+            )
+            oid += 1
+    df = spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_orderdate date, o_totalprice double"
+    ).repartition(5)
+    got = {r["cust"]: r for r in rfm_segments(df).collect()}
+
+    # serial replay
+    per = {}
+    for _, cust, dd, amt in rows:
+        last, freq, mon = per.get(cust, (date(1970, 1, 1), 0, 0))
+        per[cust] = (max(last, dd), freq + 1, mon + round(amt * 100))
+    anchor = max(v[0] for v in per.values())
+    met = {
+        c: ((anchor - v[0]).days, v[1], v[2]) for c, v in per.items()
+    }
+    n = len(met)
+
+    def scores(idx, neg):
+        order = sorted(met, key=lambda c: (-met[c][idx] if neg else met[c][idx], c))
+        return {
+            c: 1 + ((rank * 5) // n)
+            for rank, c in enumerate(order)
+        }
+
+    rs, fs, ms = scores(0, True), scores(1, False), scores(2, False)
+    for c in met:
+        r = got[c]
+        assert (r["recency_days"], r["frequency"], r["monetary_c"]) == met[c]
+        assert (r["r_score"], r["f_score"], r["m_score"]) == (rs[c], fs[c], ms[c]), c
+        assert r["segment"] == rs[c] * 100 + fs[c] * 10 + ms[c]
+    # balanced quintiles: each score bucket within 1 of n/5
+    from collections import Counter
+
+    for sc in (rs, fs, ms):
+        cnt = Counter(sc.values())
+        assert set(cnt) == set(range(1, 6))
+        assert max(cnt.values()) - min(cnt.values()) <= 1
