@@ -2996,6 +2996,35 @@ FROM (
     return MM2.hough_lines_sql(px, edge_thresh=200, min_votes=8, k=3)
 
 
+def q_gaussian_blur(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X178 (multimodal.gaussian_blur_stats): 5x5 binomial blur over 300
+    mixed rawz/png images as integer-exact per-image statistics — the
+    separable [1,4,6,4,1]⊗[1,4,6,4,1] kernel applied in two in-batch
+    NumPy passes; the twin recomputes all 25 neighbor terms from the
+    pixel formula via a shifted self-join. Scan-shaped, pixels never
+    shuffle."""
+    from osm2geojson_spark.operators import multimodal as MM2
+
+    imgs = _synth_images(spark, sf_dir, 300)
+    return MM2.gaussian_blur_stats(imgs, edge_thresh=200)
+
+
+def _gaussian_blur_sql() -> str:
+    from osm2geojson_spark.operators import multimodal as MM2
+
+    px = """
+SELECT printf('img%012d', i) AS image_id, w, w AS h,
+       (p % w) AS x, (p // w) AS y,
+       ((p % w) * 3 + (p // w) * 7 + i * 13) % 251 AS v
+FROM (
+  SELECT i, w, unnest(range(0, w * w)) AS p
+  FROM (SELECT p_partkey AS i, 8 * (1 + p_partkey % 3) AS w
+        FROM part WHERE p_partkey < 300)
+)
+"""
+    return MM2.gaussian_blur_stats_sql(px, edge_thresh=200)
+
+
 def q_patch_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X62 (multimodal.extract_patches): ViT-style patchification — 300
     mixed rawz/png images cut into non-overlapping 8x8 patches, one row
@@ -10332,6 +10361,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sd_ellipse": q_sd_ellipse,
         "hough": q_hough,
         "rfm": q_rfm,
+        "gaussian_blur": q_gaussian_blur,
         "ranking_eval": q_ranking_eval,
         "ssim": q_ssim,
         "morph_openclose": q_morph_openclose,
@@ -10565,6 +10595,7 @@ def oracle_sql() -> dict[str, str]:
         "sd_ellipse": _sd_ellipse_sql(),
         "hough": _hough_sql(),
         "rfm": _rfm_sql(),
+        "gaussian_blur": _gaussian_blur_sql(),
         "ranking_eval": _ranking_eval_sql(),
         "ssim": _SSIM_SQL,
         "morph_openclose": _MORPH_OPENCLOSE_SQL,

@@ -3295,3 +3295,99 @@ ranked AS (
 SELECT image_id, theta_bin, rho_idx, votes, CAST(rank AS INTEGER) AS rank
 FROM ranked WHERE rank <= {int(k)}
 """
+
+
+GAUSS_K5 = (1, 4, 6, 4, 1)  # binomial 5-tap kernel, weight sum 16
+
+
+def gaussian_blur_stats(
+    images: DataFrame, edge_thresh: int = 200
+) -> DataFrame:
+    """(image_id, n_interior, conv_sum, smooth_sum, smooth_max,
+    smooth_edges) — 5x5 BINOMIAL (Gaussian-approx) BLUR, the canonical
+    smoothing primitive, as integer-exact per-image statistics: the
+    separable kernel [1,4,6,4,1]⊗[1,4,6,4,1] (weight 256) applied to
+    every interior pixel. ``conv_sum`` is the raw 256-weighted response
+    sum; ``smooth_sum``/``smooth_max`` use the normalized pixel
+    conv DIV 256 (floor; responses are nonnegative so floor =
+    truncation on both engines); ``smooth_edges`` counts normalized
+    pixels >= ``edge_thresh`` — the blur-then-threshold detector.
+
+    All int64 (response <= 255·256 per pixel; a 4096² image sums
+    < 2^50), so a DuckDB twin recomputes every one of the 25 neighbor
+    terms from the deterministic pixel formula and must hash-match.
+
+    Scale: Arrow-batched mapInPandas, two separable 1-D passes per
+    image inside the batch (NumPy), pixel bytes never shuffle —
+    scan-shaped like sobel_stats."""
+    k = np.array(GAUSS_K5, dtype=np.int64)
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {c: [] for c in (
+                "image_id", "n_interior", "conv_sum", "smooth_sum",
+                "smooth_max", "smooth_edges",
+            )}
+            for r in pdf.itertuples(index=False):
+                px = imagecodec.decode(bytes(r.bytes), r.fmt).astype(np.int64)
+                h, w = px.shape
+                if h < 5 or w < 5:
+                    continue
+                # separable: horizontal then vertical 5-tap
+                hpass = sum(
+                    kv * px[:, j : w - 4 + j] for j, kv in enumerate(k)
+                )
+                conv = sum(
+                    kv * hpass[j : h - 4 + j, :] for j, kv in enumerate(k)
+                )
+                sm = conv >> 8
+                out["image_id"].append(r.image_id)
+                out["n_interior"].append(int(conv.size))
+                out["conv_sum"].append(int(conv.sum()))
+                out["smooth_sum"].append(int(sm.sum()))
+                out["smooth_max"].append(int(sm.max()))
+                out["smooth_edges"].append(int((sm >= edge_thresh).sum()))
+            yield pd.DataFrame(out)
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(
+        fn,
+        schema=(
+            "image_id string, n_interior long, conv_sum long,"
+            " smooth_sum long, smooth_max long, smooth_edges long"
+        ),
+    )
+
+
+def gaussian_blur_stats_sql(px_cte: str, edge_thresh: int = 200) -> str:
+    """DuckDB twin of gaussian_blur_stats; ``px_cte`` yields
+    (image_id, w, h, x, y, v) pixel rows. Replays all 25 kernel terms
+    via a self-join on the shifted coordinates."""
+    taps = ", ".join(
+        f"({dx - 2}, {dy - 2}, {GAUSS_K5[dx] * GAUSS_K5[dy]})"
+        for dx in range(5)
+        for dy in range(5)
+    )
+    return f"""
+WITH px AS ({px_cte}),
+inner_px AS (
+  SELECT image_id, w, h, x, y FROM px
+  WHERE x >= 2 AND x <= w - 3 AND y >= 2 AND y <= h - 3
+),
+taps(dx, dy, kw) AS (SELECT * FROM (VALUES {taps})),
+conv AS (
+  SELECT i.image_id, i.x, i.y,
+         CAST(sum(t.kw * p.v) AS BIGINT) AS c
+  FROM inner_px i
+  JOIN taps t ON true
+  JOIN px p ON p.image_id = i.image_id
+           AND p.x = i.x + t.dx AND p.y = i.y + t.dy
+  GROUP BY 1, 2, 3
+)
+SELECT image_id, CAST(count(*) AS BIGINT) AS n_interior,
+       CAST(sum(c) AS BIGINT) AS conv_sum,
+       CAST(sum(c // 256) AS BIGINT) AS smooth_sum,
+       CAST(max(c // 256) AS BIGINT) AS smooth_max,
+       CAST(sum(CASE WHEN c // 256 >= {int(edge_thresh)} THEN 1 ELSE 0 END)
+            AS BIGINT) AS smooth_edges
+FROM conv GROUP BY image_id
+"""

@@ -2490,3 +2490,71 @@ def test_hough_lines_planted_line_and_brute(spark):
         for rk, ((t, u), c) in enumerate(top, 1):
             want[(f"img{i:012d}", rk)] = (t, u, c)
     assert got_all == want
+
+
+def test_gaussian_blur_stats_matches_direct_conv_and_twin(spark):
+    """Separable 5-tap blur == direct 25-term 2-D convolution (brute),
+    and the DuckDB twin hash-matches on an explicit pixel table."""
+    import duckdb
+
+    from osm2geojson_spark.operators.multimodal import (
+        GAUSS_K5,
+        gaussian_blur_stats,
+        gaussian_blur_stats_sql,
+    )
+
+    rng = np.random.default_rng(3)
+    imgs, want = [], {}
+    px_rows = []
+    for i in range(6):
+        w = h = int(rng.integers(5, 14))
+        px = rng.integers(0, 256, (h, w)).astype(np.uint8)
+        iid = f"r{i}"
+        imgs.append((iid, imagecodec.encode_rawz(px), "rawz"))
+        # direct 2-D convolution
+        p64 = px.astype(np.int64)
+        conv = np.zeros((h - 4, w - 4), dtype=np.int64)
+        for dy in range(5):
+            for dx in range(5):
+                conv += (
+                    GAUSS_K5[dy] * GAUSS_K5[dx]
+                    * p64[dy : h - 4 + dy, dx : w - 4 + dx]
+                )
+        sm = conv >> 8
+        want[iid] = (
+            conv.size, int(conv.sum()), int(sm.sum()), int(sm.max()),
+            int((sm >= 200).sum()),
+        )
+        for yy in range(h):
+            for xx in range(w):
+                px_rows.append((iid, w, h, xx, yy, int(px[yy, xx])))
+
+    df = spark.createDataFrame(imgs, "image_id string, bytes binary, fmt string")
+    got = {
+        r["image_id"]: (
+            r["n_interior"], r["conv_sum"], r["smooth_sum"],
+            r["smooth_max"], r["smooth_edges"],
+        )
+        for r in gaussian_blur_stats(df).collect()
+    }
+    assert got == want
+
+    duck = duckdb.connect()
+    duck.execute(
+        "CREATE TABLE pxt (image_id VARCHAR, w INT, h INT, x INT, y INT, v INT)"
+    )
+    duck.executemany("INSERT INTO pxt VALUES (?, ?, ?, ?, ?, ?)", px_rows)
+    twin = {
+        r[0]: tuple(r[1:])
+        for r in duck.sql(
+            gaussian_blur_stats_sql("SELECT * FROM pxt")
+        ).fetchall()
+    }
+    assert twin == want
+
+    # too-small image emits nothing
+    tiny = spark.createDataFrame(
+        [("t", imagecodec.encode_rawz(np.zeros((4, 4), np.uint8)), "rawz")],
+        "image_id string, bytes binary, fmt string",
+    )
+    assert gaussian_blur_stats(tiny).count() == 0
