@@ -976,6 +976,37 @@ def q_convex_hull(spark: SparkSession, sf_dir: str) -> DataFrame:
     return convex_hull(pts).select("g", "n_hull", "area")
 
 
+def q_min_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X179 (geometry.oriented_envelope): minimum oriented bounding
+    rectangle (ST_OrientedEnvelope, rotating calipers over the hull
+    edges) per modular point group — integer-exact projection extents,
+    IEEE-pinned area, canonical-edge deterministic tie-break. Same
+    associative partial-hull shape as convex_hull; the twin replays the
+    directed-edge hull characterization + projections in SQL."""
+    from osm2geojson_spark.operators.geometry import oriented_envelope
+
+    pts = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") < 800)
+        .select(
+            (F.col("p_partkey") % 8).alias("g"),
+            ((F.col("p_partkey") * 7919) % 1000).cast("double").alias("x"),
+            ((F.col("p_partkey") * 104729) % 1000).cast("double").alias("y"),
+        )
+    )
+    return oriented_envelope(pts)
+
+
+def _min_bbox_sql() -> str:
+    from osm2geojson_spark.operators.geometry import oriented_envelope_sql
+
+    pts = (
+        "SELECT p_partkey % 8 AS g, (p_partkey * 7919) % 1000 AS x,"
+        " (p_partkey * 104729) % 1000 AS y FROM part WHERE p_partkey < 800"
+    )
+    return oriented_envelope_sql(pts)
+
+
 _CONVEX_HULL_SQL = """
 WITH pts AS (
   SELECT DISTINCT p_partkey % 8 AS g,
@@ -10362,6 +10393,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hough": q_hough,
         "rfm": q_rfm,
         "gaussian_blur": q_gaussian_blur,
+        "min_bbox": q_min_bbox,
         "ranking_eval": q_ranking_eval,
         "ssim": q_ssim,
         "morph_openclose": q_morph_openclose,
@@ -10596,6 +10628,7 @@ def oracle_sql() -> dict[str, str]:
         "hough": _hough_sql(),
         "rfm": _rfm_sql(),
         "gaussian_blur": _gaussian_blur_sql(),
+        "min_bbox": _min_bbox_sql(),
         "ranking_eval": _ranking_eval_sql(),
         "ssim": _SSIM_SQL,
         "morph_openclose": _MORPH_OPENCLOSE_SQL,

@@ -809,3 +809,167 @@ def pole_of_inaccessibility(
         schema=f"{id_col} long, px long, py long, dist_l1 long,"
         " n_interior long",
     )
+
+
+def oriented_envelope(
+    df: DataFrame,
+    group_col: str = "g",
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """MINIMUM ORIENTED BOUNDING RECTANGLE per group (rotating calipers;
+    PostGIS ST_OrientedEnvelope / shapely minimum_rotated_rectangle) —
+    the tightest-area rectangle at any angle, the standard shape
+    descriptor for footprint regularization and object elongation.
+
+    By the classic theorem (Freeman & Shapira 1975) the optimal
+    rectangle is flush with a convex-hull EDGE, so the search is exact
+    and finite: for each hull edge, project all hull vertices onto the
+    edge direction and its normal; the candidate area is
+    (max_u−min_u)·(max_v−min_v)/|e|². Output one row per group with
+    n_hull >= 3: du/dv/e2 (the UNNORMALIZED integer-exact extents for
+    integer-coordinate fixtures), the IEEE-pinned double ``area``
+    (du·dv/e2, one multiply + one divide — bit-identical cross-engine),
+    and the flush edge's canonical endpoints (lexicographic min first)
+    as the deterministic tie-break.
+
+    Scale: identical shape to convex_hull — associative partial hulls
+    collapse each group before the single shuffle; the caliper sweep is
+    O(h²) NumPy per group on h = |hull| vertices. The twin replays the
+    directed-edge hull characterization + the same projections in SQL."""
+    pts = df.select(
+        F.col(group_col), F.col(x_col).alias("x"), F.col(y_col).alias("y")
+    )
+    gtype = pts.schema[group_col].dataType.simpleString()
+
+    def phase1(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            outs = []
+            for grp, sub in pdf.groupby(group_col, sort=False):
+                h = K.convex_hull_pts(sub[["x", "y"]].to_numpy())
+                outs.append(
+                    pd.DataFrame({group_col: grp, "x": h[:, 0], "y": h[:, 1]})
+                )
+            yield pd.concat(outs) if outs else pdf.iloc[:0]
+
+    pts = pts.mapInPandas(
+        phase1, schema=f"{group_col} {gtype}, x double, y double"
+    )
+    packed = pts.groupBy(group_col).agg(
+        F.collect_list(F.struct("x", "y")).alias("pts")
+    )
+    cols = (
+        "n_hull", "du", "dv", "e2", "area", "ax", "ay", "bx", "by"
+    )
+
+    def phase2(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {group_col: []}
+            out.update({c: [] for c in cols})
+            for grp, ps in zip(pdf[group_col], pdf["pts"]):
+                arr = np.array(
+                    [[p["x"], p["y"]] for p in ps], dtype=np.float64
+                )
+                h = K.convex_hull_pts(arr)
+                if len(h) < 3:
+                    continue
+                best = None
+                hx, hy = h[:, 0], h[:, 1]
+                for i in range(len(h)):
+                    ax, ay = h[i]
+                    bx, by = h[(i + 1) % len(h)]
+                    ex, ey = bx - ax, by - ay
+                    e2 = ex * ex + ey * ey
+                    u = (hx - ax) * ex + (hy - ay) * ey
+                    v = (hx - ax) * (-ey) + (hy - ay) * ex
+                    du = u.max() - u.min()
+                    dv = v.max() - v.min()
+                    area = du * dv / e2
+                    p1, p2 = sorted([(ax, ay), (bx, by)])
+                    key = (area, p1[0], p1[1], p2[0], p2[1])
+                    if best is None or key < best:
+                        best = key
+                        vals = (
+                            len(h), du, dv, e2, area,
+                            p1[0], p1[1], p2[0], p2[1],
+                        )
+                out[group_col].append(grp)
+                for c, val in zip(cols, vals):
+                    out[c].append(val)
+            yield pd.DataFrame(out)
+
+    return packed.mapInPandas(
+        phase2,
+        schema=(
+            f"{group_col} {gtype}, n_hull int, du double, dv double,"
+            " e2 double, area double, ax double, ay double,"
+            " bx double, by double"
+        ),
+    )
+
+
+def oriented_envelope_sql(
+    pts_cte: str, group_col: str = "g", x_col: str = "x", y_col: str = "y"
+) -> str:
+    """DuckDB twin of oriented_envelope over integer-coordinate points:
+    hull edges via the directed-edge characterization (every other point
+    strictly right, or collinear-and-between), then the identical
+    projection extents and IEEE-pinned area, min by (area, canonical
+    edge)."""
+    g, x, y = group_col, x_col, y_col
+    return f"""
+WITH pts AS (SELECT DISTINCT {g} AS g, {x} AS x, {y} AS y FROM ({pts_cte})),
+e AS (
+  SELECT a.g, a.x AS ax, a.y AS ay, b.x AS bx, b.y AS by2
+  FROM pts a JOIN pts b ON a.g = b.g AND NOT (a.x = b.x AND a.y = b.y)
+  WHERE NOT EXISTS (
+    SELECT 1 FROM pts c
+    WHERE c.g = a.g
+      AND NOT (c.x = a.x AND c.y = a.y)
+      AND NOT (c.x = b.x AND c.y = b.y)
+      AND ((b.x - a.x) * (c.y - a.y) - (b.y - a.y) * (c.x - a.x) > 0
+           OR ((b.x - a.x) * (c.y - a.y) - (b.y - a.y) * (c.x - a.x) = 0
+               AND NOT (c.x BETWEEN least(a.x, b.x) AND greatest(a.x, b.x)
+                        AND c.y BETWEEN least(a.y, b.y)
+                            AND greatest(a.y, b.y))))
+  )
+),
+hull_v AS (SELECT DISTINCT g, ax AS x, ay AS y FROM e),
+nh AS (SELECT g, CAST(count(*) AS INTEGER) AS n_hull FROM hull_v GROUP BY g),
+proj AS (
+  SELECT e.g, e.ax, e.ay, e.bx, e.by2,
+         (v.x - e.ax) * (e.bx - e.ax) + (v.y - e.ay) * (e.by2 - e.ay) AS u,
+         (v.x - e.ax) * (e.ay - e.by2) + (v.y - e.ay) * (e.bx - e.ax) AS vv
+  FROM e JOIN hull_v v ON v.g = e.g
+),
+cand AS (
+  SELECT g, ax, ay, bx, by2,
+         CAST(max(u) - min(u) AS DOUBLE) AS du,
+         CAST(max(vv) - min(vv) AS DOUBLE) AS dv,
+         CAST((bx - ax) * (bx - ax) + (by2 - ay) * (by2 - ay) AS DOUBLE)
+           AS e2
+  FROM proj GROUP BY 1, 2, 3, 4, 5
+),
+scored AS (
+  SELECT g, du, dv, e2, du * dv / e2 AS area,
+    CAST(CASE WHEN (ax < bx) OR (ax = bx AND ay < by2) THEN ax ELSE bx END
+         AS DOUBLE) AS cax,
+    CAST(CASE WHEN (ax < bx) OR (ax = bx AND ay < by2) THEN ay ELSE by2 END
+         AS DOUBLE) AS cay,
+    CAST(CASE WHEN (ax < bx) OR (ax = bx AND ay < by2) THEN bx ELSE ax END
+         AS DOUBLE) AS cbx,
+    CAST(CASE WHEN (ax < bx) OR (ax = bx AND ay < by2) THEN by2 ELSE ay END
+         AS DOUBLE) AS cby
+  FROM cand
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY g ORDER BY area, cax, cay, cbx, cby
+  ) AS rn
+  FROM scored
+)
+SELECT r.g, nh.n_hull, r.du, r.dv, r.e2, r.area,
+       r.cax AS ax, r.cay AS ay, r.cbx AS bx, r.cby AS by
+FROM ranked r JOIN nh ON nh.g = r.g
+WHERE r.rn = 1 AND nh.n_hull >= 3
+"""

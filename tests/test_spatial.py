@@ -1836,3 +1836,83 @@ def test_segment_intersect_join_matches_rational_brute(spark):
     assert got[(900, 1902)] is True    # proper crossing
     assert got[(900, 1900)] is False   # endpoint touch is not proper
     assert got[(901, 1901)] is False   # collinear overlap is not proper
+
+
+def _brute_min_rect(pts):
+    """O(n^2) oriented-envelope brute: every point pair defines a
+    candidate direction; extents over ALL points (hull extents equal
+    all-point extents)."""
+    import itertools
+
+    hull = K.convex_hull_pts(np.array(pts, dtype=np.float64))
+    best = None
+    n = len(hull)
+    for i in range(n):
+        ax, ay = hull[i]
+        bx, by = hull[(i + 1) % n]
+        ex, ey = bx - ax, by - ay
+        e2 = ex * ex + ey * ey
+        xs = np.array([p[0] for p in pts], dtype=np.float64)
+        ys = np.array([p[1] for p in pts], dtype=np.float64)
+        u = (xs - ax) * ex + (ys - ay) * ey
+        v = (xs - ax) * (-ey) + (ys - ay) * ex
+        area = (u.max() - u.min()) * (v.max() - v.min()) / e2
+        if best is None or area < best:
+            best = area
+    return best
+
+
+def test_oriented_envelope_matches_brute_and_twin(spark):
+    import duckdb
+
+    from osm2geojson_spark.operators.geometry import (
+        oriented_envelope,
+        oriented_envelope_sql,
+    )
+
+    rng = np.random.default_rng(17)
+    rows = []
+    for g in range(5):
+        for _ in range(60):
+            rows.append(
+                (g, float(rng.integers(0, 500)), float(rng.integers(0, 500)))
+            )
+    # a planted tilted rectangle group: corners of a 3-4-5 slanted box
+    base = [(0, 0), (40, 30), (10, 70), (-30, 40)]
+    for px, py in base:
+        rows.append((9, float(px + 100), float(py + 100)))
+    rows.append((9, 120.0, 140.0))  # interior point, must not matter
+    df = spark.createDataFrame(rows, "g long, x double, y double").repartition(4)
+    got = {r["g"]: r for r in oriented_envelope(df).collect()}
+
+    for g in range(5):
+        pts = [(x, y) for gg, x, y in rows if gg == g]
+        assert abs(got[g]["area"] - _brute_min_rect(pts)) < 1e-9, g
+    # the tilted square: side 50, area exactly 2500
+    assert got[9]["area"] == 2500.0 and got[9]["n_hull"] == 4
+
+    duck = duckdb.connect()
+    duck.execute("CREATE TABLE base (g BIGINT, x DOUBLE, y DOUBLE)")
+    duck.executemany("INSERT INTO base VALUES (?, ?, ?)", rows)
+    twin = {
+        r[0]: r[1:]
+        for r in duck.sql(
+            oriented_envelope_sql("SELECT g, x, y FROM base")
+        ).fetchall()
+    }
+    for g, r in got.items():
+        assert twin[g] == tuple(
+            r[c] for c in (
+                "n_hull", "du", "dv", "e2", "area", "ax", "ay", "bx", "by",
+            )
+        ), g
+
+
+def test_oriented_envelope_degenerate_groups_dropped(spark):
+    from osm2geojson_spark.operators.geometry import oriented_envelope
+
+    rows = [(1, 0.0, 0.0), (1, 5.0, 5.0),  # 2-point group
+            (2, 1.0, 1.0),                  # single point
+            (3, 0.0, 0.0), (3, 2.0, 2.0), (3, 4.0, 4.0)]  # collinear
+    df = spark.createDataFrame(rows, "g long, x double, y double")
+    assert oriented_envelope(df).count() == 0
