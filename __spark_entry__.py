@@ -2159,6 +2159,45 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("qid", "rank", "vec_id")
 
 
+def q_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X180 (retrieval.mmr_rerank): maximal marginal relevance
+    re-ranking — the diversity-aware post-ANN selection. Queries are
+    vec_id < 3, candidates the vec_id % 3 == qid slice of vec_id in
+    [3, 120); relevance and redundancy are quantized integer dots
+    (floor(a·b·1e6 + 0.5) per term), so the 5-step greedy trace is
+    engine-exact and the twin unrolls it as chained CTEs. Per-query
+    Arrow-batch greedy; nothing global shuffles."""
+    from osm2geojson_spark.operators.retrieval import mmr_rerank
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qvec")
+    )
+    c = emb.filter((F.col("vec_id") >= 3) & (F.col("vec_id") < 120)).select(
+        (F.col("vec_id") % 3).alias("qid"),
+        F.col("vec_id").alias("doc_id"),
+        F.col("v").alias("vec"),
+    )
+    return mmr_rerank(q, c, k=5)
+
+
+def _mmr_sql() -> str:
+    from osm2geojson_spark.operators.retrieval import mmr_rerank_sql
+
+    return mmr_rerank_sql(
+        "SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings"
+        " WHERE vec_id < 3",
+        "SELECT vec_id % 3 AS qid, vec_id AS doc_id,"
+        " embedding::DOUBLE[] AS v FROM embeddings"
+        " WHERE vec_id >= 3 AND vec_id < 120",
+        k=5,
+        dim=64,
+    )
+
+
 _ANN_SQL = """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 3),
@@ -10394,6 +10433,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rfm": q_rfm,
         "gaussian_blur": q_gaussian_blur,
         "min_bbox": q_min_bbox,
+        "mmr": q_mmr,
         "ranking_eval": q_ranking_eval,
         "ssim": q_ssim,
         "morph_openclose": q_morph_openclose,
@@ -10629,6 +10669,7 @@ def oracle_sql() -> dict[str, str]:
         "rfm": _rfm_sql(),
         "gaussian_blur": _gaussian_blur_sql(),
         "min_bbox": _min_bbox_sql(),
+        "mmr": _mmr_sql(),
         "ranking_eval": _ranking_eval_sql(),
         "ssim": _SSIM_SQL,
         "morph_openclose": _MORPH_OPENCLOSE_SQL,

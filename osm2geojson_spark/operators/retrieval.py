@@ -222,3 +222,172 @@ def ranking_metrics_weights(k: int = 10) -> tuple[dict, dict]:
         {p: round(1e6 / math.log2(p + 1)) for p in range(1, k + 1)},
         {p: round(1e6 / p) for p in range(1, k + 1)},
     )
+
+
+MMR_Q = 1_000_000  # similarity quantization: term = floor(a*b*1e6 + 0.5)
+MMR_LAM = 700_000  # default lambda = 0.7 in micro-units
+
+
+def _mmr_dot_q(a, b):
+    """Quantized dot product Σ_j floor(a_j·b_j·1e6 + 0.5) — order-free
+    int64, so NumPy and the SQL twin agree bit-exactly (floor and IEEE
+    multiply are deterministic; a plain float dot would differ in
+    summation order between engines)."""
+    import numpy as np
+
+    t = np.floor(
+        a.astype(np.float64) * b.astype(np.float64) * MMR_Q + 0.5
+    ).astype(np.int64)
+    return t.sum(axis=-1)
+
+
+def mmr_rerank(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 5,
+    lam_micro: int = MMR_LAM,
+) -> DataFrame:
+    """(qid, step, doc_id, mmr_score) — MAXIMAL MARGINAL RELEVANCE
+    re-ranking (Carbonell & Goldstein 1998), the diversity-aware
+    selection that every dedup-conscious retrieval / training-data
+    curation pipeline runs after ANN: greedily pick k candidates
+    maximizing
+
+        lam·rel(d) − (1e6−lam)·max_{s∈selected} sim(d, s)
+
+    with rel = quantized query·doc dot and sim = quantized doc·doc dot
+    (both integer micro-units via ``_mmr_dot_q``), ties broken by
+    ascending doc id. Step 1 has no selected set: score = lam·rel.
+    All-integer scoring → the greedy trace is engine-independent and a
+    k-step unrolled SQL twin hash-matches exactly.
+
+    Inputs: ``queries`` (qid, qvec), ``candidates`` (qid, doc_id, vec).
+
+    Scale: MMR runs AFTER candidate generation, so each query group is
+    ANN-top-N small (tens to hundreds); the greedy + its pairwise sims
+    run inside one Arrow batch per query (applyInPandas, O(k·N) sims
+    per query since sim columns are computed lazily per selected doc).
+    Queries parallelize across the cluster; nothing global shuffles."""
+    import numpy as np
+    import pandas as pd
+
+    joined = candidates.join(queries, "qid").select(
+        "qid", "doc_id", "vec", "qvec"
+    )
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) == 0:
+            return pd.DataFrame(
+                {"qid": [], "step": [], "doc_id": [], "mmr_score": []}
+            )
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        qid = pdf["qid"].iloc[0]
+        V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["vec"]])
+        qv = np.asarray(pdf["qvec"].iloc[0], dtype=np.float64)
+        rel = _mmr_dot_q(V, qv[None, :])
+        n = len(pdf)
+        lam = int(lam_micro)
+        mu = MMR_Q - lam
+        selected: list[int] = []
+        maxsim = np.full(n, np.iinfo(np.int64).min, dtype=np.int64)
+        out = {"qid": [], "step": [], "doc_id": [], "mmr_score": []}
+        for step in range(1, min(k, n) + 1):
+            if selected:
+                score = lam * rel - mu * maxsim
+            else:
+                score = lam * rel
+            score = np.where(
+                np.isin(np.arange(n), selected), np.iinfo(np.int64).min, score
+            )
+            best = int(np.argmax(score))  # ties: lowest index = lowest doc_id
+            out["qid"].append(qid)
+            out["step"].append(step)
+            out["doc_id"].append(int(pdf["doc_id"].iloc[best]))
+            out["mmr_score"].append(int(score[best]))
+            selected.append(best)
+            sims = _mmr_dot_q(V, V[best][None, :])
+            maxsim = np.maximum(maxsim, sims)
+        return pd.DataFrame(out)
+
+    return joined.groupBy("qid").applyInPandas(
+        fn, schema="qid long, step int, doc_id long, mmr_score long"
+    )
+
+
+def mmr_rerank_sql(
+    queries_cte: str,
+    cands_cte: str,
+    k: int = 5,
+    lam_micro: int = MMR_LAM,
+    dim: int = 64,
+) -> str:
+    """DuckDB twin of mmr_rerank: the greedy unrolled as k chained CTEs
+    (sel1..sel{k}), identical quantized-dot arithmetic over
+    unnest(generate_series) index joins. ``queries_cte`` -> (qid, qv
+    DOUBLE[]), ``cands_cte`` -> (qid, doc_id, v DOUBLE[])."""
+    lam = int(lam_micro)
+    mu = MMR_Q - lam
+    def dot(u, w):
+        return (
+            f"(SELECT CAST(sum(CAST(floor({u}[j] * {w}[j] * {MMR_Q} + 0.5)"
+            f" AS BIGINT)) AS BIGINT)"
+            f" FROM unnest(generate_series(1, {dim})) t(j))"
+        )
+
+    rel_dot = dot("a.qv", "b.v")
+    sim_dot = dot("a.v", "b2.v2")
+    parts = [
+        f"q AS ({queries_cte})",
+        f"c AS ({cands_cte})",
+        f"""rel AS (
+  SELECT b.qid, b.doc_id, {rel_dot} AS rel
+  FROM c b JOIN q a ON a.qid = b.qid
+)""",
+        f"""sims AS (
+  SELECT a.qid, a.doc_id AS d1, b2.doc_id AS d2, {sim_dot} AS sim
+  FROM (SELECT qid, doc_id, v FROM c) a
+  JOIN (SELECT qid, doc_id, v AS v2 FROM c) b2
+    ON b2.qid = a.qid
+)""",
+        f"""sel1 AS (
+  SELECT qid, doc_id, {lam} * rel AS mmr_score
+  FROM rel QUALIFY row_number() OVER (
+    PARTITION BY qid ORDER BY {lam} * rel DESC, doc_id ASC) = 1
+)""",
+    ]
+    prev_sel = ["sel1"]
+    for i in range(2, k + 1):
+        sel_union = " UNION ALL ".join(
+            f"SELECT qid, doc_id FROM {s}" for s in prev_sel
+        )
+        parts.append(
+            f"""picked{i} AS ({sel_union})""")
+        parts.append(
+            f"""sc{i} AS (
+  SELECT r.qid, r.doc_id,
+         {lam} * r.rel - {mu} * (
+           SELECT max(s.sim) FROM sims s
+           WHERE s.qid = r.qid AND s.d1 = r.doc_id
+             AND s.d2 IN (SELECT doc_id FROM picked{i} p WHERE p.qid = r.qid)
+         ) AS mmr_score
+  FROM rel r
+  WHERE r.doc_id NOT IN
+        (SELECT doc_id FROM picked{i} p2 WHERE p2.qid = r.qid)
+)""")
+        parts.append(
+            f"""sel{i} AS (
+  SELECT qid, doc_id, mmr_score FROM sc{i}
+  QUALIFY row_number() OVER (
+    PARTITION BY qid ORDER BY mmr_score DESC, doc_id ASC) = 1
+)""")
+        prev_sel.append(f"sel{i}")
+    final = " UNION ALL ".join(
+        f"SELECT qid, {i} AS step, doc_id, mmr_score FROM sel{i}"
+        for i in range(1, k + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT qid, CAST(step AS INTEGER) AS step, doc_id, mmr_score"
+        f" FROM ({final})"
+    )

@@ -130,3 +130,96 @@ def test_ranking_metrics_matches_float_brute(spark):
             assert r["rr_q"] == 0, q
     assert got[0]["ndcg"] == 1.0
     assert got[2]["ndcg"] == 0.0 and got[2]["dcg_q"] == 0
+
+
+def test_mmr_rerank_matches_serial_greedy_and_twin(spark):
+    """mmr_rerank == a serial Python greedy (exact integer scores), and
+    the unrolled-CTE DuckDB twin returns identical rows; diversity
+    sanity: near-duplicate of the top pick is deferred."""
+    import duckdb
+    import numpy as np
+
+    from osm2geojson_spark.operators.retrieval import (
+        MMR_LAM,
+        MMR_Q,
+        mmr_rerank,
+        mmr_rerank_sql,
+    )
+
+    rng = np.random.default_rng(5)
+    dim = 8
+    qrows, crows = [], []
+    vecs = {}
+    for qid in range(3):
+        qv = rng.normal(size=dim).astype(np.float32)
+        qrows.append((qid, [float(x) for x in qv]))
+        for d in range(12):
+            v = rng.normal(size=dim).astype(np.float32)
+            if d == 7:  # near-duplicate of doc 0
+                v = np.array(vecs[(qid, 0)], dtype=np.float32) * 1.001
+            vecs[(qid, d)] = [float(x) for x in v]
+            crows.append((qid, d, vecs[(qid, d)]))
+    q = spark.createDataFrame(qrows, "qid long, qvec array<double>")
+    c = spark.createDataFrame(crows, "qid long, doc_id long, vec array<double>")
+    got = {
+        (r["qid"], r["step"]): (r["doc_id"], r["mmr_score"])
+        for r in mmr_rerank(q, c, k=5).collect()
+    }
+
+    def dq(a, b):
+        return int(
+            np.floor(
+                np.asarray(a, np.float64) * np.asarray(b, np.float64) * MMR_Q
+                + 0.5
+            ).astype(np.int64).sum()
+        )
+
+    lam, mu = MMR_LAM, MMR_Q - MMR_LAM
+    want = {}
+    for qid, qv in qrows:
+        docs = sorted(d for (qq, d) in vecs if qq == qid)
+        rel = {d: dq(qv, vecs[(qid, d)]) for d in docs}
+        sel = []
+        for step in range(1, 6):
+            best = None
+            for d in docs:
+                if d in sel:
+                    continue
+                if sel:
+                    ms = max(dq(vecs[(qid, d)], vecs[(qid, s)]) for s in sel)
+                    sc = lam * rel[d] - mu * ms
+                else:
+                    sc = lam * rel[d]
+                if best is None or (sc, -d) > (best[1], -best[0]):
+                    best = (d, sc)
+            want[(qid, step)] = best
+            sel.append(best[0])
+    assert got == want
+
+    duck = duckdb.connect()
+    duck.execute("CREATE TABLE qt (qid BIGINT, qv DOUBLE[])")
+    duck.executemany("INSERT INTO qt VALUES (?, ?)", qrows)
+    duck.execute("CREATE TABLE ct (qid BIGINT, doc_id BIGINT, v DOUBLE[])")
+    duck.executemany("INSERT INTO ct VALUES (?, ?, ?)", crows)
+    twin = {
+        (r[0], r[1]): (r[2], r[3])
+        for r in duck.sql(
+            mmr_rerank_sql(
+                "SELECT qid, qv FROM qt",
+                "SELECT qid, doc_id, v FROM ct",
+                k=5,
+                dim=dim,
+            )
+        ).fetchall()
+    }
+    assert twin == got
+
+    # diversity sanity: pure relevance would rank the near-dup of the
+    # top pick adjacent; MMR must NOT pick it at step 2
+    for qid, qv in qrows:
+        rel = {d: dq(qv, vecs[(qid, d)]) for d in range(12)}
+        top = max(rel, key=lambda d: (rel[d], -d))
+        dup = 7 if top == 0 else (0 if top == 7 else None)
+        if dup is not None:
+            assert got[(qid, 1)][0] == top
+            assert got[(qid, 2)][0] != dup
