@@ -9041,6 +9041,23 @@ def _attribution_sql() -> str:
     )
 
 
+def q_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X181 (functions/text.pmi_cooc): PMI collocation mining over the
+    documents corpus — adjacent normalized-token pairs (canonical
+    unordered), log-free monotone PMI as the exact-int-backed pinned
+    ratio c_xy·N_tok²/(N_pairs·u_x·u_y), min support 3. One per-doc
+    window + two combinable rollups + broadcast marginal joins."""
+    from osm2geojson_spark.functions.text import pmi_cooc
+
+    return pmi_cooc(_t(spark, sf_dir, "documents"), min_count=3)
+
+
+def _pmi_sql() -> str:
+    from osm2geojson_spark.functions.text import pmi_cooc_sql
+
+    return pmi_cooc_sql("SELECT doc_id, text FROM documents", min_count=3)
+
+
 def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X177 (analytics.rfm_segments): RFM customer segmentation over
     orders — recency/frequency/exact-cent monetary, each scored 1..5 by
@@ -10434,6 +10451,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gaussian_blur": q_gaussian_blur,
         "min_bbox": q_min_bbox,
         "mmr": q_mmr,
+        "pmi": q_pmi,
         "ranking_eval": q_ranking_eval,
         "ssim": q_ssim,
         "morph_openclose": q_morph_openclose,
@@ -10670,6 +10688,7 @@ def oracle_sql() -> dict[str, str]:
         "gaussian_blur": _gaussian_blur_sql(),
         "min_bbox": _min_bbox_sql(),
         "mmr": _mmr_sql(),
+        "pmi": _pmi_sql(),
         "ranking_eval": _ranking_eval_sql(),
         "ssim": _SSIM_SQL,
         "morph_openclose": _MORPH_OPENCLOSE_SQL,

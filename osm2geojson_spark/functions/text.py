@@ -363,3 +363,121 @@ def text_nll(
             ).alias("avg_nll"),
         )
     )
+
+
+def pmi_cooc(
+    docs: DataFrame, text_col: str = "text", min_count: int = 3
+) -> DataFrame:
+    """(tok1, tok2, c_xy, u_x, u_y, n_pairs, n_tokens, pmi_ratio) —
+    POINTWISE MUTUAL INFORMATION over adjacent-token co-occurrence
+    (Church & Hanks 1990), the classic collocation/phrase-mining signal
+    ("new york" scores high, "of the" low) used for phrase vocabularies
+    and word-association features in corpus pipelines.
+
+    Pairs are unordered-canonicalized (lexicographic min first) adjacent
+    normalized tokens. Instead of the log (whose cross-engine last-ulp
+    is unpinned) the MONOTONE-equivalent exact quantity is returned:
+
+        pmi_ratio = (c_xy · N_tok · N_tok) / (N_pairs · u_x · u_y)
+
+    = p(x,y)/(p(x)p(y)); the numerator/denominator are exact int64
+    (bound: c_xy·N_tok² < 2^63 → corpora to ~1e6 tokens per partition
+    of the exactness guarantee; beyond that the pinned-order double
+    ratio remains engine-identical) and the one division is IEEE.
+    Rows with c_xy < ``min_count`` are dropped.
+
+    Scale: bigram extraction is a per-doc ordered window (lead), pair
+    counts ONE combinable rollup (map-side combine collapses repeated
+    collocations before the shuffle), unigram marginals a second rollup
+    joined back — vocabulary-sized, broadcastable; totals are scalar
+    cross joins."""
+    from pyspark.sql.window import Window
+
+    toks = docs.select(
+        F.col("doc_id"),
+        F.posexplode(F.split(normalize_col(F.col(text_col)), " ")).alias(
+            "pos", "tok"
+        ),
+    ).filter(F.col("tok") != "")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    pairs = (
+        toks.withColumn("nxt", F.lead("tok").over(w))
+        .filter(F.col("nxt").isNotNull())
+        .select(
+            F.least("tok", "nxt").alias("tok1"),
+            F.greatest("tok", "nxt").alias("tok2"),
+        )
+    )
+    pc = pairs.groupBy("tok1", "tok2").agg(
+        F.count(F.lit(1)).cast("long").alias("c_xy")
+    )
+    uni = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("u"))
+    tot = toks.agg(F.count(F.lit(1)).cast("long").alias("n_tokens")).crossJoin(
+        pairs.agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )
+    out = (
+        pc.filter(F.col("c_xy") >= min_count)
+        .join(
+            F.broadcast(uni.select(F.col("tok").alias("tok1"), F.col("u").alias("u_x"))),
+            "tok1",
+        )
+        .join(
+            F.broadcast(uni.select(F.col("tok").alias("tok2"), F.col("u").alias("u_y"))),
+            "tok2",
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+    nt = F.col("n_tokens").cast("double")
+    ratio = (
+        (F.col("c_xy").cast("double") * nt * nt)
+        / (
+            F.col("n_pairs").cast("double")
+            * F.col("u_x").cast("double")
+            * F.col("u_y").cast("double")
+        )
+    )
+    return out.select(
+        "tok1", "tok2", "c_xy", "u_x", "u_y", "n_pairs", "n_tokens",
+        ratio.alias("pmi_ratio"),
+    )
+
+
+def pmi_cooc_sql(
+    docs_cte: str, text_col: str = "text", min_count: int = 3
+) -> str:
+    """DuckDB twin of pmi_cooc — generate_series indexing instead of
+    posexplode, identical canonicalization and pinned ratio order."""
+    norm = normalize_sql(text_col)
+    return f"""
+WITH src AS ({docs_cte}),
+lists AS (
+  SELECT doc_id, list_filter(string_split({norm}, ' '), t -> t != '') AS l
+  FROM src
+),
+toks AS (
+  SELECT doc_id, l[j] AS tok
+  FROM lists, unnest(generate_series(1, length(l))) t(j)
+),
+pairs AS (
+  SELECT least(l[j], l[j + 1]) AS tok1, greatest(l[j], l[j + 1]) AS tok2
+  FROM lists, unnest(generate_series(1, length(l) - 1)) t(j)
+),
+pc AS (
+  SELECT tok1, tok2, CAST(count(*) AS BIGINT) AS c_xy
+  FROM pairs GROUP BY 1, 2 HAVING count(*) >= {int(min_count)}
+),
+uni AS (SELECT tok, CAST(count(*) AS BIGINT) AS u FROM toks GROUP BY tok),
+tot AS (
+  SELECT (SELECT CAST(count(*) AS BIGINT) FROM toks) AS n_tokens,
+         (SELECT CAST(count(*) AS BIGINT) FROM pairs) AS n_pairs
+)
+SELECT pc.tok1, pc.tok2, pc.c_xy, ux.u AS u_x, uy.u AS u_y,
+       tot.n_pairs, tot.n_tokens,
+       (CAST(pc.c_xy AS DOUBLE) * CAST(tot.n_tokens AS DOUBLE)
+        * CAST(tot.n_tokens AS DOUBLE))
+       / (CAST(tot.n_pairs AS DOUBLE) * CAST(ux.u AS DOUBLE)
+          * CAST(uy.u AS DOUBLE)) AS pmi_ratio
+FROM pc
+JOIN uni ux ON ux.tok = pc.tok1
+JOIN uni uy ON uy.tok = pc.tok2, tot
+"""

@@ -1089,3 +1089,68 @@ def test_mutual_knn_clusters_matches_brute(spark):
     assert any(
         sum(1 for c in got.values() if c == cid) >= 3 for cid in set(got.values())
     )
+
+
+def test_pmi_cooc_matches_dict_replay_and_twin(spark):
+    """pmi_cooc == a dict replay of normalized adjacent-pair counting,
+    collocations score above function-word pairs, twin bit-identical."""
+    import re
+    from collections import Counter
+
+    import duckdb
+
+    from osm2geojson_spark.functions.text import pmi_cooc, pmi_cooc_sql
+
+    docs = [
+        (0, "New York is big. The new museum of York?"),
+        (1, "the cat and the dog and the cat"),
+        (2, "New York, New York -- so good they named it twice"),
+        (3, "a b a b a b a b"),
+        (4, ""),
+        (5, "the quick fox the lazy dog the old cat"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["tok1"], r["tok2"]): r
+        for r in pmi_cooc(df, min_count=2).collect()
+    }
+
+    def norm_tokens(s):
+        s = re.sub(r"[^a-z0-9 ]", "", s.lower())
+        s = re.sub(r" +", " ", s).strip()
+        return [t for t in s.split(" ") if t]
+
+    uni, pc = Counter(), Counter()
+    n_tok = n_pairs = 0
+    for _, txt in docs:
+        ts = norm_tokens(txt)
+        uni.update(ts)
+        n_tok += len(ts)
+        for a, b in zip(ts, ts[1:]):
+            pc[(min(a, b), max(a, b))] += 1
+            n_pairs += 1
+    want_keys = {k for k, c in pc.items() if c >= 2}
+    assert set(got) == want_keys
+    for k in want_keys:
+        r = got[k]
+        assert (r["c_xy"], r["u_x"], r["u_y"]) == (pc[k], uni[k[0]], uni[k[1]])
+        assert (r["n_pairs"], r["n_tokens"]) == (n_pairs, n_tok)
+        want_ratio = (pc[k] * n_tok * n_tok) / (n_pairs * uni[k[0]] * uni[k[1]])
+        assert abs(r["pmi_ratio"] - want_ratio) < 1e-9
+    # collocation beats function-word pair
+    assert got[("new", "york")]["pmi_ratio"] > got[("and", "the")]["pmi_ratio"]
+
+    duck = duckdb.connect()
+    duck.execute("CREATE TABLE d (doc_id BIGINT, text VARCHAR)")
+    duck.executemany("INSERT INTO d VALUES (?, ?)", docs)
+    twin = {
+        (r[0], r[1]): r[2:]
+        for r in duck.sql(
+            pmi_cooc_sql("SELECT doc_id, text FROM d", min_count=2)
+        ).fetchall()
+    }
+    assert twin == {
+        k: (r["c_xy"], r["u_x"], r["u_y"], r["n_pairs"], r["n_tokens"],
+            r["pmi_ratio"])
+        for k, r in got.items()
+    }
