@@ -9041,6 +9041,60 @@ def _attribution_sql() -> str:
     )
 
 
+def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X182 (analytics.gini_coefficient): Gini concentration of order
+    revenue (exact cents) — the rank formula Σ(2r−n−1)x/(nΣx) as an
+    exact int64 rational; the global rank is the value-bucketed
+    two-level scan, never a single-partition window."""
+    from osm2geojson_spark.operators.analytics import gini_coefficient
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    return gini_coefficient(o, "cents", "k")
+
+
+def _gini_sql() -> str:
+    from osm2geojson_spark.operators.analytics import gini_coefficient_sql
+
+    return gini_coefficient_sql(
+        "SELECT o_orderkey AS k, CAST(round(o_totalprice * 100) AS BIGINT)"
+        " AS cents FROM orders",
+        "cents",
+        "k",
+    )
+
+
+def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X183 (analytics.ks_test): binning-free two-sample KS drift gate
+    between purchase and view event values (exact cents) — the max ECDF
+    gap as an exact integer rational with the attaining value; the
+    complement of psi_drift (which needs bins). Support-sized cumulative
+    walk, struct-max rollup."""
+    from osm2geojson_spark.operators.analytics import ks_test
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    )
+    a = ev.filter(F.col("event_type") == "purchase").select("v")
+    b = ev.filter(F.col("event_type") == "view").select("v")
+    return ks_test(a, b, "v")
+
+
+def _ks_drift_sql() -> str:
+    from osm2geojson_spark.operators.analytics import ks_test_sql
+
+    return ks_test_sql(
+        "SELECT CAST(round(value * 100) AS BIGINT) AS v FROM events"
+        " WHERE event_type = 'purchase'",
+        "SELECT CAST(round(value * 100) AS BIGINT) AS v FROM events"
+        " WHERE event_type = 'view'",
+        "v",
+    )
+
+
 def q_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X181 (functions/text.pmi_cooc): PMI collocation mining over the
     documents corpus — adjacent normalized-token pairs (canonical
@@ -10452,6 +10506,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "min_bbox": q_min_bbox,
         "mmr": q_mmr,
         "pmi": q_pmi,
+        "gini": q_gini,
+        "ks_drift": q_ks_drift,
         "ranking_eval": q_ranking_eval,
         "ssim": q_ssim,
         "morph_openclose": q_morph_openclose,
@@ -10689,6 +10745,8 @@ def oracle_sql() -> dict[str, str]:
         "min_bbox": _min_bbox_sql(),
         "mmr": _mmr_sql(),
         "pmi": _pmi_sql(),
+        "gini": _gini_sql(),
+        "ks_drift": _ks_drift_sql(),
         "ranking_eval": _ranking_eval_sql(),
         "ssim": _SSIM_SQL,
         "morph_openclose": _MORPH_OPENCLOSE_SQL,

@@ -1811,3 +1811,175 @@ SELECT cust, recency_days, frequency, monetary_c,
      + (1 + ((mr - 1) * {n_bins}) // n) AS INTEGER) AS segment
 FROM ranked
 """
+
+
+def gini_coefficient(
+    df: DataFrame, value_col: str, key_col: str
+) -> DataFrame:
+    """(n, sum_x, gini_num, gini_den, gini) — GINI COEFFICIENT of a
+    nonnegative integer value column, by the exact rank formula
+
+        G = Σ_i (2·r_i − n − 1)·x_i / (n·Σx)
+
+    with r_i the deterministic 1-based rank by (value, key). The
+    num/den are exact int64 (bound: 2n·max_x·n.. keep n·Σx < 2^63) and
+    the scalar is one IEEE division — the standard concentration metric
+    for revenue/customer skew and token-frequency inequality gates in
+    corpus pipelines.
+
+    Scale: the only ordered step is the global rank — the value-bucketed
+    two-level scan (``_two_level_rank``: <= 64 bucket counts to the
+    driver, per-bucket parallel windows), then one combinable rollup."""
+    base = df.select(
+        F.col(value_col).cast("long").alias("_x"),
+        F.col(key_col).alias("_k"),
+    )
+    ranked = _two_level_rank(base, "_x", "_k", "_r")
+    agg = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("_x").cast("long").alias("sum_x"),
+        F.sum(
+            (F.lit(2) * F.col("_r") - F.lit(1)) * F.col("_x")
+        ).cast("long").alias("_s"),
+    )
+    num = F.col("_s") - F.col("n") * F.col("sum_x")
+    den = F.col("n") * F.col("sum_x")
+    return agg.select(
+        "n",
+        "sum_x",
+        num.cast("long").alias("gini_num"),
+        den.cast("long").alias("gini_den"),
+        F.when(
+            den != 0, num.cast("double") / den.cast("double")
+        ).alias("gini"),
+    )
+
+
+def gini_coefficient_sql(rows_cte: str, value_col: str, key_col: str) -> str:
+    """DuckDB twin of gini_coefficient — serial rank window, identical
+    integer rational."""
+    return f"""
+WITH src AS ({rows_cte}),
+ranked AS (
+  SELECT CAST({value_col} AS BIGINT) AS x,
+         row_number() OVER (ORDER BY {value_col}, {key_col}) AS r
+  FROM src
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sum_x,
+         CAST(sum((2 * r - 1) * x) AS BIGINT) AS s
+  FROM ranked
+)
+SELECT n, sum_x,
+       CAST(s - n * sum_x AS BIGINT) AS gini_num,
+       CAST(n * sum_x AS BIGINT) AS gini_den,
+       CASE WHEN n * sum_x != 0
+            THEN CAST(s - n * sum_x AS DOUBLE)
+                 / CAST(n * sum_x AS DOUBLE)
+       END AS gini
+FROM agg
+"""
+
+
+def ks_test(
+    a: DataFrame, b: DataFrame, value_col: str
+) -> DataFrame:
+    """(n_a, n_b, d_num, d_den, d_stat, d_at) — two-sample
+    KOLMOGOROV-SMIRNOV distance between integer-valued samples: the
+    max ECDF gap, kept EXACT as the integer rational
+
+        D = max_v |cum_a(v)·n_b − cum_b(v)·n_a| / (n_a·n_b)
+
+    evaluated at every distinct value of the union (where the max is
+    attained); ``d_at`` is the smallest attaining value — fully
+    deterministic. The drift gate that complements psi_drift: PSI needs
+    binning, KS is binning-free.
+
+    Scale: per-value counts are combinable rollups; the cumulative
+    walk runs over the DISTINCT-value relation (cardinality of the
+    support, corpus-sublinear) via an ordered window — shard it with
+    the two-level scan if a support ever outgrows a task. The final
+    max is a struct-max rollup, no sort of the raw data anywhere."""
+    ca = a.groupBy(F.col(value_col).alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("na_v")
+    )
+    cb = b.groupBy(F.col(value_col).alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("nb_v")
+    )
+    merged = ca.join(cb, "v", "full_outer").select(
+        "v",
+        F.coalesce("na_v", F.lit(0)).alias("na_v"),
+        F.coalesce("nb_v", F.lit(0)).alias("nb_v"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = merged.select(
+        "v",
+        F.sum("na_v").over(w).cast("long").alias("ca"),
+        F.sum("nb_v").over(w).cast("long").alias("cb"),
+    )
+    tot = merged.agg(
+        F.sum("na_v").cast("long").alias("n_a"),
+        F.sum("nb_v").cast("long").alias("n_b"),
+    )
+    gap = cum.crossJoin(F.broadcast(tot)).select(
+        "n_a",
+        "n_b",
+        "v",
+        F.abs(
+            F.col("ca") * F.col("n_b") - F.col("cb") * F.col("n_a")
+        ).cast("long").alias("g"),
+    )
+    best = gap.groupBy("n_a", "n_b").agg(
+        F.max(F.struct(F.col("g"), (-F.col("v")).alias("nv"))).alias("m")
+    )
+    return best.select(
+        "n_a",
+        "n_b",
+        F.col("m.g").cast("long").alias("d_num"),
+        (F.col("n_a") * F.col("n_b")).cast("long").alias("d_den"),
+        (
+            F.col("m.g").cast("double")
+            / (F.col("n_a") * F.col("n_b")).cast("double")
+        ).alias("d_stat"),
+        (-F.col("m.nv")).cast("long").alias("d_at"),
+    )
+
+
+def ks_test_sql(a_cte: str, b_cte: str, value_col: str) -> str:
+    """DuckDB twin of ks_test — identical merged-support cumulative
+    counts and integer gap, arg-max replayed with the same smallest-
+    value tie-break."""
+    v = value_col
+    return f"""
+WITH sa AS ({a_cte}), sb AS ({b_cte}),
+ca AS (SELECT {v} AS v, CAST(count(*) AS BIGINT) AS na_v FROM sa GROUP BY 1),
+cb AS (SELECT {v} AS v, CAST(count(*) AS BIGINT) AS nb_v FROM sb GROUP BY 1),
+merged AS (
+  SELECT COALESCE(ca.v, cb.v) AS v,
+         COALESCE(na_v, 0) AS na_v, COALESCE(nb_v, 0) AS nb_v
+  FROM ca FULL OUTER JOIN cb ON ca.v = cb.v
+),
+cum AS (
+  SELECT v,
+    CAST(sum(na_v) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+         AND CURRENT ROW) AS BIGINT) AS cca,
+    CAST(sum(nb_v) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+         AND CURRENT ROW) AS BIGINT) AS ccb
+  FROM merged
+),
+tot AS (
+  SELECT CAST(sum(na_v) AS BIGINT) AS n_a, CAST(sum(nb_v) AS BIGINT) AS n_b
+  FROM merged
+),
+gap AS (
+  SELECT tot.n_a, tot.n_b, v, abs(cca * tot.n_b - ccb * tot.n_a) AS g
+  FROM cum, tot
+)
+SELECT n_a, n_b,
+       CAST(g AS BIGINT) AS d_num,
+       CAST(n_a * n_b AS BIGINT) AS d_den,
+       CAST(g AS DOUBLE) / CAST(n_a * n_b AS DOUBLE) AS d_stat,
+       CAST(v AS BIGINT) AS d_at
+FROM gap
+QUALIFY row_number() OVER (ORDER BY g DESC, v ASC) = 1
+"""

@@ -1380,3 +1380,90 @@ def test_rfm_segments_matches_serial_replay(spark):
         cnt = Counter(sc.values())
         assert set(cnt) == set(range(1, 6))
         assert max(cnt.values()) - min(cnt.values()) <= 1
+
+
+def test_gini_matches_textbook_and_twin(spark):
+    import duckdb
+    import numpy as np
+
+    from osm2geojson_spark.operators.analytics import (
+        gini_coefficient,
+        gini_coefficient_sql,
+    )
+
+    # equal values -> 0; single holder -> (n-1)/n
+    eq = spark.createDataFrame([(i, 10) for i in range(8)], "k long, x long")
+    r = gini_coefficient(eq, "x", "k").collect()[0]
+    assert r["gini_num"] == 0 and r["gini"] == 0.0
+    onep = spark.createDataFrame(
+        [(i, 0) for i in range(9)] + [(9, 100)], "k long, x long"
+    )
+    r1 = gini_coefficient(onep, "x", "k").collect()[0]
+    assert abs(r1["gini"] - 0.9) < 1e-12
+
+    rng = np.random.default_rng(29)
+    rows = [(int(i), int(v)) for i, v in enumerate(rng.integers(0, 5000, 300))]
+    df = spark.createDataFrame(rows, "k long, x long").repartition(6)
+    got = gini_coefficient(df, "x", "k").collect()[0]
+    xs = np.sort(np.array([v for _, v in rows], dtype=np.int64))
+    n = len(xs)
+    want = float(((2 * np.arange(1, n + 1) - n - 1) * xs).sum() / (n * xs.sum()))
+    assert abs(got["gini"] - want) < 1e-12
+
+    duck = duckdb.connect()
+    duck.execute("CREATE TABLE base (k BIGINT, x BIGINT)")
+    duck.executemany("INSERT INTO base VALUES (?, ?)", rows)
+    twin = duck.sql(
+        gini_coefficient_sql("SELECT k, x FROM base", "x", "k")
+    ).fetchall()[0]
+    assert twin == tuple(
+        got[c] for c in ("n", "sum_x", "gini_num", "gini_den", "gini")
+    )
+
+
+def test_ks_test_matches_ecdf_replay_and_twin(spark):
+    import duckdb
+    import numpy as np
+
+    from osm2geojson_spark.operators.analytics import ks_test, ks_test_sql
+
+    rng = np.random.default_rng(31)
+    av = [int(v) for v in rng.integers(0, 60, 150)]
+    bv = [int(v) for v in (rng.integers(0, 60, 200) + 8)]  # shifted
+    a = spark.createDataFrame([(v,) for v in av], "v long").repartition(4)
+    b = spark.createDataFrame([(v,) for v in bv], "v long").repartition(3)
+    got = ks_test(a, b, "v").collect()[0]
+
+    support = sorted(set(av) | set(bv))
+    na, nb = len(av), len(bv)
+    best = None
+    for v in support:
+        ca = sum(1 for x in av if x <= v)
+        cb = sum(1 for x in bv if x <= v)
+        g = abs(ca * nb - cb * na)
+        if best is None or (g, -v) > (best[0], -best[1]):
+            best = (g, v)
+    assert (got["n_a"], got["n_b"]) == (na, nb)
+    assert (got["d_num"], got["d_at"]) == best
+    assert got["d_den"] == na * nb
+    assert abs(got["d_stat"] - best[0] / (na * nb)) < 1e-15
+
+    # identical samples -> D = 0; disjoint -> D = 1
+    same = ks_test(a, a, "v").collect()[0]
+    assert same["d_num"] == 0
+    lo = spark.createDataFrame([(v,) for v in range(5)], "v long")
+    hi = spark.createDataFrame([(v,) for v in range(100, 104)], "v long")
+    dj = ks_test(lo, hi, "v").collect()[0]
+    assert dj["d_stat"] == 1.0 and dj["d_at"] == 4
+
+    duck = duckdb.connect()
+    duck.execute("CREATE TABLE ta (v BIGINT)")
+    duck.executemany("INSERT INTO ta VALUES (?)", [(v,) for v in av])
+    duck.execute("CREATE TABLE tb (v BIGINT)")
+    duck.executemany("INSERT INTO tb VALUES (?)", [(v,) for v in bv])
+    twin = duck.sql(
+        ks_test_sql("SELECT v FROM ta", "SELECT v FROM tb", "v")
+    ).fetchall()[0]
+    assert twin == tuple(
+        got[c] for c in ("n_a", "n_b", "d_num", "d_den", "d_stat", "d_at")
+    )
