@@ -2159,6 +2159,33 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("qid", "rank", "vec_id")
 
 
+def q_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X184 (similarity.silhouette_scores): silhouette clustering
+    quality of the labeled embedding sample (vec_id < 150) — quantized
+    exact pairwise squared-L2 sums, pinned IEEE mean/ratio assembly,
+    deterministic (mean, label) min-by. Quadratic by definition, so it
+    runs on a sample; within the sample one broadcast self-join + a
+    combinable rollup."""
+    from osm2geojson_spark.operators.similarity import silhouette_scores
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 150).select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("vec"),
+    )
+    return silhouette_scores(emb)
+
+
+def _silhouette_sql() -> str:
+    from osm2geojson_spark.operators.similarity import silhouette_scores_sql
+
+    return silhouette_scores_sql(
+        "SELECT vec_id, label, embedding::DOUBLE[] AS vec FROM embeddings"
+        " WHERE vec_id < 150",
+        dim=64,
+    )
+
+
 def q_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X180 (retrieval.mmr_rerank): maximal marginal relevance
     re-ranking — the diversity-aware post-ANN selection. Queries are
@@ -10508,6 +10535,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pmi": q_pmi,
         "gini": q_gini,
         "ks_drift": q_ks_drift,
+        "silhouette": q_silhouette,
         "ranking_eval": q_ranking_eval,
         "ssim": q_ssim,
         "morph_openclose": q_morph_openclose,
@@ -10747,6 +10775,7 @@ def oracle_sql() -> dict[str, str]:
         "pmi": _pmi_sql(),
         "gini": _gini_sql(),
         "ks_drift": _ks_drift_sql(),
+        "silhouette": _silhouette_sql(),
         "ranking_eval": _ranking_eval_sql(),
         "ssim": _SSIM_SQL,
         "morph_openclose": _MORPH_OPENCLOSE_SQL,

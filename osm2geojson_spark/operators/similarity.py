@@ -1131,3 +1131,142 @@ def mutual_knn_clusters(
     return duplicate_clusters(
         emb.select(F.col(id_col).alias("doc_id")), mutual
     ).select(F.col("doc_id").alias(id_col), "cluster_id")
+
+
+SIL_Q = 1_000_000  # silhouette distance quantization per term
+
+
+def silhouette_scores(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "vec",
+    label_col: str = "label",
+) -> DataFrame:
+    """(vec_id, label, a_mean, b_mean, b_label, silhouette) — SILHOUETTE
+    clustering quality (Rousseeuw 1987) per point: a = mean intra-cluster
+    distance (self excluded), b = min over other clusters of the mean
+    distance, s = (b − a)/max(a, b). THE standard internal validation
+    for the k-means/embedding-cluster operators in this repo.
+
+    Exactness: pairwise distances are the quantized squared L2
+    Σ_j floor((x_j − y_j)²·1e6 + 0.5) — order-free int64 — so per-
+    cluster (sum, count) pairs are exact; the means and the final s are
+    a pinned-order IEEE double assembly (divide, subtract, divide),
+    identical cross-engine. min-by is (mean, label) — deterministic.
+    Singleton clusters get silhouette 0 with NULL a_mean (sklearn's
+    convention).
+
+    Scale: silhouette is quadratic by definition — run it on a SAMPLE
+    (the universal practice; sampling ops live in operators/sampling).
+    Within the sample the pair distances are one self-join (broadcast
+    the sample) + a combinable (i, other-label) rollup; nothing touches
+    the full corpus."""
+    a = emb.select(
+        F.col(id_col).alias("i"),
+        F.col(label_col).alias("li"),
+        F.col(vec_col).alias("vi"),
+    )
+    b = emb.select(
+        F.col(id_col).alias("j"),
+        F.col(label_col).alias("lj"),
+        F.col(vec_col).alias("vj"),
+    )
+    dist_q = F.aggregate(
+        F.zip_with(
+            "vi",
+            "vj",
+            lambda x, y: F.floor(
+                (x - y) * (x - y) * F.lit(float(SIL_Q)) + F.lit(0.5)
+            ).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + t,
+    )
+    pairs = (
+        a.join(F.broadcast(b), F.col("i") != F.col("j"))
+        .withColumn("_d", dist_q)
+        .groupBy("i", "li", "lj")
+        .agg(
+            F.sum("_d").cast("long").alias("s"),
+            F.count(F.lit(1)).cast("long").alias("c"),
+        )
+    )
+    own = pairs.filter(F.col("li") == F.col("lj")).select(
+        "i",
+        (F.col("s").cast("double") / F.col("c").cast("double")).alias(
+            "a_mean"
+        ),
+    )
+    other = (
+        pairs.filter(F.col("li") != F.col("lj"))
+        .withColumn(
+            "_m", F.col("s").cast("double") / F.col("c").cast("double")
+        )
+        .groupBy("i", "li")
+        .agg(F.min(F.struct(F.col("_m"), F.col("lj"))).alias("mb"))
+        .select(
+            "i",
+            F.col("li").alias("label"),
+            F.col("mb._m").alias("b_mean"),
+            F.col("mb.lj").alias("b_label"),
+        )
+    )
+    joined = other.join(own, "i", "left")
+    s = (F.col("b_mean") - F.col("a_mean")) / F.greatest(
+        F.col("a_mean"), F.col("b_mean")
+    )
+    return joined.select(
+        F.col("i").alias(id_col),
+        "label",
+        "a_mean",
+        "b_mean",
+        "b_label",
+        F.when(F.col("a_mean").isNull(), F.lit(0.0)).otherwise(s).alias(
+            "silhouette"
+        ),
+    )
+
+
+def silhouette_scores_sql(
+    emb_cte: str,
+    id_col: str = "vec_id",
+    vec_col: str = "vec",
+    label_col: str = "label",
+    dim: int = 64,
+) -> str:
+    """DuckDB twin of silhouette_scores — identical quantized distance,
+    identical pinned double assembly and (mean, label) min-by."""
+    return f"""
+WITH e AS ({emb_cte}),
+pairs AS (
+  SELECT a.{id_col} AS i, a.{label_col} AS li, b.{label_col} AS lj,
+    CAST(sum(CAST(floor((a.{vec_col}[j] - b.{vec_col}[j])
+         * (a.{vec_col}[j] - b.{vec_col}[j]) * {SIL_Q} + 0.5) AS BIGINT))
+         AS BIGINT) AS s,
+    CAST(count(*) // {dim} AS BIGINT) AS c
+  FROM e a JOIN e b ON a.{id_col} != b.{id_col},
+       unnest(generate_series(1, {dim})) t(j)
+  GROUP BY 1, 2, 3
+),
+own AS (
+  SELECT i, CAST(s AS DOUBLE) / CAST(c AS DOUBLE) AS a_mean
+  FROM pairs WHERE li = lj
+),
+other AS (
+  SELECT i, li AS label,
+         CAST(s AS DOUBLE) / CAST(c AS DOUBLE) AS m, lj
+  FROM pairs WHERE li != lj
+),
+best AS (
+  SELECT i, label, m AS b_mean, lj AS b_label
+  FROM other
+  QUALIFY row_number() OVER (PARTITION BY i ORDER BY m, lj) = 1
+)
+SELECT best.i AS {id_col}, best.label, own.a_mean, best.b_mean,
+       best.b_label,
+       CASE WHEN own.a_mean IS NULL THEN 0.0
+            ELSE (best.b_mean - own.a_mean)
+                 / greatest(own.a_mean, best.b_mean)
+       END AS silhouette
+FROM best LEFT JOIN own ON own.i = best.i
+"""

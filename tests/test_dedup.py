@@ -1154,3 +1154,85 @@ def test_pmi_cooc_matches_dict_replay_and_twin(spark):
             r["pmi_ratio"])
         for k, r in got.items()
     }
+
+
+def test_silhouette_matches_replay_and_twin(spark):
+    """silhouette_scores == a dict replay with the same quantized
+    distance; well-separated blobs score near 1, a planted misassigned
+    point scores negative; twin bit-identical; singleton -> 0."""
+    import duckdb
+    import numpy as np
+
+    from osm2geojson_spark.operators.similarity import (
+        SIL_Q,
+        silhouette_scores,
+        silhouette_scores_sql,
+    )
+
+    rng = np.random.default_rng(41)
+    dim = 8
+    rows = []
+    centers = {0: 0.0, 1: 10.0, 2: -10.0}
+    vid = 0
+    for lab, c in centers.items():
+        for _ in range(8):
+            v = (rng.normal(size=dim) * 0.3 + c).tolist()
+            rows.append((vid, lab, [float(x) for x in v]))
+            vid += 1
+    # misassigned point: sits at blob 1 but labeled 0
+    rows.append((vid, 0, [10.0] * dim)); vid += 1
+    # singleton cluster
+    rows.append((vid, 9, [50.0] * dim)); vid += 1
+
+    df = spark.createDataFrame(rows, "vec_id long, label int, vec array<double>")
+    got = {r["vec_id"]: r for r in silhouette_scores(df).collect()}
+
+    def dq(a, b):
+        return int(
+            sum(
+                np.floor((x - y) * (x - y) * SIL_Q + 0.5)
+                for x, y in zip(a, b)
+            )
+        )
+
+    for i, li, vi in rows:
+        sums = {}
+        for j, lj, vj in rows:
+            if i == j:
+                continue
+            s, c = sums.get(lj, (0, 0))
+            sums[lj] = (s + dq(vi, vj), c + 1)
+        others = {
+            lj: (s / c, lj) for lj, (s, c) in sums.items() if lj != li
+        }
+        b_mean, b_label = min((m, l) for l, (m, l2) in others.items())
+        if li in sums:
+            a_mean = sums[li][0] / sums[li][1]
+            want_s = (b_mean - a_mean) / max(a_mean, b_mean)
+        else:
+            a_mean, want_s = None, 0.0
+        r = got[i]
+        assert r["b_label"] == b_label and r["b_mean"] == b_mean, i
+        assert r["a_mean"] == a_mean and r["silhouette"] == want_s, i
+
+    # qualitative: blob points high, misassigned negative, singleton 0
+    assert all(got[i]["silhouette"] > 0.8 for i in range(24))
+    assert got[24]["silhouette"] < -0.8
+    assert got[25]["silhouette"] == 0.0
+
+    duck = duckdb.connect()
+    duck.execute("CREATE TABLE et (vec_id BIGINT, label INT, vec DOUBLE[])")
+    duck.executemany("INSERT INTO et VALUES (?, ?, ?)", rows)
+    twin = {
+        r[0]: r[1:]
+        for r in duck.sql(
+            silhouette_scores_sql("SELECT * FROM et", dim=dim)
+        ).fetchall()
+    }
+    assert twin == {
+        i: tuple(
+            r[c]
+            for c in ("label", "a_mean", "b_mean", "b_label", "silhouette")
+        )
+        for i, r in got.items()
+    }
