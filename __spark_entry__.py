@@ -9068,6 +9068,27 @@ def _attribution_sql() -> str:
     )
 
 
+def q_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X185 (analytics.chi2_independence): Pearson chi-square
+    independence between documents' lang and source — pinned IEEE term
+    assembly over exact int64 marginal products, micro-quantized
+    order-free total, zero-observed cells included. One contingency
+    scan + driver-size marginal joins."""
+    from osm2geojson_spark.operators.analytics import chi2_independence
+
+    return chi2_independence(
+        _t(spark, sf_dir, "documents"), "lang", "source"
+    )
+
+
+def _chi2_sql() -> str:
+    from osm2geojson_spark.operators.analytics import chi2_independence_sql
+
+    return chi2_independence_sql(
+        "SELECT lang, source FROM documents", "lang", "source"
+    )
+
+
 def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X182 (analytics.gini_coefficient): Gini concentration of order
     revenue (exact cents) — the rank formula Σ(2r−n−1)x/(nΣx) as an
@@ -10536,6 +10557,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gini": q_gini,
         "ks_drift": q_ks_drift,
         "silhouette": q_silhouette,
+        "chi2": q_chi2,
         "ranking_eval": q_ranking_eval,
         "ssim": q_ssim,
         "morph_openclose": q_morph_openclose,
@@ -10776,6 +10798,7 @@ def oracle_sql() -> dict[str, str]:
         "gini": _gini_sql(),
         "ks_drift": _ks_drift_sql(),
         "silhouette": _silhouette_sql(),
+        "chi2": _chi2_sql(),
         "ranking_eval": _ranking_eval_sql(),
         "ssim": _SSIM_SQL,
         "morph_openclose": _MORPH_OPENCLOSE_SQL,

@@ -1983,3 +1983,112 @@ SELECT n_a, n_b,
 FROM gap
 QUALIFY row_number() OVER (ORDER BY g DESC, v ASC) = 1
 """
+
+
+def chi2_independence(
+    df: DataFrame, a_col: str, b_col: str
+) -> DataFrame:
+    """(n, df_free, chi2) plus the exact integer backing columns —
+    PEARSON'S CHI-SQUARE test of independence between two categorical
+    columns, the workhorse of feature/label association screens and
+    stratification checks in data pipelines. With observed counts
+    O_ij and marginals r_i, c_j over n items,
+
+        chi2 = Σ_ij (n·O_ij − r_i·c_j)² / (n·r_i·c_j)
+
+    The per-cell numerator (n·O − r·c)² and denominator n·r·c are exact
+    int64 products CAST TO DOUBLE BEFORE squaring/dividing in a pinned
+    order (IEEE multiply/divide are correctly rounded, so both engines
+    produce bit-identical terms); ``chi2`` is the micro-quantized
+    order-free sum Σ floor(term·1e6 + 0.5) / 1e6, making the total
+    summation-order independent. ``df_free`` = (R−1)(C−1).
+
+    Overflow bound: n·r_i·c_j < 2^63 → n < ~2e6 when one class
+    dominates; the quantized-term scheme itself is unbounded.
+
+    Scale: one combinable scan for the contingency cells (|A|·|B| rows),
+    marginals are cell-relation rollups, all driver-size."""
+    conf = df.groupBy(
+        F.col(a_col).alias("_a"), F.col(b_col).alias("_b")
+    ).agg(F.count(F.lit(1)).cast("long").alias("o"))
+    ra = conf.groupBy("_a").agg(F.sum("o").cast("long").alias("r"))
+    cb = conf.groupBy("_b").agg(F.sum("o").cast("long").alias("c"))
+    tot = conf.agg(
+        F.sum("o").cast("long").alias("n"),
+        F.countDistinct("_a").cast("long").alias("_nr"),
+        F.countDistinct("_b").cast("long").alias("_nc"),
+    )
+    # every (a, b) combination, including zero-observed cells
+    cells = (
+        ra.join(cb, F.lit(True))
+        .join(conf, ["_a", "_b"], "left")
+        .select(
+            "_a", "_b", "r", "c",
+            F.coalesce("o", F.lit(0)).cast("long").alias("o"),
+        )
+    )
+    term = cells.crossJoin(F.broadcast(tot)).select(
+        "n",
+        "_nr",
+        "_nc",
+        (
+            (
+                (F.col("n") * F.col("o") - F.col("r") * F.col("c"))
+                .cast("double")
+                * (F.col("n") * F.col("o") - F.col("r") * F.col("c"))
+                .cast("double")
+            )
+            / (F.col("n") * F.col("r") * F.col("c")).cast("double")
+        ).alias("_t"),
+    )
+    agg = term.groupBy("n", "_nr", "_nc").agg(
+        F.sum(
+            F.floor(F.col("_t") * F.lit(1e6) + F.lit(0.5)).cast("long")
+        ).alias("_s")
+    )
+    return agg.select(
+        "n",
+        ((F.col("_nr") - 1) * (F.col("_nc") - 1)).cast("long").alias(
+            "df_free"
+        ),
+        F.col("_s").alias("chi2_micro"),
+        (F.col("_s").cast("double") / F.lit(1e6)).alias("chi2"),
+    )
+
+
+def chi2_independence_sql(rows_cte: str, a_col: str, b_col: str) -> str:
+    """DuckDB twin of chi2_independence — identical pinned term
+    assembly and micro-quantized order-free sum."""
+    return f"""
+WITH src AS ({rows_cte}),
+conf AS (
+  SELECT {a_col} AS a, {b_col} AS b, CAST(count(*) AS BIGINT) AS o
+  FROM src GROUP BY 1, 2
+),
+ra AS (SELECT a, CAST(sum(o) AS BIGINT) AS r FROM conf GROUP BY a),
+cb AS (SELECT b, CAST(sum(o) AS BIGINT) AS c FROM conf GROUP BY b),
+tot AS (
+  SELECT CAST(sum(o) AS BIGINT) AS n,
+         CAST(count(DISTINCT a) AS BIGINT) AS nr,
+         CAST(count(DISTINCT b) AS BIGINT) AS nc
+  FROM conf
+),
+cells AS (
+  SELECT ra.a, cb.b, ra.r, cb.c, COALESCE(conf.o, 0) AS o
+  FROM ra CROSS JOIN cb
+  LEFT JOIN conf ON conf.a = ra.a AND conf.b = cb.b
+),
+term AS (
+  SELECT tot.n, tot.nr, tot.nc,
+    (CAST(n * o - r * c AS DOUBLE) * CAST(n * o - r * c AS DOUBLE))
+      / CAST(n * r * c AS DOUBLE) AS t
+  FROM cells, tot
+)
+SELECT n,
+       CAST((nr - 1) * (nc - 1) AS BIGINT) AS df_free,
+       CAST(sum(CAST(floor(t * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+         AS chi2_micro,
+       CAST(sum(CAST(floor(t * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+         / 1000000.0 AS chi2
+FROM term GROUP BY n, nr, nc
+"""

@@ -1467,3 +1467,61 @@ def test_ks_test_matches_ecdf_replay_and_twin(spark):
     assert twin == tuple(
         got[c] for c in ("n_a", "n_b", "d_num", "d_den", "d_stat", "d_at")
     )
+
+
+def test_chi2_independence_matches_textbook_and_twin(spark):
+    import duckdb
+    import numpy as np
+
+    from osm2geojson_spark.operators.analytics import (
+        chi2_independence,
+        chi2_independence_sql,
+    )
+
+    # textbook 2x2: chi2 = n(ad-bc)^2 / ((a+b)(c+d)(a+c)(b+d))
+    a, b, c, d = 20, 30, 25, 25
+    rows = (
+        [("x", "u")] * a + [("x", "v")] * b
+        + [("y", "u")] * c + [("y", "v")] * d
+    )
+    df = spark.createDataFrame(rows, "la string, lb string")
+    r = chi2_independence(df, "la", "lb").collect()[0]
+    n = a + b + c + d
+    want = n * (a * d - b * c) ** 2 / ((a + b) * (c + d) * (a + c) * (b + d))
+    assert r["df_free"] == 1 and r["n"] == n
+    assert abs(r["chi2"] - want) < 2e-6  # micro-quantized
+
+    # independence: perfectly proportional table -> chi2 == 0
+    rows0 = (
+        [("x", "u")] * 10 + [("x", "v")] * 20
+        + [("y", "u")] * 30 + [("y", "v")] * 60
+    )
+    df0 = spark.createDataFrame(rows0, "la string, lb string")
+    assert chi2_independence(df0, "la", "lb").collect()[0]["chi2_micro"] == 0
+
+    # zero-observed cell included (3x2 with a structural gap)
+    rows1 = (
+        [("p", "u")] * 5 + [("q", "v")] * 7 + [("s", "u")] * 4
+        + [("s", "v")] * 3
+    )
+    df1 = spark.createDataFrame(rows1, "la string, lb string")
+    r1 = chi2_independence(df1, "la", "lb").collect()[0]
+    # replay with numpy including O=0 cells
+    obs = np.array([[5, 0], [0, 7], [4, 3]], dtype=np.int64)
+    nn = obs.sum()
+    rr = obs.sum(1)
+    cc = obs.sum(0)
+    t = 0
+    for i in range(3):
+        for j in range(2):
+            num = float(nn * obs[i, j] - rr[i] * cc[j])
+            t += int(np.floor(num * num / float(nn * rr[i] * cc[j]) * 1e6 + 0.5))
+    assert r1["chi2_micro"] == t and r1["df_free"] == 2
+
+    duck = duckdb.connect()
+    duck.execute("CREATE TABLE base (la VARCHAR, lb VARCHAR)")
+    duck.executemany("INSERT INTO base VALUES (?, ?)", rows1)
+    twin = duck.sql(
+        chi2_independence_sql("SELECT la, lb FROM base", "la", "lb")
+    ).fetchall()[0]
+    assert twin == tuple(r1[c] for c in ("n", "df_free", "chi2_micro", "chi2"))
