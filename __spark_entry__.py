@@ -9068,6 +9068,59 @@ def _attribution_sql() -> str:
     )
 
 
+def q_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X186 (analytics.survival_table): Kaplan-Meier life table of user
+    activity spans — duration = days from first to last event, event=1
+    when the user's final event (by ts, event_id) is an 'error' (a
+    deterministic churn proxy), else censored. The exact integer life
+    table is the oracle contract; the sequential product-limit column
+    is pytest-pinned and pruned here (Catalyst drops the fold under
+    column pruning)."""
+    from osm2geojson_spark.operators.analytics import survival_table
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    per_user = (
+        ev.withColumn("_rn", F.row_number().over(w))
+        .groupBy("user_id")
+        .agg(
+            F.datediff(F.max("ts"), F.min("ts")).cast("long").alias(
+                "duration"
+            ),
+            F.max(
+                F.when(
+                    F.col("_rn") == 1,
+                    F.when(F.col("event_type") == "error", 1).otherwise(0),
+                )
+            ).cast("int").alias("event"),
+        )
+    )
+    return survival_table(per_user).select(
+        "t", "d", "censored_at", "n_at_risk"
+    )
+
+
+def _survival_sql() -> str:
+    from osm2geojson_spark.operators.analytics import survival_table_sql
+
+    rows = """
+SELECT user_id,
+       CAST(date_diff('day', min(ts), max(ts)) AS BIGINT) AS duration,
+       CAST(max(CASE WHEN rn = 1 THEN
+                CASE WHEN event_type = 'error' THEN 1 ELSE 0 END
+            END) AS INTEGER) AS event
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+GROUP BY user_id
+"""
+    return survival_table_sql(rows)
+
+
 def q_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X185 (analytics.chi2_independence): Pearson chi-square
     independence between documents' lang and source — pinned IEEE term
@@ -10558,6 +10611,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_drift": q_ks_drift,
         "silhouette": q_silhouette,
         "chi2": q_chi2,
+        "survival": q_survival,
         "ranking_eval": q_ranking_eval,
         "ssim": q_ssim,
         "morph_openclose": q_morph_openclose,
@@ -10799,6 +10853,7 @@ def oracle_sql() -> dict[str, str]:
         "ks_drift": _ks_drift_sql(),
         "silhouette": _silhouette_sql(),
         "chi2": _chi2_sql(),
+        "survival": _survival_sql(),
         "ranking_eval": _ranking_eval_sql(),
         "ssim": _SSIM_SQL,
         "morph_openclose": _MORPH_OPENCLOSE_SQL,

@@ -2092,3 +2092,87 @@ SELECT n,
          / 1000000.0 AS chi2
 FROM term GROUP BY n, nr, nc
 """
+
+
+def survival_table(
+    df: DataFrame,
+    duration_col: str = "duration",
+    event_col: str = "event",
+) -> DataFrame:
+    """(t, d, censored_at, n_at_risk, surv) — the KAPLAN-MEIER LIFE
+    TABLE (Kaplan & Meier 1958): one row per distinct EVENT time t with
+    d = events at t, censored_at = censorings at exactly t (at-risk at
+    t by the standard deaths-before-censorings tie convention),
+    n_at_risk = |{duration >= t}|, and the product-limit estimate
+    S(t) = Π_{u<=t}(1 − d_u/n_u). The churn / time-to-failure staple.
+
+    Exactness: t/d/censored_at/n_at_risk are exact int64 (per-time
+    rollup + a reverse cumulative sum over the SUPPORT-sized time
+    relation). ``surv`` is a time-ordered sequential double product —
+    the one column whose cross-engine reproduction depends on fold
+    order, so it is computed with an explicit ordered fold
+    (collect_list window + aggregate) and EXCLUDED from the driver
+    oracle projection (pytest pins it against a serial replay instead);
+    the integer life table is the oracle-checked contract.
+
+    Scale: one groupBy over subjects, then support-sized windows — the
+    same shape as ks_test; shard the support with the two-level scan if
+    it ever outgrows a task."""
+    per_t = df.groupBy(
+        F.col(duration_col).cast("long").alias("t")
+    ).agg(
+        F.sum(
+            F.when(F.col(event_col).cast("int") == 1, 1).otherwise(0)
+        ).cast("long").alias("d"),
+        F.sum(
+            F.when(F.col(event_col).cast("int") == 1, 0).otherwise(1)
+        ).cast("long").alias("censored_at"),
+    )
+    w_rev = Window.orderBy(F.col("t").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    with_risk = per_t.withColumn(
+        "n_at_risk",
+        F.sum(F.col("d") + F.col("censored_at")).over(w_rev).cast("long"),
+    )
+    ev = with_risk.filter(F.col("d") > 0)
+    w_fwd = Window.orderBy(F.col("t").asc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    factors = F.collect_list(
+        (
+            F.lit(1.0)
+            - F.col("d").cast("double") / F.col("n_at_risk").cast("double")
+        )
+    ).over(w_fwd)
+    return ev.withColumn(
+        "surv",
+        F.aggregate(
+            factors, F.lit(1.0), lambda acc, x: acc * x
+        ),
+    ).select("t", "d", "censored_at", "n_at_risk", "surv")
+
+
+def survival_table_sql(
+    rows_cte: str, duration_col: str = "duration", event_col: str = "event"
+) -> str:
+    """DuckDB twin of survival_table's EXACT columns (surv excluded —
+    see operator docstring)."""
+    return f"""
+WITH src AS ({rows_cte}),
+per_t AS (
+  SELECT CAST({duration_col} AS BIGINT) AS t,
+         CAST(sum(CASE WHEN {event_col} = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS d,
+         CAST(sum(CASE WHEN {event_col} = 1 THEN 0 ELSE 1 END) AS BIGINT)
+           AS censored_at
+  FROM src GROUP BY 1
+),
+risk AS (
+  SELECT *, CAST(sum(d + censored_at) OVER (
+    ORDER BY t DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+  ) AS BIGINT) AS n_at_risk
+  FROM per_t
+)
+SELECT t, d, censored_at, n_at_risk FROM risk WHERE d > 0
+"""

@@ -1525,3 +1525,59 @@ def test_chi2_independence_matches_textbook_and_twin(spark):
         chi2_independence_sql("SELECT la, lb FROM base", "la", "lb")
     ).fetchall()[0]
     assert twin == tuple(r1[c] for c in ("n", "df_free", "chi2_micro", "chi2"))
+
+
+def test_survival_table_matches_km_replay(spark):
+    """survival_table == a serial Kaplan-Meier replay (textbook
+    product-limit with deaths-before-censorings ties)."""
+    import duckdb
+
+    from osm2geojson_spark.operators.analytics import (
+        survival_table,
+        survival_table_sql,
+    )
+
+    # classic small KM example (durations, event flag)
+    data = [
+        (1, 6, 1), (2, 6, 1), (3, 6, 1), (4, 6, 0), (5, 7, 1),
+        (6, 9, 0), (7, 10, 1), (8, 10, 0), (9, 11, 0), (10, 13, 1),
+        (11, 16, 1), (12, 17, 0), (13, 19, 0), (14, 20, 0), (15, 22, 1),
+        (16, 23, 1), (17, 25, 0), (18, 32, 0), (19, 32, 0), (20, 34, 0),
+        (21, 35, 0),
+    ]
+    df = spark.createDataFrame(data, "id long, duration long, event int")
+    got = {r["t"]: r for r in survival_table(df).collect()}
+
+    # serial replay
+    from collections import Counter
+
+    dcnt = Counter(t for _, t, e in data if e == 1)
+    ccnt = Counter(t for _, t, e in data if e == 0)
+    times = sorted(dcnt)
+    s = 1.0
+    want = {}
+    for t in times:
+        n_risk = sum(1 for _, u, _e in data if u >= t)
+        s = s * (1.0 - dcnt[t] / n_risk)
+        want[t] = (dcnt[t], ccnt.get(t, 0), n_risk, s)
+    assert set(got) == set(want)
+    for t, (d, c, n, s) in want.items():
+        r = got[t]
+        assert (r["d"], r["censored_at"], r["n_at_risk"]) == (d, c, n), t
+        assert abs(r["surv"] - s) < 1e-12, t
+    # the freireich-style sanity: survival is non-increasing, in (0, 1]
+    sv = [got[t]["surv"] for t in times]
+    assert all(a >= b for a, b in zip(sv, sv[1:])) and 0 < sv[-1] < 1
+
+    duck = duckdb.connect()
+    duck.execute("CREATE TABLE base (id BIGINT, duration BIGINT, event INT)")
+    duck.executemany("INSERT INTO base VALUES (?, ?, ?)", data)
+    twin = {
+        r[0]: r[1:]
+        for r in duck.sql(
+            survival_table_sql("SELECT * FROM base")
+        ).fetchall()
+    }
+    assert twin == {
+        t: (r["d"], r["censored_at"], r["n_at_risk"]) for t, r in got.items()
+    }
