@@ -1205,6 +1205,32 @@ FROM tot t JOIN s ON s.cell_id = t.cell_id
 """
 
 
+def q_decluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X187 (geostat.decluster_weights): GSLIB cell-declustering weights
+    over the customer world points at res 4 — w = n/(c·n_cells) as an
+    exact integer rational (Σw = n exactly), one combinable rollup + a
+    broadcast join back. The preferential-sampling bias correction that
+    precedes any declustered mean/variogram."""
+    from osm2geojson_spark.operators.geostat import decluster_weights
+
+    pts = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("pid"),
+        _lon("c_custkey").alias("lon"),
+        _lat("c_custkey").alias("lat"),
+    )
+    return decluster_weights(pts, res=4)
+
+
+def _decluster_sql() -> str:
+    from osm2geojson_spark.operators.geostat import decluster_weights_sql
+
+    pts = (
+        f"SELECT c_custkey AS pid, {SYN.lon_sql('c_custkey')} AS lon,"
+        f" {SYN.lat_sql('c_custkey')} AS lat FROM customer"
+    )
+    return decluster_weights_sql(pts, res=4)
+
+
 def q_sd_ellipse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X175 (spatial_stats.sd_ellipse): standard deviational ellipse
     (ArcGIS directional distribution) per res-3 cell over the customer
@@ -10612,6 +10638,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "silhouette": q_silhouette,
         "chi2": q_chi2,
         "survival": q_survival,
+        "decluster": q_decluster,
         "ranking_eval": q_ranking_eval,
         "ssim": q_ssim,
         "morph_openclose": q_morph_openclose,
@@ -10854,6 +10881,7 @@ def oracle_sql() -> dict[str, str]:
         "silhouette": _silhouette_sql(),
         "chi2": _chi2_sql(),
         "survival": _survival_sql(),
+        "decluster": _decluster_sql(),
         "ranking_eval": _ranking_eval_sql(),
         "ssim": _SSIM_SQL,
         "morph_openclose": _MORPH_OPENCLOSE_SQL,

@@ -719,3 +719,86 @@ def watershed_basins(dem: DataFrame, max_path: int = 4096) -> DataFrame:
         F.col("px").alias("sink_x"), F.col("py").alias("sink_y"),
         (F.col("py") * F.lit(2**32) + F.col("px")).cast("long").alias("basin_id"),
     )
+
+
+def decluster_weights(
+    points: DataFrame,
+    res: int = 5,
+    id_col: str = "pid",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    value_col: str | None = None,
+) -> DataFrame:
+    """(pid, cell_id, c_cell, w_num, w_den, weight[, value]) — CELL
+    DECLUSTERING weights (GSLIB DECLUS, Deutsch 1989): preferentially-
+    sampled point sets (dense clusters where drilling/measuring was
+    cheap) bias any naive mean; the cell method gives sample i in a
+    cell holding c_i samples the weight
+
+        w_i = n / (c_i · n_cells)          (Σ w_i = n exactly)
+
+    kept EXACT as the integer rational (w_num = n, w_den = c_i·n_cells)
+    with one pinned IEEE division for the double. The declustered mean
+    is then Σ w_i·v_i / n downstream.
+
+    Scale: one combinable cell rollup + a cell-keyed join back (the
+    count relation is occupied-cell sized — broadcastable), two scalar
+    aggregates. Scan-shaped; no window."""
+    pts = points.select(
+        F.col(id_col).alias("pid"),
+        cells.cell_id(F.col(lon_col), F.col(lat_col), res).alias("cell_id"),
+        *([F.col(value_col).alias("value")] if value_col else []),
+    )
+    per_cell = pts.groupBy("cell_id").agg(
+        F.count(F.lit(1)).cast("long").alias("c_cell")
+    )
+    tot = per_cell.agg(
+        F.sum("c_cell").cast("long").alias("_n"),
+        F.count(F.lit(1)).cast("long").alias("_ncells"),
+    )
+    out = (
+        pts.join(F.broadcast(per_cell), "cell_id")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "pid",
+            "cell_id",
+            "c_cell",
+            F.col("_n").alias("w_num"),
+            (F.col("c_cell") * F.col("_ncells")).cast("long").alias("w_den"),
+            (
+                F.col("_n").cast("double")
+                / (F.col("c_cell") * F.col("_ncells")).cast("double")
+            ).alias("weight"),
+            *(["value"] if value_col else []),
+        )
+    )
+    return out
+
+
+def decluster_weights_sql(
+    points_cte: str,
+    res: int = 5,
+    id_col: str = "pid",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> str:
+    """DuckDB twin of decluster_weights."""
+    cell = cells.cell_id_sql(lon_col, lat_col, res)
+    return f"""
+WITH src AS ({points_cte}),
+pts AS (SELECT {id_col} AS pid, {cell} AS cell_id FROM src),
+per_cell AS (
+  SELECT cell_id, CAST(count(*) AS BIGINT) AS c_cell
+  FROM pts GROUP BY cell_id
+),
+tot AS (
+  SELECT CAST(sum(c_cell) AS BIGINT) AS n,
+         CAST(count(*) AS BIGINT) AS ncells
+  FROM per_cell
+)
+SELECT pid, pts.cell_id, c_cell,
+       tot.n AS w_num,
+       CAST(c_cell * tot.ncells AS BIGINT) AS w_den,
+       CAST(tot.n AS DOUBLE) / CAST(c_cell * tot.ncells AS DOUBLE) AS weight
+FROM pts JOIN per_cell ON per_cell.cell_id = pts.cell_id, tot
+"""

@@ -490,3 +490,62 @@ def test_watershed_basins_matches_scalar_chase(spark):
     sinks = {(sx, sy) for sx, sy, _ in got.values()}
     for s in sinks:
         assert got[s][:2] == s
+
+
+def test_decluster_weights_matches_replay_and_twin(spark):
+    """decluster_weights == a dict replay; weights sum to n exactly
+    (as rationals); clustered points are downweighted vs isolated ones;
+    twin bit-identical."""
+    from fractions import Fraction
+
+    import duckdb
+
+    from osm2geojson_spark.operators.geostat import (
+        decluster_weights,
+        decluster_weights_sql,
+    )
+
+    # dense cluster near (10.01..10.05, 20.01..) + isolated points
+    rows = [(i, 10.0 + 0.001 * i, 20.0 + 0.001 * i) for i in range(12)]
+    rows += [(100, 50.0, -30.0), (101, -120.0, 45.0), (102, 0.5, 0.5)]
+    df = spark.createDataFrame(rows, "pid long, lon double, lat double")
+    got = {r["pid"]: r for r in decluster_weights(df, res=5).collect()}
+
+    from osm2geojson_spark.operators import cells as CEL
+
+    cell_of = {
+        r["pid"]: r["cell_id"]
+        for r in df.select(
+            "pid", CEL.cell_id(F.col("lon"), F.col("lat"), 5).alias("cell_id")
+        ).collect()
+    }
+    from collections import Counter
+
+    ccount = Counter(cell_of.values())
+    n, ncells = len(rows), len(ccount)
+    total = Fraction(0)
+    for pid, _, _ in rows:
+        c = ccount[cell_of[pid]]
+        r = got[pid]
+        assert (r["c_cell"], r["w_num"], r["w_den"]) == (c, n, c * ncells)
+        assert r["weight"] == n / (c * ncells)
+        total += Fraction(n, c * ncells)
+    assert total == n  # exact mass conservation
+    # clustered points strictly downweighted vs isolated
+    assert got[0]["weight"] < got[100]["weight"]
+
+    duck = duckdb.connect()
+    duck.execute("CREATE TABLE base (pid BIGINT, lon DOUBLE, lat DOUBLE)")
+    duck.executemany("INSERT INTO base VALUES (?, ?, ?)", rows)
+    twin = {
+        r[0]: r[1:]
+        for r in duck.sql(
+            decluster_weights_sql("SELECT * FROM base", res=5)
+        ).fetchall()
+    }
+    assert twin == {
+        pid: tuple(
+            r[c] for c in ("cell_id", "c_cell", "w_num", "w_den", "weight")
+        )
+        for pid, r in got.items()
+    }
