@@ -3119,6 +3119,34 @@ FROM (
     return MM2.hough_lines_sql(px, edge_thresh=200, min_votes=8, k=3)
 
 
+def q_canny(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X188 (multimodal.canny_nms_stats): Canny-style non-maximum
+    suppression + double threshold over the Sobel gradient on 300 mixed
+    rawz/png images — integer tan(22.5°) sector gates (no atan), ties
+    keep, exact int64 counts; the twin recomputes gradients and sector
+    neighbors via coordinate self-joins. Scan-shaped Arrow pass."""
+    from osm2geojson_spark.operators import multimodal as MM2
+
+    imgs = _synth_images(spark, sf_dir, 300)
+    return MM2.canny_nms_stats(imgs, lo=192, hi=512)
+
+
+def _canny_sql() -> str:
+    from osm2geojson_spark.operators import multimodal as MM2
+
+    px = """
+SELECT printf('img%012d', i) AS image_id, w, w AS h,
+       (p % w) AS x, (p // w) AS y,
+       ((p % w) * 3 + (p // w) * 7 + i * 13) % 251 AS v
+FROM (
+  SELECT i, w, unnest(range(0, w * w)) AS p
+  FROM (SELECT p_partkey AS i, 8 * (1 + p_partkey % 3) AS w
+        FROM part WHERE p_partkey < 300)
+)
+"""
+    return MM2.canny_nms_stats_sql(px, lo=192, hi=512)
+
+
 def q_gaussian_blur(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X178 (multimodal.gaussian_blur_stats): 5x5 binomial blur over 300
     mixed rawz/png images as integer-exact per-image statistics — the
@@ -10639,6 +10667,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chi2": q_chi2,
         "survival": q_survival,
         "decluster": q_decluster,
+        "canny_nms": q_canny,
         "ranking_eval": q_ranking_eval,
         "ssim": q_ssim,
         "morph_openclose": q_morph_openclose,
@@ -10882,6 +10911,7 @@ def oracle_sql() -> dict[str, str]:
         "chi2": _chi2_sql(),
         "survival": _survival_sql(),
         "decluster": _decluster_sql(),
+        "canny_nms": _canny_sql(),
         "ranking_eval": _ranking_eval_sql(),
         "ssim": _SSIM_SQL,
         "morph_openclose": _MORPH_OPENCLOSE_SQL,

@@ -3391,3 +3391,164 @@ SELECT image_id, CAST(count(*) AS BIGINT) AS n_interior,
             AS BIGINT) AS smooth_edges
 FROM conv GROUP BY image_id
 """
+
+
+CANNY_TAN_NUM = 27146  # round(tan(22.5 deg) * 65536) — sector gate
+CANNY_TAN_DEN = 65536
+
+
+def canny_nms_stats(
+    images: DataFrame, lo: int = 192, hi: int = 512
+) -> DataFrame:
+    """(image_id, n_considered, n_survivors, n_strong, n_weak, nms_sum)
+    — CANNY-STYLE NON-MAXIMUM SUPPRESSION + double threshold over the
+    Sobel gradient (Canny 1986, minus the final hysteresis walk — the
+    thin-edge detector that turns sobel_stats' dense response into
+    1-px-wide candidate edges).
+
+    Direction sectors are decided by the INTEGER gate
+    |gy|·65536 {<=,>=} |gx|·27146 (27146/65536 = tan 22.5° fixed-point)
+    — no atan anywhere: sector 0 = E-W (compare left/right), sector 2 =
+    N-S, diagonals split by sign(gx·gy). A pixel survives if its L1
+    magnitude g is >= BOTH neighbors along its sector (ties keep — the
+    deterministic symmetric convention). Survivors with g >= ``hi``
+    are strong, in [``lo``, hi) weak. All int64, exact on both engines;
+    the twin recomputes gx/gy per pixel from the formula and replays
+    the same CASE sector logic via coordinate self-joins.
+
+    Scale: one Arrow batch pass per image (two extra NumPy shifts on
+    top of the Sobel stencil), scan-shaped, pixels never shuffle."""
+    TN, TD = CANNY_TAN_NUM, CANNY_TAN_DEN
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {c: [] for c in (
+                "image_id", "n_considered", "n_survivors", "n_strong",
+                "n_weak", "nms_sum",
+            )}
+            for r in pdf.itertuples(index=False):
+                px = imagecodec.decode(bytes(r.bytes), r.fmt).astype(np.int64)
+                h, w = px.shape
+                if h < 5 or w < 5:
+                    continue
+                gx = (
+                    px[:-2, 2:] + 2 * px[1:-1, 2:] + px[2:, 2:]
+                    - px[:-2, :-2] - 2 * px[1:-1, :-2] - px[2:, :-2]
+                )
+                gy = (
+                    px[2:, :-2] + 2 * px[2:, 1:-1] + px[2:, 2:]
+                    - px[:-2, :-2] - 2 * px[:-2, 1:-1] - px[:-2, 2:]
+                )
+                g = np.abs(gx) + np.abs(gy)
+                ax, ay = np.abs(gx), np.abs(gy)
+                # sectors on the INNER interior (1-px ring inside g's grid)
+                c = (slice(1, -1), slice(1, -1))
+                gxc, gyc = gx[c], gy[c]
+                axc, ayc = ax[c], ay[c]
+                gc = g[c]
+                horiz = ayc * TD <= axc * TN
+                vert = axc * TD <= ayc * TN
+                diag_main = (~horiz) & (~vert) & (gxc * gyc > 0)
+                # neighbor pairs per sector (in g-grid coordinates)
+                east, west = g[1:-1, 2:], g[1:-1, :-2]
+                south, north = g[2:, 1:-1], g[:-2, 1:-1]
+                se, nw = g[2:, 2:], g[:-2, :-2]
+                sw, ne = g[2:, :-2], g[:-2, 2:]
+                n1 = np.where(
+                    horiz, east,
+                    np.where(vert, south, np.where(diag_main, se, sw)),
+                )
+                n2 = np.where(
+                    horiz, west,
+                    np.where(vert, north, np.where(diag_main, nw, ne)),
+                )
+                keep = (gc >= n1) & (gc >= n2)
+                strong = keep & (gc >= hi)
+                weak = keep & (gc >= lo) & (gc < hi)
+                out["image_id"].append(r.image_id)
+                out["n_considered"].append(int(gc.size))
+                out["n_survivors"].append(int(keep.sum()))
+                out["n_strong"].append(int(strong.sum()))
+                out["n_weak"].append(int(weak.sum()))
+                out["nms_sum"].append(int(gc[keep].sum()))
+            yield pd.DataFrame(out)
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(
+        fn,
+        schema=(
+            "image_id string, n_considered long, n_survivors long,"
+            " n_strong long, n_weak long, nms_sum long"
+        ),
+    )
+
+
+def canny_nms_stats_sql(px_cte: str, lo: int = 192, hi: int = 512) -> str:
+    """DuckDB twin of canny_nms_stats; ``px_cte`` yields
+    (image_id, w, h, x, y, v). Recomputes gx/gy per pixel, then joins
+    the two sector neighbors by CASE-selected coordinates."""
+    TN, TD = CANNY_TAN_NUM, CANNY_TAN_DEN
+
+    def vat(dx: int, dy: int) -> str:
+        return (
+            f"(SELECT v FROM px p WHERE p.image_id = i.image_id"
+            f" AND p.x = i.x + {dx} AND p.y = i.y + {dy})"
+        )
+
+    # gx/gy as correlated 9-term expressions is heavy; instead compute
+    # per-pixel g once via a shifted 8-join, then self-join for the two
+    # sector neighbors.
+    return f"""
+WITH px AS ({px_cte}),
+grad AS (
+  SELECT i.image_id, i.x, i.y, i.w, i.h,
+    (p_e1.v + 2 * p_e2.v + p_e3.v - p_w1.v - 2 * p_w2.v - p_w3.v) AS gx,
+    (p_s1.v + 2 * p_s2.v + p_s3.v - p_n1.v - 2 * p_n2.v - p_n3.v) AS gy
+  FROM px i
+  JOIN px p_e1 ON p_e1.image_id = i.image_id AND p_e1.x = i.x + 1 AND p_e1.y = i.y - 1
+  JOIN px p_e2 ON p_e2.image_id = i.image_id AND p_e2.x = i.x + 1 AND p_e2.y = i.y
+  JOIN px p_e3 ON p_e3.image_id = i.image_id AND p_e3.x = i.x + 1 AND p_e3.y = i.y + 1
+  JOIN px p_w1 ON p_w1.image_id = i.image_id AND p_w1.x = i.x - 1 AND p_w1.y = i.y - 1
+  JOIN px p_w2 ON p_w2.image_id = i.image_id AND p_w2.x = i.x - 1 AND p_w2.y = i.y
+  JOIN px p_w3 ON p_w3.image_id = i.image_id AND p_w3.x = i.x - 1 AND p_w3.y = i.y + 1
+  JOIN px p_s1 ON p_s1.image_id = i.image_id AND p_s1.x = i.x - 1 AND p_s1.y = i.y + 1
+  JOIN px p_s2 ON p_s2.image_id = i.image_id AND p_s2.x = i.x AND p_s2.y = i.y + 1
+  JOIN px p_s3 ON p_s3.image_id = i.image_id AND p_s3.x = i.x + 1 AND p_s3.y = i.y + 1
+  JOIN px p_n1 ON p_n1.image_id = i.image_id AND p_n1.x = i.x - 1 AND p_n1.y = i.y - 1
+  JOIN px p_n2 ON p_n2.image_id = i.image_id AND p_n2.x = i.x AND p_n2.y = i.y - 1
+  JOIN px p_n3 ON p_n3.image_id = i.image_id AND p_n3.x = i.x + 1 AND p_n3.y = i.y - 1
+  WHERE i.x >= 1 AND i.x <= i.w - 2 AND i.y >= 1 AND i.y <= i.h - 2
+),
+mag AS (
+  SELECT image_id, x, y, w, h, gx, gy, abs(gx) + abs(gy) AS g,
+    CASE WHEN abs(gy) * {TD} <= abs(gx) * {TN} THEN 0
+         WHEN abs(gx) * {TD} <= abs(gy) * {TN} THEN 2
+         WHEN gx * gy > 0 THEN 1 ELSE 3 END AS sector
+  FROM grad
+),
+inner2 AS (
+  SELECT * FROM mag
+  WHERE x >= 2 AND x <= w - 3 AND y >= 2 AND y <= h - 3
+),
+nms AS (
+  SELECT c.image_id, c.g,
+    (c.g >= n1.g AND c.g >= n2.g) AS keep
+  FROM inner2 c
+  JOIN mag n1 ON n1.image_id = c.image_id
+    AND n1.x = c.x + CASE c.sector WHEN 0 THEN 1 WHEN 2 THEN 0
+                                   WHEN 1 THEN 1 ELSE -1 END
+    AND n1.y = c.y + CASE c.sector WHEN 0 THEN 0 WHEN 2 THEN 1 ELSE 1 END
+  JOIN mag n2 ON n2.image_id = c.image_id
+    AND n2.x = c.x + CASE c.sector WHEN 0 THEN -1 WHEN 2 THEN 0
+                                   WHEN 1 THEN -1 ELSE 1 END
+    AND n2.y = c.y + CASE c.sector WHEN 0 THEN 0 WHEN 2 THEN -1 ELSE -1 END
+)
+SELECT image_id,
+       CAST(count(*) AS BIGINT) AS n_considered,
+       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_survivors,
+       CAST(sum(CASE WHEN keep AND g >= {int(hi)} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_strong,
+       CAST(sum(CASE WHEN keep AND g >= {int(lo)} AND g < {int(hi)}
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_weak,
+       CAST(sum(CASE WHEN keep THEN g ELSE 0 END) AS BIGINT) AS nms_sum
+FROM nms GROUP BY image_id
+"""

@@ -2558,3 +2558,64 @@ def test_gaussian_blur_stats_matches_direct_conv_and_twin(spark):
         "image_id string, bytes binary, fmt string",
     )
     assert gaussian_blur_stats(tiny).count() == 0
+
+
+def test_canny_nms_matches_pixel_table_twin_and_thins_edges(spark):
+    """canny_nms_stats == the DuckDB coordinate-join twin on random
+    images, and a sharp step edge survives as a thin line (survivors
+    far fewer than raw sobel-active pixels)."""
+    import duckdb
+
+    from osm2geojson_spark.operators.multimodal import (
+        canny_nms_stats,
+        sobel_stats,
+    )
+    from osm2geojson_spark.operators.multimodal import canny_nms_stats_sql
+
+    rng = np.random.default_rng(47)
+    imgs, px_rows = [], []
+    for i in range(5):
+        w = h = int(rng.integers(8, 15))
+        px = rng.integers(0, 256, (h, w)).astype(np.uint8)
+        if i == 0:
+            # sharp vertical step edge in a flat image
+            px[:, :] = 10
+            px[:, w // 2:] = 240
+        iid = f"c{i}"
+        imgs.append((iid, imagecodec.encode_rawz(px), "rawz"))
+        for yy in range(h):
+            for xx in range(w):
+                px_rows.append((iid, w, h, xx, yy, int(px[yy, xx])))
+    df = spark.createDataFrame(imgs, "image_id string, bytes binary, fmt string")
+    got = {
+        r["image_id"]: tuple(
+            r[c] for c in (
+                "n_considered", "n_survivors", "n_strong", "n_weak",
+                "nms_sum",
+            )
+        )
+        for r in canny_nms_stats(df).collect()
+    }
+
+    duck = duckdb.connect()
+    duck.execute(
+        "CREATE TABLE pxc (image_id VARCHAR, w INT, h INT, x INT, y INT, v INT)"
+    )
+    duck.executemany("INSERT INTO pxc VALUES (?, ?, ?, ?, ?, ?)", px_rows)
+    twin = {
+        r[0]: r[1:]
+        for r in duck.sql(canny_nms_stats_sql("SELECT * FROM pxc")).fetchall()
+    }
+    assert twin == got
+
+    # thinning: the step image's survivors form ~one column, while the
+    # raw sobel response is active on ~two columns either side
+    w0 = [w for (iid, w, h, *_r) in
+          [(r[0], r[1], r[2]) for r in px_rows if r[0] == "c0"][:1]][0]
+    edge_rows = got["c0"]
+    sob = {
+        r["image_id"]: r["edge_count"]
+        for r in sobel_stats(df, threshold=256).collect()
+    }
+    assert edge_rows[1] < sob["c0"]  # strictly thinner than raw response
+    assert edge_rows[2] > 0  # strong edges found
