@@ -222,6 +222,23 @@ BENCH_QUERIES = [
     "cusum_stream",
     "resize_bilinear",
     "peak_concurrency",
+    "attribution",
+    "link_prediction",
+    "kappa",
+    "sd_ellipse",
+    "hough",
+    "rfm",
+    "gaussian_blur",
+    "min_bbox",
+    "mmr",
+    "pmi",
+    "gini",
+    "ks_drift",
+    "silhouette",
+    "chi2",
+    "survival",
+    "decluster",
+    "canny_nms",
 ]
 
 
