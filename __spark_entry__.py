@@ -9122,6 +9122,30 @@ def _attribution_sql() -> str:
     )
 
 
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X189 (analytics.mad_outliers): Hampel robust outlier gate over
+    event values (exact cents) per event_type — type-1 exact medians,
+    integer deviations, dev > 3·MAD integer comparison. Two ordered
+    windows per group, the exact-median cost."""
+    from osm2geojson_spark.operators.analytics import mad_outliers
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("g"),
+        F.col("event_id").alias("id"),
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    )
+    return mad_outliers(ev)
+
+
+def _mad_outliers_sql() -> str:
+    from osm2geojson_spark.operators.analytics import mad_outliers_sql
+
+    return mad_outliers_sql(
+        "SELECT event_type AS g, event_id AS id,"
+        " CAST(round(value * 100) AS BIGINT) AS v FROM events"
+    )
+
+
 def q_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X186 (analytics.survival_table): Kaplan-Meier life table of user
     activity spans — duration = days from first to last event, event=1
@@ -10668,6 +10692,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "survival": q_survival,
         "decluster": q_decluster,
         "canny_nms": q_canny,
+        "mad_outliers": q_mad_outliers,
         "ranking_eval": q_ranking_eval,
         "ssim": q_ssim,
         "morph_openclose": q_morph_openclose,
@@ -10912,6 +10937,7 @@ def oracle_sql() -> dict[str, str]:
         "survival": _survival_sql(),
         "decluster": _decluster_sql(),
         "canny_nms": _canny_sql(),
+        "mad_outliers": _mad_outliers_sql(),
         "ranking_eval": _ranking_eval_sql(),
         "ssim": _SSIM_SQL,
         "morph_openclose": _MORPH_OPENCLOSE_SQL,

@@ -239,6 +239,7 @@ BENCH_QUERIES = [
     "survival",
     "decluster",
     "canny_nms",
+    "mad_outliers",
 ]
 
 

@@ -2176,3 +2176,113 @@ risk AS (
 )
 SELECT t, d, censored_at, n_at_risk FROM risk WHERE d > 0
 """
+
+
+def mad_outliers(
+    df: DataFrame,
+    group_col: str = "g",
+    id_col: str = "id",
+    value_col: str = "v",
+    k: int = 3,
+) -> DataFrame:
+    """(g, id, v, med, mad, dev, is_outlier) — ROBUST OUTLIER GATE by
+    the median absolute deviation (Hampel's rule): a row is an outlier
+    when |x − median| > k·MAD. Mean/stddev gates break down under the
+    very outliers they hunt (masking); the MAD's 50% breakdown point is
+    the standard robust fix for sensor glitches, price errors, and
+    label-noise screens.
+
+    Exactness: both medians are TYPE-1 exact (value at 1-based rank
+    ceil(n/2) — always an element, never an average), deviations are
+    exact integers, and the gate ``dev > k·mad`` is an integer
+    comparison. Fully engine-independent, NULL-free.
+
+    Scale: two ordered windows per group (value, then deviation) — the
+    unavoidable exact-median cost, same shape as group_quantiles;
+    groups parallelize, skewed groups salt like any window."""
+    w1 = Window.partitionBy(group_col).orderBy(
+        F.col(value_col).asc(), F.col(id_col).asc()
+    )
+    wn = Window.partitionBy(group_col).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = df.select(
+        F.col(group_col),
+        F.col(id_col),
+        F.col(value_col).cast("long").alias("_v"),
+        F.row_number().over(w1).cast("long").alias("_r"),
+        F.count(F.lit(1)).over(wn).cast("long").alias("_n"),
+    )
+    med = (
+        ranked.filter(F.col("_r") == F.ceil(F.col("_n") / 2))
+        .select(F.col(group_col), F.col("_v").alias("med"))
+    )
+    devs = ranked.join(med, group_col).withColumn(
+        "dev", F.abs(F.col("_v") - F.col("med"))
+    )
+    w2 = Window.partitionBy(group_col).orderBy(
+        F.col("dev").asc(), F.col(id_col).asc()
+    )
+    dev_ranked = devs.withColumn(
+        "_dr", F.row_number().over(w2).cast("long")
+    )
+    mad = (
+        dev_ranked.filter(F.col("_dr") == F.ceil(F.col("_n") / 2))
+        .select(F.col(group_col), F.col("dev").alias("mad"))
+    )
+    return (
+        dev_ranked.join(mad, group_col)
+        .select(
+            F.col(group_col),
+            F.col(id_col),
+            F.col("_v").alias(value_col),
+            "med",
+            "mad",
+            "dev",
+            (F.col("dev") > F.lit(int(k)) * F.col("mad")).alias(
+                "is_outlier"
+            ),
+        )
+    )
+
+
+def mad_outliers_sql(
+    rows_cte: str,
+    group_col: str = "g",
+    id_col: str = "id",
+    value_col: str = "v",
+    k: int = 3,
+) -> str:
+    """DuckDB twin of mad_outliers — identical type-1 medians and
+    integer gate."""
+    g, i, v = group_col, id_col, value_col
+    return f"""
+WITH src AS ({rows_cte}),
+ranked AS (
+  SELECT {g}, {i}, CAST({v} AS BIGINT) AS v,
+         row_number() OVER (PARTITION BY {g} ORDER BY {v}, {i}) AS r,
+         count(*) OVER (PARTITION BY {g}) AS n
+  FROM src
+),
+med AS (
+  SELECT {g}, v AS med FROM ranked
+  WHERE r = CAST(ceil(n / 2.0) AS BIGINT)
+),
+devs AS (
+  SELECT ranked.{g}, ranked.{i}, ranked.v, ranked.n, med.med,
+         abs(ranked.v - med.med) AS dev
+  FROM ranked JOIN med USING ({g})
+),
+dev_ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY {g} ORDER BY dev, {i}) AS dr
+  FROM devs
+),
+mad AS (
+  SELECT {g}, dev AS mad FROM dev_ranked
+  WHERE dr = CAST(ceil(n / 2.0) AS BIGINT)
+)
+SELECT d.{g}, d.{i}, d.v AS {v}, d.med, mad.mad, d.dev,
+       d.dev > {int(k)} * mad.mad AS is_outlier
+FROM dev_ranked d JOIN mad USING ({g})
+"""

@@ -1581,3 +1581,60 @@ def test_survival_table_matches_km_replay(spark):
     assert twin == {
         t: (r["d"], r["censored_at"], r["n_at_risk"]) for t, r in got.items()
     }
+
+
+def test_mad_outliers_matches_replay_and_twin(spark):
+    import duckdb
+    import numpy as np
+
+    from osm2geojson_spark.operators.analytics import (
+        mad_outliers,
+        mad_outliers_sql,
+    )
+
+    rng = np.random.default_rng(53)
+    rows = []
+    rid = 0
+    for g in range(4):
+        base = int(rng.integers(100, 1000))
+        for _ in range(21 + g):  # odd and even group sizes
+            rows.append((g, rid, base + int(rng.integers(-5, 6)))); rid += 1
+        rows.append((g, rid, base + 500)); rid += 1  # planted outlier
+    df = spark.createDataFrame(rows, "g long, id long, v long").repartition(5)
+    got = {r["id"]: r for r in mad_outliers(df).collect()}
+
+    from collections import defaultdict
+
+    per = defaultdict(list)
+    for g, i, v in rows:
+        per[g].append((v, i))
+    for g, vals in per.items():
+        n = len(vals)
+        ordered = sorted(vals)
+        med = ordered[-(-n // 2) - 1][0]  # rank ceil(n/2), 1-based
+        devs = sorted((abs(v - med), i) for v, i in vals)
+        mad = devs[-(-n // 2) - 1][0]
+        for v, i in vals:
+            r = got[i]
+            dev = abs(v - med)
+            assert (r["med"], r["mad"], r["dev"]) == (med, mad, dev), i
+            assert r["is_outlier"] == (dev > 3 * mad), i
+    # every planted +500 spike flagged; inliers not
+    flagged = {i for i, r in got.items() if r["is_outlier"]}
+    planted = {i for g, i, v in rows
+               if v - min(vv for gg, _, vv in rows if gg == g) >= 495}
+    assert planted <= flagged and len(flagged) <= len(planted) + 1
+
+    duck = duckdb.connect()
+    duck.execute("CREATE TABLE base (g BIGINT, id BIGINT, v BIGINT)")
+    duck.executemany("INSERT INTO base VALUES (?, ?, ?)", rows)
+    twin = {
+        r[1]: r
+        for r in duck.sql(
+            mad_outliers_sql("SELECT * FROM base")
+        ).fetchall()
+    }
+    for i, r in got.items():
+        assert twin[i] == (
+            r["g"], i, r["v"], r["med"], r["mad"], r["dev"], r["is_outlier"]
+        ), i
