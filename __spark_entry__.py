@@ -9122,6 +9122,48 @@ def _attribution_sql() -> str:
     )
 
 
+def q_scan_stat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X190 (spatial_stats.scan_stat): Kulldorff spatial scan statistic
+    (Poisson) over the customer point grid — cases are a deterministic
+    flag with an elevated eastern-hemisphere rate, so the detected
+    cluster is a real planted signal. Zone aggregates and the elevated-
+    rate gate are exact int64; the LLR takes ln of integers only,
+    combined in a pinned order and hashed as micro-nats."""
+    from osm2geojson_spark.operators import cells as CEL
+    from osm2geojson_spark.operators.spatial_stats import scan_stat
+
+    cust = _t(spark, sf_dir, "customer")
+    mod = F.col("c_custkey") % 10
+    is_case = (
+        F.when(_lon("c_custkey") >= 0, (mod < 4).cast("long"))
+        .otherwise((mod < 1).cast("long"))
+    )
+    hist = cust.select(
+        CEL.cell_id(_lon("c_custkey"), _lat("c_custkey"), 4).alias("cell_id"),
+        is_case.alias("_case"),
+    ).groupBy("cell_id").agg(
+        F.sum("_case").alias("cases"), F.count(F.lit(1)).alias("pop")
+    )
+    return scan_stat(hist, res=4, k_max=2, top=5)
+
+
+def _scan_stat_sql() -> str:
+    from osm2geojson_spark.operators import cells as CEL
+    from osm2geojson_spark.operators.spatial_stats import scan_stat_sql
+
+    cell = CEL.cell_id_sql(SYN.lon_sql("c_custkey"), SYN.lat_sql("c_custkey"), 4)
+    hist = f"""
+SELECT {cell} AS cell_id,
+       sum(CASE WHEN {SYN.lon_sql('c_custkey')} >= 0
+                THEN CASE WHEN c_custkey % 10 < 4 THEN 1 ELSE 0 END
+                ELSE CASE WHEN c_custkey % 10 < 1 THEN 1 ELSE 0 END
+           END) AS cases,
+       count(*) AS pop
+FROM customer GROUP BY 1
+"""
+    return scan_stat_sql(hist, res=4, k_max=2, top=5)
+
+
 def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X189 (analytics.mad_outliers): Hampel robust outlier gate over
     event values (exact cents) per event_type — type-1 exact medians,
@@ -10674,6 +10716,7 @@ FROM mm GROUP BY i
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "scan_stat": q_scan_stat,
         "scd2": q_scd2,
         "attribution": q_attribution,
         "link_prediction": q_link_prediction,
@@ -10919,6 +10962,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "scan_stat": _scan_stat_sql(),
         "scd2": _scd2_sql(),
         "attribution": _attribution_sql(),
         "link_prediction": _link_prediction_sql(),

@@ -240,6 +240,7 @@ BENCH_QUERIES = [
     "decluster",
     "canny_nms",
     "mad_outliers",
+    "scan_stat",
 ]
 
 

@@ -1002,3 +1002,229 @@ SELECT cell_id, n, sx_q, sy_q, sxx_q, syy_q, sxy_q, var_x, var_y, cov_xy,
   var_x - var_y AS orient_den
 FROM m
 """
+
+
+def scan_stat(
+    cell_counts: DataFrame,
+    res: int,
+    k_max: int = 2,
+    top: int = 5,
+    cell_col: str = "cell_id",
+    case_col: str = "cases",
+    pop_col: str = "pop",
+) -> DataFrame:
+    """KULLDORFF SPATIAL SCAN STATISTIC (Poisson model) over the flat
+    cell grid — the standard cluster-DETECTION test (SaTScan; Kulldorff
+    1997): among all square zones (center cell + Chebyshev radius
+    k <= k_max) find the ones whose case count most exceeds its
+    population-proportional expectation, scored by the Poisson
+    log-likelihood ratio
+
+        LLR = c·ln(c/e) + (C−c)·ln((C−c)/(C−e)),  e = C·n/N
+
+    for zone cases c / population n and global totals C / N, evaluated
+    only when c·N > C·n (the exact-integer "elevated rate" gate).
+    Returns the ``top`` zones, one row per center (its best radius).
+
+    The reference stops at geometry conversion; SaTScan-style cluster
+    detection is the canonical downstream epidemiology/safety use of the
+    converted point layers.
+
+    Exactness: zone aggregates (c, n) and totals (C, N) are order-free
+    exact int64; the gate is an integer comparison. The LLR rewrites
+    every log argument as a ratio of INTEGERS —
+
+        LLR = c·(ln c + ln N − ln C − ln n)
+            + (C−c)·(ln(C−c) + ln N − ln C − ln(N−n))   [0 when c = C]
+
+    — so both engines take ln of exactly-representable integer doubles
+    and combine them in the same pinned order; the score is hashed as
+    round(LLR·1e6) micro-nats (llr_micro > 0 by the gate, so HALF_UP
+    and half-away rounding agree). Ties are broken (llr desc, k asc)
+    per center and (llr desc, center asc) globally — fully ordered.
+
+    Scale: each occupied cell fans out to its (2·k_max+1)² candidate
+    centers — a scan-shaped constant-factor explode of tiny (cell, c, n)
+    rows, never a pairwise join; one groupBy(center, k) plus a
+    per-center cumulative window. Totals are a 1-row broadcast. The
+    top-k is a TakeOrdered, no global sort materialization. Centers
+    include empty cells reachable within k_max of an occupied cell —
+    identical candidate set in both engines."""
+    from pyspark.sql import Window
+
+    n_grid = 1 << res
+    wrap = n_grid > 2 * k_max + 1
+    hist = cell_counts.select(
+        F.col(cell_col).alias("_cell"),
+        F.col(case_col).cast("long").alias("_c"),
+        F.col(pop_col).cast("long").alias("_n"),
+    )
+    tot = hist.agg(
+        F.sum("_c").alias("c_tot"), F.sum("_n").alias("n_tot")
+    )
+    offs = F.array(
+        *[
+            F.struct(
+                F.lit(dx).alias("dx"),
+                F.lit(dy).alias("dy"),
+                F.lit(max(abs(dx), abs(dy))).alias("k"),
+            )
+            for dx in range(-k_max, k_max + 1)
+            for dy in range(-k_max, k_max + 1)
+        ]
+    )
+    cx, cy = cells.cell_xy(F.col("_cell"))
+    ex = hist.select(
+        "_c", "_n", cx.alias("_x"), cy.alias("_y"), F.explode(offs).alias("o")
+    ).select(
+        "_c",
+        "_n",
+        (F.col("_x") + F.col("o.dx")).alias("_zx"),
+        (F.col("_y") + F.col("o.dy")).alias("_zy"),
+        F.col("o.k").alias("k"),
+    )
+    if wrap:
+        ex = ex.withColumn("_zx", (F.col("_zx") + F.lit(n_grid)) % F.lit(n_grid))
+    else:
+        ex = ex.filter((F.col("_zx") >= 0) & (F.col("_zx") < n_grid))
+    ex = ex.filter((F.col("_zy") >= 0) & (F.col("_zy") < n_grid))
+    by_k = ex.groupBy(
+        cells.pack_cell(res, F.col("_zx"), F.col("_zy")).alias("center"), "k"
+    ).agg(F.sum("_c").alias("dc"), F.sum("_n").alias("dn"))
+    w_cum = Window.partitionBy("center").orderBy("k").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    zones = by_k.select(
+        "center",
+        "k",
+        F.sum("dc").over(w_cum).alias("c"),
+        F.sum("dn").over(w_cum).alias("n"),
+    )
+    gated = zones.crossJoin(F.broadcast(tot)).filter(
+        F.col("c") * F.col("n_tot") > F.col("c_tot") * F.col("n")
+    )
+
+    def _ln(col):
+        return F.log(col.cast("double"))
+
+    term1 = F.col("c").cast("double") * (
+        _ln(F.col("c"))
+        + _ln(F.col("n_tot"))
+        - _ln(F.col("c_tot"))
+        - _ln(F.col("n"))
+    )
+    term2 = F.when(F.col("c") == F.col("c_tot"), F.lit(0.0)).otherwise(
+        (F.col("c_tot") - F.col("c")).cast("double")
+        * (
+            _ln(F.col("c_tot") - F.col("c"))
+            + _ln(F.col("n_tot"))
+            - _ln(F.col("c_tot"))
+            - _ln(F.col("n_tot") - F.col("n"))
+        )
+    )
+    scored = gated.select(
+        "center",
+        "k",
+        "c",
+        "n",
+        F.round((term1 + term2) * F.lit(1e6)).cast("long").alias("llr_micro"),
+    )
+    w_best = Window.partitionBy("center").orderBy(
+        F.col("llr_micro").desc(), F.col("k").asc()
+    )
+    best = scored.withColumn("_rn", F.row_number().over(w_best)).filter(
+        F.col("_rn") == 1
+    )
+    return (
+        best.orderBy(F.col("llr_micro").desc(), F.col("center").asc())
+        .limit(top)
+        .select(
+            F.col("center").alias("cell_id"),
+            "k",
+            F.col("c").alias("cases"),
+            F.col("n").alias("pop"),
+            "llr_micro",
+        )
+    )
+
+
+def scan_stat_sql(
+    cells_cte: str, res: int, k_max: int = 2, top: int = 5
+) -> str:
+    """DuckDB twin of scan_stat — identical candidate zones, integer
+    gate, and pinned-order LLR assembly. ``cells_cte`` must yield
+    (cell_id, cases, pop)."""
+    n_grid = 1 << res
+    xs, rs = 1 << cells._X_SHIFT, 1 << cells._R_SHIFT
+    wrap = n_grid > 2 * k_max + 1
+    values = ", ".join(
+        f"({dx}, {dy}, {max(abs(dx), abs(dy))})"
+        for dx in range(-k_max, k_max + 1)
+        for dy in range(-k_max, k_max + 1)
+    )
+    if wrap:
+        zx = f"((x + dx + {n_grid}) % {n_grid})"
+        xfilter = ""
+    else:
+        zx = "(x + dx)"
+        xfilter = f" AND x + dx >= 0 AND x + dx < {n_grid}"
+    lnd = lambda e: f"ln(CAST({e} AS DOUBLE))"  # noqa: E731
+    t1 = (
+        f"CAST(c AS DOUBLE) * ({lnd('c')} + {lnd('n_tot')}"
+        f" - {lnd('c_tot')} - {lnd('n')})"
+    )
+    t2 = (
+        "CASE WHEN c = c_tot THEN 0.0 ELSE CAST(c_tot - c AS DOUBLE)"
+        f" * ({lnd('c_tot - c')} + {lnd('n_tot')} - {lnd('c_tot')}"
+        f" - {lnd('n_tot - n')}) END"
+    )
+    return f"""
+WITH hist AS ({cells_cte}),
+tot AS (
+  SELECT CAST(sum(cases) AS BIGINT) AS c_tot,
+         CAST(sum(pop) AS BIGINT) AS n_tot
+  FROM hist
+),
+xy AS (
+  SELECT ((cell_id % {rs}) // {xs}) AS x, (cell_id % {xs}) AS y,
+         CAST(cases AS BIGINT) AS c, CAST(pop AS BIGINT) AS n
+  FROM hist
+),
+offs(dx, dy, k) AS (VALUES {values}),
+contrib AS (
+  SELECT {zx} AS zx, (y + dy) AS zy, k, c, n
+  FROM xy CROSS JOIN offs
+  WHERE y + dy >= 0 AND y + dy < {n_grid}{xfilter}
+),
+by_k AS (
+  SELECT ({res} * {rs} + zx * {xs} + zy) AS center, k,
+         sum(c) AS dc, sum(n) AS dn
+  FROM contrib GROUP BY 1, 2
+),
+zones AS (
+  SELECT center, k,
+         CAST(sum(dc) OVER (PARTITION BY center ORDER BY k) AS BIGINT) AS c,
+         CAST(sum(dn) OVER (PARTITION BY center ORDER BY k) AS BIGINT) AS n
+  FROM by_k
+),
+gated AS (
+  SELECT center, k, c, n, c_tot, n_tot FROM zones CROSS JOIN tot
+  WHERE c * n_tot > c_tot * n
+),
+scored AS (
+  SELECT center, k, c, n,
+         CAST(round(({t1} + {t2}) * 1e6) AS BIGINT) AS llr_micro
+  FROM gated
+),
+best AS (
+  SELECT center, k, c, n, llr_micro,
+         row_number() OVER (
+           PARTITION BY center ORDER BY llr_micro DESC, k
+         ) AS rn
+  FROM scored
+)
+SELECT center AS cell_id, k, c AS cases, n AS pop, llr_micro
+FROM best WHERE rn = 1
+ORDER BY llr_micro DESC, center
+LIMIT {top}
+"""

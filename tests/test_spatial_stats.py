@@ -740,3 +740,110 @@ def test_sd_ellipse_degenerate_single_point_and_line(spark):
     r2 = sd_ellipse(df2, res=3).collect()[0]
     assert r2["axis_minor"] == 0.0 and r2["orient_num"] == 0.0
     assert r2["axis_major"] > 0 and r2["orient_den"] > 0
+
+
+def test_scan_stat_brute_and_twin(spark):
+    import math
+
+    import duckdb
+
+    from osm2geojson_spark.operators.cells import pack_cell_py
+    from osm2geojson_spark.operators.spatial_stats import (
+        scan_stat,
+        scan_stat_sql,
+    )
+
+    res, k_max, top = 3, 2, 5
+    n_grid = 1 << res
+    rows = []
+    for x in range(n_grid):
+        for y in range(n_grid):
+            pop = 5 + (x * 7 + y * 3) % 11
+            cases = (x * 13 + y * 5) % 4
+            if 2 <= x <= 4 and 2 <= y <= 4:  # planted hot zone
+                cases += 3
+            rows.append((pack_cell_py(res, x, y), cases, pop))
+    df = spark.createDataFrame(rows, "cell_id long, cases long, pop long")
+    got = scan_stat(df, res=res, k_max=k_max, top=top).collect()
+
+    # brute force: every center x every radius
+    by_xy = {divmod(c % (1 << 58) , 1 << 29): (ca, po) for c, ca, po in rows}
+    C = sum(ca for ca, _ in by_xy.values())
+    N = sum(po for _, po in by_xy.values())
+    best_per_center = {}
+    for zx in range(n_grid):
+        for zy in range(n_grid):
+            for k in range(k_max + 1):
+                c = n = 0
+                for dx in range(-k, k + 1):
+                    for dy in range(-k, k + 1):
+                        # res 3 grid (8 > 2*k_max+1): x wraps, y clamps
+                        xx = (zx + dx) % n_grid
+                        yy = zy + dy
+                        if 0 <= yy < n_grid and (xx, yy) in by_xy:
+                            ca, po = by_xy[(xx, yy)]
+                            c += ca
+                            n += po
+                if not (c * N > C * n):
+                    continue
+                t1 = float(c) * (
+                    math.log(c) + math.log(N) - math.log(C) - math.log(n)
+                )
+                t2 = (
+                    0.0
+                    if c == C
+                    else float(C - c)
+                    * (
+                        math.log(C - c)
+                        + math.log(N)
+                        - math.log(C)
+                        - math.log(N - n)
+                    )
+                )
+                llr = int(round((t1 + t2) * 1e6))
+                cell = pack_cell_py(res, zx, zy)
+                cur = best_per_center.get(cell)
+                if cur is None or (-llr, k) < (-cur[0], cur[1]):
+                    best_per_center[cell] = (llr, k, c, n)
+    want = sorted(
+        (
+            (-llr, cell, k, c, n)
+            for cell, (llr, k, c, n) in best_per_center.items()
+        )
+    )[:top]
+    want = [(cell, k, c, n, -nllr) for nllr, cell, k, c, n in want]
+    assert [
+        (r["cell_id"], r["k"], r["cases"], r["pop"], r["llr_micro"])
+        for r in got
+    ] == want
+    # the planted hot zone wins: best center inside it, radius covers it
+    bx = (got[0]["cell_id"] % (1 << 58)) >> 29
+    by = got[0]["cell_id"] % (1 << 29)
+    assert 2 <= bx <= 4 and 2 <= by <= 4 and got[0]["k"] >= 1
+
+    duck = duckdb.connect()
+    duck.execute("CREATE TABLE h (cell_id BIGINT, cases BIGINT, pop BIGINT)")
+    duck.executemany("INSERT INTO h VALUES (?, ?, ?)", rows)
+    twin = duck.sql(
+        scan_stat_sql("SELECT cell_id, cases, pop FROM h", res, k_max, top)
+    ).fetchall()
+    assert twin == [
+        (r["cell_id"], r["k"], r["cases"], r["pop"], r["llr_micro"])
+        for r in got
+    ]
+
+
+def test_scan_stat_degenerate_uniform_and_empty_gate(spark):
+    from osm2geojson_spark.operators.cells import pack_cell_py
+    from osm2geojson_spark.operators.spatial_stats import scan_stat
+
+    # perfectly uniform rate: no zone passes the strict elevated-rate
+    # gate on any proper subset... except none, so the result is empty
+    res = 3
+    rows = [
+        (pack_cell_py(res, x, y), 2, 10)
+        for x in range(8)
+        for y in range(8)
+    ]
+    df = spark.createDataFrame(rows, "cell_id long, cases long, pop long")
+    assert scan_stat(df, res=res, k_max=1, top=5).count() == 0
