@@ -9122,6 +9122,30 @@ def _attribution_sql() -> str:
     )
 
 
+def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X191 (analytics.mann_whitney_u): Mann–Whitney U rank-sum test of
+    event value (exact cents) between user-id-parity arms, per
+    event_type — doubled midranks, exact integer U statistics and tie
+    term, pinned-order normal z."""
+    from osm2geojson_spark.operators.analytics import mann_whitney_u
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("g"),
+        (F.col("user_id") % 2).alias("arm"),
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    )
+    return mann_whitney_u(ev)
+
+
+def _mann_whitney_sql() -> str:
+    from osm2geojson_spark.operators.analytics import mann_whitney_u_sql
+
+    return mann_whitney_u_sql(
+        "SELECT event_type AS g, user_id % 2 AS arm,"
+        " CAST(round(value * 100) AS BIGINT) AS v FROM events"
+    )
+
+
 def q_scan_stat(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X190 (spatial_stats.scan_stat): Kulldorff spatial scan statistic
     (Poisson) over the customer point grid — cases are a deterministic
@@ -10716,6 +10740,7 @@ FROM mm GROUP BY i
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "mann_whitney": q_mann_whitney,
         "scan_stat": q_scan_stat,
         "scd2": q_scd2,
         "attribution": q_attribution,
@@ -10962,6 +10987,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "mann_whitney": _mann_whitney_sql(),
         "scan_stat": _scan_stat_sql(),
         "scd2": _scd2_sql(),
         "attribution": _attribution_sql(),

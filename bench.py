@@ -241,6 +241,7 @@ BENCH_QUERIES = [
     "canny_nms",
     "mad_outliers",
     "scan_stat",
+    "mann_whitney",
 ]
 
 

@@ -2286,3 +2286,142 @@ SELECT d.{g}, d.{i}, d.v AS {v}, d.med, mad.mad, d.dev,
        d.dev > {int(k)} * mad.mad AS is_outlier
 FROM dev_ranked d JOIN mad USING ({g})
 """
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    group_col: str = "g",
+    arm_col: str = "arm",
+    value_col: str = "v",
+) -> DataFrame:
+    """MANN–WHITNEY U rank-sum test per group — the nonparametric
+    two-sample location test (scipy.stats.mannwhitneyu): does arm 1's
+    value distribution stochastically dominate arm 0's? The workhorse
+    A/B test when values are skewed (latencies, spend) and the t-test's
+    normality assumption is junk.
+
+    Exactness: ranks are DOUBLED midranks — for a tie block occupying
+    1-based positions [lo, hi] the midrank is (lo+hi)/2, so the doubled
+    midrank lo+hi = 2·cum_le(v) − cnt(v) + 1 is an exact integer, and
+    the doubled rank sum r2, doubled statistics u2_1/u2_0 (U×2), and
+    the tie term Σ(t³−t) are all order-free exact int64:
+
+        u2_1 = r2_1 − n1·(n1+1),   u2_0 = 2·n0·n1 − u2_1.
+
+    Only the normal-approximation z touches floats — the pinned-order
+    assembly z = (u2_1 − n0·n1) / sqrt(n0·n1·((n+1) − ties/(n·(n−1)))/3)
+    from exact integers (+,−,×,/,√ correctly rounded ⇒ cross-engine
+    bit-identical), NULL when an arm is empty or all values tie.
+
+    Scale: one groupBy(g, v) with map-side combine, one per-group
+    ordered window over DISTINCT values (not rows — ties collapse
+    first), one final groupBy(g). Value-heavy groups parallelize by g;
+    the window's state is the distinct-value count, not n."""
+    arm1 = (F.col(arm_col) != 0).cast("long")
+    byval = df.groupBy(
+        F.col(group_col).alias("g"), F.col(value_col).cast("long").alias("v")
+    ).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(arm1).alias("cnt1"),
+    )
+    w = Window.partitionBy("g").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    ranked = byval.select(
+        "g",
+        "cnt",
+        "cnt1",
+        (F.lit(2) * F.sum("cnt").over(w) - F.col("cnt") + F.lit(1)).alias(
+            "d2"
+        ),
+    )
+    per_g = ranked.groupBy("g").agg(
+        F.sum("cnt").alias("n"),
+        F.sum("cnt1").alias("n1"),
+        F.sum(F.col("d2") * F.col("cnt1")).alias("r2_1"),
+        F.sum(
+            F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt")
+        ).alias("ties"),
+    )
+    n0 = F.col("n") - F.col("n1")
+    u2_1 = F.col("r2_1") - F.col("n1") * (F.col("n1") + 1)
+    dd = lambda c: c.cast("double")  # noqa: E731
+    sigma2 = (
+        dd(n0)
+        * dd(F.col("n1"))
+        * (
+            dd(F.col("n") + 1)
+            - dd(F.col("ties")) / (dd(F.col("n")) * dd(F.col("n") - 1))
+        )
+        / F.lit(3.0)
+    )
+    z = F.when(
+        (n0 > 0) & (F.col("n1") > 0) & (F.col("ties") < F.col("n") * F.col("n") * F.col("n") - F.col("n")),
+        F.round((dd(u2_1) - dd(n0 * F.col("n1"))) / F.sqrt(sigma2), 6),
+    )
+    return per_g.select(
+        "g",
+        n0.alias("n0"),
+        F.col("n1"),
+        F.col("r2_1").alias("r2_1"),
+        u2_1.alias("u2_1"),
+        (F.lit(2) * n0 * F.col("n1") - u2_1).alias("u2_0"),
+        F.col("ties"),
+        z.alias("z"),
+    )
+
+
+def mann_whitney_u_sql(
+    rows_cte: str,
+    group_col: str = "g",
+    arm_col: str = "arm",
+    value_col: str = "v",
+) -> str:
+    """DuckDB twin of mann_whitney_u — identical doubled midranks,
+    integer statistics, and pinned z assembly."""
+    g, a, v = group_col, arm_col, value_col
+    return f"""
+WITH src AS ({rows_cte}),
+byval AS (
+  SELECT {g} AS g, CAST({v} AS BIGINT) AS v,
+         count(*) AS cnt,
+         sum(CASE WHEN {a} <> 0 THEN 1 ELSE 0 END) AS cnt1
+  FROM src GROUP BY 1, 2
+),
+ranked AS (
+  SELECT g, cnt, cnt1,
+         2 * sum(cnt) OVER (
+           PARTITION BY g ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) - cnt + 1 AS d2
+  FROM byval
+),
+per_g AS (
+  SELECT g,
+         CAST(sum(cnt) AS BIGINT) AS n,
+         CAST(sum(cnt1) AS BIGINT) AS n1,
+         CAST(sum(d2 * cnt1) AS BIGINT) AS r2_1,
+         CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT) AS ties
+  FROM ranked GROUP BY 1
+)
+SELECT g,
+       (n - n1) AS n0,
+       n1,
+       r2_1,
+       (r2_1 - n1 * (n1 + 1)) AS u2_1,
+       (2 * (n - n1) * n1 - (r2_1 - n1 * (n1 + 1))) AS u2_0,
+       ties,
+       CASE WHEN (n - n1) > 0 AND n1 > 0 AND ties < n * n * n - n
+            THEN round(
+              (CAST(r2_1 - n1 * (n1 + 1) AS DOUBLE)
+               - CAST((n - n1) * n1 AS DOUBLE))
+              / sqrt(
+                  CAST(n - n1 AS DOUBLE) * CAST(n1 AS DOUBLE)
+                  * (CAST(n + 1 AS DOUBLE)
+                     - CAST(ties AS DOUBLE)
+                       / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)))
+                  / 3.0
+                ), 6)
+       END AS z
+FROM per_g
+"""

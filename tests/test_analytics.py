@@ -1638,3 +1638,79 @@ def test_mad_outliers_matches_replay_and_twin(spark):
         assert twin[i] == (
             r["g"], i, r["v"], r["med"], r["mad"], r["dev"], r["is_outlier"]
         ), i
+
+
+def test_mann_whitney_brute_and_twin(spark):
+    import math
+    import random
+
+    import duckdb
+
+    from osm2geojson_spark.operators.analytics import (
+        mann_whitney_u,
+        mann_whitney_u_sql,
+    )
+
+    rng = random.Random(11)
+    rows = []
+    # group 0: arm 1 shifted up (real effect); group 1: identical arms;
+    # group 2: heavy ties; group 3: one-arm-only (z must be NULL)
+    for i in range(300):
+        rows.append((0, i % 2, rng.randrange(100) + 40 * (i % 2)))
+    for i in range(300):
+        rows.append((1, i % 2, rng.randrange(100)))
+    for i in range(200):
+        rows.append((2, i % 2, rng.randrange(4)))
+    for i in range(50):
+        rows.append((3, 1, rng.randrange(100)))
+    df = spark.createDataFrame(rows, "g long, arm long, v long")
+    got = {r["g"]: r for r in mann_whitney_u(df).collect()}
+
+    for g in range(4):
+        vals = [(v, a) for gg, a, v in rows if gg == g]
+        n = len(vals)
+        n1 = sum(a for _, a in vals)
+        n0 = n - n1
+        # doubled midranks
+        svals = sorted(v for v, _ in vals)
+        lo = {}
+        for pos, v in enumerate(svals, 1):
+            lo.setdefault(v, pos)
+        hi = {}
+        for pos, v in enumerate(svals, 1):
+            hi[v] = pos
+        r2_1 = sum(lo[v] + hi[v] for v, a in vals if a == 1)
+        u2_1 = r2_1 - n1 * (n1 + 1)
+        from collections import Counter
+
+        c = Counter(v for v, _ in vals)
+        ties = sum(t**3 - t for t in c.values())
+        r = got[g]
+        assert (r["n0"], r["n1"], r["r2_1"], r["u2_1"], r["u2_0"], r["ties"]) == (
+            n0, n1, r2_1, u2_1, 2 * n0 * n1 - u2_1, ties
+        ), g
+        if n0 and n1 and ties < n**3 - n:
+            sigma2 = (
+                float(n0) * float(n1)
+                * (float(n + 1) - float(ties) / (float(n) * float(n - 1)))
+                / 3.0
+            )
+            z = round((float(u2_1) - float(n0 * n1)) / math.sqrt(sigma2), 6)
+            assert r["z"] == z, g
+        else:
+            assert r["z"] is None, g
+    # planted effect direction: group 0 strongly positive, group 1 small
+    assert got[0]["z"] > 5.0 and abs(got[1]["z"]) < 3.0
+
+    duck = duckdb.connect()
+    duck.execute("CREATE TABLE ab (g BIGINT, arm BIGINT, v BIGINT)")
+    duck.executemany("INSERT INTO ab VALUES (?, ?, ?)", rows)
+    twin = {
+        r[0]: r
+        for r in duck.sql(mann_whitney_u_sql("SELECT * FROM ab")).fetchall()
+    }
+    for g, r in got.items():
+        assert twin[g] == (
+            g, r["n0"], r["n1"], r["r2_1"], r["u2_1"], r["u2_0"],
+            r["ties"], r["z"],
+        ), g
