@@ -9122,6 +9122,30 @@ def _attribution_sql() -> str:
     )
 
 
+def q_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X192 (analytics.spearman_corr): Spearman rank correlation of
+    event value (cents) against event time (micros) per event_type —
+    the monotone value-drift detector. Centered doubled midranks give
+    exact int64 num/denx/deny; rho is a pinned two-sqrt assembly."""
+    from osm2geojson_spark.operators.analytics import spearman_corr
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("g"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("x"),
+        F.round(F.col("value") * 100).cast("long").alias("y"),
+    )
+    return spearman_corr(ev)
+
+
+def _spearman_sql() -> str:
+    from osm2geojson_spark.operators.analytics import spearman_corr_sql
+
+    return spearman_corr_sql(
+        "SELECT event_type AS g, epoch_us(ts) AS x,"
+        " CAST(round(value * 100) AS BIGINT) AS y FROM events"
+    )
+
+
 def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X191 (analytics.mann_whitney_u): Mann–Whitney U rank-sum test of
     event value (exact cents) between user-id-parity arms, per
@@ -10740,6 +10764,7 @@ FROM mm GROUP BY i
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "spearman": q_spearman,
         "mann_whitney": q_mann_whitney,
         "scan_stat": q_scan_stat,
         "scd2": q_scd2,
@@ -10987,6 +11012,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "spearman": _spearman_sql(),
         "mann_whitney": _mann_whitney_sql(),
         "scan_stat": _scan_stat_sql(),
         "scd2": _scd2_sql(),

@@ -242,6 +242,7 @@ BENCH_QUERIES = [
     "mad_outliers",
     "scan_stat",
     "mann_whitney",
+    "spearman",
 ]
 
 

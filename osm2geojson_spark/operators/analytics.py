@@ -2425,3 +2425,138 @@ SELECT g,
        END AS z
 FROM per_g
 """
+
+
+def spearman_corr(
+    df: DataFrame,
+    group_col: str = "g",
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """SPEARMAN RANK CORRELATION per group (scipy.stats.spearmanr with
+    ties) — the nonparametric monotone-association measure: Pearson's r
+    computed on midranks. The standard drift/trend detector when the
+    relationship is monotone but not linear (value vs time, size vs
+    latency).
+
+    Exactness: per axis, DOUBLED midranks d = lo+hi are exact integers
+    (see mann_whitney_u); since Σd = n(n+1) exactly, the CENTERED rank
+    c = d − (n+1) is an exact integer with Σc = 0, and Pearson's
+    numerator/denominators collapse to the order-free exact int64 sums
+
+        num = Σ cx·cy,   denx = Σ cx²,   deny = Σ cy²,
+        rho = num / (√denx · √deny)     [pinned doubles, NULL if a
+                                         denominator is 0]
+
+    Overflow bound: |c| ≤ n so every sum is ≤ n³ — exact up to ~2e6
+    rows per group; sample or pre-bin beyond that.
+
+    Scale: two (groupBy(g, v) + distinct-value window) rank maps, two
+    equi-joins back to the rows on (g, value) — rank maps are
+    tie-collapsed so they are small on quantized metrics — then one
+    combinable groupBy(g)."""
+    rows = df.select(
+        F.col(group_col).alias("g"),
+        F.col(x_col).cast("long").alias("x"),
+        F.col(y_col).cast("long").alias("y"),
+    )
+    n_g = rows.groupBy("g").agg(F.count(F.lit(1)).alias("n"))
+
+    def rank_map(col: str, out: str) -> DataFrame:
+        byval = rows.groupBy("g", col).agg(F.count(F.lit(1)).alias("cnt"))
+        w = Window.partitionBy("g").orderBy(col).rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        return byval.select(
+            "g",
+            col,
+            (
+                F.lit(2) * F.sum("cnt").over(w) - F.col("cnt") + F.lit(1)
+            ).alias(out),
+        )
+
+    joined = (
+        rows.join(rank_map("x", "dx"), ["g", "x"])
+        .join(rank_map("y", "dy"), ["g", "y"])
+        .join(n_g, "g")
+        .select(
+            "g",
+            "n",
+            (F.col("dx") - (F.col("n") + 1)).alias("cx"),
+            (F.col("dy") - (F.col("n") + 1)).alias("cy"),
+        )
+    )
+    agg = joined.groupBy("g", "n").agg(
+        F.sum(F.col("cx") * F.col("cy")).alias("num"),
+        F.sum(F.col("cx") * F.col("cx")).alias("denx"),
+        F.sum(F.col("cy") * F.col("cy")).alias("deny"),
+    )
+    dd = lambda c: F.col(c).cast("double")  # noqa: E731
+    return agg.select(
+        "g",
+        F.col("n"),
+        "num",
+        "denx",
+        "deny",
+        F.when(
+            (F.col("denx") > 0) & (F.col("deny") > 0),
+            F.round(
+                dd("num") / (F.sqrt(dd("denx")) * F.sqrt(dd("deny"))), 6
+            ),
+        ).alias("rho"),
+    )
+
+
+def spearman_corr_sql(
+    rows_cte: str,
+    group_col: str = "g",
+    x_col: str = "x",
+    y_col: str = "y",
+) -> str:
+    """DuckDB twin of spearman_corr — identical centered doubled
+    midranks and pinned rho assembly."""
+    g, x, y = group_col, x_col, y_col
+
+    def rmap(col: str, out: str) -> str:
+        return f"""
+  SELECT g, {col},
+         2 * sum(cnt) OVER (
+           PARTITION BY g ORDER BY {col}
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) - cnt + 1 AS {out}
+  FROM (SELECT g, {col}, count(*) AS cnt FROM src GROUP BY 1, 2)
+"""
+
+    return f"""
+WITH src AS (
+  SELECT {g} AS g, CAST({x} AS BIGINT) AS x, CAST({y} AS BIGINT) AS y
+  FROM ({rows_cte})
+),
+n_g AS (SELECT g, count(*) AS n FROM src GROUP BY 1),
+rx AS ({rmap('x', 'dx')}),
+ry AS ({rmap('y', 'dy')}),
+joined AS (
+  SELECT src.g, n_g.n,
+         (rx.dx - (n_g.n + 1)) AS cx,
+         (ry.dy - (n_g.n + 1)) AS cy
+  FROM src
+  JOIN rx USING (g, x)
+  JOIN ry USING (g, y)
+  JOIN n_g USING (g)
+),
+agg AS (
+  SELECT g, n,
+         CAST(sum(cx * cy) AS BIGINT) AS num,
+         CAST(sum(cx * cx) AS BIGINT) AS denx,
+         CAST(sum(cy * cy) AS BIGINT) AS deny
+  FROM joined GROUP BY 1, 2
+)
+SELECT g, CAST(n AS BIGINT) AS n, num, denx, deny,
+       CASE WHEN denx > 0 AND deny > 0
+            THEN round(
+              CAST(num AS DOUBLE)
+              / (sqrt(CAST(denx AS DOUBLE)) * sqrt(CAST(deny AS DOUBLE))),
+              6)
+       END AS rho
+FROM agg
+"""

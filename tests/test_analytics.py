@@ -1714,3 +1714,80 @@ def test_mann_whitney_brute_and_twin(spark):
             g, r["n0"], r["n1"], r["r2_1"], r["u2_1"], r["u2_0"],
             r["ties"], r["z"],
         ), g
+
+
+def test_spearman_brute_and_twin(spark):
+    import math
+    import random
+    from collections import Counter
+
+    import duckdb
+
+    from osm2geojson_spark.operators.analytics import (
+        spearman_corr,
+        spearman_corr_sql,
+    )
+
+    rng = random.Random(7)
+    rows = []
+    # g0: monotone increasing with noise + ties; g1: independent;
+    # g2: perfectly anti-monotone (rho = -1); g3: constant x (rho NULL)
+    for i in range(200):
+        rows.append((0, i // 3, (i // 3) * 2 + rng.randrange(20)))
+    for i in range(200):
+        rows.append((1, rng.randrange(50), rng.randrange(50)))
+    for i in range(100):
+        rows.append((2, i, -i))
+    for i in range(40):
+        rows.append((3, 5, rng.randrange(10)))
+    df = spark.createDataFrame(rows, "g long, x long, y long")
+    got = {r["g"]: r for r in spearman_corr(df).collect()}
+
+    def dranks(vals):
+        sv = sorted(vals)
+        lo, hi = {}, {}
+        for p, v in enumerate(sv, 1):
+            lo.setdefault(v, p)
+            hi[v] = p
+        return {v: lo[v] + hi[v] for v in set(vals)}
+
+    for g in range(4):
+        xs = [x for gg, x, _ in rows if gg == g]
+        ys = [y for gg, _, y in rows if gg == g]
+        n = len(xs)
+        rx, ry = dranks(xs), dranks(ys)
+        cx = [rx[x] - (n + 1) for x in xs]
+        cy = [ry[y] - (n + 1) for y in ys]
+        num = sum(a * b for a, b in zip(cx, cy))
+        denx = sum(a * a for a in cx)
+        deny = sum(b * b for b in cy)
+        r = got[g]
+        assert (r["n"], r["num"], r["denx"], r["deny"]) == (
+            n, num, denx, deny
+        ), g
+        if denx > 0 and deny > 0:
+            rho = round(
+                float(num) / (math.sqrt(float(denx)) * math.sqrt(float(deny))),
+                6,
+            )
+            assert r["rho"] == rho, g
+        else:
+            assert r["rho"] is None, g
+    assert got[0]["rho"] > 0.9
+    assert abs(got[1]["rho"]) < 0.3
+    assert got[2]["rho"] == -1.0
+    assert got[3]["rho"] is None
+
+    duck = duckdb.connect()
+    duck.execute("CREATE TABLE xy (g BIGINT, x BIGINT, y BIGINT)")
+    duck.executemany("INSERT INTO xy VALUES (?, ?, ?)", rows)
+    twin = {
+        r[0]: r
+        for r in duck.sql(
+            spearman_corr_sql("SELECT * FROM xy")
+        ).fetchall()
+    }
+    for g, r in got.items():
+        assert twin[g] == (
+            g, r["n"], r["num"], r["denx"], r["deny"], r["rho"]
+        ), g
