@@ -9122,6 +9122,30 @@ def _attribution_sql() -> str:
     )
 
 
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X193 (similarity.hard_negatives): contrastive hard-negative
+    mining — per sampled anchor, the top-5 highest quantized-inner-
+    product embeddings with a DIFFERENT label (broadcast corpus, Arrow
+    GEMM-shaped scoring; exact integer dots and ranking)."""
+    from osm2geojson_spark.operators.similarity import hard_negatives
+
+    emb = _t(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") % 5 == 0)
+    return hard_negatives(anchors, emb, k=5)
+
+
+def _hard_negatives_sql() -> str:
+    from osm2geojson_spark.operators.similarity import hard_negatives_sql
+
+    return hard_negatives_sql(
+        "SELECT vec_id, label, embedding FROM embeddings"
+        " WHERE vec_id % 5 = 0",
+        "SELECT vec_id, label, embedding FROM embeddings",
+        k=5,
+        dim=64,
+    )
+
+
 def q_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X192 (analytics.spearman_corr): Spearman rank correlation of
     event value (cents) against event time (micros) per event_type —
@@ -10764,6 +10788,7 @@ FROM mm GROUP BY i
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "hard_negatives": q_hard_negatives,
         "spearman": q_spearman,
         "mann_whitney": q_mann_whitney,
         "scan_stat": q_scan_stat,
@@ -11012,6 +11037,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "hard_negatives": _hard_negatives_sql(),
         "spearman": _spearman_sql(),
         "mann_whitney": _mann_whitney_sql(),
         "scan_stat": _scan_stat_sql(),

@@ -243,6 +243,7 @@ BENCH_QUERIES = [
     "scan_stat",
     "mann_whitney",
     "spearman",
+    "hard_negatives",
 ]
 
 

@@ -1270,3 +1270,117 @@ SELECT best.i AS {id_col}, best.label, own.a_mean, best.b_mean,
        END AS silhouette
 FROM best LEFT JOIN own ON own.i = best.i
 """
+
+
+def hard_negatives(
+    anchors: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """(qid, qlabel, tid, tlabel, rank, dot_q) — HARD-NEGATIVE MINING
+    for contrastive training: per anchor, the top-k highest-similarity
+    candidates with a DIFFERENT label. The standard training-data move
+    (SimCLR/CLIP fine-tuning, retrieval distillation): random negatives
+    are too easy; the near-misses carry the gradient signal.
+
+    Similarity is the raw inner product — THE contrastive score when
+    embeddings are L2-normalized upstream — quantized per term as
+    floor(a_j·b_j·1e6 + 0.5) and summed in int64, so the score, the
+    (dot_q DESC, tid ASC) ranking, and the top-k cut are exact and
+    engine-independent (same scheme as silhouette/MMR).
+
+    Scale: the candidate corpus rides to executors as one broadcast
+    NumPy matrix (validation/queue-sized, the standard in-batch+queue
+    mining regime — MoCo's queue is 65k rows); each Arrow batch of
+    anchors scores per-anchor against the whole queue with a vectorized
+    elementwise-quantize + row sum, never a Spark-side pairwise join.
+    Corpus-scale mining composes upstream: ANN-restrict candidates
+    first (ann_* operators), then exact-rescore here."""
+    rows = corpus.select(id_col, label_col, vec_col).collect()
+    rows.sort(key=lambda r: r[0])
+    c_ids = np.asarray([r[0] for r in rows], dtype=np.int64)
+    c_lab = np.asarray([r[1] for r in rows], dtype=np.int64)
+    C = np.asarray([r[2] for r in rows], dtype=np.float64)
+    bc = anchors.sparkSession.sparkContext.broadcast((c_ids, c_lab, C))
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        b_ids, b_lab, b_C = bc.value
+        for pdf in it:
+            if not len(pdf):
+                continue
+            out = []
+            for qid, qlab, vec in zip(
+                pdf[id_col].to_numpy(dtype=np.int64),
+                pdf[label_col].to_numpy(dtype=np.int64),
+                pdf[vec_col],
+            ):
+                q = np.asarray(vec, dtype=np.float64)
+                dots = (
+                    np.floor(q[None, :] * b_C * 1e6 + 0.5)
+                    .sum(axis=1)
+                    .astype(np.int64)
+                )
+                mask = b_lab != qlab
+                cand = np.nonzero(mask)[0]
+                order = cand[np.lexsort((b_ids[cand], -dots[cand]))[:k]]
+                out.extend(
+                    (
+                        int(qid),
+                        int(qlab),
+                        int(b_ids[j]),
+                        int(b_lab[j]),
+                        rk + 1,
+                        int(dots[j]),
+                    )
+                    for rk, j in enumerate(order)
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["qid", "qlabel", "tid", "tlabel", "rank", "dot_q"],
+            )
+
+    return anchors.select(id_col, label_col, vec_col).mapInPandas(
+        fn,
+        schema=(
+            "qid long, qlabel long, tid long, tlabel long,"
+            " rank long, dot_q long"
+        ),
+    )
+
+
+def hard_negatives_sql(
+    anchors_cte: str,
+    corpus_cte: str,
+    k: int = 5,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> str:
+    """DuckDB twin of hard_negatives — identical per-term quantized
+    dot, different-label mask, and (dot_q DESC, tid ASC) top-k."""
+    i, v, l = id_col, vec_col, label_col
+    return f"""
+WITH a AS ({anchors_cte}),
+c AS ({corpus_cte}),
+pairs AS (
+  SELECT a.{i} AS qid, a.{l} AS qlabel, c.{i} AS tid, c.{l} AS tlabel,
+         CAST(sum(CAST(floor(
+           CAST(a.{v}[j] AS DOUBLE) * CAST(c.{v}[j] AS DOUBLE) * 1e6 + 0.5
+         ) AS BIGINT)) AS BIGINT) AS dot_q
+  FROM a JOIN c ON a.{l} != c.{l},
+       unnest(generate_series(1, {dim})) t(j)
+  GROUP BY 1, 2, 3, 4
+)
+SELECT CAST(qid AS BIGINT) AS qid, CAST(qlabel AS BIGINT) AS qlabel,
+       CAST(tid AS BIGINT) AS tid, CAST(tlabel AS BIGINT) AS tlabel,
+       CAST(row_number() OVER (
+         PARTITION BY qid ORDER BY dot_q DESC, tid
+       ) AS BIGINT) AS rank,
+       dot_q
+FROM pairs
+QUALIFY rank <= {k}
+"""

@@ -1236,3 +1236,74 @@ def test_silhouette_matches_replay_and_twin(spark):
         )
         for i, r in got.items()
     }
+
+
+def test_hard_negatives_brute_and_twin(spark):
+    """hard_negatives == a NumPy brute replay with the same quantized
+    dot; DuckDB twin tuple-identical."""
+    import math
+    import random
+
+    import duckdb
+    import numpy as np
+
+    from osm2geojson_spark.operators.similarity import (
+        hard_negatives,
+        hard_negatives_sql,
+    )
+
+    rng = random.Random(3)
+    dim, n = 8, 60
+    rows = []
+    for i in range(n):
+        lab = i % 4
+        # label-clustered directions + noise so near-misses exist
+        base = [math.cos(lab + j) for j in range(dim)]
+        vec = [b + rng.uniform(-0.3, 0.3) for b in base]
+        rows.append((i, lab, vec))
+    df = spark.createDataFrame(rows, "vec_id long, label long, embedding array<double>")
+    anchors = df.filter("vec_id % 3 = 0")
+    got = hard_negatives(anchors, df, k=4).collect()
+
+    ids = np.array([r[0] for r in rows])
+    labs = np.array([r[1] for r in rows])
+    C = np.array([r[2] for r in rows], dtype=np.float64)
+    want = []
+    for qid in sorted(r[0] for r in rows if r[0] % 3 == 0):
+        q = C[ids == qid][0]
+        qlab = int(labs[ids == qid][0])
+        dots = np.floor(q[None, :] * C * 1e6 + 0.5).sum(axis=1).astype(np.int64)
+        cand = [
+            (int(-dots[j]), int(ids[j]))
+            for j in range(n)
+            if labs[j] != qlab
+        ]
+        cand.sort()
+        for rk, (nd, tid) in enumerate(cand[:4], 1):
+            want.append(
+                (qid, qlab, tid, int(labs[ids == tid][0]), rk, -nd)
+            )
+    got_t = sorted(
+        (r["qid"], r["qlabel"], r["tid"], r["tlabel"], r["rank"], r["dot_q"])
+        for r in got
+    )
+    assert got_t == sorted(want)
+    # every mined negative has a different label
+    assert all(r["qlabel"] != r["tlabel"] for r in got)
+
+    duck = duckdb.connect()
+    duck.execute(
+        "CREATE TABLE e (vec_id BIGINT, label BIGINT, embedding DOUBLE[])"
+    )
+    duck.executemany("INSERT INTO e VALUES (?, ?, ?)", rows)
+    twin = sorted(
+        duck.sql(
+            hard_negatives_sql(
+                "SELECT * FROM e WHERE vec_id % 3 = 0",
+                "SELECT * FROM e",
+                k=4,
+                dim=dim,
+            )
+        ).fetchall()
+    )
+    assert twin == got_t
