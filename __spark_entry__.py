@@ -9122,6 +9122,38 @@ def _attribution_sql() -> str:
     )
 
 
+def q_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X194 (analytics.seasonal_decompose): classical period-7 additive
+    decomposition of daily order revenue (exact cents) per order
+    status — RANGE-window centered MA (gap-honest), exact integer
+    trend/detrended components, rational seasonal indices, pinned
+    residual."""
+    from osm2geojson_spark.operators.analytics import seasonal_decompose
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderstatus").alias("g"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.to_date(F.lit("1992-01-01"))
+        ).cast("long").alias("t"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    daily = o.groupBy("g", "t").agg(F.sum("cents").alias("v"))
+    return seasonal_decompose(daily, period=7)
+
+
+def _seasonal_sql() -> str:
+    from osm2geojson_spark.operators.analytics import seasonal_decompose_sql
+
+    return seasonal_decompose_sql(
+        "SELECT o_orderstatus AS g,"
+        " date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))"
+        " AS t,"
+        " sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS v"
+        " FROM orders GROUP BY 1, 2",
+        period=7,
+    )
+
+
 def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X193 (similarity.hard_negatives): contrastive hard-negative
     mining — per sampled anchor, the top-5 highest quantized-inner-
@@ -10788,6 +10820,7 @@ FROM mm GROUP BY i
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "seasonal": q_seasonal,
         "hard_negatives": q_hard_negatives,
         "spearman": q_spearman,
         "mann_whitney": q_mann_whitney,
@@ -11037,6 +11070,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "seasonal": _seasonal_sql(),
         "hard_negatives": _hard_negatives_sql(),
         "spearman": _spearman_sql(),
         "mann_whitney": _mann_whitney_sql(),

@@ -244,6 +244,7 @@ BENCH_QUERIES = [
     "mann_whitney",
     "spearman",
     "hard_negatives",
+    "seasonal",
 ]
 
 

@@ -2560,3 +2560,149 @@ SELECT g, CAST(n AS BIGINT) AS n, num, denx, deny,
        END AS rho
 FROM agg
 """
+
+
+def seasonal_decompose(
+    df: DataFrame,
+    period: int = 7,
+    group_col: str = "g",
+    t_col: str = "t",
+    value_col: str = "v",
+) -> DataFrame:
+    """ADDITIVE SEASONAL DECOMPOSITION per group (the classical
+    moving-average method behind statsmodels' seasonal_decompose):
+    trend = centered period-length moving average, seasonal index =
+    per-phase mean of the detrended series, residual = the rest. The
+    first look at any business/telemetry daily series.
+
+    ``period`` must be odd (centered MA has a well-defined middle).
+    ``t`` is an integer time index (e.g. day number); phase = t mod
+    period. Gappy series are handled honestly: the trend at t exists
+    only when ALL ``period`` neighbors in [t−h, t+h] are present
+    (h = (period−1)/2), via a RANGE window — never a row-offset window
+    that silently spans gaps.
+
+    Exactness: trend_s = Σ window values (×period the trend) and
+    det_s = period·v − trend_s are exact int64; the per-phase seasonal
+    index is kept as the exact rational (seas_sum = Σ det_s, seas_cnt);
+    only resid = (det_s·seas_cnt − seas_sum)/(period·seas_cnt) is a
+    pinned-order double (round 6). Overflow bound: |det_s·seas_cnt| ≤
+    period·max|v|·points-per-phase — int64-safe for cent-scale daily
+    rollups over centuries.
+
+    Scale: input is the PRE-AGGREGATED series (one row per (g, t) from
+    a combinable upstream groupBy), so the window partitions are
+    series-length-sized; one RANGE window + one groupBy(g, phase) +
+    one broadcastable join back."""
+    assert period % 2 == 1, "centered MA needs an odd period"
+    h = (period - 1) // 2
+    w = Window.partitionBy(group_col).orderBy(t_col).rangeBetween(-h, h)
+    base = df.select(
+        F.col(group_col).alias("g"),
+        F.col(t_col).cast("long").alias("t"),
+        F.col(value_col).cast("long").alias("v"),
+    )
+    with_trend = base.select(
+        "g",
+        "t",
+        "v",
+        (F.col("t") % period).alias("phase"),
+        F.when(
+            F.count(F.lit(1)).over(
+                Window.partitionBy("g").orderBy("t").rangeBetween(-h, h)
+            )
+            == period,
+            F.sum("v").over(
+                Window.partitionBy("g").orderBy("t").rangeBetween(-h, h)
+            ),
+        ).alias("trend_s"),
+    ).withColumn(
+        "det_s",
+        F.when(
+            F.col("trend_s").isNotNull(),
+            F.lit(period) * F.col("v") - F.col("trend_s"),
+        ),
+    )
+    seas = with_trend.filter(F.col("det_s").isNotNull()).groupBy(
+        "g", "phase"
+    ).agg(
+        F.sum("det_s").alias("seas_sum"),
+        F.count(F.lit(1)).alias("seas_cnt"),
+    )
+    out = with_trend.join(seas, ["g", "phase"], "left")
+    resid = F.when(
+        F.col("det_s").isNotNull() & (F.col("seas_cnt") > 0),
+        F.round(
+            (
+                F.col("det_s").cast("double") * F.col("seas_cnt").cast("double")
+                - F.col("seas_sum").cast("double")
+            )
+            / (F.lit(float(period)) * F.col("seas_cnt").cast("double")),
+            6,
+        ),
+    )
+    return out.select(
+        "g",
+        "t",
+        "v",
+        "phase",
+        "trend_s",
+        "det_s",
+        F.col("seas_sum"),
+        F.col("seas_cnt"),
+        resid.alias("resid"),
+    )
+
+
+def seasonal_decompose_sql(
+    rows_cte: str,
+    period: int = 7,
+    group_col: str = "g",
+    t_col: str = "t",
+    value_col: str = "v",
+) -> str:
+    """DuckDB twin of seasonal_decompose — identical RANGE window,
+    integer components, and pinned residual assembly."""
+    g, t, v = group_col, t_col, value_col
+    h = (period - 1) // 2
+    p = period
+    return f"""
+WITH src AS (
+  SELECT {g} AS g, CAST({t} AS BIGINT) AS t, CAST({v} AS BIGINT) AS v
+  FROM ({rows_cte})
+),
+with_trend AS (
+  SELECT g, t, v, (t % {p}) AS phase,
+         CASE WHEN count(*) OVER (
+                PARTITION BY g ORDER BY t
+                RANGE BETWEEN {h} PRECEDING AND {h} FOLLOWING
+              ) = {p}
+              THEN sum(v) OVER (
+                PARTITION BY g ORDER BY t
+                RANGE BETWEEN {h} PRECEDING AND {h} FOLLOWING
+              )
+         END AS trend_s
+  FROM src
+),
+det AS (
+  SELECT g, t, v, phase, trend_s,
+         CASE WHEN trend_s IS NOT NULL THEN {p} * v - trend_s END AS det_s
+  FROM with_trend
+),
+seas AS (
+  SELECT g, phase,
+         CAST(sum(det_s) AS BIGINT) AS seas_sum,
+         CAST(count(*) AS BIGINT) AS seas_cnt
+  FROM det WHERE det_s IS NOT NULL GROUP BY 1, 2
+)
+SELECT det.g, det.t, det.v, det.phase, det.trend_s, det.det_s,
+       seas.seas_sum, seas.seas_cnt,
+       CASE WHEN det.det_s IS NOT NULL AND seas.seas_cnt > 0
+            THEN round(
+              (CAST(det.det_s AS DOUBLE) * CAST(seas.seas_cnt AS DOUBLE)
+               - CAST(seas.seas_sum AS DOUBLE))
+              / ({float(p)} * CAST(seas.seas_cnt AS DOUBLE)),
+              6)
+       END AS resid
+FROM det LEFT JOIN seas ON det.g = seas.g AND det.phase = seas.phase
+"""

@@ -1791,3 +1791,87 @@ def test_spearman_brute_and_twin(spark):
         assert twin[g] == (
             g, r["n"], r["num"], r["denx"], r["deny"], r["rho"]
         ), g
+
+
+def test_seasonal_decompose_brute_and_twin(spark):
+    import random
+
+    import duckdb
+
+    from osm2geojson_spark.operators.analytics import (
+        seasonal_decompose,
+        seasonal_decompose_sql,
+    )
+
+    rng = random.Random(5)
+    rows = []
+    # g0: trend + weekly pattern, with a GAP (days 40-42 missing)
+    pat = [0, 50, 120, 90, -30, -80, -60]
+    for d in range(80):
+        if 40 <= d <= 42:
+            continue
+        rows.append((0, d, 1000 + 3 * d + pat[d % 7] + rng.randrange(10)))
+    # g1: shorter than one period (trend never defined)
+    for d in range(5):
+        rows.append((1, d, 100 + d))
+    df = spark.createDataFrame(rows, "g long, t long, v long")
+    got = {(r["g"], r["t"]): r for r in seasonal_decompose(df).collect()}
+    assert len(got) == len(rows)
+
+    by_g = {}
+    for g, t, v in rows:
+        by_g.setdefault(g, {})[t] = v
+    # brute replay
+    det_by_phase = {}
+    brute = {}
+    for g, series in by_g.items():
+        for t, v in series.items():
+            win = [series.get(t + d) for d in range(-3, 4)]
+            if all(x is not None for x in win):
+                trend = sum(win)
+                det = 7 * v - trend
+                det_by_phase.setdefault((g, t % 7), []).append(det)
+            else:
+                trend = det = None
+            brute[(g, t)] = (v, t % 7, trend, det)
+    for (g, t), (v, ph, trend, det) in brute.items():
+        r = got[(g, t)]
+        assert (r["v"], r["phase"], r["trend_s"], r["det_s"]) == (
+            v, ph, trend, det
+        ), (g, t)
+        dets = det_by_phase.get((g, ph))
+        if dets is None:
+            assert r["seas_sum"] is None and r["resid"] is None
+        else:
+            assert (r["seas_sum"], r["seas_cnt"]) == (sum(dets), len(dets))
+            if det is not None:
+                want = round(
+                    (float(det) * float(len(dets)) - float(sum(dets)))
+                    / (7.0 * float(len(dets))),
+                    6,
+                )
+                assert r["resid"] == want, (g, t)
+    # seasonal indices recover the planted weekly pattern's ordering
+    seas = {
+        ph: got[(0, 21 + ph)]["seas_sum"] / got[(0, 21 + ph)]["seas_cnt"] / 7
+        for ph in range(7)
+    }
+    assert max(seas, key=seas.get) == 2 and min(seas, key=seas.get) == 5
+    # g1 (shorter than a period): no trend anywhere
+    assert all(got[(1, d)]["trend_s"] is None for d in range(5))
+
+    duck = duckdb.connect()
+    duck.execute("CREATE TABLE s (g BIGINT, t BIGINT, v BIGINT)")
+    duck.executemany("INSERT INTO s VALUES (?, ?, ?)", rows)
+    twin = {
+        (r[0], r[1]): r
+        for r in duck.sql(
+            seasonal_decompose_sql("SELECT * FROM s")
+        ).fetchall()
+    }
+    assert len(twin) == len(got)
+    for key, r in got.items():
+        assert twin[key] == (
+            r["g"], r["t"], r["v"], r["phase"], r["trend_s"], r["det_s"],
+            r["seas_sum"], r["seas_cnt"], r["resid"],
+        ), key
