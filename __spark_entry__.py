@@ -9122,6 +9122,47 @@ def _attribution_sql() -> str:
     )
 
 
+def q_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X195 (spatial_stats.join_counts): BW join count statistics over
+    the customer density grid at res 4, binarized at the exact integer
+    above-mean gate (cnt·n_cells > total) — fully exact int64 output
+    including nonfree-sampling expectation rationals."""
+    from osm2geojson_spark.operators import cells as CEL
+    from osm2geojson_spark.operators.spatial_stats import join_counts
+
+    pts = _t(spark, sf_dir, "customer").select(
+        _lon("c_custkey").alias("lon"), _lat("c_custkey").alias("lat")
+    )
+    hist = pts.groupBy(
+        CEL.cell_id(F.col("lon"), F.col("lat"), 4).alias("cell_id")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    tot = hist.agg(
+        F.count(F.lit(1)).alias("nc"), F.sum("cnt").alias("s")
+    )
+    marks = hist.crossJoin(F.broadcast(tot)).select(
+        "cell_id",
+        (F.col("cnt") * F.col("nc") > F.col("s")).cast("long").alias("black"),
+    )
+    return join_counts(marks, res=4)
+
+
+def _join_counts_sql() -> str:
+    from osm2geojson_spark.operators import cells as CEL
+    from osm2geojson_spark.operators.spatial_stats import join_counts_sql
+
+    cell = CEL.cell_id_sql(SYN.lon_sql("c_custkey"), SYN.lat_sql("c_custkey"), 4)
+    marks = f"""
+SELECT cell_id,
+       CASE WHEN cnt * (SELECT count(*) FROM (
+                SELECT {cell} AS cell_id, count(*) AS cnt
+                FROM customer GROUP BY 1))
+                > (SELECT count(*) FROM customer)
+            THEN 1 ELSE 0 END AS black
+FROM (SELECT {cell} AS cell_id, count(*) AS cnt FROM customer GROUP BY 1)
+"""
+    return join_counts_sql(marks, res=4)
+
+
 def q_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X194 (analytics.seasonal_decompose): classical period-7 additive
     decomposition of daily order revenue (exact cents) per order
@@ -10820,6 +10861,7 @@ FROM mm GROUP BY i
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "join_counts": q_join_counts,
         "seasonal": q_seasonal,
         "hard_negatives": q_hard_negatives,
         "spearman": q_spearman,
@@ -11070,6 +11112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "join_counts": _join_counts_sql(),
         "seasonal": _seasonal_sql(),
         "hard_negatives": _hard_negatives_sql(),
         "spearman": _spearman_sql(),

@@ -245,6 +245,7 @@ BENCH_QUERIES = [
     "spearman",
     "hard_negatives",
     "seasonal",
+    "join_counts",
 ]
 
 

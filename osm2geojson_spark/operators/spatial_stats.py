@@ -1228,3 +1228,144 @@ FROM best WHERE rn = 1
 ORDER BY llr_micro DESC, center
 LIMIT {top}
 """
+
+
+def join_counts(
+    cell_marks: DataFrame,
+    res: int,
+    cell_col: str = "cell_id",
+    mark_col: str = "black",
+) -> DataFrame:
+    """BINARY JOIN COUNT STATISTICS over the occupied-cell rook lattice
+    (Cliff & Ord; esda.Join_Counts) — the spatial-autocorrelation test
+    for a BINARY map (hot/cold, urban/rural, above/below mean): count
+    BB, WW and BW adjacent pairs and compare with the nonfree-sampling
+    expectation
+
+        E[BB] = J·nb·(nb−1) / (n·(n−1)),
+        E[WW] = J·nw·(nw−1) / (n·(n−1)),
+        E[BW] = 2·J·nb·nw  / (n·(n−1)).
+
+    Clustering shows as BB+WW above and BW below expectation.
+
+    Exactness: everything is exact int64 — observed counts by
+    construction, expectations kept as the integer rationals
+    (e_*_num, e_den) with e_den = n·(n−1) (0 when n ≤ 1; the caller
+    divides). Overflow bound 2·J·n² ≤ 4n³: safe to ~10⁶ occupied cells.
+
+    Lattice semantics match morans_i/gearys_c: rook adjacency by
+    cell-id arithmetic over OCCUPIED cells, each undirected join
+    enumerated exactly once via the (x+1, y) and (x, y+1) probes,
+    antimeridian x-wrap gated at n_grid > 2.
+
+    Scale: two cell-id equi-joins shuffling (cell, mark) pairs and two
+    1-row aggregates — identical shape to gearys_c."""
+    n_grid = 1 << res
+    h = cell_marks.select(
+        F.col(cell_col).alias("cell_id"),
+        F.col(mark_col).cast("long").alias("b"),
+    )
+    tot = h.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("b").alias("nb")
+    )
+    cx, cy = cells.cell_xy(F.col("cell_id"))
+    right_x = (cx + 1) % F.lit(n_grid) if n_grid > 2 else (cx + 1)
+    a = h.select(
+        F.col("b").alias("ba"),
+        cells.pack_cell(res, right_x, cy).alias("r_id"),
+        cells.pack_cell(res, cx, cy + 1).alias("u_id"),
+    )
+    nb_df = h.select(F.col("cell_id").alias("nb_id"), F.col("b").alias("bb"))
+    pairs = (
+        a.join(nb_df, a["r_id"] == nb_df["nb_id"]).select("ba", "bb")
+        .unionByName(
+            a.join(nb_df, a["u_id"] == nb_df["nb_id"]).select("ba", "bb")
+        )
+    )
+    edge = pairs.agg(
+        F.count(F.lit(1)).alias("joins"),
+        F.coalesce(
+            F.sum(F.col("ba") * F.col("bb")), F.lit(0)
+        ).alias("bb"),
+        F.coalesce(
+            F.sum((1 - F.col("ba")) * (1 - F.col("bb"))), F.lit(0)
+        ).alias("ww"),
+    )
+    return (
+        edge.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("n").cast("long").alias("n_cells"),
+            F.col("nb").cast("long").alias("n_black"),
+            F.col("joins").cast("long").alias("joins"),
+            F.col("bb").cast("long").alias("bb"),
+            F.col("ww").cast("long").alias("ww"),
+            (F.col("joins") - F.col("bb") - F.col("ww"))
+            .cast("long")
+            .alias("bw"),
+            (F.col("joins") * F.col("nb") * (F.col("nb") - 1))
+            .cast("long")
+            .alias("e_bb_num"),
+            (
+                F.col("joins")
+                * (F.col("n") - F.col("nb"))
+                * (F.col("n") - F.col("nb") - 1)
+            )
+            .cast("long")
+            .alias("e_ww_num"),
+            (
+                F.lit(2)
+                * F.col("joins")
+                * F.col("nb")
+                * (F.col("n") - F.col("nb"))
+            )
+            .cast("long")
+            .alias("e_bw_num"),
+            (F.col("n") * (F.col("n") - 1)).cast("long").alias("e_den"),
+        )
+    )
+
+
+def join_counts_sql(
+    cells_cte: str, res: int, cell_col: str = "cell_id", mark_col: str = "black"
+) -> str:
+    """DuckDB twin of join_counts — identical lattice probes and exact
+    integer outputs."""
+    n_grid = 1 << res
+    xs, rs = 1 << cells._X_SHIFT, 1 << cells._R_SHIFT
+    rx = f"((x + 1) % {n_grid})" if n_grid > 2 else "(x + 1)"
+    return f"""
+WITH h AS (
+  SELECT {cell_col} AS cell_id, CAST({mark_col} AS BIGINT) AS b
+  FROM ({cells_cte})
+),
+tot AS (SELECT count(*) AS n, sum(b) AS nb FROM h),
+xy AS (
+  SELECT ((cell_id % {rs}) // {xs}) AS x, (cell_id % {xs}) AS y, b
+  FROM h
+),
+probes AS (
+  SELECT b AS ba, ({res} * {rs} + {rx} * {xs} + y) AS t_id FROM xy
+  UNION ALL
+  SELECT b AS ba, ({res} * {rs} + x * {xs} + (y + 1)) AS t_id FROM xy
+),
+pairs AS (
+  SELECT probes.ba, h.b AS bb FROM probes JOIN h ON probes.t_id = h.cell_id
+),
+edge AS (
+  SELECT count(*) AS joins,
+         COALESCE(sum(ba * bb), 0) AS bb,
+         COALESCE(sum((1 - ba) * (1 - bb)), 0) AS ww
+  FROM pairs
+)
+SELECT CAST(n AS BIGINT) AS n_cells,
+       CAST(nb AS BIGINT) AS n_black,
+       CAST(joins AS BIGINT) AS joins,
+       CAST(bb AS BIGINT) AS bb,
+       CAST(ww AS BIGINT) AS ww,
+       CAST(joins - bb - ww AS BIGINT) AS bw,
+       CAST(joins * nb * (nb - 1) AS BIGINT) AS e_bb_num,
+       CAST(joins * (n - nb) * (n - nb - 1) AS BIGINT) AS e_ww_num,
+       CAST(2 * joins * nb * (n - nb) AS BIGINT) AS e_bw_num,
+       CAST(n * (n - 1) AS BIGINT) AS e_den
+FROM edge CROSS JOIN tot
+"""

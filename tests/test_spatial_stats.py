@@ -847,3 +847,79 @@ def test_scan_stat_degenerate_uniform_and_empty_gate(spark):
     ]
     df = spark.createDataFrame(rows, "cell_id long, cases long, pop long")
     assert scan_stat(df, res=res, k_max=1, top=5).count() == 0
+
+
+def test_join_counts_brute_and_twin(spark):
+    import random
+
+    import duckdb
+
+    from osm2geojson_spark.operators.cells import pack_cell_py
+    from osm2geojson_spark.operators.spatial_stats import (
+        join_counts,
+        join_counts_sql,
+    )
+
+    rng = random.Random(9)
+    res = 3
+    n_grid = 1 << res
+    # sparse occupancy (not every cell present) + a planted black block
+    marks = {}
+    for x in range(n_grid):
+        for y in range(n_grid):
+            if rng.random() < 0.25:
+                continue  # hole: lattice is OCCUPIED cells only
+            black = 1 if (2 <= x <= 5 and 2 <= y <= 4) else (
+                1 if rng.random() < 0.15 else 0
+            )
+            marks[(x, y)] = black
+    rows = [(pack_cell_py(res, x, y), b) for (x, y), b in marks.items()]
+    df = spark.createDataFrame(rows, "cell_id long, black long")
+    r = join_counts(df, res=res).collect()[0]
+
+    n = len(marks)
+    nbk = sum(marks.values())
+    joins = bb = ww = 0
+    for (x, y), b in marks.items():
+        for (tx, ty) in (((x + 1) % n_grid, y), (x, y + 1)):
+            if (tx, ty) in marks:
+                tb = marks[(tx, ty)]
+                joins += 1
+                bb += b * tb
+                ww += (1 - b) * (1 - tb)
+    assert (
+        r["n_cells"], r["n_black"], r["joins"], r["bb"], r["ww"], r["bw"]
+    ) == (n, nbk, joins, bb, ww, joins - bb - ww)
+    assert r["e_bb_num"] == joins * nbk * (nbk - 1)
+    assert r["e_ww_num"] == joins * (n - nbk) * (n - nbk - 1)
+    assert r["e_bw_num"] == 2 * joins * nbk * (n - nbk)
+    assert r["e_den"] == n * (n - 1)
+    # the planted block makes BB exceed its expectation
+    assert r["bb"] * r["e_den"] > r["e_bb_num"]
+
+    duck = duckdb.connect()
+    duck.execute("CREATE TABLE m (cell_id BIGINT, black BIGINT)")
+    duck.executemany("INSERT INTO m VALUES (?, ?)", rows)
+    twin = duck.sql(
+        join_counts_sql("SELECT * FROM m", res=res)
+    ).fetchall()[0]
+    assert twin == tuple(
+        r[c]
+        for c in (
+            "n_cells", "n_black", "joins", "bb", "ww", "bw",
+            "e_bb_num", "e_ww_num", "e_bw_num", "e_den",
+        )
+    )
+
+
+def test_join_counts_degenerate_single_cell(spark):
+    from osm2geojson_spark.operators.cells import pack_cell_py
+    from osm2geojson_spark.operators.spatial_stats import join_counts
+
+    df = spark.createDataFrame(
+        [(pack_cell_py(3, 4, 4), 1)], "cell_id long, black long"
+    )
+    r = join_counts(df, res=3).collect()[0]
+    assert (r["joins"], r["bb"], r["ww"], r["bw"], r["e_den"]) == (
+        0, 0, 0, 0, 0
+    )
