@@ -9122,6 +9122,54 @@ def _attribution_sql() -> str:
     )
 
 
+def q_lbp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X196 (multimodal.lbp_histogram): uniform local-binary-pattern
+    texture histograms over 300 mixed rawz/png images — 8-bit clockwise
+    neighbor codes folded through the Ojala uniform LUT into 10 bins.
+    Pure integer comparisons; the oracle recomputes every neighbor from
+    the deterministic pixel formula and joins the identical LUT as
+    VALUES, so one misrouted pixel breaks the hash."""
+    from osm2geojson_spark.operators import multimodal as MM2
+
+    imgs = _synth_images(spark, sf_dir, 300)
+    return MM2.lbp_histogram(imgs)
+
+
+def _lbp_sql() -> str:
+    from osm2geojson_spark.operators.multimodal import (
+        LBP_OFFSETS,
+        lbp_uniform_bin,
+    )
+
+    def v(dx: int, dy: int) -> str:
+        return f"((x + {dx}) * 3 + (y + {dy}) * 7 + i * 13) % 251"
+
+    code = " + ".join(
+        f"(CASE WHEN ({v(dx, dy)}) >= ({v(0, 0)}) THEN {1 << k} ELSE 0 END)"
+        for k, (dx, dy) in enumerate(LBP_OFFSETS)
+    )
+    lut = ", ".join(f"({c}, {lbp_uniform_bin(c)})" for c in range(256))
+    return f"""
+WITH img AS (
+  SELECT p_partkey AS i, 8 * (1 + p_partkey % 3) AS w
+  FROM part WHERE p_partkey < 300
+), px AS (
+  SELECT i, w, unnest(range(0, w * w)) AS p FROM img
+), inner_px AS (
+  SELECT i, w, (p % w) AS x, (p // w) AS y FROM px
+  WHERE (p % w) >= 1 AND (p % w) <= w - 2
+    AND (p // w) >= 1 AND (p // w) <= w - 2
+), codes AS (
+  SELECT i, ({code}) AS code FROM inner_px
+), lut(code, bin) AS (VALUES {lut})
+SELECT printf('img%012d', i) AS image_id,
+       CAST(lut.bin AS BIGINT) AS bin,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM codes JOIN lut USING (code)
+GROUP BY 1, 2
+"""
+
+
 def q_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X195 (spatial_stats.join_counts): BW join count statistics over
     the customer density grid at res 4, binarized at the exact integer
@@ -10861,6 +10909,7 @@ FROM mm GROUP BY i
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "lbp": q_lbp,
         "join_counts": q_join_counts,
         "seasonal": q_seasonal,
         "hard_negatives": q_hard_negatives,
@@ -11112,6 +11161,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "lbp": _lbp_sql(),
         "join_counts": _join_counts_sql(),
         "seasonal": _seasonal_sql(),
         "hard_negatives": _hard_negatives_sql(),

@@ -246,6 +246,7 @@ BENCH_QUERIES = [
     "hard_negatives",
     "seasonal",
     "join_counts",
+    "lbp",
 ]
 
 

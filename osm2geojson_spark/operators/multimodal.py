@@ -3552,3 +3552,64 @@ SELECT image_id,
        CAST(sum(CASE WHEN keep THEN g ELSE 0 END) AS BIGINT) AS nms_sum
 FROM nms GROUP BY image_id
 """
+
+
+# uniform-LBP: fixed clockwise neighbor ring (dx, dy) bit order
+LBP_OFFSETS = [
+    (-1, -1), (0, -1), (1, -1), (1, 0), (1, 1), (0, 1), (-1, 1), (-1, 0),
+]
+
+
+def lbp_uniform_bin(code: int) -> int:
+    """256-entry uniform-LBP LUT entry: popcount for patterns with <= 2
+    circular transitions, else the catch-all bin 9 (Ojala et al. 2002)."""
+    bits = [(code >> k) & 1 for k in range(8)]
+    transitions = sum(bits[k] != bits[(k + 1) % 8] for k in range(8))
+    return sum(bits) if transitions <= 2 else 9
+
+
+def lbp_histogram(images: DataFrame) -> DataFrame:
+    """(image_id, bin, cnt) — UNIFORM LOCAL BINARY PATTERN histogram per
+    image (Ojala et al. 2002), the classical illumination-invariant
+    texture descriptor: per interior pixel an 8-bit code (neighbor >=
+    center, fixed clockwise ring), folded through the uniform LUT into
+    10 bins (0-8 = popcount of uniform patterns, 9 = non-uniform).
+    The texture feature for dedup/quality gating where gradients
+    (sobel_stats) are too coarse.
+
+    Exactness: comparisons and the LUT are pure integers; the histogram
+    is exact counts — a DuckDB twin recomputes every neighbor from the
+    deterministic pixel formula and joins the same LUT as VALUES.
+    Only nonzero bins are emitted.
+
+    Scale: Arrow-batched mapInPandas; 8 shifted NumPy comparisons and a
+    bincount per image, pixels never shuffle; output is <= 10 rows per
+    image (the shuffle-side footprint is the histogram, not pixels)."""
+    lut = np.asarray([lbp_uniform_bin(c) for c in range(256)], dtype=np.int64)
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, bins, cnts = [], [], []
+            for r in pdf.itertuples(index=False):
+                px = imagecodec.decode(bytes(r.bytes), r.fmt).astype(np.int64)
+                if px.shape[0] < 3 or px.shape[1] < 3:
+                    continue
+                center = px[1:-1, 1:-1]
+                h, w = px.shape
+                code = np.zeros_like(center)
+                for k, (dx, dy) in enumerate(LBP_OFFSETS):
+                    nb = px[1 + dy : h - 1 + dy, 1 + dx : w - 1 + dx]
+                    code += (nb >= center).astype(np.int64) << k
+                hist = np.bincount(lut[code].ravel(), minlength=10)
+                for b in range(10):
+                    if hist[b]:
+                        ids.append(r.image_id)
+                        bins.append(b)
+                        cnts.append(int(hist[b]))
+            yield pd.DataFrame(
+                {"image_id": ids, "bin": bins, "cnt": cnts}
+            )
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(
+        fn, schema="image_id string, bin long, cnt long"
+    )

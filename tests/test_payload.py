@@ -2619,3 +2619,48 @@ def test_canny_nms_matches_pixel_table_twin_and_thins_edges(spark):
     }
     assert edge_rows[1] < sob["c0"]  # strictly thinner than raw response
     assert edge_rows[2] > 0  # strong edges found
+
+
+def test_lbp_histogram_matches_scalar_brute(spark):
+    from osm2geojson_spark.operators.multimodal import (
+        LBP_OFFSETS,
+        lbp_histogram,
+        lbp_uniform_bin,
+    )
+
+    px = imagecodec.synth_pixels(5, 9, 8).astype(np.int64)
+    px[3, 4] = 250  # plant a local max (all-zero code -> bin 0)
+    px[5, 2] = 0    # plant a local min (all-one code -> bin 8)
+    imgs = spark.createDataFrame(
+        [
+            ("a", 9, 8, "rawz",
+             bytearray(imagecodec.encode_rawz(px.astype(np.uint8)))),
+            ("c", 9, 8, "png",
+             bytearray(imagecodec.encode_png(px.astype(np.uint8)))),
+            # constant image: every code is 255 (>= everywhere) -> bin 8
+            ("b", 5, 5, "rawz",
+             bytearray(imagecodec.encode_rawz(np.full((5, 5), 9, np.uint8)))),
+        ],
+        "image_id string, w int, h int, fmt string, bytes binary",
+    )
+    got = {}
+    for r in lbp_histogram(imgs).collect():
+        got.setdefault(r["image_id"], {})[r["bin"]] = r["cnt"]
+
+    # scalar double-loop brute against the docstring definition
+    h, w = px.shape
+    want = {}
+    for y in range(1, h - 1):
+        for x in range(1, w - 1):
+            code = 0
+            for k, (dx, dy) in enumerate(LBP_OFFSETS):
+                if px[y + dy, x + dx] >= px[y, x]:
+                    code |= 1 << k
+            b = lbp_uniform_bin(code)
+            want[b] = want.get(b, 0) + 1
+    assert got["a"] == want
+    assert got["c"] == want  # format-independent
+    assert got["b"] == {8: 9}  # 3x3 interior, all codes 255 -> bin 8
+    # uniform LUT sanity: transitions rule
+    assert lbp_uniform_bin(0b00001111) == 4
+    assert lbp_uniform_bin(0b01010101) == 9
