@@ -9122,6 +9122,102 @@ def _attribution_sql() -> str:
     )
 
 
+def q_fast_corners(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X197 (multimodal.fast_corners): FAST-9 keypoint detection over
+    300 block-pattern images (4-px bright/dark tiles + a bounded <t
+    texture term, so every detection comes from real 2-D corner
+    geometry — the plain ramp's straight level sets can never light 9
+    contiguous ring pixels) — 16-pixel Bresenham ring, >= 9 contiguous
+    brighter/darker test via the bitmask-doubling trick. Pure integer;
+    the oracle rebuilds the ring masks from the same block formula and
+    replays the identical 16-shift OR."""
+    from osm2geojson_spark.operators import multimodal as MM2
+
+    @pandas_udf("binary")
+    def enc_blocks(i: pd.Series, w: pd.Series) -> pd.Series:
+        import numpy as np
+
+        from osm2geojson_spark.functions import imagecodec as IC
+
+        out = []
+        for ii, ww in zip(i, w):
+            ii, ww = int(ii), int(ww)
+            y, x = np.mgrid[0:ww, 0:ww]
+            px = (
+                np.where((x // 4 + y // 4 + ii) % 3 == 0, 200, 0)
+                + (x + 2 * y + ii) % 17
+            ).astype(np.uint8)
+            out.append(IC.encode_rawz(px))
+        return pd.Series(out)
+
+    part = _t(spark, sf_dir, "part").filter(F.col("p_partkey") < 300)
+    w = (F.lit(8) * (F.lit(1) + F.col("p_partkey") % 3)).cast("int")
+    imgs = part.select(
+        F.format_string("img%012d", F.col("p_partkey")).alias("image_id"),
+        F.col("p_partkey").alias("_i"),
+        w.alias("w"),
+        w.alias("h"),
+        F.lit("rawz").alias("fmt"),
+    ).withColumn("bytes", enc_blocks(F.col("_i"), F.col("w")))
+    return MM2.fast_corners(imgs, t=20)
+
+
+def _fast_corners_sql() -> str:
+    from osm2geojson_spark.operators.multimodal import FAST_RING
+
+    t = 20
+
+    def v(dx: int, dy: int) -> str:
+        return (
+            f"(CASE WHEN ((x + {dx}) // 4 + (y + {dy}) // 4 + i) % 3 = 0"
+            f" THEN 200 ELSE 0 END"
+            f" + ((x + {dx}) + 2 * (y + {dy}) + i) % 17)"
+        )
+
+    bm = " + ".join(
+        f"(CASE WHEN ({v(dx, dy)}) > ({v(0, 0)}) + {t}"
+        f" THEN {1 << k} ELSE 0 END)"
+        for k, (dx, dy) in enumerate(FAST_RING)
+    )
+    dm = " + ".join(
+        f"(CASE WHEN ({v(dx, dy)}) < ({v(0, 0)}) - {t}"
+        f" THEN {1 << k} ELSE 0 END)"
+        for k, (dx, dy) in enumerate(FAST_RING)
+    )
+    b_run = " OR ".join(
+        f"(((bm * 65537) >> {s}) & 511) = 511" for s in range(16)
+    )
+    d_run = " OR ".join(
+        f"(((dm * 65537) >> {s}) & 511) = 511" for s in range(16)
+    )
+    return f"""
+WITH img AS (
+  SELECT p_partkey AS i, 8 * (1 + p_partkey % 3) AS w
+  FROM part WHERE p_partkey < 300
+), px AS (
+  SELECT i, w, unnest(range(0, w * w)) AS p FROM img
+), inner_px AS (
+  SELECT i, w, (p % w) AS x, (p // w) AS y FROM px
+  WHERE (p % w) >= 3 AND (p % w) <= w - 4
+    AND (p // w) >= 3 AND (p // w) <= w - 4
+), masks AS (
+  SELECT i, x, y,
+         CAST(({bm}) AS BIGINT) AS bm,
+         CAST(({dm}) AS BIGINT) AS dm
+  FROM inner_px
+), flags AS (
+  SELECT i, x, y,
+         CASE WHEN {b_run} THEN 1 ELSE 0 END AS bright,
+         CASE WHEN {d_run} THEN 1 ELSE 0 END AS dark
+  FROM masks
+)
+SELECT printf('img%012d', i) AS image_id,
+       CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y,
+       CAST(bright AS BIGINT) AS bright, CAST(dark AS BIGINT) AS dark
+FROM flags WHERE bright = 1 OR dark = 1
+"""
+
+
 def q_lbp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X196 (multimodal.lbp_histogram): uniform local-binary-pattern
     texture histograms over 300 mixed rawz/png images — 8-bit clockwise
@@ -10909,6 +11005,7 @@ FROM mm GROUP BY i
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "fast_corners": q_fast_corners,
         "lbp": q_lbp,
         "join_counts": q_join_counts,
         "seasonal": q_seasonal,
@@ -11161,6 +11258,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "fast_corners": _fast_corners_sql(),
         "lbp": _lbp_sql(),
         "join_counts": _join_counts_sql(),
         "seasonal": _seasonal_sql(),

@@ -247,6 +247,7 @@ BENCH_QUERIES = [
     "seasonal",
     "join_counts",
     "lbp",
+    "fast_corners",
 ]
 
 

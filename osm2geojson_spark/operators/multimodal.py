@@ -3613,3 +3613,73 @@ def lbp_histogram(images: DataFrame) -> DataFrame:
     return images.select("image_id", "bytes", "fmt").mapInPandas(
         fn, schema="image_id string, bin long, cnt long"
     )
+
+
+# FAST-9: the 16-pixel Bresenham circle of radius 3, clockwise from 12
+FAST_RING = [
+    (0, -3), (1, -3), (2, -2), (3, -1), (3, 0), (3, 1), (2, 2), (1, 3),
+    (0, 3), (-1, 3), (-2, 2), (-3, 1), (-3, 0), (-3, -1), (-2, -2),
+    (-1, -3),
+]
+
+
+def fast_corners(images: DataFrame, t: int = 20) -> DataFrame:
+    """(image_id, x, y, bright, dark) — FAST-9 corner detection (Rosten
+    & Drummond 2006), the classical realtime keypoint detector: a pixel
+    is a corner when >= 9 CONTIGUOUS pixels on its 16-pixel Bresenham
+    circle are all brighter than p+t (``bright``) or all darker than
+    p−t (``dark``). Raw detections, no NMS (compose canny_nms-style
+    suppression downstream if needed).
+
+    Exactness: comparisons are integers; circular contiguity is the
+    branch-free doubling trick — with bm the 16-bit mask of bright ring
+    pixels, a run of >= 9 exists iff ((bm·65537) >> s) & 511 == 511 for
+    some shift s in 0..15 (bm·65537 = bm | bm<<16 concatenates the mask
+    with itself, linearizing every circular window). The identical
+    16-term OR replays in SQL, so the twin is formula-exact.
+
+    Scale: Arrow-batched mapInPandas — 32 shifted comparisons + 32
+    shift-mask tests per image, all NumPy; only detected corner rows
+    (sparse on natural images) leave the batch."""
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out_id, out_x, out_y, out_b, out_d = [], [], [], [], []
+            for r in pdf.itertuples(index=False):
+                px = imagecodec.decode(bytes(r.bytes), r.fmt).astype(np.int64)
+                h, w = px.shape
+                if h < 7 or w < 7:
+                    continue
+                center = px[3 : h - 3, 3 : w - 3]
+                bm = np.zeros_like(center)
+                dm = np.zeros_like(center)
+                for k, (dx, dy) in enumerate(FAST_RING):
+                    nb = px[3 + dy : h - 3 + dy, 3 + dx : w - 3 + dx]
+                    bm |= (nb > center + t).astype(np.int64) << k
+                    dm |= (nb < center - t).astype(np.int64) << k
+                bright = np.zeros(center.shape, dtype=bool)
+                dark = np.zeros(center.shape, dtype=bool)
+                bm2, dm2 = bm * 65537, dm * 65537
+                for s in range(16):
+                    bright |= ((bm2 >> s) & 511) == 511
+                    dark |= ((dm2 >> s) & 511) == 511
+                ys, xs = np.nonzero(bright | dark)
+                for yy, xx in zip(ys, xs):
+                    out_id.append(r.image_id)
+                    out_x.append(int(xx) + 3)
+                    out_y.append(int(yy) + 3)
+                    out_b.append(int(bright[yy, xx]))
+                    out_d.append(int(dark[yy, xx]))
+            yield pd.DataFrame(
+                {
+                    "image_id": out_id,
+                    "x": out_x,
+                    "y": out_y,
+                    "bright": out_b,
+                    "dark": out_d,
+                }
+            )
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(
+        fn, schema="image_id string, x long, y long, bright long, dark long"
+    )

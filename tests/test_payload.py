@@ -2664,3 +2664,55 @@ def test_lbp_histogram_matches_scalar_brute(spark):
     # uniform LUT sanity: transitions rule
     assert lbp_uniform_bin(0b00001111) == 4
     assert lbp_uniform_bin(0b01010101) == 9
+
+
+def test_fast_corners_matches_scalar_brute(spark):
+    from osm2geojson_spark.operators.multimodal import FAST_RING, fast_corners
+
+    rng = np.random.RandomState(4)
+    px = rng.randint(0, 256, size=(14, 16)).astype(np.int64)
+    # plant an unambiguous bright corner: dark center, bright ring arc
+    px[:, :] = 100
+    px[6, 7] = 10  # center
+    # make 11 contiguous ring pixels bright around it
+    for k in range(11):
+        dx, dy = FAST_RING[k]
+        px[6 + dy, 7 + dx] = 240
+    imgs = spark.createDataFrame(
+        [
+            ("a", 16, 14, "rawz",
+             bytearray(imagecodec.encode_rawz(px.astype(np.uint8)))),
+            ("p", 16, 14, "png",
+             bytearray(imagecodec.encode_png(px.astype(np.uint8)))),
+            # flat image: no corners
+            ("b", 10, 10, "rawz",
+             bytearray(imagecodec.encode_rawz(np.full((10, 10), 50, np.uint8)))),
+        ],
+        "image_id string, w int, h int, fmt string, bytes binary",
+    )
+    t = 20
+    got = {}
+    for r in fast_corners(imgs, t=t).collect():
+        got.setdefault(r["image_id"], {})[(r["x"], r["y"])] = (
+            r["bright"], r["dark"]
+        )
+
+    # scalar brute against the docstring definition
+    h, w = px.shape
+    want = {}
+    for y in range(3, h - 3):
+        for x in range(3, w - 3):
+            ring = [px[y + dy, x + dx] for dx, dy in FAST_RING]
+            c = px[y, x]
+            bseq = [v > c + t for v in ring] * 2
+            dseq = [v < c - t for v in ring] * 2
+            bright = any(
+                all(bseq[s : s + 9]) for s in range(16)
+            )
+            dark = any(all(dseq[s : s + 9]) for s in range(16))
+            if bright or dark:
+                want[(x, y)] = (int(bright), int(dark))
+    assert got["a"] == want
+    assert got["p"] == want  # format-independent
+    assert (7, 6) in got["a"] and got["a"][(7, 6)][0] == 1  # planted corner
+    assert "b" not in got  # flat image: nothing
