@@ -9122,6 +9122,48 @@ def _attribution_sql() -> str:
     )
 
 
+def q_mask_iou(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X198 (boxes.mask_iou_join): segmentation-mask IoU census in the
+    RLE domain — rle_mask runs of 300 8x8 images, comparison buckets =
+    last image-id digit, PBSM reporting-band pair join (band 16), exact
+    integer inter/areas/union + pinned iou. The oracle rebuilds the
+    runs from the pixel formula and uses a plain interval join."""
+    from osm2geojson_spark.operators import multimodal as MM2
+    from osm2geojson_spark.operators.boxes import mask_iou_join
+
+    runs = MM2.rle_mask(_synth_images(spark, sf_dir, 900, step=3))
+    masks = runs.select(
+        F.substring(F.col("image_id"), 15, 1).alias("grp"),
+        F.col("image_id").alias("mask_id"),
+        "start_pos",
+        "run_len",
+    )
+    return mask_iou_join(masks, band=16)
+
+
+def _mask_iou_sql() -> str:
+    from osm2geojson_spark.operators.boxes import mask_iou_sql
+
+    runs = """
+WITH img AS (
+  SELECT p_partkey AS i FROM part WHERE p_partkey < 900 AND p_partkey % 3 = 0
+), px AS (
+  SELECT i, p, ((p % 8) * 3 + (p // 8) * 7 + i * 13) % 251 AS v
+  FROM (SELECT i, unnest(range(0, 64)) AS p FROM img) q
+), m AS (
+  SELECT i, p,
+         p - row_number() OVER (PARTITION BY i ORDER BY p) AS g
+  FROM px WHERE v >= 128
+)
+SELECT CAST(i % 10 AS VARCHAR) AS grp,
+       printf('img%012d', i) AS mask_id,
+       CAST(min(p) AS BIGINT) AS start_pos,
+       CAST(count(*) AS BIGINT) AS run_len
+FROM m GROUP BY i, g
+"""
+    return mask_iou_sql(runs)
+
+
 def q_fast_corners(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X197 (multimodal.fast_corners): FAST-9 keypoint detection over
     300 block-pattern images (4-px bright/dark tiles + a bounded <t
@@ -11005,6 +11047,7 @@ FROM mm GROUP BY i
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "mask_iou": q_mask_iou,
         "fast_corners": q_fast_corners,
         "lbp": q_lbp,
         "join_counts": q_join_counts,
@@ -11258,6 +11301,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "mask_iou": _mask_iou_sql(),
         "fast_corners": _fast_corners_sql(),
         "lbp": _lbp_sql(),
         "join_counts": _join_counts_sql(),

@@ -248,6 +248,7 @@ BENCH_QUERIES = [
     "join_counts",
     "lbp",
     "fast_corners",
+    "mask_iou",
 ]
 
 

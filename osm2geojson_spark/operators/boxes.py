@@ -181,3 +181,179 @@ def nms(
         )
 
     return boxes.groupBy(image_col).applyInPandas(kernel, schema)
+
+
+def mask_iou_join(
+    masks: DataFrame,
+    band: int = 16,
+    grp_col: str = "grp",
+    id_col: str = "mask_id",
+    start_col: str = "start_pos",
+    len_col: str = "run_len",
+) -> DataFrame:
+    """(grp, id_a, id_b, inter, area_a, area_b, uni, iou) — IoU of
+    BINARY SEGMENTATION MASKS computed entirely in the RLE domain
+    (COCO maskUtils.iou semantics): masks stay as (start, length) run
+    tables (rle_mask's output), pixels are never decoded. The
+    label-agreement / duplicate-mask primitive for segmentation corpora.
+
+    All pairs (id_a < id_b) within a group are scored; ``grp`` is the
+    comparison bucket (an image key for multi-annotator masks, a dedup
+    bucket for cross-image comparison) — the contract is that groups
+    are bounded, exactly like box_iou_join's per-image pairs.
+
+    Exactness: intersection = Σ over overlapping run pairs of
+    min(ea,eb) − max(sa,sb) — exact int64; areas from Σ run_len; union
+    by inclusion-exclusion; only the final iou divides two exact
+    integers (round 6). Zero-overlap pairs are emitted with iou 0, so
+    the output is the full pair census of each group.
+
+    Scale: run pairs are found with the PBSM reporting-band trick —
+    each run explodes to the fixed-width position bands it spans, the
+    join keys on (grp, band), and a pair is COUNTED only in the band
+    containing max(sa, sb), so no overlap is double-counted and no
+    post-join dedup is needed. Band width trades fan-out for candidate
+    precision; runs are boundary-sized, so the exploded table is
+    O(runs + mask_area/band)."""
+    runs = masks.select(
+        F.col(grp_col).alias("grp"),
+        F.col(id_col).alias("mid"),
+        F.col(start_col).cast("long").alias("s"),
+        (F.col(start_col) + F.col(len_col)).cast("long").alias("e"),
+    )
+    bands = runs.select(
+        "grp",
+        "mid",
+        "s",
+        "e",
+        F.explode(
+            F.sequence(
+                (F.col("s") / band).cast("long"),
+                ((F.col("e") - 1) / band).cast("long"),
+            )
+        ).alias("band"),
+    )
+    a = bands.select(
+        F.col("grp"),
+        F.col("mid").alias("id_a"),
+        F.col("s").alias("sa"),
+        F.col("e").alias("ea"),
+        "band",
+    )
+    b = bands.select(
+        F.col("grp").alias("grp_b"),
+        F.col("mid").alias("id_b"),
+        F.col("s").alias("sb"),
+        F.col("e").alias("eb"),
+        F.col("band").alias("band_b"),
+    )
+    ov = (
+        a.join(
+            b,
+            (F.col("grp") == F.col("grp_b"))
+            & (F.col("band") == F.col("band_b"))
+            & (F.col("id_a") < F.col("id_b"))
+            & (F.col("sa") < F.col("eb"))
+            & (F.col("sb") < F.col("ea"))
+            & (
+                (F.greatest(F.col("sa"), F.col("sb")) / band).cast("long")
+                == F.col("band")
+            ),
+        )
+        .select(
+            "grp",
+            "id_a",
+            "id_b",
+            (
+                F.least(F.col("ea"), F.col("eb"))
+                - F.greatest(F.col("sa"), F.col("sb"))
+            ).alias("ov"),
+        )
+        .groupBy("grp", "id_a", "id_b")
+        .agg(F.sum("ov").alias("inter"))
+    )
+    areas = runs.groupBy("grp", "mid").agg(
+        F.sum(F.col("e") - F.col("s")).alias("area")
+    )
+    aa = areas.select(
+        "grp", F.col("mid").alias("id_a"), F.col("area").alias("area_a")
+    )
+    ab = areas.select(
+        F.col("grp").alias("grp_b"),
+        F.col("mid").alias("id_b"),
+        F.col("area").alias("area_b"),
+    )
+    pairs = aa.join(
+        ab,
+        (F.col("grp") == F.col("grp_b")) & (F.col("id_a") < F.col("id_b")),
+    ).select("grp", "id_a", "id_b", "area_a", "area_b")
+    out = pairs.join(ov, ["grp", "id_a", "id_b"], "left").select(
+        "grp",
+        "id_a",
+        "id_b",
+        F.coalesce(F.col("inter"), F.lit(0)).alias("inter"),
+        "area_a",
+        "area_b",
+        (
+            F.col("area_a") + F.col("area_b")
+            - F.coalesce(F.col("inter"), F.lit(0))
+        ).alias("uni"),
+    )
+    return out.withColumn(
+        "iou",
+        F.when(
+            F.col("uni") > 0,
+            F.round(
+                F.col("inter").cast("double") / F.col("uni").cast("double"), 6
+            ),
+        ).otherwise(F.lit(0.0)),
+    )
+
+
+def mask_iou_sql(
+    runs_cte: str,
+    grp_col: str = "grp",
+    id_col: str = "mask_id",
+    start_col: str = "start_pos",
+    len_col: str = "run_len",
+) -> str:
+    """DuckDB twin of mask_iou_join — plain interval-overlap join (the
+    oracle needs no bands), identical integers and pinned iou."""
+    return f"""
+WITH runs AS (
+  SELECT {grp_col} AS grp, {id_col} AS mid,
+         CAST({start_col} AS BIGINT) AS s,
+         CAST({start_col} + {len_col} AS BIGINT) AS e
+  FROM ({runs_cte})
+),
+areas AS (
+  SELECT grp, mid, CAST(sum(e - s) AS BIGINT) AS area
+  FROM runs GROUP BY 1, 2
+),
+ov AS (
+  SELECT a.grp, a.mid AS id_a, b.mid AS id_b,
+         CAST(sum(least(a.e, b.e) - greatest(a.s, b.s)) AS BIGINT) AS inter
+  FROM runs a JOIN runs b
+    ON a.grp = b.grp AND a.mid < b.mid AND a.s < b.e AND b.s < a.e
+  GROUP BY 1, 2, 3
+),
+pairs AS (
+  SELECT aa.grp, aa.mid AS id_a, ab.mid AS id_b,
+         aa.area AS area_a, ab.area AS area_b
+  FROM areas aa JOIN areas ab
+    ON aa.grp = ab.grp AND aa.mid < ab.mid
+)
+SELECT pairs.grp, pairs.id_a, pairs.id_b,
+       COALESCE(ov.inter, 0) AS inter,
+       pairs.area_a, pairs.area_b,
+       (pairs.area_a + pairs.area_b - COALESCE(ov.inter, 0)) AS uni,
+       CASE WHEN (pairs.area_a + pairs.area_b - COALESCE(ov.inter, 0)) > 0
+            THEN round(
+              CAST(COALESCE(ov.inter, 0) AS DOUBLE)
+              / CAST(pairs.area_a + pairs.area_b - COALESCE(ov.inter, 0)
+                     AS DOUBLE), 6)
+            ELSE 0.0
+       END AS iou
+FROM pairs LEFT JOIN ov
+  ON pairs.grp = ov.grp AND pairs.id_a = ov.id_a AND pairs.id_b = ov.id_b
+"""

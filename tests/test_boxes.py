@@ -113,3 +113,69 @@ def test_nms_deterministic_under_shuffle(spark):
     r1 = sorted((r["image_id"], r["box_id"]) for r in nms(df1, 0.4).collect())
     r2 = sorted((r["image_id"], r["box_id"]) for r in nms(df2, 0.4).collect())
     assert r1 == r2
+
+
+def test_mask_iou_brute_and_twin(spark):
+    import random
+
+    import duckdb
+
+    from osm2geojson_spark.operators.boxes import mask_iou_join, mask_iou_sql
+
+    rng = random.Random(13)
+    # build random binary masks as pixel sets, derive RLE runs
+    masks = {}
+    for mid in range(8):
+        px = set()
+        for _ in range(rng.randrange(3, 7)):
+            s = rng.randrange(0, 60)
+            px.update(range(s, min(64, s + rng.randrange(1, 9))))
+        masks[mid] = px
+    masks[6] = set()  # empty mask: area 0, iou 0 with everything
+    rows = []
+    for mid, px in masks.items():
+        run = None
+        for p in range(65):
+            if p in px:
+                if run is None:
+                    run = p
+            elif run is not None:
+                rows.append((0, mid, run, p - run))
+                run = None
+    df = spark.createDataFrame(
+        rows, "grp long, mask_id long, start_pos long, run_len long"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r
+        for r in mask_iou_join(df, band=7).collect()
+    }
+    # pair census: every (a < b) pair with BOTH masks nonempty-in-RLE
+    have = sorted(mid for mid, px in masks.items() if px)
+    assert set(got) == {
+        (a, b) for i, a in enumerate(have) for b in have[i + 1:]
+    }
+    for (ia, ib), r in got.items():
+        inter = len(masks[ia] & masks[ib])
+        uni = len(masks[ia] | masks[ib])
+        assert (r["inter"], r["area_a"], r["area_b"], r["uni"]) == (
+            inter, len(masks[ia]), len(masks[ib]), uni
+        ), (ia, ib)
+        want = round(inter / uni, 6) if uni else 0.0
+        assert r["iou"] == want
+
+    duck = duckdb.connect()
+    duck.execute(
+        "CREATE TABLE r (grp BIGINT, mask_id BIGINT,"
+        " start_pos BIGINT, run_len BIGINT)"
+    )
+    duck.executemany("INSERT INTO r VALUES (?, ?, ?, ?)", rows)
+    twin = {
+        (t[1], t[2]): t
+        for t in duck.sql(mask_iou_sql("SELECT * FROM r")).fetchall()
+    }
+    assert set(twin) == set(got)
+    for key, r in got.items():
+        assert twin[key] == (
+            r["grp"], key[0], key[1], r["inter"], r["area_a"],
+            r["area_b"], r["uni"], r["iou"],
+        ), key
