@@ -9122,6 +9122,34 @@ def _attribution_sql() -> str:
     )
 
 
+def q_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X199 (analytics.kendall_tau): Kendall tau-b of event value
+    (whole dollars) against event day per event_type — the pairwise
+    concordance drift detector, tie-corrected. Rows collapse to ~1.5k
+    tie cells per group before the cell-pair join; nc/nd/tie counts are
+    exact int64, tau one pinned two-sqrt assembly. Day index uses
+    integer DIV so both engines bin identically."""
+    from osm2geojson_spark.operators.analytics import kendall_tau
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("g"),
+        F.expr(
+            "unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000"
+        ).alias("x"),
+        F.round(F.col("value")).cast("long").alias("y"),
+    )
+    return kendall_tau(ev)
+
+
+def _kendall_sql() -> str:
+    from osm2geojson_spark.operators.analytics import kendall_tau_sql
+
+    return kendall_tau_sql(
+        "SELECT event_type AS g, epoch_us(ts) // 86400000000 AS x,"
+        " CAST(round(value) AS BIGINT) AS y FROM events"
+    )
+
+
 def q_mask_iou(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X198 (boxes.mask_iou_join): segmentation-mask IoU census in the
     RLE domain — rle_mask runs of 300 8x8 images, comparison buckets =
@@ -11047,6 +11075,7 @@ FROM mm GROUP BY i
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "kendall": q_kendall,
         "mask_iou": q_mask_iou,
         "fast_corners": q_fast_corners,
         "lbp": q_lbp,
@@ -11301,6 +11330,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "kendall": _kendall_sql(),
         "mask_iou": _mask_iou_sql(),
         "fast_corners": _fast_corners_sql(),
         "lbp": _lbp_sql(),

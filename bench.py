@@ -249,6 +249,7 @@ BENCH_QUERIES = [
     "lbp",
     "fast_corners",
     "mask_iou",
+    "kendall",
 ]
 
 

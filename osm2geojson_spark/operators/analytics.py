@@ -2706,3 +2706,163 @@ SELECT det.g, det.t, det.v, det.phase, det.trend_s, det.det_s,
        END AS resid
 FROM det LEFT JOIN seas ON det.g = seas.g AND det.phase = seas.phase
 """
+
+
+def kendall_tau(
+    df: DataFrame,
+    group_col: str = "g",
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """KENDALL TAU-B rank correlation per group (scipy.stats.kendalltau
+    semantics, tie-corrected) — the pairwise-concordance association
+    measure: of all row pairs, how many order x and y the same way?
+
+        tau_b = (nc - nd) / sqrt((n0 - n1) * (n0 - n2))
+        n0 = n(n-1)/2,  n1 = sum tx(tx-1)/2,  n2 = sum ty(ty-1)/2
+
+    Exactness: rows collapse to tie cells (g, x, y, cnt); concordant /
+    discordant counts come from the cell-pair join restricted to
+    xa < xb (x-tied pairs contribute neither):
+
+        nc = sum over {xa<xb, ya<yb} ca*cb
+        nd = sum over {xa<xb, ya>yb} ca*cb
+
+    All counts are exact int64 (sum of products <= n^2); only the final
+    tau divides, as one pinned two-sqrt assembly (NULL if either
+    tie-corrected denominator term is 0).
+
+    Scale: the cell table is tie-collapsed, so on quantized metrics
+    (cents, days, bins) it is orders of magnitude smaller than the
+    rows; the intra-group cell-pair join is the bounded-bucket contract
+    shared with mask_iou/box_iou (cells per group bounded, not rows).
+    For unbounded-cardinality metrics, pre-bin — tau on bins is the
+    standard large-n practice. Everything else is combinable groupBys."""
+    rows = df.select(
+        F.col(group_col).alias("g"),
+        F.col(x_col).cast("long").alias("x"),
+        F.col(y_col).cast("long").alias("y"),
+    )
+    cells = rows.groupBy("g", "x", "y").agg(F.count(F.lit(1)).alias("cnt"))
+    n_g = rows.groupBy("g").agg(F.count(F.lit(1)).alias("n"))
+    tie = lambda c, out: (  # noqa: E731
+        rows.groupBy("g", c)
+        .agg(F.count(F.lit(1)).alias("t"))
+        .groupBy("g")
+        .agg((F.sum(F.col("t") * (F.col("t") - 1)) / 2).cast("long").alias(out))
+    )
+    a = cells.select(
+        "g",
+        F.col("x").alias("xa"),
+        F.col("y").alias("ya"),
+        F.col("cnt").alias("ca"),
+    )
+    b = cells.select(
+        F.col("g").alias("g_b"),
+        F.col("x").alias("xb"),
+        F.col("y").alias("yb"),
+        F.col("cnt").alias("cb"),
+    )
+    cd = (
+        a.join(
+            b,
+            (F.col("g") == F.col("g_b")) & (F.col("xa") < F.col("xb")),
+        )
+        .groupBy("g")
+        .agg(
+            F.sum(
+                F.when(F.col("ya") < F.col("yb"), F.col("ca") * F.col("cb"))
+                .otherwise(F.lit(0))
+            ).alias("nc"),
+            F.sum(
+                F.when(F.col("ya") > F.col("yb"), F.col("ca") * F.col("cb"))
+                .otherwise(F.lit(0))
+            ).alias("nd"),
+        )
+    )
+    out = (
+        n_g.join(tie("x", "n1"), "g")
+        .join(tie("y", "n2"), "g")
+        .join(cd, "g", "left")
+        .select(
+            "g",
+            "n",
+            F.coalesce(F.col("nc"), F.lit(0)).alias("nc"),
+            F.coalesce(F.col("nd"), F.lit(0)).alias("nd"),
+            "n1",
+            "n2",
+            ((F.col("n") * (F.col("n") - 1)) / 2).cast("long").alias("n0"),
+        )
+    )
+    dd = lambda c: F.col(c).cast("double")  # noqa: E731
+    return out.select(
+        "g",
+        "n",
+        "nc",
+        "nd",
+        "n1",
+        "n2",
+        F.when(
+            (F.col("n0") > F.col("n1")) & (F.col("n0") > F.col("n2")),
+            F.round(
+                (dd("nc") - dd("nd"))
+                / (
+                    F.sqrt(dd("n0") - dd("n1"))
+                    * F.sqrt(dd("n0") - dd("n2"))
+                ),
+                6,
+            ),
+        ).alias("tau"),
+    )
+
+
+def kendall_tau_sql(
+    rows_cte: str,
+    group_col: str = "g",
+    x_col: str = "x",
+    y_col: str = "y",
+) -> str:
+    """DuckDB twin of kendall_tau — identical tie-cell pair join and
+    pinned tau assembly."""
+    g, x, y = group_col, x_col, y_col
+    return f"""
+WITH src AS (
+  SELECT {g} AS g, CAST({x} AS BIGINT) AS x, CAST({y} AS BIGINT) AS y
+  FROM ({rows_cte})
+),
+cells AS (SELECT g, x, y, count(*) AS cnt FROM src GROUP BY 1, 2, 3),
+n_g AS (SELECT g, count(*) AS n FROM src GROUP BY 1),
+t1 AS (
+  SELECT g, CAST(sum(t * (t - 1)) // 2 AS BIGINT) AS n1
+  FROM (SELECT g, x, count(*) AS t FROM src GROUP BY 1, 2) q GROUP BY 1
+),
+t2 AS (
+  SELECT g, CAST(sum(t * (t - 1)) // 2 AS BIGINT) AS n2
+  FROM (SELECT g, y, count(*) AS t FROM src GROUP BY 1, 2) q GROUP BY 1
+),
+cd AS (
+  SELECT a.g,
+         CAST(sum(CASE WHEN a.y < b.y THEN a.cnt * b.cnt ELSE 0 END)
+              AS BIGINT) AS nc,
+         CAST(sum(CASE WHEN a.y > b.y THEN a.cnt * b.cnt ELSE 0 END)
+              AS BIGINT) AS nd
+  FROM cells a JOIN cells b ON a.g = b.g AND a.x < b.x
+  GROUP BY 1
+)
+SELECT n_g.g, CAST(n_g.n AS BIGINT) AS n,
+       COALESCE(cd.nc, 0) AS nc, COALESCE(cd.nd, 0) AS nd,
+       t1.n1, t2.n2,
+       CASE WHEN (n_g.n * (n_g.n - 1)) // 2 > t1.n1
+             AND (n_g.n * (n_g.n - 1)) // 2 > t2.n2
+            THEN round(
+              (CAST(COALESCE(cd.nc, 0) AS DOUBLE)
+               - CAST(COALESCE(cd.nd, 0) AS DOUBLE))
+              / (sqrt(CAST((n_g.n * (n_g.n - 1)) // 2 - t1.n1 AS DOUBLE))
+                 * sqrt(CAST((n_g.n * (n_g.n - 1)) // 2 - t2.n2 AS DOUBLE))),
+              6)
+       END AS tau
+FROM n_g
+JOIN t1 USING (g)
+JOIN t2 USING (g)
+LEFT JOIN cd USING (g)
+"""

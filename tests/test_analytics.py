@@ -1875,3 +1875,80 @@ def test_seasonal_decompose_brute_and_twin(spark):
             r["g"], r["t"], r["v"], r["phase"], r["trend_s"], r["det_s"],
             r["seas_sum"], r["seas_cnt"], r["resid"],
         ), key
+
+
+def test_kendall_tau_brute_and_twin(spark):
+    import math
+    import random
+
+    import duckdb
+
+    from osm2geojson_spark.operators.analytics import (
+        kendall_tau,
+        kendall_tau_sql,
+    )
+
+    rng = random.Random(11)
+    rows = []
+    # g0: monotone with ties; g1: independent; g2: anti-monotone
+    # (tau = -1); g3: constant x (tau NULL, nc = nd = 0)
+    for i in range(120):
+        rows.append((0, i // 4, (i // 4) * 3 + rng.randrange(6)))
+    for i in range(120):
+        rows.append((1, rng.randrange(15), rng.randrange(15)))
+    for i in range(60):
+        rows.append((2, i, -i))
+    for i in range(30):
+        rows.append((3, 7, rng.randrange(5)))
+    df = spark.createDataFrame(rows, "g long, x long, y long")
+    got = {r["g"]: r for r in kendall_tau(df).collect()}
+
+    for g in range(4):
+        pts = [(x, y) for gg, x, y in rows if gg == g]
+        n = len(pts)
+        nc = nd = 0
+        for i in range(n):
+            for j in range(i + 1, n):
+                (xa, ya), (xb, yb) = pts[i], pts[j]
+                if xa == xb or ya == yb:
+                    continue
+                if (xa < xb) == (ya < yb):
+                    nc += 1
+                else:
+                    nd += 1
+        from collections import Counter
+
+        tx = Counter(x for x, _ in pts)
+        ty = Counter(y for _, y in pts)
+        n0 = n * (n - 1) // 2
+        n1 = sum(t * (t - 1) // 2 for t in tx.values())
+        n2 = sum(t * (t - 1) // 2 for t in ty.values())
+        r = got[g]
+        assert (r["n"], r["nc"], r["nd"], r["n1"], r["n2"]) == (
+            n, nc, nd, n1, n2
+        ), g
+        if n0 > n1 and n0 > n2:
+            tau = round(
+                (float(nc) - float(nd))
+                / (math.sqrt(float(n0 - n1)) * math.sqrt(float(n0 - n2))),
+                6,
+            )
+            assert r["tau"] == tau, g
+        else:
+            assert r["tau"] is None, g
+    assert got[0]["tau"] > 0.85
+    assert abs(got[1]["tau"]) < 0.25
+    assert got[2]["tau"] == -1.0
+    assert got[3]["tau"] is None
+
+    duck = duckdb.connect()
+    duck.execute("CREATE TABLE xy (g BIGINT, x BIGINT, y BIGINT)")
+    duck.executemany("INSERT INTO xy VALUES (?, ?, ?)", rows)
+    twin = {
+        r[0]: r for r in duck.sql(kendall_tau_sql("SELECT * FROM xy")).fetchall()
+    }
+    assert set(twin) == set(got)
+    for g, r in got.items():
+        assert twin[g] == (
+            g, r["n"], r["nc"], r["nd"], r["n1"], r["n2"], r["tau"]
+        ), g
