@@ -9122,6 +9122,47 @@ def _attribution_sql() -> str:
     )
 
 
+def q_dither(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X200 (multimodal.ordered_dither): Bayer 4x4 ordered-dithering
+    census over 300 mixed-size (8/16/24 px) mixed-format (rawz/png)
+    images — exact-integer threshold v >= 16*M[y%4][x%4] + 8, 16
+    per-phase (n_px, ones) rows per image. The oracle replays every
+    pixel from the deterministic formula and joins the same matrix as
+    VALUES, so a codec or threshold bug in either engine breaks the
+    hash."""
+    from osm2geojson_spark.operators.multimodal import ordered_dither
+
+    return ordered_dither(_synth_images(spark, sf_dir, 300))
+
+
+def _dither_sql() -> str:
+    from osm2geojson_spark.operators.multimodal import bayer4_values_sql
+
+    return f"""
+WITH img AS (
+  SELECT p_partkey AS i, 8 * (1 + p_partkey % 3) AS w
+  FROM part WHERE p_partkey < 300
+), px AS (
+  SELECT i,
+         (xs.x * 3 + ys.y * 7 + i * 13) % 251 AS v,
+         (ys.y % 4) * 4 + (xs.x % 4) AS phase,
+         ys.y % 4 AS my, xs.x % 4 AS mx
+  FROM img,
+       (SELECT unnest(range(0, 24)) AS x) xs,
+       (SELECT unnest(range(0, 24)) AS y) ys
+  WHERE xs.x < img.w AND ys.y < img.w
+)
+SELECT printf('img%012d', i) AS image_id,
+       CAST(phase AS BIGINT) AS phase,
+       CAST(count(*) AS BIGINT) AS n_px,
+       CAST(sum(CASE WHEN v >= 16 * bayer.m + 8 THEN 1 ELSE 0 END)
+            AS BIGINT) AS ones
+FROM px JOIN {bayer4_values_sql()}
+  ON bayer.my = px.my AND bayer.mx = px.mx
+GROUP BY 1, 2
+"""
+
+
 def q_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X199 (analytics.kendall_tau): Kendall tau-b of event value
     (whole dollars) against event day per event_type — the pairwise
@@ -11075,6 +11116,7 @@ FROM mm GROUP BY i
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "dither": q_dither,
         "kendall": q_kendall,
         "mask_iou": q_mask_iou,
         "fast_corners": q_fast_corners,
@@ -11330,6 +11372,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "dither": _dither_sql(),
         "kendall": _kendall_sql(),
         "mask_iou": _mask_iou_sql(),
         "fast_corners": _fast_corners_sql(),

@@ -250,6 +250,7 @@ BENCH_QUERIES = [
     "fast_corners",
     "mask_iou",
     "kendall",
+    "dither",
 ]
 
 

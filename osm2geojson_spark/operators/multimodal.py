@@ -3683,3 +3683,66 @@ def fast_corners(images: DataFrame, t: int = 20) -> DataFrame:
     return images.select("image_id", "bytes", "fmt").mapInPandas(
         fn, schema="image_id string, x long, y long, bright long, dark long"
     )
+
+
+# Bayer 4x4 index matrix — the classical dispersed-dot dither order
+BAYER4 = np.asarray(
+    [[0, 8, 2, 10], [12, 4, 14, 6], [3, 11, 1, 9], [15, 7, 13, 5]],
+    dtype=np.int64,
+)
+
+
+def ordered_dither(images: DataFrame) -> DataFrame:
+    """(image_id, phase, n_px, ones) — BAYER 4x4 ORDERED DITHERING
+    census: binarize each pixel against the position-dependent threshold
+
+        bit(x, y) = 1  iff  v(x, y) >= 16 * BAYER4[y%4][x%4] + 8
+
+    (the exact-integer form of the classical v/256 > (M+0.5)/16 rule)
+    and report, per image and per 4x4 PHASE (phase = (y%4)*4 + x%4),
+    the pixel count and the ones count. This is the halftoning /
+    1-bit-quantization primitive; the per-phase census is the
+    screening-quality diagnostic (a correct dither spreads density
+    across phases in Bayer order) and is what survives the shuffle —
+    never the bitmap itself.
+
+    Exactness: the threshold and comparison are pure integers, counts
+    are exact int64; a DuckDB twin replays every pixel from the
+    deterministic formula and joins the same matrix as VALUES.
+
+    Scale: Arrow-batched mapInPandas, one vectorized compare + one
+    16-bin bincount per image; output is exactly 16 rows per image
+    regardless of resolution."""
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, phases, npx, ones = [], [], [], []
+            for r in pdf.itertuples(index=False):
+                px = imagecodec.decode(bytes(r.bytes), r.fmt).astype(np.int64)
+                h, w = px.shape
+                yy, xx = np.mgrid[0:h, 0:w]
+                thr = 16 * BAYER4[yy % 4, xx % 4] + 8
+                bit = (px >= thr).astype(np.int64)
+                ph = (yy % 4) * 4 + (xx % 4)
+                n_ph = np.bincount(ph.ravel(), minlength=16)
+                o_ph = np.bincount(ph.ravel(), weights=bit.ravel(), minlength=16)
+                for p in range(16):
+                    ids.append(r.image_id)
+                    phases.append(p)
+                    npx.append(int(n_ph[p]))
+                    ones.append(int(o_ph[p]))
+            yield pd.DataFrame(
+                {"image_id": ids, "phase": phases, "n_px": npx, "ones": ones}
+            )
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(
+        fn, schema="image_id string, phase long, n_px long, ones long"
+    )
+
+
+def bayer4_values_sql() -> str:
+    """The Bayer 4x4 matrix as a DuckDB VALUES relation (my, mx, m)."""
+    rows = ", ".join(
+        f"({y}, {x}, {int(BAYER4[y, x])})" for y in range(4) for x in range(4)
+    )
+    return f"(VALUES {rows}) AS bayer(my, mx, m)"

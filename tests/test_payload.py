@@ -2716,3 +2716,42 @@ def test_fast_corners_matches_scalar_brute(spark):
     assert got["p"] == want  # format-independent
     assert (7, 6) in got["a"] and got["a"][(7, 6)][0] == 1  # planted corner
     assert "b" not in got  # flat image: nothing
+
+
+def test_ordered_dither_matches_scalar_brute(spark):
+    from osm2geojson_spark.operators.multimodal import BAYER4, ordered_dither
+
+    px = imagecodec.synth_pixels(3, 9, 7).astype(np.int64)
+    imgs = spark.createDataFrame(
+        [
+            ("a", 9, 7, "rawz",
+             bytearray(imagecodec.encode_rawz(px.astype(np.uint8)))),
+            ("c", 9, 7, "png",
+             bytearray(imagecodec.encode_png(px.astype(np.uint8)))),
+            # all-white: every threshold passes -> ones == n_px per phase
+            ("w", 4, 4, "rawz",
+             bytearray(imagecodec.encode_rawz(np.full((4, 4), 255, np.uint8)))),
+            # all-black: v=0 < 8 <= every threshold -> ones == 0
+            ("b", 4, 4, "rawz",
+             bytearray(imagecodec.encode_rawz(np.zeros((4, 4), np.uint8)))),
+        ],
+        "image_id string, w int, h int, fmt string, bytes binary",
+    )
+    got = {}
+    for r in ordered_dither(imgs).collect():
+        got.setdefault(r["image_id"], {})[r["phase"]] = (r["n_px"], r["ones"])
+
+    h, w = px.shape
+    want = {p: [0, 0] for p in range(16)}
+    for y in range(h):
+        for x in range(w):
+            p = (y % 4) * 4 + (x % 4)
+            want[p][0] += 1
+            if px[y, x] >= 16 * BAYER4[y % 4][x % 4] + 8:
+                want[p][1] += 1
+    assert got["a"] == {p: tuple(v) for p, v in want.items()}
+    assert got["c"] == got["a"]  # format-independent
+    assert got["w"] == {p: (1, 1) for p in range(16)}
+    assert got["b"] == {p: (1, 0) for p in range(16)}
+    # phase counts cover the image exactly
+    assert sum(v[0] for v in got["a"].values()) == h * w
