@@ -9122,6 +9122,36 @@ def _attribution_sql() -> str:
     )
 
 
+def q_isotonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X201 (analytics.isotonic_fit): isotonic calibration per
+    event_type — score bin x = event_id % 40, binary outcome planted
+    with success probability rising in x ((event_id*7919+13) % 100 <
+    30+x), so the fitted nondecreasing step curve is a real calibration
+    map. Kernel = exact-fraction PAVA; oracle = the independent integer
+    minimax identity (truncation commutes with max/min)."""
+    from osm2geojson_spark.operators.analytics import isotonic_fit
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("g"),
+        (F.col("event_id") % 40).alias("x"),
+        (
+            (F.col("event_id") * 7919 + 13) % 100
+            < 30 + F.col("event_id") % 40
+        ).cast("long").alias("y"),
+    )
+    return isotonic_fit(ev)
+
+
+def _isotonic_sql() -> str:
+    from osm2geojson_spark.operators.analytics import isotonic_fit_sql
+
+    return isotonic_fit_sql(
+        "SELECT event_type AS g, event_id % 40 AS x,"
+        " CASE WHEN (event_id * 7919 + 13) % 100 < 30 + event_id % 40"
+        " THEN 1 ELSE 0 END AS y FROM events"
+    )
+
+
 def q_dither(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X200 (multimodal.ordered_dither): Bayer 4x4 ordered-dithering
     census over 300 mixed-size (8/16/24 px) mixed-format (rawz/png)
@@ -11116,6 +11146,7 @@ FROM mm GROUP BY i
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "isotonic": q_isotonic,
         "dither": q_dither,
         "kendall": q_kendall,
         "mask_iou": q_mask_iou,
@@ -11372,6 +11403,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "isotonic": _isotonic_sql(),
         "dither": _dither_sql(),
         "kendall": _kendall_sql(),
         "mask_iou": _mask_iou_sql(),

@@ -251,6 +251,7 @@ BENCH_QUERIES = [
     "mask_iou",
     "kendall",
     "dither",
+    "isotonic",
 ]
 
 

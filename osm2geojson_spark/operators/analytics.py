@@ -2866,3 +2866,141 @@ JOIN t1 USING (g)
 JOIN t2 USING (g)
 LEFT JOIN cd USING (g)
 """
+
+
+def isotonic_fit(
+    df: DataFrame,
+    group_col: str = "g",
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """WEIGHTED ISOTONIC REGRESSION per group (sklearn IsotonicRegression
+    semantics) — fit the nondecreasing step function of x minimizing
+    squared error to y: THE probability-calibration primitive (isotonic
+    calibration of model scores) and monotone-trend smoother.
+
+    Rows first collapse to blocks (g, x) with (sum_y, cnt); the kernel
+    then runs the classical POOL-ADJACENT-VIOLATORS stack per group —
+    append a block, merge backwards while the previous pooled average
+    >= the new one — with all average comparisons done by integer
+    cross-multiplication (never a float), so the pooling is exact.
+
+    Output (g, x, w, fitted_micro, fitted): fitted_micro is the exact
+    TRUNCATION of 1e6 * the pooled rational average (integer division
+    of pooled sums — arbitrary-precision in the kernel), fitted the
+    pinned double fitted_micro / 1e6.
+
+    The DuckDB twin deliberately uses the OTHER classical formulation —
+    the minimax identity fitted(i) = max_{j<=i} min_{k>=i} avg(j..k) —
+    on the same trunc-quantized integers; truncation is monotone, so it
+    commutes with max/min and the two independent algorithms agree
+    exactly.
+
+    Scale: the groupBy(g, x) collapse is combinable and runs at corpus
+    scale; the PAVA stack is O(blocks) per group and blocks = distinct
+    x bins (calibration curves are score-binned: tens to thousands),
+    so the applyInPandas stage is trivially bounded. y must be integer
+    units (cents, micro, 0/1 labels)."""
+    import pandas as pd
+
+    blocks = (
+        df.select(
+            F.col(group_col).cast("string").alias("g"),
+            F.col(x_col).cast("long").alias("x"),
+            F.col(y_col).cast("long").alias("y"),
+        )
+        .groupBy("g", "x")
+        .agg(F.sum("y").alias("s"), F.count(F.lit(1)).alias("w"))
+    )
+
+    def pava(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("x")
+        g = pdf["g"].iloc[0]
+        stack: list[list[int]] = []  # [s, w, n_blocks]
+        xs = pdf["x"].tolist()
+        ss = [int(v) for v in pdf["s"].tolist()]
+        ws = [int(v) for v in pdf["w"].tolist()]
+        for s, w in zip(ss, ws):
+            stack.append([s, w, 1])
+            # merge while prev avg >= new avg: s1/w1 >= s2/w2
+            while (
+                len(stack) > 1
+                and stack[-2][0] * stack[-1][1] >= stack[-1][0] * stack[-2][1]
+            ):
+                s2, w2, n2 = stack.pop()
+                stack[-1][0] += s2
+                stack[-1][1] += w2
+                stack[-1][2] += n2
+        out_x, out_w, out_fm = [], [], []
+        i = 0
+        for s, w, n in stack:
+            # exact TRUNCATION (toward zero) of 1e6 * pooled average —
+            # matches SQL integer division; truncation is monotone, so
+            # it commutes with the twin's max/min like floor would
+            num = 1000000 * s
+            fm = abs(num) // w if num >= 0 else -(abs(num) // w)
+            for _ in range(n):
+                out_x.append(xs[i])
+                out_w.append(ws[i])
+                out_fm.append(fm)
+                i += 1
+        return pd.DataFrame(
+            {
+                "g": [g] * len(out_x),
+                "x": out_x,
+                "w": out_w,
+                "fitted_micro": out_fm,
+                "fitted": [v / 1000000.0 for v in out_fm],
+            }
+        )
+
+    return blocks.groupBy("g").applyInPandas(
+        pava,
+        schema="g string, x long, w long, fitted_micro long, fitted double",
+    )
+
+
+def isotonic_fit_sql(
+    rows_cte: str,
+    group_col: str = "g",
+    x_col: str = "x",
+    y_col: str = "y",
+) -> str:
+    """DuckDB twin of isotonic_fit via the minimax identity
+    fitted(i) = max_{j<=i} min_{k>=i} floor(1e6 * avg(j..k)) on the
+    same integer block sums (floor commutes with max/min)."""
+    g, x, y = group_col, x_col, y_col
+    return f"""
+WITH src AS (
+  SELECT {g} AS g, CAST({x} AS BIGINT) AS x, CAST({y} AS BIGINT) AS y
+  FROM ({rows_cte})
+),
+blk AS (
+  SELECT g, x, CAST(sum(y) AS BIGINT) AS s, count(*) AS w,
+         row_number() OVER (PARTITION BY g ORDER BY x) AS i,
+         sum(sum(y)) OVER (
+           PARTITION BY g ORDER BY x
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS cs,
+         sum(count(*)) OVER (
+           PARTITION BY g ORDER BY x
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS cw
+  FROM src GROUP BY 1, 2
+),
+qa AS (
+  SELECT j.g, j.i AS ji, k.i AS ki,
+         (1000000 * (k.cs - j.cs + j.s)) // (k.cw - j.cw + j.w) AS qavg
+  FROM blk j JOIN blk k ON j.g = k.g AND j.i <= k.i
+),
+mn AS (
+  SELECT qa.g, qa.ji, ix.i AS ii, min(qa.qavg) AS v
+  FROM qa JOIN blk ix ON qa.g = ix.g AND qa.ji <= ix.i AND qa.ki >= ix.i
+  GROUP BY 1, 2, 3
+),
+fit AS (SELECT g, ii, max(v) AS fm FROM mn GROUP BY 1, 2)
+SELECT blk.g, blk.x, CAST(blk.w AS BIGINT) AS w,
+       CAST(fit.fm AS BIGINT) AS fitted_micro,
+       CAST(fit.fm AS DOUBLE) / 1000000.0 AS fitted
+FROM blk JOIN fit ON blk.g = fit.g AND blk.i = fit.ii
+"""

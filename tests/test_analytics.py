@@ -1952,3 +1952,76 @@ def test_kendall_tau_brute_and_twin(spark):
         assert twin[g] == (
             g, r["n"], r["nc"], r["nd"], r["n1"], r["n2"], r["tau"]
         ), g
+
+
+def test_isotonic_brute_and_twin(spark):
+    import random
+    from fractions import Fraction
+
+    import duckdb
+
+    from osm2geojson_spark.operators.analytics import (
+        isotonic_fit,
+        isotonic_fit_sql,
+    )
+
+    rng = random.Random(17)
+    rows = []
+    # g0: noisy increasing; g1: strictly decreasing (fit = one pool);
+    # g2: negative values with ties (floor-division sign behavior)
+    for x in range(30):
+        for _ in range(rng.randrange(1, 5)):
+            rows.append(("0", x, 10 * x + rng.randrange(-40, 41)))
+    for x in range(20):
+        rows.append(("1", x, 100 - 7 * x))
+    for x in range(15):
+        for _ in range(2):
+            rows.append(("2", x, rng.randrange(-50, 10)))
+    df = spark.createDataFrame(rows, "g string, x long, y long")
+    got = {
+        (r["g"], r["x"]): r for r in isotonic_fit(df).collect()
+    }
+
+    # brute: exact minimax over Fractions, then floor to micro
+    for g in ("0", "1", "2"):
+        pts = sorted(
+            {x for gg, x, _ in rows if gg == g}
+        )
+        s = {x: sum(y for gg, xx, y in rows if gg == g and xx == x) for x in pts}
+        w = {x: sum(1 for gg, xx, _ in rows if gg == g and xx == x) for x in pts}
+        m = len(pts)
+        for i, xi in enumerate(pts):
+            best = None
+            for j in range(i + 1):
+                worst = None
+                for k in range(i, m):
+                    seg = pts[j : k + 1]
+                    a = Fraction(sum(s[x] for x in seg), sum(w[x] for x in seg))
+                    if worst is None or a < worst:
+                        worst = a
+                if best is None or worst > best:
+                    best = worst
+            num = 1000000 * best.numerator
+            den = best.denominator
+            fm = abs(num) // den if num >= 0 else -(abs(num) // den)
+            r = got[(g, xi)]
+            assert (r["w"], r["fitted_micro"]) == (w[xi], fm), (g, xi)
+            assert r["fitted"] == fm / 1000000.0
+        # monotone nondecreasing
+        fs = [got[(g, x)]["fitted_micro"] for x in pts]
+        assert fs == sorted(fs), g
+    # g1 pools to a single average
+    assert len({got[("1", x)]["fitted_micro"] for x in range(20)}) == 1
+
+    duck = duckdb.connect()
+    duck.execute("CREATE TABLE xy (g VARCHAR, x BIGINT, y BIGINT)")
+    duck.executemany("INSERT INTO xy VALUES (?, ?, ?)", rows)
+    twin = {
+        (t[0], t[1]): t
+        for t in duck.sql(isotonic_fit_sql("SELECT * FROM xy")).fetchall()
+    }
+    assert set(twin) == set(got)
+    for key, r in got.items():
+        assert twin[key] == (
+            key[0], key[1], r["w"], r["fitted_micro"], r["fitted"]
+        ), key
