@@ -9122,6 +9122,44 @@ def _attribution_sql() -> str:
     )
 
 
+def q_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X202 (retrieval.maxsim_topk): ColBERT late-interaction retrieval
+    over the embeddings table grouped into multi-vector bags — 8 token
+    vectors per id (qid/doc_id = vec_id // 8): queries vec_id < 16,
+    corpus vec_id in [16, 496).  MaxSim score = sum over query tokens
+    of the max quantized doc-token dot; top-5 per query.  Quantized
+    per-term dots make the trace engine-exact."""
+    from osm2geojson_spark.operators.retrieval import maxsim_topk
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    q = emb.filter(F.col("vec_id") < 16).select(
+        (F.col("vec_id") / 8).cast("long").alias("qid"),
+        (F.col("vec_id") % 8).alias("qtok"),
+        F.col("v").alias("qvec"),
+    )
+    d = emb.filter((F.col("vec_id") >= 16) & (F.col("vec_id") < 496)).select(
+        (F.col("vec_id") / 8).cast("long").alias("doc_id"),
+        F.col("v").alias("vec"),
+    )
+    return maxsim_topk(d, q, k=5)
+
+
+def _maxsim_sql() -> str:
+    from osm2geojson_spark.operators.retrieval import maxsim_topk_sql
+
+    return maxsim_topk_sql(
+        "SELECT vec_id // 8 AS doc_id, embedding::DOUBLE[] AS v"
+        " FROM embeddings WHERE vec_id >= 16 AND vec_id < 496",
+        "SELECT vec_id // 8 AS qid, vec_id % 8 AS qtok,"
+        " embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 16",
+        k=5,
+        dim=64,
+    )
+
+
 def q_isotonic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X201 (analytics.isotonic_fit): isotonic calibration per
     event_type — score bin x = event_id % 40, binary outcome planted
@@ -11146,6 +11184,7 @@ FROM mm GROUP BY i
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "maxsim": q_maxsim,
         "isotonic": q_isotonic,
         "dither": q_dither,
         "kendall": q_kendall,
@@ -11403,6 +11442,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "maxsim": _maxsim_sql(),
         "isotonic": _isotonic_sql(),
         "dither": _dither_sql(),
         "kendall": _kendall_sql(),

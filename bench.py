@@ -252,6 +252,7 @@ BENCH_QUERIES = [
     "kendall",
     "dither",
     "isotonic",
+    "maxsim",
 ]
 
 

@@ -391,3 +391,133 @@ def mmr_rerank_sql(
         + f"\nSELECT qid, CAST(step AS INTEGER) AS step, doc_id, mmr_score"
         f" FROM ({final})"
     )
+
+
+def maxsim_topk(
+    doc_tokens: DataFrame,
+    query_tokens: DataFrame,
+    k: int = 5,
+) -> DataFrame:
+    """(qid, rnk, doc_id, score_micro, score) — LATE-INTERACTION
+    retrieval (ColBERT, Khattab & Zaharia SIGIR 2020): multi-vector
+    MaxSim scoring.  Each query and each document is a BAG of token
+    vectors; the score is
+
+        score(q, d) = Σ_{t ∈ q} max_{u ∈ d} <t, u>
+
+    with every dot quantized per-term (``_mmr_dot_q``: Σ_j floor(t_j ·
+    u_j · 1e6 + 0.5), order-free int64) so the score — and therefore the
+    top-k and its tie-breaks (score DESC, doc_id ASC) — is bit-identical
+    between NumPy and the SQL twin.
+
+    Inputs: ``doc_tokens`` (doc_id, vec array<double>) one row per
+    document token; ``query_tokens`` (qid, qtok, qvec) one row per query
+    token.  Queries are the fixed benchmark/prompt set and broadcast
+    (collected once — same fixed-query shape as ``bm25_topk``); the
+    corpus NEVER shuffles raw vectors: the Arrow kernel reduces each
+    batch to per-(doc_id, qid, qtok) partial maxima, so shuffle rows are
+    O(docs · |q|) ints, independent of tokens-per-doc, and the max →
+    sum cascade is combinable (map-side partial max).  Top-k per query
+    is a tiny window over O(docs) score rows; at corpus scale swap it
+    for TakeOrdered per qid.  No per-row Python anywhere."""
+    import numpy as np
+    import pandas as pd
+
+    qrows = sorted(
+        query_tokens.select("qid", "qtok", "qvec").collect(),
+        key=lambda r: (r["qid"], r["qtok"]),
+    )
+    qids = np.asarray([r["qid"] for r in qrows], dtype=np.int64)
+    qtoks = np.asarray([r["qtok"] for r in qrows], dtype=np.int64)
+    Q = np.stack([np.asarray(r["qvec"], dtype=np.float64) for r in qrows])
+    m = len(qrows)
+
+    def fn(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            D = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["vec"]]
+            )
+            n = len(pdf)
+            dots = np.empty((n, m), dtype=np.int64)
+            for t in range(m):  # loop keeps peak memory at one n x 64
+                dots[:, t] = _mmr_dot_q(D, Q[t][None, :])
+            part = pd.DataFrame(
+                {
+                    "doc_id": np.repeat(
+                        pdf["doc_id"].to_numpy(np.int64), m
+                    ),
+                    "qid": np.tile(qids, n),
+                    "qtok": np.tile(qtoks, n),
+                    "idot": dots.reshape(-1),
+                }
+            )
+            # in-batch partial max: one row per (doc, qid, qtok) leaves
+            yield part.groupby(
+                ["doc_id", "qid", "qtok"], as_index=False
+            )["idot"].max()
+
+    partial = doc_tokens.select("doc_id", "vec").mapInPandas(
+        fn, schema="doc_id long, qid long, qtok long, idot long"
+    )
+    mx = partial.groupBy("qid", "doc_id", "qtok").agg(
+        F.max("idot").alias("mtok")
+    )
+    sc = mx.groupBy("qid", "doc_id").agg(
+        F.sum("mtok").alias("score_micro")
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("score_micro").desc(), F.col("doc_id").asc()
+    )
+    return (
+        sc.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= int(k))
+        .select(
+            "qid",
+            "rnk",
+            "doc_id",
+            "score_micro",
+            (F.col("score_micro") / 1000000.0).alias("score"),
+        )
+    )
+
+
+def maxsim_topk_sql(
+    doc_tokens_cte: str,
+    query_tokens_cte: str,
+    k: int = 5,
+    dim: int = 64,
+) -> str:
+    """DuckDB twin of maxsim_topk — identical quantized per-term dots
+    via unnest(generate_series) index joins, max per (qid, doc, qtok),
+    sum per (qid, doc), row_number top-k.  ``doc_tokens_cte`` ->
+    (doc_id, v DOUBLE[]); ``query_tokens_cte`` -> (qid, qtok, qv
+    DOUBLE[])."""
+    return f"""
+WITH d AS ({doc_tokens_cte}),
+q AS ({query_tokens_cte}),
+dots AS (
+  SELECT q.qid, q.qtok, d.doc_id,
+         (SELECT CAST(sum(CAST(floor(q.qv[j] * d.v[j] * {MMR_Q} + 0.5)
+                 AS BIGINT)) AS BIGINT)
+          FROM unnest(generate_series(1, {dim})) t(j)) AS idot
+  FROM q CROSS JOIN d
+),
+mx AS (
+  SELECT qid, doc_id, qtok, max(idot) AS mtok FROM dots GROUP BY 1, 2, 3
+),
+sc AS (
+  SELECT qid, doc_id, CAST(sum(mtok) AS BIGINT) AS score_micro
+  FROM mx GROUP BY 1, 2
+)
+SELECT qid, CAST(rnk AS INTEGER) AS rnk, doc_id, score_micro,
+       CAST(score_micro AS DOUBLE) / 1000000.0 AS score
+FROM (
+  SELECT qid, doc_id, score_micro,
+         row_number() OVER (
+           PARTITION BY qid ORDER BY score_micro DESC, doc_id ASC) AS rnk
+  FROM sc
+)
+WHERE rnk <= {int(k)}
+"""

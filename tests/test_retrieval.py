@@ -223,3 +223,77 @@ def test_mmr_rerank_matches_serial_greedy_and_twin(spark):
         if dup is not None:
             assert got[(qid, 1)][0] == top
             assert got[(qid, 2)][0] != dup
+
+
+def test_maxsim_brute_and_twin(spark):
+    import math
+    import random
+
+    import duckdb
+
+    from osm2geojson_spark.operators.retrieval import (
+        maxsim_topk,
+        maxsim_topk_sql,
+    )
+
+    rng = random.Random(23)
+    dim = 16
+
+    def vec():
+        return [rng.uniform(-1, 1) for _ in range(dim)]
+
+    # 2 queries x 3 tokens; 10 docs x 4 tokens. doc 7 contains exact
+    # copies of query 0's tokens -> must be its undisputed top-1.
+    qrows = [(q, t, vec()) for q in range(2) for t in range(3)]
+    drows = [(d, vec()) for d in range(10) for _ in range(4)]
+    drows += [(7, qv) for q, t, qv in qrows if q == 0]
+
+    qdf = spark.createDataFrame(
+        qrows, "qid long, qtok long, qvec array<double>"
+    )
+    ddf = spark.createDataFrame(drows, "doc_id long, vec array<double>")
+    got = [
+        (r["qid"], r["rnk"], r["doc_id"], r["score_micro"])
+        for r in maxsim_topk(ddf, qdf, k=4)
+        .orderBy("qid", "rnk")
+        .collect()
+    ]
+
+    # brute force with the same quantized per-term dot
+    def dq(a, b):
+        return sum(math.floor(x * y * 1_000_000 + 0.5) for x, y in zip(a, b))
+
+    want = []
+    for q in range(2):
+        scores = {}
+        for d in range(10):
+            dvs = [v for dd, v in drows if dd == d]
+            scores[d] = sum(
+                max(dq(qv, v) for v in dvs)
+                for qq, t, qv in qrows
+                if qq == q
+            )
+        top = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:4]
+        want += [(q, i + 1, d, s) for i, (d, s) in enumerate(top)]
+    assert got == want
+    # exact-copy doc wins query 0 with score == sum of self-dots
+    self_score = sum(dq(qv, qv) for qq, t, qv in qrows if qq == 0)
+    assert got[0][2] == 7 and got[0][3] >= self_score
+
+    duck = duckdb.connect()
+    duck.execute("CREATE TABLE qt (qid BIGINT, qtok BIGINT, qv DOUBLE[])")
+    duck.executemany("INSERT INTO qt VALUES (?, ?, ?)", qrows)
+    duck.execute("CREATE TABLE dt (doc_id BIGINT, v DOUBLE[])")
+    duck.executemany("INSERT INTO dt VALUES (?, ?)", drows)
+    twin = [
+        (r[0], r[1], r[2], r[3])
+        for r in duck.sql(
+            maxsim_topk_sql(
+                "SELECT doc_id, v FROM dt",
+                "SELECT qid, qtok, qv FROM qt",
+                k=4,
+                dim=dim,
+            )
+        ).fetchall()
+    ]
+    assert sorted(twin) == sorted(got)
