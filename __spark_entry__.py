@@ -9122,6 +9122,34 @@ def _attribution_sql() -> str:
     )
 
 
+def q_delaunay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X203 (geometry.delaunay_triangles): the Delaunay complex of four
+    40-point tile groups (grp = c_custkey % 4, hash-scattered integer
+    coordinates on a ~1000^2 grid) — exact integer orientation +
+    lifted in-circle determinants, open-disk emptiness, both diagonals
+    kept on cocircular quadruples so the output is deterministic."""
+    from osm2geojson_spark.operators.geometry import delaunay_triangles
+
+    pts = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") < 160).select(
+        (F.col("c_custkey") % 4).alias("grp"),
+        F.col("c_custkey").alias("pid"),
+        ((F.col("c_custkey") * 2654435761) % 1009).alias("x"),
+        ((F.col("c_custkey") * 2246822519 + 7) % 1013).alias("y"),
+    )
+    return delaunay_triangles(pts)
+
+
+def _delaunay_sql() -> str:
+    from osm2geojson_spark.operators.geometry import delaunay_triangles_sql
+
+    return delaunay_triangles_sql(
+        "SELECT c_custkey % 4 AS grp, c_custkey AS pid,"
+        " (c_custkey * 2654435761) % 1009 AS x,"
+        " (c_custkey * 2246822519 + 7) % 1013 AS y"
+        " FROM customer WHERE c_custkey < 160"
+    )
+
+
 def q_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X202 (retrieval.maxsim_topk): ColBERT late-interaction retrieval
     over the embeddings table grouped into multi-vector bags — 8 token
@@ -11184,6 +11212,7 @@ FROM mm GROUP BY i
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "delaunay": q_delaunay,
         "maxsim": q_maxsim,
         "isotonic": q_isotonic,
         "dither": q_dither,
@@ -11442,6 +11471,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "delaunay": _delaunay_sql(),
         "maxsim": _maxsim_sql(),
         "isotonic": _isotonic_sql(),
         "dither": _dither_sql(),

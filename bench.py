@@ -253,6 +253,7 @@ BENCH_QUERIES = [
     "dither",
     "isotonic",
     "maxsim",
+    "delaunay",
 ]
 
 

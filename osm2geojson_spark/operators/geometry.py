@@ -973,3 +973,151 @@ SELECT r.g, nh.n_hull, r.du, r.dv, r.e2, r.area,
 FROM ranked r JOIN nh ON nh.g = r.g
 WHERE r.rn = 1 AND nh.n_hull >= 3
 """
+
+
+def delaunay_triangles(
+    pts: DataFrame,
+    grp_col: str = "grp",
+    id_col: str = "pid",
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """(grp, a, b, c, area2) — the DELAUNAY COMPLEX of each point group
+    (PostGIS ST_DelaunayTriangles semantics on integer-quantized
+    coordinates): every vertex triple a < b < c (by point id) that is
+    non-degenerate (orientation determinant != 0) and whose OPEN
+    circumdisk contains no other point of the group.  On cocircular
+    quadruples both diagonals' triangles qualify — the Delaunay complex
+    is then the well-defined union of all valid triangulations, so the
+    output stays deterministic without an RNG tie-break.
+
+    All predicates are EXACT integer determinants (no floats anywhere):
+    orientation is the 2x2 cross, in-circle the classical 3x3 lifted
+    determinant evaluated relative to the probe point; the probe is
+    strictly inside iff sign(det3) == sign(orient), which conveniently
+    also self-excludes the triangle's own vertices (their det3 is 0).
+    Coordinates must satisfy |x|,|y| <= ~50_000 so the lifted
+    determinant (<= ~6·(2·max)^2·(2·max)^2·... ~ 1e17) stays in int64;
+    the tile-quantized fixtures use <= 2^10.
+
+    Scale: Delaunay is computed PER GROUP — groups are the engine's
+    bounded spatial shards (one tile / cell neighborhood each, the same
+    sharding the PIP and kNN layers use), so the O(n^3·n) exact kernel
+    sees tile-local n (tens to low hundreds), vectorized across the
+    probe axis in NumPy.  Groups parallelize across the cluster; only
+    (grp, triple) rows ever shuffle.  area2 = |orientation det| (twice
+    the triangle area in quantized units) rides along as a free
+    cross-engine checksum."""
+    from itertools import combinations
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"grp": [], "a": [], "b": [], "c": [], "area2": []}
+        )
+        n = len(pdf)
+        if n < 3:
+            return empty
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        g = pdf[grp_col].iloc[0]
+        x = pdf[x_col].to_numpy(np.int64)
+        y = pdf[y_col].to_numpy(np.int64)
+        pid = pdf[id_col].to_numpy(np.int64)
+        idx = np.array(list(combinations(range(n), 3)), dtype=np.int64)
+        ia, ib, ic = idx[:, 0], idx[:, 1], idx[:, 2]
+        ax, ay = x[ia], y[ia]
+        bx, by = x[ib], y[ib]
+        cx, cy = x[ic], y[ic]
+        orient = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+        keep = orient != 0
+        ia, ib, ic = ia[keep], ib[keep], ic[keep]
+        ax, ay, bx, by, cx, cy = (
+            ax[keep], ay[keep], bx[keep], by[keep], cx[keep], cy[keep]
+        )
+        orient = orient[keep]
+        out_a, out_b, out_c, out_s = [], [], [], []
+        # chunk the triple axis so the T x n probe matrices stay small
+        step = max(1, 4_000_000 // max(n, 1))
+        for lo in range(0, len(orient), step):
+            hi = min(lo + step, len(orient))
+            adx = ax[lo:hi, None] - x[None, :]
+            ady = ay[lo:hi, None] - y[None, :]
+            bdx = bx[lo:hi, None] - x[None, :]
+            bdy = by[lo:hi, None] - y[None, :]
+            cdx = cx[lo:hi, None] - x[None, :]
+            cdy = cy[lo:hi, None] - y[None, :]
+            ad2 = adx * adx + ady * ady
+            bd2 = bdx * bdx + bdy * bdy
+            cd2 = cdx * cdx + cdy * cdy
+            det = (
+                adx * (bdy * cd2 - cdy * bd2)
+                - ady * (bdx * cd2 - cdx * bd2)
+                + ad2 * (bdx * cdy - cdx * bdy)
+            )
+            inside = np.sign(det) == np.sign(orient[lo:hi])[:, None]
+            ok = ~inside.any(axis=1)
+            sel = np.nonzero(ok)[0] + lo
+            out_a.append(pid[ia[sel]])
+            out_b.append(pid[ib[sel]])
+            out_c.append(pid[ic[sel]])
+            out_s.append(np.abs(orient[sel]))
+        if not out_a:
+            return empty
+        return pd.DataFrame(
+            {
+                "grp": np.full(sum(len(v) for v in out_a), g),
+                "a": np.concatenate(out_a),
+                "b": np.concatenate(out_b),
+                "c": np.concatenate(out_c),
+                "area2": np.concatenate(out_s),
+            }
+        )
+
+    sel = pts.select(
+        F.col(grp_col).cast("long").alias(grp_col),
+        F.col(id_col).cast("long").alias(id_col),
+        F.col(x_col).cast("long").alias(x_col),
+        F.col(y_col).cast("long").alias(y_col),
+    )
+    return sel.groupBy(grp_col).applyInPandas(
+        fn, schema="grp long, a long, b long, c long, area2 long"
+    )
+
+
+def delaunay_triangles_sql(pts_cte: str) -> str:
+    """DuckDB twin of delaunay_triangles — identical exact integer
+    predicates; emptiness of the open circumdisk via NOT EXISTS over the
+    group's points (vertex self-exclusion falls out of sign(0) != ±1,
+    mirrored here as det3 sign-match).  ``pts_cte`` -> (grp, pid, x, y)."""
+    return f"""
+WITH p AS (
+  SELECT grp, pid, CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y
+  FROM ({pts_cte})
+),
+tri AS (
+  SELECT a.grp, a.pid AS pa, b.pid AS pb, c.pid AS pc,
+         a.x AS ax, a.y AS ay, b.x AS bx, b.y AS by, c.x AS cx, c.y AS cy,
+         (b.x - a.x) * (c.y - a.y) - (b.y - a.y) * (c.x - a.x) AS orient
+  FROM p a
+  JOIN p b ON b.grp = a.grp AND b.pid > a.pid
+  JOIN p c ON c.grp = b.grp AND c.pid > b.pid
+),
+good AS (SELECT * FROM tri WHERE orient <> 0)
+SELECT g.grp, g.pa AS a, g.pb AS b, g.pc AS c,
+       CAST(abs(g.orient) AS BIGINT) AS area2
+FROM good g
+WHERE NOT EXISTS (
+  SELECT 1 FROM p d
+  WHERE d.grp = g.grp
+    AND sign((g.ax - d.x) * ((g.by - d.y) * ((g.cx - d.x) * (g.cx - d.x)
+              + (g.cy - d.y) * (g.cy - d.y))
+            - (g.cy - d.y) * ((g.bx - d.x) * (g.bx - d.x)
+              + (g.by - d.y) * (g.by - d.y)))
+       - (g.ay - d.y) * ((g.bx - d.x) * ((g.cx - d.x) * (g.cx - d.x)
+              + (g.cy - d.y) * (g.cy - d.y))
+            - (g.cx - d.x) * ((g.bx - d.x) * (g.bx - d.x)
+              + (g.by - d.y) * (g.by - d.y)))
+       + ((g.ax - d.x) * (g.ax - d.x) + (g.ay - d.y) * (g.ay - d.y))
+           * ((g.bx - d.x) * (g.cy - d.y) - (g.cx - d.x) * (g.by - d.y)))
+        = sign(g.orient)
+)
+"""

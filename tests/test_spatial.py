@@ -1916,3 +1916,111 @@ def test_oriented_envelope_degenerate_groups_dropped(spark):
             (3, 0.0, 0.0), (3, 2.0, 2.0), (3, 4.0, 4.0)]  # collinear
     df = spark.createDataFrame(rows, "g long, x double, y double")
     assert oriented_envelope(df).count() == 0
+
+
+def test_delaunay_invariants_and_twin(spark):
+    """Independent invariants of a correct Delaunay triangulation (no
+    cocircular quadruples in this fixture): triangle count = 2n - 2 - h,
+    summed doubled areas tile the convex hull exactly, and every
+    circumdisk is verified empty with pure-Python Fractions."""
+    import random
+    from fractions import Fraction
+
+    import duckdb
+
+    from osm2geojson_spark.operators.geometry import (
+        delaunay_triangles,
+        delaunay_triangles_sql,
+    )
+
+    rng = random.Random(41)
+    pts = {}
+    seen = set()
+    pid = 0
+    while len(pts) < 28:
+        xy = (rng.randrange(0, 997), rng.randrange(0, 991))
+        if xy in seen:
+            continue
+        seen.add(xy)
+        pts[pid] = xy
+        pid += 1
+    rows = [(0, p, x, y) for p, (x, y) in pts.items()]
+    df = spark.createDataFrame(rows, "grp long, pid long, x long, y long")
+    got = sorted(
+        (r["a"], r["b"], r["c"], r["area2"])
+        for r in delaunay_triangles(df).collect()
+    )
+
+    # invariant 1: every circumdisk is empty (exact rational recheck)
+    for a, b, c, s2 in got:
+        (ax, ay), (bx, by), (cx, cy) = pts[a], pts[b], pts[c]
+        d = 2 * (ax * (by - cy) + bx * (cy - ay) + cx * (ay - by))
+        assert d != 0
+        ux = Fraction(
+            (ax * ax + ay * ay) * (by - cy)
+            + (bx * bx + by * by) * (cy - ay)
+            + (cx * cx + cy * cy) * (ay - by),
+            d,
+        )
+        uy = Fraction(
+            (ax * ax + ay * ay) * (cx - bx)
+            + (bx * bx + by * by) * (ax - cx)
+            + (cx * cx + cy * cy) * (bx - ax),
+            d,
+        )
+        r2 = (ux - ax) ** 2 + (uy - ay) ** 2
+        for p, (px, py) in pts.items():
+            if p in (a, b, c):
+                continue
+            assert (ux - px) ** 2 + (uy - py) ** 2 >= r2, (a, b, c, p)
+
+    # invariant 2 + 3: count and exact area tiling of the convex hull
+    def hull(points):
+        points = sorted(points)
+        def half(ps):
+            out = []
+            for p in ps:
+                while len(out) >= 2 and (
+                    (out[-1][0] - out[-2][0]) * (p[1] - out[-2][1])
+                    - (out[-1][1] - out[-2][1]) * (p[0] - out[-2][0])
+                ) <= 0:
+                    out.pop()
+                out.append(p)
+            return out
+        lo, hi = half(points), half(points[::-1])
+        return lo[:-1] + hi[:-1]
+
+    h = hull(list(pts.values()))
+    assert len(got) == 2 * len(pts) - 2 - len(h)
+    hull_area2 = abs(
+        sum(
+            h[i][0] * h[(i + 1) % len(h)][1]
+            - h[(i + 1) % len(h)][0] * h[i][1]
+            for i in range(len(h))
+        )
+    )
+    assert sum(s2 for *_xs, s2 in got) == hull_area2
+
+    duck = duckdb.connect()
+    duck.execute("CREATE TABLE pts (grp BIGINT, pid BIGINT, x BIGINT, y BIGINT)")
+    duck.executemany("INSERT INTO pts VALUES (?, ?, ?, ?)", rows)
+    twin = sorted(
+        (r[1], r[2], r[3], r[4])
+        for r in duck.sql(
+            delaunay_triangles_sql("SELECT grp, pid, x, y FROM pts")
+        ).fetchall()
+    )
+    assert twin == got
+
+
+def test_delaunay_cocircular_keeps_both_diagonals(spark):
+    """A perfect square is one cocircular quadruple: the complex must
+    contain all four non-degenerate triples (both diagonals)."""
+    from osm2geojson_spark.operators.geometry import delaunay_triangles
+
+    rows = [(0, 0, 0, 0), (0, 1, 10, 0), (0, 2, 10, 10), (0, 3, 0, 10)]
+    df = spark.createDataFrame(rows, "grp long, pid long, x long, y long")
+    got = sorted(
+        (r["a"], r["b"], r["c"]) for r in delaunay_triangles(df).collect()
+    )
+    assert got == [(0, 1, 2), (0, 1, 3), (0, 2, 3), (1, 2, 3)]
