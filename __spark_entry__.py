@@ -9122,6 +9122,68 @@ def _attribution_sql() -> str:
     )
 
 
+def q_brief_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X204 (multimodal.brief_match): BRIEF 63-bit binary descriptors +
+    Hamming matching over frame pairs where B is an exact translation
+    of A (phase algebra: ib = ia + 58*(3*dx+7*dy) mod 251, inv(13) mod
+    251 = 58), mixed 16/24 px frames — every interior-A keypoint gets
+    its best-Hamming B keypoint, ties (my, mx) ascending; all integer,
+    twin replays bits from the pixel formula + the offsets VALUES."""
+    from osm2geojson_spark.operators.multimodal import brief_match
+
+    k = F.col("s_suppkey")
+    dx = (k % 5 - 2).cast("int")
+    dy = (F.floor(k / 5) % 5 - 2).cast("int")
+    ia = ((F.lit(17) * k) % 251).cast("int")
+    ib = F.pmod(ia + F.lit(58) * (F.lit(3) * dx + F.lit(7) * dy), F.lit(251)).cast(
+        "int"
+    )
+    w = (F.lit(16) + F.lit(8) * (k % 2)).cast("int")
+    sup = _t(spark, sf_dir, "supplier").filter(k < 25).select(
+        k.alias("pair_id"), ia.alias("_ia"), ib.alias("_ib"), w.alias("_w")
+    )
+    pairs = sup.select(
+        "pair_id",
+        SYN._encode_image_fmt_udf(
+            F.col("_ia"), F.col("_w"), F.col("_w"), F.lit("rawz")
+        ).alias("bytes_a"),
+        F.lit("rawz").alias("fmt_a"),
+        SYN._encode_image_fmt_udf(
+            F.col("_ib"), F.col("_w"), F.col("_w"), F.lit("rawz")
+        ).alias("bytes_b"),
+        F.lit("rawz").alias("fmt_b"),
+    )
+    return brief_match(pairs)
+
+
+def _brief_match_sql() -> str:
+    from osm2geojson_spark.operators.multimodal import brief_match_sql
+
+    base = """
+SELECT s_suppkey AS k,
+       (17 * s_suppkey) % 251 AS ia,
+       (((17 * s_suppkey) % 251
+         + 58 * (3 * (s_suppkey % 5 - 2)
+                 + 7 * ((s_suppkey // 5) % 5 - 2))) % 251 + 251) % 251 AS ib,
+       16 + 8 * (s_suppkey % 2) AS w
+FROM supplier WHERE s_suppkey < 25
+"""
+    px = f"""
+SELECT k AS pair_id, side, p % w AS x, p // w AS y,
+       (3 * (p % w) + 7 * (p // w) + 13 * i) % 251 AS v
+FROM (
+  SELECT k, w, 'a' AS side, ia AS i FROM ({base})
+  UNION ALL
+  SELECT k, w, 'b' AS side, ib AS i FROM ({base})
+), unnest(range(0, w * w)) t(p)
+"""
+    dims = f"""
+SELECT k AS pair_id, side, w, w AS h
+FROM ({base}), (SELECT 'a' AS side UNION ALL SELECT 'b' AS side)
+"""
+    return brief_match_sql(px, dims)
+
+
 def q_delaunay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X203 (geometry.delaunay_triangles): the Delaunay complex of four
     40-point tile groups (grp = c_custkey % 4, hash-scattered integer
@@ -11212,6 +11274,7 @@ FROM mm GROUP BY i
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "brief_match": q_brief_match,
         "delaunay": q_delaunay,
         "maxsim": q_maxsim,
         "isotonic": q_isotonic,
@@ -11471,6 +11534,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "brief_match": _brief_match_sql(),
         "delaunay": _delaunay_sql(),
         "maxsim": _maxsim_sql(),
         "isotonic": _isotonic_sql(),

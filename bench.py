@@ -254,6 +254,7 @@ BENCH_QUERIES = [
     "isotonic",
     "maxsim",
     "delaunay",
+    "brief_match",
 ]
 
 

@@ -3746,3 +3746,173 @@ def bayer4_values_sql() -> str:
         f"({y}, {x}, {int(BAYER4[y, x])})" for y in range(4) for x in range(4)
     )
     return f"(VALUES {rows}) AS bayer(my, mx, m)"
+
+
+def brief_offset_pairs(n_bits: int = 63) -> list[tuple[int, int, int, int]]:
+    """The deterministic BRIEF sampling pattern shared by the Arrow
+    kernel and the SQL twin: ``n_bits`` pixel-offset pairs inside the
+    [-4, 4]^2 patch from a fixed congruential walk (identical pairs are
+    skipped — a constant bit carries no information).  63 bits keep the
+    packed descriptor strictly positive in an int64, so SUM-packing and
+    XOR behave identically in Spark, NumPy and DuckDB."""
+    out: list[tuple[int, int, int, int]] = []
+    seen = set()
+    s = 1234567
+    while len(out) < n_bits:
+        vals = []
+        for _ in range(4):
+            s = (s * 1103515245 + 12345) % (1 << 31)
+            vals.append((s >> 8) % 9 - 4)
+        o1, o2 = (vals[0], vals[1]), (vals[2], vals[3])
+        # distinct endpoints AND a not-yet-used comparison: every bit
+        # must carry independent information
+        if o1 != o2 and (o1, o2) not in seen:
+            seen.add((o1, o2))
+            out.append((o1[0], o1[1], o2[0], o2[1]))
+    return out
+
+
+def _popcount64(arr: np.ndarray) -> np.ndarray:
+    """Vectorized popcount of a nonnegative int64 array (NumPy < 2 has
+    no bit_count ufunc): bytes -> unpackbits -> sum."""
+    x = np.ascontiguousarray(arr.astype(np.uint64))
+    b = x.view(np.uint8).reshape(x.shape + (8,))
+    return np.unpackbits(b, axis=-1).sum(axis=-1).astype(np.int64)
+
+
+def brief_match(
+    pairs: DataFrame,
+    n_bits: int = 63,
+    a_margin: int = 6,
+    b_margin: int = 4,
+    id_col: str = "pair_id",
+) -> DataFrame:
+    """(pair_id, ax, ay, mx, my, hamming) — BRIEF descriptor matching
+    (Calonder et al. ECCV 2010, the binary-descriptor stage of ORB):
+    for every interior keypoint of frame A (margin ``a_margin``), the
+    best-matching keypoint of frame B (margin ``b_margin``, a superset
+    region so small translations stay matchable) under Hamming distance
+    between packed 63-bit BRIEF descriptors — bit t set iff
+    v(p + o1_t) < v(p + o2_t) over the shared ``brief_offset_pairs``
+    pattern.  Ties break by (my, mx) ascending; everything is integer,
+    so the match table is engine-exact.
+
+    Expects columns (id_col, bytes_a, fmt_a, bytes_b, fmt_b).
+
+    Scale: one Arrow pass per frame pair — descriptors are 63 vectorized
+    slice-compares per frame, the Hamming matrix one XOR-popcount of
+    NA x NB int64s (keypoints are gridded/corner-limited, so NA·NB is
+    bounded per pair) — and no shuffle at all: the 10^12-frame-pair
+    matching sweep is scan-shaped. Feature-based near-dup detection and
+    stereo/temporal correspondence run on this table."""
+    offs = brief_offset_pairs(n_bits)
+
+    def descriptors(img: np.ndarray, margin: int):
+        h, w = img.shape
+        if w <= 2 * margin or h <= 2 * margin:
+            return None, None, None
+        xs = np.arange(margin, w - margin, dtype=np.int64)
+        ys = np.arange(margin, h - margin, dtype=np.int64)
+        # row-major keypoints: sorted by (y, x) — the tie-break order
+        ky, kx = [v.reshape(-1) for v in np.meshgrid(ys, xs, indexing="ij")]
+        desc = np.zeros(len(kx), dtype=np.int64)
+        im = img.astype(np.int64)
+        for t, (o1x, o1y, o2x, o2y) in enumerate(offs):
+            bit = im[ky + o1y, kx + o1x] < im[ky + o2y, kx + o2x]
+            desc |= bit.astype(np.int64) << t
+        return kx, ky, desc
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                a = imagecodec.decode(bytes(r[1]), r[2])
+                b = imagecodec.decode(bytes(r[3]), r[4])
+                if a.ndim == 3:
+                    a = a[..., 0]
+                if b.ndim == 3:
+                    b = b[..., 0]
+                axk, ayk, da = descriptors(a, a_margin)
+                bxk, byk, db = descriptors(b, b_margin)
+                if da is None or db is None:
+                    continue
+                ham = _popcount64(da[:, None] ^ db[None, :])
+                best = ham.argmin(axis=1)  # first min = smallest (my, mx)
+                for i in range(len(da)):
+                    j = best[i]
+                    rows.append(
+                        (
+                            r[0],
+                            int(axk[i]),
+                            int(ayk[i]),
+                            int(bxk[j]),
+                            int(byk[j]),
+                            int(ham[i, j]),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "ax", "ay", "mx", "my", "hamming"],
+            )
+
+    return pairs.mapInPandas(
+        fn,
+        schema=f"{id_col} long, ax long, ay long, mx long, my long,"
+        " hamming long",
+    )
+
+
+def brief_match_sql(
+    px_cte: str,
+    dims_cte: str,
+    n_bits: int = 63,
+    a_margin: int = 6,
+    b_margin: int = 4,
+) -> str:
+    """DuckDB twin of brief_match.  ``px_cte`` -> (pair_id, side
+    ('a'/'b'), x, y, v); ``dims_cte`` -> (pair_id, side, w, h).  Bits
+    come from the same brief_offset_pairs pattern inlined as VALUES;
+    descriptors SUM-pack (1<<t is positive for t<=62), matching replays
+    the (hamming, my, mx) ranking."""
+    offs = brief_offset_pairs(n_bits)
+    vals = ", ".join(
+        f"({t}, {a}, {b}, {c}, {d})" for t, (a, b, c, d) in enumerate(offs)
+    )
+    return f"""
+WITH px AS MATERIALIZED ({px_cte}),
+dims AS MATERIALIZED ({dims_cte}),
+off(t, o1x, o1y, o2x, o2y) AS (VALUES {vals}),
+kp AS MATERIALIZED (
+  SELECT p.pair_id, p.side, p.x AS kx, p.y AS ky
+  FROM px p JOIN dims d ON d.pair_id = p.pair_id AND d.side = p.side
+  WHERE (p.side = 'a' AND p.x >= {a_margin} AND p.x < d.w - {a_margin}
+         AND p.y >= {a_margin} AND p.y < d.h - {a_margin})
+     OR (p.side = 'b' AND p.x >= {b_margin} AND p.x < d.w - {b_margin}
+         AND p.y >= {b_margin} AND p.y < d.h - {b_margin})
+),
+bits AS (
+  SELECT k.pair_id, k.side, k.kx, k.ky, o.t,
+         CASE WHEN p1.v < p2.v THEN 1 ELSE 0 END AS bit
+  FROM kp k
+  CROSS JOIN off o
+  JOIN px p1 ON p1.pair_id = k.pair_id AND p1.side = k.side
+            AND p1.x = k.kx + o.o1x AND p1.y = k.ky + o.o1y
+  JOIN px p2 ON p2.pair_id = k.pair_id AND p2.side = k.side
+            AND p2.x = k.kx + o.o2x AND p2.y = k.ky + o.o2y
+),
+dsc AS MATERIALIZED (
+  SELECT pair_id, side, kx, ky,
+         CAST(sum(bit * (CAST(1 AS BIGINT) << t)) AS BIGINT) AS d
+  FROM bits GROUP BY 1, 2, 3, 4
+),
+cand AS (
+  SELECT a.pair_id, a.kx AS ax, a.ky AS ay, b.kx AS mx, b.ky AS my,
+         bit_count(xor(a.d, b.d)) AS hamming
+  FROM dsc a JOIN dsc b ON b.pair_id = a.pair_id
+  WHERE a.side = 'a' AND b.side = 'b'
+)
+SELECT pair_id, ax, ay, mx, my, CAST(hamming AS BIGINT) AS hamming
+FROM cand
+QUALIFY row_number() OVER (
+  PARTITION BY pair_id, ax, ay ORDER BY hamming ASC, my ASC, mx ASC) = 1
+"""

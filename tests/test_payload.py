@@ -2755,3 +2755,85 @@ def test_ordered_dither_matches_scalar_brute(spark):
     assert got["b"] == {p: (1, 0) for p in range(16)}
     # phase counts cover the image exactly
     assert sum(v[0] for v in got["a"].values()) == h * w
+
+
+def test_brief_match_recovers_translation_and_twin(spark):
+    """B is an exact crop-translation of A with random (nonlinear)
+    pixels: every A keypoint must match at hamming 0 displaced by
+    exactly (-dx, -dy); the DuckDB twin replays the same pixels."""
+    import duckdb
+    import numpy as np
+
+    from osm2geojson_spark.functions import imagecodec
+    from osm2geojson_spark.operators.multimodal import (
+        brief_match,
+        brief_match_sql,
+    )
+
+    rng = np.random.default_rng(7)
+    rows = []
+    truth = {}
+    px_rows, dim_rows = [], []
+    for pid, (dx, dy) in enumerate([(0, 0), (2, -1), (-2, 2), (1, 2)]):
+        w = 20
+        a = rng.integers(0, 256, size=(w, w), dtype=np.uint8)
+        b = np.zeros_like(a)
+        for y in range(w):
+            for x in range(w):
+                sy, sx = y + dy, x + dx
+                b[y, x] = (
+                    a[sy, sx]
+                    if 0 <= sy < w and 0 <= sx < w
+                    else (x * 5 + y * 11 + pid) % 256
+                )
+        rows.append(
+            (
+                pid,
+                bytearray(imagecodec.encode_rawz(a)),
+                "rawz",
+                bytearray(imagecodec.encode_rawz(b)),
+                "rawz",
+            )
+        )
+        truth[pid] = (dx, dy)
+        for side, img in (("a", a), ("b", b)):
+            dim_rows.append((pid, side, w, w))
+            for y in range(w):
+                for x in range(w):
+                    px_rows.append((pid, side, x, y, int(img[y, x])))
+
+    pairs = spark.createDataFrame(
+        rows,
+        "pair_id long, bytes_a binary, fmt_a string,"
+        " bytes_b binary, fmt_b string",
+    )
+    got = sorted(
+        (r["pair_id"], r["ax"], r["ay"], r["mx"], r["my"], r["hamming"])
+        for r in brief_match(pairs).collect()
+    )
+    assert len(got) == 4 * 8 * 8  # margin-6 grid on 20px frames
+    for pid, ax, ay, mx, my, ham in got:
+        dx, dy = truth[pid]
+        assert ham == 0, (pid, ax, ay)
+        assert (mx, my) == (ax - dx, ay - dy), (pid, ax, ay, mx, my)
+
+    duck = duckdb.connect()
+    duck.execute(
+        "CREATE TABLE pxt (pair_id BIGINT, side VARCHAR, x BIGINT,"
+        " y BIGINT, v BIGINT)"
+    )
+    duck.executemany("INSERT INTO pxt VALUES (?, ?, ?, ?, ?)", px_rows)
+    duck.execute(
+        "CREATE TABLE dimst (pair_id BIGINT, side VARCHAR, w BIGINT,"
+        " h BIGINT)"
+    )
+    duck.executemany("INSERT INTO dimst VALUES (?, ?, ?, ?)", dim_rows)
+    twin = sorted(
+        tuple(r)
+        for r in duck.sql(
+            brief_match_sql(
+                "SELECT * FROM pxt", "SELECT * FROM dimst"
+            )
+        ).fetchall()
+    )
+    assert twin == got
