@@ -9122,6 +9122,39 @@ def _attribution_sql() -> str:
     )
 
 
+def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X205 (analytics.theil_sen): robust trend per event_type — planted
+    line y = 3x - 10 + bounded noise, with every 9th point replaced by
+    a gross hash outlier; the median-of-slopes estimator must stay on
+    the line. Exact-fraction median (cross-multiplied order), residual
+    lower median intercept; doubles are single IEEE divisions."""
+    from osm2geojson_spark.operators.analytics import theil_sen
+
+    e = F.col("event_id")
+    x = e % 50
+    y = F.when(
+        e % 9 == 0, (e * 104729) % 997
+    ).otherwise(F.lit(3) * x - 10 + (e * 7919) % 21)
+    ev = _t(spark, sf_dir, "events").filter(e < 500).select(
+        F.col("event_type").alias("g"),
+        e.alias("pid"),
+        x.alias("x"),
+        y.alias("y"),
+    )
+    return theil_sen(ev)
+
+
+def _theil_sen_sql() -> str:
+    from osm2geojson_spark.operators.analytics import theil_sen_sql
+
+    return theil_sen_sql(
+        "SELECT event_type AS g, event_id AS pid, event_id % 50 AS x,"
+        " CASE WHEN event_id % 9 = 0 THEN (event_id * 104729) % 997"
+        " ELSE 3 * (event_id % 50) - 10 + (event_id * 7919) % 21 END AS y"
+        " FROM events WHERE event_id < 500"
+    )
+
+
 def q_brief_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X204 (multimodal.brief_match): BRIEF 63-bit binary descriptors +
     Hamming matching over frame pairs where B is an exact translation
@@ -11274,6 +11307,7 @@ FROM mm GROUP BY i
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "theil_sen": q_theil_sen,
         "brief_match": q_brief_match,
         "delaunay": q_delaunay,
         "maxsim": q_maxsim,
@@ -11534,6 +11568,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "theil_sen": _theil_sen_sql(),
         "brief_match": _brief_match_sql(),
         "delaunay": _delaunay_sql(),
         "maxsim": _maxsim_sql(),

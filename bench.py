@@ -255,6 +255,7 @@ BENCH_QUERIES = [
     "maxsim",
     "delaunay",
     "brief_match",
+    "theil_sen",
 ]
 
 

@@ -3004,3 +3004,167 @@ SELECT blk.g, blk.x, CAST(blk.w AS BIGINT) AS w,
        CAST(fit.fm AS DOUBLE) / 1000000.0 AS fitted
 FROM blk JOIN fit ON blk.g = fit.g AND blk.i = fit.ii
 """
+
+
+def theil_sen(
+    df: DataFrame,
+    group_col: str = "g",
+    id_col: str = "pid",
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """THEIL-SEN ROBUST REGRESSION per group (Theil 1950 / Sen 1968),
+    the median-of-pairwise-slopes line that tolerates ~29% gross
+    outliers where OLS breaks: slope = median over point pairs with
+    x_i != x_j of (y_j - y_i)/(x_j - x_i), intercept = median over
+    points of y - slope·x.
+
+    Exactness scheme: slopes are REDUCED integer fractions (den > 0),
+    the median is the LOWER median (0-based index (P-1)//2) under the
+    exact cross-multiplied fraction order — no float ever enters the
+    selection — and the reported doubles are each ONE IEEE division of
+    exact int64s, so every column is engine-pinned.  The twin ranks
+    reduced fractions by exact comparison counts, never by float sort.
+
+    Output: (g, n_pts, n_pairs, num, den, inum, iden, slope,
+    intercept) with slope = num/den, intercept = inum/iden.
+
+    Scale: Theil-Sen is O(n^2) BY DEFINITION, so it runs per bounded
+    group (a series / calibration segment, tens to low hundreds of
+    points — same contract as silhouette / dtw); groups parallelize
+    across the cluster and only one row per group returns.  For
+    corpus-wide robust trends, bin x first (group_quantiles) and run
+    Theil-Sen on the bin medians.  |x|,|y| <= ~1e6 keeps the twin's
+    cross-multiplications in int64."""
+    import math as _math
+
+    import pandas as pd
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "g": pd.Series([], dtype=object),
+                "n_pts": [], "n_pairs": [], "num": [], "den": [],
+                "inum": [], "iden": [], "slope": [], "intercept": [],
+            }
+        )
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        g = pdf["g"].iloc[0]
+        xs = [int(v) for v in pdf[x_col]]
+        ys = [int(v) for v in pdf[y_col]]
+        n = len(xs)
+        slopes = []
+        for i in range(n):
+            for j in range(i + 1, n):
+                dx = xs[j] - xs[i]
+                if dx == 0:
+                    continue
+                dy = ys[j] - ys[i]
+                if dx < 0:
+                    dx, dy = -dx, -dy
+                gc = _math.gcd(abs(dy), dx)
+                slopes.append((dy // gc, dx // gc))
+        if not slopes:
+            return empty
+        p = len(slopes)
+        # exact fraction order: a/b < c/d  <=>  a*d < c*b  (b, d > 0)
+        slopes.sort(key=lambda f: _FracKey(f))
+        num, den = slopes[(p - 1) // 2]
+        resid = sorted(y * den - num * x for x, y in zip(xs, ys))
+        rmed = resid[(n - 1) // 2]
+        gc = _math.gcd(abs(rmed), den)
+        inum, iden = rmed // gc, den // gc
+        return pd.DataFrame(
+            {
+                "g": [g], "n_pts": [n], "n_pairs": [p],
+                "num": [num], "den": [den],
+                "inum": [inum], "iden": [iden],
+                "slope": [num / den], "intercept": [inum / iden],
+            }
+        )
+
+    sel = df.select(
+        F.col(group_col).cast("string").alias("g"),
+        F.col(id_col).cast("long").alias(id_col),
+        F.col(x_col).cast("long").alias(x_col),
+        F.col(y_col).cast("long").alias(y_col),
+    )
+    return sel.groupBy("g").applyInPandas(
+        fn,
+        schema="g string, n_pts long, n_pairs long, num long, den long,"
+        " inum long, iden long, slope double, intercept double",
+    )
+
+
+class _FracKey:
+    """Total-order key for reduced integer fractions (den > 0) using
+    exact cross-multiplication — avoids float keys entirely."""
+
+    __slots__ = ("n", "d")
+
+    def __init__(self, f):
+        self.n, self.d = f
+
+    def __lt__(self, other):
+        return self.n * other.d < other.n * self.d
+
+    def __eq__(self, other):
+        return self.n * other.d == other.n * self.d
+
+
+def theil_sen_sql(
+    rows_cte: str,
+) -> str:
+    """DuckDB twin of theil_sen: pairwise slopes -> reduce by gcd ->
+    exact comparison-count median (never a float sort) -> residual
+    lower median by row_number.  ``rows_cte`` -> (g, pid, x, y)."""
+    return f"""
+WITH src AS (
+  SELECT g, pid, CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y
+  FROM ({rows_cte})
+),
+pr AS (
+  SELECT a.g,
+         CASE WHEN b.x < a.x THEN a.y - b.y ELSE b.y - a.y END AS dy,
+         abs(b.x - a.x) AS dx
+  FROM src a JOIN src b ON b.g = a.g AND b.pid > a.pid AND b.x <> a.x
+),
+red AS (
+  SELECT g, dy // gcd(abs(dy), dx) AS rdy, dx // gcd(abs(dy), dx) AS rdx,
+         count(*) AS c
+  FROM pr GROUP BY 1, 2, 3
+),
+tot AS (SELECT g, CAST(sum(c) AS BIGINT) AS p, count(*) AS n_pts0 FROM red GROUP BY 1),
+rk AS (
+  SELECT r1.g, r1.rdy, r1.rdx, r1.c,
+         COALESCE(sum(CASE WHEN r2.rdy * r1.rdx < r1.rdy * r2.rdx
+                           THEN r2.c END), 0) AS less
+  FROM red r1
+  LEFT JOIN red r2
+    ON r2.g = r1.g AND NOT (r2.rdy = r1.rdy AND r2.rdx = r1.rdx)
+  GROUP BY 1, 2, 3, 4
+),
+med AS (
+  SELECT rk.g, rk.rdy AS num, rk.rdx AS den
+  FROM rk JOIN tot ON tot.g = rk.g
+  WHERE rk.less <= (tot.p - 1) // 2 AND rk.less + rk.c > (tot.p - 1) // 2
+),
+resid AS (
+  SELECT s.g, s.y * m.den - m.num * s.x AS r, m.num, m.den,
+         row_number() OVER (
+           PARTITION BY s.g ORDER BY s.y * m.den - m.num * s.x) AS rn,
+         count(*) OVER (PARTITION BY s.g) AS n_pts
+  FROM src s JOIN med m ON m.g = s.g
+),
+fin AS (
+  SELECT g, num, den, n_pts, r AS rmed FROM resid
+  WHERE rn = (n_pts - 1) // 2 + 1
+)
+SELECT f.g, f.n_pts, t.p AS n_pairs, f.num, f.den,
+       f.rmed // gcd(abs(f.rmed), f.den) AS inum,
+       f.den // gcd(abs(f.rmed), f.den) AS iden,
+       CAST(f.num AS DOUBLE) / f.den AS slope,
+       CAST(f.rmed // gcd(abs(f.rmed), f.den) AS DOUBLE)
+         / (f.den // gcd(abs(f.rmed), f.den)) AS intercept
+FROM fin f JOIN tot t ON t.g = f.g
+"""

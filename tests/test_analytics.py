@@ -2025,3 +2025,69 @@ def test_isotonic_brute_and_twin(spark):
         assert twin[key] == (
             key[0], key[1], r["w"], r["fitted_micro"], r["fitted"]
         ), key
+
+
+def test_theil_sen_brute_and_twin(spark):
+    """Fraction brute force (sorted with exact Fractions) + breakdown
+    robustness: 25% gross outliers must not move the slope off the
+    planted line."""
+    import random
+    from fractions import Fraction
+
+    import duckdb
+
+    from osm2geojson_spark.operators.analytics import theil_sen, theil_sen_sql
+
+    rng = random.Random(99)
+    rows = []
+    for pid in range(40):
+        x = pid % 20
+        if pid % 4 == 0:  # 25% outliers
+            y = rng.randrange(-5000, 5000)
+        else:
+            y = 7 * x + 3 + rng.randrange(-2, 3)
+        rows.append(("a", pid, x, y))
+    # second group: exact line, even n, duplicate x values
+    for pid in range(40, 60):
+        x = (pid % 5) * 2
+        rows.append(("b", pid, x, -3 * x + 11))
+
+    df = spark.createDataFrame(rows, "g string, pid long, x long, y long")
+    got = {
+        r["g"]: (
+            r["n_pts"], r["n_pairs"], r["num"], r["den"],
+            r["inum"], r["iden"], r["slope"], r["intercept"],
+        )
+        for r in theil_sen(df).collect()
+    }
+
+    for g in ("a", "b"):
+        pts = [(x, y) for gg, p, x, y in rows if gg == g]
+        slopes = sorted(
+            Fraction(y2 - y1, x2 - x1)
+            for i, (x1, y1) in enumerate(pts)
+            for (x2, y2) in pts[i + 1:]
+            if x2 != x1
+        )
+        m = slopes[(len(slopes) - 1) // 2]
+        resid = sorted(Fraction(y) - m * x for x, y in pts)
+        b = resid[(len(pts) - 1) // 2]
+        r = got[g]
+        assert (Fraction(r[2], r[3]), Fraction(r[4], r[5])) == (m, b), g
+        assert r[0] == len(pts) and r[1] == len(slopes)
+    # robustness: group a recovers the planted slope within the noise
+    assert abs(got["a"][6] - 7) < 0.5
+    # exact line: group b nails it
+    assert (got["b"][2], got["b"][3]) == (-3, 1)
+    assert (got["b"][4], got["b"][5]) == (11, 1)
+
+    duck = duckdb.connect()
+    duck.execute("CREATE TABLE ts (g VARCHAR, pid BIGINT, x BIGINT, y BIGINT)")
+    duck.executemany("INSERT INTO ts VALUES (?, ?, ?, ?)", rows)
+    twin = {
+        r[0]: tuple(r[1:])
+        for r in duck.sql(
+            theil_sen_sql("SELECT g, pid, x, y FROM ts")
+        ).fetchall()
+    }
+    assert twin == got
