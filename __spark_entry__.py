@@ -9122,6 +9122,25 @@ def _attribution_sql() -> str:
     )
 
 
+def q_coverage_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X206 (sampling.coverage_select): greedy max-coverage curation —
+    pick 6 documents (doc_id < 150) maximizing marginal new-vocabulary
+    coverage per step, ties to the smallest doc id. Exact integer
+    gains; the twin unrolls the greedy as 6 chained CTE blocks."""
+    from osm2geojson_spark.operators.sampling import coverage_select
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    return coverage_select(docs, k=6)
+
+
+def _coverage_select_sql() -> str:
+    from osm2geojson_spark.operators.sampling import coverage_select_sql
+
+    return coverage_select_sql(
+        "SELECT doc_id, text FROM documents WHERE doc_id < 150", k=6
+    )
+
+
 def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X205 (analytics.theil_sen): robust trend per event_type — planted
     line y = 3x - 10 + bounded noise, with every 9th point replaced by
@@ -11307,6 +11326,7 @@ FROM mm GROUP BY i
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "coverage_select": q_coverage_select,
         "theil_sen": q_theil_sen,
         "brief_match": q_brief_match,
         "delaunay": q_delaunay,
@@ -11568,6 +11588,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "coverage_select": _coverage_select_sql(),
         "theil_sen": _theil_sen_sql(),
         "brief_match": _brief_match_sql(),
         "delaunay": _delaunay_sql(),

@@ -256,6 +256,7 @@ BENCH_QUERIES = [
     "delaunay",
     "brief_match",
     "theil_sen",
+    "coverage_select",
 ]
 
 

@@ -633,3 +633,135 @@ def token_budget_fill(
         (F.least(F.col("_c"), F.lit(tau)) + extra).cast("long").alias("alloc"),
         capped.alias("capped"),
     )
+
+
+def coverage_select(
+    docs: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(step, doc_id, gain, covered_total) — GREEDY MAX-COVERAGE
+    selection (the classic (1 - 1/e) facility-location greedy;
+    Nemhauser et al. 1978): pick ``k`` documents, each step taking the
+    document covering the most NOT-YET-COVERED distinct normalized
+    tokens, ties by ascending doc id — the vocabulary-coverage /
+    data-subset-selection step of training-data curation (select the
+    smallest doc set that still spans the corpus vocabulary).
+
+    gain = number of newly covered tokens at that step; covered_total
+    = running total (== distinct tokens covered so far, since gains
+    count only new tokens).  Stops early when no remaining document
+    adds a new token.  All counting is exact integers, so the greedy
+    trace is engine-identical and the twin unrolls it as k chained
+    CTEs.
+
+    Scale: each of the <= k rounds is one anti-join (tokens vs the
+    covered set, a distributed semi-structure — never collected) + one
+    combinable count + a 1-row TakeOrdered; the covered set is
+    recomputed from the picked-doc list so the plan has no growing
+    lineage.  k is small by construction (a curation budget);
+    tokens-per-doc is corpus-bounded."""
+    from ..functions.text import normalize_col
+
+    toks = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.explode(
+            F.array_distinct(
+                F.filter(
+                    F.split(normalize_col(F.col(text_col)), " "),
+                    lambda t: t != "",
+                )
+            )
+        ).alias("tok"),
+    ).persist()
+    try:
+        picked: list[int] = []
+        out = []
+        total = 0
+        for step in range(1, int(k) + 1):
+            remaining = toks.filter(~F.col("doc_id").isin(picked) if picked else F.lit(True))
+            if picked:
+                covered = (
+                    toks.filter(F.col("doc_id").isin(picked))
+                    .select("tok")
+                    .distinct()
+                )
+                remaining = remaining.join(covered, "tok", "left_anti")
+            gains = remaining.groupBy("doc_id").agg(
+                F.count(F.lit(1)).alias("gain")
+            )
+            best = gains.orderBy(
+                F.col("gain").desc(), F.col("doc_id").asc()
+            ).limit(1).collect()
+            if not best:
+                break
+            doc, gain = int(best[0]["doc_id"]), int(best[0]["gain"])
+            total += gain
+            out.append((step, doc, gain, total))
+            picked.append(doc)
+        spark = docs.sparkSession
+        return spark.createDataFrame(
+            out, "step long, doc_id long, gain long, covered_total long"
+        )
+    finally:
+        toks.unpersist()
+
+
+def coverage_select_sql(
+    docs_cte: str, k: int = 5, text_col: str = "text"
+) -> str:
+    """DuckDB twin of coverage_select — the greedy unrolled as k chained
+    (gains -> row_number pick -> covered union) CTE blocks over the
+    same normalized distinct (doc_id, tok) relation."""
+    from ..functions.text import normalize_sql
+
+    norm = normalize_sql(text_col)
+    parts = [
+        f"src AS ({docs_cte})",
+        f"""toks AS MATERIALIZED (
+  SELECT DISTINCT doc_id, tok
+  FROM (
+    SELECT doc_id, unnest(list_filter(string_split({norm}, ' '),
+                          t -> t != '')) AS tok
+    FROM src
+  )
+)""",
+        """g1 AS (SELECT doc_id, count(*) AS gain FROM toks GROUP BY 1)""",
+        """sel1 AS (
+  SELECT 1 AS step, doc_id, gain FROM g1
+  QUALIFY row_number() OVER (ORDER BY gain DESC, doc_id ASC) = 1
+)""",
+        """cov1 AS (SELECT DISTINCT t.tok FROM toks t
+  JOIN sel1 s ON s.doc_id = t.doc_id)""",
+        """pick1 AS (SELECT step, doc_id, gain FROM sel1)""",
+    ]
+    for i in range(2, int(k) + 1):
+        p = i - 1
+        parts.append(f"""g{i} AS (
+  SELECT t.doc_id, count(*) AS gain FROM toks t
+  WHERE t.tok NOT IN (SELECT tok FROM cov{p})
+    AND t.doc_id NOT IN (SELECT doc_id FROM pick{p})
+  GROUP BY 1
+)""")
+        parts.append(f"""sel{i} AS (
+  SELECT {i} AS step, doc_id, gain FROM g{i}
+  QUALIFY row_number() OVER (ORDER BY gain DESC, doc_id ASC) = 1
+)""")
+        parts.append(f"""cov{i} AS (
+  SELECT tok FROM cov{p}
+  UNION
+  SELECT t.tok FROM toks t JOIN sel{i} s ON s.doc_id = t.doc_id
+)""")
+        parts.append(f"""pick{i} AS (
+  SELECT * FROM pick{p} UNION ALL SELECT step, doc_id, gain FROM sel{i}
+)""")
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT step, doc_id, gain,
+       CAST(sum(gain) OVER (ORDER BY step) AS BIGINT) AS covered_total
+FROM pick{int(k)}
+"""
+    )

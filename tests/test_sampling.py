@@ -302,3 +302,64 @@ def test_token_budget_fill_matches_brute_water_level(spark):
         want = brute(budget)
         assert got == want, budget
         assert sum(a for a, _ in got.values()) == min(budget, total), budget
+
+
+def test_coverage_select_greedy_brute_and_twin(spark):
+    """Serial greedy replay in pure Python (sets) + twin equality; the
+    fixture has a designed optimal-greedy divergence so tie/ordering
+    rules are actually exercised."""
+    import duckdb
+
+    from osm2geojson_spark.operators.sampling import (
+        coverage_select,
+        coverage_select_sql,
+    )
+
+    rows = [
+        (0, "alpha beta gamma delta"),          # 4 tokens
+        (1, "alpha beta"),                       # subset of 0
+        (2, "epsilon zeta eta"),                 # disjoint 3
+        (3, "gamma delta epsilon"),              # straddles
+        (4, "theta iota"),                       # disjoint 2
+        (5, "theta iota"),                       # duplicate of 4 (tie)
+        (6, ""),                                 # empty doc
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [
+        (r["step"], r["doc_id"], r["gain"], r["covered_total"])
+        for r in coverage_select(docs, k=5).orderBy("step").collect()
+    ]
+
+    # pure-python greedy
+    toksets = {
+        d: set(t for t in txt.split() if t) for d, txt in rows
+    }
+    covered: set = set()
+    picked: list[int] = []
+    want = []
+    for step in range(1, 6):
+        gains = {
+            d: len(s - covered)
+            for d, s in toksets.items()
+            if d not in picked and len(s - covered) > 0
+        }
+        if not gains:
+            break
+        doc = min(gains, key=lambda d: (-gains[d], d))
+        covered |= toksets[doc]
+        picked.append(doc)
+        want.append((step, doc, gains[doc], len(covered)))
+    assert got == want
+    # tie rule: docs 4 and 5 are identical -> 4 must be picked, 5 never
+    assert 4 in [w[1] for w in want] and 5 not in [g[1] for g in got]
+
+    duck = duckdb.connect()
+    duck.execute("CREATE TABLE docs (doc_id BIGINT, text VARCHAR)")
+    duck.executemany("INSERT INTO docs VALUES (?, ?)", rows)
+    twin = [
+        tuple(r)
+        for r in duck.sql(
+            coverage_select_sql("SELECT doc_id, text FROM docs", k=5)
+        ).fetchall()
+    ]
+    assert sorted(twin) == sorted(got)
