@@ -9122,6 +9122,68 @@ def _attribution_sql() -> str:
     )
 
 
+def q_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X207 (multimodal.vad_segments): energy-gate voice activity over
+    gated pcmz clips — the pseudo-noise waveform is silenced (tiny hum
+    t%7-3) on every third 200-sample block, so 100-sample frame
+    energies alternate ~0 vs ~8e10 and the segments are pinned. Frames
+    via audio_frames; islands + min-length + renumber all integer."""
+    from osm2geojson_spark.functions import audiocodec as AC
+    from osm2geojson_spark.operators import multimodal as MM2
+
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_partkey") < 600) & (F.col("p_partkey") % 3 == 0)
+    ).select(F.col("p_partkey").alias("_i"))
+
+    def gen(it):
+        import numpy as np
+
+        for pdf in it:
+            rows = []
+            for i in pdf["_i"]:
+                i = int(i)
+                n = 800 + (i % 3) * 400
+                t = np.arange(n, dtype=np.int64)
+                v = ((t * 7919 + i * 104729) % 65536) - 32768
+                v = np.where((t // 200) % 3 == 0, t % 7 - 3, v)
+                rows.append(
+                    (
+                        f"aud{i:012d}",
+                        "pcmz",
+                        AC.encode_pcm16(v.astype(np.int16)),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=["audio_id", "fmt", "bytes"])
+
+    clips = part.mapInPandas(
+        gen, schema="audio_id string, fmt string, bytes binary"
+    )
+    frames = MM2.audio_frames(clips, frame=100)
+    return MM2.vad_segments(frames, thresh=1_000_000, min_frames=2)
+
+
+def _vad_sql() -> str:
+    from osm2geojson_spark.operators.multimodal import vad_segments_sql
+
+    frames = """
+SELECT printf('aud%012d', i) AS audio_id,
+       CAST(t // 100 AS INTEGER) AS frame_idx,
+       CAST(sum(v * v) AS BIGINT) AS sq_sum
+FROM (
+  SELECT i, n, t,
+         CASE WHEN (t // 200) % 3 = 0 THEN t % 7 - 3
+              ELSE ((t * 7919 + i * 104729) % 65536) - 32768 END AS v
+  FROM (
+    SELECT i, n, unnest(range(0, n)) AS t
+    FROM (SELECT p_partkey AS i, 800 + (p_partkey % 3) * 400 AS n
+          FROM part WHERE p_partkey < 600 AND p_partkey % 3 = 0)
+  )
+) WHERE t < (n // 100) * 100
+GROUP BY i, t // 100
+"""
+    return vad_segments_sql(frames, thresh=1_000_000, min_frames=2)
+
+
 def q_coverage_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X206 (sampling.coverage_select): greedy max-coverage curation —
     pick 6 documents (doc_id < 150) maximizing marginal new-vocabulary
@@ -11326,6 +11388,7 @@ FROM mm GROUP BY i
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "vad_segments": q_vad,
         "coverage_select": q_coverage_select,
         "theil_sen": q_theil_sen,
         "brief_match": q_brief_match,
@@ -11588,6 +11651,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "vad_segments": _vad_sql(),
         "coverage_select": _coverage_select_sql(),
         "theil_sen": _theil_sen_sql(),
         "brief_match": _brief_match_sql(),

@@ -257,6 +257,7 @@ BENCH_QUERIES = [
     "brief_match",
     "theil_sen",
     "coverage_select",
+    "vad_segments",
 ]
 
 

@@ -3916,3 +3916,79 @@ FROM cand
 QUALIFY row_number() OVER (
   PARTITION BY pair_id, ax, ay ORDER BY hamming ASC, my ASC, mx ASC) = 1
 """
+
+
+def vad_segments(
+    frames: DataFrame,
+    thresh: int,
+    min_frames: int = 2,
+) -> DataFrame:
+    """(audio_id, seg_idx, start_frame, end_frame, n_frames, energy) —
+    VOICE-ACTIVITY SEGMENTS: maximal runs of >= ``min_frames``
+    consecutive frames whose exact int64 energy (``sq_sum`` from
+    ``audio_frames``) clears ``thresh`` — the energy-gate VAD that
+    fronts every speech-data pipeline (silence trimming, utterance
+    splitting, speech/music routing).
+
+    Pure gaps-and-islands column algebra over the frame table: active
+    frames get island key frame_idx - row_number(), islands aggregate
+    to (start, end, count, energy), short islands drop, seg_idx
+    renumbers by start.  Everything integer -> engine-exact.
+
+    Scale: composes directly on audio_frames' scan-shaped output; the
+    two windows + rollup all partition by audio_id (one shuffle, then
+    AQE-local), segments per clip are tiny.  10^12 clips = a groupBy
+    on the natural key with no skew beyond clip length."""
+    active = frames.filter(F.col("sq_sum") >= int(thresh))
+    w = Window.partitionBy("audio_id").orderBy("frame_idx")
+    isl = active.withColumn(
+        "isl", F.col("frame_idx") - F.row_number().over(w)
+    )
+    segs = (
+        isl.groupBy("audio_id", "isl")
+        .agg(
+            F.min("frame_idx").alias("start_frame"),
+            F.max("frame_idx").alias("end_frame"),
+            F.count(F.lit(1)).alias("n_frames"),
+            F.sum("sq_sum").alias("energy"),
+        )
+        .filter(F.col("n_frames") >= int(min_frames))
+    )
+    w2 = Window.partitionBy("audio_id").orderBy("start_frame")
+    return segs.select(
+        "audio_id",
+        F.row_number().over(w2).alias("seg_idx"),
+        "start_frame",
+        "end_frame",
+        "n_frames",
+        "energy",
+    )
+
+
+def vad_segments_sql(
+    frames_cte: str, thresh: int, min_frames: int = 2
+) -> str:
+    """DuckDB twin of vad_segments over the same (audio_id, frame_idx,
+    sq_sum) relation."""
+    return f"""
+WITH fr AS ({frames_cte}),
+act AS (
+  SELECT audio_id, frame_idx, sq_sum,
+         frame_idx - row_number() OVER (
+           PARTITION BY audio_id ORDER BY frame_idx) AS isl
+  FROM fr WHERE sq_sum >= {int(thresh)}
+),
+segs AS (
+  SELECT audio_id, isl,
+         min(frame_idx) AS start_frame, max(frame_idx) AS end_frame,
+         count(*) AS n_frames, CAST(sum(sq_sum) AS BIGINT) AS energy
+  FROM act GROUP BY 1, 2
+)
+SELECT audio_id,
+       CAST(row_number() OVER (
+         PARTITION BY audio_id ORDER BY start_frame) AS INTEGER) AS seg_idx,
+       CAST(start_frame AS INTEGER) AS start_frame,
+       CAST(end_frame AS INTEGER) AS end_frame,
+       CAST(n_frames AS BIGINT) AS n_frames, energy
+FROM segs WHERE n_frames >= {int(min_frames)}
+"""

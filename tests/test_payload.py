@@ -2837,3 +2837,47 @@ def test_brief_match_recovers_translation_and_twin(spark):
         ).fetchall()
     )
     assert twin == got
+
+
+def test_vad_segments_islands_and_twin(spark):
+    """Hand-built frame table: island boundaries, min-length exclusion,
+    threshold edge (== thresh is active), and renumbering."""
+    import duckdb
+
+    from osm2geojson_spark.operators.multimodal import (
+        vad_segments,
+        vad_segments_sql,
+    )
+
+    # clip a: frames 0-1 active, 2 silent, 3 active (run of 1 -> drop),
+    # 5-6 active; clip b: all silent; clip c: single long run incl ==thresh
+    rows = [
+        ("a", 0, 500), ("a", 1, 900), ("a", 2, 3), ("a", 3, 800),
+        ("a", 4, 99), ("a", 5, 100), ("a", 6, 2000),
+        ("b", 0, 1), ("b", 1, 0),
+        ("c", 0, 100), ("c", 1, 100), ("c", 2, 100),
+    ]
+    fr = spark.createDataFrame(rows, "audio_id string, frame_idx int, sq_sum long")
+    got = sorted(
+        tuple(r)
+        for r in vad_segments(fr, thresh=100, min_frames=2).collect()
+    )
+    want = sorted(
+        [
+            ("a", 1, 0, 1, 2, 1400),
+            ("a", 2, 5, 6, 2, 2100),
+            ("c", 1, 0, 2, 3, 300),
+        ]
+    )
+    assert got == want
+
+    duck = duckdb.connect()
+    duck.execute("CREATE TABLE frt (audio_id VARCHAR, frame_idx INTEGER, sq_sum BIGINT)")
+    duck.executemany("INSERT INTO frt VALUES (?, ?, ?)", rows)
+    twin = sorted(
+        tuple(r)
+        for r in duck.sql(
+            vad_segments_sql("SELECT * FROM frt", thresh=100, min_frames=2)
+        ).fetchall()
+    )
+    assert twin == got
