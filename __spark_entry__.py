@@ -9122,6 +9122,32 @@ def _attribution_sql() -> str:
     )
 
 
+def q_kruskal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X208 (analytics.kruskal_wallis): k-sample rank test per
+    event_type — 4 arms (event_id % 4) with a planted per-arm location
+    shift (+5·arm) over hash noise, heavy ties by design (values mod
+    100). Doubled midranks + 1/1024-quantized squared terms, H
+    assembled in a verbatim-replayed IEEE expression."""
+    from osm2geojson_spark.operators.analytics import kruskal_wallis
+
+    e = F.col("event_id")
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("g"),
+        (e % 4).alias("arm"),
+        ((e * 7919) % 100 + 5 * (e % 4)).alias("v"),
+    )
+    return kruskal_wallis(ev)
+
+
+def _kruskal_sql() -> str:
+    from osm2geojson_spark.operators.analytics import kruskal_wallis_sql
+
+    return kruskal_wallis_sql(
+        "SELECT event_type AS g, event_id % 4 AS arm,"
+        " (event_id * 7919) % 100 + 5 * (event_id % 4) AS v FROM events"
+    )
+
+
 def q_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X207 (multimodal.vad_segments): energy-gate voice activity over
     gated pcmz clips — the pseudo-noise waveform is silenced (tiny hum
@@ -11388,6 +11414,7 @@ FROM mm GROUP BY i
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "kruskal": q_kruskal,
         "vad_segments": q_vad,
         "coverage_select": q_coverage_select,
         "theil_sen": q_theil_sen,
@@ -11651,6 +11678,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "kruskal": _kruskal_sql(),
         "vad_segments": _vad_sql(),
         "coverage_select": _coverage_select_sql(),
         "theil_sen": _theil_sen_sql(),

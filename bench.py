@@ -258,6 +258,7 @@ BENCH_QUERIES = [
     "theil_sen",
     "coverage_select",
     "vad_segments",
+    "kruskal",
 ]
 
 

@@ -3168,3 +3168,148 @@ SELECT f.g, f.n_pts, t.p AS n_pairs, f.num, f.den,
          / (f.den // gcd(abs(f.rmed), f.den)) AS intercept
 FROM fin f JOIN tot t ON t.g = f.g
 """
+
+
+def kruskal_wallis(
+    df: DataFrame,
+    group_col: str = "g",
+    arm_col: str = "arm",
+    value_col: str = "v",
+) -> DataFrame:
+    """KRUSKAL–WALLIS H test per group (scipy.stats.kruskal) — the
+    k-sample generalization of Mann–Whitney: do the arms' value
+    distributions share a location?  The nonparametric one-way ANOVA
+    used when arms are >2 and values are skewed.
+
+    Exactness scheme (the mann_whitney_u doubled-midrank house style):
+    ties collapse to (g, v) cells, doubled midranks d2 = 2·cum_cnt −
+    cnt + 1 are exact int64, per-arm doubled rank sums r2_a and the tie
+    term Σ(t³−t) are order-free exact integers.  The per-arm squared
+    term r2_a²/n_a (two IEEE ops on exact ints) is quantized at 1/1024
+    so the cross-arm sum s_q is an order-free int64, and H is assembled
+    from (s_q, n, ties) in a pinned literal-for-literal IEEE expression
+    the twin replays verbatim:
+
+        H = (12·(s_q/1024)/(4·n·(n+1)) − 3·(n+1)) / (1 − ties/(n³−n))
+
+    (the extra /4 converts doubled rank sums: R_a = r2_a/2).  h is NULL
+    when every value ties (zero correction).  |r2_a| ≤ 2n² keeps
+    r2_a² exact in a double for n ≤ ~3·10⁶ rows per group.
+
+    Output: (g, n, k_arms, ties, s_q, h).
+
+    Scale: one combinable groupBy(g, arm, v), one distinct-value window
+    per group (state = distinct values, not rows), two rollups. Same
+    shuffle shape as mann_whitney_u."""
+    bycell = df.groupBy(
+        F.col(group_col).alias("g"),
+        F.col(arm_col).cast("long").alias("arm"),
+        F.col(value_col).cast("long").alias("v"),
+    ).agg(F.count(F.lit(1)).alias("cnt_a"))
+    byval = bycell.groupBy("g", "v").agg(F.sum("cnt_a").alias("cnt"))
+    w = Window.partitionBy("g").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    ranked = byval.select(
+        "g",
+        "v",
+        "cnt",
+        (F.lit(2) * F.sum("cnt").over(w) - F.col("cnt") + F.lit(1)).alias(
+            "d2"
+        ),
+    )
+    per_arm = (
+        bycell.join(ranked.select("g", "v", "d2"), ["g", "v"])
+        .groupBy("g", "arm")
+        .agg(
+            F.sum("cnt_a").alias("n_a"),
+            F.sum(F.col("d2") * F.col("cnt_a")).alias("r2_a"),
+        )
+    )
+    dd = lambda c: c.cast("double")  # noqa: E731
+    term = dd(F.col("r2_a")) * dd(F.col("r2_a")) / dd(F.col("n_a"))
+    q = F.floor(term * F.lit(1024.0) + F.lit(0.5)).cast("long")
+    per_g = per_arm.select("g", "n_a", q.alias("q")).groupBy("g").agg(
+        F.sum("n_a").alias("n"),
+        F.count(F.lit(1)).alias("k_arms"),
+        F.sum("q").alias("s_q"),
+    )
+    ties_g = ranked.groupBy("g").agg(
+        F.sum(
+            F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt")
+        ).alias("ties")
+    )
+    j = per_g.join(ties_g, "g")
+    n = F.col("n")
+    corr = F.lit(1.0) - dd(F.col("ties")) / dd(n * n * n - n)
+    h_raw = (
+        F.lit(12.0)
+        * (dd(F.col("s_q")) / F.lit(1024.0))
+        / dd(F.lit(4) * n * (n + 1))
+        - F.lit(3.0) * dd(n + 1)
+    )
+    return j.select(
+        "g",
+        "n",
+        "k_arms",
+        "ties",
+        "s_q",
+        F.when(corr != 0.0, h_raw / corr).alias("h"),
+    )
+
+
+def kruskal_wallis_sql(
+    rows_cte: str,
+    group_col: str = "g",
+    arm_col: str = "arm",
+    value_col: str = "v",
+) -> str:
+    """DuckDB twin of kruskal_wallis — identical doubled midranks,
+    1/1024 term quantization, and verbatim H assembly."""
+    g, a, v = group_col, arm_col, value_col
+    return f"""
+WITH src AS ({rows_cte}),
+bycell AS (
+  SELECT {g} AS g, CAST({a} AS BIGINT) AS arm, CAST({v} AS BIGINT) AS v,
+         count(*) AS cnt_a
+  FROM src GROUP BY 1, 2, 3
+),
+byval AS (
+  SELECT g, v, CAST(sum(cnt_a) AS BIGINT) AS cnt FROM bycell GROUP BY 1, 2
+),
+ranked AS (
+  SELECT g, v, cnt,
+         2 * sum(cnt) OVER (
+           PARTITION BY g ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) - cnt + 1 AS d2
+  FROM byval
+),
+per_arm AS (
+  SELECT b.g, b.arm, CAST(sum(b.cnt_a) AS BIGINT) AS n_a,
+         CAST(sum(r.d2 * b.cnt_a) AS BIGINT) AS r2_a
+  FROM bycell b JOIN ranked r ON r.g = b.g AND r.v = b.v
+  GROUP BY 1, 2
+),
+per_g AS (
+  SELECT g, CAST(sum(n_a) AS BIGINT) AS n, count(*) AS k_arms,
+         CAST(sum(CAST(floor(CAST(r2_a AS DOUBLE) * CAST(r2_a AS DOUBLE)
+                             / CAST(n_a AS DOUBLE) * 1024.0 + 0.5)
+                       AS BIGINT)) AS BIGINT) AS s_q
+  FROM per_arm GROUP BY 1
+),
+ties_g AS (
+  SELECT g, CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT) AS ties
+  FROM ranked GROUP BY 1
+)
+SELECT p.g, p.n, p.k_arms, t.ties, p.s_q,
+       CASE WHEN 1.0 - CAST(t.ties AS DOUBLE)
+                       / CAST(p.n * p.n * p.n - p.n AS DOUBLE) <> 0.0
+            THEN (12.0 * (CAST(p.s_q AS DOUBLE) / 1024.0)
+                    / CAST(4 * p.n * (p.n + 1) AS DOUBLE)
+                  - 3.0 * CAST(p.n + 1 AS DOUBLE))
+                 / (1.0 - CAST(t.ties AS DOUBLE)
+                          / CAST(p.n * p.n * p.n - p.n AS DOUBLE))
+       END AS h
+FROM per_g p JOIN ties_g t ON t.g = p.g
+"""

@@ -2091,3 +2091,72 @@ def test_theil_sen_brute_and_twin(spark):
         ).fetchall()
     }
     assert twin == got
+
+
+def test_kruskal_wallis_matches_textbook_and_twin(spark):
+    """Textbook H (scipy.stats.kruskal formula in pure Python with float
+    midranks) must match within the 1/1024 quantization; twin exact."""
+    import random
+
+    import duckdb
+
+    from osm2geojson_spark.operators.analytics import (
+        kruskal_wallis,
+        kruskal_wallis_sql,
+    )
+
+    rng = random.Random(5)
+    rows = []
+    for i in range(300):
+        arm = i % 3
+        rows.append(("a", arm, rng.randrange(0, 40) + 4 * arm))
+    # group with every value tied -> h NULL
+    for i in range(30):
+        rows.append(("b", i % 3, 7))
+    df = spark.createDataFrame(rows, "g string, arm long, v long")
+    got = {r["g"]: r for r in kruskal_wallis(df).collect()}
+
+    # textbook H for group a
+    vals = [(v, arm) for g, arm, v in rows if g == "a"]
+    svals = sorted(v for v, _ in vals)
+    # float midranks
+    rank = {}
+    i = 0
+    while i < len(svals):
+        j = i
+        while j < len(svals) and svals[j] == svals[i]:
+            j += 1
+        rank[svals[i]] = (i + 1 + j) / 2
+        i = j
+    n = len(vals)
+    arms = sorted(set(a for _, a in vals))
+    s = sum(
+        sum(rank[v] for v, a in vals if a == arm) ** 2
+        / sum(1 for _, a in vals if a == arm)
+        for arm in arms
+    )
+    from collections import Counter
+
+    tie = sum(t**3 - t for t in Counter(svals).values())
+    h_text = (12.0 * s / (n * (n + 1)) - 3 * (n + 1)) / (
+        1 - tie / (n**3 - n)
+    )
+    assert abs(got["a"]["h"] - h_text) < 1e-3
+    assert got["a"]["n"] == n and got["a"]["k_arms"] == 3
+    assert got["a"]["ties"] == tie
+    assert got["b"]["h"] is None
+
+    duck = duckdb.connect()
+    duck.execute("CREATE TABLE kw (g VARCHAR, arm BIGINT, v BIGINT)")
+    duck.executemany("INSERT INTO kw VALUES (?, ?, ?)", rows)
+    twin = {
+        r[0]: tuple(r)
+        for r in duck.sql(
+            kruskal_wallis_sql("SELECT * FROM kw")
+        ).fetchall()
+    }
+    for g in ("a", "b"):
+        r = got[g]
+        assert twin[g] == (
+            g, r["n"], r["k_arms"], r["ties"], r["s_q"], r["h"]
+        ), g
