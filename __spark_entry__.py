@@ -9122,6 +9122,21 @@ def _attribution_sql() -> str:
     )
 
 
+def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X209 (graph.degree_assortativity): Newman degree assortativity
+    of the dense modular graph — exact int64 stub sums, one IEEE
+    division; NULL-guarded for regular graphs."""
+    from osm2geojson_spark.operators import graph as G
+
+    return G.degree_assortativity(_dense_graph(spark, sf_dir))
+
+
+def _assortativity_sql() -> str:
+    from osm2geojson_spark.operators import graph as G
+
+    return G.degree_assortativity_sql(_DENSE_GRAPH_SQL)
+
+
 def q_kruskal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X208 (analytics.kruskal_wallis): k-sample rank test per
     event_type — 4 arms (event_id % 4) with a planted per-arm location
@@ -11414,6 +11429,7 @@ FROM mm GROUP BY i
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "assortativity": q_assortativity,
         "kruskal": q_kruskal,
         "vad_segments": q_vad,
         "coverage_select": q_coverage_select,
@@ -11678,6 +11694,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "assortativity": _assortativity_sql(),
         "kruskal": _kruskal_sql(),
         "vad_segments": _vad_sql(),
         "coverage_select": _coverage_select_sql(),

@@ -259,6 +259,7 @@ BENCH_QUERIES = [
     "coverage_select",
     "vad_segments",
     "kruskal",
+    "assortativity",
 ]
 
 

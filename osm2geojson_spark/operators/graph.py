@@ -855,3 +855,101 @@ FROM non_edges n
 JOIN deg da ON da._s = n.a
 JOIN deg db ON db._s = n.b
 """
+
+
+def degree_assortativity(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """One row (m_edges, m_stubs, s_xy, s_x, s_x2, r) — DEGREE
+    ASSORTATIVITY (Newman 2002): the Pearson correlation of endpoint
+    degrees over the 2m directed stubs of the symmetrized simple graph.
+    Positive = hubs attach to hubs (social nets), negative = hub-spoke
+    (the web, infrastructure).
+
+    Everything up to the division is an exact int64 sum over stubs
+    (degrees ≤ n keep Σxy ≤ 2m·n² in range for any graph whose edge
+    list fits a cluster), and because stub marginals are symmetric the
+    correlation collapses to the exact integer ratio
+
+        r = (M·Σxy − (Σx)²) / (M·Σx² − (Σx)²)
+
+    — ONE IEEE division, bit-identical cross-engine; NULL for regular
+    graphs (zero variance).
+
+    Scale: degree table = one combinable rollup on the symmetrized
+    edges; stub pairs = two broadcast-able joins of edges against the
+    degree table (degree table is node-sized); final = a 1-row total
+    rollup. No quadratic anything."""
+    e = edges.select(F.col(src_col).alias("_s"), F.col(dst_col).alias("_d"))
+    sym = (
+        e.unionByName(
+            e.select(F.col("_d").alias("_s"), F.col("_s").alias("_d"))
+        )
+        .filter(F.col("_s") != F.col("_d"))
+        .distinct()
+    )
+    deg = sym.groupBy(F.col("_s").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    stubs = (
+        sym.join(deg.withColumnRenamed("node", "_s"), "_s")
+        .withColumnRenamed("deg", "dx")
+        .join(
+            deg.select(
+                F.col("node").alias("_d"), F.col("deg").alias("dy")
+            ),
+            "_d",
+        )
+    )
+    tot = stubs.agg(
+        F.count(F.lit(1)).alias("m_stubs"),
+        F.sum(F.col("dx") * F.col("dy")).alias("s_xy"),
+        F.sum("dx").alias("s_x"),
+        F.sum(F.col("dx") * F.col("dx")).alias("s_x2"),
+    )
+    m = F.col("m_stubs")
+    num = m * F.col("s_xy") - F.col("s_x") * F.col("s_x")
+    den = m * F.col("s_x2") - F.col("s_x") * F.col("s_x")
+    return tot.select(
+        (m / 2).cast("long").alias("m_edges"),
+        "m_stubs",
+        "s_xy",
+        "s_x",
+        "s_x2",
+        F.when(den != 0, num.cast("double") / den.cast("double")).alias(
+            "r"
+        ),
+    )
+
+
+def degree_assortativity_sql(edges_cte: str) -> str:
+    """DuckDB twin of degree_assortativity — identical symmetrization,
+    integer stub sums, and single-division r."""
+    return f"""
+WITH e0 AS ({edges_cte}),
+sym AS (
+  SELECT DISTINCT s, d FROM (
+    SELECT src AS s, dst AS d FROM e0
+    UNION ALL
+    SELECT dst AS s, src AS d FROM e0
+  ) WHERE s <> d
+),
+deg AS (SELECT s AS node, count(*) AS deg FROM sym GROUP BY 1),
+stubs AS (
+  SELECT a.deg AS dx, b.deg AS dy
+  FROM sym JOIN deg a ON a.node = sym.s JOIN deg b ON b.node = sym.d
+),
+tot AS (
+  SELECT count(*) AS m_stubs,
+         CAST(sum(dx * dy) AS BIGINT) AS s_xy,
+         CAST(sum(dx) AS BIGINT) AS s_x,
+         CAST(sum(dx * dx) AS BIGINT) AS s_x2
+  FROM stubs
+)
+SELECT CAST(m_stubs // 2 AS BIGINT) AS m_edges, m_stubs, s_xy, s_x, s_x2,
+       CASE WHEN m_stubs * s_x2 - s_x * s_x <> 0
+            THEN CAST(m_stubs * s_xy - s_x * s_x AS DOUBLE)
+                 / CAST(m_stubs * s_x2 - s_x * s_x AS DOUBLE)
+       END AS r
+FROM tot
+"""

@@ -499,3 +499,58 @@ def test_link_scores_min_common_and_max_degree(spark):
     assert link_scores(df, min_common=2).count() == 0
     # capping out the deg-5 hub removes every wedge
     assert link_scores(df, min_common=1, max_degree=4).count() == 0
+
+
+def test_degree_assortativity_textbook_and_twin(spark):
+    """networkx-formula float check on a hand graph with known sign
+    structure: a star is maximally disassortative (r = -1); a path of
+    4 nodes has r = -0.5; twin exact."""
+    import duckdb
+
+    from osm2geojson_spark.operators.graph import (
+        degree_assortativity,
+        degree_assortativity_sql,
+    )
+
+    def run(edges):
+        df = spark.createDataFrame(edges, "src long, dst long")
+        row = degree_assortativity(df).collect()[0]
+        duck = duckdb.connect()
+        duck.execute("CREATE TABLE ed (src BIGINT, dst BIGINT)")
+        duck.executemany("INSERT INTO ed VALUES (?, ?)", edges)
+        twin = duck.sql(
+            degree_assortativity_sql("SELECT * FROM ed")
+        ).fetchall()[0]
+        assert twin == tuple(row), edges
+        duck.close()
+        return row
+
+    # star K_{1,4}: r = -1
+    star = run([(0, i) for i in range(1, 5)])
+    assert star["m_edges"] == 4 and star["r"] == -1.0
+
+    # path 0-1-2-3: r = -0.5
+    path = run([(0, 1), (1, 2), (2, 3)])
+    assert path["m_edges"] == 3 and abs(path["r"] + 0.5) < 1e-12
+
+    # 4-cycle: regular -> zero variance -> NULL
+    cyc = run([(0, 1), (1, 2), (2, 3), (3, 0)])
+    assert cyc["r"] is None
+
+    # float Pearson cross-check on a mixed graph (stub formulation)
+    edges = [(0, 1), (0, 2), (0, 3), (3, 4), (4, 5), (5, 3), (1, 2)]
+    row = run(edges)
+    sym = set()
+    for s, d in edges:
+        sym.add((s, d))
+        sym.add((d, s))
+    from collections import Counter
+
+    deg = Counter(s for s, _ in sym)
+    xs = [deg[s] for s, d in sym]
+    ys = [deg[d] for s, d in sym]
+    m = len(sym)
+    mean = sum(xs) / m
+    cov = sum(x * y for x, y in zip(xs, ys)) / m - mean * mean
+    var = sum(x * x for x in xs) / m - mean * mean
+    assert abs(row["r"] - cov / var) < 1e-9
