@@ -9122,6 +9122,31 @@ def _attribution_sql() -> str:
     )
 
 
+def q_haar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X210 (multimodal.haar_energy): 2-level unnormalized Haar (the
+    lossless S-transform) subband energies over 300 mixed rawz/png
+    images — exact int64 signed block sums and energies; the twin
+    regroups the pixel formula through the same two lifting rounds."""
+    from osm2geojson_spark.operators.multimodal import haar_energy
+
+    return haar_energy(_synth_images(spark, sf_dir, 300))
+
+
+def _haar_sql() -> str:
+    from osm2geojson_spark.operators.multimodal import haar_energy_sql
+
+    px = """
+SELECT printf('img%012d', i) AS image_id, (p % w) AS x, (p // w) AS y,
+       ((p % w) * 3 + (p // w) * 7 + i * 13) % 251 AS v
+FROM (
+  SELECT i, w, unnest(range(0, w * w)) AS p
+  FROM (SELECT p_partkey AS i, 8 * (1 + p_partkey % 3) AS w
+        FROM part WHERE p_partkey < 300)
+)
+"""
+    return haar_energy_sql(px)
+
+
 def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X209 (graph.degree_assortativity): Newman degree assortativity
     of the dense modular graph — exact int64 stub sums, one IEEE
@@ -11429,6 +11454,7 @@ FROM mm GROUP BY i
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "haar_energy": q_haar,
         "assortativity": q_assortativity,
         "kruskal": q_kruskal,
         "vad_segments": q_vad,
@@ -11694,6 +11720,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "haar_energy": _haar_sql(),
         "assortativity": _assortativity_sql(),
         "kruskal": _kruskal_sql(),
         "vad_segments": _vad_sql(),

@@ -260,6 +260,7 @@ BENCH_QUERIES = [
     "vad_segments",
     "kruskal",
     "assortativity",
+    "haar_energy",
 ]
 
 

