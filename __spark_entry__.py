@@ -9122,6 +9122,30 @@ def _attribution_sql() -> str:
     )
 
 
+def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X211 (analytics.ewma_smooth): 6-lag dyadic EWMA per event_type
+    series — exact int64 weighted sums, one IEEE division, partial
+    windows renormalized (adjusted-EWMA head semantics)."""
+    from osm2geojson_spark.operators.analytics import ewma_smooth
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("g"),
+        F.col("event_id").alias("t"),
+        ((F.col("event_id") * 7919) % 1000).alias("v"),
+    )
+    return ewma_smooth(ev, k=6)
+
+
+def _ewma_sql() -> str:
+    from osm2geojson_spark.operators.analytics import ewma_smooth_sql
+
+    return ewma_smooth_sql(
+        "SELECT event_type AS g, event_id AS t,"
+        " (event_id * 7919) % 1000 AS v FROM events",
+        k=6,
+    )
+
+
 def q_haar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X210 (multimodal.haar_energy): 2-level unnormalized Haar (the
     lossless S-transform) subband energies over 300 mixed rawz/png
@@ -11454,6 +11478,7 @@ FROM mm GROUP BY i
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "ewma": q_ewma,
         "haar_energy": q_haar,
         "assortativity": q_assortativity,
         "kruskal": q_kruskal,
@@ -11720,6 +11745,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "ewma": _ewma_sql(),
         "haar_energy": _haar_sql(),
         "assortativity": _assortativity_sql(),
         "kruskal": _kruskal_sql(),

@@ -261,6 +261,7 @@ BENCH_QUERIES = [
     "kruskal",
     "assortativity",
     "haar_energy",
+    "ewma",
 ]
 
 

@@ -3313,3 +3313,74 @@ SELECT p.g, p.n, p.k_arms, t.ties, p.s_q,
        END AS h
 FROM per_g p JOIN ties_g t ON t.g = p.g
 """
+
+
+def ewma_smooth(
+    df: DataFrame,
+    k: int = 6,
+    group_col: str = "g",
+    time_col: str = "t",
+    value_col: str = "v",
+) -> DataFrame:
+    """(g, t, v, num, den, ewma) — K-LAG WINDOWED EXPONENTIAL SMOOTHING
+    with dyadic decay alpha = 1/2: the trend smoother / anomaly
+    baseline s_t = Σ_{j<K} 2^(K-1-j)·v_{t-j} / Σ_{j<K} 2^(K-1-j) over
+    the K most recent ROWS of the series (partial windows renormalize
+    over the lags that exist, so the head of a series is well-defined
+    — the standard adjusted-EWMA convention, pandas ewm(adjust=True)
+    truncated at K lags).
+
+    Dyadic weights make num and den exact int64 (the infinite-memory
+    recursive EWMA is NOT cross-engine pinnable — its float state
+    accumulates in series order; truncating at K lags with power-of-two
+    weights is, and for alpha=1/2 the truncation error is < 2^-K of
+    the weight mass).  ewma = num/den is one IEEE division.
+
+    Scale: pure column algebra — K lag() expressions inside one ordered
+    window per series, whole-stage codegen, one shuffle on g."""
+    w = Window.partitionBy("g").orderBy("t")
+    num = F.lit(0).cast("long")
+    den = F.lit(0).cast("long")
+    for j in range(int(k)):
+        wt = 1 << (int(k) - 1 - j)
+        lv = F.lag(F.col("v"), j).over(w)
+        num = num + F.coalesce(lv * F.lit(wt), F.lit(0))
+        den = den + F.when(lv.isNotNull(), F.lit(wt)).otherwise(F.lit(0))
+    sel = df.select(
+        F.col(group_col).cast("string").alias("g"),
+        F.col(time_col).cast("long").alias("t"),
+        F.col(value_col).cast("long").alias("v"),
+    )
+    return sel.select(
+        "g",
+        "t",
+        "v",
+        num.alias("num"),
+        den.alias("den"),
+        (num.cast("double") / den.cast("double")).alias("ewma"),
+    )
+
+
+def ewma_smooth_sql(
+    rows_cte: str, k: int = 6
+) -> str:
+    """DuckDB twin of ewma_smooth — identical lag expressions and
+    weights.  ``rows_cte`` -> (g, t, v)."""
+    nums = []
+    dens = []
+    for j in range(int(k)):
+        wt = 1 << (int(k) - 1 - j)
+        lv = f"lag(v, {j}) OVER (PARTITION BY g ORDER BY t)"
+        nums.append(f"COALESCE({lv} * {wt}, 0)")
+        dens.append(f"CASE WHEN {lv} IS NOT NULL THEN {wt} ELSE 0 END")
+    return f"""
+WITH src AS (
+  SELECT g, CAST(t AS BIGINT) AS t, CAST(v AS BIGINT) AS v FROM ({rows_cte})
+)
+SELECT g, t, v,
+       CAST({" + ".join(nums)} AS BIGINT) AS num,
+       CAST({" + ".join(dens)} AS BIGINT) AS den,
+       CAST({" + ".join(nums)} AS DOUBLE)
+         / CAST({" + ".join(dens)} AS DOUBLE) AS ewma
+FROM src
+"""

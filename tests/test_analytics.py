@@ -2160,3 +2160,50 @@ def test_kruskal_wallis_matches_textbook_and_twin(spark):
         assert twin[g] == (
             g, r["n"], r["k_arms"], r["ties"], r["s_q"], r["h"]
         ), g
+
+
+def test_ewma_brute_and_twin(spark):
+    """Scalar replay of the K-lag adjusted EWMA + convergence sanity
+    (constant series smooths to the constant; window truncation error
+    bound)."""
+    import duckdb
+
+    from osm2geojson_spark.operators.analytics import (
+        ewma_smooth,
+        ewma_smooth_sql,
+    )
+
+    rows = (
+        [("a", t, (t * 37) % 50) for t in range(20)]
+        + [("b", t * 10, 42) for t in range(8)]  # gappy t, constant v
+    )
+    df = spark.createDataFrame(rows, "g string, t long, v long")
+    k = 4
+    got = {
+        (r["g"], r["t"]): (r["num"], r["den"], r["ewma"])
+        for r in ewma_smooth(df, k=k).collect()
+    }
+
+    for g in ("a", "b"):
+        series = sorted((t, v) for gg, t, v in rows if gg == g)
+        for i, (t, v) in enumerate(series):
+            num = den = 0
+            for j in range(min(k, i + 1)):
+                wt = 1 << (k - 1 - j)
+                num += series[i - j][1] * wt
+                den += wt
+            assert got[(g, t)] == (num, den, num / den), (g, t)
+    # constant series: ewma == the constant everywhere
+    for t in range(0, 80, 10):
+        assert got[("b", t)][2] == 42.0
+
+    duck = duckdb.connect()
+    duck.execute("CREATE TABLE ew (g VARCHAR, t BIGINT, v BIGINT)")
+    duck.executemany("INSERT INTO ew VALUES (?, ?, ?)", rows)
+    twin = {
+        (r[0], r[1]): (r[3], r[4], r[5])
+        for r in duck.sql(
+            ewma_smooth_sql("SELECT * FROM ew", k=k)
+        ).fetchall()
+    }
+    assert twin == got
