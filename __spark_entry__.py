@@ -9122,6 +9122,77 @@ def _attribution_sql() -> str:
     )
 
 
+def q_iou_track(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X212 (boxes.iou_track): SORT-style IoU tracking over 10 videos x
+    12 frames — 3 linearly drifting 8x8 objects per video with
+    staggered lifetimes (consecutive-frame IoU 42/86 ≈ 0.49) plus one
+    lone noise detection per video; mutual-best exact-fraction
+    matching, min-label chains. track_id = first appearance key."""
+    from osm2geojson_spark.operators.boxes import iou_track
+
+    k = F.col("p_partkey")
+    v = F.floor(k / 36).cast("long")
+    o = F.floor((k % 36) / 12).cast("long")
+    fr = (k % 36) % 12
+    # lifetimes: object o visible for frames [2*o, 11-o]
+    objs = (
+        _t(spark, sf_dir, "part")
+        .filter(k < 360)
+        .select(
+            v.alias("video_id"), o.alias("_o"), fr.alias("frame"),
+        )
+        .filter(
+            (F.col("frame") >= F.col("_o") * 2)
+            & (F.col("frame") <= 11 - F.col("_o"))
+        )
+        .select(
+            "video_id",
+            "frame",
+            (F.col("_o") * 100 + F.col("frame")).alias("box_id"),
+            (F.col("_o") * 40 + F.col("frame") * 2).alias("x0"),
+            (F.col("_o") * 20 + F.col("frame")).alias("y0"),
+            (F.col("_o") * 40 + F.col("frame") * 2 + 8).alias("x1"),
+            (F.col("_o") * 20 + F.col("frame") + 8).alias("y1"),
+        )
+    )
+    noise = (
+        _t(spark, sf_dir, "part")
+        .filter(k < 10)
+        .select(
+            k.alias("video_id"),
+            F.lit(5).cast("long").alias("frame"),
+            F.lit(999).cast("long").alias("box_id"),
+            F.lit(500).cast("long").alias("x0"),
+            F.lit(500).cast("long").alias("y0"),
+            F.lit(508).cast("long").alias("x1"),
+            F.lit(508).cast("long").alias("y1"),
+        )
+    )
+    return iou_track(objs.unionByName(noise), iou_threshold=0.3)
+
+
+def _iou_track_sql() -> str:
+    from osm2geojson_spark.operators.boxes import iou_track_sql
+
+    dets = """
+SELECT p_partkey // 36 AS video_id,
+       (p_partkey % 36) % 12 AS frame,
+       ((p_partkey % 36) // 12) * 100 + (p_partkey % 36) % 12 AS box_id,
+       ((p_partkey % 36) // 12) * 40 + ((p_partkey % 36) % 12) * 2 AS x0,
+       ((p_partkey % 36) // 12) * 20 + (p_partkey % 36) % 12 AS y0,
+       ((p_partkey % 36) // 12) * 40 + ((p_partkey % 36) % 12) * 2 + 8 AS x1,
+       ((p_partkey % 36) // 12) * 20 + (p_partkey % 36) % 12 + 8 AS y1
+FROM part
+WHERE p_partkey < 360
+  AND (p_partkey % 36) % 12 >= ((p_partkey % 36) // 12) * 2
+  AND (p_partkey % 36) % 12 <= 11 - (p_partkey % 36) // 12
+UNION ALL
+SELECT p_partkey, 5, 999, 500, 500, 508, 508
+FROM part WHERE p_partkey < 10
+"""
+    return iou_track_sql(dets, iou_threshold=0.3)
+
+
 def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X211 (analytics.ewma_smooth): 6-lag dyadic EWMA per event_type
     series — exact int64 weighted sums, one IEEE division, partial
@@ -11478,6 +11549,7 @@ FROM mm GROUP BY i
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "iou_track": q_iou_track,
         "ewma": q_ewma,
         "haar_energy": q_haar,
         "assortativity": q_assortativity,
@@ -11745,6 +11817,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "iou_track": _iou_track_sql(),
         "ewma": _ewma_sql(),
         "haar_energy": _haar_sql(),
         "assortativity": _assortativity_sql(),

@@ -262,6 +262,7 @@ BENCH_QUERIES = [
     "assortativity",
     "haar_energy",
     "ewma",
+    "iou_track",
 ]
 
 

@@ -357,3 +357,202 @@ SELECT pairs.grp, pairs.id_a, pairs.id_b,
 FROM pairs LEFT JOIN ov
   ON pairs.grp = ov.grp AND pairs.id_a = ov.id_a AND pairs.id_b = ov.id_b
 """
+
+
+def iou_track(
+    dets: DataFrame,
+    iou_threshold: float = 0.3,
+    max_rounds: int = 8,
+    video_col: str = "video_id",
+    frame_col: str = "frame",
+    box_col: str = "box_id",
+) -> DataFrame:
+    """(video_id, frame, box_id, track_id) — IOU TRACKING of detections
+    across video frames (the data-association core of SORT-style
+    trackers): consecutive-frame detection pairs with IoU >= threshold
+    are candidate links, the kept links are MUTUAL BEST matches (each
+    side is the other's exact-fraction IoU argmax — the deterministic,
+    join-expressible sibling of greedy matching; ties break to the
+    smaller partner key), and tracks are the connected chains, labeled
+    by their smallest video-qualified detection key (= the track's
+    first appearance with this fixture's key order).
+
+    All decisions are exact integers: the threshold gate and the argmax
+    both compare inter·uni' vs inter'·uni cross-multiplied — no float
+    IoU ever orders anything.  Requires integer coords, x0<x1, y0<y1,
+    box_id unique within its video and < 100000, video count bounded by
+    the int64 key packing (video·1e5 + box_id).
+
+    Scale: candidate links are an equi-join on (video, frame)->(video,
+    frame+1) — Catalyst keeps pair enumeration inside one frame-pair's
+    hash bucket; the argmax is a bounded self-join over each side's
+    candidate list (detections per frame are bounded); chain labeling
+    is min-label propagation with pointer doubling (O(log track-length)
+    rounds, one shuffle each) via dedup.duplicate_clusters.  10^12
+    detections = scan + a handful of natural-key shuffles."""
+    from .dedup import duplicate_clusters
+
+    t_num = int(round(iou_threshold * 1_000_000))
+    d = dets.select(
+        F.col(video_col).alias("vid"),
+        F.col(frame_col).cast("long").alias("f"),
+        F.col(box_col).cast("long").alias("bid"),
+        F.col("x0").cast("long"),
+        F.col("y0").cast("long"),
+        F.col("x1").cast("long"),
+        F.col("y1").cast("long"),
+    )
+    a = d.select(
+        "vid", "f", F.col("bid").alias("ba"),
+        F.col("x0").alias("ax0"), F.col("y0").alias("ay0"),
+        F.col("x1").alias("ax1"), F.col("y1").alias("ay1"),
+    )
+    b = d.select(
+        "vid", (F.col("f") - 1).alias("f"), F.col("bid").alias("bb"),
+        F.col("x0").alias("bx0"), F.col("y0").alias("by0"),
+        F.col("x1").alias("bx1"), F.col("y1").alias("by1"),
+    )
+    iw = F.least("ax1", "bx1") - F.greatest("ax0", "bx0")
+    ih = F.least("ay1", "by1") - F.greatest("ay0", "by0")
+    inter = F.when((iw > 0) & (ih > 0), iw * ih).otherwise(F.lit(0))
+    area_a = (F.col("ax1") - F.col("ax0")) * (F.col("ay1") - F.col("ay0"))
+    area_b = (F.col("bx1") - F.col("bx0")) * (F.col("by1") - F.col("by0"))
+    cand = (
+        a.join(b, ["vid", "f"])
+        .withColumn("inter", inter)
+        .withColumn("uni", area_a + area_b - inter)
+        .filter(F.col("inter") * 1_000_000 >= F.lit(t_num) * F.col("uni"))
+        .select("vid", "f", "ba", "bb", "inter", "uni")
+    )
+    # exact-fraction argmax per side via a beaten-by anti-join
+    c2 = cand.select(
+        "vid", "f",
+        F.col("ba").alias("ba2"), F.col("bb").alias("bb2"),
+        F.col("inter").alias("i2"), F.col("uni").alias("u2"),
+    )
+    beats_a = (F.col("i2") * F.col("uni") > F.col("inter") * F.col("u2")) | (
+        (F.col("i2") * F.col("uni") == F.col("inter") * F.col("u2"))
+        & (F.col("bb2") < F.col("bb"))
+    )
+    best_a = cand.join(
+        c2,
+        (cand["vid"] == c2["vid"]) & (cand["f"] == c2["f"])
+        & (cand["ba"] == c2["ba2"]) & (cand["bb"] != c2["bb2"]) & beats_a,
+        "left_anti",
+    )
+    beats_b = (F.col("i2") * F.col("uni") > F.col("inter") * F.col("u2")) | (
+        (F.col("i2") * F.col("uni") == F.col("inter") * F.col("u2"))
+        & (F.col("ba2") < F.col("ba"))
+    )
+    best_b = cand.join(
+        c2,
+        (cand["vid"] == c2["vid"]) & (cand["f"] == c2["f"])
+        & (cand["bb"] == c2["bb2"]) & (cand["ba"] != c2["ba2"]) & beats_b,
+        "left_anti",
+    )
+    mutual = best_a.select("vid", "f", "ba", "bb").join(
+        best_b.select("vid", "f", "ba", "bb"), ["vid", "f", "ba", "bb"]
+    )
+    key = lambda v, bid: v * 100000 + bid  # noqa: E731
+    verts = d.select(
+        "vid", "f", "bid", key(F.col("vid"), F.col("bid")).alias("did")
+    )
+    edges = mutual.select(
+        key(F.col("vid"), F.col("ba")).alias("id_a"),
+        key(F.col("vid"), F.col("bb")).alias("id_b"),
+    )
+    labeled = duplicate_clusters(
+        verts.select("did"), edges, id_col="did",
+        max_iter=int(max_rounds), shortcut=True,
+    ).withColumnRenamed("did", "_ldid")
+    return verts.join(
+        labeled, verts["did"] == labeled["_ldid"]
+    ).select(
+        F.col("vid").alias(video_col),
+        F.col("f").alias(frame_col),
+        F.col("bid").alias(box_col),
+        F.col("cluster_id").alias("track_id"),
+    )
+
+
+def iou_track_sql(
+    dets_cte: str, iou_threshold: float = 0.3
+) -> str:
+    """DuckDB twin of iou_track — identical cross-multiplied gate and
+    mutual-best anti-joins; chains resolved by a recursive min-label
+    closure (tracks are paths, so the recursion is short).
+    ``dets_cte`` -> (video_id, frame, box_id, x0, y0, x1, y1)."""
+    t_num = int(round(iou_threshold * 1_000_000))
+    return f"""
+WITH RECURSIVE d AS MATERIALIZED (
+  SELECT video_id AS vid, CAST(frame AS BIGINT) AS f,
+         CAST(box_id AS BIGINT) AS bid,
+         CAST(x0 AS BIGINT) AS x0, CAST(y0 AS BIGINT) AS y0,
+         CAST(x1 AS BIGINT) AS x1, CAST(y1 AS BIGINT) AS y1
+  FROM ({dets_cte})
+),
+cand AS MATERIALIZED (
+  SELECT a.vid, a.f, a.bid AS ba, b.bid AS bb,
+         CASE WHEN least(a.x1, b.x1) - greatest(a.x0, b.x0) > 0
+               AND least(a.y1, b.y1) - greatest(a.y0, b.y0) > 0
+              THEN (least(a.x1, b.x1) - greatest(a.x0, b.x0))
+                   * (least(a.y1, b.y1) - greatest(a.y0, b.y0))
+              ELSE 0 END AS inter,
+         (a.x1 - a.x0) * (a.y1 - a.y0) + (b.x1 - b.x0) * (b.y1 - b.y0)
+           - CASE WHEN least(a.x1, b.x1) - greatest(a.x0, b.x0) > 0
+                   AND least(a.y1, b.y1) - greatest(a.y0, b.y0) > 0
+                  THEN (least(a.x1, b.x1) - greatest(a.x0, b.x0))
+                       * (least(a.y1, b.y1) - greatest(a.y0, b.y0))
+                  ELSE 0 END AS uni
+  FROM d a JOIN d b ON b.vid = a.vid AND b.f = a.f + 1
+  WHERE CASE WHEN least(a.x1, b.x1) - greatest(a.x0, b.x0) > 0
+              AND least(a.y1, b.y1) - greatest(a.y0, b.y0) > 0
+             THEN (least(a.x1, b.x1) - greatest(a.x0, b.x0))
+                  * (least(a.y1, b.y1) - greatest(a.y0, b.y0))
+             ELSE 0 END * 1000000
+        >= {t_num} * ((a.x1 - a.x0) * (a.y1 - a.y0)
+                      + (b.x1 - b.x0) * (b.y1 - b.y0)
+                      - CASE WHEN least(a.x1, b.x1) - greatest(a.x0, b.x0) > 0
+                              AND least(a.y1, b.y1) - greatest(a.y0, b.y0) > 0
+                             THEN (least(a.x1, b.x1) - greatest(a.x0, b.x0))
+                                  * (least(a.y1, b.y1) - greatest(a.y0, b.y0))
+                             ELSE 0 END)
+),
+best_a AS (
+  SELECT c.* FROM cand c
+  WHERE NOT EXISTS (
+    SELECT 1 FROM cand o
+    WHERE o.vid = c.vid AND o.f = c.f AND o.ba = c.ba AND o.bb <> c.bb
+      AND (o.inter * c.uni > c.inter * o.uni
+           OR (o.inter * c.uni = c.inter * o.uni AND o.bb < c.bb))
+  )
+),
+best_b AS (
+  SELECT c.* FROM cand c
+  WHERE NOT EXISTS (
+    SELECT 1 FROM cand o
+    WHERE o.vid = c.vid AND o.f = c.f AND o.bb = c.bb AND o.ba <> c.ba
+      AND (o.inter * c.uni > c.inter * o.uni
+           OR (o.inter * c.uni = c.inter * o.uni AND o.ba < c.ba))
+  )
+),
+mutual AS (
+  SELECT a.vid, a.ba, a.bb FROM best_a a
+  JOIN best_b b ON b.vid = a.vid AND b.f = a.f
+                AND b.ba = a.ba AND b.bb = a.bb
+),
+edges AS MATERIALIZED (
+  SELECT vid * 100000 + ba AS u, vid * 100000 + bb AS v FROM mutual
+  UNION ALL
+  SELECT vid * 100000 + bb AS u, vid * 100000 + ba AS v FROM mutual
+),
+reach(u, lbl) AS (
+  SELECT vid * 100000 + bid, vid * 100000 + bid FROM d
+  UNION
+  SELECT e.u, r.lbl FROM edges e JOIN reach r ON r.u = e.v
+)
+SELECT dd.vid AS video_id, dd.f AS frame, dd.bid AS box_id,
+       CAST(min(r.lbl) AS BIGINT) AS track_id
+FROM d dd JOIN reach r ON r.u = dd.vid * 100000 + dd.bid
+GROUP BY 1, 2, 3
+"""

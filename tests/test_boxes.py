@@ -179,3 +179,69 @@ def test_mask_iou_brute_and_twin(spark):
             r["grp"], key[0], key[1], r["inter"], r["area_a"],
             r["area_b"], r["uni"], r["iou"],
         ), key
+
+
+def test_iou_track_chains_occlusion_and_twin(spark):
+    """Hand fixture: a drifting object tracked across 5 frames, a track
+    BROKEN by a teleport (IoU below threshold -> two tracks), an
+    ambiguous crossing resolved by mutual-best, and a lone noise det."""
+    import duckdb
+
+    from osm2geojson_spark.operators.boxes import iou_track, iou_track_sql
+
+    dets = []
+    # object A: steady drift, frames 0..4, box_id 10+f
+    for f in range(5):
+        dets.append((1, f, 10 + f, 2 * f, 0, 2 * f + 10, 10))
+    # object B: frames 0..4 but TELEPORTS between f=1 and f=2
+    for f in range(5):
+        x = 100 + 2 * f if f < 2 else 300 + 2 * f
+        dets.append((1, f, 20 + f, x, 50, x + 10, 60))
+    # two crossing objects in video 2: C drifts right past static D,
+    # their cross IoU at f=1 clears the gate (0.47) but each side's
+    # best is its own successor (C-C 0.67, D-D 1.0): mutual-best keeps
+    # the tracks apart
+    for f in range(3):
+        dets.append((2, f, 30 + f, 2 * f, 0, 2 * f + 10, 10))       # C
+        dets.append((2, f, 40 + f, 4, 2, 14, 12))                   # D
+    # lone noise
+    dets.append((1, 2, 999, 900, 900, 910, 910))
+
+    df = spark.createDataFrame(
+        dets, "video_id long, frame long, box_id long, x0 long, y0 long,"
+        " x1 long, y1 long"
+    )
+    got = {
+        (r["video_id"], r["frame"], r["box_id"]): r["track_id"]
+        for r in iou_track(df, iou_threshold=0.3).collect()
+    }
+    K = 100000
+    # A: one track rooted at box 10
+    for f in range(5):
+        assert got[(1, f, 10 + f)] == 1 * K + 10
+    # B: broken into [0,1] rooted at 20 and [2,4] rooted at 22
+    assert got[(1, 0, 20)] == got[(1, 1, 21)] == 1 * K + 20
+    assert got[(1, 2, 22)] == got[(1, 3, 23)] == got[(1, 4, 24)] == 1 * K + 22
+    assert got[(1, 1, 21)] != got[(1, 2, 22)]
+    # C and D stay separate tracks through the crossing
+    assert len({got[(2, f, 30 + f)] for f in range(3)}) == 1
+    assert len({got[(2, f, 40 + f)] for f in range(3)}) == 1
+    assert got[(2, 0, 30)] != got[(2, 0, 40)]
+    # noise: its own singleton track
+    assert got[(1, 2, 999)] == 1 * K + 999
+
+    duck = duckdb.connect()
+    duck.execute(
+        "CREATE TABLE dets (video_id BIGINT, frame BIGINT, box_id BIGINT,"
+        " x0 BIGINT, y0 BIGINT, x1 BIGINT, y1 BIGINT)"
+    )
+    duck.executemany(
+        "INSERT INTO dets VALUES (?, ?, ?, ?, ?, ?, ?)", dets
+    )
+    twin = {
+        (r[0], r[1], r[2]): r[3]
+        for r in duck.sql(
+            iou_track_sql("SELECT * FROM dets", iou_threshold=0.3)
+        ).fetchall()
+    }
+    assert twin == got
