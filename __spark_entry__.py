@@ -9122,6 +9122,33 @@ def _attribution_sql() -> str:
     )
 
 
+def q_tree_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X213 (graph.tree_rollup): recursive hierarchy rollup over a
+    2-root ternary forest on 200 customer-keyed nodes (parent =
+    (n-2)//3, hash weights) — depth/root/subtree count+sum via
+    pointer-doubled ancestor closure; recursive-CTE twin."""
+    from osm2geojson_spark.operators import graph as G
+
+    n = F.col("c_custkey")
+    nodes = _t(spark, sf_dir, "customer").filter(n < 200).select(
+        n.alias("node_id"),
+        F.when(n >= 2, F.floor((n - 2) / 3).cast("long")).alias("parent_id"),
+        ((n * 7919) % 100).alias("w"),
+    )
+    return G.tree_rollup(nodes)
+
+
+def _tree_rollup_sql() -> str:
+    from osm2geojson_spark.operators import graph as G
+
+    return G.tree_rollup_sql(
+        "SELECT c_custkey AS node_id,"
+        " CASE WHEN c_custkey >= 2 THEN (c_custkey - 2) // 3 END AS parent_id,"
+        " (c_custkey * 7919) % 100 AS w"
+        " FROM customer WHERE c_custkey < 200"
+    )
+
+
 def q_iou_track(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X212 (boxes.iou_track): SORT-style IoU tracking over 10 videos x
     12 frames — 3 linearly drifting 8x8 objects per video with
@@ -11549,6 +11576,7 @@ FROM mm GROUP BY i
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "tree_rollup": q_tree_rollup,
         "iou_track": q_iou_track,
         "ewma": q_ewma,
         "haar_energy": q_haar,
@@ -11817,6 +11845,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "tree_rollup": _tree_rollup_sql(),
         "iou_track": _iou_track_sql(),
         "ewma": _ewma_sql(),
         "haar_energy": _haar_sql(),

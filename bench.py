@@ -263,6 +263,7 @@ BENCH_QUERIES = [
     "haar_energy",
     "ewma",
     "iou_track",
+    "tree_rollup",
 ]
 
 

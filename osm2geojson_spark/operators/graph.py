@@ -953,3 +953,111 @@ SELECT CAST(m_stubs // 2 AS BIGINT) AS m_edges, m_stubs, s_xy, s_x, s_x2,
        END AS r
 FROM tot
 """
+
+
+def tree_rollup(
+    nodes: DataFrame,
+    max_rounds: int = 6,
+    id_col: str = "node_id",
+    parent_col: str = "parent_id",
+    weight_col: str = "w",
+) -> DataFrame:
+    """(node_id, depth, root_id, subtree_n, subtree_w) — HIERARCHY
+    ROLLUP over a parent-pointer forest (the org-chart / category-tree
+    / file-system recursive aggregate every warehouse needs and plain
+    SQL groupBy cannot express): per node its depth, its root, and the
+    exact count/weight-sum of its whole subtree (self included).
+
+    The ancestor closure is built by POINTER DOUBLING — round k holds
+    every (descendant, ancestor) pair at distance < 2^k, and one
+    self-join doubles the horizon — so a depth-D forest needs
+    ceil(log2 D) + 1 rounds, not D.  ``max_rounds`` = 6 covers depth
+    64.  Cycles are the caller's bug (forests only); all sums exact
+    int64.
+
+    Scale: the closure has n·depth rows — the inherent size of the
+    answer for path-dependent aggregates; each round is one equi-join
+    shuffle on node id. Subtree sums and depths are then combinable
+    rollups over the closure. Real hierarchies (org charts, catalogs,
+    admin-area trees) have depth 5-20, so the closure is a small
+    constant times the node table."""
+    v = nodes.select(
+        F.col(id_col).cast("long").alias("v"),
+        F.col(parent_col).cast("long").alias("p"),
+        F.col(weight_col).cast("long").alias("w"),
+    )
+    # closure of strict ancestors: (d)escendant -> (a)ncestor
+    clos = v.filter(F.col("p").isNotNull()).select(
+        F.col("v").alias("d"), F.col("p").alias("a")
+    )
+    for _ in range(int(max_rounds)):
+        hop = clos.alias("x").join(
+            clos.alias("y"), F.col("x.a") == F.col("y.d")
+        ).select(F.col("x.d").alias("d"), F.col("y.a").alias("a"))
+        new = clos.unionByName(hop).distinct().localCheckpoint(eager=False)
+        if new.count() == clos.count():
+            clos = new
+            break
+        clos = new
+    roots = v.filter(F.col("p").isNull()).select(F.col("v").alias("a"))
+    depth = clos.groupBy("d").agg(F.count(F.lit(1)).alias("depth"))
+    root_of = clos.join(roots, "a").select(
+        F.col("d").alias("v"), F.col("a").alias("root_id")
+    )
+    sub = (
+        clos.join(
+            v.select(F.col("v").alias("d"), F.col("w").alias("dw")), "d"
+        )
+        .groupBy("a")
+        .agg(F.count(F.lit(1)).alias("desc_n"), F.sum("dw").alias("desc_w"))
+    )
+    return (
+        v.join(depth, v["v"] == depth["d"], "left")
+        .drop("d")
+        .join(root_of.withColumnRenamed("v", "_rv"), v["v"] == F.col("_rv"), "left")
+        .drop("_rv")
+        .join(sub, v["v"] == sub["a"], "left")
+        .drop("a")
+        .select(
+            F.col("v").alias(id_col),
+            F.coalesce("depth", F.lit(0)).alias("depth"),
+            F.coalesce("root_id", F.col("v")).alias("root_id"),
+            (F.coalesce("desc_n", F.lit(0)) + 1).alias("subtree_n"),
+            (F.coalesce("desc_w", F.lit(0)) + F.col("w")).alias("subtree_w"),
+        )
+    )
+
+
+def tree_rollup_sql(nodes_cte: str) -> str:
+    """DuckDB twin of tree_rollup — recursive-CTE ancestor closure,
+    identical rollups.  ``nodes_cte`` -> (node_id, parent_id, w)."""
+    return f"""
+WITH RECURSIVE v AS (
+  SELECT CAST(node_id AS BIGINT) AS v, CAST(parent_id AS BIGINT) AS p,
+         CAST(w AS BIGINT) AS w
+  FROM ({nodes_cte})
+),
+clos(d, a) AS (
+  SELECT v, p FROM v WHERE p IS NOT NULL
+  UNION
+  SELECT c.d, v.p FROM clos c JOIN v ON v.v = c.a WHERE v.p IS NOT NULL
+),
+depth AS (SELECT d, count(*) AS depth FROM clos GROUP BY 1),
+root_of AS (
+  SELECT c.d AS v, c.a AS root_id
+  FROM clos c JOIN v r ON r.v = c.a AND r.p IS NULL
+),
+sub AS (
+  SELECT c.a, count(*) AS desc_n, CAST(sum(w.w) AS BIGINT) AS desc_w
+  FROM clos c JOIN v w ON w.v = c.d GROUP BY 1
+)
+SELECT v.v AS node_id,
+       CAST(COALESCE(depth.depth, 0) AS BIGINT) AS depth,
+       COALESCE(root_of.root_id, v.v) AS root_id,
+       CAST(COALESCE(sub.desc_n, 0) + 1 AS BIGINT) AS subtree_n,
+       CAST(COALESCE(sub.desc_w, 0) + v.w AS BIGINT) AS subtree_w
+FROM v
+LEFT JOIN depth ON depth.d = v.v
+LEFT JOIN root_of ON root_of.v = v.v
+LEFT JOIN sub ON sub.a = v.v
+"""

@@ -554,3 +554,70 @@ def test_degree_assortativity_textbook_and_twin(spark):
     cov = sum(x * y for x, y in zip(xs, ys)) / m - mean * mean
     var = sum(x * x for x in xs) / m - mean * mean
     assert abs(row["r"] - cov / var) < 1e-9
+
+
+def test_tree_rollup_brute_and_twin(spark):
+    """Dict replay on a random forest (roots 0 and 1, random parents
+    among earlier nodes -> acyclic by construction), deep-chain case
+    to exercise pointer doubling past one round."""
+    import random
+
+    import duckdb
+
+    from osm2geojson_spark.operators.graph import tree_rollup, tree_rollup_sql
+
+    rng = random.Random(13)
+    rows = [(0, None, 5), (1, None, 7)]
+    for n in range(2, 40):
+        rows.append((n, rng.randrange(0, n), (n * 31) % 20))
+    # deep chain hanging off node 1: 40 -> 41 -> ... -> 52
+    prev = 1
+    for n in range(40, 53):
+        rows.append((n, prev, 1))
+        prev = n
+
+    df = spark.createDataFrame(rows, "node_id long, parent_id long, w long")
+    got = {
+        r["node_id"]: (
+            r["depth"], r["root_id"], r["subtree_n"], r["subtree_w"]
+        )
+        for r in tree_rollup(df).collect()
+    }
+
+    parent = {n: p for n, p, _ in rows}
+    weight = {n: w for n, _, w in rows}
+    for n in parent:
+        anc = []
+        p = parent[n]
+        while p is not None:
+            anc.append(p)
+            p = parent[p]
+        desc = [m for m in parent if n in _ancestors(parent, m)]
+        want = (
+            len(anc),
+            anc[-1] if anc else n,
+            len(desc) + 1,
+            sum(weight[m] for m in desc) + weight[n],
+        )
+        assert got[n] == want, n
+    assert got[52][0] == 13  # chain: 40..51 (12 nodes) + root hop via 1
+
+    duck = duckdb.connect()
+    duck.execute("CREATE TABLE nd (node_id BIGINT, parent_id BIGINT, w BIGINT)")
+    duck.executemany("INSERT INTO nd VALUES (?, ?, ?)", rows)
+    twin = {
+        r[0]: tuple(r[1:])
+        for r in duck.sql(
+            tree_rollup_sql("SELECT * FROM nd")
+        ).fetchall()
+    }
+    assert twin == got
+
+
+def _ancestors(parent, n):
+    out = set()
+    p = parent[n]
+    while p is not None:
+        out.add(p)
+        p = parent[p]
+    return out
