@@ -9122,6 +9122,48 @@ def _attribution_sql() -> str:
     )
 
 
+def q_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X214 (streaming.ops.windowed_topk, batch form — the
+    streaming(availableNow) == batch equivalence is pinned in
+    tests/test_streaming.py): top-2 event types per tumbling hour,
+    (n DESC, key ASC) exact integer ranking, wall-clock window fields
+    for timezone-independent comparison."""
+    from osm2geojson_spark.streaming.ops import windowed_topk
+
+    ev = _t(spark, sf_dir, "events").select(
+        "ts", F.col("event_type").alias("key")
+    )
+    out = windowed_topk(ev, k=2)
+    return out.select(
+        F.year("win_start").alias("y"),
+        F.month("win_start").alias("m"),
+        F.dayofmonth("win_start").alias("d"),
+        F.hour("win_start").alias("h"),
+        "key",
+        "n",
+        "rnk",
+    )
+
+
+def _stream_topk_sql() -> str:
+    return """
+SELECT CAST(y AS INTEGER) AS y, CAST(m AS INTEGER) AS m,
+       CAST(d AS INTEGER) AS d, CAST(h AS INTEGER) AS h,
+       key, n, CAST(rnk AS INTEGER) AS rnk
+FROM (
+  SELECT y, m, d, h, key, n,
+         row_number() OVER (
+           PARTITION BY y, m, d, h ORDER BY n DESC, key ASC) AS rnk
+  FROM (
+    SELECT year(ts) AS y, month(ts) AS m, day(ts) AS d, hour(ts) AS h,
+           event_type AS key, count(*) AS n
+    FROM events GROUP BY 1, 2, 3, 4, 5
+  )
+)
+WHERE rnk <= 2
+"""
+
+
 def q_tree_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X213 (graph.tree_rollup): recursive hierarchy rollup over a
     2-root ternary forest on 200 customer-keyed nodes (parent =
@@ -11576,6 +11618,7 @@ FROM mm GROUP BY i
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "stream_topk": q_stream_topk,
         "tree_rollup": q_tree_rollup,
         "iou_track": q_iou_track,
         "ewma": q_ewma,
@@ -11845,6 +11888,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "stream_topk": _stream_topk_sql(),
         "tree_rollup": _tree_rollup_sql(),
         "iou_track": _iou_track_sql(),
         "ewma": _ewma_sql(),

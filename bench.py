@@ -264,6 +264,7 @@ BENCH_QUERIES = [
     "ewma",
     "iou_track",
     "tree_rollup",
+    "stream_topk",
 ]
 
 

@@ -615,3 +615,75 @@ def streaming_cusum(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def windowed_key_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    key_col: str = "key",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Tumbling-window key counts (win_start, win_end, key, n) — the
+    shared first stage of windowed heavy-hitter monitoring; identical
+    plan on batch and (watermarked) streaming input, so stream ==
+    batch on the same data."""
+    df = events
+    if df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    return (
+        df.groupBy(
+            F.window(ts_col, window).alias("win"),
+            F.col(key_col).alias("key"),
+        )
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "key",
+            "n",
+        )
+    )
+
+
+def topk_finish(counts: DataFrame, k: int = 3) -> DataFrame:
+    """Rank the windowed counts: top-``k`` keys per window by
+    (n DESC, key ASC) — exact integer ordering, deterministic ties."""
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("win_start", "win_end").orderBy(
+        F.col("n").desc(), F.col("key").asc()
+    )
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= int(k))
+    )
+
+
+def windowed_topk(
+    events: DataFrame,
+    k: int = 3,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    key_col: str = "key",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """WINDOWED HEAVY HITTERS — top-``k`` keys per tumbling event-time
+    window (the live trending-terms / hot-topics monitor).  On batch
+    input the full rank is computed; on streaming input the windowed
+    counts are returned (streaming allows one aggregation — the
+    standard shape is counts in the stream, ranking in the sink via
+    ``topk_finish``, e.g. inside foreachBatch), and the stream==batch
+    equivalence of counts + finish is pinned in tests.
+
+    Scale: the counts stage is a combinable watermarked rollup — state
+    = live windows × distinct keys; the finish ranks within each
+    window (window count is bounded by retention). Approximate-k
+    (cms_topk) is the sibling when distinct keys explode."""
+    counts = windowed_key_counts(
+        events, window=window, watermark=watermark,
+        key_col=key_col, ts_col=ts_col,
+    )
+    if events.isStreaming:
+        return counts
+    return topk_finish(counts, k=k)

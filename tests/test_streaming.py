@@ -379,3 +379,27 @@ def test_streaming_cusum_stream_equals_batch(spark, tmp_path):
     # the drift series alarms, and only after the planted change
     assert {s for s, _, _ in got} == {1}
     assert min(t for _, t, _ in got) >= 55
+
+
+def test_windowed_topk_stream_equals_batch(spark, events_dir):
+    """Heavy hitters: streaming windowed counts (availableNow +
+    watermark) finished with topk_finish == the one-shot batch
+    windowed_topk on the same input; ties break to the smaller key."""
+    schema = spark.read.parquet(os.path.join(events_dir, "p1")).schema
+    keyed = lambda df: df.select("ts", F.col("event_type").alias("key"))
+    stream = S.events_file_stream(spark, events_dir + "/*", schema=schema)
+    counts = S.run_to_memory(
+        S.windowed_topk(keyed(stream), k=2), "topk_stream"
+    )
+    got = S.topk_finish(counts, k=2)
+    batch = S.windowed_topk(keyed(spark.read.parquet(events_dir + "/*")), k=2)
+    cols = ["win_start", "win_end", "key", "n", "rnk"]
+    assert _rows(got, cols) == _rows(batch, cols)
+    rows = _rows(batch, cols)
+    assert len(rows) > 10
+    # every window emits at most k rows and ranks are 1..k
+    from collections import Counter
+
+    per_win = Counter((r[0], r[1]) for r in rows)
+    assert all(v <= 2 for v in per_win.values())
+    assert {r[4] for r in rows} <= {1, 2}
