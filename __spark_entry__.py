@@ -9122,6 +9122,29 @@ def _attribution_sql() -> str:
     )
 
 
+def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X215 (analytics.benford_digits): first-digit audit of order
+    totals (cents, floor — Spark cast truncates where DuckDB rounds)
+    per order priority — length-CASE integer digit extraction, inlined
+    micro Benford masses, micro-quantized pinned chi2 terms."""
+    from osm2geojson_spark.operators.analytics import benford_digits
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("g"),
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("v"),
+    )
+    return benford_digits(o)
+
+
+def _benford_sql() -> str:
+    from osm2geojson_spark.operators.analytics import benford_digits_sql
+
+    return benford_digits_sql(
+        "SELECT o_orderpriority AS g,"
+        " CAST(floor(o_totalprice * 100) AS BIGINT) AS v FROM orders"
+    )
+
+
 def q_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X214 (streaming.ops.windowed_topk, batch form — the
     streaming(availableNow) == batch equivalence is pinned in
@@ -11618,6 +11641,7 @@ FROM mm GROUP BY i
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "benford": q_benford,
         "stream_topk": q_stream_topk,
         "tree_rollup": q_tree_rollup,
         "iou_track": q_iou_track,
@@ -11888,6 +11912,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "benford": _benford_sql(),
         "stream_topk": _stream_topk_sql(),
         "tree_rollup": _tree_rollup_sql(),
         "iou_track": _iou_track_sql(),

@@ -265,6 +265,7 @@ BENCH_QUERIES = [
     "iou_track",
     "tree_rollup",
     "stream_topk",
+    "benford",
 ]
 
 

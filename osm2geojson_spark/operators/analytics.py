@@ -3384,3 +3384,112 @@ SELECT g, t, v,
          / CAST({" + ".join(dens)} AS DOUBLE) AS ewma
 FROM src
 """
+
+
+def benford_digits(
+    df: DataFrame,
+    group_col: str = "g",
+    value_col: str = "v",
+) -> DataFrame:
+    """(g, digit, n_obs, n_total, expected_micro, chi2_term_micro) —
+    FIRST-DIGIT (Benford) audit per group: the distribution of leading
+    digits of positive values vs Benford's law p(d) = log10(1 + 1/d),
+    the classic fraud / fabricated-data / unit-mixing screen for
+    financial and sensor columns.
+
+    The leading digit is v // 10^(len-1) where len is the exact decimal
+    length — a 19-way CASE over literal integer divisors (floats and
+    power() are unpinned near 10^k; a nested halving loop explodes the
+    expression tree 3^19-fold), identical in both engines.  Expected Benford
+    masses are inlined micro-unit constants (identical literals in both
+    engines); the per-digit Pearson term (n_obs − n·p)²/(n·p) is
+    emitted micro-quantized from pinned IEEE ops so the group statistic
+    is Σ terms — order-free.  Values <= 0 are excluded (Benford is
+    defined on positive magnitudes).
+
+    Scale: one scan + one 9-cell-per-group combinable rollup — nothing
+    else.  chi2 = sum(chi2_term_micro)/1e6 downstream."""
+    # Benford masses, micro-units (floor(log10(1+1/d)*1e6 + 0.5))
+    probs = [301030, 176091, 124939, 96910, 79181, 66947, 57992, 51153, 45757]
+    v = F.col(value_col).cast("long")
+    pre = df.filter(v > 0).select(
+        F.col(group_col).cast("string").alias("g"),
+        v.alias("_v"),
+        F.length(v.cast("string")).alias("_ln"),
+    )
+    d = F.col("_v")
+    for k in range(2, 20):  # int64 has at most 19 digits; `div` stays integer
+        d = F.when(
+            F.col("_ln") == k, F.expr(f"_v div {10 ** (k - 1)}")
+        ).otherwise(d)
+    src = pre.select("g", d.alias("digit"))
+    counts = src.groupBy("g", "digit").agg(F.count(F.lit(1)).alias("n_obs"))
+    tot = counts.groupBy("g").agg(F.sum("n_obs").alias("n_total"))
+    digits = counts.sparkSession.createDataFrame(
+        [(dd, p) for dd, p in zip(range(1, 10), probs)],
+        "digit long, expected_micro long",
+    )
+    full = (
+        tot.crossJoin(F.broadcast(digits))
+        .join(counts, ["g", "digit"], "left")
+        .select(
+            "g",
+            "digit",
+            F.coalesce("n_obs", F.lit(0)).alias("n_obs"),
+            "n_total",
+            "expected_micro",
+        )
+    )
+    dd_ = lambda c: c.cast("double")  # noqa: E731
+    exp_n = dd_(F.col("n_total")) * dd_(F.col("expected_micro")) / F.lit(1000000.0)
+    term = (dd_(F.col("n_obs")) - exp_n) * (dd_(F.col("n_obs")) - exp_n) / exp_n
+    return full.select(
+        "g",
+        "digit",
+        "n_obs",
+        "n_total",
+        "expected_micro",
+        F.floor(term * F.lit(1000000.0) + F.lit(0.5)).cast("long").alias(
+            "chi2_term_micro"
+        ),
+    )
+
+
+def benford_digits_sql(
+    rows_cte: str,
+) -> str:
+    """DuckDB twin of benford_digits — identical digit halving, inlined
+    micro masses, and pinned term assembly.  ``rows_cte`` -> (g, v)."""
+    probs = [301030, 176091, 124939, 96910, 79181, 66947, 57992, 51153, 45757]
+    vals = ", ".join(f"({d}, {p})" for d, p in zip(range(1, 10), probs))
+    cases = " ".join(
+        f"WHEN {k} THEN v // {10 ** (k - 1)}" for k in range(2, 20)
+    )
+    digit = f"(CASE length(CAST(v AS VARCHAR)) {cases} ELSE v END)"
+    return f"""
+WITH src AS (
+  SELECT g, {digit} AS digit
+  FROM (SELECT g, CAST(v AS BIGINT) AS v FROM ({rows_cte})) WHERE v > 0
+),
+counts AS (SELECT g, digit, count(*) AS n_obs FROM src GROUP BY 1, 2),
+tot AS (SELECT g, CAST(sum(n_obs) AS BIGINT) AS n_total FROM counts GROUP BY 1),
+dig(digit, expected_micro) AS (VALUES {vals}),
+full0 AS (
+  SELECT t.g, d.digit, COALESCE(c.n_obs, 0) AS n_obs, t.n_total,
+         d.expected_micro
+  FROM tot t CROSS JOIN dig d
+  LEFT JOIN counts c ON c.g = t.g AND c.digit = d.digit
+)
+SELECT g, CAST(digit AS BIGINT) AS digit, CAST(n_obs AS BIGINT) AS n_obs,
+       n_total, CAST(expected_micro AS BIGINT) AS expected_micro,
+       CAST(floor((CAST(n_obs AS DOUBLE)
+              - CAST(n_total AS DOUBLE) * CAST(expected_micro AS DOUBLE)
+                / 1000000.0)
+             * (CAST(n_obs AS DOUBLE)
+              - CAST(n_total AS DOUBLE) * CAST(expected_micro AS DOUBLE)
+                / 1000000.0)
+             / (CAST(n_total AS DOUBLE) * CAST(expected_micro AS DOUBLE)
+                / 1000000.0) * 1000000.0 + 0.5) AS BIGINT)
+         AS chi2_term_micro
+FROM full0
+"""

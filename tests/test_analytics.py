@@ -2207,3 +2207,59 @@ def test_ewma_brute_and_twin(spark):
         ).fetchall()
     }
     assert twin == got
+
+
+def test_benford_digits_brute_and_twin(spark):
+    """Scalar replay including int64-extreme values, zero/negative
+    exclusion, and a perfectly-Benford synthetic group (terms small)."""
+    import math
+
+    import duckdb
+
+    from osm2geojson_spark.operators.analytics import (
+        benford_digits,
+        benford_digits_sql,
+    )
+
+    rows = [("x", v) for v in (
+        1, 9, 10, 99, 42, -7, 0, 912345678901234567, 9223372036854775807,
+        100000000000000000, 7,
+    )]
+    # group y: counts proportional to Benford masses (scaled by 1e3)
+    masses = [301, 176, 125, 97, 79, 67, 58, 51, 46]
+    for d, m in zip(range(1, 10), masses):
+        rows += [("y", d * 10 + i % 10) for i in range(m)]
+
+    df = spark.createDataFrame(rows, "g string, v long")
+    got = {
+        (r["g"], r["digit"]): (
+            r["n_obs"], r["n_total"], r["expected_micro"],
+            r["chi2_term_micro"],
+        )
+        for r in benford_digits(df).collect()
+    }
+
+    from collections import Counter
+
+    for g in ("x", "y"):
+        vals = [v for gg, v in rows if gg == g and v > 0]
+        digs = Counter(int(str(v)[0]) for v in vals)
+        n = len(vals)
+        for d in range(1, 10):
+            p = math.floor(math.log10(1 + 1 / d) * 1e6 + 0.5)
+            e = n * p / 1e6
+            term = math.floor((digs[d] - e) * (digs[d] - e) / e * 1e6 + 0.5)
+            assert got[(g, d)] == (digs[d], n, p, term), (g, d)
+    # near-Benford group: every per-digit term is tiny (< 0.2)
+    assert all(got[("y", d)][3] < 200000 for d in range(1, 10))
+
+    duck = duckdb.connect()
+    duck.execute("CREATE TABLE bf (g VARCHAR, v BIGINT)")
+    duck.executemany("INSERT INTO bf VALUES (?, ?)", rows)
+    twin = {
+        (r[0], r[1]): tuple(r[2:])
+        for r in duck.sql(
+            benford_digits_sql("SELECT * FROM bf")
+        ).fetchall()
+    }
+    assert twin == got
