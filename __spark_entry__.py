@@ -9122,6 +9122,31 @@ def _attribution_sql() -> str:
     )
 
 
+def q_demosaic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X216 (multimodal.demosaic_stats): bilinear RGGB demosaic over
+    300 mixed rawz/png mosaics — 4x fixed-point exact channels, the
+    position-weighted checksum pins every pixel/branch; twin replays
+    the CASE rules via one tagged-offset neighbor join."""
+    from osm2geojson_spark.operators.multimodal import demosaic_stats
+
+    return demosaic_stats(_synth_images(spark, sf_dir, 300))
+
+
+def _demosaic_sql() -> str:
+    from osm2geojson_spark.operators.multimodal import demosaic_stats_sql
+
+    px = """
+SELECT printf('img%012d', i) AS image_id, (p % w) AS x, (p // w) AS y,
+       ((p % w) * 3 + (p // w) * 7 + i * 13) % 251 AS v, w, w AS h
+FROM (
+  SELECT i, w, unnest(range(0, w * w)) AS p
+  FROM (SELECT p_partkey AS i, 8 * (1 + p_partkey % 3) AS w
+        FROM part WHERE p_partkey < 300)
+)
+"""
+    return demosaic_stats_sql(px)
+
+
 def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X215 (analytics.benford_digits): first-digit audit of order
     totals (cents, floor — Spark cast truncates where DuckDB rounds)
@@ -11641,6 +11666,7 @@ FROM mm GROUP BY i
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "demosaic": q_demosaic,
         "benford": q_benford,
         "stream_topk": q_stream_topk,
         "tree_rollup": q_tree_rollup,
@@ -11912,6 +11938,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "demosaic": _demosaic_sql(),
         "benford": _benford_sql(),
         "stream_topk": _stream_topk_sql(),
         "tree_rollup": _tree_rollup_sql(),

@@ -266,6 +266,7 @@ BENCH_QUERIES = [
     "tree_rollup",
     "stream_topk",
     "benford",
+    "demosaic",
 ]
 
 

@@ -4093,3 +4093,126 @@ SELECT image_id, 'hl2', count(*), CAST(sum(hl * hl) AS BIGINT) FROM l2 GROUP BY 
 UNION ALL
 SELECT image_id, 'hh2', count(*), CAST(sum(hh * hh) AS BIGINT) FROM l2 GROUP BY 1
 """
+
+
+def demosaic_stats(images: DataFrame) -> DataFrame:
+    """(image_id, n_px, r4_sum, g4_sum, b4_sum, chk) — BILINEAR BAYER
+    DEMOSAIC (RGGB) over raw sensor mosaics, the first stage of every
+    camera/raw-ingest pipeline: each interior pixel is reconstructed to
+    RGB by the classic bilinear rules (at R: G = 4-neighbor mean, B =
+    diagonal mean; at G: the row's color from E/W, the other from N/S;
+    symmetric at B).  All channels are carried as 4x FIXED-POINT
+    integers (4·v, the 4-sum, or 2·the-2-sum) so the reconstruction is
+    exact; emitted per image: interior pixel count, channel 4x-sums,
+    and the position-weighted checksum
+
+        chk = Σ (x + 2y + 1)·(r4 + 2·g4 + 3·b4)
+
+    which pins every pixel's every channel (a swapped neighbor or a
+    wrong CASE branch moves it).
+
+    Scale: one Arrow pass, four shifted-slice sums per image, 6 small
+    columns out — scan-shaped at 10^12 frames; mosaics never shuffle."""
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                img = imagecodec.decode(bytes(r.bytes), r.fmt)
+                if img.ndim == 3:
+                    img = img[..., 0]
+                a = img.astype(np.int64)
+                h, w = a.shape
+                if h < 3 or w < 3:
+                    continue
+                c = a[1:-1, 1:-1]
+                ew = a[1:-1, :-2] + a[1:-1, 2:]
+                ns = a[:-2, 1:-1] + a[2:, 1:-1]
+                diag = (
+                    a[:-2, :-2] + a[:-2, 2:] + a[2:, :-2] + a[2:, 2:]
+                )
+                cross = ew + ns
+                yy, xx = np.mgrid[1 : h - 1, 1 : w - 1]
+                xe, ye = (xx % 2 == 0), (yy % 2 == 0)
+                r4 = np.where(
+                    xe & ye, 4 * c,
+                    np.where(
+                        ~xe & ~ye, diag,
+                        np.where(~xe & ye, 2 * ew, 2 * ns),
+                    ),
+                )
+                b4 = np.where(
+                    ~xe & ~ye, 4 * c,
+                    np.where(
+                        xe & ye, diag,
+                        np.where(~xe & ye, 2 * ns, 2 * ew),
+                    ),
+                )
+                g4 = np.where(xe == ye, cross, 4 * c)
+                chk = (
+                    (xx + 2 * yy + 1) * (r4 + 2 * g4 + 3 * b4)
+                ).sum()
+                rows.append(
+                    (
+                        r.image_id,
+                        int(c.size),
+                        int(r4.sum()),
+                        int(g4.sum()),
+                        int(b4.sum()),
+                        int(chk),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "image_id", "n_px", "r4_sum", "g4_sum", "b4_sum", "chk",
+                ],
+            )
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(
+        fn,
+        schema="image_id string, n_px long, r4_sum long, g4_sum long,"
+        " b4_sum long, chk long",
+    )
+
+
+def demosaic_stats_sql(px_cte: str) -> str:
+    """DuckDB twin of demosaic_stats over (image_id, x, y, v, w, h) —
+    neighbor sums via one tagged-offset join, identical CASE rules."""
+    return f"""
+WITH px AS MATERIALIZED ({px_cte}),
+off(dx, dy, kind) AS (VALUES
+  (-1, 0, 'ew'), (1, 0, 'ew'), (0, -1, 'ns'), (0, 1, 'ns'),
+  (-1, -1, 'dg'), (1, -1, 'dg'), (-1, 1, 'dg'), (1, 1, 'dg')),
+nb AS (
+  SELECT p.image_id, p.x, p.y, p.v,
+         CAST(sum(CASE WHEN o.kind = 'ew' THEN q.v ELSE 0 END) AS BIGINT) AS ew,
+         CAST(sum(CASE WHEN o.kind = 'ns' THEN q.v ELSE 0 END) AS BIGINT) AS ns,
+         CAST(sum(CASE WHEN o.kind = 'dg' THEN q.v ELSE 0 END) AS BIGINT) AS dg
+  FROM px p
+  CROSS JOIN off o
+  JOIN px q ON q.image_id = p.image_id
+           AND q.x = p.x + o.dx AND q.y = p.y + o.dy
+  WHERE p.x >= 1 AND p.x < p.w - 1 AND p.y >= 1 AND p.y < p.h - 1
+  GROUP BY 1, 2, 3, 4
+),
+rgb AS (
+  SELECT image_id, x, y,
+         CASE WHEN x % 2 = 0 AND y % 2 = 0 THEN 4 * v
+              WHEN x % 2 = 1 AND y % 2 = 1 THEN dg
+              WHEN x % 2 = 1 AND y % 2 = 0 THEN 2 * ew
+              ELSE 2 * ns END AS r4,
+         CASE WHEN x % 2 = y % 2 THEN ew + ns ELSE 4 * v END AS g4,
+         CASE WHEN x % 2 = 1 AND y % 2 = 1 THEN 4 * v
+              WHEN x % 2 = 0 AND y % 2 = 0 THEN dg
+              WHEN x % 2 = 1 AND y % 2 = 0 THEN 2 * ns
+              ELSE 2 * ew END AS b4
+  FROM nb
+)
+SELECT image_id, count(*) AS n_px,
+       CAST(sum(r4) AS BIGINT) AS r4_sum,
+       CAST(sum(g4) AS BIGINT) AS g4_sum,
+       CAST(sum(b4) AS BIGINT) AS b4_sum,
+       CAST(sum((x + 2 * y + 1) * (r4 + 2 * g4 + 3 * b4)) AS BIGINT) AS chk
+FROM rgb GROUP BY 1
+"""

@@ -2935,3 +2935,66 @@ def test_haar_energy_parseval_and_brute(spark):
     # constant image: every detail subband energy is exactly 0
     for name in ("lh1", "hl1", "hh1", "lh2", "hl2", "hh2"):
         assert got[("c", name)][1] == 0
+
+
+def test_demosaic_reconstructs_constant_color_planes(spark):
+    """Ground-truth test: a Bayer mosaic sampled from a CONSTANT RGB
+    scene must reconstruct exactly that color at every interior pixel
+    (bilinear interpolation of constants is the constant) — checked
+    through the 4x sums; plus a scalar brute replay of a random
+    mosaic."""
+    import numpy as np
+
+    from osm2geojson_spark.functions import imagecodec
+    from osm2geojson_spark.operators.multimodal import demosaic_stats
+
+    R, G, B = 120, 80, 200
+    w = 12
+    const = np.zeros((w, w), dtype=np.uint8)
+    for y in range(w):
+        for x in range(w):
+            if x % 2 == 0 and y % 2 == 0:
+                const[y, x] = R
+            elif x % 2 == 1 and y % 2 == 1:
+                const[y, x] = B
+            else:
+                const[y, x] = G
+    rng = np.random.default_rng(11)
+    rand = rng.integers(0, 256, size=(10, 10), dtype=np.uint8)
+    rows = [
+        ("const", bytearray(imagecodec.encode_rawz(const)), "rawz"),
+        ("rand", bytearray(imagecodec.encode_rawz(rand)), "rawz"),
+    ]
+    df = spark.createDataFrame(rows, "image_id string, bytes binary, fmt string")
+    got = {r["image_id"]: r for r in demosaic_stats(df).collect()}
+
+    n = (w - 2) * (w - 2)
+    c = got["const"]
+    assert c["n_px"] == n
+    assert (c["r4_sum"], c["g4_sum"], c["b4_sum"]) == (
+        4 * R * n, 4 * G * n, 4 * B * n
+    )
+
+    # scalar brute on the random mosaic
+    a = rand.astype(int)
+    rs = gs = bs = chk = 0
+    for y in range(1, 9):
+        for x in range(1, 9):
+            v = a[y, x]
+            ew = a[y, x - 1] + a[y, x + 1]
+            ns = a[y - 1, x] + a[y + 1, x]
+            dg = a[y - 1, x - 1] + a[y - 1, x + 1] + a[y + 1, x - 1] + a[y + 1, x + 1]
+            if x % 2 == 0 and y % 2 == 0:
+                r4, g4, b4 = 4 * v, ew + ns, dg
+            elif x % 2 == 1 and y % 2 == 1:
+                r4, g4, b4 = dg, ew + ns, 4 * v
+            elif x % 2 == 1 and y % 2 == 0:
+                r4, g4, b4 = 2 * ew, 4 * v, 2 * ns
+            else:
+                r4, g4, b4 = 2 * ns, 4 * v, 2 * ew
+            rs += r4; gs += g4; bs += b4
+            chk += (x + 2 * y + 1) * (r4 + 2 * g4 + 3 * b4)
+    r = got["rand"]
+    assert (r["n_px"], r["r4_sum"], r["g4_sum"], r["b4_sum"], r["chk"]) == (
+        64, rs, gs, bs, chk
+    )
