@@ -9122,6 +9122,38 @@ def _attribution_sql() -> str:
     )
 
 
+def q_conformal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X217 (analytics.conformal_flags): split conformal prediction per
+    event_type (alpha=0.1) — calibration = 80% of events, test = the
+    event_id%5==0 slice; exact integer k = ceil(0.9(n+1)) and the
+    count-selected order statistic; covered flags per test row."""
+    from osm2geojson_spark.operators.analytics import conformal_flags
+
+    e = F.col("event_id")
+    base = _t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("g"),
+        e.alias("pid"),
+        ((e * 104729) % 10000).alias("s"),
+    )
+    cal = base.filter(F.col("pid") % 5 != 0)
+    test = base.filter(F.col("pid") % 5 == 0)
+    return conformal_flags(cal, test, alpha_micro=100_000)
+
+
+def _conformal_sql() -> str:
+    from osm2geojson_spark.operators.analytics import conformal_flags_sql
+
+    base = (
+        "SELECT event_type AS g, event_id AS pid,"
+        " (event_id * 104729) % 10000 AS s FROM events"
+    )
+    return conformal_flags_sql(
+        f"SELECT * FROM ({base}) WHERE pid % 5 <> 0",
+        f"SELECT * FROM ({base}) WHERE pid % 5 = 0",
+        alpha_micro=100_000,
+    )
+
+
 def q_demosaic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X216 (multimodal.demosaic_stats): bilinear RGGB demosaic over
     300 mixed rawz/png mosaics — 4x fixed-point exact channels, the
@@ -11666,6 +11698,7 @@ FROM mm GROUP BY i
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "conformal": q_conformal,
         "demosaic": q_demosaic,
         "benford": q_benford,
         "stream_topk": q_stream_topk,
@@ -11938,6 +11971,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "conformal": _conformal_sql(),
         "demosaic": _demosaic_sql(),
         "benford": _benford_sql(),
         "stream_topk": _stream_topk_sql(),

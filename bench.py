@@ -267,6 +267,7 @@ BENCH_QUERIES = [
     "stream_topk",
     "benford",
     "demosaic",
+    "conformal",
 ]
 
 

@@ -3493,3 +3493,112 @@ SELECT g, CAST(digit AS BIGINT) AS digit, CAST(n_obs AS BIGINT) AS n_obs,
          AS chi2_term_micro
 FROM full0
 """
+
+
+def conformal_flags(
+    cal: DataFrame,
+    test: DataFrame,
+    alpha_micro: int = 100_000,
+    group_col: str = "g",
+    id_col: str = "pid",
+    score_col: str = "s",
+) -> DataFrame:
+    """(g, pid, s, n_cal, k, thresh, covered) — SPLIT CONFORMAL
+    PREDICTION (Vovk et al.; the distribution-free coverage guarantee
+    every production ML gate wants): per group, the threshold is the
+    k-th smallest calibration nonconformity score with
+
+        k = ceil((1 - alpha) * (n_cal + 1))
+
+    and a test row is covered iff its score <= threshold.  When k >
+    n_cal (tiny calibration sets) the threshold is unbounded — NULL
+    thresh, everything covered — the standard convention that keeps
+    the >= 1-alpha guarantee.
+
+    Exactness: k is exact integer arithmetic on micro-units
+    (ceil(a/b) = (a + b - 1) // b), the order statistic is selected by
+    cumulative COUNTS over tie-collapsed distinct scores (min s with
+    cum >= k) — no ntile, no float quantile, no single-partition
+    window.
+
+    Scale: calibration collapses to (g, score) cells (combinable), the
+    cum window runs over distinct scores, the test side is one
+    broadcast-able join on g."""
+    am = int(alpha_micro)
+    byval = cal.groupBy(
+        F.col(group_col).alias("g"), F.col(score_col).cast("long").alias("s")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("g").orderBy("s").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = byval.withColumn("cum", F.sum("cnt").over(w))
+    n_g = byval.groupBy("g").agg(F.sum("cnt").alias("n_cal"))
+    k = (
+        ((F.lit(1_000_000 - am)) * (F.col("n_cal") + 1) + F.lit(999_999))
+        / F.lit(1_000_000)
+    ).cast("long")
+    n_g = n_g.withColumn("k", k)
+    thr = (
+        cum.join(n_g, "g")
+        .filter(F.col("cum") >= F.col("k"))
+        .groupBy("g")
+        .agg(F.min("s").alias("thresh"))
+    )
+    t = test.select(
+        F.col(group_col).alias("g"),
+        F.col(id_col).cast("long").alias("pid"),
+        F.col(score_col).cast("long").alias("s"),
+    )
+    return (
+        t.join(n_g, "g", "left")
+        .join(thr, "g", "left")
+        .select(
+            "g",
+            "pid",
+            "s",
+            F.coalesce("n_cal", F.lit(0)).alias("n_cal"),
+            F.coalesce("k", F.lit(1)).alias("k"),
+            "thresh",
+            (F.col("thresh").isNull() | (F.col("s") <= F.col("thresh"))).alias(
+                "covered"
+            ),
+        )
+    )
+
+
+def conformal_flags_sql(
+    cal_cte: str,
+    test_cte: str,
+    alpha_micro: int = 100_000,
+) -> str:
+    """DuckDB twin of conformal_flags.  ``cal_cte``/``test_cte`` ->
+    (g, pid, s)."""
+    am = int(alpha_micro)
+    return f"""
+WITH cal AS (SELECT g, CAST(s AS BIGINT) AS s FROM ({cal_cte})),
+byval AS (SELECT g, s, count(*) AS cnt FROM cal GROUP BY 1, 2),
+cum AS (
+  SELECT g, s, sum(cnt) OVER (
+    PARTITION BY g ORDER BY s
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM byval
+),
+n_g AS (
+  SELECT g, CAST(sum(cnt) AS BIGINT) AS n_cal,
+         ({1_000_000 - am} * (CAST(sum(cnt) AS BIGINT) + 1) + 999999)
+           // 1000000 AS k
+  FROM byval GROUP BY 1
+),
+thr AS (
+  SELECT c.g, min(c.s) AS thresh
+  FROM cum c JOIN n_g ON n_g.g = c.g
+  WHERE c.cum >= n_g.k GROUP BY 1
+)
+SELECT t.g, CAST(t.pid AS BIGINT) AS pid, CAST(t.s AS BIGINT) AS s,
+       COALESCE(n_g.n_cal, 0) AS n_cal, COALESCE(n_g.k, 1) AS k,
+       thr.thresh,
+       (thr.thresh IS NULL OR t.s <= thr.thresh) AS covered
+FROM ({test_cte}) t
+LEFT JOIN n_g ON n_g.g = t.g
+LEFT JOIN thr ON thr.g = t.g
+"""

@@ -2263,3 +2263,66 @@ def test_benford_digits_brute_and_twin(spark):
         ).fetchall()
     }
     assert twin == got
+
+
+def test_conformal_coverage_guarantee_and_twin(spark):
+    """The finite-sample guarantee itself: with exchangeable cal/test
+    scores (same hash family), empirical coverage >= 1 - alpha; plus a
+    tiny-calibration group (k > n -> NULL thresh, all covered) and a
+    sorted-order brute replay of the threshold."""
+    import math
+
+    import duckdb
+
+    from osm2geojson_spark.operators.analytics import (
+        conformal_flags,
+        conformal_flags_sql,
+    )
+
+    cal_rows = [("a", i, (i * 7919) % 500) for i in range(1, 400, 2)]
+    test_rows = [("a", i, (i * 7919) % 500) for i in range(0, 400, 2)]
+    cal_rows += [("tiny", 1000, 7)]          # n=1, k=ceil(0.9*2)=2 > 1
+    test_rows += [("tiny", 1001, 99999)]
+    cdf = spark.createDataFrame(cal_rows, "g string, pid long, s long")
+    tdf = spark.createDataFrame(test_rows, "g string, pid long, s long")
+    got = {
+        (r["g"], r["pid"]): r
+        for r in conformal_flags(cdf, tdf, alpha_micro=100_000).collect()
+    }
+
+    # brute threshold for group a
+    scores = sorted(s for g, _, s in cal_rows if g == "a")
+    n = len(scores)
+    k = math.ceil(0.9 * (n + 1))
+    thresh = scores[k - 1]
+    ncov = 0
+    for g, pid, s in test_rows:
+        r = got[(g, pid)]
+        if g == "a":
+            assert r["thresh"] == thresh and r["k"] == k and r["n_cal"] == n
+            assert r["covered"] == (s <= thresh)
+            ncov += int(r["covered"])
+        else:
+            assert r["thresh"] is None and r["covered"] is True
+    n_test = sum(1 for g, *_ in test_rows if g == "a")
+    assert ncov / n_test >= 0.9 - 0.05  # guarantee modulo finite-sample noise
+
+    duck = duckdb.connect()
+    duck.execute("CREATE TABLE calr (g VARCHAR, pid BIGINT, s BIGINT)")
+    duck.executemany("INSERT INTO calr VALUES (?, ?, ?)", cal_rows)
+    duck.execute("CREATE TABLE tstr (g VARCHAR, pid BIGINT, s BIGINT)")
+    duck.executemany("INSERT INTO tstr VALUES (?, ?, ?)", test_rows)
+    twin = {
+        (r[0], r[1]): tuple(r)
+        for r in duck.sql(
+            conformal_flags_sql(
+                "SELECT * FROM calr", "SELECT * FROM tstr",
+                alpha_micro=100_000,
+            )
+        ).fetchall()
+    }
+    for key, r in got.items():
+        assert twin[key] == (
+            r["g"], r["pid"], r["s"], r["n_cal"], r["k"],
+            r["thresh"], r["covered"],
+        ), key
