@@ -9122,6 +9122,42 @@ def _attribution_sql() -> str:
     )
 
 
+def q_viterbi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X218 (trajectory.viterbi_smooth): Viterbi stay/move smoothing of
+    50 12-step observation tracks — each has a stay regime (low bins),
+    a move regime (high bins), and one planted glitch per regime that
+    the DP must absorb (25 < 2 switches = 60). Exact integer costs,
+    min-(cost, mask) tie rule; the twin enumerates all 2^12 trellis
+    paths per user (oracle-only) and replays the min."""
+    from osm2geojson_spark.operators.trajectory import viterbi_smooth
+
+    k = F.col("p_partkey")
+    u = F.floor(k / 12).cast("long")
+    i = (k % 12).cast("long")
+    base = F.when(i < 6, F.lit(0)).otherwise(F.lit(2))
+    obs = (
+        F.when(i == u % 6, F.lit(2))
+        .when(i == 6 + u % 6, F.lit(0))
+        .otherwise(base)
+    )
+    rows = _t(spark, sf_dir, "part").filter(k < 600).select(
+        u.alias("user_id"), i.alias("idx"), obs.alias("obs")
+    )
+    return viterbi_smooth(rows)
+
+
+def _viterbi_sql() -> str:
+    from osm2geojson_spark.operators.trajectory import viterbi_smooth_sql
+
+    return viterbi_smooth_sql(
+        "SELECT p_partkey // 12 AS user_id, p_partkey % 12 AS idx,"
+        " CASE WHEN p_partkey % 12 = (p_partkey // 12) % 6 THEN 2"
+        "      WHEN p_partkey % 12 = 6 + (p_partkey // 12) % 6 THEN 0"
+        "      WHEN p_partkey % 12 < 6 THEN 0 ELSE 2 END AS obs"
+        " FROM part WHERE p_partkey < 600"
+    )
+
+
 def q_conformal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X217 (analytics.conformal_flags): split conformal prediction per
     event_type (alpha=0.1) — calibration = 80% of events, test = the
@@ -11698,6 +11734,7 @@ FROM mm GROUP BY i
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "viterbi": q_viterbi,
         "conformal": q_conformal,
         "demosaic": q_demosaic,
         "benford": q_benford,
@@ -11971,6 +12008,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "viterbi": _viterbi_sql(),
         "conformal": _conformal_sql(),
         "demosaic": _demosaic_sql(),
         "benford": _benford_sql(),

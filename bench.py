@@ -268,6 +268,7 @@ BENCH_QUERIES = [
     "benford",
     "demosaic",
     "conformal",
+    "viterbi",
 ]
 
 

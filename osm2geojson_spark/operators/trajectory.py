@@ -1113,3 +1113,134 @@ def frechet_sq(
             "user_a long, user_b long, n_a long, n_b long, frechet_sq long"
         ),
     )
+
+
+# Viterbi stay/move model: integer costs (micro-nat-ish units).
+# Transition cost T[s1][s2], emission cost E[state][obs_bin].
+VIT_TRANS = ((0, 30), (30, 0))
+VIT_EMIT = ((0, 10, 25), (25, 10, 0))  # [stay|move][low, mid, high]
+
+
+def viterbi_smooth(
+    obs: DataFrame,
+    user_col: str = "user_id",
+    idx_col: str = "idx",
+    obs_col: str = "obs",
+) -> DataFrame:
+    """(user_id, idx, obs, state, path_cost) — VITERBI SEQUENCE
+    SMOOTHING of a per-entity observation sequence under the 2-state
+    stay(0)/move(1) HMM with the integer cost tables VIT_TRANS /
+    VIT_EMIT (costs = negative log-likelihoods in fixed units): the
+    classic GPS-glitch smoother — an isolated high-speed observation
+    inside a stay regime costs 25 to absorb vs 60 to switch regimes
+    twice, so Viterbi explains it away, which a per-ping threshold
+    cannot.
+
+    All-integer DP => the optimal cost is engine-exact; among equal-
+    cost paths the winner is the one with the SMALLEST state bitmask
+    (mask = Σ state_i << i — later steps dominate, and tracking the
+    min (cost, partial-mask) pair per state is exact for that order
+    because equal-cost equal-state prefixes share their optimal
+    futures).  path_cost is the sequence's total optimal cost.
+
+    Scale: one applyInPandas per entity, O(T·|S|²) integer DP inside
+    the batch — sequences are session-bounded; entities parallelize.
+    The twin enumerates all 2^T trellis paths with the mask encoding
+    (exponential, ORACLE-ONLY) and replays the (cost, mask) min."""
+    import pandas as pd
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(idx_col).reset_index(drop=True)
+        u = pdf[user_col].iloc[0]
+        ob = [int(v) for v in pdf[obs_col]]
+        t_len = len(ob)
+        # DP over (cost, mask) pairs, lexicographic min
+        cur = [
+            (VIT_EMIT[s][ob[0]], s) for s in (0, 1)
+        ]  # mask bit 0 = state
+        for i in range(1, t_len):
+            nxt = []
+            for s in (0, 1):
+                best = None
+                for sp in (0, 1):
+                    cand = (
+                        cur[sp][0] + VIT_TRANS[sp][s] + VIT_EMIT[s][ob[i]],
+                        cur[sp][1] | (s << i),
+                    )
+                    if best is None or cand < best:
+                        best = cand
+                nxt.append(best)
+            cur = nxt
+        cost, mask = min(cur)
+        return pd.DataFrame(
+            {
+                "user_id": [u] * t_len,
+                "idx": list(range(t_len)),
+                "obs": ob,
+                "state": [(mask >> i) & 1 for i in range(t_len)],
+                "path_cost": [cost] * t_len,
+            }
+        )
+
+    sel = obs.select(
+        F.col(user_col).cast("long").alias(user_col),
+        F.col(idx_col).cast("long").alias(idx_col),
+        F.col(obs_col).cast("long").alias(obs_col),
+    )
+    return sel.groupBy(user_col).applyInPandas(
+        fn,
+        schema="user_id long, idx long, obs long, state long, path_cost long",
+    )
+
+
+def viterbi_smooth_sql(obs_cte: str) -> str:
+    """DuckDB twin of viterbi_smooth — full trellis-path enumeration
+    via a recursive CTE carrying (cost, mask), then the (cost, mask)
+    min per entity and per-step mask decode.  Exponential in sequence
+    length: ORACLE ONLY, fixture sequences are short.
+    ``obs_cte`` -> (user_id, idx, obs) with idx dense from 0."""
+    t00, t01 = VIT_TRANS[0]
+    t10, t11 = VIT_TRANS[1]
+    e = VIT_EMIT
+    emit = (
+        f"CASE WHEN st.s = 0 THEN CASE o.obs WHEN 0 THEN {e[0][0]}"
+        f" WHEN 1 THEN {e[0][1]} ELSE {e[0][2]} END"
+        f" ELSE CASE o.obs WHEN 0 THEN {e[1][0]}"
+        f" WHEN 1 THEN {e[1][1]} ELSE {e[1][2]} END END"
+    )
+    return f"""
+WITH RECURSIVE ob AS MATERIALIZED (
+  SELECT CAST(user_id AS BIGINT) AS user_id, CAST(idx AS BIGINT) AS idx,
+         CAST(obs AS BIGINT) AS obs
+  FROM ({obs_cte})
+),
+tlen AS (SELECT user_id, max(idx) AS tmax FROM ob GROUP BY 1),
+paths(user_id, i, s, cost, mask) AS (
+  SELECT o.user_id, 0, st.s,
+         {emit},
+         CAST(st.s AS BIGINT)
+  FROM ob o, (SELECT 0 AS s UNION ALL SELECT 1) st
+  WHERE o.idx = 0
+  UNION ALL
+  SELECT p.user_id, p.i + 1, st.s,
+         p.cost
+           + CASE WHEN p.s = 0 AND st.s = 0 THEN {t00}
+                  WHEN p.s = 0 AND st.s = 1 THEN {t01}
+                  WHEN p.s = 1 AND st.s = 0 THEN {t10}
+                  ELSE {t11} END
+           + {emit},
+         p.mask | (CAST(st.s AS BIGINT) << (p.i + 1))
+  FROM paths p
+  JOIN ob o ON o.user_id = p.user_id AND o.idx = p.i + 1,
+       (SELECT 0 AS s UNION ALL SELECT 1) st
+),
+best AS (
+  SELECT p.user_id, min(struct_pack(cost := p.cost, mask := p.mask)) AS bm
+  FROM paths p JOIN tlen t ON t.user_id = p.user_id AND p.i = t.tmax
+  GROUP BY 1
+)
+SELECT o.user_id, o.idx, o.obs,
+       (b.bm.mask >> CAST(o.idx AS INTEGER)) & 1 AS state,
+       b.bm.cost AS path_cost
+FROM ob o JOIN best b ON b.user_id = o.user_id
+"""

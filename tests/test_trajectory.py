@@ -887,3 +887,71 @@ def test_frechet_sq_matches_scalar_dp_and_properties(spark):
     A = [(x, y) for u, t, x, y in sorted(tracks) if u == 2]
     want9 = max((x - 5) ** 2 + (y - 5) ** 2 for x, y in A)
     assert got[(9, 2)]["frechet_sq"] == want9
+
+
+def test_viterbi_smooth_brute_and_glitch_absorption(spark):
+    """Exhaustive 2^T brute force over (cost, mask) in pure Python on
+    random observation tracks + the smoothing property: an isolated
+    glitch never flips the decoded regime, and a genuine regime change
+    does."""
+    import random
+    from itertools import product
+
+    import duckdb
+
+    from osm2geojson_spark.operators.trajectory import (
+        VIT_EMIT,
+        VIT_TRANS,
+        viterbi_smooth,
+        viterbi_smooth_sql,
+    )
+
+    rng = random.Random(8)
+    rows = []
+    # user 0: stay regime with a single glitch at idx 3
+    rows += [(0, i, 2 if i == 3 else 0) for i in range(10)]
+    # user 1: true regime change at idx 5
+    rows += [(1, i, 0 if i < 5 else 2) for i in range(10)]
+    # users 2..6: random tracks
+    for u in range(2, 7):
+        rows += [(u, i, rng.randrange(0, 3)) for i in range(9)]
+
+    df = spark.createDataFrame(rows, "user_id long, idx long, obs long")
+    got = {
+        (r["user_id"], r["idx"]): (r["state"], r["path_cost"])
+        for r in viterbi_smooth(df).collect()
+    }
+
+    def brute(ob):
+        best = None
+        t = len(ob)
+        for states in product((0, 1), repeat=t):
+            c = VIT_EMIT[states[0]][ob[0]]
+            for i in range(1, t):
+                c += VIT_TRANS[states[i - 1]][states[i]]
+                c += VIT_EMIT[states[i]][ob[i]]
+            mask = sum(s << i for i, s in enumerate(states))
+            if best is None or (c, mask) < best:
+                best = (c, mask)
+        return best
+
+    users = sorted({u for u, _, _ in rows})
+    for u in users:
+        ob = [o for uu, i, o in sorted(rows) if uu == u]
+        c, mask = brute(ob)
+        for i in range(len(ob)):
+            assert got[(u, i)] == ((mask >> i) & 1, c), (u, i)
+    # smoothing assertions
+    assert all(got[(0, i)][0] == 0 for i in range(10))     # glitch absorbed
+    assert [got[(1, i)][0] for i in range(10)] == [0] * 5 + [1] * 5
+
+    duck = duckdb.connect()
+    duck.execute("CREATE TABLE obs (user_id BIGINT, idx BIGINT, obs BIGINT)")
+    duck.executemany("INSERT INTO obs VALUES (?, ?, ?)", rows)
+    twin = {
+        (r[0], r[1]): (r[3], r[4])
+        for r in duck.sql(
+            viterbi_smooth_sql("SELECT * FROM obs")
+        ).fetchall()
+    }
+    assert twin == got
