@@ -9122,6 +9122,21 @@ def _attribution_sql() -> str:
     )
 
 
+def q_squares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X219 (graph.square_count): exact 4-cycle census of the dense
+    modular graph via the diagonal co-degree identity
+    sum C(codeg,2)/2 — one oriented wedge join + a combinable rollup."""
+    from osm2geojson_spark.operators import graph as G
+
+    return G.square_count(_dense_graph(spark, sf_dir))
+
+
+def _squares_sql() -> str:
+    from osm2geojson_spark.operators import graph as G
+
+    return G.square_count_sql(_DENSE_GRAPH_SQL)
+
+
 def q_viterbi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X218 (trajectory.viterbi_smooth): Viterbi stay/move smoothing of
     50 12-step observation tracks — each has a stay regime (low bins),
@@ -11734,6 +11749,7 @@ FROM mm GROUP BY i
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "squares": q_squares,
         "viterbi": q_viterbi,
         "conformal": q_conformal,
         "demosaic": q_demosaic,
@@ -12008,6 +12024,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "squares": _squares_sql(),
         "viterbi": _viterbi_sql(),
         "conformal": _conformal_sql(),
         "demosaic": _demosaic_sql(),

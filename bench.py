@@ -269,6 +269,7 @@ BENCH_QUERIES = [
     "demosaic",
     "conformal",
     "viterbi",
+    "squares",
 ]
 
 

@@ -1061,3 +1061,69 @@ LEFT JOIN depth ON depth.d = v.v
 LEFT JOIN root_of ON root_of.v = v.v
 LEFT JOIN sub ON sub.a = v.v
 """
+
+
+def square_count(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """One row (n_pairs, n_squares) — EXACT 4-CYCLE COUNTING over the
+    symmetrized simple graph: quadrilaterals are the next motif after
+    triangles (community butterflies in bipartite-ish graphs, lattice
+    detection, clustering beyond C3).  Identity: every 4-cycle is
+    counted by exactly TWO of its diagonals, so
+
+        n_squares = Σ_{u<w} C(codeg(u, w), 2) / 2
+
+    where codeg(u, w) = |N(u) ∩ N(w)| over unordered non-equal vertex
+    pairs (adjacent or not).  The co-degree table comes from one
+    oriented two-hop join (wedge enumeration u-v-w with u < w), the
+    combination sum is a combinable rollup, and the final halving is
+    exact (the sum is provably even).  n_pairs = co-degree pairs seen.
+
+    Scale: wedge volume Σ_v deg(v)² — the standard quadratic-in-hub
+    cost of motif counting; cap or sample hubs upstream on power-law
+    graphs (same contract as triangle_count's orientation note)."""
+    e = edges.select(F.col(src_col).alias("_s"), F.col(dst_col).alias("_d"))
+    sym = (
+        e.unionByName(
+            e.select(F.col("_d").alias("_s"), F.col("_s").alias("_d"))
+        )
+        .filter(F.col("_s") != F.col("_d"))
+        .distinct()
+    )
+    wedges = (
+        sym.alias("a")
+        .join(sym.alias("b"), F.col("a._d") == F.col("b._s"))
+        .filter(F.col("a._s") < F.col("b._d"))
+        .select(F.col("a._s").alias("u"), F.col("b._d").alias("w"))
+    )
+    codeg = wedges.groupBy("u", "w").agg(F.count(F.lit(1)).alias("c"))
+    return codeg.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        (F.sum(F.col("c") * (F.col("c") - 1)) / 4).cast("long").alias(
+            "n_squares"
+        ),
+    )
+
+
+def square_count_sql(edges_cte: str) -> str:
+    """DuckDB twin of square_count — identical wedge join and identity."""
+    return f"""
+WITH e0 AS ({edges_cte}),
+sym AS (
+  SELECT DISTINCT s, d FROM (
+    SELECT src AS s, dst AS d FROM e0
+    UNION ALL
+    SELECT dst AS s, src AS d FROM e0
+  ) WHERE s <> d
+),
+codeg AS (
+  SELECT a.s AS u, b.d AS w, count(*) AS c
+  FROM sym a JOIN sym b ON b.s = a.d
+  WHERE a.s < b.d
+  GROUP BY 1, 2
+)
+SELECT count(*) AS n_pairs,
+       CAST(sum(c * (c - 1)) // 4 AS BIGINT) AS n_squares
+FROM codeg
+"""

@@ -621,3 +621,51 @@ def _ancestors(parent, n):
         out.add(p)
         p = parent[p]
     return out
+
+
+def test_square_count_closed_forms_and_brute(spark):
+    """Closed forms (C4 = 1 square, K4 = 3, path/star/triangle = 0,
+    cube graph Q3 = 6) + exhaustive brute on a random graph + twin."""
+    import random
+    from itertools import combinations
+
+    import duckdb
+
+    from osm2geojson_spark.operators.graph import square_count, square_count_sql
+
+    def run(edges):
+        df = spark.createDataFrame(edges, "src long, dst long")
+        row = square_count(df).collect()[0]
+        duck = duckdb.connect()
+        duck.execute("CREATE TABLE eg (src BIGINT, dst BIGINT)")
+        duck.executemany("INSERT INTO eg VALUES (?, ?)", edges)
+        twin = duck.sql(square_count_sql("SELECT * FROM eg")).fetchall()[0]
+        assert twin == tuple(row)
+        duck.close()
+        return row["n_squares"]
+
+    assert run([(0, 1), (1, 2), (2, 3), (3, 0)]) == 1          # C4
+    assert run(list(combinations(range(4), 2))) == 3           # K4
+    assert run([(0, 1), (1, 2), (2, 3)]) == 0                  # path
+    assert run([(0, i) for i in range(1, 5)]) == 0             # star
+    assert run([(0, 1), (1, 2), (2, 0)]) == 0                  # triangle
+    cube = [(0, 1), (1, 2), (2, 3), (3, 0), (4, 5), (5, 6), (6, 7), (7, 4),
+            (0, 4), (1, 5), (2, 6), (3, 7)]
+    assert run(cube) == 6                                      # Q3 faces
+
+    rng = random.Random(3)
+    nodes = list(range(12))
+    edges = [e for e in combinations(nodes, 2) if rng.random() < 0.35]
+    adj = {n: set() for n in nodes}
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    brute = 0
+    for quad in combinations(nodes, 4):
+        # count distinct 4-cycles on these 4 vertices (0 or up to 3)
+        a, b, c, d = quad
+        for perm in ((a, b, c, d), (a, b, d, c), (a, c, b, d)):
+            w, x, y, z = perm
+            if (x in adj[w] and y in adj[x] and z in adj[y] and w in adj[z]):
+                brute += 1
+    assert run(edges) == brute
