@@ -9122,6 +9122,33 @@ def _attribution_sql() -> str:
     )
 
 
+def q_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X220 (analytics.trimmed_mean): 10%-trimmed and winsorized means
+    of hash values-with-planted-outliers per event_type — counting
+    arithmetic over tie-collapsed cells, count-selected clamps."""
+    from osm2geojson_spark.operators.analytics import trimmed_mean
+
+    e = F.col("event_id")
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("g"),
+        F.when(e % 11 == 0, (e * 104729) % 100000).otherwise(
+            (e * 7919) % 200 + 400
+        ).alias("v"),
+    )
+    return trimmed_mean(ev, trim_micro=100_000)
+
+
+def _trimmed_mean_sql() -> str:
+    from osm2geojson_spark.operators.analytics import trimmed_mean_sql
+
+    return trimmed_mean_sql(
+        "SELECT event_type AS g,"
+        " CASE WHEN event_id % 11 = 0 THEN (event_id * 104729) % 100000"
+        " ELSE (event_id * 7919) % 200 + 400 END AS v FROM events",
+        trim_micro=100_000,
+    )
+
+
 def q_squares(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X219 (graph.square_count): exact 4-cycle census of the dense
     modular graph via the diagonal co-degree identity
@@ -11749,6 +11776,7 @@ FROM mm GROUP BY i
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "trimmed_mean": q_trimmed_mean,
         "squares": q_squares,
         "viterbi": q_viterbi,
         "conformal": q_conformal,
@@ -12024,6 +12052,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "trimmed_mean": _trimmed_mean_sql(),
         "squares": _squares_sql(),
         "viterbi": _viterbi_sql(),
         "conformal": _conformal_sql(),

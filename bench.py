@@ -270,6 +270,7 @@ BENCH_QUERIES = [
     "conformal",
     "viterbi",
     "squares",
+    "trimmed_mean",
 ]
 
 

@@ -3602,3 +3602,120 @@ FROM ({test_cte}) t
 LEFT JOIN n_g ON n_g.g = t.g
 LEFT JOIN thr ON thr.g = t.g
 """
+
+
+def trimmed_mean(
+    df: DataFrame,
+    trim_micro: int = 100_000,
+    group_col: str = "g",
+    value_col: str = "v",
+) -> DataFrame:
+    """(g, n, k, trimmed_n, trimmed_sum, trimmed_mean, v_lo, v_hi,
+    winsor_sum, winsor_mean) — TRIMMED and WINSORIZED means per group
+    (the robust location estimates between mean and median): drop
+    (trim) or clamp (winsorize) the k = floor(n·trim/1e6) smallest and
+    largest observations.
+
+    Exactness: everything is counting arithmetic over tie-collapsed
+    (g, v) cells — a cell straddling the trim boundary contributes
+    clip(min(cum, n−k) − max(cum−cnt, k), 0) of its copies, the
+    winsor clamps v_lo/v_hi are count-selected order statistics
+    (min v with cum ≥ k+1 / ≥ n−k), and the two means are single IEEE
+    divisions of exact int64 sums.  No sort of raw rows, no ntile.
+
+    Scale: one combinable groupBy(g, v), one distinct-value window,
+    two rollups — mann_whitney's shuffle shape.  Degenerate groups
+    (n ≤ 2k) return NULL means."""
+    tm = int(trim_micro)
+    byval = df.groupBy(
+        F.col(group_col).alias("g"), F.col(value_col).cast("long").alias("v")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("g").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = byval.withColumn("cum", F.sum("cnt").over(w))
+    n_g = byval.groupBy("g").agg(F.sum("cnt").alias("n"))
+    # integer `div` keeps the floor exact (a double quotient can round
+    # up across the floor boundary for adversarial n*trim)
+    n_g = n_g.withColumn("k", F.expr(f"n * {tm} div 1000000"))
+    j = cum.join(n_g, "g")
+    kept = F.greatest(
+        F.least(F.col("cum"), F.col("n") - F.col("k"))
+        - F.greatest(F.col("cum") - F.col("cnt"), F.col("k")),
+        F.lit(0),
+    )
+    agg = j.groupBy("g").agg(
+        F.sum(F.col("v") * kept).alias("trimmed_sum"),
+        F.min(
+            F.when(F.col("cum") >= F.col("k") + 1, F.col("v"))
+        ).alias("v_lo"),
+        F.min(
+            F.when(F.col("cum") >= F.col("n") - F.col("k"), F.col("v"))
+        ).alias("v_hi"),
+    )
+    out = n_g.join(agg, "g")
+    tn = F.col("n") - 2 * F.col("k")
+    wsum = (
+        F.col("trimmed_sum")
+        + F.col("k") * (F.col("v_lo") + F.col("v_hi"))
+    )
+    dd = lambda c: c.cast("double")  # noqa: E731
+    return out.select(
+        "g",
+        "n",
+        "k",
+        tn.alias("trimmed_n"),
+        "trimmed_sum",
+        F.when(tn > 0, dd(F.col("trimmed_sum")) / dd(tn)).alias(
+            "trimmed_mean"
+        ),
+        "v_lo",
+        "v_hi",
+        wsum.alias("winsor_sum"),
+        F.when(tn > 0, dd(wsum) / dd(F.col("n"))).alias("winsor_mean"),
+    )
+
+
+def trimmed_mean_sql(
+    rows_cte: str, trim_micro: int = 100_000
+) -> str:
+    """DuckDB twin of trimmed_mean.  ``rows_cte`` -> (g, v)."""
+    tm = int(trim_micro)
+    return f"""
+WITH src AS (SELECT g, CAST(v AS BIGINT) AS v FROM ({rows_cte})),
+byval AS (SELECT g, v, count(*) AS cnt FROM src GROUP BY 1, 2),
+cum AS (
+  SELECT g, v, cnt, sum(cnt) OVER (
+    PARTITION BY g ORDER BY v
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM byval
+),
+n_g AS (
+  SELECT g, CAST(sum(cnt) AS BIGINT) AS n,
+         CAST(sum(cnt) * {tm} // 1000000 AS BIGINT) AS k
+  FROM byval GROUP BY 1
+),
+agg AS (
+  SELECT c.g,
+         CAST(sum(c.v * greatest(
+             least(c.cum, n_g.n - n_g.k)
+               - greatest(c.cum - c.cnt, n_g.k), 0)) AS BIGINT)
+           AS trimmed_sum,
+         min(CASE WHEN c.cum >= n_g.k + 1 THEN c.v END) AS v_lo,
+         min(CASE WHEN c.cum >= n_g.n - n_g.k THEN c.v END) AS v_hi
+  FROM cum c JOIN n_g ON n_g.g = c.g
+  GROUP BY 1
+)
+SELECT n_g.g, n_g.n, n_g.k,
+       n_g.n - 2 * n_g.k AS trimmed_n,
+       agg.trimmed_sum,
+       CASE WHEN n_g.n - 2 * n_g.k > 0
+            THEN CAST(agg.trimmed_sum AS DOUBLE)
+                 / CAST(n_g.n - 2 * n_g.k AS DOUBLE) END AS trimmed_mean,
+       agg.v_lo, agg.v_hi,
+       agg.trimmed_sum + n_g.k * (agg.v_lo + agg.v_hi) AS winsor_sum,
+       CASE WHEN n_g.n - 2 * n_g.k > 0
+            THEN CAST(agg.trimmed_sum + n_g.k * (agg.v_lo + agg.v_hi)
+                      AS DOUBLE) / CAST(n_g.n AS DOUBLE) END AS winsor_mean
+FROM n_g JOIN agg ON agg.g = n_g.g
+"""

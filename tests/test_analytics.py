@@ -2326,3 +2326,62 @@ def test_conformal_coverage_guarantee_and_twin(spark):
             r["g"], r["pid"], r["s"], r["n_cal"], r["k"],
             r["thresh"], r["covered"],
         ), key
+
+
+def test_trimmed_mean_brute_and_twin(spark):
+    """Sorted-list brute (scipy.stats.trim_mean / winsorize semantics
+    with k = floor(n·trim)) on random multisets with heavy ties, a
+    degenerate tiny group (n <= 2k -> NULL means), and outlier
+    robustness."""
+    import random
+
+    import duckdb
+
+    from osm2geojson_spark.operators.analytics import (
+        trimmed_mean,
+        trimmed_mean_sql,
+    )
+
+    rng = random.Random(4)
+    rows = []
+    for i in range(157):
+        v = rng.randrange(0, 12)  # heavy ties
+        if i % 13 == 0:
+            v = 10_000 + i  # gross outliers
+        rows.append(("a", v))
+    rows += [("tiny", 5), ("tiny", 6)]  # n=2, k=0 -> plain mean... keep
+    rows += [("one", 9)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    got = {r["g"]: r for r in trimmed_mean(df, trim_micro=200_000).collect()}
+
+    for g in ("a", "tiny", "one"):
+        vals = sorted(v for gg, v in rows if gg == g)
+        n = len(vals)
+        k = n * 200_000 // 1_000_000
+        kept = vals[k: n - k]
+        r = got[g]
+        assert (r["n"], r["k"], r["trimmed_n"]) == (n, k, len(kept))
+        assert r["trimmed_sum"] == sum(kept)
+        assert r["trimmed_mean"] == sum(kept) / len(kept)
+        assert (r["v_lo"], r["v_hi"]) == (vals[k], vals[n - k - 1])
+        wvals = [max(min(v, vals[n - k - 1]), vals[k]) for v in vals]
+        assert r["winsor_sum"] == sum(wvals)
+        assert r["winsor_mean"] == sum(wvals) / n
+    # robustness: outliers are >= 10000 but the trimmed mean stays small
+    assert got["a"]["trimmed_mean"] < 15
+
+    duck = duckdb.connect()
+    duck.execute("CREATE TABLE tm (g VARCHAR, v BIGINT)")
+    duck.executemany("INSERT INTO tm VALUES (?, ?)", rows)
+    twin = {
+        r[0]: tuple(r)
+        for r in duck.sql(
+            trimmed_mean_sql("SELECT * FROM tm", trim_micro=200_000)
+        ).fetchall()
+    }
+    for g, r in got.items():
+        assert twin[g] == (
+            g, r["n"], r["k"], r["trimmed_n"], r["trimmed_sum"],
+            r["trimmed_mean"], r["v_lo"], r["v_hi"], r["winsor_sum"],
+            r["winsor_mean"],
+        ), g
