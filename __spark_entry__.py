@@ -9122,6 +9122,34 @@ def _attribution_sql() -> str:
     )
 
 
+def q_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X221 (analytics.cross_correlation): lead/lag detection per
+    event_type — y is the x hash series shifted by exactly 3 steps, so
+    r peaks (=1 on the overlap) at lag +3. Exact int64 sums, pinned
+    sqrt-product assembly."""
+    from osm2geojson_spark.operators.analytics import cross_correlation
+
+    e = F.col("event_id")
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("g"),
+        e.alias("t"),
+        ((e * 7919) % 100).alias("x"),
+        F.pmod((e - 3) * 7919, F.lit(100)).alias("y"),
+    )
+    return cross_correlation(ev, max_lag=5)
+
+
+def _xcorr_sql() -> str:
+    from osm2geojson_spark.operators.analytics import cross_correlation_sql
+
+    return cross_correlation_sql(
+        "SELECT event_type AS g, event_id AS t,"
+        " (event_id * 7919) % 100 AS x,"
+        " (((event_id - 3) * 7919) % 100 + 100) % 100 AS y FROM events",
+        max_lag=5,
+    )
+
+
 def q_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X220 (analytics.trimmed_mean): 10%-trimmed and winsorized means
     of hash values-with-planted-outliers per event_type — counting
@@ -11776,6 +11804,7 @@ FROM mm GROUP BY i
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "xcorr": q_xcorr,
         "trimmed_mean": q_trimmed_mean,
         "squares": q_squares,
         "viterbi": q_viterbi,
@@ -12052,6 +12081,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "xcorr": _xcorr_sql(),
         "trimmed_mean": _trimmed_mean_sql(),
         "squares": _squares_sql(),
         "viterbi": _viterbi_sql(),

@@ -271,6 +271,7 @@ BENCH_QUERIES = [
     "viterbi",
     "squares",
     "trimmed_mean",
+    "xcorr",
 ]
 
 

@@ -3719,3 +3719,100 @@ SELECT n_g.g, n_g.n, n_g.k,
                       AS DOUBLE) / CAST(n_g.n AS DOUBLE) END AS winsor_mean
 FROM n_g JOIN agg ON agg.g = n_g.g
 """
+
+
+def cross_correlation(
+    df: DataFrame,
+    max_lag: int = 5,
+    group_col: str = "g",
+    time_col: str = "t",
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """(g, lag, n, sx, sy, sxy, sx2, sy2, r) — LAGGED CROSS-CORRELATION
+    between two aligned integer series per group: Pearson r of the
+    pairs (x_t, y_{t+lag}) for every lag in [-max_lag, max_lag] — the
+    lead/lag detector (does metric A anticipate metric B, and by how
+    many steps?) behind causal-ish dashboards and alignment search.
+
+    All five sums are exact int64 over the overlap; r is the pinned
+    assembly (n·sxy − sx·sy) / (sqrt(n·sx2 − sx²) · sqrt(n·sy2 − sy²))
+    — exact ints into correctly-rounded ops, identical cross-engine;
+    NULL when either marginal is constant on the overlap.
+
+    Scale: one equi-join of the series against itself shifted by an
+    exploded lag column — (2·max_lag+1)× the input flows into a
+    combinable (g, lag) rollup; no window, no sort."""
+    k = int(max_lag)
+    a = df.select(
+        F.col(group_col).alias("g"),
+        F.col(time_col).cast("long").alias("t"),
+        F.col(x_col).cast("long").alias("x"),
+        F.col(y_col).cast("long").alias("y"),
+    )
+    lagged = a.select(
+        "g", "t", "x",
+        F.explode(F.sequence(F.lit(-k), F.lit(k))).alias("lag"),
+    )
+    b = a.select(
+        "g", F.col("t").alias("tb"), F.col("y").alias("yb")
+    )
+    j = lagged.join(
+        b,
+        (lagged["g"] == b["g"]) & (b["tb"] == lagged["t"] + lagged["lag"]),
+    ).select(lagged["g"], "lag", "x", F.col("yb").alias("y2"))
+    agg = j.groupBy("g", "lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y2").alias("sy"),
+        F.sum(F.col("x") * F.col("y2")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sx2"),
+        F.sum(F.col("y2") * F.col("y2")).alias("sy2"),
+    )
+    n = F.col("n")
+    vx = n * F.col("sx2") - F.col("sx") * F.col("sx")
+    vy = n * F.col("sy2") - F.col("sy") * F.col("sy")
+    num = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    dd = lambda c: c.cast("double")  # noqa: E731
+    return agg.select(
+        "g", "lag", "n", "sx", "sy", "sxy", "sx2", "sy2",
+        F.when(
+            (vx > 0) & (vy > 0),
+            dd(num) / (F.sqrt(dd(vx)) * F.sqrt(dd(vy))),
+        ).alias("r"),
+    )
+
+
+def cross_correlation_sql(
+    rows_cte: str, max_lag: int = 5
+) -> str:
+    """DuckDB twin of cross_correlation.  ``rows_cte`` -> (g, t, x, y)."""
+    k = int(max_lag)
+    return f"""
+WITH src AS (
+  SELECT g, CAST(t AS BIGINT) AS t, CAST(x AS BIGINT) AS x,
+         CAST(y AS BIGINT) AS y
+  FROM ({rows_cte})
+),
+lags AS (SELECT unnest(range(-{k}, {k + 1})) AS lag),
+j AS (
+  SELECT a.g, l.lag, a.x, b.y AS y2
+  FROM src a CROSS JOIN lags l
+  JOIN src b ON b.g = a.g AND b.t = a.t + l.lag
+),
+agg AS (
+  SELECT g, lag, count(*) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y2) AS BIGINT) AS sy,
+         CAST(sum(x * y2) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sx2,
+         CAST(sum(y2 * y2) AS BIGINT) AS sy2
+  FROM j GROUP BY 1, 2
+)
+SELECT g, CAST(lag AS BIGINT) AS lag, n, sx, sy, sxy, sx2, sy2,
+       CASE WHEN n * sx2 - sx * sx > 0 AND n * sy2 - sy * sy > 0
+            THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                 / (sqrt(CAST(n * sx2 - sx * sx AS DOUBLE))
+                    * sqrt(CAST(n * sy2 - sy * sy AS DOUBLE)))
+       END AS r
+FROM agg
+"""

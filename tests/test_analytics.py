@@ -2385,3 +2385,79 @@ def test_trimmed_mean_brute_and_twin(spark):
             r["trimmed_mean"], r["v_lo"], r["v_hi"], r["winsor_sum"],
             r["winsor_mean"],
         ), g
+
+
+def test_cross_correlation_brute_and_shift_peak(spark):
+    """Float-Pearson brute per lag + the designed property: a shifted
+    copy peaks at exactly its shift with r == 1; constant overlap ->
+    NULL."""
+    import random
+
+    import duckdb
+
+    from osm2geojson_spark.operators.analytics import (
+        cross_correlation,
+        cross_correlation_sql,
+    )
+
+    rng = random.Random(21)
+    xs = [rng.randrange(0, 50) for _ in range(60)]
+    rows = []
+    for t in range(60):
+        y = xs[t - 2] if t >= 2 else rng.randrange(0, 50)
+        rows.append(("a", t, xs[t], y))
+    rows += [("c", t, 7, t * t % 13) for t in range(20)]  # constant x
+    df = spark.createDataFrame(rows, "g string, t long, x long, y long")
+    got = {
+        (r["g"], r["lag"]): r
+        for r in cross_correlation(df, max_lag=4).collect()
+    }
+
+    for lag in range(-4, 5):
+        pairs = [
+            (x, [r for r in rows if r[0] == "a" and r[1] == t + lag])
+            for _, t, x, _ in [r for r in rows if r[0] == "a"]
+        ]
+        xv, yv = [], []
+        amap = {t: (x, y) for g, t, x, y in rows if g == "a"}
+        for t in amap:
+            if t + lag in amap:
+                xv.append(amap[t][0])
+                yv.append(amap[t + lag][1])
+        n = len(xv)
+        r = got[("a", lag)]
+        assert r["n"] == n
+        sx, sy = sum(xv), sum(yv)
+        sxy = sum(a * b for a, b in zip(xv, yv))
+        sx2, sy2 = sum(a * a for a in xv), sum(b * b for b in yv)
+        assert (r["sx"], r["sy"], r["sxy"], r["sx2"], r["sy2"]) == (
+            sx, sy, sxy, sx2, sy2
+        )
+        import math
+
+        vx, vy = n * sx2 - sx * sx, n * sy2 - sy * sy
+        if vx > 0 and vy > 0:
+            want = (n * sxy - sx * sy) / (math.sqrt(vx) * math.sqrt(vy))
+            assert abs(r["r"] - want) < 1e-12
+    # y is x shifted by 2 -> r == 1 at lag 2 (overlap excludes the head)
+    assert got[("a", 2)]["r"] == 1.0
+    assert all(
+        got[("a", l)]["r"] < 0.999 for l in range(-4, 5) if l != 2
+    )
+    # constant x -> NULL r at every lag
+    assert all(got[("c", l)]["r"] is None for l in range(-4, 5))
+
+    duck = duckdb.connect()
+    duck.execute("CREATE TABLE xc (g VARCHAR, t BIGINT, x BIGINT, y BIGINT)")
+    duck.executemany("INSERT INTO xc VALUES (?, ?, ?, ?)", rows)
+    twin = {
+        (r[0], r[1]): tuple(r)
+        for r in duck.sql(
+            cross_correlation_sql("SELECT * FROM xc", max_lag=4)
+        ).fetchall()
+    }
+    for key, r in got.items():
+        assert twin[key] == (
+            r["g"], r["lag"], r["n"], r["sx"], r["sy"], r["sxy"],
+            r["sx2"], r["sy2"], r["r"],
+        ), key
