@@ -9122,6 +9122,38 @@ def _attribution_sql() -> str:
     )
 
 
+def q_anchor_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X222 (boxes.anchor_assign): detector-training anchor labeling —
+    10 images x 3 hash-placed GT boxes against a 4x4 stride-16 anchor
+    lattice; per-anchor best-GT and per-GT force-match argmaxes via
+    exact-fraction anti-joins, pos/neg/ignore by cross-multiplied
+    gates."""
+    from osm2geojson_spark.operators.boxes import anchor_assign
+
+    k = F.col("p_partkey")
+    gts = _t(spark, sf_dir, "part").filter(k < 30).select(
+        F.floor(k / 3).cast("long").alias("image_id"),
+        (k % 3).alias("gt_id"),
+        ((k * 13) % 40).alias("x0"),
+        ((k * 29) % 40).alias("y0"),
+        ((k * 13) % 40 + 10 + k % 9).alias("x1"),
+        ((k * 29) % 40 + 10 + k % 7).alias("y1"),
+    )
+    return anchor_assign(gts)
+
+
+def _anchor_assign_sql() -> str:
+    from osm2geojson_spark.operators.boxes import anchor_assign_sql
+
+    return anchor_assign_sql(
+        "SELECT p_partkey // 3 AS image_id, p_partkey % 3 AS gt_id,"
+        " (p_partkey * 13) % 40 AS x0, (p_partkey * 29) % 40 AS y0,"
+        " (p_partkey * 13) % 40 + 10 + p_partkey % 9 AS x1,"
+        " (p_partkey * 29) % 40 + 10 + p_partkey % 7 AS y1"
+        " FROM part WHERE p_partkey < 30"
+    )
+
+
 def q_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X221 (analytics.cross_correlation): lead/lag detection per
     event_type — y is the x hash series shifted by exactly 3 steps, so
@@ -11804,6 +11836,7 @@ FROM mm GROUP BY i
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "anchor_assign": q_anchor_assign,
         "xcorr": q_xcorr,
         "trimmed_mean": q_trimmed_mean,
         "squares": q_squares,
@@ -12081,6 +12114,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "anchor_assign": _anchor_assign_sql(),
         "xcorr": _xcorr_sql(),
         "trimmed_mean": _trimmed_mean_sql(),
         "squares": _squares_sql(),

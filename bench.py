@@ -272,6 +272,7 @@ BENCH_QUERIES = [
     "squares",
     "trimmed_mean",
     "xcorr",
+    "anchor_assign",
 ]
 
 

@@ -556,3 +556,216 @@ SELECT dd.vid AS video_id, dd.f AS frame, dd.bid AS box_id,
 FROM d dd JOIN reach r ON r.u = dd.vid * 100000 + dd.bid
 GROUP BY 1, 2, 3
 """
+
+
+def anchor_assign(
+    gts: DataFrame,
+    grid: int = 4,
+    stride: int = 16,
+    asize: int = 16,
+    hi_micro: int = 500_000,
+    lo_micro: int = 300_000,
+    image_col: str = "image_id",
+    gt_col: str = "gt_id",
+) -> DataFrame:
+    """(image_id, ax, ay, gt_id, inter, uni, label) — ANCHOR ASSIGNMENT
+    for detector training (the Faster R-CNN / RetinaNet matcher): a
+    fixed ``grid``x``grid`` anchor lattice (centers at (i+1/2)·stride,
+    square side ``asize``) is labeled against the image's ground-truth
+    boxes:
+
+      pos    — the anchor's best-IoU GT clears ``hi`` (or the anchor
+               is that GT's best anchor: the force-match rule that
+               guarantees every GT at least one positive),
+      neg    — best IoU below ``lo`` (or no overlap at all; gt NULL),
+      ignore — in between (excluded from the loss).
+
+    Every comparison is exact: gates are cross-multiplied integer
+    inequalities, both argmaxes (per-anchor best GT, per-GT best
+    anchor) are beaten-by anti-joins with (gt_id) / (ay, ax) tie
+    breaks.  One row per anchor — the training-label table.
+
+    Scale: anchors are generated by pure column algebra (explode of
+    two small sequences — no data source), the candidate join is an
+    equi-join on image_id with per-image GT counts bounded by the
+    labeler; everything downstream is anti-joins and one union. The
+    10^12-image labeling sweep is scan-shaped."""
+    hi, lo = int(hi_micro), int(lo_micro)
+    imgs = gts.select(image_col).distinct()
+    idx = F.sequence(F.lit(0), F.lit(int(grid) - 1))
+    anchors = (
+        imgs.withColumn("ax", F.explode(idx))
+        .withColumn("ay", F.explode(idx))
+        .select(
+            image_col,
+            "ax",
+            "ay",
+            (F.col("ax") * stride + stride // 2 - asize // 2).alias("ax0"),
+            (F.col("ay") * stride + stride // 2 - asize // 2).alias("ay0"),
+            (F.col("ax") * stride + stride // 2 + asize // 2).alias("ax1"),
+            (F.col("ay") * stride + stride // 2 + asize // 2).alias("ay1"),
+        )
+    )
+    g = gts.select(
+        image_col,
+        F.col(gt_col).cast("long").alias("gt_id"),
+        F.col("x0").cast("long").alias("gx0"),
+        F.col("y0").cast("long").alias("gy0"),
+        F.col("x1").cast("long").alias("gx1"),
+        F.col("y1").cast("long").alias("gy1"),
+    )
+    iw = F.least("ax1", "gx1") - F.greatest("ax0", "gx0")
+    ih = F.least("ay1", "gy1") - F.greatest("ay0", "gy0")
+    inter = F.when((iw > 0) & (ih > 0), iw * ih).otherwise(F.lit(0))
+    area_a = F.lit(int(asize) * int(asize))
+    area_g = (F.col("gx1") - F.col("gx0")) * (F.col("gy1") - F.col("gy0"))
+    cand = (
+        anchors.join(g, image_col)
+        .withColumn("inter", inter)
+        .withColumn("uni", area_a + area_g - inter)
+        .filter(F.col("inter") > 0)
+        .select(image_col, "ax", "ay", "gt_id", "inter", "uni")
+    )
+    o = cand.select(
+        F.col(image_col).alias("_img2"),
+        F.col("ax").alias("ax2"), F.col("ay").alias("ay2"),
+        F.col("gt_id").alias("gt2"),
+        F.col("inter").alias("i2"), F.col("uni").alias("u2"),
+    )
+    frac_gt = F.col("i2") * F.col("uni")
+    frac_lt = F.col("inter") * F.col("u2")
+    best_gt = cand.join(  # per-anchor best GT
+        o,
+        (cand[image_col] == o["_img2"]) & (cand["ax"] == o["ax2"])
+        & (cand["ay"] == o["ay2"]) & (cand["gt_id"] != o["gt2"])
+        & ((frac_gt > frac_lt)
+           | ((frac_gt == frac_lt) & (o["gt2"] < cand["gt_id"]))),
+        "left_anti",
+    )
+    best_anchor = cand.join(  # per-GT best anchor (force-match rule)
+        o,
+        (cand[image_col] == o["_img2"]) & (cand["gt_id"] == o["gt2"])
+        & ((cand["ax"] != o["ax2"]) | (cand["ay"] != o["ay2"]))
+        & ((frac_gt > frac_lt)
+           | ((frac_gt == frac_lt)
+              & ((o["ay2"] < cand["ay"])
+                 | ((o["ay2"] == cand["ay"]) & (o["ax2"] < cand["ax"]))))),
+        "left_anti",
+    ).select(image_col, "ax", "ay").distinct().withColumn(
+        "forced", F.lit(True)
+    )
+    lab = (
+        best_gt.join(best_anchor, [image_col, "ax", "ay"], "left")
+        .select(
+            image_col, "ax", "ay", "gt_id", "inter", "uni",
+            F.when(
+                (F.col("inter") * 1_000_000 >= F.lit(hi) * F.col("uni"))
+                | F.col("forced").isNotNull(),
+                F.lit("pos"),
+            )
+            .when(
+                F.col("inter") * 1_000_000 < F.lit(lo) * F.col("uni"),
+                F.lit("neg"),
+            )
+            .otherwise(F.lit("ignore"))
+            .alias("label"),
+        )
+    )
+    empty = anchors.join(
+        cand.select(image_col, "ax", "ay").distinct(),
+        [image_col, "ax", "ay"],
+        "left_anti",
+    ).select(
+        image_col, "ax", "ay",
+        F.lit(None).cast("long").alias("gt_id"),
+        F.lit(0).cast("long").alias("inter"),
+        F.lit(None).cast("long").alias("uni"),
+        F.lit("neg").alias("label"),
+    )
+    return lab.unionByName(empty)
+
+
+def anchor_assign_sql(
+    gts_cte: str,
+    grid: int = 4,
+    stride: int = 16,
+    asize: int = 16,
+    hi_micro: int = 500_000,
+    lo_micro: int = 300_000,
+) -> str:
+    """DuckDB twin of anchor_assign.  ``gts_cte`` -> (image_id, gt_id,
+    x0, y0, x1, y1)."""
+    hi, lo = int(hi_micro), int(lo_micro)
+    half = int(stride) // 2
+    ah = int(asize) // 2
+    return f"""
+WITH g AS MATERIALIZED (
+  SELECT image_id, CAST(gt_id AS BIGINT) AS gt_id,
+         CAST(x0 AS BIGINT) AS gx0, CAST(y0 AS BIGINT) AS gy0,
+         CAST(x1 AS BIGINT) AS gx1, CAST(y1 AS BIGINT) AS gy1
+  FROM ({gts_cte})
+),
+anchors AS MATERIALIZED (
+  SELECT i.image_id, xs.ax, ys.ay,
+         xs.ax * {stride} + {half} - {ah} AS ax0,
+         ys.ay * {stride} + {half} - {ah} AS ay0,
+         xs.ax * {stride} + {half} + {ah} AS ax1,
+         ys.ay * {stride} + {half} + {ah} AS ay1
+  FROM (SELECT DISTINCT image_id FROM g) i
+  CROSS JOIN (SELECT unnest(range(0, {int(grid)})) AS ax) xs
+  CROSS JOIN (SELECT unnest(range(0, {int(grid)})) AS ay) ys
+),
+cand AS MATERIALIZED (
+  SELECT a.image_id, a.ax, a.ay, g.gt_id,
+         (least(a.ax1, g.gx1) - greatest(a.ax0, g.gx0))
+           * (least(a.ay1, g.gy1) - greatest(a.ay0, g.gy0)) AS inter,
+         {asize * asize} + (g.gx1 - g.gx0) * (g.gy1 - g.gy0)
+           - (least(a.ax1, g.gx1) - greatest(a.ax0, g.gx0))
+             * (least(a.ay1, g.gy1) - greatest(a.ay0, g.gy0)) AS uni
+  FROM anchors a JOIN g ON g.image_id = a.image_id
+  WHERE least(a.ax1, g.gx1) - greatest(a.ax0, g.gx0) > 0
+    AND least(a.ay1, g.gy1) - greatest(a.ay0, g.gy0) > 0
+),
+best_gt AS (
+  SELECT c.* FROM cand c
+  WHERE NOT EXISTS (
+    SELECT 1 FROM cand o
+    WHERE o.image_id = c.image_id AND o.ax = c.ax AND o.ay = c.ay
+      AND o.gt_id <> c.gt_id
+      AND (o.inter * c.uni > c.inter * o.uni
+           OR (o.inter * c.uni = c.inter * o.uni AND o.gt_id < c.gt_id))
+  )
+),
+forced AS (
+  SELECT DISTINCT c.image_id, c.ax, c.ay FROM cand c
+  WHERE NOT EXISTS (
+    SELECT 1 FROM cand o
+    WHERE o.image_id = c.image_id AND o.gt_id = c.gt_id
+      AND (o.ax <> c.ax OR o.ay <> c.ay)
+      AND (o.inter * c.uni > c.inter * o.uni
+           OR (o.inter * c.uni = c.inter * o.uni
+               AND (o.ay < c.ay OR (o.ay = c.ay AND o.ax < c.ax))))
+  )
+),
+lab AS (
+  SELECT b.image_id, b.ax, b.ay, b.gt_id, b.inter, b.uni,
+         CASE WHEN b.inter * 1000000 >= {hi} * b.uni
+                   OR f.ax IS NOT NULL THEN 'pos'
+              WHEN b.inter * 1000000 < {lo} * b.uni THEN 'neg'
+              ELSE 'ignore' END AS label
+  FROM best_gt b
+  LEFT JOIN forced f
+    ON f.image_id = b.image_id AND f.ax = b.ax AND f.ay = b.ay
+)
+SELECT image_id, CAST(ax AS INTEGER) AS ax, CAST(ay AS INTEGER) AS ay,
+       gt_id, inter, uni, label
+FROM lab
+UNION ALL
+SELECT a.image_id, CAST(a.ax AS INTEGER), CAST(a.ay AS INTEGER),
+       NULL, 0, NULL, 'neg'
+FROM anchors a
+WHERE NOT EXISTS (
+  SELECT 1 FROM cand c
+  WHERE c.image_id = a.image_id AND c.ax = a.ax AND c.ay = a.ay
+)
+"""

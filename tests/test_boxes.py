@@ -245,3 +245,101 @@ def test_iou_track_chains_occlusion_and_twin(spark):
         ).fetchall()
     }
     assert twin == got
+
+
+def test_anchor_assign_rules_brute_and_twin(spark):
+    """Scalar replay of the matcher rules on hand-placed GTs: a
+    dead-center GT is pos by the hi gate, a small off-grid GT with all
+    IoUs < hi still gets its force-matched positive, empty anchors are
+    negatives, and the in-between band is 'ignore'."""
+    from fractions import Fraction
+
+    import duckdb
+
+    from osm2geojson_spark.operators.boxes import anchor_assign, anchor_assign_sql
+
+    gts = [
+        # image 0: GT == anchor (1,1) exactly -> IoU 1 pos; plus a tiny
+        # 6x6 GT near anchor (2,2)'s corner -> best IoU small -> forced pos
+        (0, 0, 16, 16, 32, 32),
+        (0, 1, 30, 34, 36, 40),
+        # image 1: tall GT whose best anchor (1,1) is forced pos at
+        # IoU 0.41 while runner-up (1,2) sits at 208/672 = 0.3095 ->
+        # ignore band
+        (1, 0, 16, 6, 32, 45),
+    ]
+    df = spark.createDataFrame(
+        gts, "image_id long, gt_id long, x0 long, y0 long, x1 long, y1 long"
+    )
+    got = {
+        (r["image_id"], r["ax"], r["ay"]): (r["gt_id"], r["label"])
+        for r in anchor_assign(df).collect()
+    }
+    assert len(got) == 2 * 16  # every anchor of both images has one row
+
+    # scalar replay
+    def iou(a, g):
+        iw = min(a[2], g[2]) - max(a[0], g[0])
+        ih = min(a[3], g[3]) - max(a[1], g[1])
+        if iw <= 0 or ih <= 0:
+            return Fraction(0)
+        i = iw * ih
+        ua = (a[2] - a[0]) * (a[3] - a[1]) + (g[2] - g[0]) * (g[3] - g[1]) - i
+        return Fraction(i, ua)
+
+    anchors = {
+        (ax, ay): (ax * 16, ay * 16, ax * 16 + 16, ay * 16 + 16)
+        for ax in range(4)
+        for ay in range(4)
+    }
+    for img in (0, 1):
+        img_gts = [g for g in gts if g[0] == img]
+        # per-GT best anchor (forced)
+        forced = set()
+        for _, gid, *gb in img_gts:
+            best = max(
+                anchors,
+                key=lambda k: (iou(anchors[k], gb), -k[1], -k[0]),
+            )
+            if iou(anchors[best], gb) > 0:
+                forced.add(best)
+        for (ax, ay), ab in anchors.items():
+            ious = {
+                gid: iou(ab, gb) for _, gid, *gb in img_gts
+            }
+            best_gid = min(
+                (g for g in ious if ious[g] > 0),
+                key=lambda g: (-ious[g], g),
+                default=None,
+            )
+            want_gid, want_label = None, "neg"
+            if best_gid is not None:
+                want_gid = best_gid
+                v = ious[best_gid]
+                if v >= Fraction(1, 2) or (ax, ay) in forced:
+                    want_label = "pos"
+                elif v < Fraction(3, 10):
+                    want_label = "neg"
+                else:
+                    want_label = "ignore"
+            assert got[(img, ax, ay)] == (want_gid, want_label), (img, ax, ay)
+
+    # the designed cases actually happen
+    assert got[(0, 1, 1)] == (0, "pos")
+    assert got[(0, 2, 2)][1] == "pos"          # force-matched
+    assert got[(1, 1, 2)][1] == "ignore"
+    assert got[(0, 0, 3)] == (None, "neg")
+
+    duck = duckdb.connect()
+    duck.execute(
+        "CREATE TABLE gt (image_id BIGINT, gt_id BIGINT, x0 BIGINT,"
+        " y0 BIGINT, x1 BIGINT, y1 BIGINT)"
+    )
+    duck.executemany("INSERT INTO gt VALUES (?, ?, ?, ?, ?, ?)", gts)
+    twin = {
+        (r[0], r[1], r[2]): (r[3], r[6])
+        for r in duck.sql(
+            anchor_assign_sql("SELECT * FROM gt")
+        ).fetchall()
+    }
+    assert twin == {k: v for k, v in got.items()}
