@@ -9122,6 +9122,60 @@ def _attribution_sql() -> str:
     )
 
 
+def q_tone_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X223 (multimodal.tone_detect): fixed-point DFT tone detection —
+    square-wave clips at k0 = 1 + i%3 cycles/frame (integer algebra,
+    no libm in the waveform), 64-sample frames, bins {1,2,3,5}; the
+    dominant bin must be the planted fundamental. Shared inlined trig
+    table keeps both engines bit-identical."""
+    from osm2geojson_spark.functions import audiocodec as AC
+    from osm2geojson_spark.operators.multimodal import tone_detect
+
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_partkey") < 450) & (F.col("p_partkey") % 3 == 0)
+    ).select(F.col("p_partkey").alias("_i"))
+
+    def gen(it):
+        import numpy as np
+
+        for pdf in it:
+            rows = []
+            for i in pdf["_i"]:
+                i = int(i)
+                k0 = 1 + i % 3
+                t = np.arange(640, dtype=np.int64)
+                v = np.where(((t * k0) // 32) % 2 == 0, 8000, -8000)
+                rows.append(
+                    (
+                        f"aud{i:012d}",
+                        "pcmz",
+                        AC.encode_pcm16(v.astype(np.int16)),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=["audio_id", "fmt", "bytes"])
+
+    clips = part.mapInPandas(
+        gen, schema="audio_id string, fmt string, bytes binary"
+    )
+    return tone_detect(clips)
+
+
+def _tone_detect_sql() -> str:
+    from osm2geojson_spark.operators.multimodal import tone_detect_sql
+
+    samples = """
+SELECT printf('aud%012d', i) AS audio_id, t,
+       CASE WHEN ((t * (1 + i % 3)) // 32) % 2 = 0 THEN 8000
+            ELSE -8000 END AS v
+FROM (
+  SELECT i, unnest(range(0, 640)) AS t
+  FROM (SELECT p_partkey AS i FROM part
+        WHERE p_partkey < 450 AND p_partkey % 3 = 0)
+)
+"""
+    return tone_detect_sql(samples)
+
+
 def q_anchor_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X222 (boxes.anchor_assign): detector-training anchor labeling —
     10 images x 3 hash-placed GT boxes against a 4x4 stride-16 anchor
@@ -11836,6 +11890,7 @@ FROM mm GROUP BY i
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "tone_detect": q_tone_detect,
         "anchor_assign": q_anchor_assign,
         "xcorr": q_xcorr,
         "trimmed_mean": q_trimmed_mean,
@@ -12114,6 +12169,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "tone_detect": _tone_detect_sql(),
         "anchor_assign": _anchor_assign_sql(),
         "xcorr": _xcorr_sql(),
         "trimmed_mean": _trimmed_mean_sql(),

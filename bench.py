@@ -273,6 +273,7 @@ BENCH_QUERIES = [
     "trimmed_mean",
     "xcorr",
     "anchor_assign",
+    "tone_detect",
 ]
 
 

@@ -4216,3 +4216,137 @@ SELECT image_id, count(*) AS n_px,
        CAST(sum((x + 2 * y + 1) * (r4 + 2 * g4 + 3 * b4)) AS BIGINT) AS chk
 FROM rgb GROUP BY 1
 """
+
+
+def dft_trig_table(
+    frame: int = 64, bins: tuple = (1, 2, 3, 5), scale: int = 512
+) -> list[tuple[int, int, int, int]]:
+    """(k, t, c, s) — the fixed-point DFT basis shared by the Arrow
+    kernel and the SQL twin: c = round(cos(2π·k·t/frame)·scale), s =
+    round(sin(...)·scale).  Generated ONCE here and inlined into both
+    plans, so libm's last-ulp variance can never split the engines."""
+    import math
+
+    out = []
+    for k in bins:
+        for t in range(frame):
+            a = 2.0 * math.pi * k * t / frame
+            out.append(
+                (k, t, round(math.cos(a) * scale), round(math.sin(a) * scale))
+            )
+    return out
+
+
+def tone_detect(
+    audios: DataFrame,
+    frame: int = 64,
+    bins: tuple = (1, 2, 3, 5),
+    scale: int = 512,
+) -> DataFrame:
+    """(audio_id, frame_idx, k, c_sum, s_sum, energy, is_dominant) —
+    TONE DETECTION: fixed-point DFT energy at ``bins`` cycles-per-frame
+    for every non-overlapping ``frame``-sample window (the
+    Goertzel/DTMF primitive — dial tones, alarm beeps, hums — and the
+    narrowband-energy feature of audio curation).
+
+        c_sum = Σ_t v_t·c(k,t),  s_sum = Σ_t v_t·s(k,t),
+        energy = c_sum² + s_sum²
+
+    with the shared ``dft_trig_table`` basis — everything exact int64
+    (|v| ≤ 32768, scale 512, 64 terms → energy < 2.4e18).  Per frame,
+    the (energy DESC, k ASC) leader is flagged dominant.
+
+    Scale: one Arrow pass (a single (frames × samples) @ (samples ×
+    2|bins|) integer GEMM per clip), rows out = frames·|bins|; the
+    dominant flag is a per-frame window over |bins| rows.  Scan-shaped
+    at 10^12 clips."""
+    from ..functions import audiocodec
+
+    tab = dft_trig_table(frame, bins, scale)
+    karr = np.array(sorted(set(k for k, *_ in tab)), dtype=np.int64)
+    C = np.zeros((frame, len(karr)), dtype=np.int64)
+    S = np.zeros((frame, len(karr)), dtype=np.int64)
+    kpos = {int(k): i for i, k in enumerate(karr)}
+    for k, t, c, s in tab:
+        C[t, kpos[k]] = c
+        S[t, kpos[k]] = s
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                try:
+                    smp, _rate = audiocodec.decode(bytes(r.bytes), r.fmt)
+                except NotImplementedError:
+                    continue
+                nf = len(smp) // frame
+                if nf == 0:
+                    continue
+                v = smp[: nf * frame].astype(np.int64).reshape(nf, frame)
+                cs = v @ C
+                ss = v @ S
+                en = cs * cs + ss * ss
+                for j in range(nf):
+                    for i, k in enumerate(karr):
+                        rows.append(
+                            (
+                                r.audio_id, j, int(k),
+                                int(cs[j, i]), int(ss[j, i]), int(en[j, i]),
+                            )
+                        )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "audio_id", "frame_idx", "k", "c_sum", "s_sum", "energy",
+                ],
+            )
+
+    out = audios.select("audio_id", "bytes", "fmt").mapInPandas(
+        fn,
+        schema="audio_id string, frame_idx int, k int, c_sum long,"
+        " s_sum long, energy long",
+    )
+    w = Window.partitionBy("audio_id", "frame_idx").orderBy(
+        F.col("energy").desc(), F.col("k").asc()
+    )
+    return out.withColumn(
+        "is_dominant", F.row_number().over(w) == 1
+    )
+
+
+def tone_detect_sql(
+    samples_cte: str,
+    frame: int = 64,
+    bins: tuple = (1, 2, 3, 5),
+    scale: int = 512,
+) -> str:
+    """DuckDB twin of tone_detect over (audio_id, t, v) samples — the
+    same inlined trig VALUES, grouped sums, and dominant ranking."""
+    tab = dft_trig_table(frame, bins, scale)
+    vals = ", ".join(f"({k}, {t}, {c}, {s})" for k, t, c, s in tab)
+    return f"""
+WITH smp AS MATERIALIZED (
+  SELECT audio_id, CAST(t AS BIGINT) AS t, CAST(v AS BIGINT) AS v
+  FROM ({samples_cte})
+),
+nfr AS (SELECT audio_id, (max(t) + 1) // {frame} AS nf FROM smp GROUP BY 1),
+trig(k, tt, c, s) AS (VALUES {vals}),
+comp AS (
+  SELECT m.audio_id, CAST(m.t // {frame} AS INTEGER) AS frame_idx,
+         CAST(g.k AS INTEGER) AS k,
+         CAST(sum(m.v * g.c) AS BIGINT) AS c_sum,
+         CAST(sum(m.v * g.s) AS BIGINT) AS s_sum
+  FROM smp m
+  JOIN nfr ON nfr.audio_id = m.audio_id
+  JOIN trig g ON g.tt = m.t % {frame}
+  WHERE m.t < nfr.nf * {frame}
+  GROUP BY 1, 2, 3
+)
+SELECT audio_id, frame_idx, k, c_sum, s_sum,
+       c_sum * c_sum + s_sum * s_sum AS energy,
+       row_number() OVER (
+         PARTITION BY audio_id, frame_idx
+         ORDER BY c_sum * c_sum + s_sum * s_sum DESC, k ASC) = 1
+         AS is_dominant
+FROM comp
+"""

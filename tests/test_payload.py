@@ -2998,3 +2998,52 @@ def test_demosaic_reconstructs_constant_color_planes(spark):
     assert (r["n_px"], r["r4_sum"], r["g4_sum"], r["b4_sum"], r["chk"]) == (
         64, rs, gs, bs, chk
     )
+
+
+def test_tone_detect_finds_planted_fundamental(spark):
+    """Scalar DFT replay with the shared trig table + the physics: a
+    pure square wave at k0 cycles/frame must dominate bin k0 in every
+    frame, and a silent clip gives zero energy everywhere."""
+    import numpy as np
+
+    from osm2geojson_spark.functions import audiocodec
+    from osm2geojson_spark.operators.multimodal import (
+        dft_trig_table,
+        tone_detect,
+    )
+
+    clips = {}
+    for k0 in (1, 2, 3):
+        t = np.arange(128, dtype=np.int64)
+        clips[f"sq{k0}"] = np.where(
+            ((t * k0) // 32) % 2 == 0, 5000, -5000
+        ).astype(np.int16)
+    clips["silent"] = np.zeros(128, dtype=np.int16)
+    rows = [
+        (name, "pcmz", bytearray(audiocodec.encode_pcm16(v)))
+        for name, v in clips.items()
+    ]
+    df = spark.createDataFrame(rows, "audio_id string, fmt string, bytes binary")
+    got = {
+        (r["audio_id"], r["frame_idx"], r["k"]): (
+            r["c_sum"], r["s_sum"], r["energy"], r["is_dominant"]
+        )
+        for r in tone_detect(df).collect()
+    }
+
+    tab = {(k, t): (c, s) for k, t, c, s in dft_trig_table()}
+    for name, v in clips.items():
+        for fj in (0, 1):
+            seg = v[fj * 64: (fj + 1) * 64].astype(int)
+            doms = []
+            for k in (1, 2, 3, 5):
+                cs = sum(int(seg[t]) * tab[(k, t)][0] for t in range(64))
+                ss = sum(int(seg[t]) * tab[(k, t)][1] for t in range(64))
+                en = cs * cs + ss * ss
+                r = got[(name, fj, k)]
+                assert r[:3] == (cs, ss, en), (name, fj, k)
+                doms.append((en, k))
+            best_k = min(doms, key=lambda p: (-p[0], p[1]))[1]
+            assert got[(name, fj, best_k)][3] is True
+            if name.startswith("sq"):
+                assert best_k == int(name[2:]), name
