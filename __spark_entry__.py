@@ -9122,6 +9122,55 @@ def _attribution_sql() -> str:
     )
 
 
+def q_color_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X224 (multimodal.median_cut_palette): depth-2 median-cut
+    palettes over 30 synthetic 16x16 RGB pixel tables (three coprime
+    channel formulas) — widest-channel lower-median cuts, count-
+    selected, no floats; twin unrolls both cut rounds."""
+    from osm2geojson_spark.operators.multimodal import median_cut_palette
+
+    k = F.col("p_partkey")
+    imgs = _t(spark, sf_dir, "part").filter(k < 30).select(
+        F.format_string("img%012d", k).alias("image_id"),
+        k.alias("_i"),
+    )
+    px = imgs.select(
+        "image_id",
+        "_i",
+        F.explode(F.sequence(F.lit(0), F.lit(255))).alias("p"),
+    ).select(
+        "image_id",
+        ((F.col("p") % 16) * 3 + (F.col("p") / 16).cast("long") * 7
+         + F.col("_i") * 13).alias("_a"),
+        ((F.col("p") % 16) * 5 + (F.col("p") / 16).cast("long") * 11
+         + F.col("_i") * 17).alias("_b"),
+        ((F.col("p") % 16) * 7 + (F.col("p") / 16).cast("long") * 3
+         + F.col("_i") * 19).alias("_c"),
+    ).select(
+        "image_id",
+        (F.col("_a") % 251).alias("r"),
+        (F.col("_b") % 241).alias("g"),
+        (F.col("_c") % 239).alias("b"),
+    )
+    return median_cut_palette(px)
+
+
+def _color_quantize_sql() -> str:
+    from osm2geojson_spark.operators.multimodal import median_cut_palette_sql
+
+    px = """
+SELECT printf('img%012d', i) AS image_id,
+       ((p % 16) * 3 + (p // 16) * 7 + i * 13) % 251 AS r,
+       ((p % 16) * 5 + (p // 16) * 11 + i * 17) % 241 AS g,
+       ((p % 16) * 7 + (p // 16) * 3 + i * 19) % 239 AS b
+FROM (
+  SELECT i, unnest(range(0, 256)) AS p
+  FROM (SELECT p_partkey AS i FROM part WHERE p_partkey < 30)
+)
+"""
+    return median_cut_palette_sql(px)
+
+
 def q_tone_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X223 (multimodal.tone_detect): fixed-point DFT tone detection —
     square-wave clips at k0 = 1 + i%3 cycles/frame (integer algebra,
@@ -11890,6 +11939,7 @@ FROM mm GROUP BY i
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "color_quantize": q_color_quantize,
         "tone_detect": q_tone_detect,
         "anchor_assign": q_anchor_assign,
         "xcorr": q_xcorr,
@@ -12169,6 +12219,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "color_quantize": _color_quantize_sql(),
         "tone_detect": _tone_detect_sql(),
         "anchor_assign": _anchor_assign_sql(),
         "xcorr": _xcorr_sql(),

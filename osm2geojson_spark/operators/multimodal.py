@@ -4350,3 +4350,200 @@ SELECT audio_id, frame_idx, k, c_sum, s_sum,
          AS is_dominant
 FROM comp
 """
+
+
+def median_cut_palette(px: DataFrame) -> DataFrame:
+    """(image_id, leaf, n_px, r_sum, g_sum, b_sum) — MEDIAN-CUT COLOR
+    QUANTIZATION (Heckbert 1982), depth 2 -> up to 4 palette boxes per
+    image, over a demosaiced RGB pixel relation (image_id, r, g, b):
+    the palette/posterization primitive of thumbnailing and perceptual
+    indexing (a palette entry = exact channel sums / n_px).
+
+    The cut rule is fully deterministic integer algebra: at each round
+    the box splits on its WIDEST channel (ties prefer r, then g, then
+    b) at that channel's LOWER MEDIAN (count-selected: min v with
+    cum >= (n-1)//2 + 1), CLAMPED strictly below the box max — when
+    the count-median IS the max (mass piled on the top value) the
+    threshold falls back to the largest value below it, so the split
+    is non-degenerate whenever the box is non-uniform.  side 0 =
+    v <= threshold.  Uniform boxes put every pixel on side 0 — no
+    special leaf casing, so the twin is two identical unrolled rounds
+    of side assignment.  leaf = side1·2 + side2.
+
+    Scale: per-image groups (bounded pixels) in one applyInPandas;
+    4 rows out per image.  The twin's count-median rounds are window
+    algebra — oracle-parity for the whole cut tree, not just sums."""
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        img = pdf["image_id"].iloc[0]
+        arr = pdf[["r", "g", "b"]].to_numpy(np.int64)
+
+        def side_bits(mask):
+            sub = arr[mask]
+            rng = sub.max(axis=0) - sub.min(axis=0)
+            chan = int(np.argmax(rng))  # argmax ties -> first = r,g,b order
+            vals = np.sort(sub[:, chan])
+            med = vals[(len(vals) - 1) // 2]
+            if med == vals[-1]:
+                below = vals[vals < med]
+                if len(below):
+                    med = below[-1]
+            return (arr[:, chan] > med) & mask
+
+        all_mask = np.ones(len(arr), dtype=bool)
+        s1 = side_bits(all_mask)
+        leaf = s1.astype(np.int64) * 2
+        for side in (False, True):
+            m = all_mask & (s1 == side)
+            if m.any():
+                s2 = side_bits(m)
+                leaf = np.where(m & s2, leaf + 1, leaf)
+        out = pd.DataFrame(
+            {
+                "image_id": img,
+                "leaf": leaf,
+                "r": arr[:, 0],
+                "g": arr[:, 1],
+                "b": arr[:, 2],
+            }
+        )
+        agg = out.groupby("leaf", as_index=False).agg(
+            n_px=("r", "size"),
+            r_sum=("r", "sum"),
+            g_sum=("g", "sum"),
+            b_sum=("b", "sum"),
+        )
+        agg.insert(0, "image_id", img)
+        return agg
+
+    sel = px.select(
+        "image_id",
+        F.col("r").cast("long").alias("r"),
+        F.col("g").cast("long").alias("g"),
+        F.col("b").cast("long").alias("b"),
+    )
+    return sel.groupBy("image_id").applyInPandas(
+        fn,
+        schema="image_id string, leaf long, n_px long, r_sum long,"
+        " g_sum long, b_sum long",
+    )
+
+
+def median_cut_palette_sql(px_cte: str) -> str:
+    """DuckDB twin of median_cut_palette — two unrolled count-median
+    rounds.  ``px_cte`` -> (image_id, r, g, b)."""
+    return f"""
+WITH base AS MATERIALIZED (
+  SELECT image_id, CAST(r AS BIGINT) AS r, CAST(g AS BIGINT) AS g,
+         CAST(b AS BIGINT) AS b
+  FROM ({px_cte})
+),
+st1 AS MATERIALIZED (
+  SELECT v.image_id, v.r, v.g, v.b,
+         CASE WHEN v.val > m.med THEN 1 ELSE 0 END AS s1
+  FROM (
+    SELECT bb.*,
+           CASE ch.ch WHEN 0 THEN bb.r WHEN 1 THEN bb.g ELSE bb.b END AS val,
+           ch.ch, ch.n
+    FROM base bb
+    JOIN (
+      SELECT image_id,
+             CASE WHEN max(r) - min(r) >= max(g) - min(g)
+                   AND max(r) - min(r) >= max(b) - min(b) THEN 0
+                  WHEN max(g) - min(g) >= max(b) - min(b) THEN 1
+                  ELSE 2 END AS ch,
+             count(*) AS n
+      FROM base GROUP BY 1
+    ) ch ON ch.image_id = bb.image_id
+  ) v
+  JOIN (
+    SELECT image_id,
+           least(min(CASE WHEN cm >= (n - 1) // 2 + 1 THEN val END),
+                 coalesce(max(CASE WHEN val < vmx THEN val END),
+                          min(CASE WHEN cm >= (n - 1) // 2 + 1 THEN val END)))
+             AS med
+    FROM (
+      SELECT image_id, val,
+             sum(cnt) OVER (PARTITION BY image_id ORDER BY val
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm,
+             max(n) OVER (PARTITION BY image_id) AS n,
+             max(val) OVER (PARTITION BY image_id) AS vmx
+      FROM (
+        SELECT v2.image_id, v2.val, count(*) AS cnt, max(v2.n) AS n
+        FROM (
+          SELECT bb.image_id,
+                 CASE ch.ch WHEN 0 THEN bb.r WHEN 1 THEN bb.g
+                      ELSE bb.b END AS val, ch.n
+          FROM base bb
+          JOIN (
+            SELECT image_id,
+                   CASE WHEN max(r) - min(r) >= max(g) - min(g)
+                         AND max(r) - min(r) >= max(b) - min(b) THEN 0
+                        WHEN max(g) - min(g) >= max(b) - min(b) THEN 1
+                        ELSE 2 END AS ch,
+                   count(*) AS n
+            FROM base GROUP BY 1
+          ) ch ON ch.image_id = bb.image_id
+        ) v2 GROUP BY 1, 2
+      )
+    ) GROUP BY 1
+  ) m ON m.image_id = v.image_id
+),
+st2 AS MATERIALIZED (
+  SELECT v.image_id, v.r, v.g, v.b, v.s1,
+         CASE WHEN v.val > m.med THEN 1 ELSE 0 END AS s2
+  FROM (
+    SELECT bb.*,
+           CASE ch.ch WHEN 0 THEN bb.r WHEN 1 THEN bb.g ELSE bb.b END AS val
+    FROM st1 bb
+    JOIN (
+      SELECT image_id, s1,
+             CASE WHEN max(r) - min(r) >= max(g) - min(g)
+                   AND max(r) - min(r) >= max(b) - min(b) THEN 0
+                  WHEN max(g) - min(g) >= max(b) - min(b) THEN 1
+                  ELSE 2 END AS ch
+      FROM st1 GROUP BY 1, 2
+    ) ch ON ch.image_id = bb.image_id AND ch.s1 = bb.s1
+  ) v
+  JOIN (
+    SELECT image_id, s1,
+           least(min(CASE WHEN cm >= (n - 1) // 2 + 1 THEN val END),
+                 coalesce(max(CASE WHEN val < vmx THEN val END),
+                          min(CASE WHEN cm >= (n - 1) // 2 + 1 THEN val END)))
+             AS med
+    FROM (
+      SELECT image_id, s1, val,
+             sum(cnt) OVER (PARTITION BY image_id, s1 ORDER BY val
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm,
+             max(n) OVER (PARTITION BY image_id, s1) AS n,
+             max(val) OVER (PARTITION BY image_id, s1) AS vmx
+      FROM (
+        SELECT v2.image_id, v2.s1, v2.val, count(*) AS cnt,
+               max(v2.n) AS n
+        FROM (
+          SELECT bb.image_id, bb.s1,
+                 CASE ch.ch WHEN 0 THEN bb.r WHEN 1 THEN bb.g
+                      ELSE bb.b END AS val,
+                 ch.n
+          FROM st1 bb
+          JOIN (
+            SELECT image_id, s1,
+                   CASE WHEN max(r) - min(r) >= max(g) - min(g)
+                         AND max(r) - min(r) >= max(b) - min(b) THEN 0
+                        WHEN max(g) - min(g) >= max(b) - min(b) THEN 1
+                        ELSE 2 END AS ch,
+                   count(*) AS n
+            FROM st1 GROUP BY 1, 2
+          ) ch ON ch.image_id = bb.image_id AND ch.s1 = bb.s1
+        ) v2 GROUP BY 1, 2, 3
+      )
+    ) GROUP BY 1, 2
+  ) m ON m.image_id = v.image_id AND m.s1 = v.s1
+)
+SELECT image_id, CAST(s1 * 2 + s2 AS BIGINT) AS leaf,
+       count(*) AS n_px,
+       CAST(sum(r) AS BIGINT) AS r_sum,
+       CAST(sum(g) AS BIGINT) AS g_sum,
+       CAST(sum(b) AS BIGINT) AS b_sum
+FROM st2 GROUP BY 1, 2
+"""

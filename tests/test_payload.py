@@ -3047,3 +3047,69 @@ def test_tone_detect_finds_planted_fundamental(spark):
             assert got[(name, fj, best_k)][3] is True
             if name.startswith("sq"):
                 assert best_k == int(name[2:]), name
+
+
+def test_median_cut_recovers_planted_palette(spark):
+    """A 4-color image (well-separated colors) must come back as
+    exactly 4 leaves whose mean colors ARE the planted colors; plus a
+    scalar replay of the cut rule on a random image and a uniform
+    image collapsing to one leaf."""
+    import random
+
+    from osm2geojson_spark.operators.multimodal import median_cut_palette
+
+    # a 2x2 grid in (r, g) with constant b: round 1 must split on r,
+    # round 2 on g -> exactly the four planted colors
+    colors = [(0, 0, 100), (0, 200, 100), (250, 0, 100), (250, 200, 100)]
+    rows = []
+    for i, (r, g, b) in enumerate(colors):
+        rows += [("quad", r, g, b)] * (20 + i)
+    rows += [("flat", 77, 88, 99)] * 30
+    rng = random.Random(2)
+    rows += [
+        ("rand", rng.randrange(256), rng.randrange(256), rng.randrange(256))
+        for _ in range(150)
+    ]
+    df = spark.createDataFrame(rows, "image_id string, r long, g long, b long")
+    got = {}
+    for row in median_cut_palette(df).collect():
+        got.setdefault(row["image_id"], {})[row["leaf"]] = (
+            row["n_px"], row["r_sum"], row["g_sum"], row["b_sum"]
+        )
+
+    quad = got["quad"]
+    assert len(quad) == 4
+    recovered = sorted(
+        (rs // n, gs // n, bs // n) for n, rs, gs, bs in quad.values()
+    )
+    assert recovered == sorted(colors)
+    # uniform image -> single leaf 0
+    assert list(got["flat"].keys()) == [0]
+    assert got["flat"][0] == (30, 30 * 77, 30 * 88, 30 * 99)
+
+    # scalar replay on rand
+    pts = [(r, g, b) for img, r, g, b in rows if img == "rand"]
+
+    def split(sub):
+        rng_ = [max(c) - min(c) for c in zip(*sub)]
+        ch = rng_.index(max(rng_))
+        vals = sorted(p[ch] for p in sub)
+        med = vals[(len(vals) - 1) // 2]
+        if med == vals[-1]:
+            below = [v for v in vals if v < med]
+            if below:
+                med = below[-1]
+        return ch, med
+
+    ch1, med1 = split(pts)
+    leaves = {}
+    for side in (0, 1):
+        sub = [p for p in pts if (p[ch1] > med1) == bool(side)]
+        if not sub:
+            continue
+        ch2, med2 = split(sub)
+        for p in sub:
+            leaf = side * 2 + (1 if p[ch2] > med2 else 0)
+            n, rs, gs, bs = leaves.get(leaf, (0, 0, 0, 0))
+            leaves[leaf] = (n + 1, rs + p[0], gs + p[1], bs + p[2])
+    assert got["rand"] == leaves
