@@ -274,6 +274,7 @@ BENCH_QUERIES = [
     "xcorr",
     "anchor_assign",
     "tone_detect",
+    "color_quantize",
 ]
 
 
