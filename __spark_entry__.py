@@ -9122,6 +9122,35 @@ def _attribution_sql() -> str:
     )
 
 
+def q_emd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X225 (analytics.wasserstein_drift): per-return-flag 1-D
+    Wasserstein (earth mover's) drift of lineitem quantity against the
+    whole-table reference distribution — exact int64 step areas over
+    the union support, one pinned division. The mass-distance drift
+    gate complementing ks_drift (sup gap) and psi_drift (binned)."""
+    from osm2geojson_spark.operators.analytics import wasserstein_drift
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_quantity").cast("long").alias("v"),
+    )
+    return wasserstein_drift(
+        li, li.select("v"), value_col="v", group_col="l_returnflag"
+    )
+
+
+def _emd_drift_sql() -> str:
+    from osm2geojson_spark.operators.analytics import wasserstein_drift_sql
+
+    return wasserstein_drift_sql(
+        "SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS v"
+        " FROM lineitem",
+        "SELECT CAST(l_quantity AS BIGINT) AS v FROM lineitem",
+        value_col="v",
+        group_col="l_returnflag",
+    )
+
+
 def q_color_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X224 (multimodal.median_cut_palette): depth-2 median-cut
     palettes over 30 synthetic 16x16 RGB pixel tables (three coprime
@@ -11939,6 +11968,7 @@ FROM mm GROUP BY i
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "emd_drift": q_emd_drift,
         "color_quantize": q_color_quantize,
         "tone_detect": q_tone_detect,
         "anchor_assign": q_anchor_assign,
@@ -12219,6 +12249,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "emd_drift": _emd_drift_sql(),
         "color_quantize": _color_quantize_sql(),
         "tone_detect": _tone_detect_sql(),
         "anchor_assign": _anchor_assign_sql(),

@@ -275,6 +275,7 @@ BENCH_QUERIES = [
     "anchor_assign",
     "tone_detect",
     "color_quantize",
+    "emd_drift",
 ]
 
 

@@ -3816,3 +3816,147 @@ SELECT g, CAST(lag AS BIGINT) AS lag, n, sx, sy, sxy, sx2, sy2,
        END AS r
 FROM agg
 """
+
+
+def wasserstein_drift(
+    cur: DataFrame,
+    ref: DataFrame,
+    value_col: str,
+    group_col: str,
+) -> DataFrame:
+    """(g, n_cur, n_ref, w1_num, w1_den, w1) — per-group 1-D
+    WASSERSTEIN-1 (earth mover's) distance between each group's
+    empirical distribution of ``value_col`` and a shared reference
+    sample. The binning-free drift measure that, unlike KS (sup gap)
+    and PSI (binned log-ratio), weighs HOW FAR mass moved:
+
+        W1 = integral |F_g(x) - F_ref(x)| dx
+           = sum_i |cum_g(v_i)*N_ref - cum_ref(v_i)*N_g| * (v_{i+1}-v_i)
+             / (N_g * N_ref)
+
+    over the consecutive distinct values v_i of the union support.
+    The numerator/denominator pair is EXACT int64 (counting arithmetic
+    only); ``w1`` is the single pinned IEEE division. Deterministic:
+    no bins, no epsilon, no order sensitivity (sums of nonnegative
+    integers).
+
+    Scale: per-(g, v) counts are combinable rollups; the reference
+    histogram is broadcast (support-sized, corpus-sublinear); the
+    cumulative walk is a per-group window over the group's support —
+    bounded by distinct values, never raw rows. One shuffle on g."""
+    refc = ref.groupBy(F.col(value_col).alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("nr_v")
+    )
+    curc = cur.groupBy(
+        F.col(group_col).alias("g"), F.col(value_col).alias("v")
+    ).agg(F.count(F.lit(1)).cast("long").alias("nc_v"))
+    groups = curc.select("g").distinct()
+    # union support per group: the group's own values plus every
+    # reference value (the ref support is small and broadcast).
+    support = (
+        curc.select("g", "v")
+        .union(groups.crossJoin(F.broadcast(refc.select("v"))))
+        .distinct()
+    )
+    merged = (
+        support.join(curc, ["g", "v"], "left")
+        .join(F.broadcast(refc), "v", "left")
+        .select(
+            "g",
+            "v",
+            F.coalesce("nc_v", F.lit(0)).alias("nc_v"),
+            F.coalesce("nr_v", F.lit(0)).alias("nr_v"),
+        )
+    )
+    wv = Window.partitionBy("g").orderBy("v")
+    wcum = wv.rowsBetween(Window.unboundedPreceding, 0)
+    stepped = merged.select(
+        "g",
+        "v",
+        F.sum("nc_v").over(wcum).cast("long").alias("cc"),
+        F.sum("nr_v").over(wcum).cast("long").alias("cr"),
+        F.lead("v").over(wv).alias("v_next"),
+    )
+    tot = merged.groupBy("g").agg(
+        F.sum("nc_v").cast("long").alias("n_cur"),
+        F.sum("nr_v").cast("long").alias("n_ref"),
+    )
+    return (
+        stepped.filter(F.col("v_next").isNotNull())
+        .join(tot, "g")
+        .groupBy("g", "n_cur", "n_ref")
+        .agg(
+            F.sum(
+                F.abs(
+                    F.col("cc") * F.col("n_ref")
+                    - F.col("cr") * F.col("n_cur")
+                )
+                * (F.col("v_next") - F.col("v"))
+            )
+            .cast("long")
+            .alias("w1_num")
+        )
+        .select(
+            "g",
+            "n_cur",
+            "n_ref",
+            "w1_num",
+            (F.col("n_cur") * F.col("n_ref")).cast("long").alias("w1_den"),
+            (
+                F.col("w1_num").cast("double")
+                / (F.col("n_cur") * F.col("n_ref")).cast("double")
+            ).alias("w1"),
+        )
+    )
+
+
+def wasserstein_drift_sql(
+    cur_cte: str, ref_cte: str, value_col: str, group_col: str
+) -> str:
+    """DuckDB twin of wasserstein_drift — identical union support,
+    cumulative counts, integer step areas, and pinned final division."""
+    v, g = value_col, group_col
+    return f"""
+WITH cs AS ({cur_cte}), rs AS ({ref_cte}),
+refc AS (SELECT {v} AS v, CAST(count(*) AS BIGINT) AS nr_v
+         FROM rs GROUP BY 1),
+curc AS (SELECT {g} AS g, {v} AS v, CAST(count(*) AS BIGINT) AS nc_v
+         FROM cs GROUP BY 1, 2),
+support AS (
+  SELECT g, v FROM curc
+  UNION
+  SELECT gg.g, refc.v FROM (SELECT DISTINCT g FROM curc) gg, refc
+),
+merged AS (
+  SELECT s.g, s.v,
+         COALESCE(curc.nc_v, 0) AS nc_v,
+         COALESCE(refc.nr_v, 0) AS nr_v
+  FROM support s
+  LEFT JOIN curc ON curc.g = s.g AND curc.v = s.v
+  LEFT JOIN refc ON refc.v = s.v
+),
+stepped AS (
+  SELECT g, v,
+    CAST(sum(nc_v) OVER (PARTITION BY g ORDER BY v
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cc,
+    CAST(sum(nr_v) OVER (PARTITION BY g ORDER BY v
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cr,
+    lead(v) OVER (PARTITION BY g ORDER BY v) AS v_next
+  FROM merged
+),
+tot AS (
+  SELECT g, CAST(sum(nc_v) AS BIGINT) AS n_cur,
+         CAST(sum(nr_v) AS BIGINT) AS n_ref
+  FROM merged GROUP BY 1
+)
+SELECT s.g, t.n_cur, t.n_ref,
+       CAST(sum(abs(s.cc * t.n_ref - s.cr * t.n_cur)
+                * (s.v_next - s.v)) AS BIGINT) AS w1_num,
+       CAST(t.n_cur * t.n_ref AS BIGINT) AS w1_den,
+       CAST(sum(abs(s.cc * t.n_ref - s.cr * t.n_cur)
+                * (s.v_next - s.v)) AS DOUBLE)
+         / CAST(t.n_cur * t.n_ref AS DOUBLE) AS w1
+FROM stepped s JOIN tot t ON t.g = s.g
+WHERE s.v_next IS NOT NULL
+GROUP BY 1, 2, 3, 5
+"""

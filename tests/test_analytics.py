@@ -2461,3 +2461,80 @@ def test_cross_correlation_brute_and_shift_peak(spark):
             r["g"], r["lag"], r["n"], r["sx"], r["sy"], r["sxy"],
             r["sx2"], r["sy2"], r["r"],
         ), key
+
+
+def test_wasserstein_drift_matches_scipy_style_brute_and_twin(spark):
+    import duckdb
+    import numpy as np
+
+    from osm2geojson_spark.operators.analytics import (
+        wasserstein_drift,
+        wasserstein_drift_sql,
+    )
+
+    rng = np.random.default_rng(47)
+    refv = [int(v) for v in rng.integers(0, 40, 180)]
+    curr = [("a", int(v)) for v in rng.integers(0, 40, 120)] + [
+        ("b", int(v + 7)) for v in rng.integers(0, 40, 90)
+    ]
+    cur = spark.createDataFrame(curr, "g string, v long").repartition(4)
+    ref = spark.createDataFrame(
+        [(v,) for v in refv], "v long"
+    ).repartition(3)
+    got = {
+        r["g"]: r
+        for r in wasserstein_drift(cur, ref, "v", "g").collect()
+    }
+
+    def brute_w1(xs, ys):
+        # integral of |Fx - Fy| over the union support (unit: raw value)
+        support = sorted(set(xs) | set(ys))
+        nx, ny = len(xs), len(ys)
+        num = 0
+        for v, vn in zip(support, support[1:]):
+            cx = sum(1 for t in xs if t <= v)
+            cy = sum(1 for t in ys if t <= v)
+            num += abs(cx * ny - cy * nx) * (vn - v)
+        return num, nx * ny
+
+    for g in ("a", "b"):
+        xs = [v for gg, v in curr if gg == g]
+        num, den = brute_w1(xs, refv)
+        r = got[g]
+        assert (r["w1_num"], r["w1_den"]) == (num, den)
+        assert (r["n_cur"], r["n_ref"]) == (len(xs), len(refv))
+        assert r["w1"] == num / den
+        # cross-check against the closed-form equal-weights answer
+        q = np.linspace(0, 1, 12001)[1:-1]
+        approx = float(
+            np.mean(
+                np.abs(
+                    np.quantile(xs, q, method="inverted_cdf")
+                    - np.quantile(refv, q, method="inverted_cdf")
+                )
+            )
+        )
+        assert abs(r["w1"] - approx) < 0.02
+
+    # shift invariance: W1(x, x + c) == c for same-size samples
+    base = [("s", v) for v in range(50)]
+    sh = spark.createDataFrame(base, "g string, v long")
+    shref = spark.createDataFrame([(v + 9,) for v in range(50)], "v long")
+    r = wasserstein_drift(sh, shref, "v", "g").collect()[0]
+    assert r["w1"] == 9.0
+
+    duck = duckdb.connect()
+    duck.execute("CREATE TABLE tc (g VARCHAR, v BIGINT)")
+    duck.executemany("INSERT INTO tc VALUES (?, ?)", curr)
+    duck.execute("CREATE TABLE tr (v BIGINT)")
+    duck.executemany("INSERT INTO tr VALUES (?)", [(v,) for v in refv])
+    twin = duck.sql(
+        wasserstein_drift_sql(
+            "SELECT g, v FROM tc", "SELECT v FROM tr", "v", "g"
+        )
+    ).fetchall()
+    for g, n_cur, n_ref, num, den, w1 in twin:
+        r = got[g]
+        assert (
+            r["n_cur"], r["n_ref"], r["w1_num"], r["w1_den"], r["w1"]
+        ) == (n_cur, n_ref, num, den, w1)
