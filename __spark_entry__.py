@@ -9122,6 +9122,23 @@ def _attribution_sql() -> str:
     )
 
 
+def q_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X226 (graph.clustering_coeff): per-node local clustering
+    coefficient over the dense modular graph — 2*tri/(deg*(deg-1)) as
+    the exact integer rational with one pinned division, deg<2 nodes 0
+    by the networkx convention. Degree rollup + the oriented two-hop
+    triangle closure; the cohesion feature for bot/spam graph gates."""
+    from osm2geojson_spark.operators import graph as G
+
+    return G.clustering_coeff(_dense_graph(spark, sf_dir))
+
+
+def _clustering_coeff_sql() -> str:
+    from osm2geojson_spark.operators import graph as G
+
+    return G.clustering_coeff_sql(_DENSE_GRAPH_SQL)
+
+
 def q_emd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X225 (analytics.wasserstein_drift): per-return-flag 1-D
     Wasserstein (earth mover's) drift of lineitem quantity against the
@@ -11968,6 +11985,7 @@ FROM mm GROUP BY i
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "clustering_coeff": q_clustering_coeff,
         "emd_drift": q_emd_drift,
         "color_quantize": q_color_quantize,
         "tone_detect": q_tone_detect,
@@ -12249,6 +12267,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "clustering_coeff": _clustering_coeff_sql(),
         "emd_drift": _emd_drift_sql(),
         "color_quantize": _color_quantize_sql(),
         "tone_detect": _tone_detect_sql(),

@@ -276,6 +276,7 @@ BENCH_QUERIES = [
     "tone_detect",
     "color_quantize",
     "emd_drift",
+    "clustering_coeff",
 ]
 
 

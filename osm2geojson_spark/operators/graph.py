@@ -1127,3 +1127,84 @@ SELECT count(*) AS n_pairs,
        CAST(sum(c * (c - 1)) // 4 AS BIGINT) AS n_squares
 FROM codeg
 """
+
+
+def clustering_coeff(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """(node, deg, n_tri, lcc_num, lcc_den, lcc) — LOCAL CLUSTERING
+    COEFFICIENT per node over the symmetrized simple graph: the
+    fraction of a node's neighbor pairs that are themselves adjacent,
+
+        lcc(v) = 2 * tri(v) / (deg(v) * (deg(v) - 1))
+
+    kept as the EXACT integer rational (2*tri, deg*(deg-1)) with one
+    pinned IEEE division; deg < 2 nodes get 0 by the networkx
+    convention (not NULL). The classic cohesion feature for spam/bot
+    account detection and graph-quality gates on link corpora.
+
+    Scale: degree is one combinable rollup over the symmetrized edge
+    relation; triangles reuse triangle_count's oriented two-hop join
+    (low-id -> high-id orientation caps candidate volume). Three
+    shuffles total, all key-partitioned; no neighbor list ever
+    materializes on one task."""
+    e = edges.select(F.col(src_col).alias("_s"), F.col(dst_col).alias("_d"))
+    sym = (
+        e.unionByName(
+            e.select(F.col("_d").alias("_s"), F.col("_s").alias("_d"))
+        )
+        .filter(F.col("_s") != F.col("_d"))
+        .distinct()
+    )
+    deg = sym.groupBy(F.col("_s").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )
+    tri = triangle_count(edges, src_col, dst_col)
+    num = F.coalesce(F.col("n_tri"), F.lit(0)) * 2
+    den = F.col("deg") * (F.col("deg") - 1)
+    return deg.join(tri, "node", "left").select(
+        "node",
+        "deg",
+        F.coalesce(F.col("n_tri"), F.lit(0)).cast("long").alias("n_tri"),
+        num.cast("long").alias("lcc_num"),
+        den.cast("long").alias("lcc_den"),
+        F.when(
+            F.col("deg") >= 2,
+            num.cast("double") / den.cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("lcc"),
+    )
+
+
+def clustering_coeff_sql(edges_cte: str) -> str:
+    """DuckDB twin of clustering_coeff — same symmetrization, degree
+    rollup, triangle closure, and pinned division."""
+    return f"""
+WITH e0 AS ({edges_cte}),
+sym AS (SELECT DISTINCT _s, _d FROM (SELECT src AS _s, dst AS _d FROM e0
+        UNION ALL SELECT dst, src FROM e0) u WHERE _s != _d),
+deg AS (SELECT _s AS node, CAST(count(*) AS BIGINT) AS deg
+        FROM sym GROUP BY 1),
+fwd AS (SELECT _s, _d FROM sym WHERE _s < _d),
+tri AS (
+  SELECT ab._s AS a, ab._d AS b, bc._d AS c
+  FROM fwd ab JOIN fwd bc ON bc._s = ab._d
+  JOIN fwd ac ON ac._s = ab._s AND ac._d = bc._d
+),
+corners AS (
+  SELECT a AS node FROM tri UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+),
+ntri AS (SELECT node, CAST(count(*) AS BIGINT) AS n_tri
+         FROM corners GROUP BY node)
+SELECT d.node, d.deg,
+       CAST(COALESCE(n.n_tri, 0) AS BIGINT) AS n_tri,
+       CAST(2 * COALESCE(n.n_tri, 0) AS BIGINT) AS lcc_num,
+       CAST(d.deg * (d.deg - 1) AS BIGINT) AS lcc_den,
+       CASE WHEN d.deg >= 2
+            THEN CAST(2 * COALESCE(n.n_tri, 0) AS DOUBLE)
+                 / CAST(d.deg * (d.deg - 1) AS DOUBLE)
+            ELSE 0.0 END AS lcc
+FROM deg d LEFT JOIN ntri n ON n.node = d.node
+"""

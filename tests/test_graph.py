@@ -669,3 +669,66 @@ def test_square_count_closed_forms_and_brute(spark):
             if (x in adj[w] and y in adj[x] and z in adj[y] and w in adj[z]):
                 brute += 1
     assert run(edges) == brute
+
+
+def test_clustering_coeff_matches_networkx_style_brute(spark):
+    import duckdb
+    import numpy as np
+
+    from osm2geojson_spark.operators.graph import (
+        clustering_coeff,
+        clustering_coeff_sql,
+    )
+
+    rng = np.random.default_rng(53)
+    pairs = {
+        (int(a), int(b))
+        for a, b in rng.integers(0, 28, size=(140, 2))
+        if a != b
+    }
+    rows = [(a, b) for a, b in pairs]
+    # add a pendant (deg 1) and an isolated-pair node to hit the deg<2 path
+    rows += [(100, 101)]
+    edges = spark.createDataFrame(rows, "src long, dst long").repartition(3)
+    got = {r["node"]: r for r in clustering_coeff(edges).collect()}
+
+    adj = {}
+    for a, b in rows:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    for v, nb in adj.items():
+        nb = nb - {v}
+        deg = len(nb)
+        tri = 0
+        nbl = sorted(nb)
+        for i, x in enumerate(nbl):
+            for y in nbl[i + 1:]:
+                if y in adj.get(x, ()):
+                    tri += 1
+        r = got[v]
+        assert r["deg"] == deg
+        assert r["n_tri"] == tri
+        assert (r["lcc_num"], r["lcc_den"]) == (2 * tri, deg * (deg - 1))
+        expect = 2 * tri / (deg * (deg - 1)) if deg >= 2 else 0.0
+        assert r["lcc"] == expect
+    assert got[100]["lcc"] == 0.0 and got[100]["deg"] == 1
+
+    # a 4-clique is fully clustered
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    for r in clustering_coeff(
+        spark.createDataFrame(k4, "src long, dst long")
+    ).collect():
+        assert r["lcc"] == 1.0 and r["deg"] == 3 and r["n_tri"] == 3
+
+    duck = duckdb.connect()
+    duck.execute("CREATE TABLE te (src BIGINT, dst BIGINT)")
+    duck.executemany("INSERT INTO te VALUES (?, ?)", rows)
+    twin = duck.sql(
+        clustering_coeff_sql("SELECT src, dst FROM te")
+    ).fetchall()
+    assert len(twin) == len(got)
+    for node, deg, n_tri, num, den, lcc in twin:
+        r = got[node]
+        assert (
+            r["deg"], r["n_tri"], r["lcc_num"], r["lcc_den"], r["lcc"]
+        ) == (deg, n_tri, num, den, lcc)
