@@ -11982,9 +11982,32 @@ FROM mm GROUP BY i
 """
 
 
+def q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X227 (dedup.winnow_fingerprints): winnowing fingerprints (the
+    MOSS algorithm, Schleimer et al. SIGMOD 2003) over the documents
+    corpus — window-min of char 5-gram hashes with the rightmost tie
+    rule, encoded as one exact int64 key min. The position-aware
+    plagiarism/near-dup fingerprint complementing minhash (set-level)
+    and simhash (vector-level)."""
+    from osm2geojson_spark.operators.dedup import winnow_fingerprints
+
+    return winnow_fingerprints(
+        _t(spark, sf_dir, "documents"), id_col="doc_id", text_col="text"
+    )
+
+
+def _winnow_sql() -> str:
+    from osm2geojson_spark.operators.dedup import winnow_fingerprints_sql
+
+    return winnow_fingerprints_sql(
+        "SELECT doc_id, text FROM documents", id_col="doc_id", text_col="text"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "winnow": q_winnow,
         "clustering_coeff": q_clustering_coeff,
         "emd_drift": q_emd_drift,
         "color_quantize": q_color_quantize,
@@ -12267,6 +12290,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "winnow": _winnow_sql(),
         "clustering_coeff": _clustering_coeff_sql(),
         "emd_drift": _emd_drift_sql(),
         "color_quantize": _color_quantize_sql(),

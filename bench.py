@@ -277,6 +277,7 @@ BENCH_QUERIES = [
     "color_quantize",
     "emd_drift",
     "clustering_coeff",
+    "winnow",
 ]
 
 

@@ -799,3 +799,119 @@ SELECT DISTINCT least(ia, ib) AS a, greatest(ia, ib) AS b,
        CAST(levenshtein(ka, kb) AS INTEGER) AS lev
 FROM cand WHERE levenshtein(ka, kb) <= {max_lev}
 """
+
+
+# ------------------------------------------------------------- winnowing
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    w: int = 4,
+) -> DataFrame:
+    """(doc_id, pos, gram_hash) — WINNOWING document fingerprints
+    (Schleimer, Wilkerson & Aiken, SIGMOD 2003 — the MOSS algorithm):
+    hash every character ``k``-gram of the normalized text, slide a
+    window of ``w`` consecutive gram hashes, and in each window select
+    the minimum hash, keeping the RIGHTMOST occurrence on ties; the
+    distinct selections are the fingerprint. Guarantees: any shared
+    substring of length >= k + w - 1 yields at least one shared
+    fingerprint (the winnowing theorem), and density is ~2/(w+1).
+
+    Exactness — pure integer min over an encoded key
+
+        key = h * 2^21 + (POSCAP - pos),  h = md5_60 % 2^30 < 2^30
+
+    so key < 2^51 (int64-exact in both engines) and min(key) IS
+    lexicographic (hash asc, pos desc) = min-hash-rightmost-tie.
+    Positions are capped at POSCAP = 2^21 - 1 chars per document
+    (filtered, documented), far above the corpus profile.
+
+    Scale: one shuffle on doc_id for the per-document ordered window;
+    gram expansion is bounded by document length and never leaves the
+    partition after the shuffle; output is ~2L/(w+1) rows per doc.
+    Window state is w rows. No joins, no driver collection."""
+    from pyspark.sql.window import Window
+
+    POS_BITS = 21
+    POSCAP = (1 << POS_BITS) - 1
+    t = TXT.normalize_col(F.col(text_col))
+    base = (
+        df.select(F.col(id_col).alias("_id"), t.alias("_t"))
+        .filter((F.length("_t") >= k + w - 1) & (F.length("_t") <= POSCAP))
+    )
+    idx = F.sequence(F.lit(1), F.length("_t") - F.lit(k - 1))
+    grams = base.select(
+        "_id",
+        F.posexplode(
+            F.transform(idx, lambda i: F.substring(F.col("_t"), F.lit(0) + i, k))
+        ).alias("_p0", "_gram"),
+    )
+    hashed = grams.select(
+        "_id",
+        (F.col("_p0") + 1).cast("long").alias("_pos"),
+        F.pmod(TXT.md5_long(F.col("_gram")), F.lit(H.M30)).alias("_h"),
+    )
+    keyed = hashed.withColumn(
+        "_key", F.col("_h") * F.lit(1 << POS_BITS) + (F.lit(POSCAP) - F.col("_pos"))
+    )
+    win = Window.partitionBy("_id").orderBy("_pos")
+    sel = (
+        keyed.withColumn("_sel", F.min("_key").over(win.rowsBetween(-(w - 1), 0)))
+        .withColumn("_i", F.row_number().over(win))
+        .filter(F.col("_i") >= w)
+    )
+    return (
+        sel.select(
+            F.col("_id").alias(id_col),
+            (F.lit(POSCAP) - F.pmod(F.col("_sel"), F.lit(1 << POS_BITS))).alias("pos"),
+            F.expr(f"_sel DIV {1 << POS_BITS}").alias("gram_hash"),
+        )
+        .distinct()
+    )
+
+
+def winnow_fingerprints_sql(
+    docs_cte: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    w: int = 4,
+) -> str:
+    """DuckDB twin of winnow_fingerprints — identical normalization,
+    gram hashing, encoded-key window min, and rightmost-tie decode."""
+    POS_BITS = 21
+    POSCAP = (1 << POS_BITS) - 1
+    norm = TXT.normalize_sql(text_col)
+    gram = f"substr(_t, CAST(_pos AS INTEGER), {k})"
+    return f"""
+WITH wn_docs AS ({docs_cte}),
+wn_norm AS (
+  SELECT {id_col} AS _id, {norm} AS _t FROM wn_docs
+  WHERE length({norm}) >= {k + w - 1} AND length({norm}) <= {POSCAP}
+),
+wn_grams AS (
+  SELECT _id, _t,
+         CAST(unnest(range(1, length(_t) - {k - 1} + 1)) AS BIGINT) AS _pos
+  FROM wn_norm
+),
+wn_keyed AS (
+  SELECT _id, _pos,
+         mod({TXT.md5_long_sql(gram)}, {H.M30}) * {1 << POS_BITS}
+           + ({POSCAP} - _pos) AS _key
+  FROM wn_grams
+),
+wn_sel AS (
+  SELECT _id,
+         min(_key) OVER (PARTITION BY _id ORDER BY _pos
+                         ROWS BETWEEN {w - 1} PRECEDING AND CURRENT ROW) AS _sel,
+         row_number() OVER (PARTITION BY _id ORDER BY _pos) AS _i
+  FROM wn_keyed
+)
+SELECT DISTINCT _id AS {id_col},
+       {POSCAP} - (_sel % {1 << POS_BITS}) AS pos,
+       _sel // {1 << POS_BITS} AS gram_hash
+FROM wn_sel WHERE _i >= {w}
+"""

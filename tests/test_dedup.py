@@ -1307,3 +1307,65 @@ def test_hard_negatives_brute_and_twin(spark):
         ).fetchall()
     )
     assert twin == got_t
+
+
+# ------------------------------------------------------------- winnowing
+
+
+def _py_winnow(text, k=5, w=4):
+    """Scalar replay of winnow_fingerprints: md5-based gram hashes,
+    window min with rightmost tie, distinct (pos, hash)."""
+    import hashlib
+    import re
+
+    t = re.sub(" +", " ", re.sub(r"[^a-z0-9 ]", "", text.lower())).strip()
+    if len(t) < k + w - 1 or len(t) > (1 << 21) - 1:
+        return set()
+    hs = []
+    for i in range(len(t) - k + 1):
+        g = t[i : i + k]
+        h60 = int(hashlib.md5(g.encode()).hexdigest()[:15], 16)
+        hs.append((i + 1, h60 % (1 << 30)))
+    out = set()
+    for j in range(w - 1, len(hs)):
+        window = hs[j - w + 1 : j + 1]
+        mn = min(h for _, h in window)
+        pos = max(p for p, h in window if h == mn)  # rightmost tie
+        out.add((pos, mn))
+    return out
+
+
+def test_winnow_matches_scalar_replay(spark, docs):
+    got = {
+        (r["doc_id"], r["pos"], r["gram_hash"])
+        for r in DD.winnow_fingerprints(docs).collect()
+    }
+    want = set()
+    for did, text in DOCS:
+        for pos, h in _py_winnow(text):
+            want.add((did, pos, h))
+    assert got == want
+    assert len(got) > 0
+
+
+def test_winnow_theorem_shared_substring(spark):
+    """Any shared substring of length >= k + w - 1 (= 8) must yield at
+    least one shared (hash) fingerprint between the two documents."""
+    shared = "zqxjkvbwp"  # 9 chars, no spaces, survives normalization
+    df = spark.createDataFrame(
+        [
+            (1, "aaaa" + shared + "bbbb"),
+            (2, "cccccc" + shared + "dddddd"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = DD.winnow_fingerprints(df).collect()
+    h1 = {r["gram_hash"] for r in rows if r["doc_id"] == 1}
+    h2 = {r["gram_hash"] for r in rows if r["doc_id"] == 2}
+    assert h1 & h2
+
+
+def test_winnow_short_doc_empty(spark):
+    df = spark.createDataFrame([(1, "abcdefg")], "doc_id long, text string")
+    # len 7 < k + w - 1 = 8 -> no full window, no fingerprints
+    assert DD.winnow_fingerprints(df).count() == 0
