@@ -12004,9 +12004,37 @@ def _winnow_sql() -> str:
     )
 
 
+def q_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X228 (analytics.target_encode): smoothed mean target encoding
+    (Micci-Barreca 2001) of event_type against the binary
+    high-value-event target — the standard categorical feature
+    transform for tabular training pipelines, shrunk toward the global
+    target mean with pseudo-count m. Pure int64 micro arithmetic."""
+    from osm2geojson_spark.operators.analytics import target_encode
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("cat"),
+        (F.col("value") > F.lit(50.0)).cast("int").alias("y"),
+    )
+    return target_encode(ev, cat_col="cat", target_col="y", m=20)
+
+
+def _target_encode_sql() -> str:
+    from osm2geojson_spark.operators.analytics import target_encode_sql
+
+    return target_encode_sql(
+        "SELECT event_type AS cat,"
+        " CASE WHEN value > 50.0 THEN 1 ELSE 0 END AS y FROM events",
+        cat_col="cat",
+        target_col="y",
+        m=20,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "target_encode": q_target_encode,
         "winnow": q_winnow,
         "clustering_coeff": q_clustering_coeff,
         "emd_drift": q_emd_drift,
@@ -12290,6 +12318,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "target_encode": _target_encode_sql(),
         "winnow": _winnow_sql(),
         "clustering_coeff": _clustering_coeff_sql(),
         "emd_drift": _emd_drift_sql(),

@@ -278,6 +278,7 @@ BENCH_QUERIES = [
     "emd_drift",
     "clustering_coeff",
     "winnow",
+    "target_encode",
 ]
 
 

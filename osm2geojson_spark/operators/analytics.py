@@ -3960,3 +3960,87 @@ FROM stepped s JOIN tot t ON t.g = s.g
 WHERE s.v_next IS NOT NULL
 GROUP BY 1, 2, 3, 5
 """
+
+
+# ------------------------------------------------------- target encoding
+
+
+def target_encode(
+    df: DataFrame,
+    cat_col: str = "cat",
+    target_col: str = "y",
+    m: int = 20,
+) -> DataFrame:
+    """(cat, n, sum_y, enc_micro) — SMOOTHED MEAN TARGET ENCODING
+    (Micci-Barreca, SIGKDD Expl. 2001): the standard high-cardinality
+    categorical feature transform for tabular training pipelines,
+
+        enc(c) = (sum_y(c) + m * prior) / (n(c) + m),
+        prior  = S / N  (global target mean),
+
+    i.e. the per-category target mean shrunk toward the global mean
+    with pseudo-count ``m`` — rare categories get the prior, frequent
+    ones their own mean.
+
+    Exactness: ``target_col`` must be integer-valued (0/1 labels or
+    integer scores). With N = total rows, S = total target sum,
+
+        enc_micro = (sum_y * N + m * S) * 1_000_000 div ((n + m) * N)
+
+    is pure int64 arithmetic — bit-identical cross-engine. Headroom:
+    (sum_y*N + m*S) * 1e6 must fit int64, so N is bounded by ~3e6 at
+    micro precision; at larger N pre-aggregate or drop SCALE_MICRO
+    (the encoding only needs ~1e-6 resolution for any downstream
+    model, so coarser category sketches are fine at 100 TB).
+
+    Scale: one combinable groupBy(cat) shuffle; the global (N, S) is
+    re-aggregated FROM the per-category result (no second scan) and
+    broadcast back as a literal pair via crossJoin of a 1-row frame.
+    Scan-shaped; no windows, no driver collection."""
+    per = df.groupBy(F.col(cat_col).alias("cat")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col(target_col).cast("long")).alias("sum_y"),
+    )
+    glob = per.agg(
+        F.sum("n").alias("_N"), F.sum("sum_y").alias("_S")
+    )
+    return (
+        per.crossJoin(F.broadcast(glob))
+        .select(
+            "cat",
+            "n",
+            "sum_y",
+            F.expr(
+                f"(sum_y * _N + {int(m)} * _S) * 1000000"
+                f" div ((n + {int(m)}) * _N)"
+            ).alias("enc_micro"),
+        )
+    )
+
+
+def target_encode_sql(
+    rows_cte: str,
+    cat_col: str = "cat",
+    target_col: str = "y",
+    m: int = 20,
+) -> str:
+    """DuckDB twin of target_encode — identical integer assembly
+    (DuckDB ``//`` truncates toward zero; all operands nonnegative,
+    so it matches Spark's ``div`` exactly)."""
+    return f"""
+WITH te_rows AS ({rows_cte}),
+te_per AS (
+  SELECT {cat_col} AS cat,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST({target_col} AS BIGINT)) AS BIGINT) AS sum_y
+  FROM te_rows GROUP BY 1
+),
+te_glob AS (
+  SELECT CAST(sum(n) AS BIGINT) AS _N, CAST(sum(sum_y) AS BIGINT) AS _S
+  FROM te_per
+)
+SELECT cat, n, sum_y,
+       (sum_y * _N + {int(m)} * _S) * 1000000 // ((n + {int(m)}) * _N)
+         AS enc_micro
+FROM te_per, te_glob
+"""

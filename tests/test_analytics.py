@@ -2538,3 +2538,54 @@ def test_wasserstein_drift_matches_scipy_style_brute_and_twin(spark):
         assert (
             r["n_cur"], r["n_ref"], r["w1_num"], r["w1_den"], r["w1"]
         ) == (n_cur, n_ref, num, den, w1)
+
+
+def test_target_encode_brute_and_twin(spark):
+    """Exact-integer replay of the smoothed mean encoding on a skewed
+    categorical with a rare category (shrinks to the prior) and a
+    frequent pure-1 category (stays near its own mean), plus the
+    DuckDB twin byte-for-byte."""
+    import random
+
+    import duckdb
+
+    from osm2geojson_spark.operators.analytics import (
+        target_encode,
+        target_encode_sql,
+    )
+
+    rng = random.Random(11)
+    rows = []
+    for _ in range(400):
+        rows.append(("common_lo", 1 if rng.random() < 0.1 else 0))
+    for _ in range(300):
+        rows.append(("common_hi", 1))
+    rows.append(("rare", 1))  # n=1: encoding must sit near the prior
+    df = spark.createDataFrame(rows, "cat string, y int")
+    got = {r["cat"]: r for r in target_encode(df, m=20).collect()}
+
+    N = len(rows)
+    S = sum(y for _, y in rows)
+    for cat in ("common_lo", "common_hi", "rare"):
+        n = sum(1 for c, _ in rows if c == cat)
+        sy = sum(y for c, y in rows if c == cat)
+        enc = (sy * N + 20 * S) * 1_000_000 // ((n + 20) * N)
+        r = got[cat]
+        assert (r["n"], r["sum_y"], r["enc_micro"]) == (n, sy, enc), cat
+    # shrinkage properties: rare sits between its own mean region and
+    # the prior, and much closer to the prior than common_hi is to it
+    prior_micro = S * 1_000_000 // N
+    assert abs(got["rare"]["enc_micro"] - prior_micro) < 50_000
+    assert got["common_hi"]["enc_micro"] > prior_micro + 200_000
+
+    duck = duckdb.connect()
+    duck.execute("CREATE TABLE te (cat VARCHAR, y INTEGER)")
+    duck.executemany("INSERT INTO te VALUES (?, ?)", rows)
+    twin = {
+        r[0]: tuple(r)
+        for r in duck.sql(
+            target_encode_sql("SELECT * FROM te", m=20)
+        ).fetchall()
+    }
+    for cat, r in got.items():
+        assert twin[cat] == (cat, r["n"], r["sum_y"], r["enc_micro"]), cat
