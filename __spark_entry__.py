@@ -12031,9 +12031,42 @@ def _target_encode_sql() -> str:
     )
 
 
+def q_keyword_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X229 (text.tfidf_topk): per-document top-5 TF-IDF keywords with
+    the dyadic (floor-log2) idf — exact int64 scores, bit-identical
+    ranking cross-engine. The fixture enriches each document with its
+    source, lang and a unique marker token so document frequencies span
+    1..N and the idf actually discriminates."""
+    from osm2geojson_spark.functions.text import tfidf_topk
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            F.col("text"),
+            F.col("source"),
+            F.col("lang"),
+            F.concat(F.lit("u"), F.col("doc_id").cast("string")),
+        ).alias("text"),
+    )
+    return tfidf_topk(docs, k=5)
+
+
+def _keyword_extract_sql() -> str:
+    from osm2geojson_spark.functions.text import tfidf_topk_sql
+
+    return tfidf_topk_sql(
+        "SELECT doc_id,"
+        " text || ' ' || source || ' ' || lang || ' u' || CAST(doc_id AS VARCHAR)"
+        " AS text FROM documents",
+        k=5,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "keyword_extract": q_keyword_extract,
         "target_encode": q_target_encode,
         "winnow": q_winnow,
         "clustering_coeff": q_clustering_coeff,
@@ -12318,6 +12351,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "keyword_extract": _keyword_extract_sql(),
         "target_encode": _target_encode_sql(),
         "winnow": _winnow_sql(),
         "clustering_coeff": _clustering_coeff_sql(),

@@ -279,6 +279,7 @@ BENCH_QUERIES = [
     "clustering_coeff",
     "winnow",
     "target_encode",
+    "keyword_extract",
 ]
 
 

@@ -481,3 +481,100 @@ FROM pc
 JOIN uni ux ON ux.tok = pc.tok1
 JOIN uni uy ON uy.tok = pc.tok2, tot
 """
+
+
+def tfidf_topk(
+    docs: DataFrame, text_col: str = "text", k: int = 5
+) -> DataFrame:
+    """(doc_id, rank, tok, tf, df, idf_log2, score) — per-document
+    TOP-K KEYWORD EXTRACTION by TF-IDF (Sparck Jones 1972), the
+    standard corpus-level salient-term signal for tagging, routing and
+    retrieval features in training-data pipelines.
+
+    Exactness: instead of the float ``ln(N/df)`` (cross-engine last
+    ulp unpinned) the idf is the DYADIC log
+
+        idf_log2 = floor(log2(N / df)) = length(bin(N div df)) - 1,
+
+    computed in pure integer arithmetic (``bin`` exists and agrees in
+    Spark and DuckDB), so ``score = tf * idf_log2`` is exact int64 and
+    the (score DESC, tf DESC, tok ASC) ranking is bit-identical
+    cross-engine. Terms present in every document get idf 0 — the
+    classic idf(N/N)=0 behavior. N counts documents with at least one
+    token.
+
+    Scale: tokenize is scan-shaped; tf is ONE combinable
+    groupBy(doc_id, tok) rollup; df/N derive FROM the tf table
+    (vocabulary-sized — broadcast back, no second corpus scan); the
+    top-k is a row_number window partitioned by doc_id (per-doc vocab
+    fits any executor)."""
+    from pyspark.sql.window import Window
+
+    toks = docs.select(
+        F.col("doc_id"),
+        F.explode(F.split(normalize_col(F.col(text_col)), " ")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    tf = toks.groupBy("doc_id", "tok").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    n_docs = tf.select("doc_id").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "idf_log2",
+            (F.length(F.bin(F.expr("n_docs div df"))) - F.lit(1)).cast("long"),
+        )
+        .withColumn("score", F.col("tf") * F.col("idf_log2"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("tf").desc(), F.col("tok").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "rank", "tok", "tf", "df", "idf_log2", "score")
+    )
+
+
+def tfidf_topk_sql(docs_cte: str, text_col: str = "text", k: int = 5) -> str:
+    """DuckDB twin of tfidf_topk — identical normalization, dyadic idf
+    via the same bin()-length identity, identical ranking order."""
+    norm = normalize_sql(text_col)
+    return f"""
+WITH tk_src AS ({docs_cte}),
+tk_lists AS (
+  SELECT doc_id, list_filter(string_split({norm}, ' '), t -> t != '') AS l
+  FROM tk_src
+),
+tk_toks AS (
+  SELECT doc_id, unnest(l) AS tok FROM tk_lists
+),
+tk_tf AS (
+  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+  FROM tk_toks GROUP BY 1, 2
+),
+tk_df AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tk_tf GROUP BY 1
+),
+tk_n AS (
+  SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM tk_tf
+),
+tk_scored AS (
+  SELECT t.doc_id, t.tok, t.tf, d.df,
+         CAST(length(bin(n.n_docs // d.df)) - 1 AS BIGINT) AS idf_log2,
+         CAST(t.tf * (length(bin(n.n_docs // d.df)) - 1) AS BIGINT) AS score
+  FROM tk_tf t JOIN tk_df d USING (tok), tk_n n
+),
+tk_ranked AS (
+  SELECT *, CAST(row_number() OVER (
+    PARTITION BY doc_id ORDER BY score DESC, tf DESC, tok ASC
+  ) AS BIGINT) AS rank
+  FROM tk_scored
+)
+SELECT doc_id, rank, tok, tf, df, idf_log2, score
+FROM tk_ranked WHERE rank <= {int(k)}
+"""

@@ -1369,3 +1369,67 @@ def test_winnow_short_doc_empty(spark):
     df = spark.createDataFrame([(1, "abcdefg")], "doc_id long, text string")
     # len 7 < k + w - 1 = 8 -> no full window, no fingerprints
     assert DD.winnow_fingerprints(df).count() == 0
+
+
+def test_tfidf_topk_brute_and_twin(spark):
+    """Dict-replay brute of the dyadic TF-IDF top-k on a corpus with a
+    ubiquitous term (idf 0), mid-frequency terms, and per-doc unique
+    markers (max idf), plus the DuckDB twin byte-for-byte."""
+    import math
+
+    import duckdb
+
+    from osm2geojson_spark.functions.text import tfidf_topk, tfidf_topk_sql
+
+    corpus = [
+        (0, "the cat sat on the mat uniq0 uniq0 uniq0"),
+        (1, "the dog sat watching cats uniq1"),
+        (2, "the the the market crashed uniq2 cats"),
+        (3, "market rally and the cat uniq3"),
+        (4, "quiet afternoon uniq4 market"),
+        (5, "the cat The CAT, the!"),  # normalization folds case/punct
+    ]
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = [
+        (r["doc_id"], r["rank"], r["tok"], r["tf"], r["df"],
+         r["idf_log2"], r["score"])
+        for r in tfidf_topk(df, k=3).collect()
+    ]
+
+    # brute replay
+    toks = {
+        d: [t for t in
+            "".join(c if c.isalnum() or c == " " else "" for c in s.lower())
+            .split() if t]
+        for d, s in corpus
+    }
+    tf = {}
+    for d, ts in toks.items():
+        for t in ts:
+            tf[(d, t)] = tf.get((d, t), 0) + 1
+    dfreq = {}
+    for (d, t) in tf:
+        dfreq[t] = dfreq.get(t, 0) + 1
+    n = len({d for d, _ in tf})
+    want = []
+    for d in toks:
+        rows = []
+        for t in {t for dd, t in tf if dd == d}:
+            idf = (n // dfreq[t]).bit_length() - 1
+            rows.append((t, tf[(d, t)], dfreq[t], idf, tf[(d, t)] * idf))
+        rows.sort(key=lambda r: (-r[4], -r[1], r[0]))
+        for i, r in enumerate(rows[:3]):
+            want.append((d, i + 1, *r))
+    assert sorted(got) == sorted(want)
+    # ubiquitous term 'the' (in all 6 docs) must have idf 0
+    assert all(r[5] == 0 for r in got if r[2] == "the")
+    # unique markers get the max idf floor(log2(6)) == 2
+    assert any(r[2] == "uniq0" and r[5] == 2 for r in got)
+
+    duck = duckdb.connect()
+    duck.execute("CREATE TABLE docs6 (doc_id BIGINT, text VARCHAR)")
+    duck.executemany("INSERT INTO docs6 VALUES (?, ?)", corpus)
+    twin = duck.sql(
+        tfidf_topk_sql("SELECT * FROM docs6", k=3)
+    ).fetchall()
+    assert sorted(tuple(r) for r in twin) == sorted(got)
