@@ -12031,6 +12031,36 @@ def _target_encode_sql() -> str:
     )
 
 
+def q_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X230 (analytics.abc_classes): ABC / Pareto revenue classes over
+    per-part lineitem revenue (cents) — which parts carry 80% / 95% of
+    revenue. Descending two-level prefix scan, integer class gates."""
+    from osm2geojson_spark.operators.analytics import abc_classes
+
+    rev = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_partkey").alias("part"))
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+            .cast("long")
+            .alias("rev_c")
+        )
+    )
+    return abc_classes(rev, key_col="part", value_col="rev_c")
+
+
+def _abc_analysis_sql() -> str:
+    from osm2geojson_spark.operators.analytics import abc_classes_sql
+
+    return abc_classes_sql(
+        "SELECT l_partkey AS part,"
+        " CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)"
+        " AS rev_c FROM lineitem GROUP BY 1",
+        key_col="part",
+        value_col="rev_c",
+    )
+
+
 def q_keyword_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X229 (text.tfidf_topk): per-document top-5 TF-IDF keywords with
     the dyadic (floor-log2) idf — exact int64 scores, bit-identical
@@ -12066,6 +12096,7 @@ def _keyword_extract_sql() -> str:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "abc_analysis": q_abc_analysis,
         "keyword_extract": q_keyword_extract,
         "target_encode": q_target_encode,
         "winnow": q_winnow,
@@ -12351,6 +12382,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "abc_analysis": _abc_analysis_sql(),
         "keyword_extract": _keyword_extract_sql(),
         "target_encode": _target_encode_sql(),
         "winnow": _winnow_sql(),

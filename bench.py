@@ -280,6 +280,7 @@ BENCH_QUERIES = [
     "winnow",
     "target_encode",
     "keyword_extract",
+    "abc_analysis",
 ]
 
 

@@ -4044,3 +4044,124 @@ SELECT cat, n, sum_y,
          AS enc_micro
 FROM te_per, te_glob
 """
+
+
+# ---------------------------------------------------------- ABC analysis
+
+
+def abc_classes(
+    df: DataFrame,
+    key_col: str = "key",
+    value_col: str = "value_c",
+    a_micro: int = 800_000,
+    b_micro: int = 950_000,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """(key, value_c, rank, cum_c, total_c, share_micro, abc) — ABC /
+    PARETO ANALYSIS (Dickie 1951, the 80/20 inventory classic): rank
+    items by value descending, accumulate, and class each item by its
+    cumulative value share AFTER including it — 'A' while
+    cum/total <= a, 'B' while <= b, else 'C'. The catalog-curation /
+    cost-concentration primitive (which parts carry 80% of revenue,
+    which domains carry 95% of tokens).
+
+    Exactness: values must be pre-quantized int64 (cents, tokens); the
+    class gates are integer cross-multiplications cum·1e6 <= a_micro·T
+    — no division in the decision. share_micro = cum·1e6 div T is the
+    one reported quotient. Headroom: cum·1e6 < 2^63 → totals to ~9.2e12
+    units; pre-scale coarser units beyond.
+
+    Scale: the descending global prefix sum is the same TWO-LEVEL SCAN
+    as sampling.pps_systematic — value-range buckets (descending
+    alignment: equal values share a bucket, ties break by key ASC),
+    per-bucket totals to the driver once (<= n_buckets rows), parallel
+    per-bucket windows shifted by broadcast offsets. No
+    single-partition window; the SQL twin is the serial window cumsum —
+    independent mechanism, identical integers."""
+    base = df.select(
+        F.col(key_col).alias("_k"), F.col(value_col).cast("long").alias("_v")
+    )
+    lo_hi = base.agg(F.min("_v"), F.max("_v")).first()
+    lo, hi = lo_hi[0], lo_hi[1]
+    if lo is None:
+        return base.select(
+            F.col("_k").alias(key_col),
+            F.col("_v").alias("value_c"),
+            F.lit(0).cast("long").alias("rank"),
+            F.lit(0).cast("long").alias("cum_c"),
+            F.lit(0).cast("long").alias("total_c"),
+            F.lit(0).cast("long").alias("share_micro"),
+            F.lit("C").alias("abc"),
+        )
+    span = max(int(hi) - int(lo) + 1, 1)
+    bucket = F.expr(
+        f"CAST((({int(hi)} - _v) * {int(n_buckets)}) DIV {span} AS BIGINT)"
+    )
+    b = base.withColumn("_b", bucket)
+    totals = sorted(
+        (r["_b"], r["t"], r["c"])
+        for r in b.groupBy("_b")
+        .agg(F.sum("_v").alias("t"), F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    voff = F.lit(0).cast("long")
+    coff = F.lit(0).cast("long")
+    vacc, cacc = 0, 0
+    for bk, t, c in totals:
+        voff = F.when(F.col("_b") == bk, F.lit(vacc).cast("long")).otherwise(voff)
+        coff = F.when(F.col("_b") == bk, F.lit(cacc).cast("long")).otherwise(coff)
+        vacc += t
+        cacc += c
+    total = int(vacc)
+    w = (
+        Window.partitionBy("_b")
+        .orderBy(F.col("_v").desc(), F.col("_k").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = (F.sum("_v").over(w) + voff).alias("cum_c")
+    rank = (F.row_number().over(w).cast("long") + coff).alias("rank")
+    out = b.select(
+        F.col("_k").alias(key_col), F.col("_v").alias("value_c"), rank, cum
+    )
+    gate_a = F.col("cum_c") * 1_000_000 <= F.lit(int(a_micro) * total)
+    gate_b = F.col("cum_c") * 1_000_000 <= F.lit(int(b_micro) * total)
+    return out.select(
+        key_col,
+        "value_c",
+        "rank",
+        "cum_c",
+        F.lit(total).cast("long").alias("total_c"),
+        F.expr(f"cum_c * 1000000 DIV {total}").cast("long").alias("share_micro"),
+        F.when(gate_a, F.lit("A")).when(gate_b, F.lit("B")).otherwise(F.lit("C")).alias("abc"),
+    )
+
+
+def abc_classes_sql(
+    rows_cte: str,
+    key_col: str = "key",
+    value_col: str = "value_c",
+    a_micro: int = 800_000,
+    b_micro: int = 950_000,
+) -> str:
+    """DuckDB twin of abc_classes — serial window cumsum over the same
+    (value DESC, key ASC) total order, identical integer gates."""
+    return f"""
+WITH abc_rows AS ({rows_cte}),
+abc_base AS (
+  SELECT {key_col} AS _k, CAST({value_col} AS BIGINT) AS _v FROM abc_rows
+),
+abc_cum AS (
+  SELECT _k, _v,
+    CAST(row_number() OVER (ORDER BY _v DESC, _k ASC) AS BIGINT) AS rank,
+    CAST(sum(_v) OVER (ORDER BY _v DESC, _k ASC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_c,
+    CAST(sum(_v) OVER () AS BIGINT) AS total_c
+  FROM abc_base
+)
+SELECT _k AS {key_col}, _v AS value_c, rank, cum_c, total_c,
+       cum_c * 1000000 // total_c AS share_micro,
+       CASE WHEN cum_c * 1000000 <= {int(a_micro)} * total_c THEN 'A'
+            WHEN cum_c * 1000000 <= {int(b_micro)} * total_c THEN 'B'
+            ELSE 'C' END AS abc
+FROM abc_cum
+"""

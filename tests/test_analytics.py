@@ -2589,3 +2589,54 @@ def test_target_encode_brute_and_twin(spark):
     }
     for cat, r in got.items():
         assert twin[cat] == (cat, r["n"], r["sum_y"], r["enc_micro"]), cat
+
+
+def test_abc_classes_brute_and_twin(spark):
+    """Serial-replay brute of the descending Pareto scan on a skewed
+    value set with heavy ties (same-value items must rank by key), a
+    dominant head item, and the DuckDB twin byte-for-byte."""
+    import random
+
+    import duckdb
+
+    from osm2geojson_spark.operators.analytics import (
+        abc_classes,
+        abc_classes_sql,
+    )
+
+    rng = random.Random(7)
+    rows = [(0, 50_000)]  # dominant head
+    rows += [(i, 1_000) for i in range(1, 6)]  # tied block
+    rows += [(i, rng.randrange(1, 500)) for i in range(6, 60)]
+    df = spark.createDataFrame(rows, "key long, value_c long")
+    got = {
+        r["key"]: (r["rank"], r["cum_c"], r["total_c"], r["share_micro"], r["abc"])
+        for r in abc_classes(df).collect()
+    }
+
+    order = sorted(rows, key=lambda r: (-r[1], r[0]))
+    total = sum(v for _, v in rows)
+    cum = 0
+    for rank0, (k, v) in enumerate(order):
+        cum += v
+        abc = (
+            "A" if cum * 1_000_000 <= 800_000 * total
+            else "B" if cum * 1_000_000 <= 950_000 * total
+            else "C"
+        )
+        assert got[k] == (rank0 + 1, cum, total, cum * 1_000_000 // total, abc), k
+    # the dominant item is A; the long tail ends in C
+    assert got[0][4] == "A" and got[order[-1][0]][4] == "C"
+    # tied block ranks strictly by key
+    tied = [got[i][0] for i in range(1, 6)]
+    assert tied == sorted(tied)
+
+    duck = duckdb.connect()
+    duck.execute("CREATE TABLE abc_t (key BIGINT, value_c BIGINT)")
+    duck.executemany("INSERT INTO abc_t VALUES (?, ?)", rows)
+    twin = {
+        r[0]: tuple(r[2:])
+        for r in duck.sql(abc_classes_sql("SELECT * FROM abc_t")).fetchall()
+    }
+    for k, g in got.items():
+        assert twin[k] == g, k
