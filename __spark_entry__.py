@@ -12031,6 +12031,34 @@ def _target_encode_sql() -> str:
     )
 
 
+def q_alpha_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X231 (geometry.alpha_shape_edges): alpha-shape boundary edges of
+    the four Delaunay tile groups (same fixture as q_delaunay) at
+    alpha^2 = 40_000 — concave footprints where the convex hull
+    over-covers. Exact integer circumradius gate in decimal(38,0)."""
+    from osm2geojson_spark.operators.geometry import alpha_shape_edges
+
+    pts = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") < 160).select(
+        (F.col("c_custkey") % 4).alias("grp"),
+        F.col("c_custkey").alias("pid"),
+        ((F.col("c_custkey") * 2654435761) % 1009).alias("x"),
+        ((F.col("c_custkey") * 2246822519 + 7) % 1013).alias("y"),
+    )
+    return alpha_shape_edges(pts, alpha2=40_000)
+
+
+def _alpha_shape_sql() -> str:
+    from osm2geojson_spark.operators.geometry import alpha_shape_edges_sql
+
+    return alpha_shape_edges_sql(
+        "SELECT c_custkey % 4 AS grp, c_custkey AS pid,"
+        " (c_custkey * 2654435761) % 1009 AS x,"
+        " (c_custkey * 2246822519 + 7) % 1013 AS y"
+        " FROM customer WHERE c_custkey < 160",
+        alpha2=40_000,
+    )
+
+
 def q_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X230 (analytics.abc_classes): ABC / Pareto revenue classes over
     per-part lineitem revenue (cents) — which parts carry 80% / 95% of
@@ -12096,6 +12124,7 @@ def _keyword_extract_sql() -> str:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "alpha_shape": q_alpha_shape,
         "abc_analysis": q_abc_analysis,
         "keyword_extract": q_keyword_extract,
         "target_encode": q_target_encode,
@@ -12382,6 +12411,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "alpha_shape": _alpha_shape_sql(),
         "abc_analysis": _abc_analysis_sql(),
         "keyword_extract": _keyword_extract_sql(),
         "target_encode": _target_encode_sql(),

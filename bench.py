@@ -281,6 +281,7 @@ BENCH_QUERIES = [
     "target_encode",
     "keyword_extract",
     "abc_analysis",
+    "alpha_shape",
 ]
 
 

@@ -1121,3 +1121,121 @@ WHERE NOT EXISTS (
         = sign(g.orient)
 )
 """
+
+
+def alpha_shape_edges(
+    pts: DataFrame,
+    alpha2: int,
+    grp_col: str = "grp",
+    id_col: str = "pid",
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """(grp, u, v, n_inc, boundary) — the ALPHA SHAPE (Edelsbrunner,
+    Kirkpatrick & Seidel 1983) of each point group as the boundary of
+    its alpha complex: keep the Delaunay triangles whose circumradius^2
+    < ``alpha2``, then an edge is BOUNDARY iff exactly one kept
+    triangle is incident to it (n_inc = 1; interior edges have 2).
+    The concave-hull / footprint-extraction primitive (building
+    outlines from lidar returns, coverage footprints from GPS pings)
+    that convex_hull over-covers.
+
+    Exactness: with integer coordinates the gate R^2 < alpha2 is the
+    integer inequality
+
+        |AB|^2 · |BC|^2 · |CA|^2  <  4 · alpha2 · orient^2
+
+    (R = abc/(4K), 16K^2 = 4·orient^2). Squared edges are int64; the
+    triple product is evaluated in DECIMAL(38,0) (Spark) / HUGEINT
+    (DuckDB) so tile coordinates to ~10^6 stay exact — no floats, no
+    epsilon. Degenerate (collinear) triples never enter: the Delaunay
+    kernel already drops orient == 0.
+
+    Scale: rides entirely on delaunay_triangles' per-tile sharding —
+    three (grp, pid) equi-joins to recover vertex coordinates, one
+    combinable groupBy(grp, u, v) edge rollup. Only (grp, triple) and
+    (grp, edge) rows shuffle; no new kernel."""
+    tris = delaunay_triangles(pts, grp_col, id_col, x_col, y_col)
+    p = pts.select(
+        F.col(grp_col).cast("long").alias("_g"),
+        F.col(id_col).cast("long").alias("_p"),
+        F.col(x_col).cast("long").alias("_x"),
+        F.col(y_col).cast("long").alias("_y"),
+    )
+
+    def vert(tag: str) -> DataFrame:
+        return p.select(
+            F.col("_g").alias("grp"),
+            F.col("_p").alias(tag),
+            F.col("_x").alias(f"{tag}x"),
+            F.col("_y").alias(f"{tag}y"),
+        )
+
+    t = (
+        tris.join(vert("a"), ["grp", "a"])
+        .join(vert("b"), ["grp", "b"])
+        .join(vert("c"), ["grp", "c"])
+    )
+    ab2 = (F.col("bx") - F.col("ax")) ** 2 + (F.col("by") - F.col("ay")) ** 2
+    bc2 = (F.col("cx") - F.col("bx")) ** 2 + (F.col("cy") - F.col("by")) ** 2
+    ca2 = (F.col("ax") - F.col("cx")) ** 2 + (F.col("ay") - F.col("cy")) ** 2
+    dec = "decimal(38,0)"
+    prod = (
+        ab2.cast("long").cast(dec)
+        * bc2.cast("long").cast(dec)
+        * ca2.cast("long").cast(dec)
+    )
+    rhs = (
+        F.lit(4 * int(alpha2)).cast(dec)
+        * F.col("area2").cast(dec)
+        * F.col("area2").cast(dec)
+    )
+    kept = t.filter(prod < rhs).select("grp", "a", "b", "c")
+    edges = kept.select(
+        "grp",
+        F.explode(
+            F.array(
+                F.struct(F.col("a").alias("u"), F.col("b").alias("v")),
+                F.struct(F.col("b").alias("u"), F.col("c").alias("v")),
+                F.struct(F.col("a").alias("u"), F.col("c").alias("v")),
+            )
+        ).alias("e"),
+    ).select("grp", F.col("e.u").alias("u"), F.col("e.v").alias("v"))
+    return edges.groupBy("grp", "u", "v").agg(
+        F.count(F.lit(1)).cast("long").alias("n_inc")
+    ).withColumn("boundary", F.col("n_inc") == 1)
+
+
+def alpha_shape_edges_sql(pts_cte: str, alpha2: int) -> str:
+    """DuckDB twin of alpha_shape_edges — the Delaunay twin as a nested
+    CTE, HUGEINT triple product, identical edge incidence rollup."""
+    return f"""
+WITH ash_tri AS ({delaunay_triangles_sql(pts_cte)}),
+ash_p AS (
+  SELECT grp, pid, CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y
+  FROM ({pts_cte})
+),
+ash_kept AS (
+  SELECT t.grp, t.a, t.b, t.c
+  FROM ash_tri t
+  JOIN ash_p pa ON pa.grp = t.grp AND pa.pid = t.a
+  JOIN ash_p pb ON pb.grp = t.grp AND pb.pid = t.b
+  JOIN ash_p pc ON pc.grp = t.grp AND pc.pid = t.c
+  WHERE CAST((pb.x - pa.x) * (pb.x - pa.x) + (pb.y - pa.y) * (pb.y - pa.y)
+             AS HUGEINT)
+      * CAST((pc.x - pb.x) * (pc.x - pb.x) + (pc.y - pb.y) * (pc.y - pb.y)
+             AS HUGEINT)
+      * CAST((pa.x - pc.x) * (pa.x - pc.x) + (pa.y - pc.y) * (pa.y - pc.y)
+             AS HUGEINT)
+      < 4 * CAST({int(alpha2)} AS HUGEINT)
+          * CAST(t.area2 AS HUGEINT) * CAST(t.area2 AS HUGEINT)
+),
+ash_edges AS (
+  SELECT grp, a AS u, b AS v FROM ash_kept
+  UNION ALL SELECT grp, b, c FROM ash_kept
+  UNION ALL SELECT grp, a, c FROM ash_kept
+)
+SELECT grp, u, v, CAST(count(*) AS BIGINT) AS n_inc,
+       count(*) = 1 AS boundary
+FROM ash_edges GROUP BY 1, 2, 3
+"""

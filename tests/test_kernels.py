@@ -286,3 +286,105 @@ def test_dp_simplify_ring_never_degenerates():
     out = dp_simplify_ring(sq, 0.01)
     assert out.tolist() == [[0, 0], [1, 0], [1, 1], [0, 1], [0, 0]]
     assert (out[0] == out[-1]).all()
+
+
+def test_alpha_shape_brute_and_properties(spark):
+    """Scalar replay of the alpha complex (Python bigint circumradius
+    gate over the brute Delaunay) plus the designed properties: at
+    alpha -> inf the boundary equals the convex hull edge set; a
+    two-blob group keeps the blobs as separate boundary loops at small
+    alpha; every boundary vertex has even boundary degree."""
+    from itertools import combinations
+
+    import duckdb
+
+    from osm2geojson_spark.operators.geometry import (
+        alpha_shape_edges,
+        alpha_shape_edges_sql,
+    )
+
+    # two well-separated 8-point blobs in one group
+    rng_pts = []
+    pid = 0
+    for bx, by in ((0, 0), (900, 900)):
+        for dx, dy in ((0, 0), (60, 10), (20, 70), (80, 80), (40, 40),
+                       (75, 30), (10, 55), (65, 65)):
+            rng_pts.append((0, pid, bx + dx, by + dy))
+            pid += 1
+    df = spark.createDataFrame(rng_pts, "grp long, pid long, x long, y long")
+
+    def brute(alpha2):
+        pts = {p: (x, y) for _, p, x, y in rng_pts}
+        ids = sorted(pts)
+        tris = []
+        for a, b, c in combinations(ids, 3):
+            ax, ay = pts[a]; bx, by = pts[b]; cx, cy = pts[c]
+            orient = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+            if orient == 0:
+                continue
+            empty = True
+            for d in ids:
+                dx, dy = pts[d]
+                adx, ady = ax - dx, ay - dy
+                bdx, bdy = bx - dx, by - dy
+                cdx, cdy = cx - dx, cy - dy
+                det = (adx * (bdy * (cdx * cdx + cdy * cdy)
+                              - cdy * (bdx * bdx + bdy * bdy))
+                       - ady * (bdx * (cdx * cdx + cdy * cdy)
+                                - cdx * (bdx * bdx + bdy * bdy))
+                       + (adx * adx + ady * ady)
+                       * (bdx * cdy - cdx * bdy))
+                if (det > 0) == (orient > 0) and det != 0:
+                    empty = False
+                    break
+            if not empty:
+                continue
+            ab2 = (bx - ax) ** 2 + (by - ay) ** 2
+            bc2 = (cx - bx) ** 2 + (cy - by) ** 2
+            ca2 = (ax - cx) ** 2 + (ay - cy) ** 2
+            if ab2 * bc2 * ca2 < 4 * alpha2 * orient * orient:
+                tris.append((a, b, c))
+        inc = {}
+        for a, b, c in tris:
+            for e in ((a, b), (b, c), (a, c)):
+                inc[e] = inc.get(e, 0) + 1
+        return inc
+
+    for alpha2 in (8_000, 10**10):
+        got = {
+            (r["u"], r["v"]): (r["n_inc"], r["boundary"])
+            for r in alpha_shape_edges(df, alpha2=alpha2).collect()
+        }
+        want = brute(alpha2)
+        assert got == {e: (n, n == 1) for e, n in want.items()}, alpha2
+        # even boundary degree at every vertex (boundary is closed loops)
+        deg = {}
+        for (u, v), (n, b) in got.items():
+            if b:
+                deg[u] = deg.get(u, 0) + 1
+                deg[v] = deg.get(v, 0) + 1
+        assert deg and all(d % 2 == 0 for d in deg.values()), alpha2
+
+    # small alpha: no boundary edge bridges the two blobs
+    got_small = {
+        (r["u"], r["v"])
+        for r in alpha_shape_edges(df, alpha2=8_000).collect()
+        if r["boundary"]
+    }
+    assert got_small and all((u < 8) == (v < 8) for u, v in got_small)
+
+    # twin parity
+    duck = duckdb.connect()
+    duck.execute("CREATE TABLE ash (grp BIGINT, pid BIGINT, x BIGINT, y BIGINT)")
+    duck.executemany("INSERT INTO ash VALUES (?, ?, ?, ?)", rng_pts)
+    twin = {
+        (r[1], r[2]): (r[3], r[4])
+        for r in duck.sql(
+            alpha_shape_edges_sql("SELECT * FROM ash", alpha2=8_000)
+        ).fetchall()
+    }
+    got8 = {
+        (r["u"], r["v"]): (r["n_inc"], r["boundary"])
+        for r in alpha_shape_edges(df, alpha2=8_000).collect()
+    }
+    assert twin == got8
