@@ -12031,6 +12031,38 @@ def _target_encode_sql() -> str:
     )
 
 
+def q_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X232 (analytics.markov_attribution): Markov-chain multi-touch
+    attribution by removal effects over the events stream — the
+    data-driven complement to q_attribution's first/last/linear
+    heuristics. Distributed journey windows + transition rollup; the
+    O(channels^2) chain iterates fixed-point integer rounds driver-side
+    (per-term truncating division — order-free); the twin unrolls the
+    identical rounds as materialized CTEs."""
+    from osm2geojson_spark.operators.analytics import markov_attribution
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    return markov_attribution(
+        ev,
+        conv_type="purchase",
+        channels=["click", "error", "signup", "view"],
+        iters=24,
+    )
+
+
+def _markov_attribution_sql() -> str:
+    from osm2geojson_spark.operators.analytics import markov_attribution_sql
+
+    return markov_attribution_sql(
+        "SELECT user_id, ts, event_id, event_type FROM events",
+        conv_type="purchase",
+        channels=["click", "error", "signup", "view"],
+        iters=24,
+    )
+
+
 def q_alpha_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X231 (geometry.alpha_shape_edges): alpha-shape boundary edges of
     the four Delaunay tile groups (same fixture as q_delaunay) at
@@ -12124,6 +12156,7 @@ def _keyword_extract_sql() -> str:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "markov_attribution": q_markov_attribution,
         "alpha_shape": q_alpha_shape,
         "abc_analysis": q_abc_analysis,
         "keyword_extract": q_keyword_extract,
@@ -12411,6 +12444,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "markov_attribution": _markov_attribution_sql(),
         "alpha_shape": _alpha_shape_sql(),
         "abc_analysis": _abc_analysis_sql(),
         "keyword_extract": _keyword_extract_sql(),

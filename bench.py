@@ -282,6 +282,7 @@ BENCH_QUERIES = [
     "keyword_extract",
     "abc_analysis",
     "alpha_shape",
+    "markov_attribution",
 ]
 
 

@@ -4165,3 +4165,266 @@ SELECT _k AS {key_col}, _v AS value_c, rank, cum_c, total_c,
             ELSE 'C' END AS abc
 FROM abc_cum
 """
+
+
+# ------------------------------------------------- Markov attribution
+
+
+MARKOV_MICRO = 1_000_000
+
+
+def markov_attribution(
+    events: DataFrame,
+    conv_type: str = "purchase",
+    channels: list[str] | None = None,
+    iters: int = 24,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """(channel, out_total, base_micro, removed_micro, effect_micro,
+    attribution_micro) — MARKOV-CHAIN MULTI-TOUCH ATTRIBUTION by
+    removal effects (Anderl et al. 2014), the data-driven alternative
+    to the first/last/linear heuristics of multi_touch_attribution:
+    build the first-order journey chain START -> touches -> CONV/NULL,
+    and credit each channel by how much the chain's conversion
+    probability DROPS when that channel is removed (its state forced to
+    absorb with value 0).
+
+    Journey model: per user, events ordered by (ts, id); a conversion
+    event closes the current path (last touch -> CONV, or START -> CONV
+    for untouched conversions); the path after a conversion restarts at
+    START; a user's trailing unconverted touches end last touch -> NULL.
+
+    Exactness: transition counts are exact int64; absorption
+    probabilities are ``iters`` rounds of the fixed-point update
+
+        v[s] <- sum_s' ( cnt(s,s') * v[s'] ) div tot(s)
+
+    (per-term truncating division — the sum is order-free), with
+    v[CONV] = 1e6, v[NULL] = 0 pinned. Truncation biases each round
+    down by < outdeg units — deterministic, engine-identical; the SQL
+    twin unrolls the identical rounds. attribution_micro splits 1e6
+    across channels proportional to effects (integer div; remainder
+    ends up unassigned — shares sum to <= 1e6).
+
+    Scale: the ONLY data-sized work is two per-user ordered windows and
+    one combinable groupBy(from, to) rollup; the chain itself is
+    O(channels^2) — collected once to the driver (<= ~1e3 rows for any
+    real channel taxonomy) where the 5-variant iteration is plain
+    integer math, exactly like ivf_train's tiny-model locality. No
+    per-row Python, no iteration over the corpus."""
+    is_conv = F.col(type_col) == conv_type
+    w_ord = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col).asc(), F.col(id_col).asc()
+    )
+    path = (
+        F.sum(is_conv.cast("long")).over(
+            w_ord.rowsBetween(Window.unboundedPreceding, -1)
+        )
+    )
+    ev = events.select(
+        F.col(user_col).alias("_u"),
+        F.col(ts_col).alias("_ts"),
+        F.col(id_col).alias("_id"),
+        F.col(type_col).alias("_ty"),
+        is_conv.alias("_conv"),
+        F.coalesce(path, F.lit(0)).alias("_path"),
+    )
+    w_path = Window.partitionBy("_u", "_path").orderBy(
+        F.col("_ts").asc(), F.col("_id").asc()
+    )
+    w_path_all = w_path.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    stepped = ev.withColumn(
+        "_from", F.coalesce(F.lag("_ty").over(w_path), F.lit("START"))
+    ).withColumn(
+        "_to", F.when(F.col("_conv"), F.lit("CONV")).otherwise(F.col("_ty"))
+    ).withColumn(
+        "_path_converts", F.max(F.col("_conv").cast("int")).over(w_path_all)
+    ).withColumn("_rn_desc", F.row_number().over(
+        Window.partitionBy("_u", "_path").orderBy(
+            F.col("_ts").desc(), F.col("_id").desc()
+        )
+    ))
+    trans = stepped.select(F.col("_from").alias("f"), F.col("_to").alias("t"))
+    null_ends = stepped.filter(
+        (F.col("_path_converts") == 0) & (F.col("_rn_desc") == 1)
+    ).select(F.col("_ty").alias("f"), F.lit("NULL").alias("t"))
+    counts = (
+        trans.unionByName(null_ends)
+        .groupBy("f", "t")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    rows = counts.collect()
+    cnt: dict[tuple[str, str], int] = {(r["f"], r["t"]): r["n"] for r in rows}
+    tot: dict[str, int] = {}
+    for (f, _), n in cnt.items():
+        tot[f] = tot.get(f, 0) + n
+    if channels is None:
+        channels = sorted(
+            s for s in tot if s not in ("START", "CONV", "NULL")
+        )
+    transient = ["START"] + [c for c in channels if c in tot]
+
+    def absorb(removed: str | None) -> int:
+        v = {s: 0 for s in transient}
+        v["CONV"] = MARKOV_MICRO
+        v["NULL"] = 0
+        for _ in range(int(iters)):
+            nxt = {}
+            for s in transient:
+                if s == removed:
+                    nxt[s] = 0
+                    continue
+                acc = 0
+                for (f, t), n in cnt.items():
+                    if f != s:
+                        continue
+                    vt = 0 if t == removed else v.get(t, 0)
+                    acc += (n * vt) // tot[s]
+                nxt[s] = acc
+            for s in transient:
+                v[s] = nxt[s]
+        return v.get("START", 0)
+
+    base = absorb(None)
+    effects = {c: base - absorb(c) for c in channels}
+    total_eff = sum(effects.values())
+    out = []
+    for c in channels:
+        eff = effects[c]
+        out.append(
+            (
+                c,
+                tot.get(c, 0),
+                base,
+                base - eff,
+                eff,
+                (eff * MARKOV_MICRO) // total_eff if total_eff > 0 else 0,
+            )
+        )
+    spark = events.sparkSession
+    return spark.createDataFrame(
+        out,
+        "channel string, out_total long, base_micro long, removed_micro long,"
+        " effect_micro long, attribution_micro long",
+    )
+
+
+def markov_attribution_sql(
+    events_cte: str,
+    conv_type: str = "purchase",
+    channels: list[str] = (),
+    iters: int = 24,
+) -> str:
+    """DuckDB twin of markov_attribution — identical journey windows and
+    transition rollup, then the fixed-point rounds UNROLLED as chained
+    CTEs (one vector CTE per variant per round; <= (|channels|+1)*iters
+    tiny joins). ``events_cte`` -> (user_id, ts, event_id, event_type);
+    ``channels`` must list the fixture's channel states explicitly."""
+    channels = list(channels)
+    variants = [None] + channels
+
+    def vname(vi: int, t: int) -> str:
+        return f"mkv_v{vi}_t{t}"
+
+    parts = [
+        f"""mkv_src AS ({events_cte}),
+mkv_ev AS (
+  SELECT user_id AS _u, ts AS _ts, event_id AS _id, event_type AS _ty,
+         event_type = '{conv_type}' AS _conv,
+         COALESCE(CAST(sum(CASE WHEN event_type = '{conv_type}' THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+           AS _path
+  FROM mkv_src
+),
+mkv_stepped AS (
+  SELECT *,
+    COALESCE(lag(_ty) OVER (PARTITION BY _u, _path ORDER BY _ts ASC, _id ASC),
+             'START') AS _from,
+    CASE WHEN _conv THEN 'CONV' ELSE _ty END AS _to,
+    max(CASE WHEN _conv THEN 1 ELSE 0 END)
+      OVER (PARTITION BY _u, _path) AS _path_converts,
+    row_number() OVER (PARTITION BY _u, _path ORDER BY _ts DESC, _id DESC)
+      AS _rn_desc
+  FROM mkv_ev
+),
+mkv_cnt AS MATERIALIZED (
+  SELECT f, t, CAST(count(*) AS BIGINT) AS n FROM (
+    SELECT _from AS f, _to AS t FROM mkv_stepped
+    UNION ALL
+    SELECT _ty AS f, 'NULL' AS t FROM mkv_stepped
+    WHERE _path_converts = 0 AND _rn_desc = 1
+  ) GROUP BY 1, 2
+),
+mkv_tot AS MATERIALIZED (SELECT f, CAST(sum(n) AS BIGINT) AS tot FROM mkv_cnt GROUP BY 1),
+mkv_states AS MATERIALIZED (
+  SELECT 'START' AS s WHERE EXISTS (SELECT 1 FROM mkv_tot WHERE f = 'START')
+  {"".join(f'''UNION ALL SELECT '{c}' WHERE EXISTS (SELECT 1 FROM mkv_tot WHERE f = '{c}') ''' for c in channels)}
+)"""
+    ]
+    for vi, removed in enumerate(variants):
+        zero = (
+            f"CASE WHEN s = '{removed}' THEN 0 ELSE v END"
+            if removed is not None
+            else "v"
+        )
+        parts.append(
+            f"""{vname(vi, 0)} AS MATERIALIZED (
+  SELECT s, CAST(0 AS BIGINT) AS v FROM mkv_states
+  UNION ALL SELECT 'CONV', {MARKOV_MICRO}
+  UNION ALL SELECT 'NULL', 0
+)"""
+        )
+        for t in range(1, int(iters) + 1):
+            prev = vname(vi, t - 1)
+            parts.append(
+                f"""{vname(vi, t)} AS MATERIALIZED (
+  SELECT st.s, COALESCE(nx.v, 0) AS v FROM mkv_states st
+  LEFT JOIN (
+    SELECT c.f AS s,
+           CAST(sum((c.n * ({zero.replace('s =', 'p.s =').replace('ELSE v', 'ELSE p.v')})) // tt.tot) AS BIGINT) AS v
+    FROM mkv_cnt c
+    JOIN {prev} p ON p.s = c.t
+    JOIN mkv_tot tt ON tt.f = c.f
+    GROUP BY 1
+  ) nx ON nx.s = st.s
+  UNION ALL SELECT 'CONV', {MARKOV_MICRO}
+  UNION ALL SELECT 'NULL', 0
+)"""
+            )
+        # final per-variant START value, with removed state forced 0
+        sel = (
+            f"SELECT CASE WHEN s = '{removed}' THEN 0 ELSE v END AS v"
+            if removed is not None
+            else "SELECT v"
+        )
+        parts.append(
+            f"{vname(vi, 'fin')} AS ({sel} FROM {vname(vi, iters)} WHERE s = 'START')"
+        )
+    return f"""
+WITH {','.join(parts)},
+mkv_base AS (SELECT v AS base FROM {vname(0, 'fin')}),
+mkv_removed AS (
+  {" UNION ALL ".join(f"SELECT '{c}' AS channel, (SELECT v FROM {vname(vi + 1, 'fin')}) AS removed" for vi, c in enumerate(channels))}
+),
+mkv_eff AS (
+  SELECT r.channel, b.base, r.removed, b.base - r.removed AS eff
+  FROM mkv_removed r, mkv_base b
+),
+mkv_teff AS (SELECT CAST(sum(eff) AS BIGINT) AS teff FROM mkv_eff)
+SELECT e.channel,
+       COALESCE(tt.tot, 0) AS out_total,
+       CAST(e.base AS BIGINT) AS base_micro,
+       CAST(e.removed AS BIGINT) AS removed_micro,
+       CAST(e.eff AS BIGINT) AS effect_micro,
+       CASE WHEN t.teff > 0 THEN e.eff * {MARKOV_MICRO} // t.teff
+            ELSE 0 END AS attribution_micro
+FROM mkv_eff e
+LEFT JOIN mkv_tot tt ON tt.f = e.channel
+CROSS JOIN mkv_teff t
+"""

@@ -2640,3 +2640,118 @@ def test_abc_classes_brute_and_twin(spark):
     }
     for k, g in got.items():
         assert twin[k] == g, k
+
+
+def test_markov_attribution_replay_and_twin(spark):
+    """Scalar replay of the journey chain + fixed-point absorption on a
+    designed fixture (a channel that always converts, one that never
+    does, direct conversions, multi-path users), plus the designed
+    properties: the never-converting channel has zero removal effect;
+    the always-converting channel dominates; twin byte-for-byte."""
+    from datetime import datetime, timedelta
+
+    import duckdb
+
+    from osm2geojson_spark.operators.analytics import (
+        markov_attribution,
+        markov_attribution_sql,
+    )
+
+    t0 = datetime(2024, 1, 1)
+    rows, eid = [], 0
+
+    def ev(u, types):
+        nonlocal eid
+        for ty in types:
+            rows.append((u, t0 + timedelta(minutes=eid), eid, ty))
+            eid += 1
+
+    ev(1, ["gold", "purchase"])
+    ev(2, ["gold", "purchase"])
+    ev(3, ["dead", "dead"])
+    ev(4, ["purchase"])  # direct: START -> CONV
+    ev(5, ["gold", "dead"])  # gold -> dead -> NULL
+    ev(6, ["dead", "gold", "purchase", "dead"])  # multi-path user
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string"
+    )
+    chans = ["dead", "gold"]
+    got = {
+        r["channel"]: (
+            r["out_total"], r["base_micro"], r["removed_micro"],
+            r["effect_micro"], r["attribution_micro"],
+        )
+        for r in markov_attribution(df, channels=chans, iters=24).collect()
+    }
+
+    # scalar replay
+    MICRO = 1_000_000
+    cnt, tot = {}, {}
+    paths = {
+        1: [["gold", "purchase"]], 2: [["gold", "purchase"]],
+        3: [["dead", "dead"]], 4: [["purchase"]],
+        5: [["gold", "dead"]], 6: [["dead", "gold", "purchase"], ["dead"]],
+    }
+    for u, ps in paths.items():
+        for p in ps:
+            prev = "START"
+            converted = False
+            for ty in p:
+                to = "CONV" if ty == "purchase" else ty
+                cnt[(prev, to)] = cnt.get((prev, to), 0) + 1
+                if to == "CONV":
+                    converted = True
+                prev = to
+            if not converted:
+                cnt[(prev, "NULL")] = cnt.get((prev, "NULL"), 0) + 1
+    for (f, _), n in cnt.items():
+        tot[f] = tot.get(f, 0) + n
+    transient = ["START"] + [c for c in chans if c in tot]
+
+    def absorb(removed):
+        v = {s: 0 for s in transient}
+        v["CONV"] = MICRO
+        v["NULL"] = 0
+        for _ in range(24):
+            nxt = {}
+            for s in transient:
+                if s == removed:
+                    nxt[s] = 0
+                    continue
+                acc = 0
+                for (f, t), n in cnt.items():
+                    if f == s:
+                        vt = 0 if t == removed else v.get(t, 0)
+                        acc += (n * vt) // tot[s]
+                nxt[s] = acc
+            v.update(nxt)
+        return v["START"]
+
+    base = absorb(None)
+    effs = {c: base - absorb(c) for c in chans}
+    teff = sum(effs.values())
+    for c in chans:
+        want = (
+            tot.get(c, 0), base, base - effs[c], effs[c],
+            effs[c] * MICRO // teff if teff else 0,
+        )
+        assert got[c] == want, (c, got[c], want)
+    # designed properties
+    assert got["dead"][3] < got["gold"][3]
+    assert got["gold"][4] > 500_000
+
+    duck = duckdb.connect()
+    duck.execute(
+        "CREATE TABLE mkev (user_id BIGINT, ts TIMESTAMP,"
+        " event_id BIGINT, event_type VARCHAR)"
+    )
+    duck.executemany("INSERT INTO mkev VALUES (?,?,?,?)", rows)
+    twin = {
+        r[0]: tuple(r[1:])
+        for r in duck.sql(
+            markov_attribution_sql(
+                "SELECT * FROM mkev", channels=chans, iters=24
+            )
+        ).fetchall()
+    }
+    assert twin == got
