@@ -12031,6 +12031,26 @@ def _target_encode_sql() -> str:
     )
 
 
+def q_pca_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X233 (similarity.pca_top_eigvec): dominant principal direction of
+    the embedding corpus — power iteration in exact bigint/HUGEINT
+    fixed-point on the quantized Gram matrix; corpus-sized work is the
+    gram GEMM rollup, the O(d^2) iteration is driver-side tiny-model
+    math, twin unrolls identical rounds."""
+    from osm2geojson_spark.operators.similarity import pca_top_eigvec
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return pca_top_eigvec(emb, "embedding", dim=_EMB_DIM, iters=12)
+
+
+def _pca_top_sql() -> str:
+    from osm2geojson_spark.operators.similarity import pca_top_eigvec_sql
+
+    return pca_top_eigvec_sql(
+        "SELECT vec_id, embedding FROM embeddings", dim=_EMB_DIM, iters=12
+    )
+
+
 def q_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X232 (analytics.markov_attribution): Markov-chain multi-touch
     attribution by removal effects over the events stream — the
@@ -12156,6 +12176,7 @@ def _keyword_extract_sql() -> str:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "pca_top": q_pca_top,
         "markov_attribution": q_markov_attribution,
         "alpha_shape": q_alpha_shape,
         "abc_analysis": q_abc_analysis,
@@ -12444,6 +12465,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "pca_top": _pca_top_sql(),
         "markov_attribution": _markov_attribution_sql(),
         "alpha_shape": _alpha_shape_sql(),
         "abc_analysis": _abc_analysis_sql(),

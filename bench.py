@@ -283,6 +283,7 @@ BENCH_QUERIES = [
     "abc_analysis",
     "alpha_shape",
     "markov_attribution",
+    "pca_top",
 ]
 
 

@@ -1384,3 +1384,131 @@ SELECT CAST(qid AS BIGINT) AS qid, CAST(qlabel AS BIGINT) AS qlabel,
 FROM pairs
 QUALIFY rank <= {k}
 """
+
+
+PCA_V_SCALE = 1 << 20  # fixed-point scale of the power-iteration vector
+
+
+def pca_top_eigvec(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    iters: int = 12,
+    scale: int = GRAM_SCALE,
+) -> DataFrame:
+    """(i, v_q, lam) — the TOP PRINCIPAL DIRECTION of the embedding
+    corpus's second moment by POWER ITERATION on the exact quantized
+    Gram matrix (the PCA-whitening / dominant-axis primitive: energy
+    concentration, anisotropy checks, the first step of spectral
+    embedding-table diagnostics).
+
+    Deterministic and engine-exact by construction: the iterate is a
+    fixed-point integer vector (scale 2^20) starting at all-ones; each
+    round computes w = G v in EXACT integer arithmetic (Python bigint /
+    HUGEINT — cells reach ~1e21, past int64 by design) and renormalizes
+    sign-aware,
+
+        v'[i] = sign(w[i]) * ( |w[i]| * 2^20 div max|w| ),
+
+    (truncating division on NONNEGATIVE operands — floor == truncate in
+    both engines, the usual negative-division trap avoided). After
+    ``iters`` rounds the sign is pinned by flipping so the coordinate of
+    max |v| (ties: lowest i) is positive. lam is the Rayleigh quotient
+    (v^T G v) / (v^T v S^2)·... reported as the one IEEE division of two
+    exact integers, rescaled to raw-coordinate units by 1/scale^2.
+    Whatever ``iters`` rounds produce IS the contract — no convergence
+    epsilon, no RNG.
+
+    Scale: the corpus-sized work is gram_matrix (one int64 GEMM per
+    Arrow batch, combinable rollup); the d(d+1)/2 cells collect once to
+    the driver where the O(d^2 iters) bigint iteration is trivial —
+    the same tiny-model locality as ivf_train / markov_attribution."""
+    cells = gram_matrix(emb, vec_col, dim=dim, scale=scale).collect()
+    G = [[0] * dim for _ in range(dim)]
+    for r in cells:
+        G[r["i"]][r["j"]] = r["g_q"]
+        G[r["j"]][r["i"]] = r["g_q"]
+    S = PCA_V_SCALE
+    v = [S] * dim
+    for _ in range(int(iters)):
+        w = [sum(G[i][j] * v[j] for j in range(dim)) for i in range(dim)]
+        m = max(abs(x) for x in w)
+        if m == 0:
+            break
+        v = [
+            (1 if x >= 0 else -1) * ((abs(x) * S) // m)
+            for x in w
+        ]
+    pivot = max(range(dim), key=lambda i: (abs(v[i]), -i))
+    if v[pivot] < 0:
+        v = [-x for x in v]
+    num = sum(v[i] * G[i][j] * v[j] for i in range(dim) for j in range(dim))
+    den = sum(x * x for x in v) * scale * scale
+    lam = float(num) / float(den) if den else 0.0
+    spark = emb.sparkSession
+    return spark.createDataFrame(
+        [(i, v[i], lam) for i in range(dim)], "i int, v_q long, lam double"
+    )
+
+
+def pca_top_eigvec_sql(
+    rows_cte: str,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    iters: int = 12,
+    scale: int = GRAM_SCALE,
+) -> str:
+    """DuckDB twin of pca_top_eigvec — gram twin as a materialized CTE
+    expanded to the full symmetric matrix, then the power rounds
+    UNROLLED (HUGEINT matvec + the identical sign-aware truncating
+    renormalization), the same pivot sign flip and Rayleigh division."""
+    S = PCA_V_SCALE
+    parts = [
+        f"""pca_g AS MATERIALIZED ({gram_matrix_sql(rows_cte, vec_col, scale)}),
+pca_full AS MATERIALIZED (
+  SELECT i, j, CAST(g_q AS HUGEINT) AS g FROM pca_g
+  UNION ALL
+  SELECT j, i, CAST(g_q AS HUGEINT) AS g FROM pca_g WHERE i <> j
+),
+pca_v0 AS MATERIALIZED (
+  SELECT unnest(range(0, {int(dim)})) AS i, CAST({S} AS HUGEINT) AS v
+)"""
+    ]
+    for t in range(1, int(iters) + 1):
+        prev = f"pca_v{t - 1}"
+        parts.append(
+            f"""pca_w{t} AS MATERIALIZED (
+  SELECT g.i, CAST(sum(g.g * v.v) AS HUGEINT) AS w
+  FROM pca_full g JOIN {prev} v ON v.i = g.j GROUP BY 1
+),
+pca_v{t} AS MATERIALIZED (
+  SELECT w.i,
+         CAST(CASE WHEN w.w >= 0 THEN (abs(w.w) * {S}) // m.m
+              ELSE -((abs(w.w) * {S}) // m.m) END AS HUGEINT) AS v
+  FROM pca_w{t} w, (SELECT max(abs(w)) AS m FROM pca_w{t}) m
+)"""
+        )
+    last = f"pca_v{int(iters)}"
+    return f"""
+WITH {','.join(parts)},
+pca_sgn AS (
+  SELECT CASE WHEN v < 0 THEN -1 ELSE 1 END AS s
+  FROM {last} ORDER BY abs(v) DESC, i ASC LIMIT 1
+),
+pca_fin AS (
+  SELECT l.i, CAST(l.v * g.s AS HUGEINT) AS v
+  FROM {last} l, pca_sgn g
+),
+pca_num AS (
+  SELECT CAST(sum(a.v * f.g * b.v) AS HUGEINT) AS num
+  FROM pca_full f JOIN pca_fin a ON a.i = f.i JOIN pca_fin b ON b.i = f.j
+),
+pca_den AS (
+  SELECT CAST(sum(v * v) AS HUGEINT) * {int(scale)} * {int(scale)} AS den
+  FROM pca_fin
+)
+SELECT CAST(f.i AS INTEGER) AS i, CAST(f.v AS BIGINT) AS v_q,
+       CASE WHEN d.den = 0 THEN 0.0
+            ELSE CAST(n.num AS DOUBLE) / CAST(d.den AS DOUBLE) END AS lam
+FROM pca_fin f, pca_num n, pca_den d
+"""

@@ -1433,3 +1433,59 @@ def test_tfidf_topk_brute_and_twin(spark):
         tfidf_topk_sql("SELECT * FROM docs6", k=3)
     ).fetchall()
     assert sorted(tuple(r) for r in twin) == sorted(got)
+
+
+def test_pca_top_eigvec_matches_numpy_and_twin(spark):
+    """On a corpus with a planted dominant axis the fixed-point power
+    iterate must align with NumPy's top eigenvector of the quantized
+    Gram matrix (|cos| > 0.9999) and the Rayleigh lam must sit between
+    the float eigenvalue bounds; DuckDB twin byte-for-byte."""
+    import duckdb
+    import numpy as np
+
+    from osm2geojson_spark.operators.similarity import (
+        GRAM_SCALE,
+        pca_top_eigvec,
+        pca_top_eigvec_sql,
+    )
+
+    rng = np.random.default_rng(3)
+    dim, n = 8, 300
+    axis = rng.normal(size=dim)
+    axis /= np.linalg.norm(axis)
+    V = (
+        rng.normal(size=(n, 1)) * axis[None, :] * 3.0
+        + rng.normal(size=(n, dim)) * 0.3
+    )
+    rows = [(i, [float(x) for x in V[i]]) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = sorted(
+        (r["i"], r["v_q"], r["lam"])
+        for r in pca_top_eigvec(df, dim=dim, iters=12).collect()
+    )
+    v = np.array([g[1] for g in got], dtype=np.float64)
+
+    Q = np.floor(V * GRAM_SCALE + 0.5)
+    G = Q.T @ Q
+    evals, evecs = np.linalg.eigh(G)
+    top = evecs[:, -1]
+    cos = abs(v @ top) / (np.linalg.norm(v) * np.linalg.norm(top))
+    assert cos > 0.9999, cos
+    lam = got[0][2]
+    # Rayleigh quotient of any unit vector is <= lambda_max (rescaled)
+    lam_max = evals[-1] / GRAM_SCALE**2
+    assert 0 < lam <= lam_max * (1 + 1e-12)
+    assert lam > 0.99 * lam_max  # converged close to the top
+    # sign pin: the max-|coordinate| is positive
+    assert v[int(np.argmax(np.abs(v)))] > 0
+
+    duck = duckdb.connect()
+    duck.execute("CREATE TABLE pemb (vec_id BIGINT, embedding DOUBLE[])")
+    duck.executemany("INSERT INTO pemb VALUES (?, ?)", rows)
+    twin = sorted(
+        tuple(r)
+        for r in duck.sql(
+            pca_top_eigvec_sql("SELECT * FROM pemb", dim=dim, iters=12)
+        ).fetchall()
+    )
+    assert twin == got
