@@ -12031,6 +12031,33 @@ def _target_encode_sql() -> str:
     )
 
 
+def q_dog_keypoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X234 (multimodal.dog_keypoints): single-octave
+    difference-of-Gaussians blob detection (the SIFT front end) over
+    300 mixed rawz/png images — zero-sum combined 5x5 integer kernel,
+    strict 8-neighbor |D| maxima, threshold 400. Sparse keypoint rows
+    out; pixels never shuffle."""
+    from osm2geojson_spark.operators import multimodal as MM2
+
+    return MM2.dog_keypoints(_synth_images(spark, sf_dir, 900, step=3))
+
+
+def _dog_keypoints_sql() -> str:
+    from osm2geojson_spark.operators import multimodal as MM2
+
+    px = """
+SELECT printf('img%012d', i) AS image_id, w, w AS h,
+       (p % w) AS x, (p // w) AS y,
+       ((p % w) * 3 + (p // w) * 7 + i * 13) % 251 AS v
+FROM (
+  SELECT i, w, unnest(range(0, w * w)) AS p
+  FROM (SELECT p_partkey AS i, 8 * (1 + p_partkey % 3) AS w
+        FROM part WHERE p_partkey < 900 AND p_partkey % 3 = 0)
+)
+"""
+    return MM2.dog_keypoints_sql(px, thresh=400)
+
+
 def q_pca_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X233 (similarity.pca_top_eigvec): dominant principal direction of
     the embedding corpus — power iteration in exact bigint/HUGEINT
@@ -12176,6 +12203,7 @@ def _keyword_extract_sql() -> str:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "dog_keypoints": q_dog_keypoints,
         "pca_top": q_pca_top,
         "markov_attribution": q_markov_attribution,
         "alpha_shape": q_alpha_shape,
@@ -12465,6 +12493,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "dog_keypoints": _dog_keypoints_sql(),
         "pca_top": _pca_top_sql(),
         "markov_attribution": _markov_attribution_sql(),
         "alpha_shape": _alpha_shape_sql(),

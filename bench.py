@@ -284,6 +284,7 @@ BENCH_QUERIES = [
     "alpha_shape",
     "markov_attribution",
     "pca_top",
+    "dog_keypoints",
 ]
 
 

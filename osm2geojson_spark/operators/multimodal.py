@@ -4547,3 +4547,109 @@ SELECT image_id, CAST(s1 * 2 + s2 AS BIGINT) AS leaf,
        CAST(sum(b) AS BIGINT) AS b_sum
 FROM st2 GROUP BY 1, 2
 """
+
+
+DOG_K3 = (1, 2, 1)  # binomial 3-tap, weight sum 4
+
+
+def dog_keypoints(images: DataFrame, thresh: int = 400) -> DataFrame:
+    """(image_id, x, y, d, absd) — DIFFERENCE-OF-GAUSSIANS BLOB
+    DETECTION (the SIFT front end, Lowe 2004, single octave): the image
+    is convolved with the 5x5 binomial (scale 256) and the 3x3 binomial
+    (scale 16·16 after matching), and their difference
+
+        D = conv(px, 16·K3 ⊗ K3 − K5 ⊗ K5)     (one zero-sum 5x5 kernel,
+                                                narrow minus wide: bright
+                                                blobs respond POSITIVE)
+
+    is an exact int64 band-pass response. A pixel is a KEYPOINT iff
+    |D| is a STRICT maximum over its 8 neighbors' |D| (ties produce no
+    keypoint — deterministic, RNG-free) and |D| >= ``thresh``; borders
+    where the kernel or a neighbor lacks support are excluded
+    (x, y in [3, w-4] x [3, h-4]).
+
+    Scale: Arrow-batched mapInPandas, 25 shifted adds + 8 neighbor
+    compares in NumPy per image inside the batch; pixel bytes never
+    shuffle — only the sparse keypoint rows come out. The twin replays
+    the combined kernel per pixel from the deterministic formula and
+    gates neighbors via NOT EXISTS."""
+    c5 = np.array(GAUSS_K5, dtype=np.int64)
+    c3 = np.array(DOG_K3, dtype=np.int64)
+    W = -np.outer(c5, c5)
+    W[1:4, 1:4] += 16 * np.outer(c3, c3)
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {c: [] for c in ("image_id", "x", "y", "d", "absd")}
+            for r in pdf.itertuples(index=False):
+                px = imagecodec.decode(bytes(r.bytes), r.fmt).astype(np.int64)
+                h, w = px.shape
+                if h < 7 or w < 7:
+                    continue
+                D = sum(
+                    W[dy + 2, dx + 2]
+                    * px[2 + dy : h - 2 + dy, 2 + dx : w - 2 + dx]
+                    for dy in range(-2, 3)
+                    for dx in range(-2, 3)
+                )
+                A = np.abs(D)
+                ctr = A[1:-1, 1:-1]
+                hc, wc = ctr.shape
+                ok = ctr >= int(thresh)
+                for dy in (-1, 0, 1):
+                    for dx in (-1, 0, 1):
+                        if dx == 0 and dy == 0:
+                            continue
+                        ok &= ctr > A[1 + dy : 1 + dy + hc, 1 + dx : 1 + dx + wc]
+                ys, xs = np.nonzero(ok)
+                for yi, xi in zip(ys, xs):
+                    out["image_id"].append(r.image_id)
+                    out["x"].append(int(xi) + 3)
+                    out["y"].append(int(yi) + 3)
+                    out["d"].append(int(D[yi + 1, xi + 1]))
+                    out["absd"].append(int(A[yi + 1, xi + 1]))
+            yield pd.DataFrame(out)
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(
+        fn, schema="image_id string, x long, y long, d long, absd long"
+    )
+
+
+def dog_keypoints_sql(px_cte: str, thresh: int = 400) -> str:
+    """DuckDB twin of dog_keypoints; ``px_cte`` yields
+    (image_id, w, h, x, y, v) pixel rows. One combined zero-sum tap
+    table, strict-max neighbors via NOT EXISTS."""
+    c5, c3 = GAUSS_K5, DOG_K3
+    taps = []
+    for dx in range(-2, 3):
+        for dy in range(-2, 3):
+            kw = -c5[dx + 2] * c5[dy + 2]
+            if abs(dx) <= 1 and abs(dy) <= 1:
+                kw += 16 * c3[dx + 1] * c3[dy + 1]
+            taps.append(f"({dx}, {dy}, {kw})")
+    return f"""
+WITH dogpx AS ({px_cte}),
+dogtaps(dx, dy, kw) AS (SELECT * FROM (VALUES {', '.join(taps)})),
+dogd AS (
+  SELECT i.image_id, i.w, i.h, i.x, i.y,
+         CAST(sum(t.kw * p.v) AS BIGINT) AS d
+  FROM (SELECT image_id, w, h, x, y FROM dogpx
+        WHERE x >= 2 AND x <= w - 3 AND y >= 2 AND y <= h - 3) i
+  JOIN dogtaps t ON true
+  JOIN dogpx p ON p.image_id = i.image_id
+              AND p.x = i.x + t.dx AND p.y = i.y + t.dy
+  GROUP BY 1, 2, 3, 4, 5
+)
+SELECT c.image_id, CAST(c.x AS BIGINT) AS x, CAST(c.y AS BIGINT) AS y,
+       c.d, CAST(abs(c.d) AS BIGINT) AS absd
+FROM dogd c
+WHERE c.x >= 3 AND c.x <= c.w - 4 AND c.y >= 3 AND c.y <= c.h - 4
+  AND abs(c.d) >= {int(thresh)}
+  AND NOT EXISTS (
+    SELECT 1 FROM dogd n
+    WHERE n.image_id = c.image_id
+      AND abs(n.x - c.x) <= 1 AND abs(n.y - c.y) <= 1
+      AND (n.x <> c.x OR n.y <> c.y)
+      AND abs(n.d) >= abs(c.d)
+  )
+"""

@@ -3113,3 +3113,72 @@ def test_median_cut_recovers_planted_palette(spark):
             n, rs, gs, bs = leaves.get(leaf, (0, 0, 0, 0))
             leaves[leaf] = (n + 1, rs + p[0], gs + p[1], bs + p[2])
     assert got["rand"] == leaves
+
+
+def test_dog_keypoints_scalar_brute_and_planted_blob(spark):
+    """Scalar replay of the combined zero-sum DoG kernel + strict
+    8-neighbor maximum on a random image, plus the designed property: a
+    planted bright dot on a flat field yields exactly one keypoint at
+    the dot (the band-pass peak), and a constant image yields none
+    (zero-sum kernel)."""
+    from osm2geojson_spark.operators.multimodal import (
+        DOG_K3,
+        GAUSS_K5,
+        dog_keypoints,
+    )
+
+    blob = np.full((11, 11), 50, np.uint8)
+    blob[5, 5] = 250
+    flat = np.full((9, 9), 77, np.uint8)
+    rnd = imagecodec.synth_pixels(41, 16, 16).astype(np.uint8)
+    imgs = spark.createDataFrame(
+        [
+            ("blob", "rawz", bytearray(imagecodec.encode_rawz(blob))),
+            ("flat", "rawz", bytearray(imagecodec.encode_rawz(flat))),
+            ("rnd", "png", bytearray(imagecodec.encode_png(rnd))),
+            ("tiny", "rawz",
+             bytearray(imagecodec.encode_rawz(np.zeros((6, 6), np.uint8)))),
+        ],
+        "image_id string, fmt string, bytes binary",
+    )
+    got = {}
+    for r in dog_keypoints(imgs, thresh=100).collect():
+        got.setdefault(r["image_id"], []).append(
+            (r["x"], r["y"], r["d"], r["absd"])
+        )
+    assert "flat" not in got and "tiny" not in got
+    assert len(got["blob"]) == 1 and got["blob"][0][:2] == (5, 5)
+    assert got["blob"][0][2] > 0  # bright dot: positive band-pass peak
+
+    def brute(px, thresh):
+        px = px.astype(np.int64)
+        h, w = px.shape
+        c5, c3 = GAUSS_K5, DOG_K3
+
+        def D(x, y):
+            acc = 0
+            for dx in range(-2, 3):
+                for dy in range(-2, 3):
+                    kw = -c5[dx + 2] * c5[dy + 2]
+                    if abs(dx) <= 1 and abs(dy) <= 1:
+                        kw += 16 * c3[dx + 1] * c3[dy + 1]
+                    acc += kw * int(px[y + dy, x + dx])
+            return acc
+
+        out = []
+        for y in range(3, h - 3):
+            for x in range(3, w - 3):
+                d0 = D(x, y)
+                if abs(d0) < thresh:
+                    continue
+                if all(
+                    abs(d0) > abs(D(x + dx, y + dy))
+                    for dx in (-1, 0, 1)
+                    for dy in (-1, 0, 1)
+                    if (dx, dy) != (0, 0)
+                ):
+                    out.append((x, y, d0, abs(d0)))
+        return sorted(out)
+
+    assert sorted(got.get("rnd", [])) == brute(rnd, 100)
+    assert sorted(got["blob"]) == brute(blob, 100)
