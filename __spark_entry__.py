@@ -12031,6 +12031,60 @@ def _target_encode_sql() -> str:
     )
 
 
+def _fb_clips(spark: SparkSession, sf_dir: str):
+    from osm2geojson_spark.functions import audiocodec as AC
+
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_partkey") < 450) & (F.col("p_partkey") % 3 == 0)
+    ).select(F.col("p_partkey").alias("_i"))
+
+    def gen(it):
+        import numpy as np
+
+        for pdf in it:
+            rows = []
+            for i in pdf["_i"]:
+                i = int(i)
+                k0 = 1 + i % 3
+                t = np.arange(640, dtype=np.int64)
+                v = np.where(((t * k0) // 32) % 2 == 0, 8000, -8000)
+                rows.append(
+                    (f"aud{i:012d}", "pcmz", AC.encode_pcm16(v.astype(np.int16)))
+                )
+            yield pd.DataFrame(rows, columns=["audio_id", "fmt", "bytes"])
+
+    return part.mapInPandas(
+        gen, schema="audio_id string, fmt string, bytes binary"
+    )
+
+
+_FB_SAMPLES_SQL = """
+SELECT printf('aud%012d', i) AS audio_id, t,
+       CASE WHEN ((t * (1 + i % 3)) // 32) % 2 = 0 THEN 8000 ELSE -8000 END AS v
+FROM (
+  SELECT p_partkey AS i, unnest(range(0, 640)) AS t
+  FROM part WHERE p_partkey < 450 AND p_partkey % 3 = 0
+)
+"""
+
+
+def q_filterbank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X235 (multimodal.filterbank_energy): per-frame octave triangular
+    filterbank energies (the mel-spectrogram analogue) over the
+    square-wave clip corpus — built by COMPOSITION on tone_detect's
+    fixed-point DFT GEMM (broadcast weight join + one rollup); dyadic
+    log2 feature, per-frame band leader flagged."""
+    from osm2geojson_spark.operators.multimodal import filterbank_energy
+
+    return filterbank_energy(_fb_clips(spark, sf_dir))
+
+
+def _filterbank_sql() -> str:
+    from osm2geojson_spark.operators.multimodal import filterbank_energy_sql
+
+    return filterbank_energy_sql(_FB_SAMPLES_SQL)
+
+
 def q_dog_keypoints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X234 (multimodal.dog_keypoints): single-octave
     difference-of-Gaussians blob detection (the SIFT front end) over
@@ -12203,6 +12257,7 @@ def _keyword_extract_sql() -> str:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "filterbank": q_filterbank,
         "dog_keypoints": q_dog_keypoints,
         "pca_top": q_pca_top,
         "markov_attribution": q_markov_attribution,
@@ -12493,6 +12548,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "filterbank": _filterbank_sql(),
         "dog_keypoints": _dog_keypoints_sql(),
         "pca_top": _pca_top_sql(),
         "markov_attribution": _markov_attribution_sql(),

@@ -285,6 +285,7 @@ BENCH_QUERIES = [
     "markov_attribution",
     "pca_top",
     "dog_keypoints",
+    "filterbank",
 ]
 
 

@@ -4653,3 +4653,127 @@ WHERE c.x >= 3 AND c.x <= c.w - 4 AND c.y >= 3 AND c.y <= c.h - 4
       AND abs(n.d) >= abs(c.d)
   )
 """
+
+
+def octave_filterbank(
+    centers: tuple = (2, 4, 8), weight_scale: int = 64
+) -> list[tuple[int, int, int]]:
+    """(m, k, w) — integer OCTAVE TRIANGULAR FILTERBANK shared by the
+    Spark plan and the SQL twin: filter m is a triangle over DFT bins
+    [c/2, 2c] centered at c = centers[m], rising
+    floor(scale·(k−l)/(c−l)), falling floor(scale·(r−k)/(r−c)); the
+    log-spaced (mel-like) band-energy weighting of audio features.
+    Generated once here, inlined into both plans."""
+    out = []
+    for m, c in enumerate(centers):
+        lo, hi = c // 2, 2 * c
+        for k in range(lo, hi + 1):
+            if k <= c:
+                w = (weight_scale * (k - lo)) // max(c - lo, 1)
+            else:
+                w = (weight_scale * (hi - k)) // max(hi - c, 1)
+            if w > 0:
+                out.append((m, k, w))
+    return out
+
+
+FB_ENERGY_SHIFT = 12  # energy pre-scale: e >> 12 before weighting
+
+
+def filterbank_energy(
+    audios: DataFrame,
+    frame: int = 64,
+    centers: tuple = (2, 4, 8),
+    scale: int = 512,
+) -> DataFrame:
+    """(audio_id, frame_idx, m, fb_energy, log2_e, is_top) — per-frame
+    OCTAVE FILTERBANK ENERGIES (the mel-spectrogram analogue on the
+    engine's fixed-point DFT): each filter m sums its triangular-
+    weighted bin energies,
+
+        fb_energy(m) = Σ_k w(m,k) · (energy(k) div 2^12),
+
+    the 2^12 pre-shift keeping everything int64 (energy < 2.4e18 →
+    summand < 3.8e16 per bin at weight 64). log2_e is the dyadic
+    log (bit length − 1, −1 for zero) — the integer dB-ish feature;
+    the per-frame (fb_energy DESC, m ASC) leader is flagged — the
+    spectral-tilt / band-dominance gate of audio curation.
+
+    Built BY COMPOSITION: tone_detect's GEMM energies (bins = the
+    filterbank's support) → broadcast weight join → one combinable
+    rollup. No new kernel; clips never shuffle, only frame×bin rows."""
+    fb = octave_filterbank(centers)
+    bins = tuple(sorted(set(k for _, k, _ in fb)))
+    en = tone_detect(audios, frame=frame, bins=bins, scale=scale).drop(
+        "is_dominant"
+    )
+    spark = audios.sparkSession
+    wtab = spark.createDataFrame(fb, "m int, k int, w long")
+    out = (
+        en.join(F.broadcast(wtab), "k")
+        .groupBy("audio_id", "frame_idx", "m")
+        .agg(
+            F.sum(
+                F.col("w") * F.expr(f"energy DIV {1 << FB_ENERGY_SHIFT}")
+            ).cast("long").alias("fb_energy")
+        )
+    )
+    wnd = Window.partitionBy("audio_id", "frame_idx").orderBy(
+        F.col("fb_energy").desc(), F.col("m").asc()
+    )
+    return out.withColumn(
+        "log2_e",
+        F.when(F.col("fb_energy") <= 0, F.lit(-1)).otherwise(
+            F.length(F.bin(F.col("fb_energy"))) - 1
+        ).cast("long"),
+    ).withColumn("is_top", F.row_number().over(wnd) == 1)
+
+
+def filterbank_energy_sql(
+    samples_cte: str,
+    frame: int = 64,
+    centers: tuple = (2, 4, 8),
+    scale: int = 512,
+) -> str:
+    """DuckDB twin of filterbank_energy over (audio_id, t, v) sample
+    rows — same inlined trig + weight tables, same shift and rollup."""
+    fb = octave_filterbank(centers)
+    bins = tuple(sorted(set(k for _, k, _ in fb)))
+    tab = dft_trig_table(frame, bins, scale)
+    trig = ", ".join(f"({k}, {t}, {c}, {s})" for k, t, c, s in tab)
+    wts = ", ".join(f"({m}, {k}, {w})" for m, k, w in fb)
+    return f"""
+WITH fb_smp AS MATERIALIZED (
+  SELECT audio_id, CAST(t AS BIGINT) AS t, CAST(v AS BIGINT) AS v
+  FROM ({samples_cte})
+),
+fb_trig(k, t, c, s) AS (SELECT * FROM (VALUES {trig})),
+fb_w(m, k, w) AS (SELECT * FROM (VALUES {wts})),
+fb_nfr AS (
+  SELECT audio_id, (max(t) + 1) // {int(frame)} AS nf FROM fb_smp GROUP BY 1
+),
+fb_en AS (
+  SELECT m.audio_id, CAST(m.t // {int(frame)} AS INTEGER) AS frame_idx,
+         CAST(g.k AS INTEGER) AS k,
+         CAST(sum(m.v * g.c) AS BIGINT) AS c_sum,
+         CAST(sum(m.v * g.s) AS BIGINT) AS s_sum
+  FROM fb_smp m
+  JOIN fb_nfr ON fb_nfr.audio_id = m.audio_id
+  JOIN fb_trig g ON g.t = m.t % {int(frame)}
+  WHERE m.t < fb_nfr.nf * {int(frame)}
+  GROUP BY 1, 2, 3
+),
+fb_roll AS (
+  SELECT audio_id, frame_idx, CAST(w.m AS INTEGER) AS m,
+         CAST(sum(w.w * ((c_sum * c_sum + s_sum * s_sum)
+                         // {1 << FB_ENERGY_SHIFT})) AS BIGINT) AS fb_energy
+  FROM fb_en JOIN fb_w w ON w.k = fb_en.k
+  GROUP BY 1, 2, 3
+)
+SELECT audio_id, frame_idx, m, fb_energy,
+       CAST(CASE WHEN fb_energy <= 0 THEN -1
+            ELSE length(bin(fb_energy)) - 1 END AS BIGINT) AS log2_e,
+       row_number() OVER (PARTITION BY audio_id, frame_idx
+                          ORDER BY fb_energy DESC, m ASC) = 1 AS is_top
+FROM fb_roll
+"""

@@ -3182,3 +3182,75 @@ def test_dog_keypoints_scalar_brute_and_planted_blob(spark):
 
     assert sorted(got.get("rnd", [])) == brute(rnd, 100)
     assert sorted(got["blob"]) == brute(blob, 100)
+
+
+def test_filterbank_energy_replay_and_band_dominance(spark):
+    """Scalar replay of the octave filterbank over brute DFT energies
+    on a two-tone clip, plus the designed property: a pure k=4 tone's
+    top band is the filter centered at 4 in every frame; twin parity."""
+    import duckdb
+
+    from osm2geojson_spark.functions import audiocodec as AC
+    from osm2geojson_spark.operators.multimodal import (
+        FB_ENERGY_SHIFT,
+        dft_trig_table,
+        filterbank_energy,
+        filterbank_energy_sql,
+        octave_filterbank,
+    )
+
+    t = np.arange(192, dtype=np.int64)
+    tone4 = np.where(((t * 4) // 32) % 2 == 0, 6000, -6000)  # k=4 square
+    mix = np.where(((t * 2) // 32) % 2 == 0, 5000, -5000) + (t % 3) * 100
+    clips = spark.createDataFrame(
+        [
+            ("t4", "pcmz", AC.encode_pcm16(tone4.astype(np.int16))),
+            ("mx", "pcmz", AC.encode_pcm16(mix.astype(np.int16))),
+        ],
+        "audio_id string, fmt string, bytes binary",
+    )
+    got = {
+        (r["audio_id"], r["frame_idx"], r["m"]):
+            (r["fb_energy"], r["log2_e"], r["is_top"])
+        for r in filterbank_energy(clips).collect()
+    }
+
+    fb = octave_filterbank()
+    bins = tuple(sorted(set(k for _, k, _ in fb)))
+    tab = dft_trig_table(64, bins, 512)
+    trig = {}
+    for k, tt, c, s in tab:
+        trig.setdefault(k, []).append((tt, c, s))
+    for aid, sig in (("t4", tone4), ("mx", mix)):
+        for j in range(3):
+            w = sig[j * 64 : (j + 1) * 64]
+            en = {}
+            for k in bins:
+                cs = sum(int(w[tt]) * c for tt, c, _ in trig[k])
+                ss = sum(int(w[tt]) * s for tt, _, s in trig[k])
+                en[k] = cs * cs + ss * ss
+            fbv = {}
+            for m, k, wt in fb:
+                fbv[m] = fbv.get(m, 0) + wt * (en[k] >> FB_ENERGY_SHIFT)
+            top = max(fbv, key=lambda m: (fbv[m], -m))
+            for m, v in fbv.items():
+                lg = -1 if v <= 0 else v.bit_length() - 1
+                assert got[(aid, j, m)] == (v, lg, m == top), (aid, j, m)
+    # pure k=4 tone: band centered at 4 (m=1) dominates every frame
+    assert all(got[("t4", j, 1)][2] for j in range(3))
+
+    duck = duckdb.connect()
+    samples = [
+        (aid, int(i), int(v))
+        for aid, sig in (("t4", tone4), ("mx", mix))
+        for i, v in enumerate(sig)
+    ]
+    duck.execute("CREATE TABLE fsmp (audio_id VARCHAR, t BIGINT, v BIGINT)")
+    duck.executemany("INSERT INTO fsmp VALUES (?,?,?)", samples)
+    twin = {
+        (r[0], r[1], r[2]): (r[3], r[4], r[5])
+        for r in duck.sql(
+            filterbank_energy_sql("SELECT * FROM fsmp")
+        ).fetchall()
+    }
+    assert twin == got
