@@ -12031,6 +12031,33 @@ def _target_encode_sql() -> str:
     )
 
 
+def q_home_anchors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X236 (trajectory.home_work_anchors): home/work anchor cells per
+    user over the drifting ping fixture on the integer degree grid —
+    night-window argmax vs work-window argmax as MAX(struct) rollups
+    (no windows, two combinable shuffles total), integer share gate."""
+    from osm2geojson_spark.operators.trajectory import home_work_anchors
+
+    pings = _traj_pings(spark, sf_dir).select(
+        "user_id",
+        "ts",
+        (
+            (F.floor(F.col("lon")) + 180) * 1000 + F.floor(F.col("lat")) + 90
+        ).cast("long").alias("cell_id"),
+    )
+    return home_work_anchors(pings)
+
+
+def _home_anchors_sql() -> str:
+    from osm2geojson_spark.operators.trajectory import home_work_anchors_sql
+
+    return home_work_anchors_sql(
+        f"""SELECT user_id, ts,
+        CAST((floor(lon) + 180) * 1000 + floor(lat) + 90 AS BIGINT) AS cell_id
+        FROM ({_TRAJ_PINGS_CTE})"""
+    )
+
+
 def _fb_clips(spark: SparkSession, sf_dir: str):
     from osm2geojson_spark.functions import audiocodec as AC
 
@@ -12257,6 +12284,7 @@ def _keyword_extract_sql() -> str:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "home_anchors": q_home_anchors,
         "filterbank": q_filterbank,
         "dog_keypoints": q_dog_keypoints,
         "pca_top": q_pca_top,
@@ -12548,6 +12576,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "home_anchors": _home_anchors_sql(),
         "filterbank": _filterbank_sql(),
         "dog_keypoints": _dog_keypoints_sql(),
         "pca_top": _pca_top_sql(),

@@ -286,6 +286,7 @@ BENCH_QUERIES = [
     "pca_top",
     "dog_keypoints",
     "filterbank",
+    "home_anchors",
 ]
 
 

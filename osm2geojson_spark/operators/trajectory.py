@@ -1244,3 +1244,127 @@ SELECT o.user_id, o.idx, o.obs,
        b.bm.cost AS path_cost
 FROM ob o JOIN best b ON b.user_id = o.user_id
 """
+
+
+def home_work_anchors(
+    pings: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    cell_col: str = "cell_id",
+    night_start: int = 22,
+    night_end: int = 6,
+    work_start: int = 9,
+    work_end: int = 17,
+) -> DataFrame:
+    """(user_id, home_cell, n_night_home, n_night, work_cell,
+    n_work_at, n_work, n_pings, same_place, home_share_micro) — HOME /
+    WORK ANCHOR DETECTION (the standard mobility prior, e.g. Phithakkitnukoon
+    et al. 2012): a user's HOME is the cell with the most pings in the
+    night window [night_start, 24) ∪ [0, night_end), WORK the cell with
+    the most pings in [work_start, work_end]; ties break to the lowest
+    cell id. home_share_micro = night pings at home / all night pings
+    (integer micro division) — the anchor-confidence gate; users with
+    no night (or work) pings get NULL for that anchor.
+
+    Deterministic, no RNG, no floats. Scale: ONE combinable
+    groupBy(user, cell) rollup with conditional counts, then the argmax
+    per user is a MAX(struct(count, -cell)) rollup — no window, no
+    second shuffle (the struct max merges map-side). Hours come from
+    the session-pinned UTC clock in both engines."""
+    hr = F.hour(F.col(ts_col))
+    night = (hr >= night_start) | (hr < night_end)
+    work = (hr >= work_start) & (hr <= work_end)
+    per = pings.groupBy(
+        F.col(user_col).alias("user_id"), F.col(cell_col).alias("cell")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_all"),
+        F.sum(night.cast("long")).cast("long").alias("n_night"),
+        F.sum(work.cast("long")).cast("long").alias("n_work"),
+    )
+    pick_home = F.max(
+        F.when(
+            F.col("n_night") > 0,
+            F.struct(
+                F.col("n_night").alias("c"), (-F.col("cell")).alias("nc")
+            ),
+        )
+    ).alias("_h")
+    pick_work = F.max(
+        F.when(
+            F.col("n_work") > 0,
+            F.struct(
+                F.col("n_work").alias("c"), (-F.col("cell")).alias("nc")
+            ),
+        )
+    ).alias("_w")
+    agg = per.groupBy("user_id").agg(
+        pick_home,
+        pick_work,
+        F.sum("n_night").cast("long").alias("n_night"),
+        F.sum("n_work").cast("long").alias("n_work"),
+        F.sum("n_all").cast("long").alias("n_pings"),
+    )
+    home = -F.col("_h.nc")
+    workc = -F.col("_w.nc")
+    return agg.select(
+        "user_id",
+        home.cast("long").alias("home_cell"),
+        F.col("_h.c").cast("long").alias("n_night_home"),
+        "n_night",
+        workc.cast("long").alias("work_cell"),
+        F.col("_w.c").cast("long").alias("n_work_at"),
+        "n_work",
+        "n_pings",
+        (home == workc).alias("same_place"),
+        F.when(
+            F.col("n_night") > 0,
+            F.expr("_h.c * 1000000 DIV n_night"),
+        ).cast("long").alias("home_share_micro"),
+    )
+
+
+def home_work_anchors_sql(
+    pings_cte: str,
+    night_start: int = 22,
+    night_end: int = 6,
+    work_start: int = 9,
+    work_end: int = 17,
+) -> str:
+    """DuckDB twin of home_work_anchors — identical conditional rollup;
+    the struct argmax is replayed as max_by-free MAX((count, -cell))
+    row comparisons via arg-struct ordering (DuckDB struct compare)."""
+    return f"""
+WITH hw_src AS ({pings_cte}),
+hw_per AS (
+  SELECT user_id, cell_id AS cell,
+         CAST(count(*) AS BIGINT) AS n_all,
+         CAST(sum(CASE WHEN hour(ts) >= {int(night_start)}
+                        OR hour(ts) < {int(night_end)}
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_night,
+         CAST(sum(CASE WHEN hour(ts) >= {int(work_start)}
+                       AND hour(ts) <= {int(work_end)}
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_work
+  FROM hw_src GROUP BY 1, 2
+),
+hw_agg AS (
+  SELECT user_id,
+         max(CASE WHEN n_night > 0 THEN {{'c': n_night, 'nc': -cell}} END) AS _h,
+         max(CASE WHEN n_work > 0 THEN {{'c': n_work, 'nc': -cell}} END) AS _w,
+         CAST(sum(n_night) AS BIGINT) AS n_night,
+         CAST(sum(n_work) AS BIGINT) AS n_work,
+         CAST(sum(n_all) AS BIGINT) AS n_pings
+  FROM hw_per GROUP BY 1
+)
+SELECT user_id,
+       CAST(-(_h.nc) AS BIGINT) AS home_cell,
+       CAST(_h.c AS BIGINT) AS n_night_home,
+       n_night,
+       CAST(-(_w.nc) AS BIGINT) AS work_cell,
+       CAST(_w.c AS BIGINT) AS n_work_at,
+       n_work,
+       n_pings,
+       (-(_h.nc)) = (-(_w.nc)) AS same_place,
+       CASE WHEN n_night > 0
+            THEN _h.c * 1000000 // n_night END AS home_share_micro
+FROM hw_agg
+"""

@@ -955,3 +955,53 @@ def test_viterbi_smooth_brute_and_glitch_absorption(spark):
         ).fetchall()
     }
     assert twin == got
+
+
+def test_home_work_anchors_replay_and_ties(spark):
+    """Dict replay on a designed fixture: a user with a clear
+    night-home and day-work split, a tie broken to the lowest cell, a
+    user with no night pings (NULL home), and the DuckDB twin."""
+    from datetime import datetime
+
+    import duckdb
+
+    from osm2geojson_spark.operators.trajectory import (
+        home_work_anchors,
+        home_work_anchors_sql,
+    )
+
+    def ping(u, day, hour, cell):
+        return (u, datetime(2024, 3, day, hour, 0, 0), cell)
+
+    rows = []
+    # user 1: nights at 100 (3x), days at 200 (2x), one stray night at 300
+    rows += [ping(1, d, 23, 100) for d in (1, 2, 3)]
+    rows += [ping(1, d, 10, 200) for d in (1, 2)]
+    rows += [ping(1, 4, 2, 300)]
+    # user 2: night tie between cells 7 and 5 (2 each) -> lowest wins
+    rows += [ping(2, 1, 23, 7), ping(2, 2, 0, 7),
+             ping(2, 3, 23, 5), ping(2, 4, 1, 5)]
+    # user 3: only afternoon pings -> home NULL, work set
+    rows += [ping(3, 1, 14, 9), ping(3, 2, 15, 9)]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, cell_id long")
+    got = {r["user_id"]: r.asDict() for r in home_work_anchors(df).collect()}
+
+    assert got[1]["home_cell"] == 100 and got[1]["n_night_home"] == 3
+    assert got[1]["n_night"] == 4 and got[1]["home_share_micro"] == 750_000
+    assert got[1]["work_cell"] == 200 and got[1]["n_work_at"] == 2
+    assert got[1]["same_place"] is False
+    assert got[2]["home_cell"] == 5  # tie -> lowest cell
+    assert got[3]["home_cell"] is None and got[3]["work_cell"] == 9
+    assert got[3]["home_share_micro"] is None
+
+    duck = duckdb.connect()
+    duck.execute("CREATE TABLE hwp (user_id BIGINT, ts TIMESTAMP, cell_id BIGINT)")
+    duck.executemany("INSERT INTO hwp VALUES (?,?,?)", rows)
+    twin = {
+        r[0]: tuple(r)
+        for r in duck.sql(home_work_anchors_sql("SELECT * FROM hwp")).fetchall()
+    }
+    cols = ["user_id", "home_cell", "n_night_home", "n_night", "work_cell",
+            "n_work_at", "n_work", "n_pings", "same_place", "home_share_micro"]
+    for u, g in got.items():
+        assert twin[u] == tuple(g[c] for c in cols), u
