@@ -12031,6 +12031,37 @@ def _target_encode_sql() -> str:
     )
 
 
+def q_compress_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X237 (text.compress_cost): corpus-trained dyadic Shannon
+    compressibility per document (bits and bits-per-token) — the
+    gzip-ratio-style boilerplate/quality gate with an exact integer
+    trace; same enriched corpus as keyword_extract so code lengths
+    span the full range."""
+    from osm2geojson_spark.functions.text import compress_cost
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            F.col("text"),
+            F.col("source"),
+            F.col("lang"),
+            F.concat(F.lit("u"), F.col("doc_id").cast("string")),
+        ).alias("text"),
+    )
+    return compress_cost(docs)
+
+
+def _compress_cost_sql() -> str:
+    from osm2geojson_spark.functions.text import compress_cost_sql
+
+    return compress_cost_sql(
+        "SELECT doc_id,"
+        " text || ' ' || source || ' ' || lang || ' u' || CAST(doc_id AS VARCHAR)"
+        " AS text FROM documents"
+    )
+
+
 def q_home_anchors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X236 (trajectory.home_work_anchors): home/work anchor cells per
     user over the drifting ping fixture on the integer degree grid —
@@ -12284,6 +12315,7 @@ def _keyword_extract_sql() -> str:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "compress_cost": q_compress_cost,
         "home_anchors": q_home_anchors,
         "filterbank": q_filterbank,
         "dog_keypoints": q_dog_keypoints,
@@ -12576,6 +12608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "compress_cost": _compress_cost_sql(),
         "home_anchors": _home_anchors_sql(),
         "filterbank": _filterbank_sql(),
         "dog_keypoints": _dog_keypoints_sql(),

@@ -287,6 +287,7 @@ BENCH_QUERIES = [
     "dog_keypoints",
     "filterbank",
     "home_anchors",
+    "compress_cost",
 ]
 
 

@@ -578,3 +578,82 @@ tk_ranked AS (
 SELECT doc_id, rank, tok, tf, df, idf_log2, score
 FROM tk_ranked WHERE rank <= {int(k)}
 """
+
+
+def compress_cost(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_tokens, bits, bpt_micro) — CORPUS COMPRESSIBILITY
+    SCORING by dyadic Shannon code lengths: train the code on the
+    corpus's own unigram counts, L(tok) = ceil(log2(N / cnt(tok)))
+    (the Shannon code length — satisfies Kraft, within 1 bit of the
+    entropy optimum), and charge each document Σ L over its tokens.
+    ``bpt_micro`` = bits·1e6 div n_tokens is bits-per-token — LOW means
+    repetitive/boilerplate (dedup-adjacent quality gate), HIGH means
+    rare-token-dense. The integer stand-in for gzip-ratio filtering
+    (Muennighoff et al. 2023-style compressibility curation) with an
+    exact cross-engine trace.
+
+    Exactness: L = bit_length(ceil(N/cnt) − 1) in pure integer
+    arithmetic (0 when cnt = N), identical via bin() in both engines —
+    no log anywhere.
+
+    Scale: tokenize is scan-shaped; ONE vocab rollup (broadcastable
+    back — the code table is vocabulary-sized); one per-doc rollup.
+    Same shuffle shape as tfidf_topk without the window."""
+    toks = docs.select(
+        F.col("doc_id"),
+        F.explode(F.split(normalize_col(F.col(text_col)), " ")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    vocab = toks.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    n_tot = vocab.agg(F.sum("cnt").cast("long").alias("n_tot"))
+    code = vocab.crossJoin(F.broadcast(n_tot)).select(
+        "tok",
+        F.when(F.col("cnt") >= F.col("n_tot"), F.lit(0).cast("long"))
+        .otherwise(
+            F.length(
+                F.bin(F.expr("(n_tot + cnt - 1) DIV cnt - 1"))
+            ).cast("long")
+        )
+        .alias("bits_tok"),
+    )
+    return (
+        toks.join(F.broadcast(code), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("bits_tok").cast("long").alias("bits"),
+        )
+        .withColumn("bpt_micro", F.expr("bits * 1000000 DIV n_tokens"))
+    )
+
+
+def compress_cost_sql(docs_cte: str, text_col: str = "text") -> str:
+    """DuckDB twin of compress_cost — identical normalization, the same
+    bin()-length ceil-log2 identity, identical rollups."""
+    norm = normalize_sql(text_col)
+    return f"""
+WITH cc_src AS ({docs_cte}),
+cc_toks AS (
+  SELECT doc_id, unnest(list_filter(string_split({norm}, ' '), t -> t != ''))
+         AS tok
+  FROM cc_src
+),
+cc_vocab AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM cc_toks GROUP BY 1
+),
+cc_n AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_tot FROM cc_vocab),
+cc_code AS (
+  SELECT tok,
+         CASE WHEN cnt >= n.n_tot THEN CAST(0 AS BIGINT)
+              ELSE CAST(length(bin((n.n_tot + cnt - 1) // cnt - 1)) AS BIGINT)
+         END AS bits_tok
+  FROM cc_vocab, cc_n n
+)
+SELECT t.doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(c.bits_tok) AS BIGINT) AS bits,
+       CAST(sum(c.bits_tok) * 1000000 // count(*) AS BIGINT) AS bpt_micro
+FROM cc_toks t JOIN cc_code c USING (tok)
+GROUP BY 1
+"""

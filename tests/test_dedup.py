@@ -1489,3 +1489,53 @@ def test_pca_top_eigvec_matches_numpy_and_twin(spark):
         ).fetchall()
     )
     assert twin == got
+
+
+def test_compress_cost_replay_and_boilerplate_gate(spark):
+    """Dict replay of the dyadic Shannon costs (exact ceil-log2 checked
+    against a Python loop), the Kraft inequality over the trained code,
+    and the designed property: a boilerplate doc (all corpus-dominant
+    tokens) scores strictly fewer bits/token than a rare-token doc."""
+    import duckdb
+
+    from osm2geojson_spark.functions.text import (
+        compress_cost,
+        compress_cost_sql,
+    )
+
+    corpus = [(0, "the " * 40 + "cat"), (1, "the the the the cat cat dog"),
+              (2, "zebra quark axolotl"), (3, "the dog")]
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["bits"], r["bpt_micro"])
+        for r in compress_cost(df).collect()
+    }
+
+    toks = {d: s.split() for d, s in corpus}
+    cnt = {}
+    for ts in toks.values():
+        for t in ts:
+            cnt[t] = cnt.get(t, 0) + 1
+    N = sum(cnt.values())
+
+    def L(c):
+        out = 0
+        while (1 << out) * c < N:
+            out += 1
+        return out
+
+    # Kraft: sum over DISTINCT tokens of 2^-L <= 1
+    assert sum(2 ** -L(c) for c in cnt.values()) <= 1.0 + 1e-12
+    for d, ts in toks.items():
+        bits = sum(L(cnt[t]) for t in ts)
+        assert got[d] == (len(ts), bits, bits * 1_000_000 // len(ts)), d
+    assert got[0][2] < got[2][2]  # boilerplate < rare-dense
+
+    duck = duckdb.connect()
+    duck.execute("CREATE TABLE ccd (doc_id BIGINT, text VARCHAR)")
+    duck.executemany("INSERT INTO ccd VALUES (?,?)", corpus)
+    twin = {
+        r[0]: tuple(r[1:])
+        for r in duck.sql(compress_cost_sql("SELECT * FROM ccd")).fetchall()
+    }
+    assert twin == got
