@@ -12031,6 +12031,24 @@ def _target_encode_sql() -> str:
     )
 
 
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X238 (text.bpe_train): BPE tokenizer-merge training over the
+    document corpus — 8 rounds of most-frequent-adjacent-pair merges on
+    the word-frequency table (corpus scanned once; rounds run on the
+    vocabulary), leftmost-non-overlapping rewrites via the
+    pipe-delimited replace identity; the returned merge list is the
+    trained tokenizer."""
+    from osm2geojson_spark.functions.text import bpe_train
+
+    return bpe_train(_t(spark, sf_dir, "documents"), merges=8)
+
+
+def _bpe_train_sql() -> str:
+    from osm2geojson_spark.functions.text import bpe_train_sql
+
+    return bpe_train_sql("SELECT doc_id, text FROM documents", merges=8)
+
+
 def q_compress_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X237 (text.compress_cost): corpus-trained dyadic Shannon
     compressibility per document (bits and bits-per-token) — the
@@ -12315,6 +12333,7 @@ def _keyword_extract_sql() -> str:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "bpe_train": q_bpe_train,
         "compress_cost": q_compress_cost,
         "home_anchors": q_home_anchors,
         "filterbank": q_filterbank,
@@ -12608,6 +12627,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "bpe_train": _bpe_train_sql(),
         "compress_cost": _compress_cost_sql(),
         "home_anchors": _home_anchors_sql(),
         "filterbank": _filterbank_sql(),

@@ -288,6 +288,7 @@ BENCH_QUERIES = [
     "filterbank",
     "home_anchors",
     "compress_cost",
+    "bpe_train",
 ]
 
 

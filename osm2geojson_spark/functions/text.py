@@ -657,3 +657,136 @@ SELECT t.doc_id,
 FROM cc_toks t JOIN cc_code c USING (tok)
 GROUP BY 1
 """
+
+
+def bpe_train(
+    docs: DataFrame, text_col: str = "text", merges: int = 6
+) -> DataFrame:
+    """(round, a, b, merged, pair_count) — BYTE-PAIR-ENCODING MERGE
+    TRAINING (Sennrich et al. 2016), the tokenizer-induction core of an
+    LLM data pipeline: starting from character symbols over the corpus
+    WORD-FREQUENCY table, each round merges the most frequent adjacent
+    symbol pair (count ties break lexicographically on (a, b)) and
+    rewrites every word leftmost-non-overlapping. The returned merge
+    list IS the trained tokenizer.
+
+    Determinism: pair counts are exact int64 (word freq × adjacent
+    occurrences, overlaps counted — the reference implementation's
+    convention); the rewrite uses the pipe-delimited word form
+    '|s1||s2||…|' where replace('|a||b|' → '|ab|') is exactly the
+    leftmost-non-overlapping merge in BOTH engines (delimiters are
+    never shared between occurrences, so adjacent matches all fire).
+
+    Scale: the corpus-sized work is ONE word-frequency rollup; every
+    round then runs on the VOCABULARY table (pair rollup + one literal
+    string rewrite — broadcast-scale), with a single 1-row collect per
+    round to pick the winner: O(merges) tiny jobs, the corpus is never
+    rescanned. Returns min(merges, available) rows."""
+    toks = docs.select(
+        F.explode(F.split(normalize_col(F.col(text_col)), " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    words = toks.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("long").alias("f")
+    ).select(
+        "f",
+        F.concat(
+            F.lit("|"),
+            F.array_join(F.expr("filter(split(tok, ''), x -> x != '')"), "||"),
+            F.lit("|"),
+        ).alias("s"),
+    ).localCheckpoint()
+    out = []
+    for r in range(1, int(merges) + 1):
+        syms = F.split(F.expr("trim(BOTH '|' FROM s)"), "\\|\\|")
+        top = (
+            words.withColumn("_syms", syms)
+            .select(
+                "f",
+                F.explode(
+                    F.expr(
+                        "arrays_zip(slice(_syms, 1, size(_syms) - 1),"
+                        " slice(_syms, 2, size(_syms) - 1))"
+                    )
+                ).alias("p"),
+            )
+            .select("f", F.col("p.0").alias("a"), F.col("p.1").alias("b"))
+            .groupBy("a", "b")
+            .agg(F.sum("f").cast("long").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("a").asc(), F.col("b").asc())
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b, cnt = top[0]["a"], top[0]["b"], top[0]["cnt"]
+        out.append((r, a, b, a + b, cnt))
+        pat, rep = f"|{a}||{b}|", f"|{a}{b}|"
+        words = words.select(
+            "f",
+            F.expr(
+                "replace(s, {p}, {q})".format(
+                    p=_sql_str(pat), q=_sql_str(rep)
+                )
+            ).alias("s"),
+        ).localCheckpoint()
+    spark = docs.sparkSession
+    return spark.createDataFrame(
+        out, "round int, a string, b string, merged string, pair_count long"
+    )
+
+
+def _sql_str(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def bpe_train_sql(docs_cte: str, text_col: str = "text", merges: int = 6) -> str:
+    """DuckDB twin of bpe_train — identical normalization and word
+    rollup, then the rounds UNROLLED as materialized CTEs: per-round
+    pair rollup, winner by (cnt DESC, a, b) LIMIT 1, and the identical
+    pipe-delimited literal replace (LEFT JOIN ON true keeps rounds past
+    exhaustion as identity rewrites emitting no winner row)."""
+    norm = normalize_sql(text_col)
+    parts = [
+        f"""bpe_src AS ({docs_cte}),
+bpe_w0 AS MATERIALIZED (
+  SELECT CAST(count(*) AS BIGINT) AS f,
+         '|' || array_to_string(
+           list_transform(range(1, length(tok) + 1), i -> substr(tok, i, 1)),
+           '||') || '|' AS s
+  FROM (
+    SELECT unnest(list_filter(string_split({norm}, ' '), t -> t != '')) AS tok
+    FROM bpe_src
+  ) GROUP BY tok
+)"""
+    ]
+    for r in range(1, int(merges) + 1):
+        prev = f"bpe_w{r - 1}"
+        parts.append(
+            f"""bpe_p{r} AS MATERIALIZED (
+  SELECT l[i] AS a, l[i + 1] AS b, CAST(sum(f) AS BIGINT) AS cnt
+  FROM (SELECT f, string_split(trim(s, '|'), '||') AS l FROM {prev}),
+       unnest(generate_series(1, len(l) - 1)) t(i)
+  GROUP BY 1, 2
+),
+bpe_win{r} AS MATERIALIZED (
+  SELECT a, b, cnt FROM bpe_p{r}
+  ORDER BY cnt DESC, a ASC, b ASC LIMIT 1
+),
+bpe_w{r} AS MATERIALIZED (
+  SELECT w.f,
+         CASE WHEN x.a IS NULL THEN w.s
+              ELSE replace(w.s, '|' || x.a || '||' || x.b || '|',
+                           '|' || x.a || x.b || '|') END AS s
+  FROM {prev} w LEFT JOIN bpe_win{r} x ON true
+)"""
+        )
+    finals = " UNION ALL ".join(
+        f"SELECT {r} AS round, a, b, a || b AS merged, cnt AS pair_count"
+        f" FROM bpe_win{r}"
+        for r in range(1, int(merges) + 1)
+    )
+    return f"""
+WITH {','.join(parts)}
+SELECT CAST(round AS INTEGER) AS round, a, b, merged, pair_count
+FROM ({finals})
+"""

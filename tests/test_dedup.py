@@ -1539,3 +1539,51 @@ def test_compress_cost_replay_and_boilerplate_gate(spark):
         for r in duck.sql(compress_cost_sql("SELECT * FROM ccd")).fetchall()
     }
     assert twin == got
+
+
+def test_bpe_train_sennrich_example_and_overlap(spark):
+    """The classic low/lower corpus must produce the textbook merges
+    (lo, low, ew, new); an 'aaaa' word exercises leftmost-non-overlap
+    (freq-4 'aaaa' contributes 3 overlapping (a,a) counts, then merges
+    to (aa, aa)); DuckDB twin byte-for-byte."""
+    import duckdb
+
+    from osm2geojson_spark.functions.text import bpe_train, bpe_train_sql
+
+    corpus = [(0, "low lower lowest low low"), (1, "new newer newest new")]
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = sorted(tuple(r) for r in bpe_train(df, merges=4).collect())
+    assert got == [
+        (1, "l", "o", "lo", 5),
+        (2, "lo", "w", "low", 5),
+        (3, "e", "w", "ew", 4),
+        (4, "n", "ew", "new", 4),
+    ]
+
+    # overlap semantics: 'aaaa' x3 -> (a,a) counted 9 (3 overlapping
+    # occurrences x freq 3); after merging, word is (aa)(aa) so round 2
+    # merges (aa, aa) with count 3 -- NOT (a, aa)
+    ov = spark.createDataFrame(
+        [(0, "aaaa aaaa aaaa b")], "doc_id long, text string"
+    )
+    got_ov = sorted(tuple(r) for r in bpe_train(ov, merges=2).collect())
+    assert got_ov == [
+        (1, "a", "a", "aa", 9),
+        (2, "aa", "aa", "aaaa", 3),
+    ]
+
+    duck = duckdb.connect()
+    duck.execute("CREATE TABLE bped (doc_id BIGINT, text VARCHAR)")
+    duck.executemany("INSERT INTO bped VALUES (?,?)", corpus)
+    twin = sorted(
+        tuple(r)
+        for r in duck.sql(bpe_train_sql("SELECT * FROM bped", merges=4)).fetchall()
+    )
+    assert twin == got
+    duck.execute("DELETE FROM bped")
+    duck.execute("INSERT INTO bped VALUES (0, 'aaaa aaaa aaaa b')")
+    twin_ov = sorted(
+        tuple(r)
+        for r in duck.sql(bpe_train_sql("SELECT * FROM bped", merges=2)).fetchall()
+    )
+    assert twin_ov == got_ov
