@@ -12031,6 +12031,23 @@ def _target_encode_sql() -> str:
     )
 
 
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X239 (text.bpe_encode): BPE tokenization applied — the corpus
+    trains its own 8-round merge table, then every document is charged
+    the token count of its words under the merged vocabulary (broadcast
+    vocab join + one rollup; corpus scanned exactly twice). The
+    fertility ratio is the token-budget gate."""
+    from osm2geojson_spark.functions.text import bpe_encode
+
+    return bpe_encode(_t(spark, sf_dir, "documents"), merges=8)
+
+
+def _bpe_encode_sql() -> str:
+    from osm2geojson_spark.functions.text import bpe_encode_sql
+
+    return bpe_encode_sql("SELECT doc_id, text FROM documents", merges=8)
+
+
 def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X238 (text.bpe_train): BPE tokenizer-merge training over the
     document corpus — 8 rounds of most-frequent-adjacent-pair merges on
@@ -12333,6 +12350,7 @@ def _keyword_extract_sql() -> str:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "bpe_encode": q_bpe_encode,
         "bpe_train": q_bpe_train,
         "compress_cost": q_compress_cost,
         "home_anchors": q_home_anchors,
@@ -12627,6 +12645,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "bpe_encode": _bpe_encode_sql(),
         "bpe_train": _bpe_train_sql(),
         "compress_cost": _compress_cost_sql(),
         "home_anchors": _home_anchors_sql(),

@@ -289,6 +289,7 @@ BENCH_QUERIES = [
     "home_anchors",
     "compress_cost",
     "bpe_train",
+    "bpe_encode",
 ]
 
 

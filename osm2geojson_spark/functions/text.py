@@ -682,12 +682,23 @@ def bpe_train(
     string rewrite — broadcast-scale), with a single 1-row collect per
     round to pick the winner: O(merges) tiny jobs, the corpus is never
     rescanned. Returns min(merges, available) rows."""
+    out, _ = _bpe_learn(docs, text_col, merges)
+    spark = docs.sparkSession
+    return spark.createDataFrame(
+        out, "round int, a string, b string, merged string, pair_count long"
+    )
+
+
+def _bpe_learn(docs: DataFrame, text_col: str, merges: int):
+    """Shared BPE loop: returns (merge rows, final vocabulary DF with
+    columns (tok, f, s) — s the pipe-delimited merged symbol form)."""
     toks = docs.select(
         F.explode(F.split(normalize_col(F.col(text_col)), " ")).alias("tok")
     ).filter(F.col("tok") != "")
     words = toks.groupBy("tok").agg(
         F.count(F.lit(1)).cast("long").alias("f")
     ).select(
+        "tok",
         "f",
         F.concat(
             F.lit("|"),
@@ -722,6 +733,7 @@ def bpe_train(
         out.append((r, a, b, a + b, cnt))
         pat, rep = f"|{a}||{b}|", f"|{a}{b}|"
         words = words.select(
+            "tok",
             "f",
             F.expr(
                 "replace(s, {p}, {q})".format(
@@ -729,10 +741,7 @@ def bpe_train(
                 )
             ).alias("s"),
         ).localCheckpoint()
-    spark = docs.sparkSession
-    return spark.createDataFrame(
-        out, "round int, a string, b string, merged string, pair_count long"
-    )
+    return out, words
 
 
 def _sql_str(s: str) -> str:
@@ -789,4 +798,76 @@ bpe_w{r} AS MATERIALIZED (
 WITH {','.join(parts)}
 SELECT CAST(round AS INTEGER) AS round, a, b, merged, pair_count
 FROM ({finals})
+"""
+
+
+def bpe_encode(
+    docs: DataFrame, text_col: str = "text", merges: int = 6
+) -> DataFrame:
+    """(doc_id, n_words, n_chars, n_tokens, ratio_micro) — BPE
+    TOKENIZATION APPLIED: train ``merges`` rounds on the corpus itself
+    (the _bpe_learn loop) and charge every document the token count of
+    its words under the merged vocabulary. ratio_micro = n_tokens·1e6
+    div n_chars is the fertility/compression gate (1e6 = no merges
+    fired, lower = better tokenized) used to budget training mixtures
+    in tokens rather than characters.
+
+    Scale: training touches the corpus once (word-frequency rollup);
+    encoding is a broadcast join of the doc's words against the
+    vocabulary-sized merged table + one per-doc rollup — the corpus is
+    scanned exactly twice end to end, no per-row Python anywhere."""
+    _, words = _bpe_learn(docs, text_col, merges)
+    vocab = words.select(
+        "tok",
+        F.size(F.split(F.expr("trim(BOTH '|' FROM s)"), "\\|\\|")).cast(
+            "long"
+        ).alias("n_syms"),
+        F.length("tok").cast("long").alias("n_ch"),
+    )
+    toks = docs.select(
+        F.col("doc_id"),
+        F.explode(F.split(normalize_col(F.col(text_col)), " ")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    return (
+        toks.join(F.broadcast(vocab), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("n_ch").cast("long").alias("n_chars"),
+            F.sum("n_syms").cast("long").alias("n_tokens"),
+        )
+        .withColumn("ratio_micro", F.expr("n_tokens * 1000000 DIV n_chars"))
+    )
+
+
+def bpe_encode_sql(
+    docs_cte: str, text_col: str = "text", merges: int = 6
+) -> str:
+    """DuckDB twin of bpe_encode — rides bpe_train_sql's unrolled merge
+    rounds: the final words CTE bpe_w{merges} carries the merged form;
+    tok is recovered by stripping the pipes. Identical join + rollup."""
+    norm = normalize_sql(text_col)
+    train = bpe_train_sql(docs_cte, text_col, merges)
+    # reuse the WITH chain of the train twin, swap the final SELECT
+    cut = train.index("\nSELECT CAST(round AS INTEGER)")
+    body = train[train.index("WITH") : cut]
+    return f"""{body},
+bpe_vocab AS (
+  SELECT replace(s, '|', '') AS tok,
+         CAST(len(string_split(trim(s, '|'), '||')) AS BIGINT) AS n_syms,
+         CAST(length(replace(s, '|', '')) AS BIGINT) AS n_ch
+  FROM bpe_w{int(merges)}
+),
+bpe_doctoks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split({norm}, ' '), t -> t != '')) AS tok
+  FROM bpe_src
+)
+SELECT d.doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(v.n_ch) AS BIGINT) AS n_chars,
+       CAST(sum(v.n_syms) AS BIGINT) AS n_tokens,
+       CAST(sum(v.n_syms) * 1000000 // sum(v.n_ch) AS BIGINT) AS ratio_micro
+FROM bpe_doctoks d JOIN bpe_vocab v USING (tok)
+GROUP BY 1
 """

@@ -1587,3 +1587,38 @@ def test_bpe_train_sennrich_example_and_overlap(spark):
         for r in duck.sql(bpe_train_sql("SELECT * FROM bped", merges=2)).fetchall()
     )
     assert twin_ov == got_ov
+
+
+def test_bpe_encode_replay_and_fertility(spark):
+    """Scalar replay: train merges by hand on the low/new corpus, apply
+    leftmost-non-overlapping, and check per-doc token accounting; the
+    all-merged word ('low' after rounds 1-2) must count 1 token; twin
+    byte-for-byte."""
+    import duckdb
+
+    from osm2geojson_spark.functions.text import bpe_encode, bpe_encode_sql
+
+    corpus = [(0, "low lower lowest low low"), (1, "new newer newest new")]
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_chars"], r["n_tokens"], r["ratio_micro"])
+        for r in bpe_encode(df, merges=4).collect()
+    }
+    # merges: lo, low, ew, new (pinned by test_bpe_train_...).
+    # tokenizations: low->1; lower->low,e,r=3; lowest->low,e,s,t=4;
+    # new->1; newer->new,e,r=3; newest->new,e,s,t=4
+    d0_tokens = 1 + 3 + 4 + 1 + 1  # low lower lowest low low
+    d1_tokens = 1 + 3 + 4 + 1
+    d0_chars = 3 + 5 + 6 + 3 + 3
+    d1_chars = 3 + 5 + 6 + 3
+    assert got[0] == (5, d0_chars, d0_tokens, d0_tokens * 1_000_000 // d0_chars)
+    assert got[1] == (4, d1_chars, d1_tokens, d1_tokens * 1_000_000 // d1_chars)
+
+    duck = duckdb.connect()
+    duck.execute("CREATE TABLE bpee (doc_id BIGINT, text VARCHAR)")
+    duck.executemany("INSERT INTO bpee VALUES (?,?)", corpus)
+    twin = {
+        r[0]: tuple(r[1:])
+        for r in duck.sql(bpe_encode_sql("SELECT * FROM bpee", merges=4)).fetchall()
+    }
+    assert twin == got
