@@ -12161,6 +12161,58 @@ FROM (
 """
 
 
+def q_onset_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X240 (multimodal.onset_detect): spectral-flux onset detection
+    over clips whose square-wave fundamental JUMPS mid-clip (k0 ->
+    k0+4 at sample 320) — the flux spike must fire at the switch frame.
+    Composition over filterbank_energy; integer ratio gate."""
+    from osm2geojson_spark.functions import audiocodec as AC
+    from osm2geojson_spark.operators.multimodal import onset_detect
+
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_partkey") < 450) & (F.col("p_partkey") % 3 == 0)
+    ).select(F.col("p_partkey").alias("_i"))
+
+    def gen(it):
+        import numpy as np
+
+        for pdf in it:
+            rows = []
+            for i in pdf["_i"]:
+                i = int(i)
+                k0 = 1 + i % 3
+                t = np.arange(640, dtype=np.int64)
+                k = np.where(t < 320, k0, k0 + 4)
+                v = np.where(((t * k) // 32) % 2 == 0, 8000, -8000)
+                rows.append(
+                    (f"aud{i:012d}", "pcmz", AC.encode_pcm16(v.astype(np.int16)))
+                )
+            yield pd.DataFrame(rows, columns=["audio_id", "fmt", "bytes"])
+
+    clips = part.mapInPandas(
+        gen, schema="audio_id string, fmt string, bytes binary"
+    )
+    return onset_detect(clips)
+
+
+_ONSET_SAMPLES_SQL = """
+SELECT printf('aud%012d', i) AS audio_id, t,
+       CASE WHEN ((t * (CASE WHEN t < 320 THEN 1 + i % 3
+                        ELSE 5 + i % 3 END)) // 32) % 2 = 0
+            THEN 8000 ELSE -8000 END AS v
+FROM (
+  SELECT p_partkey AS i, unnest(range(0, 640)) AS t
+  FROM part WHERE p_partkey < 450 AND p_partkey % 3 = 0
+)
+"""
+
+
+def _onset_detect_sql() -> str:
+    from osm2geojson_spark.operators.multimodal import onset_detect_sql
+
+    return onset_detect_sql(_ONSET_SAMPLES_SQL)
+
+
 def q_filterbank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X235 (multimodal.filterbank_energy): per-frame octave triangular
     filterbank energies (the mel-spectrogram analogue) over the
@@ -12350,6 +12402,7 @@ def _keyword_extract_sql() -> str:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "onset_detect": q_onset_detect,
         "bpe_encode": q_bpe_encode,
         "bpe_train": q_bpe_train,
         "compress_cost": q_compress_cost,
@@ -12645,6 +12698,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "onset_detect": _onset_detect_sql(),
         "bpe_encode": _bpe_encode_sql(),
         "bpe_train": _bpe_train_sql(),
         "compress_cost": _compress_cost_sql(),

@@ -290,6 +290,7 @@ BENCH_QUERIES = [
     "compress_cost",
     "bpe_train",
     "bpe_encode",
+    "onset_detect",
 ]
 
 

@@ -4777,3 +4777,85 @@ SELECT audio_id, frame_idx, m, fb_energy,
                           ORDER BY fb_energy DESC, m ASC) = 1 AS is_top
 FROM fb_roll
 """
+
+
+def onset_detect(
+    audios: DataFrame,
+    frame: int = 64,
+    centers: tuple = (2, 4, 8),
+    min_nov: int = 1_000,
+    num: int = 5,
+    den: int = 4,
+) -> DataFrame:
+    """(audio_id, frame_idx, novelty, prev_novelty, is_onset) — ONSET
+    DETECTION by SPECTRAL FLUX (Bello et al. 2005): per frame, the
+    positively-rectified band-energy change
+
+        novelty(t) = Σ_m max(0, E_m(t) − E_m(t−1))
+
+    over the octave filterbank bands; a frame is an ONSET iff
+    novelty·den > num·prev_novelty (integer cross-multiplication — the
+    ratio spike gate, num/den = 1.25 default) AND novelty >= min_nov.
+    Frame 0 compares against 0 bands (prev = 0): an energetic first
+    frame is an onset iff it clears min_nov. The audio-segmentation /
+    beat-candidate primitive of clip curation.
+
+    Built BY COMPOSITION on filterbank_energy (itself on tone_detect's
+    GEMM): one lag window per (audio, band) + one per-frame rollup +
+    one lag window per audio — all exact int64, no floats, no RNG."""
+    fb = filterbank_energy(audios, frame=frame, centers=centers).select(
+        "audio_id", "frame_idx", "m", "fb_energy"
+    )
+    w_band = Window.partitionBy("audio_id", "m").orderBy("frame_idx")
+    diff = fb.withColumn(
+        "_prev_e", F.coalesce(F.lag("fb_energy").over(w_band), F.lit(0))
+    ).withColumn(
+        "_rect",
+        F.greatest(F.col("fb_energy") - F.col("_prev_e"), F.lit(0)),
+    )
+    nov = diff.groupBy("audio_id", "frame_idx").agg(
+        F.sum("_rect").cast("long").alias("novelty")
+    )
+    w_aud = Window.partitionBy("audio_id").orderBy("frame_idx")
+    return nov.withColumn(
+        "prev_novelty",
+        F.coalesce(F.lag("novelty").over(w_aud), F.lit(0)).cast("long"),
+    ).withColumn(
+        "is_onset",
+        (F.col("novelty") * den > F.lit(num) * F.col("prev_novelty"))
+        & (F.col("novelty") >= min_nov),
+    )
+
+
+def onset_detect_sql(
+    samples_cte: str,
+    frame: int = 64,
+    centers: tuple = (2, 4, 8),
+    min_nov: int = 1_000,
+    num: int = 5,
+    den: int = 4,
+) -> str:
+    """DuckDB twin of onset_detect — filterbank twin as a nested CTE,
+    identical lag/rectify/rollup/gate algebra."""
+    inner = filterbank_energy_sql(samples_cte, frame=frame, centers=centers)
+    return f"""
+WITH ons_fb AS MATERIALIZED ({inner}),
+ons_diff AS (
+  SELECT audio_id, frame_idx, m,
+         greatest(fb_energy - COALESCE(lag(fb_energy) OVER (
+           PARTITION BY audio_id, m ORDER BY frame_idx), 0), 0) AS rect
+  FROM ons_fb
+),
+ons_nov AS (
+  SELECT audio_id, frame_idx, CAST(sum(rect) AS BIGINT) AS novelty
+  FROM ons_diff GROUP BY 1, 2
+)
+SELECT audio_id, frame_idx, novelty,
+       CAST(COALESCE(lag(novelty) OVER (
+         PARTITION BY audio_id ORDER BY frame_idx), 0) AS BIGINT)
+         AS prev_novelty,
+       (novelty * {int(den)} > {int(num)} * COALESCE(lag(novelty) OVER (
+          PARTITION BY audio_id ORDER BY frame_idx), 0))
+         AND novelty >= {int(min_nov)} AS is_onset
+FROM ons_nov
+"""

@@ -3254,3 +3254,80 @@ def test_filterbank_energy_replay_and_band_dominance(spark):
         ).fetchall()
     }
     assert twin == got
+
+
+def test_onset_detect_fires_at_frequency_switch(spark):
+    """A clip whose fundamental jumps at the frame-5 boundary must fire
+    an onset exactly there (plus possibly frame 0); a steady clip fires
+    at most at frame 0; scalar replay of the flux algebra; twin parity."""
+    import duckdb
+
+    from osm2geojson_spark.functions import audiocodec as AC
+    from osm2geojson_spark.operators.multimodal import (
+        FB_ENERGY_SHIFT,
+        dft_trig_table,
+        octave_filterbank,
+        onset_detect,
+        onset_detect_sql,
+    )
+
+    t = np.arange(640, dtype=np.int64)
+    k_sw = np.where(t < 320, 2, 6)
+    switch = np.where(((t * k_sw) // 32) % 2 == 0, 8000, -8000)
+    steady = np.where(((t * 2) // 32) % 2 == 0, 8000, -8000)
+    clips = spark.createDataFrame(
+        [
+            ("sw", "pcmz", AC.encode_pcm16(switch.astype(np.int16))),
+            ("st", "pcmz", AC.encode_pcm16(steady.astype(np.int16))),
+        ],
+        "audio_id string, fmt string, bytes binary",
+    )
+    got = {
+        (r["audio_id"], r["frame_idx"]):
+            (r["novelty"], r["prev_novelty"], r["is_onset"])
+        for r in onset_detect(clips).collect()
+    }
+    # the switch clip fires at frame 5 (sample 320 = frame boundary)
+    assert got[("sw", 5)][2] is True
+    # steady clip: no onsets after frame 0
+    assert not any(
+        v[2] for (a, f), v in got.items() if a == "st" and f > 0
+    )
+
+    # scalar replay
+    fb = octave_filterbank()
+    bins = tuple(sorted(set(k for _, k, _ in fb)))
+    tab = dft_trig_table(64, bins, 512)
+    trig = {}
+    for k, tt, c, s in tab:
+        trig.setdefault(k, []).append((tt, c, s))
+    for aid, sig in (("sw", switch), ("st", steady)):
+        prev_e, prev_nov = {}, 0
+        for j in range(10):
+            w = sig[j * 64 : (j + 1) * 64]
+            en = {}
+            for k in bins:
+                cs = sum(int(w[tt]) * c for tt, c, _ in trig[k])
+                ss = sum(int(w[tt]) * s for tt, _, s in trig[k])
+                en[k] = cs * cs + ss * ss
+            fbv = {}
+            for m, k, wt in fb:
+                fbv[m] = fbv.get(m, 0) + wt * (en[k] >> FB_ENERGY_SHIFT)
+            nov = sum(max(0, fbv[m] - prev_e.get(m, 0)) for m in fbv)
+            onset = nov * 4 > 5 * prev_nov and nov >= 1_000
+            assert got[(aid, j)] == (nov, prev_nov, onset), (aid, j)
+            prev_e, prev_nov = fbv, nov
+
+    duck = duckdb.connect()
+    samples = [
+        (aid, int(i), int(v))
+        for aid, sig in (("sw", switch), ("st", steady))
+        for i, v in enumerate(sig)
+    ]
+    duck.execute("CREATE TABLE osmp (audio_id VARCHAR, t BIGINT, v BIGINT)")
+    duck.executemany("INSERT INTO osmp VALUES (?,?,?)", samples)
+    twin = {
+        (r[0], r[1]): (r[2], r[3], r[4])
+        for r in duck.sql(onset_detect_sql("SELECT * FROM osmp")).fetchall()
+    }
+    assert twin == got
