@@ -12161,6 +12161,50 @@ FROM (
 """
 
 
+def q_gray_world(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X241 (multimodal.gray_world_stats): gray-world white balance
+    census over 30 synthetic 16x16 RGB pixel tables (the color_quantize
+    fixture) — integer channel-mean rescale with clamp accounting; one
+    window sum + one rollup, no join."""
+    from osm2geojson_spark.operators.multimodal import gray_world_stats
+
+    k = F.col("p_partkey")
+    imgs = _t(spark, sf_dir, "part").filter(k < 30).select(
+        F.format_string("img%012d", k).alias("image_id"),
+        k.alias("_i"),
+    )
+    px = imgs.select(
+        "image_id",
+        "_i",
+        F.explode(F.sequence(F.lit(0), F.lit(255))).alias("p"),
+    ).select(
+        "image_id",
+        (((F.col("p") % 16) * 3 + (F.col("p") / 16).cast("long") * 7
+          + F.col("_i") * 13) % 251).alias("r"),
+        (((F.col("p") % 16) * 5 + (F.col("p") / 16).cast("long") * 11
+          + F.col("_i") * 17) % 241).alias("g"),
+        (((F.col("p") % 16) * 7 + (F.col("p") / 16).cast("long") * 3
+          + F.col("_i") * 19) % 239).alias("b"),
+    )
+    return gray_world_stats(px)
+
+
+def _gray_world_sql() -> str:
+    from osm2geojson_spark.operators.multimodal import gray_world_stats_sql
+
+    px = """
+SELECT printf('img%012d', i) AS image_id,
+       ((p % 16) * 3 + (p // 16) * 7 + i * 13) % 251 AS r,
+       ((p % 16) * 5 + (p // 16) * 11 + i * 17) % 241 AS g,
+       ((p % 16) * 7 + (p // 16) * 3 + i * 19) % 239 AS b
+FROM (
+  SELECT p_partkey AS i, unnest(range(0, 256)) AS p
+  FROM part WHERE p_partkey < 30
+)
+"""
+    return gray_world_stats_sql(px)
+
+
 def q_onset_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X240 (multimodal.onset_detect): spectral-flux onset detection
     over clips whose square-wave fundamental JUMPS mid-clip (k0 ->
@@ -12402,6 +12446,7 @@ def _keyword_extract_sql() -> str:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "gray_world": q_gray_world,
         "onset_detect": q_onset_detect,
         "bpe_encode": q_bpe_encode,
         "bpe_train": q_bpe_train,
@@ -12698,6 +12743,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "gray_world": _gray_world_sql(),
         "onset_detect": _onset_detect_sql(),
         "bpe_encode": _bpe_encode_sql(),
         "bpe_train": _bpe_train_sql(),

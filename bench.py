@@ -291,6 +291,7 @@ BENCH_QUERIES = [
     "bpe_train",
     "bpe_encode",
     "onset_detect",
+    "gray_world",
 ]
 
 

@@ -4859,3 +4859,91 @@ SELECT audio_id, frame_idx, novelty,
          AND novelty >= {int(min_nov)} AS is_onset
 FROM ons_nov
 """
+
+
+def gray_world_stats(px: DataFrame) -> DataFrame:
+    """(image_id, n_px, s_r, s_g, s_b, cr_sum, cg_sum, cb_sum,
+    n_clipped) — GRAY-WORLD WHITE BALANCE (Buchsbaum 1980) as an exact
+    integer census over per-image RGB pixel tables: the illuminant
+    estimate is each channel's mean; every pixel is rescaled
+
+        v' = min(255, v · S_tot div (3 · S_c))      (S_tot = S_r+S_g+S_b)
+
+    so the corrected channel means equalize (up to truncation and the
+    255 clamp — n_clipped counts pixels where any channel clamped).
+    The color-cast normalization gate of image curation, with a fully
+    deterministic integer trace.
+
+    Scale: ONE window sum per image partition (no join) + one rollup;
+    int64 headroom v·S_tot < 2^63 holds to ~4096² pixels per image.
+    Channel sums of 0 are guarded to 1 (a black channel stays black)."""
+    w = Window.partitionBy("image_id")
+    sr = F.greatest(F.sum("r").over(w), F.lit(1))
+    sg = F.greatest(F.sum("g").over(w), F.lit(1))
+    sb = F.greatest(F.sum("b").over(w), F.lit(1))
+    stot = sr + sg + sb
+    staged = px.select(
+        "image_id", "r", "g", "b",
+        sr.alias("_sr"), sg.alias("_sg"), sb.alias("_sb"),
+        stot.alias("_st"),
+    )
+    def corr(c, s):
+        return F.expr(f"least(255, {c} * _st DIV (3 * {s}))")
+    def clip(c, s):
+        return F.expr(f"{c} * _st DIV (3 * {s}) > 255")
+    return (
+        staged.select(
+            "image_id", "_sr", "_sg", "_sb",
+            corr("r", "_sr").alias("_cr"),
+            corr("g", "_sg").alias("_cg"),
+            corr("b", "_sb").alias("_cb"),
+            (clip("r", "_sr") | clip("g", "_sg") | clip("b", "_sb"))
+            .cast("long").alias("_clip"),
+        )
+        .groupBy("image_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_px"),
+            F.first("_sr").cast("long").alias("s_r"),
+            F.first("_sg").cast("long").alias("s_g"),
+            F.first("_sb").cast("long").alias("s_b"),
+            F.sum("_cr").cast("long").alias("cr_sum"),
+            F.sum("_cg").cast("long").alias("cg_sum"),
+            F.sum("_cb").cast("long").alias("cb_sum"),
+            F.sum("_clip").cast("long").alias("n_clipped"),
+        )
+    )
+
+
+def gray_world_stats_sql(px_cte: str) -> str:
+    """DuckDB twin of gray_world_stats — identical window sums, guards,
+    truncating rescale and clamp census."""
+    return f"""
+WITH gw_px AS ({px_cte}),
+gw_s AS (
+  SELECT image_id, r, g, b,
+         greatest(sum(r) OVER (PARTITION BY image_id), 1) AS _sr,
+         greatest(sum(g) OVER (PARTITION BY image_id), 1) AS _sg,
+         greatest(sum(b) OVER (PARTITION BY image_id), 1) AS _sb
+  FROM gw_px
+),
+gw_c AS (
+  SELECT image_id, _sr, _sg, _sb,
+         least(255, r * (_sr + _sg + _sb) // (3 * _sr)) AS _cr,
+         least(255, g * (_sr + _sg + _sb) // (3 * _sg)) AS _cg,
+         least(255, b * (_sr + _sg + _sb) // (3 * _sb)) AS _cb,
+         CASE WHEN r * (_sr + _sg + _sb) // (3 * _sr) > 255
+                OR g * (_sr + _sg + _sb) // (3 * _sg) > 255
+                OR b * (_sr + _sg + _sb) // (3 * _sb) > 255
+              THEN 1 ELSE 0 END AS _clip
+  FROM gw_s
+)
+SELECT image_id, CAST(count(*) AS BIGINT) AS n_px,
+       CAST(min(_sr) AS BIGINT) AS s_r,
+       CAST(min(_sg) AS BIGINT) AS s_g,
+       CAST(min(_sb) AS BIGINT) AS s_b,
+       CAST(sum(_cr) AS BIGINT) AS cr_sum,
+       CAST(sum(_cg) AS BIGINT) AS cg_sum,
+       CAST(sum(_cb) AS BIGINT) AS cb_sum,
+       CAST(sum(_clip) AS BIGINT) AS n_clipped
+FROM gw_c GROUP BY 1
+"""

@@ -3331,3 +3331,63 @@ def test_onset_detect_fires_at_frequency_switch(spark):
         for r in duck.sql(onset_detect_sql("SELECT * FROM osmp")).fetchall()
     }
     assert twin == got
+
+
+def test_gray_world_stats_replay_and_equalization(spark):
+    """Scalar replay on a designed color-cast image (red channel 2x),
+    plus the designed properties: corrected channel sums equalize
+    within truncation error on a cast WITHOUT clipping, and an already
+    gray image is (almost) unchanged; twin byte-for-byte."""
+    import duckdb
+
+    from osm2geojson_spark.operators.multimodal import (
+        gray_world_stats,
+        gray_world_stats_sql,
+    )
+
+    rows = []
+    # cast image: r = 2*base, g = base, b = base (base in 10..59)
+    for p in range(50):
+        base = 10 + p
+        rows.append(("cast", 2 * base, base, base))
+    # gray image: all channels equal
+    for p in range(50):
+        rows.append(("gray", 40 + p % 20, 40 + p % 20, 40 + p % 20))
+    df = spark.createDataFrame(rows, "image_id string, r int, g int, b int")
+    got = {r["image_id"]: r.asDict() for r in gray_world_stats(df).collect()}
+
+    def replay(img):
+        pts = [(r, g, b) for i, r, g, b in rows if i == img]
+        sr = max(sum(p[0] for p in pts), 1)
+        sg = max(sum(p[1] for p in pts), 1)
+        sb = max(sum(p[2] for p in pts), 1)
+        st = sr + sg + sb
+        cr = cg = cb = ncl = 0
+        for r, g, b in pts:
+            vr, vg, vb = r * st // (3 * sr), g * st // (3 * sg), b * st // (3 * sb)
+            ncl += 1 if (vr > 255 or vg > 255 or vb > 255) else 0
+            cr += min(255, vr); cg += min(255, vg); cb += min(255, vb)
+        return dict(n_px=len(pts), s_r=sr, s_g=sg, s_b=sb,
+                    cr_sum=cr, cg_sum=cg, cb_sum=cb, n_clipped=ncl)
+
+    for img in ("cast", "gray"):
+        want = replay(img)
+        for k, v in want.items():
+            assert got[img][k] == v, (img, k)
+    # equalization: corrected sums within truncation slack (1/px)
+    g = got["cast"]
+    assert abs(g["cr_sum"] - g["cg_sum"]) <= g["n_px"]
+    assert abs(g["cg_sum"] - g["cb_sum"]) <= g["n_px"]
+    assert g["n_clipped"] == 0
+
+    duck = duckdb.connect()
+    duck.execute("CREATE TABLE gwp (image_id VARCHAR, r BIGINT, g BIGINT, b BIGINT)")
+    duck.executemany("INSERT INTO gwp VALUES (?,?,?,?)", rows)
+    cols = ["n_px", "s_r", "s_g", "s_b", "cr_sum", "cg_sum", "cb_sum", "n_clipped"]
+    twin = {
+        r[0]: dict(zip(cols, r[1:]))
+        for r in duck.sql(gray_world_stats_sql("SELECT * FROM gwp")).fetchall()
+    }
+    for img in got:
+        for k in cols:
+            assert twin[img][k] == got[img][k], (img, k)
