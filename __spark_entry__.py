@@ -12161,6 +12161,73 @@ FROM (
 """
 
 
+def q_ring_validity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X242 (geometry.ring_validity): OGC ring validity over 40
+    hexagonal rings, every 4th made a bowtie by swapping vertices 1 and
+    2 — non-adjacent-edge CLRS intersection census on the PBSM edge
+    join, wrap-around spike/zero-length predicates; bowties must come
+    back invalid with bad pairs counted."""
+    from osm2geojson_spark.operators.geometry import ring_validity
+
+    k = F.col("p_partkey")
+    offx = F.array(*[F.lit(v) for v in (10, 5, -5, -10, -5, 5)])
+    offy = F.array(*[F.lit(v) for v in (0, 9, 9, 0, -9, -9)])
+    verts = (
+        _t(spark, sf_dir, "part").filter(k < 40)
+        .select(k.alias("ring_id"))
+        .select(
+            "ring_id", F.explode(F.sequence(F.lit(0), F.lit(5))).alias("seq")
+        )
+        .withColumn(
+            "j",
+            F.when(
+                (F.col("ring_id") % 4 == 0) & (F.col("seq") == 1), F.lit(2)
+            )
+            .when(
+                (F.col("ring_id") % 4 == 0) & (F.col("seq") == 2), F.lit(1)
+            )
+            .otherwise(F.col("seq")),
+        )
+        .select(
+            "ring_id",
+            "seq",
+            (
+                (F.col("ring_id") * 31) % 400
+                + (1 + F.col("ring_id") % 3)
+                * F.element_at(offx, F.col("j") + 1)
+            ).alias("x"),
+            (
+                (F.col("ring_id") * 17) % 300
+                + (1 + F.col("ring_id") % 3)
+                * F.element_at(offy, F.col("j") + 1)
+            ).alias("y"),
+        )
+    )
+    return ring_validity(verts)
+
+
+def _ring_validity_sql() -> str:
+    from osm2geojson_spark.operators.geometry import ring_validity_sql
+
+    return ring_validity_sql(
+        """
+SELECT ring_id, seq,
+       (ring_id * 31) % 400 + (1 + ring_id % 3) * [10, 5, -5, -10, -5, 5][j + 1] AS x,
+       (ring_id * 17) % 300 + (1 + ring_id % 3) * [0, 9, 9, 0, -9, -9][j + 1] AS y
+FROM (
+  SELECT ring_id, seq,
+         CASE WHEN ring_id % 4 = 0 AND seq = 1 THEN 2
+              WHEN ring_id % 4 = 0 AND seq = 2 THEN 1
+              ELSE seq END AS j
+  FROM (
+    SELECT p_partkey AS ring_id, unnest(range(0, 6)) AS seq
+    FROM part WHERE p_partkey < 40
+  )
+)
+"""
+    )
+
+
 def q_gray_world(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X241 (multimodal.gray_world_stats): gray-world white balance
     census over 30 synthetic 16x16 RGB pixel tables (the color_quantize
@@ -12446,6 +12513,7 @@ def _keyword_extract_sql() -> str:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "ring_validity": q_ring_validity,
         "gray_world": q_gray_world,
         "onset_detect": q_onset_detect,
         "bpe_encode": q_bpe_encode,
@@ -12743,6 +12811,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "ring_validity": _ring_validity_sql(),
         "gray_world": _gray_world_sql(),
         "onset_detect": _onset_detect_sql(),
         "bpe_encode": _bpe_encode_sql(),

@@ -292,6 +292,7 @@ BENCH_QUERIES = [
     "bpe_encode",
     "onset_detect",
     "gray_world",
+    "ring_validity",
 ]
 
 

@@ -1239,3 +1239,180 @@ SELECT grp, u, v, CAST(count(*) AS BIGINT) AS n_inc,
        count(*) = 1 AS boundary
 FROM ash_edges GROUP BY 1, 2, 3
 """
+
+
+RING_PACK = 1 << 20  # edge-id packing: ring_id * RING_PACK + edge_index
+
+
+def ring_validity(
+    rings: DataFrame,
+    ring_col: str = "ring_id",
+    seq_col: str = "seq",
+    x_col: str = "x",
+    y_col: str = "y",
+    res: int = 6,
+) -> DataFrame:
+    """(ring_id, n_vertices, n_zero_len, n_spikes, n_bad_pairs,
+    is_valid) — RING VALIDITY (the ST_IsValid core for a single closed
+    ring, OGC simple-polygon rules): a ring is valid iff it has no
+    zero-length edges, no spikes (a vertex whose incident edges double
+    back collinearly), and no two NON-adjacent edges that intersect or
+    touch (adjacent edges legitimately share exactly their common
+    vertex). The geometry-QA gate before polygon ingestion.
+
+    Exactness: spikes are the integer predicate cross(v,u,w) == 0 AND
+    dot(u−v, w−v) > 0 on wrap-around vertex triples; edge-pair checks
+    ride segment_intersect_join's CLRS integer gate — no floats, every
+    tangency pinned.
+
+    Scale: edges derive from two per-ring ordered windows (wrap via
+    first/last over the frame); the pair check is the PBSM covering-
+    cell join on packed edge ids (ring·2^20 + i — rings to 1M edges),
+    same-ring + i<j + non-adjacency filtered AFTER the exactly-once
+    candidate join; two combinable rollups merge the verdicts."""
+    from .spatial_join import segment_intersect_join
+
+    w = Window.partitionBy(ring_col).orderBy(F.col(seq_col).asc())
+    wall = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    vx, vy = F.col(x_col).cast("long"), F.col(y_col).cast("long")
+    verts = rings.select(
+        F.col(ring_col).alias("ring"),
+        (F.row_number().over(w) - 1).alias("i"),
+        vx.alias("x"),
+        vy.alias("y"),
+        F.coalesce(F.lead(vx).over(w), F.first(vx).over(wall)).alias("nx"),
+        F.coalesce(F.lead(vy).over(w), F.first(vy).over(wall)).alias("ny"),
+        F.coalesce(F.lag(vx).over(w), F.last(vx).over(wall)).alias("px"),
+        F.coalesce(F.lag(vy).over(w), F.last(vy).over(wall)).alias("py"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+    )
+    cross_v = (F.col("px") - F.col("x")) * (F.col("ny") - F.col("y")) - (
+        F.col("py") - F.col("y")
+    ) * (F.col("nx") - F.col("x"))
+    dot_v = (F.col("px") - F.col("x")) * (F.col("nx") - F.col("x")) + (
+        F.col("py") - F.col("y")
+    ) * (F.col("ny") - F.col("y"))
+    base = verts.groupBy("ring").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vertices"),
+        F.sum(
+            ((F.col("x") == F.col("nx")) & (F.col("y") == F.col("ny")))
+            .cast("long")
+        ).cast("long").alias("n_zero_len"),
+        F.sum(((cross_v == 0) & (dot_v > 0)).cast("long"))
+        .cast("long")
+        .alias("n_spikes"),
+    )
+    edges = verts.select(
+        (F.col("ring") * RING_PACK + F.col("i")).alias("eid"),
+        F.col("x").alias("ax"),
+        F.col("y").alias("ay"),
+        F.col("nx").alias("bx"),
+        F.col("ny").alias("by"),
+    )
+    pairs = segment_intersect_join(
+        edges.withColumnRenamed("eid", "lid"),
+        edges.withColumnRenamed("eid", "rid"),
+        res=res,
+        lid="lid",
+        rid="rid",
+    )
+    li = F.col("lid") % RING_PACK
+    ri = F.col("rid") % RING_PACK
+    lring = (F.col("lid") / RING_PACK).cast("long")
+    rring = (F.col("rid") / RING_PACK).cast("long")
+    bad = (
+        pairs.filter((lring == rring) & (li < ri))
+        .select(lring.alias("ring"), li.alias("li"), ri.alias("ri"))
+        .join(base.select("ring", "n_vertices"), "ring")
+        .filter(
+            (F.col("ri") - F.col("li") != 1)
+            & (F.col("ri") - F.col("li") != F.col("n_vertices") - 1)
+        )
+        .groupBy("ring")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_bad_pairs"))
+    )
+    return (
+        base.join(bad, "ring", "left")
+        .select(
+            F.col("ring").alias(ring_col),
+            "n_vertices",
+            "n_zero_len",
+            "n_spikes",
+            F.coalesce(F.col("n_bad_pairs"), F.lit(0)).cast("long").alias(
+                "n_bad_pairs"
+            ),
+        )
+        .withColumn(
+            "is_valid",
+            (F.col("n_zero_len") == 0)
+            & (F.col("n_spikes") == 0)
+            & (F.col("n_bad_pairs") == 0),
+        )
+    )
+
+
+def ring_validity_sql(rings_cte: str) -> str:
+    """DuckDB twin of ring_validity — identical wrap windows and spike
+    predicate; the pair check brute-forces all same-ring edge pairs
+    with the identical CLRS gate and adjacency exclusion."""
+    return f"""
+WITH rv_src AS ({rings_cte}),
+rv_v AS (
+  SELECT ring_id AS ring,
+         CAST(row_number() OVER wo - 1 AS BIGINT) AS i,
+         CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y,
+         COALESCE(lead(CAST(x AS BIGINT)) OVER wo,
+                  first_value(CAST(x AS BIGINT)) OVER wf) AS nx,
+         COALESCE(lead(CAST(y AS BIGINT)) OVER wo,
+                  first_value(CAST(y AS BIGINT)) OVER wf) AS ny,
+         COALESCE(lag(CAST(x AS BIGINT)) OVER wo,
+                  last_value(CAST(x AS BIGINT)) OVER wf) AS px,
+         COALESCE(lag(CAST(y AS BIGINT)) OVER wo,
+                  last_value(CAST(y AS BIGINT)) OVER wf) AS py,
+         count(*) OVER wf AS n
+  FROM rv_src
+  WINDOW wo AS (PARTITION BY ring_id ORDER BY seq ASC),
+         wf AS (PARTITION BY ring_id ORDER BY seq ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+),
+rv_base AS (
+  SELECT ring, CAST(count(*) AS BIGINT) AS n_vertices,
+         CAST(sum(CASE WHEN x = nx AND y = ny THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_zero_len,
+         CAST(sum(CASE WHEN (px - x) * (ny - y) - (py - y) * (nx - x) = 0
+                        AND (px - x) * (nx - x) + (py - y) * (ny - y) > 0
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_spikes
+  FROM rv_v GROUP BY 1
+),
+rv_pairs AS (
+  SELECT a.ring, CAST(count(*) AS BIGINT) AS n_bad_pairs
+  FROM rv_v a
+  JOIN rv_v b ON b.ring = a.ring AND b.i > a.i
+             AND b.i - a.i <> 1 AND b.i - a.i <> a.n - 1
+  WHERE (
+    ((b.nx - b.x) * (a.y - b.y) - (b.ny - b.y) * (a.x - b.x))
+    * ((b.nx - b.x) * (a.ny - b.y) - (b.ny - b.y) * (a.nx - b.x)) < 0
+    AND
+    ((a.nx - a.x) * (b.y - a.y) - (a.ny - a.y) * (b.x - a.x))
+    * ((a.nx - a.x) * (b.ny - a.y) - (a.ny - a.y) * (b.nx - a.x)) < 0
+  )
+  OR ( ((b.nx - b.x) * (a.y - b.y) - (b.ny - b.y) * (a.x - b.x)) = 0
+       AND a.x BETWEEN least(b.x, b.nx) AND greatest(b.x, b.nx)
+       AND a.y BETWEEN least(b.y, b.ny) AND greatest(b.y, b.ny) )
+  OR ( ((b.nx - b.x) * (a.ny - b.y) - (b.ny - b.y) * (a.nx - b.x)) = 0
+       AND a.nx BETWEEN least(b.x, b.nx) AND greatest(b.x, b.nx)
+       AND a.ny BETWEEN least(b.y, b.ny) AND greatest(b.y, b.ny) )
+  OR ( ((a.nx - a.x) * (b.y - a.y) - (a.ny - a.y) * (b.x - a.x)) = 0
+       AND b.x BETWEEN least(a.x, a.nx) AND greatest(a.x, a.nx)
+       AND b.y BETWEEN least(a.y, a.ny) AND greatest(a.y, a.ny) )
+  OR ( ((a.nx - a.x) * (b.ny - a.y) - (a.ny - a.y) * (b.nx - a.x)) = 0
+       AND b.nx BETWEEN least(a.x, a.nx) AND greatest(a.x, a.nx)
+       AND b.ny BETWEEN least(a.y, a.ny) AND greatest(a.y, a.ny) )
+  GROUP BY 1
+)
+SELECT b.ring AS ring_id, b.n_vertices, b.n_zero_len, b.n_spikes,
+       COALESCE(p.n_bad_pairs, 0) AS n_bad_pairs,
+       b.n_zero_len = 0 AND b.n_spikes = 0
+         AND COALESCE(p.n_bad_pairs, 0) = 0 AS is_valid
+FROM rv_base b LEFT JOIN rv_pairs p ON p.ring = b.ring
+"""

@@ -388,3 +388,50 @@ def test_alpha_shape_brute_and_properties(spark):
         for r in alpha_shape_edges(df, alpha2=8_000).collect()
     }
     assert twin == got8
+
+
+def test_ring_validity_cases_and_twin(spark):
+    """Designed cases: a valid square; a bowtie (1 proper bad pair); a
+    ring with a duplicate consecutive vertex (zero-length edge); a
+    spike (collinear double-back); twin byte-for-byte."""
+    import duckdb
+
+    from osm2geojson_spark.operators.geometry import (
+        ring_validity,
+        ring_validity_sql,
+    )
+
+    rows = []
+    # ring 0: valid unit-ish square
+    for i, (x, y) in enumerate([(0, 0), (10, 0), (10, 10), (0, 10)]):
+        rows.append((0, i, x, y))
+    # ring 1: bowtie (figure-eight ordering)
+    for i, (x, y) in enumerate([(0, 0), (10, 10), (10, 0), (0, 10)]):
+        rows.append((1, i, x, y))
+    # ring 2: duplicate consecutive vertex -> zero-length edge
+    for i, (x, y) in enumerate([(0, 0), (10, 0), (10, 0), (10, 10), (0, 10)]):
+        rows.append((2, i, x, y))
+    # ring 3: spike at vertex (5,0) -> out-and-back collinear
+    for i, (x, y) in enumerate([(0, 0), (5, 0), (9, 0), (5, 0), (5, 10)]):
+        rows.append((3, i, x, y))
+    df = spark.createDataFrame(rows, "ring_id long, seq long, x long, y long")
+    got = {r["ring_id"]: r.asDict() for r in ring_validity(df).collect()}
+
+    assert got[0]["is_valid"] is True and got[0]["n_bad_pairs"] == 0
+    assert got[1]["is_valid"] is False and got[1]["n_bad_pairs"] >= 1
+    assert got[2]["n_zero_len"] == 1 and got[2]["is_valid"] is False
+    assert got[3]["n_spikes"] >= 1 and got[3]["is_valid"] is False
+
+    duck = duckdb.connect()
+    duck.execute(
+        "CREATE TABLE rvr (ring_id BIGINT, seq BIGINT, x BIGINT, y BIGINT)"
+    )
+    duck.executemany("INSERT INTO rvr VALUES (?,?,?,?)", rows)
+    cols = ["ring_id", "n_vertices", "n_zero_len", "n_spikes",
+            "n_bad_pairs", "is_valid"]
+    twin = {
+        r[0]: dict(zip(cols, r))
+        for r in duck.sql(ring_validity_sql("SELECT * FROM rvr")).fetchall()
+    }
+    for rid, g in got.items():
+        assert twin[rid] == {c: g[c] for c in cols}, rid
