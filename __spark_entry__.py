@@ -12161,6 +12161,46 @@ FROM (
 """
 
 
+def q_flow_accum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X243 (composition: geostat.flow_direction -> graph.tree_rollup):
+    D8 FLOW ACCUMULATION over the shared 32x32 DEM — each cell's
+    upstream contributing-cell count (the hydrology raster classic) is
+    exactly the subtree size of the D8 drainage forest (parent =
+    steepest-descent neighbor, sinks are roots), so the pointer-doubled
+    ancestor closure computes it with no new kernel. subtree_w carries
+    the upstream elevation sum as a free checksum."""
+    from osm2geojson_spark.operators.geostat import flow_direction
+    from osm2geojson_spark.operators.graph import tree_rollup
+
+    flow = flow_direction(_dem32(spark))
+    nodes = flow.select(
+        (F.col("y") * 32 + F.col("x")).cast("long").alias("node_id"),
+        F.when(
+            F.col("down_x").isNotNull(),
+            (F.col("down_y") * 32 + F.col("down_x")).cast("long"),
+        ).alias("parent_id"),
+        F.col("z").cast("long").alias("w"),
+    )
+    return tree_rollup(nodes, max_rounds=8)
+
+
+def _flow_accum_sql() -> str:
+    from osm2geojson_spark.operators.graph import tree_rollup_sql
+
+    cut = _FLOW_DIR_SQL.index("\nSELECT flow.x")
+    flow_with = _FLOW_DIR_SQL[_FLOW_DIR_SQL.index("WITH") + 4 : cut]
+    nodes = f"""
+WITH {flow_with}
+SELECT CAST(flow.y * 32 + flow.x AS BIGINT) AS node_id,
+       CASE WHEN flow.down_x IS NOT NULL
+            THEN CAST(flow.down_y * 32 + flow.down_x AS BIGINT) END
+         AS parent_id,
+       CAST(flow.z AS BIGINT) AS w
+FROM flow
+"""
+    return tree_rollup_sql(nodes)
+
+
 def q_ring_validity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X242 (geometry.ring_validity): OGC ring validity over 40
     hexagonal rings, every 4th made a bowtie by swapping vertices 1 and
@@ -12513,6 +12553,7 @@ def _keyword_extract_sql() -> str:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "flow_accum": q_flow_accum,
         "ring_validity": q_ring_validity,
         "gray_world": q_gray_world,
         "onset_detect": q_onset_detect,
@@ -12811,6 +12852,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "flow_accum": _flow_accum_sql(),
         "ring_validity": _ring_validity_sql(),
         "gray_world": _gray_world_sql(),
         "onset_detect": _onset_detect_sql(),

@@ -293,6 +293,7 @@ BENCH_QUERIES = [
     "onset_detect",
     "gray_world",
     "ring_validity",
+    "flow_accum",
 ]
 
 

@@ -923,3 +923,59 @@ def test_join_counts_degenerate_single_cell(spark):
     assert (r["joins"], r["bb"], r["ww"], r["bw"], r["e_den"]) == (
         0, 0, 0, 0, 0
     )
+
+
+def test_flow_accumulation_matches_serial_walk(spark):
+    """The composed D8 accumulation (flow_direction -> tree_rollup)
+    must equal a serial downstream walk on a small designed DEM: a
+    tilted plane drains everything to one corner sink; accumulation at
+    the sink equals the cell count; conservation: sum of accumulation
+    equals sum of (path length + 1) over cells."""
+    from osm2geojson_spark.operators.geostat import flow_direction
+    from osm2geojson_spark.operators.graph import tree_rollup
+    from pyspark.sql import functions as F
+
+    n = 6
+    rows = [(x, y, 5 * (x + y)) for x in range(n) for y in range(n)]
+    dem = spark.createDataFrame(rows, "x long, y long, z long")
+    flow = flow_direction(dem)
+    nodes = flow.select(
+        (F.col("y") * n + F.col("x")).cast("long").alias("node_id"),
+        F.when(
+            F.col("down_x").isNotNull(),
+            (F.col("down_y") * n + F.col("down_x")).cast("long"),
+        ).alias("parent_id"),
+        F.col("z").cast("long").alias("w"),
+    )
+    got = {r["node_id"]: r.asDict() for r in tree_rollup(nodes, max_rounds=8).collect()}
+
+    # serial walk replay
+    z = {(x, y): zz for x, y, zz in rows}
+    dirs = [(-1, -1, 1), (-1, 0, 2), (-1, 1, 1), (0, -1, 2),
+            (0, 1, 2), (1, -1, 1), (1, 0, 2), (1, 1, 1)]
+    down = {}
+    for (x, y), zz in z.items():
+        best = None
+        for i, (dx, dy, wt) in enumerate(dirs):
+            nb = (x + dx, y + dy)
+            if nb in z and z[nb] < zz:
+                key = (wt * (z[nb] - zz) ** 2, -i)
+                if best is None or key > best[0]:
+                    best = (key, nb)
+        down[(x, y)] = best[1] if best else None
+    acc = {c: 1 for c in z}
+    wsum = {c: z[c] for c in z}
+    # accumulate along paths serially
+    for c in z:
+        cur = down[c]
+        while cur is not None:
+            acc[cur] += 1
+            wsum[cur] += z[c]
+            cur = down[cur]
+    for (x, y), a in acc.items():
+        nid = y * n + x
+        assert got[nid]["subtree_n"] == a, (x, y)
+        assert got[nid]["subtree_w"] == wsum[(x, y)], (x, y)
+    # the (0,0) sink of the tilted plane drains every cell
+    assert got[0]["subtree_n"] == n * n
+    assert all(g["root_id"] == 0 for g in got.values())
