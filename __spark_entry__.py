@@ -12161,6 +12161,29 @@ FROM (
 """
 
 
+def q_focal_majority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X244 (spatial_stats.focal_majority): 3x3 mode filter over the
+    32x32 DEM classed into 5 landcover-ish labels (z % 5) — the
+    categorical raster smoothing classic; count ties to the smallest
+    label, edge cells use existing neighbors only."""
+    from osm2geojson_spark.operators.spatial_stats import focal_majority
+
+    grid = _dem32(spark).select("x", "y", (F.col("z") % 5).alias("v"))
+    return focal_majority(grid)
+
+
+def _focal_majority_sql() -> str:
+    from osm2geojson_spark.operators.spatial_stats import focal_majority_sql
+
+    return focal_majority_sql(
+        """
+SELECT i % 32 AS x, i // 32 AS y,
+       (((i % 32) * 13 + (i // 32) * 29 + ((i % 32) * (i // 32)) % 7) % 97) % 5 AS v
+FROM (SELECT unnest(range(0, 1024)) AS i)
+"""
+    )
+
+
 def q_flow_accum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X243 (composition: geostat.flow_direction -> graph.tree_rollup):
     D8 FLOW ACCUMULATION over the shared 32x32 DEM — each cell's
@@ -12553,6 +12576,7 @@ def _keyword_extract_sql() -> str:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "focal_majority": q_focal_majority,
         "flow_accum": q_flow_accum,
         "ring_validity": q_ring_validity,
         "gray_world": q_gray_world,
@@ -12852,6 +12876,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "focal_majority": _focal_majority_sql(),
         "flow_accum": _flow_accum_sql(),
         "ring_validity": _ring_validity_sql(),
         "gray_world": _gray_world_sql(),

@@ -294,6 +294,7 @@ BENCH_QUERIES = [
     "gray_world",
     "ring_validity",
     "flow_accum",
+    "focal_majority",
 ]
 
 

@@ -1369,3 +1369,87 @@ SELECT CAST(n AS BIGINT) AS n_cells,
        CAST(n * (n - 1) AS BIGINT) AS e_den
 FROM edge CROSS JOIN tot
 """
+
+
+def focal_majority(
+    grid: DataFrame,
+    x_col: str = "x",
+    y_col: str = "y",
+    v_col: str = "v",
+) -> DataFrame:
+    """(x, y, v, maj, maj_n, n_nb) — FOCAL MAJORITY (3x3 mode filter),
+    the categorical-raster smoothing classic (landcover cleanup,
+    segmentation-label denoising): each cell's smoothed value is the
+    most frequent value among its 3x3 neighborhood (self included,
+    edge cells use the neighbors that exist); count ties break to the
+    SMALLEST value — deterministic, RNG-free.
+
+    Scale: one explode to 9 probes + ONE (x, y)-keyed equi-join against
+    the grid (bucketable at scale), a combinable (cell, value) rollup,
+    and the argmax as MAX(struct(count, −value)) — no window, no
+    kernel. Same cost shape as geostat.flow_direction."""
+    probes = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    src = grid.select(
+        F.col(x_col).cast("long").alias("x"),
+        F.col(y_col).cast("long").alias("y"),
+        F.col(v_col).cast("long").alias("v"),
+    )
+    nb = (
+        src.select("x", "y", "v", F.explode(probes).alias("p"))
+        .select(
+            "x", "y", "v",
+            (F.col("x") + F.col("p.dx")).alias("nx"),
+            (F.col("y") + F.col("p.dy")).alias("ny"),
+        )
+        .join(
+            src.select(
+                F.col("x").alias("nx"), F.col("y").alias("ny"),
+                F.col("v").alias("nv"),
+            ),
+            ["nx", "ny"],
+        )
+    )
+    per_val = nb.groupBy("x", "y", "v", "nv").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    return per_val.groupBy("x", "y", "v").agg(
+        F.max(
+            F.struct(F.col("c").alias("c"), (-F.col("nv")).alias("mv"))
+        ).alias("_b"),
+        F.sum("c").cast("long").alias("n_nb"),
+    ).select(
+        "x", "y", "v",
+        (-F.col("_b.mv")).cast("long").alias("maj"),
+        F.col("_b.c").cast("long").alias("maj_n"),
+        "n_nb",
+    )
+
+
+def focal_majority_sql(grid_cte: str) -> str:
+    """DuckDB twin of focal_majority — identical probe join, rollup and
+    struct argmax. ``grid_cte`` -> (x, y, v)."""
+    return f"""
+WITH fm_g AS ({grid_cte}),
+fm_d(dx, dy) AS (SELECT * FROM (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),
+                                       (0,1),(1,-1),(1,0),(1,1))),
+fm_nb AS (
+  SELECT g.x, g.y, g.v, n.v AS nv
+  FROM fm_g g, fm_d d
+  JOIN fm_g n ON n.x = g.x + d.dx AND n.y = g.y + d.dy
+),
+fm_pv AS (
+  SELECT x, y, v, nv, CAST(count(*) AS BIGINT) AS c
+  FROM fm_nb GROUP BY 1, 2, 3, 4
+)
+SELECT x, y, v,
+       CAST(-(max({{'c': c, 'mv': -nv}}).mv) AS BIGINT) AS maj,
+       CAST(max({{'c': c, 'mv': -nv}}).c AS BIGINT) AS maj_n,
+       CAST(sum(c) AS BIGINT) AS n_nb
+FROM fm_pv GROUP BY 1, 2, 3
+"""

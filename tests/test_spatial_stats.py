@@ -979,3 +979,54 @@ def test_flow_accumulation_matches_serial_walk(spark):
     # the (0,0) sink of the tilted plane drains every cell
     assert got[0]["subtree_n"] == n * n
     assert all(g["root_id"] == 0 for g in got.values())
+
+
+def test_focal_majority_replay_and_denoise(spark):
+    """Dict replay on a designed label grid: salt noise inside a
+    uniform field gets smoothed away; corner cells count only existing
+    neighbors; ties break to the smallest label; twin parity."""
+    import duckdb
+
+    from osm2geojson_spark.operators.spatial_stats import (
+        focal_majority,
+        focal_majority_sql,
+    )
+
+    n = 5
+    rows = []
+    for x in range(n):
+        for y in range(n):
+            v = 1
+            if (x, y) == (2, 2):
+                v = 7  # salt noise
+            if (x, y) in ((0, 4), (1, 4)):
+                v = 0  # a small class-0 patch for tie exercise
+            rows.append((x, y, v))
+    df = spark.createDataFrame(rows, "x long, y long, v long")
+    got = {(r["x"], r["y"]): r.asDict() for r in focal_majority(df).collect()}
+
+    z = {(x, y): v for x, y, v in rows}
+    for (x, y), v in z.items():
+        cnt = {}
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                nb = (x + dx, y + dy)
+                if nb in z:
+                    cnt[z[nb]] = cnt.get(z[nb], 0) + 1
+        maj = max(cnt, key=lambda k: (cnt[k], -k))
+        g = got[(x, y)]
+        assert (g["v"], g["maj"], g["maj_n"], g["n_nb"]) == (
+            v, maj, cnt[maj], sum(cnt.values())
+        ), (x, y)
+    assert got[(2, 2)]["maj"] == 1  # noise removed
+    assert got[(0, 0)]["n_nb"] == 4  # corner
+
+    duck = duckdb.connect()
+    duck.execute("CREATE TABLE fmg (x BIGINT, y BIGINT, v BIGINT)")
+    duck.executemany("INSERT INTO fmg VALUES (?,?,?)", rows)
+    twin = {
+        (r[0], r[1]): tuple(r)
+        for r in duck.sql(focal_majority_sql("SELECT * FROM fmg")).fetchall()
+    }
+    for k, g in got.items():
+        assert twin[k] == (g["x"], g["y"], g["v"], g["maj"], g["maj_n"], g["n_nb"])
