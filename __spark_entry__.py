@@ -12161,6 +12161,39 @@ FROM (
 """
 
 
+def q_topsis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X245 (analytics.topsis_rank): TOPSIS supplier triage on three
+    disagreeing criteria — account balance (benefit, w3), a synthetic
+    unit cost (cost, w2), a synthetic service score (benefit, w1). Integer
+    max-scaled squared-distance variant, two-level rank."""
+    from osm2geojson_spark.operators.analytics import topsis_rank
+
+    sup = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("sid"),
+        (F.round(F.col("s_acctbal") * 100).cast("long") + 100000).alias("bal_c"),
+        ((F.col("s_suppkey") * 7) % 100).cast("long").alias("unit_cost"),
+        ((F.col("s_suppkey") * 13) % 40 + F.col("s_nationkey")).cast("long").alias("verbosity"),
+    )
+    return topsis_rank(
+        sup,
+        "sid",
+        [("bal_c", True, 3), ("unit_cost", False, 2), ("verbosity", True, 1)],
+    )
+
+
+def _topsis_sql() -> str:
+    from osm2geojson_spark.operators.analytics import topsis_rank_sql
+
+    return topsis_rank_sql(
+        "SELECT s_suppkey AS sid,"
+        " CAST(round(s_acctbal * 100) AS BIGINT) + 100000 AS bal_c,"
+        " (s_suppkey * 7) % 100 AS unit_cost,"
+        " (s_suppkey * 13) % 40 + s_nationkey AS verbosity FROM supplier",
+        "sid",
+        [("bal_c", True, 3), ("unit_cost", False, 2), ("verbosity", True, 1)],
+    )
+
+
 def q_focal_majority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X244 (spatial_stats.focal_majority): 3x3 mode filter over the
     32x32 DEM classed into 5 landcover-ish labels (z % 5) — the
@@ -12576,6 +12609,7 @@ def _keyword_extract_sql() -> str:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "topsis": q_topsis,
         "focal_majority": q_focal_majority,
         "flow_accum": q_flow_accum,
         "ring_validity": q_ring_validity,
@@ -12876,6 +12910,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "topsis": _topsis_sql(),
         "focal_majority": _focal_majority_sql(),
         "flow_accum": _flow_accum_sql(),
         "ring_validity": _ring_validity_sql(),

@@ -295,6 +295,7 @@ BENCH_QUERIES = [
     "ring_validity",
     "flow_accum",
     "focal_majority",
+    "topsis",
 ]
 
 

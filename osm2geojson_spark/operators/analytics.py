@@ -4428,3 +4428,136 @@ FROM mkv_eff e
 LEFT JOIN mkv_tot tt ON tt.f = e.channel
 CROSS JOIN mkv_teff t
 """
+
+
+# ----------------------------------------------------------------- TOPSIS
+
+
+TOPSIS_SCALE = 1000
+
+
+def topsis_rank(
+    df: DataFrame,
+    id_col: str,
+    criteria: list,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """(id, d2_plus, d2_minus, closeness_micro, rank) — TOPSIS
+    multi-criteria ranking (Hwang & Yoon 1981; the squared-distance,
+    max-normalized integer variant): each criterion is scaled to
+    n = x·1000 div max(x), the ideal point takes the max (benefit) or
+    min (cost) of each scaled column, and items rank by closeness
+    C = d²⁻ / (d²⁺ + d²⁻) to the anti-ideal/ideal pair — the standard
+    vendor-selection / site-selection / candidate-triage aggregator
+    when criteria disagree.
+
+    ``criteria`` is a list of (col, is_benefit, weight) with NONNEGATIVE
+    integer columns (shift/quantize upstream) and integer weights.
+    Exactness: scaled values <= 1000, squared diffs <= 1e6, weighted
+    sums bounded by 1e6·Σw — all int64; closeness is one integer micro
+    division; ranking (closeness DESC, id ASC) is the two-level scan —
+    no single-partition window.
+
+    Scale: one aggregate for the per-criterion extremes broadcast back,
+    one scan for distances, the two-level rank's tiny driver collect."""
+    aggs = []
+    for c, _, _ in criteria:
+        aggs.append(F.max(F.col(c)).alias(f"_mx_{c}"))
+    ext = df.agg(*aggs)
+    staged = df.crossJoin(F.broadcast(ext))
+    scaled_cols = []
+    for c, _, _ in criteria:
+        scaled_cols.append(
+            F.expr(
+                f"{c} * {TOPSIS_SCALE} DIV greatest(_mx_{c}, 1)"
+            ).alias(f"_n_{c}")
+        )
+    staged = staged.select(F.col(id_col), *scaled_cols)
+    ideal_aggs = []
+    for c, benefit, _ in criteria:
+        ideal_aggs.append(
+            (F.max if benefit else F.min)(F.col(f"_n_{c}")).alias(f"_id_{c}")
+        )
+        ideal_aggs.append(
+            (F.min if benefit else F.max)(F.col(f"_n_{c}")).alias(f"_ai_{c}")
+        )
+    ideals = staged.agg(*ideal_aggs)
+    full = staged.crossJoin(F.broadcast(ideals))
+    d2p = F.lit(0)
+    d2m = F.lit(0)
+    for c, _, w in criteria:
+        dp = F.col(f"_n_{c}") - F.col(f"_id_{c}")
+        dm = F.col(f"_n_{c}") - F.col(f"_ai_{c}")
+        d2p = d2p + F.lit(int(w)) * dp * dp
+        d2m = d2m + F.lit(int(w)) * dm * dm
+    scored = full.select(
+        F.col(id_col),
+        d2p.cast("long").alias("d2_plus"),
+        d2m.cast("long").alias("d2_minus"),
+    ).withColumn(
+        "closeness_micro",
+        F.when(
+            F.col("d2_plus") + F.col("d2_minus") > 0,
+            F.expr("d2_minus * 1000000 DIV (d2_plus + d2_minus)"),
+        ).otherwise(F.lit(0)).cast("long"),
+    )
+    ranked = _two_level_rank(
+        scored.withColumn("_neg", -F.col("closeness_micro")),
+        "_neg",
+        id_col,
+        "rank",
+        n_buckets=n_buckets,
+    )
+    return ranked.select(
+        id_col, "d2_plus", "d2_minus", "closeness_micro", "rank"
+    )
+
+
+def topsis_rank_sql(rows_cte: str, id_col: str, criteria: list) -> str:
+    """DuckDB twin of topsis_rank — identical scaling, ideal points,
+    weighted squared distances; the rank is the serial window over the
+    same (closeness DESC, id ASC) order."""
+    mx = ", ".join(f"max({c}) AS _mx_{c}" for c, _, _ in criteria)
+    sc = ", ".join(
+        f"{c} * {TOPSIS_SCALE} // greatest(_mx_{c}, 1) AS _n_{c}"
+        for c, _, _ in criteria
+    )
+    ids = ", ".join(
+        (
+            f"max(_n_{c}) AS _id_{c}, min(_n_{c}) AS _ai_{c}"
+            if benefit
+            else f"min(_n_{c}) AS _id_{c}, max(_n_{c}) AS _ai_{c}"
+        )
+        for c, benefit, _ in criteria
+    )
+    d2p = " + ".join(
+        f"{w} * (_n_{c} - _id_{c}) * (_n_{c} - _id_{c})"
+        for c, _, w in criteria
+    )
+    d2m = " + ".join(
+        f"{w} * (_n_{c} - _ai_{c}) * (_n_{c} - _ai_{c})"
+        for c, _, w in criteria
+    )
+    return f"""
+WITH tp_rows AS ({rows_cte}),
+tp_mx AS (SELECT {mx} FROM tp_rows),
+tp_sc AS (SELECT {id_col}, {sc} FROM tp_rows, tp_mx),
+tp_id AS (SELECT {ids} FROM tp_sc),
+tp_d AS (
+  SELECT {id_col},
+         CAST({d2p} AS BIGINT) AS d2_plus,
+         CAST({d2m} AS BIGINT) AS d2_minus
+  FROM tp_sc, tp_id
+),
+tp_c AS (
+  SELECT *,
+         CASE WHEN d2_plus + d2_minus > 0
+              THEN d2_minus * 1000000 // (d2_plus + d2_minus)
+              ELSE 0 END AS closeness_micro
+  FROM tp_d
+)
+SELECT {id_col}, d2_plus, d2_minus, closeness_micro,
+       CAST(row_number() OVER (
+         ORDER BY closeness_micro DESC, {id_col} ASC) AS BIGINT) AS rank
+FROM tp_c
+"""

@@ -2755,3 +2755,72 @@ def test_markov_attribution_replay_and_twin(spark):
         ).fetchall()
     }
     assert twin == got
+
+
+def test_topsis_rank_replay_and_dominance(spark):
+    """Scalar replay of the integer TOPSIS variant plus the designed
+    property: an item that dominates on every criterion ranks first and
+    a fully dominated item ranks last; twin byte-for-byte."""
+    import duckdb
+
+    from osm2geojson_spark.operators.analytics import (
+        TOPSIS_SCALE,
+        topsis_rank,
+        topsis_rank_sql,
+    )
+
+    rows = [
+        (1, 100, 5, 50),   # dominator: max benefit, min cost, max benefit
+        (2, 80, 20, 30),
+        (3, 50, 50, 20),
+        (4, 10, 90, 5),    # dominated on everything
+        (5, 80, 20, 30),   # duplicate of 2 -> same closeness, id tiebreak
+    ]
+    crit = [("a", True, 3), ("b", False, 2), ("c", True, 1)]
+    df = spark.createDataFrame(rows, "iid long, a long, b long, c long")
+    got = {r["iid"]: r.asDict() for r in topsis_rank(df, "iid", crit).collect()}
+
+    mx = {c: max(r[i + 1] for r in rows) for i, (c, _, _) in enumerate(crit)}
+    sc = {
+        r[0]: {
+            c: r[i + 1] * TOPSIS_SCALE // max(mx[c], 1)
+            for i, (c, _, _) in enumerate(crit)
+        }
+        for r in rows
+    }
+    ideal = {
+        c: (max if ben else min)(sc[r[0]][c] for r in rows)
+        for c, ben, _ in crit
+    }
+    anti = {
+        c: (min if ben else max)(sc[r[0]][c] for r in rows)
+        for c, ben, _ in crit
+    }
+    want = {}
+    for r in rows:
+        i = r[0]
+        d2p = sum(w * (sc[i][c] - ideal[c]) ** 2 for c, _, w in crit)
+        d2m = sum(w * (sc[i][c] - anti[c]) ** 2 for c, _, w in crit)
+        cm = d2m * 1_000_000 // (d2p + d2m) if d2p + d2m else 0
+        want[i] = (d2p, d2m, cm)
+    order = sorted(want, key=lambda i: (-want[i][2], i))
+    for i in want:
+        g = got[i]
+        assert (g["d2_plus"], g["d2_minus"], g["closeness_micro"]) == want[i], i
+        assert g["rank"] == order.index(i) + 1, i
+    assert got[1]["rank"] == 1 and got[4]["rank"] == 5
+    assert got[2]["rank"] + 1 == got[5]["rank"]  # tie -> id order
+
+    duck = duckdb.connect()
+    duck.execute("CREATE TABLE tpr (iid BIGINT, a BIGINT, b BIGINT, c BIGINT)")
+    duck.executemany("INSERT INTO tpr VALUES (?,?,?,?)", rows)
+    twin = {
+        r[0]: tuple(r[1:])
+        for r in duck.sql(
+            topsis_rank_sql("SELECT * FROM tpr", "iid", crit)
+        ).fetchall()
+    }
+    for i, g in got.items():
+        assert twin[i] == (
+            g["d2_plus"], g["d2_minus"], g["closeness_micro"], g["rank"]
+        ), i
