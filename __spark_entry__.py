@@ -12161,6 +12161,33 @@ FROM (
 """
 
 
+def q_k_centers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X246 (geostat.k_centers): Gonzalez farthest-point 6-centers over
+    the 160-point hash-scattered grid (the delaunay fixture points,
+    ungrouped) — deterministic 2-approx minimax placement; the coverage
+    radius d2_when_added is monotone non-increasing."""
+    from osm2geojson_spark.operators.geostat import k_centers
+
+    pts = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") < 160).select(
+        F.col("c_custkey").alias("pid"),
+        ((F.col("c_custkey") * 2654435761) % 1009).alias("x"),
+        ((F.col("c_custkey") * 2246822519 + 7) % 1013).alias("y"),
+    )
+    return k_centers(pts, k=6)
+
+
+def _k_centers_sql() -> str:
+    from osm2geojson_spark.operators.geostat import k_centers_sql
+
+    return k_centers_sql(
+        "SELECT c_custkey AS pid,"
+        " (c_custkey * 2654435761) % 1009 AS x,"
+        " (c_custkey * 2246822519 + 7) % 1013 AS y"
+        " FROM customer WHERE c_custkey < 160",
+        k=6,
+    )
+
+
 def q_topsis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X245 (analytics.topsis_rank): TOPSIS supplier triage on three
     disagreeing criteria — account balance (benefit, w3), a synthetic
@@ -12609,6 +12636,7 @@ def _keyword_extract_sql() -> str:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "k_centers": q_k_centers,
         "topsis": q_topsis,
         "focal_majority": q_focal_majority,
         "flow_accum": q_flow_accum,
@@ -12910,6 +12938,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "k_centers": _k_centers_sql(),
         "topsis": _topsis_sql(),
         "focal_majority": _focal_majority_sql(),
         "flow_accum": _flow_accum_sql(),

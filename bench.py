@@ -296,6 +296,7 @@ BENCH_QUERIES = [
     "flow_accum",
     "focal_majority",
     "topsis",
+    "k_centers",
 ]
 
 

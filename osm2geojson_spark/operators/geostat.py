@@ -802,3 +802,102 @@ SELECT pid, pts.cell_id, c_cell,
        CAST(tot.n AS DOUBLE) / CAST(c_cell * tot.ncells AS DOUBLE) AS weight
 FROM pts JOIN per_cell ON per_cell.cell_id = pts.cell_id, tot
 """
+
+
+def k_centers(
+    pts: DataFrame,
+    k: int = 5,
+    id_col: str = "pid",
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """(round, pid, x, y, d2_when_added) — GONZALEZ FARTHEST-POINT
+    K-CENTERS (Gonzalez 1985, the 2-approximation for minimax facility
+    placement / coreset seeding / kmeans++ deterministic cousin): the
+    first center is the LOWEST-id point; each round adds the point
+    farthest from its nearest existing center (squared Euclidean, ties
+    to lowest id). d2_when_added is the covering radius² just before
+    that center joins — monotone non-increasing, the classic coverage
+    curve.
+
+    Exactness: integer coordinates, int64 squared distances, pinned
+    (d2 DESC, id ASC) argmax — no RNG, no floats, engine-identical.
+
+    Scale: each of the k rounds is ONE scan with the current centers as
+    a broadcast literal array (min-over-centers is a column expression)
+    plus a 1-row TakeOrdered — O(k) tiny jobs, points never shuffle.
+    The SQL twin unrolls the same rounds as materialized CTEs."""
+    base = pts.select(
+        F.col(id_col).cast("long").alias("pid"),
+        F.col(x_col).cast("long").alias("x"),
+        F.col(y_col).cast("long").alias("y"),
+    ).localCheckpoint(eager=False)
+    first = base.orderBy("pid").limit(1).collect()
+    if not first:
+        return pts.sparkSession.createDataFrame(
+            [], "round int, pid long, x long, y long, d2_when_added long"
+        )
+    centers = [(1, first[0]["pid"], first[0]["x"], first[0]["y"], None)]
+    for r in range(2, int(k) + 1):
+        d2 = None
+        for _, _, cx, cy, _ in centers:
+            t = (F.col("x") - F.lit(cx)) ** 2 + (F.col("y") - F.lit(cy)) ** 2
+            d2 = t if d2 is None else F.least(d2, t)
+        top = (
+            base.withColumn("_d2", d2.cast("long"))
+            .orderBy(F.col("_d2").desc(), F.col("pid").asc())
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["_d2"] == 0:
+            break
+        centers.append(
+            (r, top[0]["pid"], top[0]["x"], top[0]["y"], top[0]["_d2"])
+        )
+    return pts.sparkSession.createDataFrame(
+        centers, "round int, pid long, x long, y long, d2_when_added long"
+    )
+
+
+def k_centers_sql(pts_cte: str, k: int = 5) -> str:
+    """DuckDB twin of k_centers — identical unrolled rounds; each round
+    re-derives the min distance to all previously selected centers via
+    scalar subqueries on the prior winner CTEs."""
+    parts = [
+        f"""kc_p AS MATERIALIZED (
+  SELECT CAST(pid AS BIGINT) AS pid, CAST(x AS BIGINT) AS x,
+         CAST(y AS BIGINT) AS y
+  FROM ({pts_cte})
+),
+kc_c1 AS MATERIALIZED (
+  SELECT 1 AS round, pid, x, y, CAST(NULL AS BIGINT) AS d2
+  FROM kc_p ORDER BY pid LIMIT 1
+)"""
+    ]
+    for r in range(2, int(k) + 1):
+        prevs = ["kc_c1"] + [f"kc_c{i}" for i in range(2, r)]
+        mind = "least(" + ", ".join(
+            f"(p.x - (SELECT x FROM {c})) * (p.x - (SELECT x FROM {c}))"
+            f" + (p.y - (SELECT y FROM {c})) * (p.y - (SELECT y FROM {c}))"
+            for c in prevs
+        ) + ")" if len(prevs) > 1 else (
+            f"(p.x - (SELECT x FROM kc_c1)) * (p.x - (SELECT x FROM kc_c1))"
+            f" + (p.y - (SELECT y FROM kc_c1)) * (p.y - (SELECT y FROM kc_c1))"
+        )
+        parts.append(
+            f"""kc_c{r} AS MATERIALIZED (
+  SELECT {r} AS round, p.pid, p.x, p.y, CAST({mind} AS BIGINT) AS d2
+  FROM kc_p p
+  ORDER BY {mind} DESC, p.pid ASC LIMIT 1
+)"""
+        )
+    sel = " UNION ALL ".join(
+        f"SELECT round, pid, x, y, d2 AS d2_when_added FROM kc_c{r}"
+        + (" WHERE d2 > 0" if r > 1 else "")
+        for r in range(1, int(k) + 1)
+    )
+    return f"""
+WITH {','.join(parts)}
+SELECT CAST(round AS INTEGER) AS round, pid, x, y, d2_when_added
+FROM ({sel})
+"""

@@ -549,3 +549,56 @@ def test_decluster_weights_matches_replay_and_twin(spark):
         )
         for pid, r in got.items()
     }
+
+
+def test_k_centers_greedy_replay_and_properties(spark):
+    """Serial greedy replay on random integer points with a duplicate
+    point (can never be picked after its twin), plus the invariants:
+    coverage radius non-increasing, first center is the lowest id, and
+    the Gonzalez 2-approx certificate (every point within the last
+    radius of some center); twin byte-for-byte."""
+    import random
+
+    import duckdb
+
+    from osm2geojson_spark.operators.geostat import k_centers, k_centers_sql
+
+    rng = random.Random(9)
+    rows = [(i, rng.randrange(0, 200), rng.randrange(0, 200)) for i in range(60)]
+    rows.append((60, rows[0][1], rows[0][2]))  # duplicate of point 0
+    df = spark.createDataFrame(rows, "pid long, x long, y long")
+    got = sorted(
+        (r["round"], r["pid"], r["x"], r["y"], r["d2_when_added"])
+        for r in k_centers(df, k=6).collect()
+    )
+
+    pts = {p: (x, y) for p, x, y in rows}
+    centers = [min(pts)]
+    want = [(1, centers[0], *pts[centers[0]], None)]
+    for r in range(2, 7):
+        best = None
+        for p, (x, y) in pts.items():
+            d2 = min((x - pts[c][0]) ** 2 + (y - pts[c][1]) ** 2 for c in centers)
+            key = (-d2, p)
+            if best is None or key < best[0]:
+                best = (key, p, d2)
+        if best[2] == 0:
+            break
+        centers.append(best[1])
+        want.append((r, best[1], *pts[best[1]], best[2]))
+    assert got == sorted(want)
+    radii = [w[4] for w in want[1:]]
+    assert radii == sorted(radii, reverse=True)
+    # coverage certificate
+    last_r2 = radii[-1]
+    for p, (x, y) in pts.items():
+        d2 = min((x - pts[c][0]) ** 2 + (y - pts[c][1]) ** 2 for c in centers)
+        assert d2 <= last_r2
+
+    duck = duckdb.connect()
+    duck.execute("CREATE TABLE kcp (pid BIGINT, x BIGINT, y BIGINT)")
+    duck.executemany("INSERT INTO kcp VALUES (?,?,?)", rows)
+    twin = sorted(
+        tuple(r) for r in duck.sql(k_centers_sql("SELECT * FROM kcp", k=6)).fetchall()
+    )
+    assert twin == got
