@@ -12161,6 +12161,22 @@ FROM (
 """
 
 
+def q_hilbert_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X247 (cells.hilbert_ranges): Hilbert range planning — the bbox
+    (-60,-30,60,40) at res 6 as minimal contiguous key intervals (the
+    coverings-to-scan-ranges planning primitive for the Hilbert-
+    clustered layout of q_hilbert_layout). 37 ranges / 572 cells."""
+    from osm2geojson_spark.operators.cells import hilbert_ranges
+
+    return hilbert_ranges(spark, -60.0, -30.0, 60.0, 40.0, res=6)
+
+
+def _hilbert_ranges_sql() -> str:
+    from osm2geojson_spark.operators.cells import hilbert_ranges_sql
+
+    return hilbert_ranges_sql(-60.0, -30.0, 60.0, 40.0, res=6)
+
+
 def q_k_centers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X246 (geostat.k_centers): Gonzalez farthest-point 6-centers over
     the 160-point hash-scattered grid (the delaunay fixture points,
@@ -12636,6 +12652,7 @@ def _keyword_extract_sql() -> str:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "hilbert_ranges": q_hilbert_ranges,
         "k_centers": q_k_centers,
         "topsis": q_topsis,
         "focal_majority": q_focal_majority,
@@ -12938,6 +12955,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "hilbert_ranges": _hilbert_ranges_sql(),
         "k_centers": _k_centers_sql(),
         "topsis": _topsis_sql(),
         "focal_majority": _focal_majority_sql(),

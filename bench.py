@@ -297,6 +297,7 @@ BENCH_QUERIES = [
     "focal_majority",
     "topsis",
     "k_centers",
+    "hilbert_ranges",
 ]
 
 

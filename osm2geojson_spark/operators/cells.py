@@ -25,6 +25,7 @@ import math
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 RES_MIN, RES_MAX = 0, 26
 DEFAULT_RES = 9
@@ -855,3 +856,100 @@ def dirty_pyramid(
         .select("e.level", "e.tile")
         .distinct()
     )
+
+
+def hilbert_ranges(
+    spark,
+    lon0: float,
+    lat0: float,
+    lon1: float,
+    lat1: float,
+    res: int = DEFAULT_RES,
+):
+    """(key_lo, key_hi, n_cells) — HILBERT RANGE PLANNING: the minimal
+    set of CONTIGUOUS Hilbert-key intervals covering a bbox at ``res``.
+    This is how a spatial predicate becomes a manifest/row-group
+    key-range scan on a Hilbert-clustered table (q_hilbert_layout's
+    write layout): each output row is one contiguous key interval, so a
+    reader issues |ranges| range scans instead of |cells| point lookups
+    — the S2/Z-order "coverings to scan ranges" planning primitive.
+
+    Exactness: the bbox corners quantize with the SAME clamp-floor
+    formula as cell_id (driver-side scalars — the bbox is a literal);
+    keys come from the shared Hilbert kernel; islands are the classic
+    key − row_number() constant-run trick — all integer.
+
+    Scale: the covering is PLANNER metadata (bounded by the bbox at the
+    chosen res, never data-sized), so the global-order window over it
+    is deliberate and cheap; the ranges then drive partition pruning on
+    the data-sized table."""
+    n = _grid_n(res)
+
+    def qx(lon):
+        return max(0, min(n - 1, int(math.floor((lon + 180.0) / 360.0 * n))))
+
+    def qy(lat):
+        return max(0, min(n - 1, int(math.floor((lat + 90.0) / 180.0 * n))))
+
+    x0, x1 = qx(lon0), qx(lon1)
+    y0, y1 = qy(lat0), qy(lat1)
+    h = y1 - y0 + 1
+    cells_df = spark.range((x1 - x0 + 1) * h).select(
+        (
+            F.lit(res) * (1 << _R_SHIFT)
+            + (F.lit(x0) + F.expr(f"id DIV {h}")) * (1 << _X_SHIFT)
+            + (F.lit(y0) + F.col("id") % h)
+        ).alias("cell_id")
+    )
+    keyed = cells_df.select(hilbert_key(F.col("cell_id"), res).alias("key"))
+    w = Window.orderBy(F.col("key").asc())
+    isl = keyed.withColumn(
+        "_isl", F.col("key") - F.row_number().over(w)
+    )
+    return (
+        isl.groupBy("_isl")
+        .agg(
+            F.min("key").cast("long").alias("key_lo"),
+            F.max("key").cast("long").alias("key_hi"),
+            F.count(F.lit(1)).cast("long").alias("n_cells"),
+        )
+        .drop("_isl")
+    )
+
+
+def hilbert_ranges_sql(
+    lon0: float, lat0: float, lon1: float, lat1: float, res: int = DEFAULT_RES
+) -> str:
+    """DuckDB twin of hilbert_ranges — same driver-side quantization,
+    the unrolled Hilbert CTE chain, identical island trick."""
+    n = _grid_n(res)
+
+    def qx(lon):
+        return max(0, min(n - 1, int(math.floor((lon + 180.0) / 360.0 * n))))
+
+    def qy(lat):
+        return max(0, min(n - 1, int(math.floor((lat + 90.0) / 180.0 * n))))
+
+    x0, x1 = qx(lon0), qx(lon1)
+    y0, y1 = qy(lat0), qy(lat1)
+    h = y1 - y0 + 1
+    total = (x1 - x0 + 1) * h
+    src = f"""
+SELECT CAST({res} AS BIGINT) * {1 << _R_SHIFT}
+         + ({x0} + i // {h}) * {1 << _X_SHIFT} + ({y0} + i % {h}) AS cell_id,
+       {x0} + i // {h} AS x0, {y0} + i % {h} AS y0
+FROM (SELECT unnest(range(0, {total})) AS i)
+"""
+    body = hilbert_cte_sql(src, res, cols="cell_id")
+    return f"""
+WITH hr AS ({body}),
+hr_isl AS (
+  SELECT hilbert AS key,
+         hilbert - row_number() OVER (ORDER BY hilbert ASC) AS isl
+  FROM hr
+)
+SELECT CAST(min(key) AS BIGINT) AS key_lo,
+       CAST(max(key) AS BIGINT) AS key_hi,
+       CAST(count(*) AS BIGINT) AS n_cells
+FROM hr_isl GROUP BY isl
+"""

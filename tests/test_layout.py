@@ -464,3 +464,50 @@ def test_dirty_pyramid_matches_brute_ancestors(spark):
         per_level[lvl] = per_level.get(lvl, 0) + 1
     counts = [per_level[r] for r in range(min_res, base_res + 1)]
     assert all(a <= b for a, b in zip(counts, counts[1:]))
+
+
+def test_hilbert_ranges_cover_exactly_and_minimally(spark):
+    """The planned ranges must partition exactly the bbox's Hilbert key
+    set (reference hilbert_d_py), be pairwise non-adjacent (else they
+    would have merged — minimality), and every key inside a range maps
+    back to a cell inside the bbox (no overshoot); twin parity."""
+    import duckdb
+
+    from osm2geojson_spark.operators.cells import (
+        hilbert_d_py,
+        hilbert_ranges,
+        hilbert_ranges_sql,
+    )
+
+    res = 4  # 16x16 grid, small enough to enumerate
+    got = sorted(
+        (r["key_lo"], r["key_hi"], r["n_cells"])
+        for r in hilbert_ranges(spark, -10.0, -10.0, 40.0, 35.0, res=res).collect()
+    )
+    n = 1 << res
+    import math as m
+
+    def qx(lon):
+        return max(0, min(n - 1, int(m.floor((lon + 180.0) / 360.0 * n))))
+
+    def qy(lat):
+        return max(0, min(n - 1, int(m.floor((lat + 90.0) / 180.0 * n))))
+
+    keys = sorted(
+        hilbert_d_py(x, y, res)
+        for x in range(qx(-10.0), qx(40.0) + 1)
+        for y in range(qy(-10.0), qy(35.0) + 1)
+    )
+    covered = [k for lo, hi, _ in got for k in range(lo, hi + 1)]
+    assert sorted(covered) == keys
+    assert all(hi - lo + 1 == nc for lo, hi, nc in got)
+    # minimality: consecutive ranges have a gap > 1
+    assert all(got[i + 1][0] > got[i][1] + 1 for i in range(len(got) - 1))
+
+    twin = sorted(
+        tuple(r)
+        for r in duckdb.sql(
+            hilbert_ranges_sql(-10.0, -10.0, 40.0, 35.0, res=res)
+        ).fetchall()
+    )
+    assert twin == got
