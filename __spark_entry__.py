@@ -12161,6 +12161,30 @@ FROM (
 """
 
 
+def q_label_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X248 (graph.label_spread): frozen-frontier semi-supervised label
+    spreading over the dense modular graph — seeds are nodes 0..3
+    labeled by parity, 4 rounds of majority votes (ties to smallest
+    label); the moderation/topic weak-supervision expansion gate."""
+    from osm2geojson_spark.operators.graph import label_spread
+
+    seeds = spark.createDataFrame(
+        [(0, 10), (1, 20), (2, 10), (3, 20)], "node long, label long"
+    )
+    return label_spread(_dense_graph(spark, sf_dir), seeds, rounds=4)
+
+
+def _label_spread_sql() -> str:
+    from osm2geojson_spark.operators.graph import label_spread_sql
+
+    return label_spread_sql(
+        _DENSE_GRAPH_SQL,
+        "SELECT * FROM (VALUES (0, 10), (1, 20), (2, 10), (3, 20))"
+        " AS s(node, label)",
+        rounds=4,
+    )
+
+
 def q_hilbert_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X247 (cells.hilbert_ranges): Hilbert range planning — the bbox
     (-60,-30,60,40) at res 6 as minimal contiguous key intervals (the
@@ -12652,6 +12676,7 @@ def _keyword_extract_sql() -> str:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "label_spread": q_label_spread,
         "hilbert_ranges": q_hilbert_ranges,
         "k_centers": q_k_centers,
         "topsis": q_topsis,
@@ -12955,6 +12980,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "label_spread": _label_spread_sql(),
         "hilbert_ranges": _hilbert_ranges_sql(),
         "k_centers": _k_centers_sql(),
         "topsis": _topsis_sql(),

@@ -298,6 +298,7 @@ BENCH_QUERIES = [
     "topsis",
     "k_centers",
     "hilbert_ranges",
+    "label_spread",
 ]
 
 

@@ -1208,3 +1208,112 @@ SELECT d.node, d.deg,
             ELSE 0.0 END AS lcc
 FROM deg d LEFT JOIN ntri n ON n.node = d.node
 """
+
+
+def label_spread(
+    edges: DataFrame,
+    seeds: DataFrame,
+    rounds: int = 4,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """(node, label, round_assigned) — SEMI-SUPERVISED LABEL SPREADING
+    with FROZEN assignments (the BFS-flavored hard variant of Zhu &
+    Ghahramani 2002): seed nodes carry fixed labels (round 0); each
+    round, every still-unlabeled node adjacent to labeled nodes takes
+    the MAJORITY label among its labeled neighbors (vote-count ties
+    break to the smallest label) and is then frozen. Unreached nodes
+    after ``rounds`` are absent. The weak-supervision expansion gate
+    (propagating moderation / topic / spam labels over an interaction
+    graph).
+
+    Determinism: integer votes, MAX(struct(count, −label)) argmax, no
+    RNG; frozen assignments make the result order-independent.
+
+    Scale: each round is one edge-keyed equi-join (labeled frontier ×
+    edges, frontier usually ≪ graph) + one combinable vote rollup;
+    lineage stays flat via localCheckpoint. Multi-seed conflicts
+    resolve by the same pinned vote rule. Duplicate edges in the input
+    count as extra votes (multigraph semantics) — dedupe upstream for
+    simple-graph votes."""
+    und = edges.select(
+        F.col(src_col).cast("long").alias("u"),
+        F.col(dst_col).cast("long").alias("v"),
+    )
+    und = und.unionByName(
+        und.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=False)
+    labeled = seeds.select(
+        F.col("node").cast("long").alias("node"),
+        F.col("label").cast("long").alias("label"),
+        F.lit(0).alias("round_assigned"),
+    ).localCheckpoint(eager=False)
+    for r in range(1, int(rounds) + 1):
+        votes = (
+            und.join(
+                labeled.select(
+                    F.col("node").alias("u"), F.col("label").alias("l")
+                ),
+                "u",
+            )
+            .join(
+                labeled.select(F.col("node").alias("v")),
+                "v",
+                "left_anti",
+            )
+            .groupBy(F.col("v").alias("node"), F.col("l").alias("label"))
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        newly = votes.groupBy("node").agg(
+            F.max(
+                F.struct(F.col("c").alias("c"), (-F.col("label")).alias("nl"))
+            ).alias("_b")
+        ).select(
+            "node",
+            (-F.col("_b.nl")).cast("long").alias("label"),
+            F.lit(r).alias("round_assigned"),
+        )
+        labeled = labeled.unionByName(newly).localCheckpoint(eager=False)
+    return labeled.select(
+        "node", "label", F.col("round_assigned").cast("int").alias("round_assigned")
+    )
+
+
+def label_spread_sql(edges_cte: str, seeds_cte: str, rounds: int = 4) -> str:
+    """DuckDB twin of label_spread — identical unrolled rounds with
+    MATERIALIZED frontier CTEs and the same struct-argmax vote rule."""
+    parts = [
+        f"""ls_e0 AS ({edges_cte}),
+ls_e AS MATERIALIZED (
+  SELECT CAST(src AS BIGINT) AS u, CAST(dst AS BIGINT) AS v FROM ls_e0
+  UNION ALL
+  SELECT CAST(dst AS BIGINT) AS u, CAST(src AS BIGINT) AS v FROM ls_e0
+),
+ls_l0 AS MATERIALIZED (
+  SELECT CAST(node AS BIGINT) AS node, CAST(label AS BIGINT) AS label,
+         0 AS round_assigned
+  FROM ({seeds_cte})
+)"""
+    ]
+    for r in range(1, int(rounds) + 1):
+        prev = f"ls_l{r - 1}"
+        parts.append(
+            f"""ls_l{r} AS MATERIALIZED (
+  SELECT * FROM {prev}
+  UNION ALL
+  SELECT node, CAST(-(max({{'c': c, 'nl': -label}}).nl) AS BIGINT) AS label,
+         {r} AS round_assigned
+  FROM (
+    SELECT e.v AS node, l.label, CAST(count(*) AS BIGINT) AS c
+    FROM ls_e e
+    JOIN {prev} l ON l.node = e.u
+    WHERE NOT EXISTS (SELECT 1 FROM {prev} x WHERE x.node = e.v)
+    GROUP BY 1, 2
+  ) GROUP BY node
+)"""
+        )
+    return f"""
+WITH {','.join(parts)}
+SELECT node, label, CAST(round_assigned AS INTEGER) AS round_assigned
+FROM ls_l{int(rounds)}
+"""

@@ -732,3 +732,62 @@ def test_clustering_coeff_matches_networkx_style_brute(spark):
         assert (
             r["deg"], r["n_tri"], r["lcc_num"], r["lcc_den"], r["lcc"]
         ) == (deg, n_tri, num, den, lcc)
+
+
+def test_label_spread_replay_and_frontier_semantics(spark):
+    """Serial replay on a designed two-community path graph: seeds at
+    the ends, the frontier advances one hop per round, the middle node
+    with equal votes ties to the SMALLEST label, a disconnected node
+    stays unlabeled, and frozen seeds never flip; twin parity."""
+    import duckdb
+
+    from osm2geojson_spark.operators.graph import (
+        label_spread,
+        label_spread_sql,
+    )
+
+    # path 0-1-2-3-4, plus isolated node 9 and a triangle 5-6-7 hanging
+    # off node 4
+    edges = [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (6, 7), (7, 5)]
+    seeds = [(0, 50), (4, 40)]
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    sdf = spark.createDataFrame(seeds, "node long, label long")
+    got = {
+        r["node"]: (r["label"], r["round_assigned"])
+        for r in label_spread(edf, sdf, rounds=4).collect()
+    }
+
+    # serial replay
+    adj = {}
+    for u, v in edges:
+        adj.setdefault(u, []).append(v)
+        adj.setdefault(v, []).append(u)
+    lab = {n: (l, 0) for n, l in seeds}
+    for r in range(1, 5):
+        votes = {}
+        for u, (l, _) in list(lab.items()):
+            for v in adj.get(u, []):
+                if v not in lab:
+                    votes.setdefault(v, {}).setdefault(l, 0)
+                    votes[v][l] += 1
+        for v, cnt in votes.items():
+            best = max(cnt, key=lambda k: (cnt[k], -k))
+            lab[v] = (best, r)
+    assert got == lab
+    # node 2 is equidistant from both seeds: equal votes -> smaller label
+    assert got[2] == (40, 2)
+    assert 9 not in got  # unreached
+    assert got[0] == (50, 0) and got[4] == (40, 0)  # seeds frozen
+
+    duck = duckdb.connect()
+    duck.execute("CREATE TABLE lse (src BIGINT, dst BIGINT)")
+    duck.executemany("INSERT INTO lse VALUES (?,?)", edges)
+    duck.execute("CREATE TABLE lss (node BIGINT, label BIGINT)")
+    duck.executemany("INSERT INTO lss VALUES (?,?)", seeds)
+    twin = {
+        r[0]: (r[1], r[2])
+        for r in duck.sql(
+            label_spread_sql("SELECT * FROM lse", "SELECT * FROM lss", rounds=4)
+        ).fetchall()
+    }
+    assert twin == got
