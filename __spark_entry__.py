@@ -12161,6 +12161,32 @@ FROM (
 """
 
 
+def q_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X249 (analytics.mase_backtest): seasonal-naive forecast backtest
+    scored by MASE over per-event-type value series (cents, ordered by
+    event time) — the scale-free forecast-quality gate, exact
+    cross-multiplied micro ratio."""
+    from osm2geojson_spark.operators.analytics import mase_backtest
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("g"),
+        F.struct(F.col("ts"), F.col("event_id")).alias("t"),
+        F.round(F.col("value") * 100).cast("long").alias("v_c"),
+    )
+    return mase_backtest(ev, season=5, horizon=10)
+
+
+def _backtest_sql() -> str:
+    from osm2geojson_spark.operators.analytics import mase_backtest_sql
+
+    return mase_backtest_sql(
+        "SELECT event_type AS g, (ts, event_id) AS t,"
+        " CAST(round(value * 100) AS BIGINT) AS v_c FROM events",
+        season=5,
+        horizon=10,
+    )
+
+
 def q_label_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X248 (graph.label_spread): frozen-frontier semi-supervised label
     spreading over the dense modular graph — seeds are nodes 0..3
@@ -12676,6 +12702,7 @@ def _keyword_extract_sql() -> str:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "backtest": q_backtest,
         "label_spread": q_label_spread,
         "hilbert_ranges": q_hilbert_ranges,
         "k_centers": q_k_centers,
@@ -12980,6 +13007,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "backtest": _backtest_sql(),
         "label_spread": _label_spread_sql(),
         "hilbert_ranges": _hilbert_ranges_sql(),
         "k_centers": _k_centers_sql(),

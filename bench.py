@@ -299,6 +299,7 @@ BENCH_QUERIES = [
     "k_centers",
     "hilbert_ranges",
     "label_spread",
+    "backtest",
 ]
 
 

@@ -4561,3 +4561,112 @@ SELECT {id_col}, d2_plus, d2_minus, closeness_micro,
          ORDER BY closeness_micro DESC, {id_col} ASC) AS BIGINT) AS rank
 FROM tp_c
 """
+
+
+# --------------------------------------------------------------- backtest
+
+
+def mase_backtest(
+    series: DataFrame,
+    season: int = 5,
+    horizon: int = 10,
+    g_col: str = "g",
+    t_col: str = "t",
+    v_col: str = "v_c",
+) -> DataFrame:
+    """(g, n, n_test, sae_test, sad_train, mase_micro) — SEASONAL-NAIVE
+    FORECAST BACKTEST scored by MASE (Hyndman & Koehler 2006), the
+    scale-free forecast-quality gate: hold out the last ``horizon``
+    points per series, forecast each with the seasonal naive
+    ŷ_t = y_{t−season}, and scale the test MAE by the TRAINING
+    one-step naive MAE —
+
+        MASE = (Σ_test |y − ŷ| / n_test) / (Σ_train |y_i − y_{i−1}| / n_diffs)
+
+    computed CROSS-MULTIPLIED in exact int64 (values pre-quantized to
+    cents): mase_micro = sae_test·n_diffs·1e6 div (sad_train·n_test).
+    MASE < 1e6 means the seasonal model beats the naive baseline.
+    Series too short (n <= max(season, horizon+1)) or with a constant
+    training prefix (sad_train = 0) return NULL mase.
+
+    Scale: two per-series ordered windows (lag-1, lag-season) and ONE
+    combinable rollup — the standard time-series shuffle shape; no
+    collect, no floats until nothing."""
+    w = Window.partitionBy(g_col).orderBy(F.col(t_col).asc())
+    wd = Window.partitionBy(g_col).orderBy(F.col(t_col).desc())
+    staged = series.select(
+        F.col(g_col).alias("g"),
+        F.col(v_col).cast("long").alias("v"),
+        F.lag(F.col(v_col).cast("long"), 1).over(w).alias("v1"),
+        F.lag(F.col(v_col).cast("long"), int(season)).over(w).alias("vs"),
+        F.row_number().over(wd).alias("_rdesc"),
+    ).withColumn("_is_test", F.col("_rdesc") <= int(horizon))
+    agg = staged.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(
+            F.when(
+                F.col("_is_test") & F.col("vs").isNotNull(),
+                F.abs(F.col("v") - F.col("vs")),
+            )
+        ).cast("long").alias("sae_test"),
+        F.sum(
+            F.when(F.col("_is_test") & F.col("vs").isNotNull(), F.lit(1))
+        ).cast("long").alias("n_test"),
+        F.sum(
+            F.when(
+                (~F.col("_is_test")) & F.col("v1").isNotNull(),
+                F.abs(F.col("v") - F.col("v1")),
+            )
+        ).cast("long").alias("sad_train"),
+        F.sum(
+            F.when((~F.col("_is_test")) & F.col("v1").isNotNull(), F.lit(1))
+        ).cast("long").alias("n_diffs"),
+    )
+    return agg.select(
+        "g",
+        "n",
+        F.coalesce("n_test", F.lit(0)).cast("long").alias("n_test"),
+        F.coalesce("sae_test", F.lit(0)).cast("long").alias("sae_test"),
+        F.coalesce("sad_train", F.lit(0)).cast("long").alias("sad_train"),
+        F.when(
+            (F.col("sad_train") > 0) & (F.col("n_test") > 0),
+            F.expr("sae_test * n_diffs * 1000000 DIV (sad_train * n_test)"),
+        ).cast("long").alias("mase_micro"),
+    )
+
+
+def mase_backtest_sql(
+    rows_cte: str, season: int = 5, horizon: int = 10
+) -> str:
+    """DuckDB twin of mase_backtest — identical windows, conditional
+    rollups and the cross-multiplied micro division.
+    ``rows_cte`` -> (g, t, v_c)."""
+    return f"""
+WITH mb_src AS ({rows_cte}),
+mb_st AS (
+  SELECT g, CAST(v_c AS BIGINT) AS v,
+         lag(CAST(v_c AS BIGINT), 1) OVER wo AS v1,
+         lag(CAST(v_c AS BIGINT), {int(season)}) OVER wo AS vs,
+         row_number() OVER wd <= {int(horizon)} AS _is_test
+  FROM mb_src
+  WINDOW wo AS (PARTITION BY g ORDER BY t ASC),
+         wd AS (PARTITION BY g ORDER BY t DESC)
+),
+mb_agg AS (
+  SELECT g, CAST(count(*) AS BIGINT) AS n,
+         CAST(COALESCE(sum(CASE WHEN _is_test AND vs IS NOT NULL
+                         THEN abs(v - vs) END), 0) AS BIGINT) AS sae_test,
+         CAST(COALESCE(sum(CASE WHEN _is_test AND vs IS NOT NULL
+                         THEN 1 END), 0) AS BIGINT) AS n_test,
+         CAST(COALESCE(sum(CASE WHEN NOT _is_test AND v1 IS NOT NULL
+                         THEN abs(v - v1) END), 0) AS BIGINT) AS sad_train,
+         CAST(COALESCE(sum(CASE WHEN NOT _is_test AND v1 IS NOT NULL
+                         THEN 1 END), 0) AS BIGINT) AS n_diffs
+  FROM mb_st GROUP BY 1
+)
+SELECT g, n, n_test, sae_test, sad_train,
+       CASE WHEN sad_train > 0 AND n_test > 0
+            THEN sae_test * n_diffs * 1000000 // (sad_train * n_test)
+       END AS mase_micro
+FROM mb_agg
+"""

@@ -2824,3 +2824,68 @@ def test_topsis_rank_replay_and_dominance(spark):
         assert twin[i] == (
             g["d2_plus"], g["d2_minus"], g["closeness_micro"], g["rank"]
         ), i
+
+
+def test_mase_backtest_replay_and_periodic_series(spark):
+    """Scalar replay of the cross-multiplied MASE on designed series: a
+    perfectly period-5 series scores mase 0 (seasonal naive is exact on
+    the holdout), a noisy series scores > 0, a constant-train series
+    gives NULL, a too-short series never produces test points."""
+    import duckdb
+
+    from osm2geojson_spark.operators.analytics import (
+        mase_backtest,
+        mase_backtest_sql,
+    )
+
+    rows = []
+    for t in range(40):
+        rows.append(("periodic", t, 100 + 13 * (t % 5)))
+        rows.append(("noisy", t, 100 + (t * 37) % 50))
+    for t in range(40):
+        rows.append(("flat_train", t, 7 if t < 30 else 7 + t))
+    for t in range(4):
+        rows.append(("short", t, t * 10))
+    df = spark.createDataFrame(rows, "g string, t long, v_c long")
+    got = {r["g"]: r.asDict() for r in mase_backtest(df, season=5, horizon=10).collect()}
+
+    # direct scalar replay
+    for g in ("periodic", "noisy", "flat_train", "short"):
+        vs = [v for gg, t, v in sorted(
+            (r for r in rows if r[0] == g), key=lambda r: r[1])]
+        n = len(vs)
+        h = 10
+        sae = n_test = sad = n_diffs = 0
+        for i in range(n):
+            is_test = i >= n - h
+            if is_test and i - 5 >= 0:
+                sae += abs(vs[i] - vs[i - 5])
+                n_test += 1
+            if (not is_test) and i >= 1:
+                sad += abs(vs[i] - vs[i - 1])
+                n_diffs += 1
+        mase = (
+            sae * n_diffs * 1_000_000 // (sad * n_test)
+            if sad > 0 and n_test > 0
+            else None
+        )
+        gg = got[g]
+        assert (gg["n"], gg["n_test"], gg["sae_test"], gg["sad_train"],
+                gg["mase_micro"]) == (n, n_test, sae, sad, mase), g
+    assert got["periodic"]["mase_micro"] == 0
+    assert got["noisy"]["mase_micro"] > 0
+    assert got["flat_train"]["mase_micro"] is None  # constant training
+    assert got["short"]["n_test"] == 0
+
+    duck = duckdb.connect()
+    duck.execute("CREATE TABLE mbt (g VARCHAR, t BIGINT, v_c BIGINT)")
+    duck.executemany("INSERT INTO mbt VALUES (?,?,?)", rows)
+    twin = {
+        r[0]: tuple(r[1:])
+        for r in duck.sql(
+            mase_backtest_sql("SELECT * FROM mbt", season=5, horizon=10)
+        ).fetchall()
+    }
+    for g, gg in got.items():
+        assert twin[g] == (gg["n"], gg["n_test"], gg["sae_test"],
+                           gg["sad_train"], gg["mase_micro"]), g
