@@ -12161,6 +12161,32 @@ FROM (
 """
 
 
+def q_binary_seg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X250 (analytics.binary_seg): one-split binary-segmentation
+    changepoint per event_type value series (whole units — the
+    operator's int64 budget is n·Q·1e6, so the fixture pre-scales to
+    |v| <= 100 which holds to n ~ 2e4 per series) — exact
+    micro-quantized SSE argmin over every candidate split from one
+    prefix window; the level-shift evidence gate."""
+    from osm2geojson_spark.operators.analytics import binary_seg
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("g"),
+        F.struct(F.col("ts"), F.col("event_id")).alias("t"),
+        F.round(F.col("value")).cast("long").alias("v_c"),
+    )
+    return binary_seg(ev)
+
+
+def _binary_seg_sql() -> str:
+    from osm2geojson_spark.operators.analytics import binary_seg_sql
+
+    return binary_seg_sql(
+        "SELECT event_type AS g, (ts, event_id) AS t,"
+        " CAST(round(value) AS BIGINT) AS v_c FROM events"
+    )
+
+
 def q_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X249 (analytics.mase_backtest): seasonal-naive forecast backtest
     scored by MASE over per-event-type value series (cents, ordered by
@@ -12702,6 +12728,7 @@ def _keyword_extract_sql() -> str:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "binary_seg": q_binary_seg,
         "backtest": q_backtest,
         "label_spread": q_label_spread,
         "hilbert_ranges": q_hilbert_ranges,
@@ -13007,6 +13034,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "binary_seg": _binary_seg_sql(),
         "backtest": _backtest_sql(),
         "label_spread": _label_spread_sql(),
         "hilbert_ranges": _hilbert_ranges_sql(),

@@ -300,6 +300,7 @@ BENCH_QUERIES = [
     "hilbert_ranges",
     "label_spread",
     "backtest",
+    "binary_seg",
 ]
 
 

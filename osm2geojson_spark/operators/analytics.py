@@ -4670,3 +4670,113 @@ SELECT g, n, n_test, sae_test, sad_train,
        END AS mase_micro
 FROM mb_agg
 """
+
+
+# ------------------------------------------------------ binary segmentation
+
+
+def binary_seg(
+    series: DataFrame,
+    g_col: str = "g",
+    t_col: str = "t",
+    v_col: str = "v_c",
+) -> DataFrame:
+    """(g, n, best_t, sse0_micro, sse_split_micro, gain_micro) — BINARY
+    SEGMENTATION changepoint detection (one split; the greedy step of
+    Scott & Knott / the PELT family): per series, the split position
+    best_t (prefix length, 1 <= best_t < n) minimizing
+
+        SSE_L + SSE_R,   SSE = (n·Q − S²) / n  (per segment)
+
+    evaluated in MICRO-quantized exact arithmetic — each segment's term
+    is (n·Q − S²)·1e6 div n (int64; bound |v| <= ~1e4 cents at n <=
+    ~200 per series, pre-scale coarser units beyond), so the argmin
+    (cost ASC, t ASC) is engine-identical. gain = single-segment SSE −
+    best split cost: the level-shift evidence score (gate on it before
+    accepting the split).
+
+    Scale: prefix sums from ONE ordered window per series; every
+    candidate split is a row — the argmin is a MAX(struct) rollup, no
+    second window, no collect."""
+    w = Window.partitionBy(g_col).orderBy(F.col(t_col).asc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wall = Window.partitionBy(g_col)
+    v = F.col(v_col).cast("long")
+    staged = series.select(
+        F.col(g_col).alias("g"),
+        F.sum(v).over(w).alias("ps"),
+        F.sum(v * v).over(w).alias("pq"),
+        F.row_number()
+        .over(Window.partitionBy(g_col).orderBy(F.col(t_col).asc()))
+        .alias("i"),
+        F.sum(v).over(wall).alias("ts"),
+        F.sum(v * v).over(wall).alias("tq"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+    )
+    cand = staged.filter(F.col("i") < F.col("n"))
+    cost = (
+        F.expr("(i * pq - ps * ps) * 1000000 DIV i")
+        + F.expr(
+            "((n - i) * (tq - pq) - (ts - ps) * (ts - ps)) * 1000000"
+            " DIV (n - i)"
+        )
+    ).cast("long")
+    best = cand.select(
+        "g", "n", "ts", "tq", F.col("i").alias("t"), cost.alias("cost")
+    ).groupBy("g").agg(
+        F.min(
+            F.struct(F.col("cost").alias("c"), F.col("t").alias("t"))
+        ).alias("_b"),
+        F.first("n").alias("n"),
+        F.first("ts").alias("ts"),
+        F.first("tq").alias("tq"),
+    )
+    sse0 = F.expr("(n * tq - ts * ts) * 1000000 DIV n").cast("long")
+    return best.select(
+        "g",
+        F.col("n").cast("long").alias("n"),
+        F.col("_b.t").cast("long").alias("best_t"),
+        sse0.alias("sse0_micro"),
+        F.col("_b.c").cast("long").alias("sse_split_micro"),
+        (sse0 - F.col("_b.c")).cast("long").alias("gain_micro"),
+    )
+
+
+def binary_seg_sql(rows_cte: str) -> str:
+    """DuckDB twin of binary_seg — identical prefix windows, candidate
+    costs and (cost, t) struct argmin. ``rows_cte`` -> (g, t, v_c)."""
+    return f"""
+WITH bs_src AS ({rows_cte}),
+bs_st AS (
+  SELECT g,
+         sum(CAST(v_c AS BIGINT)) OVER wc AS ps,
+         sum(CAST(v_c AS BIGINT) * CAST(v_c AS BIGINT)) OVER wc AS pq,
+         row_number() OVER wo AS i,
+         sum(CAST(v_c AS BIGINT)) OVER wa AS ts,
+         sum(CAST(v_c AS BIGINT) * CAST(v_c AS BIGINT)) OVER wa AS tq,
+         count(*) OVER wa AS n
+  FROM bs_src
+  WINDOW wo AS (PARTITION BY g ORDER BY t ASC),
+         wc AS (PARTITION BY g ORDER BY t ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wa AS (PARTITION BY g)
+),
+bs_cand AS (
+  SELECT g, n, ts, tq, i AS t,
+         CAST((i * pq - ps * ps) * 1000000 // i
+              + ((n - i) * (tq - pq) - (ts - ps) * (ts - ps)) * 1000000
+                // (n - i) AS BIGINT) AS cost
+  FROM bs_st WHERE i < n
+),
+bs_best AS (
+  SELECT g, min({{'c': cost, 't': t}}) AS _b,
+         min(n) AS n, min(ts) AS ts, min(tq) AS tq
+  FROM bs_cand GROUP BY 1
+)
+SELECT g, CAST(n AS BIGINT) AS n, CAST(_b.t AS BIGINT) AS best_t,
+       CAST((n * tq - ts * ts) * 1000000 // n AS BIGINT) AS sse0_micro,
+       CAST(_b.c AS BIGINT) AS sse_split_micro,
+       CAST((n * tq - ts * ts) * 1000000 // n - _b.c AS BIGINT) AS gain_micro
+FROM bs_best
+"""

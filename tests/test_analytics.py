@@ -2889,3 +2889,60 @@ def test_mase_backtest_replay_and_periodic_series(spark):
     for g, gg in got.items():
         assert twin[g] == (gg["n"], gg["n_test"], gg["sae_test"],
                            gg["sad_train"], gg["mase_micro"]), g
+
+
+def test_binary_seg_finds_planted_shift(spark):
+    """A series with a planted level shift at position 30 must split
+    exactly there with a large gain; a pure-noise series still returns
+    the exact argmin of the replayed cost curve; tie on a symmetric
+    two-point series goes to the smallest t; twin byte-for-byte."""
+    import duckdb
+
+    from osm2geojson_spark.operators.analytics import (
+        binary_seg,
+        binary_seg_sql,
+    )
+
+    rows = []
+    for t in range(60):
+        rows.append(("shift", t, 10 + (t % 3) + (50 if t >= 30 else 0)))
+        rows.append(("noise", t, (t * 37) % 23))
+    rows += [("tiny", 0, 5), ("tiny", 1, 9)]
+    df = spark.createDataFrame(rows, "g string, t long, v_c long")
+    got = {r["g"]: r.asDict() for r in binary_seg(df).collect()}
+
+    def replay(g):
+        vs = [v for gg, t, v in sorted(
+            (r for r in rows if r[0] == g), key=lambda r: r[1])]
+        n = len(vs)
+        ts, tq = sum(vs), sum(v * v for v in vs)
+        best = None
+        for t in range(1, n):
+            ps, pq = sum(vs[:t]), sum(v * v for v in vs[:t])
+            cost = (t * pq - ps * ps) * 1_000_000 // t + (
+                (n - t) * (tq - pq) - (ts - ps) ** 2
+            ) * 1_000_000 // (n - t)
+            if best is None or (cost, t) < best:
+                best = (cost, t)
+        sse0 = (n * tq - ts * ts) * 1_000_000 // n
+        return n, best[1], sse0, best[0], sse0 - best[0]
+
+    for g in ("shift", "noise", "tiny"):
+        n, bt, s0, sc, gain = replay(g)
+        gg = got[g]
+        assert (gg["n"], gg["best_t"], gg["sse0_micro"],
+                gg["sse_split_micro"], gg["gain_micro"]) == (n, bt, s0, sc, gain), g
+    assert got["shift"]["best_t"] == 30
+    assert got["shift"]["gain_micro"] > got["noise"]["gain_micro"]
+    assert got["tiny"]["best_t"] == 1
+
+    duck = duckdb.connect()
+    duck.execute("CREATE TABLE bsg (g VARCHAR, t BIGINT, v_c BIGINT)")
+    duck.executemany("INSERT INTO bsg VALUES (?,?,?)", rows)
+    twin = {
+        r[0]: tuple(r[1:])
+        for r in duck.sql(binary_seg_sql("SELECT * FROM bsg")).fetchall()
+    }
+    for g, gg in got.items():
+        assert twin[g] == (gg["n"], gg["best_t"], gg["sse0_micro"],
+                           gg["sse_split_micro"], gg["gain_micro"]), g
