@@ -12161,6 +12161,22 @@ FROM (
 """
 
 
+def q_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X251 (graph.rich_club): rich-club coefficient curve over the
+    dense modular graph — hub-interlink density phi(k) for every degree
+    threshold, exact micro quotients from two histogram suffix scans;
+    the bot-ring / citation-cartel diagnostic."""
+    from osm2geojson_spark.operators.graph import rich_club
+
+    return rich_club(_dense_graph(spark, sf_dir))
+
+
+def _rich_club_sql() -> str:
+    from osm2geojson_spark.operators.graph import rich_club_sql
+
+    return rich_club_sql(_DENSE_GRAPH_SQL)
+
+
 def q_binary_seg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X250 (analytics.binary_seg): one-split binary-segmentation
     changepoint per event_type value series (whole units — the
@@ -12728,6 +12744,7 @@ def _keyword_extract_sql() -> str:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "rich_club": q_rich_club,
         "binary_seg": q_binary_seg,
         "backtest": q_backtest,
         "label_spread": q_label_spread,
@@ -13034,6 +13051,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "rich_club": _rich_club_sql(),
         "binary_seg": _binary_seg_sql(),
         "backtest": _backtest_sql(),
         "label_spread": _label_spread_sql(),

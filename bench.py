@@ -301,6 +301,7 @@ BENCH_QUERIES = [
     "label_spread",
     "backtest",
     "binary_seg",
+    "rich_club",
 ]
 
 

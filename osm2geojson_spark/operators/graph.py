@@ -30,6 +30,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def bfs_hops(
@@ -1316,4 +1317,118 @@ ls_l0 AS MATERIALIZED (
 WITH {','.join(parts)}
 SELECT node, label, CAST(round_assigned AS INTEGER) AS round_assigned
 FROM ls_l{int(rounds)}
+"""
+
+
+def rich_club(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """(k, n_k, e_k, phi_micro) — RICH-CLUB COEFFICIENT curve (Zhou &
+    Mondragon 2004): for every degree threshold k present in the graph,
+    the density among nodes of degree > k,
+
+        phi(k) = 2·E_k / (N_k · (N_k − 1)),
+
+    reported as the exact integer micro quotient. The hub-collusion
+    diagnostic (do high-degree accounts preferentially interlink — bot
+    rings, citation cartels).
+
+    Mechanism (no per-k scans): each NODE row carries its degree, each
+    EDGE row carries min(deg_u, deg_v); both N_k and E_k are SUFFIX
+    counts of those two distributions — two combinable rollups to
+    degree-valued histograms (at most max-degree rows) + one ordered
+    window each over the tiny histogram. Duplicate/parallel edges are
+    deduped (canonical u<v pairs); self-loops dropped."""
+    e = edges.select(
+        F.least(F.col(src_col), F.col(dst_col)).cast("long").alias("u"),
+        F.greatest(F.col(src_col), F.col(dst_col)).cast("long").alias("v"),
+    ).filter(F.col("u") != F.col("v")).distinct()
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+    # N_k: suffix counts of the node-degree histogram
+    dh = deg.groupBy("deg").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    # E_k: suffix counts of the edge min-degree histogram
+    em = (
+        e.join(deg.select(F.col("node").alias("u"), F.col("deg").alias("du")), "u")
+        .join(deg.select(F.col("node").alias("v"), F.col("deg").alias("dv")), "v")
+        .select(F.least("du", "dv").alias("md"))
+        .groupBy("md")
+        .agg(F.count(F.lit(1)).cast("long").alias("ec"))
+    )
+    ks = dh.select(F.col("deg").alias("k")).distinct()
+    wN = Window.orderBy(F.col("deg").asc()).rowsBetween(1, Window.unboundedFollowing)
+    n_suffix = dh.select(
+        F.col("deg").alias("k"),
+        F.coalesce(F.sum("c").over(wN), F.lit(0)).cast("long").alias("n_k"),
+    )
+    # E_k at arbitrary thresholds: the md histogram's keys need not align
+    # with node-degree values, so evaluate the suffix by a non-equi join
+    # over the two TINY histograms (<= max-degree rows each).
+    e_suffix = (
+        ks.join(F.broadcast(em), F.col("md") > F.col("k"), "left")
+        .groupBy("k")
+        .agg(F.coalesce(F.sum("ec"), F.lit(0)).cast("long").alias("e_k"))
+    )
+    out = (
+        ks.join(n_suffix, "k", "left")
+        .join(e_suffix, "k", "left")
+        .select(
+            "k",
+            F.coalesce("n_k", F.lit(0)).alias("n_k"),
+            F.coalesce("e_k", F.lit(0)).alias("e_k"),
+        )
+    )
+    return out.withColumn(
+        "phi_micro",
+        F.when(
+            F.col("n_k") >= 2,
+            F.expr("2 * e_k * 1000000 DIV (n_k * (n_k - 1))"),
+        ).cast("long"),
+    )
+
+
+def rich_club_sql(edges_cte: str) -> str:
+    """DuckDB twin of rich_club — identical dedup, histograms, suffix
+    windows and micro quotient."""
+    return f"""
+WITH rc_e0 AS ({edges_cte}),
+rc_e AS (
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+  FROM rc_e0 WHERE src <> dst
+),
+rc_deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+    SELECT u AS node FROM rc_e UNION ALL SELECT v FROM rc_e
+  ) GROUP BY 1
+),
+rc_dh AS (SELECT deg, CAST(count(*) AS BIGINT) AS c FROM rc_deg GROUP BY 1),
+rc_em AS (
+  SELECT least(a.deg, b.deg) AS md, CAST(count(*) AS BIGINT) AS ec
+  FROM rc_e
+  JOIN rc_deg a ON a.node = rc_e.u
+  JOIN rc_deg b ON b.node = rc_e.v
+  GROUP BY 1
+),
+rc_n AS (
+  SELECT deg AS k,
+         CAST(COALESCE(sum(c) OVER (ORDER BY deg ASC
+           ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING), 0) AS BIGINT)
+           AS n_k
+  FROM rc_dh
+),
+rc_ee AS (
+  SELECT n.k,
+         CAST(COALESCE(sum(e.ec), 0) AS BIGINT) AS e_k
+  FROM rc_n n LEFT JOIN rc_em e ON e.md > n.k
+  GROUP BY 1
+)
+SELECT n.k, n.n_k, COALESCE(e.e_k, 0) AS e_k,
+       CASE WHEN n.n_k >= 2
+            THEN 2 * COALESCE(e.e_k, 0) * 1000000 // (n.n_k * (n.n_k - 1))
+       END AS phi_micro
+FROM rc_n n LEFT JOIN rc_ee e ON e.k = n.k
 """

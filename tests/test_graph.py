@@ -791,3 +791,54 @@ def test_label_spread_replay_and_frontier_semantics(spark):
         ).fetchall()
     }
     assert twin == got
+
+
+def test_rich_club_matches_networkx_style_brute(spark):
+    """Brute per-threshold density replay on a designed hub graph (a
+    4-clique of hubs plus pendant leaves): phi at the leaf threshold
+    must reflect hub interlinking; duplicate and self edges ignored;
+    twin byte-for-byte."""
+    import duckdb
+
+    from osm2geojson_spark.operators.graph import rich_club, rich_club_sql
+
+    # hubs 0-3 form a clique; each hub also has 3 pendant leaves
+    edges = []
+    for i in range(4):
+        for j in range(i + 1, 4):
+            edges.append((i, j))
+    leaf = 10
+    for h in range(4):
+        for _ in range(3):
+            edges.append((h, leaf))
+            leaf += 1
+    edges.append((0, 1))  # duplicate
+    edges.append((5, 5))  # self loop on nothing relevant
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["k"]: (r["n_k"], r["e_k"], r["phi_micro"])
+           for r in rich_club(df).collect()}
+
+    # brute
+    simple = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    deg = {}
+    for u, v in simple:
+        deg[u] = deg.get(u, 0) + 1
+        deg[v] = deg.get(v, 0) + 1
+    for k in sorted(set(deg.values())):
+        rich = {n for n, d in deg.items() if d > k}
+        ek = sum(1 for u, v in simple if u in rich and v in rich)
+        nk = len(rich)
+        phi = 2 * ek * 1_000_000 // (nk * (nk - 1)) if nk >= 2 else None
+        assert got[k] == (nk, ek, phi), k
+    # leaves have degree 1; hubs degree 6 -> at k=1 the club is the
+    # 4 hubs, fully interlinked: phi = 1e6
+    assert got[1] == (4, 6, 1_000_000)
+
+    duck = duckdb.connect()
+    duck.execute("CREATE TABLE rce (src BIGINT, dst BIGINT)")
+    duck.executemany("INSERT INTO rce VALUES (?,?)", edges)
+    twin = {
+        r[0]: (r[1], r[2], r[3])
+        for r in duck.sql(rich_club_sql("SELECT * FROM rce")).fetchall()
+    }
+    assert twin == got
