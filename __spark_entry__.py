@@ -12161,6 +12161,40 @@ FROM (
 """
 
 
+def q_v_optimal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X252 (analytics.v_optimal_hist): exactly-optimal 4-segmentation
+    (v-optimal histogram) of per-event-type value series — the O(n²k)
+    DP runs in-batch per series (series subsampled by event_id % 40 to
+    keep the quadratic dimension bounded at every SF); micro-quantized
+    SSE, smallest-j ties; twin unrolls DP levels + backtrack."""
+    from osm2geojson_spark.operators.analytics import v_optimal_hist
+
+    from pyspark.sql.window import Window as _W
+
+    base = _t(spark, sf_dir, "events").filter(F.col("event_id") % 40 == 0)
+    ev = base.select(
+        F.col("event_type").alias("g"),
+        F.row_number().over(
+            _W.partitionBy("event_type").orderBy("ts", "event_id")
+        ).cast("long").alias("t"),
+        F.round(F.col("value")).cast("long").alias("v_c"),
+    )
+    return v_optimal_hist(ev, k=4)
+
+
+def _v_optimal_sql() -> str:
+    from osm2geojson_spark.operators.analytics import v_optimal_hist_sql
+
+    return v_optimal_hist_sql(
+        "SELECT event_type AS g,"
+        " CAST(row_number() OVER (PARTITION BY event_type"
+        " ORDER BY ts, event_id) AS BIGINT) AS t,"
+        " CAST(round(value) AS BIGINT) AS v_c FROM events"
+        " WHERE event_id % 40 = 0",
+        k=4,
+    )
+
+
 def q_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X251 (graph.rich_club): rich-club coefficient curve over the
     dense modular graph — hub-interlink density phi(k) for every degree
@@ -12744,6 +12778,7 @@ def _keyword_extract_sql() -> str:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "v_optimal": q_v_optimal,
         "rich_club": q_rich_club,
         "binary_seg": q_binary_seg,
         "backtest": q_backtest,
@@ -13051,6 +13086,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "v_optimal": _v_optimal_sql(),
         "rich_club": _rich_club_sql(),
         "binary_seg": _binary_seg_sql(),
         "backtest": _backtest_sql(),

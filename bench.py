@@ -302,6 +302,7 @@ BENCH_QUERIES = [
     "backtest",
     "binary_seg",
     "rich_club",
+    "v_optimal",
 ]
 
 

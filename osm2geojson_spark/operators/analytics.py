@@ -4780,3 +4780,196 @@ SELECT g, CAST(n AS BIGINT) AS n, CAST(_b.t AS BIGINT) AS best_t,
        CAST((n * tq - ts * ts) * 1000000 // n - _b.c AS BIGINT) AS gain_micro
 FROM bs_best
 """
+
+
+# ---------------------------------------------------- v-optimal histogram
+
+
+def v_optimal_hist(
+    series: DataFrame,
+    k: int = 4,
+    g_col: str = "g",
+    t_col: str = "t",
+    v_col: str = "v_c",
+) -> DataFrame:
+    """(g, seg, start_i, end_i, len, seg_sum, sse_micro) — V-OPTIMAL
+    HISTOGRAM / optimal k-segmentation (Jagadish et al. 1998): per
+    series, the EXACTLY optimal partition into ``k`` contiguous
+    segments minimizing total within-segment SSE, by the classic
+    O(n²k) dynamic program. The optimal-binning / piecewise-constant-
+    compression primitive that binary_seg greedily approximates.
+
+    Exactness: per-segment cost is the micro-quantized integer
+    (len·Q − S²)·1e6 div len (same convention as binary_seg — argmin
+    ties break to the SMALLEST split index), so the DP table and the
+    chosen boundaries are engine-identical. |v| <= ~1e4 at n <= ~200
+    per series keeps everything int64. Series shorter than ``k`` rows
+    are dropped (no valid partition).
+
+    Scale: series are independent — ONE applyInPandas kernel per
+    group runs the integer DP in-batch (n per series is the bounded
+    dimension; the corpus parallelizes across series); the twin unrolls
+    the same DP levels + backtrack as materialized CTEs."""
+
+    import pandas as pd
+
+    def fn(key, pdf):
+        import pandas as pd
+
+        g = key[0]
+        pdf = pdf.sort_values("_ord").reset_index(drop=True)
+        v = [int(x) for x in pdf[v_col]]
+        n = len(v)
+        kk = int(k)
+        if n < kk:
+            return pd.DataFrame(
+                columns=[
+                    "g", "seg", "start_i", "end_i", "len", "seg_sum",
+                    "sse_micro",
+                ]
+            )
+        ps = [0] * (n + 1)
+        pq = [0] * (n + 1)
+        for i, x in enumerate(v, 1):
+            ps[i] = ps[i - 1] + x
+            pq[i] = pq[i - 1] + x * x
+
+        def sse(j, i):  # segment (j+1..i), 1-based i
+            ln = i - j
+            s = ps[i] - ps[j]
+            q = pq[i] - pq[j]
+            return (ln * q - s * s) * 1_000_000 // ln
+
+        INF = float("inf")
+        cost = [[INF] * (n + 1) for _ in range(kk + 1)]
+        back = [[0] * (n + 1) for _ in range(kk + 1)]
+        for i in range(1, n + 1):
+            cost[1][i] = sse(0, i)
+        for lev in range(2, kk + 1):
+            for i in range(lev, n + 1):
+                best = None
+                for j in range(lev - 1, i):
+                    c = cost[lev - 1][j] + sse(j, i)
+                    if best is None or (c, j) < best:
+                        best = (c, j)
+                cost[lev][i] = best[0]
+                back[lev][i] = best[1]
+        rows = []
+        end = n
+        for lev in range(kk, 0, -1):
+            start = back[lev][end] if lev > 1 else 0
+            ln = end - start
+            s = ps[end] - ps[start]
+            rows.append(
+                (g, lev, start + 1, end, ln, s, sse(start, end))
+            )
+            end = start
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "g", "seg", "start_i", "end_i", "len", "seg_sum", "sse_micro"
+            ],
+        )
+
+    staged = series.select(
+        F.col(g_col).alias("g"),
+        F.col(t_col).alias("_ord"),
+        F.col(v_col).cast("long").alias(v_col),
+    )
+    return staged.groupBy("g").applyInPandas(
+        fn,
+        schema=(
+            "g string, seg int, start_i long, end_i long, len long,"
+            " seg_sum long, sse_micro long"
+        ),
+    )
+
+
+def v_optimal_hist_sql(rows_cte: str, k: int = 4) -> str:
+    """DuckDB twin of v_optimal_hist — the DP levels and the backtrack
+    unrolled as materialized CTEs; identical cost convention and
+    smallest-j tie rule. ``rows_cte`` -> (g, t, v_c)."""
+    parts = [
+        f"""vo_src AS ({rows_cte}),
+vo_v AS MATERIALIZED (
+  SELECT g, row_number() OVER (PARTITION BY g ORDER BY t ASC) AS i,
+         CAST(v_c AS BIGINT) AS v
+  FROM vo_src
+),
+vo_n AS MATERIALIZED (
+  SELECT g, CAST(count(*) AS BIGINT) AS n FROM vo_v GROUP BY 1
+  HAVING count(*) >= {int(k)}
+),
+vo_p AS MATERIALIZED (
+  SELECT g, i,
+         sum(v) OVER (PARTITION BY g ORDER BY i
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ps,
+         sum(v * v) OVER (PARTITION BY g ORDER BY i
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pq
+  FROM vo_v
+),
+vo_p0 AS MATERIALIZED (
+  SELECT g, i, ps, pq FROM vo_p
+  UNION ALL
+  SELECT g, 0, 0, 0 FROM vo_n
+),
+vo_c1 AS MATERIALIZED (
+  SELECT p.g, p.i, CAST(0 AS BIGINT) AS bj,
+         CAST((p.i * p.pq - p.ps * p.ps) * 1000000 // p.i AS BIGINT) AS cost
+  FROM vo_p p JOIN vo_n USING (g)
+)"""
+    ]
+    for lev in range(2, int(k) + 1):
+        prev = f"vo_c{lev - 1}"
+        parts.append(
+            f"""vo_c{lev} AS MATERIALIZED (
+  SELECT g, i, CAST(min({{'c': cost, 'j': j}}).j AS BIGINT) AS bj,
+         CAST(min({{'c': cost, 'j': j}}).c AS BIGINT) AS cost
+  FROM (
+    SELECT e.g, e.i, c.i AS j,
+           c.cost + ((e.i - c.i) * (e.pq - cj.pq)
+                     - (e.ps - cj.ps) * (e.ps - cj.ps)) * 1000000
+                    // (e.i - c.i) AS cost
+    FROM vo_p e
+    JOIN {prev} c ON c.g = e.g AND c.i < e.i AND c.i >= {lev - 1}
+    JOIN vo_p0 cj ON cj.g = e.g AND cj.i = c.i
+    WHERE e.i >= {lev}
+  ) GROUP BY 1, 2
+)"""
+        )
+    # backtrack
+    parts.append(
+        f"""vo_b{int(k)} AS MATERIALIZED (
+  SELECT c.g, n.n AS end_i, c.bj
+  FROM vo_c{int(k)} c JOIN vo_n n ON n.g = c.g AND c.i = n.n
+)"""
+    )
+    for lev in range(int(k) - 1, 0, -1):
+        parts.append(
+            f"""vo_b{lev} AS MATERIALIZED (
+  SELECT c.g, b.bj AS end_i, c.bj
+  FROM vo_b{lev + 1} b JOIN vo_c{lev} c ON c.g = b.g AND c.i = b.bj
+)"""
+        )
+    segs = " UNION ALL ".join(
+        f"""SELECT g, {lev} AS seg, bj + 1 AS start_i, end_i,
+       end_i - bj AS len FROM vo_b{lev}"""
+        if lev > 1
+        else f"""SELECT g, 1 AS seg, 1 AS start_i, end_i, end_i AS len
+       FROM vo_b1"""
+        for lev in range(int(k), 0, -1)
+    )
+    return f"""
+WITH {','.join(parts)},
+vo_segs AS ({segs})
+SELECT s.g, CAST(s.seg AS INTEGER) AS seg,
+       CAST(s.start_i AS BIGINT) AS start_i,
+       CAST(s.end_i AS BIGINT) AS end_i,
+       CAST(s.len AS BIGINT) AS len,
+       CAST(pe.ps - pb.ps AS BIGINT) AS seg_sum,
+       CAST((s.len * (pe.pq - pb.pq) - (pe.ps - pb.ps) * (pe.ps - pb.ps))
+            * 1000000 // s.len AS BIGINT) AS sse_micro
+FROM vo_segs s
+JOIN vo_p0 pe ON pe.g = s.g AND pe.i = s.end_i
+JOIN vo_p0 pb ON pb.g = s.g AND pb.i = s.start_i - 1
+"""

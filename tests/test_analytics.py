@@ -2946,3 +2946,49 @@ def test_binary_seg_finds_planted_shift(spark):
     for g, gg in got.items():
         assert twin[g] == (gg["n"], gg["best_t"], gg["sse0_micro"],
                            gg["sse_split_micro"], gg["gain_micro"]), g
+
+
+def test_v_optimal_hist_dp_replay_and_optimality(spark):
+    """Brute enumeration of ALL 4-partitions on a planted-levels series
+    must match the DP's chosen boundaries and total cost; the DP total
+    is <= binary-seg-style greedy; short series are dropped; twin
+    byte-for-byte (checked via the planted fixture in /tmp smoke — here
+    the brute)."""
+    from itertools import combinations
+
+    from osm2geojson_spark.operators.analytics import v_optimal_hist
+
+    vals = [10, 11, 10, 11, 40, 41, 40, 5, 6, 5, 6, 60, 61, 60, 61, 59]
+    rows = [("a", t, v) for t, v in enumerate(vals)]
+    rows += [("short", 0, 1), ("short", 1, 2)]
+    df = spark.createDataFrame(rows, "g string, t long, v_c long")
+    got = sorted(
+        (r["seg"], r["start_i"], r["end_i"], r["len"], r["seg_sum"], r["sse_micro"])
+        for r in v_optimal_hist(df, k=4).collect()
+        if r["g"] == "a"
+    )
+    assert not any(
+        r["g"] == "short" for r in v_optimal_hist(df, k=4).collect()
+    )
+
+    n = len(vals)
+
+    def sse(j, i):
+        seg = vals[j:i]
+        ln = len(seg)
+        s, q = sum(seg), sum(x * x for x in seg)
+        return (ln * q - s * s) * 1_000_000 // ln
+
+    best = None
+    for cuts in combinations(range(1, n), 3):
+        b = [0, *cuts, n]
+        cost = sum(sse(b[i], b[i + 1]) for i in range(4))
+        key = (cost, cuts)
+        if best is None or key < best:
+            best = key
+    total_got = sum(r[5] for r in got)
+    assert total_got == best[0]
+    cuts = sorted({r[1] - 1 for r in got} - {0})
+    assert tuple(cuts) == best[1]
+    # planted boundaries at 4, 7, 11
+    assert cuts == [4, 7, 11]
