@@ -12161,6 +12161,34 @@ FROM (
 """
 
 
+def q_str_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X253 (plans.layout.str_partition): Sort-Tile-Recursive bulk-load
+    partitioning of the 160-point grid into 4x4 balanced tiles — the
+    R-tree-style write layout for point-heavy ingest; tiles balanced
+    within ±1 by integer rank cuts."""
+    from osm2geojson_spark.plans.layout import str_partition
+
+    pts = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") < 160).select(
+        F.col("c_custkey").alias("pid"),
+        ((F.col("c_custkey") * 2654435761) % 1009).alias("x"),
+        ((F.col("c_custkey") * 2246822519 + 7) % 1013).alias("y"),
+    )
+    return str_partition(pts, n_slices=4, tiles_per_slice=4)
+
+
+def _str_partition_sql() -> str:
+    from osm2geojson_spark.plans.layout import str_partition_sql
+
+    return str_partition_sql(
+        "SELECT c_custkey AS pid,"
+        " (c_custkey * 2654435761) % 1009 AS x,"
+        " (c_custkey * 2246822519 + 7) % 1013 AS y"
+        " FROM customer WHERE c_custkey < 160",
+        n_slices=4,
+        tiles_per_slice=4,
+    )
+
+
 def q_v_optimal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X252 (analytics.v_optimal_hist): exactly-optimal 4-segmentation
     (v-optimal histogram) of per-event-type value series — the O(n²k)
@@ -12778,6 +12806,7 @@ def _keyword_extract_sql() -> str:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "str_partition": q_str_partition,
         "v_optimal": q_v_optimal,
         "rich_club": q_rich_club,
         "binary_seg": q_binary_seg,
@@ -13086,6 +13115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "str_partition": _str_partition_sql(),
         "v_optimal": _v_optimal_sql(),
         "rich_club": _rich_club_sql(),
         "binary_seg": _binary_seg_sql(),

@@ -303,6 +303,7 @@ BENCH_QUERIES = [
     "binary_seg",
     "rich_club",
     "v_optimal",
+    "str_partition",
 ]
 
 

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..operators import cells
 from ..sources import synthetic as SYN
@@ -106,3 +107,90 @@ def compaction_plan(
     ).withColumn(
         "bin_id", F.floor(cum_before / F.lit(float(target_bytes))).cast("long")
     )
+
+
+def str_partition(
+    pts,
+    n_slices: int = 8,
+    tiles_per_slice: int = 8,
+    id_col: str = "pid",
+    x_col: str = "x",
+    y_col: str = "y",
+):
+    """(pid, x, y, slice, tile) — SORT-TILE-RECURSIVE PARTITIONING
+    (Leutenegger et al. 1997), the classic R-tree bulk-load / spatial
+    bucketing layout: rank all points by (x, id), cut into
+    ``n_slices`` balanced vertical slices, then rank each slice by
+    (y, id) and cut into ``tiles_per_slice`` balanced tiles. The
+    write-layout primitive when data is point-heavy and a curve
+    (Hilbert) under-packs elongated extents; tiles are balanced within
+    ±1 row by construction — no skew regardless of the distribution.
+
+    Exactness: both cuts are pure integer rank arithmetic
+    ((rank−1)·k div n); the global x-rank uses the TWO-LEVEL scan (no
+    single-partition window), the per-slice y-rank an ordinary
+    partitioned window. Ties pin on id.
+
+    Scale: one two-level rank (bucket rollup to the driver once) + one
+    per-slice window — two shuffles total, both combinable/partitioned;
+    the result feeds repartitionByRange(slice, tile) on ingest."""
+    from ..operators.analytics import _two_level_rank
+
+    base = pts.select(
+        F.col(id_col).cast("long").alias("pid"),
+        F.col(x_col).cast("long").alias("x"),
+        F.col(y_col).cast("long").alias("y"),
+    )
+    n = base.count()
+    if n == 0:
+        return base.select(
+            "pid", "x", "y",
+            F.lit(0).cast("long").alias("slice"),
+            F.lit(0).cast("long").alias("tile"),
+        )
+    ranked = _two_level_rank(base, "x", "pid", "_xr")
+    sliced = ranked.withColumn(
+        "slice", F.expr(f"(_xr - 1) * {int(n_slices)} DIV {n}").cast("long")
+    )
+    wy = Window.partitionBy("slice").orderBy(
+        F.col("y").asc(), F.col("pid").asc()
+    )
+    wsz = Window.partitionBy("slice")
+    return (
+        sliced.withColumn("_yr", F.row_number().over(wy))
+        .withColumn("_sn", F.count(F.lit(1)).over(wsz))
+        .select(
+            "pid", "x", "y", "slice",
+            F.expr(
+                f"(_yr - 1) * {int(tiles_per_slice)} DIV _sn"
+            ).cast("long").alias("tile"),
+        )
+    )
+
+
+def str_partition_sql(
+    pts_cte: str, n_slices: int = 8, tiles_per_slice: int = 8
+) -> str:
+    """DuckDB twin of str_partition — serial window ranks, identical
+    integer cuts. ``pts_cte`` -> (pid, x, y)."""
+    return f"""
+WITH sp_p AS (
+  SELECT CAST(pid AS BIGINT) AS pid, CAST(x AS BIGINT) AS x,
+         CAST(y AS BIGINT) AS y
+  FROM ({pts_cte})
+),
+sp_x AS (
+  SELECT *, row_number() OVER (ORDER BY x ASC, pid ASC) AS xr,
+         count(*) OVER () AS n
+  FROM sp_p
+),
+sp_s AS (
+  SELECT *, CAST((xr - 1) * {int(n_slices)} // n AS BIGINT) AS slice
+  FROM sp_x
+)
+SELECT pid, x, y, slice,
+       CAST((row_number() OVER (PARTITION BY slice ORDER BY y ASC, pid ASC)
+             - 1) * {int(tiles_per_slice)}
+            // (count(*) OVER (PARTITION BY slice)) AS BIGINT) AS tile
+FROM sp_s
+"""

@@ -511,3 +511,52 @@ def test_hilbert_ranges_cover_exactly_and_minimally(spark):
         ).fetchall()
     )
     assert twin == got
+
+
+def test_str_partition_balance_and_order(spark):
+    """STR invariants on random points with heavy x-ties: slices are
+    balanced within 1, tiles within a slice balanced within 1, every
+    slice's x-range precedes the next slice's (rank order), and within
+    a slice tiles respect y-rank order; twin byte-for-byte."""
+    import random
+
+    import duckdb
+
+    from osm2geojson_spark.plans.layout import (
+        str_partition,
+        str_partition_sql,
+    )
+
+    rng = random.Random(5)
+    rows = [(i, rng.randrange(0, 40), rng.randrange(0, 1000)) for i in range(130)]
+    df = spark.createDataFrame(rows, "pid long, x long, y long")
+    got = {r["pid"]: r.asDict() for r in str_partition(df, 4, 4).collect()}
+
+    from collections import Counter
+
+    slices = Counter(g["slice"] for g in got.values())
+    assert max(slices.values()) - min(slices.values()) <= 1
+    for s in slices:
+        tiles = Counter(g["tile"] for g in got.values() if g["slice"] == s)
+        assert max(tiles.values()) - min(tiles.values()) <= 1
+    # rank-order consistency: sort by (x, pid); slice ids non-decreasing
+    order = sorted(got.values(), key=lambda g: (g["x"], g["pid"]))
+    sl = [g["slice"] for g in order]
+    assert sl == sorted(sl)
+    for s in slices:
+        in_s = sorted(
+            (g for g in got.values() if g["slice"] == s),
+            key=lambda g: (g["y"], g["pid"]),
+        )
+        tl = [g["tile"] for g in in_s]
+        assert tl == sorted(tl)
+
+    duck = duckdb.connect()
+    duck.execute("CREATE TABLE spt (pid BIGINT, x BIGINT, y BIGINT)")
+    duck.executemany("INSERT INTO spt VALUES (?,?,?)", rows)
+    twin = {
+        r[0]: tuple(r)
+        for r in duck.sql(str_partition_sql("SELECT * FROM spt", 4, 4)).fetchall()
+    }
+    for pid, g in got.items():
+        assert twin[pid] == (pid, g["x"], g["y"], g["slice"], g["tile"])
