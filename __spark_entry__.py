@@ -12161,6 +12161,39 @@ FROM (
 """
 
 
+def q_matrix_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X254 (analytics.matrix_profile): unnormalized matrix profile
+    (m = 8) of per-event-type value series (event_id % 20 subsample
+    bounds the per-series quadratic dimension) — motif/discord
+    discovery with exact integer distances and the |i−j| >= m
+    exclusion zone."""
+    from pyspark.sql.window import Window as _W
+
+    from osm2geojson_spark.operators.analytics import matrix_profile
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") % 20 == 0).select(
+        F.col("event_type").alias("g"),
+        F.row_number().over(
+            _W.partitionBy("event_type").orderBy("ts", "event_id")
+        ).cast("long").alias("t"),
+        F.round(F.col("value")).cast("long").alias("v_c"),
+    )
+    return matrix_profile(ev, m=8)
+
+
+def _matrix_profile_sql() -> str:
+    from osm2geojson_spark.operators.analytics import matrix_profile_sql
+
+    return matrix_profile_sql(
+        "SELECT event_type AS g,"
+        " CAST(row_number() OVER (PARTITION BY event_type"
+        " ORDER BY ts, event_id) AS BIGINT) AS t,"
+        " CAST(round(value) AS BIGINT) AS v_c FROM events"
+        " WHERE event_id % 20 = 0",
+        m=8,
+    )
+
+
 def q_str_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X253 (plans.layout.str_partition): Sort-Tile-Recursive bulk-load
     partitioning of the 160-point grid into 4x4 balanced tiles — the
@@ -12806,6 +12839,7 @@ def _keyword_extract_sql() -> str:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "matrix_profile": q_matrix_profile,
         "str_partition": q_str_partition,
         "v_optimal": q_v_optimal,
         "rich_club": q_rich_club,
@@ -13115,6 +13149,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "matrix_profile": _matrix_profile_sql(),
         "str_partition": _str_partition_sql(),
         "v_optimal": _v_optimal_sql(),
         "rich_club": _rich_club_sql(),

@@ -304,6 +304,7 @@ BENCH_QUERIES = [
     "rich_club",
     "v_optimal",
     "str_partition",
+    "matrix_profile",
 ]
 
 

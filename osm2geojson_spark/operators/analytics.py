@@ -4973,3 +4973,129 @@ FROM vo_segs s
 JOIN vo_p0 pe ON pe.g = s.g AND pe.i = s.end_i
 JOIN vo_p0 pb ON pb.g = s.g AND pb.i = s.start_i - 1
 """
+
+
+# ------------------------------------------------------------ matrix profile
+
+
+def matrix_profile(
+    series: DataFrame,
+    m: int = 8,
+    g_col: str = "g",
+    t_col: str = "t",
+    v_col: str = "v_c",
+) -> DataFrame:
+    """(g, i, nn_j, d2min, is_discord) — the MATRIX PROFILE (Yeh et al.
+    2016, unnormalized/Euclidean variant): for every length-``m``
+    window start i of each series, the squared distance to its nearest
+    OTHER window (exclusion zone |i − j| < m suppresses trivial
+    matches) and that neighbor's start j. Low d2min = motif (repeated
+    shape), high d2min = discord (anomalous shape) — ``is_discord``
+    flags the per-series maximum (ties all flagged). The
+    motif/discord-discovery primitive of time-series curation.
+
+    Determinism: integer values → exact int64 distances; nn ties break
+    to the smallest j. Windows with no admissible partner (series
+    shorter than 2m) return NULL nn_j/d2min.
+
+    Scale: series are independent — one applyInPandas kernel per
+    series runs the O(nw²·m) NumPy computation in-batch (the quadratic
+    dimension is per-series window count, bounded by the caller's
+    subsampling); only profile rows come out. The twin brute-forces
+    window pairs with the identical exclusion and tie rules."""
+    import numpy as np
+    import pandas as pd
+
+    def fn(key, pdf):
+        import numpy as np
+        import pandas as pd
+
+        g = key[0]
+        pdf = pdf.sort_values("_ord").reset_index(drop=True)
+        v = pdf[v_col].to_numpy("int64")
+        n = len(v)
+        mm = int(m)
+        nw = n - mm + 1
+        if nw <= 0:
+            return pd.DataFrame(
+                columns=["g", "i", "nn_j", "d2min", "is_discord"]
+            )
+        W = np.lib.stride_tricks.sliding_window_view(v, mm).astype(np.int64)
+        diff = W[:, None, :] - W[None, :, :]
+        D = (diff * diff).sum(axis=2)
+        ii, jj = np.indices((nw, nw))
+        D = np.where(np.abs(ii - jj) < mm, np.iinfo(np.int64).max, D)
+        best_j = D.argmin(axis=1)
+        best_d = D[np.arange(nw), best_j]
+        has = best_d < np.iinfo(np.int64).max
+        d2 = [int(d) if h else None for d, h in zip(best_d, has)]
+        nn = [int(j) + 1 if h else None for j, h in zip(best_j, has)]
+        valid = [d for d in d2 if d is not None]
+        mx = max(valid) if valid else None
+        return pd.DataFrame(
+            {
+                "g": [g] * nw,
+                "i": np.arange(1, nw + 1, dtype=np.int64),
+                "nn_j": nn,
+                "d2min": d2,
+                "is_discord": [
+                    d is not None and d == mx for d in d2
+                ],
+            }
+        )
+
+    staged = series.select(
+        F.col(g_col).alias("g"),
+        F.col(t_col).alias("_ord"),
+        F.col(v_col).cast("long").alias(v_col),
+    )
+    return staged.groupBy("g").applyInPandas(
+        fn,
+        schema="g string, i long, nn_j long, d2min long, is_discord boolean",
+    )
+
+
+def matrix_profile_sql(rows_cte: str, m: int = 8) -> str:
+    """DuckDB twin of matrix_profile — window rows by offset join,
+    pairwise distances with the identical exclusion zone, struct-argmin
+    and per-series discord max. ``rows_cte`` -> (g, t, v_c)."""
+    return f"""
+WITH mp_src AS ({rows_cte}),
+mp_v AS MATERIALIZED (
+  SELECT g, row_number() OVER (PARTITION BY g ORDER BY t ASC) AS p,
+         CAST(v_c AS BIGINT) AS v
+  FROM mp_src
+),
+mp_n AS (SELECT g, count(*) AS n FROM mp_v GROUP BY 1),
+mp_w AS MATERIALIZED (
+  SELECT v.g, v.p - k.k AS i, k.k, v.v
+  FROM mp_v v, unnest(range(0, {int(m)})) k(k)
+  JOIN mp_n n ON n.g = v.g
+  WHERE v.p - k.k >= 1 AND v.p - k.k <= n.n - {int(m)} + 1
+),
+mp_d AS (
+  SELECT a.g, a.i, b.i AS j,
+         CAST(sum((a.v - b.v) * (a.v - b.v)) AS BIGINT) AS d2
+  FROM mp_w a
+  JOIN mp_w b ON b.g = a.g AND b.k = a.k AND abs(a.i - b.i) >= {int(m)}
+  GROUP BY 1, 2, 3
+),
+mp_best AS (
+  SELECT g, i, CAST(min({{'d': d2, 'j': j}}).j AS BIGINT) AS nn_j,
+         CAST(min({{'d': d2, 'j': j}}).d AS BIGINT) AS d2min
+  FROM mp_d GROUP BY 1, 2
+),
+mp_all AS (
+  SELECT v.g, gs.i
+  FROM mp_n v, unnest(range(1, v.n - {int(m)} + 2)) gs(i)
+  WHERE v.n >= {int(m)}
+),
+mp_join AS (
+  SELECT a.g, a.i, b.nn_j, b.d2min
+  FROM mp_all a LEFT JOIN mp_best b ON b.g = a.g AND b.i = a.i
+)
+SELECT g, CAST(i AS BIGINT) AS i, nn_j, d2min,
+       d2min IS NOT NULL AND d2min = max(d2min) OVER (PARTITION BY g)
+         AS is_discord
+FROM mp_join
+"""

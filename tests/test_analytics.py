@@ -2992,3 +2992,61 @@ def test_v_optimal_hist_dp_replay_and_optimality(spark):
     assert tuple(cuts) == best[1]
     # planted boundaries at 4, 7, 11
     assert cuts == [4, 7, 11]
+
+
+def test_matrix_profile_motif_discord_and_twin(spark):
+    """A series with a planted repeated motif and one anomalous bump:
+    the motif windows must be mutual nearest neighbors at distance ~0,
+    the bump window must be the discord; exclusion zone suppresses
+    trivial self-matches; short series gives all-NULL profile rows;
+    twin byte-for-byte."""
+    import duckdb
+
+    from osm2geojson_spark.operators.analytics import (
+        matrix_profile,
+        matrix_profile_sql,
+    )
+
+    motif = [5, 40, 80, 40, 5, 0, 0, 0]
+    vals = motif + [1, 2, 1, 2, 1, 2, 1, 2] + motif + [0] * 4
+    # anomalous bump
+    vals += [99, 0, 99, 0, 99, 0, 99, 0] + [1] * 8
+    rows = [("a", t, v) for t, v in enumerate(vals)]
+    rows += [("short", t, t) for t in range(10)]  # n=10 < 2m -> NULLs
+    df = spark.createDataFrame(rows, "g string, t long, v_c long")
+    got = {
+        (r["g"], r["i"]): (r["nn_j"], r["d2min"], r["is_discord"])
+        for r in matrix_profile(df, m=8).collect()
+    }
+
+    # brute replay for series a
+    m = 8
+    nw = len(vals) - m + 1
+    for i in range(nw):
+        best = None
+        for j in range(nw):
+            if abs(i - j) < m:
+                continue
+            d2 = sum((vals[i + k] - vals[j + k]) ** 2 for k in range(m))
+            if best is None or (d2, j) < best:
+                best = (d2, j)
+        want = (best[1] + 1, best[0]) if best else (None, None)
+        assert got[("a", i + 1)][:2] == want, i
+    # motif at windows 1 and 17 (1-based): exact repeat -> d2 0, mutual
+    assert got[("a", 1)][:2] == (17, 0) and got[("a", 17)][:2] == (1, 0)
+    # discord flag sits on the max d2min
+    mx = max(v[1] for k, v in got.items() if k[0] == "a")
+    for k, v in got.items():
+        if k[0] == "a":
+            assert v[2] == (v[1] == mx)
+    # short series: rows exist with NULLs
+    assert got[("short", 1)] == (None, None, False)
+
+    duck = duckdb.connect()
+    duck.execute("CREATE TABLE mpt (g VARCHAR, t BIGINT, v_c BIGINT)")
+    duck.executemany("INSERT INTO mpt VALUES (?,?,?)", rows)
+    twin = {
+        (r[0], r[1]): (r[2], r[3], r[4])
+        for r in duck.sql(matrix_profile_sql("SELECT * FROM mpt", m=8)).fetchall()
+    }
+    assert twin == got
