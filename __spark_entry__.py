@@ -12161,6 +12161,63 @@ FROM (
 """
 
 
+def q_shot_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X255 (multimodal.shot_detect): histogram-differencing shot cuts
+    over 30 synthetic 12-frame clips (8x8 rawz frames with slow
+    per-frame drift and a planted scene change at frame 4 + clip % 5)
+    — the cut must fire exactly at the planted boundary."""
+    from osm2geojson_spark.functions import imagecodec as IC
+    from osm2geojson_spark.operators.multimodal import shot_detect
+
+    part = _t(spark, sf_dir, "part").filter(F.col("p_partkey") < 30).select(
+        F.col("p_partkey").alias("_c")
+    )
+
+    def gen(it):
+        import numpy as np
+
+        for pdf in it:
+            rows = []
+            for c in pdf["_c"]:
+                c = int(c)
+                cut = 4 + c % 5
+                for f in range(12):
+                    seg = 1 if f >= cut else 0
+                    x = np.arange(8)
+                    px = (
+                        (x[None, :] * 3 + x[:, None] * 7 + c * 13 + f
+                         + seg * 31) % 251
+                    ).astype(np.uint8)
+                    rows.append(
+                        (f"clip{c:06d}", f, "rawz", IC.encode_rawz(px))
+                    )
+            yield pd.DataFrame(
+                rows, columns=["clip_id", "frame_idx", "fmt", "bytes"]
+            )
+
+    frames = part.mapInPandas(
+        gen,
+        schema="clip_id string, frame_idx long, fmt string, bytes binary",
+    )
+    return shot_detect(frames, thresh=40)
+
+
+def _shot_detect_sql() -> str:
+    from osm2geojson_spark.operators.multimodal import shot_detect_sql
+
+    px = """
+SELECT printf('clip%06d', c) AS clip_id, f AS frame_idx,
+       ((p % 8) * 3 + (p // 8) * 7 + c * 13 + f
+        + (CASE WHEN f >= 4 + c % 5 THEN 31 ELSE 0 END)) % 251 AS v
+FROM (
+  SELECT p_partkey AS c, ff.f, pp.p
+  FROM part, unnest(range(0, 12)) ff(f), unnest(range(0, 64)) pp(p)
+  WHERE p_partkey < 30
+)
+"""
+    return shot_detect_sql(px, thresh=40)
+
+
 def q_matrix_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X254 (analytics.matrix_profile): unnormalized matrix profile
     (m = 8) of per-event-type value series (event_id % 20 subsample
@@ -12839,6 +12896,7 @@ def _keyword_extract_sql() -> str:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "shot_detect": q_shot_detect,
         "matrix_profile": q_matrix_profile,
         "str_partition": q_str_partition,
         "v_optimal": q_v_optimal,
@@ -13149,6 +13207,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "shot_detect": _shot_detect_sql(),
         "matrix_profile": _matrix_profile_sql(),
         "str_partition": _str_partition_sql(),
         "v_optimal": _v_optimal_sql(),

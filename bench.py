@@ -305,6 +305,7 @@ BENCH_QUERIES = [
     "v_optimal",
     "str_partition",
     "matrix_profile",
+    "shot_detect",
 ]
 
 

@@ -4947,3 +4947,90 @@ SELECT image_id, CAST(count(*) AS BIGINT) AS n_px,
        CAST(sum(_clip) AS BIGINT) AS n_clipped
 FROM gw_c GROUP BY 1
 """
+
+
+SHOT_BINS = 16  # 16-bin intensity histogram (v div 16)
+
+
+def shot_detect(frames: DataFrame, thresh: int = 40) -> DataFrame:
+    """(clip_id, frame_idx, l1, is_cut) — SHOT-BOUNDARY DETECTION by
+    histogram differencing (the classic video-segmentation baseline,
+    Zhang et al. 1993): per frame, a 16-bin intensity histogram; per
+    consecutive frame pair, the L1 histogram distance; a CUT fires
+    where l1 >= ``thresh``. Gradual pans move few counts per bin (small
+    l1); a scene change rewrites the histogram (large l1). The
+    clip-segmentation primitive of video curation — keyframe selection
+    and per-shot dedup hang off these boundaries.
+
+    Exactness: histograms and L1 are int64 counts — no floats, no RNG.
+    Frame 0 has no predecessor and emits no row.
+
+    Scale: ONE Arrow decode pass emits per-frame bin rows (16 per
+    frame — pixels never shuffle); the diff is a lag window per
+    (clip, bin) + one per-frame rollup. Same shuffle shape as
+    onset_detect."""
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"clip_id": [], "frame_idx": [], "bin": [], "cnt": []}
+            for r in pdf.itertuples(index=False):
+                px = imagecodec.decode(bytes(r.bytes), r.fmt)
+                hist = np.bincount(
+                    (px.reshape(-1).astype(np.int64) // SHOT_BINS),
+                    minlength=SHOT_BINS,
+                )[:SHOT_BINS]
+                for b in range(SHOT_BINS):
+                    out["clip_id"].append(r.clip_id)
+                    out["frame_idx"].append(int(r.frame_idx))
+                    out["bin"].append(b)
+                    out["cnt"].append(int(hist[b]))
+            yield pd.DataFrame(out)
+
+    bins = frames.select("clip_id", "frame_idx", "bytes", "fmt").mapInPandas(
+        fn, schema="clip_id string, frame_idx long, bin int, cnt long"
+    )
+    w = Window.partitionBy("clip_id", "bin").orderBy("frame_idx")
+    diff = bins.withColumn(
+        "_prev", F.lag("cnt").over(w)
+    ).filter(F.col("_prev").isNotNull())
+    l1 = diff.groupBy("clip_id", "frame_idx").agg(
+        F.sum(F.abs(F.col("cnt") - F.col("_prev"))).cast("long").alias("l1")
+    )
+    return l1.withColumn("is_cut", F.col("l1") >= int(thresh))
+
+
+def shot_detect_sql(px_cte: str, thresh: int = 40) -> str:
+    """DuckDB twin of shot_detect; ``px_cte`` yields
+    (clip_id, frame_idx, v) pixel rows. Bin rollup must include EMPTY
+    bins (a bin emptying out still contributes |cnt − 0|), so bins come
+    from a generated (frame × 16) frame and left-join the counts."""
+    return f"""
+WITH sd_px AS ({px_cte}),
+sd_frames AS (SELECT DISTINCT clip_id, frame_idx FROM sd_px),
+sd_cnt AS (
+  SELECT clip_id, frame_idx, v // {SHOT_BINS} AS bin,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM sd_px GROUP BY 1, 2, 3
+),
+sd_fb AS (
+  SELECT clip_id, frame_idx, b.bin
+  FROM sd_frames, unnest(range(0, {SHOT_BINS})) b(bin)
+),
+sd_bins AS (
+  SELECT f.clip_id, f.frame_idx, f.bin, COALESCE(c.cnt, 0) AS cnt
+  FROM sd_fb f
+  LEFT JOIN sd_cnt c ON c.clip_id = f.clip_id
+                    AND c.frame_idx = f.frame_idx AND c.bin = f.bin
+),
+sd_diff AS (
+  SELECT clip_id, frame_idx, bin, cnt,
+         lag(cnt) OVER (PARTITION BY clip_id, bin ORDER BY frame_idx)
+           AS prev
+  FROM sd_bins
+)
+SELECT clip_id, frame_idx,
+       CAST(sum(abs(cnt - prev)) AS BIGINT) AS l1,
+       sum(abs(cnt - prev)) >= {int(thresh)} AS is_cut
+FROM sd_diff WHERE prev IS NOT NULL
+GROUP BY 1, 2
+"""

@@ -3391,3 +3391,67 @@ def test_gray_world_stats_replay_and_equalization(spark):
     for img in got:
         for k in cols:
             assert twin[img][k] == got[img][k], (img, k)
+
+
+def test_shot_detect_fires_at_planted_cut(spark):
+    """Designed clips: slow drift (no cuts) vs a hard scene change at
+    frame 3 — the cut fires exactly there; histogram replay including
+    the emptied-bin contribution; twin byte-for-byte."""
+    import duckdb
+
+    from osm2geojson_spark.operators.multimodal import (
+        SHOT_BINS,
+        shot_detect,
+        shot_detect_sql,
+    )
+
+    def frame(vbase):
+        return np.full((8, 8), vbase, np.uint8)
+
+    rows = []
+    # clip "drift": values creep by 1 per frame (same bin mostly)
+    for f in range(6):
+        rows.append(("drift", f, "rawz",
+                     bytearray(imagecodec.encode_rawz(frame(100 + f)))))
+    # clip "cut": jumps from bin 2 to bin 13 at frame 3
+    for f in range(6):
+        v = 40 if f < 3 else 210
+        rows.append(("cut", f, "rawz",
+                     bytearray(imagecodec.encode_rawz(frame(v)))))
+    df = spark.createDataFrame(
+        rows, "clip_id string, frame_idx long, fmt string, bytes binary"
+    )
+    got = {
+        (r["clip_id"], r["frame_idx"]): (r["l1"], r["is_cut"])
+        for r in shot_detect(df, thresh=40).collect()
+    }
+    # replay
+    pix = {(c, f): bytes_px for c, f, _, bytes_px in rows}
+    for (c, f) in pix:
+        if f == 0:
+            assert (c, 0) not in got
+            continue
+        h0 = [0] * SHOT_BINS
+        h1 = [0] * SHOT_BINS
+        v_prev = 100 + (f - 1) if c == "drift" else (40 if f - 1 < 3 else 210)
+        v_cur = 100 + f if c == "drift" else (40 if f < 3 else 210)
+        h0[v_prev // SHOT_BINS] = 64
+        h1[v_cur // SHOT_BINS] = 64
+        l1 = sum(abs(a - b) for a, b in zip(h0, h1))
+        assert got[(c, f)] == (l1, l1 >= 40), (c, f)
+    assert got[("cut", 3)][1] is True
+    assert not any(v[1] for k, v in got.items() if k[0] == "drift")
+
+    duck = duckdb.connect()
+    px_rows = []
+    for (c, f), _ in pix.items():
+        v = 100 + f if c == "drift" else (40 if f < 3 else 210)
+        for p in range(64):
+            px_rows.append((c, f, v))
+    duck.execute("CREATE TABLE sdp (clip_id VARCHAR, frame_idx BIGINT, v BIGINT)")
+    duck.executemany("INSERT INTO sdp VALUES (?,?,?)", px_rows)
+    twin = {
+        (r[0], r[1]): (r[2], r[3])
+        for r in duck.sql(shot_detect_sql("SELECT * FROM sdp", thresh=40)).fetchall()
+    }
+    assert twin == got
