@@ -12161,6 +12161,35 @@ FROM (
 """
 
 
+def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X256 (sampling.l_diversity): l-diversity audit over the ping
+    degree-grid cells with event_type as the sensitive attribute — the
+    homogeneity-attack gate k-anonymity misses; exact dominant-share
+    micro quotient."""
+    from osm2geojson_spark.operators.sampling import l_diversity
+
+    pings = _t(spark, sf_dir, "events").select(
+        (
+            ((F.col("user_id") * 37 + F.dayofyear("ts") * 3) % 360) * 1000
+            + ((F.col("user_id") * 53) % 170)
+        ).cast("long").alias("cell_id"),
+        F.col("event_type").alias("s"),
+    )
+    return l_diversity(pings, k_min=5, l_min=2)
+
+
+def _l_diversity_sql() -> str:
+    from osm2geojson_spark.operators.sampling import l_diversity_sql
+
+    return l_diversity_sql(
+        "SELECT CAST(((user_id * 37 + dayofyear(ts) * 3) % 360) * 1000"
+        " + ((user_id * 53) % 170) AS BIGINT) AS cell_id,"
+        " event_type AS s FROM events",
+        k_min=5,
+        l_min=2,
+    )
+
+
 def q_shot_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X255 (multimodal.shot_detect): histogram-differencing shot cuts
     over 30 synthetic 12-frame clips (8x8 rawz frames with slow
@@ -12896,6 +12925,7 @@ def _keyword_extract_sql() -> str:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "l_diversity": q_l_diversity,
         "shot_detect": q_shot_detect,
         "matrix_profile": q_matrix_profile,
         "str_partition": q_str_partition,
@@ -13207,6 +13237,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "l_diversity": _l_diversity_sql(),
         "shot_detect": _shot_detect_sql(),
         "matrix_profile": _matrix_profile_sql(),
         "str_partition": _str_partition_sql(),

@@ -306,6 +306,7 @@ BENCH_QUERIES = [
     "str_partition",
     "matrix_profile",
     "shot_detect",
+    "l_diversity",
 ]
 
 

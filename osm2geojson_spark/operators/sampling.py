@@ -765,3 +765,59 @@ SELECT step, doc_id, gain,
 FROM pick{int(k)}
 """
     )
+
+
+def l_diversity(
+    rows: DataFrame,
+    cell_col: str = "cell_id",
+    sensitive_col: str = "s",
+    k_min: int = 5,
+    l_min: int = 2,
+) -> DataFrame:
+    """(cell_id, k, l_distinct, top_share_micro, ok) — L-DIVERSITY
+    AUDIT (Machanavajjhala et al. 2006), the release gate that
+    k-anonymity (kanon_cells) alone misses: a cell whose k rows all
+    share one sensitive value leaks it regardless of k. Per cell: the
+    row count k, the number of DISTINCT sensitive values l, and the
+    dominant value's share (exact micro quotient — the homogeneity-
+    attack risk); ``ok`` iff k >= k_min AND l >= l_min.
+
+    Scale: one combinable (cell, sensitive) rollup, then a per-cell
+    rollup with a MAX(struct) dominant pick — two shuffles, no windows,
+    no distinct() on raw rows."""
+    per = rows.groupBy(
+        F.col(cell_col).alias("cell_id"), F.col(sensitive_col).alias("s")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    agg = per.groupBy("cell_id").agg(
+        F.sum("c").cast("long").alias("k"),
+        F.count(F.lit(1)).cast("long").alias("l_distinct"),
+        F.max("c").cast("long").alias("_top"),
+    )
+    return agg.select(
+        "cell_id",
+        "k",
+        "l_distinct",
+        F.expr("_top * 1000000 DIV k").cast("long").alias("top_share_micro"),
+        (
+            (F.col("k") >= int(k_min)) & (F.col("l_distinct") >= int(l_min))
+        ).alias("ok"),
+    )
+
+
+def l_diversity_sql(
+    rows_cte: str, k_min: int = 5, l_min: int = 2
+) -> str:
+    """DuckDB twin of l_diversity — identical rollups and gates.
+    ``rows_cte`` -> (cell_id, s)."""
+    return f"""
+WITH ld_src AS ({rows_cte}),
+ld_per AS (
+  SELECT cell_id, s, CAST(count(*) AS BIGINT) AS c
+  FROM ld_src GROUP BY 1, 2
+)
+SELECT cell_id, CAST(sum(c) AS BIGINT) AS k,
+       CAST(count(*) AS BIGINT) AS l_distinct,
+       CAST(max(c) * 1000000 // sum(c) AS BIGINT) AS top_share_micro,
+       sum(c) >= {int(k_min)} AND count(*) >= {int(l_min)} AS ok
+FROM ld_per GROUP BY 1
+"""

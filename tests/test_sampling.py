@@ -363,3 +363,42 @@ def test_coverage_select_greedy_brute_and_twin(spark):
         ).fetchall()
     ]
     assert sorted(twin) == sorted(got)
+
+
+def test_l_diversity_replay_and_homogeneity_gate(spark):
+    """Designed cells: big-but-homogeneous fails (the attack k-anon
+    misses), small-but-diverse fails on k, big-and-diverse passes;
+    dict replay of shares; twin byte-for-byte."""
+    import duckdb
+
+    from osm2geojson_spark.operators.sampling import (
+        l_diversity,
+        l_diversity_sql,
+    )
+
+    rows = []
+    rows += [(1, "flu")] * 10                      # homogeneous: k ok, l=1
+    rows += [(2, "flu"), (2, "cold")]              # diverse but k=2
+    rows += [(3, "flu")] * 4 + [(3, "cold")] * 3   # passes both
+    df = spark.createDataFrame(rows, "cell_id long, s string")
+    got = {r["cell_id"]: r.asDict()
+           for r in l_diversity(df, k_min=5, l_min=2).collect()}
+
+    assert got[1]["ok"] is False and got[1]["l_distinct"] == 1
+    assert got[1]["top_share_micro"] == 1_000_000
+    assert got[2]["ok"] is False and got[2]["k"] == 2
+    assert got[3]["ok"] is True
+    assert got[3]["top_share_micro"] == 4 * 1_000_000 // 7
+
+    duck = duckdb.connect()
+    duck.execute("CREATE TABLE ldt (cell_id BIGINT, s VARCHAR)")
+    duck.executemany("INSERT INTO ldt VALUES (?,?)", rows)
+    twin = {
+        r[0]: tuple(r)
+        for r in duck.sql(
+            l_diversity_sql("SELECT * FROM ldt", k_min=5, l_min=2)
+        ).fetchall()
+    }
+    for c, g in got.items():
+        assert twin[c] == (c, g["k"], g["l_distinct"],
+                           g["top_share_micro"], g["ok"]), c
