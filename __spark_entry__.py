@@ -12161,6 +12161,30 @@ FROM (
 """
 
 
+def q_quantile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X257 (analytics.quantile_normalize): pooled-reference quantile
+    normalization of per-event-type value distributions (cents) — the
+    batch-effect correction that forces every source onto the same
+    marginal; exact integer rank map, type-1 targets."""
+    from osm2geojson_spark.operators.analytics import quantile_normalize
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("g"),
+        F.col("event_id").alias("rid"),
+        F.round(F.col("value") * 100).cast("long").alias("v_c"),
+    )
+    return quantile_normalize(ev)
+
+
+def _quantile_norm_sql() -> str:
+    from osm2geojson_spark.operators.analytics import quantile_normalize_sql
+
+    return quantile_normalize_sql(
+        "SELECT event_type AS g, event_id AS rid,"
+        " CAST(round(value * 100) AS BIGINT) AS v_c FROM events"
+    )
+
+
 def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X256 (sampling.l_diversity): l-diversity audit over the ping
     degree-grid cells with event_type as the sensitive attribute — the
@@ -12925,6 +12949,7 @@ def _keyword_extract_sql() -> str:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "quantile_norm": q_quantile_norm,
         "l_diversity": q_l_diversity,
         "shot_detect": q_shot_detect,
         "matrix_profile": q_matrix_profile,
@@ -13237,6 +13262,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "quantile_norm": _quantile_norm_sql(),
         "l_diversity": _l_diversity_sql(),
         "shot_detect": _shot_detect_sql(),
         "matrix_profile": _matrix_profile_sql(),

@@ -307,6 +307,7 @@ BENCH_QUERIES = [
     "matrix_profile",
     "shot_detect",
     "l_diversity",
+    "quantile_norm",
 ]
 
 

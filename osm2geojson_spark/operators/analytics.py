@@ -5099,3 +5099,84 @@ SELECT g, CAST(i AS BIGINT) AS i, nn_j, d2min,
          AS is_discord
 FROM mp_join
 """
+
+
+# -------------------------------------------------- quantile normalization
+
+
+def quantile_normalize(
+    df: DataFrame,
+    g_col: str = "g",
+    id_col: str = "rid",
+    v_col: str = "v_c",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """(g, rid, v_c, r, n_g, target_v) — QUANTILE NORMALIZATION
+    (Bolstad et al. 2003, pooled-reference variant): map each group's
+    values onto the POOLED empirical distribution so every group ends
+    up with the same marginal — the batch-effect / per-source-drift
+    correction of feature pipelines. A group value of within-group
+    rank r (of n_g) is replaced by the pooled value at global rank
+    ceil(r·N / n_g).
+
+    Exactness: all decisions are integer ranks with pinned ties —
+    within-group order (v, id), pooled order (v, g, id); the index map
+    is (r·N + n_g − 1) div n_g. No interpolation, no floats: the
+    target is an actual observed value (type-1 quantile convention,
+    same as group_quantiles).
+
+    Scale: the pooled rank is the TWO-LEVEL scan (no single-partition
+    window); within-group ranks an ordinary partitioned window; one
+    equi-join on the computed index. Headroom r·N < 2^63."""
+    base = df.select(
+        F.col(g_col).alias("g"),
+        F.col(id_col).cast("long").alias("rid"),
+        F.col(v_col).cast("long").alias("v_c"),
+    )
+    n_total = base.count()
+    pooled = _two_level_rank(
+        base.withColumn(
+            "_pk",
+            F.concat_ws("|", F.col("v_c"), F.col("g"), F.col("rid")),
+        ).withColumn("_pv", F.col("v_c")),
+        "_pv",
+        "_pk",
+        "_gidx",
+        n_buckets=n_buckets,
+    ).select(F.col("_gidx").alias("idx"), F.col("v_c").alias("target_v"))
+    wg = Window.partitionBy("g").orderBy(F.col("v_c").asc(), F.col("rid").asc())
+    ranked = base.withColumn("r", F.row_number().over(wg).cast("long")).withColumn(
+        "n_g", F.count(F.lit(1)).over(Window.partitionBy("g")).cast("long")
+    )
+    idx = F.expr(f"(r * {n_total} + n_g - 1) DIV n_g")
+    return ranked.withColumn("idx", idx.cast("long")).join(
+        pooled, "idx"
+    ).select("g", "rid", "v_c", "r", "n_g", "target_v")
+
+
+def quantile_normalize_sql(rows_cte: str) -> str:
+    """DuckDB twin of quantile_normalize — serial windows, identical
+    tie orders and index map. ``rows_cte`` -> (g, rid, v_c)."""
+    return f"""
+WITH qn_src AS ({rows_cte}),
+qn_b AS (
+  SELECT g, CAST(rid AS BIGINT) AS rid, CAST(v_c AS BIGINT) AS v_c
+  FROM qn_src
+),
+qn_pool AS (
+  SELECT CAST(row_number() OVER (
+           ORDER BY v_c ASC,
+                    v_c || '|' || g || '|' || rid ASC) AS BIGINT) AS idx,
+         v_c AS target_v
+  FROM qn_b
+),
+qn_r AS (
+  SELECT *, CAST(row_number() OVER (
+           PARTITION BY g ORDER BY v_c ASC, rid ASC) AS BIGINT) AS r,
+         CAST(count(*) OVER (PARTITION BY g) AS BIGINT) AS n_g,
+         CAST(count(*) OVER () AS BIGINT) AS n
+  FROM qn_b
+)
+SELECT q.g, q.rid, q.v_c, q.r, q.n_g, p.target_v
+FROM qn_r q JOIN qn_pool p ON p.idx = (q.r * q.n + q.n_g - 1) // q.n_g
+"""

@@ -3050,3 +3050,51 @@ def test_matrix_profile_motif_discord_and_twin(spark):
         for r in duck.sql(matrix_profile_sql("SELECT * FROM mpt", m=8)).fetchall()
     }
     assert twin == got
+
+
+def test_quantile_normalize_marginal_alignment(spark):
+    """Dict replay of the rank map on two shifted distributions, plus
+    the designed property: after normalization, two equal-size groups
+    carry exactly the same multiset of targets (the point of quantile
+    normalization); a group's max maps to the pooled max; twin parity."""
+    import duckdb
+
+    from osm2geojson_spark.operators.analytics import (
+        quantile_normalize,
+        quantile_normalize_sql,
+    )
+
+    rows = []
+    for i in range(20):
+        rows.append(("lo", i, 100 + i))        # low batch
+        rows.append(("hi", 100 + i, 500 + i))  # shifted batch
+    df = spark.createDataFrame(rows, "g string, rid long, v_c long")
+    got = {
+        r["rid"]: (r["g"], r["v_c"], r["r"], r["n_g"], r["target_v"])
+        for r in quantile_normalize(df).collect()
+    }
+
+    pooled = sorted(
+        (v, f"{v}|{g}|{rid}") for g, rid, v in rows
+    )
+    vals = [v for v, _ in pooled]
+    N = len(rows)
+    for g in ("lo", "hi"):
+        grp = sorted((v, rid) for gg, rid, v in rows if gg == g)
+        n_g = len(grp)
+        for r0, (v, rid) in enumerate(grp, 1):
+            idx = (r0 * N + n_g - 1) // n_g
+            assert got[rid] == (g, v, r0, n_g, vals[idx - 1]), rid
+    lo_targets = sorted(t for rid, (g, _, _, _, t) in got.items() if g == "lo")
+    hi_targets = sorted(t for rid, (g, _, _, _, t) in got.items() if g == "hi")
+    assert lo_targets == hi_targets  # identical marginals
+    assert max(lo_targets) == max(vals)
+
+    duck = duckdb.connect()
+    duck.execute("CREATE TABLE qnt (g VARCHAR, rid BIGINT, v_c BIGINT)")
+    duck.executemany("INSERT INTO qnt VALUES (?,?,?)", rows)
+    twin = {
+        r[1]: (r[0], r[2], r[3], r[4], r[5])
+        for r in duck.sql(quantile_normalize_sql("SELECT * FROM qnt")).fetchall()
+    }
+    assert twin == got
