@@ -12161,6 +12161,35 @@ FROM (
 """
 
 
+def q_canonical_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X258 (dedup.canonical_pick): keep-best-representative selection
+    over the minhash-LSH near-dup clusters (the q_dedup_clusters
+    pipeline) — per cluster the longest normalized text survives, ties
+    to the smallest doc_id; the drop-accounting stage real dedup
+    pipelines ship."""
+    from osm2geojson_spark.functions.text import normalize_col
+    from osm2geojson_spark.operators import dedup as DD2
+
+    docs = _docs_with_mutants(spark, sf_dir, 60)
+    pairs = DD2.minhash_lsh_pairs(docs, tau=0.5)
+    clusters = DD2.duplicate_clusters(docs.select("doc_id"), pairs)
+    q = docs.select(
+        "doc_id", F.length(normalize_col(F.col("text"))).alias("q")
+    )
+    return DD2.canonical_pick(q, clusters)
+
+
+def _canonical_pick_sql() -> str:
+    from osm2geojson_spark.functions.text import normalize_sql
+    from osm2geojson_spark.operators.dedup import canonical_pick_sql
+
+    docs = (
+        f"SELECT doc_id, CAST(length({normalize_sql('text')}) AS BIGINT) AS q"
+        f" FROM ({_docs_mutant_cte(60)})"
+    )
+    return canonical_pick_sql(docs, _dedup_clusters_sql())
+
+
 def q_quantile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X257 (analytics.quantile_normalize): pooled-reference quantile
     normalization of per-event-type value distributions (cents) — the
@@ -12949,6 +12978,7 @@ def _keyword_extract_sql() -> str:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "canonical_pick": q_canonical_pick,
         "quantile_norm": q_quantile_norm,
         "l_diversity": q_l_diversity,
         "shot_detect": q_shot_detect,
@@ -13262,6 +13292,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "canonical_pick": _canonical_pick_sql(),
         "quantile_norm": _quantile_norm_sql(),
         "l_diversity": _l_diversity_sql(),
         "shot_detect": _shot_detect_sql(),

@@ -308,6 +308,7 @@ BENCH_QUERIES = [
     "shot_detect",
     "l_diversity",
     "quantile_norm",
+    "canonical_pick",
 ]
 
 

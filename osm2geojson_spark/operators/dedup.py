@@ -915,3 +915,61 @@ SELECT DISTINCT _id AS {id_col},
        _sel // {1 << POS_BITS} AS gram_hash
 FROM wn_sel WHERE _i >= {w}
 """
+
+
+def canonical_pick(
+    docs: DataFrame,
+    clusters: DataFrame,
+    quality_col: str = "q",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(cluster_id, keep_id, keep_q, n_members, n_dropped) — CANONICAL
+    REPRESENTATIVE SELECTION, the stage after near-dup clustering that
+    actual dedup pipelines ship: per cluster keep ONE document — the
+    highest ``quality_col`` (integer; length, score, freshness), ties
+    to the SMALLEST id — and drop the rest. Clusters come from any of
+    the engine's resolvers (duplicate_clusters / semantic_dedup /
+    crossmodal); singletons pass through as their own keepers.
+
+    Scale: one id-keyed equi-join (cluster assignment × quality) + one
+    combinable MAX(struct(q, −id)) rollup — no windows, no collect."""
+    joined = clusters.select(
+        F.col(id_col).alias("_id"), F.col("cluster_id")
+    ).join(
+        docs.select(
+            F.col(id_col).alias("_id"),
+            F.col(quality_col).cast("long").alias("_q"),
+        ),
+        "_id",
+    )
+    return joined.groupBy("cluster_id").agg(
+        F.max(
+            F.struct(F.col("_q").alias("q"), (-F.col("_id")).alias("ni"))
+        ).alias("_b"),
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+    ).select(
+        "cluster_id",
+        (-F.col("_b.ni")).cast("long").alias("keep_id"),
+        F.col("_b.q").cast("long").alias("keep_q"),
+        "n_members",
+        (F.col("n_members") - 1).cast("long").alias("n_dropped"),
+    )
+
+
+def canonical_pick_sql(
+    docs_cte: str, clusters_cte: str
+) -> str:
+    """DuckDB twin of canonical_pick — identical join and struct
+    argmax. ``docs_cte`` -> (doc_id, q); ``clusters_cte`` ->
+    (doc_id, cluster_id)."""
+    return f"""
+WITH cp_docs AS ({docs_cte}),
+cp_cl AS ({clusters_cte})
+SELECT c.cluster_id,
+       CAST(-(max({{'q': d.q, 'ni': -d.doc_id}}).ni) AS BIGINT) AS keep_id,
+       CAST(max({{'q': d.q, 'ni': -d.doc_id}}).q AS BIGINT) AS keep_q,
+       CAST(count(*) AS BIGINT) AS n_members,
+       CAST(count(*) - 1 AS BIGINT) AS n_dropped
+FROM cp_cl c JOIN cp_docs d ON d.doc_id = c.doc_id
+GROUP BY 1
+"""

@@ -1622,3 +1622,40 @@ def test_bpe_encode_replay_and_fertility(spark):
         for r in duck.sql(bpe_encode_sql("SELECT * FROM bpee", merges=4)).fetchall()
     }
     assert twin == got
+
+
+def test_canonical_pick_keeps_best_and_accounts_drops(spark):
+    """Designed clusters: quality argmax wins, quality ties go to the
+    smallest id, singletons keep themselves with zero drops; twin
+    byte-for-byte."""
+    import duckdb
+
+    from osm2geojson_spark.operators.dedup import (
+        canonical_pick,
+        canonical_pick_sql,
+    )
+
+    docs = [(1, 50), (2, 80), (3, 80), (4, 10), (9, 33)]
+    clusters = [(1, 1), (2, 1), (3, 1), (4, 4), (9, 9)]
+    ddf = spark.createDataFrame(docs, "doc_id long, q long")
+    cdf = spark.createDataFrame(clusters, "doc_id long, cluster_id long")
+    got = {
+        r["cluster_id"]: (r["keep_id"], r["keep_q"], r["n_members"], r["n_dropped"])
+        for r in canonical_pick(ddf, cdf).collect()
+    }
+    assert got[1] == (2, 80, 3, 2)  # q-tie between 2 and 3 -> smaller id
+    assert got[4] == (4, 10, 1, 0)
+    assert got[9] == (9, 33, 1, 0)
+
+    duck = duckdb.connect()
+    duck.execute("CREATE TABLE cpd (doc_id BIGINT, q BIGINT)")
+    duck.executemany("INSERT INTO cpd VALUES (?,?)", docs)
+    duck.execute("CREATE TABLE cpc (doc_id BIGINT, cluster_id BIGINT)")
+    duck.executemany("INSERT INTO cpc VALUES (?,?)", clusters)
+    twin = {
+        r[0]: tuple(r[1:])
+        for r in duck.sql(
+            canonical_pick_sql("SELECT * FROM cpd", "SELECT * FROM cpc")
+        ).fetchall()
+    }
+    assert twin == got
