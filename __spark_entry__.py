@@ -12975,9 +12975,37 @@ def _keyword_extract_sql() -> str:
     )
 
 
+def q_pearson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X264 (analytics.pearson_corr): Pearson linear correlation of
+    event value (integer dollars) against second-of-day per event_type
+    — the linear-association twin of q_spearman. Exact int64 raw
+    moments, decimal(38,0)/HUGEINT centered assembly, one pinned
+    IEEE r."""
+    from osm2geojson_spark.operators.analytics import pearson_corr
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("g"),
+        F.expr("unix_micros(cast(ts as timestamp)) div 1000000 % 86400").alias(
+            "x"
+        ),
+        F.round(F.col("value")).cast("long").alias("y"),
+    )
+    return pearson_corr(ev)
+
+
+def _pearson_sql() -> str:
+    from osm2geojson_spark.operators.analytics import pearson_corr_sql
+
+    return pearson_corr_sql(
+        "SELECT event_type AS g, epoch_us(ts) // 1000000 % 86400 AS x,"
+        " CAST(round(value) AS BIGINT) AS y FROM events"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "pearson": q_pearson,
         "canonical_pick": q_canonical_pick,
         "quantile_norm": q_quantile_norm,
         "l_diversity": q_l_diversity,
@@ -13292,6 +13320,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "pearson": _pearson_sql(),
         "canonical_pick": _canonical_pick_sql(),
         "quantile_norm": _quantile_norm_sql(),
         "l_diversity": _l_diversity_sql(),

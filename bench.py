@@ -309,6 +309,7 @@ BENCH_QUERIES = [
     "l_diversity",
     "quantile_norm",
     "canonical_pick",
+    "pearson",
 ]
 
 

@@ -5180,3 +5180,113 @@ qn_r AS (
 SELECT q.g, q.rid, q.v_c, q.r, q.n_g, p.target_v
 FROM qn_r q JOIN qn_pool p ON p.idx = (q.r * q.n + q.n_g - 1) // q.n_g
 """
+
+
+def pearson_corr(
+    df: DataFrame,
+    group_col: str = "g",
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """(g, n, num, denx, deny, r) — PEARSON CORRELATION per group from
+    exact integer raw moments: the linear-association twin of
+    spearman_corr (which covers the monotone case). The standard
+    screen for feature redundancy / metric coupling in a training-data
+    pipeline ("is doc length just quality score in disguise?").
+
+    Exactness scheme: with integer x, y the five raw sums
+
+        sx = Σx, sy = Σy, sxx = Σx², syy = Σy², sxy = Σx·y
+
+    are exact int64 (order-free); the centered second moments
+
+        num  = n·sxy − sx·sy
+        denx = n·sxx − sx²
+        deny = n·syy − sy²
+
+    are assembled in decimal(38,0) (HUGEINT in the DuckDB twin) so the
+    products cannot overflow for any int64-summable input. r is then
+    the one pinned IEEE assembly double(num)/(√denx·√deny) rounded to
+    6 — identical in both engines because decimal→double casts and
+    sqrt are correctly rounded. NULL r when a variance is 0.
+
+    Scale: one combinable groupBy(g) — a pure map-side-partial scan,
+    no joins, no windows. Input magnitudes: int64 exactness of the raw
+    sums needs n·Bx², n·By², n·Bx·By < 2^63 (B = max |value|); quantize
+    coarser or pre-aggregate beyond that."""
+    rows = df.select(
+        F.col(group_col).alias("g"),
+        F.col(x_col).cast("long").alias("x"),
+        F.col(y_col).cast("long").alias("y"),
+    )
+    agg = rows.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    d38 = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    wide = agg.select(
+        "g",
+        "n",
+        (d38("n") * d38("sxy") - d38("sx") * d38("sy")).alias("num"),
+        (d38("n") * d38("sxx") - d38("sx") * d38("sx")).alias("denx"),
+        (d38("n") * d38("syy") - d38("sy") * d38("sy")).alias("deny"),
+    )
+    dd = lambda c: F.col(c).cast("double")  # noqa: E731
+    return wide.select(
+        "g",
+        F.col("n").cast("long").alias("n"),
+        F.col("num").cast("string").alias("num"),
+        F.col("denx").cast("string").alias("denx"),
+        F.col("deny").cast("string").alias("deny"),
+        F.when(
+            (F.col("denx") > 0) & (F.col("deny") > 0),
+            F.round(dd("num") / (F.sqrt(dd("denx")) * F.sqrt(dd("deny"))), 6),
+        ).alias("r"),
+    )
+
+
+def pearson_corr_sql(
+    rows_cte: str,
+    group_col: str = "g",
+    x_col: str = "x",
+    y_col: str = "y",
+) -> str:
+    """DuckDB twin of pearson_corr — identical raw moments (HUGEINT
+    assembly mirrors Spark's decimal(38,0)) and pinned r."""
+    g, x, y = group_col, x_col, y_col
+    return f"""
+WITH pc_src AS (
+  SELECT {g} AS g, CAST({x} AS BIGINT) AS x, CAST({y} AS BIGINT) AS y
+  FROM ({rows_cte})
+),
+pc_agg AS (
+  SELECT g, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y * y) AS BIGINT) AS syy,
+         CAST(sum(x * y) AS BIGINT) AS sxy
+  FROM pc_src GROUP BY 1
+),
+pc_wide AS (
+  SELECT g, n,
+         CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS num,
+         CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS denx,
+         CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS deny
+  FROM pc_agg
+)
+SELECT g, n,
+       CAST(num AS VARCHAR) AS num,
+       CAST(denx AS VARCHAR) AS denx,
+       CAST(deny AS VARCHAR) AS deny,
+       CASE WHEN denx > 0 AND deny > 0
+            THEN round(
+              CAST(num AS DOUBLE)
+              / (sqrt(CAST(denx AS DOUBLE)) * sqrt(CAST(deny AS DOUBLE))),
+              6)
+       END AS r
+FROM pc_wide
+"""

@@ -3098,3 +3098,52 @@ def test_quantile_normalize_marginal_alignment(spark):
         for r in duck.sql(quantile_normalize_sql("SELECT * FROM qnt")).fetchall()
     }
     assert twin == got
+
+
+def test_pearson_corr_brute_and_twin(spark):
+    """Exact raw moments vs a scalar replay; r vs statistics-free
+    numpy corrcoef; degenerate (zero-variance) group yields NULL r."""
+    import duckdb
+    import numpy as np
+
+    from osm2geojson_spark.operators.analytics import (
+        pearson_corr,
+        pearson_corr_sql,
+    )
+
+    rows = (
+        [("a", t, (t * 7) % 23, (t * t) % 31 - 11) for t in range(40)]
+        + [("c", t, t, 5) for t in range(6)]  # y constant -> NULL r
+    )
+    data = [(g, x, y) for g, _, x, y in rows]
+    df = spark.createDataFrame(data, "g string, x long, y long")
+    got = {r["g"]: r.asDict() for r in pearson_corr(df).collect()}
+
+    for g in ("a", "c"):
+        xs = [x for gg, x, y in data if gg == g]
+        ys = [y for gg, x, y in data if gg == g]
+        n = len(xs)
+        num = n * sum(a * b for a, b in zip(xs, ys)) - sum(xs) * sum(ys)
+        denx = n * sum(a * a for a in xs) - sum(xs) ** 2
+        deny = n * sum(b * b for b in ys) - sum(ys) ** 2
+        r = got[g]
+        assert (r["num"], r["denx"], r["deny"]) == (
+            str(num),
+            str(denx),
+            str(deny),
+        )
+        if denx > 0 and deny > 0:
+            assert abs(r["r"] - np.corrcoef(xs, ys)[0, 1]) < 1e-6
+        else:
+            assert r["r"] is None
+
+    duck = duckdb.connect()
+    duck.execute("CREATE TABLE pc (g VARCHAR, x BIGINT, y BIGINT)")
+    duck.executemany("INSERT INTO pc VALUES (?, ?, ?)", data)
+    twin = {
+        r[0]: r
+        for r in duck.sql(pearson_corr_sql("SELECT * FROM pc")).fetchall()
+    }
+    for g in ("a", "c"):
+        gr = got[g]
+        assert twin[g] == (g, gr["n"], gr["num"], gr["denx"], gr["deny"], gr["r"])
