@@ -13002,9 +13002,37 @@ def _pearson_sql() -> str:
     )
 
 
+def q_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X265 (analytics.bollinger_breach): ±2σ Bollinger breach flags
+    over per-event-type value series (cents) — the float-free
+    cross-multiplied envelope gate (v·n−s)² > k²(n·s2−s²) on a
+    20-row trailing window, ordering pinned by (ts, event_id)."""
+    from osm2geojson_spark.operators.analytics import bollinger_breach
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("g"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t"),
+        F.col("event_id").alias("rid"),
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    )
+    return bollinger_breach(ev, w=20, k=2)
+
+
+def _bollinger_sql() -> str:
+    from osm2geojson_spark.operators.analytics import bollinger_breach_sql
+
+    return bollinger_breach_sql(
+        "SELECT event_type AS g, epoch_us(ts) AS t, event_id AS rid,"
+        " CAST(round(value * 100) AS BIGINT) AS v FROM events",
+        w=20,
+        k=2,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "bollinger": q_bollinger,
         "pearson": q_pearson,
         "canonical_pick": q_canonical_pick,
         "quantile_norm": q_quantile_norm,
@@ -13320,6 +13348,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "bollinger": _bollinger_sql(),
         "pearson": _pearson_sql(),
         "canonical_pick": _canonical_pick_sql(),
         "quantile_norm": _quantile_norm_sql(),

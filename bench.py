@@ -310,6 +310,7 @@ BENCH_QUERIES = [
     "quantile_norm",
     "canonical_pick",
     "pearson",
+    "bollinger",
 ]
 
 

@@ -5290,3 +5290,109 @@ SELECT g, n,
        END AS r
 FROM pc_wide
 """
+
+
+def bollinger_breach(
+    df: DataFrame,
+    group_col: str = "g",
+    t_col: str = "t",
+    id_col: str = "rid",
+    v_col: str = "v",
+    w: int = 20,
+    k: int = 2,
+) -> DataFrame:
+    """(g, t, rid, v, n_w, s, s2, breach) — BOLLINGER BAND BREACH
+    detection: flag rows whose value leaves the ±k·σ envelope around
+    the trailing w-row moving average (the classic volatility-break /
+    metric-anomaly alarm; k is an integer σ multiplier).
+
+    Float-free gate: over the trailing window let n = count, s = Σv,
+    s2 = Σv² (exact int64).  Then
+
+        |v − μ| > k·σ   ⇔   (v·n − s)² > k²·(n·s2 − s²)
+
+    by multiplying both sides by n² — every quantity an exact integer,
+    so the breach set is bit-reproducible in any engine. breach = +1
+    above the upper band, −1 below the lower, 0 inside; warmup rows
+    (n < w) are always 0 (the envelope isn't defined yet).
+
+    Ordering is pinned by (t, rid) so duplicate timestamps cannot make
+    the window ambiguous. Overflow: (v·n−s)² ≤ (2·w·B)² with B =
+    max|v| — exact while w·B < 1.5e9 (w=20, cent-quantized metrics:
+    fine to |v| ≈ $750k).
+
+    Scale: one ROWS-window per series — a single shuffle on g, state
+    bounded by w rows; no self-joins."""
+    rows = df.select(
+        F.col(group_col).alias("g"),
+        F.col(t_col).cast("long").alias("t"),
+        F.col(id_col).cast("long").alias("rid"),
+        F.col(v_col).cast("long").alias("v"),
+    )
+    win = (
+        Window.partitionBy("g")
+        .orderBy("t", "rid")
+        .rowsBetween(-(w - 1), 0)
+    )
+    stats = rows.select(
+        "g",
+        "t",
+        "rid",
+        "v",
+        F.count(F.lit(1)).over(win).alias("n_w"),
+        F.sum("v").over(win).alias("s"),
+        F.sum(F.col("v") * F.col("v")).over(win).alias("s2"),
+    )
+    dev = F.col("v") * F.col("n_w") - F.col("s")
+    var_n2 = F.col("n_w") * F.col("s2") - F.col("s") * F.col("s")
+    gate = (dev * dev) > (F.lit(k * k) * var_n2)
+    return stats.select(
+        "g",
+        "t",
+        "rid",
+        "v",
+        "n_w",
+        "s",
+        "s2",
+        F.when((F.col("n_w") < w) | ~gate, F.lit(0))
+        .when(dev > 0, F.lit(1))
+        .otherwise(F.lit(-1))
+        .cast("int")
+        .alias("breach"),
+    )
+
+
+def bollinger_breach_sql(
+    rows_cte: str,
+    w: int = 20,
+    k: int = 2,
+) -> str:
+    """DuckDB twin of bollinger_breach — identical trailing window and
+    integer gate. ``rows_cte`` -> (g, t, rid, v)."""
+    return f"""
+WITH bb_src AS (
+  SELECT g, CAST(t AS BIGINT) AS t, CAST(rid AS BIGINT) AS rid,
+         CAST(v AS BIGINT) AS v
+  FROM ({rows_cte})
+),
+bb_stats AS (
+  SELECT g, t, rid, v,
+         CAST(count(*) OVER tw AS BIGINT) AS n_w,
+         CAST(sum(v) OVER tw AS BIGINT) AS s,
+         CAST(sum(v * v) OVER tw AS BIGINT) AS s2
+  FROM bb_src
+  WINDOW tw AS (
+    PARTITION BY g ORDER BY t, rid
+    ROWS BETWEEN {w - 1} PRECEDING AND CURRENT ROW
+  )
+)
+SELECT g, t, rid, v, n_w, s, s2,
+       CAST(CASE
+         WHEN n_w < {w} THEN 0
+         WHEN (v * n_w - s) * (v * n_w - s) <= {k * k} * (n_w * s2 - s * s)
+           THEN 0
+         WHEN v * n_w - s > 0 THEN 1
+         ELSE -1
+       END AS INTEGER) AS breach
+FROM bb_stats
+"""

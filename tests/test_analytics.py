@@ -3147,3 +3147,70 @@ def test_pearson_corr_brute_and_twin(spark):
     for g in ("a", "c"):
         gr = got[g]
         assert twin[g] == (g, gr["n"], gr["num"], gr["denx"], gr["deny"], gr["r"])
+
+
+def test_bollinger_breach_brute_and_twin(spark):
+    """Scalar replay of the trailing-window envelope gate; a planted
+    spike breaches up, a planted crash breaches down, warmup rows
+    never flag; DuckDB twin bit-identical."""
+    import duckdb
+
+    from osm2geojson_spark.operators.analytics import (
+        bollinger_breach,
+        bollinger_breach_sql,
+    )
+
+    # note w > k²+1: a lone spike INSIDE its own trailing window has
+    # z² ≤ w−1, so w=5,k=2 could never flag — the operator includes the
+    # current row in the envelope (classic Bollinger), pick w accordingly
+    w, k = 10, 2
+    vals = [100, 102, 98, 101, 99, 100, 101, 99, 100, 102, 98, 101, 500,
+            100, 98, 99, 101, -300, 101]
+    data = [("a", 10 * i, i, v) for i, v in enumerate(vals)]
+    # duplicate-timestamp series: ordering must pin by rid
+    data += [
+        ("b", 0, i, v)
+        for i, v in enumerate([10, 11, 10, 11, 10, 11, 10, 11, 10, 11, 90])
+    ]
+    df = spark.createDataFrame(data, "g string, t long, rid long, v long")
+    got = {
+        (r["g"], r["rid"]): r.asDict()
+        for r in bollinger_breach(df, w=w, k=k).collect()
+    }
+
+    for g in ("a", "b"):
+        series = sorted((t, rid, v) for gg, t, rid, v in data if gg == g)
+        for i, (t, rid, v) in enumerate(series):
+            lo = max(0, i - (w - 1))
+            window = [x[2] for x in series[lo : i + 1]]
+            n = len(window)
+            s = sum(window)
+            s2 = sum(x * x for x in window)
+            dev = v * n - s
+            exp = 0
+            if n >= w and dev * dev > k * k * (n * s2 - s * s):
+                exp = 1 if dev > 0 else -1
+            r = got[(g, rid)]
+            assert (r["n_w"], r["s"], r["s2"], r["breach"]) == (n, s, s2, exp), (
+                g,
+                rid,
+            )
+    # the planted spike/crash breach, steady rows don't
+    assert got[("a", 12)]["breach"] == 1
+    assert got[("a", 17)]["breach"] == -1
+    assert got[("b", 10)]["breach"] == 1
+    assert sum(abs(r["breach"]) for r in got.values()) == 3
+
+    duck = duckdb.connect()
+    duck.execute("CREATE TABLE bb (g VARCHAR, t BIGINT, rid BIGINT, v BIGINT)")
+    duck.executemany("INSERT INTO bb VALUES (?, ?, ?, ?)", data)
+    twin = {
+        (r[0], r[2]): r
+        for r in duck.sql(
+            bollinger_breach_sql("SELECT * FROM bb", w=w, k=k)
+        ).fetchall()
+    }
+    for key, r in got.items():
+        assert twin[key] == (
+            r["g"], r["t"], r["rid"], r["v"], r["n_w"], r["s"], r["s2"], r["breach"],
+        )
