@@ -13029,9 +13029,26 @@ def _bollinger_sql() -> str:
     )
 
 
+def q_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X266 (analytics.pr_curve): exact precision-recall curve points
+    over the hash-scored orders corpus (the q_roc_auc fixture) —
+    descending cumulative tp/fp on the score-collapsed table, floor
+    micro-ratio precision/recall, no floats anywhere."""
+    from osm2geojson_spark.operators.analytics import pr_curve
+
+    return pr_curve(_scored_df(spark, sf_dir))
+
+
+def _pr_curve_sql() -> str:
+    from osm2geojson_spark.operators.analytics import pr_curve_sql
+
+    return pr_curve_sql(_scored_rows())
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "pr_curve": q_pr_curve,
         "bollinger": q_bollinger,
         "pearson": q_pearson,
         "canonical_pick": q_canonical_pick,
@@ -13348,6 +13365,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "pr_curve": _pr_curve_sql(),
         "bollinger": _bollinger_sql(),
         "pearson": _pearson_sql(),
         "canonical_pick": _canonical_pick_sql(),

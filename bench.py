@@ -311,6 +311,7 @@ BENCH_QUERIES = [
     "canonical_pick",
     "pearson",
     "bollinger",
+    "pr_curve",
 ]
 
 

@@ -5396,3 +5396,85 @@ SELECT g, t, rid, v, n_w, s, s2,
        END AS INTEGER) AS breach
 FROM bb_stats
 """
+
+
+def pr_curve(
+    df: DataFrame,
+    score_col: str = "score",
+    label_col: str = "label",
+) -> DataFrame:
+    """(s, tp, fp, fn, prec_micro, rec_micro) — the EXACT
+    PRECISION-RECALL CURVE: one row per distinct score s, evaluating
+    the classifier "positive iff score ≥ s" (sklearn
+    precision_recall_curve's point set, before its interpolation).
+    The model-selection twin of roc_auc: AUC summarizes one number,
+    the PR points are what you read a quality-filter threshold off.
+
+    Exact integer algebra: group rows by score → (n_g, pos_g); a
+    single descending cumulative window gives tp and fp at every
+    threshold; fn = P − tp.  precision/recall are reported as exact
+    floor micro-ratios (⌊1e6·tp/(tp+fp)⌋, ⌊1e6·tp/P⌋) — integer
+    division, no float anywhere.
+
+    Scale: the window runs on the score-COLLAPSED table (≤ one row per
+    distinct score — bounded by the score quantization, not the data),
+    after a combinable groupBy. Same shape as roc_auc: the raw corpus
+    is never windowed."""
+    g = df.groupBy(F.col(score_col).cast("long").alias("s")).agg(
+        F.count(F.lit(1)).alias("n_g"),
+        F.sum(F.col(label_col).cast("long")).alias("pos_g"),
+    )
+    w = (
+        Window.orderBy(F.desc("s"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = g.select(
+        "s",
+        F.sum("pos_g").over(w).alias("tp"),
+        (F.sum("n_g").over(w) - F.sum("pos_g").over(w)).alias("fp"),
+        F.sum("pos_g").over(wall).alias("p_all"),
+    )
+    return cum.select(
+        "s",
+        "tp",
+        "fp",
+        (F.col("p_all") - F.col("tp")).alias("fn"),
+        F.expr("1000000 * tp div (tp + fp)").alias("prec_micro"),
+        F.expr(
+            "case when p_all > 0 then 1000000 * tp div p_all else 0 end"
+        ).alias("rec_micro"),
+    )
+
+
+def pr_curve_sql(rows_cte: str) -> str:
+    """DuckDB twin of pr_curve — identical collapsed descending
+    cumulative and floor micro-ratios. ``rows_cte`` -> (score, label)."""
+    return f"""
+WITH pr_src AS (
+  SELECT CAST(score AS BIGINT) AS s, CAST(label AS BIGINT) AS label
+  FROM ({rows_cte})
+),
+pr_g AS (
+  SELECT s, CAST(count(*) AS BIGINT) AS n_g,
+         CAST(sum(label) AS BIGINT) AS pos_g
+  FROM pr_src GROUP BY 1
+),
+pr_cum AS (
+  SELECT s,
+         CAST(sum(pos_g) OVER dw AS BIGINT) AS tp,
+         CAST(sum(n_g) OVER dw - sum(pos_g) OVER dw AS BIGINT) AS fp,
+         CAST(sum(pos_g) OVER () AS BIGINT) AS p_all
+  FROM pr_g
+  WINDOW dw AS (
+    ORDER BY s DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+  )
+)
+SELECT s, tp, fp, p_all - tp AS fn,
+       1000000 * tp // (tp + fp) AS prec_micro,
+       CASE WHEN p_all > 0 THEN 1000000 * tp // p_all ELSE 0 END
+         AS rec_micro
+FROM pr_cum
+"""

@@ -3214,3 +3214,43 @@ def test_bollinger_breach_brute_and_twin(spark):
         assert twin[key] == (
             r["g"], r["t"], r["rid"], r["v"], r["n_w"], r["s"], r["s2"], r["breach"],
         )
+
+
+def test_pr_curve_sklearn_style_brute_and_twin(spark):
+    """Every threshold's (tp, fp, fn) vs a scalar sweep; monotone
+    recall; precision at the top threshold = purity of the top score
+    group; DuckDB twin bit-identical."""
+    import duckdb
+
+    from osm2geojson_spark.operators.analytics import pr_curve, pr_curve_sql
+
+    data = [(s, 1 if (s * 7 + i) % 3 == 0 else 0)
+            for i, s in enumerate([5, 9, 9, 3, 7, 5, 1, 9, 3, 7, 2, 8])]
+    df = spark.createDataFrame(data, "score long, label long")
+    got = {r["s"]: r.asDict() for r in pr_curve(df).collect()}
+
+    p_all = sum(l for _, l in data)
+    for s in sorted({s for s, _ in data}):
+        tp = sum(l for sc, l in data if sc >= s)
+        fp = sum(1 - l for sc, l in data if sc >= s)
+        r = got[s]
+        assert (r["tp"], r["fp"], r["fn"]) == (tp, fp, p_all - tp), s
+        assert r["prec_micro"] == 1000000 * tp // (tp + fp)
+        assert r["rec_micro"] == 1000000 * tp // p_all
+    # recall monotone nonincreasing in threshold
+    ss = sorted(got)
+    assert all(
+        got[a]["rec_micro"] >= got[b]["rec_micro"]
+        for a, b in zip(ss, ss[1:])
+    )
+
+    duck = duckdb.connect()
+    duck.execute("CREATE TABLE sc (score BIGINT, label BIGINT)")
+    duck.executemany("INSERT INTO sc VALUES (?, ?)", data)
+    twin = {
+        r[0]: r for r in duck.sql(pr_curve_sql("SELECT * FROM sc")).fetchall()
+    }
+    for s, r in got.items():
+        assert twin[s] == (
+            s, r["tp"], r["fp"], r["fn"], r["prec_micro"], r["rec_micro"],
+        )
