@@ -13045,9 +13045,26 @@ def _pr_curve_sql() -> str:
     return pr_curve_sql(_scored_rows())
 
 
+def q_f2_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X267 (sketch.ams_f2): AMS second-frequency-moment sketch of the
+    orders→customer key distribution — the self-join-size / skew-energy
+    estimate a planner reads before sizing a salted join. 5×8 ±1-sign
+    counters, integer median-of-means, exact-F2 verification columns."""
+    from osm2geojson_spark.operators.sketch import ams_f2
+
+    return ams_f2(_t(spark, sf_dir, "orders"), "o_custkey")
+
+
+def _f2_sketch_sql() -> str:
+    from osm2geojson_spark.operators.sketch import ams_f2_sql
+
+    return ams_f2_sql("SELECT o_custkey FROM orders", "o_custkey")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "f2_sketch": q_f2_sketch,
         "pr_curve": q_pr_curve,
         "bollinger": q_bollinger,
         "pearson": q_pearson,
@@ -13365,6 +13382,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "f2_sketch": _f2_sketch_sql(),
         "pr_curve": _pr_curve_sql(),
         "bollinger": _bollinger_sql(),
         "pearson": _pearson_sql(),

@@ -312,6 +312,7 @@ BENCH_QUERIES = [
     "pearson",
     "bollinger",
     "pr_curve",
+    "f2_sketch",
 ]
 
 

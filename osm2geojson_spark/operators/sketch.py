@@ -27,7 +27,7 @@ with cardinality.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .sampling import _H_ADD, _H_MOD, _H_MUL, sample_hash, sample_hash_sql
@@ -619,4 +619,166 @@ SELECT {g}, CAST({m} AS BIGINT) AS m, nonzero, zeros, sum_scaled,
                   ELSE {alpha * m * m * float(_HLL_SCALE)!r}
                        / CAST(sum_scaled AS DOUBLE) END, 3) + 0.0 AS est
 FROM wide
+"""
+
+
+# --- AMS F2 (second frequency moment) ---------------------------------
+# Sign hashes: one (MUL, ADD) pair per replica, derived from the CMS
+# constants so both engines embed the same literals. pmod(key, P) < 2^31
+# and MUL < 2^31 keep every product inside int64.
+_AMS_ROWS = 5
+_AMS_COLS = 8
+
+
+def _ams_mul(j: int) -> int:
+    m = (1_103_515_245 * (2 * j + 1) + 22_695_477) % _CMS_P
+    return m if m != 0 else 1
+
+
+def _ams_add(j: int) -> int:
+    return (1_664_525 * (j + 1) + 1_013_904_223) % _CMS_P
+
+
+def _ams_sign(key: Column, j: int) -> Column:
+    h = F.pmod(
+        F.pmod(key.cast("long"), F.lit(_CMS_P)) * F.lit(_ams_mul(j))
+        + F.lit(_ams_add(j)),
+        F.lit(_CMS_P),
+    )
+    return F.lit(1) - F.lit(2) * F.pmod(h, F.lit(2))
+
+
+def _ams_sign_sql(key: str, j: int) -> str:
+    k = f"((({key}) % {_CMS_P} + {_CMS_P}) % {_CMS_P})"
+    return f"(1 - 2 * ((({k} * {_ams_mul(j)} + {_ams_add(j)}) % {_CMS_P}) % 2))"
+
+
+def ams_f2(
+    df: DataFrame,
+    key_col: str,
+    rows: int = _AMS_ROWS,
+    cols: int = _AMS_COLS,
+) -> DataFrame:
+    """(r, row_mean, med_est, f2_exact, err_micro) — the AMS SECOND
+    FREQUENCY MOMENT sketch (Alon-Matias-Szegedy 1996): estimate
+    F2 = Σ_k count(k)² — the self-join size / skew-energy statistic a
+    planner reads before choosing a join strategy or a salting factor —
+    from rows·cols ±1-sign counters instead of a full distinct-key
+    shuffle.
+
+    Each replica j keeps counter_j = Σ_rows sign_j(key) (one combinable
+    global aggregate, NO per-key state); X_j = counter_j² has
+    E[X]=F2.  Estimates are MEAN over each sketch row's cols (floor
+    integer division) then MEDIAN across rows (rank-⌈R/2⌉ under the
+    pinned (row_mean, r) order) — the textbook median-of-means, here
+    entirely in int64 so both engines agree bit-for-bit.  f2_exact
+    (one groupBy(key) pass) and err_micro = ⌊1e6·|med−F2|/F2⌋ ride
+    along as verification columns; the 100 TB deployment drops them —
+    the sketch itself never shuffles keys.
+
+    Overflow: counters are bounded by n, X by n² — exact while
+    n < 3e9; beyond that, pre-aggregate per partition or widen to
+    decimal(38,0)."""
+    assert 1 <= rows * cols and rows % 2 == 1
+    k = F.col(key_col)
+    counters = df.agg(
+        *[
+            F.sum(_ams_sign(k, j)).alias(f"c{j}")
+            for j in range(rows * cols)
+        ]
+    )
+    stack_expr = "stack({n}, {args}) as (r, c, counter)".format(
+        n=rows * cols,
+        args=", ".join(
+            f"{j // cols}, {j % cols}, c{j}" for j in range(rows * cols)
+        ),
+    )
+    long_form = counters.select(F.expr(stack_expr))
+    row_means = (
+        long_form.groupBy("r")
+        .agg(F.sum(F.col("counter") * F.col("counter")).alias("row_sum"))
+        .select(
+            F.col("r").cast("long").alias("r"),
+            F.expr(f"row_sum div {cols}").alias("row_mean"),
+        )
+    )
+    med_rank = (rows + 1) // 2
+    w = Window.orderBy("row_mean", "r")
+    med = (
+        row_means.select("row_mean", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") == med_rank)
+        .select(F.col("row_mean").alias("med_est"))
+    )
+    f2 = (
+        df.groupBy(k.alias("_k"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(F.sum(F.col("cnt") * F.col("cnt")).alias("f2_exact"))
+    )
+    return (
+        row_means.crossJoin(F.broadcast(med))
+        .crossJoin(F.broadcast(f2))
+        .select(
+            "r",
+            "row_mean",
+            "med_est",
+            "f2_exact",
+            F.expr(
+                "case when f2_exact > 0 then"
+                " 1000000 * abs(med_est - f2_exact) div f2_exact"
+                " else 0 end"
+            ).alias("err_micro"),
+        )
+    )
+
+
+def ams_f2_sql(
+    rows_cte: str,
+    key_col: str,
+    rows: int = _AMS_ROWS,
+    cols: int = _AMS_COLS,
+) -> str:
+    """DuckDB twin of ams_f2 — identical sign hashes, floor means, and
+    rank-median."""
+    n = rows * cols
+    sums = ",\n         ".join(
+        f"CAST(sum({_ams_sign_sql('k', j)}) AS BIGINT) AS c{j}"
+        for j in range(n)
+    )
+    unions = "\n  UNION ALL\n  ".join(
+        f"SELECT {j // cols} AS r, {j % cols} AS c, c{j} AS counter"
+        " FROM ams_ctr"
+        for j in range(n)
+    )
+    med_rank = (rows + 1) // 2
+    return f"""
+WITH ams_src AS (
+  SELECT CAST({key_col} AS BIGINT) AS k FROM ({rows_cte})
+),
+ams_ctr AS (
+  SELECT {sums}
+  FROM ams_src
+),
+ams_long AS (
+  {unions}
+),
+ams_rows AS (
+  SELECT CAST(r AS BIGINT) AS r,
+         CAST(sum(counter * counter) AS BIGINT) // {cols} AS row_mean
+  FROM ams_long GROUP BY r
+),
+ams_med AS (
+  SELECT row_mean AS med_est
+  FROM (SELECT row_mean, row_number() OVER (ORDER BY row_mean, r) AS rk
+        FROM ams_rows)
+  WHERE rk = {med_rank}
+),
+ams_f2x AS (
+  SELECT CAST(sum(cnt * cnt) AS BIGINT) AS f2_exact
+  FROM (SELECT k, CAST(count(*) AS BIGINT) AS cnt FROM ams_src GROUP BY k)
+)
+SELECT r, row_mean, med_est, f2_exact,
+       CASE WHEN f2_exact > 0
+            THEN 1000000 * abs(med_est - f2_exact) // f2_exact
+            ELSE 0 END AS err_micro
+FROM ams_rows, ams_med, ams_f2x
 """

@@ -3254,3 +3254,67 @@ def test_pr_curve_sklearn_style_brute_and_twin(spark):
         assert twin[s] == (
             s, r["tp"], r["fp"], r["fn"], r["prec_micro"], r["rec_micro"],
         )
+
+
+def test_ams_f2_sketch_replay_estimate_quality_and_twin(spark):
+    """Scalar replay of every sign counter; the median-of-means lands
+    within 3/sqrt(cols) relative error on a zipf-ish stream (AMS bound
+    is 1/sqrt at 1 std); DuckDB twin bit-identical."""
+    import duckdb
+
+    from osm2geojson_spark.operators.sketch import (
+        _AMS_COLS,
+        _AMS_ROWS,
+        _CMS_P,
+        _ams_add,
+        _ams_mul,
+        ams_f2,
+        ams_f2_sql,
+    )
+
+    # zipf-ish: key k appears ~600/k times
+    data = [(k,) for k in range(1, 30) for _ in range(600 // k)]
+    df = spark.createDataFrame(data, "k long")
+    got = sorted(
+        (r["r"], r["row_mean"], r["med_est"], r["f2_exact"], r["err_micro"])
+        for r in ams_f2(df, "k").collect()
+    )
+
+    # scalar replay
+    n = _AMS_ROWS * _AMS_COLS
+    counters = [0] * n
+    for (k,) in data:
+        for j in range(n):
+            h = ((k % _CMS_P) * _ams_mul(j) + _ams_add(j)) % _CMS_P
+            counters[j] += 1 - 2 * (h % 2)
+    from collections import Counter
+
+    f2 = sum(c * c for c in Counter(k for k, in data).values())
+    row_means = [
+        sum(
+            counters[r * _AMS_COLS + c] ** 2 for c in range(_AMS_COLS)
+        ) // _AMS_COLS
+        for r in range(_AMS_ROWS)
+    ]
+    med = sorted(row_means)[_AMS_ROWS // 2]
+    want = sorted(
+        (
+            r,
+            row_means[r],
+            med,
+            f2,
+            1000000 * abs(med - f2) // f2,
+        )
+        for r in range(_AMS_ROWS)
+    )
+    assert got == want
+    # estimate quality: within 3x the AMS one-std bound
+    assert abs(med - f2) <= 3 * f2 / (_AMS_COLS ** 0.5)
+
+    duck = duckdb.connect()
+    duck.execute("CREATE TABLE ams (k BIGINT)")
+    duck.executemany("INSERT INTO ams VALUES (?)", data)
+    twin = sorted(
+        duck.sql(ams_f2_sql("SELECT k FROM ams", "k")).fetchall()
+    )
+    assert twin == got
