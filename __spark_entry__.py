@@ -13061,9 +13061,26 @@ def _f2_sketch_sql() -> str:
     return ams_f2_sql("SELECT o_custkey FROM orders", "o_custkey")
 
 
+def q_clique4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X268 (graph.four_clique_count): per-node 4-clique participation
+    on the dense modular graph — triangle_count's oriented two-hop
+    closure extended by a fourth all-adjacent corner, exactly one
+    materialization per K4."""
+    from osm2geojson_spark.operators.graph import four_clique_count
+
+    return four_clique_count(_dense_graph(spark, sf_dir))
+
+
+def _clique4_sql() -> str:
+    from osm2geojson_spark.operators.graph import four_clique_count_sql
+
+    return four_clique_count_sql(_DENSE_GRAPH_SQL)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "clique4": q_clique4,
         "f2_sketch": q_f2_sketch,
         "pr_curve": q_pr_curve,
         "bollinger": q_bollinger,
@@ -13382,6 +13399,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "clique4": _clique4_sql(),
         "f2_sketch": _f2_sketch_sql(),
         "pr_curve": _pr_curve_sql(),
         "bollinger": _bollinger_sql(),

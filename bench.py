@@ -313,6 +313,7 @@ BENCH_QUERIES = [
     "bollinger",
     "pr_curve",
     "f2_sketch",
+    "clique4",
 ]
 
 

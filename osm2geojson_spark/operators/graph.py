@@ -1432,3 +1432,84 @@ SELECT n.k, n.n_k, COALESCE(e.e_k, 0) AS e_k,
        END AS phi_micro
 FROM rc_n n LEFT JOIN rc_ee e ON e.k = n.k
 """
+
+
+def four_clique_count(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """(node, n_k4) — EXACT 4-CLIQUE COUNTING per node, the next rung
+    of the clique ladder above triangle_count: K4 participation is the
+    standard dense-community signal (a node in many K4s sits inside a
+    near-clique cluster, not just a triangle-rich hub).
+
+    Same canonical orientation as triangle_count: over the symmetrized
+    simple graph oriented low-id → high-id, each 4-clique
+    {a < b < c < d} materializes exactly once as an oriented triangle
+    (a,b,c) extended by a fourth corner d adjacent to all three with
+    c < d:
+
+        tri(a,b,c) ⋈ fwd(c,d) ⋈ fwd(b,d) ⋈ fwd(a,d)
+
+    then credits all four corners. Exact int64 throughout; nodes in no
+    K4 simply don't appear.
+
+    Scale: the extension join fans out from each oriented triangle by
+    outdeg(c) on the ORIENTED graph (bounded by the id-order cap; swap
+    in degree order upstream for power-law graphs) and the (b,d)/(a,d)
+    probes are equi-join semijoins that shrink, not grow, the stream.
+    Three shuffle joins past triangle_count's two + one combinable
+    rollup — no adjacency list is ever collected on one node."""
+    e = edges.select(F.col(src_col).alias("_s"), F.col(dst_col).alias("_d"))
+    sym = (
+        e.unionByName(
+            e.select(F.col("_d").alias("_s"), F.col("_s").alias("_d"))
+        )
+        .filter(F.col("_s") != F.col("_d"))
+        .distinct()
+    )
+    fwd = sym.filter(F.col("_s") < F.col("_d")).localCheckpoint(eager=False)
+    ab = fwd.select(F.col("_s").alias("a"), F.col("_d").alias("b"))
+    bc = fwd.select(F.col("_s").alias("b"), F.col("_d").alias("c"))
+    ac = fwd.select(F.col("_s").alias("a"), F.col("_d").alias("c"))
+    tri = ab.join(bc, "b").join(ac, ["a", "c"])
+    cd = fwd.select(F.col("_s").alias("c"), F.col("_d").alias("d"))
+    bd = fwd.select(F.col("_s").alias("b"), F.col("_d").alias("d"))
+    ad = fwd.select(F.col("_s").alias("a"), F.col("_d").alias("d"))
+    k4 = tri.join(cd, "c").join(bd, ["b", "d"]).join(ad, ["a", "d"])
+    corners = (
+        k4.select(F.col("a").alias("node"))
+        .unionByName(k4.select(F.col("b").alias("node")))
+        .unionByName(k4.select(F.col("c").alias("node")))
+        .unionByName(k4.select(F.col("d").alias("node")))
+    )
+    return corners.groupBy("node").agg(
+        F.count(F.lit(1)).cast("long").alias("n_k4")
+    )
+
+
+def four_clique_count_sql(edges_cte: str) -> str:
+    """DuckDB twin of four_clique_count — same orientation, same
+    triangle extension, same per-corner credit."""
+    return f"""
+WITH e0 AS ({edges_cte}),
+sym AS (SELECT DISTINCT _s, _d FROM (SELECT src AS _s, dst AS _d FROM e0
+        UNION ALL SELECT dst, src FROM e0) u WHERE _s != _d),
+fwd AS (SELECT _s, _d FROM sym WHERE _s < _d),
+tri AS (
+  SELECT ab._s AS a, ab._d AS b, bc._d AS c
+  FROM fwd ab JOIN fwd bc ON bc._s = ab._d
+  JOIN fwd ac ON ac._s = ab._s AND ac._d = bc._d
+),
+k4 AS (
+  SELECT t.a, t.b, t.c, cd._d AS d
+  FROM tri t
+  JOIN fwd cd ON cd._s = t.c
+  JOIN fwd bd ON bd._s = t.b AND bd._d = cd._d
+  JOIN fwd ad ON ad._s = t.a AND ad._d = cd._d
+),
+corners AS (
+  SELECT a AS node FROM k4 UNION ALL SELECT b FROM k4
+  UNION ALL SELECT c FROM k4 UNION ALL SELECT d FROM k4
+)
+SELECT node, CAST(count(*) AS BIGINT) AS n_k4 FROM corners GROUP BY node
+"""

@@ -842,3 +842,54 @@ def test_rich_club_matches_networkx_style_brute(spark):
         for r in duck.sql(rich_club_sql("SELECT * FROM rce")).fetchall()
     }
     assert twin == got
+
+
+def test_four_clique_count_brute_and_twin(spark):
+    """itertools brute force over all 4-subsets on a mixed graph (one
+    planted K5, one K4, a triangle-only tail); K5 math checks out
+    (each K5 node sits in C(4,2)... i.e. C(4,3)=4 K4s); twin matches."""
+    import itertools
+
+    import duckdb
+
+    from osm2geojson_spark.operators.graph import (
+        four_clique_count,
+        four_clique_count_sql,
+    )
+
+    k5 = list(itertools.combinations([0, 1, 2, 3, 4], 2))
+    k4 = list(itertools.combinations([10, 11, 12, 13], 2))
+    tri = [(20, 21), (21, 22), (22, 20)]
+    extra = [(4, 10), (13, 20), (30, 31)]  # bridges + an isolated edge
+    edges = k5 + k4 + tri + extra
+    # directions shuffled + a duplicate: symmetrization must handle both
+    edges = [(b, a) if (a + b) % 3 == 0 else (a, b) for a, b in edges]
+    edges.append((1, 0))
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["n_k4"] for r in four_clique_count(df).collect()}
+
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    nodes = sorted(adj)
+    want = {}
+    for quad in itertools.combinations(nodes, 4):
+        if all(b in adj[a] for a, b in itertools.combinations(quad, 2)):
+            for v in quad:
+                want[v] = want.get(v, 0) + 1
+    assert got == want
+    # planted structure: each K5 node is in C(4,3)=4 K4s, K4 nodes in 1
+    assert all(got[v] == 4 for v in range(5))
+    assert all(got[v] == 1 for v in (10, 11, 12, 13))
+    assert 20 not in got and 30 not in got
+
+    duck = duckdb.connect()
+    duck.execute("CREATE TABLE ge (src BIGINT, dst BIGINT)")
+    duck.executemany("INSERT INTO ge VALUES (?, ?)", edges)
+    twin = dict(
+        duck.sql(
+            four_clique_count_sql("SELECT src, dst FROM ge")
+        ).fetchall()
+    )
+    assert twin == got
