@@ -13077,9 +13077,30 @@ def _clique4_sql() -> str:
     return four_clique_count_sql(_DENSE_GRAPH_SQL)
 
 
+def q_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X269 (graph.personalized_pagerank): random walk with restart
+    onto seed nodes {0,3,7,11} of the dense modular graph — seeded
+    proximity ranking, bit-exact truncating int64 rounds (pagerank_int
+    scheme with a seed-only restart vector)."""
+    from osm2geojson_spark.operators.graph import personalized_pagerank
+
+    seeds = spark.createDataFrame([(0,), (3,), (7,), (11,)], "node long")
+    return personalized_pagerank(_dense_graph(spark, sf_dir), seeds)
+
+
+def _ppr_sql() -> str:
+    from osm2geojson_spark.operators.graph import personalized_pagerank_sql
+
+    return personalized_pagerank_sql(
+        _DENSE_GRAPH_SQL,
+        "SELECT unnest([0, 3, 7, 11]) AS node",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "ppr": q_ppr,
         "clique4": q_clique4,
         "f2_sketch": q_f2_sketch,
         "pr_curve": q_pr_curve,
@@ -13399,6 +13420,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "ppr": _ppr_sql(),
         "clique4": _clique4_sql(),
         "f2_sketch": _f2_sketch_sql(),
         "pr_curve": _pr_curve_sql(),

@@ -314,6 +314,7 @@ BENCH_QUERIES = [
     "pr_curve",
     "f2_sketch",
     "clique4",
+    "ppr",
 ]
 
 

@@ -1513,3 +1513,115 @@ corners AS (
 )
 SELECT node, CAST(count(*) AS BIGINT) AS n_k4 FROM corners GROUP BY node
 """
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    n_iters: int = 3,
+    damping_pct: int = 85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    seed_col: str = "node",
+) -> DataFrame:
+    """(node, score) — FIXED-POINT PERSONALIZED PAGERANK: random walk
+    with restart onto a SEED set instead of the uniform vector — "rank
+    everything by proximity to these query nodes", the standard
+    related-item / local-community scorer (seeded recommendations,
+    contamination blast-radius, similar-POI expansion).
+
+    Identical integer scheme to pagerank_int (truncating int64
+    division, bit-identical across engines and partitionings); the two
+    differences are the restart vector — each round every SEED receives
+    base = PR_SCALE·(100−d)/100 and non-seeds receive 0 — and the
+    start state (seeds at PR_SCALE, everything else 0, so mass flows
+    outward from the seeds only). Dangling/rounding leakage as in
+    pagerank_int: rankings, not normalized probabilities, are the
+    deliverable. Nodes never reached stay at score 0 and are kept (the
+    zero rows ARE the answer for blast-radius queries).
+
+    Scale: seed flags ride a broadcast-sized left join; everything else
+    is pagerank_int's per-round combinable groupBy(dst) + node-keyed
+    join with flat (localCheckpoint) lineage."""
+    e = edges.select(F.col(src_col).alias("_s"), F.col(dst_col).alias("_d"))
+    nodes = (
+        e.select(F.col("_s").alias("node"))
+        .unionByName(e.select(F.col("_d").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    sd = seeds.select(F.col(seed_col).alias("node")).distinct()
+    flagged = (
+        nodes.join(F.broadcast(sd.withColumn("_is_seed", F.lit(1))), "node", "left")
+        .select("node", F.coalesce(F.col("_is_seed"), F.lit(0)).alias("_is_seed"))
+        .localCheckpoint(eager=False)
+    )
+    deg = e.groupBy("_s").agg(F.count(F.lit(1)).alias("_deg"))
+    ed = e.join(deg, "_s").localCheckpoint(eager=False)
+    base = PR_SCALE * (100 - damping_pct) // 100
+    scores = flagged.select(
+        "node",
+        (F.col("_is_seed") * F.lit(PR_SCALE)).cast("long").alias("score"),
+    )
+    for _ in range(n_iters):
+        contrib = (
+            scores.join(ed, scores["node"] == ed["_s"])
+            .select(
+                F.col("_d").alias("node"),
+                F.expr(f"(score * {damping_pct}) div 100 div _deg").alias("_c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("_c").alias("_c"))
+        )
+        scores = (
+            flagged.join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    F.col("_is_seed") * F.lit(base)
+                    + F.coalesce(F.col("_c"), F.lit(0))
+                )
+                .cast("long")
+                .alias("score"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return scores
+
+
+def personalized_pagerank_sql(
+    edges_cte: str,
+    seeds_cte: str,
+    n_iters: int = 3,
+    damping_pct: int = 85,
+) -> str:
+    """DuckDB twin of personalized_pagerank — unrolled rounds, identical
+    truncating integer arithmetic and seed-only restart."""
+    base = PR_SCALE * (100 - damping_pct) // 100
+    parts = [
+        f"WITH e AS ({edges_cte})",
+        f"sd AS (SELECT DISTINCT node FROM ({seeds_cte}) s)",
+        "nodes AS (SELECT DISTINCT node FROM"
+        " (SELECT src AS node FROM e UNION SELECT dst FROM e) u)",
+        "fl AS (SELECT n.node,"
+        " CASE WHEN sd.node IS NULL THEN 0 ELSE 1 END AS is_seed"
+        " FROM nodes n LEFT JOIN sd ON sd.node = n.node)",
+        "deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY src)",
+        f"s0 AS (SELECT node, CAST(is_seed * {PR_SCALE} AS BIGINT) AS score"
+        " FROM fl)",
+    ]
+    for i in range(1, n_iters + 1):
+        parts.append(
+            f"c{i} AS (SELECT e.dst AS node,"
+            f" CAST(sum(s{i-1}.score * {damping_pct} // 100 // deg.d)"
+            f" AS BIGINT) AS c"
+            f" FROM e JOIN s{i-1} ON s{i-1}.node = e.src"
+            f" JOIN deg ON deg.src = e.src GROUP BY e.dst)"
+        )
+        parts.append(
+            f"s{i} AS (SELECT fl.node,"
+            f" CAST(fl.is_seed * {base} + COALESCE(c{i}.c, 0) AS BIGINT)"
+            f" AS score"
+            f" FROM fl LEFT JOIN c{i} ON c{i}.node = fl.node)"
+        )
+    return ",\n".join(parts) + f"\nSELECT node, score FROM s{n_iters}"

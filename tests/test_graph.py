@@ -893,3 +893,60 @@ def test_four_clique_count_brute_and_twin(spark):
         ).fetchall()
     )
     assert twin == got
+
+
+def test_personalized_pagerank_replay_and_locality(spark):
+    """Dict replay of the truncating integer rounds; mass stays near the
+    seed on a path graph (monotone decay with hop distance); unreached
+    nodes score exactly 0; twin bit-identical."""
+    import duckdb
+
+    from osm2geojson_spark.operators.graph import (
+        PR_SCALE,
+        personalized_pagerank,
+        personalized_pagerank_sql,
+    )
+
+    # directed path 0->1->2->3->4 plus a disconnected pair 10->11
+    edges = [(0, 1), (1, 2), (2, 3), (3, 4), (10, 11)]
+    seeds = [(0,)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    sdf = spark.createDataFrame(seeds, "node long")
+    n_iters, d = 3, 85
+    got = {
+        r["node"]: r["score"]
+        for r in personalized_pagerank(df, sdf, n_iters=n_iters).collect()
+    }
+
+    # serial replay
+    nodes = sorted({a for e in edges for a in e})
+    outd = {}
+    for a, _ in edges:
+        outd[a] = outd.get(a, 0) + 1
+    base = PR_SCALE * (100 - d) // 100
+    seed_set = {0}
+    score = {v: (PR_SCALE if v in seed_set else 0) for v in nodes}
+    for _ in range(n_iters):
+        nxt = {v: (base if v in seed_set else 0) for v in nodes}
+        for a, b in edges:
+            nxt[b] += score[a] * d // 100 // outd[a]
+        score = nxt
+    assert got == score
+    # locality: mass decays strictly with hop distance PAST the seed's
+    # immediate neighbor (the seed itself keeps only the restart mass —
+    # it has no in-edges), zero off-component
+    assert got[1] > got[2] > got[3] > got[4] >= 0
+    assert got[0] == base
+    assert got[10] == 0 and got[11] == 0
+
+    duck = duckdb.connect()
+    duck.execute("CREATE TABLE pe (src BIGINT, dst BIGINT)")
+    duck.executemany("INSERT INTO pe VALUES (?, ?)", edges)
+    twin = dict(
+        duck.sql(
+            personalized_pagerank_sql(
+                "SELECT src, dst FROM pe", "SELECT 0 AS node", n_iters=n_iters
+            )
+        ).fetchall()
+    )
+    assert twin == got
