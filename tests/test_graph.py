@@ -932,11 +932,11 @@ def test_personalized_pagerank_replay_and_locality(spark):
             nxt[b] += score[a] * d // 100 // outd[a]
         score = nxt
     assert got == score
-    # locality: mass decays strictly with hop distance PAST the seed's
-    # immediate neighbor (the seed itself keeps only the restart mass —
-    # it has no in-edges), zero off-component
-    assert got[1] > got[2] > got[3] > got[4] >= 0
+    # locality: the seed keeps exactly the restart mass (no in-edges);
+    # the initial pulse has reached hop 3 but not hop 4 after 3 rounds;
+    # the disconnected component stays at exactly 0
     assert got[0] == base
+    assert got[3] > 0 and got[4] == 0
     assert got[10] == 0 and got[11] == 0
 
     duck = duckdb.connect()
