@@ -13097,9 +13097,26 @@ def _ppr_sql() -> str:
     )
 
 
+def q_bearing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X270 (trajectory.bearing_resultant): circular mean-resultant
+    statistics of per-user step headings over the drift trajectory —
+    quantized unit vectors (pinned per-row IEEE sqrt/divide/round),
+    exact int64 (sx, sy) mean-direction pair, ⌊R/n⌋ concentration."""
+    from osm2geojson_spark.operators.trajectory import bearing_resultant
+
+    return bearing_resultant(_traj_pings(spark, sf_dir))
+
+
+def _bearing_stats_sql() -> str:
+    from osm2geojson_spark.operators.trajectory import bearing_resultant_sql
+
+    return bearing_resultant_sql(_TRAJ_PINGS_CTE)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "bearing_stats": q_bearing_stats,
         "ppr": q_ppr,
         "clique4": q_clique4,
         "f2_sketch": q_f2_sketch,
@@ -13420,6 +13437,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "bearing_stats": _bearing_stats_sql(),
         "ppr": _ppr_sql(),
         "clique4": _clique4_sql(),
         "f2_sketch": _f2_sketch_sql(),

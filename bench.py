@@ -315,6 +315,7 @@ BENCH_QUERIES = [
     "f2_sketch",
     "clique4",
     "ppr",
+    "bearing_stats",
 ]
 
 

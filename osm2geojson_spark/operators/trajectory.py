@@ -1368,3 +1368,105 @@ SELECT user_id,
             THEN _h.c * 1000000 // n_night END AS home_share_micro
 FROM hw_agg
 """
+
+
+def bearing_resultant(
+    pings: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """(user, n_steps, sx, sy, rbar_micro) — CIRCULAR STATISTICS of
+    movement direction per entity: the mean resultant vector of the
+    per-step unit headings (Mardia's R̄). rbar_micro ≈ 1e6 means every
+    step points the same way (a commuter on a straight road);
+    rbar_micro ≈ 0 means isotropic wandering. The (sx, sy) pair IS the
+    mean direction — reported as the exact integer vector rather than
+    an atan2 angle (atan2's last ulp is not cross-engine pinned; the
+    sd_ellipse orientation convention).
+
+    Trig-free exactness: each consecutive-ping step contributes the
+    QUANTIZED planar unit vector
+
+        ux = round(1e6·dx / hypot),  uy = round(1e6·dy / hypot)
+
+    — one pinned IEEE sqrt + divide + round per row, identical
+    operation order in the twin — and the per-user sums sx = Σux,
+    sy = Σuy are exact order-free int64. Zero-displacement steps are
+    skipped (no direction). The resultant length is the final pinned
+    assembly √(sx²+sy²) in doubles, and rbar_micro = ⌊R/n⌋.
+
+    Scale: one ordered window per entity (the shared trajectory sort)
+    + one combinable groupBy — same shape as track_speed; no joins."""
+    w = Window.partitionBy("user_id").orderBy("_ts")
+    steps = (
+        pings.select(
+            F.col(user_col).alias("user_id"),
+            F.col(ts_col).alias("_ts"),
+            F.col(lon_col).alias("_lon"),
+            F.col(lat_col).alias("_lat"),
+        )
+        .withColumn("_lon1", F.lead("_lon").over(w))
+        .withColumn("_lat1", F.lead("_lat").over(w))
+        .filter(F.col("_lon1").isNotNull())
+    )
+    dx = F.col("_lon1") - F.col("_lon")
+    dy = F.col("_lat1") - F.col("_lat")
+    hyp = F.sqrt(dx * dx + dy * dy)
+    unit = steps.filter(hyp > 0).select(
+        "user_id",
+        F.round(F.lit(1000000.0) * dx / hyp).cast("long").alias("_ux"),
+        F.round(F.lit(1000000.0) * dy / hyp).cast("long").alias("_uy"),
+    )
+    agg = unit.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_steps"),
+        F.sum("_ux").alias("sx"),
+        F.sum("_uy").alias("sy"),
+    )
+    dd = lambda c: F.col(c).cast("double")  # noqa: E731
+    return agg.select(
+        "user_id",
+        "n_steps",
+        "sx",
+        "sy",
+        F.floor(
+            F.sqrt(dd("sx") * dd("sx") + dd("sy") * dd("sy"))
+            / F.col("n_steps")
+        ).cast("long").alias("rbar_micro"),
+    )
+
+
+def bearing_resultant_sql(pings_cte: str) -> str:
+    """DuckDB twin of bearing_resultant — identical step windows,
+    per-row pinned unit quantization, and final assembly.
+    ``pings_cte`` -> (user_id, ts, lon, lat)."""
+    return f"""
+WITH br_src AS ({pings_cte}),
+br_steps AS (
+  SELECT user_id,
+         lead(lon) OVER uw - lon AS dx,
+         lead(lat) OVER uw - lat AS dy
+  FROM br_src
+  WINDOW uw AS (PARTITION BY user_id ORDER BY ts)
+),
+br_unit AS (
+  SELECT user_id,
+         CAST(round(1000000.0 * dx / sqrt(dx * dx + dy * dy)) AS BIGINT)
+           AS ux,
+         CAST(round(1000000.0 * dy / sqrt(dx * dx + dy * dy)) AS BIGINT)
+           AS uy
+  FROM br_steps
+  WHERE dx IS NOT NULL AND sqrt(dx * dx + dy * dy) > 0
+),
+br_agg AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_steps,
+         CAST(sum(ux) AS BIGINT) AS sx, CAST(sum(uy) AS BIGINT) AS sy
+  FROM br_unit GROUP BY 1
+)
+SELECT user_id, n_steps, sx, sy,
+       CAST(floor(sqrt(CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                       + CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+                  / n_steps) AS BIGINT) AS rbar_micro
+FROM br_agg
+"""

@@ -1005,3 +1005,75 @@ def test_home_work_anchors_replay_and_ties(spark):
             "n_work_at", "n_work", "n_pings", "same_place", "home_share_micro"]
     for u, g in got.items():
         assert twin[u] == tuple(g[c] for c in cols), u
+
+
+def test_bearing_resultant_brute_and_twin(spark):
+    """Scalar replay of the quantized-unit-vector sums; a straight-line
+    walker concentrates at rbar_micro == 1e6, a back-and-forth walker
+    cancels to ~0; zero-displacement steps are skipped; twin matches."""
+    import datetime
+    import math
+
+    import duckdb
+
+    def t(i):
+        return datetime.datetime(2024, 1, 1) + datetime.timedelta(minutes=i)
+
+    from osm2geojson_spark.operators.trajectory import (
+        bearing_resultant,
+        bearing_resultant_sql,
+    )
+
+    rows = (
+        # straight NE walker
+        [(1, t(i), 10.0 + i * 0.5, 20.0 + i * 0.5) for i in range(8)]
+        # back-and-forth (even steps east, odd steps west) + one stall
+        + [(2, t(i), 5.0 + (i % 2) * 1.0, -3.0) for i in range(9)]
+        + [(2, t(9), 6.0, -3.0)]  # duplicate position -> skipped step
+        # L-shaped: 3 east then 3 north
+        + [(3, t(i), float(i), 0.0) for i in range(4)]
+        + [(3, t(4 + i), 3.0, 1.0 + i) for i in range(3)]
+    )
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, lon double, lat double")
+    got = {r["user_id"]: r.asDict() for r in bearing_resultant(df).collect()}
+
+    # scalar replay
+    from collections import defaultdict
+
+    series = defaultdict(list)
+    for u, ts, lon, lat in rows:
+        series[u].append((ts, lon, lat))
+    for u, pts in series.items():
+        pts.sort()
+        sx = sy = n = 0
+        for (t0, x0, y0), (t1, x1, y1) in zip(pts, pts[1:]):
+            dx, dy = x1 - x0, y1 - y0
+            hyp = math.sqrt(dx * dx + dy * dy)
+            if hyp > 0:
+                n += 1
+                sx += round(1000000.0 * dx / hyp)
+                sy += round(1000000.0 * dy / hyp)
+        r = got[u]
+        assert (r["n_steps"], r["sx"], r["sy"]) == (n, sx, sy), u
+        assert r["rbar_micro"] == math.floor(
+            math.sqrt(float(sx) ** 2 + float(sy) ** 2) / n
+        )
+    assert got[1]["rbar_micro"] >= 999999  # perfectly straight
+    assert got[2]["rbar_micro"] <= 120000  # mostly cancelling
+    assert got[2]["n_steps"] == 9  # the stall step was dropped
+    # L-shape: 3 east + 3 north -> resultant at 45 deg, rbar = cos(45)
+    assert abs(got[3]["rbar_micro"] - int(1e6 * math.sqrt(2) / 2)) <= 2
+
+    duck = duckdb.connect()
+    duck.execute(
+        "CREATE TABLE bp (user_id BIGINT, ts TIMESTAMP, lon DOUBLE, lat DOUBLE)"
+    )
+    duck.executemany("INSERT INTO bp VALUES (?, ?, ?, ?)", rows)
+    twin = {
+        r[0]: r
+        for r in duck.sql(
+            bearing_resultant_sql("SELECT * FROM bp")
+        ).fetchall()
+    }
+    for u, r in got.items():
+        assert twin[u] == (u, r["n_steps"], r["sx"], r["sy"], r["rbar_micro"])
