@@ -13113,9 +13113,36 @@ def _bearing_stats_sql() -> str:
     return bearing_resultant_sql(_TRAJ_PINGS_CTE)
 
 
+def q_sax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X271 (analytics.sax_words): SAX symbolization of per-event-type
+    value series (cents) — 8-point PAA segments binned into a 4-letter
+    equal-width alphabet with the exact rational-mean integer bin."""
+    from osm2geojson_spark.operators.analytics import sax_words
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("g"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t"),
+        F.col("event_id").alias("rid"),
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    )
+    return sax_words(ev, seg_len=8, alphabet=4)
+
+
+def _sax_sql() -> str:
+    from osm2geojson_spark.operators.analytics import sax_words_sql
+
+    return sax_words_sql(
+        "SELECT event_type AS g, epoch_us(ts) AS t, event_id AS rid,"
+        " CAST(round(value * 100) AS BIGINT) AS v FROM events",
+        seg_len=8,
+        alphabet=4,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "sax": q_sax,
         "bearing_stats": q_bearing_stats,
         "ppr": q_ppr,
         "clique4": q_clique4,
@@ -13437,6 +13464,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "sax": _sax_sql(),
         "bearing_stats": _bearing_stats_sql(),
         "ppr": _ppr_sql(),
         "clique4": _clique4_sql(),

@@ -316,6 +316,7 @@ BENCH_QUERIES = [
     "clique4",
     "ppr",
     "bearing_stats",
+    "sax",
 ]
 
 

@@ -5478,3 +5478,103 @@ SELECT s, tp, fp, p_all - tp AS fn,
          AS rec_micro
 FROM pr_cum
 """
+
+
+def sax_words(
+    df: DataFrame,
+    group_col: str = "g",
+    t_col: str = "t",
+    id_col: str = "rid",
+    v_col: str = "v",
+    seg_len: int = 8,
+    alphabet: int = 4,
+) -> DataFrame:
+    """(g, seg, n_in, sum_v, sym) — SAX SYMBOLIZATION (Lin/Keogh
+    2003's PAA+discretize pipeline, the range-normalized integer
+    variant): compress each series into a short symbol string for
+    motif mining, similarity hashing, and anomaly grammars. Each run
+    of ``seg_len`` consecutive points becomes one PAA segment; the
+    segment MEAN is binned into ``alphabet`` equal-width classes of
+    the series' own [min, max] span.
+
+    Float-free discretization: with range = vmax − vmin + 1 the bin
+
+        sym = ⌊ A·(sum_v − n_in·vmin) / (n_in·range) ⌋
+
+    is exact integer division (mean binning with the mean kept as the
+    rational sum_v/n_in — never materialized as a float), and
+    sym < A holds automatically since sum_v − n_in·vmin < n_in·range.
+    Classic SAX uses Gaussian breakpoints on a z-normalized series —
+    float territory; the equal-width variant keeps the symbol stream
+    bit-reproducible, which is what a 100 TB dedup/motif pass needs.
+
+    Scale: one ordered window per series for the segment index, one
+    combinable groupBy(g, seg), one tiny per-series min/max rollup
+    joined back (broadcast-sized). Partial tail segments keep their
+    true n_in."""
+    rows = df.select(
+        F.col(group_col).alias("g"),
+        F.col(t_col).cast("long").alias("t"),
+        F.col(id_col).cast("long").alias("rid"),
+        F.col(v_col).cast("long").alias("v"),
+    )
+    w = Window.partitionBy("g").orderBy("t", "rid")
+    seg = rows.select(
+        "g",
+        "v",
+        ((F.row_number().over(w) - F.lit(1)) / F.lit(seg_len))
+        .cast("long")
+        .alias("seg"),
+    )
+    per_seg = seg.groupBy("g", "seg").agg(
+        F.count(F.lit(1)).alias("n_in"), F.sum("v").alias("sum_v")
+    )
+    span = rows.groupBy("g").agg(
+        F.min("v").alias("vmin"), F.max("v").alias("vmax")
+    )
+    joined = per_seg.join(F.broadcast(span), "g")
+    return joined.select(
+        "g",
+        "seg",
+        "n_in",
+        "sum_v",
+        F.expr(
+            f"{alphabet} * (sum_v - n_in * vmin) div (n_in * (vmax - vmin + 1))"
+        ).alias("sym"),
+    )
+
+
+def sax_words_sql(
+    rows_cte: str,
+    seg_len: int = 8,
+    alphabet: int = 4,
+) -> str:
+    """DuckDB twin of sax_words — identical segment windows and
+    integer bin. ``rows_cte`` -> (g, t, rid, v)."""
+    return f"""
+WITH sx_src AS (
+  SELECT g, CAST(t AS BIGINT) AS t, CAST(rid AS BIGINT) AS rid,
+         CAST(v AS BIGINT) AS v
+  FROM ({rows_cte})
+),
+sx_seg AS (
+  SELECT g, v,
+         (row_number() OVER (PARTITION BY g ORDER BY t, rid) - 1)
+           // {seg_len} AS seg
+  FROM sx_src
+),
+sx_per AS (
+  SELECT g, CAST(seg AS BIGINT) AS seg,
+         CAST(count(*) AS BIGINT) AS n_in,
+         CAST(sum(v) AS BIGINT) AS sum_v
+  FROM sx_seg GROUP BY 1, 2
+),
+sx_span AS (
+  SELECT g, CAST(min(v) AS BIGINT) AS vmin, CAST(max(v) AS BIGINT) AS vmax
+  FROM sx_src GROUP BY 1
+)
+SELECT p.g, p.seg, p.n_in, p.sum_v,
+       {alphabet} * (p.sum_v - p.n_in * s.vmin)
+         // (p.n_in * (s.vmax - s.vmin + 1)) AS sym
+FROM sx_per p JOIN sx_span s ON s.g = p.g
+"""

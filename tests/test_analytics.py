@@ -3318,3 +3318,60 @@ def test_ams_f2_sketch_replay_estimate_quality_and_twin(spark):
         duck.sql(ams_f2_sql("SELECT k FROM ams", "k")).fetchall()
     )
     assert twin == got
+
+
+def test_sax_words_brute_and_twin(spark):
+    """Scalar replay of segment sums + integer bins; a ramp series
+    produces a nondecreasing symbol word hitting both alphabet ends;
+    constant series maps to symbol 0; partial tails keep true n_in."""
+    import duckdb
+
+    from osm2geojson_spark.operators.analytics import sax_words, sax_words_sql
+
+    m, a = 4, 4
+    data = (
+        [("ramp", i, i, 10 + 3 * i) for i in range(18)]  # tail of 2
+        + [("flat", i, i, 7) for i in range(9)]
+        + [("vee", i, i, abs(8 - i) * 5) for i in range(17)]
+    )
+    df = spark.createDataFrame(data, "g string, t long, rid long, v long")
+    got = {
+        (r["g"], r["seg"]): (r["n_in"], r["sum_v"], r["sym"])
+        for r in sax_words(df, seg_len=m, alphabet=a).collect()
+    }
+
+    from collections import defaultdict
+
+    series = defaultdict(list)
+    for g, t, rid, v in data:
+        series[g].append((t, rid, v))
+    want = {}
+    for g, pts in series.items():
+        pts.sort()
+        vs = [v for _, _, v in pts]
+        vmin, vmax = min(vs), max(vs)
+        rng = vmax - vmin + 1
+        for s0 in range(0, len(vs), m):
+            chunk = vs[s0 : s0 + m]
+            n, sv = len(chunk), sum(chunk)
+            want[(g, s0 // m)] = (n, sv, a * (sv - n * vmin) // (n * rng))
+    assert got == want
+    # ramp: word nondecreasing, spans 0..3; tail segment has n_in=2
+    ramp = [got[("ramp", s)][2] for s in range(5)]
+    assert ramp == sorted(ramp) and ramp[0] == 0 and ramp[-1] == a - 1
+    assert got[("ramp", 4)][0] == 2
+    assert all(got[("flat", s)][2] == 0 for s in (0, 1, 2))
+    # vee: high-low-high symbol shape
+    vee = [got[("vee", s)][2] for s in range(5)]
+    assert vee[0] == a - 1 and min(vee) == 0 and vee[-1] >= 1
+
+    duck = duckdb.connect()
+    duck.execute("CREATE TABLE sax (g VARCHAR, t BIGINT, rid BIGINT, v BIGINT)")
+    duck.executemany("INSERT INTO sax VALUES (?, ?, ?, ?)", data)
+    twin = {
+        (r[0], r[1]): (r[2], r[3], r[4])
+        for r in duck.sql(
+            sax_words_sql("SELECT * FROM sax", seg_len=m, alphabet=a)
+        ).fetchall()
+    }
+    assert twin == got
