@@ -13139,9 +13139,73 @@ def _sax_sql() -> str:
     )
 
 
+def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X272 (functions.text.pii_scan): PII census over the documents
+    corpus with deterministically injected emails / dotted-quad IPs /
+    international phone numbers (residue-class injection so clean docs
+    stay clean) — exact match counts in the Java-regex ∩ RE2 dialect."""
+    from osm2geojson_spark.functions.text import pii_scan
+
+    d = F.col("doc_id")
+    injected = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            d % 3 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" mail u"),
+                d.cast("string"),
+                F.lit("@ex"),
+                (d % 7).cast("string"),
+                F.lit(".com"),
+            ),
+        )
+        .when(
+            d % 5 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" ip 10."),
+                (d % 256).cast("string"),
+                F.lit(".0."),
+                (d % 250).cast("string"),
+                F.lit(" end"),
+            ),
+        )
+        .when(
+            d % 7 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" call +1415"),
+                (F.lit(1000000) + d % 1000000).cast("string"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return pii_scan(injected)
+
+
+def _pii_scan_sql() -> str:
+    from osm2geojson_spark.functions.text import pii_scan_sql
+
+    return pii_scan_sql(
+        "SELECT doc_id,"
+        " CASE WHEN doc_id % 3 = 0 THEN text || ' mail u'"
+        "   || CAST(doc_id AS VARCHAR) || '@ex'"
+        "   || CAST(doc_id % 7 AS VARCHAR) || '.com'"
+        " WHEN doc_id % 5 = 0 THEN text || ' ip 10.'"
+        "   || CAST(doc_id % 256 AS VARCHAR) || '.0.'"
+        "   || CAST(doc_id % 250 AS VARCHAR) || ' end'"
+        " WHEN doc_id % 7 = 0 THEN text || ' call +1415'"
+        "   || CAST(1000000 + doc_id % 1000000 AS VARCHAR)"
+        " ELSE text END AS text FROM documents"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "pii_scan": q_pii_scan,
         "sax": q_sax,
         "bearing_stats": q_bearing_stats,
         "ppr": q_ppr,
@@ -13464,6 +13528,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "pii_scan": _pii_scan_sql(),
         "sax": _sax_sql(),
         "bearing_stats": _bearing_stats_sql(),
         "ppr": _ppr_sql(),

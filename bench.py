@@ -317,6 +317,7 @@ BENCH_QUERIES = [
     "ppr",
     "bearing_stats",
     "sax",
+    "pii_scan",
 ]
 
 

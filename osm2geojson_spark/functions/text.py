@@ -871,3 +871,78 @@ SELECT d.doc_id,
 FROM bpe_doctoks d JOIN bpe_vocab v USING (tok)
 GROUP BY 1
 """
+
+
+# --- PII detection -----------------------------------------------------
+# Patterns restricted to the Java-regex ∩ RE2 common dialect: character
+# classes, bounded repetition, non-capturing groups, \b word boundaries —
+# no lookaround, no backreferences, so Spark (java.util.regex) and the
+# DuckDB twin (RE2) match the identical span set.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"
+PII_PHONE_RE = r"\+[0-9]{7,15}"
+
+
+def pii_scan(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_email, n_ipv4, n_phone, pii_total, has_pii) — PII
+    CENSUS per document: count email addresses, dotted-quad IPs, and
+    international phone numbers. The triage gate every LLM training
+    corpus runs before release — route has_pii docs to scrubbing
+    (dedup.scrub_spans applies the removals; this operator is the
+    detector that feeds it).
+
+    Both engines evaluate the same leftmost non-overlapping match
+    semantics on the same restricted-dialect patterns, so the counts
+    are exact integers, not heuristics. Counting only — span offsets
+    stay engine-side (regexp_extract_all positions aren't exposed
+    identically; scrubbing re-matches by value, which is why
+    scrub_spans takes strings, not offsets).
+
+    Scale: pure JVM column expressions on a single scan — no shuffle,
+    no UDF; predicate-pushdown-friendly (has_pii is sargable into the
+    scan filter when used as a gate)."""
+    t = F.col(text_col)
+    n_email = F.size(F.regexp_extract_all(t, F.lit(PII_EMAIL_RE), F.lit(0)))
+    n_ipv4 = F.size(F.regexp_extract_all(t, F.lit(PII_IPV4_RE), F.lit(0)))
+    n_phone = F.size(F.regexp_extract_all(t, F.lit(PII_PHONE_RE), F.lit(0)))
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        n_email.cast("long").alias("n_email"),
+        n_ipv4.cast("long").alias("n_ipv4"),
+        n_phone.cast("long").alias("n_phone"),
+    ).select(
+        "doc_id",
+        "n_email",
+        "n_ipv4",
+        "n_phone",
+        (F.col("n_email") + F.col("n_ipv4") + F.col("n_phone")).alias(
+            "pii_total"
+        ),
+        (
+            (F.col("n_email") + F.col("n_ipv4") + F.col("n_phone")) > 0
+        ).alias("has_pii"),
+    )
+
+
+def pii_scan_sql(rows_cte: str) -> str:
+    """DuckDB twin of pii_scan (RE2 end of the common dialect).
+    ``rows_cte`` -> (doc_id, text)."""
+    e, i, p = PII_EMAIL_RE, PII_IPV4_RE, PII_PHONE_RE
+    return f"""
+WITH pii_src AS ({rows_cte})
+SELECT doc_id,
+       CAST(length(regexp_extract_all(text, '{e}')) AS BIGINT) AS n_email,
+       CAST(length(regexp_extract_all(text, '{i}')) AS BIGINT) AS n_ipv4,
+       CAST(length(regexp_extract_all(text, '{p}')) AS BIGINT) AS n_phone,
+       CAST(length(regexp_extract_all(text, '{e}'))
+            + length(regexp_extract_all(text, '{i}'))
+            + length(regexp_extract_all(text, '{p}')) AS BIGINT) AS pii_total,
+       (length(regexp_extract_all(text, '{e}'))
+        + length(regexp_extract_all(text, '{i}'))
+        + length(regexp_extract_all(text, '{p}'))) > 0 AS has_pii
+FROM pii_src
+"""

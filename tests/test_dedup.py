@@ -1659,3 +1659,51 @@ def test_canonical_pick_keeps_best_and_accounts_drops(spark):
         ).fetchall()
     }
     assert twin == got
+
+
+def test_pii_scan_counts_edges_and_twin(spark):
+    """Hand-counted fixtures: multiple matches, boundary cases the \\b
+    guards (no match inside longer digit runs), clean text; DuckDB twin
+    identical on every row."""
+    import duckdb
+
+    from osm2geojson_spark.functions.text import pii_scan, pii_scan_sql
+
+    rows = [
+        (1, "reach me at a.b+c@ex.com or ops@sub.ex.org thanks"),
+        (2, "server 10.0.0.1 and 192.168.255.254 are up"),
+        (3, "call +4915112345678 now"),
+        (4, "no pii here, just 1.2 version and one@two"),  # @ without TLD
+        (5, "x12345678901234567890.1.2.3 not an ip"),  # \b blocks prefix
+        (6, "mixed: a@b.io on 8.8.8.8 dial +1234567"),
+        (7, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in pii_scan(df).collect()}
+
+    want = {
+        1: (2, 0, 0),
+        2: (0, 2, 0),
+        3: (0, 0, 1),
+        4: (0, 0, 0),
+        5: (0, 0, 0),
+        6: (1, 1, 1),
+        7: (0, 0, 0),
+    }
+    for k, (e, i, p) in want.items():
+        r = got[k]
+        assert (r["n_email"], r["n_ipv4"], r["n_phone"]) == (e, i, p), k
+        assert r["pii_total"] == e + i + p
+        assert r["has_pii"] == (e + i + p > 0)
+
+    duck = duckdb.connect()
+    duck.execute("CREATE TABLE pii (doc_id BIGINT, text VARCHAR)")
+    duck.executemany("INSERT INTO pii VALUES (?, ?)", rows)
+    twin = {
+        r[0]: r
+        for r in duck.sql(pii_scan_sql("SELECT * FROM pii")).fetchall()
+    }
+    for k, r in got.items():
+        assert twin[k] == (
+            k, r["n_email"], r["n_ipv4"], r["n_phone"], r["pii_total"], r["has_pii"],
+        )
