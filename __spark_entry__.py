@@ -13202,9 +13202,42 @@ def _pii_scan_sql() -> str:
     )
 
 
+def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X273 (similarity.knn_classify): leave-one-out kNN label
+    prediction (k=10 cosine neighbors, majority vote, (votes DESC,
+    label ASC) argmax) over the capped labeled-embedding sample — the
+    LOO accuracy probe; oracle replays the ranked join + vote."""
+    from osm2geojson_spark.operators.similarity import knn_classify
+
+    emb = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 800)
+        .select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias(
+                "embedding"
+            ),
+            F.col("label").cast("long").alias("label"),
+        )
+    )
+    return knn_classify(emb, k=10)
+
+
+def _knn_classify_sql() -> str:
+    from osm2geojson_spark.operators.similarity import knn_classify_sql
+
+    return knn_classify_sql(
+        "SELECT vec_id, embedding::DOUBLE[] AS v,"
+        " CAST(label AS BIGINT) AS label"
+        " FROM embeddings WHERE vec_id < 800",
+        k=10,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "knn_classify": q_knn_classify,
         "pii_scan": q_pii_scan,
         "sax": q_sax,
         "bearing_stats": q_bearing_stats,
@@ -13528,6 +13561,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "knn_classify": _knn_classify_sql(),
         "pii_scan": _pii_scan_sql(),
         "sax": _sax_sql(),
         "bearing_stats": _bearing_stats_sql(),

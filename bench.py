@@ -318,6 +318,7 @@ BENCH_QUERIES = [
     "bearing_stats",
     "sax",
     "pii_scan",
+    "knn_classify",
 ]
 
 

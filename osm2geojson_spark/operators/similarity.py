@@ -1512,3 +1512,107 @@ SELECT CAST(f.i AS INTEGER) AS i, CAST(f.v AS BIGINT) AS v_q,
             ELSE CAST(n.num AS DOUBLE) / CAST(d.den AS DOUBLE) END AS lam
 FROM pca_fin f, pca_num n, pca_den d
 """
+
+
+def knn_classify(
+    emb: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """(vec_id, label, pred, votes, k_eff, correct) — LEAVE-ONE-OUT
+    kNN CLASSIFICATION over a labeled embedding table: predict each
+    vector's label by majority vote of its k nearest cosine neighbors
+    (self excluded), and report agreement with the stored label. The
+    standard embedding-quality probe (LOO-kNN accuracy) and the
+    workhorse label-propagation baseline for weakly-labeled corpora —
+    label_noise_scores' sibling that commits to a prediction instead
+    of a disagreement count.
+
+    Composition: gemm_knn_edges (broadcast-GEMM exact cosine top-k,
+    (cos DESC, id ASC) pinned neighbor order) → join neighbor labels →
+    per-(vector, label) vote counts → argmax pinned by (votes DESC,
+    label ASC). Every step past the scored edges is exact integer
+    algebra, so the oracle replays the identical ranked join + vote.
+
+    Scale: the validation-sized corpus broadcasts (this is a
+    quality-probe operator — run it on the eval sample, not the 100 TB
+    corpus); votes/argmax are two combinable groupBys on k·n edge
+    rows. Swap gemm edges for IVF/LSH candidates to classify at
+    corpus scale with recall < 1."""
+    edges = gemm_knn_edges(emb, k, id_col=id_col, vec_col=vec_col)
+    labels = emb.select(
+        F.col(id_col).alias("_id"), F.col(label_col).cast("long").alias("_lab")
+    )
+    votes = (
+        edges.join(F.broadcast(labels), edges["tid"] == labels["_id"])
+        .groupBy(F.col("qid"), F.col("_lab").alias("tlab"))
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    pick = (
+        votes.groupBy("qid")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("votes"), (-F.col("tlab")).alias("neg"),
+                    F.col("tlab").alias("pred"),
+                )
+            ).alias("top"),
+            F.sum("votes").alias("k_eff"),
+        )
+        .select(
+            "qid",
+            F.col("top.pred").alias("pred"),
+            F.col("top.votes").alias("votes"),
+            F.col("k_eff"),
+        )
+    )
+    return (
+        pick.join(F.broadcast(labels), pick["qid"] == labels["_id"])
+        .select(
+            F.col("qid").alias("vec_id"),
+            F.col("_lab").alias("label"),
+            "pred",
+            "votes",
+            "k_eff",
+            (F.col("pred") == F.col("_lab")).alias("correct"),
+        )
+    )
+
+
+def knn_classify_sql(emb_cte: str, k: int = 10) -> str:
+    """DuckDB twin of knn_classify — ranked cosine cross join, identical
+    vote counts and (votes DESC, label ASC) argmax.
+    ``emb_cte`` -> (vec_id, v DOUBLE[], label)."""
+    return f"""
+WITH kc_e AS ({emb_cte}),
+kc_d AS (
+  SELECT q.vec_id AS qid, q.label AS qlab, t.vec_id AS tid,
+         t.label AS tlab,
+         list_dot_product(q.v, t.v)
+           / (sqrt(list_dot_product(q.v, q.v))
+              * sqrt(list_dot_product(t.v, t.v))) AS cos
+  FROM kc_e q JOIN kc_e t ON q.vec_id != t.vec_id
+),
+kc_r AS (
+  SELECT qid, qlab, tlab,
+         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, tid ASC)
+           AS rank
+  FROM kc_d
+),
+kc_votes AS (
+  SELECT qid, qlab, tlab, CAST(count(*) AS BIGINT) AS votes
+  FROM kc_r WHERE rank <= {k} GROUP BY 1, 2, 3
+),
+kc_pick AS (
+  SELECT qid, qlab, tlab AS pred, votes,
+         CAST(sum(votes) OVER (PARTITION BY qid) AS BIGINT) AS k_eff,
+         row_number() OVER (PARTITION BY qid ORDER BY votes DESC, tlab ASC)
+           AS pr
+  FROM kc_votes
+)
+SELECT qid AS vec_id, qlab AS label, pred, votes, k_eff,
+       pred = qlab AS correct
+FROM kc_pick WHERE pr = 1
+"""

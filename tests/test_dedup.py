@@ -1707,3 +1707,59 @@ def test_pii_scan_counts_edges_and_twin(spark):
         assert twin[k] == (
             k, r["n_email"], r["n_ipv4"], r["n_phone"], r["pii_total"], r["has_pii"],
         )
+
+
+def test_knn_classify_numpy_brute_and_planted_clusters(spark):
+    """NumPy brute-force LOO-kNN vote replay on deterministic vectors;
+    two well-separated planted clusters classify perfectly; a deliberate
+    mislabel is voted down (correct == False)."""
+    import numpy as np
+
+    from osm2geojson_spark.operators.similarity import knn_classify
+
+    rng_free = []
+    # cluster 0 around (1, 0, 0...), cluster 1 around (0, 1, 0...)
+    dim = 8
+    for i in range(20):
+        v = [0.0] * dim
+        v[0] = 1.0
+        v[2 + (i % 3)] = 0.05 * ((i * 7) % 5)
+        rng_free.append((i, v, 0))
+    for i in range(20, 40):
+        v = [0.0] * dim
+        v[1] = 1.0
+        v[2 + (i % 3)] = 0.05 * ((i * 11) % 5)
+        rng_free.append((i, v, 1))
+    # mislabeled point deep in cluster 0
+    v = [0.0] * dim
+    v[0] = 1.0
+    v[3] = 0.02
+    rng_free.append((40, v, 1))
+
+    df = spark.createDataFrame(
+        rng_free, "vec_id long, embedding array<double>, label long"
+    )
+    k = 7
+    got = {r["vec_id"]: r.asDict() for r in knn_classify(df, k=k).collect()}
+
+    ids = np.array([r[0] for r in rng_free])
+    M = np.array([r[1] for r in rng_free], dtype=np.float64)
+    labs = np.array([r[2] for r in rng_free])
+    Mn = M / np.linalg.norm(M, axis=1)[:, None]
+    S = Mn @ Mn.T
+    for qi, qid in enumerate(ids):
+        s = S[qi].copy()
+        s[qi] = -np.inf
+        order = np.lexsort((ids, -s))[:k]
+        vote = {}
+        for j in order:
+            vote[labs[j]] = vote.get(labs[j], 0) + 1
+        pred = min(vote, key=lambda l: (-vote[l], l))
+        r = got[qid]
+        assert r["pred"] == pred, qid
+        assert r["votes"] == vote[pred]
+        assert r["k_eff"] == k
+        assert r["correct"] == (pred == labs[qi])
+    # planted structure: everything correct except the mislabel
+    assert not got[40]["correct"] and got[40]["pred"] == 0
+    assert all(got[i]["correct"] for i in range(40))
