@@ -13234,9 +13234,26 @@ def _knn_classify_sql() -> str:
     )
 
 
+def q_cepstrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X274 (multimodal.cepstral_features): integer cepstral (MFCC-
+    recipe) coefficients — DCT-II of the dyadic log filterbank energies
+    over the square-wave clip corpus, 4096-quantized basis, exact
+    int64; composes tone_detect → filterbank_energy → basis rollup."""
+    from osm2geojson_spark.operators.multimodal import cepstral_features
+
+    return cepstral_features(_fb_clips(spark, sf_dir))
+
+
+def _cepstrum_sql() -> str:
+    from osm2geojson_spark.operators.multimodal import cepstral_features_sql
+
+    return cepstral_features_sql(_FB_SAMPLES_SQL)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "cepstrum": q_cepstrum,
         "knn_classify": q_knn_classify,
         "pii_scan": q_pii_scan,
         "sax": q_sax,
@@ -13561,6 +13578,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "cepstrum": _cepstrum_sql(),
         "knn_classify": _knn_classify_sql(),
         "pii_scan": _pii_scan_sql(),
         "sax": _sax_sql(),

@@ -319,6 +319,7 @@ BENCH_QUERIES = [
     "sax",
     "pii_scan",
     "knn_classify",
+    "cepstrum",
 ]
 
 

@@ -5034,3 +5034,85 @@ SELECT clip_id, frame_idx,
 FROM sd_diff WHERE prev IS NOT NULL
 GROUP BY 1, 2
 """
+
+
+CEPS_BASIS_SCALE = 4096  # dyadic DCT-II basis quantization (dct_phash scheme)
+
+
+def _ceps_basis(n_filters: int) -> list[tuple[int, int, int]]:
+    """(j, m, b) rows of the DCT-II basis, b = round(cos(π·j·(2m+1)/(2M))
+    · 4096) — exact ints embedded identically in both engines."""
+    import math
+
+    out = []
+    for j in range(n_filters):
+        for m in range(n_filters):
+            b = round(
+                math.cos(math.pi * j * (2 * m + 1) / (2 * n_filters))
+                * CEPS_BASIS_SCALE
+            )
+            out.append((j, m, b))
+    return out
+
+
+def cepstral_features(
+    audios: DataFrame,
+    frame: int = 64,
+    centers: tuple = (2, 4, 8),
+    scale: int = 512,
+) -> DataFrame:
+    """(audio_id, frame_idx, j, ceps) — CEPSTRAL FEATURES (the MFCC
+    recipe on the engine's integer stack): DCT-II of the per-frame
+    log filterbank energies. Coefficient 0 is overall log-energy,
+    coefficient 1 spectral tilt, 2 curvature — the compact timbre
+    vector under audio dedup, clustering, and quality gates.
+
+    Integer-exact end to end: the filterbank's dyadic log2_e (bit
+    length − 1; −1 for silence) is multiplied by the 4096-quantized
+    DCT basis (dct_phash's dyadic-quantization scheme — every basis
+    entry an exact int), so
+
+        ceps(j) = Σ_m log2_e(m) · round(4096·cos(πj(2m+1)/(2M)))
+
+    is exact int64 (|ceps| ≤ 63·4096·M). Classic MFCC's float mel/log
+    resolution is traded for bit-reproducibility — the corpus-curation
+    tradeoff this engine makes everywhere (SAX, keyword_extract,
+    compress_cost).
+
+    Built BY COMPOSITION on filterbank_energy (tone_detect DFT GEMM →
+    octave weights): one extra broadcast basis join + combinable
+    rollup; clips never shuffle."""
+    M = len(centers)
+    fb = filterbank_energy(
+        audios, frame=frame, centers=centers, scale=scale
+    ).select("audio_id", "frame_idx", "m", "log2_e")
+    spark = audios.sparkSession
+    basis = spark.createDataFrame(_ceps_basis(M), "j int, m int, b long")
+    return (
+        fb.join(F.broadcast(basis), "m")
+        .groupBy("audio_id", "frame_idx", "j")
+        .agg(F.sum(F.col("log2_e") * F.col("b")).cast("long").alias("ceps"))
+    )
+
+
+def cepstral_features_sql(
+    samples_cte: str,
+    frame: int = 64,
+    centers: tuple = (2, 4, 8),
+    scale: int = 512,
+) -> str:
+    """DuckDB twin of cepstral_features — wraps filterbank_energy_sql
+    and replays the identical basis join + rollup."""
+    M = len(centers)
+    basis = ", ".join(f"({j}, {m}, {b})" for j, m, b in _ceps_basis(M))
+    inner = filterbank_energy_sql(
+        samples_cte, frame=frame, centers=centers, scale=scale
+    )
+    return f"""
+WITH ceps_fb AS MATERIALIZED ({inner}),
+ceps_b(j, m, b) AS (SELECT * FROM (VALUES {basis}))
+SELECT f.audio_id, f.frame_idx, CAST(ceps_b.j AS INTEGER) AS j,
+       CAST(sum(f.log2_e * ceps_b.b) AS BIGINT) AS ceps
+FROM ceps_fb f JOIN ceps_b ON ceps_b.m = f.m
+GROUP BY 1, 2, 3
+"""

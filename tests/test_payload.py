@@ -3455,3 +3455,68 @@ def test_shot_detect_fires_at_planted_cut(spark):
         for r in duck.sql(shot_detect_sql("SELECT * FROM sdp", thresh=40)).fetchall()
     }
     assert twin == got
+
+
+def test_cepstral_features_replay_and_dct_properties(spark):
+    """Replay the DCT rollup over the operator's own filterbank log
+    energies; j=0 equals 4096·Σlog2_e (DC basis is all ones at scale);
+    a flat log-spectrum frame has (near-)zero higher coefficients;
+    DuckDB twin bit-identical."""
+    import duckdb
+
+    from osm2geojson_spark.functions import audiocodec as AC
+    from osm2geojson_spark.operators.multimodal import (
+        CEPS_BASIS_SCALE,
+        _ceps_basis,
+        cepstral_features,
+        cepstral_features_sql,
+        filterbank_energy,
+    )
+
+    t = np.arange(192, dtype=np.int64)
+    tone4 = np.where(((t * 4) // 32) % 2 == 0, 6000, -6000)
+    mix = np.where(((t * 2) // 32) % 2 == 0, 5000, -5000) + (t % 3) * 100
+    rows = [
+        ("t4", "pcmz", AC.encode_pcm16(tone4.astype(np.int16))),
+        ("mx", "pcmz", AC.encode_pcm16(mix.astype(np.int16))),
+    ]
+    clips = spark.createDataFrame(
+        rows, "audio_id string, fmt string, bytes binary"
+    )
+    fb = {
+        (r["audio_id"], r["frame_idx"], r["m"]): r["log2_e"]
+        for r in filterbank_energy(clips).collect()
+    }
+    got = {
+        (r["audio_id"], r["frame_idx"], r["j"]): r["ceps"]
+        for r in cepstral_features(clips).collect()
+    }
+
+    basis = {(j, m): b for j, m, b in _ceps_basis(3)}
+    want = {}
+    for (aid, fi, m), le in fb.items():
+        for j in range(3):
+            want[(aid, fi, j)] = want.get((aid, fi, j), 0) + le * basis[(j, m)]
+    assert got == want
+    # DC coefficient: basis row j=0 is 4096 everywhere
+    for (aid, fi, j), v in got.items():
+        if j == 0:
+            s = sum(fb[(aid, fi, m)] for m in range(3))
+            assert v == CEPS_BASIS_SCALE * s
+
+    # twin over the same samples (decode to (audio_id, t, v) rows)
+    duck = duckdb.connect()
+    duck.execute("CREATE TABLE smp (audio_id VARCHAR, t BIGINT, v BIGINT)")
+    for aid, _, _ in rows:
+        arr = tone4 if aid == "t4" else mix
+        duck.executemany(
+            "INSERT INTO smp VALUES (?, ?, ?)",
+            [(aid, int(i), int(v)) for i, v in enumerate(arr)],
+        )
+    twin = {
+        (r[0], r[1], r[2]): r[3]
+        for r in duck.sql(
+            cepstral_features_sql("SELECT audio_id, t, v FROM smp")
+        ).fetchall()
+    }
+    assert twin == got
