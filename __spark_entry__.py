@@ -13250,9 +13250,25 @@ def _cepstrum_sql() -> str:
     return cepstral_features_sql(_FB_SAMPLES_SQL)
 
 
+def q_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X275 (multimodal.audio_resample): rational 4→3 linear
+    resampling of the square-wave clip corpus — exact biased-floor
+    lerp, endpoint-preserving, vectorized gather per Arrow batch."""
+    from osm2geojson_spark.operators.multimodal import audio_resample
+
+    return audio_resample(_fb_clips(spark, sf_dir), src_rate=4, dst_rate=3)
+
+
+def _audio_resample_sql() -> str:
+    from osm2geojson_spark.operators.multimodal import audio_resample_sql
+
+    return audio_resample_sql(_FB_SAMPLES_SQL, src_rate=4, dst_rate=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "audio_resample": q_audio_resample,
         "cepstrum": q_cepstrum,
         "knn_classify": q_knn_classify,
         "pii_scan": q_pii_scan,
@@ -13578,6 +13594,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "audio_resample": _audio_resample_sql(),
         "cepstrum": _cepstrum_sql(),
         "knn_classify": _knn_classify_sql(),
         "pii_scan": _pii_scan_sql(),

@@ -320,6 +320,7 @@ BENCH_QUERIES = [
     "pii_scan",
     "knn_classify",
     "cepstrum",
+    "audio_resample",
 ]
 
 

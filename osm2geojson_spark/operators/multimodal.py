@@ -5116,3 +5116,112 @@ SELECT f.audio_id, f.frame_idx, CAST(ceps_b.j AS INTEGER) AS j,
 FROM ceps_fb f JOIN ceps_b ON ceps_b.m = f.m
 GROUP BY 1, 2, 3
 """
+
+
+AUDIO_RESAMPLE_BIAS = 32768  # keeps the lerp numerator nonnegative
+
+
+def audio_resample(
+    audios: DataFrame,
+    src_rate: int = 4,
+    dst_rate: int = 3,
+) -> DataFrame:
+    """(audio_id, t_out, v_out, n_out) — LINEAR AUDIO RESAMPLING by the
+    exact rational ratio dst_rate/src_rate (sample-rate normalization —
+    the first step of any corpus-wide audio pipeline where sources
+    arrive at mixed rates). resize_bilinear's 1-D sibling.
+
+    Integer-exact interpolation: output sample t maps to source
+    position t·src/dst; with i0 = (t·src) div dst and
+    frac = (t·src) mod dst,
+
+        v_out = (v[i0]·(dst − frac) + v[i0+1]·frac) div dst
+
+    — the linear interpolation kept as an exact rational with ONE
+    floor division, made engine-identical by biasing the numerator
+    nonnegative first (+32768 per sample, subtracted after): DuckDB's
+    ``//`` truncates toward zero on negatives while NumPy floors, so
+    the unbiased form would differ by 1 on negative samples. Output
+    length n_out = ⌈(n−1)·dst/src⌉ + 1 uses only fully-supported
+    positions (i0+1 ≤ n−1), endpoint exact (t=0 → v[0]).
+
+    Scale: one Arrow pass per clip batch, vectorized gather+lerp; rows
+    out ∝ dst/src × input samples. Clips never shuffle."""
+    from ..functions import audiocodec
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                try:
+                    smp, _rate = audiocodec.decode(bytes(r.bytes), r.fmt)
+                except NotImplementedError:
+                    continue
+                n = len(smp)
+                if n < 2:
+                    continue
+                v = smp.astype(np.int64)
+                n_out = (n - 1) * dst_rate // src_rate + 1
+                t = np.arange(n_out, dtype=np.int64)
+                num = t * src_rate
+                i0 = num // dst_rate
+                frac = num % dst_rate
+                v0 = v[i0] + AUDIO_RESAMPLE_BIAS
+                v1 = v[np.minimum(i0 + 1, n - 1)] + AUDIO_RESAMPLE_BIAS
+                out = (
+                    v0 * (dst_rate - frac) + v1 * frac
+                ) // dst_rate - AUDIO_RESAMPLE_BIAS
+                rows.extend(
+                    (r.audio_id, int(tt), int(vv), int(n_out))
+                    for tt, vv in zip(t, out)
+                )
+            yield pd.DataFrame(
+                rows, columns=["audio_id", "t_out", "v_out", "n_out"]
+            )
+
+    return audios.select("audio_id", "bytes", "fmt").mapInPandas(
+        fn,
+        schema="audio_id string, t_out long, v_out long, n_out long",
+    )
+
+
+def audio_resample_sql(
+    samples_cte: str,
+    src_rate: int = 4,
+    dst_rate: int = 3,
+) -> str:
+    """DuckDB twin of audio_resample over (audio_id, t, v) sample rows
+    — output positions generated per clip, gathered by the identical
+    i0/frac arithmetic (floor division on nonnegative ints)."""
+    bias = AUDIO_RESAMPLE_BIAS
+    return f"""
+WITH rs_src AS (
+  SELECT audio_id, CAST(t AS BIGINT) AS t, CAST(v AS BIGINT) AS v
+  FROM ({samples_cte})
+),
+rs_n AS (
+  SELECT audio_id, CAST(count(*) AS BIGINT) AS n FROM rs_src GROUP BY 1
+),
+rs_pos AS (
+  SELECT audio_id, n,
+         (n - 1) * {dst_rate} // {src_rate} + 1 AS n_out,
+         unnest(range(0, (n - 1) * {dst_rate} // {src_rate} + 1)) AS t_out
+  FROM rs_n WHERE n >= 2
+),
+rs_map AS (
+  SELECT audio_id, n, n_out, t_out,
+         (t_out * {src_rate}) // {dst_rate} AS i0,
+         (t_out * {src_rate}) % {dst_rate} AS frac
+  FROM rs_pos
+)
+SELECT m.audio_id, m.t_out,
+       ((v0.v + {bias}) * ({dst_rate} - m.frac)
+        + (v1.v + {bias}) * m.frac) // {dst_rate}
+         - {bias} AS v_out,
+       m.n_out
+FROM rs_map m
+JOIN rs_src v0 ON v0.audio_id = m.audio_id AND v0.t = m.i0
+JOIN rs_src v1 ON v1.audio_id = m.audio_id
+             AND v1.t = CASE WHEN m.i0 + 1 > m.n - 1
+                             THEN m.n - 1 ELSE m.i0 + 1 END
+"""

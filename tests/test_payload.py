@@ -3520,3 +3520,71 @@ def test_cepstral_features_replay_and_dct_properties(spark):
         ).fetchall()
     }
     assert twin == got
+
+
+def test_audio_resample_exact_lerp_and_twin(spark):
+    """Scalar replay of the rational lerp (negative samples included —
+    the floor-vs-truncate trap); identity ratio is a no-op; linear
+    ramps resample onto the exact line; DuckDB twin bit-identical."""
+    import duckdb
+
+    from osm2geojson_spark.functions import audiocodec as AC
+    from osm2geojson_spark.operators.multimodal import (
+        audio_resample,
+        audio_resample_sql,
+    )
+
+    ramp = (np.arange(40, dtype=np.int64) * 300 - 6000)  # crosses zero
+    sq = np.where((np.arange(33) // 4) % 2 == 0, 7000, -7000).astype(np.int64)
+    rows = [
+        ("rmp", "pcmz", AC.encode_pcm16(ramp.astype(np.int16))),
+        ("sq", "pcmz", AC.encode_pcm16(sq.astype(np.int16))),
+    ]
+    clips = spark.createDataFrame(
+        rows, "audio_id string, fmt string, bytes binary"
+    )
+    src, dst = 4, 3
+    got = {
+        (r["audio_id"], r["t_out"]): (r["v_out"], r["n_out"])
+        for r in audio_resample(clips, src_rate=src, dst_rate=dst).collect()
+    }
+
+    B = 32768
+    for aid, arr in (("rmp", ramp), ("sq", sq)):
+        n = len(arr)
+        n_out = (n - 1) * dst // src + 1
+        for t in range(n_out):
+            i0, frac = (t * src) // dst, (t * src) % dst
+            v0 = int(arr[i0]) + B
+            v1 = int(arr[min(i0 + 1, n - 1)]) + B
+            vout = (v0 * (dst - frac) + v1 * frac) // dst - B
+            assert got[(aid, t)] == (vout, n_out), (aid, t)
+    # endpoint + on-the-line checks for the ramp: pos = t*4/3 exact
+    # when t*4 % 3 == 0 -> exact source sample
+    for t in range(0, 30, 3):
+        assert got[("rmp", t)][0] == ramp[t * src // dst]
+
+    # identity ratio: exact copy
+    ident = {
+        (r["audio_id"], r["t_out"]): r["v_out"]
+        for r in audio_resample(clips, src_rate=1, dst_rate=1).collect()
+    }
+    for t, v in enumerate(ramp):
+        assert ident[("rmp", t)] == v
+
+    duck = duckdb.connect()
+    duck.execute("CREATE TABLE rsm (audio_id VARCHAR, t BIGINT, v BIGINT)")
+    for aid, arr in (("rmp", ramp), ("sq", sq)):
+        duck.executemany(
+            "INSERT INTO rsm VALUES (?, ?, ?)",
+            [(aid, int(i), int(v)) for i, v in enumerate(arr)],
+        )
+    twin = {
+        (r[0], r[1]): (r[2], r[3])
+        for r in duck.sql(
+            audio_resample_sql(
+                "SELECT audio_id, t, v FROM rsm", src_rate=src, dst_rate=dst
+            )
+        ).fetchall()
+    }
+    assert twin == got
