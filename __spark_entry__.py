@@ -13265,9 +13265,43 @@ def _audio_resample_sql() -> str:
     return audio_resample_sql(_FB_SAMPLES_SQL, src_rate=4, dst_rate=3)
 
 
+def q_cell_buffer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X276 (cells.cell_buffer): k=2 Chebyshev grid buffer of the
+    nation rectangles at res 6 — covering → k_ring dilation → distinct
+    with core/halo flags; oracle derives the same set through the
+    expanded-rectangle identity (independent formulations)."""
+    from osm2geojson_spark.operators.cells import cell_buffer
+
+    nk = F.col("n_nationkey")
+    boxes = _t(spark, sf_dir, "nation").select(
+        nk.alias("poly_id"),
+        ((nk % 5) * 72.0 - 180.0).alias("min_lon"),
+        (F.floor(nk / 5) * 36.0 - 90.0).alias("min_lat"),
+        ((nk % 5) * 72.0 - 180.0 + 36.0).alias("max_lon"),
+        (F.floor(nk / 5) * 36.0 - 90.0 + 18.0).alias("max_lat"),
+    )
+    return cell_buffer(boxes, res=6, k=2)
+
+
+def _cell_buffer_sql() -> str:
+    from osm2geojson_spark.operators.cells import cell_buffer_sql
+
+    return cell_buffer_sql(
+        "SELECT n_nationkey AS poly_id,"
+        " (n_nationkey % 5) * 72.0 - 180.0 AS min_lon,"
+        " (n_nationkey // 5) * 36.0 - 90.0 AS min_lat,"
+        " (n_nationkey % 5) * 72.0 - 180.0 + 36.0 AS max_lon,"
+        " (n_nationkey // 5) * 36.0 - 90.0 + 18.0 AS max_lat"
+        " FROM nation",
+        res=6,
+        k=2,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "cell_buffer": q_cell_buffer,
         "audio_resample": q_audio_resample,
         "cepstrum": q_cepstrum,
         "knn_classify": q_knn_classify,
@@ -13594,6 +13628,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "cell_buffer": _cell_buffer_sql(),
         "audio_resample": _audio_resample_sql(),
         "cepstrum": _cepstrum_sql(),
         "knn_classify": _knn_classify_sql(),

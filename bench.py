@@ -321,6 +321,7 @@ BENCH_QUERIES = [
     "knn_classify",
     "cepstrum",
     "audio_resample",
+    "cell_buffer",
 ]
 
 

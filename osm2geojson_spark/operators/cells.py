@@ -953,3 +953,101 @@ SELECT CAST(min(key) AS BIGINT) AS key_lo,
        CAST(count(*) AS BIGINT) AS n_cells
 FROM hr_isl GROUP BY isl
 """
+
+
+def cell_buffer(
+    boxes: DataFrame,
+    res: int,
+    k: int = 1,
+    id_col: str = "poly_id",
+    bbox_cols: tuple = ("min_lon", "min_lat", "max_lon", "max_lat"),
+) -> DataFrame:
+    """(poly_id, cell_id, is_core) — GRID BUFFER by k-ring dilation:
+    every cell within Chebyshev distance k of a footprint's covering,
+    flagged core (in the covering itself) vs halo (added by the
+    buffer). The scale-path analogue of ST_Buffer for join expansion —
+    "match points NEAR this polygon, not only inside it" — at cell
+    resolution instead of exact geometry (the engine's uniform
+    tradeoff: buffer the covering, refine exactly inside the join
+    kernel, cf. within_distance_join which buffers per-point disks).
+
+    Pure integer cell algebra (covering_cells block → per-cell k_ring →
+    distinct): morphological DILATION on the cell grid, x wrapping at
+    the antimeridian, y clamped at the poles. The DuckDB twin
+    deliberately uses the OTHER formulation — a k-expanded bbox range
+    product (dilation of a rectangle block IS the expanded rectangle)
+    — so the engines agree through independent derivations, the
+    skyline two-formulations discipline.
+
+    Scale: explode(covering) × (2k+1)² candidate cells per footprint
+    before the distinct; keep res coarse enough that coverings stay
+    ≤ ~4k cells (the covering_cells contract). One distinct shuffle;
+    the is_core flag is a leftsemi-shaped join on (poly, cell)."""
+    lon0, lat0, lon1, lat1 = (F.col(c) for c in bbox_cols)
+    core = boxes.select(
+        F.col(id_col).alias("poly_id"),
+        F.explode(covering_cells(lon0, lat0, lon1, lat1, res)).alias(
+            "cell_id"
+        ),
+    ).distinct()
+    dilated = (
+        core.select(
+            "poly_id",
+            F.explode(k_ring(F.col("cell_id"), res, k)).alias("cell_id"),
+        )
+        .distinct()
+    )
+    return (
+        dilated.join(
+            core.withColumn("_core", F.lit(True)), ["poly_id", "cell_id"], "left"
+        )
+        .select(
+            "poly_id",
+            "cell_id",
+            F.coalesce(F.col("_core"), F.lit(False)).alias("is_core"),
+        )
+    )
+
+
+def cell_buffer_sql(
+    boxes_cte: str,
+    res: int,
+    k: int = 1,
+) -> str:
+    """DuckDB twin of cell_buffer via the expanded-rectangle identity
+    (dilating a [x0..x1]×[y0..y1] block by Chebyshev k is the
+    [x0−k..x1+k]×[clamp(y0−k)..clamp(y1+k)] block, x wrapped mod n).
+    ``boxes_cte`` -> (poly_id, min_lon, min_lat, max_lon, max_lat),
+    boxes not antimeridian-crossing (min_lon <= max_lon)."""
+    n = _grid_n(res)
+    cx = (
+        lambda e: f"greatest(0, least({n - 1},"
+        f" CAST(floor(({e} + 180.0) / 360.0 * {n}.0) AS BIGINT)))"
+    )
+    cy = (
+        lambda e: f"greatest(0, least({n - 1},"
+        f" CAST(floor(({e} + 90.0) / 180.0 * {n}.0) AS BIGINT)))"
+    )
+    return f"""
+WITH cb_src AS ({boxes_cte}),
+cb_rng AS (
+  SELECT poly_id,
+         {cx('min_lon')} AS x0, {cx('max_lon')} AS x1,
+         {cy('min_lat')} AS y0, {cy('max_lat')} AS y1
+  FROM cb_src
+),
+cb_cells AS (
+  SELECT DISTINCT poly_id,
+         ((xx % {n}) + {n}) % {n} AS x, yy AS y,
+         (xx BETWEEN x0 AND x1) AND (yy BETWEEN y0 AND y1) AS is_core
+  FROM cb_rng,
+       unnest(range(x0 - {k}, x1 + {k} + 1)) AS ux(xx),
+       unnest(range(greatest(0, y0 - {k}),
+                    least({n - 1}, y1 + {k}) + 1)) AS uy(yy)
+)
+SELECT poly_id,
+       CAST({res} AS BIGINT) * {1 << _R_SHIFT}
+         + x * {1 << _X_SHIFT} + y AS cell_id,
+       is_core
+FROM cb_cells
+"""

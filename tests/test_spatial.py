@@ -2024,3 +2024,79 @@ def test_delaunay_cocircular_keeps_both_diagonals(spark):
         (r["a"], r["b"], r["c"]) for r in delaunay_triangles(df).collect()
     )
     assert got == [(0, 1, 2), (0, 1, 3), (0, 2, 3), (1, 2, 3)]
+
+
+def test_cell_buffer_dilation_brute_and_twin(spark):
+    """Python brute dilation (explicit Chebyshev expansion of the
+    covering set) on an interior box, a pole-clamped box, and an
+    antimeridian-adjacent box; halo ring is exactly the set difference;
+    DuckDB twin (expanded-rectangle formulation) identical."""
+    import duckdb
+
+    from osm2geojson_spark.operators.cells import (
+        cell_buffer,
+        cell_buffer_sql,
+        cell_x,
+        cell_y,
+        pack_cell_py,
+    )
+
+    res, k = 5, 2
+    n = 1 << res
+    boxes = [
+        (1, 10.0, 20.0, 40.0, 35.0),     # interior
+        (2, -170.0, 75.0, -140.0, 89.0), # clamps at the north pole row
+        (3, 150.0, -10.0, 179.0, 5.0),   # dilation wraps past 180
+    ]
+    df = spark.createDataFrame(
+        boxes, "poly_id long, min_lon double, min_lat double,"
+        " max_lon double, max_lat double"
+    )
+    got = {
+        (r["poly_id"], r["cell_id"]): r["is_core"]
+        for r in cell_buffer(df, res=res, k=k).collect()
+    }
+
+    def cx(lon):
+        return max(0, min(n - 1, int((lon + 180.0) / 360.0 * n // 1)))
+
+    def cy(lat):
+        return max(0, min(n - 1, int((lat + 90.0) / 180.0 * n // 1)))
+
+    want = {}
+    for pid, lon0, lat0, lon1, lat1 in boxes:
+        x0, x1, y0, y1 = cx(lon0), cx(lon1), cy(lat0), cy(lat1)
+        core = {
+            (x, y)
+            for x in range(x0, x1 + 1)
+            for y in range(y0, y1 + 1)
+        }
+        dil = {
+            ((x + dx) % n, y + dy)
+            for (x, y) in core
+            for dx in range(-k, k + 1)
+            for dy in range(-k, k + 1)
+            if 0 <= y + dy <= n - 1
+        }
+        for (x, y) in dil:
+            want[(pid, pack_cell_py(res, x, y))] = (x, y) in core
+    assert got == want
+    # halo is nonempty and disjoint from core for every poly
+    for pid in (1, 2, 3):
+        cells = [c for (p, c) in got if p == pid]
+        assert any(not got[(pid, c)] for c in cells)
+        assert any(got[(pid, c)] for c in cells)
+
+    duck = duckdb.connect()
+    duck.execute(
+        "CREATE TABLE cbx (poly_id BIGINT, min_lon DOUBLE, min_lat DOUBLE,"
+        " max_lon DOUBLE, max_lat DOUBLE)"
+    )
+    duck.executemany("INSERT INTO cbx VALUES (?, ?, ?, ?, ?)", boxes)
+    twin = {
+        (r[0], r[1]): r[2]
+        for r in duck.sql(
+            cell_buffer_sql("SELECT * FROM cbx", res=res, k=k)
+        ).fetchall()
+    }
+    assert twin == got
