@@ -13298,9 +13298,43 @@ def _cell_buffer_sql() -> str:
     )
 
 
+def q_stump_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X277 (analytics.stump_train): exact best decision stump per
+    feature over the hash-scored orders corpus — the score itself and
+    a score-decile feature vs the noisy label, errors minimized by the
+    collapsed prefix scan with the (errors, polarity, t) argmin."""
+    from osm2geojson_spark.operators.analytics import stump_train
+
+    sc = _scored_df(spark, sf_dir)
+    feats = sc.select(
+        F.lit("score").alias("feat"), F.col("score").alias("x"), "label"
+    ).unionByName(
+        sc.select(
+            F.lit("decile").alias("feat"),
+            F.expr("score div 100000").alias("x"),
+            "label",
+        )
+    )
+    return stump_train(feats)
+
+
+def _stump_train_sql() -> str:
+    from osm2geojson_spark.operators.analytics import stump_train_sql
+
+    return stump_train_sql(
+        f"""
+  SELECT 'score' AS feat, score AS x, label FROM ({_scored_rows()}) s1
+  UNION ALL
+  SELECT 'decile' AS feat, score // 100000 AS x, label
+  FROM ({_scored_rows()}) s2
+"""
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "stump_train": q_stump_train,
         "cell_buffer": q_cell_buffer,
         "audio_resample": q_audio_resample,
         "cepstrum": q_cepstrum,
@@ -13628,6 +13662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "stump_train": _stump_train_sql(),
         "cell_buffer": _cell_buffer_sql(),
         "audio_resample": _audio_resample_sql(),
         "cepstrum": _cepstrum_sql(),

@@ -322,6 +322,7 @@ BENCH_QUERIES = [
     "cepstrum",
     "audio_resample",
     "cell_buffer",
+    "stump_train",
 ]
 
 

@@ -5578,3 +5578,137 @@ SELECT p.g, p.seg, p.n_in, p.sum_v,
          // (p.n_in * (s.vmax - s.vmin + 1)) AS sym
 FROM sx_per p JOIN sx_span s ON s.g = p.g
 """
+
+
+def stump_train(
+    df: DataFrame,
+    feat_col: str = "feat",
+    x_col: str = "x",
+    label_col: str = "label",
+) -> DataFrame:
+    """(feat, best_t, polarity, errors, n, acc_micro) — DECISION STUMP
+    TRAINING per feature: the exact best 1-D threshold rule, the
+    weak learner under boosting and the classic feature-screening
+    baseline ("how separable are labels on this column alone?").
+
+    For every candidate threshold t (= every distinct feature value)
+    and both polarities,
+
+        pol 0 (predict 1 iff x > t):  errors = pos≤t + neg>t
+        pol 1 (predict 1 iff x ≤ t):  errors = neg≤t + pos>t
+
+    computed from one ascending prefix scan over the (feat, x)-
+    COLLAPSED table — never the raw rows. The winner is the exact
+    integer argmin pinned by (errors, polarity, t); constant rules are
+    included automatically (t = max x). acc_micro = ⌊1e6·(n−errors)/n⌋
+    exact integer division.
+
+    Scale: one combinable groupBy(feat, x), one window over the
+    collapsed table (rows = distinct values per feature, bounded by
+    quantization), one struct-min rollup. Same shape as pr_curve."""
+    rows = df.select(
+        F.col(feat_col).alias("feat"),
+        F.col(x_col).cast("long").alias("x"),
+        F.col(label_col).cast("long").alias("y"),
+    )
+    g = rows.groupBy("feat", "x").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("y").alias("pos")
+    )
+    w = (
+        Window.partitionBy("feat")
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy("feat").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = g.select(
+        "feat",
+        "x",
+        F.sum("pos").over(w).alias("cpos"),
+        (F.sum("cnt").over(w) - F.sum("pos").over(w)).alias("cneg"),
+        F.sum("pos").over(wall).alias("p_all"),
+        (F.sum("cnt").over(wall) - F.sum("pos").over(wall)).alias("n_neg"),
+        F.sum("cnt").over(wall).alias("n"),
+    )
+    both = cum.select(
+        "feat",
+        "x",
+        "n",
+        (F.col("cpos") + F.col("n_neg") - F.col("cneg")).alias("err0"),
+        (F.col("cneg") + F.col("p_all") - F.col("cpos")).alias("err1"),
+    )
+    cand = both.select(
+        "feat", "n",
+        F.struct(
+            F.col("err0").alias("errors"),
+            F.lit(0).cast("long").alias("polarity"),
+            F.col("x").alias("best_t"),
+        ).alias("c"),
+    ).unionByName(
+        both.select(
+            "feat", "n",
+            F.struct(
+                F.col("err1").alias("errors"),
+                F.lit(1).cast("long").alias("polarity"),
+                F.col("x").alias("best_t"),
+            ).alias("c"),
+        )
+    )
+    return (
+        cand.groupBy("feat", "n")
+        .agg(F.min("c").alias("best"))
+        .select(
+            "feat",
+            F.col("best.best_t").alias("best_t"),
+            F.col("best.polarity").alias("polarity"),
+            F.col("best.errors").alias("errors"),
+            "n",
+            F.expr("1000000 * (n - best.errors) div n").alias("acc_micro"),
+        )
+    )
+
+
+def stump_train_sql(rows_cte: str) -> str:
+    """DuckDB twin of stump_train — identical collapsed prefix scan,
+    candidate union, and (errors, polarity, t) argmin.
+    ``rows_cte`` -> (feat, x, label)."""
+    return f"""
+WITH st_src AS (
+  SELECT feat, CAST(x AS BIGINT) AS x, CAST(label AS BIGINT) AS y
+  FROM ({rows_cte})
+),
+st_g AS (
+  SELECT feat, x, CAST(count(*) AS BIGINT) AS cnt,
+         CAST(sum(y) AS BIGINT) AS pos
+  FROM st_src GROUP BY 1, 2
+),
+st_cum AS (
+  SELECT feat, x,
+         CAST(sum(pos) OVER pw AS BIGINT) AS cpos,
+         CAST(sum(cnt) OVER pw - sum(pos) OVER pw AS BIGINT) AS cneg,
+         CAST(sum(pos) OVER fw AS BIGINT) AS p_all,
+         CAST(sum(cnt) OVER fw - sum(pos) OVER fw AS BIGINT) AS n_neg,
+         CAST(sum(cnt) OVER fw AS BIGINT) AS n
+  FROM st_g
+  WINDOW pw AS (PARTITION BY feat ORDER BY x
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         fw AS (PARTITION BY feat)
+),
+st_cand AS (
+  SELECT feat, n, cpos + n_neg - cneg AS errors, 0 AS polarity, x
+  FROM st_cum
+  UNION ALL
+  SELECT feat, n, cneg + p_all - cpos AS errors, 1 AS polarity, x
+  FROM st_cum
+),
+st_pick AS (
+  SELECT feat, n, errors, CAST(polarity AS BIGINT) AS polarity, x,
+         row_number() OVER (PARTITION BY feat
+                            ORDER BY errors, polarity, x) AS rk
+  FROM st_cand
+)
+SELECT feat, x AS best_t, polarity, errors, n,
+       1000000 * (n - errors) // n AS acc_micro
+FROM st_pick WHERE rk = 1
+"""

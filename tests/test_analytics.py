@@ -3375,3 +3375,65 @@ def test_sax_words_brute_and_twin(spark):
         ).fetchall()
     }
     assert twin == got
+
+
+def test_stump_train_brute_sweep_and_twin(spark):
+    """Exhaustive scalar sweep over (threshold, polarity) must agree
+    with the operator on every feature; a perfectly separable feature
+    trains to 0 errors with the right polarity; an anti-correlated one
+    flips polarity; twin bit-identical."""
+    import duckdb
+
+    from osm2geojson_spark.operators.analytics import (
+        stump_train,
+        stump_train_sql,
+    )
+
+    rows = []
+    # sep: label = 1 iff x >= 50 (perfect, polarity 0 at t=49ish)
+    for i in range(60):
+        rows.append(("sep", i * 2, 1 if i * 2 >= 50 else 0))
+    # anti: label = 1 iff x <= 10 (perfect with polarity 1)
+    for i in range(40):
+        rows.append(("anti", i, 1 if i <= 10 else 0))
+    # noisy: label depends on parity — no good stump
+    for i in range(30):
+        rows.append(("noisy", i % 7, i % 2))
+    df = spark.createDataFrame(rows, "feat string, x long, label long")
+    got = {r["feat"]: r.asDict() for r in stump_train(df).collect()}
+
+    from collections import defaultdict
+
+    byf = defaultdict(list)
+    for f, x, y in rows:
+        byf[f].append((x, y))
+    for f, pts in byf.items():
+        xs = sorted({x for x, _ in pts})
+        n = len(pts)
+        best = None
+        for t in xs:
+            e0 = sum(1 for x, y in pts if (x > t) != (y == 1))
+            e1 = sum(1 for x, y in pts if (x <= t) != (y == 1))
+            for err, pol in ((e0, 0), (e1, 1)):
+                k = (err, pol, t)
+                if best is None or k < best:
+                    best = k
+        r = got[f]
+        assert (r["errors"], r["polarity"], r["best_t"]) == best, f
+        assert r["n"] == n
+        assert r["acc_micro"] == 1000000 * (n - best[0]) // n
+    assert got["sep"]["errors"] == 0 and got["sep"]["polarity"] == 0
+    assert got["anti"]["errors"] == 0 and got["anti"]["polarity"] == 1
+    assert got["noisy"]["errors"] > 0
+
+    duck = duckdb.connect()
+    duck.execute("CREATE TABLE stp (feat VARCHAR, x BIGINT, label BIGINT)")
+    duck.executemany("INSERT INTO stp VALUES (?, ?, ?)", rows)
+    twin = {
+        r[0]: r
+        for r in duck.sql(stump_train_sql("SELECT * FROM stp")).fetchall()
+    }
+    for f, r in got.items():
+        assert twin[f] == (
+            f, r["best_t"], r["polarity"], r["errors"], r["n"], r["acc_micro"],
+        )
