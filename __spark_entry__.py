@@ -13331,9 +13331,57 @@ def _stump_train_sql() -> str:
     )
 
 
+def q_url_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X278 (functions.text.url_canonicalize): URL canonicalization +
+    group dedup over synthesized crawl URLs (case/port/utm/trailing-
+    slash variants of the same logical page collide by construction) —
+    deterministic string algebra, min-id representative kept."""
+    from osm2geojson_spark.functions.text import url_canonicalize
+
+    d = F.col("doc_id")
+    urls = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.when(d % 4 == 0, F.lit("HTTP://Site")).otherwise(
+                F.lit("http://site")
+            ),
+            (d % 7).cast("string"),
+            F.lit(".example"),
+            F.when(d % 5 == 0, F.lit(":80")).otherwise(F.lit("")),
+            F.lit("/page/"),
+            (d % 13).cast("string"),
+            F.when(d % 3 == 0, F.lit("/")).otherwise(F.lit("")),
+            F.when(d % 2 == 0, F.lit("?utm_source=tw&b=2&a=1")).otherwise(
+                F.lit("?a=1&b=2")
+            ),
+            F.when(d % 6 == 0, F.lit("#top")).otherwise(F.lit("")),
+        ).alias("url"),
+    )
+    return url_canonicalize(urls)
+
+
+def _url_canon_sql() -> str:
+    from osm2geojson_spark.functions.text import url_canonicalize_sql
+
+    return url_canonicalize_sql(
+        "SELECT doc_id,"
+        " (CASE WHEN doc_id % 4 = 0 THEN 'HTTP://Site'"
+        "       ELSE 'http://site' END)"
+        " || CAST(doc_id % 7 AS VARCHAR) || '.example'"
+        " || (CASE WHEN doc_id % 5 = 0 THEN ':80' ELSE '' END)"
+        " || '/page/' || CAST(doc_id % 13 AS VARCHAR)"
+        " || (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END)"
+        " || (CASE WHEN doc_id % 2 = 0 THEN '?utm_source=tw&b=2&a=1'"
+        "          ELSE '?a=1&b=2' END)"
+        " || (CASE WHEN doc_id % 6 = 0 THEN '#top' ELSE '' END) AS url"
+        " FROM documents"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "url_canon": q_url_canon,
         "stump_train": q_stump_train,
         "cell_buffer": q_cell_buffer,
         "audio_resample": q_audio_resample,
@@ -13662,6 +13710,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "url_canon": _url_canon_sql(),
         "stump_train": _stump_train_sql(),
         "cell_buffer": _cell_buffer_sql(),
         "audio_resample": _audio_resample_sql(),

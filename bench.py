@@ -323,6 +323,7 @@ BENCH_QUERIES = [
     "audio_resample",
     "cell_buffer",
     "stump_train",
+    "url_canon",
 ]
 
 

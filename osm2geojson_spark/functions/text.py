@@ -946,3 +946,159 @@ SELECT doc_id,
         + length(regexp_extract_all(text, '{p}'))) > 0 AS has_pii
 FROM pii_src
 """
+
+
+def url_canonicalize(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    url_col: str = "url",
+) -> DataFrame:
+    """(doc_id, canon_url, grp_n, keep) — URL CANONICALIZATION + dedup
+    grouping: the normalization every web-crawl pipeline runs before
+    URL-level dedup. Steps (the conservative, always-safe subset):
+
+      1. drop the #fragment
+      2. lowercase scheme and host
+      3. strip explicit default ports :80 / :443
+      4. strip ONE trailing slash from a non-root path
+      5. drop utm_* tracking params; SORT the remaining query params
+
+    grp_n is the canonical-group size and keep flags the minimum
+    doc_id per group (the kept representative) — exact integers on
+    top of deterministic string algebra, so the DuckDB twin matches
+    byte-for-byte (every primitive — substring_index/split_part,
+    instr, lower, split+filter+sort+join — has identical semantics in
+    the restricted usage here).
+
+    Scale: pure column expressions + one groupBy(canon_url) rollup
+    joined back (the group stats); no UDF, no window over raw rows."""
+    u0 = F.substring_index(F.col(url_col), "#", 1)
+    has_q = F.instr(u0, "?") > 0
+    base = F.substring_index(u0, "?", 1)
+    query = F.when(has_q, F.expr(
+        f"substring(substring_index({url_col}, '#', 1),"
+        f" instr(substring_index({url_col}, '#', 1), '?') + 1)"
+    )).otherwise(F.lit(""))
+    scheme = F.lower(F.substring_index(base, "://", 1))
+    rest = F.expr(
+        "substring(substring_index(substring_index("
+        f"{url_col}, '#', 1), '?', 1),"
+        " instr(substring_index(substring_index("
+        f"{url_col}, '#', 1), '?', 1), '://') + 3)"
+    )
+    hostport = F.lower(F.substring_index(rest, "/", 1))
+    host = F.regexp_replace(hostport, ":(80|443)$", "")
+    path = F.when(
+        F.instr(rest, "/") > 0,
+        F.expr(
+            "substring(substring(substring_index(substring_index("
+            f"{url_col}, '#', 1), '?', 1),"
+            " instr(substring_index(substring_index("
+            f"{url_col}, '#', 1), '?', 1), '://') + 3),"
+            " instr(substring(substring_index(substring_index("
+            f"{url_col}, '#', 1), '?', 1),"
+            " instr(substring_index(substring_index("
+            f"{url_col}, '#', 1), '?', 1), '://') + 3), '/'))"
+        ),
+    ).otherwise(F.lit(""))
+    path_c = F.when(
+        (F.length(path) > 1) & path.endswith("/"),
+        F.expr(f"substring({'_p'}, 1, length({'_p'}) - 1)"),
+    ).otherwise(F.col("_p"))
+    q_kept = F.array_join(
+        F.array_sort(
+            F.filter(
+                F.split(query, "&"),
+                lambda x: (~x.startswith("utm_")) & (x != ""),
+            )
+        ),
+        "&",
+    )
+    canon = F.concat(
+        F.col("_scheme"),
+        F.lit("://"),
+        F.col("_host"),
+        F.col("_pathc"),
+        F.when(F.col("_q") != "", F.concat(F.lit("?"), F.col("_q"))).otherwise(
+            F.lit("")
+        ),
+    )
+    staged = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(url_col),
+            scheme.alias("_scheme"),
+            host.alias("_host"),
+            path.alias("_p"),
+            q_kept.alias("_q"),
+        )
+        .withColumn("_pathc", path_c)
+        .select("doc_id", canon.alias("canon_url"))
+    )
+    grp = staged.groupBy("canon_url").agg(
+        F.count(F.lit(1)).alias("grp_n"), F.min("doc_id").alias("_keep_id")
+    )
+    return staged.join(grp, "canon_url").select(
+        "doc_id",
+        "canon_url",
+        "grp_n",
+        (F.col("doc_id") == F.col("_keep_id")).alias("keep"),
+    )
+
+
+def url_canonicalize_sql(rows_cte: str) -> str:
+    """DuckDB twin of url_canonicalize — identical staged string
+    algebra. ``rows_cte`` -> (doc_id, url)."""
+    return f"""
+WITH uc_src AS ({rows_cte}),
+uc_st AS (
+  SELECT doc_id,
+         lower(split_part(split_part(split_part(url, '#', 1), '?', 1),
+                          '://', 1)) AS scheme,
+         regexp_replace(
+           lower(split_part(
+             substring(split_part(split_part(url, '#', 1), '?', 1),
+               instr(split_part(split_part(url, '#', 1), '?', 1), '://') + 3),
+             '/', 1)),
+           ':(80|443)$', '') AS host,
+         CASE WHEN instr(
+                substring(split_part(split_part(url, '#', 1), '?', 1),
+                  instr(split_part(split_part(url, '#', 1), '?', 1), '://')
+                  + 3), '/') > 0
+              THEN substring(
+                substring(split_part(split_part(url, '#', 1), '?', 1),
+                  instr(split_part(split_part(url, '#', 1), '?', 1), '://')
+                  + 3),
+                instr(
+                  substring(split_part(split_part(url, '#', 1), '?', 1),
+                    instr(split_part(split_part(url, '#', 1), '?', 1), '://')
+                    + 3), '/'))
+              ELSE '' END AS p,
+         CASE WHEN instr(split_part(url, '#', 1), '?') > 0
+              THEN substring(split_part(url, '#', 1),
+                             instr(split_part(url, '#', 1), '?') + 1)
+              ELSE '' END AS q
+  FROM uc_src
+),
+uc_c AS (
+  SELECT doc_id,
+         scheme || '://' || host
+         || CASE WHEN length(p) > 1 AND p LIKE '%/'
+                 THEN substring(p, 1, length(p) - 1) ELSE p END
+         || CASE WHEN array_to_string(
+                    list_sort(list_filter(string_split(q, '&'),
+                      x -> NOT starts_with(x, 'utm_') AND x != '')), '&') != ''
+                 THEN '?' || array_to_string(
+                    list_sort(list_filter(string_split(q, '&'),
+                      x -> NOT starts_with(x, 'utm_') AND x != '')), '&')
+                 ELSE '' END AS canon_url
+  FROM uc_st
+),
+uc_g AS (
+  SELECT canon_url, CAST(count(*) AS BIGINT) AS grp_n,
+         min(doc_id) AS keep_id
+  FROM uc_c GROUP BY 1
+)
+SELECT c.doc_id, c.canon_url, g.grp_n, c.doc_id = g.keep_id AS keep
+FROM uc_c c JOIN uc_g g USING (canon_url)
+"""

@@ -1763,3 +1763,53 @@ def test_knn_classify_numpy_brute_and_planted_clusters(spark):
     # planted structure: everything correct except the mislabel
     assert not got[40]["correct"] and got[40]["pred"] == 0
     assert all(got[i]["correct"] for i in range(40))
+
+
+def test_url_canonicalize_variants_and_twin(spark):
+    """Known-variant URLs collapse to one canonical group (case, :80,
+    fragment, utm params, param order, trailing slash); distinct pages
+    stay distinct; root slash survives; twin byte-identical."""
+    import duckdb
+
+    from osm2geojson_spark.functions.text import (
+        url_canonicalize,
+        url_canonicalize_sql,
+    )
+
+    rows = [
+        (1, "HTTP://Example.COM:80/path/?utm_source=x&b=2&a=1#frag"),
+        (2, "http://example.com/path?a=1&b=2"),
+        (3, "https://Sub.Ex.org:443/"),
+        (4, "https://sub.ex.org/"),
+        (5, "http://example.com"),
+        (6, "http://example.com/?utm_campaign=z"),
+        (7, "http://example.com/a/b/c?z=9&y=8"),
+        (8, "http://example.com/path?b=2&a=1&utm_medium=m"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    got = {r["doc_id"]: r.asDict() for r in url_canonicalize(df).collect()}
+
+    assert (
+        got[1]["canon_url"]
+        == got[2]["canon_url"]
+        == got[8]["canon_url"]
+        == "http://example.com/path?a=1&b=2"
+    )
+    assert got[1]["grp_n"] == 3 and got[1]["keep"] and not got[2]["keep"]
+    assert got[3]["canon_url"] == got[4]["canon_url"] == "https://sub.ex.org/"
+    assert got[5]["canon_url"] == "http://example.com"
+    assert got[6]["canon_url"] == "http://example.com/"
+    assert got[7]["canon_url"] == "http://example.com/a/b/c?y=8&z=9"
+    assert all(got[i]["grp_n"] == 1 for i in (5, 6, 7))
+
+    duck = duckdb.connect()
+    duck.execute("CREATE TABLE urls (doc_id BIGINT, url VARCHAR)")
+    duck.executemany("INSERT INTO urls VALUES (?, ?)", rows)
+    twin = {
+        r[0]: r
+        for r in duck.sql(
+            url_canonicalize_sql("SELECT * FROM urls")
+        ).fetchall()
+    }
+    for k, r in got.items():
+        assert twin[k] == (k, r["canon_url"], r["grp_n"], r["keep"])
