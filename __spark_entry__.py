@@ -13378,9 +13378,68 @@ def _url_canon_sql() -> str:
     )
 
 
+def q_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X279 (multimodal.keyframe_select): per-shot keyframe selection
+    over the planted-cut clip corpus (the q_shot_detect fixture) —
+    shots from histogram-diff cuts, winner = exact integer L1 gradient
+    sharpness pinned by (sharp DESC, frame ASC)."""
+    from osm2geojson_spark.functions import imagecodec as IC
+    from osm2geojson_spark.operators.multimodal import keyframe_select
+
+    part = _t(spark, sf_dir, "part").filter(F.col("p_partkey") < 30).select(
+        F.col("p_partkey").alias("_c")
+    )
+
+    def gen(it):
+        import numpy as np
+
+        for pdf in it:
+            rows = []
+            for c in pdf["_c"]:
+                c = int(c)
+                cut = 4 + c % 5
+                for f in range(12):
+                    seg = 1 if f >= cut else 0
+                    x = np.arange(8)
+                    px = (
+                        (x[None, :] * 3 + x[:, None] * 7 + c * 13 + f
+                         + seg * 31) % 251
+                    ).astype(np.uint8)
+                    rows.append(
+                        (f"clip{c:06d}", f, "rawz", IC.encode_rawz(px))
+                    )
+            yield pd.DataFrame(
+                rows, columns=["clip_id", "frame_idx", "fmt", "bytes"]
+            )
+
+    frames = part.mapInPandas(
+        gen,
+        schema="clip_id string, frame_idx long, fmt string, bytes binary",
+    )
+    return keyframe_select(frames, thresh=40)
+
+
+def _keyframes_sql() -> str:
+    from osm2geojson_spark.operators.multimodal import keyframe_select_sql
+
+    px = """
+SELECT printf('clip%06d', c) AS clip_id, f AS frame_idx,
+       (p // 8) AS y, (p % 8) AS x,
+       ((p % 8) * 3 + (p // 8) * 7 + c * 13 + f
+        + (CASE WHEN f >= 4 + c % 5 THEN 31 ELSE 0 END)) % 251 AS v
+FROM (
+  SELECT p_partkey AS c, ff.f, pp.p
+  FROM part, unnest(range(0, 12)) ff(f), unnest(range(0, 64)) pp(p)
+  WHERE p_partkey < 30
+)
+"""
+    return keyframe_select_sql(px, thresh=40)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "keyframes": q_keyframes,
         "url_canon": q_url_canon,
         "stump_train": q_stump_train,
         "cell_buffer": q_cell_buffer,
@@ -13710,6 +13769,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "keyframes": _keyframes_sql(),
         "url_canon": _url_canon_sql(),
         "stump_train": _stump_train_sql(),
         "cell_buffer": _cell_buffer_sql(),

@@ -324,6 +324,7 @@ BENCH_QUERIES = [
     "cell_buffer",
     "stump_train",
     "url_canon",
+    "keyframes",
 ]
 
 

@@ -5225,3 +5225,138 @@ JOIN rs_src v1 ON v1.audio_id = m.audio_id
              AND v1.t = CASE WHEN m.i0 + 1 > m.n - 1
                              THEN m.n - 1 ELSE m.i0 + 1 END
 """
+
+
+def keyframe_select(frames: DataFrame, thresh: int = 40) -> DataFrame:
+    """(clip_id, shot_id, n_frames, key_frame_idx, sharp) — KEYFRAME
+    SELECTION: segment each clip into shots at the histogram-diff cut
+    boundaries (shot_detect) and keep, per shot, the SHARPEST frame —
+    the representative-frame step of video curation (dedup one frame
+    per shot, caption the keyframe, thumbnail it).
+
+    Sharpness is the exact integer L1 gradient energy
+    Σ|∂x| + Σ|∂y| over the frame's pixels (the integer sibling of
+    image_sharpness's Laplacian score); the per-shot winner is pinned
+    by (sharp DESC, frame_idx ASC). shot_id is the running cut count
+    (frame 0 opens shot 0). Every decision is int64 — composition of
+    two Arrow passes and pure column algebra.
+
+    Scale: the cut pass ships 16 bin rows per frame, the sharpness
+    pass ONE row per frame — pixels never shuffle; then a lag-window
+    per clip and one struct-max rollup per shot."""
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                px = imagecodec.decode(bytes(r.bytes), r.fmt).astype(np.int64)
+                g = int(np.abs(np.diff(px, axis=1)).sum()) + int(
+                    np.abs(np.diff(px, axis=0)).sum()
+                )
+                rows.append((r.clip_id, int(r.frame_idx), g))
+            yield pd.DataFrame(
+                rows, columns=["clip_id", "frame_idx", "sharp"]
+            )
+
+    sharp = frames.select("clip_id", "frame_idx", "bytes", "fmt").mapInPandas(
+        fn, schema="clip_id string, frame_idx long, sharp long"
+    )
+    cuts = shot_detect(frames, thresh=thresh).select(
+        "clip_id", "frame_idx", "is_cut"
+    )
+    w = (
+        Window.partitionBy("clip_id")
+        .orderBy("frame_idx")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    staged = (
+        sharp.join(cuts, ["clip_id", "frame_idx"], "left")
+        .select(
+            "clip_id",
+            "frame_idx",
+            "sharp",
+            F.sum(
+                F.when(F.col("is_cut"), F.lit(1)).otherwise(F.lit(0))
+            )
+            .over(w)
+            .cast("long")
+            .alias("shot_id"),
+        )
+    )
+    return (
+        staged.groupBy("clip_id", "shot_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames"),
+            F.max(
+                F.struct(
+                    F.col("sharp"),
+                    (-F.col("frame_idx")).alias("negf"),
+                    F.col("frame_idx").alias("f"),
+                )
+            ).alias("top"),
+        )
+        .select(
+            "clip_id",
+            "shot_id",
+            "n_frames",
+            F.col("top.f").alias("key_frame_idx"),
+            F.col("top.sharp").alias("sharp"),
+        )
+    )
+
+
+def keyframe_select_sql(pxyx_cte: str, thresh: int = 40) -> str:
+    """DuckDB twin of keyframe_select; ``pxyx_cte`` yields
+    (clip_id, frame_idx, y, x, v) pixel rows. Cuts replay
+    shot_detect_sql on the projected (clip_id, frame_idx, v); sharpness
+    is the same L1 gradient via +1 self-joins."""
+    cuts = shot_detect_sql(
+        f"SELECT clip_id, frame_idx, v FROM ({pxyx_cte})", thresh=thresh
+    )
+    return f"""
+WITH kf_px AS MATERIALIZED ({pxyx_cte}),
+kf_cuts AS MATERIALIZED ({cuts}),
+kf_gx AS (
+  SELECT a.clip_id, a.frame_idx, CAST(sum(abs(b.v - a.v)) AS BIGINT) AS s
+  FROM kf_px a JOIN kf_px b
+    ON b.clip_id = a.clip_id AND b.frame_idx = a.frame_idx
+   AND b.y = a.y AND b.x = a.x + 1
+  GROUP BY 1, 2
+),
+kf_gy AS (
+  SELECT a.clip_id, a.frame_idx, CAST(sum(abs(b.v - a.v)) AS BIGINT) AS s
+  FROM kf_px a JOIN kf_px b
+    ON b.clip_id = a.clip_id AND b.frame_idx = a.frame_idx
+   AND b.y = a.y + 1 AND b.x = a.x
+  GROUP BY 1, 2
+),
+kf_sharp AS (
+  SELECT f.clip_id, f.frame_idx,
+         COALESCE(gx.s, 0) + COALESCE(gy.s, 0) AS sharp
+  FROM (SELECT DISTINCT clip_id, frame_idx FROM kf_px) f
+  LEFT JOIN kf_gx gx ON gx.clip_id = f.clip_id
+                    AND gx.frame_idx = f.frame_idx
+  LEFT JOIN kf_gy gy ON gy.clip_id = f.clip_id
+                    AND gy.frame_idx = f.frame_idx
+),
+kf_staged AS (
+  SELECT s.clip_id, s.frame_idx, s.sharp,
+         CAST(sum(CASE WHEN COALESCE(c.is_cut, FALSE) THEN 1 ELSE 0 END)
+              OVER (PARTITION BY s.clip_id ORDER BY s.frame_idx
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS shot_id
+  FROM kf_sharp s
+  LEFT JOIN kf_cuts c ON c.clip_id = s.clip_id
+                     AND c.frame_idx = s.frame_idx
+),
+kf_rank AS (
+  SELECT clip_id, shot_id, frame_idx, sharp,
+         CAST(count(*) OVER (PARTITION BY clip_id, shot_id) AS BIGINT)
+           AS n_frames,
+         row_number() OVER (PARTITION BY clip_id, shot_id
+                            ORDER BY sharp DESC, frame_idx ASC) AS rk
+  FROM kf_staged
+)
+SELECT clip_id, shot_id, n_frames, frame_idx AS key_frame_idx, sharp
+FROM kf_rank WHERE rk = 1
+"""

@@ -3588,3 +3588,81 @@ def test_audio_resample_exact_lerp_and_twin(spark):
         ).fetchall()
     }
     assert twin == got
+
+
+def test_keyframe_select_shots_and_sharpest_and_twin(spark):
+    """A two-shot clip (planted cut) yields shots {0,1} partitioned at
+    the cut; within each shot the frame with the planted extra texture
+    (strictly larger L1 gradient) wins; scalar gradient replay; twin
+    bit-identical."""
+    import duckdb
+
+    from osm2geojson_spark.functions import imagecodec as IC
+    from osm2geojson_spark.operators.multimodal import (
+        keyframe_select,
+        keyframe_select_sql,
+    )
+
+    H = W = 8
+    frames, px_rows = [], []
+    # clip with a hard cut at frame 3; frames 1 and 5 get extra texture
+    for f in range(6):
+        base = 40 if f < 3 else 200
+        px = np.full((H, W), base, dtype=np.int64)
+        px += (np.arange(W)[None, :] + np.arange(H)[:, None]) % 3
+        if f in (1, 5):
+            px[::2, ::2] += 40  # checkerboard = big gradient
+        px = (px % 251).astype(np.uint8)
+        frames.append(("c0", f, "rawz", IC.encode_rawz(px)))
+        for y in range(H):
+            for x in range(W):
+                px_rows.append(("c0", f, y, x, int(px[y, x])))
+    df = spark.createDataFrame(
+        frames, "clip_id string, frame_idx long, fmt string, bytes binary"
+    )
+    got = {
+        (r["clip_id"], r["shot_id"]): r.asDict()
+        for r in keyframe_select(df, thresh=40).collect()
+    }
+
+    assert set(got) == {("c0", 0), ("c0", 1)}
+    assert got[("c0", 0)]["n_frames"] == 3
+    assert got[("c0", 1)]["n_frames"] == 3
+    assert got[("c0", 0)]["key_frame_idx"] == 1
+    assert got[("c0", 1)]["key_frame_idx"] == 5
+
+    # scalar gradient replay for the winners
+    import collections
+
+    pxmap = collections.defaultdict(dict)
+    for cid, f, y, x, v in px_rows:
+        pxmap[f][(y, x)] = v
+    for f, shot in ((1, 0), (5, 1)):
+        g = sum(
+            abs(pxmap[f][(y, x + 1)] - pxmap[f][(y, x)])
+            for y in range(H)
+            for x in range(W - 1)
+        ) + sum(
+            abs(pxmap[f][(y + 1, x)] - pxmap[f][(y, x)])
+            for y in range(H - 1)
+            for x in range(W)
+        )
+        assert got[("c0", shot)]["sharp"] == g
+
+    duck = duckdb.connect()
+    duck.execute(
+        "CREATE TABLE kpx (clip_id VARCHAR, frame_idx BIGINT, y BIGINT,"
+        " x BIGINT, v BIGINT)"
+    )
+    duck.executemany("INSERT INTO kpx VALUES (?, ?, ?, ?, ?)", px_rows)
+    twin = {
+        (r[0], r[1]): r
+        for r in duck.sql(
+            keyframe_select_sql("SELECT * FROM kpx", thresh=40)
+        ).fetchall()
+    }
+    for k, r in got.items():
+        assert twin[k] == (
+            r["clip_id"], r["shot_id"], r["n_frames"],
+            r["key_frame_idx"], r["sharp"],
+        )
