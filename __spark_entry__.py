@@ -13436,9 +13436,47 @@ FROM (
     return keyframe_select_sql(px, thresh=40)
 
 
+def q_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X280 (dedup.boilerplate_lines): CCNet-style common-line flagging
+    over documents with injected footer lines (newsletter footer on
+    even ids, license line on multiples of 3) — distinct-doc frequency
+    with the exact cross-multiplied 5% share gate; body lines stay
+    unflagged."""
+    from osm2geojson_spark.operators.dedup import boilerplate_lines
+
+    d = _t(spark, sf_dir, "documents")
+    body = d.select(
+        "doc_id", F.lit(0).alias("line_no"), F.col("text").alias("line")
+    )
+    foot1 = d.filter(F.col("doc_id") % 2 == 0).select(
+        "doc_id",
+        F.lit(1).alias("line_no"),
+        F.lit("subscribe to our newsletter").alias("line"),
+    )
+    foot2 = d.filter(F.col("doc_id") % 3 == 0).select(
+        "doc_id",
+        F.lit(2).alias("line_no"),
+        F.lit("all rights reserved").alias("line"),
+    )
+    return boilerplate_lines(body.unionByName(foot1).unionByName(foot2))
+
+
+def _boilerplate_sql() -> str:
+    from osm2geojson_spark.operators.dedup import boilerplate_lines_sql
+
+    return boilerplate_lines_sql(
+        "SELECT doc_id, 0 AS line_no, text AS line FROM documents"
+        " UNION ALL SELECT doc_id, 1, 'subscribe to our newsletter'"
+        " FROM documents WHERE doc_id % 2 = 0"
+        " UNION ALL SELECT doc_id, 2, 'all rights reserved'"
+        " FROM documents WHERE doc_id % 3 = 0"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "boilerplate": q_boilerplate,
         "keyframes": q_keyframes,
         "url_canon": q_url_canon,
         "stump_train": q_stump_train,
@@ -13769,6 +13807,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "boilerplate": _boilerplate_sql(),
         "keyframes": _keyframes_sql(),
         "url_canon": _url_canon_sql(),
         "stump_train": _stump_train_sql(),

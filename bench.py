@@ -325,6 +325,7 @@ BENCH_QUERIES = [
     "stump_train",
     "url_canon",
     "keyframes",
+    "boilerplate",
 ]
 
 

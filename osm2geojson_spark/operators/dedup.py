@@ -973,3 +973,83 @@ SELECT c.cluster_id,
 FROM cp_cl c JOIN cp_docs d ON d.doc_id = c.doc_id
 GROUP BY 1
 """
+
+
+def boilerplate_lines(
+    lines: DataFrame,
+    min_df: int = 2,
+    num: int = 1,
+    den: int = 20,
+    doc_col: str = "doc_id",
+    line_no_col: str = "line_no",
+    line_col: str = "line",
+) -> DataFrame:
+    """(doc_id, line_no, line, df_docs, n_docs, is_boiler) — COMMON-LINE
+    (boilerplate) FLAGGING, the CCNet/RefinedWeb line-dedup gate: a
+    line repeated across ≥ min_df documents AND in more than num/den of
+    the corpus (exact cross-multiplied integer share — no float ratio)
+    is navigation/footer/license boilerplate, not content; the cleaning
+    pass drops flagged lines, keeping flagged-ness identical across
+    engines because every decision is an int64 comparison.
+
+    df_docs counts DISTINCT documents per line value (a doc repeating
+    its own footer twice still counts once — the cross-document signal
+    is what separates boilerplate from refrain-like content).
+
+    Scale: one (line → distinct-doc) groupBy, one broadcast of the
+    single-row corpus total, one join back on the line value (the join
+    key collapses to the distinct-line table — boilerplate lines are
+    by definition few and hot, so this join salts well under AQE).
+    Same shape as repeated_ngrams."""
+    src = lines.select(
+        F.col(doc_col).alias("doc_id"),
+        F.col(line_no_col).cast("long").alias("line_no"),
+        F.col(line_col).alias("line"),
+    )
+    df_tab = src.groupBy("line").agg(
+        F.countDistinct("doc_id").alias("df_docs")
+    )
+    n_docs = src.agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    return (
+        src.join(df_tab, "line")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "line_no",
+            "line",
+            "df_docs",
+            "n_docs",
+            (
+                (F.col("df_docs") >= min_df)
+                & (F.col("df_docs") * den >= num * F.col("n_docs"))
+            ).alias("is_boiler"),
+        )
+    )
+
+
+def boilerplate_lines_sql(
+    lines_cte: str,
+    min_df: int = 2,
+    num: int = 1,
+    den: int = 20,
+) -> str:
+    """DuckDB twin of boilerplate_lines — identical distinct-doc
+    frequency and cross-multiplied share gate.
+    ``lines_cte`` -> (doc_id, line_no, line)."""
+    return f"""
+WITH bl_src AS ({lines_cte}),
+bl_df AS (
+  SELECT line, CAST(count(DISTINCT doc_id) AS BIGINT) AS df_docs
+  FROM bl_src GROUP BY 1
+),
+bl_n AS (
+  SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM bl_src
+)
+SELECT s.doc_id, CAST(s.line_no AS BIGINT) AS line_no, s.line,
+       d.df_docs, bl_n.n_docs,
+       d.df_docs >= {min_df}
+       AND d.df_docs * {den} >= {num} * bl_n.n_docs AS is_boiler
+FROM bl_src s JOIN bl_df d USING (line), bl_n
+"""

@@ -1813,3 +1813,57 @@ def test_url_canonicalize_variants_and_twin(spark):
     }
     for k, r in got.items():
         assert twin[k] == (k, r["canon_url"], r["grp_n"], r["keep"])
+
+
+def test_boilerplate_lines_share_gate_and_twin(spark):
+    """Distinct-doc counting (repeats within one doc count once), the
+    min_df AND share gates both bind, unique content never flags; twin
+    bit-identical."""
+    import duckdb
+
+    from osm2geojson_spark.operators.dedup import (
+        boilerplate_lines,
+        boilerplate_lines_sql,
+    )
+
+    rows = []
+    # 30 docs: all carry a unique body; docs 0-9 share footer A (33% —
+    # passes both gates); docs 0-1 share footer B (2 docs: passes
+    # min_df=2 but NOT the 1/5 share gate); doc 5 repeats footer A twice
+    for d in range(30):
+        rows.append((d, 0, f"unique body {d}"))
+        if d < 10:
+            rows.append((d, 1, "footer A"))
+        if d < 2:
+            rows.append((d, 2, "footer B"))
+    rows.append((5, 3, "footer A"))
+    df = spark.createDataFrame(rows, "doc_id long, line_no long, line string")
+    got = {
+        (r["doc_id"], r["line_no"]): r.asDict()
+        for r in boilerplate_lines(df, min_df=2, num=1, den=5).collect()
+    }
+
+    assert len(got) == len(rows)
+    for (d, ln), r in got.items():
+        assert r["n_docs"] == 30
+        if r["line"] == "footer A":
+            assert r["df_docs"] == 10 and r["is_boiler"]
+        elif r["line"] == "footer B":
+            assert r["df_docs"] == 2 and not r["is_boiler"]  # share gate
+        else:
+            assert r["df_docs"] == 1 and not r["is_boiler"]
+
+    duck = duckdb.connect()
+    duck.execute("CREATE TABLE bl (doc_id BIGINT, line_no BIGINT, line VARCHAR)")
+    duck.executemany("INSERT INTO bl VALUES (?, ?, ?)", rows)
+    twin = {
+        (r[0], r[1]): r
+        for r in duck.sql(
+            boilerplate_lines_sql("SELECT * FROM bl", min_df=2, num=1, den=5)
+        ).fetchall()
+    }
+    for k, r in got.items():
+        assert twin[k] == (
+            r["doc_id"], r["line_no"], r["line"], r["df_docs"],
+            r["n_docs"], r["is_boiler"],
+        )
