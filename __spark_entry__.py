@@ -13473,9 +13473,28 @@ def _boilerplate_sql() -> str:
     )
 
 
+def q_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X281 (dedup.tfidf_cosine_pairs): tf·idf-weighted cosine
+    similarity join over char-5-gram multisets of the mutant corpus —
+    dyadic idf (idf-0 grams self-prune the inverted index), exact
+    integer dot/norms, one pinned cosine assembly, tau 0.5."""
+    from osm2geojson_spark.operators.dedup import tfidf_cosine_pairs
+
+    return tfidf_cosine_pairs(
+        _docs_with_mutants(spark, sf_dir, 60), tau_micro=500_000
+    )
+
+
+def _tfidf_cosine_sql() -> str:
+    from osm2geojson_spark.operators.dedup import tfidf_cosine_pairs_sql
+
+    return tfidf_cosine_pairs_sql(_docs_mutant_cte(60), tau_micro=500_000)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "tfidf_cosine": q_tfidf_cosine,
         "boilerplate": q_boilerplate,
         "keyframes": q_keyframes,
         "url_canon": q_url_canon,
@@ -13807,6 +13826,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "tfidf_cosine": _tfidf_cosine_sql(),
         "boilerplate": _boilerplate_sql(),
         "keyframes": _keyframes_sql(),
         "url_canon": _url_canon_sql(),

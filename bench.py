@@ -326,6 +326,7 @@ BENCH_QUERIES = [
     "url_canon",
     "keyframes",
     "boilerplate",
+    "tfidf_cosine",
 ]
 
 

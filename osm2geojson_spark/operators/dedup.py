@@ -1053,3 +1053,139 @@ SELECT s.doc_id, CAST(s.line_no AS BIGINT) AS line_no, s.line,
        AND d.df_docs * {den} >= {num} * bl_n.n_docs AS is_boiler
 FROM bl_src s JOIN bl_df d USING (line), bl_n
 """
+
+
+def tfidf_cosine_pairs(
+    df: DataFrame,
+    tau_micro: int = 500_000,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id_a, id_b, dot, n2_a, n2_b, cos_micro) — WEIGHTED (tf·idf)
+    COSINE SIMILARITY JOIN over character k-gram multisets: the
+    frequency-aware sibling of ngram_jaccard_pairs. Jaccard treats a
+    boilerplate gram and a rare gram alike; tf·idf cosine is what
+    production near-dup/plagiarism pipelines actually rank by.
+
+    Integer weighting: tf is the exact gram multiplicity, idf the
+    DYADIC ⌊log2(N/df)⌋ (= length(bin(N div df)) − 1, the
+    keyword_extract scheme — bin() agrees cross-engine, no log
+    anywhere), w = tf·idf exact int64. Grams with df > N/2 get idf 0
+    and drop out of weights AND candidates — the max_df heavy-shingle
+    prune falls out of the weighting for free, and consistently (the
+    norm excludes them too, so the cosine is exactly the cosine of
+    the pruned vectors). dot and the norms are exact; the only float
+    is the one pinned assembly ⌊1e6·dot/√(n2_a·n2_b)⌋.
+
+    Scale: inverted-index join on gram (O(df²) per gram, df capped by
+    the idf-0 prune), map-side-combinable dot rollup — the
+    ngram_jaccard_pairs shape with weights."""
+    t = F.col(text_col)
+    from ..functions import text as TXT
+
+    norm = TXT.normalize_col(t)
+    n = F.length(norm)
+    idx = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1)))
+    grams = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(
+            F.transform(idx, lambda i: F.substring(norm, F.lit(0) + i, k))
+        ).alias("sh"),
+    )
+    tf = grams.groupBy("_id", "sh").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = df.agg(F.countDistinct(F.col(id_col)).alias("nd"))
+    dfreq = tf.groupBy("sh").agg(F.count(F.lit(1)).alias("dfq"))
+    w = (
+        tf.join(dfreq, "sh")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "_id",
+            "sh",
+            (
+                F.col("tf")
+                * (F.length(F.bin(F.expr("nd div dfq"))) - F.lit(1))
+            ).alias("w"),
+        )
+        .filter(F.col("w") > 0)
+    )
+    norms = w.groupBy("_id").agg(F.sum(F.col("w") * F.col("w")).alias("n2"))
+    a = w.select(F.col("_id").alias("id_a"), "sh", F.col("w").alias("wa"))
+    b = w.select(F.col("_id").alias("id_b"), "sh", F.col("w").alias("wb"))
+    dots = (
+        a.join(b, "sh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    na = norms.select(F.col("_id").alias("id_a"), F.col("n2").alias("n2_a"))
+    nb = norms.select(F.col("_id").alias("id_b"), F.col("n2").alias("n2_b"))
+    dd = lambda c: F.col(c).cast("double")  # noqa: E731
+    return (
+        dots.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "dot",
+            "n2_a",
+            "n2_b",
+            F.floor(
+                F.lit(1000000.0)
+                * dd("dot")
+                / F.sqrt(dd("n2_a") * dd("n2_b"))
+            ).cast("long").alias("cos_micro"),
+        )
+        .filter(F.col("cos_micro") >= tau_micro)
+    )
+
+
+def tfidf_cosine_pairs_sql(
+    docs_cte: str,
+    tau_micro: int = 500_000,
+    k: int = 5,
+) -> str:
+    """DuckDB twin of tfidf_cosine_pairs — identical gram multisets,
+    dyadic idf, and pinned cosine assembly.
+    ``docs_cte`` -> (doc_id, text)."""
+    from ..functions import text as TXT
+
+    norm = TXT.normalize_sql("text")
+    return f"""
+WITH tc_docs AS ({docs_cte}),
+tc_grams AS (
+  SELECT doc_id AS id,
+         unnest(list_transform(
+           range(1, greatest(length({norm}) - {k - 1}, 1) + 1),
+           i -> substr({norm}, CAST(i AS INTEGER), {k}))) AS sh
+  FROM tc_docs
+),
+tc_tf AS (
+  SELECT id, sh, CAST(count(*) AS BIGINT) AS tf FROM tc_grams GROUP BY 1, 2
+),
+tc_n AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS nd FROM tc_docs),
+tc_df AS (SELECT sh, CAST(count(*) AS BIGINT) AS dfq FROM tc_tf GROUP BY 1),
+tc_w AS (
+  SELECT id, sh, tf * (length(bin(nd // dfq)) - 1) AS w
+  FROM tc_tf JOIN tc_df USING (sh), tc_n
+  WHERE tf * (length(bin(nd // dfq)) - 1) > 0
+),
+tc_norm AS (
+  SELECT id, CAST(sum(w * w) AS BIGINT) AS n2 FROM tc_w GROUP BY 1
+),
+tc_dot AS (
+  SELECT a.id AS id_a, b.id AS id_b, CAST(sum(a.w * b.w) AS BIGINT) AS dot
+  FROM tc_w a JOIN tc_w b ON b.sh = a.sh AND a.id < b.id
+  GROUP BY 1, 2
+)
+SELECT d.id_a, d.id_b, d.dot, na.n2 AS n2_a, nb.n2 AS n2_b,
+       CAST(floor(1000000.0 * CAST(d.dot AS DOUBLE)
+                  / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)))
+            AS BIGINT) AS cos_micro
+FROM tc_dot d
+JOIN tc_norm na ON na.id = d.id_a
+JOIN tc_norm nb ON nb.id = d.id_b
+WHERE floor(1000000.0 * CAST(d.dot AS DOUBLE)
+            / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)))
+      >= {tau_micro}
+"""

@@ -1867,3 +1867,91 @@ def test_boilerplate_lines_share_gate_and_twin(spark):
             r["doc_id"], r["line_no"], r["line"], r["df_docs"],
             r["n_docs"], r["is_boiler"],
         )
+
+
+def test_tfidf_cosine_pairs_brute_and_planted(spark):
+    """Scalar tf·idf replay (grams, dyadic idf, dot/norms, pinned
+    cosine); a planted near-duplicate pair scores high, disjoint texts
+    emit nothing; idf-0 grams are excluded from norms AND candidates;
+    DuckDB twin bit-identical."""
+    import math
+
+    import duckdb
+
+    from osm2geojson_spark.operators.dedup import (
+        tfidf_cosine_pairs,
+        tfidf_cosine_pairs_sql,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog repeatedly"),
+        (2, "the quick brown fox jumps over the lazy cat repeatedly"),
+        (3, "completely different words entirely unrelated content"),
+        (4, "zzz qqq xxx vvv kkk mmm"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r.asDict()
+        for r in tfidf_cosine_pairs(df, tau_micro=0, k=5).collect()
+    }
+
+    # scalar replay
+    import collections
+    import re
+
+    def norm(t):
+        # mirror TXT.normalize_col: lower + collapse whitespace (the
+        # fixture is already lowercase single-spaced)
+        return re.sub(r"\s+", " ", t.lower()).strip()
+
+    tf = collections.defaultdict(collections.Counter)
+    for d, t in rows:
+        tn = norm(t)
+        for i in range(max(len(tn) - 4, 1)):
+            tf[d][tn[i : i + 5]] += 1
+    N = len(rows)
+    dfq = collections.Counter()
+    for d in tf:
+        for g in tf[d]:
+            dfq[g] += 1
+    w = {
+        d: {
+            g: c * (len(bin(N // dfq[g])) - 3)
+            for g, c in tf[d].items()
+            if len(bin(N // dfq[g])) - 3 > 0  # bin() has '0b' prefix
+        }
+        for d in tf
+    }
+    n2 = {d: sum(x * x for x in wd.values()) for d, wd in w.items()}
+    for a in range(1, 5):
+        for b in range(a + 1, 5):
+            dot = sum(w[a][g] * w[b][g] for g in w[a] if g in w[b])
+            if dot == 0:
+                assert (a, b) not in got
+                continue
+            cm = math.floor(1e6 * dot / math.sqrt(n2[a] * n2[b]))
+            r = got[(a, b)]
+            assert (r["dot"], r["n2_a"], r["n2_b"], r["cos_micro"]) == (
+                dot, n2[a], n2[b], cm,
+            ), (a, b)
+    # planted near-dup ranks well clear of the unrelated pairs; the
+    # absolute value is moderated by idf itself — in a 4-doc corpus the
+    # pair's UNIQUE grams (df=1, idf=2) outweigh its SHARED grams
+    # (df=2, idf=1), which is exactly tf·idf doing its job
+    assert got[(1, 2)]["cos_micro"] > 500000
+    assert (1, 4) not in got and (2, 4) not in got  # nothing shared
+
+    duck = duckdb.connect()
+    duck.execute("CREATE TABLE tc (doc_id BIGINT, text VARCHAR)")
+    duck.executemany("INSERT INTO tc VALUES (?, ?)", rows)
+    twin = {
+        (r[0], r[1]): r
+        for r in duck.sql(
+            tfidf_cosine_pairs_sql("SELECT * FROM tc", tau_micro=0, k=5)
+        ).fetchall()
+    }
+    for kk, r in got.items():
+        assert twin[kk] == (
+            r["id_a"], r["id_b"], r["dot"], r["n2_a"], r["n2_b"],
+            r["cos_micro"],
+        )
