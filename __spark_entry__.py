@@ -13491,9 +13491,27 @@ def _tfidf_cosine_sql() -> str:
     return tfidf_cosine_pairs_sql(_docs_mutant_cte(60), tau_micro=500_000)
 
 
+def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X282 (dedup.containment_pairs): Broder containment join over the
+    mutant corpus — the 80%-prefix mutants are near-CONTAINED in their
+    bases by construction (mutant → base containment ≈ 1 even where
+    Jaccard ≈ 0.8); float-free cross-multiplied directional gates at
+    4/5."""
+    from osm2geojson_spark.operators.dedup import containment_pairs
+
+    return containment_pairs(_docs_with_mutants(spark, sf_dir, 60))
+
+
+def _containment_sql() -> str:
+    from osm2geojson_spark.operators.dedup import containment_pairs_sql
+
+    return containment_pairs_sql(_docs_mutant_cte(60))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "containment": q_containment,
         "tfidf_cosine": q_tfidf_cosine,
         "boilerplate": q_boilerplate,
         "keyframes": q_keyframes,
@@ -13826,6 +13844,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "containment": _containment_sql(),
         "tfidf_cosine": _tfidf_cosine_sql(),
         "boilerplate": _boilerplate_sql(),
         "keyframes": _keyframes_sql(),

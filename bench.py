@@ -327,6 +327,7 @@ BENCH_QUERIES = [
     "keyframes",
     "boilerplate",
     "tfidf_cosine",
+    "containment",
 ]
 
 

@@ -1189,3 +1189,96 @@ WHERE floor(1000000.0 * CAST(d.dot AS DOUBLE)
             / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)))
       >= {tau_micro}
 """
+
+
+def containment_pairs(
+    df: DataFrame,
+    tau_num: int = 4,
+    tau_den: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id_a, id_b, inter, sz_a, sz_b, a_in_b, b_in_a) — ASYMMETRIC
+    CONTAINMENT JOIN over shingle sets: flag pairs where one document's
+    shingles are (near-)contained in the other's,
+
+        containment(A→B) = |A∩B| / |A|  ≥  tau_num/tau_den,
+
+    the Broder containment measure. Jaccard misses the quote/excerpt
+    case — a tweet quoted inside an article scores near-zero Jaccard
+    but containment ≈ 1 — and containment is what decontamination and
+    quote-collapse passes actually need.
+
+    Entirely float-free: the gate is the cross-multiplied integer
+    inequality inter·tau_den ≥ sz·tau_num per direction; a pair is
+    emitted when EITHER direction passes. inter/sizes are exact set
+    counts over distinct shingles.
+
+    Scale: the ngram_jaccard_pairs inverted-index join (O(df²) per
+    shingle — reuse its max_df prune upstream for planet corpora), one
+    combinable intersection rollup, broadcast-joined sizes."""
+    ex = shingle_sets(df, id_col, text_col)
+    sizes = df.select(
+        F.col(id_col).alias("_sid"),
+        F.size(H.shingles_col(F.col(text_col))).cast("long").alias("sz"),
+    )
+    a = ex.select(F.col(id_col).alias("id_a"), "sh")
+    b = ex.select(F.col(id_col).alias("id_b"), "sh")
+    inter = (
+        a.join(b, "sh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("_sid").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("_sid").alias("id_b"), F.col("sz").alias("sz_b"))
+    gated = (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "inter",
+            "sz_a",
+            "sz_b",
+            (F.col("inter") * tau_den >= F.col("sz_a") * tau_num).alias(
+                "a_in_b"
+            ),
+            (F.col("inter") * tau_den >= F.col("sz_b") * tau_num).alias(
+                "b_in_a"
+            ),
+        )
+    )
+    return gated.filter(F.col("a_in_b") | F.col("b_in_a"))
+
+
+def containment_pairs_sql(
+    docs_cte: str,
+    tau_num: int = 4,
+    tau_den: int = 5,
+) -> str:
+    """DuckDB twin of containment_pairs — identical shingle sets and
+    cross-multiplied directional gates. ``docs_cte`` -> (doc_id, text)."""
+    sh = H.shingles_sql("text")
+    return f"""
+WITH cp_docs AS ({docs_cte}),
+cp_sets AS (
+  SELECT doc_id AS id, unnest({sh}) AS sh FROM cp_docs
+),
+cp_sz AS (
+  SELECT doc_id AS id, CAST(len({sh}) AS BIGINT) AS sz FROM cp_docs
+),
+cp_inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, CAST(count(*) AS BIGINT) AS inter
+  FROM cp_sets a JOIN cp_sets b ON b.sh = a.sh AND a.id < b.id
+  GROUP BY 1, 2
+)
+SELECT i.id_a, i.id_b, i.inter, sa.sz AS sz_a, sb.sz AS sz_b,
+       i.inter * {tau_den} >= sa.sz * {tau_num} AS a_in_b,
+       i.inter * {tau_den} >= sb.sz * {tau_num} AS b_in_a
+FROM cp_inter i
+JOIN cp_sz sa ON sa.id = i.id_a
+JOIN cp_sz sb ON sb.id = i.id_b
+WHERE i.inter * {tau_den} >= sa.sz * {tau_num}
+   OR i.inter * {tau_den} >= sb.sz * {tau_num}
+"""

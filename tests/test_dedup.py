@@ -1955,3 +1955,72 @@ def test_tfidf_cosine_pairs_brute_and_planted(spark):
             r["id_a"], r["id_b"], r["dot"], r["n2_a"], r["n2_b"],
             r["cos_micro"],
         )
+
+
+def test_containment_pairs_quote_case_and_twin(spark):
+    """The quote case Jaccard misses: a short excerpt inside a long
+    doc passes containment one-directionally; scalar set replay of
+    inter/sizes/gates; symmetric near-dups pass both ways; twin
+    bit-identical."""
+    import duckdb
+
+    from osm2geojson_spark.functions import hashing as HH
+    from osm2geojson_spark.operators.dedup import (
+        containment_pairs,
+        containment_pairs_sql,
+    )
+
+    long_doc = " ".join(f"tok{i:03d}" for i in range(60))
+    excerpt = " ".join(f"tok{i:03d}" for i in range(20, 30))
+    rows = [
+        (1, long_doc),
+        (2, excerpt),                      # contained in 1
+        (3, long_doc + " extra tail bit"), # near-dup of 1, both ways
+        (4, "wholly unrelated text qqq zzz vvv"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r.asDict()
+        for r in containment_pairs(df, tau_num=4, tau_den=5).collect()
+    }
+
+    # scalar replay with the engine's own shingle definition
+    k = HH.SHINGLE_K
+    sets = {
+        d: {t[i : i + k] for i in range(max(len(t) - k + 1, 1))}
+        for d, t in rows
+    }
+    expected = {}
+    for a in range(1, 5):
+        for b in range(a + 1, 5):
+            inter = len(sets[a] & sets[b])
+            ain = inter * 5 >= len(sets[a]) * 4
+            bin_ = inter * 5 >= len(sets[b]) * 4
+            if ain or bin_:
+                expected[(a, b)] = (
+                    inter, len(sets[a]), len(sets[b]), ain, bin_,
+                )
+    assert {
+        k2: (v["inter"], v["sz_a"], v["sz_b"], v["a_in_b"], v["b_in_a"])
+        for k2, v in got.items()
+    } == expected
+    # the quote case: excerpt (2) contained in long doc (1), not vice versa
+    assert got[(1, 2)]["b_in_a"] and not got[(1, 2)]["a_in_b"]
+    # symmetric near-dup passes the a->b direction (a is the prefix)
+    assert got[(1, 3)]["a_in_b"]
+    assert not any(4 in p for p in got)
+
+    duck = duckdb.connect()
+    duck.execute("CREATE TABLE cp (doc_id BIGINT, text VARCHAR)")
+    duck.executemany("INSERT INTO cp VALUES (?, ?)", rows)
+    twin = {
+        (r[0], r[1]): r
+        for r in duck.sql(
+            containment_pairs_sql("SELECT * FROM cp")
+        ).fetchall()
+    }
+    for k2, r in got.items():
+        assert twin[k2] == (
+            r["id_a"], r["id_b"], r["inter"], r["sz_a"], r["sz_b"],
+            r["a_in_b"], r["b_in_a"],
+        )
