@@ -13508,9 +13508,37 @@ def _containment_sql() -> str:
     return containment_pairs_sql(_docs_mutant_cte(60))
 
 
+def q_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X283 (sketch.compactor_quantiles): deterministic KLL-style
+    compactor quantile sketch of event value cents per event_type —
+    odd-rank compaction under the pinned (v, rid) order, integer
+    type-1 walk at 25/50/75; the no-sort scale path beside
+    group_quantiles' exact ranks."""
+    from osm2geojson_spark.operators.sketch import compactor_quantiles
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("g"),
+        F.col("event_id").alias("rid"),
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    )
+    return compactor_quantiles(ev, k=32, rounds=12)
+
+
+def _kll_quantiles_sql() -> str:
+    from osm2geojson_spark.operators.sketch import compactor_quantiles_sql
+
+    return compactor_quantiles_sql(
+        "SELECT event_type AS g, event_id AS rid,"
+        " CAST(round(value * 100) AS BIGINT) AS v FROM events",
+        k=32,
+        rounds=12,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "kll_quantiles": q_kll_quantiles,
         "containment": q_containment,
         "tfidf_cosine": q_tfidf_cosine,
         "boilerplate": q_boilerplate,
@@ -13844,6 +13872,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "kll_quantiles": _kll_quantiles_sql(),
         "containment": _containment_sql(),
         "tfidf_cosine": _tfidf_cosine_sql(),
         "boilerplate": _boilerplate_sql(),

@@ -328,6 +328,7 @@ BENCH_QUERIES = [
     "boilerplate",
     "tfidf_cosine",
     "containment",
+    "kll_quantiles",
 ]
 
 

@@ -782,3 +782,156 @@ SELECT r, row_mean, med_est, f2_exact,
             ELSE 0 END AS err_micro
 FROM ams_rows, ams_med, ams_f2x
 """
+
+
+def compactor_quantiles(
+    df: DataFrame,
+    group_col: str = "g",
+    id_col: str = "rid",
+    v_col: str = "v",
+    k: int = 32,
+    rounds: int = 12,
+    q_pcts: tuple = (25, 50, 75),
+) -> DataFrame:
+    """(g, q_pct, est_v, w_total, sketch_n) — QUANTILE SKETCH by
+    deterministic KLL-style compaction (Karnin-Lang-Liberty 2016, the
+    RNG-free variant): approximate per-group quantiles WITHOUT a
+    per-group sort of the raw data — the scale path when
+    group_quantiles' exact two-level rank is too hot (100 TB value
+    columns, millions of groups).
+
+    Levels hold weighted items (weight 2^lvl). Each round, every level
+    over capacity ``k`` sorts itself under the pinned (v, rid) order
+    and keeps the ODD-ranked half, promoted one level up (weight
+    doubles). The classic algorithm flips a coin for odd/even;
+    keeping odd DETERMINISTICALLY makes the sketch a pure function of
+    the value set — bit-reproducible across engines and partitionings
+    — at the cost of a one-sided rank bias ≤ one item per compaction
+    per level (documented, bounded by rounds·k; fine for the
+    quality-gate quantiles this feeds). ``rounds`` bounds compaction:
+    inputs ≤ k·2^rounds items/group fully compact.
+
+    The estimate walks the merged sketch in (v, rid) order and takes
+    the first value whose cumulative weight reaches the type-1 rank
+    max(1, ⌈q·W/100⌉) — all integer.
+
+    Scale: each round is one window over the SKETCH table (shrinking
+    geometrically, never the raw rows — the raw table is touched once
+    to seed level 0; at 100 TB seed per-partition sketches and merge,
+    the classic mergeability of KLL, which this operator's level
+    union IS)."""
+    cur = df.select(
+        F.col(group_col).alias("g"),
+        F.lit(0).alias("lvl"),
+        F.col(v_col).cast("long").alias("v"),
+        F.col(id_col).cast("long").alias("rid"),
+    )
+    for _ in range(rounds):
+        wlev = Window.partitionBy("g", "lvl")
+        wrank = Window.partitionBy("g", "lvl").orderBy("v", "rid")
+        staged = cur.select(
+            "g",
+            "lvl",
+            "v",
+            "rid",
+            F.count(F.lit(1)).over(wlev).alias("_cnt"),
+            F.row_number().over(wrank).alias("_rk"),
+        )
+        cur = (
+            staged.filter(
+                (F.col("_cnt") <= k) | (F.col("_rk") % 2 == 1)
+            )
+            .select(
+                "g",
+                F.when(F.col("_cnt") > k, F.col("lvl") + 1)
+                .otherwise(F.col("lvl"))
+                .alias("lvl"),
+                "v",
+                "rid",
+            )
+            .localCheckpoint(eager=False)
+        )
+    wcum = (
+        Window.partitionBy("g")
+        .orderBy("v", "rid")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy("g")
+    walked = cur.select(
+        "g",
+        "v",
+        F.sum(F.expr("shiftleft(1L, lvl)")).over(wcum).alias("cum"),
+        F.sum(F.expr("shiftleft(1L, lvl)")).over(wall).alias("w_total"),
+        F.count(F.lit(1)).over(wall).alias("sketch_n"),
+    )
+    qs = df.sparkSession.createDataFrame(
+        [(int(q),) for q in q_pcts], "q_pct long"
+    )
+    hits = (
+        walked.crossJoin(F.broadcast(qs))
+        .filter(
+            F.col("cum")
+            >= F.greatest(
+                F.lit(1), F.expr("(q_pct * w_total + 99) div 100")
+            )
+        )
+        .groupBy("g", "q_pct")
+        .agg(
+            F.min("v").alias("est_v"),
+            F.first("w_total").alias("w_total"),
+            F.first("sketch_n").alias("sketch_n"),
+        )
+    )
+    return hits
+
+
+def compactor_quantiles_sql(
+    rows_cte: str,
+    k: int = 32,
+    rounds: int = 12,
+    q_pcts: tuple = (25, 50, 75),
+) -> str:
+    """DuckDB twin of compactor_quantiles — rounds unrolled as
+    MATERIALIZED CTEs, identical pinned orders and integer walk.
+    ``rows_cte`` -> (g, rid, v)."""
+    parts = [
+        f"""WITH kq_s0 AS MATERIALIZED (
+  SELECT g, 0 AS lvl, CAST(v AS BIGINT) AS v, CAST(rid AS BIGINT) AS rid
+  FROM ({rows_cte})
+)"""
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"""kq_r{i} AS MATERIALIZED (
+  SELECT g, lvl, v, rid,
+         count(*) OVER (PARTITION BY g, lvl) AS cnt,
+         row_number() OVER (PARTITION BY g, lvl ORDER BY v, rid) AS rk
+  FROM kq_s{i-1}
+),
+kq_s{i} AS MATERIALIZED (
+  SELECT g, CASE WHEN cnt > {k} THEN lvl + 1 ELSE lvl END AS lvl, v, rid
+  FROM kq_r{i} WHERE cnt <= {k} OR rk % 2 = 1
+)"""
+        )
+    qvals = ", ".join(f"({int(q)})" for q in q_pcts)
+    parts.append(
+        f"""kq_walk AS (
+  SELECT g, v,
+         CAST(sum(1 << lvl) OVER (PARTITION BY g ORDER BY v, rid
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum,
+         CAST(sum(1 << lvl) OVER (PARTITION BY g) AS BIGINT) AS w_total,
+         CAST(count(*) OVER (PARTITION BY g) AS BIGINT) AS sketch_n
+  FROM kq_s{rounds}
+),
+kq_q(q_pct) AS (SELECT * FROM (VALUES {qvals}))"""
+    )
+    body = ",\n".join(parts)
+    return f"""{body}
+SELECT g, CAST(q_pct AS BIGINT) AS q_pct, min(v) AS est_v,
+       CAST(min(w_total) AS BIGINT) AS w_total,
+       CAST(min(sketch_n) AS BIGINT) AS sketch_n
+FROM kq_walk, kq_q
+WHERE cum >= greatest(1, (q_pct * w_total + 99) // 100)
+GROUP BY 1, 2
+"""

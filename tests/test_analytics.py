@@ -3437,3 +3437,91 @@ def test_stump_train_brute_sweep_and_twin(spark):
         assert twin[f] == (
             f, r["best_t"], r["polarity"], r["errors"], r["n"], r["acc_micro"],
         )
+
+
+def test_compactor_quantiles_replay_exact_small_and_error_bound(spark):
+    """Small input (under capacity) returns EXACT weighted quantiles;
+    a 2000-item group compacts and lands within the deterministic-odd
+    bias bound of the true quantile; full scalar replay of the
+    compaction rounds; DuckDB twin bit-identical."""
+    import duckdb
+
+    from osm2geojson_spark.operators.sketch import (
+        compactor_quantiles,
+        compactor_quantiles_sql,
+    )
+
+    k, rounds = 8, 8
+    small = [("s", i, v) for i, v in enumerate([5, 1, 9, 3, 7])]
+    big = [("b", i, (i * 577) % 2000) for i in range(2000)]  # permutation
+    data = small + big
+    df = spark.createDataFrame(data, "g string, rid long, v long")
+    got = {
+        (r["g"], r["q_pct"]): r.asDict()
+        for r in compactor_quantiles(df, k=k, rounds=rounds).collect()
+    }
+
+    # scalar replay of the deterministic compaction
+    def replay(items):
+        sk = [(0, v, rid) for _, rid, v in items]
+        for _ in range(rounds):
+            from collections import defaultdict
+
+            bylvl = defaultdict(list)
+            for lvl, v, rid in sk:
+                bylvl[lvl].append((v, rid))
+            nxt = []
+            for lvl, vals in bylvl.items():
+                vals.sort()
+                if len(vals) > k:
+                    nxt.extend(
+                        (lvl + 1, v, rid)
+                        for i, (v, rid) in enumerate(vals)
+                        if (i + 1) % 2 == 1
+                    )
+                else:
+                    nxt.extend((lvl, v, rid) for v, rid in vals)
+            sk = nxt
+        sk.sort(key=lambda t: (t[1], t[2]))
+        W = sum(1 << lvl for lvl, _, _ in sk)
+        out = {}
+        for q in (25, 50, 75):
+            target = max(1, (q * W + 99) // 100)
+            cum = 0
+            for lvl, v, rid in sk:
+                cum += 1 << lvl
+                if cum >= target:
+                    out[q] = (v, W, len(sk))
+                    break
+        return out
+
+    for g, items in (("s", small), ("b", big)):
+        want = replay(items)
+        for q, (v, W, n) in want.items():
+            r = got[(g, q)]
+            assert (r["est_v"], r["w_total"], r["sketch_n"]) == (v, W, n), (
+                g,
+                q,
+            )
+    # small group: exact type-1 quantiles of {1,3,5,7,9}
+    assert got[("s", 25)]["est_v"] == 3
+    assert got[("s", 50)]["est_v"] == 5
+    assert got[("s", 75)]["est_v"] == 7
+    # big group: within the bias bound of the true quantile
+    for q in (25, 50, 75):
+        true = q * 2000 // 100
+        assert abs(got[("b", q)]["est_v"] - true) <= 2000 * 15 // 100, q
+
+    duck = duckdb.connect()
+    duck.execute("CREATE TABLE kq (g VARCHAR, rid BIGINT, v BIGINT)")
+    duck.executemany("INSERT INTO kq VALUES (?, ?, ?)", data)
+    twin = {
+        (r[0], r[1]): r
+        for r in duck.sql(
+            compactor_quantiles_sql("SELECT * FROM kq", k=k, rounds=rounds)
+        ).fetchall()
+    }
+    for key, r in got.items():
+        assert twin[key] == (
+            r["g"], r["q_pct"], r["est_v"], r["w_total"], r["sketch_n"],
+        )
