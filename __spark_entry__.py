@@ -13535,9 +13535,40 @@ def _kll_quantiles_sql() -> str:
     )
 
 
+def q_cost_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X284 (geostat.cost_distance): least-cost accumulation over the
+    shared 32x32 DEM from 4 corner-quadrant seeds — per-step cost
+    1 + min(|Δz|, 3), composed over graph.shortest_dists' bounded
+    Bellman-Ford (12 hops); recursive-walk oracle."""
+    from osm2geojson_spark.operators.geostat import cost_distance
+
+    seeds = spark.createDataFrame(
+        [(4, 4), (27, 4), (4, 27), (27, 27)], "x long, y long"
+    )
+    return cost_distance(_dem32(spark), seeds, max_hops=12, slope_cap=3)
+
+
+def _cost_distance_sql() -> str:
+    from osm2geojson_spark.operators.geostat import cost_distance_sql
+
+    dem = (
+        "SELECT CAST(i % 32 AS BIGINT) AS x, CAST(i // 32 AS BIGINT) AS y,"
+        " CAST(((i % 32) * 13 + (i // 32) * 29 + ((i % 32) * (i // 32)) % 7)"
+        " % 97 AS BIGINT) AS z"
+        " FROM (SELECT unnest(range(0, 1024)) AS i)"
+    )
+    return cost_distance_sql(
+        dem,
+        "SELECT unnest([4, 27, 4, 27]) AS x, unnest([4, 4, 27, 27]) AS y",
+        max_hops=12,
+        slope_cap=3,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "cost_distance": q_cost_distance,
         "kll_quantiles": q_kll_quantiles,
         "containment": q_containment,
         "tfidf_cosine": q_tfidf_cosine,
@@ -13872,6 +13903,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "cost_distance": _cost_distance_sql(),
         "kll_quantiles": _kll_quantiles_sql(),
         "containment": _containment_sql(),
         "tfidf_cosine": _tfidf_cosine_sql(),

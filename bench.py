@@ -329,6 +329,7 @@ BENCH_QUERIES = [
     "tfidf_cosine",
     "containment",
     "kll_quantiles",
+    "cost_distance",
 ]
 
 

@@ -901,3 +901,100 @@ WITH {','.join(parts)}
 SELECT CAST(round AS INTEGER) AS round, pid, x, y, d2_when_added
 FROM ({sel})
 """
+
+
+def cost_distance(
+    dem: DataFrame,
+    sources: DataFrame,
+    max_hops: int = 12,
+    slope_cap: int = 3,
+) -> DataFrame:
+    """(x, y, dist) — COST DISTANCE over a raster DEM: the minimum
+    accumulated traversal cost from any source cell through the
+    4-neighbor grid, with per-step cost 1 + min(|Δz|, slope_cap) —
+    flat terrain costs 1, steep steps up to 1 + slope_cap. The
+    cost-surface primitive of siting and accessibility analysis
+    (wildfire reach, wheelchair routing, least-cost corridors), and
+    the weighted sibling of the D8 flow operators.
+
+    BY COMPOSITION: the DEM becomes an undirected integer-weighted
+    grid graph (two +1-offset self-joins — no kernel) and the
+    distances are graph.shortest_dists' bounded Bellman-Ford, so
+    exactness, early-exit, and the per-round shuffle story are
+    inherited wholesale. The cap on |Δz| keeps the weight alphabet
+    tiny, which also bounds the oracle's walk-state space.
+
+    Unreached cells (outside max_hops) are absent; sources are 0.
+
+    Scale: the grid graph is 2 rows per cell (never materialized
+    wider); each Bellman-Ford round moves (cell, dist) pairs only."""
+    from .graph import shortest_dists
+
+    d = dem.select("x", "y", F.col("z").cast("long").alias("z"))
+    a = d.select(
+        F.col("x").alias("ax"), F.col("y").alias("ay"), F.col("z").alias("az")
+    )
+    right = d.select(
+        (F.col("x") - 1).alias("ax"),
+        F.col("y").alias("ay"),
+        F.col("z").alias("bz"),
+        F.col("x").alias("bx"),
+        F.col("y").alias("by"),
+    )
+    down = d.select(
+        F.col("x").alias("ax"),
+        (F.col("y") - 1).alias("ay"),
+        F.col("z").alias("bz"),
+        F.col("x").alias("bx"),
+        F.col("y").alias("by"),
+    )
+    n_side = 1 << 20  # node id packing pitch (grids far smaller)
+    edges = (
+        a.join(right, ["ax", "ay"])
+        .unionByName(a.join(down, ["ax", "ay"]))
+        .select(
+            (F.col("ay") * n_side + F.col("ax")).alias("src"),
+            (F.col("by") * n_side + F.col("bx")).alias("dst"),
+            (
+                F.lit(1)
+                + F.least(F.abs(F.col("bz") - F.col("az")), F.lit(slope_cap))
+            ).alias("w"),
+        )
+    )
+    srcs = sources.select(
+        (F.col("y") * n_side + F.col("x")).alias("node")
+    )
+    dist = shortest_dists(
+        edges, srcs, max_hops=max_hops, directed=False
+    )
+    return dist.select(
+        (F.col("node") % n_side).alias("x"),
+        F.floor(F.col("node") / n_side).cast("long").alias("y"),
+        "dist",
+    )
+
+
+def cost_distance_sql(
+    dem_cte: str,
+    sources_cte: str,
+    max_hops: int = 12,
+    slope_cap: int = 3,
+) -> str:
+    """DuckDB twin of cost_distance — the same grid-graph construction
+    composed over shortest_dists_sql's recursive walk.
+    ``dem_cte`` -> (x, y, z); ``sources_cte`` -> (x, y)."""
+    from .graph import shortest_dists_sql
+
+    n_side = 1 << 20
+    edges = f"""
+  SELECT a.y * {n_side} + a.x AS src, b.y * {n_side} + b.x AS dst,
+         1 + least(abs(b.z - a.z), {slope_cap}) AS w
+  FROM ({dem_cte}) a JOIN ({dem_cte}) b
+    ON (b.x = a.x + 1 AND b.y = a.y) OR (b.x = a.x AND b.y = a.y + 1)
+"""
+    srcs = f"SELECT y * {n_side} + x AS node FROM ({sources_cte})"
+    inner = shortest_dists_sql(edges, srcs, max_hops=max_hops, directed=False)
+    return f"""
+SELECT node % {n_side} AS x, node // {n_side} AS y, dist
+FROM ({inner})
+"""

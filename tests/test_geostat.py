@@ -602,3 +602,74 @@ def test_k_centers_greedy_replay_and_properties(spark):
         tuple(r) for r in duck.sql(k_centers_sql("SELECT * FROM kcp", k=6)).fetchall()
     )
     assert twin == got
+
+
+def test_cost_distance_dijkstra_brute_and_twin(spark):
+    """Python Dijkstra (hop-bounded) over the same weighted grid graph
+    must agree exactly; flat terrain reduces to Manhattan distance;
+    steep walls are detoured around; twin matches."""
+    import heapq
+
+    import duckdb
+
+    from osm2geojson_spark.operators.geostat import (
+        cost_distance,
+        cost_distance_sql,
+    )
+
+    n = 8
+    # flat plain with a steep north-south wall at x == 4 (z jumps 50)
+    zmap = {(x, y): (50 if x >= 4 else 0) for x in range(n) for y in range(n)}
+    dem = spark.createDataFrame(
+        [(x, y, z) for (x, y), z in zmap.items()], "x long, y long, z long"
+    )
+    seeds = [(0, 0)]
+    sdf = spark.createDataFrame(seeds, "x long, y long")
+    max_hops, cap = 10, 3
+    got = {
+        (r["x"], r["y"]): r["dist"]
+        for r in cost_distance(dem, sdf, max_hops=max_hops, slope_cap=cap).collect()
+    }
+
+    # hop-bounded Dijkstra replay (state = (cell, hops))
+    import collections
+
+    best = collections.defaultdict(lambda: float("inf"))
+    pq = [(0, 0, (0, 0))]
+    dist_at = {}
+    while pq:
+        d, h, c = heapq.heappop(pq)
+        if d >= best[(c, h)]:
+            continue
+        best[(c, h)] = d
+        dist_at[c] = min(dist_at.get(c, float("inf")), d)
+        if h == max_hops:
+            continue
+        x, y = c
+        for nx, ny in ((x+1, y), (x-1, y), (x, y+1), (x, y-1)):
+            if 0 <= nx < n and 0 <= ny < n:
+                w = 1 + min(abs(zmap[(nx, ny)] - zmap[(x, y)]), cap)
+                heapq.heappush(pq, (d + w, h + 1, (nx, ny)))
+    want = {c: d for c, d in dist_at.items() if d < float("inf")}
+    assert got == want
+    # flat side: exact Manhattan distance
+    assert got[(3, 3)] == 6 and got[(0, 7)] == 7
+    # first wall column pays the slope cap once
+    assert got[(4, 0)] == 3 + 1 + cap
+
+    duck = duckdb.connect()
+    dem_cte = (
+        "SELECT CAST(i % 8 AS BIGINT) AS x, CAST(i // 8 AS BIGINT) AS y,"
+        " CAST(CASE WHEN i % 8 >= 4 THEN 50 ELSE 0 END AS BIGINT) AS z"
+        " FROM (SELECT unnest(range(0, 64)) AS i)"
+    )
+    twin = {
+        (r[0], r[1]): r[2]
+        for r in duck.sql(
+            cost_distance_sql(
+                dem_cte, "SELECT 0 AS x, 0 AS y", max_hops=max_hops,
+                slope_cap=cap,
+            )
+        ).fetchall()
+    }
+    assert twin == got
