@@ -13565,9 +13565,43 @@ def _cost_distance_sql() -> str:
     )
 
 
+def q_simrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X285 (graph.simrank_int): fixed-point SimRank (3 rounds,
+    C=0.8) on an SF-capped slice of the dense modular graph (the pair
+    space is inherently quadratic — the caller's subgraph is the
+    knob); bit-exact truncating int64 rounds, upper triangle out."""
+    from osm2geojson_spark.operators.graph import simrank_int
+
+    part = _t(spark, sf_dir, "part").filter(F.col("p_partkey") < 1000)
+    k = F.col("p_partkey")
+    edges = part.select(
+        (k % 211).alias("src"), (((k % 199) * 7 + 3) % 211).alias("dst")
+    ).unionByName(
+        part.select(
+            (k % 211).alias("src"), (((k % 199) * 131 + 17) % 211).alias("dst")
+        )
+    )
+    return simrank_int(edges, rounds=3)
+
+
+def _simrank_sql() -> str:
+    from osm2geojson_spark.operators.graph import simrank_sql
+
+    return simrank_sql(
+        "SELECT p_partkey % 211 AS src,"
+        " ((p_partkey % 199) * 7 + 3) % 211 AS dst"
+        " FROM part WHERE p_partkey < 1000"
+        " UNION ALL SELECT p_partkey % 211 AS src,"
+        " ((p_partkey % 199) * 131 + 17) % 211 AS dst"
+        " FROM part WHERE p_partkey < 1000",
+        rounds=3,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "simrank": q_simrank,
         "cost_distance": q_cost_distance,
         "kll_quantiles": q_kll_quantiles,
         "containment": q_containment,
@@ -13903,6 +13937,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "simrank": _simrank_sql(),
         "cost_distance": _cost_distance_sql(),
         "kll_quantiles": _kll_quantiles_sql(),
         "containment": _containment_sql(),

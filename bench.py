@@ -330,6 +330,7 @@ BENCH_QUERIES = [
     "containment",
     "kll_quantiles",
     "cost_distance",
+    "simrank",
 ]
 
 

@@ -1625,3 +1625,129 @@ def personalized_pagerank_sql(
             f" FROM fl LEFT JOIN c{i} ON c{i}.node = fl.node)"
         )
     return ",\n".join(parts) + f"\nSELECT node, score FROM s{n_iters}"
+
+
+SR_SCALE = 1_000_000  # fixed-point SimRank mass (diagonal = SCALE)
+
+
+def simrank_int(
+    edges: DataFrame,
+    rounds: int = 3,
+    c_num: int = 4,
+    c_den: int = 5,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """(a, b, s) — FIXED-POINT SIMRANK (Jeh-Widom 2002): structural
+    similarity "two nodes are similar if their in-neighbors are
+    similar", the link-based twin of embedding cosine — citation/
+    co-purchase similarity without features. C = c_num/c_den (0.8).
+
+        s₀ = SCALE·𝟙[a=b]
+        s'(a,b) = (c_num · Σ_{i→a, j→b} s(i,j))
+                    div (c_den · indeg(a) · indeg(b)),  a ≠ b
+
+    — all int64 with truncating division on nonnegatives, so every
+    round is a pure function of the edge set: bit-identical across
+    engines, partitionings, and the unrolled SQL twin. Pairs only
+    materialize once reachable (round 1 = common-in-neighbor pairs);
+    zero rows are dropped each round. Output is the upper triangle
+    (a < b, s > 0) after ``rounds``.
+
+    Scale: per round one join of the live pair set against the edge
+    list per side (work = Σ outdeg(i)·outdeg(j) over live pairs) + a
+    combinable rollup; localCheckpoint keeps lineage flat. SimRank is
+    inherently pair-quadratic — run it on a community/sample subgraph,
+    never the raw 10^12-edge graph (the operator caps nothing itself;
+    the caller's subgraph IS the knob)."""
+    e = (
+        edges.select(F.col(src_col).alias("_s"), F.col(dst_col).alias("_d"))
+        .filter(F.col("_s") != F.col("_d"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    nodes = (
+        e.select(F.col("_s").alias("node"))
+        .unionByName(e.select(F.col("_d").alias("node")))
+        .distinct()
+    )
+    indeg = e.groupBy(F.col("_d").alias("node")).agg(
+        F.count(F.lit(1)).alias("ind")
+    )
+    diag = nodes.select(
+        F.col("node").alias("a"),
+        F.col("node").alias("b"),
+        F.lit(SR_SCALE).cast("long").alias("s"),
+    ).localCheckpoint(eager=False)
+    cur = diag
+    e1 = e.select(F.col("_s").alias("a"), F.col("_d").alias("na"))
+    e2 = e.select(F.col("_s").alias("b"), F.col("_d").alias("nb"))
+    for _ in range(rounds):
+        summed = (
+            cur.join(e1, "a")
+            .join(e2, "b")
+            .groupBy(F.col("na").alias("a"), F.col("nb").alias("b"))
+            .agg(F.sum("s").alias("num"))
+            .filter(F.col("a") != F.col("b"))
+        )
+        offdiag = (
+            summed.join(
+                indeg.select(F.col("node").alias("a"), F.col("ind").alias("ia")),
+                "a",
+            )
+            .join(
+                indeg.select(F.col("node").alias("b"), F.col("ind").alias("ib")),
+                "b",
+            )
+            .select(
+                "a",
+                "b",
+                F.expr(f"({c_num} * num) div ({c_den} * ia * ib)").alias("s"),
+            )
+            .filter(F.col("s") > 0)
+        )
+        cur = diag.unionByName(offdiag).localCheckpoint(eager=False)
+    return cur.filter(F.col("a") < F.col("b")).select("a", "b", "s")
+
+
+def simrank_sql(
+    edges_cte: str, rounds: int = 3, c_num: int = 4, c_den: int = 5
+) -> str:
+    """DuckDB twin of simrank_int — unrolled MATERIALIZED rounds with
+    the identical truncating update."""
+    parts = [
+        f"""WITH sr_e AS MATERIALIZED (
+  SELECT DISTINCT src AS s, dst AS d FROM ({edges_cte}) WHERE src != dst
+),
+sr_nodes AS (SELECT DISTINCT node FROM
+  (SELECT s AS node FROM sr_e UNION SELECT d FROM sr_e) u),
+sr_ind AS (SELECT d AS node, CAST(count(*) AS BIGINT) AS ind
+           FROM sr_e GROUP BY 1),
+sr_s0 AS (SELECT node AS a, node AS b, CAST({SR_SCALE} AS BIGINT) AS s
+          FROM sr_nodes)"""
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"""sr_n{i} AS MATERIALIZED (
+  SELECT e1.d AS a, e2.d AS b, CAST(sum(p.s) AS BIGINT) AS num
+  FROM sr_s{i-1} p
+  JOIN sr_e e1 ON e1.s = p.a
+  JOIN sr_e e2 ON e2.s = p.b
+  WHERE e1.d != e2.d
+  GROUP BY 1, 2
+),
+sr_s{i} AS MATERIALIZED (
+  SELECT a, b, s FROM sr_s0
+  UNION ALL
+  SELECT n.a, n.b,
+         ({c_num} * n.num) // ({c_den} * ia.ind * ib.ind) AS s
+  FROM sr_n{i} n
+  JOIN sr_ind ia ON ia.node = n.a
+  JOIN sr_ind ib ON ib.node = n.b
+  WHERE ({c_num} * n.num) // ({c_den} * ia.ind * ib.ind) > 0
+)"""
+        )
+    body = ",\n".join(parts)
+    return f"""{body}
+SELECT a, b, s FROM sr_s{rounds} WHERE a < b
+"""

@@ -950,3 +950,69 @@ def test_personalized_pagerank_replay_and_locality(spark):
         ).fetchall()
     )
     assert twin == got
+
+
+def test_simrank_dict_replay_and_structure(spark):
+    """Dict replay of the truncating fixed-point rounds; two nodes fed
+    by the same parents score SCALE*C after round 1; nodes with no
+    common ancestry never appear; twin bit-identical."""
+    import duckdb
+
+    from osm2geojson_spark.operators.graph import (
+        SR_SCALE,
+        simrank_int,
+        simrank_sql,
+    )
+
+    # parents {0,1} both point to 10 and 11 (twins); 2->12 only;
+    # 10->20, 11->21 (grandchildren of the twins)
+    edges = [(0, 10), (0, 11), (1, 10), (1, 11), (2, 12), (10, 20), (11, 21)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    rounds, cn, cd = 3, 4, 5
+    got = {
+        (r["a"], r["b"]): r["s"]
+        for r in simrank_int(df, rounds=rounds, c_num=cn, c_den=cd).collect()
+    }
+
+    # dict replay
+    import collections
+
+    ins = collections.defaultdict(set)
+    for s, d in edges:
+        ins[d].add(s)
+    nodes = sorted({x for e in edges for x in e})
+    s = {(v, v): SR_SCALE for v in nodes}
+    for _ in range(rounds):
+        nxt = {(v, v): SR_SCALE for v in nodes}
+        for a in nodes:
+            for b in nodes:
+                if a == b or not ins[a] or not ins[b]:
+                    continue
+                tot = sum(
+                    s.get((i, j), 0) for i in ins[a] for j in ins[b]
+                )
+                val = (cn * tot) // (cd * len(ins[a]) * len(ins[b]))
+                if val > 0:
+                    nxt[(a, b)] = val
+        s = nxt
+    want = {(a, b): v for (a, b), v in s.items() if a < b and v > 0}
+    assert got == want
+    # twins fed by the same TWO parents: Σ over the 2x2 in-pair grid is
+    # 2·SCALE (diagonal) + 2·s(0,1) with s(0,1)=0 (parents have no
+    # in-edges), so s = C·2·SCALE/4 = C·SCALE/2 — the textbook value
+    assert got[(10, 11)] == SR_SCALE * cn // (cd * 2)
+    # grandchildren inherit similarity through the twins
+    assert got[(20, 21)] > 0
+    # no common ancestry with 12's line
+    assert not any(12 in p or (p[0] == 2 or p[1] == 2) for p in got)
+
+    duck = duckdb.connect()
+    duck.execute("CREATE TABLE sre (src BIGINT, dst BIGINT)")
+    duck.executemany("INSERT INTO sre VALUES (?, ?)", edges)
+    twin = {
+        (r[0], r[1]): r[2]
+        for r in duck.sql(
+            simrank_sql("SELECT src, dst FROM sre", rounds=rounds)
+        ).fetchall()
+    }
+    assert twin == got
