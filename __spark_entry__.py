@@ -13598,9 +13598,75 @@ def _simrank_sql() -> str:
     )
 
 
+def q_psnr_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X286 (multimodal.psnr_gate): the north rule's decoded-pixel
+    PSNR≥40dB invariant as an operator — originals vs a posterize-8
+    degrade (and an exact copy on every 5th image): log-free integer
+    gate sse·10⁴ ≤ 255²·n; copies flag identical."""
+    from osm2geojson_spark.functions import imagecodec as IC
+    from osm2geojson_spark.operators.multimodal import psnr_gate
+
+    imgs = _synth_images(spark, sf_dir, 450, step=3).select(
+        "image_id", F.col("_i").alias("ii"), "bytes", "fmt"
+    )
+
+    def degrade(it):
+        import numpy as np
+
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                px = IC.decode(bytes(r.bytes), r.fmt)
+                i = int(r.ii)
+                if (i // 3) % 5 == 0:
+                    out = px.copy()
+                else:
+                    out = (px // 8) * 8
+                rows.append(
+                    (
+                        r.image_id,
+                        bytes(r.bytes),
+                        r.fmt,
+                        IC.encode_rawz(out.astype(np.uint8)),
+                        "rawz",
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["image_id", "bytes_a", "fmt_a", "bytes_b", "fmt_b"],
+            )
+
+    pairs = imgs.mapInPandas(
+        degrade,
+        schema="image_id string, bytes_a binary, fmt_a string,"
+        " bytes_b binary, fmt_b string",
+    )
+    return psnr_gate(pairs, factor=10_000)
+
+
+def _psnr_gate_sql() -> str:
+    from osm2geojson_spark.operators.multimodal import psnr_gate_sql
+
+    px = """
+SELECT printf('img%012d', i) AS image_id,
+       ((p % 8) * 3 + (p // 8) * 7 + i * 13) % 251 AS va,
+       CASE WHEN (i // 3) % 5 = 0
+            THEN ((p % 8) * 3 + (p // 8) * 7 + i * 13) % 251
+            ELSE (((p % 8) * 3 + (p // 8) * 7 + i * 13) % 251 // 8) * 8
+       END AS vb
+FROM (
+  SELECT p_partkey AS i, pp.p
+  FROM part, unnest(range(0, 64)) pp(p)
+  WHERE p_partkey < 450 AND p_partkey % 3 = 0
+)
+"""
+    return psnr_gate_sql(px, factor=10_000)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "psnr_gate": q_psnr_gate,
         "simrank": q_simrank,
         "cost_distance": q_cost_distance,
         "kll_quantiles": q_kll_quantiles,
@@ -13937,6 +14003,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "psnr_gate": _psnr_gate_sql(),
         "simrank": _simrank_sql(),
         "cost_distance": _cost_distance_sql(),
         "kll_quantiles": _kll_quantiles_sql(),

@@ -331,6 +331,7 @@ BENCH_QUERIES = [
     "kll_quantiles",
     "cost_distance",
     "simrank",
+    "psnr_gate",
 ]
 
 

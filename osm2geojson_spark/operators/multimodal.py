@@ -5360,3 +5360,76 @@ kf_rank AS (
 SELECT clip_id, shot_id, n_frames, frame_idx AS key_frame_idx, sharp
 FROM kf_rank WHERE rk = 1
 """
+
+
+def psnr_gate(
+    pairs: DataFrame,
+    factor: int = 10_000,
+) -> DataFrame:
+    """(image_id, n_px, sse, pass_gate, identical) — PSNR QUALITY GATE
+    between two encodings of the same image: the per-row invariant the
+    north rule pins ("decoded-pixel allclose, PSNR ≥ 40 dB for lossy")
+    made an operator. ``factor`` = 10^(psnr_db/10) (10_000 ⇔ 40 dB).
+
+    Log-free gate: PSNR ≥ db  ⇔  10·log10(255²·n/sse) ≥ db
+                              ⇔  sse · factor ≤ 255² · n
+
+    — an exact integer inequality (sse = Σ(a−b)², n = pixel count), so
+    the pass/fail set is bit-identical in any engine; log10's last ulp
+    never enters. identical (sse = 0) is the lossless-roundtrip check.
+    Shape mismatches yield sse = NULL / pass_gate = false (a resize is
+    never "within PSNR").
+
+    Input: (image_id, bytes_a, fmt_a, bytes_b, fmt_b).
+
+    Scale: one Arrow pass per pair batch, one output row per image —
+    pixels never shuffle. Run it beside every lossy re-encode /
+    augment / transcode stage as the release gate."""
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                a = imagecodec.decode(bytes(r.bytes_a), r.fmt_a)
+                b = imagecodec.decode(bytes(r.bytes_b), r.fmt_b)
+                if a.shape != b.shape:
+                    rows.append((r.image_id, int(a.size), None, False, False))
+                    continue
+                d = a.astype(np.int64) - b.astype(np.int64)
+                sse = int((d * d).sum())
+                n = int(a.size)
+                rows.append(
+                    (
+                        r.image_id,
+                        n,
+                        sse,
+                        sse * factor <= 65025 * n,
+                        sse == 0,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["image_id", "n_px", "sse", "pass_gate", "identical"],
+            )
+
+    return pairs.select(
+        "image_id", "bytes_a", "fmt_a", "bytes_b", "fmt_b"
+    ).mapInPandas(
+        fn,
+        schema="image_id string, n_px long, sse long, pass_gate boolean,"
+        " identical boolean",
+    )
+
+
+def psnr_gate_sql(px_pairs_cte: str, factor: int = 10_000) -> str:
+    """DuckDB twin of psnr_gate over aligned pixel rows
+    (image_id, va, vb) — identical integer gate (same-shape pairs)."""
+    return f"""
+WITH pg_px AS ({px_pairs_cte})
+SELECT image_id, CAST(count(*) AS BIGINT) AS n_px,
+       CAST(sum((va - vb) * (va - vb)) AS BIGINT) AS sse,
+       sum((va - vb) * (va - vb)) * {factor} <= 65025 * count(*)
+         AS pass_gate,
+       sum((va - vb) * (va - vb)) = 0 AS identical
+FROM pg_px GROUP BY image_id
+"""

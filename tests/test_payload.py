@@ -3666,3 +3666,61 @@ def test_keyframe_select_shots_and_sharpest_and_twin(spark):
             r["clip_id"], r["shot_id"], r["n_frames"],
             r["key_frame_idx"], r["sharp"],
         )
+
+
+def test_psnr_gate_exact_threshold_and_twin(spark):
+    """The integer gate flips exactly at sse·factor = 255²·n (a planted
+    single-pixel error sized to straddle the boundary); identical
+    copies flag identical; shape mismatch fails closed; twin matches."""
+    import duckdb
+
+    from osm2geojson_spark.functions import imagecodec as IC
+    from osm2geojson_spark.operators.multimodal import psnr_gate, psnr_gate_sql
+
+    n = 64  # 8x8
+    base = (np.arange(n, dtype=np.int64).reshape(8, 8) * 3 % 251).astype(
+        np.uint8
+    )
+    # factor 10_000: gate is sse <= 65025*64/10000 = 416.16 -> sse 416
+    # passes, 417 fails. Plant d with d^2 = 400 (pass) and 441 (fail).
+    ok = base.copy()
+    ok[0, 0] = np.uint8(int(ok[0, 0]) + 20)  # sse 400
+    bad = base.copy()
+    bad[0, 0] = np.uint8(int(bad[0, 0]) + 21)  # sse 441
+    small = base[:4, :4].copy()
+    rows = [
+        ("same", IC.encode_rawz(base), "rawz", IC.encode_rawz(base.copy()), "rawz"),
+        ("pass", IC.encode_rawz(base), "rawz", IC.encode_rawz(ok), "rawz"),
+        ("fail", IC.encode_rawz(base), "rawz", IC.encode_rawz(bad), "rawz"),
+        ("shape", IC.encode_rawz(base), "rawz", IC.encode_rawz(small), "rawz"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "image_id string, bytes_a binary, fmt_a string, bytes_b binary,"
+        " fmt_b string",
+    )
+    got = {r["image_id"]: r.asDict() for r in psnr_gate(df).collect()}
+
+    assert got["same"]["sse"] == 0 and got["same"]["identical"]
+    assert got["same"]["pass_gate"]
+    assert got["pass"]["sse"] == 400 and got["pass"]["pass_gate"]
+    assert not got["pass"]["identical"]
+    assert got["fail"]["sse"] == 441 and not got["fail"]["pass_gate"]
+    assert got["shape"]["sse"] is None and not got["shape"]["pass_gate"]
+
+    duck = duckdb.connect()
+    duck.execute("CREATE TABLE pgx (image_id VARCHAR, va BIGINT, vb BIGINT)")
+    px = []
+    for name, arr in (("same", base), ("pass", ok), ("fail", bad)):
+        for j in range(n):
+            px.append((name, int(base.reshape(-1)[j]), int(arr.reshape(-1)[j])))
+    duck.executemany("INSERT INTO pgx VALUES (?, ?, ?)", px)
+    twin = {
+        r[0]: r
+        for r in duck.sql(psnr_gate_sql("SELECT * FROM pgx")).fetchall()
+    }
+    for name in ("same", "pass", "fail"):
+        r = got[name]
+        assert twin[name] == (
+            name, r["n_px"], r["sse"], r["pass_gate"], r["identical"],
+        )
