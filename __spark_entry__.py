@@ -13663,9 +13663,68 @@ FROM (
     return psnr_gate_sql(px, factor=10_000)
 
 
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X287 (analytics.snapshot_diff): audit diff of orders vs a
+    synthetically mutated snapshot — %97 keys removed, %101 keys
+    re-added under shifted ids, %13 prices bumped, %17 statuses
+    flipped; null-safe bitmask + popcount per key."""
+    from osm2geojson_spark.operators.analytics import snapshot_diff
+
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("price_c"),
+        F.col("o_orderstatus").alias("status_c"),
+    )
+    k = F.col("o_orderkey")
+    mutated = (
+        base.filter(k % 97 != 0)
+        .select(
+            "o_orderkey",
+            F.when(k % 13 == 0, F.col("price_c") + 500)
+            .otherwise(F.col("price_c"))
+            .alias("price_c"),
+            F.when(k % 17 == 0, F.lit("X")).otherwise(
+                F.col("status_c")
+            ).alias("status_c"),
+        )
+        .unionByName(
+            base.filter(k % 101 == 0).select(
+                (k + 1000000000).alias("o_orderkey"), "price_c", "status_c"
+            )
+        )
+    )
+    return snapshot_diff(
+        base, mutated, ["o_orderkey"], ["price_c", "status_c"]
+    )
+
+
+def _snapshot_diff_sql() -> str:
+    from osm2geojson_spark.operators.analytics import snapshot_diff_sql
+
+    base = (
+        "SELECT o_orderkey,"
+        " CAST(round(o_totalprice * 100) AS BIGINT) AS price_c,"
+        " o_orderstatus AS status_c FROM orders"
+    )
+    mutated = f"""
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 13 = 0 THEN price_c + 500
+              ELSE price_c END AS price_c,
+         CASE WHEN o_orderkey % 17 = 0 THEN 'X' ELSE status_c END AS status_c
+  FROM ({base}) b WHERE o_orderkey % 97 != 0
+  UNION ALL
+  SELECT o_orderkey + 1000000000, price_c, status_c
+  FROM ({base}) b2 WHERE o_orderkey % 101 = 0
+"""
+    return snapshot_diff_sql(
+        base, mutated, ["o_orderkey"], ["price_c", "status_c"]
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "snapshot_diff": q_snapshot_diff,
         "psnr_gate": q_psnr_gate,
         "simrank": q_simrank,
         "cost_distance": q_cost_distance,
@@ -14003,6 +14062,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "snapshot_diff": _snapshot_diff_sql(),
         "psnr_gate": _psnr_gate_sql(),
         "simrank": _simrank_sql(),
         "cost_distance": _cost_distance_sql(),

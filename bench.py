@@ -332,6 +332,7 @@ BENCH_QUERIES = [
     "cost_distance",
     "simrank",
     "psnr_gate",
+    "snapshot_diff",
 ]
 
 

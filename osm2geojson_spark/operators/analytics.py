@@ -5712,3 +5712,99 @@ SELECT feat, x AS best_t, polarity, errors, n,
        1000000 * (n - errors) // n AS acc_micro
 FROM st_pick WHERE rk = 1
 """
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list,
+    value_cols: list,
+) -> DataFrame:
+    """(…key_cols, status, changed_mask, n_changed) — SNAPSHOT DIFF
+    between two versions of a table: the reconciliation/audit primitive
+    under CDC validation, backfill verification, and "what did this
+    pipeline run change?" reviews — scd2_build's stateless sibling
+    (two snapshots in, one verdict per key out).
+
+    status ∈ {added, removed, changed, same}; changed_mask is the
+    little-endian bitmask of value columns that differ (bit i =
+    value_cols[i]), n_changed its popcount — both exact integers from
+    null-safe equality (<=> — a NULL→value transition counts as a
+    change, the audit semantic).
+
+    Scale: ONE full-outer equi-join on the key (sort-merge at scale;
+    pre-bucket both snapshots by key to make it shuffle-free), column
+    comparisons are JVM expressions. No window, no collect."""
+    o = old.select(
+        *[F.col(k).alias(f"k_{k}") for k in key_cols],
+        *[F.col(c).alias(f"o_{c}") for c in value_cols],
+        F.lit(1).alias("_in_old"),
+    )
+    n = new.select(
+        *[F.col(k).alias(f"k_{k}") for k in key_cols],
+        *[F.col(c).alias(f"n_{c}") for c in value_cols],
+        F.lit(1).alias("_in_new"),
+    )
+    joined = o.join(n, [f"k_{k}" for k in key_cols], "full_outer")
+    mask = F.lit(0)
+    for i, c in enumerate(value_cols):
+        differs = ~F.col(f"o_{c}").eqNullSafe(F.col(f"n_{c}"))
+        mask = mask + F.when(differs, F.lit(1 << i)).otherwise(F.lit(0))
+    status = (
+        F.when(F.col("_in_old").isNull(), F.lit("added"))
+        .when(F.col("_in_new").isNull(), F.lit("removed"))
+        .when(mask > 0, F.lit("changed"))
+        .otherwise(F.lit("same"))
+    )
+    both = F.col("_in_old").isNotNull() & F.col("_in_new").isNotNull()
+    return joined.select(
+        *[F.col(f"k_{k}").alias(k) for k in key_cols],
+        status.alias("status"),
+        F.when(both, mask).otherwise(F.lit(0)).cast("long").alias(
+            "changed_mask"
+        ),
+        F.when(both, F.bit_count(mask)).otherwise(F.lit(0))
+        .cast("long")
+        .alias("n_changed"),
+    )
+
+
+def snapshot_diff_sql(
+    old_cte: str,
+    new_cte: str,
+    key_cols: list,
+    value_cols: list,
+) -> str:
+    """DuckDB twin of snapshot_diff — identical full-outer join,
+    null-safe comparisons, and bitmask assembly."""
+    keys = ", ".join(key_cols)
+    on = " AND ".join(f"n.{k} = o.{k}" for k in key_cols)
+    key_out = ", ".join(
+        f"COALESCE(o.{k}, n.{k}) AS {k}" for k in key_cols
+    )
+    mask_terms = " + ".join(
+        f"(CASE WHEN NOT (o.{c} IS NOT DISTINCT FROM n.{c})"
+        f" THEN {1 << i} ELSE 0 END)"
+        for i, c in enumerate(value_cols)
+    )
+    return f"""
+WITH sd_o AS ({old_cte}),
+sd_n AS ({new_cte}),
+sd_j AS (
+  SELECT {key_out},
+         o.{key_cols[0]} IS NOT NULL AS in_old,
+         n.{key_cols[0]} IS NOT NULL AS in_new,
+         CASE WHEN o.{key_cols[0]} IS NOT NULL
+               AND n.{key_cols[0]} IS NOT NULL
+              THEN {mask_terms} ELSE 0 END AS changed_mask
+  FROM sd_o o FULL OUTER JOIN sd_n n ON {on}
+)
+SELECT {keys},
+       CASE WHEN NOT in_old THEN 'added'
+            WHEN NOT in_new THEN 'removed'
+            WHEN changed_mask > 0 THEN 'changed'
+            ELSE 'same' END AS status,
+       CAST(changed_mask AS BIGINT) AS changed_mask,
+       CAST(bit_count(changed_mask) AS BIGINT) AS n_changed
+FROM sd_j
+"""

@@ -3525,3 +3525,60 @@ def test_compactor_quantiles_replay_exact_small_and_error_bound(spark):
         assert twin[key] == (
             r["g"], r["q_pct"], r["est_v"], r["w_total"], r["sketch_n"],
         )
+
+
+def test_snapshot_diff_statuses_masks_and_twin(spark):
+    """Every status class planted (added/removed/changed/same), NULL
+    transitions count as changes, the bitmask addresses the right
+    columns, popcount matches; twin bit-identical."""
+    import duckdb
+
+    old = [
+        (1, 100, "a"),
+        (2, 200, "b"),
+        (3, 300, None),   # null -> value = change in col 1
+        (4, 400, "d"),    # removed
+        (6, 600, "f"),    # both cols change
+    ]
+    new = [
+        (1, 100, "a"),    # same
+        (2, 250, "b"),    # col 0 changes
+        (3, 300, "c"),    # col 1 changes (NULL -> 'c')
+        (5, 500, "e"),    # added
+        (6, 601, "g"),    # mask 0b11
+    ]
+    from osm2geojson_spark.operators.analytics import (
+        snapshot_diff,
+        snapshot_diff_sql,
+    )
+
+    odf = spark.createDataFrame(old, "k long, price long, tag string")
+    ndf = spark.createDataFrame(new, "k long, price long, tag string")
+    got = {
+        r["k"]: (r["status"], r["changed_mask"], r["n_changed"])
+        for r in snapshot_diff(odf, ndf, ["k"], ["price", "tag"]).collect()
+    }
+    assert got == {
+        1: ("same", 0, 0),
+        2: ("changed", 1, 1),
+        3: ("changed", 2, 1),
+        4: ("removed", 0, 0),
+        5: ("added", 0, 0),
+        6: ("changed", 3, 2),
+    }
+
+    duck = duckdb.connect()
+    duck.execute("CREATE TABLE so (k BIGINT, price BIGINT, tag VARCHAR)")
+    duck.execute("CREATE TABLE sn (k BIGINT, price BIGINT, tag VARCHAR)")
+    duck.executemany("INSERT INTO so VALUES (?, ?, ?)", old)
+    duck.executemany("INSERT INTO sn VALUES (?, ?, ?)", new)
+    twin = {
+        r[0]: (r[1], r[2], r[3])
+        for r in duck.sql(
+            snapshot_diff_sql(
+                "SELECT * FROM so", "SELECT * FROM sn", ["k"],
+                ["price", "tag"],
+            )
+        ).fetchall()
+    }
+    assert twin == got
