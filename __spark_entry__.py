@@ -13721,9 +13721,45 @@ def _snapshot_diff_sql() -> str:
     )
 
 
+def q_knee_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X288 (analytics.knee_point): integer Kneedle knee detection on
+    each event_type's cumulative-value curve (rank vs running cents —
+    a concave spend CDF) — exact cross-product deviation from the
+    endpoint chord, (|d| DESC, x ASC)-pinned argmax."""
+    from pyspark.sql.window import Window as _W
+
+    from osm2geojson_spark.operators.analytics import knee_point
+
+    w = _W.partitionBy("event_type").orderBy("ts", "event_id")
+    curve = _t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("g"),
+        F.row_number().over(w).cast("long").alias("x"),
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .over(w.rowsBetween(_W.unboundedPreceding, 0))
+        .alias("y"),
+    )
+    return knee_point(curve)
+
+
+def _knee_point_sql() -> str:
+    from osm2geojson_spark.operators.analytics import knee_point_sql
+
+    return knee_point_sql(
+        "SELECT event_type AS g,"
+        " CAST(row_number() OVER (PARTITION BY event_type"
+        "   ORDER BY ts, event_id) AS BIGINT) AS x,"
+        " CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER ("
+        "   PARTITION BY event_type ORDER BY ts, event_id"
+        "   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+        " AS BIGINT) AS y"
+        " FROM events"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "knee_point": q_knee_point,
         "snapshot_diff": q_snapshot_diff,
         "psnr_gate": q_psnr_gate,
         "simrank": q_simrank,
@@ -14062,6 +14098,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "knee_point": _knee_point_sql(),
         "snapshot_diff": _snapshot_diff_sql(),
         "psnr_gate": _psnr_gate_sql(),
         "simrank": _simrank_sql(),

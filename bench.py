@@ -333,6 +333,7 @@ BENCH_QUERIES = [
     "simrank",
     "psnr_gate",
     "snapshot_diff",
+    "knee_point",
 ]
 
 

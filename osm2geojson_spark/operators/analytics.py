@@ -5808,3 +5808,109 @@ SELECT {keys},
        CAST(bit_count(changed_mask) AS BIGINT) AS n_changed
 FROM sd_j
 """
+
+
+def knee_point(
+    df: DataFrame,
+    group_col: str = "g",
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """(g, knee_x, knee_y, dev_num, side) — KNEE/ELBOW DETECTION on a
+    per-group curve (the Kneedle idea in exact integer form): the
+    point of maximum perpendicular deviation from the chord joining
+    the curve's endpoints — how you pick k for k-means/IVF, a
+    similarity threshold from a score curve, or a compaction cutoff
+    from a file-size CDF, without eyeballing.
+
+    Float-free: with endpoints (x0,y0), (x1,y1) the signed chord
+    deviation of (x,y) is the exact cross product
+
+        d = (y − y0)·(x1 − x0) − (x − x0)·(y1 − y0)
+
+    (∝ perpendicular distance — the ray-casting/orientation primitive
+    reused from the geometry kernels). The knee is the argmax of |d|,
+    pinned by (|d| DESC, x ASC); dev_num reports |d| exactly (divide
+    by the chord length for a scale-free distance; the numerator is
+    kept integer so it never rounds), side = sign(d) (+1 above the
+    chord = convex knee, −1 below = concave elbow). Overflow bound:
+    |d| ≤ Δy·Δx — keep the product under 2^63 (cent-quantized CDFs to
+    ~10^10 × 10^5 points are fine).
+
+    Scale: endpoints via one min/max-struct rollup (no window over raw
+    rows), broadcast back, one argmax rollup. Curves are usually
+    already aggregates (CDFs, k-sweeps) — this runs on their collapsed
+    output."""
+    rows = df.select(
+        F.col(group_col).alias("g"),
+        F.col(x_col).cast("long").alias("x"),
+        F.col(y_col).cast("long").alias("y"),
+    )
+    ends = rows.groupBy("g").agg(
+        F.min(F.struct("x", "y")).alias("lo"),
+        F.max(F.struct("x", "y")).alias("hi"),
+    )
+    j = rows.join(F.broadcast(ends), "g")
+    d = (F.col("y") - F.col("lo.y")) * (F.col("hi.x") - F.col("lo.x")) - (
+        F.col("x") - F.col("lo.x")
+    ) * (F.col("hi.y") - F.col("lo.y"))
+    staged = j.select(
+        "g",
+        "x",
+        "y",
+        d.alias("d"),
+    )
+    return (
+        staged.groupBy("g")
+        .agg(
+            F.max(
+                F.struct(
+                    F.abs(F.col("d")).alias("ad"),
+                    (-F.col("x")).alias("negx"),
+                    F.col("x").alias("kx"),
+                    F.col("y").alias("ky"),
+                    F.col("d").alias("dd"),
+                )
+            ).alias("top")
+        )
+        .select(
+            "g",
+            F.col("top.kx").alias("knee_x"),
+            F.col("top.ky").alias("knee_y"),
+            F.col("top.ad").alias("dev_num"),
+            F.signum(F.col("top.dd")).cast("long").alias("side"),
+        )
+    )
+
+
+def knee_point_sql(rows_cte: str) -> str:
+    """DuckDB twin of knee_point — identical endpoint structs, cross
+    product, and pinned argmax. ``rows_cte`` -> (g, x, y)."""
+    return f"""
+WITH kn_src AS (
+  SELECT g, CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y
+  FROM ({rows_cte})
+),
+kn_ends AS (
+  SELECT g,
+         min(struct_pack(x := x, y := y)) AS lo,
+         max(struct_pack(x := x, y := y)) AS hi
+  FROM kn_src GROUP BY 1
+),
+kn_d AS (
+  SELECT s.g, s.x, s.y,
+         (s.y - e.lo.y) * (e.hi.x - e.lo.x)
+           - (s.x - e.lo.x) * (e.hi.y - e.lo.y) AS d
+  FROM kn_src s JOIN kn_ends e USING (g)
+),
+kn_rk AS (
+  SELECT g, x, y, d,
+         row_number() OVER (PARTITION BY g ORDER BY abs(d) DESC, x ASC)
+           AS rk
+  FROM kn_d
+)
+SELECT g, x AS knee_x, y AS knee_y,
+       CAST(abs(d) AS BIGINT) AS dev_num,
+       CAST(sign(d) AS BIGINT) AS side
+FROM kn_rk WHERE rk = 1
+"""

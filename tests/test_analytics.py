@@ -3582,3 +3582,59 @@ def test_snapshot_diff_statuses_masks_and_twin(spark):
         ).fetchall()
     }
     assert twin == got
+
+
+def test_knee_point_brute_and_planted_elbow(spark):
+    """Exhaustive scalar argmax vs the operator; a piecewise-linear
+    curve with a sharp planted elbow reports exactly the corner (and
+    side = concave); a straight line reports deviation 0; twin
+    bit-identical."""
+    import duckdb
+
+    from osm2geojson_spark.operators.analytics import knee_point, knee_point_sql
+
+    rows = []
+    # elbow: steep rise to (10, 1000), then flat to (30, 1100)
+    for x in range(11):
+        rows.append(("elbow", x, 100 * x))
+    for x in range(11, 31):
+        rows.append(("elbow", x, 1000 + 5 * (x - 10)))
+    # straight line: zero deviation everywhere (knee = leftmost point)
+    for x in range(20):
+        rows.append(("line", x, 7 * x + 3))
+    df = spark.createDataFrame(rows, "g string, x long, y long")
+    got = {r["g"]: r.asDict() for r in knee_point(df).collect()}
+
+    from collections import defaultdict
+
+    byg = defaultdict(list)
+    for g, x, y in rows:
+        byg[g].append((x, y))
+    for g, pts in byg.items():
+        pts.sort()
+        (x0, y0), (x1, y1) = pts[0], pts[-1]
+        best = None
+        for x, y in pts:
+            d = (y - y0) * (x1 - x0) - (x - x0) * (y1 - y0)
+            k = (-abs(d), x, y, d)
+            if best is None or k < best:
+                best = k
+        r = got[g]
+        assert (r["knee_x"], r["knee_y"], r["dev_num"], r["side"]) == (
+            best[1], best[2], abs(best[3]),
+            0 if best[3] == 0 else (1 if best[3] > 0 else -1),
+        ), g
+    assert got["elbow"]["knee_x"] == 10 and got["elbow"]["side"] == 1
+    assert got["line"]["dev_num"] == 0
+
+    duck = duckdb.connect()
+    duck.execute("CREATE TABLE kn (g VARCHAR, x BIGINT, y BIGINT)")
+    duck.executemany("INSERT INTO kn VALUES (?, ?, ?)", rows)
+    twin = {
+        r[0]: r
+        for r in duck.sql(knee_point_sql("SELECT * FROM kn")).fetchall()
+    }
+    for g, r in got.items():
+        assert twin[g] == (
+            g, r["knee_x"], r["knee_y"], r["dev_num"], r["side"],
+        )
