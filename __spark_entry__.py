@@ -13756,9 +13756,59 @@ def _knee_point_sql() -> str:
     )
 
 
+def q_critical_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X289 (graph.critical_path): CPM scheduling over a 6-layer
+    activity DAG built from part keys (layer = key % 6, two forward
+    edge families per node, durations 1 + (key*5+2) % 13) — bounded
+    max-relax rounds forward + backward, exact int64 es/ef/lf/slack,
+    critical-flagged; the oracle enumerates walks in recursive CTEs."""
+    from osm2geojson_spark.operators import graph as G
+
+    part = _t(spark, sf_dir, "part").select("p_partkey")
+    n = part.count()
+    k = F.col("p_partkey")
+    nodes = part.select(
+        k.alias("node"), (F.lit(1) + (k * 5 + 2) % 13).cast("long").alias("dur")
+    )
+
+    def fam(mul: int, add: int):
+        b0 = (k * mul + add) % n
+        b = b0 - (b0 % 6) + (k % 6) + 1
+        return part.filter((k % 6) < 5).select(
+            k.alias("src"), b.alias("dst")
+        ).filter(F.col("dst") < n)
+
+    edges = fam(7, 3).unionByName(fam(131, 17))
+    return G.critical_path(nodes, edges, max_rounds=6)
+
+
+def _critical_path_sql() -> str:
+    from osm2geojson_spark.operators import graph as G
+
+    nodes = (
+        "SELECT p_partkey AS node,"
+        " CAST(1 + (p_partkey * 5 + 2) % 13 AS BIGINT) AS dur FROM part"
+    )
+
+    def fam(mul: int, add: int) -> str:
+        return (
+            "SELECT src, dst FROM ("
+            f"SELECT p_partkey AS src,"
+            f" ((p_partkey * {mul} + {add}) % (SELECT COUNT(*) FROM part))"
+            f" - (((p_partkey * {mul} + {add}) % (SELECT COUNT(*) FROM part)) % 6)"
+            f" + (p_partkey % 6) + 1 AS dst"
+            " FROM part WHERE p_partkey % 6 < 5) f"
+            " WHERE dst < (SELECT COUNT(*) FROM part)"
+        )
+
+    edges = f"{fam(7, 3)} UNION ALL {fam(131, 17)}"
+    return G.critical_path_sql(nodes, edges, max_rounds=6)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "critical_path": q_critical_path,
         "knee_point": q_knee_point,
         "snapshot_diff": q_snapshot_diff,
         "psnr_gate": q_psnr_gate,
@@ -14098,6 +14148,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "critical_path": _critical_path_sql(),
         "knee_point": _knee_point_sql(),
         "snapshot_diff": _snapshot_diff_sql(),
         "psnr_gate": _psnr_gate_sql(),

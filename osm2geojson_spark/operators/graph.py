@@ -1751,3 +1751,127 @@ sr_s{i} AS MATERIALIZED (
     return f"""{body}
 SELECT a, b, s FROM sr_s{rounds} WHERE a < b
 """
+
+
+def critical_path(
+    nodes: DataFrame,
+    edges: DataFrame,
+    max_rounds: int = 8,
+    node_col: str = "node",
+    dur_col: str = "dur",
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """(node, dur, es, ef, lf, slack, critical) — CRITICAL-PATH METHOD
+    over an activity-on-node DAG (Kelley-Walker CPM): earliest start =
+    longest predecessor chain, latest finish = project end minus the
+    longest successor chain, slack = lf - ef, critical = (slack == 0).
+    The scheduling core of every pipeline/DAG planner (Airflow-style
+    task graphs, build systems, shuffle-stage scheduling) — and the
+    integer-exact sibling of shortest_dists with max instead of min.
+
+    Forward pass: es(v) = max over predecessors u of (es(u) + dur(u)),
+    0 at roots — one relax shuffle per round, max-rollup, converges in
+    depth(DAG) rounds (``max_rounds`` must be >= depth; walks are
+    monotone so an unchanged (count, sum) signature proves the fixed
+    point and exits early). Backward pass: the same loop on reversed
+    edges accumulating tail(v) = max over successors s of
+    (tail(s) + dur(s)). Project end T = max(es + dur); lf = T - tail.
+    All int64 — no floats anywhere, so the DuckDB recursive-CTE twin
+    (walk enumeration + max per node) is bit-identical.
+
+    Scale: per round the shuffle carries only (node, val) pairs and the
+    max-rollup is map-side combinable; cycles would diverge, so the cap
+    doubles as a safety bound (a DAG deeper than ``max_rounds`` yields
+    bounded-horizon es/lf, still well-defined and twin-matched)."""
+    nd = nodes.select(
+        F.col(node_col).alias("node"), F.col(dur_col).cast("long").alias("dur")
+    )
+    e = edges.select(F.col(src_col).alias("_s"), F.col(dst_col).alias("_d"))
+
+    def _longest(rel: DataFrame, durs: DataFrame) -> DataFrame:
+        # rel: (_s, _d); seed every node at 0, relax val(_d) >= val(_s)+dur(_s)
+        lab = durs.select("node", F.lit(0).cast("long").alias("val")).localCheckpoint(
+            eager=False
+        )
+        sig = lab.agg(F.count(F.lit(1)), F.sum("val")).collect()[0]
+        ed = rel.join(
+            durs.select(F.col("node").alias("_s"), F.col("dur").alias("_sw")), "_s"
+        )
+        for _ in range(max_rounds):
+            relaxed = lab.join(ed, lab["node"] == ed["_s"]).select(
+                F.col("_d").alias("node"), (F.col("val") + F.col("_sw")).alias("val")
+            )
+            lab = (
+                lab.unionByName(relaxed)
+                .groupBy("node")
+                .agg(F.max("val").alias("val"))
+                .localCheckpoint(eager=False)
+            )
+            nsig = lab.agg(F.count(F.lit(1)), F.sum("val")).collect()[0]
+            if tuple(nsig) == tuple(sig):
+                break
+            sig = nsig
+        return lab
+
+    es = _longest(e, nd).withColumnRenamed("val", "es")
+    tail = _longest(
+        e.select(F.col("_d").alias("_s"), F.col("_s").alias("_d")), nd
+    ).withColumnRenamed("val", "tail")
+    out = nd.join(es, "node").join(tail, "node")
+    out = out.withColumn("ef", F.col("es") + F.col("dur"))
+    t_end = out.agg(F.max("ef").alias("t")).select("t")
+    return (
+        out.crossJoin(F.broadcast(t_end))
+        .select(
+            "node",
+            "dur",
+            "es",
+            "ef",
+            (F.col("t") - F.col("tail")).alias("lf"),
+            (F.col("t") - F.col("tail") - F.col("ef")).alias("slack"),
+            ((F.col("t") - F.col("tail") - F.col("ef")) == 0).alias("critical"),
+        )
+    )
+
+
+def critical_path_sql(nodes_cte: str, edges_cte: str, max_rounds: int = 8) -> str:
+    """DuckDB twin of critical_path: recursive walk enumeration forward
+    (es) and backward (tail), max per node, identical T/lf/slack
+    assembly. ``nodes_cte`` -> (node, dur); ``edges_cte`` -> (src, dst)."""
+    return f"""
+WITH RECURSIVE cp_n AS (
+  SELECT node, CAST(dur AS BIGINT) AS dur FROM ({nodes_cte})
+),
+cp_e AS (SELECT src, dst FROM ({edges_cte})),
+fwd(node, val, hops) AS (
+  SELECT node, CAST(0 AS BIGINT), 0 FROM cp_n
+  UNION
+  SELECT e.dst, fwd.val + n.dur, fwd.hops + 1
+  FROM fwd
+  JOIN cp_e e ON e.src = fwd.node
+  JOIN cp_n n ON n.node = fwd.node
+  WHERE fwd.hops < {max_rounds}
+),
+bwd(node, val, hops) AS (
+  SELECT node, CAST(0 AS BIGINT), 0 FROM cp_n
+  UNION
+  SELECT e.src, bwd.val + n.dur, bwd.hops + 1
+  FROM bwd
+  JOIN cp_e e ON e.dst = bwd.node
+  JOIN cp_n n ON n.node = bwd.node
+  WHERE bwd.hops < {max_rounds}
+),
+cp_es AS (SELECT node, MAX(val) AS es FROM fwd GROUP BY 1),
+cp_tl AS (SELECT node, MAX(val) AS tail FROM bwd GROUP BY 1),
+cp_j AS (
+  SELECT n.node, n.dur, e.es, e.es + n.dur AS ef, t.tail
+  FROM cp_n n JOIN cp_es e USING (node) JOIN cp_tl t USING (node)
+),
+cp_t AS (SELECT MAX(ef) AS t FROM cp_j)
+SELECT node, dur, es, ef,
+       (t.t - tail) AS lf,
+       (t.t - tail - ef) AS slack,
+       (t.t - tail - ef) = 0 AS critical
+FROM cp_j, cp_t t
+"""

@@ -1016,3 +1016,77 @@ def test_simrank_dict_replay_and_structure(spark):
         ).fetchall()
     }
     assert twin == got
+
+
+def test_critical_path_brute_and_twin(spark):
+    """CPM on a hand DAG: brute-force longest paths vs the relax loop,
+    plus the DuckDB recursive twin, bit-exact."""
+    import duckdb
+
+    from osm2geojson_spark.operators.graph import critical_path, critical_path_sql
+
+    # diamond + tail:  0 -> {1,2} -> 3 -> 4, plus isolated 5
+    durs = {0: 3, 1: 5, 2: 2, 3: 4, 4: 1, 5: 7}
+    edges = [(0, 1), (0, 2), (1, 3), (2, 3), (3, 4)]
+
+    # brute: es = longest ancestor chain, tail = longest successor chain
+    def brute():
+        import collections
+
+        preds = collections.defaultdict(list)
+        succs = collections.defaultdict(list)
+        for s, d in edges:
+            preds[d].append(s)
+            succs[s].append(d)
+
+        import functools
+
+        @functools.lru_cache(None)
+        def es(v):
+            return max((es(u) + durs[u] for u in preds[v]), default=0)
+
+        @functools.lru_cache(None)
+        def tail(v):
+            return max((tail(s) + durs[s] for s in succs[v]), default=0)
+
+        ef = {v: es(v) + durs[v] for v in durs}
+        t = max(ef.values())
+        return {
+            v: (durs[v], es(v), ef[v], t - tail(v), t - tail(v) - ef[v])
+            for v in durs
+        }
+
+    nodes_df = spark.createDataFrame(
+        [(k, v) for k, v in durs.items()], "node long, dur long"
+    )
+    edges_df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: (r["dur"], r["es"], r["ef"], r["lf"], r["slack"])
+        for r in critical_path(nodes_df, edges_df, max_rounds=6).collect()
+    }
+    assert got == brute()
+    # the critical chain is 0 -> 1 -> 3 -> 4 (slack 0); 2 has slack 3
+    crit = {
+        r["node"]
+        for r in critical_path(nodes_df, edges_df, max_rounds=6)
+        .filter("critical")
+        .collect()
+    }
+    assert {0, 1, 3, 4} <= crit
+    assert 2 not in crit
+    assert got[2][4] == 3
+
+    duck = duckdb.connect()
+    duck.execute("CREATE TABLE cpn (node BIGINT, dur BIGINT)")
+    duck.executemany("INSERT INTO cpn VALUES (?, ?)", list(durs.items()))
+    duck.execute("CREATE TABLE cpe (src BIGINT, dst BIGINT)")
+    duck.executemany("INSERT INTO cpe VALUES (?, ?)", edges)
+    twin = {
+        r[0]: tuple(r[1:6])
+        for r in duck.sql(
+            critical_path_sql(
+                "SELECT node, dur FROM cpn", "SELECT src, dst FROM cpe", 6
+            )
+        ).fetchall()
+    }
+    assert twin == got
