@@ -13805,9 +13805,112 @@ def _critical_path_sql() -> str:
     return G.critical_path_sql(nodes, edges, max_rounds=6)
 
 
+_FD_CANDIDATES = [
+    ("line_key->qty", ["l_orderkey", "l_linenumber"], "l_quantity"),
+    ("partkey->suppkey", ["l_partkey"], "l_suppkey"),
+    ("returnflag->linestatus", ["l_returnflag"], "l_linestatus"),
+]
+
+
+def q_fd_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X290 (analytics.fd_audit): functional-dependency profiling on
+    lineitem — three candidate FDs audited with the exact g3 error
+    (rows to delete = n_rows − Σ max per-group value count); two-level
+    rollup, no countDistinct memory cliff."""
+    from osm2geojson_spark.operators.analytics import fd_audit
+
+    return fd_audit(_t(spark, sf_dir, "lineitem"), _FD_CANDIDATES)
+
+
+def _fd_check_sql() -> str:
+    from osm2geojson_spark.operators.analytics import fd_audit_sql
+
+    return fd_audit_sql("SELECT * FROM lineitem", _FD_CANDIDATES)
+
+
+def q_fk_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X291 (analytics.inclusion_audit): inclusion-dependency / FK
+    discovery — four candidate child⊆parent pairs audited on distinct
+    values (orphan values + orphan rows, exact), value-collapsed before
+    any join so the probe shuffles |distinct| not |rows|."""
+    from osm2geojson_spark.operators.analytics import inclusion_audit
+
+    return inclusion_audit(
+        [
+            (
+                "lineitem.partkey<part",
+                _t(spark, sf_dir, "lineitem"),
+                "l_partkey",
+                _t(spark, sf_dir, "part"),
+                "p_partkey",
+            ),
+            (
+                "lineitem.suppkey<supplier",
+                _t(spark, sf_dir, "lineitem"),
+                "l_suppkey",
+                _t(spark, sf_dir, "supplier"),
+                "s_suppkey",
+            ),
+            (
+                "orders.custkey<customer",
+                _t(spark, sf_dir, "orders"),
+                "o_custkey",
+                _t(spark, sf_dir, "customer"),
+                "c_custkey",
+            ),
+            (
+                "events.user<customer",
+                _t(spark, sf_dir, "events"),
+                "user_id",
+                _t(spark, sf_dir, "customer"),
+                "c_custkey",
+            ),
+        ]
+    )
+
+
+def _fk_discovery_sql() -> str:
+    from osm2geojson_spark.operators.analytics import inclusion_audit_sql
+
+    return inclusion_audit_sql(
+        [
+            (
+                "lineitem.partkey<part",
+                "SELECT * FROM lineitem",
+                "l_partkey",
+                "SELECT * FROM part",
+                "p_partkey",
+            ),
+            (
+                "lineitem.suppkey<supplier",
+                "SELECT * FROM lineitem",
+                "l_suppkey",
+                "SELECT * FROM supplier",
+                "s_suppkey",
+            ),
+            (
+                "orders.custkey<customer",
+                "SELECT * FROM orders",
+                "o_custkey",
+                "SELECT * FROM customer",
+                "c_custkey",
+            ),
+            (
+                "events.user<customer",
+                "SELECT * FROM events",
+                "user_id",
+                "SELECT * FROM customer",
+                "c_custkey",
+            ),
+        ]
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "fd_check": q_fd_check,
+        "fk_discovery": q_fk_discovery,
         "critical_path": q_critical_path,
         "knee_point": q_knee_point,
         "snapshot_diff": q_snapshot_diff,
@@ -14148,6 +14251,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "fd_check": _fd_check_sql(),
+        "fk_discovery": _fk_discovery_sql(),
         "critical_path": _critical_path_sql(),
         "knee_point": _knee_point_sql(),
         "snapshot_diff": _snapshot_diff_sql(),

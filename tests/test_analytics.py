@@ -3638,3 +3638,74 @@ def test_knee_point_brute_and_planted_elbow(spark):
         assert twin[g] == (
             g, r["knee_x"], r["knee_y"], r["dev_num"], r["side"],
         )
+
+
+def test_fd_audit_brute_and_twin(spark):
+    """g3 numerator on a hand table with a known violation pattern."""
+    import duckdb
+
+    from osm2geojson_spark.operators.analytics import fd_audit, fd_audit_sql
+
+    rows = [
+        # (k, v): k=1 maps to two values (3 rows, max group 2 -> g3 1)
+        (1, "a"), (1, "a"), (1, "b"),
+        # k=2 clean (2 rows)
+        (2, "c"), (2, "c"),
+        # k=3 three-way split (3 rows, max 1 -> g3 2)
+        (3, "x"), (3, "y"), (3, "z"),
+    ]
+    df = spark.createDataFrame(rows, "k long, v string")
+    got = {
+        r["fd"]: (r["n_rows"], r["n_groups"], r["n_violating"], r["g3_num"], r["holds"])
+        for r in fd_audit(df, [("k->v", ["k"], "v")]).collect()
+    }
+    assert got == {"k->v": (8, 3, 2, 3, False)}
+    # holds case: v -> sign(k) style trivial FD on clean data
+    clean = spark.createDataFrame([(1, "a"), (2, "b"), (2, "b")], "k long, v string")
+    r = fd_audit(clean, [("k->v", ["k"], "v")]).collect()[0]
+    assert r["holds"] and r["g3_num"] == 0
+
+    duck = duckdb.connect()
+    duck.execute("CREATE TABLE fda (k BIGINT, v VARCHAR)")
+    duck.executemany("INSERT INTO fda VALUES (?, ?)", rows)
+    twin = {
+        r[0]: tuple(r[1:6])
+        for r in duck.sql(
+            fd_audit_sql("SELECT * FROM fda", [("k->v", ["k"], "v")])
+        ).fetchall()
+    }
+    assert twin == got
+
+
+def test_inclusion_audit_brute_and_twin(spark):
+    import duckdb
+
+    from osm2geojson_spark.operators.analytics import (
+        inclusion_audit,
+        inclusion_audit_sql,
+    )
+
+    child = spark.createDataFrame(
+        [(1,), (1,), (2,), (9,), (9,), (9,), (None,)], "v long"
+    )
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "p long")
+    r = inclusion_audit([("c<p", child, "v", parent, "p")]).collect()[0]
+    # NULL excluded; distinct child {1,2,9}; 9 missing with 3 orphan rows
+    assert (
+        r["n_child"], r["n_child_distinct"], r["n_missing_distinct"],
+        r["n_orphan_rows"], r["contained"],
+    ) == (6, 3, 1, 3, False)
+
+    duck = duckdb.connect()
+    duck.execute("CREATE TABLE inc_c (v BIGINT)")
+    duck.executemany(
+        "INSERT INTO inc_c VALUES (?)", [(1,), (1,), (2,), (9,), (9,), (9,), (None,)]
+    )
+    duck.execute("CREATE TABLE inc_p (p BIGINT)")
+    duck.executemany("INSERT INTO inc_p VALUES (?)", [(1,), (2,), (3,)])
+    t = duck.sql(
+        inclusion_audit_sql(
+            [("c<p", "SELECT * FROM inc_c", "v", "SELECT * FROM inc_p", "p")]
+        )
+    ).fetchall()[0]
+    assert tuple(t) == ("c<p", 6, 3, 1, 3, False)
