@@ -13906,9 +13906,55 @@ def _fk_discovery_sql() -> str:
     )
 
 
+def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X292 (retrieval.rrf_fuse): hybrid-search reciprocal rank fusion —
+    per lang "query", system A ranks documents by (n_chars DESC, doc_id)
+    and system B by a hash order, both truncated to depth 20; RRF merges
+    with integer 1e6 DIV (60+rank) credits, top-10 pinned."""
+    from pyspark.sql.window import Window as _W
+
+    from osm2geojson_spark.operators.retrieval import rrf_fuse
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    wa = _W.partitionBy("lang").orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+    a = docs.select(
+        F.col("lang").alias("qid"),
+        F.col("doc_id").alias("doc"),
+        F.row_number().over(wa).alias("rank"),
+    ).filter(F.col("rank") <= 20)
+    hb = (F.col("doc_id") * 2654435761) % 1000000007
+    wb = _W.partitionBy("lang").orderBy(hb.asc(), F.col("doc_id"))
+    b = docs.select(
+        F.col("lang").alias("qid"),
+        F.col("doc_id").alias("doc"),
+        F.row_number().over(wb).alias("rank"),
+    ).filter(F.col("rank") <= 20)
+    return rrf_fuse(a.unionByName(b), k=10)
+
+
+def _rrf_fusion_sql() -> str:
+    from osm2geojson_spark.operators.retrieval import rrf_fuse_sql
+
+    rankings = (
+        "SELECT qid, doc, rank FROM ("
+        "SELECT lang AS qid, doc_id AS doc,"
+        " row_number() OVER (PARTITION BY lang"
+        "   ORDER BY n_chars DESC, doc_id) AS rank FROM documents) a"
+        " WHERE rank <= 20"
+        " UNION ALL "
+        "SELECT qid, doc, rank FROM ("
+        "SELECT lang AS qid, doc_id AS doc,"
+        " row_number() OVER (PARTITION BY lang"
+        "   ORDER BY (doc_id * 2654435761) % 1000000007 ASC, doc_id) AS rank"
+        " FROM documents) b WHERE rank <= 20"
+    )
+    return rrf_fuse_sql(rankings, k=10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "rrf_fusion": q_rrf_fusion,
         "fd_check": q_fd_check,
         "fk_discovery": q_fk_discovery,
         "critical_path": q_critical_path,
@@ -14251,6 +14297,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "rrf_fusion": _rrf_fusion_sql(),
         "fd_check": _fd_check_sql(),
         "fk_discovery": _fk_discovery_sql(),
         "critical_path": _critical_path_sql(),

@@ -521,3 +521,74 @@ FROM (
 )
 WHERE rnk <= {int(k)}
 """
+
+
+def rrf_fuse(
+    rankings: DataFrame,
+    k: int = 10,
+    kappa: int = 60,
+    qid_col: str = "qid",
+    doc_col: str = "doc",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """(qid, doc, rrf_score, n_systems, fused_rank) — RECIPROCAL RANK
+    FUSION (Cormack/Clarke/Buettcher 2009): merge the ranked lists of
+    several retrieval systems (BM25, dense ANN, ...) into one list by
+
+        score(d) = Σ_systems  1000000 DIV (kappa + rank_s(d))
+
+    — the hybrid-search combiner every lexical+vector stack ships
+    (kappa = 60 is the paper constant). The credit is an exact integer
+    (truncating DIV on positives), so the sum is order-free and the
+    DuckDB twin is bit-identical; ties are pinned by (score DESC,
+    doc ASC). ``rankings`` holds one row per (qid, system, doc) with
+    that system's 1-based rank; systems may return different depths.
+
+    Scale: one combinable groupBy(qid, doc) rollup over the union of
+    system lists (each system's list is already top-depth small per
+    query), then a per-qid window for the final top-k — partitioned by
+    query, never a global sort."""
+    from pyspark.sql.window import Window
+
+    scored = (
+        rankings.select(
+            F.col(qid_col).alias("qid"),
+            F.col(doc_col).alias("doc"),
+            F.expr(f"1000000 DIV ({kappa} + CAST({rank_col} AS BIGINT))").alias(
+                "_cr"
+            ),
+        )
+        .groupBy("qid", "doc")
+        .agg(
+            F.sum("_cr").cast("long").alias("rrf_score"),
+            F.count(F.lit(1)).cast("long").alias("n_systems"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("rrf_score").desc(), F.col("doc").asc()
+    )
+    return (
+        scored.withColumn("fused_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("fused_rank") <= k)
+    )
+
+
+def rrf_fuse_sql(rankings_cte: str, k: int = 10, kappa: int = 60) -> str:
+    """DuckDB twin of rrf_fuse. ``rankings_cte`` -> (qid, doc, rank)."""
+    return f"""
+WITH rrf_src AS ({rankings_cte}),
+rrf_sc AS (
+  SELECT qid, doc,
+         CAST(SUM(1000000 // ({kappa} + CAST(rank AS BIGINT))) AS BIGINT)
+           AS rrf_score,
+         CAST(COUNT(*) AS BIGINT) AS n_systems
+  FROM rrf_src GROUP BY 1, 2
+),
+rrf_rk AS (
+  SELECT qid, doc, rrf_score, n_systems,
+         CAST(row_number() OVER (PARTITION BY qid
+              ORDER BY rrf_score DESC, doc ASC) AS BIGINT) AS fused_rank
+  FROM rrf_sc
+)
+SELECT * FROM rrf_rk WHERE fused_rank <= {k}
+"""

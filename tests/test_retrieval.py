@@ -297,3 +297,44 @@ def test_maxsim_brute_and_twin(spark):
         ).fetchall()
     ]
     assert sorted(twin) == sorted(got)
+
+
+def test_rrf_fuse_brute_and_twin(spark):
+    """RRF credits vs a dict brute force, paper-constant kappa=60."""
+    import duckdb
+
+    from osm2geojson_spark.operators.retrieval import rrf_fuse, rrf_fuse_sql
+
+    rows = [
+        # (qid, doc, rank) across two systems: doc 7 is #1 in A, #3 in B;
+        # doc 8 only in A (#2); doc 9 is #1 in B, #2 skipped in A.
+        ("q", 7, 1), ("q", 8, 2), ("q", 9, 3),
+        ("q", 9, 1), ("q", 5, 2), ("q", 7, 3),
+    ]
+    df = spark.createDataFrame(rows, "qid string, doc long, rank long")
+    got = {
+        r["doc"]: (r["rrf_score"], r["n_systems"], r["fused_rank"])
+        for r in rrf_fuse(df, k=3).collect()
+    }
+
+    import collections
+
+    brute = collections.Counter()
+    nsys = collections.Counter()
+    for _, d, rk in rows:
+        brute[d] += 1000000 // (60 + rk)
+        nsys[d] += 1
+    order = sorted(brute, key=lambda d: (-brute[d], d))[:3]
+    want = {d: (brute[d], nsys[d], i + 1) for i, d in enumerate(order)}
+    assert got == want
+    # both-system docs beat single-system docs here
+    assert set(got) == {7, 9, 5} or set(got) == {7, 9, 8}
+
+    duck = duckdb.connect()
+    duck.execute("CREATE TABLE rrf (qid VARCHAR, doc BIGINT, rank BIGINT)")
+    duck.executemany("INSERT INTO rrf VALUES (?, ?, ?)", rows)
+    twin = {
+        r[1]: (r[2], r[3], r[4])
+        for r in duck.sql(rrf_fuse_sql("SELECT * FROM rrf", k=3)).fetchall()
+    }
+    assert twin == got
