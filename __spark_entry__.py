@@ -13951,9 +13951,40 @@ def _rrf_fusion_sql() -> str:
     return rrf_fuse_sql(rankings, k=10)
 
 
+def q_knox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X293 (spatial_stats.knox_test): Knox space-time interaction over a
+    deterministic incident set (every 5th event; planar coords hashed
+    onto a 500x500 grid, naive-epoch seconds) at ds=25, dt=6h —
+    forward-neighbor grid pair census, exact integer gates, null
+    expectation as the exact rational ns*nt/P."""
+    from osm2geojson_spark.operators.spatial_stats import knox_test
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") % 5 == 0)
+    pts = ev.select(
+        F.col("event_id").alias("id"),
+        ((F.col("event_id") * 37) % 500).alias("x"),
+        ((F.col("event_id") * 53) % 500).alias("y"),
+        F.col("ts").cast("timestamp").cast("long").alias("t"),
+    )
+    return knox_test(pts, ds=25, dt=21600)
+
+
+def _knox_sql() -> str:
+    from osm2geojson_spark.operators.spatial_stats import knox_test_sql
+
+    events = (
+        "SELECT event_id AS i, (event_id * 37) % 500 AS x,"
+        " (event_id * 53) % 500 AS y,"
+        " CAST(floor(epoch(ts)) AS BIGINT) AS t"
+        " FROM events WHERE event_id % 5 = 0"
+    )
+    return knox_test_sql(events, ds=25, dt=21600)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "knox": q_knox,
         "rrf_fusion": q_rrf_fusion,
         "fd_check": q_fd_check,
         "fk_discovery": q_fk_discovery,
@@ -14297,6 +14328,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "knox": _knox_sql(),
         "rrf_fusion": _rrf_fusion_sql(),
         "fd_check": _fd_check_sql(),
         "fk_discovery": _fk_discovery_sql(),

@@ -1453,3 +1453,158 @@ SELECT x, y, v,
        CAST(sum(c) AS BIGINT) AS n_nb
 FROM fm_pv GROUP BY 1, 2, 3
 """
+
+
+def knox_test(
+    events: DataFrame,
+    ds: int,
+    dt: int,
+    id_col: str = "id",
+    x_col: str = "x",
+    y_col: str = "y",
+    t_col: str = "t",
+) -> DataFrame:
+    """One row (n, pairs, space_pairs, time_pairs, st_pairs, expect_num,
+    expect_den) — the KNOX SPACE-TIME INTERACTION TEST (Knox 1964): do
+    events that happen close in space also happen close in time?
+    (disease surveillance, crime-series detection, coordinated-posting
+    forensics). ``st_pairs`` is the Knox statistic X = #unordered pairs
+    with planar distance <= ds AND |Δt| <= dt; its null expectation is
+    the exact rational  space_pairs · time_pairs / pairs  reported as
+    (expect_num, expect_den) — interaction shows as X·den >> num.
+
+    Exactly-once pair enumeration, no post-join dedup: space candidates
+    come from a ds-sized grid with the FORWARD-NEIGHBOR scheme (same
+    cell pairs gated by id<id; the 4 forward offsets (1,0),(0,1),(1,1),
+    (1,-1) pair distinct cells once), distance gate on integer squared
+    coords; time pairs from dt-sized buckets (offset 0 id-gated,
+    offset +1 free) with the exact |Δt| gate. Each census is one
+    equi-join on bucket keys — never an all-pairs product; the time
+    census is the denser one, inherent to Knox (run it on a bounded
+    window or sample at planet scale, as the test's own P recomputes).
+
+    Coordinates and ``t`` must be integer-valued (quantize upstream)
+    so every comparison is int64-exact cross-engine."""
+    e = events.select(
+        F.col(id_col).alias("i"),
+        F.col(x_col).cast("long").alias("x"),
+        F.col(y_col).cast("long").alias("y"),
+        F.col(t_col).cast("long").alias("t"),
+    )
+    g = e.select(
+        "i", "x", "y", "t",
+        F.floor(F.col("x") / ds).cast("long").alias("cx"),
+        F.floor(F.col("y") / ds).cast("long").alias("cy"),
+        F.floor(F.col("t") / dt).cast("long").alias("tb"),
+    ).localCheckpoint(eager=False)
+
+    l = g.select(*[F.col(c).alias(f"l_{c}") for c in g.columns])
+    r = g.select(*[F.col(c).alias(f"r_{c}") for c in g.columns])
+    dx = F.col("l_x") - F.col("r_x")
+    dy = F.col("l_y") - F.col("r_y")
+    sgate = (dx * dx + dy * dy) <= F.lit(ds) * ds
+    tgate = F.abs(F.col("l_t") - F.col("r_t")) <= dt
+
+    same = l.join(
+        r,
+        (F.col("l_cx") == F.col("r_cx"))
+        & (F.col("l_cy") == F.col("r_cy"))
+        & (F.col("l_i") < F.col("r_i")),
+    )
+    fwd = None
+    for ox, oy in [(1, 0), (0, 1), (1, 1), (1, -1)]:
+        p = l.join(
+            r,
+            (F.col("l_cx") + ox == F.col("r_cx"))
+            & (F.col("l_cy") + oy == F.col("r_cy")),
+        )
+        fwd = p if fwd is None else fwd.unionByName(p)
+    sp = same.unionByName(fwd).filter(sgate)
+    s_census = sp.agg(
+        F.count(F.lit(1)).cast("long").alias("space_pairs"),
+        F.sum(tgate.cast("long")).cast("long").alias("st_pairs"),
+    )
+
+    t_same = l.join(
+        r, (F.col("l_tb") == F.col("r_tb")) & (F.col("l_i") < F.col("r_i"))
+    )
+    t_next = l.join(r, F.col("l_tb") + 1 == F.col("r_tb"))
+    t_census = (
+        t_same.unionByName(t_next)
+        .filter(tgate)
+        .agg(F.count(F.lit(1)).cast("long").alias("time_pairs"))
+    )
+    tot = e.agg(F.count(F.lit(1)).cast("long").alias("n")).select(
+        "n", F.expr("CAST(n * (n - 1) DIV 2 AS BIGINT)").alias("pairs")
+    )
+    out = tot.crossJoin(F.broadcast(s_census)).crossJoin(F.broadcast(t_census))
+    return out.select(
+        "n",
+        "pairs",
+        "space_pairs",
+        "time_pairs",
+        "st_pairs",
+        (F.col("space_pairs") * F.col("time_pairs")).alias("expect_num"),
+        F.col("pairs").alias("expect_den"),
+    )
+
+
+def knox_test_sql(events_cte: str, ds: int, dt: int) -> str:
+    """DuckDB twin of knox_test — identical forward-neighbor pair
+    enumeration and gates. ``events_cte`` -> (i, x, y, t) integers."""
+    return f"""
+WITH kx_e AS (
+  SELECT i, CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y,
+         CAST(t AS BIGINT) AS t,
+         CAST(floor(CAST(x AS BIGINT) / {ds}.0) AS BIGINT) AS cx,
+         CAST(floor(CAST(y AS BIGINT) / {ds}.0) AS BIGINT) AS cy,
+         CAST(floor(CAST(t AS BIGINT) / {dt}.0) AS BIGINT) AS tb
+  FROM ({events_cte})
+),
+kx_sp AS (
+  SELECT a.i AS li, b.i AS ri, a.x AS lx, a.y AS ly, b.x AS rx, b.y AS ry,
+         a.t AS lt, b.t AS rt
+  FROM kx_e a JOIN kx_e b
+    ON a.cx = b.cx AND a.cy = b.cy AND a.i < b.i
+  UNION ALL
+  SELECT a.i, b.i, a.x, a.y, b.x, b.y, a.t, b.t
+  FROM kx_e a JOIN kx_e b
+    ON (a.cx + 1 = b.cx AND a.cy = b.cy)
+  UNION ALL
+  SELECT a.i, b.i, a.x, a.y, b.x, b.y, a.t, b.t
+  FROM kx_e a JOIN kx_e b
+    ON (a.cx = b.cx AND a.cy + 1 = b.cy)
+  UNION ALL
+  SELECT a.i, b.i, a.x, a.y, b.x, b.y, a.t, b.t
+  FROM kx_e a JOIN kx_e b
+    ON (a.cx + 1 = b.cx AND a.cy + 1 = b.cy)
+  UNION ALL
+  SELECT a.i, b.i, a.x, a.y, b.x, b.y, a.t, b.t
+  FROM kx_e a JOIN kx_e b
+    ON (a.cx + 1 = b.cx AND a.cy - 1 = b.cy)
+),
+kx_s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS space_pairs,
+         CAST(SUM(CASE WHEN abs(lt - rt) <= {dt} THEN 1 ELSE 0 END) AS BIGINT)
+           AS st_pairs
+  FROM kx_sp
+  WHERE (lx - rx) * (lx - rx) + (ly - ry) * (ly - ry) <= {ds} * {ds}
+),
+kx_t AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS time_pairs FROM (
+    SELECT a.t AS lt, b.t AS rt FROM kx_e a JOIN kx_e b
+      ON a.tb = b.tb AND a.i < b.i
+    UNION ALL
+    SELECT a.t, b.t FROM kx_e a JOIN kx_e b ON a.tb + 1 = b.tb
+  ) p WHERE abs(lt - rt) <= {dt}
+),
+kx_n AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(COUNT(*) * (COUNT(*) - 1) // 2 AS BIGINT) AS pairs
+  FROM kx_e
+)
+SELECT n, pairs, space_pairs, time_pairs, st_pairs,
+       space_pairs * time_pairs AS expect_num,
+       pairs AS expect_den
+FROM kx_n, kx_s, kx_t
+"""

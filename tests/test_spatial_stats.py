@@ -1030,3 +1030,50 @@ def test_focal_majority_replay_and_denoise(spark):
     }
     for k, g in got.items():
         assert twin[k] == (g["x"], g["y"], g["v"], g["maj"], g["maj_n"], g["n_nb"])
+
+
+def test_knox_brute_and_twin(spark):
+    """Knox census vs an all-pairs brute force on a clustered fixture."""
+    import duckdb
+
+    from osm2geojson_spark.operators.spatial_stats import knox_test, knox_test_sql
+
+    # two space-time clusters + scattered noise (coords/t integers)
+    rows = []
+    for i in range(6):  # cluster A: tight in space AND time
+        rows.append((i, 10 + i, 12 + (i % 3), 100 + i * 5))
+    for i in range(5):  # cluster B: tight in space, spread in time
+        rows.append((10 + i, 200 + i * 2, 200, 10_000 * i))
+    for i in range(8):  # noise
+        rows.append((20 + i, 37 * i * i % 400, 53 * i * i % 400, 777 * i * i))
+    ds, dt = 15, 50
+
+    def brute():
+        n = len(rows)
+        sp = tp = st = 0
+        for a in range(n):
+            for b in range(a + 1, n):
+                _, xa, ya, ta = rows[a]
+                _, xb, yb, tb = rows[b]
+                s = (xa - xb) ** 2 + (ya - yb) ** 2 <= ds * ds
+                t = abs(ta - tb) <= dt
+                sp += s
+                tp += t
+                st += s and t
+        return n, n * (n - 1) // 2, sp, tp, st
+
+    df = spark.createDataFrame(rows, "i long, x long, y long, t long")
+    r = knox_test(df, ds=ds, dt=dt, id_col="i").collect()[0]
+    n, pairs, sp, tp, st = brute()
+    assert (r["n"], r["pairs"], r["space_pairs"], r["time_pairs"], r["st_pairs"]) == (
+        n, pairs, sp, tp, st,
+    )
+    assert (r["expect_num"], r["expect_den"]) == (sp * tp, pairs)
+    # the planted interaction: X exceeds its null expectation
+    assert r["st_pairs"] * r["expect_den"] > r["expect_num"]
+
+    duck = duckdb.connect()
+    duck.execute("CREATE TABLE kxe (i BIGINT, x BIGINT, y BIGINT, t BIGINT)")
+    duck.executemany("INSERT INTO kxe VALUES (?, ?, ?, ?)", rows)
+    t = duck.sql(knox_test_sql("SELECT * FROM kxe", ds=ds, dt=dt)).fetchall()[0]
+    assert tuple(t) == tuple(r)
