@@ -13981,9 +13981,35 @@ def _knox_sql() -> str:
     return knox_test_sql(events, ds=25, dt=21600)
 
 
+def q_median_center(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X294 (geostat.median_center): per-nation geometric median of
+    supplier points (Weiszfeld, 4 engine-exact rounds: IEEE sqrt +
+    floor-divided integer weights, Σ(w·x) DIV Σw) next to the centroid
+    seed it robustifies."""
+    from osm2geojson_spark.operators.geostat import median_center
+
+    pts = _t(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("g"),
+        ((F.col("s_suppkey") * 37) % 1000).alias("x"),
+        ((F.col("s_suppkey") * 59) % 1000).alias("y"),
+    )
+    return median_center(pts, rounds=4)
+
+
+def _median_center_sql() -> str:
+    from osm2geojson_spark.operators.geostat import median_center_sql
+
+    pts = (
+        "SELECT s_nationkey AS g, (s_suppkey * 37) % 1000 AS x,"
+        " (s_suppkey * 59) % 1000 AS y FROM supplier"
+    )
+    return median_center_sql(pts, rounds=4)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "median_center": q_median_center,
         "knox": q_knox,
         "rrf_fusion": q_rrf_fusion,
         "fd_check": q_fd_check,
@@ -14328,6 +14354,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "median_center": _median_center_sql(),
         "knox": _knox_sql(),
         "rrf_fusion": _rrf_fusion_sql(),
         "fd_check": _fd_check_sql(),

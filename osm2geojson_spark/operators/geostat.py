@@ -998,3 +998,124 @@ def cost_distance_sql(
 SELECT node % {n_side} AS x, node // {n_side} AS y, dist
 FROM ({inner})
 """
+
+
+def median_center(
+    pts: DataFrame,
+    rounds: int = 4,
+    w_scale: int = 1_000_000,
+    group_col: str = "g",
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """(g, n, cx0, cy0, cx, cy) — per-group GEOMETRIC MEDIAN (Weiszfeld
+    1937 iteration, the "median center" of every GIS toolbox): the
+    point minimizing the SUM of distances to the group's points —
+    robust facility location / cluster-prototype pick where the
+    centroid is outlier-dragged. (cx0, cy0) is the integer centroid
+    seed; (cx, cy) the center after ``rounds`` fixed-point updates.
+
+    Engine-exact scheme: coordinates must be NONNEGATIVE integers
+    (quantize upstream; |Σx| < 2^52 so the seed's floor(Σx/n) IEEE
+    division is exact). Each round, per point: d = sqrt(int64 squared
+    distance) (IEEE sqrt is correctly rounded — bit-identical
+    cross-engine), weight w = floor(w_scale / d) (IEEE divide then
+    floor, deterministic), points AT the current center drop out
+    (classic Weiszfeld handling), and the new center is
+    Σ(w·x) DIV Σw — all-int64 products and sums, order-free. A group
+    whose every point sits on the center keeps its center.
+
+    Scale: rounds × one broadcast join (centers are one row per group)
+    + one combinable rollup — the point set is scanned ``rounds``
+    times, never shuffled on itself; the iteration state is O(groups)."""
+    p = pts.select(
+        F.col(group_col).alias("g"),
+        F.col(x_col).cast("long").alias("x"),
+        F.col(y_col).cast("long").alias("y"),
+    ).localCheckpoint(eager=False)
+    seed = p.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.floor(F.sum("x") / F.count(F.lit(1))).cast("long").alias("cx"),
+        F.floor(F.sum("y") / F.count(F.lit(1))).cast("long").alias("cy"),
+    )
+    cent = seed.select("g", "cx", "cy").localCheckpoint(eager=False)
+    for _ in range(rounds):
+        j = p.join(F.broadcast(cent), "g")
+        dx = F.col("x") - F.col("cx")
+        dy = F.col("y") - F.col("cy")
+        d2 = dx * dx + dy * dy
+        w = F.when(d2 > 0, F.floor(F.lit(w_scale) / F.sqrt(d2.cast("double"))))
+        upd = j.groupBy("g").agg(
+            F.sum(w).cast("long").alias("sw"),
+            F.sum(w * F.col("x")).cast("long").alias("swx"),
+            F.sum(w * F.col("y")).cast("long").alias("swy"),
+            F.first("cx").alias("pcx"),
+            F.first("cy").alias("pcy"),
+        )
+        cent = upd.select(
+            "g",
+            F.when(F.col("sw") > 0, F.expr("CAST(swx DIV sw AS BIGINT)"))
+            .otherwise(F.col("pcx"))
+            .alias("cx"),
+            F.when(F.col("sw") > 0, F.expr("CAST(swy DIV sw AS BIGINT)"))
+            .otherwise(F.col("pcy"))
+            .alias("cy"),
+        ).localCheckpoint(eager=False)
+    return (
+        seed.select("g", "n", F.col("cx").alias("cx0"), F.col("cy").alias("cy0"))
+        .join(cent, "g")
+        .select("g", "n", "cx0", "cy0", "cx", "cy")
+    )
+
+
+def median_center_sql(pts_cte: str, rounds: int = 4, w_scale: int = 1_000_000) -> str:
+    """DuckDB twin of median_center: identical seed and unrolled rounds
+    (MATERIALIZED — chained CTEs inline exponentially otherwise).
+    ``pts_cte`` -> (g, x, y) nonnegative integers."""
+    parts = [
+        f"""mc_p AS MATERIALIZED (
+  SELECT g, CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y FROM ({pts_cte})
+),
+mc_seed AS MATERIALIZED (
+  SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(floor(SUM(x) / COUNT(*)) AS BIGINT) AS cx,
+         CAST(floor(SUM(y) / COUNT(*)) AS BIGINT) AS cy
+  FROM mc_p GROUP BY 1
+),
+mc_c0 AS MATERIALIZED (SELECT g, cx, cy FROM mc_seed)"""
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"""mc_c{i} AS MATERIALIZED (
+  SELECT u.g,
+         CASE WHEN u.sw > 0 THEN CAST(u.swx // u.sw AS BIGINT)
+              ELSE u.pcx END AS cx,
+         CASE WHEN u.sw > 0 THEN CAST(u.swy // u.sw AS BIGINT)
+              ELSE u.pcy END AS cy
+  FROM (
+    SELECT p.g,
+           CAST(SUM(w) AS BIGINT) AS sw,
+           CAST(SUM(w * p.x) AS BIGINT) AS swx,
+           CAST(SUM(w * p.y) AS BIGINT) AS swy,
+           MIN(c.cx) AS pcx, MIN(c.cy) AS pcy
+    FROM (
+      SELECT p0.g, p0.x, p0.y,
+             CASE WHEN (p0.x - c0.cx) * (p0.x - c0.cx)
+                       + (p0.y - c0.cy) * (p0.y - c0.cy) > 0
+                  THEN CAST(floor({w_scale} / sqrt(CAST(
+                       (p0.x - c0.cx) * (p0.x - c0.cx)
+                       + (p0.y - c0.cy) * (p0.y - c0.cy) AS DOUBLE)))
+                       AS BIGINT)
+                  ELSE NULL END AS w
+      FROM mc_p p0 JOIN mc_c{i - 1} c0 USING (g)
+    ) p
+    JOIN mc_c{i - 1} c USING (g)
+    GROUP BY 1
+  ) u
+)"""
+        )
+    body = ",\n".join(parts)
+    return f"""WITH {body}
+SELECT s.g, s.n, s.cx AS cx0, s.cy AS cy0, c.cx, c.cy
+FROM mc_seed s JOIN mc_c{rounds} c USING (g)
+"""

@@ -673,3 +673,64 @@ def test_cost_distance_dijkstra_brute_and_twin(spark):
         ).fetchall()
     }
     assert twin == got
+
+
+def test_median_center_brute_and_twin(spark):
+    """Weiszfeld rounds replayed in scalar python; outlier robustness."""
+    import duckdb
+    import math
+
+    from osm2geojson_spark.operators.geostat import median_center, median_center_sql
+
+    # tight cluster at ~(10,10) + one far outlier: centroid dragged,
+    # median stays near the cluster
+    rows = [
+        ("a", 9, 10), ("a", 10, 9), ("a", 10, 11), ("a", 11, 10),
+        ("a", 10, 10), ("a", 500, 500),
+        ("b", 7, 7),  # singleton: every round keeps the seed
+    ]
+    W = 1_000_000
+
+    def brute(rounds=4):
+        out = {}
+        for g in {r[0] for r in rows}:
+            pts = [(x, y) for gg, x, y in rows if gg == g]
+            n = len(pts)
+            cx = int(math.floor(sum(p[0] for p in pts) / n))
+            cy = int(math.floor(sum(p[1] for p in pts) / n))
+            cx0, cy0 = cx, cy
+            for _ in range(rounds):
+                sw = swx = swy = 0
+                for x, y in pts:
+                    d2 = (x - cx) ** 2 + (y - cy) ** 2
+                    if d2 == 0:
+                        continue
+                    w = int(math.floor(W / math.sqrt(d2)))
+                    sw += w
+                    swx += w * x
+                    swy += w * y
+                if sw > 0:
+                    cx, cy = swx // sw, swy // sw
+            out[g] = (n, cx0, cy0, cx, cy)
+        return out
+
+    df = spark.createDataFrame(rows, "g string, x long, y long")
+    got = {
+        r["g"]: (r["n"], r["cx0"], r["cy0"], r["cx"], r["cy"])
+        for r in median_center(df, rounds=4).collect()
+    }
+    assert got == brute()
+    # robustness: median center stays inside the cluster bbox, the
+    # centroid seed does not
+    n, cx0, cy0, cx, cy = got["a"]
+    assert cx0 > 50 and cx <= 12 and cy <= 12
+    assert got["b"] == (1, 7, 7, 7, 7)
+
+    duck = duckdb.connect()
+    duck.execute("CREATE TABLE mc (g VARCHAR, x BIGINT, y BIGINT)")
+    duck.executemany("INSERT INTO mc VALUES (?, ?, ?)", rows)
+    twin = {
+        r[0]: tuple(r[1:6])
+        for r in duck.sql(median_center_sql("SELECT * FROM mc", rounds=4)).fetchall()
+    }
+    assert twin == got
