@@ -14006,9 +14006,36 @@ def _median_center_sql() -> str:
     return median_center_sql(pts, rounds=4)
 
 
+def q_perceptron(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X295 (similarity.perceptron_train): batch perceptron linear probe
+    on the embeddings table (y = +1 for labels 0-4, -1 for 5-9), four
+    synchronous integer rounds — final weight vector + last-round
+    misclassified count, bit-equal to the unrolled twin."""
+    from osm2geojson_spark.operators.similarity import perceptron_train
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "embedding",
+        F.when(F.col("label") < 5, 1).otherwise(-1).cast("long").alias("y"),
+    )
+    return perceptron_train(emb, rounds=4)
+
+
+def _perceptron_sql() -> str:
+    from osm2geojson_spark.operators.similarity import perceptron_train_sql
+
+    emb = (
+        "SELECT vec_id AS id,"
+        " CASE WHEN label < 5 THEN 1 ELSE -1 END AS y, embedding"
+        " FROM embeddings"
+    )
+    return perceptron_train_sql(emb, rounds=4)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "perceptron": q_perceptron,
         "median_center": q_median_center,
         "knox": q_knox,
         "rrf_fusion": q_rrf_fusion,
@@ -14354,6 +14381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "perceptron": _perceptron_sql(),
         "median_center": _median_center_sql(),
         "knox": _knox_sql(),
         "rrf_fusion": _rrf_fusion_sql(),

@@ -1616,3 +1616,137 @@ SELECT qid AS vec_id, qlab AS label, pred, votes, k_eff,
        pred = qlab AS correct
 FROM kc_pick WHERE pr = 1
 """
+
+
+PERC_Q = 1000  # fixed-point feature quantization for perceptron
+
+
+def perceptron_train(
+    emb: DataFrame,
+    rounds: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    y_col: str = "y",
+) -> DataFrame:
+    """(j, w, mis) — BATCH PERCEPTRON training on an embedding table
+    (Rosenblatt update, synchronous/"pocket-style" batch variant): all
+    misclassified rows vote at once each round,
+
+        w ← w + Σ_{i: yᵢ·(w·qᵢ + b) ≤ 0} yᵢ·qᵢ
+
+    over features quantized to int64 (q = floor(x·1000 + 0.5), the
+    gram-matrix scheme) — so every round is a pure integer function of
+    the input set: order-free sums, no learning-rate float, bit-equal
+    to the unrolled SQL twin. Rows are (feature index j, final weight
+    w, final-round misclassified count mis); j = -1 is the bias (its
+    feature is the constant PERC_Q). The linear-probe primitive for
+    embedding-space data filtering (e.g. quality-classifier bootstrap
+    on CLIP/text features) without leaving the warehouse.
+
+    ``y`` must be ±1. Scale: features posexplode ONCE into (id, j, q)
+    and checkpoint; each round is one broadcast of the (d+1)-row weight
+    vector + two combinable rollups (margins per id, then update per
+    j) — the corpus never reshuffles. Overflow: |w_j| ≤ rounds·n·Q and
+    margins ≤ d·|w|·Q — keep rounds·n·d·Q² < 2^63 (10^9 rows × 64 dims
+    at Q=1000 needs per-shard training or a smaller Q)."""
+    q = F.expr(
+        f"CAST(floor(CAST(e AS DOUBLE) * {PERC_Q} + 0.5) AS BIGINT)"
+    )
+    feats = (
+        emb.select(
+            F.col(id_col).alias("id"),
+            F.col(y_col).cast("long").alias("y"),
+            F.posexplode(F.col(vec_col)).alias("j", "e"),
+        )
+        .select("id", "y", F.col("j").cast("long").alias("j"), q.alias("q"))
+        .unionByName(
+            emb.select(
+                F.col(id_col).alias("id"),
+                F.col(y_col).cast("long").alias("y"),
+                F.lit(-1).cast("long").alias("j"),
+                F.lit(PERC_Q).cast("long").alias("q"),
+            )
+        )
+        .localCheckpoint(eager=False)
+    )
+    w = feats.select("j").distinct().select(
+        "j", F.lit(0).cast("long").alias("w")
+    )
+    mis = None
+    for _ in range(rounds):
+        m = (
+            feats.join(F.broadcast(w), "j")
+            .groupBy("id")
+            .agg(
+                F.first("y").alias("y"),
+                F.sum(F.col("w") * F.col("q")).alias("margin"),
+            )
+            .select(
+                "id", ((F.col("y") * F.col("margin")) <= 0).alias("_bad")
+            )
+        )
+        upd = (
+            feats.join(m, "id")
+            .filter(F.col("_bad"))
+            .groupBy("j")
+            .agg(F.sum(F.col("y") * F.col("q")).cast("long").alias("dw"))
+        )
+        mis = m.agg(F.sum(F.col("_bad").cast("long")).cast("long").alias("mis"))
+        w = (
+            w.join(upd, "j", "left")
+            .select(
+                "j",
+                (F.col("w") + F.coalesce(F.col("dw"), F.lit(0)))
+                .cast("long")
+                .alias("w"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return w.crossJoin(F.broadcast(mis)).select("j", "w", "mis")
+
+
+def perceptron_train_sql(emb_cte: str, rounds: int = 4) -> str:
+    """DuckDB twin of perceptron_train — identical quantization and
+    unrolled synchronous rounds. ``emb_cte`` -> (id, y, embedding)."""
+    parts = [
+        f"""pc_f AS MATERIALIZED (
+  SELECT id, CAST(y AS BIGINT) AS y, CAST(i AS BIGINT) AS j,
+         CAST(floor(CAST(v[i + 1] AS DOUBLE) * {PERC_Q} + 0.5) AS BIGINT) AS q
+  FROM (
+    SELECT id, y, unnest(range(0, len(embedding))) AS i, embedding AS v
+    FROM ({emb_cte})
+  )
+  UNION ALL
+  SELECT id, CAST(y AS BIGINT), CAST(-1 AS BIGINT), CAST({PERC_Q} AS BIGINT)
+  FROM ({emb_cte})
+),
+pc_w0 AS MATERIALIZED (
+  SELECT DISTINCT j, CAST(0 AS BIGINT) AS w FROM pc_f
+)"""
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"""pc_m{i} AS MATERIALIZED (
+  SELECT f.id, MIN(f.y) AS y,
+         (MIN(f.y) * SUM(w.w * f.q)) <= 0 AS _bad
+  FROM pc_f f JOIN pc_w{i - 1} w USING (j)
+  GROUP BY 1
+),
+pc_w{i} AS MATERIALIZED (
+  SELECT w.j,
+         CAST(w.w + COALESCE(u.dw, 0) AS BIGINT) AS w
+  FROM pc_w{i - 1} w
+  LEFT JOIN (
+    SELECT f.j, CAST(SUM(f.y * f.q) AS BIGINT) AS dw
+    FROM pc_f f JOIN pc_m{i} m USING (id)
+    WHERE m._bad GROUP BY 1
+  ) u ON u.j = w.j
+)"""
+        )
+    body = ",\n".join(parts)
+    return f"""WITH {body}
+SELECT w.j, w.w,
+       (SELECT CAST(SUM(CASE WHEN _bad THEN 1 ELSE 0 END) AS BIGINT)
+        FROM pc_m{rounds}) AS mis
+FROM pc_w{rounds} w
+"""

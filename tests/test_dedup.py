@@ -2024,3 +2024,62 @@ def test_containment_pairs_quote_case_and_twin(spark):
             r["id_a"], r["id_b"], r["inter"], r["sz_a"], r["sz_b"],
             r["a_in_b"], r["b_in_a"],
         )
+
+
+def test_perceptron_scalar_replay_and_twin(spark):
+    """Batch perceptron vs a NumPy-free scalar replay; separable data
+    converges to zero misclassifications."""
+    import duckdb
+    import math
+
+    from osm2geojson_spark.operators.similarity import (
+        PERC_Q,
+        perceptron_train,
+        perceptron_train_sql,
+    )
+
+    # 2-D separable: y = sign(x0 - x1), margin ~0.4
+    rows = [
+        (0, [0.9, 0.1], 1), (1, [0.8, 0.3], 1), (2, [0.7, 0.2], 1),
+        (3, [0.1, 0.9], -1), (4, [0.2, 0.6], -1), (5, [0.3, 0.8], -1),
+    ]
+
+    def brute(rounds):
+        feats = {
+            i: [int(math.floor(v * PERC_Q + 0.5)) for v in vec] + [PERC_Q]
+            for i, vec, _ in rows
+        }
+        ys = {i: y for i, _, y in rows}
+        w = [0, 0, 0]
+        mis = None
+        for _ in range(rounds):
+            bad = [
+                i
+                for i in feats
+                if ys[i] * sum(wj * qj for wj, qj in zip(w, feats[i])) <= 0
+            ]
+            mis = len(bad)
+            for j in range(3):
+                w[j] += sum(ys[i] * feats[i][j] for i in bad)
+        return w, mis
+
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, y long")
+    got = {r["j"]: (r["w"], r["mis"]) for r in perceptron_train(df, rounds=4).collect()}
+    w, mis = brute(4)
+    assert got == {0: (w[0], mis), 1: (w[1], mis), -1: (w[2], mis)}
+    assert mis == 0  # separable -> converged
+    # the learned boundary has positive weight on x0, negative on x1
+    assert got[0][0] > 0 > got[1][0]
+
+    duck = duckdb.connect()
+    duck.execute("CREATE TABLE pct (id BIGINT, y BIGINT, embedding FLOAT[])")
+    duck.executemany(
+        "INSERT INTO pct VALUES (?, ?, ?)", [(i, y, vec) for i, vec, y in rows]
+    )
+    twin = {
+        r[0]: (r[1], r[2])
+        for r in duck.sql(
+            perceptron_train_sql("SELECT id, y, embedding FROM pct", rounds=4)
+        ).fetchall()
+    }
+    assert twin == got
