@@ -14032,9 +14032,37 @@ def _perceptron_sql() -> str:
     return perceptron_train_sql(emb, rounds=4)
 
 
+_UNSHARP_PX = """
+SELECT printf('img%012d', i) AS image_id, w, w AS h,
+       (p % w) AS x, (p // w) AS y,
+       ((p % w) * 3 + (p // w) * 7 + i * 13) % 251 AS v
+FROM (
+  SELECT i, w, unnest(range(0, w * w)) AS p
+  FROM (SELECT p_partkey AS i, 8 * (1 + p_partkey % 3) AS w
+        FROM part WHERE p_partkey < 300)
+)
+"""
+
+
+def q_unsharp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X296 (multimodal.unsharp_stats): amount-1 unsharp masking over
+    300 mixed rawz/png images — clamp((512v − conv5x5) >> 8), integer
+    halo/clip census; floor-exact on negatives in both engines."""
+    from osm2geojson_spark.operators import multimodal as MM2
+
+    return MM2.unsharp_stats(_synth_images(spark, sf_dir, 300))
+
+
+def _unsharp_sql() -> str:
+    from osm2geojson_spark.operators import multimodal as MM2
+
+    return MM2.unsharp_stats_sql(_UNSHARP_PX)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "unsharp": q_unsharp,
         "perceptron": q_perceptron,
         "median_center": q_median_center,
         "knox": q_knox,
@@ -14381,6 +14409,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "unsharp": _unsharp_sql(),
         "perceptron": _perceptron_sql(),
         "median_center": _median_center_sql(),
         "knox": _knox_sql(),

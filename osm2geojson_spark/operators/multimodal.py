@@ -5433,3 +5433,93 @@ SELECT image_id, CAST(count(*) AS BIGINT) AS n_px,
        sum((va - vb) * (va - vb)) = 0 AS identical
 FROM pg_px GROUP BY image_id
 """
+
+
+def unsharp_stats(images: DataFrame, clip_hi: int = 255) -> DataFrame:
+    """(image_id, n_interior, sharp_sum, sharp_max, n_clip_lo,
+    n_clip_hi) — UNSHARP MASKING, the classic sharpening op (add back
+    the detail the blur removed): with the 5x5 binomial blur conv
+    (weight 256) from gaussian_blur_stats, the amount-1 sharpened
+    pixel is
+
+        sharp = clamp((512·v − conv) >> 8, 0, 255)
+
+    (= v + (v − blur)). 512·v − conv can go negative next to bright
+    edges; NumPy's arithmetic >> and DuckDB's // both FLOOR, so the
+    shift is engine-exact on negatives too. n_clip_lo / n_clip_hi
+    count the pixels the clamp caught — the halo/overshoot census that
+    tells you the amount is too hot.
+
+    Scale: same shape as gaussian_blur_stats — Arrow mapInPandas, two
+    separable passes in-batch, pixels never shuffle."""
+    k = np.array(GAUSS_K5, dtype=np.int64)
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {c: [] for c in (
+                "image_id", "n_interior", "sharp_sum", "sharp_max",
+                "n_clip_lo", "n_clip_hi",
+            )}
+            for r in pdf.itertuples(index=False):
+                px = imagecodec.decode(bytes(r.bytes), r.fmt).astype(np.int64)
+                h, w = px.shape
+                if h < 5 or w < 5:
+                    continue
+                hpass = sum(
+                    kv * px[:, j : w - 4 + j] for j, kv in enumerate(k)
+                )
+                conv = sum(
+                    kv * hpass[j : h - 4 + j, :] for j, kv in enumerate(k)
+                )
+                ctr = px[2 : h - 2, 2 : w - 2]
+                raw = (512 * ctr - conv) >> 8
+                sharp = np.clip(raw, 0, clip_hi)
+                out["image_id"].append(r.image_id)
+                out["n_interior"].append(int(sharp.size))
+                out["sharp_sum"].append(int(sharp.sum()))
+                out["sharp_max"].append(int(sharp.max()))
+                out["n_clip_lo"].append(int((raw < 0).sum()))
+                out["n_clip_hi"].append(int((raw > clip_hi).sum()))
+            yield pd.DataFrame(out)
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(
+        fn,
+        schema=(
+            "image_id string, n_interior long, sharp_sum long,"
+            " sharp_max long, n_clip_lo long, n_clip_hi long"
+        ),
+    )
+
+
+def unsharp_stats_sql(px_cte: str, clip_hi: int = 255) -> str:
+    """DuckDB twin of unsharp_stats — the 25-tap blur join plus the
+    512·v − conv assembly. ``px_cte`` -> (image_id, w, h, x, y, v)."""
+    taps = ", ".join(
+        f"({dx - 2}, {dy - 2}, {GAUSS_K5[dx] * GAUSS_K5[dy]})"
+        for dx in range(5)
+        for dy in range(5)
+    )
+    return f"""
+WITH upx AS ({px_cte}),
+u_inner AS (
+  SELECT image_id, w, h, x, y, v FROM upx
+  WHERE x >= 2 AND x <= w - 3 AND y >= 2 AND y <= h - 3
+),
+u_taps(dx, dy, kw) AS (SELECT * FROM (VALUES {taps})),
+u_conv AS (
+  SELECT i.image_id, i.x, i.y,
+         CAST((512 * MIN(i.v) - sum(t.kw * p.v)) // 256 AS BIGINT) AS raw
+  FROM u_inner i
+  JOIN u_taps t ON true
+  JOIN upx p ON p.image_id = i.image_id
+            AND p.x = i.x + t.dx AND p.y = i.y + t.dy
+  GROUP BY 1, 2, 3
+)
+SELECT image_id, CAST(count(*) AS BIGINT) AS n_interior,
+       CAST(sum(LEAST(GREATEST(raw, 0), {clip_hi})) AS BIGINT) AS sharp_sum,
+       CAST(max(LEAST(GREATEST(raw, 0), {clip_hi})) AS BIGINT) AS sharp_max,
+       CAST(sum(CASE WHEN raw < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_lo,
+       CAST(sum(CASE WHEN raw > {clip_hi} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clip_hi
+FROM u_conv GROUP BY image_id
+"""

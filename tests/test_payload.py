@@ -3724,3 +3724,71 @@ def test_psnr_gate_exact_threshold_and_twin(spark):
         assert twin[name] == (
             name, r["n_px"], r["sse"], r["pass_gate"], r["identical"],
         )
+
+
+def test_unsharp_stats_matches_direct_and_twin(spark):
+    """Unsharp = clamp((512v - conv)>>8): direct NumPy replay + twin;
+    a planted dark-pixel-next-to-bright-edge exercises the lo clip."""
+    import duckdb
+
+    from osm2geojson_spark.operators.multimodal import (
+        GAUSS_K5,
+        unsharp_stats,
+        unsharp_stats_sql,
+    )
+
+    rng = np.random.default_rng(7)
+    imgs, want, px_rows = [], {}, []
+    mats = []
+    for i in range(5):
+        w = h = int(rng.integers(6, 13))
+        px = rng.integers(0, 256, (h, w)).astype(np.uint8)
+        mats.append((f"r{i}", px))
+    # planted clip case: black center pixel inside a white field
+    forced = np.full((9, 9), 255, np.uint8)
+    forced[4, 4] = 0
+    mats.append(("clip", forced))
+    for iid, px in mats:
+        h, w = px.shape
+        imgs.append((iid, imagecodec.encode_rawz(px), "rawz"))
+        p64 = px.astype(np.int64)
+        conv = np.zeros((h - 4, w - 4), dtype=np.int64)
+        for dy in range(5):
+            for dx in range(5):
+                conv += (
+                    GAUSS_K5[dy] * GAUSS_K5[dx]
+                    * p64[dy : h - 4 + dy, dx : w - 4 + dx]
+                )
+        raw = (512 * p64[2 : h - 2, 2 : w - 2] - conv) >> 8
+        sharp = np.clip(raw, 0, 255)
+        want[iid] = (
+            sharp.size, int(sharp.sum()), int(sharp.max()),
+            int((raw < 0).sum()), int((raw > 255).sum()),
+        )
+        for yy in range(h):
+            for xx in range(w):
+                px_rows.append((iid, w, h, xx, yy, int(px[yy, xx])))
+
+    df = spark.createDataFrame(imgs, "image_id string, bytes binary, fmt string")
+    got = {
+        r["image_id"]: (
+            r["n_interior"], r["sharp_sum"], r["sharp_max"],
+            r["n_clip_lo"], r["n_clip_hi"],
+        )
+        for r in unsharp_stats(df).collect()
+    }
+    assert got == want
+    # the black-dot image must clip low (dark pixel oversharpened
+    # negative) AND high (bright ring boosted past 255)
+    assert got["clip"][3] > 0 and got["clip"][4] > 0
+
+    duck = duckdb.connect()
+    duck.execute(
+        "CREATE TABLE upxt (image_id VARCHAR, w INT, h INT, x INT, y INT, v INT)"
+    )
+    duck.executemany("INSERT INTO upxt VALUES (?, ?, ?, ?, ?, ?)", px_rows)
+    twin = {
+        r[0]: tuple(r[1:])
+        for r in duck.sql(unsharp_stats_sql("SELECT * FROM upxt")).fetchall()
+    }
+    assert twin == want
