@@ -14059,9 +14059,26 @@ def _unsharp_sql() -> str:
     return MM2.unsharp_stats_sql(_UNSHARP_PX)
 
 
+def q_bilateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X297 (multimodal.bilateral_stats): edge-preserving bilateral
+    filter over 300 mixed rawz/png images — 3x3 binomial spatial ×
+    precomputed integer range LUT, Σ(w·v) DIV Σw; both engines share
+    the LUT constants so no transcendental runs anywhere."""
+    from osm2geojson_spark.operators import multimodal as MM2
+
+    return MM2.bilateral_stats(_synth_images(spark, sf_dir, 300))
+
+
+def _bilateral_sql() -> str:
+    from osm2geojson_spark.operators import multimodal as MM2
+
+    return MM2.bilateral_stats_sql(_UNSHARP_PX)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "bilateral": q_bilateral,
         "unsharp": q_unsharp,
         "perceptron": q_perceptron,
         "median_center": q_median_center,
@@ -14409,6 +14426,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "bilateral": _bilateral_sql(),
         "unsharp": _unsharp_sql(),
         "perceptron": _perceptron_sql(),
         "median_center": _median_center_sql(),

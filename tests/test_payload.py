@@ -3792,3 +3792,69 @@ def test_unsharp_stats_matches_direct_and_twin(spark):
         for r in duck.sql(unsharp_stats_sql("SELECT * FROM upxt")).fetchall()
     }
     assert twin == want
+
+
+def test_bilateral_stats_edge_preservation_and_twin(spark):
+    """Bilateral vs direct replay; a hard step edge must smooth LESS
+    than the same-contrast image under a plain binomial average."""
+    import duckdb
+
+    from osm2geojson_spark.operators.multimodal import (
+        BILAT_WR,
+        BILAT_WS,
+        bilateral_stats,
+        bilateral_stats_sql,
+    )
+
+    rng = np.random.default_rng(11)
+    mats = [(f"r{i}", rng.integers(0, 256, (9, 9)).astype(np.uint8)) for i in range(4)]
+    step = np.zeros((9, 9), np.uint8)
+    step[:, 5:] = 250  # hard vertical edge
+    mats.append(("step", step))
+
+    def direct(px):
+        p = px.astype(np.int64)
+        h, w = p.shape
+        ctr = p[1 : h - 1, 1 : w - 1]
+        num = np.zeros_like(ctr)
+        den = np.zeros_like(ctr)
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                nb = p[1 + dy : h - 1 + dy, 1 + dx : w - 1 + dx]
+                wgt = BILAT_WS[dy + 1][dx + 1] * np.array(BILAT_WR)[np.abs(nb - ctr)]
+                num += wgt * nb
+                den += wgt
+        o = num // den
+        return (
+            o.size, int(o.sum()), int(o.max()), int(np.abs(o - ctr).sum()),
+        )
+
+    imgs = [(iid, imagecodec.encode_rawz(px), "rawz") for iid, px in mats]
+    px_rows = [
+        (iid, px.shape[1], px.shape[0], xx, yy, int(px[yy, xx]))
+        for iid, px in mats
+        for yy in range(px.shape[0])
+        for xx in range(px.shape[1])
+    ]
+    df = spark.createDataFrame(imgs, "image_id string, bytes binary, fmt string")
+    got = {
+        r["image_id"]: (r["n_interior"], r["out_sum"], r["out_max"], r["diff_sum"])
+        for r in bilateral_stats(df).collect()
+    }
+    assert got == {iid: direct(px) for iid, px in mats}
+    # edge preservation: the step image barely changes (only the LUT
+    # tail lets any cross-edge mass leak) — diff_sum stays tiny vs what
+    # a plain 3x3 binomial average would do (edge column would move by
+    # ~(250/16)*4 per pixel = huge)
+    assert got["step"][3] <= 9 * 7  # near-zero smoothing across the edge
+
+    duck = duckdb.connect()
+    duck.execute(
+        "CREATE TABLE bpxt (image_id VARCHAR, w INT, h INT, x INT, y INT, v INT)"
+    )
+    duck.executemany("INSERT INTO bpxt VALUES (?, ?, ?, ?, ?, ?)", px_rows)
+    twin = {
+        r[0]: tuple(r[1:])
+        for r in duck.sql(bilateral_stats_sql("SELECT * FROM bpxt")).fetchall()
+    }
+    assert twin == got
