@@ -14075,9 +14075,37 @@ def _bilateral_sql() -> str:
     return MM2.bilateral_stats_sql(_UNSHARP_PX)
 
 
+def q_phonetic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X298 (dedup.phonetic_blocks): Soundex blocking over every word of
+    part names and document texts — same-sounding spellings grouped as
+    fuzzy-merge candidate blocks; the Soundex itself is engine-twinned
+    column algebra (no built-in soundex on either side)."""
+    from osm2geojson_spark.operators.dedup import phonetic_blocks
+
+    pw = _t(spark, sf_dir, "part").select(
+        F.explode(F.split(F.col("p_name"), " ")).alias("word")
+    )
+    dw = _t(spark, sf_dir, "documents").select(
+        F.explode(F.split(F.col("text"), " ")).alias("word")
+    )
+    return phonetic_blocks(pw.unionByName(dw))
+
+
+def _phonetic_dedup_sql() -> str:
+    from osm2geojson_spark.operators.dedup import phonetic_blocks_sql
+
+    words = (
+        "SELECT unnest(string_split(p_name, ' ')) AS word FROM part"
+        " UNION ALL"
+        " SELECT unnest(string_split(text, ' ')) AS word FROM documents"
+    )
+    return phonetic_blocks_sql(words)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "phonetic_dedup": q_phonetic_dedup,
         "bilateral": q_bilateral,
         "unsharp": q_unsharp,
         "perceptron": q_perceptron,
@@ -14426,6 +14454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "phonetic_dedup": _phonetic_dedup_sql(),
         "bilateral": _bilateral_sql(),
         "unsharp": _unsharp_sql(),
         "perceptron": _perceptron_sql(),

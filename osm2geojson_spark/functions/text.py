@@ -1102,3 +1102,59 @@ uc_g AS (
 SELECT c.doc_id, c.canon_url, g.grp_n, c.doc_id = g.keep_id AS keep
 FROM uc_c c JOIN uc_g g USING (canon_url)
 """
+
+
+# American Soundex letter->class map (a-z): 0 = vowel/y (breaks runs,
+# then dropped), 9 = h/w (transparent: dropped BEFORE run-collapse so
+# same-class letters around them merge), 1-6 = consonant classes.
+SOUNDEX_MAP = "01230129022455012623019202"
+
+
+def soundex_expr(col: Column) -> Column:
+    """American Soundex as pure column algebra — NOT Spark's built-in
+    F.soundex, so the DuckDB twin can replay the identical transform
+    chain (RE2 has no backreferences; runs collapse via six per-digit
+    regexp_replace passes). Empty/non-alphabetic input yields ''.
+
+    Order of operations (NARA standard): lowercase, strip non a-z,
+    translate all letters to classes, drop transparent 9s, collapse
+    same-digit runs, drop vowel 0s, drop the first letter's own class
+    digit, pad to letter + 3 digits."""
+    s = F.regexp_replace(F.lower(col), "[^a-z]", "")
+    first = F.substring(s, 1, 1)
+    digits = F.translate(s, "abcdefghijklmnopqrstuvwxyz", SOUNDEX_MAP)
+    digits = F.regexp_replace(digits, "9", "")
+    for d in "123456":
+        digits = F.regexp_replace(digits, f"{d}{{2,}}", d)
+    # drop the leading class digit contributed by the first letter
+    # (vowel-initial words contribute a leading 0, dropped with the rest)
+    first_class = F.translate(first, "abcdefghijklmnopqrstuvwxyz", SOUNDEX_MAP)
+    digits = F.when(
+        first_class.isin("0", "9") | (first_class == ""), digits
+    ).otherwise(digits.substr(F.lit(2), F.length(digits)))
+    digits = F.regexp_replace(digits, "0", "")
+    return F.when(s == "", F.lit("")).otherwise(
+        F.concat(F.upper(first), F.substring(F.concat(digits, F.lit("000")), 1, 3))
+    )
+
+
+def soundex_sql(expr: str) -> str:
+    """DuckDB twin of soundex_expr — the same transform chain."""
+    s = f"regexp_replace(lower({expr}), '[^a-z]', '', 'g')"
+    digits = f"translate({s}, 'abcdefghijklmnopqrstuvwxyz', '{SOUNDEX_MAP}')"
+    digits = f"regexp_replace({digits}, '9', '', 'g')"
+    for d in "123456":
+        digits = f"regexp_replace({digits}, '{d}{{2,}}', '{d}', 'g')"
+    first = f"substr({s}, 1, 1)"
+    first_class = (
+        f"translate({first}, 'abcdefghijklmnopqrstuvwxyz', '{SOUNDEX_MAP}')"
+    )
+    digits = (
+        f"CASE WHEN {first_class} IN ('0', '9', '') THEN {digits}"
+        f" ELSE substr({digits}, 2) END"
+    )
+    digits = f"regexp_replace({digits}, '0', '', 'g')"
+    return (
+        f"CASE WHEN {s} = '' THEN ''"
+        f" ELSE upper({first}) || substr({digits} || '000', 1, 3) END"
+    )

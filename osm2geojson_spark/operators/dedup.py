@@ -1282,3 +1282,57 @@ JOIN cp_sz sb ON sb.id = i.id_b
 WHERE i.inter * {tau_den} >= sa.sz * {tau_num}
    OR i.inter * {tau_den} >= sb.sz * {tau_num}
 """
+
+
+def phonetic_blocks(
+    words: DataFrame,
+    word_col: str = "word",
+) -> DataFrame:
+    """(code, n_words, n_rows, w_min, w_max) — SOUNDEX BLOCKING for
+    phonetic record linkage: every word keyed by its American Soundex
+    code (functions.text.soundex_expr — pure column algebra, same
+    chain as the SQL twin), blocks with >= 2 distinct spellings
+    surfaced as fuzzy-merge candidates. The classic cheap blocking
+    pass in front of an edit-distance verifier (fuzzy_join): names
+    that sound alike land in the same reduce group without any
+    pairwise work.
+
+    Scale: one scan + one combinable two-level rollup (word first,
+    then code) — block skew is bounded by the code space (26·7³);
+    a pathological block feeds the verifier, not this census."""
+    from ..functions.text import soundex_expr
+
+    w = words.select(
+        F.lower(F.col(word_col)).alias("w"),
+        soundex_expr(F.col(word_col)).alias("code"),
+    ).filter(F.col("code") != "")
+    per_word = w.groupBy("code", "w").agg(F.count(F.lit(1)).alias("_c"))
+    return (
+        per_word.groupBy("code")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("_c").cast("long").alias("n_rows"),
+            F.min("w").alias("w_min"),
+            F.max("w").alias("w_max"),
+        )
+        .filter(F.col("n_words") >= 2)
+    )
+
+
+def phonetic_blocks_sql(words_cte: str) -> str:
+    """DuckDB twin of phonetic_blocks. ``words_cte`` -> (word)."""
+    from ..functions.text import soundex_sql
+
+    return f"""
+WITH ph_w AS (
+  SELECT lower(word) AS w, {soundex_sql("word")} AS code
+  FROM ({words_cte})
+),
+ph_pw AS (
+  SELECT code, w, COUNT(*) AS _c FROM ph_w WHERE code <> '' GROUP BY 1, 2
+)
+SELECT code, CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(_c) AS BIGINT) AS n_rows,
+       MIN(w) AS w_min, MAX(w) AS w_max
+FROM ph_pw GROUP BY code HAVING COUNT(*) >= 2
+"""

@@ -2083,3 +2083,50 @@ def test_perceptron_scalar_replay_and_twin(spark):
         ).fetchall()
     }
     assert twin == got
+
+
+def test_soundex_classic_vectors_and_blocks(spark):
+    """soundex_expr reproduces the NARA test vectors (incl. the h/w
+    transparency and vowel-break rules) and equals the SQL twin."""
+    import duckdb
+
+    from osm2geojson_spark.functions.text import soundex_expr, soundex_sql
+    from osm2geojson_spark.operators.dedup import phonetic_blocks, phonetic_blocks_sql
+
+    cases = {
+        "Robert": "R163", "Rupert": "R163", "Ashcraft": "A261",
+        "Ashcroft": "A261", "Tymczak": "T522", "Pfister": "P236",
+        "Honeyman": "H555", "Jackson": "J250", "Washington": "W252",
+        "Lee": "L000", "Gutierrez": "G362", "Wu": "W000",
+        "o'Brien": "O165", "  ": "", "123": "",
+    }
+    df = spark.createDataFrame([(w,) for w in cases], "word string")
+    got = {
+        r["word"]: r["code"]
+        for r in df.select("word", soundex_expr(F.col("word")).alias("code")).collect()
+    }
+    assert got == cases
+
+    duck = duckdb.connect()
+    for w, want in cases.items():
+        lit = "'" + w.replace("'", "''") + "'"
+        assert duck.sql(f"SELECT {soundex_sql(lit)}").fetchone()[0] == want
+
+    # blocking: Robert/Rupert share a block; Lee is alone and filtered
+    words = [("Robert",), ("Rupert",), ("robert",), ("Lee",), ("Ashcraft",), ("Ashcroft",)]
+    wdf = spark.createDataFrame(words, "word string")
+    blocks = {
+        r["code"]: (r["n_words"], r["n_rows"], r["w_min"], r["w_max"])
+        for r in phonetic_blocks(wdf).collect()
+    }
+    assert blocks == {
+        "R163": (2, 3, "robert", "rupert"),
+        "A261": (2, 2, "ashcraft", "ashcroft"),
+    }
+    duck.execute("CREATE TABLE phw (word VARCHAR)")
+    duck.executemany("INSERT INTO phw VALUES (?)", words)
+    twin = {
+        r[0]: tuple(r[1:])
+        for r in duck.sql(phonetic_blocks_sql("SELECT word FROM phw")).fetchall()
+    }
+    assert twin == blocks
