@@ -14102,9 +14102,28 @@ def _phonetic_dedup_sql() -> str:
     return phonetic_blocks_sql(words)
 
 
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X299 (analytics.readability_scores): Flesch-Kincaid grade gate
+    over every 4th document — exact integer word/sentence/vowel-run
+    syllable accounting, fixed-point grade with pinned truncation."""
+    from osm2geojson_spark.operators.analytics import readability_scores
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 4 == 0)
+    return readability_scores(docs)
+
+
+def _readability_sql() -> str:
+    from osm2geojson_spark.operators.analytics import readability_scores_sql
+
+    return readability_scores_sql(
+        "SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "readability": q_readability,
         "phonetic_dedup": q_phonetic_dedup,
         "bilateral": q_bilateral,
         "unsharp": q_unsharp,
@@ -14454,6 +14473,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "readability": _readability_sql(),
         "phonetic_dedup": _phonetic_dedup_sql(),
         "bilateral": _bilateral_sql(),
         "unsharp": _unsharp_sql(),

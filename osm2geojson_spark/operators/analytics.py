@@ -6065,3 +6065,113 @@ FROM (
 ) j"""
         )
     return " UNION ALL ".join(parts)
+
+
+READ_MICRO = 1_000_000  # fixed-point scale for the FK grade
+_RD_MARK = "\x01"  # marker byte that cannot occur in text
+
+
+def readability_scores(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_words, n_sentences, n_syllables, fk100_micro) —
+    FLESCH-KINCAID GRADE LEVEL as exact integer accounting, the
+    standard text-quality gate in LLM-corpus curation (too-simple and
+    too-garbled documents both score out of band). Heuristic syllables:
+    per word, max(1, #vowel-group runs of [aeiouy]); sentences:
+    #runs of [.!?], min 1.
+
+        fk100_micro = 39·10⁶·W DIV S + 1180·10⁶·Syl DIV W − 1559·10⁶
+
+    — 100× the classic 0.39·W/S + 11.8·Syl/W − 15.59, with each ratio
+    floor-divided once (documented truncation, order-fixed) so the
+    score is a pure integer function of the text, bit-equal in the
+    twin. Vowel runs are counted by collapsing each run to one \\x01
+    marker (a byte that cannot occur in the word after [^a-z]
+    stripping) and length-diffing — no regex backreferences, RE2-safe.
+
+    Scale: explode words → one combinable doc rollup; scan-shaped."""
+    m = _RD_MARK
+    words = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("_t"),
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("_w0"),
+    ).select(
+        "doc_id",
+        "_t",
+        F.regexp_replace(F.col("_w0"), "[^a-z]", "").alias("_w"),
+    ).filter(F.col("_w") != "")
+    vg_marked = F.regexp_replace(F.col("_w"), "[aeiouy]+", m)
+    vg = F.length(vg_marked) - F.length(F.regexp_replace(vg_marked, m, ""))
+    per_word = words.select(
+        "doc_id", "_t", F.greatest(F.lit(1), vg).cast("long").alias("_syl")
+    )
+    s_marked = F.regexp_replace(F.col("_t"), "[.!?]+", m)
+    n_sent = F.greatest(
+        F.lit(1),
+        F.length(s_marked) - F.length(F.regexp_replace(s_marked, m, "")),
+    ).cast("long")
+    agg = per_word.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_words"),
+        F.sum("_syl").cast("long").alias("n_syllables"),
+        F.first(n_sent).alias("n_sentences"),
+    )
+    fk = (
+        F.expr(f"CAST(39 * {READ_MICRO} * n_words DIV n_sentences AS BIGINT)")
+        + F.expr(
+            f"CAST(1180 * {READ_MICRO} * n_syllables DIV n_words AS BIGINT)"
+        )
+        - F.lit(1559 * READ_MICRO)
+    )
+    return agg.select(
+        "doc_id", "n_words", "n_sentences", "n_syllables",
+        fk.cast("long").alias("fk100_micro"),
+    )
+
+
+def readability_scores_sql(docs_cte: str) -> str:
+    """DuckDB twin of readability_scores. ``docs_cte`` -> (doc_id, text)."""
+    m = "chr(1)"
+    return f"""
+WITH rd_d AS (SELECT doc_id, text FROM ({docs_cte})),
+rd_w AS (
+  SELECT doc_id,
+         regexp_replace(lower(w0), '[^a-z]', '', 'g') AS w
+  FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS w0
+    FROM rd_d
+  )
+  WHERE regexp_replace(lower(w0), '[^a-z]', '', 'g') <> ''
+),
+rd_syl AS (
+  SELECT doc_id,
+         GREATEST(1,
+           length(regexp_replace(w, '[aeiouy]+', {m}, 'g'))
+           - length(replace(regexp_replace(w, '[aeiouy]+', {m}, 'g'),
+                            {m}, ''))) AS syl
+  FROM rd_w
+),
+rd_sent AS (
+  SELECT doc_id,
+         GREATEST(1,
+           length(regexp_replace(text, '[.!?]+', {m}, 'g'))
+           - length(replace(regexp_replace(text, '[.!?]+', {m}, 'g'),
+                            {m}, ''))) AS ns
+  FROM rd_d
+),
+rd_agg AS (
+  SELECT s.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_words,
+         CAST(MIN(t.ns) AS BIGINT) AS n_sentences,
+         CAST(SUM(s.syl) AS BIGINT) AS n_syllables
+  FROM rd_syl s JOIN rd_sent t USING (doc_id)
+  GROUP BY 1
+)
+SELECT doc_id, n_words, n_sentences, n_syllables,
+       CAST((39 * {READ_MICRO} * n_words) // n_sentences
+            + (1180 * {READ_MICRO} * n_syllables) // n_words
+            - 1559 * {READ_MICRO} AS BIGINT) AS fk100_micro
+FROM rd_agg
+"""

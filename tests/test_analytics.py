@@ -3709,3 +3709,58 @@ def test_inclusion_audit_brute_and_twin(spark):
         )
     ).fetchall()[0]
     assert tuple(t) == ("c<p", 6, 3, 1, 3, False)
+
+
+def test_readability_scalar_replay_and_twin(spark):
+    """FK accounting vs a scalar replay on texts with punctuation,
+    vowel-less words, and multi-syllable words."""
+    import duckdb
+    import re
+
+    from osm2geojson_spark.operators.analytics import (
+        READ_MICRO,
+        readability_scores,
+        readability_scores_sql,
+    )
+
+    docs = [
+        (1, "The quick brown fox jumps. Over the lazy dog!"),
+        (2, "nth rhythms... simple banana elevation?! ok"),
+        (3, "one-sentence text with no punctuation at all"),
+    ]
+
+    def brute(text):
+        words = [re.sub("[^a-z]", "", w) for w in re.split(r"\s+", text.lower())]
+        words = [w for w in words if w]
+        syl = sum(max(1, len(re.findall("[aeiouy]+", w))) for w in words)
+        ns = max(1, len(re.findall("[.!?]+", text)))
+        nw = len(words)
+        fk = (
+            39 * READ_MICRO * nw // ns
+            + 1180 * READ_MICRO * syl // nw
+            - 1559 * READ_MICRO
+        )
+        return nw, ns, syl, fk
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (
+            r["n_words"], r["n_sentences"], r["n_syllables"], r["fk100_micro"]
+        )
+        for r in readability_scores(df).collect()
+    }
+    assert got == {i: brute(t) for i, t in docs}
+    # sanity: doc 2 has 2 sentence-punctuation runs ("..." and "?!")
+    assert got[2][1] == 2
+    assert got[3][1] == 1
+
+    duck = duckdb.connect()
+    duck.execute("CREATE TABLE rdd (doc_id BIGINT, text VARCHAR)")
+    duck.executemany("INSERT INTO rdd VALUES (?, ?)", docs)
+    twin = {
+        r[0]: tuple(r[1:])
+        for r in duck.sql(
+            readability_scores_sql("SELECT doc_id, text FROM rdd")
+        ).fetchall()
+    }
+    assert twin == got
