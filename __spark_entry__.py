@@ -14120,9 +14120,36 @@ def _readability_sql() -> str:
     )
 
 
+def q_hurst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X300 (analytics.hurst_rs): Hurst exponent of each event_type's
+    cent-quantized value series (ordered by ts, event_id) via R/S
+    analysis at dyadic windows 8-64 — exact integer block ranges and
+    variance kernels, quantized-log OLS slope."""
+    from osm2geojson_spark.operators.analytics import hurst_rs
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("g"),
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("x"),
+    )
+    return hurst_rs(ev, order_cols=("ts", "event_id"))
+
+
+def _hurst_sql() -> str:
+    from osm2geojson_spark.operators.analytics import hurst_rs_sql
+
+    series = (
+        "SELECT event_type AS g, ts, event_id,"
+        " CAST(round(value * 100) AS BIGINT) AS x FROM events"
+    )
+    return hurst_rs_sql(series, order_by="ts, event_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "hurst": q_hurst,
         "readability": q_readability,
         "phonetic_dedup": q_phonetic_dedup,
         "bilateral": q_bilateral,
@@ -14473,6 +14500,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "hurst": _hurst_sql(),
         "readability": _readability_sql(),
         "phonetic_dedup": _phonetic_dedup_sql(),
         "bilateral": _bilateral_sql(),

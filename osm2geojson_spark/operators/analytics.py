@@ -6175,3 +6175,190 @@ SELECT doc_id, n_words, n_sentences, n_syllables,
             - 1559 * {READ_MICRO} AS BIGINT) AS fk100_micro
 FROM rd_agg
 """
+
+
+HURST_SCALE = 100_000  # log-term quantization (gravity_fit's scheme)
+
+
+def hurst_rs(
+    series: DataFrame,
+    sizes: tuple[int, ...] = (8, 16, 32, 64),
+    group_col: str = "g",
+    order_cols: tuple[str, ...] = ("t",),
+    value_col: str = "x",
+) -> DataFrame:
+    """(g, n_points, sx_q, sy_q, sxx_q, sxy_q, hurst) — HURST EXPONENT
+    by rescaled-range (R/S) analysis (Hurst 1951/Mandelbrot): the
+    long-memory diagnostic for a time series — H≈0.5 random walk,
+    >0.5 trending/persistent, <0.5 mean-reverting. Used on traffic,
+    latency, and demand series to pick forecasting models.
+
+    Exact core: values must be integers (quantize upstream, e.g.
+    cents). For each dyadic window n, consecutive full blocks of n
+    points give  D_k = n·prefix_k − k·Σx  (int64 — n× the cumulative
+    deviation), so R_scaled = max D − min D and the variance kernel
+    v = n·Σx² − (Σx)² are exact integers, and R/S = R_scaled/√v with
+    every n cancelling. Each block contributes one OLS point
+    (ln n, ln(R/S)) quantized per-term to round(ln·1e5) int64
+    (gravity_fit's scheme: order-free integer sufficient statistics,
+    double slope assembly replayed verbatim in the twin). Zero-variance
+    or zero-range blocks are skipped. ``hurst`` is the OLS slope,
+    rounded to 6 dp; NULL when fewer than 2 usable blocks or no
+    x-variance.
+
+    Scale: one row_number per group + one in-block prefix window per
+    window size (all partitioned by (g, block) — no global window),
+    then a combinable rollup. Overflow: n·|x|·len < 2^63."""
+    w0 = Window.partitionBy("g").orderBy(*[F.col(c) for c in order_cols])
+    base = series.select(
+        F.col(group_col).alias("g"),
+        *[F.col(c) for c in order_cols],
+        F.col(value_col).cast("long").alias("x"),
+    ).withColumn("idx", F.row_number().over(w0).cast("long") - 1)
+    pts = None
+    for n in sizes:
+        blk = base.select(
+            "g", "idx", "x", (F.col("idx") / n).cast("long").alias("b")
+        )
+        wb = (
+            Window.partitionBy("g", "b")
+            .orderBy("idx")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        blk = blk.select(
+            "g",
+            "b",
+            "x",
+            F.sum("x").over(wb).alias("pre"),
+            (F.col("idx") % n + 1).alias("k"),
+        )
+        # D_k needs s1 per block — join the block sum back onto rows
+        s1 = blk.groupBy("g", "b").agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum("x").alias("s1"),
+            F.sum(F.col("x") * F.col("x")).alias("s2"),
+        )
+        d = blk.join(s1, ["g", "b"]).select(
+            "g",
+            "b",
+            "_n",
+            "s1",
+            "s2",
+            (F.lit(n) * F.col("pre") - F.col("k") * F.col("s1")).alias("d"),
+        )
+        per_blk = (
+            d.groupBy("g", "b")
+            .agg(
+                F.first("_n").alias("_n"),
+                F.first("s1").alias("s1"),
+                F.first("s2").alias("s2"),
+                (F.max("d") - F.min("d")).alias("r_scaled"),
+            )
+            .filter(F.col("_n") == n)
+            .select(
+                "g",
+                F.lit(n).cast("long").alias("n"),
+                "r_scaled",
+                (F.lit(n) * F.col("s2") - F.col("s1") * F.col("s1")).alias("v"),
+            )
+        )
+        pts = per_blk if pts is None else pts.unionByName(per_blk)
+    pts = pts.filter((F.col("v") > 0) & (F.col("r_scaled") > 0))
+    qx = F.round(
+        F.log(F.col("n").cast("double")) * HURST_SCALE
+    ).cast("long")
+    qy = F.round(
+        F.log(
+            F.col("r_scaled").cast("double")
+            / F.sqrt(F.col("v").cast("double"))
+        )
+        * HURST_SCALE
+    ).cast("long")
+    agg = pts.select("g", qx.alias("qx"), qy.alias("qy")).groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+        F.sum("qx").cast("long").alias("sx_q"),
+        F.sum("qy").cast("long").alias("sy_q"),
+        F.sum(F.col("qx") * F.col("qx")).cast("long").alias("sxx_q"),
+        F.sum(F.col("qx") * F.col("qy")).cast("long").alias("sxy_q"),
+    )
+    nd = F.col("n_points").cast("double")
+    sx = F.col("sx_q").cast("double")
+    sy = F.col("sy_q").cast("double")
+    sxx = F.col("sxx_q").cast("double")
+    sxy = F.col("sxy_q").cast("double")
+    den = nd * sxx - sx * sx
+    slope = (nd * sxy - sx * sy) / den
+    fit_ok = (F.col("n_points") >= 2) & (den != 0)
+    return agg.select(
+        "g", "n_points", "sx_q", "sy_q", "sxx_q", "sxy_q",
+        F.when(fit_ok, F.round(slope, 6) + F.lit(0.0)).alias("hurst"),
+    )
+
+
+def hurst_rs_sql(
+    series_cte: str,
+    sizes: tuple[int, ...] = (8, 16, 32, 64),
+    order_by: str = "t",
+) -> str:
+    """DuckDB twin of hurst_rs. ``series_cte`` -> (g, <order cols>, x)."""
+    blocks = []
+    for n in sizes:
+        blocks.append(
+            f"""
+SELECT g, CAST({n} AS BIGINT) AS n,
+       MAX(d) - MIN(d) AS r_scaled,
+       {n} * MIN(s2) - MIN(s1) * MIN(s1) AS v
+FROM (
+  SELECT g, b, d,
+         SUM(x) OVER (PARTITION BY g, b) AS s1,
+         SUM(x * x) OVER (PARTITION BY g, b) AS s2,
+         COUNT(*) OVER (PARTITION BY g, b) AS nn
+  FROM (
+    SELECT g, idx // {n} AS b, x,
+           {n} * SUM(x) OVER (PARTITION BY g, idx // {n} ORDER BY idx
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - (idx % {n} + 1)
+             * SUM(x) OVER (PARTITION BY g, idx // {n}) AS d, idx
+    FROM hu_base
+  ) dd
+) s WHERE nn = {n}
+GROUP BY g, b"""
+        )
+    union = " UNION ALL ".join(blocks)
+    return f"""
+WITH hu_src AS ({series_cte}),
+hu_base AS (
+  SELECT g, CAST(x AS BIGINT) AS x,
+         CAST(row_number() OVER (PARTITION BY g ORDER BY {order_by})
+              AS BIGINT) - 1 AS idx
+  FROM hu_src
+),
+hu_blk AS ({union}),
+hu_q AS (
+  SELECT g,
+         CAST(round(ln(CAST(n AS DOUBLE)) * {HURST_SCALE}) AS BIGINT) AS qx,
+         CAST(round(ln(CAST(r_scaled AS DOUBLE)
+                       / sqrt(CAST(v AS DOUBLE))) * {HURST_SCALE}) AS BIGINT)
+           AS qy
+  FROM hu_blk WHERE v > 0 AND r_scaled > 0
+),
+hu_agg AS (
+  SELECT g, CAST(COUNT(*) AS BIGINT) AS n_points,
+         CAST(SUM(qx) AS BIGINT) AS sx_q,
+         CAST(SUM(qy) AS BIGINT) AS sy_q,
+         CAST(SUM(qx * qx) AS BIGINT) AS sxx_q,
+         CAST(SUM(qx * qy) AS BIGINT) AS sxy_q
+  FROM hu_q GROUP BY 1
+)
+SELECT g, n_points, sx_q, sy_q, sxx_q, sxy_q,
+       CASE WHEN n_points >= 2 AND
+                 CAST(n_points AS DOUBLE) * CAST(sxx_q AS DOUBLE)
+                 - CAST(sx_q AS DOUBLE) * CAST(sx_q AS DOUBLE) <> 0
+            THEN round((CAST(n_points AS DOUBLE) * CAST(sxy_q AS DOUBLE)
+                        - CAST(sx_q AS DOUBLE) * CAST(sy_q AS DOUBLE))
+                       / (CAST(n_points AS DOUBLE) * CAST(sxx_q AS DOUBLE)
+                          - CAST(sx_q AS DOUBLE) * CAST(sx_q AS DOUBLE)), 6)
+                 + 0.0
+            ELSE NULL END AS hurst
+FROM hu_agg
+"""

@@ -3764,3 +3764,82 @@ def test_readability_scalar_replay_and_twin(spark):
         ).fetchall()
     }
     assert twin == got
+
+
+def test_hurst_rs_scalar_replay_and_regimes(spark):
+    """R/S machinery vs a scalar replay; persistent (trending) series
+    scores high H, alternating series scores low H, both vs ~0.5 noise."""
+    import duckdb
+    import math
+
+    from osm2geojson_spark.operators.analytics import (
+        HURST_SCALE,
+        hurst_rs,
+        hurst_rs_sql,
+    )
+
+    rows = []
+    # trending: pure drift + tiny deterministic wiggle -> H near 1
+    for i in range(128):
+        rows.append(("trend", i, 10 * i + (i * i * 7) % 3))
+    # anti-persistent: strict alternation -> H near 0
+    for i in range(128):
+        rows.append(("alt", i, 50 if i % 2 == 0 else -50))
+    # iid ±1 increments (the stationary input R/S expects) -> H ~ 0.5
+    import random as _random
+
+    _rng = _random.Random(42)
+    for i in range(128):
+        rows.append(("noise", i, _rng.choice([1, -1])))
+
+    def brute():
+        out = {}
+        for g in ("trend", "alt", "noise"):
+            xs = [x for gg, _, x in rows if gg == g]
+            pts = []
+            for n in (8, 16, 32, 64):
+                for b in range(len(xs) // n):
+                    blk = xs[b * n : (b + 1) * n]
+                    s1 = sum(blk)
+                    s2 = sum(x * x for x in blk)
+                    pre = 0
+                    ds = []
+                    for k, x in enumerate(blk, 1):
+                        pre += x
+                        ds.append(n * pre - k * s1)
+                    r = max(ds) - min(ds)
+                    vv = n * s2 - s1 * s1
+                    if r > 0 and vv > 0:
+                        qx = round(math.log(n) * HURST_SCALE)
+                        qy = round(
+                            math.log(r / math.sqrt(vv)) * HURST_SCALE
+                        )
+                        pts.append((qx, qy))
+            np_ = len(pts)
+            sx = sum(p[0] for p in pts)
+            sy = sum(p[1] for p in pts)
+            sxx = sum(p[0] * p[0] for p in pts)
+            sxy = sum(p[0] * p[1] for p in pts)
+            den = np_ * sxx - sx * sx
+            h = round((np_ * sxy - sx * sy) / den, 6) if den else None
+            out[g] = (np_, sx, sy, sxx, sxy, h)
+        return out
+
+    df = spark.createDataFrame(rows, "g string, t long, x long")
+    got = {
+        r["g"]: (r["n_points"], r["sx_q"], r["sy_q"], r["sxx_q"], r["sxy_q"], r["hurst"])
+        for r in hurst_rs(df, order_cols=("t",)).collect()
+    }
+    assert got == brute()
+    assert got["trend"][5] > 0.85
+    assert got["alt"][5] < 0.2
+    assert 0.35 < got["noise"][5] < 0.75
+
+    duck = duckdb.connect()
+    duck.execute("CREATE TABLE hrs (g VARCHAR, t BIGINT, x BIGINT)")
+    duck.executemany("INSERT INTO hrs VALUES (?, ?, ?)", rows)
+    twin = {
+        r[0]: tuple(r[1:])
+        for r in duck.sql(hurst_rs_sql("SELECT * FROM hrs", order_by="t")).fetchall()
+    }
+    assert twin == got
