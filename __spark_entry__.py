@@ -14146,9 +14146,48 @@ def _hurst_sql() -> str:
     return hurst_rs_sql(series, order_by="ts, event_id")
 
 
+def q_huff_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X301 (spatial_stats.huff_shares): Huff gravity market capture —
+    25 nation-derived stores vs customer demand points on a 300-grid,
+    radius 60, attractiveness/d² split in exact integer micro-demand."""
+    from osm2geojson_spark.operators.spatial_stats import huff_shares
+
+    n = F.col("n_nationkey")
+    stores = _t(spark, sf_dir, "nation").select(
+        n.alias("store_id"),
+        ((n * 47) % 300).alias("sx"),
+        ((n * 31) % 300).alias("sy"),
+        (1 + n % 5).alias("attr"),
+    )
+    c = F.col("c_custkey")
+    demand = _t(spark, sf_dir, "customer").select(
+        c.alias("pid"),
+        ((c * 13) % 300).alias("x"),
+        ((c * 29) % 300).alias("y"),
+        (1 + c % 7).alias("d"),
+    )
+    return huff_shares(demand, stores, radius=60)
+
+
+def _huff_model_sql() -> str:
+    from osm2geojson_spark.operators.spatial_stats import huff_shares_sql
+
+    demand = (
+        "SELECT c_custkey AS pid, (c_custkey * 13) % 300 AS x,"
+        " (c_custkey * 29) % 300 AS y, 1 + c_custkey % 7 AS d FROM customer"
+    )
+    stores = (
+        "SELECT n_nationkey AS store_id, (n_nationkey * 47) % 300 AS sx,"
+        " (n_nationkey * 31) % 300 AS sy, 1 + n_nationkey % 5 AS attr"
+        " FROM nation"
+    )
+    return huff_shares_sql(demand, stores, radius=60)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "huff_model": q_huff_model,
         "hurst": q_hurst,
         "readability": q_readability,
         "phonetic_dedup": q_phonetic_dedup,
@@ -14500,6 +14539,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "huff_model": _huff_model_sql(),
         "hurst": _hurst_sql(),
         "readability": _readability_sql(),
         "phonetic_dedup": _phonetic_dedup_sql(),

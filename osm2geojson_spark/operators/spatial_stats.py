@@ -1608,3 +1608,112 @@ SELECT n, pairs, space_pairs, time_pairs, st_pairs,
        pairs AS expect_den
 FROM kx_n, kx_s, kx_t
 """
+
+
+HUFF_W_SCALE = 10_000  # attractiveness/d² fixed point
+HUFF_MICRO = 1_000_000  # probability micro-units
+
+
+def huff_shares(
+    demand: DataFrame,
+    stores: DataFrame,
+    radius: int,
+    demand_cols: tuple[str, str, str, str] = ("pid", "x", "y", "d"),
+    store_cols: tuple[str, str, str, str] = ("store_id", "sx", "sy", "attr"),
+) -> DataFrame:
+    """(store_id, n_points, captured_micro) — the HUFF GRAVITY MODEL of
+    retail/market capture (Huff 1964): each demand point splits its
+    demand across nearby stores proportionally to attractiveness/d²,
+    the standard trade-area and site-selection operator.
+
+    Exact integer scheme (power = 2 so no sqrt ever runs): candidate
+    weight w_ij = attr_j·HUFF_W_SCALE DIV max(d²_ij, 1) on integer
+    coords; point i's captured micro-demand at store j is
+    (d_i·w_ij·HUFF_MICRO) DIV Σ_k w_ik — per-term truncating division,
+    then an order-free integer sum per store. Stores beyond ``radius``
+    capture nothing (d² > radius² filtered).
+
+    Scale: stores are a DIMENSION — broadcast against the demand scan
+    (never a shuffle of the big side), one groupBy(pid) rollup for the
+    denominators joined back, one combinable rollup per store.
+    Overflow: d·w·MICRO ≤ 2^63 ⇒ keep demand·attr·SCALE·MICRO < 9e18
+    (defaults allow demand ~ 10^4 with attr ~ 100)."""
+    pid, px, py, pd_ = demand_cols
+    sid, sx, sy, sattr = store_cols
+    p = demand.select(
+        F.col(pid).alias("pid"),
+        F.col(px).cast("long").alias("px"),
+        F.col(py).cast("long").alias("py"),
+        F.col(pd_).cast("long").alias("dem"),
+    )
+    s = stores.select(
+        F.col(sid).alias("store_id"),
+        F.col(sx).cast("long").alias("sx"),
+        F.col(sy).cast("long").alias("sy"),
+        F.col(sattr).cast("long").alias("attr"),
+    )
+    dx = F.col("px") - F.col("sx")
+    dy = F.col("py") - F.col("sy")
+    d2 = dx * dx + dy * dy
+    cand = (
+        p.crossJoin(F.broadcast(s))
+        .filter(d2 <= F.lit(radius) * radius)
+        .select(
+            "pid",
+            "dem",
+            "store_id",
+            F.expr(
+                f"CAST(attr * {HUFF_W_SCALE} DIV"
+                " greatest((px - sx) * (px - sx) + (py - sy) * (py - sy),"
+                " 1) AS BIGINT)"
+            ).alias("w"),
+        )
+    )
+    den = cand.groupBy("pid").agg(F.sum("w").alias("wsum"))
+    return (
+        cand.join(den, "pid")
+        .select(
+            "store_id",
+            "pid",
+            F.expr(
+                f"CAST(dem * w * {HUFF_MICRO} DIV wsum AS BIGINT)"
+            ).alias("cap"),
+        )
+        .groupBy("store_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_points"),
+            F.sum("cap").cast("long").alias("captured_micro"),
+        )
+    )
+
+
+def huff_shares_sql(demand_cte: str, stores_cte: str, radius: int) -> str:
+    """DuckDB twin of huff_shares. ``demand_cte`` -> (pid, x, y, d);
+    ``stores_cte`` -> (store_id, sx, sy, attr)."""
+    return f"""
+WITH hf_p AS (
+  SELECT pid, CAST(x AS BIGINT) AS px, CAST(y AS BIGINT) AS py,
+         CAST(d AS BIGINT) AS dem
+  FROM ({demand_cte})
+),
+hf_s AS (
+  SELECT store_id, CAST(sx AS BIGINT) AS sx, CAST(sy AS BIGINT) AS sy,
+         CAST(attr AS BIGINT) AS attr
+  FROM ({stores_cte})
+),
+hf_c AS (
+  SELECT p.pid, p.dem, s.store_id,
+         CAST(s.attr * {HUFF_W_SCALE} // GREATEST(
+           (p.px - s.sx) * (p.px - s.sx) + (p.py - s.sy) * (p.py - s.sy), 1)
+           AS BIGINT) AS w
+  FROM hf_p p JOIN hf_s s
+    ON (p.px - s.sx) * (p.px - s.sx) + (p.py - s.sy) * (p.py - s.sy)
+       <= {radius} * {radius}
+),
+hf_d AS (SELECT pid, SUM(w) AS wsum FROM hf_c GROUP BY 1)
+SELECT c.store_id, CAST(COUNT(*) AS BIGINT) AS n_points,
+       CAST(SUM(CAST(c.dem * c.w * {HUFF_MICRO} // d.wsum AS BIGINT))
+            AS BIGINT) AS captured_micro
+FROM hf_c c JOIN hf_d d USING (pid)
+GROUP BY 1
+"""

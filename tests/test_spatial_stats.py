@@ -1077,3 +1077,68 @@ def test_knox_brute_and_twin(spark):
     duck.executemany("INSERT INTO kxe VALUES (?, ?, ?, ?)", rows)
     t = duck.sql(knox_test_sql("SELECT * FROM kxe", ds=ds, dt=dt)).fetchall()[0]
     assert tuple(t) == tuple(r)
+
+
+def test_huff_shares_brute_and_conservation(spark):
+    """Huff capture vs scalar replay; near-monopoly store takes ~all of
+    an adjacent point's demand; per-point micro-credits never exceed
+    demand * MICRO (floor conservation)."""
+    import duckdb
+
+    from osm2geojson_spark.operators.spatial_stats import (
+        HUFF_MICRO,
+        HUFF_W_SCALE,
+        huff_shares,
+        huff_shares_sql,
+    )
+
+    stores = [(1, 0, 0, 5), (2, 100, 0, 5), (3, 50, 80, 1)]
+    demand = [(10, 1, 0, 7), (11, 99, 1, 3), (12, 50, 40, 2), (13, 900, 900, 4)]
+    R = 120
+
+    def brute():
+        caps = {}
+        for pid, x, y, dem in demand:
+            ws = []
+            for sid, sx, sy, a in stores:
+                d2 = (x - sx) ** 2 + (y - sy) ** 2
+                if d2 <= R * R:
+                    ws.append((sid, a * HUFF_W_SCALE // max(d2, 1)))
+            tot = sum(w for _, w in ws)
+            for sid, w in ws:
+                n, c = caps.get(sid, (0, 0))
+                caps[sid] = (n + 1, c + dem * w * HUFF_MICRO // tot)
+        return caps
+
+    sd = spark.createDataFrame(stores, "store_id long, sx long, sy long, attr long")
+    dd = spark.createDataFrame(demand, "pid long, x long, y long, d long")
+    got = {
+        r["store_id"]: (r["n_points"], r["captured_micro"])
+        for r in huff_shares(dd, sd, radius=R).collect()
+    }
+    want = brute()
+    assert got == want
+    # point 13 is out of every store's radius -> contributes nowhere
+    assert sum(n for n, _ in got.values()) == 9 - 0 - 3 + 3  # 3 in-range points x 3 stores
+    # store 1 nearly monopolizes point 10 (d²=1 vs 9802/…): its capture
+    # is almost 7 * MICRO of that point's demand
+    assert got[1][1] > 6_900_000
+    # conservation: total captured <= total in-range demand * MICRO
+    assert sum(c for _, c in got.values()) <= (7 + 3 + 2) * HUFF_MICRO
+
+    duck = duckdb.connect()
+    duck.execute("CREATE TABLE hfs (store_id BIGINT, sx BIGINT, sy BIGINT, attr BIGINT)")
+    duck.executemany("INSERT INTO hfs VALUES (?, ?, ?, ?)", stores)
+    duck.execute("CREATE TABLE hfd (pid BIGINT, x BIGINT, y BIGINT, d BIGINT)")
+    duck.executemany("INSERT INTO hfd VALUES (?, ?, ?, ?)", demand)
+    twin = {
+        r[0]: (r[1], r[2])
+        for r in duck.sql(
+            huff_shares_sql(
+                "SELECT pid, x, y, d FROM hfd",
+                "SELECT store_id, sx, sy, attr FROM hfs",
+                R,
+            )
+        ).fetchall()
+    }
+    assert twin == got
