@@ -14184,9 +14184,46 @@ def _huff_model_sql() -> str:
     return huff_shares_sql(demand, stores, radius=60)
 
 
+def q_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X302 (graph.scc_bounded): cycle detection on a directed graph of
+    5-rings (blocks of part keys) plus forward hash chords — 6-hop
+    mutual-reachability SCC labels with component sizes; the oracle
+    replays both recursive reachabilities."""
+    from osm2geojson_spark.operators import graph as G
+
+    part = _t(spark, sf_dir, "part").select("p_partkey")
+    n = part.count()
+    k = F.col("p_partkey")
+    ring = part.select(
+        k.alias("src"),
+        F.when(k % 5 == 4, k - 4).otherwise(k + 1).alias("dst"),
+    ).filter(F.col("dst") < n)
+    chords = part.filter(k % 3 == 0).select(
+        k.alias("src"), ((k * 7 + 3) % n).alias("dst")
+    )
+    return G.scc_bounded(ring.unionByName(chords), max_hops=6)
+
+
+def _scc_sql() -> str:
+    from osm2geojson_spark.operators import graph as G
+
+    edges = (
+        "SELECT src, dst FROM ("
+        "SELECT p_partkey AS src,"
+        " CASE WHEN p_partkey % 5 = 4 THEN p_partkey - 4"
+        " ELSE p_partkey + 1 END AS dst FROM part) r"
+        " WHERE dst < (SELECT COUNT(*) FROM part)"
+        " UNION ALL SELECT p_partkey AS src,"
+        " (p_partkey * 7 + 3) % (SELECT COUNT(*) FROM part) AS dst"
+        " FROM part WHERE p_partkey % 3 = 0"
+    )
+    return G.scc_bounded_sql(edges, max_hops=6)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "scc": q_scc,
         "huff_model": q_huff_model,
         "hurst": q_hurst,
         "readability": q_readability,
@@ -14539,6 +14576,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "scc": _scc_sql(),
         "huff_model": _huff_model_sql(),
         "hurst": _hurst_sql(),
         "readability": _readability_sql(),

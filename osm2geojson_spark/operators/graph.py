@@ -1875,3 +1875,95 @@ SELECT node, dur, es, ef,
        (t.t - tail - ef) = 0 AS critical
 FROM cp_j, cp_t t
 """
+
+
+def scc_bounded(
+    edges: DataFrame,
+    max_hops: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """(node, scc, scc_size) — STRONGLY CONNECTED COMPONENTS within a
+    hop horizon: scc(v) = min{u : u reachable from v AND v reachable
+    from u, both within ``max_hops``} — cycle detection in dependency/
+    redirect/money-flow graphs (a component of size > 1 IS a cycle).
+    Exact full SCC whenever max_hops >= the largest component's
+    internal diameter; with a smaller cap the label is the documented
+    bounded-horizon semantics, matched exactly by the twin.
+
+    Both directions run the bfs_hops frontier loop on (v, u)
+    reachability PAIRS (dedup per round, localCheckpoint); the label is
+    a min-rollup over the inner join of the two pair sets. Nodes are
+    whatever appears as an endpoint.
+
+    Scale: pair growth is Σ|reach_H(v)| — fine for sparse graphs with
+    bounded fan-out horizons (the classic iterative-trim SCC costs the
+    same frontier joins); a hub-heavy graph needs a smaller cap. Each
+    round is one equi-join + distinct, map-combinable."""
+    e = edges.select(F.col(src_col).alias("_s"), F.col(dst_col).alias("_d"))
+    nodes = (
+        e.select(F.col("_s").alias("node"))
+        .unionByName(e.select(F.col("_d").alias("node")))
+        .distinct()
+    )
+
+    def reach(rel: DataFrame) -> DataFrame:
+        pairs = nodes.select("node", F.col("node").alias("u")).localCheckpoint(
+            eager=False
+        )
+        cnt = pairs.count()
+        for _ in range(max_hops):
+            nxt = (
+                pairs.join(rel, pairs["u"] == rel["_s"])
+                .select("node", F.col("_d").alias("u"))
+                .unionByName(pairs)
+                .distinct()
+                .localCheckpoint(eager=False)
+            )
+            ncnt = nxt.count()
+            pairs = nxt
+            if ncnt == cnt:
+                break
+            cnt = ncnt
+        return pairs
+
+    fwd = reach(e)
+    bwd = reach(e.select(F.col("_d").alias("_s"), F.col("_s").alias("_d")))
+    mutual = fwd.join(bwd, ["node", "u"])
+    lab = mutual.groupBy("node").agg(F.min("u").alias("scc"))
+    size = lab.groupBy("scc").agg(F.count(F.lit(1)).cast("long").alias("scc_size"))
+    return lab.join(size, "scc").select("node", "scc", "scc_size")
+
+
+def scc_bounded_sql(edges_cte: str, max_hops: int) -> str:
+    """DuckDB twin of scc_bounded: recursive reachability both ways,
+    identical min-label and size rollups."""
+    return f"""
+WITH RECURSIVE sc_e AS (SELECT src, dst FROM ({edges_cte})),
+sc_n AS (SELECT DISTINCT src AS node FROM sc_e
+         UNION SELECT DISTINCT dst FROM sc_e),
+sc_f(node, u, hops) AS (
+  SELECT node, node, 0 FROM sc_n
+  UNION
+  SELECT f.node, e.dst, f.hops + 1
+  FROM sc_f f JOIN sc_e e ON e.src = f.u
+  WHERE f.hops < {max_hops}
+),
+sc_b(node, u, hops) AS (
+  SELECT node, node, 0 FROM sc_n
+  UNION
+  SELECT b.node, e.src, b.hops + 1
+  FROM sc_b b JOIN sc_e e ON e.dst = b.u
+  WHERE b.hops < {max_hops}
+),
+sc_m AS (
+  SELECT DISTINCT f.node, f.u
+  FROM (SELECT DISTINCT node, u FROM sc_f) f
+  JOIN (SELECT DISTINCT node, u FROM sc_b) b USING (node, u)
+),
+sc_lab AS (SELECT node, MIN(u) AS scc FROM sc_m GROUP BY 1),
+sc_sz AS (SELECT scc, CAST(COUNT(*) AS BIGINT) AS scc_size
+          FROM sc_lab GROUP BY 1)
+SELECT l.node, l.scc, s.scc_size
+FROM sc_lab l JOIN sc_sz s USING (scc)
+"""

@@ -1090,3 +1090,60 @@ def test_critical_path_brute_and_twin(spark):
         ).fetchall()
     }
     assert twin == got
+
+
+def test_scc_bounded_brute_and_twin(spark):
+    """SCC labels on a hand graph: two cycles, a bridge, a tail."""
+    import duckdb
+    import itertools
+
+    from osm2geojson_spark.operators.graph import scc_bounded, scc_bounded_sql
+
+    # cycle A: 0->1->2->0; cycle B: 10->11->10; bridge 2->10 (one-way);
+    # tail 11->20 (dead end)
+    edges = [(0, 1), (1, 2), (2, 0), (10, 11), (11, 10), (2, 10), (11, 20)]
+
+    def brute(h):
+        nodes = sorted({x for e in edges for x in e})
+        adj = {v: [d for s, d in edges if s == v] for v in nodes}
+        radj = {v: [s for s, d in edges if d == v] for v in nodes}
+
+        def reach(start, nbrs):
+            seen = {start}
+            frontier = {start}
+            for _ in range(h):
+                frontier = {u for v in frontier for u in nbrs[v]} - seen
+                if not frontier:
+                    break
+                seen |= frontier
+            return seen
+
+        lab = {
+            v: min(reach(v, adj) & reach(v, radj)) for v in nodes
+        }
+        import collections
+
+        sz = collections.Counter(lab.values())
+        return {v: (lab[v], sz[lab[v]]) for v in nodes}
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: (r["scc"], r["scc_size"])
+        for r in scc_bounded(df, max_hops=6).collect()
+    }
+    assert got == brute(6)
+    # the two cycles are separate components; the bridge keeps them apart
+    assert got[0] == (0, 3) and got[1] == (0, 3) and got[2] == (0, 3)
+    assert got[10] == (10, 2) and got[11] == (10, 2)
+    assert got[20] == (20, 1)
+
+    duck = duckdb.connect()
+    duck.execute("CREATE TABLE sce (src BIGINT, dst BIGINT)")
+    duck.executemany("INSERT INTO sce VALUES (?, ?)", edges)
+    twin = {
+        r[0]: (r[1], r[2])
+        for r in duck.sql(
+            scc_bounded_sql("SELECT src, dst FROM sce", max_hops=6)
+        ).fetchall()
+    }
+    assert twin == got
