@@ -14220,9 +14220,57 @@ def _scc_sql() -> str:
     return G.scc_bounded_sql(edges, max_hops=6)
 
 
+def q_pitch_track(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X303 (multimodal.pitch_track): ACF pitch tracking over the
+    square-wave clips (k0 = 1 + i%3 cycles per 64 samples) — per
+    256-sample frame the argmax autocorrelation lag in [16, 80], exact
+    int64 dots, (corr DESC, lag ASC)-pinned; the planted fundamental's
+    period (64, 32, or 64 for k0 = 3) must win every frame."""
+    from osm2geojson_spark.functions import audiocodec as AC
+    from osm2geojson_spark.operators.multimodal import pitch_track
+
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_partkey") < 450) & (F.col("p_partkey") % 3 == 0)
+    ).select(F.col("p_partkey").alias("_i"))
+
+    def gen(it):
+        import numpy as np
+
+        for pdf in it:
+            rows = []
+            for i in pdf["_i"]:
+                i = int(i)
+                k0 = 1 + i % 3
+                t = np.arange(640, dtype=np.int64)
+                v = np.where(((t * k0) // 32) % 2 == 0, 8000, -8000)
+                rows.append(
+                    (f"aud{i:012d}", "pcmz", AC.encode_pcm16(v.astype(np.int16)))
+                )
+            yield pd.DataFrame(rows, columns=["audio_id", "fmt", "bytes"])
+
+    clips = part.mapInPandas(gen, schema="audio_id string, fmt string, bytes binary")
+    return pitch_track(clips)
+
+
+def _pitch_track_sql() -> str:
+    from osm2geojson_spark.operators.multimodal import pitch_track_sql
+
+    samples = """
+SELECT printf('aud%012d', i) AS audio_id, t,
+       CASE WHEN ((t * k0) // 32) % 2 = 0 THEN 8000 ELSE -8000 END AS v
+FROM (
+  SELECT p_partkey AS i, 1 + p_partkey % 3 AS k0,
+         unnest(range(0, 640)) AS t
+  FROM part WHERE p_partkey < 450 AND p_partkey % 3 = 0
+)
+"""
+    return pitch_track_sql(samples)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "pitch_track": q_pitch_track,
         "scc": q_scc,
         "huff_model": q_huff_model,
         "hurst": q_hurst,
@@ -14576,6 +14624,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "pitch_track": _pitch_track_sql(),
         "scc": _scc_sql(),
         "huff_model": _huff_model_sql(),
         "hurst": _hurst_sql(),

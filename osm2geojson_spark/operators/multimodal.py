@@ -5621,3 +5621,96 @@ SELECT image_id, CAST(count(*) AS BIGINT) AS n_interior,
        CAST(sum(abs(o - v)) AS BIGINT) AS diff_sum
 FROM b_conv GROUP BY image_id
 """
+
+
+def pitch_track(
+    audios: DataFrame,
+    frame: int = 256,
+    min_lag: int = 16,
+    max_lag: int = 80,
+) -> DataFrame:
+    """(audio_id, frame_idx, best_lag, best_corr) — PITCH TRACKING by
+    per-frame autocorrelation argmax (the ACF pitch detector behind
+    YIN/RAPT's coarse stage): each non-overlapping ``frame``-sample
+    window reports the lag in [min_lag, max_lag] maximizing the exact
+    int64 shifted dot product Σ v[t]·v[t+lag], ties pinned by
+    (corr DESC, lag ASC). A tonal frame's best_lag is its fundamental
+    period in samples (rate/lag = f0); partial trailing frames are
+    dropped so every window is the same length.
+
+    Scale: scan-shaped mapInPandas; per clip a (lags × frame) strided
+    dot-product sweep in NumPy — sample bytes never shuffle, output is
+    frames × 4 ints."""
+    from ..functions import audiocodec
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                try:
+                    s, _rate = audiocodec.decode(bytes(r.bytes), r.fmt)
+                except NotImplementedError:
+                    continue
+                v = s.astype(np.int64)
+                for f in range(len(v) // frame):
+                    x = v[f * frame : (f + 1) * frame]
+                    best_lag = -1
+                    best_corr = None
+                    for lag in range(min_lag, max_lag + 1):
+                        c = int(np.dot(x[: frame - lag], x[lag:]))
+                        if best_corr is None or c > best_corr:
+                            best_corr = c
+                            best_lag = lag
+                    rows.append((r.audio_id, f, best_lag, best_corr))
+            yield pd.DataFrame(
+                rows, columns=["audio_id", "frame_idx", "best_lag", "best_corr"]
+            )
+
+    return audios.select("audio_id", "bytes", "fmt").mapInPandas(
+        fn,
+        schema=(
+            "audio_id string, frame_idx long, best_lag long, best_corr long"
+        ),
+    )
+
+
+def pitch_track_sql(
+    samples_cte: str,
+    frame: int = 256,
+    min_lag: int = 16,
+    max_lag: int = 80,
+) -> str:
+    """DuckDB twin of pitch_track. ``samples_cte`` -> (audio_id, t, v)
+    sample rows (replay the closed-form waveform — no self-join needed
+    if v(t) and v(t+lag) are both instantiated from the formula; this
+    generic twin joins the sample table to itself on (id, t+lag))."""
+    return f"""
+WITH pt_s AS (
+  SELECT audio_id, CAST(t AS BIGINT) AS t, CAST(v AS BIGINT) AS v
+  FROM ({samples_cte})
+),
+pt_n AS (
+  SELECT audio_id, (MAX(t) + 1) // {frame} AS n_frames
+  FROM pt_s GROUP BY 1
+),
+pt_lag AS (SELECT unnest(range({min_lag}, {max_lag} + 1)) AS lag),
+pt_c AS (
+  SELECT a.audio_id, a.t // {frame} AS frame_idx, l.lag,
+         CAST(SUM(a.v * b.v) AS BIGINT) AS c
+  FROM pt_s a
+  JOIN pt_lag l ON (a.t % {frame}) < {frame} - l.lag
+  JOIN pt_s b ON b.audio_id = a.audio_id AND b.t = a.t + l.lag
+  JOIN pt_n n ON n.audio_id = a.audio_id
+  WHERE a.t // {frame} < n.n_frames
+  GROUP BY 1, 2, 3
+),
+pt_rk AS (
+  SELECT audio_id, frame_idx, lag, c,
+         row_number() OVER (PARTITION BY audio_id, frame_idx
+                            ORDER BY c DESC, lag ASC) AS rk
+  FROM pt_c
+)
+SELECT audio_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+       CAST(lag AS BIGINT) AS best_lag, CAST(c AS BIGINT) AS best_corr
+FROM pt_rk WHERE rk = 1
+"""

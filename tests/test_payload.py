@@ -3858,3 +3858,40 @@ def test_bilateral_stats_edge_preservation_and_twin(spark):
         for r in duck.sql(bilateral_stats_sql("SELECT * FROM bpxt")).fetchall()
     }
     assert twin == got
+
+
+def test_pitch_track_planted_periods_and_twin(spark):
+    """ACF tracker recovers planted square-wave periods; twin matches."""
+    import duckdb
+
+    from osm2geojson_spark.functions import audiocodec as AC
+    from osm2geojson_spark.operators.multimodal import pitch_track, pitch_track_sql
+
+    clips = []
+    sample_rows = []
+    for i, period in [(0, 64), (1, 32), (2, 20)]:
+        t = np.arange(512, dtype=np.int64)
+        v = np.where((t // (period // 2)) % 2 == 0, 8000, -8000)
+        clips.append((f"c{i}", "pcmz", AC.encode_pcm16(v.astype(np.int16))))
+        sample_rows += [(f"c{i}", int(tt), int(vv)) for tt, vv in zip(t, v)]
+
+    df = spark.createDataFrame(clips, "audio_id string, fmt string, bytes binary")
+    got = {
+        (r["audio_id"], r["frame_idx"]): (r["best_lag"], r["best_corr"])
+        for r in pitch_track(df).collect()
+    }
+    # each clip has 2 full 256-frames; best lag == planted period
+    for i, period in [(0, 64), (1, 32), (2, 20)]:
+        for f in range(2):
+            lag, corr = got[(f"c{i}", f)]
+            assert lag == period, (i, f, lag)
+            assert corr > 0
+
+    duck = duckdb.connect()
+    duck.execute("CREATE TABLE pts (audio_id VARCHAR, t BIGINT, v BIGINT)")
+    duck.executemany("INSERT INTO pts VALUES (?, ?, ?)", sample_rows)
+    twin = {
+        (r[0], r[1]): (r[2], r[3])
+        for r in duck.sql(pitch_track_sql("SELECT * FROM pts")).fetchall()
+    }
+    assert twin == got
