@@ -14267,9 +14267,35 @@ FROM (
     return pitch_track_sql(samples)
 
 
+def q_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X304 (analytics.naive_bayes_classify): multinomial NB source
+    router — train on even doc_ids (label = source), score odd ones;
+    micro-nat quantized add-one likelihoods, (score DESC, class ASC)
+    pinned argmax."""
+    from osm2geojson_spark.operators.analytics import naive_bayes_classify
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", F.col("source").alias("label")
+    )
+    return naive_bayes_classify(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+    )
+
+
+def _naive_bayes_sql() -> str:
+    from osm2geojson_spark.operators.analytics import naive_bayes_classify_sql
+
+    return naive_bayes_classify_sql(
+        "SELECT doc_id, text, source AS label FROM documents WHERE doc_id % 2 = 0",
+        "SELECT doc_id, text, source AS label FROM documents WHERE doc_id % 2 = 1",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "naive_bayes": q_naive_bayes,
         "pitch_track": q_pitch_track,
         "scc": q_scc,
         "huff_model": q_huff_model,
@@ -14624,6 +14650,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "naive_bayes": _naive_bayes_sql(),
         "pitch_track": _pitch_track_sql(),
         "scc": _scc_sql(),
         "huff_model": _huff_model_sql(),

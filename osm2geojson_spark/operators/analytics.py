@@ -6362,3 +6362,177 @@ SELECT g, n_points, sx_q, sy_q, sxx_q, sxy_q,
             ELSE NULL END AS hurst
 FROM hu_agg
 """
+
+
+NB_MICRO = 1_000_000  # micro-nat quantization for NB log terms
+
+
+def naive_bayes_classify(
+    train: DataFrame,
+    test: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    label_col: str = "label",
+) -> DataFrame:
+    """(doc_id, pred, true_label, score_micro, correct) — MULTINOMIAL
+    NAIVE BAYES text classification (add-one smoothing), train and
+    score in one job: the bread-and-butter language/domain/quality
+    router for corpus pipelines. Scoring uses track_nll's micro-nat
+    scheme: every log-likelihood term is quantized FIRST —
+    qlp(c,w) = round((ln(n_cw + 1) − ln(n_c + V))·1e6) int64 from
+    exact integer counts — so per-document scores are order-free
+    integer sums and the argmax (score DESC, class ASC pinned) is
+    hash-stable cross-engine. Out-of-vocabulary test tokens are
+    ignored (standard multinomial NB practice).
+
+    Scale: training is two combinable rollups; the (vocab × classes)
+    likelihood table is a broadcast dimension; scoring is one explode +
+    one broadcast join + one combinable (doc, class) rollup — the
+    corpus never shuffles by itself."""
+    tr_tok = train.select(
+        F.col(label_col).alias("c"),
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("w"),
+    ).filter(F.col("w") != "")
+    cw = tr_tok.groupBy("c", "w").agg(F.count(F.lit(1)).alias("n_cw"))
+    ctot = cw.groupBy("c").agg(F.sum("n_cw").alias("n_c"))
+    vocab = cw.select("w").distinct()
+    v_size = vocab.agg(F.count(F.lit(1)).alias("v")).select("v")
+    # (class, word) likelihood grid including zero counts
+    grid = (
+        vocab.crossJoin(F.broadcast(ctot))
+        .join(cw, ["c", "w"], "left")
+        .crossJoin(F.broadcast(v_size))
+        .select(
+            "c",
+            "w",
+            F.round(
+                (
+                    F.log(F.coalesce(F.col("n_cw"), F.lit(0)) + 1)
+                    - F.log(F.col("n_c") + F.col("v"))
+                )
+                * NB_MICRO
+            )
+            .cast("long")
+            .alias("qlp"),
+        )
+    )
+    n_docs = train.agg(F.count(F.lit(1)).alias("nd")).select("nd")
+    prior = (
+        train.groupBy(F.col(label_col).alias("c"))
+        .agg(F.count(F.lit(1)).alias("dc"))
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "c",
+            F.round((F.log(F.col("dc")) - F.log(F.col("nd"))) * NB_MICRO)
+            .cast("long")
+            .alias("qpr"),
+        )
+    )
+    te_tok = (
+        test.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(label_col).alias("true_label"),
+            F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("w"),
+        )
+        .filter(F.col("w") != "")
+        .groupBy("doc_id", "true_label", "w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    like = (
+        te_tok.join(F.broadcast(grid), "w")
+        .groupBy("doc_id", "c")
+        .agg(F.sum(F.col("cnt") * F.col("qlp")).alias("like"))
+    )
+    # every (test doc × class) scores — an OOV-only document falls back
+    # to the prior instead of silently dropping out
+    base = (
+        test.select(
+            F.col(id_col).alias("doc_id"), F.col(label_col).alias("true_label")
+        )
+        .distinct()
+        .crossJoin(F.broadcast(prior))
+    )
+    scored = base.join(like, ["doc_id", "c"], "left").select(
+        "doc_id",
+        "true_label",
+        "c",
+        (F.coalesce(F.col("like"), F.lit(0)) + F.col("qpr"))
+        .cast("long")
+        .alias("score"),
+    )
+    # argmax pinned by (score DESC, class ASC) == min over (-score, c)
+    best = scored.groupBy("doc_id").agg(
+        F.first("true_label").alias("true_label"),
+        F.min(F.struct((-F.col("score")).alias("ns"), F.col("c").alias("c"))).alias(
+            "top"
+        ),
+    )
+    return best.select(
+        "doc_id",
+        F.col("top.c").alias("pred"),
+        "true_label",
+        (-F.col("top.ns")).cast("long").alias("score_micro"),
+        (F.col("top.c") == F.col("true_label")).alias("correct"),
+    )
+
+
+def naive_bayes_classify_sql(train_cte: str, test_cte: str) -> str:
+    """DuckDB twin of naive_bayes_classify. CTEs -> (doc_id, text,
+    label)."""
+    return f"""
+WITH nb_tr AS (SELECT doc_id, text, label FROM ({train_cte})),
+nb_te AS (SELECT doc_id, text, label FROM ({test_cte})),
+nb_trt AS (
+  SELECT label AS c, w FROM (
+    SELECT label, unnest(regexp_split_to_array(lower(text), '\\s+')) AS w
+    FROM nb_tr
+  ) WHERE w <> ''
+),
+nb_cw AS (SELECT c, w, COUNT(*) AS n_cw FROM nb_trt GROUP BY 1, 2),
+nb_ct AS (SELECT c, SUM(n_cw) AS n_c FROM nb_cw GROUP BY 1),
+nb_v AS (SELECT DISTINCT w FROM nb_cw),
+nb_vs AS (SELECT COUNT(*) AS v FROM nb_v),
+nb_grid AS (
+  SELECT t.c, v.w,
+         CAST(round((ln(COALESCE(cw.n_cw, 0) + 1) - ln(t.n_c + s.v))
+                    * {NB_MICRO}) AS BIGINT) AS qlp
+  FROM nb_v v CROSS JOIN nb_ct t CROSS JOIN nb_vs s
+  LEFT JOIN nb_cw cw ON cw.c = t.c AND cw.w = v.w
+),
+nb_nd AS (SELECT COUNT(*) AS nd FROM nb_tr),
+nb_pr AS (
+  SELECT label AS c,
+         CAST(round((ln(COUNT(*)) - ln(MIN(d.nd))) * {NB_MICRO}) AS BIGINT)
+           AS qpr
+  FROM nb_tr CROSS JOIN nb_nd d GROUP BY 1
+),
+nb_tet AS (
+  SELECT doc_id, true_label, w, COUNT(*) AS cnt FROM (
+    SELECT doc_id, label AS true_label,
+           unnest(regexp_split_to_array(lower(text), '\\s+')) AS w
+    FROM nb_te
+  ) WHERE w <> '' GROUP BY 1, 2, 3
+),
+nb_like AS (
+  SELECT t.doc_id, g.c, SUM(t.cnt * g.qlp) AS lk
+  FROM nb_tet t JOIN nb_grid g USING (w)
+  GROUP BY 1, 2
+),
+nb_sc AS (
+  SELECT b.doc_id, b.true_label, p.c,
+         CAST(COALESCE(l.lk, 0) + p.qpr AS BIGINT) AS score
+  FROM (SELECT DISTINCT doc_id, label AS true_label FROM nb_te) b
+  CROSS JOIN nb_pr p
+  LEFT JOIN nb_like l ON l.doc_id = b.doc_id AND l.c = p.c
+),
+nb_rk AS (
+  SELECT doc_id, true_label, c, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, c ASC) AS rk
+  FROM nb_sc
+)
+SELECT doc_id, c AS pred, true_label,
+       CAST(score AS BIGINT) AS score_micro,
+       c = true_label AS correct
+FROM nb_rk WHERE rk = 1
+"""

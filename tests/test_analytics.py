@@ -3843,3 +3843,85 @@ def test_hurst_rs_scalar_replay_and_regimes(spark):
         for r in duck.sql(hurst_rs_sql("SELECT * FROM hrs", order_by="t")).fetchall()
     }
     assert twin == got
+
+
+def test_naive_bayes_scalar_replay_and_separable(spark):
+    """NB vs a dict replay; distinct vocabularies classify perfectly."""
+    import duckdb
+    import math
+    import collections
+
+    from osm2geojson_spark.operators.analytics import (
+        NB_MICRO,
+        naive_bayes_classify,
+        naive_bayes_classify_sql,
+    )
+
+    train = [
+        (1, "spam offer money win offer", "spam"),
+        (2, "win money offer now", "spam"),
+        (3, "meeting notes agenda review", "ham"),
+        (4, "review agenda notes meeting notes", "ham"),
+    ]
+    test = [
+        (10, "offer win", "spam"),
+        (11, "agenda review meeting", "ham"),
+        (12, "money notes", "spam"),  # mixed: one token each side
+        (13, "unknownword", "ham"),  # OOV only: priors decide
+    ]
+
+    def brute():
+        cw = collections.Counter()
+        ct = collections.Counter()
+        docs_c = collections.Counter()
+        vocab = set()
+        for _, t, c in train:
+            docs_c[c] += 1
+            for w in t.split():
+                cw[(c, w)] += 1
+                ct[c] += 1
+                vocab.add(w)
+        V = len(vocab)
+        nd = len(train)
+        out = {}
+        for did, t, true in test:
+            scores = {}
+            for c in docs_c:
+                s = round((math.log(docs_c[c]) - math.log(nd)) * NB_MICRO)
+                for w in t.split():
+                    if w in vocab:
+                        s += round(
+                            (math.log(cw[(c, w)] + 1) - math.log(ct[c] + V))
+                            * NB_MICRO
+                        )
+                scores[c] = s
+            pred = min(scores, key=lambda c: (-scores[c], c))
+            out[did] = (pred, true, scores[pred], pred == true)
+        return out
+
+    tr = spark.createDataFrame(train, "doc_id long, text string, label string")
+    te = spark.createDataFrame(test, "doc_id long, text string, label string")
+    got = {
+        r["doc_id"]: (r["pred"], r["true_label"], r["score_micro"], r["correct"])
+        for r in naive_bayes_classify(tr, te).collect()
+    }
+    assert got == brute()
+    assert got[10][0] == "spam" and got[11][0] == "ham"
+    # OOV-only doc falls back to the (uniform here) prior, tie -> 'ham'
+    assert got[13][0] == "ham"
+
+    duck = duckdb.connect()
+    duck.execute("CREATE TABLE nbtr (doc_id BIGINT, text VARCHAR, label VARCHAR)")
+    duck.executemany("INSERT INTO nbtr VALUES (?, ?, ?)", train)
+    duck.execute("CREATE TABLE nbte (doc_id BIGINT, text VARCHAR, label VARCHAR)")
+    duck.executemany("INSERT INTO nbte VALUES (?, ?, ?)", test)
+    twin = {
+        r[0]: tuple(r[1:])
+        for r in duck.sql(
+            naive_bayes_classify_sql(
+                "SELECT doc_id, text, label FROM nbtr",
+                "SELECT doc_id, text, label FROM nbte",
+            )
+        ).fetchall()
+    }
+    assert twin == got
