@@ -14292,9 +14292,44 @@ def _naive_bayes_sql() -> str:
     )
 
 
+def q_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X305 (graph.betweenness_bounded): pivot-sampled Brandes
+    betweenness on the undirected 2-chord part graph (pivots every
+    211th key), 4-hop horizon — exact σ path counts, fixed-point
+    dependency sweep; oracle = walk-enumeration + unrolled levels."""
+    from osm2geojson_spark.operators import graph as G
+
+    part = _t(spark, sf_dir, "part").select("p_partkey")
+    n = part.count()
+    k = F.col("p_partkey")
+    edges = part.select(
+        k.alias("src"), ((k * 7 + 3) % n).alias("dst")
+    ).unionByName(
+        part.select(k.alias("src"), ((k * 13 + 5) % n).alias("dst"))
+    ).filter(F.col("src") != F.col("dst"))
+    sources = part.filter(k % 211 == 0).select(k.alias("node"))
+    return G.betweenness_bounded(edges, sources, max_hops=4)
+
+
+def _betweenness_sql() -> str:
+    from osm2geojson_spark.operators import graph as G
+
+    edges = (
+        "SELECT src, dst FROM ("
+        "SELECT p_partkey AS src,"
+        " (p_partkey * 7 + 3) % (SELECT COUNT(*) FROM part) AS dst FROM part"
+        " UNION ALL SELECT p_partkey AS src,"
+        " (p_partkey * 13 + 5) % (SELECT COUNT(*) FROM part) AS dst"
+        " FROM part) e WHERE src <> dst"
+    )
+    sources = "SELECT p_partkey AS node FROM part WHERE p_partkey % 211 = 0"
+    return G.betweenness_bounded_sql(edges, sources, max_hops=4)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "betweenness": q_betweenness,
         "naive_bayes": q_naive_bayes,
         "pitch_track": q_pitch_track,
         "scc": q_scc,
@@ -14650,6 +14685,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "betweenness": _betweenness_sql(),
         "naive_bayes": _naive_bayes_sql(),
         "pitch_track": _pitch_track_sql(),
         "scc": _scc_sql(),

@@ -1967,3 +1967,188 @@ sc_sz AS (SELECT scc, CAST(COUNT(*) AS BIGINT) AS scc_size
 SELECT l.node, l.scc, s.scc_size
 FROM sc_lab l JOIN sc_sz s USING (scc)
 """
+
+
+BC_MICRO = 1_000_000  # dependency fixed point for betweenness
+
+
+def betweenness_bounded(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_hops: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    node_col: str = "node",
+    directed: bool = False,
+) -> DataFrame:
+    """(node, bc_micro) — BETWEENNESS CENTRALITY contributions (Brandes
+    2001) from a pivot set, hop-bounded: the broker/bottleneck score of
+    road junctions, API hubs, and influence graphs, estimated the way
+    every at-scale system does it (pivot sampling — Brandes-Pich 2007;
+    the pivot set here is the caller's deterministic sample, so the
+    result is an exact function of input, not RNG).
+
+    Per pivot s: a level-synchronous BFS accumulates σ(v) = #shortest
+    s→v paths (exact int64 — sums of predecessor σ at first-discovery
+    level); the backward sweep over shortest-path DAG levels
+    accumulates fixed-point dependencies
+
+        δ(v) = Σ_{(v,w) SP-DAG edge} σ(v)·(BC_MICRO + δ(w)) DIV σ(w)
+
+    — per-edge truncating division on positives (identical in the
+    unrolled twin), summed order-free. bc_micro(v) = Σ_pivots δ(v),
+    endpoints excluded (δ of the pivot itself is not emitted).
+
+    Scale: all pivots advance TOGETHER — state is (pivot, node) keyed,
+    so each BFS round is one equi-join + anti-join + rollup shuffle
+    regardless of pivot count; the backward pass is one join per level.
+    Hop cap bounds both passes; 2·max_hops+1 shuffles total."""
+    e = edges.select(F.col(src_col).alias("_s"), F.col(dst_col).alias("_d"))
+    if not directed:
+        e = e.unionByName(
+            edges.select(F.col(dst_col).alias("_s"), F.col(src_col).alias("_d"))
+        )
+    e = e.distinct().localCheckpoint(eager=False)
+    vis = (
+        sources.select(F.col(node_col).alias("s"))
+        .distinct()
+        .select("s", F.col("s").alias("v"), F.lit(0).alias("d"),
+                F.lit(1).cast("long").alias("sigma"))
+        .localCheckpoint(eager=False)
+    )
+    frontier = vis
+    levels = [vis]
+    for d in range(1, max_hops + 1):
+        cand = (
+            frontier.join(e, frontier["v"] == e["_s"])
+            .groupBy("s", F.col("_d").alias("v"))
+            .agg(F.sum("sigma").alias("sigma"))
+        )
+        nxt = (
+            cand.join(vis.select("s", "v").withColumn("_seen", F.lit(1)),
+                      ["s", "v"], "left")
+            .filter(F.col("_seen").isNull())
+            .select("s", "v", F.lit(d).alias("d"), "sigma")
+            .localCheckpoint(eager=False)
+        )
+        if nxt.rdd.isEmpty():
+            break
+        levels.append(nxt)
+        vis = vis.unionByName(nxt).localCheckpoint(eager=False)
+        frontier = nxt
+    # backward: delta at deepest level = 0; walk levels up
+    delta = None  # DF (s, v, delta) for level d+1
+    acc = None
+    for d in range(len(levels) - 2, -1, -1):
+        lv = levels[d]
+        lw = levels[d + 1]
+        if delta is not None:
+            lw_d = lw.join(delta, ["s", "v"], "left").select(
+                "s", "v", "sigma",
+                F.coalesce(F.col("delta"), F.lit(0)).alias("delta"),
+            )
+        else:
+            lw_d = lw.select("s", "v", "sigma", F.lit(0).alias("delta"))
+        term = (
+            lv.join(e, lv["v"] == e["_s"])
+            .select("s", "v", "sigma", F.col("_d").alias("w"))
+            .join(
+                lw_d.select(
+                    "s",
+                    F.col("v").alias("w"),
+                    F.col("sigma").alias("sig_w"),
+                    F.col("delta").alias("del_w"),
+                ),
+                ["s", "w"],
+            )
+            .select(
+                "s",
+                "v",
+                F.expr(
+                    f"CAST(sigma * ({BC_MICRO} + del_w) DIV sig_w AS BIGINT)"
+                ).alias("t"),
+            )
+        )
+        delta = (
+            term.groupBy("s", "v").agg(F.sum("t").cast("long").alias("delta"))
+            .localCheckpoint(eager=False)
+        )
+        contrib = delta.filter(F.col("v") != F.col("s"))
+        acc = contrib if acc is None else acc.unionByName(contrib)
+    if acc is None:
+        return vis.select(F.col("v").alias("node")).distinct().select(
+            "node", F.lit(0).cast("long").alias("bc_micro")
+        ).filter(F.lit(False))
+    return (
+        acc.groupBy(F.col("v").alias("node"))
+        .agg(F.sum("delta").cast("long").alias("bc_micro"))
+        .filter(F.col("bc_micro") > 0)
+    )
+
+
+def betweenness_bounded_sql(
+    edges_cte: str,
+    sources_cte: str,
+    max_hops: int,
+    directed: bool = False,
+) -> str:
+    """DuckDB twin of betweenness_bounded: walk enumeration gives
+    (dist, sigma) per (pivot, node); the backward sweep is unrolled per
+    level with identical fixed-point terms."""
+    und = " UNION SELECT dst, src FROM bc_e0" if not directed else ""
+    parts = [
+        f"""bc_e0 AS (SELECT src, dst FROM ({edges_cte})),
+bc_e AS (SELECT DISTINCT src, dst FROM (SELECT src, dst FROM bc_e0{und})),
+bc_s AS (SELECT DISTINCT node AS s FROM ({sources_cte})),
+bc_walk(s, v, d) AS (
+  SELECT s, s, 0 FROM bc_s
+  UNION ALL
+  SELECT w.s, e.dst, w.d + 1
+  FROM bc_walk w JOIN bc_e e ON e.src = w.v
+  WHERE w.d < {max_hops}
+),
+bc_dist AS (
+  SELECT s, v, MIN(d) AS d FROM bc_walk GROUP BY 1, 2
+),
+bc_sig AS (
+  SELECT w.s, w.v, dd.d, CAST(COUNT(*) AS BIGINT) AS sigma
+  FROM bc_walk w JOIN bc_dist dd ON dd.s = w.s AND dd.v = w.v AND dd.d = w.d
+  GROUP BY 1, 2, 3
+),
+bc_maxd AS (SELECT COALESCE(MAX(d), 0) AS md FROM bc_sig)"""
+    ]
+    # deepest possible level is max_hops; unroll from max_hops-1 .. 0,
+    # levels deeper than the actual frontier just produce empty sets
+    prev = None
+    for d in range(max_hops - 1, -1, -1):
+        dn = f"bc_del{d}"
+        if prev is None:
+            delta_w = "CAST(0 AS BIGINT)"
+            prev_join = ""
+        else:
+            delta_w = "COALESCE(p.delta, 0)"
+            prev_join = f" LEFT JOIN {prev} p ON p.s = lw.s AND p.v = lw.v"
+        parts.append(
+            f"""{dn} AS MATERIALIZED (
+  SELECT lv.s, lv.v,
+         CAST(SUM(lv.sigma * ({BC_MICRO} + {delta_w}) // lw.sigma)
+              AS BIGINT) AS delta
+  FROM bc_sig lv
+  JOIN bc_e e ON e.src = lv.v
+  JOIN bc_sig lw ON lw.s = lv.s AND lw.v = e.dst AND lw.d = {d + 1}
+  {prev_join}
+  WHERE lv.d = {d}
+  GROUP BY 1, 2
+)"""
+        )
+        prev = dn
+    union = " UNION ALL ".join(
+        f"SELECT s, v, delta FROM bc_del{d} WHERE v <> s"
+        for d in range(max_hops - 1, -1, -1)
+    )
+    body = ",\n".join(parts)
+    return f"""WITH RECURSIVE {body}
+SELECT v AS node, CAST(SUM(delta) AS BIGINT) AS bc_micro
+FROM ({union}) u
+GROUP BY 1 HAVING SUM(delta) > 0
+"""

@@ -1147,3 +1147,88 @@ def test_scc_bounded_brute_and_twin(spark):
         ).fetchall()
     }
     assert twin == got
+
+
+def test_betweenness_bounded_scalar_replay(spark):
+    """Micro-credit Brandes vs a scalar replay on a barbell-ish graph:
+    the bridge node must dominate."""
+    import collections
+    import duckdb
+
+    from osm2geojson_spark.operators.graph import (
+        BC_MICRO,
+        betweenness_bounded,
+        betweenness_bounded_sql,
+    )
+
+    # two triangles joined through node 4 (the broker)
+    edges = [(0, 1), (1, 2), (2, 0), (2, 4), (4, 5), (5, 6), (6, 7), (7, 5)]
+    srcs = [0, 5, 6]
+    H = 4
+
+    def brute():
+        adj = collections.defaultdict(set)
+        for a, b in edges:
+            adj[a].add(b)
+            adj[b].add(a)
+        bc = collections.Counter()
+        for s in srcs:
+            dist = {s: 0}
+            sigma = {s: 1}
+            levels = collections.defaultdict(list)
+            levels[0] = [s]
+            frontier = [s]
+            for d in range(1, H + 1):
+                nxt = collections.Counter()
+                for v in frontier:
+                    for w in adj[v]:
+                        if w not in dist:
+                            nxt[w] += sigma[v]
+                for w, sg in nxt.items():
+                    dist[w] = d
+                    sigma[w] = sg
+                    levels[d].append(w)
+                frontier = list(nxt)
+                if not frontier:
+                    break
+            maxd = max(levels) if levels else 0
+            delta = {}
+            for d in range(maxd - 1, -1, -1):
+                for v in levels[d]:
+                    t = 0
+                    for w in adj[v]:
+                        if dist.get(w) == d + 1:
+                            t += sigma[v] * (BC_MICRO + delta.get(w, 0)) // sigma[w]
+                    if t:
+                        delta[v] = t
+            # accumulate per source (v != s)
+            for v, dl in delta.items():
+                if v != s:
+                    bc[v] += dl
+        return {v: c for v, c in bc.items() if c > 0}
+
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    sdf = spark.createDataFrame([(s,) for s in srcs], "node long")
+    got = {
+        r["node"]: r["bc_micro"]
+        for r in betweenness_bounded(edf, sdf, max_hops=H).collect()
+    }
+    want = brute()
+    assert got == want
+    # the bridge (4) and its gateways carry the most dependency
+    assert got[4] == max(got.values())
+
+    duck = duckdb.connect()
+    duck.execute("CREATE TABLE bce (src BIGINT, dst BIGINT)")
+    duck.executemany("INSERT INTO bce VALUES (?, ?)", edges)
+    duck.execute("CREATE TABLE bcs (node BIGINT)")
+    duck.executemany("INSERT INTO bcs VALUES (?)", [(s,) for s in srcs])
+    twin = {
+        r[0]: r[1]
+        for r in duck.sql(
+            betweenness_bounded_sql(
+                "SELECT src, dst FROM bce", "SELECT node FROM bcs", H
+            )
+        ).fetchall()
+    }
+    assert twin == got
