@@ -14326,9 +14326,51 @@ def _betweenness_sql() -> str:
     return G.betweenness_bounded_sql(edges, sources, max_hops=4)
 
 
+def q_tree_depth2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X306 (analytics.tree_depth2_train): exact depth-2 decision tree
+    on lineitem (4 integer features; label = returnflag 'R') — global
+    best stump splits, each branch trains its own exact stump; all
+    argmins integer-pinned."""
+    from osm2geojson_spark.operators.analytics import tree_depth2_train
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("id"),
+        (F.col("l_returnflag") == "R").cast("long").alias("label"),
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("price_c"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("disc_c"),
+        F.round(F.col("l_tax") * 100).cast("long").alias("tax_c"),
+    )
+    rows = None
+    for c in ("qty", "price_c", "disc_c", "tax_c"):
+        r = li.select("id", F.lit(c).alias("feat"), F.col(c).alias("x"), "label")
+        rows = r if rows is None else rows.unionByName(r)
+    return tree_depth2_train(rows)
+
+
+def _tree_depth2_sql() -> str:
+    from osm2geojson_spark.operators.analytics import tree_depth2_train_sql
+
+    feats = {
+        "qty": "CAST(l_quantity AS BIGINT)",
+        "price_c": "CAST(round(l_extendedprice * 100) AS BIGINT)",
+        "disc_c": "CAST(round(l_discount * 100) AS BIGINT)",
+        "tax_c": "CAST(round(l_tax * 100) AS BIGINT)",
+    }
+    rows = " UNION ALL ".join(
+        f"SELECT l_orderkey * 8 + l_linenumber AS id, '{name}' AS feat,"
+        f" {expr} AS x,"
+        " CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS label"
+        " FROM lineitem"
+        for name, expr in feats.items()
+    )
+    return tree_depth2_train_sql(rows)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "tree_depth2": q_tree_depth2,
         "betweenness": q_betweenness,
         "naive_bayes": q_naive_bayes,
         "pitch_track": q_pitch_track,
@@ -14685,6 +14727,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "tree_depth2": _tree_depth2_sql(),
         "betweenness": _betweenness_sql(),
         "naive_bayes": _naive_bayes_sql(),
         "pitch_track": _pitch_track_sql(),

@@ -334,6 +334,23 @@ BENCH_QUERIES = [
     "psnr_gate",
     "snapshot_diff",
     "knee_point",
+    "critical_path",
+    "fd_check",
+    "fk_discovery",
+    "rrf_fusion",
+    "knox",
+    "median_center",
+    "perceptron",
+    "unsharp",
+    "bilateral",
+    "phonetic_dedup",
+    "readability",
+    "hurst",
+    "huff_model",
+    "scc",
+    "pitch_track",
+    "naive_bayes",
+    "betweenness",
 ]
 
 

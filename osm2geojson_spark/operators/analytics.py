@@ -6536,3 +6536,243 @@ SELECT doc_id, c AS pred, true_label,
        c = true_label AS correct
 FROM nb_rk WHERE rk = 1
 """
+
+
+def _stump_winners(rows: DataFrame) -> DataFrame:
+    """Per-feature exact best stump over (id, feat, x, y) rows — the
+    stump_train core, kept id-agnostic (see stump_train for the
+    collapsed-prefix-scan derivation)."""
+    g = rows.groupBy("feat", "x").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("y").alias("pos")
+    )
+    w = (
+        Window.partitionBy("feat")
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy("feat").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = g.select(
+        "feat",
+        "x",
+        F.sum("pos").over(w).alias("cpos"),
+        (F.sum("cnt").over(w) - F.sum("pos").over(w)).alias("cneg"),
+        F.sum("pos").over(wall).alias("p_all"),
+        (F.sum("cnt").over(wall) - F.sum("pos").over(wall)).alias("n_neg"),
+        F.sum("cnt").over(wall).alias("n"),
+    )
+    both = cum.select(
+        "feat",
+        "x",
+        "n",
+        (F.col("cpos") + F.col("n_neg") - F.col("cneg")).alias("err0"),
+        (F.col("cneg") + F.col("p_all") - F.col("cpos")).alias("err1"),
+    )
+    cand = both.select(
+        "feat", "n",
+        F.struct(
+            F.col("err0").alias("errors"),
+            F.lit(0).cast("long").alias("polarity"),
+            F.col("x").alias("best_t"),
+        ).alias("c"),
+    ).unionByName(
+        both.select(
+            "feat", "n",
+            F.struct(
+                F.col("err1").alias("errors"),
+                F.lit(1).cast("long").alias("polarity"),
+                F.col("x").alias("best_t"),
+            ).alias("c"),
+        )
+    )
+    return cand.groupBy("feat", "n").agg(F.min("c").alias("best")).select(
+        "feat",
+        F.col("best.errors").alias("errors"),
+        F.col("best.polarity").alias("polarity"),
+        F.col("best.best_t").alias("best_t"),
+        "n",
+    )
+
+
+def tree_depth2_train(
+    df: DataFrame,
+    id_col: str = "id",
+    feat_col: str = "feat",
+    x_col: str = "x",
+    label_col: str = "label",
+) -> DataFrame:
+    """(node, feat, best_t, polarity, errors, n) — EXACT DEPTH-2
+    DECISION TREE training: the globally best stump splits the data,
+    then each branch trains its own best stump — the smallest "real"
+    tree, fully exact (every candidate threshold of every feature
+    evaluated by integer error counts; argmins pinned by
+    (errors, feat, polarity, t)). The interpretable-rule miner for
+    data-quality triage ("which two thresholds explain the label?").
+
+    node ∈ {'root', 'L', 'R'}: L is the branch with root-feature
+    x ≤ best_t, R the rest. A branch node's errors are WITHIN-branch
+    stump errors, so tree training error = err_L + err_R; an empty
+    branch emits no row. Input is long-form (id, feat, x, label) with
+    integer x (quantize upstream) and dense features per id.
+
+    Scale: three collapsed prefix scans (root, L, R) + one broadcast
+    of the winning rule to split ids — never a row² anything; the
+    collapsed table is bounded by distinct values per feature."""
+    rows = df.select(
+        F.col(id_col).alias("id"),
+        F.col(feat_col).alias("feat"),
+        F.col(x_col).cast("long").alias("x"),
+        F.col(label_col).cast("long").alias("y"),
+    ).localCheckpoint(eager=False)
+    root = (
+        _stump_winners(rows)
+        .select(
+            F.min(
+                F.struct(
+                    F.col("errors"),
+                    F.col("feat"),
+                    F.col("polarity"),
+                    F.col("best_t"),
+                    F.col("n"),
+                )
+            ).alias("r")
+        )
+        .select(
+            F.col("r.feat").alias("feat"),
+            F.col("r.best_t").alias("best_t"),
+            F.col("r.polarity").alias("polarity"),
+            F.col("r.errors").alias("errors"),
+            F.col("r.n").alias("n"),
+        )
+    )
+    side = (
+        rows.join(
+            F.broadcast(
+                root.select(
+                    F.col("feat").alias("_rf"), F.col("best_t").alias("_rt")
+                )
+            ),
+            rows["feat"] == F.col("_rf"),
+        )
+        .select("id", (F.col("x") <= F.col("_rt")).alias("_left"))
+    )
+    branched = rows.join(side, "id")
+    left = branched.filter(F.col("_left")).drop("_left")
+    right = branched.filter(~F.col("_left")).drop("_left")
+
+    def node_row(src: DataFrame, name: str) -> DataFrame:
+        return (
+            _stump_winners(src)
+            .select(
+                F.min(
+                    F.struct("errors", "feat", "polarity", "best_t", "n")
+                ).alias("r")
+            )
+            .select(
+                F.lit(name).alias("node"),
+                F.col("r.feat").alias("feat"),
+                F.col("r.best_t").alias("best_t"),
+                F.col("r.polarity").alias("polarity"),
+                F.col("r.errors").alias("errors"),
+                F.col("r.n").alias("n"),
+            )
+            .filter(F.col("feat").isNotNull())
+        )
+
+    out = root.select(
+        F.lit("root").alias("node"), "feat", "best_t", "polarity", "errors", "n"
+    )
+    return out.unionByName(node_row(left, "L")).unionByName(node_row(right, "R"))
+
+
+def _stump_block_sql(p: str, rows_cte: str) -> str:
+    """CTE block (prefixed ``p``) computing per-feature stump winners
+    for ``rows_cte`` -> (id, feat, x, y); exposes {p}win."""
+    return f"""{p}src AS (
+  SELECT id, feat, CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y
+  FROM ({rows_cte})
+),
+{p}g AS (
+  SELECT feat, x, CAST(count(*) AS BIGINT) AS cnt,
+         CAST(sum(y) AS BIGINT) AS pos
+  FROM {p}src GROUP BY 1, 2
+),
+{p}cum AS (
+  SELECT feat, x,
+         CAST(sum(pos) OVER pw AS BIGINT) AS cpos,
+         CAST(sum(cnt) OVER pw - sum(pos) OVER pw AS BIGINT) AS cneg,
+         CAST(sum(pos) OVER fw AS BIGINT) AS p_all,
+         CAST(sum(cnt) OVER fw - sum(pos) OVER fw AS BIGINT) AS n_neg,
+         CAST(sum(cnt) OVER fw AS BIGINT) AS n
+  FROM {p}g
+  WINDOW pw AS (PARTITION BY feat ORDER BY x
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         fw AS (PARTITION BY feat)
+),
+{p}cand AS (
+  SELECT feat, n, cpos + n_neg - cneg AS errors,
+         CAST(0 AS BIGINT) AS polarity, x
+  FROM {p}cum
+  UNION ALL
+  SELECT feat, n, cneg + p_all - cpos,
+         CAST(1 AS BIGINT), x
+  FROM {p}cum
+),
+{p}win AS (
+  SELECT feat, errors, polarity, x AS best_t, n
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY feat
+             ORDER BY errors, polarity, x) AS rk
+    FROM {p}cand
+  ) WHERE rk = 1
+)"""
+
+
+def tree_depth2_train_sql(rows_cte: str) -> str:
+    """DuckDB twin of tree_depth2_train. ``rows_cte`` ->
+    (id, feat, x, label)."""
+    base = f"SELECT id, feat, x, label AS y FROM ({rows_cte})"
+    rt = _stump_block_sql("t2r_", base)
+    left_rows = """
+SELECT s.id, s.feat, s.x, s.y FROM t2r_src s
+JOIN (SELECT id FROM t2r_src s2 JOIN t2_root r ON s2.feat = r.feat
+      WHERE s2.x <= r.best_t) lid USING (id)
+"""
+    right_rows = """
+SELECT s.id, s.feat, s.x, s.y FROM t2r_src s
+JOIN (SELECT id FROM t2r_src s2 JOIN t2_root r ON s2.feat = r.feat
+      WHERE s2.x > r.best_t) rid USING (id)
+"""
+    lf = _stump_block_sql("t2l_", "SELECT id, feat, x, y FROM t2_lrows")
+    rg = _stump_block_sql("t2g_", "SELECT id, feat, x, y FROM t2_rrows")
+    return f"""
+WITH {rt},
+t2_root AS (
+  SELECT feat, best_t, polarity, errors, n
+  FROM (SELECT *, row_number() OVER (
+          ORDER BY errors, feat, polarity, best_t) AS rk FROM t2r_win)
+  WHERE rk = 1
+),
+t2_lrows AS MATERIALIZED ({left_rows}),
+t2_rrows AS MATERIALIZED ({right_rows}),
+{lf},
+t2_lbest AS (
+  SELECT feat, best_t, polarity, errors, n
+  FROM (SELECT *, row_number() OVER (
+          ORDER BY errors, feat, polarity, best_t) AS rk FROM t2l_win)
+  WHERE rk = 1
+),
+{rg},
+t2_rbest AS (
+  SELECT feat, best_t, polarity, errors, n
+  FROM (SELECT *, row_number() OVER (
+          ORDER BY errors, feat, polarity, best_t) AS rk FROM t2g_win)
+  WHERE rk = 1
+)
+SELECT 'root' AS node, feat, best_t, polarity, errors, n FROM t2_root
+UNION ALL
+SELECT 'L', feat, best_t, polarity, errors, n FROM t2_lbest
+UNION ALL
+SELECT 'R', feat, best_t, polarity, errors, n FROM t2_rbest
+"""

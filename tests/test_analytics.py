@@ -3925,3 +3925,79 @@ def test_naive_bayes_scalar_replay_and_separable(spark):
         ).fetchall()
     }
     assert twin == got
+
+
+def test_tree_depth2_scalar_replay_and_xor(spark):
+    """Depth-2 tree vs exhaustive scalar search; the XOR-ish pattern a
+    single stump cannot fit is solved exactly by the two branches."""
+    import duckdb
+    import itertools
+
+    from osm2geojson_spark.operators.analytics import (
+        tree_depth2_train,
+        tree_depth2_train_sql,
+    )
+
+    # label = (a <= 4) XOR (b <= 4)  on the full 8x8 grid
+    pts = [(i, i % 8, i // 8) for i in range(64)]
+    rows = []
+    for i, a, b in pts:
+        y = int((a <= 4) != (b <= 4))
+        rows.append((i, "a", a, y))
+        rows.append((i, "b", b, y))
+
+    def best_stump(sub):
+        # sub: list of (id, feat, x, y); returns dict feat->... then argmin
+        feats = sorted({f for _, f, _, _ in sub})
+        best = None
+        for f in feats:
+            xs = sorted({x for _, ff, x, _ in sub if ff == f})
+            n = len({i for i, ff, _, _ in sub if ff == f})
+            for pol, t in itertools.product((0, 1), xs):
+                err = 0
+                for i, ff, x, y in sub:
+                    if ff != f:
+                        continue
+                    pred = (x > t) if pol == 0 else (x <= t)
+                    err += int(pred) != y
+                key = (err, f, pol, t)
+                if best is None or key < best:
+                    best = key
+        err, f, pol, t = best
+        return f, t, pol, err, n
+
+    def brute():
+        f, t, pol, err, n = best_stump(rows)
+        out = {"root": (f, t, pol, err, n)}
+        root_x = {i: x for i, ff, x, _ in rows if ff == f}
+        lids = {i for i, x in root_x.items() if x <= t}
+        l = [r for r in rows if r[0] in lids]
+        r_ = [r for r in rows if r[0] not in lids]
+        if l:
+            out["L"] = best_stump(l)
+        if r_:
+            out["R"] = best_stump(r_)
+        return out
+
+    df = spark.createDataFrame(rows, "id long, feat string, x long, label long")
+    got = {
+        r["node"]: (r["feat"], r["best_t"], r["polarity"], r["errors"], r["n"])
+        for r in tree_depth2_train(df).collect()
+    }
+    assert got == brute()
+    # branches can only improve on the root stump (monotone refinement),
+    # and on XOR data the root alone is badly wrong
+    assert got["root"][3] > 0
+    total = got.get("L", (0,) * 5)[3] + got.get("R", (0,) * 5)[3]
+    assert total < got["root"][3]
+
+    duck = duckdb.connect()
+    duck.execute(
+        "CREATE TABLE t2 (id BIGINT, feat VARCHAR, x BIGINT, label BIGINT)"
+    )
+    duck.executemany("INSERT INTO t2 VALUES (?, ?, ?, ?)", rows)
+    twin = {
+        r[0]: tuple(r[1:])
+        for r in duck.sql(tree_depth2_train_sql("SELECT * FROM t2")).fetchall()
+    }
+    assert twin == got
