@@ -14367,9 +14367,34 @@ def _tree_depth2_sql() -> str:
     return tree_depth2_train_sql(rows)
 
 
+def q_lcs_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X307 (dedup.lcs_block_similarity): LCS fuzzy similarity between
+    the first words of part names, blocked by the product noun — DP
+    once per distinct value pair (never per row pair), row-vectorized
+    cummax recurrence; the twin enumerates DP states recursively."""
+    from osm2geojson_spark.operators.dedup import lcs_block_similarity
+
+    parts = _t(spark, sf_dir, "part").select(
+        F.split(F.col("p_name"), " ").getItem(1).alias("blk"),
+        F.split(F.col("p_name"), " ").getItem(0).alias("w"),
+    )
+    return lcs_block_similarity(parts)
+
+
+def _lcs_similarity_sql() -> str:
+    from osm2geojson_spark.operators.dedup import lcs_block_similarity_sql
+
+    rows = (
+        "SELECT string_split(p_name, ' ')[2] AS blk,"
+        " string_split(p_name, ' ')[1] AS w FROM part"
+    )
+    return lcs_block_similarity_sql(rows)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "lcs_similarity": q_lcs_similarity,
         "tree_depth2": q_tree_depth2,
         "betweenness": q_betweenness,
         "naive_bayes": q_naive_bayes,
@@ -14727,6 +14752,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "lcs_similarity": _lcs_similarity_sql(),
         "tree_depth2": _tree_depth2_sql(),
         "betweenness": _betweenness_sql(),
         "naive_bayes": _naive_bayes_sql(),

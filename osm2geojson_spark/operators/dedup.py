@@ -20,6 +20,10 @@ formula (see __spark_entry__ for the oracle SQL):
 
 from __future__ import annotations
 
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -1335,4 +1339,121 @@ SELECT code, CAST(COUNT(*) AS BIGINT) AS n_words,
        CAST(SUM(_c) AS BIGINT) AS n_rows,
        MIN(w) AS w_min, MAX(w) AS w_max
 FROM ph_pw GROUP BY code HAVING COUNT(*) >= 2
+"""
+
+
+def lcs_block_similarity(
+    df: DataFrame,
+    block_col: str = "blk",
+    word_col: str = "w",
+) -> DataFrame:
+    """(blk, wa, wb, la, lb, lcs_len, sim_micro, n_pairs) — LONGEST-
+    COMMON-SUBSEQUENCE similarity between the distinct values of each
+    blocking key — the order-preserving fuzzy matcher (diff/alignment
+    kernel) that edit-distance blocking (fuzzy_join, lev<=1) can't
+    express. sim_micro = 2·10⁶·lcs DIV (la+lb) is the classic
+    normalized LCS similarity; n_pairs = na·nb counts the row pairs
+    each value pair stands for.
+
+    The DP runs ONCE PER DISTINCT VALUE PAIR (wa < wb within a block),
+    never per row pair — the value-dedup that makes quadratic string
+    kernels feasible at corpus scale (the same trick dtw uses for
+    candidate capping). Inside the Arrow batch the classic LCS table
+    fills row-vectorized in NumPy; the twin enumerates DP states
+    (i, j, matched) in a recursive CTE and takes max(matched) — an
+    independent formulation of the same recurrence.
+
+    Scale: two combinable rollups + one mapInPandas over the distinct-
+    pair table (|values|² per block, bounded by the vocabulary, not
+    the corpus)."""
+    w = df.select(
+        F.col(block_col).alias("blk"), F.col(word_col).alias("w")
+    )
+    vals = w.groupBy("blk", "w").agg(F.count(F.lit(1)).alias("n"))
+    a = vals.select(
+        "blk", F.col("w").alias("wa"), F.col("n").alias("na")
+    )
+    b = vals.select(
+        "blk", F.col("w").alias("wb"), F.col("n").alias("nb")
+    )
+    pairs = a.join(b, "blk").filter(F.col("wa") < F.col("wb"))
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for r in pdf.itertuples(index=False):
+                s, t = r.wa, r.wb
+                la, lb = len(s), len(t)
+                prev = np.zeros(lb + 1, dtype=np.int64)
+                for i in range(1, la + 1):
+                    cur = np.zeros(lb + 1, dtype=np.int64)
+                    tv = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
+                    # row-vectorized: cur[j] = max(prev[j], cur[j-1],
+                    # prev[j-1]+eq) — the cur[j-1] dependency forces a
+                    # cummax pass: first take m = max(prev[j], prev[j-1]+eq)
+                    eq = (tv == s.encode("utf-8")[i - 1]).astype(np.int64)
+                    m = np.maximum(prev[1:], prev[:-1] + eq)
+                    # then cur = running max of m with carry (cummax after
+                    # prepending cur[0]=0): LCS rows are nondecreasing, so
+                    # cummax(m) gives the exact row
+                    cur[1:] = np.maximum.accumulate(m)
+                    prev = cur
+                lcs = int(prev[lb])
+                out.append(
+                    (
+                        r.blk, s, t, la, lb, lcs,
+                        2 * 1_000_000 * lcs // (la + lb),
+                        int(r.na) * int(r.nb),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "blk", "wa", "wb", "la", "lb", "lcs_len",
+                    "sim_micro", "n_pairs",
+                ],
+            )
+
+    return pairs.mapInPandas(
+        fn,
+        schema=(
+            "blk string, wa string, wb string, la long, lb long,"
+            " lcs_len long, sim_micro long, n_pairs long"
+        ),
+    )
+
+
+def lcs_block_similarity_sql(rows_cte: str) -> str:
+    """DuckDB twin of lcs_block_similarity — recursive DP-state
+    enumeration per distinct pair. ``rows_cte`` -> (blk, w)."""
+    return f"""
+WITH RECURSIVE lcs_w AS (
+  SELECT blk, w, COUNT(*) AS n FROM ({rows_cte}) GROUP BY 1, 2
+),
+lcs_p AS (
+  SELECT a.blk, a.w AS wa, b.w AS wb, a.n AS na, b.n AS nb,
+         length(a.w) AS la, length(b.w) AS lb
+  FROM lcs_w a JOIN lcs_w b ON a.blk = b.blk AND a.w < b.w
+),
+lcs_mv(di, dj, dk) AS (SELECT * FROM (VALUES (1, 0, 0), (0, 1, 0), (1, 1, 1))),
+lcs_st(blk, wa, wb, i, j, k) AS (
+  SELECT blk, wa, wb, 0, 0, 0 FROM lcs_p
+  UNION
+  SELECT s.blk, s.wa, s.wb, s.i + m.di, s.j + m.dj, s.k + m.dk
+  FROM lcs_st s
+  JOIN lcs_p p ON p.blk = s.blk AND p.wa = s.wa AND p.wb = s.wb
+  JOIN lcs_mv m
+    ON s.i + m.di <= p.la AND s.j + m.dj <= p.lb
+   AND (m.dk = 0 OR substr(s.wa, s.i + 1, 1) = substr(s.wb, s.j + 1, 1))
+),
+lcs_v AS (
+  SELECT blk, wa, wb, MAX(k) AS lcs_len
+  FROM lcs_st GROUP BY 1, 2, 3
+)
+SELECT p.blk, p.wa, p.wb,
+       CAST(p.la AS BIGINT) AS la, CAST(p.lb AS BIGINT) AS lb,
+       CAST(v.lcs_len AS BIGINT) AS lcs_len,
+       CAST(2 * 1000000 * v.lcs_len // (p.la + p.lb) AS BIGINT) AS sim_micro,
+       CAST(p.na * p.nb AS BIGINT) AS n_pairs
+FROM lcs_p p JOIN lcs_v v USING (blk, wa, wb)
 """

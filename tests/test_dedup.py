@@ -2130,3 +2130,71 @@ def test_soundex_classic_vectors_and_blocks(spark):
         for r in duck.sql(phonetic_blocks_sql("SELECT word FROM phw")).fetchall()
     }
     assert twin == blocks
+
+
+def test_lcs_block_similarity_brute_and_twin(spark):
+    """Vectorized LCS recurrence vs difflib-free scalar DP; twin."""
+    import duckdb
+
+    from osm2geojson_spark.operators.dedup import (
+        lcs_block_similarity,
+        lcs_block_similarity_sql,
+    )
+
+    rows = [
+        ("b1", "kitten"), ("b1", "sitting"), ("b1", "kitten"),
+        ("b1", "sitten"), ("b2", "abcdef"), ("b2", "zabxcy"),
+        ("b2", "xyz"),
+    ]
+
+    def lcs(s, t):
+        la, lb = len(s), len(t)
+        dp = [[0] * (lb + 1) for _ in range(la + 1)]
+        for i in range(1, la + 1):
+            for j in range(1, lb + 1):
+                dp[i][j] = max(
+                    dp[i - 1][j],
+                    dp[i][j - 1],
+                    dp[i - 1][j - 1] + (s[i - 1] == t[j - 1]),
+                )
+        return dp[la][lb]
+
+    def brute():
+        import collections
+
+        cnt = collections.Counter(rows)
+        out = {}
+        vals = sorted({(b, w) for b, w in rows})
+        for (b1, w1) in vals:
+            for (b2, w2) in vals:
+                if b1 == b2 and w1 < w2:
+                    l = lcs(w1, w2)
+                    out[(b1, w1, w2)] = (
+                        len(w1), len(w2), l,
+                        2 * 1_000_000 * l // (len(w1) + len(w2)),
+                        cnt[(b1, w1)] * cnt[(b2, w2)],
+                    )
+        return out
+
+    df = spark.createDataFrame(rows, "blk string, w string")
+    got = {
+        (r["blk"], r["wa"], r["wb"]): (
+            r["la"], r["lb"], r["lcs_len"], r["sim_micro"], r["n_pairs"]
+        )
+        for r in lcs_block_similarity(df).collect()
+    }
+    assert got == brute()
+    # classic: lcs(kitten, sitting) = 4 ("ittn"); dup count multiplies
+    assert got[("b1", "kitten", "sitting")][2] == 4
+    assert got[("b1", "kitten", "sitting")][4] == 2
+
+    duck = duckdb.connect()
+    duck.execute("CREATE TABLE lcsw (blk VARCHAR, w VARCHAR)")
+    duck.executemany("INSERT INTO lcsw VALUES (?, ?)", rows)
+    twin = {
+        (r[0], r[1], r[2]): tuple(r[3:])
+        for r in duck.sql(
+            lcs_block_similarity_sql("SELECT blk, w FROM lcsw")
+        ).fetchall()
+    }
+    assert twin == got
