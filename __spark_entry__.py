@@ -14391,9 +14391,25 @@ def _lcs_similarity_sql() -> str:
     return lcs_block_similarity_sql(rows)
 
 
+def q_undistort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X308 (multimodal.undistort_stats): barrel lens undistortion over
+    300 mixed rawz/png images — integer radial model, floor-pinned NN
+    inverse mapping, out-of-bounds census."""
+    from osm2geojson_spark.operators import multimodal as MM2
+
+    return MM2.undistort_stats(_synth_images(spark, sf_dir, 300))
+
+
+def _undistort_sql() -> str:
+    from osm2geojson_spark.operators import multimodal as MM2
+
+    return MM2.undistort_stats_sql(_UNSHARP_PX)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "undistort": q_undistort,
         "lcs_similarity": q_lcs_similarity,
         "tree_depth2": q_tree_depth2,
         "betweenness": q_betweenness,
@@ -14752,6 +14768,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "undistort": _undistort_sql(),
         "lcs_similarity": _lcs_similarity_sql(),
         "tree_depth2": _tree_depth2_sql(),
         "betweenness": _betweenness_sql(),

@@ -5714,3 +5714,100 @@ SELECT audio_id, CAST(frame_idx AS BIGINT) AS frame_idx,
        CAST(lag AS BIGINT) AS best_lag, CAST(c AS BIGINT) AS best_corr
 FROM pt_rk WHERE rk = 1
 """
+
+
+UNDIST_FP = 4096  # radial factor fixed point
+UNDIST_KDEN = 60_000  # barrel coefficient: k = FP/KDEN per quarter-px²
+
+
+def undistort_stats(images: DataFrame) -> DataFrame:
+    """(image_id, n_px, n_oob, out_sum, out_max) — RADIAL LENS
+    UNDISTORTION (barrel model, inverse mapping + nearest-neighbor
+    resample): dst offset (measured in half-pixels from the image
+    center, 2x−(w−1)) maps to source offset
+
+        src2 = floor(d2 · factor_q / FP),
+        factor_q = FP + (r2 · FP) DIV KDEN,   r2 = dx2² + dy2²
+
+    — the camera-calibration warp that must run before any geometric
+    model consumes phone/dashcam frames. All arithmetic is integer or
+    exact small-magnitude double (|d2·factor_q| < 2^40, so the IEEE
+    divide-then-floor is exact and engine-identical, floor semantics
+    on negatives included). Out-of-bounds sources are counted, not
+    clamped. NN sample: src = floor(src2 / 2).
+
+    Scale: mapInPandas; the (h, w) index grids build once per image
+    in NumPy, gather is one fancy-index — scan-shaped."""
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {c: [] for c in ("image_id", "n_px", "n_oob", "out_sum", "out_max")}
+            for r in pdf.itertuples(index=False):
+                px = imagecodec.decode(bytes(r.bytes), r.fmt).astype(np.int64)
+                h, w = px.shape
+                ys, xs = np.mgrid[0:h, 0:w]
+                dx2 = 2 * xs - (w - 1)
+                dy2 = 2 * ys - (h - 1)
+                r2 = dx2 * dx2 + dy2 * dy2
+                fq = UNDIST_FP + (r2 * UNDIST_FP) // UNDIST_KDEN
+                sx2 = np.floor(dx2 * fq / UNDIST_FP).astype(np.int64) + (w - 1)
+                sy2 = np.floor(dy2 * fq / UNDIST_FP).astype(np.int64) + (h - 1)
+                sx = np.floor(sx2 / 2.0).astype(np.int64)
+                sy = np.floor(sy2 / 2.0).astype(np.int64)
+                ok = (sx >= 0) & (sx < w) & (sy >= 0) & (sy < h)
+                vals = px[sy[ok], sx[ok]]
+                out["image_id"].append(r.image_id)
+                out["n_px"].append(int(px.size))
+                out["n_oob"].append(int(px.size - ok.sum()))
+                out["out_sum"].append(int(vals.sum()))
+                out["out_max"].append(int(vals.max()) if vals.size else 0)
+            yield pd.DataFrame(out)
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(
+        fn,
+        schema=(
+            "image_id string, n_px long, n_oob long, out_sum long, out_max long"
+        ),
+    )
+
+
+def undistort_stats_sql(px_cte: str) -> str:
+    """DuckDB twin of undistort_stats — the same integer radial model,
+    joined back to the pixel table on the computed source coords.
+    ``px_cte`` -> (image_id, w, h, x, y, v)."""
+    return f"""
+WITH udx AS ({px_cte}),
+ud_map AS (
+  SELECT image_id, w, h, x, y,
+         CAST(floor((2 * x - (w - 1))
+              * ({UNDIST_FP} + (((2 * x - (w - 1)) * (2 * x - (w - 1))
+                 + (2 * y - (h - 1)) * (2 * y - (h - 1))) * {UNDIST_FP})
+                 // {UNDIST_KDEN})
+              / {UNDIST_FP}.0) AS BIGINT) + (w - 1) AS sx2,
+         CAST(floor((2 * y - (h - 1))
+              * ({UNDIST_FP} + (((2 * x - (w - 1)) * (2 * x - (w - 1))
+                 + (2 * y - (h - 1)) * (2 * y - (h - 1))) * {UNDIST_FP})
+                 // {UNDIST_KDEN})
+              / {UNDIST_FP}.0) AS BIGINT) + (h - 1) AS sy2
+  FROM udx
+),
+ud_src AS (
+  SELECT image_id, w, h, x, y,
+         CAST(floor(sx2 / 2.0) AS BIGINT) AS sx,
+         CAST(floor(sy2 / 2.0) AS BIGINT) AS sy
+  FROM ud_map
+),
+ud_j AS (
+  SELECT m.image_id,
+         CASE WHEN m.sx >= 0 AND m.sx < m.w AND m.sy >= 0 AND m.sy < m.h
+              THEN p.v ELSE NULL END AS v
+  FROM ud_src m
+  LEFT JOIN udx p ON p.image_id = m.image_id
+                 AND p.x = m.sx AND p.y = m.sy
+)
+SELECT image_id, CAST(COUNT(*) AS BIGINT) AS n_px,
+       CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oob,
+       CAST(COALESCE(SUM(v), 0) AS BIGINT) AS out_sum,
+       CAST(COALESCE(MAX(v), 0) AS BIGINT) AS out_max
+FROM ud_j GROUP BY image_id
+"""

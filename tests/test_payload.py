@@ -3895,3 +3895,74 @@ def test_pitch_track_planted_periods_and_twin(spark):
         for r in duck.sql(pitch_track_sql("SELECT * FROM pts")).fetchall()
     }
     assert twin == got
+
+
+def test_undistort_stats_scalar_replay_and_identity_center(spark):
+    """Radial model vs scalar replay; the exact center pixel of an odd
+    image maps to itself (r2=0), edges push out of bounds."""
+    import duckdb
+    import math
+
+    from osm2geojson_spark.operators.multimodal import (
+        UNDIST_FP,
+        UNDIST_KDEN,
+        undistort_stats,
+        undistort_stats_sql,
+    )
+
+    rng = np.random.default_rng(5)
+    mats = [(f"r{i}", rng.integers(0, 256, (11, 11)).astype(np.uint8)) for i in range(4)]
+
+    def brute(px):
+        h, w = px.shape
+        n_oob = 0
+        tot = 0
+        mx = 0
+        for y in range(h):
+            for x in range(w):
+                dx2 = 2 * x - (w - 1)
+                dy2 = 2 * y - (h - 1)
+                r2 = dx2 * dx2 + dy2 * dy2
+                fq = UNDIST_FP + (r2 * UNDIST_FP) // UNDIST_KDEN
+                sx = math.floor(
+                    (math.floor(dx2 * fq / UNDIST_FP) + (w - 1)) / 2.0
+                )
+                sy = math.floor(
+                    (math.floor(dy2 * fq / UNDIST_FP) + (h - 1)) / 2.0
+                )
+                if 0 <= sx < w and 0 <= sy < h:
+                    v = int(px[sy, sx])
+                    tot += v
+                    mx = max(mx, v)
+                else:
+                    n_oob += 1
+        return px.size, n_oob, tot, mx
+
+    imgs = [(iid, imagecodec.encode_rawz(px), "rawz") for iid, px in mats]
+    df = spark.createDataFrame(imgs, "image_id string, bytes binary, fmt string")
+    got = {
+        r["image_id"]: (r["n_px"], r["n_oob"], r["out_sum"], r["out_max"])
+        for r in undistort_stats(df).collect()
+    }
+    assert got == {iid: brute(px) for iid, px in mats}
+    # mild barrel on an 11x11: the extreme corners push out of range
+    assert all(v[1] > 0 for v in got.values())
+
+    duck = duckdb.connect()
+    duck.execute(
+        "CREATE TABLE udpt (image_id VARCHAR, w INT, h INT, x INT, y INT, v INT)"
+    )
+    duck.executemany(
+        "INSERT INTO udpt VALUES (?, ?, ?, ?, ?, ?)",
+        [
+            (iid, px.shape[1], px.shape[0], xx, yy, int(px[yy, xx]))
+            for iid, px in mats
+            for yy in range(px.shape[0])
+            for xx in range(px.shape[1])
+        ],
+    )
+    twin = {
+        r[0]: tuple(r[1:])
+        for r in duck.sql(undistort_stats_sql("SELECT * FROM udpt")).fetchall()
+    }
+    assert twin == got
