@@ -14406,9 +14406,38 @@ def _undistort_sql() -> str:
     return MM2.undistort_stats_sql(_UNSHARP_PX)
 
 
+def q_quadrat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X309 (spatial_stats.quadrat_test): quadrat-count CSR test on a
+    customer point set with a planted cluster (30% of points packed
+    into a 40-unit box) — 8×8 quadrats over [0,400)², exact rational
+    chi²/VMR; VMR must exceed 1 (clustered)."""
+    from osm2geojson_spark.operators.spatial_stats import quadrat_test
+
+    c = F.col("c_custkey")
+    clustered = (c % 10) < 3
+    pts = _t(spark, sf_dir, "customer").select(
+        F.when(clustered, (c * 7) % 40 + 100).otherwise((c * 13) % 400).alias("x"),
+        F.when(clustered, (c * 11) % 40 + 200).otherwise((c * 29) % 400).alias("y"),
+    )
+    return quadrat_test(pts, g=8, extent=400)
+
+
+def _quadrat_sql() -> str:
+    from osm2geojson_spark.operators.spatial_stats import quadrat_test_sql
+
+    pts = (
+        "SELECT CASE WHEN c_custkey % 10 < 3 THEN (c_custkey * 7) % 40 + 100"
+        " ELSE (c_custkey * 13) % 400 END AS x,"
+        " CASE WHEN c_custkey % 10 < 3 THEN (c_custkey * 11) % 40 + 200"
+        " ELSE (c_custkey * 29) % 400 END AS y FROM customer"
+    )
+    return quadrat_test_sql(pts, g=8, extent=400)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "quadrat": q_quadrat,
         "undistort": q_undistort,
         "lcs_similarity": q_lcs_similarity,
         "tree_depth2": q_tree_depth2,
@@ -14768,6 +14797,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "quadrat": _quadrat_sql(),
         "undistort": _undistort_sql(),
         "lcs_similarity": _lcs_similarity_sql(),
         "tree_depth2": _tree_depth2_sql(),

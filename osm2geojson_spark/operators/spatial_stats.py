@@ -1717,3 +1717,79 @@ SELECT c.store_id, CAST(COUNT(*) AS BIGINT) AS n_points,
 FROM hf_c c JOIN hf_d d USING (pid)
 GROUP BY 1
 """
+
+
+def quadrat_test(
+    pts: DataFrame,
+    g: int,
+    extent: int,
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """One row (n, q, occupied, sum_sq, chi2_num, chi2_den, vmr_num,
+    vmr_den) — QUADRAT-COUNT TEST of complete spatial randomness
+    (Greig-Smith): bin points into a g×g grid over [0, extent)², then
+
+        chi2 = Σ_cells (n_i − n/Q)² / (n/Q)  =  (Q·Σn_i² − n²) / n
+        VMR  = s²/mean  =  (Q·Σn_i² − n²) / (n·(Q−1))
+
+    reported as exact integer rationals (empty quadrats included via
+    Q = g² — only occupied cells are materialized, the identity folds
+    the zeros in algebraically). VMR > 1 → clustered, < 1 → regular,
+    = 1 → Poisson; the first-look dispersion diagnostic before
+    heavier Ripley/Gi* machinery.
+
+    Scale: one combinable groupBy(cell) + one global rollup — strictly
+    scan-shaped, no joins, no windows."""
+    q = g * g
+    cells = pts.select(
+        (
+            F.floor(F.col(x_col) * g / extent).cast("long") * g
+            + F.floor(F.col(y_col) * g / extent).cast("long")
+        ).alias("cell")
+    ).groupBy("cell").agg(F.count(F.lit(1)).alias("c"))
+    return cells.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.lit(q).cast("long").alias("q"),
+        F.count(F.lit(1)).cast("long").alias("occupied"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("sum_sq"),
+    ).select(
+        "n",
+        "q",
+        "occupied",
+        "sum_sq",
+        (F.col("q") * F.col("sum_sq") - F.col("n") * F.col("n")).alias(
+            "chi2_num"
+        ),
+        F.col("n").alias("chi2_den"),
+        (F.col("q") * F.col("sum_sq") - F.col("n") * F.col("n")).alias(
+            "vmr_num"
+        ),
+        (F.col("n") * (F.col("q") - 1)).alias("vmr_den"),
+    )
+
+
+def quadrat_test_sql(pts_cte: str, g: int, extent: int) -> str:
+    """DuckDB twin of quadrat_test. ``pts_cte`` -> (x, y)."""
+    q = g * g
+    return f"""
+WITH qd_c AS (
+  SELECT CAST(floor(x * {g} / {extent}) AS BIGINT) * {g}
+         + CAST(floor(y * {g} / {extent}) AS BIGINT) AS cell,
+         COUNT(*) AS c
+  FROM ({pts_cte}) GROUP BY 1
+),
+qd_a AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS n,
+         CAST({q} AS BIGINT) AS q,
+         CAST(COUNT(*) AS BIGINT) AS occupied,
+         CAST(SUM(c * c) AS BIGINT) AS sum_sq
+  FROM qd_c
+)
+SELECT n, q, occupied, sum_sq,
+       q * sum_sq - n * n AS chi2_num,
+       n AS chi2_den,
+       q * sum_sq - n * n AS vmr_num,
+       n * (q - 1) AS vmr_den
+FROM qd_a
+"""

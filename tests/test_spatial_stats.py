@@ -1142,3 +1142,50 @@ def test_huff_shares_brute_and_conservation(spark):
         ).fetchall()
     }
     assert twin == got
+
+
+def test_quadrat_test_brute_and_regimes(spark):
+    """Quadrat chi2/VMR vs scalar replay; clustered > 1 > regular."""
+    import duckdb
+
+    from osm2geojson_spark.operators.spatial_stats import (
+        quadrat_test,
+        quadrat_test_sql,
+    )
+
+    # regular: one point per cell of a 4x4 grid (VMR = 0)
+    regular = [(i % 4 * 25 + 10, i // 4 * 25 + 10) for i in range(16)]
+    # clustered: all 16 points in one cell
+    clustered = [(3 + i % 4, 3 + i // 4) for i in range(16)]
+
+    def brute(pts, g, extent):
+        import collections
+
+        q = g * g
+        cnt = collections.Counter(
+            (x * g // extent) * g + (y * g // extent) for x, y in pts
+        )
+        n = len(pts)
+        ss = sum(c * c for c in cnt.values())
+        return (n, q, len(cnt), ss, q * ss - n * n, n, q * ss - n * n, n * (q - 1))
+
+    for pts in (regular, clustered):
+        df = spark.createDataFrame(pts, "x long, y long")
+        r = quadrat_test(df, g=4, extent=100).collect()[0]
+        assert tuple(r) == brute(pts, 4, 100)
+
+    r_reg = quadrat_test(
+        spark.createDataFrame(regular, "x long, y long"), g=4, extent=100
+    ).collect()[0]
+    r_clu = quadrat_test(
+        spark.createDataFrame(clustered, "x long, y long"), g=4, extent=100
+    ).collect()[0]
+    # VMR: regular < 1 (here 0), clustered >> 1
+    assert r_reg["vmr_num"] == 0
+    assert r_clu["vmr_num"] > r_clu["vmr_den"]
+
+    duck = duckdb.connect()
+    duck.execute("CREATE TABLE qdp (x BIGINT, y BIGINT)")
+    duck.executemany("INSERT INTO qdp VALUES (?, ?)", clustered)
+    t = duck.sql(quadrat_test_sql("SELECT * FROM qdp", 4, 100)).fetchall()[0]
+    assert tuple(t) == tuple(r_clu)
