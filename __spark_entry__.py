@@ -14434,9 +14434,60 @@ def _quadrat_sql() -> str:
     return quadrat_test_sql(pts, g=8, extent=400)
 
 
+def q_beat_track(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X310 (multimodal.beat_track): tempo estimation on clips with a
+    loud burst every P = 3 + i%3 frames — onset-flux envelope ACF
+    argmax over lags 2-16; the planted beat period must win."""
+    from osm2geojson_spark.functions import audiocodec as AC
+    from osm2geojson_spark.operators.multimodal import beat_track
+
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_partkey") < 450) & (F.col("p_partkey") % 3 == 0)
+    ).select(F.col("p_partkey").alias("_i"))
+
+    def gen(it):
+        import numpy as np
+
+        for pdf in it:
+            rows = []
+            for i in pdf["_i"]:
+                i = int(i)
+                p = 3 + i % 3
+                t = np.arange(640, dtype=np.int64)
+                amp = np.where((t // 32) % p == 0, 8000, 200)
+                v = np.where(t % 4 < 2, amp, -amp)
+                rows.append(
+                    (f"aud{i:012d}", "pcmz", AC.encode_pcm16(v.astype(np.int16)))
+                )
+            yield pd.DataFrame(rows, columns=["audio_id", "fmt", "bytes"])
+
+    clips = part.mapInPandas(gen, schema="audio_id string, fmt string, bytes binary")
+    return beat_track(clips)
+
+
+def _beat_track_sql() -> str:
+    from osm2geojson_spark.operators.multimodal import beat_track_sql
+
+    samples = """
+SELECT printf('aud%012d', i) AS audio_id, t,
+       CASE WHEN t % 4 < 2 THEN amp ELSE -amp END AS v
+FROM (
+  SELECT i, t,
+         CASE WHEN (t // 32) % p = 0 THEN 8000 ELSE 200 END AS amp
+  FROM (
+    SELECT p_partkey AS i, 3 + p_partkey % 3 AS p,
+           unnest(range(0, 640)) AS t
+    FROM part WHERE p_partkey < 450 AND p_partkey % 3 = 0
+  )
+)
+"""
+    return beat_track_sql(samples)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "beat_track": q_beat_track,
         "quadrat": q_quadrat,
         "undistort": q_undistort,
         "lcs_similarity": q_lcs_similarity,
@@ -14797,6 +14848,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "beat_track": _beat_track_sql(),
         "quadrat": _quadrat_sql(),
         "undistort": _undistort_sql(),
         "lcs_similarity": _lcs_similarity_sql(),

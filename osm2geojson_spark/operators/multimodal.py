@@ -5811,3 +5811,120 @@ SELECT image_id, CAST(COUNT(*) AS BIGINT) AS n_px,
        CAST(COALESCE(MAX(v), 0) AS BIGINT) AS out_max
 FROM ud_j GROUP BY image_id
 """
+
+
+BEAT_FLUX_SHIFT = 16  # onset-strength downshift keeping ACF in int64
+
+
+def beat_track(
+    audios: DataFrame,
+    frame: int = 32,
+    min_lag: int = 2,
+    max_lag: int = 16,
+) -> DataFrame:
+    """(audio_id, n_frames, best_lag, best_corr) — TEMPO / BEAT-PERIOD
+    estimation BY COMPOSITION over audio_frames: the frame-energy
+    envelope's onset strength  o_f = max(0, e_f − e_{f−1}) >> 16
+    (half-wave-rectified flux, downshifted so ACF products stay int64)
+    is autocorrelated and the best lag in [min_lag, max_lag] frames is
+    the beat period — the classic librosa-style tempogram argmax, in
+    pure relational algebra (the only kernel is the existing frame
+    cutter; everything after is a window + an equi-join).
+
+    Ties pinned by (corr DESC, lag ASC); clips with fewer than
+    min_lag+2 frames emit nothing (no ACF support).
+
+    Scale: the envelope is ~n/frame rows per clip; the ACF join is
+    |lags| equi-joins worth of envelope rows keyed by (clip, frame) —
+    combinable rollups, no pixel/sample bytes past the first stage."""
+    env = audio_frames(audios, frame=frame)
+    w = Window.partitionBy("audio_id").orderBy("frame_idx")
+    flux = env.select(
+        "audio_id",
+        F.col("frame_idx").cast("long").alias("f"),
+        F.greatest(
+            F.lit(0),
+            (F.col("sq_sum")
+             - F.coalesce(F.lag("sq_sum", 1).over(w), F.col("sq_sum"))),
+        ).alias("o_raw"),
+    ).select(
+        "audio_id",
+        "f",
+        F.expr(f"CAST(o_raw DIV {1 << BEAT_FLUX_SHIFT} AS BIGINT)").alias("o"),
+    ).filter(F.col("o").isNotNull())
+    nf = flux.groupBy("audio_id").agg(F.count(F.lit(1)).cast("long").alias("n_frames"))
+    a = flux.select("audio_id", "f", F.col("o").alias("oa"))
+    lags = None
+    for lag in range(min_lag, max_lag + 1):
+        b = flux.select(
+            "audio_id", (F.col("f") - lag).alias("f"), F.col("o").alias("ob")
+        )
+        c = (
+            a.join(b, ["audio_id", "f"])
+            .groupBy("audio_id")
+            .agg(F.sum(F.col("oa") * F.col("ob")).cast("long").alias("corr"))
+            .select("audio_id", F.lit(lag).cast("long").alias("lag"), "corr")
+        )
+        lags = c if lags is None else lags.unionByName(c)
+    best = lags.groupBy("audio_id").agg(
+        F.min(
+            F.struct((-F.col("corr")).alias("nc"), F.col("lag").alias("lag"))
+        ).alias("top")
+    )
+    return best.join(nf, "audio_id").select(
+        "audio_id",
+        "n_frames",
+        F.col("top.lag").alias("best_lag"),
+        (-F.col("top.nc")).cast("long").alias("best_corr"),
+    )
+
+
+def beat_track_sql(
+    samples_cte: str,
+    frame: int = 32,
+    min_lag: int = 2,
+    max_lag: int = 16,
+) -> str:
+    """DuckDB twin of beat_track. ``samples_cte`` -> (audio_id, t, v)."""
+    return f"""
+WITH bt_s AS (
+  SELECT audio_id, CAST(t AS BIGINT) AS t, CAST(v AS BIGINT) AS v
+  FROM ({samples_cte})
+),
+bt_nf AS (SELECT audio_id, (MAX(t) + 1) // {frame} AS full_frames FROM bt_s GROUP BY 1),
+bt_e AS (
+  SELECT s.audio_id, s.t // {frame} AS f, SUM(s.v * s.v) AS e
+  FROM bt_s s JOIN bt_nf n USING (audio_id)
+  WHERE s.t // {frame} < n.full_frames
+  GROUP BY 1, 2
+),
+bt_o AS (
+  SELECT audio_id, f,
+         GREATEST(0, e - COALESCE(
+             lag(e) OVER (PARTITION BY audio_id ORDER BY f), e))
+           // {1 << BEAT_FLUX_SHIFT} AS o
+  FROM bt_e
+),
+bt_f AS (SELECT audio_id, f, o FROM bt_o WHERE o IS NOT NULL),
+bt_cnt AS (SELECT audio_id, CAST(COUNT(*) AS BIGINT) AS n_frames
+           FROM bt_f GROUP BY 1),
+bt_l AS (SELECT unnest(range({min_lag}, {max_lag} + 1)) AS lag),
+bt_c AS (
+  SELECT a.audio_id, l.lag, CAST(SUM(a.o * b.o) AS BIGINT) AS corr
+  FROM bt_f a
+  JOIN bt_l l ON true
+  JOIN bt_f b ON b.audio_id = a.audio_id AND b.f = a.f + l.lag
+  GROUP BY 1, 2
+),
+bt_rk AS (
+  SELECT audio_id, lag, corr,
+         row_number() OVER (PARTITION BY audio_id
+                            ORDER BY corr DESC, lag ASC) AS rk
+  FROM bt_c
+)
+SELECT r.audio_id, c.n_frames,
+       CAST(r.lag AS BIGINT) AS best_lag,
+       CAST(r.corr AS BIGINT) AS best_corr
+FROM bt_rk r JOIN bt_cnt c USING (audio_id)
+WHERE r.rk = 1
+"""

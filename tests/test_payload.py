@@ -3966,3 +3966,40 @@ def test_undistort_stats_scalar_replay_and_identity_center(spark):
         for r in duck.sql(undistort_stats_sql("SELECT * FROM udpt")).fetchall()
     }
     assert twin == got
+
+
+def test_beat_track_planted_periods_and_twin(spark):
+    """Envelope-ACF tempo: planted burst periods recovered exactly."""
+    import duckdb
+
+    from osm2geojson_spark.functions import audiocodec as AC
+    from osm2geojson_spark.operators.multimodal import beat_track, beat_track_sql
+
+    clips = []
+    sample_rows = []
+    for i, period in [(0, 4), (1, 6), (2, 9)]:
+        t = np.arange(1024, dtype=np.int64)
+        amp = np.where((t // 32) % period == 0, 9000, 150)
+        v = np.where(t % 4 < 2, amp, -amp)
+        clips.append((f"c{i}", "pcmz", AC.encode_pcm16(v.astype(np.int16))))
+        sample_rows += [(f"c{i}", int(tt), int(vv)) for tt, vv in zip(t, v)]
+
+    df = spark.createDataFrame(clips, "audio_id string, fmt string, bytes binary")
+    got = {
+        r["audio_id"]: (r["n_frames"], r["best_lag"], r["best_corr"])
+        for r in beat_track(df).collect()
+    }
+    for i, period in [(0, 4), (1, 6), (2, 9)]:
+        nf, lag, corr = got[f"c{i}"]
+        assert nf == 32
+        assert lag == period, (i, lag)
+        assert corr > 0
+
+    duck = duckdb.connect()
+    duck.execute("CREATE TABLE bts (audio_id VARCHAR, t BIGINT, v BIGINT)")
+    duck.executemany("INSERT INTO bts VALUES (?, ?, ?)", sample_rows)
+    twin = {
+        r[0]: (r[1], r[2], r[3])
+        for r in duck.sql(beat_track_sql("SELECT * FROM bts")).fetchall()
+    }
+    assert twin == got
