@@ -14484,9 +14484,28 @@ FROM (
     return beat_track_sql(samples)
 
 
+def q_rocchio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X311 (retrieval.rocchio_expand): pseudo-relevance-feedback query
+    expansion over the BM25 top-10 for the standing query terms —
+    integer Rocchio weights, top-10 expansion terms pinned."""
+    from osm2geojson_spark.operators.retrieval import rocchio_expand
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return rocchio_expand(docs, _BM25_TERMS, k=10, m=10)
+
+
+def _rocchio_sql() -> str:
+    from osm2geojson_spark.operators.retrieval import rocchio_expand_sql
+
+    return rocchio_expand_sql(
+        "documents", H.tokens_sql("text"), _BM25_TERMS, k=10, m=10
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "rocchio": q_rocchio,
         "beat_track": q_beat_track,
         "quadrat": q_quadrat,
         "undistort": q_undistort,
@@ -14848,6 +14867,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "rocchio": _rocchio_sql(),
         "beat_track": _beat_track_sql(),
         "quadrat": _quadrat_sql(),
         "undistort": _undistort_sql(),

@@ -592,3 +592,108 @@ rrf_rk AS (
 )
 SELECT * FROM rrf_rk WHERE fused_rank <= {k}
 """
+
+
+ROCCHIO_MICRO = 1_000_000  # expansion-weight fixed point
+
+
+def rocchio_expand(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    m: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(term, weight_micro, in_query, df_rel) — ROCCHIO PSEUDO-
+    RELEVANCE-FEEDBACK query expansion (α = β = 1): the BM25 top-``k``
+    documents are assumed relevant and their centroid term mass is
+    added to the query —
+
+        weight(w) = 10⁶·[w ∈ Q]  +  (10⁶ · Σ_{d∈R} tf_d(w)) DIV |R|
+
+    — the classic recall lever of every search stack, composed over
+    bm25_topk (reused verbatim, stats broadcast and all). Output is
+    the top-``m`` terms by (weight DESC, term ASC); df_rel counts how
+    many feedback docs contain the term. All arithmetic integer
+    (truncating DIV on nonnegatives), so the composition is
+    engine-exact even though the BM25 scores inside are floats — only
+    the SET of top-k ids crosses the boundary, and those are pinned
+    by bm25_topk's rounded-score ordering.
+
+    Scale: one broadcast of the k feedback ids against the token
+    explode (leftsemi), one combinable term rollup."""
+    rel = bm25_topk(docs, query_terms, k=k, id_col=id_col, text_col=text_col)
+    rel_ids = rel.select(id_col)
+    n_rel = rel_ids.count()
+    toks = (
+        docs.join(F.broadcast(rel_ids), id_col, "leftsemi")
+        .select(
+            F.explode(H.tokens_col(F.col(text_col))).alias("term"),
+            F.col(id_col).alias("_d"),
+        )
+    )
+    mass = toks.groupBy("term").agg(
+        F.count(F.lit(1)).alias("tf_sum"),
+        F.countDistinct("_d").cast("long").alias("df_rel"),
+    )
+    w = (
+        F.when(F.col("term").isin(*query_terms), F.lit(ROCCHIO_MICRO))
+        .otherwise(F.lit(0))
+        + F.expr(f"CAST({ROCCHIO_MICRO} * tf_sum DIV {max(n_rel, 1)} AS BIGINT)")
+    ).cast("long")
+    from pyspark.sql.window import Window as _W
+
+    ranked = mass.select(
+        "term",
+        w.alias("weight_micro"),
+        F.col("term").isin(*query_terms).alias("in_query"),
+        "df_rel",
+    ).withColumn(
+        "_rk",
+        F.row_number().over(
+            _W.orderBy(F.col("weight_micro").desc(), F.col("term").asc())
+        ),
+    )
+    return ranked.filter(F.col("_rk") <= m).drop("_rk")
+
+
+def rocchio_expand_sql(
+    table: str,
+    tokens_sql_expr: str,
+    query_terms: list[str],
+    k: int = 10,
+    m: int = 10,
+    n_rel_expr: str | None = None,
+) -> str:
+    """DuckDB twin of rocchio_expand — nests bm25_topk_sql for the
+    feedback set, replays the integer weight assembly."""
+    bm25 = bm25_topk_sql(table, tokens_sql_expr, query_terms, k=k)
+    terms_list = ", ".join(f"'{t}'" for t in query_terms)
+    return f"""
+WITH ro_rel AS (SELECT doc_id FROM ({bm25})),
+ro_n AS (SELECT GREATEST(COUNT(*), 1) AS nr FROM ro_rel),
+ro_tok AS (
+  SELECT d.doc_id, unnest({tokens_sql_expr}) AS term
+  FROM {table} d JOIN ro_rel USING (doc_id)
+),
+ro_mass AS (
+  SELECT term, COUNT(*) AS tf_sum, COUNT(DISTINCT doc_id) AS df_rel
+  FROM ro_tok GROUP BY 1
+),
+ro_w AS (
+  SELECT term,
+         CAST(CASE WHEN term IN ({terms_list}) THEN {ROCCHIO_MICRO}
+                   ELSE 0 END
+              + ({ROCCHIO_MICRO} * tf_sum) // (SELECT nr FROM ro_n)
+              AS BIGINT) AS weight_micro,
+         term IN ({terms_list}) AS in_query,
+         CAST(df_rel AS BIGINT) AS df_rel
+  FROM ro_mass
+),
+ro_rk AS (
+  SELECT *, row_number() OVER (ORDER BY weight_micro DESC, term ASC) AS rk
+  FROM ro_w
+)
+SELECT term, weight_micro, in_query, df_rel FROM ro_rk WHERE rk <= {m}
+"""

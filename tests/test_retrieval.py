@@ -338,3 +338,71 @@ def test_rrf_fuse_brute_and_twin(spark):
         for r in duck.sql(rrf_fuse_sql("SELECT * FROM rrf", k=3)).fetchall()
     }
     assert twin == got
+
+
+def test_rocchio_expand_brute_and_twin(spark):
+    """Rocchio weights vs a scalar replay on a tiny corpus: feedback
+    docs' dominant co-occurring term outranks rare terms, query terms
+    get the alpha boost."""
+    import collections
+    import duckdb
+
+    from osm2geojson_spark.functions import hashing as H
+    from osm2geojson_spark.operators.retrieval import (
+        ROCCHIO_MICRO,
+        bm25_topk,
+        rocchio_expand,
+        rocchio_expand_sql,
+    )
+
+    docs = [
+        (1, "spark window merge fastpath fastpath"),
+        (2, "spark window fastpath join"),
+        (3, "spark merge fastpath sort"),
+        (4, "unrelated words entirely different"),
+        (5, "more unrelated filler text"),
+    ]
+    terms = ["spark", "window"]
+    k, m = 3, 6
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    rel = [r["doc_id"] for r in bm25_topk(df, terms, k=k).collect()]
+
+    def brute():
+        tf = collections.Counter()
+        dfr = collections.Counter()
+        for did, text in docs:
+            if did not in rel:
+                continue
+            toks = text.split()
+            for w in toks:
+                tf[w] += 1
+            for w in set(toks):
+                dfr[w] += 1
+        nr = max(len(rel), 1)
+        rows = []
+        for w in tf:
+            wt = (ROCCHIO_MICRO if w in terms else 0) + ROCCHIO_MICRO * tf[w] // nr
+            rows.append((w, wt, w in terms, dfr[w]))
+        rows.sort(key=lambda r: (-r[1], r[0]))
+        return {r[0]: r[1:] for r in rows[:m]}
+
+    got = {
+        r["term"]: (r["weight_micro"], r["in_query"], r["df_rel"])
+        for r in rocchio_expand(df, terms, k=k, m=m).collect()
+    }
+    assert got == brute()
+    # 'fastpath' co-occurs in every feedback doc -> top expansion term
+    assert "fastpath" in got and not got["fastpath"][1]
+    assert got["fastpath"][2] == len(rel)
+
+    duck = duckdb.connect()
+    duck.execute("CREATE TABLE rodocs (doc_id BIGINT, text VARCHAR)")
+    duck.executemany("INSERT INTO rodocs VALUES (?, ?)", docs)
+    twin = {
+        r[0]: tuple(r[1:])
+        for r in duck.sql(
+            rocchio_expand_sql("rodocs", H.tokens_sql("text"), terms, k=k, m=m)
+        ).fetchall()
+    }
+    assert twin == got
