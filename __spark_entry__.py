@@ -14502,9 +14502,53 @@ def _rocchio_sql() -> str:
     )
 
 
+def q_k_truss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X312 (graph.k_truss): 4-truss peeling on planted K4 blocks
+    (every edge inside a block of 4 consecutive part keys) plus hash
+    chord noise — the chords peel away, the cliques survive with
+    support 2."""
+    from osm2geojson_spark.operators import graph as G
+
+    part = _t(spark, sf_dir, "part").select("p_partkey")
+    n = part.count()
+    k = F.col("p_partkey")
+    base = k - (k % 4)
+    in_block = (base + 3) < n
+    cliques = None
+    for a in range(4):
+        for b in range(a + 1, 4):
+            ed = part.filter(in_block & (k % 4 == a)).select(
+                k.alias("src"), (k + (b - a)).alias("dst")
+            )
+            cliques = ed if cliques is None else cliques.unionByName(ed)
+    noise = part.select(k.alias("src"), ((k * 7 + 3) % n).alias("dst"))
+    return G.k_truss(cliques.unionByName(noise), k=4, rounds=4)
+
+
+def _k_truss_sql() -> str:
+    from osm2geojson_spark.operators import graph as G
+
+    pairs = []
+    for a in range(4):
+        for b in range(a + 1, 4):
+            pairs.append(
+                "SELECT p_partkey AS src, p_partkey + "
+                f"{b - a} AS dst FROM part WHERE p_partkey % 4 = {a}"
+                " AND p_partkey - (p_partkey % 4) + 3 <"
+                " (SELECT COUNT(*) FROM part)"
+            )
+    pairs.append(
+        "SELECT p_partkey AS src,"
+        " (p_partkey * 7 + 3) % (SELECT COUNT(*) FROM part) AS dst FROM part"
+    )
+    edges = " UNION ALL ".join(pairs)
+    return G.k_truss_sql(edges, k=4, rounds=4)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "k_truss": q_k_truss,
         "rocchio": q_rocchio,
         "beat_track": q_beat_track,
         "quadrat": q_quadrat,
@@ -14867,6 +14911,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "k_truss": _k_truss_sql(),
         "rocchio": _rocchio_sql(),
         "beat_track": _beat_track_sql(),
         "quadrat": _quadrat_sql(),

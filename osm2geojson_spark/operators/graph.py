@@ -2152,3 +2152,117 @@ SELECT v AS node, CAST(SUM(delta) AS BIGINT) AS bc_micro
 FROM ({union}) u
 GROUP BY 1 HAVING SUM(delta) > 0
 """
+
+
+def k_truss(
+    edges: DataFrame,
+    k: int,
+    rounds: int = 6,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """(u, v, support) — K-TRUSS decomposition (Cohen 2008): iteratively
+    delete every edge in fewer than k−2 triangles until stable — the
+    community-core detector stronger than k-core (each surviving edge
+    is embedded in a dense triangle mesh; the standard cohesive-
+    subgraph primitive of fraud rings and social cores). Output is the
+    surviving canonical edge set with its final triangle support.
+
+    Each round: one oriented triangle enumeration (u<v<w via three
+    joins on the canonicalized live set — the triangles operator's
+    plan) → per-edge support rollup → filter support >= k−2. Rounds
+    run to the caller's cap; peeling is monotone (the live set only
+    shrinks) and each round is a pure function of the previous set, so
+    an unchanged edge count proves the fixed point and later rounds
+    are no-ops — the unrolled twin always runs the full cap and must
+    land on the identical set.
+
+    Scale: triangle enumeration is the classic Σ min(deg) join —
+    orient by (node id) keeps it skew-bounded; support rollup is
+    map-combinable; localCheckpoint flattens iterative lineage."""
+    e = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("u"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    cnt = e.count()
+    for _ in range(rounds):
+        ab = e.select(F.col("u").alias("a"), F.col("v").alias("b"))
+        bc = e.select(F.col("u").alias("b"), F.col("v").alias("c"))
+        ac = e.select(F.col("u").alias("a"), F.col("v").alias("c"))
+        tri = ab.join(bc, "b").join(ac, ["a", "c"])
+        sup = (
+            tri.select(F.col("a").alias("u"), F.col("b").alias("v"))
+            .unionByName(tri.select(F.col("b").alias("u"), F.col("c").alias("v")))
+            .unionByName(tri.select(F.col("a").alias("u"), F.col("c").alias("v")))
+            .groupBy("u", "v")
+            .agg(F.count(F.lit(1)).cast("long").alias("support"))
+        )
+        e = (
+            e.select("u", "v")
+            .join(sup.withColumnRenamed("support", "_sup"), ["u", "v"], "left")
+            .select(
+                "u", "v",
+                F.coalesce(F.col("_sup"), F.lit(0)).cast("long").alias(
+                    "support"
+                ),
+            )
+            .filter(F.col("support") >= k - 2)
+            .localCheckpoint(eager=False)
+        )
+        ncnt = e.count()
+        if ncnt == cnt:
+            break
+        cnt = ncnt
+    return e
+
+
+def k_truss_sql(edges_cte: str, k: int, rounds: int = 6) -> str:
+    """DuckDB twin of k_truss — identical canonicalization and unrolled
+    peel rounds (MATERIALIZED)."""
+    parts = [
+        f"""kt_e0 AS MATERIALIZED (
+  SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+  FROM ({edges_cte}) WHERE src <> dst
+)"""
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"""kt_s{i} AS MATERIALIZED (
+  SELECT u, v, CAST(COUNT(*) AS BIGINT) AS support FROM (
+    SELECT t.a AS u, t.b AS v FROM (
+      SELECT ab.u AS a, ab.v AS b, bc.v AS c
+      FROM kt_e{i - 1} ab
+      JOIN kt_e{i - 1} bc ON bc.u = ab.v
+      JOIN kt_e{i - 1} ac ON ac.u = ab.u AND ac.v = bc.v
+    ) t
+    UNION ALL
+    SELECT t.b, t.c FROM (
+      SELECT ab.u AS a, ab.v AS b, bc.v AS c
+      FROM kt_e{i - 1} ab
+      JOIN kt_e{i - 1} bc ON bc.u = ab.v
+      JOIN kt_e{i - 1} ac ON ac.u = ab.u AND ac.v = bc.v
+    ) t
+    UNION ALL
+    SELECT t.a, t.c FROM (
+      SELECT ab.u AS a, ab.v AS b, bc.v AS c
+      FROM kt_e{i - 1} ab
+      JOIN kt_e{i - 1} bc ON bc.u = ab.v
+      JOIN kt_e{i - 1} ac ON ac.u = ab.u AND ac.v = bc.v
+    ) t
+  ) roles GROUP BY 1, 2
+),
+kt_e{i} AS MATERIALIZED (
+  SELECT e.u, e.v, COALESCE(s.support, 0) AS support
+  FROM kt_e{i - 1} e LEFT JOIN kt_s{i} s USING (u, v)
+  WHERE COALESCE(s.support, 0) >= {k - 2}
+)"""
+        )
+    body = ",\n".join(parts)
+    return f"""WITH {body}
+SELECT u, v, CAST(support AS BIGINT) AS support FROM kt_e{rounds}
+"""

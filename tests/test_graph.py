@@ -1232,3 +1232,34 @@ def test_betweenness_bounded_scalar_replay(spark):
         ).fetchall()
     }
     assert twin == got
+
+
+def test_k_truss_peels_to_clique(spark):
+    """4-truss: a K5 clique survives; a pendant triangle chain peels."""
+    import duckdb
+    import itertools
+
+    from osm2geojson_spark.operators.graph import k_truss, k_truss_sql
+
+    k5 = list(itertools.combinations(range(5), 2))
+    # tail: triangle (10,11,12) bridged to the clique by edge (0,10):
+    # each tail edge sits in at most 1 triangle -> support 1 < 2 -> peels
+    tail = [(10, 11), (11, 12), (10, 12), (0, 10)]
+    edges = k5 + tail
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        (r["u"], r["v"]): r["support"] for r in k_truss(df, k=4, rounds=5).collect()
+    }
+    # K5 edges all survive with support 3 (each edge in 3 triangles)
+    assert got == {e: 3 for e in k5}
+
+    duck = duckdb.connect()
+    duck.execute("CREATE TABLE kte (src BIGINT, dst BIGINT)")
+    duck.executemany("INSERT INTO kte VALUES (?, ?)", edges)
+    twin = {
+        (r[0], r[1]): r[2]
+        for r in duck.sql(
+            k_truss_sql("SELECT src, dst FROM kte", k=4, rounds=5)
+        ).fetchall()
+    }
+    assert twin == got
