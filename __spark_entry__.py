@@ -14545,9 +14545,42 @@ def _k_truss_sql() -> str:
     return G.k_truss_sql(edges, k=4, rounds=4)
 
 
+def q_stable_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X313 (matching.stable_matching): synchronous Gale-Shapley over a
+    blocked customer→supplier preference table ((c+s)%7 block, hash
+    scores) — 8 rounds, proposer-optimal over the truncated lists."""
+    from osm2geojson_spark.operators.matching import stable_matching
+
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") % 3 == 0).select(
+        F.col("c_custkey").alias("p")
+    )
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_suppkey").alias("a"))
+    prefs = (
+        c.crossJoin(F.broadcast(s))
+        .filter((F.col("p") + F.col("a")) % 7 == 0)
+        .select(
+            "p", "a", ((F.col("p") * 31 + F.col("a") * 17) % 997).alias("s")
+        )
+    )
+    return stable_matching(prefs, rounds=8)
+
+
+def _stable_matching_sql() -> str:
+    from osm2geojson_spark.operators.matching import stable_matching_sql
+
+    prefs = (
+        "SELECT c_custkey AS p, s_suppkey AS a,"
+        " (c_custkey * 31 + s_suppkey * 17) % 997 AS s"
+        " FROM customer, supplier"
+        " WHERE c_custkey % 3 = 0 AND (c_custkey + s_suppkey) % 7 = 0"
+    )
+    return stable_matching_sql(prefs, rounds=8)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "stable_matching": q_stable_matching,
         "k_truss": q_k_truss,
         "rocchio": q_rocchio,
         "beat_track": q_beat_track,
@@ -14911,6 +14944,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "stable_matching": _stable_matching_sql(),
         "k_truss": _k_truss_sql(),
         "rocchio": _rocchio_sql(),
         "beat_track": _beat_track_sql(),

@@ -120,3 +120,128 @@ def snap_to_segments(
         .filter(F.col("snap_rank") <= top_k)
         .select(point_id, seg_id, "snap_rank", "d2")
     )
+
+
+def stable_matching(
+    prefs: DataFrame,
+    rounds: int = 8,
+    p_col: str = "p",
+    a_col: str = "a",
+    score_col: str = "s",
+) -> DataFrame:
+    """(p, a, s) — STABLE MATCHING by synchronous Gale-Shapley rounds
+    (the parallel "proposal" variant of McVitie-Wilson): proposers walk
+    their preference lists top-down, acceptors hold their best offer so
+    far, rejections advance the pointer. The assignment operator behind
+    ad-slot/job/task allocation with two-sided preferences — and with
+    integer scores + pinned tie-breaks it is a pure function of the
+    preference table (both engines land on the same matching; with
+    enough rounds it is THE proposer-optimal stable matching over the
+    truncated lists).
+
+    ``prefs`` holds candidate pairs (p, a, s) — typically the output of
+    a blocking join, NOT a cross product; each proposer's list is
+    ranked (s DESC, a ASC), acceptors prefer (s DESC, p ASC). A
+    proposer exhausting its list stays unmatched.
+
+    Scale: per round one join of free proposers against their next-
+    ranked candidate + one argmax rollup per acceptor — state is one
+    pointer per proposer and one holder per acceptor, localCheckpoint
+    keeps lineage flat; rounds needed <= longest truncated list."""
+    w = Window.partitionBy("p").orderBy(F.col("s").desc(), F.col("a").asc())
+    pref = (
+        prefs.select(
+            F.col(p_col).alias("p"), F.col(a_col).alias("a"),
+            F.col(score_col).cast("long").alias("s"),
+        )
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .localCheckpoint(eager=False)
+    )
+    state = pref.select("p").distinct().select(
+        "p", F.lit(1).cast("long").alias("ptr")
+    )
+    held = None  # (a, p, s) current engagements
+    for _ in range(rounds):
+        props = state.join(pref, ["p"]).filter(F.col("rk") == F.col("ptr")).select(
+            "p", "a", "s"
+        )
+        cand = props if held is None else props.unionByName(
+            held.select("p", "a", "s")
+        )
+        new_held = (
+            cand.groupBy("a")
+            .agg(
+                F.min(
+                    F.struct((-F.col("s")).alias("ns"), F.col("p").alias("p"))
+                ).alias("top"),
+            )
+            .select("a", F.col("top.p").alias("p"), (-F.col("top.ns")).alias("s"))
+            .localCheckpoint(eager=False)
+        )
+        # advance the pointer of every proposer who proposed and was NOT
+        # accepted (their (p,a) is not the new holding pair)
+        rejected = props.join(
+            new_held.select("a", F.col("p").alias("_wp")), "a"
+        ).filter(F.col("p") != F.col("_wp")).select("p")
+        state = (
+            state.join(rejected.withColumn("_r", F.lit(1)).distinct(), "p", "left")
+            .select(
+                "p",
+                (F.col("ptr") + F.coalesce(F.col("_r"), F.lit(0))).alias("ptr"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        # matched proposers hold; don't re-propose: drop them from the
+        # free set by pointing them AT their current rank (they propose
+        # the same pair again, which is harmless and keeps state tiny)
+        held = new_held
+    if held is None:
+        return pref.select("p", "a", "s").filter(F.lit(False))
+    return held.select("p", "a", F.col("s").cast("long").alias("s"))
+
+
+def stable_matching_sql(prefs_cte: str, rounds: int = 8) -> str:
+    """DuckDB twin of stable_matching — identical ranking and unrolled
+    synchronous rounds. ``prefs_cte`` -> (p, a, s)."""
+    parts = [
+        f"""sm_pref AS MATERIALIZED (
+  SELECT p, a, CAST(s AS BIGINT) AS s,
+         CAST(row_number() OVER (PARTITION BY p ORDER BY s DESC, a ASC)
+              AS BIGINT) AS rk
+  FROM ({prefs_cte})
+),
+sm_st0 AS MATERIALIZED (SELECT DISTINCT p, CAST(1 AS BIGINT) AS ptr FROM sm_pref)"""
+    ]
+    held_prev = None
+    for i in range(1, rounds + 1):
+        held_union = (
+            f" UNION ALL SELECT p, a, s FROM sm_h{i - 1}" if held_prev else ""
+        )
+        parts.append(
+            f"""sm_pr{i} AS MATERIALIZED (
+  SELECT st.p, pf.a, pf.s
+  FROM sm_st{i - 1} st JOIN sm_pref pf ON pf.p = st.p AND pf.rk = st.ptr
+),
+sm_h{i} AS MATERIALIZED (
+  SELECT a, p, s FROM (
+    SELECT a, p, s,
+           row_number() OVER (PARTITION BY a ORDER BY s DESC, p ASC) AS hrk
+    FROM (SELECT p, a, s FROM sm_pr{i}{held_union})
+  ) WHERE hrk = 1
+),
+sm_st{i} AS MATERIALIZED (
+  SELECT st.p,
+         st.ptr + CASE WHEN rej.p IS NOT NULL THEN 1 ELSE 0 END AS ptr
+  FROM sm_st{i - 1} st
+  LEFT JOIN (
+    SELECT DISTINCT pr.p FROM sm_pr{i} pr
+    JOIN sm_h{i} h ON h.a = pr.a
+    WHERE pr.p <> h.p
+  ) rej ON rej.p = st.p
+)"""
+        )
+        held_prev = f"sm_h{i}"
+    body = ",\n".join(parts)
+    return f"""WITH {body}
+SELECT p, a, CAST(s AS BIGINT) AS s FROM sm_h{rounds}
+"""

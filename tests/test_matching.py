@@ -110,3 +110,79 @@ def test_snap_degenerate_and_ties(spark):
     by_rank = {r["snap_rank"]: r["seg_id"] for r in rows}
     assert by_rank == {1: 3, 2: 5}
     assert all(r["d2"] == 1.0 for r in rows)
+
+
+def test_stable_matching_classic_and_stability(spark):
+    """GS rounds vs a serial Gale-Shapley; result is stable (no
+    blocking pair within the candidate table)."""
+    import duckdb
+
+    from osm2geojson_spark.operators.matching import (
+        stable_matching,
+        stable_matching_sql,
+    )
+
+    # 4 proposers x 4 acceptors, dense prefs with distinct scores
+    prefs = [
+        (p, a, ((p * 7 + a * 13 + p * a * 3) % 101))
+        for p in range(4)
+        for a in range(10, 14)
+    ]
+
+    def serial_gs():
+        # proposer-optimal serial GS over the same ranked lists
+        ranked = {}
+        for p in range(4):
+            ranked[p] = sorted(
+                [(a, s) for pp, a, s in prefs if pp == p],
+                key=lambda t: (-t[1], t[0]),
+            )
+        ptr = {p: 0 for p in ranked}
+        hold = {}  # a -> (p, s)
+        free = set(ranked)
+        while free:
+            p = min(free)
+            if ptr[p] >= len(ranked[p]):
+                free.discard(p)
+                continue
+            a, s = ranked[p][ptr[p]]
+            cur = hold.get(a)
+            if cur is None or (-s, p) < (-cur[1], cur[0]):
+                if cur is not None:
+                    ptr[cur[0]] += 1
+                    free.add(cur[0])
+                hold[a] = (p, s)
+                free.discard(p)
+            else:
+                ptr[p] += 1
+        return {(pa[0], a, pa[1]) for a, pa in hold.items()}
+
+    df = spark.createDataFrame(prefs, "p long, a long, s long")
+    got = {(r["p"], r["a"], r["s"]) for r in stable_matching(df, rounds=10).collect()}
+    assert got == serial_gs()
+
+    # no blocking pair: for every unmatched candidate pair (p,a,s),
+    # NOT (p prefers a to p's match AND a prefers p to a's holder)
+    match_p = {p: (a, s) for p, a, s in got}
+    match_a = {a: (p, s) for p, a, s in got}
+    for p, a, s in prefs:
+        if (p, a, s) in got:
+            continue
+        p_better = p not in match_p or (-s, a) < (
+            -match_p[p][1], match_p[p][0]
+        )
+        a_better = a not in match_a or (-s, p) < (
+            -match_a[a][1], match_a[a][0]
+        )
+        assert not (p_better and a_better), (p, a, s)
+
+    duck = duckdb.connect()
+    duck.execute("CREATE TABLE smp (p BIGINT, a BIGINT, s BIGINT)")
+    duck.executemany("INSERT INTO smp VALUES (?, ?, ?)", prefs)
+    twin = {
+        tuple(r)
+        for r in duck.sql(
+            stable_matching_sql("SELECT * FROM smp", rounds=10)
+        ).fetchall()
+    }
+    assert twin == got
