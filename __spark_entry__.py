@@ -14577,9 +14577,35 @@ def _stable_matching_sql() -> str:
     return stable_matching_sql(prefs, rounds=8)
 
 
+def q_allan_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X314 (analytics.allan_variance): Allan-variance ladder of each
+    event_type's cent value series at τ ∈ {4,8,16,32} — exact integer
+    block-sum rationals."""
+    from osm2geojson_spark.operators.analytics import allan_variance
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("g"),
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("x"),
+    )
+    return allan_variance(ev, order_cols=("ts", "event_id"))
+
+
+def _allan_variance_sql() -> str:
+    from osm2geojson_spark.operators.analytics import allan_variance_sql
+
+    series = (
+        "SELECT event_type AS g, ts, event_id,"
+        " CAST(round(value * 100) AS BIGINT) AS x FROM events"
+    )
+    return allan_variance_sql(series, order_by="ts, event_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "allan_variance": q_allan_variance,
         "stable_matching": q_stable_matching,
         "k_truss": q_k_truss,
         "rocchio": q_rocchio,
@@ -14944,6 +14970,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "allan_variance": _allan_variance_sql(),
         "stable_matching": _stable_matching_sql(),
         "k_truss": _k_truss_sql(),
         "rocchio": _rocchio_sql(),

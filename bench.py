@@ -351,6 +351,14 @@ BENCH_QUERIES = [
     "pitch_track",
     "naive_bayes",
     "betweenness",
+    "tree_depth2",
+    "lcs_similarity",
+    "undistort",
+    "quadrat",
+    "beat_track",
+    "rocchio",
+    "k_truss",
+    "stable_matching",
 ]
 
 

@@ -6776,3 +6776,99 @@ SELECT 'L', feat, best_t, polarity, errors, n FROM t2_lbest
 UNION ALL
 SELECT 'R', feat, best_t, polarity, errors, n FROM t2_rbest
 """
+
+
+def allan_variance(
+    series: DataFrame,
+    taus: tuple[int, ...] = (4, 8, 16, 32),
+    group_col: str = "g",
+    order_cols: tuple[str, ...] = ("t",),
+    value_col: str = "x",
+) -> DataFrame:
+    """(g, tau, m_blocks, avar_num, avar_den) — ALLAN VARIANCE per
+    averaging time τ (the oscillator/sensor-stability ladder: white
+    noise slopes −1, random walk +1, bias instability flattens), the
+    drift diagnostic for clock/IMU/telemetry fleets. For block means
+    ȳ_i over consecutive τ-sample blocks,
+
+        AVAR(τ) = Σ_i (ȳ_{i+1} − ȳ_i)² / (2(M−1))
+                = Σ_i (s_{i+1} − s_i)² / (2(M−1)τ²)
+
+    with s_i the exact int64 block SUMS — so the statistic is the
+    exact integer rational (avar_num, avar_den) = (Σ(Δs)², 2(M−1)τ²).
+    Values must be integers (quantize upstream); partial trailing
+    blocks are dropped; groups with M < 2 blocks at a τ emit no row.
+
+    Scale: per τ one combinable block rollup + one lag window over
+    block sums (M rows per group, not samples). Overflow:
+    (Δs)²·M < 2^63 — at |x| ≤ 10⁶, τ ≤ 64 that allows ~10⁶ blocks."""
+    w0 = Window.partitionBy("g").orderBy(*[F.col(c) for c in order_cols])
+    base = series.select(
+        F.col(group_col).alias("g"),
+        *[F.col(c) for c in order_cols],
+        F.col(value_col).cast("long").alias("x"),
+    ).withColumn("idx", F.row_number().over(w0).cast("long") - 1)
+    base = base.localCheckpoint(eager=False)
+    out = None
+    for tau in taus:
+        blocks = (
+            base.select("g", (F.col("idx") / tau).cast("long").alias("b"), "x")
+            .groupBy("g", "b")
+            .agg(F.count(F.lit(1)).alias("_n"), F.sum("x").alias("s"))
+            .filter(F.col("_n") == tau)
+        )
+        wb = Window.partitionBy("g").orderBy("b")
+        d = blocks.select(
+            "g", "b", (F.col("s") - F.lag("s", 1).over(wb)).alias("ds")
+        ).filter(F.col("ds").isNotNull())
+        agg = d.groupBy("g").agg(
+            (F.count(F.lit(1)) + 1).cast("long").alias("m_blocks"),
+            F.sum(F.col("ds") * F.col("ds")).cast("long").alias("num"),
+        ).filter(F.col("m_blocks") >= 2)
+        r = agg.select(
+            "g",
+            F.lit(tau).cast("long").alias("tau"),
+            "m_blocks",
+            F.col("num").alias("avar_num"),
+            (2 * (F.col("m_blocks") - 1) * tau * tau).cast("long").alias(
+                "avar_den"
+            ),
+        )
+        out = r if out is None else out.unionByName(r)
+    return out
+
+
+def allan_variance_sql(
+    series_cte: str,
+    taus: tuple[int, ...] = (4, 8, 16, 32),
+    order_by: str = "t",
+) -> str:
+    """DuckDB twin of allan_variance. ``series_cte`` -> (g, <order>, x)."""
+    blocks = []
+    for tau in taus:
+        blocks.append(
+            f"""
+SELECT g, CAST({tau} AS BIGINT) AS tau,
+       CAST(COUNT(*) + 1 AS BIGINT) AS m_blocks,
+       CAST(SUM(ds * ds) AS BIGINT) AS avar_num,
+       CAST(2 * COUNT(*) * {tau} * {tau} AS BIGINT) AS avar_den
+FROM (
+  SELECT g, s - lag(s) OVER (PARTITION BY g ORDER BY b) AS ds
+  FROM (
+    SELECT g, idx // {tau} AS b, COUNT(*) AS n, SUM(x) AS s
+    FROM av_base GROUP BY 1, 2
+  ) WHERE n = {tau}
+) WHERE ds IS NOT NULL
+GROUP BY g HAVING COUNT(*) + 1 >= 2"""
+        )
+    union = " UNION ALL ".join(blocks)
+    return f"""
+WITH av_src AS ({series_cte}),
+av_base AS (
+  SELECT g, CAST(x AS BIGINT) AS x,
+         CAST(row_number() OVER (PARTITION BY g ORDER BY {order_by})
+              AS BIGINT) - 1 AS idx
+  FROM av_src
+)
+{union}
+"""

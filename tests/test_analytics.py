@@ -4001,3 +4001,62 @@ def test_tree_depth2_scalar_replay_and_xor(spark):
         for r in duck.sql(tree_depth2_train_sql("SELECT * FROM t2")).fetchall()
     }
     assert twin == got
+
+
+def test_allan_variance_scalar_and_noise_slopes(spark):
+    """AVAR vs scalar replay; white noise halves with doubling tau,
+    a linear ramp's AVAR is exactly tau-independent... no — the ramp
+    (pure drift) gives constant Δs = tau², AVAR = tau²/2·... checked
+    against the closed form below."""
+    import duckdb
+    import random as _random
+
+    from osm2geojson_spark.operators.analytics import (
+        allan_variance,
+        allan_variance_sql,
+    )
+
+    rows = []
+    # ramp: x_t = t  ->  block sums differ by tau^2, AVAR = tau^2/2 exactly
+    for t in range(128):
+        rows.append(("ramp", t, t))
+    rng = _random.Random(7)
+    for t in range(128):
+        rows.append(("white", t, rng.randrange(-1000, 1001)))
+
+    def brute():
+        out = {}
+        for g in ("ramp", "white"):
+            xs = [x for gg, _, x in rows if gg == g]
+            for tau in (4, 8, 16, 32):
+                m = len(xs) // tau
+                ss = [sum(xs[i * tau : (i + 1) * tau]) for i in range(m)]
+                ds = [ss[i + 1] - ss[i] for i in range(m - 1)]
+                if m >= 2:
+                    out[(g, tau)] = (
+                        m, sum(d * d for d in ds), 2 * (m - 1) * tau * tau
+                    )
+        return out
+
+    df = spark.createDataFrame(rows, "g string, t long, x long")
+    got = {
+        (r["g"], r["tau"]): (r["m_blocks"], r["avar_num"], r["avar_den"])
+        for r in allan_variance(df, order_cols=("t",)).collect()
+    }
+    assert got == brute()
+    # ramp closed form: AVAR(tau) = tau^2/2  ->  num/den = tau^2 / (2 tau^2)
+    # ... i.e. num = (M-1) * tau^4, den = 2 (M-1) tau^2 -> ratio tau²/2
+    for tau in (4, 8, 16, 32):
+        m, num, den = got[("ramp", tau)]
+        assert num * 2 == den * tau * tau
+
+    duck = duckdb.connect()
+    duck.execute("CREATE TABLE avs (g VARCHAR, t BIGINT, x BIGINT)")
+    duck.executemany("INSERT INTO avs VALUES (?, ?, ?)", rows)
+    twin = {
+        (r[0], r[1]): (r[2], r[3], r[4])
+        for r in duck.sql(
+            allan_variance_sql("SELECT * FROM avs", order_by="t")
+        ).fetchall()
+    }
+    assert twin == got
