@@ -14602,9 +14602,40 @@ def _allan_variance_sql() -> str:
     return allan_variance_sql(series, order_by="ts, event_id")
 
 
+def q_cube_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X315: full CUBE grouping sets over orders (priority × status ×
+    ALL marginals — the sibling of rollup_orders, which only walks the
+    hierarchy) — exact DECIMAL sums at the boundary; NULL grouping
+    cells mapped to 'ALL' so both engines hash identical primitives."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("_total"),
+        )
+        .select(
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("o_orderpriority"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("o_orderstatus"),
+            "n",
+            F.col("_total").cast("double").alias("total"),
+        )
+    )
+
+
+_CUBE_SQL = """
+SELECT coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+       coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
+       count(*) AS n,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "cube_metrics": q_cube_metrics,
         "allan_variance": q_allan_variance,
         "stable_matching": q_stable_matching,
         "k_truss": q_k_truss,
@@ -14970,6 +15001,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "cube_metrics": _CUBE_SQL,
         "allan_variance": _allan_variance_sql(),
         "stable_matching": _stable_matching_sql(),
         "k_truss": _k_truss_sql(),
