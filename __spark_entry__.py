@@ -14632,9 +14632,58 @@ FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
 """
 
 
+def q_fs_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X316 (matching.fs_link_scores): Fellegi-Sunter scoring of
+    segment-blocked hash-sampled customer pairs on three agreement
+    fields (nation, balance band, key residue) — u estimated from the
+    candidate set, micro-nat weights, link/possible/non banding."""
+    from osm2geojson_spark.operators.matching import fs_link_scores
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_nationkey",
+        F.floor(F.col("c_acctbal") / 100).cast("long").alias("band"),
+        (F.col("c_custkey") % 97).alias("res"),
+    )
+    a = c.select(*[F.col(x).alias(f"a_{x}") for x in c.columns])
+    b = c.select(*[F.col(x).alias(f"b_{x}") for x in c.columns])
+    pairs = (
+        a.join(b, F.col("a_c_mktsegment") == F.col("b_c_mktsegment"))
+        .filter(
+            (F.col("a_c_custkey") < F.col("b_c_custkey"))
+            & ((F.col("a_c_custkey") + F.col("b_c_custkey")) % 29 == 0)
+        )
+        .select(
+            F.col("a_c_custkey").alias("id_a"),
+            F.col("b_c_custkey").alias("id_b"),
+            (F.col("a_c_nationkey") == F.col("b_c_nationkey")).alias("same_nat"),
+            (F.col("a_band") == F.col("b_band")).alias("same_band"),
+            (F.col("a_res") == F.col("b_res")).alias("same_res"),
+        )
+    )
+    return fs_link_scores(pairs, ["same_nat", "same_band", "same_res"])
+
+
+def _fs_linkage_sql() -> str:
+    from osm2geojson_spark.operators.matching import fs_link_scores_sql
+
+    pairs = (
+        "SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,"
+        " a.c_nationkey = b.c_nationkey AS same_nat,"
+        " CAST(floor(a.c_acctbal / 100) AS BIGINT)"
+        "   = CAST(floor(b.c_acctbal / 100) AS BIGINT) AS same_band,"
+        " a.c_custkey % 97 = b.c_custkey % 97 AS same_res"
+        " FROM customer a JOIN customer b"
+        " ON a.c_mktsegment = b.c_mktsegment"
+        " AND a.c_custkey < b.c_custkey"
+        " AND (a.c_custkey + b.c_custkey) % 29 = 0"
+    )
+    return fs_link_scores_sql(pairs, ["same_nat", "same_band", "same_res"])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "fs_linkage": q_fs_linkage,
         "cube_metrics": q_cube_metrics,
         "allan_variance": q_allan_variance,
         "stable_matching": q_stable_matching,
@@ -15001,6 +15050,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "fs_linkage": _fs_linkage_sql(),
         "cube_metrics": _CUBE_SQL,
         "allan_variance": _allan_variance_sql(),
         "stable_matching": _stable_matching_sql(),

@@ -245,3 +245,118 @@ sm_st{i} AS MATERIALIZED (
     return f"""WITH {body}
 SELECT p, a, CAST(s AS BIGINT) AS s FROM sm_h{rounds}
 """
+
+
+FS_MICRO = 1_000_000  # micro-nat quantization for FS weights
+
+
+def fs_link_scores(
+    pairs: DataFrame,
+    fields: list[str],
+    m_num: int = 9,
+    m_den: int = 10,
+    upper_micro: int = 2_000_000,
+    lower_micro: int = 0,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+) -> DataFrame:
+    """(id_a, id_b, score_micro, band) — FELLEGI-SUNTER record-linkage
+    scoring (1969; the Splink/dedupe.io model): candidate pairs carry
+    one boolean agreement column per field; each field contributes its
+    log-likelihood-ratio weight
+
+        agree:     ln(m_f / u_f)
+        disagree:  ln((1−m_f) / (1−u_f))
+
+    with u_f ESTIMATED FROM THE CANDIDATE SET ITSELF (the standard
+    practice — blocked candidates are overwhelmingly non-matches, so
+    their agreement rate approximates u) and m_f a fixed prior
+    (default 9/10). Every weight is quantized to round(ln(·)·1e6)
+    int64 from exact integer count ratios — ln arguments are
+    identical integers cross-engine, so scores are order-free sums
+    (track_nll's micro-nat scheme). band: 'link' above
+    ``upper_micro``, 'non' below ``lower_micro``, else 'possible'
+    (clerical-review tier).
+
+    Scale: one combinable global agg for the u-counts (broadcast
+    back), then a scan over pairs — no extra shuffle. Fields with
+    u ∈ {0, 1} get their weight from the ±1-smoothed count (add-one
+    on both sides) to keep ln finite."""
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for f in fields:
+        aggs.append(F.sum(F.col(f).cast("long")).alias(f"_a_{f}"))
+    u = pairs.agg(*aggs)
+    p = pairs.crossJoin(F.broadcast(u))
+    score = None
+    for f in fields:
+        # add-one smoothing keeps both ratios finite and integer-argued
+        ua_n = F.col(f"_a_{f}") + 1
+        ua_d = F.col("_n") + 2
+        w_agree = F.round(
+            (
+                F.log(F.lit(float(m_num))) - F.log(F.lit(float(m_den)))
+                - F.log(ua_n) + F.log(ua_d)
+            )
+            * FS_MICRO
+        ).cast("long")
+        w_dis = F.round(
+            (
+                F.log(F.lit(float(m_den - m_num))) - F.log(F.lit(float(m_den)))
+                - F.log(ua_d - ua_n) + F.log(ua_d)
+            )
+            * FS_MICRO
+        ).cast("long")
+        t = F.when(F.col(f), w_agree).otherwise(w_dis)
+        score = t if score is None else score + t
+    out = p.select(
+        F.col(a_col).alias("id_a"),
+        F.col(b_col).alias("id_b"),
+        score.cast("long").alias("score_micro"),
+    )
+    return out.select(
+        "id_a",
+        "id_b",
+        "score_micro",
+        F.when(F.col("score_micro") > upper_micro, "link")
+        .when(F.col("score_micro") < lower_micro, "non")
+        .otherwise("possible")
+        .alias("band"),
+    )
+
+
+def fs_link_scores_sql(
+    pairs_cte: str,
+    fields: list[str],
+    m_num: int = 9,
+    m_den: int = 10,
+    upper_micro: int = 2_000_000,
+    lower_micro: int = 0,
+) -> str:
+    """DuckDB twin of fs_link_scores. ``pairs_cte`` -> (id_a, id_b,
+    <bool field>...)."""
+    a_sums = ", ".join(
+        f"SUM(CASE WHEN {f} THEN 1 ELSE 0 END) AS _a_{f}" for f in fields
+    )
+    terms = []
+    for f in fields:
+        terms.append(
+            f"CASE WHEN p.{f} THEN CAST(round((ln({m_num}.0) - ln({m_den}.0)"
+            f" - ln(u._a_{f} + 1) + ln(u._n + 2)) * {FS_MICRO}) AS BIGINT)"
+            f" ELSE CAST(round((ln({m_den - m_num}.0) - ln({m_den}.0)"
+            f" - ln(u._n + 2 - (u._a_{f} + 1)) + ln(u._n + 2))"
+            f" * {FS_MICRO}) AS BIGINT) END"
+        )
+    score = " + ".join(terms)
+    return f"""
+WITH fs_p AS ({pairs_cte}),
+fs_u AS (SELECT COUNT(*) AS _n, {a_sums} FROM fs_p),
+fs_s AS (
+  SELECT p.id_a, p.id_b, CAST({score} AS BIGINT) AS score_micro
+  FROM fs_p p CROSS JOIN fs_u u
+)
+SELECT id_a, id_b, score_micro,
+       CASE WHEN score_micro > {upper_micro} THEN 'link'
+            WHEN score_micro < {lower_micro} THEN 'non'
+            ELSE 'possible' END AS band
+FROM fs_s
+"""

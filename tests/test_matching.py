@@ -186,3 +186,74 @@ def test_stable_matching_classic_and_stability(spark):
         ).fetchall()
     }
     assert twin == got
+
+
+def test_fs_link_scores_scalar_replay_and_bands(spark):
+    """FS weights vs scalar replay: all-agree pairs band 'link',
+    all-disagree 'non'."""
+    import duckdb
+    import math
+
+    from osm2geojson_spark.operators.matching import (
+        FS_MICRO,
+        fs_link_scores,
+        fs_link_scores_sql,
+    )
+
+    pairs = [
+        (1, 2, True, True, True),     # planted duplicate
+        (1, 3, False, False, False),
+        (2, 3, False, True, False),
+        (4, 5, True, False, False),
+        (6, 7, True, True, True),     # another duplicate
+        (6, 8, False, False, True),
+        (9, 10, False, False, False),
+        (9, 11, False, False, False),
+        (10, 11, False, False, False),
+        (12, 13, False, False, False),
+    ]
+    fields = ["f1", "f2", "f3"]
+
+    def brute():
+        n = len(pairs)
+        out = {}
+        for ia, ib, *ag in pairs:
+            s = 0
+            for j, f in enumerate(fields):
+                a_cnt = sum(1 for p in pairs if p[2 + j]) + 1
+                d = n + 2
+                if ag[j]:
+                    s += round(
+                        (math.log(9.0) - math.log(10.0)
+                         - math.log(a_cnt) + math.log(d)) * FS_MICRO
+                    )
+                else:
+                    s += round(
+                        (math.log(1.0) - math.log(10.0)
+                         - math.log(d - a_cnt) + math.log(d)) * FS_MICRO
+                    )
+            band = "link" if s > 2_000_000 else ("non" if s < 0 else "possible")
+            out[(ia, ib)] = (s, band)
+        return out
+
+    df = spark.createDataFrame(pairs, "id_a long, id_b long, f1 boolean, f2 boolean, f3 boolean")
+    got = {
+        (r["id_a"], r["id_b"]): (r["score_micro"], r["band"])
+        for r in fs_link_scores(df, fields).collect()
+    }
+    assert got == brute()
+    assert got[(1, 2)][1] == "link" and got[(6, 7)][1] == "link"
+    assert got[(1, 3)][1] == "non"
+
+    duck = duckdb.connect()
+    duck.execute(
+        "CREATE TABLE fsp (id_a BIGINT, id_b BIGINT, f1 BOOLEAN, f2 BOOLEAN, f3 BOOLEAN)"
+    )
+    duck.executemany("INSERT INTO fsp VALUES (?, ?, ?, ?, ?)", pairs)
+    twin = {
+        (r[0], r[1]): (r[2], r[3])
+        for r in duck.sql(
+            fs_link_scores_sql("SELECT * FROM fsp", fields)
+        ).fetchall()
+    }
+    assert twin == got
