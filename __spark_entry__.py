@@ -14680,9 +14680,39 @@ def _fs_linkage_sql() -> str:
     return fs_link_scores_sql(pairs, ["same_nat", "same_band", "same_res"])
 
 
+def q_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X317 (graph.maximal_independent_set): deterministic id-priority
+    Luby MIS on the undirected 2-chord part graph — selected
+    representatives + knockout rounds, twin-identical."""
+    from osm2geojson_spark.operators import graph as G
+
+    part = _t(spark, sf_dir, "part").select("p_partkey")
+    n = part.count()
+    k = F.col("p_partkey")
+    edges = part.select(
+        k.alias("src"), ((k * 7 + 3) % n).alias("dst")
+    ).unionByName(
+        part.select(k.alias("src"), ((k * 13 + 5) % n).alias("dst"))
+    )
+    return G.maximal_independent_set(edges, rounds=12)
+
+
+def _mis_sql() -> str:
+    from osm2geojson_spark.operators import graph as G
+
+    edges = (
+        "SELECT p_partkey AS src,"
+        " (p_partkey * 7 + 3) % (SELECT COUNT(*) FROM part) AS dst FROM part"
+        " UNION ALL SELECT p_partkey,"
+        " (p_partkey * 13 + 5) % (SELECT COUNT(*) FROM part) FROM part"
+    )
+    return G.maximal_independent_set_sql(edges, rounds=12)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "mis": q_mis,
         "fs_linkage": q_fs_linkage,
         "cube_metrics": q_cube_metrics,
         "allan_variance": q_allan_variance,
@@ -15050,6 +15080,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "mis": _mis_sql(),
         "fs_linkage": _fs_linkage_sql(),
         "cube_metrics": _CUBE_SQL,
         "allan_variance": _allan_variance_sql(),

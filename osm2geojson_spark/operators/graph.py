@@ -2266,3 +2266,140 @@ kt_e{i} AS MATERIALIZED (
     return f"""WITH {body}
 SELECT u, v, CAST(support AS BIGINT) AS support FROM kt_e{rounds}
 """
+
+
+def maximal_independent_set(
+    edges: DataFrame,
+    rounds: int = 12,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """(node, selected, round) — MAXIMAL INDEPENDENT SET by the
+    deterministic id-priority variant of Luby's algorithm: each round,
+    every live node whose id is smaller than all live neighbors' ids
+    joins the MIS; selected nodes and their neighbors leave the live
+    set. The conflict-free scheduling/sampling primitive (pick a set
+    of mutually non-adjacent representatives — e.g., near-dup cluster
+    exemplars that don't share an edge, conflict-free task slots).
+    With id priorities the result is a pure function of the edge set —
+    no RNG, twin-identical. ``round`` records when each node was
+    decided (selected or knocked out); isolated nodes select in
+    round 1.
+
+    Termination: every round removes at least the globally smallest
+    live id, and typically a constant fraction — ``rounds`` is a cap
+    (12 suffices for the fixtures; raise it for adversarial chains:
+    a path graph decided left-to-right needs O(n) by-id rounds, the
+    known tradeoff for determinism vs Luby's random priorities).
+
+    Scale: per round one min-neighbor rollup + two anti-joins, all on
+    the shrinking live set; localCheckpoint flattens lineage."""
+    e0 = edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+    e = (
+        e0.unionByName(
+            e0.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    nodes = (
+        e.select(F.col("a").alias("node"))
+        .unionByName(e.select(F.col("b").alias("node")))
+        .distinct()
+    )
+    live = nodes.localCheckpoint(eager=False)
+    live_e = e
+    decided = None
+    for rnd in range(1, rounds + 1):
+        min_nbr = live_e.groupBy(F.col("a").alias("node")).agg(
+            F.min("b").alias("mn")
+        )
+        status = live.join(min_nbr, "node", "left")
+        sel = status.filter(
+            F.col("mn").isNull() | (F.col("node") < F.col("mn"))
+        ).select("node")
+        knocked = (
+            live_e.join(
+                sel.withColumnRenamed("node", "a"), "a"
+            )
+            .select(F.col("b").alias("node"))
+            .distinct()
+        )
+        d = sel.select(
+            "node", F.lit(True).alias("selected"), F.lit(rnd).cast("long").alias("round")
+        ).unionByName(
+            knocked.select(
+                "node", F.lit(False).alias("selected"),
+                F.lit(rnd).cast("long").alias("round"),
+            )
+        )
+        decided = d if decided is None else decided.unionByName(d)
+        gone = sel.unionByName(knocked).distinct()
+        live = live.join(gone, "node", "left_anti").localCheckpoint(eager=False)
+        if live.limit(1).count() == 0:
+            break
+        live_e = (
+            live_e.join(gone.withColumnRenamed("node", "a"), "a", "left_anti")
+            .join(gone.withColumnRenamed("node", "b"), "b", "left_anti")
+            .localCheckpoint(eager=False)
+        )
+    out = decided
+    # any still-live nodes after the cap are reported undecided = absent
+    return out.groupBy("node").agg(
+        F.min(F.struct("round", "selected")).alias("d")
+    ).select("node", F.col("d.selected").alias("selected"), F.col("d.round").alias("round"))
+
+
+def maximal_independent_set_sql(edges_cte: str, rounds: int = 12) -> str:
+    """DuckDB twin of maximal_independent_set — unrolled id-priority
+    rounds (MATERIALIZED live sets)."""
+    parts = [
+        f"""mis_e0u AS (SELECT src AS a, dst AS b FROM ({edges_cte})),
+mis_e0 AS MATERIALIZED (
+  SELECT DISTINCT a, b FROM (
+    SELECT a, b FROM mis_e0u UNION ALL SELECT b, a FROM mis_e0u
+  ) WHERE a <> b
+),
+mis_n0 AS MATERIALIZED (
+  SELECT DISTINCT a AS node FROM mis_e0
+  UNION SELECT DISTINCT b FROM mis_e0
+)"""
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"""mis_sel{i} AS MATERIALIZED (
+  SELECT n.node FROM mis_n{i - 1} n
+  LEFT JOIN (SELECT a AS node, MIN(b) AS mn FROM mis_e{i - 1} GROUP BY 1) m
+    USING (node)
+  WHERE m.mn IS NULL OR n.node < m.mn
+),
+mis_ko{i} AS MATERIALIZED (
+  SELECT DISTINCT e.b AS node
+  FROM mis_e{i - 1} e JOIN mis_sel{i} s ON s.node = e.a
+),
+mis_n{i} AS MATERIALIZED (
+  SELECT node FROM mis_n{i - 1}
+  WHERE node NOT IN (SELECT node FROM mis_sel{i})
+    AND node NOT IN (SELECT node FROM mis_ko{i})
+),
+mis_e{i} AS MATERIALIZED (
+  SELECT e.a, e.b FROM mis_e{i - 1} e
+  JOIN mis_n{i} x ON x.node = e.a
+  JOIN mis_n{i} y ON y.node = e.b
+)"""
+        )
+    unions = " UNION ALL ".join(
+        f"SELECT node, TRUE AS selected, CAST({i} AS BIGINT) AS round"
+        f" FROM mis_sel{i}"
+        f" UNION ALL SELECT node, FALSE, CAST({i} AS BIGINT) FROM mis_ko{i}"
+        for i in range(1, rounds + 1)
+    )
+    body = ",\n".join(parts)
+    return f"""WITH {body}
+SELECT node, d.selected AS selected, d.round AS round FROM (
+  SELECT node,
+         MIN(struct_pack(round := round, selected := selected)) AS d
+  FROM ({unions}) u GROUP BY 1
+)
+"""

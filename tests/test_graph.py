@@ -1263,3 +1263,67 @@ def test_k_truss_peels_to_clique(spark):
         ).fetchall()
     }
     assert twin == got
+
+
+def test_mis_properties_and_twin(spark):
+    """MIS invariants: independence, maximality, deterministic scalar
+    replay of the id-priority rounds."""
+    import duckdb
+
+    from osm2geojson_spark.operators.graph import (
+        maximal_independent_set,
+        maximal_independent_set_sql,
+    )
+
+    edges = [(0, 1), (1, 2), (2, 3), (3, 4), (4, 0), (2, 5), (5, 6), (7, 8)]
+
+    def brute(rounds=12):
+        adj = {}
+        for a, b in edges:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        live = set(adj)
+        out = {}
+        for rnd in range(1, rounds + 1):
+            if not live:
+                break
+            sel = {
+                v for v in live
+                if all(v < u for u in adj[v] if u in live)
+            }
+            ko = {u for v in sel for u in adj[v] if u in live} - sel
+            for v in sel:
+                out[v] = (True, rnd)
+            for v in ko:
+                out[v] = (False, rnd)
+            live -= sel | ko
+        return out
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: (r["selected"], r["round"])
+        for r in maximal_independent_set(df).collect()
+    }
+    assert got == brute()
+    sel = {v for v, (s, _) in got.items() if s}
+    # independence: no edge inside the MIS
+    assert not any(a in sel and b in sel for a, b in edges)
+    # maximality: every non-selected node has a selected neighbor
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    for v in got:
+        if v not in sel:
+            assert adj[v] & sel, v
+
+    duck = duckdb.connect()
+    duck.execute("CREATE TABLE mise (src BIGINT, dst BIGINT)")
+    duck.executemany("INSERT INTO mise VALUES (?, ?)", edges)
+    twin = {
+        r[0]: (r[1], r[2])
+        for r in duck.sql(
+            maximal_independent_set_sql("SELECT src, dst FROM mise")
+        ).fetchall()
+    }
+    assert twin == got
