@@ -14709,9 +14709,42 @@ def _mis_sql() -> str:
     return G.maximal_independent_set_sql(edges, rounds=12)
 
 
+def q_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X318 (analytics.bradley_terry): pairwise-preference ranking of
+    the 25 nation "models" from a deterministic head-to-head win table
+    (both directions, hash-valued) — 6 fixed-point MM rounds."""
+    from osm2geojson_spark.operators.analytics import bradley_terry
+
+    n = _t(spark, sf_dir, "nation").select(F.col("n_nationkey").alias("k"))
+    a = n.select(F.col("k").alias("i"))
+    b = n.select(F.col("k").alias("j"))
+    comps = (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("i") != F.col("j"))
+        .select(
+            "i",
+            "j",
+            (1 + (F.col("i") * 7 + F.col("j") * 13) % 5).alias("w"),
+        )
+    )
+    return bradley_terry(comps, rounds=6)
+
+
+def _bradley_terry_sql() -> str:
+    from osm2geojson_spark.operators.analytics import bradley_terry_sql
+
+    comps = (
+        "SELECT a.n_nationkey AS i, b.n_nationkey AS j,"
+        " 1 + (a.n_nationkey * 7 + b.n_nationkey * 13) % 5 AS w"
+        " FROM nation a JOIN nation b ON a.n_nationkey <> b.n_nationkey"
+    )
+    return bradley_terry_sql(comps, rounds=6)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "bradley_terry": q_bradley_terry,
         "mis": q_mis,
         "fs_linkage": q_fs_linkage,
         "cube_metrics": q_cube_metrics,
@@ -15080,6 +15113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "bradley_terry": _bradley_terry_sql(),
         "mis": _mis_sql(),
         "fs_linkage": _fs_linkage_sql(),
         "cube_metrics": _CUBE_SQL,

@@ -6872,3 +6872,155 @@ av_base AS (
 )
 {union}
 """
+
+
+BT_SCALE = 1_000_000  # Bradley-Terry strength fixed point
+
+
+def bradley_terry(
+    comps: DataFrame,
+    rounds: int = 6,
+    i_col: str = "i",
+    j_col: str = "j",
+    wins_col: str = "w",
+) -> DataFrame:
+    """(item, strength_micro, wins, matches) — BRADLEY-TERRY pairwise-
+    preference ranking via Hunter's MM iteration in fixed point: the
+    standard way to turn head-to-head outcomes (LLM eval preferences,
+    A/B duels, match results) into a single strength scale,
+
+        s_i ← (W_i · S²) DIV Σ_j (n_ij · S²) DIV (s_i + s_j)
+
+    with W_i = total wins, n_ij = games between i and j, all int64
+    with truncating division on positives — each round is a pure
+    function of the comparison table (bit-equal unrolled twin); init
+    s = S. Items with zero wins sink toward 0, undefeated items grow —
+    run enough matches per item (the classic BT identifiability
+    caveat, documented not patched). ``comps`` rows are directed:
+    (i, j, wins of i over j); provide both directions or zeros are
+    assumed.
+
+    Scale: per round one symmetrized join of the (item, strength)
+    vector against the pair table + two combinable rollups — the pair
+    table is |items|²-bounded (league metadata, not corpus data)."""
+    d = comps.select(
+        F.col(i_col).alias("i"),
+        F.col(j_col).alias("j"),
+        F.col(wins_col).cast("long").alias("w"),
+    )
+    sym = d.unionByName(
+        d.select(
+            F.col("j").alias("i"), F.col("i").alias("j"),
+            F.lit(0).cast("long").alias("w"),
+        )
+    )
+    pair = (
+        sym.groupBy("i", "j")
+        .agg(F.sum("w").alias("wij"))
+        .localCheckpoint(eager=False)
+    )
+    n_ij = (
+        pair.alias("x")
+        .join(
+            pair.select(
+                F.col("i").alias("j"), F.col("j").alias("i"),
+                F.col("wij").alias("wji"),
+            ),
+            ["i", "j"],
+        )
+        .select("i", "j", "wij", (F.col("wij") + F.col("wji")).alias("nij"))
+        .localCheckpoint(eager=False)
+    )
+    wins = n_ij.groupBy("i").agg(
+        F.sum("wij").cast("long").alias("wins"),
+        F.sum("nij").cast("long").alias("matches"),
+    )
+    s = wins.select("i", F.lit(BT_SCALE).cast("long").alias("s"))
+    for _ in range(rounds):
+        sj = s.select(F.col("i").alias("j"), F.col("s").alias("s_j"))
+        t = (
+            n_ij.join(s, "i")
+            .join(sj, "j")
+            .select(
+                "i",
+                F.expr(
+                    f"CAST(nij * {BT_SCALE} * {BT_SCALE} DIV (s + s_j)"
+                    " AS BIGINT)"
+                ).alias("t"),
+            )
+            .groupBy("i")
+            .agg(F.sum("t").alias("tsum"))
+        )
+        s = (
+            wins.join(t, "i")
+            .select(
+                "i",
+                F.when(
+                    F.col("tsum") > 0,
+                    F.expr(
+                        f"CAST(wins * {BT_SCALE} * {BT_SCALE} DIV tsum"
+                        " AS BIGINT)"
+                    ),
+                )
+                .otherwise(F.lit(BT_SCALE))
+                .alias("s"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return (
+        s.join(wins, "i")
+        .select(
+            F.col("i").alias("item"),
+            F.col("s").alias("strength_micro"),
+            "wins",
+            "matches",
+        )
+    )
+
+
+def bradley_terry_sql(comps_cte: str, rounds: int = 6) -> str:
+    """DuckDB twin of bradley_terry — identical symmetrization and
+    unrolled MM rounds. ``comps_cte`` -> (i, j, w)."""
+    parts = [
+        f"""bt_d AS (SELECT i, j, CAST(w AS BIGINT) AS w FROM ({comps_cte})),
+bt_pair AS MATERIALIZED (
+  SELECT i, j, SUM(w) AS wij FROM (
+    SELECT i, j, w FROM bt_d
+    UNION ALL SELECT j, i, CAST(0 AS BIGINT) FROM bt_d
+  ) GROUP BY 1, 2
+),
+bt_n AS MATERIALIZED (
+  SELECT x.i, x.j, x.wij, x.wij + y.wij AS nij
+  FROM bt_pair x JOIN bt_pair y ON y.i = x.j AND y.j = x.i
+),
+bt_w AS MATERIALIZED (
+  SELECT i, CAST(SUM(wij) AS BIGINT) AS wins,
+         CAST(SUM(nij) AS BIGINT) AS matches
+  FROM bt_n GROUP BY 1
+),
+bt_s0 AS MATERIALIZED (SELECT i, CAST({BT_SCALE} AS BIGINT) AS s FROM bt_w)"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""bt_s{r} AS MATERIALIZED (
+  SELECT w.i,
+         CASE WHEN t.tsum > 0
+              THEN CAST(w.wins * {BT_SCALE} * {BT_SCALE} // t.tsum AS BIGINT)
+              ELSE CAST({BT_SCALE} AS BIGINT) END AS s
+  FROM bt_w w
+  JOIN (
+    SELECT n.i,
+           SUM(CAST(n.nij * {BT_SCALE} * {BT_SCALE} // (si.s + sj.s)
+               AS BIGINT)) AS tsum
+    FROM bt_n n
+    JOIN bt_s{r - 1} si ON si.i = n.i
+    JOIN bt_s{r - 1} sj ON sj.i = n.j
+    GROUP BY 1
+  ) t ON t.i = w.i
+)"""
+        )
+    body = ",\n".join(parts)
+    return f"""WITH {body}
+SELECT s.i AS item, s.s AS strength_micro, w.wins, w.matches
+FROM bt_s{rounds} s JOIN bt_w w USING (i)
+"""

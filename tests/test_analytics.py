@@ -4060,3 +4060,76 @@ def test_allan_variance_scalar_and_noise_slopes(spark):
         ).fetchall()
     }
     assert twin == got
+
+
+def test_bradley_terry_scalar_replay_and_ordering(spark):
+    """Fixed-point MM vs scalar replay; a dominant item outranks a
+    weak one; strengths track win totals."""
+    import duckdb
+
+    from osm2geojson_spark.operators.analytics import (
+        BT_SCALE,
+        bradley_terry,
+        bradley_terry_sql,
+    )
+
+    # item 1 beats everyone usually, 4 loses usually
+    comps = [
+        (1, 2, 8), (2, 1, 2),
+        (1, 3, 7), (3, 1, 3),
+        (1, 4, 9), (4, 1, 1),
+        (2, 3, 5), (3, 2, 5),
+        (2, 4, 7), (4, 2, 3),
+        (3, 4, 6), (4, 3, 4),
+    ]
+
+    def brute(rounds=6):
+        import collections
+
+        wij = collections.Counter()
+        for i, j, w in comps:
+            wij[(i, j)] += w
+            wij[(j, i)] += 0
+        items = sorted({i for i, _ in wij})
+        nij = {
+            (i, j): wij[(i, j)] + wij[(j, i)] for (i, j) in wij
+        }
+        wins = {i: sum(w for (a, _), w in wij.items() if a == i) for i in items}
+        matches = {
+            i: sum(n for (a, _), n in nij.items() if a == i) for i in items
+        }
+        s = {i: BT_SCALE for i in items}
+        for _ in range(rounds):
+            t = {
+                i: sum(
+                    nij[(i, j)] * BT_SCALE * BT_SCALE // (s[i] + s[j])
+                    for j in items
+                    if (i, j) in nij
+                )
+                for i in items
+            }
+            s = {
+                i: (wins[i] * BT_SCALE * BT_SCALE // t[i]) if t[i] > 0 else BT_SCALE
+                for i in items
+            }
+        return {i: (s[i], wins[i], matches[i]) for i in items}
+
+    df = spark.createDataFrame(comps, "i long, j long, w long")
+    got = {
+        r["item"]: (r["strength_micro"], r["wins"], r["matches"])
+        for r in bradley_terry(df, rounds=6).collect()
+    }
+    assert got == brute()
+    assert got[1][0] > got[2][0] > got[4][0]
+    assert got[3][0] > got[4][0]
+
+    duck = duckdb.connect()
+    duck.execute("CREATE TABLE btc (i BIGINT, j BIGINT, w BIGINT)")
+    duck.executemany("INSERT INTO btc VALUES (?, ?, ?)", comps)
+    twin = {
+        r[0]: (r[1], r[2], r[3])
+        for r in duck.sql(
+            bradley_terry_sql("SELECT * FROM btc", rounds=6)
+        ).fetchall()
+    }
+    assert twin == got
