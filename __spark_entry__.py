@@ -14741,9 +14741,28 @@ def _bradley_terry_sql() -> str:
     return bradley_terry_sql(comps, rounds=6)
 
 
+def q_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X319 (functions.text.rake_phrases): RAKE keyphrase mining over
+    every 3rd document — stopword-delimited candidate phrases, exact
+    integer deg/freq word scores, corpus top-15 pinned."""
+    from osm2geojson_spark.functions.text import rake_phrases
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0)
+    return rake_phrases(docs, top_m=15)
+
+
+def _rake_sql() -> str:
+    from osm2geojson_spark.functions.text import rake_phrases_sql
+
+    return rake_phrases_sql(
+        "SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0", top_m=15
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "rake": q_rake,
         "bradley_terry": q_bradley_terry,
         "mis": q_mis,
         "fs_linkage": q_fs_linkage,
@@ -15113,6 +15132,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "rake": _rake_sql(),
         "bradley_terry": _bradley_terry_sql(),
         "mis": _mis_sql(),
         "fs_linkage": _fs_linkage_sql(),

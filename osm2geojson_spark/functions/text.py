@@ -1158,3 +1158,144 @@ def soundex_sql(expr: str) -> str:
         f"CASE WHEN {s} = '' THEN ''"
         f" ELSE upper({first}) || substr({digits} || '000', 1, 3) END"
     )
+
+
+RAKE_STOPWORDS = (
+    "a an and are as at be by for from has he in is it its of on or that"
+    " the to was were will with this these those i you we they"
+).split()
+
+
+def rake_phrases(
+    docs: DataFrame,
+    top_m: int = 15,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(phrase, n_docs, n_occur, score_micro) — RAKE keyword extraction
+    (Rose et al. 2010): candidate phrases are maximal stopword-free
+    word runs; each word scores deg(w)/freq(w) (deg = Σ lengths of
+    phrases containing w, freq = occurrences) and a phrase scores the
+    sum of its words' scores. The classic unsupervised keyphrase
+    miner — corpus-level here: scores aggregate over ALL documents and
+    the top-m phrases come back with exact fixed-point scores,
+
+        score_micro(phrase) = Σ_w (10⁶ · deg(w)) DIV freq(w)
+
+    (per-word truncating division — deterministic, order-free). Ties
+    pinned by (score DESC, phrase ASC).
+
+    Scale: two explodes (phrases, then words) + three combinable
+    rollups + one broadcast of the word-score table; the final top-m
+    is a single global window over the phrase table (vocabulary-
+    bounded, not corpus-bounded)."""
+    stop_arr = F.array(*[F.lit(w) for w in RAKE_STOPWORDS])
+    # split to words, mark stopwords with a separator, re-split phrases
+    norm = F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9 ]", " ")
+    words = F.split(norm, r"\s+")
+    marked = F.transform(
+        words,
+        lambda w: F.when(
+            F.array_contains(stop_arr, w) | (w == ""), F.lit("|")
+        ).otherwise(w),
+    )
+    phrase_str = F.array_join(marked, " ")
+    phrases_arr = F.split(phrase_str, r"\|")
+    d = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(phrases_arr).alias("_p0"),
+    ).select(
+        "doc_id", F.trim(F.regexp_replace(F.col("_p0"), r"\s+", " ")).alias("phrase")
+    ).filter(F.col("phrase") != "")
+    occ = d.groupBy("phrase").agg(
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_occur"),
+    )
+    pw = d.select(
+        "phrase",
+        F.size(F.split(F.col("phrase"), " ")).cast("long").alias("plen"),
+        F.explode(F.split(F.col("phrase"), " ")).alias("w"),
+    )
+    wscore = pw.groupBy("w").agg(
+        F.sum("plen").cast("long").alias("deg"),
+        F.count(F.lit(1)).cast("long").alias("freq"),
+    )
+    # per-phrase score: distinct phrase decomposition joined to scores;
+    # each occurrence of a word within a phrase counts once per position
+    ppos = occ.select("phrase").select(
+        "phrase", F.explode(F.split(F.col("phrase"), " ")).alias("w")
+    )
+    ps = (
+        ppos.join(F.broadcast(wscore), "w")
+        .groupBy("phrase")
+        .agg(
+            F.sum(
+                F.expr("CAST(1000000 * deg DIV freq AS BIGINT)")
+            ).cast("long").alias("score_micro")
+        )
+    )
+    from pyspark.sql.window import Window as _W
+
+    out = occ.join(ps, "phrase").withColumn(
+        "_rk",
+        F.row_number().over(
+            _W.orderBy(F.col("score_micro").desc(), F.col("phrase").asc())
+        ),
+    )
+    return out.filter(F.col("_rk") <= top_m).drop("_rk")
+
+
+def rake_phrases_sql(docs_cte: str, top_m: int = 15) -> str:
+    """DuckDB twin of rake_phrases. ``docs_cte`` -> (doc_id, text)."""
+    stops = ", ".join(f"'{w}'" for w in RAKE_STOPWORDS)
+    return f"""
+WITH rk_d AS (SELECT doc_id, text FROM ({docs_cte})),
+rk_marked AS (
+  SELECT doc_id,
+         list_transform(
+           regexp_split_to_array(
+             regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), '\\s+'),
+           w -> CASE WHEN w IN ({stops}) OR w = '' THEN '|' ELSE w END
+         ) AS marked
+  FROM rk_d
+),
+rk_p AS (
+  SELECT doc_id,
+         trim(regexp_replace(p0, '\\s+', ' ', 'g')) AS phrase
+  FROM (
+    SELECT doc_id,
+           unnest(string_split(array_to_string(marked, ' '), '|')) AS p0
+    FROM rk_marked
+  ) WHERE trim(regexp_replace(p0, '\\s+', ' ', 'g')) <> ''
+),
+rk_occ AS (
+  SELECT phrase, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         CAST(COUNT(*) AS BIGINT) AS n_occur
+  FROM rk_p GROUP BY 1
+),
+rk_pw AS (
+  SELECT phrase, len(string_split(phrase, ' ')) AS plen,
+         unnest(string_split(phrase, ' ')) AS w
+  FROM rk_p
+),
+rk_ws AS (
+  SELECT w, CAST(SUM(plen) AS BIGINT) AS deg,
+         CAST(COUNT(*) AS BIGINT) AS freq
+  FROM rk_pw GROUP BY 1
+),
+rk_ppos AS (
+  SELECT phrase, unnest(string_split(phrase, ' ')) AS w FROM rk_occ
+),
+rk_ps AS (
+  SELECT p.phrase,
+         CAST(SUM((1000000 * s.deg) // s.freq) AS BIGINT) AS score_micro
+  FROM rk_ppos p JOIN rk_ws s USING (w)
+  GROUP BY 1
+),
+rk_rk AS (
+  SELECT o.phrase, o.n_docs, o.n_occur, s.score_micro,
+         row_number() OVER (ORDER BY s.score_micro DESC, o.phrase ASC) AS rk
+  FROM rk_occ o JOIN rk_ps s USING (phrase)
+)
+SELECT phrase, n_docs, n_occur, score_micro FROM rk_rk WHERE rk <= {top_m}
+"""

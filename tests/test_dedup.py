@@ -2198,3 +2198,76 @@ def test_lcs_block_similarity_brute_and_twin(spark):
         ).fetchall()
     }
     assert twin == got
+
+
+def test_rake_phrases_scalar_replay(spark):
+    """RAKE vs a scalar replay on the classic-style fixture; multiword
+    phrases outrank their member single words."""
+    import collections
+    import duckdb
+    import re
+
+    from osm2geojson_spark.functions.text import (
+        RAKE_STOPWORDS,
+        rake_phrases,
+        rake_phrases_sql,
+    )
+
+    docs = [
+        (1, "deep learning models are trained on large text corpora"),
+        (2, "large text corpora and deep learning pipelines"),
+        (3, "the quick brown fox is quick"),
+    ]
+
+    def brute(top_m=10):
+        stops = set(RAKE_STOPWORDS)
+        phrases = []  # (doc, phrase)
+        for did, text in docs:
+            words = re.sub("[^a-z0-9 ]", " ", text.lower()).split()
+            cur = []
+            for w in words + ["|"]:
+                if w in stops or w == "|":
+                    if cur:
+                        phrases.append((did, " ".join(cur)))
+                    cur = []
+                else:
+                    cur.append(w)
+        deg = collections.Counter()
+        freq = collections.Counter()
+        for _, p in phrases:
+            ws = p.split()
+            for w in ws:
+                deg[w] += len(ws)
+                freq[w] += 1
+        occ = collections.Counter(p for _, p in phrases)
+        ndocs = collections.defaultdict(set)
+        for d, p in phrases:
+            ndocs[p].add(d)
+        rows = []
+        for p in occ:
+            # per POSITION (explode keeps duplicate words in a phrase)
+            sc = sum(1_000_000 * deg[w] // freq[w] for w in p.split())
+            rows.append((p, len(ndocs[p]), occ[p], sc))
+        rows.sort(key=lambda r: (-r[3], r[0]))
+        return {r[0]: r[1:] for r in rows[:top_m]}
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["phrase"]: (r["n_docs"], r["n_occur"], r["score_micro"])
+        for r in rake_phrases(df, top_m=10).collect()
+    }
+    assert got == brute()
+    # multiword phrase beats its members' singletons
+    assert "large text corpora" in got
+    assert got["large text corpora"][0] == 2
+
+    duck = duckdb.connect()
+    duck.execute("CREATE TABLE rkd (doc_id BIGINT, text VARCHAR)")
+    duck.executemany("INSERT INTO rkd VALUES (?, ?)", docs)
+    twin = {
+        r[0]: tuple(r[1:])
+        for r in duck.sql(
+            rake_phrases_sql("SELECT doc_id, text FROM rkd", top_m=10)
+        ).fetchall()
+    }
+    assert twin == got
