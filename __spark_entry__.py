@@ -14759,9 +14759,35 @@ def _rake_sql() -> str:
     )
 
 
+def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X320 (sampling.poisson_bootstrap_ci): one-pass Poisson-bootstrap
+    90% CIs for per-event-type mean cents — 32 deterministic hash-
+    Poisson replicates, exact fixed-point replicate means, type-1
+    quantile bounds."""
+    from osm2geojson_spark.operators.sampling import poisson_bootstrap_ci
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("g"),
+        F.col("event_id").alias("k"),
+        F.round(F.col("value") * 100).cast("long").alias("x"),
+    )
+    return poisson_bootstrap_ci(ev, b_reps=32)
+
+
+def _bootstrap_ci_sql() -> str:
+    from osm2geojson_spark.operators.sampling import poisson_bootstrap_ci_sql
+
+    rows = (
+        "SELECT event_type AS g, event_id AS k,"
+        " CAST(round(value * 100) AS BIGINT) AS x FROM events"
+    )
+    return poisson_bootstrap_ci_sql(rows, b_reps=32)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "bootstrap_ci": q_bootstrap_ci,
         "rake": q_rake,
         "bradley_terry": q_bradley_terry,
         "mis": q_mis,
@@ -15132,6 +15158,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "bootstrap_ci": _bootstrap_ci_sql(),
         "rake": _rake_sql(),
         "bradley_terry": _bradley_terry_sql(),
         "mis": _mis_sql(),

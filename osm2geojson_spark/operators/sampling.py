@@ -821,3 +821,138 @@ SELECT cell_id, CAST(sum(c) AS BIGINT) AS k,
        sum(c) >= {int(k_min)} AND count(*) >= {int(l_min)} AS ok
 FROM ld_per GROUP BY 1
 """
+
+
+import math as _math
+
+# Poisson(1) CDF thresholds over [0, _H_MOD) — computed once here and
+# shared verbatim by both engines (k = #thresholds strictly below u).
+POIS1_THRESHOLDS = tuple(
+    int(sum(_math.exp(-1.0) / _math.factorial(i) for i in range(k + 1)) * _H_MOD)
+    for k in range(6)
+)
+
+
+def poisson_bootstrap_ci(
+    df: DataFrame,
+    b_reps: int = 32,
+    q_lo: int = 5,
+    q_hi: int = 95,
+    group_col: str = "g",
+    key_col: str = "k",
+    value_col: str = "x",
+) -> DataFrame:
+    """(g, n, mean_micro, ci_lo_micro, ci_hi_micro, b_eff) — POISSON
+    BOOTSTRAP confidence intervals for per-group means (Chamandy et
+    al., "Estimating Uncertainty for Massive Data Streams" — the
+    bootstrap that works in one pass at warehouse scale): replicate b
+    reweights row i by w ~ Poisson(1), here a DETERMINISTIC
+    pseudo-Poisson read off sample_hash(key·B + b) against the
+    module-constant CDF thresholds (both engines share the integers;
+    no RNG). Replicate means are exact fixed-point
+    10⁶·Σ(w·x) DIV Σw (truncating, values quantized upstream);
+    ci bounds are the type-1 quantiles at rank ⌈q·b_eff/100⌉ over the
+    replicate means (empty replicates dropped — ``b_eff`` reports the
+    survivors). mean_micro is the plain point estimate. Values must be
+    NONNEGATIVE integers (truncating vs floor division differ below
+    zero) — shift upstream if needed.
+
+    Scale: one explode by B (the documented B× scan cost — B=32 is
+    the published operating point) into a combinable (g, b) rollup;
+    the quantile window runs over B rows per group, not data."""
+    reps = F.explode(F.array(*[F.lit(b) for b in range(b_reps)])).alias("b")
+    base = df.select(
+        F.col(group_col).alias("g"),
+        F.col(key_col).cast("long").alias("k"),
+        F.col(value_col).cast("long").alias("x"),
+        reps,
+    )
+    u = sample_hash(F.col("k") * b_reps + F.col("b"))
+    w = F.lit(0)
+    for t in POIS1_THRESHOLDS:
+        w = w + (u >= t).cast("long")
+    rep = (
+        base.select("g", "b", "x", w.alias("w"))
+        .groupBy("g", "b")
+        .agg(F.sum("w").alias("sw"), F.sum(F.col("w") * F.col("x")).alias("swx"))
+        .filter(F.col("sw") > 0)
+        .select(
+            "g", "b",
+            F.expr("CAST(1000000 * swx DIV sw AS BIGINT)").alias("m"),
+        )
+    )
+    wq = Window.partitionBy("g").orderBy("m")
+    ranked = rep.select(
+        "g", "m", F.row_number().over(wq).cast("long").alias("r")
+    ).withColumn(
+        "beff", F.count(F.lit(1)).over(Window.partitionBy("g")).cast("long")
+    )
+    lo = ranked.filter(
+        F.col("r") == F.ceil(F.lit(q_lo) * F.col("beff") / 100).cast("long")
+    ).select("g", F.col("m").alias("ci_lo_micro"))
+    hi = ranked.filter(
+        F.col("r") == F.ceil(F.lit(q_hi) * F.col("beff") / 100).cast("long")
+    ).select("g", F.col("m").alias("ci_hi_micro"))
+    beff = ranked.groupBy("g").agg(F.max("beff").alias("b_eff"))
+    point = df.groupBy(F.col(group_col).alias("g")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.expr(
+            f"CAST(1000000 * sum(CAST({value_col} AS BIGINT))"
+            " DIV count(1) AS BIGINT)"
+        ).alias("mean_micro"),
+    )
+    return (
+        point.join(lo, "g").join(hi, "g").join(beff, "g")
+        .select("g", "n", "mean_micro", "ci_lo_micro", "ci_hi_micro", "b_eff")
+    )
+
+
+def poisson_bootstrap_ci_sql(
+    rows_cte: str,
+    b_reps: int = 32,
+    q_lo: int = 5,
+    q_hi: int = 95,
+) -> str:
+    """DuckDB twin of poisson_bootstrap_ci. ``rows_cte`` -> (g, k, x)."""
+    u = sample_hash_sql(f"(k * {b_reps} + b)")
+    w = " + ".join(
+        f"CASE WHEN {u} >= {t} THEN 1 ELSE 0 END" for t in POIS1_THRESHOLDS
+    )
+    return f"""
+WITH pb_src AS (
+  SELECT g, CAST(k AS BIGINT) AS k, CAST(x AS BIGINT) AS x
+  FROM ({rows_cte})
+),
+pb_rep AS (
+  SELECT s.g, b.b, s.x, CAST({w} AS BIGINT) AS w
+  FROM pb_src s
+  CROSS JOIN (SELECT unnest(range(0, {b_reps})) AS b) b
+),
+pb_m AS (
+  SELECT g, b, CAST(1000000 * SUM(w * x) // SUM(w) AS BIGINT) AS m
+  FROM pb_rep GROUP BY 1, 2 HAVING SUM(w) > 0
+),
+pb_rk AS (
+  SELECT g, m,
+         CAST(row_number() OVER (PARTITION BY g ORDER BY m) AS BIGINT) AS r,
+         CAST(COUNT(*) OVER (PARTITION BY g) AS BIGINT) AS beff
+  FROM pb_m
+),
+pb_lo AS (
+  SELECT g, m AS ci_lo_micro FROM pb_rk
+  WHERE r = CAST(ceil({q_lo} * beff / 100.0) AS BIGINT)
+),
+pb_hi AS (
+  SELECT g, m AS ci_hi_micro FROM pb_rk
+  WHERE r = CAST(ceil({q_hi} * beff / 100.0) AS BIGINT)
+),
+pb_be AS (SELECT g, MAX(beff) AS b_eff FROM pb_rk GROUP BY 1),
+pb_pt AS (
+  SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(1000000 * SUM(x) // COUNT(*) AS BIGINT) AS mean_micro
+  FROM pb_src GROUP BY 1
+)
+SELECT p.g, p.n, p.mean_micro, l.ci_lo_micro, h.ci_hi_micro, e.b_eff
+FROM pb_pt p
+JOIN pb_lo l USING (g) JOIN pb_hi h USING (g) JOIN pb_be e USING (g)
+"""

@@ -402,3 +402,76 @@ def test_l_diversity_replay_and_homogeneity_gate(spark):
     for c, g in got.items():
         assert twin[c] == (c, g["k"], g["l_distinct"],
                            g["top_share_micro"], g["ok"]), c
+
+
+def test_poisson_bootstrap_ci_scalar_replay_and_coverage(spark):
+    """Replicate machinery vs scalar replay; the CI brackets the point
+    mean and is wider for the noisier group."""
+    import duckdb
+    import math
+
+    from osm2geojson_spark.operators.sampling import (
+        POIS1_THRESHOLDS,
+        _H_ADD,
+        _H_MOD,
+        _H_MUL,
+        poisson_bootstrap_ci,
+        poisson_bootstrap_ci_sql,
+    )
+
+    rows = []
+    for i in range(200):
+        rows.append(("tight", i, 1000 + (i * 7) % 11))
+        rows.append(("wide", 1000 + i, ((i * 37) % 100) * 40))
+    B = 32
+
+    def h(key):
+        k = ((key % _H_MOD) + _H_MOD) % _H_MOD
+        return (k * _H_MUL + _H_ADD) % _H_MOD
+
+    def brute():
+        out = {}
+        for g in ("tight", "wide"):
+            pts = [(k, x) for gg, k, x in rows if gg == g]
+            ms = []
+            for b in range(B):
+                sw = swx = 0
+                for k, x in pts:
+                    u = h(k * B + b)
+                    w = sum(1 for t in POIS1_THRESHOLDS if u >= t)
+                    sw += w
+                    swx += w * x
+                if sw > 0:
+                    ms.append(1_000_000 * swx // sw)
+            ms.sort()
+            beff = len(ms)
+            lo = ms[math.ceil(5 * beff / 100) - 1]
+            hi = ms[math.ceil(95 * beff / 100) - 1]
+            n = len(pts)
+            mean = 1_000_000 * sum(x for _, x in pts) // n
+            out[g] = (n, mean, lo, hi, beff)
+        return out
+
+    df = spark.createDataFrame(rows, "g string, k long, x long")
+    got = {
+        r["g"]: (r["n"], r["mean_micro"], r["ci_lo_micro"], r["ci_hi_micro"], r["b_eff"])
+        for r in poisson_bootstrap_ci(df, b_reps=B).collect()
+    }
+    assert got == brute()
+    for g in got:
+        n, mean, lo, hi, beff = got[g]
+        assert lo <= mean <= hi
+        assert beff == B
+    # noisier group -> wider interval
+    assert (got["wide"][3] - got["wide"][2]) > (got["tight"][3] - got["tight"][2])
+
+    duck = duckdb.connect()
+    duck.execute("CREATE TABLE pbr (g VARCHAR, k BIGINT, x BIGINT)")
+    duck.executemany("INSERT INTO pbr VALUES (?, ?, ?)", rows)
+    twin = {
+        r[0]: tuple(r[1:])
+        for r in duck.sql(
+            poisson_bootstrap_ci_sql("SELECT * FROM pbr", b_reps=B)
+        ).fetchall()
+    }
+    assert twin == got
