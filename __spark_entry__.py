@@ -14784,9 +14784,39 @@ def _bootstrap_ci_sql() -> str:
     return poisson_bootstrap_ci_sql(rows, b_reps=32)
 
 
+def q_coloring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X321 (graph.greedy_coloring): Jones-Plassmann greedy coloring of
+    the undirected 2-chord part graph — id-priority waves, relational
+    mex, wave provenance."""
+    from osm2geojson_spark.operators import graph as G
+
+    part = _t(spark, sf_dir, "part").select("p_partkey")
+    n = part.count()
+    k = F.col("p_partkey")
+    edges = part.select(
+        k.alias("src"), ((k * 7 + 3) % n).alias("dst")
+    ).unionByName(
+        part.select(k.alias("src"), ((k * 13 + 5) % n).alias("dst"))
+    )
+    return G.greedy_coloring(edges, rounds=12)
+
+
+def _coloring_sql() -> str:
+    from osm2geojson_spark.operators import graph as G
+
+    edges = (
+        "SELECT p_partkey AS src,"
+        " (p_partkey * 7 + 3) % (SELECT COUNT(*) FROM part) AS dst FROM part"
+        " UNION ALL SELECT p_partkey,"
+        " (p_partkey * 13 + 5) % (SELECT COUNT(*) FROM part) FROM part"
+    )
+    return G.greedy_coloring_sql(edges, rounds=12)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "coloring": q_coloring,
         "bootstrap_ci": q_bootstrap_ci,
         "rake": q_rake,
         "bradley_terry": q_bradley_terry,
@@ -15158,6 +15188,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "coloring": _coloring_sql(),
         "bootstrap_ci": _bootstrap_ci_sql(),
         "rake": _rake_sql(),
         "bradley_terry": _bradley_terry_sql(),

@@ -2403,3 +2403,156 @@ SELECT node, d.selected AS selected, d.round AS round FROM (
   FROM ({unions}) u GROUP BY 1
 )
 """
+
+
+def greedy_coloring(
+    edges: DataFrame,
+    rounds: int = 12,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """(node, color, round) — GREEDY GRAPH COLORING by id-priority
+    Jones-Plassmann rounds: a node colors itself once every smaller-id
+    neighbor is colored, taking the minimum color its already-colored
+    neighbors don't use (mex). Conflict-free schedule/slot assignment
+    (partition jobs that share a resource edge into rounds) with a
+    deterministic outcome — identical to sequential greedy coloring in
+    ascending id order, computed in parallel waves. ``round`` records
+    each node's wave; isolated nodes color 0 in round 1.
+
+    mex is computed relationally: candidate colors 0..deg(v) explode
+    against the used-color set, min survivor wins — never a collect.
+    ``rounds`` caps the waves (a by-id chain colors O(n) — the known
+    determinism tradeoff, as in maximal_independent_set); uncolored
+    nodes at the cap are absent from the output.
+
+    Scale: per round one smaller-neighbor-uncolored check (anti-join),
+    one used-color join, one mex rollup — all on the shrinking
+    uncolored set; localCheckpoint flattens lineage."""
+    e0 = edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+    e = (
+        e0.unionByName(e0.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    nodes = (
+        e.select(F.col("a").alias("node"))
+        .unionByName(e.select(F.col("b").alias("node")))
+        .distinct()
+    )
+    deg = e.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )
+    uncolored = nodes.join(deg, "node", "left").select(
+        "node", F.coalesce(F.col("deg"), F.lit(0)).alias("deg")
+    ).localCheckpoint(eager=False)
+    colored = None  # (node, color, round)
+    for rnd in range(1, rounds + 1):
+        # ready: no smaller-id UNCOLORED neighbor
+        blockers = (
+            e.join(uncolored.select(F.col("node").alias("a")), "a")
+            .join(uncolored.select(F.col("node").alias("b")), "b")
+            .filter(F.col("b") < F.col("a"))
+            .select(F.col("a").alias("node"))
+            .distinct()
+        )
+        ready = uncolored.join(blockers, "node", "left_anti")
+        if ready.limit(1).count() == 0:
+            break
+        if colored is not None:
+            used = (
+                e.join(ready.select(F.col("node").alias("a")), "a")
+                .join(colored.select(F.col("node").alias("b"), "color"), "b")
+                .select(F.col("a").alias("node"), "color")
+                .distinct()
+            )
+        else:
+            used = ready.select(
+                "node", F.lit(0).cast("long").alias("color")
+            ).filter(F.lit(False))
+        cand = ready.select(
+            "node",
+            F.explode(F.sequence(F.lit(0), F.col("deg"))).alias("_c"),
+        ).select("node", F.col("_c").cast("long").alias("color"))
+        mex = (
+            cand.join(used, ["node", "color"], "left_anti")
+            .groupBy("node")
+            .agg(F.min("color").cast("long").alias("color"))
+            .select("node", "color", F.lit(rnd).cast("long").alias("round"))
+            .localCheckpoint(eager=False)
+        )
+        colored = mex if colored is None else colored.unionByName(mex).localCheckpoint(
+            eager=False
+        )
+        uncolored = uncolored.join(mex.select("node"), "node", "left_anti").localCheckpoint(
+            eager=False
+        )
+    if colored is None:
+        return nodes.select(
+            "node", F.lit(0).cast("long").alias("color"),
+            F.lit(0).cast("long").alias("round"),
+        ).filter(F.lit(False))
+    return colored
+
+
+def greedy_coloring_sql(edges_cte: str, rounds: int = 12) -> str:
+    """DuckDB twin of greedy_coloring — unrolled waves with the same
+    mex-by-anti-join."""
+    parts = [
+        f"""gc_e0 AS (SELECT src AS a, dst AS b FROM ({edges_cte})),
+gc_e AS MATERIALIZED (
+  SELECT DISTINCT a, b FROM (
+    SELECT a, b FROM gc_e0 UNION ALL SELECT b, a FROM gc_e0
+  ) WHERE a <> b
+),
+gc_n AS MATERIALIZED (
+  SELECT node, COALESCE(d.deg, 0) AS deg FROM (
+    SELECT DISTINCT a AS node FROM gc_e
+    UNION SELECT DISTINCT b FROM gc_e
+  ) n
+  LEFT JOIN (SELECT a AS node, COUNT(*) AS deg FROM gc_e GROUP BY 1) d
+    USING (node)
+),
+gc_u0 AS MATERIALIZED (SELECT node, deg FROM gc_n),
+gc_c0 AS MATERIALIZED (
+  SELECT node, CAST(0 AS BIGINT) AS color, CAST(0 AS BIGINT) AS round
+  FROM gc_n WHERE FALSE
+)"""
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"""gc_r{i} AS MATERIALIZED (
+  SELECT u.node, u.deg FROM gc_u{i - 1} u
+  WHERE NOT EXISTS (
+    SELECT 1 FROM gc_e e
+    JOIN gc_u{i - 1} v ON v.node = e.b
+    WHERE e.a = u.node AND e.b < u.node
+  )
+),
+gc_mex{i} AS MATERIALIZED (
+  SELECT c.node, CAST(MIN(c.color) AS BIGINT) AS color,
+         CAST({i} AS BIGINT) AS round
+  FROM (
+    SELECT r.node, unnest(range(0, r.deg + 1)) AS color FROM gc_r{i} r
+  ) c
+  WHERE NOT EXISTS (
+    SELECT 1 FROM gc_e e
+    JOIN gc_c{i - 1} k ON k.node = e.b
+    WHERE e.a = c.node AND k.color = c.color
+  )
+  GROUP BY 1
+),
+gc_c{i} AS MATERIALIZED (
+  SELECT node, color, round FROM gc_c{i - 1}
+  UNION ALL SELECT node, color, round FROM gc_mex{i}
+),
+gc_u{i} AS MATERIALIZED (
+  SELECT u.node, u.deg FROM gc_u{i - 1} u
+  WHERE u.node NOT IN (SELECT node FROM gc_mex{i})
+)"""
+        )
+    body = ",\n".join(parts)
+    return f"""WITH {body}
+SELECT node, color, round FROM gc_c{rounds}
+"""

@@ -1327,3 +1327,49 @@ def test_mis_properties_and_twin(spark):
         ).fetchall()
     }
     assert twin == got
+
+
+def test_greedy_coloring_equals_sequential_and_proper(spark):
+    """JP waves == sequential greedy in ascending id order; coloring is
+    proper (no monochromatic edge)."""
+    import duckdb
+
+    from osm2geojson_spark.operators.graph import greedy_coloring, greedy_coloring_sql
+
+    edges = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (4, 5), (5, 3), (6, 7)]
+
+    def sequential():
+        adj = {}
+        for a, b in edges:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        color = {}
+        for v in sorted(adj):
+            used = {color[u] for u in adj[v] if u in color}
+            c = 0
+            while c in used:
+                c += 1
+            color[v] = c
+        return color
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    res = greedy_coloring(df).collect()
+    got = {r["node"]: r["color"] for r in res}
+    assert got == sequential()
+    # proper coloring
+    for a, b in edges:
+        assert got[a] != got[b]
+    # wave order respects id dependencies: node 0 colors in round 1
+    rounds = {r["node"]: r["round"] for r in res}
+    assert rounds[0] == 1 and rounds[6] == 1
+
+    duck = duckdb.connect()
+    duck.execute("CREATE TABLE gce (src BIGINT, dst BIGINT)")
+    duck.executemany("INSERT INTO gce VALUES (?, ?)", edges)
+    twin = {
+        r[0]: (r[1], r[2])
+        for r in duck.sql(
+            greedy_coloring_sql("SELECT src, dst FROM gce")
+        ).fetchall()
+    }
+    assert twin == {r["node"]: (r["color"], r["round"]) for r in res}
