@@ -14813,9 +14813,66 @@ def _coloring_sql() -> str:
     return G.greedy_coloring_sql(edges, rounds=12)
 
 
+def q_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X322 (analytics.seasonal_anomaly): per-(event_type, hour-of-day)
+    robust median/MAD anomaly gate over cent values — exact order
+    statistics, integer cross-multiplied 5·MAD flag."""
+    from osm2geojson_spark.operators.analytics import seasonal_anomaly
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("g"),
+        (
+            (F.col("ts").cast("timestamp").cast("long") / 3600).cast("long") % 24
+        ).alias("slot"),
+        F.col("event_id").alias("t"),
+        F.round(F.col("value") * 100).cast("long").alias("x"),
+    )
+    return seasonal_anomaly(ev)
+
+
+def _seasonal_anomaly_sql() -> str:
+    from osm2geojson_spark.operators.analytics import seasonal_anomaly_sql
+
+    series = (
+        "SELECT event_type AS g,"
+        " CAST(floor(epoch(ts)) AS BIGINT) // 3600 % 24 AS slot,"
+        " event_id AS t,"
+        " CAST(round(value * 100) AS BIGINT) AS x FROM events"
+    )
+    return seasonal_anomaly_sql(series)
+
+
+def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X323 (analytics.t_closeness): t-closeness privacy audit of
+    (nation, segment) anonymity cells against the global acctbal-band
+    distribution — exact-rational 1-D EMD, cross-multiplied t = 1/5
+    breach gate."""
+    from osm2geojson_spark.operators.analytics import t_closeness
+
+    rows = _t(spark, sf_dir, "customer").select(
+        F.concat_ws(
+            "|", F.col("c_nationkey").cast("string"), F.col("c_mktsegment")
+        ).alias("cell"),
+        F.floor(F.col("c_acctbal") / 500).cast("long").alias("v"),
+    )
+    return t_closeness(rows)
+
+
+def _t_closeness_sql() -> str:
+    from osm2geojson_spark.operators.analytics import t_closeness_sql
+
+    rows = (
+        "SELECT CAST(c_nationkey AS VARCHAR) || '|' || c_mktsegment AS cell,"
+        " CAST(floor(c_acctbal / 500) AS BIGINT) AS v FROM customer"
+    )
+    return t_closeness_sql(rows)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "t_closeness": q_t_closeness,
+        "seasonal_anomaly": q_seasonal_anomaly,
         "coloring": q_coloring,
         "bootstrap_ci": q_bootstrap_ci,
         "rake": q_rake,
@@ -15188,6 +15245,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "t_closeness": _t_closeness_sql(),
+        "seasonal_anomaly": _seasonal_anomaly_sql(),
         "coloring": _coloring_sql(),
         "bootstrap_ci": _bootstrap_ci_sql(),
         "rake": _rake_sql(),

@@ -7024,3 +7024,226 @@ bt_s0 AS MATERIALIZED (SELECT i, CAST({BT_SCALE} AS BIGINT) AS s FROM bt_w)"""
 SELECT s.i AS item, s.s AS strength_micro, w.wins, w.matches
 FROM bt_s{rounds} s JOIN bt_w w USING (i)
 """
+
+
+def seasonal_anomaly(
+    series: DataFrame,
+    k_num: int = 5,
+    k_den: int = 1,
+    group_col: str = "g",
+    slot_col: str = "slot",
+    t_col: str = "t",
+    value_col: str = "x",
+) -> DataFrame:
+    """(g, slot, t, x, med, mad, flagged) — SEASONAL ANOMALY detection
+    by per-slot robust location/scale (the seasonal-ESD/median-MAD
+    hybrid every metrics pipeline runs): each observation is compared
+    against the exact type-1 MEDIAN and MAD of ITS OWN seasonal slot
+    (hour-of-day, day-of-week...), flagged when
+
+        k_den · |x − med|  >  k_num · max(mad, 1)
+
+    — a pure integer cross-multiplied gate (default 5·MAD), immune to
+    the mean/σ masking that z-scores suffer under heavy outliers.
+    Medians are the exact lower-median order statistic (rank
+    ⌈n/2⌉ under (value, t) ordering), MAD the same statistic over
+    |x − med| — both deterministic, no interpolation.
+
+    Scale: two rank windows per (g, slot) partition (seasonal slots
+    bound partition width — never a global window) + one broadcast-
+    shaped join back; scan-shaped otherwise."""
+    rows = series.select(
+        F.col(group_col).alias("g"),
+        F.col(slot_col).cast("long").alias("slot"),
+        F.col(t_col).cast("long").alias("t"),
+        F.col(value_col).cast("long").alias("x"),
+    )
+    w = Window.partitionBy("g", "slot").orderBy("x", "t")
+    cnt = Window.partitionBy("g", "slot")
+    med = (
+        rows.select(
+            "g", "slot", "x",
+            F.row_number().over(w).alias("_r"),
+            F.count(F.lit(1)).over(cnt).alias("_n"),
+        )
+        .filter(F.col("_r") == F.ceil(F.col("_n") / 2).cast("int"))
+        .select("g", "slot", F.col("x").alias("med"))
+    )
+    dev = rows.join(med, ["g", "slot"]).select(
+        "g", "slot", "t", "x", "med", F.abs(F.col("x") - F.col("med")).alias("_d")
+    )
+    wd = Window.partitionBy("g", "slot").orderBy("_d", "t")
+    mad = (
+        dev.select(
+            "g", "slot", "_d",
+            F.row_number().over(wd).alias("_r"),
+            F.count(F.lit(1)).over(cnt).alias("_n"),
+        )
+        .filter(F.col("_r") == F.ceil(F.col("_n") / 2).cast("int"))
+        .select("g", "slot", F.col("_d").alias("mad"))
+    )
+    out = dev.join(mad, ["g", "slot"]).select(
+        "g", "slot", "t", "x", "med", "mad",
+        (
+            F.lit(k_den) * F.abs(F.col("x") - F.col("med"))
+            > F.lit(k_num) * F.greatest(F.col("mad"), F.lit(1))
+        ).alias("flagged"),
+    )
+    return out
+
+
+def seasonal_anomaly_sql(
+    series_cte: str, k_num: int = 5, k_den: int = 1
+) -> str:
+    """DuckDB twin of seasonal_anomaly. ``series_cte`` ->
+    (g, slot, t, x)."""
+    return f"""
+WITH sa_src AS (
+  SELECT g, CAST(slot AS BIGINT) AS slot, CAST(t AS BIGINT) AS t,
+         CAST(x AS BIGINT) AS x
+  FROM ({series_cte})
+),
+sa_med AS (
+  SELECT g, slot, x AS med FROM (
+    SELECT g, slot, x,
+           row_number() OVER (PARTITION BY g, slot ORDER BY x, t) AS _r,
+           COUNT(*) OVER (PARTITION BY g, slot) AS _n
+    FROM sa_src
+  ) WHERE _r = CAST(ceil(_n / 2.0) AS INTEGER)
+),
+sa_dev AS (
+  SELECT s.g, s.slot, s.t, s.x, m.med, abs(s.x - m.med) AS _d
+  FROM sa_src s JOIN sa_med m USING (g, slot)
+),
+sa_mad AS (
+  SELECT g, slot, _d AS mad FROM (
+    SELECT g, slot, _d,
+           row_number() OVER (PARTITION BY g, slot ORDER BY _d, t) AS _r,
+           COUNT(*) OVER (PARTITION BY g, slot) AS _n
+    FROM sa_dev
+  ) WHERE _r = CAST(ceil(_n / 2.0) AS INTEGER)
+),
+sa_out AS (
+  SELECT d.g, d.slot, d.t, d.x, d.med, a.mad,
+         {k_den} * abs(d.x - d.med) > {k_num} * GREATEST(a.mad, 1) AS flagged
+  FROM sa_dev d JOIN sa_mad a USING (g, slot)
+)
+SELECT * FROM sa_out
+"""
+
+
+def t_closeness(
+    rows: DataFrame,
+    t_num: int = 1,
+    t_den: int = 5,
+    cell_col: str = "cell",
+    value_col: str = "v",
+) -> DataFrame:
+    """(cell, n_c, m, emd_num, emd_den, breach) — T-CLOSENESS audit
+    (Li-Li-Venkatasubramanian 2007), the distributional strengthening
+    of k-anonymity/l-diversity already in the engine: an anonymity
+    cell breaches when the 1-D EARTH MOVER'S DISTANCE between its
+    sensitive-value distribution and the global one exceeds t. For the
+    ordered numeric domain with m distinct global values,
+
+        EMD = (1/(m−1)) · Σ_j |cum_c(j)·n − cum_g(j)·n_c| / (n_c·n)
+
+    — reported as the exact integer rational (emd_num, emd_den) with
+    breach = emd_num·t_den > t_num·emd_den (cross-multiplied, no
+    floats). Quantize the sensitive attribute upstream; m (the
+    distinct-value domain) is the cost knob.
+
+    Scale: one global value rollup (m rows, broadcast), one
+    (cell, value) rollup, the cells × m grid via broadcast cross join
+    + a per-cell cumulative window over m rows — the grid is
+    |cells|·m, audit metadata, not the corpus."""
+    r = rows.select(
+        F.col(cell_col).alias("cell"), F.col(value_col).cast("long").alias("v")
+    )
+    gv = r.groupBy("v").agg(F.count(F.lit(1)).alias("gc"))
+    tot = r.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("v").alias("m"),
+    )
+    cv = r.groupBy("cell", "v").agg(F.count(F.lit(1)).alias("cc"))
+    nc = cv.groupBy("cell").agg(F.sum("cc").alias("n_c"))
+    grid = (
+        nc.crossJoin(F.broadcast(gv))
+        .join(cv, ["cell", "v"], "left")
+        .select(
+            "cell", "n_c", "v", "gc",
+            F.coalesce(F.col("cc"), F.lit(0)).alias("cc"),
+        )
+    )
+    w = Window.partitionBy("cell").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = grid.select(
+        "cell", "n_c", "v",
+        F.sum("cc").over(w).alias("cum_c"),
+        F.sum("gc").over(w).alias("cum_g"),
+    )
+    agg = (
+        cum.crossJoin(F.broadcast(tot))
+        .select(
+            "cell", "n_c",
+            F.abs(
+                F.col("cum_c") * F.col("n") - F.col("cum_g") * F.col("n_c")
+            ).alias("term"),
+            "n", "m",
+        )
+        .groupBy("cell", "n_c", "n", "m")
+        .agg(F.sum("term").cast("long").alias("emd_num"))
+    )
+    return agg.select(
+        "cell",
+        F.col("n_c").cast("long").alias("n_c"),
+        F.col("m").cast("long").alias("m"),
+        "emd_num",
+        (F.col("n_c") * F.col("n") * F.greatest(F.col("m") - 1, F.lit(1)))
+        .cast("long")
+        .alias("emd_den"),
+        (
+            F.col("emd_num") * t_den
+            > F.lit(t_num)
+            * F.col("n_c")
+            * F.col("n")
+            * F.greatest(F.col("m") - 1, F.lit(1))
+        ).alias("breach"),
+    )
+
+
+def t_closeness_sql(rows_cte: str, t_num: int = 1, t_den: int = 5) -> str:
+    """DuckDB twin of t_closeness. ``rows_cte`` -> (cell, v)."""
+    return f"""
+WITH tc_r AS (
+  SELECT cell, CAST(v AS BIGINT) AS v FROM ({rows_cte})
+),
+tc_gv AS (SELECT v, COUNT(*) AS gc FROM tc_r GROUP BY 1),
+tc_tot AS (SELECT COUNT(*) AS n, COUNT(DISTINCT v) AS m FROM tc_r),
+tc_cv AS (SELECT cell, v, COUNT(*) AS cc FROM tc_r GROUP BY 1, 2),
+tc_nc AS (SELECT cell, SUM(cc) AS n_c FROM tc_cv GROUP BY 1),
+tc_grid AS (
+  SELECT c.cell, c.n_c, g.v, g.gc, COALESCE(x.cc, 0) AS cc
+  FROM tc_nc c CROSS JOIN tc_gv g
+  LEFT JOIN tc_cv x ON x.cell = c.cell AND x.v = g.v
+),
+tc_cum AS (
+  SELECT cell, n_c, v,
+         SUM(cc) OVER (PARTITION BY cell ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_c,
+         SUM(gc) OVER (PARTITION BY cell ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_g
+  FROM tc_grid
+),
+tc_agg AS (
+  SELECT c.cell, c.n_c, t.n, t.m,
+         CAST(SUM(abs(c.cum_c * t.n - c.cum_g * c.n_c)) AS BIGINT) AS emd_num
+  FROM tc_cum c CROSS JOIN tc_tot t
+  GROUP BY 1, 2, 3, 4
+)
+SELECT cell, CAST(n_c AS BIGINT) AS n_c, CAST(m AS BIGINT) AS m, emd_num,
+       CAST(n_c * n * GREATEST(m - 1, 1) AS BIGINT) AS emd_den,
+       emd_num * {t_den} > {t_num} * n_c * n * GREATEST(m - 1, 1) AS breach
+FROM tc_agg
+"""

@@ -4133,3 +4133,118 @@ def test_bradley_terry_scalar_replay_and_ordering(spark):
         ).fetchall()
     }
     assert twin == got
+
+
+def test_seasonal_anomaly_scalar_replay_and_planted_spike(spark):
+    """Median/MAD seasonal gate vs scalar replay; a planted spike in an
+    otherwise-stable slot is the only flag."""
+    import duckdb
+    import math
+
+    from osm2geojson_spark.operators.analytics import (
+        seasonal_anomaly,
+        seasonal_anomaly_sql,
+    )
+
+    rows = []
+    t = 0
+    for day in range(10):
+        for slot in range(3):
+            base = 100 * (slot + 1)
+            x = base + (day * 7) % 5
+            rows.append(("m", slot, t, x))
+            t += 1
+    rows.append(("m", 1, t, 9999))  # planted spike in slot 1
+
+    def brute():
+        out = {}
+        for g, slot in {(r[0], r[1]) for r in rows}:
+            pts = sorted(
+                [(x, tt) for gg, ss, tt, x in rows if gg == g and ss == slot]
+            )
+            n = len(pts)
+            med = sorted(pts, key=lambda p: (p[0], p[1]))[
+                math.ceil(n / 2) - 1
+            ][0]
+            devs = sorted(
+                (abs(x - med), tt) for x, tt in pts
+            )
+            mad = devs[math.ceil(n / 2) - 1][0]
+            for x, tt in pts:
+                out[(g, slot, tt)] = (
+                    x, med, mad, abs(x - med) > 5 * max(mad, 1)
+                )
+        return out
+
+    df = spark.createDataFrame(rows, "g string, slot long, t long, x long")
+    got = {
+        (r["g"], r["slot"], r["t"]): (r["x"], r["med"], r["mad"], r["flagged"])
+        for r in seasonal_anomaly(df).collect()
+    }
+    assert got == brute()
+    flagged = [k for k, v in got.items() if v[3]]
+    assert flagged == [("m", 1, t)]
+
+    duck = duckdb.connect()
+    duck.execute("CREATE TABLE sas (g VARCHAR, slot BIGINT, t BIGINT, x BIGINT)")
+    duck.executemany("INSERT INTO sas VALUES (?, ?, ?, ?)", rows)
+    twin = {
+        (r[0], r[1], r[2]): (r[3], r[4], r[5], r[6])
+        for r in duck.sql(seasonal_anomaly_sql("SELECT * FROM sas")).fetchall()
+    }
+    assert twin == got
+
+
+def test_t_closeness_scalar_replay_and_skewed_cell(spark):
+    """Exact-EMD t-closeness vs scalar replay; a cell holding only the
+    extreme sensitive values breaches, a proportional cell does not."""
+    import duckdb
+
+    rows = []
+    # global: values 0..4 uniform across cells A (proportional) and B
+    for v in range(5):
+        for _ in range(8):
+            rows.append(("A", v))
+    # skewed cell: only extreme value 4
+    for _ in range(10):
+        rows.append(("B", 4))
+
+    from osm2geojson_spark.operators.analytics import t_closeness, t_closeness_sql
+
+    def brute(t_num=1, t_den=5):
+        import collections
+
+        gv = collections.Counter(v for _, v in rows)
+        n = len(rows)
+        m = len(gv)
+        vals = sorted(gv)
+        out = {}
+        for cell in {c for c, _ in rows}:
+            cv = collections.Counter(v for c, v in rows if c == cell)
+            n_c = sum(cv.values())
+            cum_c = cum_g = 0
+            num = 0
+            for v in vals:
+                cum_c += cv.get(v, 0)
+                cum_g += gv[v]
+                num += abs(cum_c * n - cum_g * n_c)
+            den = n_c * n * max(m - 1, 1)
+            out[cell] = (n_c, m, num, den, num * t_den > t_num * den)
+        return out
+
+    df = spark.createDataFrame(rows, "cell string, v long")
+    got = {
+        r["cell"]: (r["n_c"], r["m"], r["emd_num"], r["emd_den"], r["breach"])
+        for r in t_closeness(df).collect()
+    }
+    assert got == brute()
+    assert got["B"][4] and not got["A"][4]
+
+    duck = duckdb.connect()
+    duck.execute("CREATE TABLE tcr (cell VARCHAR, v BIGINT)")
+    duck.executemany("INSERT INTO tcr VALUES (?, ?)", rows)
+    twin = {
+        r[0]: tuple(r[1:])
+        for r in duck.sql(t_closeness_sql("SELECT * FROM tcr")).fetchall()
+    }
+    assert twin == got

@@ -163,3 +163,34 @@ def test_spatial_stats_plans_broadcast_and_no_cartesian(spark):
         plan = _plan(E.queries()[q](spark, SF_DIR))
         assert "CartesianProduct" not in plan, q
         assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, q
+
+
+def test_session10_plan_shapes(spark):
+    """Scale-contract pins for session-10 operators: dimension sides
+    broadcast, no cartesian products, no per-row Python, and no
+    single-partition global sort where a partitioned window suffices."""
+    # Huff: stores are a broadcast dimension, demand never cartesian-joins
+    plan = _plan(E.queries()["huff_model"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+
+    # RRF: fusion rollup + per-qid window — no global single-partition sort
+    plan = _plan(E.queries()["rrf_fusion"](spark, SF_DIR))
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+    # FD audit: pure aggregates, JVM-only, no joins at all
+    plan = _plan(E.queries()["fd_check"](spark, SF_DIR))
+    assert "EvalPython" not in plan
+    assert "Join" not in plan
+
+    # perceptron: weight vector broadcasts against the exploded features
+    plan = _plan(E.queries()["perceptron"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+    # readability / knox / quadrat: JVM-only column algebra
+    for name in ("readability", "quadrat"):
+        plan = _plan(E.queries()[name](spark, SF_DIR))
+        assert "EvalPython" not in plan, name
