@@ -14337,12 +14337,15 @@ def q_tree_depth2(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("id"),
         (F.col("l_returnflag") == "R").cast("long").alias("label"),
         F.col("l_quantity").cast("long").alias("qty"),
-        F.round(F.col("l_extendedprice") * 100).cast("long").alias("price_c"),
+        F.floor(F.col("l_extendedprice") / 10).cast("long").alias("price_d"),
         F.round(F.col("l_discount") * 100).cast("long").alias("disc_c"),
         F.round(F.col("l_tax") * 100).cast("long").alias("tax_c"),
+        F.floor(F.col("l_shipdate").cast("timestamp").cast("long") / 86400)
+        .cast("long")
+        .alias("ship_day"),
     )
     rows = None
-    for c in ("qty", "price_c", "disc_c", "tax_c"):
+    for c in ("qty", "price_d", "disc_c", "tax_c", "ship_day"):
         r = li.select("id", F.lit(c).alias("feat"), F.col(c).alias("x"), "label")
         rows = r if rows is None else rows.unionByName(r)
     return tree_depth2_train(rows)
@@ -14353,9 +14356,10 @@ def _tree_depth2_sql() -> str:
 
     feats = {
         "qty": "CAST(l_quantity AS BIGINT)",
-        "price_c": "CAST(round(l_extendedprice * 100) AS BIGINT)",
+        "price_d": "CAST(floor(l_extendedprice / 10) AS BIGINT)",
         "disc_c": "CAST(round(l_discount * 100) AS BIGINT)",
         "tax_c": "CAST(round(l_tax * 100) AS BIGINT)",
+        "ship_day": "CAST(floor(epoch(l_shipdate) / 86400) AS BIGINT)",
     }
     rows = " UNION ALL ".join(
         f"SELECT l_orderkey * 8 + l_linenumber AS id, '{name}' AS feat,"
