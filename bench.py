@@ -359,6 +359,16 @@ BENCH_QUERIES = [
     "rocchio",
     "k_truss",
     "stable_matching",
+    "allan_variance",
+    "cube_metrics",
+    "fs_linkage",
+    "mis",
+    "bradley_terry",
+    "rake",
+    "bootstrap_ci",
+    "coloring",
+    "seasonal_anomaly",
+    "t_closeness",
 ]
 
 

@@ -624,7 +624,9 @@ def rocchio_expand(
     Scale: one broadcast of the k feedback ids against the token
     explode (leftsemi), one combinable term rollup."""
     rel = bm25_topk(docs, query_terms, k=k, id_col=id_col, text_col=text_col)
-    rel_ids = rel.select(id_col)
+    # the k-row feedback set is consumed twice (count + leftsemi probe):
+    # materialize it once so the BM25 scan doesn't execute twice
+    rel_ids = rel.select(id_col).localCheckpoint()
     n_rel = rel_ids.count()
     toks = (
         docs.join(F.broadcast(rel_ids), id_col, "leftsemi")
