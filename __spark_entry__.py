@@ -14872,9 +14872,30 @@ def _t_closeness_sql() -> str:
     return t_closeness_sql(rows)
 
 
+def q_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X324 (analytics.item_cf_neighbors): co-purchase item-item CF on
+    lineitem baskets (order = basket, part = item) — binary cosine
+    ranked by the exact integer quotient, top-5 neighbors per part."""
+    from osm2geojson_spark.operators.analytics import item_cf_neighbors
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("user"), F.col("l_partkey").alias("item")
+    )
+    return item_cf_neighbors(li, k=5)
+
+
+def _item_cf_sql() -> str:
+    from osm2geojson_spark.operators.analytics import item_cf_neighbors_sql
+
+    return item_cf_neighbors_sql(
+        'SELECT l_orderkey AS "user", l_partkey AS item FROM lineitem', k=5
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "item_cf": q_item_cf,
         "t_closeness": q_t_closeness,
         "seasonal_anomaly": q_seasonal_anomaly,
         "coloring": q_coloring,
@@ -15249,6 +15270,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "item_cf": _item_cf_sql(),
         "t_closeness": _t_closeness_sql(),
         "seasonal_anomaly": _seasonal_anomaly_sql(),
         "coloring": _coloring_sql(),

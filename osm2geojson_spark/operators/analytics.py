@@ -7247,3 +7247,101 @@ SELECT cell, CAST(n_c AS BIGINT) AS n_c, CAST(m AS BIGINT) AS m, emd_num,
        emd_num * {t_den} > {t_num} * n_c * n * GREATEST(m - 1, 1) AS breach
 FROM tc_agg
 """
+
+
+def item_cf_neighbors(
+    events: DataFrame,
+    k: int = 5,
+    user_col: str = "user",
+    item_col: str = "item",
+) -> DataFrame:
+    """(item, nbr, co, n_item, n_nbr, rank) — ITEM-BASED COLLABORATIVE
+    FILTERING neighbors (Sarwar et al. 2001, the workhorse of
+    "customers also bought"): for each item the top-k other items by
+    cosine over binary user-item co-occurrence,
+
+        cos(i, j) = co_ij / √(n_i · n_j)
+
+    ranked float-free: neighbors sort by the integer quotient
+    q = co² · 10⁶ DIV (n_i · n_j) (monotone in cos², truncating —
+    deterministic cross-engine) with (q DESC, nbr ASC) pinning ties;
+    near-equal cosines that land on the same quotient resolve by
+    neighbor id — the documented tie rule, identical in the twin.
+
+    Scale: co-occurrence via the user-keyed self-join restricted to
+    i < j (classic Σ basket² — cap basket size upstream for
+    power users, as basket/covisitation do), then one combinable
+    rollup + a per-item window over the item's neighbor list."""
+    ui = events.select(
+        F.col(user_col).alias("u"), F.col(item_col).alias("i")
+    ).distinct().localCheckpoint(eager=False)
+    ni = ui.groupBy("i").agg(F.count(F.lit(1)).alias("n"))
+    a = ui.select("u", F.col("i").alias("ia"))
+    b = ui.select("u", F.col("i").alias("ib"))
+    co = (
+        a.join(b, "u")
+        .filter(F.col("ia") < F.col("ib"))
+        .groupBy("ia", "ib")
+        .agg(F.count(F.lit(1)).alias("co"))
+    )
+    both = co.unionByName(
+        co.select(
+            F.col("ib").alias("ia"), F.col("ia").alias("ib"), "co"
+        )
+    )
+    scored = (
+        both.join(ni.select(F.col("i").alias("ia"), F.col("n").alias("n_item")), "ia")
+        .join(ni.select(F.col("i").alias("ib"), F.col("n").alias("n_nbr")), "ib")
+        .select(
+            F.col("ia").alias("item"),
+            F.col("ib").alias("nbr"),
+            F.col("co").cast("long").alias("co"),
+            F.col("n_item").cast("long").alias("n_item"),
+            F.col("n_nbr").cast("long").alias("n_nbr"),
+            F.expr(
+                "CAST(co * co * 1000000 DIV (n_item * n_nbr) AS BIGINT)"
+            ).alias("_q"),
+        )
+    )
+    w = Window.partitionBy("item").orderBy(
+        F.col("_q").desc(), F.col("nbr").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .drop("_q")
+    )
+
+
+def item_cf_neighbors_sql(events_cte: str, k: int = 5) -> str:
+    """DuckDB twin of item_cf_neighbors. ``events_cte`` -> (user, item)."""
+    return f"""
+WITH cf_ui AS (
+  SELECT DISTINCT "user" AS u, item AS i FROM ({events_cte})
+),
+cf_n AS (SELECT i, COUNT(*) AS n FROM cf_ui GROUP BY 1),
+cf_co AS (
+  SELECT a.i AS ia, b.i AS ib, COUNT(*) AS co
+  FROM cf_ui a JOIN cf_ui b ON a.u = b.u AND a.i < b.i
+  GROUP BY 1, 2
+),
+cf_both AS (
+  SELECT ia, ib, co FROM cf_co
+  UNION ALL SELECT ib, ia, co FROM cf_co
+),
+cf_sc AS (
+  SELECT x.ia AS item, x.ib AS nbr, CAST(x.co AS BIGINT) AS co,
+         CAST(na.n AS BIGINT) AS n_item, CAST(nb.n AS BIGINT) AS n_nbr,
+         CAST(x.co * x.co * 1000000 // (na.n * nb.n) AS BIGINT) AS _q
+  FROM cf_both x
+  JOIN cf_n na ON na.i = x.ia
+  JOIN cf_n nb ON nb.i = x.ib
+),
+cf_rk AS (
+  SELECT item, nbr, co, n_item, n_nbr,
+         CAST(row_number() OVER (PARTITION BY item
+              ORDER BY _q DESC, nbr ASC) AS BIGINT) AS rank
+  FROM cf_sc
+)
+SELECT item, nbr, co, n_item, n_nbr, rank FROM cf_rk WHERE rank <= {k}
+"""

@@ -4248,3 +4248,66 @@ def test_t_closeness_scalar_replay_and_skewed_cell(spark):
         for r in duck.sql(t_closeness_sql("SELECT * FROM tcr")).fetchall()
     }
     assert twin == got
+
+
+def test_item_cf_neighbors_brute_and_twin(spark):
+    """Item-item cosine CF vs scalar replay; frequently co-bought pair
+    ranks first."""
+    import collections
+    import duckdb
+
+    rows = [
+        # users x items: 1&2 co-bought by three users; 3 rides with 1 once
+        (10, 1), (10, 2), (11, 1), (11, 2), (12, 1), (12, 2),
+        (13, 1), (13, 3), (14, 2), (15, 3), (15, 4),
+    ]
+    from osm2geojson_spark.operators.analytics import (
+        item_cf_neighbors,
+        item_cf_neighbors_sql,
+    )
+
+    def brute(k=3):
+        ui = sorted(set(rows))
+        n = collections.Counter(i for _, i in ui)
+        co = collections.Counter()
+        users = collections.defaultdict(set)
+        for u, i in ui:
+            users[u].add(i)
+        for u, items in users.items():
+            for a in items:
+                for b in items:
+                    if a < b:
+                        co[(a, b)] += 1
+        out = {}
+        for (a, b), c in list(co.items()):
+            co[(b, a)] = c
+        per_item = collections.defaultdict(list)
+        for (a, b), c in co.items():
+            q = c * c * 1_000_000 // (n[a] * n[b])
+            per_item[a].append((-q, b, c))
+        res = {}
+        for a, lst in per_item.items():
+            lst.sort()
+            for r, (negq, b, c) in enumerate(lst[:k], 1):
+                res[(a, b)] = (c, n[a], n[b], r)
+        return res
+
+    df = spark.createDataFrame(rows, "user long, item long")
+    got = {
+        (r["item"], r["nbr"]): (r["co"], r["n_item"], r["n_nbr"], r["rank"])
+        for r in item_cf_neighbors(df, k=3).collect()
+    }
+    assert got == brute()
+    # the 3x co-bought pair is each other's #1 neighbor
+    assert got[(1, 2)][3] == 1 and got[(2, 1)][3] == 1
+
+    duck = duckdb.connect()
+    duck.execute('CREATE TABLE cfe ("user" BIGINT, item BIGINT)')
+    duck.executemany("INSERT INTO cfe VALUES (?, ?)", rows)
+    twin = {
+        (r[0], r[1]): (r[2], r[3], r[4], r[5])
+        for r in duck.sql(
+            item_cf_neighbors_sql('SELECT "user", item FROM cfe', k=3)
+        ).fetchall()
+    }
+    assert twin == got
