@@ -14892,9 +14892,44 @@ def _item_cf_sql() -> str:
     )
 
 
+def q_ipf_raking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X325 (analytics.ipf_raking): survey raking of the customer
+    (nation × segment) contingency table to hash-perturbed margin
+    targets — six fixed-point IPF rounds, bit-equal unrolled twin."""
+    from osm2geojson_spark.operators.analytics import ipf_raking
+
+    cells = _t(spark, sf_dir, "customer").groupBy(
+        F.col("c_nationkey").alias("r"), F.col("c_mktsegment").alias("c")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    rt = cells.groupBy("r").agg(
+        (F.sum("n") + (F.col("r") * 13) % 10).cast("long").alias("target")
+    )
+    ct = cells.groupBy("c").agg(
+        (F.sum("n") + F.length(F.col("c")) % 7).cast("long").alias("target")
+    )
+    return ipf_raking(cells, rt, ct, rounds=6)
+
+
+def _ipf_raking_sql() -> str:
+    from osm2geojson_spark.operators.analytics import ipf_raking_sql
+
+    cells = (
+        "SELECT c_nationkey AS r, c_mktsegment AS c, COUNT(*) AS n"
+        " FROM customer GROUP BY 1, 2"
+    )
+    rt = (
+        f"SELECT r, SUM(n) + (r * 13) % 10 AS target FROM ({cells}) GROUP BY r"
+    )
+    ct = (
+        f"SELECT c, SUM(n) + length(c) % 7 AS target FROM ({cells}) GROUP BY c"
+    )
+    return ipf_raking_sql(cells, rt, ct, rounds=6)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "ipf_raking": q_ipf_raking,
         "item_cf": q_item_cf,
         "t_closeness": q_t_closeness,
         "seasonal_anomaly": q_seasonal_anomaly,
@@ -15270,6 +15305,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "ipf_raking": _ipf_raking_sql(),
         "item_cf": _item_cf_sql(),
         "t_closeness": _t_closeness_sql(),
         "seasonal_anomaly": _seasonal_anomaly_sql(),

@@ -7345,3 +7345,129 @@ cf_rk AS (
 )
 SELECT item, nbr, co, n_item, n_nbr, rank FROM cf_rk WHERE rank <= {k}
 """
+
+
+IPF_SCALE = 1_000_000  # raking weight fixed point
+
+
+def ipf_raking(
+    cells: DataFrame,
+    row_targets: DataFrame,
+    col_targets: DataFrame,
+    rounds: int = 6,
+    r_col: str = "r",
+    c_col: str = "c",
+    n_col: str = "n",
+    target_col: str = "target",
+) -> DataFrame:
+    """(r, c, n, w_micro) — ITERATIVE PROPORTIONAL FITTING / raking
+    (Deming-Stephan 1940): reweight a two-way contingency table so its
+    margins hit external targets — the survey-weighting / census-
+    calibration operator (and the IPF core of gravity OD seeding).
+    Each round rescales rows then columns in fixed point,
+
+        w ← w · (R_r · IPF_SCALE) DIV Σ_c w·n   (then columns)
+
+    applied to the micro-weighted mass w·n — truncating integer
+    division on positives, so every round is a pure function of the
+    inputs and the unrolled twin lands bit-equal. Init w = IPF_SCALE.
+    With matching grand totals IPF converges geometrically; bounded
+    rounds are the product spec either way. Zero-mass rows/columns
+    keep their previous weight (guarded division).
+
+    Scale: the cell table is |rows|×|cols| margin metadata; per round
+    two combinable rollups + two broadcast joins."""
+    base = cells.select(
+        F.col(r_col).alias("r"),
+        F.col(c_col).alias("c"),
+        F.col(n_col).cast("long").alias("n"),
+    ).localCheckpoint(eager=False)
+    rt = row_targets.select(
+        F.col(r_col).alias("r"), F.col(target_col).cast("long").alias("rt")
+    )
+    ct = col_targets.select(
+        F.col(c_col).alias("c"), F.col(target_col).cast("long").alias("ct")
+    )
+    w = base.select("r", "c", "n", F.lit(IPF_SCALE).cast("long").alias("w"))
+    for _ in range(rounds):
+        rs = w.groupBy("r").agg(F.sum(F.col("w") * F.col("n")).alias("mass"))
+        w = (
+            w.join(F.broadcast(rs), "r")
+            .join(F.broadcast(rt), "r")
+            .select(
+                "r", "c", "n",
+                F.when(
+                    F.col("mass") > 0,
+                    F.expr(
+                        f"CAST(w * (rt * {IPF_SCALE}) DIV mass AS BIGINT)"
+                    ),
+                )
+                .otherwise(F.col("w"))
+                .alias("w"),
+            )
+        )
+        cs = w.groupBy("c").agg(F.sum(F.col("w") * F.col("n")).alias("mass"))
+        w = (
+            w.join(F.broadcast(cs), "c")
+            .join(F.broadcast(ct), "c")
+            .select(
+                "r", "c", "n",
+                F.when(
+                    F.col("mass") > 0,
+                    F.expr(
+                        f"CAST(w * (ct * {IPF_SCALE}) DIV mass AS BIGINT)"
+                    ),
+                )
+                .otherwise(F.col("w"))
+                .alias("w"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return w.select("r", "c", "n", F.col("w").alias("w_micro"))
+
+
+def ipf_raking_sql(
+    cells_cte: str,
+    row_targets_cte: str,
+    col_targets_cte: str,
+    rounds: int = 6,
+) -> str:
+    """DuckDB twin of ipf_raking. CTEs -> (r, c, n) / (r, target) /
+    (c, target)."""
+    parts = [
+        f"""ipf_b AS (
+  SELECT r, c, CAST(n AS BIGINT) AS n FROM ({cells_cte})
+),
+ipf_rt AS (SELECT r, CAST(target AS BIGINT) AS rt FROM ({row_targets_cte})),
+ipf_ct AS (SELECT c, CAST(target AS BIGINT) AS ct FROM ({col_targets_cte})),
+ipf_w0 AS MATERIALIZED (
+  SELECT r, c, n, CAST({IPF_SCALE} AS BIGINT) AS w FROM ipf_b
+)"""
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"""ipf_r{i} AS MATERIALIZED (
+  SELECT w.r, w.c, w.n,
+         CASE WHEN m.mass > 0
+              THEN CAST(w.w * (t.rt * {IPF_SCALE}) // m.mass AS BIGINT)
+              ELSE w.w END AS w
+  FROM ipf_w{i - 1} w
+  JOIN (SELECT r, SUM(w * n) AS mass FROM ipf_w{i - 1} GROUP BY 1) m
+    USING (r)
+  JOIN ipf_rt t USING (r)
+),
+ipf_w{i} AS MATERIALIZED (
+  SELECT w.r, w.c, w.n,
+         CASE WHEN m.mass > 0
+              THEN CAST(w.w * (t.ct * {IPF_SCALE}) // m.mass AS BIGINT)
+              ELSE w.w END AS w
+  FROM ipf_r{i} w
+  JOIN (SELECT c, SUM(w * n) AS mass FROM ipf_r{i} GROUP BY 1) m
+    USING (c)
+  JOIN ipf_ct t USING (c)
+)"""
+        )
+    body = ",\n".join(parts)
+    return f"""WITH {body}
+SELECT r, c, n, w AS w_micro FROM ipf_w{rounds}
+"""

@@ -4311,3 +4311,73 @@ def test_item_cf_neighbors_brute_and_twin(spark):
         ).fetchall()
     }
     assert twin == got
+
+
+def test_ipf_raking_scalar_replay_and_margin_fit(spark):
+    """IPF rounds vs scalar replay; with matching grand totals the
+    raked margins land within integer-rounding of the targets."""
+    import collections
+    import duckdb
+
+    from osm2geojson_spark.operators.analytics import (
+        IPF_SCALE,
+        ipf_raking,
+        ipf_raking_sql,
+    )
+
+    cells = [(0, "A", 10), (0, "B", 30), (1, "A", 30), (1, "B", 30)]
+    # targets shift mass toward row 0 / column A, same grand total 100
+    rts = [(0, 50), (1, 50)]
+    cts = [("A", 60), ("B", 40)]
+
+    def brute(rounds=6):
+        w = {(r, c): IPF_SCALE for r, c, _ in cells}
+        n = {(r, c): k for r, c, k in cells}
+        for _ in range(rounds):
+            rs = collections.Counter()
+            for (r, c), wv in w.items():
+                rs[r] += wv * n[(r, c)]
+            rtd = dict(rts)
+            for (r, c) in list(w):
+                if rs[r] > 0:
+                    w[(r, c)] = w[(r, c)] * (rtd[r] * IPF_SCALE) // rs[r]
+            cs = collections.Counter()
+            for (r, c), wv in w.items():
+                cs[c] += wv * n[(r, c)]
+            ctd = dict(cts)
+            for (r, c) in list(w):
+                if cs[c] > 0:
+                    w[(r, c)] = w[(r, c)] * (ctd[c] * IPF_SCALE) // cs[c]
+        return {(r, c): (n[(r, c)], w[(r, c)]) for r, c, _ in cells}
+
+    cdf = spark.createDataFrame(cells, "r long, c string, n long")
+    rdf = spark.createDataFrame(rts, "r long, target long")
+    tdf = spark.createDataFrame(cts, "c string, target long")
+    got = {
+        (r["r"], r["c"]): (r["n"], r["w_micro"])
+        for r in ipf_raking(cdf, rdf, tdf, rounds=6).collect()
+    }
+    assert got == brute()
+    # margin fit: raked row masses hit targets within 1%
+    for r, t in rts:
+        mass = sum(
+            w * n for (rr, c), (n, w) in got.items() if rr == r
+        ) / IPF_SCALE
+        assert abs(mass - t) < t * 0.01 + 1
+
+    duck = duckdb.connect()
+    duck.execute("CREATE TABLE ipfc (r BIGINT, c VARCHAR, n BIGINT)")
+    duck.executemany("INSERT INTO ipfc VALUES (?, ?, ?)", cells)
+    duck.execute("CREATE TABLE ipfr (r BIGINT, target BIGINT)")
+    duck.executemany("INSERT INTO ipfr VALUES (?, ?)", rts)
+    duck.execute("CREATE TABLE ipft (c VARCHAR, target BIGINT)")
+    duck.executemany("INSERT INTO ipft VALUES (?, ?)", cts)
+    twin = {
+        (r[0], r[1]): (r[2], r[3])
+        for r in duck.sql(
+            ipf_raking_sql(
+                "SELECT * FROM ipfc", "SELECT * FROM ipfr", "SELECT * FROM ipft", 6
+            )
+        ).fetchall()
+    }
+    assert twin == got
