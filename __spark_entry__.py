@@ -14926,9 +14926,35 @@ def _ipf_raking_sql() -> str:
     return ipf_raking_sql(cells, rt, ct, rounds=6)
 
 
+def q_sprt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X326 (analytics.sprt_decisions): Wald SPRT per event_type —
+    success = value > 240, H0 p=1/2 vs H1 p=3/5, alpha = 5%; exact
+    integer LLR walk, first-crossing decision."""
+    from osm2geojson_spark.operators.analytics import sprt_decisions
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("g"),
+        "ts",
+        "event_id",
+        (F.col("value") > 240).cast("long").alias("x"),
+    )
+    return sprt_decisions(ev, order_cols=("ts", "event_id"))
+
+
+def _sprt_sql() -> str:
+    from osm2geojson_spark.operators.analytics import sprt_decisions_sql
+
+    trials = (
+        "SELECT event_type AS g, ts, event_id,"
+        " CASE WHEN value > 240 THEN 1 ELSE 0 END AS x FROM events"
+    )
+    return sprt_decisions_sql(trials, order_by="ts, event_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "sprt": q_sprt,
         "ipf_raking": q_ipf_raking,
         "item_cf": q_item_cf,
         "t_closeness": q_t_closeness,
@@ -15305,6 +15331,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "sprt": _sprt_sql(),
         "ipf_raking": _ipf_raking_sql(),
         "item_cf": _item_cf_sql(),
         "t_closeness": _t_closeness_sql(),

@@ -7471,3 +7471,129 @@ ipf_w{i} AS MATERIALIZED (
     return f"""WITH {body}
 SELECT r, c, n, w AS w_micro FROM ipf_w{rounds}
 """
+
+
+def _sprt_consts(
+    p0_num: int, p0_den: int, p1_num: int, p1_den: int,
+    alpha_num: int = 1, alpha_den: int = 20,
+) -> tuple[int, int, int, int]:
+    """Micro-nat SPRT constants, computed ONCE in Python and shared by
+    both engines (no engine evaluates ln): per-success and per-failure
+    LLR increments, and the Wald bounds for alpha = beta."""
+    import math as _m
+
+    p0 = p0_num / p0_den
+    p1 = p1_num / p1_den
+    a = alpha_num / alpha_den
+    l1 = round(_m.log(p1 / p0) * 1_000_000)
+    l0 = round(_m.log((1 - p1) / (1 - p0)) * 1_000_000)
+    upper = round(_m.log((1 - a) / a) * 1_000_000)
+    return l1, l0, upper, -upper
+
+
+def sprt_decisions(
+    trials: DataFrame,
+    p0: tuple[int, int] = (1, 2),
+    p1: tuple[int, int] = (3, 5),
+    alpha: tuple[int, int] = (1, 20),
+    group_col: str = "g",
+    order_cols: tuple[str, ...] = ("t",),
+    outcome_col: str = "x",
+) -> DataFrame:
+    """(g, n, n_success, decision, cross_n, llr_final_micro) — WALD'S
+    SEQUENTIAL PROBABILITY RATIO TEST per experiment group: the
+    early-stopping A/B monitor (stop the moment the evidence crosses
+    the Wald bounds instead of waiting for a fixed horizon). Bernoulli
+    H0: p = p0 vs H1: p = p1; each trial adds the micro-nat constant
+    L1 (success) or L0 (failure) — both precomputed in Python and
+    embedded as integers, so the running LLR is an exact integer
+    cumulative sum. decision: 'h1' / 'h0' at the FIRST bound crossing
+    (cross_n = that trial index), 'continue' if the walk stays inside.
+
+    Scale: one ordered cumulative window per group + one min-struct
+    rollup for the first crossing — the sequential test evaluated in
+    one batch pass."""
+    l1, l0, up, lo = _sprt_consts(p0[0], p0[1], p1[0], p1[1], alpha[0], alpha[1])
+    w = Window.partitionBy("g").orderBy(*[F.col(c) for c in order_cols])
+    wc = w.rowsBetween(Window.unboundedPreceding, 0)
+    base = trials.select(
+        F.col(group_col).alias("g"),
+        *[F.col(c) for c in order_cols],
+        F.col(outcome_col).cast("long").alias("x"),
+    ).select(
+        "g",
+        F.row_number().over(w).cast("long").alias("idx"),
+        F.sum(
+            F.when(F.col("x") == 1, F.lit(l1)).otherwise(F.lit(l0))
+        ).over(wc).alias("llr"),
+        F.sum("x").over(wc).alias("cum_x"),
+    )
+    stats = base.groupBy("g").agg(
+        F.max("idx").alias("n"),
+        F.max(F.struct("idx", "cum_x")).alias("_last"),
+        F.max(F.struct("idx", "llr")).alias("_lastl"),
+        F.min(
+            F.when(
+                F.col("llr") >= up,
+                F.struct("idx", F.lit(1).alias("d")),
+            ).when(
+                F.col("llr") <= lo,
+                F.struct("idx", F.lit(0).alias("d")),
+            )
+        ).alias("cross"),
+    )
+    return stats.select(
+        "g",
+        F.col("n").cast("long").alias("n"),
+        F.col("_last.cum_x").cast("long").alias("n_success"),
+        F.when(F.col("cross").isNull(), "continue")
+        .when(F.col("cross.d") == 1, "h1")
+        .otherwise("h0")
+        .alias("decision"),
+        F.col("cross.idx").cast("long").alias("cross_n"),
+        F.col("_lastl.llr").cast("long").alias("llr_final_micro"),
+    )
+
+
+def sprt_decisions_sql(
+    trials_cte: str,
+    p0: tuple[int, int] = (1, 2),
+    p1: tuple[int, int] = (3, 5),
+    alpha: tuple[int, int] = (1, 20),
+    order_by: str = "t",
+) -> str:
+    """DuckDB twin of sprt_decisions. ``trials_cte`` -> (g, <order>, x)."""
+    l1, l0, up, lo = _sprt_consts(p0[0], p0[1], p1[0], p1[1], alpha[0], alpha[1])
+    return f"""
+WITH sp_src AS (SELECT * FROM ({trials_cte})),
+sp_b AS (
+  SELECT g,
+         CAST(row_number() OVER win AS BIGINT) AS idx,
+         SUM(CASE WHEN x = 1 THEN {l1} ELSE {l0} END)
+           OVER (PARTITION BY g ORDER BY {order_by}
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS llr,
+         SUM(x) OVER (PARTITION BY g ORDER BY {order_by}
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_x
+  FROM sp_src
+  WINDOW win AS (PARTITION BY g ORDER BY {order_by})
+),
+sp_g AS (
+  SELECT g,
+         MAX(idx) AS n,
+         MAX(struct_pack(idx := idx, cum_x := cum_x)) AS _last,
+         MAX(struct_pack(idx := idx, llr := llr)) AS _lastl,
+         MIN(CASE WHEN llr >= {up}
+                  THEN struct_pack(idx := idx, d := 1)
+                  WHEN llr <= {lo}
+                  THEN struct_pack(idx := idx, d := 0)
+                  ELSE NULL END) AS crs
+  FROM sp_b GROUP BY 1
+)
+SELECT g, CAST(n AS BIGINT) AS n,
+       CAST(_last.cum_x AS BIGINT) AS n_success,
+       CASE WHEN crs IS NULL THEN 'continue'
+            WHEN crs.d = 1 THEN 'h1' ELSE 'h0' END AS decision,
+       CAST(crs.idx AS BIGINT) AS cross_n,
+       CAST(_lastl.llr AS BIGINT) AS llr_final_micro
+FROM sp_g
+"""

@@ -4381,3 +4381,68 @@ def test_ipf_raking_scalar_replay_and_margin_fit(spark):
         ).fetchall()
     }
     assert twin == got
+
+
+def test_sprt_scalar_replay_and_regimes(spark):
+    """SPRT walk vs scalar replay; a strong arm accepts H1 early, a
+    null arm accepts H0, a knife-edge arm continues."""
+    import duckdb
+
+    from osm2geojson_spark.operators.analytics import (
+        _sprt_consts,
+        sprt_decisions,
+        sprt_decisions_sql,
+    )
+
+    rows = []
+    # strong: ~75% success
+    for t in range(80):
+        rows.append(("strong", t, 1 if (t * 3) % 4 != 0 else 0))
+    # null: ~25% success
+    for t in range(80):
+        rows.append(("null", t, 1 if (t * 3) % 4 == 0 else 0))
+    # knife-edge: alternating (p=0.5, between the hypotheses)
+    for t in range(40):
+        rows.append(("edge", t, t % 2))
+
+    def brute():
+        l1, l0, up, lo = _sprt_consts(1, 2, 3, 5)
+        out = {}
+        for g in ("strong", "null", "edge"):
+            xs = [x for gg, _, x in rows if gg == g]
+            llr = 0
+            cum = 0
+            cross = None
+            for i, x in enumerate(xs, 1):
+                llr += l1 if x else l0
+                cum += x
+                if cross is None:
+                    if llr >= up:
+                        cross = (i, "h1")
+                    elif llr <= lo:
+                        cross = (i, "h0")
+            dec = cross[1] if cross else "continue"
+            out[g] = (len(xs), cum, dec, cross[0] if cross else None, llr)
+        return out
+
+    df = spark.createDataFrame(rows, "g string, t long, x long")
+    got = {
+        r["g"]: (r["n"], r["n_success"], r["decision"], r["cross_n"], r["llr_final_micro"])
+        for r in sprt_decisions(df, order_cols=("t",)).collect()
+    }
+    assert got == brute()
+    assert got["strong"][2] == "h1" and got["null"][2] == "h0"
+    assert got["edge"][2] == "continue"
+    # early stopping: both decided well before the horizon
+    assert got["strong"][3] < 40 and got["null"][3] < 40
+
+    duck = duckdb.connect()
+    duck.execute("CREATE TABLE spt (g VARCHAR, t BIGINT, x BIGINT)")
+    duck.executemany("INSERT INTO spt VALUES (?, ?, ?)", rows)
+    twin = {
+        r[0]: tuple(r[1:])
+        for r in duck.sql(
+            sprt_decisions_sql("SELECT * FROM spt", order_by="t")
+        ).fetchall()
+    }
+    assert twin == got
