@@ -14951,9 +14951,36 @@ def _sprt_sql() -> str:
     return sprt_decisions_sql(trials, order_by="ts, event_id")
 
 
+def q_convex_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X327 (geometry.convex_layers): onion peeling of the convex_hull
+    point cloud (8 groups, 1000-grid integer coords) — three layers of
+    minimal hull vertices; twin replays the directed-edge hull
+    characterization per peel."""
+    from osm2geojson_spark.operators.geometry import convex_layers
+
+    k = F.col("p_partkey")
+    pts = _t(spark, sf_dir, "part").filter(k < 800).select(
+        (k % 8).alias("g"),
+        ((k * 7919) % 1000).alias("x"),
+        ((k * 104729) % 1000).alias("y"),
+    )
+    return convex_layers(pts, layers=3)
+
+
+def _convex_layers_sql() -> str:
+    from osm2geojson_spark.operators.geometry import convex_layers_sql
+
+    pts = (
+        "SELECT p_partkey % 8 AS g, (p_partkey * 7919) % 1000 AS x,"
+        " (p_partkey * 104729) % 1000 AS y FROM part WHERE p_partkey < 800"
+    )
+    return convex_layers_sql(pts, layers=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "convex_layers": q_convex_layers,
         "sprt": q_sprt,
         "ipf_raking": q_ipf_raking,
         "item_cf": q_item_cf,
@@ -15331,6 +15358,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "convex_layers": _convex_layers_sql(),
         "sprt": _sprt_sql(),
         "ipf_raking": _ipf_raking_sql(),
         "item_cf": _item_cf_sql(),

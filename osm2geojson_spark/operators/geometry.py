@@ -1416,3 +1416,120 @@ SELECT b.ring AS ring_id, b.n_vertices, b.n_zero_len, b.n_spikes,
          AND COALESCE(p.n_bad_pairs, 0) = 0 AS is_valid
 FROM rv_base b LEFT JOIN rv_pairs p ON p.ring = b.ring
 """
+
+
+def convex_layers(
+    df: DataFrame,
+    layers: int = 3,
+    group_col: str = "g",
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """(g, x, y, layer) — CONVEX LAYERS / onion peeling (Chazelle): hull
+    vertices are layer 1, the hull of what remains is layer 2, ... The
+    nonparametric depth ordering behind outlier trimming ("peel the
+    outer k layers"), bagplots, and robust location — the 2-D
+    generalization of ranking by extremity. Points beyond ``layers``
+    peels are not emitted (interior mass). Input points are DISTINCT
+    (g, x, y) value triples (duplicates collapse, as in the hull).
+
+    Per layer the grouped-hull kernel runs exactly as in convex_hull
+    (partial-hull map-side combine would apply at scale; here the
+    per-group collect matches it), MINIMAL vertex sets — collinear
+    boundary points are NOT vertices and survive to inner layers,
+    which the twin's directed-edge characterization reproduces.
+    Groups reduced to <= 2 points peel whole.
+
+    Scale: layers × (one combinable collect per group + one anti-join
+    on the peeled vertices); the live set shrinks every layer."""
+    pts = df.select(
+        F.col(group_col).alias("g"),
+        F.col(x_col).cast("double").alias("x"),
+        F.col(y_col).cast("double").alias("y"),
+    ).distinct().localCheckpoint(eager=False)
+    out = None
+    for layer in range(1, layers + 1):
+        packed = pts.groupBy("g").agg(
+            F.collect_list(F.struct("x", "y")).alias("pts")
+        )
+
+        def peel(it: Iterator[pd.DataFrame], _l=layer) -> Iterator[pd.DataFrame]:
+            for pdf in it:
+                gs, xs, ys = [], [], []
+                for grp, ps in zip(pdf["g"], pdf["pts"]):
+                    arr = np.array(
+                        [[p["x"], p["y"]] for p in ps], dtype=np.float64
+                    )
+                    if len(arr) <= 2:
+                        h = arr
+                    else:
+                        h = K.convex_hull_pts(arr)
+                    for x, y in h:
+                        gs.append(grp)
+                        xs.append(float(x))
+                        ys.append(float(y))
+                yield pd.DataFrame({"g": gs, "x": xs, "y": ys})
+
+        hull = packed.mapInPandas(
+            peel, schema="g long, x double, y double"
+        ).localCheckpoint(eager=False)
+        labeled = hull.select(
+            "g", "x", "y", F.lit(layer).cast("long").alias("layer")
+        )
+        out = labeled if out is None else out.unionByName(labeled)
+        pts = pts.join(hull, ["g", "x", "y"], "left_anti").localCheckpoint(
+            eager=False
+        )
+        if pts.limit(1).count() == 0:
+            break
+    return out
+
+
+def convex_layers_sql(pts_cte: str, layers: int = 3) -> str:
+    """DuckDB twin of convex_layers — per layer the directed-edge hull
+    characterization (convex_hull's oracle) plus the <=2-point
+    whole-group peel. ``pts_cte`` -> (g, x, y)."""
+    parts = [
+        f"""cl_p0 AS MATERIALIZED (
+  SELECT DISTINCT g, CAST(x AS DOUBLE) AS x, CAST(y AS DOUBLE) AS y
+  FROM ({pts_cte})
+)"""
+    ]
+    for i in range(1, layers + 1):
+        parts.append(
+            f"""cl_v{i} AS MATERIALIZED (
+  SELECT DISTINCT g, x, y FROM (
+    SELECT a.g, a.x, a.y
+    FROM cl_p{i - 1} a JOIN cl_p{i - 1} b
+      ON a.g = b.g AND NOT (a.x = b.x AND a.y = b.y)
+    WHERE NOT EXISTS (
+      SELECT 1 FROM cl_p{i - 1} c
+      WHERE c.g = a.g
+        AND NOT (c.x = a.x AND c.y = a.y)
+        AND NOT (c.x = b.x AND c.y = b.y)
+        AND ((b.x - a.x) * (c.y - a.y) - (b.y - a.y) * (c.x - a.x) > 0
+             OR ((b.x - a.x) * (c.y - a.y) - (b.y - a.y) * (c.x - a.x) = 0
+                 AND NOT (c.x BETWEEN least(a.x, b.x) AND greatest(a.x, b.x)
+                          AND c.y BETWEEN least(a.y, b.y)
+                              AND greatest(a.y, b.y))))
+    )
+    UNION ALL
+    SELECT p.g, p.x, p.y FROM cl_p{i - 1} p
+    JOIN (SELECT g FROM cl_p{i - 1} GROUP BY g HAVING COUNT(*) <= 2) s
+      USING (g)
+  )
+),
+cl_p{i} AS MATERIALIZED (
+  SELECT p.g, p.x, p.y FROM cl_p{i - 1} p
+  LEFT JOIN cl_v{i} v ON v.g = p.g AND v.x = p.x AND v.y = p.y
+  WHERE v.g IS NULL
+)"""
+        )
+    unions = " UNION ALL ".join(
+        f"SELECT g, x, y, CAST({i} AS BIGINT) AS layer FROM cl_v{i}"
+        for i in range(1, layers + 1)
+    )
+    body = ",\n".join(parts)
+    return f"""WITH {body}
+{unions}
+"""

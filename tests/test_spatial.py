@@ -2100,3 +2100,68 @@ def test_cell_buffer_dilation_brute_and_twin(spark):
         ).fetchall()
     }
     assert twin == got
+
+
+def test_convex_layers_brute_and_nesting(spark):
+    """Onion peeling vs a scalar peel using the same minimal-hull
+    rule; layers nest (layer k hull contains layer k+1)."""
+    import duckdb
+
+    from osm2geojson_spark.functions import kernels as K
+    from osm2geojson_spark.operators.geometry import (
+        convex_layers,
+        convex_layers_sql,
+    )
+
+    # deterministic cloud: 40 points in one group + a tiny 2-point group
+    pts = [(0, (i * 37) % 97, (i * 61) % 89) for i in range(40)]
+    pts += [(1, 5, 5), (1, 9, 9)]
+
+    def brute(layers=3):
+        import numpy as np
+
+        out = {}
+        rem = {g: {(x, y) for gg, x, y in pts if gg == g} for g in (0, 1)}
+        for layer in range(1, layers + 1):
+            for g in rem:
+                s = rem[g]
+                if not s:
+                    continue
+                if len(s) <= 2:
+                    hull = set(s)
+                else:
+                    arr = np.array(sorted(s), dtype=np.float64)
+                    h = K.convex_hull_pts(arr)
+                    hull = {(float(x), float(y)) for x, y in h}
+                    hull = {(int(x), int(y)) for x, y in hull}
+                for p in hull:
+                    out[(g, p[0], p[1])] = layer
+                rem[g] = s - hull
+        return out
+
+    df = spark.createDataFrame(pts, "g long, x long, y long")
+    got = {
+        (r["g"], int(r["x"]), int(r["y"])): r["layer"]
+        for r in convex_layers(df, layers=3).collect()
+    }
+    assert got == brute()
+    # the 2-point group peels whole in layer 1
+    assert got[(1, 5, 5)] == 1 and got[(1, 9, 9)] == 1
+    # nesting: every layer-2 point lies inside the layer-1 hull bbox
+    l1 = [(x, y) for (g, x, y), l in got.items() if g == 0 and l == 1]
+    l2 = [(x, y) for (g, x, y), l in got.items() if g == 0 and l == 2]
+    assert l2, "expected a second layer"
+    x1 = [p[0] for p in l1]; y1 = [p[1] for p in l1]
+    for x, y in l2:
+        assert min(x1) <= x <= max(x1) and min(y1) <= y <= max(y1)
+
+    duck = duckdb.connect()
+    duck.execute("CREATE TABLE clp (g BIGINT, x BIGINT, y BIGINT)")
+    duck.executemany("INSERT INTO clp VALUES (?, ?, ?)", pts)
+    twin = {
+        (r[0], int(r[1]), int(r[2])): r[3]
+        for r in duck.sql(
+            convex_layers_sql("SELECT * FROM clp", layers=3)
+        ).fetchall()
+    }
+    assert twin == got
