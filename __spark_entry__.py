@@ -14977,9 +14977,43 @@ def _convex_layers_sql() -> str:
     return convex_layers_sql(pts, layers=3)
 
 
+def q_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X328 (graph.harmonic_centrality): pivot-sampled harmonic
+    centrality on the undirected 2-chord part graph (pivots every
+    173rd key, 4-hop horizon) — exact Σ 1e6 DIV d contributions."""
+    from osm2geojson_spark.operators import graph as G
+
+    part = _t(spark, sf_dir, "part").select("p_partkey")
+    n = part.count()
+    k = F.col("p_partkey")
+    edges = part.select(
+        k.alias("src"), ((k * 7 + 3) % n).alias("dst")
+    ).unionByName(
+        part.select(k.alias("src"), ((k * 13 + 5) % n).alias("dst"))
+    ).filter(F.col("src") != F.col("dst"))
+    sources = part.filter(k % 173 == 0).select(k.alias("node"))
+    return G.harmonic_centrality(edges, sources, max_hops=4)
+
+
+def _harmonic_centrality_sql() -> str:
+    from osm2geojson_spark.operators import graph as G
+
+    edges = (
+        "SELECT src, dst FROM ("
+        "SELECT p_partkey AS src,"
+        " (p_partkey * 7 + 3) % (SELECT COUNT(*) FROM part) AS dst FROM part"
+        " UNION ALL SELECT p_partkey AS src,"
+        " (p_partkey * 13 + 5) % (SELECT COUNT(*) FROM part) AS dst"
+        " FROM part) e WHERE src <> dst"
+    )
+    sources = "SELECT p_partkey AS node FROM part WHERE p_partkey % 173 = 0"
+    return G.harmonic_centrality_sql(edges, sources, max_hops=4)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "harmonic_centrality": q_harmonic_centrality,
         "convex_layers": q_convex_layers,
         "sprt": q_sprt,
         "ipf_raking": q_ipf_raking,
@@ -15358,6 +15392,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "harmonic_centrality": _harmonic_centrality_sql(),
         "convex_layers": _convex_layers_sql(),
         "sprt": _sprt_sql(),
         "ipf_raking": _ipf_raking_sql(),

@@ -2556,3 +2556,95 @@ gc_u{i} AS MATERIALIZED (
     return f"""WITH {body}
 SELECT node, color, round FROM gc_c{rounds}
 """
+
+
+HC_MICRO = 1_000_000  # harmonic centrality fixed point
+
+
+def harmonic_centrality(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_hops: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    node_col: str = "node",
+    directed: bool = False,
+) -> DataFrame:
+    """(node, hc_micro, n_reached) — HARMONIC CENTRALITY contributions
+    from a pivot set (Boldi-Vigna's recommended closeness variant —
+    sums 1/d so disconnection costs 0 instead of ∞), hop-bounded and
+    pivot-sampled exactly like betweenness_bounded:
+
+        hc(v) = Σ_pivots  HC_MICRO DIV d(pivot, v),   d ≥ 1
+
+    — per-pivot truncating division on positives, order-free integer
+    sum; n_reached counts contributing pivots. The "how central is
+    this junction/hub really" score that survives disconnected and
+    bounded-horizon graphs.
+
+    Scale: one frontier BFS with (pivot, node) keyed state — one
+    equi-join + anti-join + min-rollup per round, all pivots advance
+    together; state is Σ|reach_H| pairs."""
+    e = edges.select(F.col(src_col).alias("_s"), F.col(dst_col).alias("_d"))
+    if not directed:
+        e = e.unionByName(
+            edges.select(F.col(dst_col).alias("_s"), F.col(src_col).alias("_d"))
+        )
+    e = e.distinct().localCheckpoint(eager=False)
+    vis = (
+        sources.select(F.col(node_col).alias("s"))
+        .distinct()
+        .select("s", F.col("s").alias("v"), F.lit(0).cast("long").alias("d"))
+        .localCheckpoint(eager=False)
+    )
+    frontier = vis
+    for d in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(e, frontier["v"] == e["_s"])
+            .select("s", F.col("_d").alias("v"))
+            .distinct()
+            .join(vis.select("s", "v").withColumn("_seen", F.lit(1)),
+                  ["s", "v"], "left")
+            .filter(F.col("_seen").isNull())
+            .select("s", "v", F.lit(d).cast("long").alias("d"))
+            .localCheckpoint(eager=False)
+        )
+        if nxt.limit(1).count() == 0:
+            break
+        vis = vis.unionByName(nxt).localCheckpoint(eager=False)
+        frontier = nxt
+    contrib = vis.filter(F.col("d") > 0)
+    return (
+        contrib.groupBy(F.col("v").alias("node"))
+        .agg(
+            F.sum(F.expr(f"CAST({HC_MICRO} DIV d AS BIGINT)"))
+            .cast("long")
+            .alias("hc_micro"),
+            F.count(F.lit(1)).cast("long").alias("n_reached"),
+        )
+    )
+
+
+def harmonic_centrality_sql(
+    edges_cte: str, sources_cte: str, max_hops: int, directed: bool = False
+) -> str:
+    """DuckDB twin of harmonic_centrality — recursive min-dist walk."""
+    und = " UNION SELECT dst, src FROM hc_e0" if not directed else ""
+    return f"""
+WITH RECURSIVE hc_e0 AS (SELECT src, dst FROM ({edges_cte})),
+hc_e AS (SELECT DISTINCT src, dst FROM (SELECT src, dst FROM hc_e0{und})),
+hc_s AS (SELECT DISTINCT node AS s FROM ({sources_cte})),
+hc_w(s, v, d) AS (
+  SELECT s, s, 0 FROM hc_s
+  UNION
+  SELECT w.s, e.dst, w.d + 1
+  FROM hc_w w JOIN hc_e e ON e.src = w.v
+  WHERE w.d < {max_hops}
+),
+hc_d AS (SELECT s, v, MIN(d) AS d FROM hc_w GROUP BY 1, 2)
+SELECT v AS node,
+       CAST(SUM({HC_MICRO} // d) AS BIGINT) AS hc_micro,
+       CAST(COUNT(*) AS BIGINT) AS n_reached
+FROM hc_d WHERE d > 0
+GROUP BY 1
+"""

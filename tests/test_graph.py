@@ -1373,3 +1373,70 @@ def test_greedy_coloring_equals_sequential_and_proper(spark):
         ).fetchall()
     }
     assert twin == {r["node"]: (r["color"], r["round"]) for r in res}
+
+
+def test_harmonic_centrality_scalar_replay(spark):
+    """Pivot harmonic centrality vs a BFS replay; the hub of a star
+    scores highest from leaf pivots."""
+    import collections
+    import duckdb
+
+    from osm2geojson_spark.operators.graph import (
+        HC_MICRO,
+        harmonic_centrality,
+        harmonic_centrality_sql,
+    )
+
+    # star 0-{1..5} plus tail 5-6-7
+    edges = [(0, 1), (0, 2), (0, 3), (0, 4), (0, 5), (5, 6), (6, 7)]
+    srcs = [1, 2, 7]
+
+    def brute(h=4):
+        adj = collections.defaultdict(set)
+        for a, b in edges:
+            adj[a].add(b)
+            adj[b].add(a)
+        hc = collections.Counter()
+        nr = collections.Counter()
+        for s in srcs:
+            dist = {s: 0}
+            frontier = [s]
+            for d in range(1, h + 1):
+                nxt = []
+                for v in frontier:
+                    for u in adj[v]:
+                        if u not in dist:
+                            dist[u] = d
+                            nxt.append(u)
+                frontier = nxt
+            for v, d in dist.items():
+                if d > 0:
+                    hc[v] += HC_MICRO // d
+                    nr[v] += 1
+        return {v: (hc[v], nr[v]) for v in hc}
+
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    sdf = spark.createDataFrame([(s,) for s in srcs], "node long")
+    got = {
+        r["node"]: (r["hc_micro"], r["n_reached"])
+        for r in harmonic_centrality(edf, sdf, max_hops=4).collect()
+    }
+    assert got == brute()
+    # the hub is the most central non-pivot node
+    non_pivot = {v: s for v, (s, _) in got.items() if v not in srcs}
+    assert max(non_pivot, key=non_pivot.get) == 0
+
+    duck = duckdb.connect()
+    duck.execute("CREATE TABLE hce (src BIGINT, dst BIGINT)")
+    duck.executemany("INSERT INTO hce VALUES (?, ?)", edges)
+    duck.execute("CREATE TABLE hcs (node BIGINT)")
+    duck.executemany("INSERT INTO hcs VALUES (?)", [(s,) for s in srcs])
+    twin = {
+        r[0]: (r[1], r[2])
+        for r in duck.sql(
+            harmonic_centrality_sql(
+                "SELECT src, dst FROM hce", "SELECT node FROM hcs", 4
+            )
+        ).fetchall()
+    }
+    assert twin == got
