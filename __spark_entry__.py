@@ -15010,9 +15010,28 @@ def _harmonic_centrality_sql() -> str:
     return G.harmonic_centrality_sql(edges, sources, max_hops=4)
 
 
+def q_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X329 (dedup.novelty_scores): per-document shingle novelty vs the
+    corpus (df == 1 fraction) over every 2nd document — mode-collapse /
+    template-flood audit; exact micro ratio."""
+    from osm2geojson_spark.operators.dedup import novelty_scores
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 0)
+    return novelty_scores(docs)
+
+
+def _novelty_sql() -> str:
+    from osm2geojson_spark.operators.dedup import novelty_scores_sql
+
+    return novelty_scores_sql(
+        "SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "novelty": q_novelty,
         "harmonic_centrality": q_harmonic_centrality,
         "convex_layers": q_convex_layers,
         "sprt": q_sprt,
@@ -15392,6 +15411,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "novelty": _novelty_sql(),
         "harmonic_centrality": _harmonic_centrality_sql(),
         "convex_layers": _convex_layers_sql(),
         "sprt": _sprt_sql(),

@@ -1462,3 +1462,67 @@ SELECT p.blk, p.wa, p.wb,
        CAST(p.na * p.nb AS BIGINT) AS n_pairs
 FROM lcs_p p JOIN lcs_v v USING (blk, wa, wb)
 """
+
+
+def novelty_scores(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_shingles, n_novel, novelty_micro) — N-GRAM NOVELTY
+    against the corpus itself: a document's shingle is NOVEL when no
+    OTHER document contains it (corpus document frequency 1). The
+    synthetic-data audit that catches mode collapse ("the generator
+    emits the same passages") and template floods before they poison a
+    training mix — the per-document inverse of boilerplate_lines,
+    scored at the character-shingle level used by the MinHash stack.
+
+        novelty_micro = 10⁶ · n_novel DIV n_shingles
+
+    (truncating on nonnegatives; shingle sets are DISTINCT per doc, so
+    df counts documents, not occurrences). Empty-normalized docs emit
+    n_shingles = 1 (the degenerate single gram), matching shingles_col.
+
+    Scale: one explode + one combinable df rollup (shingle-keyed) +
+    one join back — the same shapes ngram_jaccard already runs; the
+    df table is vocabulary-bounded."""
+    sh = shingle_sets(docs, id_col, text_col).localCheckpoint(eager=False)
+    df_tab = sh.groupBy("sh").agg(F.countDistinct(id_col).alias("df"))
+    per_doc = (
+        sh.join(df_tab, "sh")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum((F.col("df") == 1).cast("long")).cast("long").alias("n_novel"),
+        )
+    )
+    return per_doc.select(
+        F.col(id_col).alias("doc_id"),
+        "n_shingles",
+        "n_novel",
+        F.expr("CAST(1000000 * n_novel DIV n_shingles AS BIGINT)").alias(
+            "novelty_micro"
+        ),
+    )
+
+
+def novelty_scores_sql(docs_cte: str) -> str:
+    """DuckDB twin of novelty_scores. ``docs_cte`` -> (doc_id, text)."""
+    grams = H.shingles_sql("text")
+    return f"""
+WITH nv_d AS (SELECT doc_id, text FROM ({docs_cte})),
+nv_sh AS (
+  SELECT doc_id, unnest({grams}) AS sh FROM nv_d
+),
+nv_df AS (SELECT sh, COUNT(DISTINCT doc_id) AS df FROM nv_sh GROUP BY 1),
+nv_pd AS (
+  SELECT s.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_shingles,
+         CAST(SUM(CASE WHEN f.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+  FROM nv_sh s JOIN nv_df f USING (sh)
+  GROUP BY 1
+)
+SELECT doc_id, n_shingles, n_novel,
+       CAST(1000000 * n_novel // n_shingles AS BIGINT) AS novelty_micro
+FROM nv_pd
+"""

@@ -2271,3 +2271,62 @@ def test_rake_phrases_scalar_replay(spark):
         ).fetchall()
     }
     assert twin == got
+
+
+def test_novelty_scores_brute_and_duplicate_collapse(spark):
+    """Novelty vs scalar replay; an exact duplicate pair scores 0,
+    a unique doc scores near 1e6."""
+    import duckdb
+    import re
+
+    from osm2geojson_spark.functions.hashing import SHINGLE_K
+    from osm2geojson_spark.operators.dedup import novelty_scores, novelty_scores_sql
+
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),  # exact dup
+        (3, "completely different content about spark engines"),
+        (4, "the quick brown fox jumps over the lazy dog today"),  # near-dup
+    ]
+
+    def shingles(text):
+        t = re.sub("[^a-z0-9 ]", "", text.lower())
+        t = re.sub(" +", " ", t).strip()
+        k = SHINGLE_K
+        n = max(len(t) - k + 1, 1)
+        return {t[i : i + k] for i in range(n)}
+
+    def brute():
+        sh = {d: shingles(t) for d, t in docs}
+        import collections
+
+        df = collections.Counter()
+        for d, s in sh.items():
+            for g in s:
+                df[g] += 1
+        out = {}
+        for d, s in sh.items():
+            novel = sum(1 for g in s if df[g] == 1)
+            out[d] = (len(s), novel, 1_000_000 * novel // len(s))
+        return out
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_shingles"], r["n_novel"], r["novelty_micro"])
+        for r in novelty_scores(df).collect()
+    }
+    assert got == brute()
+    assert got[1][2] == 0 and got[2][2] == 0  # exact dup: nothing novel
+    assert got[3][2] > 900_000  # unique doc: nearly all novel
+    assert 0 < got[4][2] < 500_000  # near-dup: only the tail is novel
+
+    duck = duckdb.connect()
+    duck.execute("CREATE TABLE nvd (doc_id BIGINT, text VARCHAR)")
+    duck.executemany("INSERT INTO nvd VALUES (?, ?)", docs)
+    twin = {
+        r[0]: tuple(r[1:])
+        for r in duck.sql(
+            novelty_scores_sql("SELECT doc_id, text FROM nvd")
+        ).fetchall()
+    }
+    assert twin == got
