@@ -15028,9 +15028,32 @@ def _novelty_sql() -> str:
     )
 
 
+def q_basket3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X330 (analytics.frequent_triples): Apriori 3-itemsets over
+    lineitem baskets with items coarsened to partkey % 20 — downward-
+    closure candidate prune, exact support and independence lift."""
+    from osm2geojson_spark.operators.analytics import frequent_triples
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("basket"),
+        (F.col("l_partkey") % 20).alias("item"),
+    )
+    return frequent_triples(li, min_support=4)
+
+
+def _basket3_sql() -> str:
+    from osm2geojson_spark.operators.analytics import frequent_triples_sql
+
+    return frequent_triples_sql(
+        "SELECT l_orderkey AS basket, l_partkey % 20 AS item FROM lineitem",
+        min_support=4,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "basket3": q_basket3,
         "novelty": q_novelty,
         "harmonic_centrality": q_harmonic_centrality,
         "convex_layers": q_convex_layers,
@@ -15411,6 +15434,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "basket3": _basket3_sql(),
         "novelty": _novelty_sql(),
         "harmonic_centrality": _harmonic_centrality_sql(),
         "convex_layers": _convex_layers_sql(),

@@ -7597,3 +7597,140 @@ SELECT g, CAST(n AS BIGINT) AS n,
        CAST(_lastl.llr AS BIGINT) AS llr_final_micro
 FROM sp_g
 """
+
+
+def frequent_triples(
+    txns: DataFrame,
+    min_support: int,
+    basket_col: str = "basket",
+    item_col: str = "item",
+) -> DataFrame:
+    """(a, b, c, support, lift_num, lift_den) — FREQUENT 3-ITEMSETS by
+    the Apriori level-wise prune (Agrawal-Srikant 1994): a triple is
+    only COUNTED if all three of its pairs are frequent, which is what
+    keeps the candidate space from exploding at market scale (the
+    downward-closure property — the whole point of Apriori). The
+    companion of the existing pair-level `basket` operator, one level
+    up. Lift against full independence is the exact integer rational
+
+        lift = support · n² / (s_a · s_b · s_c)
+
+    (n = basket count) — reported as (num, den) with num =
+    support·n², den = s_a·s_b·s_c.
+
+    Scale: distinct (basket, item) once; L1/L2 are combinable rollups
+    with the support filter pushed before any pairing; the triple count
+    joins the basket-pair lists only through L2-surviving items —
+    candidate volume is Σ freq-item-basket³ bounded by the prune."""
+    bi = txns.select(
+        F.col(basket_col).alias("b"), F.col(item_col).alias("i")
+    ).distinct().localCheckpoint(eager=False)
+    n_b = bi.select("b").distinct().count()
+    l1 = bi.groupBy("i").agg(F.count(F.lit(1)).alias("s")).filter(
+        F.col("s") >= min_support
+    )
+    fi = bi.join(F.broadcast(l1.select("i")), "i")
+    a = fi.select("b", F.col("i").alias("ia"))
+    bb = fi.select("b", F.col("i").alias("ib"))
+    l2 = (
+        a.join(bb, "b")
+        .filter(F.col("ia") < F.col("ib"))
+        .groupBy("ia", "ib")
+        .agg(F.count(F.lit(1)).alias("s2"))
+        .filter(F.col("s2") >= min_support)
+        .localCheckpoint(eager=False)
+    )
+    # candidate triples: (a<b), (b<c) frequent pairs; (a,c) must also be
+    # frequent (the third prune) — then count exact support
+    cand = (
+        l2.select(F.col("ia").alias("a"), F.col("ib").alias("b"))
+        .join(
+            l2.select(F.col("ia").alias("b"), F.col("ib").alias("c")), "b"
+        )
+        .join(
+            l2.select(F.col("ia").alias("a"), F.col("ib").alias("c")),
+            ["a", "c"],
+        )
+    )
+    cc = fi.select("b", F.col("i").alias("ic"))
+    triples = (
+        a.join(bb, "b")
+        .filter(F.col("ia") < F.col("ib"))
+        .join(cc, "b")
+        .filter(F.col("ib") < F.col("ic"))
+        .join(
+            F.broadcast(
+                cand.select(
+                    F.col("a").alias("ia"),
+                    F.col("b").alias("ib"),
+                    F.col("c").alias("ic"),
+                )
+            ),
+            ["ia", "ib", "ic"],
+        )
+        .groupBy("ia", "ib", "ic")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= min_support)
+    )
+    sa = l1.select(F.col("i").alias("ia"), F.col("s").alias("sa"))
+    sb = l1.select(F.col("i").alias("ib"), F.col("s").alias("sb"))
+    sc = l1.select(F.col("i").alias("ic"), F.col("s").alias("sc"))
+    return (
+        triples.join(F.broadcast(sa), "ia")
+        .join(F.broadcast(sb), "ib")
+        .join(F.broadcast(sc), "ic")
+        .select(
+            F.col("ia").alias("a"),
+            F.col("ib").alias("b"),
+            F.col("ic").alias("c"),
+            F.col("support").cast("long").alias("support"),
+            (F.col("support") * F.lit(n_b) * n_b).cast("long").alias(
+                "lift_num"
+            ),
+            (F.col("sa") * F.col("sb") * F.col("sc")).cast("long").alias(
+                "lift_den"
+            ),
+        )
+    )
+
+
+def frequent_triples_sql(txns_cte: str, min_support: int) -> str:
+    """DuckDB twin of frequent_triples. ``txns_cte`` -> (basket, item)."""
+    return f"""
+WITH f3_bi AS (
+  SELECT DISTINCT basket AS b, item AS i FROM ({txns_cte})
+),
+f3_n AS (SELECT COUNT(DISTINCT b) AS n FROM f3_bi),
+f3_l1 AS (
+  SELECT i, COUNT(*) AS s FROM f3_bi GROUP BY 1
+  HAVING COUNT(*) >= {min_support}
+),
+f3_fi AS (SELECT bi.b, bi.i FROM f3_bi bi JOIN f3_l1 USING (i)),
+f3_l2 AS (
+  SELECT x.i AS ia, y.i AS ib, COUNT(*) AS s2
+  FROM f3_fi x JOIN f3_fi y ON x.b = y.b AND x.i < y.i
+  GROUP BY 1, 2 HAVING COUNT(*) >= {min_support}
+),
+f3_cand AS (
+  SELECT p.ia AS a, p.ib AS b, q.ib AS c
+  FROM f3_l2 p
+  JOIN f3_l2 q ON q.ia = p.ib
+  JOIN f3_l2 r ON r.ia = p.ia AND r.ib = q.ib
+),
+f3_tri AS (
+  SELECT x.i AS a, y.i AS b, z.i AS c, COUNT(*) AS support
+  FROM f3_fi x
+  JOIN f3_fi y ON y.b = x.b AND x.i < y.i
+  JOIN f3_fi z ON z.b = x.b AND y.i < z.i
+  JOIN f3_cand cd ON cd.a = x.i AND cd.b = y.i AND cd.c = z.i
+  GROUP BY 1, 2, 3 HAVING COUNT(*) >= {min_support}
+)
+SELECT t.a, t.b, t.c, CAST(t.support AS BIGINT) AS support,
+       CAST(t.support * n.n * n.n AS BIGINT) AS lift_num,
+       CAST(la.s * lb.s * lc.s AS BIGINT) AS lift_den
+FROM f3_tri t
+CROSS JOIN f3_n n
+JOIN f3_l1 la ON la.i = t.a
+JOIN f3_l1 lb ON lb.i = t.b
+JOIN f3_l1 lc ON lc.i = t.c
+"""

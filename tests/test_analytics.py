@@ -4446,3 +4446,75 @@ def test_sprt_scalar_replay_and_regimes(spark):
         ).fetchall()
     }
     assert twin == got
+
+
+def test_frequent_triples_brute_and_prune(spark):
+    """Apriori triples vs itertools brute; a planted frequent triple
+    surfaces with lift > 1, infrequent triples are pruned."""
+    import collections
+    import duckdb
+    import itertools
+
+    from osm2geojson_spark.operators.analytics import (
+        frequent_triples,
+        frequent_triples_sql,
+    )
+
+    rows = []
+    # planted: {1,2,3} appears together in 6 baskets
+    for b in range(6):
+        rows += [(b, 1), (b, 2), (b, 3)]
+    # noise baskets
+    for b in range(6, 30):
+        rows += [(b, 1 + b % 4), (b, 5 + b % 3), (b, 8)]
+
+    def brute(min_s=4):
+        baskets = collections.defaultdict(set)
+        for b, i in rows:
+            baskets[b].add(i)
+        n = len(baskets)
+        s1 = collections.Counter()
+        for items in baskets.values():
+            for i in items:
+                s1[i] += 1
+        freq1 = {i for i, s in s1.items() if s >= min_s}
+        s2 = collections.Counter()
+        for items in baskets.values():
+            for a, b2 in itertools.combinations(sorted(items & freq1), 2):
+                s2[(a, b2)] += 1
+        freq2 = {p for p, s in s2.items() if s >= min_s}
+        s3 = collections.Counter()
+        for items in baskets.values():
+            for t in itertools.combinations(sorted(items & freq1), 3):
+                if (
+                    (t[0], t[1]) in freq2
+                    and (t[1], t[2]) in freq2
+                    and (t[0], t[2]) in freq2
+                ):
+                    s3[t] += 1
+        out = {}
+        for t, s in s3.items():
+            if s >= min_s:
+                out[t] = (s, s * n * n, s1[t[0]] * s1[t[1]] * s1[t[2]])
+        return out
+
+    df = spark.createDataFrame(rows, "basket long, item long")
+    got = {
+        (r["a"], r["b"], r["c"]): (r["support"], r["lift_num"], r["lift_den"])
+        for r in frequent_triples(df, min_support=4).collect()
+    }
+    assert got == brute()
+    assert (1, 2, 3) in got
+    s, ln, ld = got[(1, 2, 3)]
+    assert s == 6 and ln > ld  # positively associated
+
+    duck = duckdb.connect()
+    duck.execute("CREATE TABLE f3t (basket BIGINT, item BIGINT)")
+    duck.executemany("INSERT INTO f3t VALUES (?, ?)", rows)
+    twin = {
+        (r[0], r[1], r[2]): (r[3], r[4], r[5])
+        for r in duck.sql(
+            frequent_triples_sql("SELECT * FROM f3t", min_support=4)
+        ).fetchall()
+    }
+    assert twin == got
