@@ -15050,9 +15050,37 @@ def _basket3_sql() -> str:
     )
 
 
+def q_did(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X331 (analytics.diff_in_diff): DiD launch-impact readout on
+    events — treated = even users, post = second half of the window,
+    cent values; one combinable aggregate, exact micro means."""
+    from osm2geojson_spark.operators.analytics import diff_in_diff
+
+    ev = _t(spark, sf_dir, "events").select(
+        (F.col("user_id") % 2 == 0).cast("long").alias("treated"),
+        (F.col("ts") >= F.lit("2024-01-16").cast("timestamp"))
+        .cast("long")
+        .alias("post"),
+        F.round(F.col("value") * 100).cast("long").alias("y"),
+    )
+    return diff_in_diff(ev)
+
+
+def _did_sql() -> str:
+    from osm2geojson_spark.operators.analytics import diff_in_diff_sql
+
+    rows = (
+        "SELECT CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS treated,"
+        " CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END AS post,"
+        " CAST(round(value * 100) AS BIGINT) AS y FROM events"
+    )
+    return diff_in_diff_sql(rows)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "did": q_did,
         "basket3": q_basket3,
         "novelty": q_novelty,
         "harmonic_centrality": q_harmonic_centrality,
@@ -15434,6 +15462,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "did": _did_sql(),
         "basket3": _basket3_sql(),
         "novelty": _novelty_sql(),
         "harmonic_centrality": _harmonic_centrality_sql(),

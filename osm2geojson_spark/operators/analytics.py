@@ -7734,3 +7734,91 @@ JOIN f3_l1 la ON la.i = t.a
 JOIN f3_l1 lb ON lb.i = t.b
 JOIN f3_l1 lc ON lc.i = t.c
 """
+
+
+def diff_in_diff(
+    rows: DataFrame,
+    group_col: str = "treated",
+    period_col: str = "post",
+    value_col: str = "y",
+) -> DataFrame:
+    """One row (n_c0, n_c1, n_t0, n_t1, mean_c0..mean_t1 [micro],
+    did_micro) — DIFFERENCE-IN-DIFFERENCES point estimate: the
+    canonical quasi-experimental effect readout
+    (treated-after − treated-before) − (control-after − control-before),
+    on cent-quantized values with per-cell truncating micro means
+    (order-free, engine-exact; the documented ±1-micro cell rounding is
+    the price of exactness). The launch-impact estimator for rollouts
+    without holdouts.
+
+    Scale: ONE combinable aggregate over the fact scan — four
+    conditional sums/counts, no shuffle beyond the 1-row reduce."""
+    t = F.col(group_col).cast("long")
+    p = F.col(period_col).cast("long")
+    y = F.col(value_col).cast("long")
+
+    def cell(tv, pv):
+        cond = (t == tv) & (p == pv)
+        return (
+            F.sum(F.when(cond, y)).alias(f"s_{tv}{pv}"),
+            F.sum(cond.cast("long")).alias(f"n_{tv}{pv}"),
+        )
+
+    aggs = []
+    for tv in (0, 1):
+        for pv in (0, 1):
+            aggs.extend(cell(tv, pv))
+    g = rows.agg(*aggs)
+
+    def mean(tv, pv):
+        return F.expr(
+            f"CAST(1000000 * s_{tv}{pv} DIV greatest(n_{tv}{pv}, 1) AS BIGINT)"
+        )
+
+    m_c0, m_c1 = mean(0, 0), mean(0, 1)
+    m_t0, m_t1 = mean(1, 0), mean(1, 1)
+    return g.select(
+        F.col("n_00").cast("long").alias("n_c0"),
+        F.col("n_01").cast("long").alias("n_c1"),
+        F.col("n_10").cast("long").alias("n_t0"),
+        F.col("n_11").cast("long").alias("n_t1"),
+        m_c0.alias("mean_c0_micro"),
+        m_c1.alias("mean_c1_micro"),
+        m_t0.alias("mean_t0_micro"),
+        m_t1.alias("mean_t1_micro"),
+        ((m_t1 - m_t0) - (m_c1 - m_c0)).cast("long").alias("did_micro"),
+    )
+
+
+def diff_in_diff_sql(rows_cte: str) -> str:
+    """DuckDB twin of diff_in_diff. ``rows_cte`` -> (treated, post, y);
+    values must be nonnegative integers (truncating-vs-floor)."""
+    cells = []
+    for tv in (0, 1):
+        for pv in (0, 1):
+            cells.append(
+                f"SUM(CASE WHEN treated = {tv} AND post = {pv} THEN y END)"
+                f" AS s_{tv}{pv},"
+                f" SUM(CASE WHEN treated = {tv} AND post = {pv} THEN 1"
+                f" ELSE 0 END) AS n_{tv}{pv}"
+            )
+    sel = ", ".join(cells)
+    means = {
+        f"m_{tv}{pv}": (
+            f"CAST(1000000 * s_{tv}{pv} // GREATEST(n_{tv}{pv}, 1) AS BIGINT)"
+        )
+        for tv in (0, 1)
+        for pv in (0, 1)
+    }
+    return f"""
+WITH dd_g AS (SELECT {sel} FROM ({rows_cte}))
+SELECT CAST(n_00 AS BIGINT) AS n_c0, CAST(n_01 AS BIGINT) AS n_c1,
+       CAST(n_10 AS BIGINT) AS n_t0, CAST(n_11 AS BIGINT) AS n_t1,
+       {means['m_00']} AS mean_c0_micro,
+       {means['m_01']} AS mean_c1_micro,
+       {means['m_10']} AS mean_t0_micro,
+       {means['m_11']} AS mean_t1_micro,
+       CAST(({means['m_11']} - {means['m_10']})
+            - ({means['m_01']} - {means['m_00']}) AS BIGINT) AS did_micro
+FROM dd_g
+"""

@@ -4518,3 +4518,47 @@ def test_frequent_triples_brute_and_prune(spark):
         ).fetchall()
     }
     assert twin == got
+
+
+def test_diff_in_diff_scalar_replay_and_planted_effect(spark):
+    """DiD vs replay; a planted treatment lift is recovered net of the
+    shared time trend."""
+    import duckdb
+
+    from osm2geojson_spark.operators.analytics import diff_in_diff, diff_in_diff_sql
+
+    rows = []
+    # control: 100 pre, 120 post (trend +20); treated: 100 pre,
+    # 150 post (trend +20 plus effect +30)
+    for i in range(50):
+        rows.append((0, 0, 100 + i % 3))
+        rows.append((0, 1, 120 + i % 3))
+        rows.append((1, 0, 100 + i % 3))
+        rows.append((1, 1, 150 + i % 3))
+
+    def brute():
+        import collections
+
+        s = collections.Counter()
+        n = collections.Counter()
+        for t, p, y in rows:
+            s[(t, p)] += y
+            n[(t, p)] += 1
+        m = {k: 1_000_000 * s[k] // max(n[k], 1) for k in s}
+        did = (m[(1, 1)] - m[(1, 0)]) - (m[(0, 1)] - m[(0, 0)])
+        return (
+            n[(0, 0)], n[(0, 1)], n[(1, 0)], n[(1, 1)],
+            m[(0, 0)], m[(0, 1)], m[(1, 0)], m[(1, 1)], did,
+        )
+
+    df = spark.createDataFrame(rows, "treated long, post long, y long")
+    got = tuple(diff_in_diff(df).collect()[0])
+    assert got == brute()
+    # effect ~ +30 units = 30e6 micro
+    assert abs(got[8] - 30_000_000) < 2
+
+    duck = duckdb.connect()
+    duck.execute("CREATE TABLE ddr (treated BIGINT, post BIGINT, y BIGINT)")
+    duck.executemany("INSERT INTO ddr VALUES (?, ?, ?)", rows)
+    twin = tuple(duck.sql(diff_in_diff_sql("SELECT * FROM ddr")).fetchall()[0])
+    assert twin == got
