@@ -15077,9 +15077,28 @@ def _did_sql() -> str:
     return diff_in_diff_sql(rows)
 
 
+def q_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X332 (functions.text.lexicon_sentiment): lexicon tone gate over
+    every 5th document — broadcast weight table, exact integer score,
+    pos/neg/neutral verdicts."""
+    from osm2geojson_spark.functions.text import lexicon_sentiment
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    return lexicon_sentiment(docs)
+
+
+def _sentiment_sql() -> str:
+    from osm2geojson_spark.functions.text import lexicon_sentiment_sql
+
+    return lexicon_sentiment_sql(
+        "SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "sentiment": q_sentiment,
         "did": q_did,
         "basket3": q_basket3,
         "novelty": q_novelty,
@@ -15462,6 +15481,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "sentiment": _sentiment_sql(),
         "did": _did_sql(),
         "basket3": _basket3_sql(),
         "novelty": _novelty_sql(),

@@ -1299,3 +1299,82 @@ rk_rk AS (
 )
 SELECT phrase, n_docs, n_occur, score_micro FROM rk_rk WHERE rk <= {top_m}
 """
+
+
+# Module-constant sentiment lexicon (own weights; part of the operator
+# definition, shared verbatim by both engines).
+SENTIMENT_LEXICON = {
+    "fast": 2, "quick": 2, "clean": 2, "good": 3, "great": 3,
+    "slow": -2, "small": -1, "broken": -3, "dirty": -2, "bad": -3,
+    "large": 1, "fresh": 2, "stale": -2,
+}
+
+
+def lexicon_sentiment(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_tokens, n_pos, n_neg, score, verdict) — LEXICON
+    SENTIMENT/TONE scoring (the AFINN/VADER-family mechanism with the
+    module's own weight table): tokens join the broadcast lexicon,
+    score = Σ weights (exact int), verdict = pos / neg / neutral by
+    sign. The cheap affect/tone gate of corpus curation — flag rant
+    and spam tails before expensive model scoring.
+
+    Scale: one explode + one broadcast join + one combinable rollup."""
+    lex = [(w, s) for w, s in sorted(SENTIMENT_LEXICON.items())]
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("w"),
+    ).filter(F.col("w") != "")
+    spark = docs.sparkSession
+    lex_df = spark.createDataFrame(lex, "w string, wt long")
+    j = toks.join(F.broadcast(lex_df), "w", "left")
+    agg = j.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum(F.when(F.col("wt") > 0, 1).otherwise(0)).cast("long").alias("n_pos"),
+        F.sum(F.when(F.col("wt") < 0, 1).otherwise(0)).cast("long").alias("n_neg"),
+        F.sum(F.coalesce(F.col("wt"), F.lit(0))).cast("long").alias("score"),
+    )
+    return agg.select(
+        "doc_id", "n_tokens", "n_pos", "n_neg", "score",
+        F.when(F.col("score") > 0, "pos")
+        .when(F.col("score") < 0, "neg")
+        .otherwise("neutral")
+        .alias("verdict"),
+    )
+
+
+def lexicon_sentiment_sql(docs_cte: str) -> str:
+    """DuckDB twin of lexicon_sentiment — the lexicon inlined as a
+    VALUES table with identical weights."""
+    lex = ", ".join(
+        f"('{w}', {s})" for w, s in sorted(SENTIMENT_LEXICON.items())
+    )
+    return f"""
+WITH lx_d AS (SELECT doc_id, text FROM ({docs_cte})),
+lx_lex(w, wt) AS (SELECT * FROM (VALUES {lex})),
+lx_t AS (
+  SELECT doc_id, w FROM (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(lower(text), '\\s+')) AS w
+    FROM lx_d
+  ) WHERE w <> ''
+),
+lx_j AS (
+  SELECT t.doc_id, l.wt FROM lx_t t LEFT JOIN lx_lex l USING (w)
+),
+lx_a AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(SUM(CASE WHEN wt > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+         CAST(SUM(CASE WHEN wt < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg,
+         CAST(SUM(COALESCE(wt, 0)) AS BIGINT) AS score
+  FROM lx_j GROUP BY 1
+)
+SELECT doc_id, n_tokens, n_pos, n_neg, score,
+       CASE WHEN score > 0 THEN 'pos'
+            WHEN score < 0 THEN 'neg' ELSE 'neutral' END AS verdict
+FROM lx_a
+"""

@@ -2330,3 +2330,52 @@ def test_novelty_scores_brute_and_duplicate_collapse(spark):
         ).fetchall()
     }
     assert twin == got
+
+
+def test_lexicon_sentiment_brute_and_verdicts(spark):
+    import collections
+    import duckdb
+
+    from osm2geojson_spark.functions.text import (
+        SENTIMENT_LEXICON,
+        lexicon_sentiment,
+        lexicon_sentiment_sql,
+    )
+
+    docs = [
+        (1, "fast clean good build"),
+        (2, "slow broken dirty mess"),
+        (3, "plain words only here"),
+        (4, "fast but slow"),  # 2 - 2 = 0 -> neutral
+    ]
+
+    def brute():
+        out = {}
+        for d, t in docs:
+            toks = t.lower().split()
+            sc = sum(SENTIMENT_LEXICON.get(w, 0) for w in toks)
+            npos = sum(1 for w in toks if SENTIMENT_LEXICON.get(w, 0) > 0)
+            nneg = sum(1 for w in toks if SENTIMENT_LEXICON.get(w, 0) < 0)
+            v = "pos" if sc > 0 else ("neg" if sc < 0 else "neutral")
+            out[d] = (len(toks), npos, nneg, sc, v)
+        return out
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_pos"], r["n_neg"], r["score"], r["verdict"])
+        for r in lexicon_sentiment(df).collect()
+    }
+    assert got == brute()
+    assert got[1][4] == "pos" and got[2][4] == "neg"
+    assert got[3][4] == "neutral" and got[4][4] == "neutral"
+
+    duck = duckdb.connect()
+    duck.execute("CREATE TABLE lxd (doc_id BIGINT, text VARCHAR)")
+    duck.executemany("INSERT INTO lxd VALUES (?, ?)", docs)
+    twin = {
+        r[0]: tuple(r[1:])
+        for r in duck.sql(
+            lexicon_sentiment_sql("SELECT doc_id, text FROM lxd")
+        ).fetchall()
+    }
+    assert twin == got
