@@ -15095,9 +15095,39 @@ def _sentiment_sql() -> str:
     )
 
 
+def q_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X333 (graph.greedy_matching): deterministic maximal matching on
+    the undirected 2-chord part graph — edge-priority Luby rounds on
+    the line graph, round provenance."""
+    from osm2geojson_spark.operators import graph as G
+
+    part = _t(spark, sf_dir, "part").select("p_partkey")
+    n = part.count()
+    k = F.col("p_partkey")
+    edges = part.select(
+        k.alias("src"), ((k * 7 + 3) % n).alias("dst")
+    ).unionByName(
+        part.select(k.alias("src"), ((k * 13 + 5) % n).alias("dst"))
+    )
+    return G.greedy_matching(edges, rounds=12)
+
+
+def _matching_sql() -> str:
+    from osm2geojson_spark.operators import graph as G
+
+    edges = (
+        "SELECT p_partkey AS src,"
+        " (p_partkey * 7 + 3) % (SELECT COUNT(*) FROM part) AS dst FROM part"
+        " UNION ALL SELECT p_partkey,"
+        " (p_partkey * 13 + 5) % (SELECT COUNT(*) FROM part) FROM part"
+    )
+    return G.greedy_matching_sql(edges, rounds=12)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "matching": q_matching,
         "sentiment": q_sentiment,
         "did": q_did,
         "basket3": q_basket3,
@@ -15481,6 +15511,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "matching": _matching_sql(),
         "sentiment": _sentiment_sql(),
         "did": _did_sql(),
         "basket3": _basket3_sql(),

@@ -2648,3 +2648,128 @@ SELECT v AS node,
 FROM hc_d WHERE d > 0
 GROUP BY 1
 """
+
+
+def greedy_matching(
+    edges: DataFrame,
+    rounds: int = 12,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """(u, v, round) — MAXIMAL MATCHING by deterministic edge-priority
+    rounds (Luby on the line graph, priority = canonical edge id
+    (u, v) ascending): an edge joins the matching when it has the
+    smallest id among all live edges it touches; matched endpoints
+    knock out their other edges. The pair-assignment primitive —
+    merge-partner selection for near-dup pairs, buddy scheduling,
+    one-to-one dedupe — maximal (no augmenting needed for maximality)
+    and a 1/2-approximation to maximum matching, fully deterministic.
+
+    Scale: per round one min-edge-per-endpoint rollup + an equi-join
+    to test "minimum at BOTH endpoints", then two anti-joins — all on
+    the shrinking live edge set; same contract as
+    maximal_independent_set (worst-case O(n) rounds on chains, capped
+    by ``rounds``)."""
+    e = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("u"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    out = None
+    for rnd in range(1, rounds + 1):
+        ends = e.select("u", "v", F.col("u").alias("node")).unionByName(
+            e.select("u", "v", F.col("v").alias("node"))
+        )
+        best = ends.groupBy("node").agg(
+            F.min(F.struct("u", "v")).alias("b")
+        ).select("node", F.col("b.u").alias("bu"), F.col("b.v").alias("bv"))
+        picked = (
+            e.join(
+                best.select(
+                    F.col("node").alias("u"),
+                    F.col("bu").alias("u1"),
+                    F.col("bv").alias("v1"),
+                ),
+                "u",
+            )
+            .join(
+                best.select(
+                    F.col("node").alias("v"),
+                    F.col("bu").alias("u2"),
+                    F.col("bv").alias("v2"),
+                ),
+                "v",
+            )
+            .filter(
+                (F.col("u") == F.col("u1")) & (F.col("v") == F.col("v1"))
+                & (F.col("u") == F.col("u2")) & (F.col("v") == F.col("v2"))
+            )
+            .select("u", "v")
+            .localCheckpoint(eager=False)
+        )
+        if picked.limit(1).count() == 0:
+            break
+        lab = picked.select("u", "v", F.lit(rnd).cast("long").alias("round"))
+        out = lab if out is None else out.unionByName(lab)
+        matched_nodes = picked.select(F.col("u").alias("node")).unionByName(
+            picked.select(F.col("v").alias("node"))
+        ).distinct()
+        e = (
+            e.join(matched_nodes.withColumnRenamed("node", "u"), "u", "left_anti")
+            .join(matched_nodes.withColumnRenamed("node", "v"), "v", "left_anti")
+            .select("u", "v")
+            .localCheckpoint(eager=False)
+        )
+        if e.limit(1).count() == 0:
+            break
+    if out is None:
+        return e.select("u", "v", F.lit(0).cast("long").alias("round")).filter(
+            F.lit(False)
+        )
+    return out
+
+
+def greedy_matching_sql(edges_cte: str, rounds: int = 12) -> str:
+    """DuckDB twin of greedy_matching — unrolled rounds, identical
+    both-endpoint-minimum rule."""
+    parts = [
+        f"""gm_e0 AS MATERIALIZED (
+  SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+  FROM ({edges_cte}) WHERE src <> dst
+)"""
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"""gm_best{i} AS MATERIALIZED (
+  SELECT node, MIN(struct_pack(u := u, v := v)) AS b FROM (
+    SELECT u, v, u AS node FROM gm_e{i - 1}
+    UNION ALL SELECT u, v, v FROM gm_e{i - 1}
+  ) GROUP BY 1
+),
+gm_pick{i} AS MATERIALIZED (
+  SELECT e.u, e.v
+  FROM gm_e{i - 1} e
+  JOIN gm_best{i} a ON a.node = e.u
+  JOIN gm_best{i} b ON b.node = e.v
+  WHERE a.b.u = e.u AND a.b.v = e.v AND b.b.u = e.u AND b.b.v = e.v
+),
+gm_e{i} AS MATERIALIZED (
+  SELECT e.u, e.v FROM gm_e{i - 1} e
+  WHERE e.u NOT IN (SELECT u FROM gm_pick{i}
+                    UNION SELECT v FROM gm_pick{i})
+    AND e.v NOT IN (SELECT u FROM gm_pick{i}
+                    UNION SELECT v FROM gm_pick{i})
+)"""
+        )
+    unions = " UNION ALL ".join(
+        f"SELECT u, v, CAST({i} AS BIGINT) AS round FROM gm_pick{i}"
+        for i in range(1, rounds + 1)
+    )
+    body = ",\n".join(parts)
+    return f"""WITH {body}
+{unions}
+"""

@@ -1440,3 +1440,63 @@ def test_harmonic_centrality_scalar_replay(spark):
         ).fetchall()
     }
     assert twin == got
+
+
+def test_greedy_matching_properties_and_replay(spark):
+    """Matching invariants: vertex-disjoint, maximal; scalar replay of
+    the both-endpoint-minimum rounds; twin bit-equal."""
+    import duckdb
+
+    from osm2geojson_spark.operators.graph import greedy_matching, greedy_matching_sql
+
+    edges = [(0, 1), (1, 2), (2, 3), (3, 4), (5, 6), (6, 7), (8, 9)]
+
+    def brute(rounds=12):
+        live = {(min(a, b), max(a, b)) for a, b in edges}
+        out = {}
+        for rnd in range(1, rounds + 1):
+            if not live:
+                break
+            best = {}
+            for (u, v) in live:
+                for n in (u, v):
+                    if n not in best or (u, v) < best[n]:
+                        best[n] = (u, v)
+            picked = {
+                (u, v) for (u, v) in live
+                if best[u] == (u, v) and best[v] == (u, v)
+            }
+            if not picked:
+                break
+            for e in picked:
+                out[e] = rnd
+            matched = {n for e in picked for n in e}
+            live = {e for e in live if e[0] not in matched and e[1] not in matched}
+        return out
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        (r["u"], r["v"]): r["round"] for r in greedy_matching(df).collect()
+    }
+    assert got == brute()
+    # vertex-disjoint
+    seen = set()
+    for u, v in got:
+        assert u not in seen and v not in seen
+        seen |= {u, v}
+    # maximal: every remaining edge touches a matched vertex
+    for a, b in edges:
+        e = (min(a, b), max(a, b))
+        if e not in got:
+            assert a in seen or b in seen, e
+
+    duck = duckdb.connect()
+    duck.execute("CREATE TABLE gme (src BIGINT, dst BIGINT)")
+    duck.executemany("INSERT INTO gme VALUES (?, ?)", edges)
+    twin = {
+        (r[0], r[1]): r[2]
+        for r in duck.sql(
+            greedy_matching_sql("SELECT src, dst FROM gme")
+        ).fetchall()
+    }
+    assert twin == got
