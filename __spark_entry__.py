@@ -15124,9 +15124,37 @@ def _matching_sql() -> str:
     return G.greedy_matching_sql(edges, rounds=12)
 
 
+def q_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X334 (graph.reciprocity): follow-back census on a directed hash
+    graph where ~1 in 3 edges has a planted reverse."""
+    from osm2geojson_spark.operators import graph as G
+
+    part = _t(spark, sf_dir, "part").select("p_partkey")
+    n = part.count()
+    k = F.col("p_partkey")
+    fwd = part.select(k.alias("src"), ((k * 7 + 3) % n).alias("dst"))
+    back = part.filter(k % 3 == 0).select(
+        ((k * 7 + 3) % n).alias("src"), k.alias("dst")
+    )
+    return G.reciprocity(fwd.unionByName(back))
+
+
+def _reciprocity_sql() -> str:
+    from osm2geojson_spark.operators import graph as G
+
+    edges = (
+        "SELECT p_partkey AS src,"
+        " (p_partkey * 7 + 3) % (SELECT COUNT(*) FROM part) AS dst FROM part"
+        " UNION ALL SELECT (p_partkey * 7 + 3) % (SELECT COUNT(*) FROM part),"
+        " p_partkey FROM part WHERE p_partkey % 3 = 0"
+    )
+    return G.reciprocity_sql(edges)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "reciprocity": q_reciprocity,
         "matching": q_matching,
         "sentiment": q_sentiment,
         "did": q_did,
@@ -15511,6 +15539,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "reciprocity": _reciprocity_sql(),
         "matching": _matching_sql(),
         "sentiment": _sentiment_sql(),
         "did": _did_sql(),

@@ -2773,3 +2773,60 @@ gm_e{i} AS MATERIALIZED (
     return f"""WITH {body}
 {unions}
 """
+
+
+def reciprocity(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """One row (n_edges, n_reciprocal, reciprocity_micro) — directed-
+    graph RECIPROCITY: the fraction of directed edges whose reverse
+    also exists (follow-back rate, mutual-link share — the first
+    summary of any directed social/interaction graph). Exact:
+    n_reciprocal counts ordered edges with a reverse partner,
+    reciprocity_micro = 10⁶·n_reciprocal DIV n_edges.
+
+    Scale: distinct edge set self-joined on the swapped key — one
+    equi-join + one global rollup, no windows."""
+    e = (
+        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    rev = e.select(F.col("b").alias("a"), F.col("a").alias("b")).withColumn(
+        "_r", F.lit(1)
+    )
+    j = e.join(rev, ["a", "b"], "left")
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_edges"),
+        F.sum(F.coalesce(F.col("_r"), F.lit(0))).cast("long").alias(
+            "n_reciprocal"
+        ),
+    ).select(
+        "n_edges",
+        "n_reciprocal",
+        F.expr(
+            "CAST(1000000 * n_reciprocal DIV greatest(n_edges, 1) AS BIGINT)"
+        ).alias("reciprocity_micro"),
+    )
+
+
+def reciprocity_sql(edges_cte: str) -> str:
+    """DuckDB twin of reciprocity. ``edges_cte`` -> (src, dst)."""
+    return f"""
+WITH rc_e AS (
+  SELECT DISTINCT src AS a, dst AS b FROM ({edges_cte}) WHERE src <> dst
+),
+rc_j AS (
+  SELECT e.a, e.b, CASE WHEN r.a IS NOT NULL THEN 1 ELSE 0 END AS rec
+  FROM rc_e e
+  LEFT JOIN rc_e r ON r.a = e.b AND r.b = e.a
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+       CAST(SUM(rec) AS BIGINT) AS n_reciprocal,
+       CAST(1000000 * SUM(rec) // GREATEST(COUNT(*), 1) AS BIGINT)
+         AS reciprocity_micro
+FROM rc_j
+"""

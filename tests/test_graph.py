@@ -1500,3 +1500,22 @@ def test_greedy_matching_properties_and_replay(spark):
         ).fetchall()
     }
     assert twin == got
+
+
+def test_reciprocity_census(spark):
+    import duckdb
+
+    from osm2geojson_spark.operators.graph import reciprocity, reciprocity_sql
+
+    edges = [(0, 1), (1, 0), (1, 2), (2, 3), (3, 2), (4, 5), (5, 5)]
+    # distinct directed, no self-loop: {01,10,12,23,32,45}; reciprocal: 01,10,23,32
+    df = spark.createDataFrame(edges, "src long, dst long")
+    r = reciprocity(df).collect()[0]
+    assert (r["n_edges"], r["n_reciprocal"]) == (6, 4)
+    assert r["reciprocity_micro"] == 1_000_000 * 4 // 6
+
+    duck = duckdb.connect()
+    duck.execute("CREATE TABLE rce (src BIGINT, dst BIGINT)")
+    duck.executemany("INSERT INTO rce VALUES (?, ?)", edges)
+    t = duck.sql(reciprocity_sql("SELECT src, dst FROM rce")).fetchall()[0]
+    assert tuple(t) == tuple(r)
