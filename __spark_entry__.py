@@ -15151,9 +15151,32 @@ def _reciprocity_sql() -> str:
     return G.reciprocity_sql(edges)
 
 
+def q_fuzzy2_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X335 (dedup.lev2_join): depth-2 FastSS fuzzy join over part
+    names (every 3rd part) — complete two-deletion candidate blocking,
+    exact levenshtein <= 2 verify; twin is the brute cross join."""
+    from osm2geojson_spark.operators.dedup import lev2_join
+
+    rows = _t(spark, sf_dir, "part").filter(F.col("p_partkey") % 3 == 0).select(
+        F.col("p_partkey").alias("rid"), F.col("p_name").alias("s")
+    )
+    return lev2_join(rows, "rid", "s")
+
+
+def _fuzzy2_join_sql() -> str:
+    from osm2geojson_spark.operators.dedup import lev2_join_sql
+
+    return lev2_join_sql(
+        "SELECT p_partkey AS rid, p_name AS s FROM part WHERE p_partkey % 3 = 0",
+        "rid",
+        "s",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "fuzzy2_join": q_fuzzy2_join,
         "reciprocity": q_reciprocity,
         "matching": q_matching,
         "sentiment": q_sentiment,
@@ -15539,6 +15562,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "fuzzy2_join": _fuzzy2_join_sql(),
         "reciprocity": _reciprocity_sql(),
         "matching": _matching_sql(),
         "sentiment": _sentiment_sql(),

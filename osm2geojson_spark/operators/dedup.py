@@ -1526,3 +1526,74 @@ SELECT doc_id, n_shingles, n_novel,
        CAST(1000000 * n_novel // n_shingles AS BIGINT) AS novelty_micro
 FROM nv_pd
 """
+
+
+def lev2_join(
+    df: DataFrame,
+    id_col: str,
+    str_col: str,
+) -> DataFrame:
+    """(a, b, lev) — all pairs within LEVENSHTEIN DISTANCE <= 2 (a < b
+    by id): lev1_join's FastSS blocking taken one level deeper. Key set
+    K(s) = {s} ∪ {one deletion} ∪ {two deletions}; if lev(a, b) <= 2
+    the depth-2 deletion neighborhoods intersect (Bocek et al. 2007),
+    so the exploded equi-join is a complete candidate generator and
+    the exact levenshtein verify on collapsed candidates makes it
+    sound. The wider fuzzy-merge net for codes/names where a single
+    typo bound is too tight.
+
+    Scale: key fan-out is 1 + L + L(L−1)/2 per string (~70 at L = 11)
+    — the quadratic-in-length cost of depth-2 blocking, which is the
+    documented operating envelope (short keys); candidate volume is
+    keys-shared, hot keys salt like any skewed equi-join. The inner
+    two-deletion enumeration keeps i < j so Spark's descending
+    sequence() trap never fires."""
+    del1 = (
+        f"CASE WHEN length({str_col}) >= 1 THEN"
+        f" transform(sequence(1, length({str_col})),"
+        f" i -> concat(substring({str_col}, 1, i - 1),"
+        f" substring({str_col}, i + 1)))"
+        " ELSE array() END"
+    )
+    del2 = (
+        f"CASE WHEN length({str_col}) >= 2 THEN"
+        f" flatten(transform(sequence(1, length({str_col}) - 1),"
+        f" i -> transform(sequence(i + 1, length({str_col})),"
+        f" j -> concat(substring({str_col}, 1, i - 1),"
+        f" substring({str_col}, i + 1, j - i - 1),"
+        f" substring({str_col}, j + 1)))))"
+        " ELSE array() END"
+    )
+    keys = F.expr(
+        f"array_distinct(concat(array({str_col}), {del1}, {del2}))"
+    )
+    kv = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(str_col).alias("_s"),
+        F.explode(keys).alias("_k"),
+    )
+    a = kv.select(F.col("_id").alias("a"), F.col("_s").alias("_sa"), "_k")
+    b = kv.select(F.col("_id").alias("b"), F.col("_s").alias("_sb"), "_k")
+    cand = (
+        a.join(b, "_k")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "_sa", "_sb")
+        .distinct()
+    )
+    return (
+        cand.withColumn("lev", F.levenshtein("_sa", "_sb"))
+        .filter(F.col("lev") <= 2)
+        .select("a", "b", F.col("lev").cast("int").alias("lev"))
+    )
+
+
+def lev2_join_sql(rows_cte: str, id_col: str, str_col: str) -> str:
+    """DuckDB twin — brute cross join + exact levenshtein (independent
+    algorithm, like lev1_join's twin)."""
+    return f"""
+WITH r2 AS ({rows_cte})
+SELECT x.{id_col} AS a, y.{id_col} AS b,
+       CAST(levenshtein(x.{str_col}, y.{str_col}) AS INTEGER) AS lev
+FROM r2 x JOIN r2 y ON x.{id_col} < y.{id_col}
+WHERE levenshtein(x.{str_col}, y.{str_col}) <= 2
+"""

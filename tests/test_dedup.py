@@ -2379,3 +2379,56 @@ def test_lexicon_sentiment_brute_and_verdicts(spark):
         ).fetchall()
     }
     assert twin == got
+
+
+def test_lev2_join_complete_vs_brute(spark):
+    """Depth-2 FastSS candidates are COMPLETE: results equal the brute
+    all-pairs lev<=2 set, including pure-insertion*2 and mixed edits."""
+    import duckdb
+    import itertools
+
+    from osm2geojson_spark.operators.dedup import lev2_join, lev2_join_sql
+
+    words = [
+        (1, "spark"), (2, "spork"), (3, "sprk"), (4, "sparkle"),
+        (5, "shark"), (6, "spark"), (7, "park"), (8, "zzzz"),
+        (9, "sp"), (10, "s"),
+    ]
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev = dp[0]
+            dp[0] = i
+            for j, cb in enumerate(b, 1):
+                cur = dp[j]
+                dp[j] = min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+                prev = cur
+        return dp[-1]
+
+    want = {}
+    for (ia, wa), (ib, wb) in itertools.combinations(words, 2):
+        d = lev(wa, wb)
+        if d <= 2:
+            want[(ia, ib)] = d
+
+    df = spark.createDataFrame(words, "rid long, s string")
+    got = {
+        (r["a"], r["b"]): r["lev"] for r in lev2_join(df, "rid", "s").collect()
+    }
+    assert got == want
+    # the lev-2 cases a depth-1 join would miss
+    assert got[(1, 3)] == 1
+    assert got[(1, 4)] == 2  # two insertions
+    assert got[(2, 7)] == 2  # substitution + deletion
+
+    duck = duckdb.connect()
+    duck.execute("CREATE TABLE l2w (rid BIGINT, s VARCHAR)")
+    duck.executemany("INSERT INTO l2w VALUES (?, ?)", words)
+    twin = {
+        (r[0], r[1]): r[2]
+        for r in duck.sql(
+            lev2_join_sql("SELECT rid, s FROM l2w", "rid", "s")
+        ).fetchall()
+    }
+    assert twin == got
