@@ -369,6 +369,18 @@ BENCH_QUERIES = [
     "coloring",
     "seasonal_anomaly",
     "t_closeness",
+    "item_cf",
+    "ipf_raking",
+    "sprt",
+    "convex_layers",
+    "harmonic_centrality",
+    "novelty",
+    "basket3",
+    "did",
+    "sentiment",
+    "matching",
+    "reciprocity",
+    "fuzzy2_join",
 ]
 
 
