@@ -15152,13 +15152,15 @@ def _reciprocity_sql() -> str:
 
 
 def q_fuzzy2_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X335 (dedup.lev2_join): depth-2 FastSS fuzzy join over part
-    names (every 3rd part) — complete two-deletion candidate blocking,
+    """X335 (dedup.lev2_join): depth-2 FastSS fuzzy join over
+    suffix-diversified part names (every 11th part) — complete
+    two-deletion candidate blocking,
     exact levenshtein <= 2 verify; twin is the brute cross join."""
     from osm2geojson_spark.operators.dedup import lev2_join
 
-    rows = _t(spark, sf_dir, "part").filter(F.col("p_partkey") % 3 == 0).select(
-        F.col("p_partkey").alias("rid"), F.col("p_name").alias("s")
+    rows = _t(spark, sf_dir, "part").filter(F.col("p_partkey") % 11 == 0).select(
+        F.col("p_partkey").alias("rid"),
+        F.concat_ws("-", F.col("p_name"), (F.col("p_partkey") % 7).cast("string")).alias("s"),
     )
     return lev2_join(rows, "rid", "s")
 
@@ -15167,7 +15169,9 @@ def _fuzzy2_join_sql() -> str:
     from osm2geojson_spark.operators.dedup import lev2_join_sql
 
     return lev2_join_sql(
-        "SELECT p_partkey AS rid, p_name AS s FROM part WHERE p_partkey % 3 = 0",
+        "SELECT p_partkey AS rid,"
+        " p_name || '-' || CAST(p_partkey % 7 AS VARCHAR) AS s"
+        " FROM part WHERE p_partkey % 11 = 0",
         "rid",
         "s",
     )

@@ -186,3 +186,16 @@ def simhash_sql(table: str, id_col: str, text_col: str) -> str:
         f"(SELECT {id_col}, unnest({tokens_sql(text_col)}) AS tok FROM {table}) "
         f"GROUP BY {id_col})"
     )
+
+
+def shingles_from_norm_col(norm: Column, k: int = SHINGLE_K) -> Column:
+    """shingles_col's gram builder over an ALREADY-normalized column.
+    Use when the normalized text is materialized separately: inside a
+    transform() lambda Catalyst re-evaluates the outer expression per
+    ELEMENT, so shingling the raw-normalize expression costs one regex
+    pass per gram (~500x) — project + materialize the normalization,
+    then shingle with this."""
+    n = F.length(norm)
+    idx = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1)))
+    grams = F.transform(idx, lambda i: F.substring(norm, F.lit(0) + i, k))
+    return F.array_distinct(grams)

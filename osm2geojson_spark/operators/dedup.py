@@ -1486,8 +1486,19 @@ def novelty_scores(
     Scale: one explode + one combinable df rollup (shingle-keyed) +
     one join back — the same shapes ngram_jaccard already runs; the
     df table is vocabulary-bounded."""
-    sh = shingle_sets(docs, id_col, text_col).localCheckpoint(eager=False)
-    df_tab = sh.groupBy("sh").agg(F.countDistinct(id_col).alias("df"))
+    # materialize the normalized text FIRST: shingling the raw
+    # normalize expression re-runs its regexes once per gram inside the
+    # transform lambda (measured 26 s -> ~2 s at sf0.1)
+    norm = docs.select(
+        F.col(id_col), TXT.normalize_col(F.col(text_col)).alias("_n")
+    ).localCheckpoint(eager=False)
+    sh = norm.select(
+        F.col(id_col),
+        F.explode(H.shingles_from_norm_col(F.col("_n"))).alias("sh"),
+    ).localCheckpoint(eager=False)
+    # per-doc shingle arrays are already DISTINCT (shingles_col), so a
+    # plain count IS the document frequency — no countDistinct expand
+    df_tab = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
     per_doc = (
         sh.join(df_tab, "sh")
         .groupBy(id_col)
