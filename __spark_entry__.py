@@ -15177,9 +15177,35 @@ def _fuzzy2_join_sql() -> str:
     )
 
 
+def q_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X336 (analytics.acf_table): Box-Jenkins autocorrelation table of
+    each event_type's cent series at lags 1-5 — exact integer
+    sufficient statistics over exactly-aligned windows."""
+    from osm2geojson_spark.operators.analytics import acf_table
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("g"),
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("x"),
+    )
+    return acf_table(ev, order_cols=("ts", "event_id"))
+
+
+def _acf_sql() -> str:
+    from osm2geojson_spark.operators.analytics import acf_table_sql
+
+    series = (
+        "SELECT event_type AS g, ts, event_id,"
+        " CAST(round(value * 100) AS BIGINT) AS x FROM events"
+    )
+    return acf_table_sql(series, order_by="ts, event_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "acf": q_acf,
         "fuzzy2_join": q_fuzzy2_join,
         "reciprocity": q_reciprocity,
         "matching": q_matching,
@@ -15566,6 +15592,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "acf": _acf_sql(),
         "fuzzy2_join": _fuzzy2_join_sql(),
         "reciprocity": _reciprocity_sql(),
         "matching": _matching_sql(),

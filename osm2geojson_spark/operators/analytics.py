@@ -7822,3 +7822,86 @@ SELECT CAST(n_00 AS BIGINT) AS n_c0, CAST(n_01 AS BIGINT) AS n_c1,
             - ({means['m_01']} - {means['m_00']}) AS BIGINT) AS did_micro
 FROM dd_g
 """
+
+
+def acf_table(
+    series: DataFrame,
+    max_lag: int = 5,
+    group_col: str = "g",
+    order_cols: tuple[str, ...] = ("t",),
+    value_col: str = "x",
+) -> DataFrame:
+    """(g, lag, n_terms, dot_sum, sum_a, sum_b, ss_a, ss_b) — the
+    AUTOCORRELATION TABLE per series at lags 1..max_lag, as exact
+    integer sufficient statistics: for each lag the aligned pairs
+    (x_t, x_{t+lag}) contribute Σ x_t·x_{t+lag} plus the marginal
+    sums/squares over EXACTLY the aligned window — everything a
+    consumer needs to assemble Pearson-style ACF coefficients without
+    the engine ever dividing (the Box-Jenkins model-identification
+    table, ready for arbitrary downstream normalization). Values must
+    be integers (quantize upstream).
+
+    Scale: one row_number per series + max_lag equi-joins on
+    (g, idx+lag) — combinable rollups, no window wider than the sort."""
+    w = Window.partitionBy("g").orderBy(*[F.col(c) for c in order_cols])
+    base = series.select(
+        F.col(group_col).alias("g"),
+        *[F.col(c) for c in order_cols],
+        F.col(value_col).cast("long").alias("x"),
+    ).withColumn("idx", F.row_number().over(w).cast("long")).localCheckpoint(
+        eager=False
+    )
+    a = base.select("g", "idx", F.col("x").alias("xa"))
+    out = None
+    for lag in range(1, max_lag + 1):
+        b = base.select(
+            "g", (F.col("idx") - lag).alias("idx"), F.col("x").alias("xb")
+        )
+        r = (
+            a.join(b, ["g", "idx"])
+            .groupBy("g")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_terms"),
+                F.sum(F.col("xa") * F.col("xb")).cast("long").alias("dot_sum"),
+                F.sum("xa").cast("long").alias("sum_a"),
+                F.sum("xb").cast("long").alias("sum_b"),
+                F.sum(F.col("xa") * F.col("xa")).cast("long").alias("ss_a"),
+                F.sum(F.col("xb") * F.col("xb")).cast("long").alias("ss_b"),
+            )
+            .select("g", F.lit(lag).cast("long").alias("lag"), "n_terms",
+                    "dot_sum", "sum_a", "sum_b", "ss_a", "ss_b")
+        )
+        out = r if out is None else out.unionByName(r)
+    return out
+
+
+def acf_table_sql(series_cte: str, max_lag: int = 5, order_by: str = "t") -> str:
+    """DuckDB twin of acf_table. ``series_cte`` -> (g, <order>, x)."""
+    lags = []
+    for lag in range(1, max_lag + 1):
+        lags.append(
+            f"""
+SELECT g, CAST({lag} AS BIGINT) AS lag,
+       CAST(COUNT(*) AS BIGINT) AS n_terms,
+       CAST(SUM(xa * xb) AS BIGINT) AS dot_sum,
+       CAST(SUM(xa) AS BIGINT) AS sum_a,
+       CAST(SUM(xb) AS BIGINT) AS sum_b,
+       CAST(SUM(xa * xa) AS BIGINT) AS ss_a,
+       CAST(SUM(xb * xb) AS BIGINT) AS ss_b
+FROM (
+  SELECT a.g, a.x AS xa, b.x AS xb
+  FROM acf_base a JOIN acf_base b
+    ON b.g = a.g AND b.idx = a.idx + {lag}
+) GROUP BY g"""
+        )
+    union = " UNION ALL ".join(lags)
+    return f"""
+WITH acf_src AS ({series_cte}),
+acf_base AS (
+  SELECT g, CAST(x AS BIGINT) AS x,
+         CAST(row_number() OVER (PARTITION BY g ORDER BY {order_by})
+              AS BIGINT) AS idx
+  FROM acf_src
+)
+{union}
+"""

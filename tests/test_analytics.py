@@ -4562,3 +4562,53 @@ def test_diff_in_diff_scalar_replay_and_planted_effect(spark):
     duck.executemany("INSERT INTO ddr VALUES (?, ?, ?)", rows)
     twin = tuple(duck.sql(diff_in_diff_sql("SELECT * FROM ddr")).fetchall()[0])
     assert twin == got
+
+
+def test_acf_table_scalar_replay_and_periodic_signal(spark):
+    """ACF stats vs scalar replay; a period-3 signal's lag-3 dot
+    dominates lags 1-2 after centering."""
+    import duckdb
+
+    from osm2geojson_spark.operators.analytics import acf_table, acf_table_sql
+
+    rows = []
+    for t in range(60):
+        rows.append(("per3", t, [10, -5, -5][t % 3]))
+        rows.append(("const", t, 7))
+
+    def brute(max_lag=5):
+        out = {}
+        for g in ("per3", "const"):
+            xs = [x for gg, _, x in rows if gg == g]
+            for lag in range(1, max_lag + 1):
+                pairs = [(xs[i], xs[i + lag]) for i in range(len(xs) - lag)]
+                out[(g, lag)] = (
+                    len(pairs),
+                    sum(a * b for a, b in pairs),
+                    sum(a for a, _ in pairs),
+                    sum(b for _, b in pairs),
+                    sum(a * a for a, _ in pairs),
+                    sum(b * b for _, b in pairs),
+                )
+        return out
+
+    df = spark.createDataFrame(rows, "g string, t long, x long")
+    got = {
+        (r["g"], r["lag"]): (
+            r["n_terms"], r["dot_sum"], r["sum_a"], r["sum_b"], r["ss_a"], r["ss_b"]
+        )
+        for r in acf_table(df, order_cols=("t",)).collect()
+    }
+    assert got == brute()
+    # the period-3 signal: lag-3 raw dot is maximal among lags 1..5
+    dots = {lag: got[("per3", lag)][1] for lag in range(1, 6)}
+    assert max(dots, key=dots.get) == 3
+
+    duck = duckdb.connect()
+    duck.execute("CREATE TABLE acfs (g VARCHAR, t BIGINT, x BIGINT)")
+    duck.executemany("INSERT INTO acfs VALUES (?, ?, ?)", rows)
+    twin = {
+        (r[0], r[1]): tuple(r[2:])
+        for r in duck.sql(acf_table_sql("SELECT * FROM acfs", order_by="t")).fetchall()
+    }
+    assert twin == got
