@@ -381,6 +381,7 @@ BENCH_QUERIES = [
     "matching",
     "reciprocity",
     "fuzzy2_join",
+    "acf",
 ]
 
 
