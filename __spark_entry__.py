@@ -15202,9 +15202,36 @@ def _acf_sql() -> str:
     return acf_table_sql(series, order_by="ts, event_id")
 
 
+def q_theil(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X337 (analytics.theil_index): Theil T inequality of customer
+    balances per market segment — micro-nat quantized entropy terms,
+    clamped integer assembly (decomposable sibling of gini)."""
+    from osm2geojson_spark.operators.analytics import theil_index
+
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_mktsegment").alias("g"),
+        F.greatest(F.round(F.col("c_acctbal") * 100), F.lit(0))
+        .cast("long")
+        .alias("x"),
+    )
+    return theil_index(c)
+
+
+def _theil_sql() -> str:
+    from osm2geojson_spark.operators.analytics import theil_index_sql
+
+    rows = (
+        "SELECT c_mktsegment AS g,"
+        " GREATEST(CAST(round(c_acctbal * 100) AS BIGINT), 0) AS x"
+        " FROM customer"
+    )
+    return theil_index_sql(rows)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "theil": q_theil,
         "acf": q_acf,
         "fuzzy2_join": q_fuzzy2_join,
         "reciprocity": q_reciprocity,
@@ -15592,6 +15619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "theil": _theil_sql(),
         "acf": _acf_sql(),
         "fuzzy2_join": _fuzzy2_join_sql(),
         "reciprocity": _reciprocity_sql(),

@@ -7905,3 +7905,74 @@ acf_base AS (
 )
 {union}
 """
+
+
+def theil_index(
+    df: DataFrame,
+    group_col: str = "g",
+    value_col: str = "x",
+) -> DataFrame:
+    """(g, n, total, theil_micro) — THEIL T INEQUALITY INDEX per group,
+    the decomposable entropy-based sibling of the Gini already in the
+    engine (Theil T sums BETWEEN + WITHIN exactly, which Gini cannot):
+    T = (1/n)·Σ (x_i/μ)·ln(x_i/μ). Scored with the micro-nat scheme —
+    each row's term is quantized FIRST,
+
+        t_i = round( (x_i·n / S) · ln(x_i·n / S) · 10⁶ )
+
+    from exact int64 (x_i, n, S), so the sum is order-free and
+    hash-stable; theil_micro = max(Σt_i, 0) DIV n — the clamp pins the
+    division (T >= 0 analytically; per-term rounding can push the sum
+    a few micro below zero, where truncate-vs-floor would diverge).
+    Zero values contribute 0 (the x·ln x continuity limit). Values
+    must be nonnegative integers.
+
+    Scale: one combinable rollup for (n, S) broadcast back + one scan —
+    no windows."""
+    rows = df.select(
+        F.col(group_col).alias("g"), F.col(value_col).cast("long").alias("x")
+    )
+    tot = rows.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("x").alias("s")
+    )
+    j = rows.join(F.broadcast(tot), "g")
+    r = F.col("x").cast("double") * F.col("n") / F.col("s")
+    term = F.when(
+        (F.col("x") > 0) & (F.col("s") > 0),
+        F.round(r * F.log(r) * 1_000_000),
+    ).otherwise(F.lit(0)).cast("long")
+    agg = j.groupBy("g").agg(
+        F.first("n").alias("n"),
+        F.first("s").alias("total"),
+        F.sum(term).alias("tsum"),
+    )
+    return agg.select(
+        "g",
+        F.col("n").cast("long").alias("n"),
+        F.col("total").cast("long").alias("total"),
+        F.expr("CAST(greatest(tsum, 0) DIV n AS BIGINT)").alias(
+            "theil_micro"
+        ),
+    )
+
+
+def theil_index_sql(rows_cte: str) -> str:
+    """DuckDB twin of theil_index. ``rows_cte`` -> (g, x) nonnegative."""
+    return f"""
+WITH th_r AS (
+  SELECT g, CAST(x AS BIGINT) AS x FROM ({rows_cte})
+),
+th_t AS (SELECT g, COUNT(*) AS n, SUM(x) AS s FROM th_r GROUP BY 1),
+th_j AS (
+  SELECT r.g, t.n, t.s,
+         CASE WHEN r.x > 0 AND t.s > 0
+              THEN CAST(round((CAST(r.x AS DOUBLE) * t.n / t.s)
+                   * ln(CAST(r.x AS DOUBLE) * t.n / t.s)
+                   * 1000000) AS BIGINT)
+              ELSE 0 END AS term
+  FROM th_r r JOIN th_t t USING (g)
+)
+SELECT g, CAST(MIN(n) AS BIGINT) AS n, CAST(MIN(s) AS BIGINT) AS total,
+       CAST(GREATEST(SUM(term), 0) // MIN(n) AS BIGINT) AS theil_micro
+FROM th_j GROUP BY 1
+"""

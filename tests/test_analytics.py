@@ -4612,3 +4612,52 @@ def test_acf_table_scalar_replay_and_periodic_signal(spark):
         for r in duck.sql(acf_table_sql("SELECT * FROM acfs", order_by="t")).fetchall()
     }
     assert twin == got
+
+
+def test_theil_index_scalar_replay_and_regimes(spark):
+    """Theil T vs scalar replay; equal incomes -> 0, a one-holder
+    concentration -> ~ln(n)."""
+    import duckdb
+    import math
+
+    from osm2geojson_spark.operators.analytics import theil_index, theil_index_sql
+
+    rows = []
+    for i in range(64):
+        rows.append(("equal", 100))
+        rows.append(("conc", 6400 if i == 0 else 0))
+        rows.append(("mixed", 50 + (i * 37) % 200))
+
+    def brute():
+        out = {}
+        for g in ("equal", "conc", "mixed"):
+            xs = [x for gg, x in rows if gg == g]
+            n = len(xs)
+            s = sum(xs)
+            t = 0
+            for x in xs:
+                if x > 0 and s > 0:
+                    r = float(x) * n / s
+                    t += round(r * math.log(r) * 1_000_000)
+            out[g] = (n, s, max(t, 0) // n)
+        return out
+
+    df = spark.createDataFrame(rows, "g string, x long")
+    got = {
+        r["g"]: (r["n"], r["total"], r["theil_micro"])
+        for r in theil_index(df).collect()
+    }
+    assert got == brute()
+    assert got["equal"][2] == 0
+    # all mass on one of 64 holders: T = ln(64) ~ 4.1589
+    assert abs(got["conc"][2] - round(math.log(64) * 1_000_000)) < 5
+    assert 0 < got["mixed"][2] < got["conc"][2]
+
+    duck = duckdb.connect()
+    duck.execute("CREATE TABLE thr (g VARCHAR, x BIGINT)")
+    duck.executemany("INSERT INTO thr VALUES (?, ?)", rows)
+    twin = {
+        r[0]: tuple(r[1:])
+        for r in duck.sql(theil_index_sql("SELECT * FROM thr")).fetchall()
+    }
+    assert twin == got
