@@ -15228,9 +15228,35 @@ def _theil_sql() -> str:
     return theil_index_sql(rows)
 
 
+def q_gumbel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X338 (analytics.gumbel_fit): Gumbel extreme-value fit of each
+    event_type's 16-sample block maxima (cent values) — integer-
+    rational plotting positions, quantized OLS, pinned assembly."""
+    from osm2geojson_spark.operators.analytics import gumbel_fit
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("g"),
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("x"),
+    )
+    return gumbel_fit(ev, order_cols=("ts", "event_id"))
+
+
+def _gumbel_sql() -> str:
+    from osm2geojson_spark.operators.analytics import gumbel_fit_sql
+
+    series = (
+        "SELECT event_type AS g, ts, event_id,"
+        " CAST(round(value * 100) AS BIGINT) AS x FROM events"
+    )
+    return gumbel_fit_sql(series, order_by="ts, event_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
+        "gumbel": q_gumbel,
         "theil": q_theil,
         "acf": q_acf,
         "fuzzy2_join": q_fuzzy2_join,
@@ -15619,6 +15645,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "gumbel": _gumbel_sql(),
         "theil": _theil_sql(),
         "acf": _acf_sql(),
         "fuzzy2_join": _fuzzy2_join_sql(),

@@ -382,6 +382,8 @@ BENCH_QUERIES = [
     "reciprocity",
     "fuzzy2_join",
     "acf",
+    "theil",
+    "gumbel",
 ]
 
 

@@ -7976,3 +7976,146 @@ SELECT g, CAST(MIN(n) AS BIGINT) AS n, CAST(MIN(s) AS BIGINT) AS total,
        CAST(GREATEST(SUM(term), 0) // MIN(n) AS BIGINT) AS theil_micro
 FROM th_j GROUP BY 1
 """
+
+
+GUMBEL_SCALE = 1_000_000  # plotting-position quantization
+
+
+def gumbel_fit(
+    series: DataFrame,
+    block: int = 16,
+    group_col: str = "g",
+    order_cols: tuple[str, ...] = ("t",),
+    value_col: str = "x",
+) -> DataFrame:
+    """(g, k, sx_q, sy_q, sxx_q, sxy_q, beta, mu) — GUMBEL EXTREME-
+    VALUE FIT by block maxima + plotting-position regression (the
+    hydrology/latency-tail standard: return levels from the Gumbel
+    line): consecutive ``block``-sample maxima M_(1..k) (sorted
+    ascending, ties pinned by block index) regress on the reduced
+    variate y_i = −ln(−ln(i/(k+1))). beta (scale) is the slope, mu
+    (location) the intercept — "the p99.9 you should expect per
+    window" from modest data.
+
+    Exactness: y_i is a pure function of the integer pair (i, k) —
+    both engines evaluate ln on identical rational arguments and the
+    result quantizes to round(y·1e6) int64; the maxima are exact
+    integers; the OLS sufficient statistics are order-free integer
+    sums (gravity_fit's scheme) and beta/mu an identically-ordered
+    double assembly, 6-dp rounded. Partial trailing blocks drop;
+    groups with < 3 maxima or zero variance emit NULL fit.
+
+    Scale: one block rollup + one per-group rank window over k rows
+    (maxima, not samples) + one combinable aggregate."""
+    w0 = Window.partitionBy("g").orderBy(*[F.col(c) for c in order_cols])
+    base = series.select(
+        F.col(group_col).alias("g"),
+        *[F.col(c) for c in order_cols],
+        F.col(value_col).cast("long").alias("x"),
+    ).withColumn("idx", F.row_number().over(w0).cast("long") - 1)
+    blocks = (
+        base.select("g", (F.col("idx") / block).cast("long").alias("b"), "x")
+        .groupBy("g", "b")
+        .agg(F.count(F.lit(1)).alias("_n"), F.max("x").alias("m"))
+        .filter(F.col("_n") == block)
+    )
+    wr = Window.partitionBy("g").orderBy("m", "b")
+    wk = Window.partitionBy("g")
+    ranked = blocks.select(
+        "g",
+        "m",
+        F.row_number().over(wr).cast("long").alias("i"),
+        F.count(F.lit(1)).over(wk).cast("long").alias("k"),
+    )
+    y = F.round(
+        -F.log(-F.log(F.col("i").cast("double") / (F.col("k") + 1)))
+        * GUMBEL_SCALE
+    ).cast("long")
+    agg = ranked.select("g", "k", F.col("m").alias("qx"), y.alias("qy")).groupBy(
+        "g", "k"
+    ).agg(
+        F.sum("qx").cast("long").alias("sx_q"),
+        F.sum("qy").cast("long").alias("sy_q"),
+        F.sum(F.col("qy") * F.col("qy")).cast("long").alias("syy_q"),
+        F.sum(F.col("qx") * F.col("qy")).cast("long").alias("sxy_q"),
+    )
+    kd = F.col("k").cast("double")
+    sx = F.col("sx_q").cast("double")
+    sy = F.col("sy_q").cast("double")
+    syy = F.col("syy_q").cast("double")
+    sxy = F.col("sxy_q").cast("double")
+    den = kd * syy - sy * sy
+    beta = (kd * sxy - sx * sy) / den * F.lit(float(GUMBEL_SCALE))
+    mu = (sx - (kd * sxy - sx * sy) / den * sy) / kd
+    ok = (F.col("k") >= 3) & (den != 0)
+    return agg.select(
+        "g",
+        "k",
+        "sx_q",
+        "sy_q",
+        F.col("syy_q").alias("sxx_q"),
+        "sxy_q",
+        F.when(ok, F.round(beta, 6) + F.lit(0.0)).alias("beta"),
+        F.when(ok, F.round(mu, 6) + F.lit(0.0)).alias("mu"),
+    )
+
+
+def gumbel_fit_sql(
+    series_cte: str, block: int = 16, order_by: str = "t"
+) -> str:
+    """DuckDB twin of gumbel_fit. ``series_cte`` -> (g, <order>, x)."""
+    return f"""
+WITH gb_src AS ({series_cte}),
+gb_base AS (
+  SELECT g, CAST(x AS BIGINT) AS x,
+         CAST(row_number() OVER (PARTITION BY g ORDER BY {order_by})
+              AS BIGINT) - 1 AS idx
+  FROM gb_src
+),
+gb_blk AS (
+  SELECT g, idx // {block} AS b, COUNT(*) AS n, MAX(x) AS m
+  FROM gb_base GROUP BY 1, 2 HAVING COUNT(*) = {block}
+),
+gb_rk AS (
+  SELECT g, m,
+         CAST(row_number() OVER (PARTITION BY g ORDER BY m, b) AS BIGINT) AS i,
+         CAST(COUNT(*) OVER (PARTITION BY g) AS BIGINT) AS k
+  FROM gb_blk
+),
+gb_q AS (
+  SELECT g, k, m AS qx,
+         CAST(round(-ln(-ln(CAST(i AS DOUBLE) / (k + 1)))
+              * {GUMBEL_SCALE}) AS BIGINT) AS qy
+  FROM gb_rk
+),
+gb_a AS (
+  SELECT g, k,
+         CAST(SUM(qx) AS BIGINT) AS sx_q,
+         CAST(SUM(qy) AS BIGINT) AS sy_q,
+         CAST(SUM(qy * qy) AS BIGINT) AS syy_q,
+         CAST(SUM(qx * qy) AS BIGINT) AS sxy_q
+  FROM gb_q GROUP BY 1, 2
+)
+SELECT g, k, sx_q, sy_q, syy_q AS sxx_q, sxy_q,
+       CASE WHEN k >= 3 AND
+                 CAST(k AS DOUBLE) * CAST(syy_q AS DOUBLE)
+                 - CAST(sy_q AS DOUBLE) * CAST(sy_q AS DOUBLE) <> 0
+            THEN round((CAST(k AS DOUBLE) * CAST(sxy_q AS DOUBLE)
+                        - CAST(sx_q AS DOUBLE) * CAST(sy_q AS DOUBLE))
+                       / (CAST(k AS DOUBLE) * CAST(syy_q AS DOUBLE)
+                          - CAST(sy_q AS DOUBLE) * CAST(sy_q AS DOUBLE))
+                       * {GUMBEL_SCALE}.0, 6) + 0.0
+            ELSE NULL END AS beta,
+       CASE WHEN k >= 3 AND
+                 CAST(k AS DOUBLE) * CAST(syy_q AS DOUBLE)
+                 - CAST(sy_q AS DOUBLE) * CAST(sy_q AS DOUBLE) <> 0
+            THEN round((CAST(sx_q AS DOUBLE)
+                        - (CAST(k AS DOUBLE) * CAST(sxy_q AS DOUBLE)
+                           - CAST(sx_q AS DOUBLE) * CAST(sy_q AS DOUBLE))
+                          / (CAST(k AS DOUBLE) * CAST(syy_q AS DOUBLE)
+                             - CAST(sy_q AS DOUBLE) * CAST(sy_q AS DOUBLE))
+                          * CAST(sy_q AS DOUBLE))
+                       / CAST(k AS DOUBLE), 6) + 0.0
+            ELSE NULL END AS mu
+FROM gb_a
+"""

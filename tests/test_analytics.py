@@ -4661,3 +4661,61 @@ def test_theil_index_scalar_replay_and_regimes(spark):
         for r in duck.sql(theil_index_sql("SELECT * FROM thr")).fetchall()
     }
     assert twin == got
+
+
+def test_gumbel_fit_scalar_replay_and_recovery(spark):
+    """Gumbel fit vs scalar replay; maxima synthesized FROM a Gumbel
+    law (inverse-CDF on a deterministic grid) recover mu/beta within
+    a few percent."""
+    import duckdb
+    import math
+
+    from osm2geojson_spark.operators.analytics import (
+        GUMBEL_SCALE,
+        gumbel_fit,
+        gumbel_fit_sql,
+    )
+
+    # synthesize samples whose 16-block maxima are Gumbel(mu=500, beta=80):
+    # make every block constant at the inverse CDF of a stratified grid
+    rows = []
+    t = 0
+    K = 40
+    for j in range(K):
+        p = (j + 0.5) / K
+        mx = 500 + 80 * (-math.log(-math.log(p)))
+        for _ in range(16):
+            rows.append(("g1", t, int(round(mx))))
+            t += 1
+
+    def brute(block=16):
+        xs = [x for _, _, x in rows]
+        k = len(xs) // block
+        ms = sorted(
+            (max(xs[b * block : (b + 1) * block]), b) for b in range(k)
+        )
+        pts = []
+        for i, (m, _) in enumerate(ms, 1):
+            y = round(-math.log(-math.log(i / (k + 1))) * GUMBEL_SCALE)
+            pts.append((m, y))
+        sx = sum(p[0] for p in pts)
+        sy = sum(p[1] for p in pts)
+        syy = sum(p[1] * p[1] for p in pts)
+        sxy = sum(p[0] * p[1] for p in pts)
+        den = k * syy - sy * sy
+        beta = (k * sxy - sx * sy) / den * GUMBEL_SCALE
+        mu = (sx - (k * sxy - sx * sy) / den * sy) / k
+        return (k, sx, sy, syy, sxy, round(beta, 6), round(mu, 6))
+
+    df = spark.createDataFrame(rows, "g string, t long, x long")
+    r = gumbel_fit(df, order_cols=("t",)).collect()[0]
+    got = (r["k"], r["sx_q"], r["sy_q"], r["sxx_q"], r["sxy_q"], r["beta"], r["mu"])
+    assert got == brute()
+    assert abs(r["beta"] - 80) < 8
+    assert abs(r["mu"] - 500) < 15
+
+    duck = duckdb.connect()
+    duck.execute("CREATE TABLE gbs (g VARCHAR, t BIGINT, x BIGINT)")
+    duck.executemany("INSERT INTO gbs VALUES (?, ?, ?)", rows)
+    tw = duck.sql(gumbel_fit_sql("SELECT * FROM gbs", order_by="t")).fetchall()[0]
+    assert tuple(tw) == ("g1",) + got
