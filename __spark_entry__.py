@@ -15253,7 +15253,36 @@ def _gumbel_sql() -> str:
     return gumbel_fit_sql(series, order_by="ts, event_id")
 
 
+# Round-5 rotation (VERDICT r4 ask #1): the registry is FROZEN — no new queries
+# this round — and the driver's 50-slot correctness window is pointed at the 50
+# OLDEST names never recorded in CORRECTNESS_r01–r04 (the LLM-pipeline core:
+# ANN/PQ, bm25, asof/interval joins, graph, trajectory, multimodal).  The base
+# dict below keeps its historical newest-first order; this list is promoted to
+# positions 0–49 at call time so CORRECTNESS_r05 clears verification backlog.
+_PROMOTE_R5 = [
+    "interval_join", "asof_join", "mobility", "od_flows", "stay_points",
+    "spatial_window", "domain_cap", "pack_sequences", "doc_chunking",
+    "stratified_sample", "bm25_topk", "ann_cosine_ivfpq_res", "ann_cosine_ivfpq",
+    "scrub_apply", "ann_pq_scan", "ann_cosine_pq", "embedding_coreset",
+    "ann_cosine_ivf", "zonal_median", "zonal_stats", "vectorize_tiles",
+    "caption_alignment", "crossmodal_dedup", "image_pipeline", "image_similarity",
+    "image_sharpness", "knn_graph", "halo_gradient", "dbscan",
+    "vectorize_stitched", "dedup_semantic", "bfs_hops", "rasterize", "box_iou",
+    "map_match", "semivariogram", "idw", "resample_tracks", "colocation",
+    "geofence_visits", "shortest_path", "kde", "st_join", "pagerank",
+    "patch_extract", "adaptive_bins", "track_speed", "bbox_join", "isochrone",
+    "hist_equalize",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    base = _queries_base()
+    promoted = {name: base[name] for name in _PROMOTE_R5}
+    promoted.update((k, v) for k, v in base.items() if k not in promoted)
+    return promoted
+
+
+def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 continuation: newest first (never driver-recorded)
         "gumbel": q_gumbel,

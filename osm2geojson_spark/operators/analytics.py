@@ -6900,6 +6900,12 @@ def bradley_terry(
     (i, j, wins of i over j); provide both directions or zeros are
     assumed.
 
+    Overflow envelope: the MM numerators form nij · S² = nij · 10¹²
+    in int64, so the operator requires n_ij < ~9.2e6 games per
+    directed pair (and likewise W_i < ~9.2e6 total wins per item).
+    Past that Spark wraps silently while DuckDB raises; pre-aggregate
+    or downsample match counts before fitting beyond the bound.
+
     Scale: per round one symmetrized join of the (item, strength)
     vector against the pair table + two combinable rollups — the pair
     table is |items|²-bounded (league metadata, not corpus data)."""
@@ -7268,6 +7274,13 @@ def item_cf_neighbors(
     near-equal cosines that land on the same quotient resolve by
     neighbor id — the documented tie rule, identical in the twin.
 
+    Overflow envelope: q is assembled by split division
+    (co² DIV d)·10⁶ + ((co² mod d)·10⁶) DIV d with d = n_i·n_j —
+    exactly co²·10⁶ DIV d, but int64-safe for co < ~3.0e9
+    co-occurrences and d < ~9.2e12 (vs co < ~3.0e6 for the naive
+    co²·10⁶ product). Past those bounds Spark wraps silently while
+    DuckDB raises — keep |users| per item pair inside the envelope.
+
     Scale: co-occurrence via the user-keyed self-join restricted to
     i < j (classic Σ basket² — cap basket size upstream for
     power users, as basket/covisitation do), then one combinable
@@ -7299,7 +7312,9 @@ def item_cf_neighbors(
             F.col("n_item").cast("long").alias("n_item"),
             F.col("n_nbr").cast("long").alias("n_nbr"),
             F.expr(
-                "CAST(co * co * 1000000 DIV (n_item * n_nbr) AS BIGINT)"
+                "CAST((co * co DIV (n_item * n_nbr)) * 1000000"
+                " + ((co * co % (n_item * n_nbr)) * 1000000)"
+                "   DIV (n_item * n_nbr) AS BIGINT)"
             ).alias("_q"),
         )
     )
@@ -7332,7 +7347,9 @@ cf_both AS (
 cf_sc AS (
   SELECT x.ia AS item, x.ib AS nbr, CAST(x.co AS BIGINT) AS co,
          CAST(na.n AS BIGINT) AS n_item, CAST(nb.n AS BIGINT) AS n_nbr,
-         CAST(x.co * x.co * 1000000 // (na.n * nb.n) AS BIGINT) AS _q
+         CAST((x.co * x.co // (na.n * nb.n)) * 1000000
+              + ((x.co * x.co % (na.n * nb.n)) * 1000000)
+                // (na.n * nb.n) AS BIGINT) AS _q
   FROM cf_both x
   JOIN cf_n na ON na.i = x.ia
   JOIN cf_n nb ON nb.i = x.ib
@@ -7751,6 +7768,12 @@ def diff_in_diff(
     the price of exactness). The launch-impact estimator for rollouts
     without holdouts.
 
+    Contract: ``value_col`` must be NONNEGATIVE integers — the Spark
+    side uses truncating DIV while the twin uses floor //, which only
+    agree for nonnegative sums. Shift values upstream if y can go
+    negative (the entry query feeds round(value*100) of nonnegative
+    event values).
+
     Scale: ONE combinable aggregate over the fact scan — four
     conditional sums/counts, no shuffle beyond the 1-row reduce."""
     t = F.col(group_col).cast("long")
@@ -7988,7 +8011,7 @@ def gumbel_fit(
     order_cols: tuple[str, ...] = ("t",),
     value_col: str = "x",
 ) -> DataFrame:
-    """(g, k, sx_q, sy_q, sxx_q, sxy_q, beta, mu) — GUMBEL EXTREME-
+    """(g, k, sx_q, sy_q, syy_q, sxy_q, beta, mu) — GUMBEL EXTREME-
     VALUE FIT by block maxima + plotting-position regression (the
     hydrology/latency-tail standard: return levels from the Gumbel
     line): consecutive ``block``-sample maxima M_(1..k) (sorted
@@ -8053,7 +8076,7 @@ def gumbel_fit(
         "k",
         "sx_q",
         "sy_q",
-        F.col("syy_q").alias("sxx_q"),
+        "syy_q",
         "sxy_q",
         F.when(ok, F.round(beta, 6) + F.lit(0.0)).alias("beta"),
         F.when(ok, F.round(mu, 6) + F.lit(0.0)).alias("mu"),
@@ -8096,7 +8119,7 @@ gb_a AS (
          CAST(SUM(qx * qy) AS BIGINT) AS sxy_q
   FROM gb_q GROUP BY 1, 2
 )
-SELECT g, k, sx_q, sy_q, syy_q AS sxx_q, sxy_q,
+SELECT g, k, sx_q, sy_q, syy_q, sxy_q,
        CASE WHEN k >= 3 AND
                  CAST(k AS DOUBLE) * CAST(syy_q AS DOUBLE)
                  - CAST(sy_q AS DOUBLE) * CAST(sy_q AS DOUBLE) <> 0

@@ -1389,14 +1389,18 @@ def lcs_block_similarity(
             for r in pdf.itertuples(index=False):
                 s, t = r.wa, r.wb
                 la, lb = len(s), len(t)
+                # codepoint arrays, not UTF-8 bytes: the DP is sized in
+                # characters (matching the twin's substr()), so multibyte
+                # text must compare per-codepoint
+                sv = np.fromiter((ord(c) for c in s), dtype=np.int64, count=la)
+                tv = np.fromiter((ord(c) for c in t), dtype=np.int64, count=lb)
                 prev = np.zeros(lb + 1, dtype=np.int64)
                 for i in range(1, la + 1):
                     cur = np.zeros(lb + 1, dtype=np.int64)
-                    tv = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
                     # row-vectorized: cur[j] = max(prev[j], cur[j-1],
                     # prev[j-1]+eq) — the cur[j-1] dependency forces a
                     # cummax pass: first take m = max(prev[j], prev[j-1]+eq)
-                    eq = (tv == s.encode("utf-8")[i - 1]).astype(np.int64)
+                    eq = (tv == sv[i - 1]).astype(np.int64)
                     m = np.maximum(prev[1:], prev[:-1] + eq)
                     # then cur = running max of m with carry (cummax after
                     # prepending cur[0]=0): LCS rows are nondecreasing, so

@@ -281,7 +281,19 @@ def fs_link_scores(
     Scale: one combinable global agg for the u-counts (broadcast
     back), then a scan over pairs — no extra shuffle. Fields with
     u ∈ {0, 1} get their weight from the ±1-smoothed count (add-one
-    on both sides) to keep ln finite."""
+    on both sides) to keep ln finite.
+
+    Preconditions (validated): ``fields`` must be non-empty (no
+    fields → no score) and 0 < m_num < m_den — m_num == m_den would
+    make the disagreement weight ln(0) = −inf."""
+    if not fields:
+        raise ValueError("fs_link_scores: fields must be a non-empty list")
+    if not (0 < m_num < m_den):
+        raise ValueError(
+            "fs_link_scores: require 0 < m_num < m_den "
+            f"(got m_num={m_num}, m_den={m_den}); m_num == m_den makes the "
+            "disagreement weight ln(0)"
+        )
     aggs = [F.count(F.lit(1)).alias("_n")]
     for f in fields:
         aggs.append(F.sum(F.col(f).cast("long")).alias(f"_a_{f}"))

@@ -4709,7 +4709,7 @@ def test_gumbel_fit_scalar_replay_and_recovery(spark):
 
     df = spark.createDataFrame(rows, "g string, t long, x long")
     r = gumbel_fit(df, order_cols=("t",)).collect()[0]
-    got = (r["k"], r["sx_q"], r["sy_q"], r["sxx_q"], r["sxy_q"], r["beta"], r["mu"])
+    got = (r["k"], r["sx_q"], r["sy_q"], r["syy_q"], r["sxy_q"], r["beta"], r["mu"])
     assert got == brute()
     assert abs(r["beta"] - 80) < 8
     assert abs(r["mu"] - 500) < 15

@@ -2145,6 +2145,10 @@ def test_lcs_block_similarity_brute_and_twin(spark):
         ("b1", "kitten"), ("b1", "sitting"), ("b1", "kitten"),
         ("b1", "sitten"), ("b2", "abcdef"), ("b2", "zabxcy"),
         ("b2", "xyz"),
+        # non-ASCII: the DP must run over codepoints, not UTF-8 bytes
+        # (multi-byte chars would otherwise break the array shapes)
+        ("b3", "café"), ("b3", "cafés"), ("b3", "caféteria"),
+        ("b3", "日本語テスト"), ("b3", "日本語のテスト"),
     ]
 
     def lcs(s, t):

@@ -257,3 +257,22 @@ def test_fs_link_scores_scalar_replay_and_bands(spark):
         ).fetchall()
     }
     assert twin == got
+
+
+def test_fs_link_scores_precondition_validation(spark):
+    """Empty fields and degenerate m-priors raise up front instead of
+    failing deep in column assembly (fields=[] left score=None;
+    m_num==m_den is ln(0))."""
+    import pytest
+
+    from osm2geojson_spark.operators.matching import fs_link_scores
+
+    df = spark.createDataFrame(
+        [(1, 2, True)], "id_a long, id_b long, f1 boolean"
+    )
+    with pytest.raises(ValueError, match="non-empty"):
+        fs_link_scores(df, [])
+    with pytest.raises(ValueError, match="m_num"):
+        fs_link_scores(df, ["f1"], m_num=10, m_den=10)
+    with pytest.raises(ValueError, match="m_num"):
+        fs_link_scores(df, ["f1"], m_num=0, m_den=10)
