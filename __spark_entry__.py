@@ -5585,10 +5585,11 @@ def q_dtw(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 500 strongest co-location candidate pairs over 6-hour resampled
     tracks — the co-movement verification stage. Sequential O(n*m) DP per
     pair (like NMS), grouped applyInPandas, candidates pre-gated so the
-    quadratic term is per-pair only. No SQL twin (the DP recurrence is
-    not SQL-expressible) — pinned by brute-force pytest parity
-    (tests/test_trajectory.py::test_dtw_distances_matches_brute); the
-    driver records the rows-only check."""
+    quadratic term is per-pair only. Full value oracle since round 5:
+    _dtw_sql unrolls the identical anti-diagonal wavefront as a DuckDB
+    recursive CTE (glibc trig on both sides → bit-equal dp); also
+    pinned by brute-force pytest parity
+    (tests/test_trajectory.py::test_dtw_distances_matches_brute)."""
     from osm2geojson_spark.operators.trajectory import (
         colocation_pairs,
         dtw_distances,
@@ -5606,6 +5607,96 @@ def q_dtw(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(500)
     )
     return dtw_distances(tracks, pairs.select("user_a", "user_b"))
+
+
+def _dtw_sql() -> str:
+    """Full VALUE oracle for q_dtw (round-5: was the one rows-only
+    registry entry): the anti-diagonal DTW wavefront as a DuckDB
+    recursive CTE. Each rec row carries cell (i, d-i)'s dp (``cur``)
+    AND cell (i, d-1-i)'s (``prv``), so diagonal d+1 needs only the
+    d rows: left = cur(i), up = cur(i-1), diag = prv(i-1) — single
+    recursive reference, pure equi-join via the {0,1} delta table.
+    Bit-exactness: sin/cos/sqrt and DuckDB's asin are all glibc calls
+    bit-identical to the kernel (which uses math.asin, not np.arcsin,
+    for exactly this reason); the DP then performs the identical
+    min/+ sequence, so dtw_m matches to the last bit."""
+    from osm2geojson_spark.operators import cells as CEL
+    from osm2geojson_spark.operators.knn import EARTH_RADIUS_M
+
+    dt = 6 * 3600 * 1_000_000
+    cell = CEL.cell_id_sql("lon", "lat", 3)
+    return f"""
+WITH RECURSIVE pings AS ({_TRAJ_PINGS_CTE}
+), p AS (
+  SELECT user_id, ts, epoch_us(ts) AS t, lon, lat FROM pings
+), seg AS (
+  SELECT user_id, t, lon, lat,
+         lead(t) OVER w AS t1, lead(lon) OVER w AS lon1, lead(lat) OVER w AS lat1
+  FROM p WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), tickrows AS (
+  SELECT user_id, t, t1, lon, lat, lon1, lat1,
+         unnest(range((t + {dt - 1}) // {dt}, (t1 + {dt - 1}) // {dt})) AS tick
+  FROM seg WHERE t1 IS NOT NULL
+), trk AS MATERIALIZED (
+  SELECT user_id, tick, lon, lat,
+         CAST(row_number() OVER (PARTITION BY user_id ORDER BY tick)
+              AS BIGINT) - 1 AS pos
+  FROM (
+    SELECT user_id, tick,
+           lon + CAST(tick * {dt} - t AS DOUBLE) / CAST(t1 - t AS DOUBLE) * (lon1 - lon) AS lon,
+           lat + CAST(tick * {dt} - t AS DOUBLE) / CAST(t1 - t AS DOUBLE) * (lat1 - lat) AS lat
+    FROM tickrows
+  ) q
+), sampled AS (
+  SELECT user_id, tick, {cell} AS cell_id FROM trk
+), prs AS MATERIALIZED (
+  SELECT a.user_id AS ua, b.user_id AS ub
+  FROM sampled a JOIN sampled b
+    ON a.tick = b.tick AND a.cell_id = b.cell_id AND a.user_id < b.user_id
+  GROUP BY 1, 2
+  ORDER BY COUNT(*) DESC, ua, ub LIMIT 500
+), prlen AS (
+  SELECT pr.ua, pr.ub, na.cnt AS n, nb.cnt AS m
+  FROM prs pr
+  JOIN (SELECT user_id, COUNT(*) AS cnt FROM trk GROUP BY 1) na
+    ON na.user_id = pr.ua
+  JOIN (SELECT user_id, COUNT(*) AS cnt FROM trk GROUP BY 1) nb
+    ON nb.user_id = pr.ub
+), cost AS MATERIALIZED (
+  SELECT ua, ub, i, j, i + j AS d,
+         2.0 * {EARTH_RADIUS_M} * asin(sqrt(least(1.0,
+             sdlat * sdlat + (cla1 * cla2) * (sdlon * sdlon)))) AS c
+  FROM (
+    SELECT pr.ua, pr.ub, ta.pos AS i, tb.pos AS j,
+           sin((radians(tb.lat) - radians(ta.lat)) / 2) AS sdlat,
+           sin((radians(tb.lon) - radians(ta.lon)) / 2) AS sdlon,
+           cos(radians(ta.lat)) AS cla1, cos(radians(tb.lat)) AS cla2
+    FROM prs pr
+    JOIN trk ta ON ta.user_id = pr.ua
+    JOIN trk tb ON tb.user_id = pr.ub
+  ) z
+), dd(delta) AS (SELECT * FROM (VALUES (CAST(0 AS BIGINT)), (CAST(1 AS BIGINT)))
+), rec AS (
+  SELECT ua, ub, CAST(0 AS BIGINT) AS d, CAST(0 AS BIGINT) AS i,
+         c AS cur, CAST(NULL AS DOUBLE) AS prv
+  FROM cost WHERE i = 0 AND j = 0
+  UNION ALL
+  SELECT c.ua, c.ub, c.d, c.i,
+         c.c + MIN(CASE WHEN dd.delta = 0 THEN w.cur
+                        ELSE least(w.cur, w.prv) END) AS cur,
+         MIN(CASE WHEN dd.delta = 0 THEN w.cur END) AS prv
+  FROM rec w
+  CROSS JOIN dd
+  JOIN cost c ON c.ua = w.ua AND c.ub = w.ub
+             AND c.d = w.d + 1 AND c.i = w.i + dd.delta
+  GROUP BY c.ua, c.ub, c.d, c.i, c.c
+)
+SELECT r.ua AS user_a, r.ub AS user_b, r.cur AS dtw_m,
+       pl.n AS n_a, pl.m AS n_b
+FROM rec r
+JOIN prlen pl ON pl.ua = r.ua AND pl.ub = r.ub
+WHERE r.i = pl.n - 1 AND r.d = pl.n + pl.m - 2
+"""
 
 
 def q_spatial_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -14185,10 +14276,11 @@ def _huff_model_sql() -> str:
 
 
 def q_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X302 (graph.scc_bounded): cycle detection on a directed graph of
-    5-rings (blocks of part keys) plus forward hash chords — 6-hop
-    mutual-reachability SCC labels with component sizes; the oracle
-    replays both recursive reachabilities."""
+    """X302 (graph.scc_coloring): cycle detection on a directed graph
+    of 5-rings (blocks of part keys) plus forward hash chords — exact
+    SCC labels with component sizes via Trim + forward-backward
+    coloring (O(nodes) frontier state); the oracle replays full
+    recursive mutual reachability."""
     from osm2geojson_spark.operators import graph as G
 
     part = _t(spark, sf_dir, "part").select("p_partkey")
@@ -14201,7 +14293,7 @@ def q_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
     chords = part.filter(k % 3 == 0).select(
         k.alias("src"), ((k * 7 + 3) % n).alias("dst")
     )
-    return G.scc_bounded(ring.unionByName(chords), max_hops=6)
+    return G.scc_coloring(ring.unionByName(chords))
 
 
 def _scc_sql() -> str:
@@ -14217,7 +14309,7 @@ def _scc_sql() -> str:
         " (p_partkey * 7 + 3) % (SELECT COUNT(*) FROM part) AS dst"
         " FROM part WHERE p_partkey % 3 = 0"
     )
-    return G.scc_bounded_sql(edges, max_hops=6)
+    return G.scc_sql(edges)
 
 
 def q_pitch_track(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -15948,6 +16040,7 @@ def oracle_sql() -> dict[str, str]:
         "rasterize": _rasterize_sql(),
         "bfs_hops": _bfs_hops_sql(),
         "resample_tracks": _resample_tracks_sql(),
+        "dtw": _dtw_sql(),
         "colocation": _colocation_sql(),
         "convoys": _convoys_sql(),
         "dedup_semantic": _dedup_semantic_sql(),

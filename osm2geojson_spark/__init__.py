@@ -29,6 +29,7 @@ from .plans.pipeline import (
     write_geojson_lines,
     xml2geojson,
 )
+from .helpers import read_data_file
 from .sources import xml_source
 from .sources.overpass import overpass_call
 
@@ -68,4 +69,5 @@ __all__ = [
     "read_geojson_lines",
     "ConversionError",
     "overpass_call",
+    "read_data_file",
 ]

@@ -1442,23 +1442,28 @@ def four_clique_count(
     standard dense-community signal (a node in many K4s sits inside a
     near-clique cluster, not just a triangle-rich hub).
 
-    Same canonical orientation as triangle_count: over the symmetrized
-    simple graph oriented low-id → high-id, each 4-clique
-    {a < b < c < d} materializes exactly once as an oriented triangle
+    DEGREE-ORDERED orientation (the standard arboricity trick): over
+    the symmetrized simple graph, edges orient by (degree, id)
+    lexicographic — u → v iff (deg(u), u) ≺ (deg(v), v) — so the
+    oriented out-degree is O(√edges)-bounded on power-law graphs
+    (id-order luck no longer governs extension fan-out). Each 4-clique
+    {a ≺ b ≺ c ≺ d} materializes exactly once as an oriented triangle
     (a,b,c) extended by a fourth corner d adjacent to all three with
-    c < d:
+    c ≺ d:
 
         tri(a,b,c) ⋈ fwd(c,d) ⋈ fwd(b,d) ⋈ fwd(a,d)
 
-    then credits all four corners. Exact int64 throughout; nodes in no
-    K4 simply don't appear.
+    then credits all four corners in ONE pass (posexplode of the
+    corner array, map-side-combined count — not a 4-branch union that
+    would re-execute the join tree per branch). Per-node K4 counts
+    are orientation-invariant, so any total order yields identical
+    output. Exact int64 throughout; nodes in no K4 don't appear.
 
     Scale: the extension join fans out from each oriented triangle by
-    outdeg(c) on the ORIENTED graph (bounded by the id-order cap; swap
-    in degree order upstream for power-law graphs) and the (b,d)/(a,d)
+    the degree-capped oriented out-degree of c and the (b,d)/(a,d)
     probes are equi-join semijoins that shrink, not grow, the stream.
-    Three shuffle joins past triangle_count's two + one combinable
-    rollup — no adjacency list is ever collected on one node."""
+    One degree rollup + three shuffle joins past triangle_count's two
+    + one combinable rollup — no adjacency list on one node."""
     e = edges.select(F.col(src_col).alias("_s"), F.col(dst_col).alias("_d"))
     sym = (
         e.unionByName(
@@ -1467,7 +1472,22 @@ def four_clique_count(
         .filter(F.col("_s") != F.col("_d"))
         .distinct()
     )
-    fwd = sym.filter(F.col("_s") < F.col("_d")).localCheckpoint(eager=False)
+    deg = sym.groupBy("_s").agg(F.count(F.lit(1)).alias("_deg"))
+    fwd = (
+        sym.join(deg.select(F.col("_s"), F.col("_deg").alias("_ds")), "_s")
+        .join(
+            deg.select(
+                F.col("_s").alias("_d"), F.col("_deg").alias("_dd")
+            ),
+            "_d",
+        )
+        .filter(
+            (F.col("_ds") < F.col("_dd"))
+            | ((F.col("_ds") == F.col("_dd")) & (F.col("_s") < F.col("_d")))
+        )
+        .select("_s", "_d")
+        .localCheckpoint(eager=False)
+    )
     ab = fwd.select(F.col("_s").alias("a"), F.col("_d").alias("b"))
     bc = fwd.select(F.col("_s").alias("b"), F.col("_d").alias("c"))
     ac = fwd.select(F.col("_s").alias("a"), F.col("_d").alias("c"))
@@ -1476,11 +1496,8 @@ def four_clique_count(
     bd = fwd.select(F.col("_s").alias("b"), F.col("_d").alias("d"))
     ad = fwd.select(F.col("_s").alias("a"), F.col("_d").alias("d"))
     k4 = tri.join(cd, "c").join(bd, ["b", "d"]).join(ad, ["a", "d"])
-    corners = (
-        k4.select(F.col("a").alias("node"))
-        .unionByName(k4.select(F.col("b").alias("node")))
-        .unionByName(k4.select(F.col("c").alias("node")))
-        .unionByName(k4.select(F.col("d").alias("node")))
+    corners = k4.select(
+        F.explode(F.array("a", "b", "c", "d")).alias("node")
     )
     return corners.groupBy("node").agg(
         F.count(F.lit(1)).cast("long").alias("n_k4")
@@ -1488,13 +1505,18 @@ def four_clique_count(
 
 
 def four_clique_count_sql(edges_cte: str) -> str:
-    """DuckDB twin of four_clique_count — same orientation, same
-    triangle extension, same per-corner credit."""
+    """DuckDB twin of four_clique_count — same degree-ordered
+    orientation, same triangle extension, same per-corner credit."""
     return f"""
 WITH e0 AS ({edges_cte}),
 sym AS (SELECT DISTINCT _s, _d FROM (SELECT src AS _s, dst AS _d FROM e0
         UNION ALL SELECT dst, src FROM e0) u WHERE _s != _d),
-fwd AS (SELECT _s, _d FROM sym WHERE _s < _d),
+dg AS (SELECT _s, COUNT(*) AS _deg FROM sym GROUP BY 1),
+fwd AS (
+  SELECT y._s, y._d FROM sym y
+  JOIN dg ds ON ds._s = y._s JOIN dg dd ON dd._s = y._d
+  WHERE ds._deg < dd._deg OR (ds._deg = dd._deg AND y._s < y._d)
+),
 tri AS (
   SELECT ab._s AS a, ab._d AS b, bc._d AS c
   FROM fwd ab JOIN fwd bc ON bc._s = ab._d
@@ -1877,89 +1899,181 @@ FROM cp_j, cp_t t
 """
 
 
-def scc_bounded(
+def scc_coloring(
     edges: DataFrame,
-    max_hops: int,
+    max_rounds: int | None = 64,
+    trim_rounds: int = 16,
     src_col: str = "src",
     dst_col: str = "dst",
 ) -> DataFrame:
-    """(node, scc, scc_size) — STRONGLY CONNECTED COMPONENTS within a
-    hop horizon: scc(v) = min{u : u reachable from v AND v reachable
-    from u, both within ``max_hops``} — cycle detection in dependency/
+    """(node, scc, scc_size) — EXACT STRONGLY CONNECTED COMPONENTS via
+    Trim + forward-backward COLORING (Orzan 2004 / Slota et al. 2014,
+    the standard distributed SCC): cycle detection in dependency/
     redirect/money-flow graphs (a component of size > 1 IS a cycle).
-    Exact full SCC whenever max_hops >= the largest component's
-    internal diameter; with a smaller cap the label is the documented
-    bounded-horizon semantics, matched exactly by the twin.
+    scc(v) = min{u : u and v mutually reachable}; sizes attached.
 
-    Both directions run the bfs_hops frontier loop on (v, u)
-    reachability PAIRS (dedup per round, localCheckpoint); the label is
-    a min-rollup over the inner join of the two pair sets. Nodes are
-    whatever appears as an endpoint.
+    Each outer round: (1) TRIM — iteratively peel nodes with zero
+    in- or out-degree in the surviving subgraph (they are singleton
+    SCCs; kills DAG fringe, hub spokes, tails); (2) forward MIN-COLOR
+    propagation to fixpoint (col(v) = smallest surviving node that
+    reaches v); (3) backward mark, within each color class, of the
+    nodes that reach their root r (col(r) = r) — those ARE scc(r);
+    label and remove them, repeat on the remainder.
 
-    Scale: pair growth is Σ|reach_H(v)| — fine for sparse graphs with
-    bounded fan-out horizons (the classic iterative-trim SCC costs the
-    same frontier joins); a hub-heavy graph needs a smaller cap. Each
-    round is one equi-join + distinct, map-combinable."""
-    e = edges.select(F.col(src_col).alias("_s"), F.col(dst_col).alias("_d"))
+    Replaces the earlier reachability-PAIR formulation whose state
+    grew as Σ|reach_H(v)| (quadratic on hub-heavy graphs): every
+    frontier here — colors, flags, survivors — is one row per NODE,
+    so memory is O(nodes + edges) regardless of connectivity. Round
+    complexity is the classic coloring bound (≤ #SCC rounds in the
+    worst chain-of-cycles case, a handful on real graphs); the run
+    raises past ``max_rounds`` (None = unbounded) rather than emit
+    partial labels. Per iteration one equi-join + combinable min/
+    count rollup, localCheckpoint lineage truncation throughout."""
+    e_all = edges.select(F.col(src_col).alias("_s"), F.col(dst_col).alias("_d"))
     nodes = (
-        e.select(F.col("_s").alias("node"))
-        .unionByName(e.select(F.col("_d").alias("node")))
+        e_all.select(F.col("_s").alias("node"))
+        .unionByName(e_all.select(F.col("_d").alias("node")))
         .distinct()
+        .localCheckpoint(eager=False)
     )
-
-    def reach(rel: DataFrame) -> DataFrame:
-        pairs = nodes.select("node", F.col("node").alias("u")).localCheckpoint(
+    rem_edges = (
+        e_all.filter(F.col("_s") != F.col("_d"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    rem_nodes = nodes
+    n_rem = rem_nodes.count()
+    out = nodes.limit(0).select("node", F.col("node").alias("scc"))
+    rounds = 0
+    while n_rem > 0:
+        if max_rounds is not None and rounds >= max_rounds:
+            raise RuntimeError(
+                f"scc_coloring: {n_rem} nodes unresolved after "
+                f"{max_rounds} rounds (chain-of-cycles topology); "
+                "raise max_rounds or pass max_rounds=None"
+            )
+        rounds += 1
+        # (1) trim: survivors need an out-edge AND an in-edge
+        for _ in range(trim_rounds):
+            has_out = rem_edges.select(F.col("_s").alias("node")).distinct()
+            has_in = rem_edges.select(F.col("_d").alias("node")).distinct()
+            keep = (
+                rem_nodes.join(has_out, "node", "left_semi")
+                .join(has_in, "node", "left_semi")
+                .localCheckpoint(eager=False)
+            )
+            n_keep = keep.count()
+            if n_keep == n_rem:
+                break
+            trimmed = rem_nodes.join(keep, "node", "left_anti").select(
+                "node", F.col("node").alias("scc")
+            )
+            out = out.unionByName(trimmed).localCheckpoint(eager=False)
+            rem_nodes = keep
+            rem_edges = (
+                rem_edges.join(
+                    keep.withColumnRenamed("node", "_s"), "_s", "left_semi"
+                )
+                .join(keep.withColumnRenamed("node", "_d"), "_d", "left_semi")
+                .select("_s", "_d")
+                .localCheckpoint(eager=False)
+            )
+            n_rem = n_keep
+            if n_rem == 0:
+                break
+        if n_rem == 0:
+            break
+        # (2) forward min-color propagation to fixpoint
+        col = rem_nodes.select("node", F.col("node").alias("col")).localCheckpoint(
             eager=False
         )
-        cnt = pairs.count()
-        for _ in range(max_hops):
-            nxt = (
-                pairs.join(rel, pairs["u"] == rel["_s"])
-                .select("node", F.col("_d").alias("u"))
-                .unionByName(pairs)
+        while True:
+            pmin = (
+                rem_edges.join(
+                    col.select(
+                        F.col("node").alias("_s"), F.col("col").alias("pcol")
+                    ),
+                    "_s",
+                )
+                .groupBy(F.col("_d").alias("node"))
+                .agg(F.min("pcol").alias("pmin"))
+            )
+            ncol = (
+                col.join(pmin, "node", "left")
+                .select(
+                    "node",
+                    F.least(
+                        F.col("col"), F.coalesce("pmin", "col")
+                    ).alias("col"),
+                    F.col("col").alias("_old"),
+                )
+                .localCheckpoint(eager=False)
+            )
+            changed = ncol.filter(F.col("col") < F.col("_old")).count()
+            col = ncol.select("node", "col")
+            if changed == 0:
+                break
+        # (3) backward: nodes that reach their color root within the class
+        flag = col.filter(F.col("col") == F.col("node")).localCheckpoint(
+            eager=False
+        )
+        n_flag = flag.count()
+        while True:
+            cand = rem_edges.join(
+                flag.select(F.col("node").alias("_d"), F.col("col").alias("fcol")),
+                "_d",
+            ).select(F.col("_s").alias("node"), F.col("fcol").alias("col"))
+            nflag = (
+                cand.join(col.withColumnRenamed("col", "vcol"), "node")
+                .filter(F.col("col") == F.col("vcol"))
+                .select("node", "col")
+                .unionByName(flag)
                 .distinct()
                 .localCheckpoint(eager=False)
             )
-            ncnt = nxt.count()
-            pairs = nxt
-            if ncnt == cnt:
+            n_new = nflag.count()
+            flag = nflag
+            if n_new == n_flag:
                 break
-            cnt = ncnt
-        return pairs
+            n_flag = n_new
+        out = out.unionByName(
+            flag.select("node", F.col("col").alias("scc"))
+        ).localCheckpoint(eager=False)
+        rem_nodes = rem_nodes.join(
+            flag.select("node"), "node", "left_anti"
+        ).localCheckpoint(eager=False)
+        rem_edges = (
+            rem_edges.join(
+                flag.select(F.col("node").alias("_s")), "_s", "left_anti"
+            )
+            .join(flag.select(F.col("node").alias("_d")), "_d", "left_anti")
+            .select("_s", "_d")
+            .localCheckpoint(eager=False)
+        )
+        n_rem = rem_nodes.count()
+    size = out.groupBy("scc").agg(
+        F.count(F.lit(1)).cast("long").alias("scc_size")
+    )
+    return out.join(size, "scc").select("node", "scc", "scc_size")
 
-    fwd = reach(e)
-    bwd = reach(e.select(F.col("_d").alias("_s"), F.col("_s").alias("_d")))
-    mutual = fwd.join(bwd, ["node", "u"])
-    lab = mutual.groupBy("node").agg(F.min("u").alias("scc"))
-    size = lab.groupBy("scc").agg(F.count(F.lit(1)).cast("long").alias("scc_size"))
-    return lab.join(size, "scc").select("node", "scc", "scc_size")
 
-
-def scc_bounded_sql(edges_cte: str, max_hops: int) -> str:
-    """DuckDB twin of scc_bounded: recursive reachability both ways,
-    identical min-label and size rollups."""
+def scc_sql(edges_cte: str) -> str:
+    """DuckDB twin of scc_coloring: full recursive reachability both
+    ways (exact — terminates via UNION dedup), identical min-label and
+    size rollups. The twin may enumerate pairs — it is the small-data
+    oracle, not the scale path."""
     return f"""
 WITH RECURSIVE sc_e AS (SELECT src, dst FROM ({edges_cte})),
 sc_n AS (SELECT DISTINCT src AS node FROM sc_e
          UNION SELECT DISTINCT dst FROM sc_e),
-sc_f(node, u, hops) AS (
-  SELECT node, node, 0 FROM sc_n
+sc_r(a, b) AS (
+  SELECT node, node FROM sc_n
   UNION
-  SELECT f.node, e.dst, f.hops + 1
-  FROM sc_f f JOIN sc_e e ON e.src = f.u
-  WHERE f.hops < {max_hops}
-),
-sc_b(node, u, hops) AS (
-  SELECT node, node, 0 FROM sc_n
-  UNION
-  SELECT b.node, e.src, b.hops + 1
-  FROM sc_b b JOIN sc_e e ON e.dst = b.u
-  WHERE b.hops < {max_hops}
+  SELECT r.a, e.dst FROM sc_r r JOIN sc_e e ON e.src = r.b
 ),
 sc_m AS (
-  SELECT DISTINCT f.node, f.u
-  FROM (SELECT DISTINCT node, u FROM sc_f) f
-  JOIN (SELECT DISTINCT node, u FROM sc_b) b USING (node, u)
+  SELECT f.a AS node, f.b AS u
+  FROM sc_r f JOIN sc_r b ON b.a = f.b AND b.b = f.a
 ),
 sc_lab AS (SELECT node, MIN(u) AS scc FROM sc_m GROUP BY 1),
 sc_sz AS (SELECT scc, CAST(COUNT(*) AS BIGINT) AS scc_size

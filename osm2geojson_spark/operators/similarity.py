@@ -881,6 +881,26 @@ GROUP BY a.i, b.i
 """
 
 
+GEMM_COLLECT_CAP = 200_000  # broadcast-corpus row cap for the exact GEMM paths
+
+
+def _guard_gemm_collect(df: DataFrame, what: str, max_rows: int) -> None:
+    """Hard guard for the driver-collect + broadcast GEMM helpers: these
+    exact paths are the validation/queue-sized oracle shape, not the
+    corpus-scale path. Count first and refuse past ``max_rows`` with
+    compose guidance instead of silently OOM-ing the driver."""
+    n = df.count()
+    if n > max_rows:
+        raise ValueError(
+            f"{what}: corpus has {n} rows > max_rows={max_rows}; this exact "
+            "GEMM path collects the table to the driver and broadcasts one "
+            "NumPy matrix. At corpus scale restrict candidates first with the "
+            "distributed ANN operators (ann_cosine_ivf / ann_pq_scan / "
+            "cosine_topk_lsh) and exact-rescore the survivors here, or raise "
+            "max_rows explicitly if the driver can hold the matrix."
+        )
+
+
 def label_noise_scores(
     emb: DataFrame,
     k: int = 10,
@@ -888,6 +908,7 @@ def label_noise_scores(
     vec_col: str = "embedding",
     label_col: str = "label",
     method: str = "gemm",
+    max_rows: int = GEMM_COLLECT_CAP,
 ) -> DataFrame:
     """LABEL-NOISE MINING over a labeled embedding table (the confident-
     learning / deep-kNN signal of training-data curation): for each
@@ -901,9 +922,12 @@ def label_noise_scores(
     has fewer than k+1 rows.
 
     Scale: this exact form is the brute O(n^2) oracle shape — run it on
-    validation samples. At corpus scale swap the candidate generator for
-    the banded-LSH / IVF paths in this module (same ranking + scoring
-    tail); candidates-then-exact-verify is the house ANN pattern."""
+    validation samples. The GEMM path counts the corpus first and
+    RAISES past ``max_rows`` (default GEMM_COLLECT_CAP) rather than
+    collect an unbounded table to the driver. At corpus scale swap the
+    candidate generator for the banded-LSH / IVF paths in this module
+    (same ranking + scoring tail); candidates-then-exact-verify is the
+    house ANN pattern."""
     if method == "relational":
         q = emb.select(
             F.col(id_col).alias("_qid"),
@@ -940,6 +964,7 @@ def label_noise_scores(
     # interpreted per element (no codegen for higher-order functions) and
     # measured ~10x slower at 800x800; both paths are pinned equal in
     # tests. Neighbor order stays (cos DESC, id ASC).
+    _guard_gemm_collect(emb, "label_noise_scores", max_rows)
     rows = emb.select(id_col, vec_col, label_col).collect()
     rows.sort(key=lambda r: r[0])
     ids = np.asarray([r[0] for r in rows], dtype=np.int64)
@@ -1056,13 +1081,16 @@ def gemm_knn_edges(
     k: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_rows: int = GEMM_COLLECT_CAP,
 ) -> DataFrame:
     """(qid, tid, rank) — exact cosine kNN edges of one embedding set
     (self excluded), scored by the broadcast-GEMM pattern: the
     validation-sized corpus rides to executors as one NumPy matrix and
     each Arrow batch does a single matrix multiply (label_noise_scores'
     fast path, factored for graph builders). Neighbor order pinned
-    (cos DESC, id ASC)."""
+    (cos DESC, id ASC). Counts first and raises past ``max_rows`` —
+    compose knn_graph / the ann_* candidate paths at corpus scale."""
+    _guard_gemm_collect(emb, "gemm_knn_edges", max_rows)
     rows = emb.select(id_col, vec_col).collect()
     rows.sort(key=lambda r: r[0])
     ids = np.asarray([r[0] for r in rows], dtype=np.int64)
@@ -1279,6 +1307,7 @@ def hard_negatives(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str = "label",
+    max_rows: int = GEMM_COLLECT_CAP,
 ) -> DataFrame:
     """(qid, qlabel, tid, tlabel, rank, dot_q) — HARD-NEGATIVE MINING
     for contrastive training: per anchor, the top-k highest-similarity
@@ -1297,8 +1326,10 @@ def hard_negatives(
     mining regime — MoCo's queue is 65k rows); each Arrow batch of
     anchors scores per-anchor against the whole queue with a vectorized
     elementwise-quantize + row sum, never a Spark-side pairwise join.
-    Corpus-scale mining composes upstream: ANN-restrict candidates
-    first (ann_* operators), then exact-rescore here."""
+    Counts first and raises past ``max_rows``. Corpus-scale mining
+    composes upstream: ANN-restrict candidates first (ann_*
+    operators), then exact-rescore here."""
+    _guard_gemm_collect(corpus, "hard_negatives", max_rows)
     rows = corpus.select(id_col, label_col, vec_col).collect()
     rows.sort(key=lambda r: r[0])
     c_ids = np.asarray([r[0] for r in rows], dtype=np.int64)

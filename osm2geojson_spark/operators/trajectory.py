@@ -578,6 +578,10 @@ def dtw_distances(
     both = pa.unionByName(pb)
 
     def dtw(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        import math
+
+        # built per group (a module-level ufunc would not pickle)
+        asin_glibc = np.frompyfunc(math.asin, 1, 1)
         a = pdf[pdf["_side"] == "a"].sort_values("_k")
         b = pdf[pdf["_side"] == "b"].sort_values("_k")
         n, m = len(a), len(b)
@@ -593,7 +597,13 @@ def dtw_distances(
             np.sin((la2 - la1) / 2) ** 2
             + np.cos(la1) * np.cos(la2) * np.sin((lo2 - lo1) / 2) ** 2
         )
-        cost = 2.0 * EARTH_RADIUS_M * np.arcsin(np.sqrt(np.minimum(1.0, h)))
+        # glibc asin (math.asin), NOT np.arcsin: numpy's arcsin differs
+        # from the C library in the last ulp, and the DuckDB value twin
+        # replays this exact DP — sin/cos/sqrt are bit-identical across
+        # numpy/DuckDB (all glibc) but arcsin is numpy's own kernel
+        cost = (2.0 * EARTH_RADIUS_M) * asin_glibc(
+            np.sqrt(np.minimum(1.0, h))
+        ).astype(np.float64)
         # anti-diagonal wavefront DP: every cell still computes
         # cost + min(up, left, diag) — identical arithmetic to the naive
         # row scan (min of the same three floats, one add) but each

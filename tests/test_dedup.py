@@ -2436,3 +2436,31 @@ def test_lev2_join_complete_vs_brute(spark):
         ).fetchall()
     }
     assert twin == got
+
+
+def test_gemm_collect_paths_guarded(spark):
+    """The driver-collect GEMM helpers count first and raise with
+    ANN-compose guidance past max_rows instead of collecting an
+    unbounded corpus to the driver."""
+    import pytest
+
+    from osm2geojson_spark.operators.similarity import (
+        gemm_knn_edges,
+        hard_negatives,
+        label_noise_scores,
+    )
+
+    emb = spark.range(10).selectExpr(
+        "id AS vec_id",
+        "array(CAST(id AS DOUBLE), 1.0d) AS embedding",
+        "CAST(id % 2 AS BIGINT) AS label",
+    )
+    with pytest.raises(ValueError, match="ann_"):
+        label_noise_scores(emb, k=3, max_rows=5)
+    with pytest.raises(ValueError, match="ann_"):
+        gemm_knn_edges(emb, k=3, max_rows=5)
+    with pytest.raises(ValueError, match="ann_"):
+        hard_negatives(emb, emb, k=3, max_rows=5)
+    # within the cap the paths still run
+    assert label_noise_scores(emb, k=3, max_rows=10).count() == 10
+    assert gemm_knn_edges(emb, k=2, max_rows=10).count() == 20

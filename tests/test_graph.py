@@ -895,6 +895,30 @@ def test_four_clique_count_brute_and_twin(spark):
     assert twin == got
 
 
+def test_four_clique_count_skewed_hub_degree_orientation(spark):
+    """Power-law-ish fixture: a low-id hub (node 0) adjacent to all n
+    spokes plus a planted K4 among high-id nodes. Id-order orientation
+    would give node 0 out-degree n (quadratic triangle fan-out);
+    (degree, id) orientation points every hub edge INTO the hub, so
+    the hub's oriented out-degree is 0. Counts still exact."""
+    import itertools
+
+    from osm2geojson_spark.operators.graph import four_clique_count
+
+    n = 500
+    hub = [(0, i) for i in range(1, n + 1)]
+    k4 = list(itertools.combinations([n - 3, n - 2, n - 1, n], 2))
+    df = spark.createDataFrame(hub + k4, "src long, dst long")
+    got = {r["node"]: r["n_k4"] for r in four_clique_count(df).collect()}
+    # hub + any K4 triangle face forms a K4 iff hub adjacent to all
+    # three: hub is adjacent to everything, so each of the 4 faces of
+    # the planted K4 + hub is a K4, plus the planted K4 itself = 5 K4s
+    # touching the cluster; the hub sits in 4 of them.
+    assert got[0] == 4
+    assert all(got[v] == 1 + 3 for v in (n - 3, n - 2, n - 1, n))
+    assert sum(got.values()) == 5 * 4
+
+
 def test_personalized_pagerank_replay_and_locality(spark):
     """Dict replay of the truncating integer rounds; mass stays near the
     seed on a path graph (monotone decay with hop distance); unreached
@@ -1092,35 +1116,33 @@ def test_critical_path_brute_and_twin(spark):
     assert twin == got
 
 
-def test_scc_bounded_brute_and_twin(spark):
+def test_scc_coloring_brute_and_twin(spark):
     """SCC labels on a hand graph: two cycles, a bridge, a tail."""
     import duckdb
-    import itertools
 
-    from osm2geojson_spark.operators.graph import scc_bounded, scc_bounded_sql
+    from osm2geojson_spark.operators.graph import scc_coloring, scc_sql
 
     # cycle A: 0->1->2->0; cycle B: 10->11->10; bridge 2->10 (one-way);
-    # tail 11->20 (dead end)
-    edges = [(0, 1), (1, 2), (2, 0), (10, 11), (11, 10), (2, 10), (11, 20)]
+    # tail 11->20 (dead end); self-loop on 20 (must stay a singleton)
+    edges = [
+        (0, 1), (1, 2), (2, 0), (10, 11), (11, 10), (2, 10), (11, 20),
+        (20, 20),
+    ]
 
-    def brute(h):
+    def brute():
         nodes = sorted({x for e in edges for x in e})
         adj = {v: [d for s, d in edges if s == v] for v in nodes}
-        radj = {v: [s for s, d in edges if d == v] for v in nodes}
 
-        def reach(start, nbrs):
+        def reach(start):
             seen = {start}
             frontier = {start}
-            for _ in range(h):
-                frontier = {u for v in frontier for u in nbrs[v]} - seen
-                if not frontier:
-                    break
+            while frontier:
+                frontier = {u for v in frontier for u in adj[v]} - seen
                 seen |= frontier
             return seen
 
-        lab = {
-            v: min(reach(v, adj) & reach(v, radj)) for v in nodes
-        }
+        r = {v: reach(v) for v in nodes}
+        lab = {v: min(u for u in r[v] if v in r[u]) for v in nodes}
         import collections
 
         sz = collections.Counter(lab.values())
@@ -1129,9 +1151,9 @@ def test_scc_bounded_brute_and_twin(spark):
     df = spark.createDataFrame(edges, "src long, dst long")
     got = {
         r["node"]: (r["scc"], r["scc_size"])
-        for r in scc_bounded(df, max_hops=6).collect()
+        for r in scc_coloring(df).collect()
     }
-    assert got == brute(6)
+    assert got == brute()
     # the two cycles are separate components; the bridge keeps them apart
     assert got[0] == (0, 3) and got[1] == (0, 3) and got[2] == (0, 3)
     assert got[10] == (10, 2) and got[11] == (10, 2)
@@ -1143,10 +1165,66 @@ def test_scc_bounded_brute_and_twin(spark):
     twin = {
         r[0]: (r[1], r[2])
         for r in duck.sql(
-            scc_bounded_sql("SELECT src, dst FROM sce", max_hops=6)
+            scc_sql("SELECT src, dst FROM sce")
         ).fetchall()
     }
     assert twin == got
+
+
+def test_scc_coloring_hub_graph_bounded_state(spark):
+    """Hub graph (one node of degree ~n/2): the old reachability-pair
+    algorithm materialized Θ(n²/4) pairs here; trim+coloring keeps one
+    row per node. n=20000 with a planted 3-cycle among the spokes."""
+    from pyspark.sql import functions as F
+
+    from osm2geojson_spark.operators.graph import scc_coloring
+
+    n = 20_000
+    half = n // 2
+    spokes_out = (
+        spark.range(1, half + 1)
+        .select(F.lit(0).alias("src"), F.col("id").alias("dst"))
+    )
+    spokes_in = (
+        spark.range(half + 1, n + 1)
+        .select(F.col("id").alias("src"), F.lit(0).alias("dst"))
+    )
+    cycle = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1)], "src long, dst long"
+    )
+    got = scc_coloring(
+        spokes_out.unionByName(spokes_in).unionByName(cycle)
+    )
+    lab = {r["node"]: (r["scc"], r["scc_size"]) for r in got.collect()}
+    assert len(lab) == n + 1
+    # planted cycle is the only nontrivial component
+    assert lab[1] == (1, 3) and lab[2] == (1, 3) and lab[3] == (1, 3)
+    assert lab[0] == (0, 1)
+    assert lab[half + 1] == (half + 1, 1)
+    assert all(v[1] == 1 for k, v in lab.items() if k not in (1, 2, 3))
+
+
+def test_scc_coloring_chain_of_cycles_round_cap(spark):
+    """A chain of 2-cycles linked one-way needs one coloring round per
+    component (worst case); max_rounds raises cleanly, None completes."""
+    import pytest
+
+    from osm2geojson_spark.operators.graph import scc_coloring
+
+    # components {0,1} -> {2,3} -> {4,5}: 2-cycles with one-way links
+    edges = [
+        (0, 1), (1, 0), (2, 3), (3, 2), (4, 5), (5, 4), (1, 2), (3, 4),
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: (r["scc"], r["scc_size"])
+        for r in scc_coloring(df, max_rounds=None).collect()
+    }
+    assert got == {
+        0: (0, 2), 1: (0, 2), 2: (2, 2), 3: (2, 2), 4: (4, 2), 5: (4, 2),
+    }
+    with pytest.raises(RuntimeError, match="unresolved"):
+        scc_coloring(df, max_rounds=1)
 
 
 def test_betweenness_bounded_scalar_replay(spark):

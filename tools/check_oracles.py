@@ -3,6 +3,11 @@ given SF dir and compare against oracle_sql() via DuckDB (row count + schema
 + order-insensitive value comparison), mirroring CORRECTNESS_r{N}.json.
 
 Usage: python tools/check_oracles.py [sf_dir] [only_query ...]
+
+Every run also updates CORRECTNESS_LOCAL.json — the cumulative per-query
+ledger (VERDICT r4 ask #9): for each of the registry's queries, the last
+local result + when it was verified + which driver rounds ever recorded it
+green, so drift of long-unverified queries is visible at a glance.
 """
 
 from __future__ import annotations
@@ -103,6 +108,70 @@ def main():
         print(f"{k:<{width}}  {v}", flush=True)
     n_ok = sum(1 for v in results.values() if v.startswith("OK") or v.startswith("rows-only"))
     print(f"\n{n_ok}/{len(results)} passing")
+    update_ledger(results, sf_dir, set(qs))
+
+
+def update_ledger(results: dict, sf_dir: str, registry: set) -> None:
+    """Merge this run's results into CORRECTNESS_LOCAL.json (cumulative,
+    one entry per registry query) alongside driver-round provenance."""
+    import datetime
+    import glob
+    import json
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = os.path.join(repo, "CORRECTNESS_LOCAL.json")
+    ledger = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            ledger = json.load(f)
+    ledger.pop("_summary", None)
+    # driver provenance: every CORRECTNESS_r*.json row that was green
+    driver_rounds: dict[str, list[str]] = {}
+    for p in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+        rnd = os.path.basename(p)[len("CORRECTNESS_") : -len(".json")]
+        with open(p) as f:
+            rows = json.load(f)
+        for qname, row in rows.items():
+            ok = (
+                isinstance(row, dict)
+                and row.get("rows_match")
+                and row.get("schema_match")
+                and (row.get("hash_match") is not False)
+                and not row.get("err")
+            )
+            if ok:
+                driver_rounds.setdefault(qname, []).append(rnd)
+    today = datetime.date.today().isoformat()
+    for qname in sorted(registry):
+        ent = ledger.get(qname, {})
+        if qname in results:
+            r = results[qname]
+            ent["last_result"] = r
+            ent["ok"] = r.startswith("OK") or r.startswith("rows-only")
+            ent["last_verified"] = f"{today} local {os.path.basename(sf_dir)}"
+        ent["driver_rounds"] = driver_rounds.get(qname, [])
+        ledger[qname] = ent
+    # registry-pruned: drop queries that no longer exist
+    ledger = {k: v for k, v in ledger.items() if k in registry}
+    n_ok = sum(1 for v in ledger.values() if v.get("ok"))
+    n_loc = sum(1 for v in ledger.values() if "last_result" in v)
+    summary = {
+        "registry_size": len(registry),
+        "locally_verified": n_loc,
+        "locally_ok": n_ok,
+        "driver_recorded_ever": sum(
+            1 for v in ledger.values() if v["driver_rounds"]
+        ),
+        "updated": today,
+    }
+    out = {"_summary": summary}
+    out.update(ledger)
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1, sort_keys=False)
+    print(
+        f"ledger: {n_ok}/{len(registry)} ok "
+        f"({summary['driver_recorded_ever']} driver-recorded) -> {path}"
+    )
 
 
 if __name__ == "__main__":
