@@ -32,6 +32,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..plans.iterate import stable_checkpoint
+
 
 def bfs_hops(
     edges: DataFrame,
@@ -1914,21 +1916,27 @@ def scc_coloring(
 
     Each outer round: (1) TRIM — iteratively peel nodes with zero
     in- or out-degree in the surviving subgraph (they are singleton
-    SCCs; kills DAG fringe, hub spokes, tails); (2) forward MIN-COLOR
-    propagation to fixpoint (col(v) = smallest surviving node that
-    reaches v); (3) backward mark, within each color class, of the
-    nodes that reach their root r (col(r) = r) — those ARE scc(r);
-    label and remove them, repeat on the remainder.
+    SCCs; kills DAG fringe, hub spokes, tails); (2) forward MIN-LABEL
+    propagation to fixpoint — col(v) = smallest surviving node that
+    reaches v; (3) the SCC membership test runs as a SECOND min-label
+    propagation on the REVERSED, same-color-restricted edge set:
+    col2(v) = min same-class node v reaches, and since the color root
+    c is provably the minimum id of its class and v→c paths provably
+    stay inside the class, v ∈ SCC(c) ⟺ col2(v) = col(v). Label and
+    remove those, repeat on the remainder.
 
     Replaces the earlier reachability-PAIR formulation whose state
     grew as Σ|reach_H(v)| (quadratic on hub-heavy graphs): every
-    frontier here — colors, flags, survivors — is one row per NODE,
-    so memory is O(nodes + edges) regardless of connectivity. Round
-    complexity is the classic coloring bound (≤ #SCC rounds in the
-    worst chain-of-cycles case, a handful on real graphs); the run
-    raises past ``max_rounds`` (None = unbounded) rather than emit
-    partial labels. Per iteration one equi-join + combinable min/
-    count rollup, localCheckpoint lineage truncation throughout."""
+    frontier here — labels, survivors — is one row per NODE, so
+    memory is O(nodes + edges) regardless of connectivity. Min-label
+    propagation combines the edge relaxation with POINTER DOUBLING
+    (col(col(v)) also reaches v), so a diameter-D phase converges in
+    O(log D) materialized rounds, not D (the sf0.1 fixture needs 64
+    edge hops = 8 doubling rounds). Outer-round complexity is the
+    classic coloring bound (≤ #SCC rounds in the worst chain-of-
+    cycles case, a handful on real graphs); the run raises past
+    ``max_rounds`` (None = unbounded) rather than emit partial
+    labels. localCheckpoint lineage truncation throughout."""
     e_all = edges.select(F.col(src_col).alias("_s"), F.col(dst_col).alias("_d"))
     nodes = (
         e_all.select(F.col("_s").alias("node"))
@@ -1957,10 +1965,9 @@ def scc_coloring(
         for _ in range(trim_rounds):
             has_out = rem_edges.select(F.col("_s").alias("node")).distinct()
             has_in = rem_edges.select(F.col("_d").alias("node")).distinct()
-            keep = (
+            keep = stable_checkpoint(
                 rem_nodes.join(has_out, "node", "left_semi")
                 .join(has_in, "node", "left_semi")
-                .localCheckpoint(eager=False)
             )
             n_keep = keep.count()
             if n_keep == n_rem:
@@ -1970,91 +1977,106 @@ def scc_coloring(
             )
             out = out.unionByName(trimmed).localCheckpoint(eager=False)
             rem_nodes = keep
-            rem_edges = (
+            rem_edges = stable_checkpoint(
                 rem_edges.join(
                     keep.withColumnRenamed("node", "_s"), "_s", "left_semi"
                 )
                 .join(keep.withColumnRenamed("node", "_d"), "_d", "left_semi")
                 .select("_s", "_d")
-                .localCheckpoint(eager=False)
             )
             n_rem = n_keep
             if n_rem == 0:
                 break
         if n_rem == 0:
             break
-        # (2) forward min-color propagation to fixpoint
-        col = rem_nodes.select("node", F.col("node").alias("col")).localCheckpoint(
-            eager=False
+        # (2) forward: col(v) = min node that reaches v
+        col = _min_reach_labels(rem_nodes, rem_edges)
+        # (3) membership: col2 = min-reach on reversed same-class edges;
+        # v is in SCC(col(v)) iff col2(v) == col(v)
+        cols_s = col.select(F.col("node").alias("_s"), F.col("col").alias("_cs"))
+        cols_d = col.select(F.col("node").alias("_d"), F.col("col").alias("_cd"))
+        class_rev = stable_checkpoint(
+            rem_edges.join(cols_s, "_s")
+            .join(cols_d, "_d")
+            .filter(F.col("_cs") == F.col("_cd"))
+            .select(F.col("_d").alias("_s"), F.col("_s").alias("_d"))
         )
-        while True:
-            pmin = (
-                rem_edges.join(
-                    col.select(
-                        F.col("node").alias("_s"), F.col("col").alias("pcol")
-                    ),
-                    "_s",
-                )
-                .groupBy(F.col("_d").alias("node"))
-                .agg(F.min("pcol").alias("pmin"))
-            )
-            ncol = (
-                col.join(pmin, "node", "left")
-                .select(
-                    "node",
-                    F.least(
-                        F.col("col"), F.coalesce("pmin", "col")
-                    ).alias("col"),
-                    F.col("col").alias("_old"),
-                )
-                .localCheckpoint(eager=False)
-            )
-            changed = ncol.filter(F.col("col") < F.col("_old")).count()
-            col = ncol.select("node", "col")
-            if changed == 0:
-                break
-        # (3) backward: nodes that reach their color root within the class
-        flag = col.filter(F.col("col") == F.col("node")).localCheckpoint(
-            eager=False
+        col2 = _min_reach_labels(rem_nodes, class_rev)
+        flag = stable_checkpoint(
+            col.join(col2.withColumnRenamed("col", "col2"), "node")
+            .filter(F.col("col") == F.col("col2"))
+            .select("node", "col")
         )
-        n_flag = flag.count()
-        while True:
-            cand = rem_edges.join(
-                flag.select(F.col("node").alias("_d"), F.col("col").alias("fcol")),
-                "_d",
-            ).select(F.col("_s").alias("node"), F.col("fcol").alias("col"))
-            nflag = (
-                cand.join(col.withColumnRenamed("col", "vcol"), "node")
-                .filter(F.col("col") == F.col("vcol"))
-                .select("node", "col")
-                .unionByName(flag)
-                .distinct()
-                .localCheckpoint(eager=False)
-            )
-            n_new = nflag.count()
-            flag = nflag
-            if n_new == n_flag:
-                break
-            n_flag = n_new
         out = out.unionByName(
             flag.select("node", F.col("col").alias("scc"))
         ).localCheckpoint(eager=False)
-        rem_nodes = rem_nodes.join(
-            flag.select("node"), "node", "left_anti"
-        ).localCheckpoint(eager=False)
-        rem_edges = (
+        rem_nodes = stable_checkpoint(
+            rem_nodes.join(flag.select("node"), "node", "left_anti")
+        )
+        rem_edges = stable_checkpoint(
             rem_edges.join(
                 flag.select(F.col("node").alias("_s")), "_s", "left_anti"
             )
             .join(flag.select(F.col("node").alias("_d")), "_d", "left_anti")
             .select("_s", "_d")
-            .localCheckpoint(eager=False)
         )
         n_rem = rem_nodes.count()
     size = out.groupBy("scc").agg(
         F.count(F.lit(1)).cast("long").alias("scc_size")
     )
     return out.join(size, "scc").select("node", "scc", "scc_size")
+
+
+def _min_reach_labels(
+    nodes: DataFrame, edges: DataFrame, step_batch: int = 4
+) -> DataFrame:
+    """(node, col) fixpoint of col(v) = min{u : u reaches v} (v itself
+    included) over directed ``edges`` (_s, _d). Per materialized round:
+    ``step_batch`` edge-relaxation hops chained lazily over the
+    self-loop-augmented edge set (self-loops make each hop a SINGLE
+    reference to the previous state — col'(v) = min over u→v∪self of
+    col(u) — so the lazy plan grows linearly in batch depth), then one
+    pointer-doubling hop (col(col(v)) also reaches v), so a diameter-D
+    phase converges in ~D/step_batch·(shrinking) rounds with O(nodes)
+    state per frontier. Rounds checkpoint via stable_checkpoint — a
+    plain localCheckpoint here compounds the join-size statistics
+    exponentially across rounds and melts the driver in BigInteger
+    multiplies (see plans/iterate.py; measured 60 s/round by round 23
+    before the fix, flat ~1 s after)."""
+    e_sl = stable_checkpoint(
+        edges.unionByName(
+            nodes.select(F.col("node").alias("_s"), F.col("node").alias("_d"))
+        )
+    )
+    col = stable_checkpoint(
+        nodes.select("node", F.col("node").alias("col"))
+    )
+    while True:
+        cur = col
+        for _ in range(step_batch):
+            cur = (
+                e_sl.join(
+                    cur.select(
+                        F.col("node").alias("_s"), F.col("col").alias("pcol")
+                    ),
+                    "_s",
+                )
+                .groupBy(F.col("_d").alias("node"))
+                .agg(F.min("pcol").alias("col"))
+            )
+        jmp = col.select(F.col("node").alias("col"), F.col("col").alias("jmin"))
+        ncol = stable_checkpoint(
+            cur.join(jmp, "col", "left")
+            .select(
+                "node",
+                F.least(F.col("col"), F.coalesce("jmin", "col")).alias("col"),
+            )
+            .join(col.select("node", F.col("col").alias("_old")), "node")
+        )
+        changed = ncol.filter(F.col("col") < F.col("_old")).count()
+        col = ncol.select("node", "col")
+        if changed == 0:
+            return col
 
 
 def scc_sql(edges_cte: str) -> str:
