@@ -142,13 +142,18 @@ def update_ledger(results: dict, sf_dir: str, registry: set) -> None:
             if ok:
                 driver_rounds.setdefault(qname, []).append(rnd)
     today = datetime.date.today().isoformat()
+    sf_key = os.path.basename(sf_dir.rstrip("/"))
     for qname in sorted(registry):
         ent = ledger.get(qname, {})
         if qname in results:
             r = results[qname]
             ent["last_result"] = r
             ent["ok"] = r.startswith("OK") or r.startswith("rows-only")
-            ent["last_verified"] = f"{today} local {os.path.basename(sf_dir)}"
+            ent["last_verified"] = f"{today} local {sf_key}"
+            # per-SF stamp history: one entry per scale factor verified
+            stamps = ent.get("verified_at", {})
+            stamps[sf_key] = {"date": today, "ok": ent["ok"], "result": r}
+            ent["verified_at"] = stamps
         ent["driver_rounds"] = driver_rounds.get(qname, [])
         ledger[qname] = ent
     # registry-pruned: drop queries that no longer exist
